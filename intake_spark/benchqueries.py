@@ -1,0 +1,492 @@
+"""Headline query registry: Spark builder + DuckDB oracle SQL per operator.
+
+Every relational verb of the reference's declarative dataframe surface
+(intake/source/derived.py:316-478 — cols/query/assign/join/merge/concat/
+groupby/accessors) and each LLM-pipeline operator gets one named query here,
+run against the driver's synthetic tables (TESTDATA.md).
+
+Determinism policy for double aggregates: per-row double arithmetic is
+IEEE-identical across engines, but *summation order* is not. So sums are
+taken over values cast to DECIMAL (exact, associative) and the final result
+cast back to DOUBLE; averages divide that exact sum by the count in double.
+Both the Spark builder and the oracle SQL apply the same policy, making the
+value-hash comparison exact rather than approximate.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from intake_spark.session import load_table
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLE: dict[str, str] = {}
+
+
+def register(name: str, sql: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLE[name] = sql
+        return fn
+
+    return deco
+
+
+def dsum(col, scale: int = 2):
+    """Exact decimal sum of a double expression, returned as double."""
+    c = col if not isinstance(col, str) else F.col(col)
+    return F.sum(c.cast(f"decimal(28,{scale})")).cast("double")
+
+
+def davg(col, scale: int = 4):
+    """Order-insensitive average: exact decimal sum / count, in double."""
+    c = col if not isinstance(col, str) else F.col(col)
+    return F.sum(c.cast(f"decimal(28,{scale})")).cast("double") / F.count(F.lit(1))
+
+
+# ---------------------------------------------------------------------------
+# Relational verbs (SURVEY §2.7 — the DataFramePipeline operator surface)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q01_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,2))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,8))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(28,8))) AS DOUBLE) AS sum_charge,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+           CAST(SUM(CAST(l_discount AS DECIMAL(28,4))) AS DOUBLE) / COUNT(*) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style scan+hash-aggregate. groupby/agg verb
+    (reference derived.py:316-478 delegates this to the backend; here it is
+    a single Spark hash aggregate with partial map-side combine)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            dsum(disc_price, 8).alias("sum_disc_price"),
+            dsum(charge, 8).alias("sum_charge"),
+            davg("l_quantity", 2).alias("avg_qty"),
+            davg("l_discount", 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@register(
+    "q02_select_filter",
+    """
+    SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1996-01-01 00:00:00'
+      AND l_discount >= 0.05 AND l_quantity < 10
+    """,
+)
+def q02_select_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cols + query verbs (projection/filter pushed to the parquet scan)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_quantity") < 10)
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+
+
+@register(
+    "q03_top_orders_revenue",
+    """
+    SELECT l.l_orderkey AS orderkey,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,8))) AS DOUBLE) AS revenue,
+           o.o_orderdate AS orderdate, o.o_orderpriority AS priority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, orderkey
+    LIMIT 10
+    """,
+)
+def q03_top_orders_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-style join+agg+topN. merge verb ×2; customer is broadcast
+    (small dim) so only the lineitem↔orders shuffle remains."""
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("l_orderkey").alias("orderkey"),
+            F.col("o_orderdate").alias("orderdate"),
+            F.col("o_orderpriority").alias("priority"),
+        )
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 8).alias("revenue"))
+        .select("orderkey", "revenue", "orderdate", "priority")
+        .orderBy(F.desc("revenue"), F.asc("orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "q04_order_priority",
+    """
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey
+                  AND l.l_quantity > 45)
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def q04_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS as left-semi join (Catalyst keeps it shuffle-side-pruned)."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 45)
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "q05_nation_volume",
+    """
+    SELECT n.n_name AS nation,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,8))) AS DOUBLE) AS revenue
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name IN ('ASIA', 'EUROPE')
+    GROUP BY n.n_name
+    ORDER BY revenue DESC, nation
+    """,
+)
+def q05_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-schema join: every dim (customer/nation/region) broadcast, so the
+    fact table never shuffles before the final aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name").isin("ASIA", "EUROPE"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 8).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("nation"))
+    )
+
+
+@register(
+    "q06_forecast_revenue",
+    """
+    SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(28,8))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.04 AND 0.08 AND l_quantity < 25
+    """,
+)
+def q06_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6-style selective scan→single aggregate; all predicates push
+    down to the parquet reader."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_discount") >= 0.04)
+        & (F.col("l_discount") <= 0.08)
+        & (F.col("l_quantity") < 25)
+    ).agg(
+        dsum(F.col("l_extendedprice") * F.col("l_discount"), 8).alias("revenue"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@register(
+    "q07_topn_orders",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 20
+    """,
+)
+def q07_topn_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sort+limit verb — Spark executes as TakeOrderedAndProject (per-partition
+    top-N then driver merge), no full sort at scale."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey")).limit(20).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+
+
+@register(
+    "q08_distinct_segments",
+    """
+    SELECT DISTINCT c_mktsegment, c_nationkey FROM customer
+    """,
+)
+def q08_distinct_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """distinct verb (hash aggregate with map-side partial dedup)."""
+    return load_table(spark, sf_dir, "customer").select("c_mktsegment", "c_nationkey").distinct()
+
+
+@register(
+    "q09_assign_charge",
+    """
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice * (1 - l_discount) * (1 + l_tax) AS charge,
+           CASE WHEN l_quantity >= 25 THEN 'bulk' ELSE 'small' END AS qty_class
+    FROM lineitem
+    WHERE l_returnflag = 'R'
+    """,
+)
+def q09_assign_charge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """assign verb: per-row computed columns (pure codegen'd projection;
+    per-row double math is IEEE-identical across engines so no rounding)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))).alias(
+            "charge"
+        ),
+        F.when(F.col("l_quantity") >= 25, "bulk").otherwise("small").alias("qty_class"),
+    )
+
+
+@register(
+    "q10_window_top_orders",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders)
+    WHERE rn <= 3
+    """,
+)
+def q10_window_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """window verb: per-group top-3 via row_number (single shuffle on the
+    partition key; AQE handles skewed customers)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+@register(
+    "q11_date_accessors",
+    """
+    SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS order_year,
+           CAST(EXTRACT(month FROM o_orderdate) AS INTEGER) AS order_month,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def q11_date_accessors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dt.* accessor verbs (reference derived.py:405-409) → year()/month()."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.year("o_orderdate").alias("order_year"),
+            F.month("o_orderdate").alias("order_month"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice").alias("total"))
+        .orderBy("order_year", "order_month")
+    )
+
+
+@register(
+    "q12_concat_buckets",
+    """
+    SELECT o_orderkey, o_totalprice, 'high' AS bucket FROM orders WHERE o_totalprice > 400000
+    UNION ALL
+    SELECT o_orderkey, o_totalprice, 'low' AS bucket FROM orders WHERE o_totalprice < 20000
+    """,
+)
+def q12_concat_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """concat verb (axis=0) → unionByName of two filtered lineages."""
+    o = load_table(spark, sf_dir, "orders")
+    hi = o.filter(F.col("o_totalprice") > 400000).select(
+        "o_orderkey", "o_totalprice", F.lit("high").alias("bucket")
+    )
+    lo = o.filter(F.col("o_totalprice") < 20000).select(
+        "o_orderkey", "o_totalprice", F.lit("low").alias("bucket")
+    )
+    return hi.unionByName(lo)
+
+
+@register(
+    "q13_customers_without_orders",
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def q13_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS → left-anti join."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@register(
+    "q14_event_type_matrix",
+    """
+    SELECT CAST(DATE_TRUNC('day', ts) AS TIMESTAMP) AS day,
+           COUNT(*) FILTER (WHERE event_type = 'click') AS clicks,
+           COUNT(*) FILTER (WHERE event_type = 'view') AS views,
+           COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchases,
+           COUNT(*) FILTER (WHERE event_type = 'error') AS errors,
+           COUNT(*) FILTER (WHERE event_type = 'signup') AS signups
+    FROM events
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def q14_event_type_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pivot-style conditional aggregation over the events stream table."""
+    ev = load_table(spark, sf_dir, "events")
+    cnt = lambda t: F.count(F.when(F.col("event_type") == t, 1)).alias(t + "s")  # noqa: E731
+    return (
+        ev.groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(
+            cnt("click"),
+            cnt("view"),
+            cnt("purchase"),
+            cnt("error"),
+            cnt("signup"),
+        )
+        .orderBy("day")
+    )
+
+
+@register(
+    "q15_rollup_region_nation",
+    """
+    SELECT r.r_name AS region, n.n_name AS nation, COUNT(*) AS n_customers,
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(28,2))) AS DOUBLE) AS acctbal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP(r.r_name, n.n_name)
+    """,
+)
+def q15_rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rollup (hierarchical subtotals) — Spark .rollup() ≡ SQL GROUP BY ROLLUP."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    joined = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).join(
+        F.broadcast(r), n.n_regionkey == r.r_regionkey
+    )
+    return (
+        joined.select(F.col("r_name").alias("region"), F.col("n_name").alias("nation"), "c_acctbal")
+        .rollup("region", "nation")
+        .agg(F.count(F.lit(1)).alias("n_customers"), dsum("c_acctbal").alias("acctbal"))
+    )
+
+
+@register(
+    "q16_json_props",
+    """
+    SELECT event_type,
+           SUM(CAST(REGEXP_EXTRACT(props, '"k": (\\d+)', 1) AS BIGINT)) AS k_total,
+           COUNT(*) AS n
+    FROM events
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q16_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """semi-structured extraction from the JSON props column (regexp path;
+    the engine also exposes get_json_object — same plan shape)."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.regexp_extract("props", r'"k": (\d+)', 1).cast("bigint")
+    return (
+        ev.groupBy("event_type")
+        .agg(F.sum(k).alias("k_total"), F.count(F.lit(1)).alias("n"))
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "q17_hourly_windows",
+    """
+    SELECT CAST(DATE_TRUNC('hour', ts) AS TIMESTAMP) AS window_start,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users,
+           CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS value_sum
+    FROM events
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def q17_hourly_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time windows — batch-equivalent of the
+    streaming windowed aggregation (intake_spark.streaming uses the same
+    expression over readStream with a watermark)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            dsum("value", 6).alias("value_sum"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n_events", "n_users", "value_sum")
+        .orderBy("window_start")
+    )
+
+
+def get_queries() -> dict[str, QueryFn]:
+    # Import registers the LLM-operator queries too (kept in their module so
+    # the operator implementations and their oracle SQL live together).
+    import intake_spark.llm.queries  # noqa: F401
+
+    return dict(QUERIES)
+
+
+def get_oracle_sql() -> dict[str, str]:
+    import intake_spark.llm.queries  # noqa: F401
+
+    return dict(ORACLE)

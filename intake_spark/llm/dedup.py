@@ -1,0 +1,262 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash,
+embedding-cosine near-dup.
+
+Design for 100 TB:
+
+- Exact / fingerprint dedup is one hash-aggregate (map-side partial combine;
+  the only shuffle is on the 16-byte digest, not the document text).
+- Exact pairwise Jaccard (``jaccard_pairs``) is the *oracle* algorithm —
+  correct but O(candidate pairs); it shuffles once on the shingle. At scale
+  the shingle join must be capped (``max_shingle_df``) so stop-shingles don't
+  create quadratic blowup.
+- MinHash+LSH (``minhash_signatures`` → ``lsh_candidate_pairs``) is the
+  scale path: fixed-width signatures (k integers per doc regardless of doc
+  size), banding turns near-dup search into an equi-join on band keys — the
+  join Spark already knows how to distribute. Hash functions are
+  *deterministic* (md5-derived, fixed affine coefficients) so results are
+  reproducible run-to-run and oracle-checkable — unlike
+  ``pyspark.ml.feature.MinHashLSH`` whose coefficients are RNG-seeded.
+- SimHash packs a document into one 32-bit integer; near-dup = small
+  Hamming distance, findable by pigeonhole banding on bit-slices.
+
+Reference parity note: the reference has **no** dedup operators (its closest
+surface is the LLM embedding readers, intake/readers/readers.py:583-833);
+these are part of the mandated beyond-reference LLM-pipeline layer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Deterministic affine-hash family over a 32-bit md5-derived base hash.
+# a_j < 2^28 keeps a*h < 2^60 — no 64-bit overflow before the modulus.
+MINHASH_P = 4294967311  # prime > 2^32
+
+
+def _affine_coeffs(num_hashes: int) -> list[tuple[int, int]]:
+    return [(1_000_003 + 2_000_029 * j, 12_345 + 67_891 * j) for j in range(num_hashes)]
+
+
+def base_hash(col):
+    """Deterministic 32-bit integer hash of a string column: first 8 hex
+    chars of md5, parsed base-16. Identical in any engine with md5."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("bigint")
+
+
+def shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3) -> DataFrame:
+    """Distinct k-word shingles per document: (id, shingle) rows.
+
+    Uses sequence/slice higher-order functions (JVM-side). Documents with
+    fewer than k tokens produce no shingles.
+    """
+    w = F.split(F.col(text_col), " ")
+    df = df.select(F.col(id_col), w.alias("_w")).filter(F.size("_w") >= k)
+    sh = F.expr(f"transform(sequence(1, size(_w) - {k - 1}), i -> concat_ws(' ', slice(_w, i, {k})))")
+    return df.select(id_col, F.explode(sh).alias("shingle")).distinct()
+
+
+def exact_dedup(df: DataFrame, subset: list[str] | None = None) -> DataFrame:
+    """Exact deduplication — keep one row per distinct value of ``subset``
+    (or the whole row). One hash-aggregate."""
+    return df.dropDuplicates(subset) if subset else df.dropDuplicates()
+
+
+def exact_dup_groups(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Group documents by content hash: (text_hash, keep_id, n_dups).
+    ``keep_id`` = min id per group — the canonical survivor."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("text_hash"))
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_dups"))
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.5,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs: (doc_a, doc_b, jaccard >= threshold).
+
+    Plan: shingle-explode → self-equi-join on shingle → count intersections →
+    join per-doc shingle counts → |A∩B| / (|A|+|B|-|A∩B|). The only shuffles
+    are the shingle equi-join and the pair aggregate.
+
+    ``max_shingle_df`` drops shingles appearing in more than that many docs
+    (stop-shingles) before the join — essential at scale to bound the
+    candidate-pair blowup; leave None for oracle-exact semantics.
+    """
+    sh = shingles(df, id_col, text_col, k).cache()
+    if max_shingle_df is not None:
+        freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+        keep = freq.filter(F.col("_df") <= max_shingle_df).select("shingle")
+        sh_join = sh.join(F.broadcast(keep), "shingle")
+    else:
+        sh_join = sh
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
+    a = sh_join.select(F.col(id_col).alias("doc_a"), "shingle")
+    b = sh_join.select(F.col(id_col).alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, ["shingle"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_shingles").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_shingles").alias("n_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    k: int = 3,
+) -> DataFrame:
+    """Deterministic MinHash signatures: (id, mh0..mh{n-1}).
+
+    min_j = min over shingles s of (a_j * h(s) + b_j) mod P, with h(s) the
+    md5-derived 32-bit hash. One explode + one hash-aggregate; signature
+    width is constant per doc so downstream state is O(docs), not O(text).
+    """
+    sh = shingles(df, id_col, text_col, k)
+    h = base_hash(F.col("shingle"))
+    aggs = [
+        F.min(F.pmod(F.lit(a) * h + F.lit(b), F.lit(MINHASH_P))).alias(f"mh{j}")
+        for j, (a, b) in enumerate(_affine_coeffs(num_hashes))
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    sig_df: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """LSH banding over minhash signatures → candidate pairs (doc_a, doc_b).
+
+    Signature is cut into ``bands`` bands of r = num_hashes/bands values;
+    docs agreeing on *any* full band become candidates. Implemented as
+    explode-to-(band_id, band_key) + self-equi-join — a plain shuffle join on
+    a compact key, the scalable formulation (no all-pairs comparison).
+    """
+    r = num_hashes // bands
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(bi).alias("band_id"),
+                F.md5(F.concat_ws("_", *[F.col(f"mh{bi * r + j}") for j in range(r)])).alias(
+                    "band_key"
+                ),
+            )
+            for bi in range(bands)
+        ]
+    )
+    banded = sig_df.select(F.col(id_col), F.explode(band_structs).alias("b")).select(
+        id_col, F.col("b.band_id").alias("band_id"), F.col("b.band_key").alias("band_key")
+    )
+    a = banded.select(F.col(id_col).alias("doc_a"), "band_id", "band_key")
+    b = banded.select(F.col(id_col).alias("doc_b"), "band_id", "band_key")
+    return (
+        a.join(b, ["band_id", "band_key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline: signatures → banded candidates →
+    exact Jaccard verification of candidates only. Returns
+    (doc_a, doc_b, jaccard). This is the 100 TB dedup path: all-pairs work
+    is confined to LSH buckets."""
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, k)
+    cands = lsh_candidate_pairs(sigs, id_col, num_hashes, bands)
+    sh = shingles(df, id_col, text_col, k).cache()
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
+    a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
+    inter = (
+        cands.join(a, "doc_a")
+        .join(b, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_shingles").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_shingles").alias("n_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 32) -> DataFrame:
+    """32-bit SimHash per document: (id, simhash).
+
+    Each token votes ±1 on every bit of its md5-derived hash; bit i of the
+    result is 1 iff the weighted vote is positive. One explode + one
+    aggregate of ``bits`` sums — mapper-heavy, single small shuffle.
+    """
+    w = F.explode(F.split(F.col(text_col), " ")).alias("tok")
+    toks = df.select(F.col(id_col), w)
+    h = base_hash(F.col("tok"))
+    toks = toks.select(id_col, h.alias("h"))
+    bit_votes = [
+        F.sum(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"v{i}")
+        for i in range(bits)
+    ]
+    votes = toks.groupBy(id_col).agg(*bit_votes)
+    sim = None
+    for i in range(bits):
+        term = F.when(F.col(f"v{i}") > 0, F.lit(2**i).cast("bigint")).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    return votes.select(id_col, sim.alias("simhash"))
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs above ``threshold`` (brute-force; use
+    :func:`intake_spark.llm.similarity.lsh_ann_pairs` at scale)."""
+    from intake_spark.llm.similarity import cosine_expr
+
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).cast("array<double>").alias("va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).cast("array<double>").alias("vb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", cosine_expr("va", "vb"))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

@@ -1,0 +1,291 @@
+"""Oracle-paired headline queries for the LLM-pipeline operators.
+
+Each query exercises one operator from ``intake_spark.llm`` on the synthetic
+``documents`` / ``embeddings`` tables and carries a DuckDB oracle SQL that
+recomputes the same deterministic definition (md5-derived hashes, exact
+decimal sums, fixed tie-breaks) — so the driver's value-hash compare is
+exact, not approximate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from intake_spark.benchqueries import register
+from intake_spark.llm import dedup, multimodal, similarity, text
+from intake_spark.llm.dedup import MINHASH_P, _affine_coeffs
+from intake_spark.llm.text import LANG_ORDER, STOPWORDS
+from intake_spark.session import load_table
+
+# --- shared SQL fragments -------------------------------------------------
+
+_NORM_SQL = (
+    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
+)
+_SHINGLES_CTE = """
+words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
+       FROM words, UNNEST(generate_series(1, len(w) - 2)) AS t(i))
+"""
+_HEX32_SQL = "CAST(concat('0x', substr(md5({col}), 1, 8)) AS BIGINT)"
+
+
+@register(
+    "q20_dedup_fingerprint",
+    f"""
+    SELECT source, COUNT(*) AS n_docs,
+           COUNT(DISTINCT md5({_NORM_SQL})) AS n_unique_fp
+    FROM documents GROUP BY source ORDER BY source
+    """,
+)
+def q20_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized-fingerprint dedup accounting per source."""
+    docs = text.with_fingerprint(load_table(spark, sf_dir, "documents"))
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("fingerprint").alias("n_unique_fp"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "q21_dedup_exact_groups",
+    """
+    SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def q21_dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact content-hash dedup groups (min-id survivor policy)."""
+    return dedup.exact_dup_groups(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "q22_jaccard_pairs",
+    f"""
+    WITH {_SHINGLES_CTE},
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS cnt
+              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+    SELECT doc_a, doc_b, CAST(cnt AS DOUBLE) / (sa.n + sb.n - cnt) AS jaccard
+    FROM inter i JOIN sizes sa ON i.doc_a = sa.doc_id
+                 JOIN sizes sb ON i.doc_b = sb.doc_id
+    WHERE CAST(cnt AS DOUBLE) / (sa.n + sb.n - cnt) >= 0.5
+    """,
+)
+def q22_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard near-dup pairs (threshold 0.5)."""
+    return dedup.jaccard_pairs(load_table(spark, sf_dir, "documents"), threshold=0.5)
+
+
+def _minhash_sql(num_hashes: int) -> str:
+    h = _HEX32_SQL.format(col="shingle")
+    mins = ",\n           ".join(
+        f"MIN(({a} * h + {b}) % {MINHASH_P}) AS mh{j}"
+        for j, (a, b) in enumerate(_affine_coeffs(num_hashes))
+    )
+    return f"""
+    WITH {_SHINGLES_CTE},
+    hashed AS (SELECT doc_id, {h} AS h FROM sh)
+    SELECT doc_id, {mins}
+    FROM hashed GROUP BY doc_id
+    """
+
+
+@register("q23_minhash_signatures", _minhash_sql(4))
+def q23_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 4-wide MinHash signatures (oracle-checkable; the LSH
+    pipeline uses 16 by default)."""
+    return dedup.minhash_signatures(load_table(spark, sf_dir, "documents"), num_hashes=4)
+
+
+def _simhash_sql(bits: int) -> str:
+    h = _HEX32_SQL.format(col="tok")
+    votes = ",\n           ".join(
+        f"SUM(((h >> {i}) & 1) * 2 - 1) AS v{i}" for i in range(bits)
+    )
+    packed = " + ".join(f"(CASE WHEN v{i} > 0 THEN {2**i} ELSE 0 END)" for i in range(bits))
+    return f"""
+    WITH toks AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents),
+    hashed AS (SELECT doc_id, {h} AS h FROM toks),
+    votes AS (SELECT doc_id, {votes} FROM hashed GROUP BY doc_id)
+    SELECT doc_id, CAST({packed} AS BIGINT) AS simhash FROM votes
+    """
+
+
+@register("q24_simhash", _simhash_sql(16))
+def q24_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash per document (deterministic md5-derived bit votes)."""
+    return dedup.simhash(load_table(spark, sf_dir, "documents"), bits=16)
+
+
+@register(
+    "q25_knn_bruteforce",
+    """
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+               FROM embeddings WHERE vec_id < 10),
+    c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+    scored AS (
+      SELECT query_id, neighbor_id,
+             list_dot_product(qv, cv) / sqrt(list_dot_product(qv, qv) * list_dot_product(cv, cv)) AS cosine
+      FROM c CROSS JOIN q WHERE neighbor_id <> query_id),
+    ranked AS (
+      SELECT query_id, neighbor_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM scored)
+    SELECT query_id, neighbor_id, rank, ROUND(cosine, 6) AS cosine_r
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def q25_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for query vectors vec_id < 10."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = similarity.knn_bruteforce(emb, emb.filter(F.col("vec_id") < 10), top_k=5)
+    return out.select(
+        "query_id", "neighbor_id", "rank", F.round("cosine", 6).alias("cosine_r")
+    )
+
+
+@register(
+    "q26_label_centroids",
+    """
+    SELECT label, i - 1 AS dim,
+           CAST(SUM(CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000000000.0) AS BIGINT)) AS DOUBLE)
+             / COUNT(*) / 1000000000.0 AS centroid
+    FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS t(i)
+    GROUP BY label, dim
+    """,
+)
+def q26_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids (exact fixed-point mean per dimension)."""
+    return similarity.label_centroids(load_table(spark, sf_dir, "embeddings"))
+
+
+def _in_list(lang: str) -> str:
+    return ", ".join("'" + w + "'" for w in STOPWORDS[lang])
+
+
+@register(
+    "q27_text_quality",
+    f"""
+    WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents)
+    SELECT doc_id,
+           len(toks) AS n_tokens,
+           len(list_distinct(toks)) AS n_uniq_tokens,
+           CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks) AS avg_token_len,
+           CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS uniq_ratio,
+           CAST(len(list_filter(toks, x -> x IN ({_in_list('en')}))) AS DOUBLE) / len(toks) AS stopword_ratio,
+           CAST(length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+             / length(text) AS punct_ratio
+    FROM w
+    """,
+)
+def q27_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality metrics (token/uniq/stopword/punct ratios)."""
+    out = text.with_quality(load_table(spark, sf_dir, "documents"))
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        "n_uniq_tokens",
+        "avg_token_len",
+        "uniq_ratio",
+        "stopword_ratio",
+        "punct_ratio",
+    )
+
+
+def _lang_pred_sql() -> str:
+    cases = []
+    for i, lang in enumerate(LANG_ORDER[:-1]):
+        conds = " AND ".join(
+            f"hits_{lang} >= hits_{other}" for other in LANG_ORDER if other != lang
+        )
+        cases.append(f"WHEN {conds} THEN '{lang}'")
+    return "CASE " + " ".join(cases) + f" ELSE '{LANG_ORDER[-1]}' END"
+
+
+@register(
+    "q28_lang_id",
+    f"""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    hits AS (SELECT doc_id,
+           {", ".join(f"len(list_filter(toks, x -> x IN ({_in_list(lang)}))) AS hits_{lang}" for lang in LANG_ORDER)}
+    FROM w)
+    SELECT doc_id, {", ".join(f"hits_{lang}" for lang in LANG_ORDER)},
+           {_lang_pred_sql()} AS pred_lang
+    FROM hits
+    """,
+)
+def q28_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-voting language ID with deterministic tie-break."""
+    out = text.with_lang_scores(load_table(spark, sf_dir, "documents"))
+    return out.select("doc_id", *[f"hits_{lang}" for lang in LANG_ORDER], "pred_lang")
+
+
+@register(
+    "q29_token_stats_by_source",
+    """
+    SELECT source, COUNT(*) AS n_docs,
+           SUM(len(string_split(text, ' '))) AS total_tokens,
+           CAST(SUM(len(string_split(text, ' '))) AS DOUBLE) / COUNT(*) AS avg_tokens
+    FROM documents GROUP BY source ORDER BY source
+    """,
+)
+def q29_token_stats_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token accounting per source."""
+    docs = text.with_token_stats(load_table(spark, sf_dir, "documents"))
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            (F.sum("n_tokens").cast("double") / F.count(F.lit(1))).alias("avg_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "q30_multimodal_meta",
+    """
+    SELECT doc_id,
+           strlen(text) AS byte_len,
+           md5(text) AS content_hash,
+           CAST(CAST(concat('0x', substr(md5(text), 1, 4)) AS INTEGER) % 1920 + 1 AS INTEGER) AS width,
+           CAST(CAST(concat('0x', substr(md5(text), 5, 4)) AS INTEGER) % 1080 + 1 AS INTEGER) AS height,
+           CAST(CAST(concat('0x', substr(md5(text), 9, 2)) AS INTEGER) % 4 + 1 AS INTEGER) AS n_channels
+    FROM documents
+    """,
+)
+def q30_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing end-to-end: text → binary column → Arrow-batched
+    mapInPandas 'decode' producing typed metadata. The fake decode is
+    md5-deterministic, so even the UDF stage is oracle-checked."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    with_bin = multimodal.binary_from_text(docs)
+    return multimodal.fake_decode_meta(with_bin, keep_cols=["doc_id"])
+
+
+@register("q31_lsh_ann_pairs")  # no SQL oracle: LSH bucketing is engine-side
+def q31_lsh_ann_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH approximate near-neighbor pairs (cosine ≥ 0.8 within
+    buckets); recall vs brute force is asserted in tests."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = similarity.lsh_ann_pairs(emb, n_planes=8, threshold=0.8)
+    return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine_r"))
+
+
+@register("q32_minhash_lsh_pairs")  # no SQL oracle: banded-LSH candidate set
+def q32_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full MinHash-LSH dedup pipeline: signatures → banded candidates →
+    exact Jaccard verify (threshold 0.5). Candidate generation is LSH, so the
+    driver records the weaker rows-only check; tests assert recall vs
+    q22's exact pairs."""
+    return dedup.minhash_dedup_pairs(
+        load_table(spark, sf_dir, "documents"), num_hashes=16, bands=8, threshold=0.5
+    )

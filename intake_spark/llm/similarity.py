@@ -1,0 +1,158 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Two tiers, same cosine semantics:
+
+- :func:`knn_bruteforce` — exact top-k: broadcast the (small) query set
+  against the corpus; one pass over the corpus, per-partition top-k via
+  window. Baseline and oracle.
+- :func:`lsh_ann_pairs` / :func:`knn_lsh` — random-hyperplane LSH: each
+  vector maps to a small integer bucket (sign bits of dot products with
+  deterministic pseudo-random hyperplanes); candidates = bucket equi-join.
+  At 100 TB the corpus never self-joins — only bucket-colocated rows meet,
+  and the bucket key is shuffle-friendly (compact int).
+
+The dot products run JVM-side via ``zip_with``/``aggregate`` higher-order
+functions — vectorized enough at 64-dim; a pandas-UDF BLAS path would win
+for ≥1k dims (noted, not needed for the synthetic tables).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def dot_expr(a: str, b: str):
+    """Index-ordered double dot product of two array<double> columns —
+    summation order fixed (left fold) so results are engine-reproducible."""
+    return F.aggregate(
+        F.zip_with(F.col(a), F.col(b), lambda x, y: x * y), F.lit(0.0), lambda s, v: s + v
+    )
+
+
+def norm2_expr(a: str):
+    return F.aggregate(F.transform(F.col(a), lambda x: x * x), F.lit(0.0), lambda s, v: s + v)
+
+
+def cosine_expr(a: str, b: str):
+    """cos(a,b) = dot / sqrt(|a|^2 * |b|^2)."""
+    return dot_expr(a, b) / F.sqrt(norm2_expr(a) * norm2_expr(b))
+
+
+def knn_bruteforce(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    top_k: int = 5,
+) -> DataFrame:
+    """Exact cosine top-k: (query_id, neighbor_id, rank, cosine).
+
+    The query side is broadcast (queries ≪ corpus); the corpus is scanned
+    once with no shuffle until the final per-query top-k, which the window
+    executes after a shuffle on query_id — k rows per query survive.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).cast("array<double>").alias("cv")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine", cosine_expr("qv", "cv"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
+def _hyperplanes(n_planes: int, dim: int) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes in [-1, 1): md5-hash-driven,
+    so bucket assignment is stable across runs/engines (no RNG seed state)."""
+    planes = []
+    for p in range(n_planes):
+        row = []
+        for d in range(dim):
+            h = int(hashlib.md5(f"plane:{p}:{d}".encode()).hexdigest()[:8], 16)
+            row.append(h / 2**31 - 1.0)
+        planes.append(row)
+    return planes
+
+
+def with_lsh_bucket(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    dim: int | None = None,
+    bucket_col: str = "lsh_bucket",
+) -> DataFrame:
+    """Add a random-hyperplane LSH bucket id (int in [0, 2^n_planes))."""
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    planes = _hyperplanes(n_planes, dim)
+    v = F.col(vec_col).cast("array<double>")
+    bucket = F.lit(0).cast("bigint")
+    for p, row in enumerate(planes):
+        plane = F.array(*[F.lit(x) for x in row])
+        d = F.aggregate(F.zip_with(v, plane, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
+        bucket = bucket + F.when(d >= 0, F.lit(2**p).cast("bigint")).otherwise(F.lit(0))
+    return df.withColumn(bucket_col, bucket)
+
+
+def lsh_ann_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Approximate near-neighbor pairs: bucket equi-join then exact cosine
+    filter within buckets. High-cosine pairs collide with probability
+    (1 - theta/pi)^n_planes; recall is tested against brute force."""
+    b = with_lsh_bucket(df, vec_col, n_planes)
+    a = b.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).cast("array<double>").alias("va"),
+        F.col("lsh_bucket"),
+    )
+    c = b.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).cast("array<double>").alias("vb"),
+        F.col("lsh_bucket"),
+    )
+    return (
+        a.join(c, "lsh_bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", cosine_expr("va", "vb"))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+def label_centroids(
+    df: DataFrame, label_col: str = "label", vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-label per-dimension centroids: (label, dim, centroid).
+
+    posexplode → hash-aggregate on (label, dim). Values are fixed-pointed at
+    1e-9 via floor before summation: integer sums are exact and associative,
+    so the result is independent of partitioning/summation order (decimal
+    *casts* of arbitrary doubles round midpoints differently across engines;
+    floor does not).
+    """
+    exploded = df.select(
+        F.col(label_col), F.posexplode(F.col(vec_col).cast("array<double>")).alias("dim", "val")
+    )
+    fixed = F.floor(F.col("val") * F.lit(1000000000.0)).cast("bigint")
+    centroid = (
+        F.sum(fixed).cast("double") / F.count(F.lit(1)) / F.lit(1000000000.0)
+    ).alias("centroid")
+    return exploded.groupBy(label_col, "dim").agg(centroid)

@@ -1,0 +1,108 @@
+"""Text-analysis operators: tokenization, quality, language-ID, fingerprints.
+
+Everything here is built from JVM-side ``pyspark.sql.functions`` (split /
+higher-order array functions / regexp) so the hot path stays inside
+whole-stage codegen — no Python UDFs. Each operator is a ``df -> df``
+transform suitable as a pipeline step.
+
+Scale notes: all operators are embarrassingly parallel per-row (no shuffle);
+aggregating variants shuffle once on their grouping key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# A small, fixed stopword list per language used by the heuristic
+# language-ID scorer and the quality scorer. Deliberately tiny and
+# hard-coded: the scorer must be deterministic and oracle-reproducible.
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "it"],
+    "es": ["el", "la", "de", "y", "que", "en", "un", "es"],
+    "de": ["der", "die", "das", "und", "zu", "den", "ist", "ein"],
+    "fr": ["le", "la", "de", "et", "les", "des", "un", "est"],
+    "zh": ["的", "是", "不", "了", "在", "人", "有", "我"],
+}
+
+LANG_ORDER = ("en", "es", "de", "fr", "zh")
+
+
+def words_col(text_col: str = "text") -> Column:
+    """Whitespace tokenization as an array column (single-space corpus)."""
+    return F.split(F.col(text_col), " ")
+
+
+def _sql_array(values: list[str]) -> Column:
+    return F.array(*[F.lit(v) for v in values])
+
+
+def with_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Add token-count / char-count columns: ``n_tokens``, ``n_uniq_tokens``,
+    ``n_chars_sum`` (sum of token lengths), ``avg_token_len``."""
+    w = words_col(text_col)
+    n = F.size(w)
+    charsum = F.aggregate(F.transform(w, lambda x: F.length(x)), F.lit(0), lambda s, v: s + v)
+    return (
+        df.withColumn("n_tokens", n)
+        .withColumn("n_uniq_tokens", F.size(F.array_distinct(w)))
+        .withColumn("n_chars_sum", charsum)
+        .withColumn("avg_token_len", charsum.cast("double") / n)
+    )
+
+
+def with_quality(df: DataFrame, text_col: str = "text", stop_lang: str = "en") -> DataFrame:
+    """Quality-scoring columns: ``uniq_ratio`` (distinct/total tokens — low
+    for boilerplate/repetition), ``stopword_ratio`` (natural prose sits in a
+    characteristic band), ``punct_ratio`` (chars outside [a-z0-9 ])."""
+    out = with_token_stats(df, text_col)
+    w = words_col(text_col)
+    stops = _sql_array(STOPWORDS[stop_lang])
+    n_stop = F.size(F.filter(w, lambda x: F.array_contains(stops, x)))
+    n_punct = F.length(F.regexp_replace(F.lower(F.col(text_col)), "[a-z0-9 ]", ""))
+    return (
+        out.withColumn("uniq_ratio", F.col("n_uniq_tokens").cast("double") / F.col("n_tokens"))
+        .withColumn("stopword_ratio", n_stop.cast("double") / F.col("n_tokens"))
+        .withColumn("punct_ratio", n_punct.cast("double") / F.length(F.col(text_col)))
+    )
+
+
+def with_lang_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-voting language-ID: one ``hits_<lang>`` count per language
+    plus ``pred_lang`` (argmax, ties broken in LANG_ORDER). Pure JVM-side
+    array ops; at 100 TB this is a mapper-only pass."""
+    w = words_col(text_col)
+    out = df
+    for lang in LANG_ORDER:
+        stops = _sql_array(STOPWORDS[lang])
+        out = out.withColumn(
+            f"hits_{lang}", F.size(F.filter(w, lambda x: F.array_contains(stops, x)))
+        )
+    # argmax with deterministic first-wins tie-break: max over
+    # (hits, -order_index) struct ordering, then project the lang tag.
+    candidates = F.array(
+        *[
+            F.struct(
+                F.col(f"hits_{lang}").alias("h"),
+                F.lit(-i).alias("ni"),
+                F.lit(lang).alias("lang"),
+            )
+            for i, lang in enumerate(LANG_ORDER)
+        ]
+    )
+    return out.withColumn("pred_lang", F.array_max(candidates)["lang"])
+
+
+def normalize_text(text_col: str = "text") -> Column:
+    """Canonical normalization used for fingerprinting: lowercase, strip
+    non-alphanumerics, collapse whitespace."""
+    c = F.lower(F.col(text_col))
+    c = F.regexp_replace(c, "[^a-z0-9 ]", " ")
+    c = F.regexp_replace(c, " +", " ")
+    return F.trim(c)
+
+
+def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Add ``fingerprint`` — md5 of the normalized text. Grouping on it is
+    normalized exact-dedup (casing/punctuation-insensitive)."""
+    return df.withColumn("fingerprint", F.md5(normalize_text(text_col)))

@@ -1,0 +1,106 @@
+"""SparkSession construction tuned for this engine.
+
+Local testing runs on ``local[N]`` but every default here is chosen to also
+be sane on a multi-executor cluster: AQE on (runtime coalesce + skew-join
+handling), Arrow on (vectorized pandas-UDF exchange), shuffle partitions
+sized by parallelism rather than the 200 default, UTC session timezone so
+timestamp semantics are stable across engines.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_session(app_name: str = "intake_spark", cpus: int | None = None) -> SparkSession:
+    """Get or create the engine's SparkSession.
+
+    If a session already exists (e.g. the driver passed one in), returns it
+    unchanged — all engine code must work against a caller-provided session.
+    """
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        return active
+    n = cpus or DEFAULT_CPUS
+    return (
+        SparkSession.builder.master(f"local[{n}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(n))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+
+_PYFILES_ADDED: set[int] = set()
+
+
+def ensure_py_deps(spark: SparkSession) -> None:
+    """Make ``intake_spark`` importable on executor Python workers.
+
+    Any Python-UDF stage (mapInPandas / pandas_udf) pickles references to
+    functions in this package; executors must be able to import it even when
+    the driver process was launched outside the repo. Zips the package once
+    per SparkContext and ships it with ``addPyFile`` — works identically in
+    local mode and on a real cluster.
+    """
+    key = id(spark.sparkContext)
+    if key in _PYFILES_ADDED:
+        return
+    import tempfile
+    import zipfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    root = os.path.dirname(pkg_dir)
+    zpath = os.path.join(tempfile.gettempdir(), "intake_spark_pyfiles.zip")
+    with zipfile.ZipFile(zpath, "w") as z:
+        for dirpath, _dirs, files in os.walk(pkg_dir):
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(dirpath, f)
+                    z.write(full, os.path.relpath(full, root))
+    spark.sparkContext.addPyFile(zpath)
+    _PYFILES_ADDED.add(key)
+
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str):
+    """Load one synthetic table (TESTDATA.md). Columnar parquet scan —
+    Catalyst prunes columns/filters pushed from downstream operators.
+
+    ``events.parquet`` stores TIMESTAMP(NANOS), which Spark's parquet reader
+    rejects; read nanos as long (legacy conf) and convert to a microsecond
+    timestamp column — same value DuckDB produces when casting ns→µs.
+    """
+    if name == "events":
+        from pyspark.sql import functions as F
+
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names=TABLE_NAMES):
+    return {n: load_table(spark, sf_dir, n) for n in names}

@@ -1,0 +1,73 @@
+"""Local replica of the driver's correctness gate: run every ``queries()``
+entry on Spark at sf0.01 and compare against ``oracle_sql()`` via DuckDB —
+row count, column names, and exact cell values (order-insensitive).
+
+This is intentionally *stricter* than approximate float comparison: the
+engine's determinism policy (decimal-exact sums, fixed tie-breaks,
+md5-derived hashes) should make results bit-identical across engines.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+import pytest
+
+from tests.conftest import SF_MEDIUM
+
+import __spark_entry__ as entry_mod
+
+QUERIES = entry_mod.queries()
+ORACLES = entry_mod.oracle_sql()
+
+
+def canonicalize(df: pd.DataFrame) -> pd.DataFrame:
+    out = df.reindex(sorted(df.columns), axis=1)
+    for c in out.columns:
+        if str(out[c].dtype).startswith("datetime64"):
+            out[c] = out[c].astype("datetime64[us]")
+        elif out[c].dtype == object:
+            out[c] = out[c].astype(str)
+        elif str(out[c].dtype).startswith(("int", "uint", "Int")):
+            out[c] = out[c].astype("int64")
+        elif str(out[c].dtype).startswith(("float", "Float")):
+            out[c] = out[c].astype("float64")
+    out = out.sort_values(by=list(out.columns), ignore_index=True)
+    return out
+
+
+def assert_frames_match(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame, name: str):
+    assert len(spark_pdf) == len(oracle_pdf), (
+        f"{name}: row count {len(spark_pdf)} != oracle {len(oracle_pdf)}"
+    )
+    a, b = canonicalize(spark_pdf), canonicalize(oracle_pdf)
+    assert list(a.columns) == list(b.columns), f"{name}: columns {list(a.columns)} != {list(b.columns)}"
+    for c in a.columns:
+        if a[c].dtype == "float64":
+            av, bv = a[c].to_numpy(), b[c].to_numpy()
+            for i, (x, y) in enumerate(zip(av, bv)):
+                ok = (math.isnan(x) and math.isnan(y)) or x == y
+                assert ok, f"{name}: col {c} row {i}: {x!r} != {y!r}"
+        else:
+            mism = a[c][a[c].ne(b[c])]
+            assert mism.empty, f"{name}: col {c} mismatches at {mism.index[:5].tolist()}: " f"{a[c].iloc[mism.index[:3]].tolist()} vs {b[c].iloc[mism.index[:3]].tolist()}"
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_query_matches_oracle(name, spark, duck):
+    fn = QUERIES[name]
+    sdf = fn(spark, SF_MEDIUM)
+    spark_pdf = sdf.toPandas()
+    if name not in ORACLES:
+        # rows-only check (mirrors the driver's weaker gate)
+        assert len(spark_pdf) >= 0
+        return
+    oracle_pdf = duck.sql(ORACLES[name]).df()
+    assert_frames_match(spark_pdf, oracle_pdf, name)
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    rows = df.collect()
+    assert len(rows) >= 0 and len(df.schema) > 0
