@@ -1,0 +1,285 @@
+"""Catalogs: named, parameterized, YAML-persisted collections of data and
+reader/pipeline descriptions, rehydrating to Spark DataFrames.
+
+Parity with intake/readers/entry.py (DataDescription :38-104,
+ReaderDescription :107-212, Catalog :215-690): entries are keyed by their
+deterministic content token; nested readers are extracted into
+``{data(token)}`` references on insert and resolved recursively on access;
+user parameters merge catalog→entry→call and substitute through kwargs.
+
+Spark additions: every tabular entry can register as a temp view
+(``register_views``) so plain ``spark.sql`` can address catalog entries.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any
+
+import yaml
+
+from intake_spark.pipeline import Pipeline
+from intake_spark.readers import BaseReader, reader_from_dict
+from intake_spark.search import SearchBase, Text
+from intake_spark.user_parameters import (
+    BaseUserParameter,
+    DATA_REF_RE,
+    substitute,
+)
+from intake_spark.utils import Tokenizable, merge_dicts, tokenize, walk_replace
+
+
+class ReaderDescription(Tokenizable):
+    """Serializable description of a reader or pipeline."""
+
+    def __init__(self, payload: dict, user_parameters: dict[str, BaseUserParameter] | None = None, metadata: dict | None = None):
+        self.payload = payload  # reader/pipeline to_dict() output
+        self.user_parameters = user_parameters or {}
+        self.metadata = metadata or {}
+
+    def to_dict(self) -> dict:
+        return {
+            "payload": self.payload,
+            "user_parameters": {k: p.to_dict() for k, p in self.user_parameters.items()},
+            "metadata": self.metadata,
+        }
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "ReaderDescription":
+        return cls(
+            payload=d["payload"],
+            user_parameters={
+                k: BaseUserParameter.from_dict(p) for k, p in d.get("user_parameters", {}).items()
+            },
+            metadata=d.get("metadata", {}),
+        )
+
+
+class Catalog(Tokenizable):
+    def __init__(
+        self,
+        entries: dict[str, ReaderDescription] | None = None,
+        aliases: dict[str, str] | None = None,
+        user_parameters: dict[str, BaseUserParameter] | None = None,
+        metadata: dict | None = None,
+    ):
+        self.entries = entries or {}
+        self.aliases = aliases or {}
+        self.user_parameters = user_parameters or {}
+        self.metadata = metadata or {}
+
+    # -- entry management (parity: entry.py:239-309,653-688) ----------------
+
+    def add_entry(self, item, name: str | None = None) -> str:
+        """Insert a reader/pipeline; nested readers are extracted into their
+        own entries and replaced by ``{data(token)}`` refs; token-keyed
+        insert dedups identical descriptions for free."""
+        if isinstance(item, (BaseReader, Pipeline)):
+            payload = item.to_dict()
+        elif isinstance(item, ReaderDescription):
+            payload = item.payload
+        else:
+            raise TypeError(f"cannot catalog {type(item).__name__}")
+        payload = self._extract_nested(payload)
+        desc = (
+            item
+            if isinstance(item, ReaderDescription)
+            else ReaderDescription(payload=payload)
+        )
+        tok = tokenize(desc.to_dict())
+        self.entries[tok] = desc
+        if name:
+            self.aliases[name] = tok
+        return tok
+
+    def _extract_nested(self, payload: dict) -> dict:
+        """Replace nested reader dicts inside kwargs/steps with entry refs."""
+
+        def maybe_extract(v):
+            if isinstance(v, dict) and "cls" in v and ("data" in v or "steps" in v):
+                sub = ReaderDescription(payload=v)
+                tok = tokenize(sub.to_dict())
+                self.entries[tok] = sub
+                return f"{{data({tok})}}"
+            return v
+
+        out = dict(payload)
+        if "kwargs" in out:
+            out["kwargs"] = {k: maybe_extract(v) for k, v in out["kwargs"].items()}
+        return out
+
+    def __setitem__(self, name: str, item) -> None:
+        self.add_entry(item, name=name)
+
+    def delete(self, name: str) -> None:
+        tok = self.aliases.pop(name, name)
+        self.entries.pop(tok, None)
+
+    def rename(self, old: str, new: str) -> None:
+        self.aliases[new] = self.aliases.pop(old)
+
+    def get_aliases(self, tok: str) -> list[str]:
+        return [a for a, t in self.aliases.items() if t == tok]
+
+    def __iter__(self):
+        return iter(self.aliases)
+
+    def __len__(self):
+        return len(self.entries)
+
+    def __contains__(self, name: str) -> bool:
+        return name in self.aliases or name in self.entries
+
+    # -- access / rehydration (parity: entry.py:518-556) --------------------
+
+    def __getitem__(self, name: str):
+        tok = self.aliases.get(name, name)
+        if tok not in self.entries:
+            raise KeyError(name)
+        return self._rehydrate(tok, seen=set())
+
+    def __getattr__(self, name: str):
+        if name.startswith("_"):
+            raise AttributeError(name)
+        try:
+            return self[name]
+        except KeyError:
+            raise AttributeError(name) from None
+
+    def to_reader(self, name: str, **user_values):
+        return self._rehydrate(self.aliases.get(name, name), seen=set(), user_values=user_values)
+
+    def _rehydrate(self, tok: str, seen: set, user_values: dict | None = None):
+        """Resolve ``{data(token)}`` refs recursively (with cycle detection),
+        apply user parameters, and re-instantiate the reader/pipeline."""
+        if tok in seen:
+            raise ValueError(f"cyclic catalog reference at {tok}")
+        seen = seen | {tok}
+        desc = self.entries[tok]
+
+        params = {k: p.default for k, p in self.user_parameters.items()}
+        params.update({k: p.default for k, p in desc.user_parameters.items()})
+        for k, v in (user_values or {}).items():
+            p = desc.user_parameters.get(k) or self.user_parameters.get(k)
+            params[k] = p.set_value(v) if p else v
+
+        def resolve_refs(v):
+            if isinstance(v, str):
+                m = DATA_REF_RE.match(v)
+                if m:
+                    return self._rehydrate(m.group(1), seen)
+            return v
+
+        payload = substitute(desc.payload, params)
+        payload = walk_replace(payload, resolve_refs)
+        if "steps" in payload:
+            reader = payload["reader"]
+            if not isinstance(reader, (BaseReader, Pipeline)):
+                reader = reader_from_dict(reader)
+            return Pipeline(reader=reader, steps=[tuple(s) for s in payload["steps"]])
+        if isinstance(payload, (BaseReader, Pipeline)):
+            return payload
+        return reader_from_dict(payload)
+
+    # -- search (parity: entry.py:496-516) ----------------------------------
+
+    def search(self, term) -> "Catalog":
+        if isinstance(term, str):
+            term = Text(term)
+        assert isinstance(term, SearchBase)
+        hits = {tok: e for tok, e in self.entries.items() if term(e.to_dict())}
+        aliases = {a: t for a, t in self.aliases.items() if t in hits}
+        return Catalog(entries=hits, aliases=aliases, user_parameters=dict(self.user_parameters))
+
+    # -- merge (parity: entry.py:621-641) ------------------------------------
+
+    def __add__(self, other: "Catalog") -> "Catalog":
+        return Catalog(
+            entries={**self.entries, **other.entries},
+            aliases={**self.aliases, **other.aliases},
+            user_parameters={**self.user_parameters, **other.user_parameters},
+            metadata=merge_dicts(self.metadata, other.metadata),
+        )
+
+    def __iadd__(self, other: "Catalog") -> "Catalog":
+        merged = self + other
+        self.entries, self.aliases = merged.entries, merged.aliases
+        self.user_parameters, self.metadata = merged.user_parameters, merged.metadata
+        return self
+
+    # -- parameter lifting (parity: entry.py:311-401) ------------------------
+
+    def extract_parameter(self, name: str, param_name: str, value: Any, param: BaseUserParameter) -> None:
+        """Lift a literal kwarg value into a templated user parameter: every
+        occurrence of ``value`` in the entry's kwargs becomes ``{param_name}``."""
+        tok = self.aliases.get(name, name)
+        desc = self.entries[tok]
+
+        def lift(v):
+            return f"{{{param_name}}}" if v == value else v
+
+        desc.payload = walk_replace(desc.payload, lift)
+        desc.user_parameters[param_name] = param
+
+    def promote_parameter(self, name: str, param_name: str) -> None:
+        """Move an entry-level parameter to catalog scope."""
+        tok = self.aliases.get(name, name)
+        self.user_parameters[param_name] = self.entries[tok].user_parameters.pop(param_name)
+
+    # -- YAML persistence (parity: entry.py to_yaml_file / from_yaml_file) ---
+
+    def to_dict(self) -> dict:
+        return {
+            "version": 2,
+            "entries": {tok: e.to_dict() for tok, e in self.entries.items()},
+            "aliases": dict(self.aliases),
+            "user_parameters": {k: p.to_dict() for k, p in self.user_parameters.items()},
+            "metadata": dict(self.metadata),
+        }
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "Catalog":
+        return cls(
+            entries={tok: ReaderDescription.from_dict(e) for tok, e in d.get("entries", {}).items()},
+            aliases=d.get("aliases", {}),
+            user_parameters={
+                k: BaseUserParameter.from_dict(p) for k, p in d.get("user_parameters", {}).items()
+            },
+            metadata=d.get("metadata", {}),
+        )
+
+    def to_yaml_file(self, path: str) -> None:
+        with open(path, "w") as f:
+            yaml.safe_dump(self.to_dict(), f, sort_keys=True)
+
+    @classmethod
+    def from_yaml_file(cls, path: str) -> "Catalog":
+        with open(path) as f:
+            d = yaml.safe_load(f)
+        cat = cls.from_dict(d)
+        cat.metadata.setdefault("catalog_path", os.path.abspath(path))
+        return cat
+
+    # -- Spark integration ---------------------------------------------------
+
+    def register_views(self, spark=None, names: list[str] | None = None) -> list[str]:
+        """Register entries as temp views so ``spark.sql`` can query catalog
+        entries by alias (the Spark-native catalog surface)."""
+        from intake_spark.session import get_session
+
+        spark = spark or get_session()
+        registered = []
+        for alias in names or list(self.aliases):
+            df = self[alias].read(spark=spark)
+            view = alias.replace("-", "_")
+            df.createOrReplaceTempView(view)
+            registered.append(view)
+        return registered
+
+
+def open_catalog(path: str | None = None) -> Catalog:
+    """Front door (≡ intake.open_catalog, intake/__init__.py:101-189):
+    YAML path → Catalog; no path → empty catalog."""
+    if path is None:
+        return Catalog()
+    return Catalog.from_yaml_file(path)

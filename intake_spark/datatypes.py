@@ -1,0 +1,378 @@
+"""Datatypes: descriptions of *where data lives and what format it is*,
+plus format detection (``recommend``).
+
+Behavioral parity with the reference's datatype layer
+(intake/readers/datatypes.py): each datatype declares ``mimetypes`` /
+``filepattern`` / ``magic`` / ``structure`` class attributes; ``recommend``
+scores candidates by magic bytes (1.5) > filepattern (1.1) > MIME (1.0)
+with per-class ``_head_ok`` vetoes and recursive retry through compression
+wrappers (datatypes.py:1886-2045, weights :1954-1956). Implementation is
+fresh; only the observable scoring contract is reproduced.
+
+In the Spark rebuild a datatype resolves to the argument set of
+``spark.read.format(...).options(...)`` — see each class's ``spark_format``.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any
+
+from intake_spark.config import conf
+from intake_spark.utils import Tokenizable, subclasses
+
+
+class BaseData(Tokenizable):
+    """Description of data-at-rest: format + location + metadata. Not the
+    data itself (reference datatypes.py:21-35)."""
+
+    mimetypes: str = ""  # regex over content-type
+    filepattern: str = ""  # regex over URL/path
+    magic: tuple = ()  # bytes prefixes, or (offset, bytes) pairs
+    structure: set[str] = set()
+    spark_format: str | None = None  # native spark.read format name, if any
+
+    def __init__(self, metadata: dict | None = None):
+        self.metadata = metadata or {}
+
+    def to_reader_cls(self, outtype: str | None = None, reader: str | None = None):
+        """Best reader class for this datatype (reference datatypes.py:60-155):
+        filter registered readers claiming this datatype, prefer by output
+        type / name substring, honoring conf['reader_avoid']."""
+        from intake_spark.readers import readers_for
+
+        candidates = readers_for(type(self))
+        avoid = conf.get("reader_avoid") or []
+        candidates = [c for c in candidates if c.__name__ not in avoid]
+        if reader:
+            candidates = [c for c in candidates if reader.lower() in c.__name__.lower()]
+        if outtype:
+            candidates = [c for c in candidates if outtype in c.output_instance]
+        if not candidates:
+            raise ValueError(f"no reader for {type(self).__name__} (outtype={outtype})")
+        return candidates[0]
+
+    def to_reader(self, outtype: str | None = None, reader: str | None = None, **kwargs):
+        return self.to_reader_cls(outtype, reader)(data=self, **kwargs)
+
+
+class FileData(BaseData):
+    """File-like data: url + storage options (reference datatypes.py:236-242).
+    ``storage_options`` map to Hadoop-conf / cloud-credential reader options."""
+
+    def __init__(self, url: str, storage_options: dict | None = None, metadata: dict | None = None):
+        super().__init__(metadata)
+        self.url = url
+        self.storage_options = storage_options or {}
+
+
+class Service(BaseData):
+    """Network service data: url + options (reference datatypes.py:245-251)."""
+
+    def __init__(self, url: str, options: dict | None = None, metadata: dict | None = None):
+        super().__init__(metadata)
+        self.url = url
+        self.options = options or {}
+
+
+class CatalogData(BaseData):
+    """A grouping of other data (reference datatypes.py:254-257)."""
+
+    structure = {"catalog"}
+
+
+class Literal(BaseData):
+    """In-memory rows treated as a datatype (reference datatypes.py:923) —
+    resolves to ``spark.createDataFrame(rows)``."""
+
+    structure = {"nested"}
+
+    def __init__(self, data: Any, metadata: dict | None = None):
+        super().__init__(metadata)
+        self.data = data
+
+
+# --- concrete file formats -------------------------------------------------
+
+
+class Parquet(FileData):
+    filepattern = r"(parquet|parq|pq)($|[.?])"
+    mimetypes = r"application/(x-)?parquet"
+    magic = (b"PAR1",)
+    structure = {"table", "nested"}
+    spark_format = "parquet"
+
+
+class CSV(FileData):
+    filepattern = r"(csv|tsv|txt)([.](gz|bz2|zst))?$"
+    mimetypes = r"(text/csv|application/csv|text/tsv)"
+    structure = {"table"}
+    spark_format = "csv"
+
+    @classmethod
+    def _head_ok(cls, head: bytes) -> bool:
+        # delimited text: printable, consistent separator count per line
+        try:
+            text = head.decode("utf-8", errors="strict")
+        except UnicodeDecodeError:
+            return False
+        lines = [ln for ln in text.splitlines()[:10] if ln]
+        if len(lines) < 1:
+            return False
+        seps = [max(ln.count(","), ln.count("\t"), ln.count(";")) for ln in lines]
+        return all(s > 0 for s in seps[:2]) or len(lines) >= 1
+
+
+class JSONFile(FileData):
+    filepattern = r"(json|jsonl|ndjson)([.](gz|bz2|zst))?$"
+    mimetypes = r"(application|text)/(x-)?json(l|lines)?"
+    structure = {"nested", "table"}
+    spark_format = "json"
+
+    @classmethod
+    def _head_ok(cls, head: bytes) -> bool:
+        s = head.lstrip()[:1]
+        return s in (b"{", b"[")
+
+
+class ORC(FileData):
+    filepattern = r"orc$"
+    magic = (b"ORC",)
+    structure = {"table", "nested"}
+    spark_format = "orc"
+
+
+class AVRO(FileData):
+    filepattern = r"avro$"
+    mimetypes = r"application/avro"
+    magic = (b"Obj\x01",)
+    structure = {"nested"}
+    spark_format = "avro"
+
+
+class Text(FileData):
+    filepattern = r"(txt|text|log|md|rst)$"
+    mimetypes = r"text/plain"
+    structure = {"text"}
+    spark_format = "text"
+
+
+class XML(FileData):
+    filepattern = r"xml$"
+    mimetypes = r"(application|text)/xml"
+    magic = (b"<?xml",)
+    structure = {"nested"}
+    spark_format = "xml"
+
+
+class DeltalakeTable(FileData):
+    filepattern = r"delta"
+    structure = {"table", "nested"}
+    spark_format = "delta"
+
+
+class IcebergDataset(FileData):
+    filepattern = r"iceberg"
+    structure = {"table", "nested"}
+    spark_format = "iceberg"
+
+
+class Feather2(FileData):
+    filepattern = r"(feather|arrow|ipc)$"
+    magic = (b"ARROW1",)
+    structure = {"table"}
+
+
+class Excel(FileData):
+    filepattern = r"xls[xmb]?$"
+    mimetypes = r"application/vnd.(ms-excel|openxmlformats-officedocument.spreadsheetml.sheet)"
+    magic = (b"PK\x03\x04", b"\xd0\xcf\x11\xe0")
+    structure = {"table"}
+
+
+class PNG(FileData):
+    filepattern = r"png$"
+    mimetypes = r"image/png"
+    magic = (b"\x89PNG",)
+    structure = {"image"}
+    spark_format = "image"
+
+
+class JPEG(FileData):
+    filepattern = r"jpe?g$"
+    mimetypes = r"image/jpeg"
+    magic = (b"\xff\xd8\xff",)
+    structure = {"image"}
+    spark_format = "image"
+
+
+class TIFF(FileData):
+    filepattern = r"tiff?$"
+    mimetypes = r"image/tiff"
+    magic = (b"II*\x00", b"MM\x00*")
+    structure = {"image", "array"}
+
+
+class WAV(FileData):
+    filepattern = r"wav$"
+    mimetypes = r"audio/x?-?wav"
+    magic = (b"RIFF",)
+    structure = {"array", "timeseries"}
+
+
+class MP4(FileData):
+    filepattern = r"(mp4|m4v|mov)$"
+    mimetypes = r"video/(mp4|quicktime)"
+    magic = ((4, b"ftyp"),)
+    structure = {"array", "timeseries"}
+
+
+class PDF(FileData):
+    filepattern = r"pdf$"
+    mimetypes = r"application/pdf"
+    magic = (b"%PDF",)
+    structure = {"text"}
+
+
+class Zarr(FileData):
+    filepattern = r"zarr"
+    structure = {"array", "hierarchy"}
+
+
+class HDF5(FileData):
+    filepattern = r"(h5|hdf5?|nc|nc4)$"
+    magic = (b"\x89HDF",)
+    structure = {"array", "table", "hierarchy"}
+
+    def __init__(self, url, path: str = "", storage_options=None, metadata=None):
+        super().__init__(url, storage_options, metadata)
+        self.path = path
+
+
+class NumpyFile(FileData):
+    filepattern = r"npy$"
+    magic = (b"\x93NUMPY",)
+    structure = {"array"}
+
+
+class GGUF(FileData):
+    filepattern = r"gguf$"
+    magic = (b"GGUF",)
+    structure = {"model"}
+
+
+class SQLQuery(Service):
+    """A query against a SQL service (reference datatypes.py:590-599) —
+    resolves to ``spark.read.jdbc`` with partitioned reads."""
+
+    structure = {"sequence", "table"}
+    filepattern = r"^(jdbc|postgres|mysql|sqlite|oracle|mssql)"
+
+    def __init__(self, conn: str, query: str, options=None, metadata=None):
+        super().__init__(conn, options, metadata)
+        self.query = query
+
+
+class KafkaTopic(Service):
+    """Kafka topic (reference datatypes.py:1639) — batch peek via
+    ``spark.read.format('kafka')``, stream via ``readStream``."""
+
+    structure = {"sequence"}
+
+    def __init__(self, url, topic: str, options=None, metadata=None):
+        super().__init__(url, options, metadata)
+        self.topic = topic
+
+
+# --- compression wrappers (detection recursion) ----------------------------
+
+COMPRESSION_MAGIC = {
+    b"\x1f\x8b": "gzip",
+    b"BZh": "bz2",
+    b"\x28\xb5\x2f\xfd": "zstd",
+    b"\x04\x22\x4d\x18": "lz4",
+}
+CONTAINER_MAGIC = {
+    b"PK\x03\x04": "zip",
+    b"ustar": "tar",
+}
+
+_MAGIC_SCORE = 1.5
+_PATTERN_SCORE = 1.1
+_MIME_SCORE = 1.0
+
+
+def _magic_matches(magic_entry, head: bytes) -> bool:
+    if isinstance(magic_entry, tuple) and len(magic_entry) == 2 and isinstance(magic_entry[0], int):
+        offset, pattern = magic_entry
+        return head[offset : offset + len(pattern)] == pattern
+    return head.startswith(magic_entry)
+
+
+def datatypes() -> list[type[BaseData]]:
+    return sorted(subclasses(BaseData), key=lambda c: c.__name__)
+
+
+def recommend(
+    url: str | None = None,
+    mime: str | None = None,
+    head: bytes | None = None,
+    storage_options: dict | None = None,
+) -> list[type[BaseData]]:
+    """Rank datatype classes for a URL/MIME/head-bytes triple.
+
+    Scoring contract (reference datatypes.py:1938-2014): magic-bytes match
+    1.5 > filepattern 1.1 > MIME 1.0, cumulative; ``_head_ok`` vetoes a
+    candidate outright; if the head looks compressed, detection recurses on
+    the decompressed head (datatypes.py:2028-2043).
+    """
+    if head is None and url is not None and "://" not in url:
+        try:
+            with open(url, "rb") as f:
+                head = f.read(conf["head_bytes"])
+        except OSError:
+            head = None
+
+    if head:
+        for magic, codec in COMPRESSION_MAGIC.items():
+            if head.startswith(magic):
+                try:
+                    inner = _decompress_head(head, codec)
+                    inner_url = re.sub(rf"\.({codec}|gz|bz2|zst|lz4)$", "", url or "")
+                    return recommend(inner_url or None, mime=None, head=inner)
+                except Exception:
+                    break
+
+    scores: dict[type[BaseData], float] = {}
+    for cls in datatypes():
+        score = 0.0
+        if head:
+            for m in cls.magic:
+                if _magic_matches(m, head):
+                    score += _MAGIC_SCORE
+                    break
+        if url and cls.filepattern and re.search(cls.filepattern, url.lower()):
+            score += _PATTERN_SCORE
+        if mime and cls.mimetypes and re.fullmatch(cls.mimetypes, mime):
+            score += _MIME_SCORE
+        if score > 0 and head is not None:
+            ok = getattr(cls, "_head_ok", None)
+            if ok is not None and not ok(head):
+                continue
+        if score > 0:
+            scores[cls] = score
+    return [c for c, _ in sorted(scores.items(), key=lambda kv: (-kv[1], kv[0].__name__))]
+
+
+def _decompress_head(head: bytes, codec: str) -> bytes:
+    if codec == "gzip":
+        import gzip
+        import io
+
+        with gzip.GzipFile(fileobj=io.BytesIO(head)) as f:
+            return f.read(conf["head_bytes"])
+    if codec == "bz2":
+        import bz2
+
+        return bz2.BZ2Decompressor().decompress(head, conf["head_bytes"])
+    raise ValueError(f"cannot decompress {codec} head")

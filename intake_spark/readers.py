@@ -1,0 +1,354 @@
+"""Readers: lazy prescriptions for loading a datatype into a DataFrame.
+
+Parity with the reference's reader layer (intake/readers/readers.py:23-130):
+a reader holds ``data`` + kwargs and does nothing until ``.read()``;
+``discover()`` returns a sample (≡ reference SparkDataFrame.discover =
+``.read().limit(10)``, readers.py:525-526). Where the reference dispatches
+to ~164 backend readers, every reader here produces a **Spark DataFrame**
+— format dispatch replaces backend dispatch (SURVEY §7 design stance).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from intake_spark import datatypes as dt
+from intake_spark.pipeline import PipelineMixin
+from intake_spark.session import get_session
+from intake_spark.utils import Tokenizable, import_name, qname, subclasses
+
+
+class BaseReader(PipelineMixin, Tokenizable):
+    implements: set[type] = set()
+    output_instance = "pyspark.sql:DataFrame"
+    # extra python packages needed beyond pyspark (import-gated)
+    imports: set[str] = set()
+    # selection preference: lower wins; streaming/specialty readers set
+    # higher values so auto-selection picks batch readers by default
+    priority: int = 0
+
+    def __init__(self, data: dt.BaseData | None = None, **kwargs):
+        self.data = data
+        self.kwargs = kwargs
+
+    @classmethod
+    def check_importable(cls) -> bool:
+        import importlib
+
+        for mod in cls.imports:
+            try:
+                importlib.import_module(mod)
+            except ImportError:
+                return False
+        return True
+
+    def _spark(self, spark=None):
+        return spark or get_session()
+
+    def read(self, spark=None, **kwargs):
+        """Build the lazy DataFrame (no action is triggered)."""
+        return self._read(self._spark(spark), **{**self.kwargs, **kwargs})
+
+    def _read(self, spark, **kwargs):  # pragma: no cover - abstract
+        raise NotImplementedError
+
+    def discover(self, spark=None):
+        """Schema/sample discovery — ``limit(10)``, still lazy until shown."""
+        return self.read(spark=spark).limit(10)
+
+    # -- serialization ------------------------------------------------------
+
+    def to_dict(self) -> dict:
+        data = None
+        if self.data is not None:
+            data = {
+                "cls": qname(self.data),
+                "kwargs": {
+                    k: v for k, v in self.data.__dict__.items() if not k.startswith("_")
+                },
+            }
+        return {"cls": qname(self), "data": data, "kwargs": dict(self.kwargs)}
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "BaseReader":
+        return reader_from_dict(d)
+
+
+def reader_from_dict(d: dict) -> BaseReader:
+    rcls = import_name(d["cls"])
+    data = None
+    if d.get("data"):
+        dcls = import_name(d["data"]["cls"])
+        data = dcls.__new__(dcls)
+        data.__dict__.update(d["data"]["kwargs"])
+    return rcls(data=data, **d.get("kwargs", {}))
+
+
+class FileReader(BaseReader):
+    """Readers over FileData: url + storage_options → spark.read options."""
+
+    spark_format: str | None = None
+
+    def _options(self) -> dict:
+        opts = dict(getattr(self.data, "storage_options", {}) or {})
+        opts.update(self.kwargs)
+        return opts
+
+    def _read(self, spark, **kwargs):
+        fmt = self.spark_format or type(self.data).spark_format
+        if not fmt:
+            raise ValueError(f"no spark format for {type(self.data).__name__}")
+        opts = {**self._options(), **kwargs}
+        return spark.read.format(fmt).options(**opts).load(self.data.url)
+
+
+class SparkParquet(FileReader):
+    """≡ reference SparkParquet (readers.py:536) — native columnar scan with
+    predicate/column pushdown under Catalyst."""
+
+    implements = {dt.Parquet}
+    spark_format = "parquet"
+
+
+class SparkCSV(FileReader):
+    """≡ reference SparkCSV (readers.py:529); header+inferSchema default on
+    like the pandas-family CSV readers the reference prefers."""
+
+    implements = {dt.CSV}
+    spark_format = "csv"
+
+    def _read(self, spark, **kwargs):
+        opts = {"header": "true", "inferSchema": "true", **self._options(), **kwargs}
+        return spark.read.format("csv").options(**opts).load(self.data.url)
+
+
+class SparkJSON(FileReader):
+    """NDJSON + multiline JSON (≡ Dask/Polars/Duck JSON readers,
+    readers.py:374-503)."""
+
+    implements = {dt.JSONFile}
+    spark_format = "json"
+
+
+class SparkORC(FileReader):
+    implements = {dt.ORC}
+    spark_format = "orc"
+
+
+class SparkAvro(FileReader):
+    """Needs the spark-avro package on the classpath; import-gated at
+    plan-build time with a clear error."""
+
+    implements = {dt.AVRO}
+    spark_format = "avro"
+
+
+class SparkText(FileReader):
+    """≡ reference SparkText (readers.py:543) — DataFrame[value: string]."""
+
+    implements = {dt.Text}
+    spark_format = "text"
+
+
+class SparkXML(FileReader):
+    implements = {dt.XML}
+    spark_format = "xml"
+
+
+class SparkDeltaLake(FileReader):
+    """≡ reference SparkDeltaLake (readers.py:550); Delta gives partition
+    pruning under Catalyst — subsumes the reference's DeltaQueryToDask
+    file-pruning converter (convert.py:390-413)."""
+
+    implements = {dt.DeltalakeTable}
+    spark_format = "delta"
+
+
+class SparkIceberg(FileReader):
+    implements = {dt.IcebergDataset}
+    spark_format = "iceberg"
+
+
+class SparkBinary(FileReader):
+    """binaryFile rows (path, modificationTime, length, content) — the
+    ingestion layer for multimodal/opaque formats (SURVEY §2.1 media rows)."""
+
+    implements = {dt.PNG, dt.JPEG, dt.TIFF, dt.WAV, dt.MP4, dt.PDF, dt.GGUF, dt.NumpyFile, dt.HDF5}
+    spark_format = "binaryFile"
+
+    def _read(self, spark, pathGlobFilter: str | None = None, **kwargs):
+        reader = spark.read.format("binaryFile")
+        if pathGlobFilter:
+            reader = reader.option("pathGlobFilter", pathGlobFilter)
+        return reader.options(**kwargs).load(self.data.url)
+
+
+class SparkImage(FileReader):
+    """Spark's image source: decodes into struct(origin,height,width,
+    nChannels,mode,data) — the built-in decode path when JVM codecs apply."""
+
+    implements = {dt.PNG, dt.JPEG}
+    spark_format = "image"
+
+
+class PandasExcel(BaseReader):
+    """Excel is small-data: read driver-side with pandas, distribute via
+    createDataFrame (≡ reference PandasExcel, readers.py:319)."""
+
+    implements = {dt.Excel}
+    imports = {"openpyxl"}
+
+    def _read(self, spark, **kwargs):
+        import pandas as pd
+
+        pdf = pd.read_excel(self.data.url, **kwargs)
+        return spark.createDataFrame(pdf)
+
+
+class PandasFeather(BaseReader):
+    """Arrow IPC/Feather via the Arrow bridge (no native Spark IPC reader;
+    ≡ reference PandasFeather/PyArrowIPC, readers.py:305,1829)."""
+
+    implements = {dt.Feather2}
+
+    def _read(self, spark, **kwargs):
+        import pandas as pd
+
+        return spark.createDataFrame(pd.read_feather(self.data.url, **kwargs))
+
+
+class SparkJDBC(BaseReader):
+    """SQLQuery → partitioned JDBC read. ``partition_column`` ≡ the
+    reference DaskSQL's required index_col (readers.py:392-394): without a
+    split column the whole query lands on one executor."""
+
+    implements = {dt.SQLQuery}
+
+    def _read(
+        self,
+        spark,
+        partition_column: str | None = None,
+        num_partitions: int = 8,
+        lower_bound=None,
+        upper_bound=None,
+        **kwargs,
+    ):
+        reader = (
+            spark.read.format("jdbc")
+            .option("url", self.data.url)
+            .option("query", self.data.query)
+        )
+        if partition_column:
+            reader = (
+                reader.option("partitionColumn", partition_column)
+                .option("numPartitions", str(num_partitions))
+                .option("lowerBound", str(lower_bound))
+                .option("upperBound", str(upper_bound))
+            )
+        for k, v in {**self.data.options, **kwargs}.items():
+            reader = reader.option(k, v)
+        return reader.load()
+
+
+class SparkKafkaBatch(BaseReader):
+    """Batch peek at a Kafka topic (≡ reference KafkaReader's poll-N,
+    readers.py:3192-3235) — bounded offsets read; streaming variant lives in
+    intake_spark.streaming."""
+
+    implements = {dt.KafkaTopic}
+
+    def _read(self, spark, starting_offsets="earliest", ending_offsets="latest", **kwargs):
+        return (
+            spark.read.format("kafka")
+            .option("kafka.bootstrap.servers", self.data.url)
+            .option("subscribe", self.data.topic)
+            .option("startingOffsets", starting_offsets)
+            .option("endingOffsets", ending_offsets)
+            .options(**kwargs)
+            .load()
+        )
+
+
+class LiteralReader(BaseReader):
+    """Literal rows → createDataFrame (≡ reference Literal handling,
+    datatypes.py:923)."""
+
+    implements = {dt.Literal}
+
+    def _read(self, spark, **kwargs):
+        return spark.createDataFrame(self.data.data, **kwargs)
+
+
+class PatternCSV(BaseReader):
+    """CSV over a ``{field}`` path pattern: glob-read + materialize the
+    pattern captures as columns from ``input_file_name()``
+    (≡ reference DaskCSVPattern, readers.py:1067-1094, Spark-first:
+    one jobless glob scan, regexp_extract per capture)."""
+
+    implements = {dt.CSV}
+
+    def _read(self, spark, **kwargs):
+        import re as _re
+
+        from pyspark.sql import functions as F
+
+        from intake_spark.utils import pattern_to_glob
+
+        pattern = self.data.url
+        glob_url = pattern_to_glob(pattern)
+        df = (
+            spark.read.format("csv")
+            .options(header="true", inferSchema="true", **kwargs)
+            .load(glob_url)
+        ).withColumn("_path", F.input_file_name())
+        names = _re.findall(r"\{([^}:]*)(?::[^}]*)?\}", pattern)
+        parts = _re.split(r"\{[^}]*\}", pattern)
+        rx = "(.*?)".join(_re.escape(p) for p in parts) + "$"
+        for i, name in enumerate(names):
+            df = df.withColumn(name, F.regexp_extract("_path", rx, i + 1))
+        return df.drop("_path")
+
+
+# --- registry / recommendation --------------------------------------------
+
+
+def all_readers() -> list[type[BaseReader]]:
+    return sorted(subclasses(BaseReader), key=lambda c: c.__name__)
+
+
+def readers_for(datatype: type[dt.BaseData]) -> list[type[BaseReader]]:
+    """Reader classes claiming support for a datatype, importable first
+    (≡ reference recommend(), readers.py:1799-1820)."""
+    out = [r for r in all_readers() if datatype in r.implements]
+    return sorted(out, key=lambda r: (not r.check_importable(), r.priority, r.__name__))
+
+
+def recommend(data: dt.BaseData) -> dict[str, list[type[BaseReader]]]:
+    cands = [r for r in all_readers() if type(data) in r.implements]
+    return {
+        "importable": [r for r in cands if r.check_importable()],
+        "not_importable": [r for r in cands if not r.check_importable()],
+    }
+
+
+def reader_from_call(call: str) -> BaseReader:
+    """Parse a ``spark.read.<fmt>('url')``-style call string back into a
+    reader description (≡ reference reader_from_call, readers.py:3669-3740
+    for pandas/dask calls)."""
+    import re as _re
+
+    m = _re.match(r"spark\.read\.(\w+)\(\s*['\"]([^'\"]+)['\"]\s*\)", call.strip())
+    if not m:
+        raise ValueError(f"cannot parse reader call: {call!r}")
+    fmt, url = m.groups()
+    fmt_map = {
+        "parquet": (dt.Parquet, SparkParquet),
+        "csv": (dt.CSV, SparkCSV),
+        "json": (dt.JSONFile, SparkJSON),
+        "orc": (dt.ORC, SparkORC),
+        "text": (dt.Text, SparkText),
+    }
+    if fmt not in fmt_map:
+        raise ValueError(f"unsupported format in call: {fmt}")
+    dcls, rcls = fmt_map[fmt]
+    return rcls(data=dcls(url=url))

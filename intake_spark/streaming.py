@@ -1,0 +1,103 @@
+"""Structured Streaming surface: streaming sources, event-time windowed
+aggregation with watermarks, and stream-to-batch parity helpers.
+
+Beyond the reference (its Kafka/MQTT readers are batch polls,
+intake/readers/readers.py:3192-3285) but mandated by the north star: the
+same declarative entries can produce streaming DataFrames, and the windowed
+aggregation here is the streaming twin of benchqueries.q17_hourly_windows —
+same expressions, readStream instead of read.
+
+Design: watermarks bound state (late data beyond the watermark is dropped,
+state for closed windows is evicted — the only way windowed aggs survive
+unbounded input); ``available_now`` triggers give reproducible batch-like
+runs for tests and backfills.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from intake_spark import datatypes as dt
+from intake_spark.readers import BaseReader
+from intake_spark.benchqueries import dsum
+
+
+class KafkaStream(BaseReader):
+    """KafkaTopic → readStream (the streaming twin of SparkKafkaBatch)."""
+
+    implements = {dt.KafkaTopic}
+    priority = 10
+
+    def _read(self, spark, starting_offsets="latest", **kwargs):
+        return (
+            spark.readStream.format("kafka")
+            .option("kafka.bootstrap.servers", self.data.url)
+            .option("subscribe", self.data.topic)
+            .option("startingOffsets", starting_offsets)
+            .options(**kwargs)
+            .load()
+        )
+
+
+class FileStream(BaseReader):
+    """Directory-watch streaming source over any file datatype — new files
+    become micro-batches. ``schema`` is required (streams cannot infer)."""
+
+    implements = {dt.Parquet, dt.CSV, dt.JSONFile}
+    priority = 10
+
+    def _read(self, spark, schema=None, max_files_per_trigger: int | None = None, **kwargs):
+        fmt = type(self.data).spark_format
+        reader = spark.readStream.format(fmt)
+        if schema is not None:
+            reader = reader.schema(schema)
+        if max_files_per_trigger:
+            reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+        if fmt == "csv":
+            reader = reader.option("header", "true")
+        return reader.options(**kwargs).load(self.data.url)
+
+
+def windowed_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    value_col: str = "value",
+) -> DataFrame:
+    """Tumbling event-time window aggregation (works on batch AND streaming
+    DataFrames — identical expressions, so batch runs oracle-check the
+    streaming logic). Watermark only applies to streaming input."""
+    if events.isStreaming:
+        events = events.withWatermark(ts_col, watermark)
+    return (
+        events.groupBy(F.window(ts_col, window).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.approx_count_distinct("user_id").alias("approx_users"),
+            dsum(value_col, 6).alias("value_sum"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n_events", "approx_users", "value_sum")
+    )
+
+
+def run_stream_to_memory(
+    stream_df: DataFrame, query_name: str, timeout_s: float = 60.0
+) -> None:
+    """Execute a streaming plan with an available-now trigger into an
+    in-memory sink (test/backfill harness): processes everything currently
+    available, then stops."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+
+
+def stream_file_source_demo(spark: SparkSession, src_dir: str, schema) -> DataFrame:
+    """File-watch stream over a directory of parquet (used by tests)."""
+    return FileStream(data=dt.Parquet(url=src_dir)).read(spark=spark, schema=schema)

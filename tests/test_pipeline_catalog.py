@@ -1,0 +1,205 @@
+"""Reader/pipeline/catalog integration: the reference's core workflows
+(SURVEY §3.1-3.3) re-expressed on Spark and round-tripped through YAML."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import DataFrame
+
+from tests.conftest import SF_SMALL
+
+from intake_spark import datatypes as dt
+from intake_spark.catalog import Catalog, open_catalog
+from intake_spark.convert import auto_pipeline, one_shot
+from intake_spark.pipeline import Pipeline, Retry, Condition, PipelineError
+from intake_spark.readers import SparkParquet, reader_from_call
+from intake_spark.search import Importable, Text
+from intake_spark.user_parameters import SimpleUserParameter, substitute
+
+
+@pytest.fixture()
+def li_reader():
+    return SparkParquet(data=dt.Parquet(url=f"{SF_SMALL}/lineitem.parquet"))
+
+
+def test_reader_read_and_discover(spark, li_reader):
+    df = li_reader.read(spark=spark)
+    assert isinstance(df, DataFrame)
+    assert "l_orderkey" in df.columns
+    assert li_reader.discover(spark=spark).count() == 10
+
+
+def test_pipeline_getitem_method_chain(spark, li_reader):
+    pipe = li_reader[["l_orderkey", "l_quantity"]].filter("l_quantity > 40").limit(5)
+    assert isinstance(pipe, Pipeline)
+    out = pipe.read(spark=spark)
+    assert out.columns == ["l_orderkey", "l_quantity"]
+    rows = out.collect()
+    assert len(rows) == 5 and all(r.l_quantity > 40 for r in rows)
+
+
+def test_pipeline_immutable_accumulation(spark, li_reader):
+    base = li_reader[["l_orderkey"]]
+    a = base.limit(1)
+    b = base.limit(2)
+    assert len(a.steps) == 2 and len(b.steps) == 2
+    assert a.steps != b.steps
+
+
+def test_pipeline_stepwise(spark, li_reader):
+    ex = li_reader[["l_orderkey"]].limit(3).read_stepwise(spark=spark)
+    first = ex.step()
+    assert "l_quantity" in first.columns  # raw read
+    ex.step()
+    final = ex.step()
+    assert final.columns == ["l_orderkey"] and ex.done
+    assert final.count() == 3
+
+
+def test_pipeline_error_carries_stage(spark, li_reader):
+    pipe = li_reader.filter("no_such_column > 1")
+    with pytest.raises(PipelineError) as ei:
+        pipe.read(spark=spark).collect()
+    assert ei.value.stage == 0
+
+
+def test_method_allowlist(li_reader):
+    with pytest.raises(AttributeError):
+        li_reader.not_a_dataframe_method
+    # but a chained pipeline also rejects unknown names
+    with pytest.raises(AttributeError):
+        li_reader[["l_orderkey"]].definitely_not_real
+
+
+def test_catalog_roundtrip(spark, tmp_path, li_reader):
+    cat = Catalog()
+    pipe = li_reader[["l_orderkey", "l_extendedprice"]].limit(7)
+    cat["lite"] = pipe
+    path = str(tmp_path / "cat.yaml")
+    cat.to_yaml_file(path)
+
+    cat2 = open_catalog(path)
+    assert "lite" in cat2
+    out = cat2["lite"].read(spark=spark)
+    assert out.count() == 7 and out.columns == ["l_orderkey", "l_extendedprice"]
+
+
+def test_catalog_user_parameters(spark, tmp_path):
+    cat = Catalog()
+    reader = SparkParquet(data=dt.Parquet(url=f"{SF_SMALL}/lineitem.parquet"))
+    pipe = reader.filter("l_quantity > {min_qty}")
+    cat["filtered"] = pipe
+    tok = cat.aliases["filtered"]
+    cat.entries[tok].user_parameters["min_qty"] = SimpleUserParameter(dtype=int, default=45)
+
+    path = str(tmp_path / "cat.yaml")
+    cat.to_yaml_file(path)
+    cat2 = open_catalog(path)
+
+    n_default = cat2["filtered"].read(spark=spark).count()
+    n_lower = cat2.to_reader("filtered", min_qty=10).read(spark=spark).count()
+    assert 0 < n_default < n_lower
+    # coercion: string input becomes int
+    n_str = cat2.to_reader("filtered", min_qty="45").read(spark=spark).count()
+    assert n_str == n_default
+
+
+def test_catalog_nested_reference_extraction(spark, li_reader):
+    """Nested reader kwargs become {data(token)} refs, rehydrated on access."""
+    cat = Catalog()
+    cat["base"] = li_reader[["l_orderkey"]]
+    assert len(cat.entries) >= 1
+    tok = cat.add_entry(li_reader[["l_orderkey"]].limit(3), name="dup")
+    # identical description → same token (dedup)
+    assert tok in cat.entries
+
+
+def test_catalog_search_and_merge(li_reader):
+    cat = Catalog()
+    cat["orders_like"] = li_reader[["l_orderkey"]]
+    hits = cat.search("lineitem")
+    assert "orders_like" in hits.aliases
+    assert len(cat.search(Text("nonexistent-zzz")).entries) == 0
+    assert len(cat.search(Importable())) == len(cat.entries)
+
+    other = Catalog()
+    other["extra"] = li_reader.limit(1)
+    merged = cat + other
+    assert "orders_like" in merged.aliases and "extra" in merged.aliases
+
+
+def test_catalog_extract_parameter(spark, li_reader):
+    cat = Catalog()
+    cat["li"] = Pipeline(reader=li_reader, steps=[("method", "limit", [9], {})])
+    cat.extract_parameter("li", "n", 9, SimpleUserParameter(dtype=int, default=9))
+    assert cat.to_reader("li", n=4).read(spark=spark).count() == 4
+    assert cat["li"].read(spark=spark).count() == 9
+
+
+def test_catalog_register_views(spark, li_reader):
+    cat = Catalog()
+    cat["li_view"] = li_reader[["l_orderkey", "l_quantity"]]
+    views = cat.register_views(spark=spark)
+    assert "li_view" in views
+    n = spark.sql("SELECT count(*) AS n FROM li_view WHERE l_quantity > 40").first().n
+    assert n > 0
+
+
+def test_substitute_templates(monkeypatch):
+    monkeypatch.setenv("MY_TEST_VAR", "hello")
+    out = substitute(
+        {"a": "{x}", "b": "pre_{x}_post", "c": "env(MY_TEST_VAR)", "d": [1, "{y}"]},
+        {"x": 42, "y": "z"},
+    )
+    assert out == {"a": 42, "b": "pre_42_post", "c": "hello", "d": [1, "z"]}
+
+
+def test_auto_pipeline_and_one_shot(spark):
+    url = f"{SF_SMALL}/orders.parquet"
+    pipe = auto_pipeline(url)
+    df = pipe.read(spark=spark)
+    assert "o_orderkey" in df.columns
+    df2 = one_shot(url, spark=spark)
+    assert df2.count() == df.count()
+
+
+def test_auto_pipeline_to_pandas(spark):
+    import pandas as pd
+
+    pipe = auto_pipeline(f"{SF_SMALL}/region.parquet", outtype="pandas:DataFrame")
+    out = pipe.read(spark=spark)
+    assert isinstance(out, pd.DataFrame) and len(out) == 5
+
+
+def test_reader_from_call(spark):
+    r = reader_from_call(f"spark.read.parquet('{SF_SMALL}/nation.parquet')")
+    assert r.read(spark=spark).count() == 25
+
+
+def test_retry_and_condition(spark, li_reader):
+    calls = {"n": 0}
+
+    class Flaky:
+        def read(self, spark=None):
+            calls["n"] += 1
+            if calls["n"] < 3:
+                raise IOError("transient")
+            return li_reader.read(spark=spark)
+
+    out = Retry(Flaky(), max_tries=5, backoff0=0.01).read(spark=spark)
+    assert calls["n"] == 3 and out.count() > 0
+
+    cond = Condition(if_true=li_reader.limit(1), if_false=li_reader.limit(2), condition=False)
+    assert cond.read(spark=spark).count() == 2
+
+
+def test_csv_reader_with_write_roundtrip(spark, tmp_path):
+    """CSV write → detect → auto_pipeline → read back (full loop)."""
+    from intake_spark import output
+
+    li = SparkParquet(data=dt.Parquet(url=f"{SF_SMALL}/region.parquet")).read(spark=spark)
+    url = str(tmp_path / "region_csv")
+    desc = output.to_csv(li, url)
+    assert isinstance(desc, dt.CSV)
+    back = desc.to_reader().read(spark=spark)
+    assert back.count() == 5 and "r_name" in back.columns
