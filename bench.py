@@ -32,6 +32,12 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     queries = get_queries()
+
+    # JVM/codegen/IO warmup so the first timed query doesn't absorb engine
+    # startup cost (measures the engine, not JVM boot).
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+
     timings: dict[str, float] = {}
     t_all = time.perf_counter()
     for name, fn in sorted(queries.items()):

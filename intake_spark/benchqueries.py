@@ -478,6 +478,79 @@ def q17_hourly_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q18_asof_join",
+    """
+    WITH clicks AS (
+      SELECT user_id, ts, value FROM (
+        SELECT user_id, ts, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) rn
+        FROM events WHERE event_type = 'click') WHERE rn = 1),
+    purch AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase')
+    SELECT p.event_id, p.user_id, p.ts, c.ts AS ts_right, c.value AS click_value
+    FROM purch p ASOF LEFT JOIN clicks c ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def q18_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join (intake_spark.operators.asof_join): each purchase
+    matched to the user's latest prior click. Union+window formulation —
+    one shuffle on user_id, no range explosion; oracle is DuckDB's native
+    ASOF JOIN, so the exotic operator is still exact-value-checked."""
+    from intake_spark.operators import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("user_id", "ts").orderBy(F.desc("event_id"))
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("user_id", "ts", F.col("value").alias("click_value"))
+    )
+    purch = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    return asof_join(purch, clicks, on="ts", by="user_id")
+
+
+@register(
+    "q19_interval_join",
+    """
+    SELECT s.event_id AS signup_id, COUNT(c.event_id) AS clicks_next_day
+    FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'signup') s
+    LEFT JOIN (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
+      ON s.user_id = c.user_id
+     AND c.ts >= s.ts AND c.ts <= s.ts + INTERVAL 1 DAY
+    GROUP BY s.event_id
+    """,
+)
+def q19_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded time-range join (intake_spark.operators.interval_join):
+    clicks within 24h after each signup, counted. Equi-key shuffle with a
+    join-side range predicate — never a cross join."""
+    from intake_spark.operators import interval_join
+
+    ev = load_table(spark, sf_dir, "events")
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("signup_id"), "user_id", F.col("ts").alias("s_ts")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("c_ts")
+    )
+    joined = interval_join(
+        signups,
+        clicks,
+        by="user_id",
+        left_ts="s_ts",
+        right_ts="c_ts",
+        lower=F.expr("INTERVAL 0 SECOND"),
+        upper=F.expr("INTERVAL 1 DAY"),
+        how="left",
+    )
+    return joined.groupBy("signup_id").agg(F.count("click_id").alias("clicks_next_day"))
+
+
 def get_queries() -> dict[str, QueryFn]:
     # Import registers the LLM-operator queries too (kept in their module so
     # the operator implementations and their oracle SQL live together).

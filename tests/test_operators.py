@@ -1,0 +1,96 @@
+"""asof_join / interval_join semantics on hand-built frames."""
+
+from __future__ import annotations
+
+import datetime as dtm
+
+import pytest
+from pyspark.sql import functions as F
+
+TS = lambda s: dtm.datetime.fromisoformat(s)  # noqa: E731
+
+
+@pytest.fixture()
+def frames(spark):
+    left = spark.createDataFrame(
+        [
+            (1, "u1", TS("2024-01-01 10:00:00")),
+            (2, "u1", TS("2024-01-01 12:00:00")),
+            (3, "u2", TS("2024-01-01 11:00:00")),
+            (4, "u3", TS("2024-01-01 11:00:00")),  # no right rows for u3
+        ],
+        ["id", "user", "ts"],
+    )
+    right = spark.createDataFrame(
+        [
+            ("u1", TS("2024-01-01 09:30:00"), 10.0),
+            ("u1", TS("2024-01-01 11:59:00"), 20.0),
+            ("u2", TS("2024-01-01 11:00:00"), 30.0),  # exact tie with left id=3
+            ("u2", TS("2024-01-01 11:30:00"), 40.0),  # after left id=3
+        ],
+        ["user", "ts", "v"],
+    )
+    return left, right
+
+
+def test_asof_backward_semantics(spark, frames):
+    from intake_spark.operators import asof_join
+
+    left, right = frames
+    out = {r.id: r for r in asof_join(left, right, on="ts", by="user").collect()}
+    assert out[1].v == 10.0  # 10:00 → latest prior is 09:30
+    assert out[2].v == 20.0  # 12:00 → 11:59
+    assert out[3].v == 30.0  # tie at 11:00 matches (<=)
+    assert out[4].v is None and out[4].ts_right is None  # no match → null
+
+
+def test_asof_tolerance(spark, frames):
+    from intake_spark.operators import asof_join
+
+    left, right = frames
+    out = {
+        r.id: r
+        for r in asof_join(
+            left, right, on="ts", by="user", tolerance=F.expr("INTERVAL 10 MINUTES")
+        ).collect()
+    }
+    assert out[1].v is None  # 09:30 is 30min before 10:00 → outside tolerance
+    assert out[2].v == 20.0  # 11:59 within 10min of 12:00
+    assert out[3].v == 30.0  # exact tie, zero distance
+
+
+def test_asof_preserves_left_rowcount(spark, frames):
+    from intake_spark.operators import asof_join
+
+    left, right = frames
+    assert asof_join(left, right, on="ts", by="user").count() == left.count()
+
+
+def test_interval_join(spark, frames):
+    from intake_spark.operators import interval_join
+
+    left, right = frames
+    out = interval_join(
+        left.withColumnRenamed("ts", "l_ts"),
+        right.withColumnRenamed("ts", "r_ts"),
+        by="user",
+        left_ts="l_ts",
+        right_ts="r_ts",
+        lower=F.expr("INTERVAL 0 SECOND"),
+        upper=F.expr("INTERVAL 2 HOURS"),
+    )
+    rows = [(r.id, r.v) for r in out.collect()]
+    # id=1 (u1 10:00): right 11:59 within 2h → (1, 20.0); 09:30 is before → excluded
+    assert (1, 20.0) in rows and (1, 10.0) not in rows
+    # id=3 (u2 11:00): 11:00 and 11:30 both within
+    assert (3, 30.0) in rows and (3, 40.0) in rows
+
+
+def test_asof_plan_single_shuffle(spark, frames):
+    """The whole point: one Exchange on the key, not a join explosion."""
+    from intake_spark.operators import asof_join
+
+    left, right = frames
+    plan = asof_join(left, right, on="ts", by="user")._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 2  # union sides co-partitioned

@@ -50,7 +50,8 @@ def assert_frames_match(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame, name:
                 ok = (math.isnan(x) and math.isnan(y)) or x == y
                 assert ok, f"{name}: col {c} row {i}: {x!r} != {y!r}"
         else:
-            mism = a[c][a[c].ne(b[c])]
+            eq = (a[c] == b[c]) | (a[c].isna() & b[c].isna())
+            mism = a[c][~eq]
             assert mism.empty, f"{name}: col {c} mismatches at {mism.index[:5].tolist()}: " f"{a[c].iloc[mism.index[:3]].tolist()} vs {b[c].iloc[mism.index[:3]].tolist()}"
 
 
