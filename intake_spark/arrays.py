@@ -1,0 +1,193 @@
+"""Array-as-DataFrame: the canonical encoding for ``array``-structured data
+(tensors, grids, audio) keeping "one container" true (SURVEY §1.2 mapping,
+§7 "what's hard": chunk rows = dim-index cols + ArrayType payload).
+
+Encoding: an N-D array of shape (d0, d1, ..., dk) chunked on the leading
+axis becomes rows ``(chunk_id, offset0, shape, values)`` where ``values``
+is the flattened chunk as ``array<double>`` and ``shape`` the full array
+shape. Operations:
+
+- elementwise math → higher-order ``transform`` on values (JVM-side)
+- reductions → explode + hash aggregate, or ``aggregate`` per chunk then a
+  tiny final combine — map-side partial aggregation falls out naturally
+- slicing on the chunk axis → filter on offset0 (partition-prunable)
+
+This is how NumpyFile/Zarr/HDF5 data enters the engine (reference readers
+readers.py:1305-1440) without a driver-side ndarray.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from intake_spark import datatypes as dt
+from intake_spark.readers import BaseReader
+
+CHUNK_SCHEMA = T.StructType(
+    [
+        T.StructField("chunk_id", T.LongType()),
+        T.StructField("offset0", T.LongType()),
+        T.StructField("shape", T.ArrayType(T.LongType())),
+        T.StructField("values", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+
+def _parse_npy_header(buf: bytes) -> tuple[str, bool, tuple[int, ...], int]:
+    """Parse the public .npy v1/v2 header (magic \\x93NUMPY): returns
+    (dtype_str, fortran_order, shape, data_offset). Stdlib-only."""
+    if buf[:6] != b"\x93NUMPY":
+        raise ValueError("not an npy file")
+    major = buf[6]
+    if major == 1:
+        (hlen,) = struct.unpack("<H", buf[8:10])
+        off = 10
+    else:
+        (hlen,) = struct.unpack("<I", buf[8:12])
+        off = 12
+    header = buf[off : off + hlen].decode("latin1")
+    d = eval(header, {"__builtins__": {}}, {"False": False, "True": True})  # noqa: S307 - npy header dict literal
+    return d["descr"], d["fortran_order"], tuple(d["shape"]), off + hlen
+
+
+_DTYPE_STRUCT = {
+    "<f8": ("d", 8), "<f4": ("f", 4), "<i8": ("q", 8), "<i4": ("i", 4),
+    "<i2": ("h", 2), "<u1": ("B", 1), "|u1": ("B", 1), "<u4": ("I", 4),
+}
+
+
+class NumpyArrayReader(BaseReader):
+    """.npy → chunk-row DataFrame. The file is read once driver-side for the
+    header, then chunk byte-ranges are decoded in executors via mapInPandas
+    over a chunk-manifest DataFrame — per-chunk parallelism without numpy."""
+
+    implements = {dt.NumpyFile}
+
+    def _read(self, spark, rows_per_chunk: int = 4096, **kwargs):
+        from intake_spark.session import ensure_py_deps
+
+        ensure_py_deps(spark)
+        url = self.data.url
+        with open(url, "rb") as f:
+            head = f.read(4096)
+        descr, fortran, shape, data_off = _parse_npy_header(head)
+        if fortran:
+            raise ValueError("fortran-order npy not supported")
+        fmt, itemsize = _DTYPE_STRUCT[descr]
+        row_elems = 1
+        for s in shape[1:]:
+            row_elems *= s
+        n0 = shape[0] if shape else 1
+
+        manifest = [
+            (i, start, min(start + rows_per_chunk, n0))
+            for i, start in enumerate(range(0, n0, rows_per_chunk))
+        ]
+        mdf = spark.createDataFrame(manifest, ["chunk_id", "row_start", "row_end"])
+
+        shape_l = list(shape)
+
+        def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                out = []
+                with open(url, "rb") as f:
+                    for _, r in pdf.iterrows():
+                        n_rows = int(r.row_end - r.row_start)
+                        n_el = n_rows * row_elems
+                        f.seek(data_off + int(r.row_start) * row_elems * itemsize)
+                        raw = f.read(n_el * itemsize)
+                        vals = list(struct.unpack(f"<{n_el}{fmt}", raw))
+                        out.append(
+                            {
+                                "chunk_id": int(r.chunk_id),
+                                "offset0": int(r.row_start),
+                                "shape": shape_l,
+                                "values": [float(v) for v in vals],
+                            }
+                        )
+                yield pd.DataFrame(out, columns=["chunk_id", "offset0", "shape", "values"])
+
+        return mdf.mapInPandas(decode, schema=CHUNK_SCHEMA)
+
+
+class NPZ(dt.FileData):
+    filepattern = r"npz$"
+    magic = (b"PK\x03\x04",)
+    structure = {"array"}
+
+    def __init__(self, url, member: str = "", storage_options=None, metadata=None):
+        super().__init__(url, storage_options, metadata)
+        self.member = member
+
+
+class NPZReader(BaseReader):
+    """.npz (zip of .npy members) → chunk rows for one member (stdlib
+    zipfile; parity: NPZReader readers.py:3169)."""
+
+    implements = {NPZ}
+
+    def _read(self, spark, **kwargs):
+        import io
+        import zipfile
+
+        with zipfile.ZipFile(self.data.url) as z:
+            names = [n for n in z.namelist() if n.endswith(".npy")]
+            member = self.data.member or names[0].removesuffix(".npy")
+            buf = z.read(member + ".npy")
+        descr, fortran, shape, off = _parse_npy_header(buf)
+        fmt, itemsize = _DTYPE_STRUCT[descr]
+        n = 1
+        for s in shape:
+            n *= s
+        vals = struct.unpack(f"<{n}{fmt}", buf[off : off + n * itemsize])
+        row = {
+            "chunk_id": 0,
+            "offset0": 0,
+            "shape": list(shape),
+            "values": [float(v) for v in vals],
+        }
+        return spark.createDataFrame([row], schema=CHUNK_SCHEMA)
+
+
+def elementwise(df: DataFrame, expr: str) -> DataFrame:
+    """Elementwise map over chunk values, JVM-side: ``expr`` uses ``x``,
+    e.g. ``"x * 2 + 1"`` → transform(values, x -> x * 2 + 1)."""
+    return df.withColumn("values", F.expr(f"transform(values, x -> {expr})"))
+
+
+def reduce_sum(df: DataFrame) -> DataFrame:
+    """Global sum: per-chunk partial (aggregate HOF, no shuffle) + one tiny
+    final combine — the canonical map-side-partial pattern."""
+    partial = df.select(
+        F.expr("aggregate(values, CAST(0.0 AS DOUBLE), (s, x) -> s + x)").alias("part")
+    )
+    return partial.agg(F.sum("part").alias("total"))
+
+
+def slice_axis0(df: DataFrame, start: int, end: int) -> DataFrame:
+    """Slice rows [start, end) on the chunk axis — chunk-level pruning via
+    the offset0 filter, then within-chunk trim."""
+    row_elems = F.expr("aggregate(slice(shape, 2, size(shape) - 1), 1L, (a, x) -> a * x)")
+    df = df.withColumn("_re", row_elems)
+    n0 = F.size("values") / F.col("_re")
+    df = df.filter((F.col("offset0") < end) & (F.col("offset0") + n0 > start))
+    lo = F.greatest(F.lit(start) - F.col("offset0"), F.lit(0))
+    hi = F.least(F.lit(end) - F.col("offset0"), n0)
+    return (
+        df.withColumn(
+            "values",
+            F.slice(
+                "values",
+                (lo * F.col("_re") + 1).cast("int"),
+                ((hi - lo) * F.col("_re")).cast("int"),
+            ),
+        )
+        .withColumn("offset0", F.greatest(F.col("offset0"), F.lit(start)))
+        .drop("_re")
+    )

@@ -551,6 +551,32 @@ def q19_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("signup_id").agg(F.count("click_id").alias("clicks_next_day"))
 
 
+@register(
+    "q34_percentiles",
+    """
+    SELECT o_orderpriority,
+           quantile_cont(o_totalprice, 0.5) AS p50,
+           quantile_cont(o_totalprice, 0.9) AS p90,
+           quantile_cont(o_totalprice, 0.99) AS p99
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def q34_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolated percentiles per group (Spark `percentile`
+    ≡ DuckDB `quantile_cont`, verified bit-equal). At 100 TB swap for
+    `approx_percentile` (t-digest) — kept exact here for oracle checking."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.expr("percentile(o_totalprice, 0.5)").alias("p50"),
+            F.expr("percentile(o_totalprice, 0.9)").alias("p90"),
+            F.expr("percentile(o_totalprice, 0.99)").alias("p99"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
 def get_queries() -> dict[str, QueryFn]:
     # Import registers the LLM-operator queries too (kept in their module so
     # the operator implementations and their oracle SQL live together).

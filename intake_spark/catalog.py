@@ -207,6 +207,31 @@ class Catalog(Tokenizable):
         self.user_parameters, self.metadata = merged.user_parameters, merged.metadata
         return self
 
+    # -- mapping (parity: CatalogMapper transform.py:121-160) ----------------
+
+    def map_entries(self, step: tuple) -> "Catalog":
+        """Apply a pipeline step to *every* aliased entry → new catalog of
+        derived entries (e.g. ``cat.map_entries(("method", "limit", [100],
+        {}))`` caps every entry)."""
+        out = Catalog(user_parameters=dict(self.user_parameters), metadata=dict(self.metadata))
+        for alias, tok in self.aliases.items():
+            desc = self.entries[tok]
+            payload = desc.payload
+            if "steps" in payload:
+                new_payload = {
+                    "reader": payload["reader"],
+                    "steps": [*payload["steps"], list(step)],
+                }
+            else:
+                new_payload = {"reader": payload, "steps": [list(step)]}
+            new_desc = ReaderDescription(
+                payload=new_payload, user_parameters=dict(desc.user_parameters)
+            )
+            tok2 = tokenize(new_desc.to_dict())
+            out.entries[tok2] = new_desc
+            out.aliases[alias] = tok2
+        return out
+
     # -- parameter lifting (parity: entry.py:311-401) ------------------------
 
     def extract_parameter(self, name: str, param_name: str, value: Any, param: BaseUserParameter) -> None:

@@ -1,0 +1,278 @@
+"""Document / config / model-file readers: the reference's long-tail text
+and metadata extraction surface, Spark-first.
+
+Parity targets (intake/readers/readers.py): MarkdownReader :1980,
+TOMLReader :2011, INIReader :2058, HTMLTableReader :2086, PDFTextReader
+:2100 (stubbed — no pdf lib here), GGUFMetadataReader :2548-2600-ish,
+SafeTensors metadata readers :3000+. Pattern: many files →
+``binaryFile`` rows → Arrow-batched parse UDF → typed columns; a single
+config file parses driver-side (it is one row of data).
+
+All parsers are stdlib-only (tomllib/configparser/html.parser/struct/json),
+so nothing here is import-gated except PDF.
+"""
+
+from __future__ import annotations
+
+import json
+import struct
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+from intake_spark import datatypes as dt
+from intake_spark.readers import BaseReader
+
+
+class Markdown(dt.FileData):
+    filepattern = r"(md|markdown)$"
+    mimetypes = r"text/markdown"
+    structure = {"text"}
+
+
+class TOML(dt.FileData):
+    filepattern = r"toml$"
+    mimetypes = r"application/toml"
+    structure = {"nested"}
+
+
+class INIFile(dt.FileData):
+    filepattern = r"(ini|cfg|conf)$"
+    structure = {"nested"}
+
+
+class HTMLFile(dt.FileData):
+    filepattern = r"html?$"
+    mimetypes = r"text/html"
+    magic = (b"<!DOCTYPE html", b"<html")
+    structure = {"text", "table"}
+
+
+class SafeTensors(dt.FileData):
+    filepattern = r"safetensors$"
+    structure = {"model"}
+
+
+def _text_of(content: bytes) -> str:
+    return content.decode("utf-8", errors="replace")
+
+
+class MarkdownReader(BaseReader):
+    """Markdown files → (path, text, n_headings, titles) rows via
+    binaryFile + Arrow-batched parse (many files in parallel)."""
+
+    implements = {Markdown}
+
+    def _read(self, spark, **kwargs):
+        from intake_spark.session import ensure_py_deps
+
+        ensure_py_deps(spark)
+        files = spark.read.format("binaryFile").option("pathGlobFilter", "*.md").load(
+            self.data.url
+        ) if "*" not in self.data.url else spark.read.format("binaryFile").load(self.data.url)
+
+        schema = T.StructType(
+            [
+                T.StructField("path", T.StringType()),
+                T.StructField("text", T.StringType()),
+                T.StructField("n_headings", T.IntegerType()),
+                T.StructField("title", T.StringType()),
+            ]
+        )
+
+        def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                texts = pdf["content"].map(_text_of)
+                heads = texts.map(lambda t: [l for l in t.splitlines() if l.startswith("#")])
+                yield pd.DataFrame(
+                    {
+                        "path": pdf["path"],
+                        "text": texts,
+                        "n_headings": pd.array([len(h) for h in heads], dtype="int32"),
+                        "title": [h[0].lstrip("# ") if h else "" for h in heads],
+                    }
+                )
+
+        return files.select("path", "content").mapInPandas(parse, schema=schema)
+
+
+def _flatten(d: dict, prefix: str = "") -> Iterator[tuple[str, str]]:
+    for k, v in d.items():
+        key = f"{prefix}.{k}" if prefix else str(k)
+        if isinstance(v, dict):
+            yield from _flatten(v, key)
+        else:
+            yield key, json.dumps(v) if not isinstance(v, str) else v
+
+
+class TOMLReader(BaseReader):
+    """TOML → (key, value) rows, keys dotted-flattened (stdlib tomllib)."""
+
+    implements = {TOML}
+
+    def _read(self, spark, **kwargs):
+        import tomllib
+
+        with open(self.data.url, "rb") as f:
+            data = tomllib.load(f)
+        rows = [{"key": k, "value": v} for k, v in _flatten(data)]
+        return spark.createDataFrame(rows or [{"key": "", "value": ""}])
+
+
+class INIReader(BaseReader):
+    """INI → (section, key, value) rows (stdlib configparser)."""
+
+    implements = {INIFile}
+
+    def _read(self, spark, **kwargs):
+        import configparser
+
+        cp = configparser.ConfigParser()
+        cp.read(self.data.url)
+        rows = [
+            {"section": s, "key": k, "value": v}
+            for s in cp.sections()
+            for k, v in cp.items(s)
+        ]
+        return spark.createDataFrame(rows or [{"section": "", "key": "", "value": ""}])
+
+
+class HTMLTableReader(BaseReader):
+    """First <table> of an HTML file → DataFrame (stdlib html.parser —
+    pandas.read_html needs lxml, which may be absent)."""
+
+    implements = {HTMLFile}
+
+    def _read(self, spark, table_index: int = 0, **kwargs):
+        from html.parser import HTMLParser
+
+        class TableParser(HTMLParser):
+            def __init__(self):
+                super().__init__()
+                self.tables: list[list[list[str]]] = []
+                self._row: list[str] | None = None
+                self._cell: list[str] | None = None
+
+            def handle_starttag(self, tag, attrs):
+                if tag == "table":
+                    self.tables.append([])
+                elif tag == "tr" and self.tables:
+                    self._row = []
+                elif tag in ("td", "th") and self._row is not None:
+                    self._cell = []
+
+            def handle_data(self, data):
+                if self._cell is not None:
+                    self._cell.append(data.strip())
+
+            def handle_endtag(self, tag):
+                if tag in ("td", "th") and self._row is not None and self._cell is not None:
+                    self._row.append("".join(self._cell))
+                    self._cell = None
+                elif tag == "tr" and self._row is not None:
+                    self.tables[-1].append(self._row)
+                    self._row = None
+
+        with open(self.data.url, encoding="utf-8", errors="replace") as f:
+            parser = TableParser()
+            parser.feed(f.read())
+        table = parser.tables[table_index]
+        header, *rows = table
+        return spark.createDataFrame([dict(zip(header, r)) for r in rows])
+
+
+class PDFTextReader(BaseReader):
+    """PDF text extraction — gated: no pdf library in this container.
+    (parity: PDFTextReader readers.py:2100; plumbing shape = binaryFile +
+    parse UDF like MarkdownReader.)"""
+
+    implements = {dt.PDF}
+    imports = {"pypdf"}
+
+    def _read(self, spark, **kwargs):
+        raise NotImplementedError(
+            "PDF text extraction requires pypdf; structure mirrors "
+            "MarkdownReader (binaryFile + mapInPandas parse)"
+        )
+
+
+class GGUFMetadataReader(BaseReader):
+    """GGUF header metadata → (key, value_type, value) rows. Parses the
+    public GGUF v3 container layout (magic 'GGUF', little-endian header)
+    directly with stdlib struct — metadata only, tensors untouched."""
+
+    implements = {dt.GGUF}
+
+    _SIMPLE = {
+        0: ("uint8", "<B", 1), 1: ("int8", "<b", 1), 2: ("uint16", "<H", 2),
+        3: ("int16", "<h", 2), 4: ("uint32", "<I", 4), 5: ("int32", "<i", 4),
+        6: ("float32", "<f", 4), 7: ("bool", "<B", 1), 10: ("uint64", "<Q", 8),
+        11: ("int64", "<q", 8), 12: ("float64", "<d", 8),
+    }
+
+    def _read(self, spark, max_entries: int = 1000, **kwargs):
+        rows = []
+        with open(self.data.url, "rb") as f:
+            magic = f.read(4)
+            if magic != b"GGUF":
+                raise ValueError(f"not a GGUF file: {self.data.url}")
+            version, n_tensors, n_kv = struct.unpack("<IQQ", f.read(20))
+            rows.append({"key": "__version__", "value_type": "uint32", "value": str(version)})
+            rows.append({"key": "__n_tensors__", "value_type": "uint64", "value": str(n_tensors)})
+
+            def read_str():
+                (n,) = struct.unpack("<Q", f.read(8))
+                return f.read(n).decode("utf-8", errors="replace")
+
+            def read_val(vtype):
+                if vtype in self._SIMPLE:
+                    name, fmt, size = self._SIMPLE[vtype]
+                    (v,) = struct.unpack(fmt, f.read(size))
+                    return name, str(v)
+                if vtype == 8:
+                    return "string", read_str()
+                if vtype == 9:  # array
+                    etype, n = struct.unpack("<IQ", f.read(12))
+                    vals = [read_val(etype)[1] for _ in range(min(n, 32))]
+                    if n > 32:
+                        # skip remaining elements without materializing
+                        for _ in range(n - 32):
+                            read_val(etype)
+                    return "array", json.dumps(vals)
+                raise ValueError(f"unknown GGUF value type {vtype}")
+
+            for _ in range(min(n_kv, max_entries)):
+                key = read_str()
+                (vtype,) = struct.unpack("<I", f.read(4))
+                name, val = read_val(vtype)
+                rows.append({"key": key, "value_type": name, "value": val})
+        return spark.createDataFrame(rows)
+
+
+class SafeTensorsMetadataReader(BaseReader):
+    """SafeTensors header → (tensor_name, dtype, shape, n_bytes) rows.
+    The header is a length-prefixed JSON blob at the file start (public
+    format spec) — stdlib-only parse, no tensor data read."""
+
+    implements = {SafeTensors}
+
+    def _read(self, spark, **kwargs):
+        with open(self.data.url, "rb") as f:
+            (n,) = struct.unpack("<Q", f.read(8))
+            header = json.loads(f.read(n))
+        rows = []
+        for name, info in header.items():
+            if name == "__metadata__":
+                continue
+            start, end = info["data_offsets"]
+            rows.append(
+                {
+                    "tensor_name": name,
+                    "dtype": info["dtype"],
+                    "shape": json.dumps(info["shape"]),
+                    "n_bytes": end - start,
+                }
+            )
+        return spark.createDataFrame(rows)

@@ -241,6 +241,61 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits:
     return votes.select(id_col, sim.alias("simhash"))
 
 
+def dup_groups(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over near-dup pairs → (doc_id, group_id), with
+    group_id = min doc id in the component (canonical survivor per group).
+
+    Iterative min-label propagation: each round every node takes the min
+    label among itself and its neighbors (join on edges + hash aggregate,
+    one shuffle per round), stopping at fixpoint or ``max_iter``. Dup
+    clusters have tiny diameters, so rounds stay in single digits; for
+    adversarial long chains switch to logarithmic path-doubling (large-star/
+    small-star) — noted, not needed for dedup workloads.
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .unionByName(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        .distinct()
+        .cache()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node")).distinct().withColumn("label", F.col("node"))
+    ).cache()
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias(
+                    "label"
+                ),
+            )
+            .cache()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("group_id"))
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     id_col: str = "vec_id",

@@ -271,6 +271,37 @@ def q30_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.fake_decode_meta(with_bin, keep_cols=["doc_id"])
 
 
+@register(
+    "q33_dup_groups",
+    f"""
+    WITH RECURSIVE {_SHINGLES_CTE},
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS cnt
+              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+    pairs AS (
+      SELECT doc_a, doc_b
+      FROM inter i JOIN sizes sa ON i.doc_a = sa.doc_id
+                   JOIN sizes sb ON i.doc_b = sb.doc_id
+      WHERE CAST(cnt AS DOUBLE) / (sa.n + sb.n - cnt) >= 0.5),
+    edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+              UNION SELECT doc_b, doc_a FROM pairs),
+    reach(s, t) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT r.s, e.b FROM reach r JOIN edges e ON r.t = e.a)
+    SELECT s AS doc_id, MIN(t) AS group_id FROM reach GROUP BY s
+    """,
+)
+def q33_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering: exact Jaccard pairs → connected components via
+    iterative min-label propagation (dedup.dup_groups). Oracle recomputes
+    components with a recursive transitive-closure CTE — the distributed
+    iterative algorithm is exact-checked against declarative SQL."""
+    pairs = dedup.jaccard_pairs(load_table(spark, sf_dir, "documents"), threshold=0.5)
+    return dedup.dup_groups(pairs)
+
+
 @register("q31_lsh_ann_pairs")  # no SQL oracle: LSH bucketing is engine-side
 def q31_lsh_ann_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH approximate near-neighbor pairs (cosine ≥ 0.8 within

@@ -59,6 +59,14 @@ class PipelineMixin:
         assert isinstance(self, BaseReader)
         return Pipeline(reader=self, steps=[])
 
+    @property
+    def F(self):
+        """pyspark.sql.functions namespace accessor (parity: reference
+        reader.np/.pd namespaces, intake/readers/namespaces.py:16-94)."""
+        from intake_spark.namespaces import FunctionNamespace
+
+        return FunctionNamespace(self)
+
     def __getitem__(self, item):
         return self._as_pipeline().with_step(("getitem", item))
 

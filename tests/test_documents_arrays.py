@@ -1,0 +1,212 @@
+"""Document/config/model readers + array-as-DataFrame encoding +
+namespace accessor + CatalogMapper tests."""
+
+from __future__ import annotations
+
+import json
+import struct
+import zipfile
+
+import pytest
+
+from tests.conftest import SF_SMALL
+
+
+# --- document / config readers ---------------------------------------------
+
+
+def test_markdown_reader(spark, tmp_path):
+    from intake_spark.documents import Markdown, MarkdownReader
+
+    (tmp_path / "a.md").write_text("# Title A\n\nbody text\n\n## Sub\nmore")
+    (tmp_path / "b.md").write_text("no headings here")
+    out = MarkdownReader(data=Markdown(url=str(tmp_path))).read(spark=spark)
+    rows = {r.path.split("/")[-1]: r for r in out.collect()}
+    assert rows["a.md"].n_headings == 2 and rows["a.md"].title == "Title A"
+    assert rows["b.md"].n_headings == 0
+
+
+def test_toml_reader(spark, tmp_path):
+    from intake_spark.documents import TOML, TOMLReader
+
+    p = tmp_path / "cfg.toml"
+    p.write_text('[server]\nhost = "x"\nport = 8080\n[a.b]\nc = true\n')
+    out = {r.key: r.value for r in TOMLReader(data=TOML(url=str(p))).read(spark=spark).collect()}
+    assert out["server.host"] == "x" and out["server.port"] == "8080"
+    assert out["a.b.c"] == "true"
+
+
+def test_ini_reader(spark, tmp_path):
+    from intake_spark.documents import INIFile, INIReader
+
+    p = tmp_path / "app.ini"
+    p.write_text("[main]\nkey = val\n[other]\nx = 1\n")
+    rows = INIReader(data=INIFile(url=str(p))).read(spark=spark).collect()
+    assert {(r.section, r.key, r.value) for r in rows} == {("main", "key", "val"), ("other", "x", "1")}
+
+
+def test_html_table_reader(spark, tmp_path):
+    from intake_spark.documents import HTMLFile, HTMLTableReader
+
+    p = tmp_path / "t.html"
+    p.write_text(
+        "<html><body><table>"
+        "<tr><th>name</th><th>qty</th></tr>"
+        "<tr><td>apple</td><td>3</td></tr>"
+        "<tr><td>beet</td><td>5</td></tr>"
+        "</table></body></html>"
+    )
+    out = HTMLTableReader(data=HTMLFile(url=str(p))).read(spark=spark)
+    rows = {r.name: r.qty for r in out.collect()}
+    assert rows == {"apple": "3", "beet": "5"}
+
+
+def test_gguf_metadata_reader(spark, tmp_path):
+    from intake_spark.documents import GGUFMetadataReader
+    from intake_spark import datatypes as dt
+
+    # hand-build a tiny valid GGUF v3 header: magic, version, 1 tensor, 2 kv
+    p = tmp_path / "m.gguf"
+    buf = b"GGUF" + struct.pack("<IQQ", 3, 1, 2)
+    def s(x): return struct.pack("<Q", len(x)) + x
+    buf += s(b"general.name") + struct.pack("<I", 8) + s(b"tinymodel")
+    buf += s(b"general.layers") + struct.pack("<I", 4) + struct.pack("<I", 12)
+    p.write_bytes(buf)
+    out = {r.key: (r.value_type, r.value) for r in
+           GGUFMetadataReader(data=dt.GGUF(url=str(p))).read(spark=spark).collect()}
+    assert out["general.name"] == ("string", "tinymodel")
+    assert out["general.layers"] == ("uint32", "12")
+    assert out["__n_tensors__"][1] == "1"
+
+
+def test_safetensors_metadata_reader(spark, tmp_path):
+    from intake_spark.documents import SafeTensors, SafeTensorsMetadataReader
+
+    header = {
+        "w1": {"dtype": "F32", "shape": [4, 4], "data_offsets": [0, 64]},
+        "b1": {"dtype": "F32", "shape": [4], "data_offsets": [64, 80]},
+        "__metadata__": {"format": "pt"},
+    }
+    hb = json.dumps(header).encode()
+    p = tmp_path / "m.safetensors"
+    p.write_bytes(struct.pack("<Q", len(hb)) + hb + b"\x00" * 80)
+    rows = {r.tensor_name: r for r in
+            SafeTensorsMetadataReader(data=SafeTensors(url=str(p))).read(spark=spark).collect()}
+    assert rows["w1"].n_bytes == 64 and json.loads(rows["w1"].shape) == [4, 4]
+    assert "__metadata__" not in rows
+
+
+def test_detection_picks_new_datatypes():
+    from intake_spark import datatypes as dt
+    from intake_spark.documents import Markdown, TOML
+
+    assert Markdown in dt.recommend("notes.md")[:2]
+    assert dt.recommend("conf.toml")[0] is TOML
+
+
+# --- arrays -----------------------------------------------------------------
+
+
+def _write_npy(path, shape, fmt="<f8"):
+    """Minimal .npy v1 writer (stdlib): C-order doubles 0..n-1."""
+    n = 1
+    for s in shape:
+        n *= s
+    header = ("{'descr': '%s', 'fortran_order': False, 'shape': %s, }" % (fmt, repr(tuple(shape)))).encode()
+    pad = 64 - (10 + len(header) + 1) % 64
+    header += b" " * pad + b"\n"
+    with open(path, "wb") as f:
+        f.write(b"\x93NUMPY\x01\x00" + struct.pack("<H", len(header)) + header)
+        f.write(struct.pack(f"<{n}d", *[float(i) for i in range(n)]))
+
+
+def test_npy_chunked_reader(spark, tmp_path):
+    from intake_spark import datatypes as dt
+    from intake_spark.arrays import NumpyArrayReader, reduce_sum
+
+    p = str(tmp_path / "arr.npy")
+    _write_npy(p, (100, 4))
+    df = NumpyArrayReader(data=dt.NumpyFile(url=p)).read(spark=spark, rows_per_chunk=32)
+    rows = df.collect()
+    assert len(rows) == 4  # 100/32 → 4 chunks
+    assert rows[0].shape == [100, 4]
+    total = reduce_sum(df).first().total
+    assert total == sum(range(400))
+
+
+def test_npy_elementwise_and_slice(spark, tmp_path):
+    from intake_spark import datatypes as dt
+    from intake_spark.arrays import NumpyArrayReader, elementwise, slice_axis0
+
+    p = str(tmp_path / "arr2.npy")
+    _write_npy(p, (10, 2))
+    df = NumpyArrayReader(data=dt.NumpyFile(url=p)).read(spark=spark, rows_per_chunk=4)
+    doubled = elementwise(df, "x * 2")
+    vals = sorted(v for r in doubled.collect() for v in r.values)
+    assert vals == [float(2 * i) for i in range(20)]
+
+    sl = slice_axis0(df, 3, 7).orderBy("offset0").collect()
+    got = [v for r in sl for v in r.values]
+    assert got == [float(i) for i in range(6, 14)]  # rows 3..6 → elems 6..13
+
+
+def test_npz_reader(spark, tmp_path):
+    from intake_spark.arrays import NPZ, NPZReader
+
+    npy_path = tmp_path / "x.npy"
+    _write_npy(str(npy_path), (5,))
+    zpath = tmp_path / "pack.npz"
+    with zipfile.ZipFile(zpath, "w") as z:
+        z.write(npy_path, "x.npy")
+    out = NPZReader(data=NPZ(url=str(zpath), member="x")).read(spark=spark).first()
+    assert out.values == [0.0, 1.0, 2.0, 3.0, 4.0]
+
+
+# --- namespace accessor + CatalogMapper ------------------------------------
+
+
+def test_function_namespace(spark):
+    from intake_spark import datatypes as dt
+    from intake_spark.readers import SparkParquet
+
+    r = SparkParquet(data=dt.Parquet(url=f"{SF_SMALL}/customer.parquet"))
+    pipe = r.F.upper("c_name", out="shout")[["c_custkey", "shout"]]
+    out = pipe.read(spark=spark).first()
+    assert out.shout == out.shout.upper()
+    # serializes: the step records a func string, not a closure
+    assert "apply_function" in repr(pipe.to_dict())
+
+
+def test_namespace_rejects_unknown():
+    from intake_spark import datatypes as dt
+    from intake_spark.readers import SparkParquet
+
+    r = SparkParquet(data=dt.Parquet(url="/x.parquet"))
+    with pytest.raises(AttributeError):
+        r.F.not_a_real_function
+
+
+def test_catalog_mapper(spark):
+    from intake_spark import datatypes as dt
+    from intake_spark.catalog import Catalog
+    from intake_spark.readers import SparkParquet
+
+    cat = Catalog()
+    cat["c"] = SparkParquet(data=dt.Parquet(url=f"{SF_SMALL}/customer.parquet"))
+    cat["n"] = SparkParquet(data=dt.Parquet(url=f"{SF_SMALL}/nation.parquet"))
+    capped = cat.map_entries(("method", "limit", [3], {}))
+    assert capped["c"].read(spark=spark).count() == 3
+    assert capped["n"].read(spark=spark).count() == 3
+    # originals untouched
+    assert cat["n"].read(spark=spark).count() == 25
+
+
+def test_dup_groups_small(spark):
+    from intake_spark.llm.dedup import dup_groups
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 20)],
+        ["doc_a", "doc_b"],
+    )
+    out = {r.doc_id: r.group_id for r in dup_groups(pairs).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
