@@ -49,4 +49,18 @@ def __getattr__(name):
         import intake_spark.readers as m
 
         return m
+    if name.startswith("open_"):
+        # dynamic intake.open_<driver> surface (≡ intake/__init__.py:58-93):
+        # open_csv(url, **kw) etc. return the matching lazy reader.
+        from intake_spark.v1compat import V1_DRIVERS
+
+        driver = name.removeprefix("open_")
+        if driver in V1_DRIVERS:
+            dcls, rcls, _ = V1_DRIVERS[driver]
+
+            def opener(url, **kwargs):
+                return rcls(data=dcls(url=url), **kwargs)
+
+            opener.__name__ = name
+            return opener
     raise AttributeError(name)

@@ -304,7 +304,12 @@ class Catalog(Tokenizable):
 
 def open_catalog(path: str | None = None) -> Catalog:
     """Front door (≡ intake.open_catalog, intake/__init__.py:101-189):
-    YAML path → Catalog; no path → empty catalog."""
+    YAML path → Catalog (V1 ``sources:`` format auto-detected and loaded
+    through the compat layer); no path → empty catalog."""
     if path is None:
         return Catalog()
+    from intake_spark.v1compat import is_v1_yaml, open_v1_catalog
+
+    if is_v1_yaml(path):
+        return open_v1_catalog(path)
     return Catalog.from_yaml_file(path)

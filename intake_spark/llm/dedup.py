@@ -246,17 +246,44 @@ def dup_groups(
     a_col: str = "doc_a",
     b_col: str = "doc_b",
     max_iter: int = 20,
+    small_threshold: int = 1_000_000,
 ) -> DataFrame:
     """Connected components over near-dup pairs → (doc_id, group_id), with
     group_id = min doc id in the component (canonical survivor per group).
 
-    Iterative min-label propagation: each round every node takes the min
-    label among itself and its neighbors (join on edges + hash aggregate,
-    one shuffle per round), stopping at fixpoint or ``max_iter``. Dup
-    clusters have tiny diameters, so rounds stay in single digits; for
-    adversarial long chains switch to logarithmic path-doubling (large-star/
-    small-star) — noted, not needed for dedup workloads.
+    Adaptive strategy: near-dup pair sets are tiny relative to the corpus
+    (LSH + verification already pruned them), so when the edge count fits
+    comfortably on the driver (``small_threshold``) a driver-side union-find
+    answers in one collect — no iterative Spark jobs. Above the threshold,
+    distributed min-label propagation takes over: each round every node
+    takes the min label among itself and its neighbors (join on edges +
+    hash aggregate, one shuffle per round), stopping at fixpoint or
+    ``max_iter``. Dup clusters have tiny diameters, so rounds stay in
+    single digits; for adversarial long chains switch to logarithmic
+    path-doubling (large-star/small-star) — noted, not needed for dedup.
     """
+    pairs = pairs.select(a_col, b_col).cache()
+    n_edges = pairs.count()
+    if n_edges <= small_threshold:
+        parent: dict = {}
+
+        def find(x):
+            while parent.get(x, x) != x:
+                parent[x] = parent.get(parent[x], parent[x])
+                x = parent[x]
+            return x
+
+        rows = pairs.collect()
+        for r in rows:
+            ra, rb = find(r[0]), find(r[1])
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        nodes = {r[0] for r in rows} | {r[1] for r in rows}
+        spark = pairs.sparkSession
+        return spark.createDataFrame(
+            [(n, find(n)) for n in sorted(nodes)], ["doc_id", "group_id"]
+        )
+
     edges = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .unionByName(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
@@ -272,6 +299,9 @@ def dup_groups(
             .groupBy("src")
             .agg(F.min("label").alias("nmin"))
         )
+        # localCheckpoint truncates the growing join lineage each round —
+        # without it, plan size (and planning time) grows exponentially
+        # with iteration count.
         new_labels = (
             labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
             .select(
@@ -280,7 +310,7 @@ def dup_groups(
                     "label"
                 ),
             )
-            .cache()
+            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.alias("n")
@@ -289,7 +319,6 @@ def dup_groups(
             .limit(1)
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break

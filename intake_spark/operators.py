@@ -85,6 +85,30 @@ def asof_join(
     return out
 
 
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi-join: the (large, skewed) left side gets a random
+    salt in [0, n_salts); the (smaller) right side is replicated n_salts
+    times; the join key becomes (on, salt), splitting each hot key across
+    ``n_salts`` reducers.
+
+    AQE's skew-join handling covers most cases automatically — use this when
+    a single key is so hot that even split shuffle blocks overwhelm one
+    executor, or when AQE is unavailable. Replication multiplies the right
+    side: keep it for dimension-sized right inputs.
+    """
+    salted_l = left.withColumn("_salt", (F.rand(seed=42) * n_salts).cast("int"))
+    salts = F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))).alias("_salt")
+    salted_r = right.select("*", salts)
+    out = salted_l.join(salted_r, [on, "_salt"], how)
+    return out.drop("_salt")
+
+
 def interval_join(
     left: DataFrame,
     right: DataFrame,

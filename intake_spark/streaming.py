@@ -82,6 +82,36 @@ def windowed_counts(
     )
 
 
+def sessionize(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Session windows: group events into per-user sessions closed after
+    ``gap`` of inactivity → (user, session_start, session_end, n_events).
+
+    Streaming input uses Spark's native ``session_window`` (state bounded by
+    the watermark — sessions older than it are emitted and evicted, which is
+    what makes this run forever on unbounded input). Batch input uses the
+    same session_window expression, so results are directly comparable —
+    the batch run is the oracle for the streaming run in tests.
+    """
+    if events.isStreaming:
+        events = events.withWatermark(ts_col, watermark)
+    return (
+        events.groupBy(F.col(user_col), F.session_window(F.col(ts_col), gap).alias("sw"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            user_col,
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
 def run_stream_to_memory(
     stream_df: DataFrame, query_name: str, timeout_s: float = 60.0
 ) -> None:

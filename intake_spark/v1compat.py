@@ -1,0 +1,160 @@
+"""V1 catalog compatibility: load legacy-format YAML catalogs
+(``sources: {name: {driver, args, parameters}}``) into the engine.
+
+Behavioral parity with the reference V1 layer (intake/catalog/local.py:
+333-700 CatalogParser/YAMLFileCatalog; user parameters :28-135; jinja
+templating catalog/utils.py:83-141). Templating implemented as a minimal
+regex engine covering the constructs V1 catalogs actually use —
+``{{ CATALOG_DIR }}``, ``{{ env("NAME") }}``, ``{{ parameter }}`` — with no
+jinja2 dependency and no shell()/eval constructs (those are code-execution
+templates the V2 design dropped; see README_refactor "Simplification").
+
+Driver names map to Spark readers; a V1 catalog whose drivers are csv/
+parquet/json/orc/textfiles/avro/deltalake/sql/yaml_file_cat loads unchanged.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from typing import Any
+
+import yaml
+
+from intake_spark import datatypes as dt
+from intake_spark.catalog import Catalog, ReaderDescription
+from intake_spark.readers import (
+    BaseReader,
+    SparkAvro,
+    SparkCSV,
+    SparkDeltaLake,
+    SparkJDBC,
+    SparkJSON,
+    SparkORC,
+    SparkParquet,
+    SparkText,
+)
+from intake_spark.user_parameters import (
+    BoundedNumberUserParameter,
+    OptionsUserParameter,
+    SimpleUserParameter,
+)
+
+V1_DRIVERS: dict[str, tuple[type, type[BaseReader], str]] = {
+    # driver -> (datatype cls, reader cls, url arg name)
+    "csv": (dt.CSV, SparkCSV, "urlpath"),
+    "parquet": (dt.Parquet, SparkParquet, "urlpath"),
+    "json": (dt.JSONFile, SparkJSON, "urlpath"),
+    "orc": (dt.ORC, SparkORC, "urlpath"),
+    "avro": (dt.AVRO, SparkAvro, "urlpath"),
+    "textfiles": (dt.Text, SparkText, "urlpath"),
+    "deltalake": (dt.DeltalakeTable, SparkDeltaLake, "urlpath"),
+}
+
+_TMPL = re.compile(r"\{\{\s*([^}]+?)\s*\}\}")
+
+
+def render_template(value: Any, context: dict[str, Any]) -> Any:
+    """Render ``{{ ... }}`` constructs (V1 jinja subset, fresh impl)."""
+    if isinstance(value, dict):
+        return {k: render_template(v, context) for k, v in value.items()}
+    if isinstance(value, list):
+        return [render_template(v, context) for v in value]
+    if not isinstance(value, str):
+        return value
+
+    def sub(m: re.Match) -> str:
+        expr = m.group(1).strip()
+        env_m = re.fullmatch(r'env\(\s*["\']([^"\']+)["\']\s*\)', expr)
+        if env_m:
+            return os.environ.get(env_m.group(1), "")
+        if expr in context:
+            return str(context[expr])
+        return m.group(0)  # unknown name: leave (may be a user parameter)
+
+    return _TMPL.sub(sub, value)
+
+
+def _v1_parameter(name: str, spec: dict) -> SimpleUserParameter:
+    """V1 parameter spec → typed parameter (type/default/allowed/min/max,
+    parity: intake/catalog/local.py:28-135)."""
+    typemap = {"str": str, "int": int, "float": float, "bool": bool, "list": list}
+    ptype = typemap.get(spec.get("type", "str"), str)
+    desc = spec.get("description", "")
+    default = spec.get("default")
+    if "allowed" in spec:
+        return OptionsUserParameter(
+            options=spec["allowed"], dtype=ptype, default=default, description=desc
+        )
+    if "min" in spec or "max" in spec:
+        return BoundedNumberUserParameter(
+            min_value=spec.get("min"), max_value=spec.get("max"),
+            dtype=ptype, default=default, description=desc,
+        )
+    return SimpleUserParameter(dtype=ptype, default=default, description=desc)
+
+
+def from_v1_dict(doc: dict, catalog_dir: str = ".") -> Catalog:
+    cat = Catalog(metadata={"v1_name": doc.get("name", ""), **(doc.get("metadata") or {})})
+    context = {"CATALOG_DIR": catalog_dir}
+    for name, spec in (doc.get("sources") or {}).items():
+        driver = spec.get("driver", "")
+        args = render_template(spec.get("args") or {}, context)
+        params = {
+            pname: _v1_parameter(pname, pspec)
+            for pname, pspec in (spec.get("parameters") or {}).items()
+        }
+        if driver in ("yaml_file_cat", "yaml_files_cat"):
+            # nested catalog: load recursively and merge with prefixed aliases
+            sub_path = args.get("path") or args.get("urlpath")
+            sub = open_v1_catalog(sub_path)
+            for alias, tok in sub.aliases.items():
+                cat.entries[tok] = sub.entries[tok]
+                cat.aliases[f"{name}.{alias}"] = tok
+            continue
+        if driver in ("sql", "sql_cat", "postgres"):
+            data = dt.SQLQuery(conn=args.get("uri", ""), query=args.get("sql_expr", ""))
+            payload = {
+                "cls": "intake_spark.readers:SparkJDBC",
+                "data": {"cls": "intake_spark.datatypes:SQLQuery",
+                         "kwargs": {k: v for k, v in data.__dict__.items() if not k.startswith("_")}},
+                "kwargs": {},
+            }
+        elif driver in V1_DRIVERS:
+            dcls, rcls, urlarg = V1_DRIVERS[driver]
+            url = args.pop(urlarg, args.pop("path", ""))
+            # V1 convention: {{ parameter }} in urlpath → our {param} template
+            url = re.sub(r"\{\{\s*(\w+)\s*\}\}", r"{\1}", str(url))
+            data = dcls(url=url)
+            payload = {
+                "cls": f"intake_spark.readers:{rcls.__name__}",
+                "data": {
+                    "cls": f"intake_spark.datatypes:{dcls.__name__}",
+                    "kwargs": {k: v for k, v in data.__dict__.items() if not k.startswith("_")},
+                },
+                "kwargs": args,
+            }
+        else:
+            raise ValueError(f"unsupported V1 driver {driver!r} for source {name!r}")
+        desc = ReaderDescription(
+            payload=payload,
+            user_parameters=params,
+            metadata={"description": spec.get("description", ""), **(spec.get("metadata") or {})},
+        )
+        cat.add_entry(desc, name=name)
+    return cat
+
+
+def open_v1_catalog(path: str) -> Catalog:
+    with open(path) as f:
+        doc = yaml.safe_load(f)
+    return from_v1_dict(doc, catalog_dir=os.path.dirname(os.path.abspath(path)))
+
+
+def is_v1_yaml(path: str) -> bool:
+    try:
+        with open(path) as f:
+            doc = yaml.safe_load(f)
+        return isinstance(doc, dict) and "sources" in doc
+    except Exception:
+        return False

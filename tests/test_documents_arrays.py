@@ -208,5 +208,22 @@ def test_dup_groups_small(spark):
         [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 20)],
         ["doc_a", "doc_b"],
     )
+    expected = {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+    # driver-side union-find fast path
     out = {r.doc_id: r.group_id for r in dup_groups(pairs).collect()}
-    assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+    assert out == expected
+    # distributed min-label propagation path (forced)
+    out2 = {
+        r.doc_id: r.group_id
+        for r in dup_groups(pairs, small_threshold=0).collect()
+    }
+    assert out2 == expected
+
+
+def test_dup_groups_chain(spark):
+    """Long chain exercises multi-round propagation in the distributed path."""
+    from intake_spark.llm.dedup import dup_groups
+
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(12)], ["doc_a", "doc_b"])
+    out = {r.doc_id: r.group_id for r in dup_groups(pairs, small_threshold=0).collect()}
+    assert set(out.values()) == {0} and len(out) == 13

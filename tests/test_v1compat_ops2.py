@@ -1,0 +1,149 @@
+"""V1-format catalog loading, open_<driver> surface, salted join,
+sessionization (batch ≡ streaming)."""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF_SMALL
+
+
+V1_YAML = """
+name: legacy_cat
+metadata:
+  owner: data-team
+sources:
+  trips:
+    description: small parquet table
+    driver: parquet
+    args:
+      urlpath: '{{ CATALOG_DIR }}/orders.parquet'
+  trips_csv:
+    description: csv with a user parameter in the path
+    driver: csv
+    parameters:
+      region:
+        description: region file selector
+        type: str
+        default: "all"
+        allowed: ["all", "na", "eu"]
+    args:
+      urlpath: '{{ CATALOG_DIR }}/trips_{{ region }}.csv'
+      sep: ','
+"""
+
+
+@pytest.fixture()
+def v1_dir(tmp_path, spark):
+    # place real parquet + csv fixtures beside the YAML
+    import shutil
+
+    shutil.copy(f"{SF_SMALL}/orders.parquet", tmp_path / "orders.parquet")
+    (tmp_path / "trips_all.csv").write_text("a,b\n1,x\n2,y\n3,z\n")
+    (tmp_path / "trips_na.csv").write_text("a,b\n9,q\n")
+    (tmp_path / "cat.yml").write_text(V1_YAML)
+    return tmp_path
+
+
+def test_v1_catalog_loads(spark, v1_dir):
+    from intake_spark.catalog import open_catalog
+
+    cat = open_catalog(str(v1_dir / "cat.yml"))
+    assert {"trips", "trips_csv"} <= set(cat.aliases)
+    assert cat.metadata["v1_name"] == "legacy_cat"
+    df = cat["trips"].read(spark=spark)
+    assert df.count() == 1500
+
+
+def test_v1_parameter_substitution(spark, v1_dir):
+    from intake_spark.catalog import open_catalog
+
+    cat = open_catalog(str(v1_dir / "cat.yml"))
+    assert cat["trips_csv"].read(spark=spark).count() == 3  # default region=all
+    assert cat.to_reader("trips_csv", region="na").read(spark=spark).count() == 1
+    with pytest.raises(ValueError):
+        cat.to_reader("trips_csv", region="mars")  # not in allowed list
+
+
+def test_v1_env_template(tmp_path, monkeypatch):
+    from intake_spark.v1compat import render_template
+
+    monkeypatch.setenv("DATA_ROOT", "/data/x")
+    out = render_template({"u": '{{ env("DATA_ROOT") }}/f.csv'}, {})
+    assert out == {"u": "/data/x/f.csv"}
+
+
+def test_v1_roundtrip_to_v2(spark, v1_dir, tmp_path):
+    """V1 catalog loads → persists in V2 format → still reads."""
+    from intake_spark.catalog import open_catalog
+
+    cat = open_catalog(str(v1_dir / "cat.yml"))
+    v2_path = str(tmp_path / "v2.yaml")
+    cat.to_yaml_file(v2_path)
+    cat2 = open_catalog(v2_path)
+    assert cat2["trips"].read(spark=spark).count() == 1500
+
+
+def test_open_driver_surface(spark):
+    import intake_spark
+
+    r = intake_spark.open_parquet(f"{SF_SMALL}/region.parquet")
+    assert r.read(spark=spark).count() == 5
+    with pytest.raises(AttributeError):
+        intake_spark.open_nonexistent_driver
+
+
+def test_salted_join_correctness(spark):
+    from intake_spark.operators import salted_join
+    from intake_spark.session import load_table
+
+    o = load_table(spark, SF_SMALL, "orders").withColumnRenamed("o_custkey", "c_custkey")
+    c = load_table(spark, SF_SMALL, "customer")
+    plain = o.join(c, "c_custkey").count()
+    salted = salted_join(o, c, on="c_custkey", n_salts=8).count()
+    assert salted == plain
+
+
+def test_sessionize_batch(spark):
+    import datetime as dtm
+
+    from intake_spark.streaming import sessionize
+
+    T = dtm.datetime.fromisoformat
+    ev = spark.createDataFrame(
+        [
+            (1, T("2024-01-01 10:00:00")),
+            (1, T("2024-01-01 10:10:00")),  # same session (gap 30m)
+            (1, T("2024-01-01 11:30:00")),  # new session
+            (2, T("2024-01-01 10:05:00")),
+        ],
+        ["user_id", "ts"],
+    )
+    out = sessionize(ev, gap="30 minutes")
+    rows = sorted(
+        [(r.user_id, r.n_events) for r in out.collect()]
+    )
+    assert rows == [(1, 1), (1, 2), (2, 1)]
+
+
+def test_sessionize_stream_matches_batch(spark, tmp_path):
+    from intake_spark import datatypes as dt
+    from intake_spark.session import load_table
+    from intake_spark.streaming import FileStream, run_stream_to_memory, sessionize
+
+    events = load_table(spark, SF_SMALL, "events").select("user_id", "ts")
+    src = str(tmp_path / "sess_src")
+    events.write.mode("overwrite").parquet(src)
+    batch = spark.read.parquet(src)
+    expected = {
+        (r.user_id, r.session_start, r.n_events)
+        for r in sessionize(batch, gap="10 minutes").collect()
+    }
+    stream = FileStream(data=dt.Parquet(url=src)).read(spark=spark, schema=batch.schema)
+    agg = sessionize(stream, gap="10 minutes", watermark="1 day")
+    run_stream_to_memory(agg, "sess_test", timeout_s=120)
+    got = {
+        (r.user_id, r.session_start, r.n_events)
+        for r in spark.sql("SELECT * FROM sess_test").collect()
+    }
+    assert got == expected
