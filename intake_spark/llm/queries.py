@@ -302,6 +302,29 @@ def q33_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.dup_groups(pairs)
 
 
+@register(
+    "q35_bpe_token_stats",
+    r"""
+    SELECT source,
+           SUM(len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+'))) AS total_bpe,
+           MAX(len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+'))) AS max_bpe
+    FROM documents GROUP BY source ORDER BY source
+    """,
+)
+def q35_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-style pre-tokenizer counts per source (training-cost accounting;
+    Spark regexp_extract_all ≡ DuckDB regexp_extract_all, verified)."""
+    docs = text.with_bpe_token_count(load_table(spark, sf_dir, "documents"))
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.sum("n_bpe_tokens").alias("total_bpe"),
+            F.max("n_bpe_tokens").alias("max_bpe"),
+        )
+        .orderBy("source")
+    )
+
+
 @register("q31_lsh_ann_pairs")  # no SQL oracle: LSH bucketing is engine-side
 def q31_lsh_ann_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH approximate near-neighbor pairs (cosine ≥ 0.8 within

@@ -137,6 +137,88 @@ def lsh_ann_pairs(
     )
 
 
+def ivf_build(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    n_lists: int = 16,
+    seed: int = 42,
+):
+    """Train an IVF coarse quantizer (k-means centroids) and assign every
+    vector to its nearest list → (centroids, assigned_df with ``ivf_list``).
+
+    The scale path for ANN beyond LSH: k-means via Spark ML (distributed,
+    seeded → deterministic given the data), then search probes only the
+    query's nearest lists. Index build is one ML fit + one assignment pass.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    with_vec = df.withColumn("_v", array_to_vector(F.col(vec_col).cast("array<double>")))
+    km = KMeans(k=n_lists, seed=seed, featuresCol="_v", predictionCol="ivf_list")
+    model = km.fit(with_vec)
+    assigned = model.transform(with_vec).drop("_v")
+    centroids = [[float(x) for x in c] for c in model.clusterCenters()]
+    return centroids, assigned
+
+
+def ivf_search(
+    assigned: DataFrame,
+    centroids: list[list[float]],
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    top_k: int = 5,
+    n_probes: int = 2,
+) -> DataFrame:
+    """IVF ANN search: each query probes its ``n_probes`` nearest lists and
+    runs exact cosine only within them. The corpus↔query meeting point is an
+    equi-join on ``ivf_list`` — candidate work is corpus/n_lists×n_probes
+    per query instead of the full corpus."""
+    spark = assigned.sparkSession
+    cdf = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(centroids)], ["ivf_list", "centroid"]
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("qv")
+    )
+    # nearest n_probes lists per query (tiny cross join: queries × centroids)
+    qc = (
+        q.crossJoin(F.broadcast(cdf))
+        .withColumn(
+            "cdist",
+            F.aggregate(
+                F.zip_with("qv", "centroid", lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda s, v: s + v,
+            ),
+        )
+        .withColumn(
+            "pr",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(F.asc("cdist"), F.asc("ivf_list"))
+            ),
+        )
+        .filter(F.col("pr") <= n_probes)
+        .select("query_id", "qv", "ivf_list")
+    )
+    c = assigned.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+        "ivf_list",
+    )
+    scored = (
+        c.join(qc, "ivf_list")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine", cosine_expr("qv", "cv"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
 def label_centroids(
     df: DataFrame, label_col: str = "label", vec_col: str = "embedding"
 ) -> DataFrame:

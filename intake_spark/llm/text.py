@@ -93,6 +93,21 @@ def with_lang_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
     return out.withColumn("pred_lang", F.array_max(candidates)["lang"])
 
 
+BPE_PATTERN = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
+
+
+def bpe_tokens_col(text_col: str = "text", pattern: str = BPE_PATTERN) -> Column:
+    """BPE-style pre-tokenization (GPT-2-family splitting rules, ASCII
+    simplification): letters / digits / punctuation runs with leading-space
+    attachment. JVM-side regexp_extract_all — no Python in the hot path."""
+    return F.regexp_extract_all(F.col(text_col), F.lit(pattern), 0)
+
+
+def with_bpe_token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Add ``n_bpe_tokens`` — the training-cost estimator column."""
+    return df.withColumn("n_bpe_tokens", F.size(bpe_tokens_col(text_col)))
+
+
 def normalize_text(text_col: str = "text") -> Column:
     """Canonical normalization used for fingerprinting: lowercase, strip
     non-alphanumerics, collapse whitespace."""

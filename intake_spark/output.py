@@ -54,6 +54,28 @@ def to_table(df: DataFrame, name: str, mode: str = "overwrite", comment: str | N
     return name
 
 
+def to_bucketed_table(
+    df: DataFrame,
+    name: str,
+    bucket_cols: list[str] | str,
+    n_buckets: int = 32,
+    sort_cols: list[str] | str | None = None,
+    mode: str = "overwrite",
+) -> str:
+    """Write a hash-bucketed (optionally sorted) table. Joins/aggregations
+    between tables bucketed the same way on the join key run with NO
+    shuffle — the pre-partitioning is the 100 TB co-location strategy for
+    repeatedly-joined fact tables. Requires a metastore table (bucket
+    metadata lives in the catalog, not the files)."""
+    bucket_cols = [bucket_cols] if isinstance(bucket_cols, str) else list(bucket_cols)
+    w = df.write.mode(mode).bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        sort_cols = [sort_cols] if isinstance(sort_cols, str) else list(sort_cols)
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(name)
+    return name
+
+
 def to_feather(df: DataFrame, url: str) -> dt.Feather2:
     """Driver-side Arrow write — Feather is a small-data interchange format
     (parity: PandasToFeather output.py:72-82). Big data belongs in parquet."""
