@@ -577,6 +577,53 @@ def q34_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q36_streaming_hourly",
+    """
+    SELECT CAST(DATE_TRUNC('hour', ts) AS TIMESTAMP) AS window_start,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS value_sum
+    FROM events
+    GROUP BY 1
+    """,
+)
+def q36_streaming_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL Structured Streaming execution, oracle-checked: events parquet
+    replayed as a file stream → watermarked tumbling windows → available-now
+    trigger into a memory sink; the returned DataFrame reads the sink table.
+    The oracle is plain batch SQL — watermark semantics drop nothing in a
+    bounded replay, so stream results must equal the batch aggregate."""
+    batch = load_table(spark, sf_dir, "events")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    _ = batch  # documents the batch-equivalence contract
+    agg = (
+        stream.withWatermark("ts", "1 day")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value", 6).alias("value_sum"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n_events", "value_sum")
+    )
+    name = "q36_sink"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
+
+
 def get_queries() -> dict[str, QueryFn]:
     # Import registers the LLM-operator queries too (kept in their module so
     # the operator implementations and their oracle SQL live together).

