@@ -122,7 +122,7 @@ def q02_select_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT l.l_orderkey AS orderkey,
            CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,8))) AS DOUBLE) AS revenue,
-           o.o_orderdate AS orderdate, o.o_orderpriority AS priority
+           CAST(o.o_orderdate AS TIMESTAMP_NS) AS orderdate, o.o_orderpriority AS priority
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -309,7 +309,7 @@ def q10_window_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         o.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 3)
-        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+        .select("o_custkey", "o_orderkey", "o_totalprice", F.col("rn").cast("long").alias("rn"))
     )
 
 
@@ -375,7 +375,7 @@ def q13_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q14_event_type_matrix",
     """
-    SELECT CAST(DATE_TRUNC('day', ts) AS TIMESTAMP) AS day,
+    SELECT CAST(DATE_TRUNC('day', ts) AS TIMESTAMP_NS) AS day,
            COUNT(*) FILTER (WHERE event_type = 'click') AS clicks,
            COUNT(*) FILTER (WHERE event_type = 'view') AS views,
            COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchases,
@@ -432,7 +432,7 @@ def q15_rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q16_json_props",
     """
     SELECT event_type,
-           SUM(CAST(REGEXP_EXTRACT(props, '"k": (\\d+)', 1) AS BIGINT)) AS k_total,
+           CAST(SUM(CAST(REGEXP_EXTRACT(props, '"k": (\\d+)', 1) AS BIGINT)) AS BIGINT) AS k_total,
            COUNT(*) AS n
     FROM events
     GROUP BY event_type ORDER BY event_type
@@ -453,7 +453,7 @@ def q16_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q17_hourly_windows",
     """
-    SELECT CAST(DATE_TRUNC('hour', ts) AS TIMESTAMP) AS window_start,
+    SELECT CAST(DATE_TRUNC('hour', ts) AS TIMESTAMP_NS) AS window_start,
            COUNT(*) AS n_events,
            COUNT(DISTINCT user_id) AS n_users,
            CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS value_sum
@@ -487,7 +487,7 @@ def q17_hourly_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
                ROW_NUMBER() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) rn
         FROM events WHERE event_type = 'click') WHERE rn = 1),
     purch AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase')
-    SELECT p.event_id, p.user_id, p.ts, c.ts AS ts_right, c.value AS click_value
+    SELECT p.event_id, p.user_id, CAST(p.ts AS TIMESTAMP_NS) AS ts, CAST(c.ts AS TIMESTAMP_NS) AS ts_right, c.value AS click_value
     FROM purch p ASOF LEFT JOIN clicks c ON p.user_id = c.user_id AND p.ts >= c.ts
     """,
 )
@@ -580,7 +580,7 @@ def q34_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q36_streaming_hourly",
     """
-    SELECT CAST(DATE_TRUNC('hour', ts) AS TIMESTAMP) AS window_start,
+    SELECT CAST(DATE_TRUNC('hour', ts) AS TIMESTAMP_NS) AS window_start,
            COUNT(*) AS n_events,
            CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS value_sum
     FROM events

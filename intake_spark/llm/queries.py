@@ -147,7 +147,10 @@ def q25_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     out = similarity.knn_bruteforce(emb, emb.filter(F.col("vec_id") < 10), top_k=5)
     return out.select(
-        "query_id", "neighbor_id", "rank", F.round("cosine", 6).alias("cosine_r")
+        "query_id",
+        "neighbor_id",
+        F.col("rank").cast("long").alias("rank"),
+        F.round("cosine", 6).alias("cosine_r"),
     )
 
 
@@ -163,7 +166,8 @@ def q25_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q26_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label embedding centroids (exact fixed-point mean per dimension)."""
-    return similarity.label_centroids(load_table(spark, sf_dir, "embeddings"))
+    out = similarity.label_centroids(load_table(spark, sf_dir, "embeddings"))
+    return out.select("label", F.col("dim").cast("long").alias("dim"), "centroid")
 
 
 def _in_list(lang: str) -> str:
@@ -190,8 +194,8 @@ def q27_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = text.with_quality(load_table(spark, sf_dir, "documents"))
     return out.select(
         "doc_id",
-        "n_tokens",
-        "n_uniq_tokens",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_uniq_tokens").cast("long").alias("n_uniq_tokens"),
         "avg_token_len",
         "uniq_ratio",
         "stopword_ratio",
@@ -224,14 +228,18 @@ def _lang_pred_sql() -> str:
 def q28_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-voting language ID with deterministic tie-break."""
     out = text.with_lang_scores(load_table(spark, sf_dir, "documents"))
-    return out.select("doc_id", *[f"hits_{lang}" for lang in LANG_ORDER], "pred_lang")
+    return out.select(
+        "doc_id",
+        *[F.col(f"hits_{lang}").cast("long").alias(f"hits_{lang}") for lang in LANG_ORDER],
+        "pred_lang",
+    )
 
 
 @register(
     "q29_token_stats_by_source",
     """
     SELECT source, COUNT(*) AS n_docs,
-           SUM(len(string_split(text, ' '))) AS total_tokens,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
            CAST(SUM(len(string_split(text, ' '))) AS DOUBLE) / COUNT(*) AS avg_tokens
     FROM documents GROUP BY source ORDER BY source
     """,
@@ -306,7 +314,7 @@ def q33_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q35_bpe_token_stats",
     r"""
     SELECT source,
-           SUM(len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+'))) AS total_bpe,
+           CAST(SUM(len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+'))) AS BIGINT) AS total_bpe,
            MAX(len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+'))) AS max_bpe
     FROM documents GROUP BY source ORDER BY source
     """,
@@ -319,7 +327,7 @@ def q35_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.groupBy("source")
         .agg(
             F.sum("n_bpe_tokens").alias("total_bpe"),
-            F.max("n_bpe_tokens").alias("max_bpe"),
+            F.max("n_bpe_tokens").cast("long").alias("max_bpe"),
         )
         .orderBy("source")
     )
