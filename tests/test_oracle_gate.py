@@ -41,6 +41,11 @@ def assert_frames_match(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame, name:
     assert len(spark_pdf) == len(oracle_pdf), (
         f"{name}: row count {len(spark_pdf)} != oracle {len(oracle_pdf)}"
     )
+    # dtype parity pre-canonicalization: the driver compares schemas too
+    sd = {c: str(t) for c, t in spark_pdf.dtypes.items()}
+    od = {c: str(t) for c, t in oracle_pdf.dtypes.items()}
+    dt_diffs = {c: (sd.get(c), od.get(c)) for c in set(sd) | set(od) if sd.get(c) != od.get(c)}
+    assert not dt_diffs, f"{name}: dtype mismatches {dt_diffs}"
     a, b = canonicalize(spark_pdf), canonicalize(oracle_pdf)
     assert list(a.columns) == list(b.columns), f"{name}: columns {list(a.columns)} != {list(b.columns)}"
     for c in a.columns:
