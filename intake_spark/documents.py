@@ -198,6 +198,148 @@ class PDFTextReader(BaseReader):
         )
 
 
+class DOCX(dt.FileData):
+    filepattern = r"docx$"
+    magic = (b"PK\x03\x04",)
+    structure = {"text"}
+
+
+class EPUB(dt.FileData):
+    filepattern = r"epub$"
+    magic = (b"PK\x03\x04",)
+    structure = {"text"}
+
+
+class GeoJSON(dt.FileData):
+    filepattern = r"(geojson|json)$"
+    mimetypes = r"application/geo\+json"
+    structure = {"nested", "table"}
+
+
+def _docx_text(content: bytes) -> str:
+    """Extract paragraph text from a DOCX (zip of OOXML): w:t runs joined,
+    w:p boundaries → newlines. Stdlib zipfile + ElementTree."""
+    import io
+    import xml.etree.ElementTree as ET
+    import zipfile
+
+    ns = "{http://schemas.openxmlformats.org/wordprocessingml/2006/main}"
+    with zipfile.ZipFile(io.BytesIO(content)) as z:
+        root = ET.fromstring(z.read("word/document.xml"))
+    paras = []
+    for p in root.iter(f"{ns}p"):
+        runs = [t.text or "" for t in p.iter(f"{ns}t")]
+        if runs:
+            paras.append("".join(runs))
+    return "\n".join(paras)
+
+
+def _epub_text(content: bytes) -> str:
+    """Extract text from an EPUB (zip of XHTML chapters): tags stripped
+    with the stdlib HTMLParser, chapters in zip order."""
+    import io
+    import zipfile
+    from html.parser import HTMLParser
+
+    class Stripper(HTMLParser):
+        def __init__(self):
+            super().__init__()
+            self.chunks: list[str] = []
+
+        def handle_data(self, data):
+            if data.strip():
+                self.chunks.append(data.strip())
+
+    out = []
+    with zipfile.ZipFile(io.BytesIO(content)) as z:
+        for name in z.namelist():
+            if name.endswith((".xhtml", ".html", ".htm")):
+                s = Stripper()
+                s.feed(z.read(name).decode("utf-8", errors="replace"))
+                out.extend(s.chunks)
+    return "\n".join(out)
+
+
+class _BinaryTextReader(BaseReader):
+    """Shared shape: binaryFile scan → Arrow-batched text extraction →
+    (path, text, n_chars). Subclasses provide the per-file extractor —
+    the multimodal document-ingestion recipe (SURVEY §2.1 document rows)."""
+
+    extractor = staticmethod(_text_of)
+    glob = "*"
+
+    def _read(self, spark, **kwargs):
+        from intake_spark.session import ensure_py_deps
+
+        ensure_py_deps(spark)
+        url = self.data.url
+        reader = spark.read.format("binaryFile")
+        import os
+
+        if os.path.isdir(url):
+            reader = reader.option("pathGlobFilter", self.glob)
+        files = reader.load(url)
+        schema = T.StructType(
+            [
+                T.StructField("path", T.StringType()),
+                T.StructField("text", T.StringType()),
+                T.StructField("n_chars", T.LongType()),
+            ]
+        )
+        extractor = type(self).extractor
+
+        def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                texts = pdf["content"].map(extractor)
+                yield pd.DataFrame(
+                    {"path": pdf["path"], "text": texts, "n_chars": texts.map(len)}
+                )
+
+        return files.select("path", "content").mapInPandas(parse, schema=schema)
+
+
+class DOCXReader(_BinaryTextReader):
+    """DOCX text extraction, stdlib-only (parity: readers.py:2150)."""
+
+    implements = {DOCX}
+    extractor = staticmethod(_docx_text)
+    glob = "*.docx"
+
+
+class EPUBReader(_BinaryTextReader):
+    """EPUB text extraction, stdlib-only (parity: readers.py:2136)."""
+
+    implements = {EPUB}
+    extractor = staticmethod(_epub_text)
+    glob = "*.epub"
+
+
+class GeoJSONReader(BaseReader):
+    """GeoJSON FeatureCollection → (id, geometry_type, geometry, properties)
+    rows; geometry kept as canonical JSON text (WKB conversion is a later
+    UDF when a geo lib is present). Driver-side parse for single files;
+    feature collections at bulk scale should be NDJSON → SparkJSON."""
+
+    implements = {GeoJSON}
+
+    def _read(self, spark, **kwargs):
+        with open(self.data.url, encoding="utf-8") as f:
+            doc = json.load(f)
+        feats = doc.get("features", [])
+        rows = [
+            {
+                "id": str(f.get("id", i)),
+                "geometry_type": (f.get("geometry") or {}).get("type", ""),
+                "geometry": json.dumps(f.get("geometry"), sort_keys=True),
+                "properties": json.dumps(f.get("properties") or {}, sort_keys=True),
+            }
+            for i, f in enumerate(feats)
+        ]
+        return spark.createDataFrame(
+            rows or [{"id": "", "geometry_type": "", "geometry": "", "properties": ""}]
+        )
+
+
 class GGUFMetadataReader(BaseReader):
     """GGUF header metadata → (key, value_type, value) rows. Parses the
     public GGUF v3 container layout (magic 'GGUF', little-endian header)

@@ -37,6 +37,12 @@ def to_orc(df: DataFrame, url: str, mode: str = "overwrite", **options) -> dt.OR
     return dt.ORC(url=url)
 
 
+def to_xml(df: DataFrame, url: str, row_tag: str = "row", mode: str = "overwrite", **options) -> dt.XML:
+    """Native Spark 4 XML sink."""
+    df.write.mode(mode).format("xml").option("rowTag", row_tag).options(**options).save(url)
+    return dt.XML(url=url)
+
+
 def to_delta(df: DataFrame, url: str, mode: str = "overwrite", **options) -> dt.DeltalakeTable:
     """Requires delta-spark on the classpath (import-gated at call time)."""
     df.write.mode(mode).format("delta").options(**options).save(url)

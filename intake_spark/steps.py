@@ -233,6 +233,27 @@ class DataFramePipeline:
             df = df.withColumn(name, F.expr(expr).over(w))
         return df
 
+    def _v_pivot(self, df, arg: dict):
+        """{"by": group_cols, "pivot": col, "values": [..], "agg": {...}}.
+        Explicit ``values`` keeps the plan single-pass (no distinct scan)."""
+        by = arg["by"] if isinstance(arg["by"], list) else [arg["by"]]
+        g = df.groupBy(*by).pivot(arg["pivot"], arg.get("values"))
+        return g.agg(*_agg_exprs(arg["agg"]))
+
+    def _v_explode(self, df, arg):
+        """{"col": c, "out": o} or just the column name."""
+        col = arg["col"] if isinstance(arg, dict) else arg
+        out = arg.get("out", col) if isinstance(arg, dict) else col
+        return df.withColumn(out, F.explode(col))
+
+    def _v_rollup(self, df, arg: dict):
+        by = arg["by"] if isinstance(arg["by"], list) else [arg["by"]]
+        return df.rollup(*by).agg(*_agg_exprs(arg["agg"]))
+
+    def _v_cube(self, df, arg: dict):
+        by = arg["by"] if isinstance(arg["by"], list) else [arg["by"]]
+        return df.cube(*by).agg(*_agg_exprs(arg["agg"]))
+
     def _v_accessor(self, df, arg: dict):
         """{"namespace": "str"|"dt", "fn": "lower", "col": "c", "out": "o"}"""
         table = _STR_FUNCS if arg["namespace"] == "str" else _DT_FUNCS
