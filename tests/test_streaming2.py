@@ -1,0 +1,112 @@
+"""Stateful streaming operator, streaming catalog entries, watermark/window
+verbs, token-keyed materialization."""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF_SMALL
+
+from intake_spark import datatypes as dt
+from intake_spark.session import load_table
+from intake_spark.steps import run_steps
+from intake_spark.streaming import (
+    FileStream,
+    run_stream_to_memory,
+    stateful_running_max,
+)
+
+
+@pytest.fixture(scope="module")
+def events_src(spark, tmp_path_factory):
+    src = str(tmp_path_factory.mktemp("ev_src"))
+    load_table(spark, SF_SMALL, "events").repartition(4).write.mode("overwrite").parquet(src)
+    return src
+
+
+def test_stateful_running_max_stream_matches_batch(spark, events_src):
+    batch = spark.read.parquet(events_src)
+    expected = {
+        r.key: (r.running_max, r.n_seen)
+        for r in stateful_running_max(batch).collect()
+    }
+
+    stream = FileStream(data=dt.Parquet(url=events_src)).read(
+        spark=spark, schema=batch.schema, max_files_per_trigger=2
+    )
+    out = stateful_running_max(stream, inactivity_timeout_ms=None)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("state_test")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180), "streaming query did not terminate"
+    q.stop()
+    # update mode emits one row per key per batch: keep the last per key
+    rows = spark.sql("SELECT * FROM state_test").collect()
+    got: dict = {}
+    for r in rows:
+        prev = got.get(r.key)
+        if prev is None or r.n_seen >= prev[1]:
+            got[r.key] = (r.running_max, r.n_seen)
+    assert got == expected
+
+
+def test_streaming_catalog_entry(spark, events_src):
+    """A catalog entry that rehydrates to a STREAMING DataFrame: FileStream
+    reader with a DDL schema string persisted through YAML."""
+    from intake_spark.catalog import Catalog, open_catalog
+
+    ddl = "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING"
+    cat = Catalog()
+    cat["ev_stream"] = FileStream(data=dt.Parquet(url=events_src), schema=ddl)
+    import tempfile
+
+    path = tempfile.mktemp(suffix=".yaml")
+    cat.to_yaml_file(path)
+    cat2 = open_catalog(path)
+    sdf = cat2["ev_stream"].read(spark=spark)
+    assert sdf.isStreaming
+    assert "event_type" in sdf.columns
+
+
+def test_watermark_window_verbs(spark, events_src):
+    ev = load_table(spark, SF_SMALL, "events")
+    out = run_steps(
+        {"events": ev},
+        [
+            {"target": "events"},
+            {"watermark": {"col": "ts", "delay": "1 day"}},
+            {"time_window": {"col": "ts", "duration": "1 day",
+                             "agg": {"n": "count(*)"}, "by": ["event_type"]}},
+        ],
+    )
+    rows = out.collect()
+    assert rows and {"window_start", "window_end", "event_type", "n"} <= set(out.columns)
+    total = sum(r.n for r in rows)
+    assert total == ev.count()
+
+
+def test_materialize_cache(spark, tmp_path):
+    from intake_spark.catalog import Catalog
+    from intake_spark.readers import SparkParquet
+
+    cat = Catalog()
+    cat["li_small"] = SparkParquet(
+        data=dt.Parquet(url=f"{SF_SMALL}/lineitem.parquet")
+    ).filter("l_quantity > 45")[["l_orderkey"]]
+    cache = str(tmp_path / "cache")
+    a = cat.materialize("li_small", cache, spark=spark)
+    n = a.count()
+    assert n > 0
+    import os
+
+    files = os.listdir(cache)
+    assert len(files) == 1 and files[0].endswith(".parquet")
+    # second call hits the cache (same token → same path, no rewrite)
+    mtime = os.path.getmtime(os.path.join(cache, files[0], "_SUCCESS"))
+    b = cat.materialize("li_small", cache, spark=spark)
+    assert b.count() == n
+    assert os.path.getmtime(os.path.join(cache, files[0], "_SUCCESS")) == mtime
