@@ -624,6 +624,166 @@ def q36_streaming_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+@register(
+    "q37_set_ops",
+    """
+    SELECT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    INTERSECT
+    SELECT c_nationkey FROM customer WHERE c_mktsegment = 'MACHINERY'
+    UNION ALL
+    (SELECT c_nationkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+     EXCEPT
+     SELECT c_nationkey FROM customer WHERE c_mktsegment = 'HOUSEHOLD')
+    """,
+)
+def q37_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operators: INTERSECT / EXCEPT / UNION ALL composition."""
+    c = load_table(spark, sf_dir, "customer")
+    seg = lambda s: c.filter(F.col("c_mktsegment") == s).select("c_nationkey")  # noqa: E731
+    inter = seg("BUILDING").intersect(seg("MACHINERY"))
+    minus = seg("AUTOMOBILE").subtract(seg("HOUSEHOLD"))  # EXCEPT (distinct)
+    return inter.unionAll(minus)
+
+
+@register(
+    "q38_string_funcs",
+    """
+    SELECT c_custkey,
+           concat(upper(c_mktsegment), '-', CAST(c_nationkey AS VARCHAR)) AS seg_key,
+           substr(c_name, 1, 8) AS name8,
+           lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS padded,
+           replace(lower(c_name), 'customer', 'cust') AS short_name,
+           length(c_name) AS name_len
+    FROM customer
+    """,
+)
+def q38_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String function surface: concat/upper/substr/lpad/replace/length
+    (the str.* accessor family, derived.py:405-409)."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.concat(F.upper("c_mktsegment"), F.lit("-"), F.col("c_nationkey").cast("string")).alias(
+            "seg_key"
+        ),
+        F.substring("c_name", 1, 8).alias("name8"),
+        F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("padded"),
+        F.replace(F.lower("c_name"), F.lit("customer"), F.lit("cust")).alias("short_name"),
+        F.length("c_name").cast("long").alias("name_len"),
+    )
+
+
+@register(
+    "q39_math_funcs",
+    """
+    SELECT o_orderkey,
+           abs(o_totalprice - 250000.0) AS dist_mid,
+           CAST(ceil(o_totalprice / 1000.0) AS BIGINT) AS price_k_ceil,
+           CAST(floor(o_totalprice / 1000.0) AS BIGINT) AS price_k_floor,
+           sqrt(o_totalprice) AS price_sqrt,
+           o_totalprice * o_totalprice AS price_sq
+    FROM orders WHERE o_orderkey % 7 = 0
+    """,
+)
+def q39_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math surface: abs/ceil/floor/sqrt/product — all IEEE-deterministic
+    per row (ln/exp deliberately excluded: libm rounding differs across
+    engines)."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 7 == 0)
+    return o.select(
+        "o_orderkey",
+        F.abs(F.col("o_totalprice") - 250000.0).alias("dist_mid"),
+        F.ceil(F.col("o_totalprice") / 1000.0).cast("long").alias("price_k_ceil"),
+        F.floor(F.col("o_totalprice") / 1000.0).cast("long").alias("price_k_floor"),
+        F.sqrt("o_totalprice").alias("price_sqrt"),
+        (F.col("o_totalprice") * F.col("o_totalprice")).alias("price_sq"),
+    )
+
+
+@register(
+    "q40_grouping_sets",
+    """
+    SELECT r.r_name AS region, c.c_mktsegment AS segment, COUNT(*) AS n
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY GROUPING SETS ((r.r_name), (c.c_mktsegment), (r.r_name, c.c_mktsegment))
+    """,
+)
+def q40_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (beyond rollup/cube's fixed shapes)."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    j = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).join(
+        F.broadcast(r), n.n_regionkey == r.r_regionkey
+    )
+    j.createOrReplaceTempView("q40_joined")
+    return spark.sql(
+        """
+        SELECT r_name AS region, c_mktsegment AS segment, COUNT(*) AS n
+        FROM q40_joined
+        GROUP BY GROUPING SETS ((r_name), (c_mktsegment), (r_name, c_mktsegment))
+        """
+    )
+
+
+@register(
+    "q41_scalar_subquery",
+    """
+    SELECT c_custkey, c_acctbal
+    FROM customer
+    WHERE c_acctbal > (
+      SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(28,2))) AS DOUBLE) / COUNT(*) FROM customer)
+    """,
+)
+def q41_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncorrelated scalar subquery (above-average filter) — expressed via
+    SQL so Catalyst plans the subquery as a broadcast scalar."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("q41_customer")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_acctbal FROM q41_customer
+        WHERE c_acctbal > (
+          SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(28,2))) AS DOUBLE) / COUNT(*)
+          FROM q41_customer)
+        """
+    )
+
+
+@register(
+    "q42_null_handling",
+    """
+    SELECT c.c_custkey,
+           COALESCE(o.n_orders, 0) AS n_orders,
+           CASE WHEN o.n_orders IS NULL THEN 'inactive'
+                WHEN o.n_orders >= 15 THEN 'heavy' ELSE 'normal' END AS activity,
+           NULLIF(COALESCE(o.n_orders, 0), 0) AS n_or_null
+    FROM customer c
+    LEFT JOIN (SELECT o_custkey, COUNT(*) AS n_orders FROM orders GROUP BY o_custkey) o
+      ON c.c_custkey = o.o_custkey
+    """,
+)
+def q42_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL semantics surface: left-join nulls, COALESCE, NULLIF, CASE."""
+    c = load_table(spark, sf_dir, "customer")
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    j = c.join(o, c.c_custkey == o.o_custkey, "left")
+    return j.select(
+        "c_custkey",
+        F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+        F.when(F.col("n_orders").isNull(), "inactive")
+        .when(F.col("n_orders") >= 15, "heavy")
+        .otherwise("normal")
+        .alias("activity"),
+        F.nullif(F.coalesce("n_orders", F.lit(0)), F.lit(0)).alias("n_or_null"),
+    )
+
+
 def get_queries() -> dict[str, QueryFn]:
     # Import registers the LLM-operator queries too (kept in their module so
     # the operator implementations and their oracle SQL live together).
