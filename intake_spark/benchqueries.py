@@ -600,6 +600,9 @@ def q36_streaming_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.readStream.schema(raw_schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
+        # watermarks require LTZ; windows tumble on epoch-aligned instants,
+        # so counts are tz-independent — only the *displayed* boundary
+        # needs converting back to the naive wall clock (below)
         .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     )
     _ = batch  # documents the batch-equivalence contract
@@ -610,7 +613,13 @@ def q36_streaming_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
             dsum("value", 6).alias("value_sum"),
         )
-        .select(F.col("w.start").alias("window_start"), "n_events", "value_sum")
+        .select(
+            F.expr(
+                "convert_timezone(current_timezone(), 'UTC', CAST(w.start AS TIMESTAMP_NTZ))"
+            ).alias("window_start"),
+            "n_events",
+            "value_sum",
+        )
     )
     name = "q36_sink"
     q = (

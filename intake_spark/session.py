@@ -98,7 +98,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str):
 
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        # ns-since-epoch → TIMESTAMP_NTZ via an NTZ base: the naive wall
+        # clock is preserved regardless of the caller session's timezone
+        # (timestamp_micros would yield LTZ and shift under non-UTC
+        # sessions, breaking date_trunc/window parity with the oracle).
+        return df.withColumn(
+            "ts",
+            F.expr("timestampadd(MICROSECOND, ts div 1000, TIMESTAMP_NTZ '1970-01-01 00:00:00')"),
+        )
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
