@@ -72,6 +72,10 @@ def windowed_counts(
     DataFrames — identical expressions, so batch runs oracle-check the
     streaming logic). Watermark only applies to streaming input."""
     if events.isStreaming:
+        # watermarks require TIMESTAMP (LTZ); wall clock is preserved by the
+        # cast, and tumbling windows align on epoch instants either way
+        if dict(events.dtypes).get(ts_col) == "timestamp_ntz":
+            events = events.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
         events = events.withWatermark(ts_col, watermark)
     return (
         events.groupBy(F.window(ts_col, window).alias("w"))
@@ -101,6 +105,8 @@ def sessionize(
     the batch run is the oracle for the streaming run in tests.
     """
     if events.isStreaming:
+        if dict(events.dtypes).get(ts_col) == "timestamp_ntz":
+            events = events.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
         events = events.withWatermark(ts_col, watermark)
     return (
         events.groupBy(F.col(user_col), F.session_window(F.col(ts_col), gap).alias("sw"))
