@@ -342,6 +342,20 @@ def recommend(
                     return recommend(inner_url or None, mime=None, head=inner)
                 except Exception:
                     break
+        # container recursion (reference datatypes.py:2028-2043): for a zip
+        # that is a plain container (not an OOXML/NPZ-style format claimed
+        # by a more specific datatype), recommend by member names.
+        if head.startswith(b"PK\x03\x04") and url and url.lower().endswith(".zip"):
+            try:
+                import io
+                import zipfile
+
+                with zipfile.ZipFile(url if "://" not in url else io.BytesIO(head)) as z:
+                    members = z.namelist()
+                if members:
+                    return recommend(members[0], mime=None, head=None)
+            except Exception:
+                pass
 
     scores: dict[type[BaseData], float] = {}
     for cls in datatypes():

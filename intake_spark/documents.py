@@ -340,6 +340,76 @@ class GeoJSONReader(BaseReader):
         )
 
 
+def _col_index(cell_ref: str) -> int:
+    """'BC12' → 0-based column index (54)."""
+    col = 0
+    for ch in cell_ref:
+        if ch.isalpha():
+            col = col * 26 + (ord(ch.upper()) - 64)
+        else:
+            break
+    return col - 1
+
+
+class XLSXReader(BaseReader):
+    """Minimal .xlsx reader with NO external dependency: the file is a zip
+    of OOXML parts; parse sharedStrings + the first worksheet with stdlib
+    ElementTree. Covers inline/shared strings and numbers — the
+    spreadsheet-as-small-table use case (parity: PandasExcel readers.py:319
+    without the openpyxl requirement). First row = header."""
+
+    implements = {dt.Excel}
+
+    def _read(self, spark, sheet_index: int = 0, **kwargs):
+        import io
+        import re
+        import xml.etree.ElementTree as ET
+        import zipfile
+
+        ns = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
+        with zipfile.ZipFile(self.data.url) as z:
+            shared: list[str] = []
+            if "xl/sharedStrings.xml" in z.namelist():
+                root = ET.fromstring(z.read("xl/sharedStrings.xml"))
+                for si in root.iter(f"{ns}si"):
+                    shared.append("".join(t.text or "" for t in si.iter(f"{ns}t")))
+            sheets = sorted(
+                n for n in z.namelist() if re.fullmatch(r"xl/worksheets/sheet\d+\.xml", n)
+            )
+            root = ET.fromstring(z.read(sheets[sheet_index]))
+
+        rows: list[list] = []
+        for row in root.iter(f"{ns}row"):
+            out: dict[int, object] = {}
+            for c in row.iter(f"{ns}c"):
+                ref = c.get("r", "A1")
+                ctype = c.get("t", "n")
+                v = c.find(f"{ns}v")
+                is_node = c.find(f"{ns}is")
+                if ctype == "s" and v is not None:
+                    val: object = shared[int(v.text)]
+                elif ctype == "inlineStr" and is_node is not None:
+                    val = "".join(t.text or "" for t in is_node.iter(f"{ns}t"))
+                elif v is not None:
+                    try:
+                        val = float(v.text)
+                    except (TypeError, ValueError):
+                        val = v.text
+                else:
+                    val = None
+                out[_col_index(ref)] = val
+            width = max(out) + 1 if out else 0
+            rows.append([out.get(i) for i in range(width)])
+
+        header, *data = rows
+        width = len(header)
+        records = [
+            {str(header[i]): (r[i] if i < len(r) else None) for i in range(width)}
+            for r in data
+        ]
+        return spark.createDataFrame(records)
+
+
 class GGUFMetadataReader(BaseReader):
     """GGUF header metadata → (key, value_type, value) rows. Parses the
     public GGUF v3 container layout (magic 'GGUF', little-endian header)

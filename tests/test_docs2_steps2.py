@@ -129,3 +129,47 @@ def test_explode_verb(spark):
     df = spark.createDataFrame([(1, ["a", "b"]), (2, ["c"])], ["id", "tags"])
     out = run_steps({"t": df}, [{"target": "t"}, {"explode": {"col": "tags", "out": "tag"}}])
     assert out.count() == 3
+
+
+def _make_xlsx(header, rows) -> bytes:
+    """Minimal xlsx writer (inline strings + numbers) for testing."""
+    ns = 'xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"'
+
+    def cell(ref, v):
+        if isinstance(v, (int, float)):
+            return f'<c r="{ref}"><v>{v}</v></c>'
+        return f'<c r="{ref}" t="inlineStr"><is><t>{v}</t></is></c>'
+
+    def row(i, vals):
+        cells = "".join(cell(f"{chr(65+j)}{i}", v) for j, v in enumerate(vals))
+        return f'<row r="{i}">{cells}</row>'
+
+    body = row(1, header) + "".join(row(i + 2, r) for i, r in enumerate(rows))
+    sheet = f'<?xml version="1.0"?><worksheet {ns}><sheetData>{body}</sheetData></worksheet>'
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        z.writestr("[Content_Types].xml", "<Types/>")
+        z.writestr("xl/workbook.xml", "<workbook/>")
+        z.writestr("xl/worksheets/sheet1.xml", sheet)
+    return buf.getvalue()
+
+
+def test_xlsx_reader_stdlib(spark, tmp_path):
+    from intake_spark import datatypes as dt
+    from intake_spark.documents import XLSXReader
+
+    p = tmp_path / "book.xlsx"
+    p.write_bytes(_make_xlsx(["name", "qty"], [["apple", 3], ["beet", 5]]))
+    out = XLSXReader(data=dt.Excel(url=str(p))).read(spark=spark)
+    rows = {r.name: r.qty for r in out.collect()}
+    assert rows == {"apple": 3.0, "beet": 5.0}
+
+
+def test_zip_container_detection(tmp_path):
+    from intake_spark import datatypes as dt
+
+    zp = tmp_path / "bundle.zip"
+    with zipfile.ZipFile(zp, "w") as z:
+        z.writestr("data/table.csv", "a,b\n1,2\n")
+    out = dt.recommend(str(zp))
+    assert out and out[0] is dt.CSV
