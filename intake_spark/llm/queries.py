@@ -333,6 +333,33 @@ def q35_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q43_array_ops",
+    """
+    SELECT vec_id,
+           len(embedding) AS dim,
+           CAST(embedding[1] AS DOUBLE) AS first_val,
+           CAST(list_min(embedding) AS DOUBLE) AS min_val,
+           CAST(list_max(embedding) AS DOUBLE) AS max_val,
+           CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_positive
+    FROM embeddings
+    """,
+)
+def q43_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-column operator surface over embeddings: size / element_at /
+    array_min / array_max / higher-order filter — all JVM-side, exact float
+    semantics in both engines."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        F.size("embedding").cast("long").alias("dim"),
+        F.element_at("embedding", 1).cast("double").alias("first_val"),
+        F.array_min("embedding").cast("double").alias("min_val"),
+        F.array_max("embedding").cast("double").alias("max_val"),
+        F.size(F.filter("embedding", lambda x: x > 0)).cast("long").alias("n_positive"),
+    )
+
+
 @register("q31_lsh_ann_pairs")  # no SQL oracle: LSH bucketing is engine-side
 def q31_lsh_ann_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH approximate near-neighbor pairs (cosine ≥ 0.8 within
