@@ -326,9 +326,18 @@ class Catalog(Tokenizable):
 def open_catalog(path: str | None = None) -> Catalog:
     """Front door (≡ intake.open_catalog, intake/__init__.py:101-189):
     YAML path → Catalog (V1 ``sources:`` format auto-detected and loaded
-    through the compat layer); no path → empty catalog."""
+    through the compat layer); glob pattern → merged catalog over every
+    match (≡ V1 YAMLFilesCatalog, catalog/local.py:766-867); no path →
+    empty catalog."""
     if path is None:
         return Catalog()
+    if any(ch in path for ch in "*?["):
+        import glob as globmod
+
+        merged = Catalog()
+        for p in sorted(globmod.glob(path)):
+            merged += open_catalog(p)
+        return merged
     from intake_spark.v1compat import is_v1_yaml, open_v1_catalog
 
     if is_v1_yaml(path):

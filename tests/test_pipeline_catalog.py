@@ -203,3 +203,19 @@ def test_csv_reader_with_write_roundtrip(spark, tmp_path):
     assert isinstance(desc, dt.CSV)
     back = desc.to_reader().read(spark=spark)
     assert back.count() == 5 and "r_name" in back.columns
+
+
+def test_open_catalog_glob(spark, tmp_path, li_reader):
+    """Glob over multiple catalog files merges entries (YAMLFilesCatalog)."""
+    from intake_spark.catalog import Catalog, open_catalog
+
+    a = Catalog()
+    a["from_a"] = li_reader[["l_orderkey"]]
+    a.to_yaml_file(str(tmp_path / "cat_a.yaml"))
+    b = Catalog()
+    b["from_b"] = li_reader.limit(2)
+    b.to_yaml_file(str(tmp_path / "cat_b.yaml"))
+
+    merged = open_catalog(str(tmp_path / "cat_*.yaml"))
+    assert {"from_a", "from_b"} <= set(merged.aliases)
+    assert merged["from_b"].read(spark=spark).count() == 2
