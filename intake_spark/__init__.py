@@ -49,6 +49,26 @@ def __getattr__(name):
         import intake_spark.readers as m
 
         return m
+    if name == "Catalog":
+        from intake_spark.catalog import Catalog
+
+        return Catalog
+    if name == "Pipeline":
+        from intake_spark.pipeline import Pipeline
+
+        return Pipeline
+    if name == "run_steps":
+        from intake_spark.steps import run_steps
+
+        return run_steps
+    if name == "one_shot":
+        from intake_spark.convert import one_shot
+
+        return one_shot
+    if name == "inspect_dataset":
+        from intake_spark.inspection import inspect_dataset
+
+        return inspect_dataset
     if name.startswith("open_"):
         # dynamic intake.open_<driver> surface (≡ intake/__init__.py:58-93):
         # open_csv(url, **kw) etc. return the matching lazy reader.

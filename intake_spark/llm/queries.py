@@ -362,10 +362,12 @@ def q43_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("q31_lsh_ann_pairs")  # no SQL oracle: LSH bucketing is engine-side
 def q31_lsh_ann_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hyperplane-LSH approximate near-neighbor pairs (cosine ≥ 0.8 within
-    buckets); recall vs brute force is asserted in tests."""
+    """Hyperplane-LSH approximate near-neighbor pairs (cosine ≥ 0.4 within
+    4-plane buckets; the synthetic embeddings top out near 0.51 pairwise
+    similarity, so 0.4 yields a real result set); recall vs brute force is
+    asserted in tests."""
     emb = load_table(spark, sf_dir, "embeddings")
-    out = similarity.lsh_ann_pairs(emb, n_planes=8, threshold=0.8)
+    out = similarity.lsh_ann_pairs(emb, n_planes=4, threshold=0.4)
     return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine_r"))
 
 

@@ -66,21 +66,23 @@ def test_exact_dedup(spark, docs):
 
 
 def test_lsh_ann_recall(spark, emb):
-    """Hyperplane-LSH pairs @8 planes vs brute-force cosine≥0.9 pairs."""
+    """Hyperplane-LSH pairs @4 planes vs brute-force cosine≥0.4 pairs
+    (the synthetic embeddings max out near 0.51 pairwise cosine, so 0.4 is
+    the non-vacuous threshold for this corpus)."""
     exact = {
         (r.id_a, r.id_b)
-        for r in dedup.embedding_near_dup_pairs(emb, threshold=0.9).collect()
+        for r in dedup.embedding_near_dup_pairs(emb, threshold=0.4).collect()
     }
     approx = {
         (r.id_a, r.id_b)
-        for r in similarity.lsh_ann_pairs(emb, n_planes=8, threshold=0.9).collect()
+        for r in similarity.lsh_ann_pairs(emb, n_planes=4, threshold=0.4).collect()
     }
-    if exact:
-        recall = len(exact & approx) / len(exact)
-        # 8 planes: P[all agree] = (1-theta/pi)^8; for cos>=0.9 (theta<=25.8°)
-        # ≈ 0.54 per band — modest by design; assert it finds a solid chunk
-        assert recall >= 0.3
-    assert approx <= exact or not exact
+    assert exact, "threshold should be non-vacuous on the synthetic corpus"
+    recall = len(exact & approx) / len(exact)
+    # 4 planes, theta <= 66°: P[same bucket] = (1 - theta/pi)^4 ≳ 0.1;
+    # assert LSH finds a nontrivial subset and never invents pairs
+    assert recall > 0.05
+    assert approx <= exact
 
 
 def test_knn_self_excluded_and_ranked(spark, emb):
