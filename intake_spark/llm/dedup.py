@@ -89,28 +89,27 @@ def jaccard_pairs(
     (stop-shingles) before the join — essential at scale to bound the
     candidate-pair blowup; leave None for oracle-exact semantics.
     """
-    sh = shingles(df, id_col, text_col, k).cache()
+    from pyspark.sql.window import Window
+
+    sh = shingles(df, id_col, text_col, k)
+    # attach each doc's shingle count to its shingle rows via a window
+    # (one shuffle on the doc id) instead of joining a separate sizes
+    # table twice — two fewer shuffles in the pair pipeline
+    sh = sh.withColumn("_n", F.count(F.lit(1)).over(Window.partitionBy(id_col))).cache()
     if max_shingle_df is not None:
         freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
         keep = freq.filter(F.col("_df") <= max_shingle_df).select("shingle")
-        sh_join = sh.join(F.broadcast(keep), "shingle")
-    else:
-        sh_join = sh
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
-    a = sh_join.select(F.col(id_col).alias("doc_a"), "shingle")
-    b = sh_join.select(F.col(id_col).alias("doc_b"), "shingle")
+        sh = sh.join(F.broadcast(keep), "shingle")
+    a = sh.select(F.col(id_col).alias("doc_a"), F.col("_n").alias("n_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("doc_b"), F.col("_n").alias("n_b"), "shingle")
     inter = (
         a.join(b, ["shingle"])
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
+        .groupBy("doc_a", "doc_b", "n_a", "n_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
-    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_shingles").alias("n_a"))
-    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_shingles").alias("n_b"))
     return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .withColumn(
+        inter.withColumn(
             "jaccard",
             F.col("n_common").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
         )
@@ -192,24 +191,25 @@ def minhash_dedup_pairs(
     exact Jaccard verification of candidates only. Returns
     (doc_a, doc_b, jaccard). This is the 100 TB dedup path: all-pairs work
     is confined to LSH buckets."""
+    from pyspark.sql.window import Window
+
     sigs = minhash_signatures(df, id_col, text_col, num_hashes, k)
     cands = lsh_candidate_pairs(sigs, id_col, num_hashes, bands)
-    sh = shingles(df, id_col, text_col, k).cache()
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
-    a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
-    b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
+    sh = (
+        shingles(df, id_col, text_col, k)
+        .withColumn("_n", F.count(F.lit(1)).over(Window.partitionBy(id_col)))
+        .cache()
+    )
+    a = sh.select(F.col(id_col).alias("doc_a"), F.col("_n").alias("n_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("doc_b"), F.col("_n").alias("n_b"), "shingle")
     inter = (
         cands.join(a, "doc_a")
         .join(b, ["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b")
+        .groupBy("doc_a", "doc_b", "n_a", "n_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
-    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_shingles").alias("n_a"))
-    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_shingles").alias("n_b"))
     return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .withColumn(
+        inter.withColumn(
             "jaccard",
             F.col("n_common").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
         )
