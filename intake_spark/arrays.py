@@ -18,6 +18,7 @@ readers.py:1305-1440) without a driver-side ndarray.
 
 from __future__ import annotations
 
+import ast
 import struct
 from typing import Iterator
 
@@ -52,7 +53,9 @@ def _parse_npy_header(buf: bytes) -> tuple[str, bool, tuple[int, ...], int]:
         (hlen,) = struct.unpack("<I", buf[8:12])
         off = 12
     header = buf[off : off + hlen].decode("latin1")
-    d = eval(header, {"__builtins__": {}}, {"False": False, "True": True})  # noqa: S307 - npy header dict literal
+    d = ast.literal_eval(header.strip())
+    if not isinstance(d, dict) or set(d) != {"descr", "fortran_order", "shape"}:
+        raise ValueError("malformed npy header dict")
     return d["descr"], d["fortran_order"], tuple(d["shape"]), off + hlen
 
 

@@ -81,11 +81,11 @@ class Catalog(Tokenizable):
         else:
             raise TypeError(f"cannot catalog {type(item).__name__}")
         payload = self._extract_nested(payload)
-        desc = (
-            item
-            if isinstance(item, ReaderDescription)
-            else ReaderDescription(payload=payload)
-        )
+        if isinstance(item, ReaderDescription):
+            item.payload = payload
+            desc = item
+        else:
+            desc = ReaderDescription(payload=payload)
         tok = tokenize(desc.to_dict())
         self.entries[tok] = desc
         if name:

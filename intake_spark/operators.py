@@ -101,7 +101,16 @@ def salted_join(
     a single key is so hot that even split shuffle blocks overwhelm one
     executor, or when AQE is unavailable. Replication multiplies the right
     side: keep it for dimension-sized right inputs.
+
+    Only ``inner`` and ``left`` joins are supported: the right side is
+    replicated ``n_salts`` times, so right/full outer joins would emit up to
+    ``n_salts`` null-extended rows per unmatched right row.
     """
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"salted_join supports how in ('inner', 'left'), got {how!r}: "
+            "right-side replication would duplicate unmatched right rows"
+        )
     salted_l = left.withColumn("_salt", (F.rand(seed=42) * n_salts).cast("int"))
     salts = F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))).alias("_salt")
     salted_r = right.select("*", salts)

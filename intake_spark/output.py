@@ -54,8 +54,9 @@ def to_table(df: DataFrame, name: str, mode: str = "overwrite", comment: str | N
     CREATE TABLE AS + COMMENT, convert.py:183-220)."""
     df.write.mode(mode).saveAsTable(name)
     if comment:
+        ident = ".".join("`" + p.replace("`", "``") + "`" for p in name.split("."))
         df.sparkSession.sql(
-            f"ALTER TABLE {name} SET TBLPROPERTIES ('comment' = '{comment}')"
+            f"ALTER TABLE {ident} SET TBLPROPERTIES ('comment' = '{comment.replace(chr(39), chr(39) * 2)}')"
         )
     return name
 

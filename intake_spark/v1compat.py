@@ -122,7 +122,9 @@ def from_v1_dict(doc: dict, catalog_dir: str = ".") -> Catalog:
             }
         elif driver in V1_DRIVERS:
             dcls, rcls, urlarg = V1_DRIVERS[driver]
-            url = args.pop(urlarg, args.pop("path", ""))
+            url = args.pop(urlarg, None)
+            if url is None:
+                url = args.pop("path", "")
             # V1 convention: {{ parameter }} in urlpath → our {param} template
             url = re.sub(r"\{\{\s*(\w+)\s*\}\}", r"{\1}", str(url))
             data = dcls(url=url)

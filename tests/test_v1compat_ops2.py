@@ -104,6 +104,36 @@ def test_salted_join_correctness(spark):
     assert salted == plain
 
 
+def test_salted_join_rejects_outer(spark):
+    from intake_spark.operators import salted_join
+    from intake_spark.session import load_table
+
+    c = load_table(spark, SF_SMALL, "customer")
+    for bad in ("right", "full", "outer"):
+        with pytest.raises(ValueError, match="salted_join supports"):
+            salted_join(c, c, on="c_custkey", how=bad)
+
+
+def test_npy_header_rejects_non_literal(tmp_path):
+    from intake_spark.arrays import _parse_npy_header
+
+    # a crafted header that eval() would execute but literal_eval must reject
+    evil = b"{'descr': '<f8', 'fortran_order': False, 'shape': (().__class__,)}"
+    buf = b"\x93NUMPY\x01\x00" + len(evil).to_bytes(2, "little") + evil
+    with pytest.raises((ValueError, SyntaxError)):
+        _parse_npy_header(buf)
+
+
+def test_to_table_comment_with_quote(spark):
+    from intake_spark import output
+    from intake_spark.session import load_table
+
+    r = load_table(spark, SF_SMALL, "region").limit(1)
+    output.to_table(r, "region_quote_tbl", comment="it's quoted")
+    assert spark.catalog.getTable("region_quote_tbl").description == "it's quoted"
+    spark.sql("DROP TABLE region_quote_tbl")
+
+
 def test_sessionize_batch(spark):
     import datetime as dtm
 
