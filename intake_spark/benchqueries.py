@@ -593,43 +593,54 @@ def q36_streaming_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     trigger into a memory sink; the returned DataFrame reads the sink table.
     The oracle is plain batch SQL — watermark semantics drop nothing in a
     bounded replay, so stream results must equal the batch aggregate."""
-    batch = load_table(spark, sf_dir, "events")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-        # watermarks require LTZ; windows tumble on epoch-aligned instants,
-        # so counts are tz-independent — only the *displayed* boundary
-        # needs converting back to the naive wall clock (below)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
-    _ = batch  # documents the batch-equivalence contract
-    agg = (
-        stream.withWatermark("ts", "1 day")
-        .groupBy(F.window("ts", "1 hour").alias("w"))
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            dsum("value", 6).alias("value_sum"),
+    # nanosAsLong is needed while the TIMESTAMP(NANOS) file is planned and
+    # scanned (the stream clones the session conf at .start()); save the
+    # caller's value at entry and restore once the bounded stream has
+    # terminated, so the legacy setting can't leak into later queries
+    # sharing the session.
+    prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
+    try:
+        batch = load_table(spark, sf_dir, "events")  # sets nanosAsLong=true
+        raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+        stream = (
+            spark.readStream.schema(raw_schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+            # watermarks require LTZ; windows tumble on epoch-aligned
+            # instants, so counts are tz-independent — only the *displayed*
+            # boundary needs converting back to the naive wall clock (below)
+            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         )
-        .select(
-            F.expr(
-                "convert_timezone(current_timezone(), 'UTC', CAST(w.start AS TIMESTAMP_NTZ))"
-            ).alias("window_start"),
-            "n_events",
-            "value_sum",
+        _ = batch  # documents the batch-equivalence contract
+        agg = (
+            stream.withWatermark("ts", "1 day")
+            .groupBy(F.window("ts", "1 hour").alias("w"))
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                dsum("value", 6).alias("value_sum"),
+            )
+            .select(
+                F.expr(
+                    "convert_timezone(current_timezone(), 'UTC', CAST(w.start AS TIMESTAMP_NTZ))"
+                ).alias("window_start"),
+                "n_events",
+                "value_sum",
+            )
         )
-    )
-    name = "q36_sink"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
+        name = "q36_sink"
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+        else:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
     return spark.table(name)
 
 

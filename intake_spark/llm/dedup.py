@@ -330,11 +330,27 @@ def embedding_near_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
+    max_rows: int | None = 100_000,
 ) -> DataFrame:
-    """Embedding-cosine near-dup pairs above ``threshold`` (brute-force; use
-    :func:`intake_spark.llm.similarity.lsh_ann_pairs` at scale)."""
+    """Embedding-cosine near-dup pairs above ``threshold`` — brute-force
+    all-pairs, the *oracle* algorithm.
+
+    Guarded against misuse at scale (mirroring dup_groups' adaptive check):
+    if the input exceeds ``max_rows`` the call raises instead of launching an
+    O(n^2) crossJoin — route large corpora through
+    :func:`intake_spark.llm.similarity.lsh_ann_pairs` (banded, equi-join
+    candidates) instead. Pass ``max_rows=None`` to force brute force.
+    The guard scan is capped at ``max_rows + 1`` rows, not a full count.
+    """
     from intake_spark.llm.similarity import cosine_expr
 
+    if max_rows is not None and df.limit(max_rows + 1).count() > max_rows:
+        raise ValueError(
+            f"embedding_near_dup_pairs input exceeds max_rows={max_rows}: "
+            "an all-pairs crossJoin at this size is a scale-killer; use "
+            "intake_spark.llm.similarity.lsh_ann_pairs (banded LSH) or pass "
+            "max_rows=None to force brute force"
+        )
     a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).cast("array<double>").alias("va"))
     b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).cast("array<double>").alias("vb"))
     return (

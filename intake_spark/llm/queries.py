@@ -360,23 +360,96 @@ def q43_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q31_lsh_ann_pairs")  # no SQL oracle: LSH bucketing is engine-side
+_Q31_DIM, _Q31_BANDS, _Q31_R, _Q31_THRESH = 64, 4, 4, 0.4
+
+
+def _q31_sql() -> str:
+    """Banded hyperplane LSH in DuckDB: the md5-derived planes, sign bits,
+    band keys, candidate join, and exact-cosine verify are all re-derived in
+    SQL — the full LSH pipeline is hash-checked, not just row-counted."""
+    n = _Q31_BANDS * _Q31_R
+    return f"""
+    WITH planes AS (
+      SELECT p, list(CAST(concat('0x', substr(md5('plane:' || p || ':' || d), 1, 8)) AS BIGINT)
+                     / 2147483648.0 - 1.0 ORDER BY d) AS plane
+      FROM generate_series(0, {n - 1}) AS tp(p), generate_series(0, {_Q31_DIM - 1}) AS td(d)
+      GROUP BY p),
+    v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+    bits AS (
+      SELECT vec_id, p, CASE WHEN list_dot_product(vec, plane) >= 0 THEN 1 ELSE 0 END AS bit
+      FROM v CROSS JOIN planes),
+    keys AS (
+      SELECT vec_id, p // {_Q31_R} AS band_id, SUM(bit * (1 << (p % {_Q31_R}))) AS band_key
+      FROM bits GROUP BY vec_id, band_id),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM keys a JOIN keys b
+        ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.vec_id < b.vec_id),
+    scored AS (
+      SELECT id_a, id_b,
+             list_dot_product(va.vec, vb.vec)
+               / sqrt(list_dot_product(va.vec, va.vec) * list_dot_product(vb.vec, vb.vec)) AS cosine
+      FROM cand JOIN v va ON cand.id_a = va.vec_id JOIN v vb ON cand.id_b = vb.vec_id)
+    SELECT id_a, id_b, ROUND(cosine, 6) AS cosine_r
+    FROM scored WHERE cosine >= {_Q31_THRESH}
+    """
+
+
+@register("q31_lsh_ann_pairs", _q31_sql())
 def q31_lsh_ann_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hyperplane-LSH approximate near-neighbor pairs (cosine ≥ 0.4 within
-    4-plane buckets; the synthetic embeddings top out near 0.51 pairwise
-    similarity, so 0.4 yields a real result set); recall vs brute force is
-    asserted in tests."""
+    """Banded hyperplane-LSH near-neighbor pairs (4 bands x 4 planes,
+    cosine >= 0.4 — the synthetic embeddings top out near 0.51 pairwise, so
+    0.4 yields a real result set). Deterministic end-to-end: md5-derived
+    planes, so the DuckDB oracle replays the identical pipeline."""
     emb = load_table(spark, sf_dir, "embeddings")
-    out = similarity.lsh_ann_pairs(emb, n_planes=4, threshold=0.4)
+    out = similarity.lsh_ann_pairs(
+        emb, dim=_Q31_DIM, bands=_Q31_BANDS, planes_per_band=_Q31_R, threshold=_Q31_THRESH
+    )
     return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine_r"))
 
 
-@register("q32_minhash_lsh_pairs")  # no SQL oracle: banded-LSH candidate set
+def _q32_sql(num_hashes: int = 16, bands: int = 8, threshold: float = 0.5) -> str:
+    """Full MinHash-LSH dedup pipeline in DuckDB: signatures → banded
+    candidate join → exact Jaccard verify, matching dedup.minhash_dedup_pairs
+    term for term (md5 band keys over '_'-joined signature slices)."""
+    r = num_hashes // bands
+    h = _HEX32_SQL.format(col="shingle")
+    mins = ",\n           ".join(
+        f"MIN(({a} * h + {b}) % {MINHASH_P}) AS mh{j}"
+        for j, (a, b) in enumerate(_affine_coeffs(num_hashes))
+    )
+    band_selects = "\n      UNION ALL ".join(
+        f"SELECT doc_id, {bi} AS band_id, "
+        f"md5(concat_ws('_', {', '.join(f'mh{bi * r + j}' for j in range(r))})) AS band_key FROM sigs"
+        for bi in range(bands)
+    )
+    return f"""
+    WITH {_SHINGLES_CTE},
+    hashed AS (SELECT doc_id, {h} AS h FROM sh),
+    sigs AS (SELECT doc_id, {mins} FROM hashed GROUP BY doc_id),
+    banded AS ({band_selects}),
+    cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             FROM banded a JOIN banded b
+               ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (SELECT doc_a, doc_b, COUNT(*) AS cnt
+              FROM cand
+              JOIN sh sa ON sa.doc_id = cand.doc_a
+              JOIN sh sb ON sb.doc_id = cand.doc_b AND sb.shingle = sa.shingle
+              GROUP BY doc_a, doc_b)
+    SELECT doc_a, doc_b, CAST(cnt AS DOUBLE) / (za.n + zb.n - cnt) AS jaccard
+    FROM inter JOIN sizes za ON inter.doc_a = za.doc_id
+               JOIN sizes zb ON inter.doc_b = zb.doc_id
+    WHERE CAST(cnt AS DOUBLE) / (za.n + zb.n - cnt) >= {threshold}
+    """
+
+
+@register("q32_minhash_lsh_pairs", _q32_sql())
 def q32_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full MinHash-LSH dedup pipeline: signatures → banded candidates →
-    exact Jaccard verify (threshold 0.5). Candidate generation is LSH, so the
-    driver records the weaker rows-only check; tests assert recall vs
-    q22's exact pairs."""
+    exact Jaccard verify (threshold 0.5). Every stage is md5-deterministic,
+    so the DuckDB oracle hash-checks the whole pipeline; recall vs q22's
+    exact pairs is additionally asserted in tests."""
     return dedup.minhash_dedup_pairs(
         load_table(spark, sf_dir, "documents"), num_hashes=16, bands=8, threshold=0.5
     )

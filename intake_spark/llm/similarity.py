@@ -5,11 +5,12 @@ Two tiers, same cosine semantics:
 - :func:`knn_bruteforce` — exact top-k: broadcast the (small) query set
   against the corpus; one pass over the corpus, per-partition top-k via
   window. Baseline and oracle.
-- :func:`lsh_ann_pairs` / :func:`knn_lsh` — random-hyperplane LSH: each
-  vector maps to a small integer bucket (sign bits of dot products with
-  deterministic pseudo-random hyperplanes); candidates = bucket equi-join.
-  At 100 TB the corpus never self-joins — only bucket-colocated rows meet,
-  and the bucket key is shuffle-friendly (compact int).
+- :func:`lsh_ann_pairs` — *banded* random-hyperplane LSH: B bands of r sign
+  bits each (dot products with deterministic md5-derived hyperplanes);
+  candidates = equi-join on (band_id, band_key), agree-on-any-band. At
+  100 TB the corpus never self-joins — only band-colocated rows meet, the
+  key is a compact int, and r scales with log2(corpus) to hold bucket
+  occupancy constant (see PERF.md for the asymptotics).
 
 The dot products run JVM-side via ``zip_with``/``aggregate`` higher-order
 functions — vectorized enough at 64-dim; a pandas-UDF BLAS path would win
@@ -94,9 +95,18 @@ def with_lsh_bucket(
     dim: int | None = None,
     bucket_col: str = "lsh_bucket",
 ) -> DataFrame:
-    """Add a random-hyperplane LSH bucket id (int in [0, 2^n_planes))."""
+    """Add a random-hyperplane LSH bucket id (int in [0, 2^n_planes)).
+
+    ``dim`` is required: inferring it would need a driver-side Spark action
+    in the hot path (an extra job per call); callers know their embedding
+    width statically.
+    """
     if dim is None:
-        dim = len(df.select(vec_col).first()[0])
+        raise ValueError(
+            "with_lsh_bucket requires dim (embedding width): schema arrays "
+            "carry no length, and probing the data would run an extra driver "
+            "action per call"
+        )
     planes = _hyperplanes(n_planes, dim)
     v = F.col(vec_col).cast("array<double>")
     bucket = F.lit(0).cast("bigint")
@@ -107,30 +117,87 @@ def with_lsh_bucket(
     return df.withColumn(bucket_col, bucket)
 
 
+def with_lsh_bands(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    bands: int = 4,
+    planes_per_band: int = 4,
+) -> DataFrame:
+    """Banded hyperplane LSH: ``bands * planes_per_band`` deterministic sign
+    bits, cut into ``bands`` band keys of ``planes_per_band`` bits each.
+    Output: one row per (input row, band) with ``band_id`` and ``band_key``
+    columns appended — exploded, ready for the candidate equi-join.
+
+    Two vectors become candidates iff they agree on a *full* band (all r =
+    planes_per_band sign bits). Collision probability for angle theta is
+    1 - (1 - (1-theta/pi)^r)^bands — the same S-curve as MinHash banding, so
+    recall is tuned by ``bands`` and precision (candidate volume) by ``r``.
+    """
+    if dim is None:
+        raise ValueError("with_lsh_bands requires dim (embedding width)")
+    n_planes = bands * planes_per_band
+    planes = _hyperplanes(n_planes, dim)
+    v = F.col(vec_col).cast("array<double>")
+    band_keys = []
+    for b in range(bands):
+        key = F.lit(0).cast("bigint")
+        for j in range(planes_per_band):
+            p = b * planes_per_band + j
+            plane = F.array(*[F.lit(x) for x in planes[p]])
+            d = F.aggregate(
+                F.zip_with(v, plane, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x
+            )
+            key = key + F.when(d >= 0, F.lit(2**j).cast("bigint")).otherwise(F.lit(0))
+        band_keys.append(F.struct(F.lit(b).alias("band_id"), key.alias("band_key")))
+    return df.withColumn("_band", F.explode(F.array(*band_keys))).select(
+        *df.columns, F.col("_band.band_id").alias("band_id"), F.col("_band.band_key").alias("band_key")
+    )
+
+
 def lsh_ann_pairs(
     df: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_planes: int = 8,
+    dim: int | None = None,
+    bands: int = 4,
+    planes_per_band: int = 4,
     threshold: float = 0.8,
 ) -> DataFrame:
-    """Approximate near-neighbor pairs: bucket equi-join then exact cosine
-    filter within buckets. High-cosine pairs collide with probability
-    (1 - theta/pi)^n_planes; recall is tested against brute force."""
-    b = with_lsh_bucket(df, vec_col, n_planes)
-    a = b.select(
-        F.col(id_col).alias("id_a"),
-        F.col(vec_col).cast("array<double>").alias("va"),
-        F.col("lsh_bucket"),
+    """Approximate near-neighbor pairs via *banded* hyperplane LSH: candidates
+    = pairs agreeing on any full band of sign bits, then exact cosine filter.
+
+    Scale shape: per band the corpus splits into 2^r buckets (r =
+    planes_per_band), so expected candidate volume is bands * n^2 / 2^r for
+    uniformly-spread data — r scales with log2(corpus) to hold bucket
+    occupancy (and thus per-bucket quadratic work) constant, while ``bands``
+    buys recall linearly in cost. The candidate join is an equi-join on the
+    compact (band_id, band_key) pair; vectors are joined back by id for the
+    exact-cosine verify, so the exploded band rows never carry the vector
+    payload through the shuffle.
+    """
+    # Materialize the compact (id, band_id, band_key) rows once: both sides
+    # of the self-join share the checkpointed RDD, so the sign-bit stage
+    # (a large expression tree over the plane constants) is planned and
+    # executed once, not twice — and the join plans against a leaf.
+    banded = (
+        with_lsh_bands(df.select(id_col, vec_col), vec_col, dim, bands, planes_per_band)
+        .select(id_col, "band_id", "band_key")
+        .localCheckpoint(eager=False)
     )
-    c = b.select(
-        F.col(id_col).alias("id_b"),
-        F.col(vec_col).cast("array<double>").alias("vb"),
-        F.col("lsh_bucket"),
-    )
-    return (
-        a.join(c, "lsh_bucket")
+    a = banded.select(F.col(id_col).alias("id_a"), "band_id", "band_key")
+    b = banded.select(F.col(id_col).alias("id_b"), "band_id", "band_key")
+    cands = (
+        a.join(b, ["band_id", "band_key"])
         .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).cast("array<double>").alias("va"))
+    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).cast("array<double>").alias("vb"))
+    return (
+        cands.join(va, "id_a")
+        .join(vb, "id_b")
         .withColumn("cosine", cosine_expr("va", "vb"))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")

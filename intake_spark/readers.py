@@ -354,19 +354,57 @@ class HuggingfaceDataset(dt.Service):
         self.split = split
 
 
+def _hf_parquet_urls(name: str, split: str) -> list[str]:
+    """Resolve a HF dataset's parquet shard URLs via the public
+    datasets-server API (network-gated)."""
+    import json
+    import urllib.request
+
+    api = f"https://datasets-server.huggingface.co/parquet?dataset={name}"
+    with urllib.request.urlopen(api, timeout=60) as resp:
+        payload = json.load(resp)
+    return [
+        f["url"] for f in payload.get("parquet_files", []) if f.get("split") == split
+    ]
+
+
 class HuggingfaceReader(BaseReader):
-    """HF dataset → DataFrame via the datasets library's Arrow output
-    (parity: readers.py:559-566). Network + import gated; for bulk use,
-    prefer the dataset's parquet export read natively by SparkParquet."""
+    """HF dataset → DataFrame via the dataset's *parquet export*, scanned
+    natively by Spark (parity: readers.py:559-566 — but distributed: the
+    reference materializes via ``datasets``; collecting an entire dataset on
+    the driver is the anti-pattern at scale).
+
+    Shard URLs come from ``resolver`` (default: the datasets-server API;
+    injectable for tests/offline). Local paths are scanned in place; https
+    shards are streamed to ``cache_dir`` once (constant driver memory),
+    then scanned — on a real cluster point ``resolver`` at an s3a/gs mirror
+    and the scan is fully distributed with no driver hop."""
 
     implements = {HuggingfaceDataset}
-    imports = {"datasets"}
 
-    def _read(self, spark, **kwargs):
-        import datasets
+    def _read(self, spark, resolver=None, cache_dir: str | None = None, **kwargs):
+        import shutil
+        import tempfile
+        import urllib.request
 
-        ds = datasets.load_dataset(self.data.url, split=self.data.split, **kwargs)
-        return spark.createDataFrame(ds.to_pandas())
+        resolver = resolver or _hf_parquet_urls
+        urls = resolver(self.data.url, self.data.split)
+        if not urls:
+            raise ValueError(
+                f"no parquet shards for dataset {self.data.url!r} "
+                f"split {self.data.split!r}"
+            )
+        local = []
+        for u in urls:
+            if "://" not in u or u.startswith("file://"):
+                local.append(u)
+                continue
+            cache_dir = cache_dir or tempfile.mkdtemp(prefix="hf_parquet_")
+            dest = f"{cache_dir}/{u.rsplit('/', 1)[-1]}"
+            with urllib.request.urlopen(u, timeout=300) as resp, open(dest, "wb") as f:
+                shutil.copyfileobj(resp, f)
+            local.append(dest)
+        return spark.read.parquet(*local)
 
 
 class HandleToUrlReader(BaseReader):

@@ -227,3 +227,18 @@ def test_dup_groups_chain(spark):
     pairs = spark.createDataFrame([(i, i + 1) for i in range(12)], ["doc_a", "doc_b"])
     out = {r.doc_id: r.group_id for r in dup_groups(pairs, small_threshold=0).collect()}
     assert set(out.values()) == {0} and len(out) == 13
+
+
+def test_huggingface_reader_parquet_routing(spark):
+    """HF reader scans the dataset's parquet export natively — the resolver
+    is mocked to local shards; no datasets library, no driver collect."""
+    from intake_spark.readers import HuggingfaceDataset, HuggingfaceReader
+
+    shards = [f"{SF_SMALL}/region.parquet"]
+    r = HuggingfaceReader(data=HuggingfaceDataset(name="org/fake", split="train"))
+    df = r.read(spark=spark, resolver=lambda name, split: shards)
+    assert df.count() == 5
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="no parquet shards"):
+        r.read(spark=spark, resolver=lambda name, split: [])

@@ -66,23 +66,50 @@ def test_exact_dedup(spark, docs):
 
 
 def test_lsh_ann_recall(spark, emb):
-    """Hyperplane-LSH pairs @4 planes vs brute-force cosine≥0.4 pairs
-    (the synthetic embeddings max out near 0.51 pairwise cosine, so 0.4 is
-    the non-vacuous threshold for this corpus)."""
+    """Banded hyperplane-LSH pairs vs brute-force cosine≥0.4 pairs at two
+    band configs (the synthetic embeddings max out near 0.51 pairwise
+    cosine, so 0.4 is the non-vacuous threshold for this corpus). More bands
+    → strictly more candidate coverage → recall must not drop."""
     exact = {
         (r.id_a, r.id_b)
         for r in dedup.embedding_near_dup_pairs(emb, threshold=0.4).collect()
     }
-    approx = {
-        (r.id_a, r.id_b)
-        for r in similarity.lsh_ann_pairs(emb, n_planes=4, threshold=0.4).collect()
-    }
     assert exact, "threshold should be non-vacuous on the synthetic corpus"
-    recall = len(exact & approx) / len(exact)
-    # 4 planes, theta <= 66°: P[same bucket] = (1 - theta/pi)^4 ≳ 0.1;
-    # assert LSH finds a nontrivial subset and never invents pairs
-    assert recall > 0.05
-    assert approx <= exact
+    recalls = {}
+    for bands, r_planes in [(2, 4), (8, 4)]:
+        approx = {
+            (r.id_a, r.id_b)
+            for r in similarity.lsh_ann_pairs(
+                emb, dim=64, bands=bands, planes_per_band=r_planes, threshold=0.4
+            ).collect()
+        }
+        # verify stage is exact cosine: LSH can only miss pairs, never invent
+        assert approx <= exact
+        recalls[bands] = len(exact & approx) / len(exact)
+    # 1 - (1 - (1-theta/pi)^4)^bands: each extra band only adds candidates
+    assert recalls[2] > 0.05
+    assert recalls[8] >= recalls[2]
+    assert recalls[8] > 0.3
+
+
+def test_embedding_near_dup_guard_trips(spark, emb):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="max_rows"):
+        dedup.embedding_near_dup_pairs(emb, threshold=0.4, max_rows=10).count()
+    # explicit opt-out still works
+    assert dedup.embedding_near_dup_pairs(
+        emb.limit(20), threshold=-1.0, max_rows=None
+    ).count() == 20 * 19 // 2
+
+
+def test_with_lsh_bucket_requires_dim(spark, emb):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="dim"):
+        similarity.with_lsh_bucket(emb)
+    with _pytest.raises(ValueError, match="dim"):
+        similarity.with_lsh_bands(emb)
 
 
 def test_knn_self_excluded_and_ranked(spark, emb):

@@ -110,3 +110,20 @@ def test_materialize_cache(spark, tmp_path):
     b = cat.materialize("li_small", cache, spark=spark)
     assert b.count() == n
     assert os.path.getmtime(os.path.join(cache, files[0], "_SUCCESS")) == mtime
+
+
+def test_q36_restores_session_conf(spark):
+    """q36 needs the legacy nanosAsLong conf while its stream runs, but must
+    not leak it into the shared session (VERDICT r1 #4)."""
+    from intake_spark.benchqueries import QUERIES
+
+    key = "spark.sql.legacy.parquet.nanosAsLong"
+    prev = spark.conf.get(key, None)
+    try:
+        spark.conf.unset(key)
+        out = QUERIES["q36_streaming_hourly"](spark, SF_SMALL)
+        assert out.count() > 0
+        assert spark.conf.get(key, None) is None
+    finally:
+        if prev is not None:
+            spark.conf.set(key, prev)
