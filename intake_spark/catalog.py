@@ -179,7 +179,10 @@ class Catalog(Tokenizable):
             return Pipeline(reader=reader, steps=[tuple(s) for s in payload["steps"]])
         if isinstance(payload, (BaseReader, Pipeline)):
             return payload
-        return reader_from_dict(payload)
+        reader = reader_from_dict(payload)
+        if getattr(type(reader), "needs_catalog", False):
+            reader._catalog = self  # alias/chooser readers resolve siblings
+        return reader
 
     # -- search (parity: entry.py:496-516) ----------------------------------
 

@@ -49,16 +49,16 @@ def pandas_to_spark(pdf, spark=None, **_):
 
 @register_converter(SPARK_DF, ARROW_TABLE)
 def spark_to_arrow(df, **_):
-    import pyarrow as pa
-
-    return pa.Table.from_pandas(df.toPandas())
+    """Arrow-native boundary (Spark 4 ``toArrow``): no pandas hop, so
+    timestamp/decimal/nested types survive the round trip exactly."""
+    return df.toArrow()
 
 
 @register_converter(ARROW_TABLE, SPARK_DF)
 def arrow_to_spark(table, spark=None, **_):
     from intake_spark.session import get_session
 
-    return (spark or get_session()).createDataFrame(table.to_pandas())
+    return (spark or get_session()).createDataFrame(table)
 
 
 @register_converter(SPARK_DF, "builtins:dict")

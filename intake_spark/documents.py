@@ -111,6 +111,7 @@ class TOMLReader(BaseReader):
     """TOML → (key, value) rows, keys dotted-flattened (stdlib tomllib)."""
 
     implements = {TOML}
+    lazy = False  # driver-side parse
 
     def _read(self, spark, **kwargs):
         import tomllib
@@ -125,6 +126,7 @@ class INIReader(BaseReader):
     """INI → (section, key, value) rows (stdlib configparser)."""
 
     implements = {INIFile}
+    lazy = False  # driver-side parse
 
     def _read(self, spark, **kwargs):
         import configparser
@@ -144,6 +146,7 @@ class HTMLTableReader(BaseReader):
     pandas.read_html needs lxml, which may be absent)."""
 
     implements = {HTMLFile}
+    lazy = False  # driver-side parse
 
     def _read(self, spark, table_index: int = 0, **kwargs):
         from html.parser import HTMLParser
@@ -183,19 +186,173 @@ class HTMLTableReader(BaseReader):
         return spark.createDataFrame([dict(zip(header, r)) for r in rows])
 
 
+def _pdf_string(data: bytes, i: int) -> tuple[bytes, int]:
+    """Parse a PDF literal string starting at ``(``; returns (bytes, next_i).
+    Handles nesting, backslash escapes and octal escapes."""
+    out = bytearray()
+    depth = 1
+    i += 1
+    esc = {b"n"[0]: 10, b"r"[0]: 13, b"t"[0]: 9, b"b"[0]: 8, b"f"[0]: 12}
+    while i < len(data) and depth:
+        c = data[i]
+        if c == 0x5C:  # backslash
+            i += 1
+            if i >= len(data):
+                break
+            c2 = data[i]
+            if c2 in esc:
+                out.append(esc[c2])
+            elif 0x30 <= c2 <= 0x37:  # octal \ooo (1-3 digits)
+                oct_digits = chr(c2)
+                while len(oct_digits) < 3 and i + 1 < len(data) and 0x30 <= data[i + 1] <= 0x37:
+                    i += 1
+                    oct_digits += chr(data[i])
+                out.append(int(oct_digits, 8) & 0xFF)
+            elif c2 in (0x0A, 0x0D):  # line continuation
+                pass
+            else:
+                out.append(c2)
+        elif c == 0x28:  # (
+            depth += 1
+            out.append(c)
+        elif c == 0x29:  # )
+            depth -= 1
+            if depth:
+                out.append(c)
+        else:
+            out.append(c)
+        i += 1
+    return bytes(out), i
+
+
+def _decode_pdf_bytes(b: bytes) -> str:
+    if b[:2] == b"\xfe\xff":
+        return b[2:].decode("utf-16-be", errors="replace")
+    return b.decode("latin-1", errors="replace")
+
+
+def _pdf_content_text(data: bytes) -> str:
+    """Scan a decoded content stream for text-showing operators: Tj, ', ",
+    and TJ arrays; Td/TD/T*/ET emit newlines. Best-effort for simple fonts
+    (CID/ToUnicode remapping out of scope for the stdlib extractor)."""
+    parts: list[str] = []
+    strings: list[bytes] = []
+    token = bytearray()
+    i, n = 0, len(data)
+
+    def flush_op():
+        op = bytes(token).decode("latin-1", errors="replace")
+        token.clear()
+        if op in ("Tj", "'", '"') and strings:
+            if op != "Tj":
+                parts.append("\n")
+            parts.append(_decode_pdf_bytes(strings[-1]))
+            strings.clear()
+        elif op == "TJ":
+            parts.extend(_decode_pdf_bytes(s) for s in strings)
+            strings.clear()
+        elif op in ("Td", "TD", "T*", "ET"):
+            if parts and parts[-1] != "\n":
+                parts.append("\n")
+            strings.clear()
+
+    while i < n:
+        c = data[i]
+        if c == 0x28:  # (
+            s, i = _pdf_string(data, i)
+            strings.append(s)
+            continue
+        if c == 0x3C and i + 1 < n and data[i + 1] != 0x3C:  # <hex>
+            j = data.find(b">", i)
+            if j == -1:
+                break
+            hx = bytes(ch for ch in data[i + 1 : j] if chr(ch) in "0123456789abcdefABCDEF")
+            if len(hx) % 2:
+                hx += b"0"
+            strings.append(bytes.fromhex(hx.decode()))
+            i = j + 1
+            continue
+        if (0x41 <= c <= 0x5A) or (0x61 <= c <= 0x7A) or c in (0x27, 0x22, 0x2A):
+            token.append(c)
+        else:
+            if token:
+                flush_op()
+        i += 1
+    if token:
+        flush_op()
+    text = "".join(parts)
+    return "\n".join(line.strip() for line in text.splitlines() if line.strip())
+
+
+def _pdf_text(content: bytes) -> tuple[str, int]:
+    """Extract (text, n_pages) from a PDF with stdlib only: FlateDecode
+    streams via zlib, then the content-stream operator scan. Unencrypted
+    PDFs with Flate or plain content streams; other filters are skipped."""
+    import re
+    import zlib
+
+    texts = []
+    for m in re.finditer(rb"<<(.*?)>>\s*stream\r?\n", content, re.S):
+        head, start = m.group(1), m.end()
+        end = content.find(b"endstream", start)
+        if end == -1:
+            continue
+        raw = content[start:end].rstrip(b"\r\n")
+        if b"/FlateDecode" in head:
+            try:
+                raw = zlib.decompress(raw)
+            except zlib.error:
+                continue
+        elif b"/Filter" in head:
+            continue  # unsupported filter (DCT, LZW, ...)
+        if b"BT" in raw:
+            t = _pdf_content_text(raw)
+            if t:
+                texts.append(t)
+    n_pages = len(re.findall(rb"/Type\s*/Page[^s]", content))
+    return "\n".join(texts), max(n_pages, 1 if texts else 0)
+
+
 class PDFTextReader(BaseReader):
-    """PDF text extraction — gated: no pdf library in this container.
-    (parity: PDFTextReader readers.py:2100; plumbing shape = binaryFile +
-    parse UDF like MarkdownReader.)"""
+    """PDF text extraction with the stdlib only (zlib FlateDecode + content
+    stream Tj/TJ operator scan) — parity: reference PDFTextReader /
+    PDFPlumberReader (readers.py:2100-2116), which require pypdf/pdfplumber.
+    Plumbing shape: binaryFile listing → Arrow-batched mapInPandas parse,
+    one task per file group — the same distributed recipe as MarkdownReader.
+    Scope: unencrypted PDFs, Flate/plain content streams, simple fonts
+    (CID ToUnicode remapping needs a full pdf library)."""
 
     implements = {dt.PDF}
-    imports = {"pypdf"}
 
-    def _read(self, spark, **kwargs):
-        raise NotImplementedError(
-            "PDF text extraction requires pypdf; structure mirrors "
-            "MarkdownReader (binaryFile + mapInPandas parse)"
+    def _read(self, spark, glob: str = "*.pdf", **kwargs):
+        from intake_spark.session import ensure_py_deps
+
+        ensure_py_deps(spark)
+        files = (
+            spark.read.format("binaryFile").load(self.data.url)
+            if "*" in self.data.url
+            else spark.read.format("binaryFile").option("pathGlobFilter", glob).load(self.data.url)
         )
+        schema = T.StructType(
+            [
+                T.StructField("path", T.StringType()),
+                T.StructField("text", T.StringType()),
+                T.StructField("n_pages", T.IntegerType()),
+            ]
+        )
+
+        def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                extracted = pdf["content"].map(_pdf_text)
+                yield pd.DataFrame(
+                    {
+                        "path": pdf["path"],
+                        "text": [t for t, _ in extracted],
+                        "n_pages": pd.array([n for _, n in extracted], dtype="int32"),
+                    }
+                )
+
+        return files.select("path", "content").mapInPandas(parse, schema=schema)
 
 
 class DOCX(dt.FileData):
@@ -321,6 +478,7 @@ class GeoJSONReader(BaseReader):
     feature collections at bulk scale should be NDJSON → SparkJSON."""
 
     implements = {GeoJSON}
+    lazy = False  # driver-side parse
 
     def _read(self, spark, **kwargs):
         with open(self.data.url, encoding="utf-8") as f:
@@ -359,6 +517,7 @@ class XLSXReader(BaseReader):
     without the openpyxl requirement). First row = header."""
 
     implements = {dt.Excel}
+    lazy = False  # driver-side parse
 
     def _read(self, spark, sheet_index: int = 0, **kwargs):
         import io
@@ -416,6 +575,7 @@ class GGUFMetadataReader(BaseReader):
     directly with stdlib struct — metadata only, tensors untouched."""
 
     implements = {dt.GGUF}
+    lazy = False  # driver-side parse
 
     _SIMPLE = {
         0: ("uint8", "<B", 1), 1: ("int8", "<b", 1), 2: ("uint16", "<H", 2),
@@ -469,6 +629,7 @@ class SafeTensorsMetadataReader(BaseReader):
     format spec) — stdlib-only parse, no tensor data read."""
 
     implements = {SafeTensors}
+    lazy = False  # driver-side parse
 
     def _read(self, spark, **kwargs):
         with open(self.data.url, "rb") as f:

@@ -3,7 +3,10 @@
 Parity with intake/readers/inspect.py:778-1162 — but the reference's
 "laziness tiers" collapse: Spark is always tier 1 (lazy schema from file
 footers; no data read). The report shape (columns, dtypes, npartitions,
-size) follows inspect.py:216-510's per-container extraction.
+size) follows inspect.py:216-510's per-container extraction; the
+per-candidate timeout + fallback-to-next-reader loop mirrors
+inspect.py:743-776 (timeout runner) and :1092-1162 (candidate retry), and
+the byte-size guard mirrors the full-read tier guard at :653-737.
 """
 
 from __future__ import annotations
@@ -22,6 +25,7 @@ def schema_report(df: DataFrame) -> dict[str, Any]:
         "columns": df.columns,
         "dtypes": dict(df.dtypes),
         "schema_json": df.schema.jsonValue(),
+        "schema_tree": "\n".join(f"{c}: {t}" for c, t in df.dtypes),
         "npartitions": df.rdd.getNumPartitions(),
     }
 
@@ -40,10 +44,50 @@ def _dir_size(path: str) -> tuple[int, int]:
     return total, files
 
 
-def inspect_dataset(url: str, spark=None) -> dict[str, Any]:
+def _with_timeout(fn, seconds: float | None):
+    """Run ``fn`` with a per-candidate wall-clock budget (reference timeout
+    runner, inspect.py:743-776). The worker thread is not joined on timeout
+    (daemonized pool, shutdown(wait=False)) so a hung candidate can't hang
+    the inspection loop."""
+    if not seconds:
+        return fn()
+    import concurrent.futures as cf
+
+    ex = cf.ThreadPoolExecutor(max_workers=1)
+    try:
+        fut = ex.submit(fn)
+        try:
+            return fut.result(timeout=seconds)
+        except cf.TimeoutError:
+            fut.cancel()
+            raise TimeoutError(f"candidate exceeded {seconds}s") from None
+    finally:
+        ex.shutdown(wait=False)
+
+
+def inspect_dataset(
+    url: str,
+    spark=None,
+    timeout: float | None = 60.0,
+    max_bytes: int | None = None,
+    exclude: tuple[str, ...] = (),
+) -> dict[str, Any]:
     """Detect datatype, build the lazy reader, report schema + file stats.
-    Never triggers a data-reading Spark action (schemas come from file
-    metadata/footers)."""
+
+    Candidates are tried best-score-first; a candidate that raises *or
+    exceeds ``timeout`` seconds* is recorded under ``errors`` and the next
+    candidate is tried (reference fallback loop, inspect.py:1092-1162).
+    ``max_bytes`` skips non-lazy (driver-side-parsing) readers for datasets
+    larger than the guard — the reference's full-read tier size guard.
+    ``exclude`` drops reader class names from consideration.
+    Never triggers a data-reading Spark action for lazy readers (schemas
+    come from file metadata/footers).
+    """
+    # populate the full datatype/reader registry (subclass-walk based, like
+    # the reference importlist registry) before recommending
+    import intake_spark.arrays  # noqa: F401
+    import intake_spark.documents  # noqa: F401
+
     spark = spark or get_session()
     candidates = recommend(url)
     report: dict[str, Any] = {"url": url, "candidates": [c.__name__ for c in candidates]}
@@ -54,10 +98,27 @@ def inspect_dataset(url: str, spark=None) -> dict[str, Any]:
         try:
             data = cls(url=url)
             reader = data.to_reader()
-            df = reader.read(spark=spark)
+            rname = type(reader).__name__
+            if rname in exclude:
+                continue
+            if (
+                max_bytes is not None
+                and size > max_bytes
+                and not getattr(type(reader), "lazy", True)
+            ):
+                report.setdefault("errors", []).append(
+                    f"{cls.__name__}: skipped — {rname} parses driver-side and "
+                    f"dataset is {size} bytes (> max_bytes={max_bytes})"
+                )
+                continue
+
+            def attempt(reader=reader):
+                return reader.read(spark=spark)
+
+            df = _with_timeout(attempt, timeout)
             report.update(schema_report(df))
             report["datatype"] = cls.__name__
-            report["reader"] = type(reader).__name__
+            report["reader"] = rname
             return report
         except Exception as exc:  # try next candidate (inspect.py:1092-1162)
             report.setdefault("errors", []).append(f"{cls.__name__}: {exc}")

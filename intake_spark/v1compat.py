@@ -112,7 +112,19 @@ def from_v1_dict(doc: dict, catalog_dir: str = ".") -> Catalog:
                 cat.entries[tok] = sub.entries[tok]
                 cat.aliases[f"{name}.{alias}"] = tok
             continue
-        if driver in ("sql", "sql_cat", "postgres"):
+        if driver in ("alias", "intake.source.derived.AliasSource"):
+            akw: dict[str, Any] = {}
+            if "target" in args:
+                # V1 convention: {{ parameter }} target → our {param} template
+                akw["target"] = re.sub(r"\{\{\s*(\w+)\s*\}\}", r"{\1}", str(args["target"]))
+            if args.get("mapping"):
+                akw["mapping"] = args["mapping"]
+            if args.get("targets"):
+                akw["targets"] = list(args["targets"])
+            if args.get("chooser"):
+                akw["chooser"] = args["chooser"]
+            payload = {"cls": "intake_spark.v1compat:AliasReader", "data": None, "kwargs": akw}
+        elif driver in ("sql", "sql_cat", "postgres"):
             data = dt.SQLQuery(conn=args.get("uri", ""), query=args.get("sql_expr", ""))
             payload = {
                 "cls": "intake_spark.readers:SparkJDBC",
@@ -145,6 +157,72 @@ def from_v1_dict(doc: dict, catalog_dir: str = ".") -> Catalog:
         )
         cat.add_entry(desc, name=name)
     return cat
+
+
+# --- alias sources + target choosers (parity: derived.py:38-143) ----------
+
+
+def _entry_reader(target: str, cat: Catalog):
+    """Resolve ``name`` in ``cat`` or ``caturl:name`` in an external catalog
+    (parity: get_source, derived.py:27-35)."""
+    if ":" in target:
+        caturl, name = target.rsplit(":", 1)
+        if os.path.exists(caturl) or "/" in caturl:
+            from intake_spark import open_catalog
+
+            return open_catalog(caturl)[name]
+    return cat[target]
+
+
+def first(targets: list[str], cat: Catalog, spark=None):
+    """Target chooser: the first target, read (derived.py:120-127)."""
+    return _entry_reader(targets[0], cat).read(spark=spark)
+
+
+def first_discoverable(targets: list[str], cat: Catalog, spark=None):
+    """Target chooser: the first target whose lazy plan *builds* — schema
+    resolution is Spark's discover; a missing file/driver fails here without
+    reading data (derived.py:130-143)."""
+    errs = []
+    for t in targets:
+        try:
+            return _entry_reader(t, cat).read(spark=spark)
+        except Exception as exc:
+            errs.append(f"{t}: {exc}")
+    raise RuntimeError(f"no targets succeeded at discover: {errs}")
+
+
+_CHOOSERS = {"first": first, "first_discoverable": first_discoverable}
+
+
+class AliasReader(BaseReader):
+    """Indirection to other catalog entries, unmodified (parity: AliasSource
+    derived.py:38-117 + choosers :120-143). Two forms:
+
+    - ``target`` (+ optional ``mapping``): read the named entry; the target
+      string may be a user-parameter template, so the choice of entry is
+      deferred to read time (reference ``alias1`` fixture pattern).
+    - ``targets`` (+ ``chooser``: "first" | "first_discoverable" | import
+      string): fallback chain over entries.
+
+    Only meaningful inside a catalog — rehydration injects ``_catalog``.
+    """
+
+    needs_catalog = True
+
+    def _read(self, spark, target=None, targets=None, mapping=None, chooser="first", **kwargs):
+        cat = getattr(self, "_catalog", None)
+        if cat is None:
+            raise ValueError("AliasReader cannot be used outside a catalog")
+        if target is not None:
+            t = (mapping or {}).get(target, target)
+            return _entry_reader(t, cat).read(spark=spark)
+        fn = _CHOOSERS.get(chooser, chooser) if isinstance(chooser, str) else chooser
+        if isinstance(fn, str):
+            from intake_spark.utils import str_to_func
+
+            fn = str_to_func(fn)
+        return fn(targets or [], cat, spark=spark)
 
 
 def open_v1_catalog(path: str) -> Catalog:

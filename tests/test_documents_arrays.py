@@ -232,7 +232,7 @@ def test_dup_groups_chain(spark):
 def test_huggingface_reader_parquet_routing(spark):
     """HF reader scans the dataset's parquet export natively — the resolver
     is mocked to local shards; no datasets library, no driver collect."""
-    from intake_spark.readers import HuggingfaceDataset, HuggingfaceReader
+    from intake_spark.readers import HuggingfaceDataset, HuggingfaceReader  # noqa: F401
 
     shards = [f"{SF_SMALL}/region.parquet"]
     r = HuggingfaceReader(data=HuggingfaceDataset(name="org/fake", split="train"))
@@ -242,3 +242,126 @@ def test_huggingface_reader_parquet_routing(spark):
 
     with _pytest.raises(ValueError, match="no parquet shards"):
         r.read(spark=spark, resolver=lambda name, split: [])
+
+
+def _make_pdf(compress: bool) -> bytes:
+    """Minimal two-operator PDF built from raw syntax (independent of the
+    extractor under test): Tj with escapes, TJ array, hex string."""
+    import zlib
+
+    content = (
+        b"BT /F1 12 Tf 72 720 Td (Hello \\(Spark\\) PDF) Tj "
+        b"0 -14 Td [(Graf) -250 (ting)] TJ "
+        b"0 -14 Td <48657821> Tj ET"
+    )
+    stream = zlib.compress(content) if compress else content
+    filt = b"/Filter /FlateDecode " if compress else b""
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R /MediaBox [0 0 612 792] >>",
+        b"<< /Length " + str(len(stream)).encode() + b" " + filt + b">>\nstream\n" + stream + b"\nendstream",
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+    ]
+    out = [b"%PDF-1.4"]
+    for i, o in enumerate(objs, 1):
+        out.append(str(i).encode() + b" 0 obj " + o + b" endobj")
+    out.append(b"trailer << /Root 1 0 R >>\n%%EOF")
+    return b"\n".join(out)
+
+
+@pytest.mark.parametrize("compress", [True, False])
+def test_pdf_text_reader(spark, tmp_path, compress):
+    from intake_spark import datatypes as dt
+    from intake_spark.documents import PDFTextReader
+
+    p = tmp_path / ("flate.pdf" if compress else "plain.pdf")
+    p.write_bytes(_make_pdf(compress))
+    r = PDFTextReader(data=dt.PDF(url=str(tmp_path)))
+    rows = r.read(spark=spark).collect()
+    assert len(rows) == 1
+    row = rows[0]
+    assert row.n_pages == 1
+    assert "Hello (Spark) PDF" in row.text
+    assert "Grafting" in row.text
+    assert "Hex!" in row.text
+
+
+def _write_zarr_v2(root, arr, chunks, compressor=None):
+    """Write a zarr v2 array with numpy + stdlib only (independent of the
+    reader): .zarray JSON + one raw C-order file per chunk, edge chunks
+    padded with fill_value per the spec."""
+    import itertools
+    import json
+    import os
+    import zlib
+
+    import numpy as np
+
+    os.makedirs(root, exist_ok=True)
+    meta = {
+        "zarr_format": 2,
+        "shape": list(arr.shape),
+        "chunks": list(chunks),
+        "dtype": arr.dtype.str,
+        "compressor": {"id": "zlib", "level": 6} if compressor == "zlib" else None,
+        "fill_value": 0,
+        "order": "C",
+        "filters": None,
+    }
+    with open(f"{root}/.zarray", "w") as f:
+        json.dump(meta, f)
+    grid = [-(-s // c) for s, c in zip(arr.shape, chunks)]
+    for coords in itertools.product(*[range(g) for g in grid]):
+        block = np.zeros(chunks, dtype=arr.dtype)
+        sel = tuple(
+            slice(ci * c, min((ci + 1) * c, s)) for ci, c, s in zip(coords, chunks, arr.shape)
+        )
+        valid = arr[sel]
+        block[tuple(slice(0, v) for v in valid.shape)] = valid
+        raw = block.tobytes(order="C")
+        if compressor == "zlib":
+            raw = zlib.compress(raw)
+        with open(f"{root}/{'.'.join(map(str, coords))}", "wb") as f:
+            f.write(raw)
+
+
+@pytest.mark.parametrize("compressor", [None, "zlib"])
+def test_zarr_roundtrip(spark, tmp_path, compressor):
+    """2-D array, chunk grid tiling BOTH axes with ragged edges — read back
+    distributed and compare every value against the source array."""
+    import numpy as np
+
+    from intake_spark import datatypes as dt
+    from intake_spark.readers import ZarrReader
+
+    arr = np.arange(7 * 5, dtype="<f8").reshape(7, 5) * 1.5
+    root = str(tmp_path / "arr.zarr")
+    _write_zarr_v2(root, arr, chunks=[3, 2], compressor=compressor)
+    df = ZarrReader(data=dt.Zarr(url=root)).read(spark=spark)
+    rows = sorted(df.collect(), key=lambda r: r.offset0)
+    assert [r.offset0 for r in rows] == [0, 3, 6]
+    assert all(r.shape == [7, 5] for r in rows)
+    rebuilt = np.concatenate(
+        [np.array(r.values).reshape(-1, 5) for r in rows], axis=0
+    )
+    np.testing.assert_array_equal(rebuilt, arr)
+
+
+def test_zarr_missing_chunk_fill(spark, tmp_path):
+    import os
+
+    import numpy as np
+
+    from intake_spark import datatypes as dt
+    from intake_spark.readers import ZarrReader
+
+    arr = np.ones((4, 4), dtype="<i4")
+    root = str(tmp_path / "arr2.zarr")
+    _write_zarr_v2(root, arr, chunks=[2, 2])
+    os.remove(f"{root}/1.1")  # missing chunk -> fill_value
+    df = ZarrReader(data=dt.Zarr(url=root)).read(spark=spark)
+    rows = sorted(df.collect(), key=lambda r: r.offset0)
+    rebuilt = np.concatenate([np.array(r.values).reshape(-1, 4) for r in rows], axis=0)
+    assert rebuilt[:2].sum() == 8
+    assert rebuilt[2:, :2].sum() == 4 and rebuilt[2:, 2:].sum() == 0

@@ -219,3 +219,78 @@ def test_open_catalog_glob(spark, tmp_path, li_reader):
     merged = open_catalog(str(tmp_path / "cat_*.yaml"))
     assert {"from_a", "from_b"} <= set(merged.aliases)
     assert merged["from_b"].read(spark=spark).count() == 2
+
+
+def test_arrow_native_roundtrip(spark):
+    """toArrow/createDataFrame(arrow) preserve decimal + timestamp types the
+    pandas hop degrades (VERDICT r1 #10)."""
+    import datetime
+    from decimal import Decimal
+
+    from intake_spark.convert import arrow_to_spark, spark_to_arrow
+
+    df = spark.createDataFrame(
+        [(Decimal("1.230"), datetime.datetime(2024, 3, 1, 12, 30, 0), [1, 2])],
+        "d decimal(10,3), ts timestamp, arr array<int>",
+    )
+    table = spark_to_arrow(df)
+    import pyarrow as pa
+
+    assert pa.types.is_decimal(table.schema.field("d").type)
+    back = arrow_to_spark(table, spark=spark)
+    assert dict(back.dtypes) == dict(df.dtypes)
+    assert back.collect() == df.collect()
+
+
+def test_inspect_fallback_and_timeout(spark, tmp_path, monkeypatch):
+    """Deliberately failing/hanging first candidate → inspect falls through
+    to the next (reference inspect.py:743-776, 1092-1162)."""
+    from intake_spark import datatypes as dt
+    from intake_spark import inspection
+
+    class Exploding(dt.FileData):
+        def to_reader(self, **kw):
+            raise RuntimeError("boom: no reader")
+
+    class Hanging(dt.FileData):
+        def to_reader(self, **kw):
+            class R:
+                __name__ = "HangingReader"
+
+                def read(self, spark=None):
+                    import time
+
+                    time.sleep(30)
+
+            return R()
+
+    url = f"{SF_SMALL}/lineitem.parquet"
+    real = inspection.recommend
+
+    monkeypatch.setattr(
+        inspection, "recommend", lambda u: [Exploding, *real(u)]
+    )
+    rep = inspection.inspect_dataset(url, spark=spark)
+    assert rep["datatype"] == "Parquet"
+    assert any("boom" in e for e in rep["errors"])
+
+    monkeypatch.setattr(
+        inspection, "recommend", lambda u: [Hanging, *real(u)]
+    )
+    rep = inspection.inspect_dataset(url, spark=spark, timeout=1.5)
+    assert rep["datatype"] == "Parquet"
+    assert any("exceeded" in e for e in rep["errors"])
+
+
+def test_inspect_max_bytes_guard(spark, tmp_path):
+    """Driver-side (lazy=False) readers are skipped when the dataset exceeds
+    max_bytes — the reference's full-read tier size guard."""
+    from intake_spark import inspection
+
+    p = tmp_path / "cfg.toml"
+    p.write_text("[a]\nx = 1\n")
+    rep = inspection.inspect_dataset(str(p), spark=spark, max_bytes=1)
+    assert "datatype" not in rep or rep.get("reader") != "TOMLReader"
+    assert any("max_bytes" in e for e in rep.get("errors", []))
+    rep2 = inspection.inspect_dataset(str(p), spark=spark)
+    assert rep2.get("reader") == "TOMLReader"

@@ -177,3 +177,60 @@ def test_sessionize_stream_matches_batch(spark, tmp_path):
         for r in spark.sql("SELECT * FROM sess_test").collect()
     }
     assert got == expected
+
+
+def test_alias_source_and_choosers(spark, tmp_path):
+    """V1 alias fixture parity (reference catalog_alias.yml): static alias,
+    parameter-mapped alias, and a first_discoverable fallback chain."""
+    from intake_spark.v1compat import open_v1_catalog
+
+    (tmp_path / "states.csv").write_text("state,code\nIowa,IA\nOhio,OH\n")
+    (tmp_path / "cat.yaml").write_text(
+        f"""
+sources:
+  input_data:
+    driver: csv
+    args:
+      urlpath: "{{{{ CATALOG_DIR }}}}/states.csv"
+  other_data:
+    driver: parquet
+    args:
+      urlpath: "{SF_SMALL}/region.parquet"
+  broken:
+    driver: parquet
+    args:
+      urlpath: "/nonexistent/nowhere.parquet"
+  alias0:
+    driver: alias
+    args:
+      target: input_data
+  alias1:
+    driver: alias
+    args:
+      target: "{{{{choice}}}}"
+      mapping:
+        first: input_data
+        second: other_data
+    parameters:
+      choice:
+        type: str
+        default: first
+        allowed: ["first", "second"]
+  fallback:
+    driver: intake.source.derived.AliasSource
+    args:
+      targets: ["broken", "other_data"]
+      chooser: first_discoverable
+"""
+    )
+    cat = open_v1_catalog(str(tmp_path / "cat.yaml"))
+    assert cat["alias0"].read(spark=spark).count() == 2
+    assert cat["alias1"].read(spark=spark).count() == 2  # default choice=first
+    r = cat.to_reader("alias1", choice="second")
+    assert r.read(spark=spark).count() == 5
+    assert cat["fallback"].read(spark=spark).count() == 5  # skips broken
+
+    from intake_spark.v1compat import AliasReader
+
+    with pytest.raises(ValueError, match="outside a catalog"):
+        AliasReader(target="x").read(spark=spark)
