@@ -346,3 +346,31 @@ def open_catalog(path: str | None = None) -> Catalog:
     if is_v1_yaml(path):
         return open_v1_catalog(path)
     return Catalog.from_yaml_file(path)
+
+
+def entrypoints_catalog(group: str = "intake_spark.catalogs") -> Catalog:
+    """Merge catalogs/readers that installed packages advertise via Python
+    entry points (parity: EntrypointsCatalog catalog/local.py:925 +
+    driver discovery source/discovery.py:18-99).
+
+    Each entry point may resolve to a Catalog, a zero-arg callable returning
+    one, or a reader/pipeline (catalogued under the entry-point name).
+    Broken entry points are skipped — a bad plugin must not take down
+    discovery."""
+    import importlib.metadata as _md
+
+    out = Catalog()
+    for ep in _md.entry_points(group=group):
+        try:
+            obj = ep.load()
+            if callable(obj) and not hasattr(obj, "to_dict"):
+                obj = obj()
+            if isinstance(obj, Catalog):
+                for alias, tok in obj.aliases.items():
+                    out.entries[tok] = obj.entries[tok]
+                    out.aliases[f"{ep.name}.{alias}"] = tok
+            else:
+                out.add_entry(obj, name=ep.name)
+        except Exception:
+            continue
+    return out

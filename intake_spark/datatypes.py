@@ -309,7 +309,23 @@ def _magic_matches(magic_entry, head: bytes) -> bool:
     return head.startswith(magic_entry)
 
 
+def register_all() -> None:
+    """Import every module that declares datatypes/readers so the
+    subclass-walk registry is complete (≡ the reference importlist,
+    intake/readers/importlist.py:23-55)."""
+    import intake_spark.arrays  # noqa: F401
+    import intake_spark.bio  # noqa: F401
+    import intake_spark.documents  # noqa: F401
+    import intake_spark.geo  # noqa: F401
+    import intake_spark.mlds  # noqa: F401
+    import intake_spark.sci  # noqa: F401
+    import intake_spark.services  # noqa: F401
+    import intake_spark.stats  # noqa: F401
+    import intake_spark.streaming  # noqa: F401
+
+
 def datatypes() -> list[type[BaseData]]:
+    register_all()
     return sorted(subclasses(BaseData), key=lambda c: c.__name__)
 
 

@@ -83,11 +83,9 @@ def inspect_dataset(
     Never triggers a data-reading Spark action for lazy readers (schemas
     come from file metadata/footers).
     """
-    # populate the full datatype/reader registry (subclass-walk based, like
-    # the reference importlist registry) before recommending
-    import intake_spark.arrays  # noqa: F401
-    import intake_spark.documents  # noqa: F401
+    from intake_spark.datatypes import register_all
 
+    register_all()  # full datatype/reader registry before recommending
     spark = spark or get_session()
     candidates = recommend(url)
     report: dict[str, Any] = {"url": url, "candidates": [c.__name__ for c in candidates]}

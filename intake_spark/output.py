@@ -6,6 +6,7 @@ output.py:1-7 — "all return a new datatype instance").
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from intake_spark import datatypes as dt
 
@@ -96,3 +97,151 @@ def catalog_to_yaml(catalog, path: str) -> dt.CatalogData:
     out = dt.CatalogData()
     out.metadata["path"] = path
     return out
+
+
+# --- array / media sinks (parity: output.py:85-129, 268-445) ----------------
+
+
+def to_zarr(df: DataFrame, url: str, compressor: str | None = "zlib") -> dt.Zarr:
+    """Chunk-row DataFrame (arrays.CHUNK_SCHEMA) → zarr v2 store, written
+    **distributed**: each executor task writes its chunk files directly (one
+    file per leading-axis block, C-order bytes, optional zlib), the driver
+    writes only the ``.zarray`` JSON. No zarr package needed — parity:
+    XarrayToZarr/DaskArrayToZarr (reference output.py:85-114) with the write
+    parallelism those get from dask.
+
+    Chunk layout: leading-axis blocks of the engine's chunk-row model, i.e.
+    chunks = [max_block_rows, *shape[1:]]; ragged final blocks are padded
+    with the fill value per the zarr spec.
+    """
+    import json
+    import os
+
+    rows = df.select("offset0", "shape", F.size("values").alias("n")).collect()
+    if not rows:
+        raise ValueError("empty chunk DataFrame")
+    shape = list(rows[0]["shape"])
+    row_elems = 1
+    for s in shape[1:]:
+        row_elems *= s
+    block_rows = max(r["n"] // row_elems for r in rows)
+    chunks = [block_rows, *shape[1:]]
+    os.makedirs(url, exist_ok=True)
+    meta = {
+        "zarr_format": 2,
+        "shape": shape,
+        "chunks": chunks,
+        "dtype": "<f8",
+        "compressor": {"id": "zlib", "level": 6} if compressor == "zlib" else None,
+        "fill_value": 0.0,
+        "order": "C",
+        "filters": None,
+    }
+    with open(f"{url}/.zarray", "w") as f:
+        json.dump(meta, f)
+    n_trailing = 1
+    for s, c in zip(shape[1:], chunks[1:]):
+        n_trailing *= -(-s // c)  # == 1: trailing dims are unchunked
+    pad_to = block_rows * row_elems
+
+    def write_partition(rows_iter):
+        import zlib
+
+        import numpy as np
+
+        for r in rows_iter:
+            vals = np.asarray(r["values"], dtype="<f8")
+            if vals.size < pad_to:
+                vals = np.pad(vals, (0, pad_to - vals.size))
+            raw = vals.tobytes()
+            if compressor == "zlib":
+                raw = zlib.compress(raw)
+            i0 = int(r["offset0"]) // block_rows
+            name = ".".join([str(i0)] + ["0"] * (len(shape) - 1))
+            with open(f"{url}/{name}", "wb") as f:
+                f.write(raw)
+
+    df.select("offset0", "values").foreachPartition(write_partition)
+    return dt.Zarr(url=url)
+
+
+def to_npy(df: DataFrame, url: str) -> dt.NumpyFile:
+    """Chunk-row DataFrame → .npy (v1 header + C-order float64 data),
+    streamed through the driver in offset order (``toLocalIterator`` — one
+    partition in memory at a time, parity: NumpyToNumpyFile output.py:117).
+    """
+    import struct as _struct
+
+    first = df.select("shape").first()
+    if first is None:
+        raise ValueError("empty chunk DataFrame")
+    shape = tuple(first["shape"])
+    header = "{'descr': '<f8', 'fortran_order': False, 'shape': %s, }" % (str(shape),)
+    pad = (64 - (10 + len(header) + 1) % 64) % 64
+    header = header + " " * pad + "\n"
+    with open(url, "wb") as f:
+        f.write(b"\x93NUMPY\x01\x00" + _struct.pack("<H", len(header)) + header.encode())
+        for row in df.select("offset0", "values").orderBy("offset0").toLocalIterator():
+            f.write(_struct.pack(f"<{len(row['values'])}d", *row["values"]))
+    return dt.NumpyFile(url=url)
+
+
+def _png_bytes(arr_2d, bit_depth: int = 8) -> bytes:
+    """Encode a 2-D uint8 grayscale array as PNG with the stdlib only
+    (zlib + struct CRC): signature, IHDR, IDAT (filter-0 scanlines), IEND."""
+    import struct as _struct
+    import zlib
+
+    h = len(arr_2d)
+    w = len(arr_2d[0]) if h else 0
+
+    def chunk(tag: bytes, payload: bytes) -> bytes:
+        body = tag + payload
+        return _struct.pack(">I", len(payload)) + body + _struct.pack(">I", zlib.crc32(body))
+
+    ihdr = _struct.pack(">IIBBBBB", w, h, bit_depth, 0, 0, 0, 0)  # grayscale
+    raw = b"".join(b"\x00" + bytes(int(v) & 0xFF for v in row) for row in arr_2d)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def to_png(df: DataFrame, url: str) -> dt.PNG:
+    """First chunk row rendered as a grayscale PNG (2-D arrays; values
+    clipped to uint8). Stdlib encoder — parity: NumpyToPNG output.py:268+,
+    which needs PIL. Media are driver-edge artifacts (thumbnails, QA), so a
+    driver-side write is the right cost model."""
+    row = df.select("shape", "values").first()
+    if row is None:
+        raise ValueError("empty chunk DataFrame")
+    shape = list(row["shape"])
+    if len(shape) != 2:
+        raise ValueError(f"to_png needs a 2-D array, got shape {shape}")
+    w = shape[1]
+    vals = [max(0, min(255, int(v))) for v in row["values"]]
+    arr = [vals[i * w : (i + 1) * w] for i in range(len(vals) // w)]
+    with open(url, "wb") as f:
+        f.write(_png_bytes(arr))
+    return dt.PNG(url=url)
+
+
+def to_wav(df: DataFrame, url: str, rate: int = 16000) -> dt.WAV:
+    """Chunk rows → 16-bit mono WAV via the stdlib ``wave`` module (parity:
+    NumpyToWAV output.py:300-ish). Values expected in [-1, 1]; streamed in
+    offset order."""
+    import struct as _struct
+    import wave
+
+    with wave.open(url, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        for row in df.select("offset0", "values").orderBy("offset0").toLocalIterator():
+            samples = [
+                max(-32768, min(32767, int(float(v) * 32767.0))) for v in row["values"]
+            ]
+            w.writeframes(_struct.pack(f"<{len(samples)}h", *samples))
+    return dt.WAV(url=url)

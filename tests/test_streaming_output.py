@@ -102,3 +102,78 @@ def test_inspect_dataset(spark):
 def test_schema_report(spark):
     rep = schema_report(load_table(spark, SF_SMALL, "orders"))
     assert rep["dtypes"]["o_orderkey"] == "bigint"
+
+
+def test_zarr_sink_roundtrip(spark, tmp_path):
+    """Distributed zarr write (executor chunk files) → ZarrReader read-back
+    equals the source array."""
+    import numpy as np
+
+    from intake_spark.arrays import NumpyArrayReader
+    from intake_spark.readers import ZarrReader
+
+    arr = np.arange(10 * 3, dtype="<f8").reshape(10, 3) * 0.5
+    npy = str(tmp_path / "a.npy")
+    np.save(npy, arr)
+    chunks = NumpyArrayReader(data=dt.NumpyFile(url=npy)).read(
+        spark=spark, rows_per_chunk=4
+    )
+    store = str(tmp_path / "a.zarr")
+    output.to_zarr(chunks, store)
+    back = ZarrReader(data=dt.Zarr(url=store)).read(spark=spark)
+    rows = sorted(back.collect(), key=lambda r: r.offset0)
+    rebuilt = np.concatenate([np.array(r.values).reshape(-1, 3) for r in rows])
+    np.testing.assert_array_equal(rebuilt, arr)
+
+
+def test_npy_sink_roundtrip(spark, tmp_path):
+    import numpy as np
+
+    from intake_spark.arrays import NumpyArrayReader
+
+    arr = np.linspace(0, 1, 24, dtype="<f8").reshape(6, 4)
+    src = str(tmp_path / "in.npy")
+    np.save(src, arr)
+    chunks = NumpyArrayReader(data=dt.NumpyFile(url=src)).read(spark=spark, rows_per_chunk=2)
+    dst = str(tmp_path / "out.npy")
+    output.to_npy(chunks, dst)
+    np.testing.assert_array_equal(np.load(dst), arr)
+
+
+def test_png_wav_sinks(spark, tmp_path):
+    import struct
+    import wave
+    import zlib
+
+    import numpy as np
+
+    from intake_spark.arrays import NumpyArrayReader
+
+    img = (np.arange(8 * 8) % 256).astype("<f8").reshape(8, 8)
+    npy = str(tmp_path / "img.npy")
+    np.save(npy, img)
+    chunks = NumpyArrayReader(data=dt.NumpyFile(url=npy)).read(spark=spark, rows_per_chunk=8)
+    png = str(tmp_path / "img.png")
+    output.to_png(chunks, png)
+    blob = open(png, "rb").read()
+    assert blob[:8] == b"\x89PNG\r\n\x1a\n"
+    w, h = struct.unpack(">II", blob[16:24])
+    assert (w, h) == (8, 8)
+    # decode IDAT scanlines back and compare pixel values
+    idat_off = blob.index(b"IDAT") + 4
+    idat_len = struct.unpack(">I", blob[idat_off - 8 : idat_off - 4])[0]
+    raw = zlib.decompress(blob[idat_off : idat_off + idat_len])
+    px = [list(raw[r * 9 + 1 : r * 9 + 9]) for r in range(8)]
+    np.testing.assert_array_equal(np.array(px, dtype=float), img)
+
+    sig = np.sin(np.linspace(0, 6.28, 100)).astype("<f8")
+    npy2 = str(tmp_path / "sig.npy")
+    np.save(npy2, sig)
+    chunks2 = NumpyArrayReader(data=dt.NumpyFile(url=npy2)).read(spark=spark, rows_per_chunk=40)
+    wav = str(tmp_path / "sig.wav")
+    output.to_wav(chunks2, wav, rate=8000)
+    with wave.open(wav) as wf:
+        assert wf.getnframes() == 100
+        assert wf.getframerate() == 8000
+        frames = np.frombuffer(wf.readframes(100), dtype="<i2")
+    np.testing.assert_allclose(frames / 32767.0, sig, atol=1e-3)
