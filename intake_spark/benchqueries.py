@@ -816,3 +816,37 @@ def get_oracle_sql() -> dict[str, str]:
     import intake_spark.llm.queries  # noqa: F401
 
     return dict(ORACLE)
+
+
+@register(
+    "q46_sessionize",
+    """
+    WITH marks AS (
+      SELECT user_id, ts,
+             CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  OR ts >= LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                           + INTERVAL '30 minutes'
+             THEN 1 ELSE 0 END AS new_s
+      FROM events),
+    sess AS (
+      SELECT user_id, ts,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marks)
+    SELECT user_id,
+           CAST(MIN(ts) AS TIMESTAMP_NS) AS session_start,
+           CAST(MAX(ts) + INTERVAL '30 minutes' AS TIMESTAMP_NS) AS session_end,
+           COUNT(*) AS n_events
+    FROM sess GROUP BY user_id, sid
+    """,
+)
+def q46_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-minute inactivity) over the events
+    table: mark-and-cumsum batch formulation, NTZ arithmetic throughout (no
+    LTZ cast — timezone-independent), one shuffle on the user key. The
+    streaming twin (native session_window) is equality-tested against this
+    batch path in pytest; the oracle re-derives the same islands in SQL."""
+    from intake_spark.streaming import sessionize
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    return sessionize(ev, gap="30 minutes")

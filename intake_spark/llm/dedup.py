@@ -241,6 +241,54 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits:
     return votes.select(id_col, sim.alias("simhash"))
 
 
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 16,
+    bands: int = 8,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-dup pairs: (doc_a, doc_b, hamming <= max_hamming).
+
+    Pigeonhole banding makes this an equi-join, never all-pairs: the
+    ``bits``-wide simhash splits into ``bands`` slices of r = bits/bands
+    bits; a pair within ``max_hamming`` differing bits must agree exactly on
+    at least one full band whenever ``max_hamming < bands`` — so recall is
+    **exact** (guaranteed 100%) for max_hamming < bands, at candidate cost
+    bands * n^2 / 2^r for spread data (same asymptotics as MinHash banding).
+    Verification is one integer xor + bit_count per candidate.
+    """
+    if max_hamming >= bands:
+        raise ValueError(
+            f"pigeonhole guarantee needs max_hamming < bands, got "
+            f"{max_hamming} >= {bands}"
+        )
+    r = bits // bands
+    sig = simhash(df, id_col, text_col, bits)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.shiftright(F.col("simhash"), b * r).bitwiseAND(F.lit(2**r - 1)).alias("band_val"),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = sig.select(id_col, "simhash", F.explode(band_structs).alias("b")).select(
+        id_col, "simhash", F.col("b.band_id").alias("band_id"), F.col("b.band_val").alias("band_val")
+    )
+    a = banded.select(F.col(id_col).alias("doc_a"), F.col("simhash").alias("sh_a"), "band_id", "band_val")
+    b = banded.select(F.col(id_col).alias("doc_b"), F.col("simhash").alias("sh_b"), "band_id", "band_val")
+    return (
+        a.join(b, ["band_id", "band_val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
 def dup_groups(
     pairs: DataFrame,
     a_col: str = "doc_a",
@@ -342,7 +390,7 @@ def embedding_near_dup_pairs(
     candidates) instead. Pass ``max_rows=None`` to force brute force.
     The guard scan is capped at ``max_rows + 1`` rows, not a full count.
     """
-    from intake_spark.llm.similarity import cosine_expr
+    from intake_spark.llm.similarity import dot_expr, norm2_expr
 
     if max_rows is not None and df.limit(max_rows + 1).count() > max_rows:
         raise ValueError(
@@ -351,12 +399,16 @@ def embedding_near_dup_pairs(
             "intake_spark.llm.similarity.lsh_ann_pairs (banded LSH) or pass "
             "max_rows=None to force brute force"
         )
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).cast("array<double>").alias("va"))
-    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).cast("array<double>").alias("vb"))
+    # squared norms precompute per vector, not per pair: cosine stays the
+    # bit-identical dot / sqrt(na2 * nb2) expression, at 1/3 the fold work
+    v = df.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v"))
+    v = v.withColumn("_n2", norm2_expr("_v"))
+    a = v.select(F.col(id_col).alias("id_a"), F.col("_v").alias("va"), F.col("_n2").alias("na2"))
+    b = v.select(F.col(id_col).alias("id_b"), F.col("_v").alias("vb"), F.col("_n2").alias("nb2"))
     return (
         a.crossJoin(b)
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine", cosine_expr("va", "vb"))
+        .withColumn("cosine", dot_expr("va", "vb") / F.sqrt(F.col("na2") * F.col("nb2")))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )

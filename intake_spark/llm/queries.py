@@ -360,6 +360,60 @@ def q43_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q44_sql(bits: int = 32, bands: int = 4, max_hamming: int = 3) -> str:
+    r = bits // bands
+    return f"""
+    WITH sims AS (SELECT * FROM ({_simhash_sql(bits)}) q),
+    banded AS (
+      SELECT doc_id, simhash, b AS band_id,
+             (simhash >> (b * {r})) & {2**r - 1} AS band_val
+      FROM sims, generate_series(0, {bands - 1}) AS t(b)),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.simhash AS sh_a, b.simhash AS sh_b
+      FROM banded a JOIN banded b
+        ON a.band_id = b.band_id AND a.band_val = b.band_val AND a.doc_id < b.doc_id)
+    SELECT doc_a, doc_b, CAST(bit_count(xor(sh_a, sh_b)) AS BIGINT) AS hamming
+    FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= {max_hamming}
+    """
+
+
+@register("q44_simhash_pairs", _q44_sql())
+def q44_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs via pigeonhole banding (4 bands of 8 bits over
+    a 32-bit simhash; hamming <= 3 < bands ⇒ guaranteed full recall, and
+    256 buckets per band keeps candidate volume ~ B·n²/2^r, not all-pairs).
+    The whole pipeline is md5-deterministic and re-derived in the oracle."""
+    out = dedup.simhash_pairs(
+        load_table(spark, sf_dir, "documents"), bits=32, bands=4, max_hamming=3
+    )
+    return out.select("doc_a", "doc_b", F.col("hamming").cast("long").alias("hamming"))
+
+
+@register(
+    "q45_embedding_near_dup",
+    """
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
+               WHERE vec_id < 1000)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(list_dot_product(a.vec, b.vec)
+                 / sqrt(list_dot_product(a.vec, a.vec) * list_dot_product(b.vec, b.vec)),
+                 6) AS cosine_r
+    FROM v a JOIN v b ON a.vec_id < b.vec_id
+    WHERE list_dot_product(a.vec, b.vec)
+          / sqrt(list_dot_product(a.vec, a.vec) * list_dot_product(b.vec, b.vec)) >= 0.45
+    """,
+)
+def q45_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force embedding near-dup pairs — the oracle algorithm the
+    banded LSH of q31 approximates. The corpus is capped (vec_id < 1000,
+    mirrored in the oracle) because all-pairs cosine is exactly the thing
+    the max_rows guard exists to stop at scale; q31 is the unbounded path."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 1000)
+    out = dedup.embedding_near_dup_pairs(emb, threshold=0.45, max_rows=None)
+    return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine_r"))
+
+
 _Q31_DIM, _Q31_BANDS, _Q31_R, _Q31_THRESH = 64, 4, 4, 0.4
 
 

@@ -101,22 +101,45 @@ def sessionize(
     Streaming input uses Spark's native ``session_window`` (state bounded by
     the watermark — sessions older than it are emitted and evicted, which is
     what makes this run forever on unbounded input). Batch input uses the
-    same session_window expression, so results are directly comparable —
-    the batch run is the oracle for the streaming run in tests.
+    classic mark-and-cumsum formulation (lag → new-session flag → running
+    sum = session id → aggregate): identical boundary semantics (a session
+    closes when ``ts >= prev_ts + gap``; ``session_end = last_ts + gap``),
+    but the arithmetic stays in the input's own timestamp type — no LTZ
+    cast, so NTZ inputs are timezone-independent. Both paths shuffle once
+    on the user key; the stream≡batch equality is asserted in tests.
     """
     if events.isStreaming:
         if dict(events.dtypes).get(ts_col) == "timestamp_ntz":
             events = events.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
         events = events.withWatermark(ts_col, watermark)
-    return (
-        events.groupBy(F.col(user_col), F.session_window(F.col(ts_col), gap).alias("sw"))
-        .agg(F.count(F.lit(1)).alias("n_events"))
-        .select(
-            user_col,
-            F.col("sw.start").alias("session_start"),
-            F.col("sw.end").alias("session_end"),
-            "n_events",
+        return (
+            events.groupBy(F.col(user_col), F.session_window(F.col(ts_col), gap).alias("sw"))
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(
+                user_col,
+                F.col("sw.start").alias("session_start"),
+                F.col("sw.end").alias("session_end"),
+                "n_events",
+            )
         )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(user_col).orderBy(ts_col)
+    gap_i = F.expr(f"INTERVAL {gap}")
+    prev = F.lag(ts_col).over(w)
+    new_s = F.when(prev.isNull() | (F.col(ts_col) >= prev + gap_i), 1).otherwise(0)
+    marked = events.withColumn("_new", new_s)
+    sid = F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    return (
+        marked.withColumn("_sid", sid)
+        .drop("_new")
+        .groupBy(user_col, "_sid")
+        .agg(
+            F.min(ts_col).alias("session_start"),
+            (F.max(ts_col) + gap_i).alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .drop("_sid")
     )
 
 

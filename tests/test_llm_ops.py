@@ -174,3 +174,30 @@ def test_binary_dir_reader(spark, tmp_path):
     df = multimodal.read_binary_dir(spark, str(tmp_path), glob="*.bin")
     rows = df.select("path", "length", "content").collect()
     assert len(rows) == 2 and {r.length for r in rows} == {5, 6}
+
+
+def test_simhash_pairs_pigeonhole_exact(spark, docs):
+    """Banding with max_hamming < bands guarantees FULL recall vs the
+    brute-force hamming join — pigeonhole, not probabilistic."""
+    from pyspark.sql import functions as F
+
+    sample = docs.limit(120)
+    banded = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.simhash_pairs(sample, bits=16, bands=8, max_hamming=3).collect()
+    }
+    sig = dedup.simhash(sample, bits=16)
+    a = sig.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"))
+    b = sig.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"))
+    brute = {
+        (r.doc_a, r.doc_b)
+        for r in a.crossJoin(b)
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .filter(F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))) <= 3)
+        .collect()
+    }
+    assert banded == brute
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="pigeonhole"):
+        dedup.simhash_pairs(sample, bits=16, bands=4, max_hamming=4)
