@@ -170,3 +170,120 @@ class DicomReader(BaseReader):
             "DICOM decode requires pydicom; plumbing model: binaryFile → "
             "per-file parse UDF → chunk rows + tag columns (see FITSReader)"
         )
+
+
+class NetCDF3(dt.FileData):
+    filepattern = r"(nc|cdf)$"
+    magic = (b"CDF\x01", b"CDF\x02")
+    structure = {"array", "hierarchy"}
+
+    def __init__(self, url, variable: str = "", storage_options=None, metadata=None):
+        super().__init__(url, storage_options, metadata)
+        self.variable = variable
+
+
+_NC_TYPES = {1: (">i1", 1), 2: ("S1", 1), 3: (">i2", 2), 4: (">i4", 4), 5: (">f4", 4), 6: (">f8", 8)}
+
+
+def _nc_name(buf: bytes, i: int) -> tuple[str, int]:
+    (n,) = struct.unpack(">I", buf[i : i + 4])
+    name = buf[i + 4 : i + 4 + n].decode("utf-8", errors="replace")
+    pad = (4 - n % 4) % 4
+    return name, i + 4 + n + pad
+
+
+def _nc_skip_atts(buf: bytes, i: int) -> int:
+    tag, cnt = struct.unpack(">II", buf[i : i + 8])
+    i += 8
+    if tag == 0:  # ABSENT
+        return i
+    for _ in range(cnt):
+        _, i = _nc_name(buf, i)
+        typ, nelems = struct.unpack(">II", buf[i : i + 8])
+        i += 8
+        size = _NC_TYPES[typ][1] * nelems
+        i += size + (4 - size % 4) % 4
+    return i
+
+
+def parse_netcdf3_header(buf: bytes) -> dict:
+    """Classic netCDF (CDF-1/CDF-2) header → dims, vars (name → shape,
+    dtype, begin, record?) and record geometry. Spec-layout parse, stdlib
+    struct only."""
+    if buf[:3] != b"CDF" or buf[3] not in (1, 2):
+        raise ValueError("not a classic netCDF3 file")
+    offfmt = ">I" if buf[3] == 1 else ">Q"
+    offsz = 4 if buf[3] == 1 else 8
+    (numrecs,) = struct.unpack(">I", buf[4:8])
+    i = 8
+    tag, cnt = struct.unpack(">II", buf[i : i + 8])
+    i += 8
+    dims = []
+    if tag == 0x0A:
+        for _ in range(cnt):
+            name, i = _nc_name(buf, i)
+            (size,) = struct.unpack(">I", buf[i : i + 4])
+            i += 4
+            dims.append((name, size))
+    i = _nc_skip_atts(buf, i)
+    tag, cnt = struct.unpack(">II", buf[i : i + 8])
+    i += 8
+    out: dict = {"dims": dims, "numrecs": numrecs, "vars": {}}
+    if tag != 0x0B:
+        return out
+    for _ in range(cnt):
+        name, i = _nc_name(buf, i)
+        (nd,) = struct.unpack(">I", buf[i : i + 4])
+        i += 4
+        dimids = struct.unpack(f">{nd}I", buf[i : i + 4 * nd]) if nd else ()
+        i += 4 * nd
+        i = _nc_skip_atts(buf, i)
+        typ, _vsize = struct.unpack(">II", buf[i : i + 8])
+        i += 8
+        (begin,) = struct.unpack(offfmt, buf[i : i + offsz])
+        i += offsz
+        is_record = bool(nd) and dims[dimids[0]][1] == 0
+        shape = [dims[d][1] for d in dimids]
+        if is_record:
+            shape[0] = numrecs
+        out["vars"][name] = {
+            "dtype": _NC_TYPES[typ][0],
+            "shape": shape,
+            "begin": begin,
+            "record": is_record,
+        }
+    return out
+
+
+class NetCDF3Reader(BaseReader):
+    """Classic netCDF3 variable → chunk-row DataFrame, no netCDF4/xarray
+    packages: stdlib header parse (driver), numpy byte-range decode in
+    mapInPandas (executors). Fixed-size variables only — record-dimension
+    variables interleave per record and need a strided manifest (rejected
+    with a clear error; the reference reads them via xarray/scipy).
+    Parity: XArrayDatasetReader's netCDF path, readers.py:1340-1440."""
+
+    implements = {NetCDF3}
+
+    def _read(self, spark, variable: str | None = None, rows_per_chunk: int = 1024, **kwargs):
+        url = self.data.url
+        with open(url, "rb") as f:
+            hdr = parse_netcdf3_header(f.read(1 << 20))
+        var = variable or getattr(self.data, "variable", "") or ""
+        if not var:
+            fixed = [k for k, v in hdr["vars"].items() if not v["record"]]
+            if not fixed:
+                raise ValueError("no fixed-size variables in file")
+            var = fixed[0]
+        if var not in hdr["vars"]:
+            raise KeyError(f"variable {var!r} not in {sorted(hdr['vars'])}")
+        meta = hdr["vars"][var]
+        if meta["record"]:
+            raise ValueError(
+                f"variable {var!r} uses the record dimension; strided record "
+                "reads not supported by this stdlib reader"
+            )
+        self.data.metadata.update({"dims": hdr["dims"], "variable": var})
+        return _chunked_array_df(
+            spark, url, meta["dtype"], meta["shape"] or [1], meta["begin"], rows_per_chunk
+        )

@@ -124,6 +124,15 @@ def from_v1_dict(doc: dict, catalog_dir: str = ".") -> Catalog:
             if args.get("chooser"):
                 akw["chooser"] = args["chooser"]
             payload = {"cls": "intake_spark.v1compat:AliasReader", "data": None, "kwargs": akw}
+        elif driver in _DERIVED_DRIVERS:
+            keys = _DERIVED_DRIVERS[driver]
+            dkw: dict[str, Any] = {"targets": list(args.get("targets") or [])}
+            if args.get("chooser"):
+                dkw["chooser"] = args["chooser"]
+            for k in keys:
+                if args.get(k) is not None:
+                    dkw[k] = args[k]
+            payload = {"cls": "intake_spark.v1compat:DerivedReader", "data": None, "kwargs": dkw}
         elif driver in ("sql", "sql_cat", "postgres"):
             data = dt.SQLQuery(conn=args.get("uri", ""), query=args.get("sql_expr", ""))
             payload = {
@@ -223,6 +232,60 @@ class AliasReader(BaseReader):
 
             fn = str_to_func(fn)
         return fn(targets or [], cat, spark=spark)
+
+
+class DerivedReader(BaseReader):
+    """V1 derived sources over catalog targets (parity: Columns
+    derived.py:289-313, GenericTransform :216-254, DataFrameTransform
+    :257-286): read the chosen target, then apply a projection and/or an
+    import-string transform (gated by ``conf["allow_import"]``, the same
+    code-execution gate as pipeline ``apply``)."""
+
+    needs_catalog = True
+
+    def _read(
+        self,
+        spark,
+        targets=None,
+        columns=None,
+        transform=None,
+        transform_kwargs=None,
+        chooser: str = "first",
+        **kwargs,
+    ):
+        from intake_spark.config import conf
+        from intake_spark.utils import str_to_func
+
+        cat = getattr(self, "_catalog", None)
+        if cat is None:
+            raise ValueError("DerivedReader cannot be used outside a catalog")
+        fn = _CHOOSERS.get(chooser, first) if isinstance(chooser, str) else chooser
+        df = fn(list(targets or []), cat, spark=spark)
+        if columns:
+            df = df.select(*columns)
+        if transform:
+            from intake_spark.utils import is_func_str
+
+            # V1 transform strings are plain dotted/colon paths
+            # ("pkg.mod.fn" / "pkg.mod:fn"); normalize to the gated
+            # {func(mod:name)} template the engine uses everywhere else
+            if not is_func_str(transform):
+                if ":" not in transform:
+                    mod, _, name = transform.rpartition(".")
+                    transform = f"{mod}:{name}"
+                transform = f"{{func({transform})}}"
+            func = str_to_func(transform, allow_import=conf["allow_import"])
+            df = func(df, **(transform_kwargs or {}))
+        return df
+
+
+_DERIVED_DRIVERS = {
+    "intake.source.derived.Columns": ("columns",),
+    "derived_columns": ("columns",),
+    "intake.source.derived.GenericTransform": ("transform", "transform_kwargs"),
+    "intake.source.derived.DataFrameTransform": ("transform", "transform_kwargs"),
+    "derived_transform": ("transform", "transform_kwargs"),
+}
 
 
 def open_v1_catalog(path: str) -> Catalog:

@@ -319,3 +319,55 @@ def test_entrypoints_catalog(monkeypatch):
     cat = catmod.entrypoints_catalog()
     assert "plugin.tbl" in cat.aliases
     assert len(cat.entries) == 1
+
+
+def _make_netcdf3(var_name: str, arr) -> bytes:
+    """Spec-encoded classic netCDF (CDF-1) file with one fixed variable
+    (big-endian, padded names) — independent of the reader."""
+    import struct as st
+
+    import numpy as np
+
+    def name(s):
+        b = s.encode()
+        return st.pack(">I", len(b)) + b + b"\x00" * ((4 - len(b) % 4) % 4)
+
+    dims = b"".join(
+        name(f"d{i}") + st.pack(">I", n) for i, n in enumerate(arr.shape)
+    )
+    dim_list = st.pack(">II", 0x0A, arr.ndim) + dims
+    gatts = st.pack(">II", 0, 0)  # ABSENT
+    data = arr.astype(">f8").tobytes()
+    # header size must be known to set begin; build var entry with placeholder
+    var_entry = (
+        name(var_name)
+        + st.pack(">I", arr.ndim)
+        + b"".join(st.pack(">I", i) for i in range(arr.ndim))
+        + st.pack(">II", 0, 0)  # no var atts
+        + st.pack(">II", 6, len(data))  # NC_DOUBLE, vsize
+    )
+    header_wo_begin = (
+        b"CDF\x01" + st.pack(">I", 0) + dim_list + gatts
+        + st.pack(">II", 0x0B, 1) + var_entry
+    )
+    begin = len(header_wo_begin) + 4
+    return header_wo_begin + st.pack(">I", begin) + data
+
+
+def test_netcdf3_reader(spark, tmp_path):
+    import numpy as np
+
+    from intake_spark.sci import NetCDF3, NetCDF3Reader
+
+    arr = np.arange(6 * 3, dtype=float).reshape(6, 3) + 0.25
+    p = tmp_path / "t.nc"
+    p.write_bytes(_make_netcdf3("temp", arr))
+    data = NetCDF3(url=str(p))
+    df = NetCDF3Reader(data=data).read(spark=spark, rows_per_chunk=4)
+    rows = sorted(df.collect(), key=lambda r: r.offset0)
+    assert rows[0].shape == [6, 3]
+    rebuilt = np.concatenate([np.array(r.values).reshape(-1, 3) for r in rows])
+    np.testing.assert_array_equal(rebuilt, arr)
+    assert data.metadata["variable"] == "temp"
+    with pytest.raises(KeyError):
+        NetCDF3Reader(data=NetCDF3(url=str(p))).read(spark=spark, variable="nope")

@@ -201,3 +201,97 @@ def test_simhash_pairs_pigeonhole_exact(spark, docs):
 
     with _pytest.raises(ValueError, match="pigeonhole"):
         dedup.simhash_pairs(sample, bits=16, bands=4, max_hamming=4)
+
+
+def _png_rgb_with_filters(rows_rgb, filters):
+    """Hand-build an RGB PNG applying a given filter type per scanline
+    (spec-encoded in the test, independent of the decoder)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    arr = np.asarray(rows_rgb, dtype=np.uint8)
+    h, w, _ = arr.shape
+    raw = bytearray()
+    prev = np.zeros(w * 3, dtype=np.uint8)
+    for y, ftype in zip(range(h), filters):
+        line = arr[y].ravel().astype(np.int16)
+        if ftype == 0:
+            enc = line & 0xFF
+        elif ftype == 1:  # Sub
+            left = np.concatenate([np.zeros(3, dtype=np.int16), line[:-3]])
+            enc = (line - left) & 0xFF
+        elif ftype == 2:  # Up
+            enc = (line - prev) & 0xFF
+        elif ftype == 4:  # Paeth (left-predictor variant on first row basis)
+            enc = np.empty(w * 3, dtype=np.int16)
+            for x in range(w * 3):
+                a = int(line[x - 3]) if x >= 3 else 0
+                b = int(prev[x])
+                c = int(prev[x - 3]) if x >= 3 else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                enc[x] = (line[x] - pred) & 0xFF
+        raw += bytes([ftype]) + bytes(int(v) for v in enc)
+        prev = line.astype(np.uint8)
+
+    def chunk(tag, payload):
+        body = tag + payload
+        return struct.pack(">I", len(payload)) + body + struct.pack(">I", zlib.crc32(body))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_png_decode_filters():
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    arr = rng.integers(0, 256, size=(4, 5, 3), dtype=np.uint8)
+    blob = _png_rgb_with_filters(arr, filters=[0, 1, 2, 4])
+    out = multimodal.decode_png(blob)
+    np.testing.assert_array_equal(out, arr)
+
+
+def test_wav_decode_roundtrip(spark, tmp_path):
+    import numpy as np
+
+    from intake_spark import datatypes as dt
+    from intake_spark import output
+    from intake_spark.arrays import NumpyArrayReader
+
+    sig = np.cos(np.linspace(0, 3.0, 50)).astype("<f8")
+    npy = str(tmp_path / "s.npy")
+    np.save(npy, sig)
+    chunks = NumpyArrayReader(data=dt.NumpyFile(url=npy)).read(spark=spark)
+    wav = str(tmp_path / "s.wav")
+    output.to_wav(chunks, wav, rate=4000)
+    rate, arr = multimodal.decode_wav(open(wav, "rb").read())
+    assert rate == 4000 and arr.shape == (50, 1)
+    np.testing.assert_allclose(arr[:, 0] / 32767.0, sig, atol=1e-3)
+
+
+def test_image_features_end_to_end(spark, tmp_path):
+    """binaryFile scan → REAL PNG decode/feature/resize in mapInPandas —
+    the multimodal pipeline with zero media libraries."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    for i in range(3):
+        arr = rng.integers(0, 256, size=(16 + i, 12, 3), dtype=np.uint8)
+        blob = _png_rgb_with_filters(arr, filters=[0] * (16 + i))
+        (tmp_path / f"img{i}.png").write_bytes(blob)
+    files = multimodal.read_binary_dir(spark, str(tmp_path), glob="*.png")
+    feats = multimodal.image_features(files, keep_cols=["path"]).collect()
+    assert len(feats) == 3
+    for r in feats:
+        assert r.width == 12 and r.n_channels == 3
+        assert 0 <= r.mean_intensity <= 255
+        assert len(r.thumb) == 64

@@ -234,3 +234,52 @@ sources:
 
     with pytest.raises(ValueError, match="outside a catalog"):
         AliasReader(target="x").read(spark=spark)
+
+
+def _double_a(df, factor=2):
+    from pyspark.sql import functions as F
+
+    return df.withColumn("a", F.col("a") * factor)
+
+
+def test_v1_derived_sources(spark, tmp_path):
+    """V1 derived drivers (Columns / GenericTransform / DataFrameTransform,
+    reference derived.py:216-313) over catalog targets."""
+    from intake_spark.v1compat import open_v1_catalog
+
+    (tmp_path / "t.csv").write_text("a,b,c\n1,x,10\n2,y,20\n")
+    (tmp_path / "cat.yaml").write_text(
+        """
+sources:
+  base:
+    driver: csv
+    args:
+      urlpath: "{{ CATALOG_DIR }}/t.csv"
+  just_cols:
+    driver: intake.source.derived.Columns
+    args:
+      targets: [base]
+      columns: ["a", "b"]
+  doubled:
+    driver: intake.source.derived.DataFrameTransform
+    args:
+      targets: [base]
+      transform: "tests.test_v1compat_ops2:_double_a"
+      transform_kwargs:
+        factor: 3
+"""
+    )
+    cat = open_v1_catalog(str(tmp_path / "cat.yaml"))
+    cols = cat["just_cols"].read(spark=spark)
+    assert cols.columns == ["a", "b"] and cols.count() == 2
+    doubled = cat["doubled"].read(spark=spark)
+    assert sorted(r.a for r in doubled.collect()) == [3, 6]
+
+    from intake_spark.config import conf, reset
+
+    try:
+        conf["allow_import"] = False
+        with pytest.raises(PermissionError):
+            cat["doubled"].read(spark=spark)
+    finally:
+        reset()
