@@ -3,13 +3,14 @@ and metadata extraction surface, Spark-first.
 
 Parity targets (intake/readers/readers.py): MarkdownReader :1980,
 TOMLReader :2011, INIReader :2058, HTMLTableReader :2086, PDFTextReader
-:2100 (stubbed — no pdf lib here), GGUFMetadataReader :2548-2600-ish,
-SafeTensors metadata readers :3000+. Pattern: many files →
-``binaryFile`` rows → Arrow-batched parse UDF → typed columns; a single
-config file parses driver-side (it is one row of data).
+:2100 (stdlib FlateDecode + content-stream scan — no pdf lib needed),
+GGUFMetadataReader :2548-2600-ish, SafeTensors metadata readers :3000+.
+Pattern: many files → ``binaryFile`` rows → Arrow-batched parse UDF →
+typed columns; a single config file parses driver-side (it is one row of
+data).
 
-All parsers are stdlib-only (tomllib/configparser/html.parser/struct/json),
-so nothing here is import-gated except PDF.
+All parsers are stdlib-only (tomllib/configparser/html.parser/zlib/
+struct/json) — nothing in this module is import-gated.
 """
 
 from __future__ import annotations

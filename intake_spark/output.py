@@ -245,3 +245,47 @@ def to_wav(df: DataFrame, url: str, rate: int = 16000) -> dt.WAV:
             ]
             w.writeframes(_struct.pack(f"<{len(samples)}h", *samples))
     return dt.WAV(url=url)
+
+
+def to_netcdf(df: DataFrame, url: str, variable: str = "data") -> "dt.BaseData":
+    """Chunk-row DataFrame → classic netCDF (CDF-1) file with one float64
+    variable (parity: XarrayToNetCDF output.py:85-98, which needs xarray —
+    this writes the spec layout with stdlib struct). Streamed through the
+    driver in offset order like to_npy; round-trips with
+    sci.NetCDF3Reader."""
+    import struct as st
+
+    from intake_spark.sci import NetCDF3
+
+    first = df.select("shape").first()
+    if first is None:
+        raise ValueError("empty chunk DataFrame")
+    shape = [int(s) for s in first["shape"]]
+
+    def name(s: str) -> bytes:
+        b = s.encode()
+        return st.pack(">I", len(b)) + b + b"\x00" * ((4 - len(b) % 4) % 4)
+
+    n_elems = 1
+    for s in shape:
+        n_elems *= s
+    dims = b"".join(name(f"dim{i}") + st.pack(">I", n) for i, n in enumerate(shape))
+    dim_list = st.pack(">II", 0x0A, len(shape)) + dims
+    gatts = st.pack(">II", 0, 0)
+    var_entry = (
+        name(variable)
+        + st.pack(">I", len(shape))
+        + b"".join(st.pack(">I", i) for i in range(len(shape)))
+        + st.pack(">II", 0, 0)
+        + st.pack(">II", 6, n_elems * 8)  # NC_DOUBLE
+    )
+    header = (
+        b"CDF\x01" + st.pack(">I", 0) + dim_list + gatts
+        + st.pack(">II", 0x0B, 1) + var_entry
+    )
+    begin = len(header) + 4
+    with open(url, "wb") as f:
+        f.write(header + st.pack(">I", begin))
+        for row in df.select("offset0", "values").orderBy("offset0").toLocalIterator():
+            f.write(st.pack(f">{len(row['values'])}d", *row["values"]))
+    return NetCDF3(url=url, variable=variable)

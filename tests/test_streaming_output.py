@@ -177,3 +177,21 @@ def test_png_wav_sinks(spark, tmp_path):
         assert wf.getframerate() == 8000
         frames = np.frombuffer(wf.readframes(100), dtype="<i2")
     np.testing.assert_allclose(frames / 32767.0, sig, atol=1e-3)
+
+
+def test_netcdf_sink_roundtrip(spark, tmp_path):
+    import numpy as np
+
+    from intake_spark.arrays import NumpyArrayReader
+    from intake_spark.sci import NetCDF3Reader
+
+    arr = np.arange(8 * 2, dtype="<f8").reshape(8, 2) / 3.0
+    npy = str(tmp_path / "a.npy")
+    np.save(npy, arr)
+    chunks = NumpyArrayReader(data=dt.NumpyFile(url=npy)).read(spark=spark, rows_per_chunk=3)
+    nc = str(tmp_path / "a.nc")
+    desc = output.to_netcdf(chunks, nc, variable="vals")
+    back = NetCDF3Reader(data=desc).read(spark=spark)
+    rows = sorted(back.collect(), key=lambda r: r.offset0)
+    rebuilt = np.concatenate([np.array(r.values).reshape(-1, 2) for r in rows])
+    np.testing.assert_array_equal(rebuilt, arr)
