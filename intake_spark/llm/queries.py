@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from intake_spark.benchqueries import register
-from intake_spark.llm import dedup, multimodal, similarity, text
+from intake_spark.llm import dedup, multimodal, sampling, similarity, text
 from intake_spark.llm.dedup import MINHASH_P, _affine_coeffs
 from intake_spark.llm.text import LANG_ORDER, STOPWORDS
 from intake_spark.session import load_table
@@ -358,6 +358,51 @@ def q43_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_max("embedding").cast("double").alias("max_val"),
         F.size(F.filter("embedding", lambda x: x > 0)).cast("long").alias("n_positive"),
     )
+
+
+_HASH_BUCKET_SQL = (
+    "CAST(concat('0x', substr(md5({key}), 1, 8)) AS BIGINT) % 1000000"
+)
+
+
+@register(
+    "q47_hash_sample",
+    f"""
+    SELECT doc_id, source
+    FROM documents
+    WHERE {_HASH_BUCKET_SQL.format(key="CAST(doc_id AS VARCHAR)")} < 250000
+    """,
+)
+def q47_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible 25% sample keyed on a content-stable hash — the
+    partitioning-independent alternative to df.sample() for dataset builds
+    (same rows on any cluster layout; mapper-only filter, no shuffle)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return sampling.hash_sample(docs, "doc_id", 0.25).select("doc_id", "source")
+
+
+_Q48_RATES = {"src0": 1.0, "src1": 0.5, "src2": 0.1}
+
+
+@register(
+    "q48_mix_sources",
+    f"""
+    SELECT doc_id, source
+    FROM documents
+    WHERE {_HASH_BUCKET_SQL.format(key="concat('mix', CAST(doc_id AS VARCHAR))")}
+          < CASE source
+              WHEN 'src0' THEN 1000000
+              WHEN 'src1' THEN 500000
+              WHEN 'src2' THEN 100000
+              ELSE 0 END
+    """,
+)
+def q48_mix_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted source mixing (corpus reweighting): per-source sampling
+    rates applied as one deterministic hash filter — the standard
+    training-mix step, reproducible and shuffle-free."""
+    docs = load_table(spark, sf_dir, "documents")
+    return sampling.mix_sources(docs, _Q48_RATES).select("doc_id", "source")
 
 
 def _q44_sql(bits: int = 32, bands: int = 4, max_hamming: int = 3) -> str:

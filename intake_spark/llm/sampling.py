@@ -1,0 +1,72 @@
+"""Deterministic sampling / source-mixing for training-data pipelines.
+
+``df.sample()`` draws per-partition random numbers: results change with
+partitioning, retries, and cluster size — unacceptable for reproducible
+100 TB dataset builds. These operators key every decision off a stable
+content hash instead, so a sample is a pure function of the data:
+re-running on any cluster layout yields byte-identical output, and the
+decision is a mapper-only filter (no shuffle, prunes at the scan).
+
+No reference counterpart (part of the mandated beyond-reference LLM
+pipeline layer); the hash-mod idiom is the standard reproducible-sampling
+pattern in large-scale dataset curation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# md5-derived 32-bit bucket in [0, 10^6): enough resolution for per-ppm
+# sampling rates while staying exactly representable in both engines
+_BUCKETS = 1_000_000
+
+
+def hash_bucket(col, salt: str = ""):
+    """Deterministic bucket in [0, 1e6) from a key column: first 8 hex chars
+    of md5(salt || key), mod 1e6. Engine-portable (md5 + integer mod)."""
+    key = F.concat(F.lit(salt), F.col(col).cast("string")) if salt else F.col(col).cast("string")
+    return F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("bigint") % _BUCKETS
+
+
+def hash_sample(df: DataFrame, key_col: str, fraction: float, salt: str = "") -> DataFrame:
+    """Reproducible ``fraction`` sample keyed on ``key_col``: keep rows with
+    hash_bucket < fraction * 1e6. Deterministic under any partitioning;
+    different ``salt`` values give independent samples (e.g. train/eval
+    splits that provably don't overlap when their ranges are disjoint)."""
+    return df.filter(hash_bucket(key_col, salt) < int(fraction * _BUCKETS))
+
+
+def hash_split(df: DataFrame, key_col: str, fractions: list[float], salt: str = "") -> list[DataFrame]:
+    """Disjoint deterministic splits (e.g. [0.8, 0.1, 0.1] train/val/test):
+    contiguous bucket ranges of one hash, so membership is exclusive and
+    exhaustive by construction — no row can land in two splits."""
+    if abs(sum(fractions) - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {sum(fractions)}")
+    b = hash_bucket(key_col, salt)
+    edges = [0]
+    for f in fractions:
+        edges.append(edges[-1] + int(f * _BUCKETS))
+    edges[-1] = _BUCKETS
+    return [df.filter((b >= lo) & (b < hi)) for lo, hi in zip(edges, edges[1:])]
+
+
+def mix_sources(
+    df: DataFrame,
+    rates: dict[str, float],
+    source_col: str = "source",
+    key_col: str = "doc_id",
+    salt: str = "mix",
+) -> DataFrame:
+    """Weighted source mixing: keep each source at its own sampling rate
+    (rate > 1 is clamped to 1 — hash sampling cannot oversample). The
+    standard corpus-reweighting step in training-data builds, as one
+    mapper-only filter: per-row rate comes from a broadcastable CASE over
+    ``source_col``, compared against the row's hash bucket."""
+    rate_expr = None
+    for src, rate in sorted(rates.items()):
+        thr = int(min(rate, 1.0) * _BUCKETS)
+        cond = F.when(F.col(source_col) == src, F.lit(thr))
+        rate_expr = cond if rate_expr is None else rate_expr.when(F.col(source_col) == src, F.lit(thr))
+    rate_expr = rate_expr.otherwise(F.lit(0))  # unlisted sources drop
+    return df.filter(hash_bucket(key_col, salt) < rate_expr)

@@ -295,3 +295,46 @@ def test_image_features_end_to_end(spark, tmp_path):
         assert r.width == 12 and r.n_channels == 3
         assert 0 <= r.mean_intensity <= 255
         assert len(r.thumb) == 64
+
+
+def test_hash_split_disjoint_exhaustive(spark, docs):
+    from intake_spark.llm import sampling
+
+    parts = sampling.hash_split(docs, "doc_id", [0.8, 0.1, 0.1])
+    ids = [set(r.doc_id for r in p.select("doc_id").collect()) for p in parts]
+    total = docs.count()
+    assert sum(len(s) for s in ids) == total
+    assert not (ids[0] & ids[1]) and not (ids[0] & ids[2]) and not (ids[1] & ids[2])
+    # deterministic: same split again is identical
+    again = sampling.hash_split(docs, "doc_id", [0.8, 0.1, 0.1])
+    assert {r.doc_id for r in again[1].select("doc_id").collect()} == ids[1]
+    # a different salt reshuffles membership
+    other = sampling.hash_sample(docs, "doc_id", 0.8, salt="v2")
+    assert {r.doc_id for r in other.select("doc_id").collect()} != ids[0]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="sum to 1"):
+        sampling.hash_split(docs, "doc_id", [0.5, 0.1])
+
+
+def test_sampling_plan_is_scan_filter(spark, docs):
+    """hash_sample must stay a mapper-only filter — no shuffle, no UDF."""
+    from intake_spark.llm import sampling
+
+    plan = sampling.hash_sample(docs, "doc_id", 0.3)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Python" not in plan  # JVM-side expressions only
+
+
+def test_lsh_joins_are_equi_not_cartesian(spark, emb, docs):
+    """Banded LSH candidate generation must plan as shuffle/broadcast hash
+    joins on band keys — never a cartesian product."""
+    from intake_spark.llm import dedup as dd
+
+    for df in (
+        similarity.lsh_ann_pairs(emb, dim=64, bands=2, planes_per_band=4, threshold=0.4),
+        dd.simhash_pairs(docs.limit(200), bits=32, bands=4, max_hamming=3),
+    ):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
