@@ -111,8 +111,9 @@ def with_lsh_bucket(
     v = F.col(vec_col).cast("array<double>")
     bucket = F.lit(0).cast("bigint")
     for p, row in enumerate(planes):
-        plane = F.array(*[F.lit(x) for x in row])
-        d = F.aggregate(F.zip_with(v, plane, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
+        # one literal-array py4j call per plane (not one per element):
+        # Column construction itself is driver latency at 16+ planes
+        d = F.aggregate(F.zip_with(v, F.lit(row), lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
         bucket = bucket + F.when(d >= 0, F.lit(2**p).cast("bigint")).otherwise(F.lit(0))
     return df.withColumn(bucket_col, bucket)
 
@@ -144,9 +145,9 @@ def with_lsh_bands(
         key = F.lit(0).cast("bigint")
         for j in range(planes_per_band):
             p = b * planes_per_band + j
-            plane = F.array(*[F.lit(x) for x in planes[p]])
+            # one literal-array py4j call per plane, not one per element
             d = F.aggregate(
-                F.zip_with(v, plane, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x
+                F.zip_with(v, F.lit(planes[p]), lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x
             )
             key = key + F.when(d >= 0, F.lit(2**j).cast("bigint")).otherwise(F.lit(0))
         band_keys.append(F.struct(F.lit(b).alias("band_id"), key.alias("band_key")))
@@ -193,12 +194,16 @@ def lsh_ann_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
-    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).cast("array<double>").alias("va"))
-    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).cast("array<double>").alias("vb"))
+    # per-vector squared norms precompute (cosine stays the bit-identical
+    # dot / sqrt(na2 * nb2) expression, at 1/3 the per-candidate fold work)
+    vn = df.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v"))
+    vn = vn.withColumn("_n2", norm2_expr("_v"))
+    va = vn.select(F.col(id_col).alias("id_a"), F.col("_v").alias("va"), F.col("_n2").alias("na2"))
+    vb = vn.select(F.col(id_col).alias("id_b"), F.col("_v").alias("vb"), F.col("_n2").alias("nb2"))
     return (
         cands.join(va, "id_a")
         .join(vb, "id_b")
-        .withColumn("cosine", cosine_expr("va", "vb"))
+        .withColumn("cosine", dot_expr("va", "vb") / F.sqrt(F.col("na2") * F.col("nb2")))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
