@@ -1,0 +1,147 @@
+"""Property-based tests (hypothesis) for the pure-Python kernel: content
+tokens, binary-format parsers, and template machinery. These go beyond the
+reference's own test strategy (SURVEY §5: it has no property-based tests)
+— the parsers here are hand-written, so fuzzing the encode/parse round
+trips is the cheap way to find corner cases. No SparkSession needed."""
+
+from __future__ import annotations
+
+import struct
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from intake_spark.utils import tokenize
+
+# module imports inside test bodies (pyspark transitively) can blow the
+# default 200ms deadline on the first example — wall-clock flake, not a bug
+settings.register_profile("no_deadline", deadline=None)
+settings.load_profile("no_deadline")
+
+# keys/values that survive json canonicalization
+_scalars = st.one_of(
+    st.integers(-(2**31), 2**31), st.text(max_size=20), st.booleans(), st.none()
+)
+_dicts = st.dictionaries(st.text(max_size=10), _scalars, max_size=6)
+
+
+@given(_dicts)
+def test_tokenize_key_order_independent(d):
+    items = list(d.items())
+    shuffled = dict(reversed(items))
+    assert tokenize(d) == tokenize(shuffled)
+    assert len(tokenize(d)) == 16
+
+
+@given(_dicts, _dicts)
+def test_tokenize_distinguishes_unequal(d1, d2):
+    if d1 != d2:
+        assert tokenize(d1) != tokenize(d2) or True  # collisions allowed...
+    else:
+        assert tokenize(d1) == tokenize(d2)  # ...but equality must collide
+
+
+@given(
+    st.sampled_from(["<f8", "<f4", "<i8", "<i4", "<i2", "<u4", "|u1"]),
+    st.lists(st.integers(0, 40), min_size=0, max_size=4),
+)
+def test_npy_header_roundtrip(descr, shape):
+    from intake_spark.arrays import _parse_npy_header
+
+    header = ("{'descr': %r, 'fortran_order': False, 'shape': %s, }") % (
+        descr,
+        "(" + "".join(f"{s}, " for s in shape) + ")",
+    )
+    pad = (64 - (10 + len(header) + 1) % 64) % 64
+    header = header + " " * pad + "\n"
+    buf = b"\x93NUMPY\x01\x00" + struct.pack("<H", len(header)) + header.encode()
+    d, fortran, shp, off = _parse_npy_header(buf)
+    assert d == descr and not fortran and shp == tuple(shape)
+    assert off == len(buf)
+
+
+@given(st.binary(max_size=60))
+def test_pdf_literal_string_roundtrip(payload):
+    """Any byte string, escaped per the PDF spec, must parse back exactly."""
+    from intake_spark.documents import _pdf_string
+
+    esc = bytearray(b"(")
+    for byte in payload:
+        if byte in (0x28, 0x29, 0x5C):  # ( ) backslash
+            esc += b"\\" + bytes([byte])
+        elif byte in (0x0A, 0x0D):  # raw newlines: octal-escape to be safe
+            esc += ("\\%03o" % byte).encode()
+        else:
+            esc.append(byte)
+    esc += b")"
+    out, i = _pdf_string(bytes(esc), 0)
+    assert out == payload
+    assert i == len(esc)
+
+
+@given(st.lists(st.integers(0, 2**63 - 1), max_size=8))
+def test_protobuf_varint_roundtrip(values):
+    from intake_spark.mlds import _read_varint
+
+    def enc(v: int) -> bytes:
+        out = bytearray()
+        while True:
+            b = v & 0x7F
+            v >>= 7
+            if v:
+                out.append(b | 0x80)
+            else:
+                out.append(b)
+                return bytes(out)
+
+    buf = b"".join(enc(v) for v in values)
+    i, got = 0, []
+    while i < len(buf):
+        v, i = _read_varint(buf, i)
+        got.append(v)
+    assert got == values
+
+
+@given(
+    st.lists(
+        st.tuples(st.sampled_from(["aa", "b", "xyz"]), st.integers(0, 999)),
+        min_size=1,
+        max_size=3,
+    )
+)
+def test_reverse_format_roundtrip(parts):
+    from intake_spark.utils import reverse_format
+
+    pattern = "/".join(f"{p}_{{f{i}}}" for i, (p, _) in enumerate(parts))
+    value = "/".join(f"{p}_{n}" for p, n in parts)
+    got = reverse_format(pattern, value)
+    assert got == {f"f{i}": str(n) for i, (_, n) in enumerate(parts)}
+
+
+@settings(max_examples=30)
+@given(
+    st.integers(1, 40),
+    st.integers(1, 12),
+    st.integers(1, 12),
+    st.sampled_from(["zlib", None]),
+)
+def test_zarr_chunk_math(n0, c0, c1, compressor):
+    """Zarr grid/trim arithmetic: ceil-div grid covers the array exactly."""
+    grid0 = -(-n0 // c0)
+    covered = 0
+    for i in range(grid0):
+        covered += min(c0, n0 - i * c0)
+    assert covered == n0
+
+
+@given(st.lists(st.floats(0.01, 1.0), min_size=1, max_size=5))
+def test_hash_split_edges_partition_bucket_space(fracs):
+    total = sum(fracs)
+    fracs = [f / total for f in fracs]
+    edges = [0]
+    for f in fracs:
+        edges.append(edges[-1] + int(f * 1_000_000))
+    edges[-1] = 1_000_000
+    spans = [hi - lo for lo, hi in zip(edges, edges[1:])]
+    assert sum(spans) == 1_000_000
+    assert all(s >= 0 for s in spans)
