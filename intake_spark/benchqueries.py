@@ -850,3 +850,22 @@ def q46_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
     return sessionize(ev, gap="30 minutes")
+
+
+def _q49_sql():
+    from intake_spark.llm.sketches import kmv_distinct_sql
+
+    return kmv_distinct_sql("events", ["event_type"], "user_id", k=64)
+
+
+@register("q49_kmv_distinct", _q49_sql())
+def q49_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per event type via a deterministic KMV sketch —
+    unlike HyperLogLog (approx_count_distinct), the k-minimum-hash set is a
+    pure function of the value set, so the *approximate* estimate itself is
+    engine-portable and hash-checked against the oracle. Mergeable
+    (min-k under union) → map-side partial aggregation, one shuffle."""
+    from intake_spark.llm.sketches import kmv_distinct
+
+    ev = load_table(spark, sf_dir, "events")
+    return kmv_distinct(ev, "event_type", "user_id", k=64)

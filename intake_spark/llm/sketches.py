@@ -1,0 +1,80 @@
+"""Deterministic distinct-count sketching: KMV (k-minimum-values).
+
+``approx_count_distinct`` (HyperLogLog++) is engine-specific — its
+estimate differs between Spark and any oracle, so it can't be
+value-verified. KMV gives the same accuracy class (relative error
+~ 1/sqrt(k)) from a *deterministic* definition: hash every value with md5,
+keep the k smallest hashes per group, and estimate
+
+    distinct ≈ (k - 1) / (kth_smallest_hash / 2^32)
+
+Because the k-minimum set is a pure function of the value set, the sketch
+is (a) identical across engines — DuckDB re-derives it exactly, so the
+estimate itself is hash-checkable — and (b) mergeable: union the hash
+sets and re-take the k minimum (the classic distributed-sketch property;
+Spark's partial aggregation does exactly this with the window formulation
+below collapsing to one shuffle on the group key).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+_HASH_SPACE = float(2**32)
+
+
+def _h32(col):
+    """32-bit md5-derived hash, identical in any engine with md5."""
+    return F.conv(F.substring(F.md5(F.col(col).cast("string")), 1, 8), 16, 10).cast("bigint")
+
+
+def kmv_distinct(
+    df: DataFrame,
+    group_cols: list[str] | str,
+    value_col: str,
+    k: int = 64,
+) -> DataFrame:
+    """Per-group approximate distinct count of ``value_col`` via a KMV
+    sketch → (group..., est_distinct, n_hashes).
+
+    Plan: distinct (group, hash) pairs (map-side combine on the 8-byte
+    hash), then rank hashes per group and keep the k-th minimum — one
+    shuffle on the group key. Groups with fewer than k distinct values are
+    *exact* (the estimate is the observed distinct count).
+    """
+    group_cols = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    hashed = df.select(*group_cols, _h32(value_col).alias("_h")).distinct()
+    w = Window.partitionBy(*group_cols).orderBy(F.asc("_h"))
+    ranked = hashed.withColumn("_r", F.row_number().over(w)).filter(F.col("_r") <= k)
+    agg = ranked.groupBy(*group_cols).agg(
+        F.max("_r").cast("long").alias("n_hashes"), F.max("_h").alias("_kth")
+    )
+    est = F.when(
+        F.col("n_hashes") < k, F.col("n_hashes").cast("double")
+    ).otherwise((F.lit(float(k - 1))) / (F.col("_kth").cast("double") / F.lit(_HASH_SPACE)))
+    return agg.select(*group_cols, est.alias("est_distinct"), "n_hashes")
+
+
+def kmv_distinct_sql(table: str, group_cols: list[str], value_col: str, k: int = 64) -> str:
+    """The DuckDB oracle for :func:`kmv_distinct` — same hash, same ranks,
+    same estimator, expressed in SQL."""
+    g = ", ".join(group_cols)
+    return f"""
+    WITH hashed AS (
+      SELECT DISTINCT {g},
+             CAST(concat('0x', substr(md5(CAST({value_col} AS VARCHAR)), 1, 8)) AS BIGINT) AS h
+      FROM {table}),
+    ranked AS (
+      SELECT {g}, h, ROW_NUMBER() OVER (PARTITION BY {g} ORDER BY h) AS r
+      FROM hashed),
+    agg AS (
+      SELECT {g}, MAX(r) AS n_hashes, MAX(h) AS kth
+      FROM ranked WHERE r <= {k} GROUP BY {g})
+    SELECT {g},
+           CASE WHEN n_hashes < {k} THEN CAST(n_hashes AS DOUBLE)
+                ELSE {float(k - 1)} / (CAST(kth AS DOUBLE) / {_HASH_SPACE}) END AS est_distinct,
+           n_hashes
+    FROM agg
+    """

@@ -338,3 +338,31 @@ def test_lsh_joins_are_equi_not_cartesian(spark, emb, docs):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_kmv_distinct_accuracy(spark):
+    """KMV estimate within the 1/sqrt(k) error class of the exact count;
+    small groups exact by construction."""
+    from intake_spark.llm.sketches import kmv_distinct
+    from tests.conftest import SF_MEDIUM
+
+    ev = load_table(spark, SF_MEDIUM, "events")
+    est = {r.event_type: r.est_distinct for r in kmv_distinct(ev, "event_type", "user_id", k=64).collect()}
+    exact = {
+        r.event_type: r.n
+        for r in ev.groupBy("event_type").agg(F.countDistinct("user_id").alias("n")).collect()
+    }
+    assert set(est) == set(exact)
+    for t, e in exact.items():
+        if e < 64:
+            assert est[t] == e  # exact below k
+        else:
+            assert abs(est[t] - e) / e < 0.35  # ~3 sigma at k=64
+    # tiny-group exactness
+    small = ev.limit(40)
+    got = {r.event_type: (r.est_distinct, r.n_hashes) for r in
+           kmv_distinct(small, "event_type", "user_id", k=64).collect()}
+    ex = {r.event_type: r.n for r in
+          small.groupBy("event_type").agg(F.countDistinct("user_id").alias("n")).collect()}
+    for t, n in ex.items():
+        assert got[t][0] == float(n)
