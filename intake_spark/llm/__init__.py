@@ -12,6 +12,11 @@ Spark-first:
 - :mod:`intake_spark.llm.similarity` — brute-force and LSH-bucketed cosine
   ANN over embedding columns.
 - :mod:`intake_spark.llm.multimodal` — opaque-binary media columns with
-  typed metadata and Arrow-batched decode plumbing (decoders stubbed:
-  image/audio libs are not in this container).
+  typed metadata and Arrow-batched decode plumbing; PNG and WAV decode are
+  real (stdlib codecs), other formats gate on PIL/librosa.
+- :mod:`intake_spark.llm.sampling` — deterministic hash-keyed sampling,
+  train/val/test splits and weighted source mixing (reproducible under any
+  partitioning, unlike ``df.sample``).
+- :mod:`intake_spark.llm.sketches` — deterministic KMV distinct-count
+  sketch (engine-portable estimates, mergeable min-k).
 """
