@@ -40,16 +40,51 @@ from intake_spark.user_parameters import (
     SimpleUserParameter,
 )
 
-V1_DRIVERS: dict[str, tuple[type, type[BaseReader], str]] = {
-    # driver -> (datatype cls, reader cls, url arg name)
-    "csv": (dt.CSV, SparkCSV, "urlpath"),
-    "parquet": (dt.Parquet, SparkParquet, "urlpath"),
-    "json": (dt.JSONFile, SparkJSON, "urlpath"),
-    "orc": (dt.ORC, SparkORC, "urlpath"),
-    "avro": (dt.AVRO, SparkAvro, "urlpath"),
-    "textfiles": (dt.Text, SparkText, "urlpath"),
-    "deltalake": (dt.DeltalakeTable, SparkDeltaLake, "urlpath"),
-}
+def _v1_drivers() -> dict[str, tuple[type, type[BaseReader], str]]:
+    from intake_spark.arrays import NumpyArrayReader
+    from intake_spark.documents import XLSXReader
+    from intake_spark.readers import ZarrReader
+    from intake_spark.sci import NetCDF3, NetCDF3Reader
+
+    return {
+        # driver -> (datatype cls, reader cls, url arg name)
+        "csv": (dt.CSV, SparkCSV, "urlpath"),
+        "parquet": (dt.Parquet, SparkParquet, "urlpath"),
+        "json": (dt.JSONFile, SparkJSON, "urlpath"),
+        "orc": (dt.ORC, SparkORC, "urlpath"),
+        "avro": (dt.AVRO, SparkAvro, "urlpath"),
+        "textfiles": (dt.Text, SparkText, "urlpath"),
+        "deltalake": (dt.DeltalakeTable, SparkDeltaLake, "urlpath"),
+        # array-family V1 drivers (reference fixtures use driver: numpy etc.)
+        "numpy": (dt.NumpyFile, NumpyArrayReader, "path"),
+        "zarr": (dt.Zarr, ZarrReader, "urlpath"),
+        "netcdf": (NetCDF3, NetCDF3Reader, "urlpath"),
+        "excel": (dt.Excel, XLSXReader, "urlpath"),
+    }
+
+
+class _V1Drivers(dict):
+    """Lazy driver table: leaf reader modules import on first use, not at
+    package import (they pull pandas/numpy)."""
+
+    def _ensure(self):
+        if not self:
+            self.update(_v1_drivers())
+
+    def __contains__(self, k):
+        self._ensure()
+        return dict.__contains__(self, k)
+
+    def __getitem__(self, k):
+        self._ensure()
+        return dict.__getitem__(self, k)
+
+    def keys(self):
+        self._ensure()
+        return dict.keys(self)
+
+
+V1_DRIVERS = _V1Drivers()
 
 _TMPL = re.compile(r"\{\{\s*([^}]+?)\s*\}\}")
 
@@ -150,9 +185,9 @@ def from_v1_dict(doc: dict, catalog_dir: str = ".") -> Catalog:
             url = re.sub(r"\{\{\s*(\w+)\s*\}\}", r"{\1}", str(url))
             data = dcls(url=url)
             payload = {
-                "cls": f"intake_spark.readers:{rcls.__name__}",
+                "cls": f"{rcls.__module__}:{rcls.__name__}",
                 "data": {
-                    "cls": f"intake_spark.datatypes:{dcls.__name__}",
+                    "cls": f"{dcls.__module__}:{dcls.__name__}",
                     "kwargs": {k: v for k, v in data.__dict__.items() if not k.startswith("_")},
                 },
                 "kwargs": args,

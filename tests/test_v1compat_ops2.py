@@ -283,3 +283,30 @@ sources:
             cat["doubled"].read(spark=spark)
     finally:
         reset()
+
+
+def test_v1_numpy_and_open_driver(spark, tmp_path):
+    """V1 'numpy' driver + open_numpy dynamic API (reference
+    catalog_alias.yml uses driver: numpy with a path arg)."""
+    import numpy as np
+
+    import intake_spark
+    from intake_spark.v1compat import open_v1_catalog
+
+    arr = np.arange(12, dtype="<f8").reshape(6, 2)
+    np.save(str(tmp_path / "small.npy"), arr)
+    (tmp_path / "cat.yaml").write_text(
+        """
+sources:
+  arr:
+    driver: numpy
+    args:
+      path: "{{ CATALOG_DIR }}/small.npy"
+"""
+    )
+    cat = open_v1_catalog(str(tmp_path / "cat.yaml"))
+    rows = cat["arr"].read(spark=spark).collect()
+    total = sum(sum(r.values) for r in rows)
+    assert total == arr.sum()
+    r2 = intake_spark.open_numpy(str(tmp_path / "small.npy"))
+    assert sum(sum(r.values) for r in r2.read(spark=spark).collect()) == arr.sum()
