@@ -869,3 +869,37 @@ def q49_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return kmv_distinct(ev, "event_type", "user_id", k=64)
+
+
+@register(
+    "q50_hypertable_rollup",
+    """
+    WITH b AS (SELECT DATE_TRUNC('hour', ts) AS bh, DATE_TRUNC('day', ts) AS bd,
+                      value FROM events)
+    SELECT 'hour' AS granularity, CAST(bh AS TIMESTAMP_NS) AS bucket_start,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS value_sum
+    FROM b GROUP BY bh
+    UNION ALL
+    SELECT 'day', CAST(bd AS TIMESTAMP_NS), COUNT(*),
+           CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE)
+    FROM b GROUP BY bd
+    """,
+)
+def q50_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous aggregate: hour and day rollups of the
+    events stream in ONE grouping-sets pass (single scan + single shuffle;
+    Catalyst's Expand fans the finest level into both). The oracle computes
+    each granularity independently — same values, two scans."""
+    from intake_spark.operators import hypertable_rollup
+
+    ev = load_table(spark, sf_dir, "events")
+    return hypertable_rollup(
+        ev,
+        "ts",
+        [
+            "COUNT(*) AS n_events",
+            "CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS value_sum",
+        ],
+        granularities=("hour", "day"),
+    )

@@ -143,3 +143,51 @@ def interval_join(
     if upper is not None:
         cond = cond & (right[right_ts] <= left[left_ts] + upper)
     return left.join(right, cond, how)
+
+
+def hypertable_rollup(
+    events: DataFrame,
+    ts_col: str,
+    agg_exprs: list,
+    granularities: tuple[str, ...] = ("hour", "day"),
+    extra_keys: list[str] | None = None,
+) -> DataFrame:
+    """Multi-granularity time rollup in ONE pass: every requested
+    granularity's aggregate comes out of a single grouping-sets scan
+    (one shuffle), instead of one groupBy per granularity.
+
+    Output: (granularity, bucket_start, *extra_keys, *aggregates) — the
+    continuous-aggregate/hypertable-rollup shape of timeseries stores,
+    expressed so Catalyst's partial aggregation computes the finest level
+    map-side and the Expand operator fans it into all levels before one
+    exchange. At 100 TB this halves (or better) the scan count vs
+    per-granularity jobs.
+    """
+    from pyspark.sql import functions as F
+
+    keys = list(extra_keys or [])
+    truncs = [
+        F.date_trunc(g, F.col(ts_col)).alias(f"_b_{g}") for g in granularities
+    ]
+    base = events.select(*keys, *truncs, *[c for c in events.columns if c not in keys])
+    sets = ", ".join(f"(_b_{g}{', ' if keys else ''}{', '.join(keys)})" for g in granularities)
+    view = f"_rollup_in_{abs(hash((ts_col, granularities, tuple(keys)))) % 10**8}"
+    base.createOrReplaceTempView(view)
+    agg_sql = ", ".join(agg_exprs)
+    # GROUPING() identifies the active set even when the data's timestamp
+    # is NULL (a null-check would misclassify those rows)
+    cases = " ".join(
+        f"WHEN GROUPING(_b_{g}) = 0 THEN '{g}'" for g in granularities
+    )
+    starts = "COALESCE(" + ", ".join(f"_b_{g}" for g in granularities) + ")"
+    key_sql = ("" if not keys else ", " + ", ".join(keys))
+    out = events.sparkSession.sql(
+        f"""
+        SELECT CASE {cases} END AS granularity,
+               {starts} AS bucket_start{key_sql},
+               {agg_sql}
+        FROM {view}
+        GROUP BY GROUPING SETS ({sets})
+        """
+    )
+    return out

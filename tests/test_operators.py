@@ -94,3 +94,33 @@ def test_asof_plan_single_shuffle(spark, frames):
     plan = asof_join(left, right, on="ts", by="user")._jdf.queryExecution().executedPlan().toString()
     assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
     assert plan.count("Exchange hashpartitioning") <= 2  # union sides co-partitioned
+
+
+def test_hypertable_rollup_matches_per_granularity(spark):
+    """One grouping-sets pass equals independent per-granularity groupBys,
+    and the plan reads the source once (Expand, not two scans)."""
+    from pyspark.sql import functions as F
+
+    from intake_spark.operators import hypertable_rollup
+    from intake_spark.session import load_table
+    from tests.conftest import SF_SMALL
+
+    ev = load_table(spark, SF_SMALL, "events")
+    out = hypertable_rollup(
+        ev, "ts", ["COUNT(*) AS n"], granularities=("hour", "day"), extra_keys=["event_type"]
+    )
+    got = {
+        (r.granularity, r.bucket_start, r.event_type): r.n for r in out.collect()
+    }
+    for g in ("hour", "day"):
+        exact = (
+            ev.groupBy(F.date_trunc(g, "ts").alias("b"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        for r in exact:
+            assert got[(g, r.b, r.event_type)] == r.n
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]  # AQE repeats the tree
+    assert "Expand" in plan
+    assert plan.count("Scan parquet") == 1
