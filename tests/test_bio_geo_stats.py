@@ -371,3 +371,144 @@ def test_netcdf3_reader(spark, tmp_path):
     assert data.metadata["variable"] == "temp"
     with pytest.raises(KeyError):
         NetCDF3Reader(data=NetCDF3(url=str(p))).read(spark=spark, variable="nope")
+
+
+def _hilbert_xy2d(order: int, x: int, y: int) -> int:
+    d = 0
+    s = (1 << order) // 2
+    while s > 0:
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x, y = s - 1 - x, s - 1 - y
+            x, y = y, x
+        s //= 2
+    return d
+
+
+def _make_pmtiles(tiles: dict, use_leaf: bool = False) -> bytes:
+    """Spec-built PMTiles v3 archive: gzip directories, varint entries,
+    hilbert ids (independent encoder). tiles: {(z,x,y): payload}."""
+    import gzip
+    import struct as st
+
+    def varint(v: int) -> bytes:
+        out = bytearray()
+        while True:
+            b = v & 0x7F
+            v >>= 7
+            if v:
+                out.append(b | 0x80)
+            else:
+                out.append(b)
+                return bytes(out)
+
+    ids = []
+    for (z, x, y), payload in tiles.items():
+        acc = sum(1 << (2 * i) for i in range(z))
+        ids.append((acc + _hilbert_xy2d(z, x, y), payload))
+    ids.sort()
+    data = b""
+    entries = []
+    for tid, payload in ids:
+        entries.append((tid, len(data), len(payload), 1))
+        data += payload
+
+    def encode_dir(entries):
+        out = varint(len(entries))
+        prev = 0
+        for tid, _, _, _ in entries:
+            out += varint(tid - prev)
+            prev = tid
+        for _, _, _, run in entries:
+            out += varint(run)
+        for _, _, ln, _ in entries:
+            out += varint(ln)
+        for i, (_, off, ln, _) in enumerate(entries):
+            if i > 0 and off == entries[i - 1][1] + entries[i - 1][2]:
+                out += varint(0)
+            else:
+                out += varint(off + 1)
+        return gzip.compress(out)
+
+    if use_leaf:
+        leaf = encode_dir(entries)
+        root = encode_dir([(entries[0][0], 0, len(leaf), 0)])  # run=0 -> leaf ptr
+        leaf_blob = leaf
+    else:
+        root = encode_dir(entries)
+        leaf_blob = b""
+    root_off = 127
+    leaf_off = root_off + len(root)
+    data_off = leaf_off + len(leaf_blob)
+    hdr = bytearray(127)
+    hdr[:7] = b"PMTiles"
+    hdr[7] = 3
+    st.pack_into("<8Q", hdr, 8, root_off, len(root), 0, 0, leaf_off, len(leaf_blob), data_off, len(data))
+    hdr[97] = 2  # gzip internal compression
+    return bytes(hdr) + root + leaf_blob + data
+
+
+@pytest.mark.parametrize("use_leaf", [False, True])
+def test_pmtiles_reader(spark, tmp_path, use_leaf):
+    from intake_spark.geo import PMTiles, PMTilesReader
+
+    tiles = {
+        (0, 0, 0): b"tile-root",
+        (1, 0, 0): b"tile-a",
+        (1, 1, 1): b"tile-b",
+        (2, 3, 1): b"tile-c",
+    }
+    p = tmp_path / "m.pmtiles"
+    p.write_bytes(_make_pmtiles(tiles, use_leaf=use_leaf))
+    df = PMTilesReader(data=PMTiles(url=str(p))).read(spark=spark)
+    got = {(r.z, r.x, r.y): bytes(r.tile_data) for r in df.collect()}
+    assert got == tiles
+
+
+def test_osm_pbf_reader(spark, tmp_path):
+    """Spec-encoded OSM PBF fixture (BlobHeader/Blob framing, zlib
+    PrimitiveBlock, DenseNodes zigzag deltas) → node rows."""
+    import struct as st
+    import zlib
+
+    def zz(v: int) -> int:
+        return v * 2 if v >= 0 else -v * 2 - 1
+
+    def packed_sint(vals):
+        out, prev = b"", 0
+        for v in vals:
+            out += _varint(zz(v - prev))
+            prev = v
+        return out
+
+    strings = [b"", b"name", b"cafe"]
+    stringtable = b"".join(_pb_len(1, s) for s in strings)
+    ids = [1001, 1002]
+    lats = [515000000, 516000000]   # *1e-9*100 -> 51.5, 51.6
+    lons = [-1000000, 2000000]      # -0.1, 0.2
+    keys_vals = _varint(1) + _varint(2) + _varint(0) + _varint(0)  # n1: name=cafe; n2: none
+    dense = (
+        _pb_len(1, packed_sint(ids))
+        + _pb_len(8, packed_sint(lats))
+        + _pb_len(9, packed_sint(lons))
+        + _pb_len(10, keys_vals)
+    )
+    group = _pb_len(2, dense)
+    block = _pb_len(1, stringtable) + _pb_len(2, group)
+    blob = _pb_len(3, zlib.compress(block))
+    header = _pb_len(1, b"OSMData") + _varint(3 << 3) + _varint(len(blob))
+    p = tmp_path / "map.osm.pbf"
+    p.write_bytes(st.pack(">I", len(header)) + header + blob)
+
+    from intake_spark.geo import OSMPBF, OSMPBFReader
+
+    df = OSMPBFReader(data=OSMPBF(url=str(p))).read(spark=spark)
+    rows = {r.id: r for r in df.collect()}
+    assert set(rows) == {1001, 1002}
+    assert abs(rows[1001].lat - 51.5) < 1e-9 and abs(rows[1001].lon - (-0.1)) < 1e-9
+    assert rows[1001].tags == {"name": "cafe"}
+    assert abs(rows[1002].lat - 51.6) < 1e-9
+    assert rows[1002].tags == {}
