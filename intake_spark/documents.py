@@ -298,7 +298,18 @@ def _pdf_text(content: bytes) -> tuple[str, int]:
         end = content.find(b"endstream", start)
         if end == -1:
             continue
-        raw = content[start:end].rstrip(b"\r\n")
+        raw = content[start:end]
+        # /Length is authoritative when it's a plain integer: a Flate
+        # payload may itself end in CR/LF (adler32 trailer), so trailing-EOL
+        # stripping alone cannot distinguish data bytes from the single
+        # EOL the spec allows before `endstream`
+        lm = re.search(rb"/Length\s+(\d+)", head)
+        if lm and int(lm.group(1)) <= len(raw):
+            raw = raw[: int(lm.group(1))]
+        elif raw.endswith(b"\r\n"):
+            raw = raw[:-2]
+        elif raw.endswith((b"\n", b"\r")):
+            raw = raw[:-1]
         if b"/FlateDecode" in head:
             try:
                 raw = zlib.decompress(raw)

@@ -192,39 +192,77 @@ class GPXReader(BaseReader):
 
 class MBTilesReader(BaseReader):
     """MBTiles → tile rows (zoom_level, tile_column, tile_row, tile_data)
-    or the metadata table (``table="metadata"``). Stdlib sqlite3, batched
-    fetch so the driver holds one batch at a time."""
+    or the metadata table (``table="metadata"``). Stdlib sqlite3.
+
+    Tiles read *distributed*: the driver fetches only min/max rowid, then
+    each executor task opens the sqlite file read-only and queries its own
+    rowid range (mapInPandas over a range manifest) — tile blobs never pass
+    through the driver, same recipe as OSMPBFReader. Requires the file to
+    be reachable from executors (true in local mode and on shared/attached
+    storage)."""
 
     implements = {MBTiles}
-    lazy = False  # sqlite is driver-local; batched, but not cluster-parallel
 
-    def _read(self, spark, table: str = "tiles", zoom: int | None = None, batch: int = 10_000, **kwargs):
+    def _read(self, spark, table: str = "tiles", zoom: int | None = None, rows_per_task: int = 10_000, **kwargs):
         import sqlite3
 
-        con = sqlite3.connect(self.data.url)
-        try:
-            if table == "metadata":
+        from intake_spark.session import ensure_py_deps
+
+        url = self.data.url
+        if table == "metadata":
+            con = sqlite3.connect(url)
+            try:
                 rows = con.execute("SELECT name, value FROM metadata").fetchall()
-                return spark.createDataFrame(rows or [("", "")], "name string, value string")
-            q = "SELECT zoom_level, tile_column, tile_row, tile_data FROM tiles"
-            if zoom is not None:
-                q += f" WHERE zoom_level = {int(zoom)}"
-            cur = con.execute(q)
-            schema = "zoom_level int, tile_column int, tile_row int, tile_data binary"
-            dfs = []
-            while True:
-                chunk = cur.fetchmany(batch)
-                if not chunk:
-                    break
-                dfs.append(spark.createDataFrame(chunk, schema))
-            if not dfs:
-                return spark.createDataFrame([], schema)
-            out = dfs[0]
-            for d in dfs[1:]:
-                out = out.unionByName(d)
-            return out
+            finally:
+                con.close()
+            return spark.createDataFrame(rows or [("", "")], "name string, value string")
+
+        ensure_py_deps(spark)
+        where = f" WHERE zoom_level = {int(zoom)}" if zoom is not None else ""
+        con = sqlite3.connect(url)
+        try:
+            lo_hi = con.execute(f"SELECT MIN(rowid), MAX(rowid) FROM tiles{where}").fetchone()
         finally:
             con.close()
+        if lo_hi is None or lo_hi[0] is None:
+            return spark.createDataFrame(
+                [], "zoom_level int, tile_column int, tile_row int, tile_data binary"
+            )
+        lo, hi = lo_hi
+        ranges = [
+            (start, min(start + rows_per_task - 1, hi))
+            for start in range(lo, hi + 1, rows_per_task)
+        ]
+        mdf = spark.createDataFrame(ranges, "lo long, hi long")
+        if len(ranges) > 1:
+            mdf = mdf.repartition(min(len(ranges), spark.sparkContext.defaultParallelism))
+
+        def fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            con = sqlite3.connect(f"file:{url}?mode=ro", uri=True)
+            try:
+                for pdf in batches:
+                    for _, r in pdf.iterrows():
+                        rows = con.execute(
+                            "SELECT zoom_level, tile_column, tile_row, tile_data "
+                            f"FROM tiles{where}{' AND' if where else ' WHERE'} "
+                            f"rowid BETWEEN {int(r.lo)} AND {int(r.hi)}"
+                        ).fetchall()
+                        yield pd.DataFrame(
+                            rows,
+                            columns=["zoom_level", "tile_column", "tile_row", "tile_data"],
+                        )
+            finally:
+                con.close()
+
+        schema = T.StructType(
+            [
+                T.StructField("zoom_level", T.IntegerType()),
+                T.StructField("tile_column", T.IntegerType()),
+                T.StructField("tile_row", T.IntegerType()),
+                T.StructField("tile_data", T.BinaryType()),
+            ]
+        )
+        return mdf.mapInPandas(fetch, schema=schema)
 
 
 class PMTiles(dt.FileData):
@@ -307,11 +345,10 @@ class PMTilesReader(BaseReader):
     (parity: PMTileReader readers.py:1673, which needs the pmtiles
     package): fixed 127-byte header, gzip varint directories, Hilbert
     tile addressing. Root + one level of leaf directories supported.
-    Driver reads directories (small); tile payloads are fetched in batches
-    so the driver holds one batch at a time."""
+    Driver parses only the (small) directories; tile payloads decode on
+    executors from a byte-range manifest — distributed like OSMPBFReader."""
 
     implements = {PMTiles}
-    lazy = False
 
     def _read(self, spark, batch: int = 1024, **kwargs):
         import gzip
@@ -341,24 +378,42 @@ class PMTilesReader(BaseReader):
                 else:
                     entries.append((tid, off, ln, run))
 
-            rows = []
-            dfs = []
-            schema = "z int, x int, y int, tile_id long, tile_data binary"
-            for tid, off, ln, run in entries:
-                f.seek(data_off + off)
-                payload = f.read(ln)
-                for r in range(max(run, 1)):
-                    z, x, y = _tileid_to_zxy(tid + r)
-                    rows.append((z, x, y, tid + r, payload))
-                    if len(rows) >= batch:
-                        dfs.append(spark.createDataFrame(rows, schema))
-                        rows = []
-            if rows or not dfs:
-                dfs.append(spark.createDataFrame(rows, schema))
-        out = dfs[0]
-        for d in dfs[1:]:
-            out = out.unionByName(d)
-        return out
+        # directories are small (driver); tile payloads decode on executors
+        # via a byte-range manifest — blobs never pass through the driver
+        from intake_spark.session import ensure_py_deps
+
+        ensure_py_deps(spark)
+        manifest = [
+            (tid, data_off + off, ln, max(run, 1)) for tid, off, ln, run in entries
+        ]
+        mdf = spark.createDataFrame(manifest, "tid long, off long, len long, run long")
+        if len(manifest) > 1:
+            mdf = mdf.repartition(min(1 + len(manifest) // batch, spark.sparkContext.defaultParallelism))
+
+        def fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            with open(url, "rb") as fh:
+                for pdf in batches:
+                    rows = []
+                    for _, e in pdf.iterrows():
+                        fh.seek(int(e.off))
+                        payload = fh.read(int(e.len))
+                        for r in range(int(e.run)):
+                            z, x, y = _tileid_to_zxy(int(e.tid) + r)
+                            rows.append((z, x, y, int(e.tid) + r, payload))
+                    yield pd.DataFrame(
+                        rows, columns=["z", "x", "y", "tile_id", "tile_data"]
+                    )
+
+        schema = T.StructType(
+            [
+                T.StructField("z", T.IntegerType()),
+                T.StructField("x", T.IntegerType()),
+                T.StructField("y", T.IntegerType()),
+                T.StructField("tile_id", T.LongType()),
+                T.StructField("tile_data", T.BinaryType()),
+            ]
+        )
+        return mdf.mapInPandas(fetch, schema=schema)
 
 
 class OSMPBF(dt.FileData):

@@ -46,23 +46,31 @@ def _dir_size(path: str) -> tuple[int, int]:
 
 def _with_timeout(fn, seconds: float | None):
     """Run ``fn`` with a per-candidate wall-clock budget (reference timeout
-    runner, inspect.py:743-776). The worker thread is not joined on timeout
-    (daemonized pool, shutdown(wait=False)) so a hung candidate can't hang
-    the inspection loop."""
+    runner, inspect.py:743-776). The worker is a genuine daemon thread —
+    unlike ThreadPoolExecutor workers (non-daemon since 3.9, joined at
+    interpreter exit) a hung candidate can neither stall the inspection
+    loop nor block process shutdown."""
     if not seconds:
         return fn()
-    import concurrent.futures as cf
+    import threading
 
-    ex = cf.ThreadPoolExecutor(max_workers=1)
-    try:
-        fut = ex.submit(fn)
+    result: list = []
+    error: list = []
+
+    def run():
         try:
-            return fut.result(timeout=seconds)
-        except cf.TimeoutError:
-            fut.cancel()
-            raise TimeoutError(f"candidate exceeded {seconds}s") from None
-    finally:
-        ex.shutdown(wait=False)
+            result.append(fn())
+        except BaseException as exc:  # propagated to the caller below
+            error.append(exc)
+
+    t = threading.Thread(target=run, daemon=True)
+    t.start()
+    t.join(timeout=seconds)
+    if t.is_alive():
+        raise TimeoutError(f"candidate exceeded {seconds}s")
+    if error:
+        raise error[0]
+    return result[0]
 
 
 def inspect_dataset(

@@ -264,6 +264,13 @@ def simhash_pairs(
             f"pigeonhole guarantee needs max_hamming < bands, got "
             f"{max_hamming} >= {bands}"
         )
+    if bands > bits or bits % bands != 0:
+        raise ValueError(
+            f"bands must divide bits with r = bits/bands >= 1, got "
+            f"bits={bits} bands={bands}: r=0 would put every document in "
+            "one bucket (all-pairs); a remainder would leave top bits "
+            "outside every band"
+        )
     r = bits // bands
     sig = simhash(df, id_col, text_col, bits)
     band_structs = F.array(

@@ -170,24 +170,28 @@ def hypertable_rollup(
         F.date_trunc(g, F.col(ts_col)).alias(f"_b_{g}") for g in granularities
     ]
     base = events.select(*keys, *truncs, *[c for c in events.columns if c not in keys])
-    sets = ", ".join(f"(_b_{g}{', ' if keys else ''}{', '.join(keys)})" for g in granularities)
-    view = f"_rollup_in_{abs(hash((ts_col, granularities, tuple(keys)))) % 10**8}"
-    base.createOrReplaceTempView(view)
-    agg_sql = ", ".join(agg_exprs)
-    # GROUPING() identifies the active set even when the data's timestamp
-    # is NULL (a null-check would misclassify those rows)
-    cases = " ".join(
-        f"WHEN GROUPING(_b_{g}) = 0 THEN '{g}'" for g in granularities
+    # native DataFrame grouping sets (Spark 4) — no temp view, so concurrent
+    # callers can't race on a shared name and nothing leaks into the catalog
+    grouped = base.groupingSets(
+        [[f"_b_{g}", *keys] for g in granularities],
+        *[F.col(f"_b_{g}") for g in granularities],
+        *[F.col(k) for k in keys],
     )
-    starts = "COALESCE(" + ", ".join(f"_b_{g}" for g in granularities) + ")"
-    key_sql = ("" if not keys else ", " + ", ".join(keys))
-    out = events.sparkSession.sql(
-        f"""
-        SELECT CASE {cases} END AS granularity,
-               {starts} AS bucket_start{key_sql},
-               {agg_sql}
-        FROM {view}
-        GROUP BY GROUPING SETS ({sets})
-        """
+    # GROUPING() (legal only inside the aggregate list) identifies the
+    # active set even when the data's timestamp is NULL — a null-check on
+    # the bucket column would misclassify those rows
+    aggs = [F.grouping(f"_b_{g}").alias(f"_g_{g}") for g in granularities]
+    aggs += [F.expr(e) for e in agg_exprs]
+    out = grouped.agg(*aggs)
+    gran = None
+    for g in granularities:
+        cond = F.col(f"_g_{g}") == 0
+        gran = F.when(cond, F.lit(g)) if gran is None else gran.when(cond, F.lit(g))
+    helper = {f"_b_{g}" for g in granularities} | {f"_g_{g}" for g in granularities}
+    agg_names = [c for c in out.columns if c not in helper and c not in keys]
+    return out.select(
+        gran.alias("granularity"),
+        F.coalesce(*[F.col(f"_b_{g}") for g in granularities]).alias("bucket_start"),
+        *keys,
+        *agg_names,
     )
-    return out

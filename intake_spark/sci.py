@@ -145,6 +145,14 @@ class NIfTIReader(BaseReader):
             raise ValueError("not a single-file NIfTI-1 (.nii) file")
         dim = struct.unpack("<8h", hdr[40:56])
         ndim = dim[0]
+        # spec endianness rule: dim[0] outside 1..7 ⇒ the header is
+        # byte-swapped (big-endian writer); the magic is endian-independent
+        # so without this check a BE file would silently decode to garbage
+        if not 1 <= ndim <= 7:
+            raise ValueError(
+                f"dim[0]={ndim}: header is byte-swapped (big-endian NIfTI) "
+                "or corrupt; only little-endian .nii supported"
+            )
         shape = list(dim[1 : 1 + ndim])[::-1]  # row-major: slowest axis first
         (datatype,) = struct.unpack("<h", hdr[70:72])
         if datatype not in _NIFTI_DTYPES:

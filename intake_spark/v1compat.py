@@ -65,10 +65,12 @@ def _v1_drivers() -> dict[str, tuple[type, type[BaseReader], str]]:
 
 class _V1Drivers(dict):
     """Lazy driver table: leaf reader modules import on first use, not at
-    package import (they pull pandas/numpy)."""
+    package import (they pull pandas/numpy). Every read path populates
+    first — plain dict methods like .get()/.items()/iteration bypass
+    overridden __getitem__, so each is wrapped explicitly."""
 
     def _ensure(self):
-        if not self:
+        if dict.__len__(self) == 0:
             self.update(_v1_drivers())
 
     def __contains__(self, k):
@@ -79,9 +81,29 @@ class _V1Drivers(dict):
         self._ensure()
         return dict.__getitem__(self, k)
 
+    def __iter__(self):
+        self._ensure()
+        return dict.__iter__(self)
+
+    def __len__(self):
+        self._ensure()
+        return dict.__len__(self)
+
+    def get(self, k, default=None):
+        self._ensure()
+        return dict.get(self, k, default)
+
     def keys(self):
         self._ensure()
         return dict.keys(self)
+
+    def values(self):
+        self._ensure()
+        return dict.values(self)
+
+    def items(self):
+        self._ensure()
+        return dict.items(self)
 
 
 V1_DRIVERS = _V1Drivers()

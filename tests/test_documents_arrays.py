@@ -365,3 +365,51 @@ def test_zarr_missing_chunk_fill(spark, tmp_path):
     rebuilt = np.concatenate([np.array(r.values).reshape(-1, 4) for r in rows], axis=0)
     assert rebuilt[:2].sum() == 8
     assert rebuilt[2:, :2].sum() == 4 and rebuilt[2:, 2:].sum() == 0
+
+
+def test_pdf_flate_stream_ending_in_newline_byte(spark, tmp_path):
+    """Regression: a Flate payload whose compressed bytes end in 0x0A must
+    not be corrupted by EOL stripping (only ONE spec EOL precedes
+    endstream)."""
+    import zlib
+
+    from intake_spark import datatypes as dt
+    from intake_spark.documents import PDFTextReader
+
+    # search for a content string whose compressed form ends in \n
+    blob = None
+    for i in range(2000):
+        # vary the sum of bytes finely so the adler32 low byte sweeps all
+        # residues and some trial's compressed stream ends in 0x0A/0x0D
+        content = f"BT /F1 12 Tf 72 720 Td (trial {i} {'y' * (i % 300)}) Tj ET".encode()
+        comp = zlib.compress(content)
+        if comp.endswith((b"\n", b"\r")):
+            stream = (
+                b"<< /Length " + str(len(comp)).encode() + b" /Filter /FlateDecode >>\nstream\n"
+                + comp + b"\nendstream"
+            )
+            blob = (
+                b"%PDF-1.4\n1 0 obj << /Type /Page >> endobj\n4 0 obj "
+                + stream + b" endobj\ntrailer << >>\n%%EOF"
+            )
+            expect = f"trial {i}"
+            break
+    assert blob is not None, "no trial compressed to a trailing EOL byte"
+    p = tmp_path / "nl.pdf"
+    p.write_bytes(blob)
+    rows = PDFTextReader(data=dt.PDF(url=str(tmp_path))).read(spark=spark).collect()
+    assert expect in rows[0].text
+
+
+def test_nifti_rejects_byteswapped_header(spark, tmp_path):
+    import struct
+
+    from intake_spark.sci import NIfTI, NIfTIReader
+
+    hdr = bytearray(352)
+    hdr[40:56] = struct.pack(">8h", 3, 2, 3, 5, 1, 1, 1, 1)  # big-endian dims
+    hdr[344:348] = b"n+1\x00"
+    p = tmp_path / "be.nii"
+    p.write_bytes(bytes(hdr) + b"\x00" * 64)
+    with pytest.raises(ValueError, match="byte-swapped"):
+        NIfTIReader(data=NIfTI(url=str(p))).read(spark=spark)

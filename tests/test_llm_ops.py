@@ -366,3 +366,11 @@ def test_kmv_distinct_accuracy(spark):
           small.groupBy("event_type").agg(F.countDistinct("user_id").alias("n")).collect()}
     for t, n in ex.items():
         assert got[t][0] == float(n)
+
+
+def test_simhash_pairs_rejects_degenerate_bands(spark, docs):
+    # r = bits//bands == 0 would put every doc in one bucket (all-pairs)
+    with pytest.raises(ValueError, match="r=0|divide"):
+        dedup.simhash_pairs(docs, bits=16, bands=32, max_hamming=3)
+    with pytest.raises(ValueError, match="divide"):
+        dedup.simhash_pairs(docs, bits=20, bands=8, max_hamming=3)
