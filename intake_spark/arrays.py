@@ -194,3 +194,38 @@ def slice_axis0(df: DataFrame, start: int, end: int) -> DataFrame:
         .withColumn("offset0", F.greatest(F.col("offset0"), F.lit(start)))
         .drop("_re")
     )
+
+
+class NumpyPatternReader(BaseReader):
+    """Array files over a ``{field}`` path pattern → one chunk-row DataFrame
+    with the pattern captures materialized as columns (≡ reference
+    XArrayPatternReader, readers.py:1441-1495 — its ``{field}`` dims become
+    per-chunk columns here instead of xarray coordinates).
+
+    Each matching .npy file reads through the executor byte-range decode of
+    :class:`NumpyArrayReader`; per-file frames union lazily, so N files =
+    N parallel decode manifests under one plan.
+    """
+
+    implements = {dt.NumpyFile}
+    priority = 5  # explicit choice: plain NumpyArrayReader wins for flat urls
+
+    def _read(self, spark, rows_per_chunk: int = 4096, **kwargs):
+        import glob as _glob
+
+        from intake_spark.utils import pattern_to_glob, reverse_format
+
+        pattern = self.data.url
+        paths = sorted(_glob.glob(pattern_to_glob(pattern)))
+        if not paths:
+            raise FileNotFoundError(f"no files match pattern {pattern!r}")
+        out = None
+        for path in paths:
+            fields = reverse_format(pattern, path)
+            part = NumpyArrayReader(data=dt.NumpyFile(url=path)).read(
+                spark=spark, rows_per_chunk=rows_per_chunk
+            )
+            for k, v in fields.items():
+                part = part.withColumn(k, F.lit(v))
+            out = part if out is None else out.unionByName(part)
+        return out

@@ -413,3 +413,26 @@ def test_nifti_rejects_byteswapped_header(spark, tmp_path):
     p.write_bytes(bytes(hdr) + b"\x00" * 64)
     with pytest.raises(ValueError, match="byte-swapped"):
         NIfTIReader(data=NIfTI(url=str(p))).read(spark=spark)
+
+
+def test_numpy_pattern_reader(spark, tmp_path):
+    """{field} path captures become columns on chunk rows (XArrayPattern
+    parity for the array-as-DataFrame model)."""
+    import numpy as np
+
+    from intake_spark import datatypes as dt
+    from intake_spark.arrays import NumpyPatternReader
+
+    for month, scale in [("01", 1.0), ("02", 2.0)]:
+        np.save(str(tmp_path / f"temp_2024-{month}.npy"), np.ones((4, 2)) * scale)
+    r = NumpyPatternReader(data=dt.NumpyFile(url=f"{tmp_path}/temp_{{ym}}.npy"))
+    df = r.read(spark=spark, rows_per_chunk=2)
+    rows = df.collect()
+    assert {x.ym for x in rows} == {"2024-01", "2024-02"}
+    by_month = {}
+    for x in rows:
+        by_month.setdefault(x.ym, 0)
+        by_month[x.ym] += sum(x.values)
+    assert by_month == {"2024-01": 8.0, "2024-02": 16.0}
+    with pytest.raises(FileNotFoundError):
+        NumpyPatternReader(data=dt.NumpyFile(url=f"{tmp_path}/nope_{{a}}.npy")).read(spark=spark)
