@@ -661,3 +661,91 @@ class SafeTensorsMetadataReader(BaseReader):
                 }
             )
         return spark.createDataFrame(rows)
+
+
+class ONNXModel(dt.FileData):
+    """(parity: ONNXModel datatypes.py:1750)"""
+
+    filepattern = r"onnx$"
+    structure = {"model"}
+
+
+class TorchScriptModel(dt.FileData):
+    """(parity: TorchScriptModel datatypes.py:1763)"""
+
+    filepattern = r"pt$"
+    magic = (b"PK\x03\x04",)
+    structure = {"model"}
+
+
+class ONNXMetadataReader(BaseReader):
+    """ONNX model metadata → one row (ir_version, producer, opsets, graph
+    name, n_nodes, inputs, outputs) with NO onnx/protobuf dependency: an
+    .onnx file is a ModelProto protobuf, walked with the same wire-format
+    parser as TFRecord (parity: ONNXReader family, readers.py:2548+,
+    which needs onnxruntime). Metadata-only — enough to catalog models."""
+
+    implements = {ONNXModel}
+    lazy = False  # driver parse (model headers are small; weights skipped)
+
+    def _read(self, spark, **kwargs):
+        from intake_spark.mlds import _fields
+
+        with open(self.data.url, "rb") as f:
+            blob = f.read()
+        meta = {
+            "ir_version": None, "producer": "", "opset": [],
+            "graph_name": "", "n_nodes": 0, "inputs": [], "outputs": [],
+        }
+        for field, _wt, payload in _fields(blob):
+            if field == 1:
+                meta["ir_version"] = int(payload)
+            elif field == 2:
+                meta["producer"] = payload.decode("utf-8", "replace")
+            elif field == 8:  # opset_import: OperatorSetIdProto{domain=1, version=2}
+                ver = [int(p) for f2, _, p in _fields(payload) if f2 == 2]
+                meta["opset"].extend(ver)
+            elif field == 7:  # graph: GraphProto
+                for f2, _wt2, p in _fields(payload):
+                    if f2 == 1:
+                        meta["n_nodes"] += 1
+                    elif f2 == 2:
+                        meta["graph_name"] = p.decode("utf-8", "replace")
+                    elif f2 in (11, 12):  # input/output: ValueInfoProto{name=1}
+                        for f3, _, q in _fields(p):
+                            if f3 == 1:
+                                key = "inputs" if f2 == 11 else "outputs"
+                                meta[key].append(q.decode("utf-8", "replace"))
+        return spark.createDataFrame(
+            [(meta["ir_version"], meta["producer"], meta["opset"],
+              meta["graph_name"], meta["n_nodes"], meta["inputs"], meta["outputs"])],
+            "ir_version long, producer string, opset array<long>, "
+            "graph_name string, n_nodes long, inputs array<string>, outputs array<string>",
+        )
+
+
+class TorchScriptMetadataReader(BaseReader):
+    """TorchScript archive metadata → one row (format version, members,
+    total bytes, n_tensors). A .pt archive is a zip: stdlib zipfile lists
+    members and reads the tiny version file (parity: TorchScript readers,
+    readers.py:2548+, which need torch)."""
+
+    implements = {TorchScriptModel}
+    lazy = False
+
+    def _read(self, spark, **kwargs):
+        import zipfile
+
+        with zipfile.ZipFile(self.data.url) as z:
+            names = z.namelist()
+            version = ""
+            for n in names:
+                if n.endswith("/version") or n == "version":
+                    version = z.read(n).decode("ascii", "replace").strip()
+                    break
+            total = sum(i.file_size for i in z.infolist())
+            n_tensors = sum(1 for n in names if "/data/" in n and not n.endswith("/"))
+        return spark.createDataFrame(
+            [(version, sorted(names), total, n_tensors)],
+            "format_version string, members array<string>, total_bytes long, n_tensors long",
+        )

@@ -436,3 +436,50 @@ def test_numpy_pattern_reader(spark, tmp_path):
     assert by_month == {"2024-01": 8.0, "2024-02": 16.0}
     with pytest.raises(FileNotFoundError):
         NumpyPatternReader(data=dt.NumpyFile(url=f"{tmp_path}/nope_{{a}}.npy")).read(spark=spark)
+
+
+def test_onnx_metadata_reader(spark, tmp_path):
+    """Hand-encoded ModelProto (spec wire format, independent encoder)."""
+    from tests.test_bio_geo_stats import _pb_len, _varint
+
+    graph = (
+        _pb_len(1, b"nodeA") + _pb_len(1, b"nodeB")  # 2 nodes (any bytes)
+        + _pb_len(2, b"net")
+        + _pb_len(11, _pb_len(1, b"x"))
+        + _pb_len(12, _pb_len(1, b"y"))
+    )
+    opset = _varint((2 << 3) | 0) + _varint(21)  # version=21
+    model = (
+        _varint((1 << 3) | 0) + _varint(9)       # ir_version=9
+        + _pb_len(2, b"intake-test")
+        + _pb_len(7, graph)
+        + _pb_len(8, opset)
+    )
+    p = tmp_path / "m.onnx"
+    p.write_bytes(model)
+    from intake_spark.documents import ONNXMetadataReader, ONNXModel
+
+    row = ONNXMetadataReader(data=ONNXModel(url=str(p))).read(spark=spark).first()
+    assert row.ir_version == 9
+    assert row.producer == "intake-test"
+    assert row.opset == [21]
+    assert row.graph_name == "net" and row.n_nodes == 2
+    assert row.inputs == ["x"] and row.outputs == ["y"]
+
+
+def test_torchscript_metadata_reader(spark, tmp_path):
+    import zipfile
+
+    p = tmp_path / "model.pt"
+    with zipfile.ZipFile(p, "w") as z:
+        z.writestr("model/version", "3\n")
+        z.writestr("model/data.pkl", b"\x80\x02fake")
+        z.writestr("model/data/0", b"\x00" * 64)
+        z.writestr("model/data/1", b"\x00" * 32)
+    from intake_spark.documents import TorchScriptMetadataReader, TorchScriptModel
+
+    row = TorchScriptMetadataReader(data=TorchScriptModel(url=str(p))).read(spark=spark).first()
+    assert row.format_version == "3"
+    assert row.n_tensors == 2
+    assert row.total_bytes == 64 + 32 + len("3\n") + len(b"\x80\x02fake")
+    assert "model/data.pkl" in row.members
