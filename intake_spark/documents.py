@@ -749,3 +749,56 @@ class TorchScriptMetadataReader(BaseReader):
             [(version, sorted(names), total, n_tensors)],
             "format_version string, members array<string>, total_bytes long, n_tensors long",
         )
+
+
+class JoblibFile(dt.FileData):
+    """(parity: JoblibFile datatypes.py:1774)"""
+
+    filepattern = r"(joblib|pkl|pickle)$"
+    structure = {"model"}
+
+
+class JoblibMetadataReader(BaseReader):
+    """Pickle/joblib artifact metadata WITHOUT executing the pickle:
+    stdlib ``pickletools.genops`` walks the opcode stream and collects the
+    classes the payload references (GLOBAL/STACK_GLOBAL), protocol and
+    framing info — enough to catalog a model artifact and decide whether
+    importing it is acceptable, with none of unpickling's arbitrary code
+    execution (parity: JoblibReader readers.py:2548+, which executes the
+    pickle via joblib.load)."""
+
+    implements = {JoblibFile}
+    lazy = False
+
+    def _read(self, spark, max_bytes: int = 64 << 20, **kwargs):
+        import pickletools
+
+        with open(self.data.url, "rb") as f:
+            blob = f.read(max_bytes)
+        protocol = 0
+        classes: list[str] = []
+        stack: list[str] = []
+        n_ops = 0
+        try:
+            for op, arg, _pos in pickletools.genops(blob):
+                n_ops += 1
+                if op.name == "PROTO":
+                    protocol = int(arg)
+                elif op.name == "GLOBAL":
+                    classes.append(str(arg).replace(" ", "."))
+                elif op.name in ("SHORT_BINUNICODE", "BINUNICODE", "UNICODE"):
+                    stack.append(str(arg))
+                elif op.name == "STACK_GLOBAL" and len(stack) >= 2:
+                    classes.append(f"{stack[-2]}.{stack[-1]}")
+                elif op.name == "STOP":
+                    break
+        except Exception:
+            pass  # truncated/corrupt tail: report what was walked
+        seen: list[str] = []
+        for c in classes:
+            if c not in seen:
+                seen.append(c)
+        return spark.createDataFrame(
+            [(protocol, seen, n_ops, len(blob))],
+            "protocol long, classes array<string>, n_ops long, bytes_scanned long",
+        )

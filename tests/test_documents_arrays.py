@@ -483,3 +483,24 @@ def test_torchscript_metadata_reader(spark, tmp_path):
     assert row.n_tensors == 2
     assert row.total_bytes == 64 + 32 + len("3\n") + len(b"\x80\x02fake")
     assert "model/data.pkl" in row.members
+
+
+def test_joblib_metadata_reader_no_execution(spark, tmp_path):
+    """Class references extracted from the opcode stream; a malicious
+    reduce (os.system) is REPORTED, never executed."""
+    import pickle
+
+    from intake_spark.documents import JoblibFile, JoblibMetadataReader
+
+    class Evil:
+        def __reduce__(self):
+            import os
+
+            return (os.system, ("echo pwned > %s/pwned" % tmp_path,))
+
+    p = tmp_path / "model.pkl"
+    p.write_bytes(pickle.dumps({"w": [1.0, 2.0], "clf": Evil()}))
+    row = JoblibMetadataReader(data=JoblibFile(url=str(p))).read(spark=spark).first()
+    assert any("system" in c for c in row.classes)  # reported...
+    assert not (tmp_path / "pwned").exists()        # ...not executed
+    assert row.protocol >= 2 and row.n_ops > 5
