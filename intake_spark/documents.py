@@ -302,8 +302,10 @@ def _pdf_text(content: bytes) -> tuple[str, int]:
         # /Length is authoritative when it's a plain integer: a Flate
         # payload may itself end in CR/LF (adler32 trailer), so trailing-EOL
         # stripping alone cannot distinguish data bytes from the single
-        # EOL the spec allows before `endstream`
-        lm = re.search(rb"/Length\s+(\d+)", head)
+        # EOL the spec allows before `endstream`. Indirect references
+        # ("/Length 5 0 R") are NOT lengths — the lookahead rejects them
+        # and the EOL heuristic below takes over.
+        lm = re.search(rb"/Length\s+(\d+)(?!\s+\d+\s+R)", head)
         if lm and int(lm.group(1)) <= len(raw):
             raw = raw[: int(lm.group(1))]
         elif raw.endswith(b"\r\n"):
@@ -673,7 +675,7 @@ class ONNXModel(dt.FileData):
 class TorchScriptModel(dt.FileData):
     """(parity: TorchScriptModel datatypes.py:1763)"""
 
-    filepattern = r"pt$"
+    filepattern = r"\.pt$"  # anchored: a bare "pt$" would claim .ppt/.ckpt
     magic = (b"PK\x03\x04",)
     structure = {"model"}
 
@@ -686,36 +688,42 @@ class ONNXMetadataReader(BaseReader):
     which needs onnxruntime). Metadata-only — enough to catalog models."""
 
     implements = {ONNXModel}
-    lazy = False  # driver parse (model headers are small; weights skipped)
+    lazy = False  # driver parse, size-capped (metadata lives up front)
 
-    def _read(self, spark, **kwargs):
+    def _read(self, spark, max_bytes: int = 64 << 20, **kwargs):
         from intake_spark.mlds import _fields
 
         with open(self.data.url, "rb") as f:
-            blob = f.read()
+            blob = f.read(max_bytes)
         meta = {
             "ir_version": None, "producer": "", "opset": [],
             "graph_name": "", "n_nodes": 0, "inputs": [], "outputs": [],
         }
-        for field, _wt, payload in _fields(blob):
-            if field == 1:
-                meta["ir_version"] = int(payload)
-            elif field == 2:
-                meta["producer"] = payload.decode("utf-8", "replace")
-            elif field == 8:  # opset_import: OperatorSetIdProto{domain=1, version=2}
-                ver = [int(p) for f2, _, p in _fields(payload) if f2 == 2]
-                meta["opset"].extend(ver)
-            elif field == 7:  # graph: GraphProto
-                for f2, _wt2, p in _fields(payload):
-                    if f2 == 1:
-                        meta["n_nodes"] += 1
-                    elif f2 == 2:
-                        meta["graph_name"] = p.decode("utf-8", "replace")
-                    elif f2 in (11, 12):  # input/output: ValueInfoProto{name=1}
-                        for f3, _, q in _fields(p):
-                            if f3 == 1:
-                                key = "inputs" if f2 == 11 else "outputs"
-                                meta[key].append(q.decode("utf-8", "replace"))
+        try:
+            for field, _wt, payload in _fields(blob):
+                if field == 1:
+                    meta["ir_version"] = int(payload)
+                elif field == 2:
+                    meta["producer"] = payload.decode("utf-8", "replace")
+                elif field == 8:  # opset_import: OperatorSetIdProto{domain=1, version=2}
+                    ver = [int(p) for f2, _, p in _fields(payload) if f2 == 2]
+                    meta["opset"].extend(ver)
+                elif field == 7:  # graph: GraphProto
+                    for f2, _wt2, p in _fields(payload):
+                        # field 5 = initializer tensors (the weights): the
+                        # walk yields them as slices but we never touch the
+                        # payloads beyond this loop
+                        if f2 == 1:
+                            meta["n_nodes"] += 1
+                        elif f2 == 2:
+                            meta["graph_name"] = p.decode("utf-8", "replace")
+                        elif f2 in (11, 12):  # input/output: ValueInfoProto{name=1}
+                            for f3, _, q in _fields(p):
+                                if f3 == 1:
+                                    key = "inputs" if f2 == 11 else "outputs"
+                                    meta[key].append(q.decode("utf-8", "replace"))
+        except (IndexError, ValueError):
+            pass  # truncated at max_bytes mid-message: report what we walked
         return spark.createDataFrame(
             [(meta["ir_version"], meta["producer"], meta["opset"],
               meta["graph_name"], meta["n_nodes"], meta["inputs"], meta["outputs"])],
@@ -778,6 +786,7 @@ class JoblibMetadataReader(BaseReader):
         protocol = 0
         classes: list[str] = []
         stack: list[str] = []
+        memo: dict = {}
         n_ops = 0
         try:
             for op, arg, _pos in pickletools.genops(blob):
@@ -788,8 +797,24 @@ class JoblibMetadataReader(BaseReader):
                     classes.append(str(arg).replace(" ", "."))
                 elif op.name in ("SHORT_BINUNICODE", "BINUNICODE", "UNICODE"):
                     stack.append(str(arg))
-                elif op.name == "STACK_GLOBAL" and len(stack) >= 2:
-                    classes.append(f"{stack[-2]}.{stack[-1]}")
+                elif op.name == "MEMOIZE":
+                    if stack:
+                        memo[len(memo)] = stack[-1]
+                    else:
+                        memo[len(memo)] = None
+                elif op.name in ("PUT", "BINPUT", "LONG_BINPUT"):
+                    memo[int(arg)] = stack[-1] if stack else None
+                elif op.name in ("GET", "BINGET", "LONG_BINGET"):
+                    v = memo.get(int(arg))
+                    if isinstance(v, str):
+                        stack.append(v)
+                elif op.name == "STACK_GLOBAL":
+                    # module/name are the two strings on top (pushed
+                    # directly or re-pushed from the memo above); consume
+                    # them so later payload strings can't pair up wrongly
+                    if len(stack) >= 2:
+                        classes.append(f"{stack[-2]}.{stack[-1]}")
+                        del stack[-2:]
                 elif op.name == "STOP":
                     break
         except Exception:

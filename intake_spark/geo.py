@@ -221,7 +221,30 @@ class MBTilesReader(BaseReader):
         where = f" WHERE zoom_level = {int(zoom)}" if zoom is not None else ""
         con = sqlite3.connect(url)
         try:
-            lo_hi = con.execute(f"SELECT MIN(rowid), MAX(rowid) FROM tiles{where}").fetchone()
+            # `tiles` may be a VIEW (map+images dedup layout): views have no
+            # rowid (sqlite silently yields NULL, it does not error), so the
+            # range-manifest path only applies to real tables
+            (kind,) = con.execute(
+                "SELECT type FROM sqlite_master WHERE name = 'tiles'"
+            ).fetchone() or ("",)
+            if kind != "table":
+                rows = []
+                cur = con.execute(
+                    "SELECT zoom_level, tile_column, tile_row, tile_data "
+                    f"FROM tiles{where}"
+                )
+                while True:
+                    chunk = cur.fetchmany(rows_per_task)
+                    if not chunk:
+                        break
+                    rows.extend(chunk)
+                return spark.createDataFrame(
+                    rows,
+                    "zoom_level int, tile_column int, tile_row int, tile_data binary",
+                )
+            lo_hi = con.execute(
+                f"SELECT MIN(rowid), MAX(rowid) FROM tiles{where}"
+            ).fetchone()
         finally:
             con.close()
         if lo_hi is None or lo_hi[0] is None:
@@ -362,6 +385,11 @@ class PMTilesReader(BaseReader):
             (root_off, root_len, _m_off, _m_len, leaf_off, leaf_len,
              data_off, _data_len) = st.unpack("<8Q", hdr[8:72])
             internal_comp = hdr[97]
+            if internal_comp not in (1, 2):  # 1=none, 2=gzip
+                raise ValueError(
+                    f"unsupported PMTiles internal compression {internal_comp} "
+                    "(only none/gzip; brotli/zstd need external codecs)"
+                )
 
             def load_dir(off, ln):
                 f.seek(off)
@@ -470,12 +498,21 @@ def _parse_primitive_block(blob: bytes) -> list[dict]:
     from intake_spark.mlds import _fields, _read_varint
 
     raw = None
+    other_comp = None
     for field, _wt, payload in _fields(blob):
         if field == 1:  # raw
             raw = payload
         elif field == 3:  # zlib_data
             raw = zlib.decompress(payload)
+        elif field in (4, 6, 7):  # lzma / lz4 / zstd
+            other_comp = {4: "lzma", 6: "lz4", 7: "zstd"}[field]
     if raw is None:
+        if other_comp:
+            raise ValueError(
+                f"OSM blob uses {other_comp} compression; only raw and "
+                "zlib blobs are supported (re-encode with osmium --output "
+                "compression=zlib)"
+            )
         return []
     strings: list[bytes] = []
     groups = []

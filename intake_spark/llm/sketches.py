@@ -45,7 +45,14 @@ def kmv_distinct(
     *exact* (the estimate is the observed distinct count).
     """
     group_cols = [group_cols] if isinstance(group_cols, str) else list(group_cols)
-    hashed = df.select(*group_cols, _h32(value_col).alias("_h")).distinct()
+    # NULL values drop before hashing: md5(NULL) is NULL, which Spark's
+    # ascending sort ranks FIRST but DuckDB ranks LAST — it would both bias
+    # the estimate and break oracle equality
+    hashed = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(*group_cols, _h32(value_col).alias("_h"))
+        .distinct()
+    )
     w = Window.partitionBy(*group_cols).orderBy(F.asc("_h"))
     ranked = hashed.withColumn("_r", F.row_number().over(w)).filter(F.col("_r") <= k)
     agg = ranked.groupBy(*group_cols).agg(
@@ -65,7 +72,7 @@ def kmv_distinct_sql(table: str, group_cols: list[str], value_col: str, k: int =
     WITH hashed AS (
       SELECT DISTINCT {g},
              CAST(concat('0x', substr(md5(CAST({value_col} AS VARCHAR)), 1, 8)) AS BIGINT) AS h
-      FROM {table}),
+      FROM {table} WHERE {value_col} IS NOT NULL),
     ranked AS (
       SELECT {g}, h, ROW_NUMBER() OVER (PARTITION BY {g} ORDER BY h) AS r
       FROM hashed),

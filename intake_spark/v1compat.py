@@ -67,11 +67,27 @@ class _V1Drivers(dict):
     """Lazy driver table: leaf reader modules import on first use, not at
     package import (they pull pandas/numpy). Every read path populates
     first — plain dict methods like .get()/.items()/iteration bypass
-    overridden __getitem__, so each is wrapped explicitly."""
+    overridden __getitem__, so each is wrapped explicitly. An explicit
+    flag (not emptiness) gates population so registering a custom driver
+    before first read can't mask the builtins; __setitem__/copy populate
+    too."""
+
+    _populated = False
 
     def _ensure(self):
-        if dict.__len__(self) == 0:
-            self.update(_v1_drivers())
+        if not self._populated:
+            self._populated = True
+            builtin = _v1_drivers()
+            for k, v in builtin.items():
+                dict.setdefault(self, k, v)  # user-registered keys win
+
+    def __setitem__(self, k, v):
+        self._ensure()
+        dict.__setitem__(self, k, v)
+
+    def copy(self):
+        self._ensure()
+        return dict(self.items())
 
     def __contains__(self, k):
         self._ensure()

@@ -512,3 +512,49 @@ def test_osm_pbf_reader(spark, tmp_path):
     assert rows[1001].tags == {"name": "cafe"}
     assert abs(rows[1002].lat - 51.6) < 1e-9
     assert rows[1002].tags == {}
+
+
+def test_mbtiles_view_fallback(spark, tmp_path):
+    """tiles-as-VIEW layout (map+images dedup) has no rowid: the reader
+    must fall back to a driver-side read instead of failing."""
+    import sqlite3
+
+    from intake_spark.geo import MBTiles, MBTilesReader
+
+    p = str(tmp_path / "v.mbtiles")
+    con = sqlite3.connect(p)
+    con.execute("CREATE TABLE map (zoom_level int, tile_column int, tile_row int, tile_id text)")
+    con.execute("CREATE TABLE images (tile_id text, tile_data blob)")
+    con.execute(
+        "CREATE VIEW tiles AS SELECT zoom_level, tile_column, tile_row, tile_data "
+        "FROM map JOIN images ON map.tile_id = images.tile_id"
+    )
+    con.execute("INSERT INTO map VALUES (1, 0, 0, 'a'), (1, 1, 0, 'a')")
+    con.execute("INSERT INTO images VALUES ('a', X'89504E47')")
+    con.commit(); con.close()
+    df = MBTilesReader(data=MBTiles(url=p)).read(spark=spark)
+    assert df.count() == 2
+
+
+def test_osm_unsupported_compression_raises(spark, tmp_path):
+    import struct as st
+
+    from intake_spark.geo import OSMPBF, OSMPBFReader
+
+    blob = _pb_len(7, b"zstd-payload")  # field 7 = zstd
+    header = _pb_len(1, b"OSMData") + _varint(3 << 3) + _varint(len(blob))
+    p = tmp_path / "z.osm.pbf"
+    p.write_bytes(st.pack(">I", len(header)) + header + blob)
+    with pytest.raises(Exception, match="zstd"):
+        OSMPBFReader(data=OSMPBF(url=str(p))).read(spark=spark).collect()
+
+
+def test_pmtiles_unsupported_compression_raises(spark, tmp_path):
+    from intake_spark.geo import PMTiles, PMTilesReader
+
+    blob = bytearray(_make_pmtiles({(0, 0, 0): b"t"}))
+    blob[97] = 4  # zstd
+    p = tmp_path / "z.pmtiles"
+    p.write_bytes(bytes(blob))
+    with pytest.raises(ValueError, match="internal compression"):
+        PMTilesReader(data=PMTiles(url=str(p))).read(spark=spark)

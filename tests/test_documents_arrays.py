@@ -504,3 +504,23 @@ def test_joblib_metadata_reader_no_execution(spark, tmp_path):
     assert any("system" in c for c in row.classes)  # reported...
     assert not (tmp_path / "pwned").exists()        # ...not executed
     assert row.protocol >= 2 and row.n_ops > 5
+
+
+def test_pdf_indirect_length_reference(spark, tmp_path):
+    """'/Length 5 0 R' is an object reference, not a byte count — the
+    stream must fall back to EOL-strip, not truncate to 5 bytes."""
+    import zlib
+
+    from intake_spark import datatypes as dt
+    from intake_spark.documents import PDFTextReader
+
+    comp = zlib.compress(b"BT /F1 12 Tf (indirect length works) Tj ET")
+    blob = (
+        b"%PDF-1.4\n4 0 obj << /Length 5 0 R /Filter /FlateDecode >>\nstream\n"
+        + comp + b"\nendstream endobj\n5 0 obj " + str(len(comp)).encode()
+        + b" endobj\ntrailer << >>\n%%EOF"
+    )
+    p = tmp_path / "ind.pdf"
+    p.write_bytes(blob)
+    rows = PDFTextReader(data=dt.PDF(url=str(tmp_path))).read(spark=spark).collect()
+    assert "indirect length works" in rows[0].text
