@@ -39,6 +39,19 @@ class VCF(dt.FileData):
     structure = {"table"}
 
 
+def _binary_files(spark, url: str, glob: str):
+    """binaryFile listing for a url that may be a glob, a single file, or a
+    directory. ``pathGlobFilter`` applies only to the directory case — a
+    single file already names its target, and filtering it against the glob
+    silently drops extensions the glob misses (e.g. '.fna' vs '*.fa*')."""
+    import os
+
+    reader = spark.read.format("binaryFile")
+    if "*" not in url and os.path.isdir(url):
+        reader = reader.option("pathGlobFilter", glob)
+    return reader.load(url)
+
+
 _FASTA_SCHEMA = T.StructType(
     [
         T.StructField("path", T.StringType()),
@@ -74,15 +87,11 @@ class FASTAReader(BaseReader):
 
     implements = {FASTA}
 
-    def _read(self, spark, glob: str = "*.fa*", **kwargs):
+    def _read(self, spark, glob: str = "*.{fa,fasta,fna,faa}", **kwargs):
         from intake_spark.session import ensure_py_deps
 
         ensure_py_deps(spark)
-        files = (
-            spark.read.format("binaryFile").load(self.data.url)
-            if "*" in self.data.url
-            else spark.read.format("binaryFile").option("pathGlobFilter", glob).load(self.data.url)
-        )
+        files = _binary_files(spark, self.data.url, glob)
 
         def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for pdf in batches:
@@ -116,15 +125,11 @@ class FASTQReader(BaseReader):
 
     implements = {FASTQ}
 
-    def _read(self, spark, glob: str = "*.f*q", **kwargs):
+    def _read(self, spark, glob: str = "*.{fq,fastq}", **kwargs):
         from intake_spark.session import ensure_py_deps
 
         ensure_py_deps(spark)
-        files = (
-            spark.read.format("binaryFile").load(self.data.url)
-            if "*" in self.data.url
-            else spark.read.format("binaryFile").option("pathGlobFilter", glob).load(self.data.url)
-        )
+        files = _binary_files(spark, self.data.url, glob)
 
         def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for pdf in batches:

@@ -228,25 +228,68 @@ class MBTilesReader(BaseReader):
                 "SELECT type FROM sqlite_master WHERE name = 'tiles'"
             ).fetchone() or ("",)
             if kind != "table":
-                rows = []
-                cur = con.execute(
-                    "SELECT zoom_level, tile_column, tile_row, tile_data "
-                    f"FROM tiles{where}"
+                # common map+images dedup layout: `tiles` is a VIEW with no
+                # rowid, so paginate with deterministic ORDER BY + LIMIT/
+                # OFFSET windows, fetched on executors — tile blobs never
+                # pass through the driver (the driver reads one COUNT)
+                (total,) = con.execute(
+                    f"SELECT COUNT(*) FROM tiles{where}"
+                ).fetchone()
+                con.close()
+                con = None
+                tile_schema = (
+                    "zoom_level int, tile_column int, tile_row int, tile_data binary"
                 )
-                while True:
-                    chunk = cur.fetchmany(rows_per_task)
-                    if not chunk:
-                        break
-                    rows.extend(chunk)
-                return spark.createDataFrame(
-                    rows,
-                    "zoom_level int, tile_column int, tile_row int, tile_data binary",
+                if not total:
+                    return spark.createDataFrame([], tile_schema)
+                windows = [
+                    (start, min(rows_per_task, total - start))
+                    for start in range(0, total, rows_per_task)
+                ]
+                wdf = spark.createDataFrame(windows, "off long, lim long")
+                if len(windows) > 1:
+                    wdf = wdf.repartition(
+                        min(len(windows), spark.sparkContext.defaultParallelism)
+                    )
+
+                def fetch_view(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+                    vcon = sqlite3.connect(f"file:{url}?mode=ro", uri=True)
+                    try:
+                        for pdf in batches:
+                            for _, r in pdf.iterrows():
+                                rows = vcon.execute(
+                                    "SELECT zoom_level, tile_column, tile_row, "
+                                    f"tile_data FROM tiles{where} "
+                                    "ORDER BY zoom_level, tile_column, tile_row "
+                                    f"LIMIT {int(r.lim)} OFFSET {int(r.off)}"
+                                ).fetchall()
+                                yield pd.DataFrame(
+                                    rows,
+                                    columns=[
+                                        "zoom_level",
+                                        "tile_column",
+                                        "tile_row",
+                                        "tile_data",
+                                    ],
+                                )
+                    finally:
+                        vcon.close()
+
+                vschema = T.StructType(
+                    [
+                        T.StructField("zoom_level", T.IntegerType()),
+                        T.StructField("tile_column", T.IntegerType()),
+                        T.StructField("tile_row", T.IntegerType()),
+                        T.StructField("tile_data", T.BinaryType()),
+                    ]
                 )
+                return wdf.mapInPandas(fetch_view, schema=vschema)
             lo_hi = con.execute(
                 f"SELECT MIN(rowid), MAX(rowid) FROM tiles{where}"
             ).fetchone()
         finally:
-            con.close()
+            if con is not None:
+                con.close()
         if lo_hi is None or lo_hi[0] is None:
             return spark.createDataFrame(
                 [], "zoom_level int, tile_column int, tile_row int, tile_data binary"
@@ -390,6 +433,12 @@ class PMTilesReader(BaseReader):
                     f"unsupported PMTiles internal compression {internal_comp} "
                     "(only none/gzip; brotli/zstd need external codecs)"
                 )
+            tile_comp = hdr[98]
+            if tile_comp not in (0, 1, 2):  # 0=unknown, 1=none, 2=gzip
+                raise ValueError(
+                    f"unsupported PMTiles tile compression {tile_comp} "
+                    "(only none/gzip; brotli/zstd need external codecs)"
+                )
 
             def load_dir(off, ln):
                 f.seek(off)
@@ -419,12 +468,16 @@ class PMTilesReader(BaseReader):
             mdf = mdf.repartition(min(1 + len(manifest) // batch, spark.sparkContext.defaultParallelism))
 
         def fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            import gzip as _gzip
+
             with open(url, "rb") as fh:
                 for pdf in batches:
                     rows = []
                     for _, e in pdf.iterrows():
                         fh.seek(int(e.off))
                         payload = fh.read(int(e.len))
+                        if tile_comp == 2:  # gzip tile payloads → raw bytes
+                            payload = _gzip.decompress(payload)
                         for r in range(int(e.run)):
                             z, x, y = _tileid_to_zxy(int(e.tid) + r)
                             rows.append((z, x, y, int(e.tid) + r, payload))

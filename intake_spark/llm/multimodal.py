@@ -137,7 +137,16 @@ def decode_wav(content: bytes):
     with wave.open(io.BytesIO(content)) as w:
         rate, nch, sw = w.getframerate(), w.getnchannels(), w.getsampwidth()
         frames = w.readframes(w.getnframes())
-    dtype = {1: np.uint8, 2: np.dtype("<i2"), 4: np.dtype("<i4")}[sw]
+    if sw == 3:  # 24-bit PCM: sign-extend each 3-byte sample into int32
+        b3 = np.frombuffer(frames, dtype=np.uint8).reshape(-1, 3)
+        pad = np.where(b3[:, 2] >= 0x80, 0xFF, 0).astype(np.uint8)
+        b4 = np.column_stack([b3, pad]).tobytes()
+        arr = np.frombuffer(b4, dtype="<i4").reshape(-1, nch)
+        return rate, arr
+    try:
+        dtype = {1: np.uint8, 2: np.dtype("<i2"), 4: np.dtype("<i4")}[sw]
+    except KeyError:
+        raise ValueError(f"unsupported WAV sample width {sw} bytes") from None
     arr = np.frombuffer(frames, dtype=dtype).reshape(-1, nch)
     return rate, arr
 

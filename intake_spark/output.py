@@ -210,19 +210,27 @@ def _png_bytes(arr_2d, bit_depth: int = 8) -> bytes:
 
 
 def to_png(df: DataFrame, url: str) -> dt.PNG:
-    """First chunk row rendered as a grayscale PNG (2-D arrays; values
-    clipped to uint8). Stdlib encoder — parity: NumpyToPNG output.py:268+,
-    which needs PIL. Media are driver-edge artifacts (thumbnails, QA), so a
-    driver-side write is the right cost model."""
-    row = df.select("shape", "values").first()
-    if row is None:
+    """All chunk rows, streamed in offset order, rendered as one grayscale
+    PNG (2-D arrays; values clipped to uint8). Stdlib encoder — parity:
+    NumpyToPNG output.py:268+, which needs PIL. Media are driver-edge
+    artifacts (thumbnails, QA), so a driver-side write is the right cost
+    model; like to_npy, only one partition is in driver memory at a time."""
+    first = df.select("shape").first()
+    if first is None:
         raise ValueError("empty chunk DataFrame")
-    shape = list(row["shape"])
+    shape = list(first["shape"])
     if len(shape) != 2:
         raise ValueError(f"to_png needs a 2-D array, got shape {shape}")
     w = shape[1]
-    vals = [max(0, min(255, int(v))) for v in row["values"]]
-    arr = [vals[i * w : (i + 1) * w] for i in range(len(vals) // w)]
+    arr = []
+    for row in df.select("offset0", "values").orderBy("offset0").toLocalIterator():
+        vals = [max(0, min(255, int(v))) for v in row["values"]]
+        arr.extend(vals[i * w : (i + 1) * w] for i in range(len(vals) // w))
+    if len(arr) != shape[0]:
+        raise ValueError(
+            f"chunk rows reconstruct {len(arr)} image rows but shape says "
+            f"{shape[0]} — refusing to write a truncated PNG"
+        )
     with open(url, "wb") as f:
         f.write(_png_bytes(arr))
     return dt.PNG(url=url)

@@ -114,6 +114,27 @@ def test_kml_gpx_readers(spark, tmp_path):
     assert {r.track for r in pts} == {"morning"}
 
 
+def test_fasta_single_fna_file(spark, tmp_path):
+    """A single .fna file (advertised by the FASTA datatype's filepattern)
+    must read through the standard path — previously the default
+    pathGlobFilter '*.fa*' silently returned zero rows for it."""
+    from intake_spark.bio import FASTA as FastaType
+    from intake_spark.bio import FASTAReader
+
+    p = tmp_path / "genome.fna"
+    p.write_text(">chr1 assembly\nACGTACGT\nTTTT\n")
+    rows = FASTAReader(data=FastaType(url=str(p))).read(spark=spark).collect()
+    assert len(rows) == 1
+    assert rows[0].seq_id == "chr1" and rows[0].sequence == "ACGTACGTTTTT"
+    # directory form still picks up every advertised extension
+    d = tmp_path / "dir"
+    d.mkdir()
+    for ext in ("fa", "fasta", "fna", "faa"):
+        (d / f"x.{ext}").write_text(f">s_{ext}\nAC\n")
+    got = {r.seq_id for r in FASTAReader(data=FastaType(url=str(d))).read(spark=spark).collect()}
+    assert got == {"s_fa", "s_fasta", "s_fna", "s_faa"}
+
+
 def test_mbtiles_reader(spark, tmp_path):
     import sqlite3
 
@@ -388,9 +409,10 @@ def _hilbert_xy2d(order: int, x: int, y: int) -> int:
     return d
 
 
-def _make_pmtiles(tiles: dict, use_leaf: bool = False) -> bytes:
+def _make_pmtiles(tiles: dict, use_leaf: bool = False, gzip_tiles: bool = False) -> bytes:
     """Spec-built PMTiles v3 archive: gzip directories, varint entries,
-    hilbert ids (independent encoder). tiles: {(z,x,y): payload}."""
+    hilbert ids (independent encoder). tiles: {(z,x,y): payload};
+    gzip_tiles compresses payloads and sets the tile-compression byte."""
     import gzip
     import struct as st
 
@@ -407,6 +429,8 @@ def _make_pmtiles(tiles: dict, use_leaf: bool = False) -> bytes:
 
     ids = []
     for (z, x, y), payload in tiles.items():
+        if gzip_tiles:
+            payload = gzip.compress(payload)
         acc = sum(1 << (2 * i) for i in range(z))
         ids.append((acc + _hilbert_xy2d(z, x, y), payload))
     ids.sort()
@@ -448,6 +472,7 @@ def _make_pmtiles(tiles: dict, use_leaf: bool = False) -> bytes:
     hdr[7] = 3
     st.pack_into("<8Q", hdr, 8, root_off, len(root), 0, 0, leaf_off, len(leaf_blob), data_off, len(data))
     hdr[97] = 2  # gzip internal compression
+    hdr[98] = 2 if gzip_tiles else 1  # tile compression
     return bytes(hdr) + root + leaf_blob + data
 
 
@@ -466,6 +491,30 @@ def test_pmtiles_reader(spark, tmp_path, use_leaf):
     df = PMTilesReader(data=PMTiles(url=str(p))).read(spark=spark)
     got = {(r.z, r.x, r.y): bytes(r.tile_data) for r in df.collect()}
     assert got == tiles
+
+
+def test_pmtiles_gzip_tile_payloads(spark, tmp_path):
+    """Tile-compression byte (hdr[98]) honored: gzip tile payloads come
+    back decompressed, not as raw gzip bytes."""
+    from intake_spark.geo import PMTiles, PMTilesReader
+
+    tiles = {(1, 0, 0): b"vector-tile-a", (1, 1, 1): b"vector-tile-b"}
+    p = tmp_path / "gz.pmtiles"
+    p.write_bytes(_make_pmtiles(tiles, gzip_tiles=True))
+    df = PMTilesReader(data=PMTiles(url=str(p))).read(spark=spark)
+    got = {(r.z, r.x, r.y): bytes(r.tile_data) for r in df.collect()}
+    assert got == tiles
+
+
+def test_pmtiles_unsupported_tile_compression_raises(spark, tmp_path):
+    from intake_spark.geo import PMTiles, PMTilesReader
+
+    blob = bytearray(_make_pmtiles({(0, 0, 0): b"t"}))
+    blob[98] = 4  # zstd tiles
+    p = tmp_path / "zt.pmtiles"
+    p.write_bytes(bytes(blob))
+    with pytest.raises(ValueError, match="tile compression"):
+        PMTilesReader(data=PMTiles(url=str(p))).read(spark=spark)
 
 
 def test_osm_pbf_reader(spark, tmp_path):
@@ -516,7 +565,8 @@ def test_osm_pbf_reader(spark, tmp_path):
 
 def test_mbtiles_view_fallback(spark, tmp_path):
     """tiles-as-VIEW layout (map+images dedup) has no rowid: the reader
-    must fall back to a driver-side read instead of failing."""
+    must paginate with ORDER BY + LIMIT/OFFSET windows fetched on
+    executors — exact, duplicate-free rows even across many windows."""
     import sqlite3
 
     from intake_spark.geo import MBTiles, MBTilesReader
@@ -529,11 +579,18 @@ def test_mbtiles_view_fallback(spark, tmp_path):
         "CREATE VIEW tiles AS SELECT zoom_level, tile_column, tile_row, tile_data "
         "FROM map JOIN images ON map.tile_id = images.tile_id"
     )
-    con.execute("INSERT INTO map VALUES (1, 0, 0, 'a'), (1, 1, 0, 'a')")
+    for c in range(17):
+        con.execute("INSERT INTO map VALUES (1, ?, 0, 'a')", (c,))
     con.execute("INSERT INTO images VALUES ('a', X'89504E47')")
     con.commit(); con.close()
-    df = MBTilesReader(data=MBTiles(url=p)).read(spark=spark)
-    assert df.count() == 2
+    # rows_per_task=5 → 4 OFFSET windows over 17 rows
+    df = MBTilesReader(data=MBTiles(url=p)).read(spark=spark, rows_per_task=5)
+    rows = df.collect()
+    assert len(rows) == 17
+    assert sorted(r.tile_column for r in rows) == list(range(17))
+    assert all(bytes(r.tile_data) == b"\x89PNG" for r in rows)
+    z9 = MBTilesReader(data=MBTiles(url=p)).read(spark=spark, zoom=9)
+    assert z9.count() == 0
 
 
 def test_osm_unsupported_compression_raises(spark, tmp_path):

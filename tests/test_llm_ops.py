@@ -278,6 +278,27 @@ def test_wav_decode_roundtrip(spark, tmp_path):
     np.testing.assert_allclose(arr[:, 0] / 32767.0, sig, atol=1e-3)
 
 
+def test_wav_decode_24bit(tmp_path):
+    """24-bit PCM (sampwidth 3, common in audio corpora) sign-extends to
+    int32 rather than raising KeyError; 3-byte samples round-trip."""
+    import struct
+    import wave
+
+    import numpy as np
+
+    samples = [0, 1, -1, 8388607, -8388608, 123456, -654321]
+    p = tmp_path / "s24.wav"
+    with wave.open(str(p), "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(3)
+        w.setframerate(48000)
+        for s in samples:
+            w.writeframes(struct.pack("<i", s)[:3])
+    rate, arr = multimodal.decode_wav(p.read_bytes())
+    assert rate == 48000 and arr.dtype == np.dtype("<i4")
+    assert arr[:, 0].tolist() == samples
+
+
 def test_image_features_end_to_end(spark, tmp_path):
     """binaryFile scan → REAL PNG decode/feature/resize in mapInPandas —
     the multimodal pipeline with zero media libraries."""

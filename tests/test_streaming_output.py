@@ -179,6 +179,32 @@ def test_png_wav_sinks(spark, tmp_path):
     np.testing.assert_allclose(frames / 32767.0, sig, atol=1e-3)
 
 
+def test_png_sink_multi_chunk(spark, tmp_path):
+    """to_png must stitch ALL chunk rows in offset order — a 16-row image
+    read as 4-row chunks writes a full 16-row PNG, not the first chunk."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from intake_spark.arrays import NumpyArrayReader
+
+    img = (np.arange(16 * 6) % 256).astype("<f8").reshape(16, 6)
+    npy = str(tmp_path / "tall.npy")
+    np.save(npy, img)
+    chunks = NumpyArrayReader(data=dt.NumpyFile(url=npy)).read(spark=spark, rows_per_chunk=4)
+    png = str(tmp_path / "tall.png")
+    output.to_png(chunks, png)
+    blob = open(png, "rb").read()
+    w, h = struct.unpack(">II", blob[16:24])
+    assert (w, h) == (6, 16)
+    idat_off = blob.index(b"IDAT") + 4
+    idat_len = struct.unpack(">I", blob[idat_off - 8 : idat_off - 4])[0]
+    raw = zlib.decompress(blob[idat_off : idat_off + idat_len])
+    px = [list(raw[r * 7 + 1 : r * 7 + 7]) for r in range(16)]
+    np.testing.assert_array_equal(np.array(px, dtype=float), img)
+
+
 def test_netcdf_sink_roundtrip(spark, tmp_path):
     import numpy as np
 
