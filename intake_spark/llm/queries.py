@@ -64,13 +64,25 @@ def q21_dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.exact_dup_groups(load_table(spark, sf_dir, "documents"))
 
 
+# stop-shingle cap for the headline config: shingles present in more than
+# this many documents are dropped before the self-join. Without it a hot
+# shingle across d docs emits d² candidate pairs — a quadratic blowup on
+# skewed keys at 100 TB. Denominators still use the full per-doc shingle
+# counts, so capped Jaccard is a lower bound of exact Jaccard (identical
+# here unless a corpus actually contains stop-shingles).
+Q22_MAX_SHINGLE_DF = 100
+
+
 @register(
     "q22_jaccard_pairs",
     f"""
     WITH {_SHINGLES_CTE},
     sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    kept AS (SELECT shingle FROM sh GROUP BY shingle
+             HAVING COUNT(*) <= {Q22_MAX_SHINGLE_DF}),
+    shk AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN kept USING (shingle)),
     inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS cnt
-              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              FROM shk a JOIN shk b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
               GROUP BY 1, 2)
     SELECT doc_a, doc_b, CAST(cnt AS DOUBLE) / (sa.n + sb.n - cnt) AS jaccard
     FROM inter i JOIN sizes sa ON i.doc_a = sa.doc_id
@@ -79,8 +91,15 @@ def q21_dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q22_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact 3-gram Jaccard near-dup pairs (threshold 0.5)."""
-    return dedup.jaccard_pairs(load_table(spark, sf_dir, "documents"), threshold=0.5)
+    """Exact 3-gram Jaccard near-dup pairs (threshold 0.5), with the
+    scale-safe stop-shingle cap active — the DuckDB oracle encodes the
+    identical ``HAVING count(*) <= cap`` filter, so the hash-checked
+    configuration is the one that survives skewed corpora."""
+    return dedup.jaccard_pairs(
+        load_table(spark, sf_dir, "documents"),
+        threshold=0.5,
+        max_shingle_df=Q22_MAX_SHINGLE_DF,
+    )
 
 
 def _minhash_sql(num_hashes: int) -> str:

@@ -40,6 +40,28 @@ def test_minhash_lsh_recall_vs_exact(spark, docs):
     assert lsh <= exact
 
 
+def test_jaccard_stop_shingle_cap_bounds_candidates(spark):
+    """A hot shingle shared by every doc must not explode the candidate
+    set when max_shingle_df is active: pairs whose only overlap is the
+    stop-shingle disappear, genuinely-similar pairs survive, and the
+    denominators still use full shingle counts (capped jaccard is a lower
+    bound of exact jaccard)."""
+    hot = "the end of line"  # 4 tokens → contains 3-gram stop-shingles
+    rows = [(i, f"unique{i} filler{i} token{i} " + hot) for i in range(40)]
+    # two planted near-dups sharing real content
+    rows += [(100, "alpha beta gamma delta epsilon"), (101, "alpha beta gamma delta zeta")]
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+
+    uncapped = dedup.jaccard_pairs(docs, threshold=0.1)
+    capped = dedup.jaccard_pairs(docs, threshold=0.1, max_shingle_df=10)
+    # uncapped: the 40 hot docs pair quadratically (780 pairs)
+    assert uncapped.count() > 700
+    got = {(r.doc_a, r.doc_b): r.jaccard for r in capped.collect()}
+    assert set(got) == {(100, 101)}
+    # denominator unchanged: |A∩B|=2 of {3-grams}, |A|=|B|=3 → 2/4
+    assert abs(got[(100, 101)] - 0.5) < 1e-12
+
+
 def test_minhash_signature_stability(spark, docs):
     """Signatures are deterministic run-to-run (md5-derived, no RNG)."""
     s1 = dedup.minhash_signatures(docs, num_hashes=4).orderBy("doc_id").limit(5).collect()
