@@ -1,0 +1,395 @@
+"""HDF5 dataset reader, stdlib-only — no h5py/libhdf5.
+
+The reference reads HDF5 via pandas/dask+h5py (PandasHDF5
+/root/reference/intake/readers/readers.py:1029, DaskHDF :364); this module
+instead parses the public HDF5 file format directly: superblock (v0/v1 and
+v2/v3), object headers (v1 and v2, with continuation blocks), the classic
+symbol-table group machinery (v1 B-tree + SNOD nodes + local heap) and
+new-style Link messages, then the Dataspace/Datatype/Data-Layout messages
+of the target dataset.
+
+Scale model (same as FITS/NIfTI/Numpy, sci.py:67): ONLY the metadata walk
+happens driver-side — a handful of seeks over a few KiB of headers. The
+dataset payload (contiguous layout) decodes on executors from a byte-range
+manifest into the engine's chunk-row encoding (arrays.CHUNK_SCHEMA), so a
+multi-TiB variable fans out across the cluster without the driver ever
+touching the data.
+
+Supported: contiguous and compact layouts, fixed-point and IEEE-float
+datatypes, any rank. Chunked/filtered layouts (B-tree indexed, possibly
+gzip-per-chunk) are rejected with a clear error naming the alternative.
+"""
+
+from __future__ import annotations
+
+import struct
+
+from intake_spark import datatypes as dt
+from intake_spark.readers import BaseReader
+
+_SIG = b"\x89HDF\r\n\x1a\n"
+_UNDEF = 0xFFFFFFFFFFFFFFFF
+
+
+class _H5Meta:
+    """Driver-side metadata walk of an HDF5 file (small reads only)."""
+
+    def __init__(self, f):
+        self.f = f
+        self._superblock()
+
+    # ---- low-level helpers -------------------------------------------
+    def _u(self, n: int) -> int:
+        return int.from_bytes(self.f.read(n), "little")
+
+    def _addr(self) -> int:
+        return self._u(self.offsets)
+
+    def _len(self) -> int:
+        return self._u(self.lengths)
+
+    # ---- superblock ---------------------------------------------------
+    def _superblock(self):
+        off = 0
+        while True:
+            self.f.seek(off)
+            if self.f.read(8) == _SIG:
+                break
+            off = 512 if off == 0 else off * 2
+            if off > (1 << 26):
+                raise ValueError("not an HDF5 file (no superblock signature)")
+        self.base = off
+        ver = self._u(1)
+        if ver in (0, 1):
+            self.f.read(4)  # freespace/stab versions, reserved, shared ver
+            self.offsets = self._u(1)
+            self.lengths = self._u(1)
+            self.f.read(1)  # reserved
+            self.f.read(8)  # leaf k, internal k, consistency flags
+            if ver == 1:
+                self.f.read(4)  # indexed-storage k + reserved
+            self._addr()  # base address field
+            self._addr()  # free-space address
+            self._addr()  # end-of-file address
+            self._addr()  # driver info address
+            # root group symbol table entry: name offset, OH address, ...
+            self._addr()
+            self.root = self._addr()
+        elif ver in (2, 3):
+            self.offsets = self._u(1)
+            self.lengths = self._u(1)
+            self._u(1)  # file consistency flags
+            self._addr()  # base address field
+            self._addr()  # superblock extension
+            self._addr()  # end-of-file address
+            self.root = self._addr()
+        else:
+            raise ValueError(f"unsupported HDF5 superblock version {ver}")
+
+    # ---- object headers ----------------------------------------------
+    def object_header(self, addr: int) -> list[tuple[int, bytes]]:
+        """All (message_type, message_data) of an object header, following
+        continuation blocks; v1 (unsigned prefix) and v2 ('OHDR')."""
+        self.f.seek(self.base + addr)
+        head = self.f.read(4)
+        if head == b"OHDR":
+            return self._oh_v2(addr)
+        return self._oh_v1(addr)
+
+    def _oh_v1(self, addr: int) -> list[tuple[int, bytes]]:
+        self.f.seek(self.base + addr)
+        ver, _res, nmsgs, _refcnt, hsize = struct.unpack("<BBHII", self.f.read(12))
+        if ver != 1:
+            raise ValueError(f"unsupported object header version {ver}")
+        self.f.read(4)  # pad: messages are 8-byte aligned after the prefix
+        msgs: list[tuple[int, bytes]] = []
+        blocks = [(self.f.tell(), hsize)]
+        parsed = 0
+        while blocks and parsed < nmsgs:
+            start, length = blocks.pop(0)
+            self.f.seek(start)
+            end = start + length
+            while parsed < nmsgs and self.f.tell() + 8 <= end:
+                mtype, msize, _mflags = struct.unpack("<HHB", self.f.read(5))
+                self.f.read(3)  # reserved
+                data = self.f.read(msize)
+                parsed += 1
+                if mtype == 0x10:  # continuation: offset + length
+                    coff = int.from_bytes(data[: self.offsets], "little")
+                    clen = int.from_bytes(
+                        data[self.offsets : self.offsets + self.lengths], "little"
+                    )
+                    blocks.append((self.base + coff, clen))
+                else:
+                    msgs.append((mtype, data))
+        return msgs
+
+    def _oh_v2(self, addr: int) -> list[tuple[int, bytes]]:
+        self.f.seek(self.base + addr + 4)  # past OHDR
+        ver = self._u(1)
+        if ver != 2:
+            raise ValueError(f"unsupported v2 object header version {ver}")
+        flags = self._u(1)
+        if flags & 0x20:
+            self.f.read(16)  # access/mod/change/birth times
+        if flags & 0x10:
+            self.f.read(4)  # max compact / min dense
+        chunk0 = self._u(1 << (flags & 0x3))
+        track_corder = bool(flags & 0x04)
+        msgs: list[tuple[int, bytes]] = []
+        blocks = [(self.f.tell(), chunk0)]
+        while blocks:
+            start, length = blocks.pop(0)
+            self.f.seek(start)
+            end = start + length
+            hdr = 4 + (2 if track_corder else 0)
+            while self.f.tell() + hdr <= end:
+                mtype, msize, _mflags = struct.unpack("<BHB", self.f.read(4))
+                if track_corder:
+                    self.f.read(2)
+                if self.f.tell() + msize > end:
+                    break
+                data = self.f.read(msize)
+                if mtype == 0x10:
+                    coff = int.from_bytes(data[: self.offsets], "little")
+                    clen = int.from_bytes(
+                        data[self.offsets : self.offsets + self.lengths], "little"
+                    )
+                    # continuation block: 'OCHK' sig + messages + checksum
+                    blocks.append((self.base + coff + 4, clen - 8))
+                else:
+                    msgs.append((mtype, data))
+        return msgs
+
+    # ---- group membership --------------------------------------------
+    def links(self, msgs: list[tuple[int, bytes]]) -> dict[str, int]:
+        """name → object-header address from Symbol Table (classic) or
+        Link (new-style) messages."""
+        out: dict[str, int] = {}
+        for mtype, d in msgs:
+            if mtype == 0x11:  # symbol table: v1 B-tree + local heap
+                btree = int.from_bytes(d[: self.offsets], "little")
+                heap = int.from_bytes(d[self.offsets : 2 * self.offsets], "little")
+                heap_data = self._local_heap(heap)
+                for name_off, oh_addr in self._btree_group_entries(btree):
+                    out[self._heap_string(heap_data, name_off)] = oh_addr
+            elif mtype == 0x06:  # link message
+                parsed = self._link_message(d)
+                if parsed is not None:
+                    out[parsed[0]] = parsed[1]
+        return out
+
+    def _link_message(self, d: bytes) -> tuple[str, int] | None:
+        ver, flags = d[0], d[1]
+        if ver != 1:
+            raise ValueError(f"unsupported link message version {ver}")
+        pos = 2
+        ltype = 0
+        if flags & 0x08:
+            ltype = d[pos]
+            pos += 1
+        if flags & 0x04:
+            pos += 8  # creation order
+        if flags & 0x10:
+            pos += 1  # charset
+        nsz = 1 << (flags & 0x3)
+        nlen = int.from_bytes(d[pos : pos + nsz], "little")
+        pos += nsz
+        name = d[pos : pos + nlen].decode("utf-8")
+        pos += nlen
+        if ltype != 0:
+            return None  # soft/external links: not objects in this file
+        return name, int.from_bytes(d[pos : pos + self.offsets], "little")
+
+    def _local_heap(self, addr: int) -> int:
+        self.f.seek(self.base + addr)
+        if self.f.read(4) != b"HEAP":
+            raise ValueError("bad local heap signature")
+        self.f.read(4)  # version + reserved
+        self._len()  # data segment size
+        self._len()  # free-list head offset
+        return self._addr()
+
+    def _heap_string(self, heap_data: int, off: int) -> str:
+        self.f.seek(self.base + heap_data + off)
+        raw = b""
+        while True:
+            b = self.f.read(64)
+            if not b:
+                break
+            raw += b
+            if b"\x00" in b:
+                break
+        return raw.split(b"\x00", 1)[0].decode("utf-8")
+
+    def _btree_group_entries(self, addr: int) -> list[tuple[int, int]]:
+        """Walk a v1 group B-tree → [(heap name offset, OH address)]."""
+        self.f.seek(self.base + addr)
+        if self.f.read(4) != b"TREE":
+            raise ValueError("bad v1 B-tree signature")
+        ntype, level = self._u(1), self._u(1)
+        if ntype != 0:
+            raise ValueError(f"expected group B-tree (type 0), got {ntype}")
+        nent = self._u(2)
+        self._addr()  # left sibling
+        self._addr()  # right sibling
+        children = []
+        self._len()  # key 0
+        for _ in range(nent):
+            children.append(self._addr())
+            self._len()  # next key
+        out: list[tuple[int, int]] = []
+        for child in children:
+            if level > 0:
+                out.extend(self._btree_group_entries(child))
+            else:
+                out.extend(self._snod_entries(child))
+        return out
+
+    def _snod_entries(self, addr: int) -> list[tuple[int, int]]:
+        self.f.seek(self.base + addr)
+        if self.f.read(4) != b"SNOD":
+            raise ValueError("bad symbol node signature")
+        self.f.read(2)  # version + reserved
+        nsym = self._u(2)
+        out = []
+        for _ in range(nsym):
+            name_off = self._addr()
+            oh_addr = self._addr()
+            self.f.read(24)  # cache type, reserved, scratch
+            out.append((name_off, oh_addr))
+        return out
+
+    # ---- dataset messages --------------------------------------------
+    def dataset_info(self, msgs: list[tuple[int, bytes]]):
+        """(shape, numpy dtype string, layout) from a dataset's messages;
+        layout = ('contiguous', addr, nbytes) | ('compact', raw_bytes)."""
+        shape = dtype = layout = None
+        for mtype, d in msgs:
+            if mtype == 0x01:  # dataspace
+                ver, rank, flags = d[0], d[1], d[2]
+                pos = 8 if ver == 1 else 4
+                shape = [
+                    int.from_bytes(d[pos + i * self.lengths : pos + (i + 1) * self.lengths], "little")
+                    for i in range(rank)
+                ]
+            elif mtype == 0x03:  # datatype
+                cls = d[0] & 0x0F
+                bits0 = d[1]
+                size = int.from_bytes(d[4:8], "little")
+                order = ">" if bits0 & 0x01 else "<"
+                if cls == 0:  # fixed-point
+                    kind = "i" if bits0 & 0x08 else "u"
+                elif cls == 1:  # IEEE float
+                    kind = "f"
+                else:
+                    raise ValueError(
+                        f"unsupported HDF5 datatype class {cls} "
+                        "(fixed-point and float only)"
+                    )
+                dtype = f"{order}{kind}{size}"
+            elif mtype == 0x08:  # data layout
+                ver = d[0]
+                if ver == 3:
+                    lclass = d[1]
+                    if lclass == 1:  # contiguous
+                        a = int.from_bytes(d[2 : 2 + self.offsets], "little")
+                        n = int.from_bytes(
+                            d[2 + self.offsets : 2 + self.offsets + self.lengths],
+                            "little",
+                        )
+                        layout = ("contiguous", a, n)
+                    elif lclass == 0:  # compact: data inline in the header
+                        sz = int.from_bytes(d[2:4], "little")
+                        layout = ("compact", d[4 : 4 + sz])
+                    else:
+                        raise ValueError(
+                            "chunked HDF5 layout is not supported (contiguous/"
+                            "compact only) — re-save without chunking, or "
+                            "convert to Zarr (ZarrReader handles chunk grids)"
+                        )
+                elif ver in (1, 2):
+                    rank, lclass = d[1], d[2]
+                    if lclass != 1:
+                        raise ValueError(
+                            "only contiguous data supported for layout "
+                            f"message v{ver}"
+                        )
+                    a = int.from_bytes(d[8 : 8 + self.offsets], "little")
+                    layout = ("contiguous", a, None)
+                else:
+                    raise ValueError(f"unsupported layout message version {ver}")
+        return shape, dtype, layout
+
+    # ---- dataset discovery -------------------------------------------
+    def walk(self, addr: int | None = None, prefix: str = "", seen=None) -> dict:
+        """Recursive group walk → {path: (shape, dtype, layout)} for every
+        dataset reachable from the root group."""
+        if addr is None:
+            addr = self.root
+        if seen is None:
+            seen = set()
+        if addr in seen:  # hard-link cycles
+            return {}
+        seen.add(addr)
+        msgs = self.object_header(addr)
+        types = {t for t, _ in msgs}
+        out: dict[str, tuple] = {}
+        if 0x08 in types or (0x03 in types and 0x01 in types and 0x11 not in types):
+            out[prefix.rstrip("/") or "/"] = self.dataset_info(msgs)
+            return out
+        for name, child in self.links(msgs).items():
+            out.update(self.walk(child, f"{prefix}{name}/", seen))
+        return out
+
+
+class HDF5Reader(BaseReader):
+    """HDF5 dataset → chunk-row DataFrame (arrays.CHUNK_SCHEMA), no h5py
+    (parity: PandasHDF5/DaskHDF, reference readers.py:1029,364 — both
+    delegate to libhdf5; this parses the public file format).
+
+    ``dataset`` selects by path (e.g. ``"group/temps"``); default is the
+    first dataset in path-sorted order. Contiguous payloads decode on
+    executors via the shared byte-range manifest (sci._chunked_array_df);
+    compact payloads (≤64 KiB inline) decode driver-side by spec."""
+
+    implements = {dt.HDF5}
+
+    def _read(self, spark, dataset: str | None = None, rows_per_chunk: int = 4096, **kwargs):
+        import numpy as np
+
+        from intake_spark.sci import _chunked_array_df
+
+        url = self.data.url
+        with open(url, "rb") as f:
+            meta = _H5Meta(f)
+            datasets = meta.walk()
+            if not datasets:
+                raise ValueError(f"no datasets found in HDF5 file {url}")
+            if dataset is None:
+                dataset = sorted(datasets)[0]
+            key = dataset.strip("/") or "/"
+            if key not in datasets:
+                raise KeyError(
+                    f"dataset {dataset!r} not in {url}; available: {sorted(datasets)}"
+                )
+            shape, dtype, layout = datasets[key]
+        if shape is None or dtype is None or layout is None:
+            raise ValueError(f"dataset {key!r} lacks dataspace/datatype/layout")
+        self.data.metadata.update({"dataset": key, "dtype": dtype, "shape": shape})
+        if layout[0] == "compact":
+            from intake_spark.arrays import CHUNK_SCHEMA
+
+            vals = np.frombuffer(layout[1], dtype=np.dtype(dtype))
+            n = 1
+            for s in shape:
+                n *= s
+            return spark.createDataFrame(
+                [(0, 0, shape, vals[:n].astype(np.float64).tolist())], CHUNK_SCHEMA
+            )
+        _, data_addr, _nbytes = layout
+        if data_addr == _UNDEF:
+            raise ValueError(f"dataset {key!r} has no allocated storage")
+        return _chunked_array_df(
+            spark, url, dtype, shape, meta.base + data_addr, rows_per_chunk
+        )

@@ -313,24 +313,6 @@ class PatternCSV(BaseReader):
         return df.drop("_path")
 
 
-class HDF5Reader(BaseReader):
-    """HDF5 dataset → chunk-row DataFrame (arrays.CHUNK_SCHEMA). Gated on
-    h5py (absent in this container); the chunk-manifest + mapInPandas shape
-    mirrors arrays.NumpyArrayReader — per-chunk byte ranges decode on
-    executors (parity: PandasHDF5/DaskHDF readers.py:1029,364)."""
-
-    implements = {dt.HDF5}
-    imports = {"h5py"}
-
-    def _read(self, spark, rows_per_chunk: int = 4096, **kwargs):
-        import h5py  # noqa: F401  (gated)
-
-        raise NotImplementedError(
-            "HDF5 decode requires h5py; plumbing model: chunk manifest -> "
-            "mapInPandas byte-range reads (see intake_spark.arrays)"
-        )
-
-
 class ZarrReader(BaseReader):
     """Zarr v2 array → chunk-row DataFrame (arrays.CHUNK_SCHEMA), **no zarr
     package needed**: the format is JSON metadata (``.zarray``) plus raw

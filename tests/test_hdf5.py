@@ -1,0 +1,241 @@
+"""Stdlib HDF5 reader vs spec-built .h5 fixtures — classic (superblock v0,
+v1 object headers, symbol-table groups with B-tree/SNOD/local heap) and
+modern (superblock v2, v2 'OHDR' object headers with Link messages), both
+assembled here directly from the public HDF5 file-format spec (h5py is not
+in this container)."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from intake_spark import datatypes as dt
+from intake_spark.hdf5 import HDF5Reader
+
+UNDEF = b"\xff" * 8
+
+
+def _pad8(b: bytes) -> bytes:
+    return b + b"\x00" * ((8 - len(b) % 8) % 8)
+
+
+def _msg_v1(mtype: int, data: bytes) -> bytes:
+    data = _pad8(data)
+    return struct.pack("<HHB3x", mtype, len(data), 0) + data
+
+
+def _oh_v1(msgs: list[bytes]) -> bytes:
+    body = b"".join(msgs)
+    return struct.pack("<BBHII4x", 1, 0, len(msgs), 1, len(body)) + body
+
+
+def _dt_msg(arr: np.ndarray) -> bytes:
+    d = arr.dtype
+    be = d.str[0] == ">"
+    if d.kind == "f":
+        b0 = 0x20 | (1 if be else 0)  # implied-MSB norm + byte order
+        if d.itemsize == 8:
+            props = struct.pack("<HHBBBBI", 0, 64, 52, 11, 0, 52, 1023)
+        else:
+            props = struct.pack("<HHBBBBI", 0, 32, 23, 8, 0, 23, 127)
+        head = struct.pack("<BBBBI", 0x11, b0, 8 * d.itemsize - 1, 0, d.itemsize)
+    else:
+        b0 = (0x08 if d.kind == "i" else 0) | (1 if be else 0)
+        props = struct.pack("<HH", 0, 8 * d.itemsize)
+        head = struct.pack("<BBBBI", 0x10, b0, 0, 0, d.itemsize)
+    return _msg_v1(0x03, head + props)
+
+
+def _space_msg(shape: tuple) -> bytes:
+    return _msg_v1(
+        0x01,
+        struct.pack("<BBB5x", 1, len(shape), 0)
+        + b"".join(struct.pack("<Q", s) for s in shape),
+    )
+
+
+def _ds_oh(arr: np.ndarray, data_addr: int) -> bytes:
+    layout = _msg_v1(0x08, struct.pack("<BBQQ", 3, 1, data_addr, arr.nbytes))
+    return _oh_v1([_space_msg(arr.shape), _dt_msg(arr), layout])
+
+
+def _superblock_v0(eof: int, root_addr: int) -> bytes:
+    head = b"\x89HDF\r\n\x1a\n" + bytes([0, 0, 0, 0, 0, 8, 8, 0])
+    head += struct.pack("<HHI", 4, 16, 0)
+    head += struct.pack("<Q", 0) + UNDEF + struct.pack("<Q", eof) + UNDEF
+    # root group symbol table entry (cache type 0: nothing cached)
+    head += struct.pack("<QQII", 0, root_addr, 0, 0) + b"\x00" * 16
+    assert len(head) == 96
+    return head
+
+
+def h5_classic(datasets: dict[str, np.ndarray]) -> bytes:
+    """v0 superblock + v1 object headers + B-tree/SNOD/heap group."""
+    names = sorted(datasets)
+    root_addr = 96
+    root_size = len(_oh_v1([_msg_v1(0x11, struct.pack("<QQ", 0, 0))]))
+    btree_addr = root_addr + root_size
+    btree_size = 24 + 8 + 8 + 8  # header + key0/child0/key1 (one SNOD)
+    heap_addr = btree_addr + btree_size
+    heap_data_addr = heap_addr + 32
+    heap_data = b"\x00" * 8
+    name_offs = {}
+    for nm in names:
+        name_offs[nm] = len(heap_data)
+        heap_data += _pad8(nm.encode() + b"\x00")
+    snod_addr = heap_data_addr + len(heap_data)
+    snod_size = 8 + 40 * len(names)
+    cur = snod_addr + snod_size
+    ds_addrs = {}
+    for nm in names:
+        ds_addrs[nm] = cur
+        cur += len(_ds_oh(datasets[nm], 0))
+    data_addrs = {}
+    for nm in names:
+        data_addrs[nm] = cur
+        cur += datasets[nm].nbytes
+    eof = cur
+
+    out = _superblock_v0(eof, root_addr)
+    out += _oh_v1([_msg_v1(0x11, struct.pack("<QQ", btree_addr, heap_addr))])
+    out += (
+        b"TREE" + bytes([0, 0]) + struct.pack("<H", 1) + UNDEF + UNDEF
+        + struct.pack("<QQQ", 0, snod_addr, name_offs[names[-1]])
+    )
+    out += b"HEAP" + bytes([0, 0, 0, 0]) + struct.pack("<QQQ", len(heap_data), 0, heap_data_addr)
+    out += heap_data
+    out += b"SNOD" + bytes([1, 0]) + struct.pack("<H", len(names))
+    for nm in names:
+        out += struct.pack("<QQII", name_offs[nm], ds_addrs[nm], 0, 0) + b"\x00" * 16
+    for nm in names:
+        out += _ds_oh(datasets[nm], data_addrs[nm])
+    for nm in names:
+        out += datasets[nm].tobytes()
+    assert len(out) == eof
+    return out
+
+
+def h5_v2(datasets: dict[str, np.ndarray]) -> bytes:
+    """v2 superblock + v2 root object header with Link messages (dataset
+    object headers stay v1 — mixed versions are legal)."""
+    names = sorted(datasets)
+
+    def link_msg(name: str, addr: int) -> bytes:
+        nm = name.encode()
+        data = bytes([1, 0, len(nm)]) + nm + struct.pack("<Q", addr)
+        return struct.pack("<BHB", 0x06, len(data), 0) + data
+
+    chunk0_size = sum(4 + 3 + len(n.encode()) + 8 for n in names)
+    root_addr = 48
+    root_size = 4 + 2 + 2 + chunk0_size + 4  # OHDR+ver/flags+size+msgs+csum
+    cur = root_addr + root_size
+    ds_addrs = {}
+    for nm in names:
+        ds_addrs[nm] = cur
+        cur += len(_ds_oh(datasets[nm], 0))
+    data_addrs = {}
+    for nm in names:
+        data_addrs[nm] = cur
+        cur += datasets[nm].nbytes
+    eof = cur
+
+    out = b"\x89HDF\r\n\x1a\n" + bytes([2, 8, 8, 0])
+    out += struct.pack("<Q", 0) + UNDEF + struct.pack("<QQ", eof, root_addr)
+    out += struct.pack("<I", 0)  # superblock checksum (not validated)
+    assert len(out) == 48
+    chunk0 = b"".join(link_msg(nm, ds_addrs[nm]) for nm in names)
+    assert len(chunk0) == chunk0_size
+    out += b"OHDR" + bytes([2, 1]) + struct.pack("<H", len(chunk0)) + chunk0
+    out += struct.pack("<I", 0)  # object header checksum (not validated)
+    for nm in names:
+        out += _ds_oh(datasets[nm], data_addrs[nm])
+    for nm in names:
+        out += datasets[nm].tobytes()
+    assert len(out) == eof
+    return out
+
+
+def _rebuild(df) -> np.ndarray:
+    rows = sorted(df.collect(), key=lambda r: r.offset0)
+    shape = list(rows[0].shape)
+    flat = np.concatenate([np.asarray(r.values) for r in rows])
+    return flat.reshape([-1] + shape[1:])
+
+
+def test_classic_roundtrip_f8(spark, tmp_path):
+    arr = np.linspace(-3, 3, 60, dtype="<f8").reshape(10, 6)
+    p = tmp_path / "a.h5"
+    p.write_bytes(h5_classic({"temps": arr}))
+    rdr = HDF5Reader(data=dt.HDF5(url=str(p)))
+    df = rdr.read(spark=spark, rows_per_chunk=3)
+    np.testing.assert_array_equal(_rebuild(df), arr)
+    assert rdr.data.metadata["dataset"] == "temps"
+    assert rdr.data.metadata["shape"] == [10, 6]
+
+
+def test_classic_multiple_datasets_and_selection(spark, tmp_path):
+    a = np.arange(12, dtype="<i4").reshape(3, 4)
+    b = np.arange(5, dtype="<f8") * 1.5
+    p = tmp_path / "m.h5"
+    p.write_bytes(h5_classic({"ints": a, "floats": b}))
+    df_a = HDF5Reader(data=dt.HDF5(url=str(p))).read(spark=spark, dataset="ints")
+    np.testing.assert_array_equal(_rebuild(df_a), a)
+    df_b = HDF5Reader(data=dt.HDF5(url=str(p))).read(spark=spark, dataset="floats")
+    np.testing.assert_allclose(_rebuild(df_b).ravel(), b)
+    # default = first in sorted order
+    rdr = HDF5Reader(data=dt.HDF5(url=str(p)))
+    rdr.read(spark=spark)
+    assert rdr.data.metadata["dataset"] == "floats"
+    with pytest.raises(KeyError, match="available"):
+        HDF5Reader(data=dt.HDF5(url=str(p))).read(spark=spark, dataset="nope")
+
+
+def test_classic_big_endian_and_unsigned(spark, tmp_path):
+    be = np.array([[1.5, -2.25], [3.0, 4.5]], dtype=">f4")
+    u2 = np.array([0, 1, 65535], dtype="<u2")
+    p = tmp_path / "be.h5"
+    p.write_bytes(h5_classic({"be_floats": be, "u16": u2}))
+    np.testing.assert_allclose(
+        _rebuild(HDF5Reader(data=dt.HDF5(url=str(p))).read(spark=spark, dataset="be_floats")),
+        be.astype("<f8"),
+    )
+    np.testing.assert_array_equal(
+        _rebuild(HDF5Reader(data=dt.HDF5(url=str(p))).read(spark=spark, dataset="u16")).ravel(),
+        u2.astype("<f8"),
+    )
+
+
+def test_v2_superblock_link_messages(spark, tmp_path):
+    arr = np.arange(24, dtype="<f8").reshape(6, 4) / 7.0
+    p = tmp_path / "v2.h5"
+    p.write_bytes(h5_v2({"data": arr}))
+    rdr = HDF5Reader(data=dt.HDF5(url=str(p)))
+    df = rdr.read(spark=spark, rows_per_chunk=2)
+    np.testing.assert_array_equal(_rebuild(df), arr)
+    assert rdr.data.metadata["dataset"] == "data"
+
+
+def test_chunked_layout_rejected(spark, tmp_path):
+    arr = np.zeros(4, dtype="<f8")
+    blob = bytearray(h5_classic({"x": arr}))
+    # flip the layout message class byte (v3 layout: [3, class, ...]) to
+    # chunked (2) — find it inside the dataset object header
+    idx = blob.find(struct.pack("<BBQ", 3, 1, len(blob) - arr.nbytes))
+    assert idx > 0
+    blob[idx + 1] = 2
+    p = tmp_path / "c.h5"
+    p.write_bytes(bytes(blob))
+    with pytest.raises(ValueError, match="chunked"):
+        HDF5Reader(data=dt.HDF5(url=str(p))).read(spark=spark)
+
+
+def test_recommend_picks_hdf5(tmp_path):
+    from intake_spark.datatypes import recommend
+
+    arr = np.ones(3, dtype="<f8")
+    p = tmp_path / "r.h5"
+    p.write_bytes(h5_classic({"ones": arr}))
+    kinds = [type(c).__name__ if not isinstance(c, type) else c.__name__ for c in recommend(str(p))]
+    assert any("HDF5" in k for k in kinds)
