@@ -163,10 +163,15 @@ def resize_nearest(arr, out_h: int, out_w: int):
 
 
 def decode_image(content: bytes):
-    """Image decode: PNG decodes with the stdlib path above; other formats
-    (JPEG's DCT pipeline etc.) need PIL, which this container lacks."""
+    """Image decode: PNG and baseline TIFF decode with the stdlib paths;
+    other formats (JPEG's DCT pipeline etc.) need PIL, which this
+    container lacks."""
     if content[:8] == b"\x89PNG\r\n\x1a\n":
         return decode_png(content)
+    if content[:4] in (b"II*\x00", b"MM\x00*"):
+        from intake_spark.sci import decode_tiff
+
+        return decode_tiff(content)
     try:
         import io
 
@@ -197,7 +202,7 @@ def image_features(
     keep_cols: list[str] | None = None,
     thumb_size: int = 8,
 ) -> DataFrame:
-    """REAL decode → feature-extract → resize stage for PNG columns:
+    """REAL decode → feature-extract → resize stage for PNG/TIFF columns:
     Arrow-batched mapInPandas produces (width, height, n_channels,
     mean_intensity, thumb) where ``thumb`` is a flattened nearest-neighbor
     grayscale thumbnail — the end-to-end multimodal pipeline with no fake
@@ -212,7 +217,7 @@ def image_features(
         for pdf in batches:
             rows = {k: [] for k in ("width", "height", "n_channels", "mean_intensity", "thumb")}
             for content in pdf[content_col]:
-                arr = decode_png(bytes(content))
+                arr = decode_image(bytes(content))
                 gray = arr.mean(axis=2)
                 thumb = resize_nearest(arr, thumb_size, thumb_size).mean(axis=2)
                 rows["width"].append(arr.shape[1])

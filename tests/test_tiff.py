@@ -1,0 +1,181 @@
+"""Stdlib TIFF reader/decoder vs hand-assembled classic-TIFF fixtures
+(II and MM byte orders, multi-strip, uncompressed and PackBits, 8/16-bit,
+gray and RGB) — pixel-verified round trips."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from intake_spark import datatypes as dt
+from intake_spark.sci import TIFFReader, decode_tiff, packbits_decode
+
+
+def _pb_encode(data: bytes) -> bytes:
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        run = 1
+        while i + run < n and data[i + run] == data[i] and run < 128:
+            run += 1
+        if run >= 2:
+            out += bytes([257 - run, data[i]])
+            i += run
+        else:
+            lit = bytearray([data[i]])
+            i += 1
+            while i < n and len(lit) < 128 and not (i + 1 < n and data[i] == data[i + 1]):
+                lit.append(data[i])
+                i += 1
+            out += bytes([len(lit) - 1]) + lit
+    return bytes(out)
+
+
+def make_tiff(arr: np.ndarray, bo: str = "<", packbits: bool = False, rows_per_strip: int | None = None) -> bytes:
+    """Assemble a classic TIFF: header, IFD at offset 8, out-of-line tag
+    values, then strip data. arr: (H, W) or (H, W, C) uint8/uint16."""
+    h, w = arr.shape[:2]
+    c = arr.shape[2] if arr.ndim == 3 else 1
+    bits = arr.dtype.itemsize * 8
+    rps = rows_per_strip or h
+    strips = []
+    for r0 in range(0, h, rps):
+        raw = arr[r0 : r0 + rps].astype(f"{bo}u{arr.dtype.itemsize}").tobytes()
+        strips.append(_pb_encode(raw) if packbits else raw)
+
+    tags = [
+        (256, 4, 1, [w]),  # ImageWidth
+        (257, 4, 1, [h]),  # ImageLength
+        (258, 3, c, [bits] * c),  # BitsPerSample
+        (259, 3, 1, [32773 if packbits else 1]),  # Compression
+        (262, 3, 1, [1 if c == 1 else 2]),  # Photometric
+        (273, 4, len(strips), None),  # StripOffsets (patched below)
+        (277, 3, 1, [c]),  # SamplesPerPixel
+        (278, 4, 1, [rps]),  # RowsPerStrip
+        (279, 4, len(strips), [len(s) for s in strips]),  # StripByteCounts
+    ]
+    fmt = {3: "H", 4: "I"}
+    size = {3: 2, 4: 4}
+    ifd_off = 8
+    ifd_len = 2 + 12 * len(tags) + 4
+    extra_off = ifd_off + ifd_len
+    # first pass: lay out out-of-line values
+    extra = b""
+    offsets = {}
+    for tag, typ, cnt, vals in tags:
+        if size[typ] * cnt > 4:
+            offsets[tag] = extra_off + len(extra)
+            extra += b"\x00" * ((-len(extra)) % 2)
+            offsets[tag] = extra_off + len(extra)
+            extra += struct.pack(f"{bo}{cnt}{fmt[typ]}", *(vals or [0] * cnt))
+    data_off = extra_off + len(extra)
+    strip_offs = []
+    cur = data_off
+    for s in strips:
+        strip_offs.append(cur)
+        cur += len(s)
+    # second pass with real strip offsets
+    out = (b"II" if bo == "<" else b"MM") + struct.pack(f"{bo}HI", 42, ifd_off)
+    ifd = struct.pack(f"{bo}H", len(tags))
+    extra = b""
+    for tag, typ, cnt, vals in tags:
+        if tag == 273:
+            vals = strip_offs
+        if size[typ] * cnt > 4:
+            voff = extra_off + len(extra)
+            ifd += struct.pack(f"{bo}HHI", tag, typ, cnt) + struct.pack(f"{bo}I", voff)
+            extra += struct.pack(f"{bo}{cnt}{fmt[typ]}", *vals)
+        else:
+            packed = struct.pack(f"{bo}{cnt}{fmt[typ]}", *vals)
+            ifd += struct.pack(f"{bo}HHI", tag, typ, cnt) + packed + b"\x00" * (4 - len(packed))
+    ifd += struct.pack(f"{bo}I", 0)  # next-IFD pointer
+    assert len(ifd) == ifd_len
+    return out + ifd + extra + b"".join(strips)
+
+
+def _rebuild(df) -> np.ndarray:
+    rows = sorted(df.collect(), key=lambda r: r.offset0)
+    shape = list(rows[0].shape)
+    flat = np.concatenate([np.asarray(r.values) for r in rows])
+    return flat.reshape([-1] + shape[1:])
+
+
+def test_gray_multistrip_roundtrip(spark, tmp_path):
+    rng = np.random.default_rng(5)
+    arr = rng.integers(0, 256, size=(13, 7), dtype=np.uint8)
+    p = tmp_path / "g.tif"
+    p.write_bytes(make_tiff(arr, rows_per_strip=4))
+    rdr = TIFFReader(data=dt.TIFF(url=str(p)))
+    df = rdr.read(spark=spark)
+    np.testing.assert_array_equal(_rebuild(df), arr)
+    assert rdr.data.metadata["width"] == 7 and rdr.data.metadata["height"] == 13
+    # strips decode independently: 4 manifest rows for 13 rows @ rps=4
+    assert df.count() == 4
+
+
+def test_rgb_packbits_bigendian(spark, tmp_path):
+    rng = np.random.default_rng(6)
+    arr = rng.integers(0, 256, size=(6, 5, 3), dtype=np.uint8)
+    # long constant runs exercise the RLE branch
+    arr[2] = 9
+    p = tmp_path / "rgb.tif"
+    p.write_bytes(make_tiff(arr, bo=">", packbits=True, rows_per_strip=2))
+    out = decode_tiff(p.read_bytes())
+    np.testing.assert_array_equal(out, arr)
+    df = TIFFReader(data=dt.TIFF(url=str(p))).read(spark=spark)
+    np.testing.assert_array_equal(_rebuild(df).astype(np.uint8), arr)
+
+
+def test_16bit_bigendian_values(spark, tmp_path):
+    arr = np.array([[0, 1, 255], [256, 65535, 1234]], dtype=np.uint16)
+    p = tmp_path / "d.tif"
+    p.write_bytes(make_tiff(arr, bo=">"))
+    np.testing.assert_array_equal(decode_tiff(p.read_bytes())[:, :, 0], arr)
+    df = TIFFReader(data=dt.TIFF(url=str(p))).read(spark=spark)
+    np.testing.assert_array_equal(_rebuild(df), arr)
+
+
+def test_packbits_decode_spec_vectors():
+    # the canonical Apple example
+    enc = bytes([0xFE, 0xAA, 0x02, 0x80, 0x00, 0x2A, 0xFD, 0xAA, 0x03, 0x80, 0x00, 0x2A, 0x22, 0xF7, 0xAA])
+    dec = packbits_decode(enc)
+    assert dec == bytes([0xAA] * 3 + [0x80, 0x00, 0x2A] + [0xAA] * 4 + [0x80, 0x00, 0x2A, 0x22] + [0xAA] * 10)
+
+
+def test_image_features_on_tiff_dir(spark, tmp_path):
+    from intake_spark.llm import multimodal
+
+    rng = np.random.default_rng(7)
+    arrs = []
+    for i in range(3):
+        a = rng.integers(0, 256, size=(8 + i, 6, 3), dtype=np.uint8)
+        (tmp_path / f"t{i}.tif").write_bytes(make_tiff(a, packbits=(i % 2 == 0)))
+        arrs.append(a)
+    files = multimodal.read_binary_dir(spark, str(tmp_path), glob="*.tif")
+    feats = {r.path.rsplit("/", 1)[-1]: r for r in multimodal.image_features(files, keep_cols=["path"]).collect()}
+    for i, a in enumerate(arrs):
+        r = feats[f"t{i}.tif"]
+        assert (r.width, r.height, r.n_channels) == (6, 8 + i, 3)
+        assert abs(r.mean_intensity - a.mean(axis=2).mean()) < 1e-9
+
+
+def test_recommend_picks_tiff(tmp_path):
+    from intake_spark.datatypes import recommend
+
+    arr = np.zeros((2, 2), dtype=np.uint8)
+    p = tmp_path / "r.tif"
+    p.write_bytes(make_tiff(arr))
+    kinds = [c.__name__ if isinstance(c, type) else type(c).__name__ for c in recommend(str(p))]
+    assert any("TIFF" in k for k in kinds)
+
+
+def test_bigtiff_rejected(tmp_path):
+    blob = b"II" + struct.pack("<HI", 43, 8) + b"\x00" * 8
+    import io
+
+    from intake_spark.sci import tiff_meta
+
+    with pytest.raises(ValueError, match="BigTIFF"):
+        tiff_meta(io.BytesIO(blob))
