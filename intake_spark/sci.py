@@ -494,3 +494,252 @@ class NetCDF3Reader(BaseReader):
         return _chunked_array_df(
             spark, url, meta["dtype"], meta["shape"] or [1], meta["begin"], rows_per_chunk
         )
+
+
+# ---------------------------------------------------------------------------
+# MatrixMarket (.mtx) — text COO/dense matrices (parity:
+# ScipyMatrixMarketReader, reference readers.py:1593, which delegates to
+# scipy.io.mmread). Coordinate files parse fully distributed with
+# spark.read.text + JVM expressions; only the banner/size lines are read
+# driver-side.
+# ---------------------------------------------------------------------------
+
+
+class MatrixMarket(dt.FileData):
+    filepattern = r"mtx$"
+    magic = (b"%%MatrixMarket",)
+    structure = {"array", "table"}
+
+
+class MatrixMarketReader(BaseReader):
+    """MatrixMarket → (row, col, value) COO rows, 0-based, with symmetry
+    expansion (symmetric/skew-symmetric mirror off-diagonal entries) —
+    matrix semantics match scipy.io.mmread's dense result.
+
+    Coordinate format: ``spark.read.text`` + one ``zipWithIndex`` pass to
+    identify the size line, then pure JVM split/cast expressions — the data
+    parse is fully distributed. Array (dense) format: column-major index
+    math on the same line index."""
+
+    implements = {MatrixMarket}
+
+    def _read(self, spark, **kwargs):
+        from pyspark.sql import functions as F
+
+        url = self.data.url
+        with open(url, encoding="ascii", errors="replace") as f:
+            banner = f.readline().split()
+            size_line = None
+            for line in f:
+                if line.strip() and not line.startswith("%"):
+                    size_line = [int(v) for v in line.split()[:2]]
+                    break
+        if len(banner) < 5 or banner[0] != "%%MatrixMarket":
+            raise ValueError("not a MatrixMarket file (missing banner)")
+        fmt, field, sym = banner[2].lower(), banner[3].lower(), banner[4].lower()
+        if field == "complex":
+            raise ValueError("complex MatrixMarket fields not supported")
+        lines = (
+            spark.read.text(url)
+            .rdd.zipWithIndex()
+            .map(lambda t: (t[0].value, t[1]))
+            .toDF(["line", "idx"])
+        )
+        data = lines.filter(
+            (~F.col("line").startswith("%")) & (F.trim("line") != "")
+        )
+        first_idx = data.agg(F.min("idx")).first()[0]
+        body = data.filter(F.col("idx") > first_idx)
+        parts = F.split(F.trim(F.col("line")), r"\s+")
+        if fmt == "coordinate":
+            value = F.lit(1.0) if field == "pattern" else parts[2].cast("double")
+            df = body.select(
+                (parts[0].cast("long") - 1).alias("row"),
+                (parts[1].cast("long") - 1).alias("col"),
+                value.alias("value"),
+            )
+            if sym in ("symmetric", "skew-symmetric"):
+                sign = -1.0 if sym == "skew-symmetric" else 1.0
+                mirror = df.filter(F.col("row") != F.col("col")).select(
+                    F.col("col").alias("row"),
+                    F.col("row").alias("col"),
+                    (F.col("value") * sign).alias("value"),
+                )
+                df = df.unionByName(mirror)
+            elif sym == "hermitian":
+                raise ValueError("hermitian needs complex support")
+            return df
+        if fmt == "array":
+            if sym != "general":
+                raise ValueError("array-format symmetry expansion not supported")
+            if not size_line or len(size_line) < 2:
+                raise ValueError("array MatrixMarket lacks a rows/cols size line")
+            nrows = size_line[0]
+            rel = F.col("idx") - F.lit(first_idx + 1)
+            return body.select(
+                (rel % nrows).alias("row"),
+                (rel / nrows).cast("long").alias("col"),
+                parts[0].cast("double").alias("value"),
+            )
+        raise ValueError(f"unknown MatrixMarket format {fmt!r}")
+
+
+# ---------------------------------------------------------------------------
+# MATLAB v5 .mat — tagged binary elements, optionally zlib-wrapped
+# (parity: ScipyMatlabReader, reference readers.py:1583, which delegates to
+# scipy.io.loadmat). The driver walks only the top-level element tags (8
+# bytes each, plus an incremental-decompress peek for names); the selected
+# variable decodes on an executor.
+# ---------------------------------------------------------------------------
+
+
+class MatlabMat(dt.FileData):
+    filepattern = r"mat$"
+    magic = (b"MATLAB 5.0",)
+    structure = {"array", "table"}
+
+
+_MAT_MI_DTYPES = {
+    1: "i1", 2: "u1", 3: "i2", 4: "u2", 5: "i4", 6: "u4",
+    7: "f4", 9: "f8", 12: "i8", 13: "u8",
+}
+_MAT_NUMERIC_CLASSES = set(range(6, 16))
+
+
+def _mat_subelements(buf: bytes):
+    """Iterate (mi_type, data) subelements of a miMATRIX payload,
+    honouring the small-data-element (packed) tag format."""
+    pos = 0
+    while pos + 8 <= len(buf):
+        (word,) = struct.unpack_from("<I", buf, pos)
+        if word >> 16:  # small element: nbytes in the high half-word
+            mtype, nb = word & 0xFFFF, word >> 16
+            yield mtype, buf[pos + 4 : pos + 4 + nb]
+            pos += 8
+        else:
+            (nb,) = struct.unpack_from("<I", buf, pos + 4)
+            yield word, buf[pos + 8 : pos + 8 + nb]
+            pos += 8 + nb + ((8 - nb % 8) % 8)
+
+
+def _mat_matrix_info(buf: bytes):
+    """miMATRIX payload → (name, mxclass, dims, mi_type, data bytes)."""
+    it = _mat_subelements(buf)
+    _, flags = next(it)
+    mxclass = flags[0]
+    _, dimraw = next(it)
+    dims = list(struct.unpack(f"<{len(dimraw) // 4}i", dimraw))
+    _, nameraw = next(it)
+    name = nameraw.decode("ascii", errors="replace")
+    try:
+        mtype, data = next(it)
+    except StopIteration:
+        mtype, data = 0, b""
+    return name, mxclass, dims, mtype, data
+
+
+def _mat_toplevel(url: str) -> list[tuple[str, int, int, bool]]:
+    """Walk top-level tags → [(var name, data offset, nbytes, compressed)].
+    Compressed elements are peeked with an incremental zlib decompress of
+    the first KiB — names surface without inflating the payload."""
+    import zlib
+
+    out = []
+    with open(url, "rb") as f:
+        head = f.read(128)
+        if len(head) < 128:
+            raise ValueError("truncated MAT-file header")
+        if head[126:128] != b"IM":
+            raise ValueError(
+                "big-endian or non-v5 MAT-file not supported (v7.3 is HDF5 — "
+                "use HDF5Reader)"
+            )
+        while True:
+            tag = f.read(8)
+            if len(tag) < 8:
+                break
+            mtype, nb = struct.unpack("<II", tag)
+            off = f.tell()
+            if mtype == 15:  # miCOMPRESSED
+                peek = f.read(min(nb, 2048))
+                inner = zlib.decompressobj().decompress(peek, 512)
+                name = _mat_matrix_info(inner[8:])[0] if len(inner) >= 16 else ""
+                out.append((name, off, nb, True))
+            elif mtype == 14:  # miMATRIX
+                peek = f.read(min(nb, 2048))
+                name = _mat_matrix_info(peek)[0]
+                out.append((name, off, nb, False))
+            f.seek(off + nb + ((8 - nb % 8) % 8))
+    return out
+
+
+class MatlabMatReader(BaseReader):
+    """MATLAB v5 .mat numeric variable → chunk-row DataFrame
+    (arrays.CHUNK_SCHEMA, row-major). ``variable`` selects by name; default
+    is the first numeric variable. Column-major storage transposes on the
+    executor during decode."""
+
+    implements = {MatlabMat}
+
+    def _read(self, spark, variable: str | None = None, rows_per_chunk: int = 4096, **kwargs):
+        from intake_spark.arrays import CHUNK_SCHEMA
+        from intake_spark.session import ensure_py_deps
+
+        url = self.data.url
+        variables = _mat_toplevel(url)
+        if not variables:
+            raise ValueError(f"no variables found in {url}")
+        names = [v[0] for v in variables]
+        if variable is None:
+            pick = variables[0]
+        else:
+            match = [v for v in variables if v[0] == variable]
+            if not match:
+                raise KeyError(f"variable {variable!r} not in {names}")
+            pick = match[0]
+        name, off, nb, compressed = pick
+        self.data.metadata.update({"variable": name, "variables": names})
+        ensure_py_deps(spark)
+        mdf = spark.createDataFrame([(off, nb, compressed)], "off long, nb long, comp boolean")
+
+        def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            import zlib
+
+            import numpy as np
+
+            for pdf in batches:
+                for _, r in pdf.iterrows():
+                    with open(url, "rb") as f:
+                        f.seek(int(r.off))
+                        buf = f.read(int(r.nb))
+                    if bool(r.comp):
+                        buf = zlib.decompress(buf)
+                        buf = buf[8:]  # skip the inner miMATRIX tag
+                    vname, mxclass, dims, mtype, data = _mat_matrix_info(buf)
+                    if mxclass not in _MAT_NUMERIC_CLASSES:
+                        raise ValueError(
+                            f"variable {vname!r} has class {mxclass} — only "
+                            "numeric arrays supported (no cell/struct/sparse/char)"
+                        )
+                    if mtype not in _MAT_MI_DTYPES:
+                        raise ValueError(f"unsupported MAT data type {mtype}")
+                    arr = np.frombuffer(data, dtype="<" + _MAT_MI_DTYPES[mtype])
+                    arr = arr.reshape(dims, order="F").astype(np.float64)
+                    arr = np.ascontiguousarray(arr)
+                    n0 = dims[0] if dims else 1
+                    out = []
+                    for ci, start in enumerate(range(0, n0, rows_per_chunk)):
+                        block = arr[start : start + rows_per_chunk]
+                        out.append(
+                            {
+                                "chunk_id": ci,
+                                "offset0": start,
+                                "shape": dims,
+                                "values": block.ravel().tolist(),
+                            }
+                        )
+                    yield pd.DataFrame(
+                        out, columns=["chunk_id", "offset0", "shape", "values"]
+                    )
+
+        return mdf.mapInPandas(decode, schema=CHUNK_SCHEMA)
