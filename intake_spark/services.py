@@ -337,6 +337,93 @@ class TiledReader(BaseReader):
         return spark.createDataFrame(table)
 
 
+def _tiled_fetch_json(url: str) -> dict:
+    """Default network fetch for the Tiled JSON API (injectable in tests)."""
+    import json
+    import urllib.request
+
+    with urllib.request.urlopen(url, timeout=60) as resp:
+        return json.load(resp)
+
+
+def _tiled_search_url(base: str, path: str, search: dict) -> str:
+    """Compose a Tiled /api/v1/search URL with the recorded search terms:
+    ``fulltext`` → filter[fulltext][condition][text], everything else →
+    an eq-condition on that metadata key (the public query grammar,
+    https://blueskyproject.io/tiled — behavior parity with reference
+    TiledSearch convert.py:343-351)."""
+    import json
+    import urllib.parse
+
+    params = []
+    for k, v in (search or {}).items():
+        if k == "fulltext":
+            params.append(("filter[fulltext][condition][text]", str(v)))
+        else:
+            params.append((f"filter[eq][condition][key]", k))
+            params.append((f"filter[eq][condition][value]", json.dumps(v)))
+    qs = f"?{urllib.parse.urlencode(params)}" if params else ""
+    return f"{base.rstrip('/')}/api/v1/search/{path.strip('/')}".rstrip("/") + qs
+
+
+def tiled_node_to_catalog(data: TiledService, fetch=None) -> "object":
+    """Eager walk of a Tiled container node into a Catalog — one entry per
+    child, container children rehydrating to sub-catalogs via
+    TiledCatalogReader and dataset children to DataFrames via TiledReader
+    (parity: TiledNodeToCatalog, reference convert.py:312-341, which
+    requires the tiled client; this speaks the JSON API, and ``fetch`` is
+    injectable so catalogs build offline in tests)."""
+    from intake_spark.catalog import Catalog
+
+    fetch = fetch or _tiled_fetch_json
+    base = data.url.rstrip("/")
+    path = getattr(data, "path", "") or ""
+    doc = fetch(_tiled_search_url(base, path, data.options.get("search", {})))
+    cat = Catalog(metadata={"tiled_url": base, "tiled_path": path})
+    for item in doc.get("data", []):
+        key = item.get("id", "")
+        attrs = item.get("attributes") or {}
+        child = TiledService(url=base, path=f"{path}/{key}".strip("/"))
+        child.metadata.update(attrs.get("metadata") or {})
+        if attrs.get("structure_family") == "container":
+            cat[key] = TiledCatalogReader(data=child)
+        else:
+            cat[key] = TiledReader(data=child)
+    return cat
+
+
+def tiled_search(data: TiledService, **terms) -> TiledService:
+    """Narrow a Tiled node by search terms without touching the network:
+    returns a new TiledService whose recorded ``search`` options compose
+    with any previous ones; the next ``tiled_node_to_catalog`` call applies
+    them server-side (parity: TiledSearch convert.py:343-351 — the
+    reference calls Node.search eagerly; deferring keeps this lazy and
+    serializable)."""
+    merged = dict(data.options.get("search", {}))
+    merged.update(terms)
+    out = TiledService(
+        url=data.url,
+        path=getattr(data, "path", ""),
+        options={**data.options, "search": merged},
+        metadata=dict(data.metadata),
+    )
+    return out
+
+
+class TiledCatalogReader(BaseReader):
+    """Tiled container node → Catalog (output is a Catalog, not a
+    DataFrame — the §2.2 TiledNodeToCatalog edge). ``fetch`` is injectable;
+    no SparkSession is required or created."""
+
+    implements = {TiledService}
+    output_instance = "intake_spark.catalog:Catalog"
+    priority = 5  # table reads should auto-select TiledReader instead
+
+    def read(self, spark=None, **kwargs):
+        merged = {**self.kwargs, **kwargs}
+        return tiled_node_to_catalog(self.data, fetch=merged.get("fetch"))
+
+
 class TileDB(dt.FileData):
     """(parity: TileDB datatypes.py:853-858)"""
 
