@@ -462,10 +462,13 @@ class HuggingfaceReader(BaseReader):
 
     implements = {HuggingfaceDataset}
 
-    def _read(self, spark, resolver=None, cache_dir: str | None = None, **kwargs):
+    def _read(self, spark, resolver=None, cache_dir: str | None = None, max_workers: int = 8, **kwargs):
+        import hashlib
+        import os
         import shutil
         import tempfile
         import urllib.request
+        from concurrent.futures import ThreadPoolExecutor
 
         resolver = resolver or _hf_parquet_urls
         urls = resolver(self.data.url, self.data.split)
@@ -474,16 +477,28 @@ class HuggingfaceReader(BaseReader):
                 f"no parquet shards for dataset {self.data.url!r} "
                 f"split {self.data.split!r}"
             )
-        local = []
-        for u in urls:
-            if "://" not in u or u.startswith("file://"):
-                local.append(u)
-                continue
-            cache_dir = cache_dir or tempfile.mkdtemp(prefix="hf_parquet_")
-            dest = f"{cache_dir}/{u.rsplit('/', 1)[-1]}"
-            with urllib.request.urlopen(u, timeout=300) as resp, open(dest, "wb") as f:
-                shutil.copyfileobj(resp, f)
-            local.append(dest)
+        remote = [u for u in urls if "://" in u and not u.startswith("file://")]
+        if remote and cache_dir is None:
+            cache_dir = tempfile.mkdtemp(prefix="hf_parquet_")
+
+        def fetch(u: str) -> str:
+            # cache key = url digest + basename: distinct shards with the
+            # same basename (different configs/revisions) cannot collide,
+            # and a re-read of a cached dataset skips the network entirely
+            key = hashlib.md5(u.encode()).hexdigest()[:12]
+            dest = f"{cache_dir}/{key}_{u.rsplit('/', 1)[-1]}"
+            if not os.path.exists(dest):
+                tmp = dest + ".part"
+                with urllib.request.urlopen(u, timeout=300) as resp, open(tmp, "wb") as f:
+                    shutil.copyfileobj(resp, f)  # streamed: constant memory
+                os.replace(tmp, dest)
+            return dest
+
+        fetched = {}
+        if remote:
+            with ThreadPoolExecutor(max_workers=max_workers) as pool:
+                fetched = dict(zip(remote, pool.map(fetch, remote)))
+        local = [fetched.get(u, u) for u in urls]
         return spark.read.parquet(*local)
 
 

@@ -244,6 +244,53 @@ def test_huggingface_reader_parquet_routing(spark):
         r.read(spark=spark, resolver=lambda name, split: [])
 
 
+def test_huggingface_parallel_shard_fetch(spark, tmp_path):
+    """https shards fetch through a thread pool with digest-keyed cache
+    names: same-basename shards don't collide, every shard lands, and a
+    second read serves entirely from cache (zero new requests)."""
+    import http.server
+    import shutil
+    import threading
+
+    from intake_spark.readers import HuggingfaceDataset, HuggingfaceReader
+
+    serve = tmp_path / "serve"
+    (serve / "a").mkdir(parents=True)
+    (serve / "b").mkdir()
+    shutil.copy(f"{SF_SMALL}/region.parquet", serve / "a" / "part0.parquet")
+    shutil.copy(f"{SF_SMALL}/region.parquet", serve / "b" / "part0.parquet")
+    shutil.copy(f"{SF_SMALL}/nation.parquet", serve / "nation.parquet")
+    hits = []
+
+    class Handler(http.server.SimpleHTTPRequestHandler):
+        def __init__(self, *a, **kw):
+            super().__init__(*a, directory=str(serve), **kw)
+
+        def log_message(self, *a):
+            hits.append(self.path)
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        base = f"http://127.0.0.1:{srv.server_address[1]}"
+        urls = [f"{base}/a/part0.parquet", f"{base}/b/part0.parquet", f"{base}/nation.parquet"]
+        cache = str(tmp_path / "cache")
+        import os
+
+        os.makedirs(cache)
+        r = HuggingfaceReader(data=HuggingfaceDataset(name="org/fake", split="train"))
+        df = r.read(spark=spark, resolver=lambda n, s: urls, cache_dir=cache)
+        assert df.count() == 5 + 5 + 25  # both region copies + nation
+        cached = sorted(os.listdir(cache))
+        assert len(cached) == 3  # same basename, distinct digest keys
+        n_first = len(hits)
+        assert n_first == 3
+        df2 = r.read(spark=spark, resolver=lambda n, s: urls, cache_dir=cache)
+        assert df2.count() == 35 and len(hits) == n_first  # served from cache
+    finally:
+        srv.shutdown()
+
+
 def _make_pdf(compress: bool) -> bytes:
     """Minimal two-operator PDF built from raw syntax (independent of the
     extractor under test): Tj with escapes, TJ array, hex string."""
