@@ -73,12 +73,68 @@ def _with_timeout(fn, seconds: float | None):
     return result[0]
 
 
+def sample_report(df: DataFrame, n: int = 5) -> dict[str, Any]:
+    """Small sampled repr (reference per-container repr extraction,
+    inspect.py:216-510): first ``n`` rows with binary columns dropped —
+    ``sample_rows`` as dicts plus a rendered text ``repr``. This is the one
+    deliberate (tiny) data action in an otherwise metadata-only report."""
+    from pyspark.sql import types as T
+
+    cols = [f.name for f in df.schema.fields if not isinstance(f.dataType, T.BinaryType)]
+    if not cols:
+        return {"sample_rows": [], "repr": "<binary-only columns>"}
+    pdf = df.select(*cols).limit(n).toPandas()
+    return {"sample_rows": pdf.to_dict("records"), "repr": pdf.to_string()}
+
+
+def thumbnail(df: DataFrame, size: int = 8) -> list[list[float]] | None:
+    """Optional image thumbnail for array/media entries (reference
+    thumbnail hooks, inspect.py:216-510): chunk-row arrays render their
+    first chunk, binary media columns decode the first file (PNG/TIFF via
+    the stdlib decoders); anything else → None. Grayscale, nearest-neighbor
+    downsampled to at most ``size``×``size``."""
+    import numpy as np
+
+    from intake_spark.llm.multimodal import decode_image, resize_nearest
+
+    cols = set(df.columns)
+    try:
+        if {"shape", "values", "offset0"} <= cols:
+            row = df.select("shape", "values").first()
+            if row is None:
+                return None
+            shape = [int(s) for s in row["shape"]]
+            vals = np.asarray(row["values"], dtype=float)
+            if len(shape) >= 2:
+                arr = vals.reshape([-1] + shape[1:])
+                if arr.ndim > 2:
+                    arr = arr.reshape(arr.shape[0], arr.shape[1], -1).mean(axis=2)
+            else:
+                arr = vals.reshape(1, -1)
+        elif "content" in cols:
+            row = df.select("content").first()
+            if row is None:
+                return None
+            img = decode_image(bytes(row["content"]))
+            arr = img.mean(axis=2) if img.ndim == 3 else np.asarray(img, dtype=float)
+        else:
+            return None
+        out = resize_nearest(
+            arr, min(size, arr.shape[0]), min(size, arr.shape[1])
+        )
+        return [[float(v) for v in r] for r in out]
+    except Exception:
+        return None
+
+
 def inspect_dataset(
     url: str,
     spark=None,
     timeout: float | None = 60.0,
     max_bytes: int | None = None,
     exclude: tuple[str, ...] = (),
+    sample: bool = True,
+    thumb_size: int = 8,
 ) -> dict[str, Any]:
     """Detect datatype, build the lazy reader, report schema + file stats.
 
@@ -125,6 +181,14 @@ def inspect_dataset(
             report.update(schema_report(df))
             report["datatype"] = cls.__name__
             report["reader"] = rname
+            if sample:
+                try:
+                    report.update(_with_timeout(lambda: sample_report(df), timeout))
+                    report["thumbnail"] = _with_timeout(
+                        lambda: thumbnail(df, thumb_size), timeout
+                    )
+                except Exception as exc:
+                    report.setdefault("errors", []).append(f"sample: {exc}")
             return report
         except Exception as exc:  # try next candidate (inspect.py:1092-1162)
             report.setdefault("errors", []).append(f"{cls.__name__}: {exc}")

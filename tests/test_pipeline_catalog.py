@@ -282,6 +282,45 @@ def test_inspect_fallback_and_timeout(spark, tmp_path, monkeypatch):
     assert any("exceeded" in e for e in rep["errors"])
 
 
+def test_inspect_sample_and_thumbnail(spark, tmp_path):
+    """Report parity fields (reference inspect.py:216-510): sampled rows +
+    text repr for tabular data; grayscale thumbnail for array (chunk-row)
+    and media (binary image) entries."""
+    import numpy as np
+
+    from intake_spark import inspection
+
+    # tabular: sample_rows + repr, no thumbnail
+    rep = inspection.inspect_dataset(f"{SF_SMALL}/region.parquet", spark=spark)
+    assert rep["reader"] and len(rep["sample_rows"]) == 5
+    assert "r_name" in rep["sample_rows"][0] and "r_name" in rep["repr"]
+    assert rep["thumbnail"] is None
+
+    # array: .npy → chunk rows → 2-D thumbnail clipped to thumb_size
+    arr = np.arange(20 * 10, dtype="<f8").reshape(20, 10)
+    npy = tmp_path / "a.npy"
+    np.save(npy, arr)
+    rep = inspection.inspect_dataset(str(npy), spark=spark, thumb_size=4)
+    thumb = rep["thumbnail"]
+    assert len(thumb) == 4 and len(thumb[0]) == 4
+    assert thumb[0][0] == arr[0][0]
+
+    # media: PNG binary column → decoded grayscale thumbnail
+    from intake_spark.llm.multimodal import decode_png  # noqa: F401
+    from tests.test_llm_ops import _png_rgb_with_filters
+
+    img = np.full((6, 6, 3), 128, dtype=np.uint8)
+    png = tmp_path / "img.png"
+    png.write_bytes(_png_rgb_with_filters(img, filters=[0] * 6))
+    rep = inspection.inspect_dataset(str(png), spark=spark, thumb_size=3)
+    assert rep["thumbnail"] is not None
+    assert all(abs(v - 128.0) < 1e-9 for row in rep["thumbnail"] for v in row)
+
+    # opt-out: no sampling action at all
+    rep = inspection.inspect_dataset(f"{SF_SMALL}/region.parquet", spark=spark, sample=False)
+    assert "sample_rows" not in rep and "thumbnail" not in rep
+
+
 def test_inspect_max_bytes_guard(spark, tmp_path):
     """Driver-side (lazy=False) readers are skipped when the dataset exceeds
     max_bytes — the reference's full-read tier size guard."""
