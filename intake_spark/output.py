@@ -11,6 +11,30 @@ from pyspark.sql import functions as F
 from intake_spark import datatypes as dt
 
 
+def _guard_single_file(df: DataFrame, sink: str, max_bytes: int | None):
+    """Driver-streamed single-file sinks are by-contract bounded artifacts
+    (thumbnails, arrays, QA exports). This guard keeps them honest at
+    scale: the array's total byte size comes free from the chunk-row
+    ``shape`` metadata (one first() on a column already needed), and
+    anything above ``max_bytes`` raises with the distributed alternative
+    named — same pattern as embedding_near_dup_pairs' max_rows guard."""
+    if max_bytes is None:
+        return
+    first = df.select("shape").first()
+    if first is None:
+        raise ValueError("empty chunk DataFrame")
+    n = 1
+    for s in first["shape"]:
+        n *= int(s)
+    if n * 8 > max_bytes:
+        raise ValueError(
+            f"{sink}: array is {n * 8} bytes (> max_bytes={max_bytes}); "
+            "single-file driver-streamed sinks are for bounded artifacts — "
+            "use to_zarr (distributed chunk writes) or to_parquet for data "
+            "this size, or pass max_bytes=None to override deliberately"
+        )
+
+
 def to_parquet(df: DataFrame, url: str, mode: str = "overwrite", partition_by: list[str] | None = None, **options) -> dt.Parquet:
     """df → parquet directory (parity: PandasToParquet output.py:36-45).
     ``partition_by`` yields hive-partitioned layout → partition pruning for
@@ -165,13 +189,15 @@ def to_zarr(df: DataFrame, url: str, compressor: str | None = "zlib") -> dt.Zarr
     return dt.Zarr(url=url)
 
 
-def to_npy(df: DataFrame, url: str) -> dt.NumpyFile:
+def to_npy(df: DataFrame, url: str, max_bytes: int | None = 1 << 30) -> dt.NumpyFile:
     """Chunk-row DataFrame → .npy (v1 header + C-order float64 data),
     streamed through the driver in offset order (``toLocalIterator`` — one
     partition in memory at a time, parity: NumpyToNumpyFile output.py:117).
-    """
+    ``max_bytes`` guards against silently bottlenecking a huge array
+    through the driver."""
     import struct as _struct
 
+    _guard_single_file(df, "to_npy", max_bytes)
     first = df.select("shape").first()
     if first is None:
         raise ValueError("empty chunk DataFrame")
@@ -209,12 +235,13 @@ def _png_bytes(arr_2d, bit_depth: int = 8) -> bytes:
     )
 
 
-def to_png(df: DataFrame, url: str) -> dt.PNG:
+def to_png(df: DataFrame, url: str, max_bytes: int | None = 1 << 30) -> dt.PNG:
     """All chunk rows, streamed in offset order, rendered as one grayscale
     PNG (2-D arrays; values clipped to uint8). Stdlib encoder — parity:
     NumpyToPNG output.py:268+, which needs PIL. Media are driver-edge
     artifacts (thumbnails, QA), so a driver-side write is the right cost
     model; like to_npy, only one partition is in driver memory at a time."""
+    _guard_single_file(df, "to_png", max_bytes)
     first = df.select("shape").first()
     if first is None:
         raise ValueError("empty chunk DataFrame")
@@ -236,13 +263,14 @@ def to_png(df: DataFrame, url: str) -> dt.PNG:
     return dt.PNG(url=url)
 
 
-def to_wav(df: DataFrame, url: str, rate: int = 16000) -> dt.WAV:
+def to_wav(df: DataFrame, url: str, rate: int = 16000, max_bytes: int | None = 1 << 30) -> dt.WAV:
     """Chunk rows → 16-bit mono WAV via the stdlib ``wave`` module (parity:
     NumpyToWAV output.py:300-ish). Values expected in [-1, 1]; streamed in
     offset order."""
     import struct as _struct
     import wave
 
+    _guard_single_file(df, "to_wav", max_bytes)
     with wave.open(url, "wb") as w:
         w.setnchannels(1)
         w.setsampwidth(2)
@@ -255,16 +283,18 @@ def to_wav(df: DataFrame, url: str, rate: int = 16000) -> dt.WAV:
     return dt.WAV(url=url)
 
 
-def to_netcdf(df: DataFrame, url: str, variable: str = "data") -> "dt.BaseData":
+def to_netcdf(df: DataFrame, url: str, variable: str = "data", max_bytes: int | None = 1 << 30) -> "dt.BaseData":
     """Chunk-row DataFrame → classic netCDF (CDF-1) file with one float64
     variable (parity: XarrayToNetCDF output.py:85-98, which needs xarray —
     this writes the spec layout with stdlib struct). Streamed through the
-    driver in offset order like to_npy; round-trips with
-    sci.NetCDF3Reader."""
+    driver in offset order like to_npy; round-trips with sci.NetCDF3Reader.
+    ``max_bytes`` guards against driver-bottlenecking a large variable —
+    use to_zarr's distributed chunk writes above the guard."""
     import struct as st
 
     from intake_spark.sci import NetCDF3
 
+    _guard_single_file(df, "to_netcdf", max_bytes)
     first = df.select("shape").first()
     if first is None:
         raise ValueError("empty chunk DataFrame")

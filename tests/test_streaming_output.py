@@ -179,6 +179,32 @@ def test_png_wav_sinks(spark, tmp_path):
     np.testing.assert_allclose(frames / 32767.0, sig, atol=1e-3)
 
 
+def test_single_file_sink_size_guard(spark, tmp_path):
+    """Driver-streamed sinks refuse arrays above max_bytes (computed from
+    shape metadata — no data action) and name the distributed alternative;
+    max_bytes=None overrides deliberately."""
+    import numpy as np
+    import pytest
+
+    from intake_spark.arrays import NumpyArrayReader
+
+    arr = np.zeros((64, 4), dtype="<f8")  # 2048 bytes
+    npy = str(tmp_path / "g.npy")
+    np.save(npy, arr)
+    chunks = NumpyArrayReader(data=dt.NumpyFile(url=npy)).read(spark=spark, rows_per_chunk=16)
+    for sink, args in [
+        (output.to_npy, (str(tmp_path / "o.npy"),)),
+        (output.to_png, (str(tmp_path / "o.png"),)),
+        (output.to_wav, (str(tmp_path / "o.wav"),)),
+        (output.to_netcdf, (str(tmp_path / "o.nc"),)),
+    ]:
+        with pytest.raises(ValueError, match="to_zarr"):
+            sink(chunks, *args, max_bytes=1024)
+    # explicit override still writes
+    out = output.to_npy(chunks, str(tmp_path / "ok.npy"), max_bytes=None)
+    np.testing.assert_array_equal(np.load(out.url), arr)
+
+
 def test_png_sink_multi_chunk(spark, tmp_path):
     """to_png must stitch ALL chunk rows in offset order — a 16-row image
     read as 4-row chunks writes a full 16-row PNG, not the first chunk."""
