@@ -184,3 +184,202 @@ class VCFReader(BaseReader):
             parts.getItem(7).alias("INFO"),
             F.slice(parts, 9, 1000).alias("extra"),
         )
+
+
+# ---------------------------------------------------------------------------
+# BigWig — UCSC bbi container (Kent et al. 2010), stdlib struct + zlib
+# (parity: BigWigReader, reference readers.py:2503, which delegates to
+# pyBigWig). The fixed 64-byte header, chromosome B+ tree and R-tree index
+# parse driver-side (a few KiB); the R-tree leaves ARE the byte-range
+# manifest, so interval blocks inflate and decode on executors — the same
+# per-block parallelism the format was designed around.
+# ---------------------------------------------------------------------------
+
+
+class BigWig(dt.FileData):
+    filepattern = r"(bw|bigwig)$"
+    magic = (b"\x26\xfc\x8f\x88", b"\x88\x8f\xfc\x26")
+    structure = {"table", "timeseries"}
+
+
+def _bw_header(f) -> dict:
+    import struct as st
+
+    f.seek(0)
+    raw = f.read(64)
+    if raw[:4] == b"\x26\xfc\x8f\x88":
+        bo = "<"
+    elif raw[:4] == b"\x88\x8f\xfc\x26":
+        bo = ">"
+    else:
+        raise ValueError("not a BigWig file (bad magic)")
+    (version, zoom_levels, chrom_tree_off, full_data_off, full_index_off,
+     field_count, defined_field_count, auto_sql_off, total_summary_off,
+     uncompress_buf, _res) = st.unpack(bo + "HHQQQHHQQIQ", raw[4:64])
+    if field_count != 0:
+        raise ValueError("bigBed (fieldCount > 0) not supported — BigWig only")
+    return {
+        "bo": bo,
+        "version": version,
+        "chrom_tree_off": chrom_tree_off,
+        "full_index_off": full_index_off,
+        "compressed": uncompress_buf > 0,
+    }
+
+
+def _bw_chroms(f, offset: int, bo: str) -> dict[int, str]:
+    """Chromosome B+ tree → {chromId: name}."""
+    import struct as st
+
+    f.seek(offset)
+    magic, _block, key_size, val_size = st.unpack(bo + "4I", f.read(16))
+    if magic != 0x78CA8C91:
+        raise ValueError("bad chromosome B+ tree magic")
+    f.read(16)  # itemCount + reserved
+    out: dict[int, str] = {}
+
+    def node(off: int):
+        f.seek(off)
+        is_leaf, _, cnt = st.unpack(bo + "BBH", f.read(4))
+        if is_leaf:
+            for _ in range(cnt):
+                key = f.read(key_size).rstrip(b"\x00").decode("ascii")
+                chrom_id, _size = st.unpack(bo + "II", f.read(val_size))
+                out[chrom_id] = key
+        else:
+            children = []
+            for _ in range(cnt):
+                f.read(key_size)
+                (child,) = st.unpack(bo + "Q", f.read(8))
+                children.append(child)
+            for c in children:
+                node(c)
+
+    node(f.tell())
+    return out
+
+
+def _bw_rtree_leaves(f, offset: int, bo: str) -> list[tuple[int, int]]:
+    """R-tree walk → [(data_offset, data_size)] for every interval block."""
+    import struct as st
+
+    f.seek(offset)
+    (magic,) = st.unpack(bo + "I", f.read(4))
+    if magic != 0x2468ACE0:
+        raise ValueError("bad R-tree index magic")
+    f.read(44)  # blockSize, itemCount, start/end coords, endFileOffset, ...
+    out: list[tuple[int, int]] = []
+
+    def node(off: int):
+        f.seek(off)
+        is_leaf, _, cnt = st.unpack(bo + "BBH", f.read(4))
+        if is_leaf:
+            for _ in range(cnt):
+                raw = f.read(32)
+                data_off, data_size = st.unpack(bo + "QQ", raw[16:32])
+                out.append((data_off, data_size))
+        else:
+            children = []
+            for _ in range(cnt):
+                raw = f.read(24)
+                (child,) = st.unpack(bo + "Q", raw[16:24])
+                children.append(child)
+            for c in children:
+                node(c)
+
+    node(f.tell())
+    return out
+
+
+def _bw_decode_block(buf: bytes, bo: str) -> list[tuple[int, int, int, float]]:
+    """One (inflated) data section → (chromId, start, end, value) rows.
+    Section types: 1 = bedGraph, 2 = varStep, 3 = fixedStep."""
+    import struct as st
+
+    chrom_id, start, _end, step, span, btype, _res, n = st.unpack(
+        bo + "IIIIIBBH", buf[:24]
+    )
+    rows = []
+    p = 24
+    if btype == 1:
+        for _ in range(n):
+            s, e, v = st.unpack(bo + "IIf", buf[p : p + 12])
+            p += 12
+            rows.append((chrom_id, s, e, float(v)))
+    elif btype == 2:
+        for _ in range(n):
+            s, v = st.unpack(bo + "If", buf[p : p + 8])
+            p += 8
+            rows.append((chrom_id, s, s + span, float(v)))
+    elif btype == 3:
+        s = start
+        for _ in range(n):
+            (v,) = st.unpack(bo + "f", buf[p : p + 4])
+            p += 4
+            rows.append((chrom_id, s, s + span, float(v)))
+            s += step
+    else:
+        raise ValueError(f"unknown BigWig section type {btype}")
+    return rows
+
+
+_BIGWIG_SCHEMA = T.StructType(
+    [
+        T.StructField("chrom", T.StringType()),
+        T.StructField("start", T.LongType()),
+        T.StructField("end", T.LongType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+
+
+class BigWigReader(BaseReader):
+    """BigWig → (chrom, start, end, value) interval rows. Driver reads only
+    header + trees; blocks decompress and decode on executors from the
+    R-tree leaf manifest."""
+
+    implements = {BigWig}
+
+    def _read(self, spark, **kwargs):
+        from intake_spark.session import ensure_py_deps
+
+        url = self.data.url
+        with open(url, "rb") as f:
+            hdr = _bw_header(f)
+            bo = hdr["bo"]
+            chroms = _bw_chroms(f, hdr["chrom_tree_off"], bo)
+            leaves = _bw_rtree_leaves(f, hdr["full_index_off"], bo)
+        self.data.metadata.update(
+            {"chroms": sorted(chroms.values()), "n_blocks": len(leaves)}
+        )
+        if not leaves:
+            return spark.createDataFrame([], _BIGWIG_SCHEMA)
+        ensure_py_deps(spark)
+        compressed = hdr["compressed"]
+        mdf = spark.createDataFrame(leaves, "blk_off long, blk_len long")
+        if len(leaves) > 1:
+            mdf = mdf.repartition(min(len(leaves), spark.sparkContext.defaultParallelism))
+
+        def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            import zlib
+
+            with open(url, "rb") as fh:
+                for pdf in batches:
+                    rows = []
+                    for _, r in pdf.iterrows():
+                        fh.seek(int(r["blk_off"]))
+                        buf = fh.read(int(r["blk_len"]))
+                        if compressed:
+                            buf = zlib.decompress(buf)
+                        for cid, s, e, v in _bw_decode_block(buf, bo):
+                            rows.append(
+                                {
+                                    "chrom": chroms.get(cid, str(cid)),
+                                    "start": s,
+                                    "end": e,
+                                    "value": v,
+                                }
+                            )
+                    yield pd.DataFrame(rows, columns=["chrom", "start", "end", "value"])
+
+        return mdf.mapInPandas(decode, schema=_BIGWIG_SCHEMA)
