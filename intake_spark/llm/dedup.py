@@ -97,9 +97,17 @@ def jaccard_pairs(
     # table twice — two fewer shuffles in the pair pipeline
     sh = sh.withColumn("_n", F.count(F.lit(1)).over(Window.partitionBy(id_col))).cache()
     if max_shingle_df is not None:
-        freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
-        keep = freq.filter(F.col("_df") <= max_shingle_df).select("shingle")
-        sh = sh.join(F.broadcast(keep), "shingle")
+        # stop-shingle cap as a shingle-partitioned window filter: one
+        # shuffle on the join key itself (reused by the self-join below) and
+        # no broadcast — the sub-cap shingle set is almost-all shingles on
+        # real corpora, far too large to broadcast at scale
+        sh = (
+            sh.withColumn(
+                "_df", F.count(F.lit(1)).over(Window.partitionBy("shingle"))
+            )
+            .filter(F.col("_df") <= max_shingle_df)
+            .drop("_df")
+        )
     a = sh.select(F.col(id_col).alias("doc_a"), F.col("_n").alias("n_a"), "shingle")
     b = sh.select(F.col(id_col).alias("doc_b"), F.col("_n").alias("n_b"), "shingle")
     inter = (
