@@ -51,9 +51,22 @@ class _PandasFileReader(BaseReader):
 
         ensure_py_deps(spark)
         files = spark.read.format("binaryFile").load(url)
-        sample_path = files.select("path").first()[0].removeprefix("file:")
-        sample = type(self)._parse(open(sample_path, "rb").read(), **kwargs)
-        schema = spark.createDataFrame(sample.head(10)).schema
+        schema = getattr(self, "_schema_cache", None)
+        if schema is None:
+            # schema from one sample file — resolved with a driver-side
+            # glob (no Spark job); the binaryFile .first() probe is only
+            # the fallback for non-posix URLs. Cached on the reader so
+            # re-reads skip the probe entirely.
+            import glob as _glob
+
+            matches = sorted(_glob.glob(url))
+            if matches:
+                sample_path = matches[0]
+            else:
+                sample_path = files.select("path").first()[0].removeprefix("file:")
+            sample = type(self)._parse(open(sample_path, "rb").read(), **kwargs)
+            schema = spark.createDataFrame(sample.head(10)).schema
+            self._schema_cache = schema
         parse_fn, kw = type(self)._parse, kwargs
 
         def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
