@@ -327,3 +327,96 @@ def to_netcdf(df: DataFrame, url: str, variable: str = "data", max_bytes: int | 
         for row in df.select("offset0", "values").orderBy("offset0").toLocalIterator():
             f.write(st.pack(f">{len(row['values'])}d", *row["values"]))
     return NetCDF3(url=url, variable=variable)
+
+
+def to_hdf5(
+    df: DataFrame,
+    url: str,
+    dataset: str = "data",
+    max_bytes: int | None = 1 << 30,
+) -> "dt.HDF5":
+    """Chunk-row DataFrame → HDF5 file with one contiguous float64 dataset
+    (parity: PandasToHDF5, reference output.py:60-69, which delegates to
+    h5py — this writes the classic file layout with stdlib struct: v0
+    superblock, v1 object headers, one-leaf B-tree/SNOD/local-heap root
+    group). Streamed through the driver in offset order like to_npy, with
+    the same ``max_bytes`` guard; round-trips with hdf5.HDF5Reader."""
+    import struct as st
+
+    _guard_single_file(df, "to_hdf5", max_bytes)
+    first = df.select("shape").first()
+    if first is None:
+        raise ValueError("empty chunk DataFrame")
+    shape = [int(s) for s in first["shape"]]
+    nbytes = 8
+    for s in shape:
+        nbytes *= s
+    UNDEF = b"\xff" * 8
+
+    def pad8(b: bytes) -> bytes:
+        return b + b"\x00" * ((8 - len(b) % 8) % 8)
+
+    def msg(mtype: int, data: bytes) -> bytes:
+        data = pad8(data)
+        return st.pack("<HHB3x", mtype, len(data), 0) + data
+
+    def oh_v1(msgs: list[bytes]) -> bytes:
+        body = b"".join(msgs)
+        return st.pack("<BBHII4x", 1, 0, len(msgs), 1, len(body)) + body
+
+    name = dataset.encode()
+    root_addr = 96
+    root_oh = oh_v1([msg(0x11, st.pack("<QQ", 0, 0))])  # sized placeholder
+    btree_addr = root_addr + len(root_oh)
+    btree_size = 24 + 8 + 8 + 8
+    heap_addr = btree_addr + btree_size
+    heap_data_addr = heap_addr + 32
+    heap_data = b"\x00" * 8 + pad8(name + b"\x00")
+    snod_addr = heap_data_addr + len(heap_data)
+    snod_size = 8 + 40
+    ds_addr = snod_addr + snod_size
+    space = msg(
+        0x01,
+        st.pack("<BBB5x", 1, len(shape), 0)
+        + b"".join(st.pack("<Q", s) for s in shape),
+    )
+    # IEEE little-endian float64 (class 1 v1; implied-MSB normalization)
+    dtype_msg = msg(
+        0x03,
+        st.pack("<BBBBI", 0x11, 0x20, 63, 0, 8)
+        + st.pack("<HHBBBBI", 0, 64, 52, 11, 0, 52, 1023),
+    )
+    ds_oh_size = len(oh_v1([space, dtype_msg, msg(0x08, st.pack("<BBQQ", 3, 1, 0, 0))]))
+    data_addr = ds_addr + ds_oh_size
+    eof = data_addr + nbytes
+
+    head = b"\x89HDF\r\n\x1a\n" + bytes([0, 0, 0, 0, 0, 8, 8, 0])
+    head += st.pack("<HHI", 4, 16, 0)
+    head += st.pack("<Q", 0) + UNDEF + st.pack("<Q", eof) + UNDEF
+    head += st.pack("<QQII", 0, root_addr, 0, 0) + b"\x00" * 16
+    layout = msg(0x08, st.pack("<BBQQ", 3, 1, data_addr, nbytes))
+    with open(url, "wb") as f:
+        f.write(head)
+        f.write(oh_v1([msg(0x11, st.pack("<QQ", btree_addr, heap_addr))]))
+        f.write(
+            b"TREE" + bytes([0, 0]) + st.pack("<H", 1) + UNDEF + UNDEF
+            + st.pack("<QQQ", 0, snod_addr, 8)
+        )
+        f.write(b"HEAP" + bytes(4) + st.pack("<QQQ", len(heap_data), 0, heap_data_addr))
+        f.write(heap_data)
+        f.write(b"SNOD" + bytes([1, 0]) + st.pack("<H", 1))
+        f.write(st.pack("<QQII", 8, ds_addr, 0, 0) + b"\x00" * 16)
+        f.write(oh_v1([space, dtype_msg, layout]))
+        import struct as _struct
+
+        written = 0
+        for row in df.select("offset0", "values").orderBy("offset0").toLocalIterator():
+            vals = row["values"]
+            f.write(_struct.pack(f"<{len(vals)}d", *vals))
+            written += len(vals) * 8
+        if written != nbytes:
+            raise ValueError(
+                f"chunk rows wrote {written} bytes but shape implies {nbytes} — "
+                "refusing to leave a truncated dataset"
+            )
+    return dt.HDF5(url=url)

@@ -231,6 +231,26 @@ def test_chunked_layout_rejected(spark, tmp_path):
         HDF5Reader(data=dt.HDF5(url=str(p))).read(spark=spark)
 
 
+def test_hdf5_sink_roundtrip(spark, tmp_path):
+    """to_hdf5 writes a classic-layout file that the reader round-trips,
+    with the dataset name resolvable and the single-file size guard
+    active."""
+    from intake_spark import output
+    from intake_spark.arrays import NumpyArrayReader
+
+    arr = np.linspace(-1, 1, 48, dtype="<f8").reshape(12, 4)
+    npy = str(tmp_path / "in.npy")
+    np.save(npy, arr)
+    chunks = NumpyArrayReader(data=dt.NumpyFile(url=npy)).read(spark=spark, rows_per_chunk=5)
+    out = output.to_hdf5(chunks, str(tmp_path / "out.h5"), dataset="grid")
+    rdr = HDF5Reader(data=dt.HDF5(url=out.url))
+    df = rdr.read(spark=spark, dataset="grid", rows_per_chunk=7)
+    np.testing.assert_array_equal(_rebuild(df), arr)
+    assert rdr.data.metadata["dataset"] == "grid"
+    with pytest.raises(ValueError, match="to_zarr"):
+        output.to_hdf5(chunks, str(tmp_path / "big.h5"), max_bytes=100)
+
+
 def test_recommend_picks_hdf5(tmp_path):
     from intake_spark.datatypes import recommend
 
