@@ -871,3 +871,183 @@ class ShapefileReader(BaseReader):
                     fdbf.close()
 
         return mdf.mapInPandas(decode, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# GeoPackage — OGC sqlite container for vector features (parity:
+# GeoPandasReader over GPKG, reference readers.py:1531, which needs
+# fiona/GDAL). Stdlib sqlite3 + a WKB→GeoJSON decoder; output matches
+# GeoJSONReader/ShapefileReader's canonical columns. Feature rows read
+# distributed via the MBTiles rowid-range recipe.
+# ---------------------------------------------------------------------------
+
+
+class GeoPackage(dt.FileData):
+    filepattern = r"gpkg$"
+    magic = (b"SQLite format 3",)
+    structure = {"table", "nested"}
+
+
+def _wkb_geom(buf: bytes, pos: int) -> tuple[str, object, int]:
+    """WKB (2-D, both byte orders) → (type, GeoJSON coordinates, next pos)."""
+    import struct as st
+
+    bo = "<" if buf[pos] == 1 else ">"
+    (wtype,) = st.unpack_from(bo + "I", buf, pos + 1)
+    pos += 5
+    base = wtype & 0xFF
+    if wtype & 0xE0000000 or wtype // 1000 in (1, 2, 3):
+        raise ValueError("Z/M/EWKB geometries not supported (2-D WKB only)")
+
+    def pt():
+        nonlocal pos
+        x, y = st.unpack_from(bo + "2d", buf, pos)
+        pos += 16
+        return [x, y]
+
+    def ring():
+        nonlocal pos
+        (n,) = st.unpack_from(bo + "I", buf, pos)
+        pos += 4
+        return [pt() for _ in range(n)]
+
+    if base == 1:
+        return "Point", pt(), pos
+    if base == 2:
+        return "LineString", ring(), pos
+    if base == 3:
+        (n,) = st.unpack_from(bo + "I", buf, pos)
+        pos += 4
+        return "Polygon", [ring() for _ in range(n)], pos
+    if base in (4, 5, 6, 7):
+        (n,) = st.unpack_from(bo + "I", buf, pos)
+        pos += 4
+        names = {4: "MultiPoint", 5: "MultiLineString", 6: "MultiPolygon", 7: "GeometryCollection"}
+        parts = []
+        for _ in range(n):
+            gtype, coords, pos = _wkb_geom(buf, pos)
+            if base == 7:
+                parts.append({"type": gtype, "coordinates": coords})
+            else:
+                parts.append(coords)
+        return names[base], parts, pos
+    raise ValueError(f"unsupported WKB geometry type {wtype}")
+
+
+def gpkg_blob_to_geojson(blob: bytes) -> tuple[str, dict | None]:
+    """GeoPackage geometry blob (GP header + envelope + WKB) → GeoJSON."""
+    import struct as st
+
+    if blob is None or len(blob) < 8:
+        return "", None
+    if blob[:2] != b"GP":
+        raise ValueError("not a GeoPackage geometry blob (missing GP magic)")
+    flags = blob[3]
+    if flags & 0x10:  # empty-geometry flag
+        return "", None
+    env = (flags >> 1) & 0x07
+    env_len = {0: 0, 1: 32, 2: 48, 3: 48, 4: 64}.get(env)
+    if env_len is None:
+        raise ValueError(f"invalid GeoPackage envelope indicator {env}")
+    gtype, coords, _ = _wkb_geom(blob, 8 + env_len)
+    if gtype == "GeometryCollection":
+        return gtype, {"type": gtype, "geometries": coords}
+    return gtype, {"type": gtype, "coordinates": coords}
+
+
+class GeoPackageReader(BaseReader):
+    """GeoPackage feature table → canonical geometry rows (id,
+    geometry_type, geometry <GeoJSON text>, properties <JSON text>).
+    ``table`` picks a layer; default = first `features` row of
+    gpkg_contents. Feature pages read on executors via rowid ranges —
+    geometry blobs never pass through the driver."""
+
+    implements = {GeoPackage}
+
+    def _read(self, spark, table: str | None = None, rows_per_task: int = 10_000, **kwargs):
+        import sqlite3
+
+        from intake_spark.session import ensure_py_deps
+
+        url = self.data.url
+        con = sqlite3.connect(f"file:{url}?mode=ro", uri=True)
+        try:
+            layers = [
+                r[0]
+                for r in con.execute(
+                    "SELECT table_name FROM gpkg_contents WHERE data_type = 'features'"
+                )
+            ]
+            if not layers:
+                raise ValueError(f"no feature layers in {url}")
+            if table is None:
+                table = layers[0]
+            if table not in layers:
+                raise KeyError(f"layer {table!r} not in {layers}")
+            (geom_col,) = con.execute(
+                "SELECT column_name FROM gpkg_geometry_columns WHERE table_name = ?",
+                (table,),
+            ).fetchone()
+            info = list(con.execute(f'PRAGMA table_info("{table}")'))
+            # pk columns are the row identity (surfaced as `id`), not
+            # attributes — including them would duplicate rowid
+            attr_cols = [r[1] for r in info if r[1] != geom_col and not r[5]]
+            lo_hi = con.execute(f'SELECT MIN(rowid), MAX(rowid) FROM "{table}"').fetchone()
+        finally:
+            con.close()
+        self.data.metadata.update({"layers": layers, "layer": table, "geometry_column": geom_col})
+
+        schema = T.StructType(
+            [
+                T.StructField("id", T.StringType()),
+                T.StructField("geometry_type", T.StringType()),
+                T.StructField("geometry", T.StringType()),
+                T.StructField("properties", T.StringType()),
+            ]
+        )
+        if lo_hi is None or lo_hi[0] is None:
+            return spark.createDataFrame([], schema)
+        ensure_py_deps(spark)
+        lo, hi = lo_hi
+        ranges = [
+            (start, min(start + rows_per_task - 1, hi))
+            for start in range(lo, hi + 1, rows_per_task)
+        ]
+        mdf = spark.createDataFrame(ranges, "lo long, hi long")
+        if len(ranges) > 1:
+            mdf = mdf.repartition(min(len(ranges), spark.sparkContext.defaultParallelism))
+        sel = ", ".join(['rowid', f'"{geom_col}"'] + [f'"{c}"' for c in attr_cols])
+
+        def fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            import json as _json
+
+            vcon = sqlite3.connect(f"file:{url}?mode=ro", uri=True)
+            try:
+                for pdf in batches:
+                    for _, rg in pdf.iterrows():
+                        rows = []
+                        for rec in vcon.execute(
+                            f'SELECT {sel} FROM "{table}" WHERE rowid '
+                            f"BETWEEN {int(rg.lo)} AND {int(rg.hi)}"
+                        ):
+                            gtype, geom = gpkg_blob_to_geojson(rec[1])
+                            props = {
+                                c: (v.hex() if isinstance(v, bytes) else v)
+                                for c, v in zip(attr_cols, rec[2:])
+                            }
+                            rows.append(
+                                {
+                                    "id": str(rec[0]),
+                                    "geometry_type": gtype,
+                                    "geometry": _json.dumps(geom, sort_keys=True),
+                                    "properties": _json.dumps(props, sort_keys=True),
+                                }
+                            )
+                        yield pd.DataFrame(
+                            rows,
+                            columns=["id", "geometry_type", "geometry", "properties"],
+                        )
+            finally:
+                vcon.close()
+
+        return mdf.mapInPandas(fetch, schema=schema)
