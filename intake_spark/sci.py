@@ -363,23 +363,6 @@ class TIFFReader(BaseReader):
         return mdf.mapInPandas(decode, schema=CHUNK_SCHEMA)
 
 
-class DicomReader(BaseReader):
-    """DICOM → pixel array chunk rows + tag metadata — import-gated on
-    pydicom (the tag dictionary and transfer-syntax decoders are the
-    package's value; absent in this container)."""
-
-    implements = {DICOM}
-    imports = {"pydicom"}
-
-    def _read(self, spark, **kwargs):
-        import pydicom  # noqa: F401  (gated)
-
-        raise NotImplementedError(
-            "DICOM decode requires pydicom; plumbing model: binaryFile → "
-            "per-file parse UDF → chunk rows + tag columns (see FITSReader)"
-        )
-
-
 class NetCDF3(dt.FileData):
     filepattern = r"(nc|cdf)$"
     magic = (b"CDF\x01", b"CDF\x02")
@@ -930,3 +913,265 @@ class GRIB2Reader(BaseReader):
                     )
 
         return mdf.mapInPandas(decode, schema=_GRIB_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# NRRD — "nearly raw raster data": text header + raw/gzip payload
+# (parity: NRRDReader, reference readers.py:3519, which needs pynrrd).
+# Raw encoding reuses the executor byte-range chunk decode; gzip decodes
+# in one executor task (the stream is not splittable).
+# ---------------------------------------------------------------------------
+
+
+class NRRD(dt.FileData):
+    filepattern = r"nrrd$"
+    magic = (b"NRRD",)
+    structure = {"array"}
+
+
+_NRRD_TYPES = {
+    "signed char": "i1", "int8": "i1", "int8_t": "i1",
+    "uchar": "u1", "unsigned char": "u1", "uint8": "u1", "uint8_t": "u1",
+    "short": "i2", "int16": "i2", "int16_t": "i2",
+    "ushort": "u2", "uint16": "u2", "uint16_t": "u2",
+    "int": "i4", "int32": "i4", "int32_t": "i4",
+    "uint": "u4", "uint32": "u4", "uint32_t": "u4",
+    "longlong": "i8", "int64": "i8", "int64_t": "i8",
+    "float": "f4", "double": "f8",
+}
+
+
+def _nrrd_header(f) -> tuple[dict, int]:
+    magic = f.readline()
+    if not magic.startswith(b"NRRD"):
+        raise ValueError("not a NRRD file")
+    fields: dict[str, str] = {}
+    while True:
+        line = f.readline()
+        if line in (b"\n", b"\r\n", b""):
+            break
+        if line.startswith(b"#"):
+            continue
+        text = line.decode("ascii", errors="replace").strip()
+        if ": " in text:
+            k, _, v = text.partition(": ")
+            fields[k.lower()] = v
+        elif ":=" in text:
+            k, _, v = text.partition(":=")
+            fields[k.lower()] = v
+    return fields, f.tell()
+
+
+class NRRDReader(BaseReader):
+    """NRRD → chunk-row DataFrame. Header parses driver-side; ``raw``
+    encoding decodes on executors via the shared byte-range manifest,
+    ``gzip`` in a single executor task (non-splittable stream)."""
+
+    implements = {NRRD}
+
+    def _read(self, spark, rows_per_chunk: int = 1024, **kwargs):
+        url = self.data.url
+        with open(url, "rb") as f:
+            fields, data_off = _nrrd_header(f)
+        if "data file" in fields or "datafile" in fields:
+            raise ValueError("detached NRRD data files not supported")
+        tkey = fields.get("type", "")
+        if tkey not in _NRRD_TYPES:
+            raise ValueError(f"unsupported NRRD type {tkey!r}")
+        base = _NRRD_TYPES[tkey]
+        endian = fields.get("endian", "little")
+        dtype = (">" if endian == "big" else "<") + base if base[1] != "1" else base
+        sizes = [int(s) for s in fields["sizes"].split()]
+        # NRRD sizes list the FASTEST axis first → row-major shape reverses
+        shape = sizes[::-1]
+        enc = fields.get("encoding", "raw")
+        self.data.metadata.update({"fields": fields, "shape": shape})
+        if enc == "raw":
+            return _chunked_array_df(spark, url, dtype, shape, data_off, rows_per_chunk)
+        if enc in ("gz", "gzip"):
+            from intake_spark.arrays import CHUNK_SCHEMA
+            from intake_spark.session import ensure_py_deps
+
+            ensure_py_deps(spark)
+            mdf = spark.createDataFrame([(data_off,)], "data_off long")
+
+            def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+                import gzip as _gzip
+
+                import numpy as np
+
+                for pdf in batches:
+                    for _, r in pdf.iterrows():
+                        with open(url, "rb") as fh:
+                            fh.seek(int(r["data_off"]))
+                            raw = _gzip.decompress(fh.read())
+                        vals = np.frombuffer(raw, dtype=np.dtype(dtype))
+                        out = []
+                        n0 = shape[0] if shape else 1
+                        row_elems = int(vals.size // max(n0, 1))
+                        for ci, start in enumerate(range(0, n0, rows_per_chunk)):
+                            stop = min(start + rows_per_chunk, n0)
+                            out.append(
+                                {
+                                    "chunk_id": ci,
+                                    "offset0": start,
+                                    "shape": shape,
+                                    "values": vals[start * row_elems : stop * row_elems]
+                                    .astype(np.float64)
+                                    .tolist(),
+                                }
+                            )
+                        yield pd.DataFrame(
+                            out, columns=["chunk_id", "offset0", "shape", "values"]
+                        )
+
+            return mdf.mapInPandas(decode, schema=CHUNK_SCHEMA)
+        raise ValueError(f"unsupported NRRD encoding {enc!r} (raw/gzip only)")
+
+
+# ---------------------------------------------------------------------------
+# DICOM — Part 10 files, stdlib element walk (parity: DicomReader,
+# reference readers.py:1644, which delegates to pydicom). Scope:
+# uncompressed little-endian transfer syntaxes (implicit 1.2.840.10008.1.2
+# and explicit .1.2.1); compressed pixel data (JPEG/RLE syntaxes) raises a
+# clear error naming the gate. The element walk locates PixelData and the
+# geometry tags; pixels decode on executors via the shared byte-range
+# manifest.
+# ---------------------------------------------------------------------------
+
+_DICOM_LONG_VRS = {b"OB", b"OW", b"OF", b"OL", b"OD", b"SQ", b"UC", b"UR", b"UT", b"UN"}
+
+
+def _dicom_walk(f, explicit: bool, stop_group: int | None = None):
+    """Yield (group, element, value_offset, length, VR) until EOF or a
+    group past ``stop_group``; descends past undefined-length sequences."""
+    import struct as st
+
+    while True:
+        head = f.read(8)
+        if len(head) < 8:
+            return
+        group, elem = st.unpack("<HH", head[:4])
+        if stop_group is not None and group > stop_group:
+            f.seek(-8, 1)
+            return
+        if group == 0xFFFE:  # item/delimiter inside sequences
+            (ln,) = st.unpack("<I", head[4:8])
+            if elem in (0xE00D, 0xE0DD):
+                continue
+            if ln != 0xFFFFFFFF:
+                f.seek(ln, 1)
+            continue
+        if explicit:
+            vr = head[4:6]
+            if vr in _DICOM_LONG_VRS:
+                (ln,) = st.unpack("<I", f.read(4))
+            else:
+                (ln,) = st.unpack("<H", head[6:8])
+        else:
+            vr = b"UN"
+            (ln,) = st.unpack("<I", head[4:8])
+        if ln == 0xFFFFFFFF:  # undefined length: walk nested items
+            yield group, elem, f.tell(), -1, vr
+            continue
+        yield group, elem, f.tell(), ln, vr
+        f.seek(ln, 1)
+
+
+def _dicom_meta(url: str) -> dict:
+    """Parse the Part 10 meta group + dataset tags needed for pixel decode."""
+    import struct as st
+
+    out: dict = {"tags": {}}
+    with open(url, "rb") as f:
+        f.seek(128)
+        if f.read(4) != b"DICM":
+            raise ValueError("not a DICOM Part 10 file (no DICM marker)")
+        transfer = "1.2.840.10008.1.2.1"
+        for group, elem, off, ln, vr in _dicom_walk(f, explicit=True, stop_group=0x0002):
+            if (group, elem) == (0x0002, 0x0010) and ln > 0:
+                pos = f.tell()
+                f.seek(off)
+                transfer = f.read(ln).rstrip(b"\x00").decode("ascii")
+                f.seek(pos)
+        if transfer == "1.2.840.10008.1.2":
+            explicit = False
+        elif transfer == "1.2.840.10008.1.2.1":
+            explicit = True
+        else:
+            raise ValueError(
+                f"transfer syntax {transfer} not supported (uncompressed "
+                "little-endian only; compressed pixel data needs pydicom/codecs)"
+            )
+        out["transfer"] = transfer
+        want_text = {
+            (0x0008, 0x0060): "modality",
+            (0x0010, 0x0010): "patient_name",
+            (0x0010, 0x0020): "patient_id",
+        }
+        for group, elem, off, ln, vr in _dicom_walk(f, explicit=explicit):
+            tag = (group, elem)
+            if tag == (0x7FE0, 0x0010):
+                if ln < 0:
+                    raise ValueError(
+                        "encapsulated (undefined-length) PixelData not supported"
+                    )
+                out["pixel_off"], out["pixel_len"] = off, ln
+                break
+            if ln < 0 or ln > 1 << 20:
+                continue
+            pos = f.tell()
+            f.seek(off)
+            raw = f.read(ln)
+            f.seek(pos)
+            if tag in want_text:
+                out["tags"][want_text[tag]] = raw.rstrip(b"\x00 ").decode(
+                    "ascii", errors="replace"
+                )
+            elif group == 0x0028 and elem in (0x0002, 0x0008, 0x0010, 0x0011, 0x0100, 0x0103):
+                val = int.from_bytes(raw[:2], "little") if len(raw) >= 2 else 0
+                key = {
+                    0x0002: "samples_per_pixel", 0x0008: "number_of_frames",
+                    0x0010: "rows", 0x0011: "cols",
+                    0x0100: "bits_allocated", 0x0103: "pixel_representation",
+                }[elem]
+                if elem == 0x0008:  # IS (text) value
+                    try:
+                        val = int(raw.strip(b"\x00 ").decode("ascii") or 1)
+                    except ValueError:
+                        val = 1
+                out["tags"][key] = val
+    if "pixel_off" not in out:
+        raise ValueError("no PixelData element found")
+    return out
+
+
+class DicomReader(BaseReader):
+    """DICOM → pixel chunk rows (arrays.CHUNK_SCHEMA) + tag metadata,
+    stdlib-only for uncompressed little-endian files; the compressed
+    transfer syntaxes that genuinely need pydicom's codec plugins raise
+    with that gate named. Pixels decode on executors via byte ranges."""
+
+    implements = {DICOM}
+
+    def _read(self, spark, rows_per_chunk: int = 256, **kwargs):
+        url = self.data.url
+        meta = _dicom_meta(url)
+        t = meta["tags"]
+        rows, cols = t.get("rows", 0), t.get("cols", 0)
+        if not rows or not cols:
+            raise ValueError("DICOM lacks Rows/Columns tags")
+        bits = t.get("bits_allocated", 16)
+        if bits not in (8, 16):
+            raise ValueError(f"BitsAllocated {bits} not supported (8/16)")
+        signed = t.get("pixel_representation", 0) == 1
+        spp = t.get("samples_per_pixel", 1)
+        frames = t.get("number_of_frames", 1)
+        dtype = ("<" if bits == 16 else "") + ("i" if signed else "u") + str(bits // 8)
+        shape = [rows, cols] if spp == 1 else [rows, cols, spp]
+        if frames > 1:
+            shape = [frames] + shape
+        self.data.metadata.update({**t, "transfer_syntax": meta["transfer"]})
+        return _chunked_array_df(
+            spark, url, dtype, shape, meta["pixel_off"], rows_per_chunk
+        )

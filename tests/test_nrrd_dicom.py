@@ -1,0 +1,151 @@
+"""NRRD and DICOM readers vs spec-built fixtures (pynrrd/pydicom absent):
+NRRD raw/gzip encodings and endianness; DICOM Part 10 explicit+implicit
+VR, undefined-length sequence skip, signed 16-bit pixels."""
+
+from __future__ import annotations
+
+import gzip
+import struct
+
+import numpy as np
+import pytest
+
+from intake_spark.sci import (
+    DICOM,
+    NRRD,
+    DicomReader,
+    NRRDReader,
+    _dicom_meta,
+)
+from intake_spark import datatypes as dt  # noqa: F401
+
+
+def _rebuild(df) -> np.ndarray:
+    rows = sorted(df.collect(), key=lambda r: r.offset0)
+    shape = list(rows[0].shape)
+    flat = np.concatenate([np.asarray(r.values) for r in rows])
+    return flat.reshape([-1] + shape[1:])
+
+
+# --------------------------- NRRD ------------------------------------------
+
+
+def make_nrrd(path, arr: np.ndarray, encoding: str = "raw", endian: str = "little") -> str:
+    tname = {"u1": "uint8", "i2": "int16", "u2": "uint16", "f4": "float", "f8": "double"}[
+        arr.dtype.str[1:]
+    ]
+    # NRRD sizes are fastest-axis-first; numpy C-order shape reversed
+    sizes = " ".join(str(s) for s in arr.shape[::-1])
+    head = f"NRRD0004\ntype: {tname}\ndimension: {arr.ndim}\nsizes: {sizes}\n"
+    if arr.dtype.itemsize > 1:
+        head += f"endian: {endian}\n"
+    head += f"encoding: {encoding}\n\n"
+    bo = ">" if endian == "big" else "<"
+    raw = arr.astype(bo + arr.dtype.str[1:] if arr.dtype.itemsize > 1 else arr.dtype).tobytes()
+    path.write_bytes(head.encode() + (gzip.compress(raw) if encoding == "gzip" else raw))
+    return str(path)
+
+
+def test_nrrd_raw_roundtrip(spark, tmp_path):
+    arr = np.arange(24, dtype="<i2").reshape(4, 6) - 5
+    url = make_nrrd(tmp_path / "a.nrrd", arr)
+    rdr = NRRDReader(data=NRRD(url=url))
+    df = rdr.read(spark=spark, rows_per_chunk=3)
+    np.testing.assert_array_equal(_rebuild(df), arr)
+    assert rdr.data.metadata["shape"] == [4, 6]
+
+
+def test_nrrd_gzip_and_bigendian(spark, tmp_path):
+    arr = (np.arange(12, dtype=">f4") / 3.0).reshape(3, 4)
+    url = make_nrrd(tmp_path / "g.nrrd", arr, encoding="gzip", endian="big")
+    df = NRRDReader(data=NRRD(url=url)).read(spark=spark, rows_per_chunk=2)
+    np.testing.assert_allclose(_rebuild(df), arr.astype("<f8"))
+
+
+def test_nrrd_unsupported_encoding(tmp_path, spark):
+    p = tmp_path / "b.nrrd"
+    p.write_bytes(b"NRRD0004\ntype: uint8\ndimension: 1\nsizes: 2\nencoding: bzip2\n\nxx")
+    with pytest.raises(ValueError, match="encoding"):
+        NRRDReader(data=NRRD(url=str(p))).read(spark=spark)
+
+
+# --------------------------- DICOM -----------------------------------------
+
+_LONG = {b"OB", b"OW", b"SQ", b"UT", b"UN"}
+
+
+def _el_explicit(group, el, vr: bytes, data: bytes) -> bytes:
+    if vr in _LONG:
+        return struct.pack("<HH2sHI", group, el, vr, 0, len(data)) + data
+    return struct.pack("<HH2sH", group, el, vr, len(data)) + data
+
+
+def _el_implicit(group, el, data: bytes) -> bytes:
+    return struct.pack("<HHI", group, el, len(data)) + data
+
+
+def make_dicom(path, pixels: np.ndarray, implicit: bool = False, with_seq: bool = False) -> str:
+    transfer = b"1.2.840.10008.1.2\x00" if implicit else b"1.2.840.10008.1.2.1\x00"
+    meta = _el_explicit(0x0002, 0x0010, b"UI", transfer)
+    meta = _el_explicit(0x0002, 0x0000, b"UL", struct.pack("<I", len(meta))) + meta
+    rows, cols = pixels.shape
+
+    def E(group, elem, vr, data):
+        return _el_implicit(group, elem, data) if implicit else _el_explicit(group, elem, vr, data)
+
+    ds = E(0x0008, 0x0060, b"CS", b"CT")
+    ds += E(0x0010, 0x0010, b"PN", b"Doe^Jane")
+    if with_seq:  # undefined-length sequence the walk must skip
+        item = struct.pack("<HHI", 0xFFFE, 0xE000, 4) + b"\x00" * 4
+        endseq = struct.pack("<HHI", 0xFFFE, 0xE0DD, 0)
+        if implicit:
+            ds += struct.pack("<HHI", 0x0008, 0x1140, 0xFFFFFFFF) + item + endseq
+        else:
+            ds += struct.pack("<HH2sHI", 0x0008, 0x1140, b"SQ", 0, 0xFFFFFFFF) + item + endseq
+    ds += E(0x0028, 0x0002, b"US", struct.pack("<H", 1))
+    ds += E(0x0028, 0x0010, b"US", struct.pack("<H", rows))
+    ds += E(0x0028, 0x0011, b"US", struct.pack("<H", cols))
+    ds += E(0x0028, 0x0100, b"US", struct.pack("<H", pixels.dtype.itemsize * 8))
+    ds += E(0x0028, 0x0103, b"US", struct.pack("<H", 1 if pixels.dtype.kind == "i" else 0))
+    ds += E(0x7FE0, 0x0010, b"OW", pixels.astype(pixels.dtype.newbyteorder("<")).tobytes())
+    path.write_bytes(b"\x00" * 128 + b"DICM" + meta + ds)
+    return str(path)
+
+
+@pytest.mark.parametrize("implicit", [False, True])
+def test_dicom_pixel_roundtrip(spark, tmp_path, implicit):
+    rng = np.random.default_rng(11)
+    px = rng.integers(-1024, 3000, size=(16, 12), dtype=np.int16)
+    url = make_dicom(tmp_path / f"d{implicit}.dcm", px, implicit=implicit, with_seq=True)
+    rdr = DicomReader(data=DICOM(url=url))
+    df = rdr.read(spark=spark, rows_per_chunk=5)
+    np.testing.assert_array_equal(_rebuild(df), px)
+    assert rdr.data.metadata["modality"] == "CT"
+    assert rdr.data.metadata["patient_name"] == "Doe^Jane"
+    assert rdr.data.metadata["rows"] == 16 and rdr.data.metadata["cols"] == 12
+
+
+def test_dicom_compressed_transfer_rejected(tmp_path):
+    px = np.zeros((2, 2), dtype=np.uint8)
+    url = make_dicom(tmp_path / "c.dcm", px)
+    blob = bytearray(open(url, "rb").read())
+    # swap the transfer syntax UID for JPEG baseline (same length)
+    old = b"1.2.840.10008.1.2.1\x00"
+    new = b"1.2.840.10008.1.2.4\x00"
+    idx = bytes(blob).find(old)
+    blob[idx : idx + len(old)] = new
+    p = tmp_path / "c2.dcm"
+    p.write_bytes(bytes(blob))
+    with pytest.raises(ValueError, match="transfer syntax"):
+        _dicom_meta(str(p))
+
+
+def test_recommend_picks_nrrd_and_dicom(tmp_path):
+    from intake_spark.datatypes import recommend
+
+    url = make_nrrd(tmp_path / "r.nrrd", np.zeros(3, dtype="u1"))
+    kinds = [c.__name__ if isinstance(c, type) else type(c).__name__ for c in recommend(url)]
+    assert any("NRRD" in k for k in kinds)
+    url = make_dicom(tmp_path / "r.dcm", np.zeros((2, 2), dtype=np.uint8))
+    kinds = [c.__name__ if isinstance(c, type) else type(c).__name__ for c in recommend(url)]
+    assert any("DICOM" in k for k in kinds)
