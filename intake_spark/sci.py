@@ -1175,3 +1175,134 @@ class DicomReader(BaseReader):
         return _chunked_array_df(
             spark, url, dtype, shape, meta["pixel_off"], rows_per_chunk
         )
+
+
+# ---------------------------------------------------------------------------
+# LAS — ASPRS lidar point clouds (parity: LASReader, reference
+# readers.py:2344, which needs laspy). Fixed-size point records make this
+# the textbook byte-range format: the driver reads one header, executors
+# decode disjoint record ranges with a numpy structured dtype — a
+# billion-point tile fans out with zero driver traffic.
+# Point formats 0-3 (core + GPS time + RGB), LAS 1.0-1.4 headers.
+# ---------------------------------------------------------------------------
+
+
+class LAS(dt.FileData):
+    filepattern = r"las$"
+    magic = (b"LASF",)
+    structure = {"table"}
+
+
+_LAS_FIELDS = {
+    0: [("X", "<i4"), ("Y", "<i4"), ("Z", "<i4"), ("intensity", "<u2"),
+        ("flags", "u1"), ("classification", "u1"), ("scan_angle", "i1"),
+        ("user_data", "u1"), ("point_source_id", "<u2")],
+}
+_LAS_FIELDS[1] = _LAS_FIELDS[0] + [("gps_time", "<f8")]
+_LAS_FIELDS[2] = _LAS_FIELDS[0] + [("red", "<u2"), ("green", "<u2"), ("blue", "<u2")]
+_LAS_FIELDS[3] = _LAS_FIELDS[1] + [("red", "<u2"), ("green", "<u2"), ("blue", "<u2")]
+
+
+def _las_header(f) -> dict:
+    f.seek(0)
+    raw = f.read(375)
+    if raw[:4] != b"LASF":
+        raise ValueError("not a LAS file")
+    major, minor = raw[24], raw[25]
+    (point_off,) = struct.unpack("<I", raw[96:100])
+    fmt = raw[104] & 0x3F  # high bits flag internal compression (LAZ)
+    if raw[104] & 0xC0:
+        raise ValueError("LAZ (compressed LAS) not supported — decompress first")
+    (rec_len,) = struct.unpack("<H", raw[105:107])
+    (n_legacy,) = struct.unpack("<I", raw[107:111])
+    n = n_legacy
+    if minor >= 4 and len(raw) >= 255:
+        (n64,) = struct.unpack("<Q", raw[247:255])
+        n = n64 or n_legacy
+    scales = struct.unpack("<3d", raw[131:155])
+    offsets = struct.unpack("<3d", raw[155:179])
+    if fmt not in _LAS_FIELDS:
+        raise ValueError(f"LAS point format {fmt} not supported (0-3)")
+    return {
+        "version": f"{major}.{minor}", "point_off": point_off, "fmt": fmt,
+        "rec_len": rec_len, "n": n, "scales": scales, "offsets": offsets,
+    }
+
+
+class LASReader(BaseReader):
+    """LAS → typed point rows: scaled (x, y, z) doubles, intensity,
+    classification and the format's extra columns. ``points_per_task``
+    controls manifest granularity."""
+
+    implements = {LAS}
+
+    def _read(self, spark, points_per_task: int = 1_000_000, **kwargs):
+        from intake_spark.session import ensure_py_deps
+
+        url = self.data.url
+        with open(url, "rb") as f:
+            hdr = _las_header(f)
+        fields = _LAS_FIELDS[hdr["fmt"]]
+        self.data.metadata.update(
+            {"version": hdr["version"], "point_format": hdr["fmt"], "n_points": hdr["n"]}
+        )
+        extra = [name for name, _ in fields if name in ("gps_time", "red", "green", "blue")]
+        schema = T.StructType(
+            [
+                T.StructField("x", T.DoubleType()),
+                T.StructField("y", T.DoubleType()),
+                T.StructField("z", T.DoubleType()),
+                T.StructField("intensity", T.IntegerType()),
+                T.StructField("classification", T.IntegerType()),
+                T.StructField("point_source_id", T.IntegerType()),
+            ]
+            + [
+                T.StructField(c, T.DoubleType() if c == "gps_time" else T.IntegerType())
+                for c in extra
+            ]
+        )
+        if not hdr["n"]:
+            return spark.createDataFrame([], schema)
+        ensure_py_deps(spark)
+        ranges = [
+            (start, min(start + points_per_task, hdr["n"]))
+            for start in range(0, hdr["n"], points_per_task)
+        ]
+        mdf = spark.createDataFrame(ranges, "p_start long, p_end long")
+        if len(ranges) > 1:
+            mdf = mdf.repartition(min(len(ranges), spark.sparkContext.defaultParallelism))
+        cols = ["x", "y", "z", "intensity", "classification", "point_source_id"] + extra
+        point_off, rec_len = hdr["point_off"], hdr["rec_len"]
+        scales, offsets = hdr["scales"], hdr["offsets"]
+
+        def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            import numpy as np
+
+            dt_np = np.dtype(fields)
+            with open(url, "rb") as fh:
+                for pdf in batches:
+                    for _, r in pdf.iterrows():
+                        n_pts = int(r["p_end"] - r["p_start"])
+                        fh.seek(point_off + int(r["p_start"]) * rec_len)
+                        raw = fh.read(n_pts * rec_len)
+                        # honour rec_len (may exceed the format's core size:
+                        # extra bytes per point are vendor extensions)
+                        arr = np.frombuffer(raw, dtype=np.uint8).reshape(n_pts, rec_len)
+                        rec = np.frombuffer(
+                            arr[:, : dt_np.itemsize].tobytes(), dtype=dt_np
+                        )
+                        out = {
+                            "x": rec["X"] * scales[0] + offsets[0],
+                            "y": rec["Y"] * scales[1] + offsets[1],
+                            "z": rec["Z"] * scales[2] + offsets[2],
+                            "intensity": rec["intensity"].astype("int32"),
+                            "classification": rec["classification"].astype("int32"),
+                            "point_source_id": rec["point_source_id"].astype("int32"),
+                        }
+                        for c in extra:
+                            out[c] = (
+                                rec[c] if c == "gps_time" else rec[c].astype("int32")
+                            )
+                        yield pd.DataFrame(out, columns=cols)
+
+        return mdf.mapInPandas(decode, schema=schema)
