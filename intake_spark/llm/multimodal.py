@@ -6,11 +6,12 @@ Model (SURVEY §1.2 ``array``/``image`` structures): media lives in a
 — alongside typed metadata (``path``, ``modificationTime``, ``length``) and
 decoded-feature columns produced by ``mapInPandas`` stages.
 
-The actual codec step is STUBBED in this container (no PIL / librosa /
-decord): ``decode_image``/``decode_audio`` raise ``NotImplementedError``
-unless the library import succeeds, and :func:`fake_decode_meta` provides a
-deterministic stand-in so the Spark-side plumbing — schema, Arrow batch
-iteration, partition parallelism — is real and tested end-to-end.
+Codecs: PNG (all filter types), baseline TIFF, baseline JPEG (sequential
+DCT + Huffman, gray/YCbCr any subsampling, restart markers) and WAV
+(8/16/24/32-bit PCM) decode REAL with stdlib+numpy — no PIL/librosa.
+Only exotic codecs (WebP/AVIF, video frames) remain import-gated, with
+:func:`fake_decode_meta` as the deterministic stand-in so their Spark-side
+plumbing stays testable end-to-end.
 
 Scale: binaryFile scans parallelize per file; decode UDFs are
 embarrassingly parallel; `maxPartitionBytes`/`filesMaxPartitionNum` size the
@@ -163,24 +164,26 @@ def resize_nearest(arr, out_h: int, out_w: int):
 
 
 def decode_image(content: bytes):
-    """Image decode: PNG and baseline TIFF decode with the stdlib paths;
-    other formats (JPEG's DCT pipeline etc.) need PIL, which this
-    container lacks."""
+    """Image decode: PNG, baseline TIFF and baseline JPEG all decode with
+    the stdlib paths; exotic formats (WebP/AVIF/video frames) need PIL,
+    which this container lacks."""
     if content[:8] == b"\x89PNG\r\n\x1a\n":
         return decode_png(content)
     if content[:4] in (b"II*\x00", b"MM\x00*"):
         from intake_spark.sci import decode_tiff
 
         return decode_tiff(content)
+    if content[:3] == b"\xff\xd8\xff":
+        return decode_jpeg(content)
     try:
         import io
 
         from PIL import Image  # noqa: F401
     except ImportError as exc:  # pragma: no cover - PIL absent here
         raise NotImplementedError(
-            "non-PNG image decode requires pillow; container lacks media "
-            "libs — PNG decodes natively, use fake_decode_meta for plumbing "
-            "tests of other codecs"
+            "PNG/TIFF/JPEG decode natively; other codecs (WebP/AVIF/...) "
+            "require pillow, absent in this container — use "
+            "fake_decode_meta for plumbing tests of those"
         ) from exc
     return Image.open(io.BytesIO(content))  # pragma: no cover
 
@@ -287,3 +290,231 @@ def frame_sample_plan(df: DataFrame, content_col: str = "content", every_n: int 
     return df.withColumn(
         "frame_idx", F.explode(F.sequence(F.lit(0), n_frames - 1, F.lit(every_n)))
     )
+
+
+# ---------------------------------------------------------------------------
+# Baseline JPEG decode — stdlib + numpy (parity: PILImageReader,
+# reference readers.py:2228, which delegates to libjpeg via PIL). Scope:
+# sequential DCT (SOF0), Huffman entropy coding, 8-bit samples, grayscale
+# and YCbCr with any h/v subsampling (4:4:4, 4:2:0, 4:2:2, ...), restart
+# markers. Progressive (SOF2) and arithmetic coding raise clearly.
+# ---------------------------------------------------------------------------
+
+_JPEG_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+
+def _jpeg_huff_table(bits: list[int], values: bytes) -> dict:
+    """Canonical JPEG Huffman table → {(length, code): symbol}."""
+    out = {}
+    code = 0
+    k = 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            out[(ln, code)] = values[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+class _JpegBits:
+    """MSB-first bit reader over a de-stuffed entropy interval."""
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.n = 0
+
+    def bit(self) -> int:
+        if self.n == 0:
+            if self.pos >= len(self.data):
+                return 0  # spec: pad with 1s/0s at segment end
+            self.acc = self.data[self.pos]
+            self.pos += 1
+            self.n = 8
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def bits(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.bit()
+        return v
+
+    def huff(self, table: dict) -> int:
+        code = 0
+        for ln in range(1, 17):
+            code = (code << 1) | self.bit()
+            sym = table.get((ln, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid JPEG Huffman code")
+
+
+def _jpeg_extend(v: int, t: int) -> int:
+    """DC/AC magnitude-category decode (ITU T.81 F.2.2.1 EXTEND)."""
+    return v - (1 << t) + 1 if t and v < (1 << (t - 1)) else v
+
+
+def decode_jpeg(content: bytes):
+    """Baseline JPEG → (H, W) grayscale or (H, W, 3) RGB uint8 ndarray."""
+    import numpy as np
+
+    if content[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (no SOI marker)")
+    qt: dict[int, np.ndarray] = {}
+    huff_dc: dict[int, dict] = {}
+    huff_ac: dict[int, dict] = {}
+    frame = None
+    scan = None
+    restart_interval = 0
+    pos = 2
+    while pos < len(content):
+        if content[pos] != 0xFF:
+            pos += 1
+            continue
+        marker = content[pos + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        if marker == 0xD9:  # EOI
+            break
+        seglen = int.from_bytes(content[pos + 2 : pos + 4], "big")
+        body = content[pos + 4 : pos + 2 + seglen]
+        if marker == 0xDB:  # DQT
+            b = 0
+            while b < len(body):
+                prec, tid = body[b] >> 4, body[b] & 0xF
+                if prec:
+                    raise ValueError("16-bit quant tables not supported")
+                qt[tid] = np.frombuffer(body[b + 1 : b + 65], dtype=np.uint8).astype(np.float64)
+                b += 65
+        elif marker == 0xC4:  # DHT
+            b = 0
+            while b < len(body):
+                cls, tid = body[b] >> 4, body[b] & 0xF
+                bits = list(body[b + 1 : b + 17])
+                nval = sum(bits)
+                tbl = _jpeg_huff_table(bits, body[b + 17 : b + 17 + nval])
+                (huff_dc if cls == 0 else huff_ac)[tid] = tbl
+                b += 17 + nval
+        elif marker == 0xC0:  # SOF0 baseline
+            h, w, ncomp = (
+                int.from_bytes(body[1:3], "big"),
+                int.from_bytes(body[3:5], "big"),
+                body[5],
+            )
+            comps = []
+            for c in range(ncomp):
+                cid, hv, tq = body[6 + c * 3 : 9 + c * 3]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
+            frame = {"h": h, "w": w, "comps": comps}
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            raise ValueError(
+                f"JPEG frame type FFC{marker & 0xF:X} not supported "
+                "(baseline sequential SOF0 only)"
+            )
+        elif marker == 0xDD:  # DRI
+            restart_interval = int.from_bytes(body[:2], "big")
+        elif marker == 0xDA:  # SOS
+            ns = body[0]
+            scan = {}
+            for s in range(ns):
+                cid, tables = body[1 + s * 2], body[2 + s * 2]
+                scan[cid] = {"dc": tables >> 4, "ac": tables & 0xF}
+            pos = pos + 2 + seglen
+            break
+        pos += 2 + seglen
+    if frame is None or scan is None:
+        raise ValueError("JPEG lacks SOF0/SOS segments")
+
+    # entropy-coded data: up to EOI, split on restart markers, de-stuffed
+    intervals: list[bytes] = []
+    cur = bytearray()
+    p = pos
+    while p < len(content):
+        byte = content[p]
+        if byte == 0xFF and p + 1 < len(content):
+            nxt = content[p + 1]
+            if nxt == 0x00:
+                cur.append(0xFF)
+                p += 2
+                continue
+            if 0xD0 <= nxt <= 0xD7:
+                intervals.append(bytes(cur))
+                cur = bytearray()
+                p += 2
+                continue
+            break  # EOI or next marker
+        cur.append(byte)
+        p += 1
+    intervals.append(bytes(cur))
+
+    hmax = max(c["h"] for c in frame["comps"])
+    vmax = max(c["v"] for c in frame["comps"])
+    mcus_x = -(-frame["w"] // (8 * hmax))
+    mcus_y = -(-frame["h"] // (8 * vmax))
+    C = np.cos((2 * np.arange(8)[None, :] + 1) * np.arange(8)[:, None] * np.pi / 16) / 2
+    C[0, :] *= 1 / np.sqrt(2)
+    planes = []
+    for c in frame["comps"]:
+        planes.append(np.zeros((mcus_y * c["v"] * 8, mcus_x * c["h"] * 8)))
+    preds = [0] * len(frame["comps"])
+    reader = _JpegBits(intervals[0])
+    interval_idx = 0
+    for m in range(mcus_x * mcus_y):
+        if restart_interval and m and m % restart_interval == 0:
+            interval_idx += 1
+            if interval_idx < len(intervals):
+                reader = _JpegBits(intervals[interval_idx])
+            preds = [0] * len(frame["comps"])
+        my, mx = divmod(m, mcus_x)
+        for ci, c in enumerate(frame["comps"]):
+            tdc = huff_dc[scan[c["id"]]["dc"]]
+            tac = huff_ac[scan[c["id"]]["ac"]]
+            q = qt[c["tq"]]
+            for by in range(c["v"]):
+                for bx in range(c["h"]):
+                    coef = np.zeros(64)
+                    t = reader.huff(tdc)
+                    diff = _jpeg_extend(reader.bits(t), t)
+                    preds[ci] += diff
+                    coef[0] = preds[ci] * q[0]
+                    k = 1
+                    while k < 64:
+                        rs = reader.huff(tac)
+                        r, s = rs >> 4, rs & 0xF
+                        if rs == 0x00:  # EOB
+                            break
+                        if rs == 0xF0:  # ZRL
+                            k += 16
+                            continue
+                        k += r
+                        if k > 63:
+                            break
+                        coef[_JPEG_ZIGZAG[k]] = _jpeg_extend(reader.bits(s), s) * q[k]
+                        k += 1
+                    # dezigzag happened via _JPEG_ZIGZAG above: coef is in
+                    # natural row-major order
+                    block = C.T @ coef.reshape(8, 8) @ C
+                    y0 = (my * c["v"] + by) * 8
+                    x0 = (mx * c["h"] + bx) * 8
+                    planes[ci][y0 : y0 + 8, x0 : x0 + 8] = block + 128.0
+    out_planes = []
+    for ci, c in enumerate(frame["comps"]):
+        pl = planes[ci]
+        pl = np.repeat(np.repeat(pl, vmax // c["v"], axis=0), hmax // c["h"], axis=1)
+        out_planes.append(pl[: frame["h"], : frame["w"]])
+    if len(out_planes) == 1:
+        return np.clip(out_planes[0].round(), 0, 255).astype(np.uint8)
+    y, cb, cr = out_planes[:3]
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    return np.clip(np.stack([r, g, b], axis=2).round(), 0, 255).astype(np.uint8)
