@@ -571,3 +571,65 @@ def q32_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_dedup_pairs(
         load_table(spark, sf_dir, "documents"), num_hashes=16, bands=8, threshold=0.5
     )
+
+
+@register(
+    "q51_doc_chunking",
+    """
+    WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    c AS (SELECT doc_id, CAST((s - 1) // 40 AS INT) AS chunk_id,
+                 array_to_string(w[s:s + 49], ' ') AS chunk_text
+          FROM words, UNNEST(generate_series(1, len(w), 40)) AS t(s))
+    SELECT doc_id, chunk_id, chunk_text,
+           CAST(len(string_split(chunk_text, ' ')) AS BIGINT) AS n_words
+    FROM c
+    """,
+)
+def q51_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-length packing: overlapping 50-word windows with stride 40
+    (trailing partials kept). Mapper-only JVM higher-order functions — the
+    scan+flatMap every pretraining pipeline runs over the whole corpus."""
+    return text.chunk_documents(
+        load_table(spark, sf_dir, "documents"), window=50, stride=40
+    )
+
+
+@register(
+    "q52_repetition_stats",
+    """
+    WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    g AS (SELECT doc_id, array_to_string(w[i:i + 1], ' ') AS gram
+          FROM words, UNNEST(generate_series(1, len(w) - 1)) AS t(i)
+          WHERE len(w) >= 2)
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_ngrams,
+           CAST(COUNT(DISTINCT gram) AS BIGINT) AS n_distinct,
+           ROUND(1.0 - CAST(COUNT(DISTINCT gram) AS DOUBLE) / COUNT(*), 6) AS dup_ratio
+    FROM g GROUP BY doc_id
+    """,
+)
+def q52_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetitiousness signal: per-doc duplicate-bigram
+    fraction, computed with per-row array expressions (no shuffle — the
+    oracle's explode+groupBy recomputes the identical numbers)."""
+    return text.repetition_stats(load_table(spark, sf_dir, "documents"), n=2)
+
+
+@register(
+    "q53_top_terms",
+    """
+    WITH terms AS (SELECT source, UNNEST(string_split(text, ' ')) AS term
+                   FROM documents),
+    counts AS (SELECT source, term, COUNT(*) AS n FROM terms
+               WHERE term <> '' GROUP BY 1, 2),
+    ranked AS (SELECT source, term, n,
+                      ROW_NUMBER() OVER (PARTITION BY source
+                                         ORDER BY n DESC, term ASC) AS rank
+               FROM counts)
+    SELECT source, CAST(rank AS INT) AS rank, term, CAST(n AS BIGINT) AS n
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def q53_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-drift monitor: top-5 terms per source, deterministic
+    tie-break on the term. One aggregate shuffle + one top-k window."""
+    return text.top_terms(load_table(spark, sf_dir, "documents"), k=5)

@@ -121,3 +121,123 @@ def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Add ``fingerprint`` — md5 of the normalized text. Grouping on it is
     normalized exact-dedup (casing/punctuation-insensitive)."""
     return df.withColumn("fingerprint", F.md5(normalize_text(text_col)))
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 50,
+    stride: int = 40,
+) -> DataFrame:
+    """Split documents into overlapping word windows — the standard
+    context-length packing step of a training-data pipeline. Output:
+    (id, chunk_id, chunk_text, n_words) with chunk starts at 1, 1+stride,
+    ... ≤ n_words (trailing partial windows kept).
+
+    Mapper-only: JVM higher-order functions (sequence/transform/slice),
+    one explode, no shuffle — at 100 TB this is a pure scan+flatMap."""
+    if stride <= 0 or window <= 0:
+        raise ValueError("window and stride must be positive")
+    w = F.split(F.col(text_col), " ")
+    chunks = F.expr(
+        f"transform(sequence(1, size(_w), {stride}), "
+        f"s -> struct(cast((s - 1) div {stride} as int) as chunk_id, "
+        f"concat_ws(' ', slice(_w, s, {window})) as chunk_text))"
+    )
+    return (
+        df.select(F.col(id_col), w.alias("_w"))
+        .filter(F.size("_w") >= 1)
+        .select(id_col, F.explode(chunks).alias("_c"))
+        .select(
+            id_col,
+            F.col("_c.chunk_id").alias("chunk_id"),
+            F.col("_c.chunk_text").alias("chunk_text"),
+        )
+        .withColumn("n_words", F.size(F.split(F.col("chunk_text"), " ")).cast("long"))
+    )
+
+
+def repetition_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 2
+) -> DataFrame:
+    """Per-document n-gram repetition: (id, n_ngrams, n_distinct,
+    dup_ratio) where dup_ratio = 1 - distinct/total — the Gopher-style
+    repetitiousness quality signal. All JVM array expressions; the only
+    shuffle is none (mapper-only per row)."""
+    w = F.split(F.col(text_col), " ")
+    grams = F.expr(
+        f"transform(sequence(1, greatest(size(_w) - {n - 1}, 0)), "
+        f"i -> concat_ws(' ', slice(_w, i, {n})))"
+    )
+    return (
+        df.select(F.col(id_col), w.alias("_w"))
+        .filter(F.size("_w") >= n)
+        .withColumn("_g", grams)
+        .select(
+            id_col,
+            F.size("_g").cast("long").alias("n_ngrams"),
+            F.size(F.array_distinct("_g")).cast("long").alias("n_distinct"),
+        )
+        .withColumn(
+            "dup_ratio",
+            F.round(
+                F.lit(1.0) - F.col("n_distinct").cast("double") / F.col("n_ngrams"), 6
+            ),
+        )
+    )
+
+
+def top_terms(
+    df: DataFrame,
+    text_col: str = "text",
+    by: str = "source",
+    k: int = 5,
+) -> DataFrame:
+    """Top-k terms per group by count (ties broken by term ascending) —
+    the vocabulary-drift monitor for corpus mixing. One shuffle for the
+    (group, term) aggregate, one for the per-group top-k window."""
+    from pyspark.sql.window import Window
+
+    counts = (
+        df.select(by, F.explode(F.split(F.col(text_col), " ")).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy(by, "term")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    rank = F.row_number().over(
+        Window.partitionBy(by).orderBy(F.col("n").desc(), F.col("term").asc())
+    )
+    return (
+        counts.withColumn("rank", rank)
+        .filter(F.col("rank") <= k)
+        .select(by, "rank", "term", F.col("n").cast("long").alias("n"))
+    )
+
+
+def scrub_patterns(
+    df: DataFrame,
+    text_col: str = "text",
+    patterns: dict[str, str] | None = None,
+    out_col: str | None = None,
+) -> DataFrame:
+    """PII-style masking: replace each regex with its ``<TAG>`` and count
+    redactions per pattern. Default patterns: emails, long digit runs
+    (phone/account-like), IPv4. Mapper-only JVM regexp ops.
+
+    Output adds ``{out_col}`` (scrubbed text, default replaces in place)
+    and ``n_redactions``."""
+    # order matters: specific patterns (IP) before the generic digit-run,
+    # or the NUMBER rule consumes dotted quads first
+    patterns = patterns or {
+        "EMAIL": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+        "IP": r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b",
+        "NUMBER": r"[0-9][0-9 ()+.-]{6,}[0-9]",
+    }
+    out_col = out_col or text_col
+    scrubbed = F.col(text_col)
+    n_red = F.lit(0)
+    for tag, rx in patterns.items():
+        n_red = n_red + F.size(F.regexp_extract_all(scrubbed, F.lit(rx), 0))
+        scrubbed = F.regexp_replace(scrubbed, rx, f"<{tag}>")
+    return df.withColumn("n_redactions", n_red).withColumn(out_col, scrubbed)

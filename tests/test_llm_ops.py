@@ -417,3 +417,50 @@ def test_simhash_pairs_rejects_degenerate_bands(spark, docs):
         dedup.simhash_pairs(docs, bits=16, bands=32, max_hamming=3)
     with pytest.raises(ValueError, match="divide"):
         dedup.simhash_pairs(docs, bits=20, bands=8, max_hamming=3)
+
+
+def test_chunk_documents_boundaries(spark):
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(95))), (2, "solo")],
+        "doc_id int, text string",
+    )
+    out = text.chunk_documents(docs, window=50, stride=40).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # doc 1: starts at words 1, 41, 81 → chunks of 50, 50, 15 words
+    c1 = sorted(by_doc[1], key=lambda r: r.chunk_id)
+    assert [r.n_words for r in c1] == [50, 50, 15]
+    assert c1[0].chunk_text.startswith("w0 ") and c1[1].chunk_text.startswith("w40 ")
+    # overlap: chunk 0 ends at w49, chunk 1 starts at w40
+    assert c1[0].chunk_text.endswith(" w49")
+    # doc 2: one word → one chunk
+    assert len(by_doc[2]) == 1 and by_doc[2][0].n_words == 1
+
+
+def test_repetition_stats_values(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b a b a"), (2, "x y z w")], "doc_id int, text string"
+    )
+    out = {r.doc_id: r for r in text.repetition_stats(docs, n=2).collect()}
+    # doc 1 bigrams: ab, ba, ab, ba → 4 total, 2 distinct
+    assert out[1].n_ngrams == 4 and out[1].n_distinct == 2
+    assert abs(out[1].dup_ratio - 0.5) < 1e-9
+    assert out[2].dup_ratio == 0.0
+
+
+def test_scrub_patterns(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "contact bob@example.com or call 555-123-4567 now"),
+            (2, "server at 192.168.1.10 is fine"),
+            (3, "nothing sensitive here"),
+        ],
+        "doc_id int, text string",
+    )
+    out = {r.doc_id: r for r in text.scrub_patterns(docs).collect()}
+    assert "<EMAIL>" in out[1].text and "<NUMBER>" in out[1].text
+    assert "bob@" not in out[1].text and "4567" not in out[1].text
+    assert out[1].n_redactions == 2
+    assert "<IP>" in out[2].text and out[2].n_redactions == 1
+    assert out[3].text == "nothing sensitive here" and out[3].n_redactions == 0
