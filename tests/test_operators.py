@@ -124,3 +124,33 @@ def test_hypertable_rollup_matches_per_granularity(spark):
     plan = plan.split("== Initial Plan ==")[0]  # AQE repeats the tree
     assert "Expand" in plan
     assert plan.count("Scan parquet") == 1
+
+
+def test_chunking_and_repetition_are_mapper_only(spark):
+    """The training-data scan ops must not shuffle: chunk_documents and
+    repetition_stats plans contain zero Exchange operators — at 100 TB they
+    are pure scan+flatMap passes."""
+    from intake_spark.llm import text
+    from intake_spark.session import load_table
+    from tests.conftest import SF_SMALL
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    for out in (
+        text.chunk_documents(docs, window=50, stride=40),
+        text.repetition_stats(docs, n=2),
+        text.scrub_patterns(docs),
+    ):
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+
+
+def test_top_terms_shuffle_budget(spark):
+    """top_terms: one aggregate exchange + one window exchange, nothing
+    more (partial aggregation happens map-side before the shuffle)."""
+    from intake_spark.llm import text
+    from intake_spark.session import load_table
+    from tests.conftest import SF_SMALL
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    plan = text.top_terms(docs, k=5)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") <= 2
