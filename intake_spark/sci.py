@@ -1306,3 +1306,128 @@ class LASReader(BaseReader):
                         yield pd.DataFrame(out, columns=cols)
 
         return mdf.mapInPandas(decode, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# ASDF — Advanced Scientific Data Format: a YAML tree + appended binary
+# blocks (parity: ASDFReader, reference readers.py:1630, which needs the
+# asdf package). The YAML header and 54-byte block headers parse
+# driver-side; uncompressed ndarray blocks decode on executors via the
+# shared chunk-row byte-range manifest.
+# ---------------------------------------------------------------------------
+
+
+class ASDF(dt.FileData):
+    filepattern = r"asdf$"
+    magic = (b"#ASDF",)
+    structure = {"array", "hierarchy"}
+
+
+def _asdf_parse(url: str) -> tuple[dict, list[dict]]:
+    """(yaml tree, block descriptors) — blocks: {offset, data_size, comp}."""
+    import yaml
+
+    class _Loader(yaml.SafeLoader):
+        pass
+
+    def _any(loader, _suffix, node):
+        if isinstance(node, yaml.MappingNode):
+            return loader.construct_mapping(node, deep=True)
+        if isinstance(node, yaml.SequenceNode):
+            return loader.construct_sequence(node, deep=True)
+        return loader.construct_scalar(node)
+
+    _Loader.add_multi_constructor("!", _any)
+    _Loader.add_multi_constructor("tag:", _any)
+
+    with open(url, "rb") as f:
+        raw = f.read()
+    if not raw.startswith(b"#ASDF"):
+        raise ValueError("not an ASDF file")
+    blk_at = raw.find(b"\xd3BLK")
+    yaml_end = blk_at if blk_at >= 0 else len(raw)
+    header = raw[:yaml_end].decode("utf-8", errors="replace")
+    yaml_text = "\n".join(
+        line for line in header.splitlines() if not line.startswith("#")
+    )
+    tree = yaml.load(yaml_text, Loader=_Loader) or {}
+    blocks = []
+    pos = blk_at
+    while pos >= 0 and pos + 6 <= len(raw):
+        (hsize,) = struct.unpack(">H", raw[pos + 4 : pos + 6])
+        head = raw[pos + 6 : pos + 6 + hsize]
+        flags = struct.unpack(">I", head[0:4])[0] if len(head) >= 4 else 0
+        comp = head[4:8].rstrip(b"\x00").decode("ascii") if len(head) >= 8 else ""
+        alloc, used, data_size = (
+            struct.unpack(">QQQ", head[8:32]) if len(head) >= 32 else (0, 0, 0)
+        )
+        data_off = pos + 6 + hsize
+        blocks.append(
+            {"offset": data_off, "used": used, "data_size": data_size, "comp": comp, "flags": flags}
+        )
+        nxt = raw.find(b"\xd3BLK", data_off + max(alloc, used))
+        pos = nxt
+    return tree, blocks
+
+
+def _asdf_ndarrays(tree, prefix: str = "") -> dict[str, dict]:
+    """Flatten the tree → {path: ndarray descriptor} (mappings that carry
+    source/datatype/shape keys)."""
+    out: dict[str, dict] = {}
+    if isinstance(tree, dict):
+        if {"source", "datatype", "shape"} <= set(tree):
+            out[prefix.rstrip("/") or "/"] = tree
+            return out
+        for k, v in tree.items():
+            out.update(_asdf_ndarrays(v, f"{prefix}{k}/"))
+    elif isinstance(tree, list):
+        for i, v in enumerate(tree):
+            out.update(_asdf_ndarrays(v, f"{prefix}{i}/"))
+    return out
+
+
+_ASDF_DTYPES = {
+    "int8": "i1", "uint8": "u1", "int16": "i2", "uint16": "u2",
+    "int32": "i4", "uint32": "u4", "int64": "i8", "uint64": "u8",
+    "float32": "f4", "float64": "f8",
+}
+
+
+class ASDFReader(BaseReader):
+    """ASDF ndarray → chunk-row DataFrame. ``array`` selects by tree path
+    (e.g. ``"data/temperature"``); default is the first ndarray in sorted
+    path order. Uncompressed blocks stream through the byte-range decode;
+    zlib blocks raise (install-time choice in the reference too)."""
+
+    implements = {ASDF}
+
+    def _read(self, spark, array: str | None = None, rows_per_chunk: int = 4096, **kwargs):
+        url = self.data.url
+        tree, blocks = _asdf_parse(url)
+        arrays = _asdf_ndarrays(tree)
+        if not arrays:
+            raise ValueError(f"no ndarray entries in {url}")
+        if array is None:
+            array = sorted(arrays)[0]
+        key = array.strip("/") or "/"
+        if key not in arrays:
+            raise KeyError(f"array {array!r} not in {sorted(arrays)}")
+        desc = arrays[key]
+        src = int(desc["source"])
+        if src >= len(blocks):
+            raise ValueError(f"block {src} out of range ({len(blocks)} blocks)")
+        blk = blocks[src]
+        if blk["comp"]:
+            raise ValueError(
+                f"compressed ASDF block ({blk['comp']!r}) not supported — "
+                "re-save uncompressed"
+            )
+        dkey = str(desc["datatype"])
+        if dkey not in _ASDF_DTYPES:
+            raise ValueError(f"unsupported ASDF datatype {dkey!r}")
+        order = ">" if desc.get("byteorder", "little") == "big" else "<"
+        shape = [int(s) for s in desc["shape"]]
+        self.data.metadata.update({"array": key, "arrays": sorted(arrays), "shape": shape})
+        return _chunked_array_df(
+            spark, url, order + _ASDF_DTYPES[dkey], shape, blk["offset"], rows_per_chunk
+        )
