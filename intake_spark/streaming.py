@@ -143,6 +143,29 @@ def sessionize(
     )
 
 
+def stream_exact_dedup(
+    df: DataFrame,
+    subset: list[str],
+    ts_col: str = "ts",
+    delay: str = "10 minutes",
+) -> DataFrame:
+    """Streaming arm of the exact-dedup family: keep the first row per
+    ``subset`` key, with state BOUNDED by the watermark — keys older than
+    ``delay`` are evicted, so this runs forever on an unbounded firehose
+    (the unbounded-state ``dropDuplicates`` variant cannot). Batch input
+    degrades to a plain dropDuplicates for oracle comparison.
+
+    This is the ingestion-time guard of a training-data pipeline: exact
+    duplicate documents/events within the late-data horizon never reach
+    storage; cross-horizon dedup belongs to the batch dedup passes
+    (llm.dedup) downstream."""
+    if not df.isStreaming:
+        return df.dropDuplicates(subset)
+    if dict(df.dtypes).get(ts_col) == "timestamp_ntz":
+        df = df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return df.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(subset)
+
+
 def stateful_running_max(
     events: DataFrame,
     key_col: str = "user_id",
@@ -214,15 +237,16 @@ def stateful_running_max(
 
 
 def run_stream_to_memory(
-    stream_df: DataFrame, query_name: str, timeout_s: float = 60.0
+    stream_df: DataFrame, query_name: str, timeout_s: float = 60.0, output_mode: str = "complete"
 ) -> None:
     """Execute a streaming plan with an available-now trigger into an
     in-memory sink (test/backfill harness): processes everything currently
-    available, then stops."""
+    available, then stops. ``output_mode``: "complete" for aggregations,
+    "append" for row-wise plans (dedup, watermarked appends)."""
     q = (
         stream_df.writeStream.format("memory")
         .queryName(query_name)
-        .outputMode("complete")
+        .outputMode(output_mode)
         .trigger(availableNow=True)
         .start()
     )

@@ -39,6 +39,34 @@ def test_streaming_window_matches_batch(spark, tmp_path):
     assert got == expected
 
 
+def test_stream_exact_dedup_matches_batch(spark, tmp_path):
+    """Streaming dropDuplicatesWithinWatermark keeps one row per doc key
+    (duplicates planted in the source) and equals the batch dedup on the
+    same data — the watermark bounds state, dedup within the horizon is
+    exact."""
+    from pyspark.sql import functions as F
+
+    from intake_spark.streaming import stream_exact_dedup
+
+    events = load_table(spark, SF_SMALL, "events").limit(400)
+    dup = events.unionByName(events.limit(150))  # planted duplicates
+    src = str(tmp_path / "dedup_src")
+    dup.write.mode("overwrite").parquet(src)
+
+    batch_df = spark.read.parquet(src)
+    expected = stream_exact_dedup(batch_df, ["event_id"]).count()
+    assert expected == 400 and batch_df.count() == 550
+
+    stream = FileStream(data=dt.Parquet(url=src)).read(
+        spark=spark, schema=batch_df.schema, max_files_per_trigger=2
+    )
+    out = stream_exact_dedup(stream, ["event_id"], ts_col="ts", delay="365 days")
+    run_stream_to_memory(out, "dedup_test", timeout_s=120, output_mode="append")
+    got = spark.sql("SELECT * FROM dedup_test")
+    assert got.count() == expected
+    assert got.groupBy("event_id").count().agg(F.max("count")).first()[0] == 1
+
+
 def test_file_stream_requires_schema(spark, tmp_path):
     src = str(tmp_path / "s2")
     load_table(spark, SF_SMALL, "region").write.mode("overwrite").parquet(src)
