@@ -176,9 +176,12 @@ class NIfTIReader(BaseReader):
 _TIFF_TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8, 11: 4, 12: 8}
 
 
-def tiff_meta(f) -> dict:
-    """Parse the first IFD of a classic TIFF from a seekable file-like:
-    small reads only (header + IFD + out-of-line tag values)."""
+def tiff_meta(f, page: int = 0) -> dict:
+    """Parse one IFD of a classic TIFF from a seekable file-like — small
+    reads only (header + IFD + out-of-line tag values). ``page`` follows
+    the next-IFD chain: page 0 is the base image; later pages are the
+    extra frames of a multi-page TIFF or the downsampled levels of an
+    OpenSlide-style pyramid."""
     f.seek(0)
     head = f.read(8)
     if head[:2] == b"II":
@@ -193,8 +196,17 @@ def tiff_meta(f) -> dict:
     if magic != 42:
         raise ValueError(f"bad TIFF magic {magic}")
     (ifd_off,) = struct.unpack(bo + "I", head[4:8])
-    f.seek(ifd_off)
-    (n,) = struct.unpack(bo + "H", f.read(2))
+    n_pages = 0
+    while True:
+        f.seek(ifd_off)
+        (n,) = struct.unpack(bo + "H", f.read(2))
+        if n_pages == page:
+            break
+        f.seek(ifd_off + 2 + 12 * n)
+        (ifd_off,) = struct.unpack(bo + "I", f.read(4))
+        n_pages += 1
+        if ifd_off == 0:
+            raise ValueError(f"TIFF has only {n_pages} page(s); page {page} requested")
     raw = f.read(12 * n)
     tags: dict[int, list] = {}
     for i in range(n):
@@ -239,8 +251,11 @@ def tiff_meta(f) -> dict:
     if one(339, 1) != 1:
         raise ValueError("only unsigned-integer TIFF samples supported")
     rows_per_strip = one(278, height)
+    # raw ended right before the next-IFD pointer
+    (next_ifd,) = struct.unpack(bo + "I", f.read(4))
     return {
         "bo": bo,
+        "has_next_page": next_ifd != 0,
         "width": int(width),
         "height": int(height),
         "spp": int(spp),
@@ -282,15 +297,16 @@ def _tiff_strip_array(raw: bytes, meta: dict, nrows: int):
     return vals.reshape(nrows, meta["width"], meta["spp"])
 
 
-def decode_tiff(content: bytes):
+def decode_tiff(content: bytes, page: int = 0):
     """Whole-image decode (bytes → (H, W, C) ndarray) for the multimodal
-    column pipeline; strips concatenate in order."""
+    column pipeline; strips concatenate in order. ``page`` selects a frame
+    of a multi-page TIFF / level of a pyramid."""
     import io
 
     import numpy as np
 
     f = io.BytesIO(content)
-    meta = tiff_meta(f)
+    meta = tiff_meta(f, page=page)
     parts = []
     remaining = meta["height"]
     for off, cnt in zip(meta["strip_offsets"], meta["strip_counts"]):
@@ -310,7 +326,7 @@ class TIFFReader(BaseReader):
 
     implements = {dt.TIFF}
 
-    def _read(self, spark, **kwargs):
+    def _read(self, spark, page: int = 0, **kwargs):
         import numpy as np  # noqa: F401
 
         from intake_spark.arrays import CHUNK_SCHEMA
@@ -318,13 +334,15 @@ class TIFFReader(BaseReader):
 
         url = self.data.url
         with open(url, "rb") as f:
-            meta = tiff_meta(f)
+            meta = tiff_meta(f, page=page)
         if not meta["strip_offsets"] or len(meta["strip_offsets"]) != len(meta["strip_counts"]):
             raise ValueError("TIFF lacks a consistent StripOffsets/StripByteCounts pair")
         h, w, spp = meta["height"], meta["width"], meta["spp"]
         shape = [h, w] if spp == 1 else [h, w, spp]
         self.data.metadata.update(
-            {"width": w, "height": h, "samples_per_pixel": spp, "bits": meta["bits"]}
+            {"width": w, "height": h, "samples_per_pixel": spp,
+             "bits": meta["bits"], "page": page,
+             "has_more_pages": meta["has_next_page"]}
         )
         ensure_py_deps(spark)
         manifest = []

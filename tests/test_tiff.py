@@ -179,3 +179,55 @@ def test_bigtiff_rejected(tmp_path):
 
     with pytest.raises(ValueError, match="BigTIFF"):
         tiff_meta(io.BytesIO(blob))
+
+
+def make_multipage_tiff(arrs) -> bytes:
+    """Chained-IFD fixture: uint8 grayscale single-strip pages."""
+    out = struct.pack("<2sHI", b"II", 42, 8)
+    pos = 8
+    pieces = []
+    for idx, arr in enumerate(arrs):
+        h, w = arr.shape
+        data = arr.astype("u1").tobytes()
+        tags = [(256, 4, w), (257, 4, h), (258, 3, 8), (259, 3, 1), (262, 3, 1),
+                (273, 4, None), (277, 3, 1), (278, 4, h), (279, 4, len(data))]
+        ifd_len = 2 + 12 * len(tags) + 4
+        data_off = pos + ifd_len
+        next_off = data_off + len(data) if idx < len(arrs) - 1 else 0
+        ifd = struct.pack("<H", len(tags))
+        for tag, typ, val in tags:
+            if tag == 273:
+                val = data_off
+            packed = struct.pack("<H" if typ == 3 else "<I", val)
+            ifd += struct.pack("<HHI", tag, typ, 1) + packed + b"\x00" * (4 - len(packed))
+        ifd += struct.pack("<I", next_off)
+        pieces.append(ifd + data)
+        pos = data_off + len(data)
+    return out + b"".join(pieces)
+
+
+def test_multipage_pyramid_levels(spark, tmp_path):
+    """IFD-chain walk: page N of a pyramid decodes independently; the
+    metadata flags whether more pages exist; out-of-range raises."""
+    rng = np.random.default_rng(9)
+    levels = [
+        rng.integers(0, 256, size=(16, 12), dtype=np.uint8),
+        rng.integers(0, 256, size=(8, 6), dtype=np.uint8),
+        rng.integers(0, 256, size=(4, 3), dtype=np.uint8),
+    ]
+    p = tmp_path / "pyr.tif"
+    p.write_bytes(make_multipage_tiff(levels))
+    for i, arr in enumerate(levels):
+        rdr = TIFFReader(data=dt.TIFF(url=str(p)))
+        df = rdr.read(spark=spark, page=i)
+        np.testing.assert_array_equal(_rebuild(df), arr)
+        assert rdr.data.metadata["page"] == i
+        assert rdr.data.metadata["has_more_pages"] == (i < 2)
+    import io
+
+    from intake_spark.sci import tiff_meta
+
+    with pytest.raises(ValueError, match="3 page"):
+        tiff_meta(io.BytesIO(p.read_bytes()), page=3)
+    # decode_tiff page routing
+    np.testing.assert_array_equal(decode_tiff(p.read_bytes(), page=2)[:, :, 0], levels[2])
