@@ -1449,3 +1449,178 @@ class ASDFReader(BaseReader):
         return _chunked_array_df(
             spark, url, order + _ASDF_DTYPES[dkey], shape, blk["offset"], rows_per_chunk
         )
+
+
+# ---------------------------------------------------------------------------
+# OpenEXR — ILM scanline images (parity: OpenEXRReader, reference
+# readers.py:3575, which needs the OpenEXR bindings). Stdlib struct/zlib +
+# numpy: header attributes, channel list, line-offset table, NONE/ZIPS/ZIP
+# compression (deflate + the ImfZip byte predictor/interleave transform),
+# HALF/FLOAT/UINT pixel types. Scanline blocks are the native parallel
+# unit: the driver reads the header + offset table, executors decode their
+# blocks.
+# ---------------------------------------------------------------------------
+
+
+class OpenEXR(dt.FileData):
+    filepattern = r"exr$"
+    magic = (b"\x76\x2f\x31\x01",)
+    structure = {"array", "image"}
+
+
+_EXR_PIXEL = {0: ("<u4", 4), 1: ("<f2", 2), 2: ("<f4", 4)}
+_EXR_LINES_PER_BLOCK = {0: 1, 2: 1, 3: 16}
+
+
+def _exr_cstr(buf: bytes, pos: int) -> tuple[str, int]:
+    end = buf.index(b"\x00", pos)
+    return buf[pos:end].decode("ascii", errors="replace"), end + 1
+
+
+def _exr_header(url: str) -> dict:
+    import numpy as np
+
+    with open(url, "rb") as f:
+        raw = f.read(1 << 20)  # headers are small; offset table follows
+        if raw[:4] != b"\x76\x2f\x31\x01":
+            raise ValueError("not an OpenEXR file")
+        (version,) = struct.unpack("<I", raw[4:8])
+        if version & 0x200:
+            raise ValueError("tiled EXR not supported (scanline only)")
+        if version & 0x1800:
+            raise ValueError("deep/multipart EXR not supported")
+        pos = 8
+        attrs: dict[str, tuple[str, bytes]] = {}
+        while raw[pos] != 0:
+            name, pos = _exr_cstr(raw, pos)
+            atype, pos = _exr_cstr(raw, pos)
+            (sz,) = struct.unpack("<i", raw[pos : pos + 4])
+            pos += 4
+            attrs[name] = (atype, raw[pos : pos + sz])
+            pos += sz
+        pos += 1  # header-terminating NUL
+        if "dataWindow" not in attrs or "channels" not in attrs:
+            raise ValueError("EXR lacks dataWindow/channels attributes")
+        x0, y0, x1, y1 = struct.unpack("<4i", attrs["dataWindow"][1][:16])
+        comp = attrs.get("compression", ("", b"\x00"))[1][0]
+        if comp not in _EXR_LINES_PER_BLOCK:
+            raise ValueError(
+                f"EXR compression {comp} not supported (NONE/ZIPS/ZIP only — "
+                "PIZ/PXR24/B44 need the OpenEXR library)"
+            )
+        chans = []
+        craw, cpos = attrs["channels"][1], 0
+        while craw[cpos] != 0:
+            cname, cpos = _exr_cstr(craw, cpos)
+            (ptype,) = struct.unpack("<i", craw[cpos : cpos + 4])
+            cpos += 16  # pixel type + pLinear/reserved + x/y sampling
+            if ptype not in _EXR_PIXEL:
+                raise ValueError(f"unknown EXR pixel type {ptype}")
+            chans.append((cname, ptype))
+        chans.sort()  # channels are stored in alphabetical order
+        width = x1 - x0 + 1
+        height = y1 - y0 + 1
+        lpb = _EXR_LINES_PER_BLOCK[comp]
+        n_blocks = -(-height // lpb)
+        offsets = np.frombuffer(raw[pos : pos + 8 * n_blocks], dtype="<u8").tolist()
+        return {
+            "width": width, "height": height, "y_min": y0,
+            "compression": int(comp), "lines_per_block": lpb,
+            "channels": chans, "block_offsets": offsets,
+        }
+
+
+def _exr_unzip(data: bytes) -> bytes:
+    """Inverse ImfZip transform: inflate → undo byte predictor → undo
+    two-half interleave (OpenEXR's 'reorder + delta' scheme)."""
+    import zlib
+
+    import numpy as np
+
+    t = bytearray(zlib.decompress(data))
+    for i in range(1, len(t)):
+        t[i] = (t[i - 1] + t[i] - 128) & 0xFF
+    n = len(t)
+    half = (n + 1) // 2
+    out = np.empty(n, dtype=np.uint8)
+    out[0::2] = np.frombuffer(bytes(t[:half]), dtype=np.uint8)[: len(out[0::2])]
+    out[1::2] = np.frombuffer(bytes(t[half:]), dtype=np.uint8)[: len(out[1::2])]
+    return out.tobytes()
+
+
+def _exr_decode_block(buf: bytes, hdr: dict) -> list[tuple[int, str, list]]:
+    """One scanline block → [(y, channel, float64 row values)]."""
+    import numpy as np
+
+    y, size = struct.unpack("<ii", buf[:8])
+    data = buf[8 : 8 + size]
+    if hdr["compression"] in (2, 3):
+        raw_len = sum(
+            _EXR_PIXEL[pt][1] * hdr["width"] for _, pt in hdr["channels"]
+        ) * min(hdr["lines_per_block"], hdr["y_min"] + hdr["height"] - y)
+        if size < raw_len:  # EXR stores uncompressed if deflate didn't help
+            data = _exr_unzip(data)
+    n_lines = min(hdr["lines_per_block"], hdr["y_min"] + hdr["height"] - y)
+    out = []
+    pos = 0
+    for line in range(n_lines):
+        for cname, ptype in hdr["channels"]:
+            dt_np, itemsize = _EXR_PIXEL[ptype]
+            nbytes = itemsize * hdr["width"]
+            vals = np.frombuffer(data[pos : pos + nbytes], dtype=dt_np)
+            pos += nbytes
+            out.append((y + line, cname, vals.astype(np.float64).tolist()))
+    return out
+
+
+class OpenEXRReader(BaseReader):
+    """OpenEXR scanline image → (y, channel, values) rows — one row per
+    scanline per channel, pixel values widened to float64. Blocks decode
+    on executors from the line-offset-table manifest."""
+
+    implements = {OpenEXR}
+
+    def _read(self, spark, **kwargs):
+        from intake_spark.session import ensure_py_deps
+
+        url = self.data.url
+        hdr = _exr_header(url)
+        self.data.metadata.update(
+            {
+                "width": hdr["width"], "height": hdr["height"],
+                "channels": [c for c, _ in hdr["channels"]],
+                "compression": hdr["compression"],
+            }
+        )
+        ensure_py_deps(spark)
+        schema = T.StructType(
+            [
+                T.StructField("y", T.IntegerType()),
+                T.StructField("channel", T.StringType()),
+                T.StructField("values", T.ArrayType(T.DoubleType())),
+            ]
+        )
+        if not hdr["block_offsets"]:
+            return spark.createDataFrame([], schema)
+        mdf = spark.createDataFrame(
+            [(int(o),) for o in hdr["block_offsets"]], "blk_off long"
+        )
+        if len(hdr["block_offsets"]) > 1:
+            mdf = mdf.repartition(
+                min(len(hdr["block_offsets"]), spark.sparkContext.defaultParallelism)
+            )
+
+        def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            with open(url, "rb") as fh:
+                for pdf in batches:
+                    rows = []
+                    for _, r in pdf.iterrows():
+                        fh.seek(int(r["blk_off"]))
+                        head = fh.read(8)
+                        (_, size) = struct.unpack("<ii", head)
+                        rows.extend(
+                            _exr_decode_block(head + fh.read(size), hdr)
+                        )
+                    yield pd.DataFrame(rows, columns=["y", "channel", "values"])
+
+        return mdf.mapInPandas(decode, schema=schema)
