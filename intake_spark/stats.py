@@ -105,19 +105,141 @@ class SASReader(_PandasFileReader):
         return pd.read_sas(io.BytesIO(content), **kw)
 
 
+def _parse_sav(content: bytes) -> pd.DataFrame:
+    """Stdlib SPSS system-file parser (the public PSPP-documented layout):
+    176-byte header, type-2 variable records (string continuations folded),
+    type-3/4 value labels skipped, type-7 extension records skipped, 999
+    terminator, then case data — uncompressed or bias-compressed bytecode
+    (0 pad, 1..251 → code-bias, 252 EOF, 253 literal block follows, 254
+    eight spaces, 255 sysmis). Numeric → float64 (sysmis → NaN); strings
+    concatenate their 8-byte segments and strip right padding."""
+    import struct as st
+
+    import numpy as np
+
+    if content[:4] != b"$FL2":
+        raise ValueError("not an SPSS system file ($FL2 magic missing)")
+    # header: prod(60) layout(i4) nominal_case_size(i4) compression(i4)
+    # weight(i4) ncases(i4) bias(f8) date(9) time(8) label(64) pad(3)
+    layout, case_size, compression, _weight, ncases = st.unpack("<5i", content[64:84])
+    endian = "<"
+    if layout not in (2, 3):  # byte-swapped writer
+        endian = ">"
+        layout, case_size, compression, _weight, ncases = st.unpack(">5i", content[64:84])
+        if layout not in (2, 3):
+            raise ValueError("unrecognized SPSS layout code")
+    (bias,) = st.unpack(endian + "d", content[84:92])
+    pos = 176
+    names: list[str] = []
+    widths: list[int] = []  # 0 = numeric, >0 = string byte width
+
+    def i4() -> int:
+        nonlocal pos
+        (v,) = st.unpack(endian + "i", content[pos : pos + 4])
+        pos += 4
+        return v
+
+    while True:
+        rec = i4()
+        if rec == 999:
+            i4()  # filler
+            break
+        if rec == 2:
+            vtype = i4()
+            has_label = i4()
+            n_missing = i4()
+            pos += 8  # print/write formats
+            raw_name = content[pos : pos + 8].decode("ascii", errors="replace").strip()
+            pos += 8
+            if has_label:
+                ll = i4()
+                pos += (ll + 3) // 4 * 4
+            pos += 8 * abs(n_missing)
+            if vtype >= 0:  # -1 = continuation of a long string
+                names.append(raw_name)
+                widths.append(vtype)
+        elif rec == 3:  # value labels: count, then per label: value(8) +
+            # len(1) + label, padded so len byte + label fill 8-byte units
+            n = i4()
+            for _ in range(n):
+                pos += 8
+                ln = content[pos]
+                pos += ((1 + ln + 7) // 8) * 8
+        elif rec == 4:  # value-label variable index list
+            n = i4()
+            pos += 4 * n
+        elif rec == 6:  # documents
+            n = i4()
+            pos += 80 * n
+        elif rec == 7:  # extension subrecord
+            _sub = i4()
+            size = i4()
+            count = i4()
+            pos += size * count
+        else:
+            raise ValueError(f"unknown SPSS record type {rec}")
+
+    # elements per case: numerics take 1 slot, strings ceil(w/8)
+    slots = [(n, w, max(1, -(-w // 8)) if w else 1) for n, w in zip(names, widths)]
+    total_slots = sum(s for _, _, s in slots)
+    if case_size not in (0, -1) and total_slots != case_size:
+        total_slots = case_size  # trust the header on disagreement
+
+    elements: list[bytes] = []
+    if compression == 0:
+        need = total_slots * max(ncases, 0) * 8
+        data = content[pos : pos + need]
+        elements = [data[i : i + 8] for i in range(0, len(data), 8)]
+    else:
+        data = content[pos:]
+        dp = 0
+        done = False
+        while dp + 8 <= len(data) and not done:
+            cmds = data[dp : dp + 8]
+            dp += 8
+            for c in cmds:
+                if c == 0:
+                    continue
+                if c == 252:
+                    done = True
+                    break
+                if c == 253:
+                    elements.append(data[dp : dp + 8])
+                    dp += 8
+                elif c == 254:
+                    elements.append(b" " * 8)
+                elif c == 255:
+                    elements.append(None)  # sysmis
+                else:
+                    elements.append(st.pack(endian + "d", float(c) - bias))
+
+    n_cases = len(elements) // total_slots if total_slots else 0
+    cols: dict[str, list] = {n: [] for n, _, _ in slots}
+    for case in range(n_cases):
+        base = case * total_slots
+        off = 0
+        for n, w, nslots in slots:
+            vals = elements[base + off : base + off + nslots]
+            off += nslots
+            if w:
+                raw = b"".join(v if v is not None else b" " * 8 for v in vals)
+                cols[n].append(raw[:w].decode("latin-1").rstrip())
+            else:
+                v = vals[0]
+                if v is None:
+                    cols[n].append(np.nan)
+                else:
+                    cols[n].append(st.unpack(endian + "d", v)[0])
+    return pd.DataFrame(cols, columns=[n for n, _, _ in slots])
+
+
 class SPSSReader(_PandasFileReader):
-    """.sav → DataFrame — import-gated on pyreadstat (pandas.read_spss
-    requires it; absent in this container)."""
+    """.sav → DataFrame, stdlib system-file parse (parity:
+    PandasReadSPSS, which needs pyreadstat — absent here; the format
+    itself is public via the PSPP documentation)."""
 
     implements = {SPSS}
-    imports = {"pyreadstat"}
 
     @staticmethod
     def _parse(content: bytes, **kw) -> pd.DataFrame:
-        import tempfile
-
-        # pyreadstat reads from paths only
-        with tempfile.NamedTemporaryFile(suffix=".sav") as f:
-            f.write(content)
-            f.flush()
-            return pd.read_spss(f.name, **kw)
+        return _parse_sav(content)

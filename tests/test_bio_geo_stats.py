@@ -615,3 +615,98 @@ def test_pmtiles_unsupported_compression_raises(spark, tmp_path):
     p.write_bytes(bytes(blob))
     with pytest.raises(ValueError, match="internal compression"):
         PMTilesReader(data=PMTiles(url=str(p))).read(spark=spark)
+
+
+def _sav_var(name: str, vtype: int) -> bytes:
+    import struct as st
+
+    return (
+        st.pack("<4i", 2, vtype, 0, 0)
+        + st.pack("<ii", 0, 0)  # print/write formats
+        + name.ljust(8).encode()
+    )
+
+
+def make_sav(path, compressed: bool = True) -> str:
+    """Spec-built SPSS system file: numeric 'age' (one sysmis), numeric
+    'score' (literal doubles), string 'city' (12 bytes → 2 slots)."""
+    import struct as st
+
+    hdr = b"$FL2" + b"@(#) test fixture".ljust(60)
+    hdr += st.pack("<5i", 2, 4, 1 if compressed else 0, 0, 3)  # 4 slots/case
+    hdr += st.pack("<d", 100.0)
+    hdr += b"01 Jan 26" + b"00:00:00" + b"fixture".ljust(64) + b"\x00" * 3
+    assert len(hdr) == 176
+    body = _sav_var("AGE", 0) + _sav_var("SCORE", 0)
+    body += _sav_var("CITY", 12) + _sav_var("", -1)  # continuation slot
+    body += st.pack("<2i", 999, 0)
+    cases = [
+        (42.0, 3.25, "springfield"),
+        (None, -1.5, "rome"),
+        (7.0, 99.0, "ulaanbaatar"),
+    ]
+    data = b""
+    if compressed:
+        cmds, extra = [], []
+        for age, score, city in cases:
+            if age is None:
+                cmds.append(255)  # sysmis
+            else:
+                cmds.append(int(age) + 100)  # bias-compressed integer
+            cmds.append(253)
+            extra_for = [st.pack("<d", score)]
+            raw = city.ljust(16).encode()
+            cmds += [253, 253]
+            extra_for += [raw[:8], raw[8:16]]
+            extra.append((list(cmds), list(extra_for)))
+            cmds = []
+        stream = b""
+        pending_cmds: list[int] = []
+        pending_blocks: list[bytes] = []
+        for cs, blocks in extra:
+            pending_cmds += cs
+            pending_blocks += blocks
+        pending_cmds.append(252)  # EOF
+        i = 0
+        bi = 0
+        while i < len(pending_cmds):
+            group = pending_cmds[i : i + 8]
+            i += 8
+            n_literals = sum(1 for c in group if c == 253)
+            stream += bytes(group) + b"\x00" * (8 - len(group))
+            stream += b"".join(pending_blocks[bi : bi + n_literals])
+            bi += n_literals
+        data = stream
+    else:
+        for age, score, city in cases:
+            data += st.pack("<d", age if age is not None else -1.7976931348623157e308)
+            data += st.pack("<d", score)
+            data += city.ljust(16).encode()
+    path.write_bytes(hdr + body + data)
+    return str(path)
+
+
+@pytest.mark.parametrize("compressed", [True, False])
+def test_spss_sav_reader(spark, tmp_path, compressed):
+    import math
+
+    from intake_spark.stats import SPSS, SPSSReader
+
+    url = make_sav(tmp_path / f"s{compressed}.sav", compressed=compressed)
+    df = SPSSReader(data=SPSS(url=url)).read(spark=spark)
+    rows = sorted(df.collect(), key=lambda r: r.CITY)
+    assert [r.CITY for r in rows] == ["rome", "springfield", "ulaanbaatar"]
+    by_city = {r.CITY: r for r in rows}
+    assert by_city["springfield"].AGE == 42.0
+    assert abs(by_city["springfield"].SCORE - 3.25) < 1e-12
+    assert by_city["ulaanbaatar"].AGE == 7.0
+    if compressed:
+        assert by_city["rome"].AGE is None or math.isnan(by_city["rome"].AGE)
+    assert abs(by_city["rome"].SCORE - (-1.5)) < 1e-12
+
+
+def test_spss_magic_rejected(tmp_path):
+    from intake_spark.stats import _parse_sav
+
+    with pytest.raises(ValueError, match="FL2"):
+        _parse_sav(b"NOPE" + b"\x00" * 200)
