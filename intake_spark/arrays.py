@@ -196,6 +196,33 @@ def slice_axis0(df: DataFrame, start: int, end: int) -> DataFrame:
     )
 
 
+def slice_axis(df: DataFrame, axis: int, start: int, end: int) -> DataFrame:
+    """Slice [start, end) along ANY axis of the chunk-row model — the full
+    XarraySel/isel equivalent (reference XarraySel transform.py; axis 0
+    delegates to the chunk-pruning slice_axis0).
+
+    Non-leading axes slice entirely JVM-side with the indexed filter
+    higher-order function: keep flattened element i where
+    ``(i div stride) mod dim`` falls in [start, end), where ``stride`` is
+    the product of trailing dims — no Python, no shuffle, chunk rows stay
+    independent."""
+    if axis == 0:
+        return slice_axis0(df, start, end)
+    ax1 = axis + 1  # 1-based for element_at/slice
+    stride = (
+        f"aggregate(slice(shape, {ax1 + 1}, size(shape)), 1L, (a, x) -> a * x)"
+    )
+    dim = f"element_at(shape, {ax1})"
+    keep = (
+        f"filter(values, (x, i) -> pmod(CAST(i AS BIGINT) div ({stride}), {dim}) "
+        f">= {start} AND pmod(CAST(i AS BIGINT) div ({stride}), {dim}) < {end})"
+    )
+    new_shape = (
+        f"transform(shape, (s, j) -> IF(j = {axis}, {end - start}, s))"
+    )
+    return df.withColumn("values", F.expr(keep)).withColumn("shape", F.expr(new_shape))
+
+
 class NumpyPatternReader(BaseReader):
     """Array files over a ``{field}`` path pattern → one chunk-row DataFrame
     with the pattern captures materialized as columns (≡ reference

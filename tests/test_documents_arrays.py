@@ -150,6 +150,33 @@ def test_npy_elementwise_and_slice(spark, tmp_path):
     assert got == [float(i) for i in range(6, 14)]  # rows 3..6 → elems 6..13
 
 
+def test_slice_any_axis_matches_numpy(spark, tmp_path):
+    """slice_axis on non-leading axes ≡ numpy isel, computed JVM-side
+    (indexed filter HOF; plan has zero Exchange)."""
+    import numpy as np
+
+    from intake_spark import datatypes as dt
+    from intake_spark.arrays import NumpyArrayReader, slice_axis
+
+    arr = np.arange(4 * 5 * 3, dtype="<f8").reshape(4, 5, 3)
+    p = str(tmp_path / "a3.npy")
+    np.save(p, arr)
+    df = NumpyArrayReader(data=dt.NumpyFile(url=p)).read(spark=spark, rows_per_chunk=2)
+
+    def rebuild(sdf):
+        rows = sorted(sdf.collect(), key=lambda r: r.offset0)
+        shape = list(rows[0].shape)
+        return np.concatenate(
+            [np.asarray(r.values) for r in rows]
+        ).reshape([-1] + shape[1:])
+
+    np.testing.assert_array_equal(rebuild(slice_axis(df, 1, 1, 4)), arr[:, 1:4, :])
+    np.testing.assert_array_equal(rebuild(slice_axis(df, 2, 0, 2)), arr[:, :, 0:2])
+    np.testing.assert_array_equal(rebuild(slice_axis(df, 0, 1, 3)), arr[1:3])
+    plan = slice_axis(df, 1, 1, 4)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
 def test_npz_reader(spark, tmp_path):
     from intake_spark.arrays import NPZ, NPZReader
 
