@@ -242,9 +242,10 @@ def tiff_meta(f, page: int = 0) -> dict:
     if len(set(bps)) != 1 or bps[0] not in (8, 16):
         raise ValueError(f"unsupported BitsPerSample {bps} (8/16-bit only)")
     comp = one(259, 1)
-    if comp not in (1, 32773):
+    if comp not in (1, 8, 32773, 32946):  # none, Deflate, PackBits, Deflate
         raise ValueError(
-            f"unsupported TIFF compression {comp} (uncompressed/PackBits only)"
+            f"unsupported TIFF compression {comp} "
+            "(uncompressed/PackBits/Deflate only)"
         )
     if one(284, 1) != 1:
         raise ValueError("planar (non-chunky) TIFF not supported")
@@ -264,6 +265,12 @@ def tiff_meta(f, page: int = 0) -> dict:
         "rows_per_strip": int(rows_per_strip),
         "strip_offsets": [int(v) for v in tags.get(273, [])],
         "strip_counts": [int(v) for v in tags.get(279, [])],
+        # tiled layout (Cloud-Optimized GeoTIFF et al.)
+        "tiled": 322 in tags,
+        "tile_width": int(one(322, 0)),
+        "tile_length": int(one(323, 0)),
+        "tile_offsets": [int(v) for v in tags.get(324, [])],
+        "tile_counts": [int(v) for v in tags.get(325, [])],
     }
 
 
@@ -285,12 +292,42 @@ def packbits_decode(data: bytes) -> bytes:
     return bytes(out)
 
 
+def _tiff_tile_band(fh, meta: dict, band: int, nrows: int):
+    """Stitch the tiles of one tile-row band → (nrows, width, spp)
+    ndarray; right/bottom edge tiles trimmed per spec (tiles always store
+    full tile_width×tile_length, the image boundary crops the excess)."""
+    import zlib
+
+    import numpy as np
+
+    tw, tl = meta["tile_width"], meta["tile_length"]
+    tiles_x = -(-meta["width"] // tw)
+    dtype = np.dtype(f"{meta['bo']}u{meta['bits'] // 8}")
+    parts = []
+    for tx in range(tiles_x):
+        idx = band * tiles_x + tx
+        fh.seek(meta["tile_offsets"][idx])
+        raw = fh.read(meta["tile_counts"][idx])
+        if meta["compression"] == 32773:
+            raw = packbits_decode(raw)
+        elif meta["compression"] in (8, 32946):
+            raw = zlib.decompress(raw)
+        arr = np.frombuffer(raw, dtype=dtype)[: tl * tw * meta["spp"]]
+        parts.append(arr.reshape(tl, tw, meta["spp"]))
+    band_arr = np.concatenate(parts, axis=1)[:nrows, : meta["width"]]
+    return band_arr
+
+
 def _tiff_strip_array(raw: bytes, meta: dict, nrows: int):
     """One strip's bytes → (nrows, width, spp) ndarray."""
     import numpy as np
 
     if meta["compression"] == 32773:
         raw = packbits_decode(raw)
+    elif meta["compression"] in (8, 32946):
+        import zlib
+
+        raw = zlib.decompress(raw)
     dtype = np.dtype(f"{meta['bo']}u{meta['bits'] // 8}")
     need = nrows * meta["width"] * meta["spp"]
     vals = np.frombuffer(raw, dtype=dtype)[:need]
@@ -308,12 +345,18 @@ def decode_tiff(content: bytes, page: int = 0):
     f = io.BytesIO(content)
     meta = tiff_meta(f, page=page)
     parts = []
-    remaining = meta["height"]
-    for off, cnt in zip(meta["strip_offsets"], meta["strip_counts"]):
-        nrows = min(meta["rows_per_strip"], remaining)
-        f.seek(off)
-        parts.append(_tiff_strip_array(f.read(cnt), meta, nrows))
-        remaining -= nrows
+    if meta["tiled"]:
+        bands = -(-meta["height"] // meta["tile_length"])
+        for band in range(bands):
+            nrows = min(meta["tile_length"], meta["height"] - band * meta["tile_length"])
+            parts.append(_tiff_tile_band(f, meta, band, nrows))
+    else:
+        remaining = meta["height"]
+        for off, cnt in zip(meta["strip_offsets"], meta["strip_counts"]):
+            nrows = min(meta["rows_per_strip"], remaining)
+            f.seek(off)
+            parts.append(_tiff_strip_array(f.read(cnt), meta, nrows))
+            remaining -= nrows
     return np.concatenate(parts) if parts else np.empty((0, meta["width"], meta["spp"]), "u1")
 
 
@@ -335,22 +378,33 @@ class TIFFReader(BaseReader):
         url = self.data.url
         with open(url, "rb") as f:
             meta = tiff_meta(f, page=page)
-        if not meta["strip_offsets"] or len(meta["strip_offsets"]) != len(meta["strip_counts"]):
-            raise ValueError("TIFF lacks a consistent StripOffsets/StripByteCounts pair")
         h, w, spp = meta["height"], meta["width"], meta["spp"]
         shape = [h, w] if spp == 1 else [h, w, spp]
         self.data.metadata.update(
             {"width": w, "height": h, "samples_per_pixel": spp,
-             "bits": meta["bits"], "page": page,
+             "bits": meta["bits"], "page": page, "tiled": meta["tiled"],
              "has_more_pages": meta["has_next_page"]}
         )
         ensure_py_deps(spark)
-        manifest = []
-        row = 0
-        for i, (off, cnt) in enumerate(zip(meta["strip_offsets"], meta["strip_counts"])):
-            nrows = min(meta["rows_per_strip"], h - row)
-            manifest.append((i, row, nrows, off, cnt))
-            row += nrows
+        if meta["tiled"]:
+            # COG-style layout: each manifest row stitches one tile-row
+            # band (ceil(W/tile_width) tiles) into a [nrows, W] chunk
+            tl = meta["tile_length"]
+            bands = -(-h // tl)
+            manifest = [
+                (b, b * tl, min(tl, h - b * tl), 0, 0) for b in range(bands)
+            ]
+        else:
+            if not meta["strip_offsets"] or len(meta["strip_offsets"]) != len(meta["strip_counts"]):
+                raise ValueError(
+                    "TIFF lacks a consistent StripOffsets/StripByteCounts pair"
+                )
+            manifest = []
+            row = 0
+            for i, (off, cnt) in enumerate(zip(meta["strip_offsets"], meta["strip_counts"])):
+                nrows = min(meta["rows_per_strip"], h - row)
+                manifest.append((i, row, nrows, off, cnt))
+                row += nrows
         mdf = spark.createDataFrame(
             manifest, "chunk_id int, row_start long, nrows int, off long, cnt long"
         )
@@ -358,6 +412,7 @@ class TIFFReader(BaseReader):
             mdf = mdf.repartition(
                 min(len(manifest), spark.sparkContext.defaultParallelism)
             )
+        tiled = meta["tiled"]
 
         def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             import numpy as np
@@ -366,8 +421,11 @@ class TIFFReader(BaseReader):
                 for pdf in batches:
                     out = []
                     for _, r in pdf.iterrows():
-                        fh.seek(int(r.off))
-                        arr = _tiff_strip_array(fh.read(int(r.cnt)), meta, int(r.nrows))
+                        if tiled:
+                            arr = _tiff_tile_band(fh, meta, int(r.chunk_id), int(r.nrows))
+                        else:
+                            fh.seek(int(r.off))
+                            arr = _tiff_strip_array(fh.read(int(r.cnt)), meta, int(r.nrows))
                         out.append(
                             {
                                 "chunk_id": int(r.chunk_id),
