@@ -340,31 +340,71 @@ class ZarrReader(BaseReader):
 
         ensure_py_deps(spark)
         root = self.data.url.rstrip("/")
-        with open(f"{root}/.zarray") as f:
-            meta = _json.load(f)
-        if meta.get("zarr_format") != 2:
-            raise ValueError(f"only zarr v2 supported, got {meta.get('zarr_format')}")
-        if meta.get("order", "C") != "C":
-            raise ValueError("fortran-order zarr not supported")
-        comp = (meta.get("compressor") or {}).get("id") if meta.get("compressor") else None
-        if comp not in (None, "zlib", "gzip"):
-            raise ValueError(f"compressor {comp!r} needs numcodecs; supported: null/zlib/gzip")
-        if meta.get("filters"):
-            raise ValueError("zarr filters not supported")
-        shape = list(meta["shape"])
-        chunks = list(meta["chunks"])
-        dtype = meta["dtype"]
-        fill = meta.get("fill_value")
-        if fill is None:
-            fill = 0
-        sep = meta.get("dimension_separator", ".")
+        if _os.path.exists(f"{root}/zarr.json"):
+            # zarr v3: single JSON doc, named dtypes, codec pipeline,
+            # "c/"-prefixed chunk keys (spec: zarr v3 core)
+            import numpy as _np
+
+            with open(f"{root}/zarr.json") as f:
+                meta = _json.load(f)
+            if meta.get("zarr_format") != 3 or meta.get("node_type") != "array":
+                raise ValueError("zarr.json is not a v3 array node")
+            shape = list(meta["shape"])
+            grid_cfg = meta.get("chunk_grid", {})
+            if grid_cfg.get("name") != "regular":
+                raise ValueError("only regular chunk grids supported")
+            chunks = list(grid_cfg["configuration"]["chunk_shape"])
+            endian = "<"
+            comp = None
+            for codec in meta.get("codecs", []):
+                cname = codec.get("name")
+                if cname == "bytes":
+                    if (codec.get("configuration") or {}).get("endian") == "big":
+                        endian = ">"
+                elif cname == "gzip":
+                    comp = "gzip"
+                else:
+                    raise ValueError(
+                        f"zarr v3 codec {cname!r} not supported (bytes/gzip "
+                        "only; blosc/zstd/sharding need numcodecs)"
+                    )
+            dtype = _np.dtype(meta["data_type"]).newbyteorder(endian).str
+            fill = meta.get("fill_value") or 0
+            key_cfg = meta.get("chunk_key_encoding", {"name": "default"})
+            sep = (key_cfg.get("configuration") or {}).get("separator", "/")
+            if key_cfg.get("name") == "default":
+                prefix = "c" + sep
+            elif key_cfg.get("name") == "v2":
+                prefix = ""
+            else:
+                raise ValueError(f"unknown chunk key encoding {key_cfg.get('name')!r}")
+        else:
+            with open(f"{root}/.zarray") as f:
+                meta = _json.load(f)
+            if meta.get("zarr_format") != 2:
+                raise ValueError(f"only zarr v2/v3 supported, got {meta.get('zarr_format')}")
+            if meta.get("order", "C") != "C":
+                raise ValueError("fortran-order zarr not supported")
+            comp = (meta.get("compressor") or {}).get("id") if meta.get("compressor") else None
+            if comp not in (None, "zlib", "gzip"):
+                raise ValueError(f"compressor {comp!r} needs numcodecs; supported: null/zlib/gzip")
+            if meta.get("filters"):
+                raise ValueError("zarr filters not supported")
+            shape = list(meta["shape"])
+            chunks = list(meta["chunks"])
+            dtype = meta["dtype"]
+            fill = meta.get("fill_value")
+            if fill is None:
+                fill = 0
+            sep = meta.get("dimension_separator", ".")
+            prefix = ""
         grid = [-(-s // c) for s, c in zip(shape, chunks)]  # ceil-div per dim
         trailing_grid = [range(g) for g in grid[1:]]
 
         manifest = []
         for i0 in range(grid[0]):
             names = [
-                sep.join(str(i) for i in (i0, *rest))
+                prefix + sep.join(str(i) for i in (i0, *rest))
                 for rest in itertools.product(*trailing_grid)
             ]
             manifest.append((i0, names))
@@ -385,7 +425,8 @@ class ZarrReader(BaseReader):
                     i0 = int(r.chunk_id)
                     parts = {}
                     for name in r.chunk_files:
-                        coords = tuple(int(x) for x in name.split(sep))
+                        key = name[len(prefix):] if prefix else name
+                        coords = tuple(int(x) for x in key.split(sep))
                         path = f"{root}/{name}"
                         if _os.path.exists(path):
                             with open(path, "rb") as f:
