@@ -1527,7 +1527,7 @@ class OpenEXR(dt.FileData):
 
 
 _EXR_PIXEL = {0: ("<u4", 4), 1: ("<f2", 2), 2: ("<f4", 4)}
-_EXR_LINES_PER_BLOCK = {0: 1, 2: 1, 3: 16}
+_EXR_LINES_PER_BLOCK = {0: 1, 1: 1, 2: 1, 3: 16}
 
 
 def _exr_cstr(buf: bytes, pos: int) -> tuple[str, int]:
@@ -1563,7 +1563,7 @@ def _exr_header(url: str) -> dict:
         comp = attrs.get("compression", ("", b"\x00"))[1][0]
         if comp not in _EXR_LINES_PER_BLOCK:
             raise ValueError(
-                f"EXR compression {comp} not supported (NONE/ZIPS/ZIP only — "
+                f"EXR compression {comp} not supported (NONE/RLE/ZIPS/ZIP only — "
                 "PIZ/PXR24/B44 need the OpenEXR library)"
             )
         chans = []
@@ -1588,14 +1588,11 @@ def _exr_header(url: str) -> dict:
         }
 
 
-def _exr_unzip(data: bytes) -> bytes:
-    """Inverse ImfZip transform: inflate → undo byte predictor → undo
+def _exr_postprocess(t: bytearray) -> bytes:
+    """Shared ImfZip/ImfRle postprocess: undo byte predictor, undo the
     two-half interleave (OpenEXR's 'reorder + delta' scheme)."""
-    import zlib
-
     import numpy as np
 
-    t = bytearray(zlib.decompress(data))
     for i in range(1, len(t)):
         t[i] = (t[i - 1] + t[i] - 128) & 0xFF
     n = len(t)
@@ -1606,18 +1603,42 @@ def _exr_unzip(data: bytes) -> bytes:
     return out.tobytes()
 
 
+def _exr_unzip(data: bytes) -> bytes:
+    import zlib
+
+    return _exr_postprocess(bytearray(zlib.decompress(data)))
+
+
+def _exr_unrle(data: bytes) -> bytes:
+    """OpenEXR RLE: signed count byte — negative → |n| literals follow,
+    non-negative → n+1 copies of the next byte; then the shared
+    predictor/interleave postprocess."""
+    out = bytearray()
+    i = 0
+    while i < len(data):
+        n = data[i] - 256 if data[i] > 127 else data[i]
+        i += 1
+        if n < 0:
+            out += data[i : i - n]
+            i += -n
+        else:
+            out += bytes([data[i]]) * (n + 1)
+            i += 1
+    return _exr_postprocess(out)
+
+
 def _exr_decode_block(buf: bytes, hdr: dict) -> list[tuple[int, str, list]]:
     """One scanline block → [(y, channel, float64 row values)]."""
     import numpy as np
 
     y, size = struct.unpack("<ii", buf[:8])
     data = buf[8 : 8 + size]
-    if hdr["compression"] in (2, 3):
+    if hdr["compression"] in (1, 2, 3):
         raw_len = sum(
             _EXR_PIXEL[pt][1] * hdr["width"] for _, pt in hdr["channels"]
         ) * min(hdr["lines_per_block"], hdr["y_min"] + hdr["height"] - y)
-        if size < raw_len:  # EXR stores uncompressed if deflate didn't help
-            data = _exr_unzip(data)
+        if size < raw_len:  # EXR stores raw when compression didn't help
+            data = _exr_unrle(data) if hdr["compression"] == 1 else _exr_unzip(data)
     n_lines = min(hdr["lines_per_block"], hdr["y_min"] + hdr["height"] - y)
     out = []
     pos = 0

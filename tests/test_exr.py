@@ -25,7 +25,7 @@ def _chlist(channels: list[tuple[str, int]]) -> bytes:
     return out + b"\x00"
 
 
-def _imfzip(raw: bytes) -> bytes:
+def _preprocess(raw: bytes) -> bytes:
     n = len(raw)
     half = (n + 1) // 2
     t = bytearray(n)
@@ -33,7 +33,37 @@ def _imfzip(raw: bytes) -> bytes:
     t[half:] = raw[1::2]
     for i in range(n - 1, 0, -1):
         t[i] = (t[i] - t[i - 1] + 128) & 0xFF
-    return zlib.compress(bytes(t))
+    return bytes(t)
+
+
+def _imfzip(raw: bytes) -> bytes:
+    return zlib.compress(_preprocess(raw))
+
+
+def _imfrle(raw: bytes) -> bytes:
+    """Forward OpenEXR RLE over the preprocessed bytes (runs >= 3 use the
+    repeat form; literals otherwise)."""
+    data = _preprocess(raw)
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        run = 1
+        while i + run < n and data[i + run] == data[i] and run < 127:
+            run += 1
+        if run >= 3:
+            out += bytes([run - 1, data[i]])
+            i += run
+        else:
+            j = i
+            lit = bytearray()
+            while j < n and len(lit) < 127 and not (
+                j + 2 < n and data[j] == data[j + 1] == data[j + 2]
+            ):
+                lit.append(data[j])
+                j += 1
+            out += bytes([256 - len(lit)]) + lit
+            i = j
+    return bytes(out)
 
 
 def make_exr(path, channels: dict[str, np.ndarray], compression: int = 0) -> str:
@@ -54,7 +84,7 @@ def make_exr(path, channels: dict[str, np.ndarray], compression: int = 0) -> str
     hdr += _attr("screenWindowCenter", "v2f", struct.pack("<2f", 0, 0))
     hdr += _attr("screenWindowWidth", "float", struct.pack("<f", 1.0))
     hdr += b"\x00"
-    lpb = {0: 1, 2: 1, 3: 16}[compression]
+    lpb = {0: 1, 1: 1, 2: 1, 3: 16}[compression]
     n_blocks = -(-h // lpb)
     table_off = len(hdr)
     blocks = []
@@ -65,8 +95,8 @@ def make_exr(path, channels: dict[str, np.ndarray], compression: int = 0) -> str
         for line in range(n_lines):
             for n in names:
                 raw += channels[n][y + line].tobytes()
-        if compression in (2, 3):
-            comp = _imfzip(raw)
+        if compression in (1, 2, 3):
+            comp = _imfrle(raw) if compression == 1 else _imfzip(raw)
             data = comp if len(comp) < len(raw) else raw
         else:
             data = raw
@@ -88,7 +118,7 @@ def _collect(df):
     return out
 
 
-@pytest.mark.parametrize("compression", [0, 2, 3])
+@pytest.mark.parametrize("compression", [0, 1, 2, 3])
 def test_exr_half_float_roundtrip(spark, tmp_path, compression):
     rng = np.random.default_rng(13)
     h, w = 20, 6  # ZIP (16 lines/block) gets a partial last block
