@@ -147,3 +147,84 @@ def test_hash_split_edges_partition_bucket_space(fracs):
     spans = [hi - lo for lo, hi in zip(edges, edges[1:])]
     assert sum(spans) == 1_000_000
     assert all(s >= 0 for s in spans)
+
+
+@given(st.binary(min_size=0, max_size=600))
+def test_packbits_roundtrip(data):
+    """PackBits encode (test-local) → decode (package) is the identity."""
+    from intake_spark.sci import packbits_decode
+    from tests.test_tiff import _pb_encode
+
+    assert packbits_decode(_pb_encode(data)) == data
+
+
+@given(st.binary(min_size=0, max_size=600))
+def test_exr_transform_inverse(data):
+    """ImfZip preprocess (test-local) ∘ postprocess (package) = identity."""
+    from intake_spark.sci import _exr_postprocess
+    from tests.test_exr import _preprocess
+
+    assert _exr_postprocess(bytearray(_preprocess(data))) == data
+
+
+@given(st.binary(min_size=0, max_size=400))
+def test_exr_rle_roundtrip(data):
+    """Forward RLE (test-local) → package decode is the identity."""
+    from intake_spark.sci import _exr_unrle
+    from tests.test_exr import _imfrle
+
+    assert _exr_unrle(_imfrle(data)) == data
+
+
+@given(st.integers(min_value=0, max_value=20), st.integers(min_value=0))
+def test_pmtiles_hilbert_inverse(z, d):
+    """tileid → (z,x,y) inverts the test-local Hilbert xy→d encoder."""
+    from intake_spark.geo import _tileid_to_zxy
+    from tests.test_bio_geo_stats import _hilbert_xy2d
+
+    d = d % (1 << (2 * z)) if z else 0
+    acc = sum(1 << (2 * i) for i in range(z))
+    zz, x, y = _tileid_to_zxy(acc + d)
+    assert zz == z
+    assert _hilbert_xy2d(z, x, y) == d
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.floats(-180, 180, allow_nan=False, width=32),
+            st.floats(-90, 90, allow_nan=False, width=32),
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_wkb_linestring_roundtrip(pts):
+    """WKB encode (test-local) → GeoPackage blob decode preserves every
+    coordinate exactly (float64 carried verbatim)."""
+    from intake_spark.geo import gpkg_blob_to_geojson
+    from tests.test_gpkg import _gp_blob, _wkb_linestring
+
+    pts = [[float(x), float(y)] for x, y in pts]
+    gtype, geom = gpkg_blob_to_geojson(_gp_blob(_wkb_linestring(pts)))
+    assert gtype == "LineString"
+    assert geom["coordinates"] == [[struct.unpack("<d", struct.pack("<d", x))[0], y] for x, y in pts]
+
+
+@given(st.lists(st.integers(-8388608, 8388607), min_size=1, max_size=64))
+def test_wav_24bit_sign_extension(samples):
+    """Any 24-bit PCM sample list round-trips through decode_wav."""
+    import io
+    import wave
+
+    from intake_spark.llm.multimodal import decode_wav
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(3)
+        w.setframerate(8000)
+        for s in samples:
+            w.writeframes(struct.pack("<i", s)[:3])
+    _, arr = decode_wav(buf.getvalue())
+    assert arr[:, 0].tolist() == samples
