@@ -33,10 +33,17 @@ def main() -> None:
 
     queries = get_queries()
 
-    # JVM/codegen/IO warmup so the first timed query doesn't absorb engine
-    # startup cost (measures the engine, not JVM boot).
+    # JVM/codegen/IO warmup so no timed query absorbs engine startup or
+    # cold-file cost (measures the engine, not JVM boot / first-touch IO;
+    # per-query numbers stay order-independent).
     spark.range(1_000_000).selectExpr("sum(id)").collect()
-    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+    from intake_spark.session import TABLE_NAMES, load_table
+
+    for t in TABLE_NAMES:
+        try:
+            load_table(spark, sf_dir, t).count()
+        except Exception:
+            pass
 
     timings: dict[str, float] = {}
     t_all = time.perf_counter()
