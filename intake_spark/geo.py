@@ -984,6 +984,10 @@ class GeoPackageReader(BaseReader):
                 table = layers[0]
             if table not in layers:
                 raise KeyError(f"layer {table!r} not in {layers}")
+            # identifiers come from the file's own gpkg_contents: escape
+            # embedded quotes so a hostile file can't break out of the
+            # quoted identifier
+            table = table.replace('"', '""')
             (geom_col,) = con.execute(
                 "SELECT column_name FROM gpkg_geometry_columns WHERE table_name = ?",
                 (table,),

@@ -369,7 +369,12 @@ class ZarrReader(BaseReader):
                         "only; blosc/zstd/sharding need numcodecs)"
                     )
             dtype = _np.dtype(meta["data_type"]).newbyteorder(endian).str
-            fill = meta.get("fill_value") or 0
+            fill = meta.get("fill_value")
+            if isinstance(fill, str):  # v3 JSON spells specials as strings
+                fill = {"NaN": float("nan"), "Infinity": float("inf"),
+                        "-Infinity": float("-inf")}.get(fill, 0)
+            if fill is None:
+                fill = 0
             key_cfg = meta.get("chunk_key_encoding", {"name": "default"})
             sep = (key_cfg.get("configuration") or {}).get("separator", "/")
             if key_cfg.get("name") == "default":
