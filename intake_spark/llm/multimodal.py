@@ -518,3 +518,69 @@ def decode_jpeg(content: bytes):
     g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
     b = y + 1.772 * (cb - 128.0)
     return np.clip(np.stack([r, g, b], axis=2).round(), 0, 255).astype(np.uint8)
+
+
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_channels", T.IntegerType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("duration_s", T.DoubleType()),
+        T.StructField("rms", T.DoubleType()),
+        T.StructField("peak", T.DoubleType()),
+        T.StructField("zero_cross_rate", T.DoubleType()),
+    ]
+)
+
+
+def audio_features(
+    df: DataFrame,
+    content_col: str = "content",
+    keep_cols: list[str] | None = None,
+) -> DataFrame:
+    """REAL decode → feature stage for WAV columns (the audio mirror of
+    :func:`image_features`): Arrow-batched mapInPandas over the stdlib WAV
+    decoder produces the standard audio-QA features — sample rate,
+    channels, duration, RMS level, peak, zero-crossing rate — normalized
+    to [-1, 1] full scale regardless of sample width."""
+    import numpy as np
+
+    from intake_spark.session import ensure_py_deps
+
+    ensure_py_deps(df.sparkSession)
+    keep = keep_cols if keep_cols is not None else [c for c in df.columns if c != content_col]
+    out_schema = T.StructType([df.schema[c] for c in keep] + list(AUDIO_FEATURES_SCHEMA.fields))
+    full_scale = {1: 128.0, 2: 32768.0, 4: 2147483648.0}
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            cols = {k: [] for k in (
+                "sample_rate", "n_channels", "n_frames", "duration_s",
+                "rms", "peak", "zero_cross_rate",
+            )}
+            for content in pdf[content_col]:
+                rate, arr = decode_wav(bytes(content))
+                if arr.dtype == np.uint8:  # 8-bit PCM is unsigned
+                    x = (arr.astype(np.float64) - 128.0) / 128.0
+                else:
+                    scale = full_scale.get(arr.dtype.itemsize, 2147483648.0)
+                    x = arr.astype(np.float64) / scale
+                mono = x.mean(axis=1)
+                n = len(mono)
+                zc = float(np.mean(np.abs(np.diff(np.signbit(mono))))) if n > 1 else 0.0
+                cols["sample_rate"].append(rate)
+                cols["n_channels"].append(arr.shape[1])
+                cols["n_frames"].append(n)
+                cols["duration_s"].append(n / rate if rate else 0.0)
+                cols["rms"].append(float(np.sqrt(np.mean(mono**2))) if n else 0.0)
+                cols["peak"].append(float(np.abs(x).max()) if n else 0.0)
+                cols["zero_cross_rate"].append(zc)
+            out = pdf[keep].copy()
+            out["sample_rate"] = pd.array(cols["sample_rate"], dtype="int32")
+            out["n_channels"] = pd.array(cols["n_channels"], dtype="int32")
+            out["n_frames"] = pd.array(cols["n_frames"], dtype="int64")
+            for k in ("duration_s", "rms", "peak", "zero_cross_rate"):
+                out[k] = cols[k]
+            yield out
+
+    return df.mapInPandas(run, schema=out_schema)

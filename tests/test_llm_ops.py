@@ -464,3 +464,42 @@ def test_scrub_patterns(spark):
     assert out[1].n_redactions == 2
     assert "<IP>" in out[2].text and out[2].n_redactions == 1
     assert out[3].text == "nothing sensitive here" and out[3].n_redactions == 0
+
+
+def test_audio_features_end_to_end(spark, tmp_path):
+    """binaryFile scan → REAL WAV decode → audio-QA features, no audio
+    libraries: known sine/constant signals give exact rate/duration and
+    tight RMS/peak/zero-cross values."""
+    import struct
+    import wave
+
+    import numpy as np
+
+    # 1 s of 440 Hz sine at 16 kHz, 16-bit mono, amplitude 0.5
+    t = np.arange(16000) / 16000.0
+    sine = (0.5 * np.sin(2 * np.pi * 440 * t) * 32767).astype("<i2")
+    with wave.open(str(tmp_path / "sine.wav"), "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(16000)
+        w.writeframes(sine.tobytes())
+    # stereo 24-bit constant positive signal: zero crossings = 0
+    with wave.open(str(tmp_path / "const.wav"), "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(3)
+        w.setframerate(8000)
+        for _ in range(800):
+            w.writeframes(struct.pack("<i", 4194304)[:3] * 2)
+
+    files = multimodal.read_binary_dir(spark, str(tmp_path), glob="*.wav")
+    feats = {r.path.rsplit("/", 1)[-1]: r for r in multimodal.audio_features(files, keep_cols=["path"]).collect()}
+    s = feats["sine.wav"]
+    assert s.sample_rate == 16000 and s.n_channels == 1 and s.n_frames == 16000
+    assert abs(s.duration_s - 1.0) < 1e-9
+    assert abs(s.rms - 0.5 / np.sqrt(2)) < 0.01  # sine RMS = A/sqrt(2)
+    assert abs(s.peak - 0.5) < 0.01
+    assert abs(s.zero_cross_rate - 2 * 440 / 16000) < 0.005
+    c = feats["const.wav"]
+    assert c.sample_rate == 8000 and c.n_channels == 2 and c.n_frames == 800
+    assert c.zero_cross_rate == 0.0
+    assert abs(c.peak - 4194304 / 2147483648.0) < 1e-9
