@@ -600,17 +600,27 @@ def q36_streaming_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sharing the session.
     prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
     try:
+        from pyspark.sql.types import LongType
+
         batch = load_table(spark, sf_dir, "events")  # sets nanosAsLong=true
         raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+        ts_is_long = isinstance(raw_schema["ts"].dataType, LongType)
         stream = (
             spark.readStream.schema(raw_schema)
             .option("pathGlobFilter", "events.parquet")
             .parquet(sf_dir)
-            # watermarks require LTZ; windows tumble on epoch-aligned
-            # instants, so counts are tz-independent — only the *displayed*
-            # boundary needs converting back to the naive wall clock (below)
-            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         )
+        # Watermarks require LTZ; both branches normalize ts to the instant
+        # whose epoch-micros equal the file's naive wall clock read as UTC.
+        # Windows then tumble on epoch-aligned instants (tz-independent
+        # counts) and only the *displayed* boundary converts back to the
+        # naive wall clock (below).
+        if ts_is_long:
+            stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        else:
+            # µs file reads as TIMESTAMP_NTZ: interpret the naive clock as
+            # UTC and render the matching instant.
+            stream = stream.withColumn("ts", F.to_utc_timestamp("ts", "UTC"))
         _ = batch  # documents the batch-equivalence contract
         agg = (
             stream.withWatermark("ts", "1 day")

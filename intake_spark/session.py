@@ -89,23 +89,30 @@ def load_table(spark: SparkSession, sf_dir: str, name: str):
     """Load one synthetic table (TESTDATA.md). Columnar parquet scan —
     Catalyst prunes columns/filters pushed from downstream operators.
 
-    ``events.parquet`` stores TIMESTAMP(NANOS), which Spark's parquet reader
-    rejects; read nanos as long (legacy conf) and convert to a microsecond
-    timestamp column — same value DuckDB produces when casting ns→µs.
+    ``events.parquet`` may store TIMESTAMP(NANOS), which Spark's parquet
+    reader rejects; read nanos as long (legacy conf) and, when ``ts`` comes
+    back as a long, convert to a microsecond timestamp column — same value
+    DuckDB produces when casting ns→µs. Files already written with µs
+    timestamps pass through untouched.
     """
     if name == "events":
         from pyspark.sql import functions as F
+        from pyspark.sql.types import LongType
 
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        # ns-since-epoch → TIMESTAMP_NTZ via an NTZ base: the naive wall
-        # clock is preserved regardless of the caller session's timezone
-        # (timestamp_micros would yield LTZ and shift under non-UTC
-        # sessions, breaking date_trunc/window parity with the oracle).
-        return df.withColumn(
-            "ts",
-            F.expr("timestampadd(MICROSECOND, ts div 1000, TIMESTAMP_NTZ '1970-01-01 00:00:00')"),
-        )
+        if isinstance(df.schema["ts"].dataType, LongType):
+            # ns-since-epoch → TIMESTAMP_NTZ via an NTZ base: the naive wall
+            # clock is preserved regardless of the caller session's timezone
+            # (timestamp_micros would yield LTZ and shift under non-UTC
+            # sessions, breaking date_trunc/window parity with the oracle).
+            df = df.withColumn(
+                "ts",
+                F.expr(
+                    "timestampadd(MICROSECOND, ts div 1000, TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+                ),
+            )
+        return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
