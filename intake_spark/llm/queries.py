@@ -478,7 +478,7 @@ def q45_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine_r"))
 
 
-_Q31_DIM, _Q31_BANDS, _Q31_R, _Q31_THRESH = 64, 4, 4, 0.4
+_Q31_DIM, _Q31_BANDS, _Q31_R, _Q31_THRESH = 64, 4, 8, 0.4
 
 
 def _q31_sql() -> str:
@@ -515,10 +515,12 @@ def _q31_sql() -> str:
 
 @register("q31_lsh_ann_pairs", _q31_sql())
 def q31_lsh_ann_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Banded hyperplane-LSH near-neighbor pairs (4 bands x 4 planes,
-    cosine >= 0.4 — the synthetic embeddings top out near 0.51 pairwise, so
-    0.4 yields a real result set). Deterministic end-to-end: md5-derived
-    planes, so the DuckDB oracle replays the identical pipeline."""
+    """Banded hyperplane-LSH near-neighbor pairs (4 bands x 8 planes,
+    cosine >= 0.4). r=8 is the scale posture for this corpus (r ~ log2 n:
+    candidate volume ~ bands*n^2/2^r — 36 k candidates vs 470 k at r=4 on
+    the sf0.1 embeddings, with a still-real 80+ pair result set).
+    Deterministic end-to-end: md5-derived planes, so the DuckDB oracle
+    replays the identical pipeline."""
     emb = load_table(spark, sf_dir, "embeddings")
     out = similarity.lsh_ann_pairs(
         emb, dim=_Q31_DIM, bands=_Q31_BANDS, planes_per_band=_Q31_R, threshold=_Q31_THRESH

@@ -88,6 +88,15 @@ def _hyperplanes(n_planes: int, dim: int) -> list[list[float]]:
     return planes
 
 
+def _dot_sql(vec_sql: str, row: list[float]) -> str:
+    """Index-ordered left-fold dot product of a vector column against a
+    literal plane, as one SQL fragment. ``repr(x)`` prints the shortest
+    round-trip double, so the parsed literal is bit-identical to the Python
+    value (and to DuckDB's md5-derived recomputation)."""
+    arr = "array(" + ",".join(repr(x) + "D" for x in row) + ")"
+    return f"aggregate(zip_with({vec_sql}, {arr}, (x,y) -> x*y), 0.0D, (a,x) -> a+x)"
+
+
 def with_lsh_bucket(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -100,6 +109,11 @@ def with_lsh_bucket(
     ``dim`` is required: inferring it would need a driver-side Spark action
     in the hot path (an extra job per call); callers know their embedding
     width statically.
+
+    The whole bucket expression is built as ONE SQL string parsed JVM-side:
+    constructing n_planes separate Column trees costs a py4j round-trip per
+    lambda (~2 s of pure driver latency at 32 planes), while one expr parse
+    is milliseconds — same analyzed plan, same left-fold evaluation order.
     """
     if dim is None:
         raise ValueError(
@@ -108,14 +122,11 @@ def with_lsh_bucket(
             "action per call"
         )
     planes = _hyperplanes(n_planes, dim)
-    v = F.col(vec_col).cast("array<double>")
-    bucket = F.lit(0).cast("bigint")
-    for p, row in enumerate(planes):
-        # one literal-array py4j call per plane (not one per element):
-        # Column construction itself is driver latency at 16+ planes
-        d = F.aggregate(F.zip_with(v, F.lit(row), lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
-        bucket = bucket + F.when(d >= 0, F.lit(2**p).cast("bigint")).otherwise(F.lit(0))
-    return df.withColumn(bucket_col, bucket)
+    v = f"CAST({vec_col} AS ARRAY<DOUBLE>)"
+    bucket = " + ".join(
+        f"IF({_dot_sql(v, row)} >= 0.0D, {1 << p}L, 0L)" for p, row in enumerate(planes)
+    )
+    return df.withColumn(bucket_col, F.expr(bucket))
 
 
 def with_lsh_bands(
@@ -139,19 +150,18 @@ def with_lsh_bands(
         raise ValueError("with_lsh_bands requires dim (embedding width)")
     n_planes = bands * planes_per_band
     planes = _hyperplanes(n_planes, dim)
-    v = F.col(vec_col).cast("array<double>")
-    band_keys = []
+    # one SQL string parsed JVM-side (see with_lsh_bucket): per-plane Column
+    # construction via py4j lambdas costs ~60 ms of driver latency each
+    v = f"CAST({vec_col} AS ARRAY<DOUBLE>)"
+    structs = []
     for b in range(bands):
-        key = F.lit(0).cast("bigint")
-        for j in range(planes_per_band):
-            p = b * planes_per_band + j
-            # one literal-array py4j call per plane, not one per element
-            d = F.aggregate(
-                F.zip_with(v, F.lit(planes[p]), lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x
-            )
-            key = key + F.when(d >= 0, F.lit(2**j).cast("bigint")).otherwise(F.lit(0))
-        band_keys.append(F.struct(F.lit(b).alias("band_id"), key.alias("band_key")))
-    return df.withColumn("_band", F.explode(F.array(*band_keys))).select(
+        key = " + ".join(
+            f"IF({_dot_sql(v, planes[b * planes_per_band + j])} >= 0.0D, {1 << j}L, 0L)"
+            for j in range(planes_per_band)
+        )
+        structs.append(f"struct({b} AS band_id, ({key}) AS band_key)")
+    band = F.expr("array(" + ",".join(structs) + ")")
+    return df.withColumn("_band", F.explode(band)).select(
         *df.columns, F.col("_band.band_id").alias("band_id"), F.col("_band.band_key").alias("band_key")
     )
 
