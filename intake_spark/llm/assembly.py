@@ -1,0 +1,130 @@
+"""Dataset-assembly operators for training-corpus builds: benchmark
+decontamination and sequence packing.
+
+Both are deterministic (md5-keyed decisions, fixed orderings) so results
+are reproducible under any partitioning and oracle-checkable in SQL.
+
+Design for 100 TB:
+
+- ``decontaminate`` joins the corpus' n-gram shingles against the
+  *benchmark* shingle set. Benchmarks are small (eval sets are MBs, not
+  TBs), so the benchmark side broadcasts — the corpus is never shuffled
+  for the join; the only shuffle is the per-doc overlap count on the id.
+- ``pack_sequences`` assigns documents to fixed-capacity context windows
+  with one window function per (group, shard): the shard key caps any
+  single window partition, so a skewed source cannot serialize packing
+  onto one task. Pack identity is (group cols, shard, pack_id).
+
+No reference counterpart (part of the mandated beyond-reference LLM
+pipeline layer).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from intake_spark.llm.dedup import shingles
+from intake_spark.llm.sampling import _BUCKETS, hash_bucket
+
+
+def decontaminate(
+    df: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_id_col: str | None = None,
+    bench_text_col: str | None = None,
+    k: int = 3,
+    min_overlap: int = 1,
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """Flag training documents sharing >= ``min_overlap`` distinct k-gram
+    shingles with any benchmark document: (id, n_overlap, contaminated).
+
+    The standard train/test-leakage guard in corpus builds: a doc that
+    contains verbatim benchmark n-grams inflates eval scores and must be
+    dropped (or at least flagged) before training. Overlap is counted over
+    *distinct* doc shingles against the union of all benchmark shingles —
+    one number per doc, no per-benchmark-doc blowup.
+
+    ``broadcast_benchmark`` (default) is the scale shape: the benchmark
+    shingle set rides along to every executor and the corpus-side join is
+    map-side; disable only if the benchmark itself is corpus-sized.
+    """
+    bench_id = bench_id_col or id_col
+    bench_text = bench_text_col or text_col
+    sh_d = shingles(df, id_col, text_col, k)
+    sh_b = shingles(benchmark, bench_id, bench_text, k).select("shingle").distinct()
+    if broadcast_benchmark:
+        sh_b = F.broadcast(sh_b)
+    hits = sh_d.join(sh_b, "shingle").groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_overlap")
+    )
+    return (
+        df.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_overlap"), F.lit(0)).alias("n_overlap"),
+            (F.coalesce(F.col("n_overlap"), F.lit(0)) >= min_overlap).alias("contaminated"),
+        )
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    capacity: int = 2048,
+    group_cols: tuple[str, ...] = ("source",),
+    shards: int = 4,
+    salt: str = "pack",
+) -> DataFrame:
+    """Assign documents to fixed-capacity token windows ("packs"):
+    (id, group cols, shard, n_tokens, pack_id, pack_offset).
+
+    Documents are laid head-to-tail in ``id_col`` order within each
+    (group, shard); a document starting at running-token-offset ``c`` joins
+    pack ``c div capacity`` at offset ``c mod capacity``. This is offset
+    packing — a doc may straddle a pack boundary (the trainer's sample
+    cutter handles the wrap), which keeps assignment a pure prefix-sum:
+    deterministic, one window per (group, shard), no driver state.
+
+    ``shards`` bounds the window partition size: the shard is an md5 bucket
+    of the id, so a 10-billion-doc source still packs in parallel across
+    ``shards`` independent sequences rather than one global ordering —
+    the scale posture for a corpus where one source dominates.
+    """
+    n_tokens = F.size(F.split(F.col(text_col), " "))
+    shard = hash_bucket(id_col, salt) % shards
+    w = (
+        Window.partitionBy(*group_cols, "_shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        df.withColumn("n_tokens", n_tokens)
+        .withColumn("_shard", shard)
+        .withColumn("_cum", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
+        .select(
+            id_col,
+            *group_cols,
+            F.col("_shard").alias("shard"),
+            "n_tokens",
+            F.expr(f"_cum div {int(capacity)}").alias("pack_id"),
+            (F.col("_cum") % capacity).alias("pack_offset"),
+        )
+    )
+
+
+def bench_split(
+    df: DataFrame, id_col: str = "doc_id", fraction: float = 0.05, salt: str = "bench"
+) -> tuple[DataFrame, DataFrame]:
+    """Deterministic (train, benchmark) split by hash bucket — the held-out
+    side feeds :func:`decontaminate` as its benchmark. Disjoint and
+    exhaustive by construction (one hash, complementary ranges)."""
+    thr = int(fraction * _BUCKETS)
+    b = hash_bucket(id_col, salt)
+    return df.filter(b >= thr), df.filter(b < thr)

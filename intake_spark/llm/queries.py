@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from intake_spark.benchqueries import register
-from intake_spark.llm import dedup, multimodal, sampling, similarity, text
+from intake_spark.llm import assembly, dedup, multimodal, sampling, similarity, sketches, text
 from intake_spark.llm.dedup import MINHASH_P, _affine_coeffs
 from intake_spark.llm.text import LANG_ORDER, STOPWORDS
 from intake_spark.session import load_table
@@ -635,3 +635,123 @@ def q53_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary-drift monitor: top-5 terms per source, deterministic
     tie-break on the term. One aggregate shuffle + one top-k window."""
     return text.top_terms(load_table(spark, sf_dir, "documents"), k=5)
+
+
+_Q54_BENCH_FRACTION, _Q54_MIN_OVERLAP = 0.05, 3
+_Q54_BENCH_THR = int(_Q54_BENCH_FRACTION * 1_000_000)
+_Q54_BUCKET = _HASH_BUCKET_SQL.format(key="concat('bench', CAST(doc_id AS VARCHAR))")
+
+
+@register(
+    "q54_decontaminate",
+    f"""
+    WITH {_SHINGLES_CTE},
+    tr AS (SELECT doc_id FROM documents WHERE {_Q54_BUCKET} >= {_Q54_BENCH_THR}),
+    be AS (SELECT doc_id FROM documents WHERE {_Q54_BUCKET} < {_Q54_BENCH_THR}),
+    bsh AS (SELECT DISTINCT shingle FROM sh JOIN be USING (doc_id)),
+    hits AS (SELECT sh.doc_id, COUNT(*) AS n_overlap
+             FROM sh JOIN bsh USING (shingle) JOIN tr USING (doc_id)
+             GROUP BY sh.doc_id)
+    SELECT tr.doc_id, COALESCE(hits.n_overlap, 0) AS n_overlap,
+           CAST(COALESCE(hits.n_overlap, 0) >= {_Q54_MIN_OVERLAP} AS INT) AS contaminated
+    FROM tr LEFT JOIN hits USING (doc_id)
+    """,
+)
+def q54_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: a 5% held-out split plays the eval set;
+    every training doc is scored by distinct 3-gram overlap against the
+    union of benchmark shingles (broadcast side) and flagged at >= 3
+    overlapping shingles. The oracle re-derives split, shingles, and
+    counts from the same md5 definitions."""
+    docs = load_table(spark, sf_dir, "documents")
+    train, bench = assembly.bench_split(docs, fraction=_Q54_BENCH_FRACTION)
+    out = assembly.decontaminate(train, bench, min_overlap=_Q54_MIN_OVERLAP)
+    return out.select("doc_id", "n_overlap", F.col("contaminated").cast("int").alias("contaminated"))
+
+
+_Q55_CAPACITY, _Q55_SHARDS = 256, 4
+_Q55_BUCKET = _HASH_BUCKET_SQL.format(key="concat('pack', CAST(doc_id AS VARCHAR))")
+
+
+@register(
+    "q55_pack_sequences",
+    f"""
+    WITH t AS (SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens,
+                      ({_Q55_BUCKET}) % {_Q55_SHARDS} AS shard
+               FROM documents),
+    c AS (SELECT *, CAST(COALESCE(SUM(n_tokens) OVER (
+                        PARTITION BY source, shard ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum
+          FROM t)
+    SELECT doc_id, source, shard, n_tokens,
+           cum // {_Q55_CAPACITY} AS pack_id, cum % {_Q55_CAPACITY} AS pack_offset
+    FROM c
+    """,
+)
+def q55_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing into 256-token context windows, 4-way sharded per
+    source so no source serializes onto one window partition. Offset
+    packing (prefix-sum assignment) — deterministic under any
+    partitioning, mirrored exactly by the oracle's window sum."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = assembly.pack_sequences(docs, capacity=_Q55_CAPACITY, shards=_Q55_SHARDS)
+    return out.select(
+        "doc_id", "source", "shard",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        "pack_id", "pack_offset",
+    )
+
+
+_Q56_OUT_DIM = 4
+
+
+def _q56_sql() -> str:
+    sign = (
+        "CASE WHEN CAST(concat('0x', substr(md5('rp:' || p || ':' || d), 1, 8)) AS BIGINT) "
+        "% 2 = 0 THEN 1.0 ELSE -1.0 END"
+    )
+    projs = ",\n           ".join(
+        f"ROUND(list_dot_product(vec, (SELECT srow FROM signs WHERE p = {j})), 6) AS proj{j}_r"
+        for j in range(_Q56_OUT_DIM)
+    )
+    return f"""
+    WITH signs AS (
+      SELECT p, list({sign} ORDER BY d) AS srow
+      FROM generate_series(0, {_Q56_OUT_DIM - 1}) AS tp(p),
+           generate_series(0, 63) AS td(d)
+      GROUP BY p),
+    v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings)
+    SELECT vec_id, {projs} FROM v
+    """
+
+
+@register("q56_random_projection", _q56_sql())
+def q56_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss random projection 64 -> 4 dims with md5-derived
+    +-1 signs: mapper-only, shuffle-free, and bit-reproducible (index-ordered
+    left fold both engines)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = similarity.random_projection(emb, dim=64, out_dim=_Q56_OUT_DIM)
+    return out.select(
+        "vec_id", *[F.round(f"proj{j}", 6).alias(f"proj{j}_r") for j in range(_Q56_OUT_DIM)]
+    )
+
+
+@register(
+    "q57_column_profile",
+    """
+    SELECT source, COUNT(*) AS n_rows,
+           CAST(SUM(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+           COUNT(DISTINCT n_chars) AS n_distinct,
+           MIN(n_chars) AS min_v, MAX(n_chars) AS max_v,
+           quantile_cont(n_chars, 0.25) AS p25,
+           quantile_cont(n_chars, 0.5) AS p50,
+           quantile_cont(n_chars, 0.75) AS p75
+    FROM documents GROUP BY source
+    """,
+)
+def q57_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus profile (count/nulls/distinct/min/max/exact
+    quartiles) — Spark's sort-based percentile matches DuckDB quantile_cont
+    value-for-value, so the whole report is hash-checked."""
+    return sketches.column_profile(load_table(spark, sf_dir, "documents"), "source", "n_chars")

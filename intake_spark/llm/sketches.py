@@ -85,3 +85,38 @@ def kmv_distinct_sql(table: str, group_cols: list[str], value_col: str, k: int =
            n_hashes
     FROM agg
     """
+
+
+def column_profile(
+    df: DataFrame,
+    group_cols: list[str] | str,
+    num_col: str,
+    quantiles: tuple[float, ...] = (0.25, 0.5, 0.75),
+) -> DataFrame:
+    """Per-group numeric profile: count, nulls, distinct, min/max and exact
+    quantiles — the dataset-quality report card a corpus build runs before
+    training (spot truncated sources, length outliers, empty shards).
+
+    One hash-aggregate on the group key; ``percentile`` is Spark's *exact*
+    sort-based quantile (linear interpolation at rank p*(n-1), the same
+    definition as DuckDB's ``quantile_cont``, so results are
+    value-identical across engines — unlike approx_percentile). Exact
+    quantiles buffer each group's values on one reducer: fine for profile
+    groups (a corpus has thousands of sources, not billions); switch to a
+    mergeable KLL sketch if a single group outgrows executor memory.
+    """
+    if isinstance(group_cols, str):
+        group_cols = [group_cols]
+    qlist = ", ".join(f"{q}D" for q in quantiles)
+    qcols = [
+        F.expr(f"percentile({num_col}, array({qlist}))")[i].alias(f"p{int(q * 100)}")
+        for i, q in enumerate(quantiles)
+    ]
+    return df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col(num_col).isNull().cast("bigint")).alias("n_null"),
+        F.countDistinct(num_col).alias("n_distinct"),
+        F.min(num_col).alias("min_v"),
+        F.max(num_col).alias("max_v"),
+        *qcols,
+    )

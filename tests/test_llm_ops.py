@@ -503,3 +503,88 @@ def test_audio_features_end_to_end(spark, tmp_path):
     assert c.sample_rate == 8000 and c.n_channels == 2 and c.n_frames == 800
     assert c.zero_cross_rate == 0.0
     assert abs(c.peak - 4194304 / 2147483648.0) < 1e-9
+
+
+def test_decontaminate_flags_planted_overlap(spark, docs):
+    """A doc sharing >= min_overlap shingles with the benchmark is flagged;
+    the benchmark's own docs never appear in the output."""
+    from intake_spark.llm import assembly
+
+    train, bench = assembly.bench_split(docs, fraction=0.1)
+    out = assembly.decontaminate(train, bench, min_overlap=1)
+    n_train = train.count()
+    assert out.count() == n_train  # every train doc scored, flagged or not
+    bench_ids = {r.doc_id for r in bench.select("doc_id").collect()}
+    assert not bench_ids & {r.doc_id for r in out.collect()}
+    # a verbatim copy of a benchmark doc must be flagged
+    copy = bench.limit(1).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"), "text", "lang", "source", "n_chars"
+    )
+    flagged = assembly.decontaminate(train.unionByName(copy), bench, min_overlap=1)
+    row = flagged.filter(F.col("doc_id") >= 10_000_000).collect()[0]
+    assert row.contaminated and row.n_overlap > 0
+
+
+def test_pack_sequences_prefix_sum_semantics(spark, docs):
+    """pack_offset/pack_id follow the running token sum within each
+    (source, shard) in doc_id order; offsets stay within capacity."""
+    from intake_spark.llm import assembly
+
+    cap = 100
+    out = assembly.pack_sequences(docs, capacity=cap, shards=2).collect()
+    assert all(0 <= r.pack_offset < cap for r in out)
+    by_grp = {}
+    for r in sorted(out, key=lambda r: (r.source, r.shard, r.doc_id)):
+        cum = by_grp.get((r.source, r.shard), 0)
+        assert r.pack_id == cum // cap and r.pack_offset == cum % cap, r
+        by_grp[(r.source, r.shard)] = cum + r.n_tokens
+
+
+def test_random_projection_preserves_cluster_structure(spark):
+    """JL property on controlled data: two well-separated clusters stay
+    separated after 64 -> 16 projection, and the +-1 sign projection is
+    unbiased (E[||P(a-b)||^2] = out_dim * ||a-b||^2)."""
+    import numpy as np
+
+    from intake_spark.llm import similarity as sim
+
+    rng = np.random.RandomState(7)
+    base_a, base_b = rng.randn(64), rng.randn(64) + 6.0
+    rows = []
+    for i in range(30):
+        center = base_a if i % 2 == 0 else base_b
+        rows.append((i, (center + 0.1 * rng.randn(64)).tolist()))
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    out_dim = 16
+    got = sim.random_projection(df, dim=64, out_dim=out_dim).collect()
+    vecs = {r.vec_id: np.array(r.embedding) for r in got}
+    projs = {r.vec_id: np.array([r[f"proj{j}"] for j in range(out_dim)]) for r in got}
+    d_orig, d_proj, same = [], [], []
+    ids = sorted(vecs)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            d_orig.append(float(np.sum((vecs[a] - vecs[b]) ** 2)))
+            d_proj.append(float(np.sum((projs[a] - projs[b]) ** 2)))
+            same.append(a % 2 == b % 2)
+    d_orig, d_proj, same = np.array(d_orig), np.array(d_proj), np.array(same)
+    ratio = np.mean(d_proj) / (out_dim * np.mean(d_orig))
+    assert 0.6 < ratio < 1.6, ratio
+    # every cross-cluster projected distance exceeds every within-cluster one
+    assert d_proj[~same].min() > d_proj[same].max()
+
+
+def test_column_profile_values(spark):
+    """Profile stats match hand-computed values on a tiny frame, including
+    exact interpolated quartiles and null accounting."""
+    from intake_spark.llm.sketches import column_profile
+
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("a", 3), ("a", 4), ("a", None), ("b", 10)],
+        "g string, v int",
+    )
+    out = {r.g: r for r in column_profile(df, "g", "v").collect()}
+    a = out["a"]
+    assert (a.n_rows, a.n_null, a.n_distinct, a.min_v, a.max_v) == (5, 1, 4, 1, 4)
+    assert (a.p25, a.p50, a.p75) == (1.75, 2.5, 3.25)  # nulls excluded, n=4
+    b = out["b"]
+    assert (b.p25, b.p50, b.p75) == (10.0, 10.0, 10.0)
