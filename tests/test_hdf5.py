@@ -217,18 +217,141 @@ def test_v2_superblock_link_messages(spark, tmp_path):
     assert rdr.data.metadata["dataset"] == "data"
 
 
-def test_chunked_layout_rejected(spark, tmp_path):
-    arr = np.zeros(4, dtype="<f8")
-    blob = bytearray(h5_classic({"x": arr}))
-    # flip the layout message class byte (v3 layout: [3, class, ...]) to
-    # chunked (2) — find it inside the dataset object header
-    idx = blob.find(struct.pack("<BBQ", 3, 1, len(blob) - arr.nbytes))
-    assert idx > 0
-    blob[idx + 1] = 2
+def _apply_filters(raw: bytes, filters: list[tuple[int, list[int]]], itemsize: int) -> bytes:
+    import zlib
+
+    for fid, _vals in filters:
+        if fid == 2:  # shuffle
+            arr = np.frombuffer(raw, dtype=np.uint8)
+            raw = arr.reshape(len(arr) // itemsize, itemsize).T.tobytes()
+        elif fid == 1:  # deflate
+            raw = zlib.compress(raw, 6)
+        elif fid == 3:  # fletcher32: reader strips the trailing checksum
+            raw = raw + b"\x00\x00\x00\x00"
+    return raw
+
+
+def h5_chunked(arr: np.ndarray, chunk_dims: tuple, filters: list[tuple[int, list[int]]]) -> bytes:
+    """Classic file whose single dataset uses the chunked layout (v1 chunk
+    B-tree) with an optional filter pipeline, built from the spec."""
+    rank = arr.ndim
+    grid = [range(0, s, c) for s, c in zip(arr.shape, chunk_dims)]
+    import itertools
+
+    chunks = []
+    for coords in itertools.product(*grid):
+        full = np.zeros(chunk_dims, dtype=arr.dtype)
+        sel = tuple(slice(c, min(c + d, s)) for c, d, s in zip(coords, chunk_dims, arr.shape))
+        dst = tuple(slice(0, sl.stop - sl.start) for sl in sel)
+        full[dst] = arr[sel]
+        chunks.append((coords, _apply_filters(full.tobytes(), filters, arr.itemsize)))
+
+    def filt_msg() -> bytes:
+        if not filters:
+            return b""
+        body = struct.pack("<BB6x", 1, len(filters))
+        for fid, vals in filters:
+            body += struct.pack("<HHHH", fid, 0, 0, len(vals))
+            body += b"".join(struct.pack("<I", v) for v in vals)
+            if len(vals) % 2:
+                body += b"\x00" * 4
+        return _msg_v1(0x0B, body)
+
+    def ds_oh(btree_addr: int) -> bytes:
+        layout = _msg_v1(
+            0x08,
+            struct.pack("<BBB", 3, 2, rank + 1)
+            + struct.pack("<Q", btree_addr)
+            + b"".join(struct.pack("<I", d) for d in chunk_dims)
+            + struct.pack("<I", arr.itemsize),
+        )
+        msgs = [_space_msg(arr.shape), _dt_msg(arr), layout]
+        fm = filt_msg()
+        if fm:
+            msgs.append(fm)
+        return _oh_v1(msgs)
+
+    name = b"data\x00"
+    root_addr = 96
+    root_size = len(_oh_v1([_msg_v1(0x11, struct.pack("<QQ", 0, 0))]))
+    gb_addr = root_addr + root_size
+    gb_size = 24 + 8 + 8 + 8
+    heap_addr = gb_addr + gb_size
+    heap_data_addr = heap_addr + 32
+    heap_data = b"\x00" * 8 + _pad8(name)
+    snod_addr = heap_data_addr + len(heap_data)
+    ds_addr = snod_addr + 8 + 40
+    ds_size = len(ds_oh(0))
+    btree_addr = ds_addr + ds_size
+    # B-tree node: header + entries*(key+child) + final key
+    key_size = 4 + 4 + 8 * (rank + 1)
+    bt_size = 24 + len(chunks) * (key_size + 8) + key_size
+    cur = btree_addr + bt_size
+    chunk_addrs = []
+    for _coords, payload in chunks:
+        chunk_addrs.append(cur)
+        cur += len(payload)
+    eof = cur
+
+    out = _superblock_v0(eof, root_addr)
+    out += _oh_v1([_msg_v1(0x11, struct.pack("<QQ", gb_addr, heap_addr))])
+    out += (
+        b"TREE" + bytes([0, 0]) + struct.pack("<H", 1) + UNDEF + UNDEF
+        + struct.pack("<QQQ", 0, snod_addr, 8)
+    )
+    out += b"HEAP" + bytes(4) + struct.pack("<QQQ", len(heap_data), 0, heap_data_addr)
+    out += heap_data
+    out += b"SNOD" + bytes([1, 0]) + struct.pack("<H", 1)
+    out += struct.pack("<QQII", 8, ds_addr, 0, 0) + b"\x00" * 16
+    out += ds_oh(btree_addr)
+    bt = b"TREE" + bytes([1, 0]) + struct.pack("<H", len(chunks)) + UNDEF + UNDEF
+    for (coords, payload), addr in zip(chunks, chunk_addrs):
+        bt += struct.pack("<II", len(payload), 0)
+        bt += b"".join(struct.pack("<Q", c) for c in coords) + struct.pack("<Q", 0)
+        bt += struct.pack("<Q", addr)
+    bt += struct.pack("<II", 0, 0)  # final (rightmost) key
+    bt += b"".join(struct.pack("<Q", s) for s in arr.shape) + struct.pack("<Q", 0)
+    assert len(bt) == bt_size
+    out += bt
+    for _coords, payload in chunks:
+        out += payload
+    assert len(out) == eof
+    return out
+
+
+def test_chunked_uncompressed_roundtrip(spark, tmp_path):
+    arr = np.arange(35, dtype="<f8").reshape(7, 5)
     p = tmp_path / "c.h5"
-    p.write_bytes(bytes(blob))
-    with pytest.raises(ValueError, match="chunked"):
-        HDF5Reader(data=dt.HDF5(url=str(p))).read(spark=spark)
+    p.write_bytes(h5_chunked(arr, (3, 4), []))
+    df = HDF5Reader(data=dt.HDF5(url=str(p))).read(spark=spark)
+    np.testing.assert_array_equal(_rebuild(df), arr)
+    # one chunk row per dim-0 slab of the chunk grid
+    assert df.count() == 3
+
+
+def test_chunked_shuffle_deflate_roundtrip(spark, tmp_path):
+    rng = np.random.RandomState(3)
+    arr = rng.randn(10, 6).astype("<f8")
+    p = tmp_path / "cz.h5"
+    p.write_bytes(h5_chunked(arr, (4, 4), [(2, [8]), (1, [6])]))
+    df = HDF5Reader(data=dt.HDF5(url=str(p))).read(spark=spark)
+    np.testing.assert_array_equal(_rebuild(df), arr)
+
+
+def test_chunked_fletcher32_and_1d(spark, tmp_path):
+    arr = np.arange(11, dtype="<i4")
+    p = tmp_path / "cf.h5"
+    p.write_bytes(h5_chunked(arr, (4,), [(3, [])]))
+    df = HDF5Reader(data=dt.HDF5(url=str(p))).read(spark=spark)
+    np.testing.assert_array_equal(_rebuild(df).ravel(), arr)
+
+
+def test_chunked_unknown_filter_rejected(spark, tmp_path):
+    arr = np.zeros((4, 4), dtype="<f8")
+    p = tmp_path / "cu.h5"
+    p.write_bytes(h5_chunked(arr, (2, 2), [(32015, [])]))  # zstd: not stdlib
+    with pytest.raises(Exception, match="filter id 32015"):
+        HDF5Reader(data=dt.HDF5(url=str(p))).read(spark=spark).collect()
 
 
 def test_hdf5_sink_roundtrip(spark, tmp_path):
