@@ -618,9 +618,16 @@ def q36_streaming_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         if ts_is_long:
             stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         else:
-            # µs file reads as TIMESTAMP_NTZ: interpret the naive clock as
-            # UTC and render the matching instant.
-            stream = stream.withColumn("ts", F.to_utc_timestamp("ts", "UTC"))
+            # µs file reads as TIMESTAMP_NTZ: re-express the naive clock in
+            # the session zone for the same instant-read-as-UTC, so the
+            # final NTZ→LTZ cast (which always applies the SESSION zone)
+            # lands on that instant under any session timezone — a bare
+            # cast or to_utc_timestamp(ts, 'UTC') would shift with the
+            # session zone.
+            stream = stream.withColumn(
+                "ts",
+                F.expr("CAST(convert_timezone('UTC', current_timezone(), ts) AS TIMESTAMP)"),
+            )
         _ = batch  # documents the batch-equivalence contract
         agg = (
             stream.withWatermark("ts", "1 day")

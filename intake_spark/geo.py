@@ -229,39 +229,55 @@ class MBTilesReader(BaseReader):
             ).fetchone() or ("",)
             if kind != "table":
                 # common map+images dedup layout: `tiles` is a VIEW with no
-                # rowid, so paginate with deterministic ORDER BY + LIMIT/
-                # OFFSET windows, fetched on executors — tile blobs never
-                # pass through the driver (the driver reads one COUNT)
-                (total,) = con.execute(
-                    f"SELECT COUNT(*) FROM tiles{where}"
-                ).fetchone()
+                # rowid. Keyset pagination on (zoom, col, row): the driver
+                # runs ONE ordered window scan fetching only every
+                # rows_per_task-th key (no blobs); each executor window is
+                # then an unordered row-value range predicate — no
+                # per-window ORDER BY re-sort (the old LIMIT/OFFSET form
+                # was O(windows * N log N)), and duplicate keys land whole
+                # in exactly one window, so the partitioning is stable
+                # regardless of sqlite's tie order.
+                bounds = con.execute(
+                    "SELECT zoom_level, tile_column, tile_row FROM ("
+                    "  SELECT zoom_level, tile_column, tile_row, ROW_NUMBER() OVER ("
+                    "    ORDER BY zoom_level, tile_column, tile_row) AS rn "
+                    f"  FROM tiles{where}"
+                    f") WHERE (rn - 1) % {int(rows_per_task)} = 0"
+                ).fetchall()
                 con.close()
                 con = None
                 tile_schema = (
                     "zoom_level int, tile_column int, tile_row int, tile_data binary"
                 )
-                if not total:
+                if not bounds:
                     return spark.createDataFrame([], tile_schema)
                 windows = [
-                    (start, min(rows_per_task, total - start))
-                    for start in range(0, total, rows_per_task)
+                    bounds[i] + (bounds[i + 1] if i + 1 < len(bounds) else (None, None, None))
+                    for i in range(len(bounds))
                 ]
-                wdf = spark.createDataFrame(windows, "off long, lim long")
+                wdf = spark.createDataFrame(
+                    windows, "lo_z long, lo_c long, lo_r long, hi_z long, hi_c long, hi_r long"
+                )
                 if len(windows) > 1:
                     wdf = wdf.repartition(
                         min(len(windows), spark.sparkContext.defaultParallelism)
                     )
+                base_cond = where + (" AND " if where else " WHERE ")
 
                 def fetch_view(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                     vcon = sqlite3.connect(f"file:{url}?mode=ro", uri=True)
                     try:
                         for pdf in batches:
                             for _, r in pdf.iterrows():
+                                cond = "(zoom_level, tile_column, tile_row) >= (?, ?, ?)"
+                                args = [int(r.lo_z), int(r.lo_c), int(r.lo_r)]
+                                if r.hi_z == r.hi_z:  # not NaN: a next window exists
+                                    cond += " AND (zoom_level, tile_column, tile_row) < (?, ?, ?)"
+                                    args += [int(r.hi_z), int(r.hi_c), int(r.hi_r)]
                                 rows = vcon.execute(
                                     "SELECT zoom_level, tile_column, tile_row, "
-                                    f"tile_data FROM tiles{where} "
-                                    "ORDER BY zoom_level, tile_column, tile_row "
-                                    f"LIMIT {int(r.lim)} OFFSET {int(r.off)}"
+                                    f"tile_data FROM tiles{base_cond}{cond}",
+                                    args,
                                 ).fetchall()
                                 yield pd.DataFrame(
                                     rows,
@@ -985,18 +1001,19 @@ class GeoPackageReader(BaseReader):
             if table not in layers:
                 raise KeyError(f"layer {table!r} not in {layers}")
             # identifiers come from the file's own gpkg_contents: escape
-            # embedded quotes so a hostile file can't break out of the
-            # quoted identifier
-            table = table.replace('"', '""')
+            # embedded quotes at INTERPOLATION sites only so a hostile file
+            # can't break out of the quoted identifier — the parameterized
+            # lookup below needs the raw name (bind values take no escaping)
             (geom_col,) = con.execute(
                 "SELECT column_name FROM gpkg_geometry_columns WHERE table_name = ?",
                 (table,),
             ).fetchone()
-            info = list(con.execute(f'PRAGMA table_info("{table}")'))
+            qtable = table.replace('"', '""')
+            info = list(con.execute(f'PRAGMA table_info("{qtable}")'))
             # pk columns are the row identity (surfaced as `id`), not
             # attributes — including them would duplicate rowid
             attr_cols = [r[1] for r in info if r[1] != geom_col and not r[5]]
-            lo_hi = con.execute(f'SELECT MIN(rowid), MAX(rowid) FROM "{table}"').fetchone()
+            lo_hi = con.execute(f'SELECT MIN(rowid), MAX(rowid) FROM "{qtable}"').fetchone()
         finally:
             con.close()
         self.data.metadata.update({"layers": layers, "layer": table, "geometry_column": geom_col})
@@ -1020,7 +1037,10 @@ class GeoPackageReader(BaseReader):
         mdf = spark.createDataFrame(ranges, "lo long, hi long")
         if len(ranges) > 1:
             mdf = mdf.repartition(min(len(ranges), spark.sparkContext.defaultParallelism))
-        sel = ", ".join(['rowid', f'"{geom_col}"'] + [f'"{c}"' for c in attr_cols])
+        qgeom = geom_col.replace('"', '""')
+        sel = ", ".join(
+            ["rowid", f'"{qgeom}"'] + ['"{}"'.format(c.replace('"', '""')) for c in attr_cols]
+        )
 
         def fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             import json as _json
@@ -1031,7 +1051,7 @@ class GeoPackageReader(BaseReader):
                     for _, rg in pdf.iterrows():
                         rows = []
                         for rec in vcon.execute(
-                            f'SELECT {sel} FROM "{table}" WHERE rowid '
+                            f'SELECT {sel} FROM "{qtable}" WHERE rowid '
                             f"BETWEEN {int(rg.lo)} AND {int(rg.hi)}"
                         ):
                             gtype, geom = gpkg_blob_to_geojson(rec[1])

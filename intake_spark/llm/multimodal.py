@@ -174,7 +174,10 @@ def decode_image(content: bytes):
 
         return decode_tiff(content)
     if content[:3] == b"\xff\xd8\xff":
-        return decode_jpeg(content)
+        arr = decode_jpeg(content)
+        # single-component JPEGs decode 2-D; normalize to (H, W, 1) so every
+        # decode_image caller can rely on a channel axis
+        return arr if arr.ndim == 3 else arr[:, :, None]
     try:
         import io
 
@@ -550,21 +553,28 @@ def audio_features(
     ensure_py_deps(df.sparkSession)
     keep = keep_cols if keep_cols is not None else [c for c in df.columns if c != content_col]
     out_schema = T.StructType([df.schema[c] for c in keep] + list(AUDIO_FEATURES_SCHEMA.fields))
-    full_scale = {1: 128.0, 2: 32768.0, 4: 2147483648.0}
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+        import wave
+
         for pdf in batches:
             cols = {k: [] for k in (
                 "sample_rate", "n_channels", "n_frames", "duration_s",
                 "rms", "peak", "zero_cross_rate",
             )}
             for content in pdf[content_col]:
-                rate, arr = decode_wav(bytes(content))
+                content = bytes(content)
+                rate, arr = decode_wav(content)
                 if arr.dtype == np.uint8:  # 8-bit PCM is unsigned
                     x = (arr.astype(np.float64) - 128.0) / 128.0
                 else:
-                    scale = full_scale.get(arr.dtype.itemsize, 2147483648.0)
-                    x = arr.astype(np.float64) / scale
+                    # full scale follows the *stored* sample width, not the
+                    # decoded dtype: 24-bit samples sign-extend into int32
+                    # but span +-2^23 (header-only read, no frame decode)
+                    with wave.open(io.BytesIO(content)) as w:
+                        sw = w.getsampwidth()
+                    x = arr.astype(np.float64) / float(1 << (8 * sw - 1))
                 mono = x.mean(axis=1)
                 n = len(mono)
                 zc = float(np.mean(np.abs(np.diff(np.signbit(mono))))) if n > 1 else 0.0

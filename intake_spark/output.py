@@ -11,21 +11,23 @@ from pyspark.sql import functions as F
 from intake_spark import datatypes as dt
 
 
-def _guard_single_file(df: DataFrame, sink: str, max_bytes: int | None):
+def _guard_single_file(df: DataFrame, sink: str, max_bytes: int | None) -> list[int]:
     """Driver-streamed single-file sinks are by-contract bounded artifacts
     (thumbnails, arrays, QA exports). This guard keeps them honest at
     scale: the array's total byte size comes free from the chunk-row
-    ``shape`` metadata (one first() on a column already needed), and
-    anything above ``max_bytes`` raises with the distributed alternative
-    named — same pattern as embedding_near_dup_pairs' max_rows guard."""
-    if max_bytes is None:
-        return
+    ``shape`` metadata, and anything above ``max_bytes`` raises with the
+    distributed alternative named — same pattern as
+    embedding_near_dup_pairs' max_rows guard. Returns the shape so sinks
+    don't re-run the same first() action."""
     first = df.select("shape").first()
     if first is None:
         raise ValueError("empty chunk DataFrame")
+    shape = [int(s) for s in first["shape"]]
+    if max_bytes is None:
+        return shape
     n = 1
-    for s in first["shape"]:
-        n *= int(s)
+    for s in shape:
+        n *= s
     if n * 8 > max_bytes:
         raise ValueError(
             f"{sink}: array is {n * 8} bytes (> max_bytes={max_bytes}); "
@@ -33,6 +35,7 @@ def _guard_single_file(df: DataFrame, sink: str, max_bytes: int | None):
             "use to_zarr (distributed chunk writes) or to_parquet for data "
             "this size, or pass max_bytes=None to override deliberately"
         )
+    return shape
 
 
 def to_parquet(df: DataFrame, url: str, mode: str = "overwrite", partition_by: list[str] | None = None, **options) -> dt.Parquet:
@@ -197,11 +200,7 @@ def to_npy(df: DataFrame, url: str, max_bytes: int | None = 1 << 30) -> dt.Numpy
     through the driver."""
     import struct as _struct
 
-    _guard_single_file(df, "to_npy", max_bytes)
-    first = df.select("shape").first()
-    if first is None:
-        raise ValueError("empty chunk DataFrame")
-    shape = tuple(first["shape"])
+    shape = tuple(_guard_single_file(df, "to_npy", max_bytes))
     header = "{'descr': '<f8', 'fortran_order': False, 'shape': %s, }" % (str(shape),)
     pad = (64 - (10 + len(header) + 1) % 64) % 64
     header = header + " " * pad + "\n"
@@ -241,11 +240,7 @@ def to_png(df: DataFrame, url: str, max_bytes: int | None = 1 << 30) -> dt.PNG:
     NumpyToPNG output.py:268+, which needs PIL. Media are driver-edge
     artifacts (thumbnails, QA), so a driver-side write is the right cost
     model; like to_npy, only one partition is in driver memory at a time."""
-    _guard_single_file(df, "to_png", max_bytes)
-    first = df.select("shape").first()
-    if first is None:
-        raise ValueError("empty chunk DataFrame")
-    shape = list(first["shape"])
+    shape = list(_guard_single_file(df, "to_png", max_bytes))
     if len(shape) != 2:
         raise ValueError(f"to_png needs a 2-D array, got shape {shape}")
     w = shape[1]
@@ -294,11 +289,7 @@ def to_netcdf(df: DataFrame, url: str, variable: str = "data", max_bytes: int | 
 
     from intake_spark.sci import NetCDF3
 
-    _guard_single_file(df, "to_netcdf", max_bytes)
-    first = df.select("shape").first()
-    if first is None:
-        raise ValueError("empty chunk DataFrame")
-    shape = [int(s) for s in first["shape"]]
+    shape = list(_guard_single_file(df, "to_netcdf", max_bytes))
 
     def name(s: str) -> bytes:
         b = s.encode()
@@ -343,11 +334,7 @@ def to_hdf5(
     the same ``max_bytes`` guard; round-trips with hdf5.HDF5Reader."""
     import struct as st
 
-    _guard_single_file(df, "to_hdf5", max_bytes)
-    first = df.select("shape").first()
-    if first is None:
-        raise ValueError("empty chunk DataFrame")
-    shape = [int(s) for s in first["shape"]]
+    shape = list(_guard_single_file(df, "to_hdf5", max_bytes))
     nbytes = 8
     for s in shape:
         nbytes *= s

@@ -376,10 +376,12 @@ class ZarrReader(BaseReader):
             if fill is None:
                 fill = 0
             key_cfg = meta.get("chunk_key_encoding", {"name": "default"})
-            sep = (key_cfg.get("configuration") or {}).get("separator", "/")
+            cfg_sep = (key_cfg.get("configuration") or {}).get("separator")
             if key_cfg.get("name") == "default":
+                sep = cfg_sep or "/"  # v3 spec: 'default' encoding defaults to '/'
                 prefix = "c" + sep
             elif key_cfg.get("name") == "v2":
+                sep = cfg_sep or "."  # v3 spec: 'v2' encoding defaults to '.'
                 prefix = ""
             else:
                 raise ValueError(f"unknown chunk key encoding {key_cfg.get('name')!r}")

@@ -1580,6 +1580,17 @@ def _exr_header(url: str) -> dict:
         height = y1 - y0 + 1
         lpb = _EXR_LINES_PER_BLOCK[comp]
         n_blocks = -(-height // lpb)
+        # the offset table can outgrow the initial header read for tall
+        # images (8 bytes/scanline-block); fetch the remainder explicitly
+        # rather than silently truncating the manifest
+        need = pos + 8 * n_blocks
+        if need > len(raw):
+            f.seek(len(raw))
+            raw += f.read(need - len(raw))
+            if len(raw) < need:
+                raise ValueError(
+                    f"EXR offset table truncated: need {need} bytes, file has {len(raw)}"
+                )
         offsets = np.frombuffer(raw[pos : pos + 8 * n_blocks], dtype="<u8").tolist()
         return {
             "width": width, "height": height, "y_min": y0,

@@ -43,7 +43,11 @@ class _PandasFileReader(BaseReader):
     _parse = None  # staticmethod(bytes -> pandas.DataFrame), set by subclass
 
     def _read(self, spark, **kwargs):
+        import os
+
         url = self.data.url
+        if "*" not in url and os.path.isdir(url):
+            url = os.path.join(url, "*")  # directory → distributed glob read
         if "*" not in url:
             pdf = type(self)._parse(open(url, "rb").read(), **kwargs)
             return spark.createDataFrame(pdf)
@@ -58,8 +62,9 @@ class _PandasFileReader(BaseReader):
             # the fallback for non-posix URLs. Cached on the reader so
             # re-reads skip the probe entirely.
             import glob as _glob
+            import os as _os
 
-            matches = sorted(_glob.glob(url))
+            matches = sorted(p for p in _glob.glob(url) if _os.path.isfile(p))
             if matches:
                 sample_path = matches[0]
             else:

@@ -565,8 +565,9 @@ def test_osm_pbf_reader(spark, tmp_path):
 
 def test_mbtiles_view_fallback(spark, tmp_path):
     """tiles-as-VIEW layout (map+images dedup) has no rowid: the reader
-    must paginate with ORDER BY + LIMIT/OFFSET windows fetched on
-    executors — exact, duplicate-free rows even across many windows."""
+    must paginate with keyset windows on (zoom, col, row) fetched on
+    executors — exact row counts even across many windows, including
+    duplicate keys (which any OFFSET scheme can double-count or drop)."""
     import sqlite3
 
     from intake_spark.geo import MBTiles, MBTilesReader
@@ -581,13 +582,15 @@ def test_mbtiles_view_fallback(spark, tmp_path):
     )
     for c in range(17):
         con.execute("INSERT INTO map VALUES (1, ?, 0, 'a')", (c,))
+    con.execute("INSERT INTO map VALUES (1, 4, 0, 'a')")  # duplicate key
+    con.execute("INSERT INTO map VALUES (1, 4, 0, 'a')")
     con.execute("INSERT INTO images VALUES ('a', X'89504E47')")
     con.commit(); con.close()
-    # rows_per_task=5 → 4 OFFSET windows over 17 rows
+    # rows_per_task=5 → 4 keyset windows over 19 rows
     df = MBTilesReader(data=MBTiles(url=p)).read(spark=spark, rows_per_task=5)
     rows = df.collect()
-    assert len(rows) == 17
-    assert sorted(r.tile_column for r in rows) == list(range(17))
+    assert len(rows) == 19
+    assert sorted(r.tile_column for r in rows) == sorted(list(range(17)) + [4, 4])
     assert all(bytes(r.tile_data) == b"\x89PNG" for r in rows)
     z9 = MBTilesReader(data=MBTiles(url=p)).read(spark=spark, zoom=9)
     assert z9.count() == 0

@@ -680,3 +680,44 @@ def test_pdf_indirect_length_reference(spark, tmp_path):
     p.write_bytes(blob)
     rows = PDFTextReader(data=dt.PDF(url=str(tmp_path))).read(spark=spark).collect()
     assert "indirect length works" in rows[0].text
+
+
+def test_zarr_v3_v2_key_encoding_default_dot(spark, tmp_path):
+    """A v3 store using the 'v2' chunk-key encoding with no explicit
+    configuration stores chunks as '0.0'-style flat keys (spec default
+    separator '.'); the reader must find them rather than silently
+    filling every chunk with fill_value."""
+    import itertools
+    import json
+    import os
+
+    import numpy as np
+
+    from intake_spark import datatypes as dt
+    from intake_spark.readers import ZarrReader
+
+    arr = np.arange(6 * 4, dtype="float64").reshape(6, 4)
+    chunks = [3, 2]
+    root = str(tmp_path / "v2keys.zarr")
+    os.makedirs(root)
+    meta = {
+        "zarr_format": 3,
+        "node_type": "array",
+        "shape": list(arr.shape),
+        "data_type": "float64",
+        "chunk_grid": {"name": "regular", "configuration": {"chunk_shape": chunks}},
+        "chunk_key_encoding": {"name": "v2"},
+        "fill_value": 0,
+        "codecs": [{"name": "bytes", "configuration": {"endian": "little"}}],
+    }
+    with open(f"{root}/zarr.json", "w") as f:
+        json.dump(meta, f)
+    grid = [-(-s // c) for s, c in zip(arr.shape, chunks)]
+    for coords in itertools.product(*[range(g) for g in grid]):
+        sel = tuple(slice(ci * c, (ci + 1) * c) for ci, c in zip(coords, chunks))
+        with open(f"{root}/" + ".".join(map(str, coords)), "wb") as f:
+            f.write(arr[sel].tobytes(order="C"))
+    df = ZarrReader(data=dt.Zarr(url=root)).read(spark=spark)
+    rows = sorted(df.collect(), key=lambda r: r.offset0)
+    rebuilt = np.concatenate([np.array(r.values).reshape(-1, 4) for r in rows], axis=0)
+    np.testing.assert_array_equal(rebuilt, arr)

@@ -205,3 +205,21 @@ def test_decode_image_routes_jpeg():
     bw.ac_eob()
     img = decode_image(make_gray_jpeg(8, 8, bw.flush()))
     np.testing.assert_array_equal(img, 10)
+
+
+def test_grayscale_jpeg_through_image_features(spark, tmp_path):
+    """decode_image normalizes 1-component JPEGs to (H, W, 1) so the
+    image_features pipeline handles them like PNG/TIFF."""
+    from intake_spark.llm import multimodal
+
+    bw = BW()
+    bw.dc(32)
+    bw.ac_eob()
+    blob = make_gray_jpeg(8, 8, bw.flush())
+    arr = multimodal.decode_image(blob)
+    assert arr.ndim == 3 and arr.shape[2] == 1
+    (tmp_path / "g.jpg").write_bytes(blob)
+    files = multimodal.read_binary_dir(spark, str(tmp_path), glob="*.jpg")
+    row = multimodal.image_features(files, keep_cols=["path"]).collect()[0]
+    assert (row.width, row.height, row.n_channels) == (8, 8, 1)
+    assert len(row.thumb) == 64

@@ -502,7 +502,9 @@ def test_audio_features_end_to_end(spark, tmp_path):
     c = feats["const.wav"]
     assert c.sample_rate == 8000 and c.n_channels == 2 and c.n_frames == 800
     assert c.zero_cross_rate == 0.0
-    assert abs(c.peak - 4194304 / 2147483648.0) < 1e-9
+    # 24-bit full scale is 2^23: 4194304 = 2^22 -> peak exactly 0.5, the
+    # same level as a half-scale 16-bit signal (cross-width comparability)
+    assert abs(c.peak - 0.5) < 1e-9
 
 
 def test_decontaminate_flags_planted_overlap(spark, docs):
