@@ -457,3 +457,60 @@ def embedding_near_dup_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.8,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Asymmetric near-dup pairs by shingle *containment*:
+    (doc_outer, doc_inner, containment) where containment =
+    |A ∩ B| / |B| >= threshold for the smaller shingle set B.
+
+    Jaccard misses the snippet-inside-document case (a quote, a reposted
+    paragraph): |A∩B|/|A∪B| stays small when A is much larger than B, but
+    containment of the smaller side is ~1. This is the standard second
+    dedup pass for long-form corpora. Same plan shape as jaccard_pairs —
+    shingle equi-join with window-attached per-doc counts — and the same
+    ``max_shingle_df`` stop-shingle cap applies at scale.
+    """
+    from pyspark.sql.window import Window
+
+    sh = shingles(df, id_col, text_col, k)
+    sh = sh.withColumn("_n", F.count(F.lit(1)).over(Window.partitionBy(id_col)))
+    if max_shingle_df is not None:
+        sh = (
+            sh.withColumn("_df", F.count(F.lit(1)).over(Window.partitionBy("shingle")))
+            .filter(F.col("_df") <= max_shingle_df)
+            .drop("_df")
+        )
+    a = sh.select(F.col(id_col).alias("doc_a"), F.col("_n").alias("n_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("doc_b"), F.col("_n").alias("n_b"), "shingle")
+    inter = (
+        a.join(b, ["shingle"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b", "n_a", "n_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    # outer = the larger set, inner = the smaller (ties: lower id outer),
+    # so containment is always measured against the smaller side
+    return (
+        inter.withColumn(
+            "containment",
+            F.col("n_common").cast("double") / F.least("n_a", "n_b"),
+        )
+        .filter(F.col("containment") >= threshold)
+        .select(
+            F.when(F.col("n_a") >= F.col("n_b"), F.col("doc_a"))
+            .otherwise(F.col("doc_b"))
+            .alias("doc_outer"),
+            F.when(F.col("n_a") >= F.col("n_b"), F.col("doc_b"))
+            .otherwise(F.col("doc_a"))
+            .alias("doc_inner"),
+            "containment",
+        )
+    )

@@ -755,3 +755,69 @@ def q57_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     quartiles) — Spark's sort-based percentile matches DuckDB quantile_cont
     value-for-value, so the whole report is hash-checked."""
     return sketches.column_profile(load_table(spark, sf_dir, "documents"), "source", "n_chars")
+
+
+@register(
+    "q58_novel_ngram_rate",
+    """
+    WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    g AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+1], ' ') AS shingle
+          FROM words, UNNEST(generate_series(1, len(w) - 1)) AS t(i)),
+    dfreq AS (SELECT shingle, COUNT(*) AS df FROM g GROUP BY shingle)
+    SELECT doc_id, COUNT(*) AS n_ngrams,
+           CAST(SUM(CASE WHEN df < 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
+           ROUND(CAST(SUM(CASE WHEN df < 2 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS novel_rate
+    FROM g JOIN dfreq USING (shingle) GROUP BY doc_id
+    """,
+)
+def q58_novel_ngram_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-statistics quality signal: fraction of each doc's bigrams
+    seen in no other document. Gibberish scores ~1, boilerplate ~0 — the
+    cross-document complement to the per-row repetition stats. Pure
+    counting, so the oracle is exact."""
+    return text.novel_ngram_rate(load_table(spark, sf_dir, "documents"), n=2, rare_df=2)
+
+
+@register(
+    "q59_containment_pairs",
+    f"""
+    WITH {_SHINGLES_CTE},
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    kept AS (SELECT shingle FROM sh GROUP BY shingle
+             HAVING COUNT(*) <= {Q22_MAX_SHINGLE_DF}),
+    shk AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN kept USING (shingle)),
+    inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS cnt
+              FROM shk a JOIN shk b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+    SELECT CASE WHEN sa.n >= sb.n THEN doc_a ELSE doc_b END AS doc_outer,
+           CASE WHEN sa.n >= sb.n THEN doc_b ELSE doc_a END AS doc_inner,
+           CAST(cnt AS DOUBLE) / LEAST(sa.n, sb.n) AS containment
+    FROM inter JOIN sizes sa ON inter.doc_a = sa.doc_id
+               JOIN sizes sb ON inter.doc_b = sb.doc_id
+    WHERE CAST(cnt AS DOUBLE) / LEAST(sa.n, sb.n) >= 0.7
+    """,
+)
+def q59_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment dedup (snippet-inside-document): |A∩B| over
+    the smaller shingle set, with the q22 stop-shingle cap active. Catches
+    the reposted-paragraph case Jaccard's union denominator dilutes."""
+    return dedup.containment_pairs(
+        load_table(spark, sf_dir, "documents"),
+        threshold=0.7,
+        max_shingle_df=Q22_MAX_SHINGLE_DF,
+    )
+
+
+@register(
+    "q60_length_histogram",
+    """
+    SELECT source, (len(string_split(text, ' ')) // 16) * 16 AS bin_lo,
+           COUNT(*) AS n_docs
+    FROM documents GROUP BY 1, 2
+    """,
+)
+def q60_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-length histogram per source (16-token bins) — the one-glance
+    corpus-shape check for truncation spikes and empty-doc pileups."""
+    return text.length_histogram(load_table(spark, sf_dir, "documents"), bin_width=16)

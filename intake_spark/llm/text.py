@@ -241,3 +241,61 @@ def scrub_patterns(
         n_red = n_red + F.size(F.regexp_extract_all(scrubbed, F.lit(rx), 0))
         scrubbed = F.regexp_replace(scrubbed, rx, f"<{tag}>")
     return df.withColumn("n_redactions", n_red).withColumn(out_col, scrubbed)
+
+
+def novel_ngram_rate(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 2,
+    rare_df: int = 2,
+) -> DataFrame:
+    """Per-document rate of *rare* n-grams: (id, n_ngrams, n_rare,
+    novel_rate) where an n-gram is rare if it occurs in fewer than
+    ``rare_df`` documents corpus-wide.
+
+    The corpus-statistics quality signal the per-row operators
+    (repetition_stats, with_quality) can't see: machine-generated
+    gibberish scores high (its n-grams appear nowhere else), boilerplate
+    scores near zero (every n-gram is corpus-common). Pure counting — no
+    log-probability, so results are exact across engines.
+
+    Plan: distinct doc-grams -> document frequency per gram (one shuffle
+    on the gram) -> per-doc rare fraction (one shuffle on the id). Both
+    aggregates partial-combine map-side; no broadcast of the vocabulary.
+    """
+    from intake_spark.llm.dedup import shingles
+
+    grams = shingles(df, id_col, text_col, k=n)  # distinct per doc
+    docfreq = grams.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+    return (
+        grams.join(docfreq, "shingle")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_ngrams"),
+            F.sum((F.col("_df") < rare_df).cast("bigint")).alias("n_rare"),
+        )
+        .withColumn(
+            "novel_rate",
+            F.round(F.col("n_rare").cast("double") / F.col("n_ngrams"), 6),
+        )
+    )
+
+
+def length_histogram(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    bin_width: int = 16,
+) -> DataFrame:
+    """Token-length histogram per group: (group, bin_lo, n_docs) with
+    bin_lo = floor(token_count / bin_width) * bin_width. The one-glance
+    corpus shape check (truncation spikes, empty-doc pileups at bin 0);
+    mapper-only binning + one aggregate."""
+    n_tokens = F.size(F.split(F.col(text_col), " "))
+    bin_lo = (n_tokens.cast("bigint") / bin_width).cast("bigint") * bin_width
+    return (
+        df.select(F.col(group_col), bin_lo.alias("bin_lo"))
+        .groupBy(group_col, "bin_lo")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )

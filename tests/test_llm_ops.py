@@ -590,3 +590,44 @@ def test_column_profile_values(spark):
     assert (a.p25, a.p50, a.p75) == (1.75, 2.5, 3.25)  # nulls excluded, n=4
     b = out["b"]
     assert (b.p25, b.p50, b.p75) == (10.0, 10.0, 10.0)
+
+
+def test_containment_catches_snippet_jaccard_misses(spark):
+    """A short doc fully contained in a long doc: containment ~= 1 while
+    Jaccard stays low — the asymmetric pass finds what q22's cannot."""
+    from intake_spark.llm import dedup as dd
+
+    snippet = " ".join(f"w{i}" for i in range(10))
+    long_doc = snippet + " " + " ".join(f"x{i}" for i in range(200))
+    df = spark.createDataFrame(
+        [(1, long_doc), (2, snippet)], "doc_id long, text string"
+    )
+    cont = dd.containment_pairs(df, threshold=0.9).collect()
+    assert len(cont) == 1
+    r = cont[0]
+    assert (r.doc_outer, r.doc_inner) == (1, 2) and r.containment == 1.0
+    jac = dd.jaccard_pairs(df, threshold=0.5).collect()
+    assert jac == []  # union-diluted: 8/208 << 0.5
+
+
+def test_novel_ngram_rate_separates_gibberish_from_boilerplate(spark):
+    from intake_spark.llm import text as tx
+
+    common = "the quick brown fox jumps over the lazy dog"
+    rows = [(i, common) for i in range(5)]  # boilerplate: shared bigrams
+    rows.append((99, "zq8 vvk1 pla9 wd0x brr7 nn3m"))  # gibberish: unique
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.novel_rate for r in tx.novel_ngram_rate(df).collect()}
+    assert got[99] == 1.0
+    assert all(got[i] == 0.0 for i in range(5))
+
+
+def test_length_histogram_bins(spark):
+    from intake_spark.llm import text as tx
+
+    df = spark.createDataFrame(
+        [("a", "x"), ("a", " ".join(["y"] * 17)), ("a", " ".join(["z"] * 16))],
+        "source string, text string",
+    )
+    got = {(r.source, r.bin_lo): r.n_docs for r in tx.length_histogram(df).collect()}
+    assert got == {("a", 0): 1, ("a", 16): 2}
