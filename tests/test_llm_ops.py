@@ -631,3 +631,32 @@ def test_length_histogram_bins(spark):
     )
     got = {(r.source, r.bin_lo): r.n_docs for r in tx.length_histogram(df).collect()}
     assert got == {("a", 0): 1, ("a", 16): 2}
+
+
+def test_decontaminate_broadcasts_benchmark(spark, docs):
+    """The benchmark shingle set must ride the broadcast side: the corpus
+    never shuffles for the overlap join (the scale contract)."""
+    from intake_spark.llm import assembly
+
+    train, bench = assembly.bench_split(docs, fraction=0.05)
+    plan = (
+        assembly.decontaminate(train, bench)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" in plan
+    # corpus-side shingles reach the broadcast join without an Exchange
+    # before it (only the per-doc count aggregate shuffles, on the id)
+    assert plan.count("Exchange hashpartitioning") <= 3
+
+
+def test_pack_sequences_single_window_exchange(spark, docs):
+    """Packing is one window pass: exactly one hash Exchange (on the
+    group/shard key) and zero Python stages."""
+    from intake_spark.llm import assembly
+
+    plan = (
+        assembly.pack_sequences(docs, capacity=256, shards=4)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Python" not in plan
