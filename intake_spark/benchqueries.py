@@ -618,15 +618,19 @@ def q36_streaming_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         if ts_is_long:
             stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         else:
-            # µs file reads as TIMESTAMP_NTZ: re-express the naive clock in
-            # the session zone for the same instant-read-as-UTC, so the
-            # final NTZ→LTZ cast (which always applies the SESSION zone)
-            # lands on that instant under any session timezone — a bare
-            # cast or to_utc_timestamp(ts, 'UTC') would shift with the
-            # session zone.
+            # µs file reads as TIMESTAMP_NTZ: naive-epoch *arithmetic*
+            # (timestampdiff on NTZ values) yields the micros directly —
+            # no wall-clock↔zone round-trip, so there is no DST-fold
+            # ambiguity in any session timezone (a cast or convert_timezone
+            # hop resolves the repeated autumn hour to one offset and lands
+            # an hour off for those events).
             stream = stream.withColumn(
                 "ts",
-                F.expr("CAST(convert_timezone('UTC', current_timezone(), ts) AS TIMESTAMP)"),
+                F.timestamp_micros(
+                    F.expr(
+                        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+                    )
+                ),
             )
         _ = batch  # documents the batch-equivalence contract
         agg = (
@@ -637,8 +641,12 @@ def q36_streaming_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
                 dsum("value", 6).alias("value_sum"),
             )
             .select(
+                # instant → naive-UTC boundary, again by pure epoch
+                # arithmetic (unix_micros reads the instant; the NTZ add
+                # never consults a timezone) — DST-safe display
                 F.expr(
-                    "convert_timezone(current_timezone(), 'UTC', CAST(w.start AS TIMESTAMP_NTZ))"
+                    "timestampadd(MICROSECOND, unix_micros(w.start), "
+                    "TIMESTAMP_NTZ '1970-01-01 00:00:00')"
                 ).alias("window_start"),
                 "n_events",
                 "value_sum",

@@ -237,26 +237,46 @@ class MBTilesReader(BaseReader):
                 # was O(windows * N log N)), and duplicate keys land whole
                 # in exactly one window, so the partitioning is stable
                 # regardless of sqlite's tie order.
+                not_null = (
+                    "zoom_level IS NOT NULL AND tile_column IS NOT NULL "
+                    "AND tile_row IS NOT NULL"
+                )
+                nn_where = where + (" AND " if where else " WHERE ") + not_null
                 bounds = con.execute(
                     "SELECT zoom_level, tile_column, tile_row FROM ("
                     "  SELECT zoom_level, tile_column, tile_row, ROW_NUMBER() OVER ("
                     "    ORDER BY zoom_level, tile_column, tile_row) AS rn "
-                    f"  FROM tiles{where}"
+                    f"  FROM tiles{nn_where}"
                     f") WHERE (rn - 1) % {int(rows_per_task)} = 0"
                 ).fetchall()
+                (n_nulls,) = con.execute(
+                    f"SELECT COUNT(*) FROM tiles{where}"
+                    + (" AND " if where else " WHERE ")
+                    + f"NOT ({not_null})"
+                ).fetchone()
                 con.close()
                 con = None
                 tile_schema = (
                     "zoom_level int, tile_column int, tile_row int, tile_data binary"
                 )
-                if not bounds:
+                if not bounds and not n_nulls:
                     return spark.createDataFrame([], tile_schema)
                 windows = [
-                    bounds[i] + (bounds[i + 1] if i + 1 < len(bounds) else (None, None, None))
+                    bounds[i]
+                    + (bounds[i + 1] if i + 1 < len(bounds) else (None, None, None))
+                    + (0,)
                     for i in range(len(bounds))
                 ]
+                if n_nulls:
+                    # NULL keys compare UNKNOWN in row-value ranges, so they
+                    # get their own window — no silent loss vs the old
+                    # OFFSET path (NULL-keyed rows are broken-join debris
+                    # but they belong to the caller, not to the pager)
+                    windows.append((None, None, None, None, None, None, 1))
                 wdf = spark.createDataFrame(
-                    windows, "lo_z long, lo_c long, lo_r long, hi_z long, hi_c long, hi_r long"
+                    windows,
+                    "lo_z long, lo_c long, lo_r long, hi_z long, hi_c long, hi_r long, "
+                    "null_win long",
                 )
                 if len(windows) > 1:
                     wdf = wdf.repartition(
@@ -269,11 +289,28 @@ class MBTilesReader(BaseReader):
                     try:
                         for pdf in batches:
                             for _, r in pdf.iterrows():
-                                cond = "(zoom_level, tile_column, tile_row) >= (?, ?, ?)"
-                                args = [int(r.lo_z), int(r.lo_c), int(r.lo_r)]
-                                if r.hi_z == r.hi_z:  # not NaN: a next window exists
-                                    cond += " AND (zoom_level, tile_column, tile_row) < (?, ?, ?)"
-                                    args += [int(r.hi_z), int(r.hi_c), int(r.hi_r)]
+                                if r.null_win == 1:
+                                    cond = (
+                                        "(zoom_level IS NULL OR tile_column IS NULL "
+                                        "OR tile_row IS NULL)"
+                                    )
+                                    args = []
+                                else:
+                                    # row-value comparison short-circuits on
+                                    # the leading column, so a partially-NULL
+                                    # key CAN satisfy a range — exclude them
+                                    # here; they belong to the null window
+                                    cond = (
+                                        "zoom_level IS NOT NULL AND tile_column IS NOT NULL "
+                                        "AND tile_row IS NOT NULL "
+                                        "AND (zoom_level, tile_column, tile_row) >= (?, ?, ?)"
+                                    )
+                                    args = [int(r.lo_z), int(r.lo_c), int(r.lo_r)]
+                                    if r.hi_z == r.hi_z:  # not NaN: a next window exists
+                                        cond += (
+                                            " AND (zoom_level, tile_column, tile_row) < (?, ?, ?)"
+                                        )
+                                        args += [int(r.hi_z), int(r.hi_c), int(r.hi_r)]
                                 rows = vcon.execute(
                                     "SELECT zoom_level, tile_column, tile_row, "
                                     f"tile_data FROM tiles{base_cond}{cond}",

@@ -71,6 +71,47 @@ def exact_dup_groups(df: DataFrame, id_col: str = "doc_id", text_col: str = "tex
     )
 
 
+def _shingle_intersections(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int,
+    max_shingle_df: int | None,
+) -> DataFrame:
+    """Shared pair pipeline for jaccard_pairs / containment_pairs:
+    (doc_a, doc_b, n_a, n_b, n_common) for every co-shingled pair.
+
+    Each doc's shingle count attaches to its shingle rows via a window (one
+    shuffle on the doc id) instead of joining a separate sizes table twice —
+    two fewer shuffles in the pair pipeline. No .cache(): materializing the
+    widest intermediate is 3.6x slower than recomputing it (measured at
+    sf0.1) and a cached plan pinned per call leaks memory across a
+    long-lived session. ``max_shingle_df`` is the stop-shingle cap: a
+    shingle-partitioned window filter — one shuffle on the join key itself
+    (reused by the self-join) and no broadcast, because the sub-cap shingle
+    set is almost-all shingles on real corpora, far too large to broadcast
+    at scale. Denominators (n_a/n_b) always use the full per-doc counts.
+    """
+    from pyspark.sql.window import Window
+
+    sh = shingles(df, id_col, text_col, k)
+    sh = sh.withColumn("_n", F.count(F.lit(1)).over(Window.partitionBy(id_col)))
+    if max_shingle_df is not None:
+        sh = (
+            sh.withColumn("_df", F.count(F.lit(1)).over(Window.partitionBy("shingle")))
+            .filter(F.col("_df") <= max_shingle_df)
+            .drop("_df")
+        )
+    a = sh.select(F.col(id_col).alias("doc_a"), F.col("_n").alias("n_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("doc_b"), F.col("_n").alias("n_b"), "shingle")
+    return (
+        a.join(b, ["shingle"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b", "n_a", "n_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+
+
 def jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -89,36 +130,7 @@ def jaccard_pairs(
     (stop-shingles) before the join — essential at scale to bound the
     candidate-pair blowup; leave None for oracle-exact semantics.
     """
-    from pyspark.sql.window import Window
-
-    sh = shingles(df, id_col, text_col, k)
-    # attach each doc's shingle count to its shingle rows via a window
-    # (one shuffle on the doc id) instead of joining a separate sizes
-    # table twice — two fewer shuffles in the pair pipeline
-    # no .cache() here: materializing the widest intermediate costs more
-    # than recomputing it (measured 3.6x slower at sf0.1) and a cached
-    # plan pinned per call leaks memory across a long-lived session
-    sh = sh.withColumn("_n", F.count(F.lit(1)).over(Window.partitionBy(id_col)))
-    if max_shingle_df is not None:
-        # stop-shingle cap as a shingle-partitioned window filter: one
-        # shuffle on the join key itself (reused by the self-join below) and
-        # no broadcast — the sub-cap shingle set is almost-all shingles on
-        # real corpora, far too large to broadcast at scale
-        sh = (
-            sh.withColumn(
-                "_df", F.count(F.lit(1)).over(Window.partitionBy("shingle"))
-            )
-            .filter(F.col("_df") <= max_shingle_df)
-            .drop("_df")
-        )
-    a = sh.select(F.col(id_col).alias("doc_a"), F.col("_n").alias("n_a"), "shingle")
-    b = sh.select(F.col(id_col).alias("doc_b"), F.col("_n").alias("n_b"), "shingle")
-    inter = (
-        a.join(b, ["shingle"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b", "n_a", "n_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
+    inter = _shingle_intersections(df, id_col, text_col, k, max_shingle_df)
     return (
         inter.withColumn(
             "jaccard",
@@ -474,28 +486,11 @@ def containment_pairs(
     Jaccard misses the snippet-inside-document case (a quote, a reposted
     paragraph): |A∩B|/|A∪B| stays small when A is much larger than B, but
     containment of the smaller side is ~1. This is the standard second
-    dedup pass for long-form corpora. Same plan shape as jaccard_pairs —
-    shingle equi-join with window-attached per-doc counts — and the same
-    ``max_shingle_df`` stop-shingle cap applies at scale.
+    dedup pass for long-form corpora. Shares jaccard_pairs' pair pipeline
+    (_shingle_intersections), including the ``max_shingle_df``
+    stop-shingle cap at scale.
     """
-    from pyspark.sql.window import Window
-
-    sh = shingles(df, id_col, text_col, k)
-    sh = sh.withColumn("_n", F.count(F.lit(1)).over(Window.partitionBy(id_col)))
-    if max_shingle_df is not None:
-        sh = (
-            sh.withColumn("_df", F.count(F.lit(1)).over(Window.partitionBy("shingle")))
-            .filter(F.col("_df") <= max_shingle_df)
-            .drop("_df")
-        )
-    a = sh.select(F.col(id_col).alias("doc_a"), F.col("_n").alias("n_a"), "shingle")
-    b = sh.select(F.col(id_col).alias("doc_b"), F.col("_n").alias("n_b"), "shingle")
-    inter = (
-        a.join(b, ["shingle"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b", "n_a", "n_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
+    inter = _shingle_intersections(df, id_col, text_col, k, max_shingle_df)
     # outer = the larger set, inner = the smaller (ties: lower id outer),
     # so containment is always measured against the smaller side
     return (

@@ -127,9 +127,11 @@ def decode_png(content: bytes):
     return arr
 
 
-def decode_wav(content: bytes):
-    """Real WAV decode (stdlib ``wave``): → (rate, uint8/int16 ndarray of
-    shape (n_frames, n_channels))."""
+def decode_wav_full(content: bytes):
+    """Real WAV decode (stdlib ``wave``): → (rate, ndarray of shape
+    (n_frames, n_channels), stored_sample_width_bytes). The sample width is
+    part of the return because the decoded dtype alone can't express it
+    (24-bit samples sign-extend into int32 but span ±2^23)."""
     import io
     import wave
 
@@ -143,12 +145,18 @@ def decode_wav(content: bytes):
         pad = np.where(b3[:, 2] >= 0x80, 0xFF, 0).astype(np.uint8)
         b4 = np.column_stack([b3, pad]).tobytes()
         arr = np.frombuffer(b4, dtype="<i4").reshape(-1, nch)
-        return rate, arr
+        return rate, arr, sw
     try:
         dtype = {1: np.uint8, 2: np.dtype("<i2"), 4: np.dtype("<i4")}[sw]
     except KeyError:
         raise ValueError(f"unsupported WAV sample width {sw} bytes") from None
     arr = np.frombuffer(frames, dtype=dtype).reshape(-1, nch)
+    return rate, arr, sw
+
+
+def decode_wav(content: bytes):
+    """(rate, samples) form of :func:`decode_wav_full`."""
+    rate, arr, _sw = decode_wav_full(content)
     return rate, arr
 
 
@@ -555,25 +563,19 @@ def audio_features(
     out_schema = T.StructType([df.schema[c] for c in keep] + list(AUDIO_FEATURES_SCHEMA.fields))
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import io
-        import wave
-
         for pdf in batches:
             cols = {k: [] for k in (
                 "sample_rate", "n_channels", "n_frames", "duration_s",
                 "rms", "peak", "zero_cross_rate",
             )}
             for content in pdf[content_col]:
-                content = bytes(content)
-                rate, arr = decode_wav(content)
+                rate, arr, sw = decode_wav_full(bytes(content))
                 if arr.dtype == np.uint8:  # 8-bit PCM is unsigned
                     x = (arr.astype(np.float64) - 128.0) / 128.0
                 else:
                     # full scale follows the *stored* sample width, not the
                     # decoded dtype: 24-bit samples sign-extend into int32
-                    # but span +-2^23 (header-only read, no frame decode)
-                    with wave.open(io.BytesIO(content)) as w:
-                        sw = w.getsampwidth()
+                    # but span +-2^23
                     x = arr.astype(np.float64) / float(1 << (8 * sw - 1))
                 mono = x.mean(axis=1)
                 n = len(mono)

@@ -265,7 +265,11 @@ def to_wav(df: DataFrame, url: str, rate: int = 16000, max_bytes: int | None = 1
     import struct as _struct
     import wave
 
-    _guard_single_file(df, "to_wav", max_bytes)
+    # to_wav never needs the shape, so the guard (and its Spark action)
+    # only runs when a byte cap is actually set — max_bytes=None keeps the
+    # documented no-extra-job, empty-df-writes-empty-file behavior
+    if max_bytes is not None:
+        _guard_single_file(df, "to_wav", max_bytes)
     with wave.open(url, "wb") as w:
         w.setnchannels(1)
         w.setsampwidth(2)

@@ -54,17 +54,20 @@ class _PandasFileReader(BaseReader):
         from intake_spark.session import ensure_py_deps
 
         ensure_py_deps(spark)
-        files = spark.read.format("binaryFile").load(url)
+        # driver-side glob resolves the file list once (no Spark job) and
+        # feeds BOTH the schema probe and the distributed read, so the two
+        # can't diverge (a glob that matches a subdirectory would otherwise
+        # make binaryFile list that directory's children into the parse);
+        # non-posix URLs fall back to binaryFile's own resolution.
+        import glob as _glob
+
+        matches = sorted(p for p in _glob.glob(url) if os.path.isfile(p))
+        files = spark.read.format("binaryFile").load(matches if matches else url)
         schema = getattr(self, "_schema_cache", None)
         if schema is None:
-            # schema from one sample file — resolved with a driver-side
-            # glob (no Spark job); the binaryFile .first() probe is only
-            # the fallback for non-posix URLs. Cached on the reader so
+            # schema from one sample file; the binaryFile .first() probe is
+            # only the fallback for non-posix URLs. Cached on the reader so
             # re-reads skip the probe entirely.
-            import glob as _glob
-            import os as _os
-
-            matches = sorted(p for p in _glob.glob(url) if _os.path.isfile(p))
             if matches:
                 sample_path = matches[0]
             else:

@@ -713,3 +713,29 @@ def test_spss_magic_rejected(tmp_path):
 
     with pytest.raises(ValueError, match="FL2"):
         _parse_sav(b"NOPE" + b"\x00" * 200)
+
+
+def test_mbtiles_view_null_keys_not_dropped(spark, tmp_path):
+    """NULL key columns compare UNKNOWN in row-value ranges — they get a
+    dedicated window instead of silently vanishing from every window."""
+    import sqlite3
+
+    from intake_spark.geo import MBTiles, MBTilesReader
+
+    p = str(tmp_path / "n.mbtiles")
+    con = sqlite3.connect(p)
+    con.execute("CREATE TABLE map (zoom_level int, tile_column int, tile_row int, tile_id text)")
+    con.execute("CREATE TABLE images (tile_id text, tile_data blob)")
+    con.execute(
+        "CREATE VIEW tiles AS SELECT zoom_level, tile_column, tile_row, tile_data "
+        "FROM map JOIN images ON map.tile_id = images.tile_id"
+    )
+    for c in range(6):
+        con.execute("INSERT INTO map VALUES (1, ?, 0, 'a')", (c,))
+    con.execute("INSERT INTO map VALUES (NULL, 9, 9, 'a')")
+    con.execute("INSERT INTO map VALUES (2, NULL, 0, 'a')")
+    con.execute("INSERT INTO images VALUES ('a', X'00')")
+    con.commit(); con.close()
+    rows = MBTilesReader(data=MBTiles(url=p)).read(spark=spark, rows_per_task=3).collect()
+    assert len(rows) == 8
+    assert sum(1 for r in rows if r.zoom_level is None or r.tile_column is None) == 2
