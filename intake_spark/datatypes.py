@@ -318,6 +318,7 @@ def register_all() -> None:
     import intake_spark.documents  # noqa: F401
     import intake_spark.geo  # noqa: F401
     import intake_spark.hdf5  # noqa: F401
+    import intake_spark.lakehouse  # noqa: F401
     import intake_spark.mlds  # noqa: F401
     import intake_spark.sci  # noqa: F401
     import intake_spark.services  # noqa: F401

@@ -1,0 +1,542 @@
+"""Lakehouse formats without their jars: Avro OCF, Delta Lake, Iceberg.
+
+The reference reads these through engine plugins (SparkAvro readers.py:536,
+SparkDeltaLake :550, a delta-rs/iceberg handoff elsewhere); this container
+has none of those jars, but all three formats are openly specified:
+
+- **Avro OCF** (``AvroOCFReader``): the object container file is a JSON
+  writer schema + sync-marker-delimited blocks of binary records. The
+  driver parses the header and walks the block index (count/size varints,
+  skip, check sync — O(blocks) small reads, no record decode); executors
+  inflate and decode their own blocks with the pure-Python decoder below.
+- **Delta Lake** (``DeltaLakeReader``): a Delta table is parquet data files
+  plus a ``_delta_log`` of JSON commits (and parquet checkpoints). Replay
+  the log driver-side (actions are tiny), resolve the live file set, and
+  hand the paths to Spark's native parquet scan — so the actual data read
+  is the same distributed, pushdown-capable scan the jar would issue.
+- **Iceberg** (``IcebergTableReader``): table metadata JSON → current
+  snapshot → manifest list (Avro) → manifests (Avro) → live parquet files.
+  Manifests reuse the same Avro decoder; the data scan is again native
+  parquet.
+
+Scale note: log/manifest replay is metadata work proportional to the
+file count, not the data size — the standard client-side design (delta-rs,
+pyiceberg do the same). The 100 TB of actual data never passes the driver.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import os
+import struct
+import zlib
+
+from intake_spark import datatypes as dt
+from intake_spark.readers import BaseReader
+
+# --------------------------------------------------------------------------
+# Avro binary decoding (spec: https://avro.apache.org/docs/ spec — varint
+# zigzag longs, little-endian floats, length-prefixed bytes/strings)
+# --------------------------------------------------------------------------
+
+
+class _Buf:
+    __slots__ = ("b", "p")
+
+    def __init__(self, b: bytes):
+        self.b, self.p = b, 0
+
+    def read(self, n: int) -> bytes:
+        out = self.b[self.p : self.p + n]
+        if len(out) < n:
+            raise ValueError("truncated avro data")
+        self.p += n
+        return out
+
+    def varlong(self) -> int:
+        shift = acc = 0
+        while True:
+            byte = self.b[self.p]
+            self.p += 1
+            acc |= (byte & 0x7F) << shift
+            if not byte & 0x80:
+                break
+            shift += 7
+        return (acc >> 1) ^ -(acc & 1)  # zigzag
+
+
+def _avro_decode(buf: _Buf, schema, names: dict):
+    """One value per the writer ``schema`` (parsed JSON)."""
+    if isinstance(schema, str):
+        if schema in names:
+            return _avro_decode(buf, names[schema], names)
+        t = schema
+        if t == "null":
+            return None
+        if t == "boolean":
+            return buf.read(1) != b"\x00"
+        if t in ("int", "long"):
+            return buf.varlong()
+        if t == "float":
+            return struct.unpack("<f", buf.read(4))[0]
+        if t == "double":
+            return struct.unpack("<d", buf.read(8))[0]
+        if t == "bytes":
+            return bytes(buf.read(buf.varlong()))
+        if t == "string":
+            return buf.read(buf.varlong()).decode("utf-8")
+        raise ValueError(f"unknown avro type {t!r}")
+    if isinstance(schema, list):  # union: branch index then value
+        return _avro_decode(buf, schema[buf.varlong()], names)
+    t = schema["type"]
+    if t == "record":
+        if schema.get("name"):
+            names[schema["name"]] = schema
+        return {
+            f["name"]: _avro_decode(buf, f["type"], names) for f in schema["fields"]
+        }
+    if t == "enum":
+        return schema["symbols"][buf.varlong()]
+    if t == "fixed":
+        if schema.get("name"):
+            names[schema["name"]] = schema
+        return bytes(buf.read(schema["size"]))
+    if t == "array":
+        out = []
+        while True:
+            n = buf.varlong()
+            if n == 0:
+                break
+            if n < 0:  # block with byte size prefix
+                buf.varlong()
+                n = -n
+            for _ in range(n):
+                out.append(_avro_decode(buf, schema["items"], names))
+        return out
+    if t == "map":
+        out = {}
+        while True:
+            n = buf.varlong()
+            if n == 0:
+                break
+            if n < 0:
+                buf.varlong()
+                n = -n
+            for _ in range(n):
+                k = buf.read(buf.varlong()).decode("utf-8")
+                out[k] = _avro_decode(buf, schema["values"], names)
+        return out
+    return _avro_decode(buf, t, names)  # {"type": "string"} wrapper form
+
+
+def _register_names(schema, names: dict):
+    """Pre-walk named types so forward references resolve."""
+    if isinstance(schema, dict):
+        if schema.get("type") in ("record", "fixed", "enum") and schema.get("name"):
+            names[schema["name"]] = schema
+        for f in schema.get("fields", []) or []:
+            _register_names(f.get("type"), names)
+        for k in ("items", "values"):
+            if k in schema:
+                _register_names(schema[k], names)
+    elif isinstance(schema, list):
+        for s in schema:
+            _register_names(s, names)
+
+
+def _avro_header(f) -> tuple[dict, str, bytes, int]:
+    """(writer schema, codec, sync marker, first block offset)."""
+    if f.read(4) != b"Obj\x01":
+        raise ValueError("not an Avro object container file")
+    raw = f.read(1 << 20)
+    buf = _Buf(raw)
+    meta: dict[str, bytes] = {}
+    while True:
+        n = buf.varlong()
+        if n == 0:
+            break
+        if n < 0:
+            buf.varlong()
+            n = -n
+        for _ in range(n):
+            k = buf.read(buf.varlong()).decode("utf-8")
+            meta[k] = bytes(buf.read(buf.varlong()))
+    sync = bytes(buf.read(16))
+    schema = json.loads(meta["avro.schema"].decode("utf-8"))
+    codec = meta.get("avro.codec", b"null").decode("utf-8")
+    if codec not in ("null", "deflate"):
+        raise ValueError(f"unsupported avro codec {codec!r} (null/deflate only)")
+    return schema, codec, sync, 4 + buf.p
+
+
+def _avro_block_index(f, sync: bytes, start: int) -> list[tuple[int, int, int]]:
+    """[(data offset, stored size, record count)] — skips block payloads."""
+    out = []
+    f.seek(start)
+    while True:
+        head = f.read(20)  # enough for two varints
+        if not head:
+            return out
+        buf = _Buf(head)
+        try:
+            count = buf.varlong()
+            size = buf.varlong()
+        except (IndexError, ValueError):
+            return out
+        data_off = f.tell() - len(head) + buf.p
+        f.seek(data_off + size)
+        if f.read(16) != sync:
+            raise ValueError("avro sync marker mismatch (corrupt block)")
+        out.append((data_off, size, count))
+
+
+def decode_avro_file(path: str) -> list[dict]:
+    """Whole-file decode (driver-side) — used for Iceberg manifests, which
+    are small metadata files by design."""
+    with open(path, "rb") as f:
+        schema, codec, sync, start = _avro_header(f)
+        names: dict = {}
+        _register_names(schema, names)
+        blocks = _avro_block_index(f, sync, start)
+        out = []
+        for off, size, count in blocks:
+            f.seek(off)
+            raw = f.read(size)
+            if codec == "deflate":
+                raw = zlib.decompressobj(-15).decompress(raw)
+            buf = _Buf(raw)
+            for _ in range(count):
+                out.append(_avro_decode(buf, schema, dict(names)))
+    return out
+
+
+def _avro_to_spark_type(schema, names: dict):
+    from pyspark.sql import types as T
+
+    prim = {
+        "boolean": T.BooleanType(),
+        "int": T.IntegerType(),
+        "long": T.LongType(),
+        "float": T.FloatType(),
+        "double": T.DoubleType(),
+        "bytes": T.BinaryType(),
+        "string": T.StringType(),
+    }
+    if isinstance(schema, str):
+        if schema in names:
+            return _avro_to_spark_type(names[schema], names)
+        if schema in prim:
+            return prim[schema]
+        raise ValueError(f"cannot map avro type {schema!r}")
+    if isinstance(schema, list):
+        branches = [s for s in schema if s != "null"]
+        if len(branches) != 1:
+            raise ValueError("only [null, X] avro unions are supported")
+        return _avro_to_spark_type(branches[0], names)
+    t = schema["type"]
+    if t == "record":
+        return T.StructType(
+            [
+                T.StructField(
+                    f["name"], _avro_to_spark_type(f["type"], names), True
+                )
+                for f in schema["fields"]
+            ]
+        )
+    if t == "enum":
+        return T.StringType()
+    if t == "fixed":
+        return T.BinaryType()
+    if t == "array":
+        return T.ArrayType(_avro_to_spark_type(schema["items"], names))
+    if t == "map":
+        return T.MapType(T.StringType(), _avro_to_spark_type(schema["values"], names))
+    if t in prim:
+        return prim[t]
+    return _avro_to_spark_type(t, names)
+
+
+class AvroOCFReader(BaseReader):
+    """Avro object container file(s) → DataFrame, stdlib-only (parity:
+    SparkAvro, reference readers.py:536, which needs the spark-avro jar).
+
+    Driver walks headers + block indexes (no record decode); each executor
+    task inflates and decodes one run of blocks via mapInPandas. Top-level
+    schema must be a record (the normal OCF shape); [null, X] unions map to
+    nullable columns, deflate and null codecs supported.
+    """
+
+    implements = {dt.AVRO}
+    # lower priority wins: prefer the reader that cannot ClassNotFound —
+    # the jar-backed SparkAvro is still selectable explicitly on clusters
+    # that ship the avro package
+    priority = -1
+
+    def _read(self, spark, blocks_per_task: int = 64, **kwargs):
+        import glob as _glob
+
+        import pandas as pd
+
+        from intake_spark.session import ensure_py_deps
+
+        url = self.data.url
+        paths = sorted(p for p in _glob.glob(url) if os.path.isfile(p)) or [url]
+        manifest = []  # (path, data_off, size, count) runs
+        schema0 = codec0 = None
+        for p in paths:
+            with open(p, "rb") as f:
+                schema, codec, sync, start = _avro_header(f)
+                if schema0 is None:
+                    schema0, codec0 = schema, codec
+                blocks = _avro_block_index(f, sync, start)
+            for i in range(0, len(blocks), blocks_per_task):
+                run = blocks[i : i + blocks_per_task]
+                manifest.append((p, codec, json.dumps(run)))
+        if not isinstance(schema0, dict) or schema0.get("type") != "record":
+            raise ValueError("AvroOCFReader needs a top-level record schema")
+        names: dict = {}
+        _register_names(schema0, names)
+        spark_schema = _avro_to_spark_type(schema0, names)
+        cols = [f.name for f in spark_schema.fields]
+        self.data.metadata.update({"avro_schema": schema0, "codec": codec0})
+        ensure_py_deps(spark)
+        mdf = spark.createDataFrame(manifest, "path string, codec string, runs string")
+        writer_schema = schema0
+
+        def decode(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                for _, r in pdf.iterrows():
+                    rows = []
+                    with open(r.path, "rb") as f:
+                        for off, size, count in json.loads(r.runs):
+                            f.seek(off)
+                            raw = f.read(size)
+                            if r.codec == "deflate":
+                                raw = zlib.decompressobj(-15).decompress(raw)
+                            buf = _Buf(raw)
+                            base: dict = {}
+                            _register_names(writer_schema, base)
+                            for _i in range(count):
+                                rows.append(_avro_decode(buf, writer_schema, base))
+                    yield pd.DataFrame(
+                        [[row.get(c) for c in cols] for row in rows], columns=cols
+                    )
+
+        return mdf.mapInPandas(decode, schema=spark_schema)
+
+
+# --------------------------------------------------------------------------
+# Delta Lake
+# --------------------------------------------------------------------------
+
+
+class DeltaLakeReader(BaseReader):
+    """Delta table → DataFrame by replaying ``_delta_log`` stdlib-side
+    (parity: SparkDeltaLake, reference readers.py:550, which needs the
+    delta-spark jar). Supports JSON commits + parquet checkpoints, remove
+    actions, partitioned tables (hive-layout paths via basePath so Catalyst
+    still prunes partitions), and ``version=`` time travel. Tables needing
+    column mapping or deletion vectors raise with the feature named."""
+
+    implements = {dt.DeltalakeTable}
+    priority = -1  # see AvroOCFReader: never ClassNotFound by default
+
+    def _read(self, spark, version: int | None = None, **kwargs):
+        from pyspark.sql import types as T
+
+        root = self.data.url.rstrip("/")
+        log = os.path.join(root, "_delta_log")
+        if not os.path.isdir(log):
+            raise ValueError(f"{root} has no _delta_log — not a Delta table")
+        commits = sorted(
+            f for f in os.listdir(log) if f.endswith(".json") and f[:20].isdigit()
+        )
+        if version is not None:
+            commits = [c for c in commits if int(c[:20]) <= version]
+            if not commits:
+                raise ValueError(f"no Delta commits at or below version {version}")
+        adds: dict[str, dict] = {}
+        meta = None
+        protocol = None
+        # checkpoint fast-path: _last_checkpoint names the compacted state
+        ckpt_version = -1
+        last_ck = os.path.join(log, "_last_checkpoint")
+        if os.path.exists(last_ck) and version is None:
+            ck = json.load(open(last_ck))
+            ckpt_version = int(ck["version"])
+            ck_path = os.path.join(log, f"{ckpt_version:020d}.checkpoint.parquet")
+            cdf = spark.read.parquet(ck_path)
+            for row in cdf.select("add", "remove", "metaData", "protocol").collect():
+                if row.add and row.add.path:
+                    adds[row.add.path] = {
+                        "partitionValues": dict(row.add.partitionValues or {})
+                    }
+                if row.remove and row.remove.path:
+                    adds.pop(row.remove.path, None)
+                if row.metaData and row.metaData.schemaString:
+                    meta = row.metaData.asDict(recursive=True)
+                if row.protocol and row.protocol.minReaderVersion is not None:
+                    protocol = row.protocol.asDict(recursive=True)
+        for c in commits:
+            if int(c[:20]) <= ckpt_version:
+                continue
+            with open(os.path.join(log, c)) as f:
+                for line in f:
+                    if not line.strip():
+                        continue
+                    act = json.loads(line)
+                    if "add" in act:
+                        adds[act["add"]["path"]] = act["add"]
+                    elif "remove" in act:
+                        adds.pop(act["remove"]["path"], None)
+                    elif "metaData" in act:
+                        meta = act["metaData"]
+                    elif "protocol" in act:
+                        protocol = act["protocol"]
+        if meta is None:
+            raise ValueError("Delta log contains no metaData action")
+        if protocol:
+            feats = set(protocol.get("readerFeatures") or [])
+            if protocol.get("minReaderVersion", 1) >= 3 and feats:
+                raise ValueError(
+                    f"unsupported Delta reader features {sorted(feats)} "
+                    "(this stdlib reader handles the base protocol)"
+                )
+        cmap = (meta.get("configuration") or {}).get("delta.columnMapping.mode")
+        if cmap and cmap != "none":
+            raise ValueError(f"Delta column mapping mode {cmap!r} not supported")
+        schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
+        part_cols = list(meta.get("partitionColumns") or [])
+        self.data.metadata.update(
+            {"partition_columns": part_cols, "n_files": len(adds)}
+        )
+        if not adds:
+            return spark.createDataFrame([], schema)
+        paths = [os.path.join(root, p) for p in sorted(adds)]
+        if part_cols:
+            # hive-layout paths (how Delta lays out partitioned tables):
+            # basePath lets Spark derive partition columns — and giving the
+            # FULL table schema (partition cols included) pins their types,
+            # so partition filters compare without casts and prune
+            # statically at the file listing
+            out = spark.read.schema(schema).option("basePath", root).parquet(*paths)
+            return out.select(*[f.name for f in schema.fields])
+        data_schema = T.StructType([f for f in schema.fields if f.name not in part_cols])
+        return spark.read.schema(data_schema).parquet(*paths)
+
+
+# --------------------------------------------------------------------------
+# Iceberg
+# --------------------------------------------------------------------------
+
+
+def _iceberg_to_spark_type(t):
+    from pyspark.sql import types as T
+
+    if isinstance(t, str):
+        prim = {
+            "boolean": T.BooleanType(),
+            "int": T.IntegerType(),
+            "long": T.LongType(),
+            "float": T.FloatType(),
+            "double": T.DoubleType(),
+            "date": T.DateType(),
+            "string": T.StringType(),
+            "uuid": T.StringType(),
+            "binary": T.BinaryType(),
+        }
+        if t in prim:
+            return prim[t]
+        if t.startswith("decimal"):
+            return T.DataType.fromDDL(t)
+        if t.startswith("timestamp"):
+            return T.TimestampType()
+        if t.startswith("fixed"):
+            return T.BinaryType()
+        raise ValueError(f"unknown iceberg type {t!r}")
+    k = t["type"]
+    if k == "struct":
+        return T.StructType(
+            [
+                T.StructField(
+                    f["name"], _iceberg_to_spark_type(f["type"]), not f.get("required")
+                )
+                for f in t["fields"]
+            ]
+        )
+    if k == "list":
+        return T.ArrayType(_iceberg_to_spark_type(t["element"]))
+    if k == "map":
+        return T.MapType(
+            _iceberg_to_spark_type(t["key"]), _iceberg_to_spark_type(t["value"])
+        )
+    raise ValueError(f"unknown iceberg type {t!r}")
+
+
+class IcebergTableReader(BaseReader):
+    """Iceberg table → DataFrame, stdlib-only (parity: SparkIceberg; the
+    reference needs the iceberg-spark runtime jar). Walks table metadata
+    JSON → current snapshot → manifest list (Avro) → manifests (Avro) →
+    live parquet files, then hands the file set to Spark's native parquet
+    scan. Manifest paths are rewritten from the writer's recorded table
+    location to the local root, so relocated/copied tables read in place.
+    Supports v1/v2 metadata, append+delete manifests (data files only);
+    equality/position delete files raise with the feature named."""
+
+    implements = {dt.IcebergDataset}
+    priority = -1  # see AvroOCFReader
+
+    def _read(self, spark, snapshot_id: int | None = None, **kwargs):
+        root = self.data.url.rstrip("/")
+        mdir = os.path.join(root, "metadata")
+        if not os.path.isdir(mdir):
+            raise ValueError(f"{root} has no metadata/ dir — not an Iceberg table")
+        hint = os.path.join(mdir, "version-hint.text")
+        if os.path.exists(hint):
+            v = open(hint).read().strip()
+            meta_path = os.path.join(mdir, f"v{v}.metadata.json")
+        else:
+            cands = sorted(f for f in os.listdir(mdir) if f.endswith(".metadata.json"))
+            if not cands:
+                raise ValueError(f"no *.metadata.json under {mdir}")
+            meta_path = os.path.join(mdir, cands[-1])
+        meta = json.load(open(meta_path))
+        loc = meta.get("location", root).rstrip("/")
+
+        def local(p: str) -> str:
+            p = p.removeprefix("file://")
+            return root + p[len(loc) :] if p.startswith(loc) else p
+
+        if "schemas" in meta:
+            sid = meta.get("current-schema-id", 0)
+            ischema = next(s for s in meta["schemas"] if s.get("schema-id") == sid)
+        else:
+            ischema = meta["schema"]
+        spark_schema = _iceberg_to_spark_type({"type": "struct", "fields": ischema["fields"]})
+        snap_id = snapshot_id if snapshot_id is not None else meta.get("current-snapshot-id")
+        if snap_id in (None, -1):
+            return spark.createDataFrame([], spark_schema)
+        snap = next(s for s in meta["snapshots"] if s["snapshot-id"] == snap_id)
+        manifests = [
+            m["manifest_path"] for m in decode_avro_file(local(snap["manifest-list"]))
+        ]
+        files: list[str] = []
+        for mp in manifests:
+            for entry in decode_avro_file(local(mp)):
+                if entry.get("status") == 2:  # DELETED entry
+                    continue
+                df_ = entry["data_file"]
+                if df_.get("content", 0) != 0:
+                    raise ValueError(
+                        "Iceberg delete files (position/equality) not supported"
+                    )
+                files.append(local(df_["file_path"]))
+        self.data.metadata.update(
+            {"snapshot_id": snap_id, "n_files": len(files), "metadata_file": meta_path}
+        )
+        if not files:
+            return spark.createDataFrame([], spark_schema)
+        return spark.read.schema(spark_schema).parquet(*sorted(set(files)))

@@ -1,0 +1,365 @@
+"""Stdlib lakehouse readers vs spec-built fixtures: Avro OCF (hand-encoded
+from the Avro 1.11 binary spec), Delta Lake (_delta_log JSON exactly as the
+delta writers emit it), Iceberg (metadata JSON + Avro manifests)."""
+
+from __future__ import annotations
+
+import json
+import os
+import struct
+import zlib
+
+import pytest
+
+from intake_spark import datatypes as dt
+from intake_spark.lakehouse import (
+    AvroOCFReader,
+    DeltaLakeReader,
+    IcebergTableReader,
+    decode_avro_file,
+)
+
+# ---- test-side Avro binary encoder (independent of the reader) -----------
+
+
+def _zz(n: int) -> bytes:
+    u = (n << 1) ^ (n >> 63)
+    out = bytearray()
+    while True:
+        b = u & 0x7F
+        u >>= 7
+        if u:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _enc(value, schema, names: dict) -> bytes:
+    if isinstance(schema, str):
+        if schema in names:
+            return _enc(value, names[schema], names)
+        if schema == "null":
+            return b""
+        if schema == "boolean":
+            return b"\x01" if value else b"\x00"
+        if schema in ("int", "long"):
+            return _zz(int(value))
+        if schema == "float":
+            return struct.pack("<f", value)
+        if schema == "double":
+            return struct.pack("<d", value)
+        if schema == "bytes":
+            return _zz(len(value)) + bytes(value)
+        if schema == "string":
+            b = value.encode("utf-8")
+            return _zz(len(b)) + b
+        raise ValueError(schema)
+    if isinstance(schema, list):
+        idx = 0 if value is None and schema[0] == "null" else (1 if schema[0] == "null" else 0)
+        if value is None:
+            idx = schema.index("null")
+        return _zz(idx) + _enc(value, schema[idx], names)
+    t = schema["type"]
+    if t == "record":
+        if schema.get("name"):
+            names[schema["name"]] = schema
+        return b"".join(_enc(value[f["name"]], f["type"], names) for f in schema["fields"])
+    if t == "enum":
+        return _zz(schema["symbols"].index(value))
+    if t == "fixed":
+        return bytes(value)
+    if t == "array":
+        if not value:
+            return _zz(0)
+        return _zz(len(value)) + b"".join(_enc(v, schema["items"], names) for v in value) + _zz(0)
+    if t == "map":
+        if not value:
+            return _zz(0)
+        body = b"".join(
+            _zz(len(k.encode())) + k.encode() + _enc(v, schema["values"], names)
+            for k, v in value.items()
+        )
+        return _zz(len(value)) + body + _zz(0)
+    return _enc(value, t, names)
+
+
+def write_avro(path: str, schema: dict, records: list[dict], codec: str = "null",
+               block_size: int = 3) -> None:
+    sync = bytes(range(16))
+    meta = {"avro.schema": json.dumps(schema).encode(), "avro.codec": codec.encode()}
+    out = bytearray(b"Obj\x01")
+    out += _zz(len(meta))
+    for k, v in meta.items():
+        kb = k.encode()
+        out += _zz(len(kb)) + kb + _zz(len(v)) + v
+    out += _zz(0)
+    out += sync
+    for i in range(0, len(records), block_size):
+        blk = records[i : i + block_size]
+        body = b"".join(_enc(r, schema, {}) for r in blk)
+        if codec == "deflate":
+            co = zlib.compressobj(6, zlib.DEFLATED, -15)
+            body = co.compress(body) + co.flush()
+        out += _zz(len(blk)) + _zz(len(body)) + body + sync
+    with open(path, "wb") as f:
+        f.write(out)
+
+
+SCHEMA = {
+    "type": "record",
+    "name": "Event",
+    "fields": [
+        {"name": "id", "type": "long"},
+        {"name": "name", "type": "string"},
+        {"name": "score", "type": "double"},
+        {"name": "tag", "type": ["null", "string"]},
+        {"name": "vals", "type": {"type": "array", "items": "int"}},
+    ],
+}
+RECORDS = [
+    {"id": i, "name": f"n{i}", "score": i * 0.5, "tag": None if i % 3 == 0 else f"t{i}",
+     "vals": list(range(i % 4))}
+    for i in range(10)
+]
+
+
+@pytest.mark.parametrize("codec", ["null", "deflate"])
+def test_avro_ocf_roundtrip(spark, tmp_path, codec):
+    p = str(tmp_path / f"e_{codec}.avro")
+    write_avro(p, SCHEMA, RECORDS, codec=codec)
+    df = AvroOCFReader(data=dt.AVRO(url=p)).read(spark=spark, blocks_per_task=2)
+    rows = sorted(df.collect(), key=lambda r: r.id)
+    assert len(rows) == 10
+    for i, r in enumerate(rows):
+        assert (r.id, r.name, r.score) == (i, f"n{i}", i * 0.5)
+        assert r.tag == (None if i % 3 == 0 else f"t{i}")
+        assert list(r.vals) == list(range(i % 4))
+    assert df.schema["tag"].dataType.typeName() == "string"
+
+
+def test_avro_glob_multiple_files(spark, tmp_path):
+    for j in range(3):
+        write_avro(str(tmp_path / f"p{j}.avro"), SCHEMA,
+                   [dict(r, id=r["id"] + 100 * j) for r in RECORDS])
+    df = AvroOCFReader(data=dt.AVRO(url=f"{tmp_path}/*.avro")).read(spark=spark)
+    assert df.count() == 30
+    assert df.agg({"id": "max"}).collect()[0][0] == 209
+
+
+def test_avro_driver_decode_helper(tmp_path):
+    p = str(tmp_path / "m.avro")
+    write_avro(p, SCHEMA, RECORDS[:4])
+    out = decode_avro_file(p)
+    assert [r["id"] for r in out] == [0, 1, 2, 3]
+
+
+# ---- Delta Lake ----------------------------------------------------------
+
+
+def _delta_add(path, pvals=None):
+    return json.dumps(
+        {"add": {"path": path, "partitionValues": pvals or {}, "size": 1,
+                 "modificationTime": 0, "dataChange": True}}
+    )
+
+
+def _delta_meta(schema_json, part_cols=()):
+    return json.dumps(
+        {"metaData": {"id": "m1", "schemaString": json.dumps(schema_json),
+                      "partitionColumns": list(part_cols), "configuration": {},
+                      "format": {"provider": "parquet", "options": {}}}}
+    )
+
+
+_DELTA_SCHEMA = {
+    "type": "struct",
+    "fields": [
+        {"name": "k", "type": "string", "nullable": True, "metadata": {}},
+        {"name": "v", "type": "long", "nullable": True, "metadata": {}},
+    ],
+}
+
+
+def test_delta_log_replay_with_remove(spark, tmp_path):
+    root = str(tmp_path / "tbl")
+    os.makedirs(f"{root}/_delta_log")
+    spark.createDataFrame([("a", 1), ("b", 2)], "k string, v long").coalesce(1) \
+        .write.parquet(f"{root}/f0")
+    spark.createDataFrame([("c", 3)], "k string, v long").coalesce(1) \
+        .write.parquet(f"{root}/f1")
+    f0 = [f for f in os.listdir(f"{root}/f0") if f.endswith(".parquet")][0]
+    f1 = [f for f in os.listdir(f"{root}/f1") if f.endswith(".parquet")][0]
+    with open(f"{root}/_delta_log/{0:020d}.json", "w") as f:
+        f.write(json.dumps({"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}) + "\n")
+        f.write(_delta_meta(_DELTA_SCHEMA) + "\n")
+        f.write(_delta_add(f"f0/{f0}") + "\n")
+    with open(f"{root}/_delta_log/{1:020d}.json", "w") as f:
+        f.write(_delta_add(f"f1/{f1}") + "\n")
+        f.write(json.dumps({"remove": {"path": f"f0/{f0}", "dataChange": True}}) + "\n")
+    rdr = DeltaLakeReader(data=dt.DeltalakeTable(url=root))
+    assert {(r.k, r.v) for r in rdr.read(spark=spark).collect()} == {("c", 3)}
+    # time travel to version 0: the removed file is still live
+    v0 = rdr.read(spark=spark, version=0)
+    assert {(r.k, r.v) for r in v0.collect()} == {("a", 1), ("b", 2)}
+
+
+def test_delta_partitioned_hive_layout(spark, tmp_path):
+    root = str(tmp_path / "ptbl")
+    os.makedirs(f"{root}/_delta_log")
+    schema = {
+        "type": "struct",
+        "fields": [
+            {"name": "v", "type": "long", "nullable": True, "metadata": {}},
+            {"name": "ds", "type": "string", "nullable": True, "metadata": {}},
+        ],
+    }
+    adds = []
+    for ds, vals in [("2024-01-01", [1, 2]), ("2024-01-02", [3])]:
+        spark.createDataFrame([(v,) for v in vals], "v long").coalesce(1) \
+            .write.parquet(f"{root}/ds={ds}")
+        fn = [f for f in os.listdir(f"{root}/ds={ds}") if f.endswith(".parquet")][0]
+        adds.append(_delta_add(f"ds={ds}/{fn}", {"ds": ds}))
+    with open(f"{root}/_delta_log/{0:020d}.json", "w") as f:
+        f.write(_delta_meta(schema, ["ds"]) + "\n")
+        for a in adds:
+            f.write(a + "\n")
+    df = DeltaLakeReader(data=dt.DeltalakeTable(url=root)).read(spark=spark)
+    got = {(r.v, r.ds) for r in df.collect()}
+    assert got == {(1, "2024-01-01"), (2, "2024-01-01"), (3, "2024-01-02")}
+    # partition pruning reaches the scan: the filter lands in
+    # PartitionFilters uncast (a cast would force runtime evaluation)
+    plan = df.filter("ds = '2024-01-02'")._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(ds" in plan
+    assert "cast(ds" not in plan
+
+
+def test_delta_unsupported_features_raise(spark, tmp_path):
+    root = str(tmp_path / "dv")
+    os.makedirs(f"{root}/_delta_log")
+    with open(f"{root}/_delta_log/{0:020d}.json", "w") as f:
+        f.write(json.dumps({"protocol": {"minReaderVersion": 3,
+                                         "readerFeatures": ["deletionVectors"]}}) + "\n")
+        f.write(_delta_meta(_DELTA_SCHEMA) + "\n")
+    with pytest.raises(ValueError, match="deletionVectors"):
+        DeltaLakeReader(data=dt.DeltalakeTable(url=root)).read(spark=spark)
+
+
+# ---- Iceberg -------------------------------------------------------------
+
+_MANIFEST_FILE_SCHEMA = {
+    "type": "record",
+    "name": "manifest_file",
+    "fields": [{"name": "manifest_path", "type": "string"},
+               {"name": "manifest_length", "type": "long"}],
+}
+_MANIFEST_ENTRY_SCHEMA = {
+    "type": "record",
+    "name": "manifest_entry",
+    "fields": [
+        {"name": "status", "type": "int"},
+        {"name": "data_file", "type": {
+            "type": "record", "name": "r2",
+            "fields": [
+                {"name": "content", "type": "int"},
+                {"name": "file_path", "type": "string"},
+                {"name": "file_format", "type": "string"},
+                {"name": "record_count", "type": "long"},
+            ]}},
+    ],
+}
+
+
+def test_iceberg_snapshot_scan(spark, tmp_path):
+    root = str(tmp_path / "ice")
+    os.makedirs(f"{root}/metadata")
+    os.makedirs(f"{root}/data", exist_ok=True)
+    spark.createDataFrame([(1, "x"), (2, "y")], "id long, s string").coalesce(1) \
+        .write.parquet(f"{root}/data/d0")
+    spark.createDataFrame([(3, "z")], "id long, s string").coalesce(1) \
+        .write.parquet(f"{root}/data/d1")
+    files = []
+    for d in ("d0", "d1"):
+        fn = [f for f in os.listdir(f"{root}/data/{d}") if f.endswith(".parquet")][0]
+        files.append(f"{root}/data/{d}/{fn}")
+    # manifest with one live and one DELETED entry; deleted points at d1
+    write_avro(f"{root}/metadata/man0.avro", _MANIFEST_ENTRY_SCHEMA, [
+        {"status": 1, "data_file": {"content": 0, "file_path": files[0],
+                                    "file_format": "PARQUET", "record_count": 2}},
+    ])
+    write_avro(f"{root}/metadata/man1.avro", _MANIFEST_ENTRY_SCHEMA, [
+        {"status": 2, "data_file": {"content": 0, "file_path": files[1],
+                                    "file_format": "PARQUET", "record_count": 1}},
+    ])
+    write_avro(f"{root}/metadata/mlist.avro", _MANIFEST_FILE_SCHEMA, [
+        {"manifest_path": f"{root}/metadata/man0.avro", "manifest_length": 1},
+        {"manifest_path": f"{root}/metadata/man1.avro", "manifest_length": 1},
+    ])
+    meta = {
+        "format-version": 2,
+        "location": root,
+        "current-snapshot-id": 77,
+        "current-schema-id": 0,
+        "schemas": [{"schema-id": 0, "type": "struct", "fields": [
+            {"id": 1, "name": "id", "required": False, "type": "long"},
+            {"id": 2, "name": "s", "required": False, "type": "string"},
+        ]}],
+        "snapshots": [{"snapshot-id": 77,
+                       "manifest-list": f"{root}/metadata/mlist.avro"}],
+    }
+    with open(f"{root}/metadata/v1.metadata.json", "w") as f:
+        json.dump(meta, f)
+    with open(f"{root}/metadata/version-hint.text", "w") as f:
+        f.write("1")
+    df = IcebergTableReader(data=dt.IcebergDataset(url=root)).read(spark=spark)
+    assert {(r.id, r.s) for r in df.collect()} == {(1, "x"), (2, "y")}
+
+
+def test_iceberg_relocated_table(spark, tmp_path):
+    """Manifest paths recorded under the writer's location must resolve
+    after the table directory is copied elsewhere."""
+    import shutil
+
+    # build under 'orig', then move to 'moved'
+    orig = str(tmp_path / "orig")
+    os.makedirs(f"{orig}/metadata")
+    spark.createDataFrame([(9, "q")], "id long, s string").coalesce(1) \
+        .write.parquet(f"{orig}/data/d0")
+    fn = [f for f in os.listdir(f"{orig}/data/d0") if f.endswith(".parquet")][0]
+    write_avro(f"{orig}/metadata/man0.avro", _MANIFEST_ENTRY_SCHEMA, [
+        {"status": 1, "data_file": {"content": 0, "file_path": f"{orig}/data/d0/{fn}",
+                                    "file_format": "PARQUET", "record_count": 1}},
+    ])
+    write_avro(f"{orig}/metadata/mlist.avro", _MANIFEST_FILE_SCHEMA, [
+        {"manifest_path": f"{orig}/metadata/man0.avro", "manifest_length": 1},
+    ])
+    meta = {
+        "format-version": 1,
+        "location": orig,
+        "current-snapshot-id": 5,
+        "schema": {"type": "struct", "fields": [
+            {"id": 1, "name": "id", "required": False, "type": "long"},
+            {"id": 2, "name": "s", "required": False, "type": "string"},
+        ]},
+        "snapshots": [{"snapshot-id": 5, "manifest-list": f"{orig}/metadata/mlist.avro"}],
+    }
+    with open(f"{orig}/metadata/v1.metadata.json", "w") as f:
+        json.dump(meta, f)
+    with open(f"{orig}/metadata/version-hint.text", "w") as f:
+        f.write("1")
+    moved = str(tmp_path / "moved")
+    shutil.move(orig, moved)
+    df = IcebergTableReader(data=dt.IcebergDataset(url=moved)).read(spark=spark)
+    assert [(r.id, r.s) for r in df.collect()] == [(9, "q")]
+
+
+def test_recommend_routes_lakehouse(tmp_path):
+    from intake_spark.datatypes import register_all
+    from intake_spark.readers import readers_for
+
+    register_all()
+    names = {c.__name__ for c in readers_for(dt.AVRO)}
+    assert "AvroOCFReader" in names
+    # stdlib readers outrank the jar-gated Spark formats by priority
+    first = readers_for(dt.DeltalakeTable)[0].__name__
+    assert first == "DeltaLakeReader"
