@@ -149,20 +149,30 @@ def _avro_header(f) -> tuple[dict, str, bytes, int]:
     """(writer schema, codec, sync marker, first block offset)."""
     if f.read(4) != b"Obj\x01":
         raise ValueError("not an Avro object container file")
-    raw = f.read(1 << 20)
-    buf = _Buf(raw)
-    meta: dict[str, bytes] = {}
+    read_size = 1 << 20
     while True:
-        n = buf.varlong()
-        if n == 0:
+        f.seek(4)
+        raw = f.read(read_size)
+        buf = _Buf(raw)
+        meta: dict[str, bytes] = {}
+        try:
+            while True:
+                n = buf.varlong()
+                if n == 0:
+                    break
+                if n < 0:
+                    buf.varlong()
+                    n = -n
+                for _ in range(n):
+                    k = buf.read(buf.varlong()).decode("utf-8")
+                    meta[k] = bytes(buf.read(buf.varlong()))
+            sync = bytes(buf.read(16))
             break
-        if n < 0:
-            buf.varlong()
-            n = -n
-        for _ in range(n):
-            k = buf.read(buf.varlong()).decode("utf-8")
-            meta[k] = bytes(buf.read(buf.varlong()))
-    sync = bytes(buf.read(16))
+        except (ValueError, IndexError):
+            # header (huge writer schema) outgrew the buffer: refill bigger
+            if len(raw) < read_size:
+                raise ValueError("truncated avro header") from None
+            read_size *= 4
     schema = json.loads(meta["avro.schema"].decode("utf-8"))
     codec = meta.get("avro.codec", b"null").decode("utf-8")
     if codec not in ("null", "deflate"):
@@ -281,28 +291,45 @@ class AvroOCFReader(BaseReader):
         from intake_spark.session import ensure_py_deps
 
         url = self.data.url
+        if os.path.isdir(url):  # Spark writers emit directories of part files
+            url = os.path.join(url, "*.avro")
         paths = sorted(p for p in _glob.glob(url) if os.path.isfile(p)) or [url]
-        manifest = []  # (path, data_off, size, count) runs
+        manifest = []  # (path, codec, writer schema, block runs)
         schema0 = codec0 = None
+        spark_schema = None
         for p in paths:
             with open(p, "rb") as f:
                 schema, codec, sync, start = _avro_header(f)
-                if schema0 is None:
-                    schema0, codec0 = schema, codec
                 blocks = _avro_block_index(f, sync, start)
+            if schema0 is None:
+                if not isinstance(schema, dict) or schema.get("type") != "record":
+                    raise ValueError("AvroOCFReader needs a top-level record schema")
+                schema0, codec0 = schema, codec
+                names: dict = {}
+                _register_names(schema0, names)
+                spark_schema = _avro_to_spark_type(schema0, names)
+            else:
+                # schema evolution across part files: every file decodes
+                # with its OWN writer schema (field boundaries differ!);
+                # the column set/types must still agree or the scan would
+                # silently misalign
+                n2: dict = {}
+                _register_names(schema, n2)
+                if _avro_to_spark_type(schema, n2) != spark_schema:
+                    raise ValueError(
+                        f"avro file {p} has an incompatible writer schema; "
+                        "read evolved files separately and unionByName them"
+                    )
+            sj = json.dumps(schema)
             for i in range(0, len(blocks), blocks_per_task):
                 run = blocks[i : i + blocks_per_task]
-                manifest.append((p, codec, json.dumps(run)))
-        if not isinstance(schema0, dict) or schema0.get("type") != "record":
-            raise ValueError("AvroOCFReader needs a top-level record schema")
-        names: dict = {}
-        _register_names(schema0, names)
-        spark_schema = _avro_to_spark_type(schema0, names)
+                manifest.append((p, codec, sj, json.dumps(run)))
         cols = [f.name for f in spark_schema.fields]
         self.data.metadata.update({"avro_schema": schema0, "codec": codec0})
         ensure_py_deps(spark)
-        mdf = spark.createDataFrame(manifest, "path string, codec string, runs string")
-        writer_schema = schema0
+        mdf = spark.createDataFrame(
+            manifest, "path string, codec string, wschema string, runs string"
+        )
 
         def decode(batches):
             import pandas as pd
@@ -310,6 +337,7 @@ class AvroOCFReader(BaseReader):
             for pdf in batches:
                 for _, r in pdf.iterrows():
                     rows = []
+                    writer_schema = json.loads(r.wschema)
                     with open(r.path, "rb") as f:
                         for off, size, count in json.loads(r.runs):
                             f.seek(off)
@@ -355,31 +383,55 @@ class DeltaLakeReader(BaseReader):
             f for f in os.listdir(log) if f.endswith(".json") and f[:20].isdigit()
         )
         if version is not None:
+            # state may come entirely from a checkpoint <= version (older
+            # JSON commits can be vacuumed), so an empty commit list is not
+            # an error here — a missing metaData below is
             commits = [c for c in commits if int(c[:20]) <= version]
-            if not commits:
-                raise ValueError(f"no Delta commits at or below version {version}")
         adds: dict[str, dict] = {}
         meta = None
         protocol = None
-        # checkpoint fast-path: _last_checkpoint names the compacted state
+        # checkpoint fast-path: _last_checkpoint names the compacted state.
+        # Used for time travel too when it predates the target version —
+        # older JSON commits may have been vacuumed by log retention.
         ckpt_version = -1
         last_ck = os.path.join(log, "_last_checkpoint")
-        if os.path.exists(last_ck) and version is None:
-            ck = json.load(open(last_ck))
-            ckpt_version = int(ck["version"])
-            ck_path = os.path.join(log, f"{ckpt_version:020d}.checkpoint.parquet")
-            cdf = spark.read.parquet(ck_path)
-            for row in cdf.select("add", "remove", "metaData", "protocol").collect():
-                if row.add and row.add.path:
-                    adds[row.add.path] = {
-                        "partitionValues": dict(row.add.partitionValues or {})
-                    }
-                if row.remove and row.remove.path:
-                    adds.pop(row.remove.path, None)
-                if row.metaData and row.metaData.schemaString:
-                    meta = row.metaData.asDict(recursive=True)
-                if row.protocol and row.protocol.minReaderVersion is not None:
-                    protocol = row.protocol.asDict(recursive=True)
+        if os.path.exists(last_ck):
+            with open(last_ck) as f:
+                ck = json.load(f)
+            if version is None or int(ck["version"]) <= version:
+                ckpt_version = int(ck["version"])
+                base = f"{ckpt_version:020d}.checkpoint"
+                if ck.get("parts"):
+                    parts = int(ck["parts"])
+                    ck_paths = [
+                        os.path.join(log, f"{base}.{i:010d}.{parts:010d}.parquet")
+                        for i in range(1, parts + 1)
+                    ]
+                else:
+                    ck_paths = [os.path.join(log, f"{base}.parquet")]
+                missing = [p for p in ck_paths if not os.path.exists(p)]
+                if missing:
+                    # v2/UUID checkpoints use a different naming + sidecars
+                    import glob as _glob
+
+                    if _glob.glob(os.path.join(log, f"{base}.*")):
+                        raise ValueError(
+                            "Delta v2 (UUID/sidecar) checkpoints not supported "
+                            "by this stdlib reader"
+                        )
+                    raise ValueError(f"checkpoint files missing: {missing}")
+                cdf = spark.read.parquet(*ck_paths)
+                for row in cdf.select("add", "remove", "metaData", "protocol").collect():
+                    if row.add and row.add.path:
+                        adds[row.add.path] = {
+                            "partitionValues": dict(row.add.partitionValues or {})
+                        }
+                    if row.remove and row.remove.path:
+                        adds.pop(row.remove.path, None)
+                    if row.metaData and row.metaData.schemaString:
+                        meta = row.metaData.asDict(recursive=True)
+                    if row.protocol and row.protocol.minReaderVersion is not None:
+                        protocol = row.protocol.asDict(recursive=True)
         for c in commits:
             if int(c[:20]) <= ckpt_version:
                 continue
@@ -415,17 +467,50 @@ class DeltaLakeReader(BaseReader):
         )
         if not adds:
             return spark.createDataFrame([], schema)
-        paths = [os.path.join(root, p) for p in sorted(adds)]
-        if part_cols:
-            # hive-layout paths (how Delta lays out partitioned tables):
-            # basePath lets Spark derive partition columns — and giving the
-            # FULL table schema (partition cols included) pins their types,
-            # so partition filters compare without casts and prune
-            # statically at the file listing
+        from urllib.parse import unquote
+
+        # add.path is RFC 2396 URI-encoded per the Delta protocol
+        rel = {unquote(p): a for p, a in adds.items()}
+        paths = [os.path.join(root, p) for p in sorted(rel)]
+        if not part_cols:
+            return spark.read.schema(schema).parquet(*paths)
+        # The log's partitionValues are authoritative; the hive-style dir
+        # layout is only a convention. When every path encodes its own
+        # partition values hive-style (the layout every mainstream writer
+        # produces), read via basePath: the FULL table schema pins partition
+        # column types so filters prune statically at the file listing.
+        # Otherwise fall back to per-partition-group reads with literal
+        # columns (constant-folded, so partition filters still prune whole
+        # branches at plan time).
+        def hive_consistent(p: str, pv: dict) -> bool:
+            segs = dict(
+                s.split("=", 1) for s in p.split("/")[:-1] if "=" in s
+            )
+            return all(unquote(segs.get(c, "\0")) == (pv.get(c) or "") for c in part_cols)
+
+        if all(
+            hive_consistent(p, a.get("partitionValues") or {}) for p, a in rel.items()
+        ):
             out = spark.read.schema(schema).option("basePath", root).parquet(*paths)
             return out.select(*[f.name for f in schema.fields])
+        from pyspark.sql import functions as F
+
         data_schema = T.StructType([f for f in schema.fields if f.name not in part_cols])
-        return spark.read.schema(data_schema).parquet(*paths)
+        groups: dict[tuple, list[str]] = {}
+        for p, a in rel.items():
+            pv = a.get("partitionValues") or {}
+            groups.setdefault(tuple(pv.get(c) for c in part_cols), []).append(
+                os.path.join(root, p)
+            )
+        out = None
+        for pv, gpaths in sorted(groups.items()):
+            g = spark.read.schema(data_schema).parquet(*sorted(gpaths))
+            for c, v in zip(part_cols, pv):
+                f = schema[c]
+                g = g.withColumn(c, F.lit(v).cast(f.dataType))
+            g = g.select(*[f.name for f in schema.fields])
+            out = g if out is None else out.unionByName(g)
+        return out
 
 
 # --------------------------------------------------------------------------
@@ -452,8 +537,14 @@ def _iceberg_to_spark_type(t):
             return prim[t]
         if t.startswith("decimal"):
             return T.DataType.fromDDL(t)
-        if t.startswith("timestamp"):
+        if t in ("timestamp_ns", "timestamptz_ns"):
+            raise ValueError("Iceberg nanosecond timestamps have no Spark type")
+        if t == "timestamptz":
             return T.TimestampType()
+        if t == "timestamp":
+            # no zone: parquet isAdjustedToUTC=false — NTZ, not LTZ (a
+            # TimestampType here would shift values by the session zone)
+            return T.TimestampNTZType()
         if t.startswith("fixed"):
             return T.BinaryType()
         raise ValueError(f"unknown iceberg type {t!r}")
@@ -496,15 +587,24 @@ class IcebergTableReader(BaseReader):
             raise ValueError(f"{root} has no metadata/ dir — not an Iceberg table")
         hint = os.path.join(mdir, "version-hint.text")
         if os.path.exists(hint):
-            v = open(hint).read().strip()
+            with open(hint) as f:
+                v = f.read().strip()
             meta_path = os.path.join(mdir, f"v{v}.metadata.json")
         else:
-            cands = sorted(f for f in os.listdir(mdir) if f.endswith(".metadata.json"))
+            cands = [f for f in os.listdir(mdir) if f.endswith(".metadata.json")]
             if not cands:
                 raise ValueError(f"no *.metadata.json under {mdir}")
-            meta_path = os.path.join(mdir, cands[-1])
-        meta = json.load(open(meta_path))
-        loc = meta.get("location", root).rstrip("/")
+
+            def _meta_key(name: str):
+                # numeric version sort: 'v10' > 'v9' (lexicographic gets
+                # this wrong); '00010-uuid' style is zero-padded already
+                head = name.split(".", 1)[0].split("-", 1)[0].lstrip("v")
+                return (int(head), name) if head.isdigit() else (-1, name)
+
+            meta_path = os.path.join(mdir, max(cands, key=_meta_key))
+        with open(meta_path) as f:
+            meta = json.load(f)
+        loc = meta.get("location", root).rstrip("/").removeprefix("file://")
 
         def local(p: str) -> str:
             p = p.removeprefix("file://")
@@ -512,14 +612,22 @@ class IcebergTableReader(BaseReader):
 
         if "schemas" in meta:
             sid = meta.get("current-schema-id", 0)
-            ischema = next(s for s in meta["schemas"] if s.get("schema-id") == sid)
+            ischema = next(
+                (s for s in meta["schemas"] if s.get("schema-id") == sid), None
+            )
+            if ischema is None:
+                raise ValueError(f"current-schema-id {sid} not in metadata schemas")
         else:
             ischema = meta["schema"]
         spark_schema = _iceberg_to_spark_type({"type": "struct", "fields": ischema["fields"]})
         snap_id = snapshot_id if snapshot_id is not None else meta.get("current-snapshot-id")
         if snap_id in (None, -1):
             return spark.createDataFrame([], spark_schema)
-        snap = next(s for s in meta["snapshots"] if s["snapshot-id"] == snap_id)
+        snap = next(
+            (s for s in meta["snapshots"] if s["snapshot-id"] == snap_id), None
+        )
+        if snap is None:
+            raise ValueError(f"snapshot {snap_id} not found in {meta_path}")
         manifests = [
             m["manifest_path"] for m in decode_avro_file(local(snap["manifest-list"]))
         ]

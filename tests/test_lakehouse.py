@@ -363,3 +363,123 @@ def test_recommend_routes_lakehouse(tmp_path):
     # stdlib readers outrank the jar-gated Spark formats by priority
     first = readers_for(dt.DeltalakeTable)[0].__name__
     assert first == "DeltaLakeReader"
+
+
+def test_avro_directory_of_part_files(spark, tmp_path):
+    d = tmp_path / "events"
+    d.mkdir()
+    for j in range(2):
+        write_avro(str(d / f"part-{j}.avro"), SCHEMA, RECORDS[j * 5 : (j + 1) * 5])
+    df = AvroOCFReader(data=dt.AVRO(url=str(d))).read(spark=spark)
+    assert df.count() == 10
+
+
+def test_avro_incompatible_evolved_schema_raises(spark, tmp_path):
+    d = tmp_path / "mix"
+    d.mkdir()
+    write_avro(str(d / "a.avro"), SCHEMA, RECORDS[:2])
+    s2 = {"type": "record", "name": "Event",
+          "fields": [{"name": "id", "type": "string"}]}
+    write_avro(str(d / "b.avro"), s2, [{"id": "x"}])
+    with pytest.raises(ValueError, match="incompatible writer schema"):
+        AvroOCFReader(data=dt.AVRO(url=str(d))).read(spark=spark)
+
+
+def test_delta_uri_encoded_paths_and_nonhive_layout(spark, tmp_path):
+    """add.path is URI-encoded per the protocol, and partitionValues are
+    authoritative even when the layout is not hive-style."""
+    root = str(tmp_path / "enc")
+    os.makedirs(f"{root}/_delta_log")
+    schema = {
+        "type": "struct",
+        "fields": [
+            {"name": "v", "type": "long", "nullable": True, "metadata": {}},
+            {"name": "ds", "type": "string", "nullable": True, "metadata": {}},
+        ],
+    }
+    # non-hive data dir carrying a space in its name
+    spark.createDataFrame([(7,)], "v long").coalesce(1).write.parquet(f"{root}/x y")
+    fn = [f for f in os.listdir(f"{root}/x y") if f.endswith(".parquet")][0]
+    with open(f"{root}/_delta_log/{0:020d}.json", "w") as f:
+        f.write(_delta_meta(schema, ["ds"]) + "\n")
+        f.write(_delta_add(f"x%20y/{fn}", {"ds": "a b"}) + "\n")
+    df = DeltaLakeReader(data=dt.DeltalakeTable(url=root)).read(spark=spark)
+    assert [(r.v, r.ds) for r in df.collect()] == [(7, "a b")]
+
+
+def test_delta_checkpoint_with_vacuumed_commits(spark, tmp_path):
+    """State comes from the checkpoint when pre-checkpoint JSON commits are
+    gone (log retention), including under version= time travel."""
+    root = str(tmp_path / "ck")
+    os.makedirs(f"{root}/_delta_log")
+    spark.createDataFrame([("a", 1)], "k string, v long").coalesce(1) \
+        .write.parquet(f"{root}/f0")
+    f0 = [f for f in os.listdir(f"{root}/f0") if f.endswith(".parquet")][0]
+    # checkpoint at v5 holds the whole state; commits 0-5 vacuumed
+    ck = spark.createDataFrame(
+        [(
+            {"path": f"f0/{f0}", "partitionValues": {}},
+            None,
+            {"id": "m", "schemaString": json.dumps(_DELTA_SCHEMA),
+             "partitionColumns": [], "configuration": {}},
+            {"minReaderVersion": 1},
+        )],
+        "add struct<path:string,partitionValues:map<string,string>>, "
+        "remove struct<path:string>, "
+        "metaData struct<id:string,schemaString:string,"
+        "partitionColumns:array<string>,configuration:map<string,string>>, "
+        "protocol struct<minReaderVersion:int>",
+    )
+    ck.coalesce(1).write.parquet(f"{root}/_ck_tmp")
+    ckf = [f for f in os.listdir(f"{root}/_ck_tmp") if f.endswith(".parquet")][0]
+    os.rename(f"{root}/_ck_tmp/{ckf}",
+              f"{root}/_delta_log/{5:020d}.checkpoint.parquet")
+    with open(f"{root}/_delta_log/_last_checkpoint", "w") as f:
+        json.dump({"version": 5, "size": 1}, f)
+    # one later commit adds nothing (e.g. a metadata-only commit)
+    with open(f"{root}/_delta_log/{6:020d}.json", "w") as f:
+        f.write(json.dumps({"commitInfo": {"operation": "OPTIMIZE"}}) + "\n")
+    rdr = DeltaLakeReader(data=dt.DeltalakeTable(url=root))
+    assert [(r.k, r.v) for r in rdr.read(spark=spark).collect()] == [("a", 1)]
+    # time travel at/above the checkpoint version also uses it
+    assert [(r.k, r.v) for r in rdr.read(spark=spark, version=6).collect()] == [("a", 1)]
+
+
+def test_iceberg_v10_numeric_sort_and_file_uri_location(spark, tmp_path):
+    """v10 must beat v9 (numeric, not lexicographic) and file:// locations
+    rewrite after relocation."""
+    import shutil
+
+    orig = str(tmp_path / "orig")
+    os.makedirs(f"{orig}/metadata")
+    spark.createDataFrame([(5, "new")], "id long, s string").coalesce(1) \
+        .write.parquet(f"{orig}/data/d0")
+    fn = [f for f in os.listdir(f"{orig}/data/d0") if f.endswith(".parquet")][0]
+    write_avro(f"{orig}/metadata/man0.avro", _MANIFEST_ENTRY_SCHEMA, [
+        {"status": 1, "data_file": {"content": 0,
+                                    "file_path": f"file://{orig}/data/d0/{fn}",
+                                    "file_format": "PARQUET", "record_count": 1}},
+    ])
+    write_avro(f"{orig}/metadata/mlist.avro", _MANIFEST_FILE_SCHEMA, [
+        {"manifest_path": f"file://{orig}/metadata/man0.avro", "manifest_length": 1},
+    ])
+    sch = {"type": "struct", "fields": [
+        {"id": 1, "name": "id", "required": False, "type": "long"},
+        {"id": 2, "name": "s", "required": False, "type": "string"},
+    ]}
+    stale = {"format-version": 1, "location": f"file://{orig}",
+             "current-snapshot-id": -1, "schema": sch, "snapshots": []}
+    live = {"format-version": 1, "location": f"file://{orig}",
+            "current-snapshot-id": 9, "schema": sch,
+            "snapshots": [{"snapshot-id": 9,
+                           "manifest-list": f"file://{orig}/metadata/mlist.avro"}]}
+    for v in range(1, 10):
+        with open(f"{orig}/metadata/v{v}.metadata.json", "w") as f:
+            json.dump(stale, f)
+    with open(f"{orig}/metadata/v10.metadata.json", "w") as f:
+        json.dump(live, f)
+    moved = str(tmp_path / "moved")
+    import shutil as _sh
+    _sh.move(orig, moved)
+    df = IcebergTableReader(data=dt.IcebergDataset(url=moved)).read(spark=spark)
+    assert [(r.id, r.s) for r in df.collect()] == [(5, "new")]
