@@ -228,3 +228,67 @@ def test_wav_24bit_sign_extension(samples):
             w.writeframes(struct.pack("<i", s)[:3])
     _, arr = decode_wav(buf.getvalue())
     assert arr[:, 0].tolist() == samples
+
+
+_avro_value = st.deferred(
+    lambda: st.one_of(
+        st.integers(-(2**40), 2**40),
+        st.text(max_size=12),
+        st.floats(allow_nan=False, allow_infinity=False, width=64),
+        st.booleans(),
+        st.none(),
+    )
+)
+
+
+@given(
+    st.lists(
+        st.fixed_dictionaries(
+            {
+                "i": st.integers(-(2**50), 2**50),
+                "s": st.text(max_size=16),
+                "d": st.floats(allow_nan=False, allow_infinity=False, width=64),
+                "o": st.one_of(st.none(), st.text(max_size=8)),
+                "a": st.lists(st.integers(-(2**20), 2**20), max_size=5),
+                "m": st.dictionaries(st.text(min_size=1, max_size=6),
+                                     st.integers(-100, 100), max_size=4),
+            }
+        ),
+        max_size=12,
+    ),
+    st.sampled_from(["null", "deflate"]),
+)
+def test_avro_block_roundtrip(records, codec):
+    """Encoder (test-side) → OCF bytes → decoder: zigzag varints, unions,
+    arrays, maps, block framing and both codecs round-trip exactly."""
+    import tempfile
+
+    from intake_spark.lakehouse import decode_avro_file
+    from tests.test_lakehouse import write_avro
+
+    schema = {
+        "type": "record",
+        "name": "R",
+        "fields": [
+            {"name": "i", "type": "long"},
+            {"name": "s", "type": "string"},
+            {"name": "d", "type": "double"},
+            {"name": "o", "type": ["null", "string"]},
+            {"name": "a", "type": {"type": "array", "items": "long"}},
+            {"name": "m", "type": {"type": "map", "values": "long"}},
+        ],
+    }
+    with tempfile.NamedTemporaryFile(suffix=".avro") as f:
+        write_avro(f.name, schema, records, codec=codec, block_size=3)
+        got = decode_avro_file(f.name)
+    assert got == records
+
+
+@given(st.lists(st.integers(-(2**62), 2**62 - 1), max_size=30))
+def test_avro_zigzag_varlong_roundtrip(values):
+    from intake_spark.lakehouse import _Buf
+    from tests.test_lakehouse import _zz
+
+    raw = b"".join(_zz(v) for v in values)
+    buf = _Buf(raw)
+    assert [buf.varlong() for _ in values] == values
