@@ -256,3 +256,62 @@ class NumpyPatternReader(BaseReader):
                 part = part.withColumn(k, F.lit(v))
             out = part if out is None else out.unionByName(part)
         return out
+
+
+class NumpyTextReader(BaseReader):
+    """Whitespace/delimited numeric text (np.loadtxt semantics: ``#``
+    comments, blank-line skip) → chunk-row DataFrame (parity: NumpyText,
+    reference readers.py:1305, which calls np.loadtxt — an all-in-memory
+    text format by construction).
+
+    Rows parse DISTRIBUTED: ``spark.read.text`` + JVM split/cast produce
+    (row_index, values) with the index derived per file from a window over
+    a monotonic id — correct because text files assign ids in file order
+    within each file. Each dim-0 slab then groups into one chunk row, so
+    downstream array ops see the same shape the .npy reader emits.
+    """
+
+    implements = {dt.NumpyFile}
+    priority = 2  # only chosen for .txt-flavored urls / explicit use
+
+    def _read(self, spark, delimiter: str | None = None, rows_per_chunk: int = 4096, **kwargs):
+        from pyspark.sql import functions as F
+        from pyspark.sql.window import Window
+
+        lines = spark.read.text(self.data.url)
+        val = F.trim(F.regexp_replace(F.col("value"), r"#.*$", ""))
+        rows = lines.filter(val != "").select(
+            F.input_file_name().alias("_file"),
+            F.monotonically_increasing_id().alias("_mid"),
+            F.split(val, delimiter or r"\s+").alias("_toks"),
+        )
+        w = Window.partitionBy("_file").orderBy("_mid")
+        rows = rows.withColumn("_rn", F.row_number().over(w) - 1)
+        vals = F.expr("transform(_toks, t -> CAST(t AS DOUBLE))")
+        ncols = F.size("_toks")
+        chunks = (
+            rows.select("_rn", vals.alias("_vals"), ncols.alias("_nc"))
+            .withColumn("chunk_id", F.expr(f"_rn div {int(rows_per_chunk)}"))
+            .groupBy("chunk_id")
+            .agg(
+                F.min("_rn").alias("offset0"),
+                F.max("_nc").alias("_w"),
+                F.flatten(
+                    F.array_sort(F.collect_list(F.struct("_rn", "_vals"))).getField("_vals")
+                ).alias("values"),
+                F.count(F.lit(1)).alias("_n"),
+            )
+        )
+        # CHUNK_SCHEMA contract: `shape` is the FULL array shape on every
+        # chunk row (like the .npy/FITS readers). The global totals come
+        # from an unpartitioned window over the chunk rows — fine, because
+        # there are only n_rows/rows_per_chunk of those
+        wall = Window.partitionBy()
+        return chunks.select(
+            "chunk_id",
+            "offset0",
+            F.array(
+                F.sum("_n").over(wall).cast("long"), F.max("_w").over(wall).cast("long")
+            ).alias("shape"),
+            "values",
+        )

@@ -383,3 +383,50 @@ class BigWigReader(BaseReader):
                     yield pd.DataFrame(rows, columns=["chrom", "start", "end", "value"])
 
         return mdf.mapInPandas(decode, schema=_BIGWIG_SCHEMA)
+
+
+class PDB(dt.FileData):
+    filepattern = r"(pdb|ent)$"
+    magic = (b"HEADER", b"ATOM  ", b"REMARK")
+    structure = {"table"}
+
+
+class PDBReader(BaseReader):
+    """Protein Data Bank coordinate files → one row per ATOM/HETATM record
+    (parity: the coordinate core of MDAnalysisReader, reference
+    readers.py:2521, which delegates to the MDAnalysis package).
+
+    PDB is a fixed-column text format, so the whole parse is JVM-side:
+    distributed ``spark.read.text`` → startswith filter → substring/cast
+    projections. No Python stage, filters push to the scan, and a
+    many-model directory parallelizes per file.
+    """
+
+    implements = {PDB}
+
+    def _read(self, spark, hetatm: bool = True, **kwargs):
+        from pyspark.sql import functions as F
+
+        lines = spark.read.text(self.data.url)
+        kinds = ("ATOM  ", "HETATM") if hetatm else ("ATOM  ",)
+        rec = F.col("value")
+        df = lines.filter(F.substring(rec, 1, 6).isin(*kinds))
+
+        def sub(a, b):
+            return F.trim(F.substring(rec, a, b - a + 1))
+
+        return df.select(
+            F.trim(F.substring(rec, 1, 6)).alias("record"),
+            sub(7, 11).cast("int").alias("serial"),
+            sub(13, 16).alias("atom_name"),
+            sub(17, 17).alias("alt_loc"),
+            sub(18, 20).alias("res_name"),
+            sub(22, 22).alias("chain_id"),
+            sub(23, 26).cast("int").alias("res_seq"),
+            sub(31, 38).cast("double").alias("x"),
+            sub(39, 46).cast("double").alias("y"),
+            sub(47, 54).cast("double").alias("z"),
+            sub(55, 60).cast("double").alias("occupancy"),
+            sub(61, 66).cast("double").alias("temp_factor"),
+            sub(77, 78).alias("element"),
+        )

@@ -213,6 +213,13 @@ class TIFF(FileData):
     structure = {"image", "array"}
 
 
+class BMP(FileData):
+    filepattern = r"bmp$"
+    mimetypes = r"image/bmp"
+    magic = (b"BM",)
+    structure = {"image"}
+
+
 class WAV(FileData):
     filepattern = r"wav$"
     mimetypes = r"audio/x?-?wav"

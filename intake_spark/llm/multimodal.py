@@ -127,6 +127,50 @@ def decode_png(content: bytes):
     return arr
 
 
+def decode_bmp(content: bytes):
+    """Real BMP decode (stdlib struct): uncompressed BI_RGB, 8/24/32-bit,
+    BITMAPINFOHEADER+ → (H, W, C) uint8 array (C = 1, 3 or 4; BGR→RGB
+    reordered; bottom-up rows flipped). Parity: PILImageReader
+    (reference readers.py:2228) for the .bmp branch."""
+    import struct as st
+
+    import numpy as np
+
+    if content[:2] != b"BM":
+        raise ValueError("not a BMP file")
+    data_off = st.unpack("<I", content[10:14])[0]
+    hdr_size = st.unpack("<I", content[14:18])[0]
+    if hdr_size < 40:
+        raise ValueError(f"BMP header size {hdr_size} (OS/2 core) not supported")
+    width, height = st.unpack("<ii", content[18:26])
+    planes, bpp = st.unpack("<HH", content[26:30])
+    compression = st.unpack("<I", content[30:34])[0]
+    if compression != 0:
+        raise ValueError(f"compressed BMP (method {compression}) not supported")
+    if bpp not in (8, 24, 32):
+        raise ValueError(f"BMP bit depth {bpp} not supported (8/24/32)")
+    flip = height > 0
+    height = abs(height)
+    nch = bpp // 8
+    stride = (width * nch + 3) & ~3  # rows pad to 4 bytes
+    raw = content[data_off : data_off + stride * height]
+    rows = np.frombuffer(raw, dtype=np.uint8).reshape(height, stride)[:, : width * nch]
+    arr = rows.reshape(height, width, nch)
+    if flip:
+        arr = arr[::-1]
+    if bpp == 8:
+        # palettized: map indices through the BGRA color table after the
+        # info header (colors_used 0 means the full 256)
+        colors_used = st.unpack("<I", content[46:50])[0] or 256
+        pal_off = 14 + hdr_size
+        pal = np.frombuffer(
+            content[pal_off : pal_off + colors_used * 4], dtype=np.uint8
+        ).reshape(-1, 4)[:, [2, 1, 0]]  # BGR(A) → RGB
+        return np.ascontiguousarray(pal[arr[:, :, 0]])
+    arr = arr[:, :, [2, 1, 0] + ([3] if nch == 4 else [])]  # BGR(A)→RGB(A)
+    return np.ascontiguousarray(arr)
+
+
 def decode_wav_full(content: bytes):
     """Real WAV decode (stdlib ``wave``): → (rate, ndarray of shape
     (n_frames, n_channels), stored_sample_width_bytes). The sample width is
@@ -186,6 +230,8 @@ def decode_image(content: bytes):
         # single-component JPEGs decode 2-D; normalize to (H, W, 1) so every
         # decode_image caller can rely on a channel axis
         return arr if arr.ndim == 3 else arr[:, :, None]
+    if content[:2] == b"BM":
+        return decode_bmp(content)
     try:
         import io
 

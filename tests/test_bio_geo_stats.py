@@ -739,3 +739,33 @@ def test_mbtiles_view_null_keys_not_dropped(spark, tmp_path):
     rows = MBTilesReader(data=MBTiles(url=p)).read(spark=spark, rows_per_task=3).collect()
     assert len(rows) == 8
     assert sum(1 for r in rows if r.zoom_level is None or r.tile_column is None) == 2
+
+
+PDB_FIXTURE = """HEADER    TEST PROTEIN                            01-JAN-24   XXXX
+REMARK   1 SPEC-BUILT FIXTURE
+ATOM      1  N   MET A   1      11.104  13.207   9.100  1.00 20.00           N
+ATOM      2  CA  MET A   1      12.560  13.329   9.000  0.98 21.50           C
+HETATM    3  O   HOH B  101     -1.500   0.250   3.750  1.00 30.00           O
+TER       4      MET A   1
+END
+"""
+
+
+def test_pdb_reader(spark, tmp_path):
+    from intake_spark.bio import PDB as PdbType
+    from intake_spark.bio import PDBReader
+
+    p = tmp_path / "m.pdb"
+    p.write_text(PDB_FIXTURE)
+    df = PDBReader(data=PdbType(url=str(p))).read(spark=spark)
+    rows = sorted(df.collect(), key=lambda r: r.serial)
+    assert [r.record for r in rows] == ["ATOM", "ATOM", "HETATM"]
+    a1 = rows[0]
+    assert (a1.atom_name, a1.res_name, a1.chain_id, a1.res_seq) == ("N", "MET", "A", 1)
+    assert (a1.x, a1.y, a1.z) == (11.104, 13.207, 9.1)
+    assert rows[2].element == "O" and rows[2].x == -1.5
+    # hetatm=False drops waters; TER/HEADER/REMARK never parsed
+    assert PDBReader(data=PdbType(url=str(p))).read(spark=spark, hetatm=False).count() == 2
+    # JVM-only plan: no Python stages
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan

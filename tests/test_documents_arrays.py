@@ -721,3 +721,27 @@ def test_zarr_v3_v2_key_encoding_default_dot(spark, tmp_path):
     rows = sorted(df.collect(), key=lambda r: r.offset0)
     rebuilt = np.concatenate([np.array(r.values).reshape(-1, 4) for r in rows], axis=0)
     np.testing.assert_array_equal(rebuilt, arr)
+
+
+def test_numpy_text_reader(spark, tmp_path):
+    """np.loadtxt-equivalent distributed parse: comments/blank lines
+    skipped, full-array shape on every chunk row, values numpy-verified."""
+    import numpy as np
+
+    from intake_spark import datatypes as dt
+    from intake_spark.arrays import NumpyTextReader
+
+    rng = np.random.RandomState(11)
+    arr = rng.randn(25, 4).round(6)
+    p = tmp_path / "grid.txt"
+    body = "# spec-built fixture\n" + "\n".join(
+        " ".join(repr(x) for x in row) + ("" if i % 7 else "  # tail comment")
+        for i, row in enumerate(arr)
+    ) + "\n\n"
+    p.write_text(body)
+    df = NumpyTextReader(data=dt.NumpyFile(url=str(p))).read(spark=spark, rows_per_chunk=8)
+    rows = sorted(df.collect(), key=lambda r: r.offset0)
+    assert all(list(r.shape) == [25, 4] for r in rows)
+    rebuilt = np.concatenate([np.array(r.values).reshape(-1, 4) for r in rows])
+    np.testing.assert_array_equal(rebuilt, np.loadtxt(str(p)))
+    np.testing.assert_array_equal(rebuilt, arr)

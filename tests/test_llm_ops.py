@@ -660,3 +660,54 @@ def test_pack_sequences_single_window_exchange(spark, docs):
     )
     assert plan.count("Exchange hashpartitioning") == 1
     assert "Python" not in plan
+
+
+def _make_bmp24(arr):
+    """Bottom-up 24-bit BI_RGB BMP from an (H, W, 3) RGB array, spec-built."""
+    import struct
+
+    import numpy as np
+
+    h, w, _ = arr.shape
+    stride = (w * 3 + 3) & ~3
+    rows = b""
+    for y in range(h - 1, -1, -1):
+        row = arr[y][:, [2, 1, 0]].astype(np.uint8).tobytes()  # RGB→BGR
+        rows += row + b"\x00" * (stride - len(row))
+    data_off = 14 + 40
+    total = data_off + len(rows)
+    head = b"BM" + struct.pack("<IHHI", total, 0, 0, data_off)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(rows), 2835, 2835, 0, 0)
+    return head + info + rows
+
+
+def test_bmp_decode_pixels_and_features(spark, tmp_path):
+    import numpy as np
+
+    rng = np.random.RandomState(5)
+    arr = rng.randint(0, 256, (5, 3, 3), dtype=np.uint8)
+    blob = _make_bmp24(arr)
+    got = multimodal.decode_bmp(blob)
+    np.testing.assert_array_equal(got, arr)
+    assert multimodal.decode_image(blob).shape == (5, 3, 3)
+    (tmp_path / "i.bmp").write_bytes(blob)
+    files = multimodal.read_binary_dir(spark, str(tmp_path), glob="*.bmp")
+    row = multimodal.image_features(files, keep_cols=["path"]).collect()[0]
+    assert (row.width, row.height, row.n_channels) == (3, 5, 3)
+
+
+def test_bmp_palettized_8bit():
+    import struct
+
+    import numpy as np
+
+    # 2x2 indexed image with a 2-entry palette (red, blue)
+    pal = struct.pack("<BBBB", 0, 0, 255, 0) + struct.pack("<BBBB", 255, 0, 0, 0)
+    rows = bytes([0, 1, 0, 0]) + bytes([1, 0, 0, 0])  # stride-padded, bottom-up
+    data_off = 14 + 40 + len(pal)
+    head = b"BM" + struct.pack("<IHHI", data_off + len(rows), 0, 0, data_off)
+    info = struct.pack("<IiiHHIIiiII", 40, 2, 2, 1, 8, 0, len(rows), 0, 0, 2, 0)
+    got = multimodal.decode_bmp(head + info + pal + rows)
+    red, blue = [255, 0, 0], [0, 0, 255]
+    np.testing.assert_array_equal(got[0], [blue, red])  # top row was written last
+    np.testing.assert_array_equal(got[1], [red, blue])
