@@ -275,43 +275,66 @@ class NumpyTextReader(BaseReader):
     priority = 2  # only chosen for .txt-flavored urls / explicit use
 
     def _read(self, spark, delimiter: str | None = None, rows_per_chunk: int = 4096, **kwargs):
+        import glob as _glob
+        import os as _os
+        import re as _re
+
         from pyspark.sql import functions as F
         from pyspark.sql.window import Window
 
-        lines = spark.read.text(self.data.url)
+        url = self.data.url
+        matches = [p for p in _glob.glob(url) if _os.path.isfile(p)]
+        if len(matches) > 1 or _os.path.isdir(url):
+            # per-file row numbers would collide across files and interleave
+            # chunks — a stack of text arrays is NumpyPatternReader's job
+            raise ValueError(
+                "NumpyTextReader reads ONE file (np.loadtxt semantics); for a "
+                "stack of array files use NumpyPatternReader"
+            )
+        lines = spark.read.text(url)
         val = F.trim(F.regexp_replace(F.col("value"), r"#.*$", ""))
+        # delimiter is a LITERAL like np.loadtxt's, not a regex
+        sep = _re.escape(delimiter) if delimiter else r"\s+"
         rows = lines.filter(val != "").select(
             F.input_file_name().alias("_file"),
             F.monotonically_increasing_id().alias("_mid"),
-            F.split(val, delimiter or r"\s+").alias("_toks"),
+            F.split(val, sep).alias("_toks"),
         )
         w = Window.partitionBy("_file").orderBy("_mid")
         rows = rows.withColumn("_rn", F.row_number().over(w) - 1)
-        vals = F.expr("transform(_toks, t -> CAST(t AS DOUBLE))")
-        ncols = F.size("_toks")
-        chunks = (
-            rows.select("_rn", vals.alias("_vals"), ncols.alias("_nc"))
-            .withColumn("chunk_id", F.expr(f"_rn div {int(rows_per_chunk)}"))
+        vals = F.expr("transform(_toks, t -> try_cast(t AS DOUBLE))")
+        rows = rows.select("_rn", vals.alias("_vals"), F.size("_toks").alias("_nc"))
+        # eager validation (np.loadtxt raises upfront too) doubles as the
+        # global-shape computation — ONE small aggregate, no unpartitioned
+        # window dragging the payload through a single task
+        tot = rows.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("_nc").alias("wmin"),
+            F.max("_nc").alias("wmax"),
+            F.sum(F.expr("CAST(exists(_vals, v -> v IS NULL) AS BIGINT)")).alias("bad"),
+        ).collect()[0]
+        if tot.n == 0:
+            return spark.createDataFrame([], CHUNK_SCHEMA)
+        if tot.wmin != tot.wmax:
+            raise ValueError(
+                f"ragged rows: widths {tot.wmin}..{tot.wmax} (np.loadtxt "
+                "requires a rectangular array)"
+            )
+        if tot.bad:
+            raise ValueError(f"{tot.bad} rows contain unparseable numeric tokens")
+        return (
+            rows.withColumn("chunk_id", F.expr(f"_rn div {int(rows_per_chunk)}"))
             .groupBy("chunk_id")
             .agg(
                 F.min("_rn").alias("offset0"),
-                F.max("_nc").alias("_w"),
                 F.flatten(
                     F.array_sort(F.collect_list(F.struct("_rn", "_vals"))).getField("_vals")
                 ).alias("values"),
-                F.count(F.lit(1)).alias("_n"),
             )
-        )
-        # CHUNK_SCHEMA contract: `shape` is the FULL array shape on every
-        # chunk row (like the .npy/FITS readers). The global totals come
-        # from an unpartitioned window over the chunk rows — fine, because
-        # there are only n_rows/rows_per_chunk of those
-        wall = Window.partitionBy()
-        return chunks.select(
-            "chunk_id",
-            "offset0",
-            F.array(
-                F.sum("_n").over(wall).cast("long"), F.max("_w").over(wall).cast("long")
-            ).alias("shape"),
-            "values",
+            .select(
+                "chunk_id",
+                "offset0",
+                F.array(F.lit(int(tot.n)), F.lit(int(tot.wmax))).cast("array<bigint>").alias("shape"),
+                "values",
+            )
         )

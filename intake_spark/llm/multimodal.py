@@ -129,9 +129,10 @@ def decode_png(content: bytes):
 
 def decode_bmp(content: bytes):
     """Real BMP decode (stdlib struct): uncompressed BI_RGB, 8/24/32-bit,
-    BITMAPINFOHEADER+ → (H, W, C) uint8 array (C = 1, 3 or 4; BGR→RGB
-    reordered; bottom-up rows flipped). Parity: PILImageReader
-    (reference readers.py:2228) for the .bmp branch."""
+    BITMAPINFOHEADER+ → (H, W, 3) uint8 RGB (palette applied for 8-bit;
+    the 32-bit 4th byte is BI_RGB padding — dropped like PIL's 'BGRX'
+    mode; bottom-up rows flipped). Parity: PILImageReader (reference
+    readers.py:2228) for the .bmp branch."""
     import struct as st
 
     import numpy as np
@@ -167,7 +168,9 @@ def decode_bmp(content: bytes):
             content[pal_off : pal_off + colors_used * 4], dtype=np.uint8
         ).reshape(-1, 4)[:, [2, 1, 0]]  # BGR(A) → RGB
         return np.ascontiguousarray(pal[arr[:, :, 0]])
-    arr = arr[:, :, [2, 1, 0] + ([3] if nch == 4 else [])]  # BGR(A)→RGB(A)
+    # BGR→RGB; the 32-bit 4th byte under BI_RGB is unused padding (real
+    # alpha needs BI_BITFIELDS, rejected above) — drop it like PIL's BGRX
+    arr = arr[:, :, [2, 1, 0]]
     return np.ascontiguousarray(arr)
 
 

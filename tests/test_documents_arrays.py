@@ -745,3 +745,30 @@ def test_numpy_text_reader(spark, tmp_path):
     rebuilt = np.concatenate([np.array(r.values).reshape(-1, 4) for r in rows])
     np.testing.assert_array_equal(rebuilt, np.loadtxt(str(p)))
     np.testing.assert_array_equal(rebuilt, arr)
+
+
+def test_numpy_text_reader_guards(spark, tmp_path):
+    import pytest as _pytest
+
+    from intake_spark import datatypes as dt
+    from intake_spark.arrays import NumpyTextReader
+
+    (tmp_path / "a.txt").write_text("1 2\n3 4\n")
+    (tmp_path / "b.txt").write_text("5 6\n")
+    with _pytest.raises(ValueError, match="ONE file"):
+        NumpyTextReader(data=dt.NumpyFile(url=f"{tmp_path}/*.txt")).read(spark=spark)
+    ragged = tmp_path / "r.txt"
+    ragged.write_text("1 2 3\n4 5\n")
+    with _pytest.raises(ValueError, match="ragged"):
+        NumpyTextReader(data=dt.NumpyFile(url=str(ragged))).read(spark=spark)
+    bad = tmp_path / "x.txt"
+    bad.write_text("1 2\n3 1.2.3\n")
+    with _pytest.raises(ValueError, match="unparseable"):
+        NumpyTextReader(data=dt.NumpyFile(url=str(bad))).read(spark=spark)
+    # literal (not regex) delimiter
+    piped = tmp_path / "p.txt"
+    piped.write_text("1|2\n3|4\n")
+    rows = NumpyTextReader(data=dt.NumpyFile(url=str(piped))).read(
+        spark=spark, delimiter="|"
+    ).collect()
+    assert list(rows[0].values) == [1.0, 2.0, 3.0, 4.0]
