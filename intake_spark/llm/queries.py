@@ -821,3 +821,24 @@ def q60_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-length histogram per source (16-token bins) — the one-glance
     corpus-shape check for truncation spikes and empty-doc pileups."""
     return text.length_histogram(load_table(spark, sf_dir, "documents"), bin_width=16)
+
+
+@register(
+    "q61_quantize_embeddings",
+    """
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+    s AS (SELECT vec_id, vec,
+                 list_max(list_transform(vec, x -> abs(x))) AS scale
+          FROM v)
+    SELECT vec_id, ROUND(scale, 6) AS scale_r,
+           list_transform(vec, x -> CAST(FLOOR(x / scale * 127) AS INT)) AS qvec
+    FROM s
+    """,
+)
+def q61_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 symmetric quantization of the embedding column — 4x smaller
+    vectors for every downstream shuffle/store; floor arithmetic makes the
+    quantized integers (and the hash check) exact across engines."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = similarity.quantize_embeddings(emb, id_cols=("vec_id",))
+    return out.select("vec_id", F.round("scale", 6).alias("scale_r"), "qvec")

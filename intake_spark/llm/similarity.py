@@ -359,3 +359,27 @@ def label_centroids(
         F.sum(fixed).cast("double") / F.count(F.lit(1)) / F.lit(1000000000.0)
     ).alias("centroid")
     return exploded.groupBy(label_col, "dim").agg(centroid)
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_cols: tuple[str, ...] | None = None,
+    bits: int = 8,
+) -> DataFrame:
+    """Per-vector symmetric scalar quantization: (… , scale, qvec) with
+    qvec[i] = floor(v[i] / scale * (2^(bits-1) - 1)) and scale =
+    max(|v[i]|). The standard 4× storage / shuffle-bandwidth reduction
+    before ANN at corpus scale (int8 dot products reconstruct cosine to
+    ~1e-2); mapper-only, no shuffle, and floor (not round-half-even) keeps
+    the quantized values bit-identical across engines.
+    """
+    qmax = (1 << (bits - 1)) - 1
+    v = f"CAST({vec_col} AS ARRAY<DOUBLE>)"
+    scale = F.expr(f"array_max(transform({v}, x -> abs(x)))")
+    out = df.withColumn("scale", scale)
+    qvec = F.expr(
+        f"transform({v}, x -> CAST(FLOOR(x / scale * {qmax}) AS INT))"
+    )
+    keep = list(id_cols) if id_cols else [c for c in df.columns if c != vec_col]
+    return out.select(*keep, "scale", qvec.alias("qvec"))

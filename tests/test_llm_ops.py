@@ -711,3 +711,21 @@ def test_bmp_palettized_8bit():
     red, blue = [255, 0, 0], [0, 0, 255]
     np.testing.assert_array_equal(got[0], [blue, red])  # top row was written last
     np.testing.assert_array_equal(got[1], [red, blue])
+
+
+def test_quantize_embeddings_reconstruction(spark, emb):
+    """Dequantized vectors reconstruct cosine within the int8 error class,
+    and qvec stays in the int8 range."""
+    import numpy as np
+
+    from intake_spark.llm import similarity as sim
+
+    rows = sim.quantize_embeddings(emb.limit(50), id_cols=("vec_id",)).collect()
+    orig = {r.vec_id: np.array(r.embedding) for r in emb.limit(50).collect()}
+    for r in rows:
+        q = np.array(r.qvec)
+        assert q.min() >= -128 and q.max() <= 127
+        deq = q * r.scale / 127.0
+        v = orig[r.vec_id]
+        cos = float(v @ deq / (np.linalg.norm(v) * np.linalg.norm(deq)))
+        assert cos > 0.999, (r.vec_id, cos)
