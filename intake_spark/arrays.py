@@ -264,17 +264,27 @@ class NumpyTextReader(BaseReader):
     reference readers.py:1305, which calls np.loadtxt — an all-in-memory
     text format by construction).
 
-    Rows parse DISTRIBUTED: ``spark.read.text`` + JVM split/cast produce
-    (row_index, values) with the index derived per file from a window over
-    a monotonic id — correct because text files assign ids in file order
-    within each file. Each dim-0 slab then groups into one chunk row, so
-    downstream array ops see the same shape the .npy reader emits.
+    Row order comes from ``wholetext`` + ``posexplode`` over a JVM line
+    split — exact by construction, independent of Spark's split planning
+    (a monotonic-id scheme only matches file order by planner accident).
+    The whole file lands in one row, so the reader enforces a documented
+    ``max_bytes`` cap (np.loadtxt is an all-in-memory format anyway);
+    token parsing and chunk assembly still run JVM-side. Each dim-0 slab
+    groups into one chunk row, so downstream array ops see the same shape
+    the .npy reader emits.
     """
 
     implements = {dt.NumpyFile}
     priority = 2  # only chosen for .txt-flavored urls / explicit use
 
-    def _read(self, spark, delimiter: str | None = None, rows_per_chunk: int = 4096, **kwargs):
+    def _read(
+        self,
+        spark,
+        delimiter: str | None = None,
+        rows_per_chunk: int = 4096,
+        max_bytes: int = 256 << 20,
+        **kwargs,
+    ):
         import glob as _glob
         import os as _os
         import re as _re
@@ -291,16 +301,27 @@ class NumpyTextReader(BaseReader):
                 "NumpyTextReader reads ONE file (np.loadtxt semantics); for a "
                 "stack of array files use NumpyPatternReader"
             )
-        lines = spark.read.text(url)
+        path = matches[0] if matches else url
+        size = _os.path.getsize(path)
+        if size > max_bytes:
+            raise ValueError(
+                f"{path} is {size} bytes > max_bytes={max_bytes}; NumpyText "
+                "is an all-in-memory format (np.loadtxt) — convert to .npy "
+                "or parquet for arrays this large"
+            )
+        # wholetext + posexplode: the line index is exact by construction,
+        # not dependent on Spark's file-split planning order
+        lines = spark.read.text(url, wholetext=True).select(
+            F.posexplode(F.split("value", r"\r?\n")).alias("_mid", "value")
+        )
         val = F.trim(F.regexp_replace(F.col("value"), r"#.*$", ""))
         # delimiter is a LITERAL like np.loadtxt's, not a regex
         sep = _re.escape(delimiter) if delimiter else r"\s+"
         rows = lines.filter(val != "").select(
-            F.input_file_name().alias("_file"),
-            F.monotonically_increasing_id().alias("_mid"),
+            F.col("_mid"),
             F.split(val, sep).alias("_toks"),
         )
-        w = Window.partitionBy("_file").orderBy("_mid")
+        w = Window.orderBy("_mid")
         rows = rows.withColumn("_rn", F.row_number().over(w) - 1)
         vals = F.expr("transform(_toks, t -> try_cast(t AS DOUBLE))")
         rows = rows.select("_rn", vals.alias("_vals"), F.size("_toks").alias("_nc"))

@@ -362,13 +362,18 @@ def q12_concat_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q13_customers_without_orders",
     """
     SELECT c_custkey, c_name FROM customer c
-    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                      AND o.o_orderdate >= TIMESTAMP '2000-01-01')
     """,
 )
 def q13_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """NOT EXISTS → left-anti join."""
+    """NOT EXISTS → left-anti join. The orders side is restricted to a date
+    window so the result is non-empty at every test SF (an unrestricted
+    anti-join matches on an empty frame, which verifies nothing)."""
     c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    )
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
 
 

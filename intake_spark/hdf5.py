@@ -265,12 +265,16 @@ class _H5Meta:
 
     # ---- dataset messages --------------------------------------------
     def dataset_info(self, msgs: list[tuple[int, bytes]]):
-        """(shape, numpy dtype string, layout) from a dataset's messages;
-        layout = ('contiguous', addr, nbytes) | ('compact', raw_bytes)
+        """(shape, numpy dtype string, layout, fill) from a dataset's
+        messages; layout = ('contiguous', addr, nbytes)
+               | ('compact', raw_bytes)
                | ('chunked', btree_addr, chunk_dims, filters)
         where filters is [(filter_id, client_values), ...] in pipeline
-        order (reversed for decode)."""
+        order (reversed for decode) and fill is the raw fill-value bytes
+        (None when undefined/default — chunks absent from the index then
+        materialize as 0, libhdf5's default fill)."""
         shape = dtype = layout = None
+        fill: bytes | None = None
         filters: list[tuple[int, list[int]]] = []
         for mtype, d in msgs:
             if mtype == 0x01:  # dataspace
@@ -334,11 +338,23 @@ class _H5Meta:
                     layout = ("contiguous", a, None)
                 else:
                     raise ValueError(f"unsupported layout message version {ver}")
+            elif mtype == 0x05:  # fill value (new-style, spec IV.A.2.f)
+                ver = d[0]
+                if ver in (1, 2):
+                    defined = d[3]
+                    if ver == 1 or defined:
+                        sz = int.from_bytes(d[4:8], "little")
+                        fill = d[8 : 8 + sz] if sz else None
+                elif ver == 3:
+                    flags = d[1]
+                    if flags & 0x20:  # fill value defined
+                        sz = int.from_bytes(d[2:6], "little")
+                        fill = d[6 : 6 + sz] if sz else None
             elif mtype == 0x0B:  # filter pipeline
                 filters = self._filter_pipeline(d)
         if layout is not None and layout[0] == "chunked":
             layout = ("chunked", layout[1], layout[2], filters)
-        return shape, dtype, layout
+        return shape, dtype, layout, fill
 
     @staticmethod
     def _filter_pipeline(d: bytes) -> list[tuple[int, list[int]]]:
@@ -448,12 +464,15 @@ def _defilter(raw: bytes, filters, mask: int, dtype: str) -> bytes:
     return raw
 
 
-def _chunked_h5_df(spark, url, dtype, shape, chunk_dims, filters, index, base):
+def _chunked_h5_df(spark, url, dtype, shape, chunk_dims, filters, index, base, fill=0.0):
     """Chunked-layout decode: one manifest row per dim-0 chunk slab; each
     executor task reads every chunk in its slab (contiguous dim-0 range),
     defilters, clips edge overhang and assembles a C-order slab — so the
     output rows are the same axis-0 slabs the contiguous path emits and
-    downstream slicing/reduction is layout-agnostic."""
+    downstream slicing/reduction is layout-agnostic. The manifest covers
+    EVERY dim-0 slab in the dataspace, not just those with written chunks:
+    slabs (and chunk regions) absent from the B-tree materialize as the
+    dataset's fill value (default 0, matching libhdf5)."""
     import json
 
     import numpy as np
@@ -466,9 +485,11 @@ def _chunked_h5_df(spark, url, dtype, shape, chunk_dims, filters, index, base):
     for coords, addr, nbytes, mask in index:
         slabs.setdefault(coords[0], []).append((list(coords), base + addr, nbytes, mask))
     manifest = [
-        (i, c0, json.dumps(chunks))
-        for i, (c0, chunks) in enumerate(sorted(slabs.items()))
+        (i, c0, json.dumps(slabs.get(c0, [])))
+        for i, c0 in enumerate(range(0, shape[0], chunk_dims[0]))
     ]
+    if not manifest:  # zero-length dataspace
+        return spark.createDataFrame([], CHUNK_SCHEMA)
     mdf = spark.createDataFrame(manifest, ["chunk_id", "row_start", "chunks_json"])
     np_dtype = np.dtype(dtype)
 
@@ -484,7 +505,7 @@ def _chunked_h5_df(spark, url, dtype, shape, chunk_dims, filters, index, base):
                 for _, r in pdf.iterrows():
                     r0 = int(r.row_start)
                     r1 = min(r0 + chunk_dims[0], shape[0])
-                    slab = np.zeros([r1 - r0] + list(shape[1:]), dtype=np.float64)
+                    slab = np.full([r1 - r0] + list(shape[1:]), fill, dtype=np.float64)
                     for coords, addr, nbytes, mask in json.loads(r.chunks_json):
                         f.seek(addr)
                         raw = _defilter(f.read(nbytes), filters or [], mask, dtype)
@@ -541,9 +562,12 @@ class HDF5Reader(BaseReader):
                 raise KeyError(
                     f"dataset {dataset!r} not in {url}; available: {sorted(datasets)}"
                 )
-            shape, dtype, layout = datasets[key]
+            shape, dtype, layout, fill_raw = datasets[key]
         if shape is None or dtype is None or layout is None:
             raise ValueError(f"dataset {key!r} lacks dataspace/datatype/layout")
+        fill = 0.0
+        if fill_raw:
+            fill = float(np.frombuffer(fill_raw[: np.dtype(dtype).itemsize], np.dtype(dtype))[0])
         self.data.metadata.update({"dataset": key, "dtype": dtype, "shape": shape})
         if layout[0] == "compact":
             from intake_spark.arrays import CHUNK_SCHEMA
@@ -556,10 +580,15 @@ class HDF5Reader(BaseReader):
                 [(0, 0, shape, vals[:n].astype(np.float64).tolist())], CHUNK_SCHEMA
             )
         if layout[0] == "chunked":
-            with open(url, "rb") as f:
-                meta.f = f
-                index = meta.chunk_index(layout[1], len(shape))
-            return _chunked_h5_df(spark, url, dtype, shape, layout[2], layout[3], index, meta.base)
+            if layout[1] == _UNDEF:
+                index = []  # no chunks ever written — all-fill dataset
+            else:
+                with open(url, "rb") as f:
+                    meta.f = f
+                    index = meta.chunk_index(layout[1], len(shape))
+            return _chunked_h5_df(
+                spark, url, dtype, shape, layout[2], layout[3], index, meta.base, fill
+            )
         _, data_addr, _nbytes = layout
         if data_addr == _UNDEF:
             raise ValueError(f"dataset {key!r} has no allocated storage")

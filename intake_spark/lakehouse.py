@@ -29,6 +29,7 @@ from __future__ import annotations
 import io
 import json
 import os
+import re
 import struct
 import zlib
 
@@ -379,8 +380,13 @@ class DeltaLakeReader(BaseReader):
         log = os.path.join(root, "_delta_log")
         if not os.path.isdir(log):
             raise ValueError(f"{root} has no _delta_log — not a Delta table")
+        # exactly 20-digit commit names: log-compaction files
+        # (<start>.<end>.compacted.json) must NOT be replayed — their
+        # constituent commits are listed (and replayed) individually, and a
+        # compaction spanning past a `version=` target would smuggle in
+        # actions from commits beyond the requested snapshot
         commits = sorted(
-            f for f in os.listdir(log) if f.endswith(".json") and f[:20].isdigit()
+            f for f in os.listdir(log) if re.fullmatch(r"\d{20}\.json", f)
         )
         if version is not None:
             # state may come entirely from a checkpoint <= version (older

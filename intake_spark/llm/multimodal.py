@@ -101,7 +101,7 @@ def decode_png(content: bytes):
         pos += 1 + stride
         if ftype == 1:  # Sub
             for x in range(nch, stride):
-                line[x] = (line[x] + line[x - nch]) & 0xFF
+                line[x] = (int(line[x]) + int(line[x - nch])) & 0xFF
         elif ftype == 2:  # Up
             line = (line + prev) & 0xFF
         elif ftype == 3:  # Average

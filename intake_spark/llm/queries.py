@@ -474,7 +474,7 @@ def q45_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     mirrored in the oracle) because all-pairs cosine is exactly the thing
     the max_rows guard exists to stop at scale; q31 is the unbounded path."""
     emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 1000)
-    out = dedup.embedding_near_dup_pairs(emb, threshold=0.45, max_rows=None)
+    out = dedup.embedding_near_dup_pairs(emb, threshold=0.45, max_rows=1000)
     return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine_r"))
 
 
@@ -831,7 +831,8 @@ def q60_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
                  list_max(list_transform(vec, x -> abs(x))) AS scale
           FROM v)
     SELECT vec_id, ROUND(scale, 6) AS scale_r,
-           list_transform(vec, x -> CAST(FLOOR(x / scale * 127) AS INT)) AS qvec
+           list_transform(vec, x -> CAST(CASE WHEN scale = 0.0 THEN 0
+                                         ELSE FLOOR(x / scale * 127) END AS INT)) AS qvec
     FROM s
     """,
 )

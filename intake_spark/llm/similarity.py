@@ -378,8 +378,11 @@ def quantize_embeddings(
     v = f"CAST({vec_col} AS ARRAY<DOUBLE>)"
     scale = F.expr(f"array_max(transform({v}, x -> abs(x)))")
     out = df.withColumn("scale", scale)
+    # all-zero vectors have scale = 0; x / 0 is NULL under Spark's non-ANSI
+    # division, so guard to an all-zero qvec (mirrored in the q61 oracle)
     qvec = F.expr(
-        f"transform({v}, x -> CAST(FLOOR(x / scale * {qmax}) AS INT))"
+        f"transform({v}, x -> CAST(CASE WHEN scale = 0.0 THEN 0 "
+        f"ELSE FLOOR(x / scale * {qmax}) END AS INT))"
     )
     keep = list(id_cols) if id_cols else [c for c in df.columns if c != vec_col]
     return out.select(*keep, "scale", qvec.alias("qvec"))

@@ -231,15 +231,26 @@ def _apply_filters(raw: bytes, filters: list[tuple[int, list[int]]], itemsize: i
     return raw
 
 
-def h5_chunked(arr: np.ndarray, chunk_dims: tuple, filters: list[tuple[int, list[int]]]) -> bytes:
+def h5_chunked(
+    arr: np.ndarray,
+    chunk_dims: tuple,
+    filters: list[tuple[int, list[int]]],
+    skip: set | None = None,
+    fill: float | None = None,
+) -> bytes:
     """Classic file whose single dataset uses the chunked layout (v1 chunk
-    B-tree) with an optional filter pipeline, built from the spec."""
+    B-tree) with an optional filter pipeline, built from the spec. Chunk
+    coords in ``skip`` are left out of the B-tree and payload (sparse
+    write); ``fill`` adds a new-style fill-value message (0x05 v2). If ALL
+    chunks are skipped the layout points at an undefined B-tree address."""
     rank = arr.ndim
     grid = [range(0, s, c) for s, c in zip(arr.shape, chunk_dims)]
     import itertools
 
     chunks = []
     for coords in itertools.product(*grid):
+        if skip and coords in skip:
+            continue
         full = np.zeros(chunk_dims, dtype=arr.dtype)
         sel = tuple(slice(c, min(c + d, s)) for c, d, s in zip(coords, chunk_dims, arr.shape))
         dst = tuple(slice(0, sl.stop - sl.start) for sl in sel)
@@ -266,6 +277,12 @@ def h5_chunked(arr: np.ndarray, chunk_dims: tuple, filters: list[tuple[int, list
             + struct.pack("<I", arr.itemsize),
         )
         msgs = [_space_msg(arr.shape), _dt_msg(arr), layout]
+        if fill is not None:
+            fv = np.array([fill], dtype=arr.dtype).tobytes()
+            msgs.append(
+                _msg_v1(0x05, struct.pack("<BBBB", 2, 2, 0, 1)
+                        + struct.pack("<I", len(fv)) + fv)
+            )
         fm = filt_msg()
         if fm:
             msgs.append(fm)
@@ -285,7 +302,7 @@ def h5_chunked(arr: np.ndarray, chunk_dims: tuple, filters: list[tuple[int, list
     btree_addr = ds_addr + ds_size
     # B-tree node: header + entries*(key+child) + final key
     key_size = 4 + 4 + 8 * (rank + 1)
-    bt_size = 24 + len(chunks) * (key_size + 8) + key_size
+    bt_size = 0 if not chunks else 24 + len(chunks) * (key_size + 8) + key_size
     cur = btree_addr + bt_size
     chunk_addrs = []
     for _coords, payload in chunks:
@@ -303,16 +320,17 @@ def h5_chunked(arr: np.ndarray, chunk_dims: tuple, filters: list[tuple[int, list
     out += heap_data
     out += b"SNOD" + bytes([1, 0]) + struct.pack("<H", 1)
     out += struct.pack("<QQII", 8, ds_addr, 0, 0) + b"\x00" * 16
-    out += ds_oh(btree_addr)
-    bt = b"TREE" + bytes([1, 0]) + struct.pack("<H", len(chunks)) + UNDEF + UNDEF
-    for (coords, payload), addr in zip(chunks, chunk_addrs):
-        bt += struct.pack("<II", len(payload), 0)
-        bt += b"".join(struct.pack("<Q", c) for c in coords) + struct.pack("<Q", 0)
-        bt += struct.pack("<Q", addr)
-    bt += struct.pack("<II", 0, 0)  # final (rightmost) key
-    bt += b"".join(struct.pack("<Q", s) for s in arr.shape) + struct.pack("<Q", 0)
-    assert len(bt) == bt_size
-    out += bt
+    out += ds_oh(0xFFFFFFFFFFFFFFFF if not chunks else btree_addr)
+    if chunks:
+        bt = b"TREE" + bytes([1, 0]) + struct.pack("<H", len(chunks)) + UNDEF + UNDEF
+        for (coords, payload), addr in zip(chunks, chunk_addrs):
+            bt += struct.pack("<II", len(payload), 0)
+            bt += b"".join(struct.pack("<Q", c) for c in coords) + struct.pack("<Q", 0)
+            bt += struct.pack("<Q", addr)
+        bt += struct.pack("<II", 0, 0)  # final (rightmost) key
+        bt += b"".join(struct.pack("<Q", s) for s in arr.shape) + struct.pack("<Q", 0)
+        assert len(bt) == bt_size
+        out += bt
     for _coords, payload in chunks:
         out += payload
     assert len(out) == eof
@@ -382,3 +400,39 @@ def test_recommend_picks_hdf5(tmp_path):
     p.write_bytes(h5_classic({"ones": arr}))
     kinds = [type(c).__name__ if not isinstance(c, type) else c.__name__ for c in recommend(str(p))]
     assert any("HDF5" in k for k in kinds)
+
+
+def test_chunked_sparse_chunks_fill_value(spark, tmp_path):
+    """Chunks absent from the B-tree materialize as the dataset's fill
+    value — including a whole dim-0 slab with no written chunks, which
+    must still appear in the output (not be silently dropped)."""
+    arr = np.arange(35, dtype="<f8").reshape(7, 5)
+    p = tmp_path / "sparse.h5"
+    # skip one interior chunk and the ENTIRE last dim-0 slab (rows 6..7)
+    p.write_bytes(h5_chunked(arr, (3, 4), [], skip={(0, 4), (6, 0), (6, 4)}, fill=-9.5))
+    got = _rebuild(HDF5Reader(data=dt.HDF5(url=str(p))).read(spark=spark))
+    want = arr.copy()
+    want[0:3, 4:5] = -9.5
+    want[6:7, :] = -9.5
+    np.testing.assert_array_equal(got, want)
+
+
+def test_chunked_unallocated_btree_is_all_fill(spark, tmp_path):
+    """A chunked dataset with no written chunks (B-tree address undefined)
+    reads as an all-fill array instead of erroring."""
+    arr = np.zeros((5, 3), dtype="<f8")
+    p = tmp_path / "empty.h5"
+    p.write_bytes(h5_chunked(arr, (2, 3), [], skip={(0, 0), (2, 0), (4, 0)}, fill=2.25))
+    got = _rebuild(HDF5Reader(data=dt.HDF5(url=str(p))).read(spark=spark))
+    np.testing.assert_array_equal(got, np.full((5, 3), 2.25))
+
+
+def test_chunked_default_fill_is_zero(spark, tmp_path):
+    """No fill-value message → missing chunks read as 0 (libhdf5 default)."""
+    arr = np.arange(12, dtype="<f8").reshape(4, 3)
+    p = tmp_path / "dflt.h5"
+    p.write_bytes(h5_chunked(arr, (2, 3), [], skip={(2, 0)}))
+    got = _rebuild(HDF5Reader(data=dt.HDF5(url=str(p))).read(spark=spark))
+    want = arr.copy()
+    want[2:4, :] = 0.0
+    np.testing.assert_array_equal(got, want)

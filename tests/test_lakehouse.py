@@ -445,6 +445,38 @@ def test_delta_checkpoint_with_vacuumed_commits(spark, tmp_path):
     assert [(r.k, r.v) for r in rdr.read(spark=spark, version=6).collect()] == [("a", 1)]
 
 
+def test_delta_log_compaction_files_ignored(spark, tmp_path):
+    """Log-compaction files (<start>.<end>.compacted.json) must not be
+    replayed: their constituent commits are listed individually, and a
+    compaction spanning past a version= target would smuggle in later
+    actions (here: replaying 0.1.compacted.json at version=0 would apply
+    v1's add/remove and flip the snapshot)."""
+    root = str(tmp_path / "cmp")
+    os.makedirs(f"{root}/_delta_log")
+    spark.createDataFrame([("a", 1)], "k string, v long").coalesce(1) \
+        .write.parquet(f"{root}/f0")
+    spark.createDataFrame([("b", 2)], "k string, v long").coalesce(1) \
+        .write.parquet(f"{root}/f1")
+    f0 = [f for f in os.listdir(f"{root}/f0") if f.endswith(".parquet")][0]
+    f1 = [f for f in os.listdir(f"{root}/f1") if f.endswith(".parquet")][0]
+    with open(f"{root}/_delta_log/{0:020d}.json", "w") as f:
+        f.write(json.dumps({"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}) + "\n")
+        f.write(_delta_meta(_DELTA_SCHEMA) + "\n")
+        f.write(_delta_add(f"f0/{f0}") + "\n")
+    with open(f"{root}/_delta_log/{1:020d}.json", "w") as f:
+        f.write(_delta_add(f"f1/{f1}") + "\n")
+        f.write(json.dumps({"remove": {"path": f"f0/{f0}", "dataChange": True}}) + "\n")
+    with open(f"{root}/_delta_log/{0:020d}.{1:020d}.compacted.json", "w") as f:
+        f.write(_delta_meta(_DELTA_SCHEMA) + "\n")
+        f.write(_delta_add(f"f1/{f1}") + "\n")
+        f.write(json.dumps({"remove": {"path": f"f0/{f0}", "dataChange": True}}) + "\n")
+    rdr = DeltaLakeReader(data=dt.DeltalakeTable(url=root))
+    # latest snapshot unaffected by double-replaying the compaction
+    assert {(r.k, r.v) for r in rdr.read(spark=spark).collect()} == {("b", 2)}
+    # version 0 must NOT see v1's actions through the compaction file
+    assert {(r.k, r.v) for r in rdr.read(spark=spark, version=0).collect()} == {("a", 1)}
+
+
 def test_iceberg_v10_numeric_sort_and_file_uri_location(spark, tmp_path):
     """v10 must beat v9 (numeric, not lexicographic) and file:// locations
     rewrite after relocation."""

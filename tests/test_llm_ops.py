@@ -729,3 +729,18 @@ def test_quantize_embeddings_reconstruction(spark, emb):
         v = orig[r.vec_id]
         cos = float(v @ deq / (np.linalg.norm(v) * np.linalg.norm(deq)))
         assert cos > 0.999, (r.vec_id, cos)
+
+
+def test_quantize_embeddings_zero_vector(spark):
+    """An all-zero vector has scale 0; x/0 is NULL under non-ANSI division,
+    so the guard must emit an all-zero qvec instead of NULLs."""
+    from intake_spark.llm import similarity as sim
+
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0, 0.0]), (2, [0.5, -1.0, 0.25])],
+        "vec_id long, embedding array<double>",
+    )
+    rows = {r.vec_id: r for r in sim.quantize_embeddings(df, id_cols=("vec_id",)).collect()}
+    assert rows[1].scale == 0.0
+    assert rows[1].qvec == [0, 0, 0]
+    assert rows[2].qvec == [63, -127, 31]  # floor(x/scale*127)
