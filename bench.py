@@ -6,12 +6,20 @@ on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
 Each query is timed end-to-end: plan build + full execution into the
 ``noop`` write sink, which materializes every output column (``.count()``
 would let Catalyst skip computing projected expressions).
+
+Variance control: each query runs $SPARK_GRAFT_REPEATS times (default 3)
+in interleaved rounds (q1..qN, q1..qN, ...) so a GC pause or page-cache
+warm-up hits different queries in different rounds rather than biasing one
+query's samples. ``queries`` reports the per-query MEDIAN; ``value`` is the
+sum of medians; ``spread`` reports (max-min)/median per query so a noisy
+container shows up as spread, not as a phantom regression.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -20,6 +28,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    repeats = max(1, int(os.environ.get("SPARK_GRAFT_REPEATS", "3")))
     try:
         sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
     except ValueError:
@@ -45,14 +54,21 @@ def main() -> None:
         except Exception:
             pass
 
-    timings: dict[str, float] = {}
-    t_all = time.perf_counter()
-    for name, fn in sorted(queries.items()):
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        df.write.mode("overwrite").format("noop").save()
-        timings[name] = round(time.perf_counter() - t0, 4)
-    total = round(time.perf_counter() - t_all, 4)
+    names = sorted(queries)
+    samples: dict[str, list[float]] = {n: [] for n in names}
+    for _ in range(repeats):
+        for name in names:
+            t0 = time.perf_counter()
+            df = queries[name](spark, sf_dir)
+            df.write.mode("overwrite").format("noop").save()
+            samples[name].append(time.perf_counter() - t0)
+
+    timings = {n: round(statistics.median(s), 4) for n, s in samples.items()}
+    spread = {
+        n: round((max(s) - min(s)) / statistics.median(s), 3) if len(s) > 1 else 0.0
+        for n, s in samples.items()
+    }
+    total = round(sum(timings.values()), 4)
 
     print(
         json.dumps(
@@ -61,6 +77,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "spread": spread,
+                "repeats": repeats,
                 "sf": sf,
             }
         )

@@ -223,7 +223,14 @@ class BMP(FileData):
 class WAV(FileData):
     filepattern = r"wav$"
     mimetypes = r"audio/x?-?wav"
-    magic = (b"RIFF",)
+    magic = ((8, b"WAVE"),)  # RIFF....WAVE — bare RIFF would also hit AVI
+    structure = {"array", "timeseries"}
+
+
+class AVI(FileData):
+    filepattern = r"avi$"
+    mimetypes = r"video/(x-msvideo|avi)"
+    magic = ((8, b"AVI "),)
     structure = {"array", "timeseries"}
 
 

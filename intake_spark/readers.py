@@ -177,7 +177,7 @@ class SparkBinary(FileReader):
     """binaryFile rows (path, modificationTime, length, content) — the
     ingestion layer for multimodal/opaque formats (SURVEY §2.1 media rows)."""
 
-    implements = {dt.PNG, dt.JPEG, dt.TIFF, dt.BMP, dt.WAV, dt.MP4, dt.PDF, dt.GGUF, dt.NumpyFile, dt.HDF5}
+    implements = {dt.PNG, dt.JPEG, dt.TIFF, dt.BMP, dt.WAV, dt.MP4, dt.AVI, dt.PDF, dt.GGUF, dt.NumpyFile, dt.HDF5}
     spark_format = "binaryFile"
 
     def _read(self, spark, pathGlobFilter: str | None = None, **kwargs):
@@ -185,6 +185,26 @@ class SparkBinary(FileReader):
         if pathGlobFilter:
             reader = reader.option("pathGlobFilter", pathGlobFilter)
         return reader.options(**kwargs).load(self.data.url)
+
+
+class AVIFrameReader(BaseReader):
+    """AVI video → one row per sampled frame (frame_idx, fps, codec,
+    frame_bytes) via the stdlib RIFF walk in llm/video.py; MJPG frame
+    payloads decode with the package JPEG decoder (parity:
+    DecordVideoReader/ImageIOVideoReader, reference readers.py:2208,3644 —
+    both delegate to codec libraries; only the MJPEG codec is stdlib-
+    decodable here, and other codecs raise at decode time, not ingest)."""
+
+    implements = {dt.AVI}
+    priority = 2
+
+    def _read(self, spark, every_n: int = 30, **kwargs):
+        from intake_spark.llm.video import sample_video_frames
+
+        binary = spark.read.format("binaryFile").load(self.data.url)
+        return sample_video_frames(
+            binary.select("path", "content"), every_n=every_n
+        )
 
 
 class SparkImage(FileReader):
