@@ -1714,3 +1714,264 @@ class OpenEXRReader(BaseReader):
                     yield pd.DataFrame(rows, columns=["y", "channel", "values"])
 
         return mdf.mapInPandas(decode, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# MetaImage (.mha/.mhd) — ITK's tag-based text header + raw/zlib payload
+# (parity: SimpleITKReader, reference readers.py:3546, which delegates to
+# SimpleITK/libITK; this parses the public MetaIO format directly).
+# ---------------------------------------------------------------------------
+
+
+class MetaImage(dt.FileData):
+    filepattern = r"(mha|mhd)$"
+    magic = (b"ObjectType",)
+    structure = {"array"}
+
+
+_MET_TYPES = {
+    "MET_CHAR": "i1", "MET_UCHAR": "u1",
+    "MET_SHORT": "i2", "MET_USHORT": "u2",
+    "MET_INT": "i4", "MET_UINT": "u4",
+    "MET_LONG": "i8", "MET_ULONG": "u8",
+    "MET_FLOAT": "f4", "MET_DOUBLE": "f8",
+}
+
+
+def _metaimage_header(f) -> tuple[dict, int]:
+    """Read `Key = Value` lines until ElementDataFile (always the LAST
+    header field by spec); returns (fields, data_offset_after_header)."""
+    fields: dict[str, str] = {}
+    off = 0
+    while True:
+        line = f.readline()
+        if not line:
+            raise ValueError("MetaImage header has no ElementDataFile field")
+        off += len(line)
+        text = line.decode("ascii", errors="replace").strip()
+        if not text or "=" not in text:
+            continue
+        key, _, val = text.partition("=")
+        fields[key.strip()] = val.strip()
+        if key.strip() == "ElementDataFile":
+            return fields, off
+
+
+class MetaImageReader(BaseReader):
+    """MetaImage → chunk-row DataFrame. Header parses driver-side (KiB);
+    raw payloads decode on executors via the shared byte-range manifest
+    (inline for .mha after the header, or the external .raw file a .mhd
+    points at); zlib-compressed payloads decode in a single executor task
+    (non-splittable stream). Multi-channel volumes append the channel
+    count as the last (fastest) axis."""
+
+    implements = {MetaImage}
+
+    def _read(self, spark, rows_per_chunk: int = 1024, **kwargs):
+        import os as _os
+
+        import numpy as np
+
+        url = self.data.url
+        with open(url, "rb") as f:
+            fields, data_off = _metaimage_header(f)
+        tkey = fields.get("ElementType", "")
+        if tkey not in _MET_TYPES:
+            raise ValueError(f"unsupported MetaImage ElementType {tkey!r}")
+        msb = fields.get("BinaryDataByteOrderMSB", fields.get("ElementByteOrderMSB", "False"))
+        dtype = (">" if msb.lower() == "true" else "<") + _MET_TYPES[tkey]
+        if np.dtype(dtype).itemsize == 1:
+            dtype = _MET_TYPES[tkey]
+        if fields.get("BinaryData", "True").lower() != "true":
+            raise ValueError("ASCII MetaImage data not supported (BinaryData = False)")
+        # DimSize is fastest-axis-first; C-order shape reverses it, and
+        # multi-channel data interleaves channels as the fastest axis
+        shape = [int(s) for s in fields["DimSize"].split()][::-1]
+        nch = int(fields.get("ElementNumberOfChannels", "1"))
+        if nch > 1:
+            shape = shape + [nch]
+        datafile = fields.get("ElementDataFile", "LOCAL")
+        if datafile.upper() == "LIST" or "%" in datafile:
+            raise ValueError("MetaImage slice-list data files not supported")
+        if datafile.upper() == "LOCAL":
+            data_url = url
+        else:
+            data_url = _os.path.join(_os.path.dirname(url), datafile)
+            data_off = 0
+        compressed = fields.get("CompressedData", "False").lower() == "true"
+        self.data.metadata.update({"fields": fields, "shape": shape, "dtype": dtype})
+        if not compressed:
+            return _chunked_array_df(spark, data_url, dtype, shape, data_off, rows_per_chunk)
+
+        from intake_spark.arrays import CHUNK_SCHEMA
+        from intake_spark.session import ensure_py_deps
+
+        ensure_py_deps(spark)
+        mdf = spark.createDataFrame([(data_off,)], "data_off long")
+
+        def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            import zlib as _zlib
+
+            import numpy as _np
+
+            for pdf in batches:
+                for _, r in pdf.iterrows():
+                    with open(data_url, "rb") as fh:
+                        fh.seek(int(r["data_off"]))
+                        raw = _zlib.decompress(fh.read())
+                    vals = _np.frombuffer(raw, dtype=_np.dtype(dtype))
+                    out = []
+                    n0 = shape[0] if shape else 1
+                    row_elems = int(vals.size // max(n0, 1))
+                    for ci, start in enumerate(range(0, n0, rows_per_chunk)):
+                        stop = min(start + rows_per_chunk, n0)
+                        out.append(
+                            {
+                                "chunk_id": ci,
+                                "offset0": start,
+                                "shape": shape,
+                                "values": vals[start * row_elems : stop * row_elems]
+                                .astype(_np.float64)
+                                .tolist(),
+                            }
+                        )
+                    yield pd.DataFrame(
+                        out, columns=["chunk_id", "offset0", "shape", "values"]
+                    )
+
+        return mdf.mapInPandas(decode, schema=CHUNK_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# SVS / whole-slide images — Aperio slides are TIFF pyramids whose page-0
+# ImageDescription carries the slide properties ('Aperio ...|AppMag = 40
+# |MPP = 0.25|...'). (Parity: OpenSlideReader/TiffSlideReader, reference
+# readers.py:3592,3623, which delegate to openslide/tiffslide; this walks
+# the public TIFF structure directly.) Level SELECTION is metadata-only
+# (geometry from each IFD, no pixel decode), so it works even when deep
+# levels use gated codecs; level DECODE goes through the standard
+# TIFFReader page path and is subject to its codec support.
+# ---------------------------------------------------------------------------
+
+
+class SVS(dt.FileData):
+    filepattern = r"svs$"
+    magic = (b"II*\x00", b"MM\x00*")
+    structure = {"array", "image"}
+
+
+def tiff_level_index(f) -> list[dict]:
+    """Lenient walk of EVERY IFD in the chain → [{page, width, height,
+    compression, description}] — geometry only, no codec validation, so
+    slides whose levels use unsupported compressions still enumerate."""
+    f.seek(0)
+    head = f.read(8)
+    bo = "<" if head[:2] == b"II" else ">"
+    if head[:2] not in (b"II", b"MM"):
+        raise ValueError("not a TIFF file (no II/MM byte-order mark)")
+    (magic,) = struct.unpack(bo + "H", head[2:4])
+    if magic != 42:
+        raise ValueError("classic TIFF only (BigTIFF slide: magic 43)")
+    (ifd_off,) = struct.unpack(bo + "I", head[4:8])
+    out = []
+    page = 0
+    while ifd_off and page < 4096:
+        f.seek(ifd_off)
+        (n,) = struct.unpack(bo + "H", f.read(2))
+        raw = f.read(12 * n)
+        (ifd_off,) = struct.unpack(bo + "I", f.read(4))
+        info = {"page": page, "width": None, "height": None,
+                "compression": 1, "description": ""}
+        for i in range(n):
+            tag, typ, cnt = struct.unpack(bo + "HHI", raw[i * 12 : i * 12 + 8])
+            if tag not in (256, 257, 259, 270):
+                continue
+            val4 = raw[i * 12 + 8 : i * 12 + 12]
+            sz = _TIFF_TYPE_SIZES.get(typ, 1) * cnt
+            if sz <= 4:
+                data = val4[:sz]
+            else:
+                (voff,) = struct.unpack(bo + "I", val4)
+                pos = f.tell()
+                f.seek(voff)
+                data = f.read(sz)
+                f.seek(pos)
+            if tag == 270:
+                info["description"] = data.rstrip(b"\x00").decode("ascii", "replace")
+            else:
+                v = struct.unpack(bo + ("H" if typ == 3 else "I"), data[: 2 if typ == 3 else 4])[0]
+                info[{256: "width", 257: "height", 259: "compression"}[tag]] = int(v)
+        out.append(info)
+        page += 1
+    return out
+
+
+def parse_aperio_description(desc: str) -> dict:
+    """Aperio ImageDescription → properties dict: '|'-separated segments,
+    'Key = Value' pairs after the free-text header segment."""
+    props: dict[str, str] = {}
+    parts = desc.split("|")
+    if parts:
+        props["aperio.Header"] = parts[0].strip()
+    for seg in parts[1:]:
+        key, eq, val = seg.partition("=")
+        if eq:
+            props["aperio." + key.strip()] = val.strip()
+    return props
+
+
+class SVSSlideReader(BaseReader):
+    """Whole-slide image → chunk rows for ONE selected pyramid level.
+
+    ``level=`` selects by index (0 = base); ``max_pixels=`` instead picks
+    the largest level that fits the budget — the openslide
+    ``get_best_level_for_downsample`` idiom inverted for batch pipelines
+    where the cap is decode cost. Slide properties (AppMag, MPP, ...) and
+    the full level geometry land in ``.data.metadata`` without decoding
+    any pixels."""
+
+    implements = {SVS}
+
+    def _read(self, spark, level: int | None = None, max_pixels: int | None = None, **kwargs):
+        url = self.data.url
+        with open(url, "rb") as f:
+            levels = tiff_level_index(f)
+        if not levels or levels[0]["width"] is None:
+            raise ValueError(f"{url}: no image levels found")
+        base_w = levels[0]["width"]
+        for lv in levels:
+            lv["downsample"] = round(base_w / lv["width"], 4) if lv["width"] else None
+        props = parse_aperio_description(levels[0]["description"])
+        if level is None:
+            if max_pixels is not None:
+                fitting = [
+                    lv["page"] for lv in levels
+                    if lv["width"] and lv["width"] * lv["height"] <= max_pixels
+                ]
+                if not fitting:
+                    raise ValueError(
+                        f"no level fits max_pixels={max_pixels}; smallest is "
+                        f"{levels[-1]['width']}x{levels[-1]['height']}"
+                    )
+                level = fitting[0]  # pages are ordered base→smallest
+            else:
+                level = 0
+        if not 0 <= level < len(levels):
+            raise ValueError(f"level {level} out of range (slide has {len(levels)})")
+        self.data.metadata.update(
+            {
+                "levels": [
+                    {k: lv[k] for k in ("page", "width", "height", "downsample", "compression")}
+                    for lv in levels
+                ],
+                "properties": props,
+                "mpp": float(props["aperio.MPP"]) if "aperio.MPP" in props else None,
+                "objective_power": float(props["aperio.AppMag"]) if "aperio.AppMag" in props else None,
+                "level": level,
+            }
+        )
+        inner = TIFFReader(data=dt.TIFF(url=url))
+        df = inner.read(spark=spark, page=level, **kwargs)
+        self.data.metadata.update({k: v for k, v in inner.data.metadata.items()
+                                   if k not in self.data.metadata})
+        return df

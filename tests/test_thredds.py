@@ -1,0 +1,96 @@
+"""THREDDS catalog descend + merged dataset, against a mocked two-level
+InvCatalog-1.0 XML tree whose datasets are real netCDF3 files on disk —
+catalogRef descent, fileServer base resolution, fnmatch selection, and
+the unionByName merge are all exercised offline."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from intake_spark.services import (
+    THREDDSCatalogData,
+    ThreddsCatalogReader,
+    thredds_catalog,
+    thredds_merged_dataset,
+)
+from tests.test_bio_geo_stats import _make_netcdf3
+
+NS = 'xmlns="http://www.unidata.ucar.edu/namespaces/thredds/InvCatalog/v1.0" ' \
+     'xmlns:xlink="http://www.w3.org/1999/xlink"'
+
+
+def _tree(tmp_path):
+    """Root catalog -> catalogRef 'obs' -> sub-catalog with 3 datasets
+    (2 matching temp_*.nc, 1 other)."""
+    d = tmp_path / "data"
+    d.mkdir(exist_ok=True)
+    a = np.arange(12, dtype="<f8").reshape(3, 4)
+    b = (np.arange(12, dtype="<f8") * 2).reshape(3, 4)
+    c = np.ones((2, 2), dtype="<f8")
+    (d / "temp_2001.nc").write_bytes(_make_netcdf3("t", a))
+    (d / "temp_2002.nc").write_bytes(_make_netcdf3("t", b))
+    (d / "salinity.nc").write_bytes(_make_netcdf3("s", c))
+
+    root_url = "http://mock/catalog.xml"
+    sub_url = "http://mock/obs/catalog.xml"
+    root_xml = f"""<?xml version="1.0"?>
+    <catalog {NS} name="root">
+      <service name="all" serviceType="Compound" base="">
+        <service name="http" serviceType="HTTPServer" base="{d}/"/>
+        <service name="odap" serviceType="OPeNDAP" base="/thredds/dodsC/"/>
+      </service>
+      <dataset name="top">
+        <catalogRef xlink:href="obs/catalog.xml" xlink:title="obs"/>
+      </dataset>
+    </catalog>"""
+    sub_xml = f"""<?xml version="1.0"?>
+    <catalog {NS} name="obs">
+      <service name="http" serviceType="HTTPServer" base="{d}/"/>
+      <dataset name="observations">
+        <dataset name="temp_2001.nc" urlPath="temp_2001.nc"/>
+        <dataset name="temp_2002.nc" urlPath="temp_2002.nc"/>
+        <dataset name="salinity.nc" urlPath="salinity.nc"/>
+      </dataset>
+    </catalog>"""
+    pages = {root_url: root_xml.encode(), sub_url: sub_xml.encode()}
+
+    def fetch(url: str) -> bytes:
+        return pages[url]
+
+    return root_url, fetch, (a, b)
+
+
+def test_thredds_catalog_walk(tmp_path):
+    root_url, fetch, _ = _tree(tmp_path)
+    cat = thredds_catalog(THREDDSCatalogData(url=root_url), fetch=fetch)
+    assert list(cat) == ["obs"]
+    sub = cat["obs"].read(fetch=fetch)
+    assert sorted(sub) == ["salinity.nc", "temp_2001.nc", "temp_2002.nc"]
+
+
+def test_thredds_merged_dataset(spark, tmp_path):
+    root_url, fetch, (a, b) = _tree(tmp_path)
+    df = thredds_merged_dataset(spark, root_url, "obs/temp_*.nc", fetch=fetch)
+    rows = df.collect()
+    assert {r.source for r in rows} == {"temp_2001.nc", "temp_2002.nc"}
+    got_a = np.concatenate(
+        [r.values for r in sorted(rows, key=lambda r: r.offset0) if r.source == "temp_2001.nc"]
+    ).reshape(3, 4)
+    np.testing.assert_array_equal(got_a, a)
+    got_b = np.concatenate(
+        [r.values for r in sorted(rows, key=lambda r: r.offset0) if r.source == "temp_2002.nc"]
+    ).reshape(3, 4)
+    np.testing.assert_array_equal(got_b, b)
+
+
+def test_thredds_merged_no_match_raises(spark, tmp_path):
+    root_url, fetch, _ = _tree(tmp_path)
+    with pytest.raises(ValueError, match="no datasets match"):
+        thredds_merged_dataset(spark, root_url, "obs/nope_*.nc", fetch=fetch)
+
+
+def test_thredds_reader_entry(tmp_path):
+    root_url, fetch, _ = _tree(tmp_path)
+    cat = ThreddsCatalogReader(data=THREDDSCatalogData(url=root_url)).read(fetch=fetch)
+    assert "obs" in list(cat)
