@@ -234,6 +234,13 @@ class AVI(FileData):
     structure = {"array", "timeseries"}
 
 
+class WEBP(FileData):
+    filepattern = r"webp$"
+    mimetypes = r"image/webp"
+    magic = ((8, b"WEBP"),)
+    structure = {"array", "image"}
+
+
 class MP4(FileData):
     filepattern = r"(mp4|m4v|mov)$"
     mimetypes = r"video/(mp4|quicktime)"

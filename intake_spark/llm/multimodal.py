@@ -219,9 +219,10 @@ def resize_nearest(arr, out_h: int, out_w: int):
 
 
 def decode_image(content: bytes):
-    """Image decode: PNG, baseline TIFF and baseline JPEG all decode with
-    the stdlib paths; exotic formats (WebP/AVIF/video frames) need PIL,
-    which this container lacks."""
+    """Image decode: PNG, baseline TIFF, baseline JPEG, BMP and lossless
+    WebP (VP8L) all decode with the stdlib paths; the remaining codecs
+    (lossy WebP, AVIF, non-MJPEG video frames) need PIL/libavif, which
+    this container lacks."""
     if content[:8] == b"\x89PNG\r\n\x1a\n":
         return decode_png(content)
     if content[:4] in (b"II*\x00", b"MM\x00*"):
@@ -235,15 +236,19 @@ def decode_image(content: bytes):
         return arr if arr.ndim == 3 else arr[:, :, None]
     if content[:2] == b"BM":
         return decode_bmp(content)
+    if content[:4] == b"RIFF" and content[8:12] == b"WEBP":
+        from intake_spark.llm.webp import decode_webp
+
+        return decode_webp(content)
     try:
         import io
 
         from PIL import Image  # noqa: F401
     except ImportError as exc:  # pragma: no cover - PIL absent here
         raise NotImplementedError(
-            "PNG/TIFF/JPEG decode natively; other codecs (WebP/AVIF/...) "
-            "require pillow, absent in this container — use "
-            "fake_decode_meta for plumbing tests of those"
+            "PNG/TIFF/JPEG/BMP/WebP-lossless decode natively; the remaining "
+            "codecs (lossy WebP, AVIF, ...) require pillow, absent in this "
+            "container — use fake_decode_meta for plumbing tests of those"
         ) from exc
     return Image.open(io.BytesIO(content))  # pragma: no cover
 
