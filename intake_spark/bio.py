@@ -430,3 +430,127 @@ class PDBReader(BaseReader):
             sub(61, 66).cast("double").alias("temp_factor"),
             sub(77, 78).alias("element"),
         )
+
+
+# ---------------------------------------------------------------------------
+# DCD trajectories (CHARMM/NAMD/X-PLOR) — Fortran-unformatted records
+# (parity: the trajectory side of MDAnalysisReader, reference
+# readers.py:2521, which delegates to the MDAnalysis package; this parses
+# the public DCD layout directly).
+# ---------------------------------------------------------------------------
+
+
+class DCD(dt.FileData):
+    filepattern = r"dcd$"
+    magic = ((4, b"CORD"),)
+    structure = {"array", "timeseries"}
+
+
+def _dcd_header(f) -> dict:
+    """Parse the three header records driver-side; returns endianness,
+    natoms, nframes, crystal flag, first-frame offset and frame size."""
+    import struct as _s
+
+    head = f.read(8)
+    if len(head) < 8 or head[4:8] != b"CORD":
+        raise ValueError("not a DCD file ('CORD' signature missing)")
+    for endian in ("<", ">"):
+        if _s.unpack(endian + "i", head[:4])[0] == 84:
+            break
+    else:
+        raise ValueError("bad DCD first record size (expected 84)")
+    icntrl = _s.unpack(endian + "20i", f.read(80))
+    f.read(4)  # trailing record size
+    nframes, crystal = icntrl[0], icntrl[10]
+    (tsz,) = _s.unpack(endian + "i", f.read(4))
+    ntitle = _s.unpack(endian + "i", f.read(4))[0]
+    f.read(tsz - 4 + 4)  # titles + trailing size
+    f.read(4)
+    (natoms,) = _s.unpack(endian + "i", f.read(4))
+    f.read(4)
+    first = f.tell()
+    cell_bytes = (4 + 48 + 4) if crystal else 0
+    coord_bytes = 3 * (4 + 4 * natoms + 4)
+    return {
+        "endian": endian,
+        "natoms": natoms,
+        "nframes": nframes,
+        "crystal": bool(crystal),
+        "first": first,
+        "frame_bytes": cell_bytes + coord_bytes,
+        "cell_bytes": cell_bytes,
+    }
+
+
+class DCDReader(BaseReader):
+    """DCD trajectory → one row per (frame, atom) with x/y/z coordinates.
+
+    The header parses driver-side (132 bytes + titles); frames are
+    fixed-size records, so per-frame byte offsets compute without reading
+    them, and each executor task decodes its frame range independently —
+    a multi-GB trajectory parallelizes with no shuffle. ``frame_stride``
+    subsamples BEFORE decode (the video-frame idiom), and ``frames=``
+    caps the count. Long format joins directly against the PDB atom
+    table on atom index."""
+
+    implements = {DCD}
+
+    def _read(self, spark, frame_stride: int = 1, frames: int | None = None, **kwargs):
+        from intake_spark.session import ensure_py_deps
+
+        ensure_py_deps(spark)
+        url = self.data.url
+        with open(url, "rb") as f:
+            hdr = _dcd_header(f)
+            import os as _os
+
+            fsize = _os.fstat(f.fileno()).st_size
+        avail = (fsize - hdr["first"]) // hdr["frame_bytes"]
+        n = min(hdr["nframes"], avail) if hdr["nframes"] > 0 else avail
+        if frames is not None:
+            n = min(n, frames * max(1, frame_stride))
+        self.data.metadata.update(
+            {k: hdr[k] for k in ("natoms", "crystal")} | {"nframes": int(n)}
+        )
+        idxs = list(range(0, int(n), max(1, frame_stride)))
+        manifest = [(i, hdr["first"] + i * hdr["frame_bytes"]) for i in idxs]
+        mdf = spark.createDataFrame(manifest, "frame int, offset long")
+        if len(manifest) > 1:
+            mdf = mdf.repartition(
+                min(len(manifest), spark.sparkContext.defaultParallelism)
+            )
+        endian, natoms, cell_b = hdr["endian"], hdr["natoms"], hdr["cell_bytes"]
+
+        schema = T.StructType(
+            [
+                T.StructField("frame", T.IntegerType()),
+                T.StructField("atom", T.IntegerType()),
+                T.StructField("x", T.DoubleType()),
+                T.StructField("y", T.DoubleType()),
+                T.StructField("z", T.DoubleType()),
+            ]
+        )
+
+        def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            import numpy as np
+
+            with open(url, "rb") as fh:
+                for pdf in batches:
+                    for _, r in pdf.iterrows():
+                        fh.seek(int(r.offset) + cell_b + 4)
+                        xs = np.frombuffer(fh.read(4 * natoms), dtype=endian + "f4")
+                        fh.read(8)
+                        ys = np.frombuffer(fh.read(4 * natoms), dtype=endian + "f4")
+                        fh.read(8)
+                        zs = np.frombuffer(fh.read(4 * natoms), dtype=endian + "f4")
+                        yield pd.DataFrame(
+                            {
+                                "frame": np.full(natoms, int(r.frame), dtype="int32"),
+                                "atom": np.arange(natoms, dtype="int32"),
+                                "x": xs.astype("f8"),
+                                "y": ys.astype("f8"),
+                                "z": zs.astype("f8"),
+                            }
+                        )
+
+        return mdf.mapInPandas(decode, schema=schema)

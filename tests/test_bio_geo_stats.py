@@ -769,3 +769,58 @@ def test_pdb_reader(spark, tmp_path):
     # JVM-only plan: no Python stages
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan
+
+
+def _make_dcd(frames_xyz, endian="<", crystal=False, ntitle=1):
+    """Spec-built DCD: Fortran-blocked header records + fixed-size frames."""
+    import struct as _s
+
+    nframes = len(frames_xyz)
+    natoms = len(frames_xyz[0])
+
+    def rec(payload):
+        return _s.pack(endian + "i", len(payload)) + payload + _s.pack(endian + "i", len(payload))
+
+    icntrl = [0] * 20
+    icntrl[0] = nframes
+    icntrl[10] = 1 if crystal else 0
+    out = rec(b"CORD" + _s.pack(endian + "20i", *icntrl))
+    out += rec(_s.pack(endian + "i", ntitle) + b"T" * 80 * ntitle)
+    out += rec(_s.pack(endian + "i", natoms))
+    for xyz in frames_xyz:
+        if crystal:
+            out += rec(_s.pack(endian + "6d", 10, 90, 10, 90, 90, 10))
+        for axis in range(3):
+            vals = [a[axis] for a in xyz]
+            out += rec(_s.pack(endian + f"{natoms}f", *vals))
+    return out
+
+
+@pytest.mark.parametrize("endian,crystal", [("<", False), (">", True)])
+def test_dcd_reader_roundtrip(spark, tmp_path, endian, crystal):
+    from intake_spark.bio import DCD, DCDReader
+
+    f0 = [(1.0, 2.0, 3.0), (4.0, 5.0, 6.0), (7.0, 8.0, 9.0)]
+    f1 = [(1.5, 2.5, 3.5), (4.5, 5.5, 6.5), (7.5, 8.5, 9.5)]
+    p = tmp_path / f"t_{endian == '<'}.dcd"
+    p.write_bytes(_make_dcd([f0, f1], endian=endian, crystal=crystal))
+    rdr = DCDReader(data=DCD(url=str(p)))
+    rows = rdr.read(spark=spark).orderBy("frame", "atom").collect()
+    assert rdr.data.metadata["natoms"] == 3
+    assert rdr.data.metadata["nframes"] == 2
+    assert [(r.frame, r.atom, r.x, r.y, r.z) for r in rows[:3]] == [
+        (0, 0, 1.0, 2.0, 3.0), (0, 1, 4.0, 5.0, 6.0), (0, 2, 7.0, 8.0, 9.0)]
+    assert rows[3].x == 1.5 and rows[5].z == 9.5
+
+
+def test_dcd_frame_stride_and_recommend(spark, tmp_path):
+    from intake_spark.bio import DCD, DCDReader
+    from intake_spark.datatypes import recommend
+
+    frames = [[(float(i), 0.0, 0.0), (0.0, float(i), 0.0)] for i in range(5)]
+    p = tmp_path / "s.dcd"
+    p.write_bytes(_make_dcd(frames))
+    df = DCDReader(data=DCD(url=str(p))).read(spark=spark, frame_stride=2)
+    assert sorted({r.frame for r in df.collect()}) == [0, 2, 4]
+    kinds = [c.__name__ if isinstance(c, type) else type(c).__name__ for c in recommend(str(p))]
+    assert "DCD" in kinds
