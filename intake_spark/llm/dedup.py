@@ -509,3 +509,27 @@ def containment_pairs(
             "containment",
         )
     )
+
+
+def dup_rate_by_source(
+    df: DataFrame, text_col: str = "text", source_col: str = "source"
+) -> DataFrame:
+    """Per-source duplication report: share of docs whose exact text hash
+    occurs more than once CORPUS-wide (cross-source dups count for every
+    source holding a copy). Two hash-aggregates — digest counts, then a
+    join back and a per-source rollup; the digest-count side is bounded by
+    distinct texts and both aggregates combine partially, so this is
+    scale-safe on the full corpus."""
+    h = df.select(F.col(source_col).alias("source"), F.md5(F.col(text_col)).alias("hsh"))
+    counts = h.groupBy("hsh").agg(F.count(F.lit(1)).alias("n"))
+    joined = h.join(counts, "hsh")
+    dup = F.sum(F.when(F.col("n") > 1, 1).otherwise(0))
+    return (
+        joined.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            dup.alias("n_dup_docs"),
+            F.round(dup / F.count(F.lit(1)), 6).alias("dup_rate_r"),
+        )
+        .orderBy("source")
+    )

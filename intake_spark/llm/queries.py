@@ -843,3 +843,94 @@ def q61_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     out = similarity.quantize_embeddings(emb, id_cols=("vec_id",))
     return out.select("vec_id", F.round("scale", 6).alias("scale_r"), "qvec")
+
+
+@register(
+    "q62_topk_per_source",
+    """
+    SELECT doc_id, source, n_chars FROM (
+      SELECT doc_id, source, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY n_chars DESC, doc_id ASC) AS rk
+      FROM documents) t
+    WHERE rk <= 3
+    """,
+)
+def q62_topk_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source curation: keep the 3 largest docs of each source under a
+    deterministic total order (n_chars desc, doc_id tie-break) — the
+    standard quality-gated down-selection step, one exchange on source."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = sampling.top_k_per_group(
+        docs, "source", [F.desc("n_chars"), F.asc("doc_id")], k=3
+    )
+    return out.select("doc_id", "source", "n_chars")
+
+
+@register(
+    "q63_vocab_coverage",
+    """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    freq AS (SELECT t.tok, COUNT(*) AS c FROM toks, UNNEST(w) AS t(tok) GROUP BY t.tok),
+    vocab AS (SELECT tok FROM freq ORDER BY c DESC, tok ASC LIMIT 50),
+    docd AS (
+      SELECT doc_id, COUNT(DISTINCT t.tok) AS nd,
+             COUNT(DISTINCT t.tok) FILTER (WHERE t.tok IN (SELECT tok FROM vocab)) AS nv
+      FROM toks, UNNEST(w) AS t(tok) GROUP BY doc_id)
+    SELECT doc_id, nd AS n_distinct, nv AS n_in_vocab,
+           ROUND(CAST(nv AS DOUBLE) / nd, 6) AS coverage_r
+    FROM docd
+    """,
+)
+def q63_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 corpus vocabulary coverage per doc: boilerplate detection /
+    out-of-domain flagging. Vocab collapses to one broadcast row; the doc
+    side is a mapper over split + array_intersect."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.vocab_coverage(docs, top_n=50)
+
+
+@register(
+    "q64_token_probability",
+    """
+    WITH toks AS (SELECT doc_id, t.tok FROM
+                  (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+                  UNNEST(w) AS t(tok)),
+    freq AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok),
+    tot AS (SELECT SUM(c) AS total FROM freq),
+    ptab AS (SELECT tok,
+                    CAST(FLOOR(CAST(c AS DOUBLE) / total * 1000000000000.0) AS BIGINT) AS fx
+             FROM freq, tot)
+    SELECT doc_id, COUNT(*) AS n_tokens,
+           ROUND(SUM(fx) / COUNT(*) / 1000000000000.0, 6) AS commonness_r
+    FROM toks JOIN ptab USING (tok)
+    GROUP BY doc_id
+    """,
+)
+def q64_token_probability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean corpus-unigram probability per doc ("commonness") — the
+    transcendental-free unigram-LM score, exact across engines via one
+    IEEE division and 1e-12 fixed-point floors. Vocabulary broadcast;
+    one partial-combining shuffle on doc_id."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.token_probability_scores(docs)
+
+
+@register(
+    "q65_dup_rate_by_source",
+    """
+    WITH h AS (SELECT source, md5(text) AS hsh FROM documents),
+    c AS (SELECT hsh, COUNT(*) AS n FROM h GROUP BY hsh)
+    SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN c.n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+           ROUND(SUM(CASE WHEN c.n > 1 THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6)
+             AS dup_rate_r
+    FROM h JOIN c USING (hsh) GROUP BY source ORDER BY source
+    """,
+)
+def q65_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source duplication report: share of docs whose exact text
+    occurs more than once corpus-wide — the contamination dashboard
+    number that decides which sources need near-dup passes."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.dup_rate_by_source(docs)

@@ -70,3 +70,24 @@ def mix_sources(
         rate_expr = cond if rate_expr is None else rate_expr.when(F.col(source_col) == src, F.lit(thr))
     rate_expr = rate_expr.otherwise(F.lit(0))  # unlisted sources drop
     return df.filter(hash_bucket(key_col, salt) < rate_expr)
+
+
+def top_k_per_group(
+    df: DataFrame,
+    group_col: str,
+    order_cols: list,
+    k: int,
+) -> DataFrame:
+    """Deterministic per-group curation: keep the top ``k`` rows of each
+    group under a total order (pass unique tie-breaks — e.g. doc_id — so
+    the result is a pure function of the data). One hash-partition
+    exchange on the group key; rank computes per-partition with no global
+    sort, so group skew, not data volume, is the scale bound."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(group_col).orderBy(*order_cols)
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
+    )

@@ -299,3 +299,62 @@ def length_histogram(
         .groupBy(group_col, "bin_lo")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
+
+
+def vocab_coverage(df: DataFrame, text_col: str = "text", top_n: int = 50) -> DataFrame:
+    """Per-doc coverage of the corpus top-``top_n`` vocabulary: distinct
+    doc tokens inside the vocab / distinct doc tokens. High coverage flags
+    boilerplate-heavy docs; low coverage flags out-of-domain or noisy
+    text. The vocab ranks with a deterministic tie-break (count desc,
+    token asc) and collapses to ONE broadcast row — the doc side stays a
+    mapper (split + array_intersect), so the only shuffles are the
+    partial-combining token count and the trivial vocab rank. The global
+    vocab rank window is bounded by DISTINCT tokens (vocabulary-sized, not
+    corpus-sized); for open-ended vocabularies cap the freq table first."""
+    from pyspark.sql.window import Window
+
+    toks = df.select("doc_id", F.split(F.col(text_col), " ").alias("toks"))
+    freq = toks.select(F.explode("toks").alias("tok")).groupBy("tok").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w = Window.orderBy(F.desc("c"), F.asc("tok"))
+    vocab = (
+        freq.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= top_n)
+        .agg(F.sort_array(F.collect_list("tok")).alias("_vocab"))
+    )
+    uniq = F.array_distinct("toks")
+    inter = F.array_intersect(uniq, F.col("_vocab"))
+    return (
+        toks.crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            F.size(uniq).cast("long").alias("n_distinct"),
+            F.size(inter).cast("long").alias("n_in_vocab"),
+            F.round(F.size(inter) / F.size(uniq), 6).alias("coverage_r"),
+        )
+    )
+
+
+def token_probability_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-doc mean corpus-unigram probability of its tokens ("commonness"
+    — the transcendental-free cousin of unigram log-likelihood: high =
+    stock phrasing, low = rare-token docs; rank ascending for outlier
+    mining). Deterministic across engines by construction: p = count/total
+    is one IEEE division, the per-token score floors to a 1e-12 fixed
+    point, and doc aggregation sums exact BIGINTs. The frequency table is
+    vocabulary-sized → broadcast join; the doc rollup is the one real
+    shuffle and combines partially."""
+    toks = df.select("doc_id", F.explode(F.split(F.col(text_col), " ")).alias("tok"))
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    total = freq.agg(F.sum("c").alias("_total"))
+    fixed = F.floor(F.col("c").cast("double") / F.col("_total") * F.lit(1e12)).cast("bigint")
+    ptab = freq.crossJoin(F.broadcast(total)).select("tok", fixed.alias("_fx"))
+    return (
+        toks.join(F.broadcast(ptab), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.sum("_fx") / F.count(F.lit(1)) / F.lit(1e12), 6).alias("commonness_r"),
+        )
+    )

@@ -744,3 +744,60 @@ def test_quantize_embeddings_zero_vector(spark):
     assert rows[1].scale == 0.0
     assert rows[1].qvec == [0, 0, 0]
     assert rows[2].qvec == [63, -127, 31]  # floor(x/scale*127)
+
+
+def test_top_k_per_group_deterministic(spark):
+    from intake_spark.llm import sampling as smp
+
+    df = spark.createDataFrame(
+        [(i, "g" + str(i % 2), i * 7 % 5) for i in range(10)],
+        "doc_id long, source string, score long",
+    )
+    out = smp.top_k_per_group(df, "source", [F.desc("score"), F.asc("doc_id")], k=2)
+    rows = sorted((r.source, r.doc_id) for r in out.collect())
+    # g0: scores doc0:0 doc2:4 doc4:3 doc6:2 doc8:1 -> top2 = doc2, doc4
+    # g1: doc1:2 doc3:1 doc5:0 doc7:4 doc9:3 -> doc7, doc9
+    assert rows == [("g0", 2), ("g0", 4), ("g1", 7), ("g1", 9)]
+    assert "_rk" not in out.columns
+
+
+def test_dup_rate_by_source_counts(spark):
+    from intake_spark.llm import dedup as dd
+
+    df = spark.createDataFrame(
+        [(1, "aaa", "s1"), (2, "aaa", "s2"), (3, "bbb", "s1"), (4, "ccc", "s2")],
+        "doc_id long, text string, source string",
+    )
+    rows = {r.source: r for r in dd.dup_rate_by_source(df).collect()}
+    assert rows["s1"].n_docs == 2 and rows["s1"].n_dup_docs == 1  # cross-source dup
+    assert rows["s2"].n_docs == 2 and rows["s2"].n_dup_docs == 1
+    assert rows["s1"].dup_rate_r == 0.5
+
+
+def test_token_probability_scores_exact(spark):
+    from intake_spark.llm import text as tx
+
+    # corpus: 4 tokens total; 'a' p=0.5, 'b' p=0.25, 'c' p=0.25
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "c")], "doc_id long, text string"
+    )
+    rows = {r.doc_id: r for r in tx.token_probability_scores(df).collect()}
+    assert rows[1].n_tokens == 3
+    assert abs(rows[1].commonness_r - round((0.5 + 0.5 + 0.25) / 3, 6)) < 1e-9
+    assert rows[2].commonness_r == 0.25
+
+
+def test_vocab_coverage_broadcast_plan(spark):
+    from intake_spark.llm import text as tx
+
+    df = spark.createDataFrame(
+        [(1, "a b x"), (2, "a a a"), (3, "a b c")], "doc_id long, text string"
+    )
+    out = tx.vocab_coverage(df, top_n=2)  # vocab = {a, b}
+    rows = {r.doc_id: r for r in out.collect()}
+    assert rows[1].n_in_vocab == 2 and rows[1].n_distinct == 3
+    assert rows[2].coverage_r == 1.0
+    assert rows[3].n_in_vocab == 2
+    # the vocab side must broadcast, not shuffle-join the corpus
+    assert "BroadcastNestedLoopJoin" in out._jdf.queryExecution().executedPlan().toString() or \
+           "BroadcastExchange" in out._jdf.queryExecution().executedPlan().toString()
