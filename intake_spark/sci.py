@@ -169,21 +169,22 @@ class NIfTIReader(BaseReader):
 # The reference reaches TIFF three ways, all via third-party decoders
 # (XArrayDatasetReader readers.py:1340-1440, RasterIOXarray :1496,
 # PILImageReader :2228); this parses the baseline format directly:
-# classic (42-magic) TIFF, II/MM byte order, strip-based storage,
-# uncompressed or PackBits, 8/16-bit unsigned samples, chunky planar.
+# classic (42-magic) AND BigTIFF (43-magic, 8-byte offsets) layouts,
+# II/MM byte order, strip- and tile-based storage, uncompressed or
+# PackBits or Deflate, 8/16-bit unsigned samples, chunky planar.
 # ---------------------------------------------------------------------------
 
-_TIFF_TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8, 11: 4, 12: 8}
+_TIFF_TYPE_SIZES = {
+    1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8, 11: 4, 12: 8,
+    16: 8, 17: 8, 18: 8,  # BigTIFF LONG8/SLONG8/IFD8
+}
 
 
-def tiff_meta(f, page: int = 0) -> dict:
-    """Parse one IFD of a classic TIFF from a seekable file-like — small
-    reads only (header + IFD + out-of-line tag values). ``page`` follows
-    the next-IFD chain: page 0 is the base image; later pages are the
-    extra frames of a multi-page TIFF or the downsampled levels of an
-    OpenSlide-style pyramid."""
+def _tiff_open(f) -> tuple[str, bool, int]:
+    """TIFF header → (byte order, is_bigtiff, first IFD offset). BigTIFF
+    (magic 43) uses 8-byte offsets/counts and 20-byte IFD entries."""
     f.seek(0)
-    head = f.read(8)
+    head = f.read(16)
     if head[:2] == b"II":
         bo = "<"
     elif head[:2] == b"MM":
@@ -191,32 +192,38 @@ def tiff_meta(f, page: int = 0) -> dict:
     else:
         raise ValueError("not a TIFF file (no II/MM byte-order mark)")
     (magic,) = struct.unpack(bo + "H", head[2:4])
+    if magic == 42:
+        return bo, False, struct.unpack(bo + "I", head[4:8])[0]
     if magic == 43:
-        raise ValueError("BigTIFF (magic 43) not supported — classic TIFF only")
-    if magic != 42:
-        raise ValueError(f"bad TIFF magic {magic}")
-    (ifd_off,) = struct.unpack(bo + "I", head[4:8])
-    n_pages = 0
-    while True:
-        f.seek(ifd_off)
-        (n,) = struct.unpack(bo + "H", f.read(2))
-        if n_pages == page:
-            break
-        f.seek(ifd_off + 2 + 12 * n)
-        (ifd_off,) = struct.unpack(bo + "I", f.read(4))
-        n_pages += 1
-        if ifd_off == 0:
-            raise ValueError(f"TIFF has only {n_pages} page(s); page {page} requested")
-    raw = f.read(12 * n)
+        osize, zero = struct.unpack(bo + "HH", head[4:8])
+        if osize != 8 or zero != 0:
+            raise ValueError(f"bad BigTIFF header (offset size {osize})")
+        return bo, True, struct.unpack(bo + "Q", head[8:16])[0]
+    raise ValueError(f"bad TIFF magic {magic}")
+
+
+def _tiff_read_ifd(f, bo: str, big: bool, ifd_off: int) -> tuple[dict, int]:
+    """One IFD → (tags, next_ifd_offset); handles classic 12-byte and
+    BigTIFF 20-byte entries, inline vs out-of-line values, and the numeric
+    types incl. LONG8."""
+    f.seek(ifd_off)
+    n = struct.unpack(bo + ("Q" if big else "H"), f.read(8 if big else 2))[0]
+    esize, inline = (20, 8) if big else (12, 4)
+    raw = f.read(esize * n)
+    (next_ifd,) = struct.unpack(bo + ("Q" if big else "I"), f.read(8 if big else 4))
     tags: dict[int, list] = {}
     for i in range(n):
-        tag, typ, cnt = struct.unpack(bo + "HHI", raw[i * 12 : i * 12 + 8])
-        val4 = raw[i * 12 + 8 : i * 12 + 12]
+        base = i * esize
+        tag, typ = struct.unpack(bo + "HH", raw[base : base + 4])
+        cnt = struct.unpack(
+            bo + ("Q" if big else "I"), raw[base + 4 : base + 4 + inline]
+        )[0]
+        valb = raw[base + 4 + inline : base + esize]
         sz = _TIFF_TYPE_SIZES.get(typ, 1) * cnt
-        if sz <= 4:
-            data = val4[:sz]
+        if sz <= inline:
+            data = valb[:sz]
         else:
-            (voff,) = struct.unpack(bo + "I", val4)
+            (voff,) = struct.unpack(bo + ("Q" if big else "I"), valb)
             pos = f.tell()
             f.seek(voff)
             data = f.read(sz)
@@ -225,10 +232,31 @@ def tiff_meta(f, page: int = 0) -> dict:
             tags[tag] = list(struct.unpack(bo + f"{cnt}H", data))
         elif typ == 4:
             tags[tag] = list(struct.unpack(bo + f"{cnt}I", data))
+        elif typ == 16:
+            tags[tag] = list(struct.unpack(bo + f"{cnt}Q", data))
         elif typ == 1:
             tags[tag] = list(data)
         else:
             tags[tag] = [data]
+    return tags, next_ifd
+
+
+def tiff_meta(f, page: int = 0) -> dict:
+    """Parse one IFD of a TIFF (classic 42 or BigTIFF 43) from a seekable
+    file-like — small reads only (header + IFD + out-of-line tag values).
+    ``page`` follows the next-IFD chain: page 0 is the base image; later
+    pages are the extra frames of a multi-page TIFF or the downsampled
+    levels of an OpenSlide-style pyramid."""
+    bo, big, ifd_off = _tiff_open(f)
+    n_pages = 0
+    while True:
+        tags, next_ifd = _tiff_read_ifd(f, bo, big, ifd_off)
+        if n_pages == page:
+            break
+        ifd_off = next_ifd
+        n_pages += 1
+        if ifd_off == 0:
+            raise ValueError(f"TIFF has only {n_pages} page(s); page {page} requested")
 
     def one(tag, default=None):
         v = tags.get(tag)
@@ -252,8 +280,6 @@ def tiff_meta(f, page: int = 0) -> dict:
     if one(339, 1) != 1:
         raise ValueError("only unsigned-integer TIFF samples supported")
     rows_per_strip = one(278, height)
-    # raw ended right before the next-IFD pointer
-    (next_ifd,) = struct.unpack(bo + "I", f.read(4))
     return {
         "bo": bo,
         "has_next_page": next_ifd != 0,
@@ -1861,46 +1887,28 @@ class SVS(dt.FileData):
 
 
 def tiff_level_index(f) -> list[dict]:
-    """Lenient walk of EVERY IFD in the chain → [{page, width, height,
-    compression, description}] — geometry only, no codec validation, so
-    slides whose levels use unsupported compressions still enumerate."""
-    f.seek(0)
-    head = f.read(8)
-    bo = "<" if head[:2] == b"II" else ">"
-    if head[:2] not in (b"II", b"MM"):
-        raise ValueError("not a TIFF file (no II/MM byte-order mark)")
-    (magic,) = struct.unpack(bo + "H", head[2:4])
-    if magic != 42:
-        raise ValueError("classic TIFF only (BigTIFF slide: magic 43)")
-    (ifd_off,) = struct.unpack(bo + "I", head[4:8])
+    """Lenient walk of EVERY IFD in the chain (classic or BigTIFF) →
+    [{page, width, height, compression, description}] — geometry only, no
+    codec validation, so slides whose levels use unsupported compressions
+    still enumerate."""
+    bo, big, ifd_off = _tiff_open(f)
     out = []
     page = 0
     while ifd_off and page < 4096:
-        f.seek(ifd_off)
-        (n,) = struct.unpack(bo + "H", f.read(2))
-        raw = f.read(12 * n)
-        (ifd_off,) = struct.unpack(bo + "I", f.read(4))
-        info = {"page": page, "width": None, "height": None,
-                "compression": 1, "description": ""}
-        for i in range(n):
-            tag, typ, cnt = struct.unpack(bo + "HHI", raw[i * 12 : i * 12 + 8])
-            if tag not in (256, 257, 259, 270):
-                continue
-            val4 = raw[i * 12 + 8 : i * 12 + 12]
-            sz = _TIFF_TYPE_SIZES.get(typ, 1) * cnt
-            if sz <= 4:
-                data = val4[:sz]
-            else:
-                (voff,) = struct.unpack(bo + "I", val4)
-                pos = f.tell()
-                f.seek(voff)
-                data = f.read(sz)
-                f.seek(pos)
-            if tag == 270:
-                info["description"] = data.rstrip(b"\x00").decode("ascii", "replace")
-            else:
-                v = struct.unpack(bo + ("H" if typ == 3 else "I"), data[: 2 if typ == 3 else 4])[0]
-                info[{256: "width", 257: "height", 259: "compression"}[tag]] = int(v)
+        tags, ifd_off = _tiff_read_ifd(f, bo, big, ifd_off)
+        desc = tags.get(270, [b""])[0]
+        if isinstance(desc, int):  # type-1 bytes land as int lists
+            desc = bytes(tags[270])
+        info = {
+            "page": page,
+            "width": int(tags[256][0]) if 256 in tags else None,
+            "height": int(tags[257][0]) if 257 in tags else None,
+            "compression": int(tags.get(259, [1])[0]),
+            "description": (
+                desc.rstrip(b"\x00").decode("ascii", "replace")
+                if isinstance(desc, (bytes, bytearray)) else ""
+            ),
+        }
         out.append(info)
         page += 1
     return out

@@ -171,14 +171,42 @@ def test_recommend_picks_tiff(tmp_path):
     assert any("TIFF" in k for k in kinds)
 
 
-def test_bigtiff_rejected(tmp_path):
-    blob = b"II" + struct.pack("<HI", 43, 8) + b"\x00" * 8
+def make_bigtiff(arr: np.ndarray) -> bytes:
+    """Minimal BigTIFF: 16-byte header, one IFD with 20-byte entries and
+    8-byte counts/offsets (LONG8 for strip offset/count), single strip."""
+    h, w = arr.shape
+    data = arr.astype("u1").tobytes()
+    tags = [(256, 4, w), (257, 4, h), (258, 3, 8), (259, 3, 1), (262, 3, 1),
+            (273, 16, None), (277, 3, 1), (278, 4, h), (279, 16, len(data))]
+    ifd_off = 16
+    ifd_len = 8 + 20 * len(tags) + 8
+    data_off = ifd_off + ifd_len
+    out = b"II" + struct.pack("<HHHQ", 43, 8, 0, ifd_off)
+    ifd = struct.pack("<Q", len(tags))
+    for tag, typ, val in tags:
+        if tag == 273:
+            val = data_off
+        packed = struct.pack("<H" if typ == 3 else "<I" if typ == 4 else "<Q", val)
+        ifd += struct.pack("<HHQ", tag, typ, 1) + packed + b"\x00" * (8 - len(packed))
+    ifd += struct.pack("<Q", 0)  # next IFD
+    assert len(ifd) == ifd_len
+    return out + ifd + data
+
+
+def test_bigtiff_roundtrip(spark, tmp_path):
+    """BigTIFF (magic 43): 20-byte IFD entries, LONG8 strip offsets."""
+    rng = np.random.default_rng(7)
+    arr = rng.integers(0, 256, size=(6, 5), dtype=np.uint8)
+    p = tmp_path / "big.tif"
+    p.write_bytes(make_bigtiff(arr))
+    df = TIFFReader(data=dt.TIFF(url=str(p))).read(spark=spark)
+    np.testing.assert_array_equal(_rebuild(df)[:, :, 0] if _rebuild(df).ndim == 3 else _rebuild(df), arr)
     import io
 
-    from intake_spark.sci import tiff_meta
+    from intake_spark.sci import tiff_level_index
 
-    with pytest.raises(ValueError, match="BigTIFF"):
-        tiff_meta(io.BytesIO(blob))
+    levels = tiff_level_index(io.BytesIO(p.read_bytes()))
+    assert levels[0]["width"] == 5 and levels[0]["height"] == 6
 
 
 def make_multipage_tiff(arrs) -> bytes:
