@@ -119,6 +119,38 @@ def pack_sequences(
     )
 
 
+def packing_efficiency(
+    packed: DataFrame,
+    capacity: int,
+    group_cols: tuple[str, ...] = ("source", "shard"),
+) -> DataFrame:
+    """Fill-rate report over :func:`pack_sequences` output: per group,
+    (n_docs, total_tokens, n_packs, fill_r) where n_packs =
+    ceil(total_tokens / capacity) — the number of context windows the
+    token stream spans under offset packing — and fill_r = total_tokens /
+    (n_packs * capacity). The go/no-go number for a packing config: low
+    fill means wasted compute per training step, and per-(source, shard)
+    breakdown localizes which stream underfills. One partial-combining
+    aggregate on the (small) group key; exact across engines (integer
+    ceil-div, one IEEE division, round 6)."""
+    if capacity <= 0:
+        raise ValueError("capacity must be positive")
+    total = F.sum("n_tokens").cast("bigint")
+    n_packs = F.expr(f"CAST((sum(n_tokens) + {int(capacity)} - 1) div {int(capacity)} AS BIGINT)")
+    return (
+        packed.groupBy(*group_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            total.alias("total_tokens"),
+            n_packs.alias("n_packs"),
+            F.round(
+                total.cast("double") / (n_packs * F.lit(int(capacity))), 6
+            ).alias("fill_r"),
+        )
+        .orderBy(*group_cols)
+    )
+
+
 def bench_split(
     df: DataFrame, id_col: str = "doc_id", fraction: float = 0.05, salt: str = "bench"
 ) -> tuple[DataFrame, DataFrame]:

@@ -511,6 +511,103 @@ def containment_pairs(
     )
 
 
+def block_dup_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    block_words: int = 10,
+) -> DataFrame:
+    """Block-level (sub-document) exact dedup accounting — the C4/CCNet
+    line-dedup analog for corpora without line structure: documents split
+    into NON-overlapping ``block_words``-word blocks, each block hashed,
+    and every block occurrence is checked against the corpus-wide
+    occurrence count of its hash. Output per document: (id, n_blocks,
+    n_dup_blocks, dup_block_rate) where a block occurrence is "dup" if its
+    hash occurs more than once corpus-wide (including twice in the same
+    document — boilerplate inside one doc is still boilerplate).
+
+    Whole-doc dedup (exact_dup_groups) misses templated pages that differ
+    by one injected value; block stats catch them and feed block-removal
+    curation. Plan shape: mapper explode -> digest count (partial-combining
+    hash aggregate on the 16-byte md5, never the text) -> join back on the
+    digest -> per-doc rollup. Two shuffles, both on compact keys; no
+    windows, no driver state — scale-safe at full corpus size.
+    """
+    if block_words <= 0:
+        raise ValueError("block_words must be positive")
+    w = F.split(F.col(text_col), " ")
+    blocks = F.expr(
+        f"transform(sequence(1, size(_w), {block_words}), "
+        f"s -> md5(concat_ws(' ', slice(_w, s, {block_words}))))"
+    )
+    b = (
+        df.select(F.col(id_col), w.alias("_w"))
+        .filter(F.size("_w") >= 1)
+        .select(id_col, F.explode(blocks).alias("bhash"))
+    )
+    counts = b.groupBy("bhash").agg(F.count(F.lit(1)).alias("_n"))
+    dup = F.sum(F.when(F.col("_n") > 1, 1).otherwise(0))
+    return (
+        b.join(counts, "bhash")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_blocks"),
+            dup.alias("n_dup_blocks"),
+            F.round(dup / F.count(F.lit(1)), 6).alias("dup_block_rate"),
+        )
+    )
+
+
+def source_overlap(
+    df: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """Cross-source contamination matrix: for every source pair (a < b),
+    the count of distinct k-gram shingles present in BOTH sources plus the
+    shingle-set Jaccard — the "how much does source X repeat source Y"
+    dashboard that decides mixing weights and cross-source dedup passes.
+
+    Scale shape: shingles collapse to DISTINCT (source, shingle) rows
+    first, so the self-join key multiplicity per shingle is bounded by the
+    NUMBER OF SOURCES (typically dozens), not document count — a shingle in
+    s sources emits at most s*(s-1)/2 pair rows, so there is no quadratic
+    blowup no matter how hot the shingle is across documents. One shuffle
+    for the distinct, one equi-join on the shingle, one pair rollup.
+    """
+    sh = (
+        shingles(df, source_col, text_col, k)
+        .select(F.col(source_col).alias("_src"), "shingle")
+        .distinct()
+    )
+    sizes = sh.groupBy("_src").agg(F.count(F.lit(1)).alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    ov = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a._src") < F.col("b._src")))
+        .groupBy(F.col("a._src").alias("source_a"), F.col("b._src").alias("source_b"))
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    za = sizes.select(F.col("_src").alias("source_a"), F.col("n").alias("n_a"))
+    zb = sizes.select(F.col("_src").alias("source_b"), F.col("n").alias("n_b"))
+    inter = F.col("n_overlap")
+    return (
+        ov.join(F.broadcast(za), "source_a")
+        .join(F.broadcast(zb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_overlap",
+            "n_a",
+            "n_b",
+            F.round(
+                inter.cast("double") / (F.col("n_a") + F.col("n_b") - inter), 6
+            ).alias("jaccard_r"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
 def dup_rate_by_source(
     df: DataFrame, text_col: str = "text", source_col: str = "source"
 ) -> DataFrame:

@@ -934,3 +934,159 @@ def q65_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     number that decides which sources need near-dup passes."""
     docs = load_table(spark, sf_dir, "documents")
     return dedup.dup_rate_by_source(docs)
+
+
+_Q66_BLOCK = 10
+
+
+@register(
+    "q66_block_dedup",
+    f"""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    b AS (SELECT doc_id, md5(array_to_string(w[s:s+{_Q66_BLOCK - 1}], ' ')) AS bhash
+          FROM w, UNNEST(generate_series(1, len(w), {_Q66_BLOCK})) AS t(s)),
+    f AS (SELECT bhash, COUNT(*) AS n FROM b GROUP BY bhash)
+    SELECT doc_id, COUNT(*) AS n_blocks,
+           CAST(SUM(CASE WHEN f.n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_blocks,
+           ROUND(CAST(SUM(CASE WHEN f.n > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS dup_block_rate
+    FROM b JOIN f USING (bhash) GROUP BY doc_id
+    """,
+)
+def q66_block_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document block-level dedup accounting (C4/CCNet line-dedup
+    analog): 10-word non-overlapping blocks hashed and counted corpus-wide;
+    per doc, the share of its blocks that occur more than once anywhere.
+    Catches templated near-copies whole-doc hashing misses."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.block_dup_stats(docs, block_words=_Q66_BLOCK)
+
+
+@register(
+    "q67_distinctive_terms",
+    """
+    WITH toks AS (SELECT doc_id, t.tok FROM
+                  (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+                  UNNEST(w) AS t(tok)),
+    tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY doc_id, tok),
+    dfreq AS (SELECT tok, COUNT(DISTINCT doc_id) AS dfc FROM toks GROUP BY tok),
+    scored AS (SELECT doc_id, tok, tf,
+                      tf * CAST(FLOOR(1000000000000.0 / dfc) AS BIGINT) AS score
+               FROM tf JOIN dfreq USING (tok))
+    SELECT doc_id, rk, tok, score FROM (
+      SELECT doc_id, tok, score,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, tok ASC) AS rk
+      FROM scored) t
+    WHERE rk <= 3
+    """,
+)
+def q67_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc top-3 distinctive terms: TF-IDF keywords with the idf
+    replaced by the integer surrogate floor(1e12/df) so the score — and
+    the oracle compare — is exact BIGINT arithmetic, no transcendentals.
+    Rank order is identical to tf/df."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = text.distinctive_terms(docs, k=3)
+    return out.withColumn("rk", F.col("rk").cast("bigint"))
+
+
+@register(
+    "q68_char_diversity",
+    """
+    WITH ch AS (SELECT doc_id, t.c FROM
+                (SELECT doc_id, string_split(text, '') AS cs FROM documents
+                 WHERE len(text) > 0),
+                UNNEST(cs) AS t(c)),
+    cc AS (SELECT doc_id, c, COUNT(*) AS n FROM ch GROUP BY doc_id, c)
+    SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_chars,
+           COUNT(*) AS n_distinct_chars,
+           ROUND(1.0 - CAST(SUM(n * n) AS DOUBLE) / (SUM(n) * SUM(n)), 6)
+             AS gini_r
+    FROM cc GROUP BY doc_id
+    """,
+)
+def q68_char_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-distribution Gini diversity per doc — the
+    transcendental-free entropy stand-in that flags degenerate/garbage
+    text. Spark side is mapper-only (distinct-char HOF counts, zero
+    shuffle); the oracle recomputes via explode + two integer sums."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.char_diversity(docs)
+
+
+@register(
+    "q69_source_overlap",
+    f"""
+    WITH {_SHINGLES_CTE.replace('doc_id', 'source')},
+    ss AS (SELECT DISTINCT source, shingle FROM sh),
+    sz AS (SELECT source, COUNT(*) AS n FROM ss GROUP BY source),
+    ov AS (SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS n_overlap
+           FROM ss a JOIN ss b ON a.shingle = b.shingle AND a.source < b.source
+           GROUP BY 1, 2)
+    SELECT source_a, source_b, n_overlap, za.n AS n_a, zb.n AS n_b,
+           ROUND(CAST(n_overlap AS DOUBLE) / (za.n + zb.n - n_overlap), 6)
+             AS jaccard_r
+    FROM ov JOIN sz za ON za.source = ov.source_a
+            JOIN sz zb ON zb.source = ov.source_b
+    ORDER BY source_a, source_b
+    """,
+)
+def q69_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source 3-gram overlap matrix (distinct shingle sets per
+    source, pairwise intersection + Jaccard) — the contamination
+    dashboard that prices source mixing. Join multiplicity per shingle is
+    bounded by the source count, so no hot-shingle blowup."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.source_overlap(docs, k=3)
+
+
+_Q70_K = 5
+_Q70_BUCKET = _HASH_BUCKET_SQL.format(key="concat('audit', CAST(doc_id AS VARCHAR))")
+
+
+@register(
+    "q70_sample_k_per_source",
+    f"""
+    WITH b AS (SELECT doc_id, source, ({_Q70_BUCKET}) AS bkt FROM documents)
+    SELECT source, doc_id FROM (
+      SELECT source, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY bkt ASC, doc_id ASC) AS rk
+      FROM b) t
+    WHERE rk <= {_Q70_K}
+    """,
+)
+def q70_sample_k_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-5 deterministic uniform audit sample per source: rows rank
+    by (md5 bucket, id) inside each source — random under the content
+    hash, reproducible on any cluster layout, fixed count per stratum."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = sampling.sample_k_per_group(docs, "source", k=_Q70_K, salt="audit")
+    return out.select("source", "doc_id")
+
+
+@register(
+    "q71_packing_efficiency",
+    f"""
+    WITH t AS (SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens,
+                      ({_Q55_BUCKET}) % {_Q55_SHARDS} AS shard
+               FROM documents)
+    SELECT source, shard, COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST((SUM(n_tokens) + {_Q55_CAPACITY} - 1) // {_Q55_CAPACITY} AS BIGINT)
+             AS n_packs,
+           ROUND(CAST(SUM(n_tokens) AS DOUBLE) /
+                 (((SUM(n_tokens) + {_Q55_CAPACITY} - 1) // {_Q55_CAPACITY})
+                  * {_Q55_CAPACITY}), 6) AS fill_r
+    FROM t GROUP BY source, shard ORDER BY source, shard
+    """,
+)
+def q71_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window fill-rate report over the q55 packing config
+    (capacity 256, 4 shards): per (source, shard), packs spanned and
+    fill ratio — the wasted-compute-per-step dashboard for a packing
+    run. Derived from pack_sequences output by one aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    packed = assembly.pack_sequences(docs, capacity=_Q55_CAPACITY, shards=_Q55_SHARDS)
+    return assembly.packing_efficiency(packed, capacity=_Q55_CAPACITY)

@@ -72,6 +72,30 @@ def mix_sources(
     return df.filter(hash_bucket(key_col, salt) < rate_expr)
 
 
+def sample_k_per_group(
+    df: DataFrame,
+    group_col: str,
+    k: int,
+    key_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Exactly-``k`` deterministic uniform sample per group (hash_sample
+    keeps a *fraction*; audits and eval-set builds need a fixed COUNT per
+    stratum). Rows rank by (hash_bucket(key), key) inside each group —
+    i.e. uniformly at random under the content hash, but reproducible on
+    any cluster layout — and the first ``k`` survive. Groups smaller than
+    ``k`` keep everything. One exchange on the group key; rank is
+    per-partition (no global sort), so group cardinality is the only
+    skew bound."""
+    out = top_k_per_group(
+        df.withColumn("_skb", hash_bucket(key_col, salt)),
+        group_col,
+        [F.asc("_skb"), F.asc(key_col)],
+        k,
+    )
+    return out.drop("_skb")
+
+
 def top_k_per_group(
     df: DataFrame,
     group_col: str,

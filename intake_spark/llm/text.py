@@ -336,6 +336,82 @@ def vocab_coverage(df: DataFrame, text_col: str = "text", top_n: int = 50) -> Da
     )
 
 
+def distinctive_terms(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """Per-document top-``k`` distinctive terms — the TF-IDF keyword step
+    of a curation pipeline, made EXACT across engines by replacing the
+    transcendental idf with an integer surrogate: score = tf *
+    floor(1e12 / df) where df is the term's document frequency. The
+    ranking is order-isomorphic to tf/df (same monotone transform per
+    term) and every intermediate is a BIGINT, so the oracle compare is
+    bit-exact, not approximate. Ties break (score desc, term asc).
+
+    Plan: (doc, term) tf aggregate and term df aggregate both partial-
+    combine; the df table is vocabulary-sized and broadcasts to the join;
+    the top-k window partitions by doc id — per-partition rank, no global
+    sort. At 100 TB the only corpus-sized shuffles are the two hash
+    aggregates on compact keys.
+    """
+    from pyspark.sql.window import Window
+
+    toks = df.select(F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("tok"))
+    tf = toks.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = toks.groupBy("tok").agg(F.countDistinct(id_col).alias("_dfc"))
+    scored = tf.join(F.broadcast(dfreq), "tok").select(
+        id_col,
+        "tok",
+        "tf",
+        (F.col("tf") * F.floor(F.lit(1e12) / F.col("_dfc")).cast("bigint")).alias("score"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc("tok"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(id_col, "rk", "tok", "score")
+    )
+
+
+def char_diversity(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document character-distribution diversity via the Gini impurity
+    1 - sum(c_i^2)/n^2 over character counts — the transcendental-free
+    stand-in for character entropy (0 = one repeated char, →1 = uniform
+    spread). Low values flag degenerate/garbage docs that token-level
+    stats miss (e.g. 'aaaa…' scored token-wise looks like one token).
+
+    Exact across engines: character counts and the sum of squares are
+    integers; one IEEE division + round(6) at the end. Mapper-only — the
+    per-row expression walks distinct chars × length with JVM higher-order
+    functions, no explode, NO shuffle at any scale.
+    """
+    chars = F.split(F.col(text_col), "")
+    counts = F.expr(
+        "transform(array_distinct(_ch), c -> size(filter(_ch, x -> x = c)))"
+    )
+    sum_sq = F.aggregate(
+        "_cnt", F.lit(0).cast("bigint"), lambda s, v: s + v.cast("bigint") * v
+    )
+    n = F.length(F.col(text_col)).cast("bigint")
+    return (
+        df.select(F.col(id_col), F.col(text_col), chars.alias("_ch"))
+        .filter(n > 0)
+        .withColumn("_cnt", counts)
+        .select(
+            id_col,
+            n.alias("n_chars"),
+            F.size("_cnt").cast("bigint").alias("n_distinct_chars"),
+            F.round(
+                F.lit(1.0) - sum_sq.cast("double") / (n * n), 6
+            ).alias("gini_r"),
+        )
+    )
+
+
 def token_probability_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-doc mean corpus-unigram probability of its tokens ("commonness"
     — the transcendental-free cousin of unigram log-likelihood: high =

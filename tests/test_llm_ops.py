@@ -801,3 +801,122 @@ def test_vocab_coverage_broadcast_plan(spark):
     # the vocab side must broadcast, not shuffle-join the corpus
     assert "BroadcastNestedLoopJoin" in out._jdf.queryExecution().executedPlan().toString() or \
            "BroadcastExchange" in out._jdf.queryExecution().executedPlan().toString()
+
+
+def test_block_dup_stats_fixture(spark):
+    """Two docs share one 3-word block; one doc repeats its own block."""
+    from intake_spark.llm import dedup as dd
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e f"),          # blocks: [a b c], [d e f]
+            (2, "a b c x y z"),          # shares [a b c] with doc 1
+            (3, "p q r p q r"),          # same block twice WITHIN one doc
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in dd.block_dup_stats(df, block_words=3).collect()}
+    assert rows[1].n_blocks == 2 and rows[1].n_dup_blocks == 1
+    assert rows[1].dup_block_rate == 0.5
+    assert rows[2].n_dup_blocks == 1
+    # intra-doc repetition counts as dup on both occurrences
+    assert rows[3].n_blocks == 2 and rows[3].n_dup_blocks == 2
+    assert rows[3].dup_block_rate == 1.0
+
+
+def test_block_dup_trailing_partial_block(spark):
+    from intake_spark.llm import dedup as dd
+
+    df = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
+    rows = dd.block_dup_stats(df, block_words=3).collect()
+    # blocks: [a b c] and the trailing partial [d]
+    assert rows[0].n_blocks == 2 and rows[0].n_dup_blocks == 0
+
+
+def test_source_overlap_counts_and_jaccard(spark):
+    from intake_spark.llm import dedup as dd
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d", "s1"),   # s1 shingles: {a b c, b c d}
+            (2, "a b c", "s2"),     # s2 shingles: {a b c}
+            (3, "x y z", "s3"),     # s3 disjoint
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = dd.source_overlap(df, k=3).collect()
+    pairs = {(r.source_a, r.source_b): r for r in out}
+    assert set(pairs) == {("s1", "s2")}  # disjoint pairs emit no row
+    r = pairs[("s1", "s2")]
+    assert r.n_overlap == 1 and r.n_a == 2 and r.n_b == 1
+    assert r.jaccard_r == 0.5
+
+
+def test_distinctive_terms_ranking(spark):
+    """Term unique to one doc outranks a corpus-common term with equal tf."""
+    from intake_spark.llm import text as tx
+
+    df = spark.createDataFrame(
+        [(1, "rare common common"), (2, "common other"), (3, "common also")],
+        "doc_id long, text string",
+    )
+    out = tx.distinctive_terms(df, k=2).collect()
+    d1 = sorted([r for r in out if r.doc_id == 1], key=lambda r: r.rk)
+    # doc1: 'rare' df=1 score=1e12; 'common' tf=2 df=3 score=2*floor(1e12/3)
+    assert [r.tok for r in d1] == ["rare", "common"]
+    assert d1[0].score == 10 ** 12
+    assert d1[1].score == 2 * (10 ** 12 // 3)
+
+
+def test_char_diversity_values_and_plan(spark):
+    from intake_spark.llm import text as tx
+
+    df = spark.createDataFrame(
+        [(1, "aaaa"), (2, "ab"), (3, "")], "doc_id long, text string"
+    )
+    out = tx.char_diversity(df)
+    rows = {r.doc_id: r for r in out.collect()}
+    assert 3 not in rows  # empty text filtered, no 0/0
+    assert rows[1].gini_r == 0.0 and rows[1].n_distinct_chars == 1
+    assert rows[2].gini_r == 0.5 and rows[2].n_chars == 2
+    # mapper-only: no shuffle at any scale
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_sample_k_per_group_exact_count_and_stability(spark, docs):
+    from intake_spark.llm import sampling as smp
+
+    out = smp.sample_k_per_group(docs, "source", k=4, salt="t")
+    counts = {r.source: r.n for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    full = {r.source: r.n for r in docs.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    for src, n in counts.items():
+        assert n == min(4, full[src])
+    # deterministic under repartitioning
+    ids1 = sorted(r.doc_id for r in out.collect())
+    out2 = smp.sample_k_per_group(docs.repartition(7), "source", k=4, salt="t")
+    assert sorted(r.doc_id for r in out2.collect()) == ids1
+
+
+def test_packing_efficiency_values(spark):
+    from intake_spark.llm import assembly as asm
+
+    df = spark.createDataFrame(
+        [(i, "s1", "w " * 9 + "w") for i in range(1, 4)],  # 10 tokens each
+        "doc_id long, source string, text string",
+    )
+    packed = asm.pack_sequences(df, capacity=16, shards=1)
+    out = asm.packing_efficiency(packed, capacity=16).collect()
+    assert len(out) == 1
+    r = out[0]
+    # 30 tokens / capacity 16 -> 2 packs, fill 30/32
+    assert r.n_docs == 3 and r.total_tokens == 30 and r.n_packs == 2
+    assert r.fill_r == round(30 / 32, 6)
+
+
+def test_packing_efficiency_rejects_bad_capacity(spark):
+    from intake_spark.llm import assembly as asm
+
+    df = spark.createDataFrame([(1, "s", "a")], "doc_id long, source string, text string")
+    with pytest.raises(ValueError):
+        asm.packing_efficiency(asm.pack_sequences(df, capacity=4), capacity=0)
