@@ -554,3 +554,279 @@ class DCDReader(BaseReader):
                         )
 
         return mdf.mapInPandas(decode, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# XTC trajectories (GROMACS) — XDR stream with 3dfcoord integer compression
+# (parity: the trajectory side of MDAnalysisReader, reference
+# readers.py:2521, which delegates to the MDAnalysis package; this parses
+# the public XTC layout and decompression algorithm directly, stdlib-only).
+# ---------------------------------------------------------------------------
+
+
+class XTC(dt.FileData):
+    filepattern = r"xtc$"
+    magic = (b"\x00\x00\x07\xcb",)  # XDR int 1995, big-endian
+    structure = {"array", "timeseries"}
+
+
+_XTC_MAGIC = 1995
+_XTC_FIRSTIDX = 9
+# the published quantization table of the 3dfcoord codec: candidate ranges
+# for "small" delta encoding, spaced ~2^(1/3) so 3D volume doubles per step
+_XTC_MAGICINTS = (
+    0, 0, 0, 0, 0, 0, 0, 0, 0, 8, 10, 12, 16, 20, 25, 32, 40, 50, 64, 80,
+    101, 128, 161, 203, 256, 322, 406, 512, 645, 812, 1024, 1290, 1625,
+    2048, 2580, 3250, 4096, 5060, 6501, 8192, 10321, 13003, 16384, 20642,
+    26007, 32768, 41285, 52015, 65536, 82570, 104031, 131072, 165140,
+    208063, 262144, 330280, 416127, 524287, 660561, 827627, 1048576,
+    1321122, 1664510, 2097152, 2642245, 3329021, 4194304, 5284491, 6658042,
+    8388607, 10568983, 13316085, 16777216,
+)
+
+
+class _XTCBits:
+    """MSB-first bit reader with O(1) per read (byte cursor + bit buffer),
+    matching the XDR bit-packing of the 3dfcoord codec."""
+
+    __slots__ = ("data", "pos", "acc", "nbits")
+
+    def __init__(self, data: bytes):
+        self.data, self.pos, self.acc, self.nbits = data, 0, 0, 0
+
+    def read(self, n: int) -> int:
+        while self.nbits < n:
+            self.acc = (self.acc << 8) | self.data[self.pos]
+            self.pos += 1
+            self.nbits += 8
+        self.nbits -= n
+        out = (self.acc >> self.nbits) & ((1 << n) - 1)
+        self.acc &= (1 << self.nbits) - 1
+        return out
+
+    def read_ints(self, nbits: int, sizes: tuple[int, int, int]) -> list[int]:
+        """Decode three ints packed as one mixed-radix number of ``nbits``
+        bits. Bytes come off the stream 8 bits at a time with the FIRST
+        byte least-significant (the codec's byte order), then peel with
+        mod/div from the last size backwards."""
+        nbytes = 0
+        v = 0
+        while nbits > 8:
+            v |= self.read(8) << (8 * nbytes)
+            nbytes += 1
+            nbits -= 8
+        if nbits > 0:
+            v |= self.read(nbits) << (8 * nbytes)
+        out = [0, 0, 0]
+        for i in (2, 1):
+            out[i] = v % sizes[i]
+            v //= sizes[i]
+        out[0] = v
+        return out
+
+
+def _xtc_sizeofints(sizes) -> int:
+    p = 1
+    for s in sizes:
+        p *= s
+    return p.bit_length()
+
+
+def _xtc_decode_coords(data: bytes, lsize: int, minint, maxint, smallidx):
+    """3dfcoord decompression: absolute positions in ``bitsize``-bit
+    mixed-radix form, interleaved with runs of small deltas whose range
+    adapts via the magicints ladder. Returns an (lsize, 3) int array of
+    quantized coordinates (caller divides by precision)."""
+    sizeint = tuple(maxint[i] - minint[i] + 1 for i in range(3))
+    if any(s >= (1 << 24) for s in sizeint):
+        bitsizeint = tuple(s.bit_length() for s in sizeint)
+        bitsize = 0
+    else:
+        bitsizeint = (0, 0, 0)
+        bitsize = _xtc_sizeofints(sizeint)
+    smaller = _XTC_MAGICINTS[max(_XTC_FIRSTIDX, smallidx - 1)] // 2
+    smallnum = _XTC_MAGICINTS[smallidx] // 2
+    sizesmall = (
+        _XTC_MAGICINTS[smallidx],
+        _XTC_MAGICINTS[smallidx],
+        _XTC_MAGICINTS[smallidx],
+    )
+    br = _XTCBits(data)
+    coords: list[list[int]] = []
+    i = 0
+    while i < lsize:
+        if bitsize == 0:
+            this = [br.read(bitsizeint[j]) for j in range(3)]
+        else:
+            this = br.read_ints(bitsize, sizeint)
+        i += 1
+        this = [this[j] + minint[j] for j in range(3)]
+        prev = list(this)
+        flag = br.read(1)
+        is_smaller = 0
+        run = 0
+        if flag:
+            run = br.read(5)
+            is_smaller = run % 3
+            run -= is_smaller
+            is_smaller -= 1
+        if run > 0:
+            for k in range(0, run, 3):
+                this = br.read_ints(smallidx, sizesmall)
+                i += 1
+                this = [this[j] + prev[j] - smallnum for j in range(3)]
+                if k == 0:
+                    # the codec swaps the first run atom with its anchor
+                    # (water-molecule locality heuristic on the encode side)
+                    this, prev = prev, this
+                    coords.append(list(prev))
+                else:
+                    prev = list(this)
+                coords.append(list(this))
+        else:
+            coords.append(list(this))
+        smallidx += is_smaller
+        if is_smaller < 0:
+            smallnum = smaller
+            smaller = (
+                _XTC_MAGICINTS[smallidx - 1] // 2 if smallidx > _XTC_FIRSTIDX else 0
+            )
+        elif is_smaller > 0:
+            smaller = smallnum
+            smallnum = _XTC_MAGICINTS[smallidx] // 2
+        sizesmall = (
+            _XTC_MAGICINTS[smallidx],
+            _XTC_MAGICINTS[smallidx],
+            _XTC_MAGICINTS[smallidx],
+        )
+    return coords
+
+
+def _xtc_frame_header(f):
+    """Parse one frame header at the current offset; returns (natoms, step,
+    time, payload_kind, payload_meta, next_offset) or None at EOF. Seeks
+    past the frame without decoding the compressed payload."""
+    import struct as _s
+
+    start = f.tell()
+    head = f.read(16)
+    if len(head) == 0:
+        return None
+    if len(head) < 16:
+        raise ValueError(f"truncated XTC frame header at offset {start}")
+    magic, natoms, step = _s.unpack(">iii", head[:12])
+    if magic != _XTC_MAGIC:
+        raise ValueError(f"bad XTC magic {magic} at offset {start} (want 1995)")
+    (time,) = _s.unpack(">f", head[12:16])
+    f.seek(36, 1)  # 3x3 box
+    (lsize,) = _s.unpack(">i", f.read(4))
+    if lsize != natoms:
+        raise ValueError(f"XTC natoms mismatch {natoms} != {lsize}")
+    if lsize <= 9:
+        f.seek(12 * lsize, 1)
+    else:
+        f.seek(28, 1)  # precision + minint[3] + maxint[3]
+        _smallidx, nbytes = _s.unpack(">ii", f.read(8))
+        f.seek((nbytes + 3) // 4 * 4, 1)
+    return natoms, step, time, start, f.tell()
+
+
+def _xtc_decode_frame(buf: bytes):
+    """Decode one full frame from its bytes: (step, time, precision,
+    coords) with coords a list of (x, y, z) floats in nm."""
+    import struct as _s
+
+    magic, natoms, step = _s.unpack(">iii", buf[:12])
+    (time,) = _s.unpack(">f", buf[12:16])
+    (lsize,) = _s.unpack(">i", buf[52:56])
+    if lsize <= 9:
+        flat = _s.unpack(f">{3 * lsize}f", buf[56 : 56 + 12 * lsize])
+        return step, time, 0.0, [flat[3 * i : 3 * i + 3] for i in range(lsize)]
+    (precision,) = _s.unpack(">f", buf[56:60])
+    minint = _s.unpack(">3i", buf[60:72])
+    maxint = _s.unpack(">3i", buf[72:84])
+    (smallidx,) = _s.unpack(">i", buf[84:88])
+    (nbytes,) = _s.unpack(">i", buf[88:92])
+    qs = _xtc_decode_coords(buf[92 : 92 + nbytes], lsize, minint, maxint, smallidx)
+    inv = 1.0 / precision
+    return step, time, precision, [(q[0] * inv, q[1] * inv, q[2] * inv) for q in qs]
+
+
+class XTCReader(BaseReader):
+    """XTC trajectory → one row per (frame, atom) with x/y/z in nm.
+
+    Frames are variable-size (compressed), so the driver walks frame
+    HEADERS only (~60 bytes each, payloads seeked over) to build the
+    (frame, offset, nbytes) manifest; executors then decode disjoint frame
+    ranges in parallel — same shape as the DCD reader but with a header
+    walk instead of fixed-stride arithmetic. ``frame_stride`` subsamples
+    before decode; ``frames=`` caps the count."""
+
+    implements = {XTC}
+
+    def _read(self, spark, frame_stride: int = 1, frames: int | None = None, **kwargs):
+        from intake_spark.session import ensure_py_deps
+
+        ensure_py_deps(spark)
+        url = self.data.url
+        manifest = []
+        natoms = 0
+        with open(url, "rb") as f:
+            idx = 0
+            while True:
+                rec = _xtc_frame_header(f)
+                if rec is None:
+                    break
+                natoms, step, time, start, end = rec
+                manifest.append((idx, start, end - start))
+                idx += 1
+                if frames is not None and len(manifest) >= frames * max(1, frame_stride):
+                    break
+        stride = max(1, frame_stride)
+        manifest = manifest[::stride]
+        if frames is not None:
+            manifest = manifest[:frames]
+        self.data.metadata.update({"natoms": natoms, "nframes": len(manifest)})
+        mdf = spark.createDataFrame(manifest, "frame int, offset long, nbytes long")
+        if len(manifest) > 1:
+            mdf = mdf.repartition(
+                min(len(manifest), spark.sparkContext.defaultParallelism)
+            )
+        schema = T.StructType(
+            [
+                T.StructField("frame", T.IntegerType()),
+                T.StructField("step", T.IntegerType()),
+                T.StructField("time_ps", T.DoubleType()),
+                T.StructField("atom", T.IntegerType()),
+                T.StructField("x", T.DoubleType()),
+                T.StructField("y", T.DoubleType()),
+                T.StructField("z", T.DoubleType()),
+            ]
+        )
+
+        def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            import numpy as np
+
+            with open(url, "rb") as fh:
+                for pdf in batches:
+                    for _, r in pdf.iterrows():
+                        # subscript access: .nbytes is a pandas Series
+                        # attribute and would shadow the column
+                        fh.seek(int(r["offset"]))
+                        buf = fh.read(int(r["nbytes"]))
+                        step, time, _prec, coords = _xtc_decode_frame(buf)
+                        arr = np.asarray(coords, dtype="f8")
+                        n = len(coords)
+                        yield pd.DataFrame(
+                            {
+                                "frame": np.full(n, int(r["frame"]), dtype="int32"),
+                                "step": np.full(n, step, dtype="int32"),
+                                "time_ps": np.full(n, float(time), dtype="f8"),
+                                "atom": np.arange(n, dtype="int32"),
+                                "x": arr[:, 0],
+                                "y": arr[:, 1],
+                                "z": arr[:, 2],
+                            }
+                        )
+
+        return mdf.mapInPandas(decode, schema=schema)

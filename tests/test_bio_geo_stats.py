@@ -824,3 +824,163 @@ def test_dcd_frame_stride_and_recommend(spark, tmp_path):
     assert sorted({r.frame for r in df.collect()}) == [0, 2, 4]
     kinds = [c.__name__ if isinstance(c, type) else type(c).__name__ for c in recommend(str(p))]
     assert "DCD" in kinds
+
+
+# --- XTC (GROMACS) -------------------------------------------------------
+
+
+class _XW:
+    """MSB-first bit writer mirroring the 3dfcoord packing conventions."""
+
+    def __init__(self):
+        self.acc, self.n = 0, 0
+
+    def w(self, v, nbits):
+        self.acc = (self.acc << nbits) | (v & ((1 << nbits) - 1))
+        self.n += nbits
+
+    def ints(self, qs, sizes, nbits):
+        """Pack three ints as one mixed-radix number emitted in 8-bit
+        groups, FIRST group least-significant (the codec's byte order)."""
+        v = (qs[0] * sizes[1] + qs[1]) * sizes[2] + qs[2]
+        while nbits > 8:
+            self.w(v & 0xFF, 8)
+            v >>= 8
+            nbits -= 8
+        if nbits:
+            self.w(v & ((1 << nbits) - 1), nbits)
+
+    def tobytes(self):
+        pad = (-self.n) % 8
+        return ((self.acc << pad).to_bytes((self.n + pad) // 8, "big")
+                if self.n else b"")
+
+
+def _xtc_frame_bytes(natoms, step, time, payload, precision=None, minint=None,
+                     maxint=None, smallidx=None):
+    import struct
+
+    out = struct.pack(">iiif", 1995, natoms, step, time)
+    out += struct.pack(">9f", *([0.0] * 9))
+    out += struct.pack(">i", natoms)
+    if natoms <= 9:
+        flat = [c for xyz in payload for c in xyz]
+        return out + struct.pack(f">{len(flat)}f", *flat)
+    data = payload
+    out += struct.pack(">f", precision)
+    out += struct.pack(">3i", *minint) + struct.pack(">3i", *maxint)
+    out += struct.pack(">ii", smallidx, len(data))
+    return out + data + b"\x00" * ((-len(data)) % 4)
+
+
+def test_xtc_small_system_frames_and_stride(spark, tmp_path):
+    from intake_spark.bio import XTC, XTCReader
+    from intake_spark.datatypes import recommend
+
+    frames = [
+        [(0.1 * f + 0.01 * a, 0.2 * f, 0.3 * f) for a in range(3)]
+        for f in range(4)
+    ]
+    raw = b"".join(
+        _xtc_frame_bytes(3, 10 * f, 2.0 * f, frames[f]) for f in range(4)
+    )
+    p = tmp_path / "t.xtc"
+    p.write_bytes(raw)
+    rdr = XTCReader(data=XTC(url=str(p)))
+    rows = rdr.read(spark=spark).collect()
+    assert len(rows) == 12
+    by = {(r.frame, r.atom): r for r in rows}
+    assert by[(2, 1)].step == 20 and abs(by[(2, 1)].time_ps - 4.0) < 1e-6
+    assert abs(by[(3, 2)].x - (0.3 + 0.02)) < 1e-5
+    # stride decodes every other frame; recommend sees the XDR magic
+    s = rdr.read(spark=spark, frame_stride=2).collect()
+    assert sorted({r.frame for r in s}) == [0, 2]
+    kinds = [c.__name__ if isinstance(c, type) else type(c).__name__
+             for c in recommend(str(p))]
+    assert "XTC" in kinds
+
+
+def test_xtc_compressed_no_runs(spark, tmp_path):
+    """12 atoms, every atom a standalone large encoding (flag=0)."""
+    from intake_spark.bio import XTC, XTCReader, _xtc_sizeofints
+
+    qs = [(100 + i, 200 + 2 * i, 300 + 3 * i) for i in range(12)]
+    minint, maxint = (100, 200, 300), (111, 222, 333)
+    sizes = tuple(maxint[j] - minint[j] + 1 for j in range(3))
+    nbits = _xtc_sizeofints(sizes)
+    w = _XW()
+    for q in qs:
+        w.ints([q[j] - minint[j] for j in range(3)], sizes, nbits)
+        w.w(0, 1)  # flag: no run
+    raw = _xtc_frame_bytes(12, 7, 1.5, w.tobytes(), precision=1000.0,
+                           minint=minint, maxint=maxint, smallidx=10)
+    p = tmp_path / "c.xtc"
+    p.write_bytes(raw)
+    rows = XTCReader(data=XTC(url=str(p))).read(spark=spark).collect()
+    assert len(rows) == 12
+    by = {r.atom: r for r in sorted(rows, key=lambda r: r.atom)}
+    for i, q in enumerate(qs):
+        assert abs(by[i].x - q[0] / 1000.0) < 1e-9
+        assert abs(by[i].y - q[1] / 1000.0) < 1e-9
+        assert abs(by[i].z - q[2] / 1000.0) < 1e-9
+
+
+def test_xtc_compressed_run_ordering(spark, tmp_path):
+    """Anchor + 9-atom small run + 2 standalone atoms: the decoder swaps
+    the anchor with the first run atom (codec water heuristic)."""
+    from intake_spark.bio import XTC, XTCReader, _xtc_sizeofints
+
+    A = (5000, 6000, 7000)
+    d = (1, 2, 3)
+    S1, S2 = (5100, 6100, 7100), (5120, 6130, 7140)
+    minint = A
+    maxint = S2
+    sizes = tuple(maxint[j] - minint[j] + 1 for j in range(3))
+    nbits = _xtc_sizeofints(sizes)
+    w = _XW()
+    # anchor with run of 9 smalls, smallidx=9 -> base 8, smallnum 4, 9 bits
+    w.ints([A[j] - minint[j] for j in range(3)], sizes, nbits)
+    w.w(1, 1)
+    w.w(3 * 9 + 1, 5)  # run=27, is_smaller stays 0
+    for _ in range(9):
+        w.ints([d[j] + 4 for j in range(3)], (8, 8, 8), 9)
+    for S in (S1, S2):
+        w.ints([S[j] - minint[j] for j in range(3)], sizes, nbits)
+        w.w(0, 1)
+    raw = _xtc_frame_bytes(12, 0, 0.0, w.tobytes(), precision=100.0,
+                           minint=minint, maxint=maxint, smallidx=9)
+    p = tmp_path / "r.xtc"
+    p.write_bytes(raw)
+    rows = XTCReader(data=XTC(url=str(p))).read(spark=spark).collect()
+    got = [(round(r.x * 100), round(r.y * 100), round(r.z * 100))
+           for r in sorted(rows, key=lambda r: r.atom)]
+    smalls = [tuple(A[j] + k * d[j] for j in range(3)) for k in range(1, 10)]
+    expect = [smalls[0], A] + smalls[1:] + [S1, S2]
+    assert got == expect
+
+
+def test_xtc_decode_smallidx_transitions():
+    """Direct codec test: a run that grows the small range (+1) then one
+    that shrinks it (-1) — the adaptive-ladder bookkeeping."""
+    from intake_spark.bio import _xtc_decode_coords, _xtc_sizeofints
+
+    minint, maxint = (0, 0, 0), (1023, 1023, 1023)
+    sizes = (1024, 1024, 1024)
+    nbits = _xtc_sizeofints(sizes)
+    A1, A2 = (100, 100, 100), (500, 500, 500)
+    w = _XW()
+    # anchor1 + 1 small, encoded v=3+2 -> is_smaller=+1 (next run base grows)
+    w.ints(A1, sizes, nbits)
+    w.w(1, 1)
+    w.w(3 + 2, 5)
+    w.ints((7, 6, 5), (8, 8, 8), 9)       # smallnum=4: delta (3, 2, 1)
+    # anchor2 + 1 small decoded at smallidx=10 (base 10, smallnum 5, 10 bits)
+    w.ints(A2, sizes, nbits)
+    w.w(1, 1)
+    w.w(3 + 0, 5)                          # is_smaller=-1 after this run
+    w.ints((9, 5, 0), (10, 10, 10), 10)   # delta (4, 0, -5)
+    out = _xtc_decode_coords(w.tobytes(), 4, minint, maxint, 9)
+    assert out[0] == [103, 102, 101]       # small1 (swapped first)
+    assert out[1] == list(A1)
+    assert out[2] == [504, 500, 495]       # small2 (swapped first)
+    assert out[3] == list(A2)
