@@ -1090,3 +1090,60 @@ def q71_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     packed = assembly.pack_sequences(docs, capacity=_Q55_CAPACITY, shards=_Q55_SHARDS)
     return assembly.packing_efficiency(packed, capacity=_Q55_CAPACITY)
+
+
+_Q72_ITERS = 3
+
+
+def _q72_sql(iters: int = _Q72_ITERS) -> str:
+    """Unrolled fixed-point PageRank over the q22 near-dup edge set: one
+    CTE per iteration, every step integer floor arithmetic — bit-exact
+    across engines."""
+    from intake_spark.llm.graph import PAGERANK_SCALE
+
+    base = (PAGERANK_SCALE * 15) // 100
+    its = []
+    prev = "r0"
+    for i in range(1, iters + 1):
+        its.append(
+            f"r{i} AS (SELECT e.dst AS id, "
+            f"CAST({base} + (85 * SUM({prev}.r // d.deg)) // 100 AS BIGINT) AS r "
+            f"FROM e JOIN {prev} ON e.src = {prev}.id "
+            f"JOIN deg d ON e.src = d.src GROUP BY e.dst)"
+        )
+        prev = f"r{i}"
+    return f"""
+    WITH {_SHINGLES_CTE},
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    kept AS (SELECT shingle FROM sh GROUP BY shingle
+             HAVING COUNT(*) <= {Q22_MAX_SHINGLE_DF}),
+    shk AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN kept USING (shingle)),
+    inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS cnt
+              FROM shk a JOIN shk b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+    edges AS (SELECT doc_a, doc_b
+              FROM inter i JOIN sizes sa ON i.doc_a = sa.doc_id
+                           JOIN sizes sb ON i.doc_b = sb.doc_id
+              WHERE CAST(cnt AS DOUBLE) / (sa.n + sb.n - cnt) >= 0.5),
+    e AS (SELECT doc_a AS src, doc_b AS dst FROM edges
+          UNION ALL SELECT doc_b, doc_a FROM edges),
+    deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src),
+    r0 AS (SELECT src AS id, CAST({PAGERANK_SCALE} AS BIGINT) AS r FROM deg),
+    {','.join(its)}
+    SELECT {prev}.id, d.deg, {prev}.r AS rank_fx,
+           ROUND(CAST({prev}.r AS DOUBLE) / {PAGERANK_SCALE}, 6) AS rank_r
+    FROM {prev} JOIN deg d ON {prev}.id = d.src
+    """
+
+
+@register("q72_dup_pagerank", _q72_sql())
+def q72_dup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-document centrality: 3-iteration integer fixed-point
+    PageRank over the capped exact-Jaccard near-dup graph (q22's edge
+    set). Ranks pick the canonical survivor inside each dup cluster; the
+    oracle unrolls the identical iterations in SQL, bit-exact."""
+    from intake_spark.llm import graph
+
+    docs = load_table(spark, sf_dir, "documents")
+    edges = dedup.jaccard_pairs(docs, threshold=0.5, max_shingle_df=Q22_MAX_SHINGLE_DF)
+    return graph.pagerank(edges, iterations=_Q72_ITERS)

@@ -920,3 +920,26 @@ def test_packing_efficiency_rejects_bad_capacity(spark):
     df = spark.createDataFrame([(1, "s", "a")], "doc_id long, source string, text string")
     with pytest.raises(ValueError):
         asm.packing_efficiency(asm.pack_sequences(df, capacity=4), capacity=0)
+
+
+def test_pagerank_path_graph_exact(spark):
+    """Path graph 1-2-3: hand-unrolled 3-iteration fixed-point values."""
+    from intake_spark.llm import graph
+
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "doc_a long, doc_b long")
+    rows = {r.id: r for r in graph.pagerank(edges, iterations=3).collect()}
+    assert rows[2].deg == 2 and rows[1].deg == 1
+    # iter1: r2=1.85e12, r1=r3=5.75e11; iter2: r2=1.1275e12,
+    # r1=r3=9.3625e11; iter3 below
+    assert rows[2].rank_fx == 1_741_625_000_000
+    assert rows[1].rank_fx == 629_187_500_000
+    assert rows[3].rank_fx == rows[1].rank_fx
+    assert rows[2].rank_r == 1.741625
+
+
+def test_pagerank_rejects_negative_iterations(spark):
+    from intake_spark.llm import graph
+
+    edges = spark.createDataFrame([(1, 2)], "doc_a long, doc_b long")
+    with pytest.raises(ValueError):
+        graph.pagerank(edges, iterations=-1)
