@@ -151,16 +151,62 @@ def minhash_signatures(
     """Deterministic MinHash signatures: (id, mh0..mh{n-1}).
 
     min_j = min over shingles s of (a_j * h(s) + b_j) mod P, with h(s) the
-    md5-derived 32-bit hash. One explode + one hash-aggregate; signature
-    width is constant per doc so downstream state is O(docs), not O(text).
+    md5-derived 32-bit hash. MAPPER-ONLY: the per-doc min runs as JVM
+    higher-order functions over the in-row shingle array (one md5 pass,
+    then num_hashes array_min folds), so signature computation shuffles
+    NOTHING — where the explode + groupBy formulation re-shuffled every
+    document's shingle set on the id. Also the reason the same expression
+    works unchanged on a STREAMING DataFrame (no stateful agg involved).
     """
-    sh = shingles(df, id_col, text_col, k)
-    h = base_hash(F.col("shingle"))
-    aggs = [
-        F.min(F.pmod(F.lit(a) * h + F.lit(b), F.lit(MINHASH_P))).alias(f"mh{j}")
+    w = F.split(F.col(text_col), " ")
+    sh = F.expr(
+        f"array_distinct(transform(sequence(1, size(_w) - {k - 1}), "
+        f"i -> concat_ws(' ', slice(_w, i, {k}))))"
+    )
+    # one md5 per distinct shingle, shared by all hash functions
+    hashes = (
+        "transform(_sh, s -> cast(conv(substring(md5(s), 1, 8), 16, 10) as bigint))"
+    )
+    cols = [
+        F.expr(
+            f"array_min(transform(_h, h -> pmod({a}L * h + {b}L, {MINHASH_P}L)))"
+        ).alias(f"mh{j}")
         for j, (a, b) in enumerate(_affine_coeffs(num_hashes))
     ]
-    return sh.groupBy(id_col).agg(*aggs)
+    return (
+        df.select(F.col(id_col), w.alias("_w"))
+        .filter(F.size("_w") >= k)
+        .withColumn("_sh", sh)
+        .withColumn("_h", F.expr(hashes))
+        .select(id_col, *cols)
+    )
+
+
+def minhash_band_keys(
+    sig_df: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Cut signatures into ``bands`` bands of r = num_hashes/bands values
+    and emit (id, band_id, band_key) rows — the LSH bucketing key. Pure
+    mapper (struct-array explode), so it composes with batch AND streaming
+    inputs."""
+    r = num_hashes // bands
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(bi).alias("band_id"),
+                F.md5(F.concat_ws("_", *[F.col(f"mh{bi * r + j}") for j in range(r)])).alias(
+                    "band_key"
+                ),
+            )
+            for bi in range(bands)
+        ]
+    )
+    return sig_df.select(F.col(id_col), F.explode(band_structs).alias("b")).select(
+        id_col, F.col("b.band_id").alias("band_id"), F.col("b.band_key").alias("band_key")
+    )
 
 
 def lsh_candidate_pairs(
@@ -176,21 +222,7 @@ def lsh_candidate_pairs(
     explode-to-(band_id, band_key) + self-equi-join — a plain shuffle join on
     a compact key, the scalable formulation (no all-pairs comparison).
     """
-    r = num_hashes // bands
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(bi).alias("band_id"),
-                F.md5(F.concat_ws("_", *[F.col(f"mh{bi * r + j}") for j in range(r)])).alias(
-                    "band_key"
-                ),
-            )
-            for bi in range(bands)
-        ]
-    )
-    banded = sig_df.select(F.col(id_col), F.explode(band_structs).alias("b")).select(
-        id_col, F.col("b.band_id").alias("band_id"), F.col("b.band_key").alias("band_key")
-    )
+    banded = minhash_band_keys(sig_df, id_col, num_hashes, bands)
     a = banded.select(F.col(id_col).alias("doc_a"), "band_id", "band_key")
     b = banded.select(F.col(id_col).alias("doc_b"), "band_id", "band_key")
     return (
@@ -254,6 +286,46 @@ def minhash_dedup_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def near_dup_first_seen(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    k: int = 3,
+) -> DataFrame:
+    """First-seen near-dup flags — the ingestion-order dedup policy:
+    a document is flagged if ANY of its LSH band keys was already claimed
+    by a lower-id document. Output (id, n_bands, n_dup_bands, is_dup).
+
+    This is the batch arm of the streaming ingestion guard
+    (:func:`intake_spark.streaming.stream_near_dup_flags`): identical
+    band keys, identical first-claim semantics (min id per band key), so
+    stream and batch runs of the same data agree row-for-row. Plan:
+    mapper-only signatures+banding, one aggregate on the band key, one
+    join back, one per-doc rollup — all compact keys.
+    """
+    banded = minhash_band_keys(
+        minhash_signatures(df, id_col, text_col, num_hashes, k),
+        id_col,
+        num_hashes,
+        bands,
+    )
+    firsts = banded.groupBy("band_id", "band_key").agg(
+        F.min(id_col).alias("_first")
+    )
+    dup = F.sum((F.col(id_col) > F.col("_first")).cast("int"))
+    return (
+        banded.join(firsts, ["band_id", "band_key"])
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bands"),
+            dup.cast("bigint").alias("n_dup_bands"),
+            (dup > 0).cast("int").alias("is_dup"),
+        )
     )
 
 

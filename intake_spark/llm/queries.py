@@ -1136,6 +1136,49 @@ def _q72_sql(iters: int = _Q72_ITERS) -> str:
     """
 
 
+def _q73_sql(num_hashes: int = 16, bands: int = 4) -> str:
+    """First-seen near-dup flags in DuckDB: signatures → band keys →
+    min-id per band key → per-doc rollup, matching
+    dedup.near_dup_first_seen term for term."""
+    r = num_hashes // bands
+    h = _HEX32_SQL.format(col="shingle")
+    mins = ",\n           ".join(
+        f"MIN(({a} * h + {b}) % {MINHASH_P}) AS mh{j}"
+        for j, (a, b) in enumerate(_affine_coeffs(num_hashes))
+    )
+    band_selects = "\n      UNION ALL ".join(
+        f"SELECT doc_id, {bi} AS band_id, "
+        f"md5(concat_ws('_', {', '.join(f'mh{bi * r + j}' for j in range(r))})) AS band_key FROM sigs"
+        for bi in range(bands)
+    )
+    return f"""
+    WITH {_SHINGLES_CTE},
+    hashed AS (SELECT doc_id, {h} AS h FROM sh),
+    sigs AS (SELECT doc_id, {mins} FROM hashed GROUP BY doc_id),
+    banded AS ({band_selects}),
+    firsts AS (SELECT band_id, band_key, MIN(doc_id) AS first_id
+               FROM banded GROUP BY band_id, band_key)
+    SELECT b.doc_id, COUNT(*) AS n_bands,
+           CAST(SUM(CASE WHEN b.doc_id > f.first_id THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_bands,
+           CAST(MAX(CASE WHEN b.doc_id > f.first_id THEN 1 ELSE 0 END) AS INT)
+             AS is_dup
+    FROM banded b JOIN firsts f USING (band_id, band_key)
+    GROUP BY b.doc_id
+    """
+
+
+@register("q73_near_dup_first_seen", _q73_sql())
+def q73_near_dup_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingestion-order near-dup guard (batch arm of the streaming
+    operator): a doc is flagged when any of its MinHash-LSH band keys was
+    already claimed by a lower-id doc. The streaming arm
+    (streaming.stream_near_dup_flags) keeps the same band keys in
+    applyInPandasWithState state; batch≡stream is asserted in tests."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.near_dup_first_seen(docs, num_hashes=16, bands=4)
+
+
 @register("q72_dup_pagerank", _q72_sql())
 def q72_dup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical-document centrality: 3-iteration integer fixed-point

@@ -236,6 +236,99 @@ def stateful_running_max(
     )
 
 
+def stream_near_dup_flags(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    k: int = 3,
+) -> DataFrame:
+    """Streaming NEAR-dup ingestion guard: MinHash-LSH band keys computed
+    mapper-side (the signature path is shuffle-free higher-order
+    expressions, so it runs unchanged on a stream), then one
+    ``applyInPandasWithState`` keyed by (band_id, band_key) whose state is
+    the first document id that claimed the bucket. Output: one row per
+    (doc, band) with ``is_dup_band`` — a doc is a near-dup if ANY of its
+    bands is flagged (rollup downstream / in foreachBatch).
+
+    First-claim order: across micro-batches, arrival order (state
+    persists); within a batch, ascending id. When ingestion is id-ordered
+    this matches the batch arm (:func:`intake_spark.llm.dedup.
+    near_dup_first_seen`, min-id policy) row-for-row — the batch≡stream
+    contract the tests assert. State is one long per DISTINCT band key:
+    O(corpus bands), the same asymptotic state a streaming exact-dedup
+    keeps, and evictable by timeout where the dup horizon is bounded.
+
+    Batch input degrades to the same band-level flags via a join (used by
+    the oracle check)."""
+    from intake_spark.llm.dedup import minhash_band_keys, minhash_signatures
+
+    banded = minhash_band_keys(
+        minhash_signatures(df, id_col, text_col, num_hashes, k),
+        id_col,
+        num_hashes,
+        bands,
+    )
+    if not banded.isStreaming:
+        firsts = banded.groupBy("band_id", "band_key").agg(
+            F.min(id_col).alias("_first")
+        )
+        return banded.join(firsts, ["band_id", "band_key"]).select(
+            F.col(id_col).cast("long").alias("id"),
+            "band_id",
+            "band_key",
+            (F.col(id_col) > F.col("_first")).cast("int").alias("is_dup_band"),
+        )
+
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from intake_spark.session import ensure_py_deps
+
+    ensure_py_deps(df.sparkSession)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("band_id", T.IntegerType()),
+            T.StructField("band_key", T.StringType()),
+            T.StructField("is_dup_band", T.IntegerType()),
+        ]
+    )
+    state_schema = T.StructType([T.StructField("first", T.LongType())])
+
+    def update(key, pdfs, state: GroupState):
+        first = state.get[0] if state.exists else None
+        ids = []
+        for pdf in pdfs:
+            ids.extend(int(v) for v in pdf[id_col])
+        ids.sort()
+        flags = []
+        for i in ids:
+            flags.append(1 if (first is not None and i > first) else 0)
+            if first is None or i < first:
+                first = i
+        state.update((int(first),))
+        yield pd.DataFrame(
+            {
+                "id": ids,
+                "band_id": [key[0]] * len(ids),
+                "band_key": [key[1]] * len(ids),
+                "is_dup_band": flags,
+            }
+        )
+
+    return banded.groupBy("band_id", "band_key").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def run_stream_to_memory(
     stream_df: DataFrame, query_name: str, timeout_s: float = 60.0, output_mode: str = "complete"
 ) -> None:

@@ -127,3 +127,61 @@ def test_q36_restores_session_conf(spark):
     finally:
         if prev is not None:
             spark.conf.set(key, prev)
+
+
+def test_stream_near_dup_flags_matches_batch(spark, tmp_path):
+    """Stream arm ≡ batch arm on id-ordered ingestion, INCLUDING state
+    carried across micro-batches (the dup arrives in a later file)."""
+    from intake_spark.streaming import stream_near_dup_flags
+
+    base = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),
+        (2, "one two three four five six seven eight"),
+        (3, "alpha beta gamma delta epsilon zeta eta iota"),  # near-dup of 1
+    ]
+    later = [
+        (10, "alpha beta gamma delta epsilon zeta eta theta"),  # exact dup of 1
+        (11, "totally fresh words never seen anywhere else ok"),
+    ]
+    schema = "doc_id long, text string"
+    src = tmp_path / "docs_src"
+    src.mkdir()
+    spark.createDataFrame(base, schema).coalesce(1).write.parquet(str(src / "f0"))
+    spark.createDataFrame(later, schema).coalesce(1).write.parquet(str(src / "f1"))
+
+    batch = spark.read.schema(schema).parquet(str(src / "*"))
+    expected = sorted(
+        (r.id, r.band_id, r.is_dup_band)
+        for r in stream_near_dup_flags(batch).collect()
+    )
+    assert any(f for (_id, _b, f) in expected), "planted dups must flag"
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    out = stream_near_dup_flags(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("near_dup_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180), "streaming query did not terminate"
+    q.stop()
+    got = sorted(
+        (r.id, r.band_id, r.is_dup_band)
+        for r in spark.sql("SELECT * FROM near_dup_test").collect()
+    )
+    assert got == expected
+    # doc-level rollup agrees with the batch-arm policy operator
+    from intake_spark.llm.dedup import near_dup_first_seen
+
+    flags = {}
+    for rid, _b, f in got:
+        flags[rid] = max(flags.get(rid, 0), f)
+    pol = {r.doc_id: r.is_dup for r in near_dup_first_seen(batch).collect()}
+    assert flags == pol
+    assert pol[10] == 1 and pol[1] == 0
