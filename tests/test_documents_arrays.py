@@ -772,3 +772,103 @@ def test_numpy_text_reader_guards(spark, tmp_path):
         spark=spark, delimiter="|"
     ).collect()
     assert list(rows[0].values) == [1.0, 2.0, 3.0, 4.0]
+
+
+# --- MessagePack ---------------------------------------------------------
+
+
+def _mp(obj):
+    """Minimal spec-built msgpack encoder for fixtures."""
+    import struct
+
+    if obj is None:
+        return b"\xc0"
+    if obj is True:
+        return b"\xc3"
+    if obj is False:
+        return b"\xc2"
+    if isinstance(obj, int):
+        if 0 <= obj <= 0x7F:
+            return bytes([obj])
+        if -32 <= obj < 0:
+            return bytes([obj & 0xFF])
+        if obj > 0xFFFFFFFF:
+            return b"\xcf" + obj.to_bytes(8, "big")
+        if obj > 0xFFFF:
+            return b"\xce" + obj.to_bytes(4, "big")
+        if obj >= 0:
+            return b"\xcd" + obj.to_bytes(2, "big")
+        return b"\xd2" + obj.to_bytes(4, "big", signed=True)
+    if isinstance(obj, float):
+        return b"\xcb" + struct.pack(">d", obj)
+    if isinstance(obj, bytes):
+        return b"\xc4" + bytes([len(obj)]) + obj
+    if isinstance(obj, str):
+        e = obj.encode()
+        if len(e) <= 31:
+            return bytes([0xA0 | len(e)]) + e
+        return b"\xd9" + bytes([len(e)]) + e
+    if isinstance(obj, list):
+        if len(obj) <= 15:
+            head = bytes([0x90 | len(obj)])
+        else:
+            head = b"\xdc" + len(obj).to_bytes(2, "big")
+        return head + b"".join(_mp(x) for x in obj)
+    if isinstance(obj, dict):
+        if len(obj) <= 15:
+            head = bytes([0x80 | len(obj)])
+        else:
+            head = b"\xde" + len(obj).to_bytes(2, "big")
+        return head + b"".join(_mp(k) + _mp(v) for k, v in obj.items())
+    raise TypeError(type(obj))
+
+
+def test_msgpack_reader_stream_and_types(spark, tmp_path):
+    from intake_spark.documents import MessagePack, MessagePackReader
+
+    rows1 = [
+        {"id": 1, "name": "alpha", "score": 1.5, "ok": True, "tags": ["a", "b"]},
+        {"id": 70000, "name": "b" * 40, "score": -2.0, "ok": False, "tags": []},
+        {"id": -5, "name": None, "score": 3.0, "ok": None, "tags": None},
+    ]
+    rows2 = [{"id": 9, "name": "from-file-2", "score": 0.25, "ok": True, "tags": ["z"]}]
+    d = tmp_path / "mp"
+    d.mkdir()
+    (d / "a.msgpack").write_bytes(b"".join(_mp(r) for r in rows1))
+    (d / "b.msgpack").write_bytes(b"".join(_mp(r) for r in rows2))
+    out = MessagePackReader(data=MessagePack(url=str(d))).read(spark=spark)
+    got = {r.id: r for r in out.collect()}
+    assert len(got) == 4
+    assert got[1].name == "alpha" and got[1].ok is True
+    assert got[70000].score == -2.0
+    assert got[-5].name is None
+    assert got[9].name == "from-file-2"
+    # nested arrays render as JSON strings
+    import json
+
+    assert json.loads(got[1].tags) == ["a", "b"]
+    dtypes = dict(out.dtypes)
+    assert dtypes["id"] == "bigint" and dtypes["score"] == "double"
+    assert dtypes["ok"] == "boolean"
+
+
+def test_msgpack_single_toplevel_array_and_recommend(spark, tmp_path):
+    from intake_spark.datatypes import recommend
+    from intake_spark.documents import MessagePack, MessagePackReader
+
+    p = tmp_path / "arr.msgpack"
+    p.write_bytes(_mp([{"k": 1}, {"k": 2}, {"k": 3}]))
+    out = MessagePackReader(data=MessagePack(url=str(p))).read(spark=spark)
+    assert sorted(r.k for r in out.collect()) == [1, 2, 3]
+    kinds = [c.__name__ if isinstance(c, type) else type(c).__name__
+             for c in recommend(str(p))]
+    assert "MessagePack" in kinds
+
+
+def test_msgpack_invalid_byte_raises():
+    from intake_spark.documents import _mp_rows
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="0xc1"):
+        _mp_rows(b"\xc1")
