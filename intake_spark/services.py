@@ -630,3 +630,201 @@ def thredds_merged_dataset(
     if out is None:
         raise ValueError(f"no datasets match {path!r} under {url}")
     return out
+
+
+# ---------------------------------------------------------------------------
+# STAC — SpatioTemporal Asset Catalogs (parity: StacCatalogReader /
+# StacSearch / StackBands, /root/reference/intake/readers/catalogs.py,
+# which delegate to pystac_client + odc.stac; this walks the public STAC
+# JSON spec directly — Catalog/Collection "links", Item "assets" — with
+# the same injectable-fetch design as the THREDDS/Tiled walkers, so
+# static catalogs on disk test offline and http(s) endpoints work where
+# the network exists.)
+# ---------------------------------------------------------------------------
+
+
+class STACCatalogData(dt.Service):
+    """A STAC Catalog/Collection JSON endpoint (or a local path to one)."""
+
+    structure = {"catalog"}
+
+
+def _stac_fetch(url: str) -> dict:
+    """Default fetch: local paths / file:// read from disk; http(s) via
+    urllib (network-gated in this container). Returns parsed JSON."""
+    import json as _json
+
+    if url.startswith("file://"):
+        url = url[7:]
+    if "://" not in url:
+        with open(url, "rb") as f:
+            return _json.loads(f.read())
+    from urllib.request import urlopen  # pragma: no cover - no network here
+
+    with urlopen(url, timeout=30) as resp:  # pragma: no cover
+        return _json.loads(resp.read())
+
+
+def _stac_join(base_url: str, href: str) -> str:
+    if "://" in href or href.startswith("/"):
+        return href
+    stem = base_url.rsplit("/", 1)[0] if "/" in base_url else "."
+    return f"{stem}/{href}"
+
+
+def _stac_walk_items(url: str, fetch, max_depth: int = 10) -> list[tuple[str, dict]]:
+    """Depth-first walk over child/item links; returns [(item_url, item_doc)].
+    Catalog metadata is KB-scale JSON — the walk is a driver task by
+    design (the heavy bytes live in the ASSETS, which read distributed)."""
+    doc = fetch(url)
+    if doc.get("type") == "Feature":
+        return [(url, doc)]
+    out: list[tuple[str, dict]] = []
+    if max_depth <= 0:
+        return out
+    for link in doc.get("links", []):
+        rel = link.get("rel")
+        if rel in ("child", "item"):
+            href = _stac_join(url, link["href"])
+            out.extend(_stac_walk_items(href, fetch, max_depth - 1))
+    return out
+
+
+def stac_catalog(data: STACCatalogData, fetch=None, depth: int = 1) -> "object":
+    """One level of a STAC catalog as a Catalog: child/collection links
+    rehydrate lazily as sub-catalog readers; item links become one entry
+    per ASSET (named ``<item_id>/<asset_key>``), with the reader class
+    recommended from the asset href/media type."""
+    from intake_spark.catalog import Catalog
+    from intake_spark.datatypes import recommend
+
+    fetch = fetch or _stac_fetch
+    doc = fetch(data.url)
+    cat = Catalog(metadata={"stac_id": doc.get("id", ""), "stac_type": doc.get("type", "")})
+    for link in doc.get("links", []):
+        rel, href = link.get("rel"), link.get("href", "")
+        target = _stac_join(data.url, href)
+        if rel == "child":
+            cat.add_entry(
+                StacCatalogReader(data=STACCatalogData(url=target)),
+                name=link.get("title") or href.rsplit("/", 1)[-1].replace(".json", ""),
+            )
+        elif rel == "item":
+            item = fetch(target)
+            for aname, asset in item.get("assets", {}).items():
+                ahref = _stac_join(target, asset.get("href", ""))
+                candidates = recommend(ahref)
+                if not candidates:
+                    continue
+                inst = (
+                    candidates[0](url=ahref)
+                    if isinstance(candidates[0], type)
+                    else candidates[0]
+                )
+                cat[f"{item.get('id', target)}/{aname}"] = inst.to_reader()
+    return cat
+
+
+class StacCatalogReader(BaseReader):
+    """STAC catalog endpoint → Catalog (assets become engine readers).
+    No SparkSession needed; ``fetch`` is injectable, so static catalog
+    trees on disk walk offline."""
+
+    implements = {STACCatalogData}
+    output_instance = "intake_spark.catalog:Catalog"
+
+    def read(self, spark=None, **kwargs):
+        merged = {**self.kwargs, **kwargs}
+        return stac_catalog(self.data, fetch=merged.get("fetch"))
+
+
+def stac_search(
+    spark,
+    url: str,
+    bbox: tuple[float, float, float, float] | None = None,
+    datetime_range: tuple[str, str] | None = None,
+    fetch=None,
+):
+    """Static-catalog STAC search: walk every item, filter by bbox
+    intersection and [start, end] datetime, return a DataFrame of item
+    metadata — (item_id, collection, datetime, bbox minx/miny/maxx/maxy,
+    asset_key, asset_href, media_type), one row per asset. The result is
+    the work-list a pipeline fans out on (each href reads via its own
+    distributed reader); KB-per-item JSON keeps the walk driver-side, the
+    same shape the reference's pystac ItemSearch uses."""
+    fetch = fetch or _stac_fetch
+    rows = []
+    for iurl, item in _stac_walk_items(url, fetch):
+        ib = item.get("bbox") or [None] * 4
+        props = item.get("properties", {})
+        dtv = props.get("datetime") or ""
+        if bbox is not None and ib[0] is not None:
+            if ib[2] < bbox[0] or ib[0] > bbox[2] or ib[3] < bbox[1] or ib[1] > bbox[3]:
+                continue
+        if datetime_range is not None and dtv:
+            if not (datetime_range[0] <= dtv <= datetime_range[1]):
+                continue
+        for aname, asset in item.get("assets", {}).items():
+            rows.append(
+                {
+                    "item_id": item.get("id", ""),
+                    "collection": item.get("collection", ""),
+                    "datetime": dtv,
+                    "minx": float(ib[0]) if ib[0] is not None else None,
+                    "miny": float(ib[1]) if ib[1] is not None else None,
+                    "maxx": float(ib[2]) if ib[2] is not None else None,
+                    "maxy": float(ib[3]) if ib[3] is not None else None,
+                    "asset_key": aname,
+                    "asset_href": _stac_join(iurl, asset.get("href", "")),
+                    "media_type": asset.get("type", ""),
+                }
+            )
+    schema = (
+        "item_id string, collection string, datetime string, minx double, "
+        "miny double, maxx double, maxy double, asset_key string, "
+        "asset_href string, media_type string"
+    )
+    return spark.createDataFrame(rows, schema)
+
+
+def stac_stack_bands(
+    spark,
+    url: str,
+    bands: list[str],
+    fetch=None,
+    reader_kwargs: dict | None = None,
+):
+    """Read the named asset of every item and union the chunk-row frames
+    with ``band`` + ``item_id`` columns — the engine's chunk-row analog of
+    the reference's StackBands (odc.stac builds an xarray cube; here each
+    band asset stays a distributed scan and the stack is a plan-level
+    unionByName, re-sliceable by band)."""
+    from pyspark.sql import functions as F
+
+    from intake_spark.datatypes import recommend
+
+    fetch = fetch or _stac_fetch
+    out = None
+    for iurl, item in _stac_walk_items(url, fetch):
+        assets = item.get("assets", {})
+        for band in bands:
+            if band not in assets:
+                continue
+            ahref = _stac_join(iurl, assets[band].get("href", ""))
+            candidates = recommend(ahref)
+            if not candidates:
+                continue
+            inst = (
+                candidates[0](url=ahref)
+                if isinstance(candidates[0], type)
+                else candidates[0]
+            )
+            df = (
+                inst.to_reader().read(spark=spark, **(reader_kwargs or {}))
+                .withColumn("band", F.lit(band))
+                .withColumn("item_id", F.lit(item.get("id", "")))
+            )
+            out = df if out is None else out.unionByName(df, allowMissingColumns=True)
+    if out is None:
+        raise ValueError(f"no assets matched bands {bands} under {url}")
+    return out
