@@ -636,3 +636,185 @@ def reader_from_call(call: str) -> BaseReader:
         raise ValueError(f"unsupported format in call: {fmt}")
     dcls, rcls = fmt_map[fmt]
     return rcls(data=dcls(url=url))
+
+
+# ---------------------------------------------------------------------------
+# SQLite — stdlib sqlite3 table reads + database catalog (parity: the
+# SQL-reader family and SQLAlchemyCatalog, /root/reference/intake/readers/
+# readers.py DuckSQL/PandasSQLAlchemy and catalogs.py SQLAlchemyCatalog,
+# whose own test database is sqlite; server databases remain the
+# jar-gated SparkJDBC path).
+# ---------------------------------------------------------------------------
+
+
+class SQLiteDB(dt.FileData):
+    filepattern = r"(sqlite|sqlite3|db3)$"  # bare .db is MBTiles-adjacent; magic decides
+    magic = (b"SQLite format 3\x00",)
+    structure = {"table"}
+
+
+def _sqlite_affinity(decltype: str) -> str:
+    """SQLite column affinity rules (public spec) → Spark type name."""
+    t = (decltype or "").upper()
+    if "INT" in t:
+        return "long"
+    if any(k in t for k in ("REAL", "FLOA", "DOUB")):
+        return "double"
+    if "BLOB" in t or t == "":
+        return "binary"
+    return "string"
+
+
+class SQLiteReader(BaseReader):
+    """SQLite table → DataFrame with typed columns (declared-type
+    affinity), rowid-range pages decoded on EXECUTORS so table bytes
+    never pass through the driver — the same partitioned-read shape as
+    SparkJDBC's partitionColumn, with sqlite3 in place of a JDBC jar.
+    ``table=None`` picks the first user table; WITHOUT ROWID tables and
+    ad-hoc ``query=`` strings fall back to a driver-paged read (documented
+    small-result path)."""
+
+    implements = {SQLiteDB}
+
+    def _read(
+        self,
+        spark,
+        table: str | None = None,
+        query: str | None = None,
+        rows_per_task: int = 50_000,
+        **kwargs,
+    ):
+        import sqlite3
+
+        from pyspark.sql import types as T
+
+        from intake_spark.session import ensure_py_deps
+
+        url = self.data.url
+        con = sqlite3.connect(f"file:{url}?mode=ro", uri=True)
+        try:
+            tables = [
+                r[0]
+                for r in con.execute(
+                    "SELECT name FROM sqlite_master WHERE type = 'table' "
+                    "AND name NOT LIKE 'sqlite_%' ORDER BY name"
+                )
+            ]
+            self.data.metadata["tables"] = tables
+            if query is not None:
+                cur = con.execute(query)
+                cols = [d[0] for d in cur.description]
+                rows = cur.fetchall()
+                pdf_rows = [dict(zip(cols, r)) for r in rows]
+                return spark.createDataFrame(pdf_rows) if pdf_rows else spark.createDataFrame(
+                    [], T.StructType([T.StructField(c, T.StringType()) for c in cols])
+                )
+            if table is None:
+                if not tables:
+                    raise ValueError(f"no user tables in {url}")
+                table = tables[0]
+            if table not in tables:
+                raise KeyError(f"table {table!r} not in {tables}")
+            qtable = table.replace('"', '""')
+            info = list(con.execute(f'PRAGMA table_info("{qtable}")'))
+            names = [r[1] for r in info]
+            kinds = [_sqlite_affinity(r[2]) for r in info]
+            try:
+                lo_hi = con.execute(
+                    f'SELECT MIN(rowid), MAX(rowid) FROM "{qtable}"'
+                ).fetchone()
+            except sqlite3.OperationalError:  # WITHOUT ROWID
+                lo_hi = None
+        finally:
+            con.close()
+
+        spark_t = {
+            "long": T.LongType(),
+            "double": T.DoubleType(),
+            "binary": T.BinaryType(),
+            "string": T.StringType(),
+        }
+        schema = T.StructType([T.StructField(n, spark_t[k]) for n, k in zip(names, kinds)])
+        sel = ", ".join('"{}"'.format(n.replace('"', '""')) for n in names)
+
+        def coerce_cell(v, kind):
+            if v is None:
+                return None
+            try:
+                if kind == "long":
+                    return int(v)
+                if kind == "double":
+                    return float(v)
+                if kind == "binary":
+                    return bytes(v) if not isinstance(v, bytes) else v
+                return v if isinstance(v, str) else str(v)
+            except (TypeError, ValueError):  # sqlite cells may defy affinity
+                return None
+
+        if lo_hi is None or lo_hi[0] is None:
+            # WITHOUT ROWID or empty: driver read (small-table path)
+            con = sqlite3.connect(f"file:{url}?mode=ro", uri=True)
+            try:
+                recs = [
+                    tuple(coerce_cell(v, k) for v, k in zip(r, kinds))
+                    for r in con.execute(f'SELECT {sel} FROM "{qtable}"')
+                ]
+            finally:
+                con.close()
+            return spark.createDataFrame(recs, schema)
+
+        ensure_py_deps(spark)
+        lo, hi = lo_hi
+        ranges = [
+            (start, min(start + rows_per_task - 1, hi))
+            for start in range(lo, hi + 1, rows_per_task)
+        ]
+        mdf = spark.createDataFrame(ranges, "lo long, hi long")
+        if len(ranges) > 1:
+            mdf = mdf.repartition(min(len(ranges), spark.sparkContext.defaultParallelism))
+
+        def fetch(batches):
+            import pandas as pd
+
+            vcon = sqlite3.connect(f"file:{url}?mode=ro", uri=True)
+            try:
+                for pdf in batches:
+                    for _, rg in pdf.iterrows():
+                        recs = vcon.execute(
+                            f'SELECT {sel} FROM "{qtable}" WHERE rowid '
+                            f"BETWEEN {int(rg.lo)} AND {int(rg.hi)}"
+                        ).fetchall()
+                        data = {
+                            n: [coerce_cell(r[i], kinds[i]) for r in recs]
+                            for i, n in enumerate(names)
+                        }
+                        yield pd.DataFrame(data, columns=names)
+            finally:
+                vcon.close()
+
+        return mdf.mapInPandas(fetch, schema=schema)
+
+
+def sqlite_catalog(url: str) -> "object":
+    """Every user table of a SQLite database as a Catalog entry — the
+    SQLAlchemyCatalog analog for the file-database case (server databases
+    list through SparkJDBC where a jar exists)."""
+    import sqlite3
+
+    from intake_spark.catalog import Catalog
+
+    con = sqlite3.connect(f"file:{url}?mode=ro", uri=True)
+    try:
+        tables = [
+            r[0]
+            for r in con.execute(
+                "SELECT name FROM sqlite_master WHERE type = 'table' "
+                "AND name NOT LIKE 'sqlite_%' ORDER BY name"
+            )
+        ]
+    finally:
+        con.close()
+    cat = Catalog(metadata={"url": url, "kind": "sqlite"})
+    for t in tables:
+        cat[t] = SQLiteReader(data=SQLiteDB(url=url), table=t)
+    return cat

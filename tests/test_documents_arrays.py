@@ -872,3 +872,74 @@ def test_msgpack_invalid_byte_raises():
 
     with _pytest.raises(ValueError, match="0xc1"):
         _mp_rows(b"\xc1")
+
+
+# --- SQLite --------------------------------------------------------------
+
+
+def _make_sqlite(path, n=100):
+    import sqlite3
+
+    con = sqlite3.connect(str(path))
+    con.execute(
+        "CREATE TABLE t_random (s INTEGER, md5 TEXT, val REAL, payload BLOB)"
+    )
+    import hashlib
+
+    rows = [
+        (i, hashlib.md5(str(i).encode()).hexdigest(), i * 0.5, bytes([i % 256]))
+        for i in range(n)
+    ]
+    con.executemany("INSERT INTO t_random VALUES (?, ?, ?, ?)", rows)
+    con.execute("CREATE TABLE empty_t (a INTEGER)")
+    con.commit()
+    con.close()
+
+
+def test_sqlite_reader_distributed_pages(spark, tmp_path):
+    from intake_spark.datatypes import recommend
+    from intake_spark.readers import SQLiteDB, SQLiteReader
+
+    p = tmp_path / "db.sqlite"
+    _make_sqlite(p, n=250)
+    rdr = SQLiteReader(data=SQLiteDB(url=str(p)))
+    df = rdr.read(spark=spark, table="t_random", rows_per_task=100)  # 3 pages
+    assert df.count() == 250
+    dtypes = dict(df.dtypes)
+    assert dtypes["s"] == "bigint" and dtypes["val"] == "double"
+    assert dtypes["md5"] == "string" and dtypes["payload"] == "binary"
+    import hashlib
+
+    r42 = df.filter("s = 42").collect()[0]
+    assert r42.md5 == hashlib.md5(b"42").hexdigest()
+    assert bytes(r42.payload) == bytes([42])
+    assert rdr.data.metadata["tables"] == ["empty_t", "t_random"]
+    kinds = [c.__name__ if isinstance(c, type) else type(c).__name__
+             for c in recommend(str(p))]
+    assert "SQLiteDB" in kinds
+
+
+def test_sqlite_query_and_empty_and_errors(spark, tmp_path):
+    from intake_spark.readers import SQLiteDB, SQLiteReader
+
+    p = tmp_path / "q.sqlite"
+    _make_sqlite(p, n=10)
+    rdr = SQLiteReader(data=SQLiteDB(url=str(p)))
+    out = rdr.read(spark=spark, query="SELECT COUNT(*) AS n, SUM(s) AS total FROM t_random")
+    r = out.collect()[0]
+    assert r.n == 10 and r.total == 45
+    assert rdr.read(spark=spark, table="empty_t").count() == 0
+    import pytest as _pytest
+
+    with _pytest.raises(KeyError):
+        rdr.read(spark=spark, table="nope")
+
+
+def test_sqlite_catalog_lists_tables(spark, tmp_path):
+    from intake_spark.readers import sqlite_catalog
+
+    p = tmp_path / "cat.sqlite"
+    _make_sqlite(p, n=20)
+    cat = sqlite_catalog(str(p))
+    assert sorted(cat) == ["empty_t", "t_random"]
+    assert cat["t_random"].read(spark=spark).count() == 20
