@@ -411,3 +411,101 @@ def to_hdf5(
                 "refusing to leave a truncated dataset"
             )
     return dt.HDF5(url=url)
+
+
+def to_tiff(df: DataFrame, url: str, max_bytes: int | None = 1 << 30) -> "dt.TIFF":
+    """Chunk rows → single-strip uncompressed grayscale 8-bit TIFF
+    (2-D arrays; values clipped to uint8). Stdlib encoder, round-trips
+    with sci.TIFFReader — parity: NumpyToTIFF (reference output.py), which
+    needs PIL. Driver-edge artifact sink, same cost model as to_png."""
+    import struct as _struct
+
+    shape = list(_guard_single_file(df, "to_tiff", max_bytes))
+    if len(shape) != 2:
+        raise ValueError(f"to_tiff needs a 2-D array, got shape {shape}")
+    h, w = shape
+    data = bytearray()
+    for row in df.select("offset0", "values").orderBy("offset0").toLocalIterator():
+        data.extend(max(0, min(255, int(v))) for v in row["values"])
+    if len(data) != h * w:
+        raise ValueError(
+            f"chunk rows reconstruct {len(data)} pixels but shape says "
+            f"{h * w} — refusing to write a truncated TIFF"
+        )
+    # layout: 8-byte header | IFD | strip data
+    tags = [
+        (256, 3, 1, w),        # ImageWidth
+        (257, 3, 1, h),        # ImageLength
+        (258, 3, 1, 8),        # BitsPerSample
+        (259, 3, 1, 1),        # Compression: none
+        (262, 3, 1, 1),        # Photometric: BlackIsZero
+        (273, 4, 1, 0),        # StripOffsets (patched below)
+        (277, 3, 1, 1),        # SamplesPerPixel
+        (278, 3, 1, h),        # RowsPerStrip
+        (279, 4, 1, h * w),    # StripByteCounts
+    ]
+    ifd_off = 8
+    data_off = ifd_off + 2 + 12 * len(tags) + 4
+    out = bytearray(b"II*\x00" + _struct.pack("<I", ifd_off))
+    out += _struct.pack("<H", len(tags))
+    for tag, typ, cnt, val in tags:
+        if tag == 273:
+            val = data_off
+        out += _struct.pack("<HHI", tag, typ, cnt) + _struct.pack("<I", val)
+    out += _struct.pack("<I", 0)  # next IFD
+    out += bytes(data)
+    with open(url, "wb") as f:
+        f.write(out)
+    return dt.TIFF(url=url)
+
+
+def to_nrrd(df: DataFrame, url: str, max_bytes: int | None = 1 << 30) -> "dt.BaseData":
+    """Chunk rows → NRRD (raw little-endian float64, any rank). Sizes are
+    written fastest-axis-first per the NRRD spec (reverse of the C-order
+    shape), so the file round-trips with sci.NRRDReader — parity:
+    SimpleITKToNRRD (reference output.py), which needs SimpleITK."""
+    import struct as _struct
+
+    from intake_spark import sci as _sci
+
+    shape = list(_guard_single_file(df, "to_nrrd", max_bytes))
+    header = (
+        "NRRD0004\n"
+        "type: double\n"
+        f"dimension: {len(shape)}\n"
+        f"sizes: {' '.join(str(s) for s in shape[::-1])}\n"
+        "endian: little\n"
+        "encoding: raw\n"
+        "\n"
+    )
+    with open(url, "wb") as f:
+        f.write(header.encode())
+        for row in df.select("offset0", "values").orderBy("offset0").toLocalIterator():
+            f.write(_struct.pack(f"<{len(row['values'])}d", *row["values"]))
+    return _sci.NRRD(url=url)
+
+
+def to_metaimage(df: DataFrame, url: str, max_bytes: int | None = 1 << 30) -> "dt.BaseData":
+    """Chunk rows → combined MetaImage .mha (MET_DOUBLE, ElementDataFile =
+    LOCAL). DimSize is fastest-axis-first (reverse of C-order shape);
+    round-trips with sci.MetaImageReader — parity: SimpleITKToMetaImage
+    (reference output.py)."""
+    import struct as _struct
+
+    from intake_spark import sci as _sci
+
+    shape = list(_guard_single_file(df, "to_metaimage", max_bytes))
+    header = (
+        "ObjectType = Image\n"
+        f"NDims = {len(shape)}\n"
+        "BinaryData = True\n"
+        "BinaryDataByteOrderMSB = False\n"
+        f"DimSize = {' '.join(str(s) for s in shape[::-1])}\n"
+        "ElementType = MET_DOUBLE\n"
+        "ElementDataFile = LOCAL\n"
+    )
+    with open(url, "wb") as f:
+        f.write(header.encode())
+        for row in df.select("offset0", "values").orderBy("offset0").toLocalIterator():
+            f.write(_struct.pack(f"<{len(row['values'])}d", *row["values"]))
+    return _sci.MetaImage(url=url)

@@ -275,3 +275,51 @@ def test_netcdf_sink_roundtrip(spark, tmp_path):
     rows = sorted(back.collect(), key=lambda r: r.offset0)
     rebuilt = np.concatenate([np.array(r.values).reshape(-1, 2) for r in rows])
     np.testing.assert_array_equal(rebuilt, arr)
+
+
+def test_tiff_sink_roundtrips_with_reader(spark, tmp_path):
+    import numpy as np
+
+    from intake_spark import datatypes as dt
+    from intake_spark import output
+    from intake_spark.arrays import NumpyArrayReader
+    from intake_spark.sci import TIFFReader
+
+    img = (np.arange(48, dtype="<f8").reshape(6, 8) * 5) % 256
+    src = str(tmp_path / "img.npy")
+    np.save(src, img)
+    chunks = NumpyArrayReader(data=dt.NumpyFile(url=src)).read(spark=spark, rows_per_chunk=2)
+    tif = str(tmp_path / "img.tif")
+    output.to_tiff(chunks, tif)
+    back = TIFFReader(data=dt.TIFF(url=tif)).read(spark=spark)
+    got = sorted((r["offset0"], list(r["values"])) for r in back.select("offset0", "values").collect())
+    flat = [v for _off, vv in got for v in vv]
+    np.testing.assert_array_equal(np.array(flat).reshape(6, 8), img)
+
+
+def test_nrrd_and_metaimage_sinks_roundtrip(spark, tmp_path):
+    import numpy as np
+
+    from intake_spark import datatypes as dt
+    from intake_spark import output
+    from intake_spark.arrays import NumpyArrayReader
+    from intake_spark.sci import MetaImage, MetaImageReader, NRRD, NRRDReader
+
+    arr = np.linspace(-3, 3, 24, dtype="<f8").reshape(2, 3, 4)
+    src = str(tmp_path / "a.npy")
+    np.save(src, arr)
+    chunks = NumpyArrayReader(data=dt.NumpyFile(url=src)).read(spark=spark, rows_per_chunk=1)
+
+    nrrd = str(tmp_path / "a.nrrd")
+    output.to_nrrd(chunks, nrrd)
+    back = NRRDReader(data=NRRD(url=nrrd)).read(spark=spark)
+    got = sorted((r["offset0"], list(r["values"])) for r in back.select("offset0", "values").collect())
+    flat = [v for _o, vv in got for v in vv]
+    np.testing.assert_allclose(np.array(flat).reshape(arr.shape), arr)
+
+    mha = str(tmp_path / "a.mha")
+    output.to_metaimage(chunks, mha)
+    back2 = MetaImageReader(data=MetaImage(url=mha)).read(spark=spark)
+    got2 = sorted((r["offset0"], list(r["values"])) for r in back2.select("offset0", "values").collect())
+    flat2 = [v for _o, vv in got2 for v in vv]
+    np.testing.assert_allclose(np.array(flat2).reshape(arr.shape), arr)
