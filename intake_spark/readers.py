@@ -818,3 +818,39 @@ def sqlite_catalog(url: str) -> "object":
     for t in tables:
         cat[t] = SQLiteReader(data=SQLiteDB(url=url), table=t)
     return cat
+
+
+def huggingface_hub_catalog(
+    query: str | None = None,
+    split: str = "train",
+    list_fetch=None,
+    limit: int = 50,
+) -> "object":
+    """Search/list Hugging Face Hub datasets as a Catalog — one
+    HuggingfaceReader entry per dataset id (parity: HuggingfaceHubCatalog,
+    /root/reference/intake/readers/catalogs.py, which needs the
+    huggingface_hub package; this speaks the public ``/api/datasets``
+    JSON endpoint directly). ``list_fetch`` is injectable so the catalog
+    builds offline in tests; live listing is network-gated here."""
+    from intake_spark.catalog import Catalog
+
+    def _default_fetch(q: str | None, lim: int) -> list[dict]:  # pragma: no cover
+        import json
+        import urllib.parse
+        import urllib.request
+
+        params = {"limit": str(lim)}
+        if q:
+            params["search"] = q
+        api = "https://huggingface.co/api/datasets?" + urllib.parse.urlencode(params)
+        with urllib.request.urlopen(api, timeout=60) as resp:
+            return json.load(resp)
+
+    list_fetch = list_fetch or _default_fetch
+    cat = Catalog(metadata={"kind": "huggingface_hub", "query": query or ""})
+    for entry in list_fetch(query, limit):
+        ds_id = entry.get("id") if isinstance(entry, dict) else str(entry)
+        if not ds_id:
+            continue
+        cat[ds_id] = HuggingfaceReader(data=HuggingfaceDataset(ds_id, split=split))
+    return cat

@@ -943,3 +943,21 @@ def test_sqlite_catalog_lists_tables(spark, tmp_path):
     cat = sqlite_catalog(str(p))
     assert sorted(cat) == ["empty_t", "t_random"]
     assert cat["t_random"].read(spark=spark).count() == 20
+
+
+def test_huggingface_hub_catalog_mocked(spark, tmp_path):
+    from intake_spark.readers import huggingface_hub_catalog
+
+    def fake_list(query, limit):
+        assert query == "news" and limit == 2
+        return [{"id": "org/ds-a"}, {"id": "org/ds-b"}, {"id": ""}]
+
+    cat = huggingface_hub_catalog(query="news", limit=2, list_fetch=fake_list)
+    assert sorted(cat) == ["org/ds-a", "org/ds-b"]
+    assert cat.metadata["query"] == "news"
+    # entries are real readers wired to the injectable shard resolver
+    shard = str(tmp_path / "s.parquet")
+    spark.range(5).withColumnRenamed("id", "n").write.parquet(shard)
+    rdr = cat["org/ds-a"]
+    out = rdr.read(spark=spark, resolver=lambda name, split: [shard])
+    assert out.count() == 5
