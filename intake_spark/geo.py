@@ -596,9 +596,22 @@ def _packed_sint_deltas(payload: bytes) -> list[int]:
     return vals
 
 
-def _parse_primitive_block(blob: bytes) -> list[dict]:
-    """PrimitiveBlock → node dicts (id, lat, lon, tags). DenseNodes only —
-    the format normal OSM extracts use for all nodes."""
+def _packed_varints(payload: bytes) -> list[int]:
+    """Packed plain varints (keys/vals/roles/types fields)."""
+    from intake_spark.mlds import _read_varint
+
+    out = []
+    i = 0
+    while i < len(payload):
+        v, i = _read_varint(payload, i)
+        out.append(v)
+    return out
+
+
+def _parse_primitive_block(blob: bytes, kind: str = "nodes") -> list[dict]:
+    """PrimitiveBlock → element dicts. ``kind``: "nodes" (DenseNodes —
+    the format normal OSM extracts use for all nodes), "ways" (id, refs,
+    tags) or "relations" (id, members, tags)."""
     import zlib
 
     from intake_spark.mlds import _fields, _read_varint
@@ -634,6 +647,55 @@ def _parse_primitive_block(blob: bytes) -> list[dict]:
             lat_off = payload
         elif field == 20:
             lon_off = payload
+    def sdecode(idx_list):
+        return {
+            strings[k].decode("utf-8", "replace"): strings[v].decode("utf-8", "replace")
+            for k, v in idx_list
+        }
+
+    if kind in ("ways", "relations"):
+        out = []
+        want = 3 if kind == "ways" else 4
+        for g in groups:
+            for field, _wt, payload in _fields(g):
+                if field != want:
+                    continue
+                eid, keys, vals = 0, [], []
+                refs: list[int] = []
+                roles: list[int] = []
+                types: list[int] = []
+                for f2, _wt2, p in _fields(payload):
+                    if f2 == 1:
+                        eid = p
+                    elif f2 == 2:
+                        keys = _packed_varints(p)
+                    elif f2 == 3:
+                        vals = _packed_varints(p)
+                    elif f2 == 8:  # way refs / relation roles_sid
+                        if kind == "ways":
+                            refs = _packed_sint_deltas(p)
+                        else:
+                            roles = _packed_varints(p)
+                    elif f2 == 9 and kind == "relations":
+                        refs = _packed_sint_deltas(p)  # memids, delta-coded
+                    elif f2 == 10 and kind == "relations":
+                        types = _packed_varints(p)
+                tags = sdecode(zip(keys, vals))
+                if kind == "ways":
+                    out.append({"id": eid, "refs": refs, "tags": tags})
+                else:
+                    tname = {0: "node", 1: "way", 2: "relation"}
+                    members = [
+                        {
+                            "type": tname.get(t, str(t)),
+                            "ref": r,
+                            "role": strings[sid].decode("utf-8", "replace"),
+                        }
+                        for sid, r, t in zip(roles, refs, types)
+                    ]
+                    out.append({"id": eid, "members": members, "tags": tags})
+        return out
+
     nodes = []
     for g in groups:
         for field, _wt, payload in _fields(g):
@@ -685,19 +747,59 @@ _OSM_SCHEMA = T.StructType(
 )
 
 
+_OSM_WAY_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("refs", T.ArrayType(T.LongType())),
+        T.StructField("tags", T.MapType(T.StringType(), T.StringType())),
+    ]
+)
+
+_OSM_REL_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField(
+            "members",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("type", T.StringType()),
+                        T.StructField("ref", T.LongType()),
+                        T.StructField("role", T.StringType()),
+                    ]
+                )
+            ),
+        ),
+        T.StructField("tags", T.MapType(T.StringType(), T.StringType())),
+    ]
+)
+
+
 class OSMPBFReader(BaseReader):
-    """OSM .pbf → node rows (id, lat, lon, tags) with NO osmium/protobuf
-    dependency (parity: OSMPBFReader readers.py:2329): blob framing is
-    scanned driver-side (lengths only), then each OSMData blob decodes on
-    executors via a byte-range manifest — per-blob parallelism, the unit
-    OSM itself shards by (~8k nodes/blob on planet files). The protobuf
-    wire walk is shared with the TFRecord reader (intake_spark.mlds)."""
+    """OSM .pbf → element rows with NO osmium/protobuf dependency (parity:
+    OSMPBFReader readers.py:2329): blob framing is scanned driver-side
+    (lengths only), then each OSMData blob decodes on executors via a
+    byte-range manifest — per-blob parallelism, the unit OSM itself shards
+    by (~8k elements/blob on planet files). ``elements`` selects the
+    element type: "nodes" (id, lat, lon, tags), "ways" (id, refs, tags)
+    or "relations" (id, members <type/ref/role structs>, tags) — joining
+    ways.refs against nodes.id reconstructs geometries distributed. The
+    protobuf wire walk is shared with the TFRecord reader
+    (intake_spark.mlds)."""
 
     implements = {OSMPBF}
 
-    def _read(self, spark, **kwargs):
+    def _read(self, spark, elements: str = "nodes", **kwargs):
         from intake_spark.session import ensure_py_deps
 
+        schemas = {
+            "nodes": (_OSM_SCHEMA, ["id", "lat", "lon", "tags"]),
+            "ways": (_OSM_WAY_SCHEMA, ["id", "refs", "tags"]),
+            "relations": (_OSM_REL_SCHEMA, ["id", "members", "tags"]),
+        }
+        if elements not in schemas:
+            raise ValueError(f"elements must be one of {sorted(schemas)}")
+        schema, cols = schemas[elements]
         ensure_py_deps(spark)
         url = self.data.url
         manifest = [
@@ -713,10 +815,10 @@ class OSMPBFReader(BaseReader):
                 with open(url, "rb") as f:
                     for _, r in pdf.iterrows():
                         f.seek(int(r.off))
-                        rows.extend(_parse_primitive_block(f.read(int(r.len))))
-                yield pd.DataFrame(rows, columns=["id", "lat", "lon", "tags"])
+                        rows.extend(_parse_primitive_block(f.read(int(r.len)), elements))
+                yield pd.DataFrame(rows, columns=cols)
 
-        return mdf.mapInPandas(decode, schema=_OSM_SCHEMA)
+        return mdf.mapInPandas(decode, schema=schema)
 
 
 # ---------------------------------------------------------------------------

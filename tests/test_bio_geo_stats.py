@@ -984,3 +984,66 @@ def test_xtc_decode_smallidx_transitions():
     assert out[1] == list(A1)
     assert out[2] == [504, 500, 495]       # small2 (swapped first)
     assert out[3] == list(A2)
+
+
+def test_osm_pbf_ways_and_relations(spark, tmp_path):
+    """Way and Relation groups in the same PrimitiveBlock: refs/memids
+    zigzag-delta decode, tag stringtable lookups, member type/role."""
+    import struct as st
+    import zlib
+
+    def zz(v: int) -> int:
+        return v * 2 if v >= 0 else -v * 2 - 1
+
+    def packed_sint(vals):
+        out, prev = b"", 0
+        for v in vals:
+            out += _varint(zz(v - prev))
+            prev = v
+        return out
+
+    def packed_plain(vals):
+        return b"".join(_varint(v) for v in vals)
+
+    strings = [b"", b"highway", b"primary", b"outer", b"type", b"multipolygon"]
+    stringtable = b"".join(_pb_len(1, s) for s in strings)
+    way = (
+        _varint(1 << 3) + _varint(7001)                 # id
+        + _pb_len(2, packed_plain([1]))                 # keys: highway
+        + _pb_len(3, packed_plain([2]))                 # vals: primary
+        + _pb_len(8, packed_sint([1001, 1002, 1003]))   # refs (delta)
+    )
+    rel = (
+        _varint(1 << 3) + _varint(9001)
+        + _pb_len(2, packed_plain([4]))                 # type
+        + _pb_len(3, packed_plain([5]))                 # multipolygon
+        + _pb_len(8, packed_plain([3, 0]))              # roles: outer, ""
+        + _pb_len(9, packed_sint([7001, 1001]))         # memids (delta)
+        + _pb_len(10, packed_plain([1, 0]))             # types: way, node
+    )
+    group = _pb_len(3, way) + _pb_len(4, rel)
+    block = _pb_len(1, stringtable) + _pb_len(2, group)
+    blob = _pb_len(3, zlib.compress(block))
+    header = _pb_len(1, b"OSMData") + _varint(3 << 3) + _varint(len(blob))
+    p = tmp_path / "wr.osm.pbf"
+    p.write_bytes(st.pack(">I", len(header)) + header + blob)
+
+    from intake_spark.geo import OSMPBF, OSMPBFReader
+
+    rdr = OSMPBFReader(data=OSMPBF(url=str(p)))
+    ways = rdr.read(spark=spark, elements="ways").collect()
+    assert len(ways) == 1
+    assert ways[0].id == 7001
+    assert list(ways[0].refs) == [1001, 1002, 1003]
+    assert ways[0].tags == {"highway": "primary"}
+    rels = rdr.read(spark=spark, elements="relations").collect()
+    assert len(rels) == 1 and rels[0].id == 9001
+    ms = [(m.type, m.ref, m.role) for m in rels[0].members]
+    assert ms == [("way", 7001, "outer"), ("node", 1001, "")]
+    assert rels[0].tags == {"type": "multipolygon"}
+    # node pass over the same file sees no nodes (none encoded)
+    assert rdr.read(spark=spark, elements="nodes").count() == 0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="elements"):
+        rdr.read(spark=spark, elements="bogus")
