@@ -1214,3 +1214,99 @@ class GeoPackageReader(BaseReader):
                 vcon.close()
 
         return mdf.mapInPandas(fetch, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# GeoParquet — parquet with WKB geometry + 'geo' file metadata (parity:
+# DaskGeoParquet / GeoPandasReader parquet path, reference readers.py,
+# which need geopandas; the WKB decode reuses this module's stdlib walker
+# and everything else stays a native parquet scan).
+# ---------------------------------------------------------------------------
+
+
+class GeoParquet(dt.FileData):
+    """Parquet with a WKB geometry column ('geo' key-value metadata).
+    Same container as dt.Parquet — construct explicitly (recommend keeps
+    plain .parquet mapped to the native reader)."""
+
+    filepattern = r"(geo\.parquet|geoparquet)$"
+    magic = (b"PAR1",)
+    structure = {"table", "geo"}
+
+
+class GeoParquetReader(BaseReader):
+    """GeoParquet → DataFrame: every attribute column stays a NATIVE
+    parquet scan column (predicate pushdown / column pruning intact); the
+    WKB geometry column decodes Arrow-batched on executors into
+    ``geometry_type`` + ``geometry`` (GeoJSON text) — the same canonical
+    geometry row model as the Shapefile/GeoPackage readers, so downstream
+    steps compose identically. The geometry column name comes from the
+    file's 'geo' metadata (primary_column), falling back to 'geometry'."""
+
+    implements = {GeoParquet}
+
+    def _read(self, spark, geometry_col: str | None = None, **kwargs):
+        import glob as _glob
+        import json as _json
+        import os as _os
+
+        from intake_spark.session import ensure_py_deps
+
+        url = self.data.url
+        if geometry_col is None:
+            # driver peek at the parquet footer's key-value metadata
+            import pyarrow.parquet as pq
+
+            path = url
+            if _os.path.isdir(url):
+                members = sorted(_glob.glob(_os.path.join(url, "*.parquet")))
+                path = members[0] if members else url
+            meta = pq.ParquetFile(path).metadata.metadata or {}
+            geo = meta.get(b"geo")
+            if geo:
+                doc = _json.loads(geo)
+                geometry_col = doc.get("primary_column", "geometry")
+                self.data.metadata["geo"] = {
+                    "primary_column": geometry_col,
+                    "columns": list(doc.get("columns", {})),
+                }
+            else:
+                geometry_col = "geometry"
+        df = spark.read.parquet(url)
+        if geometry_col not in df.columns:
+            raise ValueError(
+                f"geometry column {geometry_col!r} not in {df.columns}"
+            )
+        ensure_py_deps(spark)
+        others = [c for c in df.columns if c != geometry_col]
+        out_schema = T.StructType(
+            [df.schema[c] for c in others]
+            + [
+                T.StructField("geometry_type", T.StringType()),
+                T.StructField("geometry", T.StringType()),
+            ]
+        )
+
+        def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            import json as _j
+
+            for pdf in batches:
+                gtypes, geoms = [], []
+                for blob in pdf[geometry_col]:
+                    if blob is None:
+                        gtypes.append(None)
+                        geoms.append(None)
+                        continue
+                    gtype, coords, _ = _wkb_geom(bytes(blob), 0)
+                    if gtype == "GeometryCollection":
+                        doc = {"type": gtype, "geometries": coords}
+                    else:
+                        doc = {"type": gtype, "coordinates": coords}
+                    gtypes.append(gtype)
+                    geoms.append(_j.dumps(doc, sort_keys=True))
+                out = pdf[others].copy()
+                out["geometry_type"] = gtypes
+                out["geometry"] = geoms
+                yield out
+
+        return df.mapInPandas(decode, schema=out_schema)

@@ -130,3 +130,67 @@ def test_recommend_picks_gpkg(tmp_path):
     url = make_gpkg(tmp_path / "r.gpkg", {"l": [(_gp_blob(_wkb_point(0, 0)), {})]})
     kinds = [c.__name__ if isinstance(c, type) else type(c).__name__ for c in recommend(url)]
     assert any("GeoPackage" in k for k in kinds)
+
+
+def _wkb_point(x, y):
+    import struct
+
+    return struct.pack("<BIdd", 1, 1, x, y)
+
+
+def _wkb_linestring(pts):
+    import struct
+
+    out = struct.pack("<BII", 1, 2, len(pts))
+    for x, y in pts:
+        out += struct.pack("<dd", x, y)
+    return out
+
+
+def test_geoparquet_reader(spark, tmp_path):
+    import json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from intake_spark.geo import GeoParquet, GeoParquetReader
+
+    tbl = pa.table(
+        {
+            "name": ["a", "b", "c"],
+            "pop": [10, 20, 30],
+            "geom": [
+                _wkb_point(1.5, 2.5),
+                _wkb_linestring([(0, 0), (1, 1), (2, 0)]),
+                None,
+            ],
+        }
+    )
+    meta = {
+        b"geo": json.dumps(
+            {"version": "1.0.0", "primary_column": "geom",
+             "columns": {"geom": {"encoding": "WKB"}}}
+        ).encode()
+    }
+    tbl = tbl.replace_schema_metadata(meta)
+    p = str(tmp_path / "places.geo.parquet")
+    pq.write_table(tbl, p)
+
+    rdr = GeoParquetReader(data=GeoParquet(url=p))
+    out = rdr.read(spark=spark)
+    rows = {r.name: r for r in out.collect()}
+    assert rows["a"].geometry_type == "Point"
+    assert json.loads(rows["a"].geometry) == {"type": "Point", "coordinates": [1.5, 2.5]}
+    assert rows["b"].geometry_type == "LineString"
+    assert json.loads(rows["b"].geometry)["coordinates"] == [[0, 0], [1, 1], [2, 0]]
+    assert rows["c"].geometry is None
+    assert rows["a"].pop == 10  # attribute column intact
+    assert rdr.data.metadata["geo"]["primary_column"] == "geom"
+    # attribute pruning/pushdown stays native: scan plan reads parquet
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "FileScan parquet" in plan
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="geometry column"):
+        rdr.read(spark=spark, geometry_col="nope")
