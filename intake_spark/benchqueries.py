@@ -933,3 +933,96 @@ def q50_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         granularities=("hour", "day"),
     )
+
+
+@register(
+    "q74_waiting_suppliers",
+    """
+    WITH late AS (
+      SELECT l.l_orderkey, l.l_suppkey
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+      WHERE o.o_orderstatus = 'F'
+        AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY),
+    sups AS (SELECT l_orderkey, COUNT(DISTINCT l_suppkey) AS n_sups
+             FROM lineitem GROUP BY l_orderkey),
+    lsups AS (SELECT l_orderkey, COUNT(DISTINCT l_suppkey) AS n_late
+              FROM late GROUP BY l_orderkey),
+    blamed AS (SELECT DISTINCT late.l_orderkey, late.l_suppkey
+               FROM late JOIN sups USING (l_orderkey)
+                         JOIN lsups USING (l_orderkey)
+               WHERE sups.n_sups > 1 AND lsups.n_late = 1)
+    SELECT s.s_name, COUNT(*) AS numwait
+    FROM blamed JOIN supplier s ON s.s_suppkey = blamed.l_suppkey
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s_name
+    """,
+)
+def q74_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 pattern on the slim schema: suppliers solely to blame
+    for late multi-supplier 'F' orders (ship > order date + 60 days). The
+    textbook EXISTS / NOT EXISTS pair rewritten as two aggregate
+    semi-join predicates — the formulation that scales (no correlated
+    per-row subquery execution; three hash aggregates + equi-joins, and
+    the supplier dimension broadcasts)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    s = load_table(spark, sf_dir, "supplier")
+    late = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .filter(
+            (F.col("o_orderstatus") == "F")
+            & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY"))
+        )
+        .select("l_orderkey", "l_suppkey")
+    )
+    sups = l.groupBy("l_orderkey").agg(F.countDistinct("l_suppkey").alias("n_sups"))
+    lsups = late.groupBy("l_orderkey").agg(F.countDistinct("l_suppkey").alias("n_late"))
+    blamed = (
+        late.join(sups, "l_orderkey")
+        .join(lsups, "l_orderkey")
+        .filter((F.col("n_sups") > 1) & (F.col("n_late") == 1))
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    return (
+        blamed.join(F.broadcast(s), blamed.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+    )
+
+
+@register(
+    "q75_important_brands",
+    """
+    WITH rev AS (
+      SELECT p.p_brand,
+             CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                           AS DECIMAL(28,4))) AS DOUBLE) AS revenue
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      GROUP BY p.p_brand)
+    SELECT p_brand, revenue FROM rev
+    WHERE revenue > (SELECT SUM(revenue) FROM rev) / 10
+    ORDER BY revenue DESC, p_brand
+    """,
+)
+def q75_important_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 pattern: brands whose revenue exceeds a tenth of global
+    revenue — the HAVING-against-scalar-subquery shape. One grouped
+    aggregate (decimal-exact sum per the determinism policy), reused for
+    both the per-brand rows and the broadcast global threshold; the part
+    dimension broadcasts into the revenue join."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    rev = (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("revenue"))
+    )
+    total = rev.agg(F.sum("revenue").alias("_t"))
+    return (
+        rev.crossJoin(F.broadcast(total))
+        .filter(F.col("revenue") > F.col("_t") / 10)
+        .select("p_brand", "revenue")
+        .orderBy(F.desc("revenue"), F.asc("p_brand"))
+    )

@@ -61,11 +61,15 @@ def pagerank(
         .unionAll(
             edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst"))
         )
+        # materialize the edge list ONCE: deg, the initial ranks, the
+        # per-iteration joins, and the final join all reference it — without
+        # this the (possibly expensive) edge-derivation pipeline upstream
+        # re-executes 3 + iterations times
+        .localCheckpoint(eager=True)
     )
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     r = deg.select(F.col("src").alias("id"), F.lit(scale).cast("bigint").alias("r"))
     ed = e.join(deg, "src").select("src", "dst", "deg")
-    ed.cache()
     for i in range(iterations):
         contrib = (
             ed.join(r, ed.src == r.id)
