@@ -943,3 +943,31 @@ def test_pagerank_rejects_negative_iterations(spark):
     edges = spark.createDataFrame([(1, 2)], "doc_a long, doc_b long")
     with pytest.raises(ValueError):
         graph.pagerank(edges, iterations=-1)
+
+
+def test_new_operator_plan_shapes(spark, docs):
+    """Exchange budgets for the session-2 operators: these plans are the
+    scale contract — a regression that adds a corpus-wide shuffle shows
+    up here, not at 100 TB."""
+    from intake_spark.llm import dedup as dd
+    from intake_spark.llm import text as tx
+
+    def exchanges(df):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        return plan.count("Exchange hashpartitioning"), plan
+
+    # signatures: mapper-only, ZERO exchanges
+    n, plan = exchanges(dd.minhash_signatures(docs, num_hashes=16))
+    assert n == 0 and "Exchange" not in plan
+    # block dedup: digest count + doc rollup (broadcast join adds none)
+    n, _ = exchanges(dd.block_dup_stats(docs))
+    assert n <= 3
+    # distinctive terms: tf agg + df agg + doc rank window; the df table
+    # must reach the join as a broadcast
+    out = tx.distinctive_terms(docs, k=3)
+    n, plan = exchanges(out)
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert n <= 4
+    # first-seen guard: band-key aggregate + join back + doc rollup
+    n, _ = exchanges(dd.near_dup_first_seen(docs))
+    assert n <= 4
