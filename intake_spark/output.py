@@ -509,3 +509,203 @@ def to_metaimage(df: DataFrame, url: str, max_bytes: int | None = 1 << 30) -> "d
         for row in df.select("offset0", "values").orderBy("offset0").toLocalIterator():
             f.write(_struct.pack(f"<{len(row['values'])}d", *row["values"]))
     return _sci.MetaImage(url=url)
+
+
+_AVRO_TYPES = {
+    "long": "long", "int": "int", "integer": "int", "bigint": "long",
+    "double": "double", "float": "float", "string": "string",
+    "boolean": "boolean", "binary": "bytes",
+}
+
+
+def _avro_zigzag(v: int) -> bytes:
+    u = (v << 1) ^ (v >> 63)
+    out = bytearray()
+    while True:
+        b = u & 0x7F
+        u >>= 7
+        if u:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _avro_encode_cell(v, kind: str) -> bytes:
+    import math as _math
+    import struct as _struct
+
+    if kind in ("long", "int"):
+        return _avro_zigzag(int(v))
+    if kind == "double":
+        return _struct.pack("<d", float(v))
+    if kind == "float":
+        return _struct.pack("<f", float(v))
+    if kind == "boolean":
+        return b"\x01" if v else b"\x00"
+    if kind == "bytes":
+        b = bytes(v)
+        return _avro_zigzag(len(b)) + b
+    e = str(v).encode("utf-8")
+    return _avro_zigzag(len(e)) + e
+
+
+def to_avro(df: DataFrame, url: str, codec: str = "deflate") -> "dt.AVRO":
+    """DataFrame → directory of Avro object container part files, written
+    DISTRIBUTED (one OCF per partition, encoded executor-side with the
+    stdlib — parity: the spark-avro jar's write path, without the jar;
+    round-trips with lakehouse.AvroOCFReader). Every column becomes a
+    ["null", T] union (Spark columns are nullable); long/int/double/
+    float/string/boolean/binary supported; ``codec``: "deflate" or
+    "null"."""
+    import json as _json
+
+    from pyspark.sql import types as T  # noqa: F401
+
+    from intake_spark.session import ensure_py_deps
+
+    if codec not in ("deflate", "null"):
+        raise ValueError("codec must be 'deflate' or 'null'")
+    kinds = []
+    for f_ in df.schema.fields:
+        simple = f_.dataType.simpleString()
+        if simple not in _AVRO_TYPES:
+            raise ValueError(
+                f"to_avro: unsupported column type {simple!r} for {f_.name!r} "
+                "(project to long/int/double/float/string/boolean/binary first)"
+            )
+        kinds.append(_AVRO_TYPES[simple])
+    names = [f_.name for f_ in df.schema.fields]
+    schema_json = _json.dumps(
+        {
+            "type": "record",
+            "name": "spark_row",
+            "fields": [
+                {"name": n, "type": ["null", k]} for n, k in zip(names, kinds)
+            ],
+        }
+    )
+    import os as _os
+
+    _os.makedirs(url, exist_ok=True)
+    ensure_py_deps(df.sparkSession)
+
+    def write_part(batches):
+        import hashlib as _hashlib
+        import os
+        import zlib as _zlib
+
+        import pandas as pd
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId() if TaskContext.get() else 0
+        rows_bytes = bytearray()
+        n_rows = 0
+        for pdf in batches:
+            for rec in pdf.itertuples(index=False):
+                for v, kind in zip(rec, kinds):
+                    if v is None or (isinstance(v, float) and v != v) or v is pd.NaT:
+                        rows_bytes += b"\x00"  # union branch 0: null
+                    else:
+                        rows_bytes += b"\x02" + _avro_encode_cell(v, kind)
+                n_rows += 1
+        if n_rows:
+            payload = bytes(rows_bytes)
+            if codec == "deflate":
+                co = _zlib.compressobj(6, _zlib.DEFLATED, -15)  # raw deflate
+                payload = co.compress(payload) + co.flush()
+            sync = _hashlib.md5(f"spark-graft-{pid}".encode()).digest()
+            meta = {
+                b"avro.schema": schema_json.encode(),
+                b"avro.codec": codec.encode(),
+            }
+            hdr = bytearray(b"Obj\x01")
+            hdr += _avro_zigzag(len(meta))
+            for k, v in meta.items():
+                hdr += _avro_zigzag(len(k)) + k + _avro_zigzag(len(v)) + v
+            hdr += b"\x00" + sync
+            blob = (
+                bytes(hdr)
+                + _avro_zigzag(n_rows)
+                + _avro_zigzag(len(payload))
+                + payload
+                + sync
+            )
+            with open(os.path.join(url, f"part-{pid:05d}.avro"), "wb") as f:
+                f.write(blob)
+        yield pd.DataFrame({"rows": [n_rows]})
+
+    written = df.mapInPandas(write_part, schema="rows long")
+    total = written.agg(F.sum("rows")).first()[0]
+    out = dt.AVRO(url=url)
+    out.metadata["rows_written"] = int(total or 0)
+    return out
+
+
+def to_msgpack(df: DataFrame, url: str) -> "object":
+    """DataFrame → directory of MessagePack part files (stream of map
+    objects, one per row), encoded DISTRIBUTED executor-side — round-trips
+    with documents.MessagePackReader. Nested/complex columns must be
+    projected to scalars first (msgpack cells are written as long/double/
+    bool/str/bytes/nil)."""
+    import os as _os
+
+    from intake_spark.session import ensure_py_deps
+
+    _os.makedirs(url, exist_ok=True)
+    names = [f_.name for f_ in df.schema.fields]
+    ensure_py_deps(df.sparkSession)
+
+    def mp_cell(v):
+        import struct as _struct
+
+        if v is None or (isinstance(v, float) and v != v):
+            return b"\xc0"
+        if isinstance(v, bool):
+            return b"\xc3" if v else b"\xc2"
+        if isinstance(v, int):
+            if 0 <= v <= 0x7F:
+                return bytes([v])
+            if -32 <= v < 0:
+                return bytes([v & 0xFF])
+            return b"\xd3" + v.to_bytes(8, "big", signed=True)
+        if isinstance(v, float):
+            return b"\xcb" + _struct.pack(">d", v)
+        if isinstance(v, (bytes, bytearray)):
+            b = bytes(v)
+            return b"\xc6" + len(b).to_bytes(4, "big") + b
+        e = str(v).encode("utf-8")
+        if len(e) <= 31:
+            return bytes([0xA0 | len(e)]) + e
+        return b"\xdb" + len(e).to_bytes(4, "big") + e
+
+    def write_part(batches):
+        import os
+
+        import pandas as pd
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId() if TaskContext.get() else 0
+        out = bytearray()
+        n = 0
+        for pdf in batches:
+            for rec in pdf.itertuples(index=False):
+                if len(names) <= 15:
+                    out.append(0x80 | len(names))
+                else:
+                    out += b"\xde" + len(names).to_bytes(2, "big")
+                for name, v in zip(names, rec):
+                    out += mp_cell(name) + mp_cell(v)
+                n += 1
+        if n:
+            with open(os.path.join(url, f"part-{pid:05d}.msgpack"), "wb") as f:
+                f.write(bytes(out))
+        yield pd.DataFrame({"rows": [n]})
+
+    written = df.mapInPandas(write_part, schema="rows long")
+    total = written.agg(F.sum("rows")).first()[0]
+    from intake_spark.documents import MessagePack
+
+    out = MessagePack(url=url)
+    out.metadata["rows_written"] = int(total or 0)
+    return out

@@ -323,3 +323,51 @@ def test_nrrd_and_metaimage_sinks_roundtrip(spark, tmp_path):
     got2 = sorted((r["offset0"], list(r["values"])) for r in back2.select("offset0", "values").collect())
     flat2 = [v for _o, vv in got2 for v in vv]
     np.testing.assert_allclose(np.array(flat2).reshape(arr.shape), arr)
+
+
+def test_avro_sink_roundtrips_with_ocf_reader(spark, tmp_path):
+    from intake_spark import output
+    from intake_spark.lakehouse import AvroOCFReader
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha", 1.5, True, bytearray(b"\x01\x02")),
+            (2, None, -2.25, False, None),
+            (3, "c" * 40, None, None, bytearray(b"")),
+        ],
+        "id long, name string, score double, ok boolean, payload binary",
+    ).repartition(2)
+    dst = str(tmp_path / "out_avro")
+    desc = output.to_avro(df, dst, codec="deflate")
+    assert desc.metadata["rows_written"] == 3
+    back = AvroOCFReader(data=desc).read(spark=spark)
+    rows = {r.id: r for r in back.collect()}
+    assert len(rows) == 3
+    assert rows[1].name == "alpha" and rows[1].ok is True
+    assert bytes(rows[1].payload) == b"\x01\x02"
+    assert rows[2].name is None and rows[2].score == -2.25
+    assert rows[3].score is None and rows[3].name == "c" * 40
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unsupported column type"):
+        output.to_avro(df.selectExpr("array(id) AS a"), str(tmp_path / "bad"))
+
+
+def test_msgpack_sink_roundtrips_with_reader(spark, tmp_path):
+    from intake_spark import output
+    from intake_spark.documents import MessagePackReader
+
+    df = spark.createDataFrame(
+        [(1, "a", 0.5, True), (70000, "b" * 40, None, None), (-7, None, 2.0, False)],
+        "id long, name string, score double, ok boolean",
+    ).repartition(2)
+    dst = str(tmp_path / "out_mp")
+    desc = output.to_msgpack(df, dst)
+    assert desc.metadata["rows_written"] == 3
+    back = MessagePackReader(data=desc).read(spark=spark)
+    rows = {r.id: r for r in back.collect()}
+    assert len(rows) == 3
+    assert rows[1].name == "a" and rows[1].ok is True
+    assert rows[70000].score is None
+    assert rows[-7].name is None and rows[-7].score == 2.0
