@@ -292,3 +292,132 @@ def test_avro_zigzag_varlong_roundtrip(values):
     raw = b"".join(_zz(v) for v in values)
     buf = _Buf(raw)
     assert [buf.varlong() for _ in values] == values
+
+
+# --- msgpack wire-format codec ------------------------------------------
+
+_mp_scalar = st.one_of(
+    st.none(),
+    st.booleans(),
+    st.integers(min_value=-(2**63), max_value=2**63 - 1),
+    st.floats(allow_nan=False, allow_infinity=False),
+    st.text(max_size=80),
+    st.binary(max_size=40),
+)
+_mp_value = st.recursive(
+    _mp_scalar,
+    lambda children: st.one_of(
+        st.lists(children, max_size=5),
+        st.dictionaries(st.text(max_size=10), children, max_size=5),
+    ),
+    max_leaves=12,
+)
+
+
+def _mp_encode(obj) -> bytes:
+    """Independent spec-built encoder (NOT the reader's code path)."""
+    import struct
+
+    if obj is None:
+        return b"\xc0"
+    if obj is True:
+        return b"\xc3"
+    if obj is False:
+        return b"\xc2"
+    if isinstance(obj, int):
+        if 0 <= obj <= 0x7F:
+            return bytes([obj])
+        if -32 <= obj < 0:
+            return bytes([obj & 0xFF])
+        if obj >= 0:
+            if obj <= 0xFF:
+                return b"\xcc" + bytes([obj])
+            if obj <= 0xFFFF:
+                return b"\xcd" + obj.to_bytes(2, "big")
+            if obj <= 0xFFFFFFFF:
+                return b"\xce" + obj.to_bytes(4, "big")
+            return b"\xcf" + obj.to_bytes(8, "big")
+        if obj >= -(2**7):
+            return b"\xd0" + obj.to_bytes(1, "big", signed=True)
+        if obj >= -(2**15):
+            return b"\xd1" + obj.to_bytes(2, "big", signed=True)
+        if obj >= -(2**31):
+            return b"\xd2" + obj.to_bytes(4, "big", signed=True)
+        return b"\xd3" + obj.to_bytes(8, "big", signed=True)
+    if isinstance(obj, float):
+        return b"\xcb" + struct.pack(">d", obj)
+    if isinstance(obj, bytes):
+        n = len(obj)
+        if n <= 0xFF:
+            return b"\xc4" + bytes([n]) + obj
+        return b"\xc5" + n.to_bytes(2, "big") + obj
+    if isinstance(obj, str):
+        e = obj.encode("utf-8")
+        n = len(e)
+        if n <= 31:
+            return bytes([0xA0 | n]) + e
+        if n <= 0xFF:
+            return b"\xd9" + bytes([n]) + e
+        return b"\xda" + n.to_bytes(2, "big") + e
+    if isinstance(obj, list):
+        n = len(obj)
+        head = bytes([0x90 | n]) if n <= 15 else b"\xdc" + n.to_bytes(2, "big")
+        return head + b"".join(_mp_encode(x) for x in obj)
+    if isinstance(obj, dict):
+        n = len(obj)
+        head = bytes([0x80 | n]) if n <= 15 else b"\xde" + n.to_bytes(2, "big")
+        return head + b"".join(_mp_encode(k) + _mp_encode(v) for k, v in obj.items())
+    raise TypeError(type(obj))
+
+
+@given(st.lists(_mp_value, min_size=1, max_size=6))
+def test_msgpack_decoder_roundtrip(objs):
+    from intake_spark.documents import _mp_decode
+
+    blob = b"".join(_mp_encode(o) for o in objs)
+    pos = 0
+    got = []
+    while pos < len(blob):
+        v, pos = _mp_decode(blob, pos)
+        got.append(v)
+    assert got == objs
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=-(2**62), max_value=2**62),
+            st.one_of(st.none(), st.floats(allow_nan=False, allow_infinity=False)),
+            st.one_of(st.none(), st.text(max_size=30)),
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+@settings(max_examples=15, deadline=None)
+def test_avro_cell_encoding_matches_reader(rows):
+    """Sink-side zigzag/double/string encoding decodes bit-exactly through
+    the OCF reader's record decoder."""
+    from intake_spark.lakehouse import _Buf, _avro_decode
+    from intake_spark.output import _avro_encode_cell, _avro_zigzag
+
+    schema = {
+        "type": "record",
+        "name": "r",
+        "fields": [
+            {"name": "a", "type": ["null", "long"]},
+            {"name": "b", "type": ["null", "double"]},
+            {"name": "c", "type": ["null", "string"]},
+        ],
+    }
+    blob = bytearray()
+    for a, b, c in rows:
+        blob += b"\x02" + _avro_zigzag(a)
+        blob += b"\x00" if b is None else b"\x02" + _avro_encode_cell(b, "double")
+        blob += b"\x00" if c is None else b"\x02" + _avro_encode_cell(c, "string")
+    buf = _Buf(bytes(blob))
+    for a, b, c in rows:
+        rec = _avro_decode(buf, schema, {})
+        assert rec["a"] == a
+        assert rec["b"] == b or (rec["b"] is not None and rec["b"] == b)
+        assert rec["c"] == c
