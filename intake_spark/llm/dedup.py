@@ -221,8 +221,16 @@ def lsh_candidate_pairs(
     docs agreeing on *any* full band become candidates. Implemented as
     explode-to-(band_id, band_key) + self-equi-join — a plain shuffle join on
     a compact key, the scalable formulation (no all-pairs comparison).
+
+    The banded table is checkpointed before the self-join: signatures are
+    now mapper-only (no Exchange), so without a materialization point both
+    join branches would re-execute the whole text→shingle→md5 signature
+    pipeline (the old groupBy formulation got this reuse for free from its
+    shuffle — measured 0.7 s of the q32 pipeline at sf0.1).
     """
-    banded = minhash_band_keys(sig_df, id_col, num_hashes, bands)
+    banded = minhash_band_keys(sig_df, id_col, num_hashes, bands).localCheckpoint(
+        eager=False
+    )
     a = banded.select(F.col(id_col).alias("doc_a"), "band_id", "band_key")
     b = banded.select(F.col(id_col).alias("doc_b"), "band_id", "band_key")
     return (
@@ -313,7 +321,10 @@ def near_dup_first_seen(
         id_col,
         num_hashes,
         bands,
-    )
+        # referenced by both the firsts aggregate and the join-back:
+        # materialize the compact (id, band) table once instead of running
+        # the mapper signature pipeline twice
+    ).localCheckpoint(eager=False)
     firsts = banded.groupBy("band_id", "band_key").agg(
         F.min(id_col).alias("_first")
     )
