@@ -1026,3 +1026,128 @@ def q75_important_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p_brand", "revenue")
         .orderBy(F.desc("revenue"), F.asc("p_brand"))
     )
+
+
+@register(
+    "q76_event_deltas",
+    """
+    WITH s AS (
+      SELECT user_id, ts,
+             LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      FROM events)
+    SELECT user_id, COUNT(*) AS n_events,
+           CAST(COUNT(prev) AS BIGINT) AS n_gaps,
+           CAST(SUM(date_diff('microsecond', prev, ts)) AS BIGINT) AS sum_gap_us,
+           ROUND(CAST(SUM(date_diff('microsecond', prev, ts)) AS DOUBLE)
+                 / COUNT(prev) / 1000000.0, 6) AS avg_gap_s_r
+    FROM s GROUP BY user_id
+    """,
+)
+def q76_event_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival analysis per user: lag window over (ts, event_id)
+    total order, exact microsecond gap sums (BIGINT), one rounded IEEE
+    division for the mean. One exchange on the user key; the window
+    ranks per-partition."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = ev.withColumn("prev", F.lag("ts").over(w)).withColumn(
+        "gap_us", F.expr("timestampdiff(MICROSECOND, prev, ts)")
+    )
+    return gaps.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count("prev").cast("bigint").alias("n_gaps"),
+        F.sum("gap_us").cast("bigint").alias("sum_gap_us"),
+        F.round(
+            F.sum("gap_us").cast("double") / F.count("prev") / F.lit(1000000.0), 6
+        ).alias("avg_gap_s_r"),
+    )
+
+
+@register(
+    "q77_funnel",
+    """
+    WITH v AS (SELECT user_id, MIN(ts) AS t0 FROM events
+               WHERE event_type = 'view' GROUP BY user_id),
+    c AS (SELECT e.user_id, MIN(e.ts) AS t1 FROM events e JOIN v USING (user_id)
+          WHERE e.event_type = 'click' AND e.ts > v.t0 GROUP BY e.user_id),
+    p AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e JOIN c USING (user_id)
+          WHERE e.event_type = 'purchase' AND e.ts > c.t1 GROUP BY e.user_id)
+    SELECT (SELECT COUNT(*) FROM v) AS n_view,
+           (SELECT COUNT(*) FROM c) AS n_click_after,
+           (SELECT COUNT(*) FROM p) AS n_purchase_after,
+           ROUND(CAST((SELECT COUNT(*) FROM c) AS DOUBLE)
+                 / (SELECT COUNT(*) FROM v), 6) AS click_rate_r,
+           ROUND(CAST((SELECT COUNT(*) FROM p) AS DOUBLE)
+                 / (SELECT COUNT(*) FROM c), 6) AS purchase_rate_r
+    """,
+)
+def q77_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered view→click→purchase funnel: each stage is the first
+    qualifying event strictly AFTER the previous stage's timestamp —
+    three aggregates chained by broadcast-joined stage tables, no
+    correlated per-row subqueries."""
+    ev = load_table(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t0"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(F.broadcast(v), "user_id")
+        .filter(F.col("ts") > F.col("t0"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(c), "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    counts = [df.agg(F.count(F.lit(1)).alias(n)) for df, n in ((v, "n_view"), (c, "n_click_after"), (p, "n_purchase_after"))]
+    row = counts[0].crossJoin(counts[1]).crossJoin(counts[2])
+    return row.select(
+        "n_view",
+        "n_click_after",
+        "n_purchase_after",
+        F.round(F.col("n_click_after").cast("double") / F.col("n_view"), 6).alias("click_rate_r"),
+        F.round(F.col("n_purchase_after").cast("double") / F.col("n_click_after"), 6).alias("purchase_rate_r"),
+    )
+
+
+@register(
+    "q78_retention_cohort",
+    """
+    WITH f AS (SELECT user_id, MIN(CAST(ts AS DATE)) AS d0 FROM events
+               GROUP BY user_id),
+    a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events)
+    SELECT CAST(f.d0 AS VARCHAR) AS cohort_day,
+           CAST(date_diff('day', f.d0, a.d) AS BIGINT) AS offset_days,
+           COUNT(*) AS n_users
+    FROM a JOIN f USING (user_id)
+    GROUP BY f.d0, date_diff('day', f.d0, a.d)
+    ORDER BY cohort_day, offset_days
+    """,
+)
+def q78_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention triangle: users bucketed by first-activity day, counted
+    per (cohort, day-offset) — the standard engagement report. Two
+    aggregates (first-day, distinct active days) joined on the user key;
+    the cohort day casts to string so the cross-engine compare is
+    dtype-stable."""
+    ev = load_table(spark, sf_dir, "events")
+    f = ev.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("d0"))
+    a = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    return (
+        a.join(f, "user_id")
+        .groupBy("d0", F.datediff("d", "d0").alias("offset_days"))
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .select(
+            F.col("d0").cast("string").alias("cohort_day"),
+            F.col("offset_days").cast("bigint").alias("offset_days"),
+            "n_users",
+        )
+        .orderBy("cohort_day", "offset_days")
+    )
