@@ -1190,3 +1190,59 @@ def q72_dup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     edges = dedup.jaccard_pairs(docs, threshold=0.5, max_shingle_df=Q22_MAX_SHINGLE_DF)
     return graph.pagerank(edges, iterations=_Q72_ITERS)
+
+
+@register(
+    "q79_centroid_similarity",
+    """
+    WITH cent AS (
+      SELECT label, i - 1 AS dim,
+             CAST(SUM(CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000000000.0)
+                           AS BIGINT)) AS DOUBLE)
+               / COUNT(*) / 1000000000.0 AS c
+      FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS t(i)
+      GROUP BY label, dim),
+    pairs AS (
+      SELECT a.label AS label_a, b.label AS label_b,
+             SUM(CAST(FLOOR(a.c * b.c * 1000000000000.0) AS BIGINT)) AS dot,
+             SUM(CAST(FLOOR(a.c * a.c * 1000000000000.0) AS BIGINT)) AS na,
+             SUM(CAST(FLOOR(b.c * b.c * 1000000000000.0) AS BIGINT)) AS nb
+      FROM cent a JOIN cent b ON a.dim = b.dim AND a.label < b.label
+      GROUP BY 1, 2)
+    SELECT label_a, label_b,
+           ROUND(dot / (SQRT(CAST(na AS DOUBLE)) * SQRT(CAST(nb AS DOUBLE))), 6)
+             AS cos_r
+    FROM pairs ORDER BY label_a, label_b
+    """,
+)
+def q79_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-separation matrix: cosine between every pair of label
+    centroids, exact across engines (fixed-point products → integer sums
+    → one IEEE sqrt/divide). The corpus enters only through the centroid
+    aggregate; the pair join is labels²·dims."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.centroid_similarity(emb)
+
+
+@register(
+    "q80_norm_profile",
+    """
+    WITH sq AS (
+      SELECT label,
+             (SELECT CAST(SUM(CAST(FLOOR(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+                                         * 1000000000.0) AS BIGINT)) AS BIGINT)
+              FROM UNNEST(embedding) AS u(x)) AS s
+      FROM embeddings)
+    SELECT label, COUNT(*) AS n_vecs,
+           ROUND(quantile_cont(s, 0.25) / 1000000000.0, 6) AS q1_r,
+           ROUND(quantile_cont(s, 0.5) / 1000000000.0, 6) AS median_r,
+           ROUND(quantile_cont(s, 0.75) / 1000000000.0, 6) AS q3_r
+    FROM sq GROUP BY label ORDER BY label
+    """,
+)
+def q80_norm_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label squared-norm quartiles — the drift/outlier check before
+    cosine ops. Exact: in-row fixed-point squared norms (BIGINT), exact
+    percentile ≡ quantile_cont, 1e-6 rounding."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.norm_profile(emb)

@@ -386,3 +386,71 @@ def quantize_embeddings(
     )
     keep = list(id_cols) if id_cols else [c for c in df.columns if c != vec_col]
     return out.select(*keep, "scale", qvec.alias("qvec"))
+
+
+def centroid_similarity(
+    df: DataFrame, label_col: str = "label", vec_col: str = "embedding"
+) -> DataFrame:
+    """Pairwise cosine between label centroids — the cluster-separation
+    dashboard (labels whose centroids are near-parallel are candidates
+    for merging or signal that the embedding space doesn't separate
+    them). Output: (label_a, label_b, cos_r) for label_a < label_b.
+
+    Cross-engine exact: centroids come from the fixed-point mean
+    (label_centroids); dot and squared norms fix-point each product at
+    1e-12 before an integer sum (associative → partitioning-independent),
+    and the final cosine is one IEEE sqrt+multiply+divide — sqrt is
+    correctly rounded in IEEE-754, so both engines produce the same bits.
+    Label count is small: the (label, dim) centroid table broadcasts, and
+    the pair join is label²·dim rows — trivial at any corpus size (the
+    corpus only enters through the centroid aggregate)."""
+    cents = label_centroids(df, label_col, vec_col)
+    a = cents.select(
+        F.col(label_col).alias("label_a"), "dim", F.col("centroid").alias("ca")
+    )
+    b = cents.select(
+        F.col(label_col).alias("label_b"), "dim", F.col("centroid").alias("cb")
+    )
+    pairs = a.join(F.broadcast(b), "dim").filter(F.col("label_a") < F.col("label_b"))
+    fx = lambda c: F.floor(c * F.lit(1e12)).cast("bigint")  # noqa: E731
+    agg = pairs.groupBy("label_a", "label_b").agg(
+        F.sum(fx(F.col("ca") * F.col("cb"))).alias("_dot"),
+        F.sum(fx(F.col("ca") * F.col("ca"))).alias("_na"),
+        F.sum(fx(F.col("cb") * F.col("cb"))).alias("_nb"),
+    )
+    cos = F.col("_dot") / (
+        F.sqrt(F.col("_na").cast("double")) * F.sqrt(F.col("_nb").cast("double"))
+    )
+    return agg.select(
+        "label_a", "label_b", F.round(cos, 6).alias("cos_r")
+    ).orderBy("label_a", "label_b")
+
+
+def norm_profile(
+    df: DataFrame, label_col: str = "label", vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-label embedding-norm profile: (label, n_vecs, q1_r, median_r,
+    q3_r) over the fixed-point squared norm — the drift/outlier check run
+    before any cosine-based op (un-normalized batches corrupt dot-product
+    ranking silently). Squared norms are exact BIGINTs (1e-9 fixed point
+    per element product summed in-row), quartiles via the exact
+    ``percentile`` aggregate (≡ DuckDB quantile_cont), reported at 1e-6.
+    Mapper + one partial-combining aggregate."""
+    sq = F.expr(
+        f"aggregate(transform(CAST({vec_col} AS ARRAY<DOUBLE>), "
+        "x -> CAST(FLOOR(x * x * 1000000000.0) AS BIGINT)), 0L, (s, v) -> s + v)"
+    )
+    rows = df.select(F.col(label_col), sq.alias("_sq"))
+    pct = lambda p: F.round(  # noqa: E731
+        F.expr(f"percentile(_sq, {p})") / F.lit(1e9), 6
+    )
+    return (
+        rows.groupBy(label_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            pct(0.25).alias("q1_r"),
+            pct(0.5).alias("median_r"),
+            pct(0.75).alias("q3_r"),
+        )
+        .orderBy(label_col)
+    )
