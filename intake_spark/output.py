@@ -659,6 +659,10 @@ def to_msgpack(df: DataFrame, url: str) -> "object":
     def mp_cell(v):
         import struct as _struct
 
+        if v is not None and type(v).__module__ == "numpy":
+            # numpy scalars are NOT instances of bool/int/float — unbox,
+            # or a non-null bool/int column silently encodes as strings
+            v = v.item()
         if v is None or (isinstance(v, float) and v != v):
             return b"\xc0"
         if isinstance(v, bool):

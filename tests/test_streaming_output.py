@@ -371,3 +371,21 @@ def test_msgpack_sink_roundtrips_with_reader(spark, tmp_path):
     assert rows[1].name == "a" and rows[1].ok is True
     assert rows[70000].score is None
     assert rows[-7].name is None and rows[-7].score == 2.0
+
+
+def test_msgpack_sink_nonnull_numpy_dtypes(spark, tmp_path):
+    """Non-null bool/long columns arrive as numpy scalars in the encode
+    path — they must encode as msgpack bool/int, not stringify."""
+    from intake_spark import output
+    from intake_spark.documents import MessagePack, MessagePackReader
+
+    df = spark.createDataFrame(
+        [(1, True, 7), (2, False, -3)], "id long, ok boolean, n long"
+    ).coalesce(1)
+    dst = str(tmp_path / "np_mp")
+    output.to_msgpack(df, dst)
+    back = MessagePackReader(data=MessagePack(url=dst)).read(spark=spark)
+    rows = {r.id: r for r in back.collect()}
+    assert rows[1].ok is True and rows[2].ok is False
+    assert rows[1].n == 7 and rows[2].n == -3
+    assert dict(back.dtypes)["ok"] == "boolean" and dict(back.dtypes)["n"] == "bigint"
