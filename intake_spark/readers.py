@@ -854,3 +854,82 @@ def huggingface_hub_catalog(
             continue
         cat[ds_id] = HuggingfaceReader(data=HuggingfaceDataset(ds_id, split=split))
     return cat
+
+
+class DuckDBFile(dt.FileData):
+    """A DuckDB database file (parity: DuckDB/DuckSQL family,
+    /root/reference/intake/readers/readers.py)."""
+
+    filepattern = r"(duckdb|ddb)$"
+    magic = ((8, b"DUCK"),)  # main-header magic at offset 8
+    structure = {"table"}
+
+
+class DuckDBReader(BaseReader):
+    """DuckDB file → DataFrame via Arrow record batches (the duckdb
+    package ships in this stack — same engine the correctness oracle
+    uses). ``table=`` or ``query=``; results stream driver-side in Arrow
+    batches (``fetch_record_batch``) so only one batch is in memory at a
+    time, then parallelize to executors. DuckDB files are single-writer
+    database files, not a splittable lake format — for distributed scans
+    export to parquet (``to_parquet``) and read that; this reader is the
+    catalog/ingest edge."""
+
+    implements = {DuckDBFile}
+    imports = {"duckdb"}
+
+    def _read(self, spark, table: str | None = None, query: str | None = None,
+              batch_rows: int = 65536, **kwargs):
+        import duckdb
+
+        con = duckdb.connect(self.data.url, read_only=True)
+        try:
+            tables = [r[0] for r in con.execute("SHOW TABLES").fetchall()]
+            self.data.metadata["tables"] = tables
+            if query is None:
+                if table is None:
+                    if not tables:
+                        raise ValueError(f"no tables in {self.data.url}")
+                    table = tables[0]
+                if table not in tables:
+                    raise KeyError(f"table {table!r} not in {tables}")
+                qtable = table.replace('"', '""')
+                query = f'SELECT * FROM "{qtable}"'
+            reader = con.execute(query).fetch_record_batch(batch_rows)
+            import pandas as pd
+
+            parts = []
+            while True:
+                try:
+                    batch = reader.read_next_batch()
+                except StopIteration:
+                    break
+                parts.append(spark.createDataFrame(batch.to_pandas()))
+            if not parts:
+                import pyarrow as pa
+
+                empty = pa.Table.from_batches([], schema=reader.schema)
+                return spark.createDataFrame(empty.to_pandas())
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.unionByName(p)
+            return out
+        finally:
+            con.close()
+
+
+def duckdb_catalog(url: str) -> "object":
+    """Every table of a DuckDB database file as a Catalog entry."""
+    import duckdb
+
+    from intake_spark.catalog import Catalog
+
+    con = duckdb.connect(url, read_only=True)
+    try:
+        tables = [r[0] for r in con.execute("SHOW TABLES").fetchall()]
+    finally:
+        con.close()
+    cat = Catalog(metadata={"url": url, "kind": "duckdb"})
+    for t in tables:
+        cat[t] = DuckDBReader(data=DuckDBFile(url=url), table=t)
+    return cat

@@ -961,3 +961,30 @@ def test_huggingface_hub_catalog_mocked(spark, tmp_path):
     rdr = cat["org/ds-a"]
     out = rdr.read(spark=spark, resolver=lambda name, split: [shard])
     assert out.count() == 5
+
+
+def test_duckdb_file_reader_and_catalog(spark, tmp_path):
+    import duckdb
+
+    from intake_spark.datatypes import recommend
+    from intake_spark.readers import DuckDBFile, DuckDBReader, duckdb_catalog
+
+    p = str(tmp_path / "db.duckdb")
+    con = duckdb.connect(p)
+    con.execute("CREATE TABLE t1 AS SELECT range AS i, range * 0.5 AS v FROM range(100)")
+    con.execute("CREATE TABLE t2 AS SELECT 'x' AS s")
+    con.close()
+
+    rdr = DuckDBReader(data=DuckDBFile(url=p))
+    df = rdr.read(spark=spark, table="t1", batch_rows=30)  # several batches
+    assert df.count() == 100
+    assert df.filter("i = 42").collect()[0].v == 21.0
+    assert sorted(rdr.data.metadata["tables"]) == ["t1", "t2"]
+    q = rdr.read(spark=spark, query="SELECT SUM(i) AS s FROM t1")
+    assert q.collect()[0].s == 4950
+    cat = duckdb_catalog(p)
+    assert sorted(cat) == ["t1", "t2"]
+    assert cat["t2"].read(spark=spark).collect()[0].s == "x"
+    kinds = [c.__name__ if isinstance(c, type) else type(c).__name__
+             for c in recommend(p)]
+    assert "DuckDBFile" in kinds
