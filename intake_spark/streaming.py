@@ -349,3 +349,32 @@ def run_stream_to_memory(
 def stream_file_source_demo(spark: SparkSession, src_dir: str, schema) -> DataFrame:
     """File-watch stream over a directory of parquet (used by tests)."""
     return FileStream(data=dt.Parquet(url=src_dir)).read(spark=spark, schema=schema)
+
+
+def stream_to_parquet(
+    stream_df: DataFrame,
+    path: str,
+    checkpoint: str,
+    partition_by: list[str] | None = None,
+    available_now: bool = True,
+    timeout_s: float | None = None,
+):
+    """Streaming DataFrame → partitioned parquet with exactly-once
+    semantics: the checkpoint directory carries the source offsets + file
+    manifest, so a crashed/restarted query resumes without duplicating or
+    dropping data — the durable landing-zone sink of an ingestion
+    pipeline (memory sinks are test harnesses; this is the production
+    edge). ``available_now`` drains everything currently available then
+    stops (backfill/batch-catchup mode); otherwise the query keeps
+    running and the caller owns the handle."""
+    w = stream_df.writeStream.format("parquet").option("path", path).option(
+        "checkpointLocation", checkpoint
+    )
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    if available_now:
+        q = w.trigger(availableNow=True).start()
+        q.awaitTermination(timeout_s if timeout_s is not None else 300)
+        q.stop()
+        return q
+    return w.start()

@@ -185,3 +185,24 @@ def test_stream_near_dup_flags_matches_batch(spark, tmp_path):
     pol = {r.doc_id: r.is_dup for r in near_dup_first_seen(batch).collect()}
     assert flags == pol
     assert pol[10] == 1 and pol[1] == 0
+
+
+def test_stream_to_parquet_exactly_once(spark, events_src, tmp_path):
+    """availableNow drain lands every row once; a SECOND run with the same
+    checkpoint sees no new offsets and writes nothing new."""
+    from intake_spark.streaming import stream_to_parquet
+
+    batch = spark.read.parquet(events_src)
+    stream = FileStream(data=dt.Parquet(url=events_src)).read(
+        spark=spark, schema=batch.schema, max_files_per_trigger=2
+    )
+    dst, ckpt = str(tmp_path / "landed"), str(tmp_path / "ckpt")
+    stream_to_parquet(stream, dst, ckpt)
+    landed = spark.read.parquet(dst)
+    assert landed.count() == batch.count()
+    # idempotent restart: same checkpoint, no duplication
+    stream2 = FileStream(data=dt.Parquet(url=events_src)).read(
+        spark=spark, schema=batch.schema, max_files_per_trigger=2
+    )
+    stream_to_parquet(stream2, dst, ckpt)
+    assert spark.read.parquet(dst).count() == batch.count()
