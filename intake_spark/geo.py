@@ -1229,8 +1229,10 @@ class GeoParquet(dt.FileData):
     Same container as dt.Parquet — construct explicitly (recommend keeps
     plain .parquet mapped to the native reader)."""
 
+    # filepattern only — no PAR1 magic: generic .parquet files must keep
+    # resolving to dt.Parquet; GeoParquet claims just the explicit
+    # extensions (or explicit construction)
     filepattern = r"(geo\.parquet|geoparquet)$"
-    magic = (b"PAR1",)
     structure = {"table", "geo"}
 
 
