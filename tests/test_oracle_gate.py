@@ -77,3 +77,33 @@ def test_entry_smoke(spark):
     df = entry_mod.entry(spark)
     rows = df.collect()
     assert len(rows) >= 0 and len(df.schema) > 0
+
+
+def test_no_row_udfs_and_sanctioned_cartesians_only(spark):
+    """Whole-registry plan audit: no query may contain a row-at-a-time
+    Python UDF stage (BatchEvalPython), and cartesian/broadcast-nested-
+    loop joins appear ONLY where they are the design (brute-force oracle
+    algorithms and single-row broadcast scalars)."""
+    from intake_spark.benchqueries import get_queries
+
+    # q25/q45: brute-force similarity IS the oracle algorithm (guarded);
+    # q63/q64/q75/q77: single-row broadcast scalar thresholds/vocabularies
+    sanctioned = {
+        "q25_knn_bruteforce",
+        "q45_embedding_near_dup",
+        "q63_vocab_coverage",
+        "q64_token_probability",
+        "q75_important_brands",
+        "q77_funnel",
+    }
+    offenders_udf, offenders_cart = [], []
+    for name, fn in get_queries().items():
+        plan = fn(spark, SF_MEDIUM)._jdf.queryExecution().executedPlan().toString()
+        if "BatchEvalPython" in plan:
+            offenders_udf.append(name)
+        if (
+            "CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan
+        ) and name not in sanctioned:
+            offenders_cart.append(name)
+    assert not offenders_udf, f"row-at-a-time Python UDF in: {offenders_udf}"
+    assert not offenders_cart, f"unsanctioned cartesian join in: {offenders_cart}"
