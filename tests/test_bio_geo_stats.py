@@ -1047,3 +1047,72 @@ def test_osm_pbf_ways_and_relations(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="elements"):
         rdr.read(spark=spark, elements="bogus")
+
+
+def _make_trr(frames, real=4, velocities=True):
+    """Spec-built TRR: magic 1993, GMX_trn_file tag, 13-int header,
+    box + positions (+ velocities) blocks at the chosen precision."""
+    import struct as st
+
+    rfmt = ">d" if real == 8 else ">f"
+    out = b""
+    for fi, (step, time, xyz, vel) in enumerate(frames):
+        n = len(xyz)
+        box_size = 9 * real
+        x_size = 3 * n * real
+        v_size = 3 * n * real if velocities else 0
+        out += st.pack(">i", 1993)
+        out += st.pack(">ii", 13, 12) + b"GMX_trn_file"
+        out += st.pack(
+            ">13i", 0, 0, box_size, 0, 0, 0, 0, x_size, v_size, 0, n, step, 0
+        )
+        out += st.pack(rfmt, time) * 1 + st.pack(rfmt, 0.0)
+        for v in [0.0] * 9:
+            out += st.pack(rfmt, v)
+        for atom in xyz:
+            for c in atom:
+                out += st.pack(rfmt, c)
+        if velocities:
+            for atom in vel:
+                for c in atom:
+                    out += st.pack(rfmt, c)
+    return out
+
+
+@pytest.mark.parametrize("real", [4, 8])
+def test_trr_reader_roundtrip(spark, tmp_path, real):
+    from intake_spark.bio import TRR, TRRReader
+    from intake_spark.datatypes import recommend
+
+    frames = [
+        (10 * f, 2.0 * f,
+         [(f + 0.125, 0.25, 0.5), (1.0, f + 0.75, 2.0)],
+         [(0.5, 0.5, 0.5), (f + 0.0, 1.0, -1.0)])
+        for f in range(3)
+    ]
+    p = tmp_path / f"t{real}.trr"
+    p.write_bytes(_make_trr(frames, real=real))
+    rows = TRRReader(data=TRR(url=str(p))).read(spark=spark).collect()
+    assert len(rows) == 6
+    by = {(r.frame, r.atom): r for r in rows}
+    tol = 1e-12 if real == 8 else 1e-6
+    assert abs(by[(2, 0)].x - 2.125) < tol
+    assert abs(by[(1, 1)].y - 1.75) < tol
+    assert abs(by[(2, 1)].vx - 2.0) < tol
+    assert by[(1, 0)].step == 10 and abs(by[(1, 0)].time_ps - 2.0) < tol
+    kinds = [c.__name__ if isinstance(c, type) else type(c).__name__
+             for c in recommend(str(p))]
+    assert "TRR" in kinds
+
+
+def test_trr_no_velocities_null_and_stride(spark, tmp_path):
+    from intake_spark.bio import TRR, TRRReader
+
+    frames = [(f, float(f), [(0.1, 0.2, 0.3)], None) for f in range(4)]
+    p = tmp_path / "nv.trr"
+    p.write_bytes(_make_trr(frames, velocities=False))
+    df = TRRReader(data=TRR(url=str(p))).read(spark=spark, frame_stride=2)
+    rows = df.collect()
+    assert sorted({r.frame for r in rows}) == [0, 2]
+    # absent velocity/force blocks surface as nulls, present positions don't
+    assert all(r.vx is None and r.fz is None and r.x is not None for r in rows)
