@@ -193,3 +193,55 @@ def inspect_dataset(
         except Exception as exc:  # try next candidate (inspect.py:1092-1162)
             report.setdefault("errors", []).append(f"{cls.__name__}: {exc}")
     return report
+
+
+def parquet_layout(spark, url: str) -> "object":
+    """Parquet physical-layout report: one row per (file, row group,
+    column) with sizes, encodings, and min/max statistics — the data that
+    decides whether predicate pushdown and row-group pruning can work
+    (columns written without stats can't prune; tiny row groups waste
+    scan setup; huge ones defeat skipping). Footer metadata only — no
+    data pages are read, so this inspects a 100 TB lake as fast as it
+    lists files."""
+    import glob as _glob
+    import os as _os
+
+    import pyarrow.parquet as pq
+
+    if _os.path.isdir(url):
+        paths = sorted(
+            _glob.glob(_os.path.join(url, "**", "*.parquet"), recursive=True)
+        )
+    else:
+        paths = sorted(p for p in _glob.glob(url) if _os.path.isfile(p)) or [url]
+    rows = []
+    for path in paths:
+        meta = pq.ParquetFile(path).metadata
+        for rg in range(meta.num_row_groups):
+            g = meta.row_group(rg)
+            for ci in range(g.num_columns):
+                c = g.column(ci)
+                st = c.statistics
+                rows.append(
+                    {
+                        "file": _os.path.basename(path),
+                        "row_group": rg,
+                        "n_rows": g.num_rows,
+                        "column": c.path_in_schema,
+                        "compression": str(c.compression),
+                        "encodings": ",".join(sorted(set(c.encodings))),
+                        "compressed_bytes": c.total_compressed_size,
+                        "uncompressed_bytes": c.total_uncompressed_size,
+                        "has_stats": st is not None,
+                        "null_count": int(st.null_count) if st is not None and st.null_count is not None else None,
+                        "stat_min": str(st.min) if st is not None and st.has_min_max else None,
+                        "stat_max": str(st.max) if st is not None and st.has_min_max else None,
+                    }
+                )
+    schema = (
+        "file string, row_group int, n_rows long, column string, "
+        "compression string, encodings string, compressed_bytes long, "
+        "uncompressed_bytes long, has_stats boolean, null_count long, "
+        "stat_min string, stat_max string"
+    )
+    return spark.createDataFrame(rows, schema)

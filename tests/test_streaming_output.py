@@ -389,3 +389,18 @@ def test_msgpack_sink_nonnull_numpy_dtypes(spark, tmp_path):
     assert rows[1].ok is True and rows[2].ok is False
     assert rows[1].n == 7 and rows[2].n == -3
     assert dict(back.dtypes)["ok"] == "boolean" and dict(back.dtypes)["n"] == "bigint"
+
+
+def test_parquet_layout_report(spark):
+    from intake_spark.inspection import parquet_layout
+
+    rep = parquet_layout(spark, f"{SF_SMALL}/lineitem.parquet")
+    rows = rep.collect()
+    cols = {r.column for r in rows}
+    assert "l_orderkey" in cols and "l_shipdate" in cols
+    ok = [r for r in rows if r.column == "l_orderkey"]
+    assert all(r.has_stats for r in ok)
+    # min/max present -> row-group pruning viable on the sort-ish key
+    assert all(r.stat_min is not None and int(r.stat_min) >= 0 for r in ok)
+    assert sum(r.n_rows for r in ok) >= 6000 / len({r.row_group for r in ok})
+    assert all(r.compressed_bytes > 0 for r in rows)
