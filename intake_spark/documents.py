@@ -1025,3 +1025,277 @@ class MessagePackReader(BaseReader):
                     yield pd.DataFrame(data)
 
         return files.select("path", "content").mapInPandas(parse, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# Legacy Excel .xls — OLE2/CFB container + BIFF8 records, stdlib-only
+# (parity: PandasExcel's xlrd path, reference readers.py:319; the public
+# [MS-CFB] and [MS-XLS] layouts are implemented directly).
+# ---------------------------------------------------------------------------
+
+
+class XLS(dt.FileData):
+    filepattern = r"xls$"
+    magic = (b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1",)
+    structure = {"table"}
+
+
+_CFB_END = 0xFFFFFFFE  # ENDOFCHAIN
+_CFB_FREE = 0xFFFFFFFF
+
+
+def _cfb_streams(data: bytes) -> dict[str, bytes]:
+    """[MS-CFB] compound file → {stream name: bytes}. Regular FAT chains
+    for streams >= the mini cutoff, miniFAT chains inside the root's mini
+    stream below it; DIFAT continuation sectors supported."""
+    import struct as _s
+
+    if data[:8] != b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1":
+        raise ValueError("not an OLE2 compound file")
+    (shift,) = _s.unpack_from("<H", data, 30)
+    ssz = 1 << shift
+    (n_fat,) = _s.unpack_from("<I", data, 44)
+    (first_dir,) = _s.unpack_from("<I", data, 48)
+    (cutoff,) = _s.unpack_from("<I", data, 56)
+    (first_minifat,) = _s.unpack_from("<I", data, 60)
+    (first_difat,) = _s.unpack_from("<I", data, 68)
+    (n_difat,) = _s.unpack_from("<I", data, 72)
+
+    def sector(n: int) -> bytes:
+        off = 512 + n * ssz
+        return data[off : off + ssz]
+
+    difat = list(_s.unpack_from("<109I", data, 76))
+    nxt = first_difat
+    for _ in range(n_difat):
+        raw = sector(nxt)
+        vals = _s.unpack(f"<{ssz // 4}I", raw)
+        difat.extend(vals[:-1])
+        nxt = vals[-1]
+        if nxt in (_CFB_END, _CFB_FREE):
+            break
+    fat_sectors = [d for d in difat[:n_fat] if d not in (_CFB_END, _CFB_FREE)]
+    fat_raw = b"".join(sector(n) for n in fat_sectors)
+    fat = _s.unpack(f"<{len(fat_raw) // 4}I", fat_raw)
+
+    def chain(start: int, table) -> bytes:
+        out, n, hops = [], start, 0
+        while n not in (_CFB_END, _CFB_FREE) and n < len(table):
+            out.append(n)
+            n = table[n]
+            hops += 1
+            if hops > len(table) + 1:
+                raise ValueError("CFB chain cycle")
+        return out
+
+    directory = b"".join(sector(n) for n in chain(first_dir, fat))
+    entries = []
+    for off in range(0, len(directory) - 127, 128):
+        e = directory[off : off + 128]
+        (name_len,) = _s.unpack_from("<H", e, 64)
+        etype = e[66]
+        if etype == 0 or name_len < 2:
+            continue
+        name = e[: name_len - 2].decode("utf-16-le", "replace")
+        (start,) = _s.unpack_from("<I", e, 116)
+        (size,) = _s.unpack_from("<Q", e, 120)
+        entries.append((name, etype, start, size))
+    root = next((e for e in entries if e[1] == 5), None)
+    mini_stream = b""
+    minifat: tuple = ()
+    if root is not None and root[2] not in (_CFB_END, _CFB_FREE):
+        mini_stream = b"".join(sector(n) for n in chain(root[2], fat))[: root[3]]
+    if first_minifat not in (_CFB_END, _CFB_FREE):
+        mf_raw = b"".join(sector(n) for n in chain(first_minifat, fat))
+        minifat = _s.unpack(f"<{len(mf_raw) // 4}I", mf_raw)
+
+    out: dict[str, bytes] = {}
+    for name, etype, start, size in entries:
+        if etype != 2:
+            continue
+        if size < cutoff:
+            secs = chain(start, minifat) if minifat else []
+            blob = b"".join(mini_stream[n * 64 : (n + 1) * 64] for n in secs)
+        else:
+            blob = b"".join(sector(n) for n in chain(start, fat))
+        out[name] = blob[:size]
+    return out
+
+
+def _biff_records(buf: bytes, pos: int = 0):
+    import struct as _s
+
+    while pos + 4 <= len(buf):
+        op, ln = _s.unpack_from("<HH", buf, pos)
+        if op == 0:
+            return
+        yield op, buf[pos + 4 : pos + 4 + ln], pos
+        pos += 4 + ln
+
+
+class _SSTCursor:
+    """Reader over SST + CONTINUE payloads: fixed-width fields never span
+    a boundary in valid files; character runs MAY, and each continuation
+    restarts with a fresh encoding-flags byte ([MS-XLS] 2.5.293)."""
+
+    def __init__(self, chunks: list[bytes]):
+        self.chunks, self.ci, self.pos = chunks, 0, 0
+
+    def _avail(self) -> int:
+        return len(self.chunks[self.ci]) - self.pos
+
+    def _hop(self) -> None:
+        while self.ci < len(self.chunks) and self._avail() == 0:
+            self.ci += 1
+            self.pos = 0
+
+    def read(self, n: int) -> bytes:
+        self._hop()
+        if self._avail() < n:
+            raise ValueError("SST field spans a CONTINUE boundary")
+        b = self.chunks[self.ci][self.pos : self.pos + n]
+        self.pos += n
+        return b
+
+    def read_chars(self, cch: int, high: bool) -> str:
+        out = []
+        while cch > 0:
+            self._hop()
+            if self.ci >= len(self.chunks):
+                raise ValueError("SST truncated")
+            if self.pos == 0 and out:
+                # continuation: fresh flags byte decides the width
+                high = bool(self.chunks[self.ci][0] & 1)
+                self.pos = 1
+            width = 2 if high else 1
+            take = min(cch, self._avail() // width)
+            raw = self.chunks[self.ci][self.pos : self.pos + take * width]
+            out.append(raw.decode("utf-16-le" if high else "latin-1", "replace"))
+            self.pos += take * width
+            cch -= take
+        return "".join(out)
+
+    def skip(self, n: int) -> None:
+        while n > 0:
+            self._hop()
+            take = min(n, self._avail())
+            self.pos += take
+            n -= take
+
+
+def _parse_sst(chunks: list[bytes]) -> list[str]:
+    import struct as _s
+
+    cur = _SSTCursor(chunks)
+    _total, unique = _s.unpack("<II", cur.read(8))
+    out = []
+    for _ in range(unique):
+        (cch,) = _s.unpack("<H", cur.read(2))
+        grbit = cur.read(1)[0]
+        crun = _s.unpack("<H", cur.read(2))[0] if grbit & 0x08 else 0
+        cb_ext = _s.unpack("<I", cur.read(4))[0] if grbit & 0x04 else 0
+        out.append(cur.read_chars(cch, bool(grbit & 0x01)))
+        cur.skip(crun * 4 + cb_ext)
+    return out
+
+
+def _rk_value(rk: int) -> float:
+    import struct as _s
+
+    val: float
+    if rk & 0x02:  # 30-bit signed integer
+        v = rk >> 2
+        if v & 0x20000000:
+            v -= 0x40000000
+        val = float(v)
+    else:  # top 30 bits of an IEEE double
+        val = _s.unpack("<d", b"\x00\x00\x00\x00" + _s.pack("<I", rk & 0xFFFFFFFC))[0]
+    return val / 100.0 if rk & 0x01 else val
+
+
+class XLSReader(BaseReader):
+    """Legacy .xls → DataFrame, stdlib-only: CFB container walk to the
+    Workbook stream, BIFF8 record parse (SST incl. CONTINUE character
+    spans, LABELSST/NUMBER/RK/MULRK/BOOLERR, cached FORMULA doubles,
+    BOUNDSHEET substream offsets). ``sheet_index`` selects a sheet;
+    first row = header (the XLSXReader contract)."""
+
+    implements = {XLS}
+    lazy = False  # driver-side parse (spreadsheets are small data)
+
+    def _read(self, spark, sheet_index: int = 0, **kwargs):
+        import struct as _s
+
+        with open(self.data.url, "rb") as f:
+            streams = _cfb_streams(f.read())
+        wb = streams.get("Workbook") or streams.get("Book")
+        if wb is None:
+            raise ValueError(
+                f"no Workbook/Book stream in {self.data.url} "
+                f"(streams: {sorted(streams)})"
+            )
+        # globals substream: SST (+ its CONTINUEs) and sheet offsets
+        sst_chunks: list[bytes] = []
+        sheets: list[tuple[int, str]] = []
+        collecting_sst = False
+        for op, payload, _off in _biff_records(wb):
+            if op == 0xFC:
+                sst_chunks = [payload]
+                collecting_sst = True
+            elif op == 0x3C and collecting_sst:
+                sst_chunks.append(payload)
+            else:
+                collecting_sst = False
+                if op == 0x85:  # BOUNDSHEET
+                    (bof_off,) = _s.unpack_from("<I", payload, 0)
+                    cch = payload[6]
+                    high = bool(payload[7] & 1)
+                    raw = payload[8 : 8 + cch * (2 if high else 1)]
+                    name = raw.decode("utf-16-le" if high else "latin-1", "replace")
+                    sheets.append((bof_off, name))
+                elif op == 0x0A:  # EOF of globals
+                    break
+        sst = _parse_sst(sst_chunks) if sst_chunks else []
+        if not sheets:
+            raise ValueError("no BOUNDSHEET records (not a BIFF8 workbook?)")
+        if sheet_index >= len(sheets):
+            raise IndexError(f"sheet_index {sheet_index} >= {len(sheets)} sheets")
+        self.data.metadata["sheets"] = [n for _o, n in sheets]
+
+        cells: dict[tuple[int, int], object] = {}
+        for op, payload, _off in _biff_records(wb, sheets[sheet_index][0]):
+            if op == 0x0A:  # sheet EOF
+                break
+            if op == 0xFD:  # LABELSST
+                row, col, _xf, isst = _s.unpack_from("<HHHI", payload)
+                cells[(row, col)] = sst[isst] if isst < len(sst) else None
+            elif op == 0x0203:  # NUMBER
+                row, col, _xf = _s.unpack_from("<HHH", payload)
+                cells[(row, col)] = _s.unpack_from("<d", payload, 6)[0]
+            elif op == 0x027E:  # RK
+                row, col, _xf, rk = _s.unpack_from("<HHHI", payload)
+                cells[(row, col)] = _rk_value(rk)
+            elif op == 0x00BD:  # MULRK
+                row, col_first = _s.unpack_from("<HH", payload)
+                n = (len(payload) - 6) // 6
+                for i in range(n):
+                    (rk,) = _s.unpack_from("<I", payload, 4 + i * 6 + 2)
+                    cells[(row, col_first + i)] = _rk_value(rk)
+            elif op == 0x0205:  # BOOLERR
+                row, col, _xf, v, is_err = _s.unpack_from("<HHHBB", payload)
+                cells[(row, col)] = None if is_err else bool(v)
+            elif op == 0x0006:  # FORMULA: cached numeric results only
+                row, col, _xf = _s.unpack_from("<HHH", payload)
+                num = payload[6:14]
+                if num[6:8] != b"\xff\xff":
+                    cells[(row, col)] = _s.unpack("<d", num)[0]
+        if not cells:
+            raise ValueError("sheet has no decodable cells")
+        n_rows = max(r for r, _c in cells) + 1
+        n_cols = max(c for _r, c in cells) + 1
+        grid = [[cells.get((r, c)) for c in range(n_cols)] for r in range(n_rows)]
+        header, *data_rows = grid
+        records = [
+            {str(header[i]): row[i] for i in range(n_cols)} for row in data_rows
+        ]
+        return spark.createDataFrame(records)
