@@ -1299,3 +1299,80 @@ class XLSReader(BaseReader):
             {str(header[i]): row[i] for i in range(n_cols)} for row in data_rows
         ]
         return spark.createDataFrame(records)
+
+
+# ---------------------------------------------------------------------------
+# OpenDocument spreadsheet .ods — zip + content.xml (parity: PandasExcel's
+# odf engine path, reference readers.py:319; stdlib zipfile+ElementTree).
+# ---------------------------------------------------------------------------
+
+
+class ODS(dt.FileData):
+    filepattern = r"ods$"
+    magic = (b"PK\x03\x04",)
+    structure = {"table"}
+
+
+class ODSReader(BaseReader):
+    """OpenDocument spreadsheet → DataFrame: content.xml table walk with
+    number-columns-repeated expansion and typed office:value cells
+    (float/boolean/string). First row = header (the XLSX/XLS contract);
+    ``sheet_index`` selects a table."""
+
+    implements = {ODS}
+    lazy = False  # driver-side parse
+
+    def _read(self, spark, sheet_index: int = 0, max_repeat: int = 4096, **kwargs):
+        import xml.etree.ElementTree as ET
+        import zipfile
+
+        OFFICE = "{urn:oasis:names:tc:opendocument:xmlns:office:1.0}"
+        TABLE = "{urn:oasis:names:tc:opendocument:xmlns:table:1.0}"
+        TEXT = "{urn:oasis:names:tc:opendocument:xmlns:text:1.0}"
+        with zipfile.ZipFile(self.data.url) as z:
+            root = ET.fromstring(z.read("content.xml"))
+        tables = root.iter(f"{TABLE}table")
+        table = None
+        for i, t in enumerate(tables):
+            if i == sheet_index:
+                table = t
+                break
+        if table is None:
+            raise IndexError(f"no table at sheet_index {sheet_index}")
+        self.data.metadata["sheet"] = table.get(f"{TABLE}name", "")
+
+        rows: list[list] = []
+        for tr in table.iter(f"{TABLE}table-row"):
+            out: list = []
+            for c in tr:
+                if c.tag != f"{TABLE}table-cell":
+                    continue
+                # trailing filler cells repeat to the column max (32k);
+                # cap so empty padding doesn't explode the grid
+                rep = min(int(c.get(f"{TABLE}number-columns-repeated", 1)), max_repeat)
+                vtype = c.get(f"{OFFICE}value-type")
+                if vtype == "float":
+                    val: object = float(c.get(f"{OFFICE}value"))
+                elif vtype == "boolean":
+                    val = c.get(f"{OFFICE}boolean-value") == "true"
+                elif vtype is not None:
+                    val = "".join(
+                        "".join(p.itertext()) for p in c.iter(f"{TEXT}p")
+                    ) or c.get(f"{OFFICE}value")
+                else:
+                    val = None
+                out.extend([val] * rep)
+            while out and out[-1] is None:
+                out.pop()
+            rows.append(out)
+        while rows and not rows[-1]:
+            rows.pop()
+        if not rows:
+            raise ValueError("empty spreadsheet")
+        header, *data_rows = rows
+        width = len(header)
+        records = [
+            {str(header[i]): (r[i] if i < len(r) else None) for i in range(width)}
+            for r in data_rows
+        ]
+        return spark.createDataFrame(records)

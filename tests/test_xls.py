@@ -231,3 +231,72 @@ def test_xls_bad_container_raises(tmp_path):
     p.write_bytes(_make_cfb({"Other": b"\x00" * 100}))
     with pytest.raises(ValueError, match="Workbook"):
         XLSReader(data=XLS(url=str(p))).read(spark=None)
+
+
+# --- ODS -----------------------------------------------------------------
+
+
+def _make_ods(rows) -> bytes:
+    """Spec-built minimal ODS: zip with content.xml table cells."""
+    import io
+    import zipfile
+
+    def cell(v):
+        if v is None:
+            return '<table:table-cell/>'
+        if isinstance(v, bool):
+            b = "true" if v else "false"
+            return (f'<table:table-cell office:value-type="boolean" '
+                    f'office:boolean-value="{b}"><text:p>{v}</text:p></table:table-cell>')
+        if isinstance(v, (int, float)):
+            return (f'<table:table-cell office:value-type="float" '
+                    f'office:value="{v}"><text:p>{v}</text:p></table:table-cell>')
+        return (f'<table:table-cell office:value-type="string">'
+                f'<text:p>{v}</text:p></table:table-cell>')
+
+    body = "".join(
+        "<table:table-row>" + "".join(cell(v) for v in row) + "</table:table-row>"
+        for row in rows
+    )
+    xml = (
+        '<?xml version="1.0"?>'
+        '<office:document-content '
+        'xmlns:office="urn:oasis:names:tc:opendocument:xmlns:office:1.0" '
+        'xmlns:table="urn:oasis:names:tc:opendocument:xmlns:table:1.0" '
+        'xmlns:text="urn:oasis:names:tc:opendocument:xmlns:text:1.0">'
+        '<office:body><office:spreadsheet>'
+        f'<table:table table:name="S1">{body}</table:table>'
+        "</office:spreadsheet></office:body></office:document-content>"
+    )
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        z.writestr("mimetype", "application/vnd.oasis.opendocument.spreadsheet")
+        z.writestr("content.xml", xml)
+    return buf.getvalue()
+
+
+def test_ods_reader(spark, tmp_path):
+    from intake_spark.documents import ODS, ODSReader
+
+    p = tmp_path / "t.ods"
+    p.write_bytes(
+        _make_ods(
+            [
+                ["name", "qty", "ok"],
+                ["alpha", 7.5, True],
+                ["beta", -2.0, False],
+                ["gamma", None, True],
+            ]
+        )
+    )
+    rdr = ODSReader(data=ODS(url=str(p)))
+    df = rdr.read(spark=spark)
+    rows = {r.name: r for r in df.collect()}
+    assert rows["alpha"].qty == 7.5 and rows["alpha"].ok is True
+    assert rows["beta"].qty == -2.0 and rows["beta"].ok is False
+    assert rows["gamma"].qty is None
+    assert rdr.data.metadata["sheet"] == "S1"
+    import pytest as _pytest
+
+    with _pytest.raises(IndexError):
+        rdr.read(spark=spark, sheet_index=5)
