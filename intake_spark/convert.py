@@ -130,3 +130,60 @@ def auto_pipeline(url: str, outtype: str = SPARK_DF, spark=None, **kwargs) -> Pi
 def one_shot(url: str, spark=None, **kwargs):
     """URL → DataFrame in one call."""
     return auto_pipeline(url, **kwargs).read(spark=spark)
+
+
+def chunk_rows_to_numpy(df, max_bytes: int | None = 1 << 30):
+    """Chunk-row DataFrame → the full N-D numpy array, assembled on the
+    driver in offset order (guarded: this is the materialization edge —
+    the XarrayToPandas/ToNumpy converter class of the reference's graph;
+    distributed work should stay in chunk rows or go through the array
+    sinks)."""
+    import numpy as np
+
+    first = df.select("shape").first()
+    if first is None:
+        raise ValueError("empty chunk DataFrame")
+    shape = tuple(int(s) for s in first["shape"])
+    n = 1
+    for s in shape:
+        n *= s
+    if max_bytes is not None and n * 8 > max_bytes:
+        raise ValueError(
+            f"array is {n * 8} bytes (> max_bytes={max_bytes}); driver "
+            "materialization is for bounded arrays — use the chunk-row "
+            "operators or to_zarr for data this size"
+        )
+    flat = np.empty(n, dtype="f8")
+    row_len = n // shape[0] if shape else 1
+    pos_check = 0
+    for row in df.select("offset0", "values").orderBy("offset0").toLocalIterator():
+        vals = np.asarray(row["values"], dtype="f8")
+        start = int(row["offset0"]) * row_len
+        flat[start : start + len(vals)] = vals
+        pos_check += len(vals)
+    if pos_check != n:
+        raise ValueError(
+            f"chunk rows supply {pos_check} values but shape {shape} needs {n}"
+        )
+    return flat.reshape(shape)
+
+
+def chunk_rows_to_pandas(df, max_bytes: int | None = 1 << 30, dim_names=None):
+    """Chunk-row DataFrame → labeled pandas frame — the full
+    XarrayToPandas pivot (reference convert.py XarrayToPandas: DataArray
+    ``.to_dataframe`` yields one 'value' column under a MultiIndex of
+    dimension coordinates). 1-D → (dim_0, value); N-D → MultiIndex over
+    all axes. Same driver-edge guard as :func:`chunk_rows_to_numpy`."""
+    import numpy as np
+    import pandas as pd
+
+    arr = chunk_rows_to_numpy(df, max_bytes=max_bytes)
+    names = list(dim_names or (f"dim_{i}" for i in range(arr.ndim)))
+    if len(names) != arr.ndim:
+        raise ValueError(f"{len(names)} dim names for {arr.ndim}-D array")
+    if arr.ndim == 1:
+        return pd.DataFrame({names[0]: np.arange(arr.shape[0]), "value": arr})
+    idx = pd.MultiIndex.from_product(
+        [range(s) for s in arr.shape], names=names
+    )
+    return pd.DataFrame({"value": arr.ravel()}, index=idx)

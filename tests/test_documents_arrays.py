@@ -988,3 +988,29 @@ def test_duckdb_file_reader_and_catalog(spark, tmp_path):
     kinds = [c.__name__ if isinstance(c, type) else type(c).__name__
              for c in recommend(p)]
     assert "DuckDBFile" in kinds
+
+
+def test_chunk_rows_to_numpy_and_pandas_pivot(spark, tmp_path):
+    import numpy as np
+
+    from intake_spark import datatypes as dt
+    from intake_spark.arrays import NumpyArrayReader
+    from intake_spark.convert import chunk_rows_to_numpy, chunk_rows_to_pandas
+
+    arr = np.arange(24, dtype="<f8").reshape(2, 3, 4) * 0.5
+    src = str(tmp_path / "p.npy")
+    np.save(src, arr)
+    chunks = NumpyArrayReader(data=dt.NumpyFile(url=src)).read(spark=spark, rows_per_chunk=1)
+    np.testing.assert_array_equal(chunk_rows_to_numpy(chunks), arr)
+
+    pdf = chunk_rows_to_pandas(chunks, dim_names=["t", "y", "x"])
+    assert list(pdf.index.names) == ["t", "y", "x"]
+    assert pdf.loc[(1, 2, 3), "value"] == arr[1, 2, 3]
+    assert len(pdf) == 24
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="max_bytes"):
+        chunk_rows_to_numpy(chunks, max_bytes=10)
+    with _pytest.raises(ValueError, match="dim names"):
+        chunk_rows_to_pandas(chunks, dim_names=["a"])
