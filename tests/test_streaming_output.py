@@ -404,3 +404,27 @@ def test_parquet_layout_report(spark):
     assert all(r.stat_min is not None and int(r.stat_min) >= 0 for r in ok)
     assert sum(r.n_rows for r in ok) >= 6000 / len({r.row_group for r in ok})
     assert all(r.compressed_bytes > 0 for r in rows)
+
+
+def test_cross_format_roundtrip_chain(spark, tmp_path):
+    """documents → Avro OCF → read → MessagePack → read: values survive
+    two stdlib sink/reader hops unchanged (the format-switching path a
+    migrating user exercises)."""
+    from intake_spark import output
+    from intake_spark.documents import MessagePack, MessagePackReader
+    from intake_spark.lakehouse import AvroOCFReader
+
+    src = (
+        load_table(spark, SF_SMALL, "documents")
+        .select("doc_id", "text", "lang", "source", "n_chars")
+        .limit(50)
+    )
+    avro_dst = str(tmp_path / "docs_avro")
+    desc = output.to_avro(src, avro_dst)
+    mid = AvroOCFReader(data=desc).read(spark=spark)
+    mp_dst = str(tmp_path / "docs_mp")
+    output.to_msgpack(mid, mp_dst)
+    final = MessagePackReader(data=MessagePack(url=mp_dst)).read(spark=spark)
+    a = {r.doc_id: (r.text, r.lang, r.source, r.n_chars) for r in src.collect()}
+    b = {r.doc_id: (r.text, r.lang, r.source, r.n_chars) for r in final.collect()}
+    assert a == b
