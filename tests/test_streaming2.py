@@ -206,3 +206,31 @@ def test_stream_to_parquet_exactly_once(spark, events_src, tmp_path):
     )
     stream_to_parquet(stream2, dst, ckpt)
     assert spark.read.parquet(dst).count() == batch.count()
+
+
+def test_streaming_quality_gate_matches_batch(spark, tmp_path):
+    """The mapper-only text-quality operators run UNCHANGED on a stream
+    (no stateful agg in the pipeline), so ingestion-time quality gating
+    is the same expression as the batch pass."""
+    from tests.conftest import SF_SMALL
+
+    from intake_spark.llm.text import with_quality
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    src = str(tmp_path / "docs_src")
+    docs.write.mode("overwrite").parquet(src)
+    batch = spark.read.parquet(src)
+    gate = lambda df: with_quality(df).filter("uniq_ratio >= 0.5").select("doc_id")  # noqa: E731
+    expected = sorted(r.doc_id for r in gate(batch).collect())
+    assert 0 < len(expected) < batch.count()  # non-vacuous gate
+
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    q = (
+        gate(stream).writeStream.format("memory")
+        .queryName("qgate").outputMode("append")
+        .trigger(availableNow=True).start()
+    )
+    assert q.awaitTermination(180)
+    q.stop()
+    got = sorted(r.doc_id for r in spark.sql("SELECT * FROM qgate").collect())
+    assert got == expected
