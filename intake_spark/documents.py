@@ -1078,7 +1078,7 @@ def _cfb_streams(data: bytes) -> dict[str, bytes]:
     fat_raw = b"".join(sector(n) for n in fat_sectors)
     fat = _s.unpack(f"<{len(fat_raw) // 4}I", fat_raw)
 
-    def chain(start: int, table) -> bytes:
+    def chain(start: int, table) -> list[int]:
         out, n, hops = [], start, 0
         while n not in (_CFB_END, _CFB_FREE) and n < len(table):
             out.append(n)
