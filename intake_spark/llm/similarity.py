@@ -454,3 +454,41 @@ def norm_profile(
         )
         .orderBy(label_col)
     )
+
+
+def ivf_save(
+    assigned: DataFrame,
+    centroids: list[list[float]],
+    table_prefix: str,
+    buckets: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Persist an IVF index as TABLES so search never re-trains:
+    ``{prefix}_vectors`` is bucketed by ``ivf_list`` (probe joins on the
+    list key read co-located buckets — zero-Exchange on the corpus side
+    at any scale) and ``{prefix}_centroids`` holds the quantizer. The
+    build-once / probe-many lifecycle of a production ANN index."""
+    spark = assigned.sparkSession
+    (
+        assigned.select(id_col, F.col(vec_col).cast("array<double>").alias(vec_col), "ivf_list")
+        .write.mode("overwrite")
+        .bucketBy(buckets, "ivf_list")
+        .sortBy("ivf_list")
+        .saveAsTable(f"{table_prefix}_vectors")
+    )
+    cdf = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+        "ivf_list int, centroid array<double>",
+    )
+    cdf.write.mode("overwrite").saveAsTable(f"{table_prefix}_centroids")
+    return f"{table_prefix}_vectors", f"{table_prefix}_centroids"
+
+
+def ivf_load(spark, table_prefix: str):
+    """Rehydrate a persisted IVF index: (centroids list, assigned
+    DataFrame backed by the bucketed table)."""
+    assigned = spark.table(f"{table_prefix}_vectors")
+    rows = spark.table(f"{table_prefix}_centroids").orderBy("ivf_list").collect()
+    centroids = [list(r.centroid) for r in rows]
+    return centroids, assigned

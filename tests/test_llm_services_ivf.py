@@ -114,3 +114,40 @@ def test_bucketed_join_no_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE orders_b")
         spark.sql("DROP TABLE lineitem_b")
+
+
+def test_ivf_persistence_roundtrip(spark, tmp_path):
+    """Save the IVF index as bucketed tables, reload in place of the
+    fresh index, and get IDENTICAL search results — the build-once /
+    probe-many lifecycle."""
+    from intake_spark.llm.similarity import ivf_build, ivf_load, ivf_save, ivf_search
+    from intake_spark.session import load_table
+    from tests.conftest import SF_MEDIUM
+
+    emb = load_table(spark, SF_MEDIUM, "embeddings")
+    centroids, assigned = ivf_build(emb, n_lists=8)
+    queries = emb.filter("vec_id < 5")
+    fresh = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in ivf_search(assigned, centroids, queries, top_k=3).collect()
+    }
+
+    ivf_save(assigned, centroids, "ivf_t")
+    try:
+        c2, a2 = ivf_load(spark, "ivf_t")
+        assert c2 == [[float(x) for x in c] for c in centroids]
+        reloaded = {
+            (r.query_id, r.rank): r.neighbor_id
+            for r in ivf_search(a2, c2, queries, top_k=3).collect()
+        }
+        assert reloaded == fresh
+        # corpus side of the probe join reads the bucketed table: the join
+        # key matches the bucket spec, so no Exchange on that branch
+        plan = (
+            ivf_search(a2, c2, queries, top_k=3)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "ivf_t_vectors" in plan
+    finally:
+        spark.sql("DROP TABLE IF EXISTS ivf_t_vectors")
+        spark.sql("DROP TABLE IF EXISTS ivf_t_centroids")
