@@ -70,19 +70,38 @@ def main() -> None:
     }
     total = round(sum(timings.values()), 4)
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "spread": spread,
-                "repeats": repeats,
-                "sf": sf,
-            }
-        )
-    )
+    # Full per-query detail (long names, spread, raw samples) goes to a side
+    # file; stdout gets ONE compact JSON line. The driver captures only the
+    # last ~2000 chars of stdout, so the final line must stay short: 80
+    # long-form query names + spread overflowed that window in round 4
+    # (BENCH_r04 "parsed": null). Short keys ("q01".."q80") keep the line
+    # ~1.2 KB; bench_detail.json holds the mapping and everything else.
+    detail = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "spread": spread,
+        "samples": {n: [round(x, 4) for x in s] for n, s in samples.items()},
+        "repeats": repeats,
+        "sf": sf,
+    }
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "bench_detail.json"), "w") as f:
+        json.dump(detail, f, indent=1)
+
+    short = {n.split("_", 1)[0]: v for n, v in timings.items()}
+    line = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": short if len(short) == len(timings) else timings,
+        "repeats": repeats,
+        "sf": sf,
+    }
+    sys.stdout.flush()
+    print(json.dumps(line, separators=(",", ":")))
+    sys.stdout.flush()
 
 
 if __name__ == "__main__":

@@ -321,8 +321,26 @@ class NumpyTextReader(BaseReader):
             F.col("_mid"),
             F.split(val, sep).alias("_toks"),
         )
-        w = Window.orderBy("_mid")
-        rows = rows.withColumn("_rn", F.row_number().over(w) - 1)
+        # Dense row index WITHOUT a global one-task window: bucket kept
+        # lines into fixed 64Ki-line blocks of the raw line index, count
+        # per block, turn the counts into prefix-sum offsets (the window
+        # here runs over ONE ROW PER BLOCK — ≤ a few hundred rows under
+        # max_bytes, never the payload), broadcast the offsets back, and
+        # rank only WITHIN a block. Every task sorts at most _IDX_BLOCK
+        # lines; no task ever sees the whole file.
+        _IDX_BLOCK = 65536
+        rows = rows.withColumn(
+            "_blk", (F.col("_mid") / _IDX_BLOCK).cast("bigint")
+        )
+        counts = rows.groupBy("_blk").agg(F.count(F.lit(1)).alias("_bn"))
+        woff = Window.orderBy("_blk").rowsBetween(Window.unboundedPreceding, -1)
+        offs = counts.select(
+            "_blk", F.coalesce(F.sum("_bn").over(woff), F.lit(0)).alias("_boff")
+        )
+        wblk = Window.partitionBy("_blk").orderBy("_mid")
+        rows = rows.join(F.broadcast(offs), "_blk").withColumn(
+            "_rn", F.col("_boff") + F.row_number().over(wblk) - 1
+        )
         vals = F.expr("transform(_toks, t -> try_cast(t AS DOUBLE))")
         rows = rows.select("_rn", vals.alias("_vals"), F.size("_toks").alias("_nc"))
         # eager validation (np.loadtxt raises upfront too) doubles as the

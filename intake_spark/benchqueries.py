@@ -834,18 +834,58 @@ def q42_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The driver's per-round correctness gate samples the FIRST 50 entries of
+# queries() in dict order. Queries that have not yet appeared in any driver
+# CORRECTNESS file are listed here so they get verified first; the local
+# oracle-gate test (tests/test_oracle_gate.py) still runs all of them every
+# time regardless of ordering.
+_VERIFY_FIRST: tuple[str, ...] = (
+    "q51_doc_chunking",
+    "q52_repetition_stats",
+    "q53_top_terms",
+    "q54_decontaminate",
+    "q55_pack_sequences",
+    "q56_random_projection",
+    "q57_column_profile",
+    "q58_novel_ngram_rate",
+    "q59_containment_pairs",
+    "q60_length_histogram",
+    "q61_quantize_embeddings",
+    "q62_topk_per_source",
+    "q63_vocab_coverage",
+    "q64_token_probability",
+    "q65_dup_rate_by_source",
+    "q66_block_dedup",
+    "q67_distinctive_terms",
+    "q68_char_diversity",
+    "q69_source_overlap",
+    "q70_sample_k_per_source",
+    "q71_packing_efficiency",
+    "q72_dup_pagerank",
+    "q73_near_dup_first_seen",
+    "q79_centroid_similarity",
+    "q80_norm_profile",
+)
+
+
+def _ordered(mapping: dict) -> dict:
+    first = [n for n in _VERIFY_FIRST if n in mapping]
+    rest = [n for n in mapping if n not in set(first)]
+    return {n: mapping[n] for n in first + rest}
+
+
 def get_queries() -> dict[str, QueryFn]:
     # Import registers the LLM-operator queries too (kept in their module so
     # the operator implementations and their oracle SQL live together).
     import intake_spark.llm.queries  # noqa: F401
 
-    return dict(QUERIES)
+    return _ordered(QUERIES)
 
 
 def get_oracle_sql() -> dict[str, str]:
     import intake_spark.llm.queries  # noqa: F401
 
-    return dict(ORACLE)
+    return _ordered(ORACLE)
 
 
 @register(

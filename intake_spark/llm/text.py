@@ -308,19 +308,19 @@ def vocab_coverage(df: DataFrame, text_col: str = "text", top_n: int = 50) -> Da
     text. The vocab ranks with a deterministic tie-break (count desc,
     token asc) and collapses to ONE broadcast row — the doc side stays a
     mapper (split + array_intersect), so the only shuffles are the
-    partial-combining token count and the trivial vocab rank. The global
-    vocab rank window is bounded by DISTINCT tokens (vocabulary-sized, not
-    corpus-sized); for open-ended vocabularies cap the freq table first."""
-    from pyspark.sql.window import Window
-
+    partial-combining token count and the trivial vocab rank. The top-N
+    selection is ``orderBy(...).limit(top_n)``, which Spark lowers to
+    ``TakeOrderedAndProject`` — per-partition top-N heaps merged on the
+    driver — so NO single task ever sorts the full distinct-token table,
+    and an open-ended vocabulary (URLs, code identifiers) cannot create a
+    one-task global window."""
     toks = df.select("doc_id", F.split(F.col(text_col), " ").alias("toks"))
     freq = toks.select(F.explode("toks").alias("tok")).groupBy("tok").agg(
         F.count(F.lit(1)).alias("c")
     )
-    w = Window.orderBy(F.desc("c"), F.asc("tok"))
     vocab = (
-        freq.withColumn("_rk", F.row_number().over(w))
-        .filter(F.col("_rk") <= top_n)
+        freq.orderBy(F.desc("c"), F.asc("tok"))
+        .limit(top_n)
         .agg(F.sort_array(F.collect_list("tok")).alias("_vocab"))
     )
     uniq = F.array_distinct("toks")

@@ -144,14 +144,22 @@ def to_zarr(df: DataFrame, url: str, compressor: str | None = "zlib") -> dt.Zarr
     import json
     import os
 
-    rows = df.select("offset0", "shape", F.size("values").alias("n")).collect()
-    if not rows:
+    # Block geometry via ONE aggregate row — never one driver-side row per
+    # chunk (a 100 TB array has millions of chunks; a per-chunk collect is
+    # a driver-memory list even when it is metadata-only). Every chunk row
+    # carries the same global array shape, so first() is well-defined.
+    stat = df.agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.max(F.size("values")).alias("max_n"),
+        F.first("shape").alias("shape"),
+    ).collect()[0]
+    if stat["cnt"] == 0:
         raise ValueError("empty chunk DataFrame")
-    shape = list(rows[0]["shape"])
+    shape = list(stat["shape"])
     row_elems = 1
     for s in shape[1:]:
         row_elems *= s
-    block_rows = max(r["n"] // row_elems for r in rows)
+    block_rows = stat["max_n"] // row_elems
     chunks = [block_rows, *shape[1:]]
     os.makedirs(url, exist_ok=True)
     meta = {

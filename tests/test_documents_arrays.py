@@ -1014,3 +1014,25 @@ def test_chunk_rows_to_numpy_and_pandas_pivot(spark, tmp_path):
         chunk_rows_to_numpy(chunks, max_bytes=10)
     with _pytest.raises(ValueError, match="dim names"):
         chunk_rows_to_pandas(chunks, dim_names=["a"])
+
+
+def test_numpy_text_plan_windows_are_block_partitioned(spark, tmp_path):
+    """Row indexing must never rank the whole file in one task: every
+    row_number window in the NumpyText plan is partitioned by the 64Ki-line
+    block key (_blk); the only unpartitioned window is the prefix-sum over
+    per-block COUNTS (one row per block, bounded by max_bytes)."""
+    import re
+
+    import numpy as np
+
+    from intake_spark import datatypes as dt
+    from intake_spark.arrays import NumpyTextReader
+
+    p = tmp_path / "m.txt"
+    np.savetxt(str(p), np.arange(30.0).reshape(10, 3))
+    df = NumpyTextReader(data=dt.NumpyFile(url=str(p))).read(spark=spark)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    specs = re.findall(r"row_number\(\) windowspecdefinition\(([^)]*)\)", plan)
+    assert specs, "expected a block-partitioned row_number window"
+    for s in specs:
+        assert s.startswith("_blk#"), f"unpartitioned row_number window: {s}"

@@ -971,3 +971,18 @@ def test_new_operator_plan_shapes(spark, docs):
     # first-seen guard: band-key aggregate + join back + doc rollup
     n, _ = exchanges(dd.near_dup_first_seen(docs))
     assert n <= 4
+
+
+def test_vocab_coverage_plan_no_global_window(docs):
+    """The corpus top-N vocab must lower to TakeOrderedAndProject
+    (per-partition heaps + driver merge), never a one-task global
+    row_number window over the whole distinct-token table — an open-ended
+    vocabulary (URLs, code ids) would otherwise serialize onto one task."""
+    plan = (
+        text.vocab_coverage(docs, top_n=50)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert "row_number" not in plan
