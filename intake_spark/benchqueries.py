@@ -1042,16 +1042,20 @@ def q74_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
       GROUP BY p.p_brand)
     SELECT p_brand, revenue FROM rev
-    WHERE revenue > (SELECT SUM(revenue) FROM rev) / 10
+    WHERE revenue > (SELECT SUM(revenue) FROM rev) / 25
     ORDER BY revenue DESC, p_brand
     """,
 )
 def q75_important_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q11 pattern: brands whose revenue exceeds a tenth of global
-    revenue — the HAVING-against-scalar-subquery shape. One grouped
-    aggregate (decimal-exact sum per the determinism policy), reused for
-    both the per-brand rows and the broadcast global threshold; the part
-    dimension broadcasts into the revenue join."""
+    """TPC-H Q11 pattern: brands whose revenue exceeds the all-brand mean
+    (total/25 with 25 brands in the generator) — the HAVING-against-
+    scalar-subquery shape. The threshold is deliberately mid-distribution
+    so BOTH branches of the filter are exercised at every tested scale
+    (total/10 returned zero rows at sf0.01, which made the oracle
+    comparison vacuous). One grouped aggregate (decimal-exact sum per the
+    determinism policy), reused for both the per-brand rows and the
+    broadcast global threshold; the part dimension broadcasts into the
+    revenue join."""
     l = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part")
     rev = (
@@ -1062,7 +1066,7 @@ def q75_important_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
     total = rev.agg(F.sum("revenue").alias("_t"))
     return (
         rev.crossJoin(F.broadcast(total))
-        .filter(F.col("revenue") > F.col("_t") / 10)
+        .filter(F.col("revenue") > F.col("_t") / 25)
         .select("p_brand", "revenue")
         .orderBy(F.desc("revenue"), F.asc("p_brand"))
     )

@@ -868,11 +868,18 @@ def _trr_frame_header(f):
     (ir_size, e_size, box_size, vir_size, pres_size, top_size, sym_size,
      x_size, v_size, f_size, natoms, step, nre) = _s.unpack(">13i", f.read(52))
     time, lam = _s.unpack(">ff", f.read(8))  # placeholder; re-read per real size
-    # float width: infer from box (9 reals) else positions (3*natoms reals)
+    # float width: infer from box (9 reals) else any vector block
+    # (3*natoms reals each) — velocity/force-only frames exist (e.g.
+    # separate force dumps), so checking x_size alone would mis-read a
+    # double-precision frame's time/lambda header as float32
     if box_size:
         real = box_size // 9
     elif x_size:
         real = x_size // (3 * natoms)
+    elif v_size:
+        real = v_size // (3 * natoms)
+    elif f_size:
+        real = f_size // (3 * natoms)
     else:
         real = 4
     if real == 8:

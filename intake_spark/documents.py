@@ -942,17 +942,29 @@ def _mp_rows(content: bytes) -> list[dict]:
 class MessagePackReader(BaseReader):
     """MessagePack file(s) → rows, stdlib wire-format decode.
 
-    Schema-on-read: the driver decodes the FIRST file to fix the column
-    set and types (string/long/double/boolean; anything nested renders as
-    a JSON string — msgpack is schemaless, Spark is not), then every file
-    decodes executor-side via the binaryFile listing + Arrow-batched
-    mapInPandas — per-file parallel, the same scale shape as the other
-    document readers (msgpack has no split points inside a file)."""
+    Schema-on-read: the driver decodes the first ``schema_sample_files``
+    files (default 8 — one file misses columns that only appear later in
+    the listing) to fix the column set and types (string/long/double/
+    boolean; anything nested renders as a JSON string — msgpack is
+    schemaless, Spark is not), or takes an explicit ``schema=`` mapping
+    ``{column: kind}`` to skip sampling entirely. Every file then decodes
+    executor-side via the binaryFile listing + Arrow-batched mapInPandas —
+    per-file parallel, the same scale shape as the other document readers
+    (msgpack has no split points inside a file). Values whose wire type
+    disagrees with the inferred column kind are coerced explicitly
+    (bool↔long, integral float→long, unrepresentable → null), never passed
+    through as a mistyped Python object."""
 
     implements = {MessagePack}
     glob = "*.msgpack"
 
-    def _read(self, spark, **kwargs):
+    def _read(
+        self,
+        spark,
+        schema: dict[str, str] | None = None,
+        schema_sample_files: int = 8,
+        **kwargs,
+    ):
         import glob as _glob
         import os
 
@@ -961,32 +973,40 @@ class MessagePackReader(BaseReader):
         ensure_py_deps(spark)
         url = self.data.url
         if os.path.isdir(url):
-            first = sorted(_glob.glob(os.path.join(url, self.glob)))
+            listing = sorted(_glob.glob(os.path.join(url, self.glob)))
         else:
-            first = sorted(_glob.glob(url)) or [url]
-        with open(first[0], "rb") as f:
-            sample = _mp_rows(f.read())
-        cols: dict[str, str] = {}
-        for row in sample:
-            for k, v in row.items():
-                if v is None:  # nulls carry no type evidence
-                    cols.setdefault(str(k), "")
-                    continue
-                t = (
-                    "boolean" if isinstance(v, bool)
-                    else "long" if isinstance(v, int)
-                    else "double" if isinstance(v, float)
-                    else "string"
-                )
-                prev = cols.get(str(k), "")
-                if prev in ("", t):
-                    cols[str(k)] = t
-                else:  # mixed types widen
-                    cols[str(k)] = "double" if {prev, t} == {"long", "double"} else "string"
-        # keys only ever seen null stay string
-        cols = {k: (t or "string") for k, t in cols.items()}
+            listing = sorted(_glob.glob(url)) or [url]
+        if schema is not None:
+            bad = {k: t for k, t in schema.items()
+                   if t not in ("boolean", "long", "double", "string")}
+            if bad:
+                raise ValueError(f"schema kinds must be boolean/long/double/string: {bad}")
+            cols = dict(schema)
+        else:
+            cols = {}
+            for path in listing[: max(1, schema_sample_files)]:
+                with open(path, "rb") as f:
+                    sample = _mp_rows(f.read())
+                for row in sample:
+                    for k, v in row.items():
+                        if v is None:  # nulls carry no type evidence
+                            cols.setdefault(str(k), "")
+                            continue
+                        t = (
+                            "boolean" if isinstance(v, bool)
+                            else "long" if isinstance(v, int)
+                            else "double" if isinstance(v, float)
+                            else "string"
+                        )
+                        prev = cols.get(str(k), "")
+                        if prev in ("", t):
+                            cols[str(k)] = t
+                        else:  # mixed types widen
+                            cols[str(k)] = "double" if {prev, t} == {"long", "double"} else "string"
+            # keys only ever seen null stay string
+            cols = {k: (t or "string") for k, t in cols.items()}
         if not cols:
-            raise ValueError(f"{first[0]}: no msgpack objects found")
+            raise ValueError(f"{listing[0]}: no msgpack objects found")
         schema = T.StructType(
             [T.StructField("path", T.StringType())]
             + [T.StructField(k, getattr(T, {
@@ -1008,12 +1028,32 @@ class MessagePackReader(BaseReader):
             def cell(v, kind):
                 if v is None:
                     return None
-                if kind == "string" and not isinstance(v, str):
+                if kind == "string":
+                    if isinstance(v, str):
+                        return v
                     if isinstance(v, bytes):
                         return v.hex()
                     return _json.dumps(v, default=str)
-                if kind == "double" and isinstance(v, int) and not isinstance(v, bool):
-                    return float(v)
+                if kind == "double":
+                    if isinstance(v, bool):
+                        return float(v)
+                    if isinstance(v, (int, float)):
+                        return float(v)
+                    return None
+                if kind == "long":
+                    if isinstance(v, bool):
+                        return int(v)
+                    if isinstance(v, float):
+                        return int(v) if v.is_integer() else None
+                    if isinstance(v, int):
+                        return v
+                    return None
+                if kind == "boolean":
+                    if isinstance(v, bool):
+                        return v
+                    if isinstance(v, int):
+                        return bool(v)
+                    return None
                 return v
 
             for pdf in batches:
@@ -1364,7 +1404,12 @@ class ODSReader(BaseReader):
                 out.extend([val] * rep)
             while out and out[-1] is None:
                 out.pop()
-            rows.append(out)
+            # writers run-length-encode consecutive identical ROWS too
+            # (table:number-rows-repeated) — expand, same cap as columns
+            row_rep = min(
+                int(tr.get(f"{TABLE}number-rows-repeated", 1)), max_repeat
+            )
+            rows.extend([out] * row_rep)
         while rows and not rows[-1]:
             rows.pop()
         if not rows:

@@ -1116,3 +1116,34 @@ def test_trr_no_velocities_null_and_stride(spark, tmp_path):
     assert sorted({r.frame for r in rows}) == [0, 2]
     # absent velocity/force blocks surface as nulls, present positions don't
     assert all(r.vx is None and r.fz is None and r.x is not None for r in rows)
+
+
+def test_trr_double_velocity_only_frame(spark, tmp_path):
+    """Frames carrying ONLY velocity (or force) blocks — e.g. separate
+    force dumps — must still infer real=8 from v_size/f_size; falling
+    back to float32 would mis-read the double time/lambda header and
+    shift every subsequent frame offset."""
+    import struct as st
+
+    n = 2
+    out = b""
+    for fi in range(2):
+        v_size = 3 * n * 8
+        out += st.pack(">i", 1993)
+        out += st.pack(">ii", 13, 12) + b"GMX_trn_file"
+        out += st.pack(">13i", 0, 0, 0, 0, 0, 0, 0, 0, v_size, 0, n, fi, 0)
+        out += st.pack(">dd", 5.0 * fi, 0.0)  # double time/lambda
+        for a in range(n):
+            for c in range(3):
+                out += st.pack(">d", fi + a + 0.125 * c)
+    p = tmp_path / "vonly.trr"
+    p.write_bytes(out)
+
+    from intake_spark.bio import TRR, TRRReader
+
+    rows = TRRReader(data=TRR(url=str(p))).read(spark=spark).collect()
+    assert len(rows) == 4
+    by = {(r.frame, r.atom): r for r in rows}
+    assert by[(1, 0)].time_ps == 5.0  # double header read correctly
+    assert by[(1, 1)].vy == 1 + 1 + 0.125
+    assert all(r.x is None for r in rows)  # no position block

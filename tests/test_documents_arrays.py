@@ -1036,3 +1036,44 @@ def test_numpy_text_plan_windows_are_block_partitioned(spark, tmp_path):
     assert specs, "expected a block-partitioned row_number window"
     for s in specs:
         assert s.startswith("_blk#"), f"unpartitioned row_number window: {s}"
+
+
+def test_msgpack_multifile_schema_and_coercion(spark, tmp_path):
+    """Columns appearing only in later files must survive schema
+    inference (multi-file sampling), and wire values that disagree with
+    the inferred kind coerce explicitly (bool in a long column -> 0/1,
+    never a mistyped passthrough)."""
+    from intake_spark.documents import MessagePack, MessagePackReader
+
+    d = tmp_path / "mp2"
+    d.mkdir()
+    # first file: no "extra" column, id is long
+    (d / "a.msgpack").write_bytes(b"".join(_mp(r) for r in [
+        {"id": 1, "score": 2},
+        {"id": 2, "score": 3},
+    ]))
+    # later file: new column + a bool where the long was inferred
+    (d / "b.msgpack").write_bytes(b"".join(_mp(r) for r in [
+        {"id": 3, "score": True, "extra": "late"},
+    ]))
+    out = MessagePackReader(data=MessagePack(url=str(d))).read(spark=spark)
+    assert "extra" in out.columns
+    got = {r.id: r for r in out.collect()}
+    assert got[3].extra == "late" and got[1].extra is None
+    # both files sampled -> mixed long/bool widens the column to string
+    assert dict(out.dtypes)["score"] == "string" and got[3].score == "true"
+    # with only the first file sampled, score stays long and the later
+    # file's bool coerces explicitly (never a mistyped passthrough)
+    out1 = MessagePackReader(data=MessagePack(url=str(d))).read(
+        spark=spark, schema_sample_files=1
+    )
+    assert "extra" not in out1.columns  # documented single-file limitation
+    got1 = {r.id: r for r in out1.collect()}
+    assert dict(out1.dtypes)["score"] == "bigint" and got1[3].score == 1
+    # explicit schema override skips sampling and forces kinds
+    out2 = MessagePackReader(data=MessagePack(url=str(d))).read(
+        spark=spark, schema={"id": "double", "extra": "string"}
+    )
+    d2 = dict(out2.dtypes)
+    assert d2["id"] == "double" and list(out2.columns) == ["path", "id", "extra"]
+    assert sorted(r.id for r in out2.collect()) == [1.0, 2.0, 3.0]

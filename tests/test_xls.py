@@ -300,3 +300,47 @@ def test_ods_reader(spark, tmp_path):
 
     with _pytest.raises(IndexError):
         rdr.read(spark=spark, sheet_index=5)
+
+
+def test_ods_number_rows_repeated_expands(spark, tmp_path):
+    """LibreOffice run-length-encodes consecutive identical ROWS
+    (table:number-rows-repeated) — including identical data rows, which
+    must expand, not silently collapse to one."""
+    import io
+    import zipfile
+
+    cell_n = ('<table:table-cell office:value-type="float" '
+              'office:value="{v}"><text:p>{v}</text:p></table:table-cell>')
+    cell_s = ('<table:table-cell office:value-type="string">'
+              '<text:p>{v}</text:p></table:table-cell>')
+    body = (
+        "<table:table-row>" + cell_s.format(v="name") + cell_s.format(v="qty")
+        + "</table:table-row>"
+        + '<table:table-row table:number-rows-repeated="3">'
+        + cell_s.format(v="dup") + cell_n.format(v="1.5") + "</table:table-row>"
+        + "<table:table-row>" + cell_s.format(v="tail") + cell_n.format(v="9")
+        + "</table:table-row>"
+    )
+    xml = (
+        '<?xml version="1.0"?>'
+        '<office:document-content '
+        'xmlns:office="urn:oasis:names:tc:opendocument:xmlns:office:1.0" '
+        'xmlns:table="urn:oasis:names:tc:opendocument:xmlns:table:1.0" '
+        'xmlns:text="urn:oasis:names:tc:opendocument:xmlns:text:1.0">'
+        '<office:body><office:spreadsheet>'
+        f'<table:table table:name="S1">{body}</table:table>'
+        "</office:spreadsheet></office:body></office:document-content>"
+    )
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        z.writestr("mimetype", "application/vnd.oasis.opendocument.spreadsheet")
+        z.writestr("content.xml", xml)
+    p = tmp_path / "rep.ods"
+    p.write_bytes(buf.getvalue())
+
+    from intake_spark.documents import ODS, ODSReader
+
+    rows = ODSReader(data=ODS(url=str(p))).read(spark=spark).collect()
+    assert len(rows) == 4
+    assert sum(1 for r in rows if r.name == "dup" and r.qty == 1.5) == 3
+    assert sum(1 for r in rows if r.name == "tail") == 1
