@@ -29,6 +29,14 @@ def __getattr__(name):
     # Lazy module-level conveniences (mirrors the reference's dynamic
     # ``intake.open_<driver>`` surface, intake/__init__.py:58-93, without
     # importing Spark at package-import time).
+    if name == "cat":
+        # out-of-box combo catalog (≡ intake.cat, the lazily-built
+        # "builtin" catalog — intake/__init__.py:50 + catalog/default.py):
+        # rebuilt on each access so dropped-in files appear without a
+        # process restart.
+        from intake_spark.default import load_combo_catalog
+
+        return load_combo_catalog()
     if name == "recommend":
         from intake_spark.datatypes import recommend
 

@@ -19,6 +19,9 @@ defaults: dict[str, Any] = {
     "reader_avoid": [],
     # max bytes sniffed from a file head during datatype detection
     "head_bytes": 2**20,
+    # extra catalog search paths for the default combo catalog
+    # (``intake_spark.cat``); env INTAKE_SPARK_CATALOG_PATH, pathsep-split
+    "catalog_path": [],
 }
 
 conf: dict[str, Any] = dict(defaults)
@@ -34,6 +37,8 @@ def reset() -> None:
                 conf[key] = env.lower() in ("1", "true", "yes")
             elif isinstance(defaults[key], int):
                 conf[key] = int(env)
+            elif isinstance(defaults[key], list):
+                conf[key] = [p for p in env.split(os.pathsep) if p]
             else:
                 conf[key] = env
 

@@ -333,3 +333,67 @@ def test_inspect_max_bytes_guard(spark, tmp_path):
     assert any("max_bytes" in e for e in rep.get("errors", []))
     rep2 = inspection.inspect_dataset(str(p), spark=spark)
     assert rep2.get("reader") == "TOMLReader"
+
+
+# --- default user/global catalog (intake_spark.cat) -------------------------
+
+
+def test_default_combo_catalog(spark, tmp_path, monkeypatch):
+    """Out-of-box discovery (reference catalog/default.py:21-96): a YAML
+    catalog dropped in the user data dir resolves through
+    ``intake_spark.cat`` with no per-project configuration; extra
+    INTAKE_SPARK_CATALOG_PATH dirs union in; example entries are present
+    and rehydrate offline."""
+    import os
+
+    import intake_spark
+    from intake_spark import config as isconf
+    from intake_spark.default import (
+        global_data_dir,
+        load_user_catalog,
+        user_data_dir,
+    )
+
+    # point the user dir into tmp (XDG on linux)
+    monkeypatch.setenv("XDG_DATA_HOME", str(tmp_path / "xdg"))
+    udir = user_data_dir()
+    assert udir.startswith(str(tmp_path))
+    os.makedirs(udir)
+
+    src = Catalog()
+    src.add_entry(
+        SparkParquet(data=dt.Parquet(url=f"{SF_SMALL}/nation.parquet")),
+        name="nations",
+    )
+    src.to_yaml_file(os.path.join(udir, "mydata.yaml"))
+
+    # user catalog alone sees it
+    assert "nations" in load_user_catalog().aliases
+
+    # an extra search-path dir via env (pathsep-separated)
+    extra = tmp_path / "extra"
+    extra.mkdir()
+    src2 = Catalog()
+    src2.add_entry(
+        SparkParquet(data=dt.Parquet(url=f"{SF_SMALL}/region.parquet")),
+        name="regions",
+    )
+    src2.to_yaml_file(str(extra / "more.yml"))
+    monkeypatch.setenv("INTAKE_SPARK_CATALOG_PATH", str(extra))
+    isconf.reset()
+    try:
+        cat = intake_spark.cat
+        assert "nations" in cat.aliases and "regions" in cat.aliases
+        df = cat["nations"].read(spark=spark)
+        assert df.count() == 25
+        # examples are wired in and rehydrate without network
+        assert "planetary_computer_stac" in cat.aliases
+        assert "earth_search_stac" in cat.aliases
+        rdr = cat["planetary_computer_stac"]
+        assert type(rdr).__name__ == "StacCatalogReader"
+    finally:
+        monkeypatch.delenv("INTAKE_SPARK_CATALOG_PATH")
+        isconf.reset()
+
+    # global dir: empty catalog when absent (never raises)
+    assert isinstance(global_data_dir(), str)
