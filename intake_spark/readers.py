@@ -492,6 +492,73 @@ class ZarrReader(BaseReader):
         return mdf.mapInPandas(decode, schema=CHUNK_SCHEMA)
 
 
+def zarr_group_catalog(url: str, component: str | None = None):
+    """Walk a zarr GROUP (v2 ``.zgroup`` dirs or v3 ``zarr.json`` group
+    nodes) into a Catalog: array members become ``ZarrReader`` entries,
+    subgroup members become nested ``ZarrGroupCatalogReader`` entries, and
+    the group's attributes (``.zattrs`` / v3 ``attributes``) land in the
+    catalog metadata (parity: ZarrGroupCatalog, reference
+    catalog/zarr.py:5-38, which delegates the walk to the zarr package).
+    ``component`` selects a subgroup path before walking."""
+    import json as _json
+    import os as _os
+
+    from intake_spark.catalog import Catalog
+
+    root = url.rstrip("/")
+    if component:
+        root = f"{root}/{component.strip('/')}"
+
+    meta: dict = {}
+    v3_doc = None
+    if _os.path.exists(f"{root}/zarr.json"):
+        with open(f"{root}/zarr.json") as f:
+            v3_doc = _json.load(f)
+        if v3_doc.get("node_type") != "group":
+            raise ValueError(f"{root}/zarr.json is not a v3 group node")
+        meta.update(v3_doc.get("attributes") or {})
+    elif _os.path.exists(f"{root}/.zgroup"):
+        if _os.path.exists(f"{root}/.zattrs"):
+            with open(f"{root}/.zattrs") as f:
+                meta.update(_json.load(f))
+    else:
+        raise ValueError(f"{root} is not a zarr group (no .zgroup or zarr.json)")
+
+    cat = Catalog(metadata=meta)
+    for name in sorted(_os.listdir(root)):
+        child = f"{root}/{name}"
+        if not _os.path.isdir(child):
+            continue
+        if _os.path.exists(f"{child}/zarr.json"):
+            with open(f"{child}/zarr.json") as f:
+                node = _json.load(f).get("node_type")
+            is_array = node == "array"
+        elif _os.path.exists(f"{child}/.zarray"):
+            is_array = True
+        elif _os.path.exists(f"{child}/.zgroup"):
+            is_array = False
+        else:
+            continue  # chunk dirs of nested-separator arrays etc.
+        if is_array:
+            cat.add_entry(ZarrReader(data=dt.Zarr(url=child)), name=name)
+        else:
+            cat.add_entry(ZarrGroupCatalogReader(data=dt.Zarr(url=child)), name=name)
+    return cat
+
+
+class ZarrGroupCatalogReader(BaseReader):
+    """Zarr group hierarchy → Catalog of array readers / nested group
+    catalogs. Driver-side JSON walk only; the arrays themselves still read
+    distributed through ``ZarrReader``."""
+
+    implements = {dt.Zarr}
+    output_instance = "intake_spark.catalog:Catalog"
+
+    def read(self, spark=None, **kwargs):
+        merged = {**self.kwargs, **kwargs}
+        return zarr_group_catalog(self.data.url, component=merged.get("component"))
+
+
 class HuggingfaceDataset(dt.Service):
     """HF dataset coordinates (parity: datatypes.py:996-1004)."""
 

@@ -828,3 +828,276 @@ def stac_stack_bands(
     if out is None:
         raise ValueError(f"no assets matched bands {bands} under {url}")
     return out
+
+
+class StacSearchReader(BaseReader):
+    """STAC search endpoint/tree → item-asset work-list DataFrame (wraps
+    ``stac_search``; parity: StacSearch, reference catalogs.py:407-437,
+    which delegates to pystac_client ItemSearch). ``bbox`` /
+    ``datetime_range`` filter items; the result frame is what a pipeline
+    fans out on — each ``asset_href`` reads via its own distributed
+    reader."""
+
+    implements = {STACCatalogData}
+    output_instance = "pyspark.sql:DataFrame"
+
+    def read(self, spark=None, **kwargs):
+        from intake_spark.session import get_session
+
+        merged = {**self.kwargs, **kwargs}
+        spark = spark or get_session()
+        return stac_search(
+            spark,
+            self.data.url,
+            bbox=merged.get("bbox"),
+            datetime_range=merged.get("datetime_range"),
+            fetch=merged.get("fetch"),
+        )
+
+
+# ---------------------------------------------------------------------------
+# STAC index — the public registry of STAC catalogs/APIs at stacindex.org
+# (parity: STACIndex, reference catalogs.py:368-404). Driver-side KB-scale
+# JSON; injectable fetch so the fixture test runs offline.
+# ---------------------------------------------------------------------------
+
+
+STAC_INDEX_URL = "https://stacindex.org/api/catalogs"
+
+
+class STACIndexData(dt.Service):
+    """The stacindex.org catalogs API (or a local JSON copy of it)."""
+
+    structure = {"catalog"}
+
+
+def _json_fetch(url: str) -> "object":
+    """Local paths / file:// read from disk; http(s) via urllib
+    (network-gated in this container). Returns parsed JSON."""
+    import json as _json
+
+    if url.startswith("file://"):
+        url = url[7:]
+    if "://" not in url:
+        with open(url, "rb") as f:
+            return _json.loads(f.read())
+    from urllib.request import urlopen  # pragma: no cover - no network here
+
+    with urlopen(url, timeout=30) as resp:  # pragma: no cover
+        return _json.loads(resp.read())
+
+
+def stac_index(data: STACIndexData | None = None, fetch=None) -> "object":
+    """The public STAC registry as a Catalog: every non-private entry
+    becomes a sub-catalog — API endpoints rehydrate as ``StacSearchReader``
+    (searchable), static catalogs as ``StacCatalogReader`` (walkable) —
+    with title/summary/created/updated carried in entry metadata."""
+    from intake_spark.catalog import Catalog
+
+    data = data or STACIndexData(url=STAC_INDEX_URL)
+    fetch = fetch or _json_fetch
+    listing = fetch(data.url)
+    cat = Catalog(metadata={"source": data.url})
+    for entry in listing:
+        if entry.get("isPrivate"):
+            continue
+        meta = {
+            "title": entry.get("title", ""),
+            "description": entry.get("summary", ""),
+            "created": entry.get("created", ""),
+            "updated": entry.get("updated", ""),
+        }
+        cls = StacSearchReader if entry.get("isApi") else StacCatalogReader
+        cat.add_entry(
+            cls(data=STACCatalogData(url=entry["url"], metadata=meta)),
+            name=entry["slug"],
+        )
+    return cat
+
+
+class STACIndexReader(BaseReader):
+    """stacindex.org registry → Catalog of STAC catalogs/APIs."""
+
+    implements = {STACIndexData}
+    output_instance = "intake_spark.catalog:Catalog"
+
+    def read(self, spark=None, **kwargs):
+        merged = {**self.kwargs, **kwargs}
+        return stac_index(self.data, fetch=merged.get("fetch"))
+
+
+# ---------------------------------------------------------------------------
+# NASA Earthdata — collection/granule discovery over the public CMR REST
+# API (parity: EarthdataCatalogReader/EarthdataReader, reference
+# catalogs.py:666-731, which delegate to the earthaccess package; the CMR
+# search endpoints those wrap are a public documented REST API). Discovery
+# is driver-side JSON; granule payloads are what read distributed, via
+# whichever engine reader ``recommend`` picks for each download URL.
+# Actual downloads need Earthdata login + network, so .read() on a granule
+# is gated here — the same split the reference has (earthaccess.login()).
+# ---------------------------------------------------------------------------
+
+
+CMR_URL = "https://cmr.earthdata.nasa.gov"
+
+
+class EarthdataCMR(dt.Service):
+    """A CMR search endpoint root (or a local fixture of its JSON)."""
+
+    structure = {"catalog"}
+
+
+def _cmr_query(base: str, path: str, params: dict) -> str:
+    from urllib.parse import urlencode
+
+    qs = urlencode({k: v for k, v in params.items() if v is not None})
+    return f"{base.rstrip('/')}/search/{path}.json" + (f"?{qs}" if qs else "")
+
+
+def earthdata_catalog(
+    data: EarthdataCMR | None = None,
+    temporal: tuple[str, str] | None = None,
+    keyword: str | None = None,
+    fetch=None,
+    page_size: int = 50,
+) -> "object":
+    """Search CMR collections → Catalog of ``EarthdataReader`` entries
+    keyed by concept-id (the reference's catalog shape). ``temporal`` is
+    an (ISO start, ISO end) pair; ``keyword`` free-texts the collection
+    search."""
+    from intake_spark.catalog import Catalog
+
+    data = data or EarthdataCMR(url=CMR_URL)
+    fetch = fetch or _json_fetch
+    url = _cmr_query(
+        data.url,
+        "collections",
+        {
+            "temporal": ",".join(temporal) if temporal else None,
+            "keyword": keyword,
+            "page_size": page_size,
+        },
+    )
+    doc = fetch(url)
+    cat = Catalog(metadata={"source": data.url})
+    for coll in doc.get("feed", {}).get("entry", []):
+        concept = coll.get("id", "")
+        if not concept:
+            continue
+        cat.add_entry(
+            EarthdataReader(
+                data=EarthdataCMR(
+                    url=data.url,
+                    metadata={
+                        "title": coll.get("title", ""),
+                        "summary": coll.get("summary", ""),
+                        "time_start": coll.get("time_start", ""),
+                        "archive_center": coll.get("archive_center", ""),
+                    },
+                ),
+                concept=concept,
+                temporal=temporal,
+            ),
+            name=concept,
+        )
+    return cat
+
+
+class EarthdataCatalogReader(BaseReader):
+    """CMR collection search → Catalog of per-dataset EarthdataReaders."""
+
+    implements = {EarthdataCMR}
+    output_instance = "intake_spark.catalog:Catalog"
+
+    def read(self, spark=None, **kwargs):
+        merged = {**self.kwargs, **kwargs}
+        return earthdata_catalog(
+            self.data,
+            temporal=merged.get("temporal"),
+            keyword=merged.get("keyword"),
+            fetch=merged.get("fetch"),
+            page_size=merged.get("page_size", 50),
+        )
+
+
+def earthdata_granules(
+    data: EarthdataCMR,
+    concept: str,
+    temporal: tuple[str, str] | None = None,
+    fetch=None,
+    page_size: int = 200,
+) -> list[dict]:
+    """List a collection's granules via CMR: [(granule id, title, download
+    href, size)]. Download links are the entries whose rel ends in
+    ``/data#`` per the CMR links spec (NOT a bare ``data#`` suffix test —
+    the ``metadata#`` rel would match that too)."""
+    fetch = fetch or _json_fetch
+    url = _cmr_query(
+        data.url,
+        "granules",
+        {
+            "concept_id": concept,
+            "temporal": ",".join(temporal) if temporal else None,
+            "page_size": page_size,
+        },
+    )
+    doc = fetch(url)
+    out = []
+    for g in doc.get("feed", {}).get("entry", []):
+        href = ""
+        for link in g.get("links", []):
+            if link.get("rel", "").endswith("/data#"):
+                href = link.get("href", "")
+                break
+        out.append(
+            {
+                "granule_id": g.get("id", ""),
+                "title": g.get("title", ""),
+                "href": href,
+                "size_mb": float(g.get("granule_size", 0) or 0),
+            }
+        )
+    return out
+
+
+class EarthdataReader(BaseReader):
+    """One Earthdata collection → Catalog of granule readers: each granule
+    download URL gets the engine reader ``recommend`` picks for it
+    (NetCDF/HDF5/GeoTIFF granules land on the matching stdlib decoders).
+    Keys are granule ids; entry metadata keeps title/size. Reading a
+    granule's BYTES needs Earthdata login + network — gated exactly like
+    the reference (earthaccess.login())."""
+
+    implements = {EarthdataCMR}
+    output_instance = "intake_spark.catalog:Catalog"
+
+    def read(self, spark=None, **kwargs):
+        from intake_spark.catalog import Catalog
+        from intake_spark.datatypes import recommend
+
+        merged = {**self.kwargs, **kwargs}
+        concept = merged.get("concept")
+        if not concept:
+            raise ValueError("EarthdataReader needs a concept=<concept-id>")
+        grans = earthdata_granules(
+            self.data,
+            concept,
+            temporal=merged.get("temporal"),
+            fetch=merged.get("fetch"),
+            page_size=merged.get("page_size", 200),
+        )
+        cat = Catalog(metadata={"concept": concept})
+        for g in grans:
+            if not g["href"]:
+                continue
+            candidates = recommend(g["href"])
+            if not candidates:
+                continue
+            inst = (
+                candidates[0](url=g["href"])
+                if isinstance(candidates[0], type)
+                else candidates[0]
+            )
+            inst.metadata.update({"title": g["title"], "size_mb": g["size_mb"]})
+            cat.add_entry(inst.to_reader(), name=g["granule_id"])
+        return cat

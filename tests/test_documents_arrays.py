@@ -1077,3 +1077,76 @@ def test_msgpack_multifile_schema_and_coercion(spark, tmp_path):
     d2 = dict(out2.dtypes)
     assert d2["id"] == "double" and list(out2.columns) == ["path", "id", "extra"]
     assert sorted(r.id for r in out2.collect()) == [1.0, 2.0, 3.0]
+
+
+def test_zarr_group_catalog_roundtrip(spark, tmp_path):
+    """Zarr GROUP hierarchy → catalog entries (reference catalog/zarr.py:
+    5-38 shape): arrays written by our own to_zarr become ZarrReader
+    entries, nested .zgroup dirs become sub-catalogs, group attrs land in
+    catalog metadata; v3 group nodes walk the same way."""
+    import json as _json
+    import os
+
+    import numpy as np
+
+    from intake_spark import datatypes as dt
+    from intake_spark.arrays import NumpyArrayReader
+    from intake_spark.output import to_zarr
+    from intake_spark.readers import ZarrGroupCatalogReader
+
+    # group with two arrays written by the engine's own distributed sink
+    root = tmp_path / "grp.zarr"
+    root.mkdir()
+    (root / ".zgroup").write_text('{"zarr_format": 2}')
+    (root / ".zattrs").write_text('{"title": "test group"}')
+    for name, shape in (("temps", (10, 3)), ("flags", (6,))):
+        p = tmp_path / f"{name}.npy"
+        _write_npy(str(p), shape)
+        df = NumpyArrayReader(data=dt.NumpyFile(url=str(p))).read(
+            spark=spark, rows_per_chunk=4
+        )
+        to_zarr(df, str(root / name))
+    # nested subgroup with one v2 array
+    sub = root / "nested"
+    sub.mkdir()
+    (sub / ".zgroup").write_text('{"zarr_format": 2}')
+    arr = np.arange(6.0).reshape(2, 3)
+    _write_zarr_v2(str(sub / "inner"), arr, chunks=[2, 3])
+
+    cat = ZarrGroupCatalogReader(data=dt.Zarr(url=str(root))).read()
+    assert set(cat.aliases) == {"temps", "flags", "nested"}
+    assert cat.metadata["title"] == "test group"
+
+    got = cat["temps"].read(spark=spark)
+    rows = sorted(got.collect(), key=lambda r: r.offset0)
+    vals = [v for r in rows for v in r.values]
+    assert vals == [float(i) for i in range(30)]
+
+    subcat = cat["nested"].read()
+    assert set(subcat.aliases) == {"inner"}
+    inner = subcat["inner"].read(spark=spark).collect()
+    assert sorted(v for r in inner for v in r.values) == [float(i) for i in range(6)]
+
+    # component= selects a subgroup directly
+    direct = ZarrGroupCatalogReader(data=dt.Zarr(url=str(root))).read(
+        component="nested"
+    )
+    assert set(direct.aliases) == {"inner"}
+
+    # v3 group node
+    g3 = tmp_path / "g3.zarr"
+    g3.mkdir()
+    (g3 / "zarr.json").write_text(_json.dumps(
+        {"zarr_format": 3, "node_type": "group", "attributes": {"v": 3}}
+    ))
+    _write_zarr_v3(str(g3 / "a3"), np.arange(6.0).reshape(3, 2), chunks=[3, 2])
+    cat3 = ZarrGroupCatalogReader(data=dt.Zarr(url=str(g3))).read()
+    assert set(cat3.aliases) == {"a3"} and cat3.metadata["v"] == 3
+    v3 = cat3["a3"].read(spark=spark).collect()
+    assert sorted(v for r in v3 for v in r.values) == [float(i) for i in range(6)]
+
+    # not-a-group raises with a clear message
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not a zarr group"):
+        ZarrGroupCatalogReader(data=dt.Zarr(url=str(tmp_path))).read()

@@ -117,3 +117,96 @@ def test_stac_stack_bands_union(spark, tmp_path):
     assert {r.item_id for r in rows} == {"item1"}
     with pytest.raises(ValueError, match="no assets matched"):
         stac_stack_bands(spark, str(d / "item1.json"), bands=["swir"])
+
+
+def test_stac_index_registry(tmp_path):
+    """stacindex.org registry → Catalog: private entries dropped, API
+    entries rehydrate as StacSearchReader, static ones as
+    StacCatalogReader, registry metadata carried through."""
+    from intake_spark.services import STACIndexData, STACIndexReader
+
+    listing = [
+        {"slug": "pub-api", "url": "https://api.example/stac", "isPrivate": False,
+         "isApi": True, "title": "A public API", "summary": "searchable",
+         "created": "2020-01-01", "updated": "2024-01-01"},
+        {"slug": "pub-static", "url": "https://static.example/catalog.json",
+         "isPrivate": False, "isApi": False, "title": "Static cat",
+         "summary": "walkable", "created": "2019-01-01", "updated": "2023-01-01"},
+        {"slug": "secret", "url": "https://x", "isPrivate": True, "isApi": True},
+    ]
+    p = tmp_path / "index.json"
+    p.write_text(json.dumps(listing))
+    cat = STACIndexReader(data=STACIndexData(url=str(p))).read()
+    assert set(cat.aliases) == {"pub-api", "pub-static"}
+    api = cat["pub-api"]
+    static = cat["pub-static"]
+    assert type(api).__name__ == "StacSearchReader"
+    assert type(static).__name__ == "StacCatalogReader"
+    assert api.data.metadata["title"] == "A public API"
+    assert static.data.url.endswith("catalog.json")
+
+
+def test_stac_search_reader_wraps_search(spark, tmp_path):
+    """StacSearchReader ≡ stac_search as a catalogable reader entry."""
+    from intake_spark.services import StacSearchReader
+
+    root = _tree(tmp_path)
+    df = StacSearchReader(
+        data=STACCatalogData(url=str(root / "catalog.json")),
+        bbox=(0.0, 0.0, 10.0, 10.0),
+    ).read(spark=spark)
+    rows = df.collect()
+    assert {r.item_id for r in rows} == {"item1"}
+
+
+def test_earthdata_cmr_catalog_and_granules(tmp_path):
+    """Mocked-CMR discovery (reference catalogs.py:666-731 shape):
+    collection search → per-concept EarthdataReader entries; a reader
+    lists granules and rehydrates an engine reader per download URL."""
+    from intake_spark.services import (
+        EarthdataCMR,
+        EarthdataCatalogReader,
+    )
+
+    collections = {"feed": {"entry": [
+        {"id": "C100-PROV", "title": "Precip L3", "summary": "daily precip",
+         "time_start": "2002-01-01T00:00:00Z", "archive_center": "GES_DISC"},
+        {"id": "C200-PROV", "title": "SST L4", "summary": "sea surface temp"},
+    ]}}
+    granules = {"feed": {"entry": [
+        {"id": "G1-PROV", "title": "day one", "granule_size": "3.5",
+         "links": [
+             {"rel": "http://esipfed.org/ns/fedsearch/1.1/metadata#",
+              "href": "https://x/meta.xml"},
+             {"rel": "http://esipfed.org/ns/fedsearch/1.1/data#",
+              "href": "https://data.example/prec_2002_01_01.nc"},
+         ]},
+        {"id": "G2-PROV", "title": "no data link", "links": []},
+    ]}}
+
+    calls = []
+
+    def fetch(url):
+        calls.append(url)
+        if "/search/collections.json" in url:
+            return collections
+        if "/search/granules.json" in url:
+            return granules
+        raise AssertionError(url)
+
+    cat = EarthdataCatalogReader(data=EarthdataCMR(url="https://cmr.example")).read(
+        temporal=("2002-01-01", "2002-01-02"), fetch=fetch
+    )
+    assert set(cat.aliases) == {"C100-PROV", "C200-PROV"}
+    assert "temporal=2002-01-01%2C2002-01-02" in calls[0]
+
+    rdr = cat["C100-PROV"]
+    assert type(rdr).__name__ == "EarthdataReader"
+    assert rdr.data.metadata["archive_center"] == "GES_DISC"
+    gcat = rdr.read(fetch=fetch)
+    # granule with a data link resolves to the NetCDF reader; linkless one dropped
+    assert set(gcat.aliases) == {"G1-PROV"}
+    g = gcat["G1-PROV"]
+    assert g.data.url.endswith(".nc")
+    assert g.data.metadata["size_mb"] == 3.5
+    assert "concept_id=C100-PROV" in calls[-1]
