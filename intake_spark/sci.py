@@ -236,9 +236,67 @@ def _tiff_read_ifd(f, bo: str, big: bool, ifd_off: int) -> tuple[dict, int]:
             tags[tag] = list(struct.unpack(bo + f"{cnt}Q", data))
         elif typ == 1:
             tags[tag] = list(data)
+        elif typ == 12:  # DOUBLE — GeoTIFF ModelPixelScale/Tiepoint/etc.
+            tags[tag] = list(struct.unpack(bo + f"{cnt}d", data))
+        elif typ == 11:  # FLOAT
+            tags[tag] = list(struct.unpack(bo + f"{cnt}f", data))
+        elif typ == 2:  # ASCII (NUL-terminated)
+            tags[tag] = [data.split(b"\x00")[0].decode("ascii", "replace")]
         else:
             tags[tag] = [data]
     return tags, next_ifd
+
+
+def _tiff_geo(tags: dict) -> dict | None:
+    """GeoTIFF georeferencing from the public spec (OGC GeoTIFF 1.1):
+    raster→model transform out of ModelPixelScale(33550)+ModelTiepoint
+    (33922) or ModelTransformation(34264), plus the GeoKeyDirectory(34735)
+    short entries (values inline or indexed into GeoDoubleParams 34736 /
+    GeoAsciiParams 34737). Returns None when the IFD carries no geo tags;
+    otherwise a dict with the affine terms (x = ox + col*sx + row*rx;
+    y = oy + col*ry + row*sy) and the decoded geokeys."""
+    scale = tags.get(33550)
+    tie = tags.get(33922)
+    xform = tags.get(34264)
+    keydir = tags.get(34735)
+    if not (scale or tie or xform or keydir):
+        return None
+    geo: dict = {"geokeys": {}}
+    if keydir and len(keydir) >= 4 and not isinstance(keydir[0], bytes):
+        n_keys = int(keydir[3])
+        doubles = tags.get(34736, [])
+        ascii_params = (tags.get(34737) or [""])[0]
+        for k in range(n_keys):
+            ent = keydir[4 + 4 * k : 8 + 4 * k]
+            if len(ent) < 4:
+                break
+            key_id, loc, cnt, val = (int(v) for v in ent)
+            if loc == 0:
+                geo["geokeys"][key_id] = val
+            elif loc == 34736 and val + cnt <= len(doubles):
+                vs = doubles[val : val + cnt]
+                geo["geokeys"][key_id] = vs[0] if cnt == 1 else list(vs)
+            elif loc == 34737 and isinstance(ascii_params, str):
+                geo["geokeys"][key_id] = ascii_params[val : val + cnt].rstrip("|")
+    if xform and len(xform) == 16 and not isinstance(xform[0], bytes):
+        m = [float(v) for v in xform]
+        geo.update(sx=m[0], rx=m[1], ox=m[3], ry=m[4], sy=m[5], oy=m[7])
+    elif (
+        scale and tie
+        and len(scale) >= 2 and len(tie) >= 6
+        and not isinstance(scale[0], bytes) and not isinstance(tie[0], bytes)
+    ):
+        sx, syv = float(scale[0]), float(scale[1])
+        ti, tj, _, tx, ty, _ = (float(v) for v in tie[:6])
+        # tiepoint maps raster (I,J) to model (X,Y); Y decreases with row
+        geo.update(sx=sx, rx=0.0, ox=tx - ti * sx,
+                   ry=0.0, sy=-syv, oy=ty + tj * syv)
+    gk = geo["geokeys"]
+    geo["model_type"] = int(gk.get(1024, 0)) if isinstance(gk.get(1024, 0), (int, float)) else 0
+    geo["raster_type"] = int(gk.get(1025, 1)) if isinstance(gk.get(1025, 1), (int, float)) else 1
+    epsg = gk.get(3072) or gk.get(2048)
+    geo["epsg"] = int(epsg) if isinstance(epsg, (int, float)) and epsg not in (0, 32767) else None
+    return geo
 
 
 def tiff_meta(f, page: int = 0) -> dict:
@@ -297,6 +355,8 @@ def tiff_meta(f, page: int = 0) -> dict:
         "tile_length": int(one(323, 0)),
         "tile_offsets": [int(v) for v in tags.get(324, [])],
         "tile_counts": [int(v) for v in tags.get(325, [])],
+        # GeoTIFF georeferencing (None for plain TIFFs)
+        "geo": _tiff_geo(tags),
     }
 
 
@@ -411,6 +471,22 @@ class TIFFReader(BaseReader):
              "bits": meta["bits"], "page": page, "tiled": meta["tiled"],
              "has_more_pages": meta["has_next_page"]}
         )
+        # GeoTIFF: surface the raster→model transform + CRS, and (for the
+        # axis-aligned case) per-chunk x/y coordinate columns — the
+        # reference gets these via rasterio/xarray (readers.py:1496,2371);
+        # here they come straight from the spec tags parsed above.
+        geo = meta["geo"]
+        axis_aligned = bool(geo and "sx" in geo and not (geo["rx"] or geo["ry"]))
+        if geo and "sx" in geo:
+            self.data.metadata["geo"] = {
+                "epsg": geo["epsg"],
+                "model_type": geo["model_type"],
+                "raster_type": geo["raster_type"],
+                # row-major 2x3 affine: x = ox + c*sx + r*rx; y = oy + c*ry + r*sy
+                "affine": [geo["sx"], geo["rx"], geo["ox"],
+                           geo["ry"], geo["sy"], geo["oy"]],
+                "geokeys": geo["geokeys"],
+            }
         ensure_py_deps(spark)
         if meta["tiled"]:
             # COG-style layout: each manifest row stitches one tile-row
@@ -439,10 +515,32 @@ class TIFFReader(BaseReader):
                 min(len(manifest), spark.sparkContext.defaultParallelism)
             )
         tiled = meta["tiled"]
+        if axis_aligned:
+            # coordinate columns at pixel centers (PixelIsArea, geokey
+            # 1025==1, the default) or grid points (PixelIsPoint, ==2):
+            # xs is per-column (identical for every chunk, width-long),
+            # ys is per-row of the chunk (nrows-long) — O(W + nrows) per
+            # chunk row, never O(W*H)
+            half = 0.5 if geo["raster_type"] != 2 else 0.0
+            gsx, gox, gsy, goy = geo["sx"], geo["ox"], geo["sy"], geo["oy"]
+            from pyspark.sql import types as T
+
+            # copy — StructType.add mutates in place, and CHUNK_SCHEMA is
+            # the shared module-level schema
+            out_schema = T.StructType(
+                list(CHUNK_SCHEMA.fields)
+                + [
+                    T.StructField("xs", T.ArrayType(T.DoubleType())),
+                    T.StructField("ys", T.ArrayType(T.DoubleType())),
+                ]
+            )
+        else:
+            out_schema = CHUNK_SCHEMA
 
         def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             import numpy as np
 
+            cols = [f.name for f in out_schema.fields]
             with open(url, "rb") as fh:
                 for pdf in batches:
                     out = []
@@ -452,17 +550,22 @@ class TIFFReader(BaseReader):
                         else:
                             fh.seek(int(r.off))
                             arr = _tiff_strip_array(fh.read(int(r.cnt)), meta, int(r.nrows))
-                        out.append(
-                            {
-                                "chunk_id": int(r.chunk_id),
-                                "offset0": int(r.row_start),
-                                "shape": shape,
-                                "values": arr.astype(np.float64).ravel().tolist(),
-                            }
-                        )
-                    yield pd.DataFrame(out, columns=["chunk_id", "offset0", "shape", "values"])
+                        row = {
+                            "chunk_id": int(r.chunk_id),
+                            "offset0": int(r.row_start),
+                            "shape": shape,
+                            "values": arr.astype(np.float64).ravel().tolist(),
+                        }
+                        if axis_aligned:
+                            r0 = int(r.row_start)
+                            row["xs"] = [gox + (c + half) * gsx for c in range(w)]
+                            row["ys"] = [
+                                goy + (r0 + i + half) * gsy for i in range(int(r.nrows))
+                            ]
+                        out.append(row)
+                    yield pd.DataFrame(out, columns=cols)
 
-        return mdf.mapInPandas(decode, schema=CHUNK_SCHEMA)
+        return mdf.mapInPandas(decode, schema=out_schema)
 
 
 class NetCDF3(dt.FileData):
@@ -1896,18 +1999,18 @@ def tiff_level_index(f) -> list[dict]:
     page = 0
     while ifd_off and page < 4096:
         tags, ifd_off = _tiff_read_ifd(f, bo, big, ifd_off)
-        desc = tags.get(270, [b""])[0]
+        desc = tags.get(270, [""])[0]
         if isinstance(desc, int):  # type-1 bytes land as int lists
             desc = bytes(tags[270])
+        if isinstance(desc, (bytes, bytearray)):
+            desc = desc.rstrip(b"\x00").decode("ascii", "replace")
         info = {
             "page": page,
             "width": int(tags[256][0]) if 256 in tags else None,
             "height": int(tags[257][0]) if 257 in tags else None,
             "compression": int(tags.get(259, [1])[0]),
-            "description": (
-                desc.rstrip(b"\x00").decode("ascii", "replace")
-                if isinstance(desc, (bytes, bytearray)) else ""
-            ),
+            # ASCII(2) entries now arrive pre-decoded from the IFD walk
+            "description": desc if isinstance(desc, str) else "",
         }
         out.append(info)
         page += 1

@@ -33,9 +33,17 @@ def _pb_encode(data: bytes) -> bytes:
     return bytes(out)
 
 
-def make_tiff(arr: np.ndarray, bo: str = "<", packbits: bool = False, rows_per_strip: int | None = None) -> bytes:
+def make_tiff(
+    arr: np.ndarray,
+    bo: str = "<",
+    packbits: bool = False,
+    rows_per_strip: int | None = None,
+    extra_tags: list | None = None,
+) -> bytes:
     """Assemble a classic TIFF: header, IFD at offset 8, out-of-line tag
-    values, then strip data. arr: (H, W) or (H, W, C) uint8/uint16."""
+    values, then strip data. arr: (H, W) or (H, W, C) uint8/uint16.
+    ``extra_tags``: extra (tag, type, count, values) entries — type 2
+    (ascii bytes), 3/4 (shorts/longs), 12 (doubles) — for GeoTIFF tags."""
     h, w = arr.shape[:2]
     c = arr.shape[2] if arr.ndim == 3 else 1
     bits = arr.dtype.itemsize * 8
@@ -56,8 +64,15 @@ def make_tiff(arr: np.ndarray, bo: str = "<", packbits: bool = False, rows_per_s
         (278, 4, 1, [rps]),  # RowsPerStrip
         (279, 4, len(strips), [len(s) for s in strips]),  # StripByteCounts
     ]
-    fmt = {3: "H", 4: "I"}
-    size = {3: 2, 4: 4}
+    if extra_tags:
+        tags = sorted(tags + list(extra_tags))
+    fmt = {3: "H", 4: "I", 12: "d"}
+    size = {2: 1, 3: 2, 4: 4, 12: 8}
+
+    def pack_vals(typ, cnt, vals):
+        if typ == 2:
+            return vals  # ascii: already bytes, NUL-terminated
+        return struct.pack(f"{bo}{cnt}{fmt[typ]}", *vals)
     ifd_off = 8
     ifd_len = 2 + 12 * len(tags) + 4
     extra_off = ifd_off + ifd_len
@@ -69,7 +84,7 @@ def make_tiff(arr: np.ndarray, bo: str = "<", packbits: bool = False, rows_per_s
             offsets[tag] = extra_off + len(extra)
             extra += b"\x00" * ((-len(extra)) % 2)
             offsets[tag] = extra_off + len(extra)
-            extra += struct.pack(f"{bo}{cnt}{fmt[typ]}", *(vals or [0] * cnt))
+            extra += pack_vals(typ, cnt, vals if vals is not None else [0] * cnt)
     data_off = extra_off + len(extra)
     strip_offs = []
     cur = data_off
@@ -86,9 +101,9 @@ def make_tiff(arr: np.ndarray, bo: str = "<", packbits: bool = False, rows_per_s
         if size[typ] * cnt > 4:
             voff = extra_off + len(extra)
             ifd += struct.pack(f"{bo}HHI", tag, typ, cnt) + struct.pack(f"{bo}I", voff)
-            extra += struct.pack(f"{bo}{cnt}{fmt[typ]}", *vals)
+            extra += pack_vals(typ, cnt, vals)
         else:
-            packed = struct.pack(f"{bo}{cnt}{fmt[typ]}", *vals)
+            packed = pack_vals(typ, cnt, vals)
             ifd += struct.pack(f"{bo}HHI", tag, typ, cnt) + packed + b"\x00" * (4 - len(packed))
     ifd += struct.pack(f"{bo}I", 0)  # next-IFD pointer
     assert len(ifd) == ifd_len
@@ -394,3 +409,97 @@ def test_svs_recommend_prefers_svs_for_svs_suffix(tmp_path):
     p.write_bytes(make_multipage_tiff([rng.integers(0, 256, size=(4, 4), dtype=np.uint8)]))
     kinds = [c.__name__ if isinstance(c, type) else type(c).__name__ for c in recommend(str(p))]
     assert "SVS" in kinds
+
+
+def test_geotiff_coordinates_and_crs(spark, tmp_path):
+    """GeoTIFF georeferencing from the spec tags: ModelPixelScale +
+    ModelTiepoint give the affine, GeoKeyDirectory gives CRS/raster type;
+    chunk rows carry pixel-center x/y coordinate arrays (the reference
+    reads these via rasterio/xarray — readers.py:1496,2371)."""
+    arr = np.arange(6 * 4, dtype=np.uint8).reshape(6, 4)
+    # UTM-like transform: 10m pixels anchored at (500000, 4649776)
+    geo_tags = [
+        (33550, 12, 3, [10.0, 10.0, 0.0]),  # ModelPixelScale
+        (33922, 12, 6, [0.0, 0.0, 0.0, 500000.0, 4649776.0, 0.0]),  # Tiepoint
+        (34735, 3, 20, [  # GeoKeyDirectory: 4 keys, all inline
+            1, 1, 0, 4,
+            1024, 0, 1, 1,      # GTModelType = projected
+            1025, 0, 1, 1,      # GTRasterType = PixelIsArea
+            3072, 0, 1, 32633,  # ProjectedCSType EPSG
+            3076, 0, 1, 9001,   # linear units = metre
+        ]),
+    ]
+    p = tmp_path / "geo.tif"
+    p.write_bytes(make_tiff(arr, rows_per_strip=2, extra_tags=geo_tags))
+
+    rdr = TIFFReader(data=dt.TIFF(url=str(p)))
+    df = rdr.read(spark=spark)
+    np.testing.assert_array_equal(_rebuild(df), arr)
+
+    g = rdr.data.metadata["geo"]
+    assert g["epsg"] == 32633 and g["model_type"] == 1 and g["raster_type"] == 1
+    assert g["affine"] == [10.0, 0.0, 500000.0, 0.0, -10.0, 4649776.0]
+    assert g["geokeys"][3076] == 9001
+
+    rows = sorted(df.collect(), key=lambda r: r.offset0)
+    assert len(rows) == 3  # 6 rows @ rps=2
+    # pixel-center coordinates
+    assert rows[0].xs == [500000.0 + (c + 0.5) * 10 for c in range(4)]
+    assert rows[0].ys == [4649776.0 - 0.5 * 10, 4649776.0 - 1.5 * 10]
+    assert rows[2].ys == [4649776.0 - 4.5 * 10, 4649776.0 - 5.5 * 10]
+
+    # plain TIFF keeps the bare chunk schema (no phantom coord columns)
+    p2 = tmp_path / "plain.tif"
+    p2.write_bytes(make_tiff(arr))
+    df2 = TIFFReader(data=dt.TIFF(url=str(p2))).read(spark=spark)
+    assert "xs" not in df2.columns
+
+
+def test_geotiff_pixel_is_point_and_ascii_keys(spark, tmp_path):
+    """PixelIsPoint rasters anchor coordinates on the grid (no half-pixel
+    shift); ascii geokeys resolve through GeoAsciiParams; geographic CRS
+    comes from key 2048."""
+    arr = np.zeros((2, 2), dtype=np.uint8)
+    citation = b"WGS 84|\x00"
+    geo_tags = [
+        (33550, 12, 3, [0.25, 0.5, 0.0]),
+        (33922, 12, 6, [0.0, 0.0, 0.0, -180.0, 90.0, 0.0]),
+        (34736, 12, 1, [6378137.0]),  # GeoDoubleParams
+        (34735, 3, 24, [
+            1, 1, 0, 5,
+            1024, 0, 1, 2,        # geographic
+            1025, 0, 1, 2,        # PixelIsPoint
+            2048, 0, 1, 4326,     # GeographicType EPSG
+            2049, 34737, 7, 0,    # citation -> ascii params [0:7]
+            2057, 34736, 1, 0,    # semi-major axis -> double params [0]
+        ]),
+        (34737, 2, len(citation), citation),
+    ]
+    p = tmp_path / "geo2.tif"
+    p.write_bytes(make_tiff(arr, extra_tags=geo_tags))
+    rdr = TIFFReader(data=dt.TIFF(url=str(p)))
+    df = rdr.read(spark=spark)
+    g = rdr.data.metadata["geo"]
+    assert g["epsg"] == 4326 and g["raster_type"] == 2
+    assert g["geokeys"][2049] == "WGS 84"
+    assert g["geokeys"][2057] == 6378137.0
+    row = df.collect()[0]
+    assert row.xs == [-180.0, -179.75]  # grid-anchored, no half-pixel shift
+    assert row.ys == [90.0, 89.5]
+
+
+def test_tiff_level_index_reads_ascii_description(tmp_path):
+    """A real type-2 ImageDescription tag must survive the IFD walk into
+    tiff_level_index (ASCII entries arrive pre-decoded as str since the
+    GeoTIFF work — the bytes-only path would silently drop them)."""
+    from intake_spark.sci import parse_aperio_description, tiff_level_index
+
+    desc = b"Aperio Image Library v12.0.15\r\n4x4 [0,0] |AppMag = 40|MPP = 0.25\x00"
+    arr = np.zeros((4, 4), dtype=np.uint8)
+    p = tmp_path / "desc.tif"
+    p.write_bytes(make_tiff(arr, extra_tags=[(270, 2, len(desc), desc)]))
+    with open(p, "rb") as f:
+        levels = tiff_level_index(f)
+    assert levels[0]["description"].startswith("Aperio Image Library")
+    props = parse_aperio_description(levels[0]["description"])
+    assert props["aperio.AppMag"] == "40"
