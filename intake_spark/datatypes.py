@@ -227,6 +227,13 @@ class WAV(FileData):
     structure = {"array", "timeseries"}
 
 
+class FLAC(FileData):
+    filepattern = r"flac$"
+    mimetypes = r"audio/flac"
+    magic = (b"fLaC",)
+    structure = {"array", "timeseries"}
+
+
 class AVI(FileData):
     filepattern = r"avi$"
     mimetypes = r"video/(x-msvideo|avi)"

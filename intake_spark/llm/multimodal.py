@@ -201,6 +201,24 @@ def decode_wav_full(content: bytes):
     return rate, arr, sw
 
 
+def decode_audio_full(content: bytes):
+    """Magic-dispatched audio decode → (rate, samples ndarray (n, ch),
+    bits_per_sample). WAV via the stdlib ``wave`` module; FLAC via the
+    package's spec bitstream decoder (llm/flac.py). MP3/OGG/Vorbis remain
+    a named gate — their codecs genuinely need an audio library."""
+    if content[:4] == b"fLaC":
+        from intake_spark.llm.flac import decode_flac
+
+        return decode_flac(content)
+    if content[:4] == b"RIFF" and content[8:12] == b"WAVE":
+        rate, arr, sw = decode_wav_full(content)
+        return rate, arr, sw * 8
+    raise NotImplementedError(
+        "WAV and FLAC decode natively; MP3/OGG need an audio codec "
+        "library, absent in this container"
+    )
+
+
 def decode_wav(content: bytes):
     """(rate, samples) form of :func:`decode_wav_full`."""
     rate, arr, _sw = decode_wav_full(content)
@@ -603,11 +621,11 @@ def audio_features(
     content_col: str = "content",
     keep_cols: list[str] | None = None,
 ) -> DataFrame:
-    """REAL decode → feature stage for WAV columns (the audio mirror of
-    :func:`image_features`): Arrow-batched mapInPandas over the stdlib WAV
-    decoder produces the standard audio-QA features — sample rate,
-    channels, duration, RMS level, peak, zero-crossing rate — normalized
-    to [-1, 1] full scale regardless of sample width."""
+    """REAL decode → feature stage for WAV/FLAC columns (the audio mirror
+    of :func:`image_features`): Arrow-batched mapInPandas over the
+    magic-dispatched decoders produces the standard audio-QA features —
+    sample rate, channels, duration, RMS level, peak, zero-crossing rate —
+    normalized to [-1, 1] full scale regardless of bit depth."""
     import numpy as np
 
     from intake_spark.session import ensure_py_deps
@@ -623,14 +641,14 @@ def audio_features(
                 "rms", "peak", "zero_cross_rate",
             )}
             for content in pdf[content_col]:
-                rate, arr, sw = decode_wav_full(bytes(content))
-                if arr.dtype == np.uint8:  # 8-bit PCM is unsigned
+                rate, arr, bits = decode_audio_full(bytes(content))
+                if arr.dtype == np.uint8:  # 8-bit WAV PCM is unsigned
                     x = (arr.astype(np.float64) - 128.0) / 128.0
                 else:
-                    # full scale follows the *stored* sample width, not the
+                    # full scale follows the *stored* bit depth, not the
                     # decoded dtype: 24-bit samples sign-extend into int32
-                    # but span +-2^23
-                    x = arr.astype(np.float64) / float(1 << (8 * sw - 1))
+                    # but span +-2^23 (FLAC can also carry 12/20-bit)
+                    x = arr.astype(np.float64) / float(1 << (bits - 1))
                 mono = x.mean(axis=1)
                 n = len(mono)
                 zc = float(np.mean(np.abs(np.diff(np.signbit(mono))))) if n > 1 else 0.0
