@@ -234,6 +234,20 @@ class FLAC(FileData):
     structure = {"array", "timeseries"}
 
 
+class MP3(FileData):
+    filepattern = r"mp3$"
+    mimetypes = r"audio/mpeg"
+    magic = (b"ID3",)  # bare 0xFFEx sync is too short to claim safely
+    structure = {"array", "timeseries"}
+
+
+class OGG(FileData):
+    filepattern = r"(ogg|oga|opus)$"
+    mimetypes = r"audio/ogg"
+    magic = (b"OggS",)
+    structure = {"array", "timeseries"}
+
+
 class AVI(FileData):
     filepattern = r"avi$"
     mimetypes = r"video/(x-msvideo|avi)"
