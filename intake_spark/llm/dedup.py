@@ -713,3 +713,65 @@ def dup_rate_by_source(
         )
         .orderBy("source")
     )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing fingerprints (the MOSS local-document-fingerprinting
+    scheme, Schleimer/Wilkerson/Aiken SIGMOD'03): hash every ``k``-gram
+    (md5-derived 32-bit, the engine-portable idiom), slide a ``window``
+    over the hash sequence, keep the MINIMUM of each window, distinct the
+    picks. Guarantees every exact match of length >= window+k-1 tokens
+    shares a fingerprint, while storing ~2/(window+1) of the k-gram set.
+
+    MAPPER-ONLY per document (JVM higher-order functions over the in-row
+    token array — no shuffle until the final distinct explode), so it
+    runs unchanged on a streaming frame; at 100 TB the output is a
+    (doc_id, fingerprint) pair table ~1/(window) the k-gram volume,
+    bucketable on fingerprint for the downstream dup-candidate join."""
+    w = F.split(F.col(text_col), " ")
+    grams = F.expr(
+        f"transform(sequence(1, size(_w) - {k - 1}), "
+        f"i -> cast(conv(substring(md5(concat_ws(' ', slice(_w, i, {k}))), 1, 8), 16, 10) as bigint))"
+    )
+    mins = F.expr(
+        f"transform(sequence(1, size(_g) - {window - 1}), "
+        f"i -> array_min(slice(_g, i, {window})))"
+    )
+    return (
+        df.select(F.col(id_col), w.alias("_w"))
+        .filter(F.size("_w") >= k + window - 1)
+        .select(id_col, grams.alias("_g"))
+        .select(id_col, F.explode(F.array_distinct(mins)).alias("fingerprint"))
+    )
+
+
+def winnow_candidates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    window: int = 4,
+    min_shared: int = 2,
+) -> DataFrame:
+    """Candidate near-dup pairs via shared winnowing fingerprints: the
+    fingerprint equi-join (bucketed, never all-pairs), thresholded on the
+    number of shared picks. Same scale shape as the MinHash-LSH banded
+    join; winnowing additionally LOCALIZES matches (each shared
+    fingerprint pins an actual matching token span, which banded MinHash
+    cannot do)."""
+    fp = winnow_fingerprints(df, id_col, text_col, k, window)
+    a = fp.select(F.col(id_col).alias("id_a"), "fingerprint")
+    b = fp.select(F.col(id_col).alias("id_b"), "fingerprint")
+    return (
+        a.join(b, "fingerprint")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

@@ -1246,3 +1246,57 @@ def q80_norm_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     percentile ≡ quantile_cont, 1e-6 rounding."""
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.norm_profile(emb)
+
+
+@register(
+    "q81_winnow_fingerprints",
+    """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    grams AS (
+      SELECT doc_id,
+             [CAST(concat('0x', substr(md5(array_to_string(w[i:i+2], ' ')), 1, 8)) AS BIGINT)
+              for i in generate_series(1, len(w) - 2)] AS g
+      FROM toks WHERE len(w) >= 6),
+    mins AS (
+      SELECT doc_id,
+             list_distinct([list_min(g[i:i+3]) for i in generate_series(1, len(g) - 3)]) AS fps
+      FROM grams)
+    SELECT doc_id, CAST(unnest(fps) AS BIGINT) AS fingerprint FROM mins
+    """,
+)
+def q81_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (MOSS) document fingerprints: 3-gram md5 hashes, sliding
+    window of 4, min-of-window picks, distinct per doc. The oracle
+    re-derives the same picks with DuckDB list comprehensions — every
+    fingerprint value hash-compares exactly (md5-derived 32-bit ints)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.winnow_fingerprints(docs, k=3, window=4)
+
+
+@register(
+    "q82_bigram_stats",
+    """
+    WITH toks AS (SELECT string_split(text, ' ') AS w FROM documents),
+    p AS (
+      SELECT unnest([struct_pack(w1 := w[i], w2 := w[i+1])
+                     for i in generate_series(1, len(w) - 1)], recursive := true)
+      FROM toks WHERE len(w) >= 2),
+    big AS (
+      SELECT w1, w2, COUNT(*) AS n_ab FROM p GROUP BY w1, w2
+      ORDER BY n_ab DESC, w1, w2 LIMIT 50),
+    u AS (
+      SELECT tok, COUNT(*) AS n
+      FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+      GROUP BY tok)
+    SELECT b.w1, b.w2, b.n_ab, ua.n AS n_a, ub.n AS n_b
+    FROM big b JOIN u ua ON ua.tok = b.w1 JOIN u ub ON ub.tok = b.w2
+    """,
+)
+def q82_bigram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 adjacent word pairs with joint + marginal counts — the
+    exact integer sufficient statistics for collocation scoring (PMI /
+    log-likelihood stay client-side: transcendental, engine-variant).
+    Plan: one explode + partial-combining counts; the top-N lowers to
+    TakeOrderedAndProject and broadcasts back onto the unigram table."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.bigram_stats(docs, top_n=50)

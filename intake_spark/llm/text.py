@@ -443,3 +443,45 @@ def token_probability_scores(df: DataFrame, text_col: str = "text") -> DataFrame
             F.round(F.sum("_fx") / F.count(F.lit(1)) / F.lit(1e12), 6).alias("commonness_r"),
         )
     )
+
+
+def bigram_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    top_n: int = 50,
+) -> DataFrame:
+    """Corpus bigram association mining: the ``top_n`` most frequent
+    adjacent word pairs with their joint and marginal counts — the exact
+    integer sufficient statistics for PMI/log-likelihood collocation
+    scores (the scores themselves are transcendental and engine-variant,
+    so they stay OUT of the hashed surface; rank by the raw counts and
+    compute log-space scores client-side).
+
+    Shape: one explode + two partial-combining counts + a broadcast join
+    of the tiny top-N back onto the unigram table; top-N lowers to
+    TakeOrderedAndProject (per-partition heaps), never a global sort."""
+    w = F.split(F.col(text_col), " ")
+    pairs = F.expr(
+        "transform(sequence(1, size(_w) - 1), i -> struct(_w[i-1] as w1, _w[i] as w2))"
+    )
+    big = (
+        df.select(w.alias("_w"))
+        .filter(F.size("_w") >= 2)
+        .select(F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .orderBy(F.desc("n_ab"), F.asc("w1"), F.asc("w2"))
+        .limit(top_n)
+    )
+    uni = (
+        df.select(F.explode(w).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        big.join(F.broadcast(uni.withColumnRenamed("tok", "w1")
+                 .withColumnRenamed("n", "n_a")), "w1")
+        .join(F.broadcast(uni.withColumnRenamed("tok", "w2")
+              .withColumnRenamed("n", "n_b")), "w2")
+        .select("w1", "w2", "n_ab", "n_a", "n_b")
+    )

@@ -986,3 +986,51 @@ def test_vocab_coverage_plan_no_global_window(docs):
     )
     assert "TakeOrderedAndProject" in plan
     assert "row_number" not in plan
+
+
+def test_winnowing_guarantee_and_candidates(spark):
+    """The winnowing guarantee (SIGMOD'03): any exact shared token span of
+    length >= window+k-1 forces at least one shared fingerprint — so the
+    planted near-dup pair must surface in winnow_candidates, and unrelated
+    docs with no shared 3-grams must not."""
+    shared = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        (1, f"intro words {shared} tail one"),
+        (2, f"other lead {shared} different ending"),
+        (3, "completely unrelated text with nothing common here at all"),
+        (4, "a second unrelated document of plain filler words entirely"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+    fp = dedup.winnow_fingerprints(docs, k=3, window=4)
+    by_doc = {
+        r.doc_id: set()
+        for r in docs.collect()
+    }
+    for r in fp.collect():
+        by_doc[r.doc_id].add(r.fingerprint)
+    # shared span of 8 words >= 4+3-1=6 -> guaranteed common fingerprint
+    assert by_doc[1] & by_doc[2]
+    assert not (by_doc[3] & by_doc[1])
+    cands = {(r.id_a, r.id_b) for r in
+             dedup.winnow_candidates(docs, min_shared=1).collect()}
+    assert (1, 2) in cands
+    assert (3, 4) not in cands
+    # compression: picks are a strict subset of the k-gram set
+    n_grams = docs.selectExpr(
+        "size(split(text, ' ')) - 2 as n"
+    ).groupBy().sum("n").first()[0]
+    assert fp.count() < n_grams
+
+
+def test_bigram_stats_counts_exact(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b a b c"), (2, "a b x")], "doc_id int, text string"
+    )
+    rows = {(r.w1, r.w2): r for r in text.bigram_stats(docs, top_n=3).collect()}
+    ab = rows[("a", "b")]
+    assert ab.n_ab == 3          # 'a b' twice in doc1, once in doc2
+    assert ab.n_a == 3 and ab.n_b == 3  # unigram marginals corpus-wide
+    assert rows[("b", "a")].n_ab == 1
+    plan_df = text.bigram_stats(docs, top_n=3)
+    plan = plan_df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan and "BroadcastHashJoin" in plan
