@@ -668,3 +668,161 @@ def audio_features(
             yield out
 
     return df.mapInPandas(run, schema=out_schema)
+
+
+def image_meta(content: bytes) -> dict:
+    """Decode-free image dimensions + format, header bytes only — works
+    for every container INCLUDING the codecs whose pixel decode is gated
+    (lossy WebP VP8, AVIF): (format, width, height). The cheap dimension/
+    aspect pre-filter a multimodal corpus pipeline runs before paying for
+    pixel decode; parity with PIL's lazy ``Image.open`` size probe."""
+    import struct as _s
+
+    if content[:8] == b"\x89PNG\r\n\x1a\n":
+        w, h = _s.unpack_from(">II", content, 16)
+        return {"format": "png", "width": w, "height": h}
+    if content[:3] == b"GIF":
+        w, h = _s.unpack_from("<HH", content, 6)
+        return {"format": "gif", "width": w, "height": h}
+    if content[:2] == b"BM":
+        w, h = _s.unpack_from("<ii", content, 18)
+        return {"format": "bmp", "width": w, "height": abs(h)}
+    if content[:2] == b"\xff\xd8":  # JPEG: walk markers to a SOF
+        pos = 2
+        while pos + 4 <= len(content):
+            if content[pos] != 0xFF:
+                pos += 1
+                continue
+            marker = content[pos + 1]
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                pos += 2
+                continue
+            (seglen,) = _s.unpack_from(">H", content, pos + 2)
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                h, w = _s.unpack_from(">HH", content, pos + 5)
+                return {"format": "jpeg", "width": w, "height": h}
+            pos += 2 + seglen
+        raise ValueError("JPEG has no SOF marker")
+    if content[:4] == b"RIFF" and content[8:12] == b"WEBP":
+        pos = 12
+        while pos + 8 <= len(content):
+            fourcc = content[pos : pos + 4]
+            (size,) = _s.unpack_from("<I", content, pos + 4)
+            body = pos + 8
+            if fourcc == b"VP8X":  # canvas size: 24-bit minus-one fields
+                w = int.from_bytes(content[body + 4 : body + 7], "little") + 1
+                h = int.from_bytes(content[body + 7 : body + 10], "little") + 1
+                return {"format": "webp", "width": w, "height": h}
+            if fourcc == b"VP8L":
+                bits = int.from_bytes(content[body + 1 : body + 5], "little")
+                return {"format": "webp-lossless",
+                        "width": (bits & 0x3FFF) + 1,
+                        "height": ((bits >> 14) & 0x3FFF) + 1}
+            if fourcc == b"VP8 ":  # lossy: dims parse even though decode gates
+                if content[body + 3 : body + 6] != b"\x9d\x01\x2a":
+                    raise ValueError("bad VP8 keyframe start code")
+                w, h = _s.unpack_from("<HH", content, body + 6)
+                return {"format": "webp-lossy", "width": w & 0x3FFF, "height": h & 0x3FFF}
+            pos = body + size + (size & 1)
+        raise ValueError("WebP container has no image chunk")
+    if len(content) >= 12 and content[4:8] == b"ftyp" and content[8:12] in (b"avif", b"avis", b"heic", b"mif1"):
+        # AVIF/HEIF: meta -> iprp -> ipco -> ispe carries the spatial extent
+        from intake_spark.llm.video import _bmff_boxes
+
+        def find_ispe(start, end):
+            for typ, b, e in _bmff_boxes(content, start, end):
+                if typ == b"ispe":
+                    w, h = _s.unpack_from(">II", content, b + 4)
+                    return w, h
+                if typ in (b"meta", b"iprp", b"ipco"):
+                    # meta is a FULL box (4-byte version/flags prefix)
+                    got = find_ispe(b + (4 if typ == b"meta" else 0), e)
+                    if got:
+                        return got
+            return None
+
+        got = find_ispe(0, len(content))
+        if not got:
+            raise ValueError("AVIF/HEIF has no ispe property")
+        return {"format": content[8:12].decode("ascii"), "width": got[0], "height": got[1]}
+    if content[:2] in (b"II", b"MM"):
+        import io
+
+        from intake_spark.sci import tiff_meta
+
+        m = tiff_meta(io.BytesIO(content))
+        return {"format": "tiff", "width": m["width"], "height": m["height"]}
+    raise ValueError("unrecognized image container")
+
+
+def media_meta_features(
+    df: DataFrame,
+    content_col: str = "content",
+    keep_cols: list[str] | None = None,
+) -> DataFrame:
+    """Unified decode-free metadata stage for MIXED media binary columns:
+    tries image → audio → video container probes per row and emits
+    (media_kind, format, width, height, duration_s, err). One Arrow batch
+    pass, header bytes only — the triage operator that routes a raw
+    crawled blob column to the right decode pipeline."""
+    from intake_spark.llm.audio_meta import audio_meta
+    from intake_spark.llm.video import video_meta
+    from intake_spark.session import ensure_py_deps
+
+    ensure_py_deps(df.sparkSession)
+    keep = keep_cols if keep_cols is not None else [c for c in df.columns if c != content_col]
+    out_schema = T.StructType(
+        [df.schema[c] for c in keep]
+        + [
+            T.StructField("media_kind", T.StringType()),
+            T.StructField("format", T.StringType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("duration_s", T.DoubleType()),
+            T.StructField("err", T.StringType()),
+        ]
+    )
+
+    def probe(content: bytes) -> dict:
+        is_avi = content[:4] == b"RIFF" and content[8:12] == b"AVI "
+        is_mp4 = len(content) >= 12 and content[4:8] == b"ftyp" and content[8:12] not in (
+            b"avif", b"avis", b"heic", b"mif1"
+        )
+        if is_avi or is_mp4:
+            m = video_meta(content)
+            return {"media_kind": "video", "format": m["format"],
+                    "width": m["width"], "height": m["height"],
+                    "duration_s": m["duration_s"]}
+        try:
+            m = image_meta(content)
+            return {"media_kind": "image", "format": m["format"],
+                    "width": m["width"], "height": m["height"], "duration_s": None}
+        except ValueError:
+            pass
+        m = audio_meta(content)
+        return {"media_kind": "audio", "format": m["format"], "width": None,
+                "height": None, "duration_s": m["duration_s"]}
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            cols = {k: [] for k in ("media_kind", "format", "width", "height", "duration_s", "err")}
+            for content in pdf[content_col]:
+                try:
+                    m = probe(bytes(content))
+                    for k in ("media_kind", "format", "width", "height", "duration_s"):
+                        cols[k].append(m[k])
+                    cols["err"].append(None)
+                except Exception as exc:
+                    for k in ("media_kind", "format", "width", "height", "duration_s"):
+                        cols[k].append(None)
+                    cols["err"].append(str(exc)[:200])
+            out = pdf[keep].copy()
+            out["media_kind"] = cols["media_kind"]
+            out["format"] = cols["format"]
+            out["width"] = pd.array(cols["width"], dtype="Int32")
+            out["height"] = pd.array(cols["height"], dtype="Int32")
+            out["duration_s"] = pd.array(cols["duration_s"], dtype="float64")
+            out["err"] = cols["err"]
+            yield out
+
+    return df.mapInPandas(run, schema=out_schema)

@@ -178,3 +178,98 @@ def video_frame_features(
     keep = [c for c in frames.columns if c != "frame_bytes"]
     return image_features(frames, content_col="frame_bytes", keep_cols=keep,
                           thumb_size=thumb_size)
+
+
+def _bmff_boxes(content: bytes, start: int, end: int):
+    """ISO-BMFF box walk: yields (type, payload_start, payload_end);
+    handles 64-bit largesize and size-0 (to-end) boxes."""
+    pos = start
+    while pos + 8 <= end:
+        (size,) = struct.unpack_from(">I", content, pos)
+        typ = content[pos + 4 : pos + 8]
+        hdr = 8
+        if size == 1:
+            if pos + 16 > end:
+                break
+            (size,) = struct.unpack_from(">Q", content, pos + 8)
+            hdr = 16
+        elif size == 0:
+            size = end - pos
+        if size < hdr or pos + size > end:
+            break
+        yield typ, pos + hdr, pos + size
+        pos += size
+
+
+def parse_mp4(content: bytes) -> dict:
+    """MP4/MOV (ISO base media) container metadata, decode-free: brand,
+    movie duration (mvhd), per-track handler kind + sample-entry codec
+    fourcc (stsd) + visual dimensions (tkhd 16.16 fixed). Frame DECODE
+    stays gated (H.264/HEVC/AV1 need codec libraries); this is the
+    pre-filter a video corpus pipeline runs before paying for decode —
+    the same split as the MP3/OGG audio metadata path."""
+    brand = ""
+    duration_s = 0.0
+    tracks: list[dict] = []
+
+    def walk(start: int, end: int, ctx: dict) -> None:
+        nonlocal brand, duration_s
+        for typ, b, e in _bmff_boxes(content, start, end):
+            if typ == b"ftyp":
+                brand = content[b : b + 4].decode("ascii", "replace")
+            elif typ == b"mvhd":
+                ver = content[b]
+                if ver == 1:
+                    ts, dur = struct.unpack_from(">IQ", content, b + 20)
+                else:
+                    ts, dur = struct.unpack_from(">II", content, b + 12)
+                duration_s = dur / ts if ts else 0.0
+            elif typ == b"trak":
+                ctx2 = {"kind": "", "codec": "", "width": 0, "height": 0}
+                walk(b, e, ctx2)
+                tracks.append(ctx2)
+            elif typ == b"tkhd" and ctx is not None:
+                # width/height: 16.16 fixed, the final 8 payload bytes
+                w, h = struct.unpack_from(">II", content, e - 8)
+                ctx["width"] = w >> 16
+                ctx["height"] = h >> 16
+            elif typ == b"hdlr" and ctx is not None:
+                ctx["kind"] = content[b + 8 : b + 12].decode("ascii", "replace")
+            elif typ == b"stsd" and ctx is not None:
+                (n,) = struct.unpack_from(">I", content, b + 4)
+                if n >= 1:
+                    ctx["codec"] = content[b + 12 : b + 16].decode("ascii", "replace")
+            elif typ in (b"moov", b"mdia", b"minf", b"stbl"):
+                walk(b, e, ctx)
+
+    walk(0, len(content), None)
+    if not brand and not tracks:
+        raise ValueError("not an ISO-BMFF (MP4/MOV) stream")
+    vid = next((t for t in tracks if t["kind"] == "vide"), None)
+    return {
+        "format": f"mp4/{brand.strip()}" if brand else "mp4",
+        "duration_s": round(duration_s, 6),
+        "n_tracks": len(tracks),
+        "width": vid["width"] if vid else 0,
+        "height": vid["height"] if vid else 0,
+        "codec": vid["codec"] if vid else "",
+        "tracks": tracks,
+    }
+
+
+def video_meta(content: bytes) -> dict:
+    """Magic-dispatched decode-free video container metadata: AVI (RIFF
+    walk — full frame index) or MP4/MOV (box walk)."""
+    if content[:4] == b"RIFF" and content[8:12] == b"AVI ":
+        m = parse_avi(content)
+        return {
+            "format": "avi",
+            "duration_s": round(m["n_frames"] / m["fps"], 6) if m["fps"] else 0.0,
+            "n_tracks": 1,
+            "width": m["width"],
+            "height": m["height"],
+            "codec": m["codec"],
+            "n_frames": m["n_frames"],
+            "fps": m["fps"],
+        }
+    return parse_mp4(content)

@@ -278,3 +278,76 @@ def test_mp3_still_gated():
 
     with pytest.raises(NotImplementedError, match="MP3/OGG"):
         decode_audio_full(b"\xff\xfb\x90\x00" + b"\x00" * 64)
+
+
+# --- decode-free media probes (image_meta / media_meta_features) ------------
+
+
+def _lossy_webp(w, h):
+    import struct as st
+
+    vp8 = b"\x00\x00\x00" + b"\x9d\x01\x2a" + st.pack("<HH", w, h) + b"\x00" * 8
+    body = b"WEBP" + b"VP8 " + st.pack("<I", len(vp8)) + vp8
+    return b"RIFF" + st.pack("<I", len(body)) + body
+
+
+def _avif(w, h):
+    import struct as st
+
+    def box(t, p):
+        return st.pack(">I", 8 + len(p)) + t + p
+
+    ispe = box(b"ispe", b"\x00\x00\x00\x00" + st.pack(">II", w, h))
+    meta = box(b"meta", b"\x00\x00\x00\x00" + box(b"iprp", box(b"ipco", ispe)))
+    return box(b"ftyp", b"avif\x00\x00\x00\x00avifmif1") + meta
+
+
+def test_image_meta_dims_without_decode(tmp_path):
+    """Dimensions for every image container, INCLUDING codecs whose pixel
+    decode is gated (lossy WebP, AVIF) — header bytes only."""
+    import struct as st
+
+    from intake_spark.llm.multimodal import image_meta
+
+    png = b"\x89PNG\r\n\x1a\n" + st.pack(">I", 13) + b"IHDR" + st.pack(">IIBBBBB", 33, 21, 8, 0, 0, 0, 0) + b"\x00" * 4
+    assert image_meta(png) == {"format": "png", "width": 33, "height": 21}
+    gif = b"GIF89a" + st.pack("<HH", 11, 7) + b"\x00" * 8
+    assert image_meta(gif) == {"format": "gif", "width": 11, "height": 7}
+    assert image_meta(_lossy_webp(99, 45)) == {"format": "webp-lossy", "width": 99, "height": 45}
+    assert image_meta(_avif(640, 480)) == {"format": "avif", "width": 640, "height": 480}
+    # JPEG via a real fixture (SOF walk)
+    from tests.test_jpeg import make_gray_jpeg
+
+    j = image_meta(make_gray_jpeg(24, 16, b"\x00"))
+    assert (j["format"], j["width"], j["height"]) == ("jpeg", 24, 16)
+    # TIFF via the IFD path
+    import numpy as np
+
+    from tests.test_tiff import make_tiff
+
+    t = image_meta(make_tiff(np.zeros((5, 9), dtype=np.uint8)))
+    assert (t["format"], t["width"], t["height"]) == ("tiff", 9, 5)
+    with pytest.raises(ValueError, match="unrecognized"):
+        image_meta(b"\x00" * 64)
+
+
+def test_media_meta_features_triage(spark, tmp_path):
+    """The mixed-blob triage operator routes image/audio/video rows by
+    magic in ONE Arrow pass, with per-row err for junk."""
+    from intake_spark.llm import multimodal
+    from intake_spark.llm.multimodal import media_meta_features
+    from tests.test_video import make_mp4
+
+    (tmp_path / "img.webp").write_bytes(_lossy_webp(10, 20))
+    (tmp_path / "song.flac").write_bytes(make_flac([[0] * 8], bps=16, rate=8000))
+    (tmp_path / "clip.mp4").write_bytes(make_mp4(duration_s=1.5))
+    (tmp_path / "junk.bin").write_bytes(b"\xde\xad\xbe\xef" * 32)
+
+    files = multimodal.read_binary_dir(spark, str(tmp_path))
+    rows = {r.path.rsplit("/", 1)[-1]: r for r in
+            media_meta_features(files, keep_cols=["path"]).collect()}
+    assert rows["img.webp"].media_kind == "image" and rows["img.webp"].width == 10
+    assert rows["song.flac"].media_kind == "audio"
+    assert rows["song.flac"].duration_s == pytest.approx(8 / 8000)
+    assert rows["clip.mp4"].media_kind == "video" and rows["clip.mp4"].duration_s == 1.5
+    assert rows["junk.bin"].media_kind is None and rows["junk.bin"].err

@@ -127,3 +127,58 @@ def test_avi_reader_and_recommend(spark, tmp_path):
     rows = df.orderBy("frame_idx").collect()
     assert [r.frame_idx for r in rows] == [0, 2, 4]
     assert all(bytes(r.frame_bytes)[:3] == b"\xff\xd8\xff" for r in rows)
+
+
+def _box(typ: bytes, payload: bytes) -> bytes:
+    import struct as st
+
+    return st.pack(">I", 8 + len(payload)) + typ + payload
+
+
+def make_mp4(duration_s=2.5, timescale=1000, w=320, h=240, codec=b"avc1",
+             audio=True) -> bytes:
+    import struct as st
+
+    mvhd = bytes([0, 0, 0, 0]) + b"\x00" * 8 + st.pack(
+        ">II", timescale, int(duration_s * timescale)
+    ) + b"\x00" * 80
+    tkhd_v = bytes([0, 0, 0, 0]) + b"\x00" * 72 + st.pack(">II", w << 16, h << 16)
+    hdlr_v = bytes(8) + b"vide" + bytes(12) + b"Video\x00"
+    stsd_v = bytes([0, 0, 0, 0]) + st.pack(">I", 1) + _box(codec, b"\x00" * 70)
+    trak_v = _box(b"trak", _box(b"tkhd", tkhd_v) + _box(
+        b"mdia", _box(b"hdlr", hdlr_v) + _box(b"minf", _box(b"stbl", _box(b"stsd", stsd_v)))
+    ))
+    moov = _box(b"mvhd", mvhd) + trak_v
+    if audio:
+        tkhd_a = bytes([0, 0, 0, 0]) + b"\x00" * 72 + st.pack(">II", 0, 0)
+        hdlr_a = bytes(8) + b"soun" + bytes(12) + b"Sound\x00"
+        stsd_a = bytes([0, 0, 0, 0]) + st.pack(">I", 1) + _box(b"mp4a", b"\x00" * 28)
+        moov += _box(b"trak", _box(b"tkhd", tkhd_a) + _box(
+            b"mdia", _box(b"hdlr", hdlr_a) + _box(b"minf", _box(b"stbl", _box(b"stsd", stsd_a)))
+        ))
+    return _box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2") + _box(b"moov", moov)
+
+
+def test_parse_mp4_metadata():
+    from intake_spark.llm.video import parse_mp4, video_meta
+
+    m = parse_mp4(make_mp4())
+    assert m["format"] == "mp4/isom" and m["duration_s"] == 2.5
+    assert (m["width"], m["height"], m["codec"]) == (320, 240, "avc1")
+    assert m["n_tracks"] == 2
+    kinds = {t["kind"]: t["codec"] for t in m["tracks"]}
+    assert kinds == {"vide": "avc1", "soun": "mp4a"}
+
+    # dispatch: MP4 and AVI route through the same video_meta
+    v = video_meta(make_mp4(duration_s=1.0, audio=False))
+    assert v["duration_s"] == 1.0 and v["n_tracks"] == 1
+    # metadata walk never touches frame payloads — dummy bytes suffice
+    frames = [b"\x00" * 16] * 3
+    a = video_meta(make_avi(frames, w=8, h=8, fps=10))
+    assert a["format"] == "avi" and a["n_frames"] == 3
+    assert a["duration_s"] == 0.3
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="ISO-BMFF"):
+        parse_mp4(b"\x00" * 64)
