@@ -758,14 +758,28 @@ def winnow_candidates(
     k: int = 3,
     window: int = 4,
     min_shared: int = 2,
+    max_fingerprint_df: int | None = 1000,
 ) -> DataFrame:
     """Candidate near-dup pairs via shared winnowing fingerprints: the
     fingerprint equi-join (bucketed, never all-pairs), thresholded on the
     number of shared picks. Same scale shape as the MinHash-LSH banded
     join; winnowing additionally LOCALIZES matches (each shared
     fingerprint pins an actual matching token span, which banded MinHash
-    cannot do)."""
+    cannot do).
+
+    ``max_fingerprint_df`` drops fingerprints held by more than that many
+    docs before the self-join — boilerplate spans (license headers,
+    navigation chrome) otherwise create d² pair blowup per hot
+    fingerprint, the same effect the stop-shingle cap bounds in
+    :func:`jaccard_pairs`; the measured 10× replication table in PERF.md
+    shows why. ``None`` keeps exact semantics."""
     fp = winnow_fingerprints(df, id_col, text_col, k, window)
+    if max_fingerprint_df is not None:
+        dfreq = fp.groupBy("fingerprint").agg(F.count(F.lit(1)).alias("_df"))
+        fp = (
+            fp.join(dfreq.filter(F.col("_df") <= max_fingerprint_df), "fingerprint")
+            .drop("_df")
+        )
     a = fp.select(F.col(id_col).alias("id_a"), "fingerprint")
     b = fp.select(F.col(id_col).alias("id_b"), "fingerprint")
     return (

@@ -1034,3 +1034,22 @@ def test_bigram_stats_counts_exact(spark):
     plan_df = text.bigram_stats(docs, top_n=3)
     plan = plan_df._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan and "BroadcastHashJoin" in plan
+
+
+def test_winnow_hot_fingerprint_cap(spark):
+    """Boilerplate spans shared by many docs must be droppable via
+    max_fingerprint_df (stop-fingerprints) without losing genuine pairs."""
+    boiler = "standard license header text common to every document here"
+    rows = [(i, f"{boiler} unique{i} filler{i} words{i} extra{i} pad{i} tail{i}")
+            for i in range(1, 9)]
+    rows.append((100, "alpha beta gamma delta epsilon zeta eta theta one"))
+    rows.append((101, "alpha beta gamma delta epsilon zeta eta theta two"))
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+    # uncapped: the boilerplate links all 8 docs pairwise (28 pairs) + the pair
+    full = dedup.winnow_candidates(docs, min_shared=1, max_fingerprint_df=None)
+    assert full.count() >= 28
+    # capped below 8: boilerplate fingerprints dropped; genuine pair survives
+    capped = {(r.id_a, r.id_b) for r in
+              dedup.winnow_candidates(docs, min_shared=1, max_fingerprint_df=5).collect()}
+    assert (100, 101) in capped
+    assert all(a not in range(1, 9) or b not in range(1, 9) for a, b in capped)
