@@ -71,9 +71,174 @@ def to_xml(df: DataFrame, url: str, row_tag: str = "row", mode: str = "overwrite
     return dt.XML(url=url)
 
 
-def to_delta(df: DataFrame, url: str, mode: str = "overwrite", **options) -> dt.DeltalakeTable:
-    """Requires delta-spark on the classpath (import-gated at call time)."""
-    df.write.mode(mode).format("delta").options(**options).save(url)
+def to_delta(
+    df: DataFrame,
+    url: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+    use_jar: bool = False,
+    **options,
+) -> dt.DeltalakeTable:
+    """Delta Lake sink WITHOUT the delta-spark jar: data files write as
+    ordinary distributed parquet (into a staging dir, then renamed in),
+    and the driver appends ONE ``_delta_log`` JSON commit — protocol +
+    metaData + add actions for version 0, remove+add for ``overwrite``
+    of an existing table, adds only for ``append``. The commit is
+    metadata-only driver work (one small JSON line per data file); the
+    bytes never touch the driver.
+
+    Round-trips with ``DeltaLakeReader`` (same module's stdlib log
+    replay), including ``version=`` time travel across appends and
+    hive-layout partitioned tables. ``use_jar=True`` restores the
+    delta-spark path for clusters that have it. Parity: SparkDeltaLake
+    writer (reference readers.py:550) minus the jar dependency.
+
+    Scale: appends are O(new files) log lines; the reader replays JSON
+    commits and checkpoints. (Checkpoint COMPACTION is not produced here
+    — at high version counts run a real delta writer's checkpoint, which
+    interoperates on the same log.)
+    """
+    import os
+
+    if use_jar:
+        w = df.write.mode(mode).format("delta").options(**options)
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.save(url)
+        return dt.DeltalakeTable(url=url)
+
+    import hashlib
+    import json as _json
+    import shutil
+    import uuid as _uuid
+
+    if mode not in ("overwrite", "append"):
+        raise ValueError(f"mode must be overwrite/append, got {mode!r}")
+    root = url.rstrip("/")
+    log_dir = os.path.join(root, "_delta_log")
+    part_cols = list(partition_by or [])
+
+    # current state (for append schema checks / overwrite removes)
+    import re as _re
+
+    prev_version = -1
+    prev_adds: list[str] = []
+    prev_meta = None
+    if os.path.isdir(log_dir):
+        commits = sorted(
+            f for f in os.listdir(log_dir) if _re.fullmatch(r"\d{20}\.json", f)
+        )
+        if commits:
+            prev_version = int(commits[-1][:20])
+            state: dict[str, bool] = {}
+            for c in commits:
+                with open(os.path.join(log_dir, c)) as f:
+                    for line in f:
+                        if not line.strip():
+                            continue
+                        act = _json.loads(line)
+                        if "add" in act:
+                            state[act["add"]["path"]] = True
+                        elif "remove" in act:
+                            state.pop(act["remove"]["path"], None)
+                        elif "metaData" in act:
+                            prev_meta = act["metaData"]
+            prev_adds = sorted(state)
+    if prev_meta is not None:
+        prev_schema = prev_meta.get("schemaString")
+        if mode == "append" and prev_schema != df.schema.json():
+            raise ValueError(
+                "append schema does not match the table's metaData schema"
+            )
+        if mode == "append":
+            part_cols = list(prev_meta.get("partitionColumns") or [])
+
+    # 1. distributed parquet write into a staging dir
+    stage = os.path.join(root, f"_staging_{_uuid.uuid4().hex[:12]}")
+    w = df.write.mode("overwrite")
+    if part_cols:
+        w = w.partitionBy(*part_cols)
+    w.options(**options).parquet(stage)
+
+    # 2. move data files into the table root, preserving hive partition
+    #    subdirs; collect (relative path, size, partitionValues)
+    adds = []
+    now_ms = int(os.stat(stage).st_mtime * 1000)
+    for dirpath, _dirs, files in os.walk(stage):
+        rel_dir = os.path.relpath(dirpath, stage)
+        for fn in files:
+            if not fn.endswith(".parquet"):
+                continue
+            rel = fn if rel_dir == "." else f"{rel_dir}/{fn}"
+            dst = os.path.join(root, rel)
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            os.replace(os.path.join(dirpath, fn), dst)
+            pvals = {}
+            if rel_dir != ".":
+                for seg in rel_dir.split(os.sep):
+                    k, eq, v = seg.partition("=")
+                    if eq:
+                        pvals[k] = v
+            adds.append(
+                {
+                    "path": rel.replace(os.sep, "/"),
+                    "partitionValues": pvals,
+                    "size": os.path.getsize(dst),
+                    "modificationTime": now_ms,
+                    "dataChange": True,
+                }
+            )
+    shutil.rmtree(stage)
+    adds.sort(key=lambda a: a["path"])
+
+    # 3. one commit: protocol+metaData on create; removes on overwrite
+    version = prev_version + 1
+    lines = []
+    if version == 0 or mode == "overwrite":
+        if prev_meta is not None and mode == "overwrite":
+            table_id = prev_meta.get("id")
+        else:
+            table_id = str(
+                _uuid.UUID(hashlib.md5(root.encode()).hexdigest())
+            )
+        lines.append(_json.dumps({"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}))
+        lines.append(
+            _json.dumps(
+                {
+                    "metaData": {
+                        "id": table_id,
+                        "format": {"provider": "parquet", "options": {}},
+                        "schemaString": df.schema.json(),
+                        "partitionColumns": part_cols,
+                        "configuration": {},
+                        "createdTime": now_ms,
+                    }
+                }
+            )
+        )
+    if mode == "overwrite":
+        for p in prev_adds:
+            lines.append(
+                _json.dumps(
+                    {"remove": {"path": p, "deletionTimestamp": now_ms, "dataChange": True}}
+                )
+            )
+    for a in adds:
+        lines.append(_json.dumps({"add": a}))
+    lines.append(
+        _json.dumps(
+            {
+                "commitInfo": {
+                    "timestamp": now_ms,
+                    "operation": "WRITE",
+                    "operationParameters": {"mode": mode.upper()},
+                }
+            }
+        )
+    )
+    os.makedirs(log_dir, exist_ok=True)
+    with open(os.path.join(log_dir, f"{version:020d}.json"), "w") as f:
+        f.write("\n".join(lines) + "\n")
     return dt.DeltalakeTable(url=url)
 
 
