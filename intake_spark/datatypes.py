@@ -234,6 +234,13 @@ class FLAC(FileData):
     structure = {"array", "timeseries"}
 
 
+class GIF(FileData):
+    filepattern = r"gif$"
+    mimetypes = r"image/gif"
+    magic = (b"GIF8",)
+    structure = {"image"}
+
+
 class MP3(FileData):
     filepattern = r"mp3$"
     mimetypes = r"audio/mpeg"

@@ -254,6 +254,8 @@ def decode_image(content: bytes):
         return arr if arr.ndim == 3 else arr[:, :, None]
     if content[:2] == b"BM":
         return decode_bmp(content)
+    if content[:3] == b"GIF":
+        return decode_gif(content)
     if content[:4] == b"RIFF" and content[8:12] == b"WEBP":
         from intake_spark.llm.webp import decode_webp
 
@@ -826,3 +828,117 @@ def media_meta_features(
             yield out
 
     return df.mapInPandas(run, schema=out_schema)
+
+
+def lzw_decode_gif(data: bytes, min_code_size: int) -> bytes:
+    """GIF-variant LZW (LSB-first bit packing, variable width from
+    min_code_size+1 up to 12): Clear resets, End stops. ``data`` is the
+    already-concatenated sub-block payload."""
+    CLEAR = 1 << min_code_size
+    END = CLEAR + 1
+    out = bytearray()
+    table: list[bytes] = []
+
+    def reset():
+        table.clear()
+        table.extend(bytes([i]) for i in range(CLEAR))
+        table.append(b"")
+        table.append(b"")
+
+    reset()
+    width = min_code_size + 1
+    bitbuf = 0
+    nbits = 0
+    prev = None
+    for byte in data:
+        bitbuf |= byte << nbits
+        nbits += 8
+        while nbits >= width:
+            code = bitbuf & ((1 << width) - 1)
+            bitbuf >>= width
+            nbits -= width
+            if code == CLEAR:
+                reset()
+                width = min_code_size + 1
+                prev = None
+                continue
+            if code == END:
+                return bytes(out)
+            if prev is None:
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                if len(table) < 4096:
+                    table.append(prev + entry[:1])
+            elif code == len(table) and len(table) < 4096:
+                entry = prev + prev[:1]
+                table.append(entry)
+            else:
+                raise ValueError(f"corrupt GIF LZW stream (code {code})")
+            out += entry
+            prev = entry
+            if len(table) >= (1 << width) and width < 12:
+                width += 1
+    return bytes(out)
+
+
+def decode_gif(content: bytes):
+    """Real GIF decode (stdlib + numpy): header, global/local color
+    tables, interlaced rows, LSB-first LZW → (H, W, 3) uint8 RGB of the
+    FIRST image frame (animation frames after the first are a compose
+    operation left to the caller; same first-frame contract as the
+    TIFF/SVS page selection)."""
+    import struct as _s
+
+    import numpy as np
+
+    if content[:3] != b"GIF" or content[3:6] not in (b"87a", b"89a"):
+        raise ValueError("not a GIF file")
+    sw, sh, flags, _bg, _ar = _s.unpack_from("<HHBBB", content, 6)
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 7)
+        gct = np.frombuffer(content[pos : pos + 3 * n], dtype=np.uint8).reshape(-1, 3)
+        pos += 3 * n
+    while pos < len(content):
+        b = content[pos]
+        if b == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while content[pos]:
+                pos += 1 + content[pos]
+            pos += 1
+        elif b == 0x2C:  # image descriptor
+            _x, _y, w, h, iflags = _s.unpack_from("<HHHHB", content, pos + 1)
+            pos += 10
+            ct = gct
+            if iflags & 0x80:
+                n = 2 << (iflags & 7)
+                ct = np.frombuffer(content[pos : pos + 3 * n], dtype=np.uint8).reshape(-1, 3)
+                pos += 3 * n
+            if ct is None:
+                raise ValueError("GIF image has no color table")
+            mcs = content[pos]
+            pos += 1
+            blocks = bytearray()
+            while content[pos]:
+                ln = content[pos]
+                blocks += content[pos + 1 : pos + 1 + ln]
+                pos += 1 + ln
+            pos += 1
+            idx = np.frombuffer(
+                lzw_decode_gif(bytes(blocks), mcs)[: w * h], dtype=np.uint8
+            ).reshape(h, w)
+            if iflags & 0x40:  # interlaced: 4-pass row shuffle
+                de = np.empty_like(idx)
+                rows = list(range(0, h, 8)) + list(range(4, h, 8)) \
+                    + list(range(2, h, 4)) + list(range(1, h, 2))
+                for src, dst in enumerate(rows):
+                    de[dst] = idx[src]
+                idx = de
+            return ct[idx]
+        elif b == 0x3B:  # trailer
+            break
+        else:
+            raise ValueError(f"unexpected GIF block 0x{b:02x}")
+    raise ValueError("GIF contains no image data")

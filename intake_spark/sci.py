@@ -328,17 +328,21 @@ def tiff_meta(f, page: int = 0) -> dict:
     if len(set(bps)) != 1 or bps[0] not in (8, 16):
         raise ValueError(f"unsupported BitsPerSample {bps} (8/16-bit only)")
     comp = one(259, 1)
-    if comp not in (1, 8, 32773, 32946):  # none, Deflate, PackBits, Deflate
+    if comp not in (1, 5, 8, 32773, 32946):  # none, LZW, Deflate, PackBits, Deflate
         raise ValueError(
             f"unsupported TIFF compression {comp} "
-            "(uncompressed/PackBits/Deflate only)"
+            "(uncompressed/LZW/PackBits/Deflate only)"
         )
     if one(284, 1) != 1:
         raise ValueError("planar (non-chunky) TIFF not supported")
     if one(339, 1) != 1:
         raise ValueError("only unsigned-integer TIFF samples supported")
     rows_per_strip = one(278, height)
+    predictor = one(317, 1)
+    if predictor not in (1, 2):
+        raise ValueError(f"TIFF predictor {predictor} not supported (none/horizontal)")
     return {
+        "predictor": int(predictor),
         "bo": bo,
         "has_next_page": next_ifd != 0,
         "width": int(width),
@@ -358,6 +362,71 @@ def tiff_meta(f, page: int = 0) -> dict:
         # GeoTIFF georeferencing (None for plain TIFFs)
         "geo": _tiff_geo(tags),
     }
+
+
+def lzw_decode_tiff(data: bytes) -> bytes:
+    """TIFF-variant LZW (MSB-first bit packing, 9→12-bit codes, EARLY
+    code-width change — the width bumps one code before the table fills,
+    per the TIFF 6.0 spec): Clear=256 resets the table, EOI=257 ends."""
+    CLEAR, EOI = 256, 257
+    out = bytearray()
+    table: list[bytes] = []
+
+    def reset():
+        table.clear()
+        table.extend(bytes([i]) for i in range(256))
+        table.append(b"")  # 256 Clear
+        table.append(b"")  # 257 EOI
+
+    reset()
+    width = 9
+    bitbuf = 0
+    nbits = 0
+    prev: bytes | None = None
+    for byte in data:
+        bitbuf = (bitbuf << 8) | byte
+        nbits += 8
+        while nbits >= width:
+            code = (bitbuf >> (nbits - width)) & ((1 << width) - 1)
+            nbits -= width
+            if code == CLEAR:
+                reset()
+                width = 9
+                prev = None
+                continue
+            if code == EOI:
+                return bytes(out)
+            if prev is None:
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            elif code == len(table):
+                entry = prev + prev[:1]
+                table.append(entry)
+            else:
+                raise ValueError(f"corrupt TIFF LZW stream (code {code})")
+            out += entry
+            prev = entry
+            # early change, decoder side: the decoder's table lags the
+            # encoder's by ONE entry (it adds on the FOLLOWING code), so
+            # it widens at 2^width - 2 where the encoder widens at
+            # 2^width - 1 — the libtiff pairing (tif_lzw.c: decode
+            # free_ent > maxcode-1 with maxcode = 2^n - 2; encode
+            # free_ent > maxcode with maxcode = 2^n - 1)
+            if len(table) + 2 >= (1 << width) and width < 12:
+                width += 1
+    return bytes(out)
+
+
+def _tiff_undo_predictor(arr, meta: dict):
+    """TIFF predictor 2 (horizontal differencing): cumulative sum along
+    the row axis per sample channel, modulo the sample width."""
+    import numpy as np
+
+    if meta.get("predictor", 1) != 2:
+        return arr
+    return np.cumsum(arr.astype(np.uint64), axis=1).astype(arr.dtype)
 
 
 def packbits_decode(data: bytes) -> bytes:
@@ -396,10 +465,12 @@ def _tiff_tile_band(fh, meta: dict, band: int, nrows: int):
         raw = fh.read(meta["tile_counts"][idx])
         if meta["compression"] == 32773:
             raw = packbits_decode(raw)
+        elif meta["compression"] == 5:
+            raw = lzw_decode_tiff(raw)
         elif meta["compression"] in (8, 32946):
             raw = zlib.decompress(raw)
         arr = np.frombuffer(raw, dtype=dtype)[: tl * tw * meta["spp"]]
-        parts.append(arr.reshape(tl, tw, meta["spp"]))
+        parts.append(_tiff_undo_predictor(arr.reshape(tl, tw, meta["spp"]), meta))
     band_arr = np.concatenate(parts, axis=1)[:nrows, : meta["width"]]
     return band_arr
 
@@ -410,6 +481,8 @@ def _tiff_strip_array(raw: bytes, meta: dict, nrows: int):
 
     if meta["compression"] == 32773:
         raw = packbits_decode(raw)
+    elif meta["compression"] == 5:
+        raw = lzw_decode_tiff(raw)
     elif meta["compression"] in (8, 32946):
         import zlib
 
@@ -417,7 +490,7 @@ def _tiff_strip_array(raw: bytes, meta: dict, nrows: int):
     dtype = np.dtype(f"{meta['bo']}u{meta['bits'] // 8}")
     need = nrows * meta["width"] * meta["spp"]
     vals = np.frombuffer(raw, dtype=dtype)[:need]
-    return vals.reshape(nrows, meta["width"], meta["spp"])
+    return _tiff_undo_predictor(vals.reshape(nrows, meta["width"], meta["spp"]), meta)
 
 
 def decode_tiff(content: bytes, page: int = 0):

@@ -351,3 +351,114 @@ def test_media_meta_features_triage(spark, tmp_path):
     assert rows["song.flac"].duration_s == pytest.approx(8 / 8000)
     assert rows["clip.mp4"].media_kind == "video" and rows["clip.mp4"].duration_s == 1.5
     assert rows["junk.bin"].media_kind is None and rows["junk.bin"].err
+
+
+# --- GIF decode -------------------------------------------------------------
+
+
+def _lzw_encode_gif(indices: bytes, mcs: int) -> bytes:
+    """Greedy GIF-variant LZW encoder (LSB-first, late change)."""
+    CLEAR = 1 << mcs
+    END = CLEAR + 1
+    out_bits: list[int] = []
+    width = mcs + 1
+
+    def emit(code: int):
+        for i in range(width):
+            out_bits.append((code >> i) & 1)
+
+    table = {bytes([i]): i for i in range(CLEAR)}
+    next_code = END + 1
+    emit(CLEAR)
+    prev = b""
+    for b in bytes(indices):
+        cur = prev + bytes([b])
+        if cur in table:
+            prev = cur
+            continue
+        emit(table[prev])
+        if next_code < 4096:
+            table[cur] = next_code
+            next_code += 1
+            if next_code > (1 << width) and width < 12:
+                width += 1
+        prev = bytes([b])
+    if prev:
+        emit(table[prev])
+    emit(END)
+    while len(out_bits) % 8:
+        out_bits.append(0)
+    out = bytearray()
+    for i in range(0, len(out_bits), 8):
+        v = 0
+        for j, bit in enumerate(out_bits[i : i + 8]):
+            v |= bit << j
+        out.append(v)
+    return bytes(out)
+
+
+def make_gif(idx, palette, interlace=False, local_table=False) -> bytes:
+    """Minimal spec-built GIF89a: one image, global or local color table."""
+    import struct as st
+
+    import numpy as np
+
+    h, w = idx.shape
+    n = len(palette)
+    bits = max(1, (n - 1).bit_length())
+    n_pad = 1 << bits
+    pal = bytes(
+        v for i in range(n_pad) for v in (palette[i] if i < n else (0, 0, 0))
+    )
+    gflags = (0x80 | (bits - 1)) if not local_table else 0
+    out = b"GIF89a" + st.pack("<HHBBB", w, h, gflags, 0, 0)
+    if not local_table:
+        out += pal
+    iflags = (0x40 if interlace else 0) | ((0x80 | (bits - 1)) if local_table else 0)
+    out += b"\x2c" + st.pack("<HHHHB", 0, 0, w, h, iflags)
+    if local_table:
+        out += pal
+    mcs = max(2, bits)
+    data = idx.astype(np.uint8)
+    if interlace:
+        rows = list(range(0, h, 8)) + list(range(4, h, 8)) \
+            + list(range(2, h, 4)) + list(range(1, h, 2))
+        data = data[rows]
+    enc = _lzw_encode_gif(data.tobytes(), mcs)
+    out += bytes([mcs])
+    for i in range(0, len(enc), 255):
+        blk = enc[i : i + 255]
+        out += bytes([len(blk)]) + blk
+    out += b"\x00\x3b"
+    return out
+
+
+def test_gif_decode_roundtrip():
+    from intake_spark.llm.multimodal import decode_gif, decode_image
+
+    rng = np.random.default_rng(3)
+    palette = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (10, 20, 30), (200, 200, 0)]
+    idx = rng.integers(0, 5, size=(13, 9), dtype=np.uint8)
+    rgb = np.array(palette, dtype=np.uint8)[idx]
+
+    for interlace in (False, True):
+        for local in (False, True):
+            data = make_gif(idx, palette, interlace=interlace, local_table=local)
+            np.testing.assert_array_equal(decode_gif(data), rgb)
+    # router picks it up
+    np.testing.assert_array_equal(decode_image(make_gif(idx, palette)), rgb)
+
+    with pytest.raises(ValueError, match="not a GIF"):
+        decode_gif(b"NOPE" + b"\x00" * 32)
+
+
+def test_gif_large_table_growth():
+    """Enough distinct runs to push the LZW table through several width
+    bumps (late change, LSB-first)."""
+    from intake_spark.llm.multimodal import decode_gif
+
+    rng = np.random.default_rng(9)
+    palette = [(i, 255 - i, i // 2) for i in range(0, 256, 2)]  # 128 colors
+    idx = rng.integers(0, 128, size=(64, 64), dtype=np.uint8)
+    rgb = np.array(palette, dtype=np.uint8)[idx]
+    np.testing.assert_array_equal(decode_gif(make_gif(idx, palette)), rgb)

@@ -503,3 +503,117 @@ def test_tiff_level_index_reads_ascii_description(tmp_path):
     assert levels[0]["description"].startswith("Aperio Image Library")
     props = parse_aperio_description(levels[0]["description"])
     assert props["aperio.AppMag"] == "40"
+
+
+def _lzw_encode_tiff(data: bytes) -> bytes:
+    """Greedy TIFF-variant LZW encoder (MSB-first, early change) for
+    fixtures — mirrors the spec, not the decoder's internals."""
+    out_bits: list[int] = []
+    width = 9
+
+    def emit(code: int):
+        for i in range(width - 1, -1, -1):
+            out_bits.append((code >> i) & 1)
+
+    table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    emit(256)  # Clear
+    prev = b""
+    for b in bytes(data):
+        cur = prev + bytes([b])
+        if cur in table:
+            prev = cur
+            continue
+        emit(table[prev])
+        table[cur] = next_code
+        next_code += 1
+        # early change: encoder widens when next_code+1 would overflow
+        if next_code + 1 >= (1 << width) and width < 12:
+            width += 1
+        if next_code >= 4094:
+            emit(256)
+            table = {bytes([i]): i for i in range(256)}
+            next_code = 258
+            width = 9
+        prev = bytes([b])
+    if prev:
+        emit(table[prev])
+    emit(257)  # EOI
+    while len(out_bits) % 8:
+        out_bits.append(0)
+    out = bytearray()
+    for i in range(0, len(out_bits), 8):
+        v = 0
+        for bit in out_bits[i : i + 8]:
+            v = (v << 1) | bit
+        out.append(v)
+    return bytes(out)
+
+
+def test_tiff_lzw_roundtrip_with_predictor(spark, tmp_path):
+    """LZW compression (5) with and without the horizontal-differencing
+    predictor (317=2) — pixel-exact vs the fixture array, both decode
+    paths (whole-image + strip manifest)."""
+    from intake_spark.sci import lzw_decode_tiff
+
+    rng = np.random.default_rng(12)
+    # codec sanity first: pure bytes round-trip incl. repeats deep into
+    # the 10/11-bit code range
+    payload = bytes(rng.integers(0, 8, size=20000, dtype=np.uint8))
+    assert lzw_decode_tiff(_lzw_encode_tiff(payload)) == payload
+
+    arr = rng.integers(0, 256, size=(10, 7, 3), dtype=np.uint8)
+    for pred in (False, True):
+        if pred:
+            delta = np.concatenate([arr[:, :1, :], np.diff(arr.astype(np.int16), axis=1)], axis=1)
+            raw = (delta % 256).astype(np.uint8).tobytes()
+        else:
+            raw = arr.tobytes()
+        comp = _lzw_encode_tiff(raw)
+        extra = [(317, 3, 1, [2])] if pred else []
+        data = make_tiff_raw_strip(arr.shape, comp, compression=5, extra_tags=extra)
+        p = tmp_path / f"lzw_{pred}.tif"
+        p.write_bytes(data)
+        np.testing.assert_array_equal(decode_tiff(p.read_bytes()), arr)
+        df = TIFFReader(data=dt.TIFF(url=str(p))).read(spark=spark)
+        np.testing.assert_array_equal(_rebuild(df).astype(np.uint8), arr)
+
+
+def make_tiff_raw_strip(shape, strip_bytes: bytes, compression: int,
+                        extra_tags=None, bo: str = "<") -> bytes:
+    """make_tiff variant taking a pre-compressed single-strip payload."""
+    h, w = shape[:2]
+    c = shape[2] if len(shape) == 3 else 1
+    tags = [
+        (256, 4, 1, [w]), (257, 4, 1, [h]), (258, 3, c, [8] * c),
+        (259, 3, 1, [compression]), (262, 3, 1, [1 if c == 1 else 2]),
+        (273, 4, 1, None), (277, 3, 1, [c]), (278, 4, 1, [h]),
+        (279, 4, 1, [len(strip_bytes)]),
+    ]
+    if extra_tags:
+        tags = sorted(tags + list(extra_tags))
+    fmt = {3: "H", 4: "I", 12: "d"}
+    size = {2: 1, 3: 2, 4: 4, 12: 8}
+    ifd_off = 8
+    ifd_len = 2 + 12 * len(tags) + 4
+    extra_off = ifd_off + ifd_len
+    extra = b""
+    for tag, typ, cnt, vals in tags:
+        if size[typ] * cnt > 4:
+            extra += struct.pack(f"{bo}{cnt}{fmt[typ]}", *(vals or [0] * cnt))
+    data_off = extra_off + len(extra)
+    out = (b"II" if bo == "<" else b"MM") + struct.pack(f"{bo}HI", 42, ifd_off)
+    ifd = struct.pack(f"{bo}H", len(tags))
+    extra = b""
+    for tag, typ, cnt, vals in tags:
+        if tag == 273:
+            vals = [data_off]
+        if size[typ] * cnt > 4:
+            voff = extra_off + len(extra)
+            ifd += struct.pack(f"{bo}HHI", tag, typ, cnt) + struct.pack(f"{bo}I", voff)
+            extra += struct.pack(f"{bo}{cnt}{fmt[typ]}", *vals)
+        else:
+            packed = struct.pack(f"{bo}{cnt}{fmt[typ]}", *vals)
+            ifd += struct.pack(f"{bo}HHI", tag, typ, cnt) + packed + b"\x00" * (4 - len(packed))
+    ifd += struct.pack(f"{bo}I", 0)
+    return out + ifd + extra + strip_bytes
