@@ -413,8 +413,21 @@ class ZarrReader(BaseReader):
             if meta.get("order", "C") != "C":
                 raise ValueError("fortran-order zarr not supported")
             comp = (meta.get("compressor") or {}).get("id") if meta.get("compressor") else None
-            if comp not in (None, "zlib", "gzip"):
-                raise ValueError(f"compressor {comp!r} needs numcodecs; supported: null/zlib/gzip")
+            if comp == "blosc":
+                cfg = meta.get("compressor") or {}
+                cname = cfg.get("cname", "lz4")
+                if cname not in ("lz4", "lz4hc", "zlib"):
+                    raise ValueError(
+                        f"blosc cname {cname!r} needs numcodecs; stdlib path "
+                        "decodes lz4/lz4hc/zlib/memcpy frames"
+                    )
+                if cfg.get("shuffle") == 2:
+                    raise ValueError("blosc bit-shuffle needs the bitshuffle kernel")
+            elif comp not in (None, "zlib", "gzip"):
+                raise ValueError(
+                    f"compressor {comp!r} needs numcodecs; supported: "
+                    "null/zlib/gzip/blosc(lz4)"
+                )
             if meta.get("filters"):
                 raise ValueError("zarr filters not supported")
             shape = list(meta["shape"])
@@ -460,6 +473,10 @@ class ZarrReader(BaseReader):
                                 raw = f.read()
                             if comp in ("zlib", "gzip"):
                                 raw = zlib.decompress(raw, 47)  # auto-detect zlib/gzip
+                            elif comp == "blosc":
+                                from intake_spark.compress import blosc_decompress
+
+                                raw = blosc_decompress(raw)
                             arr = np.frombuffer(raw, dtype=np.dtype(dtype)).reshape(chunks)
                         else:
                             arr = np.full(chunks, fill, dtype=np.dtype(dtype))
