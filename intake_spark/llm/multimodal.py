@@ -58,11 +58,59 @@ def binary_from_text(df: DataFrame, text_col: str = "text", out_col: str = "cont
 _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
 
+# Adam7 pass grid: (x0, y0, dx, dy) per pass, from the PNG spec
+_ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
+
+
+def _png_unfilter(raw: bytes, pos: int, h: int, w: int, nch: int, bpb: int):
+    """Unfilter ``h`` scanlines of ``w`` pixels (``bpb`` bytes/pixel) →
+    (uint8 array of shape (h, w*bpb), new pos). Filtering is BYTE-wise
+    with the left reference one whole pixel back, per the spec — which is
+    what makes the same loop valid for 8- and 16-bit samples."""
+    import numpy as np
+
+    stride = w * bpb
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        ftype = raw[pos]
+        line = np.frombuffer(raw[pos + 1 : pos + 1 + stride], dtype=np.uint8).copy()
+        pos += 1 + stride
+        if ftype == 1:  # Sub
+            for x in range(bpb, stride):
+                line[x] = (int(line[x]) + int(line[x - bpb])) & 0xFF
+        elif ftype == 2:  # Up
+            line = (line + prev) & 0xFF
+        elif ftype == 3:  # Average
+            for x in range(stride):
+                left = line[x - bpb] if x >= bpb else 0
+                line[x] = (line[x] + ((int(left) + int(prev[x])) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for x in range(stride):
+                a = int(line[x - bpb]) if x >= bpb else 0
+                b = int(prev[x])
+                c = int(prev[x - bpb]) if x >= bpb else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[x] = (line[x] + pred) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"bad PNG filter type {ftype}")
+        out[y] = line
+        prev = out[y]
+    return out, pos
+
+
 def decode_png(content: bytes):
     """Real PNG decode with the stdlib + numpy: IHDR/PLTE/IDAT parse, zlib
-    inflate, scanline unfilter (all 5 filter types incl. Paeth) → uint8
-    ndarray of shape (H, W, C). Supports bit depth 8, color types
-    gray/RGB/palette/gray-alpha/RGBA, non-interlaced."""
+    inflate, scanline unfilter (all 5 filter types incl. Paeth) → ndarray
+    of shape (H, W, C), uint8 or uint16 by bit depth. Supports depths
+    8/16, color types gray/RGB/palette/gray-alpha/RGBA, and Adam7
+    interlacing (seven independently-filtered passes scattered onto the
+    pixel grid)."""
     import struct
     import zlib
 
@@ -87,39 +135,35 @@ def decode_png(content: bytes):
         elif tag == b"IEND":
             break
         i += 12 + ln
-    if depth != 8 or interlace:
-        raise ValueError(f"unsupported PNG (bit depth {depth}, interlace {interlace})")
+    if depth not in (8, 16) or (depth == 16 and ctype == 3):
+        raise ValueError(f"unsupported PNG (bit depth {depth}, color type {ctype})")
     nch = _PNG_CHANNELS[ctype]
+    bpb = nch * (depth // 8)  # bytes per pixel
     raw = zlib.decompress(idat)
-    stride = width * nch
-    out = np.empty((height, stride), dtype=np.uint8)
-    prev = np.zeros(stride, dtype=np.uint8)
-    pos = 0
-    for y in range(height):
-        ftype = raw[pos]
-        line = np.frombuffer(raw[pos + 1 : pos + 1 + stride], dtype=np.uint8).copy()
-        pos += 1 + stride
-        if ftype == 1:  # Sub
-            for x in range(nch, stride):
-                line[x] = (int(line[x]) + int(line[x - nch])) & 0xFF
-        elif ftype == 2:  # Up
-            line = (line + prev) & 0xFF
-        elif ftype == 3:  # Average
-            for x in range(stride):
-                left = line[x - nch] if x >= nch else 0
-                line[x] = (line[x] + ((int(left) + int(prev[x])) >> 1)) & 0xFF
-        elif ftype == 4:  # Paeth
-            for x in range(stride):
-                a = int(line[x - nch]) if x >= nch else 0
-                b = int(prev[x])
-                c = int(prev[x - nch]) if x >= nch else 0
-                p = a + b - c
-                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                line[x] = (line[x] + pred) & 0xFF
-        out[y] = line
-        prev = out[y]
-    arr = out.reshape(height, width, nch)
+
+    def rows_to_pixels(rows, h, w):
+        if depth == 16:
+            flat = rows.reshape(h, w, nch, 2)
+            return (flat[..., 0].astype(np.uint16) << 8) | flat[..., 1]
+        return rows.reshape(h, w, nch)
+
+    if interlace == 1:  # Adam7
+        arr = np.zeros(
+            (height, width, nch), dtype=np.uint16 if depth == 16 else np.uint8
+        )
+        pos = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (width - x0 + dx - 1) // dx
+            ph = (height - y0 + dy - 1) // dy
+            if pw == 0 or ph == 0:
+                continue
+            rows, pos = _png_unfilter(raw, pos, ph, pw, nch, bpb)
+            arr[y0::dy, x0::dx] = rows_to_pixels(rows, ph, pw)
+    elif interlace == 0:
+        rows, _ = _png_unfilter(raw, 0, height, width, nch, bpb)
+        arr = rows_to_pixels(rows, height, width)
+    else:
+        raise ValueError(f"unknown PNG interlace method {interlace}")
     if ctype == 3:  # palette lookup → RGB
         if plte is None:
             raise ValueError("palette PNG without PLTE chunk")

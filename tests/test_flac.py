@@ -462,3 +462,74 @@ def test_gif_large_table_growth():
     idx = rng.integers(0, 128, size=(64, 64), dtype=np.uint8)
     rgb = np.array(palette, dtype=np.uint8)[idx]
     np.testing.assert_array_equal(decode_gif(make_gif(idx, palette)), rgb)
+
+
+# --- PNG: Adam7 interlace + 16-bit depth ------------------------------------
+
+
+def _png_chunks(chunks) -> bytes:
+    import struct as st
+    import zlib as zl
+
+    out = b"\x89PNG\r\n\x1a\n"
+    for tag, payload in chunks:
+        out += st.pack(">I", len(payload)) + tag + payload
+        out += st.pack(">I", zl.crc32(tag + payload) & 0xFFFFFFFF)
+    return out
+
+
+def make_png(arr, interlace=0) -> bytes:
+    """Spec-built PNG encoder for fixtures: filter 0 scanlines, optional
+    Adam7 pass splitting, 8- or 16-bit gray/RGB from the array dtype."""
+    import struct as st
+    import zlib as zl
+
+    import numpy as np
+
+    h, w = arr.shape[:2]
+    nch = arr.shape[2] if arr.ndim == 3 else 1
+    a3 = arr.reshape(h, w, nch)
+    depth = 16 if a3.dtype == np.uint16 else 8
+    ctype = {1: 0, 2: 4, 3: 2, 4: 6}[nch]
+
+    def scanlines(sub):
+        out = bytearray()
+        for row in sub:
+            out += b"\x00"
+            if depth == 16:
+                out += row.astype(">u2").tobytes()
+            else:
+                out += row.astype(np.uint8).tobytes()
+        return bytes(out)
+
+    if interlace:
+        from intake_spark.llm.multimodal import _ADAM7
+
+        raw = b"".join(
+            scanlines(a3[y0::dy, x0::dx])
+            for x0, y0, dx, dy in _ADAM7
+            if a3[y0::dy, x0::dx].size
+        )
+    else:
+        raw = scanlines(a3)
+    ihdr = st.pack(">IIBBBBB", w, h, depth, ctype, 0, 0, interlace)
+    return _png_chunks([(b"IHDR", ihdr), (b"IDAT", zl.compress(raw)), (b"IEND", b"")])
+
+
+def test_png_adam7_and_16bit():
+    from intake_spark.llm.multimodal import decode_png
+
+    rng = np.random.default_rng(21)
+    # 8-bit RGB, interlaced, odd dims (exercises empty/partial passes)
+    rgb = rng.integers(0, 256, size=(13, 11, 3), dtype=np.uint8)
+    np.testing.assert_array_equal(decode_png(make_png(rgb, interlace=1)), rgb)
+    # 16-bit gray, both plain and interlaced
+    g16 = rng.integers(0, 65536, size=(9, 5), dtype=np.uint16)
+    np.testing.assert_array_equal(decode_png(make_png(g16))[:, :, 0], g16)
+    np.testing.assert_array_equal(decode_png(make_png(g16, interlace=1))[:, :, 0], g16)
+    # 16-bit RGBA interlaced
+    rgba16 = rng.integers(0, 65536, size=(6, 7, 4), dtype=np.uint16)
+    np.testing.assert_array_equal(decode_png(make_png(rgba16, interlace=1)), rgba16)
+    # tiny image where several Adam7 passes are empty
+    tiny = rng.integers(0, 256, size=(2, 2, 3), dtype=np.uint8)
+    np.testing.assert_array_equal(decode_png(make_png(tiny, interlace=1)), tiny)
