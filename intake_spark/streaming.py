@@ -378,3 +378,81 @@ def stream_to_parquet(
         q.stop()
         return q
     return w.start()
+
+
+def stream_winnow_dup_flags(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    window: int = 4,
+) -> DataFrame:
+    """Streaming winnowing ingestion guard — the fingerprint twin of
+    :func:`stream_near_dup_flags`: winnow picks compute mapper-side
+    (higher-order expressions, so the fingerprint stage runs unchanged on
+    a stream), then one ``applyInPandasWithState`` keyed by fingerprint
+    whose state is the first document id that claimed it. Output: one row
+    per (doc, fingerprint) with ``is_dup_fp``; a doc is a near-dup if ANY
+    fingerprint is flagged. Unlike the banded-MinHash guard, a flagged
+    fingerprint LOCALIZES the shared span (winnowing guarantee: every
+    exact match of >= window+k-1 tokens shares a pick).
+
+    State: one long per distinct fingerprint — ~2/(window+1) of the
+    k-gram count, evictable by timeout where the dup horizon is bounded.
+    Batch input degrades to the same flags via a min-id join (used by the
+    stream≡batch test)."""
+    from intake_spark.llm.dedup import winnow_fingerprints
+
+    fp = winnow_fingerprints(df, id_col, text_col, k, window)
+    if not fp.isStreaming:
+        firsts = fp.groupBy("fingerprint").agg(F.min(id_col).alias("_first"))
+        return fp.join(firsts, "fingerprint").select(
+            F.col(id_col).cast("long").alias("id"),
+            "fingerprint",
+            (F.col(id_col) > F.col("_first")).cast("int").alias("is_dup_fp"),
+        )
+
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from intake_spark.session import ensure_py_deps
+
+    ensure_py_deps(df.sparkSession)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("fingerprint", T.LongType()),
+            T.StructField("is_dup_fp", T.IntegerType()),
+        ]
+    )
+    state_schema = T.StructType([T.StructField("first", T.LongType())])
+
+    def update(key, pdfs, state: GroupState):
+        first = state.get[0] if state.exists else None
+        ids = []
+        for pdf in pdfs:
+            ids.extend(int(v) for v in pdf[id_col])
+        ids.sort()
+        flags = []
+        for i in ids:
+            flags.append(1 if (first is not None and i > first) else 0)
+            if first is None or i < first:
+                first = i
+        state.update((int(first),))
+        yield pd.DataFrame(
+            {
+                "id": ids,
+                "fingerprint": [key[0]] * len(ids),
+                "is_dup_fp": flags,
+            }
+        )
+
+    return fp.groupBy("fingerprint").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

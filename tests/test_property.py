@@ -421,3 +421,62 @@ def test_avro_cell_encoding_matches_reader(rows):
         assert rec["a"] == a
         assert rec["b"] == b or (rec["b"] is not None and rec["b"] == b)
         assert rec["c"] == c
+
+
+@settings(max_examples=40)
+@given(st.binary(min_size=0, max_size=3000))
+def test_tiff_lzw_roundtrip_property(payload):
+    """Arbitrary byte payloads survive the TIFF-LZW encoder/decoder pair
+    (MSB-first, early change) — exercises literal, repeat, and
+    width-growth paths the fixed fixtures may miss."""
+    from intake_spark.sci import lzw_decode_tiff
+    from tests.test_tiff import _lzw_encode_tiff
+
+    assert lzw_decode_tiff(_lzw_encode_tiff(payload)) == payload
+
+
+@settings(max_examples=40)
+@given(st.binary(min_size=1, max_size=2000), st.integers(min_value=2, max_value=8))
+def test_gif_lzw_roundtrip_property(payload, mcs):
+    """GIF-variant LZW (LSB-first, late change) round-trip over arbitrary
+    index streams constrained to the color-table alphabet."""
+    from intake_spark.llm.multimodal import lzw_decode_gif
+    from tests.test_flac import _lzw_encode_gif
+
+    alphabet = 1 << mcs
+    idx = bytes(b % alphabet for b in payload)
+    assert lzw_decode_gif(_lzw_encode_gif(idx, mcs), mcs) == idx
+
+
+@settings(max_examples=30)
+@given(
+    st.lists(st.integers(min_value=-(1 << 15), max_value=(1 << 15) - 1),
+             min_size=3, max_size=64),
+    st.sampled_from(["verbatim", "fixed2", "escape"]),
+)
+def test_flac_subframe_roundtrip_property(samples, kind):
+    """Any 16-bit sample sequence round-trips through every self-
+    contained subframe encoding."""
+    from intake_spark.llm.flac import decode_flac
+    from tests.test_flac import make_flac
+
+    data = make_flac(
+        [samples], bps=16,
+        frames=[{"start": 0, "size": len(samples), "kinds": [kind]}],
+    )
+    _, arr, _ = decode_flac(data)
+    assert arr[:, 0].tolist() == samples
+
+
+@settings(max_examples=30)
+@given(
+    st.binary(min_size=8, max_size=1024),
+    st.sampled_from([1, 2, 4, 8]),
+    st.booleans(),
+)
+def test_blosc_frame_roundtrip_property(payload, typesize, shuffle):
+    from intake_spark.compress import blosc_decompress
+    from tests.test_documents_arrays import _blosc_frame
+
+    assert blosc_decompress(_blosc_frame(payload, typesize=typesize, shuffle=shuffle)) == payload
+    assert blosc_decompress(_blosc_frame(payload, typesize=typesize, memcpy=True)) == payload

@@ -234,3 +234,56 @@ def test_streaming_quality_gate_matches_batch(spark, tmp_path):
     q.stop()
     got = sorted(r.doc_id for r in spark.sql("SELECT * FROM qgate").collect())
     assert got == expected
+
+
+def test_stream_winnow_dup_flags_matches_batch(spark, tmp_path):
+    """Winnowing stream arm ≡ batch arm on id-ordered ingestion, with the
+    duplicate span arriving in a later micro-batch (state carry)."""
+    from intake_spark.streaming import stream_winnow_dup_flags
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"
+    base = [
+        (1, f"{shared} tail words here"),
+        (2, "one two three four five six seven eight nine"),
+    ]
+    later = [
+        (10, f"lead in {shared} different end"),  # shares the long span
+        (11, "totally fresh words never seen anywhere else ok"),
+    ]
+    schema = "doc_id long, text string"
+    src = tmp_path / "wdocs_src"
+    src.mkdir()
+    spark.createDataFrame(base, schema).coalesce(1).write.parquet(str(src / "f0"))
+    spark.createDataFrame(later, schema).coalesce(1).write.parquet(str(src / "f1"))
+
+    batch = spark.read.schema(schema).parquet(str(src / "*"))
+    expected = sorted(
+        (r.id, r.fingerprint, r.is_dup_fp)
+        for r in stream_winnow_dup_flags(batch).collect()
+    )
+    assert any(f for (_i, _fp, f) in expected), "planted span must flag"
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    q = (
+        stream_winnow_dup_flags(stream)
+        .writeStream.format("memory")
+        .queryName("winnow_dup_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180), "streaming query did not terminate"
+    q.stop()
+    got = sorted(
+        (r.id, r.fingerprint, r.is_dup_fp)
+        for r in spark.sql("SELECT * FROM winnow_dup_test").collect()
+    )
+    assert got == expected
+    flags = {}
+    for rid, _fp, f in got:
+        flags[rid] = max(flags.get(rid, 0), f)
+    assert flags[10] == 1 and flags[1] == 0 and flags[11] == 0
