@@ -206,3 +206,131 @@ class SKLearnExampleReader(BaseReader):
         pdf = pd.DataFrame(bunch.data, columns=list(bunch.feature_names))
         pdf["target"] = bunch.target
         return spark.createDataFrame(pdf)
+
+
+# ---------------------------------------------------------------------------
+# Torch / TensorFlow dataset catalogs (parity: TorchDatasetsCatalog /
+# TensorFlowDatasetsCatalog, reference catalogs.py:581-665). Discovery is
+# an importable-registry enumeration — injectable here (the same
+# mock-tested/live-gated split as the HuggingFace hub catalog), because
+# neither torch nor tensorflow_datasets ships in this container. READING a
+# dataset needs the real library and raises a named gate; the catalog
+# surface (discovery, entry metadata, rehydration) is live and tested.
+# ---------------------------------------------------------------------------
+
+
+class TorchDatasetSpec(dt.BaseData):
+    """One named torchvision/torchaudio/torchtext example dataset."""
+
+    structure = {"sequence"}
+
+    def __init__(self, section: str = "vision", name: str = "", rootdir: str = "", metadata=None):
+        super().__init__(metadata)
+        self.section = section
+        self.name = name
+        self.rootdir = rootdir
+
+
+class TorchDatasetReader(BaseReader):
+    """torch<section>.datasets.<Name>(root=...) → rows via the library's
+    iterator (import-gated: torch stacks are absent here). The catalog
+    entry stays fully serializable without the import."""
+
+    implements = {TorchDatasetSpec}
+    imports = {"torch"}
+    lazy = False
+
+    def _read(self, spark, limit: int | None = None, **kwargs):
+        import importlib
+
+        mod = importlib.import_module(f"torch{self.data.section}")
+        cls = getattr(mod.datasets, self.data.name)
+        ds = cls(root=self.data.rootdir, **kwargs)
+        rows = []
+        for i, item in enumerate(ds):
+            if limit is not None and i >= limit:
+                break
+            rows.append({"idx": i, "item": repr(item)})
+        return spark.createDataFrame(rows)
+
+
+def torch_datasets_catalog(rootdir: str, importer=None):
+    """Enumerate the torchvision/torchaudio/torchtext example registries
+    into a Catalog of ``TorchDatasetReader`` entries (first docstring line
+    as the description, section recorded). ``importer(modname)`` is
+    injectable so the listing mock-tests without torch; missing sections
+    are skipped exactly like the reference."""
+    import importlib
+
+    from intake_spark.catalog import Catalog
+
+    importer = importer or importlib.import_module
+    cat = Catalog(metadata={"rootdir": rootdir})
+    for section in ("vision", "audio", "text"):
+        try:
+            mod = importer(f"torch{section}")
+        except Exception:
+            continue
+        for name in getattr(mod.datasets, "__all__", []):
+            f = getattr(mod.datasets, name, None)
+            meta = {"section": section}
+            doc = getattr(f, "__doc__", None)
+            if doc:
+                meta["description"] = doc.split("\n", 1)[0]
+            cat.add_entry(
+                TorchDatasetReader(
+                    data=TorchDatasetSpec(
+                        section=section, name=name, rootdir=rootdir, metadata=meta
+                    )
+                ),
+                name=name,
+            )
+    return cat
+
+
+class TFPublicDatasetSpec(dt.BaseData):
+    """One named tensorflow_datasets registry entry."""
+
+    structure = {"sequence"}
+
+    def __init__(self, name: str = "", metadata=None):
+        super().__init__(metadata)
+        self.name = name
+
+
+class TFDSReader(BaseReader):
+    """tfds.load(name) → rows (import-gated on tensorflow_datasets)."""
+
+    implements = {TFPublicDatasetSpec}
+    imports = {"tensorflow_datasets"}
+    lazy = False
+
+    def _read(self, spark, split: str = "train", limit: int | None = None, **kwargs):
+        import tensorflow_datasets as tfds
+
+        ds = tfds.load(self.data.name, split=split, **kwargs)
+        rows = []
+        for i, item in enumerate(tfds.as_numpy(ds)):
+            if limit is not None and i >= limit:
+                break
+            rows.append({"idx": i, "item": repr(item)})
+        return spark.createDataFrame(rows)
+
+
+def tfds_catalog(lister=None):
+    """The tensorflow_datasets public registry as a Catalog of
+    ``TFDSReader`` entries. ``lister()`` (→ iterable of names) is
+    injectable for the no-tensorflow mock test; the live path reads the
+    community registry like the reference."""
+    from intake_spark.catalog import Catalog
+
+    if lister is None:
+        def lister():
+            from tensorflow_datasets.core import community
+
+            return community.registry.registered._DATASET_REGISTRY
+
+    cat = Catalog()
+    for name in lister():
+        cat.add_entry(TFDSReader(data=TFPublicDatasetSpec(name=name)), name=name)
+    return cat

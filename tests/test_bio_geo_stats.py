@@ -1147,3 +1147,49 @@ def test_trr_double_velocity_only_frame(spark, tmp_path):
     assert by[(1, 0)].time_ps == 5.0  # double header read correctly
     assert by[(1, 1)].vy == 1 + 1 + 0.125
     assert all(r.x is None for r in rows)  # no position block
+
+
+def test_torch_and_tfds_catalogs_mocked(tmp_path):
+    """Torch/TFDS registry catalogs (reference catalogs.py:581-665 shape)
+    with injectable listings: entries enumerate, carry section/description
+    metadata, rehydrate to import-gated readers, and YAML round-trip."""
+    import types
+
+    from intake_spark.catalog import Catalog
+    from intake_spark.mlds import tfds_catalog, torch_datasets_catalog
+
+    def fake_import(modname):
+        if modname != "torchvision":
+            raise ImportError(modname)
+        mod = types.SimpleNamespace()
+
+        class MNIST:
+            """The MNIST handwritten-digit dataset.
+
+            More docs."""
+
+        class CIFAR10:
+            pass
+
+        mod.datasets = types.SimpleNamespace(__all__=["MNIST", "CIFAR10"],
+                                             MNIST=MNIST, CIFAR10=CIFAR10)
+        return mod
+
+    cat = torch_datasets_catalog(rootdir="/data/torch", importer=fake_import)
+    assert set(cat.aliases) == {"MNIST", "CIFAR10"}
+    r = cat["MNIST"]
+    assert type(r).__name__ == "TorchDatasetReader"
+    assert r.data.metadata["section"] == "vision"
+    assert r.data.metadata["description"].startswith("The MNIST")
+    assert r.data.rootdir == "/data/torch"
+
+    # YAML round-trip keeps the entries rehydratable
+    p = tmp_path / "torch.yaml"
+    cat.to_yaml_file(str(p))
+    back = Catalog.from_yaml_file(str(p))
+    assert set(back.aliases) == {"MNIST", "CIFAR10"}
+    assert back["CIFAR10"].data.name == "CIFAR10"
+
+    tf = tfds_catalog(lister=lambda: ["xnli", "c4"])
+    assert set(tf.aliases) == {"xnli", "c4"}
+    assert type(tf["c4"]).__name__ == "TFDSReader"
