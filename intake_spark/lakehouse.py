@@ -362,6 +362,148 @@ class AvroOCFReader(BaseReader):
 # --------------------------------------------------------------------------
 
 
+def _delta_version_at(log: str, timestamp: str) -> int:
+    """timestampAsOf semantics: the newest version whose commit timestamp
+    (the ``commitInfo.timestamp`` millis, else the commit file's mtime)
+    is <= the target. ``timestamp`` is ISO ``YYYY-MM-DD[ HH:MM:SS]``,
+    interpreted as UTC."""
+    import datetime as _dt
+
+    t = timestamp.strip().replace("T", " ")
+    fmt = "%Y-%m-%d %H:%M:%S" if " " in t else "%Y-%m-%d"
+    target_ms = int(
+        _dt.datetime.strptime(t, fmt).replace(tzinfo=_dt.timezone.utc).timestamp() * 1000
+    )
+    best = None
+    for f in sorted(os.listdir(log)):
+        if not re.fullmatch(r"\d{20}\.json", f):
+            continue
+        ver = int(f[:20])
+        ts_ms = None
+        with open(os.path.join(log, f)) as fh:
+            for line in fh:
+                if not line.strip():
+                    continue
+                act = json.loads(line)
+                if "commitInfo" in act and act["commitInfo"].get("timestamp"):
+                    ts_ms = int(act["commitInfo"]["timestamp"])
+                    break
+        if ts_ms is None:
+            ts_ms = int(os.stat(os.path.join(log, f)).st_mtime * 1000)
+        if ts_ms <= target_ms:
+            best = ver
+    if best is None:
+        raise ValueError(
+            f"no Delta commit at or before {timestamp!r} (table is newer)"
+        )
+    return best
+
+
+def delta_checkpoint(url: str, spark=None) -> int:
+    """Write a parquet checkpoint of the CURRENT table state + the
+    ``_last_checkpoint`` pointer — the log-compaction step that bounds
+    replay cost at high version counts (the reader consumes these
+    already; a checkpoint every N commits keeps replay O(N) regardless of
+    table age). Returns the checkpointed version. Columns follow the
+    public checkpoint schema subset the reader replays: add / remove /
+    metaData / protocol structs, one action per row."""
+    from intake_spark.session import get_session
+
+    spark = spark or get_session()
+    root = url.rstrip("/")
+    log = os.path.join(root, "_delta_log")
+    commits = sorted(f for f in os.listdir(log) if re.fullmatch(r"\d{20}\.json", f))
+    if not commits:
+        raise ValueError(f"{root} has no JSON commits to checkpoint")
+    version = int(commits[-1][:20])
+    adds: dict[str, dict] = {}
+    meta = None
+    protocol = {"minReaderVersion": 1, "minWriterVersion": 2}
+    for c in commits:
+        with open(os.path.join(log, c)) as f:
+            for line in f:
+                if not line.strip():
+                    continue
+                act = json.loads(line)
+                if "add" in act:
+                    adds[act["add"]["path"]] = act["add"]
+                elif "remove" in act:
+                    adds.pop(act["remove"]["path"], None)
+                elif "metaData" in act:
+                    meta = act["metaData"]
+                elif "protocol" in act:
+                    protocol = act["protocol"]
+    if meta is None:
+        raise ValueError("Delta log contains no metaData action")
+
+    from pyspark.sql import types as T
+
+    add_t = T.StructType(
+        [
+            T.StructField("path", T.StringType()),
+            T.StructField("partitionValues", T.MapType(T.StringType(), T.StringType())),
+            T.StructField("size", T.LongType()),
+            T.StructField("modificationTime", T.LongType()),
+            T.StructField("dataChange", T.BooleanType()),
+        ]
+    )
+    remove_t = T.StructType([T.StructField("path", T.StringType())])
+    meta_t = T.StructType(
+        [
+            T.StructField("id", T.StringType()),
+            T.StructField("format", T.StructType(
+                [T.StructField("provider", T.StringType()),
+                 T.StructField("options", T.MapType(T.StringType(), T.StringType()))]
+            )),
+            T.StructField("schemaString", T.StringType()),
+            T.StructField("partitionColumns", T.ArrayType(T.StringType())),
+            T.StructField("configuration", T.MapType(T.StringType(), T.StringType())),
+            T.StructField("createdTime", T.LongType()),
+        ]
+    )
+    proto_t = T.StructType(
+        [T.StructField("minReaderVersion", T.IntegerType()),
+         T.StructField("minWriterVersion", T.IntegerType())]
+    )
+    schema = T.StructType(
+        [T.StructField("add", add_t), T.StructField("remove", remove_t),
+         T.StructField("metaData", meta_t), T.StructField("protocol", proto_t)]
+    )
+    rows = [
+        {"protocol": {"minReaderVersion": int(protocol.get("minReaderVersion", 1)),
+                      "minWriterVersion": int(protocol.get("minWriterVersion", 2))}},
+        {"metaData": {
+            "id": meta.get("id", ""),
+            "format": meta.get("format", {"provider": "parquet", "options": {}}),
+            "schemaString": meta.get("schemaString", ""),
+            "partitionColumns": list(meta.get("partitionColumns") or []),
+            "configuration": dict(meta.get("configuration") or {}),
+            "createdTime": int(meta.get("createdTime") or 0),
+        }},
+    ]
+    for a in adds.values():
+        rows.append({"add": {
+            "path": a["path"],
+            "partitionValues": dict(a.get("partitionValues") or {}),
+            "size": int(a.get("size") or 0),
+            "modificationTime": int(a.get("modificationTime") or 0),
+            "dataChange": bool(a.get("dataChange", True)),
+        }})
+    ckpt_tmp = os.path.join(log, f"_ckpt_tmp_{version}")
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode("overwrite").parquet(ckpt_tmp)
+    part = next(
+        f for f in os.listdir(ckpt_tmp) if f.endswith(".parquet")
+    )
+    final = os.path.join(log, f"{version:020d}.checkpoint.parquet")
+    os.replace(os.path.join(ckpt_tmp, part), final)
+    import shutil
+
+    shutil.rmtree(ckpt_tmp)
+    with open(os.path.join(log, "_last_checkpoint"), "w") as f:
+        json.dump({"version": version, "size": len(rows)}, f)
+    return version
+
+
 class DeltaLakeReader(BaseReader):
     """Delta table → DataFrame by replaying ``_delta_log`` stdlib-side
     (parity: SparkDeltaLake, reference readers.py:550, which needs the
@@ -373,13 +515,23 @@ class DeltaLakeReader(BaseReader):
     implements = {dt.DeltalakeTable}
     priority = -1  # see AvroOCFReader: never ClassNotFound by default
 
-    def _read(self, spark, version: int | None = None, **kwargs):
+    def _read(
+        self,
+        spark,
+        version: int | None = None,
+        timestamp: str | None = None,
+        **kwargs,
+    ):
         from pyspark.sql import types as T
 
         root = self.data.url.rstrip("/")
         log = os.path.join(root, "_delta_log")
         if not os.path.isdir(log):
             raise ValueError(f"{root} has no _delta_log — not a Delta table")
+        if timestamp is not None:
+            if version is not None:
+                raise ValueError("pass version= or timestamp=, not both")
+            version = _delta_version_at(log, timestamp)
         # exactly 20-digit commit names: log-compaction files
         # (<start>.<end>.compacted.json) must NOT be replayed — their
         # constituent commits are listed (and replayed) individually, and a

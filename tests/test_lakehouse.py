@@ -570,3 +570,48 @@ def test_to_delta_partitioned_prunes(spark, tmp_path):
     to_delta(spark.createDataFrame([(9, "b")], "id int, grp string"), root, mode="append")
     out2 = DeltaLakeReader(data=DeltalakeTable(url=root)).read(spark=spark)
     assert out2.filter(out2.grp == "b").count() == 2
+
+
+def test_delta_checkpoint_and_timestamp_travel(spark, tmp_path):
+    """delta_checkpoint compacts the log into the parquet checkpoint the
+    reader already consumes (replay skips all JSON <= ckpt version), and
+    timestamp= resolves a version via commitInfo timestamps."""
+    import json
+    import os
+
+    from intake_spark.datatypes import DeltalakeTable
+    from intake_spark.lakehouse import DeltaLakeReader, delta_checkpoint
+    from intake_spark.output import to_delta
+
+    root = str(tmp_path / "ck")
+    to_delta(spark.range(4).selectExpr("id"), root)
+    to_delta(spark.range(4, 6).selectExpr("id"), root, mode="append")
+    ver = delta_checkpoint(root, spark=spark)
+    assert ver == 1
+    assert os.path.exists(f"{root}/_delta_log/{ver:020d}.checkpoint.parquet")
+
+    rd = lambda **kw: DeltaLakeReader(data=DeltalakeTable(url=root)).read(spark=spark, **kw)
+    assert rd().count() == 6
+    # append after the checkpoint: replay = checkpoint + 1 commit
+    to_delta(spark.range(6, 9).selectExpr("id"), root, mode="append")
+    assert rd().count() == 9
+
+    # timestamp travel: doctor the commitInfo timestamps to known values
+    log = f"{root}/_delta_log"
+    for i, ts in enumerate([1000_000, 2000_000, 3000_000]):
+        p = f"{log}/{i:020d}.json"
+        lines = [json.loads(ln) for ln in open(p) if ln.strip()]
+        for act in lines:
+            if "commitInfo" in act:
+                act["commitInfo"]["timestamp"] = ts
+        with open(p, "w") as f:
+            f.write("\n".join(json.dumps(a) for a in lines) + "\n")
+    # 1970-01-01 00:40 UTC = 2400s = between commit 1 (2000s) and 2 (3000s)
+    assert rd(timestamp="1970-01-01 00:40:00").count() == 6
+    assert rd(timestamp="1970-01-01 00:20:00").count() == 4
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="no Delta commit"):
+        rd(timestamp="1970-01-01 00:00:10")
+    with _pytest.raises(ValueError, match="not both"):
+        rd(version=1, timestamp="1970-01-01")
