@@ -778,6 +778,32 @@ class IcebergTableReader(BaseReader):
         else:
             ischema = meta["schema"]
         spark_schema = _iceberg_to_spark_type({"type": "struct", "fields": ischema["fields"]})
+        timestamp = kwargs.get("timestamp")
+        if timestamp is not None:
+            if snapshot_id is not None:
+                raise ValueError("pass snapshot_id= or timestamp=, not both")
+            # timestampAsOf: newest snapshot whose timestamp-ms <= target
+            # (the snapshot list carries commit millis per the spec)
+            import datetime as _dt
+
+            t = str(timestamp).strip().replace("T", " ")
+            fmt = "%Y-%m-%d %H:%M:%S" if " " in t else "%Y-%m-%d"
+            target_ms = int(
+                _dt.datetime.strptime(t, fmt)
+                .replace(tzinfo=_dt.timezone.utc)
+                .timestamp() * 1000
+            )
+            eligible = [
+                s for s in meta.get("snapshots", [])
+                if int(s.get("timestamp-ms", 0)) <= target_ms
+            ]
+            if not eligible:
+                raise ValueError(
+                    f"no Iceberg snapshot at or before {timestamp!r}"
+                )
+            snapshot_id = max(eligible, key=lambda s: int(s["timestamp-ms"]))[
+                "snapshot-id"
+            ]
         snap_id = snapshot_id if snapshot_id is not None else meta.get("current-snapshot-id")
         if snap_id in (None, -1):
             return spark.createDataFrame([], spark_schema)

@@ -615,3 +615,58 @@ def test_delta_checkpoint_and_timestamp_travel(spark, tmp_path):
         rd(timestamp="1970-01-01 00:00:10")
     with _pytest.raises(ValueError, match="not both"):
         rd(version=1, timestamp="1970-01-01")
+
+
+def test_iceberg_timestamp_travel(spark, tmp_path):
+    """timestamp= resolves the newest snapshot with timestamp-ms <= the
+    UTC target (Iceberg's timestampAsOf)."""
+    root = str(tmp_path / "icets")
+    os.makedirs(f"{root}/metadata")
+    os.makedirs(f"{root}/data")
+    spark.createDataFrame([(1, "x")], "id long, s string").coalesce(1) \
+        .write.parquet(f"{root}/data/d0")
+    spark.createDataFrame([(2, "y")], "id long, s string").coalesce(1) \
+        .write.parquet(f"{root}/data/d1")
+    files = {}
+    for d in ("d0", "d1"):
+        fn = [f for f in os.listdir(f"{root}/data/{d}") if f.endswith(".parquet")][0]
+        files[d] = f"{root}/data/{d}/{fn}"
+    for i, d in enumerate(("d0", "d1")):
+        write_avro(f"{root}/metadata/m{i}.avro", _MANIFEST_ENTRY_SCHEMA, [
+            {"status": 1, "data_file": {"content": 0, "file_path": files[d],
+                                        "file_format": "PARQUET", "record_count": 1}},
+        ])
+    write_avro(f"{root}/metadata/ml0.avro", _MANIFEST_FILE_SCHEMA,
+               [{"manifest_path": f"{root}/metadata/m0.avro", "manifest_length": 1}])
+    write_avro(f"{root}/metadata/ml1.avro", _MANIFEST_FILE_SCHEMA,
+               [{"manifest_path": f"{root}/metadata/m0.avro", "manifest_length": 1},
+                {"manifest_path": f"{root}/metadata/m1.avro", "manifest_length": 1}])
+    meta = {
+        "format-version": 2, "location": root,
+        "current-snapshot-id": 2, "current-schema-id": 0,
+        "schemas": [{"schema-id": 0, "type": "struct", "fields": [
+            {"id": 1, "name": "id", "required": False, "type": "long"},
+            {"id": 2, "name": "s", "required": False, "type": "string"}]}],
+        "snapshots": [
+            {"snapshot-id": 1, "timestamp-ms": 1_000_000,
+             "manifest-list": f"{root}/metadata/ml0.avro"},
+            {"snapshot-id": 2, "timestamp-ms": 3_000_000,
+             "manifest-list": f"{root}/metadata/ml1.avro"},
+        ],
+    }
+    with open(f"{root}/metadata/v1.metadata.json", "w") as f:
+        json.dump(meta, f)
+    with open(f"{root}/metadata/version-hint.text", "w") as f:
+        f.write("1")
+
+    rd = lambda **kw: IcebergTableReader(data=dt.IcebergDataset(url=root)).read(spark=spark, **kw)
+    assert rd().count() == 2  # current
+    # 00:40 UTC = 2400s: only snapshot 1 (1000s) qualifies
+    assert {r.s for r in rd(timestamp="1970-01-01 00:40:00").collect()} == {"x"}
+    assert rd(timestamp="1970-01-01 01:00:00").count() == 2
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="no Iceberg snapshot"):
+        rd(timestamp="1970-01-01 00:00:05")
+    with _pytest.raises(ValueError, match="not both"):
+        rd(snapshot_id=1, timestamp="1970-01-01")
