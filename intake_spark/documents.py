@@ -1421,3 +1421,339 @@ class ODSReader(BaseReader):
             for r in data_rows
         ]
         return spark.createDataFrame(records)
+
+
+# ---------------------------------------------------------------------------
+# Round-5 long-tail document/config/model datatypes (closing the reference
+# datatypes.py inventory): reStructuredText, SVG, SDF (chemistry), YAML
+# config, Python source, pickle (gated by allow_pickle).
+# ---------------------------------------------------------------------------
+
+
+class ReStructuredText(dt.FileData):
+    filepattern = r"rst$"
+    structure = {"text"}
+
+
+class ReStructuredTextReader(BaseReader):
+    """reST files → (path, text, n_sections, title) rows — the Markdown
+    reader's contract for underline/overline-style headings (parity:
+    datatypes.py ReStructuredText)."""
+
+    implements = {ReStructuredText}
+
+    def _read(self, spark, **kwargs):
+        from intake_spark.session import ensure_py_deps
+
+        ensure_py_deps(spark)
+        files = _binary_glob(spark, self.data.url, "*.rst")
+        schema = T.StructType(
+            [
+                T.StructField("path", T.StringType()),
+                T.StructField("text", T.StringType()),
+                T.StructField("n_sections", T.IntegerType()),
+                T.StructField("title", T.StringType()),
+            ]
+        )
+
+        def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            adorn = set("=-`:'\"~^_*+#<>")
+
+            def sections(t: str) -> list[str]:
+                lines = t.splitlines()
+                out = []
+                for i in range(1, len(lines)):
+                    ln, above = lines[i].rstrip(), lines[i - 1].strip()
+                    if (
+                        above
+                        and len(ln) >= len(above) > 0
+                        and len(set(ln)) == 1
+                        and ln[0] in adorn
+                    ):
+                        out.append(above)
+                return out
+
+            for pdf in batches:
+                texts = pdf["content"].map(_text_of)
+                secs = texts.map(sections)
+                yield pd.DataFrame(
+                    {
+                        "path": pdf["path"],
+                        "text": texts,
+                        "n_sections": pd.array([len(s) for s in secs], dtype="int32"),
+                        "title": [s[0] if s else "" for s in secs],
+                    }
+                )
+
+        return files.select("path", "content").mapInPandas(parse, schema=schema)
+
+
+class SVG(dt.FileData):
+    filepattern = r"svg$"
+    mimetypes = r"image/svg\+xml"
+    contains = (b"<svg",)
+    structure = {"image", "text"}
+
+
+class SVGReader(BaseReader):
+    """SVG documents → (path, width, height, viewbox, n_elements,
+    element_counts) rows via executor-side ElementTree (parity:
+    datatypes.py SVGFile; the reference hands these to cairosvg/PIL —
+    here the XML structure itself is the typed metadata)."""
+
+    implements = {SVG}
+
+    def _read(self, spark, **kwargs):
+        from intake_spark.session import ensure_py_deps
+
+        ensure_py_deps(spark)
+        files = _binary_glob(spark, self.data.url, "*.svg")
+        schema = T.StructType(
+            [
+                T.StructField("path", T.StringType()),
+                T.StructField("width", T.StringType()),
+                T.StructField("height", T.StringType()),
+                T.StructField("viewbox", T.StringType()),
+                T.StructField("n_elements", T.IntegerType()),
+                T.StructField("element_counts", T.MapType(T.StringType(), T.IntegerType())),
+            ]
+        )
+
+        def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            import xml.etree.ElementTree as ET
+
+            for pdf in batches:
+                rows = {k: [] for k in ("width", "height", "viewbox", "n_elements", "element_counts")}
+                for content in pdf["content"]:
+                    root = ET.fromstring(bytes(content))
+                    counts: dict[str, int] = {}
+                    n = 0
+                    for el in root.iter():
+                        tag = el.tag.rsplit("}", 1)[-1]
+                        counts[tag] = counts.get(tag, 0) + 1
+                        n += 1
+                    rows["width"].append(root.get("width", ""))
+                    rows["height"].append(root.get("height", ""))
+                    rows["viewbox"].append(root.get("viewBox", ""))
+                    rows["n_elements"].append(n)
+                    rows["element_counts"].append(counts)
+                yield pd.DataFrame({"path": pdf["path"], **rows})
+
+        return files.select("path", "content").mapInPandas(parse, schema=schema)
+
+
+class SDF(dt.FileData):
+    """Chemistry structure-data files ($$$$-delimited molfiles)."""
+
+    filepattern = r"sdf$"
+    structure = {"table", "nested"}
+
+
+class SDFReader(BaseReader):
+    """SDF → one row per molecule: (path, mol_index, title, n_atoms,
+    n_bonds, properties map) from the V2000 counts line and the
+    ``> <tag>`` data items (parity: datatypes.py SDFFile — the reference
+    delegates to RDKit; the container format itself is plain text)."""
+
+    implements = {SDF}
+
+    def _read(self, spark, **kwargs):
+        from intake_spark.session import ensure_py_deps
+
+        ensure_py_deps(spark)
+        files = _binary_glob(spark, self.data.url, "*.sdf")
+        schema = T.StructType(
+            [
+                T.StructField("path", T.StringType()),
+                T.StructField("mol_index", T.IntegerType()),
+                T.StructField("title", T.StringType()),
+                T.StructField("n_atoms", T.IntegerType()),
+                T.StructField("n_bonds", T.IntegerType()),
+                T.StructField("properties", T.MapType(T.StringType(), T.StringType())),
+            ]
+        )
+
+        def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                out = {k: [] for k in ("path", "mol_index", "title", "n_atoms", "n_bonds", "properties")}
+                for path, content in zip(pdf["path"], pdf["content"]):
+                    text = _text_of(content)
+                    for mi, block in enumerate(b for b in text.split("$$$$") if b.strip()):
+                        lines = block.lstrip("\n").splitlines()
+                        title = lines[0].strip() if lines else ""
+                        na = nb = 0
+                        if len(lines) > 3:
+                            counts = lines[3]
+                            try:
+                                na, nb = int(counts[0:3]), int(counts[3:6])
+                            except ValueError:
+                                pass
+                        props: dict[str, str] = {}
+                        key = None
+                        vals: list[str] = []
+                        for ln in lines:
+                            if ln.startswith(">"):
+                                if key is not None:
+                                    props[key] = "\n".join(vals).strip()
+                                lo, hi = ln.find("<"), ln.rfind(">")
+                                key = ln[lo + 1 : hi] if 0 <= lo < hi else ln[1:].strip()
+                                vals = []
+                            elif key is not None:
+                                vals.append(ln)
+                        if key is not None:
+                            props[key] = "\n".join(vals).strip()
+                        out["path"].append(path)
+                        out["mol_index"].append(mi)
+                        out["title"].append(title)
+                        out["n_atoms"].append(na)
+                        out["n_bonds"].append(nb)
+                        out["properties"].append(props)
+                yield pd.DataFrame(out)
+
+        return files.select("path", "content").mapInPandas(parse, schema=schema)
+
+
+class YAMLFile(dt.FileData):
+    filepattern = r"ya?ml$"
+    structure = {"nested", "structured"}
+
+
+class YAMLConfigReader(BaseReader):
+    """YAML documents → flattened (path, key, value) rows, the TOML/INI
+    config contract (parity: datatypes.py YAMLFile). NOT for catalog
+    files — ``open_catalog`` owns those; this is the generic-config
+    surface. safe_load only."""
+
+    implements = {YAMLFile}
+    priority = -1  # catalog YAML routes to open_catalog first
+
+    def _read(self, spark, **kwargs):
+        import yaml as _yaml
+
+        from intake_spark.session import ensure_py_deps
+
+        ensure_py_deps(spark)
+        files = _binary_glob(spark, self.data.url, "*.yaml")
+        schema = T.StructType(
+            [
+                T.StructField("path", T.StringType()),
+                T.StructField("key", T.StringType()),
+                T.StructField("value", T.StringType()),
+            ]
+        )
+
+        def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                paths, keys, vals = [], [], []
+                for path, content in zip(pdf["path"], pdf["content"]):
+                    doc = _yaml.safe_load(_text_of(content))
+                    if isinstance(doc, dict):
+                        for k, v in _flatten(doc):
+                            paths.append(path)
+                            keys.append(k)
+                            vals.append(v)
+                yield pd.DataFrame({"path": paths, "key": keys, "value": vals})
+
+        return files.select("path", "content").mapInPandas(parse, schema=schema)
+
+
+class PythonSourceCode(dt.FileData):
+    filepattern = r"py$"
+    structure = {"code", "text"}
+
+
+class PythonSourceReader(BaseReader):
+    """Python sources → (path, n_lines, n_functions, n_classes, imports)
+    via executor-side ``ast`` parse (parity: datatypes.py
+    PythonSourceCode) — the code-corpus analysis row shape."""
+
+    implements = {PythonSourceCode}
+
+    def _read(self, spark, **kwargs):
+        from intake_spark.session import ensure_py_deps
+
+        ensure_py_deps(spark)
+        files = _binary_glob(spark, self.data.url, "*.py")
+        schema = T.StructType(
+            [
+                T.StructField("path", T.StringType()),
+                T.StructField("n_lines", T.IntegerType()),
+                T.StructField("n_functions", T.IntegerType()),
+                T.StructField("n_classes", T.IntegerType()),
+                T.StructField("imports", T.ArrayType(T.StringType())),
+                T.StructField("syntax_ok", T.BooleanType()),
+            ]
+        )
+
+        def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            import ast
+
+            for pdf in batches:
+                rows = {k: [] for k in ("n_lines", "n_functions", "n_classes", "imports", "syntax_ok")}
+                for content in pdf["content"]:
+                    text = _text_of(content)
+                    rows["n_lines"].append(text.count("\n") + 1)
+                    try:
+                        tree = ast.parse(text)
+                        funcs = classes = 0
+                        imports: list[str] = []
+                        for node in ast.walk(tree):
+                            if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef)):
+                                funcs += 1
+                            elif isinstance(node, ast.ClassDef):
+                                classes += 1
+                            elif isinstance(node, ast.Import):
+                                imports.extend(a.name for a in node.names)
+                            elif isinstance(node, ast.ImportFrom) and node.module:
+                                imports.append(node.module)
+                        rows["n_functions"].append(funcs)
+                        rows["n_classes"].append(classes)
+                        rows["imports"].append(sorted(set(imports)))
+                        rows["syntax_ok"].append(True)
+                    except SyntaxError:
+                        rows["n_functions"].append(0)
+                        rows["n_classes"].append(0)
+                        rows["imports"].append([])
+                        rows["syntax_ok"].append(False)
+                yield pd.DataFrame({"path": pdf["path"], **rows})
+
+        return files.select("path", "content").mapInPandas(parse, schema=schema)
+
+
+class PickleFile(dt.FileData):
+    filepattern = r"(pkl|pickle)$"
+    magic = (b"\x80",)
+    structure = {"structured"}
+
+
+class PickleReader(BaseReader):
+    """Pickle → rows, DRIVER-side and gated by ``conf["allow_pickle"]``
+    exactly like the catalog templating layer (unpickling is arbitrary
+    code execution; parity: datatypes.py PickleFile + the reference's
+    allow_pickle security posture). List-of-dicts pickles become rows;
+    anything else becomes one (value repr) row."""
+
+    implements = {PickleFile}
+    lazy = False
+
+    def _read(self, spark, **kwargs):
+        import pickle
+
+        from intake_spark.config import conf
+
+        if not conf.get("allow_pickle"):
+            raise PermissionError(
+                "unpickling is disabled (conf['allow_pickle']=False); enable "
+                "it only for trusted files — pickle runs arbitrary code"
+            )
+        with open(self.data.url, "rb") as f:
+            obj = pickle.load(f)
+        if isinstance(obj, list) and obj and all(isinstance(r, dict) for r in obj):
+            return spark.createDataFrame(obj)
+        return spark.createDataFrame([{"value": repr(obj)}])
+
+
+def _binary_glob(spark, url: str, glob: str):
+    if "*" in url:
+        return spark.read.format("binaryFile").load(url)
+    return spark.read.format("binaryFile").option("pathGlobFilter", glob).load(url)

@@ -595,3 +595,39 @@ class HDF5Reader(BaseReader):
         return _chunked_array_df(
             spark, url, dtype, shape, meta.base + data_addr, rows_per_chunk
         )
+
+
+def hdf5_group_catalog(url: str, component: str | None = None):
+    """Walk an HDF5 file's group hierarchy into a Catalog: every dataset
+    becomes an ``HDF5Reader`` entry keyed by its path, nested under
+    ``component`` when given (parity: HDF5Group datatype +
+    intake's zarr-style group cataloging, reference catalog/zarr.py
+    applied to HDF5; the reference lists datasets via h5py/kerchunk —
+    this reuses the package's stdlib walk). Driver-side metadata only —
+    the datasets still read distributed through ``HDF5Reader``."""
+    from intake_spark import datatypes as dt
+    from intake_spark.catalog import Catalog
+
+    with open(url, "rb") as f:
+        datasets = _H5Meta(f).walk()
+    prefix = (component or "").strip("/")
+    cat = Catalog(metadata={"url": url, "component": prefix})
+    for path in sorted(datasets):
+        if prefix and not (path == prefix or path.startswith(prefix + "/")):
+            continue
+        shape, dtype_str, layout, _fill = datasets[path]
+        name = path[len(prefix) :].lstrip("/") if prefix else path
+        cat.add_entry(
+            HDF5Reader(
+                data=dt.HDF5(
+                    url=url,
+                    metadata={"shape": list(shape), "dtype": str(dtype_str),
+                              "layout": layout[0] if isinstance(layout, tuple) else str(layout)},
+                ),
+                dataset=path,
+            ),
+            name=name or "/",
+        )
+    if not cat.aliases:
+        raise ValueError(f"no datasets under component {component!r} in {url}")
+    return cat

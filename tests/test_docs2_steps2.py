@@ -173,3 +173,119 @@ def test_zip_container_detection(tmp_path):
         z.writestr("data/table.csv", "a,b\n1,2\n")
     out = dt.recommend(str(zp))
     assert out and out[0] is dt.CSV
+
+
+# --- round-5 long-tail document readers -------------------------------------
+
+
+def test_rst_reader(spark, tmp_path):
+    from intake_spark.documents import ReStructuredText, ReStructuredTextReader
+
+    (tmp_path / "doc.rst").write_text(
+        "Project Title\n=============\n\nbody text\n\nUsage\n-----\nmore\n"
+    )
+    (tmp_path / "flat.rst").write_text("no sections here\njust text\n")
+    rows = {r.path.rsplit("/", 1)[-1]: r for r in
+            ReStructuredTextReader(data=ReStructuredText(url=str(tmp_path))).read(spark=spark).collect()}
+    assert rows["doc.rst"].n_sections == 2
+    assert rows["doc.rst"].title == "Project Title"
+    assert rows["flat.rst"].n_sections == 0
+
+
+def test_svg_reader(spark, tmp_path):
+    from intake_spark.documents import SVG, SVGReader
+
+    (tmp_path / "pic.svg").write_text(
+        '<svg xmlns="http://www.w3.org/2000/svg" width="120" height="80" '
+        'viewBox="0 0 120 80"><rect x="0" y="0"/><circle r="5"/>'
+        "<circle r='9'/></svg>"
+    )
+    r = SVGReader(data=SVG(url=str(tmp_path))).read(spark=spark).collect()[0]
+    assert (r.width, r.height) == ("120", "80")
+    assert r.viewbox == "0 0 120 80"
+    assert r.element_counts["circle"] == 2 and r.element_counts["rect"] == 1
+    assert r.n_elements == 4  # svg + rect + 2 circles
+
+
+def test_sdf_reader(spark, tmp_path):
+    from intake_spark.documents import SDF, SDFReader
+
+    mol = (
+        "aspirin\n  prog\ncomment\n"
+        " 13 13  0  0  0  0  0  0  0  0999 V2000\n"
+        "atoms...\n"
+        "M  END\n"
+        "> <MW>\n180.16\n\n"
+        ">  <FORMULA>\nC9H8O4\n\n"
+        "$$$$\n"
+        "water\n  prog\n\n"
+        "  3  2  0  0  0  0  0  0  0  0999 V2000\n"
+        "M  END\n"
+        "$$$$\n"
+    )
+    (tmp_path / "mols.sdf").write_text(mol)
+    rows = sorted(
+        SDFReader(data=SDF(url=str(tmp_path))).read(spark=spark).collect(),
+        key=lambda r: r.mol_index,
+    )
+    assert [r.title for r in rows] == ["aspirin", "water"]
+    assert rows[0].n_atoms == 13 and rows[0].n_bonds == 13
+    assert rows[0].properties == {"MW": "180.16", "FORMULA": "C9H8O4"}
+    assert rows[1].n_atoms == 3 and rows[1].properties == {}
+
+
+def test_yaml_config_reader(spark, tmp_path):
+    from intake_spark.documents import YAMLConfigReader, YAMLFile
+
+    (tmp_path / "app.yaml").write_text(
+        "server:\n  host: x\n  port: 8080\nflags:\n  debug: true\n"
+    )
+    out = {r.key: r.value for r in
+           YAMLConfigReader(data=YAMLFile(url=str(tmp_path))).read(spark=spark).collect()}
+    assert out["server.host"] == "x" and out["server.port"] == "8080"
+    assert out["flags.debug"] in ("true", "True")
+
+
+def test_python_source_reader(spark, tmp_path):
+    from intake_spark.documents import PythonSourceCode, PythonSourceReader
+
+    (tmp_path / "mod.py").write_text(
+        "import os\nfrom json import dumps\n\n"
+        "class A:\n    def m(self):\n        pass\n\n"
+        "def f():\n    return 1\n"
+    )
+    (tmp_path / "broken.py").write_text("def broken(:\n")
+    rows = {r.path.rsplit("/", 1)[-1]: r for r in
+            PythonSourceReader(data=PythonSourceCode(url=str(tmp_path))).read(spark=spark).collect()}
+    m = rows["mod.py"]
+    assert m.n_classes == 1 and m.n_functions == 2 and m.syntax_ok
+    assert m.imports == ["json", "os"]
+    assert not rows["broken.py"].syntax_ok
+
+
+def test_pickle_reader_gated(spark, tmp_path):
+    import pickle
+
+    import pytest as _pytest
+
+    from intake_spark import config as isconf
+    from intake_spark.documents import PickleFile, PickleReader
+
+    p = tmp_path / "rows.pkl"
+    p.write_bytes(pickle.dumps([{"a": 1, "b": "x"}, {"a": 2, "b": "y"}]))
+    rdr = PickleReader(data=PickleFile(url=str(p)))
+    # default posture: unpickling disabled
+    assert isconf.conf["allow_pickle"] is False
+    with _pytest.raises(PermissionError, match="allow_pickle"):
+        rdr.read(spark=spark)
+    isconf.conf["allow_pickle"] = True
+    try:
+        rows = sorted((r.a, r.b) for r in rdr.read(spark=spark).collect())
+        assert rows == [(1, "x"), (2, "y")]
+        # non-record pickles become one repr row
+        p2 = tmp_path / "obj.pkl"
+        p2.write_bytes(pickle.dumps({"k": [1, 2]}))
+        r = PickleReader(data=PickleFile(url=str(p2))).read(spark=spark).first()
+        assert "k" in r.value
+    finally:
+        isconf.reset()

@@ -436,3 +436,29 @@ def test_chunked_default_fill_is_zero(spark, tmp_path):
     want = arr.copy()
     want[2:4, :] = 0.0
     np.testing.assert_array_equal(got, want)
+
+
+def test_hdf5_group_catalog(spark, tmp_path):
+    """Dataset hierarchy → catalog entries over HDF5Reader (the HDF5
+    twin of zarr_group_catalog): entries carry shape/dtype metadata and
+    read back the right dataset; component= filters the namespace."""
+    from intake_spark.hdf5 import hdf5_group_catalog
+
+    a = np.arange(12, dtype="<i4").reshape(3, 4)
+    b = np.arange(5, dtype="<f8") * 1.5
+    p = tmp_path / "cat.h5"
+    p.write_bytes(h5_classic({"ints": a, "floats": b}))
+
+    cat = hdf5_group_catalog(str(p))
+    assert set(cat.aliases) == {"ints", "floats"}
+    meta = cat["ints"].data.metadata
+    assert meta["shape"] == [3, 4]
+    got = _rebuild(cat["ints"].read(spark=spark))
+    np.testing.assert_array_equal(got, a)
+
+    only = hdf5_group_catalog(str(p), component="floats")
+    assert set(only.aliases) == {"/"}
+    np.testing.assert_allclose(_rebuild(only["/"].read(spark=spark)).ravel(), b)
+
+    with pytest.raises(ValueError, match="no datasets"):
+        hdf5_group_catalog(str(p), component="missing")
