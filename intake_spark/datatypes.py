@@ -234,6 +234,13 @@ class FLAC(FileData):
     structure = {"array", "timeseries"}
 
 
+class WebM(FileData):
+    filepattern = r"(webm|mkv)$"
+    mimetypes = r"video/(webm|x-matroska)"
+    magic = (b"\x1a\x45\xdf\xa3",)
+    structure = {"array", "timeseries"}
+
+
 class GIF(FileData):
     filepattern = r"gif$"
     mimetypes = r"image/gif"

@@ -831,10 +831,11 @@ def media_meta_features(
 
     def probe(content: bytes) -> dict:
         is_avi = content[:4] == b"RIFF" and content[8:12] == b"AVI "
+        is_webm = content[:4] == b"\x1a\x45\xdf\xa3"
         is_mp4 = len(content) >= 12 and content[4:8] == b"ftyp" and content[8:12] not in (
             b"avif", b"avis", b"heic", b"mif1"
         )
-        if is_avi or is_mp4:
+        if is_avi or is_mp4 or is_webm:
             m = video_meta(content)
             return {"media_kind": "video", "format": m["format"],
                     "width": m["width"], "height": m["height"],

@@ -259,7 +259,10 @@ def parse_mp4(content: bytes) -> dict:
 
 def video_meta(content: bytes) -> dict:
     """Magic-dispatched decode-free video container metadata: AVI (RIFF
-    walk — full frame index) or MP4/MOV (box walk)."""
+    walk — full frame index), WebM/Matroska (EBML walk), or MP4/MOV
+    (box walk)."""
+    if content[:4] == b"\x1a\x45\xdf\xa3":
+        return parse_webm(content)
     if content[:4] == b"RIFF" and content[8:12] == b"AVI ":
         m = parse_avi(content)
         return {
@@ -273,3 +276,78 @@ def video_meta(content: bytes) -> dict:
             "fps": m["fps"],
         }
     return parse_mp4(content)
+
+
+def _ebml_varint(content: bytes, pos: int, clear_marker: bool) -> tuple[int, int, int]:
+    """EBML variable-length integer at pos → (value, new_pos, length).
+    Element IDs keep their length-marker bit, SIZES clear it — the
+    spec's two encodings; an all-ones cleared size means "unknown"."""
+    first = content[pos]
+    if first == 0:
+        raise ValueError("invalid EBML varint")
+    length = 1
+    mask = 0x80
+    while not (first & mask):
+        length += 1
+        mask >>= 1
+    val = first & (mask - 1) if clear_marker else first
+    for i in range(1, length):
+        val = (val << 8) | content[pos + i]
+    return val, pos + length, length
+
+
+def parse_webm(content: bytes) -> dict:
+    """WebM/Matroska container metadata via the EBML element walk
+    (public Matroska spec): Segment→Info gives TimestampScale+Duration,
+    Segment→Tracks→TrackEntry gives per-track type/codec and video
+    dimensions. Header bytes only — Cluster payloads are never touched;
+    VP8/VP9/Opus FRAME decode stays gated like the other lossy codecs."""
+    import struct as _s
+
+    if content[:4] != b"\x1a\x45\xdf\xa3":
+        raise ValueError("not an EBML/WebM stream")
+
+    info = {"timescale": 1_000_000, "duration_raw": 0.0, "tracks": []}
+
+    def walk(start: int, end: int, depth: int, track: dict | None) -> None:
+        pos = start
+        while pos < end:
+            eid, pos, _ = _ebml_varint(content, pos, clear_marker=False)
+            size, pos, slen = _ebml_varint(content, pos, clear_marker=True)
+            unknown = size == (1 << (7 * slen)) - 1
+            e_end = end if unknown else min(end, pos + size)
+            if eid in (0x18538067, 0x1549A966, 0x1654AE6B, 0xE0):  # Segment/Info/Tracks/Video
+                walk(pos, e_end, depth + 1, track)
+            elif eid == 0xAE:  # TrackEntry
+                t = {"kind": "", "codec": "", "width": 0, "height": 0}
+                walk(pos, e_end, depth + 1, t)
+                info["tracks"].append(t)
+            elif eid == 0x2AD7B1:
+                info["timescale"] = int.from_bytes(content[pos:e_end], "big")
+            elif eid == 0x4489:
+                raw = content[pos:e_end]
+                info["duration_raw"] = _s.unpack(">f", raw)[0] if len(raw) == 4 else _s.unpack(">d", raw)[0]
+            elif track is not None and eid == 0x83:
+                kind = int.from_bytes(content[pos:e_end], "big")
+                track["kind"] = {1: "video", 2: "audio", 17: "subtitle"}.get(kind, str(kind))
+            elif track is not None and eid == 0x86:
+                track["codec"] = content[pos:e_end].split(b"\x00")[0].decode("ascii", "replace")
+            elif track is not None and eid == 0xB0:
+                track["width"] = int.from_bytes(content[pos:e_end], "big")
+            elif track is not None and eid == 0xBA:
+                track["height"] = int.from_bytes(content[pos:e_end], "big")
+            if unknown:
+                break
+            pos = e_end
+
+    walk(0, len(content), 0, None)
+    vid = next((t for t in info["tracks"] if t["kind"] == "video"), None)
+    return {
+        "format": "webm",
+        "duration_s": round(info["duration_raw"] * info["timescale"] / 1e9, 6),
+        "n_tracks": len(info["tracks"]),
+        "width": vid["width"] if vid else 0,
+        "height": vid["height"] if vid else 0,
+        "codec": vid["codec"] if vid else "",
+        "tracks": info["tracks"],
+    }

@@ -177,7 +177,7 @@ class SparkBinary(FileReader):
     """binaryFile rows (path, modificationTime, length, content) — the
     ingestion layer for multimodal/opaque formats (SURVEY §2.1 media rows)."""
 
-    implements = {dt.PNG, dt.JPEG, dt.GIF, dt.TIFF, dt.BMP, dt.WAV, dt.FLAC, dt.MP3, dt.OGG, dt.MP4, dt.AVI, dt.WEBP, dt.PDF, dt.GGUF, dt.NumpyFile, dt.HDF5}
+    implements = {dt.PNG, dt.JPEG, dt.GIF, dt.TIFF, dt.BMP, dt.WAV, dt.FLAC, dt.MP3, dt.OGG, dt.MP4, dt.AVI, dt.WebM, dt.WEBP, dt.PDF, dt.GGUF, dt.NumpyFile, dt.HDF5}
     spark_format = "binaryFile"
 
     def _read(self, spark, pathGlobFilter: str | None = None, **kwargs):

@@ -182,3 +182,48 @@ def test_parse_mp4_metadata():
 
     with _pytest.raises(ValueError, match="ISO-BMFF"):
         parse_mp4(b"\x00" * 64)
+
+
+def _ebml(eid_bytes: bytes, payload: bytes) -> bytes:
+    # size as a 2-byte cleared varint (0x4000 | n)
+    n = len(payload)
+    return eid_bytes + bytes([0x40 | (n >> 8), n & 0xFF]) + payload
+
+
+def make_webm(duration_units=5000.0, timescale=1_000_000, w=640, h=360,
+              vcodec=b"V_VP9", with_audio=True) -> bytes:
+    import struct as st
+
+    video = _ebml(b"\xe0", _ebml(b"\xb0", w.to_bytes(2, "big"))
+                  + _ebml(b"\xba", h.to_bytes(2, "big")))
+    track_v = _ebml(b"\xae", _ebml(b"\x83", b"\x01") + _ebml(b"\x86", vcodec) + video)
+    tracks = track_v
+    if with_audio:
+        tracks += _ebml(b"\xae", _ebml(b"\x83", b"\x02") + _ebml(b"\x86", b"A_OPUS"))
+    info = _ebml(b"\x2a\xd7\xb1", timescale.to_bytes(3, "big")) + _ebml(
+        b"\x44\x89", st.pack(">d", duration_units)
+    )
+    segment = _ebml(b"\x15\x49\xa9\x66", info) + _ebml(b"\x16\x54\xae\x6b", tracks)
+    head = _ebml(b"\x1a\x45\xdf\xa3", b"\x00" * 8)
+    return head + _ebml(b"\x18\x53\x80\x67", segment)
+
+
+def test_parse_webm_metadata():
+    from intake_spark.llm.video import parse_webm, video_meta
+
+    m = parse_webm(make_webm())
+    assert m["format"] == "webm"
+    # 5000 units * 1e6 ns/unit = 5 s
+    assert m["duration_s"] == 5.0
+    assert (m["width"], m["height"], m["codec"]) == (640, 360, "V_VP9")
+    assert m["n_tracks"] == 2
+    assert {t["kind"] for t in m["tracks"]} == {"video", "audio"}
+
+    # dispatch through video_meta; non-default timescale scales duration
+    v = video_meta(make_webm(duration_units=250.0, timescale=4_000_000, with_audio=False))
+    assert v["duration_s"] == 1.0 and v["n_tracks"] == 1
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="EBML"):
+        parse_webm(b"\x00\x01\x02\x03" + b"\x00" * 16)
