@@ -1101,3 +1101,139 @@ class EarthdataReader(BaseReader):
             inst.metadata.update({"title": g["title"], "size_mb": g["size_mb"]})
             cat.add_entry(inst.to_reader(), name=g["granule_id"])
         return cat
+
+
+# ---------------------------------------------------------------------------
+# OpenDAP (DAP2) — the scientific data-access protocol THREDDS serves
+# (parity: datatypes.py OpenDAP; the reference reads it via
+# xarray/pydap — this speaks the public DAP2 wire format directly:
+# ``.dds`` structure text + ``.dods`` XDR payload). Injectable fetch, so
+# the protocol tests run offline; live servers are network-gated.
+# ---------------------------------------------------------------------------
+
+
+class OpenDAPService(dt.Service):
+    """A DAP2 dataset endpoint (the URL *without* the .dds/.dods suffix)."""
+
+    structure = {"array", "hierarchy"}
+
+
+_DAP_TYPES = {
+    "Float64": (">f8", 8), "Float32": (">f4", 4),
+    "Int32": (">i4", 4), "UInt32": (">u4", 4),
+    "Int16": (">i4", 4), "UInt16": (">u4", 4),  # DAP2 XDR widens 16→32 bit
+    "Byte": (">u1", 1),
+}
+
+
+def parse_dds(text: str) -> dict:
+    """DAP2 DDS → {var: {"type": str, "dims": [(name, size), ...]}} for
+    top-level atomic arrays and the ARRAY part of Grids."""
+    import re as _re
+
+    out: dict[str, dict] = {}
+    decl = _re.compile(
+        r"^\s*(Float64|Float32|Int32|UInt32|Int16|UInt16|Byte)\s+(\w+)((?:\[[^\]]*\])*)\s*;"
+    )
+    dim = _re.compile(r"\[\s*(\w+)?\s*=?\s*(\d+)\s*\]")
+    in_maps = False
+    for line in text.splitlines():
+        s = line.strip()
+        if s.upper().startswith("MAPS:"):
+            in_maps = True
+            continue
+        if s.upper().startswith("ARRAY:") or s.startswith("Grid {"):
+            in_maps = False
+            continue
+        if s.startswith("}"):
+            in_maps = False
+            continue
+        m = decl.match(line)
+        if m and not in_maps:
+            typ, name, dims = m.group(1), m.group(2), m.group(3)
+            out[name] = {
+                "type": typ,
+                "dims": [(d.group(1) or "", int(d.group(2))) for d in dim.finditer(dims)],
+            }
+    return out
+
+
+def _dap_fetch(url: str) -> bytes:
+    if url.startswith("file://"):
+        url = url[7:]
+    if "://" not in url:
+        with open(url, "rb") as f:
+            return f.read()
+    from urllib.request import urlopen  # pragma: no cover - no network here
+
+    with urlopen(url, timeout=60) as resp:  # pragma: no cover
+        return resp.read()
+
+
+class OpenDAPReader(BaseReader):
+    """DAP2 variable → chunk-row DataFrame (arrays.CHUNK_SCHEMA).
+
+    ``.dds`` lists the variables (driver-side text); ``.dods?var`` fetches
+    ONE variable server-side-subsetted — the protocol's own pushdown: the
+    server slices, the client never sees unrequested bytes. The XDR
+    payload (twin uint32 counts + big-endian elements, Byte runs padded
+    to 4) decodes to the engine's leading-axis chunk rows. ``fetch`` is
+    injectable; without it, http(s) is network-gated in this container."""
+
+    implements = {OpenDAPService}
+
+    def _read(self, spark, variable: str | None = None, fetch=None, **kwargs):
+        import struct as _s
+
+        import numpy as np
+
+        from intake_spark.arrays import CHUNK_SCHEMA
+
+        fetch = fetch or _dap_fetch
+        base = self.data.url.rstrip("/")
+        dds = parse_dds(fetch(f"{base}.dds").decode("ascii", "replace"))
+        if not dds:
+            raise ValueError(f"{base}.dds declares no readable arrays")
+        self.data.metadata["variables"] = {
+            k: {"type": v["type"], "dims": v["dims"]} for k, v in dds.items()
+        }
+        if variable is None:
+            variable = sorted(dds)[0]
+        if variable not in dds:
+            raise KeyError(f"variable {variable!r} not in DDS; available: {sorted(dds)}")
+        spec = dds[variable]
+        npdt, width = _DAP_TYPES[spec["type"]]
+        shape = [s for _n, s in spec["dims"]] or [1]
+
+        blob = fetch(f"{base}.dods?{variable}")
+        sep = blob.find(b"\nData:\n")
+        if sep < 0:
+            raise ValueError("malformed .dods response (no Data: separator)")
+        payload = blob[sep + 7 :]
+        (n1,) = _s.unpack_from(">I", payload, 0)
+        (n2,) = _s.unpack_from(">I", payload, 4)
+        if n1 != n2:
+            raise ValueError("malformed XDR array (count mismatch)")
+        want = 1
+        for s in shape:
+            want *= s
+        if n1 != want:
+            raise ValueError(f"XDR count {n1} != DDS shape product {want}")
+        arr = np.frombuffer(payload, dtype=np.dtype(npdt), count=want, offset=8)
+        vals = arr.astype(np.float64)
+        rows_per_chunk = max(1, shape[0] // max(1, spark.sparkContext.defaultParallelism))
+        row_elems = want // shape[0]
+        out = []
+        cid = 0
+        for r0 in range(0, shape[0], rows_per_chunk):
+            nrows = min(rows_per_chunk, shape[0] - r0)
+            out.append(
+                {
+                    "chunk_id": cid,
+                    "offset0": r0,
+                    "shape": [int(s) for s in shape],
+                    "values": vals[r0 * row_elems : (r0 + nrows) * row_elems].tolist(),
+                }
+            )
+            cid += 1
+        return spark.createDataFrame(out, CHUNK_SCHEMA)

@@ -94,3 +94,67 @@ def test_thredds_reader_entry(tmp_path):
     root_url, fetch, _ = _tree(tmp_path)
     cat = ThreddsCatalogReader(data=THREDDSCatalogData(url=root_url)).read(fetch=fetch)
     assert "obs" in list(cat)
+
+
+# --- OpenDAP (DAP2) ---------------------------------------------------------
+
+
+def test_opendap_dds_and_dods_fixture(spark):
+    """DAP2 wire-format reader over an injectable fetch: DDS parse
+    (atomic arrays + Grid ARRAY parts, MAPS skipped), server-side
+    variable subsetting via the ?var constraint, XDR twin-count payload
+    decode into chunk rows."""
+    import struct as st
+
+    import numpy as np
+
+    from intake_spark.services import OpenDAPReader, OpenDAPService, parse_dds
+
+    dds_text = (
+        "Dataset {\n"
+        "    Float64 temp[time = 4][lat = 3];\n"
+        "    Grid {\n"
+        "     ARRAY:\n"
+        "        Int32 counts[time = 2];\n"
+        "     MAPS:\n"
+        "        Float64 time[time = 2];\n"
+        "    } counts;\n"
+        "} test%2Edata;\n"
+    )
+    parsed = parse_dds(dds_text)
+    assert parsed["temp"] == {"type": "Float64", "dims": [("time", 4), ("lat", 3)]}
+    assert parsed["counts"] == {"type": "Int32", "dims": [("time", 2)]}
+    assert "time" not in parsed  # MAPS coordinate stays out of the var list
+
+    # note .astype AFTER the arithmetic: `* 1.5` silently promotes to
+    # native byte order, which is exactly the bug class XDR tests exist for
+    temp = (np.arange(12).reshape(4, 3) * 1.5).astype(">f8")
+    counts = np.array([7, 9], dtype=">i4")
+
+    def fetch(url):
+        if url.endswith(".dds"):
+            return dds_text.encode()
+        if url.endswith(".dods?temp"):
+            return b"Dataset { x } y;\n" + b"Data:\n" + st.pack(">II", 12, 12) + temp.tobytes()
+        if url.endswith(".dods?counts"):
+            return b"Dataset { x } y;\n" + b"Data:\n" + st.pack(">II", 2, 2) + counts.tobytes()
+        raise AssertionError(url)
+
+    rdr = OpenDAPReader(data=OpenDAPService(url="https://dap.example/data"))
+    df = rdr.read(spark=spark, variable="temp", fetch=fetch)
+    rows = sorted(df.collect(), key=lambda r: r.offset0)
+    got = np.concatenate([np.asarray(r.values) for r in rows]).reshape(4, 3)
+    np.testing.assert_array_equal(got, temp.astype("<f8"))
+    assert rdr.data.metadata["variables"]["counts"]["type"] == "Int32"
+
+    c = OpenDAPReader(data=OpenDAPService(url="https://dap.example/data")).read(
+        spark=spark, variable="counts", fetch=fetch
+    )
+    assert [v for r in c.collect() for v in r.values] == [7.0, 9.0]
+
+    import pytest as _pytest
+
+    with _pytest.raises(KeyError, match="available"):
+        OpenDAPReader(data=OpenDAPService(url="https://dap.example/data")).read(
+            spark=spark, variable="nope", fetch=fetch
+        )
