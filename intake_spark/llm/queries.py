@@ -1300,3 +1300,35 @@ def q82_bigram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrderedAndProject and broadcasts back onto the unigram table."""
     docs = load_table(spark, sf_dir, "documents")
     return text.bigram_stats(docs, top_n=50)
+
+
+@register(
+    "q83_winnow_pairs",
+    """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    grams AS (
+      SELECT doc_id,
+             [CAST(concat('0x', substr(md5(array_to_string(w[i:i+2], ' ')), 1, 8)) AS BIGINT)
+              for i in generate_series(1, len(w) - 2)] AS g
+      FROM toks WHERE len(w) >= 6),
+    mins AS (
+      SELECT doc_id,
+             list_distinct([list_min(g[i:i+3]) for i in generate_series(1, len(g) - 3)]) AS fps
+      FROM grams),
+    fps AS (SELECT doc_id, unnest(fps) AS fp FROM mins)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
+    FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id HAVING COUNT(*) >= 3
+    """,
+)
+def q83_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing candidate pairs (>= 3 shared fingerprints): the
+    fingerprint equi-join + threshold, oracle-checked end to end — the
+    dedup path that LOCALIZES matches (each shared fingerprint pins a
+    token span). Uncapped here because the oracle must see identical
+    semantics; production calls pass max_fingerprint_df to bound
+    boilerplate buckets (PERF.md 10× table)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.winnow_candidates(
+        docs, min_shared=3, max_fingerprint_df=None
+    ).select("id_a", "id_b", "n_shared")
