@@ -549,30 +549,42 @@ def _thredds_join(base_url: str, href: str) -> str:
 def thredds_catalog(data: THREDDSCatalogData, fetch=None) -> "object":
     """Eager one-level walk of a THREDDS catalog into a Catalog: catalogRef
     children rehydrate lazily as sub-catalog readers; dataset children
-    become file readers on their HTTPServer/fileServer access URL (the
-    _CDF-style access; OPeNDAP needs a DAP client and is not offered)."""
+    become file readers on their HTTPServer/fileServer access URL. When a
+    dataset has no file service but the catalog advertises an OPeNDAP
+    service, the entry rehydrates as an ``OpenDAPReader`` on the DAP
+    endpoint instead (this package ships its own DAP2 client)."""
     from intake_spark.catalog import Catalog
     from intake_spark.datatypes import recommend
 
     fetch = fetch or _thredds_fetch
     parsed = _thredds_parse(fetch(data.url))
     file_base = ""
+    dap_base = ""
     for _name, (stype, base) in parsed["services"].items():
         if stype.lower() in ("httpserver", "fileserver", "file"):
             file_base = base
+        elif stype.lower() in ("opendap", "dods"):
+            dap_base = base
     cat = Catalog(metadata={"thredds_url": data.url})
     for title, href in parsed["refs"]:
         cat[title] = ThreddsCatalogReader(
             data=THREDDSCatalogData(url=_thredds_join(data.url, href))
         )
     for name, url_path in parsed["datasets"]:
-        access = file_base + url_path
-        if "://" not in access and not access.startswith("/"):
-            access = _thredds_join(data.url, access)
-        candidates = recommend(access)
-        if candidates:
-            inst = candidates[0] if not isinstance(candidates[0], type) else candidates[0](url=access)
-            cat[name] = inst.to_reader()
+        if file_base:
+            access = file_base + url_path
+            if "://" not in access and not access.startswith("/"):
+                access = _thredds_join(data.url, access)
+            candidates = recommend(access)
+            if candidates:
+                inst = candidates[0] if not isinstance(candidates[0], type) else candidates[0](url=access)
+                cat[name] = inst.to_reader()
+                continue
+        if dap_base:
+            access = dap_base + url_path
+            if "://" not in access and not access.startswith("/"):
+                access = _thredds_join(data.url, access)
+            cat[name] = OpenDAPReader(data=OpenDAPService(url=access))
     return cat
 
 

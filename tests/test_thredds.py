@@ -158,3 +158,44 @@ def test_opendap_dds_and_dods_fixture(spark):
         OpenDAPReader(data=OpenDAPService(url="https://dap.example/data")).read(
             spark=spark, variable="nope", fetch=fetch
         )
+
+
+def test_thredds_opendap_only_datasets(spark):
+    """A catalog whose only data service is OPeNDAP now yields working
+    entries: each dataset rehydrates as an OpenDAPReader on the DAP
+    endpoint (this package ships its own DAP2 client)."""
+    import struct as st
+
+    import numpy as np
+
+    from intake_spark.services import THREDDSCatalogData, thredds_catalog
+
+    cat_url = "http://mock/dap/catalog.xml"
+    xml = f"""<?xml version="1.0"?>
+    <catalog {NS} name="daponly">
+      <service name="odap" serviceType="OPeNDAP" base="http://mock/dodsC/"/>
+      <dataset name="grid">
+        <dataset name="sst" urlPath="sst"/>
+      </dataset>
+    </catalog>"""
+    arr = (np.arange(6).reshape(2, 3) * 2.0).astype(">f8")
+    dds = "Dataset {\n    Float64 sst[time = 2][lat = 3];\n} sst;\n"
+
+    def fetch(url):
+        if url == cat_url:
+            return xml.encode()
+        if url == "http://mock/dodsC/sst.dds":
+            return dds.encode()
+        if url == "http://mock/dodsC/sst.dods?sst":
+            return b"x\nData:\n" + st.pack(">II", 6, 6) + arr.tobytes()
+        raise AssertionError(url)
+
+    cat = thredds_catalog(THREDDSCatalogData(url=cat_url), fetch=fetch)
+    assert list(cat.aliases) == ["sst"]
+    rdr = cat["sst"]
+    assert type(rdr).__name__ == "OpenDAPReader"
+    df = rdr.read(spark=spark, fetch=fetch)
+    got = np.concatenate(
+        [np.asarray(r.values) for r in sorted(df.collect(), key=lambda r: r.offset0)]
+    ).reshape(2, 3)
+    np.testing.assert_array_equal(got, arr.astype("<f8"))
