@@ -865,6 +865,11 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "q73_near_dup_first_seen",
     "q79_centroid_similarity",
     "q80_norm_profile",
+    "q81_winnow_fingerprints",
+    "q82_bigram_stats",
+    "q83_winnow_pairs",
+    "q84_semantic_dedup",
+    "q85_cluster_balanced_sample",
 )
 
 

@@ -1332,3 +1332,85 @@ def q83_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.winnow_candidates(
         docs, min_shared=3, max_fingerprint_df=None
     ).select("id_a", "id_b", "n_shared")
+
+
+_SEED_CLUSTER_CTE = """
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+s AS (SELECT vec_id AS seed_id, v AS sv FROM e WHERE vec_id < 8),
+asg AS (
+  SELECT vec_id, seed_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY vec_id
+           ORDER BY list_dot_product(v, sv)
+                    / sqrt(list_dot_product(v, v) * list_dot_product(sv, sv))
+                    DESC, seed_id) AS rn
+  FROM e CROSS JOIN s),
+cl AS (SELECT e.vec_id, v, seed_id AS cluster_id
+       FROM e JOIN asg USING (vec_id) WHERE rn = 1)
+"""
+
+
+@register(
+    "q84_semantic_dedup",
+    f"""
+    WITH {_SEED_CLUSTER_CTE},
+    p AS (
+      SELECT a.cluster_id, a.vec_id AS id_a, b.vec_id AS id_b,
+             list_dot_product(a.v, b.v)
+               / sqrt(list_dot_product(a.v, a.v) * list_dot_product(b.v, b.v))
+               AS cosine
+      FROM cl a JOIN cl b
+        ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id)
+    SELECT cluster_id, id_a, id_b, ROUND(cosine, 6) AS cosine_r
+    FROM p WHERE cosine >= 0.3
+    """,
+)
+def q84_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup: cluster-then-compare semantic near-dup pairs. Vectors are
+    assigned to the nearest of 8 seed vectors (lowest-id rows — no RNG, no
+    training loop) by a shuffle-free literal-seed argmax, then cosine runs
+    only inside clusters via a cluster_id equi-join — never an all-pairs
+    crossJoin. The oracle rebuilds the identical assignment (row_number
+    argmax, same tie-break) and intra-cluster pair set."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = similarity.semantic_dedup_pairs(emb, n_seeds=8, threshold=0.3)
+    return out.select(
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+        "id_a",
+        "id_b",
+        F.round("cosine", 6).alias("cosine_r"),
+    )
+
+
+@register(
+    "q85_cluster_balanced_sample",
+    f"""
+    WITH {_SEED_CLUSTER_CTE},
+    rk AS (
+      SELECT vec_id, cluster_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY cluster_id
+               ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+      FROM cl)
+    SELECT cluster_id, COUNT(*) AS n_kept,
+           CAST(SUM(vec_id) AS BIGINT) AS id_sum
+    FROM rk WHERE rn <= 10 GROUP BY cluster_id ORDER BY cluster_id
+    """,
+)
+def q85_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced curation sample: at most 10 vectors per semantic
+    cluster, picked by md5-of-id order (reproducible under any
+    partitioning, no RNG) — the diversity-preserving downsample that stops
+    a few dense regions from dominating a training mix. Checked as
+    per-cluster kept-count + id checksum so the oracle verifies the exact
+    member set, not just sizes."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    kept = similarity.cluster_balanced_sample(emb, n_seeds=8, cap=10)
+    return (
+        kept.groupBy(F.col("cluster_id").cast("long").alias("cluster_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("vec_id").alias("id_sum"),
+        )
+        .orderBy("cluster_id")
+    )

@@ -492,3 +492,132 @@ def ivf_load(spark, table_prefix: str):
     rows = spark.table(f"{table_prefix}_centroids").orderBy("ivf_list").collect()
     centroids = [list(r.centroid) for r in rows]
     return centroids, assigned
+
+
+def seeded_clusters(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_seeds: int = 8,
+    seeds: list[tuple[int, list[float]]] | None = None,
+) -> DataFrame:
+    """Assign every vector to its nearest *seed* vector by cosine — the
+    deterministic coarse-clustering step of SemDeDup-style semantic dedup
+    (cluster first so near-dup comparison never goes all-pairs).
+
+    Seeds default to the ``n_seeds`` lowest-``id_col`` rows (a reproducible
+    choice with no RNG and no training loop); pass ``seeds`` as
+    ``[(seed_id, vector), ...]`` to reuse a quantizer across corpora.
+
+    Scale posture: the seed set is tiny (k ~ sqrt(n) in practice), so it is
+    inlined as literal arrays into ONE per-row argmax projection — the
+    assignment pass is shuffle-free and stream-capable, exactly like the
+    broadcast-centroid map step of IVF. The argmax tie-break (equal cosine
+    -> lowest seed id) is encoded in an ordered struct max, so assignment
+    is engine-reproducible. Reference surface: SemDeDup / cluster-dedup
+    pipelines (no direct intake counterpart; first-class LLM-pipeline op).
+    """
+    if seeds is None:
+        rows = (
+            df.select(id_col, F.col(vec_col).cast("array<double>").alias("_sv"))
+            .orderBy(F.asc(id_col))
+            .limit(n_seeds)
+            .collect()
+        )
+        seeds = [(r[0], list(r["_sv"])) for r in rows]
+    if not seeds:
+        raise ValueError("seeded_clusters needs at least one seed vector")
+
+    v = df.withColumn("_v", F.col(vec_col).cast("array<double>"))
+    v = v.withColumn("_n2", norm2_expr("_v"))
+    scored = []
+    for sid, vec in seeds:
+        lit_vec = F.array(*[F.lit(float(x)) for x in vec])
+        # left-fold python sum matches the engines' sequential fold
+        sn2 = 0.0
+        for x in vec:
+            sn2 += float(x) * float(x)
+        dot = F.aggregate(
+            F.zip_with(F.col("_v"), lit_vec, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda s, x: s + x,
+        )
+        cos = dot / F.sqrt(F.col("_n2") * F.lit(sn2))
+        scored.append(F.struct(cos.alias("c"), F.lit(-int(sid)).alias("nid")))
+    best = F.array_max(F.array(*scored))
+    return (
+        v.withColumn("cluster_id", (-best["nid"]).cast("long"))
+        .drop("_v", "_n2")
+    )
+
+
+def semantic_dedup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_seeds: int = 8,
+    threshold: float = 0.3,
+    seeds: list[tuple[int, list[float]]] | None = None,
+) -> DataFrame:
+    """SemDeDup: semantic near-duplicate candidate pairs via
+    cluster-then-compare. Vectors are first assigned to their nearest seed
+    (:func:`seeded_clusters`, shuffle-free), then cosine runs ONLY inside a
+    cluster — the corpus meets itself on a ``cluster_id`` equi-join, never a
+    crossJoin, so pair work drops from O(n^2) to O(sum cluster_i^2): the
+    published SemDeDup recipe, with k sized so clusters stay bounded.
+
+    Output: (cluster_id, id_a, id_b, cosine) with id_a < id_b and
+    cosine >= threshold — feed to dup_groups for keep-one selection.
+    """
+    assigned = seeded_clusters(df, id_col, vec_col, n_seeds, seeds=seeds)
+    sel = assigned.select(
+        "cluster_id",
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    ).withColumn("_n2", norm2_expr("_v"))
+    a = sel.select(
+        "cluster_id",
+        F.col("_id").alias("id_a"),
+        F.col("_v").alias("va"),
+        F.col("_n2").alias("na2"),
+    )
+    b = sel.select(
+        "cluster_id",
+        F.col("_id").alias("id_b"),
+        F.col("_v").alias("vb"),
+        F.col("_n2").alias("nb2"),
+    )
+    return (
+        a.join(b, "cluster_id")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", dot_expr("va", "vb") / F.sqrt(F.col("na2") * F.col("nb2")))
+        .filter(F.col("cosine") >= threshold)
+        .select("cluster_id", "id_a", "id_b", "cosine")
+    )
+
+
+def cluster_balanced_sample(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_seeds: int = 8,
+    cap: int = 10,
+    seeds: list[tuple[int, list[float]]] | None = None,
+) -> DataFrame:
+    """Cluster-balanced curation sample: at most ``cap`` vectors per
+    semantic cluster, chosen by md5 hash order of the id (reproducible under
+    any partitioning, no RNG) — the diversity-preserving downsample used to
+    rebalance a corpus dominated by a few dense regions.
+
+    One window per cluster (heap-bounded per partition after the
+    ``cluster_id`` shuffle); assignment itself is shuffle-free.
+    """
+    assigned = seeded_clusters(df, id_col, vec_col, n_seeds, seeds=seeds)
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.md5(F.col(id_col).cast("string")), F.asc(id_col)
+    )
+    return (
+        assigned.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= cap)
+        .drop("_rk")
+    )

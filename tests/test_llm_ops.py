@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 from tests.conftest import SF_MEDIUM
 
 from intake_spark.llm import dedup, multimodal, similarity, text
+from intake_spark.llm import similarity as sim
 from intake_spark.session import load_table
 
 
@@ -1053,3 +1054,66 @@ def test_winnow_hot_fingerprint_cap(spark):
               dedup.winnow_candidates(docs, min_shared=1, max_fingerprint_df=5).collect()}
     assert (100, 101) in capped
     assert all(a not in range(1, 9) or b not in range(1, 9) for a, b in capped)
+
+
+def test_seeded_clusters_assignment_and_plan(spark):
+    """Known-geometry assignment: vectors near axis e0 go to the e0 seed,
+    near e1 to the e1 seed; ties break to the LOWEST seed id. And the
+    assignment projection itself is shuffle-free (the SemDeDup scale
+    contract: centroid map = per-row expression, no Exchange)."""
+    rows = [
+        (0, [1.0, 0.0, 0.0]),   # seed 0
+        (1, [0.0, 1.0, 0.0]),   # seed 1
+        (2, [0.9, 0.1, 0.0]),   # -> cluster 0
+        (3, [0.1, 0.9, 0.0]),   # -> cluster 1
+        (4, [0.0, 0.0, 1.0]),   # orthogonal to both: cos ties at 0 -> seed 0
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = sim.seeded_clusters(df, n_seeds=2)
+    got = {r.vec_id: r.cluster_id for r in out.collect()}
+    assert got == {0: 0, 1: 1, 2: 0, 3: 1, 4: 0}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_semantic_dedup_matches_bruteforce(spark, emb):
+    """Cluster-then-compare must equal brute force *restricted to
+    co-clustered pairs* — and every pair it emits is a true >=threshold
+    pair (no false positives ever; recall loss only across cluster
+    boundaries, which is the documented SemDeDup trade)."""
+    import numpy as np
+
+    pdf = emb.toPandas().sort_values("vec_id")
+    ids = pdf.vec_id.to_numpy()
+    m = np.array([np.array(v, dtype="float64") for v in pdf.embedding])
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    sims = m @ m.T
+
+    out = sim.semantic_dedup_pairs(emb, n_seeds=8, threshold=0.3)
+    got = {(r.id_a, r.id_b): r.cosine for r in out.collect()}
+    assert len(got) > 0
+    idx = {v: i for i, v in enumerate(ids)}
+    for (a, b), c in got.items():
+        assert sims[idx[a], idx[b]] >= 0.3 - 1e-9
+        assert abs(sims[idx[a], idx[b]] - c) < 1e-9
+
+    # recall within clusters is total: rebuild the assignment and check
+    # every co-clustered >=0.3 pair was emitted
+    assigned = {r.vec_id: r.cluster_id for r in
+                sim.seeded_clusters(emb, n_seeds=8).collect()}
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            if assigned[ids[i]] == assigned[ids[j]] and sims[i, j] >= 0.3 + 1e-9:
+                assert (ids[i], ids[j]) in got
+
+
+def test_cluster_balanced_sample_cap_and_stability(spark, emb):
+    """Per-cluster cap respected; the kept id set is identical under a
+    different partitioning (md5-of-id order has no partition dependence)."""
+    kept = sim.cluster_balanced_sample(emb, n_seeds=8, cap=10)
+    pdf = kept.groupBy("cluster_id").count().toPandas()
+    assert (pdf["count"] <= 10).all()
+    ids1 = sorted(r.vec_id for r in kept.select("vec_id").collect())
+    kept2 = sim.cluster_balanced_sample(emb.repartition(7), n_seeds=8, cap=10)
+    ids2 = sorted(r.vec_id for r in kept2.select("vec_id").collect())
+    assert ids1 == ids2
