@@ -870,6 +870,9 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "q83_winnow_pairs",
     "q84_semantic_dedup",
     "q85_cluster_balanced_sample",
+    "q86_bigram_lm_score",
+    "q87_bm25_search",
+    "q88_bpe_learn",
 )
 
 

@@ -1414,3 +1414,101 @@ def q85_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_id")
     )
+
+
+@register(
+    "q86_bigram_lm_score",
+    """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    dp AS (
+      SELECT doc_id,
+             unnest([struct_pack(w1 := w[i], w2 := w[i+1])
+                     for i in generate_series(1, len(w) - 1)], recursive := true)
+      FROM toks WHERE len(w) >= 2),
+    big AS (SELECT w1, w2, COUNT(*) AS c2 FROM dp GROUP BY w1, w2),
+    pref AS (SELECT w1, SUM(c2) AS c1 FROM big GROUP BY w1),
+    ptab AS (SELECT w1, w2,
+                    CAST(FLOOR(CAST(c2 AS DOUBLE) / c1 * 1000000000000.0) AS BIGINT) AS fx
+             FROM big JOIN pref USING (w1))
+    SELECT doc_id, COUNT(*) AS n_bigrams,
+           ROUND(SUM(fx) / COUNT(*) / 1000000000000.0, 6) AS bigram_commonness_r
+    FROM dp JOIN ptab USING (w1, w2)
+    GROUP BY doc_id
+    """,
+)
+def q86_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM commonness per doc: mean corpus P(b|a) over adjacent
+    token pairs — the order-2 (perplexity-filter) quality signal next to
+    q64's unigram score. Probabilities are proper conditionals (prefix
+    marginal from the bigram table), 1e-12 fixed-point floors, exact
+    BIGINT doc sums; the vocabulary² probability table broadcasts and the
+    doc rollup is the one corpus shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.bigram_lm_scores(docs)
+
+
+_BM25_TERMS = ("vector", "customer", "spark")
+
+
+def _bm25_sql() -> str:
+    tf_cols = ",\n             ".join(
+        f"CAST(len(list_filter(w, x -> x = '{t}')) AS DOUBLE) AS tf{i}"
+        for i, t in enumerate(_BM25_TERMS)
+    )
+    df_cols = ",\n             ".join(
+        f"CAST(SUM(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df{i}"
+        for i in range(len(_BM25_TERMS))
+    )
+    fx = "\n           + ".join(
+        f"CAST(FLOOR((n - df{i} + 0.5) / (df{i} + 0.5)"
+        f" * (tf{i} * 2.2) / (tf{i} + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))"
+        f" * 1000000000.0) AS BIGINT)"
+        for i in range(len(_BM25_TERMS))
+    )
+    return f"""
+    WITH base AS (
+      SELECT doc_id, CAST(len(w) AS DOUBLE) AS dl,
+             {tf_cols}
+      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+    st AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, SUM(dl) / COUNT(*) AS avgdl,
+             {df_cols}
+           FROM base),
+    sc AS (
+      SELECT doc_id,
+           {fx} AS fx
+      FROM base CROSS JOIN st)
+    SELECT doc_id, ROUND(fx / 1000000000.0, 6) AS bm25_r
+    FROM sc WHERE fx > 0 ORDER BY fx DESC, doc_id LIMIT 20
+    """
+
+
+@register("q87_bm25_search", _bm25_sql())
+def q87_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword retrieval (rational-IDF variant — idf = (N-df+.5)/
+    (df+.5), no logarithm, so scores are engine-exact; same df ordering as
+    ln-IDF) for a fixed probe query. Corpus side is mapper-only: per-term
+    tf via array filters on literals, two tiny broadcast aggregates
+    (N/avgdl, per-term df), per-term 1e-9 fixed-point floors summed as
+    integers, top-20 via TakeOrderedAndProject."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.bm25_scores(docs, terms=list(_BM25_TERMS), top_n=20)
+
+
+# q88 has no SQL oracle: BPE merge learning is inherently iterative (merge
+# k's statistics depend on merges 1..k-1), outside single-statement SQL.
+# Correctness is pinned instead by tests/test_llm_ops.py, which replays the
+# published BPE algorithm in pure Python on the same corpus and asserts the
+# merge sequence matches exactly; the driver records the rows-only check.
+@register("q88_bpe_learn")
+def q88_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training: 8 merges learned from the
+    word-frequency table (one corpus shuffle; every round after that is
+    vocab-sized — the production trainer shape at any corpus scale).
+    Deterministic tie-breaks (count desc, pair lexicographic)."""
+    from intake_spark.llm import bpe
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = bpe.learn_bpe_merges(docs, n_merges=8)
+    return spark.createDataFrame(
+        merges, "rank int, left string, right string, pair_count long"
+    )

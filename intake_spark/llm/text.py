@@ -485,3 +485,115 @@ def bigram_stats(
               .withColumnRenamed("n", "n_b")), "w2")
         .select("w1", "w2", "n_ab", "n_a", "n_b")
     )
+
+
+def bigram_lm_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-doc mean bigram conditional probability — the order-2 cousin of
+    :func:`token_probability_scores`: for each adjacent pair (a, b) the
+    corpus LM probability P(b | a) = c(a,b) / c(a,·), averaged over the
+    doc's pairs. High = the doc walks well-trodden token transitions
+    (templates, boilerplate); low = novel phrasing. The
+    transcendental-free stand-in for bigram-LM perplexity filtering
+    (CCNet-style quality buckets) — rank, don't exponentiate.
+
+    Determinism policy as everywhere: each probability is ONE IEEE
+    division floored to a 1e-12 fixed point (BIGINT), doc aggregation
+    sums exact integers, a single rounding at the end. c(a,·) is the
+    bigram-prefix marginal (sum over b of c(a,b)), so probabilities sum
+    to exactly 1 per prefix — a proper conditional distribution.
+
+    Plan: one explode → partial-combining (a,b) counts; the prefix
+    marginal re-aggregates the *count table* (vocabulary², small), never
+    the corpus; both probability tables broadcast back onto the doc
+    pairs; one doc_id rollup is the only corpus-sized shuffle."""
+    w = F.split(F.col(text_col), " ")
+    pairs = F.expr(
+        "transform(sequence(1, size(_w) - 1), i -> struct(_w[i-1] as w1, _w[i] as w2))"
+    )
+    doc_pairs = (
+        df.select("doc_id", w.alias("_w"))
+        .filter(F.size("_w") >= 2)
+        .select("doc_id", F.explode(pairs).alias("p"))
+        .select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    )
+    big = doc_pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    pref = big.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    ptab = big.join(F.broadcast(pref), "w1").select(
+        "w1",
+        "w2",
+        F.floor(F.col("c2").cast("double") / F.col("c1") * F.lit(1e12))
+        .cast("bigint")
+        .alias("_fx"),
+    )
+    return (
+        doc_pairs.join(F.broadcast(ptab), ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.sum("_fx") / F.count(F.lit(1)) / F.lit(1e12), 6).alias(
+                "bigram_commonness_r"
+            ),
+        )
+    )
+
+
+def bm25_scores(
+    df: DataFrame,
+    terms: list[str],
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_n: int = 20,
+) -> DataFrame:
+    """BM25 ranked retrieval over the corpus for a fixed term list — the
+    keyword-search primitive of a corpus-exploration / decontamination
+    workflow (find the docs most "about" a probe query).
+
+    Uses the *rational-IDF* BM25 variant: idf(t) = (N - df + 0.5) /
+    (df + 0.5) instead of its logarithm — same monotone df ordering, no
+    transcendental, so scores are engine-reproducible (the standard ln()
+    IDF differs across libm implementations; rank orderings agree).
+    Per-term scores floor to a 1e-9 fixed point before the (order-free)
+    integer sum across terms.
+
+    Plan: per-term tf and dl are per-row array expressions (terms inline
+    as literals) — mapper-only over the corpus; N/avgdl and per-term df
+    are two tiny global aggregates broadcast back; top-N lowers to
+    TakeOrderedAndProject. Zero corpus-sized shuffles end to end."""
+    if not terms:
+        raise ValueError("bm25_scores needs at least one query term")
+    w = F.split(F.col(text_col), " ")
+    base = df.select("doc_id", w.alias("_w")).withColumn(
+        "_dl", F.size("_w").cast("double")
+    )
+    for i, t in enumerate(terms):
+        base = base.withColumn(
+            f"_tf{i}",
+            F.size(F.filter(F.col("_w"), lambda x: x == F.lit(t))).cast("double"),
+        )
+    aggs = [F.count(F.lit(1)).cast("double").alias("_n"), F.sum("_dl").alias("_dlsum")]
+    aggs += [
+        F.sum(F.when(F.col(f"_tf{i}") > 0, 1).otherwise(0)).cast("double").alias(f"_df{i}")
+        for i in range(len(terms))
+    ]
+    stats = base.agg(*aggs).withColumn("_avgdl", F.col("_dlsum") / F.col("_n"))
+    scored = base.crossJoin(F.broadcast(stats))
+    fx = None
+    for i in range(len(terms)):
+        idf = (F.col("_n") - F.col(f"_df{i}") + F.lit(0.5)) / (F.col(f"_df{i}") + F.lit(0.5))
+        tfpart = (F.col(f"_tf{i}") * F.lit(k1 + 1.0)) / (
+            F.col(f"_tf{i}")
+            + F.lit(k1) * (F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("_dl") / F.col("_avgdl"))
+        )
+        term_fx = F.floor(idf * tfpart * F.lit(1e9)).cast("bigint")
+        fx = term_fx if fx is None else fx + term_fx
+    return (
+        scored.withColumn("_fx", fx)
+        .filter(F.col("_fx") > 0)
+        .orderBy(F.desc("_fx"), F.asc("doc_id"))
+        .limit(top_n)
+        .select(
+            "doc_id",
+            F.round(F.col("_fx") / F.lit(1e9), 6).alias("bm25_r"),
+        )
+    )

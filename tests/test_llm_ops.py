@@ -1117,3 +1117,77 @@ def test_cluster_balanced_sample_cap_and_stability(spark, emb):
     kept2 = sim.cluster_balanced_sample(emb.repartition(7), n_seeds=8, cap=10)
     ids2 = sorted(r.vec_id for r in kept2.select("vec_id").collect())
     assert ids1 == ids2
+
+
+def _py_bpe_reference(texts, n_merges):
+    """Pure-Python replay of Sennrich-style BPE on word frequencies:
+    the independent oracle for the distributed trainer."""
+    from collections import Counter
+
+    wc = Counter(w for t in texts for w in t.split(" ") if w)
+    segs = {w: list(w) + ["</w>"] for w in wc}
+    merges = []
+    for rank in range(n_merges):
+        pc = Counter()
+        for w, n in wc.items():
+            s = segs[w]
+            for i in range(len(s) - 1):
+                pc[(s[i], s[i + 1])] += n
+        if not pc:
+            break
+        # deterministic tie-break: count desc, then lexicographically
+        # smallest (left, right)
+        bc = max(pc.values())
+        cands = sorted(p for p, c in pc.items() if c == bc)
+        left, right = cands[0]
+        if pc[(left, right)] < 2:
+            break
+        merges.append((rank, left, right, pc[(left, right)]))
+        for w in segs:
+            s, out = segs[w], []
+            for x in s:
+                if out and out[-1] == left and x == right:
+                    out[-1] = left + right
+                else:
+                    out.append(x)
+            segs[w] = out
+    return merges, segs
+
+
+def test_bpe_learn_matches_python_reference(spark):
+    from intake_spark.llm import bpe
+
+    texts = [
+        "low lower lowest low low",
+        "new newer newest new new new",
+        "wide wider widest wide",
+        "low new wide lowest newest",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    got = bpe.learn_bpe_merges(df, n_merges=6)
+    want, segs = _py_bpe_reference(texts, 6)
+    assert got == want
+
+    # application agrees with the reference segmentation, per word
+    wc = bpe.word_counts(df)
+    seg = {r.word: list(r.pieces) for r in bpe.bpe_segment_vocab(wc, got).collect()}
+    assert seg == {w: s for w, s in segs.items()}
+
+    # doc-level piece counts line up too
+    out = {r.doc_id: r.n_bpe_pieces for r in bpe.apply_bpe(df, got).collect()}
+    want_counts = {
+        i: sum(len(segs[w]) for w in t.split(" ") if w) for i, t in enumerate(texts)
+    }
+    assert out == want_counts
+
+
+def test_bpe_merge_nonoverlapping_scan(spark):
+    """'aaaa' with pair (a,a) must segment as [aa, aa, </w>] — left-to-right
+    non-overlapping, the reference scan order."""
+    from intake_spark.llm import bpe
+
+    df = spark.createDataFrame([(0, "aaaa aaaa")], "doc_id long, text string")
+    merges = bpe.learn_bpe_merges(df, n_merges=1)
+    assert merges[0][1:3] == ("a", "a")
+    seg = bpe.bpe_segment_vocab(bpe.word_counts(df), merges).collect()
+    assert list(seg[0].pieces) == ["aa", "aa", "</w>"]
