@@ -1191,3 +1191,25 @@ def test_bpe_merge_nonoverlapping_scan(spark):
     assert merges[0][1:3] == ("a", "a")
     seg = bpe.bpe_segment_vocab(bpe.word_counts(df), merges).collect()
     assert list(seg[0].pieces) == ["aa", "aa", "</w>"]
+
+
+def test_round5_session2_plan_shapes(spark, docs):
+    """Exchange budgets for the session's new operators — the scale
+    contract, asserted on executed plans."""
+
+    def plan_of(df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    # BM25: corpus side mapper-only — the only Exchanges allowed are the
+    # two tiny stat aggregates (single-partition) + top-N; no
+    # hashpartitioning of the corpus, stats reach the corpus as broadcast,
+    # top-N lowers to TakeOrderedAndProject
+    p = plan_of(text.bm25_scores(docs, terms=["spark", "vector"], top_n=10))
+    assert "TakeOrderedAndProject" in p
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
+    assert p.count("Exchange hashpartitioning") == 0
+
+    # bigram LM: probability tables must reach the doc pairs as broadcast
+    # (vocabulary-sized), the doc_id rollup is the one corpus shuffle
+    p = plan_of(text.bigram_lm_scores(docs))
+    assert "BroadcastHashJoin" in p
