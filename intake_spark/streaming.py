@@ -456,3 +456,157 @@ def stream_winnow_dup_flags(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_semantic_dup_flags(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_seeds: int = 8,
+    threshold: float = 0.3,
+    seeds: list[tuple[int, list[float]]] | None = None,
+    max_state: int | None = None,
+) -> DataFrame:
+    """Streaming SEMANTIC near-dup ingestion guard — the embedding twin of
+    :func:`stream_near_dup_flags`: cluster assignment is a stateless
+    literal-seed argmax projection (``llm.similarity.seeded_clusters``), so
+    it runs unchanged on a stream; one ``applyInPandasWithState`` keyed by
+    ``cluster_id`` then compares each arrival against the cluster's stored
+    representative vectors. Output: (id, cluster_id, is_semantic_dup) —
+    flagged iff cosine >= threshold against an EARLIER vector of the same
+    cluster (arrival order across micro-batches, ascending id within one).
+
+    State: the representative vectors of each cluster. Unbounded by
+    default (exact first-seen semantics — matches the batch arm
+    row-for-row when ingestion is id-ordered); pass ``max_state`` to keep
+    only the first N representatives per cluster, which bounds state at
+    O(k * max_state * dim) and degrades gracefully to
+    representative-only dedup (SemDeDup keep-policy: earliest ids ARE the
+    canonical representatives).
+
+    Streaming input requires explicit ``seeds`` (a stream cannot be
+    sampled for them); batch input derives them and degrades to the join
+    formulation used by the stream≡batch test."""
+    from intake_spark.llm.similarity import seeded_clusters
+
+    if not df.isStreaming:
+        assigned = seeded_clusters(df, id_col, vec_col, n_seeds, seeds=seeds)
+        a = assigned.select(
+            "cluster_id",
+            F.col(id_col).alias("_oid"),
+            F.col(vec_col).cast("array<double>").alias("_ov"),
+        )
+        if max_state is not None:
+            from pyspark.sql.window import Window
+
+            w = Window.partitionBy("cluster_id").orderBy(F.asc("_oid"))
+            a = (
+                a.withColumn("_rk", F.row_number().over(w))
+                .filter(F.col("_rk") <= max_state)
+                .drop("_rk")
+            )
+        from intake_spark.llm.similarity import dot_expr, norm2_expr
+
+        b = assigned.select(
+            "cluster_id",
+            F.col(id_col).alias("_id"),
+            F.col(vec_col).cast("array<double>").alias("_v"),
+        )
+        dup = (
+            b.join(a, "cluster_id")
+            .filter(F.col("_oid") < F.col("_id"))
+            .withColumn(
+                "_cos",
+                dot_expr("_v", "_ov")
+                / F.sqrt(norm2_expr("_v") * norm2_expr("_ov")),
+            )
+            .filter(F.col("_cos") >= threshold)
+            .select(F.col("_id"), F.lit(1).alias("_dup"))
+            .distinct()
+        )
+        return (
+            assigned.select("cluster_id", F.col(id_col).alias("_id"))
+            .join(dup, "_id", "left")
+            .select(
+                F.col("_id").cast("long").alias("id"),
+                F.col("cluster_id").cast("long").alias("cluster_id"),
+                F.coalesce("_dup", F.lit(0)).cast("int").alias("is_semantic_dup"),
+            )
+        )
+
+    if seeds is None:
+        raise ValueError(
+            "streaming input requires explicit seeds= (a stream cannot be "
+            "collected for seed vectors; derive them from a batch sample)"
+        )
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from intake_spark.session import ensure_py_deps
+
+    ensure_py_deps(df.sparkSession)
+
+    assigned = seeded_clusters(df, id_col, vec_col, n_seeds, seeds=seeds).select(
+        F.col(id_col).cast("long").alias("_id"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("cluster_id", T.LongType()),
+            T.StructField("is_semantic_dup", T.IntegerType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("ids", T.ArrayType(T.LongType())),
+            T.StructField("vecs", T.ArrayType(T.ArrayType(T.DoubleType()))),
+        ]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        if state.exists:
+            rep_ids = list(state.get[0])
+            reps = [np.asarray(v, dtype="float64") for v in state.get[1]]
+        else:
+            rep_ids, reps = [], []
+        rows = []
+        for pdf in pdfs:
+            for i, v in zip(pdf["_id"], pdf["_v"]):
+                rows.append((int(i), np.asarray(list(v), dtype="float64")))
+        rows.sort(key=lambda r: r[0])
+        out_ids, flags = [], []
+        for i, v in rows:
+            dup = 0
+            nv = float(np.dot(v, v)) ** 0.5
+            for rv in reps:
+                nr = float(np.dot(rv, rv)) ** 0.5
+                if nv > 0 and nr > 0 and float(np.dot(v, rv)) / (nv * nr) >= threshold:
+                    dup = 1
+                    break
+            out_ids.append(i)
+            flags.append(dup)
+            if max_state is None or len(reps) < max_state:
+                rep_ids.append(i)
+                reps.append(v)
+        state.update((rep_ids, [[float(x) for x in v] for v in reps]))
+        yield pd.DataFrame(
+            {
+                "id": out_ids,
+                "cluster_id": [key[0]] * len(out_ids),
+                "is_semantic_dup": flags,
+            }
+        )
+
+    return assigned.groupBy("cluster_id").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

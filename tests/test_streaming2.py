@@ -287,3 +287,85 @@ def test_stream_winnow_dup_flags_matches_batch(spark, tmp_path):
     for rid, _fp, f in got:
         flags[rid] = max(flags.get(rid, 0), f)
     assert flags[10] == 1 and flags[1] == 0 and flags[11] == 0
+
+
+def test_stream_semantic_dup_flags_matches_batch(spark, tmp_path):
+    """Semantic (embedding) stream guard ≡ batch arm on id-ordered
+    ingestion, with the near-duplicate vector arriving in a later
+    micro-batch (cluster-state carry)."""
+    from intake_spark.streaming import stream_semantic_dup_flags
+
+    seeds = [(0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0])]
+    base = [
+        (1, [0.9, 0.1, 0.0]),    # cluster 0
+        (2, [0.1, 0.9, 0.0]),    # cluster 1
+        (3, [-0.8, 0.05, 0.6]),  # cluster 1 (weak), far from 2
+    ]
+    later = [
+        (10, [0.89, 0.11, 0.01]),  # near-dup of 1, same cluster
+        (11, [0.0, -1.0, 0.0]),    # cluster 0 (tie at -0? anti-aligned), no dup
+    ]
+    schema = "vec_id long, embedding array<double>"
+    src = tmp_path / "vec_src"
+    src.mkdir()
+    spark.createDataFrame(base, schema).coalesce(1).write.parquet(str(src / "f0"))
+    spark.createDataFrame(later, schema).coalesce(1).write.parquet(str(src / "f1"))
+
+    batch = spark.read.schema(schema).parquet(str(src / "*"))
+    expected = sorted(
+        (r.id, r.cluster_id, r.is_semantic_dup)
+        for r in stream_semantic_dup_flags(
+            batch, threshold=0.95, seeds=seeds
+        ).collect()
+    )
+    assert any(f for (_i, _c, f) in expected), "planted near-dup must flag"
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    q = (
+        stream_semantic_dup_flags(stream, threshold=0.95, seeds=seeds)
+        .writeStream.format("memory")
+        .queryName("semdup_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180), "streaming query did not terminate"
+    q.stop()
+    got = sorted(
+        (r.id, r.cluster_id, r.is_semantic_dup)
+        for r in spark.sql("SELECT * FROM semdup_test").collect()
+    )
+    assert got == expected
+    flags = {rid: f for rid, _c, f in got}
+    assert flags[10] == 1 and flags[1] == 0 and flags[11] == 0
+
+
+def test_stream_semantic_dup_requires_seeds_and_caps_state(spark, tmp_path):
+    from intake_spark.streaming import stream_semantic_dup_flags
+
+    schema = "vec_id long, embedding array<double>"
+    src = tmp_path / "vec_src2"
+    src.mkdir()
+    rows = [(i, [1.0, float(i) * 1e-3, 0.0]) for i in range(6)]
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(str(src / "f0"))
+
+    stream = spark.readStream.schema(schema).parquet(str(src / "*"))
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="seeds"):
+        stream_semantic_dup_flags(stream)
+
+    # capped batch arm: with max_state=1 only the first vector is a
+    # representative; all near-parallel followers flag against it
+    batch = spark.read.schema(schema).parquet(str(src / "f0"))
+    out = {
+        r.id: r.is_semantic_dup
+        for r in stream_semantic_dup_flags(
+            batch, threshold=0.999, seeds=[(0, [1.0, 0.0, 0.0])], max_state=1
+        ).collect()
+    }
+    assert out[0] == 0 and all(out[i] == 1 for i in range(1, 6))
