@@ -873,6 +873,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "q86_bigram_lm_score",
     "q87_bm25_search",
     "q88_bpe_learn",
+    "q89_semantic_keep_set",
 )
 
 

@@ -1512,3 +1512,55 @@ def q88_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         merges, "rank int, left string, right string, pair_count long"
     )
+
+
+@register(
+    "q89_semantic_keep_set",
+    f"""
+    WITH RECURSIVE {_SEED_CLUSTER_CTE},
+    p AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM cl a JOIN cl b
+        ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+      WHERE list_dot_product(a.v, b.v)
+              / sqrt(list_dot_product(a.v, a.v) * list_dot_product(b.v, b.v))
+            >= 0.3),
+    edges AS (SELECT id_a AS a, id_b AS b FROM p
+              UNION SELECT id_b, id_a FROM p),
+    reach(s, t) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT r.s, e.b FROM reach r JOIN edges e ON r.t = e.a),
+    comp AS (SELECT s AS vec_id, MIN(t) AS group_id FROM reach GROUP BY s)
+    SELECT e.vec_id,
+           COALESCE(c.group_id, e.vec_id) AS group_id,
+           CAST(CASE WHEN COALESCE(c.group_id, e.vec_id) = e.vec_id
+                THEN 1 ELSE 0 END AS INT) AS keep
+    FROM e LEFT JOIN comp c USING (vec_id)
+    """,
+)
+def q89_semantic_keep_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup end to end: semantic pairs (q84's cluster-then-compare) →
+    connected components (dup_groups min-label propagation) → the KEEP
+    LIST: every vector tagged with its semantic group and whether it is
+    the canonical (min-id) survivor. This is the actual curation artifact
+    — filter keep=1 and the corpus is semantically deduplicated. Oracle
+    recomputes components with a recursive transitive-closure CTE."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = similarity.semantic_dedup_pairs(emb, n_seeds=8, threshold=0.3).select(
+        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
+    )
+    comp = dedup.dup_groups(pairs).select(
+        F.col("doc_id").alias("vec_id"), F.col("group_id").alias("_gid")
+    )
+    return (
+        emb.select("vec_id")
+        .join(comp, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.coalesce("_gid", F.col("vec_id")).alias("group_id"),
+            (F.coalesce("_gid", F.col("vec_id")) == F.col("vec_id"))
+            .cast("int")
+            .alias("keep"),
+        )
+    )
