@@ -177,7 +177,7 @@ def ogg_meta(content: bytes) -> dict:
 
 
 def audio_meta(content: bytes) -> dict:
-    """Magic-dispatched container metadata for WAV/FLAC/MP3/OGG — no
+    """Magic-dispatched container metadata for WAV/FLAC/AIFF/AU/MP3/OGG — no
     sample decode anywhere on this path."""
     if content[:4] == b"RIFF" and content[8:12] == b"WAVE":
         from intake_spark.llm.multimodal import decode_wav_full
@@ -204,6 +204,43 @@ def audio_meta(content: bytes) -> dict:
         }
     if content[:4] == b"OggS":
         return ogg_meta(content)
+    if content[:4] == b"FORM" and content[8:12] in (b"AIFF", b"AIFC"):
+        # COMM chunk only — no SSND read, decode-free
+        pos, end = 12, 8 + int.from_bytes(content[4:8], "big")
+        while pos + 8 <= min(end, len(content)):
+            cid = content[pos : pos + 4]
+            clen = int.from_bytes(content[pos + 4 : pos + 8], "big")
+            if cid == b"COMM":
+                from intake_spark.llm.multimodal import _read_extended80
+
+                body = content[pos + 8 : pos + 8 + clen]
+                nch = int.from_bytes(body[0:2], "big")
+                frames = int.from_bytes(body[2:6], "big")
+                bits = int.from_bytes(body[6:8], "big")
+                rate = int(round(_read_extended80(body[8:18])))
+                return {
+                    "format": "aiff",
+                    "sample_rate": rate,
+                    "channels": nch,
+                    "duration_s": round(frames / rate, 6) if rate else 0.0,
+                    "bits": bits,
+                }
+            pos += 8 + clen + (clen & 1)
+        raise ValueError("AIFF missing COMM chunk")
+    if content[:4] == b".snd":
+        dlen = int.from_bytes(content[8:12], "big")
+        enc = int.from_bytes(content[12:16], "big")
+        rate = int.from_bytes(content[16:20], "big")
+        nch = int.from_bytes(content[20:24], "big")
+        bits = {1: 8, 2: 8, 3: 16, 4: 24, 5: 32}.get(enc, 0)
+        n = dlen // max(1, (bits // 8) * nch) if bits else 0
+        return {
+            "format": "au",
+            "sample_rate": rate,
+            "channels": nch,
+            "duration_s": round(n / rate, 6) if rate else 0.0,
+            "bits": bits,
+        }
     return mp3_meta(content)  # mp3 has no single magic; framing validates
 
 

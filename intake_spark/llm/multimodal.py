@@ -257,8 +257,12 @@ def decode_audio_full(content: bytes):
     if content[:4] == b"RIFF" and content[8:12] == b"WAVE":
         rate, arr, sw = decode_wav_full(content)
         return rate, arr, sw * 8
+    if content[:4] == b"FORM" and content[8:12] in (b"AIFF", b"AIFC"):
+        return decode_aiff(content)
+    if content[:4] == b".snd":
+        return decode_au(content)
     raise NotImplementedError(
-        "WAV and FLAC decode natively; MP3/OGG need an audio codec "
+        "WAV/FLAC/AIFF/AU decode natively; MP3/OGG need an audio codec "
         "library, absent in this container"
     )
 
@@ -281,10 +285,10 @@ def resize_nearest(arr, out_h: int, out_w: int):
 
 
 def decode_image(content: bytes):
-    """Image decode: PNG, baseline TIFF, baseline JPEG, BMP and lossless
-    WebP (VP8L) all decode with the stdlib paths; the remaining codecs
-    (lossy WebP, AVIF, non-MJPEG video frames) need PIL/libavif, which
-    this container lacks."""
+    """Image decode: PNG, baseline TIFF, baseline JPEG, BMP, GIF, PNM,
+    TGA and lossless WebP (VP8L) all decode with the stdlib paths; the
+    remaining codecs (lossy WebP, AVIF, non-MJPEG video frames) need
+    PIL/libavif, which this container lacks."""
     if content[:8] == b"\x89PNG\r\n\x1a\n":
         return decode_png(content)
     if content[:4] in (b"II*\x00", b"MM\x00*"):
@@ -304,6 +308,14 @@ def decode_image(content: bytes):
         from intake_spark.llm.webp import decode_webp
 
         return decode_webp(content)
+    if content[:1] == b"P" and content[1:2] in b"123456":
+        return decode_pnm(content)
+    if content[-18:] == b"TRUEVISION-XFILE.\x00" or (
+        len(content) > 18 and content[1] == 0 and content[2] in (2, 3, 10, 11)
+    ):
+        # TGA has no leading magic: trust the v2 footer, else the
+        # no-palette + known-image-type header shape
+        return decode_tga(content)
     try:
         import io
 
@@ -730,6 +742,25 @@ def image_meta(content: bytes) -> dict:
     if content[:3] == b"GIF":
         w, h = _s.unpack_from("<HH", content, 6)
         return {"format": "gif", "width": w, "height": h}
+    if content[:1] == b"P" and content[1:2] in b"123456":
+        toks = []
+        pos = 2
+        while len(toks) < 2 and pos < len(content):
+            while pos < len(content) and content[pos : pos + 1].isspace():
+                pos += 1
+            if content[pos : pos + 1] == b"#":
+                while pos < len(content) and content[pos] not in (10, 13):
+                    pos += 1
+                continue
+            start = pos
+            while pos < len(content) and not content[pos : pos + 1].isspace():
+                pos += 1
+            toks.append(int(content[start:pos]))
+        return {"format": "pnm", "width": toks[0], "height": toks[1]}
+    if content[-18:] == b"TRUEVISION-XFILE.\x00":
+        w = int.from_bytes(content[12:14], "little")
+        h = int.from_bytes(content[14:16], "little")
+        return {"format": "tga", "width": w, "height": h}
     if content[:2] == b"BM":
         w, h = _s.unpack_from("<ii", content, 18)
         return {"format": "bmp", "width": w, "height": abs(h)}
@@ -987,3 +1018,225 @@ def decode_gif(content: bytes):
         else:
             raise ValueError(f"unexpected GIF block 0x{b:02x}")
     raise ValueError("GIF contains no image data")
+
+
+def decode_pnm(content: bytes):
+    """Netpbm family (reference surface: PIL/imageio open these via
+    readers.py PILImageReader/ImageIOReader): P1/P2/P3 ASCII and P4/P5/P6
+    raw bitmap/graymap/pixmap, maxval up to 65535 (16-bit is big-endian
+    per spec). Returns (H, W, C) uint8/uint16 ndarray (C=1 or 3)."""
+    import numpy as np
+
+    if len(content) < 2 or content[:1] != b"P" or content[1:2] not in b"123456":
+        raise ValueError("not a PNM file")
+    kind = int(content[1:2])
+
+    # header tokens with '#' comments; raster starts after ONE whitespace
+    # byte following the last header token
+    pos = 2
+    tokens = []
+    want = 2 if kind in (1, 4) else 3  # bitmaps carry no maxval
+    while len(tokens) < want:
+        while pos < len(content) and content[pos : pos + 1].isspace():
+            pos += 1
+        if content[pos : pos + 1] == b"#":
+            while pos < len(content) and content[pos] not in (10, 13):
+                pos += 1
+            continue
+        start = pos
+        while pos < len(content) and not content[pos : pos + 1].isspace():
+            pos += 1
+        tokens.append(int(content[start:pos]))
+    pos += 1  # the single whitespace separating header from raster
+    w, h = tokens[0], tokens[1]
+    maxval = tokens[2] if want == 3 else 1
+    nch = 3 if kind in (3, 6) else 1
+    dt = np.uint16 if maxval > 255 else np.uint8
+
+    if kind in (1, 2, 3):  # ASCII
+        vals = content[pos:].split()
+        need = h * w * nch
+        arr = np.array([int(v) for v in vals[:need]], dtype=dt)
+        if kind == 1:  # PBM: 1 = black; normalize to intensity
+            arr = (1 - arr).astype(dt) * maxval
+        return arr.reshape(h, w, nch)
+    if kind == 4:  # packed bits, rows padded to whole bytes
+        rowbytes = (w + 7) // 8
+        raw = np.frombuffer(content, dtype=np.uint8, count=h * rowbytes, offset=pos)
+        bits = np.unpackbits(raw.reshape(h, rowbytes), axis=1)[:, :w]
+        return ((1 - bits).astype(np.uint8) * 255).reshape(h, w, 1)
+    count = h * w * nch
+    if maxval > 255:
+        raw = np.frombuffer(content, dtype=">u2", count=count, offset=pos)
+        return raw.astype(np.uint16).reshape(h, w, nch)
+    raw = np.frombuffer(content, dtype=np.uint8, count=count, offset=pos)
+    return raw.reshape(h, w, nch)
+
+
+def _tga_rle_decode(data: bytes, n_pixels: int, bpp: int):
+    import numpy as np
+
+    out = np.empty(n_pixels * bpp, dtype=np.uint8)
+    di = oi = 0
+    while oi < n_pixels * bpp:
+        hdr = data[di]
+        di += 1
+        count = (hdr & 0x7F) + 1
+        if hdr & 0x80:  # run packet: one pixel repeated
+            px = data[di : di + bpp]
+            di += bpp
+            out[oi : oi + count * bpp] = np.tile(
+                np.frombuffer(px, dtype=np.uint8), count
+            )
+        else:  # raw packet
+            out[oi : oi + count * bpp] = np.frombuffer(
+                data, dtype=np.uint8, count=count * bpp, offset=di
+            )
+            di += count * bpp
+        oi += count * bpp
+    return out
+
+
+def decode_tga(content: bytes):
+    """Truevision TGA: uncompressed and RLE true-color/grayscale (types
+    2/3/10/11), 8/24/32-bit pixels, both vertical origins. BGR(A) storage
+    order converted to RGB(A). Returns (H, W, C) uint8."""
+    import numpy as np
+
+    if len(content) < 18:
+        raise ValueError("TGA too short")
+    idlen = content[0]
+    cmap_type = content[1]
+    img_type = content[2]
+    if cmap_type != 0 or img_type not in (2, 3, 10, 11):
+        raise NotImplementedError(
+            f"TGA type {img_type} (palette={cmap_type}): only true-color/"
+            "grayscale (2/3) and their RLE forms (10/11) are implemented"
+        )
+    w = int.from_bytes(content[12:14], "little")
+    h = int.from_bytes(content[14:16], "little")
+    bpp_bits = content[16]
+    desc = content[17]
+    if bpp_bits not in (8, 24, 32):
+        raise NotImplementedError(f"TGA {bpp_bits}-bit pixels")
+    bpp = bpp_bits // 8
+    pos = 18 + idlen
+    n = h * w
+    if img_type in (10, 11):
+        flat = _tga_rle_decode(content[pos:], n, bpp)
+    else:
+        flat = np.frombuffer(content, dtype=np.uint8, count=n * bpp, offset=pos)
+    arr = flat.reshape(h, w, bpp)
+    if not (desc & 0x20):  # origin bottom-left → flip to top-left
+        arr = arr[::-1]
+    if bpp >= 3:  # BGR(A) → RGB(A)
+        arr = arr[:, :, [2, 1, 0] + ([3] if bpp == 4 else [])]
+    return np.ascontiguousarray(arr)
+
+
+def _read_extended80(b: bytes) -> float:
+    """80-bit IEEE 754 extended float (AIFF sample rate field)."""
+    sign = -1.0 if b[0] & 0x80 else 1.0
+    exp = ((b[0] & 0x7F) << 8) | b[1]
+    mant = int.from_bytes(b[2:10], "big")
+    if exp == 0 and mant == 0:
+        return 0.0
+    return sign * mant * 2.0 ** (exp - 16383 - 63)
+
+
+def decode_aiff(content: bytes):
+    """AIFF (big-endian PCM, FORM/COMM/SSND chunks) → (rate, samples
+    (n, ch) int ndarray, bits_per_sample). The Apple twin of WAV; the
+    reference reads it via soundfile (readers.py SoundFileReader)."""
+    import numpy as np
+
+    if content[:4] != b"FORM" or content[8:12] not in (b"AIFF", b"AIFC"):
+        raise ValueError("not an AIFF file")
+    pos, end = 12, 8 + int.from_bytes(content[4:8], "big")
+    nch = bits = rate = None
+    frames = 0
+    data = None
+    while pos + 8 <= min(end, len(content)):
+        cid = content[pos : pos + 4]
+        clen = int.from_bytes(content[pos + 4 : pos + 8], "big")
+        body = content[pos + 8 : pos + 8 + clen]
+        if cid == b"COMM":
+            nch = int.from_bytes(body[0:2], "big")
+            frames = int.from_bytes(body[2:6], "big")
+            bits = int.from_bytes(body[6:8], "big")
+            rate = int(round(_read_extended80(body[8:18])))
+            if len(body) >= 22 and body[18:22] not in (b"NONE", b"sowt"):
+                raise NotImplementedError(
+                    f"AIFC compression {body[18:22]!r}: only PCM decodes"
+                )
+        elif cid == b"SSND":
+            off = int.from_bytes(body[0:4], "big")
+            data = body[8 + off :]
+        pos += 8 + clen + (clen & 1)  # chunks pad to even
+    if nch is None or data is None:
+        raise ValueError("AIFF missing COMM or SSND chunk")
+    sw = (bits + 7) // 8
+    n = frames * nch
+    if sw == 1:
+        arr = np.frombuffer(data, dtype=np.int8, count=n).astype(np.int16)
+    elif sw == 2:
+        arr = np.frombuffer(data, dtype=">i2", count=n).astype(np.int16)
+    elif sw == 3:
+        raw = np.frombuffer(data, dtype=np.uint8, count=n * 3).reshape(-1, 3)
+        arr = (
+            (raw[:, 0].astype(np.int32) << 16)
+            | (raw[:, 1].astype(np.int32) << 8)
+            | raw[:, 2]
+        )
+        arr = (arr << 8) >> 8  # sign-extend 24-bit
+    else:
+        arr = np.frombuffer(data, dtype=">i4", count=n).astype(np.int32)
+    return rate, arr.reshape(-1, nch), bits
+
+
+def _mulaw_expand(u):
+    """ITU-T G.711 μ-law byte → linear 16-bit (formula-derived, no table)."""
+    import numpy as np
+
+    u = ~u.astype(np.uint8)
+    sign = (u & 0x80) != 0
+    exp = (u >> 4) & 0x07
+    mant = u & 0x0F
+    mag = (((mant.astype(np.int32) << 1) + 33) << exp) - 33
+    out = np.where(sign, -mag, mag)
+    return (out * 4).astype(np.int16)  # scale 14-bit to 16-bit range
+
+
+def decode_au(content: bytes):
+    """Sun/NeXT .au (.snd): big-endian header, PCM 8/16/24/32 and G.711
+    μ-law encodings → (rate, samples (n, ch), bits)."""
+    import numpy as np
+
+    if content[:4] != b".snd":
+        raise ValueError("not an AU file")
+    off = int.from_bytes(content[4:8], "big")
+    enc = int.from_bytes(content[12:16], "big")
+    rate = int.from_bytes(content[16:20], "big")
+    nch = int.from_bytes(content[20:24], "big")
+    data = content[off:]
+    if enc == 1:  # μ-law
+        arr = _mulaw_expand(np.frombuffer(data, dtype=np.uint8))
+        return rate, arr.reshape(-1, nch), 16
+    if enc == 2:
+        arr = np.frombuffer(data, dtype=np.int8).astype(np.int16)
+        return rate, arr.reshape(-1, nch), 8
+    if enc == 3:
+        return rate, np.frombuffer(data, dtype=">i2").astype(np.int16).reshape(-1, nch), 16
+    if enc == 4:
+        raw = np.frombuffer(data, dtype=np.uint8)
+        raw = raw[: len(raw) - len(raw) % 3].reshape(-1, 3)
+        arr = (
+            (raw[:, 0].astype(np.int32) << 16)
+            | (raw[:, 1].astype(np.int32) << 8)
+            | raw[:, 2]
+        )
+        arr = (arr << 8) >> 8
+        return rate, arr.reshape(-1, nch), 24
+    if enc == 5:
+        return rate, np.frombuffer(data, dtype=">i4").astype(np.int32).reshape(-1, nch), 32
+    raise NotImplementedError(f"AU encoding {enc}: PCM and mu-law decode")

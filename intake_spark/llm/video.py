@@ -25,7 +25,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 
-__all__ = ["parse_avi", "sample_video_frames", "video_frame_features", "VIDEO_FRAME_SCHEMA"]
+__all__ = ["parse_avi", "parse_y4m", "parse_video", "decode_y4m_frame", "sample_video_frames", "video_frame_features", "VIDEO_FRAME_SCHEMA"]
 
 
 def _walk_riff(data: bytes, start: int, end: int):
@@ -113,12 +113,118 @@ def parse_avi(content: bytes) -> dict:
     }
 
 
+_Y4M_PLANE_DIV = {"420": 4, "422": 2, "444": 1, "mono": None}
+
+
+def parse_y4m(content: bytes) -> dict:
+    """YUV4MPEG2 (.y4m) — the uncompressed interchange format every
+    encoder toolchain emits: one ASCII stream header, then per-frame
+    ``FRAME\n`` markers followed by raw planar YCbCr. Because frames are
+    fixed-size, sampling is exact byte arithmetic — no per-frame scan cost
+    beyond the marker checks.
+
+    Returns the same dict shape as :func:`parse_avi`, codec =
+    ``Y4M-C<cs>``. Interlaced streams and per-frame parameter overrides
+    raise (named): both are vanishingly rare outside broadcast archives."""
+    if content[:10] != b"YUV4MPEG2 ":
+        raise ValueError("not a Y4M file (YUV4MPEG2 signature missing)")
+    nl = content.index(b"\n")
+    width = height = 0
+    fps = 0.0
+    cs = "420"
+    for tok in content[10:nl].split(b" "):
+        if not tok:
+            continue
+        tag, val = tok[:1], tok[1:].decode("ascii", "replace")
+        if tag == b"W":
+            width = int(val)
+        elif tag == b"H":
+            height = int(val)
+        elif tag == b"F":
+            num, den = val.split(":")
+            fps = int(num) / int(den) if int(den) else 0.0
+        elif tag == b"C":
+            cs = val.rstrip()
+            if cs.startswith("420"):
+                cs = "420"  # 420jpeg/420paldv site the chroma the same size
+        elif tag == b"I" and val not in ("p", "?"):
+            raise NotImplementedError(f"interlaced Y4M (I{val}) not supported")
+    if not width or not height:
+        raise ValueError("Y4M header missing W/H")
+    div = _Y4M_PLANE_DIV.get(cs)
+    if cs == "mono":
+        frame_size = width * height
+    elif div is None:
+        raise NotImplementedError(f"Y4M colorspace C{cs}")
+    else:
+        frame_size = width * height + 2 * ((width * height) // div)
+    frames: list[tuple[int, int]] = []
+    pos = nl + 1
+    while pos < len(content):
+        fnl = content.index(b"\n", pos)
+        if content[pos : pos + 5] != b"FRAME":
+            raise ValueError("Y4M frame marker missing")
+        if fnl != pos + 5:
+            raise NotImplementedError("per-frame Y4M parameter overrides")
+        frames.append((fnl + 1, frame_size))
+        pos = fnl + 1 + frame_size
+    return {
+        "width": width,
+        "height": height,
+        "fps": round(fps, 6),
+        "n_frames": len(frames),
+        "codec": f"Y4M-C{cs}",
+        "frames": frames,
+    }
+
+
+def decode_y4m_frame(data: bytes, width: int, height: int, cs: str = "420"):
+    """Raw planar YCbCr frame → (H, W, 3) RGB uint8 (or (H, W, 1) for
+    mono). ITU-R BT.601 limited-range conversion — the Y4M default."""
+    import numpy as np
+
+    n = width * height
+    y = np.frombuffer(data, dtype=np.uint8, count=n).reshape(height, width)
+    if cs == "mono":
+        return y[:, :, None].copy()
+    if cs == "420":
+        cw, ch = width // 2, height // 2
+    elif cs == "422":
+        cw, ch = width // 2, height
+    elif cs == "444":
+        cw, ch = width, height
+    else:
+        raise NotImplementedError(f"Y4M colorspace C{cs}")
+    cb = np.frombuffer(data, dtype=np.uint8, count=cw * ch, offset=n).reshape(ch, cw)
+    cr = np.frombuffer(data, dtype=np.uint8, count=cw * ch, offset=n + cw * ch).reshape(ch, cw)
+    cb = cb.repeat(width // cw, axis=1).repeat(height // ch, axis=0)
+    cr = cr.repeat(width // cw, axis=1).repeat(height // ch, axis=0)
+    yf = (y.astype(np.float64) - 16.0) * (255.0 / 219.0)
+    cbf = (cb.astype(np.float64) - 128.0) * (255.0 / 224.0)
+    crf = (cr.astype(np.float64) - 128.0) * (255.0 / 224.0)
+    r = yf + 1.402 * crf
+    g = yf - 0.344136 * cbf - 0.714136 * crf
+    b = yf + 1.772 * cbf
+    return np.clip(np.stack([r, g, b], axis=2), 0, 255).round().astype(np.uint8)
+
+
+def parse_video(content: bytes) -> dict:
+    """Magic dispatch over the supported video containers (AVI, Y4M)."""
+    if content[:4] == b"RIFF":
+        return parse_avi(content)
+    if content[:10] == b"YUV4MPEG2 ":
+        return parse_y4m(content)
+    raise ValueError("unrecognized video container (not AVI or Y4M)")
+
+
 VIDEO_FRAME_SCHEMA = T.StructType(
     [
         T.StructField("frame_idx", T.IntegerType()),
         T.StructField("n_frames", T.IntegerType()),
         T.StructField("fps", T.DoubleType()),
         T.StructField("codec", T.StringType()),
+        T.StructField("frame_w", T.IntegerType()),
+        T.StructField("frame_h", T.IntegerType()),
         T.StructField("frame_bytes", T.BinaryType()),
     ]
 )
@@ -146,12 +252,13 @@ def sample_video_frames(
             out_rows = []
             for _, row in pdf.iterrows():
                 content = bytes(row[content_col])
-                meta = parse_avi(content)
+                meta = parse_video(content)
                 for idx in range(0, meta["n_frames"], step):
                     off, size = meta["frames"][idx]
                     out_rows.append(
                         tuple(row[c] for c in keep)
                         + (idx, meta["n_frames"], meta["fps"], meta["codec"],
+                           meta["width"], meta["height"],
                            content[off : off + size])
                     )
             yield pd.DataFrame(out_rows, columns=list(keep) + [f.name for f in VIDEO_FRAME_SCHEMA])
@@ -166,18 +273,52 @@ def video_frame_features(
     thumb_size: int = 8,
     keep_cols: list[str] | None = None,
 ) -> DataFrame:
-    """End-to-end sample → decode → feature pipeline: AVI rows in,
+    """End-to-end sample → decode → feature pipeline: AVI or Y4M rows in,
     (frame_idx, width, height, n_channels, mean_intensity, thumb) rows out.
-    MJPG frames are plain baseline JPEGs, so the existing
-    :func:`intake_spark.llm.multimodal.image_features` decode stage runs
-    unchanged on the sampled ``frame_bytes`` column."""
-    from intake_spark.llm.multimodal import image_features
+    MJPG frames are plain baseline JPEGs and route through
+    :func:`intake_spark.llm.multimodal.decode_image`; Y4M frames are raw
+    planar YCbCr (no magic bytes) and decode via :func:`decode_y4m_frame`
+    with the frame geometry carried on the sampled rows — same feature
+    contract either way."""
+    from intake_spark.llm.multimodal import resize_nearest, IMAGE_FEATURES_SCHEMA
+    from intake_spark.session import ensure_py_deps
 
+    ensure_py_deps(df.sparkSession)
     frames = sample_video_frames(df, content_col=content_col, every_n=every_n,
                                  keep_cols=keep_cols)
     keep = [c for c in frames.columns if c != "frame_bytes"]
-    return image_features(frames, content_col="frame_bytes", keep_cols=keep,
-                          thumb_size=thumb_size)
+    out_schema = T.StructType(
+        [frames.schema[c] for c in keep] + list(IMAGE_FEATURES_SCHEMA.fields)
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from intake_spark.llm.multimodal import decode_image
+
+        for pdf in batches:
+            out_rows = []
+            for _, row in pdf.iterrows():
+                content = bytes(row["frame_bytes"])
+                codec = row["codec"]
+                if isinstance(codec, str) and codec.startswith("Y4M-C"):
+                    arr = decode_y4m_frame(
+                        content, int(row["frame_w"]), int(row["frame_h"]),
+                        codec[len("Y4M-C"):],
+                    )
+                else:
+                    arr = decode_image(content)
+                gray = arr.mean(axis=2)
+                thumb = resize_nearest(arr, thumb_size, thumb_size).mean(axis=2)
+                out_rows.append(
+                    tuple(row[c] for c in keep)
+                    + (arr.shape[1], arr.shape[0], arr.shape[2],
+                       float(gray.mean()), [float(x) for x in thumb.ravel()])
+                )
+            yield pd.DataFrame(
+                out_rows,
+                columns=keep + [f.name for f in IMAGE_FEATURES_SCHEMA],
+            )
+
+    return frames.mapInPandas(run, schema=out_schema)
 
 
 def _bmff_boxes(content: bytes, start: int, end: int):
@@ -263,6 +404,18 @@ def video_meta(content: bytes) -> dict:
     (box walk)."""
     if content[:4] == b"\x1a\x45\xdf\xa3":
         return parse_webm(content)
+    if content[:10] == b"YUV4MPEG2 ":
+        m = parse_y4m(content)
+        return {
+            "format": "y4m",
+            "duration_s": round(m["n_frames"] / m["fps"], 6) if m["fps"] else 0.0,
+            "n_tracks": 1,
+            "width": m["width"],
+            "height": m["height"],
+            "codec": m["codec"],
+            "n_frames": m["n_frames"],
+            "fps": m["fps"],
+        }
     if content[:4] == b"RIFF" and content[8:12] == b"AVI ":
         m = parse_avi(content)
         return {

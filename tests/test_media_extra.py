@@ -1,0 +1,206 @@
+"""PNM / TGA / AIFF / AU decoders — spec-built fixtures, value-checked."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from intake_spark.llm.multimodal import (
+    decode_aiff,
+    decode_au,
+    decode_audio_full,
+    decode_image,
+    decode_pnm,
+    decode_tga,
+)
+
+
+# --- PNM -------------------------------------------------------------------
+
+
+def test_pnm_ascii_variants():
+    # P1 bitmap: 1=black → intensity 0
+    p1 = b"P1\n# comment\n3 2\n1 0 1\n0 1 0\n"
+    a = decode_pnm(p1)
+    assert a.shape == (2, 3, 1)
+    assert a[:, :, 0].tolist() == [[0, 1, 0], [1, 0, 1]]
+
+    p2 = b"P2\n2 2\n255\n0 64\n128 255\n"
+    g = decode_pnm(p2)
+    assert g[:, :, 0].tolist() == [[0, 64], [128, 255]]
+
+    p3 = b"P3\n1 2\n255\n255 0 0\n0 0 255\n"
+    c = decode_pnm(p3)
+    assert c.shape == (2, 1, 3)
+    assert c[0, 0].tolist() == [255, 0, 0] and c[1, 0].tolist() == [0, 0, 255]
+
+
+def test_pnm_raw_variants_and_16bit():
+    # P4: 10 wide → 2 row bytes, bits MSB-first; 1 = black → 0
+    row = bytes([0b10100000, 0b01000000])  # cols 0,2,9 set
+    p4 = b"P4\n10 1\n" + row
+    a = decode_pnm(p4)
+    assert a.shape == (1, 10, 1)
+    assert (a[0, :, 0] == 0).nonzero()[0].tolist() == [0, 2, 9]
+
+    p5 = b"P5 2 2 255\n" + bytes([1, 2, 3, 4])
+    assert decode_pnm(p5)[:, :, 0].tolist() == [[1, 2], [3, 4]]
+
+    p6 = b"P6 1 1 255\n" + bytes([9, 8, 7])
+    assert decode_pnm(p6)[0, 0].tolist() == [9, 8, 7]
+
+    p5_16 = b"P5 2 1 65535\n" + (1000).to_bytes(2, "big") + (64000).to_bytes(2, "big")
+    w = decode_pnm(p5_16)
+    assert w.dtype == np.uint16 and w[0, :, 0].tolist() == [1000, 64000]
+
+
+def test_pnm_via_decode_image_dispatch():
+    a = decode_image(b"P6 2 1 255\n" + bytes([1, 2, 3, 4, 5, 6]))
+    assert a.shape == (1, 2, 3)
+
+
+# --- TGA -------------------------------------------------------------------
+
+
+def _tga(w, h, body, img_type=2, bpp=24, desc=0x20, footer=False):
+    hdr = bytes(
+        [0, 0, img_type, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+    ) + w.to_bytes(2, "little") + h.to_bytes(2, "little") + bytes([bpp, desc])
+    out = hdr + body
+    if footer:
+        out += b"\x00" * 8 + b"TRUEVISION-XFILE.\x00"
+    return out
+
+
+def test_tga_uncompressed_and_flip():
+    # 2x2 BGR, top-left origin (desc 0x20)
+    px = bytes([255, 0, 0,  0, 255, 0,  0, 0, 255,  10, 20, 30])
+    a = decode_tga(_tga(2, 2, px))
+    assert a.shape == (2, 2, 3)
+    assert a[0, 0].tolist() == [0, 0, 255]      # BGR -> RGB
+    assert a[1, 1].tolist() == [30, 20, 10]
+    # bottom-left origin flips rows
+    b = decode_tga(_tga(2, 2, px, desc=0x00))
+    assert b[0, 0].tolist() == a[1, 0].tolist()
+
+
+def test_tga_rle_and_gray_and_dispatch():
+    # RLE: run of 3 red pixels + 1 raw green (BGR order in file)
+    body = bytes([0x82, 0, 0, 255, 0x00, 0, 255, 0])
+    a = decode_tga(_tga(4, 1, body, img_type=10))
+    assert a[0, 0].tolist() == [255, 0, 0] and a[0, 2].tolist() == [255, 0, 0]
+    assert a[0, 3].tolist() == [0, 255, 0]
+
+    g = decode_tga(_tga(2, 1, bytes([7, 250]), img_type=3, bpp=8))
+    assert g[0, :, 0].tolist() == [7, 250]
+
+    # dispatch via footer
+    d = decode_image(_tga(1, 1, bytes([1, 2, 3]), footer=True))
+    assert d.shape == (1, 1, 3)
+
+    with pytest.raises(NotImplementedError):
+        decode_tga(_tga(1, 1, b"\x00", img_type=1))
+
+
+# --- AIFF ------------------------------------------------------------------
+
+
+def _ext80(rate: float) -> bytes:
+    # build the 80-bit extended float for integral rates
+    import math
+
+    if rate == 0:
+        return b"\x00" * 10
+    exp = int(math.floor(math.log2(rate)))
+    mant = int(rate / 2.0**exp * (1 << 63))
+    return ((exp + 16383).to_bytes(2, "big")) + mant.to_bytes(8, "big")
+
+
+def _aiff(rate, nch, bits, frames_bytes, n_frames, kind=b"AIFF", comp=b""):
+    comm = (
+        nch.to_bytes(2, "big")
+        + n_frames.to_bytes(4, "big")
+        + bits.to_bytes(2, "big")
+        + _ext80(rate)
+        + comp
+    )
+    ssnd = (0).to_bytes(4, "big") + (0).to_bytes(4, "big") + frames_bytes
+    chunks = b"COMM" + len(comm).to_bytes(4, "big") + comm
+    if len(comm) % 2:
+        chunks += b"\x00"
+    chunks += b"SSND" + len(ssnd).to_bytes(4, "big") + ssnd
+    body = kind + chunks
+    return b"FORM" + len(body).to_bytes(4, "big") + body
+
+
+def test_aiff_pcm16_stereo():
+    samples = np.array([[1000, -1000], [32767, -32768]], dtype=">i2")
+    data = _aiff(44100, 2, 16, samples.tobytes(), 2)
+    rate, arr, bits = decode_aiff(data)
+    assert (rate, bits) == (44100, 16)
+    assert arr.tolist() == [[1000, -1000], [32767, -32768]]
+    # magic dispatch
+    r2, a2, b2 = decode_audio_full(data)
+    assert a2.tolist() == arr.tolist()
+
+
+def test_aiff_24bit_and_unsupported_compression():
+    val = -(2**22)
+    b3 = (val & 0xFFFFFF).to_bytes(3, "big")
+    rate, arr, bits = decode_aiff(_aiff(8000, 1, 24, b3, 1))
+    assert bits == 24 and arr[0, 0] == val
+
+    with pytest.raises(NotImplementedError, match="compression"):
+        decode_aiff(_aiff(8000, 1, 16, b"\x00\x00", 1, kind=b"AIFC", comp=b"ulaw"))
+
+
+# --- AU --------------------------------------------------------------------
+
+
+def _au(enc, rate, nch, body):
+    return (
+        b".snd"
+        + (24).to_bytes(4, "big")
+        + len(body).to_bytes(4, "big")
+        + enc.to_bytes(4, "big")
+        + rate.to_bytes(4, "big")
+        + nch.to_bytes(4, "big")
+        + body
+    )
+
+
+def test_au_pcm16_and_dispatch():
+    body = np.array([123, -456], dtype=">i2").tobytes()
+    rate, arr, bits = decode_au(_au(3, 8000, 1, body))
+    assert (rate, bits) == (8000, 16) and arr[:, 0].tolist() == [123, -456]
+    r2, a2, _ = decode_audio_full(_au(3, 8000, 1, body))
+    assert a2[:, 0].tolist() == [123, -456]
+
+
+def test_au_mulaw_known_values():
+    # G.711 reference points: byte 0xFF encodes +0, 0x7F encodes -0,
+    # byte 0x00 the most negative value (-8031 on the 14-bit scale,
+    # ×4 on our 16-bit output), 0x80 the most positive (+8031)
+    rate, arr, bits = decode_au(_au(1, 8000, 1, bytes([0xFF, 0x7F, 0x00, 0x80])))
+    assert bits == 16
+    assert arr[0, 0] == 0 and arr[1, 0] == 0
+    assert arr[2, 0] == -8031 * 4
+    assert arr[3, 0] == 8031 * 4
+
+
+def test_meta_probes_for_new_formats():
+    from intake_spark.llm.audio_meta import audio_meta
+    from intake_spark.llm.multimodal import image_meta
+
+    m = image_meta(b"P6 7 5 255\n" + bytes(7 * 5 * 3))
+    assert (m["format"], m["width"], m["height"]) == ("pnm", 7, 5)
+
+    t = image_meta(_tga(3, 4, bytes(3 * 4 * 3), footer=True))
+    assert (t["format"], t["width"], t["height"]) == ("tga", 3, 4)
+
+    samples = np.zeros((44100, 2), dtype=">i2")
+    am = audio_meta(_aiff(44100, 2, 16, samples.tobytes(), 44100))
+    assert am["format"] == "aiff" and am["duration_s"] == 1.0 and am["channels"] == 2
+
+    au = audio_meta(_au(3, 8000, 1, np.zeros(8000, dtype=">i2").tobytes()))
+    assert au["format"] == "au" and au["duration_s"] == 1.0 and au["bits"] == 16

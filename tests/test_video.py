@@ -227,3 +227,75 @@ def test_parse_webm_metadata():
 
     with _pytest.raises(ValueError, match="EBML"):
         parse_webm(b"\x00\x01\x02\x03" + b"\x00" * 16)
+
+
+def _y4m(width, height, frames_yuv, cs="420", fps=b"25:1"):
+    hdr = b"YUV4MPEG2 W%d H%d F%s Ip A1:1 C%s\n" % (width, height, fps, cs.encode())
+    body = b"".join(b"FRAME\n" + f for f in frames_yuv)
+    return hdr + body
+
+
+def test_parse_y4m_and_meta():
+    from intake_spark.llm.video import parse_y4m, video_meta
+
+    w, h = 4, 2
+    fsize = w * h + 2 * (w * h // 4)
+    data = _y4m(w, h, [bytes(fsize), bytes(fsize), bytes(fsize)])
+    m = parse_y4m(data)
+    assert (m["width"], m["height"], m["n_frames"], m["codec"]) == (4, 2, 3, "Y4M-C420")
+    assert m["fps"] == 25.0
+    assert all(s == fsize for _o, s in m["frames"])
+    vm = video_meta(data)
+    assert vm["format"] == "y4m" and vm["n_frames"] == 3
+    assert vm["duration_s"] == round(3 / 25.0, 6)
+
+
+def test_decode_y4m_frame_bt601_values():
+    import numpy as np
+
+    from intake_spark.llm.video import decode_y4m_frame
+
+    # 2x2 C420: single chroma sample shared by all 4 pixels
+    y = bytes([16, 235, 81, 145])       # black, white, and two mids
+    cb, cr = bytes([128]), bytes([128])  # neutral chroma -> pure gray
+    arr = decode_y4m_frame(y + cb + cr, 2, 2, "420")
+    assert arr.shape == (2, 2, 3)
+    assert arr[0, 0].tolist() == [0, 0, 0]        # Y=16 -> 0
+    assert arr[0, 1].tolist() == [255, 255, 255]  # Y=235 -> 255
+    # neutral chroma: R=G=B
+    assert (arr[:, :, 0] == arr[:, :, 1]).all() and (arr[:, :, 1] == arr[:, :, 2]).all()
+
+    # red primary: BT.601 limited-range red is approx (Y,Cb,Cr)=(81,90,240)
+    arr2 = decode_y4m_frame(bytes([81] * 4) + bytes([90]) + bytes([240]), 2, 2, "420")
+    r, g, b = (int(x) for x in arr2[0, 0])
+    assert r > 240 and g < 30 and b < 30
+
+    # mono passthrough
+    m = decode_y4m_frame(bytes([7, 200]), 2, 1, "mono")
+    assert m.shape == (1, 2, 1) and m[0, :, 0].tolist() == [7, 200]
+
+
+def test_y4m_sample_and_features_end_to_end(spark):
+    import numpy as np
+
+    from intake_spark.llm.video import sample_video_frames, video_frame_features
+
+    w, h = 2, 2
+    # frame k: uniform Y = 16 + 10k, neutral chroma
+    def frame(k):
+        return bytes([16 + 10 * k] * (w * h)) + bytes([128]) + bytes([128])
+
+    data = _y4m(w, h, [frame(k) for k in range(6)])
+    df = spark.createDataFrame([("v0", bytearray(data))], "name string, content binary")
+
+    rows = sample_video_frames(df, every_n=3).orderBy("frame_idx").collect()
+    assert [r.frame_idx for r in rows] == [0, 3]
+    assert rows[0].codec == "Y4M-C420" and rows[0].frame_w == 2
+
+    feats = video_frame_features(df, every_n=3).orderBy("frame_idx").collect()
+    assert len(feats) == 2
+    # frame 0: Y=16 everywhere -> intensity 0; frame 3: Y=46 -> (46-16)*255/219
+    assert feats[0].mean_intensity == 0.0
+    expected = round((46 - 16) * 255.0 / 219.0)
+    assert abs(feats[1].mean_intensity - expected) <= 0.5
+    assert feats[0].n_channels == 3 and feats[0].width == 2
