@@ -480,3 +480,108 @@ def test_blosc_frame_roundtrip_property(payload, typesize, shuffle):
 
     assert blosc_decompress(_blosc_frame(payload, typesize=typesize, shuffle=shuffle)) == payload
     assert blosc_decompress(_blosc_frame(payload, typesize=typesize, memcpy=True)) == payload
+
+
+@given(
+    st.integers(1, 6),
+    st.integers(1, 9),
+    st.integers(1, 7),
+    st.data(),
+)
+def test_pnm_raw_roundtrip(kind_idx, w, h, data):
+    """Encode random pixel arrays into P4/P5/P6 (and 16-bit P5) and decode
+    back bit-exactly."""
+    import numpy as np
+
+    from intake_spark.llm.multimodal import decode_pnm
+
+    kind = [4, 5, 6, 5][kind_idx % 4]
+    wide = kind_idx == 3
+    if kind == 4:
+        bits = data.draw(
+            st.lists(st.integers(0, 1), min_size=w * h, max_size=w * h)
+        )
+        arr = np.array(bits, dtype=np.uint8).reshape(h, w)
+        rowbytes = (w + 7) // 8
+        packed = np.packbits(
+            np.pad(arr, ((0, 0), (0, rowbytes * 8 - w))), axis=1
+        )
+        blob = b"P4\n%d %d\n" % (w, h) + packed.tobytes()
+        out = decode_pnm(blob)
+        assert ((out[:, :, 0] == 0) == (arr == 1)).all()
+        return
+    nch = 3 if kind == 6 else 1
+    maxval = 65535 if wide else 255
+    vals = data.draw(
+        st.lists(st.integers(0, maxval), min_size=w * h * nch, max_size=w * h * nch)
+    )
+    dt = ">u2" if wide else np.uint8
+    arr = np.array(vals, dtype=dt).reshape(h, w, nch)
+    blob = b"P%d\n%d %d\n%d\n" % (kind, w, h, maxval) + arr.tobytes()
+    out = decode_pnm(blob)
+    assert out.shape == (h, w, nch)
+    assert (out == arr.astype(out.dtype)).all()
+
+
+@given(st.integers(1, 8), st.integers(1, 6), st.data())
+def test_tga_rle_roundtrip(w, h, data):
+    """RLE-encode random BGR pixel rows (mixed run/raw packets) and decode
+    back to the exact RGB image."""
+    import numpy as np
+
+    from intake_spark.llm.multimodal import decode_tga
+
+    px = data.draw(
+        st.lists(st.integers(0, 255), min_size=w * h * 3, max_size=w * h * 3)
+    )
+    img_bgr = np.array(px, dtype=np.uint8).reshape(h * w, 3)
+    # greedy RLE encoder: runs of identical pixels vs raw spans
+    out = bytearray()
+    i = 0
+    while i < len(img_bgr):
+        j = i
+        while (
+            j + 1 < len(img_bgr)
+            and (img_bgr[j + 1] == img_bgr[i]).all()
+            and j - i < 127
+        ):
+            j += 1
+        if j > i:  # run packet
+            out.append(0x80 | (j - i))
+            out.extend(img_bgr[i].tobytes())
+            i = j + 1
+        else:  # single raw packet
+            out.append(0x00)
+            out.extend(img_bgr[i].tobytes())
+            i += 1
+    hdr = bytes([0, 0, 10, 0, 0, 0, 0, 0, 0, 0, 0, 0]) + w.to_bytes(
+        2, "little"
+    ) + h.to_bytes(2, "little") + bytes([24, 0x20])
+    got = decode_tga(hdr + bytes(out))
+    want = img_bgr.reshape(h, w, 3)[:, :, ::-1]
+    assert (got == want).all()
+
+
+@given(st.integers(8000, 48000), st.integers(1, 2), st.lists(st.integers(-(2**15), 2**15 - 1), min_size=2, max_size=40))
+def test_aiff_pcm16_roundtrip(rate, nch, vals):
+    import numpy as np
+
+    from intake_spark.llm.multimodal import decode_aiff
+
+    vals = vals[: len(vals) - len(vals) % nch]
+    if not vals:
+        vals = [0] * nch
+    arr = np.array(vals, dtype=">i2").reshape(-1, nch)
+    import math
+
+    exp = int(math.floor(math.log2(rate)))
+    mant = int(rate / 2.0**exp * (1 << 63))
+    ext80 = (exp + 16383).to_bytes(2, "big") + mant.to_bytes(8, "big")
+    comm = nch.to_bytes(2, "big") + len(arr).to_bytes(4, "big") + (16).to_bytes(2, "big") + ext80
+    ssnd = bytes(8) + arr.tobytes()
+    body = b"AIFF" + b"COMM" + len(comm).to_bytes(4, "big") + comm
+    body += b"SSND" + len(ssnd).to_bytes(4, "big") + ssnd
+    blob = b"FORM" + len(body).to_bytes(4, "big") + body
+    r, got, bits = decode_aiff(blob)
+    assert r == rate and bits == 16
+    assert got.tolist() == arr.astype(np.int16).tolist()
