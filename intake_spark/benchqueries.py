@@ -874,6 +874,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "q87_bm25_search",
     "q88_bpe_learn",
     "q89_semantic_keep_set",
+    "q90_semantic_label_matrix",
 )
 
 

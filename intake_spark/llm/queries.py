@@ -1564,3 +1564,49 @@ def q89_semantic_keep_set(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("keep"),
         )
     )
+
+
+@register(
+    "q90_semantic_label_matrix",
+    f"""
+    WITH {_SEED_CLUSTER_CTE},
+    lab AS (SELECT vec_id, label FROM embeddings),
+    p AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM cl a JOIN cl b
+        ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+      WHERE list_dot_product(a.v, b.v)
+              / sqrt(list_dot_product(a.v, a.v) * list_dot_product(b.v, b.v))
+            >= 0.3)
+    SELECT LEAST(la.label, lb.label) AS label_lo,
+           GREATEST(la.label, lb.label) AS label_hi,
+           COUNT(*) AS n_pairs
+    FROM p JOIN lab la ON la.vec_id = p.id_a
+           JOIN lab lb ON lb.vec_id = p.id_b
+    GROUP BY label_lo, label_hi
+    ORDER BY label_lo, label_hi
+    """,
+)
+def q90_semantic_label_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-label semantic contamination matrix — the embedding-space
+    mirror of q69's shingle source-overlap: SemDeDup candidate pairs
+    rolled up by (label, label). Off-diagonal mass = semantically
+    duplicated content LEAKING ACROSS labels (train/eval splits, source
+    tags) — the number a curation dashboard watches. Label lookups join
+    back broadcast; pair generation stays cluster-bounded."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = similarity.semantic_dedup_pairs(emb, n_seeds=8, threshold=0.3)
+    lab = emb.select("vec_id", "label")
+    la = lab.select(F.col("vec_id").alias("id_a"), F.col("label").alias("_la"))
+    lb = lab.select(F.col("vec_id").alias("id_b"), F.col("label").alias("_lb"))
+    return (
+        pairs.join(F.broadcast(la), "id_a")
+        .join(F.broadcast(lb), "id_b")
+        .select(
+            F.least("_la", "_lb").cast("long").alias("label_lo"),
+            F.greatest("_la", "_lb").cast("long").alias("label_hi"),
+        )
+        .groupBy("label_lo", "label_hi")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy("label_lo", "label_hi")
+    )
