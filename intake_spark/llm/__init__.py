@@ -19,4 +19,8 @@ Spark-first:
   partitioning, unlike ``df.sample``).
 - :mod:`intake_spark.llm.sketches` — deterministic KMV distinct-count
   sketch (engine-portable estimates, mergeable min-k).
+- :mod:`intake_spark.llm.bpe` — distributed BPE tokenizer training on the
+  word-frequency table (vocab-sized merge rounds) + broadcast tokenization.
+- :mod:`intake_spark.llm.assembly` / :mod:`intake_spark.llm.graph` —
+  decontamination, sequence packing, near-dup-graph PageRank.
 """
