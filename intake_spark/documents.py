@@ -1753,6 +1753,36 @@ class PickleReader(BaseReader):
         return spark.createDataFrame([{"value": repr(obj)}])
 
 
+class PythonModuleReader(BaseReader):
+    """Execute a Python source file as a module object, DRIVER-side and
+    gated by ``conf["allow_import"]`` like the catalog templating layer
+    (parity: reference readers.py:1277 PythonModule, which exec()s the
+    file unconditionally — here it is opt-in, matching the repo's
+    security posture). Returns the module itself, not a DataFrame:
+    ``output_instance`` parity with the reference (builtins:module)."""
+
+    implements = {PythonSourceCode}
+    lazy = False
+
+    def _read(self, spark=None, module_name: str | None = None, **kwargs):
+        from types import ModuleType
+
+        from intake_spark.config import conf
+
+        if not conf.get("allow_import"):
+            raise PermissionError(
+                "module execution is disabled (conf['allow_import']=False); "
+                "enable it only for trusted files — importing runs the code"
+            )
+        url = self.data.url
+        if module_name is None:
+            module_name = url.rsplit("/", 1)[-1].split(".", 1)[0]
+        with open(url, "rt") as f:
+            mod = ModuleType(module_name)
+            exec(compile(f.read(), url, "exec"), mod.__dict__)
+            return mod
+
+
 def _binary_glob(spark, url: str, glob: str):
     if "*" in url:
         return spark.read.format("binaryFile").load(url)

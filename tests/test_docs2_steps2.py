@@ -289,3 +289,27 @@ def test_pickle_reader_gated(spark, tmp_path):
         assert "k" in r.value
     finally:
         isconf.reset()
+
+
+def test_python_module_reader_gated(tmp_path):
+    import pytest as _pytest
+
+    from intake_spark import config as isconf
+    from intake_spark.documents import PythonModuleReader, PythonSourceCode
+
+    p = tmp_path / "mymod.py"
+    p.write_text("X = 41\n\ndef f(y):\n    return X + y\n")
+    rdr = PythonModuleReader(data=PythonSourceCode(url=str(p)))
+    isconf.conf["allow_import"] = False
+    try:
+        with _pytest.raises(PermissionError, match="allow_import"):
+            rdr.read()
+    finally:
+        isconf.reset()
+    # default posture allows imports (parity with the templating layer)
+    mod = rdr.read()
+    assert mod.__name__ == "mymod" and mod.f(1) == 42
+    named = PythonModuleReader(data=PythonSourceCode(url=str(p))).read(
+        module_name="other"
+    )
+    assert named.__name__ == "other"

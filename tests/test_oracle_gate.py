@@ -90,7 +90,8 @@ def test_no_row_udfs_and_sanctioned_cartesians_only(spark):
     from intake_spark.benchqueries import get_queries
 
     # q25/q45: brute-force similarity IS the oracle algorithm (guarded);
-    # q63/q64/q75/q77: single-row broadcast scalar thresholds/vocabularies
+    # q63/q64/q75/q77/q87: single-row broadcast scalar thresholds/
+    # vocabularies/corpus stats
     sanctioned = {
         "q25_knn_bruteforce",
         "q45_embedding_near_dup",
@@ -98,6 +99,7 @@ def test_no_row_udfs_and_sanctioned_cartesians_only(spark):
         "q64_token_probability",
         "q75_important_brands",
         "q77_funnel",
+        "q87_bm25_search",
     }
     offenders_udf, offenders_cart = [], []
     for name, fn in get_queries().items():
