@@ -1213,3 +1213,37 @@ def test_round5_session2_plan_shapes(spark, docs):
     # (vocabulary-sized), the doc_id rollup is the one corpus shuffle
     p = plan_of(text.bigram_lm_scores(docs))
     assert "BroadcastHashJoin" in p
+
+
+def test_bpe_random_corpora_match_reference(spark):
+    """Randomized corpora (including tie-heavy degenerate ones) must
+    reproduce the pure-Python BPE reference exactly — merge sequence AND
+    final segmentation. Deterministic seeds, low example count: each case
+    runs real Spark jobs."""
+    import random
+
+    from intake_spark.llm import bpe
+
+    rng = random.Random(20260814)
+    alphabet = "abc"
+    for case in range(6):
+        n_docs = rng.randint(1, 4)
+        texts = [
+            " ".join(
+                "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 5)))
+                for _ in range(rng.randint(1, 8))
+            )
+            for _ in range(n_docs)
+        ]
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        got = bpe.learn_bpe_merges(df, n_merges=4)
+        want, segs = _py_bpe_reference(texts, 4)
+        assert got == want, f"case {case}: {texts}"
+        if got:
+            seg = {
+                r.word: list(r.pieces)
+                for r in bpe.bpe_segment_vocab(bpe.word_counts(df), got).collect()
+            }
+            assert seg == segs, f"case {case} segmentation: {texts}"
