@@ -204,3 +204,87 @@ def test_meta_probes_for_new_formats():
 
     au = audio_meta(_au(3, 8000, 1, np.zeros(8000, dtype=">i2").tobytes()))
     assert au["format"] == "au" and au["duration_s"] == 1.0 and au["bits"] == 16
+
+
+# --- IMA-ADPCM WAV / A-law AU ---------------------------------------------
+
+
+def _ima_encode_mono(samples, rate=8000):
+    """Reference IMA-ADPCM encoder (same published tables) for round-trip
+    fixtures: one block, mono."""
+    import struct
+
+    from intake_spark.llm.multimodal import _IMA_INDEX, _IMA_STEP
+
+    pred, idx = samples[0], 0
+    nibs = []
+    for s in samples[1:]:
+        step = _IMA_STEP[idx]
+        diff = s - pred
+        n = 0
+        if diff < 0:
+            n = 8
+            diff = -diff
+        if diff >= step:
+            n |= 4
+            diff -= step
+        if diff >= step >> 1:
+            n |= 2
+            diff -= step >> 1
+        if diff >= step >> 2:
+            n |= 1
+            diff -= step >> 2
+        # decoder-mirror reconstruction
+        d = step >> 3
+        if n & 1:
+            d += step >> 2
+        if n & 2:
+            d += step >> 1
+        if n & 4:
+            d += step
+        pred = pred - d if n & 8 else pred + d
+        pred = max(-32768, min(32767, pred))
+        idx = max(0, min(88, idx + _IMA_INDEX[n & 7]))
+        nibs.append(n)
+    if len(nibs) % 8:
+        nibs += [0] * (8 - len(nibs) % 8)
+    body = bytearray()
+    for i in range(0, len(nibs), 2):
+        body.append(nibs[i] | (nibs[i + 1] << 4))
+    block = struct.pack("<hBB", samples[0], 0, 0) + bytes(body)
+    block_align = len(block)
+    fmt = struct.pack("<HHIIHH", 0x11, 1, rate, rate * block_align // 505, block_align, 4)
+    data = block
+    riff = b"WAVE" + b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+    riff += b"data" + len(data).to_bytes(4, "little") + data
+    return b"RIFF" + len(riff).to_bytes(4, "little") + riff
+
+
+def test_wav_ima_adpcm_roundtrip():
+    import numpy as np
+
+    from intake_spark.llm.multimodal import decode_audio_full, decode_wav_full
+
+    # a slow ramp the 4-bit quantizer can track closely
+    truth = [0]
+    for i in range(1, 64):
+        truth.append(truth[-1] + (3 if i % 2 else -2))
+    blob = _ima_encode_mono(truth)
+    rate, arr, sw = decode_wav_full(blob)
+    assert rate == 8000 and sw == 2 and arr.shape[1] == 1
+    got = arr[: len(truth), 0].astype(int).tolist()
+    assert got[0] == truth[0]
+    # quantization error bounded by the minimum step ladder
+    assert max(abs(g - t) for g, t in zip(got, truth)) <= 8
+    r2, a2, bits = decode_audio_full(blob)
+    assert bits == 16 and a2.tolist() == arr.tolist()
+
+
+def test_au_alaw_known_values():
+    from intake_spark.llm.multimodal import decode_au
+
+    # G.711 A-law reference points: 0xD5 -> +8 ("analog zero"),
+    # 0x55 -> -8, 0x2A -> most negative (-32256), 0xAA -> most positive
+    rate, arr, bits = decode_au(_au(27, 8000, 1, bytes([0xD5, 0x55, 0x2A, 0xAA])))
+    assert bits == 16
+    assert arr[:, 0].tolist() == [8, -8, -32256, 32256]
