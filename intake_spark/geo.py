@@ -1312,3 +1312,316 @@ class GeoParquetReader(BaseReader):
                 yield out
 
         return df.mapInPandas(decode, schema=out_schema)
+
+
+# ---------------------------------------------------------------------------
+# FlatGeobuf (reference surface: datatypes.py FlatGeoBuf + GeoPandasReader)
+# ---------------------------------------------------------------------------
+#
+# The format is flatbuffers-based; the wire format (uoffset/soffset/vtable)
+# is a small published spec, parsed here directly — no flatbuffers runtime.
+
+import struct as _struct
+
+FGB_MAGIC = b"fgb\x03fgb\x00"
+
+# flatgeobuf ColumnType enum (header.fbs)
+_FGB_COL_FMT = {
+    0: ("b", 1),   # Byte
+    1: ("B", 1),   # UByte
+    2: ("?", 1),   # Bool
+    3: ("h", 2),   # Short
+    4: ("H", 2),   # UShort
+    5: ("i", 4),   # Int
+    6: ("I", 4),   # UInt
+    7: ("q", 8),   # Long
+    8: ("Q", 8),   # ULong
+    9: ("f", 4),   # Float
+    10: ("d", 8),  # Double
+}
+_FGB_COL_VARLEN = {11, 12, 13, 14}  # String, Json, DateTime, Binary
+
+_FGB_GEOM_NAME = {
+    0: "Unknown", 1: "Point", 2: "LineString", 3: "Polygon",
+    4: "MultiPoint", 5: "MultiLineString", 6: "MultiPolygon",
+    7: "GeometryCollection",
+}
+
+
+def _fb_u16(buf, pos):
+    return _struct.unpack_from("<H", buf, pos)[0]
+
+
+def _fb_u32(buf, pos):
+    return _struct.unpack_from("<I", buf, pos)[0]
+
+
+def _fb_i32(buf, pos):
+    return _struct.unpack_from("<i", buf, pos)[0]
+
+
+def _fb_root(buf):
+    """Position of the root table."""
+    return _fb_u32(buf, 0)
+
+
+def _fb_field_pos(buf, tpos, idx):
+    """Absolute position of field ``idx`` of the table at ``tpos``, or
+    None when the field is absent (default)."""
+    vtpos = tpos - _fb_i32(buf, tpos)
+    vtsize = _fb_u16(buf, vtpos)
+    slot = 4 + 2 * idx
+    if slot + 2 > vtsize:
+        return None
+    fo = _fb_u16(buf, vtpos + slot)
+    return tpos + fo if fo else None
+
+
+def _fb_scalar(buf, tpos, idx, fmt, default=0):
+    p = _fb_field_pos(buf, tpos, idx)
+    return _struct.unpack_from("<" + fmt, buf, p)[0] if p is not None else default
+
+
+def _fb_indirect(buf, tpos, idx):
+    """Follow a uoffset field → absolute position of the target object."""
+    p = _fb_field_pos(buf, tpos, idx)
+    return p + _fb_u32(buf, p) if p is not None else None
+
+
+def _fb_string(buf, tpos, idx):
+    p = _fb_indirect(buf, tpos, idx)
+    if p is None:
+        return None
+    n = _fb_u32(buf, p)
+    return buf[p + 4 : p + 4 + n].decode("utf-8")
+
+
+def _fb_vector(buf, tpos, idx):
+    """uoffset field → (element_start, count) of the target vector."""
+    p = _fb_indirect(buf, tpos, idx)
+    if p is None:
+        return None, 0
+    return p + 4, _fb_u32(buf, p)
+
+
+def _fb_vec_scalars(buf, tpos, idx, fmt, width):
+    start, n = _fb_vector(buf, tpos, idx)
+    if start is None:
+        return []
+    return list(_struct.unpack_from(f"<{n}{fmt}", buf, start)) if n else []
+
+
+def _fb_vec_tables(buf, tpos, idx):
+    start, n = _fb_vector(buf, tpos, idx)
+    if start is None:
+        return []
+    out = []
+    for i in range(n):
+        p = start + 4 * i
+        out.append(p + _fb_u32(buf, p))
+    return out
+
+
+def _fgb_columns(buf, header_pos):
+    """Header field 7: [Column]; each Column: 0=name 1=type."""
+    cols = []
+    for cpos in _fb_vec_tables(buf, header_pos, 7):
+        cols.append(
+            (_fb_string(buf, cpos, 0) or "", _fb_scalar(buf, cpos, 1, "B", 0))
+        )
+    return cols
+
+
+def _fgb_pairs(xy):
+    return [[xy[i], xy[i + 1]] for i in range(0, len(xy), 2)]
+
+
+def _fgb_rings(xy, ends):
+    pts = _fgb_pairs(xy)
+    if not ends:
+        return [pts]
+    rings, prev = [], 0
+    for e in ends:
+        rings.append(pts[prev:e])
+        prev = e
+    return rings
+
+
+def _fgb_geometry(buf, gpos, gtype):
+    """Geometry table → (geojson_type, coordinates-or-geometries). Fields:
+    0=ends [uint], 1=xy [double], 6=type, 7=parts [Geometry]."""
+    own = _fb_scalar(buf, gpos, 6, "B", 0) or gtype
+    name = _FGB_GEOM_NAME.get(own, "Unknown")
+    parts = _fb_vec_tables(buf, gpos, 7)
+    if parts:
+        if name == "GeometryCollection":
+            geoms = []
+            for p in parts:
+                t, c = _fgb_geometry(buf, p, 0)
+                geoms.append({"type": t, "coordinates": c})
+            return name, geoms
+        # MultiPolygon / MultiLineString via parts: concat part coordinates
+        coords = []
+        for p in parts:
+            _t, c = _fgb_geometry(buf, p, own - 3 if own >= 4 else own)
+            coords.append(c)
+        return name, coords
+    xy = _fb_vec_scalars(buf, gpos, 1, "d", 8)
+    ends = _fb_vec_scalars(buf, gpos, 0, "I", 4)
+    if name == "Point":
+        return name, xy[:2]
+    if name in ("LineString", "MultiPoint"):
+        return name, _fgb_pairs(xy)
+    if name in ("Polygon", "MultiLineString"):
+        return name, _fgb_rings(xy, ends)
+    if name == "MultiPolygon":
+        # single-part multipolygon encoded flat
+        return name, [_fgb_rings(xy, ends)]
+    raise ValueError(f"unsupported FlatGeobuf geometry type {own}")
+
+
+def _fgb_properties(buf, fpos, columns):
+    """Feature field 1: [ubyte] properties blob — repeated
+    (u16 column index + value), value width from the column type."""
+    start, n = _fb_vector(buf, fpos, 1)
+    props = {}
+    if start is None:
+        return props
+    end = start + n
+    pos = start
+    while pos + 2 <= end:
+        ci = _fb_u16(buf, pos)
+        pos += 2
+        name, ctype = columns[ci]
+        if ctype in _FGB_COL_FMT:
+            fmt, width = _FGB_COL_FMT[ctype]
+            (val,) = _struct.unpack_from("<" + fmt, buf, pos)
+            pos += width
+        elif ctype in _FGB_COL_VARLEN:
+            ln = _fb_u32(buf, pos)
+            raw = bytes(buf[pos + 4 : pos + 4 + ln])
+            pos += 4 + ln
+            val = raw.hex() if ctype == 14 else raw.decode("utf-8")
+        else:
+            raise ValueError(f"unsupported FlatGeobuf column type {ctype}")
+        props[name] = val
+    return props
+
+
+def _fgb_index_size(features_count: int, node_size: int) -> int:
+    """Packed Hilbert R-tree size (spec: 40-byte nodes, levels bottom-up)."""
+    if node_size == 0 or features_count == 0:
+        return 0
+    n = features_count
+    total = n
+    while n != 1:
+        n = (n + node_size - 1) // node_size
+        total += n
+    return total * 40
+
+
+class FlatGeobuf(dt.FileData):
+    """FlatGeobuf (.fgb) cloud-optimized vector format (reference:
+    datatypes.py FlatGeoBuf; read there via GeoPandas/GDAL)."""
+
+    filepattern = r"fgb$"
+    magic = (FGB_MAGIC[:4],)
+    structure = {"table", "geo"}
+
+
+class FlatGeobufReader(BaseReader):
+    """FlatGeobuf → canonical geometry rows (GeoJSONReader-compatible):
+    ``id`` = feature ordinal, ``geometry`` = GeoJSON text, ``properties``
+    = JSON text. Direct flatbuffers wire-format parse (vtables/uoffsets)
+    — no flatbuffers runtime, no GDAL.
+
+    Scale shape: the driver walks only the size prefixes to build a
+    feature byte-range manifest (the spatial index, if present, is
+    skipped by its computed size — never loaded); executors seek+decode
+    their feature ranges in Arrow-batched ``mapInPandas``, the same
+    byte-range pattern as the Shapefile/GeoPackage readers."""
+
+    implements = {FlatGeobuf}
+
+    def _read(self, spark, features_per_task: int = 10_000, **kwargs):
+        from intake_spark.session import ensure_py_deps
+
+        url = self.data.url
+        with open(url, "rb") as f:
+            magic = f.read(8)
+            if magic != FGB_MAGIC:
+                raise ValueError("not a FlatGeobuf file (magic mismatch)")
+            (hsize,) = _struct.unpack("<I", f.read(4))
+            header = f.read(hsize)
+            hpos = _fb_root(header)
+            gtype = _fb_scalar(header, hpos, 2, "B", 0)
+            columns = _fgb_columns(header, hpos)
+            features_count = _fb_scalar(header, hpos, 8, "Q", 0)
+            node_size = _fb_scalar(header, hpos, 9, "H", 16)
+            f.seek(_fgb_index_size(features_count, node_size), 1)
+            # manifest: walk the size prefixes only
+            index = []
+            while True:
+                szb = f.read(4)
+                if len(szb) < 4:
+                    break
+                (fsize,) = _struct.unpack("<I", szb)
+                index.append((f.tell(), fsize))
+                f.seek(fsize, 1)
+
+        schema = T.StructType(
+            [
+                T.StructField("id", T.LongType()),
+                T.StructField("geometry_type", T.StringType()),
+                T.StructField("geometry", T.StringType()),
+                T.StructField("properties", T.StringType()),
+            ]
+        )
+        if not index:
+            return spark.createDataFrame([], schema)
+        ensure_py_deps(spark)
+        ranges = [
+            (start, min(start + features_per_task, len(index)))
+            for start in range(0, len(index), features_per_task)
+        ]
+        mdf = spark.createDataFrame(ranges, "rec_start long, rec_end long")
+        if len(ranges) > 1:
+            mdf = mdf.repartition(
+                min(len(ranges), spark.sparkContext.defaultParallelism)
+            )
+
+        def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            import json as _json
+
+            with open(url, "rb") as fh:
+                for pdf in batches:
+                    for _, rg in pdf.iterrows():
+                        rows = []
+                        for rec in range(int(rg.rec_start), int(rg.rec_end)):
+                            off, ln = index[rec]
+                            fh.seek(off)
+                            fbuf = fh.read(ln)
+                            fpos = _fb_root(fbuf)
+                            gpos = _fb_indirect(fbuf, fpos, 0)
+                            if gpos is None:
+                                gname, doc = "Unknown", None
+                            else:
+                                gname, coords = _fgb_geometry(fbuf, gpos, gtype)
+                                key = (
+                                    "geometries"
+                                    if gname == "GeometryCollection"
+                                    else "coordinates"
+                                )
+                                doc = _json.dumps(
+                                    {"type": gname, key: coords}, sort_keys=True
+                                )
+                            props = _fgb_properties(fbuf, fpos, columns)
+                            rows.append(
+                                (rec, gname, doc, _json.dumps(props, sort_keys=True))
+                            )
+                        yield pd.DataFrame(
+                            rows,
+                            columns=["id", "geometry_type", "geometry", "properties"],
+                        )
+
+        return mdf.mapInPandas(decode, schema=schema)

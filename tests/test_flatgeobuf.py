@@ -1,0 +1,219 @@
+"""FlatGeobuf reader — fixture built with a minimal flatbuffers builder
+(back-to-front assembly, same wire format the reader parses)."""
+
+from __future__ import annotations
+
+import json
+import struct
+
+import pytest
+
+
+class MiniFB:
+    """Tiny flatbuffers builder. Object refs are distances from the buffer
+    END (so later prepends can reference earlier objects with positive
+    uoffsets, as the wire format requires)."""
+
+    def __init__(self):
+        self.data = bytearray()
+
+    def _prepend(self, b: bytes) -> int:
+        self.data[:0] = b
+        return len(self.data)
+
+    def vec_scalars(self, fmt: str, vals) -> int:
+        body = struct.pack(f"<I{len(vals)}{fmt}", len(vals), *vals)
+        return self._prepend(body)
+
+    def string(self, s: str) -> int:
+        b = s.encode()
+        return self._prepend(struct.pack("<I", len(b)) + b + b"\x00")
+
+    def vec_offsets(self, refs) -> int:
+        chunk_ref = len(self.data) + 4 + 4 * len(refs)
+        body = struct.pack("<I", len(refs))
+        for i, r in enumerate(refs):
+            elem_ref = chunk_ref - 4 - 4 * i
+            body += struct.pack("<I", elem_ref - r)
+        return self._prepend(body)
+
+    def table(self, fields) -> int:
+        """fields: list of (idx, kind, value) with kind in
+        {'scalar:<fmt>', 'offset'}; returns the table ref."""
+        n_slots = (max(i for i, _k, _v in fields) + 1) if fields else 0
+        vtsize = 4 + 2 * n_slots
+        # lay out the table: 4-byte soffset then fields in given order
+        offs = {}
+        tsize = 4
+        for idx, kind, _v in fields:
+            offs[idx] = tsize
+            tsize += 4 if kind == "offset" else struct.calcsize(kind.split(":")[1])
+        vt = struct.pack("<HH", vtsize, tsize)
+        for i in range(n_slots):
+            vt += struct.pack("<H", offs.get(i, 0))
+        chunk_ref = len(self.data) + vtsize + tsize
+        t_ref = chunk_ref - vtsize
+        body = struct.pack("<i", vtsize)  # soffset: vtable sits before table
+        for idx, kind, v in fields:
+            if kind == "offset":
+                field_ref = t_ref - offs[idx]
+                body += struct.pack("<I", field_ref - v)
+            else:
+                body += struct.pack("<" + kind.split(":")[1], v)
+        self._prepend(vt + body)
+        return t_ref
+
+    def finish(self, root_ref: int) -> bytes:
+        total = len(self.data) + 4
+        self.data[:0] = struct.pack("<I", total - root_ref)
+        return bytes(self.data)
+
+
+def _geometry(fb: MiniFB, gtype: int, xy=None, ends=None, parts=None) -> int:
+    fields = []
+    if parts:
+        pref = fb.vec_offsets(parts)
+        fields.append((7, "offset", pref))
+    if xy is not None:
+        xref = fb.vec_scalars("d", xy)
+        fields.append((1, "offset", xref))
+    if ends:
+        eref = fb.vec_scalars("I", ends)
+        fields.append((0, "offset", eref))
+    fields.append((6, "scalar:B", gtype))
+    return fb.table(sorted(fields))
+
+
+def _feature(geom_builder, props: bytes) -> bytes:
+    fb = MiniFB()
+    gref = geom_builder(fb)
+    fields = [(0, "offset", gref)]
+    if props:
+        pref = fb.vec_scalars("B", list(props))
+        fields.append((1, "offset", pref))
+    return fb.finish(fb.table(fields))
+
+
+def _header(columns, features_count, geometry_type=0, node_size=0) -> bytes:
+    fb = MiniFB()
+    col_refs = []
+    for name, ctype in columns:
+        nref = fb.string(name)
+        col_refs.append(fb.table([(0, "offset", nref), (1, "scalar:B", ctype)]))
+    cvec = fb.vec_offsets(col_refs)
+    nref = fb.string("test-layer")
+    root = fb.table(
+        [
+            (0, "offset", nref),
+            (2, "scalar:B", geometry_type),
+            (7, "offset", cvec),
+            (8, "scalar:Q", features_count),
+            (9, "scalar:H", node_size),
+        ]
+    )
+    return fb.finish(root)
+
+
+COLUMNS = [("name", 11), ("pop", 7), ("frac", 10), ("flag", 2)]
+
+
+def _props(*pairs) -> bytes:
+    out = b""
+    for ci, val in pairs:
+        out += struct.pack("<H", ci)
+        ctype = COLUMNS[ci][1]
+        if ctype == 11:
+            b = val.encode()
+            out += struct.pack("<I", len(b)) + b
+        elif ctype == 7:
+            out += struct.pack("<q", val)
+        elif ctype == 10:
+            out += struct.pack("<d", val)
+        elif ctype == 2:
+            out += struct.pack("<?", val)
+    return out
+
+
+@pytest.fixture(scope="module")
+def fgb_file(tmp_path_factory):
+    from intake_spark.geo import FGB_MAGIC
+
+    f0 = _feature(
+        lambda fb: _geometry(fb, 1, xy=[30.0, 10.0]),
+        _props((0, "a"), (1, 7)),
+    )
+    f1 = _feature(
+        lambda fb: _geometry(
+            fb, 3, xy=[0.0, 0.0, 4.0, 0.0, 4.0, 4.0, 0.0, 0.0], ends=[4]
+        ),
+        _props((2, 0.5)),
+    )
+
+    def multipoly(fb):
+        p1 = _geometry(fb, 3, xy=[0.0, 0.0, 1.0, 0.0, 1.0, 1.0, 0.0, 0.0])
+        p2 = _geometry(fb, 3, xy=[9.0, 9.0, 8.0, 9.0, 8.0, 8.0, 9.0, 9.0])
+        return _geometry(fb, 6, parts=[p1, p2])
+
+    f2 = _feature(multipoly, _props((3, True)))
+
+    header = _header(COLUMNS, 3)
+    blob = FGB_MAGIC + struct.pack("<I", len(header)) + header
+    for f in (f0, f1, f2):
+        blob += struct.pack("<I", len(f)) + f
+    p = tmp_path_factory.mktemp("fgb") / "layer.fgb"
+    p.write_bytes(blob)
+    return str(p)
+
+
+def test_flatgeobuf_reader_end_to_end(spark, fgb_file):
+    from intake_spark.geo import FlatGeobuf, FlatGeobufReader
+
+    df = FlatGeobufReader(data=FlatGeobuf(url=fgb_file)).read(spark=spark)
+    rows = {r.id: r for r in df.collect()}
+    assert len(rows) == 3
+
+    assert rows[0].geometry_type == "Point"
+    assert json.loads(rows[0].geometry) == {"type": "Point", "coordinates": [30.0, 10.0]}
+    assert json.loads(rows[0].properties) == {"name": "a", "pop": 7}
+
+    g1 = json.loads(rows[1].geometry)
+    assert g1["type"] == "Polygon"
+    assert g1["coordinates"] == [[[0, 0], [4, 0], [4, 4], [0, 0]]]
+    assert json.loads(rows[1].properties) == {"frac": 0.5}
+
+    g2 = json.loads(rows[2].geometry)
+    assert g2["type"] == "MultiPolygon"
+    assert g2["coordinates"][0] == [[[0, 0], [1, 0], [1, 1], [0, 0]]]
+    assert g2["coordinates"][1] == [[[9, 9], [8, 9], [8, 8], [9, 9]]]
+    assert json.loads(rows[2].properties) == {"flag": True}
+
+
+def test_flatgeobuf_manifest_partitioning(spark, fgb_file):
+    from intake_spark.geo import FlatGeobuf, FlatGeobufReader
+
+    # one feature per task still yields every row exactly once
+    df = FlatGeobufReader(data=FlatGeobuf(url=fgb_file)).read(
+        spark=spark, features_per_task=1
+    )
+    assert sorted(r.id for r in df.collect()) == [0, 1, 2]
+
+
+def test_flatgeobuf_recommend(fgb_file):
+    from intake_spark.datatypes import recommend
+    from intake_spark.geo import FlatGeobuf
+
+    got = recommend(fgb_file)
+    assert any(isinstance(d, FlatGeobuf) or d is FlatGeobuf for d in got) or any(
+        getattr(d, "__name__", type(d).__name__) == "FlatGeobuf" for d in got
+    )
+
+
+def test_flatgeobuf_index_size():
+    from intake_spark.geo import _fgb_index_size
+
+    # 3 features, node 16: leaf level 3 + root 1 = 4 nodes * 40 bytes
+    assert _fgb_index_size(3, 16) == 160
+    assert _fgb_index_size(0, 16) == 0
+    assert _fgb_index_size(5, 0) == 0
+    # two levels: 100 leaves -> 7 -> 1
+    assert _fgb_index_size(100, 16) == (100 + 7 + 1) * 40
