@@ -1625,3 +1625,149 @@ class FlatGeobufReader(BaseReader):
                         )
 
         return mdf.mapInPandas(decode, schema=schema)
+
+
+class FBBuilder:
+    """Minimal flatbuffers builder (back-to-front assembly) — enough wire
+    format for FlatGeobuf headers/features. Object refs are distances from
+    the buffer END so later prepends reference earlier objects with the
+    positive uoffsets the format requires. Shared by :func:`fgb_header` /
+    :func:`fgb_feature` (the ``to_flatgeobuf`` sink) and the test
+    fixtures, so writer and reader exercise the same wire rules."""
+
+    def __init__(self):
+        self.data = bytearray()
+
+    def _prepend(self, b: bytes) -> int:
+        self.data[:0] = b
+        return len(self.data)
+
+    def vec_scalars(self, fmt: str, vals) -> int:
+        body = _struct.pack(f"<I{len(vals)}{fmt}", len(vals), *vals)
+        return self._prepend(body)
+
+    def string(self, s: str) -> int:
+        b = s.encode()
+        return self._prepend(_struct.pack("<I", len(b)) + b + b"\x00")
+
+    def vec_offsets(self, refs) -> int:
+        chunk_ref = len(self.data) + 4 + 4 * len(refs)
+        body = _struct.pack("<I", len(refs))
+        for i, r in enumerate(refs):
+            elem_ref = chunk_ref - 4 - 4 * i
+            body += _struct.pack("<I", elem_ref - r)
+        return self._prepend(body)
+
+    def table(self, fields) -> int:
+        """fields: [(idx, kind, value)] with kind 'offset' or
+        'scalar:<struct-fmt>'; returns the table's ref."""
+        n_slots = (max(i for i, _k, _v in fields) + 1) if fields else 0
+        vtsize = 4 + 2 * n_slots
+        offs = {}
+        tsize = 4
+        for idx, kind, _v in fields:
+            offs[idx] = tsize
+            tsize += 4 if kind == "offset" else _struct.calcsize(kind.split(":")[1])
+        vt = _struct.pack("<HH", vtsize, tsize)
+        for i in range(n_slots):
+            vt += _struct.pack("<H", offs.get(i, 0))
+        chunk_ref = len(self.data) + vtsize + tsize
+        t_ref = chunk_ref - vtsize
+        body = _struct.pack("<i", vtsize)
+        for idx, kind, v in fields:
+            if kind == "offset":
+                field_ref = t_ref - offs[idx]
+                body += _struct.pack("<I", field_ref - v)
+            else:
+                body += _struct.pack("<" + kind.split(":")[1], v)
+        self._prepend(vt + body)
+        return t_ref
+
+    def finish(self, root_ref: int) -> bytes:
+        total = len(self.data) + 4
+        self.data[:0] = _struct.pack("<I", total - root_ref)
+        return bytes(self.data)
+
+
+_FGB_GEOM_CODE = {v: k for k, v in _FGB_GEOM_NAME.items()}
+
+
+def _fgb_build_geometry(fb: FBBuilder, doc: dict) -> int:
+    gname = doc["type"]
+    code = _FGB_GEOM_CODE[gname]
+    if gname == "GeometryCollection":
+        parts = [_fgb_build_geometry(fb, g) for g in doc["geometries"]]
+        return fb.table([(6, "scalar:B", code), (7, "offset", fb.vec_offsets(parts))])
+    coords = doc["coordinates"]
+    if gname == "MultiPolygon":
+        parts = [
+            _fgb_build_geometry(fb, {"type": "Polygon", "coordinates": poly})
+            for poly in coords
+        ]
+        return fb.table([(6, "scalar:B", code), (7, "offset", fb.vec_offsets(parts))])
+    if gname == "Point":
+        xy, ends = list(coords), []
+    elif gname in ("LineString", "MultiPoint"):
+        xy, ends = [v for pt in coords for v in pt], []
+    elif gname in ("Polygon", "MultiLineString"):
+        xy, ends, total = [], [], 0
+        for ring in coords:
+            xy.extend(v for pt in ring for v in pt)
+            total += len(ring)
+            ends.append(total)
+        if len(coords) == 1:
+            ends = []
+    else:
+        raise ValueError(f"to_flatgeobuf: unsupported geometry {gname}")
+    fields = [(6, "scalar:B", code)]
+    if xy:
+        fields.append((1, "offset", fb.vec_scalars("d", [float(v) for v in xy])))
+    if ends:
+        fields.append((0, "offset", fb.vec_scalars("I", ends)))
+    return fb.table(sorted(fields))
+
+
+def fgb_feature(doc: dict | None, props: dict, columns) -> bytes:
+    """One size-prefix-less feature flatbuffer from a GeoJSON geometry dict
+    and a property mapping (column order fixes the blob layout)."""
+    fb = FBBuilder()
+    fields = []
+    if doc is not None:
+        fields.append((0, "offset", _fgb_build_geometry(fb, doc)))
+    blob = b""
+    col_idx = {name: i for i, (name, _t) in enumerate(columns)}
+    for name, val in props.items():
+        if name not in col_idx or val is None:
+            continue
+        ci = col_idx[name]
+        ctype = columns[ci][1]
+        blob += _struct.pack("<H", ci)
+        if ctype in _FGB_COL_FMT:
+            fmt, _w = _FGB_COL_FMT[ctype]
+            blob += _struct.pack("<" + fmt, val)
+        else:
+            raw = val.encode() if isinstance(val, str) else bytes(val)
+            blob += _struct.pack("<I", len(raw)) + raw
+    if blob:
+        fields.append((1, "offset", fb.vec_scalars("B", list(blob))))
+    return fb.finish(fb.table(fields))
+
+
+def fgb_header(columns, features_count: int, geometry_type: int = 0, name: str = "layer") -> bytes:
+    fb = FBBuilder()
+    col_refs = [
+        fb.table([(0, "offset", fb.string(cname)), (1, "scalar:B", ctype)])
+        for cname, ctype in columns
+    ]
+    cvec = fb.vec_offsets(col_refs)
+    nref = fb.string(name)
+    root = fb.table(
+        [
+            (0, "offset", nref),
+            (2, "scalar:B", geometry_type),
+            (7, "offset", cvec),
+            (8, "scalar:Q", features_count),
+            (9, "scalar:H", 0),  # no spatial index written
+        ]
+    )
+    return fb.finish(root)

@@ -886,3 +886,62 @@ def to_msgpack(df: DataFrame, url: str) -> "object":
     out = MessagePack(url=url)
     out.metadata["rows_written"] = int(total or 0)
     return out
+
+
+def to_flatgeobuf(
+    df: DataFrame,
+    url: str,
+    columns: list[tuple[str, int]] | None = None,
+    layer_name: str = "layer",
+    max_bytes: int | None = 1 << 30,
+) -> "object":
+    """Canonical geometry rows (``geometry`` GeoJSON text + ``properties``
+    JSON text — the shape every geo reader here emits) → one FlatGeobuf
+    file, written with the package's own flatbuffers builder
+    (:class:`intake_spark.geo.FBBuilder`; no flatbuffers runtime, no
+    GDAL). Round-trips through :class:`intake_spark.geo.FlatGeobufReader`.
+
+    Column schema is inferred from a bounded sample when not given
+    (bool→Bool, int→Long, float→Double, str→String). Single-file vector
+    artifacts are a driver-edge cost model like ``to_png``/``to_npy`` —
+    features stream through ``toLocalIterator`` (one partition in driver
+    memory at a time) with a ``max_bytes`` guard; datasets at scale
+    belong in GeoParquet (``to_parquet`` on the same rows)."""
+    import json as _json
+
+    from intake_spark.geo import FGB_MAGIC, FlatGeobuf, fgb_feature, fgb_header
+
+    _PY_COL = {bool: 2, int: 7, float: 10, str: 11}
+    if columns is None:
+        seen: dict[str, int] = {}
+        for row in df.select("properties").limit(1000).collect():
+            for k, v in _json.loads(row["properties"] or "{}").items():
+                if v is not None and k not in seen:
+                    seen[k] = _PY_COL.get(type(v), 11)
+        columns = sorted(seen.items())
+
+    count = df.count()
+    written = 0
+    with open(url, "wb") as f:
+        f.write(FGB_MAGIC)
+        header = fgb_header(columns, count, name=layer_name)
+        f.write(len(header).to_bytes(4, "little"))
+        f.write(header)
+        written = 8 + 4 + len(header)
+        for row in df.select("geometry", "properties").toLocalIterator():
+            doc = _json.loads(row["geometry"]) if row["geometry"] else None
+            props = _json.loads(row["properties"] or "{}")
+            feat = fgb_feature(doc, props, columns)
+            written += 4 + len(feat)
+            if max_bytes is not None and written > max_bytes:
+                raise ValueError(
+                    f"to_flatgeobuf: output exceeds max_bytes={max_bytes}; "
+                    "single-file FGB is a driver-edge artifact — write "
+                    "GeoParquet for datasets of this size, or pass "
+                    "max_bytes=None to override deliberately"
+                )
+            f.write(len(feat).to_bytes(4, "little"))
+            f.write(feat)
+    out = FlatGeobuf(url=url)
+    out.metadata["rows_written"] = int(count)
+    return out

@@ -9,64 +9,7 @@ import struct
 import pytest
 
 
-class MiniFB:
-    """Tiny flatbuffers builder. Object refs are distances from the buffer
-    END (so later prepends can reference earlier objects with positive
-    uoffsets, as the wire format requires)."""
-
-    def __init__(self):
-        self.data = bytearray()
-
-    def _prepend(self, b: bytes) -> int:
-        self.data[:0] = b
-        return len(self.data)
-
-    def vec_scalars(self, fmt: str, vals) -> int:
-        body = struct.pack(f"<I{len(vals)}{fmt}", len(vals), *vals)
-        return self._prepend(body)
-
-    def string(self, s: str) -> int:
-        b = s.encode()
-        return self._prepend(struct.pack("<I", len(b)) + b + b"\x00")
-
-    def vec_offsets(self, refs) -> int:
-        chunk_ref = len(self.data) + 4 + 4 * len(refs)
-        body = struct.pack("<I", len(refs))
-        for i, r in enumerate(refs):
-            elem_ref = chunk_ref - 4 - 4 * i
-            body += struct.pack("<I", elem_ref - r)
-        return self._prepend(body)
-
-    def table(self, fields) -> int:
-        """fields: list of (idx, kind, value) with kind in
-        {'scalar:<fmt>', 'offset'}; returns the table ref."""
-        n_slots = (max(i for i, _k, _v in fields) + 1) if fields else 0
-        vtsize = 4 + 2 * n_slots
-        # lay out the table: 4-byte soffset then fields in given order
-        offs = {}
-        tsize = 4
-        for idx, kind, _v in fields:
-            offs[idx] = tsize
-            tsize += 4 if kind == "offset" else struct.calcsize(kind.split(":")[1])
-        vt = struct.pack("<HH", vtsize, tsize)
-        for i in range(n_slots):
-            vt += struct.pack("<H", offs.get(i, 0))
-        chunk_ref = len(self.data) + vtsize + tsize
-        t_ref = chunk_ref - vtsize
-        body = struct.pack("<i", vtsize)  # soffset: vtable sits before table
-        for idx, kind, v in fields:
-            if kind == "offset":
-                field_ref = t_ref - offs[idx]
-                body += struct.pack("<I", field_ref - v)
-            else:
-                body += struct.pack("<" + kind.split(":")[1], v)
-        self._prepend(vt + body)
-        return t_ref
-
-    def finish(self, root_ref: int) -> bytes:
-        total = len(self.data) + 4
-        self.data[:0] = struct.pack("<I", total - root_ref)
-        return bytes(self.data)
+from intake_spark.geo import FBBuilder as MiniFB
 
 
 def _geometry(fb: MiniFB, gtype: int, xy=None, ends=None, parts=None) -> int:
@@ -217,3 +160,31 @@ def test_flatgeobuf_index_size():
     assert _fgb_index_size(5, 0) == 0
     # two levels: 100 leaves -> 7 -> 1
     assert _fgb_index_size(100, 16) == (100 + 7 + 1) * 40
+
+
+def test_flatgeobuf_write_read_roundtrip(spark, fgb_file, tmp_path):
+    from intake_spark.geo import FlatGeobuf, FlatGeobufReader
+    from intake_spark.output import to_flatgeobuf
+
+    src = FlatGeobufReader(data=FlatGeobuf(url=fgb_file)).read(spark=spark)
+    out = str(tmp_path / "round.fgb")
+    res = to_flatgeobuf(src, out)
+    assert res.metadata["rows_written"] == 3
+
+    back = FlatGeobufReader(data=FlatGeobuf(url=out)).read(spark=spark)
+    a = sorted(
+        (r.geometry_type, r.geometry, r.properties) for r in src.collect()
+    )
+    b = sorted(
+        (r.geometry_type, r.geometry, r.properties) for r in back.collect()
+    )
+    assert a == b
+
+
+def test_flatgeobuf_write_guard(spark, fgb_file, tmp_path):
+    from intake_spark.geo import FlatGeobuf, FlatGeobufReader
+    from intake_spark.output import to_flatgeobuf
+
+    src = FlatGeobufReader(data=FlatGeobuf(url=fgb_file)).read(spark=spark)
+    with pytest.raises(ValueError, match="max_bytes"):
+        to_flatgeobuf(src, str(tmp_path / "g.fgb"), max_bytes=64)
