@@ -875,6 +875,9 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "q88_bpe_learn",
     "q89_semantic_keep_set",
     "q90_semantic_label_matrix",
+    "q91_small_quantity_revenue",
+    "q92_large_volume_orders",
+    "q93_top_supplier",
 )
 
 
@@ -1204,4 +1207,124 @@ def q78_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_users",
         )
         .orderBy("cohort_day", "offset_days")
+    )
+
+
+@register(
+    "q91_small_quantity_revenue",
+    """
+    WITH avgq AS (
+      SELECT l_partkey, AVG(l_quantity) AS aq
+      FROM lineitem GROUP BY l_partkey)
+    SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(28,2))) AS DOUBLE) / 7.0
+             AS avg_yearly,
+           COUNT(*) AS n_items
+    FROM lineitem l JOIN avgq a ON l.l_partkey = a.l_partkey
+    WHERE l.l_quantity < 0.5 * a.aq
+    """,
+)
+def q91_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 pattern: the correlated scalar subquery (per-part average
+    quantity) decorrelated into a grouped aggregate + join — the rewrite
+    every optimizer must do; here it is explicit, and the part-keyed
+    average table (|parts| rows) BROADCASTS back onto lineitem so the
+    probe side never shuffles. Decimal-exact sum, one IEEE division."""
+    l = load_table(spark, sf_dir, "lineitem")
+    avgq = l.groupBy("l_partkey").agg(F.avg("l_quantity").alias("aq"))
+    return (
+        l.join(F.broadcast(avgq), "l_partkey")
+        .filter(F.col("l_quantity") < 0.5 * F.col("aq"))
+        .agg(
+            (dsum("l_extendedprice", 2) / F.lit(7.0)).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register(
+    "q92_large_volume_orders",
+    """
+    WITH s AS (
+      SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS total_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(28,2))) > 250)
+    SELECT c.c_name, o.o_orderkey,
+           CAST(o.o_orderdate AS TIMESTAMP_NS) AS orderdate,
+           o.o_totalprice, s.total_qty
+    FROM s JOIN orders o ON o.o_orderkey = s.l_orderkey
+           JOIN customer c ON c.c_custkey = o.o_custkey
+    ORDER BY o.o_totalprice DESC, o.o_orderkey
+    LIMIT 100
+    """,
+)
+def q92_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 pattern (large-volume orders): the IN-with-HAVING
+    subquery as an aggregate-then-join — the qualifying-order set is tiny
+    (top ~1% by quantity at every scale factor), so it broadcasts into
+    orders and the top-N lowers to TakeOrderedAndProject. Decimal-exact
+    quantity sums on both engines."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = (
+        l.groupBy("l_orderkey")
+        .agg(dsum("l_quantity", 2).alias("total_qty"))
+        .filter(F.col("total_qty") > 250)
+    )
+    return (
+        o.join(F.broadcast(s), o.o_orderkey == s.l_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select(
+            "c_name",
+            "o_orderkey",
+            F.col("o_orderdate").alias("orderdate"),
+            "o_totalprice",
+            "total_qty",
+        )
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
+@register(
+    "q93_top_supplier",
+    """
+    WITH rev AS (
+      SELECT l_suppkey,
+             CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,8))) AS DOUBLE)
+               AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+      GROUP BY l_suppkey)
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM rev r JOIN supplier s ON s.s_suppkey = r.l_suppkey
+    WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM rev)
+    ORDER BY s.s_suppkey
+    """,
+)
+def q93_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 pattern (top supplier): the revenue view computed once
+    and reused for both the rows and the scalar MAX — equality against a
+    broadcast one-row aggregate keeps ties (the spec's requirement, which
+    a LIMIT 1 would break). Quarter filter pushes into the parquet scan.
+    Decimal-exact revenue so the MAX equality is bit-stable across
+    engines and partitionings."""
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    rev = (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 8).alias("total_revenue"))
+    )
+    mx = rev.agg(F.max("total_revenue").alias("_mx"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("_mx"))
+        .join(F.broadcast(s), rev.l_suppkey == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
     )
