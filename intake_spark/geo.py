@@ -1771,3 +1771,52 @@ def fgb_header(columns, features_count: int, geometry_type: int = 0, name: str =
         ]
     )
     return fb.finish(root)
+
+
+_WKB_CODE = {
+    "Point": 1, "LineString": 2, "Polygon": 3, "MultiPoint": 4,
+    "MultiLineString": 5, "MultiPolygon": 6, "GeometryCollection": 7,
+}
+
+
+def geojson_to_wkb(doc: dict) -> bytes:
+    """GeoJSON geometry dict → 2-D little-endian WKB (the exact inverse of
+    :func:`_wkb_geom`)."""
+    gname = doc["type"]
+    code = _WKB_CODE[gname]
+    out = bytearray(b"\x01" + _struct.pack("<I", code))
+
+    def pts(seq):
+        for x, y in seq:
+            out.extend(_struct.pack("<2d", float(x), float(y)))
+
+    if gname == "Point":
+        pts([doc["coordinates"]])
+    elif gname in ("LineString", "MultiPoint"):
+        coords = doc["coordinates"]
+        out.extend(_struct.pack("<I", len(coords)))
+        if gname == "MultiPoint":
+            # WKB multipoint members are full Point geometries
+            out = bytearray(b"\x01" + _struct.pack("<II", code, len(coords)))
+            for pt in coords:
+                out.extend(geojson_to_wkb({"type": "Point", "coordinates": pt}))
+        else:
+            pts(coords)
+    elif gname == "Polygon":
+        rings = doc["coordinates"]
+        out.extend(_struct.pack("<I", len(rings)))
+        for ring in rings:
+            out.extend(_struct.pack("<I", len(ring)))
+            pts(ring)
+    elif gname in ("MultiLineString", "MultiPolygon"):
+        inner = "LineString" if gname == "MultiLineString" else "Polygon"
+        coords = doc["coordinates"]
+        out.extend(_struct.pack("<I", len(coords)))
+        for c in coords:
+            out.extend(geojson_to_wkb({"type": inner, "coordinates": c}))
+    else:  # GeometryCollection
+        geoms = doc["geometries"]
+        out.extend(_struct.pack("<I", len(geoms)))
+        for g in geoms:
+            out.extend(geojson_to_wkb(g))
+    return bytes(out)

@@ -188,3 +188,57 @@ def test_flatgeobuf_write_guard(spark, fgb_file, tmp_path):
     src = FlatGeobufReader(data=FlatGeobuf(url=fgb_file)).read(spark=spark)
     with pytest.raises(ValueError, match="max_bytes"):
         to_flatgeobuf(src, str(tmp_path / "g.fgb"), max_bytes=64)
+
+
+def test_geojson_wkb_roundtrip_all_types():
+    from intake_spark.geo import _wkb_geom, geojson_to_wkb
+
+    docs = [
+        {"type": "Point", "coordinates": [3.5, -2.0]},
+        {"type": "LineString", "coordinates": [[0, 0], [1, 1], [2, 0]]},
+        {"type": "MultiPoint", "coordinates": [[0, 0], [5, 5]]},
+        {"type": "Polygon", "coordinates": [[[0, 0], [4, 0], [4, 4], [0, 0]],
+                                            [[1, 1], [2, 1], [2, 2], [1, 1]]]},
+        {"type": "MultiLineString", "coordinates": [[[0, 0], [1, 0]], [[2, 2], [3, 3]]]},
+        {"type": "MultiPolygon", "coordinates": [
+            [[[0, 0], [1, 0], [1, 1], [0, 0]]],
+            [[[9, 9], [8, 9], [8, 8], [9, 9]]]]},
+        {"type": "GeometryCollection", "geometries": [
+            {"type": "Point", "coordinates": [1.0, 2.0]},
+            {"type": "LineString", "coordinates": [[0, 0], [1, 1]]}]},
+    ]
+    for doc in docs:
+        gtype, coords, _ = _wkb_geom(geojson_to_wkb(doc), 0)
+        assert gtype == doc["type"]
+        def asfloat(c):
+            if isinstance(c, list):
+                return [asfloat(x) for x in c]
+            return float(c)
+
+        if gtype == "GeometryCollection":
+            got = [{"type": g["type"], "coordinates": g["coordinates"]} for g in coords]
+            want = [
+                {"type": g["type"], "coordinates": asfloat(g["coordinates"])}
+                for g in doc["geometries"]
+            ]
+            assert got == want
+        else:
+            assert coords == asfloat(doc["coordinates"])
+
+
+def test_to_geoparquet_roundtrip(spark, fgb_file, tmp_path):
+    from intake_spark.geo import FlatGeobuf, FlatGeobufReader, GeoParquet, GeoParquetReader
+    from intake_spark.output import to_geoparquet
+
+    src = FlatGeobufReader(data=FlatGeobuf(url=fgb_file)).read(spark=spark)
+    url = str(tmp_path / "geo_pq")
+    # geometry_type is re-derived by the reader on the way back in
+    res = to_geoparquet(src.drop("geometry_type"), url)
+    assert res.metadata["rows_written"] == 3
+
+    back = GeoParquetReader(data=GeoParquet(url=url)).read(spark=spark)
+    a = sorted((r.id, r.geometry_type, r.geometry) for r in src.collect())
+    b = sorted((r.id, r.geometry_type, r.geometry) for r in back.collect())
+    assert [x[0] for x in a] == [x[0] for x in b]
+    assert [x[1] for x in a] == [x[1] for x in b]
+    assert [json.loads(x[2]) for x in a] == [json.loads(x[2]) for x in b]
