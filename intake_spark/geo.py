@@ -1820,3 +1820,161 @@ def geojson_to_wkb(doc: dict) -> bytes:
         for g in geoms:
             out.extend(geojson_to_wkb(g))
     return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# WKT (reference surface: geopandas reads WKT columns via GeoPandasTabular)
+# ---------------------------------------------------------------------------
+
+
+def wkt_to_geojson(text: str) -> tuple[str, dict | None]:
+    """Well-Known Text → (geometry_type, GeoJSON dict). 2-D, all seven
+    geometry types, EMPTY handled; case-insensitive keywords."""
+    s = text.strip()
+    up = s.upper()
+    for name in (
+        "GEOMETRYCOLLECTION", "MULTILINESTRING", "MULTIPOLYGON", "MULTIPOINT",
+        "LINESTRING", "POLYGON", "POINT",
+    ):
+        if up.startswith(name):
+            rest = s[len(name):].strip()
+            gname = {
+                "POINT": "Point", "LINESTRING": "LineString",
+                "POLYGON": "Polygon", "MULTIPOINT": "MultiPoint",
+                "MULTILINESTRING": "MultiLineString",
+                "MULTIPOLYGON": "MultiPolygon",
+                "GEOMETRYCOLLECTION": "GeometryCollection",
+            }[name]
+            break
+    else:
+        raise ValueError(f"not WKT: {text[:40]!r}")
+    if rest.upper() == "EMPTY":
+        return gname, None
+
+    def parse_group(txt: str, depth: int):
+        """Recursive ( ... ) group → nested coordinate lists at ``depth``
+        levels; depth 0 parses 'x y' pairs."""
+        txt = txt.strip()
+        if depth == 0:
+            if txt.startswith("("):  # MULTIPOINT ((1 2), ...) spelling
+                txt = txt[1:-1].strip()
+            parts = txt.split()
+            return [float(parts[0]), float(parts[1])]
+        assert txt[0] == "(" and txt[-1] == ")", f"malformed WKT group: {txt[:30]}"
+        inner = txt[1:-1]
+        # split on top-level commas
+        items, level, start = [], 0, 0
+        for i, ch in enumerate(inner):
+            if ch == "(":
+                level += 1
+            elif ch == ")":
+                level -= 1
+            elif ch == "," and level == 0:
+                items.append(inner[start:i])
+                start = i + 1
+        items.append(inner[start:])
+        return [parse_group(it, depth - 1) for it in items]
+
+    if gname == "GeometryCollection":
+        inner = rest.strip()
+        assert inner[0] == "(" and inner[-1] == ")"
+        body, level, start, parts = inner[1:-1], 0, 0, []
+        for i, ch in enumerate(body):
+            if ch == "(":
+                level += 1
+            elif ch == ")":
+                level -= 1
+            elif ch == "," and level == 0:
+                parts.append(body[start:i])
+                start = i + 1
+        parts.append(body[start:])
+        geoms = []
+        for p in parts:
+            t, d = wkt_to_geojson(p)
+            geoms.append(d if d is not None else {"type": t, "coordinates": []})
+        return gname, {"type": gname, "geometries": geoms}
+
+    depth = {
+        "Point": 1, "LineString": 1, "MultiPoint": 1,
+        "Polygon": 2, "MultiLineString": 2, "MultiPolygon": 3,
+    }[gname]
+    coords = parse_group(rest, depth)
+    if gname == "Point":
+        coords = coords[0]
+    elif gname == "MultiPoint":
+        # both spellings: MULTIPOINT ((1 2), (3 4)) and MULTIPOINT (1 2, 3 4)
+        coords = [c[0] if isinstance(c[0], list) else c for c in coords]
+    return gname, {"type": gname, "coordinates": coords}
+
+
+def geojson_to_wkt(doc: dict) -> str:
+    """GeoJSON geometry dict → WKT (exact inverse of
+    :func:`wkt_to_geojson` up to numeric formatting)."""
+
+    def fmt(v: float) -> str:
+        return repr(float(v)).rstrip("0").rstrip(".") if "." in repr(float(v)) else repr(float(v))
+
+    def pts(seq) -> str:
+        return ", ".join(f"{fmt(x)} {fmt(y)}" for x, y in seq)
+
+    gname = doc["type"]
+    if gname == "Point":
+        x, y = doc["coordinates"]
+        return f"POINT ({fmt(x)} {fmt(y)})"
+    if gname in ("LineString", "MultiPoint"):
+        return f"{gname.upper()} ({pts(doc['coordinates'])})"
+    if gname in ("Polygon", "MultiLineString"):
+        rings = ", ".join(f"({pts(r)})" for r in doc["coordinates"])
+        return f"{gname.upper()} ({rings})"
+    if gname == "MultiPolygon":
+        polys = ", ".join(
+            "(" + ", ".join(f"({pts(r)})" for r in poly) + ")"
+            for poly in doc["coordinates"]
+        )
+        return f"MULTIPOLYGON ({polys})"
+    if gname == "GeometryCollection":
+        return (
+            "GEOMETRYCOLLECTION ("
+            + ", ".join(geojson_to_wkt(g) for g in doc["geometries"])
+            + ")"
+        )
+    raise ValueError(f"unsupported geometry {gname}")
+
+
+def decode_wkt_column(df, wkt_col: str = "wkt"):
+    """Tabular rows with a WKT text column (the CSV+WKT interchange the
+    reference reads via GeoPandasTabular) → the canonical geometry row
+    model: attribute columns pass through native, the WKT column becomes
+    ``geometry_type`` + ``geometry`` (GeoJSON text). Arrow-batched
+    executor parse, mapper-only."""
+    import json as _json
+
+    from intake_spark.session import ensure_py_deps
+
+    ensure_py_deps(df.sparkSession)
+    others = [c for c in df.columns if c != wkt_col]
+    out_schema = T.StructType(
+        [df.schema[c] for c in others]
+        + [
+            T.StructField("geometry_type", T.StringType()),
+            T.StructField("geometry", T.StringType()),
+        ]
+    )
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            gtypes, geoms = [], []
+            for txt in pdf[wkt_col]:
+                if txt is None or not str(txt).strip():
+                    gtypes.append(None)
+                    geoms.append(None)
+                    continue
+                gtype, doc = wkt_to_geojson(str(txt))
+                gtypes.append(gtype)
+                geoms.append(_json.dumps(doc, sort_keys=True) if doc else None)
+            out = pdf[others].copy()
+            out["geometry_type"] = gtypes
+            out["geometry"] = geoms
+            yield out
+
+    return df.mapInPandas(decode, schema=out_schema)

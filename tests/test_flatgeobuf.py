@@ -242,3 +242,49 @@ def test_to_geoparquet_roundtrip(spark, fgb_file, tmp_path):
     assert [x[0] for x in a] == [x[0] for x in b]
     assert [x[1] for x in a] == [x[1] for x in b]
     assert [json.loads(x[2]) for x in a] == [json.loads(x[2]) for x in b]
+
+
+def test_wkt_geojson_roundtrip_all_types():
+    from intake_spark.geo import geojson_to_wkt, wkt_to_geojson
+
+    cases = [
+        "POINT (30 10)",
+        "LINESTRING (30 10, 10 30, 40 40)",
+        "POLYGON ((30 10, 40 40, 20 40, 10 20, 30 10))",
+        "POLYGON ((35 10, 45 45, 15 40, 10 20, 35 10), (20 30, 35 35, 30 20, 20 30))",
+        "MULTIPOINT ((10 40), (40 30), (20 20), (30 10))",
+        "MULTIPOINT (10 40, 40 30)",
+        "MULTILINESTRING ((10 10, 20 20, 10 40), (40 40, 30 30, 40 20, 30 10))",
+        "MULTIPOLYGON (((30 20, 45 40, 10 40, 30 20)), "
+        "((15 5, 40 10, 10 20, 5 10, 15 5)))",
+        "GEOMETRYCOLLECTION (POINT (40 10), LINESTRING (10 10, 20 20, 10 40))",
+        "point (1.5 -2.25)",
+    ]
+    for wkt in cases:
+        gtype, doc = wkt_to_geojson(wkt)
+        assert doc is not None and doc["type"] == gtype
+        # encode back and re-parse: fixed point
+        gtype2, doc2 = wkt_to_geojson(geojson_to_wkt(doc))
+        assert (gtype2, doc2) == (gtype, doc), wkt
+
+    t, d = wkt_to_geojson("POLYGON EMPTY")
+    assert t == "Polygon" and d is None
+
+
+def test_decode_wkt_column_and_wkb_parity(spark):
+    from intake_spark.geo import _wkb_geom, decode_wkt_column, geojson_to_wkb
+
+    rows = [
+        (1, "POINT (3 4)"),
+        (2, "POLYGON ((0 0, 2 0, 2 2, 0 0))"),
+        (3, None),
+    ]
+    df = spark.createDataFrame(rows, "id long, wkt string")
+    out = {r.id: r for r in decode_wkt_column(df).collect()}
+    assert out[1].geometry_type == "Point"
+    assert json.loads(out[1].geometry) == {"type": "Point", "coordinates": [3.0, 4.0]}
+    assert out[3].geometry is None
+
+    # the GeoJSON emitted by the WKT path feeds the WKB encoder unchanged
+    gtype, coords, _ = _wkb_geom(geojson_to_wkb(json.loads(out[2].geometry)), 0)
+    assert gtype == "Polygon" and coords[0][0] == [0.0, 0.0]
