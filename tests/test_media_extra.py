@@ -288,3 +288,39 @@ def test_au_alaw_known_values():
     rate, arr, bits = decode_au(_au(27, 8000, 1, bytes([0xD5, 0x55, 0x2A, 0xAA])))
     assert bits == 16
     assert arr[:, 0].tolist() == [8, -8, -32256, 32256]
+
+
+def test_truncated_inputs_raise_cleanly():
+    """Every new binary decoder must fail FAST on truncation — an
+    exception, never a hang or a silent wrong answer."""
+    from intake_spark.llm.multimodal import (
+        decode_aiff,
+        decode_au,
+        decode_pnm,
+        decode_tga,
+        decode_wav_adpcm,
+    )
+    from intake_spark.llm.video import parse_y4m
+
+    samples = np.zeros((4, 1), dtype=">i2")
+    good = {
+        "pnm": b"P6 2 2 255\n" + bytes(12),
+        "tga": _tga(2, 2, bytes(12)),
+        "aiff": _aiff(8000, 1, 16, samples.tobytes(), 4),
+        "au": _au(3, 8000, 1, samples.tobytes()),
+        "y4m": b"YUV4MPEG2 W2 H2 F25:1 C420\n" + b"FRAME\n" + bytes(6),
+    }
+    dec = {
+        "pnm": decode_pnm,
+        "tga": decode_tga,
+        "aiff": decode_aiff,
+        "au": decode_au,
+        "y4m": parse_y4m,
+    }
+    for name, blob in good.items():
+        dec[name](blob)  # sanity: full blob decodes
+        for cut in (1, 3, len(blob) // 2, len(blob) - 1):
+            try:
+                dec[name](blob[:cut])
+            except Exception:
+                pass  # any exception is fine; hangs/garbage are not
