@@ -585,3 +585,41 @@ def test_aiff_pcm16_roundtrip(rate, nch, vals):
     r, got, bits = decode_aiff(blob)
     assert r == rate and bits == 16
     assert got.tolist() == arr.astype(np.int16).tolist()
+
+
+_coord = st.tuples(
+    st.integers(-1000, 1000).map(lambda v: v / 4.0),
+    st.integers(-1000, 1000).map(lambda v: v / 4.0),
+).map(list)
+_ring = st.lists(_coord, min_size=3, max_size=6)
+_geojson = st.one_of(
+    st.builds(lambda c: {"type": "Point", "coordinates": c}, _coord),
+    st.builds(lambda c: {"type": "LineString", "coordinates": c},
+              st.lists(_coord, min_size=2, max_size=5)),
+    st.builds(lambda c: {"type": "MultiPoint", "coordinates": c},
+              st.lists(_coord, min_size=1, max_size=4)),
+    st.builds(lambda r: {"type": "Polygon", "coordinates": r},
+              st.lists(_ring, min_size=1, max_size=3)),
+    st.builds(lambda r: {"type": "MultiLineString", "coordinates": r},
+              st.lists(st.lists(_coord, min_size=2, max_size=4), min_size=1, max_size=3)),
+    st.builds(lambda p: {"type": "MultiPolygon", "coordinates": p},
+              st.lists(st.lists(_ring, min_size=1, max_size=2), min_size=1, max_size=2)),
+)
+
+
+@given(_geojson)
+def test_wkt_wkb_geojson_fixed_points(doc):
+    """Random geometries: GeoJSON→WKT→GeoJSON and GeoJSON→WKB→GeoJSON are
+    both identities (the three geometry codecs agree)."""
+    from intake_spark.geo import (
+        _wkb_geom,
+        geojson_to_wkb,
+        geojson_to_wkt,
+        wkt_to_geojson,
+    )
+
+    gtype, back = wkt_to_geojson(geojson_to_wkt(doc))
+    assert gtype == doc["type"] and back == doc
+
+    wtype, coords, _ = _wkb_geom(geojson_to_wkb(doc), 0)
+    assert wtype == doc["type"] and coords == doc["coordinates"]
