@@ -878,6 +878,8 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "q91_small_quantity_revenue",
     "q92_large_volume_orders",
     "q93_top_supplier",
+    "q94_temperature_mix",
+    "q95_token_budget_selection",
 )
 
 

@@ -160,3 +160,67 @@ def bench_split(
     thr = int(fraction * _BUCKETS)
     b = hash_bucket(id_col, salt)
     return df.filter(b >= thr), df.filter(b < thr)
+
+
+def select_token_budget(
+    df: DataFrame,
+    budget: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shards: int = 8,
+) -> DataFrame:
+    """Quality-ordered corpus selection under a total token budget: rank
+    documents by uniqueness ratio (distinct/total tokens — 1e12
+    fixed-point, id tie-break), take them greedily until the cumulative
+    token count would exceed ``budget``. The standard "best N tokens"
+    curation cut.
+
+    Scale shape: the global order NEVER runs through one task. The corpus
+    range-partitions on the rank key (``shards`` ordered ranges), each
+    shard prefix-sums locally (in-shard window after an in-shard sort),
+    and the cross-shard offsets come from a shards-sized aggregate —
+    the same two-pass prefix-sum design as ``pack_sequences``, applied to
+    an ordered selection. Result is independent of the shard boundaries.
+
+    Output: kept rows as (id, n_tokens, quality_fx, cum_tokens)."""
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    w = F.split(F.col(text_col), " ")
+    d = df.select(
+        F.col(id_col),
+        F.size(w).cast("long").alias("n_tokens"),
+        F.floor(
+            F.size(F.array_distinct(w)).cast("double") / F.size(w) * F.lit(1e12)
+        )
+        .cast("bigint")
+        .alias("quality_fx"),
+    )
+    d = d.repartitionByRange(shards, F.desc("quality_fx"), F.asc(id_col))
+    d = d.sortWithinPartitions(F.desc("quality_fx"), F.asc(id_col)).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    totals = {
+        int(r["_pid"]): int(r["_t"])
+        for r in d.groupBy("_pid").agg(F.sum("n_tokens").alias("_t")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(totals):
+        offsets[pid] = acc
+        acc += totals[pid]
+    off_expr = None
+    for pid, off in sorted(offsets.items()):
+        off_expr = (
+            F.when(F.col("_pid") == pid, F.lit(off))
+            if off_expr is None
+            else off_expr.when(F.col("_pid") == pid, F.lit(off))
+        )
+    win = (
+        Window.partitionBy("_pid")
+        .orderBy(F.desc("quality_fx"), F.asc(id_col))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        d.withColumn("cum_tokens", F.sum("n_tokens").over(win) + off_expr)
+        .filter(F.col("cum_tokens") <= budget)
+        .select(id_col, "n_tokens", "quality_fx", "cum_tokens")
+    )

@@ -1610,3 +1610,83 @@ def q90_semantic_label_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_pairs"))
         .orderBy("label_lo", "label_hi")
     )
+
+
+_Q94_TARGET = 200
+
+
+@register(
+    "q94_temperature_mix",
+    f"""
+    WITH c AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+    sq AS (SELECT source, n,
+                  CAST(FLOOR(sqrt(CAST(n AS DOUBLE)) * 1000000.0) AS BIGINT) AS sqx
+           FROM c),
+    tot AS (SELECT SUM(sqx) AS S FROM sq),
+    rates AS (
+      SELECT source, n,
+             CAST(FLOOR(LEAST(1.0,
+                    CAST({_Q94_TARGET} * sqx AS DOUBLE) / CAST(S * n AS DOUBLE))
+                  * 1000000.0) AS BIGINT) AS thr
+      FROM sq CROSS JOIN tot),
+    k AS (
+      SELECT d.source, COUNT(*) AS kept
+      FROM documents d JOIN rates r USING (source)
+      WHERE {_HASH_BUCKET_SQL.format(key="concat('temp', CAST(doc_id AS VARCHAR))")} < r.thr
+      GROUP BY d.source)
+    SELECT r.source, CAST(r.n AS BIGINT) AS n_docs, r.thr,
+           CAST(COALESCE(k.kept, 0) AS BIGINT) AS n_kept
+    FROM rates r LEFT JOIN k USING (source) ORDER BY r.source
+    """,
+)
+def q94_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature (tau=2) source rebalancing: keep rates proportional to
+    sqrt(n_source)/n_source, applied as deterministic hash sampling — the
+    multilingual up-weight-the-tail recipe. Audit output per source:
+    size, fixed-point bucket threshold, realized kept count. sqrt is IEEE
+    correctly rounded on both engines; the normalizer is an exact BIGINT
+    sum; the rate is one double division."""
+    docs = load_table(spark, sf_dir, "documents")
+    mixed, rates = sampling.mix_by_temperature(docs, target_total=_Q94_TARGET)
+    kept = mixed.groupBy("source").agg(F.count(F.lit(1)).alias("n_kept"))
+    return (
+        rates.join(kept, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            F.col("_thr").alias("thr"),
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "q95_token_budget_selection",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             CAST(FLOOR(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                        / len(string_split(text, ' ')) * 1000000000000.0) AS BIGINT)
+               AS quality_fx
+      FROM documents),
+    c AS (
+      SELECT doc_id, n_tokens, quality_fx,
+             CAST(SUM(n_tokens) OVER (ORDER BY quality_fx DESC, doc_id
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS cum_tokens
+      FROM d)
+    SELECT doc_id, n_tokens, quality_fx, cum_tokens
+    FROM c WHERE cum_tokens <= 10000
+    """,
+)
+def q95_token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best-tokens-first curation cut: documents ranked by uniqueness
+    ratio (1e12 fixed point, id tie-break) are taken greedily until a
+    10k-token budget fills. The global prefix sum never touches one task:
+    range-partition on the rank key, in-shard windows, cross-shard
+    offsets from a shards-sized aggregate (assembly.select_token_budget)
+    — the oracle recomputes it with a single SQL running sum."""
+    docs = load_table(spark, sf_dir, "documents")
+    return assembly.select_token_budget(docs, budget=10_000)

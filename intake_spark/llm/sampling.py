@@ -115,3 +115,49 @@ def top_k_per_group(
         .filter(F.col("_rk") <= k)
         .drop("_rk")
     )
+
+
+def mix_by_temperature(
+    df: DataFrame,
+    target_total: int,
+    source_col: str = "source",
+    key_col: str = "doc_id",
+    salt: str = "temp",
+):
+    """Temperature-scaled source mixing at tau=2 (the multilingual-corpus
+    recipe: sample source i proportionally to n_i^(1/tau) = sqrt(n_i), so
+    small sources are UP-weighted relative to their share): computes
+    per-source keep rates for an expected ``target_total`` rows and
+    applies them as deterministic hash sampling.
+
+    Returns (mixed_df, rates_df) where rates_df is the per-source audit
+    table (n_docs, bucket threshold, realized rate). Engine-exact by the
+    repo's policy: sqrt is IEEE-correctly-rounded everywhere, its output
+    floors to a 1e6 fixed point, the normalizer is an exact BIGINT sum,
+    and the final rate is ONE double division — so the same rows survive
+    on any engine and any partitioning. Everything is a broadcast of a
+    source-count table onto a mapper-only filter; no corpus shuffle."""
+    counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("_n"))
+    sq = counts.withColumn(
+        "_sq", F.floor(F.sqrt(F.col("_n").cast("double")) * F.lit(1e6)).cast("bigint")
+    )
+    total = sq.agg(F.sum("_sq").alias("_S"))
+    rates = (
+        sq.crossJoin(F.broadcast(total))
+        .withColumn(
+            "_thr",
+            F.floor(
+                F.least(
+                    F.lit(1.0),
+                    (F.lit(int(target_total)) * F.col("_sq")).cast("double")
+                    / (F.col("_S") * F.col("_n")).cast("double"),
+                )
+                * F.lit(float(_BUCKETS))
+            ).cast("bigint"),
+        )
+        .select(source_col, F.col("_n").alias("n_docs"), "_thr")
+    )
+    mixed = df.join(F.broadcast(rates), source_col).filter(
+        hash_bucket(key_col, salt) < F.col("_thr")
+    )
+    return mixed.drop("n_docs", "_thr"), rates

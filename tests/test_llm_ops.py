@@ -1247,3 +1247,48 @@ def test_bpe_random_corpora_match_reference(spark):
                 for r in bpe.bpe_segment_vocab(bpe.word_counts(df), got).collect()
             }
             assert seg == segs, f"case {case} segmentation: {texts}"
+
+
+def test_select_token_budget_shard_independent(spark, docs):
+    """The budget cut must be identical for any shard count (the global
+    prefix sum is exact regardless of range boundaries) and must match
+    the naive single-order definition."""
+    from intake_spark.llm import assembly
+
+    a = sorted(
+        (r.doc_id, r.cum_tokens)
+        for r in assembly.select_token_budget(docs, 10_000, shards=1).collect()
+    )
+    b = sorted(
+        (r.doc_id, r.cum_tokens)
+        for r in assembly.select_token_budget(docs, 10_000, shards=8).collect()
+    )
+    assert a == b and len(a) > 0
+    # the last kept doc's cumulative count respects the budget; adding the
+    # next doc in rank order would exceed it
+    assert max(c for _i, c in a) <= 10_000
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        assembly.select_token_budget(docs, 0)
+
+
+def test_mix_by_temperature_upweights_small_sources(spark):
+    from intake_spark.llm import sampling
+
+    rows = [(i, "big") for i in range(900)] + [(i + 1000, "small") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    mixed, rates = sampling.mix_by_temperature(df, target_total=200)
+    r = {x.source: x for x in rates.collect()}
+    # sqrt weighting: keep RATE for the small source is ~3x the big one's
+    # (sqrt(900)/900 = 1/30 vs sqrt(100)/100 = 1/10; exact up to the floors)
+    assert abs(r["small"]._thr - 3 * r["big"]._thr) <= 3
+    kept = {x.source: x["count"] for x in mixed.groupBy("source").count().collect()}
+    # small source contributes far above its 10% share
+    assert kept["small"] / (kept["small"] + kept["big"]) > 0.2
+    # reproducible under partitioning
+    mixed2, _ = sampling.mix_by_temperature(df.repartition(7), target_total=200)
+    assert sorted(r.doc_id for r in mixed.collect()) == sorted(
+        r.doc_id for r in mixed2.collect()
+    )

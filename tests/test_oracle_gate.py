@@ -90,7 +90,7 @@ def test_no_row_udfs_and_sanctioned_cartesians_only(spark):
     from intake_spark.benchqueries import get_queries
 
     # q25/q45: brute-force similarity IS the oracle algorithm (guarded);
-    # q63/q64/q75/q77/q87/q93: single-row broadcast scalar thresholds/
+    # q63/q64/q75/q77/q87/q93/q94: single-row broadcast scalar thresholds/
     # vocabularies/corpus stats
     sanctioned = {
         "q25_knn_bruteforce",
@@ -101,6 +101,7 @@ def test_no_row_udfs_and_sanctioned_cartesians_only(spark):
         "q77_funnel",
         "q87_bm25_search",
         "q93_top_supplier",
+        "q94_temperature_mix",
     }
     offenders_udf, offenders_cart = [], []
     for name, fn in get_queries().items():
