@@ -1512,6 +1512,10 @@ def _fgb_index_size(features_count: int, node_size: int) -> int:
     """Packed Hilbert R-tree size (spec: 40-byte nodes, levels bottom-up)."""
     if node_size == 0 or features_count == 0:
         return 0
+    if node_size < 2:
+        raise ValueError(
+            f"invalid FlatGeobuf index_node_size {node_size} (spec minimum 2)"
+        )
     n = features_count
     total = n
     while n != 1:
@@ -1580,11 +1584,20 @@ class FlatGeobufReader(BaseReader):
         if not index:
             return spark.createDataFrame([], schema)
         ensure_py_deps(spark)
+        # each manifest ROW carries only ITS slice of (offset, size) pairs
+        # — capturing the whole index in the decode closure would ship the
+        # full manifest to every task (hundreds of MB at 10M features)
         ranges = [
-            (start, min(start + features_per_task, len(index)))
+            (
+                start,
+                [o for o, _l in index[start : start + features_per_task]],
+                [l for _o, l in index[start : start + features_per_task]],
+            )
             for start in range(0, len(index), features_per_task)
         ]
-        mdf = spark.createDataFrame(ranges, "rec_start long, rec_end long")
+        mdf = spark.createDataFrame(
+            ranges, "rec_start long, offs array<long>, lens array<long>"
+        )
         if len(ranges) > 1:
             mdf = mdf.repartition(
                 min(len(ranges), spark.sparkContext.defaultParallelism)
@@ -1597,8 +1610,9 @@ class FlatGeobufReader(BaseReader):
                 for pdf in batches:
                     for _, rg in pdf.iterrows():
                         rows = []
-                        for rec in range(int(rg.rec_start), int(rg.rec_end)):
-                            off, ln = index[rec]
+                        for i, (off, ln) in enumerate(zip(rg.offs, rg.lens)):
+                            rec = int(rg.rec_start) + i
+                            off, ln = int(off), int(ln)
                             fh.seek(off)
                             fbuf = fh.read(ln)
                             fpos = _fb_root(fbuf)
@@ -1744,9 +1758,24 @@ def fgb_feature(doc: dict | None, props: dict, columns) -> bytes:
         blob += _struct.pack("<H", ci)
         if ctype in _FGB_COL_FMT:
             fmt, _w = _FGB_COL_FMT[ctype]
+            # coerce to the declared column type so a type-inconsistent or
+            # nested value cannot kill the write job mid-file
+            if fmt == "?":
+                val = bool(val)
+            elif fmt in ("f", "d"):
+                val = float(val)
+            else:
+                val = int(val)
             blob += _struct.pack("<" + fmt, val)
         else:
-            raw = val.encode() if isinstance(val, str) else bytes(val)
+            if isinstance(val, str):
+                raw = val.encode()
+            elif isinstance(val, (bytes, bytearray)):
+                raw = bytes(val)
+            else:
+                import json as _json
+
+                raw = _json.dumps(val, sort_keys=True).encode()
             blob += _struct.pack("<I", len(raw)) + raw
     if blob:
         fields.append((1, "offset", fb.vec_scalars("B", list(blob))))
@@ -1912,7 +1941,9 @@ def geojson_to_wkt(doc: dict) -> str:
     :func:`wkt_to_geojson` up to numeric formatting)."""
 
     def fmt(v: float) -> str:
-        return repr(float(v)).rstrip("0").rstrip(".") if "." in repr(float(v)) else repr(float(v))
+        # repr round-trips exactly and is valid WKT; NEVER strip characters
+        # (stripping zeros corrupts scientific notation: '1.5e+20'→'1.5e+2')
+        return repr(float(v))
 
     def pts(seq) -> str:
         return ", ".join(f"{fmt(x)} {fmt(y)}" for x, y in seq)

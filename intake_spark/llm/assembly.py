@@ -186,6 +186,9 @@ def select_token_budget(
     if budget <= 0:
         raise ValueError("budget must be positive")
     w = F.split(F.col(text_col), " ")
+    # NULL text would rank at TOP quality with n_tokens=-1 (F.size(NULL)
+    # is -1); the oracle's running sum excludes NULLs — drop them here too
+    df = df.filter(F.col(text_col).isNotNull())
     d = df.select(
         F.col(id_col),
         F.size(w).cast("long").alias("n_tokens"),

@@ -232,7 +232,7 @@ def audio_meta(content: bytes) -> dict:
         enc = int.from_bytes(content[12:16], "big")
         rate = int.from_bytes(content[16:20], "big")
         nch = int.from_bytes(content[20:24], "big")
-        bits = {1: 8, 2: 8, 3: 16, 4: 24, 5: 32}.get(enc, 0)
+        bits = {1: 8, 2: 8, 3: 16, 4: 24, 5: 32, 27: 8}.get(enc, 0)
         n = dlen // max(1, (bits // 8) * nch) if bits else 0
         return {
             "format": "au",

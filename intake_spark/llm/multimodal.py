@@ -315,7 +315,13 @@ def decode_image(content: bytes):
     if content[:1] == b"P" and content[1:2] in b"123456":
         return decode_pnm(content)
     if content[-18:] == b"TRUEVISION-XFILE.\x00" or (
-        len(content) > 18 and content[1] == 0 and content[2] in (2, 3, 10, 11)
+        len(content) > 18
+        and content[1] == 0
+        and content[2] in (2, 3, 10, 11)
+        and content[3:8] == b"\x00\x00\x00\x00\x00"  # empty colormap spec
+        and content[16] in (8, 24, 32)
+        and int.from_bytes(content[12:14], "little") > 0
+        and int.from_bytes(content[14:16], "little") > 0
     ):
         # TGA has no leading magic: trust the v2 footer, else the
         # no-palette + known-image-type header shape
@@ -1057,12 +1063,24 @@ def decode_pnm(content: bytes):
     nch = 3 if kind in (3, 6) else 1
     dt = np.uint16 if maxval > 255 else np.uint8
 
-    if kind in (1, 2, 3):  # ASCII
+    if kind == 1:  # plain PBM: spec allows unseparated pixel digits
+        need = h * w
+        bits = []
+        i = pos
+        while i < len(content) and len(bits) < need:
+            b = content[i]
+            if b in (0x30, 0x31):
+                bits.append(b - 0x30)
+            elif b == 0x23:  # '#' comment to end of line
+                while i < len(content) and content[i] not in (10, 13):
+                    i += 1
+            i += 1
+        arr = np.array(bits, dtype=dt)
+        return ((1 - arr).astype(dt) * maxval).reshape(h, w, 1)
+    if kind in (2, 3):  # ASCII graymap/pixmap: whitespace-separated
         vals = content[pos:].split()
         need = h * w * nch
         arr = np.array([int(v) for v in vals[:need]], dtype=dt)
-        if kind == 1:  # PBM: 1 = black; normalize to intensity
-            arr = (1 - arr).astype(dt) * maxval
         return arr.reshape(h, w, nch)
     if kind == 4:  # packed bits, rows padded to whole bytes
         rowbytes = (w + 7) // 8
@@ -1160,6 +1178,7 @@ def decode_aiff(content: bytes):
     nch = bits = rate = None
     frames = 0
     data = None
+    little = False  # AIFC 'sowt' = byte-swapped (little-endian) PCM
     while pos + 8 <= min(end, len(content)):
         cid = content[pos : pos + 4]
         clen = int.from_bytes(content[pos + 4 : pos + 8], "big")
@@ -1169,10 +1188,14 @@ def decode_aiff(content: bytes):
             frames = int.from_bytes(body[2:6], "big")
             bits = int.from_bytes(body[6:8], "big")
             rate = int(round(_read_extended80(body[8:18])))
-            if len(body) >= 22 and body[18:22] not in (b"NONE", b"sowt"):
-                raise NotImplementedError(
-                    f"AIFC compression {body[18:22]!r}: only PCM decodes"
-                )
+            if len(body) >= 22:
+                comp = body[18:22]
+                if comp == b"sowt":
+                    little = True
+                elif comp != b"NONE":
+                    raise NotImplementedError(
+                        f"AIFC compression {comp!r}: only PCM decodes"
+                    )
         elif cid == b"SSND":
             off = int.from_bytes(body[0:4], "big")
             data = body[8 + off :]
@@ -1181,12 +1204,15 @@ def decode_aiff(content: bytes):
         raise ValueError("AIFF missing COMM or SSND chunk")
     sw = (bits + 7) // 8
     n = frames * nch
+    bo = "<" if little else ">"
     if sw == 1:
         arr = np.frombuffer(data, dtype=np.int8, count=n).astype(np.int16)
     elif sw == 2:
-        arr = np.frombuffer(data, dtype=">i2", count=n).astype(np.int16)
+        arr = np.frombuffer(data, dtype=bo + "i2", count=n).astype(np.int16)
     elif sw == 3:
         raw = np.frombuffer(data, dtype=np.uint8, count=n * 3).reshape(-1, 3)
+        if little:
+            raw = raw[:, ::-1]
         arr = (
             (raw[:, 0].astype(np.int32) << 16)
             | (raw[:, 1].astype(np.int32) << 8)
@@ -1194,7 +1220,7 @@ def decode_aiff(content: bytes):
         )
         arr = (arr << 8) >> 8  # sign-extend 24-bit
     else:
-        arr = np.frombuffer(data, dtype=">i4", count=n).astype(np.int32)
+        arr = np.frombuffer(data, dtype=bo + "i4", count=n).astype(np.int32)
     return rate, arr.reshape(-1, nch), bits
 
 

@@ -913,12 +913,37 @@ def to_flatgeobuf(
 
     _PY_COL = {bool: 2, int: 7, float: 10, str: 11}
     if columns is None:
-        seen: dict[str, int] = {}
-        for row in df.select("properties").limit(1000).collect():
-            for k, v in _json.loads(row["properties"] or "{}").items():
-                if v is not None and k not in seen:
-                    seen[k] = _PY_COL.get(type(v), 11)
-        columns = sorted(seen.items())
+        # full-corpus distributed inference (a bounded sample would
+        # silently DROP keys that first appear later); conflicting types
+        # resolve upward to String (11) = lossless JSON text
+        def infer(batches):
+            import json as _j
+
+            import pandas as _pd
+
+            seen: dict[str, int] = {}
+            for pdf in batches:
+                for p in pdf["properties"]:
+                    for k, v in _j.loads(p or "{}").items():
+                        if v is None:
+                            continue
+                        t = _PY_COL.get(type(v), 11)
+                        seen[k] = max(seen.get(k, 0), t)
+            yield _pd.DataFrame(
+                {"k": list(seen), "t": list(seen.values())}
+            )
+
+        from intake_spark.session import ensure_py_deps as _epd
+
+        _epd(df.sparkSession)
+        rows = (
+            df.select("properties")
+            .mapInPandas(infer, "k string, t int")
+            .groupBy("k")
+            .agg(F.max("t").alias("t"))
+            .collect()
+        )
+        columns = sorted((r["k"], int(r["t"])) for r in rows)
 
     count = df.count()
     written = 0

@@ -288,3 +288,56 @@ def test_decode_wkt_column_and_wkb_parity(spark):
     # the GeoJSON emitted by the WKT path feeds the WKB encoder unchanged
     gtype, coords, _ = _wkb_geom(geojson_to_wkb(json.loads(out[2].geometry)), 0)
     assert gtype == "Polygon" and coords[0][0] == [0.0, 0.0]
+
+
+# --- review-pass regressions ----------------------------------------------
+
+
+def test_wkt_scientific_notation_roundtrip():
+    from intake_spark.geo import geojson_to_wkt, wkt_to_geojson
+
+    doc = {"type": "Point", "coordinates": [1.5e20, 2.5e-10]}
+    _t, back = wkt_to_geojson(geojson_to_wkt(doc))
+    assert back == doc
+
+
+def test_fgb_index_node_size_one_raises():
+    from intake_spark.geo import _fgb_index_size
+
+    with pytest.raises(ValueError, match="index_node_size"):
+        _fgb_index_size(10, 1)
+
+
+def test_to_flatgeobuf_late_key_and_nested_values(spark, tmp_path):
+    from intake_spark.geo import FlatGeobuf, FlatGeobufReader
+    from intake_spark.output import to_flatgeobuf
+
+    rows = [
+        (0, json.dumps({"type": "Point", "coordinates": [0.0, 0.0]}),
+         json.dumps({"a": 1})),
+        (1, json.dumps({"type": "Point", "coordinates": [1.0, 1.0]}),
+         json.dumps({"a": 2.5, "late": "x", "tags": ["u", "v"]})),
+    ]
+    df = spark.createDataFrame(rows, "id long, geometry string, properties string")
+    url = str(tmp_path / "late.fgb")
+    to_flatgeobuf(df, url)
+    back = {
+        r.id: json.loads(r.properties)
+        for r in FlatGeobufReader(data=FlatGeobuf(url=url)).read(spark=spark).collect()
+    }
+    # mixed int/float 'a' resolves upward to String (lossless, no crash);
+    # the key first appearing on a later row is NOT dropped
+    assert back[1]["late"] == "x"
+    assert json.loads(back[1]["tags"]) == ["u", "v"]
+    assert {"a", "late", "tags"} <= set(back[1])
+
+
+def test_select_token_budget_null_text(spark):
+    from intake_spark.llm import assembly
+
+    rows = [(1, "alpha beta gamma"), (2, None), (3, "one two")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = assembly.select_token_budget(df, budget=100)
+    ids = sorted(r.doc_id for r in out.collect())
+    assert ids == [1, 3]
+    assert all(r.n_tokens > 0 for r in out.collect())

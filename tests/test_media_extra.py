@@ -324,3 +324,36 @@ def test_truncated_inputs_raise_cleanly():
                 dec[name](blob[:cut])
             except Exception:
                 pass  # any exception is fine; hangs/garbage are not
+
+
+# --- review-pass regressions ----------------------------------------------
+
+
+def test_aifc_sowt_little_endian():
+    samples_le = np.array([[1000], [-2000]], dtype="<i2")
+    data = _aiff(8000, 1, 16, samples_le.tobytes(), 2, kind=b"AIFC", comp=b"sowt")
+    rate, arr, bits = decode_aiff(data)
+    assert arr[:, 0].tolist() == [1000, -2000]
+
+
+def test_pbm_unseparated_digits():
+    from intake_spark.llm.multimodal import decode_pnm
+
+    # spec-valid plain PBM: no whitespace between pixels
+    a = decode_pnm(b"P1\n4 2\n0110\n1001\n")
+    assert ((a[:, :, 0] == 0).astype(int).tolist()) == [[0, 1, 1, 0], [1, 0, 0, 1]]
+
+
+def test_cur_like_bytes_not_hijacked_as_tga():
+    # Windows cursor/icon directory starts 00 00 02 00 <count> ... —
+    # previously matched the footer-less TGA heuristic
+    cur = bytes([0, 0, 2, 0, 1, 0, 16, 16, 0, 0, 1, 0, 32, 0, 0, 0, 0, 0]) + bytes(64)
+    with pytest.raises((NotImplementedError, ValueError)):
+        decode_image(cur)
+
+
+def test_au_alaw_meta_bits():
+    from intake_spark.llm.audio_meta import audio_meta
+
+    m = audio_meta(_au(27, 8000, 1, bytes(8000)))
+    assert m["bits"] == 8 and m["duration_s"] == 1.0
