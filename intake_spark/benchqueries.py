@@ -880,6 +880,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "q93_top_supplier",
     "q94_temperature_mix",
     "q95_token_budget_selection",
+    "q96_zorder_layout",
 )
 
 
@@ -1329,4 +1330,52 @@ def q93_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(s), rev.l_suppkey == s.s_suppkey)
         .select("s_suppkey", "s_name", "total_revenue")
         .orderBy("s_suppkey")
+    )
+
+
+_Q96_BITS = 10
+
+
+def _q96_sql() -> str:
+    terms = []
+    for i in range(_Q96_BITS):
+        terms.append(f"(((p_size >> {i}) & 1) << {2 * i})")
+        terms.append(f"((((p_partkey % 1024) >> {i}) & 1) << {2 * i + 1})")
+    zkey = " + ".join(terms)
+    return f"""
+    WITH z AS (SELECT CAST({zkey} AS BIGINT) AS zkey FROM part)
+    SELECT CAST(zkey // 4096 AS BIGINT) AS zbucket,
+           COUNT(*) AS n_rows,
+           CAST(MIN(zkey) AS BIGINT) AS zmin,
+           CAST(MAX(zkey) AS BIGINT) AS zmax
+    FROM z GROUP BY zbucket ORDER BY zbucket
+    """
+
+
+@register("q96_zorder_layout", _q96_sql())
+def q96_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) layout report — the lakehouse OPTIMIZE..ZORDER
+    primitive: interleave p_size with a partkey residue into one
+    clustering key (exact integer bit math, JVM-side, mapper-only) and
+    report per-4096-key bucket occupancy — the row-group histogram a
+    Z-ordered write would produce. The layout itself
+    (layout.cluster_by_zorder) is repartitionByRange + in-partition sort;
+    the locality win (box filters touch few buckets) is asserted in
+    pytest."""
+    from intake_spark.layout import zorder_key
+
+    p = load_table(spark, sf_dir, "part")
+    z = p.select(
+        zorder_key(F.col("p_size"), F.col("p_partkey") % 1024, bits=_Q96_BITS).alias(
+            "zkey"
+        )
+    )
+    return (
+        z.groupBy(F.floor(F.col("zkey") / 4096).cast("long").alias("zbucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("zkey").alias("zmin"),
+            F.max("zkey").alias("zmax"),
+        )
+        .orderBy("zbucket")
     )

@@ -1,0 +1,50 @@
+"""Data-layout optimization: Z-order (Morton) clustering for multi-column
+range locality.
+
+The lakehouse OPTIMIZE ... ZORDER BY pattern (Delta/Iceberg compaction):
+interleave the bits of several range-query columns into one sort key, then
+range-partition + sort the write on it — rows close in the multi-dimensional
+box end up in the same files/row-groups, so a box predicate prunes most of
+the scan. The key computation is exact integer bit math (JVM higher-order
+functions; no UDF) and therefore oracle-checkable in SQL.
+
+Scale posture: computing the key is mapper-only; laying out by it is ONE
+repartitionByRange + sortWithinPartitions — the same cost as any sorted
+write, with multi-column locality instead of single-column.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def zorder_key(x, y, bits: int = 16):
+    """Interleave the low ``bits`` bits of two non-negative integer
+    columns into a Morton key: x bit i → key bit 2i, y bit i → key bit
+    2i+1. Pure JVM fold over the bit positions."""
+    xc = x if not isinstance(x, str) else F.col(x)
+    yc = y if not isinstance(y, str) else F.col(y)
+    key = F.lit(0).cast("long")
+    for i in range(bits):
+        key = (
+            key
+            + (F.shiftleft(F.shiftrightunsigned(xc.cast("long"), i) % 2, 2 * i))
+            + (F.shiftleft(F.shiftrightunsigned(yc.cast("long"), i) % 2, 2 * i + 1))
+        )
+    return key.cast("long")
+
+
+def cluster_by_zorder(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    bits: int = 16,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Lay out rows in Z-order on (x_col, y_col): adds ``zkey`` and
+    returns the frame range-partitioned + sorted on it, ready for a
+    parquet write whose row groups are 2-D-local (box filters prune)."""
+    out = df.withColumn("zkey", zorder_key(x_col, y_col, bits))
+    n = partitions or out.sparkSession.sparkContext.defaultParallelism
+    return out.repartitionByRange(n, F.asc("zkey")).sortWithinPartitions("zkey")

@@ -227,3 +227,120 @@ def select_token_budget(
         .filter(F.col("cum_tokens") <= budget)
         .select(id_col, "n_tokens", "quality_fx", "cum_tokens")
     )
+
+
+class PyBloom:
+    """Minimal deterministic Bloom filter over md5-derived 64-bit hashes
+    (double hashing, the standard k-probe construction). Built here
+    because Spark 4 removed ``DataFrameStatFunctions.bloomFilter``; a
+    numpy bit array broadcasts compactly (~1.2 MB per million keys at
+    fpp=0.1%) and membership is engine-independent."""
+
+    def __init__(self, n: int, fpp: float):
+        import math
+
+        import numpy as np
+
+        n = max(n, 1)
+        m = max(64, int(math.ceil(-n * math.log(fpp) / (math.log(2) ** 2))))
+        self.m = m
+        self.k = max(1, round(m / n * math.log(2)))
+        self.bits = np.zeros((m + 7) // 8, dtype="uint8")
+
+    @staticmethod
+    def _h(key: str) -> tuple[int, int]:
+        import hashlib
+
+        d = hashlib.md5(key.encode()).digest()
+        return int.from_bytes(d[:8], "big"), int.from_bytes(d[8:16], "big") | 1
+
+    def add(self, key: str) -> None:
+        h1, h2 = self._h(key)
+        for i in range(self.k):
+            b = (h1 + i * h2) % self.m
+            self.bits[b >> 3] |= 1 << (b & 7)
+
+    def might_contain(self, key: str) -> bool:
+        h1, h2 = self._h(key)
+        for i in range(self.k):
+            b = (h1 + i * h2) % self.m
+            if not (self.bits[b >> 3] >> (b & 7)) & 1:
+                return False
+        return True
+
+
+def bloom_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    fpp: float = 0.001,
+) -> DataFrame:
+    """Two-phase benchmark decontamination for when the benchmark shingle
+    set is too big to broadcast as an exact set but a BLOOM filter of it
+    still fits (the classic scale ladder: exact broadcast → bloom
+    prefilter → shuffle anti-join):
+
+    1. build a Bloom filter over the benchmark's shingle hashes
+       (driver-side; a few bits per shingle, ~1.2 MB per million at
+       fpp=0.1%),
+    2. mapper-side, keep only corpus docs with at least one
+       maybe-contaminated shingle — the bloom never false-negatives, so
+       no contaminated doc escapes the prefilter,
+    3. the surviving (tiny) candidate set alone pays the exact
+       shingle-level semi-join that removes bloom false positives.
+
+    Returns the CLEAN corpus (docs with no benchmark shingle), exactly
+    equal to the one-phase exact anti-join — verified in pytest — but
+    with the corpus-sized work all mapper-side."""
+    from intake_spark.session import ensure_py_deps
+
+    sh_bench = shingles(benchmark, id_col=id_col, text_col=text_col, k=k).select(
+        "shingle"
+    )
+    bench_shingles = [r["shingle"] for r in sh_bench.distinct().collect()]
+    bf = PyBloom(len(bench_shingles), fpp)
+    for sgl in bench_shingles:
+        bf.add(sgl)
+    spark = corpus.sparkSession
+    ensure_py_deps(spark)
+    bc = spark.sparkContext.broadcast(bf)
+
+    sh_corpus = shingles(corpus, id_col=id_col, text_col=text_col, k=k)
+
+    import pandas as pd_  # noqa: F401  (executor import)
+    from pyspark.sql import types as T_
+
+    def flag(batches):
+        import pandas as _pd
+
+        f = bc.value
+        for pdf in batches:
+            hit = pdf[[id_col]].copy()
+            hit["maybe"] = [
+                1 if f.might_contain(s) else 0 for s in pdf["shingle"]
+            ]
+            yield hit
+
+    schema = T_.StructType(
+        [
+            T_.StructField(id_col, corpus.schema[id_col].dataType),
+            T_.StructField("maybe", T_.IntegerType()),
+        ]
+    )
+    maybe_ids = (
+        sh_corpus.mapInPandas(flag, schema=schema)
+        .filter(F.col("maybe") == 1)
+        .select(id_col)
+        .distinct()
+    )
+    # exact pass ONLY over bloom candidates (false-positive cleanup)
+    candidates = corpus.join(maybe_ids, id_col, "left_semi")
+    sh_cand = shingles(candidates, id_col=id_col, text_col=text_col, k=k)
+    truly_bad = (
+        sh_cand.join(sh_bench.distinct(), "shingle", "left_semi")
+        .select(id_col)
+        .distinct()
+    )
+    return corpus.join(truly_bad, id_col, "left_anti")

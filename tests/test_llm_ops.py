@@ -1292,3 +1292,63 @@ def test_mix_by_temperature_upweights_small_sources(spark):
     assert sorted(r.doc_id for r in mixed.collect()) == sorted(
         r.doc_id for r in mixed2.collect()
     )
+
+
+def test_bloom_decontaminate_equals_exact(spark):
+    """The bloom two-phase pipeline must return EXACTLY the one-phase
+    exact anti-join result (bloom false positives are cleaned by the
+    second phase; false negatives don't exist)."""
+    from intake_spark.llm import assembly
+    from intake_spark.llm.dedup import shingles
+
+    corpus_rows = [
+        (1, "alpha beta gamma delta epsilon"),
+        (2, "totally clean document with fresh words"),
+        (3, "the quick brown fox jumps over dogs"),
+        (4, "clean words again but alpha beta gamma appears here"),
+    ]
+    bench_rows = [(100, "alpha beta gamma something"), (101, "quick brown fox story")]
+    corpus = spark.createDataFrame(corpus_rows, "doc_id long, text string")
+    bench = spark.createDataFrame(bench_rows, "doc_id long, text string")
+
+    got = sorted(r.doc_id for r in assembly.bloom_decontaminate(corpus, bench).collect())
+
+    sh_c = shingles(corpus)
+    sh_b = shingles(bench).select("shingle").distinct()
+    bad = sh_c.join(sh_b, "shingle", "left_semi").select("doc_id").distinct()
+    want = sorted(r.doc_id for r in corpus.join(bad, "doc_id", "left_anti").collect())
+    assert got == want == [2]
+
+
+def test_zorder_locality_beats_row_major(spark):
+    """A small 2-D box must touch far fewer Z-order buckets than the same
+    rows spread under row-major (x-major) ordering — the whole point of
+    the layout."""
+    from intake_spark.layout import cluster_by_zorder, zorder_key
+
+    rows = [(x, y) for x in range(64) for y in range(64)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    z = df.withColumn("zkey", zorder_key("x", "y", bits=6)).withColumn(
+        "rowmajor", F.col("x") * 64 + F.col("y")
+    )
+    box = z.filter((F.col("x") >= 8) & (F.col("x") < 16) & (F.col("y") >= 8) & (F.col("y") < 16))
+    zb = box.select((F.floor(F.col("zkey") / 64)).alias("b")).distinct().count()
+    rb = box.select((F.floor(F.col("rowmajor") / 64)).alias("b")).distinct().count()
+    assert zb < rb  # 8x8 box: 1 z-bucket vs 8 row-major buckets
+    assert zb == 1 and rb == 8
+
+    # cluster_by_zorder preserves rows and sorts by zkey within partitions
+    out = cluster_by_zorder(df, "x", "y", bits=6, partitions=4)
+    assert out.count() == 64 * 64
+
+
+def test_pybloom_no_false_negatives_bounded_fp():
+    from intake_spark.llm.assembly import PyBloom
+
+    keys = [f"key-{i}" for i in range(2000)]
+    bf = PyBloom(len(keys), fpp=0.01)
+    for k in keys:
+        bf.add(k)
+    assert all(bf.might_contain(k) for k in keys)  # bloom invariant
+    fps = sum(bf.might_contain(f"other-{i}") for i in range(5000))
+    assert fps / 5000 < 0.05  # ~1% design point, loose bound
