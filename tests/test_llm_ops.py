@@ -1352,3 +1352,26 @@ def test_pybloom_no_false_negatives_bounded_fp():
     assert all(bf.might_contain(k) for k in keys)  # bloom invariant
     fps = sum(bf.might_contain(f"other-{i}") for i in range(5000))
     assert fps / 5000 < 0.05  # ~1% design point, loose bound
+
+
+def test_hilbert_key_inverts_pmtiles_walk(spark):
+    """layout.hilbert_key_py must be the exact inverse of the PMTiles
+    d->xy walk already in geo.py — two independent implementations of the
+    same curve pin each other."""
+    from intake_spark.geo import _hilbert_d2xy
+    from intake_spark.layout import hilbert_key_py, with_hilbert_key
+
+    order = 4
+    for d in range(1 << (2 * order)):
+        x, y = _hilbert_d2xy(order, d)
+        assert hilbert_key_py(order, x, y) == d
+
+    rows = [(x, y) for x in range(8) for y in range(8)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    out = {(r.x, r.y): r.hkey for r in with_hilbert_key(df, "x", "y", order=3).collect()}
+    assert len(set(out.values())) == 64  # bijection on the grid
+    # locality: adjacent hilbert keys are adjacent cells (unit manhattan)
+    inv = {v: k for k, v in out.items()}
+    for d in range(63):
+        (x1, y1), (x2, y2) = inv[d], inv[d + 1]
+        assert abs(x1 - x2) + abs(y1 - y2) == 1
