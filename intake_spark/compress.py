@@ -51,8 +51,15 @@ def lz4_block_decompress(src: bytes, dest_size: int) -> bytes:
         start = len(out) - offset
         if start < 0:
             raise ValueError("corrupt LZ4 block (offset before start)")
-        for i in range(match_len):  # byte-wise: matches may self-overlap
-            out.append(out[start + i])
+        if offset >= match_len:
+            # non-overlapping: one slice copy (the hot path — executor-side
+            # zarr chunk decode would otherwise run millions of appends)
+            out += out[start : start + match_len]
+        else:
+            # self-overlapping run: repeat the offset-sized period
+            chunk = out[start:]
+            reps, rem = divmod(match_len, offset)
+            out += chunk * reps + chunk[:rem]
     if len(out) != dest_size:
         raise ValueError(f"LZ4 block decoded {len(out)} bytes, wanted {dest_size}")
     return bytes(out)

@@ -1633,7 +1633,9 @@ class YAMLConfigReader(BaseReader):
         from intake_spark.session import ensure_py_deps
 
         ensure_py_deps(spark)
-        files = _binary_glob(spark, self.data.url, "*.yaml")
+        # both spellings — the YAMLFile filepattern accepts .yml too, and
+        # Hadoop glob syntax supports alternation
+        files = _binary_glob(spark, self.data.url, "*.{yaml,yml}")
         schema = T.StructType(
             [
                 T.StructField("path", T.StringType()),

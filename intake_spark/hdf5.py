@@ -415,8 +415,9 @@ class _H5Meta:
 
     # ---- dataset discovery -------------------------------------------
     def walk(self, addr: int | None = None, prefix: str = "", seen=None) -> dict:
-        """Recursive group walk → {path: (shape, dtype, layout)} for every
-        dataset reachable from the root group."""
+        """Recursive group walk → {path: dataset_info tuple (shape,
+        dtype, layout, fill)} for every dataset reachable from the root
+        group."""
         if addr is None:
             addr = self.root
         if seen is None:

@@ -362,18 +362,24 @@ class AvroOCFReader(BaseReader):
 # --------------------------------------------------------------------------
 
 
+def _parse_ts_ms(timestamp: str) -> int:
+    """ISO ``YYYY-MM-DD[ HH:MM:SS]`` (T or space) → UTC epoch millis —
+    the shared timestampAsOf parser for the Delta AND Iceberg readers."""
+    import datetime as _dt
+
+    t = timestamp.strip().replace("T", " ")
+    fmt = "%Y-%m-%d %H:%M:%S" if " " in t else "%Y-%m-%d"
+    return int(
+        _dt.datetime.strptime(t, fmt).replace(tzinfo=_dt.timezone.utc).timestamp() * 1000
+    )
+
+
 def _delta_version_at(log: str, timestamp: str) -> int:
     """timestampAsOf semantics: the newest version whose commit timestamp
     (the ``commitInfo.timestamp`` millis, else the commit file's mtime)
     is <= the target. ``timestamp`` is ISO ``YYYY-MM-DD[ HH:MM:SS]``,
     interpreted as UTC."""
-    import datetime as _dt
-
-    t = timestamp.strip().replace("T", " ")
-    fmt = "%Y-%m-%d %H:%M:%S" if " " in t else "%Y-%m-%d"
-    target_ms = int(
-        _dt.datetime.strptime(t, fmt).replace(tzinfo=_dt.timezone.utc).timestamp() * 1000
-    )
+    target_ms = _parse_ts_ms(timestamp)
     best = None
     for f in sorted(os.listdir(log)):
         if not re.fullmatch(r"\d{20}\.json", f):
@@ -784,15 +790,7 @@ class IcebergTableReader(BaseReader):
                 raise ValueError("pass snapshot_id= or timestamp=, not both")
             # timestampAsOf: newest snapshot whose timestamp-ms <= target
             # (the snapshot list carries commit millis per the spec)
-            import datetime as _dt
-
-            t = str(timestamp).strip().replace("T", " ")
-            fmt = "%Y-%m-%d %H:%M:%S" if " " in t else "%Y-%m-%d"
-            target_ms = int(
-                _dt.datetime.strptime(t, fmt)
-                .replace(tzinfo=_dt.timezone.utc)
-                .timestamp() * 1000
-            )
+            target_ms = _parse_ts_ms(str(timestamp))
             eligible = [
                 s for s in meta.get("snapshots", [])
                 if int(s.get("timestamp-ms", 0)) <= target_ms

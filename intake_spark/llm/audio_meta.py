@@ -110,6 +110,11 @@ def mp3_meta(content: bytes, max_walk_frames: int = 2_000_000) -> dict:
             n_frames += 1
             p += fr[0]
     duration = n_frames * spf / rate if rate else 0.0
+    bitrate = meta["bitrate_kbps"]
+    if vbr and duration > 0:
+        # the documented semantics: VBR reports the AVERAGE bitrate implied
+        # by payload size / duration, not the (arbitrary) first frame's
+        bitrate = int(round((len(content) - pos) * 8 / duration / 1000))
     out = {
         "format": "mp3",
         "sample_rate": rate,
@@ -117,7 +122,7 @@ def mp3_meta(content: bytes, max_walk_frames: int = 2_000_000) -> dict:
         "duration_s": round(duration, 6),
         "n_frames": n_frames,
         "vbr": vbr,
-        "bitrate_kbps": meta["bitrate_kbps"],
+        "bitrate_kbps": bitrate,
         "mpeg_version": meta["mpeg_version"],
     }
     return out

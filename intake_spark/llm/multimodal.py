@@ -781,6 +781,9 @@ def image_meta(content: bytes) -> dict:
                 pos += 1
                 continue
             marker = content[pos + 1]
+            if marker == 0xFF:  # fill byte padding before a marker
+                pos += 1
+                continue
             if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
                 pos += 2
                 continue

@@ -478,12 +478,14 @@ def bigram_stats(
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    return (
-        big.join(F.broadcast(uni.withColumnRenamed("tok", "w1")
-                 .withColumnRenamed("n", "n_a")), "w1")
-        .join(F.broadcast(uni.withColumnRenamed("tok", "w2")
-              .withColumnRenamed("n", "n_b")), "w2")
-        .select("w1", "w2", "n_ab", "n_a", "n_b")
+    # broadcast the TINY side (top-N bigrams), never the corpus-sized
+    # vocabulary table — an open-ended vocabulary (URLs, code ids) would
+    # blow the broadcast limit the other way around
+    j1 = uni.join(
+        F.broadcast(big), uni.tok == big.w1
+    ).select("w1", "w2", "n_ab", F.col("n").alias("n_a"))
+    return uni.join(F.broadcast(j1), uni.tok == j1.w2).select(
+        "w1", "w2", "n_ab", "n_a", F.col("n").alias("n_b")
     )
 
 

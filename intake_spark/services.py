@@ -492,17 +492,8 @@ _XLINK = "{http://www.w3.org/1999/xlink}"
 
 
 def _thredds_fetch(url: str) -> bytes:
-    """Default catalog fetch: local paths/file:// read from disk; http(s)
-    via urllib (network-gated in this container)."""
-    if url.startswith("file://"):
-        url = url[7:]
-    if "://" not in url:
-        with open(url, "rb") as f:
-            return f.read()
-    from urllib.request import urlopen  # pragma: no cover - no network here
-
-    with urlopen(url, timeout=30) as resp:  # pragma: no cover
-        return resp.read()
+    """Default catalog fetch (see :func:`_fetch_bytes`)."""
+    return _fetch_bytes(url, timeout=30)
 
 
 def _thredds_parse(xml_bytes: bytes) -> dict:
@@ -539,11 +530,39 @@ def _thredds_parse(xml_bytes: bytes) -> dict:
 
 
 def _thredds_join(base_url: str, href: str) -> str:
-    """Resolve a catalogRef href against the catalog's own URL."""
-    if "://" in href or href.startswith("/"):
+    """Resolve a catalogRef href against the catalog's own URL. A
+    server-RELATIVE href (leading "/", the stock TDS service-base form
+    like ``/thredds/dodsC/``) resolves against the catalog's scheme+host
+    — returning it bare would turn it into a local file path."""
+    if "://" in href:
+        return href
+    if href.startswith("/"):
+        import os as _os
+
+        if _os.path.exists(href):
+            # absolute LOCAL path (injectable-fetch/offline catalogs)
+            return href
+        if "://" in base_url:
+            scheme, rest = base_url.split("://", 1)
+            host = rest.split("/", 1)[0]
+            return f"{scheme}://{host}{href}"
         return href
     stem = base_url.rsplit("/", 1)[0] if "/" in base_url else "."
     return f"{stem}/{href}"
+
+
+def _fetch_bytes(url: str, timeout: int = 30) -> bytes:
+    """Shared byte fetch: local paths / file:// from disk; http(s) via
+    urllib (network-gated in this container)."""
+    if url.startswith("file://"):
+        url = url[7:]
+    if "://" not in url:
+        with open(url, "rb") as f:
+            return f.read()
+    from urllib.request import urlopen  # pragma: no cover - no network here
+
+    with urlopen(url, timeout=timeout) as resp:  # pragma: no cover
+        return resp.read()
 
 
 def thredds_catalog(data: THREDDSCatalogData, fetch=None) -> "object":
@@ -573,7 +592,7 @@ def thredds_catalog(data: THREDDSCatalogData, fetch=None) -> "object":
     for name, url_path in parsed["datasets"]:
         if file_base:
             access = file_base + url_path
-            if "://" not in access and not access.startswith("/"):
+            if "://" not in access:
                 access = _thredds_join(data.url, access)
             candidates = recommend(access)
             if candidates:
@@ -582,7 +601,7 @@ def thredds_catalog(data: THREDDSCatalogData, fetch=None) -> "object":
                 continue
         if dap_base:
             access = dap_base + url_path
-            if "://" not in access and not access.startswith("/"):
+            if "://" not in access:
                 access = _thredds_join(data.url, access)
             cat[name] = OpenDAPReader(data=OpenDAPService(url=access))
     return cat
@@ -666,15 +685,7 @@ def _stac_fetch(url: str) -> dict:
     urllib (network-gated in this container). Returns parsed JSON."""
     import json as _json
 
-    if url.startswith("file://"):
-        url = url[7:]
-    if "://" not in url:
-        with open(url, "rb") as f:
-            return _json.loads(f.read())
-    from urllib.request import urlopen  # pragma: no cover - no network here
-
-    with urlopen(url, timeout=30) as resp:  # pragma: no cover
-        return _json.loads(resp.read())
+    return _json.loads(_fetch_bytes(url, timeout=30))
 
 
 def _stac_join(base_url: str, href: str) -> str:
@@ -888,15 +899,7 @@ def _json_fetch(url: str) -> "object":
     (network-gated in this container). Returns parsed JSON."""
     import json as _json
 
-    if url.startswith("file://"):
-        url = url[7:]
-    if "://" not in url:
-        with open(url, "rb") as f:
-            return _json.loads(f.read())
-    from urllib.request import urlopen  # pragma: no cover - no network here
-
-    with urlopen(url, timeout=30) as resp:  # pragma: no cover
-        return _json.loads(resp.read())
+    return _json.loads(_fetch_bytes(url, timeout=30))
 
 
 def stac_index(data: STACIndexData | None = None, fetch=None) -> "object":
@@ -1171,15 +1174,7 @@ def parse_dds(text: str) -> dict:
 
 
 def _dap_fetch(url: str) -> bytes:
-    if url.startswith("file://"):
-        url = url[7:]
-    if "://" not in url:
-        with open(url, "rb") as f:
-            return f.read()
-    from urllib.request import urlopen  # pragma: no cover - no network here
-
-    with urlopen(url, timeout=60) as resp:  # pragma: no cover
-        return resp.read()
+    return _fetch_bytes(url, timeout=60)
 
 
 class OpenDAPReader(BaseReader):

@@ -271,14 +271,17 @@ def stream_near_dup_flags(
         bands,
     )
     if not banded.isStreaming:
+        # compare on the long-cast id so batch ordering matches the stream
+        # arm's numeric sort (a native string id would order lexically)
+        banded = banded.withColumn("_idl", F.col(id_col).cast("long"))
         firsts = banded.groupBy("band_id", "band_key").agg(
-            F.min(id_col).alias("_first")
+            F.min("_idl").alias("_first")
         )
         return banded.join(firsts, ["band_id", "band_key"]).select(
-            F.col(id_col).cast("long").alias("id"),
+            F.col("_idl").alias("id"),
             "band_id",
             "band_key",
-            (F.col(id_col) > F.col("_first")).cast("int").alias("is_dup_band"),
+            (F.col("_idl") > F.col("_first")).cast("int").alias("is_dup_band"),
         )
 
     import pandas as pd
@@ -405,11 +408,12 @@ def stream_winnow_dup_flags(
 
     fp = winnow_fingerprints(df, id_col, text_col, k, window)
     if not fp.isStreaming:
-        firsts = fp.groupBy("fingerprint").agg(F.min(id_col).alias("_first"))
+        fp = fp.withColumn("_idl", F.col(id_col).cast("long"))
+        firsts = fp.groupBy("fingerprint").agg(F.min("_idl").alias("_first"))
         return fp.join(firsts, "fingerprint").select(
-            F.col(id_col).cast("long").alias("id"),
+            F.col("_idl").alias("id"),
             "fingerprint",
-            (F.col(id_col) > F.col("_first")).cast("int").alias("is_dup_fp"),
+            (F.col("_idl") > F.col("_first")).cast("int").alias("is_dup_fp"),
         )
 
     import pandas as pd

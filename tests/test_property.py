@@ -623,3 +623,41 @@ def test_wkt_wkb_geojson_fixed_points(doc):
 
     wtype, coords, _ = _wkb_geom(geojson_to_wkb(doc), 0)
     assert wtype == doc["type"] and coords == doc["coordinates"]
+
+
+@given(st.integers(1, 12), st.integers(1, 64), st.binary(min_size=1, max_size=24))
+def test_lz4_match_copy_overlap_periods(offset, match_len, seed):
+    """The slice/period fast paths must equal the byte-at-a-time spec
+    semantics for every (offset, match_len) combination."""
+    from intake_spark.compress import lz4_block_decompress
+
+    seed = seed[: max(1, min(len(seed), offset))]
+    lit = (seed * ((offset // len(seed)) + 1))[:offset]
+    # one sequence: `offset` literals then a match of match_len at -offset
+    token_lit = min(offset, 15)
+    token_match = min(match_len, 15 + 4) - 4 if match_len >= 4 else None
+    if token_match is None:
+        return  # LZ4 min match is 4
+    token = (token_lit << 4) | min(match_len - 4, 15)
+    blob = bytes([token])
+    if token_lit == 15:
+        rest = offset - 15
+        while rest >= 255:
+            blob += b"\xff"
+            rest -= 255
+        blob += bytes([rest])
+    blob += lit
+    blob += offset.to_bytes(2, "little")
+    if match_len - 4 >= 15:
+        rest = match_len - 4 - 15
+        while rest >= 255:
+            blob += b"\xff"
+            rest -= 255
+        blob += bytes([rest])
+    blob += b"\x00"  # final literals-only token (empty)
+    want = bytearray(lit)
+    start = len(want) - offset
+    for i in range(match_len):
+        want.append(want[start + i])
+    got = lz4_block_decompress(blob, len(want))
+    assert got == bytes(want)

@@ -199,3 +199,26 @@ def test_thredds_opendap_only_datasets(spark):
         [np.asarray(r.values) for r in sorted(df.collect(), key=lambda r: r.offset0)]
     ).reshape(2, 3)
     np.testing.assert_array_equal(got, arr.astype("<f8"))
+
+
+def test_thredds_server_relative_dap_base(spark):
+    """The stock TDS form — OPeNDAP service base '/thredds/dodsC/' — must
+    resolve against the catalog's scheme+host, not become a local path."""
+    from intake_spark.services import THREDDSCatalogData, thredds_catalog
+
+    cat_xml = """<?xml version="1.0"?>
+    <catalog xmlns="http://www.unidata.ucar.edu/namespaces/thredds/InvCatalog/v1.0">
+      <service name="odap" serviceType="OPeNDAP" base="/thredds/dodsC/"/>
+      <dataset name="sst" urlPath="sst"/>
+    </catalog>"""
+
+    def fetch(url):
+        assert url == "http://server.example:8080/thredds/catalog.xml"
+        return cat_xml.encode()
+
+    cat = thredds_catalog(
+        THREDDSCatalogData(url="http://server.example:8080/thredds/catalog.xml"),
+        fetch=fetch,
+    )
+    rdr = cat["sst"]
+    assert rdr.data.url == "http://server.example:8080/thredds/dodsC/sst"
