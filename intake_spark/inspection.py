@@ -245,3 +245,39 @@ def parquet_layout(spark, url: str) -> "object":
         "stat_min string, stat_max string"
     )
     return spark.createDataFrame(rows, schema)
+
+
+def plan_report(df) -> dict:
+    """Compact scale audit of a DataFrame's EXECUTED plan — the checks the
+    repo's plan-shape tests assert, exposed as a user-facing diagnostic:
+
+    - ``n_exchanges``: hash-partitioning shuffles (each is a full
+      data movement; the number to minimize),
+    - ``n_broadcast_joins`` / ``n_sortmerge_joins`` / ``n_nested_loop``:
+      join strategies chosen (small dims should broadcast; nested-loop
+      outside sanctioned scalar joins is a red flag),
+    - ``has_take_ordered``: top-N lowered to per-partition heaps,
+    - ``n_python_stages``: ``BatchEvalPython`` row-at-a-time UDF stages
+      (should be ZERO — Arrow stages report separately),
+    - ``n_arrow_stages``: mapInPandas/pandas-UDF Arrow exchanges,
+    - ``pushed_filters`` / ``whole_stage_codegen``: scan pushdown and
+      codegen presence.
+
+    Use before promoting a pipeline to a big cluster: a q that "works" at
+    sf0.01 with 3 unneeded Exchanges or a Python stage will not hold at
+    100 TB."""
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return {
+        "n_exchanges": plan.count("Exchange hashpartitioning"),
+        "n_range_exchanges": plan.count("Exchange rangepartitioning"),
+        "n_broadcast_joins": plan.count("BroadcastHashJoin"),
+        "n_sortmerge_joins": plan.count("SortMergeJoin"),
+        "n_nested_loop": plan.count("BroadcastNestedLoopJoin")
+        + plan.count("CartesianProduct"),
+        "has_take_ordered": "TakeOrderedAndProject" in plan,
+        "n_python_stages": plan.count("BatchEvalPython"),
+        "n_arrow_stages": plan.count("ArrowEvalPython") + plan.count("MapInPandas"),
+        "pushed_filters": "PushedFilters: [" in plan
+        and "PushedFilters: []" not in plan,
+        "whole_stage_codegen": "WholeStageCodegen" in plan,
+    }

@@ -1375,3 +1375,17 @@ def test_hilbert_key_inverts_pmtiles_walk(spark):
     for d in range(63):
         (x1, y1), (x2, y2) = inv[d], inv[d + 1]
         assert abs(x1 - x2) + abs(y1 - y2) == 1
+
+
+def test_plan_report_diagnostics(spark, docs):
+    from intake_spark.inspection import plan_report
+
+    from intake_spark.llm import text as tx
+
+    # a mapper-only operator: zero exchanges, no python stages
+    r = plan_report(tx.with_token_stats(docs))
+    assert r["n_exchanges"] == 0 and r["n_python_stages"] == 0
+
+    # a top-N query lowers to TakeOrderedAndProject
+    r2 = plan_report(tx.bm25_scores(docs, terms=["spark"], top_n=5))
+    assert r2["has_take_ordered"] and r2["n_python_stages"] == 0
