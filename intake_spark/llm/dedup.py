@@ -193,6 +193,13 @@ def minhash_band_keys(
     mapper (struct-array explode), so it composes with batch AND streaming
     inputs."""
     r = num_hashes // bands
+    if r == 0 or num_hashes % bands:
+        raise ValueError(
+            f"bands={bands} must divide num_hashes={num_hashes} with r >= 1 "
+            "(r = 0 would put EVERY document in one constant bucket — an "
+            "accidental all-pairs join; a non-dividing split silently drops "
+            "signature values and changes recall)"
+        )
     band_structs = F.array(
         *[
             F.struct(
@@ -463,7 +470,8 @@ def dup_groups(
         nodes = {r[0] for r in rows} | {r[1] for r in rows}
         spark = pairs.sparkSession
         return spark.createDataFrame(
-            [(n, find(n)) for n in sorted(nodes)], ["doc_id", "group_id"]
+            [(n, find(n)) for n in sorted(nodes)],
+            "doc_id long, group_id long",
         )
 
     edges = (
@@ -659,10 +667,10 @@ def source_overlap(
     blowup no matter how hot the shingle is across documents. One shuffle
     for the distinct, one equi-join on the shingle, one pair rollup.
     """
-    sh = (
-        shingles(df, source_col, text_col, k)
-        .select(F.col(source_col).alias("_src"), "shingle")
-        .distinct()
+    # shingles() already returns DISTINCT (source, shingle) rows — a
+    # second distinct here would re-shuffle the widest intermediate
+    sh = shingles(df, source_col, text_col, k).select(
+        F.col(source_col).alias("_src"), "shingle"
     )
     sizes = sh.groupBy("_src").agg(F.count(F.lit(1)).alias("n"))
     a, b = sh.alias("a"), sh.alias("b")

@@ -56,16 +56,19 @@ def knn_bruteforce(
     once with no shuffle until the final per-query top-k, which the window
     executes after a shuffle on query_id — k rows per query survive.
     """
+    # squared norms precompute per vector, not per pair (same policy as
+    # embedding_near_dup_pairs): cosine stays the bit-identical
+    # dot / sqrt(nq2 * nc2) expression at 1/3 the fold work
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("qv")
-    )
+    ).withColumn("nq2", norm2_expr("qv"))
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).cast("array<double>").alias("cv")
-    )
+    ).withColumn("nc2", norm2_expr("cv"))
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cosine", cosine_expr("qv", "cv"))
+        .withColumn("cosine", dot_expr("qv", "cv") / F.sqrt(F.col("nq2") * F.col("nc2")))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (

@@ -83,7 +83,9 @@ def _chunked_array_df(spark, url: str, dtype: str, shape: list[int], data_off: i
         (i, start, min(start + rows_per_chunk, n0))
         for i, start in enumerate(range(0, n0, rows_per_chunk))
     ]
-    mdf = spark.createDataFrame(manifest, ["chunk_id", "row_start", "row_end"])
+    mdf = spark.createDataFrame(
+        manifest, "chunk_id long, row_start long, row_end long"
+    )
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -121,10 +123,17 @@ class FITSReader(BaseReader):
         if cards.get("SIMPLE", "").strip() != "T":
             raise ValueError("not a standard FITS file")
         naxis = int(cards["NAXIS"])
+        self.data.metadata.update({k: v for k, v in cards.items() if k not in ("SIMPLE",)})
+        if naxis == 0:
+            # header-only primary HDU (data lives in extensions): there IS
+            # no data array — emit an empty chunk frame, never read the
+            # bytes after the header (they are the next HDU's header)
+            from intake_spark.arrays import CHUNK_SCHEMA
+
+            return spark.createDataFrame([], CHUNK_SCHEMA)
         # FITS axis order is fortran-like: NAXIS1 varies fastest → reverse
         shape = [int(cards[f"NAXIS{i}"]) for i in range(naxis, 0, -1)]
         dtype = _FITS_BITPIX[int(cards["BITPIX"])]
-        self.data.metadata.update({k: v for k, v in cards.items() if k not in ("SIMPLE",)})
         return _chunked_array_df(spark, url, dtype, shape, data_off, rows_per_chunk)
 
 
@@ -641,6 +650,54 @@ class TIFFReader(BaseReader):
         return mdf.mapInPandas(decode, schema=out_schema)
 
 
+
+def _inflated_chunk_df(
+    spark, url: str, dtype, shape, data_off: int, rows_per_chunk: int, codec: str
+):
+    """Whole-payload-compressed array (NRRD gzip / MetaImage zlib) →
+    chunk rows: one executor inflates the stream, then slices first-axis
+    slabs — shared by both readers so the chunk math lives once."""
+    from intake_spark.arrays import CHUNK_SCHEMA
+    from intake_spark.session import ensure_py_deps
+
+    ensure_py_deps(spark)
+    mdf = spark.createDataFrame([(data_off,)], "data_off long")
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import gzip as _gzip
+        import zlib as _zlib
+
+        import numpy as np
+
+        inflate = _gzip.decompress if codec == "gzip" else _zlib.decompress
+        for pdf in batches:
+            for _, r in pdf.iterrows():
+                with open(url, "rb") as fh:
+                    fh.seek(int(r["data_off"]))
+                    raw = inflate(fh.read())
+                vals = np.frombuffer(raw, dtype=np.dtype(dtype))
+                out = []
+                n0 = shape[0] if shape else 1
+                row_elems = int(vals.size // max(n0, 1))
+                for ci, start in enumerate(range(0, n0, rows_per_chunk)):
+                    stop = min(start + rows_per_chunk, n0)
+                    out.append(
+                        {
+                            "chunk_id": ci,
+                            "offset0": start,
+                            "shape": shape,
+                            "values": vals[start * row_elems : stop * row_elems]
+                            .astype(np.float64)
+                            .tolist(),
+                        }
+                    )
+                yield pd.DataFrame(
+                    out, columns=["chunk_id", "offset0", "shape", "values"]
+                )
+
+    return mdf.mapInPandas(decode, schema=CHUNK_SCHEMA)
+
+
 class NetCDF3(dt.FileData):
     filepattern = r"(nc|cdf)$"
     magic = (b"CDF\x01", b"CDF\x02")
@@ -1053,6 +1110,14 @@ def _grib_s16(b: bytes) -> int:
     return -(v & 0x7FFF) if v & 0x8000 else v
 
 
+def _grib_s32(b: bytes) -> int:
+    """GRIB signed-magnitude 32-bit (La1/Lo1 etc.): top bit = sign —
+    NOT two's complement; a southern-hemisphere grid origin decodes to
+    garbage through struct '>i'."""
+    (v,) = struct.unpack(">I", b)
+    return -(v & 0x7FFFFFFF) if v & 0x80000000 else v
+
+
 def _grib_decode_message(buf: bytes) -> list[dict]:
     """One GRIB2 message → one dict per data field (repeated sections
     3–7 supported): grid geometry, parameter ids, decoded value grid."""
@@ -1079,7 +1144,8 @@ def _grib_decode_message(buf: bytes) -> list[dict]:
                     "(regular lat/lon 3.0 only)"
                 )
             ni, nj = struct.unpack(">II", body[30:38])
-            la1, lo1 = struct.unpack(">ii", body[46:54])
+            la1 = _grib_s32(body[46:50])
+            lo1 = _grib_s32(body[50:54])
             sec3 = {"ni": ni, "nj": nj, "lat0": la1 / 1e6, "lon0": lo1 / 1e6}
         elif snum == 4:
             (tmpl,) = struct.unpack(">H", body[7:9])
@@ -1267,43 +1333,9 @@ class NRRDReader(BaseReader):
         if enc == "raw":
             return _chunked_array_df(spark, url, dtype, shape, data_off, rows_per_chunk)
         if enc in ("gz", "gzip"):
-            from intake_spark.arrays import CHUNK_SCHEMA
-            from intake_spark.session import ensure_py_deps
-
-            ensure_py_deps(spark)
-            mdf = spark.createDataFrame([(data_off,)], "data_off long")
-
-            def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-                import gzip as _gzip
-
-                import numpy as np
-
-                for pdf in batches:
-                    for _, r in pdf.iterrows():
-                        with open(url, "rb") as fh:
-                            fh.seek(int(r["data_off"]))
-                            raw = _gzip.decompress(fh.read())
-                        vals = np.frombuffer(raw, dtype=np.dtype(dtype))
-                        out = []
-                        n0 = shape[0] if shape else 1
-                        row_elems = int(vals.size // max(n0, 1))
-                        for ci, start in enumerate(range(0, n0, rows_per_chunk)):
-                            stop = min(start + rows_per_chunk, n0)
-                            out.append(
-                                {
-                                    "chunk_id": ci,
-                                    "offset0": start,
-                                    "shape": shape,
-                                    "values": vals[start * row_elems : stop * row_elems]
-                                    .astype(np.float64)
-                                    .tolist(),
-                                }
-                            )
-                        yield pd.DataFrame(
-                            out, columns=["chunk_id", "offset0", "shape", "values"]
-                        )
-
-            return mdf.mapInPandas(decode, schema=CHUNK_SCHEMA)
+            return _inflated_chunk_df(
+                spark, url, dtype, shape, data_off, rows_per_chunk, "gzip"
+            )
         raise ValueError(f"unsupported NRRD encoding {enc!r} (raw/gzip only)")
 
 
@@ -2005,45 +2037,9 @@ class MetaImageReader(BaseReader):
         if not compressed:
             return _chunked_array_df(spark, data_url, dtype, shape, data_off, rows_per_chunk)
 
-        from intake_spark.arrays import CHUNK_SCHEMA
-        from intake_spark.session import ensure_py_deps
-
-        ensure_py_deps(spark)
-        mdf = spark.createDataFrame([(data_off,)], "data_off long")
-
-        def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            import zlib as _zlib
-
-            import numpy as _np
-
-            for pdf in batches:
-                for _, r in pdf.iterrows():
-                    with open(data_url, "rb") as fh:
-                        fh.seek(int(r["data_off"]))
-                        raw = _zlib.decompress(fh.read())
-                    vals = _np.frombuffer(raw, dtype=_np.dtype(dtype))
-                    out = []
-                    n0 = shape[0] if shape else 1
-                    row_elems = int(vals.size // max(n0, 1))
-                    for ci, start in enumerate(range(0, n0, rows_per_chunk)):
-                        stop = min(start + rows_per_chunk, n0)
-                        out.append(
-                            {
-                                "chunk_id": ci,
-                                "offset0": start,
-                                "shape": shape,
-                                "values": vals[start * row_elems : stop * row_elems]
-                                .astype(_np.float64)
-                                .tolist(),
-                            }
-                        )
-                    yield pd.DataFrame(
-                        out, columns=["chunk_id", "offset0", "shape", "values"]
-                    )
-
-        return mdf.mapInPandas(decode, schema=CHUNK_SCHEMA)
-
-
+        return _inflated_chunk_df(
+            spark, data_url, dtype, shape, data_off, rows_per_chunk, "zlib"
+        )
 # ---------------------------------------------------------------------------
 # SVS / whole-slide images — Aperio slides are TIFF pyramids whose page-0
 # ImageDescription carries the slide properties ('Aperio ...|AppMag = 40

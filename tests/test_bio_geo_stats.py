@@ -1193,3 +1193,52 @@ def test_torch_and_tfds_catalogs_mocked(tmp_path):
     tf = tfds_catalog(lister=lambda: ["xnli", "c4"])
     assert set(tf.aliases) == {"xnli", "c4"}
     assert type(tf["c4"]).__name__ == "TFDSReader"
+
+
+def test_grib2_negative_origin_sign_magnitude():
+    """GRIB2 La1/Lo1 are sign-magnitude, not two's complement: a grid at
+    (-40.0, -100.0) must decode to those coordinates."""
+    import struct as _s
+
+    from intake_spark.sci import _grib_s32
+
+    assert _grib_s32(_s.pack(">I", 40_000_000)) == 40_000_000
+    assert _grib_s32(_s.pack(">I", 0x80000000 | 40_000_000)) == -40_000_000
+
+
+def test_dup_groups_empty_pairs(spark):
+    from intake_spark.llm import dedup
+
+    empty = spark.createDataFrame([], "doc_a long, doc_b long")
+    out = dedup.dup_groups(empty)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["doc_id", "group_id"]
+
+
+def test_minhash_bands_must_divide(spark):
+    import pytest as _pytest
+
+    from intake_spark.llm import dedup
+
+    df = spark.createDataFrame([(1, "a b c d e")], "doc_id long, text string")
+    sigs = dedup.minhash_signatures(df, num_hashes=16)
+    with _pytest.raises(ValueError, match="divide"):
+        dedup.minhash_band_keys(sigs, num_hashes=16, bands=32)
+    with _pytest.raises(ValueError, match="divide"):
+        dedup.minhash_band_keys(sigs, num_hashes=16, bands=5)
+
+
+def test_fits_naxis0_header_only(spark, tmp_path):
+    from intake_spark.sci import FITS, FITSReader
+
+    cards = [
+        "SIMPLE  =                    T",
+        "BITPIX  =                    8",
+        "NAXIS   =                    0",
+        "END",
+    ]
+    hdr = "".join(c.ljust(80) for c in cards).encode().ljust(2880, b" ")
+    p = tmp_path / "empty.fits"
+    p.write_bytes(hdr + b"XTENSION= 'IMAGE   '".ljust(2880, b" "))
+    df = FITSReader(data=FITS(url=str(p))).read(spark=spark)
+    assert df.count() == 0
