@@ -113,7 +113,10 @@ class Catalog(Tokenizable):
 
     def delete(self, name: str) -> None:
         tok = self.aliases.pop(name, name)
-        self.entries.pop(tok, None)
+        # identical descriptions share one token-keyed entry; only drop the
+        # entry when NO other alias still points at it
+        if tok not in self.aliases.values():
+            self.entries.pop(tok, None)
 
     def rename(self, old: str, new: str) -> None:
         self.aliases[new] = self.aliases.pop(old)
@@ -191,6 +194,17 @@ class Catalog(Tokenizable):
             term = Text(term)
         assert isinstance(term, SearchBase)
         hits = {tok: e for tok, e in self.entries.items() if term(e.to_dict())}
+        # close over {data(token)} references so a hit whose payload points
+        # at a non-matching nested entry still rehydrates from the result
+        import re as _re
+
+        frontier = list(hits)
+        while frontier:
+            tok = frontier.pop()
+            for ref in _re.findall(r"\{data\(([0-9a-f]+)\)\}", str(hits[tok].to_dict())):
+                if ref not in hits and ref in self.entries:
+                    hits[ref] = self.entries[ref]
+                    frontier.append(ref)
         aliases = {a: t for a, t in self.aliases.items() if t in hits}
         return Catalog(entries=hits, aliases=aliases, user_parameters=dict(self.user_parameters))
 
@@ -248,6 +262,14 @@ class Catalog(Tokenizable):
 
         desc.payload = walk_replace(desc.payload, lift)
         desc.user_parameters[param_name] = param
+        # the entry's content changed: re-key it so the content token stays
+        # truthful (materialize caches and dedup both key on it)
+        new_tok = tokenize(desc.to_dict())
+        if new_tok != tok:
+            self.entries[new_tok] = self.entries.pop(tok)
+            for a, t in list(self.aliases.items()):
+                if t == tok:
+                    self.aliases[a] = new_tok
 
     def promote_parameter(self, name: str, param_name: str) -> None:
         """Move an entry-level parameter to catalog scope."""
@@ -366,8 +388,10 @@ def entrypoints_catalog(group: str = "intake_spark.catalogs") -> Catalog:
             if callable(obj) and not hasattr(obj, "to_dict"):
                 obj = obj()
             if isinstance(obj, Catalog):
+                # copy ALL entries (nested {data(token)} targets are
+                # token-keyed with no alias), then prefix the aliases
+                out.entries.update(obj.entries)
                 for alias, tok in obj.aliases.items():
-                    out.entries[tok] = obj.entries[tok]
                     out.aliases[f"{ep.name}.{alias}"] = tok
             else:
                 out.add_entry(obj, name=ep.name)

@@ -153,16 +153,22 @@ class HTMLTableReader(BaseReader):
         from html.parser import HTMLParser
 
         class TableParser(HTMLParser):
+            # a STACK of open tables so rows after a nested </table> land
+            # in the outer table again (tables[-1] alone would attribute
+            # the rest of the outer table to the inner one)
             def __init__(self):
                 super().__init__()
                 self.tables: list[list[list[str]]] = []
+                self._open: list[list[list[str]]] = []
                 self._row: list[str] | None = None
                 self._cell: list[str] | None = None
 
             def handle_starttag(self, tag, attrs):
                 if tag == "table":
-                    self.tables.append([])
-                elif tag == "tr" and self.tables:
+                    t: list[list[str]] = []
+                    self.tables.append(t)
+                    self._open.append(t)
+                elif tag == "tr" and self._open:
                     self._row = []
                 elif tag in ("td", "th") and self._row is not None:
                     self._cell = []
@@ -175,9 +181,11 @@ class HTMLTableReader(BaseReader):
                 if tag in ("td", "th") and self._row is not None and self._cell is not None:
                     self._row.append("".join(self._cell))
                     self._cell = None
-                elif tag == "tr" and self._row is not None:
-                    self.tables[-1].append(self._row)
+                elif tag == "tr" and self._row is not None and self._open:
+                    self._open[-1].append(self._row)
                     self._row = None
+                elif tag == "table" and self._open:
+                    self._open.pop()
 
         with open(self.data.url, encoding="utf-8", errors="replace") as f:
             parser = TableParser()
@@ -546,8 +554,10 @@ class XLSXReader(BaseReader):
                 root = ET.fromstring(z.read("xl/sharedStrings.xml"))
                 for si in root.iter(f"{ns}si"):
                     shared.append("".join(t.text or "" for t in si.iter(f"{ns}t")))
+            # numeric order: lexicographic sort puts sheet10 before sheet2
             sheets = sorted(
-                n for n in z.namelist() if re.fullmatch(r"xl/worksheets/sheet\d+\.xml", n)
+                (n for n in z.namelist() if re.fullmatch(r"xl/worksheets/sheet\d+\.xml", n)),
+                key=lambda n: int(re.search(r"sheet(\d+)", n).group(1)),
             )
             root = ET.fromstring(z.read(sheets[sheet_index]))
 
@@ -1102,7 +1112,10 @@ def _cfb_streams(data: bytes) -> dict[str, bytes]:
     (n_difat,) = _s.unpack_from("<I", data, 72)
 
     def sector(n: int) -> bytes:
-        off = 512 + n * ssz
+        # MS-CFB: sector n starts at (n+1)*sector_size — the header
+        # occupies one FULL sector, so v4 files (4096) do NOT start data
+        # at 512 (for v3 the two formulas coincide)
+        off = (n + 1) * ssz
         return data[off : off + ssz]
 
     difat = list(_s.unpack_from("<109I", data, 76))

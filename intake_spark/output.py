@@ -365,6 +365,26 @@ def to_zarr(df: DataFrame, url: str, compressor: str | None = "zlib") -> dt.Zarr
     return dt.Zarr(url=url)
 
 
+def _check_written_elems(written: int, shape, sink: str, url: str) -> None:
+    """Refuse to leave a truncated file behind: the header declares
+    ``shape``, so the streamed element count must match exactly."""
+    import os as _os
+
+    expected = 1
+    for v in shape:
+        expected *= int(v)
+    if written != expected:
+        try:
+            _os.remove(url)
+        except OSError:
+            pass
+        raise ValueError(
+            f"{sink}: streamed {written} elements but the header shape "
+            f"{tuple(shape)} declares {expected} — refusing to leave a "
+            "truncated file (was the chunk frame filtered?)"
+        )
+
+
 def to_npy(df: DataFrame, url: str, max_bytes: int | None = 1 << 30) -> dt.NumpyFile:
     """Chunk-row DataFrame → .npy (v1 header + C-order float64 data),
     streamed through the driver in offset order (``toLocalIterator`` — one
@@ -377,10 +397,13 @@ def to_npy(df: DataFrame, url: str, max_bytes: int | None = 1 << 30) -> dt.Numpy
     header = "{'descr': '<f8', 'fortran_order': False, 'shape': %s, }" % (str(shape),)
     pad = (64 - (10 + len(header) + 1) % 64) % 64
     header = header + " " * pad + "\n"
+    written = 0
     with open(url, "wb") as f:
         f.write(b"\x93NUMPY\x01\x00" + _struct.pack("<H", len(header)) + header.encode())
         for row in df.select("offset0", "values").orderBy("offset0").toLocalIterator():
             f.write(_struct.pack(f"<{len(row['values'])}d", *row["values"]))
+            written += len(row["values"])
+    _check_written_elems(written, shape, "to_npy", url)
     return dt.NumpyFile(url=url)
 
 
@@ -490,10 +513,13 @@ def to_netcdf(df: DataFrame, url: str, variable: str = "data", max_bytes: int | 
         + st.pack(">II", 0x0B, 1) + var_entry
     )
     begin = len(header) + 4
+    written = 0
     with open(url, "wb") as f:
         f.write(header + st.pack(">I", begin))
         for row in df.select("offset0", "values").orderBy("offset0").toLocalIterator():
             f.write(st.pack(f">{len(row['values'])}d", *row["values"]))
+            written += len(row["values"])
+    _check_written_elems(written, shape, "to_netcdf", url)
     return NetCDF3(url=url, variable=variable)
 
 
@@ -651,10 +677,13 @@ def to_nrrd(df: DataFrame, url: str, max_bytes: int | None = 1 << 30) -> "dt.Bas
         "encoding: raw\n"
         "\n"
     )
+    written = 0
     with open(url, "wb") as f:
         f.write(header.encode())
         for row in df.select("offset0", "values").orderBy("offset0").toLocalIterator():
             f.write(_struct.pack(f"<{len(row['values'])}d", *row["values"]))
+            written += len(row["values"])
+    _check_written_elems(written, shape, "to_nrrd", url)
     return _sci.NRRD(url=url)
 
 
@@ -677,10 +706,13 @@ def to_metaimage(df: DataFrame, url: str, max_bytes: int | None = 1 << 30) -> "d
         "ElementType = MET_DOUBLE\n"
         "ElementDataFile = LOCAL\n"
     )
+    written = 0
     with open(url, "wb") as f:
         f.write(header.encode())
         for row in df.select("offset0", "values").orderBy("offset0").toLocalIterator():
             f.write(_struct.pack(f"<{len(row['values'])}d", *row["values"]))
+            written += len(row["values"])
+    _check_written_elems(written, shape, "to_metaimage", url)
     return _sci.MetaImage(url=url)
 
 

@@ -849,9 +849,19 @@ class SQLiteReader(BaseReader):
 
         ensure_py_deps(spark)
         lo, hi = lo_hi
+        # size the range count by the ROW count, not the rowid SPAN: a
+        # sparse rowid space (e.g. epoch-millis INTEGER PRIMARY KEYs) would
+        # otherwise materialize millions of empty driver-side ranges
+        con = sqlite3.connect(f"file:{url}?mode=ro", uri=True)
+        try:
+            (n_rows,) = con.execute(f'SELECT COUNT(*) FROM "{qtable}"').fetchone()
+        finally:
+            con.close()
+        n_ranges = max(1, -(-int(n_rows) // max(rows_per_task, 1)))
+        step = max(1, -(-(hi - lo + 1) // n_ranges))
         ranges = [
-            (start, min(start + rows_per_task - 1, hi))
-            for start in range(lo, hi + 1, rows_per_task)
+            (start, min(start + step - 1, hi))
+            for start in range(lo, hi + 1, step)
         ]
         mdf = spark.createDataFrame(ranges, "lo long, hi long")
         if len(ranges) > 1:

@@ -313,3 +313,64 @@ def test_python_module_reader_gated(tmp_path):
         module_name="other"
     )
     assert named.__name__ == "other"
+
+
+def test_xlsx_sheet_index_numeric_order(spark, tmp_path):
+    """sheet_index must follow numeric sheet order: lexicographic naming
+    puts sheet10.xml before sheet2.xml."""
+    import zipfile
+
+    from intake_spark import datatypes as dt
+    from intake_spark.documents import XLSXReader
+
+    ns = 'xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"'
+
+    def sheet_xml(marker):
+        return (
+            f'<?xml version="1.0"?><worksheet {ns}><sheetData>'
+            f'<row r="1"><c r="A1" t="str"><v>h</v></c></row>'
+            f'<row r="2"><c r="A2"><v>{marker}</v></c></row>'
+            "</sheetData></worksheet>"
+        )
+
+    p = tmp_path / "many.xlsx"
+    with zipfile.ZipFile(p, "w") as z:
+        for i in range(1, 12):
+            z.writestr(f"xl/worksheets/sheet{i}.xml", sheet_xml(i * 100))
+    df = XLSXReader(data=dt.Excel(url=str(p))).read(spark=spark, sheet_index=1)
+    assert [r[0] for r in df.collect()] == [200.0] or [r[0] for r in df.collect()] == [200]
+
+
+def test_html_nested_table_rows_stay_in_outer(spark, tmp_path):
+    from intake_spark.documents import HTMLFile, HTMLTableReader
+
+    html = """<html><body><table>
+      <tr><th>k</th></tr>
+      <tr><td><table><tr><th>i</th></tr><tr><td>inner</td></tr></table></td></tr>
+      <tr><td>outer-after</td></tr>
+    </table></body></html>"""
+    p = tmp_path / "t.html"
+    p.write_text(html)
+    outer = HTMLTableReader(data=HTMLFile(url=str(p))).read(spark=spark, table_index=0)
+    vals = {r.k for r in outer.collect()}
+    assert "outer-after" in vals  # previously swallowed by the inner table
+    inner = HTMLTableReader(data=HTMLFile(url=str(p))).read(spark=spark, table_index=1)
+    assert {r.i for r in inner.collect()} == {"inner"}
+
+
+def test_to_npy_truncation_guard(spark, tmp_path):
+    import pytest as _pytest
+
+    from intake_spark.output import to_npy
+
+    rows = [(0, 0, [2, 4], [1.0, 2.0, 3.0, 4.0])]
+    df = spark.createDataFrame(
+        rows, "chunk_id long, offset0 long, shape array<long>, values array<double>"
+    )
+    # drop half the elements but keep the declared shape: must refuse
+    bad = df.selectExpr("chunk_id", "offset0", "shape", "slice(values, 1, 2) as values")
+    with _pytest.raises(ValueError, match="truncated"):
+        to_npy(bad, str(tmp_path / "bad.npy"))
+    import os
+
+    assert not os.path.exists(str(tmp_path / "bad.npy"))

@@ -397,3 +397,64 @@ def test_default_combo_catalog(spark, tmp_path, monkeypatch):
 
     # global dir: empty catalog when absent (never raises)
     assert isinstance(global_data_dir(), str)
+
+
+def test_catalog_search_keeps_referenced_entries():
+    """A search hit whose payload references a nested token-keyed entry
+    must carry that entry into the result catalog."""
+    from intake_spark.catalog import Catalog
+    from intake_spark import datatypes as dt
+    from intake_spark.readers import LiteralReader
+
+    cat = Catalog()
+    inner = LiteralReader(data=dt.Literal(data=[{"a": 1}]))
+    cat["outer-searchable"] = LiteralReader(data=dt.Literal(data=[{"b": "outer-term"}]))
+    # nest the inner reader inside the outer entry's kwargs
+    tok_outer = cat.aliases["outer-searchable"]
+    from intake_spark.catalog import ReaderDescription
+    from intake_spark.utils import tokenize
+
+    inner_desc = ReaderDescription(payload=inner.to_dict())
+    tok_inner = tokenize(inner_desc.to_dict())
+    cat.entries[tok_inner] = inner_desc
+    cat.entries[tok_outer].payload.setdefault("kwargs", {})["helper"] = (
+        f"{{data({tok_inner})}}"
+    )
+
+    hits = cat.search("outer-term")
+    assert tok_inner in hits.entries  # the reference closure
+    assert "outer-searchable" in hits.aliases
+
+
+def test_catalog_delete_keeps_shared_token():
+    from intake_spark.catalog import Catalog
+    from intake_spark import datatypes as dt
+    from intake_spark.readers import LiteralReader
+
+    cat = Catalog()
+    r = LiteralReader(data=dt.Literal(data=[{"a": 1}]))
+    cat["a"] = r
+    cat["b"] = r
+    assert cat.aliases["a"] == cat.aliases["b"]  # one shared entry
+    cat.delete("a")
+    assert "b" in cat.aliases and cat.aliases["b"] in cat.entries
+    cat.delete("b")
+    assert len(cat.entries) == 0
+
+
+def test_extract_parameter_rekeys_entry():
+    from intake_spark.catalog import Catalog
+    from intake_spark import datatypes as dt
+    from intake_spark.readers import LiteralReader
+    from intake_spark.user_parameters import SimpleUserParameter
+    from intake_spark.utils import tokenize
+
+    cat = Catalog()
+    cat["e"] = LiteralReader(data=dt.Literal(data=[{"path": "/data/x"}]))
+    cat.extract_parameter(
+        "e", "p", "/data/x", SimpleUserParameter(dtype=str, default="/data/x")
+    )
+    tok = cat.aliases["e"]
+    assert tok in cat.entries
+    # the content token is truthful again after the in-place edit
+    assert tok == tokenize(cat.entries[tok].to_dict())

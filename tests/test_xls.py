@@ -344,3 +344,57 @@ def test_ods_number_rows_repeated_expands(spark, tmp_path):
     assert len(rows) == 4
     assert sum(1 for r in rows if r.name == "dup" and r.qty == 1.5) == 3
     assert sum(1 for r in rows if r.name == "tail") == 1
+
+
+def test_cfb_v4_sector_offsets():
+    """MS-CFB: sector n lives at (n+1)*sector_size. A version-4 file
+    (4096-byte sectors) must not be read with the v3 512-byte header
+    offset."""
+    from intake_spark.documents import _cfb_streams
+
+    ssz = 4096
+    # header sector padded to 4096, then sector 0 = FAT, sector 1 = dir,
+    # sector 2 = stream data
+    header = bytearray(512)
+    header[0:8] = bytes([0xD0, 0xCF, 0x11, 0xE0, 0xA1, 0xB1, 0x1A, 0xE1])
+    import struct as _s
+
+    _s.pack_into("<H", header, 26, 4)       # major version 4
+    _s.pack_into("<H", header, 30, 12)      # sector shift -> 4096
+    _s.pack_into("<I", header, 44, 1)       # one FAT sector
+    _s.pack_into("<I", header, 48, 1)       # first directory sector = 1
+    _s.pack_into("<I", header, 56, 16)      # mini cutoff (payload uses FAT)
+    _s.pack_into("<I", header, 60, 0xFFFFFFFE)  # no minifat
+    _s.pack_into("<I", header, 68, 0xFFFFFFFE)  # no difat chain
+    _s.pack_into("<I", header, 76, 0)       # DIFAT[0] -> FAT at sector 0
+    # remaining DIFAT entries = FREE
+    for i in range(1, 109):
+        _s.pack_into("<I", header, 76 + 4 * i, 0xFFFFFFFF)
+
+    fat = bytearray(ssz)
+    for i, v in enumerate([0xFFFFFFFD, 0xFFFFFFFE, 0xFFFFFFFE]):  # FAT, dir end, stream end
+        _s.pack_into("<I", fat, i * 4, v)
+    for i in range(3, ssz // 4):
+        _s.pack_into("<I", fat, i * 4, 0xFFFFFFFF)
+
+    def dirent(name, typ, start, size):
+        e = bytearray(128)
+        nm = name.encode("utf-16-le")
+        e[0 : len(nm)] = nm
+        _s.pack_into("<H", e, 64, len(nm) + 2)
+        e[66] = typ
+        _s.pack_into("<I", e, 116, start)
+        _s.pack_into("<Q", e, 120, size)
+        return bytes(e)
+
+    payload = b"HELLO-V4" * 4
+    directory = bytearray(ssz)
+    directory[0:128] = dirent("Root Entry", 5, 0xFFFFFFFE, 0)
+    directory[128:256] = dirent("Book", 2, 2, len(payload))
+
+    stream_sec = bytearray(ssz)
+    stream_sec[: len(payload)] = payload
+
+    blob = bytes(header) + bytes(3584) + bytes(fat) + bytes(directory) + bytes(stream_sec)
+    streams = _cfb_streams(blob)
+    assert streams["Book"][: len(payload)] == payload
