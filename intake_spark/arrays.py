@@ -92,7 +92,9 @@ class NumpyArrayReader(BaseReader):
             (i, start, min(start + rows_per_chunk, n0))
             for i, start in enumerate(range(0, n0, rows_per_chunk))
         ]
-        mdf = spark.createDataFrame(manifest, ["chunk_id", "row_start", "row_end"])
+        mdf = spark.createDataFrame(
+            manifest, "chunk_id long, row_start long, row_end long"
+        )
 
         shape_l = list(shape)
 
@@ -144,6 +146,8 @@ class NPZReader(BaseReader):
             member = self.data.member or names[0].removesuffix(".npy")
             buf = z.read(member + ".npy")
         descr, fortran, shape, off = _parse_npy_header(buf)
+        if fortran:
+            raise ValueError("fortran-order npy not supported")
         fmt, itemsize = _DTYPE_STRUCT[descr]
         n = 1
         for s in shape:
@@ -192,6 +196,15 @@ def slice_axis0(df: DataFrame, start: int, end: int) -> DataFrame:
             ),
         )
         .withColumn("offset0", F.greatest(F.col("offset0"), F.lit(start)))
+        .withColumn(
+            "shape",
+            # keep the chunk-row invariant: shape[0] is the (global) length
+            # of the sliced axis, exactly as slice_axis does for axes >= 1
+            F.expr(
+                f"transform(shape, (s, j) -> IF(j = 0, "
+                f"least(CAST({end} AS BIGINT), s) - greatest(CAST({start} AS BIGINT), 0L), s))"
+            ),
+        )
         .drop("_re")
     )
 

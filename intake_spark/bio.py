@@ -182,7 +182,9 @@ class VCFReader(BaseReader):
             .alias("QUAL"),
             parts.getItem(6).alias("FILTER"),
             parts.getItem(7).alias("INFO"),
-            F.slice(parts, 9, 1000).alias("extra"),
+            # unbounded: a hardcoded cap silently drops samples past it
+            # (large cohort VCFs carry thousands of sample columns)
+            F.slice(parts, 9, F.greatest(F.size(parts) - 8, F.lit(0))).alias("extra"),
         )
 
 

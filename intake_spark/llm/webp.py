@@ -355,7 +355,10 @@ def decode_vp8l(data: bytes) -> np.ndarray:
                         L = int(argb[y, x - 1])
                         T = int(argb[y - 1, x])
                         TL = int(argb[y - 1, x - 1])
-                        TR = int(argb[y - 1, x + 1]) if x + 1 < ww else int(argb[y - 1, 0])
+                        # rightmost column: TR wraps in RASTER order to the
+                        # current row's leftmost pixel (already decoded) —
+                        # pixel (y-1)*w + w IS pixel (y, 0), per RFC 9649
+                        TR = int(argb[y - 1, x + 1]) if x + 1 < ww else int(argb[y, 0])
                         pred = _predict(mode, L, T, TL, TR)
                     res, pd = _unpack(int(argb[y, x])), _unpack(pred)
                     argb[y, x] = _pack([res[i] + pd[i] for i in range(4)])

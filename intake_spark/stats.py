@@ -193,10 +193,22 @@ def _parse_sav(content: bytes) -> pd.DataFrame:
     if case_size not in (0, -1) and total_slots != case_size:
         total_slots = case_size  # trust the header on disagreement
 
+    if compression not in (0, 1):
+        # compression == 2 is zsav (zlib-framed blocks): decoding the
+        # zheader bytes as bias command codes would yield garbage values
+        raise NotImplementedError(
+            f"SPSS compression code {compression} (zsav/zlib) not "
+            "supported — only uncompressed and bytecode (.sav) decode"
+        )
     elements: list[bytes] = []
     if compression == 0:
-        need = total_slots * max(ncases, 0) * 8
-        data = content[pos : pos + need]
+        if ncases < 0:
+            # ncases == -1 means 'unknown' per the spec: read to EOF
+            data = content[pos:]
+            data = data[: len(data) - len(data) % (total_slots * 8 or 8)]
+        else:
+            need = total_slots * ncases * 8
+            data = content[pos : pos + need]
         elements = [data[i : i + 8] for i in range(0, len(data), 8)]
     else:
         data = content[pos:]

@@ -1242,3 +1242,50 @@ def test_fits_naxis0_header_only(spark, tmp_path):
     p.write_bytes(hdr + b"XTENSION= 'IMAGE   '".ljust(2880, b" "))
     df = FITSReader(data=FITS(url=str(p))).read(spark=spark)
     assert df.count() == 0
+
+
+def test_spss_zsav_gated_and_unknown_ncases(spark, tmp_path):
+    """compression==2 (zsav) must raise a NAMED error, never decode zlib
+    frames as bias command codes; uncompressed ncases=-1 reads to EOF."""
+    import struct as _s
+
+    import pytest as _pytest
+
+    from intake_spark.stats import _parse_sav
+
+    def sav_blob(compression, ncases, payload=b""):
+        hdr = bytearray(176)
+        hdr[0:4] = b"$FL2"
+        _s.pack_into("<5i", hdr, 64, 2, 1, compression, 0, ncases)
+        _s.pack_into("<d", hdr, 84, 100.0)  # bias
+        # one numeric variable record: rec=2, vtype=0, has_label=0,
+        # n_missing=0, 8 bytes print/write formats, 8-byte name
+        var = _s.pack("<iiii", 2, 0, 0, 0) + bytes(8) + b"VAR1    "
+        # dict terminator record (999, 0)
+        term = _s.pack("<ii", 999, 0)
+        return bytes(hdr) + var + term + payload
+
+    with _pytest.raises(NotImplementedError, match="zsav"):
+        _parse_sav(sav_blob(2, 10))
+
+    # uncompressed, ncases=-1: two 8-byte case values present -> 2 rows
+    payload = _s.pack("<d", 1.5) + _s.pack("<d", 2.5)
+    pdf = _parse_sav(sav_blob(0, -1, payload))
+    assert pdf["VAR1"].tolist() == [1.5, 2.5]
+
+
+def test_vcf_does_not_cap_samples(spark, tmp_path):
+    from intake_spark.bio import VCF, VCFReader
+
+    n_samples = 1200
+    header = "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\t" + "\t".join(
+        f"S{i}" for i in range(n_samples)
+    )
+    row = "1\t100\trs1\tA\tG\t50\tPASS\tDP=10\tGT\t" + "\t".join(
+        "0/1" for _ in range(n_samples)
+    )
+    p = tmp_path / "big.vcf"
+    p.write_text("##fileformat=VCFv4.2\n" + header + "\n" + row + "\n")
+    df = VCFReader(data=VCF(url=str(p))).read(spark=spark)
+    r = df.collect()[0]
+    assert len(r.extra) == 1 + n_samples  # FORMAT + every sample

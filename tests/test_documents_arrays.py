@@ -1261,3 +1261,41 @@ def test_zarr_blosc_lz4_roundtrip(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="zstd"):
         ZarrReader(data=dt.Zarr(url=str(root))).read(spark=spark)
+
+
+def test_npz_fortran_order_raises(spark, tmp_path):
+    import numpy as np
+    import pytest as _pytest
+
+    from intake_spark.arrays import NPZ, NPZReader
+
+    p = str(tmp_path / "f.npz")
+    np.savez(p, a=np.asfortranarray(np.arange(6.0).reshape(2, 3)))
+    with _pytest.raises(ValueError, match="fortran"):
+        NPZReader(data=NPZ(url=p)).read(spark=spark)
+
+
+def test_empty_npy_reads_empty_frame(spark, tmp_path):
+    import numpy as np
+
+    from intake_spark import datatypes as dt
+    from intake_spark.arrays import NumpyArrayReader
+
+    p = str(tmp_path / "empty.npy")
+    np.save(p, np.zeros((0, 4)))
+    df = NumpyArrayReader(data=dt.NumpyFile(url=p)).read(spark=spark)
+    assert df.count() == 0
+
+
+def test_slice_axis0_updates_shape(spark, tmp_path):
+    import numpy as np
+
+    from intake_spark import datatypes as dt
+    from intake_spark.arrays import NumpyArrayReader, slice_axis
+
+    arr = np.arange(8.0).reshape(4, 2)
+    p = str(tmp_path / "s.npy")
+    np.save(p, arr)
+    df = NumpyArrayReader(data=dt.NumpyFile(url=p)).read(spark=spark, rows_per_chunk=2)
+    out = slice_axis(df, 0, 1, 3).collect()
+    assert all(list(r.shape) == [2, 2] for r in out)  # sliced global length

@@ -333,3 +333,39 @@ def test_webp_through_image_features(spark, tmp_path):
     assert (row.width, row.height, row.n_channels) == (2, 2, 4)
     # mean over RGBA: R=7, G in {10,200} avg 105, B=3, A=255
     assert abs(row.mean_intensity - (7 + 105 + 3 + 255) / 4) < 1e-9
+
+
+def test_predictor_tr_rightmost_column_wraps_to_current_row():
+    """Mode 3 (TopRight): for the rightmost column, TR wraps in raster
+    order to the CURRENT row's leftmost pixel (RFC 9649), not the row
+    above's. Pixel (1,1) must predict from (1,0)."""
+    G0, R1 = 10, 5
+    wb = WB()
+    vp8l_header(wb, 2, 2)
+    wb.write(1, 1)
+    wb.write(0, 2)
+    wb.write(0, 3)  # size_bits = 2 -> one tile
+    wb.write(0, 1)
+    simple_code(wb, [3])  # predictor mode 3 (TopRight)
+    simple_code(wb, [0])
+    simple_code(wb, [0])
+    simple_code(wb, [0])
+    simple_code(wb, [0])
+    wb.write(0, 1)
+    no_meta_no_cache(wb)
+    glens, rlens = {0: 1, G0: 1}, {0: 1, R1: 1}
+    simple_code(wb, [0, G0])
+    simple_code(wb, [0, R1])
+    simple_code(wb, [0])  # blue residuals always 0
+    simple_code(wb, [0])  # alpha residuals 0
+    simple_code(wb, [0])  # distance
+    codes = {"g": canon(glens), "r": canon(rlens), "b": {0: (0, 0)}, "a": {0: (0, 0)}}
+    _emit_literal(wb, codes, 0, 0, G0, 0)   # (0,0): vs black -> g=G0
+    _emit_literal(wb, codes, 0, 0, 0, 0)    # (0,1): top row, pred=L
+    _emit_literal(wb, codes, 0, R1, 0, 0)   # (1,0): pred=T, r += R1
+    _emit_literal(wb, codes, 0, 0, 0, 0)    # (1,1): TR pred -> (1,0)
+    img = decode_vp8l(wb.bytes())
+    assert img[1, 0, 0] == R1
+    # the regression: old code predicted from (0,0) (r=0); spec says (1,0)
+    assert img[1, 1, 0] == R1
+    assert img[1, 1, 1] == G0
