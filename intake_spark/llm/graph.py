@@ -81,7 +81,13 @@ def pagerank(
             F.col("dst").alias("id"),
             (
                 F.lit(base)
-                + F.expr(f"({damping_num} * _s) div {damping_den}")
+                # DECIMAL(38,0) product: 85 * _s overflows int64 once a hub
+                # aggregates ~1.1e5 neighbor shares; 128-bit integer math
+                # keeps the bit-exact contract at any degree
+                + F.expr(
+                    f"CAST((CAST({damping_num} AS DECIMAL(38,0)) * _s) "
+                    f"div {damping_den} AS BIGINT)"
+                )
             ).cast("bigint").alias("r"),
         )
         if (i + 1) % checkpoint_every == 0:

@@ -1107,7 +1107,7 @@ def _q72_sql(iters: int = _Q72_ITERS) -> str:
     for i in range(1, iters + 1):
         its.append(
             f"r{i} AS (SELECT e.dst AS id, "
-            f"CAST({base} + (85 * SUM({prev}.r // d.deg)) // 100 AS BIGINT) AS r "
+            f"CAST({base} + (85::HUGEINT * SUM({prev}.r // d.deg)) // 100 AS BIGINT) AS r "
             f"FROM e JOIN {prev} ON e.src = {prev}.id "
             f"JOIN deg d ON e.src = d.src GROUP BY e.dst)"
         )
@@ -1626,7 +1626,8 @@ _Q94_TARGET = 200
     rates AS (
       SELECT source, n,
              CAST(FLOOR(LEAST(1.0,
-                    CAST({_Q94_TARGET} * sqx AS DOUBLE) / CAST(S * n AS DOUBLE))
+                    (CAST({_Q94_TARGET} AS DOUBLE) * CAST(sqx AS DOUBLE))
+                    / (CAST(S AS DOUBLE) * CAST(n AS DOUBLE)))
                   * 1000000.0) AS BIGINT) AS thr
       FROM sq CROSS JOIN tot),
     k AS (

@@ -63,11 +63,16 @@ def mix_sources(
     standard corpus-reweighting step in training-data builds, as one
     mapper-only filter: per-row rate comes from a broadcastable CASE over
     ``source_col``, compared against the row's hash bucket."""
+    if not rates:
+        raise ValueError("mix_sources needs at least one source rate")
     rate_expr = None
     for src, rate in sorted(rates.items()):
         thr = int(min(rate, 1.0) * _BUCKETS)
-        cond = F.when(F.col(source_col) == src, F.lit(thr))
-        rate_expr = cond if rate_expr is None else rate_expr.when(F.col(source_col) == src, F.lit(thr))
+        rate_expr = (
+            F.when(F.col(source_col) == src, F.lit(thr))
+            if rate_expr is None
+            else rate_expr.when(F.col(source_col) == src, F.lit(thr))
+        )
     rate_expr = rate_expr.otherwise(F.lit(0))  # unlisted sources drop
     return df.filter(hash_bucket(key_col, salt) < rate_expr)
 
@@ -146,11 +151,13 @@ def mix_by_temperature(
         sq.crossJoin(F.broadcast(total))
         .withColumn(
             "_thr",
+            # multiply in DOUBLE: bigint products overflow int64 at corpus
+            # scale (1e9-doc sources put _S*_n past 2^63)
             F.floor(
                 F.least(
                     F.lit(1.0),
-                    (F.lit(int(target_total)) * F.col("_sq")).cast("double")
-                    / (F.col("_S") * F.col("_n")).cast("double"),
+                    (F.lit(float(target_total)) * F.col("_sq").cast("double"))
+                    / (F.col("_S").cast("double") * F.col("_n").cast("double")),
                 )
                 * F.lit(float(_BUCKETS))
             ).cast("bigint"),

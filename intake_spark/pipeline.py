@@ -34,7 +34,10 @@ _ALLOWED_METHODS: set[str] = {
     name
     for cls in (DataFrame, GroupedData)
     for name in dir(cls)
-    if not name.startswith("_")
+    # properties/attributes (df.columns, df.schema) are not replayable
+    # method steps — admitting them defers a clean record-time error to a
+    # confusing 'list is not callable' at run time
+    if not name.startswith("_") and callable(getattr(cls, name, None))
 }
 
 

@@ -145,10 +145,11 @@ class DataFramePipeline:
         (parity: derived.py:425-436)."""
         others = arg["other"] if isinstance(arg["other"], list) else [arg["other"]]
         on = arg["on"]
+        on_cols = on if isinstance(on, list) else [on]
         rsuffix = arg.get("rsuffix", "_r")
         for name in others:
             other = self._target(name)
-            clash = (set(df.columns) & set(other.columns)) - {on}
+            clash = (set(df.columns) & set(other.columns)) - set(on_cols)
             for c in clash:
                 other = other.withColumnRenamed(c, c + rsuffix)
             df = df.join(other, on=on, how=arg.get("how", "left"))
@@ -179,9 +180,8 @@ class DataFramePipeline:
         return df.groupBy(*by)
 
     def _v_agg(self, df, arg):
-        if isinstance(df, DataFrame):
-            return df.agg(*_agg_exprs(arg))
-        return df.agg(*_agg_exprs(arg))  # GroupedData
+        # DataFrame and GroupedData share the agg surface
+        return df.agg(*_agg_exprs(arg))
 
     def _v_sort(self, df, arg):
         if isinstance(arg, dict):

@@ -67,6 +67,7 @@ def windowed_counts(
     window: str = "1 hour",
     watermark: str = "2 hours",
     value_col: str = "value",
+    user_col: str = "user_id",
 ) -> DataFrame:
     """Tumbling event-time window aggregation (works on batch AND streaming
     DataFrames — identical expressions, so batch runs oracle-check the
@@ -81,7 +82,7 @@ def windowed_counts(
         events.groupBy(F.window(ts_col, window).alias("w"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.approx_count_distinct("user_id").alias("approx_users"),
+            F.approx_count_distinct(user_col).alias("approx_users"),
             dsum(value_col, 6).alias("value_sum"),
         )
         .select(F.col("w.start").alias("window_start"), "n_events", "approx_users", "value_sum")
@@ -310,9 +311,14 @@ def stream_near_dup_flags(
         ids.sort()
         flags = []
         for i in ids:
-            flags.append(1 if (first is not None and i > first) else 0)
-            if first is None or i < first:
+            # first-CLAIM semantics: once a bucket is claimed, a later
+            # arrival can never steal it (overwriting on i < first let a
+            # duplicate pair through with NEITHER row flagged)
+            if first is None:
                 first = i
+                flags.append(0)
+            else:
+                flags.append(1 if i != first else 0)
         state.update((int(first),))
         yield pd.DataFrame(
             {
@@ -346,7 +352,13 @@ def run_stream_to_memory(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_s)
+    if not q.awaitTermination(timeout_s):
+        # a silent timeout would hand the caller a PARTIAL memory table
+        # while the query keeps running unreferenced
+        q.stop()
+        raise TimeoutError(
+            f"stream {query_name!r} did not drain within {timeout_s}s"
+        )
 
 
 def stream_file_source_demo(spark: SparkSession, src_dir: str, schema) -> DataFrame:
@@ -441,9 +453,14 @@ def stream_winnow_dup_flags(
         ids.sort()
         flags = []
         for i in ids:
-            flags.append(1 if (first is not None and i > first) else 0)
-            if first is None or i < first:
+            # first-CLAIM semantics: once a bucket is claimed, a later
+            # arrival can never steal it (overwriting on i < first let a
+            # duplicate pair through with NEITHER row flagged)
+            if first is None:
                 first = i
+                flags.append(0)
+            else:
+                flags.append(1 if i != first else 0)
         state.update((int(first),))
         yield pd.DataFrame(
             {
@@ -495,9 +512,11 @@ def stream_semantic_dup_flags(
 
     if not df.isStreaming:
         assigned = seeded_clusters(df, id_col, vec_col, n_seeds, seeds=seeds)
+        # long-cast ids so batch ordering matches the stream arm's numeric
+        # sort (native string ids would order lexically)
         a = assigned.select(
             "cluster_id",
-            F.col(id_col).alias("_oid"),
+            F.col(id_col).cast("long").alias("_oid"),
             F.col(vec_col).cast("array<double>").alias("_ov"),
         )
         if max_state is not None:
@@ -513,7 +532,7 @@ def stream_semantic_dup_flags(
 
         b = assigned.select(
             "cluster_id",
-            F.col(id_col).alias("_id"),
+            F.col(id_col).cast("long").alias("_id"),
             F.col(vec_col).cast("array<double>").alias("_v"),
         )
         dup = (
@@ -529,10 +548,10 @@ def stream_semantic_dup_flags(
             .distinct()
         )
         return (
-            assigned.select("cluster_id", F.col(id_col).alias("_id"))
+            assigned.select("cluster_id", F.col(id_col).cast("long").alias("_id"))
             .join(dup, "_id", "left")
             .select(
-                F.col("_id").cast("long").alias("id"),
+                F.col("_id").alias("id"),
                 F.col("cluster_id").cast("long").alias("cluster_id"),
                 F.coalesce("_dup", F.lit(0)).cast("int").alias("is_semantic_dup"),
             )

@@ -369,3 +369,43 @@ def test_stream_semantic_dup_requires_seeds_and_caps_state(spark, tmp_path):
         ).collect()
     }
     assert out[0] == 0 and all(out[i] == 1 for i in range(1, 6))
+
+
+def test_stream_guard_first_claim_no_steal(spark, tmp_path):
+    """Out-of-ID-order ingestion: a smaller id arriving AFTER the bucket
+    was claimed must be FLAGGED, not silently steal the claim (the steal
+    let a duplicate pair through with neither row flagged)."""
+    from intake_spark.streaming import stream_winnow_dup_flags
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"
+    schema = "doc_id long, text string"
+    src = tmp_path / "steal_src"
+    src.mkdir()
+    # batch 1: the HIGH id arrives first and claims the fingerprints
+    spark.createDataFrame([(10, f"{shared} one tail")], schema).coalesce(1).write.parquet(
+        str(src / "f0")
+    )
+    # batch 2: the LOW id near-dup arrives later
+    spark.createDataFrame([(5, f"{shared} two tail")], schema).coalesce(1).write.parquet(
+        str(src / "f1")
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    q = (
+        stream_winnow_dup_flags(stream)
+        .writeStream.format("memory")
+        .queryName("steal_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180)
+    q.stop()
+    flags = {}
+    for r in spark.sql("SELECT * FROM steal_test").collect():
+        flags[r.id] = max(flags.get(r.id, 0), r.is_dup_fp)
+    assert flags[10] == 0  # the claimer
+    assert flags[5] == 1   # the later arrival is the duplicate
