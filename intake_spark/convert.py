@@ -96,8 +96,22 @@ def conversion_path(start: str, end: str, cutoff: int = 5) -> list[tuple[str, st
     raise ValueError(f"no conversion path {start} -> {end}")
 
 
+# real classes live in implementation modules; the conversion graph keys
+# on the public names — normalize detection so auto in_type reaches the
+# registered edges
+_QNAME_ALIASES = {
+    "pyspark.sql.classic.dataframe:DataFrame": SPARK_DF,
+    "pyspark.sql.connect.dataframe:DataFrame": SPARK_DF,
+    "pyspark.sql.dataframe:DataFrame": SPARK_DF,
+    "pandas.core.frame:DataFrame": PANDAS_DF,
+    "pyarrow.lib:Table": ARROW_TABLE,
+}
+
+
 def convert(obj: Any, out_type: str, in_type: str | None = None, spark=None):
-    in_type = in_type or qname(obj).replace("pyspark.sql.classic.dataframe:DataFrame", SPARK_DF)
+    if in_type is None:
+        q = qname(obj)
+        in_type = _QNAME_ALIASES.get(q, q)
     for a, b in conversion_path(in_type, out_type):
         obj = CONVERTERS[(a, b)](obj, spark=spark)
     return obj
@@ -156,9 +170,15 @@ def chunk_rows_to_numpy(df, max_bytes: int | None = 1 << 30):
     flat = np.empty(n, dtype="f8")
     row_len = n // shape[0] if shape else 1
     pos_check = 0
+    # offsets are rebased to the minimum so sliced chunk frames
+    # (slice_axis0 keeps GLOBAL offsets while shape[0] reflects the
+    # sliced length) assemble correctly alongside unsliced ones
+    base = None
     for row in df.select("offset0", "values").orderBy("offset0").toLocalIterator():
         vals = np.asarray(row["values"], dtype="f8")
-        start = int(row["offset0"]) * row_len
+        if base is None:
+            base = int(row["offset0"])
+        start = (int(row["offset0"]) - base) * row_len
         flat[start : start + len(vals)] = vals
         pos_check += len(vals)
     if pos_check != n:

@@ -111,16 +111,20 @@ class CSV(FileData):
 
     @classmethod
     def _head_ok(cls, head: bytes) -> bool:
-        # delimited text: printable, consistent separator count per line
-        try:
-            text = head.decode("utf-8", errors="strict")
-        except UnicodeDecodeError:
+        # delimited text: decodable + at least one line. A multibyte char
+        # straddling the head cut must not veto (trim up to 3 trailing
+        # bytes before giving up); binary bytes still veto.
+        text = None
+        for trim in range(4):
+            try:
+                text = head[: len(head) - trim].decode("utf-8")
+                break
+            except UnicodeDecodeError:
+                continue
+        if text is None:
             return False
         lines = [ln for ln in text.splitlines()[:10] if ln]
-        if len(lines) < 1:
-            return False
-        seps = [max(ln.count(","), ln.count("\t"), ln.count(";")) for ln in lines]
-        return all(s > 0 for s in seps[:2]) or len(lines) >= 1
+        return len(lines) >= 1
 
 
 class JSONFile(FileData):
@@ -415,6 +419,11 @@ def recommend(
                     inner_url = re.sub(rf"\.({codec}|gz|bz2|zst|lz4)$", "", url or "")
                     return recommend(inner_url or None, mime=None, head=inner)
                 except Exception:
+                    # codec recognized but not decodable here (zstd/lz4):
+                    # score by pattern/mime alone — running _head_ok on the
+                    # COMPRESSED bytes would veto formats whose filepatterns
+                    # explicitly claim the extension
+                    head = None
                     break
         # container recursion (reference datatypes.py:2028-2043): for a zip
         # that is a plain container (not an OOXML/NPZ-style format claimed

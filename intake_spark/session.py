@@ -41,7 +41,7 @@ def get_session(app_name: str = "intake_spark", cpus: int | None = None) -> Spar
     )
 
 
-_PYFILES_ADDED: set[int] = set()
+_PYFILES_ADDED: set[tuple] = set()
 
 
 def ensure_py_deps(spark: SparkSession) -> None:
@@ -53,7 +53,11 @@ def ensure_py_deps(spark: SparkSession) -> None:
     per SparkContext and ships it with ``addPyFile`` — works identically in
     local mode and on a real cluster.
     """
-    key = id(spark.sparkContext)
+    sc = spark.sparkContext
+    # applicationId disambiguates a recycled id() after a context restart;
+    # the per-pid zip name avoids cross-process write races on a shared
+    # tempdir (two drivers rewriting one file mid-addPyFile)
+    key = (id(sc), sc.applicationId)
     if key in _PYFILES_ADDED:
         return
     import tempfile
@@ -61,7 +65,9 @@ def ensure_py_deps(spark: SparkSession) -> None:
 
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
     root = os.path.dirname(pkg_dir)
-    zpath = os.path.join(tempfile.gettempdir(), "intake_spark_pyfiles.zip")
+    zpath = os.path.join(
+        tempfile.gettempdir(), f"intake_spark_pyfiles_{os.getpid()}.zip"
+    )
     with zipfile.ZipFile(zpath, "w") as z:
         for dirpath, _dirs, files in os.walk(pkg_dir):
             for f in files:
@@ -100,9 +106,24 @@ def load_table(spark: SparkSession, sf_dir: str, name: str):
         from pyspark.sql import functions as F
         from pyspark.sql.types import LongType
 
+        # set the legacy conf only long enough to RESOLVE the scan schema
+        # (captured in the plan at read time), then restore: leaving it on
+        # would make every later nanos-parquet read in the caller's session
+        # silently return raw longs instead of failing loudly
+        try:
+            prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong")
+        except Exception:
+            prev = None
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        if isinstance(df.schema["ts"].dataType, LongType):
+        try:
+            df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+            is_long = isinstance(df.schema["ts"].dataType, LongType)
+        finally:
+            if prev is None:
+                spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+            else:
+                spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
+        if is_long:
             # ns-since-epoch → TIMESTAMP_NTZ via an NTZ base: the naive wall
             # clock is preserved regardless of the caller session's timezone
             # (timestamp_micros would yield LTZ and shift under non-UTC

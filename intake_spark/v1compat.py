@@ -170,9 +170,20 @@ def _v1_parameter(name: str, spec: dict) -> SimpleUserParameter:
 def from_v1_dict(doc: dict, catalog_dir: str = ".") -> Catalog:
     cat = Catalog(metadata={"v1_name": doc.get("name", ""), **(doc.get("metadata") or {})})
     context = {"CATALOG_DIR": catalog_dir}
+    def _dejinja(v):
+        # V1 convention: {{ parameter }} anywhere in args → our {param}
+        # template (not just urlpath: sql_expr and friends carry them too)
+        if isinstance(v, str):
+            return re.sub(r"\{\{\s*(\w+)\s*\}\}", r"{\1}", v)
+        if isinstance(v, dict):
+            return {k: _dejinja(x) for k, x in v.items()}
+        if isinstance(v, list):
+            return [_dejinja(x) for x in v]
+        return v
+
     for name, spec in (doc.get("sources") or {}).items():
         driver = spec.get("driver", "")
-        args = render_template(spec.get("args") or {}, context)
+        args = _dejinja(render_template(spec.get("args") or {}, context))
         params = {
             pname: _v1_parameter(pname, pspec)
             for pname, pspec in (spec.get("parameters") or {}).items()
@@ -181,9 +192,13 @@ def from_v1_dict(doc: dict, catalog_dir: str = ".") -> Catalog:
             # nested catalog: load recursively and merge with prefixed aliases
             sub_path = args.get("path") or args.get("urlpath")
             sub = open_v1_catalog(sub_path)
+            cat.entries.update(sub.entries)
             for alias, tok in sub.aliases.items():
-                cat.entries[tok] = sub.entries[tok]
                 cat.aliases[f"{name}.{alias}"] = tok
+                # keep the un-prefixed alias too when it is free: alias/
+                # derived entries INSIDE the sub-catalog reference their
+                # siblings by these names
+                cat.aliases.setdefault(alias, tok)
             continue
         if driver in ("alias", "intake.source.derived.AliasSource"):
             akw: dict[str, Any] = {}
@@ -332,7 +347,16 @@ class DerivedReader(BaseReader):
         cat = getattr(self, "_catalog", None)
         if cat is None:
             raise ValueError("DerivedReader cannot be used outside a catalog")
-        fn = _CHOOSERS.get(chooser, first) if isinstance(chooser, str) else chooser
+        # unknown strings resolve as import paths (AliasReader semantics);
+        # silently degrading to 'first' would read the wrong target
+        if isinstance(chooser, str):
+            fn = _CHOOSERS.get(chooser)
+            if fn is None:
+                from intake_spark.utils import str_to_func
+
+                fn = str_to_func(chooser)
+        else:
+            fn = chooser
         df = fn(list(targets or []), cat, spark=spark)
         if columns:
             df = df.select(*columns)

@@ -1299,3 +1299,32 @@ def test_slice_axis0_updates_shape(spark, tmp_path):
     df = NumpyArrayReader(data=dt.NumpyFile(url=p)).read(spark=spark, rows_per_chunk=2)
     out = slice_axis(df, 0, 1, 3).collect()
     assert all(list(r.shape) == [2, 2] for r in out)  # sliced global length
+
+
+def test_chunk_rows_to_numpy_after_axis0_slice(spark, tmp_path):
+    import numpy as np
+
+    from intake_spark import datatypes as dt
+    from intake_spark.arrays import NumpyArrayReader, slice_axis
+    from intake_spark.convert import chunk_rows_to_numpy
+
+    arr = np.arange(20.0).reshape(10, 2)
+    p = str(tmp_path / "cs.npy")
+    np.save(p, arr)
+    df = NumpyArrayReader(data=dt.NumpyFile(url=p)).read(spark=spark, rows_per_chunk=4)
+    out = chunk_rows_to_numpy(slice_axis(df, 0, 3, 7))
+    np.testing.assert_array_equal(out, arr[3:7])
+
+
+def test_convert_auto_detects_pandas_and_arrow(spark):
+    import pandas as pd
+    import pyarrow as pa
+
+    from intake_spark.convert import SPARK_DF, convert
+
+    pdf = pd.DataFrame({"a": [1, 2]})
+    sdf = convert(pdf, SPARK_DF, spark=spark)
+    assert sdf.count() == 2
+    t = pa.table({"a": [3, 4]})
+    sdf2 = convert(t, SPARK_DF, spark=spark)
+    assert sdf2.count() == 2

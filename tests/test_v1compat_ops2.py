@@ -310,3 +310,56 @@ sources:
     assert total == arr.sum()
     r2 = intake_spark.open_numpy(str(tmp_path / "small.npy"))
     assert sum(sum(r.values) for r in r2.read(spark=spark).collect()) == arr.sum()
+
+
+def test_v1_jinja_params_in_any_arg(tmp_path):
+    """{{ param }} templates outside urlpath (e.g. sql_expr) must convert
+    to the {param} form too."""
+    import yaml
+
+    from intake_spark.v1compat import from_v1_dict
+
+    doc = yaml.safe_load(
+        """
+sources:
+  q:
+    driver: sql
+    args:
+      uri: jdbc:postgresql://h/db
+      sql_expr: "SELECT * FROM t WHERE x > {{ threshold }}"
+    parameters:
+      threshold:
+        type: int
+        default: 5
+"""
+    )
+    cat = from_v1_dict(doc)
+    tok = cat.aliases["q"]
+    payload = str(cat.entries[tok].to_dict())
+    assert "{threshold}" in payload and "{{" not in payload
+
+
+def test_v1_nested_catalog_sibling_refs(tmp_path):
+    """An alias inside a nested catalog must still resolve its sibling by
+    the un-prefixed name after the merge."""
+    import yaml
+
+    from intake_spark.v1compat import from_v1_dict
+
+    sub = {
+        "sources": {
+            "raw": {"driver": "csv", "args": {"urlpath": str(tmp_path / "x.csv")}},
+            "best": {"driver": "alias", "args": {"target": "raw"}},
+        }
+    }
+    subp = tmp_path / "sub.yaml"
+    subp.write_text(yaml.safe_dump(sub))
+    root = {
+        "sources": {
+            "inner": {"driver": "yaml_file_cat", "args": {"path": str(subp)}}
+        }
+    }
+    cat = from_v1_dict(root)
+    assert "inner.best" in cat.aliases and "inner.raw" in cat.aliases
+    # sibling reference target resolves through the kept un-prefixed alias
+    assert "raw" in cat.aliases
