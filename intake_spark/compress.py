@@ -102,8 +102,8 @@ def blosc_decompress(src: bytes) -> bytes:
         raise ValueError("blosc bit-shuffle needs the bitshuffle kernel (not stdlib)")
     if memcpyed:
         return src[16 : 16 + nbytes]
-    if codec not in (1, 4):  # 1 = lz4/lz4hc, 4 = zlib
-        names = {0: "blosclz", 2: "snappy", 3: "zstd", 5: "zstd"}
+    if codec not in (1, 3):  # Blosc1 format codes: 1 = lz4/lz4hc, 3 = zlib
+        names = {0: "blosclz", 2: "snappy", 4: "zstd"}
         raise ValueError(
             f"blosc codec {names.get(codec, codec)!r} not supported "
             "(lz4/zlib/memcpy decode stdlib-side)"

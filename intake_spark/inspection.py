@@ -277,7 +277,10 @@ def plan_report(df) -> dict:
         "has_take_ordered": "TakeOrderedAndProject" in plan,
         "n_python_stages": plan.count("BatchEvalPython"),
         "n_arrow_stages": plan.count("ArrowEvalPython") + plan.count("MapInPandas"),
-        "pushed_filters": "PushedFilters: [" in plan
-        and "PushedFilters: []" not in plan,
+        # ANY scan with a non-empty pushed-filter list counts (a second
+        # filterless scan in the same plan must not mask it)
+        "pushed_filters": bool(
+            __import__("re").search(r"PushedFilters: \[[^\]]", plan)
+        ),
         "whole_stage_codegen": "WholeStageCodegen" in plan,
     }

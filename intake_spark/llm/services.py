@@ -64,9 +64,10 @@ def llm_complete(
     endpoint: str = "",
     model: str = "",
     max_tokens: int = 128,
-    batch_size: int = 8,
 ) -> DataFrame:
-    """Append a completion column computed per row via the LLM service."""
+    """Append a completion column computed per row via the LLM service.
+    Chat completions are inherently one request per prompt (the protocol
+    has no multi-prompt form); embeddings batch for real in llm_embed."""
     from intake_spark.session import ensure_py_deps
 
     ensure_py_deps(df.sparkSession)
@@ -79,17 +80,20 @@ def llm_complete(
             if backend == "fake":
                 outs = [_fake_completion(p, max_tokens) for p in prompts]
             elif backend == "openai_chat":
-                for i in range(0, len(prompts), batch_size):
-                    for p in prompts[i : i + batch_size]:
-                        resp = _post_json(
-                            f"{endpoint}/v1/chat/completions",
-                            {
-                                "model": model,
-                                "messages": [{"role": "user", "content": p}],
-                                "max_tokens": max_tokens,
-                            },
-                        )
-                        outs.append(resp["choices"][0]["message"]["content"])
+                # chat completions are one-prompt-per-request by protocol;
+                # n>1 "batching" is the legacy completions endpoint's trick
+                # (llm_embed batches for real — its endpoint accepts lists).
+                # One request per row, one connection per Arrow batch.
+                for p in prompts:
+                    resp = _post_json(
+                        f"{endpoint}/v1/chat/completions",
+                        {
+                            "model": model,
+                            "messages": [{"role": "user", "content": p}],
+                            "max_tokens": max_tokens,
+                        },
+                    )
+                    outs.append(resp["choices"][0]["message"]["content"])
             else:
                 raise ValueError(f"unknown backend {backend!r}")
             res = pdf.copy()

@@ -145,9 +145,18 @@ class PrometheusMetricReader(BaseReader):
 
     def _read(self, spark, start=None, end=None, step="1m", **kwargs):
         import json
+        import time
+        import urllib.parse
         import urllib.request
 
-        url = f"{self.data.url}/api/v1/query_range?query={self.data.query}&start={start}&end={end}&step={step}"
+        if end is None:
+            end = int(time.time())
+        if start is None:
+            start = int(end) - 3600  # default: the last hour
+        qs = urllib.parse.urlencode(
+            {"query": self.data.query, "start": start, "end": end, "step": step}
+        )
+        url = f"{self.data.url}/api/v1/query_range?{qs}"
         with urllib.request.urlopen(url, timeout=30) as resp:
             payload = json.load(resp)
         rows = [
@@ -155,7 +164,9 @@ class PrometheusMetricReader(BaseReader):
             for series in payload["data"]["result"]
             for t, v in series["values"]
         ]
-        return spark.createDataFrame(rows)
+        return spark.createDataFrame(
+            rows, "metric string, ts double, value double"
+        )
 
 
 class SocrataReader(BaseReader):
@@ -176,6 +187,8 @@ class SocrataReader(BaseReader):
             if len(page) < page_size:
                 break
             offset += page_size
+        if not rows:
+            return spark.createDataFrame([], "value string")
         return spark.createDataFrame(rows)
 
 
@@ -206,7 +219,9 @@ class OGCAPIFeaturesReader(BaseReader):
             if not nxt:
                 break
             url = nxt[0]["href"]
-        return spark.createDataFrame(rows)
+        return spark.createDataFrame(
+            rows, "id string, geometry string, properties string"
+        )
 
 
 class ArrowFlightReader(BaseReader):
@@ -240,9 +255,15 @@ class MQTTReader(BaseReader):
             if len(rows) >= n_messages:
                 client.disconnect()
 
-        client = mqtt.Client()
+        try:  # paho-mqtt 2.x requires an explicit callback API version
+            client = mqtt.Client(mqtt.CallbackAPIVersion.VERSION1)
+        except AttributeError:  # 1.x
+            client = mqtt.Client()
         client.on_message = on_message
-        host, _, port = self.data.url.partition(":")
+        addr = self.data.url
+        if "://" in addr:  # tcp://broker:1883 and friends
+            addr = addr.split("://", 1)[1]
+        host, _, port = addr.partition(":")
         client.connect(host, int(port or 1883))
         client.subscribe(self.data.topic)
         client.loop_start()
@@ -644,20 +665,35 @@ def thredds_merged_dataset(
     parts = path.split("/") if isinstance(path, str) else list(path)
     cat = thredds_catalog(THREDDSCatalogData(url=url), fetch=fetch)
     consumed = 0
+    leaf = None
+    leaf_name = None
     for part in parts:
         if "*" in part or "?" in part:
             break
         entry = cat[part]
-        cat = entry.read(fetch=fetch) if isinstance(entry, ThreddsCatalogReader) else entry
         consumed += 1
+        if isinstance(entry, ThreddsCatalogReader):
+            cat = entry.read(fetch=fetch)
+        else:
+            # the literal path named a DATASET leaf, not a catalogRef
+            leaf, leaf_name = entry, part
+            break
     pattern = "/".join(parts[consumed:]) or "*"
     out = None
-    for name in sorted(cat):
-        if not fnmatch.fnmatch(name, pattern):
-            continue
-        df = cat[name].read(spark=spark, **(reader_kwargs or {}))
-        df = df.withColumn("source", F.lit(name))
-        out = df if out is None else out.unionByName(df, allowMissingColumns=True)
+    if leaf is not None:
+        out = leaf.read(spark=spark, **(reader_kwargs or {})).withColumn(
+            "source", F.lit(leaf_name)
+        )
+    else:
+        for name in sorted(cat):
+            if not fnmatch.fnmatch(name, pattern):
+                continue
+            entry = cat[name]
+            if isinstance(entry, ThreddsCatalogReader):
+                continue  # pattern matches only DATASETS; refs need a deeper path
+            df = entry.read(spark=spark, **(reader_kwargs or {}))
+            df = df.withColumn("source", F.lit(name))
+            out = df if out is None else out.unionByName(df, allowMissingColumns=True)
     if out is None:
         raise ValueError(f"no datasets match {path!r} under {url}")
     return out
@@ -689,10 +725,9 @@ def _stac_fetch(url: str) -> dict:
 
 
 def _stac_join(base_url: str, href: str) -> str:
-    if "://" in href or href.startswith("/"):
-        return href
-    stem = base_url.rsplit("/", 1)[0] if "/" in base_url else "."
-    return f"{stem}/{href}"
+    # same resolution rules as _thredds_join (root-relative hrefs resolve
+    # against the catalog's scheme+host, not the local filesystem)
+    return _thredds_join(base_url, href)
 
 
 def _stac_walk_items(url: str, fetch, max_depth: int = 10) -> list[tuple[str, dict]]:
@@ -779,6 +814,10 @@ def stac_search(
     rows = []
     for iurl, item in _stac_walk_items(url, fetch):
         ib = item.get("bbox") or [None] * 4
+        if len(ib) == 6:
+            # STAC allows 3D bboxes [minx,miny,minz,maxx,maxy,maxz]:
+            # project to 2D so positional math stays correct
+            ib = [ib[0], ib[1], ib[3], ib[4]]
         props = item.get("properties", {})
         dtv = props.get("datetime") or ""
         if bbox is not None and ib[0] is not None:
@@ -895,8 +934,7 @@ class STACIndexData(dt.Service):
 
 
 def _json_fetch(url: str) -> "object":
-    """Local paths / file:// read from disk; http(s) via urllib
-    (network-gated in this container). Returns parsed JSON."""
+    """Shared JSON fetch (see :func:`_fetch_bytes`)."""
     import json as _json
 
     return _json.loads(_fetch_bytes(url, timeout=30))

@@ -1328,3 +1328,30 @@ def test_convert_auto_detects_pandas_and_arrow(spark):
     t = pa.table({"a": [3, 4]})
     sdf2 = convert(t, SPARK_DF, spark=spark)
     assert sdf2.count() == 2
+
+
+def test_blosc_zlib_and_zstd_codes():
+    """Blosc1 format codes: 3 = zlib (must decode via stdlib), 4 = zstd
+    (must raise the NAMED gate, not feed zstd frames to zlib)."""
+    import struct
+    import zlib as _zlib
+
+    import pytest as _pytest
+
+    from intake_spark.compress import blosc_decompress
+
+    payload = bytes(range(64)) * 4
+    comp = _zlib.compress(payload)
+
+    def frame(codec, body, nbytes):
+        hdr = struct.pack(
+            "<BBBBIII", 2, 1, 0 | (codec << 5), 8, nbytes, nbytes, len(body) + 24
+        )
+        # one block: starts table with a single offset right after it
+        return hdr + struct.pack("<I", 20) + struct.pack("<I", len(body)) + body
+
+    out = blosc_decompress(frame(3, comp, len(payload)))
+    assert out == payload
+
+    with _pytest.raises(ValueError, match="zstd"):
+        blosc_decompress(frame(4, b"\x28\xb5\x2f\xfd" + bytes(10), 32))
