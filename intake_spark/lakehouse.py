@@ -135,7 +135,14 @@ def _register_names(schema, names: dict):
     """Pre-walk named types so forward references resolve."""
     if isinstance(schema, dict):
         if schema.get("type") in ("record", "fixed", "enum") and schema.get("name"):
-            names[schema["name"]] = schema
+            # register BOTH the bare name and the namespace-qualified
+            # fullname: references may use either form (Avro spec), and a
+            # dotted name embedded in "name" is already full
+            nm = schema["name"]
+            names[nm] = schema
+            ns = schema.get("namespace")
+            if ns and "." not in nm:
+                names[f"{ns}.{nm}"] = schema
         for f in schema.get("fields", []) or []:
             _register_names(f.get("type"), names)
         for k in ("items", "values"):
@@ -425,7 +432,30 @@ def delta_checkpoint(url: str, spark=None) -> int:
     adds: dict[str, dict] = {}
     meta = None
     protocol = {"minReaderVersion": 1, "minWriterVersion": 2}
+    # seed from the EXISTING checkpoint: commits at or below it may have
+    # been vacuumed, so replaying only the surviving JSON commits would
+    # silently drop every add the old checkpoint carries
+    ckpt_version = -1
+    last_ck = os.path.join(log, "_last_checkpoint")
+    if os.path.exists(last_ck):
+        with open(last_ck) as f:
+            ck = json.load(f)
+        ckpt_version = int(ck["version"])
+        ck_path = os.path.join(log, f"{ckpt_version:020d}.checkpoint.parquet")
+        if os.path.exists(ck_path):
+            cdf = spark.read.parquet(ck_path)
+            for row in cdf.select("add", "remove", "metaData", "protocol").collect():
+                if row.add and row.add.path:
+                    adds[row.add.path] = row.add.asDict(recursive=True)
+                if row.remove and row.remove.path:
+                    adds.pop(row.remove.path, None)
+                if row.metaData and row.metaData.schemaString:
+                    meta = row.metaData.asDict(recursive=True)
+                if row.protocol and row.protocol.minReaderVersion is not None:
+                    protocol = row.protocol.asDict(recursive=True)
     for c in commits:
+        if int(c[:20]) <= ckpt_version:
+            continue
         with open(os.path.join(log, c)) as f:
             for line in f:
                 if not line.strip():
@@ -547,6 +577,16 @@ class DeltaLakeReader(BaseReader):
             f for f in os.listdir(log) if re.fullmatch(r"\d{20}\.json", f)
         )
         if version is not None:
+            newest = max(
+                [int(c[:20]) for c in commits] or [-1]
+            )
+            if os.path.exists(os.path.join(log, "_last_checkpoint")):
+                with open(os.path.join(log, "_last_checkpoint")) as f:
+                    newest = max(newest, int(json.load(f)["version"]))
+            if version > newest:
+                raise ValueError(
+                    f"Delta version {version} does not exist (latest is {newest})"
+                )
             # state may come entirely from a checkpoint <= version (older
             # JSON commits can be vacuumed), so an empty commit list is not
             # an error here — a missing metaData below is

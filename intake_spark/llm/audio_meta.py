@@ -90,7 +90,9 @@ def mp3_meta(content: bytes, max_walk_frames: int = 2_000_000) -> dict:
     side = (17 if meta["channels"] == 1 else 32) if meta["version_code"] == 3 else (
         9 if meta["channels"] == 1 else 17
     )
-    xing_off = pos + 4 + side
+    # protection bit 0 = a 16-bit CRC sits between header and side info
+    crc = 2 if (content[pos + 1] & 0x01) == 0 else 0
+    xing_off = pos + 4 + crc + side
     n_frames = None
     vbr = False
     tag = content[xing_off : xing_off + 4]
@@ -185,15 +187,33 @@ def audio_meta(content: bytes) -> dict:
     """Magic-dispatched container metadata for WAV/FLAC/AIFF/AU/MP3/OGG — no
     sample decode anywhere on this path."""
     if content[:4] == b"RIFF" and content[8:12] == b"WAVE":
-        from intake_spark.llm.multimodal import decode_wav_full
+        # header-only probe (fmt + data chunk SIZES): decoding samples in
+        # the triage stage would defeat its purpose on multi-GB PCM
+        import struct as _s
 
-        rate, arr, sw = decode_wav_full(content)
+        pos, end = 12, min(len(content), 8 + int.from_bytes(content[4:8], "little"))
+        rate = nch = bits = 0
+        dsize = 0
+        tag = 1
+        while pos + 8 <= end:
+            cid = content[pos : pos + 4]
+            (clen,) = _s.unpack_from("<I", content, pos + 4)
+            if cid == b"fmt ":
+                tag, nch, rate = _s.unpack_from("<HHI", content, pos + 8)
+                (bits,) = _s.unpack_from("<H", content, pos + 8 + 14)
+            elif cid == b"data":
+                dsize = clen
+            pos += 8 + clen + (clen & 1)
+        if tag == 0x11:  # IMA-ADPCM: ~2 samples per byte after headers
+            n = dsize * 2 // max(nch, 1)
+        else:
+            n = dsize // max((bits // 8) * nch, 1) if bits else 0
         return {
             "format": "wav",
             "sample_rate": rate,
-            "channels": int(arr.shape[1]),
-            "duration_s": round(len(arr) / rate, 6) if rate else 0.0,
-            "bits": sw * 8,
+            "channels": nch,
+            "duration_s": round(n / rate, 6) if rate else 0.0,
+            "bits": bits,
         }
     if content[:4] == b"fLaC":
         from intake_spark.llm.flac import parse_streaminfo
@@ -234,6 +254,9 @@ def audio_meta(content: bytes) -> dict:
         raise ValueError("AIFF missing COMM chunk")
     if content[:4] == b".snd":
         dlen = int.from_bytes(content[8:12], "big")
+        off = int.from_bytes(content[4:8], "big")
+        if dlen == 0xFFFFFFFF:  # spec: size unknown — measure the content
+            dlen = max(0, len(content) - off)
         enc = int.from_bytes(content[12:16], "big")
         rate = int.from_bytes(content[16:20], "big")
         nch = int.from_bytes(content[20:24], "big")

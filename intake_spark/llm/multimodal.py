@@ -1079,7 +1079,9 @@ def decode_pnm(content: bytes):
                     i += 1
             i += 1
         arr = np.array(bits, dtype=dt)
-        return ((1 - arr).astype(dt) * maxval).reshape(h, w, 1)
+        # same intensity scale as the raw (P4) decoder: 1=black -> 0,
+        # 0=white -> 255 (maxval for PBM is 1, NOT the intensity range)
+        return ((1 - arr).astype(np.uint8) * 255).reshape(h, w, 1)
     if kind in (2, 3):  # ASCII graymap/pixmap: whitespace-separated
         vals = content[pos:].split()
         need = h * w * nch

@@ -505,9 +505,9 @@ def bigram_lm_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
     to exactly 1 per prefix — a proper conditional distribution.
 
     Plan: one explode → partial-combining (a,b) counts; the prefix
-    marginal re-aggregates the *count table* (vocabulary², small), never
-    the corpus; both probability tables broadcast back onto the doc
-    pairs; one doc_id rollup is the only corpus-sized shuffle."""
+    marginal re-aggregates the *count table*, never the corpus; the
+    probability join is left to Catalyst/AQE (a distinct-bigram table is
+    NOT broadcastable on open vocabularies); one doc_id rollup closes."""
     w = F.split(F.col(text_col), " ")
     pairs = F.expr(
         "transform(sequence(1, size(_w) - 1), i -> struct(_w[i-1] as w1, _w[i] as w2))"
@@ -520,7 +520,10 @@ def bigram_lm_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
     big = doc_pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
     pref = big.groupBy("w1").agg(F.sum("c2").alias("c1"))
-    ptab = big.join(F.broadcast(pref), "w1").select(
+    # NO broadcast hints: the distinct-bigram table is corpus-vocabulary²
+    # and can exceed any broadcast limit on open vocabularies — let
+    # Catalyst/AQE pick the join strategy from measured sizes
+    ptab = big.join(pref, "w1").select(
         "w1",
         "w2",
         F.floor(F.col("c2").cast("double") / F.col("c1") * F.lit(1e12))
@@ -528,7 +531,7 @@ def bigram_lm_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
         .alias("_fx"),
     )
     return (
-        doc_pairs.join(F.broadcast(ptab), ["w1", "w2"])
+        doc_pairs.join(ptab, ["w1", "w2"])
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),

@@ -670,3 +670,46 @@ def test_iceberg_timestamp_travel(spark, tmp_path):
         rd(timestamp="1970-01-01 00:00:05")
     with _pytest.raises(ValueError, match="not both"):
         rd(snapshot_id=1, timestamp="1970-01-01")
+
+
+def test_delta_checkpoint_after_vacuum_keeps_old_adds(spark, tmp_path):
+    """Re-checkpointing after log retention removed old JSON commits must
+    seed from the existing checkpoint — replaying only surviving commits
+    silently lost every older add."""
+    import os
+
+    from intake_spark import datatypes as dt
+    from intake_spark.lakehouse import DeltaLakeReader, delta_checkpoint
+    from intake_spark.output import to_delta
+
+    url = str(tmp_path / "t")
+    df1 = spark.createDataFrame([(1,)], "a long")
+    to_delta(df1, url)
+    df2 = spark.createDataFrame([(2,)], "a long")
+    to_delta(df2, url, mode="append")
+    delta_checkpoint(url)
+    # third commit, then vacuum the pre-checkpoint JSON commits
+    to_delta(spark.createDataFrame([(3,)], "a long"), url, mode="append")
+    log = os.path.join(url, "_delta_log")
+    for f in sorted(os.listdir(log)):
+        if f.endswith(".json") and int(f[:20]) <= 1:
+            os.remove(os.path.join(log, f))
+    v = delta_checkpoint(url)
+    assert v == 2
+    got = sorted(
+        r.a for r in DeltaLakeReader(data=dt.DeltalakeTable(url=url)).read(spark=spark).collect()
+    )
+    assert got == [1, 2, 3]
+
+
+def test_delta_version_beyond_head_raises(spark, tmp_path):
+    import pytest as _pytest
+
+    from intake_spark import datatypes as dt
+    from intake_spark.lakehouse import DeltaLakeReader
+    from intake_spark.output import to_delta
+
+    url = str(tmp_path / "t2")
+    to_delta(spark.createDataFrame([(1,)], "a long"), url)
+    with _pytest.raises(ValueError, match="does not exist"):
+        DeltaLakeReader(data=dt.DeltalakeTable(url=url)).read(spark=spark, version=50)

@@ -19,11 +19,11 @@ from intake_spark.llm.multimodal import (
 
 
 def test_pnm_ascii_variants():
-    # P1 bitmap: 1=black → intensity 0
+    # P1 bitmap: 1=black → 0, 0=white → 255 (same scale as raw P4)
     p1 = b"P1\n# comment\n3 2\n1 0 1\n0 1 0\n"
     a = decode_pnm(p1)
     assert a.shape == (2, 3, 1)
-    assert a[:, :, 0].tolist() == [[0, 1, 0], [1, 0, 1]]
+    assert a[:, :, 0].tolist() == [[0, 255, 0], [255, 0, 255]]
 
     p2 = b"P2\n2 2\n255\n0 64\n128 255\n"
     g = decode_pnm(p2)
