@@ -840,47 +840,57 @@ def q42_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
 # oracle-gate test (tests/test_oracle_gate.py) still runs all of them every
 # time regardless of ordering.
 _VERIFY_FIRST: tuple[str, ...] = (
-    "q51_doc_chunking",
-    "q52_repetition_stats",
-    "q53_top_terms",
-    "q54_decontaminate",
-    "q55_pack_sequences",
-    "q56_random_projection",
-    "q57_column_profile",
-    "q58_novel_ngram_rate",
-    "q59_containment_pairs",
-    "q60_length_histogram",
+    # r6: q61/q88 first (red/no-oracle in r05, both fixed this round), then
+    # the 46 queries whose latest green driver row is r03/r04 — together 48
+    # of the driver's 50-query sample, so every query has a fresh row.
     "q61_quantize_embeddings",
-    "q62_topk_per_source",
-    "q63_vocab_coverage",
-    "q64_token_probability",
-    "q65_dup_rate_by_source",
-    "q66_block_dedup",
-    "q67_distinctive_terms",
-    "q68_char_diversity",
-    "q69_source_overlap",
-    "q70_sample_k_per_source",
-    "q71_packing_efficiency",
-    "q72_dup_pagerank",
-    "q73_near_dup_first_seen",
-    "q79_centroid_similarity",
-    "q80_norm_profile",
-    "q81_winnow_fingerprints",
-    "q82_bigram_stats",
-    "q83_winnow_pairs",
-    "q84_semantic_dedup",
-    "q85_cluster_balanced_sample",
-    "q86_bigram_lm_score",
-    "q87_bm25_search",
     "q88_bpe_learn",
-    "q89_semantic_keep_set",
-    "q90_semantic_label_matrix",
-    "q91_small_quantity_revenue",
-    "q92_large_volume_orders",
-    "q93_top_supplier",
-    "q94_temperature_mix",
-    "q95_token_budget_selection",
-    "q96_zorder_layout",
+    "q10_window_top_orders",
+    "q11_date_accessors",
+    "q12_concat_buckets",
+    "q13_customers_without_orders",
+    "q14_event_type_matrix",
+    "q15_rollup_region_nation",
+    "q16_json_props",
+    "q17_hourly_windows",
+    "q18_asof_join",
+    "q19_interval_join",
+    "q20_dedup_fingerprint",
+    "q21_dedup_exact_groups",
+    "q22_jaccard_pairs",
+    "q23_minhash_signatures",
+    "q24_simhash",
+    "q25_knn_bruteforce",
+    "q26_label_centroids",
+    "q27_text_quality",
+    "q28_lang_id",
+    "q29_token_stats_by_source",
+    "q30_multimodal_meta",
+    "q31_lsh_ann_pairs",
+    "q32_minhash_lsh_pairs",
+    "q33_dup_groups",
+    "q34_percentiles",
+    "q35_bpe_token_stats",
+    "q36_streaming_hourly",
+    "q37_set_ops",
+    "q38_string_funcs",
+    "q39_math_funcs",
+    "q40_grouping_sets",
+    "q41_scalar_subquery",
+    "q42_null_handling",
+    "q43_array_ops",
+    "q44_simhash_pairs",
+    "q45_embedding_near_dup",
+    "q46_sessionize",
+    "q47_hash_sample",
+    "q48_mix_sources",
+    "q49_kmv_distinct",
+    "q50_hypertable_rollup",
+    "q74_waiting_suppliers",
+    "q75_important_brands",
+    "q76_event_deltas",
+    "q77_funnel",
+    "q78_retention_cohort",
 )
 
 

@@ -831,18 +831,29 @@ def q60_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
                  list_max(list_transform(vec, x -> abs(x))) AS scale
           FROM v)
     SELECT vec_id, ROUND(scale, 6) AS scale_r,
-           list_transform(vec, x -> CAST(CASE WHEN scale = 0.0 THEN 0
-                                         ELSE FLOOR(x / scale * 127) END AS INT)) AS qvec
+           array_to_string(
+             list_transform(vec, x -> CAST(CASE WHEN scale = 0.0 THEN 0
+                                           ELSE FLOOR(x / scale * 127) END AS INT)),
+             ',') AS qvec_s
     FROM s
     """,
 )
 def q61_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Int8 symmetric quantization of the embedding column — 4x smaller
     vectors for every downstream shuffle/store; floor arithmetic makes the
-    quantized integers (and the hash check) exact across engines."""
+    quantized integers (and the hash check) exact across engines.
+
+    The array is emitted as a comma-joined string (``qvec_s``): the
+    integers are exact, so string equality is bit-exact, and the driver's
+    canonicalizer can sort the scalar column (pandas cannot sort list
+    cells — r05 red row)."""
     emb = load_table(spark, sf_dir, "embeddings")
     out = similarity.quantize_embeddings(emb, id_cols=("vec_id",))
-    return out.select("vec_id", F.round("scale", 6).alias("scale_r"), "qvec")
+    return out.select(
+        "vec_id",
+        F.round("scale", 6).alias("scale_r"),
+        F.array_join(F.col("qvec").cast("array<string>"), ",").alias("qvec_s"),
+    )
 
 
 @register(
@@ -1494,12 +1505,56 @@ def q87_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.bm25_scores(docs, terms=list(_BM25_TERMS), top_n=20)
 
 
-# q88 has no SQL oracle: BPE merge learning is inherently iterative (merge
-# k's statistics depend on merges 1..k-1), outside single-statement SQL.
-# Correctness is pinned instead by tests/test_llm_ops.py, which replays the
-# published BPE algorithm in pure Python on the same corpus and asserts the
-# merge sequence matches exactly; the driver records the rows-only check.
-@register("q88_bpe_learn")
+def _bpe_oracle_sql(n_merges: int = 8) -> str:
+    """Unrolled-CTE DuckDB oracle for BPE merge learning (the q72
+    unrolled-PageRank pattern): round k = weighted adjacent-pair counts
+    over the round-(k-1) segmentation, argmax by (count desc, left asc,
+    right asc), then a left-to-right non-overlapping merge rewrite.
+
+    The rewrite wraps every symbol in ``⟨…⟩`` brackets and uses string
+    ``replace``: the per-symbol wrap makes matches boundary-safe (pair
+    ``(a,b)`` cannot match inside symbol ``xa``), and replace's
+    continue-after-replacement scan reproduces the fold's merged-output-
+    does-not-re-match-as-left semantics exactly (verified against a pure
+    Sennrich replay in tests/test_llm_ops.py). The corpus contains no
+    ``⟨``/``⟩`` characters (asserted in the same test)."""
+    L, R = "⟨", "⟩"
+    parts = ["""WITH wc AS (
+  SELECT word, COUNT(*) AS n FROM (
+    SELECT unnest(string_split(text, ' ')) AS word FROM documents) t
+  WHERE len(word) > 0 GROUP BY word
+), s0 AS (
+  SELECT list_concat(string_split(word, ''), ['</w>']) AS syms, n FROM wc
+)"""]
+    for k in range(1, n_merges + 1):
+        prev = f"s{k-1}"
+        parts.append(f""", p{k} AS (
+  SELECT pr.l AS "left", pr.r AS "right", SUM(n) AS pair_count
+  FROM (SELECT unnest(list_transform(generate_series(1, len(syms)-1),
+                 i -> {{'l': syms[i], 'r': syms[i+1]}})) AS pr, n
+        FROM {prev}) t
+  GROUP BY 1, 2
+), b{k} AS (
+  SELECT "left", "right", pair_count FROM p{k}
+  WHERE pair_count >= 2  -- min_pair_count stopping: empty best row
+  ORDER BY pair_count DESC, "left" ASC, "right" ASC LIMIT 1  -- ends the chain
+), s{k} AS (
+  SELECT string_split(trim(replace(
+           '{L}' || array_to_string(syms, '{R}{L}') || '{R}',
+           '{L}' || b."left" || '{R}{L}' || b."right" || '{R}',
+           '{L}' || b."left" || b."right" || '{R}'), '{L}{R}'), '{R}{L}') AS syms, n
+  FROM {prev} CROSS JOIN b{k} b
+)""")
+    sel = "\nUNION ALL ".join(
+        f'SELECT {k - 1} AS "rank", "left", "right",'
+        f' CAST(pair_count AS BIGINT) AS pair_count FROM b{k}'
+        for k in range(1, n_merges + 1)
+    )
+    parts.append("\n" + sel)
+    return "".join(parts)
+
+
+@register("q88_bpe_learn", _bpe_oracle_sql(8))
 def q88_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE tokenizer training: 8 merges learned from the
     word-frequency table (one corpus shuffle; every round after that is

@@ -1181,6 +1181,40 @@ def test_bpe_learn_matches_python_reference(spark):
     assert out == want_counts
 
 
+def test_bpe_oracle_sql_matches_python_reference():
+    """The unrolled-CTE DuckDB oracle (q88) reproduces the Sennrich replay
+    exactly — including the overlap case (consecutive identical pairs) and
+    boundary safety (pair must not match inside a merged symbol) — and the
+    bracket separators it relies on are absent from the shipped corpus."""
+    import duckdb
+
+    from intake_spark.llm.queries import _bpe_oracle_sql
+    from tests.conftest import SF_MEDIUM
+
+    corpora = [
+        ["aaaa aaa aa", "aaaa aaaa"],  # overlap: (a,a) merges left-to-right
+        ["xa b xa b ab", "a b a b xab"],  # boundary: (a,b) vs symbol 'xa'
+        ["low lower lowest low low", "new newer newest new new new"],
+    ]
+    for texts in corpora:
+        con = duckdb.connect()
+        con.execute("CREATE TABLE documents AS SELECT * FROM (VALUES "
+                    + ", ".join(f"({i}, ?)" for i in range(len(texts)))
+                    + ") t(doc_id, text)", texts)
+        got = [tuple(r) for r in con.execute(_bpe_oracle_sql(4)).fetchall()]
+        want, _ = _py_bpe_reference(texts, 4)
+        assert got == want  # incl. the min_pair_count<2 stopping rule
+
+    # separator-collision guard for the real gate corpus
+    con = duckdb.connect()
+    n = con.execute(
+        "SELECT count(*) FROM read_parquet(?) "
+        "WHERE contains(text, '⟨') OR contains(text, '⟩')",
+        [f"{SF_MEDIUM}/documents.parquet"],
+    ).fetchone()[0]
+    assert n == 0
+
+
 def test_bpe_merge_nonoverlapping_scan(spark):
     """'aaaa' with pair (a,a) must segment as [aa, aa, </w>] — left-to-right
     non-overlapping, the reference scan order."""
