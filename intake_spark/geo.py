@@ -1516,11 +1516,15 @@ def _fgb_index_size(features_count: int, node_size: int) -> int:
         raise ValueError(
             f"invalid FlatGeobuf index_node_size {node_size} (spec minimum 2)"
         )
+    # do-while (per the spec/flatbush implementations): even a 1-feature
+    # tree gets a root level above the leaf, so 1 feature = 2 nodes
     n = features_count
     total = n
-    while n != 1:
+    while True:
         n = (n + node_size - 1) // node_size
         total += n
+        if n == 1:
+            break
     return total * 40
 
 

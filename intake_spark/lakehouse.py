@@ -440,19 +440,38 @@ def delta_checkpoint(url: str, spark=None) -> int:
     if os.path.exists(last_ck):
         with open(last_ck) as f:
             ck = json.load(f)
-        ckpt_version = int(ck["version"])
-        ck_path = os.path.join(log, f"{ckpt_version:020d}.checkpoint.parquet")
-        if os.path.exists(ck_path):
-            cdf = spark.read.parquet(ck_path)
-            for row in cdf.select("add", "remove", "metaData", "protocol").collect():
-                if row.add and row.add.path:
-                    adds[row.add.path] = row.add.asDict(recursive=True)
-                if row.remove and row.remove.path:
-                    adds.pop(row.remove.path, None)
-                if row.metaData and row.metaData.schemaString:
-                    meta = row.metaData.asDict(recursive=True)
-                if row.protocol and row.protocol.minReaderVersion is not None:
-                    protocol = row.protocol.asDict(recursive=True)
+        # mirror the reader's naming (single-file AND multi-part), and only
+        # adopt ckpt_version once the state is actually loaded: adopting it
+        # from the pointer alone while the parquet is missing would skip
+        # the <=ckpt JSON commits with no seeded state — silently dropping
+        # every pre-checkpoint add from the new checkpoint
+        ck_ver = int(ck["version"])
+        base = f"{ck_ver:020d}.checkpoint"
+        if ck.get("parts"):
+            parts = int(ck["parts"])
+            ck_paths = [
+                os.path.join(log, f"{base}.{i:010d}.{parts:010d}.parquet")
+                for i in range(1, parts + 1)
+            ]
+        else:
+            ck_paths = [os.path.join(log, f"{base}.parquet")]
+        missing = [p for p in ck_paths if not os.path.exists(p)]
+        if missing:
+            raise ValueError(
+                f"_last_checkpoint names version {ck_ver} but checkpoint "
+                f"files are missing: {missing}"
+            )
+        ckpt_version = ck_ver
+        cdf = spark.read.parquet(*ck_paths)
+        for row in cdf.select("add", "remove", "metaData", "protocol").collect():
+            if row.add and row.add.path:
+                adds[row.add.path] = row.add.asDict(recursive=True)
+            if row.remove and row.remove.path:
+                adds.pop(row.remove.path, None)
+            if row.metaData and row.metaData.schemaString:
+                meta = row.metaData.asDict(recursive=True)
+            if row.protocol and row.protocol.minReaderVersion is not None:
+                protocol = row.protocol.asDict(recursive=True)
     for c in commits:
         if int(c[:20]) <= ckpt_version:
             continue

@@ -977,28 +977,50 @@ def to_flatgeobuf(
         )
         columns = sorted((r["k"], int(r["t"])) for r in rows)
 
-    count = df.count()
-    written = 0
-    with open(url, "wb") as f:
-        f.write(FGB_MAGIC)
+    # single evaluation: stream features to a temp side file while
+    # counting, then stamp the header with the ACTUAL count. A separate
+    # df.count() can disagree with the streamed rows on nondeterministic
+    # frames (sample/limit/shuffle-ordering) and external FGB readers
+    # trust the header count.
+    import os as _os
+
+    tmp = url + ".features.tmp"
+    count = 0
+    feat_bytes = 0
+    try:
+        with open(tmp, "wb") as tf:
+            for row in df.select("geometry", "properties").toLocalIterator():
+                doc = _json.loads(row["geometry"]) if row["geometry"] else None
+                props = _json.loads(row["properties"] or "{}")
+                feat = fgb_feature(doc, props, columns)
+                feat_bytes += 4 + len(feat)
+                if max_bytes is not None and feat_bytes > max_bytes:
+                    raise ValueError(
+                        f"to_flatgeobuf: output exceeds max_bytes={max_bytes}; "
+                        "single-file FGB is a driver-edge artifact — write "
+                        "GeoParquet for datasets of this size, or pass "
+                        "max_bytes=None to override deliberately"
+                    )
+                tf.write(len(feat).to_bytes(4, "little"))
+                tf.write(feat)
+                count += 1
         header = fgb_header(columns, count, name=layer_name)
-        f.write(len(header).to_bytes(4, "little"))
-        f.write(header)
-        written = 8 + 4 + len(header)
-        for row in df.select("geometry", "properties").toLocalIterator():
-            doc = _json.loads(row["geometry"]) if row["geometry"] else None
-            props = _json.loads(row["properties"] or "{}")
-            feat = fgb_feature(doc, props, columns)
-            written += 4 + len(feat)
-            if max_bytes is not None and written > max_bytes:
-                raise ValueError(
-                    f"to_flatgeobuf: output exceeds max_bytes={max_bytes}; "
-                    "single-file FGB is a driver-edge artifact — write "
-                    "GeoParquet for datasets of this size, or pass "
-                    "max_bytes=None to override deliberately"
-                )
-            f.write(len(feat).to_bytes(4, "little"))
-            f.write(feat)
+        if max_bytes is not None and 8 + 4 + len(header) + feat_bytes > max_bytes:
+            raise ValueError(
+                f"to_flatgeobuf: output exceeds max_bytes={max_bytes}"
+            )
+        with open(url, "wb") as f, open(tmp, "rb") as tf:
+            f.write(FGB_MAGIC)
+            f.write(len(header).to_bytes(4, "little"))
+            f.write(header)
+            while True:
+                chunk = tf.read(1 << 20)
+                if not chunk:
+                    break
+                f.write(chunk)
+    finally:
+        if _os.path.exists(tmp):
+            _os.remove(tmp)
     out = FlatGeobuf(url=url)
     out.metadata["rows_written"] = int(count)
     return out
@@ -1026,6 +1048,11 @@ def to_geoparquet(
     import os as _os
 
     _os.makedirs(url, exist_ok=True)
+    # Spark overwrite semantics: a re-run with fewer partitions must not
+    # leave stale part files from a previous write for readers to merge
+    for old in _os.listdir(url):
+        if old.startswith("part-") and old.endswith(".parquet"):
+            _os.remove(_os.path.join(url, old))
     others = [c for c in df.columns if c != geometry_col]
     geo_meta = _json.dumps(
         {

@@ -558,15 +558,15 @@ def _thredds_join(base_url: str, href: str) -> str:
     if "://" in href:
         return href
     if href.startswith("/"):
-        import os as _os
-
-        if _os.path.exists(href):
-            # absolute LOCAL path (injectable-fetch/offline catalogs)
-            return href
-        if "://" in base_url:
+        if "://" in base_url and not base_url.startswith("file://"):
+            # http(s) catalog: a root-relative href ALWAYS resolves against
+            # the catalog's scheme+host — never against the local
+            # filesystem, even if an identically-named local path exists
+            # (e.g. a server href '/data' colliding with local /data)
             scheme, rest = base_url.split("://", 1)
             host = rest.split("/", 1)[0]
             return f"{scheme}://{host}{href}"
+        # local/offline catalog (plain path or file://): absolute local path
         return href
     stem = base_url.rsplit("/", 1)[0] if "/" in base_url else "."
     return f"{stem}/{href}"

@@ -160,6 +160,11 @@ def test_flatgeobuf_index_size():
     assert _fgb_index_size(5, 0) == 0
     # two levels: 100 leaves -> 7 -> 1
     assert _fgb_index_size(100, 16) == (100 + 7 + 1) * 40
+    # do-while level count (flatbush): 1 feature still has a root above
+    # the leaf -> 2 nodes, not 1 (external writers index this way)
+    assert _fgb_index_size(1, 16) == 80
+    # exactly node_size features: leaf level 16 + root 1
+    assert _fgb_index_size(16, 16) == (16 + 1) * 40
 
 
 def test_flatgeobuf_write_read_roundtrip(spark, fgb_file, tmp_path):
@@ -240,6 +245,13 @@ def test_to_geoparquet_roundtrip(spark, fgb_file, tmp_path):
     a = sorted((r.id, r.geometry_type, r.geometry) for r in src.collect())
     b = sorted((r.id, r.geometry_type, r.geometry) for r in back.collect())
     assert [x[0] for x in a] == [x[0] for x in b]
+
+    # overwrite semantics: a re-run with fewer rows/partitions must clear
+    # stale part files, not leave them for readers to silently merge
+    res2 = to_geoparquet(src.drop("geometry_type").limit(1).coalesce(1), url)
+    assert res2.metadata["rows_written"] == 1
+    back2 = GeoParquetReader(data=GeoParquet(url=url)).read(spark=spark)
+    assert back2.count() == 1
     assert [x[1] for x in a] == [x[1] for x in b]
     assert [json.loads(x[2]) for x in a] == [json.loads(x[2]) for x in b]
 

@@ -702,6 +702,77 @@ def test_delta_checkpoint_after_vacuum_keeps_old_adds(spark, tmp_path):
     assert got == [1, 2, 3]
 
 
+def test_delta_checkpoint_seeds_from_multipart(spark, tmp_path):
+    """Re-checkpointing a table whose existing checkpoint is MULTI-PART
+    (standard Delta writers emit 'parts') must load all parts before
+    skipping <=ckpt commits — otherwise every pre-checkpoint add is
+    silently dropped from the new checkpoint."""
+    import json
+    import os
+
+    from intake_spark import datatypes as dt
+    from intake_spark.lakehouse import DeltaLakeReader, delta_checkpoint
+    from intake_spark.output import to_delta
+
+    url = str(tmp_path / "t")
+    to_delta(spark.createDataFrame([(1,)], "a long"), url)
+    to_delta(spark.createDataFrame([(2,)], "a long"), url, mode="append")
+    delta_checkpoint(url)
+    log = os.path.join(url, "_delta_log")
+    # rewrite the single-file checkpoint as a 2-part one (reader naming)
+    single = os.path.join(log, f"{1:020d}.checkpoint.parquet")
+    cdf = spark.read.parquet(single).collect()
+    half = len(cdf) // 2 or 1
+    schema = spark.read.parquet(single).schema
+    spark.createDataFrame(cdf[:half], schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(single + ".p1.tmp")
+    spark.createDataFrame(cdf[half:], schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(single + ".p2.tmp")
+    for i, tmpdir in enumerate((single + ".p1.tmp", single + ".p2.tmp"), 1):
+        part = [f for f in os.listdir(tmpdir) if f.endswith(".parquet")][0]
+        os.replace(
+            os.path.join(tmpdir, part),
+            os.path.join(log, f"{1:020d}.checkpoint.{i:010d}.{2:010d}.parquet"),
+        )
+    os.remove(single)
+    with open(os.path.join(log, "_last_checkpoint"), "w") as f:
+        json.dump({"version": 1, "parts": 2}, f)
+    # append, then vacuum the pre-checkpoint commits, then re-checkpoint
+    to_delta(spark.createDataFrame([(3,)], "a long"), url, mode="append")
+    for f2 in sorted(os.listdir(log)):
+        if f2.endswith(".json") and int(f2[:20]) <= 1:
+            os.remove(os.path.join(log, f2))
+    v = delta_checkpoint(url)
+    assert v == 2
+    got = sorted(
+        r.a
+        for r in DeltaLakeReader(data=dt.DeltalakeTable(url=url)).read(spark=spark).collect()
+    )
+    assert got == [1, 2, 3]
+
+
+def test_delta_checkpoint_missing_file_raises(spark, tmp_path):
+    """_last_checkpoint naming a checkpoint whose parquet is gone must
+    raise — NOT write a new checkpoint missing the pre-checkpoint adds."""
+    import os
+
+    import pytest as _pytest
+
+    from intake_spark.lakehouse import delta_checkpoint
+    from intake_spark.output import to_delta
+
+    url = str(tmp_path / "t")
+    to_delta(spark.createDataFrame([(1,)], "a long"), url)
+    to_delta(spark.createDataFrame([(2,)], "a long"), url, mode="append")
+    delta_checkpoint(url)
+    log = os.path.join(url, "_delta_log")
+    os.remove(os.path.join(log, f"{1:020d}.checkpoint.parquet"))
+    with _pytest.raises(ValueError, match="missing"):
+        delta_checkpoint(url)
+
+
 def test_delta_version_beyond_head_raises(spark, tmp_path):
     import pytest as _pytest
 

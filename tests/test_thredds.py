@@ -32,8 +32,12 @@ def _tree(tmp_path):
     (d / "temp_2002.nc").write_bytes(_make_netcdf3("t", b))
     (d / "salinity.nc").write_bytes(_make_netcdf3("s", c))
 
-    root_url = "http://mock/catalog.xml"
-    sub_url = "http://mock/obs/catalog.xml"
+    # offline/injectable-fetch catalog: a LOCAL base URL, so root-relative
+    # hrefs (the local service base "{d}/") resolve to local files. An
+    # http(s) catalog URL would — correctly — force root-relative hrefs
+    # onto the catalog's host (see test_thredds_server_relative_dap_base).
+    root_url = "/mock/catalog.xml"
+    sub_url = "/mock/obs/catalog.xml"
     root_xml = f"""<?xml version="1.0"?>
     <catalog {NS} name="root">
       <service name="all" serviceType="Compound" base="">
@@ -222,3 +226,20 @@ def test_thredds_server_relative_dap_base(spark):
     )
     rdr = cat["sst"]
     assert rdr.data.url == "http://server.example:8080/thredds/dodsC/sst"
+
+
+def test_thredds_join_http_base_ignores_local_collision(tmp_path):
+    """A root-relative href from an http(s) catalog must resolve against
+    the catalog's host even when an identically-named LOCAL path exists —
+    otherwise a server href like '/tmp/...' silently becomes a local file
+    read."""
+    from intake_spark.services import _thredds_join
+
+    local = tmp_path / "collide"
+    local.mkdir()
+    href = str(local)  # exists on this machine
+    got = _thredds_join("http://server.example:8080/thredds/catalog.xml", href)
+    assert got == f"http://server.example:8080{href}"
+    # local catalog: absolute local href stays local
+    assert _thredds_join("/cat/catalog.xml", href) == href
+    assert _thredds_join("file:///cat/catalog.xml", href) == href
