@@ -346,6 +346,9 @@ IMAGE_FEATURES_SCHEMA = T.StructType(
         T.StructField("n_channels", T.IntegerType()),
         T.StructField("mean_intensity", T.DoubleType()),
         T.StructField("thumb", T.ArrayType(T.DoubleType())),
+        T.StructField("decoded", T.IntegerType()),
+        T.StructField("img_format", T.StringType()),
+        T.StructField("err", T.StringType()),
     ]
 )
 
@@ -356,35 +359,69 @@ def image_features(
     keep_cols: list[str] | None = None,
     thumb_size: int = 8,
 ) -> DataFrame:
-    """REAL decode → feature-extract → resize stage for PNG/TIFF columns:
+    """REAL decode → feature-extract → resize stage for image columns:
     Arrow-batched mapInPandas produces (width, height, n_channels,
-    mean_intensity, thumb) where ``thumb`` is a flattened nearest-neighbor
-    grayscale thumbnail — the end-to-end multimodal pipeline with no fake
-    and no media libraries."""
+    mean_intensity, thumb, decoded, img_format, err) where ``thumb`` is a
+    flattened nearest-neighbor grayscale thumbnail — the end-to-end
+    multimodal pipeline with no fake and no media libraries.
+
+    Mixed-directory behavior: blobs whose PIXEL decode is gated (lossy
+    WebP/AVIF — codecs that genuinely need an image library) or corrupt
+    still flow: they get the decode-free header probe instead
+    (:func:`image_meta` dims, ``decoded=0``, the gate/parse message in
+    ``err``) rather than failing the whole batch. Direct
+    :func:`decode_image` calls keep the named gate."""
     from intake_spark.session import ensure_py_deps
 
     ensure_py_deps(df.sparkSession)
     keep = keep_cols if keep_cols is not None else [c for c in df.columns if c != content_col]
     out_schema = T.StructType([df.schema[c] for c in keep] + list(IMAGE_FEATURES_SCHEMA.fields))
+    feat_keys = (
+        "width", "height", "n_channels", "mean_intensity", "thumb",
+        "decoded", "img_format", "err",
+    )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = {k: [] for k in ("width", "height", "n_channels", "mean_intensity", "thumb")}
+            rows = {k: [] for k in feat_keys}
             for content in pdf[content_col]:
-                arr = decode_image(bytes(content))
-                gray = arr.mean(axis=2)
-                thumb = resize_nearest(arr, thumb_size, thumb_size).mean(axis=2)
-                rows["width"].append(arr.shape[1])
-                rows["height"].append(arr.shape[0])
-                rows["n_channels"].append(arr.shape[2])
-                rows["mean_intensity"].append(float(gray.mean()))
-                rows["thumb"].append([float(x) for x in thumb.ravel()])
+                blob = bytes(content)
+                try:
+                    arr = decode_image(blob)
+                    gray = arr.mean(axis=2)
+                    thumb = resize_nearest(arr, thumb_size, thumb_size).mean(axis=2)
+                    rows["width"].append(arr.shape[1])
+                    rows["height"].append(arr.shape[0])
+                    rows["n_channels"].append(arr.shape[2])
+                    rows["mean_intensity"].append(float(gray.mean()))
+                    rows["thumb"].append([float(x) for x in thumb.ravel()])
+                    rows["decoded"].append(1)
+                    rows["img_format"].append(None)
+                    rows["err"].append(None)
+                except (NotImplementedError, ValueError) as exc:
+                    w = h = fmt = None
+                    try:
+                        m = image_meta(blob)
+                        w, h, fmt = m["width"], m["height"], m["format"]
+                    except Exception:
+                        pass
+                    rows["width"].append(w)
+                    rows["height"].append(h)
+                    rows["n_channels"].append(None)
+                    rows["mean_intensity"].append(None)
+                    rows["thumb"].append(None)
+                    rows["decoded"].append(0)
+                    rows["img_format"].append(fmt)
+                    rows["err"].append(str(exc)[:200])
             out = pdf[keep].copy()
-            out["width"] = pd.array(rows["width"], dtype="int32")
-            out["height"] = pd.array(rows["height"], dtype="int32")
-            out["n_channels"] = pd.array(rows["n_channels"], dtype="int32")
+            out["width"] = pd.array(rows["width"], dtype="Int32")
+            out["height"] = pd.array(rows["height"], dtype="Int32")
+            out["n_channels"] = pd.array(rows["n_channels"], dtype="Int32")
             out["mean_intensity"] = rows["mean_intensity"]
             out["thumb"] = rows["thumb"]
+            out["decoded"] = pd.array(rows["decoded"], dtype="int32")
+            out["img_format"] = rows["img_format"]
+            out["err"] = rows["err"]
             yield out
 
     return df.mapInPandas(run, schema=out_schema)
@@ -680,6 +717,9 @@ AUDIO_FEATURES_SCHEMA = T.StructType(
         T.StructField("rms", T.DoubleType()),
         T.StructField("peak", T.DoubleType()),
         T.StructField("zero_cross_rate", T.DoubleType()),
+        T.StructField("decoded", T.IntegerType()),
+        T.StructField("audio_format", T.StringType()),
+        T.StructField("err", T.StringType()),
     ]
 )
 
@@ -693,23 +733,52 @@ def audio_features(
     of :func:`image_features`): Arrow-batched mapInPandas over the
     magic-dispatched decoders produces the standard audio-QA features —
     sample rate, channels, duration, RMS level, peak, zero-crossing rate —
-    normalized to [-1, 1] full scale regardless of bit depth."""
+    normalized to [-1, 1] full scale regardless of bit depth.
+
+    Mixed-directory behavior mirrors :func:`image_features`: blobs whose
+    SAMPLE decode is gated (MP3/OGG — codecs that genuinely need an audio
+    library) or corrupt get the decode-free container probe instead
+    (:func:`intake_spark.llm.audio_meta.audio_meta` rate/channels/
+    duration, ``decoded=0``, the gate message in ``err``)."""
     import numpy as np
 
+    from intake_spark.llm.audio_meta import audio_meta as _audio_meta
     from intake_spark.session import ensure_py_deps
 
     ensure_py_deps(df.sparkSession)
     keep = keep_cols if keep_cols is not None else [c for c in df.columns if c != content_col]
     out_schema = T.StructType([df.schema[c] for c in keep] + list(AUDIO_FEATURES_SCHEMA.fields))
+    feat_keys = (
+        "sample_rate", "n_channels", "n_frames", "duration_s",
+        "rms", "peak", "zero_cross_rate", "decoded", "audio_format", "err",
+    )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            cols = {k: [] for k in (
-                "sample_rate", "n_channels", "n_frames", "duration_s",
-                "rms", "peak", "zero_cross_rate",
-            )}
+            cols = {k: [] for k in feat_keys}
             for content in pdf[content_col]:
-                rate, arr, bits = decode_audio_full(bytes(content))
+                blob = bytes(content)
+                try:
+                    rate, arr, bits = decode_audio_full(blob)
+                except (NotImplementedError, ValueError) as exc:
+                    sr = ch = dur = fmt = None
+                    try:
+                        m = _audio_meta(blob)
+                        sr, ch = m["sample_rate"], m["channels"]
+                        dur, fmt = m["duration_s"], m["format"]
+                    except Exception:
+                        pass
+                    cols["sample_rate"].append(sr)
+                    cols["n_channels"].append(ch)
+                    cols["n_frames"].append(None)
+                    cols["duration_s"].append(dur)
+                    cols["rms"].append(None)
+                    cols["peak"].append(None)
+                    cols["zero_cross_rate"].append(None)
+                    cols["decoded"].append(0)
+                    cols["audio_format"].append(fmt)
+                    cols["err"].append(str(exc)[:200])
+                    continue
                 if arr.dtype == np.uint8:  # 8-bit WAV PCM is unsigned
                     x = (arr.astype(np.float64) - 128.0) / 128.0
                 else:
@@ -727,12 +796,18 @@ def audio_features(
                 cols["rms"].append(float(np.sqrt(np.mean(mono**2))) if n else 0.0)
                 cols["peak"].append(float(np.abs(x).max()) if n else 0.0)
                 cols["zero_cross_rate"].append(zc)
+                cols["decoded"].append(1)
+                cols["audio_format"].append(None)
+                cols["err"].append(None)
             out = pdf[keep].copy()
-            out["sample_rate"] = pd.array(cols["sample_rate"], dtype="int32")
-            out["n_channels"] = pd.array(cols["n_channels"], dtype="int32")
-            out["n_frames"] = pd.array(cols["n_frames"], dtype="int64")
+            out["sample_rate"] = pd.array(cols["sample_rate"], dtype="Int32")
+            out["n_channels"] = pd.array(cols["n_channels"], dtype="Int32")
+            out["n_frames"] = pd.array(cols["n_frames"], dtype="Int64")
             for k in ("duration_s", "rms", "peak", "zero_cross_rate"):
                 out[k] = cols[k]
+            out["decoded"] = pd.array(cols["decoded"], dtype="int32")
+            out["audio_format"] = cols["audio_format"]
+            out["err"] = cols["err"]
             yield out
 
     return df.mapInPandas(run, schema=out_schema)

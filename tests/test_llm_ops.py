@@ -341,6 +341,65 @@ def test_image_features_end_to_end(spark, tmp_path):
         assert len(r.thumb) == 64
 
 
+def test_image_features_mixed_dir_lossy_fallback(spark, tmp_path):
+    """A directory mixing decodable PNGs with gated lossy WebP must flow
+    end-to-end: the lossy row carries the header-probe dims with
+    decoded=0 and the gate message in err, not a job-killing raise."""
+    import struct
+
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    arr = rng.integers(0, 256, size=(10, 12, 3), dtype=np.uint8)
+    (tmp_path / "ok.png").write_bytes(_png_rgb_with_filters(arr, filters=[0] * 10))
+    # minimal lossy WebP: VP8 chunk, keyframe start code, 64x48 dims —
+    # image_meta parses the dims; pixel decode is a named gate
+    vp8 = b"\x00\x00\x00" + b"\x9d\x01\x2a" + struct.pack("<HH", 64, 48)
+    lossy = b"RIFF" + struct.pack("<I", 4 + 8 + len(vp8)) + b"WEBP" \
+        + b"VP8 " + struct.pack("<I", len(vp8)) + vp8
+    (tmp_path / "lossy.webp").write_bytes(lossy)
+
+    files = multimodal.read_binary_dir(spark, str(tmp_path))
+    feats = {r.path.rsplit("/", 1)[-1]: r
+             for r in multimodal.image_features(files, keep_cols=["path"]).collect()}
+    ok = feats["ok.png"]
+    assert ok.decoded == 1 and ok.width == 12 and ok.err is None
+    lw = feats["lossy.webp"]
+    assert lw.decoded == 0 and lw.width == 64 and lw.height == 48
+    assert lw.img_format == "webp-lossy" and "lossy" in lw.err
+    assert lw.mean_intensity is None and lw.thumb is None
+
+
+def test_audio_features_mixed_dir_mp3_fallback(spark, tmp_path):
+    """WAV + MP3 in one directory: the MP3 row falls back to the
+    decode-free container probe (rate/channels/duration, decoded=0)."""
+    import wave
+
+    import numpy as np
+
+    t = np.arange(8000) / 8000.0
+    sine = (0.5 * np.sin(2 * np.pi * 220 * t) * 32767).astype("<i2")
+    with wave.open(str(tmp_path / "a.wav"), "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(sine.tobytes())
+    from tests.test_audio_meta import _mp3_frame_bytes
+
+    (tmp_path / "b.mp3").write_bytes(_mp3_frame_bytes() * 10)
+
+    files = multimodal.read_binary_dir(spark, str(tmp_path))
+    feats = {r.path.rsplit("/", 1)[-1]: r
+             for r in multimodal.audio_features(files, keep_cols=["path"]).collect()}
+    a = feats["a.wav"]
+    assert a.decoded == 1 and a.sample_rate == 8000 and a.err is None
+    b = feats["b.mp3"]
+    assert b.decoded == 0 and b.audio_format == "mp3"
+    assert b.sample_rate == 44100 and b.n_channels == 2
+    assert b.duration_s is not None and b.duration_s > 0
+    assert b.rms is None and "MP3" in b.err
+
+
 def test_hash_split_disjoint_exhaustive(spark, docs):
     from intake_spark.llm import sampling
 
