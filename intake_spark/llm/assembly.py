@@ -247,6 +247,17 @@ class PyBloom:
         self.k = max(1, round(m / n * math.log(2)))
         self.bits = np.zeros((m + 7) // 8, dtype="uint8")
 
+    @classmethod
+    def with_params(cls, m: int, k: int) -> "PyBloom":
+        """Empty filter with exact (m, k) — executors building partition-
+        local blooms must use the driver's sizing bit-for-bit."""
+        import numpy as np
+
+        obj = cls.__new__(cls)
+        obj.m, obj.k = m, k
+        obj.bits = np.zeros((m + 7) // 8, dtype="uint8")
+        return obj
+
     @staticmethod
     def _h(key: str) -> tuple[int, int]:
         import hashlib
@@ -282,9 +293,13 @@ def bloom_decontaminate(
     still fits (the classic scale ladder: exact broadcast → bloom
     prefilter → shuffle anti-join):
 
-    1. build a Bloom filter over the benchmark's shingle hashes
-       (driver-side; a few bits per shingle, ~1.2 MB per million at
-       fpp=0.1%),
+    1. build a Bloom filter over the benchmark's shingle hashes —
+       DISTRIBUTED: each partition builds a local bloom with the driver's
+       exact (m, k) and emits only its NONZERO 64-bit words; a JVM
+       ``bit_or`` group-by OR-merges them (map-side partial combine), and
+       the driver receives just the merged words — never the shingles.
+       Only the finished filter (~1.2 MB per million keys at fpp=0.1%)
+       ever sits on the driver, and it must anyway: it gets broadcast,
     2. mapper-side, keep only corpus docs with at least one
        maybe-contaminated shingle — the bloom never false-negatives, so
        no contaminated doc escapes the prefilter,
@@ -296,15 +311,47 @@ def bloom_decontaminate(
     with the corpus-sized work all mapper-side."""
     from intake_spark.session import ensure_py_deps
 
+    spark = corpus.sparkSession
+    ensure_py_deps(spark)
     sh_bench = shingles(benchmark, id_col=id_col, text_col=text_col, k=k).select(
         "shingle"
     )
-    bench_shingles = [r["shingle"] for r in sh_bench.distinct().collect()]
-    bf = PyBloom(len(bench_shingles), fpp)
-    for sgl in bench_shingles:
-        bf.add(sgl)
-    spark = corpus.sparkSession
-    ensure_py_deps(spark)
+    sh_b = sh_bench.distinct()
+    n_keys = sh_b.count()
+    bf = PyBloom(n_keys, fpp)
+    bm, bk = bf.m, bf.k
+    n_words = (bm + 63) // 64
+
+    def part_bloom(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        from intake_spark.llm.assembly import PyBloom as _PB
+
+        pb = _PB.with_params(bm, bk)
+        for pdf in batches:
+            for s in pdf["shingle"]:
+                pb.add(s)
+        raw = pb.bits.tobytes()
+        raw += b"\x00" * (-len(raw) % 8)
+        words = _np.frombuffer(raw, dtype="<u8")
+        nz = _np.nonzero(words)[0]
+        yield _pd.DataFrame(
+            {"w_idx": nz.astype("int64"), "w": words[nz].view(_np.int64)}
+        )
+
+    merged = (
+        sh_b.mapInPandas(part_bloom, schema="w_idx long, w long")
+        .groupBy("w_idx")
+        .agg(F.expr("bit_or(w)").alias("w"))
+        .collect()
+    )
+    import numpy as np
+
+    words = np.zeros(n_words, dtype="<i8")
+    for r in merged:
+        words[r["w_idx"]] = r["w"]
+    bf.bits = np.frombuffer(words.tobytes(), dtype="uint8")[: (bm + 7) // 8].copy()
     bc = spark.sparkContext.broadcast(bf)
 
     sh_corpus = shingles(corpus, id_col=id_col, text_col=text_col, k=k)

@@ -1435,6 +1435,50 @@ def test_zorder_locality_beats_row_major(spark):
     assert out.count() == 64 * 64
 
 
+def test_distributed_bloom_build_bitwise_equals_driver(spark):
+    """The partition-local-blooms + bit_or merge must produce the SAME
+    bit array as a sequential driver-side build — across a multi-
+    partition frame, including high-bit (sign-bit) words."""
+    import numpy as np
+
+    from intake_spark.llm.assembly import PyBloom
+
+    keys = [f"shingle {i} text" for i in range(500)]
+    want = PyBloom(len(keys), 0.01)
+    for s in keys:
+        want.add(s)
+
+    bm, bk = want.m, want.k
+    sh = spark.createDataFrame([(s,) for s in keys], "shingle string").repartition(8)
+
+    def part_bloom(batches):
+        import pandas as _pd
+
+        pb = PyBloom.with_params(bm, bk)
+        for pdf in batches:
+            for s in pdf["shingle"]:
+                pb.add(s)
+        raw = pb.bits.tobytes()
+        raw += b"\x00" * (-len(raw) % 8)
+        words = np.frombuffer(raw, dtype="<u8")
+        nz = np.nonzero(words)[0]
+        yield _pd.DataFrame({"w_idx": nz.astype("int64"), "w": words[nz].view(np.int64)})
+
+    from pyspark.sql import functions as F
+
+    merged = (
+        sh.mapInPandas(part_bloom, schema="w_idx long, w long")
+        .groupBy("w_idx")
+        .agg(F.expr("bit_or(w)").alias("w"))
+        .collect()
+    )
+    words = np.zeros((bm + 63) // 64, dtype="<i8")
+    for r in merged:
+        words[r["w_idx"]] = r["w"]
+    got = np.frombuffer(words.tobytes(), dtype="uint8")[: (bm + 7) // 8]
+    np.testing.assert_array_equal(got, want.bits)
+
+
 def test_pybloom_no_false_negatives_bounded_fp():
     from intake_spark.llm.assembly import PyBloom
 
