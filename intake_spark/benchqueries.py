@@ -845,6 +845,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
     # of the driver's 50-query sample, so every query has a fresh row.
     "q61_quantize_embeddings",
     "q88_bpe_learn",
+    "q97_ragged_word_stats",
     "q10_window_top_orders",
     "q11_date_accessors",
     "q12_concat_buckets",
@@ -1388,4 +1389,52 @@ def q96_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("zkey").alias("zmax"),
         )
         .orderBy("zbucket")
+    )
+
+
+@register(
+    "q97_ragged_word_stats",
+    """
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> len(x) > 0) AS words
+      FROM documents)
+    SELECT doc_id,
+           len(words) AS n_words,
+           words[1] AS first_word,
+           list_max(list_transform(words, x -> len(x))) AS max_wlen,
+           CASE WHEN len(words) > 0 THEN
+             CAST(list_sum(list_transform(words, x -> len(x))) AS DOUBLE)
+               / len(words)
+           END AS mean_wlen,
+           len(list_filter(words, x -> len(x) >= 7)) AS n_long
+    FROM w
+    """,
+)
+def q97_ragged_word_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Awkward-style ragged verbs over an ArrayType column, explode-free:
+    num / firsts / max / mean / predicate-count all run as JVM
+    higher-order functions on the per-row word lists — row count never
+    changes, no shuffle, whole-stage codegen end to end (the Spark answer
+    to the reference's awkward reader family, readers.py:927-978)."""
+    from intake_spark import ragged
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        F.filter(F.split("text", " "), lambda x: F.length(x) > 0).alias("words"),
+    )
+    d = ragged.num(d, "words", out="n_words")
+    d = ragged.firsts(d, "words", out="first_word")
+    d = d.withColumn("lens", F.transform("words", F.length))
+    d = ragged.max_ragged(d, "lens", out="max_wlen")
+    d = ragged.mean_ragged(d, "lens", out="mean_wlen")
+    d = ragged.count_matching(d, "words", "length(x) >= 7", out="n_long")
+    return d.select(
+        "doc_id",
+        F.col("n_words").cast("long").alias("n_words"),
+        "first_word",
+        F.col("max_wlen").cast("long").alias("max_wlen"),
+        "mean_wlen",
+        F.col("n_long").cast("long").alias("n_long"),
     )

@@ -70,6 +70,15 @@ class PipelineMixin:
 
         return FunctionNamespace(self)
 
+    @property
+    def ak(self):
+        """Ragged-array namespace accessor — awkward-style verbs over
+        ArrayType columns as recorded steps (parity: the reference's
+        awkward reader family, readers.py:927-978)."""
+        from intake_spark.ragged import RaggedNamespace
+
+        return RaggedNamespace(self)
+
     def __getitem__(self, item):
         return self._as_pipeline().with_step(("getitem", item))
 
