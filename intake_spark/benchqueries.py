@@ -846,6 +846,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "q61_quantize_embeddings",
     "q88_bpe_learn",
     "q97_ragged_word_stats",
+    "q98_zorder3_layout",
     "q10_window_top_orders",
     "q11_date_accessors",
     "q12_concat_buckets",
@@ -1437,4 +1438,55 @@ def q97_ragged_word_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("max_wlen").cast("long").alias("max_wlen"),
         "mean_wlen",
         F.col("n_long").cast("long").alias("n_long"),
+    )
+
+
+_Q98_BITS = 7  # 3 columns x 7 bits = 21 key bits
+
+
+def _q98_sql() -> str:
+    cols = ["(l_linenumber % 128)", "(l_partkey % 128)", "(l_suppkey % 128)"]
+    terms = []
+    for i in range(_Q98_BITS):
+        for j, c in enumerate(cols):
+            terms.append(f"((({c} >> {i}) & 1) << {3 * i + j})")
+    zkey = " + ".join(terms)
+    return f"""
+    WITH z AS (SELECT CAST({zkey} AS BIGINT) AS zkey FROM lineitem)
+    SELECT CAST(zkey // 4096 AS BIGINT) AS zbucket,
+           COUNT(*) AS n_rows,
+           CAST(MIN(zkey) AS BIGINT) AS zmin,
+           CAST(MAX(zkey) AS BIGINT) AS zmax
+    FROM z GROUP BY zbucket ORDER BY zbucket
+    """
+
+
+@register("q98_zorder3_layout", _q98_sql())
+def q98_zorder3_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THREE-column Z-order layout report (the common OPTIMIZE..ZORDER BY
+    a,b,c case): column j's bit i interleaves to key bit 3i+j
+    (layout.zorder_key_n), mapper-only, then the per-4096-key bucket
+    histogram. 3-D box locality of the layout itself is asserted in
+    tests/test_operators.py."""
+    from intake_spark.layout import zorder_key_n
+
+    li = load_table(spark, sf_dir, "lineitem")
+    z = li.select(
+        zorder_key_n(
+            [
+                F.col("l_linenumber") % 128,
+                F.col("l_partkey") % 128,
+                F.col("l_suppkey") % 128,
+            ],
+            bits=_Q98_BITS,
+        ).alias("zkey")
+    )
+    return (
+        z.groupBy(F.floor(F.col("zkey") / 4096).cast("long").alias("zbucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("zkey").alias("zmin"),
+            F.max("zkey").alias("zmax"),
+        )
+        .orderBy("zbucket")
     )

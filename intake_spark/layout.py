@@ -19,33 +19,49 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def zorder_key(x, y, bits: int = 16):
-    """Interleave the low ``bits`` bits of two non-negative integer
-    columns into a Morton key: x bit i → key bit 2i, y bit i → key bit
-    2i+1. Pure JVM fold over the bit positions."""
-    xc = x if not isinstance(x, str) else F.col(x)
-    yc = y if not isinstance(y, str) else F.col(y)
+def zorder_key_n(cols, bits: int = 16):
+    """Interleave the low ``bits`` bits of N non-negative integer columns
+    into one Morton key: column j's bit i lands at key bit ``i*N + j``
+    (the standard OPTIMIZE..ZORDER BY multi-column form — Delta's
+    typical case is 3-4 columns). Pure JVM fold over the bit positions;
+    N*bits must fit a signed long."""
+    n = len(cols)
+    if n < 1:
+        raise ValueError("zorder_key_n needs at least one column")
+    if n * bits > 63:
+        raise ValueError(
+            f"{n} columns x {bits} bits = {n * bits} key bits; must be <= 63"
+        )
+    exprs = [F.col(c).cast("long") if isinstance(c, str) else c.cast("long") for c in cols]
     key = F.lit(0).cast("long")
     for i in range(bits):
-        key = (
-            key
-            + (F.shiftleft(F.shiftrightunsigned(xc.cast("long"), i) % 2, 2 * i))
-            + (F.shiftleft(F.shiftrightunsigned(yc.cast("long"), i) % 2, 2 * i + 1))
-        )
+        for j, c in enumerate(exprs):
+            key = key + F.shiftleft(F.shiftrightunsigned(c, i) % 2, i * n + j)
     return key.cast("long")
+
+
+def zorder_key(x, y, bits: int = 16):
+    """Two-column Morton key: x bit i → key bit 2i, y bit i → 2i+1
+    (the j-ordering of :func:`zorder_key_n` with cols=[x, y])."""
+    return zorder_key_n([x, y], bits)
 
 
 def cluster_by_zorder(
     df: DataFrame,
-    x_col: str,
-    y_col: str,
+    x_col,
+    y_col: str | None = None,
     bits: int = 16,
     partitions: int | None = None,
 ) -> DataFrame:
-    """Lay out rows in Z-order on (x_col, y_col): adds ``zkey`` and
-    returns the frame range-partitioned + sorted on it, ready for a
-    parquet write whose row groups are 2-D-local (box filters prune)."""
-    out = df.withColumn("zkey", zorder_key(x_col, y_col, bits))
+    """Lay out rows in Z-order: adds ``zkey`` and returns the frame
+    range-partitioned + sorted on it, ready for a parquet write whose
+    row groups are N-D-local (box filters prune). Pass a list of columns
+    (``cluster_by_zorder(df, ["a", "b", "c"])``) or the legacy two
+    positional columns."""
+    cols = list(x_col) if isinstance(x_col, (list, tuple)) else [x_col, y_col]
+    if any(c is None for c in cols):
+        raise ValueError("cluster_by_zorder needs columns")
+    out = df.withColumn("zkey", zorder_key_n(cols, bits))
     n = partitions or out.sparkSession.sparkContext.defaultParallelism
     return out.repartitionByRange(n, F.asc("zkey")).sortWithinPartitions("zkey")
 

@@ -1435,6 +1435,47 @@ def test_zorder_locality_beats_row_major(spark):
     assert out.count() == 64 * 64
 
 
+def test_zorder3_locality_on_3d_box(spark):
+    """N-column generalization: a 4x4x4 box in a 16^3 cube touches far
+    fewer 3-D Morton buckets than lexicographic (x-major) ordering, and
+    the 2-col key is bit-identical to the old interleave."""
+    from intake_spark.layout import cluster_by_zorder, zorder_key, zorder_key_n
+
+    rows = [(x, y, z) for x in range(16) for y in range(16) for z in range(16)]
+    df = spark.createDataFrame(rows, "x long, y long, z long")
+    k = df.withColumn("zkey", zorder_key_n(["x", "y", "z"], bits=4)).withColumn(
+        "lex", (F.col("x") * 256 + F.col("y") * 16 + F.col("z"))
+    )
+    box = k.filter(
+        (F.col("x") >= 4) & (F.col("x") < 8)
+        & (F.col("y") >= 4) & (F.col("y") < 8)
+        & (F.col("z") >= 4) & (F.col("z") < 8)
+    )
+    zb = box.select(F.floor(F.col("zkey") / 64).alias("b")).distinct().count()
+    lb = box.select(F.floor(F.col("lex") / 64).alias("b")).distinct().count()
+    assert zb < lb  # 4x4x4 box: 1 morton bucket (64 = 4^3 cell) vs 16 lex
+
+    # zkey covers exactly [0, 4096) with no collisions on the full cube
+    ks = [r.zkey for r in k.select("zkey").collect()]
+    assert sorted(ks) == list(range(4096))
+
+    # 2-col path unchanged: zorder_key == zorder_key_n([x, y])
+    two = df.select(
+        zorder_key("x", "y", bits=4).alias("a"),
+        zorder_key_n(["x", "y"], bits=4).alias("b"),
+    )
+    assert two.filter(F.col("a") != F.col("b")).count() == 0
+
+    # list-form cluster_by_zorder accepts 3 columns
+    out = cluster_by_zorder(df, ["x", "y", "z"], bits=4, partitions=4)
+    assert out.count() == 4096
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="<= 63"):
+        zorder_key_n(["x", "y", "z"], bits=22)
+
+
 def test_distributed_bloom_build_bitwise_equals_driver(spark):
     """The partition-local-blooms + bit_or merge must produce the SAME
     bit array as a sequential driver-side build — across a multi-
