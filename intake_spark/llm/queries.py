@@ -1361,6 +1361,25 @@ cl AS (SELECT e.vec_id, v, seed_id AS cluster_id
 """
 
 
+_SEM_PAIRS_CACHE: dict = {}
+
+
+def _semantic_pairs_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The (cluster_id, id_a, id_b, cosine) SemDeDup pair table shared by
+    q84/q89/q90 — computed once per (session, sf_dir) and persisted, so
+    the three queries stop rebuilding the clustering+pair plan thrice in
+    one session. In a catalog workflow the same sharing is
+    ``Catalog.materialize`` of this step to parquet; persist() is its
+    in-session form."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    got = _SEM_PAIRS_CACHE.get(key)
+    if got is None:
+        emb = load_table(spark, sf_dir, "embeddings")
+        got = similarity.semantic_dedup_pairs(emb, n_seeds=8, threshold=0.3).persist()
+        _SEM_PAIRS_CACHE[key] = got
+    return got
+
+
 @register(
     "q84_semantic_dedup",
     f"""
@@ -1376,6 +1395,7 @@ cl AS (SELECT e.vec_id, v, seed_id AS cluster_id
     FROM p WHERE cosine >= 0.3
     """,
 )
+
 def q84_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup: cluster-then-compare semantic near-dup pairs. Vectors are
     assigned to the nearest of 8 seed vectors (lowest-id rows — no RNG, no
@@ -1383,8 +1403,7 @@ def q84_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     only inside clusters via a cluster_id equi-join — never an all-pairs
     crossJoin. The oracle rebuilds the identical assignment (row_number
     argmax, same tie-break) and intra-cluster pair set."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    out = similarity.semantic_dedup_pairs(emb, n_seeds=8, threshold=0.3)
+    out = _semantic_pairs_shared(spark, sf_dir)
     return out.select(
         F.col("cluster_id").cast("long").alias("cluster_id"),
         "id_a",
@@ -1602,7 +1621,7 @@ def q89_semantic_keep_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     — filter keep=1 and the corpus is semantically deduplicated. Oracle
     recomputes components with a recursive transitive-closure CTE."""
     emb = load_table(spark, sf_dir, "embeddings")
-    pairs = similarity.semantic_dedup_pairs(emb, n_seeds=8, threshold=0.3).select(
+    pairs = _semantic_pairs_shared(spark, sf_dir).select(
         F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
     )
     comp = dedup.dup_groups(pairs).select(
@@ -1650,7 +1669,7 @@ def q90_semantic_label_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags) — the number a curation dashboard watches. Label lookups join
     back broadcast; pair generation stays cluster-bounded."""
     emb = load_table(spark, sf_dir, "embeddings")
-    pairs = similarity.semantic_dedup_pairs(emb, n_seeds=8, threshold=0.3)
+    pairs = _semantic_pairs_shared(spark, sf_dir)
     lab = emb.select("vec_id", "label")
     la = lab.select(F.col("vec_id").alias("id_a"), F.col("label").alias("_la"))
     lb = lab.select(F.col("vec_id").alias("id_b"), F.col("label").alias("_lb"))

@@ -573,30 +573,67 @@ def semantic_dedup_pairs(
     cosine >= threshold — feed to dup_groups for keep-one selection.
     """
     assigned = seeded_clusters(df, id_col, vec_col, n_seeds, seeds=seeds)
+    return _pairs_within(assigned, "cluster_id", id_col, vec_col, threshold)
+
+
+def _pairs_within(
+    assigned: DataFrame,
+    group_col: str,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+) -> DataFrame:
+    """Intra-group cosine pairs: the corpus meets itself on a ``group_col``
+    equi-join (never a crossJoin), pair work O(sum group_i^2)."""
     sel = assigned.select(
-        "cluster_id",
+        group_col,
         F.col(id_col).alias("_id"),
         F.col(vec_col).cast("array<double>").alias("_v"),
     ).withColumn("_n2", norm2_expr("_v"))
     a = sel.select(
-        "cluster_id",
+        group_col,
         F.col("_id").alias("id_a"),
         F.col("_v").alias("va"),
         F.col("_n2").alias("na2"),
     )
     b = sel.select(
-        "cluster_id",
+        group_col,
         F.col("_id").alias("id_b"),
         F.col("_v").alias("vb"),
         F.col("_n2").alias("nb2"),
     )
     return (
-        a.join(b, "cluster_id")
+        a.join(b, group_col)
         .filter(F.col("id_a") < F.col("id_b"))
         .withColumn("cosine", dot_expr("va", "vb") / F.sqrt(F.col("na2") * F.col("nb2")))
         .filter(F.col("cosine") >= threshold)
-        .select("cluster_id", "id_a", "id_b", "cosine")
+        .select(group_col, "id_a", "id_b", "cosine")
     )
+
+
+def semantic_dedup_pairs_ivf(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_lists: int = 16,
+    threshold: float = 0.3,
+    seed: int = 42,
+) -> DataFrame:
+    """SemDeDup candidate pairs with an IVF (trained k-means) coarse
+    quantizer instead of the fixed lowest-id seeds — the candidate
+    generator for corpora past the seeded-cluster sweet spot: n_seeds is
+    a constant there (assignment inlines the seed vectors into one
+    projection), while k-means lists scale with sqrt(n) and track the
+    actual density of the space, keeping per-list pair work bounded as
+    the corpus grows. Same equi-join pair shape (O(sum list_i^2), never
+    a crossJoin); output (ivf_list, id_a, id_b, cosine).
+
+    Recall vs the brute-force oracle is pinned >= 95% in pytest (near-
+    dup pairs are much closer than the list diameter, so boundary losses
+    stay in the tail); for exact parity on small corpora use
+    :func:`semantic_dedup_pairs`."""
+    _, assigned = ivf_build(df, vec_col=vec_col, n_lists=n_lists, seed=seed)
+    return _pairs_within(assigned, "ivf_list", id_col, vec_col, threshold)
 
 
 def cluster_balanced_sample(

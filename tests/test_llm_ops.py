@@ -1413,6 +1413,41 @@ def test_bloom_decontaminate_equals_exact(spark):
     assert got == want == [2]
 
 
+def test_ivf_semantic_dedup_recall_vs_brute(spark):
+    """semantic_dedup_pairs_ivf (k-means candidate generator, the scale
+    path past fixed seeds) must recover >=95% of the brute-force cosine
+    pairs on a corpus with planted near-dups — and never invent a pair
+    (in-list scoring is exact cosine)."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    rows = []
+    for i in range(200):
+        v = rng.normal(size=16)
+        rows.append((i, [float(x) for x in v]))
+    for j in range(50):  # planted near-dup of base j: cosine ~ 0.9999
+        base = np.array(rows[j][1])
+        dup = base + rng.normal(scale=1e-3, size=16)
+        rows.append((1000 + j, [float(x) for x in dup]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    exact = {
+        (r.id_a, r.id_b)
+        for r in dedup.embedding_near_dup_pairs(emb, threshold=0.95).collect()
+    }
+    assert len(exact) >= 50  # all planted pairs are above 0.95
+
+    approx = {
+        (r.id_a, r.id_b)
+        for r in similarity.semantic_dedup_pairs_ivf(
+            emb, n_lists=8, threshold=0.95
+        ).collect()
+    }
+    assert approx <= exact  # in-list cosine is exact: no false pairs
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.95, f"IVF semdedup recall {recall:.3f} < 0.95"
+
+
 def test_zorder_locality_beats_row_major(spark):
     """A small 2-D box must touch far fewer Z-order buckets than the same
     rows spread under row-major (x-major) ordering — the whole point of
