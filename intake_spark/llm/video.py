@@ -308,10 +308,15 @@ def video_frame_features(
                     arr = decode_image(content)
                 gray = arr.mean(axis=2)
                 thumb = resize_nearest(arr, thumb_size, thumb_size).mean(axis=2)
+                # frame decode is strict (frames were already demuxed from
+                # a decodable container), so decoded/img_format/err — the
+                # mixed-directory fallback columns IMAGE_FEATURES_SCHEMA
+                # grew — are constants here
                 out_rows.append(
                     tuple(row[c] for c in keep)
                     + (arr.shape[1], arr.shape[0], arr.shape[2],
-                       float(gray.mean()), [float(x) for x in thumb.ravel()])
+                       float(gray.mean()), [float(x) for x in thumb.ravel()],
+                       1, None, None)
                 )
             yield pd.DataFrame(
                 out_rows,

@@ -2155,3 +2155,150 @@ class SVSSlideReader(BaseReader):
         self.data.metadata.update({k: v for k, v in inner.data.metadata.items()
                                    if k not in self.data.metadata})
         return df
+
+
+# ---------------------------------------------------------------------------
+# E57 point cloud (ASTM E2807): 48-byte header + CRC-paged XML section.
+# Parity: reference datatypes.py:1481 E57File (datatype only — no reader in
+# the reference; pye57/libe57 are the usual decoders). Here the header and
+# the XML document (scan inventory, record counts, bounds) decode with the
+# stdlib; CompressedVector POINT decode (bit-packed codecs per prototype
+# field) is a named gate.
+# ---------------------------------------------------------------------------
+
+
+class E57(dt.FileData):
+    """E57 3-D imaging / point-cloud container (magic ``ASTM-E57``)."""
+
+    filepattern = r"e57$"
+    magic = (b"ASTM-E57",)
+    structure = {"array", "table"}
+
+
+def _e57_logical_bytes(f, phys_offset: int, logical_len: int, page_size: int) -> bytes:
+    """Read ``logical_len`` bytes of the LOGICAL stream starting at a
+    physical offset: every ``page_size`` physical page carries
+    (page_size - 4) payload bytes + a trailing CRC-32C word, which is
+    stripped (not verified — stdlib has CRC-32, not Castagnoli)."""
+    payload_per_page = page_size - 4
+    out = bytearray()
+    pos = phys_offset
+    while len(out) < logical_len:
+        page_start = (pos // page_size) * page_size
+        in_page = pos - page_start
+        avail = payload_per_page - in_page
+        if avail <= 0:  # started on the CRC word: skip to next page
+            pos = page_start + page_size
+            continue
+        take = min(avail, logical_len - len(out))
+        f.seek(pos)
+        chunk = f.read(take)
+        if len(chunk) < take:
+            raise ValueError("E57 file truncated inside XML section")
+        out += chunk
+        pos += take
+        if pos - page_start >= payload_per_page:
+            pos = page_start + page_size
+    return bytes(out)
+
+
+def _e57_xml(url: str) -> tuple[dict, "object"]:
+    import xml.etree.ElementTree as ET
+
+    with open(url, "rb") as f:
+        head = f.read(48)
+        if head[:8] != b"ASTM-E57":
+            raise ValueError("not an E57 file (ASTM-E57 magic missing)")
+        major, minor = struct.unpack("<II", head[8:16])
+        file_len, xml_off, xml_len, page_size = struct.unpack("<QQQQ", head[16:48])
+        if page_size < 8 or page_size > (1 << 20):
+            raise ValueError(f"implausible E57 page size {page_size}")
+        xml_raw = _e57_logical_bytes(f, xml_off, xml_len, page_size)
+    hdr = {
+        "version": f"{major}.{minor}",
+        "file_length": file_len,
+        "page_size": page_size,
+    }
+    return hdr, ET.fromstring(xml_raw.decode("utf-8"))
+
+
+def _e57_localname(tag: str) -> str:
+    return tag.rsplit("}", 1)[-1]
+
+
+class E57MetaReader(BaseReader):
+    """E57 scan inventory → one row per Data3D scan: name, record count,
+    binary section offset, prototype field names, cartesian bounds.
+    The cheap triage pass before any point decode; point payloads are a
+    named gate (CompressedVector bit-pack codecs need per-field codec
+    state machines; use pye57 off-Spark, or LAS for decodable clouds)."""
+
+    implements = {E57}
+    lazy = False
+
+    def _read(self, spark, **kwargs):
+        hdr, root = _e57_xml(self.data.url)
+        self.data.metadata.update(hdr)
+        rows = []
+        data3d = None
+        for child in root:
+            if _e57_localname(child.tag) == "data3D":
+                data3d = child
+                break
+        if data3d is not None:
+            for i, scan in enumerate(data3d):
+                name = None
+                rec_count = None
+                file_offset = None
+                proto_fields: list[str] = []
+                bounds = {}
+                for el in scan:
+                    ln = _e57_localname(el.tag)
+                    if ln == "name":
+                        name = (el.text or "").strip()
+                    elif ln == "points":
+                        rec_count = int(el.get("recordCount", "0"))
+                        file_offset = int(el.get("fileOffset", "0"))
+                        for sub in el:
+                            if _e57_localname(sub.tag) == "prototype":
+                                proto_fields = [_e57_localname(p.tag) for p in sub]
+                    elif ln == "cartesianBounds":
+                        for b in el:
+                            bounds[_e57_localname(b.tag)] = float(b.text or "nan")
+                rows.append(
+                    (
+                        i,
+                        name,
+                        rec_count,
+                        file_offset,
+                        proto_fields,
+                        bounds.get("xMinimum"),
+                        bounds.get("xMaximum"),
+                        bounds.get("yMinimum"),
+                        bounds.get("yMaximum"),
+                        bounds.get("zMinimum"),
+                        bounds.get("zMaximum"),
+                    )
+                )
+        schema = (
+            "scan_idx int, name string, record_count long, file_offset long, "
+            "proto_fields array<string>, x_min double, x_max double, "
+            "y_min double, y_max double, z_min double, z_max double"
+        )
+        return spark.createDataFrame(rows, schema)
+
+
+class E57PointsReader(BaseReader):
+    """Named gate for E57 point payloads."""
+
+    implements = {E57}
+    priority = 5
+
+    def _read(self, spark, **kwargs):
+        raise NotImplementedError(
+            "E57 CompressedVector point decode (per-field bit-pack codec "
+            "state machines, ASTM E2807 §9) is not implemented in this "
+            "stdlib engine — use E57MetaReader for the scan inventory, "
+            "pye57 off-Spark for points, or LAS/LASReader for decodable "
+            "point clouds"
+        )

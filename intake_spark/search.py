@@ -85,3 +85,127 @@ class Importable(SearchBase):
             return import_name(cls_str).check_importable()
         except Exception:
             return False
+
+
+def _version_tuple(v: str) -> tuple:
+    parts = []
+    for tok in v.split("."):
+        num = ""
+        for ch in tok:
+            if ch.isdigit():
+                num += ch
+            else:
+                break
+        parts.append(int(num) if num else 0)
+    return tuple(parts)
+
+
+def _version_ok(installed: str, op: str, want: str) -> bool:
+    if op == "=":  # conda prefix match: "1.2" allows 1.2.*
+        iv, wv = _version_tuple(installed), _version_tuple(want)
+        return iv[: len(wv)] == wv
+    iv, wv = _version_tuple(installed), _version_tuple(want)
+    return {
+        "==": iv == wv,
+        "!=": iv != wv,
+        ">=": iv >= wv,
+        "<=": iv <= wv,
+        ">": iv > wv,
+        "<": iv < wv,
+    }[op]
+
+
+def _spec_satisfied(spec: str) -> bool:
+    """One conda/pip-style dependency spec ("pkg", "pkg=1.2", "pkg>=1,<2")
+    against importlib.metadata — no conda, no network."""
+    import importlib.metadata as md
+    import re
+
+    m = re.match(r"^([A-Za-z0-9_.-]+)\s*(.*)$", spec.strip())
+    if not m:
+        return False
+    name, rest = m.group(1), m.group(2).strip()
+    try:
+        installed = md.version(name)
+    except md.PackageNotFoundError:
+        return False
+    if not rest:
+        return True
+    for clause in rest.split(","):
+        clause = clause.strip()
+        if not clause:
+            continue
+        cm = re.match(r"^(==|!=|>=|<=|>|<|=)\s*([0-9A-Za-z.*+_-]+)$", clause)
+        if not cm:
+            return False
+        want = cm.group(2).rstrip(".*")
+        if not _version_ok(installed, cm.group(1), want):
+            return False
+    return True
+
+
+class EnvironmentSatisfied(SearchBase):
+    """Pass when the entry's ``environment`` metadata (a conda
+    environment.yml subset: ``dependencies:`` list, optional nested pip
+    list; literal YAML text, a dict, or a local file path) is satisfied
+    by the CURRENT Python environment.
+
+    Parity: reference search.py:95-139 (EnvironmentSatisfied), which
+    shells out to ``conda compare``; here the check is stdlib
+    importlib.metadata version lookups — deterministic, offline, no
+    conda binary. Entries with no ``environment`` field pass, like the
+    reference. Python version pins (``python>=3.10``) check
+    ``sys.version_info``."""
+
+    def __call__(self, entry: dict) -> bool:
+        payload = entry.get("payload", entry)
+        env = (payload.get("metadata") or entry.get("metadata") or {}).get(
+            "environment"
+        )
+        if not env:
+            return True
+        try:
+            return self._is_consistent(env)
+        except Exception:
+            return False
+
+    @staticmethod
+    def _is_consistent(env) -> bool:
+        import os
+        import sys
+
+        if isinstance(env, str) and "dependencies:" not in env and os.path.exists(env):
+            with open(env) as f:
+                env = f.read()
+        if isinstance(env, str):
+            import yaml
+
+            env = yaml.safe_load(env)
+        deps = (env or {}).get("dependencies") or []
+        for dep in deps:
+            if isinstance(dep, dict):  # nested {"pip": [...]} section
+                for sub in dep.get("pip") or []:
+                    if not _spec_satisfied(str(sub)):
+                        return False
+                continue
+            spec = str(dep)
+            if spec.split("=")[0].split(">")[0].split("<")[0].strip() == "python":
+                py = ".".join(str(x) for x in sys.version_info[:3])
+                rest = spec[len("python"):].strip()
+                if rest:
+                    import re
+
+                    ok = True
+                    for clause in rest.split(","):
+                        cm = re.match(
+                            r"^(==|!=|>=|<=|>|<|=)\s*([0-9.]+)$", clause.strip()
+                        )
+                        if not cm or not _version_ok(py, cm.group(1), cm.group(2)):
+                            ok = False
+                            break
+                    if not ok:
+                        return False
+                continue
+            if not _spec_satisfied(spec):
+                return False
+        return True

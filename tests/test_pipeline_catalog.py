@@ -458,3 +458,31 @@ def test_extract_parameter_rekeys_entry():
     assert tok in cat.entries
     # the content token is truthful again after the in-place edit
     assert tok == tokenize(cat.entries[tok].to_dict())
+
+
+def test_environment_satisfied_term():
+    """EnvironmentSatisfied: stdlib version checks against the live
+    environment (reference search.py:95-139, minus the conda shell-out)."""
+    import numpy
+
+    from intake_spark.search import EnvironmentSatisfied, _spec_satisfied
+
+    es = EnvironmentSatisfied()
+    # no environment metadata -> pass (reference semantics)
+    assert es({"metadata": {}})
+    # satisfied: numpy exists, python floor version holds
+    ok_env = "dependencies:\n  - numpy\n  - python>=3.8\n"
+    assert es({"metadata": {"environment": ok_env}})
+    # unsatisfied package
+    assert not es({"metadata": {"environment": "dependencies:\n  - not-a-real-pkg-xyz\n"}})
+    # version clauses
+    nv = numpy.__version__
+    assert _spec_satisfied(f"numpy>={nv.split('.')[0]}")
+    assert not _spec_satisfied("numpy>=999")
+    assert _spec_satisfied(f"numpy={'.'.join(nv.split('.')[:2])}")  # conda prefix
+    assert not _spec_satisfied("numpy=999.1")
+    # nested pip section + dict env
+    env = {"dependencies": [{"pip": ["pandas>=1"]}, "python<4"]}
+    assert es({"metadata": {"environment": env}})
+    env_bad = {"dependencies": [{"pip": ["pandas>=999"]}]}
+    assert not es({"metadata": {"environment": env_bad}})

@@ -1,0 +1,136 @@
+"""RFC 6455 WebSocket wire format: handshake key transform, frame codec
+(7/16/64-bit lengths, masking, continuation), and the collect-N reader
+against an in-memory socket."""
+
+from __future__ import annotations
+
+import pytest
+
+from intake_spark.services import (
+    WS_OP_BINARY,
+    WS_OP_CLOSE,
+    WS_OP_CONT,
+    WS_OP_PING,
+    WS_OP_TEXT,
+    WebSocketReader,
+    WebSocketStream,
+    ws_accept_value,
+    ws_assemble_messages,
+    ws_decode_frames,
+    ws_encode_frame,
+)
+
+
+def test_accept_value_rfc_example():
+    # the worked example from RFC 6455 §1.3
+    assert (
+        ws_accept_value("dGhlIHNhbXBsZSBub25jZQ==")
+        == "s3pPLMBiTxaQ9kYGzzhZRbK+xOo="
+    )
+
+
+def test_frame_roundtrip_all_length_classes():
+    for n in (0, 1, 125, 126, 65535, 65536, 70000):
+        payload = bytes(i % 251 for i in range(n))
+        for mask in (None, b"\x01\x02\x03\x04"):
+            raw = ws_encode_frame(payload, WS_OP_BINARY, mask_key=mask)
+            frames, rest = ws_decode_frames(raw)
+            assert rest == b""
+            assert frames == [(WS_OP_BINARY, payload, True)]
+
+
+def test_decode_partial_and_concatenated():
+    a = ws_encode_frame(b"hello", WS_OP_TEXT)
+    b = ws_encode_frame(b"world", WS_OP_TEXT, mask_key=b"abcd")
+    frames, rest = ws_decode_frames(a + b[:3])
+    assert [f[1] for f in frames] == [b"hello"]
+    assert rest == b[:3]
+    frames2, rest2 = ws_decode_frames(rest + b[3:])
+    assert frames2 == [(WS_OP_TEXT, b"world", True)] and rest2 == b""
+
+
+def test_continuation_assembly_with_interleaved_ping():
+    frames = [
+        (WS_OP_TEXT, b"he", False),
+        (WS_OP_PING, b"k", True),  # control frames may interleave
+        (WS_OP_CONT, b"ll", False),
+        (WS_OP_CONT, b"o", True),
+    ]
+    msgs = ws_assemble_messages(frames)
+    assert (WS_OP_PING, b"k") in msgs
+    assert (WS_OP_TEXT, b"hello") in msgs
+    with pytest.raises(ValueError, match="no message open"):
+        ws_assemble_messages([(WS_OP_CONT, b"x", True)])
+    with pytest.raises(ValueError, match="message is open"):
+        ws_assemble_messages([(WS_OP_TEXT, b"a", False), (WS_OP_TEXT, b"b", True)])
+
+
+class _FakeSock:
+    """Server side scripted in advance; records what the client sends."""
+
+    def __init__(self, chunks: list[bytes]):
+        self.chunks = list(chunks)
+        self.sent = b""
+
+    def sendall(self, data: bytes):
+        self.sent += data
+
+    def recv(self, n: int) -> bytes:
+        return self.chunks.pop(0) if self.chunks else b""
+
+
+def _handshake_response(sent: bytes) -> bytes:
+    # real accept value computed from whatever key the client generated
+    key = [
+        line.split(b":", 1)[1].strip().decode()
+        for line in sent.split(b"\r\n")
+        if line.lower().startswith(b"sec-websocket-key")
+    ][0]
+    return (
+        "HTTP/1.1 101 Switching Protocols\r\nUpgrade: websocket\r\n"
+        f"Connection: Upgrade\r\nSec-WebSocket-Accept: {ws_accept_value(key)}\r\n\r\n"
+    ).encode()
+
+
+def test_websocket_reader_end_to_end(spark):
+    """Handshake + three messages (one fragmented, one ping to answer,
+    then close) through the reader with an injected socket."""
+    sock = _FakeSock([])
+
+    # the reader sends the upgrade request first, so script the response
+    # lazily: first recv computes the accept from the recorded request
+    def first_recv(n):
+        sock.recv = lambda n: sock.chunks.pop(0) if sock.chunks else b""
+        sock.chunks = [
+            _handshake_response(sock.sent)
+            + ws_encode_frame(b"alpha", WS_OP_TEXT),
+            ws_encode_frame(b"be", WS_OP_TEXT, fin=False)
+            + ws_encode_frame(b"ta", WS_OP_CONT, fin=True),
+            ws_encode_frame(b"probe", WS_OP_PING),
+            ws_encode_frame(b"gamma", WS_OP_TEXT),
+            ws_encode_frame(b"", WS_OP_CLOSE),
+        ]
+        return sock.chunks.pop(0)
+
+    sock.recv = first_recv
+
+    rdr = WebSocketReader(data=WebSocketStream(url="ws://example.test/feed"))
+    df = rdr.read(spark=spark, n_messages=10, sock=sock)
+    rows = [(r.msg_idx, r.payload) for r in df.orderBy("msg_idx").collect()]
+    assert rows == [(0, "alpha"), (1, "beta"), (2, "gamma")]
+    # the ping was answered with a masked pong carrying the same payload
+    frames, _ = ws_decode_frames(sock.sent.split(b"\r\n\r\n", 1)[1])
+    pongs = [f for f in frames if f[0] == 0xA]
+    assert pongs and pongs[0][1] == b"probe"
+
+
+def test_websocket_reader_rejects_bad_accept(spark):
+    sock = _FakeSock(
+        [
+            b"HTTP/1.1 101 Switching Protocols\r\n"
+            b"Sec-WebSocket-Accept: bogus\r\n\r\n"
+        ]
+    )
+    rdr = WebSocketReader(data=WebSocketStream(url="ws://example.test/"))
+    with pytest.raises(ValueError, match="Accept mismatch"):
+        rdr.read(spark=spark, sock=sock)
