@@ -191,18 +191,29 @@ def local_index(df: DataFrame, col: str, out: str | None = None) -> DataFrame:
     return df.withColumn(out or f"{col}_index", idx)
 
 
+def _sum_expr(df: DataFrame, col: str):
+    """Fold sum in the element's own numeric family: integral elements
+    accumulate exactly in bigint; fractional elements in double (a bigint
+    accumulator would silently TRUNCATE floats)."""
+    et = _elem_type(df, col)
+    acc_t = "bigint" if et in ("tinyint", "smallint", "int", "bigint") else "double"
+    zero = F.lit(0).cast(acc_t)
+    return F.aggregate(
+        F.col(col),
+        zero,
+        lambda acc, x: acc + F.coalesce(x.cast(acc_t), F.lit(0).cast(acc_t)),
+    )
+
+
 def sum_ragged(df: DataFrame, col: str, out: str | None = None) -> DataFrame:
     """ak.sum(axis=1) — JVM aggregate fold; nulls count as 0 like ak."""
-    zero = F.lit(0).cast("bigint")
-    s = F.aggregate(F.col(col), zero, lambda acc, x: acc + F.coalesce(x.cast("bigint"), F.lit(0)))
-    return df.withColumn(out or f"{col}_sum", s)
+    return df.withColumn(out or f"{col}_sum", _sum_expr(df, col))
 
 
 def mean_ragged(df: DataFrame, col: str, out: str | None = None) -> DataFrame:
-    """ak.mean(axis=1): null (not NaN) for empty lists — integer-exact
-    sum and count, one IEEE division at the end."""
-    zero = F.lit(0).cast("bigint")
-    s = F.aggregate(F.col(col), zero, lambda acc, x: acc + F.coalesce(x.cast("bigint"), F.lit(0)))
+    """ak.mean(axis=1): null (not NaN) for empty lists — exact sum in the
+    element's numeric family, one IEEE division at the end."""
+    s = _sum_expr(df, col)
     n = F.size(F.filter(F.col(col), lambda x: x.isNotNull()))
     return df.withColumn(
         out or f"{col}_mean", F.when(n > 0, s.cast("double") / n.cast("double"))

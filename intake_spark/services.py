@@ -1418,6 +1418,10 @@ def ws_decode_frames(data: bytes) -> tuple[list[tuple[int, bytes, bool]], bytes]
                 break
             ln = int.from_bytes(data[pos + 2 : pos + 10], "big")
             hdr = 10
+        if ln > (1 << 30):
+            # a declared multi-GB frame would buffer unboundedly on the
+            # driver; this peek reader is for message streams, not bulk
+            raise ValueError(f"frame length {ln} exceeds the 1 GiB guard")
         need = hdr + (4 if masked else 0) + ln
         if n - pos < need:
             break
@@ -1458,6 +1462,57 @@ def ws_assemble_messages(
             out.append((cur_op, bytes(cur)))
             cur_op, cur = None, bytearray()
     return out
+
+
+def ws_pop_complete(
+    frames: list[tuple[int, bytes, bool]]
+) -> tuple[list[tuple[int, bytes]], list[tuple[int, bytes, bool]]]:
+    """Incremental form of :func:`ws_assemble_messages`: consume the
+    longest prefix of ``frames`` that forms complete messages (control
+    frames pass through immediately) and return (messages, leftover
+    frames) — the leftover is an unfinished fragmented message awaiting
+    continuation frames from a later read."""
+    out: list[tuple[int, bytes]] = []
+    i = 0
+    n = len(frames)
+    while i < n:
+        opcode, payload, fin = frames[i]
+        if opcode >= WS_OP_CLOSE:
+            out.append((opcode, payload))
+            i += 1
+            continue
+        # data frame: find its fin within the remaining frames, skipping
+        # interleaved control frames
+        j = i
+        have_fin = False
+        parts: list[bytes] = []
+        op0 = opcode
+        while j < n:
+            op_j, pl_j, fin_j = frames[j]
+            if op_j >= WS_OP_CLOSE:
+                j += 1
+                continue
+            if j > i and op_j != WS_OP_CONT:
+                raise ValueError("new data frame while a message is open")
+            if j == i and op_j == WS_OP_CONT:
+                raise ValueError("continuation frame with no message open")
+            parts.append(pl_j)
+            if fin_j:
+                have_fin = True
+                break
+            j += 1
+        if not have_fin:
+            break  # fragmented message incomplete: leave [i:] for later
+        # emit interleaved control frames first (arrival order)
+        k = i
+        while k <= j:
+            op_k, pl_k, _ = frames[k]
+            if op_k >= WS_OP_CLOSE:
+                out.append((op_k, pl_k))
+            k += 1
+        out.append((op0, b"".join(parts)))
+        i = j + 1
+    return out, frames[i:]
 
 
 class WebSocketReader(BaseReader):
@@ -1523,16 +1578,24 @@ class WebSocketReader(BaseReader):
 
             rows: list[tuple[int, int, str]] = []
             closed = False
+            # frames accumulate across recv() batches: a fragmented
+            # message's continuation frames may arrive in later reads, so
+            # assembly only consumes the COMPLETE prefix each round
+            frames: list[tuple[int, bytes, bool]] = []
             while len(rows) < n_messages and not closed:
-                frames, buf = ws_decode_frames(buf)
-                while not frames and not closed:
+                got, buf = ws_decode_frames(buf)
+                frames.extend(got)
+                msgs, frames = ws_pop_complete(frames)
+                while not msgs and not closed:
                     chunk = sock.recv(65536)
                     if not chunk:
                         closed = True
                         break
                     buf += chunk
-                    frames, buf = ws_decode_frames(buf)
-                for op, payload in ws_assemble_messages(frames):
+                    got, buf = ws_decode_frames(buf)
+                    frames.extend(got)
+                    msgs, frames = ws_pop_complete(frames)
+                for op, payload in msgs:
                     if op == WS_OP_CLOSE:
                         closed = True
                         break

@@ -134,3 +134,50 @@ def test_websocket_reader_rejects_bad_accept(spark):
     rdr = WebSocketReader(data=WebSocketStream(url="ws://example.test/"))
     with pytest.raises(ValueError, match="Accept mismatch"):
         rdr.read(spark=spark, sock=sock)
+
+
+def test_pop_complete_incremental_fragments():
+    """Fragments split across reads: the incomplete tail stays queued
+    until its continuation arrives."""
+    from intake_spark.services import WS_OP_PONG, ws_pop_complete
+
+    f1 = [(WS_OP_TEXT, b"he", False)]
+    msgs, rest = ws_pop_complete(f1)
+    assert msgs == [] and rest == f1  # nothing complete yet
+    f2 = rest + [(WS_OP_PING, b"p", True), (WS_OP_CONT, b"llo", True)]
+    msgs, rest = ws_pop_complete(f2)
+    assert rest == []
+    assert (WS_OP_PING, b"p") in msgs and (WS_OP_TEXT, b"hello") in msgs
+    # control-only prefix passes through even with no data frame
+    msgs, rest = ws_pop_complete([(WS_OP_PONG, b"", True)])
+    assert msgs == [(WS_OP_PONG, b"")] and rest == []
+
+
+def test_websocket_reader_fragment_across_recv(spark):
+    """A message fragmented across two recv() batches must assemble."""
+    sock = _FakeSock([])
+
+    def first_recv(n):
+        sock.recv = lambda n: sock.chunks.pop(0) if sock.chunks else b""
+        sock.chunks = [
+            _handshake_response(sock.sent),
+            ws_encode_frame(b"fra", WS_OP_TEXT, fin=False),
+            ws_encode_frame(b"gment", WS_OP_CONT, fin=True),
+            ws_encode_frame(b"", WS_OP_CLOSE),
+        ]
+        return sock.chunks.pop(0)
+
+    sock.recv = first_recv
+    rdr = WebSocketReader(data=WebSocketStream(url="ws://example.test/feed"))
+    df = rdr.read(spark=spark, n_messages=5, sock=sock)
+    assert [r.payload for r in df.collect()] == ["fragment"]
+
+
+def test_frame_length_guard():
+    import struct
+
+    from intake_spark.services import ws_decode_frames
+
+    huge = bytes([0x82, 127]) + struct.pack(">Q", 1 << 31)
+    with pytest.raises(ValueError, match="1 GiB"):
+        ws_decode_frames(huge)
