@@ -380,6 +380,7 @@ def register_all() -> None:
     import intake_spark.hdf5  # noqa: F401
     import intake_spark.lakehouse  # noqa: F401
     import intake_spark.mlds  # noqa: F401
+    import intake_spark.ragged  # noqa: F401
     import intake_spark.sci  # noqa: F401
     import intake_spark.services  # noqa: F401
     import intake_spark.stats  # noqa: F401

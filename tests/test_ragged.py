@@ -122,3 +122,16 @@ def test_namespace_rejects_unknown(rag):
 
     with pytest.raises(ValueError, match="namespace"):
         apply_ragged(rag, "collect")  # not a ragged verb — no method smuggling
+
+
+def test_awkward_readers_in_registry():
+    """register_all picks up the ragged reader aliases, and their
+    priority keeps the plain readers as the auto-selected default."""
+    from intake_spark import datatypes as dt
+    from intake_spark.readers import SparkParquet, readers_for
+
+    dt.register_all()
+    cands = readers_for(dt.Parquet)
+    names = [c.__name__ for c in cands]
+    assert "AwkwardParquet" in names
+    assert names.index("SparkParquet") < names.index("AwkwardParquet")
