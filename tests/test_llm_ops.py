@@ -1264,6 +1264,28 @@ def test_bpe_oracle_sql_matches_python_reference():
         want, _ = _py_bpe_reference(texts, 4)
         assert got == want  # incl. the min_pair_count<2 stopping rule
 
+    # randomized corpora: fixed-seed fuzz over small alphabets (the regime
+    # where overlap/boundary/tie-break interactions are densest)
+    import random
+
+    rng = random.Random(77)
+    for trial in range(6):
+        alpha = "ab" if trial % 2 == 0 else "abc"
+        texts = [
+            " ".join(
+                "".join(rng.choice(alpha) for _ in range(rng.randint(1, 6)))
+                for _ in range(rng.randint(1, 12))
+            )
+            for _ in range(5)
+        ]
+        con = duckdb.connect()
+        con.execute("CREATE TABLE documents AS SELECT * FROM (VALUES "
+                    + ", ".join(f"({i}, ?)" for i in range(len(texts)))
+                    + ") t(doc_id, text)", texts)
+        got = [tuple(r) for r in con.execute(_bpe_oracle_sql(5)).fetchall()]
+        want, _ = _py_bpe_reference(texts, 5)
+        assert got == want, f"trial {trial}: {got} != {want}"
+
     # separator-collision guard for the real gate corpus
     con = duckdb.connect()
     n = con.execute(
