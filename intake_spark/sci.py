@@ -1406,12 +1406,14 @@ def _dicom_meta(url: str) -> dict:
                 f.seek(pos)
         if transfer == "1.2.840.10008.1.2":
             explicit = False
-        elif transfer == "1.2.840.10008.1.2.1":
-            explicit = True
+        elif transfer in ("1.2.840.10008.1.2.1", _DICOM_RLE, _DICOM_JPEG_BASELINE):
+            explicit = True  # encapsulated syntaxes are explicit VR
         else:
             raise ValueError(
                 f"transfer syntax {transfer} not supported (uncompressed "
-                "little-endian only; compressed pixel data needs pydicom/codecs)"
+                "little-endian, RLE Lossless, and JPEG Baseline decode "
+                "natively; the remaining compressed syntaxes — JPEG-LS/"
+                "2000/Lossless — need pydicom codec plugins)"
             )
         out["transfer"] = transfer
         want_text = {
@@ -1423,10 +1425,14 @@ def _dicom_meta(url: str) -> dict:
             tag = (group, elem)
             if tag == (0x7FE0, 0x0010):
                 if ln < 0:
-                    raise ValueError(
-                        "encapsulated (undefined-length) PixelData not supported"
-                    )
-                out["pixel_off"], out["pixel_len"] = off, ln
+                    if transfer not in (_DICOM_RLE, _DICOM_JPEG_BASELINE):
+                        raise ValueError(
+                            "encapsulated (undefined-length) PixelData with "
+                            f"an uncompressed transfer syntax {transfer}"
+                        )
+                    out["fragments"] = _dicom_fragments(f, off)
+                else:
+                    out["pixel_off"], out["pixel_len"] = off, ln
                 break
             if ln < 0 or ln > 1 << 20:
                 continue
@@ -1451,9 +1457,86 @@ def _dicom_meta(url: str) -> dict:
                     except ValueError:
                         val = 1
                 out["tags"][key] = val
-    if "pixel_off" not in out:
+    if "pixel_off" not in out and "fragments" not in out:
         raise ValueError("no PixelData element found")
     return out
+
+
+_DICOM_RLE = "1.2.840.10008.1.2.5"
+_DICOM_JPEG_BASELINE = "1.2.840.10008.1.2.4.50"
+
+
+def _dicom_fragments(f, items_off: int) -> list[tuple[int, int]]:
+    """Encapsulated PixelData item walk (PS3.5 §A.4): the first item is
+    the Basic Offset Table (skipped — fragment offsets are re-derived
+    from the items themselves), each following item is one fragment,
+    terminated by a Sequence Delimitation Item. Returns [(offset, length)]
+    per fragment."""
+    import struct as st
+
+    f.seek(items_off)
+    frags: list[tuple[int, int]] = []
+    first = True
+    while True:
+        head = f.read(8)
+        if len(head) < 8:
+            raise ValueError("truncated encapsulated PixelData")
+        group, elem, ln = st.unpack("<HHI", head)
+        if (group, elem) == (0xFFFE, 0xE0DD):
+            break
+        if (group, elem) != (0xFFFE, 0xE000):
+            raise ValueError(
+                f"unexpected tag ({group:04x},{elem:04x}) in encapsulated PixelData"
+            )
+        if first:
+            first = False  # Basic Offset Table
+            f.seek(ln, 1)
+            continue
+        frags.append((f.tell(), ln))
+        f.seek(ln, 1)
+    return frags
+
+
+def _dicom_rle_decode(blob: bytes, rows: int, cols: int, bits: int, spp: int, signed: bool):
+    """DICOM RLE Lossless frame (PS3.5 Annex G): 64-byte header of
+    uint32 segment count + 15 offsets; each segment is a PackBits-coded
+    byte plane, MSB plane first per sample, samples in order. Planes
+    recompose into (rows, cols[, spp])."""
+    import struct as st
+
+    import numpy as np
+
+    counts = st.unpack("<16I", blob[:64])
+    n_seg = counts[0]
+    bytes_per = bits // 8
+    if n_seg != spp * bytes_per:
+        raise ValueError(
+            f"RLE segment count {n_seg} != samples {spp} x {bytes_per} bytes"
+        )
+    offsets = list(counts[1 : 1 + n_seg]) + [len(blob)]
+    planes = []
+    for i in range(n_seg):
+        seg = packbits_decode(blob[offsets[i] : offsets[i + 1]])
+        if len(seg) < rows * cols:
+            raise ValueError(f"RLE segment {i} short: {len(seg)} < {rows * cols}")
+        planes.append(np.frombuffer(seg[: rows * cols], dtype=np.uint8))
+    samples = []
+    for s in range(spp):
+        acc = np.zeros(rows * cols, dtype=np.uint32)
+        for b in range(bytes_per):  # MSB plane first
+            acc = (acc << 8) | planes[s * bytes_per + b]
+        if bits == 16:
+            acc = acc.astype(np.uint16)
+            if signed:
+                acc = acc.view(np.int16)
+        else:
+            acc = acc.astype(np.uint8)
+            if signed:
+                acc = acc.view(np.int8)
+        samples.append(acc.reshape(rows, cols))
+    if spp == 1:
+        return samples[0]
+    return np.stack(samples, axis=-1)
 
 
 class DicomReader(BaseReader):
@@ -1482,9 +1565,77 @@ class DicomReader(BaseReader):
         if frames > 1:
             shape = [frames] + shape
         self.data.metadata.update({**t, "transfer_syntax": meta["transfer"]})
+        if "fragments" in meta:
+            return self._read_encapsulated(spark, url, meta, t, shape)
         return _chunked_array_df(
             spark, url, dtype, shape, meta["pixel_off"], rows_per_chunk
         )
+
+    def _read_encapsulated(self, spark, url: str, meta: dict, t: dict, shape):
+        """RLE-Lossless / JPEG-Baseline frames: one fragment per frame
+        (the PS3.5 rule for RLE; multi-fragment JPEG frames raise,
+        named), decoded executor-side from a byte-range manifest with
+        the package's OWN codecs (packbits / baseline-JPEG) — the two
+        compressed syntaxes that need no external codebook tables."""
+        from intake_spark.arrays import CHUNK_SCHEMA
+        from intake_spark.session import ensure_py_deps
+
+        ensure_py_deps(spark)
+        transfer = meta["transfer"]
+        frames = t.get("number_of_frames", 1)
+        frags = meta["fragments"]
+        if len(frags) != frames:
+            raise ValueError(
+                f"{len(frags)} pixel fragments for {frames} frames — "
+                "multi-fragment frames not supported (re-encapsulate 1:1)"
+            )
+        rows, cols = t.get("rows", 0), t.get("cols", 0)
+        bits = t.get("bits_allocated", 16)
+        spp = t.get("samples_per_pixel", 1)
+        signed = t.get("pixel_representation", 0) == 1
+        mdf = spark.createDataFrame(
+            [(i, off, nb) for i, (off, nb) in enumerate(frags)],
+            "frame long, off long, nb long",
+        )
+        multi = frames > 1
+
+        def decode(batches):
+            import numpy as np  # noqa: F401
+            import pandas as pd_
+
+            from intake_spark.sci import _dicom_rle_decode
+
+            for pdf in batches:
+                out = []
+                with open(url, "rb") as f:
+                    for _, r in pdf.iterrows():
+                        f.seek(int(r.off))
+                        blob = f.read(int(r.nb))
+                        if transfer == _DICOM_RLE:
+                            arr = _dicom_rle_decode(blob, rows, cols, bits, spp, signed)
+                        else:
+                            from intake_spark.llm.multimodal import decode_jpeg
+
+                            arr = decode_jpeg(blob)
+                            if arr.shape[:2] != (rows, cols):
+                                raise ValueError(
+                                    f"JPEG frame {arr.shape[:2]} != "
+                                    f"Rows/Columns ({rows}, {cols})"
+                                )
+                        fshape = list(arr.shape)
+                        out.append(
+                            {
+                                "chunk_id": int(r.frame),
+                                "offset0": int(r.frame) if multi else 0,
+                                "shape": ([frames] + fshape) if multi else fshape,
+                                "values": arr.astype("float64").ravel().tolist(),
+                            }
+                        )
+                yield pd_.DataFrame(
+                    out, columns=["chunk_id", "offset0", "shape", "values"]
+                )
+
+        return mdf.mapInPandas(decode, schema=CHUNK_SCHEMA)
 
 
 # ---------------------------------------------------------------------------

@@ -149,3 +149,102 @@ def test_recommend_picks_nrrd_and_dicom(tmp_path):
     url = make_dicom(tmp_path / "r.dcm", np.zeros((2, 2), dtype=np.uint8))
     kinds = [c.__name__ if isinstance(c, type) else type(c).__name__ for c in recommend(url)]
     assert any("DICOM" in k for k in kinds)
+
+
+def _packbits_literal(data: bytes) -> bytes:
+    """Valid PackBits using only literal runs (copy n+1 bytes)."""
+    out = bytearray()
+    for i in range(0, len(data), 128):
+        chunk = data[i : i + 128]
+        out.append(len(chunk) - 1)
+        out += chunk
+    return bytes(out)
+
+
+def _encapsulate(transfer: bytes, rows, cols, frames_payloads, bits=16, spp=1, signed=True):
+    """Part 10 file with encapsulated PixelData: BOT item + one item per
+    frame + sequence delimiter."""
+    meta = _el_explicit(0x0002, 0x0010, b"UI", transfer)
+    meta = _el_explicit(0x0002, 0x0000, b"UL", struct.pack("<I", len(meta))) + meta
+    ds = _el_explicit(0x0008, 0x0060, b"CS", b"MR")
+    ds += _el_explicit(0x0028, 0x0002, b"US", struct.pack("<H", spp))
+    if len(frames_payloads) > 1:
+        ds += _el_explicit(0x0028, 0x0008, b"IS", str(len(frames_payloads)).encode())
+    ds += _el_explicit(0x0028, 0x0010, b"US", struct.pack("<H", rows))
+    ds += _el_explicit(0x0028, 0x0011, b"US", struct.pack("<H", cols))
+    ds += _el_explicit(0x0028, 0x0100, b"US", struct.pack("<H", bits))
+    ds += _el_explicit(0x0028, 0x0103, b"US", struct.pack("<H", 1 if signed else 0))
+    # PixelData OB, undefined length
+    ds += struct.pack("<HH2sHI", 0x7FE0, 0x0010, b"OB", 0, 0xFFFFFFFF)
+    ds += struct.pack("<HHI", 0xFFFE, 0xE000, 0)  # empty Basic Offset Table
+    for payload in frames_payloads:
+        if len(payload) % 2:
+            payload += b"\x00"
+        ds += struct.pack("<HHI", 0xFFFE, 0xE000, len(payload)) + payload
+    ds += struct.pack("<HHI", 0xFFFE, 0xE0DD, 0)
+    return b"\x00" * 128 + b"DICM" + meta + ds
+
+
+def _rle_frame(px: np.ndarray) -> bytes:
+    """DICOM RLE frame: segment header + MSB/LSB PackBits planes."""
+    flat = px.astype(">i2" if px.dtype.kind == "i" else ">u2").tobytes()
+    msb = _packbits_literal(flat[0::2])
+    lsb = _packbits_literal(flat[1::2])
+    if len(msb) % 2:
+        msb += b"\x00"
+    header = struct.pack("<16I", 2, 64, 64 + len(msb), *([0] * 13))
+    return header + msb + lsb
+
+
+def test_dicom_rle_lossless_roundtrip(spark, tmp_path):
+    """RLE Lossless (1.2.840.10008.1.2.5): encapsulated frames decode
+    with the package's own PackBits planes — bit-exact, incl. signed
+    16-bit and multi-frame."""
+    rng = np.random.default_rng(5)
+    f0 = rng.integers(-2000, 3000, size=(6, 5), dtype=np.int16)
+    f1 = rng.integers(-2000, 3000, size=(6, 5), dtype=np.int16)
+    blob = _encapsulate(
+        b"1.2.840.10008.1.2.5\x00", 6, 5, [_rle_frame(f0), _rle_frame(f1)]
+    )
+    p = tmp_path / "rle.dcm"
+    p.write_bytes(blob)
+    rdr = DicomReader(data=DICOM(url=str(p)))
+    df = rdr.read(spark=spark)
+    got = _rebuild(df)
+    np.testing.assert_array_equal(got, np.stack([f0, f1]))
+    assert rdr.data.metadata["transfer_syntax"] == "1.2.840.10008.1.2.5"
+
+
+def test_dicom_jpeg_baseline_frame(spark, tmp_path):
+    """JPEG Baseline (1.2.840.10008.1.2.4.50): each fragment is a plain
+    baseline JPEG decoded by the package's own DCT decoder."""
+    from tests.test_jpeg import BW, make_gray_jpeg
+
+    bw = BW()
+    bw.dc(8 * (200 - 128))  # constant gray 200, 8x8
+    bw.ac_eob()
+    jpg = make_gray_jpeg(8, 8, bw.flush())
+    blob = _encapsulate(
+        b"1.2.840.10008.1.2.4.50\x00", 8, 8, [jpg], bits=8, signed=False
+    )
+    p = tmp_path / "jb.dcm"
+    p.write_bytes(blob)
+    df = DicomReader(data=DICOM(url=str(p))).read(spark=spark)
+    got = _rebuild(df)
+    assert got.shape[:2] == (8, 8)
+    np.testing.assert_array_equal(got.reshape(8, 8), np.full((8, 8), 200.0))
+
+
+def test_dicom_unsupported_compressed_still_named(tmp_path):
+    """JPEG 2000 stays a named gate."""
+    px = np.zeros((2, 2), dtype=np.uint8)
+    url = make_dicom(tmp_path / "c.dcm", px)
+    blob = bytearray(open(url, "rb").read())
+    old = b"1.2.840.10008.1.2.1\x00"
+    new = b"1.2.840.10008.1.2.4\x00"  # JPEG family root (not baseline .50)
+    idx = bytes(blob).find(old)
+    blob[idx : idx + len(old)] = new
+    p = tmp_path / "c2.dcm"
+    p.write_bytes(bytes(blob))
+    with pytest.raises(ValueError, match="pydicom codec"):
+        _dicom_meta(str(p))
