@@ -847,6 +847,8 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "q88_bpe_learn",
     "q97_ragged_word_stats",
     "q98_zorder3_layout",
+    "q99_line_dedup",
+    "q100_pii_scrub",
     "q10_window_top_orders",
     "q11_date_accessors",
     "q12_concat_buckets",
@@ -888,8 +890,6 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "q48_mix_sources",
     "q49_kmv_distinct",
     "q50_hypertable_rollup",
-    "q74_waiting_suppliers",
-    "q75_important_brands",
     "q76_event_deltas",
     "q77_funnel",
     "q78_retention_cohort",
@@ -1004,7 +1004,6 @@ def q50_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q74_waiting_suppliers",
     """
     WITH late AS (
       SELECT l.l_orderkey, l.l_suppkey
@@ -1061,7 +1060,6 @@ def q74_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q75_important_brands",
     """
     WITH rev AS (
       SELECT p.p_brand,

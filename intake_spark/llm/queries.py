@@ -1765,3 +1765,110 @@ def q95_token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     — the oracle recomputes it with a single SQL running sum."""
     docs = load_table(spark, sf_dir, "documents")
     return assembly.select_token_budget(docs, budget=10_000)
+
+
+@register(
+    "q99_line_dedup",
+    """
+    WITH w AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS ws
+      FROM documents),
+    d2 AS (
+      SELECT doc_id,
+             array_to_string(
+               list_transform(generate_series(1, CAST(ceil(len(ws)/4.0) AS INT)),
+                              i -> array_to_string(ws[(i-1)*4+1 : i*4], ' ')),
+               chr(10)) AS text2
+      FROM w),
+    lines AS (
+      SELECT doc_id, t.i AS line_no, string_split(text2, chr(10))[t.i] AS line
+      FROM d2, unnest(generate_series(1, len(string_split(text2, chr(10))))) t(i)),
+    dfq AS (SELECT line, COUNT(DISTINCT doc_id) AS line_df FROM lines GROUP BY line),
+    fl AS (SELECT l.doc_id, l.line_no, l.line, d.line_df
+           FROM lines l JOIN dfq d USING (line))
+    SELECT doc_id,
+           COUNT(*) AS n_lines,
+           CAST(SUM(CASE WHEN line_df < 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           COALESCE(string_agg(CASE WHEN line_df < 5 THEN line END,
+                               chr(10) ORDER BY line_no), '') AS clean_text
+    FROM fl GROUP BY doc_id
+    """,
+)
+def q99_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/RefinedWeb-style corpus-wide LINE dedup: every 4-word segment
+    ("line") that appears in >= 5 distinct documents is boilerplate and
+    is removed from all of them; survivors rejoin in order. One
+    frequency hash-agg + one equi-join + one reassembly groupBy — the
+    removed lines are exactly the hot join keys, so the post-filter
+    shuffle is boilerplate-free (text.line_dedup). The 4-word line
+    derivation makes the removal branch non-vacuous on this corpus
+    (11 boilerplate lines at sf0.01)."""
+    docs = load_table(spark, sf_dir, "documents")
+    ws = F.filter(F.split("text", " "), lambda x: F.length(x) > 0)
+    n_lines = F.ceil(F.size(F.col("_ws")) / F.lit(4.0)).cast("int")
+    text2 = F.array_join(
+        F.transform(
+            F.sequence(F.lit(1), n_lines),
+            lambda i: F.array_join(F.slice(F.col("_ws"), (i - 1) * 4 + 1, 4), " "),
+        ),
+        "\n",
+    )
+    d2 = docs.select("doc_id", ws.alias("_ws")).select(
+        "doc_id", text2.alias("text")
+    )
+    out = text.line_dedup(d2, min_df=5)
+    return out.select("doc_id", "n_lines", "n_kept", "clean_text")
+
+
+@register(
+    "q100_pii_scrub",
+    r"""
+    WITH seeded AS (
+      SELECT doc_id,
+             text || ' contact user' || doc_id || '@example.com or +1 555 01'
+                  || (doc_id % 90 + 10) || ' at 10.0.' || (doc_id % 256) || '.7'
+               AS text3
+      FROM documents)
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text3,
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+             AS n_email,
+           CAST(len(regexp_extract_all(text3, '(\d{1,3}\.){3}\d{1,3}')) AS BIGINT)
+             AS n_ipv4,
+           CAST(len(regexp_extract_all(text3, '\+\d[\d()\- ]{6,}\d')) AS BIGINT)
+             AS n_phone,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(text3,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[REDACTED]', 'g'),
+               '(\d{1,3}\.){3}\d{1,3}', '[REDACTED]', 'g'),
+             '\+\d[\d()\- ]{6,}\d', '[REDACTED]', 'g') AS scrubbed_text
+    FROM seeded
+    """,
+)
+def q100_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (C4-style cleanup): emails, IPv4s and phone numbers
+    replaced by [REDACTED] with per-kind match counts. Deterministic
+    synthetic PII is appended per doc so the matching branch is
+    exercised on every row; patterns live in the Java∩RE2 regex subset
+    so the scrub itself is the oracle comparison. Mapper-only, zero
+    shuffle (text.pii_scrub)."""
+    docs = load_table(spark, sf_dir, "documents")
+    seeded = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or +1 555 01"),
+            (F.col("doc_id") % 90 + 10).cast("string"),
+            F.lit(" at 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7"),
+        ).alias("text"),
+    )
+    out = text.pii_scrub(seeded)
+    return out.select(
+        "doc_id", "n_email", "n_ipv4", "n_phone",
+        F.col("scrubbed_text").alias("scrubbed_text"),
+    )

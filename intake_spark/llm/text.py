@@ -602,3 +602,80 @@ def bm25_scores(
             F.round(F.col("_fx") / F.lit(1e9), 6).alias("bm25_r"),
         )
     )
+
+
+def line_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_df: int = 2,
+    sep: str = "\n",
+) -> DataFrame:
+    """Corpus-wide line-level dedup (the C4/RefinedWeb boilerplate-removal
+    step): a line that appears in >= ``min_df`` DISTINCT documents is
+    removed from every document; surviving lines rejoin in original
+    order. Output: (id, n_lines, n_kept, clean_<text_col>).
+
+    Scale shape: posexplode → one hash-agg for per-line document
+    frequency (partial combine on the line key) → one shuffle join of
+    lines↔frequencies on that key → one groupBy(id) reassembly. The hot
+    boilerplate lines are exactly the high-frequency join keys — they
+    are also the rows being REMOVED, so the reassembly shuffle after the
+    filter is boilerplate-free; no broadcast of a corpus-sized dup set.
+    """
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), F.lit(sep))).alias("_ln", "_line"),
+    )
+    dfreq = lines.groupBy("_line").agg(
+        F.countDistinct(id_col).alias("_line_df")
+    )
+    flagged = lines.join(dfreq, "_line")
+    keep = F.col("_line_df") < F.lit(min_df)
+    kept_struct = F.when(keep, F.struct(F.col("_ln"), F.col("_line")))
+    return flagged.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(keep.cast("long")).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(kept_struct)), lambda s: s["_line"]
+            ),
+            sep,
+        ).alias(f"clean_{text_col}"),
+    )
+
+
+# Engine-portable PII patterns: shared subset of Java regex (Spark) and
+# RE2 (DuckDB) — no backrefs, no lookaround, ASCII classes only — so the
+# scrub is oracle-checkable cross-engine.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"(\d{1,3}\.){3}\d{1,3}",
+    "phone": r"\+\d[\d()\- ]{6,}\d",
+}
+
+
+def pii_scrub(
+    df: DataFrame,
+    text_col: str = "text",
+    patterns: dict[str, str] | None = None,
+    replacement: str = "[REDACTED]",
+) -> DataFrame:
+    """PII redaction pass (the C4-style cleanup step): replace every
+    match of each pattern with ``replacement`` and report per-kind match
+    counts. Mapper-only (regexp_replace / regexp_count are JVM
+    expressions), zero shuffle; patterns restricted to the Java∩RE2
+    regex subset so the operator carries a cross-engine oracle.
+
+    Adds: ``n_<kind>`` per pattern + ``scrubbed_<text_col>``."""
+    pats = patterns or PII_PATTERNS
+    out = df
+    scrubbed = F.col(text_col)
+    for kind, pat in pats.items():
+        # column-API forms, NOT F.expr: SQL string-literal parsing would
+        # eat the regex backslashes
+        out = out.withColumn(
+            f"n_{kind}", F.regexp_count(F.col(text_col), F.lit(pat)).cast("long")
+        )
+        scrubbed = F.regexp_replace(scrubbed, pat, replacement)
+    return out.withColumn(f"scrubbed_{text_col}", scrubbed)

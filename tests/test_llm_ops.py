@@ -1624,3 +1624,49 @@ def test_plan_report_diagnostics(spark, docs):
     # a top-N query lowers to TakeOrderedAndProject
     r2 = plan_report(tx.bm25_scores(docs, terms=["spark"], top_n=5))
     assert r2["has_take_ordered"] and r2["n_python_stages"] == 0
+
+
+def test_line_dedup_boilerplate_removed(spark):
+    """The C4-style line dedup removes a line appearing in >=min_df docs
+    from EVERY doc, keeps order, and counts correctly."""
+    from intake_spark.llm import text as llmtext
+
+    docs = [
+        (1, "unique alpha\nSHARED FOOTER\nunique beta"),
+        (2, "SHARED FOOTER\nonly here"),
+        (3, "totally different\nSHARED FOOTER"),
+        (4, "no boilerplate at all"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r.doc_id: r for r in llmtext.line_dedup(df, min_df=3).collect()}
+    assert out[1].clean_text == "unique alpha\nunique beta"
+    assert out[1].n_lines == 3 and out[1].n_kept == 2
+    assert out[2].clean_text == "only here"
+    assert out[3].clean_text == "totally different"
+    assert out[4].clean_text == "no boilerplate at all" and out[4].n_kept == 1
+    # doc that is ALL boilerplate still yields a row with empty text
+    df2 = spark.createDataFrame(
+        docs + [(5, "SHARED FOOTER")], "doc_id long, text string"
+    )
+    out2 = {r.doc_id: r for r in llmtext.line_dedup(df2, min_df=3).collect()}
+    assert out2[5].clean_text == "" and out2[5].n_kept == 0
+
+
+def test_pii_scrub_patterns(spark):
+    from intake_spark.llm import text as llmtext
+
+    rows = [
+        (1, "mail a.b+c@foo-bar.example.org now"),
+        (2, "server at 192.168.0.1 and 10.1.2.3"),
+        (3, "call +1 (555) 123-4567 today"),
+        (4, "clean text"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in llmtext.pii_scrub(df).collect()}
+    assert out[1].n_email == 1 and "[REDACTED]" in out[1].scrubbed_text
+    assert "@" not in out[1].scrubbed_text
+    assert out[2].n_ipv4 == 2
+    assert out[2].scrubbed_text == "server at [REDACTED] and [REDACTED]"
+    assert out[3].n_phone == 1 and "555" not in out[3].scrubbed_text
+    assert out[4].scrubbed_text == "clean text"
+    assert (out[4].n_email, out[4].n_ipv4, out[4].n_phone) == (0, 0, 0)
