@@ -30,6 +30,12 @@ ORACLE: dict[str, str] = {}
 
 
 def register(name: str, sql: str | None = None):
+    if "\n" in name or len(name) > 80:
+        raise ValueError(
+            "register() name looks like SQL — the name argument was dropped: "
+            + name[:60]
+        )
+
     def deco(fn: QueryFn) -> QueryFn:
         QUERIES[name] = fn
         if sql is not None:
@@ -1004,6 +1010,7 @@ def q50_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q74_waiting_suppliers",
     """
     WITH late AS (
       SELECT l.l_orderkey, l.l_suppkey
@@ -1060,6 +1067,7 @@ def q74_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q75_important_brands",
     """
     WITH rev AS (
       SELECT p.p_brand,

@@ -1774,11 +1774,13 @@ def q95_token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS ws
       FROM documents),
     d2 AS (
+      -- COALESCE: DuckDB's array_to_string([]) is NULL while Spark's
+      -- array_join is '' — a zero-word doc must still yield one empty line
       SELECT doc_id,
-             array_to_string(
+             COALESCE(array_to_string(
                list_transform(generate_series(1, CAST(ceil(len(ws)/4.0) AS INT)),
                               i -> array_to_string(ws[(i-1)*4+1 : i*4], ' ')),
-               chr(10)) AS text2
+               chr(10)), '') AS text2
       FROM w),
     lines AS (
       SELECT doc_id, t.i AS line_no, string_split(text2, chr(10))[t.i] AS line
@@ -1806,9 +1808,15 @@ def q99_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     ws = F.filter(F.split("text", " "), lambda x: F.length(x) > 0)
     n_lines = F.ceil(F.size(F.col("_ws")) / F.lit(4.0)).cast("int")
+    # sequence(1, 0) is DESCENDING [1, 0] in Spark (step defaults to -1
+    # when start > stop) while the oracle's generate_series(1, 0) is
+    # empty — guard the zero-word-document case explicitly.
+    idx = F.when(n_lines >= 1, F.sequence(F.lit(1), n_lines)).otherwise(
+        F.array().cast("array<int>")
+    )
     text2 = F.array_join(
         F.transform(
-            F.sequence(F.lit(1), n_lines),
+            idx,
             lambda i: F.array_join(F.slice(F.col("_ws"), (i - 1) * 4 + 1, 4), " "),
         ),
         "\n",

@@ -1670,3 +1670,35 @@ def test_pii_scrub_patterns(spark):
     assert out[3].n_phone == 1 and "555" not in out[3].scrubbed_text
     assert out[4].scrubbed_text == "clean text"
     assert (out[4].n_email, out[4].n_ipv4, out[4].n_phone) == (0, 0, 0)
+
+
+def test_q99_empty_doc_matches_oracle(spark, tmp_path):
+    """Regression: Spark's sequence(1, 0) is DESCENDING [1, 0] (step
+    defaults to -1 when start > stop) while DuckDB's generate_series(1, 0)
+    is empty — a zero-word document must still derive to a single empty
+    line on both engines, not two Spark-side."""
+    import duckdb
+    import pandas as pd
+
+    import __spark_entry__ as entry_mod
+    from tests.test_oracle_gate import assert_frames_match
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "source": ["a", "a", "b"],
+            "text": ["", "   ", "one two three four five"],
+        }
+    )
+    sf_dir = str(tmp_path)
+    docs.to_parquet(tmp_path / "documents.parquet")
+    sdf = entry_mod.queries()["q99_line_dedup"](spark, sf_dir).toPandas()
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'"
+    )
+    odf = con.sql(entry_mod.oracle_sql()["q99_line_dedup"]).df()
+    con.close()
+    assert_frames_match(sdf, odf, "q99_empty_doc")
+    by_id = {r.doc_id: r for _, r in sdf.iterrows()}
+    assert by_id[1].n_lines == 1 and by_id[2].n_lines == 1
