@@ -855,9 +855,12 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "q98_zorder3_layout",
     "q99_line_dedup",
     "q100_pii_scrub",
+    # q74/q75 were registered under broken names for part of r6 (name arg
+    # dropped) — re-verify them ahead of q11/q12, which hold four green
+    # rows (r1-r4) each and wait for r7.
+    "q74_waiting_suppliers",
+    "q75_important_brands",
     "q10_window_top_orders",
-    "q11_date_accessors",
-    "q12_concat_buckets",
     "q13_customers_without_orders",
     "q14_event_type_matrix",
     "q15_rollup_region_nation",
