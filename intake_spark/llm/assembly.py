@@ -316,7 +316,11 @@ def bloom_decontaminate(
     sh_bench = shingles(benchmark, id_col=id_col, text_col=text_col, k=k).select(
         "shingle"
     )
-    sh_b = sh_bench.distinct()
+    # persist: the distinct shingle set is read three times (count for
+    # filter sizing, the bloom build, the exact false-positive pass) and
+    # its shuffle is the expensive part of step 1; benchmark-sized by
+    # premise, so the cached footprint is bounded
+    sh_b = sh_bench.distinct().persist()
     n_keys = sh_b.count()
     bf = PyBloom(n_keys, fpp)
     bm, bk = bf.m, bf.k
@@ -386,7 +390,7 @@ def bloom_decontaminate(
     candidates = corpus.join(maybe_ids, id_col, "left_semi")
     sh_cand = shingles(candidates, id_col=id_col, text_col=text_col, k=k)
     truly_bad = (
-        sh_cand.join(sh_bench.distinct(), "shingle", "left_semi")
+        sh_cand.join(sh_b, "shingle", "left_semi")
         .select(id_col)
         .distinct()
     )

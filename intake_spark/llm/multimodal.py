@@ -398,7 +398,11 @@ def image_features(
                     rows["decoded"].append(1)
                     rows["img_format"].append(None)
                     rows["err"].append(None)
-                except (NotImplementedError, ValueError) as exc:
+                except Exception as exc:
+                    # the fallback contract is "corrupt blobs still flow":
+                    # truncated streams raise zlib.error / struct.error /
+                    # EOFError / IndexError, not only the named codec gates
+                    err_label = f"{type(exc).__name__}: {exc}"
                     w = h = fmt = None
                     try:
                         m = image_meta(blob)
@@ -412,7 +416,7 @@ def image_features(
                     rows["thumb"].append(None)
                     rows["decoded"].append(0)
                     rows["img_format"].append(fmt)
-                    rows["err"].append(str(exc)[:200])
+                    rows["err"].append(err_label[:200])
             out = pdf[keep].copy()
             out["width"] = pd.array(rows["width"], dtype="Int32")
             out["height"] = pd.array(rows["height"], dtype="Int32")
@@ -760,7 +764,11 @@ def audio_features(
                 blob = bytes(content)
                 try:
                     rate, arr, bits = decode_audio_full(blob)
-                except (NotImplementedError, ValueError) as exc:
+                except Exception as exc:
+                    # the fallback contract is "corrupt blobs still flow":
+                    # truncated streams raise zlib.error / struct.error /
+                    # EOFError / IndexError, not only the named codec gates
+                    err_label = f"{type(exc).__name__}: {exc}"
                     sr = ch = dur = fmt = None
                     try:
                         m = _audio_meta(blob)
@@ -777,7 +785,7 @@ def audio_features(
                     cols["zero_cross_rate"].append(None)
                     cols["decoded"].append(0)
                     cols["audio_format"].append(fmt)
-                    cols["err"].append(str(exc)[:200])
+                    cols["err"].append(err_label[:200])
                     continue
                 if arr.dtype == np.uint8:  # 8-bit WAV PCM is unsigned
                     x = (arr.astype(np.float64) - 128.0) / 128.0

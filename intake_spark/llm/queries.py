@@ -1374,6 +1374,15 @@ def _semantic_pairs_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir)
     got = _SEM_PAIRS_CACHE.get(key)
     if got is None:
+        # bounded cache: unpersist evicted entries so a long-lived session
+        # sweeping many sf_dirs does not pin one pair table per dir in
+        # executor storage memory for the application's lifetime
+        while len(_SEM_PAIRS_CACHE) >= 2:
+            old_key = next(iter(_SEM_PAIRS_CACHE))  # FIFO: oldest insertion
+            try:
+                _SEM_PAIRS_CACHE.pop(old_key).unpersist()
+            except Exception:
+                pass
         emb = load_table(spark, sf_dir, "embeddings")
         got = similarity.semantic_dedup_pairs(emb, n_seeds=8, threshold=0.3).persist()
         _SEM_PAIRS_CACHE[key] = got

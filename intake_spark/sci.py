@@ -1432,6 +1432,15 @@ def _dicom_meta(url: str) -> dict:
                         )
                     out["fragments"] = _dicom_fragments(f, off)
                 else:
+                    if transfer in (_DICOM_RLE, _DICOM_JPEG_BASELINE):
+                        # PS3.5 A.4: compressed syntaxes MUST encapsulate;
+                        # a defined-length PixelData here would silently
+                        # reinterpret compressed bytes as raw samples
+                        raise ValueError(
+                            "defined-length PixelData with compressed "
+                            f"transfer syntax {transfer} is nonconformant "
+                            "(PS3.5 A.4 requires encapsulation)"
+                        )
                     out["pixel_off"], out["pixel_len"] = off, ln
                 break
             if ln < 0 or ln > 1 << 20:

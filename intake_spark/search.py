@@ -105,6 +105,11 @@ def _version_ok(installed: str, op: str, want: str) -> bool:
         iv, wv = _version_tuple(installed), _version_tuple(want)
         return iv[: len(wv)] == wv
     iv, wv = _version_tuple(installed), _version_tuple(want)
+    # zero-pad to equal length: "1.2" and "1.2.0" are the same release, and
+    # (1, 2) >= (1, 2, 0) is False under raw tuple order
+    n = max(len(iv), len(wv))
+    iv = iv + (0,) * (n - len(iv))
+    wv = wv + (0,) * (n - len(wv))
     return {
         "==": iv == wv,
         "!=": iv != wv,
@@ -138,8 +143,17 @@ def _spec_satisfied(spec: str) -> bool:
         cm = re.match(r"^(==|!=|>=|<=|>|<|=)\s*([0-9A-Za-z.*+_-]+)$", clause)
         if not cm:
             return False
-        want = cm.group(2).rstrip(".*")
-        if not _version_ok(installed, cm.group(1), want):
+        op, want = cm.group(1), cm.group(2)
+        if want.endswith(".*"):
+            # pip wildcard pin: "==1.2.*" is a prefix match, not "==1.2"
+            want = want[:-2]
+            if op == "==":
+                op = "="
+            elif op == "!=":
+                if _version_ok(installed, "=", want):
+                    return False
+                continue
+        if not _version_ok(installed, op, want):
             return False
     return True
 

@@ -507,40 +507,98 @@ class IcechunkRepo(dt.FileData):
         self.ref = ref
 
 
+def _store_keys(store) -> list:
+    """Keys of a zarr-style store mapping, across API generations:
+    ``list_prefix('')`` (zarr v3 / icechunk), ``list()``, or the plain
+    mapping protocol. Async iterators are drained synchronously."""
+    for attr, arg in (("list_prefix", ("",)), ("list", ()), ("keys", ())):
+        fn = getattr(store, attr, None)
+        if fn is None:
+            continue
+        out = fn(*arg)
+        if hasattr(out, "__aiter__"):  # zarr v3 async store
+            import asyncio
+
+            async def drain(it):
+                return [k async for k in it]
+
+            return asyncio.run(drain(out))
+        return list(out)
+    raise NotImplementedError("store exposes no list_prefix/list/keys API")
+
+
+def _store_get(store, key: str) -> bytes:
+    """One value from a zarr-style store mapping (sync or async get,
+    v3 Buffer results unwrapped to bytes)."""
+    fn = getattr(store, "get", None)
+    out = store[key] if fn is None else fn(key)
+    if hasattr(out, "__await__"):
+        import asyncio
+
+        out = asyncio.run(_as_coro(out))
+    if out is None:
+        raise KeyError(key)
+    to_bytes = getattr(out, "to_bytes", None)  # zarr v3 Buffer
+    return to_bytes() if to_bytes is not None else bytes(out)
+
+
+async def _as_coro(awaitable):
+    return await awaitable
+
+
 class IcechunkReader(BaseReader):
     """Icechunk repo → chunk-row frames — import-gated on the icechunk
     package (its Rust transaction/manifest format is not a stdlib
     re-implementation target; plain UNVERSIONED zarr stores read natively
     via ZarrReader). With icechunk present: open the repo read-only at
-    ``ref``, materialize the store to a local zarr directory view, and
-    hand off to the package's own zarr decoder."""
+    ``ref`` (branch name, default "main"), export the session's
+    zarr-store mapping to a local zarr tree, and decode that with the
+    package's own native zarr reader — the repo directory itself is
+    icechunk's object store (refs/snapshots/manifests/chunks), NOT a
+    zarr layout, so it is never walked directly. ``store`` injects a
+    session-store mapping for offline tests."""
 
     implements = {IcechunkRepo}
     imports = {"icechunk"}
 
-    def _read(self, spark, **kwargs):
-        import icechunk  # type: ignore
+    def _read(self, spark, store=None, **kwargs):
+        import os
+        import tempfile
 
         from intake_spark.readers import ZarrReader
 
-        drv = self.data.url if "storage" in self.data.url else f"{self.data.url}_storage"
-        store_cls = getattr(icechunk, drv)
-        store = store_cls(**(self.data.storage_options or {}))
-        repo = icechunk.Repository.open(store)
-        session = repo.readonly_session(self.data.ref)
-        zstore = session.store  # zarr-compatible mapping
-        # local_filesystem stores expose a path the zarr decoder can walk;
-        # other drivers need the zarr mapping API (not stdlib) - named gate
-        path = (self.data.storage_options or {}).get("path")
-        if not path:
-            raise NotImplementedError(
-                "icechunk non-local storage drivers need the zarr mapping "
-                "API; read local_filesystem repos (storage_options={'path': ...}) "
-                "or export to a plain zarr store first"
+        if store is None:
+            import icechunk  # type: ignore
+
+            drv = (
+                self.data.url
+                if "storage" in self.data.url
+                else f"{self.data.url}_storage"
             )
-        del zstore
-        url = path if not self.data.root else f"{path.rstrip('/')}/{self.data.root}"
-        return ZarrReader(data=dt.Zarr(url=url)).read(spark=spark, **kwargs)
+            store_cls = getattr(icechunk, drv)
+            st = store_cls(**(self.data.storage_options or {}))
+            repo = icechunk.Repository.open(st)
+            session = repo.readonly_session(branch=self.data.ref or "main")
+            store = session.store
+        root = (self.data.root or "").strip("/")
+        prefix = f"{root}/" if root else ""
+        tmp = tempfile.mkdtemp(prefix="icechunk_zarr_")
+        n = 0
+        for key in _store_keys(store):
+            key = str(key)
+            if prefix and not key.startswith(prefix):
+                continue
+            rel = key[len(prefix):]
+            dest = os.path.join(tmp, *rel.split("/"))
+            os.makedirs(os.path.dirname(dest), exist_ok=True)
+            with open(dest, "wb") as f:
+                f.write(_store_get(store, key))
+            n += 1
+        if n == 0:
+            raise ValueError(
+                f"icechunk session store has no keys under root {root!r}"
+            )
+        return ZarrReader(data=dt.Zarr(url=tmp)).read(spark=spark, **kwargs)
 
 
 # ---------------------------------------------------------------------------
@@ -1443,25 +1501,12 @@ def ws_assemble_messages(
     """Frames → complete messages: continuation frames (opcode 0) append
     to the open message; control frames (close/ping/pong) pass through
     as-is and may interleave mid-message (RFC 6455 §5.4)."""
-    out: list[tuple[int, bytes]] = []
-    cur_op: int | None = None
-    cur: bytearray = bytearray()
-    for opcode, payload, fin in frames:
-        if opcode >= WS_OP_CLOSE:
-            out.append((opcode, payload))
-            continue
-        if opcode == WS_OP_CONT:
-            if cur_op is None:
-                raise ValueError("continuation frame with no message open")
-            cur += payload
-        else:
-            if cur_op is not None:
-                raise ValueError("new data frame while a message is open")
-            cur_op, cur = opcode, bytearray(payload)
-        if fin:
-            out.append((cur_op, bytes(cur)))
-            cur_op, cur = None, bytearray()
-    return out
+    msgs, left = ws_pop_complete(frames)
+    # control frames trapped in an incomplete trailing fragment still pass
+    # through (they arrived last, so appending preserves order); the
+    # unfinished data fragment itself is dropped, as before
+    msgs += [(op, pl) for op, pl, _ in left if op >= WS_OP_CLOSE]
+    return msgs
 
 
 def ws_pop_complete(
@@ -1569,12 +1614,18 @@ class WebSocketReader(BaseReader):
             if b"101" not in status:
                 raise ValueError(f"handshake rejected: {status.decode(errors='replace')}")
             want = ws_accept_value(key)
+            accepted = False
             for line in head.split(b"\r\n")[1:]:
                 k, _, v = line.partition(b":")
                 if k.strip().lower() == b"sec-websocket-accept":
                     if v.strip().decode() != want:
                         raise ValueError("Sec-WebSocket-Accept mismatch")
+                    accepted = True
                     break
+            if not accepted:
+                # RFC 6455 §4.1: a 101 without the accept header MUST fail
+                # the connection — do not parse arbitrary bytes as frames
+                raise ValueError("handshake missing Sec-WebSocket-Accept header")
 
             rows: list[tuple[int, int, str]] = []
             closed = False

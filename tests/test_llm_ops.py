@@ -1702,3 +1702,48 @@ def test_q99_empty_doc_matches_oracle(spark, tmp_path):
     assert_frames_match(sdf, odf, "q99_empty_doc")
     by_id = {r.doc_id: r for _, r in sdf.iterrows()}
     assert by_id[1].n_lines == 1 and by_id[2].n_lines == 1
+
+
+def test_features_truncated_blobs_flow(spark, tmp_path):
+    """Regression (r6 review): a TRUNCATED stream raises zlib.error /
+    EOFError / struct.error from deep inside the decoder, not the named
+    ValueError gates — the triage fallback must still emit a decoded=0
+    row instead of killing the whole mapInPandas job."""
+    import wave
+
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    arr = rng.integers(0, 256, size=(10, 12, 3), dtype=np.uint8)
+    good_png = _png_rgb_with_filters(arr, filters=[0] * 10)
+    (tmp_path / "ok.png").write_bytes(good_png)
+    # cut the IDAT zlib stream short -> zlib.error inside decode_image
+    (tmp_path / "trunc.png").write_bytes(good_png[:-20])
+    files = multimodal.read_binary_dir(spark, str(tmp_path))
+    feats = {r.path.rsplit("/", 1)[-1]: r
+             for r in multimodal.image_features(files, keep_cols=["path"]).collect()}
+    assert feats["ok.png"].decoded == 1
+    t = feats["trunc.png"]
+    assert t.decoded == 0 and t.err is not None and t.mean_intensity is None
+
+    adir = tmp_path / "audio"
+    adir.mkdir()
+    t_ = np.arange(800) / 8000.0
+    sine = (0.5 * np.sin(2 * np.pi * 220 * t_) * 32767).astype("<i2")
+    import io
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(sine.tobytes())
+    good_wav = buf.getvalue()
+    (adir / "a.wav").write_bytes(good_wav)
+    (adir / "trunc.wav").write_bytes(good_wav[:16])  # fmt chunk cut short
+    afiles = multimodal.read_binary_dir(spark, str(adir))
+    afeats = {r.path.rsplit("/", 1)[-1]: r
+              for r in multimodal.audio_features(afiles, keep_cols=["path"]).collect()}
+    assert afeats["a.wav"].decoded == 1
+    tw = afeats["trunc.wav"]
+    assert tw.decoded == 0 and tw.err is not None and tw.rms is None

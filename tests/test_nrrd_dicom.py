@@ -248,3 +248,25 @@ def test_dicom_unsupported_compressed_still_named(tmp_path):
     p.write_bytes(bytes(blob))
     with pytest.raises(ValueError, match="pydicom codec"):
         _dicom_meta(str(p))
+
+
+def test_dicom_defined_length_compressed_rejected(tmp_path):
+    """Regression (r6 review): a nonconformant RLE-syntax file with a
+    DEFINED-length PixelData must raise, not silently reinterpret the
+    compressed byte stream as raw little-endian samples."""
+    from intake_spark.sci import _dicom_meta
+
+    px = np.arange(4 * 4, dtype="<i2").reshape(4, 4)
+    frame = _rle_frame(px)
+    meta = _el_explicit(0x0002, 0x0010, b"UI", b"1.2.840.10008.1.2.5\x00")
+    meta = _el_explicit(0x0002, 0x0000, b"UL", struct.pack("<I", len(meta))) + meta
+    ds = _el_explicit(0x0028, 0x0010, b"US", struct.pack("<H", 4))
+    ds += _el_explicit(0x0028, 0x0011, b"US", struct.pack("<H", 4))
+    ds += _el_explicit(0x0028, 0x0100, b"US", struct.pack("<H", 16))
+    if len(frame) % 2:
+        frame += b"\x00"
+    ds += struct.pack("<HH2sHI", 0x7FE0, 0x0010, b"OB", 0, len(frame)) + frame
+    p = tmp_path / "bad.dcm"
+    p.write_bytes(b"\x00" * 128 + b"DICM" + meta + ds)
+    with pytest.raises(ValueError, match="nonconformant"):
+        _dicom_meta(str(p))

@@ -486,3 +486,12 @@ def test_environment_satisfied_term():
     assert es({"metadata": {"environment": env}})
     env_bad = {"dependencies": [{"pip": ["pandas>=999"]}]}
     assert not es({"metadata": {"environment": env_bad}})
+    # r6 review regressions: pip wildcard pins are PREFIX matches, and
+    # version tuples zero-pad before ordered comparison
+    maj_min = ".".join(nv.split(".")[:2])
+    assert _spec_satisfied(f"numpy=={maj_min}.*")
+    assert not _spec_satisfied("numpy==0.0.*")
+    assert not _spec_satisfied(f"numpy!={maj_min}.*")
+    assert _spec_satisfied("numpy!=0.0.*")
+    assert _spec_satisfied(f"numpy>={maj_min}.0")      # (1,26) vs (1,26,0)
+    assert _spec_satisfied(f"numpy<={nv}.0")

@@ -181,3 +181,18 @@ def test_frame_length_guard():
     huge = bytes([0x82, 127]) + struct.pack(">Q", 1 << 31)
     with pytest.raises(ValueError, match="1 GiB"):
         ws_decode_frames(huge)
+
+
+def test_websocket_reader_rejects_missing_accept(spark):
+    """Regression (r6 review): RFC 6455 §4.1 — a 101 response WITHOUT
+    Sec-WebSocket-Accept must fail the connection, not fall through to
+    parsing arbitrary bytes as frames."""
+    sock = _FakeSock(
+        [
+            b"HTTP/1.1 101 Switching Protocols\r\n"
+            b"Upgrade: websocket\r\n\r\n"
+        ]
+    )
+    rdr = WebSocketReader(data=WebSocketStream(url="ws://example.test/"))
+    with pytest.raises(ValueError, match="missing Sec-WebSocket-Accept"):
+        rdr.read(spark=spark, sock=sock)
