@@ -860,9 +860,11 @@ _VERIFY_FIRST: tuple[str, ...] = (
     # rows (r1-r4) each and wait for r7.
     "q74_waiting_suppliers",
     "q75_important_brands",
+    # q101/q102 are new in late r6 — first driver row outranks q13/q14's
+    # four green rows (r1-r4); those rotate to r7 with q11/q12
+    "q101_dup_spans",
+    "q102_c4_filter",
     "q10_window_top_orders",
-    "q13_customers_without_orders",
-    "q14_event_type_matrix",
     "q15_rollup_region_nation",
     "q16_json_props",
     "q17_hourly_windows",

@@ -797,3 +797,77 @@ def winnow_candidates(
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
+
+
+def dup_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    min_occurrences: int = 2,
+) -> DataFrame:
+    """Exact duplicated-SUBSTRING spans (the suffix-array dedup of Lee et
+    al. 2021, "Deduplicating Training Data Makes Language Models Better",
+    re-expressed over shingle positions): every k-token window that
+    occurs at least ``min_occurrences`` times in the corpus (across OR
+    within documents) marks its position duplicated; overlapping and
+    adjacent duplicated windows merge into maximal spans per document —
+    exactly the spans a length-k-threshold suffix-array pass reports.
+    Returns one row per span: (id, span_start, span_end, span_tokens),
+    token positions 0-based, end exclusive.
+
+    Scale shape: position emission is a mapper-side HOF; one corpus
+    shuffle counts window occurrences (partial combine absorbs the hot
+    boilerplate keys); the occurrence→count equi-join stays on the same
+    key partitioning; span merging is a per-document islands window +
+    grouped aggregate on the document key. No self-join, no pair blowup:
+    cost is linear in corpus token count. Parity: the reference has no
+    substring-level dedup operator; this extends its dedup family
+    (reference readers delegate corpus dedup entirely)."""
+    ws = F.filter(F.split(F.col(text_col), " "), lambda x: F.length(x) > 0)
+    occ = (
+        df.select(F.col(id_col), ws.alias("_w"))
+        .filter(F.size("_w") >= k)
+        .select(
+            id_col,
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(_w) - {k - 1}), "
+                    f"i -> struct(i - 1 AS pos, concat_ws(' ', slice(_w, i, {k})) AS sh))"
+                )
+            ).alias("_o"),
+        )
+        .select(id_col, F.col("_o.pos").alias("pos"), F.col("_o.sh").alias("sh"))
+    )
+    dup = (
+        occ.groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") >= min_occurrences)
+        .select("sh")
+    )
+    dpos = occ.join(dup, "sh").select(id_col, "pos")
+    from pyspark.sql import Window
+
+    w_lag = Window.partitionBy(id_col).orderBy("pos")
+    brk = F.when(
+        F.col("pos") > F.coalesce(F.lag("pos").over(w_lag), F.lit(-(1 << 40))) + k, 1
+    ).otherwise(0)
+    w_cum = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    # islands: a window extends the open span while pos <= prev_pos + k
+    # (positions are sorted, so the running span end IS prev_pos + k);
+    # brk materializes first — window expressions cannot nest
+    return (
+        dpos.withColumn("_brk", brk)
+        .withColumn("_grp", F.sum("_brk").over(w_cum))
+        .groupBy(id_col, "_grp")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            (F.max("pos") + k).cast("long").alias("span_end"),
+        )
+        .withColumn("span_tokens", (F.col("span_end") - F.col("span_start")))
+        .drop("_grp")
+    )

@@ -1889,3 +1889,71 @@ def q100_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "n_email", "n_ipv4", "n_phone",
         F.col("scrubbed_text").alias("scrubbed_text"),
     )
+
+
+@register(
+    "q101_dup_spans",
+    """
+    WITH w AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS ws
+      FROM documents),
+    occ AS (
+      SELECT doc_id, i - 1 AS pos, array_to_string(ws[i : i+7], ' ') AS sh
+      FROM (SELECT doc_id, ws FROM w WHERE len(ws) >= 8) t,
+           unnest(generate_series(1, len(ws) - 7)) u(i)),
+    dup AS (SELECT sh FROM occ GROUP BY sh HAVING COUNT(*) >= 2),
+    d AS (SELECT o.doc_id, o.pos FROM occ o JOIN dup USING (sh)),
+    m AS (SELECT doc_id, pos,
+            CASE WHEN pos > COALESCE(LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos),
+                                     -1099511627776) + 8
+                 THEN 1 ELSE 0 END AS brk
+          FROM d),
+    g AS (SELECT doc_id, pos,
+            SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                           ROWS UNBOUNDED PRECEDING) AS grp
+          FROM m)
+    SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
+           CAST(MAX(pos) + 8 AS BIGINT) AS span_end,
+           CAST(MAX(pos) + 8 - MIN(pos) AS BIGINT) AS span_tokens
+    FROM g GROUP BY doc_id, grp
+    """,
+)
+def q101_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-substring spans (Lee et al. 2021 suffix-array
+    dedup, shingle-position formulation): maximal per-document token
+    spans covered by 8-token windows occurring >= 2 times in the corpus.
+    Linear in corpus tokens — one occurrence-count shuffle + a
+    same-key equi-join + per-doc islands window; no pair blowup
+    (dedup.dup_spans)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.dup_spans(docs, k=8, min_occurrences=2)
+
+
+@register(
+    "q102_c4_filter",
+    """
+    WITH b AS (
+      SELECT doc_id,
+             len(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS nw,
+             len(string_split_regex(text, '[.!?]')) - 1 AS ns,
+             CASE WHEN contains(lower(text), 'lorem ipsum') THEN 1 ELSE 0 END AS rl,
+             CASE WHEN contains(text, '{') THEN 1 ELSE 0 END AS rb
+      FROM documents)
+    SELECT doc_id,
+           CAST(nw AS BIGINT) AS n_words,
+           CAST(ns AS BIGINT) AS n_sentences,
+           CAST(CASE WHEN nw < 5 THEN 1 ELSE 0 END AS INT) AS r_short,
+           CAST(CASE WHEN ns < 3 THEN 1 ELSE 0 END AS INT) AS r_sentences,
+           CAST(rl AS INT) AS r_lorem,
+           CAST(rb AS INT) AS r_brace,
+           CAST(CASE WHEN nw >= 5 AND ns >= 3 AND rl = 0 AND rb = 0
+                THEN 1 ELSE 0 END AS INT) AS keep
+    FROM b
+    """,
+)
+def q102_c4_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 heuristic cleaning rules (Raffel et al. 2020) with per-rule
+    reason flags — the first mapper-only pass of the curation ladder;
+    runs at scan speed at any scale (text.c4_filter)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.c4_filter(docs)

@@ -679,3 +679,43 @@ def pii_scrub(
         )
         scrubbed = F.regexp_replace(scrubbed, pat, replacement)
     return out.withColumn(f"scrubbed_{text_col}", scrubbed)
+
+
+def c4_filter(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_sentences: int = 3,
+    min_words: int = 5,
+) -> DataFrame:
+    """C4-style heuristic document filter (Raffel et al. 2020 §2.2) with
+    per-rule REASON flags — the categorical complement of
+    :func:`with_quality`'s continuous scores. Rules (doc granularity,
+    the subset expressible without a line structure):
+
+    - ``r_short``:     fewer than ``min_words`` words
+    - ``r_sentences``: fewer than ``min_sentences`` terminal-punctuation
+                       sentence ends (. ! ?)
+    - ``r_lorem``:     contains "lorem ipsum" (template boilerplate)
+    - ``r_brace``:     contains "{" (leaked code/markup)
+
+    ``keep`` is the conjunction of all rules passing. Mapper-only: every
+    rule is a JVM expression over the row, zero shuffle; at 100 TB this
+    runs at scan speed as the first pass of the cleaning ladder."""
+    low = F.lower(F.col(text_col))
+    n_words = F.size(F.filter(F.split(F.col(text_col), " "), lambda x: F.length(x) > 0))
+    n_sent = F.size(F.split(F.col(text_col), r"[.!?]")) - 1
+    r_short = (n_words < min_words).cast("int")
+    r_sent = (n_sent < min_sentences).cast("int")
+    r_lorem = low.contains("lorem ipsum").cast("int")
+    r_brace = F.col(text_col).contains("{").cast("int")
+    return df.select(
+        F.col(id_col),
+        n_words.cast("long").alias("n_words"),
+        n_sent.cast("long").alias("n_sentences"),
+        r_short.alias("r_short"),
+        r_sent.alias("r_sentences"),
+        r_lorem.alias("r_lorem"),
+        r_brace.alias("r_brace"),
+        ((r_short + r_sent + r_lorem + r_brace) == 0).cast("int").alias("keep"),
+    )

@@ -1747,3 +1747,49 @@ def test_features_truncated_blobs_flow(spark, tmp_path):
     assert afeats["a.wav"].decoded == 1
     tw = afeats["trunc.wav"]
     assert tw.decoded == 0 and tw.err is not None and tw.rms is None
+
+
+def test_dup_spans_merging(spark):
+    """dup_spans: overlapping duplicated windows merge into one maximal
+    span; within-doc repeats count as duplication; unique text yields no
+    spans; adjacent (gap == k) spans merge, separated ones do not."""
+    from intake_spark.llm import dedup
+
+    boiler = " ".join(f"b{i}" for i in range(10))  # 10 shared tokens
+    docs = [
+        (1, f"{boiler} u1 u2 u3 u4 u5 u6 u7 u8 u9 u10 {boiler}"),
+        (2, f"x1 x2 x3 {boiler} y1 y2 y3"),
+        (3, "all unique tokens here nothing repeats in this document ever z1 z2"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = dedup.dup_spans(df, k=4, min_occurrences=2)
+    spans = {}
+    for r in out.collect():
+        spans.setdefault(r.doc_id, []).append((r.span_start, r.span_end, r.span_tokens))
+    # doc 1: boiler at positions 0..9 and 20..29 -> two separate 10-token spans
+    assert sorted(spans[1]) == [(0, 10, 10), (20, 30, 10)]
+    # doc 2: boiler at 3..12 -> one span
+    assert spans[2] == [(3, 13, 10)]
+    assert 3 not in spans
+    # min_occurrences honored: raise the threshold above the occurrence
+    # count (3 occurrences of the boiler windows) -> nothing reported
+    assert dedup.dup_spans(df, k=4, min_occurrences=4).count() == 0
+
+
+def test_c4_filter_rules(spark):
+    from intake_spark.llm import text as llmtext
+
+    rows = [
+        (1, "This is fine. It has three sentences. Really it does."),
+        (2, "too few words."),
+        (3, "Lorem Ipsum dolor sit amet. More here. And more. Done now."),
+        (4, "Code leaked { var x = 1; }. Sentence two. Sentence three."),
+        (5, "No terminal punctuation at all just words and words and words"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in llmtext.c4_filter(df).collect()}
+    assert out[1].keep == 1 and out[1].n_sentences == 3
+    assert out[2].keep == 0 and out[2].r_short == 1
+    assert out[3].keep == 0 and out[3].r_lorem == 1
+    assert out[4].keep == 0 and out[4].r_brace == 1
+    assert out[5].keep == 0 and out[5].r_sentences == 1
