@@ -864,7 +864,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
     # four green rows (r1-r4); those rotate to r7 with q11/q12
     "q101_dup_spans",
     "q102_c4_filter",
-    "q10_window_top_orders",
+    "q103_remove_dup_spans",
     "q15_rollup_region_nation",
     "q16_json_props",
     "q17_hourly_windows",

@@ -871,3 +871,48 @@ def dup_spans(
         .withColumn("span_tokens", (F.col("span_end") - F.col("span_start")))
         .drop("_grp")
     )
+
+
+def remove_dup_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    min_occurrences: int = 2,
+) -> DataFrame:
+    """The removal step of substring dedup (Lee et al. 2021): cut every
+    token covered by a duplicated span (:func:`dup_spans` semantics —
+    like :func:`line_dedup`, removal is corpus-wide) and rejoin the
+    survivors in order. Returns (id, n_tokens, n_removed,
+    clean_<text_col>).
+
+    Scale shape: dup_spans' linear pipeline, plus one per-document
+    span-list aggregate and one equi-join back to the corpus on the
+    document key; the cut itself is a JVM HOF filter over the token
+    array — no Python, no extra shuffle beyond the id-key join."""
+    spans = dup_spans(df, id_col, text_col, k, min_occurrences)
+    per_doc = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("_spans")
+    )
+    ws = F.filter(F.split(F.col(text_col), " "), lambda x: F.length(x) > 0)
+    joined = (
+        df.select(id_col, ws.alias("_w"))
+        .join(per_doc, id_col, "left")
+        .withColumn("_spans", F.coalesce("_spans", F.array()))
+    )
+    idx = F.expr("transform(_w, (x, i) -> struct(x AS tok, i AS i))")
+    kept = F.filter(
+        idx,
+        lambda t: ~F.exists(
+            F.col("_spans"),
+            lambda s: (t["i"] >= s["span_start"]) & (t["i"] < s["span_end"]),
+        ),
+    )
+    return joined.select(
+        F.col(id_col),
+        F.size("_w").cast("long").alias("n_tokens"),
+        (F.size("_w") - F.size(kept)).cast("long").alias("n_removed"),
+        F.array_join(F.transform(kept, lambda t: t["tok"]), " ").alias(
+            f"clean_{text_col}"
+        ),
+    )

@@ -1957,3 +1957,54 @@ def q102_c4_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs at scan speed at any scale (text.c4_filter)."""
     docs = load_table(spark, sf_dir, "documents")
     return text.c4_filter(docs)
+
+
+@register(
+    "q103_remove_dup_spans",
+    """
+    WITH w AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS ws
+      FROM documents),
+    occ AS (
+      SELECT doc_id, i - 1 AS pos, array_to_string(ws[i : i+7], ' ') AS sh
+      FROM (SELECT doc_id, ws FROM w WHERE len(ws) >= 8) t,
+           unnest(generate_series(1, len(ws) - 7)) u(i)),
+    dup AS (SELECT sh FROM occ GROUP BY sh HAVING COUNT(*) >= 2),
+    d AS (SELECT o.doc_id, o.pos FROM occ o JOIN dup USING (sh)),
+    m AS (SELECT doc_id, pos,
+            CASE WHEN pos > COALESCE(LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos),
+                                     -1099511627776) + 8
+                 THEN 1 ELSE 0 END AS brk
+          FROM d),
+    g AS (SELECT doc_id, pos,
+            SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                           ROWS UNBOUNDED PRECEDING) AS grp
+          FROM m),
+    spans AS (SELECT doc_id, MIN(pos) AS s, MAX(pos) + 8 AS e
+              FROM g GROUP BY doc_id, grp),
+    sp AS (SELECT doc_id, list({'s': s, 'e': e}) AS sps FROM spans GROUP BY doc_id),
+    j AS (SELECT w.doc_id, ws, COALESCE(sps, []) AS sps
+          FROM w LEFT JOIN sp USING (doc_id)),
+    cut AS (
+      SELECT doc_id, ws,
+             list_filter(list_transform(generate_series(1, len(ws)),
+                                        i -> {'tok': ws[i], 'i': i - 1}),
+                         t -> len(list_filter(sps,
+                                s -> t.i >= s.s AND t.i < s.e)) = 0) AS kept
+      FROM j)
+    SELECT doc_id,
+           CAST(len(ws) AS BIGINT) AS n_tokens,
+           CAST(len(ws) - len(kept) AS BIGINT) AS n_removed,
+           COALESCE(array_to_string(list_transform(kept, t -> t.tok), ' '), '')
+             AS clean_text
+    FROM cut
+    """,
+)
+def q103_remove_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The removal step of substring dedup (Lee et al. 2021): q101's
+    duplicated spans cut from every document, survivors rejoined in
+    order — dedup.remove_dup_spans. Adds one per-doc span aggregate and
+    one id-key equi-join to q101's linear pipeline; the cut is a JVM
+    HOF filter."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.remove_dup_spans(docs, k=8, min_occurrences=2)

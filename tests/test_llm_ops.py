@@ -1793,3 +1793,22 @@ def test_c4_filter_rules(spark):
     assert out[3].keep == 0 and out[3].r_lorem == 1
     assert out[4].keep == 0 and out[4].r_brace == 1
     assert out[5].keep == 0 and out[5].r_sentences == 1
+
+
+def test_remove_dup_spans(spark):
+    """The cut step: duplicated spans removed everywhere, survivors
+    rejoin in order; span-free docs pass through untouched."""
+    from intake_spark.llm import dedup
+
+    boiler = " ".join(f"b{i}" for i in range(10))
+    docs = [
+        (1, f"{boiler} u1 u2 u3 u4 u5 u6 u7 u8 u9 u10 {boiler}"),
+        (2, f"x1 x2 x3 {boiler} y1 y2 y3"),
+        (3, "all unique tokens here nothing repeats in this document ever z1 z2"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r.doc_id: r for r in dedup.remove_dup_spans(df, k=4, min_occurrences=2).collect()}
+    assert out[1].clean_text == "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10"
+    assert (out[1].n_tokens, out[1].n_removed) == (30, 20)
+    assert out[2].clean_text == "x1 x2 x3 y1 y2 y3" and out[2].n_removed == 10
+    assert out[3].n_removed == 0 and out[3].clean_text == docs[2][1]
