@@ -192,7 +192,11 @@ def slice_axis0(df: DataFrame, start: int, end: int) -> DataFrame:
             F.slice(
                 "values",
                 (lo * F.col("_re") + 1).cast("int"),
-                ((hi - lo) * F.col("_re")).cast("int"),
+                # clamp: Catalyst may push a LATER filter's substituted
+                # expression below this frame's own row filter, evaluating
+                # the slice on rows outside [start, end) where hi - lo is
+                # negative — slice() throws on negative lengths
+                F.greatest((hi - lo) * F.col("_re"), F.lit(0.0)).cast("int"),
             ),
         )
         .withColumn("offset0", F.greatest(F.col("offset0"), F.lit(start)))

@@ -406,47 +406,72 @@ def _delta_version_at(log: str, timestamp: str) -> int:
         if ts_ms <= target_ms:
             best = ver
     if best is None:
+        # all surviving commits are newer — on a checkpointed table whose
+        # pre-checkpoint commits were cleaned by log retention, the
+        # checkpoint is the oldest reconstructable snapshot; resolve to it
+        # rather than refusing a query the table can still answer. Only
+        # when the checkpoint's own commit is among the vacuumed (older
+        # than every surviving commit): a surviving same-version commit
+        # with a newer timestamp means the table genuinely postdates t.
+        last_ck = os.path.join(log, "_last_checkpoint")
+        if os.path.exists(last_ck):
+            with open(last_ck) as f:
+                ck_ver = int(json.load(f)["version"])
+            surviving = [
+                int(f[:20])
+                for f in os.listdir(log)
+                if re.fullmatch(r"\d{20}\.json", f)
+            ]
+            if not surviving or ck_ver < min(surviving):
+                return ck_ver
         raise ValueError(
             f"no Delta commit at or before {timestamp!r} (table is newer)"
         )
     return best
 
 
-def delta_checkpoint(url: str, spark=None) -> int:
-    """Write a parquet checkpoint of the CURRENT table state + the
-    ``_last_checkpoint`` pointer — the log-compaction step that bounds
-    replay cost at high version counts (the reader consumes these
-    already; a checkpoint every N commits keeps replay O(N) regardless of
-    table age). Returns the checkpointed version. Columns follow the
-    public checkpoint schema subset the reader replays: add / remove /
-    metaData / protocol structs, one action per row."""
-    from intake_spark.session import get_session
+def delta_log_state(log: str, spark, version: int | None = None) -> dict:
+    """THE Delta log replay — the reader, ``delta_checkpoint`` and
+    ``output.to_delta`` all resolve table state through this one helper
+    (three hand-maintained replicas had already diverged: the writer's
+    copy ignored checkpoints, silently corrupting overwrites of
+    checkpointed tables whose old commits were vacuumed).
 
-    spark = spark or get_session()
-    root = url.rstrip("/")
-    log = os.path.join(root, "_delta_log")
+    Seeds from the newest usable parquet checkpoint (single-file and
+    multi-part naming; raises on missing files, names the v2/UUID
+    sidecar gate), replays surviving JSON commits above it, honoring an
+    optional ``version=`` ceiling. Returns ``{"version": newest resolved
+    version (-1 for an empty log), "adds": {path: add action dict},
+    "meta": metaData | None, "protocol": protocol | None}``."""
     commits = sorted(f for f in os.listdir(log) if re.fullmatch(r"\d{20}\.json", f))
-    if not commits:
-        raise ValueError(f"{root} has no JSON commits to checkpoint")
-    version = int(commits[-1][:20])
-    adds: dict[str, dict] = {}
-    meta = None
-    protocol = {"minReaderVersion": 1, "minWriterVersion": 2}
-    # seed from the EXISTING checkpoint: commits at or below it may have
-    # been vacuumed, so replaying only the surviving JSON commits would
-    # silently drop every add the old checkpoint carries
-    ckpt_version = -1
+    newest = max([int(c[:20]) for c in commits] or [-1])
     last_ck = os.path.join(log, "_last_checkpoint")
+    ck = None
     if os.path.exists(last_ck):
         with open(last_ck) as f:
             ck = json.load(f)
-        # mirror the reader's naming (single-file AND multi-part), and only
-        # adopt ckpt_version once the state is actually loaded: adopting it
-        # from the pointer alone while the parquet is missing would skip
-        # the <=ckpt JSON commits with no seeded state — silently dropping
-        # every pre-checkpoint add from the new checkpoint
-        ck_ver = int(ck["version"])
-        base = f"{ck_ver:020d}.checkpoint"
+        newest = max(newest, int(ck["version"]))
+    if version is not None:
+        if version > newest:
+            raise ValueError(
+                f"Delta version {version} does not exist (latest is {newest})"
+            )
+        # state may come entirely from a checkpoint <= version (older
+        # JSON commits can be vacuumed), so an empty commit list is not
+        # an error here — a missing metaData is, at the caller
+        commits = [c for c in commits if int(c[:20]) <= version]
+        newest = max(
+            [int(c[:20]) for c in commits]
+            + ([int(ck["version"])] if ck and int(ck["version"]) <= version else [])
+            + [-1]
+        )
+    adds: dict[str, dict] = {}
+    meta = None
+    protocol = None
+    ckpt_version = -1
+    if ck is not None and (version is None or int(ck["version"]) <= version):
+        ckpt_version = int(ck["version"])
+        base = f"{ckpt_version:020d}.checkpoint"
         if ck.get("parts"):
             parts = int(ck["parts"])
             ck_paths = [
@@ -457,11 +482,15 @@ def delta_checkpoint(url: str, spark=None) -> int:
             ck_paths = [os.path.join(log, f"{base}.parquet")]
         missing = [p for p in ck_paths if not os.path.exists(p)]
         if missing:
-            raise ValueError(
-                f"_last_checkpoint names version {ck_ver} but checkpoint "
-                f"files are missing: {missing}"
-            )
-        ckpt_version = ck_ver
+            # v2/UUID checkpoints use a different naming + sidecars
+            import glob as _glob
+
+            if _glob.glob(os.path.join(log, f"{base}.*")):
+                raise ValueError(
+                    "Delta v2 (UUID/sidecar) checkpoints not supported "
+                    "by this stdlib reader"
+                )
+            raise ValueError(f"checkpoint files missing: {missing}")
         cdf = spark.read.parquet(*ck_paths)
         for row in cdf.select("add", "remove", "metaData", "protocol").collect():
             if row.add and row.add.path:
@@ -488,6 +517,28 @@ def delta_checkpoint(url: str, spark=None) -> int:
                     meta = act["metaData"]
                 elif "protocol" in act:
                     protocol = act["protocol"]
+    return {"version": newest, "adds": adds, "meta": meta, "protocol": protocol}
+
+
+def delta_checkpoint(url: str, spark=None) -> int:
+    """Write a parquet checkpoint of the CURRENT table state + the
+    ``_last_checkpoint`` pointer — the log-compaction step that bounds
+    replay cost at high version counts (the reader consumes these
+    already; a checkpoint every N commits keeps replay O(N) regardless of
+    table age). Returns the checkpointed version. Columns follow the
+    public checkpoint schema subset the reader replays: add / remove /
+    metaData / protocol structs, one action per row."""
+    from intake_spark.session import get_session
+
+    spark = spark or get_session()
+    root = url.rstrip("/")
+    log = os.path.join(root, "_delta_log")
+    commits = sorted(f for f in os.listdir(log) if re.fullmatch(r"\d{20}\.json", f))
+    if not commits:
+        raise ValueError(f"{root} has no JSON commits to checkpoint")
+    state = delta_log_state(log, spark)
+    version, adds, meta = state["version"], state["adds"], state["meta"]
+    protocol = state["protocol"] or {"minReaderVersion": 1, "minWriterVersion": 2}
     if meta is None:
         raise ValueError("Delta log contains no metaData action")
 
@@ -554,8 +605,12 @@ def delta_checkpoint(url: str, spark=None) -> int:
     import shutil
 
     shutil.rmtree(ckpt_tmp)
-    with open(os.path.join(log, "_last_checkpoint"), "w") as f:
+    # atomic pointer swap: a concurrent reader must never observe a
+    # truncated _last_checkpoint (open('w') truncates before writing)
+    lc_tmp = os.path.join(log, "_last_checkpoint.tmp")
+    with open(lc_tmp, "w") as f:
         json.dump({"version": version, "size": len(rows)}, f)
+    os.replace(lc_tmp, os.path.join(log, "_last_checkpoint"))
     return version
 
 
@@ -587,90 +642,15 @@ class DeltaLakeReader(BaseReader):
             if version is not None:
                 raise ValueError("pass version= or timestamp=, not both")
             version = _delta_version_at(log, timestamp)
-        # exactly 20-digit commit names: log-compaction files
-        # (<start>.<end>.compacted.json) must NOT be replayed — their
-        # constituent commits are listed (and replayed) individually, and a
-        # compaction spanning past a `version=` target would smuggle in
-        # actions from commits beyond the requested snapshot
-        commits = sorted(
-            f for f in os.listdir(log) if re.fullmatch(r"\d{20}\.json", f)
-        )
-        if version is not None:
-            newest = max(
-                [int(c[:20]) for c in commits] or [-1]
-            )
-            if os.path.exists(os.path.join(log, "_last_checkpoint")):
-                with open(os.path.join(log, "_last_checkpoint")) as f:
-                    newest = max(newest, int(json.load(f)["version"]))
-            if version > newest:
-                raise ValueError(
-                    f"Delta version {version} does not exist (latest is {newest})"
-                )
-            # state may come entirely from a checkpoint <= version (older
-            # JSON commits can be vacuumed), so an empty commit list is not
-            # an error here — a missing metaData below is
-            commits = [c for c in commits if int(c[:20]) <= version]
-        adds: dict[str, dict] = {}
-        meta = None
-        protocol = None
-        # checkpoint fast-path: _last_checkpoint names the compacted state.
-        # Used for time travel too when it predates the target version —
-        # older JSON commits may have been vacuumed by log retention.
-        ckpt_version = -1
-        last_ck = os.path.join(log, "_last_checkpoint")
-        if os.path.exists(last_ck):
-            with open(last_ck) as f:
-                ck = json.load(f)
-            if version is None or int(ck["version"]) <= version:
-                ckpt_version = int(ck["version"])
-                base = f"{ckpt_version:020d}.checkpoint"
-                if ck.get("parts"):
-                    parts = int(ck["parts"])
-                    ck_paths = [
-                        os.path.join(log, f"{base}.{i:010d}.{parts:010d}.parquet")
-                        for i in range(1, parts + 1)
-                    ]
-                else:
-                    ck_paths = [os.path.join(log, f"{base}.parquet")]
-                missing = [p for p in ck_paths if not os.path.exists(p)]
-                if missing:
-                    # v2/UUID checkpoints use a different naming + sidecars
-                    import glob as _glob
-
-                    if _glob.glob(os.path.join(log, f"{base}.*")):
-                        raise ValueError(
-                            "Delta v2 (UUID/sidecar) checkpoints not supported "
-                            "by this stdlib reader"
-                        )
-                    raise ValueError(f"checkpoint files missing: {missing}")
-                cdf = spark.read.parquet(*ck_paths)
-                for row in cdf.select("add", "remove", "metaData", "protocol").collect():
-                    if row.add and row.add.path:
-                        adds[row.add.path] = {
-                            "partitionValues": dict(row.add.partitionValues or {})
-                        }
-                    if row.remove and row.remove.path:
-                        adds.pop(row.remove.path, None)
-                    if row.metaData and row.metaData.schemaString:
-                        meta = row.metaData.asDict(recursive=True)
-                    if row.protocol and row.protocol.minReaderVersion is not None:
-                        protocol = row.protocol.asDict(recursive=True)
-        for c in commits:
-            if int(c[:20]) <= ckpt_version:
-                continue
-            with open(os.path.join(log, c)) as f:
-                for line in f:
-                    if not line.strip():
-                        continue
-                    act = json.loads(line)
-                    if "add" in act:
-                        adds[act["add"]["path"]] = act["add"]
-                    elif "remove" in act:
-                        adds.pop(act["remove"]["path"], None)
-                    elif "metaData" in act:
-                        meta = act["metaData"]
-                    elif "protocol" in act:
-                        protocol = act["protocol"]
+        # delta_log_state replays exactly 20-digit commit names only:
+        # log-compaction files (<start>.<end>.compacted.json) must NOT be
+        # replayed — their constituent commits are listed (and replayed)
+        # individually, and a compaction spanning past a `version=` target
+        # would smuggle in actions from commits beyond the requested
+        # snapshot. Checkpoint fast-path (single + multi-part naming) is
+        # used for time travel too when it predates the target version.
+        state = delta_log_state(log, spark, version=version)
+        adds, meta, protocol = state["adds"], state["meta"], state["protocol"]
         if meta is None:
             raise ValueError("Delta log contains no metaData action")
         if protocol:

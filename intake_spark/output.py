@@ -111,6 +111,8 @@ def to_delta(
     import json as _json
     import shutil
     import uuid as _uuid
+    from urllib.parse import quote as _quote
+    from urllib.parse import unquote as _unquote
 
     if mode not in ("overwrite", "append"):
         raise ValueError(f"mode must be overwrite/append, got {mode!r}")
@@ -118,32 +120,20 @@ def to_delta(
     log_dir = os.path.join(root, "_delta_log")
     part_cols = list(partition_by or [])
 
-    # current state (for append schema checks / overwrite removes)
-    import re as _re
-
+    # current state (for append schema checks / overwrite removes) via the
+    # SHARED log replay — checkpoint-seeded, so overwriting a checkpointed
+    # table whose pre-checkpoint commits were vacuumed still removes every
+    # live file and continues the version sequence past the checkpoint
     prev_version = -1
     prev_adds: list[str] = []
     prev_meta = None
     if os.path.isdir(log_dir):
-        commits = sorted(
-            f for f in os.listdir(log_dir) if _re.fullmatch(r"\d{20}\.json", f)
-        )
-        if commits:
-            prev_version = int(commits[-1][:20])
-            state: dict[str, bool] = {}
-            for c in commits:
-                with open(os.path.join(log_dir, c)) as f:
-                    for line in f:
-                        if not line.strip():
-                            continue
-                        act = _json.loads(line)
-                        if "add" in act:
-                            state[act["add"]["path"]] = True
-                        elif "remove" in act:
-                            state.pop(act["remove"]["path"], None)
-                        elif "metaData" in act:
-                            prev_meta = act["metaData"]
-            prev_adds = sorted(state)
+        from intake_spark.lakehouse import delta_log_state
+
+        state = delta_log_state(log_dir, df.sparkSession)
+        prev_version = state["version"]
+        prev_adds = sorted(state["adds"])
+        prev_meta = state["meta"]
     if prev_meta is not None:
         prev_schema = prev_meta.get("schemaString")
         if mode == "append" and prev_schema != df.schema.json():
@@ -178,10 +168,19 @@ def to_delta(
                 for seg in rel_dir.split(os.sep):
                     k, eq, v = seg.partition("=")
                     if eq:
-                        pvals[k] = v
+                        # Spark's escapePathName percent-escapes specials in
+                        # the dir name ('100%' -> '100%25'); the log records
+                        # the LOGICAL value, null as None
+                        pvals[k] = (
+                            None
+                            if v == "__HIVE_DEFAULT_PARTITION__"
+                            else _unquote(v)
+                        )
             adds.append(
                 {
-                    "path": rel.replace(os.sep, "/"),
+                    # the protocol says add.path is RFC 2396 URI-encoded;
+                    # readers (ours included) unquote it to the disk path
+                    "path": _quote(rel.replace(os.sep, "/"), safe="/"),
                     "partitionValues": pvals,
                     "size": os.path.getsize(dst),
                     "modificationTime": now_ms,
@@ -237,7 +236,10 @@ def to_delta(
         )
     )
     os.makedirs(log_dir, exist_ok=True)
-    with open(os.path.join(log_dir, f"{version:020d}.json"), "w") as f:
+    # put-if-absent (protocol requirement): a concurrent writer that
+    # computed the same version must fail loudly, not silently clobber
+    # the winner's commit and orphan its data files
+    with open(os.path.join(log_dir, f"{version:020d}.json"), "x") as f:
         f.write("\n".join(lines) + "\n")
     return dt.DeltalakeTable(url=url)
 
@@ -248,8 +250,13 @@ def to_table(df: DataFrame, name: str, mode: str = "overwrite", comment: str | N
     df.write.mode(mode).saveAsTable(name)
     if comment:
         ident = ".".join("`" + p.replace("`", "``") + "`" for p in name.split("."))
+        # Spark default string literals treat backslash as an escape, so
+        # backslashes must double BEFORE quote-doubling or a trailing '\'
+        # swallows the closing quote (and crafted comments could inject
+        # extra TBLPROPERTIES entries)
+        lit = comment.replace("\\", "\\\\").replace("'", "''")
         df.sparkSession.sql(
-            f"ALTER TABLE {ident} SET TBLPROPERTIES ('comment' = '{comment.replace(chr(39), chr(39) * 2)}')"
+            f"ALTER TABLE {ident} SET TBLPROPERTIES ('comment' = '{lit}')"
         )
     return name
 
@@ -343,6 +350,30 @@ def to_zarr(df: DataFrame, url: str, compressor: str | None = "zlib") -> dt.Zarr
     for s, c in zip(shape[1:], chunks[1:]):
         n_trailing *= -(-s // c)  # == 1: trailing dims are unchunked
     pad_to = block_rows * row_elems
+    # chunk-grid alignment guard: writing assumes offset0 is a multiple of
+    # block_rows and only the FINAL chunk is ragged. Sliced frames
+    # (slice_axis0 keeps absolute offsets, so the first surviving chunk
+    # can start mid-block) would otherwise land at wrong chunk indices
+    # with zero-padding in the wrong rows — silently corrupt arrays.
+    bad = (
+        df.filter(
+            (F.col("offset0") % block_rows != 0)
+            | (
+                (F.size("values") < pad_to)
+                & (
+                    F.col("offset0") + F.size("values") / row_elems
+                    < shape[0]
+                )
+            )
+        ).count()
+    )
+    if bad:
+        raise ValueError(
+            f"to_zarr: {bad} chunk rows are not aligned to the {block_rows}-row "
+            "chunk grid (e.g. a slice_axis0 result starting mid-block); "
+            "re-chunk to block-aligned offsets first, or write via "
+            "to_npy/to_netcdf which stream offset-ordered"
+        )
 
     def write_partition(rows_iter):
         import zlib
@@ -793,6 +824,11 @@ def to_avro(df: DataFrame, url: str, codec: str = "deflate") -> "dt.AVRO":
     import os as _os
 
     _os.makedirs(url, exist_ok=True)
+    # Spark overwrite semantics: a re-run with fewer partitions must not
+    # leave stale part files from a previous write for readers to merge
+    for _old in _os.listdir(url):
+        if _old.startswith("part-") and _old.endswith(".avro"):
+            _os.remove(_os.path.join(url, _old))
     ensure_py_deps(df.sparkSession)
 
     def write_part(batches):
@@ -858,6 +894,11 @@ def to_msgpack(df: DataFrame, url: str) -> "object":
     from intake_spark.session import ensure_py_deps
 
     _os.makedirs(url, exist_ok=True)
+    # Spark overwrite semantics: a re-run with fewer partitions must not
+    # leave stale part files from a previous write for readers to merge
+    for _old in _os.listdir(url):
+        if _old.startswith("part-") and _old.endswith(".msgpack"):
+            _os.remove(_os.path.join(url, _old))
     names = [f_.name for f_ in df.schema.fields]
     ensure_py_deps(df.sparkSession)
 
@@ -1068,6 +1109,34 @@ def to_geoparquet(
 
     ensure_py_deps(df.sparkSession)
 
+    # one EXPLICIT arrow schema for every part: without it, a partition
+    # whose batch happens to contain a null in an int column infers
+    # float64 (NaN) while null-free partitions infer int64 — a directory
+    # of conflicting parquet types that readers refuse to merge
+    import pyarrow as _pa_drv
+    from pyspark.sql import types as _T
+
+    _pa_map = {
+        _T.BooleanType: _pa_drv.bool_(),
+        _T.ByteType: _pa_drv.int8(),
+        _T.ShortType: _pa_drv.int16(),
+        _T.IntegerType: _pa_drv.int32(),
+        _T.LongType: _pa_drv.int64(),
+        _T.FloatType: _pa_drv.float32(),
+        _T.DoubleType: _pa_drv.float64(),
+        _T.StringType: _pa_drv.string(),
+        _T.BinaryType: _pa_drv.binary(),
+        _T.DateType: _pa_drv.date32(),
+    }
+    spark_types = {f_.name: type(f_.dataType) for f_ in df.schema.fields}
+    if all(spark_types.get(c) in _pa_map for c in others):
+        part_schema = _pa_drv.schema(
+            [(c, _pa_map[spark_types[c]]) for c in others]
+            + [(primary_name, _pa_drv.binary())]
+        )
+    else:  # exotic column types: fall back to per-part inference
+        part_schema = None
+
     def write_part(batches):
         import json as _j
 
@@ -1094,7 +1163,9 @@ def to_geoparquet(
             allp = _pd.concat(pdfs, ignore_index=True)
             n = len(allp)
             if n:
-                table = _pa.Table.from_pandas(allp, preserve_index=False)
+                table = _pa.Table.from_pandas(
+                    allp, schema=part_schema, preserve_index=False
+                )
                 table = table.replace_schema_metadata(
                     {**(table.schema.metadata or {}), b"geo": geo_meta.encode()}
                 )

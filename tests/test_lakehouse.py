@@ -784,3 +784,108 @@ def test_delta_version_beyond_head_raises(spark, tmp_path):
     to_delta(spark.createDataFrame([(1,)], "a long"), url)
     with _pytest.raises(ValueError, match="does not exist"):
         DeltaLakeReader(data=dt.DeltalakeTable(url=url)).read(spark=spark, version=50)
+
+
+def test_to_delta_on_checkpointed_vacuumed_table(spark, tmp_path):
+    """Regression (r6 review): writes must resolve previous state through
+    the checkpoint. Overwriting a table whose pre-checkpoint commits were
+    vacuumed must (a) remove the checkpoint's live files and (b) continue
+    the version sequence past the checkpoint — the old JSON-only replay
+    wrote version 0 (invisible to readers) and no removes (old rows
+    merged into every read)."""
+    import glob as _glob
+
+    from intake_spark.lakehouse import delta_checkpoint
+    from intake_spark.output import to_delta
+
+    root = str(tmp_path / "ckw")
+    to_delta(spark.range(4).selectExpr("id", "id * 2 AS v"), root)       # v0
+    to_delta(spark.range(4, 6).selectExpr("id", "id * 2 AS v"), root,
+             mode="append")                                               # v1
+    assert delta_checkpoint(root, spark=spark) == 1
+    for c in _glob.glob(f"{root}/_delta_log/*.json"):
+        os.remove(c)  # log retention cleaned everything <= the checkpoint
+
+    to_delta(spark.range(100, 103).selectExpr("id", "id * 2 AS v"), root,
+             mode="overwrite")
+    rdr = DeltaLakeReader(data=dt.DeltalakeTable(url=root))
+    assert sorted(r.id for r in rdr.read(spark=spark).collect()) == [100, 101, 102]
+    # the overwrite commit is version 2 (checkpoint was 1), not 0
+    assert os.path.exists(f"{root}/_delta_log/{2:020d}.json")
+
+    # append path resolves schema from the checkpoint's metaData too
+    to_delta(spark.range(200, 201).selectExpr("id", "id * 2 AS v"), root,
+             mode="append")
+    assert rdr.read(spark=spark).count() == 4
+
+
+def test_to_delta_partition_special_chars(spark, tmp_path):
+    """Regression (r6 review): partition values with protocol-special
+    characters ('%', ':') round-trip — add.path is URI-encoded, the
+    logged partitionValues carry the LOGICAL value, and the reader
+    resolves the on-disk escaped layout."""
+    from intake_spark.output import to_delta
+
+    root = str(tmp_path / "dspecial")
+    df = spark.createDataFrame(
+        [("100%", 1), ("a:b", 2), ("plain", 3)], "grp string, v long"
+    )
+    to_delta(df, root, partition_by=["grp"])
+    rdr = DeltaLakeReader(data=dt.DeltalakeTable(url=root))
+    out = rdr.read(spark=spark)
+    assert sorted((r.grp, r.v) for r in out.collect()) == [
+        ("100%", 1), ("a:b", 2), ("plain", 3)
+    ]
+    from pyspark.sql import functions as F_
+
+    assert out.filter(F_.col("grp") == "100%").count() == 1
+
+
+def test_to_delta_concurrent_commit_fails_loudly(spark, tmp_path):
+    """Put-if-absent: a racing writer that computed the same version must
+    fail with FileExistsError, not clobber the winner's commit."""
+    import pytest as _pytest
+
+    from intake_spark.output import to_delta
+
+    root = str(tmp_path / "drace")
+    to_delta(spark.range(3).selectExpr("id", "id AS v"), root)  # v0
+    # simulate the race: the loser's log replay returns state one version
+    # behind (the winner commits between replay and commit write), so the
+    # loser computes an already-taken version number
+    import intake_spark.lakehouse as lh
+
+    orig = lh.delta_log_state
+
+    def stale(log, spark_, version=None):
+        st = orig(log, spark_, version)
+        return {**st, "version": st["version"] - 1}
+
+    lh.delta_log_state = stale
+    try:
+        with _pytest.raises(FileExistsError):
+            to_delta(spark.range(3).selectExpr("id", "id AS v"), root,
+                     mode="append")
+    finally:
+        lh.delta_log_state = orig
+
+
+def test_delta_timestamp_travel_falls_back_to_checkpoint(spark, tmp_path):
+    """Regression (r6 review): timestamp= before every surviving commit on
+    a checkpointed+vacuumed table resolves to the checkpoint snapshot
+    (the oldest reconstructable state) instead of raising."""
+    import glob as _glob
+
+    from intake_spark.lakehouse import delta_checkpoint
+    from intake_spark.output import to_delta
+
+    root = str(tmp_path / "dts")
+    to_delta(spark.range(2).selectExpr("id", "id AS v"), root)  # v0
+    assert delta_checkpoint(root, spark=spark) == 0
+    for c in _glob.glob(f"{root}/_delta_log/*.json"):
+        os.remove(c)
+    to_delta(spark.range(5, 7).selectExpr("id", "id AS v"), root,
+             mode="append")  # v1, commit timestamp = now
+    rdr = DeltaLakeReader(data=dt.DeltalakeTable(url=root))
+    out = rdr.read(spark=spark, timestamp="2000-01-01")
+    assert sorted(r.id for r in out.collect()) == [0, 1]

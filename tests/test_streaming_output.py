@@ -428,3 +428,93 @@ def test_cross_format_roundtrip_chain(spark, tmp_path):
     a = {r.doc_id: (r.text, r.lang, r.source, r.n_chars) for r in src.collect()}
     b = {r.doc_id: (r.text, r.lang, r.source, r.n_chars) for r in final.collect()}
     assert a == b
+
+
+def test_sinks_remove_stale_parts_on_rerun(spark, tmp_path):
+    """Regression (r6 review): re-running to_avro / to_msgpack with fewer
+    partitions must not leave previous-run part files for readers to
+    silently merge (to_geoparquet already cleans; these two skipped it)."""
+    from intake_spark import output
+    from intake_spark.documents import MessagePackReader
+    from intake_spark.lakehouse import AvroOCFReader
+
+    big = spark.range(8).selectExpr("id", "id * 2 AS v").repartition(8)
+    small = spark.range(100, 102).selectExpr("id", "id * 2 AS v").repartition(1)
+
+    avro_dst = str(tmp_path / "av")
+    output.to_avro(big, avro_dst)
+    desc = output.to_avro(small, avro_dst)
+    back = AvroOCFReader(data=desc).read(spark=spark)
+    assert sorted(r.id for r in back.collect()) == [100, 101]
+
+    mp_dst = str(tmp_path / "mp")
+    output.to_msgpack(big, mp_dst)
+    desc2 = output.to_msgpack(small, mp_dst)
+    back2 = MessagePackReader(data=desc2).read(spark=spark)
+    assert sorted(r.id for r in back2.collect()) == [100, 101]
+
+
+def test_to_geoparquet_consistent_types_across_null_partitions(spark, tmp_path):
+    """Regression (r6 review): a null concentrated in one partition must
+    not flip that part's column to double while others stay int64 — all
+    parts share one explicit arrow schema."""
+    import pyarrow.parquet as pq
+
+    from intake_spark import output
+    from intake_spark.geo import GeoParquetReader
+
+    rows = [
+        ('{"type":"Point","coordinates":[0.0,0.0]}', 1, 10),
+        ('{"type":"Point","coordinates":[1.0,1.0]}', 2, None),
+    ]
+    df = spark.createDataFrame(
+        rows, "geometry string, fid long, attr long"
+    ).repartition(2, "fid")
+    dst = str(tmp_path / "gp")
+    output.to_geoparquet(df, dst)
+    import glob as _glob
+
+    parts = sorted(_glob.glob(f"{dst}/part-*.parquet"))
+    types = {str(pq.read_schema(p).field("attr").type) for p in parts}
+    assert types == {"int64"}, types
+    from intake_spark.geo import GeoParquet
+
+    back = GeoParquetReader(data=GeoParquet(url=dst)).read(spark=spark)
+    got = {r.fid: r.attr for r in back.select("fid", "attr").collect()}
+    assert got == {1: 10, 2: None}
+
+
+def test_to_zarr_rejects_misaligned_chunks(spark, tmp_path):
+    """Regression (r6 review): slice_axis0 output (absolute offsets, first
+    chunk starting mid-block) must be refused with a named error, not
+    written to wrong chunk indices with zero-padding."""
+    import numpy as np
+    import pytest as _pytest
+
+    from intake_spark import output
+    from intake_spark.arrays import NumpyArrayReader, slice_axis0
+
+    arr = np.arange(40, dtype="<f8").reshape(40, 1)
+    npy = str(tmp_path / "m.npy")
+    np.save(npy, arr)
+    chunks = NumpyArrayReader(data=dt.NumpyFile(url=npy)).read(
+        spark=spark, rows_per_chunk=10
+    )
+    sliced = slice_axis0(chunks, 5, 25)
+    with _pytest.raises(ValueError, match="aligned"):
+        output.to_zarr(sliced, str(tmp_path / "z"))
+
+
+def test_to_table_comment_with_backslash(spark):
+    from intake_spark import output
+
+    df = spark.range(2)
+    name = "t_comment_bs"
+    try:
+        output.to_table(df, name, comment="path C:\\temp\\ and 'quo'te\\")
+        # the 'comment' property is promoted to the table comment (it is
+        # hidden from SHOW TBLPROPERTIES)
+        assert spark.catalog.getTable(name).description \
+            == "path C:\\temp\\ and 'quo'te\\"
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
