@@ -1932,13 +1932,14 @@ def q101_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q102_c4_filter",
     """
-    WITH b AS (
+    WITH t AS (SELECT doc_id, COALESCE(text, '') AS text FROM documents),
+    b AS (
       SELECT doc_id,
              len(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS nw,
              len(string_split_regex(text, '[.!?]')) - 1 AS ns,
              CASE WHEN contains(lower(text), 'lorem ipsum') THEN 1 ELSE 0 END AS rl,
              CASE WHEN contains(text, '{') THEN 1 ELSE 0 END AS rb
-      FROM documents)
+      FROM t)
     SELECT doc_id,
            CAST(nw AS BIGINT) AS n_words,
            CAST(ns AS BIGINT) AS n_sentences,

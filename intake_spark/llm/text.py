@@ -702,13 +702,17 @@ def c4_filter(
     ``keep`` is the conjunction of all rules passing. Mapper-only: every
     rule is a JVM expression over the row, zero shuffle; at 100 TB this
     runs at scan speed as the first pass of the cleaning ladder."""
-    low = F.lower(F.col(text_col))
-    n_words = F.size(F.filter(F.split(F.col(text_col), " "), lambda x: F.length(x) > 0))
-    n_sent = F.size(F.split(F.col(text_col), r"[.!?]")) - 1
+    # NULL text counts as empty (r_short fires) — without the coalesce
+    # every flag and `keep` itself would be NULL, a three-valued column
+    # that both keep=1 and keep=0 filters drop
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    low = F.lower(txt)
+    n_words = F.size(F.filter(F.split(txt, " "), lambda x: F.length(x) > 0))
+    n_sent = F.size(F.split(txt, r"[.!?]")) - 1
     r_short = (n_words < min_words).cast("int")
     r_sent = (n_sent < min_sentences).cast("int")
     r_lorem = low.contains("lorem ipsum").cast("int")
-    r_brace = F.col(text_col).contains("{").cast("int")
+    r_brace = txt.contains("{").cast("int")
     return df.select(
         F.col(id_col),
         n_words.cast("long").alias("n_words"),

@@ -439,15 +439,27 @@ def _frame_record(payload: bytes) -> bytes:
 
 def tfrecord_verify_frames(content: bytes) -> int:
     """Walk TFRecord framing VERIFYING both masked CRCs; returns the
-    record count, raises ValueError on the first mismatch."""
+    record count, raises ValueError on the first mismatch — including
+    truncation ANYWHERE (a verifier that returns success on a file cut
+    mid-frame is not a verifier)."""
     i = 0
     n = 0
-    while i + 12 <= len(content):
+    while i < len(content):
+        if i + 12 > len(content):
+            raise ValueError(
+                f"TFRecord truncated at offset {i}: "
+                f"{len(content) - i} trailing bytes, header needs 12"
+            )
         ln_bytes = content[i : i + 8]
         (ln,) = struct.unpack("<Q", ln_bytes)
         (len_crc,) = struct.unpack("<I", content[i + 8 : i + 12])
         if _masked_crc(ln_bytes) != len_crc:
             raise ValueError(f"TFRecord length CRC mismatch at offset {i}")
+        if i + 16 + ln > len(content):
+            raise ValueError(
+                f"TFRecord truncated at offset {i}: frame of {ln} payload "
+                f"bytes overruns the file"
+            )
         payload = content[i + 12 : i + 12 + ln]
         (data_crc,) = struct.unpack("<I", content[i + 12 + ln : i + 16 + ln])
         if _masked_crc(payload) != data_crc:
@@ -472,10 +484,9 @@ def to_tfrecord(df, url: str) -> TFRecord:
 
     from intake_spark.session import ensure_py_deps
 
-    _os.makedirs(url, exist_ok=True)
-    for f_ in _os.listdir(url):
-        if f_.startswith("part-") and ".tfrecord" in f_:
-            _os.remove(_os.path.join(url, f_))
+    from intake_spark.output import clean_stale_parts
+
+    clean_stale_parts(url, "part-", ".tfrecord")
     ensure_py_deps(df.sparkSession)
 
     kinds = {}
@@ -486,7 +497,9 @@ def to_tfrecord(df, url: str) -> TFRecord:
             kinds[f_.name] = "b"
         elif isinstance(elem, T_.StringType):
             kinds[f_.name] = "s"
-        elif isinstance(elem, (T_.FloatType, T_.DoubleType, T_.DecimalType)):
+        elif isinstance(elem, (T_.FloatType, T_.DoubleType)):
+            # DecimalType deliberately NOT mapped: float_list is 32-bit,
+            # which silently destroys the precision decimals guarantee
             kinds[f_.name] = "f"
         elif isinstance(elem, (T_.BooleanType, T_.ByteType, T_.ShortType,
                                T_.IntegerType, T_.LongType)):
@@ -608,8 +621,13 @@ class WebDatasetReader(BaseReader):
                         for m in tf:
                             if not m.isfile():
                                 continue
-                            base = m.name.rsplit("/", 1)[-1]
-                            key, _, ext = base.partition(".")
+                            # webdataset base_plus_ext: the key keeps the
+                            # directory prefix ('train/0001' and 'val/0001'
+                            # are DIFFERENT samples), only the basename
+                            # splits at its first dot
+                            d, _, base = m.name.rpartition("/")
+                            stem, _, ext = base.partition(".")
+                            key = f"{d}/{stem}" if d else stem
                             rows.append(
                                 {
                                     "shard": path,
@@ -643,10 +661,9 @@ def to_webdataset(
 
     from intake_spark.session import ensure_py_deps
 
-    _os.makedirs(url, exist_ok=True)
-    for f_ in _os.listdir(url):
-        if f_.startswith("shard-") and f_.endswith(".tar"):
-            _os.remove(_os.path.join(url, f_))
+    from intake_spark.output import clean_stale_parts
+
+    clean_stale_parts(url, "shard-", ".tar")
     ensure_py_deps(df.sparkSession)
 
     def write_part(batches):
@@ -661,7 +678,17 @@ def to_webdataset(
         samples = []  # (key, ext, bytes) collected, then grouped by key
         for pdf in batches:
             for k, e, c in zip(pdf[key_col], pdf[ext_col], pdf[content_col]):
-                samples.append((str(k), str(e), bytes(c)))
+                k = str(k)
+                base = k.rsplit("/", 1)[-1]
+                if "." in base:
+                    # a dot in the key's basename would be re-split as part
+                    # of the extension on read — the round trip silently
+                    # merges distinct samples
+                    raise ValueError(
+                        f"webdataset key {k!r} contains '.' in its basename; "
+                        "the first dot separates key from extension"
+                    )
+                samples.append((k, str(e), bytes(c)))
         if samples:
             samples.sort(key=lambda t: (t[0], t[1]))  # adjacency per key
             path = os.path.join(url, f"shard-{pid:05d}.tar")

@@ -323,6 +323,7 @@ def to_zarr(df: DataFrame, url: str, compressor: str | None = "zlib") -> dt.Zarr
     stat = df.agg(
         F.count(F.lit(1)).alias("cnt"),
         F.max(F.size("values")).alias("max_n"),
+        F.sum(F.size("values").cast("long")).alias("sum_n"),
         F.first("shape").alias("shape"),
     ).collect()[0]
     if stat["cnt"] == 0:
@@ -331,6 +332,19 @@ def to_zarr(df: DataFrame, url: str, compressor: str | None = "zlib") -> dt.Zarr
     row_elems = 1
     for s in shape[1:]:
         row_elems *= s
+    # coverage guard, free inside the same aggregate: the chunk rows must
+    # tile shape exactly — missing blocks (a filtered/sliced frame) would
+    # otherwise write a silently fill-valued region
+    total_elems = row_elems
+    for s in shape[:1]:
+        total_elems *= s
+    if int(stat["sum_n"]) != total_elems:
+        raise ValueError(
+            f"to_zarr: chunk rows carry {stat['sum_n']} elements but shape "
+            f"{shape} needs exactly {total_elems} — the frame does not tile "
+            "the array (sliced/filtered chunk frames must be re-chunked to "
+            "a full block grid first, or written via to_npy/to_netcdf)"
+        )
     block_rows = stat["max_n"] // row_elems
     chunks = [block_rows, *shape[1:]]
     os.makedirs(url, exist_ok=True)
@@ -350,30 +364,7 @@ def to_zarr(df: DataFrame, url: str, compressor: str | None = "zlib") -> dt.Zarr
     for s, c in zip(shape[1:], chunks[1:]):
         n_trailing *= -(-s // c)  # == 1: trailing dims are unchunked
     pad_to = block_rows * row_elems
-    # chunk-grid alignment guard: writing assumes offset0 is a multiple of
-    # block_rows and only the FINAL chunk is ragged. Sliced frames
-    # (slice_axis0 keeps absolute offsets, so the first surviving chunk
-    # can start mid-block) would otherwise land at wrong chunk indices
-    # with zero-padding in the wrong rows — silently corrupt arrays.
-    bad = (
-        df.filter(
-            (F.col("offset0") % block_rows != 0)
-            | (
-                (F.size("values") < pad_to)
-                & (
-                    F.col("offset0") + F.size("values") / row_elems
-                    < shape[0]
-                )
-            )
-        ).count()
-    )
-    if bad:
-        raise ValueError(
-            f"to_zarr: {bad} chunk rows are not aligned to the {block_rows}-row "
-            "chunk grid (e.g. a slice_axis0 result starting mid-block); "
-            "re-chunk to block-aligned offsets first, or write via "
-            "to_npy/to_netcdf which stream offset-ordered"
-        )
+    n_rows0 = shape[0]
 
     def write_partition(rows_iter):
         import zlib
@@ -382,6 +373,25 @@ def to_zarr(df: DataFrame, url: str, compressor: str | None = "zlib") -> dt.Zarr
 
         for r in rows_iter:
             vals = np.asarray(r["values"], dtype="<f8")
+            # per-row alignment guard, executor-side at zero extra passes
+            # (the driver aggregate above checks total coverage): offset0
+            # must sit on the block grid and only the FINAL block may be
+            # ragged — sliced frames (slice_axis0 keeps absolute offsets)
+            # would otherwise land at wrong chunk indices with padding in
+            # the wrong rows, a silently corrupt array
+            off = int(r["offset0"])
+            n0 = vals.size // row_elems
+            if (
+                off % block_rows != 0
+                or off + n0 > n_rows0  # rebased slices: offset past shape
+                or (n0 != block_rows and off + n0 != n_rows0)
+            ):
+                raise ValueError(
+                    f"to_zarr: chunk at offset0={off} ({n0} rows) is not "
+                    f"aligned to the {block_rows}-row chunk grid; re-chunk "
+                    "to block-aligned offsets first, or write via "
+                    "to_npy/to_netcdf which stream offset-ordered"
+                )
             if vals.size < pad_to:
                 vals = np.pad(vals, (0, pad_to - vals.size))
             raw = vals.tobytes()
@@ -786,6 +796,19 @@ def _avro_encode_cell(v, kind: str) -> bytes:
     return _avro_zigzag(len(e)) + e
 
 
+def clean_stale_parts(url: str, prefix: str, suffix: str) -> None:
+    """Spark overwrite semantics for the distributed one-file-per-partition
+    sinks: create the target directory and remove part files left by a
+    previous write — a re-run with fewer partitions must not leave stale
+    parts for readers to silently merge."""
+    import os as _os
+
+    _os.makedirs(url, exist_ok=True)
+    for f in _os.listdir(url):
+        if f.startswith(prefix) and f.endswith(suffix):
+            _os.remove(_os.path.join(url, f))
+
+
 def to_avro(df: DataFrame, url: str, codec: str = "deflate") -> "dt.AVRO":
     """DataFrame → directory of Avro object container part files, written
     DISTRIBUTED (one OCF per partition, encoded executor-side with the
@@ -823,12 +846,7 @@ def to_avro(df: DataFrame, url: str, codec: str = "deflate") -> "dt.AVRO":
     )
     import os as _os
 
-    _os.makedirs(url, exist_ok=True)
-    # Spark overwrite semantics: a re-run with fewer partitions must not
-    # leave stale part files from a previous write for readers to merge
-    for _old in _os.listdir(url):
-        if _old.startswith("part-") and _old.endswith(".avro"):
-            _os.remove(_os.path.join(url, _old))
+    clean_stale_parts(url, "part-", ".avro")
     ensure_py_deps(df.sparkSession)
 
     def write_part(batches):
@@ -893,12 +911,7 @@ def to_msgpack(df: DataFrame, url: str) -> "object":
 
     from intake_spark.session import ensure_py_deps
 
-    _os.makedirs(url, exist_ok=True)
-    # Spark overwrite semantics: a re-run with fewer partitions must not
-    # leave stale part files from a previous write for readers to merge
-    for _old in _os.listdir(url):
-        if _old.startswith("part-") and _old.endswith(".msgpack"):
-            _os.remove(_os.path.join(url, _old))
+    clean_stale_parts(url, "part-", ".msgpack")
     names = [f_.name for f_ in df.schema.fields]
     ensure_py_deps(df.sparkSession)
 
@@ -1088,12 +1101,7 @@ def to_geoparquet(
     import json as _json
     import os as _os
 
-    _os.makedirs(url, exist_ok=True)
-    # Spark overwrite semantics: a re-run with fewer partitions must not
-    # leave stale part files from a previous write for readers to merge
-    for old in _os.listdir(url):
-        if old.startswith("part-") and old.endswith(".parquet"):
-            _os.remove(_os.path.join(url, old))
+    clean_stale_parts(url, "part-", ".parquet")
     others = [c for c in df.columns if c != geometry_col]
     geo_meta = _json.dumps(
         {

@@ -1397,4 +1397,45 @@ def test_webdataset_roundtrip_and_external(spark, tmp_path):
     (ext_dir / "x.tar").write_bytes(buf.getvalue())
     df2 = WebDatasetReader(data=WebDatasetShards(url=str(ext_dir))).read(spark=spark)
     got2 = {(r.key, r.ext): bytes(r.content) for r in df2.collect()}
-    assert got2 == {("a0001", "png"): b"P1", ("a0001", "json"): b"{}"}
+    # base_plus_ext: the directory stays IN the key ('train/0001' and
+    # 'val/0001' are different samples — r6 review)
+    assert got2 == {("d/a0001", "png"): b"P1", ("d/a0001", "json"): b"{}"}
+
+
+def test_webdataset_key_rules(spark, tmp_path):
+    """Dotted key basenames are rejected (they would re-split as extension
+    on read, silently merging samples); directory prefixes are fine and
+    round-trip inside the key."""
+    import pytest as _pytest
+
+    from intake_spark.mlds import WebDatasetReader, WebDatasetShards, to_webdataset
+
+    bad = spark.createDataFrame(
+        [("img.001", "jpg", bytearray(b"x"))], "key string, ext string, content binary"
+    )
+    with _pytest.raises(Exception, match="contains '.' in its basename"):
+        to_webdataset(bad, str(tmp_path / "w1"))
+
+    ok = spark.createDataFrame(
+        [("train/0001", "jpg", bytearray(b"a")), ("val/0001", "jpg", bytearray(b"b"))],
+        "key string, ext string, content binary",
+    )
+    url = str(tmp_path / "w2")
+    to_webdataset(ok.repartition(1), url)
+    back = WebDatasetReader(data=WebDatasetShards(url=url)).read(spark=spark)
+    got = {r.key: bytes(r.content) for r in back.collect()}
+    assert got == {"train/0001": b"a", "val/0001": b"b"}
+
+
+def test_tfrecord_verify_rejects_truncation(tmp_path):
+    """Regression (r6 review): the verifier must raise on files cut
+    mid-frame — both a short trailing header and a payload overrun."""
+    import pytest as _pytest
+
+    from intake_spark.mlds import _frame_record, tfrecord_verify_frames
+
+    blob = _frame_record(b"payload")
+    with _pytest.raises(ValueError, match="truncated"):
+        tfrecord_verify_frames(blob + b"\x08\x00\x00")  # 3 trailing bytes
+    with _pytest.raises(ValueError, match="truncated|CRC"):
+        tfrecord_verify_frames(blob[:-6])  # cut inside the data CRC

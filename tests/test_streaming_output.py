@@ -500,9 +500,23 @@ def test_to_zarr_rejects_misaligned_chunks(spark, tmp_path):
     chunks = NumpyArrayReader(data=dt.NumpyFile(url=npy)).read(
         spark=spark, rows_per_chunk=10
     )
+    # mid-block start: caught by the executor-side per-row guard
     sliced = slice_axis0(chunks, 5, 25)
-    with _pytest.raises(ValueError, match="aligned"):
+    with _pytest.raises(Exception, match="aligned"):
         output.to_zarr(sliced, str(tmp_path / "z"))
+    # block-ALIGNED slice that does not start at row 0: offsets 10/20 sit
+    # on the grid but shape[0] was rebased to 20 — chunk 20 lands past the
+    # array end and must be refused, not written to index 2 of a 2-chunk
+    # store (r6 review: the first guard version missed exactly this)
+    sliced2 = slice_axis0(chunks, 10, 30)
+    with _pytest.raises(Exception, match="aligned"):
+        output.to_zarr(sliced2, str(tmp_path / "z2"))
+    # dropped interior block: total coverage check in the stats aggregate
+    from pyspark.sql import functions as F_
+
+    holed = chunks.filter(F_.col("offset0") != 10)
+    with _pytest.raises(ValueError, match="does not tile"):
+        output.to_zarr(holed, str(tmp_path / "z3"))
 
 
 def test_to_table_comment_with_backslash(spark):
