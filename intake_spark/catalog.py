@@ -196,17 +196,24 @@ class Catalog(Tokenizable):
         hits = {tok: e for tok, e in self.entries.items() if term(e.to_dict())}
         # close over {data(token)} references so a hit whose payload points
         # at a non-matching nested entry still rehydrates from the result
+        self._close_over_refs(hits)
+        aliases = {a: t for a, t in self.aliases.items() if t in hits}
+        return Catalog(entries=hits, aliases=aliases, user_parameters=dict(self.user_parameters))
+
+    def _close_over_refs(self, hits: dict) -> None:
+        """Pull every ``{data(token)}``-referenced nested entry of ``hits``
+        (transitively) in from this catalog, so the subset rehydrates."""
         import re as _re
 
         frontier = list(hits)
         while frontier:
             tok = frontier.pop()
-            for ref in _re.findall(r"\{data\(([0-9a-f]+)\)\}", str(hits[tok].to_dict())):
+            for ref in _re.findall(
+                r"\{data\(([0-9a-f]+)\)\}", str(hits[tok].to_dict())
+            ):
                 if ref not in hits and ref in self.entries:
                     hits[ref] = self.entries[ref]
                     frontier.append(ref)
-        aliases = {a: t for a, t in self.aliases.items() if t in hits}
-        return Catalog(entries=hits, aliases=aliases, user_parameters=dict(self.user_parameters))
 
     # -- merge (parity: entry.py:621-641) ------------------------------------
 
@@ -247,6 +254,10 @@ class Catalog(Tokenizable):
             tok2 = tokenize(new_desc.to_dict())
             out.entries[tok2] = new_desc
             out.aliases[alias] = tok2
+        # derived payloads can reference nested {data(token)} entries that
+        # are not themselves aliased — copy them over or rehydration of
+        # the mapped catalog raises KeyError (search() closes identically)
+        self._close_over_refs(out.entries)
         return out
 
     # -- parameter lifting (parity: entry.py:311-401) ------------------------
@@ -264,17 +275,42 @@ class Catalog(Tokenizable):
         desc.user_parameters[param_name] = param
         # the entry's content changed: re-key it so the content token stays
         # truthful (materialize caches and dedup both key on it)
+        self._rekey(tok)
+
+    def _rekey(self, tok: str) -> str:
+        """Re-tokenize a mutated entry AND rewrite every ``{data(tok)}``
+        reference other entries hold to it — re-keying alone leaves those
+        references permanently dangling. Reference rewrites change the
+        referencing entries' content too, so re-keying cascades (content
+        tokens cannot cycle: a cycle would need a hash fixpoint)."""
+        desc = self.entries[tok]
         new_tok = tokenize(desc.to_dict())
-        if new_tok != tok:
-            self.entries[new_tok] = self.entries.pop(tok)
-            for a, t in list(self.aliases.items()):
-                if t == tok:
-                    self.aliases[a] = new_tok
+        if new_tok == tok:
+            return tok
+        self.entries[new_tok] = self.entries.pop(tok)
+        for a, t in list(self.aliases.items()):
+            if t == tok:
+                self.aliases[a] = new_tok
+        old_ref, new_ref = f"{{data({tok})}}", f"{{data({new_tok})}}"
+        for other_tok in list(self.entries):
+            other = self.entries[other_tok]
+            if old_ref in str(other.to_dict()):
+                other.payload = walk_replace(
+                    other.payload,
+                    lambda v: v.replace(old_ref, new_ref)
+                    if isinstance(v, str)
+                    else v,
+                )
+                self._rekey(other_tok)
+        return new_tok
 
     def promote_parameter(self, name: str, param_name: str) -> None:
-        """Move an entry-level parameter to catalog scope."""
+        """Move an entry-level parameter to catalog scope — and re-key the
+        mutated entry (its content changed; a stale token breaks dedup and
+        materialize caching, the invariant extract_parameter documents)."""
         tok = self.aliases.get(name, name)
         self.user_parameters[param_name] = self.entries[tok].user_parameters.pop(param_name)
+        self._rekey(tok)
 
     # -- YAML persistence (parity: entry.py to_yaml_file / from_yaml_file) ---
 
@@ -340,9 +376,16 @@ class Catalog(Tokenizable):
 
         spark = spark or get_session()
         registered = []
+        import re as _re
+
         for alias in names or list(self.aliases):
             df = self[alias].read(spark=spark)
-            view = alias.replace("-", "_")
+            # temp view names allow [A-Za-z0-9_] only — entrypoint aliases
+            # ('pkg.entry'), zarr members ('grp/my.array') etc. must be
+            # sanitized wholesale, not just '-'
+            view = _re.sub(r"[^A-Za-z0-9_]", "_", alias)
+            if not view or view[0].isdigit():
+                view = "v_" + view
             df.createOrReplaceTempView(view)
             registered.append(view)
         return registered

@@ -263,6 +263,13 @@ class SparkJDBC(BaseReader):
             .option("query", self.data.query)
         )
         if partition_column:
+            if lower_bound is None or upper_bound is None:
+                # str(None) would reach the JDBC source as the literal
+                # 'None' and fail with a NumberFormatException at load()
+                raise ValueError(
+                    "partition_column requires lower_bound and upper_bound "
+                    "(e.g. the column's MIN/MAX)"
+                )
             reader = (
                 reader.option("partitionColumn", partition_column)
                 .option("numPartitions", str(num_partitions))
@@ -312,11 +319,9 @@ class PatternCSV(BaseReader):
     implements = {dt.CSV}
 
     def _read(self, spark, **kwargs):
-        import re as _re
-
         from pyspark.sql import functions as F
 
-        from intake_spark.utils import pattern_to_glob
+        from intake_spark.utils import pattern_capture_regex, pattern_to_glob
 
         pattern = self.data.url
         glob_url = pattern_to_glob(pattern)
@@ -325,9 +330,7 @@ class PatternCSV(BaseReader):
             .options(header="true", inferSchema="true", **kwargs)
             .load(glob_url)
         ).withColumn("_path", F.input_file_name())
-        names = _re.findall(r"\{([^}:]*)(?::[^}]*)?\}", pattern)
-        parts = _re.split(r"\{[^}]*\}", pattern)
-        rx = "(.*?)".join(_re.escape(p) for p in parts) + "$"
+        names, rx = pattern_capture_regex(pattern)
         for i, name in enumerate(names):
             df = df.withColumn(name, F.regexp_extract("_path", rx, i + 1))
         return df.drop("_path")
@@ -438,6 +441,13 @@ class ZarrReader(BaseReader):
                 fill = 0
             sep = meta.get("dimension_separator", ".")
             prefix = ""
+        if not shape:
+            # 0-d (scalar) arrays are legal zarr; the chunk-row model is
+            # rank >= 1 — name the gate instead of IndexError on grid[0]
+            raise ValueError(
+                "0-dimensional (scalar) zarr arrays are not supported by the "
+                "chunk-row model; reshape to rank 1 on write"
+            )
         grid = [-(-s // c) for s, c in zip(shape, chunks)]  # ceil-div per dim
         trailing_grid = [range(g) for g in grid[1:]]
 
@@ -629,9 +639,15 @@ class HuggingfaceReader(BaseReader):
                 f"no parquet shards for dataset {self.data.url!r} "
                 f"split {self.data.split!r}"
             )
-        remote = [u for u in urls if "://" in u and not u.startswith("file://")]
+        # ONLY http(s) needs the driver-side fetch; any other scheme
+        # (s3a://, gs://, hdfs://...) passes straight through to
+        # spark.read.parquet for a fully distributed scan — urllib would
+        # raise "unknown url type" on them
+        remote = [u for u in urls if u.startswith(("http://", "https://"))]
         if remote and cache_dir is None:
             cache_dir = tempfile.mkdtemp(prefix="hf_parquet_")
+        elif remote:
+            os.makedirs(cache_dir, exist_ok=True)
 
         def fetch(u: str) -> str:
             # cache key = url digest + basename: distinct shards with the
@@ -990,20 +1006,23 @@ class DuckDBReader(BaseReader):
                 qtable = table.replace('"', '""')
                 query = f'SELECT * FROM "{qtable}"'
             reader = con.execute(query).fetch_record_batch(batch_rows)
-            import pandas as pd
+            # ONE schema from the Arrow stream for every batch: per-batch
+            # pandas inference crashes on all-null batches and silently
+            # widens int columns to double in batches that contain nulls
+            from pyspark.sql.pandas.types import from_arrow_schema
 
+            spark_schema = from_arrow_schema(reader.schema)
             parts = []
             while True:
                 try:
                     batch = reader.read_next_batch()
                 except StopIteration:
                     break
-                parts.append(spark.createDataFrame(batch.to_pandas()))
+                parts.append(
+                    spark.createDataFrame(batch.to_pandas(), schema=spark_schema)
+                )
             if not parts:
-                import pyarrow as pa
-
-                empty = pa.Table.from_batches([], schema=reader.schema)
-                return spark.createDataFrame(empty.to_pandas())
+                return spark.createDataFrame([], schema=spark_schema)
             out = parts[0]
             for p in parts[1:]:
                 out = out.unionByName(p)

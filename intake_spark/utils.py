@@ -172,10 +172,19 @@ def reverse_format(pattern: str, value: str) -> dict[str, str]:
     ``reverse_format("a_{x}_{y}.csv", "a_1_2.csv") -> {"x": "1", "y": "2"}``
     (behavioral parity with intake/source/utils.py:73-154, fresh impl).
     """
-    names = re.findall(r"\{([^}:]*)(?::[^}]*)?\}", pattern)
-    parts = re.split(r"\{[^}]*\}", pattern)
-    rx = "(.*?)".join(re.escape(p) for p in parts) + "$"
+    names, rx = pattern_capture_regex(pattern)
     m = re.match(rx, value)
     if not m:
         raise ValueError(f"{value!r} does not match pattern {pattern!r}")
     return dict(zip(names, m.groups()))
+
+
+def pattern_capture_regex(pattern: str) -> tuple[list, str]:
+    """``{field}`` pattern → (field names, capture regex) — the ONE parse
+    shared by the driver-side reverse_format and the Spark-side
+    PatternCSV/array pattern readers (two copies had to stay in sync
+    before)."""
+    names = re.findall(r"\{([^}:]*)(?::[^}]*)?\}", pattern)
+    parts = re.split(r"\{[^}]*\}", pattern)
+    rx = "(.*?)".join(re.escape(p) for p in parts) + "$"
+    return names, rx

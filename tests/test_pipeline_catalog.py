@@ -495,3 +495,97 @@ def test_environment_satisfied_term():
     assert _spec_satisfied("numpy!=0.0.*")
     assert _spec_satisfied(f"numpy>={maj_min}.0")      # (1,26) vs (1,26,0)
     assert _spec_satisfied(f"numpy<={nv}.0")
+
+
+def test_map_entries_closes_over_nested_refs(spark):
+    """Regression (r6 review): mapped catalogs must carry the {data(token)}
+    nested entries their payloads reference, like search() does."""
+    from intake_spark import datatypes as dt
+    from intake_spark.catalog import Catalog, ReaderDescription
+    from intake_spark.readers import LiteralReader
+    from intake_spark.utils import tokenize
+
+    cat = Catalog()
+    cat["outer"] = LiteralReader(data=dt.Literal(data=[{"a": 1}, {"a": 2}]))
+    inner = LiteralReader(data=dt.Literal(data=[{"b": 9}]))
+    inner_desc = ReaderDescription(payload=inner.to_dict())
+    tok_inner = tokenize(inner_desc.to_dict())
+    cat.entries[tok_inner] = inner_desc
+    tok_outer = cat.aliases["outer"]
+    cat.entries[tok_outer].payload.setdefault("kwargs", {})["helper"] = (
+        f"{{data({tok_inner})}}"
+    )
+    mapped = cat.map_entries(("method", "limit", [1], {}))
+    assert tok_inner in mapped.entries  # ref closure
+    # the derived entry still rehydrates (KeyError before the fix)
+    assert mapped["outer"] is not None
+
+
+def test_rekey_rewrites_references():
+    """Regression (r6 review): extract_parameter / promote_parameter on a
+    NESTED entry must rewrite the {data(old_token)} references other
+    entries hold, cascading re-keys."""
+    from intake_spark import datatypes as dt
+    from intake_spark.catalog import Catalog, ReaderDescription
+    from intake_spark.readers import LiteralReader
+    from intake_spark.user_parameters import SimpleUserParameter
+    from intake_spark.utils import tokenize
+
+    cat = Catalog()
+    cat["outer"] = LiteralReader(data=dt.Literal(data=[{"a": 1}]))
+    inner = LiteralReader(data=dt.Literal(data=[{"path": "/data/x"}]))
+    inner_desc = ReaderDescription(payload=inner.to_dict())
+    tok_inner = tokenize(inner_desc.to_dict())
+    cat.entries[tok_inner] = inner_desc
+    tok_outer = cat.aliases["outer"]
+    cat.entries[tok_outer].payload.setdefault("kwargs", {})["helper"] = (
+        f"{{data({tok_inner})}}"
+    )
+    cat._rekey(tok_outer)  # payload mutated above: restore token truth
+
+    cat.extract_parameter(
+        tok_inner, "p", "/data/x", SimpleUserParameter(dtype=str, default="/data/x")
+    )
+    # the inner entry moved to a new token...
+    assert tok_inner not in cat.entries
+    new_inner = next(
+        t for t, e in cat.entries.items()
+        if "Literal" in str(e.to_dict()) and "{p}" in str(e.to_dict())
+    )
+    # ...and the outer payload references the NEW token (dangled before)
+    tok_outer2 = cat.aliases["outer"]
+    assert f"{{data({new_inner})}}" in str(cat.entries[tok_outer2].to_dict())
+    # every content token is truthful
+    for t, e in cat.entries.items():
+        assert t == tokenize(e.to_dict())
+
+
+def test_promote_parameter_rekeys():
+    from intake_spark import datatypes as dt
+    from intake_spark.catalog import Catalog
+    from intake_spark.readers import LiteralReader
+    from intake_spark.user_parameters import SimpleUserParameter
+    from intake_spark.utils import tokenize
+
+    cat = Catalog()
+    cat["e"] = LiteralReader(data=dt.Literal(data=[{"a": 1}]))
+    tok = cat.aliases["e"]
+    cat.entries[tok].user_parameters["q"] = SimpleUserParameter(dtype=int, default=3)
+    cat._rekey(tok)
+    cat.promote_parameter("e", "q")
+    tok2 = cat.aliases["e"]
+    assert "q" in cat.user_parameters
+    assert tok2 == tokenize(cat.entries[tok2].to_dict())
+
+
+def test_register_views_sanitizes_aliases(spark):
+    from intake_spark import datatypes as dt
+    from intake_spark.catalog import Catalog
+    from intake_spark.readers import LiteralReader
+
+    cat = Catalog()
+    cat["pkg.entry-name/x"] = LiteralReader(data=dt.Literal(data=[{"a": 1}]))
+    views = cat.register_views(spark=spark)
+    assert views == ["pkg_entry_name_x"]
+    assert spark.sql("SELECT * FROM pkg_entry_name_x").count() == 1
+    spark.catalog.dropTempView("pkg_entry_name_x")
