@@ -157,7 +157,7 @@ def bench_split(
     """Deterministic (train, benchmark) split by hash bucket — the held-out
     side feeds :func:`decontaminate` as its benchmark. Disjoint and
     exhaustive by construction (one hash, complementary ranges)."""
-    thr = int(fraction * _BUCKETS)
+    thr = round(fraction * _BUCKETS)
     b = hash_bucket(id_col, salt)
     return df.filter(b >= thr), df.filter(b < thr)
 

@@ -192,6 +192,15 @@ def minhash_band_keys(
     and emit (id, band_id, band_key) rows — the LSH bucketing key. Pure
     mapper (struct-array explode), so it composes with batch AND streaming
     inputs."""
+    width = sum(1 for f_ in sig_df.schema.fields if f_.name.startswith("mh"))
+    if width and num_hashes < width:
+        # silently banding a PREFIX of a wider signature changes recall
+        # with no error; a too-large num_hashes already fails loudly on
+        # the missing column
+        raise ValueError(
+            f"signature is {width} hashes wide but num_hashes={num_hashes} "
+            "would band only a prefix — pass the signature's actual width"
+        )
     r = num_hashes // bands
     if r == 0 or num_hashes % bands:
         raise ValueError(
@@ -315,6 +324,10 @@ def near_dup_first_seen(
     """First-seen near-dup flags — the ingestion-order dedup policy:
     a document is flagged if ANY of its LSH band keys was already claimed
     by a lower-id document. Output (id, n_bands, n_dup_bands, is_dup).
+    NOTE: documents with fewer than ``k`` tokens produce no signature and
+    therefore NO output row — when using this table as a keep-filter,
+    left-join it from the corpus (missing row = not a dup) rather than
+    inner-joining, or short documents silently vanish.
 
     This is the batch arm of the streaming ingestion guard
     (:func:`intake_spark.streaming.stream_near_dup_flags`): identical
@@ -332,10 +345,15 @@ def near_dup_first_seen(
         # materialize the compact (id, band) table once instead of running
         # the mapper signature pipeline twice
     ).localCheckpoint(eager=False)
+    # first-claim compares on the long-cast id, EXACTLY like the stream arm
+    # (streaming.py stream_near_dup_flags): a native string id would order
+    # lexically here ('10' < '9') while the stream sorts numerically, and
+    # the two arms would flag OPPOSITE rows of the same duplicate pair
+    idl = F.col(id_col).cast("long")
     firsts = banded.groupBy("band_id", "band_key").agg(
-        F.min(id_col).alias("_first")
+        F.min(idl).alias("_first")
     )
-    dup = F.sum((F.col(id_col) > F.col("_first")).cast("int"))
+    dup = F.sum((idl > F.col("_first")).cast("int"))
     return (
         banded.join(firsts, ["band_id", "band_key"])
         .groupBy(id_col)
@@ -354,6 +372,11 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits:
     result is 1 iff the weighted vote is positive. One explode + one
     aggregate of ``bits`` sums — mapper-heavy, single small shuffle.
     """
+    if not 1 <= bits <= 32:
+        # base_hash is 32-bit: any bit above 31 votes a constant 0, so a
+        # band over those bits puts EVERY document in one bucket — the
+        # all-pairs blowup the banding guards exist to prevent
+        raise ValueError(f"bits must be in [1, 32] (32-bit base hash), got {bits}")
     w = F.explode(F.split(F.col(text_col), " ")).alias("tok")
     toks = df.select(F.col(id_col), w)
     h = base_hash(F.col("tok"))
@@ -469,9 +492,13 @@ def dup_groups(
                 parent[max(ra, rb)] = min(ra, rb)
         nodes = {r[0] for r in rows} | {r[1] for r in rows}
         spark = pairs.sparkSession
+        # preserve the pair columns' actual id type: a hardcoded 'long'
+        # schema crashed on string ids ONLY below the small_threshold
+        # boundary while the distributed path handled them fine
+        id_type = pairs.schema[a_col].dataType.simpleString()
         return spark.createDataFrame(
             [(n, find(n)) for n in sorted(nodes)],
-            "doc_id long, group_id long",
+            f"doc_id {id_type}, group_id {id_type}",
         )
 
     edges = (

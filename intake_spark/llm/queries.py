@@ -408,7 +408,7 @@ _Q48_RATES = {"src0": 1.0, "src1": 0.5, "src2": 0.1}
     f"""
     SELECT doc_id, source
     FROM documents
-    WHERE {_HASH_BUCKET_SQL.format(key="concat('mix', CAST(doc_id AS VARCHAR))")}
+    WHERE {_HASH_BUCKET_SQL.format(key="concat('mix:', CAST(doc_id AS VARCHAR))")}
           < CASE source
               WHEN 'src0' THEN 1000000
               WHEN 'src1' THEN 500000
@@ -639,7 +639,7 @@ def q53_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q54_BENCH_FRACTION, _Q54_MIN_OVERLAP = 0.05, 3
 _Q54_BENCH_THR = int(_Q54_BENCH_FRACTION * 1_000_000)
-_Q54_BUCKET = _HASH_BUCKET_SQL.format(key="concat('bench', CAST(doc_id AS VARCHAR))")
+_Q54_BUCKET = _HASH_BUCKET_SQL.format(key="concat('bench:', CAST(doc_id AS VARCHAR))")
 
 
 @register(
@@ -670,7 +670,7 @@ def q54_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _Q55_CAPACITY, _Q55_SHARDS = 256, 4
-_Q55_BUCKET = _HASH_BUCKET_SQL.format(key="concat('pack', CAST(doc_id AS VARCHAR))")
+_Q55_BUCKET = _HASH_BUCKET_SQL.format(key="concat('pack:', CAST(doc_id AS VARCHAR))")
 
 
 @register(
@@ -1053,7 +1053,7 @@ def q69_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _Q70_K = 5
-_Q70_BUCKET = _HASH_BUCKET_SQL.format(key="concat('audit', CAST(doc_id AS VARCHAR))")
+_Q70_BUCKET = _HASH_BUCKET_SQL.format(key="concat('audit:', CAST(doc_id AS VARCHAR))")
 
 
 @register(
@@ -1716,7 +1716,7 @@ _Q94_TARGET = 200
     k AS (
       SELECT d.source, COUNT(*) AS kept
       FROM documents d JOIN rates r USING (source)
-      WHERE {_HASH_BUCKET_SQL.format(key="concat('temp', CAST(doc_id AS VARCHAR))")} < r.thr
+      WHERE {_HASH_BUCKET_SQL.format(key="concat('temp:', CAST(doc_id AS VARCHAR))")} < r.thr
       GROUP BY d.source)
     SELECT r.source, CAST(r.n AS BIGINT) AS n_docs, r.thr,
            CAST(COALESCE(k.kept, 0) AS BIGINT) AS n_kept

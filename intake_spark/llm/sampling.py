@@ -24,17 +24,27 @@ _BUCKETS = 1_000_000
 
 def hash_bucket(col, salt: str = ""):
     """Deterministic bucket in [0, 1e6) from a key column: first 8 hex chars
-    of md5(salt || key), mod 1e6. Engine-portable (md5 + integer mod)."""
-    key = F.concat(F.lit(salt), F.col(col).cast("string")) if salt else F.col(col).cast("string")
-    return F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("bigint") % _BUCKETS
+    of md5(salt || ':' || key), mod 1e6. Engine-portable (md5 + integer
+    mod). The ':' delimiter keeps distinct (salt, key) pairs distinct —
+    without it, (salt='a', key='bc') and (salt='ab', key='c') hash the
+    same bytes and two supposedly independent samples correlate."""
+    from intake_spark.llm.dedup import base_hash
+
+    key = (
+        F.concat(F.lit(salt + ":"), F.col(col).cast("string"))
+        if salt
+        else F.col(col).cast("string")
+    )
+    return base_hash(key) % _BUCKETS
 
 
 def hash_sample(df: DataFrame, key_col: str, fraction: float, salt: str = "") -> DataFrame:
     """Reproducible ``fraction`` sample keyed on ``key_col``: keep rows with
     hash_bucket < fraction * 1e6. Deterministic under any partitioning;
-    different ``salt`` values give independent samples (e.g. train/eval
-    splits that provably don't overlap when their ranges are disjoint)."""
-    return df.filter(hash_bucket(key_col, salt) < int(fraction * _BUCKETS))
+    different ``salt`` values give INDEPENDENT samples — independent means
+    they may overlap (each salt is its own hash function). For provably
+    DISJOINT splits use :func:`hash_split`, which ranges one hash."""
+    return df.filter(hash_bucket(key_col, salt) < round(fraction * _BUCKETS))
 
 
 def hash_split(df: DataFrame, key_col: str, fractions: list[float], salt: str = "") -> list[DataFrame]:
@@ -46,7 +56,9 @@ def hash_split(df: DataFrame, key_col: str, fractions: list[float], salt: str = 
     b = hash_bucket(key_col, salt)
     edges = [0]
     for f in fractions:
-        edges.append(edges[-1] + int(f * _BUCKETS))
+        # round, not int(): 0.3 * 1e6 is 299999.99999999994 in IEEE double
+        # and truncation silently keeps one bucket fewer than specified
+        edges.append(edges[-1] + round(f * _BUCKETS))
     edges[-1] = _BUCKETS
     return [df.filter((b >= lo) & (b < hi)) for lo, hi in zip(edges, edges[1:])]
 
@@ -67,7 +79,7 @@ def mix_sources(
         raise ValueError("mix_sources needs at least one source rate")
     rate_expr = None
     for src, rate in sorted(rates.items()):
-        thr = int(min(rate, 1.0) * _BUCKETS)
+        thr = round(min(rate, 1.0) * _BUCKETS)
         rate_expr = (
             F.when(F.col(source_col) == src, F.lit(thr))
             if rate_expr is None
@@ -162,9 +174,17 @@ def mix_by_temperature(
                 * F.lit(float(_BUCKETS))
             ).cast("bigint"),
         )
-        .select(source_col, F.col("_n").alias("n_docs"), "_thr")
+        .select(
+            source_col,
+            F.col("_n").alias("n_docs"),
+            "_thr",
+            # the realized (post-rounding) keep rate the docstring promises
+            (F.col("_thr").cast("double") / F.lit(float(_BUCKETS))).alias(
+                "realized_rate"
+            ),
+        )
     )
-    mixed = df.join(F.broadcast(rates), source_col).filter(
+    mixed = df.join(F.broadcast(rates.drop("realized_rate")), source_col).filter(
         hash_bucket(key_col, salt) < F.col("_thr")
     )
     return mixed.drop("n_docs", "_thr"), rates

@@ -1812,3 +1812,59 @@ def test_remove_dup_spans(spark):
     assert (out[1].n_tokens, out[1].n_removed) == (30, 20)
     assert out[2].clean_text == "x1 x2 x3 y1 y2 y3" and out[2].n_removed == 10
     assert out[3].n_removed == 0 and out[3].clean_text == docs[2][1]
+
+
+def test_r6_dedup_sampling_guards(spark):
+    """Regressions (r6 review): simhash bits cap, dup_groups string ids on
+    the driver path, LSH prefix-banding guard, threshold rounding, and
+    the salted-hash delimiter."""
+    import pytest as _pytest
+
+    from intake_spark.llm import dedup, sampling
+
+    df = spark.createDataFrame(
+        [("a", "x y z w"), ("b", "x y z w")], "doc_id string, text string"
+    )
+    # bits > 32 would make every high band one corpus-wide bucket
+    with _pytest.raises(ValueError, match=r"\[1, 32\]"):
+        dedup.simhash(df, bits=48)
+    with _pytest.raises(ValueError, match=r"\[1, 32\]"):
+        dedup.simhash_pairs(df, bits=48, bands=12)
+
+    # string ids survive the small-edge-count union-find path
+    pairs = spark.createDataFrame([("a", "b")], "doc_a string, doc_b string")
+    groups = dedup.dup_groups(pairs).collect()
+    assert {(r.doc_id, r.group_id) for r in groups} == {("a", "a"), ("b", "a")}
+
+    # banding a PREFIX of a wider signature is refused
+    sigs = dedup.minhash_signatures(df, num_hashes=32, k=2)
+    with _pytest.raises(ValueError, match="prefix"):
+        dedup.lsh_candidate_pairs(sigs, num_hashes=16, bands=4)
+
+    # 0.3 * 1e6 truncated to 299999 before; round() keeps the full range
+    big = spark.range(20000).selectExpr("CAST(id AS STRING) AS k")
+    edges = [0]
+    for f_ in (0.3, 0.7):
+        edges.append(edges[-1] + round(f_ * sampling._BUCKETS))
+    assert edges[1] == 300000
+
+    # delimiter: (salt='a', key='bc') and (salt='ab', key='c') no longer
+    # hash identical bytes
+    one = spark.createDataFrame([("bc",)], "k string").select(
+        sampling.hash_bucket("k", salt="a").alias("b")
+    ).collect()[0].b
+    two = spark.createDataFrame([("c",)], "k string").select(
+        sampling.hash_bucket("k", salt="ab").alias("b")
+    ).collect()[0].b
+    assert one != two
+
+    # mix_by_temperature audit table carries the promised realized rate
+    docs = spark.createDataFrame(
+        [(i, "s%d" % (i % 2), "t") for i in range(40)],
+        "doc_id long, source string, text string",
+    )
+    _mixed, rates = sampling.mix_by_temperature(docs, target_total=20)
+    cols = rates.columns
+    assert "realized_rate" in cols
+    for r in rates.collect():
+        assert abs(r.realized_rate - r._thr / 1e6) < 1e-12
