@@ -545,7 +545,12 @@ def seeded_clusters(
             F.lit(0.0),
             lambda s, x: s + x,
         )
-        cos = dot / F.sqrt(F.col("_n2") * F.lit(sn2))
+        # zero-norm guard: ANSI mode raises DIVIDE_BY_ZERO on 0.0/0.0
+        # (non-ANSI silently yields NaN, which sorts ABOVE every cosine) —
+        # an all-zeros embedding assigns deterministically at cos = -2.0,
+        # below any real cosine, so ties break purely on seed id
+        denom = F.col("_n2") * F.lit(sn2)
+        cos = F.when(denom > 0, dot / F.sqrt(denom)).otherwise(F.lit(-2.0))
         scored.append(F.struct(cos.alias("c"), F.lit(-int(sid)).alias("nid")))
     best = F.array_max(F.array(*scored))
     return (

@@ -136,6 +136,11 @@ class Pipeline(PipelineMixin, Tokenizable):
                 key = step[1]
                 if isinstance(obj, DataFrame) and isinstance(key, (list, tuple)):
                     return obj.select(*key)
+                if isinstance(obj, DataFrame) and isinstance(key, str):
+                    # df['col'] is an unbound Column, useless as a pipeline
+                    # stage result — a recorded single-column getitem means
+                    # the one-column frame
+                    return obj.select(key)
                 return obj[key]
             if kind == "method":
                 _, name, args, kwargs = step
@@ -196,6 +201,10 @@ class PipelineExecution:
         self.current: Any = None
 
     def step(self):
+        if self.done:
+            raise StopIteration(
+                f"pipeline execution finished after {len(self.pipeline.steps)} steps"
+            )
         if self.stage == 0:
             self.current = self.pipeline.reader.read(spark=self.spark)
         else:
@@ -233,6 +242,9 @@ class Retry:
     covers *driver-side* failures (flaky services, eventual consistency)."""
 
     def __init__(self, reader, max_tries=3, allowed_exceptions=(Exception,), backoff0=0.1, backoff_factor=2.0):
+        if max_tries < 1:
+            # a 0-try retry would silently return None from read()
+            raise ValueError(f"max_tries must be >= 1, got {max_tries}")
         self.reader = reader
         self.max_tries = max_tries
         self.allowed_exceptions = tuple(allowed_exceptions)

@@ -295,10 +295,20 @@ class DataFramePipeline:
         return func(df, **kwargs)
 
     def _v_method(self, df, arg):
-        """Fallback: any DataFrame method by name (parity: derived.py:457-461)."""
+        """Fallback: a DataFrame method by name (parity: derived.py:457-461),
+        restricted to the same replayable-method allowlist the recorded
+        pipeline uses — the reference's unrestricted passthrough admits
+        properties (a confusing 'list is not callable' at run time) and
+        unvetted side-effecting calls from catalog YAML."""
+        from intake_spark.pipeline import _ALLOWED_METHODS
+
         name = arg["name"] if isinstance(arg, dict) else arg
         args = arg.get("args", []) if isinstance(arg, dict) else []
         kwargs = arg.get("kwargs", {}) if isinstance(arg, dict) else {}
+        if name not in _ALLOWED_METHODS:
+            raise ValueError(
+                f"method {name!r} is not a replayable DataFrame method"
+            )
         return getattr(df, name)(*args, **kwargs)
 
     # -- driver --------------------------------------------------------------
@@ -311,6 +321,14 @@ class DataFramePipeline:
             raise ValueError("first step must be {'target': name}")
         df: Any = None
         for i, step in enumerate(self.steps):
+            if len(step) != 1:
+                # a two-key mapping is an easy YAML indentation mistake;
+                # keep the step-indexed error contract for it too
+                raise StepError(
+                    i,
+                    "/".join(map(str, step)),
+                    ValueError("each step must be a single {verb: arg} mapping"),
+                )
             (verb, arg), = step.items()
             impl = getattr(self, f"_v_{verb}", None)
             if impl is None:

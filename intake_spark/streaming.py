@@ -161,7 +161,17 @@ def stream_exact_dedup(
     storage; cross-horizon dedup belongs to the batch dedup passes
     (llm.dedup) downstream."""
     if not df.isStreaming:
-        return df.dropDuplicates(subset)
+        # keep-FIRST per key like the stream arm (first arrival): plain
+        # dropDuplicates keeps an ARBITRARY row, so row-level batch/stream
+        # comparisons were flaky. "First" in batch = smallest event time.
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy(*subset).orderBy(F.col(ts_col).asc_nulls_last())
+        return (
+            df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
     if dict(df.dtypes).get(ts_col) == "timestamp_ntz":
         df = df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
     return df.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(subset)
@@ -192,9 +202,12 @@ def stateful_running_max(
 
     ensure_py_deps(events.sparkSession)
 
+    # the key keeps ITS OWN type — a hardcoded LongType crashed string
+    # keys in the arrow conversion, and made batch/stream schemas disagree
+    key_type = events.schema[key_col].dataType
     out_schema = T.StructType(
         [
-            T.StructField("key", T.LongType()),
+            T.StructField("key", key_type),
             T.StructField("running_max", T.DoubleType()),
             T.StructField("n_seen", T.LongType()),
         ]
@@ -219,9 +232,11 @@ def stateful_running_max(
 
     sel = events.select(F.col(key_col).alias("key"), F.col(value_col), F.col(ts_col))
     if not sel.isStreaming:
-        # batch oracle path: plain aggregate with identical semantics
+        # batch oracle path: plain aggregate with identical semantics AND
+        # identical types (running_max is double in the stream arm)
         return sel.groupBy("key").agg(
-            F.max(value_col).alias("running_max"), F.count(F.lit(1)).alias("n_seen")
+            F.max(F.col(value_col).cast("double")).alias("running_max"),
+            F.count(F.lit(1)).alias("n_seen"),
         )
     timeout_conf = (
         GroupStateTimeout.ProcessingTimeTimeout
@@ -273,8 +288,22 @@ def stream_near_dup_flags(
     )
     if not banded.isStreaming:
         # compare on the long-cast id so batch ordering matches the stream
-        # arm's numeric sort (a native string id would order lexically)
-        banded = banded.withColumn("_idl", F.col(id_col).cast("long"))
+        # arm's numeric sort (a native string id would order lexically).
+        # A NON-numeric id raises here (mirroring the stream arm's int())
+        # instead of silently yielding all-NULL ids and NULL dup flags.
+        idl_try = F.col(id_col).try_cast("long")
+        banded = banded.withColumn(
+            "_idl",
+            F.when(
+                idl_try.isNull() & F.col(id_col).isNotNull(),
+                F.raise_error(
+                    F.concat(
+                        F.lit("near-dup guard needs numeric ids, got: "),
+                        F.col(id_col).cast("string"),
+                    )
+                ).cast("long"),
+            ).otherwise(idl_try),
+        )
         firsts = banded.groupBy("band_id", "band_key").agg(
             F.min("_idl").alias("_first")
         )
@@ -389,7 +418,15 @@ def stream_to_parquet(
         w = w.partitionBy(*partition_by)
     if available_now:
         q = w.trigger(availableNow=True).start()
-        q.awaitTermination(timeout_s if timeout_s is not None else 300)
+        finished = q.awaitTermination(timeout_s if timeout_s is not None else 300)
+        if not finished:
+            # stopping mid-drain leaves a PARTIAL sink that looks complete;
+            # surface it like run_stream_to_memory does
+            q.stop()
+            raise TimeoutError(
+                f"stream_to_parquet: available-now drain into {path!r} did "
+                f"not finish within {timeout_s or 300}s — sink is partial"
+            )
         q.stop()
         return q
     return w.start()
@@ -420,7 +457,21 @@ def stream_winnow_dup_flags(
 
     fp = winnow_fingerprints(df, id_col, text_col, k, window)
     if not fp.isStreaming:
-        fp = fp.withColumn("_idl", F.col(id_col).cast("long"))
+        # non-numeric ids raise (like the stream arm's int()) instead of
+        # silently becoming NULL flags
+        idl_try = F.col(id_col).try_cast("long")
+        fp = fp.withColumn(
+            "_idl",
+            F.when(
+                idl_try.isNull() & F.col(id_col).isNotNull(),
+                F.raise_error(
+                    F.concat(
+                        F.lit("winnow guard needs numeric ids, got: "),
+                        F.col(id_col).cast("string"),
+                    )
+                ).cast("long"),
+            ).otherwise(idl_try),
+        )
         firsts = fp.groupBy("fingerprint").agg(F.min("_idl").alias("_first"))
         return fp.join(firsts, "fingerprint").select(
             F.col("_idl").alias("id"),
@@ -538,10 +589,18 @@ def stream_semantic_dup_flags(
         dup = (
             b.join(a, "cluster_id")
             .filter(F.col("_oid") < F.col("_id"))
+            # guard zero-norm vectors like the stream arm's nv>0/nr>0:
+            # under ANSI 0.0/0.0 raises DIVIDE_BY_ZERO (non-ANSI yields
+            # NaN, which sorts ABOVE every double and passed >= threshold)
+            # — guard INSIDE the expression, a separate filter can be
+            # reordered around the projection
             .withColumn(
                 "_cos",
-                dot_expr("_v", "_ov")
-                / F.sqrt(norm2_expr("_v") * norm2_expr("_ov")),
+                F.when(
+                    (norm2_expr("_v") > 0) & (norm2_expr("_ov") > 0),
+                    dot_expr("_v", "_ov")
+                    / F.sqrt(norm2_expr("_v") * norm2_expr("_ov")),
+                ).otherwise(F.lit(-2.0)),
             )
             .filter(F.col("_cos") >= threshold)
             .select(F.col("_id"), F.lit(1).alias("_dup"))

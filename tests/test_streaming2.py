@@ -409,3 +409,46 @@ def test_stream_guard_first_claim_no_steal(spark, tmp_path):
         flags[r.id] = max(flags.get(r.id, 0), r.is_dup_fp)
     assert flags[10] == 0  # the claimer
     assert flags[5] == 1   # the later arrival is the duplicate
+
+
+def test_r6_streaming_parity_guards(spark):
+    """Regressions (r6 review): batch arms must mirror the stream arms —
+    string keys in stateful_running_max, keep-first exact dedup,
+    zero-norm cosine guard, and loud non-numeric-id errors."""
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+
+    from intake_spark import streaming as st
+
+    # stateful_running_max: string key preserved, running_max double
+    ev = spark.createDataFrame(
+        [("alice", 2, "2024-01-01 00:00:00"), ("alice", 9, "2024-01-01 00:01:00")],
+        "user_id string, value long, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = st.stateful_running_max(ev).collect()
+    assert out[0].key == "alice" and out[0].running_max == 9.0
+    assert dict(st.stateful_running_max(ev).dtypes)["running_max"] == "double"
+
+    # exact dedup batch arm keeps the EARLIEST row per key
+    dup = spark.createDataFrame(
+        [(1, "late", "2024-01-01 00:05:00"), (1, "first", "2024-01-01 00:00:00")],
+        "k long, payload string, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    kept = st.stream_exact_dedup(dup, subset=["k"]).collect()
+    assert len(kept) == 1 and kept[0].payload == "first"
+
+    # zero-norm embedding is NOT a semantic dup batch-side (NaN cosine)
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 0.0]), (2, [0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    vals = [r.is_semantic_dup for r in st.stream_semantic_dup_flags(emb, n_seeds=1).collect()]
+    assert all(v == 0 for v in vals)
+
+    # non-numeric ids raise loudly in the batch near-dup guard
+    docs = spark.createDataFrame(
+        [("doc-a", "x y z w"), ("doc-b", "x y z w")], "doc_id string, text string"
+    )
+    with _pytest.raises(Exception, match="numeric ids"):
+        st.stream_near_dup_flags(docs, num_hashes=4, bands=2, k=2).collect()
