@@ -613,7 +613,12 @@ def q36_streaming_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         from pyspark.sql.types import LongType
 
-        batch = load_table(spark, sf_dir, "events")  # sets nanosAsLong=true
+        batch = load_table(spark, sf_dir, "events")
+        # load_table restores the conf before returning, so set it here for
+        # the schema probe AND the stream itself (which clones the session
+        # conf at .start()) — without it a TIMESTAMP(NANOS) file fails to
+        # plan with "Illegal Parquet type: INT64 (TIMESTAMP(NANOS,...))".
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
         ts_is_long = isinstance(raw_schema["ts"].dataType, LongType)
         stream = (
@@ -671,7 +676,11 @@ def q36_streaming_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        if not q.awaitTermination(300):
+            # timed out: the memory sink holds whichever micro-batch last
+            # committed — silently-partial aggregates. Fail loudly instead.
+            q.stop()
+            raise RuntimeError("q36 stream did not finish within 300s")
     finally:
         if prev is None:
             spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
@@ -1076,12 +1085,13 @@ def q74_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH rev AS (
       SELECT p.p_brand,
-             CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
-                           AS DECIMAL(28,4))) AS DOUBLE) AS revenue
+             SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                      AS DECIMAL(28,4))) AS rev_d
       FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
       GROUP BY p.p_brand)
-    SELECT p_brand, revenue FROM rev
-    WHERE revenue > (SELECT SUM(revenue) FROM rev) / 25
+    SELECT p_brand, CAST(rev_d AS DOUBLE) AS revenue FROM rev
+    WHERE CAST(rev_d AS DOUBLE)
+          > (SELECT CAST(SUM(rev_d) AS DOUBLE) FROM rev) / 25
     ORDER BY revenue DESC, p_brand
     """,
 )
@@ -1097,16 +1107,26 @@ def q75_important_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue join."""
     l = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part")
+    # keep the per-brand sum in DECIMAL so the global threshold is also an
+    # exact decimal sum — summing the already-cast doubles would be
+    # order-dependent (per-partition association) and can flip a brand
+    # sitting within an ulp of total/25 across engines/partitionings
     rev = (
         l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
         .groupBy("p_brand")
-        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("revenue"))
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(28,4)"
+                )
+            ).alias("_rev_d")
+        )
     )
-    total = rev.agg(F.sum("revenue").alias("_t"))
+    total = rev.agg(F.sum("_rev_d").cast("double").alias("_t"))
     return (
         rev.crossJoin(F.broadcast(total))
-        .filter(F.col("revenue") > F.col("_t") / 25)
-        .select("p_brand", "revenue")
+        .filter(F.col("_rev_d").cast("double") > F.col("_t") / 25)
+        .select("p_brand", F.col("_rev_d").cast("double").alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("p_brand"))
     )
 

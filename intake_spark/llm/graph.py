@@ -19,8 +19,11 @@ Scale notes: each iteration is one equi-join of the edge list against
 the rank table plus one partial-combining aggregate on the destination —
 the standard distributed PageRank shape. The rank table is
 node-cardinality (dup-graph nodes only, not the whole corpus).
-``localCheckpoint`` truncates lineage each iteration so plans stay flat
-at high iteration counts.
+``localCheckpoint`` truncates lineage every ``checkpoint_every``
+iterations (default 8) so plans stay flat at high iteration counts
+without paying a materialization per round — short runs like the
+3-iteration q72 never checkpoint the rank table at all (only the eager
+edge-list checkpoint runs).
 
 No reference counterpart (part of the mandated beyond-reference
 LLM-pipeline layer).

@@ -1499,8 +1499,11 @@ def _bm25_sql() -> str:
         for i in range(len(_BM25_TERMS))
     )
     fx = "\n           + ".join(
+        # parenthesization mirrors text.bm25_scores exactly: idf * tfpart,
+        # then * 1e9 — a different IEEE association (e.g. (idf*tf')/denom)
+        # flips the floor on ~1-in-2M inputs and flakes the value hash
         f"CAST(FLOOR((n - df{i} + 0.5) / (df{i} + 0.5)"
-        f" * (tf{i} * 2.2) / (tf{i} + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))"
+        f" * ((tf{i} * 2.2) / (tf{i} + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)))"
         f" * 1000000000.0) AS BIGINT)"
         for i in range(len(_BM25_TERMS))
     )
@@ -1845,22 +1848,32 @@ def q99_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
              text || ' contact user' || doc_id || '@example.com or +1 555 01'
                   || (doc_id % 90 + 10) || ' at 10.0.' || (doc_id % 256) || '.7'
                AS text3
-      FROM documents)
+      FROM documents),
+    s1 AS (
+      SELECT doc_id, text3,
+             regexp_replace(text3,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+               '[REDACTED]', 'g') AS t1
+      FROM seeded),
+    s2 AS (
+      SELECT doc_id, text3, t1,
+             regexp_replace(t1, '(\d{1,3}\.){3}\d{1,3}',
+                            '[REDACTED]', 'g') AS t2
+      FROM s1)
+    -- counts are sequential (each pattern counted on the text AFTER the
+    -- earlier patterns replaced), matching text.pii_scrub's progressive
+    -- counting — counts sum to actual redactions
     SELECT doc_id,
            CAST(len(regexp_extract_all(text3,
                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
              AS n_email,
-           CAST(len(regexp_extract_all(text3, '(\d{1,3}\.){3}\d{1,3}')) AS BIGINT)
+           CAST(len(regexp_extract_all(t1, '(\d{1,3}\.){3}\d{1,3}')) AS BIGINT)
              AS n_ipv4,
-           CAST(len(regexp_extract_all(text3, '\+\d[\d()\- ]{6,}\d')) AS BIGINT)
+           CAST(len(regexp_extract_all(t2, '\+\d[\d()\- ]{6,}\d')) AS BIGINT)
              AS n_phone,
-           regexp_replace(
-             regexp_replace(
-               regexp_replace(text3,
-                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[REDACTED]', 'g'),
-               '(\d{1,3}\.){3}\d{1,3}', '[REDACTED]', 'g'),
-             '\+\d[\d()\- ]{6,}\d', '[REDACTED]', 'g') AS scrubbed_text
-    FROM seeded
+           regexp_replace(t2, '\+\d[\d()\- ]{6,}\d', '[REDACTED]', 'g')
+             AS scrubbed_text
+    FROM s2
     """,
 )
 def q100_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:

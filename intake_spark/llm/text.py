@@ -215,6 +215,21 @@ def top_terms(
     )
 
 
+def _scrub_exprs(text_col, patterns, repl_for):
+    """Shared scrub core for :func:`scrub_patterns` / :func:`pii_scrub`:
+    per-pattern match counts evaluated on the PROGRESSIVELY-scrubbed text
+    — each pattern is counted on the text after all earlier patterns have
+    replaced, so counts equal actual redactions (a phone-shaped digit run
+    inside an already-redacted email is not double counted) and pattern
+    order carries the same meaning for counting as for replacing."""
+    scrubbed = F.col(text_col)
+    counts: dict[str, object] = {}
+    for tag, rx in patterns.items():
+        counts[tag] = F.regexp_count(scrubbed, F.lit(rx)).cast("long")
+        scrubbed = F.regexp_replace(scrubbed, rx, repl_for(tag))
+    return counts, scrubbed
+
+
 def scrub_patterns(
     df: DataFrame,
     text_col: str = "text",
@@ -235,11 +250,10 @@ def scrub_patterns(
         "NUMBER": r"[0-9][0-9 ()+.-]{6,}[0-9]",
     }
     out_col = out_col or text_col
-    scrubbed = F.col(text_col)
-    n_red = F.lit(0)
-    for tag, rx in patterns.items():
-        n_red = n_red + F.size(F.regexp_extract_all(scrubbed, F.lit(rx), 0))
-        scrubbed = F.regexp_replace(scrubbed, rx, f"<{tag}>")
+    counts, scrubbed = _scrub_exprs(text_col, patterns, lambda tag: f"<{tag}>")
+    n_red = None
+    for c in counts.values():
+        n_red = c if n_red is None else n_red + c
     return df.withColumn("n_redactions", n_red).withColumn(out_col, scrubbed)
 
 
@@ -351,17 +365,19 @@ def distinctive_terms(
     bit-exact, not approximate. Ties break (score desc, term asc).
 
     Plan: (doc, term) tf aggregate and term df aggregate both partial-
-    combine; the df table is vocabulary-sized and broadcasts to the join;
-    the top-k window partitions by doc id — per-partition rank, no global
-    sort. At 100 TB the only corpus-sized shuffles are the two hash
-    aggregates on compact keys.
+    combine; the df table is vocabulary-sized — no forced broadcast (an
+    open-ended vocabulary of URLs/code ids can exceed the broadcast limit;
+    AQE picks broadcast at runtime when it actually fits); the top-k
+    window partitions by doc id — per-partition rank, no global sort. At
+    100 TB the only corpus-sized shuffles are the two hash aggregates on
+    compact keys.
     """
     from pyspark.sql.window import Window
 
     toks = df.select(F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("tok"))
     tf = toks.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = toks.groupBy("tok").agg(F.countDistinct(id_col).alias("_dfc"))
-    scored = tf.join(F.broadcast(dfreq), "tok").select(
+    scored = tf.join(dfreq, "tok").select(
         id_col,
         "tok",
         "tf",
@@ -428,15 +444,17 @@ def token_probability_scores(df: DataFrame, text_col: str = "text") -> DataFrame
     mining). Deterministic across engines by construction: p = count/total
     is one IEEE division, the per-token score floors to a 1e-12 fixed
     point, and doc aggregation sums exact BIGINTs. The frequency table is
-    vocabulary-sized → broadcast join; the doc rollup is the one real
-    shuffle and combines partially."""
+    vocabulary-sized — joined without a forced broadcast hint (open
+    vocabularies can exceed the broadcast limit; AQE broadcasts at runtime
+    when it fits); the doc rollup is the one real shuffle and combines
+    partially."""
     toks = df.select("doc_id", F.explode(F.split(F.col(text_col), " ")).alias("tok"))
     freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
     total = freq.agg(F.sum("c").alias("_total"))
     fixed = F.floor(F.col("c").cast("double") / F.col("_total") * F.lit(1e12)).cast("bigint")
     ptab = freq.crossJoin(F.broadcast(total)).select("tok", fixed.alias("_fx"))
     return (
-        toks.join(F.broadcast(ptab), "tok")
+        toks.join(ptab, "tok")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
@@ -667,17 +685,16 @@ def pii_scrub(
     expressions), zero shuffle; patterns restricted to the Java∩RE2
     regex subset so the operator carries a cross-engine oracle.
 
-    Adds: ``n_<kind>`` per pattern + ``scrubbed_<text_col>``."""
+    Adds: ``n_<kind>`` per pattern + ``scrubbed_<text_col>``. Counts are
+    evaluated on the progressively-scrubbed text (see
+    :func:`_scrub_exprs`), so they sum to the actual redaction count."""
     pats = patterns or PII_PATTERNS
+    # column-API forms, NOT F.expr: SQL string-literal parsing would eat
+    # the regex backslashes
+    counts, scrubbed = _scrub_exprs(text_col, pats, lambda tag: replacement)
     out = df
-    scrubbed = F.col(text_col)
-    for kind, pat in pats.items():
-        # column-API forms, NOT F.expr: SQL string-literal parsing would
-        # eat the regex backslashes
-        out = out.withColumn(
-            f"n_{kind}", F.regexp_count(F.col(text_col), F.lit(pat)).cast("long")
-        )
-        scrubbed = F.regexp_replace(scrubbed, pat, replacement)
+    for kind, c in counts.items():
+        out = out.withColumn(f"n_{kind}", c)
     return out.withColumn(f"scrubbed_{text_col}", scrubbed)
 
 
