@@ -102,13 +102,33 @@ def with_hilbert_key(
     ensure_py_deps(df.sparkSession)
     schema = T.StructType(list(df.schema.fields) + [T.StructField(out_col, T.LongType())])
 
+    hi = 1 << order
+
     def run(batches):
+        import pandas as _pd
+
         for pdf in batches:
             pdf = pdf.copy()
-            pdf[out_col] = [
-                hilbert_key_py(order, int(x), int(y))
-                for x, y in zip(pdf[x_col], pdf[y_col])
-            ]
+            keys = []
+            for x, y in zip(pdf[x_col], pdf[y_col]):
+                # explicit validation: a NULL coordinate would die in
+                # int() with an opaque executor traceback, and a
+                # coordinate >= 2^order has its high bits silently ignored
+                # by the s-masked walk — distant rows would alias onto the
+                # same key and corrupt the clustering with no error
+                if x is None or y is None or _pd.isna(x) or _pd.isna(y):
+                    raise ValueError(
+                        f"with_hilbert_key: NULL/NaN coordinate in "
+                        f"({x_col!r}, {y_col!r}) — filter or impute first"
+                    )
+                xi, yi = int(x), int(y)
+                if not (0 <= xi < hi and 0 <= yi < hi):
+                    raise ValueError(
+                        f"with_hilbert_key: coordinate ({xi}, {yi}) outside "
+                        f"[0, 2^{order}) — raise `order` or rescale"
+                    )
+                keys.append(hilbert_key_py(order, xi, yi))
+            pdf[out_col] = keys
             yield pdf
 
     return df.mapInPandas(run, schema=schema)

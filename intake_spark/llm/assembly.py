@@ -96,7 +96,15 @@ def pack_sequences(
     of the id, so a 10-billion-doc source still packs in parallel across
     ``shards`` independent sequences rather than one global ordering —
     the scale posture for a corpus where one source dominates.
+
+    NULL-text docs are dropped (same policy as ``select_token_budget``):
+    under legacy mode ``F.size(NULL)`` is -1, which would DECREMENT the
+    running prefix sum and shift every later doc's pack_id/pack_offset;
+    under ANSI it's a NULL row. Neither is a packable document.
     """
+    if capacity <= 0:
+        raise ValueError("capacity must be positive")
+    df = df.filter(F.col(text_col).isNotNull())
     n_tokens = F.size(F.split(F.col(text_col), " "))
     shard = hash_bucket(id_col, salt) % shards
     w = (
@@ -202,6 +210,13 @@ def select_token_budget(
     d = d.sortWithinPartitions(F.desc("quality_fx"), F.asc(id_col)).withColumn(
         "_pid", F.spark_partition_id()
     )
+    # pin the range partitioning ONCE: the offsets collect below and the
+    # final pass would otherwise be two separate physical executions, and
+    # RangePartitioner's boundary sample can differ between them — the
+    # _pid-keyed offsets would then be applied to different partition
+    # contents (wrong cross-shard offsets, nondeterministic cut). Also
+    # saves the second full scan+sort.
+    d = d.localCheckpoint(eager=True)
     totals = {
         int(r["_pid"]): int(r["_t"])
         for r in d.groupBy("_pid").agg(F.sum("n_tokens").alias("_t")).collect()
@@ -394,4 +409,10 @@ def bloom_decontaminate(
         .select(id_col)
         .distinct()
     )
+    # release the cached shingle set now that the two eager reads (count,
+    # bloom build) are done: holding it for the session's lifetime leaks
+    # executor storage across repeated calls. The lazy exact pass above
+    # recomputes the benchmark distinct once — benchmark-sized by this
+    # function's premise, a bounded price for a bounded footprint.
+    sh_b.unpersist(blocking=False)
     return corpus.join(truly_bad, id_col, "left_anti")

@@ -106,6 +106,14 @@ def learn_bpe_merges(
         .localCheckpoint()
     )
     merges: list[tuple[int, str, str, int]] = []
+    # checkpoint every few rounds, not every round: each checkpoint pins a
+    # fresh copy of the vocab table in executor storage (the replaced one
+    # is only reclaimed by the ContextCleaner once the old frame is
+    # GC-unreachable), so per-round checkpoints accumulate n_merges cached
+    # copies on long training runs. Between checkpoints the plan carries at
+    # most `checkpoint_every` nested folds — still flat.
+    checkpoint_every = 4
+    since_ckpt = 0
     for rank in range(n_merges):
         best = (
             _pair_counts(seg)
@@ -117,20 +125,33 @@ def learn_bpe_merges(
             break
         left, right, cnt = best[0]["left"], best[0]["right"], int(best[0]["pair_count"])
         merges.append((rank, left, right, cnt))
-        seg = seg.withColumn("syms", _merge_expr(left, right)).localCheckpoint()
+        seg = seg.withColumn("syms", _merge_expr(left, right))
+        since_ckpt += 1
+        if since_ckpt >= checkpoint_every:
+            seg = seg.localCheckpoint()
+            since_ckpt = 0
     return merges
 
 
 def bpe_segment_vocab(
-    wc: DataFrame, merges: list[tuple[int, str, str, int]]
+    wc: DataFrame, merges: list[tuple[int, str, str, int]], checkpoint_every: int = 16
 ) -> DataFrame:
     """Apply a learned merge sequence to a (word, n) vocabulary table →
     (word, n, pieces array<string>). Chained fold expressions on the
     vocab-sized table — computed once, then broadcast to tokenize any
-    corpus."""
+    corpus.
+
+    The chain localCheckpoints every ``checkpoint_every`` merges: a real
+    tokenizer carries hundreds to tens of thousands of merges, and one
+    projection holding that many nested ``aggregate`` folds blows up
+    Catalyst analysis / hits codegen limits — the checkpoint keeps every
+    plan at most ``checkpoint_every`` folds deep (vocab-sized
+    materializations, cheap by construction)."""
     seg = wc.withColumn("syms", _initial_symbols())
-    for _, left, right, _ in merges:
+    for i, (_, left, right, _) in enumerate(merges):
         seg = seg.withColumn("syms", _merge_expr(left, right))
+        if (i + 1) % checkpoint_every == 0 and (i + 1) < len(merges):
+            seg = seg.localCheckpoint()
     return seg.select("word", "n", F.col("syms").alias("pieces"))
 
 
@@ -144,18 +165,26 @@ def apply_bpe(
     from the broadcast vocab map (:func:`bpe_segment_vocab` of this very
     corpus); a doc's token count is the sum of its words' piece counts —
     an explode + broadcast join + doc rollup, no per-row merge loops.
-    Output: (id, n_words, n_bpe_pieces)."""
+    Output: (id, n_words, n_bpe_pieces) — one row per input row, with
+    (0, 0) for empty/NULL-text docs (the explode+filter would otherwise
+    silently drop them, and downstream inner joins on the id would lose
+    the documents entirely)."""
     vocab = bpe_segment_vocab(word_counts(df, text_col), merges).select(
         "word", F.size("pieces").alias("_np")
     )
     toks = df.select(
         F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("word")
     ).filter(F.length("word") > 0)
-    return (
+    counted = (
         toks.join(F.broadcast(vocab), "word")
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_words"),
             F.sum("_np").alias("n_bpe_pieces"),
         )
+    )
+    return df.select(id_col).join(counted, id_col, "left").select(
+        id_col,
+        F.coalesce(F.col("n_words"), F.lit(0).cast("long")).alias("n_words"),
+        F.coalesce(F.col("n_bpe_pieces"), F.lit(0).cast("long")).alias("n_bpe_pieces"),
     )

@@ -565,7 +565,7 @@ def embedding_near_dup_pairs(
     candidates) instead. Pass ``max_rows=None`` to force brute force.
     The guard scan is capped at ``max_rows + 1`` rows, not a full count.
     """
-    from intake_spark.llm.similarity import dot_expr, norm2_expr
+    from intake_spark.llm.similarity import dot_expr, norm2_expr, safe_cos_div
 
     if max_rows is not None and df.limit(max_rows + 1).count() > max_rows:
         raise ValueError(
@@ -583,7 +583,7 @@ def embedding_near_dup_pairs(
     return (
         a.crossJoin(b)
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine", dot_expr("va", "vb") / F.sqrt(F.col("na2") * F.col("nb2")))
+        .withColumn("cosine", safe_cos_div(dot_expr("va", "vb"), F.col("na2") * F.col("nb2")))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )

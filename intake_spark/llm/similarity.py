@@ -38,9 +38,20 @@ def norm2_expr(a: str):
     return F.aggregate(F.transform(F.col(a), lambda x: x * x), F.lit(0.0), lambda s, v: s + v)
 
 
+def safe_cos_div(dot, n2prod):
+    """``dot / sqrt(n2prod)`` with a zero-norm guard shared by every
+    cosine scorer: NULLIF maps a zero denominator to NULL, so an all-zero
+    embedding (padding row, missing-embedding placeholder) yields a NULL
+    cosine — it pairs with nothing (threshold filters are NULL → dropped;
+    desc orderings put NULL last) — instead of raising DIVIDE_BY_ZERO
+    under ANSI mode (the Spark 4 default) or yielding NaN under legacy
+    mode (NaN sorts ABOVE every real cosine in descending order)."""
+    return dot / F.nullif(F.sqrt(n2prod), F.lit(0.0))
+
+
 def cosine_expr(a: str, b: str):
-    """cos(a,b) = dot / sqrt(|a|^2 * |b|^2)."""
-    return dot_expr(a, b) / F.sqrt(norm2_expr(a) * norm2_expr(b))
+    """cos(a,b) = dot / sqrt(|a|^2 * |b|^2); NULL if either norm is 0."""
+    return safe_cos_div(dot_expr(a, b), norm2_expr(a) * norm2_expr(b))
 
 
 def knn_bruteforce(
@@ -68,7 +79,7 @@ def knn_bruteforce(
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cosine", dot_expr("qv", "cv") / F.sqrt(F.col("nq2") * F.col("nc2")))
+        .withColumn("cosine", safe_cos_div(dot_expr("qv", "cv"), F.col("nq2") * F.col("nc2")))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
@@ -255,7 +266,7 @@ def lsh_ann_pairs(
     return (
         cands.join(va, "id_a")
         .join(vb, "id_b")
-        .withColumn("cosine", dot_expr("va", "vb") / F.sqrt(F.col("na2") * F.col("nb2")))
+        .withColumn("cosine", safe_cos_div(dot_expr("va", "vb"), F.col("na2") * F.col("nb2")))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
@@ -323,17 +334,22 @@ def ivf_search(
             ),
         )
         .filter(F.col("pr") <= n_probes)
+        # per-vector squared norms precompute (same policy as
+        # knn_bruteforce / lsh_ann_pairs: cosine stays the bit-identical
+        # dot / sqrt(nq2 * nc2) expression at 1/3 the per-candidate fold
+        # work — this is the hot join of the scale path)
         .select("query_id", "qv", "ivf_list")
+        .withColumn("nq2", norm2_expr("qv"))
     )
     c = assigned.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("cv"),
         "ivf_list",
-    )
+    ).withColumn("nc2", norm2_expr("cv"))
     scored = (
         c.join(qc, "ivf_list")
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cosine", cosine_expr("qv", "cv"))
+        .withColumn("cosine", safe_cos_div(dot_expr("qv", "cv"), F.col("nq2") * F.col("nc2")))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
@@ -421,8 +437,12 @@ def centroid_similarity(
         F.sum(fx(F.col("ca") * F.col("ca"))).alias("_na"),
         F.sum(fx(F.col("cb") * F.col("cb"))).alias("_nb"),
     )
-    cos = F.col("_dot") / (
-        F.sqrt(F.col("_na").cast("double")) * F.sqrt(F.col("_nb").cast("double"))
+    # guard inline (not via safe_cos_div): the oracle pins THIS association
+    # — sqrt(_na)*sqrt(_nb), not sqrt(_na*_nb) — and the two round
+    # differently in IEEE, so the helper's shape would break bit-exactness
+    cos = F.col("_dot") / F.nullif(
+        F.sqrt(F.col("_na").cast("double")) * F.sqrt(F.col("_nb").cast("double")),
+        F.lit(0.0),
     )
     return agg.select(
         "label_a", "label_b", F.round(cos, 6).alias("cos_r")
@@ -610,7 +630,7 @@ def _pairs_within(
     return (
         a.join(b, group_col)
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine", dot_expr("va", "vb") / F.sqrt(F.col("na2") * F.col("nb2")))
+        .withColumn("cosine", safe_cos_div(dot_expr("va", "vb"), F.col("na2") * F.col("nb2")))
         .filter(F.col("cosine") >= threshold)
         .select(group_col, "id_a", "id_b", "cosine")
     )

@@ -184,9 +184,13 @@ def unzip(df: DataFrame, col: str, fields: list[str] | None = None) -> DataFrame
 
 def local_index(df: DataFrame, col: str, out: str | None = None) -> DataFrame:
     """ak.local_index(axis=1): [0, 1, ..., len-1] per row (empty for
-    empty lists)."""
-    idx = F.when(F.size(col) > 0, F.sequence(F.lit(0), F.size(col) - 1)).otherwise(
-        F.array().cast("array<int>")
+    empty lists, NULL for NULL lists — matching ak.local_index and the
+    NULL convention of the sibling ops num/firsts/sum_ragged, so a
+    missing list stays distinguishable from a present-but-empty one)."""
+    idx = (
+        F.when(F.col(col).isNull(), F.lit(None).cast("array<int>"))
+        .when(F.size(col) > 0, F.sequence(F.lit(0), F.size(col) - 1))
+        .otherwise(F.array().cast("array<int>"))
     )
     return df.withColumn(out or f"{col}_index", idx)
 

@@ -1868,3 +1868,109 @@ def test_r6_dedup_sampling_guards(spark):
     assert "realized_rate" in cols
     for r in rates.collect():
         assert abs(r.realized_rate - r._thr / 1e6) < 1e-12
+
+
+def test_cosine_paths_survive_zero_norm_vectors(spark):
+    """Regression: an all-zero embedding (padding/missing-placeholder row)
+    must NOT crash any cosine scorer. Under Spark 4's default ANSI mode
+    dot/sqrt(0) raises DIVIDE_BY_ZERO; the shared safe_cos_div guard maps
+    a zero denominator to a NULL cosine, so zero vectors simply pair with
+    nothing (threshold filters drop NULL) and never rank above real
+    neighbors."""
+    from intake_spark.llm import dedup as lldedup
+    from intake_spark.llm import similarity as sim
+
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.9, 0.1, 0.0]),
+        (3, [0.0, 0.0, 0.0]),  # the hazard row
+        (4, [0.0, 1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    pairs = lldedup.embedding_near_dup_pairs(df, threshold=0.5).collect()
+    ids = {(r.id_a, r.id_b) for r in pairs}
+    assert (1, 2) in ids
+    assert all(3 not in p for p in ids)  # zero vector pairs with nothing
+
+    knn = sim.knn_bruteforce(df, df.filter("vec_id = 1"), top_k=2).collect()
+    assert [r.neighbor_id for r in knn] == [2, 4]  # ranked, no crash
+
+    sem = sim.semantic_dedup_pairs(df, n_seeds=2, threshold=0.5).collect()
+    assert all(3 not in (r.id_a, r.id_b) for r in sem)
+
+    q = df.filter("vec_id in (1, 3)")  # a zero-norm QUERY vector too
+    centroids, assigned = sim.ivf_build(df, n_lists=2)
+    got = sim.ivf_search(assigned, centroids, q, top_k=2, n_probes=2).collect()
+    assert any(r.query_id == 1 for r in got)  # real query still answers
+
+
+def test_pack_sequences_null_text_and_capacity_guard(spark):
+    """Regression: a NULL-text doc must not shift later docs' pack
+    offsets (legacy size(NULL) = -1 DECREMENTED the prefix sum), and
+    capacity=0 must raise up front instead of div-by-zero at execution."""
+    from intake_spark.llm import assembly
+
+    rows = [(1, "s", "a b"), (2, "s", None), (3, "s", "c d")]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {
+        r.doc_id: r
+        for r in assembly.pack_sequences(df, capacity=4, shards=1).collect()
+    }
+    assert 2 not in out  # NULL text dropped, not packed
+    # single shard: doc 3 packs directly after doc 1's 2 tokens — a -1
+    # from size(NULL) would have shifted it to offset 1
+    assert out[3].pack_id * 4 + out[3].pack_offset == 2
+
+    with pytest.raises(ValueError, match="capacity"):
+        assembly.pack_sequences(df, capacity=0)
+
+
+def test_apply_bpe_keeps_empty_docs(spark):
+    """Regression: apply_bpe must emit (id, 0, 0) for docs whose text is
+    empty or NULL — dropping the row silently loses the document through
+    any downstream inner join on doc_id."""
+    from intake_spark.llm import bpe
+
+    rows = [(1, "low lower"), (2, ""), (3, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    merges = bpe.learn_bpe_merges(df, n_merges=2, min_pair_count=1)
+    out = {r.doc_id: r for r in bpe.apply_bpe(df, merges).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[2].n_words == 0 and out[2].n_bpe_pieces == 0
+    assert out[3].n_words == 0 and out[3].n_bpe_pieces == 0
+    assert out[1].n_words == 2
+
+
+def test_bpe_segment_vocab_long_merge_chain(spark):
+    """Regression: hundreds of merges must not build one projection with
+    hundreds of nested aggregate folds (Catalyst analysis blowup) — the
+    chain checkpoints every `checkpoint_every` merges."""
+    from intake_spark.llm import bpe
+
+    wc = spark.createDataFrame([("ab", 3), ("abab", 2)], "word string, n long")
+    # 40 merges, mostly no-ops after the first two — exercises the chain
+    merges = [(0, "a", "b", 5), (1, "ab", "ab", 2)] + [
+        (i, f"x{i}", f"y{i}", 1) for i in range(2, 40)
+    ]
+    out = {r.word: r.pieces for r in
+           bpe.bpe_segment_vocab(wc, merges, checkpoint_every=8).collect()}
+    assert out["ab"] == ["ab", "</w>"]
+    assert out["abab"] == ["abab", "</w>"]
+
+
+def test_hilbert_key_rejects_null_and_out_of_range(spark):
+    """Regression: NULL coords died as an opaque int() TypeError in the
+    executor; coords >= 2^order silently aliased (high bits masked off).
+    Both now raise named ValueErrors."""
+    from py4j.protocol import Py4JJavaError
+
+    from intake_spark.layout import with_hilbert_key
+
+    bad_null = spark.createDataFrame([(1, None)], "x long, y long")
+    with pytest.raises(Exception, match="NULL/NaN coordinate"):
+        with_hilbert_key(bad_null, "x", "y", order=3).collect()
+
+    bad_range = spark.createDataFrame([(9, 1)], "x long, y long")
+    with pytest.raises(Exception, match="outside"):
+        with_hilbert_key(bad_range, "x", "y", order=3).collect()

@@ -135,3 +135,14 @@ def test_awkward_readers_in_registry():
     names = [c.__name__ for c in cands]
     assert "AwkwardParquet" in names
     assert names.index("SparkParquet") < names.index("AwkwardParquet")
+
+
+def test_local_index_null_list_propagates_null(spark):
+    """Regression: a NULL list must yield a NULL index (ak.local_index
+    convention, same as num/firsts) — not [], which made a missing list
+    indistinguishable from a present-but-empty one."""
+    df = spark.createDataFrame(
+        [(1, [7, 8]), (2, []), (3, None)], "id long, xs array<int>"
+    )
+    idx = {r["id"]: r["xs_index"] for r in ragged.local_index(df, "xs").collect()}
+    assert idx == {1: [0, 1], 2: [], 3: None}
