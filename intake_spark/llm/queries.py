@@ -372,7 +372,10 @@ def q43_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.select(
         "vec_id",
         F.size("embedding").cast("long").alias("dim"),
-        F.element_at("embedding", 1).cast("double").alias("first_val"),
+        # try_element_at, not element_at: an empty array yields NULL (the
+        # DuckDB `embedding[1]` semantics) instead of INVALID_ARRAY_INDEX
+        # under ANSI mode — one malformed row must not kill a corpus scan
+        F.try_element_at("embedding", F.lit(1)).cast("double").alias("first_val"),
         F.array_min("embedding").cast("double").alias("min_val"),
         F.array_max("embedding").cast("double").alias("max_val"),
         F.size(F.filter("embedding", lambda x: x > 0)).cast("long").alias("n_positive"),
