@@ -114,15 +114,38 @@ def _parse_example(buf: bytes) -> dict[str, tuple]:
     return out
 
 
-def _tfrecord_frames(content: bytes) -> Iterator[bytes]:
-    """TFRecord framing: u64 length + u32 crc + payload + u32 crc. CRCs are
-    crc32c (masked); framing is parsed by lengths, CRCs not verified."""
-    i = 0
-    while i + 12 <= len(content):
-        (ln,) = struct.unpack("<Q", content[i : i + 8])
-        start = i + 12
-        yield content[start : start + ln]
-        i = start + ln + 4
+def _tfrecord_frames_fh(fh) -> Iterator[bytes]:
+    """TFRecord framing over an open file handle: u64 length + u32 crc +
+    payload + u32 crc (crc32c masked; parsed by lengths, CRCs verified
+    separately by :func:`tfrecord_verify_frames`). Reads one record at a
+    time, so shard size never bounds memory."""
+    while True:
+        hdr = fh.read(12)
+        if len(hdr) < 12:
+            return
+        (ln,) = struct.unpack("<Q", hdr[:8])
+        payload = fh.read(ln)
+        if len(payload) < ln:
+            return
+        fh.read(4)  # trailing payload crc
+        yield payload
+
+
+def _executor_local_path(path: str) -> str:
+    """Spark file-listing URI → a path `open()` accepts on the executor.
+    Local/shared-filesystem paths only; remote schemes raise a named gate
+    (the streaming readers exist to sidestep binaryFile's 2 GB content
+    cap, which matters exactly for the multi-GB shards where buffering
+    the whole blob is also wrong)."""
+    if path.startswith("file:"):
+        return path.removeprefix("file:")
+    if "://" in path:
+        raise NotImplementedError(
+            f"streaming shard read supports local/shared filesystems only; "
+            f"got {path!r} (mount the store locally or re-shard under 2 GB "
+            "and use a binaryFile-based reader)"
+        )
+    return path
 
 
 _TFRECORD_SCHEMA = T.StructType(
@@ -154,30 +177,37 @@ class TFRecordReader(BaseReader):
             else spark.read.format("binaryFile").option("pathGlobFilter", glob).load(self.data.url)
         )
 
+        cols = ["path", "record_idx", "key", "bytes_vals", "float_vals", "int64_vals"]
+
         def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            # path-manifest + executor-side streaming open, NOT binaryFile
+            # content: binaryFile hard-fails past 2 GB (Int.MaxValue) and
+            # buffers the whole shard; real WebDataset/TFRecord shards run
+            # 1-5 GB. Rows flush every few thousand records so one shard
+            # never has to fit in memory either.
             for pdf in batches:
                 rows = []
-                for path, content in zip(pdf["path"], pdf["content"]):
-                    for idx, frame in enumerate(_tfrecord_frames(bytes(content))):
-                        for key, (bv, fv, iv) in _parse_example(frame).items():
-                            rows.append(
-                                {
-                                    "path": path,
-                                    "record_idx": idx,
-                                    "key": key,
-                                    "bytes_vals": bv,
-                                    "float_vals": [float(x) for x in fv],
-                                    "int64_vals": iv,
-                                }
-                            )
-                yield pd.DataFrame(
-                    rows,
-                    columns=[
-                        "path", "record_idx", "key", "bytes_vals", "float_vals", "int64_vals",
-                    ],
-                )
+                for path in pdf["path"]:
+                    with open(_executor_local_path(path), "rb") as fh:
+                        for idx, frame in enumerate(_tfrecord_frames_fh(fh)):
+                            for key, (bv, fv, iv) in _parse_example(frame).items():
+                                rows.append(
+                                    {
+                                        "path": path,
+                                        "record_idx": idx,
+                                        "key": key,
+                                        "bytes_vals": bv,
+                                        "float_vals": [float(x) for x in fv],
+                                        "int64_vals": iv,
+                                    }
+                                )
+                            if len(rows) >= 4096:
+                                yield pd.DataFrame(rows, columns=cols)
+                                rows = []
+                if rows:
+                    yield pd.DataFrame(rows, columns=cols)
 
-        return files.select("path", "content").mapInPandas(parse, schema=_TFRECORD_SCHEMA)
+        return files.select("path").mapInPandas(parse, schema=_TFRECORD_SCHEMA)
 
 
 class SKLearnExample(dt.BaseData):
@@ -359,11 +389,55 @@ def _crc32c_table() -> list[int]:
     return _CRC32C_TABLE
 
 
+_CRC32C_SLICE8: list[list[int]] | None = None
+
+
+def _crc32c_slice8() -> list[list[int]]:
+    # slicing-by-8: tables 1..7 extend the base table so the hot loop
+    # consumes 8 bytes per iteration (~6-8x over byte-at-a-time in pure
+    # Python) — the CRC runs twice per record on the distributed
+    # TFRecord-write hot path, so the constant matters
+    global _CRC32C_SLICE8
+    if _CRC32C_SLICE8 is None:
+        t0 = _crc32c_table()
+        tables = [t0]
+        for k in range(1, 8):
+            prev = tables[k - 1]
+            tables.append([t0[v & 0xFF] ^ (v >> 8) for v in prev])
+        _CRC32C_SLICE8 = tables
+    return _CRC32C_SLICE8
+
+
 def crc32c(data: bytes) -> int:
-    tbl = _crc32c_table()
+    # prefer a native implementation when one is installed
+    try:
+        import crc32c as _c  # type: ignore
+
+        return _c.crc32c(data)
+    except Exception:
+        pass
+    t = _crc32c_slice8()
     c = 0xFFFFFFFF
-    for b in data:
-        c = tbl[(c ^ b) & 0xFF] ^ (c >> 8)
+    n = len(data)
+    i = 0
+    end8 = n - (n % 8)
+    while i < end8:
+        c ^= data[i] | (data[i + 1] << 8) | (data[i + 2] << 16) | (data[i + 3] << 24)
+        c = (
+            t[7][c & 0xFF]
+            ^ t[6][(c >> 8) & 0xFF]
+            ^ t[5][(c >> 16) & 0xFF]
+            ^ t[4][(c >> 24) & 0xFF]
+            ^ t[3][data[i + 4]]
+            ^ t[2][data[i + 5]]
+            ^ t[1][data[i + 6]]
+            ^ t[0][data[i + 7]]
+        )
+        i += 8
+    t0 = t[0]
+    while i < n:
+        c = t0[(c ^ data[i]) & 0xFF] ^ (c >> 8)
+        i += 1
     return c ^ 0xFFFFFFFF
 
 
@@ -511,6 +585,32 @@ def to_tfrecord(df, url: str) -> TFRecord:
             )
     names = list(kinds)
 
+    # integer columns travel as STRINGS through the Arrow→pandas hop: a
+    # long column with any null in a batch becomes float64 in pandas
+    # (pandas has no null int64 by default), silently rounding values
+    # above 2^53 — int('9007199254740993') is exact where
+    # int(9007199254740992.0) is corrupt. Bools go via long first
+    # (int('true') would raise).
+    from pyspark.sql import functions as F_
+
+    proj = []
+    for f_ in df.schema.fields:
+        if kinds[f_.name] == "i":
+            if isinstance(f_.dataType, T_.ArrayType):
+                proj.append(
+                    F_.col(f_.name)
+                    .cast("array<long>")
+                    .cast("array<string>")
+                    .alias(f_.name)
+                )
+            else:
+                proj.append(
+                    F_.col(f_.name).cast("long").cast("string").alias(f_.name)
+                )
+        else:
+            proj.append(F_.col(f_.name))
+    df = df.select(*proj)
+
     def write_part(batches):
         import os
 
@@ -520,36 +620,49 @@ def to_tfrecord(df, url: str) -> TFRecord:
         from intake_spark.mlds import _encode_example, _frame_record
 
         pid = TaskContext.get().partitionId() if TaskContext.get() else 0
-        out = bytearray()
         n = 0
-        for pdf in batches:
-            for rec in pdf[names].itertuples(index=False):
-                features = {}
-                for name, v in zip(names, rec):
-                    kind = kinds[name]
-                    vals = (
-                        [] if v is None or (isinstance(v, float) and v != v)
-                        else list(v) if isinstance(v, (list, tuple))
-                        else v.tolist() if hasattr(v, "tolist") and getattr(v, "ndim", 0)
-                        else [v]
-                    )
-                    if kind == "b":
-                        features[name] = ([bytes(x) for x in vals], [], [])
-                    elif kind == "s":
-                        features[name] = (
-                            [str(x).encode("utf-8") for x in vals], [], [])
-                    elif kind == "f":
-                        features[name] = ([], [float(x) for x in vals], [])
-                    else:
-                        features[name] = ([], [], [int(x) for x in vals])
-                out += _frame_record(_encode_example(features))
-                n += 1
-        if n:
-            with open(os.path.join(url, f"part-{pid:05d}.tfrecord"), "wb") as f:
-                f.write(bytes(out))
+        f = None
+        try:
+            for pdf in batches:
+                for rec in pdf[names].itertuples(index=False):
+                    features = {}
+                    for name, v in zip(names, rec):
+                        kind = kinds[name]
+                        vals = (
+                            [] if v is None or (isinstance(v, float) and v != v)
+                            else list(v) if isinstance(v, (list, tuple))
+                            else v.tolist() if hasattr(v, "tolist") and getattr(v, "ndim", 0)
+                            else [v]
+                        )
+                        # tf.train.Feature has no null element: reject it
+                        # loudly (str(None) would write the literal b'None'
+                        # into a bytes_list — silent corruption). NaN stays
+                        # legal inside float lists.
+                        if any(x is None for x in vals):
+                            raise ValueError(
+                                f"to_tfrecord: column {name!r} has a null "
+                                "element inside an array value; filter or "
+                                "impute before writing"
+                            )
+                        if kind == "b":
+                            features[name] = ([bytes(x) for x in vals], [], [])
+                        elif kind == "s":
+                            features[name] = (
+                                [str(x).encode("utf-8") for x in vals], [], [])
+                        elif kind == "f":
+                            features[name] = ([], [float(x) for x in vals], [])
+                        else:
+                            features[name] = ([], [], [int(x) for x in vals])
+                    if f is None:
+                        # lazy open + per-record write: a 10 GB partition
+                        # must not buffer 10 GB before the first byte lands
+                        f = open(os.path.join(url, f"part-{pid:05d}.tfrecord"), "wb")
+                    f.write(_frame_record(_encode_example(features)))
+                    n += 1
+        finally:
+            if f is not None:
+                f.close()
         yield pd_.DataFrame({"rows": [n]})
-
-    from pyspark.sql import functions as F_
 
     total = (
         df.mapInPandas(write_part, schema="rows long").agg(F_.sum("rows")).first()[0]
@@ -589,7 +702,9 @@ class WebDatasetReader(BaseReader):
     """WebDataset tar shards → (shard, key, ext, content, size) rows, one
     per member file; pivot by ext for wide samples
     (``groupBy('shard','key').pivot('ext')``). Shards parallelize
-    one-per-task via binaryFile — the format's unit of parallelism by
+    one-per-task from a path manifest, each STREAMED member-by-member on
+    the executor (binaryFile's whole-blob read caps at 2 GB and real
+    shards run 1-5 GB) — the shard is the format's unit of parallelism by
     design, which is exactly Spark's; at 100 TB the shard count, not the
     file size, sets the task grid. No counterpart surface in the
     reference (its ML-format readers are TFRecord/HF/Torch,
@@ -610,14 +725,18 @@ class WebDatasetReader(BaseReader):
             .load(self.data.url)
         )
 
+        cols = ["shard", "key", "ext", "content", "size"]
+
         def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            import io
             import tarfile
 
+            # stream each shard from its path (see TFRecordReader.parse:
+            # binaryFile caps content at 2 GB and buffers the whole shard;
+            # tar members read one at a time bound memory per member)
             for pdf in batches:
                 rows = []
-                for path, content in zip(pdf["path"], pdf["content"]):
-                    with tarfile.open(fileobj=io.BytesIO(bytes(content))) as tf:
+                for path in pdf["path"]:
+                    with tarfile.open(_executor_local_path(path), "r") as tf:
                         for m in tf:
                             if not m.isfile():
                                 continue
@@ -637,11 +756,13 @@ class WebDatasetReader(BaseReader):
                                     "size": m.size,
                                 }
                             )
-                yield pd.DataFrame(
-                    rows, columns=["shard", "key", "ext", "content", "size"]
-                )
+                            if len(rows) >= 1024:
+                                yield pd.DataFrame(rows, columns=cols)
+                                rows = []
+                if rows:
+                    yield pd.DataFrame(rows, columns=cols)
 
-        return files.select("path", "content").mapInPandas(parse, schema=_WDS_SCHEMA)
+        return files.select("path").mapInPandas(parse, schema=_WDS_SCHEMA)
 
 
 def to_webdataset(
@@ -688,7 +809,16 @@ def to_webdataset(
                         f"webdataset key {k!r} contains '.' in its basename; "
                         "the first dot separates key from extension"
                     )
-                samples.append((k, str(e), bytes(c)))
+                e = str(e)
+                if not e or "/" in e:
+                    # 'k' + '.' + 'a/b' would tar as 'k.a/b' and re-split
+                    # on read as key='k.a/b', ext='' — reject like dotted
+                    # keys instead of mangling the sample identity
+                    raise ValueError(
+                        f"webdataset ext {e!r} for key {k!r} must be "
+                        "non-empty and contain no '/'"
+                    )
+                samples.append((k, e, bytes(c)))
         if samples:
             samples.sort(key=lambda t: (t[0], t[1]))  # adjacency per key
             path = os.path.join(url, f"shard-{pid:05d}.tar")

@@ -451,6 +451,10 @@ def packbits_decode(data: bytes) -> bytes:
             out += data[i : i + n + 1]
             i += n + 1
         elif n > 128:
+            if i >= ln:
+                raise ValueError(
+                    "PackBits data truncated: repeat marker with no fill byte"
+                )
             out += bytes([data[i]]) * (257 - n)
             i += 1
     return bytes(out)
@@ -1515,6 +1519,10 @@ def _dicom_rle_decode(blob: bytes, rows: int, cols: int, bits: int, spp: int, si
 
     import numpy as np
 
+    if len(blob) < 64:
+        raise ValueError(
+            f"RLE fragment truncated: {len(blob)} bytes, 64-byte header needed"
+        )
     counts = st.unpack("<16I", blob[:64])
     n_seg = counts[0]
     bytes_per = bits // 8
@@ -1607,6 +1615,11 @@ class DicomReader(BaseReader):
             "frame long, off long, nb long",
         )
         multi = frames > 1
+        # the driver-validated per-frame shape: every decoded frame is
+        # cross-checked against it (an spp mismatch between the tags and
+        # the JPEG stream would otherwise pass silently — only rows/cols
+        # were compared before)
+        exp_frame = tuple(shape[1:]) if multi else tuple(shape)
 
         def decode(batches):
             import numpy as np  # noqa: F401
@@ -1626,11 +1639,11 @@ class DicomReader(BaseReader):
                             from intake_spark.llm.multimodal import decode_jpeg
 
                             arr = decode_jpeg(blob)
-                            if arr.shape[:2] != (rows, cols):
-                                raise ValueError(
-                                    f"JPEG frame {arr.shape[:2]} != "
-                                    f"Rows/Columns ({rows}, {cols})"
-                                )
+                        if tuple(arr.shape) != exp_frame:
+                            raise ValueError(
+                                f"decoded frame shape {tuple(arr.shape)} != "
+                                f"tag-declared {exp_frame}"
+                            )
                         fshape = list(arr.shape)
                         out.append(
                             {

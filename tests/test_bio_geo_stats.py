@@ -1439,3 +1439,85 @@ def test_tfrecord_verify_rejects_truncation(tmp_path):
         tfrecord_verify_frames(blob + b"\x08\x00\x00")  # 3 trailing bytes
     with _pytest.raises(ValueError, match="truncated|CRC"):
         tfrecord_verify_frames(blob[:-6])  # cut inside the data CRC
+
+
+def test_crc32c_slice8_matches_bytewise():
+    """Regression: the slicing-by-8 fast path must agree with the
+    byte-at-a-time table CRC on every length/alignment."""
+    import hashlib
+
+    from intake_spark.mlds import _crc32c_table, crc32c
+
+    tbl = _crc32c_table()
+
+    def ref(data):
+        c = 0xFFFFFFFF
+        for b in data:
+            c = tbl[(c ^ b) & 0xFF] ^ (c >> 8)
+        return c ^ 0xFFFFFFFF
+
+    for n in (0, 1, 7, 8, 9, 15, 64, 1000, 4097):
+        blob = (hashlib.sha256(str(n).encode()).digest() * (n // 32 + 2))[:n]
+        assert crc32c(blob) == ref(blob), n
+    assert crc32c(b"123456789") == 0xE3069283
+
+
+def test_to_tfrecord_null_array_element_and_int_precision(spark, tmp_path):
+    """Regression: (a) a null element inside an array column must raise a
+    named error, not write the literal b'None'; (b) a long column that
+    shares a batch with a null must keep values above 2^53 exact (pandas
+    would hand the executor float64s)."""
+    import pytest as _pytest
+
+    from intake_spark.mlds import TFRecord, TFRecordReader, to_tfrecord
+
+    bad = spark.createDataFrame(
+        [(1, [None, "a"])], "id long, tags array<string>"
+    ).repartition(1)
+    with _pytest.raises(Exception, match="null element"):
+        to_tfrecord(bad, str(tmp_path / "t1"))
+
+    big = 9007199254740993  # 2^53 + 1: not representable in float64
+    df = spark.createDataFrame(
+        [(big,), (None,)], "id long"
+    ).repartition(1)
+    url = str(tmp_path / "t2")
+    to_tfrecord(df, url)
+    got = TFRecordReader(TFRecord(url=url)).read(spark).collect()
+    vals = sorted(
+        v for r in got if r.key == "id" for v in (r.int64_vals or [])
+    )
+    assert vals == [big]
+
+
+def test_to_webdataset_rejects_bad_ext(spark, tmp_path):
+    """Regression: an ext containing '/' (or empty) silently mangled the
+    key/ext split on the read round trip — now rejected at write time."""
+    import pytest as _pytest
+
+    from intake_spark.mlds import to_webdataset
+
+    bad = spark.createDataFrame(
+        [("k", "a/b", bytearray(b"x"))], "key string, ext string, content binary"
+    ).repartition(1)
+    with _pytest.raises(Exception, match="ext"):
+        to_webdataset(bad, str(tmp_path / "w2"))
+
+    empty = spark.createDataFrame(
+        [("k", "", bytearray(b"x"))], "key string, ext string, content binary"
+    ).repartition(1)
+    with _pytest.raises(Exception, match="ext"):
+        to_webdataset(empty, str(tmp_path / "w3"))
+
+
+def test_dicom_rle_truncation_named_errors():
+    """Regression: truncated RLE fragments raised raw struct.error /
+    IndexError from executors — now named ValueErrors."""
+    import pytest as _pytest
+
+    from intake_spark.sci import _dicom_rle_decode, packbits_decode
+
+    with _pytest.raises(ValueError, match="truncated"):
+        _dicom_rle_decode(b"\x01\x00", 2, 2, 8, 1, False)
+    with _pytest.raises(ValueError, match="truncated"):
+        packbits_decode(b"\xfe")  # repeat marker, no fill byte
