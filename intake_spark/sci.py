@@ -2382,6 +2382,10 @@ def _e57_xml(url: str) -> tuple[dict, "object"]:
         head = f.read(48)
         if head[:8] != b"ASTM-E57":
             raise ValueError("not an E57 file (ASTM-E57 magic missing)")
+        if len(head) < 48:
+            raise ValueError(
+                f"E57 header truncated: {len(head)} bytes, 48 needed"
+            )
         major, minor = struct.unpack("<II", head[8:16])
         file_len, xml_off, xml_len, page_size = struct.unpack("<QQQQ", head[16:48])
         if page_size < 8 or page_size > (1 << 20):

@@ -103,6 +103,10 @@ def _version_tuple(v: str) -> tuple:
 def _version_ok(installed: str, op: str, want: str) -> bool:
     if op == "=":  # conda prefix match: "1.2" allows 1.2.*
         iv, wv = _version_tuple(installed), _version_tuple(want)
+        # zero-pad the installed side: '=2.0.0' must accept an installed
+        # '2.0' (same release), like the padded operators below
+        if len(iv) < len(wv):
+            iv = iv + (0,) * (len(wv) - len(iv))
         return iv[: len(wv)] == wv
     iv, wv = _version_tuple(installed), _version_tuple(want)
     # zero-pad to equal length: "1.2" and "1.2.0" are the same release, and
@@ -120,30 +124,28 @@ def _version_ok(installed: str, op: str, want: str) -> bool:
     }[op]
 
 
-def _spec_satisfied(spec: str) -> bool:
-    """One conda/pip-style dependency spec ("pkg", "pkg=1.2", "pkg>=1,<2")
-    against importlib.metadata — no conda, no network."""
-    import importlib.metadata as md
+def _clauses_ok(installed: str, rest: str) -> bool:
+    """Comma-separated version clauses against an installed version —
+    shared by package specs and python pins. Supports ==/!=/>=/<=/>/</=,
+    pip's compatible-release ``~=``, and ``.*`` wildcard pins."""
     import re
 
-    m = re.match(r"^([A-Za-z0-9_.-]+)\s*(.*)$", spec.strip())
-    if not m:
-        return False
-    name, rest = m.group(1), m.group(2).strip()
-    try:
-        installed = md.version(name)
-    except md.PackageNotFoundError:
-        return False
-    if not rest:
-        return True
     for clause in rest.split(","):
         clause = clause.strip()
         if not clause:
             continue
-        cm = re.match(r"^(==|!=|>=|<=|>|<|=)\s*([0-9A-Za-z.*+_-]+)$", clause)
+        cm = re.match(r"^(==|!=|>=|<=|>|<|~=|=)\s*([0-9A-Za-z.*+!_-]+)$", clause)
         if not cm:
             return False
         op, want = cm.group(1), cm.group(2)
+        if op == "~=":
+            # compatible release: >= want AND matches want-minus-last-part
+            if not _version_ok(installed, ">=", want):
+                return False
+            prefix = want.rsplit(".", 1)[0] if "." in want else want
+            if not _version_ok(installed, "=", prefix):
+                return False
+            continue
         if want.endswith(".*"):
             # pip wildcard pin: "==1.2.*" is a prefix match, not "==1.2"
             want = want[:-2]
@@ -156,6 +158,41 @@ def _spec_satisfied(spec: str) -> bool:
         if not _version_ok(installed, op, want):
             return False
     return True
+
+
+def _spec_satisfied(spec: str) -> bool:
+    """One conda/pip-style dependency spec against importlib.metadata —
+    no conda, no network. Handles the common real-world forms: channel
+    prefixes (``conda-forge::pkg=1.2``), conda build strings
+    (``pkg=1.2=py39h..._0`` — the build qualifier is ignored, versions
+    still checked), pip extras (``pkg[extra]>=1``), environment markers
+    (``pkg; python_version<'3.11'`` — marker ignored, package checked),
+    and ``~=`` compatible-release pins."""
+    import importlib.metadata as md
+    import re
+
+    spec = spec.strip()
+    spec = spec.split(";", 1)[0].strip()  # strip environment marker
+    head = spec.split("=", 1)[0]
+    if "::" in head:  # strip conda channel prefix
+        spec = spec.split("::", 1)[1]
+    m = re.match(r"^([A-Za-z0-9_.-]+)(\[[^\]]*\])?\s*(.*)$", spec)
+    if not m:
+        return False
+    name, rest = m.group(1), m.group(3).strip()
+    # conda build string pkg=VERSION=BUILD: drop the build qualifier
+    # (un-checkable without conda metadata; the version still gates)
+    if rest.startswith("=") and not rest.startswith("=="):
+        vb = rest[1:].split("=")
+        if len(vb) == 2:
+            rest = "=" + vb[0]
+    try:
+        installed = md.version(name)
+    except md.PackageNotFoundError:
+        return False
+    if not rest:
+        return True
+    return _clauses_ok(installed, rest)
 
 
 class EnvironmentSatisfied(SearchBase):
@@ -202,23 +239,21 @@ class EnvironmentSatisfied(SearchBase):
                     if not _spec_satisfied(str(sub)):
                         return False
                 continue
-            spec = str(dep)
-            if spec.split("=")[0].split(">")[0].split("<")[0].strip() == "python":
-                py = ".".join(str(x) for x in sys.version_info[:3])
-                rest = spec[len("python"):].strip()
-                if rest:
-                    import re
+            spec = str(dep).strip()
+            import re
 
-                    ok = True
-                    for clause in rest.split(","):
-                        cm = re.match(
-                            r"^(==|!=|>=|<=|>|<|=)\s*([0-9.]+)$", clause.strip()
-                        )
-                        if not cm or not _version_ok(py, cm.group(1), cm.group(2)):
-                            ok = False
-                            break
-                    if not ok:
-                        return False
+            # name extraction must stop at the FIRST operator character:
+            # 'python!=3.9' has name 'python' (splitting on '=' alone left
+            # 'python!', which fell through to a package lookup and always
+            # failed)
+            nm = re.match(r"^(?:[A-Za-z0-9_.-]+::)?([A-Za-z0-9_.-]+)", spec)
+            if nm and nm.group(1) == "python":
+                py = ".".join(str(x) for x in sys.version_info[:3])
+                rest = spec[nm.end():].strip()
+                # python pins share the full clause grammar (wildcards,
+                # ~=, !=) instead of a narrower regex copy
+                if rest and not _clauses_ok(py, rest):
+                    return False
                 continue
             if not _spec_satisfied(spec):
                 return False

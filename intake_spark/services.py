@@ -529,9 +529,19 @@ def _store_keys(store) -> list:
 
 def _store_get(store, key: str) -> bytes:
     """One value from a zarr-style store mapping (sync or async get,
-    v3 Buffer results unwrapped to bytes)."""
+    v3 Buffer results unwrapped to bytes). zarr-v3/icechunk stores whose
+    ``get`` requires a BufferPrototype positional get one — a bare
+    ``fn(key)`` works only for plain-mapping fakes, not the live API."""
     fn = getattr(store, "get", None)
-    out = store[key] if fn is None else fn(key)
+    if fn is None:
+        out = store[key]
+    else:
+        try:
+            out = fn(key)
+        except TypeError:
+            from zarr.core.buffer import default_buffer_prototype  # type: ignore
+
+            out = fn(key, default_buffer_prototype())
     if hasattr(out, "__await__"):
         import asyncio
 
@@ -583,6 +593,13 @@ class IcechunkReader(BaseReader):
         root = (self.data.root or "").strip("/")
         prefix = f"{root}/" if root else ""
         tmp = tempfile.mkdtemp(prefix="icechunk_zarr_")
+        # the returned frame scans `tmp` lazily, so it cannot be removed
+        # here — register process-exit cleanup instead of leaking one
+        # full on-disk dataset copy per read() forever
+        import atexit
+        import shutil
+
+        atexit.register(shutil.rmtree, tmp, ignore_errors=True)
         n = 0
         for key in _store_keys(store):
             key = str(key)
@@ -1547,7 +1564,14 @@ def ws_pop_complete(
                 break
             j += 1
         if not have_fin:
-            break  # fragmented message incomplete: leave [i:] for later
+            # fragmented message incomplete: surface any control frames
+            # trapped BEHIND the unfinished fragment now (a keepalive PING
+            # interleaved mid-transfer must be answered before the
+            # message's fin arrives, or the server drops the connection)
+            # and leave only the data frames for later
+            tail = frames[i:]
+            out += [(op, pl) for op, pl, _ in tail if op >= WS_OP_CLOSE]
+            return out, [f for f in tail if f[0] < WS_OP_CLOSE]
         # emit interleaved control frames first (arrival order)
         k = i
         while k <= j:
@@ -1627,18 +1651,35 @@ class WebSocketReader(BaseReader):
                 # the connection — do not parse arbitrary bytes as frames
                 raise ValueError("handshake missing Sec-WebSocket-Accept header")
 
-            rows: list[tuple[int, int, str]] = []
+            import socket as _sockmod
+            import time as _time
+
+            rows: list[tuple[int, int, str | None, bytes | None]] = []
             closed = False
+            deadline = _time.monotonic() + timeout_s
             # frames accumulate across recv() batches: a fragmented
             # message's continuation frames may arrive in later reads, so
-            # assembly only consumes the COMPLETE prefix each round
+            # assembly only consumes the COMPLETE prefix each round. The
+            # per-frame 1 GiB guard does not bound a never-finishing
+            # fragment stream, so the TOTAL buffered fragment bytes get
+            # the same cap.
             frames: list[tuple[int, bytes, bool]] = []
+            buffered = 0
             while len(rows) < n_messages and not closed:
                 got, buf = ws_decode_frames(buf)
                 frames.extend(got)
                 msgs, frames = ws_pop_complete(frames)
                 while not msgs and not closed:
-                    chunk = sock.recv(65536)
+                    if _time.monotonic() > deadline:
+                        closed = True  # wall-clock bound: a slow steady
+                        break  # stream must not block forever
+                    try:
+                        chunk = sock.recv(65536)
+                    except (TimeoutError, _sockmod.timeout):
+                        # idle timeout: return what was collected instead
+                        # of discarding every already-received message
+                        closed = True
+                        break
                     if not chunk:
                         closed = True
                         break
@@ -1646,6 +1687,11 @@ class WebSocketReader(BaseReader):
                     got, buf = ws_decode_frames(buf)
                     frames.extend(got)
                     msgs, frames = ws_pop_complete(frames)
+                    buffered = sum(len(pl) for _, pl, _ in frames)
+                    if buffered > (1 << 30):
+                        raise ValueError(
+                            "fragmented message exceeds the 1 GiB buffer guard"
+                        )
                 for op, payload in msgs:
                     if op == WS_OP_CLOSE:
                         closed = True
@@ -1657,12 +1703,21 @@ class WebSocketReader(BaseReader):
                         continue
                     if op == WS_OP_PONG:
                         continue
-                    rows.append(
-                        (len(rows), op, payload.decode("utf-8", errors="replace"))
-                    )
+                    # TEXT decodes to the string column; BINARY keeps raw
+                    # bytes (forcing protobuf/msgpack through a lossy
+                    # utf-8 replace would corrupt it irrecoverably)
+                    if op == WS_OP_BINARY:
+                        rows.append((len(rows), op, None, bytes(payload)))
+                    else:
+                        rows.append(
+                            (len(rows), op,
+                             payload.decode("utf-8", errors="replace"), None)
+                        )
                     if len(rows) >= n_messages:
                         break
         finally:
             if own:  # pragma: no cover
                 sock.close()
-        return spark.createDataFrame(rows, "msg_idx int, opcode int, payload string")
+        return spark.createDataFrame(
+            rows, "msg_idx int, opcode int, payload string, payload_bytes binary"
+        )

@@ -589,3 +589,28 @@ def test_register_views_sanitizes_aliases(spark):
     assert views == ["pkg_entry_name_x"]
     assert spark.sql("SELECT * FROM pkg_entry_name_x").count() == 1
     spark.catalog.dropTempView("pkg_entry_name_x")
+
+
+def test_env_satisfied_real_world_spec_forms():
+    """Regression: conda build strings, channel prefixes, pip ~=/extras/
+    markers, python!= and .* pins were all silently unsatisfied."""
+    import importlib.metadata as md
+    import sys
+
+    from intake_spark.search import EnvironmentSatisfied, _spec_satisfied, _version_ok
+
+    nv = md.version("numpy")
+    assert _spec_satisfied(f"numpy={nv}=py39h20f2e39_0")  # build string
+    assert _spec_satisfied(f"conda-forge::numpy={nv}")  # channel prefix
+    assert _spec_satisfied("numpy~=" + ".".join(nv.split(".")[:2]))  # ~=
+    assert _spec_satisfied("numpy[extra]>=1.0")  # extras
+    assert _spec_satisfied("numpy; python_version<'9.99'")  # marker
+    assert not _spec_satisfied("numpy==0.0.1")
+    assert _version_ok("2.0", "=", "2.0.0")  # conda '=' zero-pad
+
+    cons = EnvironmentSatisfied()._is_consistent
+    maj, minor = sys.version_info[:2]
+    assert cons({"dependencies": [f"python={maj}.{minor}.*"]})  # wildcard pin
+    assert cons({"dependencies": ["python!=9.9"]})  # != routes to python
+    # PEP 440: excluding a whole release series needs the wildcard form
+    assert not cons({"dependencies": [f"python!={maj}.{minor}.*"]})
