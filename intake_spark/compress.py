@@ -4,8 +4,10 @@ default zarr v2 compressor — numcodecs' ``{"id": "blosc", "cname":
 "lz4"}``), both from their public specs.
 
 Executor-safe: pure functions over bytes, importable worker-side via
-``ensure_py_deps``. Blosc's OTHER codecs (blosclz, zstd, snappy) and
-bit-shuffle raise named gates; zlib-in-blosc delegates to the stdlib.
+``ensure_py_deps``. Raw snappy blocks decode AND encode here (reached
+from Avro ``avro.codec: snappy`` and blosc ``cname: snappy``). Blosc's
+remaining codecs (blosclz, zstd) and bit-shuffle raise named gates;
+zlib-in-blosc delegates to the stdlib.
 """
 
 from __future__ import annotations
@@ -85,8 +87,8 @@ def blosc_decompress(src: bytes) -> bytes:
     16-byte header (version, versionlz, flags, typesize, nbytes,
     blocksize, cbytes LE), then either a verbatim payload (memcpy flag)
     or per-block uint32 offsets to [uint32 csize][codec block] chunks.
-    Codec from flags bits 5-7: lz4/lz4hc and zlib decode here; blosclz/
-    snappy/zstd raise named. Byte shuffle undone per block; bit shuffle
+    Codec from flags bits 5-7: lz4/lz4hc, snappy and zlib decode here;
+    blosclz/zstd raise named. Byte shuffle undone per block; bit shuffle
     raises named."""
     if len(src) < 16:
         raise ValueError("truncated blosc frame")
@@ -102,11 +104,12 @@ def blosc_decompress(src: bytes) -> bytes:
         raise ValueError("blosc bit-shuffle needs the bitshuffle kernel (not stdlib)")
     if memcpyed:
         return src[16 : 16 + nbytes]
-    if codec not in (1, 3):  # Blosc1 format codes: 1 = lz4/lz4hc, 3 = zlib
-        names = {0: "blosclz", 2: "snappy", 4: "zstd"}
+    # Blosc1 format codes: 1 = lz4/lz4hc, 2 = snappy, 3 = zlib
+    if codec not in (1, 2, 3):
+        names = {0: "blosclz", 4: "zstd"}
         raise ValueError(
             f"blosc codec {names.get(codec, codec)!r} not supported "
-            "(lz4/zlib/memcpy decode stdlib-side)"
+            "(lz4/snappy/zlib/memcpy decode stdlib-side)"
         )
     n_blocks = -(-nbytes // blocksize) if blocksize else 1
     starts = struct.unpack_from(f"<{n_blocks}I", src, 16)
@@ -121,6 +124,8 @@ def blosc_decompress(src: bytes) -> bytes:
             block = bytes(payload)
         elif codec == 1:
             block = lz4_block_decompress(payload, want)
+        elif codec == 2:
+            block = snappy_uncompress(payload)
         else:
             block = zlib.decompress(payload)
         if shuffle:
@@ -129,4 +134,154 @@ def blosc_decompress(src: bytes) -> bytes:
         remaining -= want
     if len(out) != nbytes:
         raise ValueError(f"blosc frame decoded {len(out)} bytes, wanted {nbytes}")
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# Snappy raw-block format (the public format_description.txt: varint
+# uncompressed-length preamble, then tag-dispatched literals and
+# back-references). Reached from two container formats this engine reads:
+# Avro OCF ``avro.codec: snappy`` (each block ends with a big-endian
+# CRC32 of the UNCOMPRESSED bytes — a built-in correctness check) and
+# Blosc frames with ``cname: snappy``.
+# ---------------------------------------------------------------------------
+
+
+def snappy_uncompress(src: bytes) -> bytes:
+    """Decode one raw snappy block (not the framing format)."""
+    n = len(src)
+    # varint preamble: uncompressed length
+    total = 0
+    shift = 0
+    i = 0
+    while True:
+        if i >= n:
+            raise ValueError("snappy: truncated length preamble")
+        b = src[i]
+        i += 1
+        total |= (b & 0x7F) << shift
+        shift += 7
+        if not (b & 0x80):
+            break
+        if shift > 32:
+            raise ValueError("snappy: length varint overruns 32 bits")
+    out = bytearray()
+    while i < n:
+        tag = src[i]
+        i += 1
+        kind = tag & 0x3
+        if kind == 0:  # literal
+            ln = tag >> 2
+            if ln >= 60:  # 60..63: length-1 stored in next 1..4 LE bytes
+                nb = ln - 59
+                if i + nb > n:
+                    raise ValueError("snappy: truncated literal length")
+                ln = int.from_bytes(src[i : i + nb], "little")
+                i += nb
+            ln += 1
+            if i + ln > n:
+                raise ValueError("snappy: literal overruns input")
+            out += src[i : i + ln]
+            i += ln
+            continue
+        if kind == 1:  # copy, 1-byte offset
+            if i >= n:
+                raise ValueError("snappy: truncated copy-1 offset")
+            ln = ((tag >> 2) & 0x7) + 4
+            off = ((tag >> 5) << 8) | src[i]
+            i += 1
+        elif kind == 2:  # copy, 2-byte LE offset
+            if i + 2 > n:
+                raise ValueError("snappy: truncated copy-2 offset")
+            ln = (tag >> 2) + 1
+            off = int.from_bytes(src[i : i + 2], "little")
+            i += 2
+        else:  # copy, 4-byte LE offset
+            if i + 4 > n:
+                raise ValueError("snappy: truncated copy-4 offset")
+            ln = (tag >> 2) + 1
+            off = int.from_bytes(src[i : i + 4], "little")
+            i += 4
+        if off == 0 or off > len(out):
+            raise ValueError(f"snappy: copy offset {off} outside window")
+        # overlapping copies replicate byte-by-byte (LZ77 semantics)
+        if off >= ln:
+            start = len(out) - off
+            out += out[start : start + ln]
+        else:
+            for _ in range(ln):
+                out.append(out[-off])
+    if len(out) != total:
+        raise ValueError(f"snappy: decoded {len(out)} bytes, header says {total}")
+    return bytes(out)
+
+
+def snappy_compress(data: bytes) -> bytes:
+    """Encode one raw snappy block — greedy 4-byte hash matcher emitting
+    spec-conformant literals and 2-byte-offset copies. Any valid tag
+    stream is legal snappy, so this needs no bit-parity with the C++
+    encoder; decode(encode(x)) == x is the contract (round-trip and
+    CRC-verified in tests)."""
+    n = len(data)
+    out = bytearray()
+    # varint length preamble
+    v = n
+    while True:
+        b = v & 0x7F
+        v >>= 7
+        if v:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            break
+
+    def emit_literal(lo: int, hi: int) -> None:
+        ln = hi - lo
+        while ln > 0:
+            take = min(ln, 1 << 16)  # keep extension to <= 2 bytes
+            l1 = take - 1
+            if l1 < 60:
+                out.append(l1 << 2)
+            elif l1 < (1 << 8):
+                out.append(60 << 2)
+                out.append(l1)
+            else:
+                out.append(61 << 2)
+                out.extend(l1.to_bytes(2, "little"))
+            out.extend(data[lo : lo + take])
+            lo += take
+            ln -= take
+
+    if n < 4:
+        emit_literal(0, n)
+        return bytes(out)
+    table: dict[int, int] = {}
+    i = 0
+    lit_start = 0
+    while i + 4 <= n:
+        key = int.from_bytes(data[i : i + 4], "little")
+        cand = table.get(key)
+        table[key] = i
+        if cand is not None and i - cand <= 0xFFFF and data[cand : cand + 4] == data[i : i + 4]:
+            if lit_start < i:
+                emit_literal(lit_start, i)
+            # extend the match
+            ln = 4
+            while i + ln < n and ln < (1 << 16) and data[cand + ln] == data[i + ln]:
+                ln += 1
+            off = i - cand
+            rem = ln
+            while rem > 0:
+                take = min(rem, 64)
+                if take < 4 and rem != take:
+                    take = rem  # avoid a trailing sub-4 copy when splitting
+                out.append(((take - 1) << 2) | 0x2)
+                out += off.to_bytes(2, "little")
+                rem -= take
+            i += ln
+            lit_start = i
+        else:
+            i += 1
+    if lit_start < n:
+        emit_literal(lit_start, n)
     return bytes(out)

@@ -815,16 +815,16 @@ def to_avro(df: DataFrame, url: str, codec: str = "deflate") -> "dt.AVRO":
     stdlib — parity: the spark-avro jar's write path, without the jar;
     round-trips with lakehouse.AvroOCFReader). Every column becomes a
     ["null", T] union (Spark columns are nullable); long/int/double/
-    float/string/boolean/binary supported; ``codec``: "deflate" or
-    "null"."""
+    float/string/boolean/binary supported; ``codec``: "deflate",
+    "snappy" or "null"."""
     import json as _json
 
     from pyspark.sql import types as T  # noqa: F401
 
     from intake_spark.session import ensure_py_deps
 
-    if codec not in ("deflate", "null"):
-        raise ValueError("codec must be 'deflate' or 'null'")
+    if codec not in ("deflate", "snappy", "null"):
+        raise ValueError("codec must be 'deflate', 'snappy' or 'null'")
     kinds = []
     for f_ in df.schema.fields:
         simple = f_.dataType.simpleString()
@@ -873,6 +873,13 @@ def to_avro(df: DataFrame, url: str, codec: str = "deflate") -> "dt.AVRO":
             if codec == "deflate":
                 co = _zlib.compressobj(6, _zlib.DEFLATED, -15)  # raw deflate
                 payload = co.compress(payload) + co.flush()
+            elif codec == "snappy":
+                from intake_spark.compress import snappy_compress
+
+                # Avro spec: snappy blocks end with a big-endian CRC32 of
+                # the UNCOMPRESSED data
+                crc = _zlib.crc32(payload) & 0xFFFFFFFF
+                payload = snappy_compress(payload) + crc.to_bytes(4, "big")
             sync = _hashlib.md5(f"spark-graft-{pid}".encode()).digest()
             meta = {
                 b"avro.schema": schema_json.encode(),

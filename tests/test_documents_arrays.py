@@ -1423,3 +1423,77 @@ def test_huggingface_nonhttp_scheme_passthrough(spark):
     with _pytest.raises(Exception) as ei:
         r.read(spark=spark, resolver=lambda n, s: ["s3a://nope/x.parquet"])
     assert "unknown url type" not in str(ei.value)
+
+
+def test_snappy_spec_vectors_and_roundtrip():
+    """Raw snappy block codec: hand-built streams covering every tag
+    kind (literal, extended literal, copy-1/2/4, overlapping copy),
+    named errors on malformed input, and encoder round trips."""
+    import random
+
+    import pytest as _pytest
+
+    from intake_spark.compress import snappy_compress, snappy_uncompress
+
+    # literal
+    assert snappy_uncompress(bytes([5, 4 << 2]) + b"hello") == b"hello"
+    # copy with 1-byte offset: len=4 (bits=0), offset=4
+    s = bytes([8, 3 << 2]) + b"abcd" + bytes([0x01, 4])
+    assert snappy_uncompress(s) == b"abcdabcd"
+    # overlapping copy (RLE): "a"*10 via copy off=1 len=9 (2-byte offset)
+    s = bytes([10, 0]) + b"a" + bytes([((9 - 1) << 2) | 0x2]) + (1).to_bytes(2, "little")
+    assert snappy_uncompress(s) == b"a" * 10
+    # copy with 4-byte offset
+    s = bytes([8, 3 << 2]) + b"abcd" + bytes([((4 - 1) << 2) | 0x3]) + (4).to_bytes(4, "little")
+    assert snappy_uncompress(s) == b"abcdabcd"
+    # extended literal length (tag 60)
+    pay = bytes(range(100))
+    assert snappy_uncompress(bytes([100, 60 << 2, 99]) + pay) == pay
+    # malformed: offset outside window / wrong total / truncation
+    with _pytest.raises(ValueError, match="offset"):
+        snappy_uncompress(bytes([4, 1 << 2]) + b"ab" + bytes([0x01, 9]))
+    with _pytest.raises(ValueError, match="decoded"):
+        snappy_uncompress(bytes([9, 4 << 2]) + b"hello")
+    with _pytest.raises(ValueError, match="overruns"):
+        snappy_uncompress(bytes([5, 4 << 2]) + b"he")
+
+    rng = random.Random(11)
+    for _ in range(120):
+        n = rng.randrange(0, 4000)
+        kind = rng.random()
+        if kind < 0.34:
+            blob = bytes(rng.randrange(256) for _ in range(n))
+        elif kind < 0.67:
+            unit = bytes(rng.randrange(256) for _ in range(rng.randrange(1, 16)))
+            blob = (unit * (n // max(1, len(unit)) + 1))[:n]
+        else:
+            words = [b"the", b"lorem", b"data", b" ", b"spark"]
+            blob = b"".join(rng.choice(words) for _ in range(n // 3))[:n]
+        assert snappy_uncompress(snappy_compress(blob)) == blob
+    # repetitive input actually compresses
+    rep = b"abcdefgh" * 500
+    assert len(snappy_compress(rep)) < len(rep) // 4
+
+
+def test_blosc_snappy_frame():
+    """Blosc frame with cname=snappy (format code 2) decodes via the
+    stdlib snappy path, including byte shuffle."""
+    import struct
+
+    from intake_spark.compress import blosc_decompress, snappy_compress
+
+    raw = bytes(range(16)) * 8  # 128 bytes, typesize 4
+    # shuffle bytes like blosc does: byte plane b of each element first
+    typesize = 4
+    nel = len(raw) // typesize
+    shuffled = bytes(
+        raw[e * typesize + b] for b in range(typesize) for e in range(nel)
+    )
+    comp = snappy_compress(shuffled)
+    blocksize = len(raw)
+    header = bytes([1, 0, (2 << 5) | 0x1, typesize]) + struct.pack(
+        "<III", len(raw), blocksize, 16 + 4 + 4 + len(comp)
+    )
+    # one block: offset table (1 entry) then [csize][payload]
+    frame = header + struct.pack("<I", 20) + struct.pack("<I", len(comp)) + comp
+    assert blosc_decompress(frame) == raw

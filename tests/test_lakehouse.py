@@ -101,6 +101,11 @@ def write_avro(path: str, schema: dict, records: list[dict], codec: str = "null"
         if codec == "deflate":
             co = zlib.compressobj(6, zlib.DEFLATED, -15)
             body = co.compress(body) + co.flush()
+        elif codec == "snappy":
+            from intake_spark.compress import snappy_compress
+
+            crc = zlib.crc32(body) & 0xFFFFFFFF
+            body = snappy_compress(body) + crc.to_bytes(4, "big")
         out += _zz(len(blk)) + _zz(len(body)) + body + sync
     with open(path, "wb") as f:
         f.write(out)
@@ -124,7 +129,7 @@ RECORDS = [
 ]
 
 
-@pytest.mark.parametrize("codec", ["null", "deflate"])
+@pytest.mark.parametrize("codec", ["null", "deflate", "snappy"])
 def test_avro_ocf_roundtrip(spark, tmp_path, codec):
     p = str(tmp_path / f"e_{codec}.avro")
     write_avro(p, SCHEMA, RECORDS, codec=codec)

@@ -532,3 +532,22 @@ def test_to_table_comment_with_backslash(spark):
             == "path C:\\temp\\ and 'quo'te\\"
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_to_avro_snappy_roundtrip(spark, tmp_path):
+    """to_avro(codec='snappy') → AvroOCFReader: executor-side snappy
+    encode with the spec's big-endian CRC32-of-uncompressed suffix,
+    decoded by the stdlib snappy path (CRC verified on read)."""
+    from intake_spark import output
+    from intake_spark.lakehouse import AvroOCFReader
+
+    df = spark.createDataFrame(
+        [(i, f"name{i}" * 10, i * 0.25) for i in range(50)],
+        "id long, name string, score double",
+    ).repartition(2)
+    dst = str(tmp_path / "out_avro_snappy")
+    desc = output.to_avro(df, dst, codec="snappy")
+    assert desc.metadata["rows_written"] == 50
+    back = {r.id: r for r in AvroOCFReader(data=desc).read(spark=spark).collect()}
+    assert len(back) == 50
+    assert back[7].name == "name7" * 10 and back[7].score == 1.75
