@@ -285,3 +285,109 @@ def snappy_compress(data: bytes) -> bytes:
     if lit_start < n:
         emit_literal(lit_start, n)
     return bytes(out)
+
+
+def lz4_block_compress(data: bytes) -> bytes:
+    """LZ4 BLOCK encode (greedy 4-byte hash matcher). Spec end rules
+    honored: the last sequence is literals-only, matches never start
+    within the last 12 bytes and must end at least 5 bytes before the
+    block end — any stream meeting those rules is valid LZ4, so the
+    contract is decode(encode(x)) == x (round-trip tested), not
+    bit-parity with the C encoder."""
+    n = len(data)
+    out = bytearray()
+
+    def emit(lit_lo: int, lit_hi: int, match_len: int, offset: int) -> None:
+        lit = lit_hi - lit_lo
+        ml = match_len - 4 if match_len else 0
+        token = (min(lit, 15) << 4) | (min(ml, 15) if match_len else 0)
+        out.append(token)
+        if lit >= 15:
+            rem = lit - 15
+            while rem >= 255:
+                out.append(255)
+                rem -= 255
+            out.append(rem)
+        out.extend(data[lit_lo:lit_hi])
+        if match_len:
+            out.extend(offset.to_bytes(2, "little"))
+            if ml >= 15:
+                rem = ml - 15
+                while rem >= 255:
+                    out.append(255)
+                    rem -= 255
+                out.append(rem)
+
+    if n < 13:  # too short for any legal match: single literal sequence
+        emit(0, n, 0, 0)
+        return bytes(out)
+    table: dict[int, int] = {}
+    i = 0
+    lit_start = 0
+    # matches must END >= 5 bytes before the block end and may not START
+    # in the last 12 bytes (lz4 block spec end-of-stream conditions)
+    last_match_start = n - 12
+    while i < last_match_start:
+        key = int.from_bytes(data[i : i + 4], "little")
+        cand = table.get(key)
+        table[key] = i
+        if (
+            cand is not None
+            and i - cand <= 0xFFFF
+            and data[cand : cand + 4] == data[i : i + 4]
+        ):
+            ln = 4
+            limit = n - 5 - i  # leave the spec's 5-byte literal tail
+            while ln < limit and data[cand + ln] == data[i + ln]:
+                ln += 1
+            if ln >= 4:
+                emit(lit_start, i, ln, i - cand)
+                i += ln
+                lit_start = i
+                continue
+        i += 1
+    emit(lit_start, n, 0, 0)  # final literals-only sequence
+    return bytes(out)
+
+
+def blosc_compress(
+    data: bytes, typesize: int = 1, shuffle: bool = False, cname: str = "lz4"
+) -> bytes:
+    """Raw bytes → one Blosc1 frame (the zarr v2 numcodecs default is
+    ``{"id": "blosc", "cname": "lz4", "shuffle": 1}``) — single block,
+    optional byte shuffle, lz4/snappy/zlib codecs, stored-block
+    fallback when compression does not help. Round-trips with
+    :func:`blosc_decompress`; layout per the public c-blosc blosc.c
+    header doc."""
+    codes = {"lz4": 1, "snappy": 2, "zlib": 3}
+    if cname not in codes:
+        raise ValueError(f"blosc_compress cname {cname!r} (lz4/snappy/zlib)")
+    nbytes = len(data)
+    body = data
+    flags = codes[cname] << 5
+    if shuffle and typesize > 1 and nbytes % typesize == 0:
+        flags |= 0x1
+        nel = nbytes // typesize
+        body = bytes(
+            data[e * typesize + b] for b in range(typesize) for e in range(nel)
+        )
+    if cname == "lz4":
+        comp = lz4_block_compress(body)
+    elif cname == "snappy":
+        comp = snappy_compress(body)
+    else:
+        comp = zlib.compress(body)
+    if len(comp) >= nbytes or nbytes == 0:
+        # memcpy frame: compression didn't help
+        header = bytes([1, 1, 0x2, typesize]) + struct.pack(
+            "<III", nbytes, nbytes, nbytes + 16
+        )
+        return header + data
+    blocksize = nbytes  # single block
+    # header + 1-entry offset table + [csize][payload]
+    start = 16 + 4
+    cbytes = start + 4 + len(comp)
+    header = bytes([1, 1, flags, typesize]) + struct.pack(
+        "<III", nbytes, blocksize, cbytes
+    )
+    return header + struct.pack("<I", start) + struct.pack("<I", len(comp)) + comp

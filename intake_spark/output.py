@@ -304,7 +304,9 @@ def catalog_to_yaml(catalog, path: str) -> dt.CatalogData:
 def to_zarr(df: DataFrame, url: str, compressor: str | None = "zlib") -> dt.Zarr:
     """Chunk-row DataFrame (arrays.CHUNK_SCHEMA) → zarr v2 store, written
     **distributed**: each executor task writes its chunk files directly (one
-    file per leading-axis block, C-order bytes, optional zlib), the driver
+    file per leading-axis block, C-order bytes; ``compressor``: "zlib",
+    "blosc-lz4" — the numcodecs ecosystem default, written as a Blosc1
+    frame with byte shuffle — or None), the driver
     writes only the ``.zarray`` JSON. No zarr package needed — parity:
     XarrayToZarr/DaskArrayToZarr (reference output.py:85-114) with the write
     parallelism those get from dask.
@@ -353,7 +355,13 @@ def to_zarr(df: DataFrame, url: str, compressor: str | None = "zlib") -> dt.Zarr
         "shape": shape,
         "chunks": chunks,
         "dtype": "<f8",
-        "compressor": {"id": "zlib", "level": 6} if compressor == "zlib" else None,
+        "compressor": (
+            {"id": "zlib", "level": 6}
+            if compressor == "zlib"
+            else {"id": "blosc", "cname": "lz4", "clevel": 5, "shuffle": 1}
+            if compressor == "blosc-lz4"
+            else None
+        ),
         "fill_value": 0.0,
         "order": "C",
         "filters": None,
@@ -397,6 +405,10 @@ def to_zarr(df: DataFrame, url: str, compressor: str | None = "zlib") -> dt.Zarr
             raw = vals.tobytes()
             if compressor == "zlib":
                 raw = zlib.compress(raw)
+            elif compressor == "blosc-lz4":
+                from intake_spark.compress import blosc_compress
+
+                raw = blosc_compress(raw, typesize=8, shuffle=True, cname="lz4")
             i0 = int(r["offset0"]) // block_rows
             name = ".".join([str(i0)] + ["0"] * (len(shape) - 1))
             with open(f"{url}/{name}", "wb") as f:
