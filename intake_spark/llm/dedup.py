@@ -810,9 +810,19 @@ def winnow_candidates(
     shows why. ``None`` keeps exact semantics."""
     fp = winnow_fingerprints(df, id_col, text_col, k, window)
     if max_fingerprint_df is not None:
-        dfreq = fp.groupBy("fingerprint").agg(F.count(F.lit(1)).alias("_df"))
+        from pyspark.sql.window import Window as _W
+
+        # document frequency via a window over the fingerprint partition,
+        # NOT a separate aggregate + join: the aggregate branch made the
+        # md5-heavy fingerprint extraction a THIRD computation (the
+        # self-join below already reads it twice); the window shares the
+        # single fingerprint exchange, which the self-join's two sides
+        # then reuse (ReusedExchange) — fingerprints compute once
         fp = (
-            fp.join(dfreq.filter(F.col("_df") <= max_fingerprint_df), "fingerprint")
+            fp.withColumn(
+                "_df", F.count(F.lit(1)).over(_W.partitionBy("fingerprint"))
+            )
+            .filter(F.col("_df") <= max_fingerprint_df)
             .drop("_df")
         )
     a = fp.select(F.col(id_col).alias("id_a"), "fingerprint")
