@@ -887,3 +887,120 @@ class IcebergTableReader(BaseReader):
         if not files:
             return spark.createDataFrame([], spark_schema)
         return spark.read.schema(spark_schema).parquet(*sorted(set(files)))
+
+
+def _avro_zz(v: int) -> bytes:
+    """Zigzag varint (the inverse of _Buf.varlong)."""
+    u = (v << 1) ^ (v >> 63)
+    out = bytearray()
+    while True:
+        b = u & 0x7F
+        u >>= 7
+        if u:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _avro_encode_datum(schema, value, out: bytearray, names: dict) -> None:
+    """Generic schema-driven Avro encode — the exact inverse of
+    :func:`_avro_decode`; drives the Iceberg manifest writers."""
+    if isinstance(schema, str):
+        if schema in names:
+            return _avro_encode_datum(names[schema], value, out, names)
+        t = schema
+        if t == "null":
+            return None
+        if t == "boolean":
+            out += b"\x01" if value else b"\x00"
+        elif t in ("int", "long"):
+            out += _avro_zz(int(value))
+        elif t == "float":
+            out += struct.pack("<f", float(value))
+        elif t == "double":
+            out += struct.pack("<d", float(value))
+        elif t == "bytes":
+            b = bytes(value)
+            out += _avro_zz(len(b)) + b
+        elif t == "string":
+            b = str(value).encode("utf-8")
+            out += _avro_zz(len(b)) + b
+        else:
+            raise ValueError(f"unknown avro type {t!r}")
+        return None
+    if isinstance(schema, list):  # union: branch index then value
+        # pick the first branch the value fits: None -> "null", else the
+        # first non-null branch (the Iceberg schemas are all 2-branch)
+        if value is None:
+            idx = next(
+                i for i, s in enumerate(schema)
+                if (s if isinstance(s, str) else s.get("type")) == "null"
+            )
+            out += _avro_zz(idx)
+            return None
+        idx, branch = next(
+            (i, s) for i, s in enumerate(schema)
+            if (s if isinstance(s, str) else s.get("type")) != "null"
+        )
+        out += _avro_zz(idx)
+        return _avro_encode_datum(branch, value, out, names)
+    t = schema["type"]
+    if t == "record":
+        if schema.get("name"):
+            names[schema["name"]] = schema
+        for f in schema["fields"]:
+            _avro_encode_datum(f["type"], value.get(f["name"]), out, names)
+        return None
+    if t == "enum":
+        out += _avro_zz(schema["symbols"].index(value))
+        return None
+    if t == "fixed":
+        out += bytes(value)
+        return None
+    if t == "array":
+        items = list(value or [])
+        if items:
+            out += _avro_zz(len(items))
+            for it in items:
+                _avro_encode_datum(schema["items"], it, out, names)
+        out += _avro_zz(0)
+        return None
+    if t == "map":
+        kv = dict(value or {})
+        if kv:
+            out += _avro_zz(len(kv))
+            for k, v in kv.items():
+                kb = str(k).encode("utf-8")
+                out += _avro_zz(len(kb)) + kb
+                _avro_encode_datum(schema["values"], v, out, names)
+        out += _avro_zz(0)
+        return None
+    return _avro_encode_datum(t, value, out, names)
+
+
+def write_avro_records(path: str, schema: dict, records: list, meta: dict | None = None) -> None:
+    """Driver-side Avro OCF writer for small metadata files (Iceberg
+    manifests / manifest lists) — null codec, one block, the inverse of
+    :func:`decode_avro_file` and round-tripped against it in tests."""
+    import hashlib
+
+    body = bytearray()
+    names: dict = {}
+    _register_names(schema, names)
+    for rec in records:
+        _avro_encode_datum(schema, rec, body, dict(names))
+    sync = hashlib.md5(path.encode()).digest()
+    hdr_meta = {b"avro.schema": json.dumps(schema).encode(), b"avro.codec": b"null"}
+    for k, v in (meta or {}).items():
+        hdr_meta[k.encode() if isinstance(k, str) else k] = (
+            v.encode() if isinstance(v, str) else v
+        )
+    out = bytearray(b"Obj\x01")
+    out += _avro_zz(len(hdr_meta))
+    for k, v in hdr_meta.items():
+        out += _avro_zz(len(k)) + k + _avro_zz(len(v)) + v
+    out += b"\x00" + sync
+    out += _avro_zz(len(records)) + _avro_zz(len(body)) + bytes(body) + sync
+    with open(path, "wb") as f:
+        f.write(bytes(out))

@@ -1208,3 +1208,277 @@ def to_geoparquet(
     out = GeoParquet(url=url)
     out.metadata["rows_written"] = int(total or 0)
     return out
+
+
+_ICEBERG_TYPES = {
+    "boolean": "boolean", "tinyint": "int", "smallint": "int", "int": "int",
+    "bigint": "long", "float": "float", "double": "double", "string": "string",
+    "binary": "binary", "date": "date", "timestamp_ntz": "timestamp",
+    "timestamp": "timestamptz",
+}
+
+
+def _iceberg_schema_fields(schema) -> list[dict]:
+    """Spark schema → Iceberg v1 schema fields with stable field ids
+    (1-based, declaration order — the id assignment pyiceberg/Java use
+    for a fresh table)."""
+    out = []
+    for i, f in enumerate(schema.fields, start=1):
+        simple = f.dataType.simpleString()
+        it = _ICEBERG_TYPES.get(simple)
+        if it is None and simple.startswith("decimal("):
+            it = simple.replace("decimal(", "decimal(").replace(",", ", ")
+        if it is None:
+            raise ValueError(
+                f"to_iceberg: unsupported column type {simple!r} for "
+                f"{f.name!r} (project to primitive columns first)"
+            )
+        out.append(
+            {"id": i, "name": f.name, "required": False, "type": it}
+        )
+    return out
+
+
+_ICEBERG_DATAFILE = {
+    "type": "record",
+    "name": "r2",
+    "fields": [
+        {"name": "file_path", "type": "string", "field-id": 100},
+        {"name": "file_format", "type": "string", "field-id": 101},
+        {"name": "partition",
+         "type": {"type": "record", "name": "r102", "fields": []},
+         "field-id": 102},
+        {"name": "record_count", "type": "long", "field-id": 103},
+        {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
+        {"name": "block_size_in_bytes", "type": "long", "field-id": 105},
+    ],
+}
+
+_ICEBERG_MANIFEST_ENTRY = {
+    "type": "record",
+    "name": "manifest_entry",
+    "fields": [
+        {"name": "status", "type": "int", "field-id": 0},
+        {"name": "snapshot_id", "type": ["null", "long"], "default": None,
+         "field-id": 1},
+        {"name": "data_file", "type": _ICEBERG_DATAFILE, "field-id": 2},
+    ],
+}
+
+_ICEBERG_MANIFEST_FILE = {
+    "type": "record",
+    "name": "manifest_file",
+    "fields": [
+        {"name": "manifest_path", "type": "string", "field-id": 500},
+        {"name": "manifest_length", "type": "long", "field-id": 501},
+        {"name": "partition_spec_id", "type": "int", "field-id": 502},
+        {"name": "added_snapshot_id", "type": ["null", "long"],
+         "default": None, "field-id": 503},
+        {"name": "added_data_files_count", "type": ["null", "int"],
+         "default": None, "field-id": 504},
+        {"name": "existing_data_files_count", "type": ["null", "int"],
+         "default": None, "field-id": 505},
+        {"name": "deleted_data_files_count", "type": ["null", "int"],
+         "default": None, "field-id": 506},
+        {"name": "added_rows_count", "type": ["null", "long"],
+         "default": None, "field-id": 512},
+        {"name": "existing_rows_count", "type": ["null", "long"],
+         "default": None, "field-id": 513},
+        {"name": "deleted_rows_count", "type": ["null", "long"],
+         "default": None, "field-id": 514},
+    ],
+}
+
+
+def to_iceberg(
+    df: DataFrame, url: str, mode: str = "overwrite", **options
+) -> "dt.IcebergDataset":
+    """Iceberg v1 table sink WITHOUT the iceberg-spark jar (the write
+    twin of ``IcebergTableReader``): data files write as ordinary
+    distributed parquet; the driver then writes one manifest (Avro, spec
+    field-ids), one manifest list, and the next ``vN.metadata.json`` +
+    ``version-hint.text``. Unpartitioned tables, primitive column types
+    (same restriction as ``to_avro``); ``mode``: "overwrite" (new
+    snapshot references only the new files — prior snapshots stay
+    readable via ``snapshot_id=`` time travel) or "append" (the new
+    manifest list re-references the prior snapshot's manifests).
+
+    Per-file ``record_count`` comes from the parquet footers (pyarrow,
+    driver-side metadata reads — O(files), the bytes never move).
+    Commit metadata is O(files) driver work, like ``to_delta``.
+    """
+    import json as _json
+    import os
+    import time as _time
+    import uuid as _uuid
+
+    from intake_spark.lakehouse import decode_avro_file, write_avro_records
+
+    if mode not in ("overwrite", "append"):
+        raise ValueError(f"mode must be overwrite/append, got {mode!r}")
+    fields = _iceberg_schema_fields(df.schema)
+    root = url.rstrip("/")
+    mdir = os.path.join(root, "metadata")
+    ddir = os.path.join(root, "data")
+
+    prev_meta = None
+    prev_version = 0
+    hint = os.path.join(mdir, "version-hint.text")
+    if os.path.exists(hint):
+        with open(hint) as f:
+            prev_version = int(f.read().strip())
+        with open(os.path.join(mdir, f"v{prev_version}.metadata.json")) as f:
+            prev_meta = _json.load(f)
+        prev_fields = None
+        if "schemas" in prev_meta:
+            sid = prev_meta.get("current-schema-id", 0)
+            for s in prev_meta["schemas"]:
+                if s.get("schema-id") == sid:
+                    prev_fields = s["fields"]
+        else:
+            prev_fields = prev_meta["schema"]["fields"]
+        if mode == "append" and prev_fields is not None:
+            if [(f["name"], f["type"]) for f in prev_fields] != [
+                (f["name"], f["type"]) for f in fields
+            ]:
+                raise ValueError(
+                    "append schema does not match the table schema"
+                )
+            fields = prev_fields  # keep the table's field ids
+
+    # 1. distributed parquet write into a staging dir, then move to data/
+    stage = os.path.join(root, f"_staging_{_uuid.uuid4().hex[:12]}")
+    df.write.mode("overwrite").options(**options).parquet(stage)
+    os.makedirs(ddir, exist_ok=True)
+    commit_uuid = _uuid.uuid4().hex
+    moved: list[str] = []
+    for fn in sorted(os.listdir(stage)):
+        if not fn.endswith(".parquet"):
+            continue
+        dst = os.path.join(ddir, f"{commit_uuid[:8]}-{fn}")
+        os.replace(os.path.join(stage, fn), dst)
+        moved.append(dst)
+    import shutil as _shutil
+
+    _shutil.rmtree(stage, ignore_errors=True)
+
+    # 2. per-file record counts from the parquet footers
+    import pyarrow.parquet as _pq
+
+    snap_id = int(_uuid.uuid4().int % (1 << 62))
+    now_ms = int(_time.time() * 1000)
+    entries = []
+    added_rows = 0
+    for p in moved:
+        n = _pq.ParquetFile(p).metadata.num_rows
+        added_rows += n
+        entries.append(
+            {
+                "status": 1,  # ADDED
+                "snapshot_id": snap_id,
+                "data_file": {
+                    "file_path": p,
+                    "file_format": "PARQUET",
+                    "partition": {},
+                    "record_count": n,
+                    "file_size_in_bytes": os.path.getsize(p),
+                    "block_size_in_bytes": 1 << 26,
+                },
+            }
+        )
+
+    os.makedirs(mdir, exist_ok=True)
+    schema_obj = {"type": "struct", "schema-id": 0, "fields": fields}
+    man_path = os.path.join(mdir, f"{commit_uuid}-m0.avro")
+    write_avro_records(
+        man_path,
+        _ICEBERG_MANIFEST_ENTRY,
+        entries,
+        meta={
+            "schema": _json.dumps(schema_obj),
+            "partition-spec": "[]",
+            "format-version": "1",
+            "content": "data",
+        },
+    )
+    manifests = [
+        {
+            "manifest_path": man_path,
+            "manifest_length": os.path.getsize(man_path),
+            "partition_spec_id": 0,
+            "added_snapshot_id": snap_id,
+            "added_data_files_count": len(entries),
+            "existing_data_files_count": 0,
+            "deleted_data_files_count": 0,
+            "added_rows_count": added_rows,
+            "existing_rows_count": 0,
+            "deleted_rows_count": 0,
+        }
+    ]
+    if mode == "append" and prev_meta is not None:
+        prev_snap_id = prev_meta.get("current-snapshot-id")
+        prev_snap = next(
+            (s for s in prev_meta.get("snapshots", [])
+             if s["snapshot-id"] == prev_snap_id),
+            None,
+        )
+        if prev_snap is not None:
+            loc = prev_meta.get("location", root).rstrip("/")
+            ml = prev_snap["manifest-list"].removeprefix("file://")
+            if ml.startswith(loc):
+                ml = root + ml[len(loc):]
+            manifests += decode_avro_file(ml)
+    ml_path = os.path.join(mdir, f"snap-{snap_id}-1-{commit_uuid}.avro")
+    write_avro_records(
+        ml_path,
+        _ICEBERG_MANIFEST_FILE,
+        manifests,
+        meta={"format-version": "1", "snapshot-id": str(snap_id)},
+    )
+
+    snapshots = list((prev_meta or {}).get("snapshots") or [])
+    snapshots.append(
+        {
+            "snapshot-id": snap_id,
+            "timestamp-ms": now_ms,
+            "summary": {
+                "operation": "append" if mode == "append" else "overwrite"
+            },
+            "manifest-list": ml_path,
+            "schema-id": 0,
+        }
+    )
+    meta = {
+        "format-version": 1,
+        "table-uuid": (prev_meta or {}).get("table-uuid") or str(_uuid.uuid4()),
+        "location": root,
+        "last-updated-ms": now_ms,
+        "last-column-id": max(f["id"] for f in fields),
+        "schema": schema_obj,
+        "schemas": [schema_obj],
+        "current-schema-id": 0,
+        "partition-spec": [],
+        "partition-specs": [{"spec-id": 0, "fields": []}],
+        "default-spec-id": 0,
+        "last-partition-id": 999,
+        "sort-orders": [{"order-id": 0, "fields": []}],
+        "default-sort-order-id": 0,
+        "properties": {},
+        "current-snapshot-id": snap_id,
+        "snapshots": snapshots,
+        "snapshot-log": [
+            {"snapshot-id": s["snapshot-id"], "timestamp-ms": s["timestamp-ms"]}
+            for s in snapshots
+        ],
+        "metadata-log": [],
+    }
+    version = prev_version + 1
+    with open(os.path.join(mdir, f"v{version}.metadata.json"), "w") as f:
+        _json.dump(meta, f)
+    with open(hint, "w") as f:
+        f.write(str(version))
+    out = dt.IcebergDataset(url=root)
+    out.metadata.update(
+        {"snapshot_id": snap_id, "version": version, "n_files": len(moved)}
+    )
+    return out

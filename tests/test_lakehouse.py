@@ -894,3 +894,63 @@ def test_delta_timestamp_travel_falls_back_to_checkpoint(spark, tmp_path):
     rdr = DeltaLakeReader(data=dt.DeltalakeTable(url=root))
     out = rdr.read(spark=spark, timestamp="2000-01-01")
     assert sorted(r.id for r in out.collect()) == [0, 1]
+
+
+def test_to_iceberg_roundtrip_append_timetravel(spark, tmp_path):
+    """Jar-free Iceberg v1 write twin: distributed parquet + driver-side
+    Avro manifest/manifest-list (spec field-ids) + vN.metadata.json.
+    Round-trips with IcebergTableReader incl. append, snapshot time
+    travel, overwrite, and whole-table relocation; per-file record
+    counts come from the parquet footers."""
+    import json as _json
+    import os
+
+    from intake_spark import output
+    from intake_spark.lakehouse import IcebergTableReader, decode_avro_file
+
+    root = str(tmp_path / "tbl")
+    df1 = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", 2.5)], "id long, s string, x double"
+    ).repartition(2)
+    desc = output.to_iceberg(df1, root)
+    snap1 = desc.metadata["snapshot_id"]
+    back = IcebergTableReader(data=dt.IcebergDataset(url=root)).read(spark=spark)
+    assert sorted((r.id, r.s, r.x) for r in back.collect()) == [
+        (1, "a", 1.5), (2, "b", 2.5)
+    ]
+
+    # manifest carries real footer record counts and ADDED status
+    hintv = open(os.path.join(root, "metadata", "version-hint.text")).read()
+    meta = _json.load(
+        open(os.path.join(root, "metadata", f"v{hintv}.metadata.json"))
+    )
+    ml = meta["snapshots"][-1]["manifest-list"]
+    man = decode_avro_file(decode_avro_file(ml)[0]["manifest_path"])
+    assert sum(e["data_file"]["record_count"] for e in man) == 2
+    assert all(e["status"] == 1 for e in man)
+
+    df2 = spark.createDataFrame([(3, "c", 3.5)], "id long, s string, x double")
+    output.to_iceberg(df2, root, mode="append")
+    back2 = IcebergTableReader(data=dt.IcebergDataset(url=root)).read(spark=spark)
+    assert sorted(r.id for r in back2.collect()) == [1, 2, 3]
+
+    tt = IcebergTableReader(data=dt.IcebergDataset(url=root)).read(
+        spark=spark, snapshot_id=snap1
+    )
+    assert sorted(r.id for r in tt.collect()) == [1, 2]
+
+    output.to_iceberg(
+        spark.createDataFrame([(9, "z", 9.0)], "id long, s string, x double"),
+        root,
+        mode="overwrite",
+    )
+    moved = str(tmp_path / "tbl_moved")
+    os.rename(root, moved)
+    back3 = IcebergTableReader(data=dt.IcebergDataset(url=moved)).read(spark=spark)
+    assert [r.id for r in back3.collect()] == [9]
+
+    import pytest as _pytest
+
+    bad = spark.createDataFrame([(1, 2)], "id long, other long")
+    with _pytest.raises(ValueError, match="append schema"):
+        output.to_iceberg(bad, moved, mode="append")
