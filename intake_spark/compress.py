@@ -272,9 +272,9 @@ def snappy_compress(data: bytes) -> bytes:
             off = i - cand
             rem = ln
             while rem > 0:
+                # trailing sub-4 copies are legal for the 2-byte-offset tag
+                # (length field spans 1..64), so a plain 64-byte split works
                 take = min(rem, 64)
-                if take < 4 and rem != take:
-                    take = rem  # avoid a trailing sub-4 copy when splitting
                 out.append(((take - 1) << 2) | 0x2)
                 out += off.to_bytes(2, "little")
                 rem -= take
@@ -340,11 +340,10 @@ def lz4_block_compress(data: bytes) -> bytes:
             limit = n - 5 - i  # leave the spec's 5-byte literal tail
             while ln < limit and data[cand + ln] == data[i + ln]:
                 ln += 1
-            if ln >= 4:
-                emit(lit_start, i, ln, i - cand)
-                i += ln
-                lit_start = i
-                continue
+            emit(lit_start, i, ln, i - cand)
+            i += ln
+            lit_start = i
+            continue
         i += 1
     emit(lit_start, n, 0, 0)  # final literals-only sequence
     return bytes(out)
@@ -367,10 +366,10 @@ def blosc_compress(
     flags = codes[cname] << 5
     if shuffle and typesize > 1 and nbytes % typesize == 0:
         flags |= 0x1
-        nel = nbytes // typesize
-        body = bytes(
-            data[e * typesize + b] for b in range(typesize) for e in range(nel)
-        )
+        # slice-stride shuffle at C speed (the inverse of byte_unshuffle's
+        # slice assignment) — a per-byte Python generator here would cost
+        # seconds per multi-MB zarr chunk on every executor task
+        body = b"".join(data[b::typesize] for b in range(typesize))
     if cname == "lz4":
         comp = lz4_block_compress(body)
     elif cname == "snappy":

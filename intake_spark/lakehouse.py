@@ -867,6 +867,19 @@ class IcebergTableReader(BaseReader):
         )
         if snap is None:
             raise ValueError(f"snapshot {snap_id} not found in {meta_path}")
+        # time travel reads through the SNAPSHOT's schema, not the current
+        # one: after a schema-changing overwrite the old files read as
+        # all-null columns under the new schema — silently wrong data
+        snap_sid = snap.get("schema-id")
+        if snap_sid is not None and "schemas" in meta:
+            snap_schema = next(
+                (s for s in meta["schemas"] if s.get("schema-id") == snap_sid),
+                None,
+            )
+            if snap_schema is not None:
+                spark_schema = _iceberg_to_spark_type(
+                    {"type": "struct", "fields": snap_schema["fields"]}
+                )
         manifests = [
             m["manifest_path"] for m in decode_avro_file(local(snap["manifest-list"]))
         ]

@@ -318,6 +318,12 @@ def to_zarr(df: DataFrame, url: str, compressor: str | None = "zlib") -> dt.Zarr
     import json
     import os
 
+    from intake_spark.session import ensure_py_deps
+
+    # the write closure imports intake_spark.compress executor-side for
+    # the blosc-lz4 branch — ship the package like every other sink does
+    ensure_py_deps(df.sparkSession)
+
     # Block geometry via ONE aggregate row — never one driver-side row per
     # chunk (a 100 TB array has millions of chunks; a per-chunk collect is
     # a driver-memory list even when it is metadata-only). Every chunk row
@@ -776,17 +782,9 @@ _AVRO_TYPES = {
 }
 
 
-def _avro_zigzag(v: int) -> bytes:
-    u = (v << 1) ^ (v >> 63)
-    out = bytearray()
-    while True:
-        b = u & 0x7F
-        u >>= 7
-        if u:
-            out.append(b | 0x80)
-        else:
-            out.append(b)
-            return bytes(out)
+# single zigzag-varint implementation, shared with the generic Avro
+# encoder (lakehouse does not import this module — no cycle)
+from intake_spark.lakehouse import _avro_zz as _avro_zigzag  # noqa: E402
 
 
 def _avro_encode_cell(v, kind: str) -> bytes:
@@ -1388,7 +1386,46 @@ def to_iceberg(
         )
 
     os.makedirs(mdir, exist_ok=True)
-    schema_obj = {"type": "struct", "schema-id": 0, "fields": fields}
+    # schema history: prior schemas are RETAINED with their schema-ids so
+    # old snapshots stay readable after a schema-changing overwrite (a
+    # schemas list holding only the new schema would make time travel
+    # silently read old files through the wrong schema). A matching
+    # schema reuses its id (and field ids); a new one gets the next id
+    # with field ids allocated past the table's historical maximum
+    # (Iceberg never reuses a field id).
+    prev_schemas: list[dict] = []
+    if prev_meta is not None:
+        prev_schemas = list(prev_meta.get("schemas") or [])
+        if not prev_schemas and "schema" in prev_meta:
+            s0 = dict(prev_meta["schema"])
+            s0.setdefault("schema-id", 0)
+            prev_schemas = [s0]
+    sig = [(f["name"], f["type"]) for f in fields]
+    match = next(
+        (
+            s
+            for s in prev_schemas
+            if [(f["name"], f["type"]) for f in s["fields"]] == sig
+        ),
+        None,
+    )
+    if match is not None:
+        schema_id = match.get("schema-id", 0)
+        fields = match["fields"]
+        schemas = prev_schemas
+    else:
+        schema_id = (
+            max((s.get("schema-id", 0) for s in prev_schemas), default=-1) + 1
+        )
+        if prev_schemas:
+            base = max(
+                f["id"] for s in prev_schemas for f in s["fields"]
+            )
+            fields = [dict(f, id=base + i) for i, f in enumerate(fields, 1)]
+        schemas = None  # filled after schema_obj exists
+    schema_obj = {"type": "struct", "schema-id": schema_id, "fields": fields}
+    if schemas is None:
+        schemas = prev_schemas + [schema_obj]
     man_path = os.path.join(mdir, f"{commit_uuid}-m0.avro")
     write_avro_records(
         man_path,
@@ -1424,10 +1461,70 @@ def to_iceberg(
         )
         if prev_snap is not None:
             loc = prev_meta.get("location", root).rstrip("/")
-            ml = prev_snap["manifest-list"].removeprefix("file://")
-            if ml.startswith(loc):
-                ml = root + ml[len(loc):]
-            manifests += decode_avro_file(ml)
+
+            def rebase(p: str) -> str:
+                p = p.removeprefix("file://")
+                return root + p[len(loc):] if p.startswith(loc) else p
+
+            # re-manifest the prior snapshot's live files as EXISTING
+            # entries under the CURRENT root, instead of re-referencing
+            # the old manifest files verbatim: verbatim references embed
+            # the OLD location's absolute paths, which break the moment a
+            # relocated table is appended to (the reader's rewrite only
+            # matches the new location). Stats columns a foreign writer
+            # recorded are dropped in the rewrite (documented: this
+            # writer's v1 manifest schema carries counts+sizes only).
+            old_entries = []
+            old_rows = 0
+            for mf in decode_avro_file(rebase(prev_snap["manifest-list"])):
+                for e in decode_avro_file(rebase(mf["manifest_path"])):
+                    if e.get("status") == 2:  # DELETED
+                        continue
+                    d = dict(e["data_file"])
+                    d["file_path"] = rebase(d["file_path"])
+                    d.setdefault("block_size_in_bytes", 1 << 26)
+                    old_rows += int(d.get("record_count") or 0)
+                    old_entries.append(
+                        {
+                            "status": 0,  # EXISTING
+                            "snapshot_id": e.get("snapshot_id") or prev_snap_id,
+                            "data_file": {
+                                k: d.get(k)
+                                for k in (
+                                    "file_path", "file_format", "partition",
+                                    "record_count", "file_size_in_bytes",
+                                    "block_size_in_bytes",
+                                )
+                            },
+                        }
+                    )
+            if old_entries:
+                man2 = os.path.join(mdir, f"{commit_uuid}-m1.avro")
+                write_avro_records(
+                    man2,
+                    _ICEBERG_MANIFEST_ENTRY,
+                    old_entries,
+                    meta={
+                        "schema": _json.dumps(schema_obj),
+                        "partition-spec": "[]",
+                        "format-version": "1",
+                        "content": "data",
+                    },
+                )
+                manifests.append(
+                    {
+                        "manifest_path": man2,
+                        "manifest_length": os.path.getsize(man2),
+                        "partition_spec_id": 0,
+                        "added_snapshot_id": snap_id,
+                        "added_data_files_count": 0,
+                        "existing_data_files_count": len(old_entries),
+                        "deleted_data_files_count": 0,
+                        "added_rows_count": 0,
+                        "existing_rows_count": old_rows,
+                        "deleted_rows_count": 0,
+                    }
+                )
     ml_path = os.path.join(mdir, f"snap-{snap_id}-1-{commit_uuid}.avro")
     write_avro_records(
         ml_path,
@@ -1436,7 +1533,95 @@ def to_iceberg(
         meta={"format-version": "1", "snapshot-id": str(snap_id)},
     )
 
-    snapshots = list((prev_meta or {}).get("snapshots") or [])
+    snapshots = []
+    if prev_meta is not None:
+        loc0 = prev_meta.get("location", root).rstrip("/")
+        for s in prev_meta.get("snapshots") or []:
+            s = dict(s)
+            mlp = s["manifest-list"].removeprefix("file://")
+            if loc0 != root and mlp.startswith(loc0):
+                # the table was RELOCATED since this snapshot was written:
+                # its manifest-list/manifest/data paths are absolute under
+                # the old location, and this commit records location=root,
+                # so the reader's location-prefix rewrite would no longer
+                # reach them — rewrite the snapshot's metadata chain under
+                # the new root (O(metadata), once per move; data files are
+                # rebased in place, never copied)
+                def _rb(p: str) -> str:
+                    p = p.removeprefix("file://")
+                    return root + p[len(loc0):] if p.startswith(loc0) else p
+
+                new_rows = []
+                for k, mf in enumerate(decode_avro_file(_rb(mlp))):
+                    entries = []
+                    for e in decode_avro_file(_rb(mf["manifest_path"])):
+                        d = e.get("data_file") or {}
+                        entries.append(
+                            {
+                                "status": e.get("status", 1),
+                                "snapshot_id": e.get("snapshot_id"),
+                                "data_file": {
+                                    "file_path": _rb(d.get("file_path", "")),
+                                    "file_format": d.get("file_format", "PARQUET"),
+                                    "partition": {},
+                                    "record_count": int(d.get("record_count") or 0),
+                                    "file_size_in_bytes": int(
+                                        d.get("file_size_in_bytes") or 0
+                                    ),
+                                    "block_size_in_bytes": int(
+                                        d.get("block_size_in_bytes") or (1 << 26)
+                                    ),
+                                },
+                            }
+                        )
+                    new_mp = os.path.join(
+                        mdir, f"{commit_uuid}-rb{s['snapshot-id']}-m{k}.avro"
+                    )
+                    write_avro_records(
+                        new_mp,
+                        _ICEBERG_MANIFEST_ENTRY,
+                        entries,
+                        meta={
+                            "schema": _json.dumps(schema_obj),
+                            "partition-spec": "[]",
+                            "format-version": "1",
+                            "content": "data",
+                        },
+                    )
+                    new_rows.append(
+                        {
+                            "manifest_path": new_mp,
+                            "manifest_length": os.path.getsize(new_mp),
+                            "partition_spec_id": 0,
+                            "added_snapshot_id": mf.get("added_snapshot_id"),
+                            "added_data_files_count": mf.get(
+                                "added_data_files_count"
+                            ),
+                            "existing_data_files_count": mf.get(
+                                "existing_data_files_count"
+                            ),
+                            "deleted_data_files_count": mf.get(
+                                "deleted_data_files_count"
+                            ),
+                            "added_rows_count": mf.get("added_rows_count"),
+                            "existing_rows_count": mf.get("existing_rows_count"),
+                            "deleted_rows_count": mf.get("deleted_rows_count"),
+                        }
+                    )
+                new_ml = os.path.join(
+                    mdir, f"{commit_uuid}-rb{s['snapshot-id']}-list.avro"
+                )
+                write_avro_records(
+                    new_ml,
+                    _ICEBERG_MANIFEST_FILE,
+                    new_rows,
+                    meta={
+                        "format-version": "1",
+                        "snapshot-id": str(s["snapshot-id"]),
+                    },
+                )
+                s["manifest-list"] = new_ml
+            snapshots.append(s)
     snapshots.append(
         {
             "snapshot-id": snap_id,
@@ -1445,7 +1630,7 @@ def to_iceberg(
                 "operation": "append" if mode == "append" else "overwrite"
             },
             "manifest-list": ml_path,
-            "schema-id": 0,
+            "schema-id": schema_id,
         }
     )
     meta = {
@@ -1453,17 +1638,28 @@ def to_iceberg(
         "table-uuid": (prev_meta or {}).get("table-uuid") or str(_uuid.uuid4()),
         "location": root,
         "last-updated-ms": now_ms,
-        "last-column-id": max(f["id"] for f in fields),
+        "last-column-id": max(f["id"] for s in schemas for f in s["fields"]),
         "schema": schema_obj,
-        "schemas": [schema_obj],
-        "current-schema-id": 0,
+        "schemas": schemas,
+        "current-schema-id": schema_id,
         "partition-spec": [],
         "partition-specs": [{"spec-id": 0, "fields": []}],
         "default-spec-id": 0,
         "last-partition-id": 999,
         "sort-orders": [{"order-id": 0, "fields": []}],
         "default-sort-order-id": 0,
-        "properties": {},
+        # name mapping: the parquet data files carry no Iceberg field-id
+        # annotations (plain Spark write), so spec readers (pyiceberg,
+        # Java) resolve columns through this mapping instead of failing
+        # or returning nulls on id-less files
+        "properties": {
+            "schema.name-mapping.default": _json.dumps(
+                [
+                    {"field-id": f["id"], "names": [f["name"]]}
+                    for f in fields
+                ]
+            )
+        },
         "current-snapshot-id": snap_id,
         "snapshots": snapshots,
         "snapshot-log": [

@@ -954,3 +954,54 @@ def test_to_iceberg_roundtrip_append_timetravel(spark, tmp_path):
     bad = spark.createDataFrame([(1, 2)], "id long, other long")
     with _pytest.raises(ValueError, match="append schema"):
         output.to_iceberg(bad, moved, mode="append")
+
+
+def test_to_iceberg_relocated_append_and_schema_history(spark, tmp_path):
+    """Review regressions: (a) appending to a RELOCATED table must
+    rebase the prior snapshots' metadata chains, keeping historical time
+    travel readable at the new location; (b) a schema-changing overwrite
+    retains prior schemas with distinct schema-ids and time travel reads
+    old files through their own schema, not the current one; (c) the
+    metadata carries a name mapping so id-less parquet resolves in
+    spec readers; (d) field ids are never reused across schemas."""
+    import json as _json
+    import os
+
+    from intake_spark import output
+    from intake_spark.lakehouse import IcebergTableReader
+
+    root = str(tmp_path / "tbl")
+    desc1 = output.to_iceberg(
+        spark.createDataFrame([(1, "a")], "id long, s string"), root
+    )
+    snap1 = desc1.metadata["snapshot_id"]
+    moved = str(tmp_path / "moved")
+    os.rename(root, moved)
+
+    output.to_iceberg(
+        spark.createDataFrame([(2, "b")], "id long, s string"),
+        moved,
+        mode="append",
+    )
+    rd = lambda **kw: IcebergTableReader(  # noqa: E731
+        data=dt.IcebergDataset(url=moved)
+    ).read(spark=spark, **kw)
+    assert sorted(r.id for r in rd().collect()) == [1, 2]
+    assert [r.id for r in rd(snapshot_id=snap1).collect()] == [1]
+
+    output.to_iceberg(
+        spark.createDataFrame([(7.5, True)], "x double, ok boolean"),
+        moved,
+        mode="overwrite",
+    )
+    assert sorted(rd().columns) == ["ok", "x"]
+    assert [(r.id, r.s) for r in rd(snapshot_id=snap1).collect()] == [(1, "a")]
+
+    hint = open(os.path.join(moved, "metadata", "version-hint.text")).read()
+    meta = _json.load(
+        open(os.path.join(moved, "metadata", f"v{hint}.metadata.json"))
+    )
+    assert len(meta["schemas"]) == 2 and meta["current-schema-id"] == 1
+    assert "schema.name-mapping.default" in meta["properties"]
+    ids = [f["id"] for s in meta["schemas"] for f in s["fields"]]
+    assert len(ids) == len(set(ids))
