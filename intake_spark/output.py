@@ -1225,7 +1225,8 @@ def _iceberg_schema_fields(schema) -> list[dict]:
         simple = f.dataType.simpleString()
         it = _ICEBERG_TYPES.get(simple)
         if it is None and simple.startswith("decimal("):
-            it = simple.replace("decimal(", "decimal(").replace(",", ", ")
+            # Iceberg spells it "decimal(P, S)" with a space after the comma
+            it = simple.replace(",", ", ")
         if it is None:
             raise ValueError(
                 f"to_iceberg: unsupported column type {simple!r} for "
