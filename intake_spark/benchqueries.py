@@ -635,18 +635,16 @@ def q36_streaming_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
             stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         else:
             # µs file reads as TIMESTAMP_NTZ: naive-epoch *arithmetic*
-            # (timestampdiff on NTZ values) yields the micros directly —
-            # no wall-clock↔zone round-trip, so there is no DST-fold
-            # ambiguity in any session timezone (a cast or convert_timezone
-            # hop resolves the repeated autumn hour to one offset and lands
-            # an hour off for those events).
+            # via FIELD EXTRACTION (ntz_epoch_micros) — no wall-clock↔zone
+            # round-trip, so there is no DST ambiguity in any session
+            # timezone. (timestampdiff on NTZ is NOT safe: Spark coerces
+            # it through the session zone, so a spring-forward-gap wall
+            # clock like 02:30 on the transition day silently shifts an
+            # hour — found by direct measurement under America/New_York.)
+            from intake_spark.session import ntz_epoch_micros
+
             stream = stream.withColumn(
-                "ts",
-                F.timestamp_micros(
-                    F.expr(
-                        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
-                    )
-                ),
+                "ts", F.timestamp_micros(ntz_epoch_micros("ts"))
             )
         _ = batch  # documents the batch-equivalence contract
         agg = (
@@ -1151,10 +1149,16 @@ def q76_event_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
     total order, exact microsecond gap sums (BIGINT), one rounded IEEE
     division for the mean. One exchange on the user key; the window
     ranks per-partition."""
+    from intake_spark.session import ntz_epoch_micros
+
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # gap via two field-extract epoch values, NOT timestampdiff(prev, ts):
+    # timestampdiff coerces NTZ through the session zone, so a gap
+    # straddling a DST transition would differ from the oracle's naive
+    # date_diff under any non-UTC driver session
     gaps = ev.withColumn("prev", F.lag("ts").over(w)).withColumn(
-        "gap_us", F.expr("timestampdiff(MICROSECOND, prev, ts)")
+        "gap_us", ntz_epoch_micros("ts") - ntz_epoch_micros("prev")
     )
     return gaps.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_events"),

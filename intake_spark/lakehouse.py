@@ -91,6 +91,10 @@ def _avro_decode(buf: _Buf, schema, names: dict):
     if isinstance(schema, list):  # union: branch index then value
         return _avro_decode(buf, schema[buf.varlong()], names)
     t = schema["type"]
+    lt = schema.get("logicalType")
+    if lt is not None:
+        raw = _avro_decode(buf, {k: v for k, v in schema.items() if k != "logicalType"}, names)
+        return _avro_logical_value(lt, t, raw, schema)
     if t == "record":
         if schema.get("name"):
             names[schema["name"]] = schema
@@ -129,6 +133,28 @@ def _avro_decode(buf: _Buf, schema, names: dict):
                 out[k] = _avro_decode(buf, schema["values"], names)
         return out
     return _avro_decode(buf, t, names)  # {"type": "string"} wrapper form
+
+
+def _avro_logical_value(lt: str, t: str, raw, schema):
+    """Avro logical-type annotation → typed Python value (spec §Logical
+    Types). Unknown logical types return the raw base value, as the spec
+    directs for readers unaware of an annotation."""
+    import datetime as _dt
+    import decimal as _decimal
+
+    if lt == "date" and t == "int":
+        return _dt.date(1970, 1, 1) + _dt.timedelta(days=raw)
+    if lt in ("timestamp-micros", "timestamp-millis") and t == "long":
+        # UTC instants: keep the raw epoch long (see _avro_to_spark_type)
+        return raw
+    if lt == "local-timestamp-micros" and t == "long":
+        return _dt.datetime(1970, 1, 1) + _dt.timedelta(microseconds=raw)
+    if lt == "local-timestamp-millis" and t == "long":
+        return _dt.datetime(1970, 1, 1) + _dt.timedelta(milliseconds=raw)
+    if lt == "decimal" and t in ("bytes", "fixed"):
+        unscaled = int.from_bytes(raw, "big", signed=True)
+        return _decimal.Decimal(unscaled).scaleb(-int(schema.get("scale", 0)))
+    return raw
 
 
 def _register_names(schema, names: dict):
@@ -273,6 +299,33 @@ def _avro_to_spark_type(schema, names: dict):
             raise ValueError("only [null, X] avro unions are supported")
         return _avro_to_spark_type(branches[0], names)
     t = schema["type"]
+    lt = schema.get("logicalType")
+    if lt is not None:
+        # Avro logical types (spec §Logical Types) — the annotations real
+        # writers (fastavro, Java, spark-avro) put on every date/
+        # timestamp/decimal column; without the mapping they surface as
+        # raw ints/bytes
+        if lt == "date" and t == "int":
+            return T.DateType()
+        if lt in ("timestamp-micros", "timestamp-millis") and t == "long":
+            # UTC-adjusted instants stay LONG through the Arrow hop (a
+            # naive datetime would be re-interpreted in the session
+            # timezone); AvroOCFReader post-converts its TOP-LEVEL
+            # timestamp columns to LTZ via timestamp_micros() JVM-side —
+            # nested ones surface as epoch longs, documented
+            return T.LongType()
+        if (
+            lt in ("local-timestamp-micros", "local-timestamp-millis")
+            and t == "long"
+        ):
+            return T.TimestampNTZType()
+        if lt == "decimal" and t in ("bytes", "fixed"):
+            return T.DecimalType(schema.get("precision", 38), schema.get("scale", 0))
+        if lt == "uuid" and t == "string":
+            return T.StringType()
+        # time-micros/time-millis and unknown logical types: fall through
+        # to the base type (spec: readers unaware of a logical type use
+        # the underlying Avro type)
     if t == "record":
         return T.StructType(
             [
@@ -379,7 +432,31 @@ class AvroOCFReader(BaseReader):
                         [[row.get(c) for c in cols] for row in rows], columns=cols
                     )
 
-        return mdf.mapInPandas(decode, schema=spark_schema)
+        out = mdf.mapInPandas(decode, schema=spark_schema)
+        # top-level UTC-timestamp logical types: convert the epoch longs
+        # to LTZ instants JVM-side (timestamp_micros is timezone-proof;
+        # naive datetimes through Arrow would shift under non-UTC
+        # sessions)
+        from pyspark.sql import functions as F
+
+        sel = []
+        converted = False
+        for fld in schema0["fields"]:
+            ft = fld["type"]
+            if isinstance(ft, list):
+                ft = next((b for b in ft if b != "null"), ft[0])
+            lt = ft.get("logicalType") if isinstance(ft, dict) else None
+            if lt == "timestamp-micros":
+                sel.append(F.timestamp_micros(F.col(fld["name"])).alias(fld["name"]))
+                converted = True
+            elif lt == "timestamp-millis":
+                sel.append(
+                    F.timestamp_micros(F.col(fld["name"]) * 1000).alias(fld["name"])
+                )
+                converted = True
+            else:
+                sel.append(F.col(fld["name"]))
+        return out.select(*sel) if converted else out
 
 
 # --------------------------------------------------------------------------
@@ -959,6 +1036,10 @@ def _avro_encode_datum(schema, value, out: bytearray, names: dict) -> None:
         out += _avro_zz(idx)
         return _avro_encode_datum(branch, value, out, names)
     t = schema["type"]
+    lt = schema.get("logicalType")
+    if lt is not None:
+        base = {k: v for k, v in schema.items() if k != "logicalType"}
+        return _avro_encode_datum(base, _avro_logical_raw(lt, value, schema), out, names)
     if t == "record":
         if schema.get("name"):
             names[schema["name"]] = schema
@@ -990,6 +1071,35 @@ def _avro_encode_datum(schema, value, out: bytearray, names: dict) -> None:
         out += _avro_zz(0)
         return None
     return _avro_encode_datum(t, value, out, names)
+
+
+def _avro_logical_raw(lt: str, value, schema):
+    """Typed Python value → the logical type's raw base value (inverse of
+    :func:`_avro_logical_value`); raw base values pass through."""
+    import datetime as _dt
+    import decimal as _decimal
+
+    if lt == "date":
+        if isinstance(value, _dt.date) and not isinstance(value, _dt.datetime):
+            return (value - _dt.date(1970, 1, 1)).days
+        return value
+    if lt in ("timestamp-micros", "local-timestamp-micros"):
+        if isinstance(value, _dt.datetime):
+            td = value.replace(tzinfo=None) - _dt.datetime(1970, 1, 1)
+            return td // _dt.timedelta(microseconds=1)
+        return value
+    if lt in ("timestamp-millis", "local-timestamp-millis"):
+        if isinstance(value, _dt.datetime):
+            td = value.replace(tzinfo=None) - _dt.datetime(1970, 1, 1)
+            return td // _dt.timedelta(milliseconds=1)
+        return value
+    if lt == "decimal":
+        if isinstance(value, _decimal.Decimal):
+            unscaled = int(value.scaleb(int(schema.get("scale", 0))))
+            nb = max(1, (unscaled.bit_length() + 8) // 8)
+            return unscaled.to_bytes(nb, "big", signed=True)
+        return value
+    return value
 
 
 def write_avro_records(path: str, schema: dict, records: list, meta: dict | None = None) -> None:

@@ -787,10 +787,19 @@ _AVRO_TYPES = {
 from intake_spark.lakehouse import _avro_zz as _avro_zigzag  # noqa: E402
 
 
-def _avro_encode_cell(v, kind: str) -> bytes:
+def _avro_encode_cell(v, kind) -> bytes:
     import math as _math
     import struct as _struct
 
+    if isinstance(kind, tuple) and kind[0] == "dec":
+        # Avro decimal logical type: big-endian two's-complement of the
+        # unscaled integer (value is a decimal.Decimal from Arrow)
+        import decimal as _decimal
+
+        unscaled = int(_decimal.Decimal(v).scaleb(kind[1]))
+        nb = max(1, (unscaled.bit_length() + 8) // 8)
+        b = unscaled.to_bytes(nb, "big", signed=True)
+        return _avro_zigzag(len(b)) + b
     if kind in ("long", "int"):
         return _avro_zigzag(int(v))
     if kind == "double":
@@ -825,10 +834,18 @@ def to_avro(df: DataFrame, url: str, codec: str = "deflate") -> "dt.AVRO":
     stdlib — parity: the spark-avro jar's write path, without the jar;
     round-trips with lakehouse.AvroOCFReader). Every column becomes a
     ["null", T] union (Spark columns are nullable); long/int/double/
-    float/string/boolean/binary supported; ``codec``: "deflate",
-    "snappy" or "null"."""
+    float/string/boolean/binary plus the Avro logical types date /
+    timestamp (timestamp-micros) / timestamp_ntz (local-timestamp-
+    micros) / decimal supported; ``codec``: "deflate", "snappy" or
+    "null".
+
+    Temporal columns are projected to epoch integers ENGINE-side
+    (unix_micros / datediff / NTZ timestampdiff) before the Arrow hop —
+    exact and timezone-proof, where naive datetimes through pandas would
+    shift under non-UTC sessions."""
     import json as _json
 
+    from pyspark.sql import functions as F_
     from pyspark.sql import types as T  # noqa: F401
 
     from intake_spark.session import ensure_py_deps
@@ -836,23 +853,58 @@ def to_avro(df: DataFrame, url: str, codec: str = "deflate") -> "dt.AVRO":
     if codec not in ("deflate", "snappy", "null"):
         raise ValueError("codec must be 'deflate', 'snappy' or 'null'")
     kinds = []
+    avro_fields = []
+    proj = []
     for f_ in df.schema.fields:
         simple = f_.dataType.simpleString()
-        if simple not in _AVRO_TYPES:
-            raise ValueError(
-                f"to_avro: unsupported column type {simple!r} for {f_.name!r} "
-                "(project to long/int/double/float/string/boolean/binary first)"
+        n = f_.name
+        if simple in _AVRO_TYPES:
+            kinds.append(_AVRO_TYPES[simple])
+            avro_fields.append({"name": n, "type": ["null", _AVRO_TYPES[simple]]})
+            proj.append(F_.col(n))
+        elif simple == "date":
+            kinds.append("int")
+            avro_fields.append(
+                {"name": n, "type": ["null", {"type": "int", "logicalType": "date"}]}
             )
-        kinds.append(_AVRO_TYPES[simple])
+            proj.append(F_.datediff(F_.col(n), F_.lit("1970-01-01").cast("date")).alias(n))
+        elif simple == "timestamp":
+            kinds.append("long")
+            avro_fields.append(
+                {"name": n,
+                 "type": ["null", {"type": "long", "logicalType": "timestamp-micros"}]}
+            )
+            proj.append(F_.unix_micros(F_.col(n)).alias(n))
+        elif simple == "timestamp_ntz":
+            kinds.append("long")
+            avro_fields.append(
+                {"name": n,
+                 "type": ["null",
+                          {"type": "long", "logicalType": "local-timestamp-micros"}]}
+            )
+            from intake_spark.session import ntz_epoch_micros
+
+            # field-extract form, NOT timestampdiff: the latter coerces
+            # through the session zone and shifts DST-gap wall clocks
+            proj.append(ntz_epoch_micros(f"`{n}`").alias(n))
+        elif simple.startswith("decimal("):
+            p_, s_ = (int(x) for x in simple[8:-1].split(","))
+            kinds.append(("dec", s_))
+            avro_fields.append(
+                {"name": n,
+                 "type": ["null", {"type": "bytes", "logicalType": "decimal",
+                                   "precision": p_, "scale": s_}]}
+            )
+            proj.append(F_.col(n))
+        else:
+            raise ValueError(
+                f"to_avro: unsupported column type {simple!r} for {n!r} "
+                "(project to primitive/date/timestamp/decimal columns first)"
+            )
+    df = df.select(*proj)
     names = [f_.name for f_ in df.schema.fields]
     schema_json = _json.dumps(
-        {
-            "type": "record",
-            "name": "spark_row",
-            "fields": [
-                {"name": n, "type": ["null", k]} for n, k in zip(names, kinds)
-            ],
-        }
+        {"type": "record", "name": "spark_row", "fields": avro_fields}
     )
     import os as _os
 

@@ -140,3 +140,28 @@ def load_table(spark: SparkSession, sf_dir: str, name: str):
 
 def load_tables(spark: SparkSession, sf_dir: str, names=TABLE_NAMES):
     return {n: load_table(spark, sf_dir, n) for n in names}
+
+
+def ntz_epoch_micros(ref: str):
+    """Naive-epoch microseconds of a TIMESTAMP_NTZ expression via pure
+    FIELD EXTRACTION — timezone-proof by construction. ``ref`` is an SQL
+    fragment (a column name, backquoted if needed, or an expression).
+
+    ``timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01', tn)`` is
+    NOT safe: Spark coerces through the session zone, so a wall-clock
+    value inside a DST spring-forward gap (e.g. 02:30 on the transition
+    day under America/New_York) silently shifts by an hour. Date diff +
+    hour/minute/fractional-second extracts never consult a timezone.
+    The reverse direction (``timestampadd`` of micros onto an NTZ base)
+    is coercion-free and stays the idiom for micros -> NTZ."""
+    from pyspark.sql import functions as F
+
+    r = f"({ref})"
+    # every term goes through BIGINT before its multiply: minute()*6e7 in
+    # INT arithmetic overflows (ANSI raises, legacy wraps)
+    return F.expr(
+        f"CAST(datediff(CAST({r} AS DATE), DATE'1970-01-01') AS BIGINT)"
+        f" * 86400000000 + CAST(hour({r}) AS BIGINT)*3600000000"
+        f" + CAST(minute({r}) AS BIGINT)*60000000"
+        f" + CAST(extract(SECOND FROM {r}) * 1000000 AS BIGINT)"
+    )

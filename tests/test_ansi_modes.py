@@ -63,3 +63,45 @@ def test_ansi_off_matches_oracle_subset():
         capture_output=True, text=True, timeout=420, cwd="/tmp",
     )
     assert "ANSI-OFF-SUBSET-OK" in out.stdout, out.stdout[-2000:] + out.stderr[-2000:]
+
+
+def test_ntz_epoch_micros_dst_gap_non_utc_session():
+    """Regression: timestampdiff(MICROSECOND, NTZ_epoch, tn) coerces NTZ
+    through the SESSION zone — a wall clock inside the DST spring-forward
+    gap (02:30 on 2021-03-14 under America/New_York) silently shifted an
+    hour. ntz_epoch_micros uses pure field extraction; the round trip
+    through timestampadd must be identity in any session timezone."""
+    script = textwrap.dedent(
+        """
+        import sys
+        sys.path.insert(0, "/root/repo")
+        import datetime
+        from pyspark.sql import SparkSession, functions as F
+        from intake_spark.session import ntz_epoch_micros
+        spark = (SparkSession.builder.master("local[2]")
+                 .config("spark.sql.session.timeZone", "America/New_York")
+                 .config("spark.ui.enabled", "false").getOrCreate())
+        spark.sparkContext.setLogLevel("ERROR")
+        vals = [datetime.datetime(2021, 3, 14, 2, 30, 45, 123456),  # DST gap
+                datetime.datetime(2021, 11, 7, 1, 30, 0),           # DST fold
+                datetime.datetime(1969, 12, 31, 23, 0, 0, 500000)]  # pre-epoch
+        df = spark.createDataFrame([(v,) for v in vals], "tn timestamp_ntz")
+        out = df.select(
+            "tn",
+            F.timestamp_micros(F.lit(0)).alias("_x"),  # force analysis
+            ntz_epoch_micros("tn").alias("m"),
+        ).withColumn(
+            "rt",
+            F.expr("timestampadd(MICROSECOND, m, "
+                   "TIMESTAMP_NTZ '1970-01-01 00:00:00')"),
+        ).collect()
+        for r in out:
+            assert r.rt == r.tn, (r.tn, r.rt)
+        print("NTZ-DST-OK")
+        """
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", script],
+        capture_output=True, text=True, timeout=300, cwd="/tmp",
+    )
+    assert "NTZ-DST-OK" in out.stdout, out.stdout[-1500:] + out.stderr[-1500:]

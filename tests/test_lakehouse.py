@@ -1005,3 +1005,73 @@ def test_to_iceberg_relocated_append_and_schema_history(spark, tmp_path):
     assert "schema.name-mapping.default" in meta["properties"]
     ids = [f["id"] for s in meta["schemas"] for f in s["fields"]]
     assert len(ids) == len(set(ids))
+
+
+def test_avro_logical_types_roundtrip(spark, tmp_path):
+    """Avro logical types both directions: to_avro writes date /
+    timestamp-micros / local-timestamp-micros / decimal annotations
+    (temporal columns projected to epoch ints ENGINE-side — tz-proof);
+    AvroOCFReader maps them back to date/timestamp/timestamp_ntz/decimal
+    Spark types with exact values, nulls preserved."""
+    import datetime
+    import decimal
+
+    from intake_spark import output
+    from intake_spark.lakehouse import AvroOCFReader
+
+    rows = [
+        (1, datetime.date(2021, 3, 14),
+         datetime.datetime(2021, 3, 14, 6, 30, 0, 123456),
+         datetime.datetime(2021, 3, 14, 2, 30, 0),
+         decimal.Decimal("12345.6789")),
+        (2, None, None, None, None),
+        (3, datetime.date(1969, 7, 20),          # pre-1970
+         datetime.datetime(1969, 7, 20, 20, 17, 40),
+         datetime.datetime(1969, 7, 20, 20, 17, 40),
+         decimal.Decimal("-0.0001")),
+    ]
+    df = spark.createDataFrame(
+        rows, "id long, d date, ts timestamp, tn timestamp_ntz, dec decimal(18,4)"
+    )
+    url = str(tmp_path / "av_logical")
+    out = output.to_avro(df, url, codec="snappy")
+    back = AvroOCFReader(data=out).read(spark=spark)
+    assert dict(back.dtypes) == {
+        "id": "bigint", "d": "date", "ts": "timestamp",
+        "tn": "timestamp_ntz", "dec": "decimal(18,4)",
+    }
+    got = {r.id: r for r in back.collect()}
+    src = {r.id: r for r in df.collect()}
+    for i in (1, 2, 3):
+        for c in ("d", "ts", "tn", "dec"):
+            assert got[i][c] == src[i][c], (i, c, got[i][c], src[i][c])
+
+
+def test_avro_foreign_logical_annotations_decode(tmp_path):
+    """A file whose schema carries logicalType annotations with RAW base
+    values (what fastavro/Java emit) decodes to typed values: date,
+    local timestamps, decimal; UTC timestamp-micros stays an epoch long
+    by design (converted JVM-side by the reader, tz-proof)."""
+    import datetime
+    import decimal
+
+    schema = {
+        "type": "record", "name": "E",
+        "fields": [
+            {"name": "d", "type": {"type": "int", "logicalType": "date"}},
+            {"name": "t", "type": {"type": "long", "logicalType": "timestamp-micros"}},
+            {"name": "l", "type": {"type": "long",
+                                   "logicalType": "local-timestamp-millis"}},
+            {"name": "x", "type": {"type": "bytes", "logicalType": "decimal",
+                                   "precision": 10, "scale": 2}},
+        ],
+    }
+    recs = [{"d": 18700, "t": 1615703400123456, "l": 86400000 + 1500,
+             "x": (-12345).to_bytes(2, "big", signed=True)}]
+    p = str(tmp_path / "foreign.avro")
+    write_avro(p, schema, recs)
+    out = decode_avro_file(p)[0]
+    assert out["d"] == datetime.date(1970, 1, 1) + datetime.timedelta(days=18700)
+    assert out["t"] == 1615703400123456  # UTC instant: raw long by design
+    assert out["l"] == datetime.datetime(1970, 1, 2, 0, 0, 1, 500000)
+    assert out["x"] == decimal.Decimal("-123.45")
