@@ -105,3 +105,52 @@ def test_ntz_epoch_micros_dst_gap_non_utc_session():
         capture_output=True, text=True, timeout=300, cwd="/tmp",
     )
     assert "NTZ-DST-OK" in out.stdout, out.stdout[-1500:] + out.stderr[-1500:]
+
+
+def test_non_utc_session_matches_oracle_time_subset():
+    """The driver's session timezone is unknown; every time-bearing query
+    must be oracle-identical under a non-UTC session. A full manual
+    103-query sweep under America/New_York found zero divergences after
+    the ntz_epoch_micros fix; this pins the time-heavy subset."""
+    script = textwrap.dedent(
+        """
+        import sys
+        sys.path.insert(0, "/root/repo")
+        import __spark_entry__ as m
+        from pyspark.sql import SparkSession
+        spark = (SparkSession.builder.master("local[4]")
+                 .config("spark.sql.session.timeZone", "America/New_York")
+                 .config("spark.sql.shuffle.partitions", "8")
+                 .config("spark.ui.enabled", "false").getOrCreate())
+        spark.sparkContext.setLogLevel("ERROR")
+        qs, os_ = m.queries(), m.oracle_sql()
+        import duckdb
+        con = duckdb.connect()
+        for t in ("region nation customer supplier part orders lineitem "
+                  "events documents embeddings").split():
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"'/root/testdata/sf0.01/{t}.parquet'")
+        NAMES = ["q17_hourly_windows", "q36_streaming_hourly",
+                 "q46_sessionize", "q76_event_deltas", "q11_date_accessors",
+                 "q78_retention_cohort"]
+        for name in NAMES:
+            sdf = qs[name](spark, "/root/testdata/sf0.01").toPandas()
+            odf = con.sql(os_[name]).df()
+            assert len(sdf) == len(odf), (name, len(sdf), len(odf))
+            cols = sorted(sdf.columns)
+            assert cols == sorted(odf.columns), name
+            a = sdf[cols].sort_values(cols).reset_index(drop=True)
+            b = odf[cols].sort_values(cols).reset_index(drop=True)
+            for c in cols:
+                av, bv = a[c], b[c]
+                assert (av.isna() == bv.isna()).all(), (name, c)
+                assert (av.dropna().astype(str).values
+                        == bv.dropna().astype(str).values).all(), (name, c)
+        print("NY-SUBSET-OK")
+        """
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", script],
+        capture_output=True, text=True, timeout=420, cwd="/tmp",
+    )
+    assert "NY-SUBSET-OK" in out.stdout, out.stdout[-2000:] + out.stderr[-2000:]
