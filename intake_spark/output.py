@@ -787,10 +787,90 @@ _AVRO_TYPES = {
 from intake_spark.lakehouse import _avro_zz as _avro_zigzag  # noqa: E402
 
 
+def _spark_to_avro_nested(dt_, name: str):
+    """Spark nested type → Avro schema (primitive leaves only; every
+    nullable level becomes a ["null", X] union). Record names derive
+    from the column path for uniqueness."""
+    from pyspark.sql import types as T
+
+    simple = dt_.simpleString()
+    if simple in _AVRO_TYPES:
+        return _AVRO_TYPES[simple]
+    if isinstance(dt_, T.ArrayType):
+        elem = _spark_to_avro_nested(dt_.elementType, f"{name}_item")
+        return {
+            "type": "array",
+            "items": ["null", elem] if dt_.containsNull else elem,
+        }
+    if isinstance(dt_, T.MapType):
+        if not isinstance(dt_.keyType, T.StringType):
+            raise ValueError(
+                f"to_avro: map column {name!r} needs string keys (Avro maps)"
+            )
+        val = _spark_to_avro_nested(dt_.valueType, f"{name}_value")
+        return {
+            "type": "map",
+            "values": ["null", val] if dt_.valueContainsNull else val,
+        }
+    if isinstance(dt_, T.StructType):
+        return {
+            "type": "record",
+            "name": f"r_{name}",
+            "fields": [
+                {
+                    "name": f.name,
+                    "type": ["null", _spark_to_avro_nested(f.dataType, f"{name}_{f.name}")],
+                }
+                for f in dt_.fields
+            ],
+        }
+    raise ValueError(
+        f"to_avro: unsupported nested type {simple!r} in column {name!r}"
+    )
+
+
+def _norm_nested(v, sch):
+    """pandas/Arrow value shapes → the plain Python shapes the generic
+    Avro encoder consumes (ndarray→list, map tuple-list→dict, Row→dict),
+    recursively per schema."""
+    import pandas as pd_
+
+    if v is None or v is pd_.NaT or (isinstance(v, float) and v != v):
+        return None
+    if isinstance(sch, list):
+        inner = next(s for s in sch if s != "null")
+        return _norm_nested(v, inner)
+    if isinstance(sch, str):
+        if isinstance(v, (bytearray, memoryview)):
+            return bytes(v)
+        item = getattr(v, "item", None)  # numpy scalar → python scalar
+        return item() if item is not None and getattr(v, "ndim", 1) == 0 else v
+    t = sch["type"]
+    if t == "array":
+        items = v.tolist() if hasattr(v, "tolist") else list(v)
+        return [_norm_nested(x, sch["items"]) for x in items]
+    if t == "map":
+        kv = v if isinstance(v, dict) else dict(v)
+        return {str(k): _norm_nested(x, sch["values"]) for k, x in kv.items()}
+    if t == "record":
+        d = v.asDict() if hasattr(v, "asDict") else dict(v)
+        return {
+            f["name"]: _norm_nested(d.get(f["name"]), f["type"])
+            for f in sch["fields"]
+        }
+    return v
+
+
 def _avro_encode_cell(v, kind) -> bytes:
     import math as _math
     import struct as _struct
 
+    if isinstance(kind, tuple) and kind[0] == "nested":
+        from intake_spark.lakehouse import _avro_encode_datum
+
+        out = bytearray()
+        _avro_encode_datum(kind[1], _norm_nested(v, kind[1]), out, {})
+        return bytes(out)
     if isinstance(kind, tuple) and kind[0] == "dec":
         # Avro decimal logical type: big-endian two's-complement of the
         # unscaled integer (value is a decimal.Decimal from Arrow)
@@ -896,10 +976,16 @@ def to_avro(df: DataFrame, url: str, codec: str = "deflate") -> "dt.AVRO":
                                    "precision": p_, "scale": s_}]}
             )
             proj.append(F_.col(n))
+        elif simple.startswith(("array<", "map<", "struct<")):
+            nested = _spark_to_avro_nested(f_.dataType, n)
+            kinds.append(("nested", nested))
+            avro_fields.append({"name": n, "type": ["null", nested]})
+            proj.append(F_.col(n))
         else:
             raise ValueError(
                 f"to_avro: unsupported column type {simple!r} for {n!r} "
-                "(project to primitive/date/timestamp/decimal columns first)"
+                "(project to primitive/date/timestamp/decimal/array/map/"
+                "struct columns first)"
             )
     df = df.select(*proj)
     names = [f_.name for f_ in df.schema.fields]

@@ -350,8 +350,11 @@ def test_avro_sink_roundtrips_with_ocf_reader(spark, tmp_path):
 
     import pytest as _pytest
 
-    with _pytest.raises(ValueError, match="unsupported column type"):
-        output.to_avro(df.selectExpr("array(id) AS a"), str(tmp_path / "bad"))
+    # nested columns are supported now; Avro maps need STRING keys
+    with _pytest.raises(ValueError, match="string keys"):
+        output.to_avro(
+            df.selectExpr("map(id, id) AS m"), str(tmp_path / "bad")
+        )
 
 
 def test_msgpack_sink_roundtrips_with_reader(spark, tmp_path):
@@ -551,3 +554,34 @@ def test_to_avro_snappy_roundtrip(spark, tmp_path):
     back = {r.id: r for r in AvroOCFReader(data=desc).read(spark=spark).collect()}
     assert len(back) == 50
     assert back[7].name == "name7" * 10 and back[7].score == 1.75
+
+
+def test_to_avro_nested_columns_roundtrip(spark, tmp_path):
+    """array / map / struct columns write through the generic Avro
+    encoder (["null", X] unions at every nullable level) and round-trip
+    with AvroOCFReader — element nulls, empty containers and NULL
+    containers all preserved."""
+    from intake_spark import output
+    from intake_spark.lakehouse import AvroOCFReader
+
+    df = spark.createDataFrame(
+        [
+            (1, [1, 2, None], {"a": 1.5}, ("x", 7)),
+            (2, [], {}, (None, None)),
+            (3, None, None, None),
+        ],
+        "id long, arr array<int>, m map<string,double>, st struct<s:string,k:long>",
+    )
+    out = output.to_avro(df, str(tmp_path / "nested_avro"), codec="snappy")
+    back = AvroOCFReader(data=out).read(spark=spark)
+    assert dict(back.dtypes) == {
+        "id": "bigint", "arr": "array<int>", "m": "map<string,double>",
+        "st": "struct<s:string,k:bigint>",
+    }
+    got = {r.id: r for r in back.collect()}
+    assert list(got[1].arr) == [1, 2, None]
+    assert dict(got[1].m) == {"a": 1.5}
+    assert (got[1].st.s, got[1].st.k) == ("x", 7)
+    assert list(got[2].arr) == [] and dict(got[2].m) == {}
+    assert got[2].st.s is None and got[2].st.k is None
+    assert got[3].arr is None and got[3].m is None and got[3].st is None
