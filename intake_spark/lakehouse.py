@@ -93,7 +93,23 @@ def _avro_decode(buf: _Buf, schema, names: dict):
     t = schema["type"]
     lt = schema.get("logicalType")
     if lt is not None:
-        raw = _avro_decode(buf, {k: v for k, v in schema.items() if k != "logicalType"}, names)
+        # register the FULL annotated schema for by-name references, and
+        # strip the name from the decode copy — recursing with a named
+        # stripped copy would overwrite the registration, so a later
+        # reference to a named fixed decimal would decode as raw bytes
+        if schema.get("name"):
+            names[schema["name"]] = schema
+        # cache the stripped copy in `names` under a reserved key (\x00
+        # can't collide with Avro names): the strip would otherwise run
+        # once per VALUE in the executor decode loop
+        ck = "\x00strip:%d" % id(schema)
+        base = names.get(ck)
+        if base is None:
+            base = {
+                k: v for k, v in schema.items() if k not in ("logicalType", "name")
+            }
+            names[ck] = base
+        raw = _avro_decode(buf, base, names)
         return _avro_logical_value(lt, t, raw, schema)
     if t == "record":
         if schema.get("name"):
@@ -135,12 +151,42 @@ def _avro_decode(buf: _Buf, schema, names: dict):
     return _avro_decode(buf, t, names)  # {"type": "string"} wrapper form
 
 
+def _dec_to_unscaled(v, scale: int) -> int:
+    """decimal.Decimal → exact unscaled integer at ``scale`` — via digit
+    arithmetic, NOT ``scaleb`` (whose result is rounded to the active
+    context's 28-digit default precision: silent corruption for any
+    decimal with more significant digits, while schemas advertise up to
+    38)."""
+    sign, digits, exp = v.as_tuple()
+    unscaled = int("".join(map(str, digits)) or "0")
+    shift = exp + scale
+    if shift >= 0:
+        unscaled *= 10 ** shift
+    else:
+        q = 10 ** (-shift)
+        if unscaled % q:
+            raise ValueError(
+                f"decimal {v} has more fractional digits than scale {scale}"
+            )
+        unscaled //= q
+    return -unscaled if sign else unscaled
+
+
+def _unscaled_to_dec(unscaled: int, scale: int):
+    """Exact inverse of :func:`_dec_to_unscaled` (context-independent)."""
+    import decimal as _decimal
+
+    sign = 0 if unscaled >= 0 else 1
+    digits = tuple(int(c) for c in str(abs(unscaled)))
+    return _decimal.Decimal((sign, digits, -scale))
+
+
 def _avro_logical_value(lt: str, t: str, raw, schema):
     """Avro logical-type annotation → typed Python value (spec §Logical
     Types). Unknown logical types return the raw base value, as the spec
     directs for readers unaware of an annotation."""
     import datetime as _dt
-    import decimal as _decimal
+    import decimal as _decimal  # noqa: F401
 
     if lt == "date" and t == "int":
         return _dt.date(1970, 1, 1) + _dt.timedelta(days=raw)
@@ -153,7 +199,7 @@ def _avro_logical_value(lt: str, t: str, raw, schema):
         return _dt.datetime(1970, 1, 1) + _dt.timedelta(milliseconds=raw)
     if lt == "decimal" and t in ("bytes", "fixed"):
         unscaled = int.from_bytes(raw, "big", signed=True)
-        return _decimal.Decimal(unscaled).scaleb(-int(schema.get("scale", 0)))
+        return _unscaled_to_dec(unscaled, int(schema.get("scale", 0)))
     return raw
 
 
@@ -348,6 +394,19 @@ def _avro_to_spark_type(schema, names: dict):
     return _avro_to_spark_type(t, names)
 
 
+def _avro_logical_fingerprint(schema: dict) -> list:
+    """(field name, top-level logicalType) pairs — the annotation signal
+    the Spark-type comparison erases (timestamp-micros/millis → long)."""
+    out = []
+    for f in schema.get("fields", []) or []:
+        ft = f.get("type")
+        if isinstance(ft, list):
+            ft = next((b for b in ft if b != "null"), None)
+        lt = ft.get("logicalType") if isinstance(ft, dict) else None
+        out.append((f.get("name"), lt))
+    return out
+
+
 class AvroOCFReader(BaseReader):
     """Avro object container file(s) → DataFrame, stdlib-only (parity:
     SparkAvro, reference readers.py:536, which needs the spark-avro jar).
@@ -393,10 +452,17 @@ class AvroOCFReader(BaseReader):
                 # schema evolution across part files: every file decodes
                 # with its OWN writer schema (field boundaries differ!);
                 # the column set/types must still agree or the scan would
-                # silently misalign
+                # silently misalign. Spark types alone don't suffice: the
+                # UTC-timestamp logical types map to LongType, so a plain
+                # long column in one file would silently receive the
+                # timestamp_micros post-conversion — compare the
+                # top-level logicalType fingerprint too.
                 n2: dict = {}
                 _register_names(schema, n2)
-                if _avro_to_spark_type(schema, n2) != spark_schema:
+                if _avro_to_spark_type(schema, n2) != spark_schema or (
+                    _avro_logical_fingerprint(schema)
+                    != _avro_logical_fingerprint(schema0)
+                ):
                     raise ValueError(
                         f"avro file {p} has an incompatible writer schema; "
                         "read evolved files separately and unionByName them"
@@ -1038,7 +1104,12 @@ def _avro_encode_datum(schema, value, out: bytearray, names: dict) -> None:
     t = schema["type"]
     lt = schema.get("logicalType")
     if lt is not None:
-        base = {k: v for k, v in schema.items() if k != "logicalType"}
+        # same name-preservation rule as the decode side
+        if schema.get("name"):
+            names[schema["name"]] = schema
+        base = {
+            k: v for k, v in schema.items() if k not in ("logicalType", "name")
+        }
         return _avro_encode_datum(base, _avro_logical_raw(lt, value, schema), out, names)
     if t == "record":
         if schema.get("name"):
@@ -1083,19 +1154,32 @@ def _avro_logical_raw(lt: str, value, schema):
         if isinstance(value, _dt.date) and not isinstance(value, _dt.datetime):
             return (value - _dt.date(1970, 1, 1)).days
         return value
-    if lt in ("timestamp-micros", "local-timestamp-micros"):
+    if lt in (
+        "timestamp-micros", "timestamp-millis",
+        "local-timestamp-micros", "local-timestamp-millis",
+    ):
         if isinstance(value, _dt.datetime):
-            td = value.replace(tzinfo=None) - _dt.datetime(1970, 1, 1)
-            return td // _dt.timedelta(microseconds=1)
-        return value
-    if lt in ("timestamp-millis", "local-timestamp-millis"):
-        if isinstance(value, _dt.datetime):
-            td = value.replace(tzinfo=None) - _dt.datetime(1970, 1, 1)
-            return td // _dt.timedelta(milliseconds=1)
+            if value.tzinfo is not None:
+                if lt.startswith("local-"):
+                    raise ValueError(
+                        f"{lt} takes naive wall-clock datetimes; got an "
+                        "aware value (strip or convert the zone first)"
+                    )
+                # timestamp-* are UTC-adjusted instants: CONVERT aware
+                # values to UTC (dropping tzinfo directly would shift the
+                # instant by the value's UTC offset)
+                value = value.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+            td = value - _dt.datetime(1970, 1, 1)
+            unit = (
+                _dt.timedelta(microseconds=1)
+                if lt.endswith("micros")
+                else _dt.timedelta(milliseconds=1)
+            )
+            return td // unit
         return value
     if lt == "decimal":
         if isinstance(value, _decimal.Decimal):
-            unscaled = int(value.scaleb(int(schema.get("scale", 0))))
+            unscaled = _dec_to_unscaled(value, int(schema.get("scale", 0)))
             nb = max(1, (unscaled.bit_length() + 8) // 8)
             return unscaled.to_bytes(nb, "big", signed=True)
         return value

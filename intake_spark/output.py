@@ -787,17 +787,23 @@ _AVRO_TYPES = {
 from intake_spark.lakehouse import _avro_zz as _avro_zigzag  # noqa: E402
 
 
-def _spark_to_avro_nested(dt_, name: str):
+def _spark_to_avro_nested(dt_, name: str, used: set | None = None):
     """Spark nested type → Avro schema (primitive leaves only; every
     nullable level becomes a ["null", X] union). Record names derive
-    from the column path for uniqueness."""
+    from the column path, sanitized to Avro's [A-Za-z_][A-Za-z0-9_]*
+    rule and de-duplicated via ``used`` — underscore-joined paths can
+    collide ('a'.'b_c' vs 'a_b'.'c') and raw column names may carry
+    characters fastavro/Java reject."""
+    import re as _re
+
     from pyspark.sql import types as T
 
+    used = used if used is not None else set()
     simple = dt_.simpleString()
     if simple in _AVRO_TYPES:
         return _AVRO_TYPES[simple]
     if isinstance(dt_, T.ArrayType):
-        elem = _spark_to_avro_nested(dt_.elementType, f"{name}_item")
+        elem = _spark_to_avro_nested(dt_.elementType, f"{name}_item", used)
         return {
             "type": "array",
             "items": ["null", elem] if dt_.containsNull else elem,
@@ -807,19 +813,31 @@ def _spark_to_avro_nested(dt_, name: str):
             raise ValueError(
                 f"to_avro: map column {name!r} needs string keys (Avro maps)"
             )
-        val = _spark_to_avro_nested(dt_.valueType, f"{name}_value")
+        val = _spark_to_avro_nested(dt_.valueType, f"{name}_value", used)
         return {
             "type": "map",
             "values": ["null", val] if dt_.valueContainsNull else val,
         }
     if isinstance(dt_, T.StructType):
+        base = "r_" + _re.sub(r"[^A-Za-z0-9_]", "_", name)
+        if base[0].isdigit():
+            base = "_" + base
+        rec_name = base
+        k = 2
+        while rec_name in used:
+            rec_name = f"{base}_{k}"
+            k += 1
+        used.add(rec_name)
         return {
             "type": "record",
-            "name": f"r_{name}",
+            "name": rec_name,
             "fields": [
                 {
                     "name": f.name,
-                    "type": ["null", _spark_to_avro_nested(f.dataType, f"{name}_{f.name}")],
+                    "type": [
+                        "null",
+                        _spark_to_avro_nested(f.dataType, f"{name}_{f.name}", used),
+                    ],
                 }
                 for f in dt_.fields
             ],
@@ -835,7 +853,21 @@ def _norm_nested(v, sch):
     recursively per schema."""
     import pandas as pd_
 
-    if v is None or v is pd_.NaT or (isinstance(v, float) and v != v):
+    if v is None or v is pd_.NaT:
+        return None
+    if isinstance(v, float) and v != v:
+        # NaN: pandas can't distinguish element NULL from a genuine NaN
+        # double, so nullable slots null it (matching the top-level
+        # column convention); NON-nullable float slots keep NaN (a legal
+        # Avro double value — None would crash struct.pack downstream)
+        base = sch
+        if isinstance(sch, list):
+            if "null" in sch:
+                return None
+            base = next(s for s in sch if s != "null")
+        bt = base if isinstance(base, str) else base.get("type")
+        if bt in ("double", "float"):
+            return v
         return None
     if isinstance(sch, list):
         inner = next(s for s in sch if s != "null")
@@ -873,10 +905,13 @@ def _avro_encode_cell(v, kind) -> bytes:
         return bytes(out)
     if isinstance(kind, tuple) and kind[0] == "dec":
         # Avro decimal logical type: big-endian two's-complement of the
-        # unscaled integer (value is a decimal.Decimal from Arrow)
+        # EXACT unscaled integer (shared digit-arithmetic conversion —
+        # Decimal.scaleb rounds to the 28-digit context default)
         import decimal as _decimal
 
-        unscaled = int(_decimal.Decimal(v).scaleb(kind[1]))
+        from intake_spark.lakehouse import _dec_to_unscaled
+
+        unscaled = _dec_to_unscaled(_decimal.Decimal(v), kind[1])
         nb = max(1, (unscaled.bit_length() + 8) // 8)
         b = unscaled.to_bytes(nb, "big", signed=True)
         return _avro_zigzag(len(b)) + b
@@ -935,26 +970,36 @@ def to_avro(df: DataFrame, url: str, codec: str = "deflate") -> "dt.AVRO":
     kinds = []
     avro_fields = []
     proj = []
-    for f_ in df.schema.fields:
+    used_names: set[str] = set()
+    # POSITIONAL rename before any by-name projection: F.col/df[...]
+    # parse dots as struct access, so a column literally named "user.id"
+    # (which the previous positional write path handled fine) would fail
+    # to resolve — _c<i> temporaries sidestep name parsing entirely; the
+    # Avro schema keeps the original names
+    safe_names = [f"_c{i}" for i in range(len(df.schema.fields))]
+    sdf = df.toDF(*safe_names)
+    for i, f_ in enumerate(df.schema.fields):
         simple = f_.dataType.simpleString()
         n = f_.name
+        sn = safe_names[i]
+        c = F_.col(sn)
         if simple in _AVRO_TYPES:
             kinds.append(_AVRO_TYPES[simple])
             avro_fields.append({"name": n, "type": ["null", _AVRO_TYPES[simple]]})
-            proj.append(F_.col(n))
+            proj.append(c)
         elif simple == "date":
             kinds.append("int")
             avro_fields.append(
                 {"name": n, "type": ["null", {"type": "int", "logicalType": "date"}]}
             )
-            proj.append(F_.datediff(F_.col(n), F_.lit("1970-01-01").cast("date")).alias(n))
+            proj.append(F_.datediff(c, F_.lit("1970-01-01").cast("date")).alias(sn))
         elif simple == "timestamp":
             kinds.append("long")
             avro_fields.append(
                 {"name": n,
                  "type": ["null", {"type": "long", "logicalType": "timestamp-micros"}]}
             )
-            proj.append(F_.unix_micros(F_.col(n)).alias(n))
+            proj.append(F_.unix_micros(c).alias(sn))
         elif simple == "timestamp_ntz":
             kinds.append("long")
             avro_fields.append(
@@ -966,29 +1011,28 @@ def to_avro(df: DataFrame, url: str, codec: str = "deflate") -> "dt.AVRO":
 
             # field-extract form, NOT timestampdiff: the latter coerces
             # through the session zone and shifts DST-gap wall clocks
-            proj.append(ntz_epoch_micros(f"`{n}`").alias(n))
-        elif simple.startswith("decimal("):
-            p_, s_ = (int(x) for x in simple[8:-1].split(","))
-            kinds.append(("dec", s_))
+            proj.append(ntz_epoch_micros(sn).alias(sn))
+        elif isinstance(f_.dataType, T.DecimalType):
+            kinds.append(("dec", f_.dataType.scale))
             avro_fields.append(
                 {"name": n,
                  "type": ["null", {"type": "bytes", "logicalType": "decimal",
-                                   "precision": p_, "scale": s_}]}
+                                   "precision": f_.dataType.precision,
+                                   "scale": f_.dataType.scale}]}
             )
-            proj.append(F_.col(n))
+            proj.append(c)
         elif simple.startswith(("array<", "map<", "struct<")):
-            nested = _spark_to_avro_nested(f_.dataType, n)
+            nested = _spark_to_avro_nested(f_.dataType, n, used_names)
             kinds.append(("nested", nested))
             avro_fields.append({"name": n, "type": ["null", nested]})
-            proj.append(F_.col(n))
+            proj.append(c)
         else:
             raise ValueError(
                 f"to_avro: unsupported column type {simple!r} for {n!r} "
                 "(project to primitive/date/timestamp/decimal/array/map/"
                 "struct columns first)"
             )
-    df = df.select(*proj)
-    names = [f_.name for f_ in df.schema.fields]
+    df = sdf.select(*proj)
     schema_json = _json.dumps(
         {"type": "record", "name": "spark_row", "fields": avro_fields}
     )

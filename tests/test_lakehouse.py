@@ -1075,3 +1075,111 @@ def test_avro_foreign_logical_annotations_decode(tmp_path):
     assert out["t"] == 1615703400123456  # UTC instant: raw long by design
     assert out["l"] == datetime.datetime(1970, 1, 2, 0, 0, 1, 500000)
     assert out["x"] == decimal.Decimal("-123.45")
+
+
+def test_avro_decimal_38_digits_exact(spark, tmp_path):
+    """Regression: Decimal.scaleb rounds to the 28-digit context default,
+    silently corrupting decimals with more significant digits; the digit-
+    arithmetic conversion keeps all 38 advertised digits exact, both
+    directions."""
+    import decimal
+
+    from intake_spark import output
+    from intake_spark.lakehouse import AvroOCFReader, _dec_to_unscaled, _unscaled_to_dec
+
+    big = decimal.Decimal("123456789012345678901234567890.12345678")
+    assert _dec_to_unscaled(big, 8) == 12345678901234567890123456789012345678
+    assert _unscaled_to_dec(10**37 + 1, 2) == decimal.Decimal(10**37 + 1).scaleb(
+        -2, decimal.Context(prec=60)
+    )
+
+    df = spark.createDataFrame([(1, big)], "id long, x decimal(38,8)")
+    out = output.to_avro(df, str(tmp_path / "bigdec"), codec="null")
+    back = AvroOCFReader(data=out).read(spark=spark).collect()
+    assert back[0].x == big
+
+
+def test_avro_named_fixed_decimal_reference(tmp_path):
+    """Regression: decoding a named fixed decimal registered the
+    logicalType-STRIPPED copy, so a later by-name reference decoded as
+    raw bytes instead of Decimal."""
+    import decimal
+
+    schema = {
+        "type": "record", "name": "E",
+        "fields": [
+            {"name": "a", "type": {"type": "fixed", "name": "dec8", "size": 8,
+                                   "logicalType": "decimal", "precision": 18,
+                                   "scale": 2}},
+            {"name": "b", "type": "dec8"},  # by-name reference
+        ],
+    }
+    recs = [{"a": (12345).to_bytes(8, "big", signed=True),
+             "b": (-777).to_bytes(8, "big", signed=True)}]
+    p = str(tmp_path / "fixdec.avro")
+    # product OCF writer (the test-side _enc helper doesn't register
+    # named fixed types); the regression target is the DECODE side
+    from intake_spark.lakehouse import write_avro_records
+
+    write_avro_records(p, schema, recs)
+    out = decode_avro_file(p)[0]
+    assert out["a"] == decimal.Decimal("123.45")
+    assert out["b"] == decimal.Decimal("-7.77")
+
+
+def test_to_avro_dotted_column_and_nan_array(spark, tmp_path):
+    """Regressions: (a) a column literally named 'user.id' must write
+    (bare F.col parses it as struct access); (b) NaN inside a
+    non-nullable double array stays NaN (None crashed struct.pack);
+    nullable slots null it, matching the top-level convention."""
+    import math
+
+    from pyspark.sql import types as T
+
+    from intake_spark import output
+    from intake_spark.lakehouse import AvroOCFReader
+
+    schema = T.StructType(
+        [
+            T.StructField("user.id", T.LongType()),
+            T.StructField(
+                "xs", T.ArrayType(T.DoubleType(), containsNull=False)
+            ),
+        ]
+    )
+    df = spark.createDataFrame([(7, [1.0, float("nan")])], schema)
+    out = output.to_avro(df, str(tmp_path / "dotted"), codec="null")
+    back = AvroOCFReader(data=out).read(spark=spark).collect()
+    assert back[0]["user.id"] == 7
+    # the FILE carries the NaN exactly (None would have crashed
+    # struct.pack in the writer); the Spark read-back maps array-element
+    # NaN to NULL in the pandas→Arrow hop — an engine-wide Arrow
+    # behavior, asserted at the file level here
+    import glob as _glob
+
+    from intake_spark.lakehouse import decode_avro_file
+
+    f = _glob.glob(str(tmp_path / "dotted") + "/*.avro")[0]
+    xs = decode_avro_file(f)[0]["xs"]
+    assert xs[0] == 1.0 and math.isnan(xs[1])
+
+
+def test_write_avro_records_aware_datetime_utc(tmp_path):
+    """Regression: aware datetimes dropped tzinfo (shifting the instant
+    by the UTC offset); they now convert to UTC first."""
+    import datetime
+
+    from intake_spark.lakehouse import decode_avro_file, write_avro_records
+
+    schema = {
+        "type": "record", "name": "E",
+        "fields": [{"name": "t",
+                    "type": {"type": "long", "logicalType": "timestamp-micros"}}],
+    }
+    tz5 = datetime.timezone(datetime.timedelta(hours=5))
+    aware = datetime.datetime(2021, 1, 1, 12, 0, tzinfo=tz5)  # 07:00 UTC
+    p = str(tmp_path / "aware.avro")
+    write_avro_records(p, schema, [{"t": aware}])
+    out = decode_avro_file(p)[0]
+    assert out["t"] == int(datetime.datetime(2021, 1, 1, 7, 0)
+                           .timestamp() * 0 + 1609484400000000)
