@@ -1027,6 +1027,7 @@ class IcebergTableReader(BaseReader):
             m["manifest_path"] for m in decode_avro_file(local(snap["manifest-list"]))
         ]
         files: list[str] = []
+        fparts: dict[str, dict] = {}  # file -> identity partition tuple
         for mp in manifests:
             for entry in decode_avro_file(local(mp)):
                 if entry.get("status") == 2:  # DELETED entry
@@ -1036,13 +1037,83 @@ class IcebergTableReader(BaseReader):
                     raise ValueError(
                         "Iceberg delete files (position/equality) not supported"
                     )
-                files.append(local(df_["file_path"]))
+                lp = local(df_["file_path"])
+                files.append(lp)
+                if df_.get("partition"):
+                    fparts[lp] = df_["partition"]
         self.data.metadata.update(
             {"snapshot_id": snap_id, "n_files": len(files), "metadata_file": meta_path}
         )
         if not files:
             return spark.createDataFrame([], spark_schema)
-        return spark.read.schema(spark_schema).parquet(*sorted(set(files)))
+        files = sorted(set(files))
+        # identity-partitioned tables: partition columns may be ABSENT
+        # from the data files (the spec's migrated-table convention —
+        # readers fill identity values from the manifest partition
+        # tuple). Detect via one parquet footer; fill with constant
+        # literals per partition group, which also lets partition filters
+        # prune whole branches at plan time.
+        specs = meta.get("partition-specs") or []
+        spec = next(
+            (
+                sp
+                for sp in specs
+                if sp.get("spec-id") == meta.get("default-spec-id", 0)
+            ),
+            None,
+        )
+        id_fields = [
+            f for f in (spec or {}).get("fields", [])
+            if f.get("transform") == "identity"
+        ]
+        if id_fields and fparts:
+            import pyarrow.parquet as _pq
+
+            from pyspark.sql import functions as F
+
+            file_cols = set(_pq.ParquetFile(files[0]).schema_arrow.names)
+            pnames = [f["name"] for f in id_fields]
+            if not all(c in file_cols for c in pnames):
+                fid_to_name = {f["id"]: f["name"] for f in ischema["fields"]}
+                pnames = [
+                    fid_to_name.get(f.get("source-id"), f["name"])
+                    for f in id_fields
+                ]
+                from pyspark.sql import types as T
+
+                data_schema = T.StructType(
+                    [f for f in spark_schema.fields if f.name not in pnames]
+                )
+                groups: dict[tuple, list[str]] = {}
+                for fp in files:
+                    pv = fparts.get(fp, {})
+                    key = tuple(pv.get(f["name"]) for f in id_fields)
+                    groups.setdefault(key, []).append(fp)
+                out = None
+                for key, gpaths in sorted(
+                    groups.items(), key=lambda kv: str(kv[0])
+                ):
+                    g = spark.read.schema(data_schema).parquet(*sorted(gpaths))
+                    for col_name, f_meta, v in zip(
+                        pnames, id_fields, key
+                    ):
+                        fld = spark_schema[col_name]
+                        if isinstance(v, int) and str(fld.dataType) == "DateType()":
+                            # un-annotated manifests carry raw epoch days
+                            # (logicalType-annotated ones decode to date
+                            # objects, handled by the plain literal)
+                            g = g.withColumn(
+                                col_name,
+                                F.date_add(F.lit("1970-01-01").cast("date"), v),
+                            )
+                        else:
+                            g = g.withColumn(
+                                col_name, F.lit(v).cast(fld.dataType)
+                            )
+                    g = g.select(*[f.name for f in spark_schema.fields])
+                    out = g if out is None else out.unionByName(g)
+                return out
+        return spark.read.schema(spark_schema).parquet(*files)
 
 
 def _avro_zz(v: int) -> bytes:

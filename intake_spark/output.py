@@ -1471,18 +1471,57 @@ _ICEBERG_MANIFEST_FILE = {
 }
 
 
+def _iceberg_manifest_schema(pcols: list[str], by_name: dict) -> dict:
+    """Manifest-entry Avro schema with a TYPED partition record for the
+    table's identity-partition columns (empty record when unpartitioned
+    — the static _ICEBERG_MANIFEST_ENTRY shape)."""
+    import copy as _copy
+
+    sch = _copy.deepcopy(_ICEBERG_MANIFEST_ENTRY)
+    if pcols:
+        amap = {"string": "string", "int": "int", "long": "long",
+                "date": {"type": "int", "logicalType": "date"}}
+        part = {
+            "type": "record",
+            "name": "r102",
+            "fields": [
+                {"name": c, "type": ["null", amap[by_name[c]["type"]]],
+                 "field-id": 1000 + i}
+                for i, c in enumerate(pcols)
+            ],
+        }
+        for f in sch["fields"]:
+            if f["name"] == "data_file":
+                for df_f in f["type"]["fields"]:
+                    if df_f["name"] == "partition":
+                        df_f["type"] = part
+    return sch
+
+
 def to_iceberg(
-    df: DataFrame, url: str, mode: str = "overwrite", **options
+    df: DataFrame,
+    url: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+    **options,
 ) -> "dt.IcebergDataset":
     """Iceberg v1 table sink WITHOUT the iceberg-spark jar (the write
     twin of ``IcebergTableReader``): data files write as ordinary
     distributed parquet; the driver then writes one manifest (Avro, spec
     field-ids), one manifest list, and the next ``vN.metadata.json`` +
-    ``version-hint.text``. Unpartitioned tables, primitive column types
-    (same restriction as ``to_avro``); ``mode``: "overwrite" (new
-    snapshot references only the new files — prior snapshots stay
-    readable via ``snapshot_id=`` time travel) or "append" (the new
-    manifest list re-references the prior snapshot's manifests).
+    ``version-hint.text``. Primitive column types (same restriction as
+    ``to_avro``); ``mode``: "overwrite" (new snapshot references only
+    the new files — prior snapshots stay readable via ``snapshot_id=``
+    time travel) or "append" (the new manifest list re-references the
+    prior snapshot's manifests).
+
+    ``partition_by`` writes IDENTITY-partitioned tables (string/int/
+    long/date columns): data files land one-partition-per-file under
+    hive-style dirs with the partition columns dropped from the files,
+    their typed values recorded in each manifest entry's partition
+    tuple — the spec's migrated-table convention, which readers
+    (including ours) fill back from the tuple. Appends must keep the
+    table's partitioning.
 
     Per-file ``record_count`` comes from the parquet footers (pyarrow,
     driver-side metadata reads — O(files), the bytes never move).
@@ -1527,21 +1566,87 @@ def to_iceberg(
                 )
             fields = prev_fields  # keep the table's field ids
 
+    pcols = list(partition_by or [])
+    _P_OK = {"string", "int", "long", "date"}
+    by_name = {f["name"]: f for f in fields}
+    for c in pcols:
+        if c not in by_name:
+            raise ValueError(f"to_iceberg: partition column {c!r} not in schema")
+        if by_name[c]["type"] not in _P_OK:
+            raise ValueError(
+                f"to_iceberg: partition column {c!r} has type "
+                f"{by_name[c]['type']!r} (identity partitions support "
+                "string/int/long/date)"
+            )
+    if prev_meta is not None and mode == "append":
+        prev_specs = prev_meta.get("partition-specs") or []
+        prev_spec = next(
+            (
+                sp
+                for sp in prev_specs
+                if sp.get("spec-id") == prev_meta.get("default-spec-id", 0)
+            ),
+            None,
+        )
+        prev_pcols = [f["name"] for f in (prev_spec or {}).get("fields", [])]
+        if prev_pcols != pcols:
+            raise ValueError(
+                f"append partitioning {pcols} does not match the table's "
+                f"{prev_pcols}"
+            )
+
     # 1. distributed parquet write into a staging dir, then move to data/
     stage = os.path.join(root, f"_staging_{_uuid.uuid4().hex[:12]}")
-    df.write.mode("overwrite").options(**options).parquet(stage)
+    w = df.write.mode("overwrite").options(**options)
+    if pcols:
+        w = w.partitionBy(*pcols)
+    w.parquet(stage)
     os.makedirs(ddir, exist_ok=True)
     commit_uuid = _uuid.uuid4().hex
-    moved: list[str] = []
-    for fn in sorted(os.listdir(stage)):
-        if not fn.endswith(".parquet"):
-            continue
-        dst = os.path.join(ddir, f"{commit_uuid[:8]}-{fn}")
-        os.replace(os.path.join(stage, fn), dst)
-        moved.append(dst)
+    moved: list[tuple[str, dict]] = []  # (path, raw hive partition values)
+    from urllib.parse import unquote as _unquote
+
+    for dirpath, _dirs, files in os.walk(stage):
+        rel_dir = os.path.relpath(dirpath, stage)
+        pvals: dict = {}
+        if rel_dir != ".":
+            for seg in rel_dir.split(os.sep):
+                k, eq, v = seg.partition("=")
+                if eq:
+                    pvals[k] = (
+                        None if v == "__HIVE_DEFAULT_PARTITION__" else _unquote(v)
+                    )
+        for fn in sorted(files):
+            if not fn.endswith(".parquet"):
+                continue
+            sub = "" if rel_dir == "." else rel_dir + os.sep
+            dst = os.path.join(ddir, sub + f"{commit_uuid[:8]}-{fn}")
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            os.replace(os.path.join(dirpath, fn), dst)
+            moved.append((dst, pvals))
     import shutil as _shutil
 
     _shutil.rmtree(stage, ignore_errors=True)
+
+    def _ptuple(pvals: dict) -> dict:
+        # hive dir strings -> typed Iceberg partition values
+        import datetime as _dtm
+
+        out_t = {}
+        for c in pcols:
+            v = pvals.get(c)
+            t = by_name[c]["type"]
+            if v is None:
+                out_t[c] = None
+            elif t in ("int", "long"):
+                out_t[c] = int(v)
+            elif t == "date":
+                out_t[c] = (
+                    _dtm.date.fromisoformat(v) - _dtm.date(1970, 1, 1)
+                ).days
+            else:
+                out_t[c] = v
+        return out_t
 
     # 2. per-file record counts from the parquet footers
     import pyarrow.parquet as _pq
@@ -1550,7 +1655,7 @@ def to_iceberg(
     now_ms = int(_time.time() * 1000)
     entries = []
     added_rows = 0
-    for p in moved:
+    for p, pvals in moved:
         n = _pq.ParquetFile(p).metadata.num_rows
         added_rows += n
         entries.append(
@@ -1560,7 +1665,7 @@ def to_iceberg(
                 "data_file": {
                     "file_path": p,
                     "file_format": "PARQUET",
-                    "partition": {},
+                    "partition": _ptuple(pvals),
                     "record_count": n,
                     "file_size_in_bytes": os.path.getsize(p),
                     "block_size_in_bytes": 1 << 26,
@@ -1569,6 +1674,7 @@ def to_iceberg(
         )
 
     os.makedirs(mdir, exist_ok=True)
+    man_schema = _iceberg_manifest_schema(pcols, by_name)
     # schema history: prior schemas are RETAINED with their schema-ids so
     # old snapshots stay readable after a schema-changing overwrite (a
     # schemas list holding only the new schema would make time travel
@@ -1609,10 +1715,13 @@ def to_iceberg(
     schema_obj = {"type": "struct", "schema-id": schema_id, "fields": fields}
     if schemas is None:
         schemas = prev_schemas + [schema_obj]
+    # field ids may have been remapped by the schema-history logic above:
+    # partition-spec source-ids must reference the FINAL ids
+    by_name = {f["name"]: f for f in fields}
     man_path = os.path.join(mdir, f"{commit_uuid}-m0.avro")
     write_avro_records(
         man_path,
-        _ICEBERG_MANIFEST_ENTRY,
+        man_schema,
         entries,
         meta={
             "schema": _json.dumps(schema_obj),
@@ -1672,12 +1781,14 @@ def to_iceberg(
                             "status": 0,  # EXISTING
                             "snapshot_id": e.get("snapshot_id") or prev_snap_id,
                             "data_file": {
-                                k: d.get(k)
-                                for k in (
-                                    "file_path", "file_format", "partition",
-                                    "record_count", "file_size_in_bytes",
-                                    "block_size_in_bytes",
-                                )
+                                "file_path": d.get("file_path"),
+                                "file_format": d.get("file_format", "PARQUET"),
+                                "partition": d.get("partition") or {},
+                                "record_count": d.get("record_count"),
+                                "file_size_in_bytes": d.get("file_size_in_bytes"),
+                                "block_size_in_bytes": d.get(
+                                    "block_size_in_bytes", 1 << 26
+                                ),
                             },
                         }
                     )
@@ -1685,7 +1796,7 @@ def to_iceberg(
                 man2 = os.path.join(mdir, f"{commit_uuid}-m1.avro")
                 write_avro_records(
                     man2,
-                    _ICEBERG_MANIFEST_ENTRY,
+                    man_schema,
                     old_entries,
                     meta={
                         "schema": _json.dumps(schema_obj),
@@ -1746,7 +1857,7 @@ def to_iceberg(
                                 "data_file": {
                                     "file_path": _rb(d.get("file_path", "")),
                                     "file_format": d.get("file_format", "PARQUET"),
-                                    "partition": {},
+                                    "partition": d.get("partition") or {},
                                     "record_count": int(d.get("record_count") or 0),
                                     "file_size_in_bytes": int(
                                         d.get("file_size_in_bytes") or 0
@@ -1762,7 +1873,7 @@ def to_iceberg(
                     )
                     write_avro_records(
                         new_mp,
-                        _ICEBERG_MANIFEST_ENTRY,
+                        man_schema,
                         entries,
                         meta={
                             "schema": _json.dumps(schema_obj),
@@ -1825,10 +1936,23 @@ def to_iceberg(
         "schema": schema_obj,
         "schemas": schemas,
         "current-schema-id": schema_id,
-        "partition-spec": [],
-        "partition-specs": [{"spec-id": 0, "fields": []}],
+        "partition-spec": [
+            {"name": c, "transform": "identity",
+             "source-id": by_name[c]["id"], "field-id": 1000 + i}
+            for i, c in enumerate(pcols)
+        ],
+        "partition-specs": [
+            {
+                "spec-id": 0,
+                "fields": [
+                    {"name": c, "transform": "identity",
+                     "source-id": by_name[c]["id"], "field-id": 1000 + i}
+                    for i, c in enumerate(pcols)
+                ],
+            }
+        ],
         "default-spec-id": 0,
-        "last-partition-id": 999,
+        "last-partition-id": 999 + len(pcols),
         "sort-orders": [{"order-id": 0, "fields": []}],
         "default-sort-order-id": 0,
         # name mapping: the parquet data files carry no Iceberg field-id

@@ -1183,3 +1183,52 @@ def test_write_avro_records_aware_datetime_utc(tmp_path):
     out = decode_avro_file(p)[0]
     assert out["t"] == int(datetime.datetime(2021, 1, 1, 7, 0)
                            .timestamp() * 0 + 1609484400000000)
+
+
+def test_to_iceberg_partitioned_roundtrip(spark, tmp_path):
+    """Identity-partitioned Iceberg write: data files land one partition
+    per file with the partition columns dropped (the spec's
+    migrated-table convention), typed values in the manifest partition
+    tuples; the reader fills them back as plan-time literals (partition
+    filters prune whole groups). Append must keep the partitioning;
+    relocated partitioned tables still read."""
+    import datetime
+    import os
+
+    from intake_spark import output
+    from intake_spark.lakehouse import IcebergTableReader
+
+    rows = [
+        (i, f"s{i % 3}", datetime.date(2021, 1, 1 + i % 4), float(i))
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "id long, src string, d date, x double")
+    root = str(tmp_path / "ptbl")
+    output.to_iceberg(df, root, partition_by=["src", "d"])
+    rd = lambda u: IcebergTableReader(  # noqa: E731
+        data=dt.IcebergDataset(url=u)
+    ).read(spark=spark)
+    back = rd(root)
+    got = {r.id: r for r in back.collect()}
+    assert len(got) == 40
+    for i in (0, 5, 17):
+        assert got[i].src == f"s{i % 3}"
+        assert got[i].d == datetime.date(2021, 1, 1 + i % 4)
+    assert back.filter("src = 's1'").count() == sum(
+        1 for i in range(40) if i % 3 == 1
+    )
+
+    df2 = spark.createDataFrame(
+        [(100, "s9", datetime.date(2022, 2, 2), 1.0)],
+        "id long, src string, d date, x double",
+    )
+    output.to_iceberg(df2, root, mode="append", partition_by=["src", "d"])
+    g = {r.id: r for r in rd(root).collect()}
+    assert len(g) == 41 and g[100].src == "s9"
+
+    with pytest.raises(ValueError, match="partitioning"):
+        output.to_iceberg(df2, root, mode="append")  # unpartitioned append
+
+    moved = str(tmp_path / "pmoved")
+    os.rename(root, moved)
+    assert rd(moved).count() == 41
