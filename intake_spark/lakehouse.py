@@ -1089,6 +1089,24 @@ class IcebergTableReader(BaseReader):
                     pv = fparts.get(fp, {})
                     key = tuple(pv.get(f["name"]) for f in id_fields)
                     groups.setdefault(key, []).append(fp)
+                # FAST PATH — hive-laid-out tables (our own writer, and
+                # standard migrations): when every file sits under
+                # ``col=value`` dirs whose values agree with the manifest
+                # tuples, hand Spark the explicit file list + basePath.
+                # ONE FileScan node with native PartitionFilters pruning,
+                # O(1) plan size — the per-group union below is
+                # O(#partitions) in plan size, a Catalyst blowup on a
+                # 10k-partition table.
+                bp = _hive_base_path(
+                    files, fparts, id_fields, pnames, spark_schema
+                )
+                if bp is not None:
+                    return (
+                        spark.read.option("basePath", bp)
+                        .schema(spark_schema)
+                        .parquet(*files)
+                        .select(*[f.name for f in spark_schema.fields])
+                    )
                 out = None
                 for key, gpaths in sorted(
                     groups.items(), key=lambda kv: str(kv[0])
@@ -1114,6 +1132,72 @@ class IcebergTableReader(BaseReader):
                     out = g if out is None else out.unionByName(g)
                 return out
         return spark.read.schema(spark_schema).parquet(*files)
+
+
+def _hive_base_path(
+    files: list[str],
+    fparts: dict[str, dict],
+    id_fields: list[dict],
+    pnames: list[str],
+    spark_schema,
+) -> "str | None":
+    """If every data file sits under hive-style ``col=value`` directory
+    segments (one per identity-partition column, in spec order) whose
+    decoded values AGREE with the manifest partition tuples, return the
+    common base path (the directory above the first partition segment) —
+    else None. Agreement matters: the manifest is the source of truth,
+    and a relocated/renamed dir must not silently win."""
+    import datetime as _dtm
+    from urllib.parse import unquote as _unquote
+
+    base: "str | None" = None
+    for fp in files:
+        segs = fp.split(os.sep)
+        # locate the LAST occurrence of the first partition column's
+        # segment (a parent dir could legitimately contain 'col=')
+        idx = None
+        for i in range(len(segs) - 1 - len(pnames), -1, -1):
+            if segs[i].startswith(pnames[0] + "="):
+                idx = i
+                break
+        if idx is None or idx + len(pnames) > len(segs) - 1:
+            return None
+        this_base = os.sep.join(segs[:idx]) or os.sep
+        if base is None:
+            base = this_base
+        elif base != this_base:
+            return None
+        pv = fparts.get(fp, {})
+        for j, (pn, f_meta) in enumerate(zip(pnames, id_fields)):
+            seg = segs[idx + j]
+            k, eq, raw = seg.partition("=")
+            if not eq or k != pn:
+                return None
+            dirv: "object | None" = (
+                None if raw == "__HIVE_DEFAULT_PARTITION__" else _unquote(raw)
+            )
+            mv = pv.get(f_meta["name"])
+            if mv is None and dirv is None:
+                continue
+            if mv is None or dirv is None:
+                return None
+            t = str(spark_schema[pn].dataType)
+            try:
+                if t in ("IntegerType()", "LongType()"):
+                    ok = int(dirv) == int(mv)
+                elif t == "DateType()":
+                    dd = _dtm.date.fromisoformat(dirv)
+                    ok = dd == mv or (
+                        isinstance(mv, int)
+                        and (dd - _dtm.date(1970, 1, 1)).days == mv
+                    )
+                else:
+                    ok = str(dirv) == str(mv)
+            except (TypeError, ValueError):
+                return None
+            if not ok:
+                return None
+    return base
 
 
 def _avro_zz(v: int) -> bytes:

@@ -1232,3 +1232,84 @@ def test_to_iceberg_partitioned_roundtrip(spark, tmp_path):
     moved = str(tmp_path / "pmoved")
     os.rename(root, moved)
     assert rd(moved).count() == 41
+
+
+def test_iceberg_partitioned_single_scan_plan(spark, tmp_path):
+    """Hive-laid-out partitioned Iceberg tables read through ONE FileScan
+    node with native PartitionFilters (basePath fast path) — NOT the
+    O(#partitions)-plan per-group union, which would be a Catalyst
+    blowup on a 10k-partition table."""
+    import datetime
+
+    from intake_spark import output
+    from intake_spark.lakehouse import IcebergTableReader
+
+    rows = [
+        (i, f"s{i % 3}", datetime.date(2021, 1, 1 + i % 4), float(i))
+        for i in range(24)
+    ]
+    df = spark.createDataFrame(rows, "id long, src string, d date, x double")
+    root = str(tmp_path / "ptbl")
+    output.to_iceberg(df, root, partition_by=["src", "d"])
+    back = IcebergTableReader(data=dt.IcebergDataset(url=root)).read(spark=spark)
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan") == 1
+    fplan = (
+        back.filter("src = 's1'")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    pf = [ln for ln in fplan.splitlines() if "PartitionFilters" in ln]
+    assert pf and "s1" in pf[0]
+
+
+def test_hive_base_path_validation():
+    """_hive_base_path: manifest tuples are the source of truth — a dir
+    layout that disagrees (renamed value, missing segment, differing
+    bases) must return None so the reader falls back to manifest fill."""
+    import datetime
+
+    from pyspark.sql import types as T
+
+    from intake_spark.lakehouse import _hive_base_path
+
+    schema = T.StructType.fromDDL("id long, x double, src string, d date")
+    idf = [{"name": "src"}, {"name": "d"}]
+    pn = ["src", "d"]
+    f1 = "/t/data/src=a/d=2021-01-02/p1.parquet"
+    f2 = "/t/data/src=b/d=2021-01-03/p2.parquet"
+    parts = {
+        f1: {"src": "a", "d": datetime.date(2021, 1, 2)},
+        f2: {"src": "b", "d": datetime.date(2021, 1, 3)},
+    }
+    assert _hive_base_path([f1, f2], parts, idf, pn, schema) == "/t/data"
+    # epoch-day manifest values (un-annotated Avro) also agree
+    parts_ed = {f1: {"src": "a", "d": 18629}, f2: {"src": "b", "d": 18630}}
+    assert _hive_base_path([f1, f2], parts_ed, idf, pn, schema) == "/t/data"
+    # dir value disagrees with the manifest -> None
+    bad = dict(parts)
+    bad[f2] = {"src": "ZZ", "d": datetime.date(2021, 1, 3)}
+    assert _hive_base_path([f1, f2], bad, idf, pn, schema) is None
+    # missing hive segment -> None
+    f3 = "/t/data/flat-p3.parquet"
+    assert (
+        _hive_base_path([f1, f3], {**parts, f3: {"src": "a", "d": None}},
+                        idf, pn, schema)
+        is None
+    )
+    # differing base dirs -> None
+    f4 = "/elsewhere/src=a/d=2021-01-02/p4.parquet"
+    assert (
+        _hive_base_path([f1, f4], {**parts, f4: parts[f1]}, idf, pn, schema)
+        is None
+    )
+    # null partition: dir sentinel must pair with a null manifest value
+    f5 = "/t/data/src=__HIVE_DEFAULT_PARTITION__/d=2021-01-02/p5.parquet"
+    ok5 = {f5: {"src": None, "d": datetime.date(2021, 1, 2)}}
+    assert _hive_base_path([f5], ok5, idf, pn, schema) == "/t/data"
+    assert (
+        _hive_base_path([f5], {f5: {"src": "a", "d": datetime.date(2021, 1, 2)}},
+                        idf, pn, schema)
+        is None
+    )
