@@ -1067,71 +1067,75 @@ class IcebergTableReader(BaseReader):
             if f.get("transform") == "identity"
         ]
         if id_fields and fparts:
-            import pyarrow.parquet as _pq
-
-            from pyspark.sql import functions as F
-
-            file_cols = set(_pq.ParquetFile(files[0]).schema_arrow.names)
-            pnames = [f["name"] for f in id_fields]
-            if not all(c in file_cols for c in pnames):
-                fid_to_name = {f["id"]: f["name"] for f in ischema["fields"]}
-                pnames = [
-                    fid_to_name.get(f.get("source-id"), f["name"])
-                    for f in id_fields
-                ]
-                from pyspark.sql import types as T
-
-                data_schema = T.StructType(
-                    [f for f in spark_schema.fields if f.name not in pnames]
+            fid_to_name = {f["id"]: f["name"] for f in ischema["fields"]}
+            pnames = [
+                fid_to_name.get(f.get("source-id"), f["name"])
+                for f in id_fields
+            ]
+            # Exact per-file presence check: the spec does not record
+            # whether data files embed the identity source columns, and a
+            # migrated table appended to by a standard Iceberg writer
+            # MIXES both kinds — a single-footer probe would silently
+            # read nulls for one side. Footer reads are metadata-only
+            # (the bytes never move): driver-side for small tables, one
+            # parallelized Spark job above that.
+            have = _probe_partition_cols(spark, files, pnames)
+            with_cols = [fp for fp in files if have[fp]]
+            without = [fp for fp in files if not have[fp]]
+            col_order = [f.name for f in spark_schema.fields]
+            branches = []
+            if with_cols:
+                branches.append(
+                    spark.read.schema(spark_schema)
+                    .parquet(*with_cols)
+                    .select(*col_order)
                 )
-                groups: dict[tuple, list[str]] = {}
-                for fp in files:
-                    pv = fparts.get(fp, {})
-                    key = tuple(pv.get(f["name"]) for f in id_fields)
-                    groups.setdefault(key, []).append(fp)
-                # FAST PATH — hive-laid-out tables (our own writer, and
-                # standard migrations): when every file sits under
-                # ``col=value`` dirs whose values agree with the manifest
-                # tuples, hand Spark the explicit file list + basePath.
-                # ONE FileScan node with native PartitionFilters pruning,
-                # O(1) plan size — the per-group union below is
-                # O(#partitions) in plan size, a Catalyst blowup on a
-                # 10k-partition table.
-                bp = _hive_base_path(
-                    files, fparts, id_fields, pnames, spark_schema
-                )
-                if bp is not None:
-                    return (
-                        spark.read.option("basePath", bp)
-                        .schema(spark_schema)
-                        .parquet(*files)
-                        .select(*[f.name for f in spark_schema.fields])
+            if without:
+                branches.append(
+                    _fill_identity_partitions(
+                        spark, without, fparts, id_fields, pnames,
+                        spark_schema,
                     )
-                out = None
-                for key, gpaths in sorted(
-                    groups.items(), key=lambda kv: str(kv[0])
-                ):
-                    g = spark.read.schema(data_schema).parquet(*sorted(gpaths))
-                    for col_name, f_meta, v in zip(
-                        pnames, id_fields, key
-                    ):
-                        fld = spark_schema[col_name]
-                        if isinstance(v, int) and str(fld.dataType) == "DateType()":
-                            # un-annotated manifests carry raw epoch days
-                            # (logicalType-annotated ones decode to date
-                            # objects, handled by the plain literal)
-                            g = g.withColumn(
-                                col_name,
-                                F.date_add(F.lit("1970-01-01").cast("date"), v),
-                            )
-                        else:
-                            g = g.withColumn(
-                                col_name, F.lit(v).cast(fld.dataType)
-                            )
-                    g = g.select(*[f.name for f in spark_schema.fields])
-                    out = g if out is None else out.unionByName(g)
-                return out
+                )
+            out = branches[0]
+            for b in branches[1:]:
+                out = out.unionByName(b)
+            return out
         return spark.read.schema(spark_schema).parquet(*files)
+
+
+def unescape_hive_segment(raw: str) -> "str | None":
+    """Decode one hive partition-dir VALUE the way Spark's
+    ``unescapePathName`` does: each ``%XX`` (two hex digits) becomes the
+    single character ``chr(0xXX)``; anything else passes through. This is
+    NOT urllib ``unquote`` — unquote reassembles multi-byte UTF-8
+    percent-sequences (``%C3%A9`` -> ``é``) where Spark decodes them
+    byte-wise (``Ã©``); validating with unquote would accept a layout
+    Spark then reads differently. ``__HIVE_DEFAULT_PARTITION__`` decodes
+    to None (null partition)."""
+    if raw == "__HIVE_DEFAULT_PARTITION__":
+        return None
+    _hex = "0123456789abcdefABCDEF"
+    out = []
+    i, n = 0, len(raw)
+    while i < n:
+        c = raw[i]
+        if (
+            c == "%"
+            and i + 2 < n
+            and raw[i + 1] in _hex
+            and raw[i + 2] in _hex
+        ):
+            out.append(chr(int(raw[i + 1 : i + 3], 16)))
+            i += 3
+            continue
+        out.append(c)
+        i += 1
+    return "".join(out)
+
+
+_INT_RE = None
+_DATE_RE = None
 
 
 def _hive_base_path(
@@ -1146,10 +1150,29 @@ def _hive_base_path(
     decoded values AGREE with the manifest partition tuples, return the
     common base path (the directory above the first partition segment) —
     else None. Agreement matters: the manifest is the source of truth,
-    and a relocated/renamed dir must not silently win."""
+    and a relocated/renamed dir must not silently win. Dir values are
+    decoded with Spark's own unescape rules and parsed in CANONICAL form
+    only (``-?\\d+`` ints, ``YYYY-MM-DD`` dates) — anything Python would
+    accept more leniently than Spark's cast (``' 7'``, ``'20210102'``,
+    unicode digits) falls back to the manifest-fill path instead of
+    letting the fast path read different values than were validated."""
     import datetime as _dtm
-    from urllib.parse import unquote as _unquote
+    import re as _re
 
+    global _INT_RE, _DATE_RE
+    if _INT_RE is None:
+        _INT_RE = _re.compile(r"-?[0-9]+")
+        _DATE_RE = _re.compile(r"[0-9]{4}-[0-9]{2}-[0-9]{2}")
+    # per-column type kind, computed once (not per file)
+    kinds = []
+    for pn in pnames:
+        t = str(spark_schema[pn].dataType)
+        kinds.append(
+            "int" if t in ("IntegerType()", "LongType()")
+            else "date" if t == "DateType()"
+            else "str"
+        )
+    epoch = _dtm.date(1970, 1, 1)
     base: "str | None" = None
     for fp in files:
         segs = fp.split(os.sep)
@@ -1173,23 +1196,22 @@ def _hive_base_path(
             k, eq, raw = seg.partition("=")
             if not eq or k != pn:
                 return None
-            dirv: "object | None" = (
-                None if raw == "__HIVE_DEFAULT_PARTITION__" else _unquote(raw)
-            )
+            dirv = unescape_hive_segment(raw)
             mv = pv.get(f_meta["name"])
             if mv is None and dirv is None:
                 continue
             if mv is None or dirv is None:
                 return None
-            t = str(spark_schema[pn].dataType)
+            kind = kinds[j]
             try:
-                if t in ("IntegerType()", "LongType()"):
-                    ok = int(dirv) == int(mv)
-                elif t == "DateType()":
+                if kind == "int":
+                    ok = _INT_RE.fullmatch(dirv) and int(dirv) == int(mv)
+                elif kind == "date":
+                    if not _DATE_RE.fullmatch(dirv):
+                        return None
                     dd = _dtm.date.fromisoformat(dirv)
                     ok = dd == mv or (
-                        isinstance(mv, int)
-                        and (dd - _dtm.date(1970, 1, 1)).days == mv
+                        isinstance(mv, int) and (dd - epoch).days == mv
                     )
                 else:
                     ok = str(dirv) == str(mv)
@@ -1198,6 +1220,94 @@ def _hive_base_path(
             if not ok:
                 return None
     return base
+
+
+def _probe_partition_cols(spark, files: list[str], pnames: list[str]) -> dict:
+    """file -> do ALL identity-partition columns physically exist in its
+    parquet footer. Driver-side for small tables; one parallelized Spark
+    job (footer reads only, batched tasks) above the threshold so a
+    100k-file table never does 100k serial driver round-trips."""
+    import pyarrow.parquet as _pq
+
+    if len(files) <= 64:
+        out = {}
+        for fp in files:
+            names = set(_pq.ParquetFile(fp).schema_arrow.names)
+            out[fp] = all(c in names for c in pnames)
+        return out
+    pn = list(pnames)
+
+    def _probe(it):
+        import pyarrow.parquet as pq
+
+        for p in it:
+            ns = set(pq.ParquetFile(p).schema_arrow.names)
+            yield p, all(c in ns for c in pn)
+
+    nslices = max(1, len(files) // 256)
+    return dict(
+        spark.sparkContext.parallelize(files, nslices)
+        .mapPartitions(_probe)
+        .collect()
+    )
+
+
+def _fill_identity_partitions(
+    spark,
+    files: list[str],
+    fparts: dict[str, dict],
+    id_fields: list[dict],
+    pnames: list[str],
+    spark_schema,
+):
+    """Read data files that LACK their identity-partition columns and
+    fill them from the manifest partition tuples.
+
+    FAST PATH — hive-laid-out tables (our own writer, and standard
+    migrations): when every file sits under ``col=value`` dirs whose
+    decoded values agree with the manifest tuples, hand Spark the
+    explicit file list + basePath. ONE FileScan node with native
+    PartitionFilters pruning, O(1) plan size. Fallback: per-partition-
+    group scans with constant literals, unioned — O(#partitions) plan
+    size, correct for any layout."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    col_order = [f.name for f in spark_schema.fields]
+    bp = _hive_base_path(files, fparts, id_fields, pnames, spark_schema)
+    if bp is not None:
+        return (
+            spark.read.option("basePath", bp)
+            .schema(spark_schema)
+            .parquet(*files)
+            .select(*col_order)
+        )
+    data_schema = T.StructType(
+        [f for f in spark_schema.fields if f.name not in pnames]
+    )
+    groups: dict[tuple, list[str]] = {}
+    for fp in files:
+        pv = fparts.get(fp, {})
+        key = tuple(pv.get(f["name"]) for f in id_fields)
+        groups.setdefault(key, []).append(fp)
+    out = None
+    for key, gpaths in sorted(groups.items(), key=lambda kv: str(kv[0])):
+        g = spark.read.schema(data_schema).parquet(*sorted(gpaths))
+        for col_name, v in zip(pnames, key):
+            fld = spark_schema[col_name]
+            if isinstance(v, int) and str(fld.dataType) == "DateType()":
+                # un-annotated manifests carry raw epoch days
+                # (logicalType-annotated ones decode to date objects,
+                # handled by the plain literal)
+                g = g.withColumn(
+                    col_name,
+                    F.date_add(F.lit("1970-01-01").cast("date"), v),
+                )
+            else:
+                g = g.withColumn(col_name, F.lit(v).cast(fld.dataType))
+        g = g.select(*col_order)
+        out = g if out is None else out.unionByName(g)
+    return out
 
 
 def _avro_zz(v: int) -> bytes:

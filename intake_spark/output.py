@@ -112,7 +112,6 @@ def to_delta(
     import shutil
     import uuid as _uuid
     from urllib.parse import quote as _quote
-    from urllib.parse import unquote as _unquote
 
     if mode not in ("overwrite", "append"):
         raise ValueError(f"mode must be overwrite/append, got {mode!r}")
@@ -170,12 +169,14 @@ def to_delta(
                     if eq:
                         # Spark's escapePathName percent-escapes specials in
                         # the dir name ('100%' -> '100%25'); the log records
-                        # the LOGICAL value, null as None
-                        pvals[k] = (
-                            None
-                            if v == "__HIVE_DEFAULT_PARTITION__"
-                            else _unquote(v)
+                        # the LOGICAL value, null as None. Decoded with
+                        # Spark's own unescape rules (shared helper), not
+                        # urllib unquote.
+                        from intake_spark.lakehouse import (
+                            unescape_hive_segment,
                         )
+
+                        pvals[k] = unescape_hive_segment(v)
             adds.append(
                 {
                     # the protocol says add.path is RFC 2396 URI-encoded;
@@ -1604,7 +1605,7 @@ def to_iceberg(
     os.makedirs(ddir, exist_ok=True)
     commit_uuid = _uuid.uuid4().hex
     moved: list[tuple[str, dict]] = []  # (path, raw hive partition values)
-    from urllib.parse import unquote as _unquote
+    from intake_spark.lakehouse import unescape_hive_segment
 
     for dirpath, _dirs, files in os.walk(stage):
         rel_dir = os.path.relpath(dirpath, stage)
@@ -1613,9 +1614,9 @@ def to_iceberg(
             for seg in rel_dir.split(os.sep):
                 k, eq, v = seg.partition("=")
                 if eq:
-                    pvals[k] = (
-                        None if v == "__HIVE_DEFAULT_PARTITION__" else _unquote(v)
-                    )
+                    # Spark's own unescape rules (shared helper; sentinel
+                    # decodes to None), not urllib unquote
+                    pvals[k] = unescape_hive_segment(v)
         for fn in sorted(files):
             if not fn.endswith(".parquet"):
                 continue

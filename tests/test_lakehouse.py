@@ -1274,7 +1274,15 @@ def test_hive_base_path_validation():
 
     from intake_spark.lakehouse import _hive_base_path
 
-    schema = T.StructType.fromDDL("id long, x double, src string, d date")
+    # built without fromDDL: this test must not depend on a live JVM
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("x", T.DoubleType()),
+            T.StructField("src", T.StringType()),
+            T.StructField("d", T.DateType()),
+        ]
+    )
     idf = [{"name": "src"}, {"name": "d"}]
     pn = ["src", "d"]
     f1 = "/t/data/src=a/d=2021-01-02/p1.parquet"
@@ -1313,3 +1321,150 @@ def test_hive_base_path_validation():
                         idf, pn, schema)
         is None
     )
+
+
+def test_unescape_hive_segment_spark_semantics():
+    """Hive dir decoding must match Spark's unescapePathName byte-wise
+    %XX rule, NOT urllib unquote's UTF-8 reassembly — a multi-byte
+    percent-encoded dir ('%C3%A9') decodes to 'Ã©' under Spark, so
+    validating it against a manifest value 'é' must FAIL (fallback to
+    manifest fill) rather than let the fast path read mojibake."""
+    from pyspark.sql import types as T
+
+    from intake_spark.lakehouse import _hive_base_path, unescape_hive_segment
+
+    assert unescape_hive_segment("a%2Fb") == "a/b"
+    assert unescape_hive_segment("100%25") == "100%"
+    assert unescape_hive_segment("%C3%A9") == "Ã©"  # NOT 'é'
+    assert unescape_hive_segment("%ZZ") == "%ZZ"  # invalid hex passes through
+    assert unescape_hive_segment("%4") == "%4"
+    assert unescape_hive_segment("__HIVE_DEFAULT_PARTITION__") is None
+
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("src", T.StringType())]
+    )
+    idf = [{"name": "src"}]
+    f1 = "/t/data/src=%C3%A9/p1.parquet"
+    assert (
+        _hive_base_path([f1], {f1: {"src": "é"}}, idf, ["src"], schema)
+        is None
+    )
+    # non-canonical numeric dir values Spark's cast would not parse the
+    # same way as python int() -> fallback, never the fast path
+    schema_i = T.StructType(
+        [T.StructField("x", T.DoubleType()), T.StructField("k", T.LongType())]
+    )
+    f2 = "/t/data/k=+7/p.parquet"
+    assert (
+        _hive_base_path([f2], {f2: {"k": 7}}, [{"name": "k"}], ["k"], schema_i)
+        is None
+    )
+
+
+def test_iceberg_mixed_partition_files(spark, tmp_path):
+    """A migrated identity-partitioned table (partition cols absent from
+    data files) appended to by a standard Iceberg writer (partition cols
+    PRESENT in data files) must read both file populations correctly —
+    the per-file footer probe splits them instead of trusting file[0]."""
+    import datetime
+
+    from intake_spark import output
+    from intake_spark.lakehouse import IcebergTableReader, decode_avro_file
+
+    rows = [
+        (i, f"s{i % 2}", datetime.date(2021, 1, 1 + i % 2), float(i))
+        for i in range(8)
+    ]
+    df = spark.createDataFrame(rows, "id long, src string, d date, x double")
+    root = str(tmp_path / "mixtbl")
+    output.to_iceberg(df, root, partition_by=["src", "d"])
+
+    # hand-append a data file that KEEPS the partition columns (the
+    # standard-writer convention), with a matching manifest entry
+    import glob as _glob
+    import json as _json
+    import os as _os
+    import time as _time
+    import uuid as _uuid
+
+    from intake_spark.lakehouse import write_avro_records
+
+    extra = spark.createDataFrame(
+        [(100, "s0", datetime.date(2021, 1, 1), 5.0)],
+        "id long, src string, d date, x double",
+    )
+    ddir = _os.path.join(root, "data", "src=s0", "d=2021-01-01")
+    stage = str(tmp_path / "stage1")
+    extra.coalesce(1).write.mode("overwrite").parquet(stage)
+    pf = [f for f in _os.listdir(stage) if f.endswith(".parquet")][0]
+    full_path = _os.path.join(ddir, f"full-{pf}")
+    _os.replace(_os.path.join(stage, pf), full_path)
+
+    # current metadata / snapshot
+    mdir = _os.path.join(root, "metadata")
+    with open(_os.path.join(mdir, "version-hint.text")) as fh:
+        v = int(fh.read().strip())
+    with open(_os.path.join(mdir, f"v{v}.metadata.json")) as fh:
+        meta = _json.load(fh)
+    snap = next(
+        s for s in meta["snapshots"]
+        if s["snapshot-id"] == meta["current-snapshot-id"]
+    )
+    mlist = snap["manifest-list"]
+    old_manifests = [
+        m["manifest_path"] for m in decode_avro_file(mlist)
+    ]
+    # one more manifest holding the full-columns file, partition tuple set
+    from intake_spark.output import _iceberg_manifest_schema
+
+    by_name = {
+        f["name"]: f for f in meta["schemas"][-1]["fields"]
+    }
+    msch = _iceberg_manifest_schema(["src", "d"], by_name)
+    import pyarrow.parquet as _pq
+
+    man2 = _os.path.join(mdir, f"{_uuid.uuid4().hex}-m9.avro")
+    write_avro_records(
+        man2,
+        msch,
+        [
+            {
+                "status": 1,
+                "snapshot_id": snap["snapshot-id"],
+                "data_file": {
+                    "file_path": full_path,
+                    "file_format": "PARQUET",
+                    "partition": {
+                        "src": "s0",
+                        "d": datetime.date(2021, 1, 1),
+                    },
+                    "record_count": 1,
+                    "file_size_in_bytes": _os.path.getsize(full_path),
+                    "block_size_in_bytes": 1 << 26,
+                },
+            }
+        ],
+        meta={
+            "schema": _json.dumps(meta["schemas"][-1]),
+            "partition-spec": _json.dumps(
+                meta["partition-specs"][0]["fields"]
+            ),
+        },
+    )
+    # rewrite the manifest list to include it
+    ml_entries = decode_avro_file(mlist)
+    tmpl = dict(ml_entries[0])
+    tmpl["manifest_path"] = man2
+    ml_entries.append(tmpl)
+    from intake_spark.output import _ICEBERG_MANIFEST_FILE
+
+    write_avro_records(mlist, _ICEBERG_MANIFEST_FILE, ml_entries)
+
+    back = IcebergTableReader(data=dt.IcebergDataset(url=root)).read(
+        spark=spark
+    )
+    got = {r.id: r for r in back.collect()}
+    assert len(got) == 9
+    assert got[100].src == "s0" and got[100].d == datetime.date(2021, 1, 1)
+    assert got[3].src == "s1"
+    assert back.filter("src = 's0'").count() == 5
