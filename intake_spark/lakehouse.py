@@ -938,8 +938,11 @@ class IcebergTableReader(BaseReader):
     live parquet files, then hands the file set to Spark's native parquet
     scan. Manifest paths are rewritten from the writer's recorded table
     location to the local root, so relocated/copied tables read in place.
-    Supports v1/v2 metadata, append+delete manifests (data files only);
-    equality/position delete files raise with the feature named."""
+    Supports v1/v2 metadata and v2 merge-on-read delete files: position
+    deletes apply as a LEFT ANTI join on (file path, _metadata.row_index)
+    with the spec's seq<=del rule, equality deletes as a null-safe LEFT
+    ANTI join on the equality_ids columns with the strictly-older rule
+    (reference parity: SparkIceberg via the iceberg runtime jar)."""
 
     implements = {dt.IcebergDataset}
     priority = -1  # see AvroOCFReader
@@ -1023,30 +1026,61 @@ class IcebergTableReader(BaseReader):
                 spark_schema = _iceberg_to_spark_type(
                     {"type": "struct", "fields": snap_schema["fields"]}
                 )
-        manifests = [
-            m["manifest_path"] for m in decode_avro_file(local(snap["manifest-list"]))
-        ]
         files: list[str] = []
         fparts: dict[str, dict] = {}  # file -> identity partition tuple
-        for mp in manifests:
-            for entry in decode_avro_file(local(mp)):
+        fseq: dict[str, int] = {}  # file -> data sequence number (v2)
+        frec: dict[str, str] = {}  # file -> path as RECORDED in manifests
+        pos_dels: list[tuple[str, int]] = []  # (local path, seq)
+        eq_dels: list[tuple[str, int, tuple]] = []  # (path, seq, field ids)
+        for ml in decode_avro_file(local(snap["manifest-list"])):
+            # v2 sequence-number inheritance: an ADDED entry with a null
+            # sequence_number takes the manifest-list entry's number
+            mseq = ml.get("sequence_number")
+            mseq = 0 if mseq is None else int(mseq)
+            for entry in decode_avro_file(local(ml["manifest_path"])):
                 if entry.get("status") == 2:  # DELETED entry
                     continue
                 df_ = entry["data_file"]
-                if df_.get("content", 0) != 0:
-                    raise ValueError(
-                        "Iceberg delete files (position/equality) not supported"
-                    )
+                eseq = entry.get("sequence_number")
+                eseq = mseq if eseq is None else int(eseq)
+                content = df_.get("content") or 0
                 lp = local(df_["file_path"])
-                files.append(lp)
-                if df_.get("partition"):
-                    fparts[lp] = df_["partition"]
+                if content == 0:
+                    files.append(lp)
+                    fseq[lp] = eseq
+                    frec[lp] = df_["file_path"]
+                    if df_.get("partition"):
+                        fparts[lp] = df_["partition"]
+                elif content == 1:  # position deletes
+                    pos_dels.append((lp, eseq))
+                elif content == 2:  # equality deletes
+                    eq_dels.append(
+                        (lp, eseq, tuple(df_.get("equality_ids") or ()))
+                    )
+                else:
+                    raise ValueError(
+                        f"Iceberg data_file content={content} not supported"
+                    )
         self.data.metadata.update(
-            {"snapshot_id": snap_id, "n_files": len(files), "metadata_file": meta_path}
+            {
+                "snapshot_id": snap_id,
+                "n_files": len(files),
+                "n_delete_files": len(pos_dels) + len(eq_dels),
+                "metadata_file": meta_path,
+            }
         )
         if not files:
             return spark.createDataFrame([], spark_schema)
         files = sorted(set(files))
+        if pos_dels or eq_dels:
+            # v2 merge-on-read: delete files carry the row identities to
+            # drop. Data files written by v2 writers embed every column
+            # (the migrated-table missing-column convention cannot carry
+            # deletes), so the read is the plain scan + anti-joins.
+            return _apply_iceberg_deletes(
+                spark, files, fseq, frec, pos_dels, eq_dels,
+                spark_schema, ischema,
+            )
         # identity-partitioned tables: partition columns may be ABSENT
         # from the data files (the spec's migrated-table convention —
         # readers fill identity values from the manifest partition
@@ -1308,6 +1342,128 @@ def _fill_identity_partitions(
         g = g.select(*col_order)
         out = g if out is None else out.unionByName(g)
     return out
+
+
+def _norm_file_uri(p: str) -> str:
+    """'file:///x', 'file:/x', '/x' -> '/x' (one canonical posix form,
+    matching the regexp applied to Spark's ``_metadata.file_path``)."""
+    import re as _re
+
+    return _re.sub(r"^file:/+", "/", p)
+
+
+def _apply_iceberg_deletes(
+    spark,
+    files: list[str],
+    fseq: dict,
+    frec: dict,
+    pos_dels: list,
+    eq_dels: list,
+    spark_schema,
+    ischema: dict,
+):
+    """Iceberg v2 merge-on-read: apply position + equality delete files
+    to the data scan, Spark-natively.
+
+    - Position deletes (parquet rows of ``file_path, pos``) become a
+      LEFT ANTI join on (data file path, ``_metadata.row_index``) with
+      the spec's sequence rule: a delete applies to data files whose
+      data sequence number is <= the delete's.
+    - Equality deletes become a null-safe LEFT ANTI join on the
+      ``equality_ids`` columns, applying only to data files STRICTLY
+      older than the delete (spec rule — a row inserted in the same or
+      a later commit survives).
+
+    No hint is forced on the anti-joins: delete sets are usually small
+    and AQE broadcasts them; a compaction-overdue table with huge
+    delete files still executes as a shuffled anti-join instead of
+    OOMing the driver. Path/sequence maps are O(#files) and broadcast
+    explicitly."""
+    from pyspark.sql import functions as F
+
+    col_order = [f.name for f in spark_schema.fields]
+    base = (
+        spark.read.schema(spark_schema)
+        .parquet(*files)
+        .withColumn(
+            "__file",
+            F.regexp_replace(F.col("_metadata.file_path"), "^file:/+", "/"),
+        )
+        .withColumn("__pos", F.col("_metadata.row_index"))
+    )
+    seq_rows = [(_norm_file_uri(fp), int(fseq.get(fp, 0))) for fp in files]
+    seq_map = spark.createDataFrame(seq_rows, "__file string, __seq long")
+    base = base.join(F.broadcast(seq_map), "__file", "left")
+
+    if pos_dels:
+        # recorded manifest path -> normalized local data-file path (the
+        # delete file CONTENTS reference paths as the original writer
+        # recorded them; a relocated table reads them via this map)
+        rec_rows = [
+            (_norm_file_uri(rec), _norm_file_uri(lp))
+            for lp, rec in frec.items()
+        ]
+        rec_map = spark.createDataFrame(rec_rows, "__rp string, __tfile string")
+        dseq_rows = [(_norm_file_uri(p), int(s)) for p, s in pos_dels]
+        dseq_map = spark.createDataFrame(dseq_rows, "__dfile string, __dseq long")
+        pd_df = (
+            spark.read.parquet(*sorted({p for p, _ in pos_dels}))
+            .select(
+                F.regexp_replace("file_path", "^file:/+", "/").alias("__rp"),
+                F.col("pos").alias("__dpos"),
+                F.regexp_replace(
+                    F.col("_metadata.file_path"), "^file:/+", "/"
+                ).alias("__dfile"),
+            )
+            .join(F.broadcast(dseq_map), "__dfile")
+            .join(F.broadcast(rec_map), "__rp")
+            .select("__tfile", "__dpos", "__dseq")
+        )
+        base = base.join(
+            pd_df,
+            (base["__file"] == pd_df["__tfile"])
+            & (base["__pos"] == pd_df["__dpos"])
+            & (pd_df["__dseq"] >= base["__seq"]),
+            "left_anti",
+        )
+
+    if eq_dels:
+        fid_to_name = {f["id"]: f["name"] for f in ischema["fields"]}
+        by_ids: dict[tuple, list] = {}
+        for p, s, ids in eq_dels:
+            by_ids.setdefault(ids, []).append((p, s))
+        for ids, group in sorted(by_ids.items()):
+            if not ids:
+                raise ValueError(
+                    "Iceberg equality delete file without equality_ids"
+                )
+            try:
+                cols = [fid_to_name[i] for i in ids]
+            except KeyError as e:
+                raise ValueError(
+                    f"equality delete references unknown field id {e}"
+                ) from None
+            dseq_rows = [(_norm_file_uri(p), int(s)) for p, s in group]
+            dseq_map = spark.createDataFrame(
+                dseq_rows, "__dfile string, __dseq long"
+            )
+            ed = (
+                spark.read.parquet(*sorted({p for p, _ in group}))
+                .select(
+                    *[F.col(c).alias(f"__d_{c}") for c in cols],
+                    F.regexp_replace(
+                        F.col("_metadata.file_path"), "^file:/+", "/"
+                    ).alias("__dfile"),
+                )
+                .join(F.broadcast(dseq_map), "__dfile")
+                .drop("__dfile")
+            )
+            cond = ed["__dseq"] > base["__seq"]
+            for c in cols:
+                cond = cond & base[c].eqNullSafe(ed[f"__d_{c}"])
+            base = base.join(ed, cond, "left_anti")
+
+    return base.select(*col_order)
 
 
 def _avro_zz(v: int) -> bytes:

@@ -1468,3 +1468,140 @@ def test_iceberg_mixed_partition_files(spark, tmp_path):
     assert got[100].src == "s0" and got[100].d == datetime.date(2021, 1, 1)
     assert got[3].src == "s1"
     assert back.filter("src = 's0'").count() == 5
+
+
+def test_iceberg_v2_position_and_equality_deletes(spark, tmp_path):
+    """Hand-built Iceberg v2 merge-on-read table: position deletes drop
+    (file, row_index) pairs for data files with seq <= delete seq;
+    equality deletes drop matching rows only from STRICTLY older data
+    files (a re-inserted row survives). Sequence numbers inherit from
+    the manifest-list entry when the manifest entry's is null."""
+    import json as _json
+    import os as _os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    root = str(tmp_path / "v2tbl")
+    for d in ("metadata", "data", "deletes"):
+        _os.makedirs(_os.path.join(root, d))
+
+    fa = _os.path.join(root, "data", "a.parquet")
+    fb = _os.path.join(root, "data", "b.parquet")
+    pq.write_table(
+        pa.table({"id": pa.array(range(5), pa.int64()),
+                  "v": [f"a{i}" for i in range(5)]}), fa)
+    pq.write_table(
+        pa.table({"id": pa.array([10, 11, 12, 13, 14, 2], pa.int64()),
+                  "v": [f"b{i}" for i in range(6)]}), fb)
+
+    # position deletes (seq 2, via manifest-list inheritance): A pos 0+3
+    # apply (A seq 1 <= 2); B pos 0 does NOT (B seq 3 > 2)
+    fpd = _os.path.join(root, "deletes", "pos.parquet")
+    pq.write_table(
+        pa.table({"file_path": [f"file://{fa}", f"file://{fa}", fb],
+                  "pos": pa.array([0, 3, 0], pa.int64())}), fpd)
+    # equality deletes on id (seq 2): id 4 and 2 drop from A only; id 11
+    # survives in B (strictly-older rule)
+    fed = _os.path.join(root, "deletes", "eq.parquet")
+    pq.write_table(pa.table({"id": pa.array([4, 2, 11], pa.int64())}), fed)
+
+    part_rec = {"type": "record", "name": "r102", "fields": []}
+    entry_schema = {
+        "type": "record", "name": "manifest_entry",
+        "fields": [
+            {"name": "status", "type": "int"},
+            {"name": "sequence_number", "type": ["null", "long"]},
+            {"name": "data_file", "type": {
+                "type": "record", "name": "r2",
+                "fields": [
+                    {"name": "content", "type": "int"},
+                    {"name": "file_path", "type": "string"},
+                    {"name": "file_format", "type": "string"},
+                    {"name": "partition", "type": part_rec},
+                    {"name": "record_count", "type": "long"},
+                    {"name": "file_size_in_bytes", "type": "long"},
+                    {"name": "equality_ids",
+                     "type": ["null", {"type": "array", "items": "int"}]},
+                ]}},
+        ]}
+    mlist_schema = {
+        "type": "record", "name": "manifest_file",
+        "fields": [
+            {"name": "manifest_path", "type": "string"},
+            {"name": "sequence_number", "type": "long"},
+        ]}
+
+    def dfile(path, content=0, eq_ids=None, rec="file://"):
+        return {"content": content, "file_path": rec + path,
+                "file_format": "PARQUET", "partition": {},
+                "record_count": 1,
+                "file_size_in_bytes": _os.path.getsize(path),
+                "equality_ids": eq_ids}
+
+    mdir = _os.path.join(root, "metadata")
+    m_data = _os.path.join(mdir, "m-data.avro")
+    write_avro(m_data, entry_schema, [
+        {"status": 1, "sequence_number": 1, "data_file": dfile(fa)},
+        {"status": 1, "sequence_number": 3,
+         "data_file": dfile(fb, rec="")},  # plain path form
+    ])
+    m_del = _os.path.join(mdir, "m-del.avro")
+    write_avro(m_del, entry_schema, [
+        # null sequence_number -> inherits the manifest-list entry's (2)
+        {"status": 1, "sequence_number": None,
+         "data_file": dfile(fpd, content=1)},
+        {"status": 1, "sequence_number": 2,
+         "data_file": dfile(fed, content=2, eq_ids=[1])},
+    ])
+    mlist = _os.path.join(mdir, "snap-1.avro")
+    write_avro(mlist, mlist_schema, [
+        {"manifest_path": m_data, "sequence_number": 1},
+        {"manifest_path": m_del, "sequence_number": 2},
+    ])
+
+    meta = {
+        "format-version": 2, "table-uuid": "u1", "location": root,
+        "last-sequence-number": 3, "last-updated-ms": 0,
+        "last-column-id": 2,
+        "schemas": [{"type": "struct", "schema-id": 0, "fields": [
+            {"id": 1, "name": "id", "required": False, "type": "long"},
+            {"id": 2, "name": "v", "required": False, "type": "string"},
+        ]}],
+        "current-schema-id": 0,
+        "partition-specs": [{"spec-id": 0, "fields": []}],
+        "default-spec-id": 0, "last-partition-id": 999,
+        "sort-orders": [{"order-id": 0, "fields": []}],
+        "default-sort-order-id": 0,
+        "current-snapshot-id": 99,
+        "snapshots": [{"snapshot-id": 99, "timestamp-ms": 0,
+                       "sequence-number": 3, "manifest-list": mlist,
+                       "summary": {"operation": "overwrite"}}],
+    }
+    with open(_os.path.join(mdir, "v1.metadata.json"), "w") as fh:
+        _json.dump(meta, fh)
+    with open(_os.path.join(mdir, "version-hint.text"), "w") as fh:
+        fh.write("1")
+
+    back = IcebergTableReader(data=dt.IcebergDataset(url=root)).read(
+        spark=spark
+    )
+    ids = sorted(r.id for r in back.collect())
+    # A keeps only id 1 (pos deletes drop 0,3; eq deletes drop 4,2);
+    # B keeps everything incl. the re-inserted 2 and the eq-targeted 11
+    assert ids == [1, 2, 10, 11, 12, 13, 14]
+    vs = {r.id: r.v for r in back.collect()}
+    assert vs[1] == "a1" and vs[2] == "b5" and vs[11] == "b1"
+    # anti-joins, not a driver-side filter: LeftAnti appears in the plan
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in plan
+
+    # a relocated table still applies deletes: manifest paths rebase via
+    # the metadata location, delete CONTENTS (original recorded paths)
+    # map through the recorded->local path map
+    moved = str(tmp_path / "v2moved")
+    _os.rename(root, moved)
+    back2 = IcebergTableReader(data=dt.IcebergDataset(url=moved)).read(
+        spark=spark
+    )
+    assert sorted(r.id for r in back2.collect()) == [1, 2, 10, 11, 12, 13, 14]
