@@ -780,8 +780,10 @@ class DeltaLakeReader(BaseReader):
     (parity: SparkDeltaLake, reference readers.py:550, which needs the
     delta-spark jar). Supports JSON commits + parquet checkpoints, remove
     actions, partitioned tables (hive-layout paths via basePath so Catalyst
-    still prunes partitions), and ``version=`` time travel. Tables needing
-    column mapping or deletion vectors raise with the feature named."""
+    still prunes partitions), ``version=`` time travel, and column mapping
+    (mode name/id: scan under physical col-<uuid> names, rename back to
+    logical, nested fields included). Deletion vectors raise with the
+    feature named."""
 
     implements = {dt.DeltalakeTable}
     priority = -1  # see AvroOCFReader: never ClassNotFound by default
@@ -816,28 +818,49 @@ class DeltaLakeReader(BaseReader):
             raise ValueError("Delta log contains no metaData action")
         if protocol:
             feats = set(protocol.get("readerFeatures") or [])
-            if protocol.get("minReaderVersion", 1) >= 3 and feats:
+            unsupported = feats - {"columnMapping"}
+            if protocol.get("minReaderVersion", 1) >= 3 and unsupported:
                 raise ValueError(
-                    f"unsupported Delta reader features {sorted(feats)} "
-                    "(this stdlib reader handles the base protocol)"
+                    f"unsupported Delta reader features {sorted(unsupported)} "
+                    "(this stdlib reader handles the base protocol + "
+                    "columnMapping)"
                 )
         cmap = (meta.get("configuration") or {}).get("delta.columnMapping.mode")
-        if cmap and cmap != "none":
+        if cmap not in (None, "none", "name", "id"):
             raise ValueError(f"Delta column mapping mode {cmap!r} not supported")
-        schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
-        part_cols = list(meta.get("partitionColumns") or [])
+        logical_schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
+        mapped = cmap in ("name", "id") and _delta_cm_active(logical_schema)
+        # column mapping (mode name/id): data files carry PHYSICAL names
+        # (col-<uuid>, recorded per field as delta.columnMapping.
+        # physicalName — both modes store it). Scan with the physical
+        # schema, rename back to logical at the end; partitionValues keys
+        # and hive dirs are physical too.
+        schema = _delta_cm_physical(logical_schema) if mapped else logical_schema
+        lpart_cols = list(meta.get("partitionColumns") or [])
+        if mapped:
+            l2p = {
+                f.name: f.metadata.get("delta.columnMapping.physicalName", f.name)
+                for f in logical_schema.fields
+            }
+            part_cols = [l2p.get(c, c) for c in lpart_cols]
+        else:
+            part_cols = lpart_cols
         self.data.metadata.update(
-            {"partition_columns": part_cols, "n_files": len(adds)}
+            {"partition_columns": lpart_cols, "n_files": len(adds)}
         )
+
+        def _done(df):
+            return _delta_cm_rename(df, logical_schema) if mapped else df
+
         if not adds:
-            return spark.createDataFrame([], schema)
+            return spark.createDataFrame([], logical_schema)
         from urllib.parse import unquote
 
         # add.path is RFC 2396 URI-encoded per the Delta protocol
         rel = {unquote(p): a for p, a in adds.items()}
         paths = [os.path.join(root, p) for p in sorted(rel)]
         if not part_cols:
-            return spark.read.schema(schema).parquet(*paths)
+            return _done(spark.read.schema(schema).parquet(*paths))
         # The log's partitionValues are authoritative; the hive-style dir
         # layout is only a convention. When every path encodes its own
         # partition values hive-style (the layout every mainstream writer
@@ -856,7 +879,7 @@ class DeltaLakeReader(BaseReader):
             hive_consistent(p, a.get("partitionValues") or {}) for p, a in rel.items()
         ):
             out = spark.read.schema(schema).option("basePath", root).parquet(*paths)
-            return out.select(*[f.name for f in schema.fields])
+            return _done(out.select(*[f.name for f in schema.fields]))
         from pyspark.sql import functions as F
 
         data_schema = T.StructType([f for f in schema.fields if f.name not in part_cols])
@@ -874,7 +897,126 @@ class DeltaLakeReader(BaseReader):
                 g = g.withColumn(c, F.lit(v).cast(f.dataType))
             g = g.select(*[f.name for f in schema.fields])
             out = g if out is None else out.unionByName(g)
-        return out
+        return _done(out)
+
+
+_CM_KEY = "delta.columnMapping.physicalName"
+
+
+def _delta_cm_active(schema) -> bool:
+    """Does any field (nested included) carry a physicalName annotation?"""
+
+    def walk(dtype) -> bool:
+        tn = dtype.typeName()
+        if tn == "struct":
+            return any(
+                _CM_KEY in (f.metadata or {}) or walk(f.dataType)
+                for f in dtype.fields
+            )
+        if tn == "array":
+            return walk(dtype.elementType)
+        if tn == "map":
+            return walk(dtype.keyType) or walk(dtype.valueType)
+        return False
+
+    return walk(schema)
+
+
+def _delta_cm_physical(schema):
+    """Logical StructType -> the physical one the parquet files carry:
+    every field renamed to its delta.columnMapping.physicalName
+    (recursively — nested struct fields are annotated too)."""
+    from pyspark.sql import types as T
+
+    def conv(dtype):
+        tn = dtype.typeName()
+        if tn == "struct":
+            return T.StructType(
+                [
+                    T.StructField(
+                        (f.metadata or {}).get(_CM_KEY, f.name),
+                        conv(f.dataType),
+                        f.nullable,
+                    )
+                    for f in dtype.fields
+                ]
+            )
+        if tn == "array":
+            return T.ArrayType(conv(dtype.elementType), dtype.containsNull)
+        if tn == "map":
+            return T.MapType(
+                conv(dtype.keyType),
+                conv(dtype.valueType),
+                dtype.valueContainsNull,
+            )
+        return dtype
+
+    return conv(schema)
+
+
+def _delta_cm_rename(df, logical_schema):
+    """Physical-named scan -> logical column names, preserving nested
+    structure (struct fields rebuilt with F.struct keep null structs
+    null via an isNull guard; arrays/maps of structs rename through
+    transform/transform_values)."""
+    from pyspark.sql import functions as F
+
+    def strip_meta(dtype):
+        # logical dtype WITHOUT metadata, for the null cast
+        import json as _json
+
+        from pyspark.sql import types as T
+
+        def conv(d):
+            tn = d.typeName()
+            if tn == "struct":
+                return T.StructType(
+                    [
+                        T.StructField(f.name, conv(f.dataType), f.nullable)
+                        for f in d.fields
+                    ]
+                )
+            if tn == "array":
+                return T.ArrayType(conv(d.elementType), d.containsNull)
+            if tn == "map":
+                return T.MapType(
+                    conv(d.keyType), conv(d.valueType), d.valueContainsNull
+                )
+            return d
+
+        return conv(dtype)
+
+    def expr(col, ldt):
+        tn = ldt.typeName()
+        if tn == "struct":
+            rebuilt = F.struct(
+                *[
+                    expr(
+                        col[(f.metadata or {}).get(_CM_KEY, f.name)], f.dataType
+                    ).alias(f.name)
+                    for f in ldt.fields
+                ]
+            )
+            return F.when(col.isNull(), F.lit(None).cast(strip_meta(ldt))).otherwise(
+                rebuilt
+            )
+        if tn == "array":
+            inner = ldt.elementType
+            if inner.typeName() in ("struct", "array", "map"):
+                return F.transform(col, lambda x: expr(x, inner))
+            return col
+        if tn == "map":
+            vt = ldt.valueType
+            if vt.typeName() in ("struct", "array", "map"):
+                return F.transform_values(col, lambda _k, v: expr(v, vt))
+            return col
+        return col
+
+    out_cols = []
+    for f in logical_schema.fields:
+        phys = (f.metadata or {}).get(_CM_KEY, f.name)
+        out_cols.append(expr(df[phys], f.dataType).alias(f.name))
+    return df.select(*out_cols)
 
 
 # --------------------------------------------------------------------------

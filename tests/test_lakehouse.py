@@ -1605,3 +1605,98 @@ def test_iceberg_v2_position_and_equality_deletes(spark, tmp_path):
         spark=spark
     )
     assert sorted(r.id for r in back2.collect()) == [1, 2, 10, 11, 12, 13, 14]
+
+
+def test_delta_column_mapping_read(spark, tmp_path):
+    """Column-mapped Delta tables (mode=name): parquet files carry
+    physical col-<uuid> names (nested struct/array fields too); the
+    reader scans physically and renames back to logical, preserving
+    null structs. Partitioned variant: hive dirs + partitionValues are
+    keyed by PHYSICAL names."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    def fmeta(i, phys):
+        return {"delta.columnMapping.id": i,
+                "delta.columnMapping.physicalName": phys}
+
+    nested_t = {"type": "struct", "fields": [
+        {"name": "a", "type": "integer", "nullable": True,
+         "metadata": fmeta(3, "col-bb")},
+        {"name": "b", "type": "string", "nullable": True,
+         "metadata": fmeta(4, "col-cc")},
+    ]}
+    tags_t = {"type": "array", "containsNull": True,
+              "elementType": {"type": "struct", "fields": [
+                  {"name": "t", "type": "string", "nullable": True,
+                   "metadata": fmeta(6, "col-ee")}]}}
+    schema_json = {"type": "struct", "fields": [
+        {"name": "id", "type": "long", "nullable": True,
+         "metadata": fmeta(1, "col-aa")},
+        {"name": "s", "type": nested_t, "nullable": True,
+         "metadata": fmeta(2, "col-dd")},
+        {"name": "tags", "type": tags_t, "nullable": True,
+         "metadata": fmeta(5, "col-ff")},
+    ]}
+
+    root = str(tmp_path / "cmtbl")
+    os.makedirs(f"{root}/_delta_log")
+    inner = pa.struct([("col-bb", pa.int32()), ("col-cc", pa.string())])
+    tbl = pa.table({
+        "col-aa": pa.array([1, 2, 3], pa.int64()),
+        "col-dd": pa.array([(10, "x"), None, (30, "z")], inner),
+        "col-ff": pa.array([[("p",)], [], [("q",), ("r",)]],
+                           pa.list_(pa.struct([("col-ee", pa.string())]))),
+    })
+    pq.write_table(tbl, f"{root}/part-0.parquet")
+    conf_meta = json.dumps({"metaData": {
+        "id": "m1", "schemaString": json.dumps(schema_json),
+        "partitionColumns": [],
+        "configuration": {"delta.columnMapping.mode": "name",
+                          "delta.columnMapping.maxColumnId": "6"},
+        "format": {"provider": "parquet", "options": {}}}})
+    with open(f"{root}/_delta_log/{0:020d}.json", "w") as f:
+        f.write(json.dumps({"protocol": {
+            "minReaderVersion": 3, "minWriterVersion": 7,
+            "readerFeatures": ["columnMapping"],
+            "writerFeatures": ["columnMapping"]}}) + "\n")
+        f.write(conf_meta + "\n")
+        f.write(_delta_add("part-0.parquet") + "\n")
+
+    df = DeltaLakeReader(data=dt.DeltalakeTable(url=root)).read(spark=spark)
+    assert df.columns == ["id", "s", "tags"]
+    rows = {r.id: r for r in df.collect()}
+    assert rows[1].s.a == 10 and rows[1].s.b == "x"
+    assert rows[2].s is None  # null struct stays null
+    assert [t.t for t in rows[3].tags] == ["q", "r"]
+
+    # partitioned: dirs + partitionValues keyed by the PHYSICAL name
+    proot = str(tmp_path / "cmpart")
+    os.makedirs(f"{proot}/_delta_log")
+    pschema = {"type": "struct", "fields": [
+        {"name": "id", "type": "long", "nullable": True,
+         "metadata": fmeta(1, "col-aa")},
+        {"name": "src", "type": "string", "nullable": True,
+         "metadata": fmeta(2, "col-pp")},
+    ]}
+    for sv, ids in (("x", [1, 2]), ("y", [3])):
+        os.makedirs(f"{proot}/col-pp={sv}", exist_ok=True)
+        pq.write_table(
+            pa.table({"col-aa": pa.array(ids, pa.int64())}),
+            f"{proot}/col-pp={sv}/f.parquet")
+    pmeta = json.dumps({"metaData": {
+        "id": "m2", "schemaString": json.dumps(pschema),
+        "partitionColumns": ["src"],
+        "configuration": {"delta.columnMapping.mode": "name"},
+        "format": {"provider": "parquet", "options": {}}}})
+    with open(f"{proot}/_delta_log/{0:020d}.json", "w") as f:
+        f.write(json.dumps({"protocol": {"minReaderVersion": 2,
+                                         "minWriterVersion": 5}}) + "\n")
+        f.write(pmeta + "\n")
+        f.write(_delta_add("col-pp=x/f.parquet", {"col-pp": "x"}) + "\n")
+        f.write(_delta_add("col-pp=y/f.parquet", {"col-pp": "y"}) + "\n")
+
+    pdf = DeltaLakeReader(data=dt.DeltalakeTable(url=proot)).read(spark=spark)
+    assert pdf.columns == ["id", "src"]
+    assert {(r.id, r.src) for r in pdf.collect()} == {(1, "x"), (2, "x"), (3, "y")}
+    assert pdf.filter("src = 'x'").count() == 2
