@@ -782,8 +782,9 @@ class DeltaLakeReader(BaseReader):
     actions, partitioned tables (hive-layout paths via basePath so Catalyst
     still prunes partitions), ``version=`` time travel, and column mapping
     (mode name/id: scan under physical col-<uuid> names, rename back to
-    logical, nested fields included). Deletion vectors raise with the
-    feature named."""
+    logical, nested fields included), and deletion vectors (stdlib
+    Z85 + RoaringBitmapArray decode on executors, applied as a LEFT
+    ANTI join on ``_metadata.row_index``)."""
 
     implements = {dt.DeltalakeTable}
     priority = -1  # see AvroOCFReader: never ClassNotFound by default
@@ -818,12 +819,12 @@ class DeltaLakeReader(BaseReader):
             raise ValueError("Delta log contains no metaData action")
         if protocol:
             feats = set(protocol.get("readerFeatures") or [])
-            unsupported = feats - {"columnMapping"}
+            unsupported = feats - {"columnMapping", "deletionVectors"}
             if protocol.get("minReaderVersion", 1) >= 3 and unsupported:
                 raise ValueError(
                     f"unsupported Delta reader features {sorted(unsupported)} "
                     "(this stdlib reader handles the base protocol + "
-                    "columnMapping)"
+                    "columnMapping + deletionVectors)"
                 )
         cmap = (meta.get("configuration") or {}).get("delta.columnMapping.mode")
         if cmap not in (None, "none", "name", "id"):
@@ -859,8 +860,26 @@ class DeltaLakeReader(BaseReader):
         # add.path is RFC 2396 URI-encoded per the Delta protocol
         rel = {unquote(p): a for p, a in adds.items()}
         paths = [os.path.join(root, p) for p in sorted(rel)]
+        dv_adds = [
+            (os.path.join(root, p), a["deletionVector"])
+            for p, a in sorted(rel.items())
+            if a.get("deletionVector")
+        ]
+        from pyspark.sql import functions as F
+
+        def _with_dvs(out):
+            if not dv_adds:
+                return out
+            out = out.withColumn(
+                "__file",
+                F.regexp_replace(F.col("_metadata.file_path"), "^file:/+", "/"),
+            ).withColumn("__pos", F.col("_metadata.row_index"))
+            return _apply_delta_dvs(
+                spark, out, dv_adds, root, [f.name for f in schema.fields]
+            )
+
         if not part_cols:
-            return _done(spark.read.schema(schema).parquet(*paths))
+            return _done(_with_dvs(spark.read.schema(schema).parquet(*paths)))
         # The log's partitionValues are authoritative; the hive-style dir
         # layout is only a convention. When every path encodes its own
         # partition values hive-style (the layout every mainstream writer
@@ -879,9 +898,13 @@ class DeltaLakeReader(BaseReader):
             hive_consistent(p, a.get("partitionValues") or {}) for p, a in rel.items()
         ):
             out = spark.read.schema(schema).option("basePath", root).parquet(*paths)
-            return _done(out.select(*[f.name for f in schema.fields]))
-        from pyspark.sql import functions as F
-
+            return _done(_with_dvs(out).select(*[f.name for f in schema.fields]))
+        if dv_adds:
+            raise ValueError(
+                "Delta deletion vectors on a non-hive-laid-out partitioned "
+                "table are not supported (no mainstream writer produces "
+                "this combination)"
+            )
         data_schema = T.StructType([f for f in schema.fields if f.name not in part_cols])
         groups: dict[tuple, list[str]] = {}
         for p, a in rel.items():
@@ -1017,6 +1040,210 @@ def _delta_cm_rename(df, logical_schema):
         phys = (f.metadata or {}).get(_CM_KEY, f.name)
         out_cols.append(expr(df[phys], f.dataType).alias(f.name))
     return df.select(*out_cols)
+
+
+# ---- Delta deletion vectors ----------------------------------------------
+
+_Z85_ALPHABET = (
+    "0123456789abcdefghijklmnopqrstuvwxyz"
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZ.-:+=^!/*?&<>()[]{}@%$#"
+)
+_Z85_INDEX = {c: i for i, c in enumerate(_Z85_ALPHABET)}
+
+
+def _z85_decode(s: str) -> bytes:
+    """Z85 (ZeroMQ spec 32) decode — the encoding Delta uses for DV
+    UUIDs in ``pathOrInlineDv``. Python grew base64.z85decode only in
+    3.13, so decode by hand: 5 chars -> one big-endian uint32."""
+    if len(s) % 5:
+        raise ValueError(f"z85 length {len(s)} not a multiple of 5")
+    out = bytearray()
+    for i in range(0, len(s), 5):
+        acc = 0
+        for c in s[i : i + 5]:
+            try:
+                acc = acc * 85 + _Z85_INDEX[c]
+            except KeyError:
+                raise ValueError(f"invalid z85 char {c!r}") from None
+        if acc > 0xFFFFFFFF:
+            raise ValueError("z85 group overflows 32 bits")
+        out += acc.to_bytes(4, "big")
+    return bytes(out)
+
+
+def _roaring32_positions(buf: bytes, off: int) -> "tuple[list[int], int]":
+    """Parse ONE standard-format 32-bit RoaringBitmap (little-endian,
+    per the public roaring format spec): returns (sorted values, bytes
+    consumed). Handles array, bitmap and run containers, both cookies
+    (12346 no-run / 12347 with run-flag bits)."""
+    import struct as _st
+
+    start = off
+    (cookie,) = _st.unpack_from("<I", buf, off)
+    off += 4
+    if (cookie & 0xFFFF) == 12347:
+        size = (cookie >> 16) + 1
+        nrun_bytes = (size + 7) // 8
+        runflags = buf[off : off + nrun_bytes]
+        off += nrun_bytes
+        has_offsets = size >= 4  # NO_OFFSET_THRESHOLD
+    elif cookie == 12346:
+        (size,) = _st.unpack_from("<I", buf, off)
+        off += 4
+        runflags = b"\x00" * ((size + 7) // 8)
+        has_offsets = True
+    else:
+        raise ValueError(f"bad roaring cookie {cookie}")
+    keys_cards = []
+    for i in range(size):
+        k, cm1 = _st.unpack_from("<HH", buf, off)
+        off += 4
+        keys_cards.append((k, cm1 + 1))
+    if has_offsets:
+        off += 4 * size  # container offsets — layout is sequential anyway
+    vals: list[int] = []
+    for i, (k, card) in enumerate(keys_cards):
+        base = k << 16
+        if runflags[i // 8] & (1 << (i % 8)):  # run container
+            (n_runs,) = _st.unpack_from("<H", buf, off)
+            off += 2
+            for _ in range(n_runs):
+                s0, ln = _st.unpack_from("<HH", buf, off)
+                off += 4
+                vals.extend(base | v for v in range(s0, s0 + ln + 1))
+        elif card <= 4096:  # array container
+            vals.extend(
+                base | v
+                for v in _st.unpack_from(f"<{card}H", buf, off)
+            )
+            off += 2 * card
+        else:  # bitmap container: 1024 uint64 words
+            words = _st.unpack_from("<1024Q", buf, off)
+            off += 8192
+            for wi, w in enumerate(words):
+                while w:
+                    b = w & -w
+                    vals.append(base | (wi << 6) | b.bit_length() - 1)
+                    w ^= b
+    return vals, off - start
+
+
+def _roaring64_positions(data: bytes) -> list[int]:
+    """Delta's RoaringBitmapArray 'portable' serialization: 4-byte LE
+    magic 1681511377, 8-byte LE bitmap count, then per bitmap a 4-byte
+    LE high-32 key + one standard 32-bit roaring bitmap. Returns the
+    sorted 64-bit row indexes."""
+    import struct as _st
+
+    (magic,) = _st.unpack_from("<I", data, 0)
+    if magic != 1681511377:
+        raise ValueError(f"bad DV bitmap magic {magic}")
+    (n,) = _st.unpack_from("<q", data, 4)
+    off = 12
+    out: list[int] = []
+    for _ in range(n):
+        (hi,) = _st.unpack_from("<I", data, off)
+        off += 4
+        vals, used = _roaring32_positions(data, off)
+        off += used
+        out.extend((hi << 32) | v for v in vals)
+    return out
+
+
+def _dv_file_positions(path: str, offset: "int | None", size: int) -> list[int]:
+    """Read one on-disk deletion vector: at ``offset`` a 4-byte
+    BIG-endian length, then the serialized bitmap (+ trailing CRC32,
+    not verified here). Some writers' descriptors point straight at the
+    data — detected by checking the length prefix against the
+    descriptor's sizeInBytes."""
+    import struct as _st
+
+    with open(path, "rb") as f:
+        raw = f.read()
+    off = offset or 1  # default: right after the 1-byte file version
+    if off + 4 <= len(raw):
+        (sz,) = _st.unpack_from(">I", raw, off)
+        if sz == size:
+            return _roaring64_positions(raw[off + 4 : off + 4 + size])
+    return _roaring64_positions(raw[off : off + size])
+
+
+def _delta_dv_local_path(desc: dict, root: str) -> "tuple[str, bytes | None]":
+    """Resolve a DV descriptor to (local file path, inline bytes).
+    storageType 'u': z85 UUID (with optional random dir prefix) ->
+    <root>/[prefix/]deletion_vector_<uuid>.bin; 'p': absolute path;
+    'i': inline z85 payload, no file."""
+    import uuid as _uuid
+
+    st_ = desc.get("storageType", "u")
+    ref = desc["pathOrInlineDv"]
+    if st_ == "i":
+        return "", _z85_decode(ref)
+    if st_ == "p":
+        return ref.removeprefix("file://"), None
+    if st_ == "u":
+        prefix, enc = ref[:-20], ref[-20:]
+        u = _uuid.UUID(bytes=_z85_decode(enc))
+        sub = os.path.join(root, prefix) if prefix else root
+        return os.path.join(sub, f"deletion_vector_{u}.bin"), None
+    raise ValueError(f"unknown DV storageType {st_!r}")
+
+
+def _apply_delta_dvs(spark, base, dv_adds: list, root: str, col_order):
+    """Apply deletion vectors: one small DataFrame of descriptors fans
+    out to executors (mapInPandas) where each DV file/payload is decoded
+    into (data file path, row index) rows; a LEFT ANTI join against the
+    scan's ``_metadata`` columns drops the dead rows. DV decode never
+    touches the driver; the expansion is cardinality-sized and AQE
+    broadcasts it when small."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    rows = []
+    for data_path, desc in dv_adds:
+        p, inline = _delta_dv_local_path(desc, root)
+        rows.append(
+            (
+                _norm_file_uri(data_path),
+                p,
+                inline,
+                desc.get("offset"),
+                int(desc["sizeInBytes"]),
+                int(desc.get("cardinality") or -1),
+            )
+        )
+    dv_df = spark.createDataFrame(
+        rows,
+        "__file string, dv_path string, inline binary, "
+        "offset long, size long, card long",
+    )
+
+    def expand(batches):
+        for pdf in batches:
+            for fp, dvp, inline, offset, size, card in zip(
+                pdf["__file"], pdf["dv_path"], pdf["inline"],
+                pdf["offset"], pdf["size"], pdf["card"],
+            ):
+                if inline is not None and len(inline):
+                    positions = _roaring64_positions(bytes(inline))
+                else:
+                    positions = _dv_file_positions(
+                        dvp, None if pd.isna(offset) else int(offset),
+                        int(size),
+                    )
+                if card >= 0 and len(positions) != card:
+                    raise ValueError(
+                        f"DV cardinality mismatch for {fp}: "
+                        f"decoded {len(positions)}, descriptor {card}"
+                    )
+                yield pd.DataFrame({"__file": fp, "__dpos": positions})
+
+    dels = dv_df.mapInPandas(expand, schema="__file string, __dpos long")
+    cond = (base["__file"] == dels["__file"]) & (
+        base["__pos"] == dels["__dpos"]
+    )
+    return base.join(dels, cond, "left_anti").select(*col_order)
 
 
 # --------------------------------------------------------------------------

@@ -244,9 +244,9 @@ def test_delta_unsupported_features_raise(spark, tmp_path):
     os.makedirs(f"{root}/_delta_log")
     with open(f"{root}/_delta_log/{0:020d}.json", "w") as f:
         f.write(json.dumps({"protocol": {"minReaderVersion": 3,
-                                         "readerFeatures": ["deletionVectors"]}}) + "\n")
+                                         "readerFeatures": ["v2Checkpoint"]}}) + "\n")
         f.write(_delta_meta(_DELTA_SCHEMA) + "\n")
-    with pytest.raises(ValueError, match="deletionVectors"):
+    with pytest.raises(ValueError, match="v2Checkpoint"):
         DeltaLakeReader(data=dt.DeltalakeTable(url=root)).read(spark=spark)
 
 
@@ -1700,3 +1700,182 @@ def test_delta_column_mapping_read(spark, tmp_path):
     assert pdf.columns == ["id", "src"]
     assert {(r.id, r.src) for r in pdf.collect()} == {(1, "x"), (2, "x"), (3, "y")}
     assert pdf.filter("src = 'x'").count() == 2
+
+
+# ---- Delta deletion vectors ---------------------------------------------
+
+
+def _z85_encode(b: bytes) -> str:
+    from intake_spark.lakehouse import _Z85_ALPHABET
+
+    assert len(b) % 4 == 0
+    out = []
+    for i in range(0, len(b), 4):
+        acc = int.from_bytes(b[i : i + 4], "big")
+        grp = []
+        for _ in range(5):
+            grp.append(_Z85_ALPHABET[acc % 85])
+            acc //= 85
+        out.extend(reversed(grp))
+    return "".join(out)
+
+
+def _ser_roaring32(values, force_bitmap=False, use_runs=False) -> bytes:
+    """Test-side standard-format roaring serializer (independent of the
+    reader): array containers by default; run containers (cookie 12347)
+    or bitmap containers on request."""
+    by_hi = {}
+    for v in sorted(values):
+        by_hi.setdefault(v >> 16, []).append(v & 0xFFFF)
+    size = len(by_hi)
+    out = bytearray()
+    if use_runs:
+        out += struct.pack("<I", 12347 | ((size - 1) << 16))
+        flags = bytearray((size + 7) // 8)
+        for i in range(size):
+            flags[i // 8] |= 1 << (i % 8)
+        out += flags
+        has_offsets = size >= 4
+    else:
+        out += struct.pack("<I", 12346)
+        out += struct.pack("<I", size)
+        has_offsets = True
+    for k, vs in sorted(by_hi.items()):
+        out += struct.pack("<HH", k, len(vs) - 1)
+    if has_offsets:
+        # sequential layout; compute real offsets from this position
+        header_end = len(out) + 4 * size
+        offs, pos = [], header_end
+        for k, vs in sorted(by_hi.items()):
+            offs.append(pos)
+            if use_runs:
+                runs = _to_runs(vs)
+                pos += 2 + 4 * len(runs)
+            elif force_bitmap or len(vs) > 4096:
+                pos += 8192
+            else:
+                pos += 2 * len(vs)
+        for o in offs:
+            out += struct.pack("<I", o)
+    for k, vs in sorted(by_hi.items()):
+        if use_runs:
+            runs = _to_runs(vs)
+            out += struct.pack("<H", len(runs))
+            for s0, ln in runs:
+                out += struct.pack("<HH", s0, ln)
+        elif force_bitmap or len(vs) > 4096:
+            words = [0] * 1024
+            for v in vs:
+                words[v >> 6] |= 1 << (v & 63)
+            out += struct.pack("<1024Q", *words)
+        else:
+            out += struct.pack(f"<{len(vs)}H", *vs)
+    return bytes(out)
+
+
+def _to_runs(vs):
+    runs = []
+    for v in sorted(vs):
+        if runs and v == runs[-1][0] + runs[-1][1] + 1:
+            runs[-1][1] += 1
+        else:
+            runs.append([v, 0])
+    return [(s, length) for s, length in runs]
+
+
+def _ser_roaring64(values, **kw) -> bytes:
+    by_hi = {}
+    for v in sorted(values):
+        by_hi.setdefault(v >> 32, []).append(v & 0xFFFFFFFF)
+    out = bytearray(struct.pack("<I", 1681511377))
+    out += struct.pack("<q", len(by_hi))
+    for hi, vs in sorted(by_hi.items()):
+        out += struct.pack("<I", hi)
+        out += _ser_roaring32(vs, **kw)
+    return bytes(out)
+
+
+def test_roaring64_decode_all_container_kinds():
+    from intake_spark.lakehouse import _roaring64_positions
+
+    vals = [0, 3, 5, 6, 8, 70000, 70001]
+    assert _roaring64_positions(_ser_roaring64(vals)) == sorted(vals)
+    assert _roaring64_positions(_ser_roaring64(vals, use_runs=True)) == sorted(vals)
+    big = list(range(0, 10000, 2))  # 5000 per container -> bitmap
+    assert _roaring64_positions(_ser_roaring64(big)) == big
+    hi = [5, (1 << 32) | 7]  # two 32-bit bitmaps in the 64-bit array
+    assert _roaring64_positions(_ser_roaring64(hi)) == hi
+
+
+def test_delta_deletion_vectors_read(spark, tmp_path):
+    """Delta DV read: on-disk DV (storageType u, z85 UUID path, run
+    containers) and inline DV (storageType i) both drop their row
+    indexes; protocol readerFeatures=[deletionVectors] reads instead of
+    raising; cardinality mismatch is a named error."""
+    import uuid as _uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import zlib as _zlib
+
+    from intake_spark.lakehouse import DeltaLakeReader
+
+    root = str(tmp_path / "dvtbl")
+    os.makedirs(f"{root}/_delta_log")
+    pq.write_table(
+        pa.table({"id": pa.array(range(10), pa.int64())}), f"{root}/f0.parquet")
+    pq.write_table(
+        pa.table({"id": pa.array(range(100, 105), pa.int64())}),
+        f"{root}/f1.parquet")
+
+    # on-disk DV for f0: kill positions 0,3,5,6,8 (run-container form)
+    u = _uuid.uuid4()
+    bm0 = _ser_roaring64([0, 3, 5, 6, 8], use_runs=True)
+    dvf = f"{root}/deletion_vector_{u}.bin"
+    with open(dvf, "wb") as f:
+        f.write(b"\x01" + struct.pack(">I", len(bm0)) + bm0
+                + struct.pack(">I", _zlib.crc32(bm0)))
+    dv0 = {"storageType": "u", "pathOrInlineDv": _z85_encode(u.bytes),
+           "offset": 1, "sizeInBytes": len(bm0), "cardinality": 5}
+    # inline DV for f1: kill position 2; z85 needs len%4==0 -> pad format
+    bm1 = _ser_roaring64([2])
+    pad = (-len(bm1)) % 4
+    bm1p = bm1 + b"\x00" * pad  # trailing zeros beyond parsed containers
+    dv1 = {"storageType": "i", "pathOrInlineDv": _z85_encode(bm1p),
+           "sizeInBytes": len(bm1p), "cardinality": 1}
+
+    schema_json = {"type": "struct", "fields": [
+        {"name": "id", "type": "long", "nullable": True, "metadata": {}}]}
+    with open(f"{root}/_delta_log/{0:020d}.json", "w") as f:
+        f.write(json.dumps({"protocol": {
+            "minReaderVersion": 3, "minWriterVersion": 7,
+            "readerFeatures": ["deletionVectors"],
+            "writerFeatures": ["deletionVectors"]}}) + "\n")
+        f.write(_delta_meta(schema_json) + "\n")
+        f.write(json.dumps({"add": {
+            "path": "f0.parquet", "partitionValues": {}, "size": 1,
+            "modificationTime": 0, "dataChange": True,
+            "deletionVector": dv0}}) + "\n")
+        f.write(json.dumps({"add": {
+            "path": "f1.parquet", "partitionValues": {}, "size": 1,
+            "modificationTime": 0, "dataChange": True,
+            "deletionVector": dv1}}) + "\n")
+
+    df = DeltaLakeReader(data=dt.DeltalakeTable(url=root)).read(spark=spark)
+    assert sorted(r.id for r in df.collect()) == [1, 2, 4, 7, 9,
+                                                  100, 101, 103, 104]
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in plan
+
+    # cardinality mismatch -> named executor error
+    with open(f"{root}/_delta_log/{1:020d}.json", "w") as f:
+        bad = dict(dv0, cardinality=4)
+        f.write(json.dumps({"add": {
+            "path": "f0.parquet", "partitionValues": {}, "size": 1,
+            "modificationTime": 0, "dataChange": True,
+            "deletionVector": bad}}) + "\n")
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="cardinality mismatch"):
+        DeltaLakeReader(data=dt.DeltalakeTable(url=root)).read(
+            spark=spark).collect()
