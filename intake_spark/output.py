@@ -1472,23 +1472,177 @@ _ICEBERG_MANIFEST_FILE = {
 }
 
 
-def _iceberg_manifest_schema(pcols: list[str], by_name: dict) -> dict:
+_IPART_RE = None
+
+
+def _parse_partition_spec(pcols: list, by_name: dict) -> list[dict]:
+    """``partition_by`` entries -> uniform spec dicts. Accepted forms:
+    bare column (identity), ``day|month|year|hour(col)`` (``days(col)``
+    etc. also accepted), ``bucket(N, col)``, ``truncate(W, col)``.
+    Returns [{name, transform, source, param, avro}] where ``name`` is
+    the Iceberg-conventional spec field name (col, col_day, col_bucket,
+    col_trunc) and ``avro`` the partition-tuple Avro type."""
+    import re as _re
+
+    global _IPART_RE
+    if _IPART_RE is None:
+        _IPART_RE = {
+            "time": _re.compile(r"^(day|month|year|hour)s?\(\s*(\w+)\s*\)$"),
+            "arg": _re.compile(r"^(bucket|truncate)\(\s*(\d+)\s*,\s*(\w+)\s*\)$"),
+        }
+    amap = {"string": "string", "int": "int", "long": "long",
+            "date": {"type": "int", "logicalType": "date"}}
+    _ID_OK = set(amap)
+    _TIME_OK = {"day": {"date", "timestamp", "timestamptz"},
+                "month": {"date", "timestamp", "timestamptz"},
+                "year": {"date", "timestamp", "timestamptz"},
+                "hour": {"timestamp", "timestamptz"}}
+    _BUCKET_OK = {"int", "long", "string", "date", "timestamp", "timestamptz"}
+    _TRUNC_OK = {"string", "int", "long"}
+
+    def styp(col: str) -> str:
+        if col not in by_name:
+            raise ValueError(
+                f"to_iceberg: partition source column {col!r} not in schema"
+            )
+        t = by_name[col]["type"]
+        return t if isinstance(t, str) else "<nested>"
+
+    out = []
+    for raw in pcols:
+        m = _IPART_RE["time"].fullmatch(raw)
+        if m:
+            tr, col = m.group(1), m.group(2)
+            t = styp(col)
+            if t not in _TIME_OK[tr]:
+                raise ValueError(
+                    f"to_iceberg: {tr}() needs a date/timestamp column, "
+                    f"{col!r} is {t!r}"
+                )
+            out.append({"name": f"{col}_{tr}", "transform": tr,
+                        "source": col, "param": None,
+                        "avro": {"type": "int", "logicalType": "date"}
+                        if tr == "day" else "int"})
+            continue
+        m = _IPART_RE["arg"].fullmatch(raw)
+        if m:
+            tr, param, col = m.group(1), int(m.group(2)), m.group(3)
+            t = styp(col)
+            if param <= 0:
+                raise ValueError(f"to_iceberg: {tr} width/count must be > 0")
+            if tr == "bucket":
+                if t not in _BUCKET_OK:
+                    raise ValueError(
+                        f"to_iceberg: bucket() does not support {t!r}"
+                    )
+                out.append({"name": f"{col}_bucket", "transform": f"bucket[{param}]",
+                            "source": col, "param": param, "avro": "int"})
+            else:
+                if t not in _TRUNC_OK:
+                    raise ValueError(
+                        f"to_iceberg: truncate() supports string/int/long, "
+                        f"{col!r} is {t!r}"
+                    )
+                out.append({"name": f"{col}_trunc",
+                            "transform": f"truncate[{param}]",
+                            "source": col, "param": param, "avro": amap[t]})
+            continue
+        if "(" in raw:
+            raise ValueError(
+                f"to_iceberg: unknown partition transform {raw!r} "
+                "(identity, day/month/year/hour(col), bucket(N, col), "
+                "truncate(W, col))"
+            )
+        t = styp(raw)
+        if t not in _ID_OK:
+            raise ValueError(
+                f"to_iceberg: partition column {raw!r} has type {t!r} "
+                "(identity partitions support string/int/long/date)"
+            )
+        out.append({"name": raw, "transform": "identity", "source": raw,
+                    "param": None, "avro": amap[t]})
+    return out
+
+
+def _ipart_expr(spec: dict, itype: str):
+    """Spark Column computing one partition-transform value (identity /
+    day / month / year / hour / bucket[N] / truncate[W]) per Iceberg
+    semantics: time transforms count units since epoch (UTC for
+    instant timestamps, wall-clock for NTZ/date); truncate is floor-mod
+    for ints, prefix for strings; bucket is the spec's murmur3 (the
+    only Python-side hop — an Arrow-batched pandas_udf)."""
+    from pyspark.sql import functions as F
+
+    c = F.col(spec["source"])
+    tr = spec["transform"]
+    if tr == "identity":
+        return c
+    if tr in ("day", "month", "year", "hour"):
+        if itype == "timestamptz":  # instant: UTC arithmetic via micros
+            if tr == "hour":
+                return F.floor(F.unix_micros(c) / F.lit(3_600_000_000)).cast("int")
+            d = F.date_from_unix_date(
+                F.floor(F.unix_micros(c) / F.lit(86_400_000_000)).cast("int")
+            )
+        else:  # date / NTZ: the wall-clock value IS the answer
+            d = F.to_date(c)
+            if tr == "hour":
+                return (
+                    F.datediff(d, F.lit("1970-01-01").cast("date")) * 24
+                    + F.hour(c)
+                ).cast("int")
+        if tr == "day":
+            return F.datediff(d, F.lit("1970-01-01").cast("date"))
+        if tr == "month":
+            return ((F.year(d) - 1970) * 12 + F.month(d) - 1).cast("int")
+        return (F.year(d) - 1970).cast("int")
+    if tr.startswith("truncate["):
+        w = spec["param"]
+        if itype == "string":
+            return F.substring(c, 1, w)
+        return (c - ((c % w + w) % w)).cast("long" if itype == "long" else "int")
+    if tr.startswith("bucket["):
+        import pandas as pd
+
+        from intake_spark.utils import iceberg_bucket
+        from pyspark.sql.functions import pandas_udf
+
+        n, kind = spec["param"], itype
+
+        def _bucket(s):
+            return s.map(lambda v: iceberg_bucket(v, n, kind))
+
+        # real type objects, not strings: `from __future__ import
+        # annotations` stringifies inline hints and pandas_udf cannot
+        # resolve 'pd.Series' against this module's globals
+        _bucket.__annotations__ = {"s": pd.Series, "return": pd.Series}
+        return pandas_udf(_bucket, "int")(c)
+    raise ValueError(f"unknown transform {tr!r}")
+
+
+def _iceberg_manifest_schema(pspecs: list, by_name: dict) -> dict:
     """Manifest-entry Avro schema with a TYPED partition record for the
-    table's identity-partition columns (empty record when unpartitioned
-    — the static _ICEBERG_MANIFEST_ENTRY shape)."""
+    table's partition fields (empty record when unpartitioned — the
+    static _ICEBERG_MANIFEST_ENTRY shape). ``pspecs`` entries are either
+    parsed spec dicts ({name, avro}) or bare identity column names."""
     import copy as _copy
 
     sch = _copy.deepcopy(_ICEBERG_MANIFEST_ENTRY)
-    if pcols:
+    if pspecs:
         amap = {"string": "string", "int": "int", "long": "long",
                 "date": {"type": "int", "logicalType": "date"}}
+        norm = [
+            p if isinstance(p, dict)
+            else {"name": p, "avro": amap[by_name[p]["type"]]}
+            for p in pspecs
+        ]
         part = {
             "type": "record",
             "name": "r102",
             "fields": [
-                {"name": c, "type": ["null", amap[by_name[c]["type"]]],
+                {"name": p["name"], "type": ["null", p["avro"]],
                  "field-id": 1000 + i}
-                for i, c in enumerate(pcols)
+                for i, p in enumerate(norm)
             ],
         }
         for f in sch["fields"]:
@@ -1516,13 +1670,17 @@ def to_iceberg(
     time travel) or "append" (the new manifest list re-references the
     prior snapshot's manifests).
 
-    ``partition_by`` writes IDENTITY-partitioned tables (string/int/
-    long/date columns): data files land one-partition-per-file under
-    hive-style dirs with the partition columns dropped from the files,
-    their typed values recorded in each manifest entry's partition
-    tuple — the spec's migrated-table convention, which readers
-    (including ours) fill back from the tuple. Appends must keep the
-    table's partitioning.
+    ``partition_by`` accepts identity columns (string/int/long/date)
+    and the spec's transforms: ``day(col)``/``month``/``year``/``hour``
+    on date/timestamp columns, ``bucket(N, col)`` (spec murmur3 — the
+    published Appendix B test vectors are pinned in tests), and
+    ``truncate(W, col)``. All-identity specs write the migrated-table
+    convention (partition columns dropped from the data files, filled
+    back from the manifest tuples by readers); any spec containing a
+    transform writes the standard-writer convention instead — data
+    files keep every source column, the hive dirs hold the DERIVED
+    transform values. Appends must keep the table's partitioning
+    (names + transforms).
 
     Per-file ``record_count`` comes from the parquet footers (pyarrow,
     driver-side metadata reads — O(files), the bytes never move).
@@ -1567,18 +1725,10 @@ def to_iceberg(
                 )
             fields = prev_fields  # keep the table's field ids
 
-    pcols = list(partition_by or [])
-    _P_OK = {"string", "int", "long", "date"}
     by_name = {f["name"]: f for f in fields}
-    for c in pcols:
-        if c not in by_name:
-            raise ValueError(f"to_iceberg: partition column {c!r} not in schema")
-        if by_name[c]["type"] not in _P_OK:
-            raise ValueError(
-                f"to_iceberg: partition column {c!r} has type "
-                f"{by_name[c]['type']!r} (identity partitions support "
-                "string/int/long/date)"
-            )
+    pspecs = _parse_partition_spec(list(partition_by or []), by_name)
+    pcols = [p["name"] for p in pspecs]
+    has_transforms = any(p["transform"] != "identity" for p in pspecs)
     if prev_meta is not None and mode == "append":
         prev_specs = prev_meta.get("partition-specs") or []
         prev_spec = next(
@@ -1589,18 +1739,39 @@ def to_iceberg(
             ),
             None,
         )
-        prev_pcols = [f["name"] for f in (prev_spec or {}).get("fields", [])]
-        if prev_pcols != pcols:
+        prev_sig = [
+            (f["name"], f.get("transform", "identity"))
+            for f in (prev_spec or {}).get("fields", [])
+        ]
+        sig = [(p["name"], p["transform"]) for p in pspecs]
+        if prev_sig != sig:
             raise ValueError(
-                f"append partitioning {pcols} does not match the table's "
-                f"{prev_pcols}"
+                f"append partitioning {sig} does not match the table's "
+                f"{prev_sig}"
             )
 
     # 1. distributed parquet write into a staging dir, then move to data/
     stage = os.path.join(root, f"_staging_{_uuid.uuid4().hex[:12]}")
-    w = df.write.mode("overwrite").options(**options)
-    if pcols:
-        w = w.partitionBy(*pcols)
+    if has_transforms:
+        # transform partitioning (standard-writer convention): partition
+        # by DERIVED columns so every source column stays in the data
+        # files; identity entries in a transform spec get a derived copy
+        # for the same reason. Spark drops only the derived dir columns.
+        wdf = df
+        for p in pspecs:
+            wdf = wdf.withColumn(
+                f"__ipart__{p['name']}",
+                _ipart_expr(p, by_name[p["source"]]["type"]),
+            )
+        w = wdf.write.mode("overwrite").options(**options)
+        w = w.partitionBy(*[f"__ipart__{p['name']}" for p in pspecs])
+    else:
+        # all-identity spec: hive layout with the source columns dropped
+        # from the files (the migrated-table convention; the reader
+        # fills them from the manifest tuples)
+        w = df.write.mode("overwrite").options(**options)
+        if pcols:
+            w = w.partitionBy(*pcols)
     w.parquet(stage)
     os.makedirs(ddir, exist_ok=True)
     commit_uuid = _uuid.uuid4().hex
@@ -1610,17 +1781,24 @@ def to_iceberg(
     for dirpath, _dirs, files in os.walk(stage):
         rel_dir = os.path.relpath(dirpath, stage)
         pvals: dict = {}
+        out_segs: list[str] = []
         if rel_dir != ".":
             for seg in rel_dir.split(os.sep):
                 k, eq, v = seg.partition("=")
                 if eq:
                     # Spark's own unescape rules (shared helper; sentinel
-                    # decodes to None), not urllib unquote
-                    pvals[k] = unescape_hive_segment(v)
+                    # decodes to None), not urllib unquote. Derived
+                    # transform columns drop their __ipart__ prefix both
+                    # in the tuple key and the final dir name.
+                    name = k.removeprefix("__ipart__")
+                    pvals[name] = unescape_hive_segment(v)
+                    out_segs.append(f"{name}={v}")
+                else:
+                    out_segs.append(seg)
         for fn in sorted(files):
             if not fn.endswith(".parquet"):
                 continue
-            sub = "" if rel_dir == "." else rel_dir + os.sep
+            sub = "" if not out_segs else os.sep.join(out_segs) + os.sep
             dst = os.path.join(ddir, sub + f"{commit_uuid[:8]}-{fn}")
             os.makedirs(os.path.dirname(dst), exist_ok=True)
             os.replace(os.path.join(dirpath, fn), dst)
@@ -1634,19 +1812,25 @@ def to_iceberg(
         import datetime as _dtm
 
         out_t = {}
-        for c in pcols:
+        for p in pspecs:
+            c = p["name"]
             v = pvals.get(c)
-            t = by_name[c]["type"]
+            tr = p["transform"]
             if v is None:
                 out_t[c] = None
-            elif t in ("int", "long"):
+            elif tr != "identity" and not tr.startswith("truncate["):
+                # day/month/year/hour/bucket values are plain ints
                 out_t[c] = int(v)
-            elif t == "date":
-                out_t[c] = (
-                    _dtm.date.fromisoformat(v) - _dtm.date(1970, 1, 1)
-                ).days
             else:
-                out_t[c] = v
+                t = by_name[p["source"]]["type"]
+                if t in ("int", "long"):
+                    out_t[c] = int(v)
+                elif t == "date":
+                    out_t[c] = (
+                        _dtm.date.fromisoformat(v) - _dtm.date(1970, 1, 1)
+                    ).days
+                else:
+                    out_t[c] = v
         return out_t
 
     # 2. per-file record counts from the parquet footers
@@ -1675,7 +1859,7 @@ def to_iceberg(
         )
 
     os.makedirs(mdir, exist_ok=True)
-    man_schema = _iceberg_manifest_schema(pcols, by_name)
+    man_schema = _iceberg_manifest_schema(pspecs, by_name)
     # schema history: prior schemas are RETAINED with their schema-ids so
     # old snapshots stay readable after a schema-changing overwrite (a
     # schemas list holding only the new schema would make time travel
@@ -1938,17 +2122,18 @@ def to_iceberg(
         "schemas": schemas,
         "current-schema-id": schema_id,
         "partition-spec": [
-            {"name": c, "transform": "identity",
-             "source-id": by_name[c]["id"], "field-id": 1000 + i}
-            for i, c in enumerate(pcols)
+            {"name": p["name"], "transform": p["transform"],
+             "source-id": by_name[p["source"]]["id"], "field-id": 1000 + i}
+            for i, p in enumerate(pspecs)
         ],
         "partition-specs": [
             {
                 "spec-id": 0,
                 "fields": [
-                    {"name": c, "transform": "identity",
-                     "source-id": by_name[c]["id"], "field-id": 1000 + i}
-                    for i, c in enumerate(pcols)
+                    {"name": p["name"], "transform": p["transform"],
+                     "source-id": by_name[p["source"]]["id"],
+                     "field-id": 1000 + i}
+                    for i, p in enumerate(pspecs)
                 ],
             }
         ],

@@ -188,3 +188,68 @@ def pattern_capture_regex(pattern: str) -> tuple[list, str]:
     parts = re.split(r"\{[^}]*\}", pattern)
     rx = "(.*?)".join(re.escape(p) for p in parts) + "$"
     return names, rx
+
+
+def murmur3_32(data: bytes, seed: int = 0) -> int:
+    """Murmur3 x86 32-bit (public algorithm; the hash Iceberg's bucket[N]
+    partition transform specifies, Appendix B). Returns the UNSIGNED
+    32-bit value; Iceberg buckets via (h & 0x7FFFFFFF) % N."""
+    c1, c2 = 0xCC9E2D51, 0x1B873593
+    h = seed & 0xFFFFFFFF
+    ln = len(data)
+    rounded = ln - (ln & 3)
+    for i in range(0, rounded, 4):
+        k = int.from_bytes(data[i : i + 4], "little")
+        k = (k * c1) & 0xFFFFFFFF
+        k = ((k << 15) | (k >> 17)) & 0xFFFFFFFF
+        k = (k * c2) & 0xFFFFFFFF
+        h ^= k
+        h = ((h << 13) | (h >> 19)) & 0xFFFFFFFF
+        h = (h * 5 + 0xE6546B64) & 0xFFFFFFFF
+    k = 0
+    tail = data[rounded:]
+    if len(tail) >= 3:
+        k ^= tail[2] << 16
+    if len(tail) >= 2:
+        k ^= tail[1] << 8
+    if len(tail) >= 1:
+        k ^= tail[0]
+        k = (k * c1) & 0xFFFFFFFF
+        k = ((k << 15) | (k >> 17)) & 0xFFFFFFFF
+        k = (k * c2) & 0xFFFFFFFF
+        h ^= k
+    h ^= ln
+    h ^= h >> 16
+    h = (h * 0x85EBCA6B) & 0xFFFFFFFF
+    h ^= h >> 13
+    h = (h * 0xC2B2AE35) & 0xFFFFFFFF
+    h ^= h >> 16
+    return h
+
+
+def iceberg_bucket(value, n: int, kind: str) -> "int | None":
+    """Iceberg bucket[N] transform for one value: murmur3_32 of the
+    spec's single-value serialization (ints/longs/dates/timestamps as
+    8-byte little-endian signed longs — dates as epoch days, timestamps
+    as epoch micros — strings as UTF-8), then (h & Int.MaxValue) % N."""
+    import datetime as _dtm
+
+    if value is None:
+        return None
+    if kind == "string":
+        b = str(value).encode("utf-8")
+    elif kind == "date":
+        if isinstance(value, _dtm.datetime):
+            value = value.date()
+        days = (value - _dtm.date(1970, 1, 1)).days
+        b = days.to_bytes(8, "little", signed=True)
+    elif kind in ("timestamp", "timestamptz"):
+        if hasattr(value, "to_pydatetime"):
+            value = value.to_pydatetime()
+        epoch = _dtm.datetime(1970, 1, 1, tzinfo=value.tzinfo)
+        micros = round((value - epoch).total_seconds() * 1_000_000)
+        b = micros.to_bytes(8, "little", signed=True)
+    else:  # int / long
+        b = int(value).to_bytes(8, "little", signed=True)
+    h = murmur3_32(b)
+    return (h & 0x7FFFFFFF) % n

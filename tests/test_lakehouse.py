@@ -1879,3 +1879,147 @@ def test_delta_deletion_vectors_read(spark, tmp_path):
     with _pytest.raises(Exception, match="cardinality mismatch"):
         DeltaLakeReader(data=dt.DeltalakeTable(url=root)).read(
             spark=spark).collect()
+
+
+def test_iceberg_bucket_spec_vectors():
+    """Iceberg spec Appendix B published bucket-hash test vectors."""
+    from intake_spark.utils import iceberg_bucket, murmur3_32
+
+    def signed(h):
+        return h - (1 << 32) if h >= (1 << 31) else h
+
+    assert signed(murmur3_32((34).to_bytes(8, "little", signed=True))) == 2017239379
+    assert signed(murmur3_32((17486).to_bytes(8, "little", signed=True))) == -653330422
+    assert signed(murmur3_32(b"iceberg")) == 1210000089
+    import datetime
+    assert iceberg_bucket(datetime.date(2017, 11, 16), 16, "date") == \
+        (-653330422 & 0x7FFFFFFF) % 16
+    assert iceberg_bucket(None, 16, "long") is None
+
+
+def test_to_iceberg_transform_partitions(spark, tmp_path):
+    """Transform-partitioned Iceberg write: day()/bucket()/truncate()
+    derive hive dirs while every source column stays in the data files;
+    manifests carry the transformed tuple; metadata declares the
+    transforms; appends must match names+transforms."""
+    import datetime
+
+    from intake_spark import output
+    from intake_spark.lakehouse import IcebergTableReader, decode_avro_file
+    from intake_spark.utils import iceberg_bucket
+
+    rows = [
+        (i, f"name{i:02d}", datetime.date(2021, 1, 1 + i % 3),
+         datetime.datetime(2021, 6, 1 + i % 2, 10 + i % 5, 30))
+        for i in range(20)
+    ]
+    df = spark.createDataFrame(
+        rows, "id long, nm string, d date, ts timestamp_ntz")
+    root = str(tmp_path / "trtbl")
+    output.to_iceberg(
+        df, root,
+        partition_by=["day(d)", "bucket(4, id)", "truncate(4, nm)"])
+
+    # metadata declares the transforms with correct source ids
+    with open(os.path.join(root, "metadata", "v1.metadata.json")) as fh:
+        meta = json.load(fh)
+    spec = meta["partition-specs"][0]["fields"]
+    assert [(f["name"], f["transform"]) for f in spec] == [
+        ("d_day", "day"), ("id_bucket", "bucket[4]"), ("nm_trunc", "truncate[4]")]
+    ids = {f["name"]: f["id"] for f in meta["schemas"][-1]["fields"]}
+    assert [f["source-id"] for f in spec] == [ids["d"], ids["id"], ids["nm"]]
+
+    # data files KEEP the source columns (standard-writer convention)
+    import glob as _glob
+
+    import pyarrow.parquet as _pq
+
+    one = _glob.glob(os.path.join(root, "data", "**", "*.parquet"),
+                     recursive=True)[0]
+    assert {"id", "nm", "d", "ts"} <= set(_pq.ParquetFile(one).schema_arrow.names)
+    assert "d_day" in one and "id_bucket" in one  # hive dirs, derived names
+
+    # manifest tuples hold transformed values consistent with the data
+    snap = meta["snapshots"][-1]
+    mans = [m["manifest_path"] for m in decode_avro_file(snap["manifest-list"])]
+    tuples = [e["data_file"]["partition"]
+              for mp in mans for e in decode_avro_file(mp)]
+    assert tuples and all(
+        set(t) == {"d_day", "id_bucket", "nm_trunc"} for t in tuples)
+    for t in tuples:
+        assert t["nm_trunc"].startswith("name") and len(t["nm_trunc"]) == 4
+        assert 0 <= t["id_bucket"] < 4
+        dd = t["d_day"]
+        day = (dd - datetime.date(1970, 1, 1)).days if hasattr(dd, "year") else dd
+        assert day in {(datetime.date(2021, 1, 1 + k)
+                        - datetime.date(1970, 1, 1)).days for k in range(3)}
+
+    # round-trip read: all rows, all columns, no fill needed
+    back = IcebergTableReader(data=dt.IcebergDataset(url=root)).read(spark=spark)
+    got = {r.id: r for r in back.collect()}
+    assert len(got) == 20 and got[7].nm == "name07"
+    assert got[7].d == datetime.date(2021, 1, 2)
+
+    # bucket values in the dirs match the spec hash exactly
+    for p in _glob.glob(os.path.join(root, "data", "**", "*.parquet"),
+                        recursive=True):
+        seg = [s for s in p.split(os.sep) if s.startswith("id_bucket=")][0]
+        b = int(seg.split("=")[1])
+        pf = _pq.ParquetFile(p).read(columns=["id"])
+        for v in pf.column("id").to_pylist():
+            assert iceberg_bucket(v, 4, "long") == b
+
+    # append with mismatched partitioning -> named error
+    df2 = spark.createDataFrame(
+        [(100, "zz", datetime.date(2022, 1, 1),
+          datetime.datetime(2022, 1, 1, 0, 0))],
+        "id long, nm string, d date, ts timestamp_ntz")
+    with pytest.raises(ValueError, match="partitioning"):
+        output.to_iceberg(df2, root, mode="append", partition_by=["day(d)"])
+    output.to_iceberg(
+        df2, root, mode="append",
+        partition_by=["day(d)", "bucket(4, id)", "truncate(4, nm)"])
+    assert IcebergTableReader(data=dt.IcebergDataset(url=root)).read(
+        spark=spark).count() == 21
+
+
+def test_iceberg_hour_month_year_transforms(spark, tmp_path):
+    """hour() on NTZ + instant timestamps; month()/year() unit counts
+    since epoch (pre-1970 negative)."""
+    import datetime
+
+    from intake_spark import output
+    from intake_spark.lakehouse import decode_avro_file
+
+    df = spark.createDataFrame(
+        [(1, datetime.datetime(2021, 3, 5, 7, 45)),
+         (2, datetime.datetime(1969, 12, 31, 23, 10))],
+        "id long, ts timestamp_ntz")
+    root = str(tmp_path / "hrtbl")
+    output.to_iceberg(df, root, partition_by=["hour(ts)"])
+    with open(os.path.join(root, "metadata", "v1.metadata.json")) as fh:
+        meta = json.load(fh)
+    snap = meta["snapshots"][-1]
+    mans = [m["manifest_path"] for m in decode_avro_file(snap["manifest-list"])]
+    hours = sorted(e["data_file"]["partition"]["ts_hour"]
+                   for mp in mans for e in decode_avro_file(mp))
+    h1 = (datetime.datetime(2021, 3, 5, 7)
+          - datetime.datetime(1970, 1, 1)) // datetime.timedelta(hours=1)
+    assert hours == [-1, h1]
+
+    df2 = spark.createDataFrame(
+        [(1, datetime.date(2021, 3, 5)), (2, datetime.date(1969, 6, 15))],
+        "id long, d date")
+    for tr, exp in (("month", [-7, (2021 - 1970) * 12 + 2]),
+                    ("year", [-1, 51])):
+        r2 = str(tmp_path / f"{tr}tbl")
+        output.to_iceberg(df2, r2, partition_by=[f"{tr}(d)"])
+        with open(os.path.join(r2, "metadata", "v1.metadata.json")) as fh:
+            m2 = json.load(fh)
+        sn = m2["snapshots"][-1]
+        vals = sorted(
+            e["data_file"]["partition"][f"d_{tr}"]
+            for mp in [x["manifest_path"]
+                       for x in decode_avro_file(sn["manifest-list"])]
+            for e in decode_avro_file(mp))
+        assert vals == exp, (tr, vals)
