@@ -705,6 +705,15 @@ def delta_checkpoint(url: str, spark=None) -> int:
 
     from pyspark.sql import types as T
 
+    dv_t = T.StructType(
+        [
+            T.StructField("storageType", T.StringType()),
+            T.StructField("pathOrInlineDv", T.StringType()),
+            T.StructField("offset", T.IntegerType()),
+            T.StructField("sizeInBytes", T.IntegerType()),
+            T.StructField("cardinality", T.LongType()),
+        ]
+    )
     add_t = T.StructType(
         [
             T.StructField("path", T.StringType()),
@@ -712,6 +721,7 @@ def delta_checkpoint(url: str, spark=None) -> int:
             T.StructField("size", T.LongType()),
             T.StructField("modificationTime", T.LongType()),
             T.StructField("dataChange", T.BooleanType()),
+            T.StructField("deletionVector", dv_t),
         ]
     )
     remove_t = T.StructType([T.StructField("path", T.StringType())])
@@ -730,7 +740,9 @@ def delta_checkpoint(url: str, spark=None) -> int:
     )
     proto_t = T.StructType(
         [T.StructField("minReaderVersion", T.IntegerType()),
-         T.StructField("minWriterVersion", T.IntegerType())]
+         T.StructField("minWriterVersion", T.IntegerType()),
+         T.StructField("readerFeatures", T.ArrayType(T.StringType())),
+         T.StructField("writerFeatures", T.ArrayType(T.StringType()))]
     )
     schema = T.StructType(
         [T.StructField("add", add_t), T.StructField("remove", remove_t),
@@ -738,7 +750,9 @@ def delta_checkpoint(url: str, spark=None) -> int:
     )
     rows = [
         {"protocol": {"minReaderVersion": int(protocol.get("minReaderVersion", 1)),
-                      "minWriterVersion": int(protocol.get("minWriterVersion", 2))}},
+                      "minWriterVersion": int(protocol.get("minWriterVersion", 2)),
+                      "readerFeatures": protocol.get("readerFeatures"),
+                      "writerFeatures": protocol.get("writerFeatures")}},
         {"metaData": {
             "id": meta.get("id", ""),
             "format": meta.get("format", {"provider": "parquet", "options": {}}),
@@ -749,12 +763,23 @@ def delta_checkpoint(url: str, spark=None) -> int:
         }},
     ]
     for a in adds.values():
+        dv = a.get("deletionVector")
         rows.append({"add": {
             "path": a["path"],
             "partitionValues": dict(a.get("partitionValues") or {}),
             "size": int(a.get("size") or 0),
             "modificationTime": int(a.get("modificationTime") or 0),
             "dataChange": bool(a.get("dataChange", True)),
+            # descriptors MUST survive the checkpoint: dropping them
+            # silently resurrects every DV-deleted row on the next read
+            "deletionVector": None if not dv else {
+                "storageType": dv.get("storageType", "u"),
+                "pathOrInlineDv": dv["pathOrInlineDv"],
+                "offset": None if dv.get("offset") is None
+                else int(dv["offset"]),
+                "sizeInBytes": int(dv["sizeInBytes"]),
+                "cardinality": int(dv.get("cardinality") or 0),
+            },
         }})
     ckpt_tmp = os.path.join(log, f"_ckpt_tmp_{version}")
     spark.createDataFrame(rows, schema).coalesce(1).write.mode("overwrite").parquet(ckpt_tmp)
@@ -872,7 +897,7 @@ class DeltaLakeReader(BaseReader):
                 return out
             out = out.withColumn(
                 "__file",
-                F.regexp_replace(F.col("_metadata.file_path"), "^file:/+", "/"),
+                F.regexp_replace(F.col("_metadata.file_path"), _FILE_URI_RE, "/"),
             ).withColumn("__pos", F.col("_metadata.row_index"))
             return _apply_delta_dvs(
                 spark, out, dv_adds, root, [f.name for f in schema.fields]
@@ -892,7 +917,15 @@ class DeltaLakeReader(BaseReader):
             segs = dict(
                 s.split("=", 1) for s in p.split("/")[:-1] if "=" in s
             )
-            return all(unquote(segs.get(c, "\0")) == (pv.get(c) or "") for c in part_cols)
+            for c in part_cols:
+                if c not in segs:
+                    return False
+                # Spark's own dir unescape; __HIVE_DEFAULT_PARTITION__
+                # decodes to None and must pair with a null
+                # partitionValues entry (log null != empty string)
+                if unescape_hive_segment(segs[c]) != pv.get(c):
+                    return False
+            return True
 
         if all(
             hive_consistent(p, a.get("partitionValues") or {}) for p, a in rel.items()
@@ -913,7 +946,8 @@ class DeltaLakeReader(BaseReader):
                 os.path.join(root, p)
             )
         out = None
-        for pv, gpaths in sorted(groups.items()):
+        # str() sort key: a null partition value makes tuples unorderable
+        for pv, gpaths in sorted(groups.items(), key=lambda kv: str(kv[0])):
             g = spark.read.schema(data_schema).parquet(*sorted(gpaths))
             for c, v in zip(part_cols, pv):
                 f = schema[c]
@@ -986,8 +1020,6 @@ def _delta_cm_rename(df, logical_schema):
 
     def strip_meta(dtype):
         # logical dtype WITHOUT metadata, for the null cast
-        import json as _json
-
         from pyspark.sql import types as T
 
         def conv(d):
@@ -1029,9 +1061,11 @@ def _delta_cm_rename(df, logical_schema):
                 return F.transform(col, lambda x: expr(x, inner))
             return col
         if tn == "map":
-            vt = ldt.valueType
+            kt, vt = ldt.keyType, ldt.valueType
+            if kt.typeName() in ("struct", "array", "map"):
+                col = F.transform_keys(col, lambda k, _v: expr(k, kt))
             if vt.typeName() in ("struct", "array", "map"):
-                return F.transform_values(col, lambda _k, v: expr(v, vt))
+                col = F.transform_values(col, lambda _k, v: expr(v, vt))
             return col
         return col
 
@@ -1160,7 +1194,8 @@ def _dv_file_positions(path: str, offset: "int | None", size: int) -> list[int]:
 
     with open(path, "rb") as f:
         raw = f.read()
-    off = offset or 1  # default: right after the 1-byte file version
+    # default: right after the 1-byte file version; an EXPLICIT 0 means 0
+    off = 1 if offset is None else offset
     if off + 4 <= len(raw):
         (sz,) = _st.unpack_from(">I", raw, off)
         if sz == size:
@@ -1205,7 +1240,8 @@ def _apply_delta_dvs(spark, base, dv_adds: list, root: str, col_order):
         p, inline = _delta_dv_local_path(desc, root)
         rows.append(
             (
-                _norm_file_uri(data_path),
+                # joins against _metadata.file_path -> ITS encoding
+                _spark_uri_path(_norm_file_uri(data_path)),
                 p,
                 inline,
                 desc.get("offset"),
@@ -1420,12 +1456,19 @@ class IcebergTableReader(BaseReader):
                     frec[lp] = df_["file_path"]
                     if df_.get("partition"):
                         fparts[lp] = df_["partition"]
-                elif content == 1:  # position deletes
-                    pos_dels.append((lp, eseq))
-                elif content == 2:  # equality deletes
-                    eq_dels.append(
-                        (lp, eseq, tuple(df_.get("equality_ids") or ()))
-                    )
+                elif content in (1, 2):  # position / equality deletes
+                    fmt = (df_.get("file_format") or "PARQUET").upper()
+                    if fmt != "PARQUET":
+                        raise ValueError(
+                            f"Iceberg delete file format {fmt} not "
+                            "supported (parquet only)"
+                        )
+                    if content == 1:
+                        pos_dels.append((lp, eseq))
+                    else:
+                        eq_dels.append(
+                            (lp, eseq, tuple(df_.get("equality_ids") or ()))
+                        )
                 else:
                     raise ValueError(
                         f"Iceberg data_file content={content} not supported"
@@ -1443,9 +1486,36 @@ class IcebergTableReader(BaseReader):
         files = sorted(set(files))
         if pos_dels or eq_dels:
             # v2 merge-on-read: delete files carry the row identities to
-            # drop. Data files written by v2 writers embed every column
-            # (the migrated-table missing-column convention cannot carry
-            # deletes), so the read is the plain scan + anti-joins.
+            # drop. Data files written by v2 writers embed every column,
+            # so the read is the plain scan + anti-joins — but a
+            # MIGRATED-convention file (identity partition columns absent,
+            # filled from manifest tuples) inside a deleted snapshot
+            # would silently read those columns as null; refuse it by
+            # name instead.
+            _mig_spec = next(
+                (
+                    sp
+                    for sp in (meta.get("partition-specs") or [])
+                    if sp.get("spec-id") == meta.get("default-spec-id", 0)
+                ),
+                None,
+            )
+            _mig_ids = [
+                f for f in (_mig_spec or {}).get("fields", [])
+                if f.get("transform") == "identity"
+            ]
+            if _mig_ids and fparts:
+                _f2n = {f["id"]: f["name"] for f in ischema["fields"]}
+                _pn = [
+                    _f2n.get(f.get("source-id"), f["name"]) for f in _mig_ids
+                ]
+                _have = _probe_partition_cols(spark, files, _pn)
+                if not all(_have.values()):
+                    raise ValueError(
+                        "Iceberg v2 delete files on a migrated-convention "
+                        "table (identity partition columns absent from "
+                        "data files) are not supported"
+                    )
             return _apply_iceberg_deletes(
                 spark, files, fseq, frec, pos_dels, eq_dels,
                 spark_schema, ischema,
@@ -1721,6 +1791,31 @@ def _norm_file_uri(p: str) -> str:
     return _re.sub(r"^file:/+", "/", p)
 
 
+# Spark-side twin of _norm_file_uri: regexp_replace(col, _FILE_URI_RE, "/")
+_FILE_URI_RE = "^file:/+"
+
+_URI_PATH_SAFE = frozenset(
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789"
+    "-._~!$&'()*+,;=:@/"
+)
+
+
+def _spark_uri_path(p: str) -> str:
+    """Encode a local path the way Spark's ``_metadata.file_path``
+    renders it (Hadoop Path -> Java URI toString): RFC 3986 path
+    characters and non-ASCII stay literal, every other ASCII char
+    (space, %, #, ?, ...) is %XX-encoded, uppercase hex. Pinned
+    empirically — a join key built with urllib.quote (which also
+    encodes non-ASCII) would silently never match."""
+    out = []
+    for ch in p:
+        if ch in _URI_PATH_SAFE or ord(ch) > 127:
+            out.append(ch)
+        else:
+            out.extend(f"%{b:02X}" for b in ch.encode("utf-8"))
+    return "".join(out)
+
+
 def _apply_iceberg_deletes(
     spark,
     files: list[str],
@@ -1756,32 +1851,40 @@ def _apply_iceberg_deletes(
         .parquet(*files)
         .withColumn(
             "__file",
-            F.regexp_replace(F.col("_metadata.file_path"), "^file:/+", "/"),
+            F.regexp_replace(F.col("_metadata.file_path"), _FILE_URI_RE, "/"),
         )
         .withColumn("__pos", F.col("_metadata.row_index"))
     )
-    seq_rows = [(_norm_file_uri(fp), int(fseq.get(fp, 0))) for fp in files]
+    # join keys against _metadata.file_path must use ITS encoding
+    seq_rows = [
+        (_spark_uri_path(_norm_file_uri(fp)), int(fseq.get(fp, 0)))
+        for fp in files
+    ]
     seq_map = spark.createDataFrame(seq_rows, "__file string, __seq long")
     base = base.join(F.broadcast(seq_map), "__file", "left")
 
     if pos_dels:
-        # recorded manifest path -> normalized local data-file path (the
-        # delete file CONTENTS reference paths as the original writer
-        # recorded them; a relocated table reads them via this map)
+        # recorded manifest path -> data-file join key (the delete file
+        # CONTENTS reference paths as the original writer recorded them
+        # — writer-consistent with the manifest entries, NOT with
+        # Spark's metadata encoding; a relocated table reads via this
+        # map)
         rec_rows = [
-            (_norm_file_uri(rec), _norm_file_uri(lp))
+            (_norm_file_uri(rec), _spark_uri_path(_norm_file_uri(lp)))
             for lp, rec in frec.items()
         ]
         rec_map = spark.createDataFrame(rec_rows, "__rp string, __tfile string")
-        dseq_rows = [(_norm_file_uri(p), int(s)) for p, s in pos_dels]
+        dseq_rows = [
+            (_spark_uri_path(_norm_file_uri(p)), int(s)) for p, s in pos_dels
+        ]
         dseq_map = spark.createDataFrame(dseq_rows, "__dfile string, __dseq long")
         pd_df = (
             spark.read.parquet(*sorted({p for p, _ in pos_dels}))
             .select(
-                F.regexp_replace("file_path", "^file:/+", "/").alias("__rp"),
+                F.regexp_replace("file_path", _FILE_URI_RE, "/").alias("__rp"),
                 F.col("pos").alias("__dpos"),
                 F.regexp_replace(
-                    F.col("_metadata.file_path"), "^file:/+", "/"
+                    F.col("_metadata.file_path"), _FILE_URI_RE, "/"
                 ).alias("__dfile"),
             )
             .join(F.broadcast(dseq_map), "__dfile")
@@ -1812,7 +1915,9 @@ def _apply_iceberg_deletes(
                 raise ValueError(
                     f"equality delete references unknown field id {e}"
                 ) from None
-            dseq_rows = [(_norm_file_uri(p), int(s)) for p, s in group]
+            dseq_rows = [
+                (_spark_uri_path(_norm_file_uri(p)), int(s)) for p, s in group
+            ]
             dseq_map = spark.createDataFrame(
                 dseq_rows, "__dfile string, __dseq long"
             )
@@ -1821,7 +1926,7 @@ def _apply_iceberg_deletes(
                 .select(
                     *[F.col(c).alias(f"__d_{c}") for c in cols],
                     F.regexp_replace(
-                        F.col("_metadata.file_path"), "^file:/+", "/"
+                        F.col("_metadata.file_path"), _FILE_URI_RE, "/"
                     ).alias("__dfile"),
                 )
                 .join(F.broadcast(dseq_map), "__dfile")

@@ -1608,6 +1608,20 @@ def _ipart_expr(spec: dict, itype: str):
         from pyspark.sql.functions import pandas_udf
 
         n, kind = spec["param"], itype
+        # hash input normalized JVM-side: dates -> epoch days, instant
+        # timestamps -> UTC epoch micros (unix_micros — a pandas_udf
+        # would see session-LOCAL wall clock and hash wrong under any
+        # non-UTC session), NTZ -> wall-clock micros. All three hash as
+        # 8-byte LE longs per the spec, identical to their native rule.
+        if itype == "timestamptz":
+            c, kind = F.unix_micros(c), "long"
+        elif itype == "timestamp":  # Iceberg 'timestamp' = NTZ
+            from intake_spark.session import ntz_epoch_micros
+
+            c, kind = ntz_epoch_micros(spec["source"]), "long"
+        elif itype == "date":
+            c = F.datediff(c, F.lit("1970-01-01").cast("date")).cast("long")
+            kind = "long"
 
         def _bucket(s):
             return s.map(lambda v: iceberg_bucket(v, n, kind))

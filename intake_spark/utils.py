@@ -234,7 +234,10 @@ def iceberg_bucket(value, n: int, kind: str) -> "int | None":
     as epoch micros — strings as UTF-8), then (h & Int.MaxValue) % N."""
     import datetime as _dtm
 
-    if value is None:
+    # None, float NaN (nullable int columns reach a pandas_udf as
+    # float64) and NaT all mean null -> null bucket. NaN/NaT are the
+    # only values that are != themselves.
+    if value is None or value != value:
         return None
     if kind == "string":
         b = str(value).encode("utf-8")

@@ -2023,3 +2023,208 @@ def test_iceberg_hour_month_year_transforms(spark, tmp_path):
                        for x in decode_avro_file(sn["manifest-list"])]
             for e in decode_avro_file(mp))
         assert vals == exp, (tr, vals)
+
+
+def test_spark_uri_path_encoding():
+    """_spark_uri_path must mirror Hadoop/Spark's _metadata.file_path
+    rendering exactly (pinned empirically): space/%/# encoded uppercase
+    hex, + & , @ = and non-ASCII literal."""
+    from intake_spark.lakehouse import _spark_uri_path
+
+    assert _spark_uri_path("/t/enc test/a") == "/t/enc%20test/a"
+    assert _spark_uri_path("/t/pc%t/a") == "/t/pc%25t/a"
+    assert _spark_uri_path("/t/hash#x") == "/t/hash%23x"
+    assert _spark_uri_path("/t/pl+us,a&b=c@d") == "/t/pl+us,a&b=c@d"
+    assert _spark_uri_path("/t/uni_é") == "/t/uni_é"
+
+
+def test_delta_dv_table_with_space_in_path(spark, tmp_path):
+    """DV anti-join keys must match _metadata.file_path's percent
+    encoding — a table rooted at a path with a space used to silently
+    return the deleted rows."""
+    import uuid as _uuid
+    import zlib as _zlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from intake_spark.lakehouse import DeltaLakeReader
+
+    root = str(tmp_path / "dv tbl")  # space on purpose
+    os.makedirs(f"{root}/_delta_log")
+    pq.write_table(pa.table({"id": pa.array(range(6), pa.int64())}),
+                   f"{root}/f0.parquet")
+    u = _uuid.uuid4()
+    bm = _ser_roaring64([1, 4])
+    with open(f"{root}/deletion_vector_{u}.bin", "wb") as f:
+        f.write(b"\x01" + struct.pack(">I", len(bm)) + bm
+                + struct.pack(">I", _zlib.crc32(bm)))
+    schema_json = {"type": "struct", "fields": [
+        {"name": "id", "type": "long", "nullable": True, "metadata": {}}]}
+    with open(f"{root}/_delta_log/{0:020d}.json", "w") as f:
+        f.write(json.dumps({"protocol": {"minReaderVersion": 3,
+                                         "minWriterVersion": 7,
+                                         "readerFeatures": ["deletionVectors"],
+                                         "writerFeatures": ["deletionVectors"]}}) + "\n")
+        f.write(_delta_meta(schema_json) + "\n")
+        f.write(json.dumps({"add": {
+            "path": "f0.parquet", "partitionValues": {}, "size": 1,
+            "modificationTime": 0, "dataChange": True,
+            "deletionVector": {
+                "storageType": "u", "pathOrInlineDv": _z85_encode(u.bytes),
+                "offset": 1, "sizeInBytes": len(bm), "cardinality": 2,
+            }}}) + "\n")
+    df = DeltaLakeReader(data=dt.DeltalakeTable(url=root)).read(spark=spark)
+    assert sorted(r.id for r in df.collect()) == [0, 2, 3, 5]
+
+
+def test_delta_checkpoint_preserves_deletion_vectors(spark, tmp_path):
+    """delta_checkpoint must carry DV descriptors (and protocol
+    features) into the checkpoint — dropping them silently resurrects
+    the deleted rows after the next read seeds from the checkpoint."""
+    import uuid as _uuid
+    import zlib as _zlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from intake_spark.lakehouse import DeltaLakeReader, delta_checkpoint
+
+    root = str(tmp_path / "ckdv")
+    os.makedirs(f"{root}/_delta_log")
+    pq.write_table(pa.table({"id": pa.array(range(5), pa.int64())}),
+                   f"{root}/f0.parquet")
+    u = _uuid.uuid4()
+    bm = _ser_roaring64([0, 2])
+    with open(f"{root}/deletion_vector_{u}.bin", "wb") as f:
+        f.write(b"\x01" + struct.pack(">I", len(bm)) + bm
+                + struct.pack(">I", _zlib.crc32(bm)))
+    schema_json = {"type": "struct", "fields": [
+        {"name": "id", "type": "long", "nullable": True, "metadata": {}}]}
+    with open(f"{root}/_delta_log/{0:020d}.json", "w") as f:
+        f.write(json.dumps({"protocol": {"minReaderVersion": 3,
+                                         "minWriterVersion": 7,
+                                         "readerFeatures": ["deletionVectors"],
+                                         "writerFeatures": ["deletionVectors"]}}) + "\n")
+        f.write(_delta_meta(schema_json) + "\n")
+        f.write(json.dumps({"add": {
+            "path": "f0.parquet", "partitionValues": {}, "size": 1,
+            "modificationTime": 0, "dataChange": True,
+            "deletionVector": {
+                "storageType": "u", "pathOrInlineDv": _z85_encode(u.bytes),
+                "offset": 1, "sizeInBytes": len(bm), "cardinality": 2,
+            }}}) + "\n")
+    rd = lambda: DeltaLakeReader(  # noqa: E731
+        data=dt.DeltalakeTable(url=root)).read(spark=spark)
+    assert sorted(r.id for r in rd().collect()) == [1, 3, 4]
+    delta_checkpoint(root, spark=spark)
+    # delete the JSON commit: state must now come entirely from the
+    # checkpoint, DV included
+    os.remove(f"{root}/_delta_log/{0:020d}.json")
+    assert sorted(r.id for r in rd().collect()) == [1, 3, 4]
+
+
+def test_delta_null_partition_values(spark, tmp_path):
+    """Null partition values (__HIVE_DEFAULT_PARTITION__ dirs, null in
+    partitionValues) read through the hive basePath branch; the group
+    fallback no longer TypeErrors sorting None keys."""
+    root = str(tmp_path / "nulpart")
+    os.makedirs(f"{root}/_delta_log")
+    spark.createDataFrame([(1, "x"), (2, None)], "v long, c string") \
+        .coalesce(1).write.partitionBy("c").parquet(f"{root}/stage")
+    import shutil as _sh
+
+    for d in os.listdir(f"{root}/stage"):
+        if d.startswith("c="):
+            _sh.move(f"{root}/stage/{d}", f"{root}/{d}")
+    _sh.rmtree(f"{root}/stage")
+    files = {}
+    for d in os.listdir(root):
+        if d.startswith("c="):
+            pf = [f for f in os.listdir(f"{root}/{d}") if f.endswith(".parquet")][0]
+            files[d] = f"{d}/{pf}"
+    schema_json = {"type": "struct", "fields": [
+        {"name": "v", "type": "long", "nullable": True, "metadata": {}},
+        {"name": "c", "type": "string", "nullable": True, "metadata": {}}]}
+    with open(f"{root}/_delta_log/{0:020d}.json", "w") as f:
+        f.write(json.dumps({"protocol": {"minReaderVersion": 1,
+                                         "minWriterVersion": 2}}) + "\n")
+        f.write(_delta_meta(schema_json, ["c"]) + "\n")
+        f.write(_delta_add(files["c=x"], {"c": "x"}) + "\n")
+        f.write(_delta_add(files["c=__HIVE_DEFAULT_PARTITION__"],
+                           {"c": None}) + "\n")
+    df = DeltaLakeReader(data=dt.DeltalakeTable(url=root)).read(spark=spark)
+    got = {r.v: r.c for r in df.collect()}
+    assert got == {1: "x", 2: None}
+
+
+def test_iceberg_bucket_nulls_and_write(spark, tmp_path):
+    """bucket() partition write with null values: nulls land in the
+    null partition instead of crashing the pandas_udf on NaN."""
+    from intake_spark import output
+    from intake_spark.lakehouse import IcebergTableReader, decode_avro_file
+    from intake_spark.utils import iceberg_bucket
+
+    df = spark.createDataFrame(
+        [(1, 10), (2, None), (3, 34)], "k long, id long")
+    root = str(tmp_path / "bnull")
+    output.to_iceberg(df, root, partition_by=["bucket(16, id)"])
+    back = IcebergTableReader(data=dt.IcebergDataset(url=root)).read(
+        spark=spark)
+    got = {r.k: r.id for r in back.collect()}
+    assert got == {1: 10, 2: None, 3: 34}
+    with open(os.path.join(root, "metadata", "v1.metadata.json")) as fh:
+        meta = json.load(fh)
+    sn = meta["snapshots"][-1]
+    tuples = {e["data_file"]["partition"]["id_bucket"]
+              for mp in [m["manifest_path"]
+                         for m in decode_avro_file(sn["manifest-list"])]
+              for e in decode_avro_file(mp)}
+    assert None in tuples
+    assert iceberg_bucket(34, 16, "long") in tuples
+
+
+def test_delta_cm_map_struct_keys(spark, tmp_path):
+    """Column-mapped maps rename struct fields in KEYS too."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from intake_spark.lakehouse import DeltaLakeReader
+
+    def fmeta(i, phys):
+        return {"delta.columnMapping.id": i,
+                "delta.columnMapping.physicalName": phys}
+
+    key_t = {"type": "struct", "fields": [
+        {"name": "a", "type": "integer", "nullable": True,
+         "metadata": fmeta(3, "col-kk")}]}
+    m_t = {"type": "map", "keyType": key_t, "valueType": "long",
+           "valueContainsNull": True}
+    schema_json = {"type": "struct", "fields": [
+        {"name": "id", "type": "long", "nullable": True,
+         "metadata": fmeta(1, "col-aa")},
+        {"name": "m", "type": m_t, "nullable": True,
+         "metadata": fmeta(2, "col-mm")},
+    ]}
+    root = str(tmp_path / "cmkey")
+    os.makedirs(f"{root}/_delta_log")
+    mtype = pa.map_(pa.struct([("col-kk", pa.int32())]), pa.int64())
+    tbl = pa.table({
+        "col-aa": pa.array([1], pa.int64()),
+        "col-mm": pa.array([[((7,), 99)]], mtype),
+    })
+    pq.write_table(tbl, f"{root}/p0.parquet")
+    cm = json.dumps({"metaData": {
+        "id": "m1", "schemaString": json.dumps(schema_json),
+        "partitionColumns": [],
+        "configuration": {"delta.columnMapping.mode": "name"},
+        "format": {"provider": "parquet", "options": {}}}})
+    with open(f"{root}/_delta_log/{0:020d}.json", "w") as f:
+        f.write(json.dumps({"protocol": {"minReaderVersion": 2,
+                                         "minWriterVersion": 5}}) + "\n")
+        f.write(cm + "\n")
+        f.write(_delta_add("p0.parquet") + "\n")
+    df = DeltaLakeReader(data=dt.DeltalakeTable(url=root)).read(spark=spark)
+    row = df.collect()[0]
+    (k, v), = row.m.items()
+    assert k.a == 7 and v == 99
