@@ -1347,7 +1347,14 @@ class IcebergTableReader(BaseReader):
     deletes apply as a LEFT ANTI join on (file path, _metadata.row_index)
     with the spec's seq<=del rule, equality deletes as a null-safe LEFT
     ANTI join on the equality_ids columns with the strictly-older rule
-    (reference parity: SparkIceberg via the iceberg runtime jar)."""
+    (reference parity: SparkIceberg via the iceberg runtime jar).
+
+    ``read(filters=[(col, op, value), ...])`` (ops == != < <= > >= in,
+    conjunctive) prunes data files driver-side from the manifest
+    partition tuples — identity and day/month/year/hour/bucket/truncate
+    transforms all participate — before Spark lists a single path, then
+    filters rows exactly. On a 10k-file day-partitioned table a date
+    range touches only the in-range files."""
 
     implements = {dt.IcebergDataset}
     priority = -1  # see AvroOCFReader
@@ -1481,9 +1488,42 @@ class IcebergTableReader(BaseReader):
                 "metadata_file": meta_path,
             }
         )
-        if not files:
-            return spark.createDataFrame([], spark_schema)
         files = sorted(set(files))
+        filters = kwargs.get("filters")
+        _dspec = next(
+            (
+                sp
+                for sp in (meta.get("partition-specs") or [])
+                if sp.get("spec-id") == meta.get("default-spec-id", 0)
+            ),
+            None,
+        )
+        if filters and files:
+            # MANIFEST-LEVEL FILE PRUNING: evaluate each conjunctive
+            # (col, op, value) filter against the manifest partition
+            # tuples (identity AND day/month/year/hour/bucket/truncate
+            # transforms) and drop files that provably cannot match —
+            # a 10k-file table narrows to the in-range files before
+            # Spark lists a single path. Rows are still filtered
+            # exactly below; pruning is only the fast path.
+            files = _prune_iceberg_files(
+                files, fparts, _dspec, ischema, filters
+            )
+            self.data.metadata["n_files_pruned"] = (
+                self.data.metadata["n_files"] - len(files)
+            )
+            self.data.metadata["n_files"] = len(files)
+
+        def fin(df):
+            if filters:
+                from pyspark.sql import functions as F
+
+                for c, op, v in filters:
+                    df = df.filter(_filter_col_expr(F.col(c), op, v))
+            return df
+
+        if not files:
+            return fin(spark.createDataFrame([], spark_schema))
         if pos_dels or eq_dels:
             # v2 merge-on-read: delete files carry the row identities to
             # drop. Data files written by v2 writers embed every column,
@@ -1492,16 +1532,8 @@ class IcebergTableReader(BaseReader):
             # filled from manifest tuples) inside a deleted snapshot
             # would silently read those columns as null; refuse it by
             # name instead.
-            _mig_spec = next(
-                (
-                    sp
-                    for sp in (meta.get("partition-specs") or [])
-                    if sp.get("spec-id") == meta.get("default-spec-id", 0)
-                ),
-                None,
-            )
             _mig_ids = [
-                f for f in (_mig_spec or {}).get("fields", [])
+                f for f in (_dspec or {}).get("fields", [])
                 if f.get("transform") == "identity"
             ]
             if _mig_ids and fparts:
@@ -1516,27 +1548,18 @@ class IcebergTableReader(BaseReader):
                         "table (identity partition columns absent from "
                         "data files) are not supported"
                     )
-            return _apply_iceberg_deletes(
+            return fin(_apply_iceberg_deletes(
                 spark, files, fseq, frec, pos_dels, eq_dels,
                 spark_schema, ischema,
-            )
+            ))
         # identity-partitioned tables: partition columns may be ABSENT
         # from the data files (the spec's migrated-table convention —
         # readers fill identity values from the manifest partition
         # tuple). Detect via one parquet footer; fill with constant
         # literals per partition group, which also lets partition filters
         # prune whole branches at plan time.
-        specs = meta.get("partition-specs") or []
-        spec = next(
-            (
-                sp
-                for sp in specs
-                if sp.get("spec-id") == meta.get("default-spec-id", 0)
-            ),
-            None,
-        )
         id_fields = [
-            f for f in (spec or {}).get("fields", [])
+            f for f in (_dspec or {}).get("fields", [])
             if f.get("transform") == "identity"
         ]
         if id_fields and fparts:
@@ -1573,8 +1596,172 @@ class IcebergTableReader(BaseReader):
             out = branches[0]
             for b in branches[1:]:
                 out = out.unionByName(b)
-            return out
-        return spark.read.schema(spark_schema).parquet(*files)
+            return fin(out)
+        return fin(spark.read.schema(spark_schema).parquet(*files))
+
+
+def _filter_col_expr(col, op: str, v):
+    """(col, op, value) -> boolean Column. Ops: == = != < <= > >= in."""
+    if op in ("==", "="):
+        return col.isNull() if v is None else col == v
+    if op == "!=":
+        return col.isNotNull() if v is None else col != v
+    if op == "<":
+        return col < v
+    if op == "<=":
+        return col <= v
+    if op == ">":
+        return col > v
+    if op == ">=":
+        return col >= v
+    if op == "in":
+        return col.isin(list(v))
+    raise ValueError(f"unsupported filter op {op!r}")
+
+
+def _epoch_days(v) -> int:
+    import datetime as _dtm
+
+    if isinstance(v, _dtm.datetime):
+        v = v.date()
+    return (v - _dtm.date(1970, 1, 1)).days
+
+
+def _iceberg_transform_value(transform: str, v, source_type: str):
+    """Driver-side twin of the write-side transform exprs: the
+    transformed value of a FILTER BOUND, for comparing against manifest
+    partition tuples. Returns NotImplemented when the transform cannot
+    evaluate this bound (caller keeps the file)."""
+    import datetime as _dtm
+
+    from intake_spark.utils import iceberg_bucket
+
+    if v is None:
+        return NotImplemented
+    if transform == "identity":
+        return v
+    if transform in ("day", "month", "year", "hour"):
+        if transform == "hour":
+            if not isinstance(v, _dtm.datetime):
+                return NotImplemented
+            epoch = _dtm.datetime(1970, 1, 1, tzinfo=v.tzinfo)
+            return int((v - epoch) // _dtm.timedelta(hours=1))
+        if isinstance(v, _dtm.datetime):
+            d = v.date() if v.tzinfo is None else v.astimezone(
+                _dtm.timezone.utc
+            ).date()
+        elif isinstance(v, _dtm.date):
+            d = v
+        else:
+            return NotImplemented
+        if transform == "day":
+            return _epoch_days(d)
+        if transform == "month":
+            return (d.year - 1970) * 12 + d.month - 1
+        return d.year - 1970
+    if transform.startswith("bucket["):
+        n = int(transform[7:-1])
+        kind = source_type if source_type in (
+            "string", "date", "timestamp", "timestamptz"
+        ) else "long"
+        return iceberg_bucket(v, n, kind)
+    if transform.startswith("truncate["):
+        w = int(transform[9:-1])
+        if isinstance(v, str):
+            return v[:w]
+        if isinstance(v, int):
+            return v - ((v % w + w) % w)
+        return NotImplemented
+    return NotImplemented
+
+
+_MONOTONIC = ("identity", "day", "month", "year", "hour")
+
+
+def _prune_iceberg_files(
+    files: list[str],
+    fparts: dict,
+    spec: "dict | None",
+    ischema: dict,
+    filters: list,
+) -> list[str]:
+    """Drop files whose manifest partition tuple PROVES no row can
+    satisfy the conjunctive filters. Conservative: a file survives on
+    any doubt (missing tuple, un-evaluable bound, non-monotonic
+    transform under a range op). Monotonic transforms (identity and the
+    time family — plus truncate, floor-like on ints and prefix-ordered
+    on strings) admit range pruning; bucket admits only equality."""
+    import datetime as _dtm
+
+    fid_to_name = {f["id"]: f["name"] for f in ischema["fields"]}
+    ftype = {f["name"]: f.get("type") for f in ischema["fields"]}
+    sfields = (spec or {}).get("fields") or []
+    if not sfields or not fparts:
+        return files
+
+    def norm(x):
+        # manifest day tuples may decode as date objects; compare as ints
+        if isinstance(x, (_dtm.date, _dtm.datetime)):
+            return _epoch_days(x)
+        return x
+
+    def excluded(pv: dict, col: str, op: str, v) -> bool:
+        for f in sfields:
+            src = fid_to_name.get(f.get("source-id"), f.get("name"))
+            if src != col or f["name"] not in pv:
+                continue
+            tr = f.get("transform", "identity")
+            tval = _iceberg_transform_value(tr, v, str(ftype.get(col)))
+            if tval is NotImplemented:
+                continue
+            pval = pv[f["name"]]
+            if pval is None:
+                # all rows in this file have col IS NULL (identity) or a
+                # null source (transforms preserve null): only IS NULL
+                # style filters match, and those arrive as ('==', None)
+                # which _iceberg_transform_value already skipped
+                if op in ("==", "=", "<", "<=", ">", ">=", "in"):
+                    return True
+                continue
+            pval, tval = norm(pval), norm(tval)
+            try:
+                monotonic = tr in _MONOTONIC or tr.startswith("truncate[")
+                if op in ("==", "="):
+                    if pval != tval:
+                        return True
+                elif op == "in":
+                    tv_all = [
+                        _iceberg_transform_value(tr, x, str(ftype.get(col)))
+                        for x in v
+                    ]
+                    if NotImplemented not in tv_all and pval not in [
+                        norm(x) for x in tv_all
+                    ]:
+                        return True
+                elif op == "!=":
+                    # only identity makes every row equal the tuple value
+                    if tr == "identity" and pval == tval:
+                        return True
+                elif monotonic:
+                    # transform is order-preserving: file range implied
+                    if op in ("<", "<=") and pval > tval:
+                        return True
+                    if op in (">", ">=") and pval < tval:
+                        return True
+            except TypeError:
+                continue  # incomparable types: keep the file
+        return False
+
+    out = []
+    for fp in files:
+        pv = fparts.get(fp)
+        if not pv:
+            out.append(fp)
+            continue
+        if any(excluded(pv, c, op, v) for c, op, v in filters):
+            continue
+        out.append(fp)
+    return out
 
 
 def unescape_hive_segment(raw: str) -> "str | None":

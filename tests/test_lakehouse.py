@@ -2228,3 +2228,62 @@ def test_delta_cm_map_struct_keys(spark, tmp_path):
     row = df.collect()[0]
     (k, v), = row.m.items()
     assert k.a == 7 and v == 99
+
+
+def test_iceberg_manifest_filter_pruning(spark, tmp_path):
+    """filters= prunes data files driver-side from the manifest
+    partition tuples (identity + day + bucket + truncate transforms)
+    BEFORE Spark lists a path, and still filters rows exactly."""
+    import datetime
+
+    from intake_spark import output
+    from intake_spark.lakehouse import IcebergTableReader
+    from intake_spark.utils import iceberg_bucket
+
+    rows = [
+        (i, f"s{i % 4}", datetime.date(2021, 1, 1 + i % 5), float(i))
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "id long, src string, d date, x double")
+
+    # identity-partitioned (migrated convention)
+    r1 = str(tmp_path / "idt")
+    output.to_iceberg(df, r1, partition_by=["src"])
+    rdr = IcebergTableReader(data=dt.IcebergDataset(url=r1))
+    got = rdr.read(spark=spark, filters=[("src", "==", "s1")])
+    pruned = rdr.data.metadata["n_files_pruned"]
+    kept = rdr.data.metadata["n_files"]
+    # only the s1 files survive: ~3/4 of the files are pruned
+    assert pruned > 0 and pruned >= 2 * kept
+    assert {r.src for r in got.collect()} == {"s1"}
+    assert got.count() == 10
+
+    # day + bucket + truncate transforms
+    r2 = str(tmp_path / "trt")
+    output.to_iceberg(
+        df, r2, partition_by=["day(d)", "bucket(4, id)", "truncate(2, src)"])
+    rdr2 = IcebergTableReader(data=dt.IcebergDataset(url=r2))
+    total = IcebergTableReader(data=dt.IcebergDataset(url=r2)).read(
+        spark=spark).count()
+    assert total == 40
+    # day range prune
+    cut = datetime.date(2021, 1, 4)
+    got2 = rdr2.read(spark=spark, filters=[("d", ">=", cut)])
+    assert rdr2.data.metadata["n_files_pruned"] > 0
+    assert got2.count() == sum(1 for r in rows if r[2] >= cut)
+    assert all(r.d >= cut for r in got2.collect())
+    # bucket equality prune
+    rdr3 = IcebergTableReader(data=dt.IcebergDataset(url=r2))
+    got3 = rdr3.read(spark=spark, filters=[("id", "==", 7)])
+    assert rdr3.data.metadata["n_files_pruned"] > 0
+    assert [r.id for r in got3.collect()] == [7]
+    # truncate equality prune (src = 's2' -> trunc 's2')
+    rdr4 = IcebergTableReader(data=dt.IcebergDataset(url=r2))
+    got4 = rdr4.read(spark=spark, filters=[("src", "==", "s2")])
+    assert got4.count() == 10
+    # row-exactness: filter on a NON-partition column prunes nothing
+    # but still filters rows
+    rdr5 = IcebergTableReader(data=dt.IcebergDataset(url=r2))
+    got5 = rdr5.read(spark=spark, filters=[("x", "<", 5.0)])
+    assert rdr5.data.metadata.get("n_files_pruned") == 0
+    assert got5.count() == 5
