@@ -603,7 +603,9 @@ def delta_log_state(log: str, spark, version: int | None = None) -> dict:
     sidecar gate), replays surviving JSON commits above it, honoring an
     optional ``version=`` ceiling. Returns ``{"version": newest resolved
     version (-1 for an empty log), "adds": {path: add action dict},
-    "meta": metaData | None, "protocol": protocol | None}``."""
+    "meta": metaData | None, "protocol": protocol | None,
+    "txns": {appId: latest version}}`` (the streaming-writer
+    idempotence ladder)."""
     commits = sorted(f for f in os.listdir(log) if re.fullmatch(r"\d{20}\.json", f))
     newest = max([int(c[:20]) for c in commits] or [-1])
     last_ck = os.path.join(log, "_last_checkpoint")
@@ -629,6 +631,7 @@ def delta_log_state(log: str, spark, version: int | None = None) -> dict:
     adds: dict[str, dict] = {}
     meta = None
     protocol = None
+    txns: dict[str, int] = {}
     ckpt_version = -1
     if ck is not None and (version is None or int(ck["version"]) <= version):
         ckpt_version = int(ck["version"])
@@ -653,7 +656,10 @@ def delta_log_state(log: str, spark, version: int | None = None) -> dict:
                 )
             raise ValueError(f"checkpoint files missing: {missing}")
         cdf = spark.read.parquet(*ck_paths)
-        for row in cdf.select("add", "remove", "metaData", "protocol").collect():
+        ck_cols = ["add", "remove", "metaData", "protocol"] + (
+            ["txn"] if "txn" in cdf.columns else []
+        )
+        for row in cdf.select(*ck_cols).collect():
             if row.add and row.add.path:
                 adds[row.add.path] = row.add.asDict(recursive=True)
             if row.remove and row.remove.path:
@@ -662,6 +668,8 @@ def delta_log_state(log: str, spark, version: int | None = None) -> dict:
                 meta = row.metaData.asDict(recursive=True)
             if row.protocol and row.protocol.minReaderVersion is not None:
                 protocol = row.protocol.asDict(recursive=True)
+            if "txn" in ck_cols and row.txn and row.txn.appId:
+                txns[row.txn.appId] = int(row.txn.version or 0)
     for c in commits:
         if int(c[:20]) <= ckpt_version:
             continue
@@ -678,7 +686,17 @@ def delta_log_state(log: str, spark, version: int | None = None) -> dict:
                     meta = act["metaData"]
                 elif "protocol" in act:
                     protocol = act["protocol"]
-    return {"version": newest, "adds": adds, "meta": meta, "protocol": protocol}
+                elif "txn" in act:
+                    # streaming-writer ladder: latest version per appId
+                    t = act["txn"]
+                    txns[t["appId"]] = int(t.get("version") or 0)
+    return {
+        "version": newest,
+        "adds": adds,
+        "meta": meta,
+        "protocol": protocol,
+        "txns": txns,
+    }
 
 
 def delta_checkpoint(url: str, spark=None) -> int:
@@ -744,9 +762,14 @@ def delta_checkpoint(url: str, spark=None) -> int:
          T.StructField("readerFeatures", T.ArrayType(T.StringType())),
          T.StructField("writerFeatures", T.ArrayType(T.StringType()))]
     )
+    txn_t = T.StructType(
+        [T.StructField("appId", T.StringType()),
+         T.StructField("version", T.LongType())]
+    )
     schema = T.StructType(
         [T.StructField("add", add_t), T.StructField("remove", remove_t),
-         T.StructField("metaData", meta_t), T.StructField("protocol", proto_t)]
+         T.StructField("metaData", meta_t), T.StructField("protocol", proto_t),
+         T.StructField("txn", txn_t)]
     )
     rows = [
         {"protocol": {"minReaderVersion": int(protocol.get("minReaderVersion", 1)),
@@ -781,6 +804,10 @@ def delta_checkpoint(url: str, spark=None) -> int:
                 "cardinality": int(dv.get("cardinality") or 0),
             },
         }})
+    for app_id, app_v in sorted((state.get("txns") or {}).items()):
+        # the streaming idempotence ladder must survive the checkpoint,
+        # or a restarted stream re-appends every batch
+        rows.append({"txn": {"appId": app_id, "version": int(app_v)}})
     ckpt_tmp = os.path.join(log, f"_ckpt_tmp_{version}")
     spark.createDataFrame(rows, schema).coalesce(1).write.mode("overwrite").parquet(ckpt_tmp)
     part = next(

@@ -77,6 +77,7 @@ def to_delta(
     mode: str = "overwrite",
     partition_by: list[str] | None = None,
     use_jar: bool = False,
+    txn: "tuple[str, int] | None" = None,
     **options,
 ) -> dt.DeltalakeTable:
     """Delta Lake sink WITHOUT the delta-spark jar: data files write as
@@ -225,6 +226,12 @@ def to_delta(
             )
     for a in adds:
         lines.append(_json.dumps({"add": a}))
+    if txn is not None:
+        # protocol txn action: {appId, version} — streaming writers use
+        # the per-app version ladder for idempotent batch replay
+        lines.append(_json.dumps({"txn": {
+            "appId": str(txn[0]), "version": int(txn[1]),
+        }}))
     lines.append(
         _json.dumps(
             {

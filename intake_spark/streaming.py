@@ -432,6 +432,67 @@ def stream_to_parquet(
     return w.start()
 
 
+def stream_to_delta(
+    stream_df: DataFrame,
+    path: str,
+    checkpoint: str,
+    partition_by: list[str] | None = None,
+    available_now: bool = True,
+    timeout_s: float | None = None,
+    app_id: str | None = None,
+):
+    """Streaming DataFrame → Delta table with IDEMPOTENT micro-batch
+    commits: each batch appends through ``to_delta`` and records the
+    protocol's ``txn`` action ``{appId, version: batch_id}``; a batch at
+    or below the table's last committed version for this app is skipped
+    entirely. Spark's checkpoint makes source offsets exactly-once, the
+    txn ladder makes the SINK side replay-safe — a crashed-and-restarted
+    query (or one whose checkpoint was lost and re-reads from batch 0)
+    never duplicates rows. The standard streaming-into-Delta contract,
+    jar-free.
+
+    ``app_id`` defaults to a checkpoint-derived id; share it across
+    restarts of the same logical pipeline."""
+    import os
+
+    from intake_spark.output import to_delta
+
+    app = app_id or f"stream_to_delta:{os.path.abspath(checkpoint)}"
+
+    def _commit(bdf, batch_id: int):
+        log = os.path.join(path.rstrip("/"), "_delta_log")
+        if os.path.isdir(log):
+            from intake_spark.lakehouse import delta_log_state
+
+            state = delta_log_state(log, bdf.sparkSession)
+            last = (state.get("txns") or {}).get(app, -1)
+            if batch_id <= last:
+                return  # already committed by a previous incarnation
+        to_delta(
+            bdf,
+            path,
+            mode="append",
+            partition_by=partition_by,
+            txn=(app, int(batch_id)),
+        )
+
+    w = stream_df.writeStream.foreachBatch(_commit).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        q = w.trigger(availableNow=True).start()
+        finished = q.awaitTermination(timeout_s if timeout_s is not None else 300)
+        if not finished:
+            q.stop()
+            raise TimeoutError(
+                f"stream_to_delta: available-now drain into {path!r} did "
+                f"not finish within {timeout_s or 300}s — sink is partial"
+            )
+        q.stop()
+        return q
+    return w.start()
+
+
 def stream_winnow_dup_flags(
     df: DataFrame,
     id_col: str = "doc_id",
