@@ -155,11 +155,52 @@ def delta_optimize(
         df = DeltaLakeReader(data=dt.DeltalakeTable(url=root)).read(spark=spark)
     else:
         if part_cols:
-            df = (
-                spark.read.schema(schema)
-                .option("basePath", root)
-                .parquet(*abs_paths)
-            )
+            # The log's partitionValues are authoritative; basePath hive
+            # discovery is only safe when every rewrite path encodes the
+            # SAME values hive-style (the reader makes the identical
+            # check). A non-hive table read via basePath would rewrite
+            # with null partition columns — silent partition loss.
+            from intake_spark.lakehouse import unescape_hive_segment as _uh
+
+            def hive_consistent(relp: str, pv: dict) -> bool:
+                segs = dict(
+                    s.split("=", 1) for s in relp.split("/")[:-1] if "=" in s
+                )
+                return all(
+                    c in segs and _uh(segs[c]) == pv.get(c)
+                    for c in part_cols
+                )
+
+            if all(
+                hive_consistent(rp, adds[p].get("partitionValues") or {})
+                for p, rp in zip(rewrite, rel_paths)
+            ):
+                df = (
+                    spark.read.schema(schema)
+                    .option("basePath", root)
+                    .parquet(*abs_paths)
+                )
+            else:
+                from pyspark.sql import functions as F
+
+                data_schema = T.StructType(
+                    [f for f in schema.fields if f.name not in part_cols]
+                )
+                pgroups: dict[tuple, list[str]] = {}
+                for p, ap in zip(rewrite, abs_paths):
+                    pv = adds[p].get("partitionValues") or {}
+                    pgroups.setdefault(
+                        tuple(pv.get(c) for c in part_cols), []
+                    ).append(ap)
+                df = None
+                for pv, gpaths in sorted(
+                    pgroups.items(), key=lambda kv: str(kv[0])
+                ):
+                    g = spark.read.schema(data_schema).parquet(*sorted(gpaths))
+                    for c, v in zip(part_cols, pv):
+                        g = g.withColumn(c, F.lit(v).cast(schema[c].dataType))
+                    g = g.select(*[f.name for f in schema.fields])
+                    df = g if df is None else df.unionByName(g)
         else:
             df = spark.read.schema(schema).parquet(*abs_paths)
 

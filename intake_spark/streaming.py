@@ -458,16 +458,25 @@ def stream_to_delta(
     from intake_spark.output import to_delta
 
     app = app_id or f"stream_to_delta:{os.path.abspath(checkpoint)}"
+    # Read the ladder ONCE (a full log replay, Spark-parquet-read deep
+    # when a checkpoint exists), then track it in memory: foreachBatch is
+    # single-threaded per query and this app's txn versions only advance
+    # through _commit below, so the cached value stays authoritative for
+    # the lifetime of this query. [-1] = not yet loaded.
+    last_seen = [-2]
 
     def _commit(bdf, batch_id: int):
         log = os.path.join(path.rstrip("/"), "_delta_log")
-        if os.path.isdir(log):
-            from intake_spark.lakehouse import delta_log_state
+        if last_seen[0] == -2:
+            if os.path.isdir(log):
+                from intake_spark.lakehouse import delta_log_state
 
-            state = delta_log_state(log, bdf.sparkSession)
-            last = (state.get("txns") or {}).get(app, -1)
-            if batch_id <= last:
-                return  # already committed by a previous incarnation
+                state = delta_log_state(log, bdf.sparkSession)
+                last_seen[0] = (state.get("txns") or {}).get(app, -1)
+            else:
+                last_seen[0] = -1
+        if batch_id <= last_seen[0]:
+            return  # already committed by a previous incarnation
         to_delta(
             bdf,
             path,
@@ -475,6 +484,7 @@ def stream_to_delta(
             partition_by=partition_by,
             txn=(app, int(batch_id)),
         )
+        last_seen[0] = int(batch_id)
 
     w = stream_df.writeStream.foreachBatch(_commit).option(
         "checkpointLocation", checkpoint

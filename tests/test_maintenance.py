@@ -210,3 +210,53 @@ def test_iceberg_compact_partitioned(spark, tmp_path):
     fields = meta["partition-specs"][0]["fields"]
     assert [(f["name"], f["transform"]) for f in fields] == [
         ("src", "identity")]
+
+
+def test_delta_optimize_nonhive_partitioned(spark, tmp_path):
+    """partitionValues in the log are authoritative; a partitioned table
+    whose files are NOT hive-laid-out must optimize via the literal-fill
+    path — basePath discovery would rewrite null partition columns."""
+    root = str(tmp_path / "nonhive")
+    os.makedirs(f"{root}/_delta_log")
+    schema = {
+        "type": "struct",
+        "fields": [
+            {"name": "v", "type": "long", "nullable": True, "metadata": {}},
+            {"name": "ds", "type": "string", "nullable": True, "metadata": {}},
+        ],
+    }
+    adds = []
+    for i, (ds, vals) in enumerate([("a", [1, 2]), ("a", [3]), ("b", [4, 5])]):
+        d = f"{root}/blob{i}"
+        spark.createDataFrame([(v,) for v in vals], "v long").coalesce(1) \
+            .write.parquet(d)
+        fn = [f for f in os.listdir(d) if f.endswith(".parquet")][0]
+        adds.append((f"blob{i}/{fn}", {"ds": ds}))
+    meta = json.dumps(
+        {"metaData": {"id": "m1", "schemaString": json.dumps(schema),
+                      "partitionColumns": ["ds"], "configuration": {},
+                      "format": {"provider": "parquet", "options": {}}}}
+    )
+    with open(f"{root}/_delta_log/{0:020d}.json", "w") as f:
+        f.write(meta + "\n")
+        for p, pv in adds:
+            f.write(json.dumps({"add": {
+                "path": p, "partitionValues": pv, "size": 1,
+                "modificationTime": 0, "dataChange": True,
+            }}) + "\n")
+
+    before = sorted(
+        (r.v, r.ds)
+        for r in DeltaLakeReader(data=dt.DeltalakeTable(url=root))
+        .read(spark=spark).collect()
+    )
+    assert before == [(1, "a"), (2, "a"), (3, "a"), (4, "b"), (5, "b")]
+
+    res = delta_optimize(root, spark=spark)
+    assert res["removed"] >= 2  # the two-file 'a' group at minimum
+    after = sorted(
+        (r.v, r.ds)
+        for r in DeltaLakeReader(data=dt.DeltalakeTable(url=root))
+        .read(spark=spark).collect()
+    )
+    assert after == before  # partition values survived the rewrite
