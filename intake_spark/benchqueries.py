@@ -872,6 +872,10 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "q101_dup_spans",
     "q102_c4_filter",
     "q103_remove_dup_spans",
+    # q104/q105 are new in late r6 (Gopher rules, DSIR weights) — they take
+    # the sample's last two slots from q01/q02, which hold five green rows
+    "q104_gopher_quality",
+    "q105_dsir_weights",
     "q15_rollup_region_nation",
     "q16_json_props",
     "q17_hourly_windows",

@@ -2025,3 +2025,114 @@ def q103_remove_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     HOF filter."""
     docs = load_table(spark, sf_dir, "documents")
     return dedup.remove_dup_spans(docs, k=8, min_occurrences=2)
+
+
+@register(
+    "q104_gopher_quality",
+    """
+    WITH t AS (SELECT doc_id, COALESCE(text, '') AS text FROM documents),
+    b AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> len(x) > 0) AS w,
+             string_split(text, chr(10)) AS lines,
+             len(text) - len(replace(text, '#', '')) AS nhash,
+             (len(text) - len(replace(text, '...', ''))) // 3 AS ndots,
+             len(text) - len(replace(text, '…', '')) AS nuell
+      FROM t),
+    c AS (
+      SELECT doc_id,
+             CAST(len(w) AS BIGINT) AS nw,
+             CAST(COALESCE(list_sum(list_transform(w, x -> len(x))), 0) AS BIGINT)
+               AS wchars,
+             CAST(nhash + ndots + nuell AS BIGINT) AS nsym,
+             CAST(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]')))
+                  AS BIGINT) AS nalpha,
+             CAST(len(list_filter(
+                    ['the','be','to','of','and','that','have','with'],
+                    s -> list_contains(w, s))) AS BIGINT) AS nstop,
+             CAST(len(lines) AS BIGINT) AS nl,
+             CAST(len(list_filter(lines,
+                    l -> substr(ltrim(l), 1, 1) IN ('-', '*', '•')))
+                  AS BIGINT) AS nbul,
+             CAST(len(list_filter(lines,
+                    l -> ends_with(rtrim(l), '...') OR ends_with(rtrim(l), '…')))
+                  AS BIGINT) AS nell
+      FROM b)
+    SELECT doc_id, nw AS n_words, wchars AS word_chars, nsym AS n_symbols,
+           nalpha AS n_alpha_words, nstop AS n_stop_hits, nl AS n_lines,
+           CAST(CASE WHEN nw < 50 OR nw > 100000 THEN 1 ELSE 0 END AS INT)
+             AS r_nwords,
+           CAST(CASE WHEN wchars < 3 * nw OR wchars > 10 * nw THEN 1 ELSE 0 END
+                AS INT) AS r_wordlen,
+           CAST(CASE WHEN 10 * nsym > nw THEN 1 ELSE 0 END AS INT) AS r_symbol,
+           CAST(CASE WHEN 10 * nbul > 9 * nl THEN 1 ELSE 0 END AS INT)
+             AS r_bullet,
+           CAST(CASE WHEN 10 * nell > 3 * nl THEN 1 ELSE 0 END AS INT)
+             AS r_ellipsis,
+           CAST(CASE WHEN 5 * nalpha < 4 * nw THEN 1 ELSE 0 END AS INT)
+             AS r_alpha,
+           CAST(CASE WHEN nstop < 2 THEN 1 ELSE 0 END AS INT) AS r_stop,
+           CAST(CASE WHEN (CASE WHEN nw < 50 OR nw > 100000 THEN 1 ELSE 0 END)
+                         + (CASE WHEN wchars < 3 * nw OR wchars > 10 * nw
+                                 THEN 1 ELSE 0 END)
+                         + (CASE WHEN 10 * nsym > nw THEN 1 ELSE 0 END)
+                         + (CASE WHEN 10 * nbul > 9 * nl THEN 1 ELSE 0 END)
+                         + (CASE WHEN 10 * nell > 3 * nl THEN 1 ELSE 0 END)
+                         + (CASE WHEN 5 * nalpha < 4 * nw THEN 1 ELSE 0 END)
+                         + (CASE WHEN nstop < 2 THEN 1 ELSE 0 END) = 0
+                THEN 1 ELSE 0 END AS INT) AS keep
+    FROM c
+    """,
+)
+def q104_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher quality rules (Rae et al. 2021) with per-rule reason flags.
+    Every threshold is an integer cross-multiplication — zero floats in
+    the plan, so the oracle compare is exact by construction; mapper-only
+    at any scale (text.gopher_filter)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.gopher_filter(docs)
+
+
+@register(
+    "q105_dsir_weights",
+    """
+    WITH base AS (
+      SELECT doc_id,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS tgt,
+             list_filter(string_split(COALESCE(text, ''), ' '),
+                         x -> len(x) > 0) AS w
+      FROM documents),
+    gl AS (
+      SELECT doc_id, tgt,
+             w || CASE WHEN len(w) >= 2
+                  THEN list_transform(generate_series(1, len(w) - 1),
+                                      i -> array_to_string(w[i:i+1], ' '))
+                  ELSE [] END AS grams
+      FROM base),
+    hb AS (SELECT doc_id, tgt,
+                  CAST(concat('0x', substr(md5(g), 1, 8)) AS BIGINT) % 64 AS b
+           FROM (SELECT doc_id, tgt, unnest(grams) AS g FROM gl)),
+    bc AS (SELECT b, SUM(tgt) AS ct, SUM(1 - tgt) AS cr FROM hb GROUP BY b),
+    tot AS (SELECT SUM(ct) AS nt, SUM(cr) AS nr FROM bc),
+    lr AS (SELECT b,
+                  CAST(FLOOR(10000.0 * ln(
+                    (CAST(ct + 1 AS DOUBLE) * CAST(nr + 64 AS DOUBLE))
+                    / (CAST(cr + 1 AS DOUBLE) * CAST(nt + 64 AS DOUBLE))))
+                    AS BIGINT) AS lfx
+           FROM bc CROSS JOIN tot),
+    dw AS (SELECT doc_id, SUM(lfx) AS fx, COUNT(*) AS n_grams
+           FROM hb JOIN lr USING (b) GROUP BY doc_id)
+    SELECT b2.doc_id, b2.tgt,
+           CAST(COALESCE(n_grams, 0) AS BIGINT) AS n_grams,
+           ROUND(CAST(COALESCE(fx, 0) AS DOUBLE) / 10000.0, 6) AS dsir_w_r
+    FROM (SELECT doc_id, tgt FROM base) b2 LEFT JOIN dw USING (doc_id)
+    """,
+)
+def q105_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance-resampling weights (Xie et al. 2023): hashed
+    unigram+bigram log-probability ratio of the English slice vs the
+    rest, summed per document in 1e-4 fixed point. Linear in corpus
+    tokens — the bucket table is the only shuffle and it is
+    ``buckets``-sized; the score join broadcasts (text.dsir_weights)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.dsir_weights(docs, target=F.col("lang") == "en")

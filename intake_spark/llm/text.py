@@ -740,3 +740,171 @@ def c4_filter(
         r_brace.alias("r_brace"),
         ((r_short + r_sent + r_lorem + r_brace) == 0).cast("int").alias("keep"),
     )
+
+
+GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_filter(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+) -> DataFrame:
+    """Gopher document-quality rules (Rae et al. 2021, appendix A) with
+    per-rule reason flags — the repetition/format complement of
+    :func:`c4_filter` (reference surface: the quality-filter step of a
+    curation pipeline). Every threshold is evaluated as an INTEGER
+    cross-multiplication (``10*n_sym > n_words`` instead of
+    ``n_sym/n_words > 0.1``) so there is not a single float in the
+    plan — the oracle compare is exact by construction, and the rules:
+
+    - ``r_nwords``:   word count outside [``min_words``, ``max_words``]
+    - ``r_wordlen``:  mean word length outside [3, 10] characters
+    - ``r_symbol``:   (# '#' + # '...' + # '…') / words > 0.1
+    - ``r_bullet``:   > 90% of lines start with a bullet (- * •)
+    - ``r_ellipsis``: > 30% of lines end with an ellipsis
+    - ``r_alpha``:    < 80% of words contain an alphabetic character
+    - ``r_stop``:     fewer than 2 of the 8 Gopher stop words present
+
+    ``keep`` is the conjunction of all rules passing. Mapper-only: one
+    JVM expression tree per row, zero shuffle — at 100 TB this runs at
+    scan speed next to :func:`c4_filter` in the cleaning ladder."""
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    w = F.filter(F.split(txt, " "), lambda x: F.length(x) > 0)
+    nw = F.size(w).cast("long")
+    wchars = F.aggregate(
+        w, F.lit(0).cast("long"), lambda s, x: s + F.length(x).cast("long")
+    )
+    n_hash = F.length(txt) - F.length(F.regexp_replace(txt, "#", ""))
+    n_dots = F.floor(
+        (F.length(txt) - F.length(F.regexp_replace(txt, r"\.\.\.", ""))) / 3
+    ).cast("long")
+    n_uell = F.length(txt) - F.length(F.regexp_replace(txt, "…", ""))
+    n_sym = (n_hash + n_dots + n_uell).cast("long")
+    n_alpha = F.size(F.filter(w, lambda x: x.rlike("[A-Za-z]"))).cast("long")
+    stops = _sql_array(list(GOPHER_STOPS))
+    n_stop = F.size(F.filter(stops, lambda s: F.array_contains(w, s))).cast("long")
+    lines = F.split(txt, "\n")
+    nl = F.size(lines).cast("long")
+    n_bullet = F.size(
+        F.filter(lines, lambda l: F.substring(F.ltrim(l), 1, 1).isin("-", "*", "•"))
+    ).cast("long")
+    n_ell_end = F.size(
+        F.filter(
+            lines,
+            lambda l: F.rtrim(l).endswith("...") | F.rtrim(l).endswith("…"),
+        )
+    ).cast("long")
+    r_nwords = ((nw < min_words) | (nw > max_words)).cast("int")
+    r_wordlen = ((wchars < 3 * nw) | (wchars > 10 * nw)).cast("int")
+    r_symbol = (10 * n_sym > nw).cast("int")
+    r_bullet = (10 * n_bullet > 9 * nl).cast("int")
+    r_ellipsis = (10 * n_ell_end > 3 * nl).cast("int")
+    r_alpha = (5 * n_alpha < 4 * nw).cast("int")
+    r_stop = (n_stop < 2).cast("int")
+    flags = [r_nwords, r_wordlen, r_symbol, r_bullet, r_ellipsis, r_alpha, r_stop]
+    names = [
+        "r_nwords", "r_wordlen", "r_symbol", "r_bullet",
+        "r_ellipsis", "r_alpha", "r_stop",
+    ]
+    total = None
+    for fcol in flags:
+        total = fcol if total is None else total + fcol
+    return df.select(
+        F.col(id_col),
+        nw.alias("n_words"),
+        wchars.alias("word_chars"),
+        n_sym.alias("n_symbols"),
+        n_alpha.alias("n_alpha_words"),
+        n_stop.alias("n_stop_hits"),
+        nl.alias("n_lines"),
+        *[fcol.alias(nm) for fcol, nm in zip(flags, names)],
+        (total == 0).cast("int").alias("keep"),
+    )
+
+
+def dsir_weights(
+    df: DataFrame,
+    target,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = 64,
+    scale: int = 10_000,
+) -> DataFrame:
+    """DSIR importance-resampling weights (Xie et al. 2023): hashed
+    unigram+bigram features, per-bucket add-one-smoothed log probability
+    ratio between the ``target`` slice (a boolean Column over ``df``) and
+    the rest, per-document weight = sum of bucket log-ratios over the
+    document's n-grams. Selecting the top-weighted (or
+    weight-proportional) documents tilts a raw corpus toward the target
+    distribution — the standard cheap alternative to classifier-based
+    data selection.
+
+    Determinism: buckets are md5-derived; the ONLY transcendental is one
+    ``ln`` per hash bucket (≤ ``buckets`` evaluations total, never per
+    row), floored into ``1/scale`` fixed point before the exact BIGINT
+    per-document sums — a cross-engine mismatch would need libm results
+    a full 1e-12 of a grid step apart, verified exact on the oracle gate.
+
+    Scale shape: two mapper passes over the corpus (bucket counting, doc
+    scoring), one hash-aggregation to ``buckets`` rows (map-side combine
+    collapses each partition to ≤ ``buckets`` rows before the exchange),
+    and one BROADCAST join of the bucket table back to the n-gram
+    stream; the doc rollup shuffles on ``id_col`` only. Linear in corpus
+    tokens, no pair blowup, nothing driver-sized."""
+    if buckets < 1:
+        raise ValueError("buckets must be >= 1")
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    w = F.filter(F.split(txt, " "), lambda x: F.length(x) > 0)
+    base = df.select(
+        F.col(id_col), target.cast("int").alias("tgt"), w.alias("_w")
+    )
+    grams = F.concat(
+        F.col("_w"),
+        F.expr(
+            "CASE WHEN size(_w) >= 2 THEN transform(sequence(1, size(_w) - 1), "
+            "i -> concat_ws(' ', slice(_w, i, 2))) ELSE array() END"
+        ),
+    )
+    ex = base.select(
+        F.col(id_col),
+        F.col("tgt"),
+        F.explode(grams).alias("g"),
+    ).withColumn(
+        "b",
+        F.conv(F.substring(F.md5("g"), 1, 8), 16, 10).cast("bigint") % buckets,
+    )
+    bc = ex.groupBy("b").agg(
+        F.sum("tgt").alias("ct"),
+        F.sum(F.lit(1) - F.col("tgt")).alias("cr"),
+    )
+    tot = bc.agg(F.sum("ct").alias("nt"), F.sum("cr").alias("nr"))
+    num = (F.col("ct") + 1).cast("double") * (F.col("nr") + buckets).cast("double")
+    den = (F.col("cr") + 1).cast("double") * (F.col("nt") + buckets).cast("double")
+    lr = (
+        bc.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "lfx",
+            F.floor(F.lit(float(scale)) * F.log(num / den)).cast("bigint"),
+        )
+        .select("b", "lfx")
+    )
+    dw = (
+        ex.join(F.broadcast(lr), "b")
+        .groupBy(id_col)
+        .agg(F.sum("lfx").alias("fx"), F.count(F.lit(1)).alias("n_grams"))
+    )
+    return (
+        base.select(F.col(id_col), F.col("tgt"))
+        .join(dw, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("tgt"),
+            F.coalesce(F.col("n_grams"), F.lit(0)).cast("long").alias("n_grams"),
+            F.round(
+                F.coalesce(F.col("fx"), F.lit(0)).cast("double") / float(scale), 6
+            ).alias("dsir_w_r"),
+        )
+    )

@@ -1974,3 +1974,80 @@ def test_hilbert_key_rejects_null_and_out_of_range(spark):
     bad_range = spark.createDataFrame([(9, 1)], "x long, y long")
     with pytest.raises(Exception, match="outside"):
         with_hilbert_key(bad_range, "x", "y", order=3).collect()
+
+
+def test_gopher_filter_rules(spark):
+    from pyspark.sql import functions as F
+
+    from intake_spark.llm import text as llmtext
+
+    good = (
+        "the words flow naturally here and that style will be kept with "
+        "normal prose " + " ".join(f"word{i}" for i in range(40))
+    )
+    rows = [
+        (1, good),                                   # passes everything
+        (2, "the of short"),                         # r_nwords (< 50 words)
+        (3, " ".join(["a"] * 60)),                   # mean word len < 3
+        (4, " ".join(["#tag"] * 60)),                # symbol ratio > 0.1
+        (5, "\n".join(["- item " + "x " * 30] * 10)),  # 100% bullet lines
+        (6, " ".join(["12345"] * 60)),               # < 80% alphabetic words
+        (7, None),                                   # NULL text: r_nwords
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in llmtext.gopher_filter(df).collect()}
+    assert out[1].keep == 1 and out[1].n_stop_hits >= 2
+    assert out[2].keep == 0 and out[2].r_nwords == 1
+    assert out[3].r_wordlen == 1
+    assert out[4].r_symbol == 1 and out[4].n_symbols == 60
+    assert out[5].r_bullet == 1 and out[5].n_lines == 10
+    assert out[6].r_alpha == 1
+    assert out[7].keep == 0 and out[7].n_words == 0 and out[7].r_nwords == 1
+
+    # ellipsis rules: '…' and '...' both count, line-end and symbol forms
+    e = spark.createDataFrame(
+        [(1, "only line ends like this…"), (2, "a b c d e f g h ... … ...")],
+        "doc_id long, text string",
+    )
+    eo = {r.doc_id: r for r in llmtext.gopher_filter(e).collect()}
+    assert eo[1].r_ellipsis == 1
+    assert eo[2].n_symbols == 3 and eo[2].r_symbol == 1
+
+
+def test_dsir_weights_tilt(spark):
+    """Docs made of target-only vocabulary must outweigh docs of raw-only
+    vocabulary, smoothing keeps every weight finite, and the weight of a
+    doc is linear in its grams (same gram repeated -> proportional)."""
+    from pyspark.sql import functions as F
+
+    from intake_spark.llm import text as llmtext
+
+    tgt_text = "alpha beta gamma delta alpha beta gamma delta"
+    raw_text = "omega psi chi phi omega psi chi phi"
+    rows = (
+        [(i, tgt_text, "en") for i in range(8)]
+        + [(100 + i, raw_text, "zh") for i in range(8)]
+        + [(200, "alpha beta gamma delta", "zh")]  # raw doc, target-ish text
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {
+        r.doc_id: r
+        for r in llmtext.dsir_weights(df, target=F.col("lang") == "en").collect()
+    }
+    assert out[0].tgt == 1 and out[100].tgt == 0
+    assert out[0].dsir_w_r > 0 > out[100].dsir_w_r
+    # the raw doc written in target vocabulary still scores positive —
+    # DSIR scores CONTENT, not the label
+    assert out[200].dsir_w_r > 0
+    # n_grams = unigrams + bigrams
+    assert out[200].n_grams == 4 + 3
+    # empty/None text flows through with zero weight
+    z = spark.createDataFrame(
+        [(1, None, "en"), (2, "", "zh")], "doc_id long, text string, lang string"
+    )
+    zo = {
+        r.doc_id: r
+        for r in llmtext.dsir_weights(z, target=F.col("lang") == "en").collect()
+    }
+    assert zo[1].n_grams == 0 and zo[1].dsir_w_r == 0.0
+    assert zo[2].n_grams == 0 and zo[2].dsir_w_r == 0.0

@@ -91,8 +91,10 @@ def test_no_row_udfs_and_sanctioned_cartesians_only(spark):
 
     # q25/q45: brute-force similarity IS the oracle algorithm (guarded);
     # q63/q64/q75/q77/q87/q93/q94: single-row broadcast scalar thresholds/
-    # vocabularies/corpus stats
+    # vocabularies/corpus stats; q105: single-row corpus gram totals
+    # joined onto the buckets-sized table (never onto the corpus)
     sanctioned = {
+        "q105_dsir_weights",
         "q25_knn_bruteforce",
         "q45_embedding_near_dup",
         "q63_vocab_coverage",
