@@ -876,6 +876,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
     # the sample's last two slots from q01/q02, which hold five green rows
     "q104_gopher_quality",
     "q105_dsir_weights",
+    "q106_gopher_repetition",
     "q15_rollup_region_nation",
     "q16_json_props",
     "q17_hourly_windows",

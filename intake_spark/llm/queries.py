@@ -2136,3 +2136,123 @@ def q105_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``buckets``-sized; the score join broadcasts (text.dsir_weights)."""
     docs = load_table(spark, sf_dir, "documents")
     return text.dsir_weights(docs, target=F.col("lang") == "en")
+
+
+def _gopher_rep_sql() -> str:
+    csum = "COALESCE(list_sum(list_transform({0}, x -> CAST(len(x) AS BIGINT))), 0)"
+    top_cols = ",\n          ".join(
+        f"COALESCE(SUM(CASE WHEN n = {n} AND rn = 1 THEN chars END), 0) AS top{n}_chars"
+        for n in (2, 3, 4)
+    )
+    dup_cols = ",\n          ".join(
+        f"COALESCE(SUM(CASE WHEN n = {n} THEN e - s END), 0) AS dup{n}_chars"
+        for n in range(5, 11)
+    )
+    top_thr = {2: 20, 3: 18, 4: 16}
+    dup_thr = {5: 15, 6: 14, 7: 13, 8: 12, 9: 11, 10: 10}
+    flag_exprs = {
+        "r_dup_line": "100 * dup_lines > 30 * n_lines",
+        "r_dup_line_char": "100 * dup_line_chars > 20 * line_chars",
+        "r_dup_para": "100 * dup_paras > 30 * n_paras",
+        "r_dup_para_char": "100 * dup_para_chars > 20 * para_chars",
+        **{f"r_top{n}": f"100 * top{n}_chars > {t} * n_chars" for n, t in top_thr.items()},
+        **{f"r_dup{n}": f"100 * dup{n}_chars > {t} * n_chars" for n, t in dup_thr.items()},
+    }
+    flags = ",\n           ".join(
+        f"CAST(CASE WHEN {e} THEN 1 ELSE 0 END AS INT) AS {k}"
+        for k, e in flag_exprs.items()
+    )
+    keep = " + ".join(f"(CASE WHEN {e} THEN 1 ELSE 0 END)" for e in flag_exprs.values())
+    return f"""
+    WITH t AS (SELECT doc_id, COALESCE(text, '') AS text FROM documents),
+    b AS (SELECT doc_id,
+            list_filter(string_split(text, ' '), x -> len(x) > 0) AS w,
+            string_split(text, chr(10)) AS ln,
+            string_split(text, chr(10) || chr(10)) AS pg
+          FROM t),
+    st AS (SELECT doc_id, w, ln, pg, len(w) AS nw,
+            list_transform(generate_series(1, len(w)), i ->
+              {csum.format('w[1:i-1]')} + (i - 1)) AS starts,
+            CAST({csum.format('w')} + greatest(len(w) - 1, 0) AS BIGINT) AS total
+          FROM b),
+    lines AS (SELECT doc_id, total AS n_chars,
+            CAST(len(ln) AS BIGINT) AS n_lines,
+            CAST(len(ln) - len(list_distinct(ln)) AS BIGINT) AS dup_lines,
+            CAST({csum.format('ln')} - {csum.format('list_distinct(ln)')}
+                 AS BIGINT) AS dup_line_chars,
+            CAST({csum.format('ln')} AS BIGINT) AS line_chars,
+            CAST(len(pg) AS BIGINT) AS n_paras,
+            CAST(len(pg) - len(list_distinct(pg)) AS BIGINT) AS dup_paras,
+            CAST({csum.format('pg')} - {csum.format('list_distinct(pg)')}
+                 AS BIGINT) AS dup_para_chars,
+            CAST({csum.format('pg')} AS BIGINT) AS para_chars
+          FROM st),
+    g AS (SELECT doc_id, n, array_to_string(w[i : i + n - 1], ' ') AS gr,
+                 starts[i] AS cs, starts[i + n - 1] + len(w[i + n - 1]) AS ce
+          FROM st
+          CROSS JOIN (VALUES (2),(3),(4),(5),(6),(7),(8),(9),(10)) v(n),
+               unnest(generate_series(1, nw - n + 1)) u(i)),
+    topr AS (SELECT doc_id, n, c * CAST(len(gr) AS BIGINT) AS chars,
+             ROW_NUMBER() OVER (PARTITION BY doc_id, n
+                                ORDER BY c DESC, len(gr) DESC, gr DESC) AS rn
+             FROM (SELECT doc_id, n, gr, COUNT(*) AS c FROM g
+                   WHERE n <= 4 GROUP BY doc_id, n, gr)),
+    topv AS (SELECT doc_id,
+          {top_cols}
+          FROM topr GROUP BY doc_id),
+    dupg AS (SELECT g.doc_id, g.n, g.cs, g.ce
+             FROM g JOIN (SELECT doc_id, n, gr FROM g WHERE n >= 5
+                          GROUP BY doc_id, n, gr HAVING COUNT(*) >= 2) d
+               USING (doc_id, n, gr)),
+    m AS (SELECT doc_id, n, cs, ce,
+            CASE WHEN cs > COALESCE(MAX(ce) OVER (PARTITION BY doc_id, n
+                     ORDER BY cs, ce
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                 THEN 1 ELSE 0 END AS brk
+          FROM dupg),
+    gi AS (SELECT doc_id, n, cs, ce,
+             SUM(brk) OVER (PARTITION BY doc_id, n ORDER BY cs, ce
+                            ROWS UNBOUNDED PRECEDING) AS grp
+           FROM m),
+    iv AS (SELECT doc_id, n, MIN(cs) AS s, MAX(ce) AS e
+           FROM gi GROUP BY doc_id, n, grp),
+    dupv AS (SELECT doc_id,
+          {dup_cols}
+          FROM iv GROUP BY doc_id),
+    full0 AS (
+      SELECT l.doc_id, l.n_chars, l.n_lines, l.dup_lines, l.dup_line_chars,
+             l.dup_paras, l.dup_para_chars,
+             CAST(COALESCE(top2_chars, 0) AS BIGINT) AS top2_chars,
+             CAST(COALESCE(top3_chars, 0) AS BIGINT) AS top3_chars,
+             CAST(COALESCE(top4_chars, 0) AS BIGINT) AS top4_chars,
+             CAST(COALESCE(dup5_chars, 0) AS BIGINT) AS dup5_chars,
+             CAST(COALESCE(dup6_chars, 0) AS BIGINT) AS dup6_chars,
+             CAST(COALESCE(dup7_chars, 0) AS BIGINT) AS dup7_chars,
+             CAST(COALESCE(dup8_chars, 0) AS BIGINT) AS dup8_chars,
+             CAST(COALESCE(dup9_chars, 0) AS BIGINT) AS dup9_chars,
+             CAST(COALESCE(dup10_chars, 0) AS BIGINT) AS dup10_chars,
+             l.line_chars, l.n_paras, l.para_chars
+      FROM lines l
+      LEFT JOIN topv USING (doc_id)
+      LEFT JOIN dupv USING (doc_id))
+    SELECT doc_id, n_chars, n_lines, dup_lines, dup_line_chars,
+           dup_paras, dup_para_chars,
+           top2_chars, top3_chars, top4_chars,
+           dup5_chars, dup6_chars, dup7_chars, dup8_chars, dup9_chars,
+           dup10_chars,
+           {flags},
+           CAST(CASE WHEN {keep} = 0 THEN 1 ELSE 0 END AS INT) AS keep
+    FROM full0
+    """
+
+
+@register("q106_gopher_repetition", _gopher_rep_sql())
+def q106_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition rules (Rae et al. 2021): duplicate line/paragraph
+    fractions, top n-gram char fraction (n=2..4), duplicated n-gram char
+    coverage with interval-union overlap handling (n=5..10). Spark side
+    is MAPPER-ONLY (sorted-run HOFs per row, zero shuffle); the oracle
+    recomputes via unnest + windows — two independent algorithms, same
+    integers (text.gopher_repetition)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.gopher_repetition(docs)

@@ -908,3 +908,167 @@ def dsir_weights(
             ).alias("dsir_w_r"),
         )
     )
+
+
+def _rep_gram_structs(n: int) -> str:
+    """SQL for the sorted (gram, char-start, char-end) array at width n
+    over the canonical single-space join; empty when the doc is shorter
+    than n words. Char offsets come from `_st` (the O(n) prefix-sum fold
+    of word lengths), so intervals cover the gram's internal spaces."""
+    return (
+        f"CASE WHEN size(_w) >= {n} THEN array_sort(transform("
+        f"sequence(1, size(_w) - {n - 1}), i -> named_struct("
+        f"'g', concat_ws(' ', slice(_w, i, {n})), "
+        f"'cs', element_at(_st, i), "
+        f"'ce', element_at(_st, i + {n - 1}) + length(element_at(_w, i + {n - 1})))"
+        f")) ELSE array() END"
+    )
+
+
+def _rep_dup_cover(n: int) -> str:
+    """SQL: characters covered by n-grams occurring >= 2 times in the doc,
+    counting overlapping occurrences ONCE (interval-union fold). The
+    sorted gram array makes duplicate detection a neighbor check; the
+    union is a single aggregate() pass over the cs-sorted intervals."""
+    s = f"_s{n}"
+    return (
+        # duplicate iff equal to the previous or next gram in sorted order
+        f"aggregate(array_sort(transform(filter({s}, (x, j) -> "
+        f"(j > 0 AND try_element_at({s}, j).g = x.g) OR "
+        f"try_element_at({s}, j + 2).g = x.g), "
+        f"x -> named_struct('cs', x.cs, 'ce', x.ce))), "
+        # (covered-so-far, current-island-start, current-island-end)
+        f"named_struct('cov', cast(0 as bigint), 'cs', cast(0 as bigint), "
+        f"'ce', cast(0 as bigint)), "
+        f"(st, x) -> CASE WHEN x.cs > st.ce THEN named_struct("
+        f"'cov', st.cov + st.ce - st.cs, 'cs', cast(x.cs as bigint), "
+        f"'ce', cast(x.ce as bigint)) "
+        f"ELSE named_struct('cov', st.cov, 'cs', st.cs, "
+        f"'ce', greatest(st.ce, cast(x.ce as bigint))) END, "
+        f"st -> st.cov + st.ce - st.cs)"
+    )
+
+
+def _rep_top_chars(n: int) -> str:
+    """SQL: occurrences * char-length of the doc's most frequent n-gram
+    (ties broken by longer gram, then lexicographically-last gram — the
+    same (count, len, gram) ordering the oracle's ROW_NUMBER uses). Run
+    lengths come from the distance between run starts in the sorted gram
+    array — O(m) after the sort, no quadratic rescan."""
+    s = f"_s{n}"
+    runs = (
+        f"filter(sequence(1, size({s})), j -> j = 1 OR "
+        f"try_element_at({s}, j - 1).g != try_element_at({s}, j).g)"
+    )
+    return (
+        f"CASE WHEN size({s}) = 0 THEN cast(0 as bigint) ELSE "
+        f"cast(aggregate(transform({runs}, (st, k) -> named_struct("
+        f"'c', coalesce(try_element_at({runs}, k + 2), size({s}) + 1) - st, "
+        f"'l', length(try_element_at({s}, st).g), "
+        f"'g', try_element_at({s}, st).g)), "
+        f"cast(null as struct<c: int, l: int, g: string>), "
+        f"(best, x) -> CASE WHEN best IS NULL OR struct(x.c, x.l, x.g) > "
+        f"struct(best.c, best.l, best.g) THEN x ELSE best END, "
+        f"best -> best.c * best.l) as bigint) END"
+    )
+
+
+def gopher_repetition(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher repetition rules (Rae et al. 2021, appendix A): duplicate
+    line / paragraph fractions (count and character versions), top
+    n-gram character fraction for n = 2..4, and duplicated n-gram
+    character coverage for n = 5..10 (overlapping occurrences counted
+    once via interval union). Together with :func:`gopher_filter` this
+    completes the Gopher quality-filter pair.
+
+    Exactness: every fraction threshold is evaluated as an integer
+    cross-multiplication over character counts — zero floats in the
+    plan. Character offsets are measured over the canonical
+    single-space join of the document's nonempty words.
+
+    Scale shape: MAPPER-ONLY. Within-document n-gram counting uses a
+    sorted-run scan over per-row arrays (array_sort + neighbor checks +
+    one aggregate() fold), so there is no explode, no shuffle, and the
+    per-document cost is O(words x log words) regardless of corpus
+    size — at 100 TB this runs at scan speed like the rest of the
+    cleaning ladder."""
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    base = df.select(
+        F.col(id_col),
+        F.filter(F.split(txt, " "), lambda x: F.length(x) > 0).alias("_w"),
+        F.split(txt, "\n").alias("_ln"),
+        F.split(txt, "\n\n").alias("_pg"),
+    )
+    # O(n) prefix-sum fold: char start of word i in the canonical join
+    base = base.withColumn(
+        "_st",
+        F.expr(
+            "aggregate(_w, named_struct('a', cast(array() as array<bigint>), "
+            "'acc', cast(0 as bigint)), "
+            "(s, x) -> named_struct('a', concat(s.a, array(s.acc)), "
+            "'acc', s.acc + length(x) + 1), s -> s.a)"
+        ),
+    )
+    for n in range(2, 11):
+        base = base.withColumn(f"_s{n}", F.expr(_rep_gram_structs(n)))
+    charsum = "aggregate({0}, cast(0 as bigint), (s, x) -> s + length(x))"
+    total = F.expr(
+        f"{charsum.format('_w')} + greatest(cast(size(_w) as bigint) - 1, 0)"
+    )
+    stats = base.select(
+        F.col(id_col),
+        total.alias("n_chars"),
+        F.size("_ln").cast("long").alias("n_lines"),
+        (F.size("_ln") - F.size(F.array_distinct("_ln"))).cast("long").alias("dup_lines"),
+        F.expr(
+            f"{charsum.format('_ln')} - {charsum.format('array_distinct(_ln)')}"
+        ).alias("dup_line_chars"),
+        F.expr(charsum.format("_ln")).alias("line_chars"),
+        F.size("_pg").cast("long").alias("n_paras"),
+        (F.size("_pg") - F.size(F.array_distinct("_pg"))).cast("long").alias("dup_paras"),
+        F.expr(
+            f"{charsum.format('_pg')} - {charsum.format('array_distinct(_pg)')}"
+        ).alias("dup_para_chars"),
+        F.expr(charsum.format("_pg")).alias("para_chars"),
+        *[F.expr(_rep_top_chars(n)).alias(f"top{n}_chars") for n in (2, 3, 4)],
+        *[F.expr(_rep_dup_cover(n)).alias(f"dup{n}_chars") for n in range(5, 11)],
+    )
+    top_thr = {2: 20, 3: 18, 4: 16}
+    dup_thr = {5: 15, 6: 14, 7: 13, 8: 12, 9: 11, 10: 10}
+    flags = [
+        ((100 * F.col("dup_lines")) > (30 * F.col("n_lines"))).cast("int").alias("r_dup_line"),
+        ((100 * F.col("dup_line_chars")) > (20 * F.col("line_chars"))).cast("int").alias("r_dup_line_char"),
+        ((100 * F.col("dup_paras")) > (30 * F.col("n_paras"))).cast("int").alias("r_dup_para"),
+        ((100 * F.col("dup_para_chars")) > (20 * F.col("para_chars"))).cast("int").alias("r_dup_para_char"),
+        *[
+            ((100 * F.col(f"top{n}_chars")) > (t * F.col("n_chars"))).cast("int").alias(f"r_top{n}")
+            for n, t in top_thr.items()
+        ],
+        *[
+            ((100 * F.col(f"dup{n}_chars")) > (t * F.col("n_chars"))).cast("int").alias(f"r_dup{n}")
+            for n, t in dup_thr.items()
+        ],
+    ]
+    out = stats.select(
+        F.col(id_col),
+        F.col("n_chars"),
+        F.col("n_lines"),
+        F.col("dup_lines"),
+        F.col("dup_line_chars"),
+        F.col("dup_paras"),
+        F.col("dup_para_chars"),
+        *[F.col(f"top{n}_chars") for n in (2, 3, 4)],
+        *[F.col(f"dup{n}_chars") for n in range(5, 11)],
+        *flags,
+    )
+    flag_names = [
+        "r_dup_line", "r_dup_line_char", "r_dup_para", "r_dup_para_char",
+        "r_top2", "r_top3", "r_top4",
+        "r_dup5", "r_dup6", "r_dup7", "r_dup8", "r_dup9", "r_dup10",
+    ]
+    keep = None
+    for fn in flag_names:
+        keep = F.col(fn) if keep is None else keep + F.col(fn)
+    return out.withColumn("keep", (keep == 0).cast("int"))

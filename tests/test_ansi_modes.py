@@ -38,7 +38,8 @@ def test_ansi_off_matches_oracle_subset():
         # guards), asof (null fill), fixed-point scoring, prefix sums
         NAMES = ["q42_null_handling", "q61_quantize_embeddings",
                  "q18_asof_join", "q86_bigram_lm_score",
-                 "q95_token_budget_selection", "q87_bm25_search"]
+                 "q95_token_budget_selection", "q87_bm25_search",
+                 "q105_dsir_weights", "q106_gopher_repetition"]
         for name in NAMES:
             sdf = qs[name](spark, "/root/testdata/sf0.01").toPandas()
             odf = con.sql(os_[name]).df()

@@ -2051,3 +2051,47 @@ def test_dsir_weights_tilt(spark):
     }
     assert zo[1].n_grams == 0 and zo[1].dsir_w_r == 0.0
     assert zo[2].n_grams == 0 and zo[2].dsir_w_r == 0.0
+
+
+def test_gopher_repetition_rules(spark):
+    from intake_spark.llm import text as llmtext
+
+    rows = [
+        (1, "a b c d e f g h i j"),               # all unique
+        (2, "x y x y x y x y x y"),               # heavy bigram repetition
+        (3, "p q r s t p q r s t p q r s t zz"),  # repeated 5-gram block
+        (4, "line1\nline1\nline2"),               # duplicate lines
+        (5, None),
+        (6, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    r = {x.doc_id: x for x in llmtext.gopher_repetition(df).collect()}
+    # doc2: top bigram "x y" occurs 5x, 3 chars -> 15 of 19 chars
+    assert r[2].top2_chars == 15 and r[2].r_top2 == 1
+    # rotations of the repeated block all duplicate: union covers the
+    # first 15 words (29 chars of 32), NOT 3 * block length — the
+    # interval-union must not double-count overlapping occurrences
+    assert r[3].dup5_chars == 29 and r[3].n_chars == 32
+    assert r[3].dup10_chars == 29  # 10-gram rotations still repeat
+    assert r[1].dup5_chars == 0 and r[1].top2_chars == 3  # single-occ top
+    # dup lines: one excess "line1" copy = 5 chars; 1 of 3 lines
+    assert r[4].dup_lines == 1 and r[4].dup_line_chars == 5
+    assert r[4].r_dup_line == 1
+    for d in (5, 6):
+        assert r[d].top2_chars == 0 and r[d].dup5_chars == 0
+        assert r[d].keep == 1
+
+
+def test_gopher_repetition_plan_mapper_only(spark):
+    """The within-doc n-gram counting must stay a per-row HOF scan: no
+    Exchange (shuffle), no EvalPython in the physical plan."""
+    from pyspark.sql import functions as F
+
+    from intake_spark.llm import text as llmtext
+
+    df = spark.createDataFrame([(1, "a b a b")], "doc_id long, text string")
+    plan = (
+        llmtext.gopher_repetition(df)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan and "EvalPython" not in plan
