@@ -969,7 +969,7 @@ def _rep_top_chars(n: int) -> str:
         f"cast(null as struct<c: int, l: int, g: string>), "
         f"(best, x) -> CASE WHEN best IS NULL OR struct(x.c, x.l, x.g) > "
         f"struct(best.c, best.l, best.g) THEN x ELSE best END, "
-        f"best -> best.c * best.l) as bigint) END"
+        f"best -> cast(best.c as bigint) * best.l) as bigint) END"
     )
 
 
@@ -990,10 +990,13 @@ def gopher_repetition(
 
     Scale shape: MAPPER-ONLY. Within-document n-gram counting uses a
     sorted-run scan over per-row arrays (array_sort + neighbor checks +
-    one aggregate() fold), so there is no explode, no shuffle, and the
-    per-document cost is O(words x log words) regardless of corpus
-    size — at 100 TB this runs at scan speed like the rest of the
-    cleaning ladder."""
+    one aggregate() fold), so there is no explode and no shuffle —
+    at 100 TB this runs at scan speed like the rest of the cleaning
+    ladder. Per-document cost: the run scans are O(words log words);
+    the char-offset prefix fold appends to an array per word (O(words²)
+    element COPIES with a tiny constant — immaterial below ~10k words).
+    Pathologically long documents should go through
+    :func:`chunk_documents` first, same as the rest of the ladder."""
     txt = F.coalesce(F.col(text_col), F.lit(""))
     base = df.select(
         F.col(id_col),
