@@ -877,6 +877,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "q104_gopher_quality",
     "q105_dsir_weights",
     "q106_gopher_repetition",
+    "q107_quality_classifier",
     "q15_rollup_region_nation",
     "q16_json_props",
     "q17_hourly_windows",

@@ -2256,3 +2256,79 @@ def q106_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     integers (text.gopher_repetition)."""
     docs = load_table(spark, sf_dir, "documents")
     return text.gopher_repetition(docs)
+
+
+def _classifier_sql(buckets: int = 64, scale: int = 10000, eta_inv: int = 256,
+                    iters: int = 3) -> str:
+    # one CTE pair (p_k, e_k, g_k, w_k) per GD round — the unrolled-CTE
+    # replay pattern q72 established for PageRank; trunc-division spelled
+    # as (g - g % D) / D so DuckDB matches Spark's `div` on negatives
+    rounds = []
+    prev_w = "w0"
+    for k in range(1, iters + 1):
+        rounds.append(f"""
+    p{k} AS (SELECT doc_id, SUM(x * w) AS p
+             FROM xb JOIN {prev_w} USING (b) GROUP BY doc_id),
+    e{k} AS (SELECT base.doc_id,
+                    CAST(COALESCE(p, 0) - {scale} * y AS BIGINT) AS e
+             FROM base LEFT JOIN p{k} USING (doc_id)),
+    g{k} AS (SELECT b, SUM(x * e) AS g
+             FROM xb JOIN e{k} USING (doc_id) GROUP BY b),
+    w{k} AS (SELECT {prev_w}.b,
+                    CAST({prev_w}.w - COALESCE(
+                      CAST((g - g % ({eta_inv} * n.n)) / ({eta_inv} * n.n)
+                           AS BIGINT), 0) AS BIGINT) AS w
+             FROM {prev_w} LEFT JOIN g{k} USING (b) CROSS JOIN n)""")
+        prev_w = f"w{k}"
+    return f"""
+    WITH base AS (
+      SELECT doc_id,
+             CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y,
+             list_filter(string_split(COALESCE(text, ''), ' '),
+                         x -> len(x) > 0) AS w
+      FROM documents),
+    gl AS (
+      SELECT doc_id,
+             w || CASE WHEN len(w) >= 2
+                  THEN list_transform(generate_series(1, len(w) - 1),
+                                      i -> array_to_string(w[i:i+1], ' '))
+                  ELSE [] END AS grams
+      FROM base),
+    hb AS (SELECT doc_id,
+                  CAST(concat('0x', substr(md5(g), 1, 8)) AS BIGINT)
+                    % {buckets} AS b
+           FROM (SELECT doc_id, unnest(grams) AS g FROM gl)),
+    xb AS (SELECT doc_id, b, CAST(COUNT(*) AS BIGINT) AS x
+           FROM hb GROUP BY doc_id, b
+           UNION ALL
+           SELECT doc_id, {buckets} AS b, CAST(1 AS BIGINT) AS x FROM base),
+    n AS (SELECT COUNT(*) AS n FROM base),
+    w0 AS (SELECT CAST(i AS BIGINT) AS b, CAST(0 AS BIGINT) AS w
+           FROM unnest(generate_series(0, {buckets})) t(i)),{",".join(rounds)},
+    ps AS (SELECT doc_id, SUM(x * w) AS score_fx, SUM(x) AS n_feats
+           FROM xb JOIN {prev_w} USING (b) GROUP BY doc_id)
+    SELECT base.doc_id, CAST(y AS INT) AS y,
+           CAST(COALESCE(n_feats, 0) AS BIGINT) AS n_feats,
+           CAST(COALESCE(score_fx, 0) AS BIGINT) AS score_fx,
+           CAST(CASE WHEN COALESCE(score_fx, 0) > 0 THEN 1
+                     WHEN COALESCE(score_fx, 0) < 0 THEN -1
+                     ELSE 0 END AS INT) AS pred
+    FROM base LEFT JOIN ps USING (doc_id)
+    """
+
+
+@register("q107_quality_classifier", _classifier_sql())
+def q107_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed-feature quality classifier (the classifier-based data
+    selector next to q105's DSIR): 3 rounds of full-batch least-squares
+    gradient descent on hashed unigram+bigram counts, all BIGINT fixed
+    point with truncating-division steps — zero floats, so the oracle
+    replays training round for round (unrolled CTEs, the q72 pattern)
+    and matches the final scores exactly. Distributed shape: feature
+    matrix checkpointed once, each round is a broadcast weight join +
+    doc-sum + buckets-sized gradient shuffle
+    (classifier.hashed_linear_classifier)."""
+    from intake_spark.llm import classifier
+
+    docs = load_table(spark, sf_dir, "documents")
+    return classifier.hashed_linear_classifier(docs, F.col("lang") == "en")

@@ -2095,3 +2095,54 @@ def test_gopher_repetition_plan_mapper_only(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan and "EvalPython" not in plan
+
+
+def test_hashed_linear_classifier_exact_replay(spark):
+    """The distributed GD trainer must match a pure-Python integer
+    replay bit for bit (trunc-division steps, fixed-point weights) and
+    separate two disjoint vocabularies after 3 rounds."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from intake_spark.llm.classifier import hashed_linear_classifier
+
+    rows = (
+        [(i, "alpha beta gamma delta alpha beta", "en") for i in range(10)]
+        + [(100 + i, "omega psi chi phi omega psi", "zh") for i in range(10)]
+        + [(200, None, "en"), (201, "", "zh")]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {
+        r.doc_id: r
+        for r in hashed_linear_classifier(df, F.col("lang") == "en").collect()
+    }
+    assert out[0].pred == 1 and out[100].pred == -1
+    assert out[200].n_feats == 1 and out[201].n_feats == 1  # bias only
+
+    def bucket(g, B=64):
+        return int(hashlib.md5(g.encode()).hexdigest()[:8], 16) % B
+
+    def tdiv(a, b):
+        return -((-a) // b) if a < 0 else a // b
+
+    X, Y = {}, {}
+    for i, t, lang in rows:
+        ws = [x for x in (t or "").split(" ") if x]
+        grams = ws + [" ".join(ws[j : j + 2]) for j in range(len(ws) - 1)]
+        f = {}
+        for g in grams:
+            f[bucket(g)] = f.get(bucket(g), 0) + 1
+        f[64] = 1
+        X[i], Y[i] = f, (1 if lang == "en" else -1)
+    n, D, S = len(rows), 256 * len(rows), 10000
+    w = [0] * 65
+    for _ in range(3):
+        gvec = [0] * 65
+        for i, f in X.items():
+            e = sum(x * w[b] for b, x in f.items()) - S * Y[i]
+            for b, x in f.items():
+                gvec[b] += x * e
+        w = [wb - tdiv(gb, D) for wb, gb in zip(w, gvec)]
+    for i, f in X.items():
+        assert sum(x * w[b] for b, x in f.items()) == out[i].score_fx, i
