@@ -878,6 +878,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "q105_dsir_weights",
     "q106_gopher_repetition",
     "q107_quality_classifier",
+    "q108_curation_funnel",
     "q15_rollup_region_nation",
     "q16_json_props",
     "q17_hourly_windows",

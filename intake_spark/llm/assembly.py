@@ -416,3 +416,101 @@ def bloom_decontaminate(
     # function's premise, a bounded price for a bounded footprint.
     sh_b.unpersist(blocking=False)
     return corpus.join(truly_bad, id_col, "left_anti")
+
+
+def curation_funnel(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_sentences: int = 3,
+    min_words: int = 5,
+    gopher_min_words: int = 50,
+    gopher_stop_min: int = 2,
+) -> DataFrame:
+    """The standard cleaning ladder end to end, reported as a funnel:
+    C4 rules → Gopher quality rules → Gopher repetition rules → exact
+    dedup (first doc per md5 fingerprint among survivors), one row per
+    stage with (stage, n_in, n_kept, tokens_kept); ``min_sentences`` /
+    ``min_words`` tune the C4 stage and ``gopher_min_words`` /
+    ``gopher_stop_min`` the Gopher stage, for corpora whose shape
+    differs from web text. This is the
+    accounting view a curation run is judged by — where documents and
+    tokens are lost, stage by stage.
+
+    Shape: the three rule sets are mapper-only flag frames joined on
+    ``id_col`` (the optimizer cannot fuse the scans across operator
+    boundaries, so a funnel over N rule stages costs N scans + N-1
+    doc-keyed joins — a REPORT query, not the hot path; the hot path
+    applies the same flags inline). Dedup survivorship is one window
+    over the fingerprint; the funnel itself is a single aggregate row
+    stacked to stage rows, so nothing here is driver-sized."""
+    from intake_spark.llm import text as _text
+
+    c4 = _text.c4_filter(
+        df,
+        id_col=id_col,
+        text_col=text_col,
+        min_sentences=min_sentences,
+        min_words=min_words,
+    ).select(
+        F.col(id_col), F.col("n_words"), F.col("keep").alias("_kc")
+    )
+    gq = _text.gopher_filter(
+        df,
+        id_col=id_col,
+        text_col=text_col,
+        min_words=gopher_min_words,
+        stop_min=gopher_stop_min,
+    ).select(
+        F.col(id_col), F.col("keep").alias("_kq")
+    )
+    gr = _text.gopher_repetition(df, id_col=id_col, text_col=text_col).select(
+        F.col(id_col), F.col("keep").alias("_kr")
+    )
+    fp = df.select(
+        F.col(id_col),
+        F.md5(F.coalesce(F.col(text_col), F.lit(""))).alias("_fp"),
+    )
+    j = (
+        c4.join(gq, id_col)
+        .join(gr, id_col)
+        .join(fp, id_col)
+        .select(
+            F.col(id_col),
+            F.col("n_words"),
+            F.col("_fp"),
+            F.col("_kc").alias("k1"),
+            (F.col("_kc") * F.col("_kq")).alias("k2"),
+            (F.col("_kc") * F.col("_kq") * F.col("_kr")).alias("k3"),
+        )
+    )
+    surv_min = F.min(
+        F.when(F.col("k3") == 1, F.col(id_col))
+    ).over(Window.partitionBy("_fp"))
+    j = j.withColumn(
+        "k4",
+        ((F.col("k3") == 1) & (F.col(id_col) == surv_min)).cast("int"),
+    )
+    agg = j.agg(
+        F.count(F.lit(1)).alias("n0"),
+        *[F.sum(f"k{i}").alias(f"s{i}") for i in (1, 2, 3, 4)],
+        *[
+            F.sum(F.col(f"k{i}") * F.col("n_words")).alias(f"t{i}")
+            for i in (1, 2, 3, 4)
+        ],
+    )
+    return agg.select(
+        F.expr(
+            "stack(4, "
+            "'1_c4', n0, s1, t1, "
+            "'2_gopher_quality', s1, s2, t2, "
+            "'3_gopher_repetition', s2, s3, t3, "
+            "'4_exact_dedup', s3, s4, t4) "
+            "AS (stage, n_in, n_kept, tokens_kept)"
+        )
+    ).select(
+        "stage",
+        F.col("n_in").cast("long").alias("n_in"),
+        F.col("n_kept").cast("long").alias("n_kept"),
+        F.col("tokens_kept").cast("long").alias("tokens_kept"),
+    )

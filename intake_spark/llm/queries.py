@@ -2027,9 +2027,9 @@ def q103_remove_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.remove_dup_spans(docs, k=8, min_occurrences=2)
 
 
-@register(
-    "q104_gopher_quality",
-    """
+def _gopher_quality_sql(min_words: int = 50, max_words: int = 100000,
+                        stop_min: int = 2) -> str:
+    return f"""
     WITH t AS (SELECT doc_id, COALESCE(text, '') AS text FROM documents),
     b AS (
       SELECT doc_id,
@@ -2060,7 +2060,7 @@ def q103_remove_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM b)
     SELECT doc_id, nw AS n_words, wchars AS word_chars, nsym AS n_symbols,
            nalpha AS n_alpha_words, nstop AS n_stop_hits, nl AS n_lines,
-           CAST(CASE WHEN nw < 50 OR nw > 100000 THEN 1 ELSE 0 END AS INT)
+           CAST(CASE WHEN nw < {min_words} OR nw > {max_words} THEN 1 ELSE 0 END AS INT)
              AS r_nwords,
            CAST(CASE WHEN wchars < 3 * nw OR wchars > 10 * nw THEN 1 ELSE 0 END
                 AS INT) AS r_wordlen,
@@ -2071,19 +2071,21 @@ def q103_remove_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS r_ellipsis,
            CAST(CASE WHEN 5 * nalpha < 4 * nw THEN 1 ELSE 0 END AS INT)
              AS r_alpha,
-           CAST(CASE WHEN nstop < 2 THEN 1 ELSE 0 END AS INT) AS r_stop,
-           CAST(CASE WHEN (CASE WHEN nw < 50 OR nw > 100000 THEN 1 ELSE 0 END)
+           CAST(CASE WHEN nstop < {stop_min} THEN 1 ELSE 0 END AS INT) AS r_stop,
+           CAST(CASE WHEN (CASE WHEN nw < {min_words} OR nw > {max_words} THEN 1 ELSE 0 END)
                          + (CASE WHEN wchars < 3 * nw OR wchars > 10 * nw
                                  THEN 1 ELSE 0 END)
                          + (CASE WHEN 10 * nsym > nw THEN 1 ELSE 0 END)
                          + (CASE WHEN 10 * nbul > 9 * nl THEN 1 ELSE 0 END)
                          + (CASE WHEN 10 * nell > 3 * nl THEN 1 ELSE 0 END)
                          + (CASE WHEN 5 * nalpha < 4 * nw THEN 1 ELSE 0 END)
-                         + (CASE WHEN nstop < 2 THEN 1 ELSE 0 END) = 0
+                         + (CASE WHEN nstop < {stop_min} THEN 1 ELSE 0 END) = 0
                 THEN 1 ELSE 0 END AS INT) AS keep
     FROM c
-    """,
-)
+    """
+
+
+@register("q104_gopher_quality", _gopher_quality_sql())
 def q104_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher quality rules (Rae et al. 2021) with per-rule reason flags.
     Every threshold is an integer cross-multiplication — zero floats in
@@ -2332,3 +2334,66 @@ def q107_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return classifier.hashed_linear_classifier(docs, F.col("lang") == "en")
+
+
+def _curation_funnel_sql() -> str:
+    # embed the already-registered stage oracles as scoped subqueries —
+    # the funnel's correctness is then literally the composition of the
+    # q102/q104/q106 oracles plus one fingerprint window
+    from intake_spark.benchqueries import ORACLE
+
+    gq = _gopher_quality_sql(min_words=20, stop_min=1)
+    gr = ORACLE["q106_gopher_repetition"]
+    return f"""
+    WITH c4 AS (
+      SELECT doc_id,
+             CAST(len(list_filter(string_split(COALESCE(text, ''), ' '),
+                                  x -> len(x) > 0)) AS BIGINT) AS n_words,
+             CASE WHEN len(list_filter(string_split(COALESCE(text, ''), ' '),
+                                       x -> len(x) > 0)) >= 5
+                       AND NOT contains(lower(COALESCE(text, '')), 'lorem ipsum')
+                       AND NOT contains(COALESCE(text, ''), '{{')
+                  THEN 1 ELSE 0 END AS k1
+      FROM documents),
+    gq AS (SELECT doc_id, keep AS kq FROM ({gq}) t),
+    gr AS (SELECT doc_id, keep AS kr FROM ({gr}) t),
+    fp AS (SELECT doc_id, md5(COALESCE(text, '')) AS fp FROM documents),
+    j AS (SELECT c4.doc_id, n_words, fp, k1, k1 * kq AS k2,
+                 k1 * kq * kr AS k3
+          FROM c4 JOIN gq USING (doc_id) JOIN gr USING (doc_id)
+                  JOIN fp USING (doc_id)),
+    j2 AS (SELECT *, CASE WHEN k3 = 1 AND doc_id =
+                MIN(CASE WHEN k3 = 1 THEN doc_id END) OVER (PARTITION BY fp)
+              THEN 1 ELSE 0 END AS k4 FROM j),
+    a AS (SELECT COUNT(*) AS n0,
+                 SUM(k1) AS s1, SUM(k2) AS s2, SUM(k3) AS s3, SUM(k4) AS s4,
+                 SUM(k1 * n_words) AS t1, SUM(k2 * n_words) AS t2,
+                 SUM(k3 * n_words) AS t3, SUM(k4 * n_words) AS t4
+          FROM j2)
+    SELECT stage, CAST(n_in AS BIGINT) AS n_in,
+           CAST(n_kept AS BIGINT) AS n_kept,
+           CAST(tokens_kept AS BIGINT) AS tokens_kept
+    FROM (
+      SELECT '1_c4' AS stage, n0 AS n_in, s1 AS n_kept, t1 AS tokens_kept
+      FROM a
+      UNION ALL SELECT '2_gopher_quality', s1, s2, t2 FROM a
+      UNION ALL SELECT '3_gopher_repetition', s2, s3, t3 FROM a
+      UNION ALL SELECT '4_exact_dedup', s3, s4, t4 FROM a)
+    """
+
+
+@register("q108_curation_funnel", _curation_funnel_sql())
+def q108_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cleaning ladder end to end as a funnel report: C4 → Gopher
+    quality → Gopher repetition → exact dedup, one row per stage with
+    documents-in/kept and tokens kept. The oracle composes the q106 stage
+    oracle verbatim with re-parameterized C4/Gopher stages
+    (min_sentences=0, gopher 20-word/1-stop floors — so every stage
+    does real work on this corpus) plus one fingerprint window
+    (assembly.curation_funnel)."""
+    docs = load_table(spark, sf_dir, "documents")
+    # min_sentences=0: the synthetic corpus has no terminal punctuation,
+    # and a funnel whose first stage zeroes everything verifies nothing
+    return assembly.curation_funnel(
+        docs, min_sentences=0, gopher_min_words=20, gopher_stop_min=1
+    )

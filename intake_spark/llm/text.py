@@ -751,6 +751,7 @@ def gopher_filter(
     text_col: str = "text",
     min_words: int = 50,
     max_words: int = 100_000,
+    stop_min: int = 2,
 ) -> DataFrame:
     """Gopher document-quality rules (Rae et al. 2021, appendix A) with
     per-rule reason flags — the repetition/format complement of
@@ -766,7 +767,7 @@ def gopher_filter(
     - ``r_bullet``:   > 90% of lines start with a bullet (- * •)
     - ``r_ellipsis``: > 30% of lines end with an ellipsis
     - ``r_alpha``:    < 80% of words contain an alphabetic character
-    - ``r_stop``:     fewer than 2 of the 8 Gopher stop words present
+    - ``r_stop``:     fewer than ``stop_min`` of the 8 Gopher stop words
 
     ``keep`` is the conjunction of all rules passing. Mapper-only: one
     JVM expression tree per row, zero shuffle — at 100 TB this runs at
@@ -803,7 +804,7 @@ def gopher_filter(
     r_bullet = (10 * n_bullet > 9 * nl).cast("int")
     r_ellipsis = (10 * n_ell_end > 3 * nl).cast("int")
     r_alpha = (5 * n_alpha < 4 * nw).cast("int")
-    r_stop = (n_stop < 2).cast("int")
+    r_stop = (n_stop < stop_min).cast("int")
     flags = [r_nwords, r_wordlen, r_symbol, r_bullet, r_ellipsis, r_alpha, r_stop]
     names = [
         "r_nwords", "r_wordlen", "r_symbol", "r_bullet",

@@ -2146,3 +2146,28 @@ def test_hashed_linear_classifier_exact_replay(spark):
         w = [wb - tdiv(gb, D) for wb, gb in zip(w, gvec)]
     for i, f in X.items():
         assert sum(x * w[b] for b, x in f.items()) == out[i].score_fx, i
+
+
+def test_curation_funnel_stages(spark):
+    """Each stage's n_in must equal the previous stage's n_kept, and the
+    exact-dedup stage must drop the later copy of a duplicated text."""
+    from intake_spark.llm.assembly import curation_funnel
+
+    good = "the words flow naturally here and that style will be kept " + \
+        " ".join(f"w{i}" for i in range(45))
+    rows = [
+        (1, good),
+        (2, good),                       # exact duplicate -> dropped at dedup
+        (3, "too short."),               # c4 r_short
+        (4, " ".join(["spam"] * 60)),    # repetition rules
+        (5, good + " unique tail here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.stage: r for r in curation_funnel(
+        df, min_sentences=0, gopher_min_words=20, gopher_stop_min=1
+    ).collect()}
+    assert out["1_c4"].n_in == 5 and out["1_c4"].n_kept == 4
+    assert out["2_gopher_quality"].n_in == 4
+    assert out["3_gopher_repetition"].n_kept == out["4_exact_dedup"].n_in
+    # docs 1,2 identical: one survives dedup
+    assert out["4_exact_dedup"].n_kept == out["4_exact_dedup"].n_in - 1
