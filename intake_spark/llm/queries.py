@@ -2397,3 +2397,50 @@ def q108_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assembly.curation_funnel(
         docs, min_sentences=0, gopher_min_words=20, gopher_stop_min=1
     )
+
+
+def _pca_sql(dim: int = 64, iters: int = 3, qscale: int = 1024,
+             vmax: int = 4096) -> str:
+    # one (p_k, u_k, s_k, v_k) CTE block per power-iteration round;
+    # trunc-division spelled (a - a % b)/b; all sums land in HUGEINT so
+    # the replay is exact at any corpus size
+    rounds = []
+    prev_v = "v0"
+    for k in range(1, iters + 1):
+        rounds.append(f"""
+    p{k} AS (SELECT vec_id, SUM(c * v) AS p
+             FROM c JOIN {prev_v} USING (i) GROUP BY vec_id),
+    u{k} AS (SELECT i, SUM(p * c) AS u
+             FROM c JOIN p{k} USING (vec_id) GROUP BY i),
+    s{k} AS (SELECT MAX(ABS(u)) AS s FROM u{k}),
+    v{k} AS (SELECT i, CASE WHEN s = 0 THEN v ELSE
+               CAST((u * {vmax} - (u * {vmax}) % s) / s AS BIGINT) END AS v
+             FROM {prev_v} JOIN u{k} USING (i) CROSS JOIN s{k})""")
+        prev_v = f"v{k}"
+    return f"""
+    WITH q AS (SELECT vec_id,
+                      list_transform(embedding::DOUBLE[],
+                        x -> CAST(FLOOR(x * {qscale}) AS BIGINT)) AS q
+               FROM embeddings),
+    dims AS (SELECT i FROM unnest(generate_series(1, {dim})) t(i)),
+    qe AS (SELECT vec_id, i, q[i] AS x FROM q CROSS JOIN dims),
+    st AS (SELECT i, SUM(x) AS s, COUNT(*) AS n FROM qe GROUP BY i),
+    mu AS (SELECT i, CAST((s - s % n) / n AS BIGINT) AS m FROM st),
+    c AS (SELECT vec_id, qe.i, x - m AS c FROM qe JOIN mu USING (i)),
+    v0 AS (SELECT i, CAST(1 AS BIGINT) AS v FROM dims),{",".join(rounds)},
+    ps AS (SELECT vec_id, SUM(c * v) AS p
+           FROM c JOIN {prev_v} USING (i) GROUP BY vec_id)
+    SELECT vec_id, CAST(p AS BIGINT) AS proj_fx FROM ps
+    """
+
+
+@register("q109_pca_projection", _pca_sql())
+def q109_pca_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction by integer power iteration + every
+    vector's projection onto it (the ABTT/whitening axis). Power-of-two
+    quantization makes the float→int step IEEE-exact; iterations run in
+    exact 128-bit sums with truncating-division rescales, so the
+    unrolled-CTE oracle replays the direction bit for bit
+    (similarity.power_iteration_pca)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.power_iteration_pca(emb, dim=64)

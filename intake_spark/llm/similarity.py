@@ -686,3 +686,94 @@ def cluster_balanced_sample(
         .filter(F.col("_rk") <= cap)
         .drop("_rk")
     )
+
+
+def power_iteration_pca(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    iters: int = 3,
+    qscale: int = 1024,
+    vmax: int = 4096,
+) -> DataFrame:
+    """Top principal direction of the embedding cloud by power iteration,
+    and every vector's projection onto it — the ABTT / whitening step
+    (Mu & Viswanath 2018: dominant directions carry corpus-wide bias;
+    subtracting them sharpens cosine similarity) and the 1-D version of
+    the PCA used to pick SemDeDup split axes.
+
+    Engine-exact by construction: vectors quantize by a POWER-OF-TWO
+    scale (``x * qscale`` is exact in IEEE, floor makes ints), centering
+    subtracts the truncated integer mean, and each iteration computes
+    v ← Σ_i (c_i·v) c_i in exact 128-bit sums (decimal(38) on the Spark
+    side, HUGEINT in a DuckDB oracle), rescaled to ``|v| ≤ vmax`` with
+    truncating division. The evolving direction is ``dim`` integers —
+    the one driver-sized object (it must sit on the driver anyway to
+    become the next iteration's literal array). The
+    per-iteration corpus work is one scan + one 64-column exact-sum
+    aggregate; the final projection is mapper-only. Returns
+    (id, proj_fx) with proj = c·v_final, all BIGINT.
+
+    Scale posture: direction-finding is designed to run on a
+    hash-sampled representative subset (standard practice for ABTT);
+    the projection pass then maps the full corpus at scan speed.
+    """
+    if dim < 1 or iters < 1:
+        raise ValueError("dim and iters must be >= 1")
+
+    def tdiv(a: int, b: int) -> int:
+        return -((-a) // b) if (a < 0) != (b < 0) and a % b != 0 else a // b
+
+    spark = df.sparkSession
+    q = (
+        f"transform(CAST({vec_col} AS ARRAY<DOUBLE>), "
+        f"x -> CAST(floor(x * {qscale}) AS BIGINT))"
+    )
+    base = df.select(F.col(id_col), F.expr(q).alias("_q")).localCheckpoint(
+        eager=True
+    )
+    sums_row = base.agg(
+        F.count(F.lit(1)).alias("_n"),
+        *[
+            F.sum(F.expr(f"element_at(_q, {j + 1})")).alias(f"s{j}")
+            for j in range(dim)
+        ],
+    ).collect()[0]
+    n = sums_row["_n"]
+    if n == 0:
+        raise ValueError("power_iteration_pca needs at least one vector")
+    mu = [tdiv(int(sums_row[f"s{j}"]), n) for j in range(dim)]
+
+    def centered() -> str:
+        mu_arr = "array(" + ", ".join(f"{m}L" for m in mu) + ")"
+        return f"zip_with(_q, {mu_arr}, (a, b) -> a - b)"
+
+    v = [1] * dim
+    for _ in range(iters):
+        v_arr = "array(" + ", ".join(f"{x}L" for x in v) + ")"
+        p = (
+            f"aggregate(zip_with({centered()}, {v_arr}, (a, b) -> a * b), "
+            f"cast(0 as bigint), (s, x) -> s + x)"
+        )
+        row = base.select(
+            F.expr(p).alias("_p"), F.expr(centered()).alias("_c")
+        ).agg(
+            *[
+                F.sum(
+                    F.expr(f"cast(_p * element_at(_c, {j + 1}) as decimal(38,0))")
+                ).alias(f"u{j}")
+                for j in range(dim)
+            ]
+        ).collect()[0]
+        u = [int(row[f"u{j}"]) for j in range(dim)]
+        s = max(abs(x) for x in u)
+        if s == 0:
+            break  # degenerate cloud: direction stays put
+        v = [tdiv(x * vmax, s) for x in u]
+    v_arr = "array(" + ", ".join(f"{x}L" for x in v) + ")"
+    proj = (
+        f"aggregate(zip_with({centered()}, {v_arr}, (a, b) -> a * b), "
+        f"cast(0 as bigint), (s, x) -> s + x)"
+    )
+    return base.select(F.col(id_col), F.expr(proj).alias("proj_fx"))

@@ -151,3 +151,32 @@ def test_ivf_persistence_roundtrip(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS ivf_t_vectors")
         spark.sql("DROP TABLE IF EXISTS ivf_t_centroids")
+
+
+def test_power_iteration_pca_recovers_planted_direction(spark):
+    """Projections must correlate ~1 with the true top PC of a strongly
+    anisotropic cloud; an isotropic-degenerate cloud (all identical
+    vectors) centers to zero and projects to all-zeros."""
+    import numpy as np
+
+    from intake_spark.llm.similarity import power_iteration_pca
+
+    rng = np.random.RandomState(7)
+    d0 = rng.randn(16)
+    d0 /= np.linalg.norm(d0)
+    X = rng.randn(200, 16) * 0.05 + np.outer(rng.randn(200) * 0.4, d0)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(200)],
+        "vec_id long, embedding array<float>",
+    )
+    out = power_iteration_pca(df, dim=16).toPandas().sort_values("vec_id")
+    proj = out["proj_fx"].to_numpy().astype(float)
+    true_proj = (X - X.mean(0)) @ d0
+    assert abs(np.corrcoef(proj, true_proj)[0, 1]) > 0.99
+
+    same = spark.createDataFrame(
+        [(i, [0.25] * 16) for i in range(5)],
+        "vec_id long, embedding array<float>",
+    )
+    z = power_iteration_pca(same, dim=16).toPandas()
+    assert (z["proj_fx"] == 0).all()
