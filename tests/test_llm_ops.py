@@ -2171,3 +2171,72 @@ def test_curation_funnel_stages(spark):
     assert out["3_gopher_repetition"].n_kept == out["4_exact_dedup"].n_in
     # docs 1,2 identical: one survives dedup
     assert out["4_exact_dedup"].n_kept == out["4_exact_dedup"].n_in - 1
+
+
+def test_gopher_repetition_random_cross_check(spark):
+    """Brute-force Python reference (per-n occurrence counting + interval
+    union over char spans) vs the sorted-run HOF implementation, on 40
+    seeded random docs over a tiny alphabet (maximal collision rate)."""
+    import random
+
+    from intake_spark.llm import text as llmtext
+
+    rng = random.Random(20260814)
+    vocab = ["aa", "b", "ccc", "dd"]
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 25))))
+        for i in range(40)
+    ]
+
+    def brute(text):
+        ws = [x for x in text.split(" ") if x]
+        starts, acc = [], 0
+        for wd in ws:
+            starts.append(acc)
+            acc += len(wd) + 1
+        total = max(acc - 1, 0)
+        out = {}
+        for n in range(2, 11):
+            grams = {}
+            for i in range(len(ws) - n + 1):
+                g = " ".join(ws[i : i + n])
+                grams.setdefault(g, []).append(
+                    (starts[i], starts[i + n - 1] + len(ws[i + n - 1]))
+                )
+            if n <= 4:
+                best = max(
+                    (
+                        (len(poss), len(g), g)
+                        for g, poss in grams.items()
+                    ),
+                    default=None,
+                )
+                out[f"top{n}"] = (
+                    0 if best is None else best[0] * best[1]
+                )
+            if n >= 5:
+                ivs = sorted(
+                    iv for poss in grams.values() if len(poss) >= 2
+                    for iv in poss
+                )
+                cov, cs, ce = 0, 0, 0
+                for s, e in ivs:
+                    if s > ce:
+                        cov += ce - cs
+                        cs, ce = s, e
+                    else:
+                        ce = max(ce, e)
+                out[f"dup{n}"] = cov + ce - cs
+        out["total"] = total
+        return out
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r.doc_id: r for r in llmtext.gopher_repetition(df).collect()}
+    for i, text in docs:
+        exp = brute(text)
+        r = got[i]
+        assert r.n_chars == exp["total"], (i, text)
+        for n in (2, 3, 4):
+            assert r[f"top{n}_chars"] == exp[f"top{n}"], (i, n, text)
+        for n in range(5, 11):
+            assert r[f"dup{n}_chars"] == exp[f"dup{n}"], (i, n, text)
