@@ -107,6 +107,10 @@ def hashed_linear_classifier(
         F.when(label, F.lit(1)).otherwise(F.lit(-1)).cast("int").alias("y"),
     )
     n = y.count()  # one scalar: the denominator of the mean gradient
+    if n == 0:
+        # an empty corpus would make every update a division by zero
+        # (an ANSI-mode error, silent NULL weights otherwise)
+        raise ValueError("hashed_linear_classifier needs at least one document")
     d = eta_inv * n
     w = spark.createDataFrame(
         [(b, 0) for b in range(buckets + 1)], "b long, w long"
