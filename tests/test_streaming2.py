@@ -452,3 +452,44 @@ def test_r6_streaming_parity_guards(spark):
     )
     with _pytest.raises(Exception, match="numeric ids"):
         st.stream_near_dup_flags(docs, num_hashes=4, bands=2, k=2).collect()
+
+
+def test_streaming_gopher_rules_match_batch(spark, tmp_path):
+    """The full Gopher rule pair (quality + repetition) is stateless per
+    row, so both run UNCHANGED on a stream — ingestion-time filtering
+    with the exact batch semantics, sorted-run HOF scan included."""
+    from tests.conftest import SF_SMALL
+
+    from intake_spark.llm.text import gopher_filter, gopher_repetition
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    src = str(tmp_path / "docs_gsrc")
+    docs.write.mode("overwrite").parquet(src)
+    batch = spark.read.parquet(src)
+
+    # both flag sets from the same rows via stateless maps (a join of
+    # two streaming frames would need state; per-row gating doesn't)
+    def gate1(df):
+        gq = gopher_filter(df, min_words=20, stop_min=1)
+        gr = gopher_repetition(df)
+        # same rows, independent stateless maps — compose by recompute
+        return gq.select("doc_id", "keep").union(
+            gr.select("doc_id", "keep")
+        )
+
+    expected = sorted(
+        (r.doc_id, r.keep) for r in gate1(batch).collect()
+    )
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    q = (
+        gate1(stream).writeStream.format("memory")
+        .queryName("gopher_gate").outputMode("append")
+        .trigger(availableNow=True).start()
+    )
+    assert q.awaitTermination(180)
+    q.stop()
+    got = sorted(
+        (r.doc_id, r.keep)
+        for r in spark.sql("SELECT * FROM gopher_gate").collect()
+    )
+    assert got == expected
