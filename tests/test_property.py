@@ -35,7 +35,13 @@ def test_tokenize_key_order_independent(d):
 
 @given(_dicts, _dicts)
 def test_tokenize_distinguishes_unequal(d1, d2):
-    if d1 != d2:
+    # Python's == conflates 0/False and 1/True, but those are DIFFERENT
+    # reader descriptions (header=0 vs header=False) and tokenize rightly
+    # distinguishes them — so the oracle must be type-aware equality
+    def typed(d):
+        return {k: (type(v).__name__, v) for k, v in d.items()}
+
+    if typed(d1) != typed(d2):
         # md5-16hex collisions are possible in principle but unreachable
         # for hypothesis-sized inputs; a constant-token regression fails here
         assert tokenize(d1) != tokenize(d2)
