@@ -849,12 +849,14 @@ def dsir_weights(
     per-document sums — a cross-engine mismatch would need libm results
     a full 1e-12 of a grid step apart, verified exact on the oracle gate.
 
-    Scale shape: two mapper passes over the corpus (bucket counting, doc
-    scoring), one hash-aggregation to ``buckets`` rows (map-side combine
-    collapses each partition to ≤ ``buckets`` rows before the exchange),
-    and one BROADCAST join of the bucket table back to the n-gram
-    stream; the doc rollup shuffles on ``id_col`` only. Linear in corpus
-    tokens, no pair blowup, nothing driver-sized."""
+    Scale shape: exactly two mapper passes over the corpus (bucket
+    counting, doc scoring — the buckets-sized count table is
+    checkpointed eagerly so the broadcast score subplan doesn't re-run
+    the explode), one hash-aggregation to ``buckets`` rows (map-side
+    combine collapses each partition to ≤ ``buckets`` rows before the
+    exchange), and one BROADCAST join of the bucket table back to the
+    n-gram stream; the doc rollup shuffles on ``id_col`` only. Linear
+    in corpus tokens, no pair blowup, nothing driver-sized."""
     if buckets < 1:
         raise ValueError("buckets must be >= 1")
     txt = F.coalesce(F.col(text_col), F.lit(""))
@@ -877,9 +879,17 @@ def dsir_weights(
         "b",
         F.conv(F.substring(F.md5("g"), 1, 8), 16, 10).cast("bigint") % buckets,
     )
-    bc = ex.groupBy("b").agg(
-        F.sum("tgt").alias("ct"),
-        F.sum(F.lit(1) - F.col("tgt")).alias("cr"),
+    # materialize the buckets-sized count table eagerly: without this the
+    # broadcast score-table subplan (bc -> tot -> lr) re-runs the corpus
+    # explode twice more; with it the whole operator is exactly two
+    # corpus passes (count, score)
+    bc = (
+        ex.groupBy("b")
+        .agg(
+            F.sum("tgt").alias("ct"),
+            F.sum(F.lit(1) - F.col("tgt")).alias("cr"),
+        )
+        .localCheckpoint(eager=True)
     )
     tot = bc.agg(F.sum("ct").alias("nt"), F.sum("cr").alias("nr"))
     num = (F.col("ct") + 1).cast("double") * (F.col("nr") + buckets).cast("double")
