@@ -2137,6 +2137,10 @@ def q105_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokens — the bucket table is the only shuffle and it is
     ``buckets``-sized; the score join broadcasts (text.dsir_weights)."""
     docs = load_table(spark, sf_dir, "documents")
+    # the testdata file is ONE row group -> ONE input split; this scan is
+    # CPU-bound per row, so fan it out across cores (at cluster scale
+    # inputs arrive pre-split and the operator itself adds no Exchange)
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
     return text.dsir_weights(docs, target=F.col("lang") == "en")
 
 
@@ -2257,6 +2261,10 @@ def q106_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     recomputes via unnest + windows — two independent algorithms, same
     integers (text.gopher_repetition)."""
     docs = load_table(spark, sf_dir, "documents")
+    # the testdata file is ONE row group -> ONE input split; this scan is
+    # CPU-bound per row, so fan it out across cores (at cluster scale
+    # inputs arrive pre-split and the operator itself adds no Exchange)
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
     return text.gopher_repetition(docs)
 
 
@@ -2333,6 +2341,10 @@ def q107_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     from intake_spark.llm import classifier
 
     docs = load_table(spark, sf_dir, "documents")
+    # the testdata file is ONE row group -> ONE input split; this scan is
+    # CPU-bound per row, so fan it out across cores (at cluster scale
+    # inputs arrive pre-split and the operator itself adds no Exchange)
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
     return classifier.hashed_linear_classifier(docs, F.col("lang") == "en")
 
 
@@ -2392,6 +2404,10 @@ def q108_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     does real work on this corpus) plus one fingerprint window
     (assembly.curation_funnel)."""
     docs = load_table(spark, sf_dir, "documents")
+    # the testdata file is ONE row group -> ONE input split; this scan is
+    # CPU-bound per row, so fan it out across cores (at cluster scale
+    # inputs arrive pre-split and the operator itself adds no Exchange)
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
     # min_sentences=0: the synthetic corpus has no terminal punctuation,
     # and a funnel whose first stage zeroes everything verifies nothing
     return assembly.curation_funnel(

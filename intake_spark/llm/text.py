@@ -960,21 +960,29 @@ def _rep_dup_cover(n: int) -> str:
     )
 
 
+def _rep_runs(n: int) -> str:
+    """SQL: 1-based indices of run starts in the sorted gram array — its
+    own projected column so each index is computed once (inlining it
+    into the consumer would re-evaluate the filter per element access,
+    an O(m^2) rescan that showed up as 20x on the bench)."""
+    s = f"_s{n}"
+    return (
+        f"filter(sequence(1, size({s})), j -> j = 1 OR "
+        f"try_element_at({s}, j - 1).g != try_element_at({s}, j).g)"
+    )
+
+
 def _rep_top_chars(n: int) -> str:
     """SQL: occurrences * char-length of the doc's most frequent n-gram
     (ties broken by longer gram, then lexicographically-last gram — the
     same (count, len, gram) ordering the oracle's ROW_NUMBER uses). Run
-    lengths come from the distance between run starts in the sorted gram
-    array — O(m) after the sort, no quadratic rescan."""
-    s = f"_s{n}"
-    runs = (
-        f"filter(sequence(1, size({s})), j -> j = 1 OR "
-        f"try_element_at({s}, j - 1).g != try_element_at({s}, j).g)"
-    )
+    lengths come from the distance between run starts (column ``_r{n}``)
+    — O(m) after the sort, no quadratic rescan."""
+    s, r = f"_s{n}", f"_r{n}"
     return (
         f"CASE WHEN size({s}) = 0 THEN cast(0 as bigint) ELSE "
-        f"cast(aggregate(transform({runs}, (st, k) -> named_struct("
-        f"'c', coalesce(try_element_at({runs}, k + 2), size({s}) + 1) - st, "
+        f"cast(aggregate(transform({r}, (st, k) -> named_struct("
+        f"'c', coalesce(try_element_at({r}, k + 2), size({s}) + 1) - st, "
         f"'l', length(try_element_at({s}, st).g), "
         f"'g', try_element_at({s}, st).g)), "
         f"cast(null as struct<c: int, l: int, g: string>), "
@@ -1027,6 +1035,8 @@ def gopher_repetition(
     )
     for n in range(2, 11):
         base = base.withColumn(f"_s{n}", F.expr(_rep_gram_structs(n)))
+    for n in (2, 3, 4):
+        base = base.withColumn(f"_r{n}", F.expr(_rep_runs(n)))
     charsum = "aggregate({0}, cast(0 as bigint), (s, x) -> s + length(x))"
     total = F.expr(
         f"{charsum.format('_w')} + greatest(cast(size(_w) as bigint) - 1, 0)"
