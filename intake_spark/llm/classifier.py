@@ -15,13 +15,15 @@ Design constraints, in order:
    so a DuckDB oracle can replay training round for round and match the
    final scores bit for bit (the q72 unrolled-CTE pattern).
 2. **Distributed shape.** The feature matrix is the (doc, bucket, count)
-   long form — one explode + one hash-aggregation. Each GD round is:
-   scores = features ⋈ BROADCAST(weights) → doc-sum; errors = one
-   doc-key join; gradient = features ⋈ errors → bucket-sum (a
-   ``buckets``-sized shuffle with map-side combine). Weights live in a
-   ``buckets+1``-row table, localCheckpoint-ed per round so the plan
-   stays flat (same discipline as the PageRank iterations). Nothing
-   driver-sized but the weight table itself.
+   long form — one explode + one hash-aggregation, checkpointed once.
+   The full-batch gradient factors as g = (XᵀX)·w − scale·Xᵀy, so ONE
+   self-join pass precomputes the (buckets+1)² Gram matrix H and Xᵀy
+   (map-side combine collapses each partition to ≤ B² rows before the
+   exchange), the GD recurrence runs as exact driver integer math on
+   H, and one mapper-only pass scores the corpus against the final
+   weights as a literal array. Nothing driver-sized but H itself —
+   the hashed-feature premise (B ≤ a few thousand); a vocab-sized
+   model would use a join-per-round ladder instead.
 
 Overflow audit (int64): with ``scale`` = 1e4, per-doc counts x ≤ 1e3 and
 errors |e| ≤ ~1e6 fx, the bucket gradient is Σ_docs x·e ≤ n_docs·1e9 —
@@ -112,42 +114,54 @@ def hashed_linear_classifier(
         # (an ANSI-mode error, silent NULL weights otherwise)
         raise ValueError("hashed_linear_classifier needs at least one document")
     d = eta_inv * n
-    w = spark.createDataFrame(
-        [(b, 0) for b in range(buckets + 1)], "b long, w long"
-    )
-    for _ in range(iters):
-        p = (
-            x.join(F.broadcast(w), "b")
-            .groupBy(id_col)
-            .agg(F.sum(F.col("x") * F.col("w")).alias("p"))
-        )
-        e = y.join(p, id_col, "left").select(
-            F.col(id_col),
-            (F.coalesce(F.col("p"), F.lit(0)) - F.lit(scale) * F.col("y")).alias("e"),
-        )
-        g = (
-            x.join(e, id_col)
-            .groupBy("b")
-            .agg(F.sum(F.col("x") * F.col("e")).alias("g"))
-        )
-        w = (
-            w.join(g, "b", "left")
-            .select(
-                F.col("b"),
-                (
-                    F.col("w")
-                    - F.coalesce(F.expr(f"g div {d}"), F.lit(0))
-                ).alias("w"),
-            )
-            .localCheckpoint(eager=True)
-        )
-    scores = (
-        x.join(F.broadcast(w), "b")
-        .groupBy(id_col)
+
+    def tdiv(a: int, b: int) -> int:
+        return -((-a) // b) if (a < 0) != (b < 0) and a % b != 0 else a // b
+
+    # The full-batch gradient factors as g = (XᵀX)·w − scale·Xᵀy, and
+    # XᵀX is (buckets+1)² integers — Gram-matrix-sized, not corpus-sized.
+    # So ONE corpus pass precomputes H and c = Xᵀy exactly (128-bit sums),
+    # and the GD recurrence runs as exact driver integer math: identical
+    # numbers to the join-per-round formulation (all sums are
+    # order-independent), at 2 Spark jobs instead of 2 per round.
+    # Premise: (buckets+1)² fits the driver — true for hashed-feature
+    # selectors (64–4096 buckets); a vocab-sized model wants the
+    # join-per-round shape instead.
+    xy = x.join(y, id_col)  # never broadcast: y is corpus-sized
+    pairs = (
+        xy.alias("l")
+        .join(xy.alias("r"), id_col)
+        .groupBy(F.col("l.b").alias("bl"), F.col("r.b").alias("br"))
         .agg(
-            F.sum(F.col("x") * F.col("w")).alias("score_fx"),
-            F.sum("x").alias("n_feats"),
+            F.sum(
+                F.expr("cast(l.x * r.x as decimal(38,0))")
+            ).alias("h")
         )
+    )
+    cvec_df = xy.groupBy("b").agg(
+        F.sum(F.expr("cast(x * y as decimal(38,0))")).alias("c")
+    )
+    B = buckets + 1
+    H = [[0] * B for _ in range(B)]
+    for r in pairs.collect():
+        H[int(r["bl"])][int(r["br"])] = int(r["h"])
+    c = [0] * B
+    for r in cvec_df.collect():
+        c[int(r["b"])] = int(r["c"])
+    w = [0] * B
+    for _ in range(iters):
+        g = [
+            sum(H[b][bp] * w[bp] for bp in range(B)) - scale * c[b]
+            for b in range(B)
+        ]
+        w = [wb - tdiv(gb, d) for wb, gb in zip(w, g)]
+
+    w_arr = "array(" + ", ".join(f"{int(v)}L" for v in w) + ")"
+    scores = x.groupBy(id_col).agg(
+        F.sum(
+            F.expr(f"x * element_at({w_arr}, cast(b + 1 as int))")
+        ).alias("score_fx"),
+        F.sum("x").alias("n_feats"),
     )
     out = y.join(scores, id_col, "left").select(
         F.col(id_col),
