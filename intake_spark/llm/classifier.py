@@ -25,10 +25,12 @@ Design constraints, in order:
    the hashed-feature premise (B ≤ a few thousand); a vocab-sized
    model would use a join-per-round ladder instead.
 
-Overflow audit (int64): with ``scale`` = 1e4, per-doc counts x ≤ 1e3 and
-errors |e| ≤ ~1e6 fx, the bucket gradient is Σ_docs x·e ≤ n_docs·1e9 —
-safe through ~1e9 documents; per-shard corpora beyond that should raise
-``eta_inv`` (shrinking e) or train on a hash-sampled subset.
+Overflow audit: Gram and Xᵀy sums run in decimal(38,0) (exact 128-bit)
+on the executors and land in arbitrary-precision Python ints on the
+driver, so training cannot overflow at any corpus size; the final
+scoring dot product is int64 (|x·w| ≤ doc_grams · max|w|, bounded by
+the stable-step premise — documents past ~1e12 fx of score would
+indicate a diverging ``eta_inv`` long before the cast).
 """
 
 from __future__ import annotations
