@@ -874,8 +874,9 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "q101_dup_spans",
     "q102_c4_filter",
     "q103_remove_dup_spans",
-    # q104/q105 are new in late r6 (Gopher rules, DSIR weights) — they take
-    # the sample's last two slots from q01/q02, which hold five green rows
+    # q104-q109 are new in late r6 (Gopher rule pair, DSIR, classifier,
+    # funnel, PCA) — never driver-verified, so they outrank re-verification
+    # and displace q48/q49/q50/q76/q77/q78 past position 50 (see header)
     "q104_gopher_quality",
     "q105_dsir_weights",
     "q106_gopher_repetition",

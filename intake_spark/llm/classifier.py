@@ -38,27 +38,19 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from intake_spark.utils import trunc_div
+
 
 def _gram_bucket_counts(
     df: DataFrame, id_col: str, text_col: str, buckets: int
 ) -> DataFrame:
     """(id, b, x) long-form hashed unigram+bigram counts plus a constant
-    bias feature at bucket ``buckets`` — the same md5 bucketing as
-    ``text.dsir_weights`` so the two selectors see identical features."""
-    txt = F.coalesce(F.col(text_col), F.lit(""))
-    w = F.filter(F.split(txt, " "), lambda x: F.length(x) > 0)
-    base = df.select(F.col(id_col), w.alias("_w"))
-    grams = F.concat(
-        F.col("_w"),
-        F.expr(
-            "CASE WHEN size(_w) >= 2 THEN transform(sequence(1, size(_w) - 1), "
-            "i -> concat_ws(' ', slice(_w, i, 2))) ELSE array() END"
-        ),
-    )
-    ex = base.select(F.col(id_col), F.explode(grams).alias("g")).withColumn(
-        "b",
-        F.conv(F.substring(F.md5("g"), 1, 8), 16, 10).cast("bigint") % buckets,
-    )
+    bias feature at bucket ``buckets``. Features come from
+    ``text.hashed_gram_stream`` — the SAME definition dsir_weights uses,
+    so the two selectors see identical features by construction."""
+    from intake_spark.llm.text import hashed_gram_stream
+
+    ex = hashed_gram_stream(df, id_col=id_col, text_col=text_col, buckets=buckets)
     counts = ex.groupBy(id_col, "b").agg(F.count(F.lit(1)).alias("x"))
     bias = df.select(
         F.col(id_col),
@@ -99,7 +91,6 @@ def hashed_linear_classifier(
     scorer regardless of convergence fine-tuning."""
     if iters < 1 or buckets < 1:
         raise ValueError("iters and buckets must be >= 1")
-    spark = df.sparkSession
     # Materialize the long-form feature matrix once (n·(buckets+1) rows,
     # lineage truncated) — every GD round and the final scoring pass read
     # it instead of re-exploding the corpus. localCheckpoint rather than
@@ -116,10 +107,6 @@ def hashed_linear_classifier(
         # (an ANSI-mode error, silent NULL weights otherwise)
         raise ValueError("hashed_linear_classifier needs at least one document")
     d = eta_inv * n
-
-    def tdiv(a: int, b: int) -> int:
-        return -((-a) // b) if (a < 0) != (b < 0) and a % b != 0 else a // b
-
     # The full-batch gradient factors as g = (XᵀX)·w − scale·Xᵀy, and
     # XᵀX is (buckets+1)² integers — Gram-matrix-sized, not corpus-sized.
     # So ONE corpus pass precomputes H and c = Xᵀy exactly (128-bit sums),
@@ -156,7 +143,7 @@ def hashed_linear_classifier(
             sum(H[b][bp] * w[bp] for bp in range(B)) - scale * c[b]
             for b in range(B)
         ]
-        w = [wb - tdiv(gb, d) for wb, gb in zip(w, g)]
+        w = [wb - trunc_div(gb, d) for wb, gb in zip(w, g)]
 
     w_arr = "array(" + ", ".join(f"{int(v)}L" for v in w) + ")"
     scores = x.groupBy(id_col).agg(

@@ -2097,7 +2097,7 @@ def q104_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q105_dsir_weights",
-    """
+    f"""
     WITH base AS (
       SELECT doc_id,
              CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS tgt,
@@ -2112,7 +2112,7 @@ def q104_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
                   ELSE [] END AS grams
       FROM base),
     hb AS (SELECT doc_id, tgt,
-                  CAST(concat('0x', substr(md5(g), 1, 8)) AS BIGINT) % 64 AS b
+                  {_HEX32_SQL.format(col='g')} % 64 AS b
            FROM (SELECT doc_id, tgt, unnest(grams) AS g FROM gl)),
     bc AS (SELECT b, SUM(tgt) AS ct, SUM(1 - tgt) AS cr FROM hb GROUP BY b),
     tot AS (SELECT SUM(ct) AS nt, SUM(cr) AS nr FROM bc),
@@ -2305,8 +2305,7 @@ def _classifier_sql(buckets: int = 64, scale: int = 10000, eta_inv: int = 256,
                   ELSE [] END AS grams
       FROM base),
     hb AS (SELECT doc_id,
-                  CAST(concat('0x', substr(md5(g), 1, 8)) AS BIGINT)
-                    % {buckets} AS b
+                  {_HEX32_SQL.format(col='g')} % {buckets} AS b
            FROM (SELECT doc_id, unnest(grams) AS g FROM gl)),
     xb AS (SELECT doc_id, b, CAST(COUNT(*) AS BIGINT) AS x
            FROM hb GROUP BY doc_id, b

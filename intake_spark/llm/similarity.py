@@ -25,6 +25,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from intake_spark.utils import trunc_div
+
 
 def dot_expr(a: str, b: str):
     """Index-ordered double dot product of two array<double> columns —
@@ -722,10 +724,6 @@ def power_iteration_pca(
     if dim < 1 or iters < 1:
         raise ValueError("dim and iters must be >= 1")
 
-    def tdiv(a: int, b: int) -> int:
-        return -((-a) // b) if (a < 0) != (b < 0) and a % b != 0 else a // b
-
-    spark = df.sparkSession
     q = (
         f"transform(CAST({vec_col} AS ARRAY<DOUBLE>), "
         f"x -> CAST(floor(x * {qscale}) AS BIGINT))"
@@ -743,7 +741,7 @@ def power_iteration_pca(
     n = sums_row["_n"]
     if n == 0:
         raise ValueError("power_iteration_pca needs at least one vector")
-    mu = [tdiv(int(sums_row[f"s{j}"]), n) for j in range(dim)]
+    mu = [trunc_div(int(sums_row[f"s{j}"]), n) for j in range(dim)]
 
     def centered() -> str:
         mu_arr = "array(" + ", ".join(f"{m}L" for m in mu) + ")"
@@ -770,7 +768,7 @@ def power_iteration_pca(
         s = max(abs(x) for x in u)
         if s == 0:
             break  # degenerate cloud: direction stays put
-        v = [tdiv(x * vmax, s) for x in u]
+        v = [trunc_div(x * vmax, s) for x in u]
     v_arr = "array(" + ", ".join(f"{x}L" for x in v) + ")"
     proj = (
         f"aggregate(zip_with({centered()}, {v_arr}, (a, b) -> a * b), "

@@ -778,11 +778,12 @@ def gopher_filter(
     wchars = F.aggregate(
         w, F.lit(0).cast("long"), lambda s, x: s + F.length(x).cast("long")
     )
-    n_hash = F.length(txt) - F.length(F.regexp_replace(txt, "#", ""))
-    n_dots = F.floor(
-        (F.length(txt) - F.length(F.regexp_replace(txt, r"\.\.\.", ""))) / 3
-    ).cast("long")
-    n_uell = F.length(txt) - F.length(F.regexp_replace(txt, "…", ""))
+    # occurrence counts as split-segment counts: pure integer arithmetic
+    # (the earlier length-difference/3 form sneaked one float division
+    # into an otherwise all-integer plan)
+    n_hash = F.size(F.split(txt, "#")) - 1
+    n_dots = F.size(F.split(txt, r"\.\.\.")) - 1
+    n_uell = F.size(F.split(txt, "…")) - 1
     n_sym = (n_hash + n_dots + n_uell).cast("long")
     n_alpha = F.size(F.filter(w, lambda x: x.rlike("[A-Za-z]"))).cast("long")
     stops = _sql_array(list(GOPHER_STOPS))
@@ -826,6 +827,38 @@ def gopher_filter(
     )
 
 
+def hashed_gram_stream(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = 64,
+    extra: tuple[str, ...] = (),
+) -> DataFrame:
+    """Exploded (id, *extra, g, b) hashed unigram+bigram bucket stream —
+    the ONE feature definition shared by :func:`dsir_weights` and
+    ``classifier.hashed_linear_classifier``, so the two data selectors
+    see identical features by construction (md5 bucket = first 8 hex
+    chars mod ``buckets``; words = nonempty space-split tokens)."""
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    w = F.filter(F.split(txt, " "), lambda x: F.length(x) > 0)
+    base = df.select(
+        F.col(id_col), *[F.col(c) for c in extra], w.alias("_w")
+    )
+    grams = F.concat(
+        F.col("_w"),
+        F.expr(
+            "CASE WHEN size(_w) >= 2 THEN transform(sequence(1, size(_w) - 1), "
+            "i -> concat_ws(' ', slice(_w, i, 2))) ELSE array() END"
+        ),
+    )
+    return base.select(
+        F.col(id_col), *[F.col(c) for c in extra], F.explode(grams).alias("g")
+    ).withColumn(
+        "b",
+        F.conv(F.substring(F.md5("g"), 1, 8), 16, 10).cast("bigint") % buckets,
+    )
+
+
 def dsir_weights(
     df: DataFrame,
     target,
@@ -859,25 +892,12 @@ def dsir_weights(
     in corpus tokens, no pair blowup, nothing driver-sized."""
     if buckets < 1:
         raise ValueError("buckets must be >= 1")
-    txt = F.coalesce(F.col(text_col), F.lit(""))
-    w = F.filter(F.split(txt, " "), lambda x: F.length(x) > 0)
-    base = df.select(
-        F.col(id_col), target.cast("int").alias("tgt"), w.alias("_w")
+    tagged = df.select(
+        F.col(id_col), target.cast("int").alias("tgt"), F.col(text_col)
     )
-    grams = F.concat(
-        F.col("_w"),
-        F.expr(
-            "CASE WHEN size(_w) >= 2 THEN transform(sequence(1, size(_w) - 1), "
-            "i -> concat_ws(' ', slice(_w, i, 2))) ELSE array() END"
-        ),
-    )
-    ex = base.select(
-        F.col(id_col),
-        F.col("tgt"),
-        F.explode(grams).alias("g"),
-    ).withColumn(
-        "b",
-        F.conv(F.substring(F.md5("g"), 1, 8), 16, 10).cast("bigint") % buckets,
+    ex = hashed_gram_stream(
+        tagged, id_col=id_col, text_col=text_col, buckets=buckets,
+        extra=("tgt",),
     )
     # materialize the buckets-sized count table eagerly: without this the
     # broadcast score-table subplan (bc -> tot -> lr) re-runs the corpus
@@ -908,7 +928,7 @@ def dsir_weights(
         .agg(F.sum("lfx").alias("fx"), F.count(F.lit(1)).alias("n_grams"))
     )
     return (
-        base.select(F.col(id_col), F.col("tgt"))
+        tagged.select(F.col(id_col), F.col("tgt"))
         .join(dw, id_col, "left")
         .select(
             F.col(id_col),

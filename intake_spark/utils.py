@@ -256,3 +256,13 @@ def iceberg_bucket(value, n: int, kind: str) -> "int | None":
         b = int(value).to_bytes(8, "little", signed=True)
     h = murmur3_32(b)
     return (h & 0x7FFFFFFF) % n
+
+
+def trunc_div(a: int, b: int) -> int:
+    """Integer division truncating toward zero — the Spark SQL ``div`` /
+    DuckDB ``(a - a % b) / b`` convention. Python's ``//`` floors, which
+    differs on negative operands; the fixed-point trainers (classifier,
+    power-iteration PCA) replay engine arithmetic on the driver, so their
+    division must match the engines bit for bit."""
+    q = abs(a) // abs(b)
+    return -q if (a < 0) != (b < 0) else q

@@ -2155,11 +2155,15 @@ def test_curation_funnel_stages(spark):
 
     good = "the words flow naturally here and that style will be kept " + \
         " ".join(f"w{i}" for i in range(45))
+    # passes the Gopher-quality stage (44 words, 4 stop hits, mean word
+    # length 3.5, all-alpha) but trips the repetition stage (top bigram
+    # "spam ham" covers 160 of 197 chars) — so stage 3 does real work
+    repet = "the and that with " + "spam ham " * 20
     rows = [
         (1, good),
         (2, good),                       # exact duplicate -> dropped at dedup
         (3, "too short."),               # c4 r_short
-        (4, " ".join(["spam"] * 60)),    # repetition rules
+        (4, repet.strip()),              # repetition rules, quality-clean
         (5, good + " unique tail here"),
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
@@ -2168,6 +2172,8 @@ def test_curation_funnel_stages(spark):
     ).collect()}
     assert out["1_c4"].n_in == 5 and out["1_c4"].n_kept == 4
     assert out["2_gopher_quality"].n_in == 4
+    assert out["2_gopher_quality"].n_kept == 4  # doc 4 passes quality...
+    assert out["3_gopher_repetition"].n_kept == 3  # ...and fails repetition
     assert out["3_gopher_repetition"].n_kept == out["4_exact_dedup"].n_in
     # docs 1,2 identical: one survives dedup
     assert out["4_exact_dedup"].n_kept == out["4_exact_dedup"].n_in - 1
