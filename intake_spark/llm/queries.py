@@ -2459,3 +2459,47 @@ def q109_pca_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     (similarity.power_iteration_pca)."""
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.power_iteration_pca(emb, dim=64)
+
+
+def _hll_sql(p: int = 6) -> str:
+    m = 1 << p
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    const = repr(alpha * m * m * float(1 << 44))
+    return f"""
+    WITH v AS (SELECT o_orderpriority AS priority, o_custkey AS k
+               FROM orders WHERE o_custkey IS NOT NULL),
+    h AS (SELECT priority,
+            CAST(concat('0x', substr(md5(CAST(k AS VARCHAR)), 1, 8)) AS BIGINT)
+              % {m} AS b,
+            CAST(concat('0x', substr(md5(CAST(k AS VARCHAR)), 9, 15)) AS BIGINT)
+              AS h2
+          FROM v),
+    r AS (SELECT priority, b,
+            CAST(LEAST(CASE WHEN h2 = 0 THEN 61
+                       ELSE 61 - length(bin(h2)) END, 44) AS INT) AS rho
+          FROM h),
+    regs AS (SELECT priority, b, MAX(rho) AS mx FROM r GROUP BY priority, b),
+    roll AS (SELECT priority, COUNT(*) AS nb,
+                    SUM(CAST(1 AS BIGINT) << (44 - mx)) AS s_hit
+             FROM regs GROUP BY priority)
+    SELECT priority, CAST(nb AS BIGINT) AS n_buckets_hit,
+           ROUND({const} / CAST(s_hit + ({m} - nb) *
+                 (CAST(1 AS BIGINT) << 44) AS DOUBLE), 4) AS hll_est_r
+    FROM roll
+    """
+
+
+@register("q110_hll_distinct", _hll_sql())
+def q110_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct customers per order priority — the mergeable
+    register-max sketch with a DETERMINISTIC md5 register definition, so
+    the oracle re-derives registers AND estimate bit for bit (dyadic
+    integer harmonic sums; one identical IEEE division at the end).
+    Next to q49's KMV this completes the distinct-sketch pair
+    (sketches.hll_distinct)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return sketches.hll_distinct(
+        orders.select(F.col("o_orderpriority").alias("priority"), "o_custkey"),
+        group_cols="priority",
+        value_col="o_custkey",
+    )

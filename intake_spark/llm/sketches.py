@@ -120,3 +120,67 @@ def column_profile(
         F.max(num_col).alias("max_v"),
         *qcols,
     )
+
+
+def hll_distinct(
+    df: DataFrame,
+    group_cols: list[str] | str,
+    value_col: str,
+    p: int = 6,
+) -> DataFrame:
+    """Per-group HyperLogLog distinct estimate from a DETERMINISTIC
+    md5-derived register definition → (group..., n_buckets_hit,
+    hll_est_r). The engine-agnostic cousin of
+    ``approx_count_distinct`` (whose HLL++ registers are engine
+    implementation details): bucket = first 32 hash bits mod m = 2^p,
+    rho = leading-zero count of the next 60 bits + 1 (capped at 44, far
+    past any collision), register = max rho per bucket. The register
+    table is a pure function of the VALUE SET — mergeable by max, which
+    is exactly what Spark's partial aggregation does map-side — and
+    DuckDB re-derives it bit for bit.
+
+    The harmonic sum uses dyadic-integer terms ``1 << (44 - M)`` so it
+    is an exact BIGINT (order-independent); only the final
+    ``alpha·m²·2^44 / S`` estimate is a double, and it is one identical
+    IEEE expression in both engines. Raw HLL (no small/large-range
+    corrections — those need ln/linear-counting branches); accuracy
+    ~1.04/sqrt(m), intended for distinct counts comfortably above
+    2.5·m, the standard correction threshold.
+
+    Scale: one hash-aggregation to (groups × m) rows with map-side
+    combine, then a groups-sized rollup — the classic sketch shape for
+    counting distincts over 100 TB without a shuffle of the values.
+    """
+    if isinstance(group_cols, str):
+        group_cols = [group_cols]
+    if not 4 <= p <= 14:
+        raise ValueError("p must be in [4, 14]")
+    m = 1 << p
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    h2 = (
+        "cast(conv(substring(md5(cast(" + value_col + " as string)), 9, 15), 16, 10) "
+        "as bigint)"
+    )
+    rho = (
+        f"cast(least(CASE WHEN {h2} = 0 THEN 61 "
+        f"ELSE 61 - length(bin({h2})) END, 44) as int)"
+    )
+    bucketed = df.filter(F.col(value_col).isNotNull()).select(
+        *[F.col(c) for c in group_cols],
+        (_h32(value_col) % m).alias("_b"),
+        F.expr(rho).alias("_rho"),
+    )
+    regs = bucketed.groupBy(*group_cols, "_b").agg(F.max("_rho").alias("_m"))
+    rolled = regs.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_buckets_hit"),
+        F.sum(F.expr("shiftleft(cast(1 as bigint), 44 - _m)")).alias("_s_hit"),
+    )
+    # empty buckets contribute 2^44 each; S is exact BIGINT either way
+    s_total = F.col("_s_hit") + (F.lit(m) - F.col("n_buckets_hit")) * F.lit(1 << 44)
+    return rolled.select(
+        *[F.col(c) for c in group_cols],
+        F.col("n_buckets_hit").cast("long").alias("n_buckets_hit"),
+        F.round(
+            F.lit(alpha * m * m * float(1 << 44)) / s_total.cast("double"), 4
+        ).alias("hll_est_r"),
+    )

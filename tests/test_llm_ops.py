@@ -2246,3 +2246,26 @@ def test_gopher_repetition_random_cross_check(spark):
             assert r[f"top{n}_chars"] == exp[f"top{n}"], (i, n, text)
         for n in range(5, 11):
             assert r[f"dup{n}_chars"] == exp[f"dup{n}"], (i, n, text)
+
+
+def test_hll_distinct_accuracy_and_partition_invariance(spark):
+    """The HLL estimate must land within ~3 standard errors (1.04/sqrt(m))
+    of the truth, exceed the small-range-correction regime, and be
+    bit-identical under different partitionings (register max is
+    mergeable, so partial aggregation cannot change it)."""
+    from intake_spark.llm.sketches import hll_distinct
+
+    rows = [(i % 3, f"u{i}") for i in range(6000)]  # 2000 distinct per group
+    df = spark.createDataFrame(rows, "g int, v string")
+    est = {
+        r.g: r.hll_est_r
+        for r in hll_distinct(df, "g", "v", p=6).collect()
+    }
+    for g in (0, 1, 2):
+        assert abs(est[g] - 2000) / 2000 < 3 * 1.04 / 8, (g, est[g])
+
+    est2 = {
+        r.g: r.hll_est_r
+        for r in hll_distinct(df.repartition(17), "g", "v", p=6).collect()
+    }
+    assert est == est2
