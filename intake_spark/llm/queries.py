@@ -2503,3 +2503,57 @@ def q110_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         group_cols="priority",
         value_col="o_custkey",
     )
+
+
+@register(
+    "q111_cms_term_counts",
+    """
+    WITH w AS (SELECT unnest(list_filter(string_split(COALESCE(text, ''), ' '),
+                                         x -> len(x) > 0)) AS term
+               FROM documents),
+    tc AS (SELECT term, COUNT(*) AS true_cnt FROM w GROUP BY term
+           ORDER BY true_cnt DESC, term LIMIT 15),
+    cells AS (SELECT term, i AS row,
+                CAST(concat('0x', substr(md5('cms' || i || ':' || term), 1, 8))
+                     AS BIGINT) % 256 AS cell
+              FROM w CROSS JOIN (VALUES (0),(1),(2),(3)) t(i)),
+    sk AS (SELECT row, cell, COUNT(*) AS cnt FROM cells GROUP BY row, cell),
+    pr AS (SELECT tc.term, tc.true_cnt, i AS row,
+                CAST(concat('0x', substr(md5('cms' || i || ':' || tc.term), 1, 8))
+                     AS BIGINT) % 256 AS cell
+           FROM tc CROSS JOIN (VALUES (0),(1),(2),(3)) t(i)),
+    est AS (SELECT pr.term, pr.true_cnt, MIN(COALESCE(sk.cnt, 0)) AS cms_est
+            FROM pr LEFT JOIN sk USING (row, cell)
+            GROUP BY pr.term, pr.true_cnt)
+    SELECT term, CAST(true_cnt AS BIGINT) AS true_cnt,
+           CAST(cms_est AS BIGINT) AS cms_est
+    FROM est ORDER BY true_cnt DESC, term
+    """,
+)
+def q111_cms_term_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min frequency estimates for the corpus's exact top-15 terms
+    — the sketch answer next to the true counts, both md5-deterministic
+    so the oracle re-derives the full counter matrix and every estimate
+    exactly. CMS never undercounts; with width 256 over ~30k term
+    occurrences the overcount stays small (sketches.cms_sketch /
+    cms_estimate). Completes the sketch family: KMV + HLL (distincts),
+    CMS (frequencies), exact quartiles (profiles)."""
+    docs = load_table(spark, sf_dir, "documents")
+    terms = docs.select(
+        F.explode(
+            F.filter(
+                F.split(F.coalesce(F.col("text"), F.lit("")), " "),
+                lambda x: F.length(x) > 0,
+            )
+        ).alias("term")
+    )
+    top = (
+        terms.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("true_cnt"))
+        .orderBy(F.desc("true_cnt"), F.asc("term"))
+        .limit(15)
+    )
+    sk = sketches.cms_sketch(terms, "term")
+    return sketches.cms_estimate(sk, top, "term").orderBy(
+        F.desc("true_cnt"), F.asc("term")
+    )

@@ -184,3 +184,60 @@ def hll_distinct(
             F.lit(alpha * m * m * float(1 << 44)) / s_total.cast("double"), 4
         ).alias("hll_est_r"),
     )
+
+
+def cms_sketch(
+    df: DataFrame,
+    value_col: str,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Count-min sketch of a value stream → (row, cell, cnt), the
+    depth×width counter matrix as a long-form frame. Hashes are
+    md5-derived (row-salted), so the matrix is a pure function of the
+    value multiset: mergeable by cell-wise sum — which IS Spark's
+    map-side partial aggregation — and re-derivable exactly by any
+    engine with md5. One shuffle of depth·n rows collapsing to
+    depth·width groups; the classic frequency-sketch shape for streams
+    too large to groupBy exactly."""
+    cells = F.expr(
+        "transform(sequence(0, %d), i -> named_struct('row', i, 'cell', "
+        "cast(conv(substring(md5(concat('cms', i, ':', cast(%s as string))), 1, 8), "
+        "16, 10) as bigint) %% %d))" % (depth - 1, value_col, width)
+    )
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .select(F.explode(cells).alias("_c"))
+        .groupBy(
+            F.col("_c.row").alias("row"), F.col("_c.cell").alias("cell")
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    items: DataFrame,
+    value_col: str,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Point-frequency estimates from a count-min sketch: for each item,
+    est = min over rows of the counter its row-hash lands in. The
+    (depth·width)-row sketch broadcasts; items keep all their columns
+    plus ``cms_est``. Estimates never undercount (est ≥ true count);
+    overcount is bounded by ~2n/width with probability 1 − 2^−depth."""
+    cells = F.expr(
+        "transform(sequence(0, %d), i -> named_struct('row', i, 'cell', "
+        "cast(conv(substring(md5(concat('cms', i, ':', cast(%s as string))), 1, 8), "
+        "16, 10) as bigint) %% %d))" % (depth - 1, value_col, width)
+    )
+    probes = items.withColumn("_c", F.explode(cells)).select(
+        *items.columns, F.col("_c.row").alias("row"), F.col("_c.cell").alias("cell")
+    )
+    joined = probes.join(F.broadcast(sketch), ["row", "cell"], "left").select(
+        *items.columns, F.coalesce(F.col("cnt"), F.lit(0)).alias("_cnt")
+    )
+    return joined.groupBy(*items.columns).agg(
+        F.min("_cnt").cast("long").alias("cms_est")
+    )

@@ -2269,3 +2269,31 @@ def test_hll_distinct_accuracy_and_partition_invariance(spark):
         for r in hll_distinct(df.repartition(17), "g", "v", p=6).collect()
     }
     assert est == est2
+
+
+def test_cms_never_undercounts_and_bounds_overcount(spark):
+    """A deliberately narrow sketch (width 16) forces collisions: the
+    estimate must never undercount, the total overcount per item is
+    bounded by the stream size, and the sketch is partition-invariant
+    (cell-wise sums merge)."""
+    from intake_spark.llm.sketches import cms_estimate, cms_sketch
+
+    rows = [(f"v{i % 100}",) for i in range(3000)]  # 100 distinct, 30 each
+    df = spark.createDataFrame(rows, "term string")
+    items = df.distinct()
+    sk = cms_sketch(df, "term", depth=4, width=16)
+    est = {
+        r.term: r.cms_est
+        for r in cms_estimate(sk, items, "term", depth=4, width=16).collect()
+    }
+    assert len(est) == 100
+    assert all(e >= 30 for e in est.values())
+    assert any(e > 30 for e in est.values())  # collisions actually happened
+    assert all(e <= 3000 for e in est.values())
+
+    sk2 = cms_sketch(df.repartition(13), "term", depth=4, width=16)
+    est2 = {
+        r.term: r.cms_est
+        for r in cms_estimate(sk2, items, "term", depth=4, width=16).collect()
+    }
+    assert est == est2
