@@ -39,7 +39,9 @@ def test_ansi_off_matches_oracle_subset():
         NAMES = ["q42_null_handling", "q61_quantize_embeddings",
                  "q18_asof_join", "q86_bigram_lm_score",
                  "q95_token_budget_selection", "q87_bm25_search",
-                 "q105_dsir_weights", "q106_gopher_repetition"]
+                 "q105_dsir_weights", "q106_gopher_repetition",
+                 "q107_quality_classifier", "q110_hll_distinct",
+                 "q111_cms_term_counts"]
         for name in NAMES:
             sdf = qs[name](spark, "/root/testdata/sf0.01").toPandas()
             odf = con.sql(os_[name]).df()
