@@ -2462,9 +2462,10 @@ def q109_pca_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _hll_sql(p: int = 6) -> str:
+    from intake_spark.llm.sketches import hll_alpha
+
     m = 1 << p
-    alpha = 0.7213 / (1.0 + 1.079 / m)
-    const = repr(alpha * m * m * float(1 << 44))
+    const = repr(hll_alpha(m) * m * m * float(1 << 44))
     return f"""
     WITH v AS (SELECT o_orderpriority AS priority, o_custkey AS k
                FROM orders WHERE o_custkey IS NOT NULL),

@@ -25,6 +25,24 @@ from pyspark.sql.window import Window
 _HASH_SPACE = float(2**32)
 
 
+def _bt(name: str) -> str:
+    """Backtick-quote a column name for splicing into a SQL expression
+    (matches F.col's resolution for plain and exotic names alike)."""
+    return "`" + name.replace("`", "``") + "`"
+
+
+def hll_alpha(m: int) -> float:
+    """HLL bias-correction constant: the paper's fixed values below
+    m=128, the asymptotic formula above."""
+    if m == 16:
+        return 0.673
+    if m == 32:
+        return 0.697
+    if m == 64:
+        return 0.709
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
 def _h32(col):
     """32-bit md5-derived hash, identical in any engine with md5."""
     return F.conv(F.substring(F.md5(F.col(col).cast("string")), 1, 8), 16, 10).cast("bigint")
@@ -156,10 +174,10 @@ def hll_distinct(
     if not 4 <= p <= 14:
         raise ValueError("p must be in [4, 14]")
     m = 1 << p
-    alpha = 0.7213 / (1.0 + 1.079 / m)
+    alpha = hll_alpha(m)
     h2 = (
-        "cast(conv(substring(md5(cast(" + value_col + " as string)), 9, 15), 16, 10) "
-        "as bigint)"
+        f"cast(conv(substring(md5(cast({_bt(value_col)} as string)), 9, 15), "
+        "16, 10) as bigint)"
     )
     rho = (
         f"cast(least(CASE WHEN {h2} = 0 THEN 61 "
@@ -186,6 +204,22 @@ def hll_distinct(
     )
 
 
+def _cms_cells(value_col: str, depth: int, width: int):
+    """The ONE (row, cell) hash definition both cms_sketch and
+    cms_estimate use — a shared helper so build and probe cannot
+    diverge (a mismatch would silently make min() hit an empty cell and
+    break the never-undercount guarantee). Caller must pass the SAME
+    depth/width to both sides; the sketch frame itself does not carry
+    them."""
+    if depth < 1 or width < 1:
+        raise ValueError("depth and width must be >= 1")
+    return F.expr(
+        "transform(sequence(0, %d), i -> named_struct('row', i, 'cell', "
+        "cast(conv(substring(md5(concat('cms', i, ':', cast(%s as string))), 1, 8), "
+        "16, 10) as bigint) %% %d))" % (depth - 1, _bt(value_col), width)
+    )
+
+
 def cms_sketch(
     df: DataFrame,
     value_col: str,
@@ -200,11 +234,7 @@ def cms_sketch(
     engine with md5. One shuffle of depth·n rows collapsing to
     depth·width groups; the classic frequency-sketch shape for streams
     too large to groupBy exactly."""
-    cells = F.expr(
-        "transform(sequence(0, %d), i -> named_struct('row', i, 'cell', "
-        "cast(conv(substring(md5(concat('cms', i, ':', cast(%s as string))), 1, 8), "
-        "16, 10) as bigint) %% %d))" % (depth - 1, value_col, width)
-    )
+    cells = _cms_cells(value_col, depth, width)
     return (
         df.filter(F.col(value_col).isNotNull())
         .select(F.explode(cells).alias("_c"))
@@ -224,20 +254,29 @@ def cms_estimate(
 ) -> DataFrame:
     """Point-frequency estimates from a count-min sketch: for each item,
     est = min over rows of the counter its row-hash lands in. The
-    (depth·width)-row sketch broadcasts; items keep all their columns
-    plus ``cms_est``. Estimates never undercount (est ≥ true count);
+    (depth·width)-row sketch broadcasts; items are DISTINCT-ed (an
+    estimate is a property of the item, so duplicate candidate rows
+    collapse) and keep all their columns plus ``cms_est``. Estimates
+    never undercount (est ≥ true count);
     overcount is bounded by ~2n/width with probability 1 − 2^−depth."""
-    cells = F.expr(
-        "transform(sequence(0, %d), i -> named_struct('row', i, 'cell', "
-        "cast(conv(substring(md5(concat('cms', i, ':', cast(%s as string))), 1, 8), "
-        "16, 10) as bigint) %% %d))" % (depth - 1, value_col, width)
+    items = items.distinct()  # estimates are per distinct item row
+    cells = _cms_cells(value_col, depth, width)
+    sk = sketch.select(
+        F.col("row").alias("_cms_row"),
+        F.col("cell").alias("_cms_cell"),
+        F.col("cnt").alias("_cms_cnt"),
     )
     probes = items.withColumn("_c", F.explode(cells)).select(
-        *items.columns, F.col("_c.row").alias("row"), F.col("_c.cell").alias("cell")
+        *items.columns,
+        F.col("_c.row").alias("_cms_row"),
+        F.col("_c.cell").alias("_cms_cell"),
     )
-    joined = probes.join(F.broadcast(sketch), ["row", "cell"], "left").select(
-        *items.columns, F.coalesce(F.col("cnt"), F.lit(0)).alias("_cnt")
+    joined = probes.join(
+        F.broadcast(sk), ["_cms_row", "_cms_cell"], "left"
+    ).select(
+        *items.columns,
+        F.coalesce(F.col("_cms_cnt"), F.lit(0)).alias("_cms_hit"),
     )
     return joined.groupBy(*items.columns).agg(
-        F.min("_cnt").cast("long").alias("cms_est")
+        F.min("_cms_hit").cast("long").alias("cms_est")
     )

@@ -2297,3 +2297,26 @@ def test_cms_never_undercounts_and_bounds_overcount(spark):
         for r in cms_estimate(sk2, items, "term", depth=4, width=16).collect()
     }
     assert est == est2
+
+
+def test_sketch_hostile_column_names(spark):
+    """Regression for two review findings: items frames carrying a `cnt`
+    column must not collide with the sketch's internals, and space-y
+    column names must survive the spliced SQL expressions."""
+    from pyspark.sql import functions as F
+
+    from intake_spark.llm.sketches import cms_estimate, cms_sketch, hll_distinct
+
+    df = spark.createDataFrame(
+        [(f"v{i % 10}",) for i in range(100)], "term string"
+    )
+    items = df.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    sk = cms_sketch(df, "term", depth=4, width=64)
+    out = cms_estimate(sk, items, "term", depth=4, width=64).collect()
+    assert len(out) == 10 and all(r.cms_est >= r.cnt for r in out)
+
+    odd = spark.createDataFrame(
+        [(1, f"u{i}") for i in range(200)], "g int, `my col` string"
+    )
+    est = hll_distinct(odd, "g", "my col", p=6).collect()
+    assert abs(est[0].hll_est_r - 200) / 200 < 0.5
