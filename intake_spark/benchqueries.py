@@ -885,6 +885,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "q109_pca_projection",
     "q110_hll_distinct",
     "q111_cms_term_counts",
+    "q112_abtt_knn",
     "q15_rollup_region_nation",
     "q16_json_props",
     "q17_hourly_windows",

@@ -2571,3 +2571,120 @@ def q111_cms_term_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sketches.cms_estimate(sk, top, "term").orderBy(
         F.desc("true_cnt"), F.asc("term")
     )
+
+
+def _abtt_sql(dim: int = 64, iters: int = 3, qscale: int = 1024,
+              vmax: int = 4096, n_probes: int = 3, top_k: int = 3) -> str:
+    # the q109 direction CTEs, then the integer ABTT rejection and a
+    # probes-vs-corpus corrected-cosine ranking; HUGEINT sums throughout
+    rounds = []
+    prev_v = "v0"
+    for k in range(1, iters + 1):
+        rounds.append(f"""
+    p{k} AS MATERIALIZED (SELECT vec_id, SUM(c * v) AS p
+             FROM c JOIN {prev_v} USING (i) GROUP BY vec_id),
+    u{k} AS MATERIALIZED (SELECT i, SUM(p * c) AS u
+             FROM c JOIN p{k} USING (vec_id) GROUP BY i),
+    s{k} AS MATERIALIZED (SELECT MAX(ABS(u)) AS s FROM u{k}),
+    v{k} AS MATERIALIZED (SELECT i, CASE WHEN s = 0 THEN v ELSE
+               CAST((u * {vmax} - (u * {vmax}) % s) / s AS BIGINT) END AS v
+             FROM {prev_v} JOIN u{k} USING (i) CROSS JOIN s{k})""")
+        prev_v = f"v{k}"
+    return f"""
+    WITH q AS MATERIALIZED (SELECT vec_id,
+                      list_transform(embedding::DOUBLE[],
+                        x -> CAST(FLOOR(x * {qscale}) AS BIGINT)) AS q
+               FROM embeddings),
+    dims AS MATERIALIZED (SELECT i FROM unnest(generate_series(1, {dim})) t(i)),
+    qe AS MATERIALIZED (SELECT vec_id, i, q[i] AS x FROM q CROSS JOIN dims),
+    st AS MATERIALIZED (SELECT i, SUM(x) AS s, COUNT(*) AS n FROM qe GROUP BY i),
+    mu AS MATERIALIZED (SELECT i, CAST((s - s % n) / n AS BIGINT) AS m FROM st),
+    c AS MATERIALIZED (SELECT vec_id, qe.i, x - m AS c FROM qe JOIN mu USING (i)),
+    v0 AS MATERIALIZED (SELECT i, CAST(1 AS BIGINT) AS v FROM dims),{",".join(rounds)},
+    ssq AS MATERIALIZED (SELECT SUM(v * v) AS ssq FROM {prev_v}),
+    pf AS MATERIALIZED (SELECT vec_id, SUM(c * v) AS p
+          FROM c JOIN {prev_v} USING (i) GROUP BY vec_id),
+    cvl AS MATERIALIZED (
+      SELECT c.vec_id, c.i, c.c * ssq.ssq - pf.p * vv.v AS cc
+      FROM c JOIN pf USING (vec_id) JOIN {prev_v} vv USING (i) CROSS JOIN ssq),
+    n2 AS MATERIALIZED (SELECT vec_id, SUM(cc * cc) AS n2 FROM cvl GROUP BY vec_id),
+    probes AS MATERIALIZED (SELECT vec_id FROM q ORDER BY vec_id LIMIT {n_probes}),
+    dots AS MATERIALIZED (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             SUM(a.cc * b.cc) AS dot
+      FROM (SELECT cvl.* FROM cvl JOIN probes USING (vec_id)) a
+      JOIN cvl b ON a.i = b.i AND b.vec_id != a.vec_id
+      GROUP BY a.vec_id, b.vec_id),
+    sc AS MATERIALIZED (
+      SELECT query_id, neighbor_id,
+             ROUND(CAST(dot AS DOUBLE) /
+                   NULLIF(sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)),
+                          0.0), 6) AS cos_r
+      FROM dots
+      JOIN n2 na ON na.vec_id = query_id
+      JOIN n2 nb ON nb.vec_id = neighbor_id),
+    rk AS (SELECT query_id, neighbor_id, cos_r,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos_r DESC, neighbor_id) AS rank
+           FROM sc WHERE cos_r IS NOT NULL)
+    SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cos_r
+    FROM rk WHERE rank <= {top_k}
+    """
+
+
+@register("q112_abtt_knn", _abtt_sql())
+def q112_abtt_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corrected-cosine nearest neighbors after all-but-the-top: the
+    three lowest-id vectors probed against the corpus on ABTT-corrected
+    embeddings (similarity.abtt_correct — the end use of q109's
+    direction). The correction is exact integer arithmetic; pair dots
+    run in 128-bit sums; the one double is the final cosine, an
+    identical IEEE expression in both engines. Brute-force probe scan
+    by design (3 probes), rank window on the rounded cosine."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    corr = similarity.abtt_correct(emb, dim=64).localCheckpoint(eager=True)
+    n2 = corr.withColumn(
+        "n2",
+        F.expr(
+            "aggregate(transform(cvec, x -> cast(x as decimal(19,0)) * x), "
+            "cast(0 as decimal(38,0)), (s, v) -> s + v)"
+        ),
+    )
+    probes = n2.orderBy("vec_id").limit(3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("cvec").alias("qv"),
+        F.col("n2").alias("qn2"),
+    )
+    dot = F.expr(
+        "aggregate(zip_with(qv, cvec, (x, y) -> cast(x as decimal(19,0)) * y), "
+        "cast(0 as decimal(38,0)), (s, v) -> s + v)"
+    )
+    scored = (
+        n2.crossJoin(F.broadcast(probes))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            F.col("query_id"),
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(
+                dot.cast("double")
+                / F.nullif(
+                    F.sqrt(
+                        F.col("qn2").cast("double") * F.col("n2").cast("double")
+                    ),
+                    F.lit(0.0),
+                ),
+                6,
+            ).alias("cos_r"),
+        )
+        .filter(F.col("cos_r").isNotNull())
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_r"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 3)
+        .select("query_id", "neighbor_id", "rank", "cos_r")
+    )

@@ -721,6 +721,27 @@ def power_iteration_pca(
     hash-sampled representative subset (standard practice for ABTT);
     the projection pass then maps the full corpus at scan speed.
     """
+    base, mu, v = _power_direction(
+        df, id_col, vec_col, dim, iters, qscale, vmax
+    )
+    v_arr = "array(" + ", ".join(f"{x}L" for x in v) + ")"
+    proj = (
+        f"aggregate(zip_with({_centered_sql(mu)}, {v_arr}, (a, b) -> a * b), "
+        f"cast(0 as bigint), (s, x) -> s + x)"
+    )
+    return base.select(F.col(id_col), F.expr(proj).alias("proj_fx"))
+
+
+def _centered_sql(mu: list[int]) -> str:
+    mu_arr = "array(" + ", ".join(f"{m}L" for m in mu) + ")"
+    return f"zip_with(_q, {mu_arr}, (a, b) -> a - b)"
+
+
+def _power_direction(df, id_col, vec_col, dim, iters, qscale, vmax):
+    """The shared direction-finding core of :func:`power_iteration_pca`
+    and :func:`abtt_correct`: returns (quantized base frame, integer
+    mean, final direction). See power_iteration_pca for the exactness
+    and scale analysis."""
     if dim < 1 or iters < 1:
         raise ValueError("dim and iters must be >= 1")
 
@@ -740,22 +761,18 @@ def power_iteration_pca(
     ).collect()[0]
     n = sums_row["_n"]
     if n == 0:
-        raise ValueError("power_iteration_pca needs at least one vector")
+        raise ValueError("power iteration needs at least one vector")
     mu = [trunc_div(int(sums_row[f"s{j}"]), n) for j in range(dim)]
-
-    def centered() -> str:
-        mu_arr = "array(" + ", ".join(f"{m}L" for m in mu) + ")"
-        return f"zip_with(_q, {mu_arr}, (a, b) -> a - b)"
 
     v = [1] * dim
     for _ in range(iters):
         v_arr = "array(" + ", ".join(f"{x}L" for x in v) + ")"
         p = (
-            f"aggregate(zip_with({centered()}, {v_arr}, (a, b) -> a * b), "
+            f"aggregate(zip_with({_centered_sql(mu)}, {v_arr}, (a, b) -> a * b), "
             f"cast(0 as bigint), (s, x) -> s + x)"
         )
         row = base.select(
-            F.expr(p).alias("_p"), F.expr(centered()).alias("_c")
+            F.expr(p).alias("_p"), F.expr(_centered_sql(mu)).alias("_c")
         ).agg(
             *[
                 F.sum(
@@ -769,9 +786,44 @@ def power_iteration_pca(
         if s == 0:
             break  # degenerate cloud: direction stays put
         v = [trunc_div(x * vmax, s) for x in u]
+    return base, mu, v
+
+
+def abtt_correct(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    iters: int = 3,
+    qscale: int = 1024,
+    vmax: int = 4096,
+) -> DataFrame:
+    """All-but-the-top correction (Mu & Viswanath 2018): subtract each
+    vector's component along the corpus's top principal direction.
+    Returns (id, cvec) with the corrected vector in INTEGER form,
+
+        cvec = c·S − (c·v)·v,   S = v·v,   c = quantized − mean
+
+    i.e. the exact orthogonal rejection scaled by S so everything stays
+    BIGINT (|cvec| ≤ ~4e12 for the default scales — documented bound,
+    int64-safe; downstream dot products must use 128-bit sums). Cosines
+    between cvec's equal cosines between the real corrected vectors —
+    the uniform S factor cancels. Direction-finding is the shared
+    power-iteration core; the correction pass itself is mapper-only."""
+    base, mu, v = _power_direction(
+        df, id_col, vec_col, dim, iters, qscale, vmax
+    )
+    s2 = sum(x * x for x in v)
     v_arr = "array(" + ", ".join(f"{x}L" for x in v) + ")"
+    c = _centered_sql(mu)
     proj = (
-        f"aggregate(zip_with({centered()}, {v_arr}, (a, b) -> a * b), "
+        f"aggregate(zip_with({c}, {v_arr}, (a, b) -> a * b), "
         f"cast(0 as bigint), (s, x) -> s + x)"
     )
-    return base.select(F.col(id_col), F.expr(proj).alias("proj_fx"))
+    cvec = (
+        f"zip_with({c}, {v_arr}, (a, b) -> a * cast({s2} as bigint) - _p * b)"
+    )
+    return (
+        base.withColumn("_p", F.expr(proj))
+        .select(F.col(id_col), F.expr(cvec).alias("cvec"))
+    )

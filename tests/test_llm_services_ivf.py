@@ -180,3 +180,35 @@ def test_power_iteration_pca_recovers_planted_direction(spark):
     )
     z = power_iteration_pca(same, dim=16).toPandas()
     assert (z["proj_fx"] == 0).all()
+
+
+def test_abtt_correct_exact_orthogonality(spark):
+    """The integer rejection cvec = c*S - (c.v)v satisfies cvec.v = 0
+    EXACTLY (p*S - p*S), and corrected cosines between members of a
+    planted dominant direction drop versus raw cosines."""
+    import numpy as np
+
+    from intake_spark.llm.similarity import (
+        _power_direction,
+        abtt_correct,
+        trunc_div,
+    )
+
+    rng = np.random.RandomState(11)
+    d0 = rng.randn(16)
+    d0 /= np.linalg.norm(d0)
+    X = rng.randn(120, 16) * 0.05 + np.outer(rng.randn(120) * 0.4, d0)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(120)],
+        "vec_id long, embedding array<float>",
+    )
+    corr = {r.vec_id: r.cvec for r in abtt_correct(df, dim=16).collect()}
+    _, mu, v = _power_direction(df, "vec_id", "embedding", 16, 3, 1024, 4096)
+    for cv in corr.values():
+        assert sum(int(a) * b for a, b in zip(cv, v)) == 0
+    # corrected vectors should have lost most of the planted direction:
+    # mean |cos(corrected, d0)| far below mean |cos(raw, d0)|
+    C = np.array([corr[i] for i in range(120)], dtype=float)
+    raw_cos = np.abs((X @ d0) / np.linalg.norm(X, axis=1))
+    cor_cos = np.abs((C @ d0) / (np.linalg.norm(C, axis=1) + 1e-12))
+    assert cor_cos.mean() < 0.2 * raw_cos.mean()

@@ -93,8 +93,10 @@ def test_no_row_udfs_and_sanctioned_cartesians_only(spark):
     # q63/q64/q75/q77/q87/q93/q94: single-row broadcast scalar thresholds/
     # vocabularies/corpus stats; q105: single-row corpus gram totals
     # joined onto the buckets-sized table (never onto the corpus)
+    # q112: 3-probe brute-force corrected-cosine scan by design
     sanctioned = {
         "q105_dsir_weights",
+        "q112_abtt_knn",
         "q25_knn_bruteforce",
         "q45_embedding_near_dup",
         "q63_vocab_coverage",
