@@ -887,6 +887,10 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "q110_hll_distinct",
     "q111_cms_term_counts",
     "q112_abtt_knn",
+    # q113/q114 are new in the final r6 stretch (CCNet quality buckets,
+    # hard-negative mining) — never driver-verified, outrank re-verifies
+    "q113_quality_buckets",
+    "q114_hard_negatives",
     "q15_rollup_region_nation",
     "q16_json_props",
     "q17_hourly_windows",

@@ -62,6 +62,70 @@ def _gram_bucket_counts(
     )
 
 
+def _gram_pairs(x: DataFrame, id_col: str, buckets: int) -> DataFrame:
+    """(bl, br, h) nonzero entries of the Gram matrix H = XᵀX over the
+    long-form feature frame ``x`` = (id, b, count), b ∈ [0, buckets].
+
+    NOT a pairwise self-join: that materializes n·k² rows (k = nonzero
+    buckets per doc — ~65² per document) before any combine. Instead one
+    Exchange co-locates each document's rows, and a mapInPandas pass
+    stacks the partition's documents into a dense (docs × B) int64
+    matrix and takes ONE integer matrix product — B² rows out per
+    partition regardless of corpus size; the cross-partition merge is a
+    B²-row exact decimal(38) sum.
+
+    Exactness: numpy int64 accumulates the per-partition Gram; the
+    sound per-entry bound |H[b,b']| ≤ Σ_rows x² is checked per partition
+    (float overestimate, monotone) and raises before any silent wrap —
+    at the default web-doc scales it sits ~6 orders under 2^63. Dense
+    premise: B ≤ 1024 (hashed-feature selectors); larger B falls back
+    to the join formulation, which needs no dense matrix."""
+    from pyspark.sql import functions as F_
+
+    B = buckets + 1
+    if B > 1024:
+        xl = x.alias("l")
+        return (
+            xl.join(x.alias("r"), id_col)
+            .groupBy(F_.col("l.b").alias("bl"), F_.col("r.b").alias("br"))
+            .agg(F_.sum(F_.expr("cast(l.x * r.x as decimal(38,0))")).alias("h"))
+        )
+
+    def gram_part(batches):
+        import numpy as np
+        import pandas as pd
+
+        frames = list(batches)
+        if not frames:
+            return
+        part = pd.concat(frames, ignore_index=True)
+        xs = part["x"].to_numpy(dtype="int64")
+        if float((xs.astype("float64") ** 2).sum()) >= float(2**62):
+            raise ValueError(
+                "per-partition Gram bound exceeds int64 — repartition the "
+                "feature frame finer (or lower max document length)"
+            )
+        codes, _ = pd.factorize(part[id_col])
+        m = np.zeros((int(codes.max()) + 1, B), dtype="int64")
+        np.add.at(m, (codes, part["b"].to_numpy(dtype="int64")), xs)
+        hp = m.T @ m
+        bl, br = np.nonzero(hp)
+        yield pd.DataFrame(
+            {
+                "bl": bl.astype("int64"),
+                "br": br.astype("int64"),
+                "h": hp[bl, br],
+            }
+        )
+
+    parts = x.repartition(F_.col(id_col)).mapInPandas(
+        gram_part, "bl long, br long, h long"
+    )
+    return parts.groupBy("bl", "br").agg(
+        F_.sum(F_.col("h").cast("decimal(38,0)")).alias("h")
+    )
+
+
 def hashed_linear_classifier(
     df: DataFrame,
     label: Column,
@@ -117,16 +181,7 @@ def hashed_linear_classifier(
     # selectors (64–4096 buckets); a vocab-sized model wants the
     # join-per-round shape instead.
     xy = x.join(y, id_col)  # never broadcast: y is corpus-sized
-    pairs = (
-        xy.alias("l")
-        .join(xy.alias("r"), id_col)
-        .groupBy(F.col("l.b").alias("bl"), F.col("r.b").alias("br"))
-        .agg(
-            F.sum(
-                F.expr("cast(l.x * r.x as decimal(38,0))")
-            ).alias("h")
-        )
-    )
+    pairs = _gram_pairs(x, id_col, buckets)
     cvec_df = xy.groupBy("b").agg(
         F.sum(F.expr("cast(x * y as decimal(38,0))")).alias("c")
     )

@@ -2688,3 +2688,80 @@ def q112_abtt_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 3)
         .select("query_id", "neighbor_id", "rank", "cos_r")
     )
+
+
+def _quality_buckets_sql() -> str:
+    # the q86 oracle verbatim as the score stage, then the per-language
+    # NTILE split — q113's correctness is q86's plus one window
+    from intake_spark.benchqueries import ORACLE
+
+    sc = ORACLE["q86_bigram_lm_score"]
+    return f"""
+    WITH sc AS ({sc}),
+    j AS (SELECT d.doc_id, d.lang, sc.bigram_commonness_r
+          FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id),
+    t AS (SELECT doc_id, lang, bigram_commonness_r,
+            NTILE(3) OVER (PARTITION BY lang
+                           ORDER BY bigram_commonness_r DESC NULLS LAST,
+                                    doc_id) AS tile
+          FROM j)
+    SELECT doc_id, lang, bigram_commonness_r, CAST(tile AS INT) AS tile,
+           CASE WHEN tile = 1 THEN 'head' WHEN tile = 2 THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM t
+    """
+
+
+@register("q113_quality_buckets", _quality_buckets_sql())
+def q113_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style head/middle/tail quality split per language: rank
+    every document by its bigram-LM commonness (q86's engine-exact
+    score) within its language and NTILE into three tiles; unscorable
+    (sub-2-token) docs carry NULL scores and land in the tail
+    deterministically (sampling.quality_buckets). The canonical
+    perplexity-bucket stage between scoring (q86) and sampling (q48)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return sampling.quality_buckets(docs, text.bigram_lm_scores(docs))
+
+
+@register(
+    "q114_hard_negatives",
+    """
+    WITH q AS (SELECT vec_id AS query_id, label AS query_label,
+                      embedding::DOUBLE[] AS qv
+               FROM embeddings ORDER BY vec_id LIMIT 3),
+    c AS (SELECT vec_id AS neighbor_id, label AS neighbor_label,
+                 embedding::DOUBLE[] AS cv FROM embeddings),
+    scored AS (
+      SELECT query_id, query_label, neighbor_id, neighbor_label,
+             list_dot_product(qv, cv) /
+               sqrt(list_dot_product(qv, qv) * list_dot_product(cv, cv))
+               AS cosine
+      FROM c CROSS JOIN q WHERE neighbor_label <> query_label),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM scored)
+    SELECT query_id, CAST(query_label AS INT) AS query_label,
+           neighbor_id, CAST(neighbor_label AS INT) AS neighbor_label,
+           CAST(rank AS INT) AS rank, ROUND(cosine, 6) AS cosine_r
+    FROM ranked WHERE rank <= 3
+    """,
+)
+def q114_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: the three
+    lowest-id vectors probed against the corpus for their most-similar
+    DIFFERENT-label neighbors (similarity.hard_negatives) — q25's exact
+    broadcast-scan shape plus the map-side label-mismatch filter; ranks
+    on the unrounded IEEE cosine, reports it rounded."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.orderBy("vec_id").limit(3)
+    out = similarity.hard_negatives(emb, probes)
+    return out.select(
+        "query_id",
+        "query_label",
+        "neighbor_id",
+        "neighbor_label",
+        F.col("rank").cast("int").alias("rank"),
+        F.round("cosine", 6).alias("cosine_r"),
+    )

@@ -188,3 +188,65 @@ def mix_by_temperature(
         hash_bucket(key_col, salt) < F.col("_thr")
     )
     return mixed.drop("n_docs", "_thr"), rates
+
+
+def quality_buckets(
+    df: DataFrame,
+    scores: DataFrame,
+    id_col: str = "doc_id",
+    group_col: str = "lang",
+    score_col: str = "bigram_commonness_r",
+    n_buckets: int = 3,
+) -> DataFrame:
+    """CCNet-style per-group quality bucketing (Wenzek et al. 2020):
+    rank each group's documents by an LM quality score and split them
+    into ``n_buckets`` equal tiles — head / middle / tail for the
+    default 3 — so downstream sampling can favor the head without
+    hand-picking a global threshold per language.
+
+    ``scores`` is any (id, score) frame (canonically
+    ``text.bigram_lm_scores``; CCNet uses LM perplexity — same ranking,
+    opposite sign). Documents with no score row (too short to have
+    bigrams) keep a NULL score and sort to the tail, which is exactly
+    where an unscorable doc belongs. The tile assignment is NTILE over
+    (score DESC NULLS LAST, id) — a total order, so bucket membership
+    is deterministic and engine-reproducible.
+
+    Plan: one left join (score frame is doc-keyed, Catalyst/AQE picks
+    the strategy) + one window per group partition. At 100 TB the
+    window partitions by language — tens of partitions of corpus-sized
+    rows; skew between languages is real but each partition is a sort,
+    not a collect, and NTILE needs only the partition row count (one
+    pass). A per-(lang, shard) variant with shard-local tiles is the
+    escape hatch if one language dominates a cluster — same trick as
+    ``pack_sequences``; tiles then approximate the global ones.
+
+    Reference surface: CCNet's perplexity-bucket stage; the reference
+    engine has no counterpart operator (quality filters only).
+    """
+    if n_buckets < 1:
+        raise ValueError("n_buckets must be >= 1")
+    from pyspark.sql.window import Window
+
+    joined = df.select(F.col(id_col), F.col(group_col)).join(
+        scores.select(F.col(id_col), F.col(score_col)), id_col, "left"
+    )
+    w = Window.partitionBy(group_col).orderBy(
+        F.desc_nulls_last(score_col), F.asc(id_col)
+    )
+    tile = F.ntile(n_buckets).over(w)
+    if n_buckets == 3:
+        bucket = (
+            F.when(tile == 1, F.lit("head"))
+            .when(tile == 2, F.lit("middle"))
+            .otherwise(F.lit("tail"))
+        )
+    else:
+        bucket = F.concat(F.lit("b"), tile.cast("string"))
+    return joined.select(
+        F.col(id_col),
+        F.col(group_col),
+        F.col(score_col),
+        tile.cast("int").alias("tile"),
+        bucket.alias("bucket"),
+    )

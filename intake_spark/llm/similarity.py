@@ -827,3 +827,61 @@ def abtt_correct(
         base.withColumn("_p", F.expr(proj))
         .select(F.col(id_col), F.expr(cvec).alias("cvec"))
     )
+
+
+def hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    top_k: int = 3,
+) -> DataFrame:
+    """Hard-negative mining for contrastive / embedding-model training:
+    for each query vector, the ``top_k`` most-cosine-similar corpus
+    vectors carrying a DIFFERENT label — the near-misses that make the
+    strongest negative pairs (easy negatives are already far away;
+    training signal lives at the boundary).
+
+    Returns (query_id, query_label, neighbor_id, neighbor_label, rank,
+    cosine). Same plan shape as :func:`knn_bruteforce` — the query side
+    broadcasts, the corpus scans once, the only shuffle is the final
+    per-query top-k window — plus the label-mismatch filter, which runs
+    map-side before any scoring work survives. At mined-batch scale
+    (thousands of anchors against a corpus) the production path swaps
+    the scan for :func:`ivf_search` / :func:`lsh_ann_pairs` candidates
+    and keeps the same mismatch-filter + window tail.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(label_col).alias("query_label"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    ).withColumn("nq2", norm2_expr("qv"))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(label_col).alias("neighbor_label"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+    ).withColumn("nc2", norm2_expr("cv"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_label") != F.col("query_label"))
+        .withColumn(
+            "cosine",
+            safe_cos_div(dot_expr("qv", "cv"), F.col("nq2") * F.col("nc2")),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select(
+            "query_id",
+            "query_label",
+            "neighbor_id",
+            "neighbor_label",
+            "rank",
+            "cosine",
+        )
+    )

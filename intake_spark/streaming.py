@@ -462,7 +462,7 @@ def stream_to_delta(
     # when a checkpoint exists), then track it in memory: foreachBatch is
     # single-threaded per query and this app's txn versions only advance
     # through _commit below, so the cached value stays authoritative for
-    # the lifetime of this query. [-1] = not yet loaded.
+    # the lifetime of this query. [-2] = not yet loaded.
     last_seen = [-2]
 
     def _commit(bdf, batch_id: int):

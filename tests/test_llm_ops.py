@@ -2320,3 +2320,91 @@ def test_sketch_hostile_column_names(spark):
     )
     est = hll_distinct(odd, "g", "my col", p=6).collect()
     assert abs(est[0].hll_est_r - 200) / 200 < 0.5
+
+
+def test_gram_pairs_matches_join_formulation(spark):
+    """The mapInPandas dense Gram (one matrix product per partition) must
+    equal the n·k²-row self-join formulation entry for entry — same
+    exact-integer H either way, just without materializing the pairs."""
+    from pyspark.sql import functions as F
+
+    from intake_spark.llm.classifier import _gram_bucket_counts, _gram_pairs
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .limit(200)
+    )
+    x = _gram_bucket_counts(docs, "doc_id", "text", 64)
+    fast = {
+        (r.bl, r.br): int(r.h) for r in _gram_pairs(x, "doc_id", 64).collect()
+    }
+    xl = x.alias("l")
+    slow = {
+        (r.bl, r.br): int(r.h)
+        for r in xl.join(x.alias("r"), "doc_id")
+        .groupBy(F.col("l.b").alias("bl"), F.col("r.b").alias("br"))
+        .agg(F.sum(F.expr("cast(l.x * r.x as decimal(38,0))")).alias("h"))
+        .collect()
+    }
+    assert fast == slow and len(fast) > 100
+
+
+def test_quality_buckets_nulls_to_tail_and_tiles(spark):
+    """Unscorable docs (NULL score) must land in the LAST tile, tiles
+    must be per-group, and the assignment deterministic (total order on
+    score DESC, id)."""
+    from pyspark.sql import functions as F
+
+    from intake_spark.llm.sampling import quality_buckets
+
+    docs = spark.createDataFrame(
+        [(i, "en") for i in range(6)] + [(10, "fr"), (11, "fr"), (12, "fr")],
+        "doc_id long, lang string",
+    )
+    # doc 5 and all fr docs but 10 have no score row
+    scores = spark.createDataFrame(
+        [(0, 0.9), (1, 0.7), (2, 0.5), (3, 0.3), (4, 0.1), (10, 0.8)],
+        "doc_id long, s double",
+    )
+    out = {
+        r.doc_id: r
+        for r in quality_buckets(
+            docs, scores, score_col="s", n_buckets=3
+        ).collect()
+    }
+    assert len(out) == 9
+    # en: 6 docs -> tiles of 2: (0,1)=head (2,3)=middle (4,5)=tail
+    assert [out[i].bucket for i in range(6)] == [
+        "head", "head", "middle", "middle", "tail", "tail",
+    ]
+    assert out[5].s is None and out[5].bucket == "tail"
+    # fr: 3 docs -> one per tile; scored doc first, NULLs by id
+    assert out[10].bucket == "head"
+    assert out[11].bucket == "middle" and out[12].bucket == "tail"
+
+    with pytest.raises(ValueError):
+        quality_buckets(docs, scores, score_col="s", n_buckets=0)
+
+
+def test_hard_negatives_excludes_same_label(spark):
+    """Every mined negative must carry a different label than its query,
+    self-pairs are impossible by the label filter, and ranks follow the
+    exact cosine with the id tie-break."""
+    from intake_spark.llm.similarity import hard_negatives
+
+    rows = [
+        (0, [1.0, 0.0], 0),
+        (1, [0.9, 0.1], 0),   # same label as probe 0 — never a negative
+        (2, [0.8, 0.2], 1),   # nearest cross-label
+        (3, [0.0, 1.0], 1),   # far cross-label
+        (4, [-1.0, 0.0], 2),  # opposite
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    probes = emb.filter("vec_id = 0")
+    out = hard_negatives(emb, probes, top_k=4).collect()
+    assert [r.neighbor_id for r in out] == [2, 3, 4]
+    assert all(r.neighbor_label != r.query_label for r in out)
+    assert [r.rank for r in out] == [1, 2, 3]
+    assert out[0].cosine > out[1].cosine > out[2].cosine

@@ -94,9 +94,11 @@ def test_no_row_udfs_and_sanctioned_cartesians_only(spark):
     # vocabularies/corpus stats; q105: single-row corpus gram totals
     # joined onto the buckets-sized table (never onto the corpus)
     # q112: 3-probe brute-force corrected-cosine scan by design
+    # q114: q25's probe-scan shape with the label-mismatch filter
     sanctioned = {
         "q105_dsir_weights",
         "q112_abtt_knn",
+        "q114_hard_negatives",
         "q25_knn_bruteforce",
         "q45_embedding_near_dup",
         "q63_vocab_coverage",
