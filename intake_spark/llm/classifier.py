@@ -40,6 +40,11 @@ from pyspark.sql import functions as F
 
 from intake_spark.utils import trunc_div
 
+# documents per dense chunk in the Gram accumulation — bounds the
+# auxiliary (chunk × B) matrix at ~64 MB for B=1024; module-level so
+# tests can exercise the multi-chunk path with a tiny value
+_GRAM_DOC_CHUNK = 8192
+
 
 def _gram_bucket_counts(
     df: DataFrame, id_col: str, text_col: str, buckets: int
@@ -62,7 +67,9 @@ def _gram_bucket_counts(
     )
 
 
-def _gram_pairs(x: DataFrame, id_col: str, buckets: int) -> DataFrame:
+def _gram_pairs(
+    x: DataFrame, id_col: str, buckets: int, parts: int | None = None
+) -> DataFrame:
     """(bl, br, h) nonzero entries of the Gram matrix H = XᵀX over the
     long-form feature frame ``x`` = (id, b, count), b ∈ [0, buckets].
 
@@ -79,7 +86,16 @@ def _gram_pairs(x: DataFrame, id_col: str, buckets: int) -> DataFrame:
     (float overestimate, monotone) and raises before any silent wrap —
     at the default web-doc scales it sits ~6 orders under 2^63. Dense
     premise: B ≤ 1024 (hashed-feature selectors); larger B falls back
-    to the join formulation, which needs no dense matrix."""
+    to the join formulation, which needs no dense matrix.
+
+    Memory: each task holds its shuffle partition's long-form rows (one
+    pandas concat — that IS the per-task input, sized by ``parts``) plus
+    a dense (≤8192 × B) int64 chunk (~64 MB worst case at B=1024); the
+    doc-stack is accumulated chunk-by-chunk so the auxiliary matrix
+    never scales with partition row count. ``parts`` sizes the Exchange
+    (default: session shuffle partitions) — the knob to turn when a
+    corpus is big enough that partition-row-count × ~16 bytes strains a
+    task."""
     from pyspark.sql import functions as F_
 
     B = buckets + 1
@@ -91,6 +107,11 @@ def _gram_pairs(x: DataFrame, id_col: str, buckets: int) -> DataFrame:
             .agg(F_.sum(F_.expr("cast(l.x * r.x as decimal(38,0))")).alias("h"))
         )
 
+    # capture as a closure local: closure values pickle BY VALUE to the
+    # Python workers (a module global would be re-imported there, so a
+    # test override would silently not apply executor-side)
+    ch = _GRAM_DOC_CHUNK
+
     def gram_part(batches):
         import numpy as np
         import pandas as pd
@@ -99,16 +120,30 @@ def _gram_pairs(x: DataFrame, id_col: str, buckets: int) -> DataFrame:
         if not frames:
             return
         part = pd.concat(frames, ignore_index=True)
+        if part.empty:
+            # Arrow can hand a zero-row batch on an empty partition;
+            # codes.max() below would raise on a zero-size array
+            return
         xs = part["x"].to_numpy(dtype="int64")
         if float((xs.astype("float64") ** 2).sum()) >= float(2**62):
             raise ValueError(
-                "per-partition Gram bound exceeds int64 — repartition the "
-                "feature frame finer (or lower max document length)"
+                "per-partition Gram bound exceeds int64 — raise "
+                "gram_partitions on hashed_linear_classifier (or lower "
+                "max document length)"
             )
         codes, _ = pd.factorize(part[id_col])
-        m = np.zeros((int(codes.max()) + 1, B), dtype="int64")
-        np.add.at(m, (codes, part["b"].to_numpy(dtype="int64")), xs)
-        hp = m.T @ m
+        bs = part["b"].to_numpy(dtype="int64")
+        ndocs = int(codes.max()) + 1
+        # accumulate the Gram over ≤CH-doc chunks so the dense doc-stack
+        # is bounded (~64 MB at B=1024) no matter how many documents the
+        # partition holds; int64 chunk sums are covered by the bound above
+        CH = ch
+        hp = np.zeros((B, B), dtype="int64")
+        for lo in range(0, ndocs, CH):
+            sel = (codes >= lo) & (codes < min(lo + CH, ndocs))
+            m = np.zeros((min(lo + CH, ndocs) - lo, B), dtype="int64")
+            np.add.at(m, (codes[sel] - lo, bs[sel]), xs[sel])
+            hp += m.T @ m
         bl, br = np.nonzero(hp)
         yield pd.DataFrame(
             {
@@ -118,10 +153,12 @@ def _gram_pairs(x: DataFrame, id_col: str, buckets: int) -> DataFrame:
             }
         )
 
-    parts = x.repartition(F_.col(id_col)).mapInPandas(
-        gram_part, "bl long, br long, h long"
-    )
-    return parts.groupBy("bl", "br").agg(
+    if parts:
+        co = x.repartition(parts, F_.col(id_col))
+    else:
+        co = x.repartition(F_.col(id_col))
+    parts_df = co.mapInPandas(gram_part, "bl long, br long, h long")
+    return parts_df.groupBy("bl", "br").agg(
         F_.sum(F_.col("h").cast("decimal(38,0)")).alias("h")
     )
 
@@ -135,6 +172,7 @@ def hashed_linear_classifier(
     scale: int = 10_000,
     eta_inv: int = 256,
     iters: int = 3,
+    gram_partitions: int | None = None,
 ) -> DataFrame:
     """Train the least-squares linear classifier ``w`` on hashed n-gram
     counts against ``label`` (a boolean Column → y ∈ {+1, −1}) and score
@@ -152,7 +190,10 @@ def hashed_linear_classifier(
     ``eta_inv`` must exceed the feature matrix's spectral bound for
     convergence (default 256 is stable for ~150-gram documents hashed
     into 64 buckets); the classifier is the standard data-selection
-    scorer regardless of convergence fine-tuning."""
+    scorer regardless of convergence fine-tuning. ``gram_partitions``
+    sizes the Gram pass's Exchange (default: session shuffle
+    partitions) — raise it when per-task feature rows outgrow executor
+    memory at large corpus scales."""
     if iters < 1 or buckets < 1:
         raise ValueError("iters and buckets must be >= 1")
     # Materialize the long-form feature matrix once (n·(buckets+1) rows,
@@ -181,7 +222,7 @@ def hashed_linear_classifier(
     # selectors (64–4096 buckets); a vocab-sized model wants the
     # join-per-round shape instead.
     xy = x.join(y, id_col)  # never broadcast: y is corpus-sized
-    pairs = _gram_pairs(x, id_col, buckets)
+    pairs = _gram_pairs(x, id_col, buckets, parts=gram_partitions)
     cvec_df = xy.groupBy("b").agg(
         F.sum(F.expr("cast(x * y as decimal(38,0))")).alias("c")
     )

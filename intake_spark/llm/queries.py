@@ -2427,37 +2427,50 @@ def q108_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _pca_sql(dim: int = 64, iters: int = 3, qscale: int = 1024,
-             vmax: int = 4096) -> str:
-    # one (p_k, u_k, s_k, v_k) CTE block per power-iteration round;
-    # trunc-division spelled (a - a % b)/b; all sums land in HUGEINT so
-    # the replay is exact at any corpus size
+def _direction_ctes(
+    dim: int, iters: int, qscale: int, vmax: int, materialized: bool = False
+) -> tuple[str, str]:
+    """The ONE integer power-iteration direction block (q/dims/qe/st/mu/
+    c/v0 plus the per-round p/u/s/v ladder) shared by BOTH the q109 and
+    q112 oracles — a single fragment (the _SEED_CLUSTER_CTE /
+    q113-splices-q86 pattern) so a fix to the direction replay can never
+    silently diverge between the two. Trunc-division spelled
+    (a - a % b)/b; all sums land in HUGEINT so the replay is exact at
+    any corpus size. Returns (cte_block, final_v_cte_name)."""
+    mat = " MATERIALIZED" if materialized else ""
     rounds = []
     prev_v = "v0"
     for k in range(1, iters + 1):
         rounds.append(f"""
-    p{k} AS (SELECT vec_id, SUM(c * v) AS p
+    p{k} AS{mat} (SELECT vec_id, SUM(c * v) AS p
              FROM c JOIN {prev_v} USING (i) GROUP BY vec_id),
-    u{k} AS (SELECT i, SUM(p * c) AS u
+    u{k} AS{mat} (SELECT i, SUM(p * c) AS u
              FROM c JOIN p{k} USING (vec_id) GROUP BY i),
-    s{k} AS (SELECT MAX(ABS(u)) AS s FROM u{k}),
-    v{k} AS (SELECT i, CASE WHEN s = 0 THEN v ELSE
+    s{k} AS{mat} (SELECT MAX(ABS(u)) AS s FROM u{k}),
+    v{k} AS{mat} (SELECT i, CASE WHEN s = 0 THEN v ELSE
                CAST((u * {vmax} - (u * {vmax}) % s) / s AS BIGINT) END AS v
              FROM {prev_v} JOIN u{k} USING (i) CROSS JOIN s{k})""")
         prev_v = f"v{k}"
-    return f"""
-    WITH q AS (SELECT vec_id,
+    block = f"""q AS{mat} (SELECT vec_id,
                       list_transform(embedding::DOUBLE[],
                         x -> CAST(FLOOR(x * {qscale}) AS BIGINT)) AS q
                FROM embeddings),
-    dims AS (SELECT i FROM unnest(generate_series(1, {dim})) t(i)),
-    qe AS (SELECT vec_id, i, q[i] AS x FROM q CROSS JOIN dims),
-    st AS (SELECT i, SUM(x) AS s, COUNT(*) AS n FROM qe GROUP BY i),
-    mu AS (SELECT i, CAST((s - s % n) / n AS BIGINT) AS m FROM st),
-    c AS (SELECT vec_id, qe.i, x - m AS c FROM qe JOIN mu USING (i)),
-    v0 AS (SELECT i, CAST(1 AS BIGINT) AS v FROM dims),{",".join(rounds)},
+    dims AS{mat} (SELECT i FROM unnest(generate_series(1, {dim})) t(i)),
+    qe AS{mat} (SELECT vec_id, i, q[i] AS x FROM q CROSS JOIN dims),
+    st AS{mat} (SELECT i, SUM(x) AS s, COUNT(*) AS n FROM qe GROUP BY i),
+    mu AS{mat} (SELECT i, CAST((s - s % n) / n AS BIGINT) AS m FROM st),
+    c AS{mat} (SELECT vec_id, qe.i, x - m AS c FROM qe JOIN mu USING (i)),
+    v0 AS{mat} (SELECT i, CAST(1 AS BIGINT) AS v FROM dims),{",".join(rounds)}"""
+    return block, prev_v
+
+
+def _pca_sql(dim: int = 64, iters: int = 3, qscale: int = 1024,
+             vmax: int = 4096) -> str:
+    block, vf = _direction_ctes(dim, iters, qscale, vmax)
+    return f"""
+    WITH {block},
     ps AS (SELECT vec_id, SUM(c * v) AS p
-           FROM c JOIN {prev_v} USING (i) GROUP BY vec_id)
+           FROM c JOIN {vf} USING (i) GROUP BY vec_id)
     SELECT vec_id, CAST(p AS BIGINT) AS proj_fx FROM ps
     """
 
@@ -2575,32 +2588,13 @@ def q111_cms_term_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _abtt_sql(dim: int = 64, iters: int = 3, qscale: int = 1024,
               vmax: int = 4096, n_probes: int = 3, top_k: int = 3) -> str:
-    # the q109 direction CTEs, then the integer ABTT rejection and a
-    # probes-vs-corpus corrected-cosine ranking; HUGEINT sums throughout
-    rounds = []
-    prev_v = "v0"
-    for k in range(1, iters + 1):
-        rounds.append(f"""
-    p{k} AS MATERIALIZED (SELECT vec_id, SUM(c * v) AS p
-             FROM c JOIN {prev_v} USING (i) GROUP BY vec_id),
-    u{k} AS MATERIALIZED (SELECT i, SUM(p * c) AS u
-             FROM c JOIN p{k} USING (vec_id) GROUP BY i),
-    s{k} AS MATERIALIZED (SELECT MAX(ABS(u)) AS s FROM u{k}),
-    v{k} AS MATERIALIZED (SELECT i, CASE WHEN s = 0 THEN v ELSE
-               CAST((u * {vmax} - (u * {vmax}) % s) / s AS BIGINT) END AS v
-             FROM {prev_v} JOIN u{k} USING (i) CROSS JOIN s{k})""")
-        prev_v = f"v{k}"
+    # the SHARED q109 direction CTEs (materialized — DuckDB would
+    # otherwise inline the ladder once per consumer), then the integer
+    # ABTT rejection and a probes-vs-corpus corrected-cosine ranking;
+    # HUGEINT sums throughout
+    block, prev_v = _direction_ctes(dim, iters, qscale, vmax, materialized=True)
     return f"""
-    WITH q AS MATERIALIZED (SELECT vec_id,
-                      list_transform(embedding::DOUBLE[],
-                        x -> CAST(FLOOR(x * {qscale}) AS BIGINT)) AS q
-               FROM embeddings),
-    dims AS MATERIALIZED (SELECT i FROM unnest(generate_series(1, {dim})) t(i)),
-    qe AS MATERIALIZED (SELECT vec_id, i, q[i] AS x FROM q CROSS JOIN dims),
-    st AS MATERIALIZED (SELECT i, SUM(x) AS s, COUNT(*) AS n FROM qe GROUP BY i),
-    mu AS MATERIALIZED (SELECT i, CAST((s - s % n) / n AS BIGINT) AS m FROM st),
-    c AS MATERIALIZED (SELECT vec_id, qe.i, x - m AS c FROM qe JOIN mu USING (i)),
-    v0 AS MATERIALIZED (SELECT i, CAST(1 AS BIGINT) AS v FROM dims),{",".join(rounds)},
+    WITH {block},
     ssq AS MATERIALIZED (SELECT SUM(v * v) AS ssq FROM {prev_v}),
     pf AS MATERIALIZED (SELECT vec_id, SUM(c * v) AS p
           FROM c JOIN {prev_v} USING (i) GROUP BY vec_id),
@@ -2735,13 +2729,14 @@ def q113_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored AS (
       SELECT query_id, query_label, neighbor_id, neighbor_label,
              list_dot_product(qv, cv) /
-               sqrt(list_dot_product(qv, qv) * list_dot_product(cv, cv))
+               NULLIF(sqrt(list_dot_product(qv, qv) *
+                           list_dot_product(cv, cv)), 0)
                AS cosine
       FROM c CROSS JOIN q WHERE neighbor_label <> query_label),
     ranked AS (
       SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
                                    ORDER BY cosine DESC, neighbor_id) AS rank
-      FROM scored)
+      FROM scored WHERE cosine IS NOT NULL)
     SELECT query_id, CAST(query_label AS INT) AS query_label,
            neighbor_id, CAST(neighbor_label AS INT) AS neighbor_label,
            CAST(rank AS INT) AS rank, ROUND(cosine, 6) AS cosine_r

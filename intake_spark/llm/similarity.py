@@ -869,6 +869,12 @@ def hard_negatives(
             "cosine",
             safe_cos_div(dot_expr("qv", "cv"), F.col("nq2") * F.col("nc2")),
         )
+        # a zero-norm vector (padding / missing-embedding row) has no
+        # direction, so it can't be a hard negative — drop its NULL
+        # cosine BEFORE ranking; the oracle filters identically, keeping
+        # both engines' rank sequences aligned (NaN would sort above
+        # every real cosine in DuckDB's DESC order otherwise)
+        .filter(F.col("cosine").isNotNull())
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.asc("neighbor_id")

@@ -26,9 +26,18 @@ _HASH_SPACE = float(2**32)
 
 
 def _bt(name: str) -> str:
-    """Backtick-quote a column name for splicing into a SQL expression
-    (matches F.col's resolution for plain and exotic names alike)."""
+    """Backtick-quote a column name for splicing into a SQL expression.
+    Quoting forces TOP-LEVEL resolution — a bare ``F.col("a.b")`` would
+    instead try struct-field resolution on a dotted name — so every
+    column reference in this module goes through :func:`_c` /  ``_bt``
+    to keep plain, spaced, and dotted names working alike."""
     return "`" + name.replace("`", "``") + "`"
+
+
+def _c(name: str):
+    """Top-level column reference that survives exotic names (spaces,
+    dots, backticks) — the DataFrame-side twin of :func:`_bt`."""
+    return F.col(_bt(name))
 
 
 def hll_alpha(m: int) -> float:
@@ -45,7 +54,7 @@ def hll_alpha(m: int) -> float:
 
 def _h32(col):
     """32-bit md5-derived hash, identical in any engine with md5."""
-    return F.conv(F.substring(F.md5(F.col(col).cast("string")), 1, 8), 16, 10).cast("bigint")
+    return F.conv(F.substring(F.md5(_c(col).cast("string")), 1, 8), 16, 10).cast("bigint")
 
 
 def kmv_distinct(
@@ -67,19 +76,19 @@ def kmv_distinct(
     # ascending sort ranks FIRST but DuckDB ranks LAST — it would both bias
     # the estimate and break oracle equality
     hashed = (
-        df.filter(F.col(value_col).isNotNull())
-        .select(*group_cols, _h32(value_col).alias("_h"))
+        df.filter(_c(value_col).isNotNull())
+        .select(*[_c(g) for g in group_cols], _h32(value_col).alias("_h"))
         .distinct()
     )
-    w = Window.partitionBy(*group_cols).orderBy(F.asc("_h"))
+    w = Window.partitionBy(*[_c(g) for g in group_cols]).orderBy(F.asc("_h"))
     ranked = hashed.withColumn("_r", F.row_number().over(w)).filter(F.col("_r") <= k)
-    agg = ranked.groupBy(*group_cols).agg(
+    agg = ranked.groupBy(*[_c(g) for g in group_cols]).agg(
         F.max("_r").cast("long").alias("n_hashes"), F.max("_h").alias("_kth")
     )
     est = F.when(
         F.col("n_hashes") < k, F.col("n_hashes").cast("double")
     ).otherwise((F.lit(float(k - 1))) / (F.col("_kth").cast("double") / F.lit(_HASH_SPACE)))
-    return agg.select(*group_cols, est.alias("est_distinct"), "n_hashes")
+    return agg.select(*[_c(g) for g in group_cols], est.alias("est_distinct"), "n_hashes")
 
 
 def kmv_distinct_sql(table: str, group_cols: list[str], value_col: str, k: int = 64) -> str:
@@ -127,15 +136,15 @@ def column_profile(
         group_cols = [group_cols]
     qlist = ", ".join(f"{q}D" for q in quantiles)
     qcols = [
-        F.expr(f"percentile({num_col}, array({qlist}))")[i].alias(f"p{int(q * 100)}")
+        F.expr(f"percentile({_bt(num_col)}, array({qlist}))")[i].alias(f"p{int(q * 100)}")
         for i, q in enumerate(quantiles)
     ]
-    return df.groupBy(*group_cols).agg(
+    return df.groupBy(*[_c(g) for g in group_cols]).agg(
         F.count(F.lit(1)).alias("n_rows"),
-        F.sum(F.col(num_col).isNull().cast("bigint")).alias("n_null"),
-        F.countDistinct(num_col).alias("n_distinct"),
-        F.min(num_col).alias("min_v"),
-        F.max(num_col).alias("max_v"),
+        F.sum(_c(num_col).isNull().cast("bigint")).alias("n_null"),
+        F.countDistinct(_c(num_col)).alias("n_distinct"),
+        F.min(_c(num_col)).alias("min_v"),
+        F.max(_c(num_col)).alias("max_v"),
         *qcols,
     )
 
@@ -183,20 +192,22 @@ def hll_distinct(
         f"cast(least(CASE WHEN {h2} = 0 THEN 61 "
         f"ELSE 61 - length(bin({h2})) END, 44) as int)"
     )
-    bucketed = df.filter(F.col(value_col).isNotNull()).select(
-        *[F.col(c) for c in group_cols],
+    bucketed = df.filter(_c(value_col).isNotNull()).select(
+        *[_c(c) for c in group_cols],
         (_h32(value_col) % m).alias("_b"),
         F.expr(rho).alias("_rho"),
     )
-    regs = bucketed.groupBy(*group_cols, "_b").agg(F.max("_rho").alias("_m"))
-    rolled = regs.groupBy(*group_cols).agg(
+    regs = bucketed.groupBy(*[_c(c) for c in group_cols], F.col("_b")).agg(
+        F.max("_rho").alias("_m")
+    )
+    rolled = regs.groupBy(*[_c(c) for c in group_cols]).agg(
         F.count(F.lit(1)).alias("n_buckets_hit"),
         F.sum(F.expr("shiftleft(cast(1 as bigint), 44 - _m)")).alias("_s_hit"),
     )
     # empty buckets contribute 2^44 each; S is exact BIGINT either way
     s_total = F.col("_s_hit") + (F.lit(m) - F.col("n_buckets_hit")) * F.lit(1 << 44)
     return rolled.select(
-        *[F.col(c) for c in group_cols],
+        *[_c(c) for c in group_cols],
         F.col("n_buckets_hit").cast("long").alias("n_buckets_hit"),
         F.round(
             F.lit(alpha * m * m * float(1 << 44)) / s_total.cast("double"), 4
@@ -236,7 +247,7 @@ def cms_sketch(
     too large to groupBy exactly."""
     cells = _cms_cells(value_col, depth, width)
     return (
-        df.filter(F.col(value_col).isNotNull())
+        df.filter(_c(value_col).isNotNull())
         .select(F.explode(cells).alias("_c"))
         .groupBy(
             F.col("_c.row").alias("row"), F.col("_c.cell").alias("cell")
@@ -266,17 +277,17 @@ def cms_estimate(
         F.col("cell").alias("_cms_cell"),
         F.col("cnt").alias("_cms_cnt"),
     )
-    probes = items.withColumn("_c", F.explode(cells)).select(
-        *items.columns,
-        F.col("_c.row").alias("_cms_row"),
-        F.col("_c.cell").alias("_cms_cell"),
+    probes = items.withColumn("_cms_probe", F.explode(cells)).select(
+        *[_c(c) for c in items.columns],
+        F.col("_cms_probe.row").alias("_cms_row"),
+        F.col("_cms_probe.cell").alias("_cms_cell"),
     )
     joined = probes.join(
         F.broadcast(sk), ["_cms_row", "_cms_cell"], "left"
     ).select(
-        *items.columns,
+        *[_c(c) for c in items.columns],
         F.coalesce(F.col("_cms_cnt"), F.lit(0)).alias("_cms_hit"),
     )
-    return joined.groupBy(*items.columns).agg(
+    return joined.groupBy(*[_c(c) for c in items.columns]).agg(
         F.min("_cms_hit").cast("long").alias("cms_est")
     )

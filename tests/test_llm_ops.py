@@ -2321,6 +2321,26 @@ def test_sketch_hostile_column_names(spark):
     est = hll_distinct(odd, "g", "my col", p=6).collect()
     assert abs(est[0].hll_est_r - 200) / 200 < 0.5
 
+    # DOTTED names are the harder case: a bare F.col('a.b') resolves as
+    # a struct field, so every reference (hash, null filter, groupBy)
+    # must go through the backtick helper — not just the rho splice
+    from intake_spark.llm.sketches import column_profile, kmv_distinct
+
+    dotted = spark.createDataFrame(
+        [(1, f"u{i % 50}", float(i)) for i in range(200)],
+        "`g.k` int, `v.col` string, `n.col` double",
+    )
+    est2 = hll_distinct(dotted, "g.k", "v.col", p=6).collect()
+    assert abs(est2[0].hll_est_r - 50) / 50 < 0.5
+    kmv = kmv_distinct(dotted, "g.k", "v.col", k=16).collect()
+    assert kmv[0].n_hashes == 16
+    prof = column_profile(dotted, "g.k", "n.col").collect()
+    assert prof[0].n_rows == 200 and prof[0].min_v == 0.0
+    sk2 = cms_sketch(dotted, "v.col", depth=2, width=32)
+    it2 = dotted.select("`v.col`").limit(5)
+    out2 = cms_estimate(sk2, it2, "v.col", depth=2, width=32).collect()
+    assert all(r.cms_est >= 4 for r in out2)
+
 
 def test_gram_pairs_matches_join_formulation(spark):
     """The mapInPandas dense Gram (one matrix product per partition) must
@@ -2347,6 +2367,22 @@ def test_gram_pairs_matches_join_formulation(spark):
         .collect()
     }
     assert fast == slow and len(fast) > 100
+
+    # multi-chunk accumulation (docs per partition > chunk size) and an
+    # explicit partition count must produce the identical H — the chunked
+    # doc-stack is a pure memory bound, never a semantics change
+    import intake_spark.llm.classifier as clf
+
+    old = clf._GRAM_DOC_CHUNK
+    clf._GRAM_DOC_CHUNK = 7  # force many chunks per partition
+    try:
+        chunked = {
+            (r.bl, r.br): int(r.h)
+            for r in _gram_pairs(x, "doc_id", 64, parts=3).collect()
+        }
+    finally:
+        clf._GRAM_DOC_CHUNK = old
+    assert chunked == slow
 
 
 def test_quality_buckets_nulls_to_tail_and_tiles(spark):
