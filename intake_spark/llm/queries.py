@@ -298,10 +298,11 @@ def q30_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.fake_decode_meta(with_bin, keep_cols=["doc_id"])
 
 
-@register(
-    "q33_dup_groups",
-    f"""
-    WITH RECURSIVE {_SHINGLES_CTE},
+# Jaccard-0.5 connected components — the ONE clustering body shared by the
+# q33 and q115 oracles (the _direction_ctes / q113-splices-q86 pattern), so
+# a threshold or closure fix can never diverge between them. Expects the
+# _SHINGLES_CTE `sh` table in scope; leaves `reach(s, t)` for the consumer.
+_DUP_GROUPS_BODY = """
     sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
     inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS cnt
               FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
@@ -316,7 +317,13 @@ def q30_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     reach(s, t) AS (
       SELECT a, a FROM edges
       UNION
-      SELECT r.s, e.b FROM reach r JOIN edges e ON r.t = e.a)
+      SELECT r.s, e.b FROM reach r JOIN edges e ON r.t = e.a)"""
+
+
+@register(
+    "q33_dup_groups",
+    f"""
+    WITH RECURSIVE {_SHINGLES_CTE},{_DUP_GROUPS_BODY}
     SELECT s AS doc_id, MIN(t) AS group_id FROM reach GROUP BY s
     """,
 )
@@ -2759,4 +2766,92 @@ def q114_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         "neighbor_label",
         F.col("rank").cast("int").alias("rank"),
         F.round("cosine", 6).alias("cosine_r"),
+    )
+
+
+@register(
+    "q115_dedup_aware_split",
+    f"""
+    WITH RECURSIVE {{shingles}},{{dup_body}},
+    grp AS (SELECT s AS doc_id, MIN(t) AS group_id FROM reach GROUP BY s),
+    j AS (SELECT d.doc_id, COALESCE(g.group_id, d.doc_id) AS canonical_id
+          FROM documents d LEFT JOIN grp g ON g.doc_id = d.doc_id),
+    b AS (SELECT doc_id, canonical_id,
+            {{bucket}} AS bk
+          FROM j)
+    SELECT doc_id, canonical_id,
+           CASE WHEN bk < 800000 THEN 'train'
+                WHEN bk < 900000 THEN 'val'
+                ELSE 'test' END AS split
+    FROM b
+    """.format(
+        shingles=_SHINGLES_CTE,
+        dup_body=_DUP_GROUPS_BODY,
+        bucket=_HASH_BUCKET_SQL.format(
+            key="concat('split:', CAST(canonical_id AS VARCHAR))"
+        ),
+    ),
+)
+def q115_dedup_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free train/val/test split: near-dup clusters (q33's exact
+    Jaccard components) are split-atomic — every member hashes on its
+    CLUSTER canonical, so no test document has a near-duplicate in train
+    (sampling.dedup_aware_split). The eval-contamination guard that
+    plain per-document hash_split (q76) cannot give."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.jaccard_pairs(docs, threshold=0.5)
+    out = sampling.dedup_aware_split(docs, pairs, [0.8, 0.1, 0.1])
+    return out.select("doc_id", "canonical_id", "split")
+
+
+_Q116_BUDGET = 45_000
+_Q116_EPOCHS = 2
+
+
+@register(
+    "q116_unimax_budgets",
+    f"""
+    WITH RECURSIVE counts AS (
+      SELECT lang,
+             CAST(SUM(len(list_filter(string_split(COALESCE(text, ''), ' '),
+                                      x -> len(x) > 0))) AS BIGINT) AS n_tokens
+      FROM documents WHERE lang IS NOT NULL GROUP BY lang),
+    caps AS (SELECT lang, n_tokens,
+                    CAST({_Q116_EPOCHS} * n_tokens AS BIGINT) AS cap,
+                    ROW_NUMBER() OVER (ORDER BY {_Q116_EPOCHS} * n_tokens,
+                                       lang) AS rn,
+                    COUNT(*) OVER () AS k
+             FROM counts),
+    alloc(rn, lang, n_tokens, cap, give, remaining) AS (
+      SELECT rn, lang, n_tokens, cap,
+             LEAST(cap, CAST(({_Q116_BUDGET} - {_Q116_BUDGET} % k) / k
+                             AS BIGINT)),
+             {_Q116_BUDGET}
+               - LEAST(cap, CAST(({_Q116_BUDGET} - {_Q116_BUDGET} % k) / k
+                                 AS BIGINT))
+      FROM caps WHERE rn = 1
+      UNION ALL
+      SELECT c.rn, c.lang, c.n_tokens, c.cap,
+             LEAST(c.cap,
+                   CAST((a.remaining - a.remaining % (c.k - c.rn + 1))
+                        / (c.k - c.rn + 1) AS BIGINT)),
+             a.remaining
+               - LEAST(c.cap,
+                       CAST((a.remaining - a.remaining % (c.k - c.rn + 1))
+                            / (c.k - c.rn + 1) AS BIGINT))
+      FROM alloc a JOIN caps c ON c.rn = a.rn + 1)
+    SELECT lang, n_tokens, cap AS cap_tokens, give AS budget_tokens
+    FROM alloc ORDER BY lang
+    """,
+)
+def q116_unimax_budgets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax language budgets: distribute a 45k-token budget across
+    languages as uniformly as their 2-epoch caps allow — the exact
+    integer waterfall (ascending-capacity order, trunc-division shares)
+    that the oracle replays step for step as a recursive CTE
+    (sampling.unimax_budgets). At sf0.01 the cap binds for the four
+    small languages and the share for English — both branches live."""
+    docs = load_table(spark, sf_dir, "documents")
+    return sampling.unimax_budgets(
+        docs, total_budget=_Q116_BUDGET, epochs_cap=_Q116_EPOCHS
     )

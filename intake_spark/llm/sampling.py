@@ -250,3 +250,125 @@ def quality_buckets(
         tile.cast("int").alias("tile"),
         bucket.alias("bucket"),
     )
+
+
+def dedup_aware_split(
+    df: DataFrame,
+    pairs: DataFrame,
+    fractions: list[float],
+    id_col: str = "doc_id",
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    names: tuple[str, ...] = ("train", "val", "test"),
+    salt: str = "split",
+) -> DataFrame:
+    """Leakage-free train/val/test assignment: every member of a near-dup
+    cluster lands in the SAME split, so a test document can never have a
+    near-duplicate in the training set (the classic eval-contamination
+    channel that plain per-document hashing leaves open — hash_split on
+    doc_id puts two 95%-identical docs in different splits with
+    probability 2·p·(1−p)).
+
+    ``pairs`` is any near-dup pair frame (LSH, SimHash, winnowing,
+    semantic — the :mod:`dedup` generators all qualify). Clusters come
+    from :func:`~intake_spark.llm.dedup.dup_groups` (connected
+    components, canonical = min id); singleton documents are their own
+    canonical. The split is then ONE deterministic hash of the CANONICAL
+    id ranged over contiguous buckets (:func:`hash_split` semantics), so
+    membership stays exclusive, exhaustive, and reproducible under any
+    partitioning — and cluster-atomic by construction.
+
+    Returns ``df``'s rows with ``canonical_id`` and ``split`` appended.
+
+    Scale: the group table is bounded by the pair set (LSH already
+    pruned it to near-dups only), orders of magnitude smaller than the
+    corpus — it broadcasts; the corpus side is one mapper-only hash
+    filter after the broadcast join. Nothing corpus-sized shuffles.
+    """
+    if len(names) != len(fractions):
+        raise ValueError("names and fractions must align")
+    if abs(sum(fractions) - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {sum(fractions)}")
+    from intake_spark.llm.dedup import dup_groups
+
+    groups = dup_groups(pairs, a_col=a_col, b_col=b_col).select(
+        F.col("doc_id").alias(id_col), F.col("group_id")
+    )
+    joined = df.join(F.broadcast(groups), id_col, "left").withColumn(
+        "canonical_id", F.coalesce(F.col("group_id"), F.col(id_col))
+    )
+    b = hash_bucket("canonical_id", salt)
+    edges = [0]
+    for f in fractions:
+        edges.append(edges[-1] + round(f * _BUCKETS))
+    edges[-1] = _BUCKETS
+    split = F.lit(names[-1])
+    for name, lo, hi in reversed(list(zip(names, edges, edges[1:]))):
+        split = F.when((b >= lo) & (b < hi), F.lit(name)).otherwise(split)
+    return joined.drop("group_id").withColumn("split", split)
+
+
+def unimax_budgets(
+    df: DataFrame,
+    total_budget: int,
+    epochs_cap: int = 4,
+    lang_col: str = "lang",
+    tokens_col: str | None = None,
+    text_col: str = "text",
+) -> DataFrame:
+    """UniMax language-budget allocation (Chung et al. 2023): distribute a
+    total token budget across languages as uniformly as possible, capping
+    each language at ``epochs_cap`` epochs of its own data — the
+    principled alternative to temperature sampling (:func:`mix_by_
+    temperature`), which over-samples head languages and over-epochs tail
+    ones.
+
+    Exact integer waterfall: languages process in ascending-capacity
+    order (ties by name); each takes ``min(cap, remaining //
+    n_remaining)`` — trunc division, so the replay is engine-exact. Once
+    a language's cap exceeds the uniform share, every later (larger)
+    language receives the share too; leftover budget past Σcaps stays
+    unallocated (every language is fully epoch-capped).
+
+    Returns (lang, n_tokens, cap_tokens, budget_tokens) per language.
+    NULL-language rows are excluded (they have no budget identity).
+
+    Scale: ONE corpus aggregation to a languages-sized table (map-side
+    combine; tokens are counted JVM-side), then the waterfall runs as
+    driver integer math over ≤ a few hundred rows — the classifier-H
+    premise: the loop state is bounded by language count, never corpus
+    size.
+    """
+    if total_budget < 0 or epochs_cap < 1:
+        raise ValueError("total_budget must be >= 0 and epochs_cap >= 1")
+    if tokens_col is None:
+        toks = F.size(
+            F.filter(
+                F.split(F.coalesce(F.col(text_col), F.lit("")), " "),
+                lambda x: F.length(x) > 0,
+            )
+        ).cast("bigint")
+    else:
+        toks = F.col(tokens_col).cast("bigint")
+    counts = (
+        df.filter(F.col(lang_col).isNotNull())
+        .groupBy(F.col(lang_col).alias("lang"))
+        .agg(F.sum(toks).alias("n_tokens"))
+    )
+    rows = sorted(
+        ((r["lang"], int(r["n_tokens"])) for r in counts.collect()),
+        key=lambda t: (epochs_cap * t[1], t[0]),
+    )
+    remaining = int(total_budget)
+    out = []
+    for i, (lang, n_tok) in enumerate(rows):
+        cap = epochs_cap * n_tok
+        share = remaining // (len(rows) - i)
+        give = min(cap, share)
+        remaining -= give
+        out.append((lang, n_tok, cap, give))
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        sorted(out),
+        "lang string, n_tokens long, cap_tokens long, budget_tokens long",
+    )

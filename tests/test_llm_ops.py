@@ -2444,3 +2444,85 @@ def test_hard_negatives_excludes_same_label(spark):
     assert all(r.neighbor_label != r.query_label for r in out)
     assert [r.rank for r in out] == [1, 2, 3]
     assert out[0].cosine > out[1].cosine > out[2].cosine
+
+
+def test_dedup_aware_split_is_cluster_atomic(spark):
+    """The leakage property itself: NO near-dup pair may straddle two
+    splits — every cluster member carries the cluster canonical and the
+    canonical's split; singletons hash on themselves."""
+    from intake_spark.llm.sampling import dedup_aware_split, hash_bucket
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(40)], "doc_id long, text string"
+    )
+    # clusters {0,1,2} (chained: 0-1, 1-2) and {10, 11}; rest singletons
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (10, 11)], "doc_a long, doc_b long"
+    )
+    out = dedup_aware_split(docs, pairs, [0.5, 0.25, 0.25])
+    rows = {r.doc_id: r for r in out.collect()}
+    assert len(rows) == 40
+    # cluster-atomic: same canonical AND same split within each cluster,
+    # including transitively-linked members
+    assert rows[0].canonical_id == rows[1].canonical_id == rows[2].canonical_id == 0
+    assert rows[0].split == rows[1].split == rows[2].split
+    assert rows[10].canonical_id == rows[11].canonical_id == 10
+    assert rows[10].split == rows[11].split
+    # singleton: canonical is itself
+    assert rows[20].canonical_id == 20
+    # exhaustive + exclusive: every row got exactly one named split
+    assert set(r.split for r in rows.values()) <= {"train", "val", "test"}
+    # determinism: identical assignment on a different partitioning
+    again = {
+        r.doc_id: r.split
+        for r in dedup_aware_split(
+            docs.repartition(13), pairs, [0.5, 0.25, 0.25]
+        ).collect()
+    }
+    assert again == {k: v.split for k, v in rows.items()}
+
+    with pytest.raises(ValueError):
+        dedup_aware_split(docs, pairs, [0.5, 0.25, 0.25], names=("a", "b"))
+    with pytest.raises(ValueError):
+        dedup_aware_split(docs, pairs, [0.5, 0.3])
+
+
+def test_unimax_budgets_waterfall(spark):
+    """The exact integer waterfall: ascending-cap order, trunc-division
+    shares, caps bind for small languages and the uniform share for big
+    ones; leftover past total capacity stays unallocated."""
+    from intake_spark.llm.sampling import unimax_budgets
+
+    rows = (
+        [(i, "aa", "w " * 10) for i in range(2)]           # 2 x 10 = 20 tokens
+        + [(100 + i, "bb", "w " * 100) for i in range(4)]  # 4 x 100 = 400
+        + [(200 + i, "cc", "w " * 1000) for i in range(8)]  # 8 x 1000 = 8000
+        + [(300, None, "w " * 50)]                     # NULL lang excluded
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    out = {
+        r.lang: r
+        for r in unimax_budgets(docs, total_budget=3000, epochs_cap=2).collect()
+    }
+    assert set(out) == {"aa", "bb", "cc"}
+    assert out["aa"].n_tokens == 20 and out["aa"].cap_tokens == 40
+    assert out["bb"].n_tokens == 400 and out["bb"].cap_tokens == 800
+    # waterfall: aa first (cap 40 < share 1000) -> 40; bb (cap 800 <
+    # share (3000-40)//2 = 1480) -> 800; cc gets the rest's share
+    # min(16000, 2160) = 2160
+    assert out["aa"].budget_tokens == 40
+    assert out["bb"].budget_tokens == 800
+    assert out["cc"].budget_tokens == 2160
+    # budget exceeding total capacity: everything fully capped
+    out2 = {
+        r.lang: r.budget_tokens
+        for r in unimax_budgets(docs, total_budget=10**9, epochs_cap=1).collect()
+    }
+    assert out2 == {"aa": 20, "bb": 400, "cc": 8000}
+    # zero budget allocates zero everywhere
+    out3 = unimax_budgets(docs, total_budget=0).collect()
+    assert all(r.budget_tokens == 0 for r in out3)
+    with pytest.raises(ValueError):
+        unimax_budgets(docs, total_budget=-1)
+    with pytest.raises(ValueError):
+        unimax_budgets(docs, total_budget=10, epochs_cap=0)
