@@ -249,11 +249,27 @@ def decode_wav_full(content: bytes):
     return rate, arr, sw
 
 
+def _lib_audio_decode(content: bytes):
+    """Optional-dependency escape hatch for the lossy audio codecs
+    (MP3/OGG-Vorbis/Opus): delegate to soundfile (libsndfile) when it is
+    installed — the reference's LibrosaAudioReader delegation (reference
+    readers.py:2169) — normalized to the same (rate, int16 samples
+    (n, ch), bits) contract as the stdlib decoders. Raises ImportError
+    when no audio library is present."""
+    import io
+
+    import soundfile as sf
+
+    data, rate = sf.read(io.BytesIO(content), dtype="int16", always_2d=True)
+    return int(rate), data, 16
+
+
 def decode_audio_full(content: bytes):
     """Magic-dispatched audio decode → (rate, samples ndarray (n, ch),
     bits_per_sample). WAV via the stdlib ``wave`` module; FLAC via the
-    package's spec bitstream decoder (llm/flac.py). MP3/OGG/Vorbis remain
-    a named gate — their codecs genuinely need an audio library."""
+    package's spec bitstream decoder (llm/flac.py). MP3/OGG decode
+    through soundfile WHEN INSTALLED (:func:`_lib_audio_decode`) and
+    otherwise raise the named codec gate."""
     if content[:4] == b"fLaC":
         from intake_spark.llm.flac import decode_flac
 
@@ -265,10 +281,14 @@ def decode_audio_full(content: bytes):
         return decode_aiff(content)
     if content[:4] == b".snd":
         return decode_au(content)
-    raise NotImplementedError(
-        "WAV/FLAC/AIFF/AU decode natively; MP3/OGG need an audio codec "
-        "library, absent in this container"
-    )
+    try:
+        return _lib_audio_decode(content)
+    except ImportError as exc:
+        raise NotImplementedError(
+            "WAV/FLAC/AIFF/AU decode natively; MP3/OGG need an audio codec "
+            "library — install soundfile and decode_audio_full delegates "
+            "automatically"
+        ) from exc
 
 
 def decode_wav(content: bytes):
@@ -288,11 +308,33 @@ def resize_nearest(arr, out_h: int, out_w: int):
     return arr[rows][:, cols]
 
 
+def _pil_decode(content: bytes) -> np.ndarray:
+    """Optional-dependency escape hatch for the lossy codecs (lossy
+    WebP, AVIF/HEIF, progressive JPEG …): when pillow IS installed,
+    delegate to it — exactly the reference's own PILImageReader
+    delegation (reference readers.py:2228) — and normalize to the same
+    (H, W, C) uint8 ndarray contract the stdlib decoders return.
+    Raises ImportError when pillow is absent; callers turn that into
+    the named codec gate."""
+    import io
+
+    import numpy as np
+    from PIL import Image
+
+    img = Image.open(io.BytesIO(content))
+    if img.mode == "P":
+        # palette indices are not pixel values
+        img = img.convert("RGBA" if "transparency" in img.info else "RGB")
+    arr = np.asarray(img)
+    return arr if arr.ndim == 3 else arr[:, :, None]
+
+
 def decode_image(content: bytes):
     """Image decode: PNG, baseline TIFF, baseline JPEG, BMP, GIF, PNM,
     TGA and lossless WebP (VP8L) all decode with the stdlib paths; the
-    remaining codecs (lossy WebP, AVIF, non-MJPEG video frames) need
-    PIL/libavif, which this container lacks."""
+    remaining codecs (lossy WebP, AVIF, non-MJPEG video frames) decode
+    through pillow WHEN INSTALLED (:func:`_pil_decode`) and otherwise
+    raise the named codec gate."""
     if content[:8] == b"\x89PNG\r\n\x1a\n":
         return decode_png(content)
     if content[:4] in (b"II*\x00", b"MM\x00*"):
@@ -311,7 +353,15 @@ def decode_image(content: bytes):
     if content[:4] == b"RIFF" and content[8:12] == b"WEBP":
         from intake_spark.llm.webp import decode_webp
 
-        return decode_webp(content)
+        try:
+            return decode_webp(content)
+        except NotImplementedError as gate:
+            # lossy VP8: stdlib can't, pillow can — keep the named gate
+            # when pillow is absent
+            try:
+                return _pil_decode(content)
+            except ImportError:
+                raise gate from None
     if content[:1] == b"P" and content[1:2] in b"123456":
         return decode_pnm(content)
     if content[-18:] == b"TRUEVISION-XFILE.\x00" or (
@@ -327,16 +377,14 @@ def decode_image(content: bytes):
         # no-palette + known-image-type header shape
         return decode_tga(content)
     try:
-        import io
-
-        from PIL import Image  # noqa: F401
-    except ImportError as exc:  # pragma: no cover - PIL absent here
+        return _pil_decode(content)
+    except ImportError as exc:
         raise NotImplementedError(
             "PNG/TIFF/JPEG/BMP/WebP-lossless decode natively; the remaining "
-            "codecs (lossy WebP, AVIF, ...) require pillow, absent in this "
-            "container — use fake_decode_meta for plumbing tests of those"
+            "codecs (AVIF, lossy WebP, ...) require pillow — install it and "
+            "decode_image delegates automatically, or use fake_decode_meta "
+            "for plumbing tests"
         ) from exc
-    return Image.open(io.BytesIO(content))  # pragma: no cover
 
 
 IMAGE_FEATURES_SCHEMA = T.StructType(

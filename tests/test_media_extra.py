@@ -357,3 +357,107 @@ def test_au_alaw_meta_bits():
 
     m = audio_meta(_au(27, 8000, 1, bytes(8000)))
     assert m["bits"] == 8 and m["duration_s"] == 1.0
+
+
+def test_pil_escape_hatch_for_lossy_codecs(monkeypatch):
+    """When pillow IS installed (faked here), lossy WebP and AVIF blobs
+    decode through it into the standard (H, W, C) uint8 contract; when
+    it is absent, the named codec gate stays."""
+    import struct
+    import sys
+    import types
+
+    import numpy as np
+    import pytest
+
+    from intake_spark.llm.multimodal import decode_image
+
+    vp8 = b"\x00\x00\x00" + b"\x9d\x01\x2a" + struct.pack("<HH", 64, 48)
+    lossy_webp = (
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(vp8)) + b"WEBP"
+        + b"VP8 " + struct.pack("<I", len(vp8)) + vp8
+    )
+    avif = b"\x00\x00\x00\x18ftypavif" + b"\x00" * 16
+
+    # no pillow in this container: both stay named gates
+    for blob in (lossy_webp, avif):
+        with pytest.raises(NotImplementedError):
+            decode_image(blob)
+
+    class FakeImg:
+        mode = "RGB"
+        info: dict = {}
+
+        def convert(self, m):
+            return self
+
+        def __array__(self, dtype=None, copy=None):
+            return np.full((4, 5, 3), 7, dtype="uint8")
+
+    fake_image = types.ModuleType("PIL.Image")
+    fake_image.open = lambda bio: FakeImg()
+    fake_pil = types.ModuleType("PIL")
+    fake_pil.Image = fake_image
+    monkeypatch.setitem(sys.modules, "PIL", fake_pil)
+    monkeypatch.setitem(sys.modules, "PIL.Image", fake_image)
+
+    for blob in (lossy_webp, avif):
+        arr = decode_image(blob)
+        assert arr.shape == (4, 5, 3) and arr.dtype == np.uint8
+
+    # grayscale result is normalized to a channel axis
+    class GrayImg(FakeImg):
+        def __array__(self, dtype=None, copy=None):
+            return np.zeros((4, 5), dtype="uint8")
+
+    fake_image.open = lambda bio: GrayImg()
+    assert decode_image(avif).shape == (4, 5, 1)
+
+    # stdlib-decodable formats must NOT detour through pillow
+    fake_image.open = lambda bio: (_ for _ in ()).throw(AssertionError("PIL used"))
+    from tests.test_llm_ops import _png_rgb_with_filters
+
+    px = np.zeros((3, 2, 3), dtype="uint8")
+    assert decode_image(_png_rgb_with_filters(px, filters=[0] * 3)).shape[:2] == (3, 2)
+
+
+def test_soundfile_escape_hatch_for_lossy_audio(monkeypatch):
+    """MP3/OGG blobs decode through soundfile when installed (faked),
+    normalized to (rate, int16 (n, ch), bits); absent, the named gate."""
+    import sys
+    import types
+
+    import numpy as np
+    import pytest
+
+    from intake_spark.llm.multimodal import decode_audio_full
+
+    mp3 = b"\xff\xfb\x90\x00" + b"\x00" * 64
+
+    with pytest.raises(NotImplementedError):
+        decode_audio_full(mp3)
+
+    fake_sf = types.ModuleType("soundfile")
+
+    def fake_read(bio, dtype="int16", always_2d=True):
+        assert dtype == "int16" and always_2d
+        return np.arange(8, dtype="int16").reshape(4, 2), 22050
+
+    fake_sf.read = fake_read
+    monkeypatch.setitem(sys.modules, "soundfile", fake_sf)
+    rate, arr, bits = decode_audio_full(mp3)
+    assert rate == 22050 and arr.shape == (4, 2) and bits == 16
+
+    # WAV must NOT detour through soundfile
+    fake_sf.read = lambda *a, **k: (_ for _ in ()).throw(AssertionError("sf used"))
+    import io
+    import wave
+
+    bio = io.BytesIO()
+    with wave.open(bio, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(np.zeros(16, dtype="<i2").tobytes())
+    rate, arr, bits = decode_audio_full(bio.getvalue())
+    assert rate == 8000 and bits == 16 and arr.shape == (16, 1)
