@@ -230,6 +230,35 @@ VIDEO_FRAME_SCHEMA = T.StructType(
 )
 
 
+def _av_sample_frames(content: bytes, step: int):
+    """Optional-dependency escape hatch for arbitrary containers/codecs
+    (MP4/H.264, WebM/VP9 …): decode every ``step``-th frame via PyAV
+    when it is installed — the reference's DecordVideoReader delegation
+    (reference readers.py:2208) — as rgb24 byte planes. Returns (fps,
+    codec_name, [(idx, w, h, rgb_bytes)], n_frames); raises ImportError
+    when PyAV is absent."""
+    import io
+
+    import av
+
+    frames = []
+    n = 0
+    with av.open(io.BytesIO(content)) as ctr:
+        vs = ctr.streams.video[0]
+        fps = float(vs.average_rate) if vs.average_rate else 0.0
+        name = str(vs.codec_context.name)
+        for i, frame in enumerate(ctr.decode(vs)):
+            n = i + 1
+            if i % step == 0:
+                arr = frame.to_ndarray(format="rgb24")
+                frames.append((i, int(arr.shape[1]), int(arr.shape[0]), arr.tobytes()))
+    return fps, name, frames, n
+
+
+# AVI codecs whose frame payloads the package decodes natively
+_NATIVE_AVI_CODECS = ("MJPG", "MJPEG", "DMB1")
+
+
 def sample_video_frames(
     df: DataFrame,
     content_col: str = "content",
@@ -239,7 +268,14 @@ def sample_video_frames(
     """Video row → one row per sampled frame (every ``every_n``-th), with
     the frame's still-encoded JPEG bytes. The explode happens executor-side
     per file; only sampled frames are materialized, so downstream decode
-    cost scales with the sampling rate, not the video length."""
+    cost scales with the sampling rate, not the video length.
+
+    Containers/codecs outside the native set (MJPEG-AVI, Y4M) route
+    through PyAV when installed (:func:`_av_sample_frames`), emitting
+    DECODED ``RAW24:<codec>`` rgb24 frame bytes instead of encoded
+    payloads; without PyAV, unknown containers keep the named error and
+    non-MJPEG AVIs still demux their encoded frames (metadata + bytes,
+    decode gated downstream)."""
     from intake_spark.session import ensure_py_deps
 
     ensure_py_deps(df.sparkSession)
@@ -252,7 +288,33 @@ def sample_video_frames(
             out_rows = []
             for _, row in pdf.iterrows():
                 content = bytes(row[content_col])
-                meta = parse_video(content)
+                try:
+                    meta = parse_video(content)
+                except ValueError:
+                    meta = None
+                native = meta is not None and (
+                    str(meta["codec"]).startswith("Y4M-C")
+                    or str(meta["codec"]).upper() in _NATIVE_AVI_CODECS
+                )
+                if not native:
+                    try:
+                        fps, name, av_frames, n = _av_sample_frames(content, step)
+                    except ImportError:
+                        if meta is None:
+                            raise ValueError(
+                                "unrecognized video container (not AVI or "
+                                "Y4M) — other containers decode via PyAV "
+                                "when installed"
+                            ) from None
+                        # non-MJPEG AVI without PyAV: demux the encoded
+                        # frames as before (decode gates downstream)
+                    else:
+                        for idx, w, h, fb in av_frames:
+                            out_rows.append(
+                                tuple(row[c] for c in keep)
+                                + (idx, n, fps, f"RAW24:{name}", w, h, fb)
+                            )
+                        continue
                 for idx in range(0, meta["n_frames"], step):
                     off, size = meta["frames"][idx]
                     out_rows.append(
@@ -303,6 +365,13 @@ def video_frame_features(
                     arr = decode_y4m_frame(
                         content, int(row["frame_w"]), int(row["frame_h"]),
                         codec[len("Y4M-C"):],
+                    )
+                elif isinstance(codec, str) and codec.startswith("RAW24:"):
+                    # PyAV escape-hatch frames arrive already decoded
+                    import numpy as np
+
+                    arr = np.frombuffer(content, dtype=np.uint8).reshape(
+                        int(row["frame_h"]), int(row["frame_w"]), 3
                     )
                 else:
                     arr = decode_image(content)

@@ -461,3 +461,91 @@ def test_soundfile_escape_hatch_for_lossy_audio(monkeypatch):
         w.writeframes(np.zeros(16, dtype="<i2").tobytes())
     rate, arr, bits = decode_audio_full(bio.getvalue())
     assert rate == 8000 and bits == 16 and arr.shape == (16, 1)
+
+
+def test_pyav_escape_hatch_for_video(monkeypatch, spark):
+    """Unknown containers (MP4 etc.) decode through PyAV when installed
+    (faked): sample_video_frames emits decoded RAW24 frames that
+    video_frame_features consumes; absent PyAV, the named error stays."""
+    import sys
+    import types
+
+    import numpy as np
+    import pytest
+
+    from intake_spark.llm.video import _av_sample_frames, sample_video_frames, video_frame_features
+
+    mp4 = b"\x00\x00\x00\x18ftypisom" + b"\x00" * 64
+
+    with pytest.raises(ImportError):
+        _av_sample_frames(mp4, 1)
+
+    class FakeFrame:
+        def __init__(self, i):
+            self.i = i
+
+        def to_ndarray(self, format):
+            assert format == "rgb24"
+            return np.full((4, 6, 3), self.i, dtype="uint8")
+
+    class FakeStream:
+        average_rate = 25
+
+        class codec_context:
+            name = "h264"
+
+    class FakeContainer:
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+        class streams:
+            video = [FakeStream()]
+
+        def decode(self, vs):
+            return iter(FakeFrame(i) for i in range(5))
+
+    fake_av = types.ModuleType("av")
+    fake_av.open = lambda bio: FakeContainer()
+    monkeypatch.setitem(sys.modules, "av", fake_av)
+
+    fps, name, frames, n = _av_sample_frames(mp4, 2)
+    assert (fps, name, n) == (25.0, "h264", 5)
+    assert [f[0] for f in frames] == [0, 2, 4]
+    assert frames[0][1:3] == (6, 4)
+
+    # driver-side replica of the UDF logic (the fake module can't cross
+    # the Python-worker boundary): the RAW24 rows and the feature branch
+    raw = frames[0][3]
+    arr = np.frombuffer(raw, dtype=np.uint8).reshape(4, 6, 3)
+    assert float(arr.mean()) == 0.0
+
+    # without av and with an unknown container, the Spark path raises the
+    # named error end-to-end
+    monkeypatch.delitem(sys.modules, "av")
+    df = spark.createDataFrame([("f.mp4", bytearray(mp4))], "path string, content binary")
+    with pytest.raises(Exception, match="PyAV|unrecognized video container"):
+        sample_video_frames(df, every_n=1).collect()
+
+    # MJPEG-AVI keeps the native path untouched: still-encoded JPEG
+    # frame bytes, codec MJPG (the escape hatch only takes over for
+    # codecs outside the native set)
+    from tests.test_video import _gray_frame, make_avi
+
+    avi = make_avi([_gray_frame(100)], 8, 8)
+    df2 = spark.createDataFrame([("f.avi", bytearray(avi))], "path string, content binary")
+    rows = sample_video_frames(df2, every_n=1).collect()
+    assert rows and rows[0].codec == "MJPG"
+    assert bytes(rows[0].frame_bytes)[:3] == b"\xff\xd8\xff"
+
+    # non-MJPEG AVI without PyAV: the demux-only behavior is preserved —
+    # encoded frame bytes with the foreign codec tag, decode gated later
+    h264_avi = avi.replace(b"MJPG", b"H264", 1)
+    df3 = spark.createDataFrame(
+        [("f2.avi", bytearray(h264_avi))], "path string, content binary"
+    )
+    rows3 = sample_video_frames(df3, every_n=1).collect()
+    assert rows3 and rows3[0].codec == "H264"
+    assert len(bytes(rows3[0].frame_bytes)) > 0
