@@ -891,10 +891,11 @@ _VERIFY_FIRST: tuple[str, ...] = (
     # hard-negative mining) — never driver-verified, outrank re-verifies
     "q113_quality_buckets",
     "q114_hard_negatives",
-    # q115/q116 (leakage-free dedup-aware split, UniMax budgets) — newest,
-    # never driver-verified
+    # q115-q117 (leakage-free dedup-aware split, UniMax budgets,
+    # contamination fractions) — newest, never driver-verified
     "q115_dedup_aware_split",
     "q116_unimax_budgets",
+    "q117_contamination_scores",
     "q15_rollup_region_nation",
     "q16_json_props",
     "q17_hourly_windows",

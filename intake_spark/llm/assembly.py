@@ -514,3 +514,65 @@ def curation_funnel(
         F.col("n_kept").cast("long").alias("n_kept"),
         F.col("tokens_kept").cast("long").alias("tokens_kept"),
     )
+
+
+def contamination_scores(
+    df: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_id_col: str | None = None,
+    bench_text_col: str | None = None,
+    k: int = 3,
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """Soft contamination metric per training document: the FRACTION of
+    its distinct k-gram shingles that collide with the benchmark shingle
+    set — (id, n_shingles, n_overlap, contamination_r). The graded
+    companion to :func:`decontaminate`'s hard flag (PaLM/GPT-4-style
+    n-gram collision-rate reporting): thresholding the fraction instead
+    of an absolute count treats 10 hits in a tweet and 10 hits in a book
+    differently, and the distribution itself is the audit artifact.
+
+    Documents too short to have any k-shingle carry ``n_shingles = 0``
+    and a NULL score — unmeasurable, not clean.
+
+    Scale: identical to decontaminate — benchmark shingles broadcast
+    (map-side join), corpus side is one explode + one hash-aggregate on
+    the doc key; the LEFT join keeps zero-hit docs without a second
+    corpus pass.
+    """
+    bench_id = bench_id_col or id_col
+    bench_text = bench_text_col or text_col
+    sh_d = shingles(df, id_col, text_col, k)
+    sh_b = (
+        shingles(benchmark, bench_id, bench_text, k)
+        .select("shingle")
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    if broadcast_benchmark:
+        sh_b = F.broadcast(sh_b)
+    per = (
+        sh_d.join(sh_b, "shingle", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("n_overlap"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(per, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_shingles"), F.lit(0)).cast("long").alias("n_shingles"),
+            F.coalesce(F.col("n_overlap"), F.lit(0)).cast("long").alias("n_overlap"),
+            F.when(
+                F.col("n_shingles") > 0,
+                F.round(
+                    F.col("n_overlap").cast("double") / F.col("n_shingles"), 6
+                ),
+            ).alias("contamination_r"),
+        )
+    )

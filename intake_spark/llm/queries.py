@@ -2855,3 +2855,40 @@ def q116_unimax_budgets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.unimax_budgets(
         docs, total_budget=_Q116_BUDGET, epochs_cap=_Q116_EPOCHS
     )
+
+
+@register(
+    "q117_contamination_scores",
+    f"""
+    WITH {{shingles}},
+    tr AS (SELECT doc_id FROM documents WHERE {{bucket}} >= {{thr}}),
+    be AS (SELECT doc_id FROM documents WHERE {{bucket}} < {{thr}}),
+    bsh AS (SELECT DISTINCT shingle FROM sh JOIN be USING (doc_id)),
+    per AS (SELECT sh.doc_id, COUNT(*) AS n_shingles,
+                   SUM(CASE WHEN bsh.shingle IS NOT NULL THEN 1 ELSE 0 END)
+                     AS n_overlap
+            FROM sh JOIN tr USING (doc_id)
+                 LEFT JOIN bsh ON bsh.shingle = sh.shingle
+            GROUP BY sh.doc_id)
+    SELECT tr.doc_id,
+           CAST(COALESCE(per.n_shingles, 0) AS BIGINT) AS n_shingles,
+           CAST(COALESCE(per.n_overlap, 0) AS BIGINT) AS n_overlap,
+           CASE WHEN per.n_shingles > 0
+                THEN ROUND(CAST(per.n_overlap AS DOUBLE) / per.n_shingles, 6)
+           END AS contamination_r
+    FROM tr LEFT JOIN per ON per.doc_id = tr.doc_id
+    """.format(
+        shingles=_SHINGLES_CTE,
+        bucket=_Q54_BUCKET,
+        thr=_Q54_BENCH_THR,
+    ),
+)
+def q117_contamination_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram contamination FRACTION against the held-out
+    benchmark slice (q54's split): the graded collision-rate audit next
+    to q54's hard flag (assembly.contamination_scores). Benchmark
+    shingles broadcast; corpus side is one explode + one doc-key
+    aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    train, bench = assembly.bench_split(docs, fraction=_Q54_BENCH_FRACTION)
+    return assembly.contamination_scores(train, bench)

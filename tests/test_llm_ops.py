@@ -2526,3 +2526,31 @@ def test_unimax_budgets_waterfall(spark):
         unimax_budgets(docs, total_budget=-1)
     with pytest.raises(ValueError):
         unimax_budgets(docs, total_budget=10, epochs_cap=0)
+
+
+def test_contamination_scores_fraction_and_unmeasurable(spark):
+    """The fraction is n_overlap/n_shingles over DISTINCT doc shingles;
+    zero-shingle docs are NULL-scored (unmeasurable), zero-hit docs are
+    0.0; and the hard decontaminate flag agrees at min_overlap=1."""
+    from intake_spark.llm.assembly import contamination_scores, decontaminate
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e"),          # shingles: abc bcd cde (3)
+            (2, "a b c x y"),          # abc bcx cxy (3), 1 hit
+            (3, "p q r s"),            # no overlap
+            (4, "xx yy"),              # < 3 tokens: no shingles
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "a b c d q")], "doc_id long, text string"
+    )  # bench shingles: abc bcd cdq
+    out = {r.doc_id: r for r in contamination_scores(docs, bench).collect()}
+    assert out[1].n_shingles == 3 and out[1].n_overlap == 2
+    assert out[1].contamination_r == round(2 / 3, 6)
+    assert out[2].n_overlap == 1 and out[2].contamination_r == round(1 / 3, 6)
+    assert out[3].n_overlap == 0 and out[3].contamination_r == 0.0
+    assert out[4].n_shingles == 0 and out[4].contamination_r is None
+    flags = {r.doc_id: r.contaminated for r in decontaminate(docs, bench).collect()}
+    assert all((out[d].n_overlap >= 1) == flags[d] for d in flags)
