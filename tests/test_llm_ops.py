@@ -2554,3 +2554,33 @@ def test_contamination_scores_fraction_and_unmeasurable(spark):
     assert out[4].n_shingles == 0 and out[4].contamination_r is None
     flags = {r.doc_id: r.contaminated for r in decontaminate(docs, bench).collect()}
     assert all((out[d].n_overlap >= 1) == flags[d] for d in flags)
+
+
+def test_new_curation_ops_plan_shapes(spark):
+    """Scale-posture regression for the round-6 close: dedup_aware_split
+    broadcasts the (pair-bounded) group table, contamination_scores
+    broadcasts the benchmark shingles — neither shuffles the corpus side
+    for its join."""
+    from intake_spark.llm.assembly import bench_split, contamination_scores
+    from intake_spark.llm.sampling import dedup_aware_split
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+    )
+    pairs = spark.createDataFrame([(1, 2)], "doc_a long, doc_b long")
+    plan = (
+        dedup_aware_split(docs, pairs, [0.8, 0.1, 0.1])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+    train, bench = bench_split(docs, fraction=0.05)
+    plan2 = (
+        contamination_scores(train, bench)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # the shingle-collision join must be the broadcast, never a shuffle
+    # of the exploded corpus shingles against the benchmark
+    assert "BroadcastHashJoin" in plan2
