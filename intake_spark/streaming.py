@@ -763,3 +763,78 @@ def stream_semantic_dup_flags(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_decontaminate_flags(
+    df: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    min_overlap: int = 1,
+) -> DataFrame:
+    """Streaming decontamination ingestion guard: flag arriving documents
+    whose k-gram shingle overlap with a STATIC benchmark set reaches
+    ``min_overlap`` — (id, n_shingles, n_overlap, contaminated). The
+    stream twin of :func:`intake_spark.llm.assembly.decontaminate` /
+    ``contamination_scores``.
+
+    Completely STATELESS: a document's shingles live in its own row, so
+    the check is one Arrow-batched mapper — append mode, no watermark,
+    no state store, works identically on a batch frame (the parity
+    test's arm). The benchmark side is collected once and broadcast
+    (the bloom_decontaminate premise, documented there: benchmark sets
+    are MBs, not corpus-sized — for a corpus-sized reference use the
+    batch anti-join instead).
+
+    Shingling replicates ``dedup.shingles`` exactly (split on single
+    space, no empty-token filter, k-word windows) so flags match the
+    batch operators row for row.
+    """
+    import pandas as pd
+
+    from intake_spark.llm.dedup import shingles
+    from intake_spark.session import ensure_py_deps
+
+    ensure_py_deps(df.sparkSession)
+    bench_set = {
+        r["shingle"]
+        for r in shingles(benchmark, id_col, text_col, k)
+        .select("shingle")
+        .distinct()
+        .collect()
+    }
+    bc = df.sparkSession.sparkContext.broadcast(bench_set)
+    id_type = df.schema[id_col].dataType.simpleString()
+    schema = (
+        f"`{id_col}` {id_type}, n_shingles long, n_overlap long, "
+        "contaminated int"
+    )
+    mo = int(min_overlap)
+
+    def run(batches):
+        sh_set = bc.value
+        for pdf in batches:
+            ids, ns, no = [], [], []
+            for _id, txt in zip(pdf[id_col], pdf[text_col]):
+                toks = txt.split(" ") if isinstance(txt, str) else []
+                if len(toks) >= k:
+                    ss = {
+                        " ".join(toks[i : i + k])
+                        for i in range(len(toks) - k + 1)
+                    }
+                else:
+                    ss = set()
+                ids.append(_id)
+                ns.append(len(ss))
+                no.append(len(ss & sh_set))
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "n_shingles": ns,
+                    "n_overlap": no,
+                    "contaminated": [int(x >= mo) for x in no],
+                }
+            )
+
+    return df.mapInPandas(run, schema)

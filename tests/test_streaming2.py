@@ -493,3 +493,60 @@ def test_streaming_gopher_rules_match_batch(spark, tmp_path):
         for r in spark.sql("SELECT * FROM gopher_gate").collect()
     )
     assert got == expected
+
+
+def test_stream_decontaminate_flags_matches_batch(spark, tmp_path):
+    """Stateless decontamination guard: stream arm ≡ batch arm ≡ the
+    batch assembly operators, with the contaminated doc arriving in a
+    later micro-batch (no state needed — proves the stateless claim)."""
+    from intake_spark.llm.assembly import contamination_scores, decontaminate
+    from intake_spark.streaming import stream_decontaminate_flags
+
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta")], "doc_id long, text string"
+    )
+    base = [(1, "alpha beta gamma here now"), (2, "unrelated words entirely here yes")]
+    later = [(10, "x alpha beta gamma delta y"), (11, "zz")]  # 11: sub-k tokens
+    schema = "doc_id long, text string"
+    src = tmp_path / "decon_src"
+    src.mkdir()
+    spark.createDataFrame(base, schema).coalesce(1).write.parquet(str(src / "f0"))
+    spark.createDataFrame(later, schema).coalesce(1).write.parquet(str(src / "f1"))
+
+    batch = spark.read.schema(schema).parquet(str(src / "*"))
+    got_b = {
+        r.doc_id: r for r in stream_decontaminate_flags(batch, bench).collect()
+    }
+    # parity with the batch operators (same shingling, same counts)
+    cs = {r.doc_id: r for r in contamination_scores(batch, bench).collect()}
+    dc = {r.doc_id: r for r in decontaminate(batch, bench).collect()}
+    for d in got_b:
+        assert got_b[d].n_shingles == cs[d].n_shingles
+        assert got_b[d].n_overlap == cs[d].n_overlap == dc[d].n_overlap
+        assert bool(got_b[d].contaminated) == dc[d].contaminated
+    assert got_b[1].contaminated == 1 and got_b[10].contaminated == 1
+    assert got_b[2].contaminated == 0
+    assert got_b[11].n_shingles == 0 and got_b[11].contaminated == 0
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    q = (
+        stream_decontaminate_flags(stream, bench)
+        .writeStream.format("memory")
+        .queryName("decon_gate")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180)
+    q.stop()
+    got_s = {
+        r.doc_id: (r.n_shingles, r.n_overlap, r.contaminated)
+        for r in spark.sql("SELECT * FROM decon_gate").collect()
+    }
+    assert got_s == {
+        d: (r.n_shingles, r.n_overlap, r.contaminated) for d, r in got_b.items()
+    }
