@@ -896,6 +896,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "q115_dedup_aware_split",
     "q116_unimax_budgets",
     "q117_contamination_scores",
+    "q118_keep_best_duplicate",
     "q15_rollup_region_nation",
     "q16_json_props",
     "q17_hourly_windows",

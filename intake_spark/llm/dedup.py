@@ -953,3 +953,50 @@ def remove_dup_spans(
             f"clean_{text_col}"
         ),
     )
+
+
+def keep_best_duplicate(
+    df: DataFrame,
+    pairs: DataFrame,
+    score_col: str,
+    id_col: str = "doc_id",
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+) -> DataFrame:
+    """Quality-aware survivor selection: within each near-dup cluster keep
+    the HIGHEST-``score_col`` member (ties to the lowest id) instead of
+    :func:`dup_groups`'s first-seen min-id canonical — the "keep the best
+    version, not the first crawl" policy real corpus builds want when
+    duplicates differ in truncation or boilerplate. Returns every row of
+    ``df`` with (group_id, keep_id, keep); singletons keep themselves.
+
+    Plan: connected components over the (LSH-pruned, tiny) pair set, the
+    group table broadcast onto the corpus, then ONE window per group for
+    the argmax — the window partitions by group over only the clustered
+    rows (pair-bounded), never the whole corpus; singleton rows bypass it
+    map-side via the null group branch.
+    """
+    groups = dup_groups(pairs, a_col=a_col, b_col=b_col).select(
+        F.col("doc_id").alias(id_col), F.col("group_id")
+    )
+    joined = df.join(F.broadcast(groups), id_col, "left")
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("group_id").orderBy(
+        F.desc(score_col), F.asc(id_col)
+    )
+    clustered = joined.filter(F.col("group_id").isNotNull()).withColumn(
+        # first id under (score DESC, id ASC) over the full partition
+        # frame = the argmax member's id
+        "keep_id",
+        F.first(id_col).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        ),
+    )
+    singletons = joined.filter(F.col("group_id").isNull()).select(
+        *joined.columns
+    ).withColumn("keep_id", F.col(id_col))
+    out = clustered.select(*joined.columns, "keep_id").unionByName(singletons)
+    return out.withColumn(
+        "group_id", F.coalesce(F.col("group_id"), F.col(id_col))
+    ).withColumn("keep", (F.col("keep_id") == F.col(id_col)).cast("int"))

@@ -2892,3 +2892,33 @@ def q117_contamination_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     train, bench = assembly.bench_split(docs, fraction=_Q54_BENCH_FRACTION)
     return assembly.contamination_scores(train, bench)
+
+
+@register(
+    "q118_keep_best_duplicate",
+    f"""
+    WITH RECURSIVE {{shingles}},{{dup_body}},
+    grp AS (SELECT s AS doc_id, MIN(t) AS group_id FROM reach GROUP BY s),
+    j AS (SELECT d.doc_id, d.n_chars,
+                 COALESCE(g.group_id, d.doc_id) AS group_id,
+                 g.group_id IS NOT NULL AS clustered
+          FROM documents d LEFT JOIN grp g ON g.doc_id = d.doc_id),
+    best AS (SELECT group_id,
+                    FIRST(doc_id ORDER BY n_chars DESC, doc_id) AS keep_id
+             FROM j WHERE clustered GROUP BY group_id)
+    SELECT j.doc_id, j.group_id,
+           COALESCE(best.keep_id, j.doc_id) AS keep_id,
+           CAST(COALESCE(best.keep_id, j.doc_id) = j.doc_id AS INT) AS keep
+    FROM j LEFT JOIN best ON best.group_id = j.group_id AND j.clustered
+    """.format(shingles=_SHINGLES_CTE, dup_body=_DUP_GROUPS_BODY),
+)
+def q118_keep_best_duplicate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware dedup survivor selection: within each q33 near-dup
+    cluster keep the LONGEST member (n_chars argmax, ties to lowest id)
+    — the "best version, not first crawl" policy
+    (dedup.keep_best_duplicate); singletons keep themselves. The window
+    runs only over clustered rows (pair-bounded), never the corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.jaccard_pairs(docs, threshold=0.5)
+    out = dedup.keep_best_duplicate(docs, pairs, score_col="n_chars")
+    return out.select("doc_id", "group_id", "keep_id", "keep")

@@ -2584,3 +2584,30 @@ def test_new_curation_ops_plan_shapes(spark):
     # the shingle-collision join must be the broadcast, never a shuffle
     # of the exploded corpus shingles against the benchmark
     assert "BroadcastHashJoin" in plan2
+
+
+def test_keep_best_duplicate_argmax_and_singletons(spark):
+    """Within a cluster the longest member survives (ties to lowest id);
+    singletons keep themselves; exactly one keeper per group."""
+    from intake_spark.llm.dedup import keep_best_duplicate
+
+    docs = spark.createDataFrame(
+        [(1, 10), (2, 30), (3, 30), (4, 5), (5, 99)],
+        "doc_id long, quality long",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3)], "doc_a long, doc_b long"
+    )  # cluster {1,2,3}; 4 and 5 singletons
+    out = {r.doc_id: r for r in keep_best_duplicate(docs, pairs, "quality").collect()}
+    assert len(out) == 5
+    # argmax quality 30 shared by 2 and 3 -> lowest id 2 wins
+    assert out[1].keep_id == 2 and out[2].keep_id == 2 and out[3].keep_id == 2
+    assert [out[i].keep for i in (1, 2, 3)] == [0, 1, 0]
+    assert out[1].group_id == out[2].group_id == out[3].group_id == 1
+    assert out[4].keep == 1 and out[4].keep_id == 4 and out[4].group_id == 4
+    assert out[5].keep == 1
+    # exactly one keeper per group
+    from collections import Counter
+
+    keepers = Counter(r.group_id for r in out.values() if r.keep)
+    assert all(v == 1 for v in keepers.values()) and len(keepers) == 3
