@@ -2192,3 +2192,105 @@ def to_iceberg(
         {"snapshot_id": snap_id, "version": version, "n_files": len(moved)}
     )
     return out
+
+
+def to_token_shards(
+    df: DataFrame,
+    url: str,
+    target_tokens: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    tokens_col: str | None = None,
+    shards_hint: int = 8,
+    mode: str = "overwrite",
+) -> dict:
+    """Write a finished corpus as TOKEN-BUDGETED shards: hive-partitioned
+    parquet (``shard_id=N``) where each shard holds consecutive documents
+    (ascending ``id_col``) totalling ~``target_tokens`` tokens, plus a
+    ``_manifest.json`` of per-shard document/token counts — the standard
+    final step of a training-data build (downstream loaders want
+    equal-work shards and a manifest, not row-count-balanced files).
+
+    A document is never split: it belongs to the shard where its
+    EXCLUSIVE cumulative token count lands, so every shard except
+    possibly the last spans at least ``target_tokens`` minus one
+    document. Token counts come from ``tokens_col`` if given, else a
+    whitespace count of ``text_col``.
+
+    Scale: the global document order never runs through one task — the
+    same two-pass prefix-sum as ``assembly.select_token_budget`` (range
+    partitions on the id, in-shard window sums, cross-shard offsets from
+    a shards-sized aggregate), then ONE hive-partitioned write; the
+    manifest aggregate is shards-sized. Deterministic under any input
+    partitioning.
+    """
+    import json
+    import os
+
+    from pyspark.sql.window import Window
+
+    if target_tokens <= 0:
+        raise ValueError("target_tokens must be positive")
+    if tokens_col is None:
+        toks = F.size(
+            F.filter(
+                F.split(F.coalesce(F.col(text_col), F.lit("")), " "),
+                lambda x: F.length(x) > 0,
+            )
+        ).cast("long")
+    else:
+        toks = F.col(tokens_col).cast("long")
+    d = df.withColumn("_nt", toks)
+    d = d.repartitionByRange(shards_hint, F.asc(id_col))
+    d = d.sortWithinPartitions(F.asc(id_col)).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    # pin the range partitioning once (RangePartitioner samples
+    # boundaries; a second execution could place rows differently and
+    # desync the _pid-keyed offsets)
+    d = d.localCheckpoint(eager=True)
+    totals = {
+        int(r["_pid"]): int(r["_t"])
+        for r in d.groupBy("_pid").agg(F.sum("_nt").alias("_t")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(totals):
+        offsets[pid] = acc
+        acc += totals[pid]
+    off_expr = F.lit(0)
+    for pid, off in sorted(offsets.items()):
+        off_expr = F.when(F.col("_pid") == pid, F.lit(off)).otherwise(off_expr)
+    win = (
+        Window.partitionBy("_pid")
+        .orderBy(F.asc(id_col))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum_excl = F.sum("_nt").over(win) + off_expr - F.col("_nt")
+    sharded = d.withColumn(
+        "shard_id", F.floor(cum_excl / F.lit(int(target_tokens))).cast("int")
+    )
+    out = sharded.drop("_pid").withColumnRenamed("_nt", "n_tokens")
+    out.write.mode(mode).partitionBy("shard_id").parquet(url)
+    manifest_rows = (
+        out.groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+        )
+        .orderBy("shard_id")
+        .collect()
+    )
+    manifest = {
+        "target_tokens": int(target_tokens),
+        "shards": [
+            {
+                "shard_id": int(r["shard_id"]),
+                "n_docs": int(r["n_docs"]),
+                "n_tokens": int(r["n_tokens"]),
+            }
+            for r in manifest_rows
+        ],
+    }
+    with open(os.path.join(url, "_manifest.json"), "w") as f:
+        json.dump(manifest, f, indent=1)
+    return manifest

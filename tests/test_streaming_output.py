@@ -585,3 +585,60 @@ def test_to_avro_nested_columns_roundtrip(spark, tmp_path):
     assert list(got[2].arr) == [] and dict(got[2].m) == {}
     assert got[2].st.s is None and got[2].st.k is None
     assert got[3].arr is None and got[3].m is None and got[3].st is None
+
+
+def test_to_token_shards_budget_and_manifest(spark, tmp_path):
+    """Token-budgeted shard export: consecutive ids per shard, documents
+    never split, per-shard token sums bracket the target, manifest
+    matches the written data, deterministic under any partitioning."""
+    import json
+    import os
+
+    from intake_spark.output import to_token_shards
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * (10 + i % 7))) for i in range(100)],
+        "doc_id long, text string",
+    )
+    url = str(tmp_path / "shards")
+    man = to_token_shards(docs, url, target_tokens=200, shards_hint=4)
+
+    back = spark.read.parquet(url)
+    assert back.count() == 100
+    rows = sorted(
+        ((r.shard_id, r.doc_id, r.n_tokens) for r in back.collect())
+    )
+    # shards hold consecutive ascending ids
+    by_shard: dict = {}
+    for sid, did, nt in rows:
+        by_shard.setdefault(sid, []).append((did, nt))
+    ids_in_order = [d for sid in sorted(by_shard) for d, _ in by_shard[sid]]
+    assert ids_in_order == sorted(ids_in_order) == list(range(100))
+    # every shard except the last reaches the target once its LAST doc
+    # lands (exclusive-cum assignment), and starts below it
+    sids = sorted(by_shard)
+    for sid in sids[:-1]:
+        tot = sum(nt for _, nt in by_shard[sid])
+        assert tot >= 200 - max(nt for _, nt in by_shard[sid])
+        assert tot < 200 + max(nt for _, nt in by_shard[sid])
+    # manifest agrees with the data
+    with open(os.path.join(url, "_manifest.json")) as f:
+        m2 = json.load(f)
+    assert m2 == man and m2["target_tokens"] == 200
+    assert {s["shard_id"]: s["n_docs"] for s in m2["shards"]} == {
+        sid: len(v) for sid, v in by_shard.items()
+    }
+    assert {s["shard_id"]: s["n_tokens"] for s in m2["shards"]} == {
+        sid: sum(nt for _, nt in v) for sid, v in by_shard.items()
+    }
+    # deterministic under a different input partitioning
+    man2 = to_token_shards(
+        docs.repartition(13), str(tmp_path / "shards2"), target_tokens=200,
+        shards_hint=3,
+    )
+    assert man2["shards"] == man["shards"]
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        to_token_shards(docs, url, target_tokens=0)
