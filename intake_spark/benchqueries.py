@@ -854,7 +854,7 @@ def q42_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
 # time regardless of ordering.
 _VERIFY_FIRST: tuple[str, ...] = (
     # r6: q61/q88 first (red/no-oracle in r05, both fixed this round) and
-    # the never-verified new queries (q97-q112), then the queries whose
+    # the never-verified new queries (q97-q118), then the queries whose
     # latest green driver row is r03/r04. The new queries displace
     # q45-q50/q76/q77/q78 past position 50 — those keep their old green
     # rows and rotate back in r7 (the local oracle gate still runs all
