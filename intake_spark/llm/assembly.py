@@ -170,6 +170,62 @@ def bench_split(
     return df.filter(b >= thr), df.filter(b < thr)
 
 
+def global_prefix_sum(
+    df: DataFrame,
+    value_col: str,
+    order_cols: list,
+    shards: int,
+    out_col: str = "cum",
+) -> DataFrame:
+    """INCLUSIVE global running sum of ``value_col`` over the total order
+    given by ``order_cols`` (Column sort expressions, e.g.
+    ``[F.desc("quality_fx"), F.asc("doc_id")]``), without the order ever
+    running through one task: range-partition on the order keys
+    (``shards`` ordered ranges), window-sum within each range, and add
+    cross-range offsets from a shards-sized aggregate. The ONE
+    prefix-sum implementation behind ``select_token_budget`` and
+    ``output.to_token_shards`` (the RangePartitioner-pinning subtlety
+    below must not fork).
+
+    Pass a SKINNY projection (id + value + order keys): the frame is
+    ``localCheckpoint``-pinned — RangePartitioner samples its boundaries,
+    so the offsets ``collect`` and the final pass would otherwise be two
+    physical executions whose partition contents can differ, desyncing
+    the partition-keyed offsets — and the checkpoint materializes every
+    column to executor-local disk. Deterministic under any input
+    partitioning. Returns the pinned frame + ``out_col``."""
+    d = df.repartitionByRange(shards, *order_cols)
+    d = d.sortWithinPartitions(*order_cols).withColumn(
+        "_gps_pid", F.spark_partition_id()
+    )
+    d = d.localCheckpoint(eager=True)
+    totals = {
+        int(r["_gps_pid"]): int(r["_t"])
+        for r in d.groupBy("_gps_pid").agg(F.sum(value_col).alias("_t")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(totals):
+        offsets[pid] = acc
+        acc += totals[pid]
+    off_expr = None
+    for pid, off in sorted(offsets.items()):
+        off_expr = (
+            F.when(F.col("_gps_pid") == pid, F.lit(off))
+            if off_expr is None
+            else off_expr.when(F.col("_gps_pid") == pid, F.lit(off))
+        )
+    if off_expr is None:  # empty frame
+        off_expr = F.lit(0)
+    win = (
+        Window.partitionBy("_gps_pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return d.withColumn(out_col, F.sum(value_col).over(win) + off_expr).drop(
+        "_gps_pid"
+    )
+
+
 def select_token_budget(
     df: DataFrame,
     budget: int,
@@ -206,41 +262,15 @@ def select_token_budget(
         .cast("bigint")
         .alias("quality_fx"),
     )
-    d = d.repartitionByRange(shards, F.desc("quality_fx"), F.asc(id_col))
-    d = d.sortWithinPartitions(F.desc("quality_fx"), F.asc(id_col)).withColumn(
-        "_pid", F.spark_partition_id()
+    d = global_prefix_sum(
+        d,
+        "n_tokens",
+        [F.desc("quality_fx"), F.asc(id_col)],
+        shards,
+        out_col="cum_tokens",
     )
-    # pin the range partitioning ONCE: the offsets collect below and the
-    # final pass would otherwise be two separate physical executions, and
-    # RangePartitioner's boundary sample can differ between them — the
-    # _pid-keyed offsets would then be applied to different partition
-    # contents (wrong cross-shard offsets, nondeterministic cut). Also
-    # saves the second full scan+sort.
-    d = d.localCheckpoint(eager=True)
-    totals = {
-        int(r["_pid"]): int(r["_t"])
-        for r in d.groupBy("_pid").agg(F.sum("n_tokens").alias("_t")).collect()
-    }
-    offsets, acc = {}, 0
-    for pid in sorted(totals):
-        offsets[pid] = acc
-        acc += totals[pid]
-    off_expr = None
-    for pid, off in sorted(offsets.items()):
-        off_expr = (
-            F.when(F.col("_pid") == pid, F.lit(off))
-            if off_expr is None
-            else off_expr.when(F.col("_pid") == pid, F.lit(off))
-        )
-    win = (
-        Window.partitionBy("_pid")
-        .orderBy(F.desc("quality_fx"), F.asc(id_col))
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    return (
-        d.withColumn("cum_tokens", F.sum("n_tokens").over(win) + off_expr)
-        .filter(F.col("cum_tokens") <= budget)
-        .select(id_col, "n_tokens", "quality_fx", "cum_tokens")
+    return d.filter(F.col("cum_tokens") <= budget).select(
+        id_col, "n_tokens", "quality_fx", "cum_tokens"
     )
 
 

@@ -325,6 +325,12 @@ def _pil_decode(content: bytes) -> np.ndarray:
     if img.mode == "P":
         # palette indices are not pixel values
         img = img.convert("RGBA" if "transparency" in img.info else "RGB")
+    if img.mode not in ("RGB", "RGBA", "L"):
+        # CMYK/YCbCr/LA/I/F/I;16 …: normalize to the uint8 RGB(A)/L
+        # contract — a raw CMYK plane read as RGBA (or an int32 'I'
+        # plane) would silently corrupt downstream channel features
+        has_alpha = "A" in img.mode or "transparency" in img.info
+        img = img.convert("RGBA" if has_alpha else "RGB")
     arr = np.asarray(img)
     return arr if arr.ndim == 3 else arr[:, :, None]
 
@@ -342,7 +348,15 @@ def decode_image(content: bytes):
 
         return decode_tiff(content)
     if content[:3] == b"\xff\xd8\xff":
-        arr = decode_jpeg(content)
+        try:
+            arr = decode_jpeg(content)
+        except NotImplementedError as gate:
+            # progressive/arithmetic SOF types: stdlib can't, pillow can —
+            # keep the named gate when pillow is absent
+            try:
+                return _pil_decode(content)
+            except ImportError:
+                raise gate from None
         # single-component JPEGs decode 2-D; normalize to (H, W, 1) so every
         # decode_image caller can rely on a channel axis
         return arr if arr.ndim == 3 else arr[:, :, None]
@@ -632,7 +646,7 @@ def decode_jpeg(content: bytes):
             while b < len(body):
                 prec, tid = body[b] >> 4, body[b] & 0xF
                 if prec:
-                    raise ValueError("16-bit quant tables not supported")
+                    raise NotImplementedError("16-bit quant tables not supported")
                 qt[tid] = np.frombuffer(body[b + 1 : b + 65], dtype=np.uint8).astype(np.float64)
                 b += 65
         elif marker == 0xC4:  # DHT
@@ -656,7 +670,9 @@ def decode_jpeg(content: bytes):
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
             frame = {"h": h, "w": w, "comps": comps}
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
-            raise ValueError(
+            # named codec gate (NotImplementedError, like lossy WebP):
+            # decode_image catches it and delegates to pillow when installed
+            raise NotImplementedError(
                 f"JPEG frame type FFC{marker & 0xF:X} not supported "
                 "(baseline sequential SOF0 only)"
             )

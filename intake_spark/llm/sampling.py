@@ -47,19 +47,28 @@ def hash_sample(df: DataFrame, key_col: str, fraction: float, salt: str = "") ->
     return df.filter(hash_bucket(key_col, salt) < round(fraction * _BUCKETS))
 
 
-def hash_split(df: DataFrame, key_col: str, fractions: list[float], salt: str = "") -> list[DataFrame]:
-    """Disjoint deterministic splits (e.g. [0.8, 0.1, 0.1] train/val/test):
-    contiguous bucket ranges of one hash, so membership is exclusive and
-    exhaustive by construction — no row can land in two splits."""
+def _split_edges(fractions: list[float]) -> list[int]:
+    """Cumulative bucket edges for disjoint hash splits — the ONE
+    definition both :func:`hash_split` and :func:`dedup_aware_split`
+    range over (desynced edge rules would give different splits for the
+    same fractions)."""
     if abs(sum(fractions) - 1.0) > 1e-9:
         raise ValueError(f"fractions must sum to 1, got {sum(fractions)}")
-    b = hash_bucket(key_col, salt)
     edges = [0]
     for f in fractions:
         # round, not int(): 0.3 * 1e6 is 299999.99999999994 in IEEE double
         # and truncation silently keeps one bucket fewer than specified
         edges.append(edges[-1] + round(f * _BUCKETS))
     edges[-1] = _BUCKETS
+    return edges
+
+
+def hash_split(df: DataFrame, key_col: str, fractions: list[float], salt: str = "") -> list[DataFrame]:
+    """Disjoint deterministic splits (e.g. [0.8, 0.1, 0.1] train/val/test):
+    contiguous bucket ranges of one hash, so membership is exclusive and
+    exhaustive by construction — no row can land in two splits."""
+    edges = _split_edges(fractions)
+    b = hash_bucket(key_col, salt)
     return [df.filter((b >= lo) & (b < hi)) for lo, hi in zip(edges, edges[1:])]
 
 
@@ -287,8 +296,7 @@ def dedup_aware_split(
     """
     if len(names) != len(fractions):
         raise ValueError("names and fractions must align")
-    if abs(sum(fractions) - 1.0) > 1e-9:
-        raise ValueError(f"fractions must sum to 1, got {sum(fractions)}")
+    edges = _split_edges(fractions)
     from intake_spark.llm.dedup import dup_groups
 
     groups = dup_groups(pairs, a_col=a_col, b_col=b_col).select(
@@ -298,10 +306,6 @@ def dedup_aware_split(
         "canonical_id", F.coalesce(F.col("group_id"), F.col(id_col))
     )
     b = hash_bucket("canonical_id", salt)
-    edges = [0]
-    for f in fractions:
-        edges.append(edges[-1] + round(f * _BUCKETS))
-    edges[-1] = _BUCKETS
     split = F.lit(names[-1])
     for name, lo, hi in reversed(list(zip(names, edges, edges[1:]))):
         split = F.when((b >= lo) & (b < hi), F.lit(name)).otherwise(split)

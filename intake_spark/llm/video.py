@@ -244,6 +244,11 @@ def _av_sample_frames(content: bytes, step: int):
     frames = []
     n = 0
     with av.open(io.BytesIO(content)) as ctr:
+        if not ctr.streams.video:
+            raise ValueError(
+                "container has no video stream (audio-only or data-only "
+                "file handed to the video sampler)"
+            )
         vs = ctr.streams.video[0]
         fps = float(vs.average_rate) if vs.average_rate else 0.0
         name = str(vs.codec_context.name)
@@ -288,10 +293,14 @@ def sample_video_frames(
             out_rows = []
             for _, row in pdf.iterrows():
                 content = bytes(row[content_col])
+                gate = None
                 try:
                     meta = parse_video(content)
-                except ValueError:
-                    meta = None
+                except (ValueError, NotImplementedError) as exc:
+                    # NotImplementedError: recognized container, gated
+                    # variant (interlaced/odd-colorspace Y4M …) — PyAV
+                    # can still decode it, so route it there too
+                    meta, gate = None, exc
                 native = meta is not None and (
                     str(meta["codec"]).startswith("Y4M-C")
                     or str(meta["codec"]).upper() in _NATIVE_AVI_CODECS
@@ -301,6 +310,8 @@ def sample_video_frames(
                         fps, name, av_frames, n = _av_sample_frames(content, step)
                     except ImportError:
                         if meta is None:
+                            if isinstance(gate, NotImplementedError):
+                                raise gate  # named Y4M/AVI variant gate
                             raise ValueError(
                                 "unrecognized video container (not AVI or "
                                 "Y4M) — other containers decode via PyAV "

@@ -2218,19 +2218,39 @@ def to_token_shards(
     whitespace count of ``text_col``.
 
     Scale: the global document order never runs through one task — the
-    same two-pass prefix-sum as ``assembly.select_token_budget`` (range
-    partitions on the id, in-shard window sums, cross-shard offsets from
-    a shards-sized aggregate), then ONE hive-partitioned write; the
-    manifest aggregate is shards-sized. Deterministic under any input
+    shard map is computed on a SKINNY (id, n_tokens) projection via
+    ``assembly.global_prefix_sum`` (range partitions on the id, in-shard
+    window sums, cross-shard offsets from a shards-sized aggregate; only
+    the 2-column projection is checkpointed, never the text), joined
+    back on the id, then ONE hive-partitioned write; the manifest
+    aggregate is shards-sized. Deterministic under any input
     partitioning.
     """
     import json
     import os
 
-    from pyspark.sql.window import Window
-
     if target_tokens <= 0:
         raise ValueError("target_tokens must be positive")
+    if mode not in ("overwrite", "error", "errorifexists"):
+        # append would restart shard_id at 0 and merge new rows into the
+        # existing shard directories (double-budget shards), then rewrite
+        # the manifest to describe only the new batch — refuse it
+        raise ValueError(
+            f"to_token_shards mode={mode!r} not supported: shard ids and "
+            "the manifest are computed per call, so 'append' would corrupt "
+            "existing shard budgets; write to a new url instead"
+        )
+    if "shard_id" in df.columns:
+        raise ValueError(
+            "input already has a 'shard_id' column; rename it before "
+            "to_token_shards (it is the hive partition key of the output)"
+        )
+    if "n_tokens" in df.columns and tokens_col != "n_tokens":
+        raise ValueError(
+            "input already has an 'n_tokens' column; pass "
+            "tokens_col='n_tokens' to shard on it, or rename it (the "
+            "output reserves 'n_tokens' for the per-document token count)"
+        )
     if tokens_col is None:
         toks = F.size(
             F.filter(
@@ -2240,36 +2260,32 @@ def to_token_shards(
         ).cast("long")
     else:
         toks = F.col(tokens_col).cast("long")
-    d = df.withColumn("_nt", toks)
-    d = d.repartitionByRange(shards_hint, F.asc(id_col))
-    d = d.sortWithinPartitions(F.asc(id_col)).withColumn(
-        "_pid", F.spark_partition_id()
+
+    from intake_spark.llm.assembly import global_prefix_sum
+
+    skinny = df.select(F.col(id_col).alias("_tts_id"), toks.alias("_tts_nt"))
+    skinny = global_prefix_sum(
+        skinny, "_tts_nt", [F.asc("_tts_id")], shards_hint, out_col="_tts_cum"
     )
-    # pin the range partitioning once (RangePartitioner samples
-    # boundaries; a second execution could place rows differently and
-    # desync the _pid-keyed offsets)
-    d = d.localCheckpoint(eager=True)
-    totals = {
-        int(r["_pid"]): int(r["_t"])
-        for r in d.groupBy("_pid").agg(F.sum("_nt").alias("_t")).collect()
-    }
-    offsets, acc = {}, 0
-    for pid in sorted(totals):
-        offsets[pid] = acc
-        acc += totals[pid]
-    off_expr = F.lit(0)
-    for pid, off in sorted(offsets.items()):
-        off_expr = F.when(F.col("_pid") == pid, F.lit(off)).otherwise(off_expr)
-    win = (
-        Window.partitionBy("_pid")
-        .orderBy(F.asc(id_col))
-        .rowsBetween(Window.unboundedPreceding, 0)
+    shard_map = skinny.select(
+        "_tts_id",
+        "_tts_nt",
+        F.floor(
+            (F.col("_tts_cum") - F.col("_tts_nt")) / F.lit(int(target_tokens))
+        )
+        .cast("int")
+        .alias("shard_id"),
     )
-    cum_excl = F.sum("_nt").over(win) + off_expr - F.col("_nt")
-    sharded = d.withColumn(
-        "shard_id", F.floor(cum_excl / F.lit(int(target_tokens))).cast("int")
+    out = df.join(shard_map, df[id_col] == shard_map["_tts_id"], "inner").drop(
+        "_tts_id"
     )
-    out = sharded.drop("_pid").withColumnRenamed("_nt", "n_tokens")
+    if "n_tokens" in df.columns:
+        out = out.drop("_tts_nt")  # tokens_col == 'n_tokens': already there
+    else:
+        out = out.withColumnRenamed("_tts_nt", "n_tokens")
+    # one task (and so one file) per shard, rows in id order — the layout
+    # shard loaders expect; each task holds ~target_tokens of data
+    out = out.repartition(F.col("shard_id")).sortWithinPartitions(F.asc(id_col))
     out.write.mode(mode).partitionBy("shard_id").parquet(url)
     manifest_rows = (
         out.groupBy("shard_id")

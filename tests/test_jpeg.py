@@ -194,8 +194,10 @@ def test_cropping_non_multiple_of_8():
 
 
 def test_progressive_rejected():
+    # named codec gate (NotImplementedError): decode_image delegates this
+    # to pillow when installed; bare decode_jpeg always gates
     blob = b"\xff\xd8" + _seg(0xC2, bytes([8]) + struct.pack(">HH", 8, 8) + bytes([1, 1, 0x11, 0]))
-    with pytest.raises(ValueError, match="SOF0"):
+    with pytest.raises(NotImplementedError, match="SOF0"):
         decode_jpeg(blob + b"\xff\xd9")
 
 

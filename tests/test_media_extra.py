@@ -549,3 +549,150 @@ def test_pyav_escape_hatch_for_video(monkeypatch, spark):
     rows3 = sample_video_frames(df3, every_n=1).collect()
     assert rows3 and rows3[0].codec == "H264"
     assert len(bytes(rows3[0].frame_bytes)) > 0
+
+
+def test_progressive_jpeg_reaches_pil_hatch(monkeypatch):
+    """Progressive JPEG (SOF2) is a NotImplementedError gate from
+    decode_jpeg; decode_image delegates it to pillow when installed and
+    keeps the named gate otherwise (review finding r6)."""
+    import struct
+    import sys
+    import types
+
+    import numpy as np
+    import pytest
+
+    from intake_spark.llm.multimodal import decode_image
+
+    def _seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    prog = (
+        b"\xff\xd8"
+        + _seg(0xC2, bytes([8]) + struct.pack(">HH", 8, 8) + bytes([1, 1, 0x11, 0]))
+        + b"\xff\xd9"
+    )
+
+    with pytest.raises(NotImplementedError, match="SOF0"):
+        decode_image(prog)
+
+    class FakeImg:
+        mode = "RGB"
+        info: dict = {}
+
+        def __array__(self, dtype=None, copy=None):
+            return np.full((8, 8, 3), 3, dtype="uint8")
+
+    fake_image = types.ModuleType("PIL.Image")
+    fake_image.open = lambda bio: FakeImg()
+    fake_pil = types.ModuleType("PIL")
+    fake_pil.Image = fake_image
+    monkeypatch.setitem(sys.modules, "PIL", fake_pil)
+    monkeypatch.setitem(sys.modules, "PIL.Image", fake_image)
+
+    assert decode_image(prog).shape == (8, 8, 3)
+
+
+def test_pil_hatch_normalizes_exotic_modes(monkeypatch):
+    """CMYK/LA/I pillow modes are converted to the uint8 RGB(A)/L
+    contract instead of leaking 4-channel-CMYK-as-RGBA or int32 planes
+    (review finding r6)."""
+    import sys
+    import types
+
+    import numpy as np
+
+    from intake_spark.llm.multimodal import _pil_decode
+
+    calls = []
+
+    class ModalImg:
+        info: dict = {}
+
+        def __init__(self, mode):
+            self.mode = mode
+
+        def convert(self, m):
+            calls.append((self.mode, m))
+            out = ModalImg(m)
+            return out
+
+        def __array__(self, dtype=None, copy=None):
+            if self.mode == "RGBA":
+                return np.zeros((2, 3, 4), dtype="uint8")
+            if self.mode == "RGB":
+                return np.zeros((2, 3, 3), dtype="uint8")
+            if self.mode == "L":
+                return np.zeros((2, 3), dtype="uint8")
+            if self.mode == "I":
+                return np.zeros((2, 3), dtype="int32")
+            if self.mode == "CMYK":
+                return np.zeros((2, 3, 4), dtype="uint8")
+            raise AssertionError(self.mode)
+
+    fake_image = types.ModuleType("PIL.Image")
+    fake_pil = types.ModuleType("PIL")
+    fake_pil.Image = fake_image
+    monkeypatch.setitem(sys.modules, "PIL", fake_pil)
+    monkeypatch.setitem(sys.modules, "PIL.Image", fake_image)
+
+    # CMYK -> RGB (3 channels, not a 4-channel fake-RGBA)
+    fake_image.open = lambda bio: ModalImg("CMYK")
+    assert _pil_decode(b"x").shape == (2, 3, 3)
+    assert calls[-1] == ("CMYK", "RGB")
+    # LA (luminance+alpha) keeps its alpha -> RGBA
+    fake_image.open = lambda bio: ModalImg("LA")
+    assert _pil_decode(b"x").shape == (2, 3, 4)
+    assert calls[-1] == ("LA", "RGBA")
+    # int32 'I' plane -> uint8 RGB, never int32 out
+    fake_image.open = lambda bio: ModalImg("I")
+    assert _pil_decode(b"x").dtype == np.uint8
+    # native modes untouched
+    calls.clear()
+    fake_image.open = lambda bio: ModalImg("L")
+    assert _pil_decode(b"x").shape == (2, 3, 1)
+    assert not calls
+
+
+def test_y4m_gate_routes_to_pyav(monkeypatch, spark):
+    """A gated Y4M variant (unsupported colorspace) raises
+    NotImplementedError from parse_video; sample_video_frames must route
+    it to PyAV when installed, and surface the NAMED Y4M gate (not the
+    'unrecognized container' error) when PyAV is absent (review finding
+    r6)."""
+    import sys
+    import types
+
+    import numpy as np
+    import pytest
+
+    from intake_spark.llm.video import _av_sample_frames, parse_video, sample_video_frames
+
+    y4m_411 = b"YUV4MPEG2 W4 H2 F25:1 C411\nFRAME\n" + bytes(4 * 2 * 2)
+
+    with pytest.raises(NotImplementedError, match="C411"):
+        parse_video(y4m_411)
+
+    # without PyAV: the named Y4M gate survives end-to-end
+    df = spark.createDataFrame(
+        [("f.y4m", bytearray(y4m_411))], "path string, content binary"
+    )
+    with pytest.raises(Exception, match="C411"):
+        sample_video_frames(df, every_n=1).collect()
+
+    # audio-only container: named error, not IndexError
+    class NoVideoContainer:
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+        class streams:
+            video = []
+
+    fake_av = types.ModuleType("av")
+    fake_av.open = lambda bio: NoVideoContainer()
+    monkeypatch.setitem(sys.modules, "av", fake_av)
+    with pytest.raises(ValueError, match="no video stream"):
+        _av_sample_frames(b"\x00\x00\x00\x18ftypisom" + b"\x00" * 16, 1)

@@ -642,3 +642,43 @@ def test_to_token_shards_budget_and_manifest(spark, tmp_path):
 
     with pytest.raises(ValueError):
         to_token_shards(docs, url, target_tokens=0)
+
+
+def test_to_token_shards_guards(spark, tmp_path):
+    """Review-finding guards: append mode refused (shard ids restart per
+    call), pre-existing shard_id/n_tokens column collisions named, and
+    tokens_col='n_tokens' (the natural re-shard case) works with a
+    single n_tokens column in the output."""
+    import pytest
+
+    from intake_spark.output import to_token_shards
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * 10)) for i in range(20)],
+        "doc_id long, text string",
+    )
+    with pytest.raises(ValueError, match="append"):
+        to_token_shards(docs, str(tmp_path / "a"), target_tokens=50, mode="append")
+    with pytest.raises(ValueError, match="shard_id"):
+        to_token_shards(
+            docs.withColumn("shard_id", docs.doc_id),
+            str(tmp_path / "b"),
+            target_tokens=50,
+        )
+    with pytest.raises(ValueError, match="n_tokens"):
+        to_token_shards(
+            docs.withColumn("n_tokens", docs.doc_id),
+            str(tmp_path / "c"),
+            target_tokens=50,
+        )
+    # re-shard on an existing n_tokens column: no duplicate columns
+    from pyspark.sql import functions as F
+
+    pre = docs.withColumn("n_tokens", F.lit(10).cast("long"))
+    man = to_token_shards(
+        pre, str(tmp_path / "d"), target_tokens=50, tokens_col="n_tokens"
+    )
+    back = spark.read.parquet(str(tmp_path / "d"))
+    assert back.columns.count("n_tokens") == 1
+    assert sum(s["n_tokens"] for s in man["shards"]) == 200
+    assert all(s["n_tokens"] == 50 for s in man["shards"])
