@@ -2482,6 +2482,31 @@ def _pca_sql(dim: int = 64, iters: int = 3, qscale: int = 1024,
     """
 
 
+_DIRECTION_CACHE: dict = {}
+
+
+def _direction_shared(spark: SparkSession, sf_dir: str):
+    """The (base, mu, v) power-iteration triple shared by q109 and q112
+    — both run similarity.power_direction on the same corpus with the
+    same (dim=64, iters=3, qscale=1024, vmax=4096) parameters, so a
+    session running both pays for the checkpoint + mean + 3 iteration
+    aggregates once (the _semantic_pairs_shared pattern). The base
+    frame inside the triple is already localCheckpoint-pinned by
+    power_direction; FIFO eviction drops the reference and lets the
+    ContextCleaner reclaim the checkpoint blocks."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    got = _DIRECTION_CACHE.get(key)
+    if got is None:
+        while len(_DIRECTION_CACHE) >= 2:
+            _DIRECTION_CACHE.pop(next(iter(_DIRECTION_CACHE)))
+        emb = load_table(spark, sf_dir, "embeddings")
+        got = similarity.power_direction(
+            emb, "vec_id", "embedding", 64, 3, 1024, 4096
+        )
+        _DIRECTION_CACHE[key] = got
+    return got
+
+
 @register("q109_pca_projection", _pca_sql())
 def q109_pca_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top principal direction by integer power iteration + every
@@ -2489,9 +2514,12 @@ def q109_pca_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantization makes the float→int step IEEE-exact; iterations run in
     exact 128-bit sums with truncating-division rescales, so the
     unrolled-CTE oracle replays the direction bit for bit
-    (similarity.power_iteration_pca)."""
+    (similarity.power_iteration_pca). The direction triple is shared
+    with q112 via _direction_shared."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return similarity.power_iteration_pca(emb, dim=64)
+    return similarity.power_iteration_pca(
+        emb, dim=64, direction=_direction_shared(spark, sf_dir)
+    )
 
 
 def _hll_sql(p: int = 6) -> str:
@@ -2641,9 +2669,12 @@ def q112_abtt_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     direction). The correction is exact integer arithmetic; pair dots
     run in 128-bit sums; the one double is the final cosine, an
     identical IEEE expression in both engines. Brute-force probe scan
-    by design (3 probes), rank window on the rounded cosine."""
+    by design (3 probes), rank window on the rounded cosine. Reuses
+    q109's direction triple via _direction_shared."""
     emb = load_table(spark, sf_dir, "embeddings")
-    corr = similarity.abtt_correct(emb, dim=64).localCheckpoint(eager=True)
+    corr = similarity.abtt_correct(
+        emb, dim=64, direction=_direction_shared(spark, sf_dir)
+    ).localCheckpoint(eager=True)
     n2 = corr.withColumn(
         "n2",
         F.expr(

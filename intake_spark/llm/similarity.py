@@ -698,6 +698,7 @@ def power_iteration_pca(
     iters: int = 3,
     qscale: int = 1024,
     vmax: int = 4096,
+    direction: "tuple[DataFrame, list[int], list[int]] | None" = None,
 ) -> DataFrame:
     """Top principal direction of the embedding cloud by power iteration,
     and every vector's projection onto it — the ABTT / whitening step
@@ -720,8 +721,11 @@ def power_iteration_pca(
     Scale posture: direction-finding is designed to run on a
     hash-sampled representative subset (standard practice for ABTT);
     the projection pass then maps the full corpus at scan speed.
+    ``direction=`` accepts a precomputed :func:`power_direction` triple
+    so a session computing BOTH the projection and the ABTT correction
+    (or several projections) pays for the iteration ladder once.
     """
-    base, mu, v = _power_direction(
+    base, mu, v = direction if direction is not None else power_direction(
         df, id_col, vec_col, dim, iters, qscale, vmax
     )
     v_arr = "array(" + ", ".join(f"{x}L" for x in v) + ")"
@@ -737,11 +741,13 @@ def _centered_sql(mu: list[int]) -> str:
     return f"zip_with(_q, {mu_arr}, (a, b) -> a - b)"
 
 
-def _power_direction(df, id_col, vec_col, dim, iters, qscale, vmax):
+def power_direction(df, id_col, vec_col, dim, iters, qscale, vmax):
     """The shared direction-finding core of :func:`power_iteration_pca`
     and :func:`abtt_correct`: returns (quantized base frame, integer
     mean, final direction). See power_iteration_pca for the exactness
-    and scale analysis."""
+    and scale analysis. The returned base frame is localCheckpoint-pinned
+    — callers may feed the triple to BOTH consumers via their
+    ``direction=`` kwarg without re-running the iteration ladder."""
     if dim < 1 or iters < 1:
         raise ValueError("dim and iters must be >= 1")
 
@@ -797,6 +803,7 @@ def abtt_correct(
     iters: int = 3,
     qscale: int = 1024,
     vmax: int = 4096,
+    direction: "tuple[DataFrame, list[int], list[int]] | None" = None,
 ) -> DataFrame:
     """All-but-the-top correction (Mu & Viswanath 2018): subtract each
     vector's component along the corpus's top principal direction.
@@ -809,8 +816,10 @@ def abtt_correct(
     int64-safe; downstream dot products must use 128-bit sums). Cosines
     between cvec's equal cosines between the real corrected vectors —
     the uniform S factor cancels. Direction-finding is the shared
-    power-iteration core; the correction pass itself is mapper-only."""
-    base, mu, v = _power_direction(
+    power-iteration core (pass a precomputed :func:`power_direction`
+    triple via ``direction=`` to reuse it); the correction pass itself
+    is mapper-only."""
+    base, mu, v = direction if direction is not None else power_direction(
         df, id_col, vec_col, dim, iters, qscale, vmax
     )
     s2 = sum(x * x for x in v)

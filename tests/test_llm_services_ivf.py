@@ -189,7 +189,7 @@ def test_abtt_correct_exact_orthogonality(spark):
     import numpy as np
 
     from intake_spark.llm.similarity import (
-        _power_direction,
+        power_direction,
         abtt_correct,
         trunc_div,
     )
@@ -203,7 +203,7 @@ def test_abtt_correct_exact_orthogonality(spark):
         "vec_id long, embedding array<float>",
     )
     corr = {r.vec_id: r.cvec for r in abtt_correct(df, dim=16).collect()}
-    _, mu, v = _power_direction(df, "vec_id", "embedding", 16, 3, 1024, 4096)
+    _, mu, v = power_direction(df, "vec_id", "embedding", 16, 3, 1024, 4096)
     for cv in corr.values():
         assert sum(int(a) * b for a, b in zip(cv, v)) == 0
     # corrected vectors should have lost most of the planted direction:
@@ -212,3 +212,64 @@ def test_abtt_correct_exact_orthogonality(spark):
     raw_cos = np.abs((X @ d0) / np.linalg.norm(X, axis=1))
     cor_cos = np.abs((C @ d0) / (np.linalg.norm(C, axis=1) + 1e-12))
     assert cor_cos.mean() < 0.2 * raw_cos.mean()
+
+
+def test_direction_kwarg_reuses_precomputed_triple(spark):
+    """power_iteration_pca / abtt_correct with direction= must return
+    bit-identical results to the self-computed path (the q109/q112
+    shared-direction contract), and the shared triple must skip the
+    iteration ladder (verified by handing in a DELIBERATELY different
+    direction and seeing it honored, not recomputed)."""
+    import numpy as np
+
+    from intake_spark.llm.similarity import (
+        abtt_correct,
+        power_direction,
+        power_iteration_pca,
+    )
+
+    rng = np.random.RandomState(3)
+    X = rng.randn(40, 8) * 0.3
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(40)],
+        "vec_id long, embedding array<float>",
+    )
+    trip = power_direction(df, "vec_id", "embedding", 8, 3, 1024, 4096)
+
+    own = power_iteration_pca(df, dim=8).toPandas().sort_values("vec_id")
+    shared = (
+        power_iteration_pca(df, dim=8, direction=trip)
+        .toPandas()
+        .sort_values("vec_id")
+    )
+    assert (own["proj_fx"].to_numpy() == shared["proj_fx"].to_numpy()).all()
+
+    own_c = {r.vec_id: list(r.cvec) for r in abtt_correct(df, dim=8).collect()}
+    sh_c = {
+        r.vec_id: list(r.cvec)
+        for r in abtt_correct(df, dim=8, direction=trip).collect()
+    }
+    assert own_c == sh_c
+
+    # a planted fake direction must be USED, not recomputed: rejection
+    # against axis e0 zeroes exactly the first component's contribution
+    base, mu, _ = trip
+    fake_v = [4096] + [0] * 7
+    fc = {
+        r.vec_id: list(r.cvec)
+        for r in abtt_correct(df, dim=8, direction=(base, mu, fake_v)).collect()
+    }
+    for cv in fc.values():
+        assert sum(int(a) * b for a, b in zip(cv, fake_v)) == 0
+
+
+def test_q109_q112_share_direction_cache(spark, tmp_path):
+    """_direction_shared computes the ladder once per (session, sf_dir):
+    the second consumer gets the SAME triple object back."""
+    from intake_spark.llm import queries as Q
+
+    Q._DIRECTION_CACHE.clear()
+    t1 = Q._direction_shared(spark, "/root/testdata/sf0.001")
+    t2 = Q._direction_shared(spark, "/root/testdata/sf0.001")
+    assert t1 is t2
+    assert len(Q._DIRECTION_CACHE) == 1
