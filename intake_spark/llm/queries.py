@@ -2953,3 +2953,72 @@ def q118_keep_best_duplicate(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = dedup.jaccard_pairs(docs, threshold=0.5)
     out = dedup.keep_best_duplicate(docs, pairs, score_col="n_chars")
     return out.select("doc_id", "group_id", "keep_id", "keep")
+
+
+def _kmeans_sql(k: int = 8, iters: int = 3, dim: int = 64,
+                qscale: int = 1024) -> str:
+    # unrolled Lloyd's rounds — the q72/q88/q109 iterative-oracle pattern:
+    # each round is (distances -> argmin assignment -> truncating integer
+    # centroid means with empty-cluster carry-over), MATERIALIZED so DuckDB
+    # never re-inlines a round into its consumers. Exactly divisible
+    # (s - s % n) keeps the double division exact (|s| << 2^53 at oracle
+    # scale; the Spark side is pure int64).
+    rounds = []
+    prev_c = "c0"
+    for r in range(1, iters + 1):
+        rounds.append(f"""
+    d{r} AS MATERIALIZED (
+      SELECT qe.vec_id, c.cl, SUM((qe.x - c.cx) * (qe.x - c.cx)) AS d2
+      FROM qe JOIN {prev_c} c USING (i) GROUP BY qe.vec_id, c.cl),
+    a{r} AS MATERIALIZED (
+      SELECT vec_id, cl FROM (
+        SELECT vec_id, cl,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cl) AS rn
+        FROM d{r}) t WHERE rn = 1),
+    n{r} AS MATERIALIZED (
+      SELECT a.cl, qe.i, SUM(qe.x) AS sx, COUNT(*) AS n
+      FROM a{r} a JOIN qe ON qe.vec_id = a.vec_id GROUP BY a.cl, qe.i),
+    c{r} AS MATERIALIZED (
+      SELECT c.cl, c.i,
+             COALESCE(CAST((n.sx - n.sx % n.n) / n.n AS BIGINT), c.cx) AS cx
+      FROM {prev_c} c LEFT JOIN n{r} n ON n.cl = c.cl AND n.i = c.i)""")
+        prev_c = f"c{r}"
+    return f"""
+    WITH q AS MATERIALIZED (
+      SELECT vec_id, list_transform(embedding::DOUBLE[],
+               x -> CAST(FLOOR(x * {qscale}) AS BIGINT)) AS q
+      FROM embeddings),
+    dims AS (SELECT i FROM unnest(generate_series(1, {dim})) t(i)),
+    qe AS MATERIALIZED (SELECT vec_id, i, q[i] AS x FROM q CROSS JOIN dims),
+    seeds AS MATERIALIZED (
+      SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cl
+      FROM (SELECT vec_id FROM q ORDER BY vec_id LIMIT {k}) s),
+    c0 AS MATERIALIZED (
+      SELECT s.cl, qe.i, qe.x AS cx FROM seeds s JOIN qe USING (vec_id)),
+    {",".join(rounds)},
+    df AS (SELECT qe.vec_id, c.cl, SUM((qe.x - c.cx) * (qe.x - c.cx)) AS d2
+           FROM qe JOIN {prev_c} c USING (i) GROUP BY qe.vec_id, c.cl),
+    af AS (SELECT vec_id, cl, d2,
+                  ROW_NUMBER() OVER (PARTITION BY vec_id
+                                     ORDER BY d2, cl) AS rn
+           FROM df)
+    SELECT vec_id, CAST(cl AS INT) AS cluster_id, CAST(d2 AS BIGINT) AS dist2
+    FROM af WHERE rn = 1
+    """
+
+
+@register("q119_kmeans_clusters", _kmeans_sql())
+def q119_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic integer Lloyd's k-means over the embedding corpus
+    (similarity.kmeans_fit, k=8, 3 rounds): lowest-id seeds, argmin
+    assignment with lowest-cluster tie-break, truncating integer
+    centroid means — every round exact, so the unrolled-CTE oracle
+    replays the full trajectory bit for bit. Per round the corpus is
+    scanned ONCE against k literal centroids (mapper-only argmin via
+    array_min over (dist, cluster) structs) and reduced to one k×dim
+    aggregate; no join, no per-row Python. The clustering stage behind
+    topic-balanced mixing and IVF coarse quantizers, upgrading the
+    static seeded_clusters assignment that SemDeDup uses."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    _, asg = similarity.kmeans_fit(emb, k=8, iters=3, dim=64)
+    return asg

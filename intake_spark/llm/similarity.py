@@ -900,3 +900,97 @@ def hard_negatives(
             "cosine",
         )
     )
+
+
+def _kmeans_assign_expr(cents: list[list[int]]) -> str:
+    """array_min over (dist2, cluster) structs: struct comparison is
+    field-order lexicographic, so the minimum is the lowest distance
+    with ties broken by the LOWEST cluster index — the same rule the
+    oracle's ``ROW_NUMBER() OVER (ORDER BY d2, cl)`` replays."""
+    cands = ", ".join(
+        "named_struct('d', aggregate(zip_with(_q, array("
+        + ", ".join(f"{x}L" for x in c)
+        + "), (a, b) -> (a - b) * (a - b)), cast(0 as bigint), "
+        f"(s, x) -> s + x), 'c', {j})"
+        for j, c in enumerate(cents)
+    )
+    return f"array_min(array({cands}))"
+
+
+def kmeans_fit(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    iters: int = 3,
+    dim: int = 64,
+    qscale: int = 1024,
+) -> "tuple[list[list[int]], DataFrame]":
+    """Deterministic integer Lloyd's k-means over an embedding column —
+    the clustering stage behind corpus partitioning for semantic dedup,
+    topic-balanced mixing, and IVF coarse quantizers; the oracle-able
+    integer twin of :func:`ivf_build`'s Spark-ML KMeans (which is
+    float-valued and only deterministic per seed+data, not
+    cross-engine replayable). No RNG anywhere:
+    vectors quantize by a power-of-two scale (IEEE-exact), the initial
+    centroids are the ``k`` lowest-id vectors, assignment breaks
+    distance ties toward the lowest cluster index, and centroid updates
+    are truncating integer means (empty clusters keep their previous
+    centroid) — so an unrolled-CTE oracle replays every round bit for
+    bit, the q72/q88 iterative-algorithm pattern.
+
+    Plan shape per iteration: ONE corpus scan computing the argmin
+    against k literal centroid arrays (mapper-only — no join, no
+    shuffle), then one k×dim-sized aggregate collected to the driver
+    (centroids must sit there anyway to become the next round's
+    literals). The quantized base is localCheckpoint-pinned once, so
+    ``iters`` rounds never re-read the source. At 100 TB this is the
+    textbook scalable k-means loop: linear scans, k·dim driver state,
+    no per-row Python.
+
+    Overflow bound: per-dim |q| ≤ qscale·A (A = max |coordinate|), so
+    dist2 ≤ dim·(2·qscale·A)² — for dim=64, qscale=1024, A≤64 this is
+    ~1.8e15, int64-safe; centroid sums are n·qscale·A, safe past 1e13
+    rows. Returns (final centroids, assignments (id, cluster_id,
+    dist2))."""
+    if k < 1 or iters < 1 or dim < 1:
+        raise ValueError("k, iters and dim must all be >= 1")
+    q = (
+        f"transform(CAST({vec_col} AS ARRAY<DOUBLE>), "
+        f"x -> CAST(floor(x * {qscale}) AS BIGINT))"
+    )
+    base = df.select(F.col(id_col), F.expr(q).alias("_q")).localCheckpoint(
+        eager=True
+    )
+    seeds = base.orderBy(F.asc(id_col)).limit(k).collect()
+    if len(seeds) < k:
+        raise ValueError(
+            f"kmeans_fit needs at least k={k} vectors, got {len(seeds)}"
+        )
+    cents = [list(r["_q"]) for r in sorted(seeds, key=lambda r: r[id_col])]
+    for _ in range(iters):
+        asg = base.withColumn("_b", F.expr(_kmeans_assign_expr(cents)))
+        sums = (
+            asg.groupBy(F.col("_b.c").alias("_cl"))
+            .agg(
+                F.count(F.lit(1)).alias("_n"),
+                *[
+                    F.sum(F.expr(f"element_at(_q, {j + 1})")).alias(f"s{j}")
+                    for j in range(dim)
+                ],
+            )
+            .collect()
+        )
+        nxt = [list(c) for c in cents]  # empty clusters carry over
+        for r in sums:
+            n = int(r["_n"])
+            nxt[int(r["_cl"])] = [
+                trunc_div(int(r[f"s{j}"]), n) for j in range(dim)
+            ]
+        cents = nxt
+    out = base.withColumn("_b", F.expr(_kmeans_assign_expr(cents))).select(
+        F.col(id_col),
+        F.col("_b.c").cast("int").alias("cluster_id"),
+        F.col("_b.d").cast("bigint").alias("dist2"),
+    )
+    return cents, out

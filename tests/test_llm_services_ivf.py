@@ -273,3 +273,81 @@ def test_q109_q112_share_direction_cache(spark, tmp_path):
     t2 = Q._direction_shared(spark, "/root/testdata/sf0.001")
     assert t1 is t2
     assert len(Q._DIRECTION_CACHE) == 1
+
+
+def test_kmeans_fit_matches_pure_python_replay(spark):
+    """Independent replay of the full Lloyd trajectory (quantize, lowest-id
+    seeds, argmin with lowest-cluster tie-break, truncating integer means,
+    empty-cluster carry) — the q72/q88 iterative-algorithm test rule."""
+    import numpy as np
+
+    from intake_spark.llm.similarity import kmeans_fit
+    from intake_spark.utils import trunc_div
+
+    rng = np.random.RandomState(5)
+    blobs = [
+        rng.randn(30, 6) * 0.1 + c
+        for c in ([0.8] * 6, [-0.8] * 6, [0.0] * 6)
+    ]
+    # interleave rows so the k lowest-id seeds span all three blobs
+    # (row i belongs to blob i % 3)
+    X = np.empty((90, 6))
+    for b, blob in enumerate(blobs):
+        X[b::3] = blob
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(len(X))],
+        "vec_id long, embedding array<float>",
+    )
+    k, iters, dim, qscale = 3, 3, 6, 1024
+    cents, asg = kmeans_fit(df, k=k, iters=iters, dim=dim, qscale=qscale)
+    got = {r.vec_id: (r.cluster_id, r.dist2) for r in asg.collect()}
+
+    import math
+
+    Q = [[int(math.floor(x * qscale)) for x in row] for row in X]
+    C = [list(Q[i]) for i in range(k)]  # lowest-id seeds
+
+    def assign(c):
+        out = {}
+        for i, q in enumerate(Q):
+            best = min(
+                (sum((a - b) ** 2 for a, b in zip(q, cj)), j)
+                for j, cj in enumerate(c)
+            )
+            out[i] = best
+        return out
+
+    for _ in range(iters):
+        a = assign(C)
+        nxt = [list(c) for c in C]
+        for j in range(k):
+            members = [Q[i] for i, (_, cl) in a.items() if cl == j]
+            if members:
+                nxt[j] = [
+                    trunc_div(sum(m[d] for m in members), len(members))
+                    for d in range(dim)
+                ]
+        C = nxt
+    final = assign(C)
+    assert C == cents
+    assert got == {i: (cl, d2) for i, (d2, cl) in final.items()}
+    # the planted three-blob structure must be recovered: each blob maps
+    # into exactly one cluster, and distinct blobs into distinct clusters
+    blob_labels = [
+        {got[i][0] for i in range(b, 90, 3)} for b in range(3)
+    ]
+    assert all(len(s) == 1 for s in blob_labels), blob_labels
+    assert len(set().union(*blob_labels)) == 3
+
+
+def test_kmeans_fit_requires_k_vectors(spark):
+    import pytest
+
+    from intake_spark.llm.similarity import kmeans_fit
+
+    df = spark.createDataFrame(
+        [(1, [0.1, 0.2]), (2, [0.3, 0.4])],
+        "vec_id long, embedding array<float>",
+    )
+    with pytest.raises(ValueError, match="at least k=5"):
+        kmeans_fit(df, k=5, iters=1, dim=2)
