@@ -897,8 +897,10 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "q116_unimax_budgets",
     "q117_contamination_scores",
     "q118_keep_best_duplicate",
-    # q119 (integer Lloyd's k-means) is new in the r6 continuation session
+    # q119/q120 (integer Lloyd's k-means, incremental cross-corpus dedup)
+    # are new in the r6 continuation session
     "q119_kmeans_clusters",
+    "q120_incremental_dedup",
     "q15_rollup_region_nation",
     "q16_json_props",
     "q17_hourly_windows",

@@ -1000,3 +1000,91 @@ def keep_best_duplicate(
     return out.withColumn(
         "group_id", F.coalesce(F.col("group_id"), F.col(id_col))
     ).withColumn("keep", (F.col("keep_id") == F.col(id_col)).cast("int"))
+
+
+def incremental_dedup(
+    new_df: DataFrame,
+    archive_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.5,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Near-dup screening of a NEW batch against an existing ARCHIVE —
+    the incremental-ingest twin of :func:`jaccard_pairs`: every arriving
+    document gets its best archive match and a keep/drop flag, without
+    the archive ever self-joining (only cross pairs form).
+
+    Returns one row per new document: (id, match_id, n_common,
+    jaccard_r, keep) — match_id/jaccard_r NULL and keep=1 when nothing
+    in the archive shares a shingle (or the document is shorter than
+    ``k`` tokens); keep=0 when the best match reaches ``threshold``.
+    Best match = highest exact Jaccard, ties to the lowest archive id.
+
+    Plan shape: two shingle scans, one shingle equi-join (the inverted-
+    index join — new side meets only archive docs sharing a shingle),
+    one (new, arch)-key aggregate, one per-new-doc top-1 window. The
+    archive side's shingles are what a production deployment
+    materializes once and reuses every batch (Catalog.materialize).
+    ``max_shingle_df`` optionally drops shingles present in more than N
+    archive documents before the join — the stop-shingle skew guard for
+    web-scale archives (changes semantics: matches through ultra-common
+    shingles alone are missed; leave None for the exact oracle form).
+    """
+    from pyspark.sql.window import Window
+
+    sh_n = shingles(new_df, id_col, text_col, k)
+    sh_a = shingles(archive_df, id_col, text_col, k)
+    if max_shingle_df is not None:
+        hot = (
+            sh_a.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") > max_shingle_df)
+            .select("shingle")
+        )
+        sh_a = sh_a.join(F.broadcast(hot), "shingle", "left_anti")
+        sh_n = sh_n.join(F.broadcast(hot), "shingle", "left_anti")
+    # each shingle set feeds TWO consumers (the per-doc count and the
+    # cross join); without a materialization point both would re-run the
+    # text -> explode -> distinct pipeline — same policy as
+    # lsh_candidate_pairs
+    sh_n = sh_n.localCheckpoint(eager=False)
+    sh_a = sh_a.localCheckpoint(eager=False)
+    nn = sh_n.groupBy(id_col).agg(F.count(F.lit(1)).alias("_nn"))
+    na = sh_a.groupBy(id_col).agg(F.count(F.lit(1)).alias("_na"))
+    co = (
+        sh_n.select(F.col(id_col).alias("_new_id"), "shingle")
+        .join(sh_a.select(F.col(id_col).alias("_arch_id"), "shingle"), "shingle")
+        .groupBy("_new_id", "_arch_id")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sc = (
+        co.join(nn.withColumnRenamed(id_col, "_new_id"), "_new_id")
+        .join(na.withColumnRenamed(id_col, "_arch_id"), "_arch_id")
+        .withColumn(
+            "_j",
+            F.col("n_common").cast("double")
+            / (F.col("_nn") + F.col("_na") - F.col("n_common")),
+        )
+    )
+    w = Window.partitionBy("_new_id").orderBy(F.desc("_j"), F.asc("_arch_id"))
+    best = (
+        sc.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("_new_id", "_arch_id", "n_common", "_j")
+    )
+    return (
+        new_df.select(F.col(id_col))
+        .join(best, F.col(id_col) == F.col("_new_id"), "left")
+        .select(
+            id_col,
+            F.col("_arch_id").alias("match_id"),
+            F.coalesce(F.col("n_common"), F.lit(0)).cast("bigint").alias("n_common"),
+            F.round(F.col("_j"), 6).alias("jaccard_r"),
+            F.when(F.col("_j") >= threshold, F.lit(0))
+            .otherwise(F.lit(1))
+            .cast("int")
+            .alias("keep"),
+        )
+    )

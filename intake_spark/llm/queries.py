@@ -3022,3 +3022,46 @@ def q119_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     _, asg = similarity.kmeans_fit(emb, k=8, iters=3, dim=64)
     return asg
+
+
+@register(
+    "q120_incremental_dedup",
+    f"""
+    WITH {_SHINGLES_CTE},
+    ne AS (SELECT doc_id FROM documents WHERE {_Q54_BUCKET} >= {_Q54_BENCH_THR}),
+    ar AS (SELECT doc_id FROM documents WHERE {_Q54_BUCKET} < {_Q54_BENCH_THR}),
+    shn AS (SELECT sh.doc_id, shingle FROM sh JOIN ne USING (doc_id)),
+    sha AS (SELECT sh.doc_id, shingle FROM sh JOIN ar USING (doc_id)),
+    nn AS (SELECT doc_id, COUNT(*) AS n FROM shn GROUP BY doc_id),
+    na AS (SELECT doc_id, COUNT(*) AS n FROM sha GROUP BY doc_id),
+    co AS (SELECT shn.doc_id AS new_id, sha.doc_id AS arch_id, COUNT(*) AS c
+           FROM shn JOIN sha USING (shingle) GROUP BY 1, 2),
+    sc AS (SELECT co.new_id, co.arch_id, co.c,
+                  CAST(co.c AS DOUBLE) / (nn.n + na.n - co.c) AS j
+           FROM co JOIN nn ON nn.doc_id = co.new_id
+                   JOIN na ON na.doc_id = co.arch_id),
+    bst AS (SELECT new_id, arch_id, c, j FROM (
+              SELECT new_id, arch_id, c, j,
+                     ROW_NUMBER() OVER (PARTITION BY new_id
+                                        ORDER BY j DESC, arch_id) AS rn
+              FROM sc) t WHERE rn = 1)
+    SELECT ne.doc_id,
+           bst.arch_id AS match_id,
+           CAST(COALESCE(bst.c, 0) AS BIGINT) AS n_common,
+           ROUND(bst.j, 6) AS jaccard_r,
+           CAST(CASE WHEN bst.j >= 0.3 THEN 0 ELSE 1 END AS INT) AS keep
+    FROM ne LEFT JOIN bst ON bst.new_id = ne.doc_id
+    """,
+)
+def q120_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest near-dup screening: today's batch (q54's train
+    slice standing in for the new crawl) scored against the held-out
+    archive slice — each new document's best archive match by exact
+    3-shingle Jaccard and a keep/drop flag at 0.3
+    (dedup.incremental_dedup). The archive never self-joins; the one
+    join is the shingle inverted index, cross-side only."""
+    docs = load_table(spark, sf_dir, "documents")
+    new_batch, archive = assembly.bench_split(
+        docs, fraction=_Q54_BENCH_FRACTION
+    )
+    return dedup.incremental_dedup(new_batch, archive, threshold=0.3)

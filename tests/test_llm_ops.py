@@ -2611,3 +2611,76 @@ def test_keep_best_duplicate_argmax_and_singletons(spark):
 
     keepers = Counter(r.group_id for r in out.values() if r.keep)
     assert all(v == 1 for v in keepers.values()) and len(keepers) == 3
+
+
+def test_incremental_dedup_flags_archive_near_dups(spark):
+    """A new doc nearly identical to an archive doc is dropped; a disjoint
+    doc is kept with no match; a sub-k-token doc is kept with no match;
+    best-match tie-break goes to the lowest archive id."""
+    from intake_spark.llm.dedup import incremental_dedup
+
+    archive = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "completely different archive text about spark engines"),
+            (3, "the quick brown fox jumps over the lazy dog today"),
+        ],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (10, "the quick brown fox jumps over the lazy dog"),
+            (11, "nothing shared with anything in the archive corpus"),
+            (12, "tiny doc"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r.asDict()
+        for r in incremental_dedup(new, archive, threshold=0.5).collect()
+    }
+    assert set(out) == {10, 11, 12}
+    # doc 10 (9 tokens -> 7 shingles) is a prefix of the archive doc
+    # (10 tokens -> 8 shingles): all 7 shared -> j = 7/8 >= 0.5, drop;
+    # archive docs 1 and 3 tie exactly -> match_id = 1
+    assert out[10]["keep"] == 0 and out[10]["match_id"] == 1
+    assert out[10]["n_common"] == 7
+    assert out[10]["jaccard_r"] == 0.875
+    # doc 11 shares "in the archive"? no - different word positions; it
+    # may share low-count shingles with doc 2 but stays under threshold
+    assert out[11]["keep"] == 1
+    # doc 12 has 2 tokens < k=3: no shingles, no match
+    assert out[12]["keep"] == 1 and out[12]["match_id"] is None
+    assert out[12]["n_common"] == 0 and out[12]["jaccard_r"] is None
+
+
+def test_incremental_dedup_stop_shingle_guard(spark):
+    """max_shingle_df drops ultra-common shingles on BOTH sides before the
+    join: a match carried only by a boilerplate shingle disappears, while
+    a genuine near-dup (many rare shared shingles) survives."""
+    from intake_spark.llm.dedup import incremental_dedup
+
+    boiler = "all rights reserved"
+    archive = spark.createDataFrame(
+        [(i, f"unique archive text number {i} " + boiler) for i in range(1, 6)]
+        + [(99, "a very specific rare sentence repeated almost verbatim here")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (10, "totally fresh content " + boiler),
+            (11, "a very specific rare sentence repeated almost verbatim now"),
+        ],
+        "doc_id long, text string",
+    )
+    guarded = {
+        r.doc_id: r.asDict()
+        for r in incremental_dedup(
+            new, archive, threshold=0.4, max_shingle_df=3
+        ).collect()
+    }
+    # the boilerplate shingle appears in 5 archive docs > 3: doc 10's only
+    # bridge is gone
+    assert guarded[10]["match_id"] is None and guarded[10]["keep"] == 1
+    # doc 11's rare-shingle overlap with 99 survives the guard
+    assert guarded[11]["match_id"] == 99 and guarded[11]["keep"] == 0
