@@ -154,3 +154,33 @@ def test_top_terms_shuffle_budget(spark):
     docs = load_table(spark, SF_SMALL, "documents")
     plan = text.top_terms(docs, k=5)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_kmeans_assignment_is_mapper_only(spark):
+    """kmeans_fit's returned assignment frame must be a pure map over the
+    checkpointed base — zero Exchange operators (the argmin runs against
+    literal centroids; at 100 TB the final labeling is scan-speed)."""
+    from intake_spark.llm.similarity import kmeans_fit
+    from intake_spark.session import load_table
+    from tests.conftest import SF_SMALL
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    _, asg = kmeans_fit(emb, k=4, iters=1, dim=64)
+    plan = asg._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_incremental_dedup_single_scan_no_self_join(spark):
+    """incremental_dedup reads the document source once per side (shingle
+    sets are checkpoint-pinned) and never forms an archive self-join: the
+    executed plan shows exactly one parquet scan (the output id spine;
+    the pinned shingle RDDs were materialized out of plan) and every join
+    key set is cross-side."""
+    from intake_spark.llm.dedup import incremental_dedup
+    from intake_spark.session import load_table
+    from tests.conftest import SF_SMALL
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    out = incremental_dedup(docs.limit(40), docs.limit(80), threshold=0.5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan parquet") == 1
