@@ -2267,6 +2267,20 @@ def to_token_shards(
     skinny = global_prefix_sum(
         skinny, "_tts_nt", [F.asc("_tts_id")], shards_hint, out_col="_tts_cum"
     )
+    # the shard map is id-keyed: a duplicated id would multiply rows
+    # through the join below and silently inflate shard budgets — refuse
+    # it loudly (one aggregate job over the already-pinned skinny frame;
+    # duplicate ids also make the "consecutive ascending id" order
+    # ill-defined in the first place)
+    chk = skinny.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.countDistinct("_tts_id").alias("_d"),
+    ).collect()[0]
+    if int(chk["_n"]) != int(chk["_d"]):
+        raise ValueError(
+            f"to_token_shards requires unique {id_col!r} values: got "
+            f"{int(chk['_n'])} rows but {int(chk['_d'])} distinct ids"
+        )
     shard_map = skinny.select(
         "_tts_id",
         "_tts_nt",

@@ -682,3 +682,20 @@ def test_to_token_shards_guards(spark, tmp_path):
     assert back.columns.count("n_tokens") == 1
     assert sum(s["n_tokens"] for s in man["shards"]) == 200
     assert all(s["n_tokens"] == 50 for s in man["shards"])
+
+
+def test_to_token_shards_rejects_duplicate_ids(spark, tmp_path):
+    """The shard map is id-keyed: a duplicated id would multiply rows
+    through the join and silently inflate shard budgets — refused loudly
+    before anything is written."""
+    import pytest
+
+    from intake_spark.output import to_token_shards
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "d e f"), (2, "g h i")],
+        "doc_id long, text string",
+    )
+    with pytest.raises(ValueError, match="unique 'doc_id'"):
+        to_token_shards(docs, str(tmp_path / "dup"), target_tokens=5)
+    assert not (tmp_path / "dup").exists()
