@@ -41,7 +41,8 @@ def test_ansi_off_matches_oracle_subset():
                  "q95_token_budget_selection", "q87_bm25_search",
                  "q105_dsir_weights", "q106_gopher_repetition",
                  "q107_quality_classifier", "q110_hll_distinct",
-                 "q111_cms_term_counts"]
+                 "q111_cms_term_counts", "q119_kmeans_clusters",
+                 "q120_incremental_dedup"]
         for name in NAMES:
             sdf = qs[name](spark, "/root/testdata/sf0.01").toPandas()
             odf = con.sql(os_[name]).df()
