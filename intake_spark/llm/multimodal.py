@@ -351,12 +351,16 @@ def decode_image(content: bytes):
         try:
             arr = decode_jpeg(content)
         except NotImplementedError as gate:
-            # progressive/arithmetic SOF types: stdlib can't, pillow can —
-            # keep the named gate when pillow is absent
+            # progressive SOF types: stdlib can't, pillow can — keep the
+            # named gate when pillow is absent OR when pillow itself fails
+            # (arithmetic-coded/lossless SOFs are beyond pillow too; its
+            # opaque 'broken data stream' must not replace the gate)
             try:
                 return _pil_decode(content)
             except ImportError:
                 raise gate from None
+            except Exception as exc:
+                raise gate from exc
         # single-component JPEGs decode 2-D; normalize to (H, W, 1) so every
         # decode_image caller can rely on a channel axis
         return arr if arr.ndim == 3 else arr[:, :, None]

@@ -968,6 +968,14 @@ def kmeans_fit(
             f"kmeans_fit needs at least k={k} vectors, got {len(seeds)}"
         )
     cents = [list(r["_q"]) for r in sorted(seeds, key=lambda r: r[id_col])]
+    for c in cents:
+        # a dim narrower than the vectors would shrink centroids after
+        # round 1 and NULL-pad every distance (all rows silently land in
+        # cluster 0); a wider dim crashes later on a None centroid sum
+        if len(c) != dim:
+            raise ValueError(
+                f"dim={dim} does not match the embedding width {len(c)}"
+            )
     for _ in range(iters):
         asg = base.withColumn("_b", F.expr(_kmeans_assign_expr(cents)))
         sums = (

@@ -2275,7 +2275,15 @@ def to_token_shards(
     chk = skinny.agg(
         F.count(F.lit(1)).alias("_n"),
         F.countDistinct("_tts_id").alias("_d"),
+        F.count(F.when(F.col("_tts_id").isNull(), F.lit(1))).alias("_nulls"),
     ).collect()[0]
+    if int(chk["_nulls"]):
+        # a NULL id has no position in the ascending-id order and would
+        # silently vanish through the equi-join below
+        raise ValueError(
+            f"to_token_shards requires non-NULL {id_col!r} values: "
+            f"{int(chk['_nulls'])} rows have NULL ids"
+        )
     if int(chk["_n"]) != int(chk["_d"]):
         raise ValueError(
             f"to_token_shards requires unique {id_col!r} values: got "
@@ -2298,14 +2306,24 @@ def to_token_shards(
     else:
         out = out.withColumnRenamed("_tts_nt", "n_tokens")
     # one task (and so one file) per shard, rows in id order — the layout
-    # shard loaders expect; each task holds ~target_tokens of data
-    out = out.repartition(F.col("shard_id")).sortWithinPartitions(F.asc(id_col))
+    # shard loaders expect; each task holds ~target_tokens of data. The
+    # sort leads with shard_id: the partitioned write REQUIRES ordering by
+    # its partition column and would otherwise insert its own
+    # shard_id-only SortExec, whose spill-merge interleaves equal-key rows
+    # and silently destroys the id order this sort promises
+    out = out.repartition(F.col("shard_id")).sortWithinPartitions(
+        F.asc("shard_id"), F.asc(id_col)
+    )
     out.write.mode(mode).partitionBy("shard_id").parquet(url)
+    # the manifest aggregates the pinned shard map (id, n_tokens,
+    # shard_id), NOT `out` — re-aggregating `out` would re-run the fat
+    # join + shuffle a second time and could desync from the written
+    # files if the source frame changed between the two actions
     manifest_rows = (
-        out.groupBy("shard_id")
+        shard_map.groupBy("shard_id")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.sum("n_tokens").alias("n_tokens"),
+            F.sum("_tts_nt").alias("n_tokens"),
         )
         .orderBy("shard_id")
         .collect()

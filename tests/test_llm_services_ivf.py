@@ -351,3 +351,21 @@ def test_kmeans_fit_requires_k_vectors(spark):
     )
     with pytest.raises(ValueError, match="at least k=5"):
         kmeans_fit(df, k=5, iters=1, dim=2)
+
+
+def test_kmeans_fit_rejects_dim_mismatch(spark):
+    """dim narrower than the vectors would NULL-pad every distance after
+    round 1 (all rows silently in cluster 0); wider crashes opaquely —
+    both refused by name up front."""
+    import pytest
+
+    from intake_spark.llm.similarity import kmeans_fit
+
+    df = spark.createDataFrame(
+        [(i, [0.1 * i, 0.2, 0.3, 0.4]) for i in range(6)],
+        "vec_id long, embedding array<float>",
+    )
+    with pytest.raises(ValueError, match="dim=2 does not match"):
+        kmeans_fit(df, k=2, iters=1, dim=2)
+    with pytest.raises(ValueError, match="dim=8 does not match"):
+        kmeans_fit(df, k=2, iters=1, dim=8)

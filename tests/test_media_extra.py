@@ -696,3 +696,44 @@ def test_y4m_gate_routes_to_pyav(monkeypatch, spark):
     monkeypatch.setitem(sys.modules, "av", fake_av)
     with pytest.raises(ValueError, match="no video stream"):
         _av_sample_frames(b"\x00\x00\x00\x18ftypisom" + b"\x00" * 16, 1)
+
+
+def test_pil_failure_keeps_named_jpeg_gate(monkeypatch):
+    """When pillow is installed but cannot decode the gated SOF type
+    (arithmetic-coded/lossless JPEGs are beyond pillow too), the named
+    codec gate must survive — not pillow's opaque decode error
+    (review finding r6-continuation)."""
+    import struct
+    import sys
+    import types
+
+    import pytest
+
+    from intake_spark.llm.multimodal import decode_image
+
+    def _seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    arith = (
+        b"\xff\xd8"
+        + _seg(0xC9, bytes([8]) + struct.pack(">HH", 8, 8) + bytes([1, 1, 0x11, 0]))
+        + b"\xff\xd9"
+    )
+
+    class Broken(OSError):
+        pass
+
+    fake_image = types.ModuleType("PIL.Image")
+
+    def _open(bio):
+        raise Broken("broken data stream when reading image file")
+
+    fake_image.open = _open
+    fake_pil = types.ModuleType("PIL")
+    fake_pil.Image = fake_image
+    monkeypatch.setitem(sys.modules, "PIL", fake_pil)
+    monkeypatch.setitem(sys.modules, "PIL.Image", fake_image)
+
+    with pytest.raises(NotImplementedError, match="FFC9") as exc:
+        decode_image(arith)
+    assert isinstance(exc.value.__cause__, Broken)

@@ -699,3 +699,32 @@ def test_to_token_shards_rejects_duplicate_ids(spark, tmp_path):
     with pytest.raises(ValueError, match="unique 'doc_id'"):
         to_token_shards(docs, str(tmp_path / "dup"), target_tokens=5)
     assert not (tmp_path / "dup").exists()
+
+
+def test_to_token_shards_null_id_and_intra_file_order(spark, tmp_path):
+    """Review findings: a NULL id is refused by name (it has no position
+    in the id order and would vanish through the join); rows WITHIN each
+    written part file are in ascending id order (the write's own
+    partition-column sort must not destroy it)."""
+    import glob
+
+    import pytest
+
+    from intake_spark.output import to_token_shards
+
+    docs = spark.createDataFrame(
+        [(None, "a b c")] + [(i, "a b c") for i in range(10)],
+        "doc_id long, text string",
+    )
+    with pytest.raises(ValueError, match="non-NULL 'doc_id'"):
+        to_token_shards(docs, str(tmp_path / "n"), target_tokens=9)
+
+    ok = spark.createDataFrame(
+        [(i, " ".join(["w"] * 5)) for i in range(60)],
+        "doc_id long, text string",
+    )
+    url = str(tmp_path / "o")
+    to_token_shards(ok.repartition(7), url, target_tokens=50)
+    for part in glob.glob(f"{url}/shard_id=*/part-*.parquet"):
+        ids = [r.doc_id for r in spark.read.parquet(part).collect()]
+        assert ids == sorted(ids), part
