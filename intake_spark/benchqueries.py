@@ -901,6 +901,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
     # are new in the r6 continuation session
     "q119_kmeans_clusters",
     "q120_incremental_dedup",
+    "q121_curriculum_rank",
     "q15_rollup_region_nation",
     "q16_json_props",
     "q17_hourly_windows",

@@ -226,6 +226,31 @@ def global_prefix_sum(
     )
 
 
+def global_row_number(
+    df: DataFrame,
+    order_cols: list,
+    shards: int = 32,
+    out_col: str = "rank",
+) -> DataFrame:
+    """Global 1-based ROW_NUMBER over the total order given by
+    ``order_cols`` — WITHOUT a single-partition window (the classic
+    100 TB killer: ``Window.orderBy`` with no partitionBy funnels the
+    whole corpus through one task). Counts each row as 1 through
+    :func:`global_prefix_sum`: range-partition on the order keys,
+    in-shard window count, shards-sized cross-shard offsets.
+
+    The curriculum-ordering primitive: rank by difficulty/quality and
+    feed consecutive rank ranges to consecutive training stages. Ties
+    must be broken by a unique column in ``order_cols`` (same contract
+    as ROW_NUMBER's ORDER BY — an ambiguous order gives an arbitrary
+    but valid numbering; with a unique tie-break it is deterministic
+    and engine-exact). Pass a SKINNY projection where possible: the
+    frame is checkpoint-pinned inside global_prefix_sum."""
+    d = df.withColumn("_grn_one", F.lit(1).cast("bigint"))
+    d = global_prefix_sum(d, "_grn_one", order_cols, shards, out_col=out_col)
+    return d.drop("_grn_one")
+
+
 def select_token_budget(
     df: DataFrame,
     budget: int,

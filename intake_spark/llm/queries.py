@@ -3065,3 +3065,42 @@ def q120_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, fraction=_Q54_BENCH_FRACTION
     )
     return dedup.incremental_dedup(new_batch, archive, threshold=0.3)
+
+
+@register(
+    "q121_curriculum_rank",
+    """
+    WITH s AS (SELECT doc_id, n_chars,
+                      length(COALESCE(text, '')) -
+                      length(replace(COALESCE(text, ''), ' ', '')) + 1
+                        AS n_words
+               FROM documents)
+    SELECT doc_id, n_chars,
+           ROW_NUMBER() OVER (ORDER BY n_words ASC, doc_id ASC) AS rank
+    FROM s
+    """,
+)
+def q121_curriculum_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum ordering: every document's global 1-based rank by
+    ascending word count (short/easy first), ties to the lowest id —
+    WITHOUT the single-partition window that ROW_NUMBER-over-everything
+    normally costs (assembly.global_row_number: range partitions +
+    in-shard counts + shards-sized offsets). The oracle is the plain
+    ROW_NUMBER the operator replaces."""
+    from intake_spark.llm.assembly import global_row_number
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "n_chars",
+        (
+            F.length(F.coalesce(F.col("text"), F.lit("")))
+            - F.length(
+                F.regexp_replace(F.coalesce(F.col("text"), F.lit("")), " ", "")
+            )
+            + F.lit(1)
+        ).alias("n_words"),
+    )
+    out = global_row_number(
+        docs, [F.asc("n_words"), F.asc("doc_id")], shards=8, out_col="rank"
+    )
+    return out.select("doc_id", "n_chars", F.col("rank").cast("long").alias("rank"))

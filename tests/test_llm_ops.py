@@ -2684,3 +2684,34 @@ def test_incremental_dedup_stop_shingle_guard(spark):
     assert guarded[10]["match_id"] is None and guarded[10]["keep"] == 1
     # doc 11's rare-shingle overlap with 99 survives the guard
     assert guarded[11]["match_id"] == 99 and guarded[11]["keep"] == 0
+
+
+def test_global_row_number_matches_window_and_avoids_global_sort(spark):
+    """global_row_number equals ROW_NUMBER over the same order on any
+    input partitioning, and its plan contains NO single-partition
+    Exchange (the rangepartitioning shards carry the order)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from intake_spark.llm.assembly import global_row_number
+
+    df = spark.createDataFrame(
+        [(i, (i * 37) % 100) for i in range(500)], "id long, v long"
+    ).repartition(11)
+    out = global_row_number(df, [F.desc("v"), F.asc("id")], shards=7)
+    got = {r.id: r.rank for r in out.collect()}
+    w = Window.orderBy(F.desc("v"), F.asc("id"))
+    want = {
+        r.id: r.rank
+        for r in df.withColumn("rank", F.row_number().over(w)).collect()
+    }
+    assert got == want
+    # the range-partitioned base is behind the checkpoint (Scan
+    # ExistingRDD); the assertable property is that NOTHING downstream
+    # funnels through one partition
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange SinglePartition" not in plan
+    assert "ExistingRDD" in plan
+
+    # empty frame: no rows, no crash
+    assert global_row_number(df.filter("v < 0"), [F.asc("id")]).count() == 0
