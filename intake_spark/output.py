@@ -2203,19 +2203,28 @@ def to_token_shards(
     tokens_col: str | None = None,
     shards_hint: int = 8,
     mode: str = "overwrite",
+    order_by: "list[str] | None" = None,
 ) -> dict:
     """Write a finished corpus as TOKEN-BUDGETED shards: hive-partitioned
     parquet (``shard_id=N``) where each shard holds consecutive documents
-    (ascending ``id_col``) totalling ~``target_tokens`` tokens, plus a
-    ``_manifest.json`` of per-shard document/token counts — the standard
-    final step of a training-data build (downstream loaders want
-    equal-work shards and a manifest, not row-count-balanced files).
+    (ascending ``id_col``, or the ``order_by`` columns) totalling
+    ~``target_tokens`` tokens, plus a ``_manifest.json`` of per-shard
+    document/token counts — the standard final step of a training-data
+    build (downstream loaders want equal-work shards and a manifest, not
+    row-count-balanced files).
 
     A document is never split: it belongs to the shard where its
     EXCLUSIVE cumulative token count lands, so every shard except
     possibly the last spans at least ``target_tokens`` minus one
     document. Token counts come from ``tokens_col`` if given, else a
     whitespace count of ``text_col``.
+
+    ``order_by`` (column NAMES present in ``df``, ascending, ``id_col``
+    appended as the unique tie-break) makes the shard sequence a
+    CURRICULUM: e.g. ``order_by=["difficulty"]`` puts the easiest
+    ~target_tokens in shard 0 — pair with
+    ``assembly.global_row_number`` when the order needs inspecting
+    before the write.
 
     Scale: the global document order never runs through one task — the
     shard map is computed on a SKINNY (id, n_tokens) projection via
@@ -2263,9 +2272,22 @@ def to_token_shards(
 
     from intake_spark.llm.assembly import global_prefix_sum
 
-    skinny = df.select(F.col(id_col).alias("_tts_id"), toks.alias("_tts_nt"))
+    order_by = list(order_by or [])
+    for c in order_by:
+        if c not in df.columns:
+            raise ValueError(
+                f"order_by column {c!r} not in the input frame"
+            )
+    skinny = df.select(
+        F.col(id_col).alias("_tts_id"),
+        toks.alias("_tts_nt"),
+        *[F.col(c).alias(f"_tts_o{i}") for i, c in enumerate(order_by)],
+    )
+    order_exprs = [
+        F.asc(f"_tts_o{i}") for i in range(len(order_by))
+    ] + [F.asc("_tts_id")]
     skinny = global_prefix_sum(
-        skinny, "_tts_nt", [F.asc("_tts_id")], shards_hint, out_col="_tts_cum"
+        skinny, "_tts_nt", order_exprs, shards_hint, out_col="_tts_cum"
     )
     # the shard map is id-keyed: a duplicated id would multiply rows
     # through the join below and silently inflate shard budgets — refuse
@@ -2305,14 +2327,16 @@ def to_token_shards(
         out = out.drop("_tts_nt")  # tokens_col == 'n_tokens': already there
     else:
         out = out.withColumnRenamed("_tts_nt", "n_tokens")
-    # one task (and so one file) per shard, rows in id order — the layout
-    # shard loaders expect; each task holds ~target_tokens of data. The
-    # sort leads with shard_id: the partitioned write REQUIRES ordering by
-    # its partition column and would otherwise insert its own
+    # one task (and so one file) per shard, rows in the shard order — the
+    # layout shard loaders expect; each task holds ~target_tokens of
+    # data. The sort leads with shard_id: the partitioned write REQUIRES
+    # ordering by its partition column and would otherwise insert its own
     # shard_id-only SortExec, whose spill-merge interleaves equal-key rows
-    # and silently destroys the id order this sort promises
+    # and silently destroys the order this sort promises
     out = out.repartition(F.col("shard_id")).sortWithinPartitions(
-        F.asc("shard_id"), F.asc(id_col)
+        F.asc("shard_id"),
+        *[F.asc(c) for c in order_by],
+        F.asc(id_col),
     )
     out.write.mode(mode).partitionBy("shard_id").parquet(url)
     # the manifest aggregates the pinned shard map (id, n_tokens,

@@ -728,3 +728,43 @@ def test_to_token_shards_null_id_and_intra_file_order(spark, tmp_path):
     for part in glob.glob(f"{url}/shard_id=*/part-*.parquet"):
         ids = [r.doc_id for r in spark.read.parquet(part).collect()]
         assert ids == sorted(ids), part
+
+
+def test_to_token_shards_curriculum_order(spark, tmp_path):
+    """order_by=['difficulty'] shards in CURRICULUM order: shard 0 holds
+    the easiest ~target_tokens, boundaries follow difficulty (id only
+    breaks ties), and rows within each shard file are difficulty-ordered."""
+    import glob
+
+    from intake_spark.output import to_token_shards
+
+    # difficulty anti-correlated with id so id order would be WRONG
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * 10), 100 - i) for i in range(60)],
+        "doc_id long, text string, difficulty long",
+    )
+    url = str(tmp_path / "cur")
+    man = to_token_shards(
+        docs.repartition(7), url, target_tokens=200, order_by=["difficulty"]
+    )
+    back = spark.read.parquet(url).collect()
+    by_shard: dict = {}
+    for r in back:
+        by_shard.setdefault(r.shard_id, []).append(r.difficulty)
+    sids = sorted(by_shard)
+    # curriculum: every difficulty in shard s < every difficulty in s+1
+    for a, b in zip(sids, sids[1:]):
+        assert max(by_shard[a]) < min(by_shard[b])
+    # 10 tokens/doc, 200/shard -> 20 docs per shard
+    assert [len(by_shard[s]) for s in sids] == [20, 20, 20]
+    assert sum(s["n_tokens"] for s in man["shards"]) == 600
+    # within each part file, difficulty ascending
+    for part in glob.glob(f"{url}/shard_id=*/part-*.parquet"):
+        ds = [r.difficulty for r in spark.read.parquet(part).collect()]
+        assert ds == sorted(ds), part
+
+    import pytest
+
+    with pytest.raises(ValueError, match="order_by column 'nope'"):
+        to_token_shards(docs, str(tmp_path / "x"), target_tokens=50,
+                        order_by=["nope"])
