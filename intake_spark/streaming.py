@@ -838,3 +838,101 @@ def stream_decontaminate_flags(
             )
 
     return df.mapInPandas(run, schema)
+
+
+def stream_incremental_dedup_flags(
+    df: DataFrame,
+    archive: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Streaming ingestion twin of
+    :func:`intake_spark.llm.dedup.incremental_dedup`: flag arriving
+    documents whose best exact-Jaccard match against a STATIC archive
+    reaches ``threshold`` — (id, match_id, n_common, jaccard_r, keep),
+    the same columns and tie-break (highest Jaccard, lowest archive id)
+    as the batch operator, verified row-for-row by the parity test.
+
+    STATELESS like the other ingestion guards: the archive's inverted
+    shingle index (shingle → carrier ids) plus per-archive-doc shingle
+    counts are collected once and broadcast, so the check is one
+    Arrow-batched mapper — append mode, no watermark, no state store,
+    identical on a batch frame. The broadcast premise is the
+    decontaminate/bloom one: REFERENCE sets are MBs; for a corpus-sized
+    archive use the batch ``incremental_dedup`` anti-screen instead
+    (its shingle join never collects anything).
+    """
+    import math
+
+    import pandas as pd
+
+    from intake_spark.llm.dedup import shingles
+    from intake_spark.session import ensure_py_deps
+
+    ensure_py_deps(df.sparkSession)
+    arch_rows = shingles(archive, id_col, text_col, k).collect()
+    index: dict = {}
+    counts: dict = {}
+    for r in arch_rows:
+        index.setdefault(r["shingle"], []).append(r[id_col])
+        counts[r[id_col]] = counts.get(r[id_col], 0) + 1
+    bc = df.sparkSession.sparkContext.broadcast((index, counts))
+    id_type = df.schema[id_col].dataType.simpleString()
+    schema = (
+        f"`{id_col}` {id_type}, match_id {id_type}, n_common long, "
+        "jaccard_r double, keep int"
+    )
+    thr = float(threshold)
+
+    def run(batches):
+        idx, cnt = bc.value
+        for pdf in batches:
+            ids, mids, ncs, js, keeps = [], [], [], [], []
+            for _id, txt in zip(pdf[id_col], pdf[text_col]):
+                toks = txt.split(" ") if isinstance(txt, str) else []
+                ss = (
+                    {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+                    if len(toks) >= k
+                    else set()
+                )
+                common: dict = {}
+                for s in ss:
+                    for aid in idx.get(s, ()):
+                        common[aid] = common.get(aid, 0) + 1
+                best = None
+                for aid, c in common.items():
+                    j = c / (len(ss) + cnt[aid] - c)
+                    # highest Jaccard, ties to the LOWEST archive id —
+                    # the batch operator's window order
+                    key = (-j, aid)
+                    if best is None or key < best[0]:
+                        best = (key, aid, c, j)
+                ids.append(_id)
+                if best is None:
+                    mids.append(None)
+                    ncs.append(0)
+                    js.append(None)
+                    keeps.append(1)
+                else:
+                    _, aid, c, j = best
+                    mids.append(aid)
+                    ncs.append(c)
+                    # HALF_UP like Spark's F.round (Python round() is
+                    # banker's and would flip ...5 boundary values); j >= 0
+                    js.append(math.floor(j * 1e6 + 0.5) / 1e6)
+                    keeps.append(int(j < thr))
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "match_id": pd.array(mids, dtype="Int64")
+                    if id_type == "bigint"
+                    else mids,
+                    "n_common": ncs,
+                    "jaccard_r": pd.array(js, dtype="float64"),
+                    "keep": keeps,
+                }
+            )
+
+    return df.mapInPandas(run, schema)

@@ -550,3 +550,66 @@ def test_stream_decontaminate_flags_matches_batch(spark, tmp_path):
     assert got_s == {
         d: (r.n_shingles, r.n_overlap, r.contaminated) for d, r in got_b.items()
     }
+
+
+def test_stream_incremental_dedup_flags_matches_batch(spark, tmp_path):
+    """Stateless incremental-dedup ingestion guard: stream arm ≡ batch arm
+    ≡ dedup.incremental_dedup row for row (same best match, same tie-break,
+    same rounding), with the near-dup arriving in a later micro-batch."""
+    from intake_spark.llm.dedup import incremental_dedup
+    from intake_spark.streaming import stream_incremental_dedup_flags
+
+    archive = spark.createDataFrame(
+        [
+            (100, "the quick brown fox jumps over the lazy dog today"),
+            (101, "the quick brown fox jumps over the lazy dog today"),
+            (102, "completely different archive text about spark engines"),
+        ],
+        "doc_id long, text string",
+    )
+    base = [(1, "the quick brown fox jumps over the lazy dog"),
+            (2, "nothing shared with anything in that corpus")]
+    later = [(10, "completely different archive text about flink engines"),
+             (11, "tiny doc")]
+    schema = "doc_id long, text string"
+    src = tmp_path / "incdedup_src"
+    src.mkdir()
+    spark.createDataFrame(base, schema).coalesce(1).write.parquet(str(src / "f0"))
+    spark.createDataFrame(later, schema).coalesce(1).write.parquet(str(src / "f1"))
+
+    batch = spark.read.schema(schema).parquet(str(src / "*"))
+    got_b = {
+        r.doc_id: (r.match_id, r.n_common, r.jaccard_r, r.keep)
+        for r in stream_incremental_dedup_flags(
+            batch, archive, threshold=0.5
+        ).collect()
+    }
+    want = {
+        r.doc_id: (r.match_id, r.n_common, r.jaccard_r, r.keep)
+        for r in incremental_dedup(batch, archive, threshold=0.5).collect()
+    }
+    assert got_b == want
+    # semantics spot checks: tie to LOWEST archive id; dropped at >= thr
+    assert got_b[1][0] == 100 and got_b[1][3] == 0
+    assert got_b[11] == (None, 0, None, 1)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    q = (
+        stream_incremental_dedup_flags(stream, archive, threshold=0.5)
+        .writeStream.format("memory")
+        .queryName("incdedup_gate")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180)
+    q.stop()
+    got_s = {
+        r.doc_id: (r.match_id, r.n_common, r.jaccard_r, r.keep)
+        for r in spark.sql("SELECT * FROM incdedup_gate").collect()
+    }
+    assert got_s == got_b
