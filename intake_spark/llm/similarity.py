@@ -279,14 +279,47 @@ def ivf_build(
     vec_col: str = "embedding",
     n_lists: int = 16,
     seed: int = 42,
+    method: str = "ml",
+    id_col: str = "vec_id",
+    iters: int = 3,
+    dim: "int | None" = None,
+    qscale: int = 1024,
 ):
     """Train an IVF coarse quantizer (k-means centroids) and assign every
     vector to its nearest list → (centroids, assigned_df with ``ivf_list``).
 
-    The scale path for ANN beyond LSH: k-means via Spark ML (distributed,
-    seeded → deterministic given the data), then search probes only the
-    query's nearest lists. Index build is one ML fit + one assignment pass.
+    The scale path for ANN beyond LSH: k-means centroids, then search
+    probes only the query's nearest lists. ``method="ml"`` (default)
+    fits Spark ML KMeans — distributed, seeded → deterministic given the
+    data, but float-valued and not replayable cross-engine.
+    ``method="exact"`` trains :func:`kmeans_fit` instead (requires
+    ``dim``): lowest-id seeds, integer rounds — the SAME index on every
+    run/engine/partitioning, the choice when index builds must be
+    auditable; its assignment pass is a mapper-only argmin against
+    literal centroids (no ML stage, no join). Either way the centroids
+    returned are float lists compatible with :func:`ivf_search` /
+    :func:`ivf_save`.
     """
+    if method == "exact":
+        if dim is None:
+            raise ValueError('ivf_build(method="exact") requires dim')
+        cents_int, _ = kmeans_fit(
+            df, id_col, vec_col, k=n_lists, iters=iters, dim=dim, qscale=qscale
+        )
+        q = (
+            f"transform(CAST({vec_col} AS ARRAY<DOUBLE>), "
+            f"x -> CAST(floor(x * {qscale}) AS BIGINT))"
+        )
+        assigned = (
+            df.withColumn("_q", F.expr(q))
+            .withColumn("_b", F.expr(_kmeans_assign_expr(cents_int)))
+            .withColumn("ivf_list", F.col("_b.c").cast("int"))
+            .drop("_q", "_b")
+        )
+        centroids = [[x / qscale for x in c] for c in cents_int]
+        return centroids, assigned
+    if method != "ml":
+        raise ValueError(f"unknown ivf_build method {method!r}")
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector, vector_to_array
 

@@ -369,3 +369,45 @@ def test_kmeans_fit_rejects_dim_mismatch(spark):
         kmeans_fit(df, k=2, iters=1, dim=2)
     with pytest.raises(ValueError, match="dim=8 does not match"):
         kmeans_fit(df, k=2, iters=1, dim=8)
+
+
+def test_ivf_build_exact_method(spark):
+    """method='exact' trains the integer k-means: identical centroids on
+    every run (no seed sensitivity), assignments agree with kmeans_fit,
+    unknown methods and a missing dim are refused, and search recall is
+    in the same band as the ML quantizer."""
+    import pytest
+
+    from intake_spark.llm.similarity import (
+        ivf_build,
+        ivf_search,
+        kmeans_fit,
+        knn_bruteforce,
+    )
+    from intake_spark.session import load_table
+    from tests.conftest import SF_MEDIUM
+
+    emb = load_table(spark, SF_MEDIUM, "embeddings")
+    with pytest.raises(ValueError, match="requires dim"):
+        ivf_build(emb, n_lists=8, method="exact")
+    with pytest.raises(ValueError, match="unknown ivf_build method"):
+        ivf_build(emb, n_lists=8, method="nope")
+
+    c1, a1 = ivf_build(emb, n_lists=8, method="exact", dim=64)
+    c2, a2 = ivf_build(emb.repartition(13), n_lists=8, method="exact", dim=64)
+    assert c1 == c2  # deterministic under any partitioning
+    _, asg = kmeans_fit(emb, k=8, iters=3, dim=64)
+    got = {r.vec_id: r.ivf_list for r in a1.collect()}
+    want = {r.vec_id: r.cluster_id for r in asg.collect()}
+    assert got == want
+
+    queries = emb.filter("vec_id < 10")
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in knn_bruteforce(emb, queries, top_k=5).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in ivf_search(a1, c1, queries, top_k=5, n_probes=3).collect()
+    }
+    assert len(exact & approx) / len(exact) >= 0.6
