@@ -678,6 +678,8 @@ def semantic_dedup_pairs_ivf(
     n_lists: int = 16,
     threshold: float = 0.3,
     seed: int = 42,
+    method: str = "ml",
+    dim: "int | None" = None,
 ) -> DataFrame:
     """SemDeDup candidate pairs with an IVF (trained k-means) coarse
     quantizer instead of the fixed lowest-id seeds — the candidate
@@ -691,8 +693,14 @@ def semantic_dedup_pairs_ivf(
     Recall vs the brute-force oracle is pinned >= 95% in pytest (near-
     dup pairs are much closer than the list diameter, so boundary losses
     stay in the tail); for exact parity on small corpora use
-    :func:`semantic_dedup_pairs`."""
-    _, assigned = ivf_build(df, vec_col=vec_col, n_lists=n_lists, seed=seed)
+    :func:`semantic_dedup_pairs`. ``method="exact"`` (with ``dim``)
+    swaps the quantizer for the deterministic integer
+    :func:`kmeans_fit` — same dedup run reproducible across
+    engines/partitionings, the audit-trail requirement."""
+    _, assigned = ivf_build(
+        df, vec_col=vec_col, n_lists=n_lists, seed=seed,
+        method=method, id_col=id_col, dim=dim,
+    )
     return _pairs_within(assigned, "ivf_list", id_col, vec_col, threshold)
 
 

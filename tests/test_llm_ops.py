@@ -2715,3 +2715,41 @@ def test_global_row_number_matches_window_and_avoids_global_sort(spark):
 
     # empty frame: no rows, no crash
     assert global_row_number(df.filter("v < 0"), [F.asc("id")]).count() == 0
+
+
+def test_ivf_semantic_dedup_exact_method_recall_and_determinism(spark):
+    """semantic_dedup_pairs_ivf(method='exact') keeps the recall bar AND
+    returns the identical pair set under any input partitioning — the
+    reproducible-audit variant of the scale path."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    rows = []
+    for i in range(200):
+        v = rng.normal(size=16)
+        rows.append((i, [float(x) for x in v]))
+    for j in range(50):
+        base = np.array(rows[j][1])
+        dup = base + rng.normal(scale=1e-3, size=16)
+        rows.append((1000 + j, [float(x) for x in dup]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    exact = {
+        (r.id_a, r.id_b)
+        for r in dedup.embedding_near_dup_pairs(emb, threshold=0.95).collect()
+    }
+    p1 = {
+        (r.id_a, r.id_b)
+        for r in similarity.semantic_dedup_pairs_ivf(
+            emb, n_lists=8, threshold=0.95, method="exact", dim=16
+        ).collect()
+    }
+    p2 = {
+        (r.id_a, r.id_b)
+        for r in similarity.semantic_dedup_pairs_ivf(
+            emb.repartition(9), n_lists=8, threshold=0.95, method="exact", dim=16
+        ).collect()
+    }
+    assert p1 == p2  # deterministic under repartitioning
+    assert p1 <= exact
+    assert len(exact & p1) / len(exact) >= 0.95
