@@ -2274,6 +2274,13 @@ def to_token_shards(
 
     order_by = list(order_by or [])
     for c in order_by:
+        if not isinstance(c, str):
+            # a Column object would make `c not in df.columns` blow up
+            # with PySpark's opaque "Cannot convert column into bool"
+            raise ValueError(
+                "order_by takes column NAMES (ascending); got "
+                f"{type(c).__name__}"
+            )
         if c not in df.columns:
             raise ValueError(
                 f"order_by column {c!r} not in the input frame"

@@ -765,6 +765,18 @@ def stream_semantic_dup_flags(
     )
 
 
+def _py_shingles(txt, k: int) -> set:
+    """Executor-side Python replica of ``dedup.shingles`` semantics
+    (split on single space, NO empty-token filter, distinct k-word
+    windows) — the ONE definition both stateless ingestion guards map
+    with, so a tokenization-parity fix can never reach one guard and
+    miss the other."""
+    toks = txt.split(" ") if isinstance(txt, str) else []
+    if len(toks) < k:
+        return set()
+    return {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+
+
 def stream_decontaminate_flags(
     df: DataFrame,
     benchmark: DataFrame,
@@ -817,14 +829,7 @@ def stream_decontaminate_flags(
         for pdf in batches:
             ids, ns, no = [], [], []
             for _id, txt in zip(pdf[id_col], pdf[text_col]):
-                toks = txt.split(" ") if isinstance(txt, str) else []
-                if len(toks) >= k:
-                    ss = {
-                        " ".join(toks[i : i + k])
-                        for i in range(len(toks) - k + 1)
-                    }
-                else:
-                    ss = set()
+                ss = _py_shingles(txt, k)
                 ids.append(_id)
                 ns.append(len(ss))
                 no.append(len(ss & sh_set))
@@ -880,8 +885,12 @@ def stream_incremental_dedup_flags(
         counts[r[id_col]] = counts.get(r[id_col], 0) + 1
     bc = df.sparkSession.sparkContext.broadcast((index, counts))
     id_type = df.schema[id_col].dataType.simpleString()
+    # match_id carries ARCHIVE ids — type it from the archive side (a
+    # string-id stream screened against a bigint-id archive would
+    # otherwise fail Arrow conversion on the first match)
+    match_type = archive.schema[id_col].dataType.simpleString()
     schema = (
-        f"`{id_col}` {id_type}, match_id {id_type}, n_common long, "
+        f"`{id_col}` {id_type}, match_id {match_type}, n_common long, "
         "jaccard_r double, keep int"
     )
     thr = float(threshold)
@@ -891,12 +900,7 @@ def stream_incremental_dedup_flags(
         for pdf in batches:
             ids, mids, ncs, js, keeps = [], [], [], [], []
             for _id, txt in zip(pdf[id_col], pdf[text_col]):
-                toks = txt.split(" ") if isinstance(txt, str) else []
-                ss = (
-                    {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
-                    if len(toks) >= k
-                    else set()
-                )
+                ss = _py_shingles(txt, k)
                 common: dict = {}
                 for s in ss:
                     for aid in idx.get(s, ()):
@@ -927,7 +931,7 @@ def stream_incremental_dedup_flags(
                 {
                     id_col: ids,
                     "match_id": pd.array(mids, dtype="Int64")
-                    if id_type == "bigint"
+                    if match_type in ("bigint", "int", "smallint", "tinyint")
                     else mids,
                     "n_common": ncs,
                     "jaccard_r": pd.array(js, dtype="float64"),

@@ -613,3 +613,24 @@ def test_stream_incremental_dedup_flags_matches_batch(spark, tmp_path):
         for r in spark.sql("SELECT * FROM incdedup_gate").collect()
     }
     assert got_s == got_b
+
+
+def test_stream_incremental_dedup_cross_type_ids(spark):
+    """match_id carries ARCHIVE ids: a string-id stream screened against
+    a bigint-id archive must type match_id from the archive side
+    (review finding)."""
+    from intake_spark.streaming import stream_incremental_dedup_flags
+
+    archive = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog today")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [("a1", "the quick brown fox jumps over the lazy dog"),
+         ("b2", "nothing in common with that corpus at all")],
+        "doc_id string, text string",
+    )
+    out = {r.doc_id: r for r in stream_incremental_dedup_flags(
+        new, archive, threshold=0.5).collect()}
+    assert out["a1"].match_id == 100 and out["a1"].keep == 0
+    assert out["b2"].match_id is None and out["b2"].keep == 1

@@ -768,3 +768,17 @@ def test_to_token_shards_curriculum_order(spark, tmp_path):
     with pytest.raises(ValueError, match="order_by column 'nope'"):
         to_token_shards(docs, str(tmp_path / "x"), target_tokens=50,
                         order_by=["nope"])
+
+
+def test_to_token_shards_order_by_rejects_column_objects(spark, tmp_path):
+    from pyspark.sql import functions as F
+    import pytest
+
+    from intake_spark.output import to_token_shards
+
+    docs = spark.createDataFrame(
+        [(1, "a b c", 1)], "doc_id long, text string, d long"
+    )
+    with pytest.raises(ValueError, match="column NAMES"):
+        to_token_shards(docs, str(tmp_path / "x"), target_tokens=5,
+                        order_by=[F.col("d")])
