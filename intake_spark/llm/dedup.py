@@ -916,6 +916,7 @@ def remove_dup_spans(
     text_col: str = "text",
     k: int = 8,
     min_occurrences: int = 2,
+    spans: "DataFrame | None" = None,
 ) -> DataFrame:
     """The removal step of substring dedup (Lee et al. 2021): cut every
     token covered by a duplicated span (:func:`dup_spans` semantics —
@@ -926,8 +927,12 @@ def remove_dup_spans(
     Scale shape: dup_spans' linear pipeline, plus one per-document
     span-list aggregate and one equi-join back to the corpus on the
     document key; the cut itself is a JVM HOF filter over the token
-    array — no Python, no extra shuffle beyond the id-key join."""
-    spans = dup_spans(df, id_col, text_col, k, min_occurrences)
+    array — no Python, no extra shuffle beyond the id-key join.
+    ``spans=`` accepts a precomputed (persisted) :func:`dup_spans`
+    result so a session that also REPORTS the spans pays for the
+    pipeline once."""
+    if spans is None:
+        spans = dup_spans(df, id_col, text_col, k, min_occurrences)
     per_doc = spans.groupBy(id_col).agg(
         F.collect_list(F.struct("span_start", "span_end")).alias("_spans")
     )

@@ -1367,6 +1367,27 @@ cl AS (SELECT e.vec_id, v, seed_id AS cluster_id
 """
 
 
+_DUP_SPANS_CACHE: dict = {}
+
+
+def _dup_spans_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The (k=8, min_occurrences=2) duplicated-span table shared by q101
+    (report) and q103 (removal) — computed once per (session, sf_dir)
+    and persisted, the _jaccard_pairs_shared pattern."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    got = _DUP_SPANS_CACHE.get(key)
+    if got is None:
+        while len(_DUP_SPANS_CACHE) >= 2:
+            try:
+                _DUP_SPANS_CACHE.pop(next(iter(_DUP_SPANS_CACHE))).unpersist()
+            except Exception:
+                pass
+        docs = load_table(spark, sf_dir, "documents")
+        got = dedup.dup_spans(docs, k=8, min_occurrences=2).persist()
+        _DUP_SPANS_CACHE[key] = got
+    return got
+
+
 _JACCARD_PAIRS_CACHE: dict = {}
 
 
@@ -1973,8 +1994,7 @@ def q101_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     Linear in corpus tokens — one occurrence-count shuffle + a
     same-key equi-join + per-doc islands window; no pair blowup
     (dedup.dup_spans)."""
-    docs = load_table(spark, sf_dir, "documents")
-    return dedup.dup_spans(docs, k=8, min_occurrences=2)
+    return _dup_spans_shared(spark, sf_dir)
 
 
 @register(
@@ -2056,7 +2076,9 @@ def q103_remove_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     one id-key equi-join to q101's linear pipeline; the cut is a JVM
     HOF filter."""
     docs = load_table(spark, sf_dir, "documents")
-    return dedup.remove_dup_spans(docs, k=8, min_occurrences=2)
+    return dedup.remove_dup_spans(
+        docs, k=8, min_occurrences=2, spans=_dup_spans_shared(spark, sf_dir)
+    )
 
 
 def _gopher_quality_sql(min_words: int = 50, max_words: int = 100000,
