@@ -902,6 +902,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "q119_kmeans_clusters",
     "q120_incremental_dedup",
     "q121_curriculum_rank",
+    "q122_exact_corpus_quantiles",
     "q15_rollup_region_nation",
     "q16_json_props",
     "q17_hourly_windows",

@@ -3151,3 +3151,48 @@ def q121_curriculum_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, [F.asc("n_words"), F.asc("doc_id")], shards=8, out_col="rank"
     )
     return out.select("doc_id", "n_chars", F.col("rank").cast("long").alias("rank"))
+
+
+_Q122_QS = (0.25, 0.5, 0.75, 0.9, 0.99)
+
+
+@register(
+    "q122_exact_corpus_quantiles",
+    f"""
+    WITH r AS (SELECT n_chars,
+                      ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS rk,
+                      COUNT(*) OVER () AS n
+               FROM documents)
+    SELECT q, n_chars AS cut
+    FROM r JOIN (VALUES {", ".join(f"({q})" for q in _Q122_QS)}) t(q)
+      ON rk = CAST(ceil(q * n) AS BIGINT)
+    ORDER BY q
+    """,
+)
+def q122_exact_corpus_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT corpus quantile cuts (the ceil(q·n)-th order statistic of
+    n_chars, doc_id tie-break) by distributed selection: rank every row
+    with assembly.global_row_number — range shards, never a
+    single-partition sort — then keep the target ranks. Two linear
+    passes; contrast q34's quantile_cont on grouped data (exact within a
+    group that fits a task) — this is the whole-corpus form that
+    survives 100 TB. The oracle is the ROW_NUMBER it replaces."""
+    from intake_spark.llm.assembly import global_row_number
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    ranked = global_row_number(
+        docs, [F.asc("n_chars"), F.asc("doc_id")], shards=8, out_col="rk"
+    )
+    n = ranked.count()
+    targets = [(float(q), int(-(-q * n // 1))) for q in _Q122_QS]
+    tgt = F.create_map(
+        *[x for q, r in targets for x in (F.lit(r), F.lit(q))]
+    )
+    return (
+        ranked.filter(F.col("rk").isin([r for _, r in targets]))
+        .select(
+            tgt[F.col("rk")].cast("double").alias("q"),
+            F.col("n_chars").alias("cut"),
+        )
+        .orderBy("q")
+    )
