@@ -854,9 +854,9 @@ def q42_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
 # time regardless of ordering.
 _VERIFY_FIRST: tuple[str, ...] = (
     # r6: q61/q88 first (red/no-oracle in r05, both fixed this round) and
-    # the never-verified new queries (q97-q120), then the queries whose
-    # latest green driver row is r03/r04. With 28 new-query slots the
-    # 50-query sample window now closes at q36; q37-q50/q76/q77/q78 keep
+    # the never-verified new queries (q97-q122), then the queries whose
+    # latest green driver row is r03/r04. With 30 new-query slots the
+    # 50-query sample window now closes at q34; q35-q50/q76/q77/q78 keep
     # their old green rows and rotate back in r7 (the local oracle gate
     # still runs all of them every session).
     "q61_quantize_embeddings",
