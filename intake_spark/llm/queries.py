@@ -1367,25 +1367,43 @@ cl AS (SELECT e.vec_id, v, seed_id AS cluster_id
 """
 
 
+def _session_cached(cache: dict, key: tuple, cap: int, build):
+    """The ONE get / FIFO-evict / build / persist body behind every
+    session-shared table (`_dup_spans_shared`, `_jaccard_pairs_shared`,
+    `_semantic_pairs_shared`, and `_direction_shared`'s triple variant
+    keeps its own unpinned form): bounded cache so a long-lived session
+    sweeping many sf_dirs does not pin one table per dir in executor
+    storage memory for the application's lifetime; evicted entries are
+    unpersisted (pop BEFORE unpersist so a throwing unpersist cannot
+    wedge the cache). ``Catalog.materialize`` is the cross-session form
+    of all of these; persist() is the in-session form."""
+    got = cache.get(key)
+    if got is None:
+        while len(cache) >= cap:
+            old = cache.pop(next(iter(cache)))  # FIFO: oldest insertion
+            try:
+                old.unpersist()
+            except Exception:
+                pass
+        got = build().persist()
+        cache[key] = got
+    return got
+
+
 _DUP_SPANS_CACHE: dict = {}
 
 
 def _dup_spans_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The (k=8, min_occurrences=2) duplicated-span table shared by q101
-    (report) and q103 (removal) — computed once per (session, sf_dir)
-    and persisted, the _jaccard_pairs_shared pattern."""
-    key = (spark.sparkContext.applicationId, sf_dir)
-    got = _DUP_SPANS_CACHE.get(key)
-    if got is None:
-        while len(_DUP_SPANS_CACHE) >= 2:
-            try:
-                _DUP_SPANS_CACHE.pop(next(iter(_DUP_SPANS_CACHE))).unpersist()
-            except Exception:
-                pass
-        docs = load_table(spark, sf_dir, "documents")
-        got = dedup.dup_spans(docs, k=8, min_occurrences=2).persist()
-        _DUP_SPANS_CACHE[key] = got
-    return got
+    (report) and q103 (removal)."""
+    return _session_cached(
+        _DUP_SPANS_CACHE,
+        (spark.sparkContext.applicationId, sf_dir),
+        2,
+        lambda: dedup.dup_spans(
+            load_table(spark, sf_dir, "documents"), k=8, min_occurrences=2
+        ),
+    )
 
 
 _JACCARD_PAIRS_CACHE: dict = {}
@@ -1394,27 +1412,20 @@ _JACCARD_PAIRS_CACHE: dict = {}
 def _jaccard_pairs_shared(
     spark: SparkSession, sf_dir: str, max_shingle_df: "int | None" = None
 ) -> DataFrame:
-    """The exact-Jaccard-0.5 pair table over documents, computed once per
-    (session, sf_dir, cap) and persisted — shared by q33/q115/q118
-    (uncapped) and q22/q72 (stop-shingle-capped), which otherwise each
-    rebuild the shingle self-join in one bench session (the
-    _semantic_pairs_shared pattern; Catalog.materialize is the
-    cross-session form)."""
-    key = (spark.sparkContext.applicationId, sf_dir, max_shingle_df)
-    got = _JACCARD_PAIRS_CACHE.get(key)
-    if got is None:
-        while len(_JACCARD_PAIRS_CACHE) >= 4:
-            old = next(iter(_JACCARD_PAIRS_CACHE))
-            try:
-                _JACCARD_PAIRS_CACHE.pop(old).unpersist()
-            except Exception:
-                pass
-        docs = load_table(spark, sf_dir, "documents")
-        got = dedup.jaccard_pairs(
-            docs, threshold=0.5, max_shingle_df=max_shingle_df
-        ).persist()
-        _JACCARD_PAIRS_CACHE[key] = got
-    return got
+    """The exact-Jaccard-0.5 pair table over documents, one build per
+    (session, sf_dir, cap) — shared by q33/q115/q118 (uncapped) and
+    q22/q72 (stop-shingle-capped), which otherwise each rebuild the
+    shingle self-join in one bench session."""
+    return _session_cached(
+        _JACCARD_PAIRS_CACHE,
+        (spark.sparkContext.applicationId, sf_dir, max_shingle_df),
+        4,
+        lambda: dedup.jaccard_pairs(
+            load_table(spark, sf_dir, "documents"),
+            threshold=0.5,
+            max_shingle_df=max_shingle_df,
+        ),
+    )
 
 
 _SEM_PAIRS_CACHE: dict = {}
@@ -1422,27 +1433,16 @@ _SEM_PAIRS_CACHE: dict = {}
 
 def _semantic_pairs_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The (cluster_id, id_a, id_b, cosine) SemDeDup pair table shared by
-    q84/q89/q90 — computed once per (session, sf_dir) and persisted, so
-    the three queries stop rebuilding the clustering+pair plan thrice in
-    one session. In a catalog workflow the same sharing is
-    ``Catalog.materialize`` of this step to parquet; persist() is its
-    in-session form."""
-    key = (spark.sparkContext.applicationId, sf_dir)
-    got = _SEM_PAIRS_CACHE.get(key)
-    if got is None:
-        # bounded cache: unpersist evicted entries so a long-lived session
-        # sweeping many sf_dirs does not pin one pair table per dir in
-        # executor storage memory for the application's lifetime
-        while len(_SEM_PAIRS_CACHE) >= 2:
-            old_key = next(iter(_SEM_PAIRS_CACHE))  # FIFO: oldest insertion
-            try:
-                _SEM_PAIRS_CACHE.pop(old_key).unpersist()
-            except Exception:
-                pass
-        emb = load_table(spark, sf_dir, "embeddings")
-        got = similarity.semantic_dedup_pairs(emb, n_seeds=8, threshold=0.3).persist()
-        _SEM_PAIRS_CACHE[key] = got
-    return got
+    q84/q89/q90 — computed once per (session, sf_dir), so the three
+    queries stop rebuilding the clustering+pair plan thrice."""
+    return _session_cached(
+        _SEM_PAIRS_CACHE,
+        (spark.sparkContext.applicationId, sf_dir),
+        2,
+        lambda: similarity.semantic_dedup_pairs(
+            load_table(spark, sf_dir, "embeddings"), n_seeds=8, threshold=0.3
+        ),
+    )
 
 
 @register(
@@ -3180,19 +3180,22 @@ def q122_exact_corpus_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from intake_spark.llm.assembly import global_row_number
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    # n from the source, not ranked.count(): global_row_number preserves
+    # row count and this stays a metadata-cheap aggregate instead of a
+    # second pass over the ranking window
+    n = docs.count()
     ranked = global_row_number(
         docs, [F.asc("n_chars"), F.asc("doc_id")], shards=8, out_col="rk"
     )
-    n = ranked.count()
-    targets = [(float(q), int(-(-q * n // 1))) for q in _Q122_QS]
-    tgt = F.create_map(
-        *[x for q, r in targets for x in (F.lit(r), F.lit(q))]
+    # join a (q, rank) frame rather than a rank-keyed literal map: on a
+    # small corpus two quantiles share a rank (n=5 puts 0.9 and 0.99 both
+    # at rank 5) — the map form raised DUPLICATED_MAP_KEY, and the oracle
+    # join emits one row PER q for a shared rank
+    tgt = spark.createDataFrame(
+        [(float(q), int(-(-q * n // 1))) for q in _Q122_QS], "q double, rk long"
     )
     return (
-        ranked.filter(F.col("rk").isin([r for _, r in targets]))
-        .select(
-            tgt[F.col("rk")].cast("double").alias("q"),
-            F.col("n_chars").alias("cut"),
-        )
+        ranked.join(F.broadcast(tgt), "rk")
+        .select("q", F.col("n_chars").alias("cut"))
         .orderBy("q")
     )

@@ -2753,3 +2753,26 @@ def test_ivf_semantic_dedup_exact_method_recall_and_determinism(spark):
     assert p1 == p2  # deterministic under repartitioning
     assert p1 <= exact
     assert len(exact & p1) / len(exact) >= 0.95
+
+
+def test_q122_small_corpus_shared_rank(spark, monkeypatch):
+    """Review finding: on a tiny corpus two quantile targets share a rank
+    (n=5 puts 0.9 and 0.99 both at ceil(q*n)=5) — q122 must emit one row
+    PER quantile like its oracle, not raise DUPLICATED_MAP_KEY."""
+    import intake_spark.llm.queries as Q
+    import intake_spark.session as sess
+
+    docs = spark.createDataFrame(
+        [(i, "x", "en", "s", 10 * (i + 1)) for i in range(5)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    monkeypatch.setattr(
+        sess, "load_table", lambda spark, sf_dir, name: docs
+    )
+    monkeypatch.setattr(Q, "load_table", lambda spark, sf_dir, name: docs)
+    out = Q.q122_exact_corpus_quantiles(spark, "ignored").collect()
+    got = {r.q: r.cut for r in out}
+    # ranks: ceil(.25*5)=2, ceil(.5*5)=3, ceil(.75*5)=4, ceil(.9*5)=5,
+    # ceil(.99*5)=5 -> five rows, 0.9 and 0.99 sharing the max element
+    assert len(out) == 5
+    assert got == {0.25: 20, 0.5: 30, 0.75: 40, 0.9: 50, 0.99: 50}
