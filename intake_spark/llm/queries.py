@@ -2656,13 +2656,14 @@ def q111_cms_term_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("term")
     )
-    top = (
-        terms.groupBy("term")
-        .agg(F.count(F.lit(1)).alias("true_cnt"))
-        .orderBy(F.desc("true_cnt"), F.asc("term"))
-        .limit(15)
-    )
-    sk = sketches.cms_sketch(terms, "term")
+    # ONE explode + groupBy: the aggregate feeds both the exact top-15
+    # and (weight_col) the sketch — the raw term stream is never scanned
+    # twice
+    counts = terms.groupBy("term").agg(
+        F.count(F.lit(1)).alias("true_cnt")
+    ).localCheckpoint(eager=False)
+    top = counts.orderBy(F.desc("true_cnt"), F.asc("term")).limit(15)
+    sk = sketches.cms_sketch(counts, "term", weight_col="true_cnt")
     return sketches.cms_estimate(sk, top, "term").orderBy(
         F.desc("true_cnt"), F.asc("term")
     )

@@ -236,6 +236,7 @@ def cms_sketch(
     value_col: str,
     depth: int = 4,
     width: int = 256,
+    weight_col: "str | None" = None,
 ) -> DataFrame:
     """Count-min sketch of a value stream → (row, cell, cnt), the
     depth×width counter matrix as a long-form frame. Hashes are
@@ -244,15 +245,26 @@ def cms_sketch(
     map-side partial aggregation — and re-derivable exactly by any
     engine with md5. One shuffle of depth·n rows collapsing to
     depth·width groups; the classic frequency-sketch shape for streams
-    too large to groupBy exactly."""
+    too large to groupBy exactly.
+
+    ``weight_col`` builds the IDENTICAL matrix from a pre-aggregated
+    (value, count) frame — cnt sums weights instead of counting rows —
+    so a pipeline that already grouped the stream (e.g. for an exact
+    top-k next to the sketch) feeds the aggregate in rather than
+    re-exploding the raw stream."""
     cells = _cms_cells(value_col, depth, width)
+    w = (
+        F.lit(1).cast("long")
+        if weight_col is None
+        else F.col(weight_col).cast("long")
+    )
     return (
         df.filter(_c(value_col).isNotNull())
-        .select(F.explode(cells).alias("_c"))
+        .select(F.explode(cells).alias("_c"), w.alias("_w"))
         .groupBy(
             F.col("_c.row").alias("row"), F.col("_c.cell").alias("cell")
         )
-        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(F.sum("_w").alias("cnt"))
     )
 
 

@@ -2776,3 +2776,24 @@ def test_q122_small_corpus_shared_rank(spark, monkeypatch):
     # ceil(.99*5)=5 -> five rows, 0.9 and 0.99 sharing the max element
     assert len(out) == 5
     assert got == {0.25: 20, 0.5: 30, 0.75: 40, 0.9: 50, 0.99: 50}
+
+
+def test_cms_sketch_weighted_equals_stream(spark):
+    """cms_sketch(weight_col=) over a pre-aggregated (value, count) frame
+    builds the IDENTICAL counter matrix as the raw stream form — the
+    q111 one-explode optimization's safety net."""
+    from intake_spark.llm import sketches
+
+    stream = spark.createDataFrame(
+        [(t,) for t in ["a"] * 5 + ["b"] * 3 + ["c"] * 1], "term string"
+    )
+    agg = stream.groupBy("term").count()
+    raw = {
+        (r.row, r.cell): r.cnt
+        for r in sketches.cms_sketch(stream, "term").collect()
+    }
+    wtd = {
+        (r.row, r.cell): r.cnt
+        for r in sketches.cms_sketch(agg, "term", weight_col="count").collect()
+    }
+    assert raw == wtd and sum(raw.values()) == 4 * 9  # depth * n
