@@ -903,6 +903,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "q120_incremental_dedup",
     "q121_curriculum_rank",
     "q122_exact_corpus_quantiles",
+    "q123_blocklist_filter",
     "q15_rollup_region_nation",
     "q16_json_props",
     "q17_hourly_windows",

@@ -3200,3 +3200,35 @@ def q122_exact_corpus_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("q", F.col("n_chars").alias("cut"))
         .orderBy("q")
     )
+
+
+_Q123_BLOCKLIST = ("skew", "spill", "slow")
+
+
+@register(
+    "q123_blocklist_filter",
+    f"""
+    WITH w AS (SELECT doc_id,
+                      list_filter(string_split(COALESCE(text, ''), ' '),
+                                  x -> length(x) > 0) AS w
+               FROM documents)
+    SELECT doc_id,
+           CAST(len(w) AS BIGINT) AS n_words,
+           CAST(len(list_filter(w, x -> list_contains(
+                {list(_Q123_BLOCKLIST)!r}, lower(x)))) AS BIGINT)
+             AS n_blocked,
+           CAST(CASE WHEN len(list_filter(w, x -> list_contains(
+                {list(_Q123_BLOCKLIST)!r}, lower(x)))) <= 1
+                THEN 1 ELSE 0 END AS INT) AS keep
+    FROM w
+    """,
+)
+def q123_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term-blocklist policy filter (C4's bad-words stage shape): per
+    document the blocklisted-token count and a keep flag at max_hits=1
+    (tolerate one incidental mention). Mapper-only — the list is an
+    array literal, the count a JVM filter over the token array
+    (text.blocklist_filter). The list here is a bench stand-in; policy
+    lists are caller-supplied."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.blocklist_filter(docs, list(_Q123_BLOCKLIST), max_hits=1)

@@ -1116,3 +1116,43 @@ def gopher_repetition(
     for fn in flag_names:
         keep = F.col(fn) if keep is None else keep + F.col(fn)
     return out.withColumn("keep", (keep == 0).cast("int"))
+
+
+def blocklist_filter(
+    df: DataFrame,
+    terms: "list[str]",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hits: int = 0,
+) -> DataFrame:
+    """Term-blocklist document filter — the C4 "bad words" stage (Raffel
+    et al. 2020 §2.2 drop documents containing list words; the list
+    itself is deployment policy, supplied by the caller). Returns
+    (id, n_words, n_blocked, keep): ``n_blocked`` counts tokens whose
+    lowercase form is in the list, ``keep`` = n_blocked ≤ ``max_hits``
+    (0 = C4's any-hit drop; small positive values tolerate incidental
+    mentions in long documents).
+
+    Mapper-only like the other rule filters: the list rides the plan as
+    an array literal (policy lists are thousands of terms — still KBs),
+    the count is one JVM ``filter`` over the token array, zero shuffle;
+    at 100 TB this runs at scan speed in the cleaning ladder."""
+    if not terms:
+        raise ValueError("blocklist_filter needs at least one term")
+    arr = F.array(*[F.lit(t.lower()) for t in terms])
+    words = F.filter(
+        F.split(F.coalesce(F.col(text_col), F.lit("")), " "),
+        lambda x: F.length(x) > 0,
+    )
+    d = df.select(F.col(id_col), words.alias("_w")).withColumn(
+        "_bl", arr
+    )
+    blocked = F.size(
+        F.filter(F.col("_w"), lambda t: F.array_contains(F.col("_bl"), F.lower(t)))
+    )
+    return d.select(
+        F.col(id_col),
+        F.size("_w").cast("long").alias("n_words"),
+        blocked.cast("long").alias("n_blocked"),
+        F.when(blocked <= max_hits, F.lit(1)).otherwise(F.lit(0)).alias("keep"),
+    )

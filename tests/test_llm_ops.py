@@ -2797,3 +2797,28 @@ def test_cms_sketch_weighted_equals_stream(spark):
         for r in sketches.cms_sketch(agg, "term", weight_col="count").collect()
     }
     assert raw == wtd and sum(raw.values()) == 4 * 9  # depth * n
+
+
+def test_blocklist_filter_semantics(spark):
+    """Case-insensitive token match, max_hits tolerance, NULL text, and
+    the empty-list refusal."""
+    import pytest
+
+    from intake_spark.llm.text import blocklist_filter
+
+    df = spark.createDataFrame(
+        [(1, "Spam and CASINO words here"), (2, "clean text only"),
+         (3, None), (4, "spam spam spam")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in blocklist_filter(
+        df, ["spam", "casino"], max_hits=1).collect()}
+    assert out[1].n_blocked == 2 and out[1].keep == 0  # Spam + CASINO
+    assert out[2].n_blocked == 0 and out[2].keep == 1
+    assert out[3].n_words == 0 and out[3].keep == 1
+    assert out[4].n_blocked == 3 and out[4].keep == 0
+    strict = {r.doc_id: r.keep for r in blocklist_filter(
+        df, ["spam"], max_hits=0).collect()}
+    assert strict == {1: 0, 2: 1, 3: 1, 4: 0}
+    with pytest.raises(ValueError, match="at least one term"):
+        blocklist_filter(df, [])
