@@ -251,12 +251,19 @@ def cms_sketch(
     (value, count) frame — cnt sums weights instead of counting rows —
     so a pipeline that already grouped the stream (e.g. for an exact
     top-k next to the sketch) feeds the aggregate in rather than
-    re-exploding the raw stream."""
+    re-exploding the raw stream. A NULL (or non-castable) weight
+    contributes 0 — NOT 1 like a raw-stream row — so never-undercount
+    holds against the weights as given; feed clean counts."""
     cells = _cms_cells(value_col, depth, width)
     w = (
         F.lit(1).cast("long")
         if weight_col is None
-        else F.col(weight_col).cast("long")
+        # _c, not F.col: dotted/spaced weight names must resolve
+        # top-level like every other column reference in this module.
+        # coalesce keeps a NULL weight from silently NULLing a cell
+        # whose only contributions are NULL (cms_estimate would read
+        # that cell as 0 and undercount)
+        else F.coalesce(_c(weight_col).cast("long"), F.lit(0))
     )
     return (
         df.filter(_c(value_col).isNotNull())

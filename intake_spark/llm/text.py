@@ -33,6 +33,15 @@ def words_col(text_col: str = "text") -> Column:
     return F.split(F.col(text_col), " ")
 
 
+def nonempty_words(txt: Column) -> Column:
+    """NONEMPTY space-split tokens of an (already NULL-coalesced) text
+    expression — the ONE word-array definition the rule filters
+    (c4/gopher/blocklist), the feature hasher, and the span scanner all
+    build on, so a tokenization change can never reach some filters and
+    silently diverge the others."""
+    return F.filter(F.split(txt, " "), lambda x: F.length(x) > 0)
+
+
 def _sql_array(values: list[str]) -> Column:
     return F.array(*[F.lit(v) for v in values])
 
@@ -724,7 +733,7 @@ def c4_filter(
     # that both keep=1 and keep=0 filters drop
     txt = F.coalesce(F.col(text_col), F.lit(""))
     low = F.lower(txt)
-    n_words = F.size(F.filter(F.split(txt, " "), lambda x: F.length(x) > 0))
+    n_words = F.size(nonempty_words(txt))
     n_sent = F.size(F.split(txt, r"[.!?]")) - 1
     r_short = (n_words < min_words).cast("int")
     r_sent = (n_sent < min_sentences).cast("int")
@@ -773,7 +782,7 @@ def gopher_filter(
     JVM expression tree per row, zero shuffle — at 100 TB this runs at
     scan speed next to :func:`c4_filter` in the cleaning ladder."""
     txt = F.coalesce(F.col(text_col), F.lit(""))
-    w = F.filter(F.split(txt, " "), lambda x: F.length(x) > 0)
+    w = nonempty_words(txt)
     nw = F.size(w).cast("long")
     wchars = F.aggregate(
         w, F.lit(0).cast("long"), lambda s, x: s + F.length(x).cast("long")
@@ -840,7 +849,7 @@ def hashed_gram_stream(
     see identical features by construction (md5 bucket = first 8 hex
     chars mod ``buckets``; words = nonempty space-split tokens)."""
     txt = F.coalesce(F.col(text_col), F.lit(""))
-    w = F.filter(F.split(txt, " "), lambda x: F.length(x) > 0)
+    w = nonempty_words(txt)
     base = df.select(
         F.col(id_col), *[F.col(c) for c in extra], w.alias("_w")
     )
@@ -1039,7 +1048,7 @@ def gopher_repetition(
     txt = F.coalesce(F.col(text_col), F.lit(""))
     base = df.select(
         F.col(id_col),
-        F.filter(F.split(txt, " "), lambda x: F.length(x) > 0).alias("_w"),
+        nonempty_words(txt).alias("_w"),
         F.split(txt, "\n").alias("_ln"),
         F.split(txt, "\n\n").alias("_pg"),
     )
@@ -1134,21 +1143,29 @@ def blocklist_filter(
     mentions in long documents).
 
     Mapper-only like the other rule filters: the list rides the plan as
-    an array literal (policy lists are thousands of terms — still KBs),
-    the count is one JVM ``filter`` over the token array, zero shuffle;
-    at 100 TB this runs at scan speed in the cleaning ladder."""
+    an IN-set literal (Catalyst's OptimizeIn turns it into a hash-set
+    lookup, O(1) per token even for thousand-term policy lists), the
+    count is one JVM ``filter`` over the token array, zero shuffle; at
+    100 TB this runs at scan speed in the cleaning ladder. Matching is
+    PER TOKEN: a term containing whitespace can never match and is
+    refused by name (phrase lists need a substring/shingle mechanism,
+    not a silent no-op)."""
     if not terms:
         raise ValueError("blocklist_filter needs at least one term")
-    arr = F.array(*[F.lit(t.lower()) for t in terms])
-    words = F.filter(
-        F.split(F.coalesce(F.col(text_col), F.lit("")), " "),
-        lambda x: F.length(x) > 0,
-    )
-    d = df.select(F.col(id_col), words.alias("_w")).withColumn(
-        "_bl", arr
-    )
+    lowered = []
+    for t in terms:
+        if any(ch.isspace() for ch in t):
+            raise ValueError(
+                f"blocklist term {t!r} contains whitespace: matching is "
+                "per space-split token, so a multi-word phrase would "
+                "silently never match — split it into single-word terms "
+                "or use a substring scan (dup_spans/scrub_patterns)"
+            )
+        lowered.append(t.lower())
+    words = nonempty_words(F.coalesce(F.col(text_col), F.lit("")))
+    d = df.select(F.col(id_col), words.alias("_w"))
     blocked = F.size(
-        F.filter(F.col("_w"), lambda t: F.array_contains(F.col("_bl"), F.lower(t)))
+        F.filter(F.col("_w"), lambda t: F.lower(t).isin(*lowered))
     )
     return d.select(
         F.col(id_col),

@@ -2822,3 +2822,24 @@ def test_blocklist_filter_semantics(spark):
     assert strict == {1: 0, 2: 1, 3: 1, 4: 0}
     with pytest.raises(ValueError, match="at least one term"):
         blocklist_filter(df, [])
+
+
+def test_blocklist_filter_refuses_phrases_and_weighted_cms_nulls(spark):
+    """Review findings: a whitespace-containing blocklist term is refused
+    by name (per-token matching would silently never match it); a NULL
+    weight in cms_sketch(weight_col=) contributes 0, never a NULL cell."""
+    import pytest
+
+    from intake_spark.llm import sketches
+    from intake_spark.llm.text import blocklist_filter
+
+    df = spark.createDataFrame([(1, "x y z")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="contains whitespace"):
+        blocklist_filter(df, ["bad phrase"])
+
+    agg = spark.createDataFrame(
+        [("a", 5), ("b", None)], "term string, cnt int"
+    )
+    sk = sketches.cms_sketch(agg, "term", weight_col="cnt").collect()
+    assert all(r.cnt is not None for r in sk)
+    assert sum(r.cnt for r in sk) == 4 * 5  # depth * (5 + 0)
