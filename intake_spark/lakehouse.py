@@ -1213,20 +1213,27 @@ def _roaring64_positions(data: bytes) -> list[int]:
 
 def _dv_file_positions(path: str, offset: "int | None", size: int) -> list[int]:
     """Read one on-disk deletion vector: at ``offset`` a 4-byte
-    BIG-endian length, then the serialized bitmap (+ trailing CRC32,
-    not verified here). Some writers' descriptors point straight at the
-    data — detected by checking the length prefix against the
-    descriptor's sizeInBytes."""
+    BIG-endian length, then the serialized bitmap, then a 4-byte
+    BIG-endian CRC32 of the bitmap (mandated by the DV spec). Some
+    writers' descriptors point straight at the data; the prefixed
+    interpretation is taken only when BOTH the length prefix matches
+    the descriptor's sizeInBytes AND the trailing CRC32 verifies —
+    a bitmap whose first 4 bytes coincidentally equal the size can
+    no longer shift the read offset (deleted rows resurrecting)."""
     import struct as _st
+    import zlib as _zl
 
     with open(path, "rb") as f:
         raw = f.read()
     # default: right after the 1-byte file version; an EXPLICIT 0 means 0
     off = 1 if offset is None else offset
-    if off + 4 <= len(raw):
+    if off + 8 + size <= len(raw):
         (sz,) = _st.unpack_from(">I", raw, off)
         if sz == size:
-            return _roaring64_positions(raw[off + 4 : off + 4 + size])
+            data = raw[off + 4 : off + 4 + size]
+            (crc,) = _st.unpack_from(">I", raw, off + 4 + size)
+            if _zl.crc32(data) & 0xFFFFFFFF == crc:
+                return _roaring64_positions(data)
     return _roaring64_positions(raw[off : off + size])
 
 

@@ -1161,7 +1161,12 @@ def blocklist_filter(
                 "silently never match — split it into single-word terms "
                 "or use a substring scan (dup_spans/scrub_patterns)"
             )
-        lowered.append(t.lower())
+        # lowercase IN-PLAN (F.lower over a literal, constant-folded by
+        # Catalyst) so terms and tokens go through the SAME case mapping:
+        # Python str.lower() and the JVM disagree on some non-ASCII
+        # forms (Turkish dotted İ etc.), which would make a Unicode
+        # policy term silently never match.
+        lowered.append(F.lower(F.lit(t)))
     words = nonempty_words(F.coalesce(F.col(text_col), F.lit("")))
     d = df.select(F.col(id_col), words.alias("_w"))
     blocked = F.size(

@@ -33,6 +33,12 @@ import os
 import time
 
 
+class ConcurrentWriteError(RuntimeError):
+    """A concurrent writer committed the Delta log version this
+    operation was about to claim (the ``open(..., 'x')`` commit is the
+    optimistic-concurrency primitive; losing the race is retryable)."""
+
+
 def _zorder_sorted(df, zorder_by: list[str], n_out: int, part_cols: list[str],
                    bits: int = 16):
     """Range-partition + sort ``df`` on the Morton key of ``zorder_by``.
@@ -267,8 +273,31 @@ def delta_optimize(
         },
     }}))
     new_version = version + 1
-    with open(os.path.join(log, f"{new_version:020d}.json"), "x") as f:
-        f.write("\n".join(lines) + "\n")
+    try:
+        with open(os.path.join(log, f"{new_version:020d}.json"), "x") as f:
+            f.write("\n".join(lines) + "\n")
+    except FileExistsError:
+        # A concurrent writer claimed this version. The rewritten files
+        # were already moved into the table root but are referenced by
+        # no commit — delete them (the ORIGINAL files are untouched, so
+        # the table stays intact at the winner's version) instead of
+        # leaving unreferenced orphans behind.
+        for a in new_adds:
+            ap = os.path.join(root, _unquote(a["path"]))
+            if os.path.exists(ap):
+                os.remove(ap)
+        for dirpath, _dirs, files in os.walk(root, topdown=False):
+            if (
+                dirpath != root
+                and "_delta_log" not in dirpath.split(os.sep)
+                and not os.listdir(dirpath)
+            ):
+                os.rmdir(dirpath)
+        raise ConcurrentWriteError(
+            f"delta_optimize lost the commit race for version "
+            f"{new_version} of {root}; staged files were cleaned up — "
+            "re-run delta_optimize against the new table state"
+        ) from None
     return {
         "removed": len(rewrite),
         "added": len(new_adds),
@@ -281,12 +310,27 @@ def delta_vacuum(
     spark=None,
     retention_hours: float = 168.0,
     dry_run: bool = False,
+    enforce_retention: bool = True,
 ) -> list[str]:
     """Delete data files that are BOTH unreferenced by the current table
     state AND older than the retention window (file mtime) — the
     standard rule that keeps time travel within retention working.
     Returns the deleted (or, with ``dry_run``, deletable) paths,
-    relative to the table root."""
+    relative to the table root.
+
+    ``retention_hours`` below 168 (7 days) is refused unless
+    ``enforce_retention=False`` — mirroring Delta's
+    ``retentionDurationCheck``: a short window can delete files a
+    concurrent OPTIMIZE has moved in but not yet committed, or files
+    still being read by in-flight queries."""
+    if enforce_retention and retention_hours < 168.0:
+        raise ValueError(
+            f"retention_hours={retention_hours} is below the 168h (7 day) "
+            "safety floor; short retention can delete files a concurrent "
+            "delta_optimize staged but has not yet committed, or files "
+            "in-flight queries are still reading. Pass "
+            "enforce_retention=False to override deliberately."
+        )
     from urllib.parse import unquote as _unquote
 
     from intake_spark.lakehouse import delta_log_state
@@ -372,7 +416,7 @@ def iceberg_expire_snapshots(
     keep_ids = {s["snapshot-id"] for s in keep}
     expired = [s for s in snaps if s["snapshot-id"] not in keep_ids]
     if not expired:
-        return {"expired": 0, "deleted_files": []}
+        return {"expired": 0, "deleted_files": [], "skipped_outside_root": []}
 
     def reachable(snapshots) -> tuple[set, set]:
         metas, datas = set(), set()
@@ -390,7 +434,19 @@ def iceberg_expire_snapshots(
 
     keep_meta, keep_data = reachable(keep)
     exp_meta, exp_data = reachable(expired)
-    doomed = sorted((exp_meta - keep_meta) | (exp_data - keep_data))
+    candidates = sorted((exp_meta - keep_meta) | (exp_data - keep_data))
+    # Only delete paths that resolve UNDER the table root: a stale or
+    # moved metadata 'location' makes local() fall through to the raw
+    # manifest path, and blindly os.remove()-ing that could reach
+    # outside the table. Containment-check via realpath.
+    real_root = os.path.realpath(root)
+    doomed, skipped = [], []
+    for p in candidates:
+        rp = os.path.realpath(p)
+        if rp == real_root or rp.startswith(real_root + os.sep):
+            doomed.append(p)
+        else:
+            skipped.append(p)
     if not dry_run:
         for p in doomed:
             if os.path.exists(p):
@@ -405,7 +461,11 @@ def iceberg_expire_snapshots(
             json.dump(new_meta, f)
         with open(hint, "w") as f:
             f.write(str(v + 1))
-    return {"expired": len(expired), "deleted_files": doomed}
+    return {
+        "expired": len(expired),
+        "deleted_files": doomed,
+        "skipped_outside_root": skipped,
+    }
 
 
 def iceberg_compact(

@@ -2843,3 +2843,22 @@ def test_blocklist_filter_refuses_phrases_and_weighted_cms_nulls(spark):
     sk = sketches.cms_sketch(agg, "term", weight_col="cnt").collect()
     assert all(r.cnt is not None for r in sk)
     assert sum(r.cnt for r in sk) == 4 * 5  # depth * (5 + 0)
+
+
+def test_blocklist_filter_non_ascii_terms_match(spark):
+    """Terms are lowercased IN-PLAN (same engine as the tokens): Python
+    str.lower() and the JVM disagree on some Unicode forms (Turkish
+    dotted İ lowers to 'i̇' — 2 codepoints — in Python), which made a
+    non-ASCII policy term silently never match."""
+    from intake_spark.llm.text import blocklist_filter
+
+    df = spark.createDataFrame(
+        [(1, "visit İSTANBUL today"), (2, "clean text"),
+         (3, "straẞe ahead")],  # ẞ LATIN CAPITAL SHARP S
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in blocklist_filter(
+        df, ["İstanbul", "straẞe"]).collect()}
+    assert out[1].n_blocked == 1 and out[1].keep == 0
+    assert out[2].n_blocked == 0 and out[2].keep == 1
+    assert out[3].n_blocked == 1 and out[3].keep == 0

@@ -147,15 +147,115 @@ def test_delta_vacuum(spark, tmp_path):
     n_all = len(_delta_files(root))
     # within retention: nothing deletable
     assert delta_vacuum(root, spark=spark) == []
-    dry = delta_vacuum(root, spark=spark, retention_hours=0, dry_run=True)
+    # retention below the 7-day floor is refused unless overridden
+    # (Delta's retentionDurationCheck)
+    with pytest.raises(ValueError, match="168h"):
+        delta_vacuum(root, spark=spark, retention_hours=0)
+    assert len(_delta_files(root)) == n_all
+    dry = delta_vacuum(root, spark=spark, retention_hours=0, dry_run=True,
+                       enforce_retention=False)
     assert dry and len(_delta_files(root)) == n_all  # dry run deletes nothing
-    gone = delta_vacuum(root, spark=spark, retention_hours=0)
+    gone = delta_vacuum(root, spark=spark, retention_hours=0,
+                        enforce_retention=False)
     assert gone == dry
     rdr = DeltaLakeReader(data=dt.DeltalakeTable(url=root))
     assert rdr.read(spark=spark).count() == 30  # current read intact
     # time travel to the pre-optimize version is now broken (by design)
     with pytest.raises(Exception):
         rdr.read(spark=spark, version=res["version"] - 1).collect()
+
+
+def test_delta_optimize_commit_race_cleans_up(spark, tmp_path, monkeypatch):
+    """A concurrent writer claiming the next version between the state
+    read and the commit must not leave the moved-in rewrite files as
+    unreferenced orphans: optimize deletes them and raises
+    ConcurrentWriteError; the table stays intact at the winner's
+    version."""
+    import intake_spark.lakehouse as lh
+    from intake_spark.maintenance import ConcurrentWriteError
+
+    root = str(tmp_path / "race")
+    _mk_delta(spark, root)
+    before = {(r.id, r.src, r.x) for r in DeltaLakeReader(
+        data=dt.DeltalakeTable(url=root)).read(spark=spark).collect()}
+    files_before = set(_delta_files(root))
+    real_state = lh.delta_log_state
+
+    def racing_state(log, *a, **kw):
+        state = real_state(log, *a, **kw)
+        # simulate the concurrent writer winning the next version
+        nxt = os.path.join(log, f"{state['version'] + 1:020d}.json")
+        with open(nxt, "w") as f:
+            f.write(json.dumps({"commitInfo": {"operation": "WRITE"}}) + "\n")
+        return state
+
+    monkeypatch.setattr(lh, "delta_log_state", racing_state)
+    with pytest.raises(ConcurrentWriteError, match="commit race"):
+        delta_optimize(root, spark=spark)
+    monkeypatch.undo()
+    # no orphans: only the pre-existing data files remain
+    assert set(_delta_files(root)) == files_before
+    after = {(r.id, r.src, r.x) for r in DeltaLakeReader(
+        data=dt.DeltalakeTable(url=root)).read(spark=spark).collect()}
+    assert after == before
+
+
+def test_iceberg_expire_skips_paths_outside_root(spark, tmp_path):
+    """A stale/moved metadata 'location' makes manifest paths resolve
+    verbatim; expire must never os.remove() anything outside the table
+    root (realpath containment)."""
+    import shutil
+
+    from intake_spark.output import to_iceberg
+
+    root_a = str(tmp_path / "orig")
+    for i in range(3):
+        df = spark.createDataFrame([(i, float(i))], "id long, x double")
+        to_iceberg(df, root_a, mode="overwrite")
+    # simulate a table moved without rewriting its metadata: the copy's
+    # manifests still hold absolute paths under root_a, and the
+    # 'location' field is stale so local() falls through verbatim
+    root_b = str(tmp_path / "moved")
+    shutil.copytree(root_a, root_b)
+    mdir = os.path.join(root_b, "metadata")
+    with open(os.path.join(mdir, "version-hint.text")) as f:
+        v = int(f.read().strip())
+    mp = os.path.join(mdir, f"v{v}.metadata.json")
+    meta = json.load(open(mp))
+    meta["location"] = "file:///stale/nowhere"
+    with open(mp, "w") as f:
+        json.dump(meta, f)
+    a_files = {
+        os.path.join(dp, fn)
+        for dp, _d, fs in os.walk(root_a) for fn in fs
+    }
+    res = iceberg_expire_snapshots(root_b, keep_last=1)
+    assert res["expired"] == 2
+    assert res["skipped_outside_root"]  # root_a paths were refused
+    # every original file survives
+    assert all(os.path.exists(p) for p in a_files)
+    # the original table (correct location) still expires normally
+    res_a = iceberg_expire_snapshots(root_a, keep_last=1)
+    assert res_a["expired"] == 2 and not res_a["skipped_outside_root"]
+
+
+def test_dv_length_prefix_collision_uses_crc(tmp_path):
+    """_dv_file_positions: a descriptor pointing straight at the bitmap
+    whose first 4 bytes (read big-endian) coincidentally equal
+    sizeInBytes must NOT be misparsed as a length-prefixed read — the
+    trailing CRC32 disambiguates."""
+    from intake_spark.lakehouse import _dv_file_positions
+    from tests.test_lakehouse import _ser_roaring64
+
+    bm = _ser_roaring64([3, 7, 64])
+    colliding_size = struct.unpack(">I", bm[:4])[0]  # BE view of LE magic
+    p = str(tmp_path / "dv.bin")
+    with open(p, "wb") as f:
+        f.write(b"\x01" + bm)
+    # old behavior shifted the offset by 4 and raised on bad magic;
+    # the CRC check rejects the prefixed interpretation and the direct
+    # read (slice clamps past EOF) parses correctly
+    assert _dv_file_positions(p, 1, colliding_size) == [3, 7, 64]
 
 
 def test_iceberg_expire_snapshots(spark, tmp_path):
