@@ -853,57 +853,89 @@ def q42_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
 # oracle-gate test (tests/test_oracle_gate.py) still runs all of them every
 # time regardless of ordering.
 _VERIFY_FIRST: tuple[str, ...] = (
-    # r6: q61/q88 first (red/no-oracle in r05, both fixed this round) and
-    # the never-verified new queries (q97-q122), then the queries whose
-    # latest green driver row is r03/r04. With 30 new-query slots the
-    # 50-query sample window now closes at q34; q35-q50/q76/q77/q78 keep
-    # their old green rows and rotate back in r7 (the local oracle gate
-    # still runs all of them every session).
-    "q61_quantize_embeddings",
-    "q88_bpe_learn",
-    "q97_ragged_word_stats",
-    "q98_zorder3_layout",
-    "q99_line_dedup",
-    "q100_pii_scrub",
-    # q74/q75 were registered under broken names for part of r6 (name arg
-    # dropped) — re-verify them ahead of q11/q12, which hold four green
-    # rows (r1-r4) each and wait for r7.
-    "q74_waiting_suppliers",
-    "q75_important_brands",
-    # q101/q102 are new in late r6 — first driver row outranks q13/q14's
-    # four green rows (r1-r4); those rotate to r7 with q11/q12
-    "q101_dup_spans",
-    "q102_c4_filter",
-    "q103_remove_dup_spans",
-    # q104-q109 are new in late r6 (Gopher rule pair, DSIR, classifier,
-    # funnel, PCA) — never driver-verified, so they outrank re-verification
-    # and displace q48/q49/q50/q76/q77/q78 past position 50 (see header)
-    "q104_gopher_quality",
-    "q105_dsir_weights",
-    "q106_gopher_repetition",
-    "q107_quality_classifier",
-    "q108_curation_funnel",
-    "q109_pca_projection",
-    "q110_hll_distinct",
-    "q111_cms_term_counts",
-    "q112_abtt_knn",
-    # q113/q114 are new in the final r6 stretch (CCNet quality buckets,
-    # hard-negative mining) — never driver-verified, outrank re-verifies
-    "q113_quality_buckets",
-    "q114_hard_negatives",
-    # q115-q117 (leakage-free dedup-aware split, UniMax budgets,
-    # contamination fractions) — newest, never driver-verified
-    "q115_dedup_aware_split",
-    "q116_unimax_budgets",
-    "q117_contamination_scores",
-    "q118_keep_best_duplicate",
-    # q119/q120 (integer Lloyd's k-means, incremental cross-corpus dedup)
-    # are new in the r6 continuation session
-    "q119_kmeans_clusters",
-    "q120_incremental_dedup",
-    "q121_curriculum_rank",
-    "q122_exact_corpus_quantiles",
-    "q123_blocklist_filter",
+    # r7 rotation: every query ordered by the round of its latest green
+    # driver row, OLDEST FIRST, so the driver's 50-query sample window
+    # re-verifies the stalest records each round (r6 sampled q61-q123;
+    # the 73 queries below last verified in r3-r5 now lead). Queries
+    # added this round are never driver-verified and must be inserted
+    # at the very top of this tuple.
+    # last driver-verified in r3
+    "q44_simhash_pairs",
+    "q45_embedding_near_dup",
+    "q48_mix_sources",
+    # last driver-verified in r4
+    "q10_window_top_orders",
+    "q11_date_accessors",
+    "q12_concat_buckets",
+    "q13_customers_without_orders",
+    "q14_event_type_matrix",
+    "q34_percentiles",
+    "q35_bpe_token_stats",
+    "q36_streaming_hourly",
+    "q37_set_ops",
+    "q38_string_funcs",
+    "q39_math_funcs",
+    "q40_grouping_sets",
+    "q41_scalar_subquery",
+    "q42_null_handling",
+    "q43_array_ops",
+    "q46_sessionize",
+    "q47_hash_sample",
+    "q49_kmv_distinct",
+    "q50_hypertable_rollup",
+    "q76_event_deltas",
+    "q77_funnel",
+    "q78_retention_cohort",
+    # last driver-verified in r5
+    "q01_pricing_summary",
+    "q02_select_filter",
+    "q03_top_orders_revenue",
+    "q04_order_priority",
+    "q05_nation_volume",
+    "q06_forecast_revenue",
+    "q07_topn_orders",
+    "q08_distinct_segments",
+    "q09_assign_charge",
+    "q51_doc_chunking",
+    "q52_repetition_stats",
+    "q53_top_terms",
+    "q54_decontaminate",
+    "q55_pack_sequences",
+    "q56_random_projection",
+    "q57_column_profile",
+    "q58_novel_ngram_rate",
+    "q59_containment_pairs",
+    "q60_length_histogram",
+    "q62_topk_per_source",
+    "q63_vocab_coverage",
+    "q64_token_probability",
+    "q65_dup_rate_by_source",
+    "q66_block_dedup",
+    "q67_distinctive_terms",
+    "q68_char_diversity",
+    "q69_source_overlap",
+    "q70_sample_k_per_source",
+    "q71_packing_efficiency",
+    "q72_dup_pagerank",
+    "q73_near_dup_first_seen",
+    "q79_centroid_similarity",
+    "q80_norm_profile",
+    "q81_winnow_fingerprints",
+    "q82_bigram_stats",
+    "q83_winnow_pairs",
+    "q84_semantic_dedup",
+    "q85_cluster_balanced_sample",
+    "q86_bigram_lm_score",
+    "q87_bm25_search",
+    "q89_semantic_keep_set",
+    "q90_semantic_label_matrix",
+    "q91_small_quantity_revenue",
+    "q92_large_volume_orders",
+    "q93_top_supplier",
+    "q94_temperature_mix",
+    "q95_token_budget_selection",
+    "q96_zorder_layout",
+    # last driver-verified in r6
     "q15_rollup_region_nation",
     "q16_json_props",
     "q17_hourly_windows",
@@ -923,26 +955,37 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "q31_lsh_ann_pairs",
     "q32_minhash_lsh_pairs",
     "q33_dup_groups",
-    "q34_percentiles",
-    "q35_bpe_token_stats",
-    "q36_streaming_hourly",
-    "q37_set_ops",
-    "q38_string_funcs",
-    "q39_math_funcs",
-    "q40_grouping_sets",
-    "q41_scalar_subquery",
-    "q42_null_handling",
-    "q43_array_ops",
-    "q44_simhash_pairs",
-    "q45_embedding_near_dup",
-    "q46_sessionize",
-    "q47_hash_sample",
-    "q48_mix_sources",
-    "q49_kmv_distinct",
-    "q50_hypertable_rollup",
-    "q76_event_deltas",
-    "q77_funnel",
-    "q78_retention_cohort",
+    "q61_quantize_embeddings",
+    "q74_waiting_suppliers",
+    "q75_important_brands",
+    "q88_bpe_learn",
+    "q97_ragged_word_stats",
+    "q98_zorder3_layout",
+    "q99_line_dedup",
+    "q100_pii_scrub",
+    "q101_dup_spans",
+    "q102_c4_filter",
+    "q103_remove_dup_spans",
+    "q104_gopher_quality",
+    "q105_dsir_weights",
+    "q106_gopher_repetition",
+    "q107_quality_classifier",
+    "q108_curation_funnel",
+    "q109_pca_projection",
+    "q110_hll_distinct",
+    "q111_cms_term_counts",
+    "q112_abtt_knn",
+    "q113_quality_buckets",
+    "q114_hard_negatives",
+    "q115_dedup_aware_split",
+    "q116_unimax_budgets",
+    "q117_contamination_scores",
+    "q118_keep_best_duplicate",
+    "q119_kmeans_clusters",
+    "q120_incremental_dedup",
+    "q121_curriculum_rank",
+    "q122_exact_corpus_quantiles",
+    "q123_blocklist_filter",
 )
 
 
