@@ -196,6 +196,17 @@ def hashed_linear_classifier(
     memory at large corpus scales."""
     if iters < 1 or buckets < 1:
         raise ValueError("iters and buckets must be >= 1")
+    if buckets > 8192:
+        # the Gram factorization collects (buckets+1)^2 128-bit cells to
+        # the driver and the GD recurrence is O(iters * buckets^2) driver
+        # math — sized for hashed-feature selectors (64-4096 buckets).
+        raise ValueError(
+            f"buckets={buckets} exceeds the 8192 ceiling of the "
+            "Gram-factored trainer: it collects (buckets+1)^2 Gram cells "
+            "to the driver. A vocab-sized model needs the join-per-round "
+            "shape (keep w as a DataFrame and compute X'Xw with a "
+            "bucket-keyed join each round) instead of raising this cap."
+        )
     # Materialize the long-form feature matrix once (n·(buckets+1) rows,
     # lineage truncated) — every GD round and the final scoring pass read
     # it instead of re-exploding the corpus. localCheckpoint rather than

@@ -784,6 +784,7 @@ def stream_decontaminate_flags(
     text_col: str = "text",
     k: int = 3,
     min_overlap: int = 1,
+    max_reference_shingles: int = 2_000_000,
 ) -> DataFrame:
     """Streaming decontamination ingestion guard: flag arriving documents
     whose k-gram shingle overlap with a STATIC benchmark set reaches
@@ -809,13 +810,22 @@ def stream_decontaminate_flags(
     from intake_spark.session import ensure_py_deps
 
     ensure_py_deps(df.sparkSession)
-    bench_set = {
-        r["shingle"]
-        for r in shingles(benchmark, id_col, text_col, k)
-        .select("shingle")
-        .distinct()
-        .collect()
-    }
+    distinct_sh = (
+        shingles(benchmark, id_col, text_col, k).select("shingle").distinct()
+    )
+    n_ref = distinct_sh.count()
+    if n_ref > max_reference_shingles:
+        raise ValueError(
+            f"benchmark has {n_ref} distinct {k}-gram shingles, above the "
+            f"max_reference_shingles={max_reference_shingles} broadcast cap "
+            "— this guard collects the reference set to the driver and is "
+            "meant for MB-sized benchmark suites. For a corpus-sized "
+            "reference use the batch anti-join instead: "
+            "intake_spark.llm.assembly.decontaminate / "
+            "bloom_decontaminate (distributed, never collects). Raise the "
+            "cap only if driver memory genuinely allows it."
+        )
+    bench_set = {r["shingle"] for r in distinct_sh.collect()}
     bc = df.sparkSession.sparkContext.broadcast(bench_set)
     id_type = df.schema[id_col].dataType.simpleString()
     schema = (
@@ -852,6 +862,7 @@ def stream_incremental_dedup_flags(
     text_col: str = "text",
     k: int = 3,
     threshold: float = 0.5,
+    max_archive_shingles: int = 2_000_000,
 ) -> DataFrame:
     """Streaming ingestion twin of
     :func:`intake_spark.llm.dedup.incremental_dedup`: flag arriving
@@ -877,7 +888,20 @@ def stream_incremental_dedup_flags(
     from intake_spark.session import ensure_py_deps
 
     ensure_py_deps(df.sparkSession)
-    arch_rows = shingles(archive, id_col, text_col, k).collect()
+    arch_sh = shingles(archive, id_col, text_col, k)
+    n_arch = arch_sh.count()
+    if n_arch > max_archive_shingles:
+        raise ValueError(
+            f"archive expands to {n_arch} {k}-gram shingle rows, above the "
+            f"max_archive_shingles={max_archive_shingles} broadcast cap — "
+            "this guard collects the archive's inverted index to the "
+            "driver and is meant for MB-sized reference archives. For a "
+            "corpus-sized archive use the batch "
+            "intake_spark.llm.dedup.incremental_dedup anti-screen instead "
+            "(its shingle join never collects anything). Raise the cap "
+            "only if driver memory genuinely allows it."
+        )
+    arch_rows = arch_sh.collect()
     index: dict = {}
     counts: dict = {}
     for r in arch_rows:

@@ -2862,3 +2862,15 @@ def test_blocklist_filter_non_ascii_terms_match(spark):
     assert out[1].n_blocked == 1 and out[1].keep == 0
     assert out[2].n_blocked == 0 and out[2].keep == 1
     assert out[3].n_blocked == 1 and out[3].keep == 0
+
+
+def test_hashed_linear_classifier_bucket_ceiling(spark):
+    """The Gram-factored trainer refuses vocab-sized bucket counts by
+    name (it collects (buckets+1)^2 Gram cells to the driver)."""
+    import pytest
+
+    from intake_spark.llm.classifier import hashed_linear_classifier
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="join-per-round"):
+        hashed_linear_classifier(df, F.col("doc_id") > 0, buckets=8193)

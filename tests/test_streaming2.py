@@ -634,3 +634,40 @@ def test_stream_incremental_dedup_cross_type_ids(spark):
         new, archive, threshold=0.5).collect()}
     assert out["a1"].match_id == 100 and out["a1"].keep == 0
     assert out["b2"].match_id is None and out["b2"].keep == 1
+
+
+def test_stream_guard_broadcast_caps(spark):
+    """The broadcast-archive ingestion guards refuse a reference set
+    above the configurable shingle cap, naming the batch alternative —
+    the sinks' max_bytes pattern applied to driver collects."""
+    import pytest
+
+    from intake_spark.streaming import (
+        stream_decontaminate_flags,
+        stream_incremental_dedup_flags,
+    )
+
+    stream_df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta")], "doc_id long, text string"
+    )
+    big_ref = spark.createDataFrame(
+        [(i, f"w{i} x{i} y{i} z{i} v{i}") for i in range(10)],
+        "doc_id long, text string",
+    )  # 10 docs x 3 shingles = 30 shingle rows
+    with pytest.raises(ValueError, match="bloom_decontaminate"):
+        stream_decontaminate_flags(
+            stream_df, big_ref, max_reference_shingles=10
+        )
+    with pytest.raises(ValueError, match="incremental_dedup"):
+        stream_incremental_dedup_flags(
+            stream_df, big_ref, max_archive_shingles=10
+        )
+    # at/under the cap both run
+    n = stream_decontaminate_flags(
+        stream_df, big_ref, max_reference_shingles=30
+    ).count()
+    assert n == 1
+    n = stream_incremental_dedup_flags(
+        stream_df, big_ref, max_archive_shingles=30
+    ).count()
+    assert n == 1
