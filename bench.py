@@ -54,6 +54,19 @@ def main() -> None:
         except Exception:
             pass
 
+    # Session-shared tables (jaccard pairs, dup spans, semantic pairs,
+    # PCA direction) are built ONCE here and billed as explicit shared:*
+    # lines; otherwise whichever consumer runs first absorbs the build
+    # and the per-query medians become order-dependent (q22 spread hit
+    # 109x in round 6). `value` includes the shared cost, so totals
+    # stay honest.
+    try:
+        from intake_spark.llm.queries import prewarm_shared
+
+        shared = {k: round(v, 4) for k, v in prewarm_shared(spark, sf_dir).items()}
+    except Exception:
+        shared = {}
+
     names = sorted(queries)
     samples: dict[str, list[float]] = {n: [] for n in names}
     for _ in range(repeats):
@@ -68,7 +81,7 @@ def main() -> None:
         n: round((max(s) - min(s)) / statistics.median(s), 3) if len(s) > 1 else 0.0
         for n, s in samples.items()
     }
-    total = round(sum(timings.values()), 4)
+    total = round(sum(timings.values()) + sum(shared.values()), 4)
 
     # Full per-query detail (long names, spread, raw samples) goes to a side
     # file; stdout gets ONE compact JSON line. The driver captures only the
@@ -81,6 +94,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "shared": shared,
         "spread": spread,
         "samples": {n: [round(x, 4) for x in s] for n, s in samples.items()},
         "repeats": repeats,
@@ -96,6 +110,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": short if len(short) == len(timings) else timings,
+        "shared": shared,
         "repeats": repeats,
         "sf": sf,
     }

@@ -492,52 +492,63 @@ def curation_funnel(
     accounting view a curation run is judged by — where documents and
     tokens are lost, stage by stage.
 
-    Shape: the three rule sets are mapper-only flag frames joined on
-    ``id_col`` (the optimizer cannot fuse the scans across operator
-    boundaries, so a funnel over N rule stages costs N scans + N-1
-    doc-keyed joins — a REPORT query, not the hot path; the hot path
-    applies the same flags inline). Dedup survivorship is one window
-    over the fingerprint; the funnel itself is a single aggregate row
-    stacked to stage rows, so nothing here is driver-sized."""
+    Shape: the three rule sets are mapper-only projections CHAINED on
+    one lineage (each stage ``carry``-threads the text and the earlier
+    flags through), so the whole ladder is a single corpus scan —
+    Catalyst collapses the stage projections and its codegen CSE shares
+    the tokenization across the rules; there are no doc-keyed joins.
+    Dedup survivorship is one window over the fingerprint; the funnel
+    itself is a single aggregate row stacked to stage rows, so nothing
+    here is driver-sized."""
     from intake_spark.llm import text as _text
 
-    c4 = _text.c4_filter(
+    s1 = _text.c4_filter(
         df,
         id_col=id_col,
         text_col=text_col,
         min_sentences=min_sentences,
         min_words=min_words,
+        carry=(text_col,),
     ).select(
-        F.col(id_col), F.col("n_words"), F.col("keep").alias("_kc")
+        F.col(id_col),
+        F.col("n_words").alias("_nw"),
+        F.col("keep").alias("_kc"),
+        F.col(text_col),
     )
-    gq = _text.gopher_filter(
-        df,
+    s2 = _text.gopher_filter(
+        s1,
         id_col=id_col,
         text_col=text_col,
         min_words=gopher_min_words,
         stop_min=gopher_stop_min,
+        carry=("_nw", "_kc", text_col),
     ).select(
-        F.col(id_col), F.col("keep").alias("_kq")
-    )
-    gr = _text.gopher_repetition(df, id_col=id_col, text_col=text_col).select(
-        F.col(id_col), F.col("keep").alias("_kr")
-    )
-    fp = df.select(
         F.col(id_col),
+        F.col("_nw"),
+        F.col("_kc"),
+        F.col("keep").alias("_kq"),
+        F.col(text_col),
+    )
+    s3 = _text.gopher_repetition(
+        s2,
+        id_col=id_col,
+        text_col=text_col,
+        carry=("_nw", "_kc", "_kq", text_col),
+    ).select(
+        F.col(id_col),
+        F.col("_nw"),
+        F.col("_kc"),
+        F.col("_kq"),
+        F.col("keep").alias("_kr"),
         F.md5(F.coalesce(F.col(text_col), F.lit(""))).alias("_fp"),
     )
-    j = (
-        c4.join(gq, id_col)
-        .join(gr, id_col)
-        .join(fp, id_col)
-        .select(
-            F.col(id_col),
-            F.col("n_words"),
-            F.col("_fp"),
-            F.col("_kc").alias("k1"),
-            (F.col("_kc") * F.col("_kq")).alias("k2"),
-            (F.col("_kc") * F.col("_kq") * F.col("_kr")).alias("k3"),
-        )
+    j = s3.select(
+        F.col(id_col),
+        F.col("_nw").alias("n_words"),
+        F.col("_fp"),
+        F.col("_kc").alias("k1"),
+        (F.col("_kc") * F.col("_kq")).alias("k2"),
+        (F.col("_kc") * F.col("_kq") * F.col("_kr")).alias("k3"),
     )
     surv_min = F.min(
         F.when(F.col("k3") == 1, F.col(id_col))

@@ -1390,6 +1390,40 @@ def _session_cached(cache: dict, key: tuple, cap: int, build):
     return got
 
 
+def prewarm_shared(spark: SparkSession, sf_dir: str) -> "dict[str, float]":
+    """Eagerly build every session-shared table for ``sf_dir`` and
+    return {label: build_seconds}. bench.py calls this BEFORE the timed
+    rounds and reports the costs as synthetic ``shared:*`` lines, so a
+    per-query median can neither absorb a shared build (q22 billed 109×
+    its steady-state in r6's interleaving) nor dodge it (a 0.04 s q22
+    misread as a free pair table). Failures are skipped: a corpus
+    without documents/embeddings tables just has no shared builds."""
+    import time as _time
+
+    builds = {
+        "shared:dup_spans":
+            lambda: _dup_spans_shared(spark, sf_dir).count(),
+        "shared:jaccard_pairs":
+            lambda: _jaccard_pairs_shared(spark, sf_dir).count(),
+        "shared:jaccard_pairs_capped":
+            lambda: _jaccard_pairs_shared(
+                spark, sf_dir, Q22_MAX_SHINGLE_DF).count(),
+        "shared:semantic_pairs":
+            lambda: _semantic_pairs_shared(spark, sf_dir).count(),
+        "shared:direction":
+            lambda: _direction_shared(spark, sf_dir),
+    }
+    out: dict[str, float] = {}
+    for label, fn in builds.items():
+        t0 = _time.perf_counter()
+        try:
+            fn()
+        except Exception:
+            continue
+        out[label] = _time.perf_counter() - t0
+    return out
+
+
 _DUP_SPANS_CACHE: dict = {}
 
 

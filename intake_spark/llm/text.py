@@ -713,6 +713,7 @@ def c4_filter(
     text_col: str = "text",
     min_sentences: int = 3,
     min_words: int = 5,
+    carry: "tuple[str, ...]" = (),
 ) -> DataFrame:
     """C4-style heuristic document filter (Raffel et al. 2020 §2.2) with
     per-rule REASON flags — the categorical complement of
@@ -748,6 +749,12 @@ def c4_filter(
         r_lorem.alias("r_lorem"),
         r_brace.alias("r_brace"),
         ((r_short + r_sent + r_lorem + r_brace) == 0).cast("int").alias("keep"),
+        # `carry` threads extra columns through so callers (the curation
+        # funnel) can CHAIN rule stages on one lineage — Catalyst
+        # collapses the projections into a single scan and its codegen
+        # CSE shares the tokenization, instead of one scan + join per
+        # stage
+        *[F.col(c) for c in carry],
     )
 
 
@@ -761,6 +768,7 @@ def gopher_filter(
     min_words: int = 50,
     max_words: int = 100_000,
     stop_min: int = 2,
+    carry: "tuple[str, ...]" = (),
 ) -> DataFrame:
     """Gopher document-quality rules (Rae et al. 2021, appendix A) with
     per-rule reason flags — the repetition/format complement of
@@ -833,6 +841,7 @@ def gopher_filter(
         nl.alias("n_lines"),
         *[fcol.alias(nm) for fcol, nm in zip(flags, names)],
         (total == 0).cast("int").alias("keep"),
+        *[F.col(c) for c in carry],  # see c4_filter: stage chaining
     )
 
 
@@ -1022,7 +1031,10 @@ def _rep_top_chars(n: int) -> str:
 
 
 def gopher_repetition(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    carry: "tuple[str, ...]" = (),
 ) -> DataFrame:
     """Gopher repetition rules (Rae et al. 2021, appendix A): duplicate
     line / paragraph fractions (count and character versions), top
@@ -1051,6 +1063,7 @@ def gopher_repetition(
         nonempty_words(txt).alias("_w"),
         F.split(txt, "\n").alias("_ln"),
         F.split(txt, "\n\n").alias("_pg"),
+        *[F.col(c) for c in carry],  # see c4_filter: stage chaining
     )
     # O(n) prefix-sum fold: char start of word i in the canonical join
     base = base.withColumn(
@@ -1087,6 +1100,7 @@ def gopher_repetition(
         F.expr(charsum.format("_pg")).alias("para_chars"),
         *[F.expr(_rep_top_chars(n)).alias(f"top{n}_chars") for n in (2, 3, 4)],
         *[F.expr(_rep_dup_cover(n)).alias(f"dup{n}_chars") for n in range(5, 11)],
+        *[F.col(c) for c in carry],
     )
     top_thr = {2: 20, 3: 18, 4: 16}
     dup_thr = {5: 15, 6: 14, 7: 13, 8: 12, 9: 11, 10: 10}
@@ -1115,6 +1129,7 @@ def gopher_repetition(
         *[F.col(f"top{n}_chars") for n in (2, 3, 4)],
         *[F.col(f"dup{n}_chars") for n in range(5, 11)],
         *flags,
+        *[F.col(c) for c in carry],
     )
     flag_names = [
         "r_dup_line", "r_dup_line_char", "r_dup_para", "r_dup_para_char",
