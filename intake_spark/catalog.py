@@ -391,12 +391,22 @@ class Catalog(Tokenizable):
         return registered
 
 
-def open_catalog(path: str | None = None) -> Catalog:
+def open_catalog(path: str | None = None, ttl: float | None = None):
     """Front door (≡ intake.open_catalog, intake/__init__.py:101-189):
     YAML path → Catalog (V1 ``sources:`` format auto-detected and loaded
     through the compat layer); glob pattern → merged catalog over every
     match (≡ V1 YAMLFilesCatalog, catalog/local.py:766-867); no path →
-    empty catalog."""
+    empty catalog.
+
+    ``ttl`` (seconds) returns a :class:`ReloadingCatalog` view that
+    re-stats the file(s) at most once per TTL window and re-parses when
+    an mtime changed — glob catalogs also re-glob, so files appearing
+    or vanishing mid-session are picked up (parity: the reference's
+    TTL-based catalog reload, intake/catalog/base.py:188-191)."""
+    if ttl is not None:
+        if path is None:
+            raise ValueError("ttl needs a catalog path to watch")
+        return ReloadingCatalog(path, ttl)
     if path is None:
         return Catalog()
     if any(ch in path for ch in "*?["):
@@ -411,6 +421,93 @@ def open_catalog(path: str | None = None) -> Catalog:
     if is_v1_yaml(path):
         return open_v1_catalog(path)
     return Catalog.from_yaml_file(path)
+
+
+class ReloadingCatalog:
+    """TTL/mtime-reloading view over :func:`open_catalog` (reference:
+    ``Catalog.reload`` on TTL expiry, intake/catalog/base.py:188-191).
+
+    Every access first calls ``_maybe_reload``: if the TTL window since
+    the last stat has elapsed, the watched file set is re-stat'ed (and
+    re-globbed for glob paths) and the catalog is re-parsed ONLY when
+    the (path, mtime) set actually changed — so a long-lived session
+    sees catalog edits without paying a YAML parse per access. All
+    Catalog behavior is delegated; ``refresh()`` forces a reload."""
+
+    def __init__(self, path: str, ttl: float):
+        import time as _time
+
+        self._path = path
+        self._ttl = float(ttl)
+        self._cat = open_catalog(path)
+        self._mtimes = self._stat()
+        self._checked = _time.monotonic()
+
+    def _stat(self) -> tuple:
+        import glob as globmod
+
+        if any(ch in self._path for ch in "*?["):
+            paths = sorted(globmod.glob(self._path))
+        else:
+            paths = [self._path]
+        out = []
+        for p in paths:
+            try:
+                out.append((p, os.path.getmtime(p)))
+            except OSError:
+                continue
+        return tuple(out)
+
+    def refresh(self) -> None:
+        import time as _time
+
+        self._cat = open_catalog(self._path)
+        self._mtimes = self._stat()
+        self._checked = _time.monotonic()
+
+    def _maybe_reload(self) -> None:
+        import time as _time
+
+        now = _time.monotonic()
+        if now - self._checked < self._ttl:
+            return
+        self._checked = now
+        st = self._stat()
+        if st != self._mtimes:
+            self._cat = open_catalog(self._path)
+            self._mtimes = st
+
+    # -- delegation (dunders bypass __getattr__, so each is explicit) ----
+    def __getattr__(self, name: str):
+        self._maybe_reload()
+        return getattr(self._cat, name)
+
+    def __getitem__(self, name: str):
+        self._maybe_reload()
+        return self._cat[name]
+
+    def __setitem__(self, name: str, item) -> None:
+        self._maybe_reload()
+        self._cat[name] = item
+
+    def __contains__(self, name: str) -> bool:
+        self._maybe_reload()
+        return name in self._cat
+
+    def __iter__(self):
+        self._maybe_reload()
+        return iter(self._cat)
+
+    def __len__(self) -> int:
+        self._maybe_reload()
+        return len(self._cat)
+
+    def __add__(self, other):
+        self._maybe_reload()
+        return self._cat + (other._cat if isinstance(other, ReloadingCatalog) else other)
+
+    def __repr__(self) -> str:
+        return f"ReloadingCatalog({self._path!r}, ttl={self._ttl}) -> {self._cat!r}"
 
 
 def entrypoints_catalog(group: str = "intake_spark.catalogs") -> Catalog:

@@ -448,12 +448,99 @@ def simhash_pairs(
     )
 
 
+def dup_groups_star(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Connected components by alternating LARGE-STAR / SMALL-STAR
+    (Kiveris et al. 2014, "Connected Components in MapReduce and
+    Beyond") → (doc_id, group_id), group_id = min id in the component —
+    the same contract as :func:`dup_groups`, reached in O(log n) rounds
+    on ANY graph shape, including the adversarial long chains where
+    min-label propagation needs O(diameter) rounds.
+
+    Per round: large-star points every neighbor v > u at
+    min(Γ(u) ∪ {u}) (halves every long path), then small-star re-hangs
+    each node's smaller neighbors off its minimum. Both are one
+    hash-aggregate + one equi-join per round over the EDGE set (never
+    the corpus), with the round output localCheckpoint-ed so plan depth
+    stays constant. Convergence = the canonical edge set reaches a
+    fixpoint: a star per component, centered at the component minimum.
+    """
+    e = (
+        pairs.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .select(
+            F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    all_nodes = (
+        pairs.select(F.col(a_col).alias("node"))
+        .unionByName(pairs.select(F.col(b_col).alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        # LARGE-STAR: for every node u, neighbors v > u re-point at
+        # m(u) = min(neighbors(u) ∪ {u}); output stays canonical (u > v)
+        bidir = e.select("u", "v").unionByName(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        m = (
+            bidir.groupBy("u")
+            .agg(F.min("v").alias("mn"))
+            .select("u", F.least("mn", F.col("u")).alias("m"))
+        )
+        ls = (
+            bidir.filter(F.col("v") > F.col("u"))
+            .join(m, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        # SMALL-STAR: edges are (u, smaller v); hang every smaller
+        # neighbor — and u itself — off min(neighbors(u)); canonical
+        # u > v is preserved because m <= every smaller neighbor
+        m2 = ls.groupBy("u").agg(F.min("v").alias("m"))
+        ss = (
+            ls.join(m2, "u")
+            .select(F.col("v").alias("n"), F.col("m"))
+            .unionByName(m2.select(F.col("u").alias("n"), F.col("m")))
+            .filter(F.col("n") != F.col("m"))
+            .select(F.col("n").alias("u"), F.col("m").alias("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        converged = (
+            ss.count() == e.count()
+            and ss.exceptAll(e).limit(1).count() == 0
+        )
+        e = ss
+        if converged:
+            break
+    # fixpoint edges are (child, component-min) stars; roots carry no
+    # 'u' row, so a left join labels them with themselves
+    return (
+        all_nodes.join(e.withColumnRenamed("u", "node"), "node", "left")
+        .select(
+            F.col("node").alias("doc_id"),
+            F.coalesce(F.col("v"), F.col("node")).alias("group_id"),
+        )
+    )
+
+
 def dup_groups(
     pairs: DataFrame,
     a_col: str = "doc_a",
     b_col: str = "doc_b",
     max_iter: int = 20,
     small_threshold: int = 1_000_000,
+    method: str = "auto",
 ) -> DataFrame:
     """Connected components over near-dup pairs → (doc_id, group_id), with
     group_id = min doc id in the component (canonical survivor per group).
@@ -466,16 +553,23 @@ def dup_groups(
     takes the min label among itself and its neighbors (join on edges +
     hash aggregate, one shuffle per round), stopping at fixpoint or
     ``max_iter``. Dup clusters have tiny diameters, so rounds stay in
-    single digits; for adversarial long chains switch to logarithmic
-    path-doubling (large-star/small-star) — noted, not needed for dedup.
+    single digits; ``method='star'`` switches to the logarithmic
+    large-star/small-star alternation (:func:`dup_groups_star`) for
+    adversarial long chains, where propagation would need O(diameter)
+    rounds. ``method``: 'auto' (size-adaptive), 'label' (force
+    propagation), 'star' (force the O(log n) alternation).
     """
+    if method not in ("auto", "label", "star"):
+        raise ValueError(f"unknown method {method!r}: auto | label | star")
+    if method == "star":
+        return dup_groups_star(pairs, a_col, b_col, max_iter=max_iter)
     # cache IS warranted here (unlike the verify joins): pairs is the
     # output of the whole LSH pipeline and feeds 2+ actions — but it must
     # be unpersisted on every exit path or a long-lived session leaks one
     # pinned pair set per dedup call
     pairs = pairs.select(a_col, b_col).cache()
     n_edges = pairs.count()
-    if n_edges <= small_threshold:
+    if method != "label" and n_edges <= small_threshold:
         parent: dict = {}
 
         def find(x):

@@ -419,6 +419,74 @@ IMAGE_FEATURES_SCHEMA = T.StructType(
 )
 
 
+def _optional_image_decode(blob: bytes):
+    """Widest rung of the :func:`image_features` ladder: give pillow
+    (via :func:`_pil_decode`, the reference's PILImageReader surface)
+    a chance at ANY blob the stdlib ladder rejected — including
+    recognized-magic variants whose native decode raised, which
+    :func:`decode_image` deliberately does NOT retry (direct calls keep
+    the named gate/parse error). Returns None when pillow is absent or
+    fails too; the caller then emits the ``decoded=0`` probe row."""
+    try:
+        return _pil_decode(blob)
+    except Exception:
+        return None
+
+
+def _optional_audio_decode(blob: bytes):
+    """Audio mirror of :func:`_optional_image_decode`: retry ANY
+    stdlib-rejected blob through soundfile (:func:`_lib_audio_decode`,
+    the reference's LibrosaAudioReader surface). Returns (rate, float64
+    (n, ch) full-scale samples) or None when soundfile is absent or
+    fails too."""
+    try:
+        rate, data, bits = _lib_audio_decode(blob)
+    except Exception:
+        return None
+    import numpy as np
+
+    return rate, data.astype(np.float64) / float(1 << (bits - 1))
+
+
+def _image_feature_cells(blob: bytes, thumb_size: int) -> dict:
+    """Per-blob cell values for :func:`image_features` — module-level so
+    the delegation ladder (stdlib decode → optional pillow → header
+    probe) is unit-testable driver-side."""
+    try:
+        arr = decode_image(blob)
+        fmt = None
+    except Exception as exc:
+        arr = _optional_image_decode(blob)
+        if arr is None:
+            err_label = f"{type(exc).__name__}: {exc}"
+            w = h = fmt = None
+            try:
+                m = image_meta(blob)
+                w, h, fmt = m["width"], m["height"], m["format"]
+            except Exception:
+                pass
+            return {
+                "width": w, "height": h, "n_channels": None,
+                "mean_intensity": None, "thumb": None, "decoded": 0,
+                "img_format": fmt, "err": err_label[:200],
+            }
+        # delegated decode: record which container it was (the stdlib
+        # gate message is gone — decoded=1 says the pixels are real)
+        try:
+            fmt = image_meta(blob)["format"]
+        except Exception:
+            fmt = None
+    gray = arr.mean(axis=2)
+    thumb = resize_nearest(arr, thumb_size, thumb_size).mean(axis=2)
+    return {
+        "width": arr.shape[1], "height": arr.shape[0],
+        "n_channels": arr.shape[2],
+        "mean_intensity": float(gray.mean()),
+        "thumb": [float(x) for x in thumb.ravel()],
+        "decoded": 1, "img_format": fmt, "err": None,
+    }
+
+
 def image_features(
     df: DataFrame,
     content_col: str = "content",
@@ -433,10 +501,13 @@ def image_features(
 
     Mixed-directory behavior: blobs whose PIXEL decode is gated (lossy
     WebP/AVIF — codecs that genuinely need an image library) or corrupt
-    still flow: they get the decode-free header probe instead
-    (:func:`image_meta` dims, ``decoded=0``, the gate/parse message in
-    ``err``) rather than failing the whole batch. Direct
-    :func:`decode_image` calls keep the named gate."""
+    still flow. The ladder per blob: stdlib decode → pillow delegation
+    when installed (:func:`_optional_image_decode`, the reference's
+    PILImageReader surface — delegated decodes emit real ``decoded=1``
+    features) → decode-free header probe (:func:`image_meta` dims,
+    ``decoded=0``, the gate/parse message in ``err``) rather than
+    failing the whole batch. Direct :func:`decode_image` calls keep the
+    named gate."""
     from intake_spark.session import ensure_py_deps
 
     ensure_py_deps(df.sparkSession)
@@ -451,38 +522,13 @@ def image_features(
         for pdf in batches:
             rows = {k: [] for k in feat_keys}
             for content in pdf[content_col]:
-                blob = bytes(content)
-                try:
-                    arr = decode_image(blob)
-                    gray = arr.mean(axis=2)
-                    thumb = resize_nearest(arr, thumb_size, thumb_size).mean(axis=2)
-                    rows["width"].append(arr.shape[1])
-                    rows["height"].append(arr.shape[0])
-                    rows["n_channels"].append(arr.shape[2])
-                    rows["mean_intensity"].append(float(gray.mean()))
-                    rows["thumb"].append([float(x) for x in thumb.ravel()])
-                    rows["decoded"].append(1)
-                    rows["img_format"].append(None)
-                    rows["err"].append(None)
-                except Exception as exc:
-                    # the fallback contract is "corrupt blobs still flow":
-                    # truncated streams raise zlib.error / struct.error /
-                    # EOFError / IndexError, not only the named codec gates
-                    err_label = f"{type(exc).__name__}: {exc}"
-                    w = h = fmt = None
-                    try:
-                        m = image_meta(blob)
-                        w, h, fmt = m["width"], m["height"], m["format"]
-                    except Exception:
-                        pass
-                    rows["width"].append(w)
-                    rows["height"].append(h)
-                    rows["n_channels"].append(None)
-                    rows["mean_intensity"].append(None)
-                    rows["thumb"].append(None)
-                    rows["decoded"].append(0)
-                    rows["img_format"].append(fmt)
-                    rows["err"].append(err_label[:200])
+                # the fallback contract is "corrupt blobs still flow":
+                # truncated streams raise zlib.error / struct.error /
+                # EOFError / IndexError, not only the named codec gates —
+                # _image_feature_cells walks the whole ladder per blob
+                cells = _image_feature_cells(bytes(content), thumb_size)
+                for k in feat_keys:
+                    rows[k].append(cells[k])
             out = pdf[keep].copy()
             out["width"] = pd.array(rows["width"], dtype="Int32")
             out["height"] = pd.array(rows["height"], dtype="Int32")
@@ -796,6 +842,68 @@ AUDIO_FEATURES_SCHEMA = T.StructType(
 )
 
 
+def _audio_float_cells(rate: int, x, fmt, decoded: int, err) -> dict:
+    """Feature cells from full-scale float samples (n, ch) — shared by
+    the stdlib-decoded and soundfile-delegated arms so the two paths
+    can never drift in their RMS/peak/zero-cross math."""
+    import numpy as np
+
+    mono = x.mean(axis=1)
+    n = len(mono)
+    zc = float(np.mean(np.abs(np.diff(np.signbit(mono))))) if n > 1 else 0.0
+    return {
+        "sample_rate": rate, "n_channels": x.shape[1], "n_frames": n,
+        "duration_s": n / rate if rate else 0.0,
+        "rms": float(np.sqrt(np.mean(mono**2))) if n else 0.0,
+        "peak": float(np.abs(x).max()) if n else 0.0,
+        "zero_cross_rate": zc, "decoded": decoded,
+        "audio_format": fmt, "err": err,
+    }
+
+
+def _audio_feature_cells(blob: bytes) -> dict:
+    """Per-blob cell values for :func:`audio_features` — the delegation
+    ladder (stdlib decode → optional soundfile → container probe),
+    module-level for driver-side unit testing."""
+    import numpy as np
+
+    from intake_spark.llm.audio_meta import audio_meta as _audio_meta
+
+    try:
+        rate, arr, bits = decode_audio_full(blob)
+    except Exception as exc:
+        got = _optional_audio_decode(blob)
+        if got is not None:
+            rate, x = got
+            try:
+                fmt = _audio_meta(blob)["format"]
+            except Exception:
+                fmt = None
+            return _audio_float_cells(rate, x, fmt, 1, None)
+        err_label = f"{type(exc).__name__}: {exc}"
+        sr = ch = dur = fmt = None
+        try:
+            m = _audio_meta(blob)
+            sr, ch = m["sample_rate"], m["channels"]
+            dur, fmt = m["duration_s"], m["format"]
+        except Exception:
+            pass
+        return {
+            "sample_rate": sr, "n_channels": ch, "n_frames": None,
+            "duration_s": dur, "rms": None, "peak": None,
+            "zero_cross_rate": None, "decoded": 0,
+            "audio_format": fmt, "err": err_label[:200],
+        }
+    if arr.dtype == np.uint8:  # 8-bit WAV PCM is unsigned
+        x = (arr.astype(np.float64) - 128.0) / 128.0
+    else:
+        # full scale follows the *stored* bit depth, not the
+        # decoded dtype: 24-bit samples sign-extend into int32
+        # but span +-2^23 (FLAC can also carry 12/20-bit)
+        x = arr.astype(np.float64) / float(1 << (bits - 1))
+    return _audio_float_cells(rate, x, None, 1, None)
+
+
 def audio_features(
     df: DataFrame,
     content_col: str = "content",
@@ -809,12 +917,11 @@ def audio_features(
 
     Mixed-directory behavior mirrors :func:`image_features`: blobs whose
     SAMPLE decode is gated (MP3/OGG — codecs that genuinely need an audio
-    library) or corrupt get the decode-free container probe instead
+    library) or corrupt walk the ladder — stdlib decode → soundfile
+    delegation when installed (:func:`_optional_audio_decode`, real
+    ``decoded=1`` features) → decode-free container probe
     (:func:`intake_spark.llm.audio_meta.audio_meta` rate/channels/
     duration, ``decoded=0``, the gate message in ``err``)."""
-    import numpy as np
-
-    from intake_spark.llm.audio_meta import audio_meta as _audio_meta
     from intake_spark.session import ensure_py_deps
 
     ensure_py_deps(df.sparkSession)
@@ -829,52 +936,11 @@ def audio_features(
         for pdf in batches:
             cols = {k: [] for k in feat_keys}
             for content in pdf[content_col]:
-                blob = bytes(content)
-                try:
-                    rate, arr, bits = decode_audio_full(blob)
-                except Exception as exc:
-                    # the fallback contract is "corrupt blobs still flow":
-                    # truncated streams raise zlib.error / struct.error /
-                    # EOFError / IndexError, not only the named codec gates
-                    err_label = f"{type(exc).__name__}: {exc}"
-                    sr = ch = dur = fmt = None
-                    try:
-                        m = _audio_meta(blob)
-                        sr, ch = m["sample_rate"], m["channels"]
-                        dur, fmt = m["duration_s"], m["format"]
-                    except Exception:
-                        pass
-                    cols["sample_rate"].append(sr)
-                    cols["n_channels"].append(ch)
-                    cols["n_frames"].append(None)
-                    cols["duration_s"].append(dur)
-                    cols["rms"].append(None)
-                    cols["peak"].append(None)
-                    cols["zero_cross_rate"].append(None)
-                    cols["decoded"].append(0)
-                    cols["audio_format"].append(fmt)
-                    cols["err"].append(err_label[:200])
-                    continue
-                if arr.dtype == np.uint8:  # 8-bit WAV PCM is unsigned
-                    x = (arr.astype(np.float64) - 128.0) / 128.0
-                else:
-                    # full scale follows the *stored* bit depth, not the
-                    # decoded dtype: 24-bit samples sign-extend into int32
-                    # but span +-2^23 (FLAC can also carry 12/20-bit)
-                    x = arr.astype(np.float64) / float(1 << (bits - 1))
-                mono = x.mean(axis=1)
-                n = len(mono)
-                zc = float(np.mean(np.abs(np.diff(np.signbit(mono))))) if n > 1 else 0.0
-                cols["sample_rate"].append(rate)
-                cols["n_channels"].append(arr.shape[1])
-                cols["n_frames"].append(n)
-                cols["duration_s"].append(n / rate if rate else 0.0)
-                cols["rms"].append(float(np.sqrt(np.mean(mono**2))) if n else 0.0)
-                cols["peak"].append(float(np.abs(x).max()) if n else 0.0)
-                cols["zero_cross_rate"].append(zc)
-                cols["decoded"].append(1)
-                cols["audio_format"].append(None)
-                cols["err"].append(None)
+                # "corrupt blobs still flow": _audio_feature_cells walks
+                # stdlib decode -> soundfile delegation -> probe per blob
+                cells = _audio_feature_cells(bytes(content))
+                for k in feat_keys:
+                    cols[k].append(cells[k])
             out = pdf[keep].copy()
             out["sample_rate"] = pd.array(cols["sample_rate"], dtype="Int32")
             out["n_channels"] = pd.array(cols["n_channels"], dtype="Int32")

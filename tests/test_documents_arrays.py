@@ -256,6 +256,36 @@ def test_dup_groups_chain(spark):
     assert set(out.values()) == {0} and len(out) == 13
 
 
+def test_dup_groups_star_adversarial_chain(spark):
+    """Large-star/small-star arm: a 10k-node chain (diameter 10k, where
+    min-label propagation would need 10k rounds) converges within
+    O(log n) alternation rounds — max_iter=16 bounds the rounds, so a
+    slow-converging implementation fails on wrong labels."""
+    from intake_spark.llm.dedup import dup_groups
+
+    n = 10_000
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], ["doc_a", "doc_b"]
+    ).coalesce(8)
+    out = dup_groups(pairs, method="star", max_iter=16)
+    agg = out.groupBy("group_id").count().collect()
+    assert len(agg) == 1 and agg[0]["group_id"] == 0 and agg[0]["count"] == n
+    # mixed shapes + string ids through the same arm
+    spairs = spark.createDataFrame(
+        [("b", "a"), ("c", "b"), ("x", "y"), ("q", "q2"), ("q2", "q3"),
+         ("q3", "q")],
+        ["doc_a", "doc_b"],
+    )
+    got = {r.doc_id: r.group_id
+           for r in dup_groups(spairs, method="star").collect()}
+    assert got == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x",
+                   "q": "q", "q2": "q", "q3": "q"}
+    import pytest
+
+    with pytest.raises(ValueError, match="auto | label | star"):
+        dup_groups(spairs, method="bogus")
+
+
 def test_huggingface_reader_parquet_routing(spark):
     """HF reader scans the dataset's parquet export natively — the resolver
     is mocked to local shards; no datasets library, no driver collect."""

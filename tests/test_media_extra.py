@@ -737,3 +737,83 @@ def test_pil_failure_keeps_named_jpeg_gate(monkeypatch):
     with pytest.raises(NotImplementedError, match="FFC9") as exc:
         decode_image(arith)
     assert isinstance(exc.value.__cause__, Broken)
+
+
+def test_features_ladder_delegates_before_probe_rows(monkeypatch):
+    """image_features/audio_features per-blob ladder (unit-tested via
+    the module-level cell builders the mapInPandas stages call): with a
+    media lib faked present, a gated lossy blob yields REAL decoded=1
+    features; with it absent, the decoded=0 probe row remains."""
+    import struct
+    import sys
+    import types
+
+    import numpy as np
+
+    from intake_spark.llm import multimodal as mm
+
+    vp8 = b"\x00\x00\x00" + b"\x9d\x01\x2a" + struct.pack("<HH", 64, 48)
+    lossy_webp = (
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(vp8)) + b"WEBP"
+        + b"VP8 " + struct.pack("<I", len(vp8)) + vp8
+    )
+    # no pillow installed: probe row
+    cells = mm._image_feature_cells(lossy_webp, 4)
+    assert cells["decoded"] == 0 and cells["img_format"] == "webp-lossy"
+    assert cells["width"] == 64 and cells["height"] == 48
+
+    class FakeImg:
+        mode = "RGB"
+        info: dict = {}
+
+        def convert(self, m):
+            return self
+
+        def __array__(self, dtype=None, copy=None):
+            return np.full((48, 64, 3), 9, dtype="uint8")
+
+    fake_image = types.ModuleType("PIL.Image")
+    fake_image.open = lambda bio: FakeImg()
+    fake_pil = types.ModuleType("PIL")
+    fake_pil.Image = fake_image
+    monkeypatch.setitem(sys.modules, "PIL", fake_pil)
+    monkeypatch.setitem(sys.modules, "PIL.Image", fake_image)
+
+    # lossy webp now succeeds through decode_image's own pillow rung
+    cells = mm._image_feature_cells(lossy_webp, 4)
+    assert cells["decoded"] == 1 and cells["err"] is None
+    assert cells["width"] == 64 and cells["height"] == 48
+    assert cells["mean_intensity"] == 9.0 and len(cells["thumb"]) == 16
+
+    # the WIDER features-level rung: a recognized-magic blob whose
+    # native decode raises (corrupt PNG) is retried through pillow by
+    # _image_feature_cells, which decode_image deliberately does not do
+    corrupt_png = b"\x89PNG\r\n\x1a\n" + b"garbage-not-a-chunk"
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        mm.decode_image(corrupt_png)
+    cells = mm._image_feature_cells(corrupt_png, 4)
+    assert cells["decoded"] == 1 and cells["err"] is None
+    assert cells["mean_intensity"] == 9.0
+
+    # audio: MP3 magic, no soundfile -> probe row; faked soundfile ->
+    # real features normalized from the int16 contract
+    mp3 = b"\xff\xfb\x90\x00" + b"\x00" * 64
+    cells = mm._audio_feature_cells(mp3)
+    assert cells["decoded"] == 0
+
+    fake_sf = types.ModuleType("soundfile")
+
+    def fake_read(bio, dtype="int16", always_2d=True):
+        assert dtype == "int16" and always_2d
+        return np.full((8000, 2), 1 << 14, dtype="int16"), 8000
+
+    fake_sf.read = fake_read
+    monkeypatch.setitem(sys.modules, "soundfile", fake_sf)
+    cells = mm._audio_feature_cells(mp3)
+    assert cells["decoded"] == 1 and cells["err"] is None
+    assert cells["sample_rate"] == 8000 and cells["n_channels"] == 2
+    assert cells["n_frames"] == 8000 and cells["duration_s"] == 1.0
+    assert abs(cells["peak"] - 0.5) < 1e-12 and abs(cells["rms"] - 0.5) < 1e-12
+    assert cells["zero_cross_rate"] == 0.0

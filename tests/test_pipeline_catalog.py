@@ -614,3 +614,45 @@ def test_env_satisfied_real_world_spec_forms():
     assert cons({"dependencies": ["python!=9.9"]})  # != routes to python
     # PEP 440: excluding a whole release series needs the wildcard form
     assert not cons({"dependencies": [f"python!={maj}.{minor}.*"]})
+
+
+def test_open_catalog_ttl_reload(spark, tmp_path, li_reader):
+    """open_catalog(path, ttl=) re-parses when the YAML's mtime changes
+    (reference: TTL catalog reload, catalog/base.py:188-191); glob
+    catalogs also re-glob so new files appear mid-session."""
+    import os
+    import time
+
+    from intake_spark.catalog import Catalog, open_catalog
+
+    a = Catalog()
+    a["first"] = li_reader[["l_orderkey"]]
+    p = str(tmp_path / "live_a.yaml")
+    a.to_yaml_file(p)
+
+    live = open_catalog(p, ttl=0)  # ttl=0: stat on every access
+    assert "first" in live and "second" not in live
+
+    a["second"] = li_reader.limit(3)
+    a.to_yaml_file(p)
+    # mtime granularity can be coarse; force a distinct mtime
+    os.utime(p, (time.time() + 2, time.time() + 2))
+    assert "second" in live
+    assert live["second"].read(spark=spark).count() == 3
+
+    # glob form: a NEW file matching the pattern appears mid-session
+    g = open_catalog(str(tmp_path / "live_*.yaml"), ttl=0)
+    assert "from_b" not in g
+    b = Catalog()
+    b["from_b"] = li_reader.limit(2)
+    b.to_yaml_file(str(tmp_path / "live_b.yaml"))
+    assert "from_b" in g and "first" in g
+
+    # within a LONG ttl window no re-stat happens
+    slow = open_catalog(p, ttl=3600)
+    a["third"] = li_reader.limit(1)
+    a.to_yaml_file(p)
+    os.utime(p, (time.time() + 4, time.time() + 4))
+    assert "third" not in slow
+    slow.refresh()  # explicit refresh bypasses the window
+    assert "third" in slow
