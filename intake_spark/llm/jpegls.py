@@ -1,0 +1,564 @@
+"""JPEG-LS (ITU-T T.87 / ISO 14495-1, the LOCO-I codec) — stdlib+numpy
+encoder/decoder for single-component scans, lossless (NEAR=0) and
+near-lossless (NEAR>0).
+
+Closes the DICOM JPEG-LS transfer-syntax gate (1.2.840.10008.1.2.4.80
+lossless / .81 near-lossless) natively, the same way llm/flac.py and
+llm/webp.py close the FLAC/VP8L gates: the reference delegates to
+pydicom codec plugins (reference readers.py:1644), this package decodes
+the bitstream itself. DICOM JPEG-LS frames are overwhelmingly
+single-component grayscale; multi-component interleave modes raise a
+named gate.
+
+Implementation notes (clause refs are T.87):
+- context modeling: 365 regular contexts from quantized gradients
+  (A.3), two run-interruption contexts (A.7.2);
+- prediction: median edge detector + per-context bias correction C[Q]
+  with the B/N cancellation update (A.6);
+- entropy coding: limited-length Golomb-Rice, unary cap
+  LIMIT - qbpp - 1 with a qbpp-bit escape (A.5.3);
+- run mode: J[32] run-order table, '1' = segment of 2^J[RUNindex]
+  samples, '0' + J bits = partial run + interruption sample (A.7);
+- marker layer: FF-stuffing (a 0 bit follows every FF data byte), SOI /
+  SOF55 / LSE(1) / SOS / EOI (annex B/C).
+
+The encoder exists so round-trips prove the decoder bit-exactly (the
+verification strategy every stdlib codec in this repo uses) and to back
+a potential JPEG-LS sink; both sides are written independently from the
+spec's encoder/decoder procedures.
+"""
+
+from __future__ import annotations
+
+import struct
+
+# run-order codes (A.7.1.1)
+_J = [0, 0, 0, 0, 1, 1, 1, 1, 2, 2, 2, 2, 3, 3, 3, 3,
+      4, 4, 5, 5, 6, 6, 7, 7, 8, 9, 10, 11, 12, 13, 14, 15]
+
+_MIN_C, _MAX_C = -128, 127
+
+
+def _default_thresholds(maxval: int, near: int) -> tuple[int, int, int]:
+    """Default T1/T2/T3 (C.2.4.1.1.1)."""
+    def clamp(i, lo):
+        return lo if (i > maxval or i < lo) else i
+
+    if maxval >= 128:
+        factor = (min(maxval, 4095) + 128) // 256
+        t1 = clamp(factor * (3 - 2) + 2 + 3 * near, near + 1)
+        t2 = clamp(factor * (7 - 3) + 3 + 5 * near, t1)
+        t3 = clamp(factor * (21 - 4) + 4 + 7 * near, t2)
+    else:
+        factor = 256 // (maxval + 1)
+        t1 = clamp(max(2, 3 // factor + 3 * near), near + 1)
+        t2 = clamp(max(3, 7 // factor + 5 * near), t1)
+        t3 = clamp(max(4, 21 // factor + 7 * near), t2)
+    return t1, t2, t3
+
+
+class _Params:
+    def __init__(self, precision: int, near: int, maxval: int | None = None,
+                 t1=None, t2=None, t3=None, reset: int = 64):
+        self.near = near
+        self.maxval = maxval if maxval is not None else (1 << precision) - 1
+        self.range = (self.maxval + 2 * near) // (2 * near + 1) + 1
+        bpp = max(2, (self.maxval).bit_length())
+        self.qbpp = (self.range - 1).bit_length()
+        self.limit = 2 * (bpp + max(8, bpp))
+        dt1, dt2, dt3 = _default_thresholds(self.maxval, near)
+        self.t1 = t1 if t1 else dt1
+        self.t2 = t2 if t2 else dt2
+        self.t3 = t3 if t3 else dt3
+        self.reset = reset
+        # context state: 365 regular + 2 run-interruption (365, 366)
+        a_init = max(2, (self.range + 32) // 64)
+        self.A = [a_init] * 367
+        self.B = [0] * 365
+        self.C = [0] * 365
+        self.N = [1] * 367
+        self.Nn = [0, 0]  # negative-error counters for contexts 365/366
+
+    def quantize_gradient(self, d: int) -> int:
+        near = self.near
+        if d <= -self.t3:
+            return -4
+        if d <= -self.t2:
+            return -3
+        if d <= -self.t1:
+            return -2
+        if d < -near:
+            return -1
+        if d <= near:
+            return 0
+        if d < self.t1:
+            return 1
+        if d < self.t2:
+            return 2
+        if d < self.t3:
+            return 3
+        return 4
+
+
+class _BitWriter:
+    """MSB-first bit writer with JPEG-LS FF stuffing: after an emitted
+    0xFF byte the next byte carries only 7 payload bits (its MSB is a
+    stuffed 0)."""
+
+    def __init__(self):
+        self.out = bytearray()
+        self.cur = 0
+        self.nbits = 0
+        self.cap = 8
+
+    def put_bit(self, b: int) -> None:
+        self.cur = (self.cur << 1) | (b & 1)
+        self.nbits += 1
+        if self.nbits == self.cap:
+            self.out.append(self.cur)
+            self.cap = 7 if self.cur == 0xFF else 8
+            self.cur = 0
+            self.nbits = 0
+
+    def put_bits(self, value: int, n: int) -> None:
+        for i in range(n - 1, -1, -1):
+            self.put_bit((value >> i) & 1)
+
+    def flush(self) -> bytes:
+        while self.nbits:
+            self.put_bit(0)
+        return bytes(self.out)
+
+
+class _BitReader:
+    """Mirror of :class:`_BitWriter`: consumes 7 bits from any byte that
+    follows an 0xFF (the stuffed 0). Hitting a marker (FF with MSB-set
+    follower) while bits are still needed is a truncation error."""
+
+    def __init__(self, data: bytes, pos: int = 0):
+        self.data = data
+        self.pos = pos
+        self.cur = 0
+        self.nbits = 0
+        self.prev_ff = False
+
+    def _load(self) -> None:
+        if self.pos >= len(self.data):
+            raise ValueError("JPEG-LS bitstream truncated")
+        b = self.data[self.pos]
+        if self.prev_ff:
+            if b & 0x80:
+                raise ValueError("JPEG-LS bitstream ran into a marker")
+            self.pos += 1
+            self.cur = b & 0x7F
+            self.nbits = 7
+        else:
+            self.pos += 1
+            self.cur = b
+            self.nbits = 8
+        self.prev_ff = b == 0xFF
+
+    def get_bit(self) -> int:
+        if not self.nbits:
+            self._load()
+        self.nbits -= 1
+        return (self.cur >> self.nbits) & 1
+
+    def get_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.get_bit()
+        return v
+
+
+def _golomb_encode(bw: _BitWriter, merr: int, k: int, limit: int, qbpp: int):
+    """Limited-length Golomb (A.5.3): unary quotient capped at
+    limit - qbpp - 1, then either k remainder bits or a qbpp-bit escape
+    of (merr - 1)."""
+    cap = limit - qbpp - 1
+    q = merr >> k
+    if q < cap:
+        for _ in range(q):
+            bw.put_bit(0)
+        bw.put_bit(1)
+        if k:
+            bw.put_bits(merr & ((1 << k) - 1), k)
+    else:
+        for _ in range(cap):
+            bw.put_bit(0)
+        bw.put_bit(1)
+        bw.put_bits(merr - 1, qbpp)
+
+
+def _golomb_decode(br: _BitReader, k: int, limit: int, qbpp: int) -> int:
+    cap = limit - qbpp - 1
+    q = 0
+    while br.get_bit() == 0:
+        q += 1
+        if q > cap:
+            raise ValueError("JPEG-LS: unary run exceeds the length limit")
+    if q < cap:
+        return (q << k) | (br.get_bits(k) if k else 0)
+    return br.get_bits(qbpp) + 1
+
+
+def _context_k(p: _Params, q: int, ritype: int | None = None) -> int:
+    temp = p.A[q] + (p.N[q] >> 1 if ritype == 1 else 0)
+    k = 0
+    n = p.N[q]
+    while (n << k) < temp:
+        k += 1
+    return k
+
+
+def _mod_range(errval: int, rng: int) -> int:
+    if errval < 0:
+        errval += rng
+    if errval >= (rng + 1) // 2:
+        errval -= rng
+    return errval
+
+
+def _fix_reconstruct(rx: int, p: _Params) -> int:
+    if rx < -p.near:
+        rx += p.range * (2 * p.near + 1)
+    elif rx > p.maxval + p.near:
+        rx -= p.range * (2 * p.near + 1)
+    return 0 if rx < 0 else (p.maxval if rx > p.maxval else rx)
+
+
+def _update_regular(p: _Params, q: int, errval: int) -> None:
+    """A/B/N update + bias cancellation (A.6)."""
+    p.B[q] += errval * (2 * p.near + 1)
+    p.A[q] += abs(errval)
+    if p.N[q] == p.reset:
+        p.A[q] >>= 1
+        p.B[q] >>= 1  # arithmetic shift == the spec's floor halving
+        p.N[q] >>= 1
+    p.N[q] += 1
+    if p.B[q] <= -p.N[q]:
+        p.B[q] += p.N[q]
+        if p.C[q] > _MIN_C:
+            p.C[q] -= 1
+        if p.B[q] <= -p.N[q]:
+            p.B[q] = -p.N[q] + 1
+    elif p.B[q] > 0:
+        p.B[q] -= p.N[q]
+        if p.C[q] < _MAX_C:
+            p.C[q] += 1
+        if p.B[q] > 0:
+            p.B[q] = 0
+
+
+def _update_run_int(p: _Params, q: int, errval: int, emerr: int, ritype: int):
+    if errval < 0:
+        p.Nn[q - 365] += 1
+    p.A[q] += (emerr + 1 - ritype) >> 1
+    if p.N[q] == p.reset:
+        p.A[q] >>= 1
+        p.N[q] >>= 1
+        p.Nn[q - 365] >>= 1
+    p.N[q] += 1
+
+
+def _predict(a: int, b: int, c: int) -> int:
+    if c >= max(a, b):
+        return min(a, b)
+    if c <= min(a, b):
+        return max(a, b)
+    return a + b - c
+
+
+def decode_jpegls(blob: bytes):
+    """Decode a single-component JPEG-LS stream → 2-D numpy array
+    (uint8 for P<=8, uint16 otherwise). Multi-component scans raise a
+    named gate (DICOM JPEG-LS is grayscale in practice)."""
+    import numpy as np
+
+    if blob[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG-LS stream (no SOI)")
+    pos = 2
+    precision = width = height = ncomp = None
+    maxval = t1 = t2 = t3 = None
+    reset = 64
+    near = 0
+    while True:
+        if pos + 4 > len(blob):
+            raise ValueError("truncated JPEG-LS header")
+        if blob[pos] != 0xFF:
+            raise ValueError(f"expected marker at {pos}")
+        marker = blob[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI before SOS
+            raise ValueError("JPEG-LS stream has no scan")
+        (seg_len,) = struct.unpack(">H", blob[pos : pos + 2])
+        seg = blob[pos + 2 : pos + seg_len]
+        if len(seg) != seg_len - 2:
+            raise ValueError("truncated JPEG-LS marker segment")
+        if marker == 0xF7:  # SOF55
+            precision, height, width, ncomp = struct.unpack(">BHHB", seg[:6])
+            if ncomp != 1:
+                raise NotImplementedError(
+                    f"JPEG-LS with {ncomp} components: only single-"
+                    "component (grayscale) scans decode natively — "
+                    "interleaved color needs pillow-jpls/pydicom plugins"
+                )
+        elif marker == 0xF8 and seg and seg[0] == 1:  # LSE preset
+            maxval, t1, t2, t3, reset = struct.unpack(">5H", seg[1:11])
+        elif marker == 0xDA:  # SOS
+            ns = seg[0]
+            if ns != 1:
+                raise NotImplementedError(
+                    "JPEG-LS multi-component scan — single component only"
+                )
+            near = seg[1 + 2 * ns]
+            ilv = seg[2 + 2 * ns]
+            if ilv != 0:
+                raise NotImplementedError(
+                    f"JPEG-LS interleave mode {ilv} — single-component "
+                    "scans are ILV 0"
+                )
+            pos += seg_len
+            break
+        pos += seg_len
+    if precision is None:
+        raise ValueError("JPEG-LS stream has no SOF55 frame header")
+
+    p = _Params(precision, near, maxval, t1, t2, t3, reset)
+    br = _BitReader(blob, pos)
+    W, H = width, height
+    prev = [0] * W
+    out = np.empty((H, W), dtype=np.int64)
+    c_left_saved = 0
+    run_index = 0
+    try:
+        _decode_scan(p, br, W, H, prev, out, c_left_saved, run_index)
+    except IndexError as exc:
+        # corrupt run lengths can index past the line buffer
+        raise ValueError("corrupt JPEG-LS scan data") from exc
+    dt = np.uint8 if precision <= 8 else np.uint16
+    return out.astype(dt)
+
+
+def _decode_scan(p, br, W, H, prev, out, c_left_saved, run_index):
+    for y in range(H):
+        cur = [0] * W
+        rc0 = c_left_saved
+        c_left_saved = prev[0]
+        a = prev[0]
+        i = 0
+        while i < W:
+            b = prev[i]
+            c = rc0 if i == 0 else prev[i - 1]
+            d = prev[i + 1] if i + 1 < W else prev[W - 1]
+            q1 = p.quantize_gradient(d - b)
+            q2 = p.quantize_gradient(b - c)
+            q3 = p.quantize_gradient(c - a)
+            if q1 == 0 and q2 == 0 and q3 == 0:
+                # ---- run mode (A.7) ----
+                runval = a
+                broke = False
+                while True:
+                    if br.get_bit() == 1:
+                        seg_n = 1 << _J[run_index]
+                        m = min(seg_n, W - i)
+                        for _ in range(m):
+                            cur[i] = runval
+                            i += 1
+                        if m == seg_n and run_index < 31:
+                            run_index += 1
+                        if i >= W:
+                            broke = True
+                            break
+                        if m < seg_n:
+                            broke = True  # line end mid-segment
+                            break
+                    else:
+                        jn = _J[run_index]
+                        r = br.get_bits(jn) if jn else 0
+                        for _ in range(r):
+                            cur[i] = runval
+                            i += 1
+                        # run-interruption sample
+                        rb = prev[i]
+                        ritype = 1 if abs(runval - rb) <= p.near else 0
+                        px = runval if ritype else rb
+                        sign = -1 if (not ritype and runval > rb) else 1
+                        qc = 365 + ritype
+                        k = _context_k(p, qc, ritype)
+                        emerr = _golomb_decode(
+                            br, k, p.limit - _J[run_index] - 1, p.qbpp
+                        )
+                        temp = emerr + ritype
+                        mp = temp & 1
+                        eabs = (temp + mp) >> 1
+                        nn, n = p.Nn[ritype], p.N[qc]
+                        if (k != 0 or 2 * nn >= n) == bool(mp):
+                            errval = -eabs
+                        else:
+                            errval = eabs
+                        _update_run_int(p, qc, errval, emerr, ritype)
+                        rx = _fix_reconstruct(
+                            px + sign * errval * (2 * p.near + 1), p
+                        )
+                        cur[i] = rx
+                        a = rx
+                        i += 1
+                        if run_index > 0:
+                            run_index -= 1
+                        break
+                if broke:
+                    a = cur[i - 1] if i else a
+                continue
+            # ---- regular mode ----
+            if q1 < 0 or (q1 == 0 and (q2 < 0 or (q2 == 0 and q3 < 0))):
+                sign = -1
+                qi = -((q1 * 9 + q2) * 9 + q3)
+            else:
+                sign = 1
+                qi = (q1 * 9 + q2) * 9 + q3
+            px = _predict(a, b, c)
+            px = px + sign * p.C[qi]
+            px = 0 if px < 0 else (p.maxval if px > p.maxval else px)
+            k = _context_k(p, qi)
+            merr = _golomb_decode(br, k, p.limit, p.qbpp)
+            if p.near == 0 and k == 0 and 2 * p.B[qi] <= -p.N[qi]:
+                errval = (merr - 1) >> 1 if merr & 1 else -(merr >> 1) - 1
+            else:
+                errval = merr >> 1 if not merr & 1 else -((merr + 1) >> 1)
+            _update_regular(p, qi, errval)
+            rx = _fix_reconstruct(px + sign * errval * (2 * p.near + 1), p)
+            cur[i] = rx
+            a = rx
+            i += 1
+        prev = cur
+        out[y] = cur
+
+
+def encode_jpegls(img, near: int = 0) -> bytes:
+    """Encode a 2-D array as single-component JPEG-LS (NEAR=0 lossless;
+    NEAR>0 bounds every sample error by ``near``). The round-trip
+    counterpart of :func:`decode_jpegls`."""
+    import numpy as np
+
+    img = np.asarray(img)
+    if img.ndim != 2:
+        raise ValueError("encode_jpegls takes a 2-D (grayscale) array")
+    H, W = img.shape
+    maxval = int(img.max()) if img.size else 0
+    precision = max(2, int(maxval).bit_length())
+    maxval = (1 << precision) - 1
+    p = _Params(precision, near)
+    bw = _BitWriter()
+    run_index = 0
+    pix = img.astype(np.int64).tolist()
+    prev = [0] * W
+    c_left_saved = 0
+    for y in range(H):
+        row = pix[y]
+        cur = [0] * W
+        rc0 = c_left_saved
+        c_left_saved = prev[0]
+        a = prev[0]
+        i = 0
+        while i < W:
+            b = prev[i]
+            c = rc0 if i == 0 else prev[i - 1]
+            d = prev[i + 1] if i + 1 < W else prev[W - 1]
+            q1 = p.quantize_gradient(d - b)
+            q2 = p.quantize_gradient(b - c)
+            q3 = p.quantize_gradient(c - a)
+            if q1 == 0 and q2 == 0 and q3 == 0:
+                # ---- run mode ----
+                runval = a
+                start = i
+                while i < W and abs(row[i] - runval) <= p.near:
+                    cur[i] = runval
+                    i += 1
+                run = i - start
+                while run >= (1 << _J[run_index]):
+                    bw.put_bit(1)
+                    run -= 1 << _J[run_index]
+                    if run_index < 31:
+                        run_index += 1
+                if i >= W:  # line end ended the run
+                    if run > 0:
+                        bw.put_bit(1)
+                    a = cur[i - 1] if i else a
+                    continue
+                bw.put_bit(0)
+                if _J[run_index]:
+                    bw.put_bits(run, _J[run_index])
+                # run-interruption sample
+                rb = prev[i]
+                ritype = 1 if abs(runval - rb) <= p.near else 0
+                px = runval if ritype else rb
+                sign = -1 if (not ritype and runval > rb) else 1
+                errval = row[i] - px
+                if sign < 0:
+                    errval = -errval
+                if p.near > 0:
+                    if errval > 0:
+                        errval = (p.near + errval) // (2 * p.near + 1)
+                    else:
+                        errval = -((p.near - errval) // (2 * p.near + 1))
+                rx = _fix_reconstruct(px + sign * errval * (2 * p.near + 1), p)
+                errval = _mod_range(errval, p.range)
+                qc = 365 + ritype
+                k = _context_k(p, qc, ritype)
+                nn, n = p.Nn[ritype], p.N[qc]
+                if k == 0 and errval > 0 and 2 * nn < n:
+                    mp = 1
+                elif errval < 0 and 2 * nn >= n:
+                    mp = 1
+                elif errval < 0 and k != 0:
+                    mp = 1
+                else:
+                    mp = 0
+                emerr = 2 * abs(errval) - ritype - mp
+                _golomb_encode(bw, emerr, k, p.limit - _J[run_index] - 1, p.qbpp)
+                _update_run_int(p, qc, errval, emerr, ritype)
+                cur[i] = rx
+                a = rx
+                i += 1
+                if run_index > 0:
+                    run_index -= 1
+                continue
+            # ---- regular mode ----
+            if q1 < 0 or (q1 == 0 and (q2 < 0 or (q2 == 0 and q3 < 0))):
+                sign = -1
+                qi = -((q1 * 9 + q2) * 9 + q3)
+            else:
+                sign = 1
+                qi = (q1 * 9 + q2) * 9 + q3
+            px = _predict(a, b, c)
+            px = px + sign * p.C[qi]
+            px = 0 if px < 0 else (p.maxval if px > p.maxval else px)
+            errval = row[i] - px
+            if sign < 0:
+                errval = -errval
+            if p.near > 0:
+                if errval > 0:
+                    errval = (p.near + errval) // (2 * p.near + 1)
+                else:
+                    errval = -((p.near - errval) // (2 * p.near + 1))
+            rx = _fix_reconstruct(px + sign * errval * (2 * p.near + 1), p)
+            errval = _mod_range(errval, p.range)
+            k = _context_k(p, qi)
+            if p.near == 0 and k == 0 and 2 * p.B[qi] <= -p.N[qi]:
+                merr = 2 * errval + 1 if errval >= 0 else -2 * (errval + 1)
+            else:
+                merr = 2 * errval if errval >= 0 else -2 * errval - 1
+            _golomb_encode(bw, merr, k, p.limit, p.qbpp)
+            _update_regular(p, qi, errval)
+            cur[i] = rx
+            a = rx
+            i += 1
+        prev = cur
+    data = bw.flush()
+    head = bytearray(b"\xff\xd8")  # SOI
+    head += b"\xff\xf7" + struct.pack(">HBHHB", 8 + 3, precision, H, W, 1)
+    head += struct.pack(">BBB", 1, 0x11, 0)  # comp id, 1x1 sampling, Tq=0
+    head += b"\xff\xda" + struct.pack(">HB", 6 + 2, 1)
+    head += struct.pack(">BBBBB", 1, 0, near, 0, 0)  # comp, table, NEAR, ILV, Al
+    return bytes(head) + data + b"\xff\xd9"

@@ -335,12 +335,35 @@ def _pil_decode(content: bytes) -> np.ndarray:
     return arr if arr.ndim == 3 else arr[:, :, None]
 
 
+def _jpeg_frame_marker(content: bytes) -> int | None:
+    """First SOF/SOS marker code in a JPEG marker stream — distinguishes
+    JPEG-LS (SOF55, 0xF7) from DCT JPEGs without decoding anything."""
+    import struct as _s
+
+    pos = 2
+    while pos + 4 <= len(content):
+        if content[pos] != 0xFF:
+            return None
+        m = content[pos + 1]
+        if m == 0xFF:
+            pos += 1
+            continue
+        if m in (0x01,) or 0xD0 <= m <= 0xD9:
+            pos += 2
+            continue
+        if (0xC0 <= m <= 0xCF and m not in (0xC4, 0xC8, 0xCC)) or m in (0xF7, 0xDA):
+            return m
+        (ln,) = _s.unpack_from(">H", content, pos + 2)
+        pos += 2 + ln
+    return None
+
+
 def decode_image(content: bytes):
-    """Image decode: PNG, baseline TIFF, baseline JPEG, BMP, GIF, PNM,
-    TGA and lossless WebP (VP8L) all decode with the stdlib paths; the
-    remaining codecs (lossy WebP, AVIF, non-MJPEG video frames) decode
-    through pillow WHEN INSTALLED (:func:`_pil_decode`) and otherwise
-    raise the named codec gate."""
+    """Image decode: PNG, baseline TIFF, baseline JPEG, JPEG-LS (T.87,
+    llm/jpegls.py), BMP, GIF, PNM, TGA and lossless WebP (VP8L) all
+    decode with the stdlib paths; the remaining codecs (lossy WebP,
+    AVIF, non-MJPEG video frames) decode through pillow WHEN INSTALLED
+    (:func:`_pil_decode`) and otherwise raise the named codec gate."""
     if content[:8] == b"\x89PNG\r\n\x1a\n":
         return decode_png(content)
     if content[:4] in (b"II*\x00", b"MM\x00*"):
@@ -348,6 +371,11 @@ def decode_image(content: bytes):
 
         return decode_tiff(content)
     if content[:3] == b"\xff\xd8\xff":
+        if _jpeg_frame_marker(content) == 0xF7:  # SOF55: JPEG-LS (T.87)
+            from intake_spark.llm.jpegls import decode_jpegls
+
+            arr = decode_jpegls(content)
+            return arr[:, :, None]
         try:
             arr = decode_jpeg(content)
         except NotImplementedError as gate:

@@ -1410,14 +1410,15 @@ def _dicom_meta(url: str) -> dict:
                 f.seek(pos)
         if transfer == "1.2.840.10008.1.2":
             explicit = False
-        elif transfer in ("1.2.840.10008.1.2.1", _DICOM_RLE, _DICOM_JPEG_BASELINE):
+        elif transfer == "1.2.840.10008.1.2.1" or transfer in _DICOM_ENCAPSULATED:
             explicit = True  # encapsulated syntaxes are explicit VR
         else:
             raise ValueError(
                 f"transfer syntax {transfer} not supported (uncompressed "
-                "little-endian, RLE Lossless, and JPEG Baseline decode "
-                "natively; the remaining compressed syntaxes — JPEG-LS/"
-                "2000/Lossless — need pydicom codec plugins)"
+                "little-endian, RLE Lossless, JPEG Baseline, and JPEG-LS "
+                "lossless/near-lossless decode natively; the remaining "
+                "compressed syntaxes — JPEG 2000 / JPEG Lossless SV1 — "
+                "need pydicom codec plugins)"
             )
         out["transfer"] = transfer
         want_text = {
@@ -1429,14 +1430,14 @@ def _dicom_meta(url: str) -> dict:
             tag = (group, elem)
             if tag == (0x7FE0, 0x0010):
                 if ln < 0:
-                    if transfer not in (_DICOM_RLE, _DICOM_JPEG_BASELINE):
+                    if transfer not in _DICOM_ENCAPSULATED:
                         raise ValueError(
                             "encapsulated (undefined-length) PixelData with "
                             f"an uncompressed transfer syntax {transfer}"
                         )
                     out["fragments"] = _dicom_fragments(f, off)
                 else:
-                    if transfer in (_DICOM_RLE, _DICOM_JPEG_BASELINE):
+                    if transfer in _DICOM_ENCAPSULATED:
                         # PS3.5 A.4: compressed syntaxes MUST encapsulate;
                         # a defined-length PixelData here would silently
                         # reinterpret compressed bytes as raw samples
@@ -1477,6 +1478,12 @@ def _dicom_meta(url: str) -> dict:
 
 _DICOM_RLE = "1.2.840.10008.1.2.5"
 _DICOM_JPEG_BASELINE = "1.2.840.10008.1.2.4.50"
+_DICOM_JPEG_LS = "1.2.840.10008.1.2.4.80"          # JPEG-LS Lossless
+_DICOM_JPEG_LS_NEAR = "1.2.840.10008.1.2.4.81"     # JPEG-LS Near-Lossless
+# encapsulated syntaxes this package decodes with its OWN codecs
+_DICOM_ENCAPSULATED = (
+    _DICOM_RLE, _DICOM_JPEG_BASELINE, _DICOM_JPEG_LS, _DICOM_JPEG_LS_NEAR,
+)
 
 
 def _dicom_fragments(f, items_off: int) -> list[tuple[int, int]]:
@@ -1589,11 +1596,11 @@ class DicomReader(BaseReader):
         )
 
     def _read_encapsulated(self, spark, url: str, meta: dict, t: dict, shape):
-        """RLE-Lossless / JPEG-Baseline frames: one fragment per frame
-        (the PS3.5 rule for RLE; multi-fragment JPEG frames raise,
-        named), decoded executor-side from a byte-range manifest with
-        the package's OWN codecs (packbits / baseline-JPEG) — the two
-        compressed syntaxes that need no external codebook tables."""
+        """RLE-Lossless / JPEG-Baseline / JPEG-LS frames: one fragment
+        per frame (the PS3.5 rule for RLE; multi-fragment JPEG frames
+        raise, named), decoded executor-side from a byte-range manifest
+        with the package's OWN codecs (packbits / baseline-JPEG DCT /
+        T.87 LOCO-I, llm/jpegls.py) — no external codec plugins."""
         from intake_spark.arrays import CHUNK_SCHEMA
         from intake_spark.session import ensure_py_deps
 
@@ -1635,6 +1642,14 @@ class DicomReader(BaseReader):
                         blob = f.read(int(r.nb))
                         if transfer == _DICOM_RLE:
                             arr = _dicom_rle_decode(blob, rows, cols, bits, spp, signed)
+                        elif transfer in (_DICOM_JPEG_LS, _DICOM_JPEG_LS_NEAR):
+                            from intake_spark.llm.jpegls import decode_jpegls
+
+                            arr = decode_jpegls(blob)
+                            if signed and arr.dtype == np.uint16:
+                                arr = arr.view(np.int16)
+                            elif signed and arr.dtype == np.uint8:
+                                arr = arr.view(np.int8)
                         else:
                             from intake_spark.llm.multimodal import decode_jpeg
 

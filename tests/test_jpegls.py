@@ -1,0 +1,123 @@
+"""JPEG-LS (ITU-T T.87) codec: lossless/near-lossless round-trips over
+adversarial shapes, the LSE/limited-Golomb/run-mode machinery, the
+decode_image dispatch, and the DICOM JPEG-LS transfer syntaxes end to
+end (reference delegates these to pydicom codec plugins,
+readers.py:1644 — here they decode natively like RLE/baseline-JPEG)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from intake_spark.llm.jpegls import decode_jpegls, encode_jpegls
+
+
+def _cases():
+    rng = np.random.default_rng(7)
+    return {
+        "flat": np.full((16, 24), 130, dtype=np.uint8),
+        "noise8": rng.integers(0, 256, (32, 41), dtype=np.uint8),
+        "gradient": (np.add.outer(np.arange(20), np.arange(30)) * 3 % 256).astype(np.uint8),
+        "mostly-flat": np.where(
+            rng.random((25, 33)) < 0.7, 100, rng.integers(0, 256, (25, 33))
+        ).astype(np.uint8),
+        "noise12": rng.integers(0, 4096, (17, 23)).astype(np.uint16),
+        "single-pixel": np.array([[5]], dtype=np.uint8),
+        "one-row": rng.integers(0, 256, (1, 50), dtype=np.uint8),
+        "one-col": rng.integers(0, 256, (50, 1), dtype=np.uint8),
+        "checker": (np.indices((9, 13)).sum(0) % 2 * 255).astype(np.uint8),
+    }
+
+
+def test_jpegls_lossless_roundtrip_shapes():
+    for name, img in _cases().items():
+        blob = encode_jpegls(img)
+        back = decode_jpegls(blob)
+        np.testing.assert_array_equal(
+            back.astype(np.int64), img.astype(np.int64), err_msg=name
+        )
+    # run coding actually compresses the flat image
+    flat = _cases()["flat"]
+    assert len(encode_jpegls(flat)) < flat.size // 4
+
+
+def test_jpegls_lossless_random_sweep():
+    rng = np.random.default_rng(11)
+    for _ in range(60):
+        h, w = rng.integers(1, 20, 2)
+        img = rng.integers(0, 256, (h, w), dtype=np.uint8)
+        np.testing.assert_array_equal(decode_jpegls(encode_jpegls(img)), img)
+
+
+def test_jpegls_near_lossless_error_bound():
+    rng = np.random.default_rng(13)
+    for near in (1, 2, 3):
+        for img in (
+            rng.integers(0, 256, (30, 37), dtype=np.uint8),
+            rng.integers(0, 4096, (15, 21)).astype(np.uint16),
+        ):
+            back = decode_jpegls(encode_jpegls(img, near=near))
+            err = np.abs(back.astype(np.int64) - img.astype(np.int64)).max()
+            assert err <= near
+    # NEAR>0 on a noisy image is smaller than lossless
+    img = rng.integers(0, 256, (64, 64), dtype=np.uint8)
+    assert len(encode_jpegls(img, near=3)) < len(encode_jpegls(img))
+
+
+def test_jpegls_gates_and_errors():
+    with pytest.raises(ValueError, match="SOI"):
+        decode_jpegls(b"\x00\x01")
+    # multi-component frame raises by name
+    import struct
+
+    sof = b"\xff\xd8\xff\xf7" + struct.pack(">HBHHB", 8 + 9, 8, 4, 4, 3)
+    sof += bytes([1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0])
+    with pytest.raises(NotImplementedError, match="single-"):
+        decode_jpegls(sof)
+    # truncated scan data
+    img = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    blob = encode_jpegls(img)
+    with pytest.raises(ValueError):
+        decode_jpegls(blob[: len(blob) // 2])
+
+
+def test_decode_image_dispatches_jpegls():
+    from intake_spark.llm.multimodal import decode_image
+
+    img = (np.add.outer(np.arange(12), np.arange(9)) * 7 % 256).astype(np.uint8)
+    arr = decode_image(encode_jpegls(img))
+    assert arr.shape == (12, 9, 1)
+    np.testing.assert_array_equal(arr[:, :, 0], img)
+
+
+def test_dicom_jpegls_transfer_syntaxes(spark, tmp_path):
+    """DICOM JPEG-LS lossless (1.2.840.10008.1.2.4.80): encapsulated
+    frames decode bit-exactly, incl. 16-bit and multi-frame; the
+    near-lossless syntax (.81) respects the NEAR bound."""
+    from intake_spark.sci import DICOM, DicomReader
+    from tests.test_nrrd_dicom import _encapsulate, _rebuild
+
+    rng = np.random.default_rng(5)
+    f0 = rng.integers(0, 4096, size=(7, 6)).astype(np.uint16)
+    f1 = rng.integers(0, 4096, size=(7, 6)).astype(np.uint16)
+    blob = _encapsulate(
+        b"1.2.840.10008.1.2.4.80\x00", 7, 6,
+        [encode_jpegls(f0), encode_jpegls(f1)], bits=16, signed=False,
+    )
+    p = tmp_path / "jls.dcm"
+    p.write_bytes(blob)
+    rdr = DicomReader(data=DICOM(url=str(p)))
+    got = _rebuild(rdr.read(spark=spark))
+    np.testing.assert_array_equal(got, np.stack([f0, f1]))
+    assert rdr.data.metadata["transfer_syntax"] == "1.2.840.10008.1.2.4.80"
+
+    near = 2
+    g = rng.integers(0, 256, size=(9, 11)).astype(np.uint8)
+    blob = _encapsulate(
+        b"1.2.840.10008.1.2.4.81\x00", 9, 11,
+        [encode_jpegls(g, near=near)], bits=8, signed=False,
+    )
+    p2 = tmp_path / "jls_near.dcm"
+    p2.write_bytes(blob)
+    got = _rebuild(DicomReader(data=DICOM(url=str(p2))).read(spark=spark))
+    assert np.abs(got.reshape(9, 11) - g.astype(np.int64)).max() <= near
