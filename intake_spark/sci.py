@@ -2480,17 +2480,197 @@ class E57MetaReader(BaseReader):
         return spark.createDataFrame(rows, schema)
 
 
+def _e57_prototype(scan) -> "tuple[int, int, list[dict]]":
+    """(recordCount, fileOffset, per-field codec spec) from a Data3D
+    scan element. Field spec: name, kind (int/scaled/float), bit width,
+    minimum, scale, offset, float precision."""
+    rec_count = file_offset = None
+    fields: list[dict] = []
+    for el in scan:
+        if _e57_localname(el.tag) != "points":
+            continue
+        rec_count = int(el.get("recordCount", "0"))
+        file_offset = int(el.get("fileOffset", "0"))
+        for sub in el:
+            if _e57_localname(sub.tag) != "prototype":
+                continue
+            for p in sub:
+                t = p.get("type", "Integer")
+                fd = {"name": _e57_localname(p.tag), "kind": "int",
+                      "min": 0, "scale": 1.0, "offset": 0.0, "bits": 0}
+                if t in ("Integer", "ScaledInteger"):
+                    lo = int(p.get("minimum", "0"))
+                    hi = int(p.get("maximum", "0"))
+                    fd["min"] = lo
+                    fd["bits"] = (hi - lo).bit_length()
+                    if t == "ScaledInteger":
+                        fd["kind"] = "scaled"
+                        fd["scale"] = float(p.get("scale", "1"))
+                        fd["offset"] = float(p.get("offset", "0"))
+                elif t == "Float":
+                    fd["kind"] = "float"
+                    fd["bits"] = 32 if p.get("precision") == "single" else 64
+                else:
+                    raise NotImplementedError(
+                        f"E57 prototype field type {t!r} (Integer/"
+                        "ScaledInteger/Float decode; String/structures "
+                        "inside a point prototype are not point data)"
+                    )
+                fields.append(fd)
+    return rec_count, file_offset, fields
+
+
+def _e57_decode_section(f, page_size: int, file_offset: int,
+                        record_count: int, fields: "list[dict]"):
+    """Decode one CompressedVector binary section (ASTM E2807 §9) into
+    {field name: numpy array}. Walks the data packets, concatenates each
+    field's bytestream buffers (a VALUE's bits may span packets — the
+    per-field streams are continuous across packet boundaries), then
+    bit-unpacks LSB-first at the prototype's fixed width."""
+    import numpy as np
+
+    head = _e57_logical_bytes(f, file_offset, 32, page_size)
+    if head[0] != 1:
+        raise ValueError(f"E57 section at {file_offset} is not a "
+                         f"CompressedVector section (id {head[0]})")
+    (sec_len,) = struct.unpack("<Q", head[8:16])
+    (data_phys,) = struct.unpack("<Q", head[16:24])
+    section = _e57_logical_bytes(f, file_offset, sec_len, page_size)
+
+    def logical(p: int) -> int:
+        return (p // page_size) * (page_size - 4) + min(
+            p % page_size, page_size - 4
+        )
+
+    pos = logical(data_phys) - logical(file_offset)
+    streams = [bytearray() for _ in fields]
+    need = [record_count * fd["bits"] for fd in fields]
+    while pos + 4 <= len(section) and any(
+        len(s) * 8 < n for s, n in zip(streams, need)
+    ):
+        ptype = section[pos]
+        (plen_m1,) = struct.unpack_from("<H", section, pos + 2)
+        plen = plen_m1 + 1
+        if ptype == 1:  # data packet
+            (bscount,) = struct.unpack_from("<H", section, pos + 4)
+            if bscount != len(fields):
+                raise ValueError(
+                    f"E57 data packet carries {bscount} bytestreams for a "
+                    f"{len(fields)}-field prototype"
+                )
+            lens = struct.unpack_from(f"<{bscount}H", section, pos + 6)
+            off = pos + 6 + 2 * bscount
+            for i, ln in enumerate(lens):
+                streams[i] += section[off : off + ln]
+                off += ln
+        elif ptype not in (0, 2):  # 0 = index, 2 = empty: skip
+            raise ValueError(f"unknown E57 packet type {ptype}")
+        pos += plen
+    out = {}
+    for fd, s, n in zip(fields, streams, need):
+        if len(s) * 8 < n:
+            raise ValueError(
+                f"E57 bytestream for {fd['name']!r} short: "
+                f"{len(s) * 8} bits < {n} needed"
+            )
+        w = fd["bits"]
+        if fd["kind"] == "float":
+            dt_ = "<f4" if w == 32 else "<f8"
+            arr = np.frombuffer(
+                bytes(s[: record_count * (w // 8)]), dtype=dt_
+            ).astype(np.float64)
+            out[fd["name"]] = arr
+            continue
+        if w == 0:  # constant field: every value == minimum
+            raw = np.zeros(record_count, dtype=np.int64)
+        else:
+            big = int.from_bytes(bytes(s), "little")
+            mask = (1 << w) - 1
+            raw = np.fromiter(
+                ((big >> (j * w)) & mask for j in range(record_count)),
+                dtype=np.int64, count=record_count,
+            )
+        if fd["kind"] == "scaled":
+            out[fd["name"]] = (raw + fd["min"]) * fd["scale"] + fd["offset"]
+        else:
+            out[fd["name"]] = raw + fd["min"]
+    return out
+
+
 class E57PointsReader(BaseReader):
-    """Named gate for E57 point payloads."""
+    """E57 CompressedVector point decode (ASTM E2807 §9) — closes the
+    round-6 named gate with the package's own bit-pack codec:
+    Integer/ScaledInteger fields unpack LSB-first at the prototype's
+    fixed width (values may span data-packet boundaries), Float fields
+    are raw IEEE; ScaledInteger columns surface as doubles
+    ((raw + minimum) * scale + offset), Integer as longs.
+
+    Scale shape: one driver pass reads the XML + per-scan prototypes;
+    scans decode in parallel executor-side from a byte-range manifest
+    (the DICOM-frames pattern). Within a scan the bitstream is decoded
+    sequentially — the refinement for billion-point single-scan files
+    is record-range splitting via the per-packet byte offsets, noted
+    not needed for multi-scan survey files."""
 
     implements = {E57}
     priority = 5
 
-    def _read(self, spark, **kwargs):
-        raise NotImplementedError(
-            "E57 CompressedVector point decode (per-field bit-pack codec "
-            "state machines, ASTM E2807 §9) is not implemented in this "
-            "stdlib engine — use E57MetaReader for the scan inventory, "
-            "pye57 off-Spark for points, or LAS/LASReader for decodable "
-            "point clouds"
+    def _read(self, spark, scan_idx: "int | None" = None, **kwargs):
+        import json as _json
+
+        from intake_spark.session import ensure_py_deps
+
+        ensure_py_deps(spark)
+        url = self.data.url
+        hdr, root = _e57_xml(url)
+        self.data.metadata.update(hdr)
+        page_size = hdr["page_size"]
+        scans = []
+        for child in root:
+            if _e57_localname(child.tag) == "data3D":
+                for i, scan in enumerate(child):
+                    rc, off, fields = _e57_prototype(scan)
+                    if rc is None or not fields:
+                        continue
+                    if scan_idx is not None and i != scan_idx:
+                        continue
+                    scans.append((i, rc, off, _json.dumps(fields)))
+        if not scans:
+            raise ValueError("E57 file has no decodable Data3D point scans")
+        f0 = _json.loads(scans[0][3])
+        names0 = [fd["name"] for fd in f0]
+        for _i, _rc, _off, fj in scans[1:]:
+            if [fd["name"] for fd in _json.loads(fj)] != names0:
+                raise ValueError(
+                    "E57 scans carry different prototypes — read them "
+                    "separately via scan_idx="
+                )
+        spark_type = {
+            "int": "long", "scaled": "double", "float": "double",
+        }
+        schema = "scan_idx int, " + ", ".join(
+            f"`{fd['name']}` {spark_type[fd['kind']]}" for fd in f0
         )
+        mdf = spark.createDataFrame(
+            scans, "scan_idx int, rc long, off long, fields string"
+        )
+
+        def decode(batches):
+            import json as _j
+
+            import pandas as pd_
+
+            from intake_spark.sci import _e57_decode_section
+
+            for pdf in batches:
+                with open(url, "rb") as fh:
+                    for _, r in pdf.iterrows():
+                        flds = _j.loads(r.fields)
+                        cols = _e57_decode_section(
+                            fh, page_size, int(r.off), int(r.rc), flds
+                        )
+                        out = pd_.DataFrame(cols)
+                        out.insert(0, "scan_idx", int(r.scan_idx))
+                        yield out
+
+        return mdf.mapInPandas(decode, schema=schema)

@@ -116,14 +116,144 @@ def test_e57_xml_spans_pages(spark, tmp_path):
     assert {r.record_count for r in rows} == set(range(40))
 
 
-def test_e57_points_gate_and_recommend(e57_file):
+def test_e57_recommend(e57_file):
     from intake_spark import datatypes as dt
-    from intake_spark.sci import E57, E57PointsReader
-
-    with pytest.raises(NotImplementedError, match="CompressedVector"):
-        E57PointsReader(data=E57(url=e57_file)).read(spark=None)
 
     with open(e57_file, "rb") as f:
         head = f.read(64)
     got = dt.recommend(url=e57_file, head=head)
     assert any(c.__name__ == "E57" for c in got)
+
+
+def _phys(logical: int) -> int:
+    return (logical // (PAGE - 4)) * PAGE + (logical % (PAGE - 4))
+
+
+def _pack_bits(vals, w: int) -> bytes:
+    big = 0
+    mask = (1 << w) - 1
+    for j, v in enumerate(vals):
+        big |= (int(v) & mask) << (j * w)
+    nbytes = (len(vals) * w + 7) // 8
+    return big.to_bytes(nbytes, "little") if nbytes else b""
+
+
+def _data_packet(bufs) -> bytes:
+    body = struct.pack("<H", len(bufs))
+    body += b"".join(struct.pack("<H", len(b)) for b in bufs)
+    body += b"".join(bufs)
+    plen = 4 + len(body)
+    pad = (-plen) % 4
+    return struct.pack("<BBH", 1, 0, plen + pad - 1) + body + b"\x00" * pad
+
+
+def _points_e57(tmp_path, scans):
+    """Full E57 with CompressedVector sections: scans is a list of
+    {field name: values} dicts (cartesianX ScaledInteger 0.01, intensity
+    Integer 0..255, cartesianY Float single, classification constant 5).
+    Each field's bitstream is split across TWO data packets at an odd
+    byte so values span the packet boundary, with an empty packet
+    between them."""
+    import numpy as np
+
+    logical = bytearray(b"\x00" * 48)  # header placeholder
+    sections = []
+    for vals in scans:
+        sec_start = len(logical)
+        x_raw = [round(v / 0.01) + 1000 for v in vals["cartesianX"]]
+        bufs = [
+            _pack_bits(x_raw, 11),
+            np.asarray(vals["cartesianY"], dtype="<f4").tobytes(),
+            _pack_bits(vals["intensity"], 8),
+            b"",  # classification: 0-bit constant field
+        ]
+        cut = [7, 21, 13, 0]
+        pk1 = _data_packet([b[:c] for b, c in zip(bufs, cut)])
+        pk_empty = struct.pack("<BBH", 2, 0, 3)
+        pk2 = _data_packet([b[c:] for b, c in zip(bufs, cut)])
+        packets = pk1 + pk_empty + pk2
+        sec_len = 32 + len(packets)
+        data_phys = _phys(sec_start + 32)
+        sec_head = bytes([1]) + b"\x00" * 7 + struct.pack(
+            "<QQQ", sec_len, data_phys, 0
+        )
+        logical += sec_head + packets
+        while len(logical) % 4:
+            logical += b"\x00"
+        sections.append((sec_start, len(vals["cartesianX"])))
+    scans_xml = "".join(
+        f'<vectorChild type="Structure">'
+        f'<name type="String"><![CDATA[scan-{i}]]></name>'
+        f'<points type="CompressedVector" fileOffset="{_phys(off)}" '
+        f'recordCount="{rc}">'
+        '<prototype type="Structure">'
+        '<cartesianX type="ScaledInteger" minimum="-1000" maximum="1000" '
+        'scale="0.01" offset="0"/>'
+        '<cartesianY type="Float" precision="single"/>'
+        '<intensity type="Integer" minimum="0" maximum="255"/>'
+        '<classification type="Integer" minimum="5" maximum="5"/>'
+        "</prototype></points></vectorChild>"
+        for i, (off, rc) in enumerate(sections)
+    )
+    xml = (
+        '<?xml version="1.0"?><e57Root '
+        'xmlns="http://www.astm.org/COMMIT/E57/2010-e57-v1.0" '
+        f'type="Structure"><data3D type="Vector">{scans_xml}</data3D>'
+        "</e57Root>"
+    ).encode()
+    xml_off = _phys(len(logical))
+    xml_len = len(xml)
+    logical += xml
+    body = _paged(bytes(logical), 0)
+    hdr = b"ASTM-E57" + struct.pack("<II", 1, 0) + struct.pack(
+        "<QQQQ", len(body), xml_off, xml_len, PAGE
+    )
+    body = hdr + body[48:]
+    p = tmp_path / "points.e57"
+    p.write_bytes(body)
+    return str(p)
+
+
+def test_e57_points_decode(spark, tmp_path):
+    """CompressedVector point decode: ScaledInteger/Float/Integer and a
+    0-bit constant field, values spanning data-packet boundaries, an
+    empty packet mid-stream, and two scans decoded in parallel."""
+    import numpy as np
+
+    from intake_spark.sci import E57, E57PointsReader
+
+    rng = np.random.default_rng(3)
+    scans = []
+    for n in (50, 23):
+        scans.append({
+            "cartesianX": np.round(rng.uniform(-9, 9, n), 2).tolist(),
+            "cartesianY": np.asarray(
+                rng.uniform(-5, 5, n), dtype="<f4"
+            ).astype(float).tolist(),
+            "intensity": rng.integers(0, 256, n).tolist(),
+        })
+    url = _points_e57(tmp_path, scans)
+    df = E57PointsReader(data=E57(url=url)).read(spark=spark)
+    assert df.columns == [
+        "scan_idx", "cartesianX", "cartesianY", "intensity", "classification"
+    ]
+    got = df.toPandas().sort_values(
+        ["scan_idx"], kind="stable"
+    ).reset_index(drop=True)
+    assert len(got) == 73
+    for i, vals in enumerate(scans):
+        g = got[got.scan_idx == i]
+        np.testing.assert_allclose(
+            g["cartesianX"].to_numpy(), vals["cartesianX"], atol=1e-9
+        )
+        np.testing.assert_allclose(
+            g["cartesianY"].to_numpy(),
+            np.asarray(vals["cartesianY"], dtype="<f4").astype(float),
+        )
+        np.testing.assert_array_equal(
+            g["intensity"].to_numpy(), vals["intensity"]
+        )
+        assert (g["classification"] == 5).all()
+    # scan_idx selection
+    one = E57PointsReader(data=E57(url=url)).read(spark=spark, scan_idx=1)
+    assert one.count() == 23
