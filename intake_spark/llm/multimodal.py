@@ -371,11 +371,15 @@ def decode_image(content: bytes):
 
         return decode_tiff(content)
     if content[:3] == b"\xff\xd8\xff":
-        if _jpeg_frame_marker(content) == 0xF7:  # SOF55: JPEG-LS (T.87)
+        fm = _jpeg_frame_marker(content)
+        if fm == 0xF7:  # SOF55: JPEG-LS (T.87)
             from intake_spark.llm.jpegls import decode_jpegls
 
             arr = decode_jpegls(content)
             return arr[:, :, None]
+        if fm == 0xC3:  # SOF3: lossless JPEG (T.81 process 14)
+            arr = decode_jpeg_lossless(content)
+            return arr if arr.ndim == 3 else arr[:, :, None]
         try:
             arr = decode_jpeg(content)
         except NotImplementedError as gate:
@@ -692,6 +696,163 @@ class _JpegBits:
 def _jpeg_extend(v: int, t: int) -> int:
     """DC/AC magnitude-category decode (ITU T.81 F.2.2.1 EXTEND)."""
     return v - (1 << t) + 1 if t and v < (1 << (t - 1)) else v
+
+
+def decode_jpeg_lossless(content: bytes):
+    """Lossless JPEG (ITU T.81 process 14, SOF3) → (H, W) or (H, W, C)
+    ndarray (uint8 for P<=8, uint16 otherwise). Huffman-coded
+    prediction residuals with selection values 1-7 and point transform;
+    the DICOM 'JPEG Lossless SV1' transfer syntaxes (1.2.840.10008.1.2.
+    4.57/.70) are this process with Ss=1. Sampling factors must be 1x1
+    (the lossless-process rule for interleaved scans); restart markers
+    reset the predictor per T.81 H.2.2."""
+    import numpy as np
+
+    if content[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (no SOI marker)")
+    huff: dict[int, dict] = {}
+    frame = None
+    scan_tables = None
+    predictor = 1
+    pt = 0
+    restart_interval = 0
+    pos = 2
+    while pos < len(content):
+        if content[pos] != 0xFF:
+            pos += 1
+            continue
+        marker = content[pos + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        if marker == 0xD9:
+            break
+        seglen = int.from_bytes(content[pos + 2 : pos + 4], "big")
+        body = content[pos + 4 : pos + 2 + seglen]
+        if marker == 0xC4:  # DHT (DC class only in lossless)
+            b = 0
+            while b < len(body):
+                _cls, tid = body[b] >> 4, body[b] & 0xF
+                bits = list(body[b + 1 : b + 17])
+                nval = sum(bits)
+                huff[tid] = _jpeg_huff_table(bits, body[b + 17 : b + 17 + nval])
+                b += 17 + nval
+        elif marker == 0xC3:  # SOF3
+            prec = body[0]
+            h, w, ncomp = (
+                int.from_bytes(body[1:3], "big"),
+                int.from_bytes(body[3:5], "big"),
+                body[5],
+            )
+            comps = []
+            for c in range(ncomp):
+                cid, hv, _tq = body[6 + c * 3 : 9 + c * 3]
+                if hv != 0x11:
+                    raise NotImplementedError(
+                        "lossless JPEG with subsampled components "
+                        f"(h/v {hv >> 4}x{hv & 0xF}) not supported"
+                    )
+                comps.append(cid)
+            frame = {"p": prec, "h": h, "w": w, "comps": comps}
+        elif marker == 0xDD:
+            restart_interval = int.from_bytes(body[:2], "big")
+        elif marker == 0xDA:
+            ns = body[0]
+            scan_tables = {}
+            order = []
+            for s in range(ns):
+                cid, tables = body[1 + s * 2], body[2 + s * 2]
+                scan_tables[cid] = tables >> 4
+                order.append(cid)
+            predictor = body[1 + 2 * ns]  # Ss = selection value
+            pt = body[3 + 2 * ns] & 0xF  # Al = point transform
+            pos = pos + 2 + seglen
+            break
+        pos += 2 + seglen
+    if frame is None or scan_tables is None:
+        raise ValueError("JPEG lacks SOF3/SOS segments")
+    if not 1 <= predictor <= 7:
+        raise ValueError(f"lossless JPEG selection value {predictor}")
+    if set(order) != set(frame["comps"]):
+        raise NotImplementedError(
+            "lossless JPEG with per-component scans — single interleaved "
+            "scan only"
+        )
+
+    # de-stuffed entropy intervals split on restart markers
+    intervals: list[bytes] = []
+    cur = bytearray()
+    p = pos
+    while p < len(content):
+        byte = content[p]
+        if byte == 0xFF and p + 1 < len(content):
+            nxt = content[p + 1]
+            if nxt == 0x00:
+                cur.append(0xFF)
+                p += 2
+                continue
+            if 0xD0 <= nxt <= 0xD7:
+                intervals.append(bytes(cur))
+                cur = bytearray()
+                p += 2
+                continue
+            break
+        cur.append(byte)
+        p += 1
+    intervals.append(bytes(cur))
+
+    P, H, W = frame["p"], frame["h"], frame["w"]
+    nc = len(frame["comps"])
+    default = 1 << (P - pt - 1)
+    planes = [np.zeros((H, W), dtype=np.int64) for _ in range(nc)]
+    tables = [huff[scan_tables[cid]] for cid in order]
+    plane_of = {cid: frame["comps"].index(cid) for cid in order}
+    reader = _JpegBits(intervals[0])
+    interval_idx = 0
+    samples_done = 0
+    use_default = True  # start of scan / first sample after a restart
+    for y in range(H):
+        for x in range(W):
+            for s, cid in enumerate(order):
+                pl = planes[plane_of[cid]]
+                t = reader.huff(tables[s])
+                if t == 16:
+                    diff = 32768
+                elif t:
+                    diff = _jpeg_extend(reader.bits(t), t)
+                else:
+                    diff = 0
+                if use_default:
+                    px = default
+                elif y == 0:
+                    px = pl[y, x - 1]
+                elif x == 0:
+                    px = pl[y - 1, x]
+                else:
+                    a, b = pl[y, x - 1], pl[y - 1, x]
+                    c = pl[y - 1, x - 1]
+                    px = (
+                        a if predictor == 1 else
+                        b if predictor == 2 else
+                        c if predictor == 3 else
+                        a + b - c if predictor == 4 else
+                        a + ((b - c) >> 1) if predictor == 5 else
+                        b + ((a - c) >> 1) if predictor == 6 else
+                        (a + b) >> 1
+                    )
+                pl[y, x] = (int(px) + diff) & 0xFFFF
+            use_default = False
+            samples_done += 1
+            if restart_interval and samples_done % restart_interval == 0:
+                interval_idx += 1
+                if interval_idx < len(intervals):
+                    reader = _JpegBits(intervals[interval_idx])
+                    use_default = True
+    out = np.stack(planes, axis=-1) if nc > 1 else planes[0]
+    if pt:
+        out = out << pt
+    dt_ = np.uint8 if P <= 8 else np.uint16
+    return out.astype(dt_)
 
 
 def decode_jpeg(content: bytes):

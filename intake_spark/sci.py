@@ -1415,10 +1415,9 @@ def _dicom_meta(url: str) -> dict:
         else:
             raise ValueError(
                 f"transfer syntax {transfer} not supported (uncompressed "
-                "little-endian, RLE Lossless, JPEG Baseline, and JPEG-LS "
-                "lossless/near-lossless decode natively; the remaining "
-                "compressed syntaxes — JPEG 2000 / JPEG Lossless SV1 — "
-                "need pydicom codec plugins)"
+                "little-endian, RLE Lossless, JPEG Baseline, JPEG Lossless "
+                "P14/SV1, and JPEG-LS lossless/near-lossless decode "
+                "natively; JPEG 2000 needs pydicom codec plugins)"
             )
         out["transfer"] = transfer
         want_text = {
@@ -1480,9 +1479,12 @@ _DICOM_RLE = "1.2.840.10008.1.2.5"
 _DICOM_JPEG_BASELINE = "1.2.840.10008.1.2.4.50"
 _DICOM_JPEG_LS = "1.2.840.10008.1.2.4.80"          # JPEG-LS Lossless
 _DICOM_JPEG_LS_NEAR = "1.2.840.10008.1.2.4.81"     # JPEG-LS Near-Lossless
+_DICOM_JPEG_LOSSLESS = "1.2.840.10008.1.2.4.57"    # JPEG Lossless P14
+_DICOM_JPEG_LOSSLESS_SV1 = "1.2.840.10008.1.2.4.70"  # JPEG Lossless P14 SV1
 # encapsulated syntaxes this package decodes with its OWN codecs
 _DICOM_ENCAPSULATED = (
     _DICOM_RLE, _DICOM_JPEG_BASELINE, _DICOM_JPEG_LS, _DICOM_JPEG_LS_NEAR,
+    _DICOM_JPEG_LOSSLESS, _DICOM_JPEG_LOSSLESS_SV1,
 )
 
 
@@ -1646,6 +1648,18 @@ class DicomReader(BaseReader):
                             from intake_spark.llm.jpegls import decode_jpegls
 
                             arr = decode_jpegls(blob)
+                            if signed and arr.dtype == np.uint16:
+                                arr = arr.view(np.int16)
+                            elif signed and arr.dtype == np.uint8:
+                                arr = arr.view(np.int8)
+                        elif transfer in (
+                            _DICOM_JPEG_LOSSLESS, _DICOM_JPEG_LOSSLESS_SV1
+                        ):
+                            from intake_spark.llm.multimodal import (
+                                decode_jpeg_lossless,
+                            )
+
+                            arr = decode_jpeg_lossless(blob)
                             if signed and arr.dtype == np.uint16:
                                 arr = arr.view(np.int16)
                             elif signed and arr.dtype == np.uint8:

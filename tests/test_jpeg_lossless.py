@@ -1,0 +1,213 @@
+"""Lossless JPEG (ITU T.81 process 14, SOF3): spec-built encoder in
+this file round-trips the package decoder over predictors 1-7, 8/12/16
+bit precisions, point transform, multi-component interleave, restart
+markers, and the DICOM JPEG Lossless transfer syntaxes (.4.57/.4.70 —
+the reference delegates these to pydicom plugins)."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from intake_spark.llm.multimodal import decode_jpeg_lossless
+
+# one shared canonical Huffman table: all 17 categories at code length 5
+_BITS = [0, 0, 0, 0, 17] + [0] * 11
+_VALS = bytes(range(17))
+_CODES = {sym: (5, code) for code, sym in enumerate(range(17))}
+
+
+class _BW:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, value: int, nbits: int) -> None:
+        for i in range(nbits - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((value >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)  # byte stuffing
+                self.acc = 0
+                self.n = 0
+
+    def flush(self) -> bytes:
+        while self.n:
+            self.put(1, 1)  # pad with 1s
+        return bytes(self.out)
+
+
+def encode_jpeg_lossless(
+    img: np.ndarray,
+    predictor: int = 1,
+    precision: int | None = None,
+    pt: int = 0,
+    restart_interval: int = 0,
+) -> bytes:
+    """Minimal spec-faithful SOF3 encoder (fixed all-length-5 table)."""
+    if img.ndim == 2:
+        img = img[:, :, None]
+    H, W, C = img.shape
+    P = precision or max(2, int(img.max()).bit_length())
+    vals = (img.astype(np.int64) >> pt) if pt else img.astype(np.int64)
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xc4" + struct.pack(">H", 2 + 17 + 17) + b"\x00"
+    out += bytes(_BITS) + _VALS
+    out += b"\xff\xc3" + struct.pack(">HBHHB", 8 + 3 * C, P, H, W, C)
+    for c in range(C):
+        out += bytes([c + 1, 0x11, 0])
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * C, C)
+    for c in range(C):
+        out += bytes([c + 1, 0x00])
+    out += bytes([predictor, 0, pt])
+
+    bw = _BW()
+    chunks = []
+    default = 1 << (P - pt - 1)
+    use_default = True
+    done = 0
+    for y in range(H):
+        for x in range(W):
+            for c in range(C):
+                pl = vals[:, :, c]
+                if use_default:
+                    px = default
+                elif y == 0:
+                    px = pl[y, x - 1]
+                elif x == 0:
+                    px = pl[y - 1, x]
+                else:
+                    a, b, cc = pl[y, x - 1], pl[y - 1, x], pl[y - 1, x - 1]
+                    px = (
+                        a if predictor == 1 else
+                        b if predictor == 2 else
+                        cc if predictor == 3 else
+                        a + b - cc if predictor == 4 else
+                        a + ((b - cc) >> 1) if predictor == 5 else
+                        b + ((a - cc) >> 1) if predictor == 6 else
+                        (a + b) >> 1
+                    )
+                d = (int(pl[y, x]) - int(px)) & 0xFFFF
+                if d > 32768:
+                    d -= 65536
+                if d == 32768:
+                    t = 16
+                else:
+                    t = abs(d).bit_length()
+                ln, code = _CODES[t]
+                bw.put(code, ln)
+                if 0 < t < 16:
+                    bw.put(d & ((1 << t) - 1) if d >= 0 else (d - 1) & ((1 << t) - 1), t)
+            use_default = False
+            done += 1
+            if restart_interval and done % restart_interval == 0 and done < H * W:
+                chunks.append(bw.flush())
+                bw = _BW()
+                use_default = True
+    chunks.append(bw.flush())
+    data = bytearray(chunks[0])
+    for i, ch in enumerate(chunks[1:]):
+        data += bytes([0xFF, 0xD0 + (i % 8)]) + ch
+    return bytes(out) + bytes(data) + b"\xff\xd9"
+
+
+def test_lossless_jpeg_predictors_roundtrip():
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (21, 17), dtype=np.uint8)
+    for sv in range(1, 8):
+        back = decode_jpeg_lossless(encode_jpeg_lossless(img, predictor=sv))
+        np.testing.assert_array_equal(back, img, err_msg=f"sv={sv}")
+
+
+def test_lossless_jpeg_precisions_and_shapes():
+    rng = np.random.default_rng(5)
+    for img in (
+        rng.integers(0, 4096, (9, 14)).astype(np.uint16),   # 12-bit
+        rng.integers(0, 65536, (7, 8)).astype(np.uint16),   # 16-bit
+        rng.integers(0, 256, (1, 40), dtype=np.uint8),
+        rng.integers(0, 256, (40, 1), dtype=np.uint8),
+        np.full((12, 12), 200, dtype=np.uint8),
+    ):
+        prec = 16 if img.max() > 4095 else (12 if img.max() > 255 else 8)
+        back = decode_jpeg_lossless(encode_jpeg_lossless(img, precision=prec))
+        np.testing.assert_array_equal(back, img)
+
+
+def test_lossless_jpeg_multicomponent_and_point_transform():
+    rng = np.random.default_rng(7)
+    rgb = rng.integers(0, 256, (11, 13, 3), dtype=np.uint8)
+    back = decode_jpeg_lossless(encode_jpeg_lossless(rgb, predictor=4))
+    np.testing.assert_array_equal(back, rgb)
+    # point transform: low bits dropped, decoder re-scales by 2^Pt
+    img = (rng.integers(0, 64, (10, 10)) << 2).astype(np.uint8)
+    back = decode_jpeg_lossless(encode_jpeg_lossless(img, pt=2, precision=8))
+    np.testing.assert_array_equal(back, img)
+
+
+def test_lossless_jpeg_restart_markers():
+    rng = np.random.default_rng(9)
+    img = rng.integers(0, 256, (13, 19), dtype=np.uint8)
+    blob = encode_jpeg_lossless(img, predictor=2, restart_interval=37)
+    assert b"\xff\xd0" in blob or b"\xff\xd1" in blob
+    np.testing.assert_array_equal(decode_jpeg_lossless(blob), img)
+
+
+def test_decode_image_dispatches_sof3():
+    from intake_spark.llm.multimodal import decode_image
+
+    img = (np.add.outer(np.arange(6), np.arange(11)) * 9 % 256).astype(np.uint8)
+    arr = decode_image(encode_jpeg_lossless(img))
+    assert arr.shape == (6, 11, 1)
+    np.testing.assert_array_equal(arr[:, :, 0], img)
+
+
+def test_lossless_jpeg_gates():
+    rng = np.random.default_rng(1)
+    img = rng.integers(0, 256, (4, 4), dtype=np.uint8)
+    blob = bytearray(encode_jpeg_lossless(img))
+    # corrupt the sampling byte -> named subsampling gate
+    idx = blob.find(b"\xff\xc3")
+    blob[idx + 2 + 2 + 6 + 1] = 0x22
+    with pytest.raises(NotImplementedError, match="subsampled"):
+        decode_jpeg_lossless(bytes(blob))
+    with pytest.raises(ValueError, match="SOI"):
+        decode_jpeg_lossless(b"nope")
+
+
+def test_dicom_jpeg_lossless_transfer_syntaxes(spark, tmp_path):
+    """DICOM 1.2.840.10008.1.2.4.70 (SV1) and .57: encapsulated frames
+    decode bit-exactly, incl. 16-bit and signed reinterpretation."""
+    from intake_spark.sci import DICOM, DicomReader
+    from tests.test_nrrd_dicom import _encapsulate, _rebuild
+
+    rng = np.random.default_rng(2)
+    f0 = rng.integers(0, 4096, size=(6, 9)).astype(np.uint16)
+    blob = _encapsulate(
+        b"1.2.840.10008.1.2.4.70\x00", 6, 9,
+        [encode_jpeg_lossless(f0, precision=12)], bits=16, signed=False,
+    )
+    p = tmp_path / "jl70.dcm"
+    p.write_bytes(blob)
+    rdr = DicomReader(data=DICOM(url=str(p)))
+    got = _rebuild(rdr.read(spark=spark))
+    np.testing.assert_array_equal(got.reshape(6, 9), f0)
+    assert rdr.data.metadata["transfer_syntax"] == "1.2.840.10008.1.2.4.70"
+
+    # .57 with predictor 4 and signed pixels (two's complement view)
+    s0 = rng.integers(-2000, 3000, size=(5, 7)).astype(np.int16)
+    blob = _encapsulate(
+        b"1.2.840.10008.1.2.4.57\x00", 5, 7,
+        [encode_jpeg_lossless(s0.view(np.uint16), predictor=4, precision=16)],
+        bits=16, signed=True,
+    )
+    p2 = tmp_path / "jl57.dcm"
+    p2.write_bytes(blob)
+    got = _rebuild(DicomReader(data=DICOM(url=str(p2))).read(spark=spark))
+    np.testing.assert_array_equal(got.reshape(5, 7), s0)
