@@ -1610,19 +1610,31 @@ class DicomReader(BaseReader):
         transfer = meta["transfer"]
         frames = t.get("number_of_frames", 1)
         frags = meta["fragments"]
-        if len(frags) != frames:
+        merge = frames == 1 and len(frags) > 1
+        if len(frags) != frames and not merge:
+            # PS3.5 A.4 allows splitting ONE frame across fragments (the
+            # single-frame case is unambiguous and merged below); a
+            # multi-frame file without 1:1 fragmentation would need the
+            # Basic Offset Table to attribute fragments to frames
             raise ValueError(
                 f"{len(frags)} pixel fragments for {frames} frames — "
-                "multi-fragment frames not supported (re-encapsulate 1:1)"
+                "multi-fragment MULTI-frame files not supported "
+                "(re-encapsulate 1:1)"
             )
         rows, cols = t.get("rows", 0), t.get("cols", 0)
         bits = t.get("bits_allocated", 16)
         spp = t.get("samples_per_pixel", 1)
         signed = t.get("pixel_representation", 0) == 1
-        mdf = spark.createDataFrame(
-            [(i, off, nb) for i, (off, nb) in enumerate(frags)],
-            "frame long, off long, nb long",
-        )
+        import json as _json
+
+        if merge:  # all fragments concatenate into the single frame
+            manifest = [(0, _json.dumps(frags))]
+        else:
+            manifest = [
+                (i, _json.dumps([[off, nb]]))
+                for i, (off, nb) in enumerate(frags)
+            ]
+        mdf = spark.createDataFrame(manifest, "frame long, frags string")
         multi = frames > 1
         # the driver-validated per-frame shape: every decoded frame is
         # cross-checked against it (an spp mismatch between the tags and
@@ -1631,6 +1643,8 @@ class DicomReader(BaseReader):
         exp_frame = tuple(shape[1:]) if multi else tuple(shape)
 
         def decode(batches):
+            import json as _j
+
             import numpy as np  # noqa: F401
             import pandas as pd_
 
@@ -1640,8 +1654,10 @@ class DicomReader(BaseReader):
                 out = []
                 with open(url, "rb") as f:
                     for _, r in pdf.iterrows():
-                        f.seek(int(r.off))
-                        blob = f.read(int(r.nb))
+                        blob = b""
+                        for off, nb in _j.loads(r.frags):
+                            f.seek(int(off))
+                            blob += f.read(int(nb))
                         if transfer == _DICOM_RLE:
                             arr = _dicom_rle_decode(blob, rows, cols, bits, spp, signed)
                         elif transfer in (_DICOM_JPEG_LS, _DICOM_JPEG_LS_NEAR):

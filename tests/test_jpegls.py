@@ -121,3 +121,56 @@ def test_dicom_jpegls_transfer_syntaxes(spark, tmp_path):
     p2.write_bytes(blob)
     got = _rebuild(DicomReader(data=DICOM(url=str(p2))).read(spark=spark))
     assert np.abs(got.reshape(9, 11) - g.astype(np.int64)).max() <= near
+
+
+def test_dicom_single_frame_multi_fragment_merges(spark, tmp_path):
+    """PS3.5 A.4: ONE frame may span several fragments — they
+    concatenate before decode (multi-frame without 1:1 still raises)."""
+    from intake_spark.sci import DICOM, DicomReader
+    from tests.test_nrrd_dicom import _encapsulate, _rebuild
+
+    import struct as _s
+
+    from tests.test_nrrd_dicom import _el_explicit
+
+    rng = np.random.default_rng(8)
+    f0 = rng.integers(0, 4096, size=(8, 5)).astype(np.uint16)
+    blob_jls = encode_jpegls(f0)
+    cut = len(blob_jls) // 2
+    if cut % 2:
+        cut += 1  # fragments are even-length; split on an even boundary
+
+    def build(n_frames_tag, fragments):
+        meta = _el_explicit(0x0002, 0x0010, b"UI", b"1.2.840.10008.1.2.4.80\x00")
+        meta = _el_explicit(0x0002, 0x0000, b"UL", _s.pack("<I", len(meta))) + meta
+        ds = b""
+        if n_frames_tag:
+            ds += _el_explicit(0x0028, 0x0008, b"IS", n_frames_tag)
+        ds += _el_explicit(0x0028, 0x0010, b"US", _s.pack("<H", 8))
+        ds += _el_explicit(0x0028, 0x0011, b"US", _s.pack("<H", 5))
+        ds += _el_explicit(0x0028, 0x0100, b"US", _s.pack("<H", 16))
+        ds += _el_explicit(0x0028, 0x0103, b"US", _s.pack("<H", 0))
+        ds += _s.pack("<HH2sHI", 0x7FE0, 0x0010, b"OB", 0, 0xFFFFFFFF)
+        ds += _s.pack("<HHI", 0xFFFE, 0xE000, 0)  # empty BOT
+        for payload in fragments:
+            if len(payload) % 2:
+                payload += b"\x00"
+            ds += _s.pack("<HHI", 0xFFFE, 0xE000, len(payload)) + payload
+        ds += _s.pack("<HHI", 0xFFFE, 0xE0DD, 0)
+        return b"\x00" * 128 + b"DICM" + meta + ds
+
+    # single frame (no NumberOfFrames tag) split across two fragments
+    p = tmp_path / "frag.dcm"
+    p.write_bytes(build(None, [blob_jls[:cut], blob_jls[cut:]]))
+    got = _rebuild(DicomReader(data=DICOM(url=str(p))).read(spark=spark))
+    np.testing.assert_array_equal(got.reshape(8, 5), f0)
+
+    # multi-frame with mismatched fragment count still raises by name
+    import pytest as _pytest
+
+    p2 = tmp_path / "bad_multi.dcm"
+    p2.write_bytes(
+        build(b"2 ", [blob_jls[:cut], blob_jls[cut:], encode_jpegls(f0)])
+    )
+    with _pytest.raises(ValueError, match="MULTI-frame"):
+        DicomReader(data=DICOM(url=str(p2))).read(spark=spark)
