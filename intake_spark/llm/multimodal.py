@@ -1197,6 +1197,9 @@ def image_meta(content: bytes) -> dict:
             if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
                 h, w = _s.unpack_from(">HH", content, pos + 5)
                 return {"format": "jpeg", "width": w, "height": h}
+            if marker == 0xF7:  # SOF55: JPEG-LS frame header, same layout
+                h, w = _s.unpack_from(">HH", content, pos + 5)
+                return {"format": "jpeg-ls", "width": w, "height": h}
             pos += 2 + seglen
         raise ValueError("JPEG has no SOF marker")
     if content[:4] == b"RIFF" and content[8:12] == b"WEBP":

@@ -174,3 +174,11 @@ def test_dicom_single_frame_multi_fragment_merges(spark, tmp_path):
     )
     with _pytest.raises(ValueError, match="MULTI-frame"):
         DicomReader(data=DICOM(url=str(p2))).read(spark=spark)
+
+
+def test_image_meta_reports_jpegls_dims():
+    from intake_spark.llm.multimodal import image_meta
+
+    img = np.zeros((12, 34), dtype=np.uint8)
+    m = image_meta(encode_jpegls(img))
+    assert m == {"format": "jpeg-ls", "width": 34, "height": 12}
