@@ -1211,15 +1211,23 @@ def _roaring64_positions(data: bytes) -> list[int]:
     return out
 
 
+_ROARING_MAGIC = 1681511377
+
+
 def _dv_file_positions(path: str, offset: "int | None", size: int) -> list[int]:
     """Read one on-disk deletion vector: at ``offset`` a 4-byte
     BIG-endian length, then the serialized bitmap, then a 4-byte
     BIG-endian CRC32 of the bitmap (mandated by the DV spec). Some
-    writers' descriptors point straight at the data; the prefixed
-    interpretation is taken only when BOTH the length prefix matches
-    the descriptor's sizeInBytes AND the trailing CRC32 verifies —
-    a bitmap whose first 4 bytes coincidentally equal the size can
-    no longer shift the read offset (deleted rows resurrecting)."""
+    writers' descriptors point straight at the data.
+
+    Disambiguation: the bitmap always STARTS with the RoaringBitmapArray
+    magic, so checking for the magic at ``off`` (direct) vs ``off+4``
+    (length-prefixed, with the prefix matching sizeInBytes) decides the
+    layout; the freak tie (both look valid — needs the BE view of the
+    magic to equal sizeInBytes, a ~3.5 GB bitmap) is broken by the
+    trailing CRC32. A prefixed layout whose CRC fails RAISES instead of
+    silently re-reading the same bytes 4 bytes shifted (which would
+    resurrect deleted rows)."""
     import struct as _st
     import zlib as _zl
 
@@ -1227,13 +1235,34 @@ def _dv_file_positions(path: str, offset: "int | None", size: int) -> list[int]:
         raw = f.read()
     # default: right after the 1-byte file version; an EXPLICIT 0 means 0
     off = 1 if offset is None else offset
-    if off + 8 + size <= len(raw):
+
+    def magic_at(o: int) -> bool:
+        return o + 4 <= len(raw) and _st.unpack_from("<I", raw, o)[0] == _ROARING_MAGIC
+
+    def crc_ok() -> "bool | None":
+        if off + 8 + size > len(raw):
+            return None  # no room for prefix + data + CRC
+        (crc,) = _st.unpack_from(">I", raw, off + 4 + size)
+        data = raw[off + 4 : off + 4 + size]
+        return _zl.crc32(data) & 0xFFFFFFFF == crc
+
+    prefixed = False
+    if off + 4 <= len(raw):
         (sz,) = _st.unpack_from(">I", raw, off)
-        if sz == size:
-            data = raw[off + 4 : off + 4 + size]
-            (crc,) = _st.unpack_from(">I", raw, off + 4 + size)
-            if _zl.crc32(data) & 0xFFFFFFFF == crc:
-                return _roaring64_positions(data)
+        if sz == size and magic_at(off + 4):
+            if magic_at(off):  # pathological tie: CRC decides
+                prefixed = crc_ok() is True
+            else:
+                ok = crc_ok()
+                if ok is False:
+                    raise ValueError(
+                        f"deletion vector {path} at offset {off}: length-"
+                        "prefixed bitmap has a trailing CRC32 mismatch — "
+                        "refusing to guess the layout (corrupt DV)"
+                    )
+                prefixed = True
+    if prefixed:
+        return _roaring64_positions(raw[off + 4 : off + 4 + size])
     return _roaring64_positions(raw[off : off + size])
 
 

@@ -61,7 +61,8 @@ class _Params:
     def __init__(self, precision: int, near: int, maxval: int | None = None,
                  t1=None, t2=None, t3=None, reset: int = 64):
         self.near = near
-        self.maxval = maxval if maxval is not None else (1 << precision) - 1
+        # falsy maxval (None, or LSE preset 0 = "default") -> full range
+        self.maxval = maxval if maxval else (1 << precision) - 1
         self.range = (self.maxval + 2 * near) // (2 * near + 1) + 1
         bpp = max(2, (self.maxval).bit_length())
         self.qbpp = (self.range - 1).bit_length()
@@ -304,7 +305,20 @@ def decode_jpegls(blob: bytes):
                     "interleaved color needs pillow-jpls/pydicom plugins"
                 )
         elif marker == 0xF8 and seg and seg[0] == 1:  # LSE preset
+            # T.87 C.2.4.1.1: a preset value of 0 means "use the
+            # default", not a literal 0 (CharLS writes 0 for fields it
+            # leaves at default) — the _Params fallbacks treat falsy as
+            # unset, and RESET=0 maps back to 64 here
             maxval, t1, t2, t3, reset = struct.unpack(">5H", seg[1:11])
+            reset = reset or 64
+        elif marker == 0xDD:  # DRI: restart intervals are a named gate
+            (ri,) = struct.unpack(">H", seg[:2])
+            if ri:
+                raise NotImplementedError(
+                    "JPEG-LS restart intervals (DRI/RSTm) are not "
+                    "supported — re-encode without restart markers or "
+                    "decode via pillow-jpls/pydicom plugins"
+                )
         elif marker == 0xDA:  # SOS
             ns = seg[0]
             if ns != 1:

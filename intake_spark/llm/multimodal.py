@@ -811,6 +811,7 @@ def decode_jpeg_lossless(content: bytes):
     interval_idx = 0
     samples_done = 0
     use_default = True  # start of scan / first sample after a restart
+    oned_y = -1  # line a restart interval started on: 1-D Ra prediction
     for y in range(H):
         for x in range(W):
             for s, cid in enumerate(order):
@@ -824,7 +825,10 @@ def decode_jpeg_lossless(content: bytes):
                     diff = 0
                 if use_default:
                     px = default
-                elif y == 0:
+                elif y == 0 or y == oned_y:
+                    # T.81 H.1.2.1: the 1-D predictor Ra is used for the
+                    # first line of the scan AND the remainder of the
+                    # line at the beginning of each restart interval
                     px = pl[y, x - 1]
                 elif x == 0:
                     px = pl[y - 1, x]
@@ -841,7 +845,9 @@ def decode_jpeg_lossless(content: bytes):
                         (a + b) >> 1
                     )
                 pl[y, x] = (int(px) + diff) & 0xFFFF
-            use_default = False
+            if use_default:
+                use_default = False
+                oned_y = y
             samples_done += 1
             if restart_interval and samples_done % restart_interval == 0:
                 interval_idx += 1

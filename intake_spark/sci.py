@@ -2550,6 +2550,35 @@ def _e57_prototype(scan) -> "tuple[int, int, list[dict]]":
     return rec_count, file_offset, fields
 
 
+def _e57_unpack_bits(s: bytes, record_count: int, w: int):
+    """LSB-first fixed-width unpack of ``record_count`` values from a
+    concatenated bytestream. Vectorized for w<=56: value j lives in the
+    8-byte little-endian window at byte (j*w)>>3, shifted by (j*w)&7 —
+    O(n), unlike a big-int shift per record which is O(n^2) in the
+    stream length (a 1M-point scan would grind). Wider fields (rare)
+    take the exact big-int path."""
+    import numpy as np
+
+    if w == 0:  # constant field: every value == minimum
+        return np.zeros(record_count, dtype=np.int64)
+    if w <= 56:
+        buf = np.frombuffer(s + b"\x00" * 8, dtype=np.uint8)
+        bitoff = np.arange(record_count, dtype=np.int64) * w
+        byteoff = bitoff >> 3
+        win = np.zeros(record_count, dtype=np.uint64)
+        for bidx in range(8):
+            win |= buf[byteoff + bidx].astype(np.uint64) << np.uint64(8 * bidx)
+        return (
+            (win >> (bitoff & 7).astype(np.uint64)) & np.uint64((1 << w) - 1)
+        ).astype(np.int64)
+    big = int.from_bytes(s, "little")
+    mask = (1 << w) - 1
+    return np.fromiter(
+        ((big >> (j * w)) & mask for j in range(record_count)),
+        dtype=np.int64, count=record_count,
+    )
+
+
 def _e57_decode_section(f, page_size: int, file_offset: int,
                         record_count: int, fields: "list[dict]"):
     """Decode one CompressedVector binary section (ASTM E2807 §9) into
@@ -2611,15 +2640,7 @@ def _e57_decode_section(f, page_size: int, file_offset: int,
             ).astype(np.float64)
             out[fd["name"]] = arr
             continue
-        if w == 0:  # constant field: every value == minimum
-            raw = np.zeros(record_count, dtype=np.int64)
-        else:
-            big = int.from_bytes(bytes(s), "little")
-            mask = (1 << w) - 1
-            raw = np.fromiter(
-                ((big >> (j * w)) & mask for j in range(record_count)),
-                dtype=np.int64, count=record_count,
-            )
+        raw = _e57_unpack_bits(bytes(s), record_count, w)
         if fd["kind"] == "scaled":
             out[fd["name"]] = (raw + fd["min"]) * fd["scale"] + fd["offset"]
         else:

@@ -811,10 +811,14 @@ def stream_decontaminate_flags(
 
     ensure_py_deps(df.sparkSession)
     distinct_sh = (
-        shingles(benchmark, id_col, text_col, k).select("shingle").distinct()
+        shingles(benchmark, id_col, text_col, k)
+        .select("shingle")
+        .distinct()
+        .persist()  # counted for the cap, then collected: one scan
     )
     n_ref = distinct_sh.count()
     if n_ref > max_reference_shingles:
+        distinct_sh.unpersist()
         raise ValueError(
             f"benchmark has {n_ref} distinct {k}-gram shingles, above the "
             f"max_reference_shingles={max_reference_shingles} broadcast cap "
@@ -825,7 +829,9 @@ def stream_decontaminate_flags(
             "bloom_decontaminate (distributed, never collects). Raise the "
             "cap only if driver memory genuinely allows it."
         )
-    bench_set = {r["shingle"] for r in distinct_sh.collect()}
+    rows = distinct_sh.collect()
+    distinct_sh.unpersist()
+    bench_set = {r["shingle"] for r in rows}
     bc = df.sparkSession.sparkContext.broadcast(bench_set)
     id_type = df.schema[id_col].dataType.simpleString()
     schema = (
@@ -888,9 +894,11 @@ def stream_incremental_dedup_flags(
     from intake_spark.session import ensure_py_deps
 
     ensure_py_deps(df.sparkSession)
-    arch_sh = shingles(archive, id_col, text_col, k)
+    # persisted: counted for the cap, then collected — one scan
+    arch_sh = shingles(archive, id_col, text_col, k).persist()
     n_arch = arch_sh.count()
     if n_arch > max_archive_shingles:
+        arch_sh.unpersist()
         raise ValueError(
             f"archive expands to {n_arch} {k}-gram shingle rows, above the "
             f"max_archive_shingles={max_archive_shingles} broadcast cap — "
@@ -902,6 +910,7 @@ def stream_incremental_dedup_flags(
             "only if driver memory genuinely allows it."
         )
     arch_rows = arch_sh.collect()
+    arch_sh.unpersist()
     index: dict = {}
     counts: dict = {}
     for r in arch_rows:

@@ -257,3 +257,31 @@ def test_e57_points_decode(spark, tmp_path):
     # scan_idx selection
     one = E57PointsReader(data=E57(url=url)).read(spark=spark, scan_idx=1)
     assert one.count() == 23
+
+
+def test_e57_unpack_bits_paths_agree():
+    """Review finding: the vectorized w<=56 unpack must match the exact
+    big-int path (and be the one used — the big-int form is O(n^2))."""
+    import numpy as np
+
+    from intake_spark.sci import _e57_unpack_bits
+
+    rng = np.random.default_rng(4)
+    for w in (1, 3, 8, 11, 24, 33, 56):
+        vals = rng.integers(0, 1 << min(w, 62), 257, dtype=np.int64)
+        big = 0
+        for j, v in enumerate(vals.tolist()):
+            big |= (int(v) & ((1 << w) - 1)) << (j * w)
+        s = big.to_bytes((257 * w + 7) // 8, "little")
+        got = _e57_unpack_bits(s, 257, w)
+        np.testing.assert_array_equal(got, vals & ((1 << w) - 1))
+    # wide path (>56 bits) still exact
+    vals = rng.integers(0, 1 << 62, 31, dtype=np.int64)
+    w = 60
+    big = 0
+    for j, v in enumerate(vals.tolist()):
+        big |= (int(v) & ((1 << w) - 1)) << (j * w)
+    s = big.to_bytes((31 * w + 7) // 8, "little")
+    np.testing.assert_array_equal(
+        _e57_unpack_bits(s, 31, w), vals & ((1 << w) - 1)
+    )

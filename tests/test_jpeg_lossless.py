@@ -72,6 +72,7 @@ def encode_jpeg_lossless(
     chunks = []
     default = 1 << (P - pt - 1)
     use_default = True
+    oned_y = -1  # T.81 H.1.2.1: 1-D Ra line at each restart-interval start
     done = 0
     for y in range(H):
         for x in range(W):
@@ -79,7 +80,7 @@ def encode_jpeg_lossless(
                 pl = vals[:, :, c]
                 if use_default:
                     px = default
-                elif y == 0:
+                elif y == 0 or y == oned_y:
                     px = pl[y, x - 1]
                 elif x == 0:
                     px = pl[y - 1, x]
@@ -105,7 +106,9 @@ def encode_jpeg_lossless(
                 bw.put(code, ln)
                 if 0 < t < 16:
                     bw.put(d & ((1 << t) - 1) if d >= 0 else (d - 1) & ((1 << t) - 1), t)
-            use_default = False
+            if use_default:
+                use_default = False
+                oned_y = y
             done += 1
             if restart_interval and done % restart_interval == 0 and done < H * W:
                 chunks.append(bw.flush())

@@ -182,3 +182,28 @@ def test_image_meta_reports_jpegls_dims():
     img = np.zeros((12, 34), dtype=np.uint8)
     m = image_meta(encode_jpegls(img))
     assert m == {"format": "jpeg-ls", "width": 34, "height": 12}
+
+
+def test_jpegls_lse_zero_means_default_and_dri_gate():
+    """Review findings: LSE preset fields with value 0 mean 'default'
+    (T.87 C.2.4.1.1 — CharLS writes 0 for unset MAXVAL/RESET); restart
+    intervals are a NAMED gate, not a confusing bitstream error."""
+    import struct
+
+    from intake_spark.llm.jpegls import _default_thresholds
+
+    img = (np.add.outer(np.arange(10), np.arange(14)) * 11 % 256).astype(np.uint8)
+    blob = encode_jpegls(img)
+    # splice an LSE carrying MAXVAL=0/RESET=0 and the DEFAULT thresholds
+    t1, t2, t3 = _default_thresholds(255, 0)
+    lse = b"\xff\xf8" + struct.pack(">HB5H", 2 + 11, 1, 0, t1, t2, t3, 0)
+    idx = blob.find(b"\xff\xda")
+    spliced = blob[:idx] + lse + blob[idx:]
+    np.testing.assert_array_equal(decode_jpegls(spliced), img)
+
+    dri = b"\xff\xdd" + struct.pack(">HH", 4, 32)
+    with pytest.raises(NotImplementedError, match="restart"):
+        decode_jpegls(blob[:idx] + dri + blob[idx:])
+    # DRI with interval 0 (= disabled) is fine
+    dri0 = b"\xff\xdd" + struct.pack(">HH", 4, 0)
+    np.testing.assert_array_equal(decode_jpegls(blob[:idx] + dri0 + blob[idx:]), img)

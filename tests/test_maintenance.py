@@ -360,3 +360,37 @@ def test_delta_optimize_nonhive_partitioned(spark, tmp_path):
         .read(spark=spark).collect()
     )
     assert after == before  # partition values survived the rewrite
+
+
+def test_dv_prefixed_crc_mismatch_raises(tmp_path):
+    """Review finding: a length-prefixed DV whose trailing CRC32 fails
+    must RAISE, not silently re-read the same bytes 4 bytes shifted; a
+    prefixed DV whose file is too short to hold the CRC still parses
+    (writers that omit the checksum)."""
+    import zlib
+
+    from intake_spark.lakehouse import _dv_file_positions
+    from tests.test_lakehouse import _ser_roaring64
+
+    bm = _ser_roaring64([2, 9])
+    good = b"\x01" + struct.pack(">I", len(bm)) + bm + struct.pack(
+        ">I", zlib.crc32(bm)
+    )
+    p = str(tmp_path / "ok.bin")
+    with open(p, "wb") as f:
+        f.write(good)
+    assert _dv_file_positions(p, 1, len(bm)) == [2, 9]
+    # corrupt the CRC -> refuse to guess
+    bad = good[:-1] + bytes([good[-1] ^ 0xFF])
+    p2 = str(tmp_path / "bad.bin")
+    with open(p2, "wb") as f:
+        f.write(bad)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="CRC32 mismatch"):
+        _dv_file_positions(p2, 1, len(bm))
+    # prefixed but NO CRC written: still parses as prefixed
+    p3 = str(tmp_path / "nocrc.bin")
+    with open(p3, "wb") as f:
+        f.write(b"\x01" + struct.pack(">I", len(bm)) + bm)
+    assert _dv_file_positions(p3, 1, len(bm)) == [2, 9]
