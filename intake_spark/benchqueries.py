@@ -859,6 +859,10 @@ _VERIFY_FIRST: tuple[str, ...] = (
     # the 73 queries below last verified in r3-r5 now lead). Queries
     # added this round are never driver-verified and must be inserted
     # at the very top of this tuple.
+    # r7 additions: never driver-verified
+    "q124_ngram_diversity",
+    "q125_zipf_fit",
+    "q126_lsh_plan",
     # last driver-verified in r3
     "q44_simhash_pairs",
     "q45_embedding_near_dup",

@@ -1187,3 +1187,51 @@ def incremental_dedup(
             .alias("keep"),
         )
     )
+
+
+def lsh_plan(
+    spark,
+    threshold_pct: int = 50,
+    max_signature: int = 128,
+    grid: int = 100,
+    scale: int = 1_000_000_000,
+) -> DataFrame:
+    """MinHash-LSH parameter planner: for every (bands, rows) layout
+    with bands·rows ≤ ``max_signature``, integrate the S-curve
+    P(candidate | s) = 1 − (1 − s^rows)^bands over a ``grid``-point
+    similarity lattice and report the total error mass — false
+    positives below the target threshold plus false negatives above it.
+    Returns (bands, rows, signature, fp_fx, fn_fx, err_fx) in
+    ``1/scale`` fixed point; the argmin row is the layout to run
+    :func:`minhash_signatures`/:func:`lsh_candidates` with, and the
+    r ≈ log2(corpus) posture shows up directly as err_fx flattening
+    along the rows axis.
+
+    The lattice (≤ max_signature·H(max_signature)·grid ≈ 64k cells) is
+    DRIVER-computed on purpose: it is data-independent and scalar-sized
+    (the BPE-merge-table precedent), and CPython's float ``pow`` is the
+    platform libm — bit-identical to DuckDB's — whereas JVM Math.pow
+    differs by an ulp on ~0.6% of these cells, flipping fixed-point
+    floors and breaking the exact oracle compare. Each cell's pow is
+    floored into fixed point BEFORE the integer sums (the dsir
+    ln-per-bucket policy)."""
+    if not 0 < threshold_pct < 100:
+        raise ValueError("threshold_pct must be in (0, 100)")
+    import math
+
+    out = []
+    for bands in range(1, max_signature + 1):
+        for rows_ in range(1, max_signature // bands + 1):
+            fp = fn = 0
+            for k in range(1, grid):
+                p = 1.0 - (1.0 - (k / grid) ** rows_) ** bands
+                if k * 100 < threshold_pct * grid:
+                    fp += math.floor(p * scale)
+                else:
+                    fn += math.floor((1.0 - p) * scale)
+            out.append((bands, rows_, bands * rows_, fp, fn, fp + fn))
+    return spark.createDataFrame(
+        out,
+        "bands long, rows long, signature long, fp_fx long, fn_fx long, "
+        "err_fx long",
+    )

@@ -3266,3 +3266,117 @@ def q123_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     lists are caller-supplied."""
     docs = load_table(spark, sf_dir, "documents")
     return text.blocklist_filter(docs, list(_Q123_BLOCKLIST), max_hits=1)
+
+
+@register(
+    "q124_ngram_diversity",
+    """
+    WITH w AS (SELECT source,
+                      list_filter(string_split(COALESCE(text, ''), ' '),
+                                  x -> length(x) > 0) AS ws
+               FROM documents),
+    uni AS (SELECT source, 1 AS tag, u.g FROM w, unnest(ws) u(g)),
+    bi AS (SELECT source, 2 AS tag, ws[i] || ' ' || ws[i + 1] AS g
+           FROM (SELECT source, ws FROM w WHERE len(ws) >= 2) t,
+                unnest(generate_series(1, len(ws) - 1)) s(i)),
+    agg AS (SELECT source, tag, COUNT(*) AS n, COUNT(DISTINCT g) AS u
+            FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)
+            GROUP BY source, tag),
+    piv AS (SELECT source,
+                   SUM(CASE WHEN tag = 1 THEN n ELSE 0 END) AS n1,
+                   SUM(CASE WHEN tag = 1 THEN u ELSE 0 END) AS u1,
+                   SUM(CASE WHEN tag = 2 THEN n ELSE 0 END) AS n2,
+                   SUM(CASE WHEN tag = 2 THEN u ELSE 0 END) AS u2
+            FROM agg GROUP BY source)
+    SELECT source,
+           CAST(n1 AS BIGINT) AS n_unigrams,
+           CAST(u1 AS BIGINT) AS uniq_unigrams,
+           CAST(n2 AS BIGINT) AS n_bigrams,
+           CAST(u2 AS BIGINT) AS uniq_bigrams,
+           CAST(CASE WHEN n1 > 0 THEN (1000 * u1) // n1 ELSE 0 END AS BIGINT)
+             AS distinct1_pm,
+           CAST(CASE WHEN n2 > 0 THEN (1000 * u2) // n2 ELSE 0 END AS BIGINT)
+             AS distinct2_pm
+    FROM piv
+    """,
+)
+def q124_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distinct-1/distinct-2 diversity (Li et al. 2016 as a
+    corpus-QA metric): a source whose distinct-2 collapses is template
+    spam even when exact dedup passes. One tokenize pass, tagged
+    unigram+bigram stream, one hash aggregate; ratios as floor per-mille
+    integers so the compare is exact (text.ngram_diversity)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.ngram_diversity(docs)
+
+
+@register(
+    "q125_zipf_fit",
+    """
+    WITH w AS (SELECT list_filter(string_split(COALESCE(text, ''), ' '),
+                                  x -> length(x) > 0) AS ws
+               FROM documents),
+    tf AS (SELECT u.term, COUNT(*) AS cnt
+           FROM w, unnest(ws) u(term) GROUP BY u.term),
+    top AS (SELECT term, cnt,
+                   ROW_NUMBER() OVER (ORDER BY cnt DESC, term ASC) AS rnk
+            FROM tf ORDER BY cnt DESC, term ASC LIMIT 256),
+    xy AS (SELECT CAST(FLOOR(ln(CAST(rnk AS DOUBLE)) * 1000000) AS HUGEINT) AS x,
+                  CAST(FLOOR(ln(CAST(cnt AS DOUBLE)) * 1000000) AS HUGEINT) AS y
+           FROM top),
+    s AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n, SUM(x) AS sx, SUM(y) AS sy,
+                 SUM(x * y) AS sxy, SUM(x * x) AS sxx
+          FROM xy)
+    SELECT CAST(n AS BIGINT) AS n_terms,
+           CAST(n * sxy - sx * sy AS BIGINT) AS slope_num,
+           CAST(n * sxx - sx * sx AS BIGINT) AS slope_den
+    FROM s
+    """,
+)
+def q125_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law log-log OLS slope over the top-256 corpus terms as an
+    exact rational (slope_num/slope_den): natural corpora sit near −1;
+    boilerplate flattens the head. Only 512 ln calls (never per row),
+    floored into 1e-6 fixed point before exact decimal OLS sums — the
+    dsir determinism policy (text.zipf_fit)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.zipf_fit(docs)
+
+
+@register(
+    "q126_lsh_plan",
+    """
+    WITH base AS (SELECT b.bands, r.rows
+                  FROM generate_series(1, 128) b(bands),
+                       generate_series(1, 128) r(rows)
+                  WHERE b.bands * r.rows <= 128
+                    AND r.rows <= 128 // b.bands),
+    cells AS (SELECT bands, rows, s.s,
+                     1.0 - POW(1.0 - POW(CAST(s.s AS DOUBLE) / 100, rows),
+                               bands) AS p
+              FROM base, generate_series(1, 99) s(s)),
+    e AS (SELECT bands, rows,
+                 SUM(CASE WHEN s * 100 < 50 * 100
+                          THEN CAST(FLOOR(p * 1000000000) AS BIGINT)
+                          ELSE 0 END) AS fp_fx,
+                 SUM(CASE WHEN s * 100 >= 50 * 100
+                          THEN CAST(FLOOR((1.0 - p) * 1000000000) AS BIGINT)
+                          ELSE 0 END) AS fn_fx
+          FROM cells GROUP BY bands, rows)
+    SELECT CAST(bands AS BIGINT) AS bands,
+           CAST(rows AS BIGINT) AS rows,
+           CAST(bands * rows AS BIGINT) AS signature,
+           CAST(fp_fx AS BIGINT) AS fp_fx,
+           CAST(fn_fx AS BIGINT) AS fn_fx,
+           CAST(fp_fx + fn_fx AS BIGINT) AS err_fx
+    FROM e
+    """,
+)
+def q126_lsh_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH parameter planner: integrated S-curve error (false
+    positives below Jaccard 0.5 + false negatives above) for every
+    (bands, rows) layout within a 128-hash signature budget — the table
+    that justifies the r ≈ log2(n) posture used by q23/q32. Data-
+    independent and scalar-sized; per-cell pow floored into 1e-9 fixed
+    point before the integer sums (dedup.lsh_plan)."""
+    return dedup.lsh_plan(spark)

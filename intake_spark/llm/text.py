@@ -1193,3 +1193,118 @@ def blocklist_filter(
         blocked.cast("long").alias("n_blocked"),
         F.when(blocked <= max_hits, F.lit(1)).otherwise(F.lit(0)).alias("keep"),
     )
+
+
+def ngram_diversity(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Corpus diversity report per source: distinct-1 / distinct-2
+    ratios (unique n-grams over total n-grams — Li et al. 2016's
+    distinct-n applied as a corpus-QA metric; a source whose distinct-2
+    collapses is template spam even when exact dedup passes). Returns
+    (source, n_unigrams, uniq_unigrams, n_bigrams, uniq_bigrams,
+    distinct1_pm, distinct2_pm) with the ratios as floor per-mille
+    integers — exact across engines.
+
+    Scale shape: ONE tokenize pass explodes unigrams and bigrams into a
+    tagged gram stream; the count/count-distinct aggregate hash-combines
+    map-side, so the only full exchange is (source, tag, gram)-keyed.
+    Linear in corpus tokens; nothing driver-sized."""
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    w = nonempty_words(txt)
+    base = df.select(F.col(source_col).alias("source"), w.alias("_w"))
+    uni = base.select("source", F.lit(1).alias("tag"),
+                      F.explode("_w").alias("g"))
+    bi = base.select(
+        "source",
+        F.lit(2).alias("tag"),
+        F.explode(
+            F.expr(
+                "CASE WHEN size(_w) >= 2 THEN transform("
+                "sequence(1, size(_w) - 1), i -> concat_ws(' ', "
+                "slice(_w, i, 2))) ELSE array() END"
+            )
+        ).alias("g"),
+    )
+    agg = (
+        uni.unionByName(bi)
+        .groupBy("source", "tag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("g").alias("u"),
+        )
+    )
+    piv = agg.groupBy("source").agg(
+        F.sum(F.when(F.col("tag") == 1, F.col("n")).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("tag") == 1, F.col("u")).otherwise(0)).alias("u1"),
+        F.sum(F.when(F.col("tag") == 2, F.col("n")).otherwise(0)).alias("n2"),
+        F.sum(F.when(F.col("tag") == 2, F.col("u")).otherwise(0)).alias("u2"),
+    )
+    return piv.select(
+        "source",
+        F.col("n1").cast("long").alias("n_unigrams"),
+        F.col("u1").cast("long").alias("uniq_unigrams"),
+        F.col("n2").cast("long").alias("n_bigrams"),
+        F.col("u2").cast("long").alias("uniq_bigrams"),
+        F.when(F.col("n1") > 0, F.expr("1000 * u1 DIV n1"))
+        .otherwise(F.lit(0)).cast("long").alias("distinct1_pm"),
+        F.when(F.col("n2") > 0, F.expr("1000 * u2 DIV n2"))
+        .otherwise(F.lit(0)).cast("long").alias("distinct2_pm"),
+    )
+
+
+def zipf_fit(
+    df: DataFrame,
+    text_col: str = "text",
+    top_k: int = 256,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Zipf's-law fit over the corpus term-frequency spectrum: the
+    log-log OLS slope across the ``top_k`` most frequent terms (rank by
+    count desc, term asc — deterministic). A healthy natural-language
+    corpus sits near slope −1; machine-generated or boilerplate-heavy
+    corpora flatten or steepen the head. Returns ONE row
+    (n_terms, slope_num, slope_den) where slope = slope_num/slope_den —
+    the OLS slope as an exact rational so the oracle compare never
+    touches float division.
+
+    Determinism: the ONLY transcendentals are 2·top_k ``ln`` calls
+    (never per corpus row), floored into ``1/scale`` fixed point before
+    the exact decimal(38,0) OLS sums — the dsir_weights policy. Scale
+    shape: one tokenize pass, one hash aggregate to the term counts,
+    TakeOrderedAndProject(top_k), then a top_k-row window + one-row
+    aggregate; linear in corpus tokens."""
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    from pyspark.sql.window import Window
+
+    counts = (
+        df.select(F.explode(nonempty_words(txt)).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("term"))
+        .limit(top_k)
+    )
+    wspec = Window.orderBy(F.desc("cnt"), F.asc("term"))
+    xy = counts.select(
+        F.floor(F.log(F.row_number().over(wspec).cast("double")) * scale)
+        .alias("x"),
+        F.floor(F.log(F.col("cnt").cast("double")) * scale).alias("y"),
+    )
+    d38 = "decimal(38,0)"
+    s = xy.agg(
+        F.count(F.lit(1)).cast(d38).alias("n"),
+        F.sum(F.col("x").cast(d38)).alias("sx"),
+        F.sum(F.col("y").cast(d38)).alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast(d38)).alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast(d38)).alias("sxx"),
+    )
+    return s.select(
+        F.col("n").cast("long").alias("n_terms"),
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        .cast("long").alias("slope_num"),
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        .cast("long").alias("slope_den"),
+    )
