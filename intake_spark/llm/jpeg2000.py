@@ -1,0 +1,1092 @@
+"""JPEG 2000 Part 1 (ITU-T T.800 / ISO 15444-1) — stdlib+numpy codec
+for the LOSSLESS path: reversible 5/3 wavelet, MQ arithmetic coding
+(T.88), EBCOT tier-1 three-pass code-block coding and tier-2 packet
+headers with tag trees. Scope: single tile, single component (DICOM
+grayscale), one quality layer, no precinct subdivision, no bypass/
+reset/termination COD options — each named when encountered.
+
+Closes the last DICOM compressed-syntax gate (1.2.840.10008.1.2.4.90,
+JPEG 2000 Lossless) the way llm/jpegls.py closed JPEG-LS: the reference
+delegates to pydicom codec plugins; this decodes the codestream itself.
+Verification strategy: the in-module encoder is written from the
+encoder-side spec procedures and round-trips the decoder bit-exactly
+over adversarial images (the repo's standard for stdlib codecs); the
+MQ coder additionally reproduces the T.88 software-conventions test
+sequence structure.
+"""
+
+from __future__ import annotations
+
+import struct
+
+# T.88 Table E.1 — MQ-coder probability state machine.
+# (Qe, NMPS, NLPS, SWITCH)
+_MQ = [
+    (0x5601, 1, 1, 1), (0x3401, 2, 6, 0), (0x1801, 3, 9, 0),
+    (0x0AC1, 4, 12, 0), (0x0521, 5, 29, 0), (0x0221, 38, 33, 0),
+    (0x5601, 7, 6, 1), (0x5401, 8, 14, 0), (0x4801, 9, 14, 0),
+    (0x3801, 10, 14, 0), (0x3001, 11, 17, 0), (0x2401, 12, 18, 0),
+    (0x1C01, 13, 20, 0), (0x1601, 29, 21, 0), (0x5601, 15, 14, 1),
+    (0x5401, 16, 14, 0), (0x5101, 17, 15, 0), (0x4801, 18, 16, 0),
+    (0x3801, 19, 17, 0), (0x3401, 20, 18, 0), (0x3001, 21, 19, 0),
+    (0x2801, 22, 19, 0), (0x2401, 23, 20, 0), (0x2201, 24, 21, 0),
+    (0x1C01, 25, 22, 0), (0x1801, 26, 23, 0), (0x1601, 27, 24, 0),
+    (0x1401, 28, 25, 0), (0x1201, 29, 26, 0), (0x1101, 30, 27, 0),
+    (0x0AC1, 31, 28, 0), (0x09C1, 32, 29, 0), (0x08A1, 33, 30, 0),
+    (0x0521, 34, 31, 0), (0x0441, 35, 32, 0), (0x02A1, 36, 33, 0),
+    (0x0221, 37, 34, 0), (0x0141, 38, 35, 0), (0x0111, 39, 36, 0),
+    (0x0085, 40, 37, 0), (0x0049, 41, 38, 0), (0x0025, 42, 39, 0),
+    (0x0015, 43, 40, 0), (0x0009, 44, 41, 0), (0x0005, 45, 42, 0),
+    (0x0001, 45, 43, 0), (0x5601, 46, 46, 0),
+]
+
+# EBCOT context numbering: 0-8 zero coding, 9-13 sign coding,
+# 14-16 magnitude refinement, 17 run-length, 18 uniform.
+N_CTX = 19
+CTX_RL = 17
+CTX_UNI = 18
+
+
+def _init_states():
+    st = [[0, 0] for _ in range(N_CTX)]  # [index, MPS]
+    st[0][0] = 4       # ZC context 0 starts at state 4
+    st[CTX_RL][0] = 3  # run-length context starts at state 3
+    st[CTX_UNI][0] = 46
+    return st
+
+
+class MQDecoder:
+    """T.88 software-conventions MQ decoder (the JBIG2/JPEG2000 coder)."""
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.bp = 0
+        self.c = (self._b(0) << 16)
+        self._bytein_init = True
+        self._bytein()
+        self.c <<= 7
+        self.ct -= 7
+        self.a = 0x8000
+
+    def _b(self, i: int) -> int:
+        return self.data[i] if i < len(self.data) else 0xFF
+
+    def _bytein(self):
+        if self._b(self.bp) == 0xFF:
+            if self._b(self.bp + 1) > 0x8F:
+                self.c += 0xFF00
+                self.ct = 8
+            else:
+                self.bp += 1
+                self.c += self._b(self.bp) << 9
+                self.ct = 7
+        else:
+            self.bp += 1
+            self.c += self._b(self.bp) << 8
+            self.ct = 8
+
+    def decode(self, states, cx: int) -> int:
+        idx, mps = states[cx]
+        qe, nmps, nlps, switch = _MQ[idx]
+        self.a -= qe
+        if ((self.c >> 16) & 0xFFFF) < qe:
+            # LPS exchange path
+            if self.a < qe:
+                d = mps
+                states[cx][0] = nmps
+            else:
+                d = 1 - mps
+                if switch:
+                    states[cx][1] = 1 - mps
+                states[cx][0] = nlps
+            self.a = qe
+        else:
+            self.c -= qe << 16
+            if self.a & 0x8000:
+                return mps
+            if self.a < qe:
+                d = 1 - mps
+                if switch:
+                    states[cx][1] = 1 - mps
+                states[cx][0] = nlps
+            else:
+                d = mps
+                states[cx][0] = nmps
+        while not self.a & 0x8000:
+            if self.ct == 0:
+                self._bytein()
+            self.a = (self.a << 1) & 0xFFFF
+            self.c = (self.c << 1) & 0xFFFFFFFF
+            self.ct -= 1
+        return d
+
+
+class MQEncoder:
+    """T.88 MQ encoder (openjpeg-convention byteout/flush)."""
+
+    def __init__(self):
+        self.a = 0x8000
+        self.c = 0
+        self.ct = 12
+        self.out = bytearray()
+        self.b = -1  # pending byte; -1 = none yet
+
+    def _byteout(self):
+        # T.88 C.2.3. A stuffed byte after 0xFF takes 7 bits + the
+        # carry slot (c>>20 spans bits 20-27); a carry out of bit 27
+        # with NO pending byte prepends the overflow byte — the code
+        # value genuinely gained an integer bit, and the decoder
+        # consumes it as ordinary data.
+        if self.b == 0xFF:
+            self.out.append(self.b)
+            self.b = (self.c >> 20) & 0xFF
+            self.c &= 0xFFFFF
+            self.ct = 7
+            return
+        if self.c & 0x8000000:
+            if self.b < 0:
+                self.b = 0
+            self.b += 1
+            self.c &= 0x7FFFFFF
+            if self.b == 0xFF:
+                self.out.append(self.b)
+                self.b = (self.c >> 20) & 0xFF
+                self.c &= 0xFFFFF
+                self.ct = 7
+                return
+        if self.b >= 0:
+            self.out.append(self.b)
+        self.b = (self.c >> 19) & 0xFF
+        self.c &= 0x7FFFF
+        self.ct = 8
+
+    def encode(self, states, cx: int, d: int):
+        idx, mps = states[cx]
+        qe, nmps, nlps, switch = _MQ[idx]
+        if d == mps:
+            self.a -= qe
+            if not self.a & 0x8000:
+                if self.a < qe:
+                    self.a = qe
+                else:
+                    self.c += qe
+                states[cx][0] = nmps
+                self._renorm()
+            else:
+                self.c += qe
+        else:
+            self.a -= qe
+            if self.a < qe:
+                self.c += qe
+            else:
+                self.a = qe
+            if switch:
+                states[cx][1] = 1 - mps
+            states[cx][0] = nlps
+            self._renorm()
+
+    def _renorm(self):
+        while True:
+            self.a = (self.a << 1) & 0xFFFF
+            self.c <<= 1
+            self.ct -= 1
+            if self.ct == 0:
+                self._byteout()
+            if self.a & 0x8000:
+                break
+
+    def flush(self) -> bytes:
+        # SETBITS + two byteouts (openjpeg mqc_flush)
+        tempc = self.c + self.a
+        self.c |= 0xFFFF
+        if self.c >= tempc:
+            self.c -= 0x8000
+        self.c <<= self.ct
+        self._byteout()
+        self.c <<= self.ct
+        self._byteout()
+        if self.b != 0xFF and self.b >= 0:
+            self.out.append(self.b)
+        self.b = -1
+        return bytes(self.out)
+
+
+class TagTree:
+    """T.800 B.10.2 tag tree over a w×h grid of leaves. Each node keeps
+    ``w`` (the largest threshold probed so far — a lower bound on its
+    value) and ``done`` (the value is exactly ``w``). A query "is
+    v(leaf) < t" walks root→leaf emitting/consuming one bit per probe:
+    0 = value still larger, 1 = value equals the current bound."""
+
+    def __init__(self, w: int, h: int):
+        self.levels = []  # finest FIRST
+        while True:
+            self.levels.append((w, h))
+            if w == 1 and h == 1:
+                break
+            w = (w + 1) // 2
+            h = (h + 1) // 2
+        self.w = [[0] * (lw * lh) for lw, lh in self.levels]
+        self.done = [[False] * (lw * lh) for lw, lh in self.levels]
+        self.val = [[0] * (lw * lh) for lw, lh in self.levels]  # encoder
+
+    def _chain(self, x: int, y: int):
+        idxs = []
+        for li, (lw, _lh) in enumerate(self.levels):
+            idxs.append((li, y * lw + x))
+            x //= 2
+            y //= 2
+        return idxs[::-1]  # root first
+
+    def set_value(self, x: int, y: int, v: int) -> None:
+        """Encoder: set a leaf value and fold the min up the tree."""
+        li0, pos0 = self._chain(x, y)[-1]
+        self.val[li0][pos0] = v
+        # recompute mins bottom-up lazily at finalize instead
+        self._dirty = True
+
+    def finalize(self) -> None:
+        """Encoder: internal node value = min of children."""
+        for li in range(1, len(self.levels)):
+            lw, lh = self.levels[li]
+            cw, ch = self.levels[li - 1]
+            for yy in range(lh):
+                for xx in range(lw):
+                    best = None
+                    for dy in range(2):
+                        for dx in range(2):
+                            cx, cy = 2 * xx + dx, 2 * yy + dy
+                            if cx < cw and cy < ch:
+                                v = self.val[li - 1][cy * cw + cx]
+                                best = v if best is None else min(best, v)
+                    self.val[li][yy * lw + xx] = 0 if best is None else best
+
+    def encode(self, x: int, y: int, threshold: int, emit_bit) -> None:
+        low = 0
+        for li, pos in self._chain(x, y):
+            if self.w[li][pos] < low:
+                self.w[li][pos] = low
+            while self.w[li][pos] < threshold:
+                if self.w[li][pos] < self.val[li][pos]:
+                    emit_bit(0)
+                    self.w[li][pos] += 1
+                else:
+                    if not self.done[li][pos]:
+                        emit_bit(1)
+                        self.done[li][pos] = True
+                    break
+            if not self.done[li][pos] or self.w[li][pos] >= threshold:
+                return
+            low = self.w[li][pos]
+
+    def decode(self, x: int, y: int, threshold: int, read_bit) -> bool:
+        """True iff leaf value < threshold; consumes bits as needed."""
+        low = 0
+        for li, pos in self._chain(x, y):
+            if self.w[li][pos] < low:
+                self.w[li][pos] = low
+            while self.w[li][pos] < threshold and not self.done[li][pos]:
+                if read_bit():
+                    self.done[li][pos] = True
+                else:
+                    self.w[li][pos] += 1
+            if not self.done[li][pos] or self.w[li][pos] >= threshold:
+                return False
+            low = self.w[li][pos]
+        return True
+
+
+def _mq_roundtrip_selftest():
+    """Internal consistency check used by the tests."""
+    import random
+
+    rng = random.Random(1)
+    bits = [rng.randint(0, 1) for _ in range(5000)]
+    ctxs = [rng.randint(0, N_CTX - 1) for _ in range(5000)]
+    enc_states = _init_states()
+    enc = MQEncoder()
+    for b, cx in zip(bits, ctxs):
+        enc.encode(enc_states, cx, b)
+    blob = enc.flush()
+    dec_states = _init_states()
+    dec = MQDecoder(blob)
+    got = [dec.decode(dec_states, cx) for cx in ctxs]
+    return got == bits
+
+
+# ---------------------------------------------------------------------------
+# Reversible 5/3 DWT (T.800 F.3/F.4, lifting with symmetric extension)
+# ---------------------------------------------------------------------------
+
+
+def _dwt53_fwd_1d(x):
+    """Forward 1-D: returns (L, H). Even-start (i0 = 0) convention."""
+    n = len(x)
+    if n == 1:
+        return list(x), []
+    y = list(x)
+    ext = lambda i: x[-i] if i < 0 else (x[2 * (n - 1) - i] if i >= n else x[i])
+    for i in range(1, n, 2):
+        y[i] = x[i] - ((ext(i - 1) + ext(i + 1)) >> 1)
+    ye = lambda i: y[-i] if i < 0 else (y[2 * (n - 1) - i] if i >= n else y[i])
+    for i in range(0, n, 2):
+        y[i] = x[i] + ((ye(i - 1) + ye(i + 1) + 2) >> 2)
+    return y[0::2], y[1::2]
+
+
+def _dwt53_inv_1d(L, H):
+    n = len(L) + len(H)
+    if n == 1:
+        return list(L)
+    y = [0] * n
+    y[0::2] = L
+    y[1::2] = H
+    x = [0] * n
+    ye = lambda i: y[-i] if i < 0 else (y[2 * (n - 1) - i] if i >= n else y[i])
+    for i in range(0, n, 2):
+        x[i] = y[i] - ((ye(i - 1) + ye(i + 1) + 2) >> 2)
+    xe = lambda i: x[-i] if i < 0 else (x[2 * (n - 1) - i] if i >= n else x[i])
+    for i in range(1, n, 2):
+        x[i] = y[i] + ((xe(i - 1) + xe(i + 1)) >> 1)
+    return x
+
+
+def dwt53_forward(a, levels: int):
+    """2-D forward: per level, 1-D on columns then rows of the running
+    LL. Returns (LL, [(HL, LH, HH) per level, coarsest LAST])."""
+    import numpy as np
+
+    ll = np.asarray(a, dtype=np.int64)
+    bands = []
+    for _ in range(levels):
+        h, w = ll.shape
+        # vertical (columns)
+        top = np.zeros(((h + 1) // 2, w), dtype=np.int64)
+        bot = np.zeros((h // 2, w), dtype=np.int64)
+        for cidx in range(w):
+            L, H = _dwt53_fwd_1d(ll[:, cidx].tolist())
+            top[:, cidx] = L
+            bot[:, cidx] = H
+        # horizontal (rows) on both halves
+        def hsplit(m):
+            mh, mw = m.shape
+            lft = np.zeros((mh, (mw + 1) // 2), dtype=np.int64)
+            rgt = np.zeros((mh, mw // 2), dtype=np.int64)
+            for ridx in range(mh):
+                L, H = _dwt53_fwd_1d(m[ridx].tolist())
+                lft[ridx] = L
+                rgt[ridx] = H
+            return lft, rgt
+
+        llq, hl = hsplit(top)
+        lh, hh = hsplit(bot)
+        bands.append((hl, lh, hh))
+        ll = llq
+    return ll, bands[::-1]  # coarsest level FIRST in the returned list
+
+
+def dwt53_inverse(ll, bands):
+    """Inverse of :func:`dwt53_forward` (bands coarsest-first)."""
+    import numpy as np
+
+    ll = np.asarray(ll, dtype=np.int64)
+    for hl, lh, hh in bands:
+        th = ll.shape[0] + lh.shape[0]
+        tw = ll.shape[1] + hl.shape[1]
+        # horizontal inverse on both halves
+        top = np.zeros((ll.shape[0], tw), dtype=np.int64)
+        for ridx in range(ll.shape[0]):
+            top[ridx] = _dwt53_inv_1d(ll[ridx].tolist(), hl[ridx].tolist())
+        bot = np.zeros((lh.shape[0], tw), dtype=np.int64)
+        for ridx in range(lh.shape[0]):
+            bot[ridx] = _dwt53_inv_1d(lh[ridx].tolist(), hh[ridx].tolist())
+        out = np.zeros((th, tw), dtype=np.int64)
+        for cidx in range(tw):
+            out[:, cidx] = _dwt53_inv_1d(top[:, cidx].tolist(), bot[:, cidx].tolist())
+        ll = out
+    return ll
+
+
+# ---------------------------------------------------------------------------
+# EBCOT tier-1 code-block coder (T.800 D): three passes per bitplane
+# ---------------------------------------------------------------------------
+
+_SC_TABLE = {
+    (1, 1): (13, 0), (1, 0): (12, 0), (1, -1): (11, 0),
+    (0, 1): (10, 0), (0, 0): (9, 0), (0, -1): (10, 1),
+    (-1, 1): (11, 1), (-1, 0): (12, 1), (-1, -1): (13, 1),
+}
+
+
+def _zc_ctx(orient: int, h: int, v: int, d: int) -> int:
+    if orient == 1:  # HL: horizontal/vertical roles swap
+        h, v = v, h
+    if orient != 3:  # LL, LH, HL
+        if h == 2:
+            return 8
+        if h == 1:
+            return 7 if v >= 1 else (6 if d >= 1 else 5)
+        if v == 2:
+            return 4
+        if v == 1:
+            return 3
+        return 2 if d >= 2 else d
+    if d >= 3:
+        return 8
+    if d == 2:
+        return 7 if h + v >= 1 else 6
+    if d == 1:
+        return 5 if h + v >= 2 else (4 if h + v == 1 else 3)
+    return 2 if h + v >= 2 else (1 if h + v == 1 else 0)
+
+
+class _T1Block:
+    """Shared tier-1 machinery: neighborhood counts + the stripe scan."""
+
+    def __init__(self, w: int, h: int, orient: int):
+        self.w, self.h, self.orient = w, h, orient
+        n = w * h
+        self.sig = [0] * n
+        self.new_sig = [0] * n
+        self.visited = [0] * n
+        self.refined = [0] * n
+        self.sign = [0] * n
+        self.mag = [0] * n
+
+    def _nb(self, x: int, y: int):
+        """(h, v, d) significant-neighbor counts + sign contributions."""
+        w, h = self.w, self.h
+        sig, sgn = self.sig, self.sign
+
+        def s(xx, yy):
+            if 0 <= xx < w and 0 <= yy < h:
+                return sig[yy * w + xx]
+            return 0
+
+        hh = s(x - 1, y) + s(x + 1, y)
+        vv = s(x, y - 1) + s(x, y + 1)
+        dd = s(x - 1, y - 1) + s(x + 1, y - 1) + s(x - 1, y + 1) + s(x + 1, y + 1)
+        return hh, vv, dd
+
+    def _sc(self, x: int, y: int):
+        w, h = self.w, self.h
+        sig, sgn = self.sig, self.sign
+
+        def c(xx, yy):
+            if 0 <= xx < w and 0 <= yy < h and sig[yy * w + xx]:
+                return -1 if sgn[yy * w + xx] else 1
+            return 0
+
+        hc = max(-1, min(1, c(x - 1, y) + c(x + 1, y)))
+        vc = max(-1, min(1, c(x, y - 1) + c(x, y + 1)))
+        return _SC_TABLE[(hc, vc)]
+
+    def _scan(self):
+        """Stripe-of-4 scan order: yields (x, y, idx)."""
+        for y0 in range(0, self.h, 4):
+            for x in range(self.w):
+                for y in range(y0, min(y0 + 4, self.h)):
+                    yield x, y, y * self.w + x
+
+
+def t1_encode(signs, mags, w: int, h: int, orient: int):
+    """Encode one code block → (data, n_passes, numbps). All passes in
+    one MQ codeword segment (default COD: no bypass/reset/termination)."""
+    blk = _T1Block(w, h, orient)
+    blk.sign = list(signs)
+    blk.mag = list(mags)
+    numbps = max((int(m).bit_length() for m in blk.mag), default=0)
+    if numbps == 0:
+        return b"", 0, 0
+    st = _init_states()
+    enc = MQEncoder()
+    n_passes = 0
+    for p in range(numbps - 1, -1, -1):
+        first = p == numbps - 1
+        if not first:
+            _spp(blk, p, st, enc=enc)
+            _mrp(blk, p, st, enc=enc)
+            n_passes += 2
+        _cup(blk, p, st, enc=enc)
+        n_passes += 1
+        for i in range(w * h):
+            blk.new_sig[i] = 0
+            blk.visited[i] = 0
+    return enc.flush(), n_passes, numbps
+
+
+def t1_decode(data: bytes, n_passes: int, numbps: int, w: int, h: int,
+              orient: int):
+    """Decode one code block → (signs, mags)."""
+    blk = _T1Block(w, h, orient)
+    if numbps == 0 or n_passes == 0:
+        return blk.sign, blk.mag
+    st = _init_states()
+    dec = MQDecoder(data)
+    left = n_passes
+    p = numbps - 1
+    while left > 0 and p >= 0:
+        first = p == numbps - 1
+        if not first:
+            if left > 0:
+                _spp(blk, p, st, dec=dec)
+                left -= 1
+            if left > 0:
+                _mrp(blk, p, st, dec=dec)
+                left -= 1
+        if left > 0:
+            _cup(blk, p, st, dec=dec)
+            left -= 1
+        for i in range(w * h):
+            blk.new_sig[i] = 0
+            blk.visited[i] = 0
+        p -= 1
+    return blk.sign, blk.mag
+
+
+def _code_sign(blk, x, y, idx, st, enc, dec) -> None:
+    ctx, xorbit = blk._sc(x, y)
+    if enc is not None:
+        enc.encode(st, ctx, blk.sign[idx] ^ xorbit)
+    else:
+        blk.sign[idx] = dec.decode(st, ctx) ^ xorbit
+
+
+def _spp(blk, p, st, enc=None, dec=None):
+    for x, y, idx in blk._scan():
+        if blk.sig[idx]:
+            continue
+        hh, vv, dd = blk._nb(x, y)
+        if hh + vv + dd == 0:
+            continue
+        ctx = _zc_ctx(blk.orient, hh, vv, dd)
+        if enc is not None:
+            bit = (blk.mag[idx] >> p) & 1
+            enc.encode(st, ctx, bit)
+        else:
+            bit = dec.decode(st, ctx)
+        if bit:
+            blk.sig[idx] = 1
+            blk.new_sig[idx] = 1
+            if dec is not None:
+                blk.mag[idx] |= 1 << p
+            _code_sign(blk, x, y, idx, st, enc, dec)
+        blk.visited[idx] = 1
+
+
+def _mrp(blk, p, st, enc=None, dec=None):
+    for x, y, idx in blk._scan():
+        if not blk.sig[idx] or blk.new_sig[idx]:
+            continue
+        if blk.refined[idx]:
+            ctx = 16
+        else:
+            hh, vv, dd = blk._nb(x, y)
+            ctx = 15 if hh + vv + dd > 0 else 14
+        if enc is not None:
+            enc.encode(st, ctx, (blk.mag[idx] >> p) & 1)
+        else:
+            if dec.decode(st, ctx):
+                blk.mag[idx] |= 1 << p
+        blk.refined[idx] = 1
+
+
+def _cup(blk, p, st, enc=None, dec=None):
+    w, h = blk.w, blk.h
+    for y0 in range(0, h, 4):
+        for x in range(w):
+            ys = range(y0, min(y0 + 4, h))
+            col = [(y, y * w + x) for y in ys]
+            # run-length mode: full stripe column, all insignificant,
+            # unvisited, zero context
+            rl = len(col) == 4 and all(
+                not blk.sig[i] and not blk.visited[i] for _y, i in col
+            ) and all(sum(blk._nb(x, yy)) == 0 for yy, _i in col)
+            start = 0
+            if rl:
+                if enc is not None:
+                    r = next(
+                        (k for k, (_y, i) in enumerate(col)
+                         if (blk.mag[i] >> p) & 1),
+                        None,
+                    )
+                    if r is None:
+                        enc.encode(st, CTX_RL, 0)
+                        continue
+                    enc.encode(st, CTX_RL, 1)
+                    enc.encode(st, CTX_UNI, (r >> 1) & 1)
+                    enc.encode(st, CTX_UNI, r & 1)
+                else:
+                    if not dec.decode(st, CTX_RL):
+                        continue
+                    r = (dec.decode(st, CTX_UNI) << 1) | dec.decode(st, CTX_UNI)
+                # coefficient r becomes significant without a ZC bit
+                yy, idx = col[r]
+                blk.sig[idx] = 1
+                blk.new_sig[idx] = 1
+                if dec is not None:
+                    blk.mag[idx] |= 1 << p
+                _code_sign(blk, x, yy, idx, st, enc, dec)
+                start = r + 1
+            for k in range(start, len(col)):
+                yy, idx = col[k]
+                if blk.sig[idx] or blk.visited[idx]:
+                    continue
+                hh, vv, dd = blk._nb(x, yy)
+                ctx = _zc_ctx(blk.orient, hh, vv, dd)
+                if enc is not None:
+                    bit = (blk.mag[idx] >> p) & 1
+                    enc.encode(st, ctx, bit)
+                else:
+                    bit = dec.decode(st, ctx)
+                if bit:
+                    blk.sig[idx] = 1
+                    blk.new_sig[idx] = 1
+                    if dec is not None:
+                        blk.mag[idx] |= 1 << p
+                    _code_sign(blk, x, yy, idx, st, enc, dec)
+
+
+# ---------------------------------------------------------------------------
+# Tier-2: packet headers (T.800 B.10) + codestream (annex A)
+# ---------------------------------------------------------------------------
+
+
+class _HdrBitWriter:
+    """Packet-header bit writer with T.800 B.10.1 stuffing: a byte
+    following an emitted 0xFF carries only 7 bits (MSB stuffed 0)."""
+
+    def __init__(self):
+        self.out = bytearray()
+        self.cur = 0
+        self.n = 0
+        self.cap = 8
+
+    def put(self, bit: int):
+        self.cur = (self.cur << 1) | (bit & 1)
+        self.n += 1
+        if self.n == self.cap:
+            self.out.append(self.cur)
+            self.cap = 7 if self.cur == 0xFF else 8
+            self.cur = 0
+            self.n = 0
+
+    def put_bits(self, v: int, n: int):
+        for i in range(n - 1, -1, -1):
+            self.put((v >> i) & 1)
+
+    def flush(self) -> bytes:
+        while self.n:
+            self.put(0)
+        if self.out and self.out[-1] == 0xFF:
+            self.out.append(0x00)
+        return bytes(self.out)
+
+
+class _HdrBitReader:
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.cur = 0
+        self.n = 0
+        self.prev_ff = False
+
+    def bit(self) -> int:
+        if self.n == 0:
+            b = self.data[self.pos]
+            self.pos += 1
+            if self.prev_ff:
+                self.cur = b & 0x7F
+                self.n = 7
+            else:
+                self.cur = b
+                self.n = 8
+            self.prev_ff = b == 0xFF
+        self.n -= 1
+        return (self.cur >> self.n) & 1
+
+    def bits(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.bit()
+        return v
+
+    def align(self) -> int:
+        """Byte-align past the header (consuming the post-FF pad byte)."""
+        self.n = 0
+        if self.prev_ff:
+            self.pos += 1  # stuffed 0x00 after a trailing 0xFF
+            self.prev_ff = False
+        return self.pos
+
+
+def _put_numpasses(bw: _HdrBitWriter, n: int):
+    if n == 1:
+        bw.put(0)
+    elif n == 2:
+        bw.put(1)
+        bw.put(0)
+    elif n <= 5:
+        bw.put_bits(0b11, 2)
+        bw.put_bits(n - 3, 2)
+    elif n <= 36:
+        bw.put_bits(0b1111, 4)
+        bw.put_bits(n - 6, 5)
+    else:
+        bw.put_bits(0b111111111, 9)
+        bw.put_bits(n - 37, 7)
+
+
+def _get_numpasses(br: _HdrBitReader) -> int:
+    if not br.bit():
+        return 1
+    if not br.bit():
+        return 2
+    v = br.bits(2)
+    if v < 3:
+        return 3 + v
+    v = br.bits(5)
+    if v < 31:
+        return 6 + v
+    return 37 + br.bits(7)
+
+
+def _band_cblocks(bw_, bh_, cb: int):
+    """Code-block grid of a subband anchored at its origin."""
+    if bw_ == 0 or bh_ == 0:
+        return 0, 0
+    return -(-bw_ // cb), -(-bh_ // cb)
+
+
+def _subband_list(ll_shape, bands):
+    """[(resolution, orient, array-shape-or-None)] geometry helper."""
+    out = [[(0, ll_shape)]]  # r=0: LL only (orient 0)
+    for hl, lh, hh in bands:
+        out.append([(1, hl.shape if hasattr(hl, "shape") else hl),
+                    (2, lh.shape if hasattr(lh, "shape") else lh),
+                    (3, hh.shape if hasattr(hh, "shape") else hh)])
+    return out
+
+
+_GAIN = {0: 0, 1: 1, 2: 1, 3: 2}
+
+
+def encode_jpeg2000(img, levels: int = 3, cb_exp: int = 6,
+                    guard_bits: int = 3, signed: bool = False) -> bytes:
+    """Encode a 2-D unsigned array as a lossless JPEG 2000 codestream
+    (single tile/component/layer, 5/3 reversible, LRCP)."""
+    import numpy as np
+
+    img = np.asarray(img)
+    if img.ndim != 2:
+        raise ValueError("encode_jpeg2000 takes a 2-D (grayscale) array")
+    H, W = img.shape
+    if signed:
+        P = max(
+            (int(img.max()) if img.size else 0).bit_length() + 1,
+            (int(-img.min() - 1) if img.size else 0).bit_length() + 1,
+            2,
+        )
+        shifted = img.astype(np.int64)
+    else:
+        P = max(1, int(img.max()).bit_length()) if img.size else 8
+        shifted = img.astype(np.int64) - (1 << (P - 1))
+    levels = max(0, min(levels, max((min(H, W) - 1).bit_length() - 1, 0)))
+    cb = 1 << cb_exp
+    ll, bands = dwt53_forward(shifted, levels)
+    res_bands = [[(0, ll)]] + [
+        [(1, hl), (2, lh), (3, hh)] for hl, lh, hh in bands
+    ]
+    eps = {0: P, 1: P + 1, 2: P + 1, 3: P + 2}
+
+    out = bytearray(b"\xff\x4f")  # SOC
+    out += b"\xff\x51" + struct.pack(
+        ">HHIIIIIIIIHBBB", 41, 0, W, H, 0, 0, W, H, 0, 0, 1,
+        (P - 1) | (0x80 if signed else 0), 1, 1
+    )
+    out += b"\xff\x52" + struct.pack(
+        ">HBBHBBBBBB", 12, 0, 0, 1, 0, levels, cb_exp - 2, cb_exp - 2, 0, 1
+    )
+    n_sb = 3 * levels + 1
+    out += b"\xff\x5c" + struct.pack(">HB", 3 + n_sb, guard_bits << 5)
+    sb_eps = [eps[0]] + [eps[o] for _r in range(levels) for o in (1, 2, 3)]
+    out += bytes((e << 3) & 0xFF for e in sb_eps)
+
+    # tile: encode every code block, then assemble packets
+    packets = bytearray()
+    for r, sbs in enumerate(res_bands):
+        hdr = _HdrBitWriter()
+        body = bytearray()
+        hdr.put(1)  # non-empty packet
+        for orient, arr in sbs:
+            bh_, bw_ = arr.shape
+            ncx, ncy = _band_cblocks(bw_, bh_, cb)
+            if ncx == 0:
+                continue
+            incl = TagTree(ncx, ncy)
+            imsb = TagTree(ncx, ncy)
+            mb = guard_bits + eps[orient] - 1
+            cbs = []
+            for cy in range(ncy):
+                for cx in range(ncx):
+                    sub = arr[cy * cb : (cy + 1) * cb, cx * cb : (cx + 1) * cb]
+                    sh, sw = sub.shape
+                    mags = np.abs(sub).ravel().tolist()
+                    signs = (sub.ravel() < 0).astype(int).tolist()
+                    data, npass, nbps = t1_encode(signs, mags, sw, sh, orient)
+                    if nbps > mb:
+                        raise ValueError(
+                            f"code block needs {nbps} bitplanes > Mb={mb}; "
+                            "raise guard_bits"
+                        )
+                    cbs.append((cx, cy, data, npass, nbps))
+                    incl.set_value(cx, cy, 0 if npass else 1)
+                    imsb.set_value(cx, cy, mb - nbps if npass else 0)
+            incl.finalize()
+            imsb.finalize()
+            for cx, cy, data, npass, nbps in cbs:
+                incl.encode(cx, cy, 1, hdr.put)
+                if not npass:
+                    continue
+                zbp = (guard_bits + eps[orient] - 1) - nbps
+                imsb.encode(cx, cy, zbp + 1, hdr.put)
+                _put_numpasses(hdr, npass)
+                lblock = 3
+                nbits = len(data).bit_length()
+                want = lblock + (npass.bit_length() - 1)
+                while nbits > want:
+                    hdr.put(1)
+                    lblock += 1
+                    want += 1
+                hdr.put(0)
+                hdr.put_bits(len(data), want)
+                body += data
+        packets += hdr.flush() + bytes(body)
+
+    tile = bytes(packets)
+    psot = 12 + 2 + len(tile)
+    out += b"\xff\x90" + struct.pack(">HHIBB", 10, 0, psot, 0, 1)
+    out += b"\xff\x93" + tile
+    out += b"\xff\xd9"  # EOC
+    return bytes(out)
+
+
+JP2_SIGNATURE = b"\x00\x00\x00\x0cjP  \r\n\x87\n"
+
+
+def _unwrap_jp2(blob: bytes) -> bytes:
+    """If ``blob`` is a JP2 box container (15444-1 annex I), walk the
+    boxes and return the contiguous-codestream box payload; raw
+    codestreams pass through unchanged."""
+    if not blob.startswith(JP2_SIGNATURE):
+        return blob
+    pos = 0
+    while pos + 8 <= len(blob):
+        (ln,) = struct.unpack_from(">I", blob, pos)
+        btype = blob[pos + 4 : pos + 8]
+        off = 8
+        if ln == 1:  # extended 64-bit length
+            (ln,) = struct.unpack_from(">Q", blob, pos + 8)
+            off = 16
+        end = len(blob) if ln == 0 else pos + ln
+        if btype == b"jp2c":
+            return blob[pos + off : end]
+        pos = end
+    raise ValueError("JP2 container has no jp2c codestream box")
+
+
+def decode_jpeg2000(blob: bytes):
+    """Decode a lossless JPEG 2000 codestream → 2-D numpy array.
+    Named gates: multiple components/tiles/layers, precinct
+    subdivision, irreversible 9/7, code-block style options."""
+    import numpy as np
+
+    blob = _unwrap_jp2(blob)
+    if blob[:2] != b"\xff\x4f":
+        raise ValueError("not a JPEG 2000 codestream (no SOC)")
+    pos = 2
+    siz = cod = None
+    qcd_guard = qcd_eps = None
+    tile_start = tile_len = None
+    while pos + 4 <= len(blob):
+        if blob[pos] != 0xFF:
+            raise ValueError(f"expected marker at {pos}")
+        m = blob[pos + 1]
+        pos += 2
+        if m == 0xD9:
+            break
+        (ln,) = struct.unpack_from(">H", blob, pos)
+        seg = blob[pos + 2 : pos + ln]
+        if m == 0x51:  # SIZ
+            (rsiz, xs, ys, xo, yo, xt, yt, xto, yto, nc) = struct.unpack_from(
+                ">HIIIIIIIIH", seg, 0
+            )
+            if nc != 1:
+                raise NotImplementedError(
+                    f"JPEG 2000 with {nc} components — single-component "
+                    "(grayscale) codestreams only"
+                )
+            ssiz, xr, yr = seg[36], seg[37], seg[38]
+            if xr != 1 or yr != 1:
+                raise NotImplementedError("subsampled components")
+            if xo or yo or xto or yto or xt != xs or yt != ys:
+                raise NotImplementedError(
+                    "JPEG 2000 tiling/offsets — single full-image tile only"
+                )
+            siz = {
+                "w": xs, "h": ys,
+                "prec": (ssiz & 0x7F) + 1, "signed": bool(ssiz & 0x80),
+            }
+        elif m == 0x52:  # COD
+            scod = seg[0]
+            prog, nlayers, mct = struct.unpack_from(">BHB", seg, 1)
+            if nlayers != 1:
+                raise NotImplementedError(
+                    f"{nlayers} quality layers — single-layer only"
+                )
+            nlev = seg[5]
+            cbw_exp, cbh_exp = (seg[6] & 0xF) + 2, (seg[7] & 0xF) + 2
+            cbstyle, transform = seg[8], seg[9]
+            if cbstyle:
+                raise NotImplementedError(
+                    f"code-block style 0x{cbstyle:02x} (bypass/reset/"
+                    "termination/segmentation options) not supported"
+                )
+            if transform != 1:
+                raise NotImplementedError(
+                    "irreversible 9/7 wavelet — lossless 5/3 only"
+                )
+            if cbw_exp != cbh_exp:
+                raise NotImplementedError("non-square code blocks")
+            if scod & 1:
+                raise NotImplementedError(
+                    "precinct subdivision — default full precincts only"
+                )
+            cod = {
+                "levels": nlev, "cb_exp": cbw_exp,
+                "sop": bool(scod & 2), "eph": bool(scod & 4),
+            }
+        elif m == 0x5C:  # QCD
+            sqcd = seg[0]
+            if sqcd & 0x1F:
+                raise NotImplementedError(
+                    "quantized (irreversible) QCD — reversible only"
+                )
+            qcd_guard = sqcd >> 5
+            qcd_eps = [b >> 3 for b in seg[1:]]
+        elif m == 0x90:  # SOT
+            isot, psot, tpsot, tnsot = struct.unpack_from(">HIBB", seg, 0)
+            if isot != 0 or tpsot != 0:
+                raise NotImplementedError("multiple tiles/tile-parts")
+            sot_pos = pos - 2
+            # SOD follows the SOT segment
+            if blob[pos + ln : pos + ln + 2] != b"\xff\x93":
+                raise ValueError("SOT not followed by SOD")
+            tile_start = pos + ln + 2
+            tile_len = (
+                (sot_pos + psot) - tile_start if psot else len(blob) - 2 - tile_start
+            )
+            break
+        pos += ln
+    if siz is None or cod is None or qcd_eps is None or tile_start is None:
+        raise ValueError("JPEG 2000 codestream missing SIZ/COD/QCD/SOT")
+
+    W, H, P = siz["w"], siz["h"], siz["prec"]
+    levels, cb_exp = cod["levels"], cod["cb_exp"]
+    cb = 1 << cb_exp
+
+    # subband geometry from the image size (single tile at the origin)
+    def sizes(n, lv):
+        s = n
+        out = []
+        for _ in range(lv):
+            out.append((s - s // 2, s // 2))  # (low, high)
+            s = s - s // 2
+        return out
+
+    wsz, hsz = sizes(W, levels), sizes(H, levels)
+    res_geo = [[(0, (hsz[-1][0] if levels else H, wsz[-1][0] if levels else W))]]
+    for li in range(levels - 1, -1, -1):
+        lw, hw = wsz[li]
+        lh, hh_ = hsz[li]
+        res_geo.append([(1, (lh, hw)), (2, (hh_, lw)), (3, (hh_, hw))])
+
+    data = blob[tile_start : tile_start + tile_len]
+    br_pos = 0
+    sb_eps_iter = list(qcd_eps)
+    eps_by = {}
+    eps_by[(0, 0)] = sb_eps_iter[0]
+    k = 1
+    for r in range(1, levels + 1):
+        for o in (1, 2, 3):
+            eps_by[(r, o)] = sb_eps_iter[k] if k < len(sb_eps_iter) else sb_eps_iter[-1]
+            k += 1
+
+    res_arrays = []
+    for r, sbs in enumerate(res_geo):
+        if cod["sop"]:
+            if data[br_pos : br_pos + 2] == b"\xff\x91":
+                br_pos += 6
+        br = _HdrBitReader(data, br_pos)
+        arrays = []
+        if not br.bit():  # empty packet
+            br_pos = br.align()
+            if cod["eph"] and data[br_pos : br_pos + 2] == b"\xff\x92":
+                br_pos += 2
+            for orient, (bh_, bw_) in sbs:
+                import numpy as _np
+
+                arrays.append((orient, _np.zeros((bh_, bw_), dtype=np.int64)))
+            res_arrays.append(arrays)
+            continue
+        blocks_meta = []
+        for orient, (bh_, bw_) in sbs:
+            arr = np.zeros((bh_, bw_), dtype=np.int64)
+            arrays.append((orient, arr))
+            ncx, ncy = _band_cblocks(bw_, bh_, cb)
+            if ncx == 0:
+                continue
+            incl = TagTree(ncx, ncy)
+            imsb = TagTree(ncx, ncy)
+            mb = qcd_guard + eps_by[(r, orient)] - 1
+            for cy in range(ncy):
+                for cx in range(ncx):
+                    if not incl.decode(cx, cy, 1, br.bit):
+                        continue
+                    t = 1
+                    while not imsb.decode(cx, cy, t, br.bit):
+                        t += 1
+                    zbp = t - 1
+                    npass = _get_numpasses(br)
+                    lblock = 3
+                    while br.bit():
+                        lblock += 1
+                    nbytes = br.bits(lblock + (npass.bit_length() - 1))
+                    blocks_meta.append(
+                        (arr, orient, cx, cy, npass, mb - zbp, nbytes)
+                    )
+        br_pos = br.align()
+        if cod["eph"] and data[br_pos : br_pos + 2] == b"\xff\x92":
+            br_pos += 2
+        for arr, orient, cx, cy, npass, nbps, nbytes in blocks_meta:
+            seg = data[br_pos : br_pos + nbytes]
+            br_pos += nbytes
+            sub = arr[cy * cb : (cy + 1) * cb, cx * cb : (cx + 1) * cb]
+            sh, sw = sub.shape
+            signs, mags = t1_decode(seg, npass, nbps, sw, sh, orient)
+            vals = np.array(mags, dtype=np.int64).reshape(sh, sw)
+            sgn = np.array(signs, dtype=np.int64).reshape(sh, sw)
+            sub[:, :] = np.where(sgn == 1, -vals, vals)
+        res_arrays.append(arrays)
+
+    ll = res_arrays[0][0][1]
+    bands = [
+        (dict(a)[1], dict(a)[2], dict(a)[3]) for a in res_arrays[1:]
+    ]
+    img = dwt53_inverse(ll, bands)
+    if siz["signed"]:
+        img = np.clip(img, -(1 << (P - 1)), (1 << (P - 1)) - 1)
+        return img.astype(np.int8 if P <= 8 else np.int16)
+    img = img + (1 << (P - 1))
+    img = np.clip(img, 0, (1 << P) - 1)
+    return img.astype(np.uint8 if P <= 8 else np.uint16)

@@ -412,6 +412,13 @@ def decode_image(content: bytes):
                 return _pil_decode(content)
             except ImportError:
                 raise gate from None
+    if content[:2] == b"\xff\x4f" or content[:12] == (
+        b"\x00\x00\x00\x0cjP  \r\n\x87\n"
+    ):
+        from intake_spark.llm.jpeg2000 import decode_jpeg2000
+
+        arr = decode_jpeg2000(content)
+        return arr if arr.ndim == 3 else arr[:, :, None]
     if content[:1] == b"P" and content[1:2] in b"123456":
         return decode_pnm(content)
     if content[-18:] == b"TRUEVISION-XFILE.\x00" or (
@@ -1208,6 +1215,17 @@ def image_meta(content: bytes) -> dict:
                 return {"format": "jpeg-ls", "width": w, "height": h}
             pos += 2 + seglen
         raise ValueError("JPEG has no SOF marker")
+    if content[:2] == b"\xff\x4f" or content[:12] == (
+        b"\x00\x00\x00\x0cjP  \r\n\x87\n"
+    ):
+        from intake_spark.llm.jpeg2000 import _unwrap_jp2
+
+        cs = _unwrap_jp2(bytes(content))
+        # SIZ immediately follows SOC: Lsiz Rsiz Xsiz Ysiz
+        if cs[2:4] == b"\xff\x51":
+            w, h = _s.unpack_from(">II", cs, 8)
+            return {"format": "jpeg2000", "width": w, "height": h}
+        raise ValueError("JPEG 2000 codestream lacks SIZ")
     if content[:4] == b"RIFF" and content[8:12] == b"WEBP":
         pos = 12
         while pos + 8 <= len(content):

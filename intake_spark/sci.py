@@ -1416,8 +1416,9 @@ def _dicom_meta(url: str) -> dict:
             raise ValueError(
                 f"transfer syntax {transfer} not supported (uncompressed "
                 "little-endian, RLE Lossless, JPEG Baseline, JPEG Lossless "
-                "P14/SV1, and JPEG-LS lossless/near-lossless decode "
-                "natively; JPEG 2000 needs pydicom codec plugins)"
+                "P14/SV1, JPEG-LS, and JPEG 2000 lossless all decode "
+                "natively; remaining: HTJ2K and the retired big-endian "
+                "syntaxes)"
             )
         out["transfer"] = transfer
         want_text = {
@@ -1481,10 +1482,13 @@ _DICOM_JPEG_LS = "1.2.840.10008.1.2.4.80"          # JPEG-LS Lossless
 _DICOM_JPEG_LS_NEAR = "1.2.840.10008.1.2.4.81"     # JPEG-LS Near-Lossless
 _DICOM_JPEG_LOSSLESS = "1.2.840.10008.1.2.4.57"    # JPEG Lossless P14
 _DICOM_JPEG_LOSSLESS_SV1 = "1.2.840.10008.1.2.4.70"  # JPEG Lossless P14 SV1
+_DICOM_J2K_LOSSLESS = "1.2.840.10008.1.2.4.90"     # JPEG 2000 Lossless only
+_DICOM_J2K = "1.2.840.10008.1.2.4.91"              # JPEG 2000 (may be lossy)
 # encapsulated syntaxes this package decodes with its OWN codecs
 _DICOM_ENCAPSULATED = (
     _DICOM_RLE, _DICOM_JPEG_BASELINE, _DICOM_JPEG_LS, _DICOM_JPEG_LS_NEAR,
     _DICOM_JPEG_LOSSLESS, _DICOM_JPEG_LOSSLESS_SV1,
+    _DICOM_J2K_LOSSLESS, _DICOM_J2K,
 )
 
 
@@ -1676,6 +1680,18 @@ class DicomReader(BaseReader):
                             )
 
                             arr = decode_jpeg_lossless(blob)
+                            if signed and arr.dtype == np.uint16:
+                                arr = arr.view(np.int16)
+                            elif signed and arr.dtype == np.uint8:
+                                arr = arr.view(np.int8)
+                        elif transfer in (_DICOM_J2K_LOSSLESS, _DICOM_J2K):
+                            from intake_spark.llm.jpeg2000 import (
+                                decode_jpeg2000,
+                            )
+
+                            # .91 streams that are irreversible raise the
+                            # named 9/7 gate inside decode_jpeg2000
+                            arr = decode_jpeg2000(blob)
                             if signed and arr.dtype == np.uint16:
                                 arr = arr.view(np.int16)
                             elif signed and arr.dtype == np.uint8:

@@ -1,0 +1,188 @@
+"""JPEG 2000 Part 1 lossless codec (llm/jpeg2000.py): MQ-coder and
+tag-tree primitives, 5/3 DWT reversibility, tier-1 pass roundtrips per
+subband orientation, full codestream roundtrips over adversarial
+shapes/depths, the JP2 box unwrap, named gates, and the DICOM JPEG 2000
+transfer syntaxes end to end (the LAST compressed syntax the reference
+delegated to pydicom plugins)."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from intake_spark.llm.jpeg2000 import (
+    JP2_SIGNATURE,
+    MQDecoder,
+    MQEncoder,
+    TagTree,
+    _init_states,
+    _mq_roundtrip_selftest,
+    decode_jpeg2000,
+    dwt53_forward,
+    dwt53_inverse,
+    encode_jpeg2000,
+    t1_decode,
+    t1_encode,
+)
+
+
+def test_mq_coder_roundtrip():
+    assert _mq_roundtrip_selftest()
+    # adversarial: long MPS runs then a flip (exercises byteout carries)
+    st_e = _init_states()
+    enc = MQEncoder()
+    seq = [0] * 400 + [1] * 3 + [0, 1] * 50
+    for b in seq:
+        enc.encode(st_e, 0, b)
+    blob = enc.flush()
+    dec = MQDecoder(blob)
+    st_d = _init_states()
+    assert [dec.decode(st_d, 0) for _ in seq] == seq
+
+
+def test_tagtree_roundtrip():
+    import random
+
+    rng = random.Random(2)
+    for (w, h) in [(1, 1), (3, 2), (5, 7), (4, 4)]:
+        vals = [[rng.randint(0, 5) for _ in range(w)] for _ in range(h)]
+        bits: list[int] = []
+        te = TagTree(w, h)
+        for y in range(h):
+            for x in range(w):
+                te.set_value(x, y, vals[y][x])
+        te.finalize()
+        queries = [(x, y, t) for t in range(1, 7)
+                   for y in range(h) for x in range(w)]
+        expected = []
+        for x, y, t in queries:
+            te.encode(x, y, t, bits.append)
+            expected.append(vals[y][x] < t)
+        it = iter(bits)
+        td = TagTree(w, h)
+        got = [td.decode(x, y, t, lambda: next(it)) for x, y, t in queries]
+        assert got == expected and sum(1 for _ in it) == 0
+
+
+def test_dwt53_reversible():
+    rng = np.random.default_rng(5)
+    for shape in [(8, 8), (7, 5), (1, 9), (13, 1), (16, 23), (31, 17)]:
+        for lv in (1, 2, 3):
+            a = rng.integers(-300, 300, shape).astype(np.int64)
+            ll, bands = dwt53_forward(a, lv)
+            np.testing.assert_array_equal(dwt53_inverse(ll, bands), a)
+
+
+def test_tier1_block_roundtrip_all_orientations():
+    rng = np.random.default_rng(5)
+    for orient in range(4):
+        for (h, w) in [(4, 4), (8, 8), (5, 7), (64, 3), (3, 64)]:
+            mag = rng.integers(0, 200, h * w).astype(int).tolist()
+            sgn = [int(s) if m else 0 for s, m in
+                   zip(rng.integers(0, 2, h * w), mag)]
+            data, npass, nbps = t1_encode(sgn, mag, w, h, orient)
+            s2, m2 = t1_decode(data, npass, nbps, w, h, orient)
+            assert m2 == mag and s2 == sgn
+
+
+def test_jpeg2000_roundtrip_shapes_and_depths():
+    rng = np.random.default_rng(9)
+    cases = [
+        (rng.integers(0, 256, (15, 22)), 2, {}),
+        (rng.integers(0, 256, (100, 130)), 3, {}),           # multi-block
+        (np.full((40, 40), 77), 3, {}),
+        (np.zeros((20, 20), dtype=int), 2, {}),
+        (np.add.outer(np.arange(50), np.arange(33)) * 2 % 256, 3, {}),
+        (rng.integers(0, 4096, (30, 41)), 2, {}),            # 12-bit
+        (rng.integers(0, 65536, (17, 19)), 1, {}),           # 16-bit
+        (rng.integers(0, 256, (1, 70)), 2, {}),
+        (rng.integers(0, 256, (70, 1)), 2, {}),
+        (np.array([[200]]), 0, {}),
+        (rng.integers(0, 256, (40, 40)), 2, {"cb_exp": 4}),  # 16x16 blocks
+    ]
+    for img, lv, kw in cases:
+        img = np.asarray(img).astype(np.int64)
+        back = decode_jpeg2000(encode_jpeg2000(img, levels=lv, **kw))
+        np.testing.assert_array_equal(back.astype(np.int64), img)
+    # run coding + wavelets actually compress the flat image
+    flat = np.full((64, 64), 9, dtype=np.uint8)
+    assert len(encode_jpeg2000(flat)) < flat.size // 8
+
+
+def test_jpeg2000_signed_and_jp2_box():
+    rng = np.random.default_rng(3)
+    s0 = rng.integers(-2000, 3000, (25, 31)).astype(np.int16)
+    back = decode_jpeg2000(encode_jpeg2000(s0, levels=2, signed=True))
+    assert back.dtype == np.int16
+    np.testing.assert_array_equal(back, s0)
+
+    img = rng.integers(0, 256, (12, 18), dtype=np.uint8)
+    cs = encode_jpeg2000(img, levels=1)
+    ftyp = struct.pack(">I", 20) + b"ftypjp2 " + struct.pack(">I", 0) + b"jp2 "
+    jp2 = JP2_SIGNATURE + ftyp + struct.pack(">I", 8 + len(cs)) + b"jp2c" + cs
+    np.testing.assert_array_equal(decode_jpeg2000(jp2), img)
+
+
+def test_jpeg2000_gates():
+    with pytest.raises(ValueError, match="SOC"):
+        decode_jpeg2000(b"nope")
+    img = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    blob = bytearray(encode_jpeg2000(img, levels=1))
+    # flip the transform byte to 9/7 -> named gate
+    cod = blob.find(b"\xff\x52")
+    b97 = bytes(blob[: cod + 4 + 9]) + b"\x00" + bytes(blob[cod + 4 + 10:])
+    with pytest.raises(NotImplementedError, match="9/7"):
+        decode_jpeg2000(b97)
+
+
+def test_decode_image_dispatches_jpeg2000():
+    from intake_spark.llm.multimodal import decode_image
+
+    img = (np.add.outer(np.arange(9), np.arange(14)) * 13 % 256).astype(np.uint8)
+    arr = decode_image(encode_jpeg2000(img, levels=2))
+    assert arr.shape == (9, 14, 1)
+    np.testing.assert_array_equal(arr[:, :, 0], img)
+
+
+def test_dicom_jpeg2000_transfer_syntaxes(spark, tmp_path):
+    """DICOM 1.2.840.10008.1.2.4.90 (JPEG 2000 Lossless): encapsulated
+    frames decode bit-exactly, incl. 16-bit, signed, and multi-frame."""
+    from intake_spark.sci import DICOM, DicomReader
+    from tests.test_nrrd_dicom import _encapsulate, _rebuild
+
+    rng = np.random.default_rng(2)
+    f0 = rng.integers(0, 4096, size=(21, 17)).astype(np.uint16)
+    f1 = rng.integers(0, 4096, size=(21, 17)).astype(np.uint16)
+    blob = _encapsulate(
+        b"1.2.840.10008.1.2.4.90\x00", 21, 17,
+        [encode_jpeg2000(f0, levels=2), encode_jpeg2000(f1, levels=2)],
+        bits=16, signed=False,
+    )
+    p = tmp_path / "j2k.dcm"
+    p.write_bytes(blob)
+    rdr = DicomReader(data=DICOM(url=str(p)))
+    got = _rebuild(rdr.read(spark=spark))
+    np.testing.assert_array_equal(got, np.stack([f0, f1]))
+    assert rdr.data.metadata["transfer_syntax"] == "1.2.840.10008.1.2.4.90"
+
+    # signed pixels through the .91 syntax (lossless-coded stream)
+    s0 = rng.integers(-1000, 1000, size=(9, 12)).astype(np.int16)
+    blob = _encapsulate(
+        b"1.2.840.10008.1.2.4.91\x00", 9, 12,
+        [encode_jpeg2000(s0.astype(np.int64), levels=1, signed=True)],
+        bits=16, signed=True,
+    )
+    p2 = tmp_path / "j2k91.dcm"
+    p2.write_bytes(blob)
+    got = _rebuild(DicomReader(data=DICOM(url=str(p2))).read(spark=spark))
+    np.testing.assert_array_equal(got.reshape(9, 12), s0)
+
+
+def test_image_meta_reports_jpeg2000_dims():
+    from intake_spark.llm.multimodal import image_meta
+
+    img = np.zeros((23, 45), dtype=np.uint8)
+    m = image_meta(encode_jpeg2000(img, levels=1))
+    assert m == {"format": "jpeg2000", "width": 45, "height": 23}

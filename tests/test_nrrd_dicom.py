@@ -236,7 +236,8 @@ def test_dicom_jpeg_baseline_frame(spark, tmp_path):
 
 
 def test_dicom_unsupported_compressed_still_named(tmp_path):
-    """JPEG 2000 stays a named gate."""
+    """An unknown compressed syntax still raises a NAMED error (the
+    JPEG family root UID is not a concrete syntax)."""
     px = np.zeros((2, 2), dtype=np.uint8)
     url = make_dicom(tmp_path / "c.dcm", px)
     blob = bytearray(open(url, "rb").read())
@@ -246,7 +247,7 @@ def test_dicom_unsupported_compressed_still_named(tmp_path):
     blob[idx : idx + len(old)] = new
     p = tmp_path / "c2.dcm"
     p.write_bytes(bytes(blob))
-    with pytest.raises(ValueError, match="pydicom codec"):
+    with pytest.raises(ValueError, match="not supported"):
         _dicom_meta(str(p))
 
 
