@@ -62,7 +62,6 @@ class MQDecoder:
         self.data = data
         self.bp = 0
         self.c = (self._b(0) << 16)
-        self._bytein_init = True
         self._bytein()
         self.c <<= 7
         self.ct -= 7
@@ -241,9 +240,7 @@ class TagTree:
     def set_value(self, x: int, y: int, v: int) -> None:
         """Encoder: set a leaf value and fold the min up the tree."""
         li0, pos0 = self._chain(x, y)[-1]
-        self.val[li0][pos0] = v
-        # recompute mins bottom-up lazily at finalize instead
-        self._dirty = True
+        self.val[li0][pos0] = v  # finalize() folds mins up the tree
 
     def finalize(self) -> None:
         """Encoder: internal node value = min of children."""
@@ -652,68 +649,41 @@ def _cup(blk, p, st, enc=None, dec=None):
 # ---------------------------------------------------------------------------
 
 
-class _HdrBitWriter:
-    """Packet-header bit writer with T.800 B.10.1 stuffing: a byte
-    following an emitted 0xFF carries only 7 bits (MSB stuffed 0)."""
+from intake_spark.llm.jpegls import _BitReader as _JLSBitReader
+from intake_spark.llm.jpegls import _BitWriter as _JLSBitWriter
 
-    def __init__(self):
-        self.out = bytearray()
-        self.cur = 0
-        self.n = 0
-        self.cap = 8
+
+class _HdrBitWriter(_JLSBitWriter):
+    """Packet-header bit writer: T.800 B.10.1 stuffing is the SAME
+    "byte after 0xFF carries 7 bits" rule as T.87, so the JPEG-LS bit
+    writer is reused; only the flush differs (a trailing 0xFF gets a
+    0x00 pad byte so the body can never start with a marker-like
+    pattern)."""
 
     def put(self, bit: int):
-        self.cur = (self.cur << 1) | (bit & 1)
-        self.n += 1
-        if self.n == self.cap:
-            self.out.append(self.cur)
-            self.cap = 7 if self.cur == 0xFF else 8
-            self.cur = 0
-            self.n = 0
-
-    def put_bits(self, v: int, n: int):
-        for i in range(n - 1, -1, -1):
-            self.put((v >> i) & 1)
+        self.put_bit(bit)
 
     def flush(self) -> bytes:
-        while self.n:
-            self.put(0)
+        while self.nbits:
+            self.put_bit(0)
         if self.out and self.out[-1] == 0xFF:
             self.out.append(0x00)
         return bytes(self.out)
 
 
-class _HdrBitReader:
-    def __init__(self, data: bytes, pos: int):
-        self.data = data
-        self.pos = pos
-        self.cur = 0
-        self.n = 0
-        self.prev_ff = False
+class _HdrBitReader(_JLSBitReader):
+    """Mirror of :class:`_HdrBitWriter` (shared T.87 reader + header
+    alignment)."""
 
     def bit(self) -> int:
-        if self.n == 0:
-            b = self.data[self.pos]
-            self.pos += 1
-            if self.prev_ff:
-                self.cur = b & 0x7F
-                self.n = 7
-            else:
-                self.cur = b
-                self.n = 8
-            self.prev_ff = b == 0xFF
-        self.n -= 1
-        return (self.cur >> self.n) & 1
+        return self.get_bit()
 
     def bits(self, k: int) -> int:
-        v = 0
-        for _ in range(k):
-            v = (v << 1) | self.bit()
-        return v
+        return self.get_bits(k)
 
     def align(self) -> int:
         """Byte-align past the header (consuming the post-FF pad byte)."""
-        self.n = 0
+        self.nbits = 0
         if self.prev_ff:
             self.pos += 1  # stuffed 0x00 after a trailing 0xFF
             self.prev_ff = False
@@ -974,15 +944,40 @@ def decode_jpeg2000(blob: bytes):
                 )
             qcd_guard = sqcd >> 5
             qcd_eps = [b >> 3 for b in seg[1:]]
+        elif m in (0x53, 0x5D, 0x5E, 0x5F, 0x60, 0x61):
+            name = {0x53: "COC (per-component coding style)",
+                    0x5D: "QCC (per-component quantization)",
+                    0x5E: "RGN (ROI shift)",
+                    0x5F: "POC (progression order change)",
+                    0x60: "PPM (packed packet headers, main)",
+                    0x61: "PPT (packed packet headers, tile)"}[m]
+            # these CHANGE how packets decode — skipping one silently
+            # would produce wrong pixels, so they are named gates
+            raise NotImplementedError(
+                f"JPEG 2000 {name} marker is not supported"
+            )
         elif m == 0x90:  # SOT
             isot, psot, tpsot, tnsot = struct.unpack_from(">HIBB", seg, 0)
             if isot != 0 or tpsot != 0:
                 raise NotImplementedError("multiple tiles/tile-parts")
             sot_pos = pos - 2
-            # SOD follows the SOT segment
-            if blob[pos + ln : pos + ln + 2] != b"\xff\x93":
-                raise ValueError("SOT not followed by SOD")
-            tile_start = pos + ln + 2
+            # skip ignorable tile-part-header segments (PLT packet
+            # lengths, COM comments) until SOD; gate decode-altering ones
+            tp = pos + ln
+            while blob[tp : tp + 2] != b"\xff\x93":
+                tm = blob[tp + 1]
+                if tm in (0x53, 0x5D, 0x5E, 0x5F, 0x61):
+                    raise NotImplementedError(
+                        f"JPEG 2000 tile-part marker 0xFF{tm:02X} is not "
+                        "supported"
+                    )
+                if tm not in (0x58, 0x64):  # PLT / COM are ignorable
+                    raise ValueError(
+                        f"unexpected marker 0xFF{tm:02X} in tile-part header"
+                    )
+                (tln,) = struct.unpack_from(">H", blob, tp + 2)
+                tp += 2 + tln
+            tile_start = tp + 2
             tile_len = (
                 (sot_pos + psot) - tile_start if psot else len(blob) - 2 - tile_start
             )
@@ -1084,9 +1079,15 @@ def decode_jpeg2000(blob: bytes):
         (dict(a)[1], dict(a)[2], dict(a)[3]) for a in res_arrays[1:]
     ]
     img = dwt53_inverse(ll, bands)
+    if P > 32:
+        raise NotImplementedError(
+            f"JPEG 2000 precision {P} bits (> 32) is not supported"
+        )
     if siz["signed"]:
         img = np.clip(img, -(1 << (P - 1)), (1 << (P - 1)) - 1)
-        return img.astype(np.int8 if P <= 8 else np.int16)
+        dt_ = np.int8 if P <= 8 else (np.int16 if P <= 16 else np.int32)
+        return img.astype(dt_)
     img = img + (1 << (P - 1))
     img = np.clip(img, 0, (1 << P) - 1)
-    return img.astype(np.uint8 if P <= 8 else np.uint16)
+    dt_ = np.uint8 if P <= 8 else (np.uint16 if P <= 16 else np.uint32)
+    return img.astype(dt_)

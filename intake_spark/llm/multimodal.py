@@ -417,7 +417,17 @@ def decode_image(content: bytes):
     ):
         from intake_spark.llm.jpeg2000 import decode_jpeg2000
 
-        arr = decode_jpeg2000(content)
+        try:
+            arr = decode_jpeg2000(content)
+        except NotImplementedError as gate:
+            # color / 9/7 / tiled J2K: pillow when installed, else the
+            # named gate (same contract as the JPEG/WebP branches)
+            try:
+                return _pil_decode(content)
+            except ImportError:
+                raise gate from None
+            except Exception as exc:
+                raise gate from exc
         return arr if arr.ndim == 3 else arr[:, :, None]
     if content[:1] == b"P" and content[1:2] in b"123456":
         return decode_pnm(content)

@@ -186,3 +186,74 @@ def test_image_meta_reports_jpeg2000_dims():
     img = np.zeros((23, 45), dtype=np.uint8)
     m = image_meta(encode_jpeg2000(img, levels=1))
     assert m == {"format": "jpeg2000", "width": 45, "height": 23}
+
+
+def test_jpeg2000_review_findings(monkeypatch):
+    """Review findings: decode-altering markers (COC/QCC/RGN/POC/PPM)
+    are NAMED gates, not silent skips; PLT/COM in the tile-part header
+    are skipped; precisions 17-32 round-trip into uint32 instead of
+    silently truncating; decode_image falls back to pillow on J2K
+    gates."""
+    rng = np.random.default_rng(6)
+    img = rng.integers(0, 256, (10, 12), dtype=np.uint8)
+    blob = encode_jpeg2000(img, levels=1)
+
+    # splice a COC after COD -> named gate (was: silent wrong pixels)
+    cod = blob.find(b"\xff\x52")
+    (ln,) = struct.unpack_from(">H", blob, cod + 2)
+    coc = b"\xff\x53" + struct.pack(">HBB", 4 + 5, 0, 0) + bytes(5)
+    with pytest.raises(NotImplementedError, match="COC"):
+        decode_jpeg2000(blob[: cod + 2 + ln] + coc + blob[cod + 2 + ln:])
+
+    # PLT + COM in the tile-part header are ignorable -> still decodes
+    sot = blob.find(b"\xff\x90")
+    sod = blob.find(b"\xff\x93", sot)
+    plt = b"\xff\x58" + struct.pack(">HB", 3 + 2, 0) + b"\x05\x06"
+    com = b"\xff\x64" + struct.pack(">HH", 2 + 2 + 2, 1) + b"hi"
+    spliced = bytearray(blob[:sod] + plt + com + blob[sod:])
+    # grow Psot by the inserted bytes
+    (psot,) = struct.unpack_from(">I", spliced, sot + 6)
+    struct.pack_into(">I", spliced, sot + 6, psot + len(plt) + len(com))
+    np.testing.assert_array_equal(decode_jpeg2000(bytes(spliced)), img)
+
+    # PPT in the tile-part header is decode-altering -> named gate
+    ppt = b"\xff\x61" + struct.pack(">HB", 3 + 1, 0) + b"\x00"
+    bad = bytearray(blob[:sod] + ppt + blob[sod:])
+    struct.pack_into(">I", bad, sot + 6, psot + len(ppt))
+    with pytest.raises(NotImplementedError, match="FF61"):
+        decode_jpeg2000(bytes(bad))
+
+    # 17-32 bit precision: exact via uint32, no silent truncation
+    wide = np.array([[70000, 5], [123456, 99999]], dtype=np.int64)
+    back = decode_jpeg2000(encode_jpeg2000(wide, levels=0))
+    assert back.dtype == np.uint32
+    np.testing.assert_array_equal(back.astype(np.int64), wide)
+
+    # decode_image: J2K gate -> pillow fallback when installed (faked)
+    import sys
+    import types
+
+    from intake_spark.llm import multimodal as mm
+
+    class FakeImg:
+        mode = "RGB"
+        info: dict = {}
+
+        def convert(self, m):
+            return self
+
+        def __array__(self, dtype=None, copy=None):
+            return np.full((10, 12, 3), 4, dtype="uint8")
+
+    fake_image = types.ModuleType("PIL.Image")
+    fake_image.open = lambda bio: FakeImg()
+    fake_pil = types.ModuleType("PIL")
+    fake_pil.Image = fake_image
+    monkeypatch.setitem(sys.modules, "PIL", fake_pil)
+    monkeypatch.setitem(sys.modules, "PIL.Image", fake_image)
+    # a multi-component SIZ raises inside decode_jpeg2000 -> pillow
+    bad_nc = bytearray(blob)
+    siz = bad_nc.find(b"\xff\x51")
+    struct.pack_into(">H", bad_nc, siz + 4 + 34, 3)  # Csiz = 3
+    arr = mm.decode_image(bytes(bad_nc))
+    assert arr.shape == (10, 12, 3)
