@@ -13,6 +13,13 @@ encoder-side spec procedures and round-trips the decoder bit-exactly
 over adversarial images (the repo's standard for stdlib codecs); the
 MQ coder additionally reproduces the T.88 software-conventions test
 sequence structure.
+
+Performance posture: tier-1 is a per-coefficient Python loop (EBCOT's
+context modeling is inherently sequential within a code block), so a
+512x512 frame decodes in tens of seconds — fine for the DICOM reader,
+which fans frames out across executors (one frame per manifest row),
+and for corpus pipelines where frames are plentiful and independent;
+single-frame latency is the known cost of the no-C-extension rule.
 """
 
 from __future__ import annotations
