@@ -748,50 +748,86 @@ def _subband_list(ll_shape, bands):
 _GAIN = {0: 0, 1: 1, 2: 1, 3: 2}
 
 
+def _rct_forward(comps):
+    """Reversible color transform (T.800 G.2, for RGB with 5/3)."""
+    r, g, b = comps
+    y = (r + 2 * g + b) >> 2
+    return [y, b - g, r - g]
+
+
+def _rct_inverse(comps):
+    y, u, v = comps
+    g = y - ((u + v) >> 2)
+    return [v + g, g, u + g]
+
+
 def encode_jpeg2000(img, levels: int = 3, cb_exp: int = 6,
-                    guard_bits: int = 3, signed: bool = False) -> bytes:
-    """Encode a 2-D unsigned array as a lossless JPEG 2000 codestream
-    (single tile/component/layer, 5/3 reversible, LRCP)."""
+                    guard_bits: int = 3, signed: bool = False,
+                    mct: "bool | None" = None) -> bytes:
+    """Encode a 2-D (grayscale) or HxWx3 (RGB) array as a lossless
+    JPEG 2000 codestream (single tile, one quality layer, 5/3
+    reversible, LRCP). ``mct`` applies the reversible color transform
+    (default: on for 3-component unsigned input)."""
     import numpy as np
 
     img = np.asarray(img)
-    if img.ndim != 2:
-        raise ValueError("encode_jpeg2000 takes a 2-D (grayscale) array")
-    H, W = img.shape
+    if img.ndim == 2:
+        comps = [img.astype(np.int64)]
+    elif img.ndim == 3:
+        comps = [img[:, :, i].astype(np.int64) for i in range(img.shape[2])]
+    else:
+        raise ValueError("encode_jpeg2000 takes a 2-D or HxWxC array")
+    nc = len(comps)
+    H, W = comps[0].shape
     if signed:
         P = max(
-            (int(img.max()) if img.size else 0).bit_length() + 1,
-            (int(-img.min() - 1) if img.size else 0).bit_length() + 1,
-            2,
+            max(
+                (int(c.max()) if c.size else 0).bit_length() + 1,
+                (int(-c.min() - 1) if c.size else 0).bit_length() + 1,
+            )
+            for c in comps
         )
-        shifted = img.astype(np.int64)
+        P = max(P, 2)
+        shifted = comps
     else:
-        P = max(1, int(img.max()).bit_length()) if img.size else 8
-        shifted = img.astype(np.int64) - (1 << (P - 1))
+        P = max(
+            max(1, int(c.max()).bit_length()) if c.size else 8 for c in comps
+        )
+        shifted = [c - (1 << (P - 1)) for c in comps]
+    if mct is None:
+        mct = nc == 3 and not signed
+    if mct and nc != 3:
+        raise ValueError("mct (RCT) needs exactly 3 components")
+    if mct:
+        shifted = _rct_forward(shifted)
     levels = max(0, min(levels, max((min(H, W) - 1).bit_length() - 1, 0)))
     cb = 1 << cb_exp
-    ll, bands = dwt53_forward(shifted, levels)
-    res_bands = [[(0, ll)]] + [
-        [(1, hl), (2, lh), (3, hh)] for hl, lh, hh in bands
-    ]
-    eps = {0: P, 1: P + 1, 2: P + 1, 3: P + 2}
+    pq = P + (1 if mct else 0)  # RCT chroma gains one bit
+    eps = {0: pq, 1: pq + 1, 2: pq + 1, 3: pq + 2}
+
+    comp_res_bands = []
+    for c in shifted:
+        ll, bands = dwt53_forward(c, levels)
+        comp_res_bands.append(
+            [[(0, ll)]] + [[(1, hl), (2, lh), (3, hh)] for hl, lh, hh in bands]
+        )
 
     out = bytearray(b"\xff\x4f")  # SOC
     out += b"\xff\x51" + struct.pack(
-        ">HHIIIIIIIIHBBB", 41, 0, W, H, 0, 0, W, H, 0, 0, 1,
-        (P - 1) | (0x80 if signed else 0), 1, 1
+        ">HHIIIIIIIIH", 38 + 3 * nc, 0, W, H, 0, 0, W, H, 0, 0, nc
     )
+    for _ in range(nc):
+        out += bytes(((P - 1) | (0x80 if signed else 0), 1, 1))
     out += b"\xff\x52" + struct.pack(
-        ">HBBHBBBBBB", 12, 0, 0, 1, 0, levels, cb_exp - 2, cb_exp - 2, 0, 1
+        ">HBBHBBBBBB", 12, 0, 0, 1, 1 if mct else 0, levels,
+        cb_exp - 2, cb_exp - 2, 0, 1
     )
     n_sb = 3 * levels + 1
     out += b"\xff\x5c" + struct.pack(">HB", 3 + n_sb, guard_bits << 5)
     sb_eps = [eps[0]] + [eps[o] for _r in range(levels) for o in (1, 2, 3)]
     out += bytes((e << 3) & 0xFF for e in sb_eps)
 
-    # tile: encode every code block, then assemble packets
-    packets = bytearray()
-    for r, sbs in enumerate(res_bands):
+    def one_packet(sbs) -> bytes:
         hdr = _HdrBitWriter()
         body = bytearray()
         hdr.put(1)  # non-empty packet
@@ -838,7 +874,13 @@ def encode_jpeg2000(img, levels: int = 3, cb_exp: int = 6,
                 hdr.put(0)
                 hdr.put_bits(len(data), want)
                 body += data
-        packets += hdr.flush() + bytes(body)
+        return hdr.flush() + bytes(body)
+
+    # LRCP with one layer: resolution-major, then component
+    packets = bytearray()
+    for r in range(levels + 1):
+        for ci in range(nc):
+            packets += one_packet(comp_res_bands[ci][r])
 
     tile = bytes(packets)
     psot = 12 + 2 + len(tile)
@@ -873,9 +915,10 @@ def _unwrap_jp2(blob: bytes) -> bytes:
 
 
 def decode_jpeg2000(blob: bytes):
-    """Decode a lossless JPEG 2000 codestream → 2-D numpy array.
-    Named gates: multiple components/tiles/layers, precinct
-    subdivision, irreversible 9/7, code-block style options."""
+    """Decode a lossless JPEG 2000 codestream → 2-D (grayscale) or
+    HxWxC numpy array. Named gates: subsampled components, multiple
+    tiles/layers, precinct subdivision, irreversible 9/7, code-block
+    style options, COC/QCC/RGN/POC/PPM/PPT markers."""
     import numpy as np
 
     blob = _unwrap_jp2(blob)
@@ -898,12 +941,17 @@ def decode_jpeg2000(blob: bytes):
             (rsiz, xs, ys, xo, yo, xt, yt, xto, yto, nc) = struct.unpack_from(
                 ">HIIIIIIIIH", seg, 0
             )
-            if nc != 1:
+            if len(seg) < 36 + 3 * nc:
+                raise ValueError("SIZ segment shorter than its Csiz count")
+            triples = [
+                (seg[36 + 3 * i], seg[37 + 3 * i], seg[38 + 3 * i])
+                for i in range(nc)
+            ]
+            if any(t != triples[0] for t in triples):
                 raise NotImplementedError(
-                    f"JPEG 2000 with {nc} components — single-component "
-                    "(grayscale) codestreams only"
+                    "components with differing precision/subsampling"
                 )
-            ssiz, xr, yr = seg[36], seg[37], seg[38]
+            ssiz, xr, yr = triples[0]
             if xr != 1 or yr != 1:
                 raise NotImplementedError("subsampled components")
             if xo or yo or xto or yto or xt != xs or yt != ys:
@@ -911,7 +959,7 @@ def decode_jpeg2000(blob: bytes):
                     "JPEG 2000 tiling/offsets — single full-image tile only"
                 )
             siz = {
-                "w": xs, "h": ys,
+                "w": xs, "h": ys, "nc": nc,
                 "prec": (ssiz & 0x7F) + 1, "signed": bool(ssiz & 0x80),
             }
         elif m == 0x52:  # COD
@@ -940,7 +988,7 @@ def decode_jpeg2000(blob: bytes):
                     "precinct subdivision — default full precincts only"
                 )
             cod = {
-                "levels": nlev, "cb_exp": cbw_exp,
+                "levels": nlev, "cb_exp": cbw_exp, "mct": mct,
                 "sop": bool(scod & 2), "eph": bool(scod & 4),
             }
         elif m == 0x5C:  # QCD
@@ -993,9 +1041,11 @@ def decode_jpeg2000(blob: bytes):
     if siz is None or cod is None or qcd_eps is None or tile_start is None:
         raise ValueError("JPEG 2000 codestream missing SIZ/COD/QCD/SOT")
 
-    W, H, P = siz["w"], siz["h"], siz["prec"]
+    W, H, P, nc = siz["w"], siz["h"], siz["prec"], siz["nc"]
     levels, cb_exp = cod["levels"], cod["cb_exp"]
     cb = 1 << cb_exp
+    if cod["mct"] and nc != 3:
+        raise ValueError("MCT flagged but component count != 3")
 
     # subband geometry from the image size (single tile at the origin)
     def sizes(n, lv):
@@ -1016,19 +1066,17 @@ def decode_jpeg2000(blob: bytes):
     data = blob[tile_start : tile_start + tile_len]
     br_pos = 0
     sb_eps_iter = list(qcd_eps)
-    eps_by = {}
-    eps_by[(0, 0)] = sb_eps_iter[0]
+    eps_by = {(0, 0): sb_eps_iter[0]}
     k = 1
     for r in range(1, levels + 1):
         for o in (1, 2, 3):
             eps_by[(r, o)] = sb_eps_iter[k] if k < len(sb_eps_iter) else sb_eps_iter[-1]
             k += 1
 
-    res_arrays = []
-    for r, sbs in enumerate(res_geo):
-        if cod["sop"]:
-            if data[br_pos : br_pos + 2] == b"\xff\x91":
-                br_pos += 6
+    def one_packet(sbs, br_pos):
+        """Parse one packet at br_pos → (arrays, new br_pos)."""
+        if cod["sop"] and data[br_pos : br_pos + 2] == b"\xff\x91":
+            br_pos += 6
         br = _HdrBitReader(data, br_pos)
         arrays = []
         if not br.bit():  # empty packet
@@ -1036,11 +1084,8 @@ def decode_jpeg2000(blob: bytes):
             if cod["eph"] and data[br_pos : br_pos + 2] == b"\xff\x92":
                 br_pos += 2
             for orient, (bh_, bw_) in sbs:
-                import numpy as _np
-
-                arrays.append((orient, _np.zeros((bh_, bw_), dtype=np.int64)))
-            res_arrays.append(arrays)
-            continue
+                arrays.append((orient, np.zeros((bh_, bw_), dtype=np.int64)))
+            return arrays, br_pos
         blocks_meta = []
         for orient, (bh_, bw_) in sbs:
             arr = np.zeros((bh_, bw_), dtype=np.int64)
@@ -1050,7 +1095,7 @@ def decode_jpeg2000(blob: bytes):
                 continue
             incl = TagTree(ncx, ncy)
             imsb = TagTree(ncx, ncy)
-            mb = qcd_guard + eps_by[(r, orient)] - 1
+            mb = qcd_guard + eps_by[(_cur_r[0], orient)] - 1
             for cy in range(ncy):
                 for cx in range(ncx):
                     if not incl.decode(cx, cy, 1, br.bit):
@@ -1071,30 +1116,43 @@ def decode_jpeg2000(blob: bytes):
         if cod["eph"] and data[br_pos : br_pos + 2] == b"\xff\x92":
             br_pos += 2
         for arr, orient, cx, cy, npass, nbps, nbytes in blocks_meta:
-            seg = data[br_pos : br_pos + nbytes]
+            seg_ = data[br_pos : br_pos + nbytes]
             br_pos += nbytes
             sub = arr[cy * cb : (cy + 1) * cb, cx * cb : (cx + 1) * cb]
             sh, sw = sub.shape
-            signs, mags = t1_decode(seg, npass, nbps, sw, sh, orient)
+            signs, mags = t1_decode(seg_, npass, nbps, sw, sh, orient)
             vals = np.array(mags, dtype=np.int64).reshape(sh, sw)
             sgn = np.array(signs, dtype=np.int64).reshape(sh, sw)
             sub[:, :] = np.where(sgn == 1, -vals, vals)
-        res_arrays.append(arrays)
+        return arrays, br_pos
 
-    ll = res_arrays[0][0][1]
-    bands = [
-        (dict(a)[1], dict(a)[2], dict(a)[3]) for a in res_arrays[1:]
-    ]
-    img = dwt53_inverse(ll, bands)
+    _cur_r = [0]
+    comp_res = [[] for _ in range(nc)]
+    for r, sbs in enumerate(res_geo):
+        _cur_r[0] = r
+        for ci in range(nc):  # LRCP, one layer: res-major then component
+            arrays, br_pos = one_packet(sbs, br_pos)
+            comp_res[ci].append(arrays)
+
+    planes = []
+    for ci in range(nc):
+        ra = comp_res[ci]
+        ll = ra[0][0][1]
+        bands = [(dict(a)[1], dict(a)[2], dict(a)[3]) for a in ra[1:]]
+        planes.append(dwt53_inverse(ll, bands))
+    if cod["mct"]:
+        planes = _rct_inverse(planes)
     if P > 32:
         raise NotImplementedError(
             f"JPEG 2000 precision {P} bits (> 32) is not supported"
         )
     if siz["signed"]:
-        img = np.clip(img, -(1 << (P - 1)), (1 << (P - 1)) - 1)
+        stack = np.stack(planes, axis=-1) if nc > 1 else planes[0]
+        stack = np.clip(stack, -(1 << (P - 1)), (1 << (P - 1)) - 1)
         dt_ = np.int8 if P <= 8 else (np.int16 if P <= 16 else np.int32)
-        return img.astype(dt_)
-    img = img + (1 << (P - 1))
-    img = np.clip(img, 0, (1 << P) - 1)
+        return stack.astype(dt_)
+    stack = np.stack(planes, axis=-1) if nc > 1 else planes[0]
+    stack = stack + (1 << (P - 1))
+    stack = np.clip(stack, 0, (1 << P) - 1)
     dt_ = np.uint8 if P <= 8 else (np.uint16 if P <= 16 else np.uint32)
-    return img.astype(dt_)
+    return stack.astype(dt_)

@@ -251,9 +251,39 @@ def test_jpeg2000_review_findings(monkeypatch):
     fake_pil.Image = fake_image
     monkeypatch.setitem(sys.modules, "PIL", fake_pil)
     monkeypatch.setitem(sys.modules, "PIL.Image", fake_image)
-    # a multi-component SIZ raises inside decode_jpeg2000 -> pillow
-    bad_nc = bytearray(blob)
-    siz = bad_nc.find(b"\xff\x51")
-    struct.pack_into(">H", bad_nc, siz + 4 + 34, 3)  # Csiz = 3
-    arr = mm.decode_image(bytes(bad_nc))
+    # a 9/7 (irreversible) stream gates inside decode_jpeg2000 -> pillow
+    bad97 = bytearray(blob)
+    cod97 = bad97.find(b"\xff\x52")
+    bad97[cod97 + 4 + 9] = 0  # transform byte -> 9/7
+    arr = mm.decode_image(bytes(bad97))
     assert arr.shape == (10, 12, 3)
+
+
+def test_jpeg2000_multicomponent_and_rct():
+    """HxWxC codestreams: RGB with the reversible color transform (MCT),
+    RGB without, a 2-component stream, and 16-bit RGB — all bit-exact;
+    grayscale single-component behavior unchanged."""
+    rng = np.random.default_rng(4)
+    rgb = rng.integers(0, 256, (20, 27, 3), dtype=np.uint8)
+    back = decode_jpeg2000(encode_jpeg2000(rgb, levels=2))
+    assert back.shape == (20, 27, 3)
+    np.testing.assert_array_equal(back, rgb)
+    np.testing.assert_array_equal(
+        decode_jpeg2000(encode_jpeg2000(rgb, levels=1, mct=False)), rgb
+    )
+    two = rng.integers(0, 4096, (11, 13, 2)).astype(np.int64)
+    np.testing.assert_array_equal(
+        decode_jpeg2000(encode_jpeg2000(two, levels=1)).astype(np.int64), two
+    )
+    rgb16 = rng.integers(0, 65536, (9, 8, 3)).astype(np.int64)
+    np.testing.assert_array_equal(
+        decode_jpeg2000(encode_jpeg2000(rgb16, levels=1)).astype(np.int64),
+        rgb16,
+    )
+    # decode_image passes color through with the channel axis intact
+    from intake_spark.llm.multimodal import decode_image
+
+    arr = decode_image(encode_jpeg2000(rgb, levels=1))
+    np.testing.assert_array_equal(arr, rgb)
+    with pytest.raises(ValueError, match="exactly 3"):
+        encode_jpeg2000(two, mct=True)
