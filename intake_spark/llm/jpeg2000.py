@@ -778,6 +778,8 @@ def encode_jpeg2000(img, levels: int = 3, cb_exp: int = 6,
     else:
         raise ValueError("encode_jpeg2000 takes a 2-D or HxWxC array")
     nc = len(comps)
+    if nc == 0:
+        raise ValueError("encode_jpeg2000: zero-channel array")
     H, W = comps[0].shape
     if signed:
         P = max(
@@ -825,7 +827,14 @@ def encode_jpeg2000(img, levels: int = 3, cb_exp: int = 6,
     n_sb = 3 * levels + 1
     out += b"\xff\x5c" + struct.pack(">HB", 3 + n_sb, guard_bits << 5)
     sb_eps = [eps[0]] + [eps[o] for _r in range(levels) for o in (1, 2, 3)]
-    out += bytes((e << 3) & 0xFF for e in sb_eps)
+    if max(sb_eps) >= 32:
+        # the QCD exponent is a 5-bit field (T.800 E.1); wrapping it
+        # would corrupt Mb silently
+        raise ValueError(
+            f"subband exponent {max(sb_eps)} exceeds the 5-bit QCD field "
+            f"(precision {P} too high for reversible JPEG 2000 here)"
+        )
+    out += bytes(e << 3 for e in sb_eps)
 
     def one_packet(sbs) -> bytes:
         hdr = _HdrBitWriter()
@@ -941,8 +950,8 @@ def decode_jpeg2000(blob: bytes):
             (rsiz, xs, ys, xo, yo, xt, yt, xto, yto, nc) = struct.unpack_from(
                 ">HIIIIIIIIH", seg, 0
             )
-            if len(seg) < 36 + 3 * nc:
-                raise ValueError("SIZ segment shorter than its Csiz count")
+            if nc == 0 or len(seg) < 36 + 3 * nc:
+                raise ValueError("SIZ component count invalid or truncated")
             triples = [
                 (seg[36 + 3 * i], seg[37 + 3 * i], seg[38 + 3 * i])
                 for i in range(nc)
@@ -989,6 +998,7 @@ def decode_jpeg2000(blob: bytes):
                 )
             cod = {
                 "levels": nlev, "cb_exp": cbw_exp, "mct": mct,
+                "prog": prog,
                 "sop": bool(scod & 2), "eph": bool(scod & 4),
             }
         elif m == 0x5C:  # QCD
@@ -1044,8 +1054,10 @@ def decode_jpeg2000(blob: bytes):
     W, H, P, nc = siz["w"], siz["h"], siz["prec"], siz["nc"]
     levels, cb_exp = cod["levels"], cod["cb_exp"]
     cb = 1 << cb_exp
-    if cod["mct"] and nc != 3:
-        raise ValueError("MCT flagged but component count != 3")
+    if cod["mct"] and nc < 3:
+        raise ValueError("MCT flagged but fewer than 3 components")
+    if cod["prog"] > 4:
+        raise ValueError(f"invalid progression order {cod['prog']}")
 
     # subband geometry from the image size (single tile at the origin)
     def sizes(n, lv):
@@ -1073,7 +1085,7 @@ def decode_jpeg2000(blob: bytes):
             eps_by[(r, o)] = sb_eps_iter[k] if k < len(sb_eps_iter) else sb_eps_iter[-1]
             k += 1
 
-    def one_packet(sbs, br_pos):
+    def one_packet(sbs, br_pos, r):
         """Parse one packet at br_pos → (arrays, new br_pos)."""
         if cod["sop"] and data[br_pos : br_pos + 2] == b"\xff\x91":
             br_pos += 6
@@ -1095,7 +1107,7 @@ def decode_jpeg2000(blob: bytes):
                 continue
             incl = TagTree(ncx, ncy)
             imsb = TagTree(ncx, ncy)
-            mb = qcd_guard + eps_by[(_cur_r[0], orient)] - 1
+            mb = qcd_guard + eps_by[(r, orient)] - 1
             for cy in range(ncy):
                 for cx in range(ncx):
                     if not incl.decode(cx, cy, 1, br.bit):
@@ -1126,13 +1138,20 @@ def decode_jpeg2000(blob: bytes):
             sub[:, :] = np.where(sgn == 1, -vals, vals)
         return arrays, br_pos
 
-    _cur_r = [0]
-    comp_res = [[] for _ in range(nc)]
-    for r, sbs in enumerate(res_geo):
-        _cur_r[0] = r
-        for ci in range(nc):  # LRCP, one layer: res-major then component
-            arrays, br_pos = one_packet(sbs, br_pos)
-            comp_res[ci].append(arrays)
+    # With one layer / one tile / one precinct, the five progression
+    # orders collapse to two packet sequences: LRCP/RLCP/RPCL are
+    # resolution-major (component innermost); PCRL/CPRL are
+    # component-major (resolution innermost). Iterate in the stream's
+    # own order — assigning resolution-major slots to a CPRL stream
+    # would silently hand each component the other's packets.
+    comp_res = [[None] * len(res_geo) for _ in range(nc)]
+    if cod["prog"] in (3, 4):  # PCRL / CPRL
+        order = [(r, ci) for ci in range(nc) for r in range(len(res_geo))]
+    else:  # LRCP / RLCP / RPCL
+        order = [(r, ci) for r in range(len(res_geo)) for ci in range(nc)]
+    for r, ci in order:
+        arrays, br_pos = one_packet(res_geo[r], br_pos, r)
+        comp_res[ci][r] = arrays
 
     planes = []
     for ci in range(nc):
@@ -1141,18 +1160,18 @@ def decode_jpeg2000(blob: bytes):
         bands = [(dict(a)[1], dict(a)[2], dict(a)[3]) for a in ra[1:]]
         planes.append(dwt53_inverse(ll, bands))
     if cod["mct"]:
-        planes = _rct_inverse(planes)
+        # T.800 G: the RCT applies to components 0-2; extras (alpha)
+        # pass through untransformed
+        planes = _rct_inverse(planes[:3]) + planes[3:]
     if P > 32:
         raise NotImplementedError(
             f"JPEG 2000 precision {P} bits (> 32) is not supported"
         )
+    stack = np.stack(planes, axis=-1) if nc > 1 else planes[0]
     if siz["signed"]:
-        stack = np.stack(planes, axis=-1) if nc > 1 else planes[0]
         stack = np.clip(stack, -(1 << (P - 1)), (1 << (P - 1)) - 1)
         dt_ = np.int8 if P <= 8 else (np.int16 if P <= 16 else np.int32)
-        return stack.astype(dt_)
-    stack = np.stack(planes, axis=-1) if nc > 1 else planes[0]
-    stack = stack + (1 << (P - 1))
-    stack = np.clip(stack, 0, (1 << P) - 1)
-    dt_ = np.uint8 if P <= 8 else (np.uint16 if P <= 16 else np.uint32)
+    else:
+        stack = np.clip(stack + (1 << (P - 1)), 0, (1 << P) - 1)
+        dt_ = np.uint8 if P <= 8 else (np.uint16 if P <= 16 else np.uint32)
     return stack.astype(dt_)
