@@ -848,17 +848,17 @@ def q42_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # The driver's per-round correctness gate samples the FIRST 50 entries of
-# queries() in dict order. Queries that have not yet appeared in any driver
-# CORRECTNESS file are listed here so they get verified first; the local
-# oracle-gate test (tests/test_oracle_gate.py) still runs all of them every
-# time regardless of ordering.
+# queries() in dict order. The ordering is DERIVED at load time from the
+# CORRECTNESS_r*.json files the driver writes to the repo root: each query
+# sorts by the round of its latest green driver row, oldest first, with
+# never-driver-verified queries (new this round) at the very front. That
+# makes the rotation automatic — it cannot go stale the way a hand-edited
+# list can. _VERIFY_FIRST below is only the fallback used when no
+# CORRECTNESS files are present (fresh checkout) and as a stable
+# tie-breaker within a staleness bucket; the local oracle-gate test
+# (tests/test_oracle_gate.py) still runs all queries regardless of order.
 _VERIFY_FIRST: tuple[str, ...] = (
-    # r7 rotation: every query ordered by the round of its latest green
-    # driver row, OLDEST FIRST, so the driver's 50-query sample window
-    # re-verifies the stalest records each round (r6 sampled q61-q123;
-    # the 73 queries below last verified in r3-r5 now lead). Queries
-    # added this round are never driver-verified and must be inserted
-    # at the very top of this tuple.
+    # r7 rotation snapshot (fallback/tie-break only — see above).
     # r7 additions: never driver-verified
     "q124_ngram_diversity",
     "q125_zipf_fit",
@@ -993,10 +993,61 @@ _VERIFY_FIRST: tuple[str, ...] = (
 )
 
 
+def _latest_green_round(repo_root=None) -> dict[str, int]:
+    """Map query name -> latest round with a green driver row.
+
+    Reads the CORRECTNESS_r*.json files the driver leaves at the repo root.
+    A row counts as green when it ran without error and the row counts
+    matched (hash_match may legitimately be absent for rows-only checks).
+    Queries with no green row anywhere are absent from the result.
+    """
+    import json
+    import re
+    from pathlib import Path
+
+    root = Path(repo_root) if repo_root is not None else Path(__file__).resolve().parents[1]
+    latest: dict[str, int] = {}
+    for path in sorted(root.glob("CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path.name)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            rows = json.loads(path.read_text())
+        except (OSError, ValueError):
+            continue
+        if not isinstance(rows, dict):
+            continue
+        for name, rec in rows.items():
+            if not isinstance(rec, dict):
+                continue
+            green = rec.get("err") is None and rec.get("rows_match") is True
+            if green and rec.get("hash_match") is False:
+                green = False
+            if green and rnd > latest.get(name, -1):
+                latest[name] = rnd
+    return latest
+
+
 def _ordered(mapping: dict) -> dict:
-    first = [n for n in _VERIFY_FIRST if n in mapping]
-    rest = [n for n in mapping if n not in set(first)]
-    return {n: mapping[n] for n in first + rest}
+    """Order queries stalest-driver-verification-first (see _VERIFY_FIRST)."""
+    try:
+        latest = _latest_green_round()
+    except Exception:  # pragma: no cover - ordering must never break queries()
+        latest = {}
+    fallback_rank = {n: i for i, n in enumerate(_VERIFY_FIRST)}
+    names = list(mapping)
+
+    def key(name: str):
+        # Never-driver-verified first (round -1), then oldest round first;
+        # within a round, keep the fallback tuple's order, then dict order.
+        return (
+            latest.get(name, -1),
+            fallback_rank.get(name, len(fallback_rank)),
+            names.index(name),
+        )
+
+    return {n: mapping[n] for n in sorted(names, key=key)}
 
 
 def get_queries() -> dict[str, QueryFn]:

@@ -484,6 +484,7 @@ def dup_groups_star(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    converged = False
     for _ in range(max_iter):
         # LARGE-STAR: for every node u, neighbors v > u re-point at
         # m(u) = min(neighbors(u) ∪ {u}); output stays canonical (u > v)
@@ -523,6 +524,17 @@ def dup_groups_star(
         e = ss
         if converged:
             break
+    if not converged:
+        # Unconverged labels can be WRONG (a chain only partially
+        # collapsed) — refuse rather than hand back silent mislabels.
+        # O(log n) convergence means the default budget is ample; hitting
+        # this signals an extreme graph or a too-small explicit max_iter.
+        raise RuntimeError(
+            f"dup_groups_star did not reach the star fixpoint within "
+            f"max_iter={max_iter} rounds; group labels would be unreliable. "
+            "Raise max_iter (rounds needed grow as O(log n) in the node "
+            "count, so a small increase goes far)."
+        )
     # fixpoint edges are (child, component-min) stars; roots carry no
     # 'u' row, so a left join labels them with themselves
     return (

@@ -1231,10 +1231,12 @@ def image_meta(content: bytes) -> dict:
         from intake_spark.llm.jpeg2000 import _unwrap_jp2
 
         cs = _unwrap_jp2(bytes(content))
-        # SIZ immediately follows SOC: Lsiz Rsiz Xsiz Ysiz
+        # SIZ immediately follows SOC: Lsiz Rsiz Xsiz Ysiz XOsiz YOsiz.
+        # Image extent is Xsiz-XOsiz / Ysiz-YOsiz (T.800 A.5.1) — a
+        # non-zero reference-grid offset must not inflate the dims.
         if cs[2:4] == b"\xff\x51":
-            w, h = _s.unpack_from(">II", cs, 8)
-            return {"format": "jpeg2000", "width": w, "height": h}
+            xsiz, ysiz, xo, yo = _s.unpack_from(">IIII", cs, 8)
+            return {"format": "jpeg2000", "width": xsiz - xo, "height": ysiz - yo}
         raise ValueError("JPEG 2000 codestream lacks SIZ")
     if content[:4] == b"RIFF" and content[8:12] == b"WEBP":
         pos = 12

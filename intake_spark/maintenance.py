@@ -229,6 +229,7 @@ def delta_optimize(
         w = w.partitionBy(*part_cols)
     w.parquet(stage)
     new_adds = []
+    created_dirs: list[str] = []  # dirs THIS op created, for lost-race cleanup
     now_ms = int(time.time() * 1000)
     for dirpath, _dirs, files in os.walk(stage):
         rel_dir = os.path.relpath(dirpath, stage)
@@ -237,7 +238,13 @@ def delta_optimize(
                 continue
             rel = fn if rel_dir == "." else f"{rel_dir}/{fn}"
             dst = os.path.join(root, rel)
+            d = os.path.dirname(dst)
+            missing = []
+            while d != root and not os.path.isdir(d):
+                missing.append(d)
+                d = os.path.dirname(d)
             os.makedirs(os.path.dirname(dst), exist_ok=True)
+            created_dirs.extend(missing)
             os.replace(os.path.join(dirpath, fn), dst)
             pvals = {}
             if rel_dir != ".":
@@ -286,13 +293,15 @@ def delta_optimize(
             ap = os.path.join(root, _unquote(a["path"]))
             if os.path.exists(ap):
                 os.remove(ap)
-        for dirpath, _dirs, files in os.walk(root, topdown=False):
-            if (
-                dirpath != root
-                and "_delta_log" not in dirpath.split(os.sep)
-                and not os.listdir(dirpath)
-            ):
-                os.rmdir(dirpath)
+        # Only prune directories THIS operation created (deepest first) —
+        # never sweep the whole root, which could delete pre-existing
+        # empty partition directories that belong to the table.
+        for d in sorted(set(created_dirs), key=len, reverse=True):
+            try:
+                if os.path.isdir(d) and not os.listdir(d):
+                    os.rmdir(d)
+            except OSError:
+                pass
         raise ConcurrentWriteError(
             f"delta_optimize lost the commit race for version "
             f"{new_version} of {root}; staged files were cleaned up — "

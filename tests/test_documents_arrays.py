@@ -286,6 +286,20 @@ def test_dup_groups_star_adversarial_chain(spark):
         dup_groups(spairs, method="bogus")
 
 
+def test_dup_groups_star_unconverged_raises(spark):
+    """Exhausting max_iter before the star fixpoint must raise — silent
+    possibly-wrong group labels are worse than a loud failure."""
+    import pytest
+
+    from intake_spark.llm.dedup import dup_groups_star
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(200)], ["doc_a", "doc_b"]
+    )
+    with pytest.raises(RuntimeError, match="max_iter=1"):
+        dup_groups_star(pairs, max_iter=1)
+
+
 def test_huggingface_reader_parquet_routing(spark):
     """HF reader scans the dataset's parquet export natively — the resolver
     is mocked to local shards; no datasets library, no driver collect."""

@@ -176,6 +176,10 @@ def test_delta_optimize_commit_race_cleans_up(spark, tmp_path, monkeypatch):
 
     root = str(tmp_path / "race")
     _mk_delta(spark, root)
+    # a pre-existing empty directory the optimize did NOT create must
+    # survive the lost-race cleanup (the sweep is scoped to created dirs)
+    preexisting_empty = os.path.join(root, "src=preexisting")
+    os.makedirs(preexisting_empty)
     before = {(r.id, r.src, r.x) for r in DeltaLakeReader(
         data=dt.DeltalakeTable(url=root)).read(spark=spark).collect()}
     files_before = set(_delta_files(root))
@@ -195,6 +199,7 @@ def test_delta_optimize_commit_race_cleans_up(spark, tmp_path, monkeypatch):
     monkeypatch.undo()
     # no orphans: only the pre-existing data files remain
     assert set(_delta_files(root)) == files_before
+    assert os.path.isdir(preexisting_empty)
     after = {(r.id, r.src, r.x) for r in DeltaLakeReader(
         data=dt.DeltalakeTable(url=root)).read(spark=spark).collect()}
     assert after == before

@@ -206,6 +206,28 @@ def test_meta_probes_for_new_formats():
     assert au["format"] == "au" and au["duration_s"] == 1.0 and au["bits"] == 16
 
 
+def test_image_meta_jpeg2000_reference_grid_offset():
+    """SIZ dims are Xsiz-XOsiz / Ysiz-YOsiz (T.800 A.5.1): a codestream
+    with a non-zero reference-grid origin must not report inflated dims."""
+    import struct
+
+    from intake_spark.llm.multimodal import image_meta
+
+    siz_body = struct.pack(
+        ">HIIIIIIII H BBB",
+        0,          # Rsiz
+        1000, 800,  # Xsiz, Ysiz (grid extent)
+        360, 300,   # XOsiz, YOsiz (image origin on the grid)
+        1000, 800,  # XTsiz, YTsiz
+        0, 0,       # XTOsiz, YTOsiz
+        1,          # Csiz
+        7, 1, 1,    # Ssiz, XRsiz, YRsiz
+    )
+    cs = b"\xff\x4f\xff\x51" + struct.pack(">H", 2 + len(siz_body)) + siz_body
+    m = image_meta(cs)
+    assert (m["format"], m["width"], m["height"]) == ("jpeg2000", 640, 500)
+
+
 # --- IMA-ADPCM WAV / A-law AU ---------------------------------------------
 
 

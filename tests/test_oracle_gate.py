@@ -120,3 +120,33 @@ def test_no_row_udfs_and_sanctioned_cartesians_only(spark):
             offenders_cart.append(name)
     assert not offenders_udf, f"row-at-a-time Python UDF in: {offenders_udf}"
     assert not offenders_cart, f"unsanctioned cartesian join in: {offenders_cart}"
+
+
+def test_verify_order_derived_from_correctness_files(tmp_path):
+    """queries() ordering is derived from the driver's CORRECTNESS_r*.json
+    files: never-driver-verified queries lead, then stalest-verified
+    first — so the driver's 50-query sample window rotates automatically
+    and cannot go stale the way a hand-edited list can."""
+    import json
+
+    from intake_spark.benchqueries import _latest_green_round, _ordered
+
+    (tmp_path / "CORRECTNESS_r01.json").write_text(json.dumps({
+        "q_old": {"rows_match": True, "hash_match": True, "err": None},
+        "q_red": {"rows_match": False, "hash_match": False, "err": None},
+    }))
+    (tmp_path / "CORRECTNESS_r02.json").write_text(json.dumps({
+        "q_fresh": {"rows_match": True, "hash_match": True, "err": None},
+        "q_rowsonly": {"rows_match": True, "err": None},
+        "q_errored": {"rows_match": True, "hash_match": True, "err": "boom"},
+    }))
+    latest = _latest_green_round(tmp_path)
+    # red / errored rows never count as verification
+    assert latest == {"q_old": 1, "q_fresh": 2, "q_rowsonly": 2}
+
+    # live ordering: histogram over the real repo files must be
+    # non-decreasing in round (never-verified first, oldest next)
+    real = _latest_green_round()
+    ordered = list(_ordered({n: None for n in real}))
+    rounds = [real.get(n, -1) for n in ordered]
+    assert rounds == sorted(rounds)
