@@ -310,7 +310,7 @@ def resize_nearest(arr, out_h: int, out_w: int):
 
 def _pil_decode(content: bytes) -> np.ndarray:
     """Optional-dependency escape hatch for the lossy codecs (lossy
-    WebP, AVIF/HEIF, progressive JPEG …): when pillow IS installed,
+    WebP, AVIF/HEIF, CMYK/arithmetic JPEG …): when pillow IS installed,
     delegate to it — exactly the reference's own PILImageReader
     delegation (reference readers.py:2228) — and normalize to the same
     (H, W, C) uint8 ndarray contract the stdlib decoders return.
@@ -383,10 +383,10 @@ def decode_image(content: bytes):
         try:
             arr = decode_jpeg(content)
         except NotImplementedError as gate:
-            # progressive SOF types: stdlib can't, pillow can — keep the
-            # named gate when pillow is absent OR when pillow itself fails
-            # (arithmetic-coded/lossless SOFs are beyond pillow too; its
-            # opaque 'broken data stream' must not replace the gate)
+            # arithmetic-coded / CMYK SOF types: stdlib can't, pillow may —
+            # keep the named gate when pillow is absent OR when pillow
+            # itself fails (its opaque 'broken data stream' must not
+            # replace the gate). SOF0/1/2 all decode natively above.
             try:
                 return _pil_decode(content)
             except ImportError:
@@ -648,9 +648,10 @@ def frame_sample_plan(df: DataFrame, content_col: str = "content", every_n: int 
 # ---------------------------------------------------------------------------
 # Baseline JPEG decode — stdlib + numpy (parity: PILImageReader,
 # reference readers.py:2228, which delegates to libjpeg via PIL). Scope:
-# sequential DCT (SOF0), Huffman entropy coding, 8-bit samples, grayscale
-# and YCbCr with any h/v subsampling (4:4:4, 4:2:0, 4:2:2, ...), restart
-# markers. Progressive (SOF2) and arithmetic coding raise clearly.
+# Huffman DCT (SOF0 baseline, SOF1 extended 8/12-bit, SOF2 progressive),
+# grayscale and YCbCr with any h/v subsampling (4:4:4, 4:2:0, 4:2:2, ...),
+# multi-scan + spectral selection + successive approximation, restart
+# markers. Arithmetic coding and hierarchical processes raise clearly.
 # ---------------------------------------------------------------------------
 
 _JPEG_ZIGZAG = [
@@ -878,8 +879,51 @@ def decode_jpeg_lossless(content: bytes):
     return out.astype(dt_)
 
 
+def _jpeg_entropy_intervals(content: bytes, pos: int) -> tuple[list[bytes], int]:
+    """De-stuffed entropy intervals of one scan, split on restart markers.
+
+    Returns (intervals, next_pos) where next_pos is the offset of the
+    marker (0xFF byte) that terminated the scan, so the caller can keep
+    walking the marker stream (multi-scan sequential/progressive files).
+    """
+    intervals: list[bytes] = []
+    cur = bytearray()
+    p = pos
+    n = len(content)
+    while p < n:
+        byte = content[p]
+        if byte == 0xFF and p + 1 < n:
+            nxt = content[p + 1]
+            if nxt == 0x00:
+                cur.append(0xFF)
+                p += 2
+                continue
+            if 0xD0 <= nxt <= 0xD7:
+                intervals.append(bytes(cur))
+                cur = bytearray()
+                p += 2
+                continue
+            break  # EOI or next marker segment
+        cur.append(byte)
+        p += 1
+    intervals.append(bytes(cur))
+    return intervals, p
+
+
 def decode_jpeg(content: bytes):
-    """Baseline JPEG → (H, W) grayscale or (H, W, 3) RGB uint8 ndarray."""
+    """Huffman DCT JPEG → (H, W) grayscale or (H, W, 3) RGB ndarray
+    (uint8 for 8-bit precision, uint16 for 12-bit).
+
+    Supports the Huffman DCT processes of ITU T.81: baseline sequential
+    (SOF0), extended sequential (SOF1, 8/12-bit samples + 16-bit quant
+    tables), and progressive (SOF2) — multi-scan files, spectral
+    selection and successive approximation per Annex G (DC first/refine,
+    AC first/refine with EOB runs), non-interleaved scans, restart
+    markers, any h/v sampling. Arithmetic-coded and hierarchical frames
+    gate with NotImplementedError; decode_image delegates those to
+    pillow when installed (the reference's PILImageReader delegation,
+    reference readers.py:2228).
+    """
     import numpy as np
 
     if content[:2] != b"\xff\xd8":
@@ -888,10 +932,11 @@ def decode_jpeg(content: bytes):
     huff_dc: dict[int, dict] = {}
     huff_ac: dict[int, dict] = {}
     frame = None
-    scan = None
+    scans: list[dict] = []
     restart_interval = 0
     pos = 2
-    while pos < len(content):
+    n = len(content)
+    while pos < n:
         if content[pos] != 0xFF:
             pos += 1
             continue
@@ -903,15 +948,21 @@ def decode_jpeg(content: bytes):
             break
         seglen = int.from_bytes(content[pos + 2 : pos + 4], "big")
         body = content[pos + 4 : pos + 2 + seglen]
-        if marker == 0xDB:  # DQT
+        if marker == 0xDB:  # DQT (Pq=1 → 16-bit elements, legal for SOF1/2)
             b = 0
             while b < len(body):
                 prec, tid = body[b] >> 4, body[b] & 0xF
                 if prec:
-                    raise NotImplementedError("16-bit quant tables not supported")
-                qt[tid] = np.frombuffer(body[b + 1 : b + 65], dtype=np.uint8).astype(np.float64)
-                b += 65
-        elif marker == 0xC4:  # DHT
+                    qt[tid] = np.frombuffer(
+                        body[b + 1 : b + 129], dtype=">u2"
+                    ).astype(np.float64)
+                    b += 129
+                else:
+                    qt[tid] = np.frombuffer(
+                        body[b + 1 : b + 65], dtype=np.uint8
+                    ).astype(np.float64)
+                    b += 65
+        elif marker == 0xC4:  # DHT (tables may be redefined between scans)
             b = 0
             while b < len(body):
                 cls, tid = body[b] >> 4, body[b] & 0xF
@@ -920,7 +971,10 @@ def decode_jpeg(content: bytes):
                 tbl = _jpeg_huff_table(bits, body[b + 17 : b + 17 + nval])
                 (huff_dc if cls == 0 else huff_ac)[tid] = tbl
                 b += 17 + nval
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1/2
+            if frame is not None:
+                raise ValueError("JPEG has multiple SOF segments")
+            prec = body[0]
             h, w, ncomp = (
                 int.from_bytes(body[1:3], "big"),
                 int.from_bytes(body[3:5], "big"),
@@ -930,112 +984,233 @@ def decode_jpeg(content: bytes):
             for c in range(ncomp):
                 cid, hv, tq = body[6 + c * 3 : 9 + c * 3]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
-            frame = {"h": h, "w": w, "comps": comps}
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            frame = {"marker": marker, "p": prec, "h": h, "w": w, "comps": comps}
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             # named codec gate (NotImplementedError, like lossy WebP):
             # decode_image catches it and delegates to pillow when installed
             raise NotImplementedError(
                 f"JPEG frame type FFC{marker & 0xF:X} not supported "
-                "(baseline sequential SOF0 only)"
+                "(Huffman SOF0/SOF1/SOF2 only; arithmetic-coded and "
+                "hierarchical processes gate)"
             )
         elif marker == 0xDD:  # DRI
             restart_interval = int.from_bytes(body[:2], "big")
-        elif marker == 0xDA:  # SOS
+        elif marker == 0xDA:  # SOS: scan header + entropy data, then keep walking
             ns = body[0]
-            scan = {}
+            sc_comps = []
             for s in range(ns):
                 cid, tables = body[1 + s * 2], body[2 + s * 2]
-                scan[cid] = {"dc": tables >> 4, "ac": tables & 0xF}
-            pos = pos + 2 + seglen
-            break
+                # snapshot the table dicts NOW: DHT between scans redefines ids
+                sc_comps.append(
+                    (cid, huff_dc.get(tables >> 4), huff_ac.get(tables & 0xF))
+                )
+            ss = body[1 + 2 * ns]
+            se = body[2 + 2 * ns]
+            ahal = body[3 + 2 * ns]
+            intervals, pos = _jpeg_entropy_intervals(content, pos + 2 + seglen)
+            scans.append(
+                {
+                    "comps": sc_comps,
+                    "ss": ss,
+                    "se": se,
+                    "ah": ahal >> 4,
+                    "al": ahal & 0xF,
+                    "ri": restart_interval,
+                    "intervals": intervals,
+                }
+            )
+            continue
         pos += 2 + seglen
-    if frame is None or scan is None:
-        raise ValueError("JPEG lacks SOF0/SOS segments")
+    if frame is None or not scans:
+        raise ValueError("JPEG lacks SOF/SOS segments")
+    progressive = frame["marker"] == 0xC2
+    P, H, W = frame["p"], frame["h"], frame["w"]
+    if P not in (8, 12):
+        raise NotImplementedError(f"JPEG sample precision {P} not supported")
+    comps = frame["comps"]
+    if len(comps) not in (1, 3):
+        raise NotImplementedError(
+            f"JPEG with {len(comps)} components (CMYK/unknown color space)"
+        )
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcus_x = -(-W // (8 * hmax))
+    mcus_y = -(-H // (8 * vmax))
+    comp_by_id = {}
+    for c in comps:
+        # padded (MCU-grid) block dims vs the non-interleaved block dims
+        # of T.81 A.2.2 — single-component scans cover only the latter
+        c["bw_pad"], c["bh_pad"] = mcus_x * c["h"], mcus_y * c["v"]
+        c["bw"] = -(-(-(-W * c["h"] // hmax)) // 8)
+        c["bh"] = -(-(-(-H * c["v"] // vmax)) // 8)
+        comp_by_id[c["id"]] = c
+    # coefficient accumulators in ZIGZAG index space, refined scan by scan
+    coefs = {
+        c["id"]: np.zeros((c["bh_pad"], c["bw_pad"], 64), dtype=np.int32)
+        for c in comps
+    }
 
-    # entropy-coded data: up to EOI, split on restart markers, de-stuffed
-    intervals: list[bytes] = []
-    cur = bytearray()
-    p = pos
-    while p < len(content):
-        byte = content[p]
-        if byte == 0xFF and p + 1 < len(content):
-            nxt = content[p + 1]
-            if nxt == 0x00:
-                cur.append(0xFF)
-                p += 2
-                continue
-            if 0xD0 <= nxt <= 0xD7:
-                intervals.append(bytes(cur))
-                cur = bytearray()
-                p += 2
-                continue
-            break  # EOI or next marker
-        cur.append(byte)
-        p += 1
-    intervals.append(bytes(cur))
-
-    hmax = max(c["h"] for c in frame["comps"])
-    vmax = max(c["v"] for c in frame["comps"])
-    mcus_x = -(-frame["w"] // (8 * hmax))
-    mcus_y = -(-frame["h"] // (8 * vmax))
-    C = np.cos((2 * np.arange(8)[None, :] + 1) * np.arange(8)[:, None] * np.pi / 16) / 2
-    C[0, :] *= 1 / np.sqrt(2)
-    planes = []
-    for c in frame["comps"]:
-        planes.append(np.zeros((mcus_y * c["v"] * 8, mcus_x * c["h"] * 8)))
-    preds = [0] * len(frame["comps"])
-    reader = _JpegBits(intervals[0])
-    interval_idx = 0
-    for m in range(mcus_x * mcus_y):
-        if restart_interval and m and m % restart_interval == 0:
-            interval_idx += 1
-            if interval_idx < len(intervals):
-                reader = _JpegBits(intervals[interval_idx])
-            preds = [0] * len(frame["comps"])
-        my, mx = divmod(m, mcus_x)
-        for ci, c in enumerate(frame["comps"]):
-            tdc = huff_dc[scan[c["id"]]["dc"]]
-            tac = huff_ac[scan[c["id"]]["ac"]]
-            q = qt[c["tq"]]
-            for by in range(c["v"]):
-                for bx in range(c["h"]):
-                    coef = np.zeros(64)
+    for scan in scans:
+        sc = scan["comps"]
+        ss, se, ah, al = scan["ss"], scan["se"], scan["ah"], scan["al"]
+        if not progressive:
+            ss, se, ah, al = 0, 63, 0, 0  # sequential scans are always full-band
+        interleaved = len(sc) > 1
+        if progressive and ss > 0 and interleaved:
+            raise ValueError("progressive AC scans must be non-interleaved")
+        dc_scan = ss == 0
+        needs_dc = (not progressive) or (dc_scan and ah == 0)
+        needs_ac = (not progressive) or not dc_scan
+        for _cid, _tdc, _tac in sc:
+            if (needs_dc and _tdc is None) or (needs_ac and _tac is None):
+                raise ValueError(
+                    "JPEG scan references an undefined Huffman table"
+                )
+        if interleaved:
+            units = mcus_x * mcus_y
+        else:
+            c0 = comp_by_id[sc[0][0]]
+            units = c0["bw"] * c0["bh"]
+        preds = {cid: 0 for cid, _, _ in sc}
+        eobrun = 0
+        intervals = scan["intervals"]
+        reader = _JpegBits(intervals[0])
+        interval_idx = 0
+        ri = scan["ri"]
+        p1 = 1 << al
+        m1 = -p1
+        for u in range(units):
+            if ri and u and u % ri == 0:
+                interval_idx += 1
+                if interval_idx < len(intervals):
+                    reader = _JpegBits(intervals[interval_idx])
+                preds = {cid: 0 for cid, _, _ in sc}
+                eobrun = 0
+            if interleaved:
+                my, mx = divmod(u, mcus_x)
+                blocks = []
+                for cid, tdc, tac in sc:
+                    c = comp_by_id[cid]
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            blocks.append(
+                                (cid, tdc, tac, my * c["v"] + by, mx * c["h"] + bx)
+                            )
+            else:
+                cid, tdc, tac = sc[0]
+                by, bx = divmod(u, comp_by_id[cid]["bw"])
+                blocks = [(cid, tdc, tac, by, bx)]
+            for cid, tdc, tac, by, bx in blocks:
+                coef = coefs[cid][by, bx]
+                if not progressive:
                     t = reader.huff(tdc)
-                    diff = _jpeg_extend(reader.bits(t), t)
-                    preds[ci] += diff
-                    coef[0] = preds[ci] * q[0]
+                    preds[cid] += _jpeg_extend(reader.bits(t), t) if t else 0
+                    coef[0] = preds[cid]
                     k = 1
-                    while k < 64:
+                    while k <= 63:
                         rs = reader.huff(tac)
                         r, s = rs >> 4, rs & 0xF
-                        if rs == 0x00:  # EOB
-                            break
-                        if rs == 0xF0:  # ZRL
-                            k += 16
-                            continue
+                        if s == 0:
+                            if r == 15:  # ZRL
+                                k += 16
+                                continue
+                            break  # EOB
                         k += r
                         if k > 63:
                             break
-                        coef[_JPEG_ZIGZAG[k]] = _jpeg_extend(reader.bits(s), s) * q[k]
+                        coef[k] = _jpeg_extend(reader.bits(s), s)
                         k += 1
-                    # dezigzag happened via _JPEG_ZIGZAG above: coef is in
-                    # natural row-major order
-                    block = C.T @ coef.reshape(8, 8) @ C
-                    y0 = (my * c["v"] + by) * 8
-                    x0 = (mx * c["h"] + bx) * 8
-                    planes[ci][y0 : y0 + 8, x0 : x0 + 8] = block + 128.0
+                elif dc_scan:
+                    if ah == 0:  # DC first (G.1.2.1): diff scaled by 2^Al
+                        t = reader.huff(tdc)
+                        preds[cid] += _jpeg_extend(reader.bits(t), t) if t else 0
+                        coef[0] = preds[cid] << al
+                    else:  # DC refinement (G.1.2.3): one bit per block
+                        if reader.bit():
+                            coef[0] |= p1
+                elif ah == 0:  # AC first scan (G.1.2.2) with EOB runs
+                    if eobrun > 0:
+                        eobrun -= 1
+                        continue
+                    k = ss
+                    while k <= se:
+                        rs = reader.huff(tac)
+                        r, s = rs >> 4, rs & 0xF
+                        if s == 0:
+                            if r == 15:
+                                k += 16
+                                continue
+                            eobrun = (1 << r) - 1
+                            if r:
+                                eobrun += reader.bits(r)
+                            break
+                        k += r
+                        if k > se:
+                            break
+                        coef[k] = _jpeg_extend(reader.bits(s), s) << al
+                        k += 1
+                else:  # AC refinement (G.1.2.3): correction bits + new coeffs
+                    k = ss
+                    if eobrun == 0:
+                        while k <= se:
+                            rs = reader.huff(tac)
+                            r, s = rs >> 4, rs & 0xF
+                            newval = 0
+                            if s == 0:
+                                if r != 15:
+                                    eobrun = 1 << r
+                                    if r:
+                                        eobrun += reader.bits(r)
+                                    break
+                                # r == 15: advance over 16 zero-history coeffs
+                            else:  # s is 1 by G.1.2.3: a newly nonzero coeff
+                                newval = p1 if reader.bit() else m1
+                            # advance r zero-history positions, emitting a
+                            # correction bit for every nonzero coeff passed
+                            while k <= se:
+                                if coef[k] != 0:
+                                    if reader.bit() and not (coef[k] & p1):
+                                        coef[k] += p1 if coef[k] >= 0 else m1
+                                else:
+                                    if r == 0:
+                                        break
+                                    r -= 1
+                                k += 1
+                            if newval and k <= se:
+                                coef[k] = newval
+                            k += 1
+                    if eobrun > 0:
+                        while k <= se:  # EOB run: refinement bits only
+                            if coef[k] != 0:
+                                if reader.bit() and not (coef[k] & p1):
+                                    coef[k] += p1 if coef[k] >= 0 else m1
+                            k += 1
+                        eobrun -= 1
+
+    # dequantize (zigzag×zigzag), dezigzag, batch IDCT, level shift
+    C = np.cos((2 * np.arange(8)[None, :] + 1) * np.arange(8)[:, None] * np.pi / 16) / 2
+    C[0, :] *= 1 / np.sqrt(2)
+    zz = np.asarray(_JPEG_ZIGZAG)
+    level = float(1 << (P - 1))
+    maxv = (1 << P) - 1
     out_planes = []
-    for ci, c in enumerate(frame["comps"]):
-        pl = planes[ci]
+    for c in comps:
+        deq = coefs[c["id"]].astype(np.float64) * qt[c["tq"]]
+        nat = np.empty_like(deq)
+        nat[..., zz] = deq
+        b8 = nat.reshape(c["bh_pad"], c["bw_pad"], 8, 8)
+        spat = np.einsum("ki,yxkl,lj->yxij", C, b8, C) + level
+        pl = spat.transpose(0, 2, 1, 3).reshape(c["bh_pad"] * 8, c["bw_pad"] * 8)
         pl = np.repeat(np.repeat(pl, vmax // c["v"], axis=0), hmax // c["h"], axis=1)
-        out_planes.append(pl[: frame["h"], : frame["w"]])
+        out_planes.append(pl[:H, :W])
+    dt_ = np.uint8 if P == 8 else np.uint16
     if len(out_planes) == 1:
-        return np.clip(out_planes[0].round(), 0, 255).astype(np.uint8)
-    y, cb, cr = out_planes[:3]
-    r = y + 1.402 * (cr - 128.0)
-    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
-    b = y + 1.772 * (cb - 128.0)
-    return np.clip(np.stack([r, g, b], axis=2).round(), 0, 255).astype(np.uint8)
+        return np.clip(out_planes[0].round(), 0, maxv).astype(dt_)
+    y, cb, cr = out_planes
+    r = y + 1.402 * (cr - level)
+    g = y - 0.344136 * (cb - level) - 0.714136 * (cr - level)
+    b = y + 1.772 * (cb - level)
+    return np.clip(np.stack([r, g, b], axis=2).round(), 0, maxv).astype(dt_)
 
 
 AUDIO_FEATURES_SCHEMA = T.StructType(

@@ -1478,6 +1478,7 @@ def _dicom_meta(url: str) -> dict:
 
 _DICOM_RLE = "1.2.840.10008.1.2.5"
 _DICOM_JPEG_BASELINE = "1.2.840.10008.1.2.4.50"
+_DICOM_JPEG_EXTENDED = "1.2.840.10008.1.2.4.51"    # JPEG Extended (12-bit SOF1)
 _DICOM_JPEG_LS = "1.2.840.10008.1.2.4.80"          # JPEG-LS Lossless
 _DICOM_JPEG_LS_NEAR = "1.2.840.10008.1.2.4.81"     # JPEG-LS Near-Lossless
 _DICOM_JPEG_LOSSLESS = "1.2.840.10008.1.2.4.57"    # JPEG Lossless P14
@@ -1486,7 +1487,8 @@ _DICOM_J2K_LOSSLESS = "1.2.840.10008.1.2.4.90"     # JPEG 2000 Lossless only
 _DICOM_J2K = "1.2.840.10008.1.2.4.91"              # JPEG 2000 (may be lossy)
 # encapsulated syntaxes this package decodes with its OWN codecs
 _DICOM_ENCAPSULATED = (
-    _DICOM_RLE, _DICOM_JPEG_BASELINE, _DICOM_JPEG_LS, _DICOM_JPEG_LS_NEAR,
+    _DICOM_RLE, _DICOM_JPEG_BASELINE, _DICOM_JPEG_EXTENDED,
+    _DICOM_JPEG_LS, _DICOM_JPEG_LS_NEAR,
     _DICOM_JPEG_LOSSLESS, _DICOM_JPEG_LOSSLESS_SV1,
     _DICOM_J2K_LOSSLESS, _DICOM_J2K,
 )
@@ -1697,9 +1699,15 @@ class DicomReader(BaseReader):
                             elif signed and arr.dtype == np.uint8:
                                 arr = arr.view(np.int8)
                         else:
+                            # .4.50 baseline (SOF0) and .4.51 extended
+                            # (SOF1, 12-bit) through the same DCT decoder
                             from intake_spark.llm.multimodal import decode_jpeg
 
                             arr = decode_jpeg(blob)
+                            if signed and arr.dtype == np.uint16:
+                                arr = arr.view(np.int16)
+                            elif signed and arr.dtype == np.uint8:
+                                arr = arr.view(np.int8)
                         if tuple(arr.shape) != exp_frame:
                             raise ValueError(
                                 f"decoded frame shape {tuple(arr.shape)} != "

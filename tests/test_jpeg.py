@@ -193,11 +193,12 @@ def test_cropping_non_multiple_of_8():
     np.testing.assert_array_equal(img, 77)
 
 
-def test_progressive_rejected():
+def test_arithmetic_rejected():
     # named codec gate (NotImplementedError): decode_image delegates this
-    # to pillow when installed; bare decode_jpeg always gates
-    blob = b"\xff\xd8" + _seg(0xC2, bytes([8]) + struct.pack(">HH", 8, 8) + bytes([1, 1, 0x11, 0]))
-    with pytest.raises(NotImplementedError, match="SOF0"):
+    # to pillow when installed; bare decode_jpeg always gates. Progressive
+    # (SOF2) decodes natively now — see test_jpeg_progressive.py.
+    blob = b"\xff\xd8" + _seg(0xCA, bytes([8]) + struct.pack(">HH", 8, 8) + bytes([1, 1, 0x11, 0]))
+    with pytest.raises(NotImplementedError, match="SOF0/SOF1/SOF2"):
         decode_jpeg(blob + b"\xff\xd9")
 
 

@@ -573,10 +573,11 @@ def test_pyav_escape_hatch_for_video(monkeypatch, spark):
     assert len(bytes(rows3[0].frame_bytes)) > 0
 
 
-def test_progressive_jpeg_reaches_pil_hatch(monkeypatch):
-    """Progressive JPEG (SOF2) is a NotImplementedError gate from
-    decode_jpeg; decode_image delegates it to pillow when installed and
-    keeps the named gate otherwise (review finding r6)."""
+def test_arithmetic_jpeg_reaches_pil_hatch(monkeypatch):
+    """Arithmetic-coded JPEG (SOF10) is a NotImplementedError gate from
+    decode_jpeg (progressive SOF2 decodes natively since r8); decode_image
+    delegates the gate to pillow when installed and keeps the named gate
+    otherwise (review finding r6)."""
     import struct
     import sys
     import types
@@ -591,11 +592,11 @@ def test_progressive_jpeg_reaches_pil_hatch(monkeypatch):
 
     prog = (
         b"\xff\xd8"
-        + _seg(0xC2, bytes([8]) + struct.pack(">HH", 8, 8) + bytes([1, 1, 0x11, 0]))
+        + _seg(0xCA, bytes([8]) + struct.pack(">HH", 8, 8) + bytes([1, 1, 0x11, 0]))
         + b"\xff\xd9"
     )
 
-    with pytest.raises(NotImplementedError, match="SOF0"):
+    with pytest.raises(NotImplementedError, match="SOF0/SOF1/SOF2"):
         decode_image(prog)
 
     class FakeImg:

@@ -235,6 +235,49 @@ def test_dicom_jpeg_baseline_frame(spark, tmp_path):
     np.testing.assert_array_equal(got.reshape(8, 8), np.full((8, 8), 200.0))
 
 
+def test_dicom_jpeg_extended_12bit_frame(spark, tmp_path):
+    """JPEG Extended (1.2.840.10008.1.2.4.51): a 12-bit SOF1 fragment with
+    a 16-bit quantization table decodes through the native DCT path."""
+    from tests.test_jpeg_progressive import BW, _sof, _sos, _tables
+
+    bw = BW()
+    bw.dc_sym(3)
+    bw.amp(5, 3)  # DC 5 · q 256 / 8 + 2048 = 2208
+    bw.ac_sym(0x00)
+    jpg = (
+        b"\xff\xd8" + _tables(prec16=True)
+        + _sof(0xC1, 8, 8, [(1, 0x11)], prec=12)
+        + _sos([1], 0, 63, 0, 0) + bw.flush() + b"\xff\xd9"
+    )
+    # 12-bit pixels ride in BitsAllocated=16 containers (PS3.5 §8.1.1)
+    blob = _encapsulate(
+        b"1.2.840.10008.1.2.4.51\x00", 8, 8, [jpg], bits=16, signed=False
+    )
+    p = tmp_path / "jx.dcm"
+    p.write_bytes(blob)
+    df = DicomReader(data=DICOM(url=str(p))).read(spark=spark)
+    got = _rebuild(df)
+    np.testing.assert_array_equal(got.reshape(8, 8), np.full((8, 8), 2208.0))
+
+
+def test_dicom_jpeg_progressive_baseline_syntax(spark, tmp_path):
+    """Real-world .4.50 files are sometimes progressive (encoders mislabel
+    or use the extended family); the native SOF2 path now covers them."""
+    from tests.test_jpeg_progressive import make_gray_progressive
+
+    blocks = np.zeros((1, 1, 64), dtype=np.int64)
+    blocks[0, 0, 0] = 8 * (150 - 128)
+    jpg = make_gray_progressive(8, 8, blocks)
+    blob = _encapsulate(
+        b"1.2.840.10008.1.2.4.50\x00", 8, 8, [jpg], bits=8, signed=False
+    )
+    p = tmp_path / "jp.dcm"
+    p.write_bytes(blob)
+    df = DicomReader(data=DICOM(url=str(p))).read(spark=spark)
+    got = _rebuild(df)
+    np.testing.assert_array_equal(got.reshape(8, 8), np.full((8, 8), 150.0))
+
+
 def test_dicom_unsupported_compressed_still_named(tmp_path):
     """An unknown compressed syntax still raises a NAMED error (the
     JPEG family root UID is not a concrete syntax)."""
