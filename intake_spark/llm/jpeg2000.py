@@ -323,70 +323,154 @@ def _mq_roundtrip_selftest():
 # ---------------------------------------------------------------------------
 
 
-def _dwt53_fwd_1d(x):
-    """Forward 1-D: returns (L, H). Even-start (i0 = 0) convention."""
-    n = len(x)
-    if n == 1:
-        return list(x), []
-    y = list(x)
-    ext = lambda i: x[-i] if i < 0 else (x[2 * (n - 1) - i] if i >= n else x[i])
-    for i in range(1, n, 2):
-        y[i] = x[i] - ((ext(i - 1) + ext(i + 1)) >> 1)
-    ye = lambda i: y[-i] if i < 0 else (y[2 * (n - 1) - i] if i >= n else y[i])
-    for i in range(0, n, 2):
-        y[i] = x[i] + ((ye(i - 1) + ye(i + 1) + 2) >> 2)
-    return y[0::2], y[1::2]
+# 9/7 irreversible lifting parameters (T.800 Table F.4 — published spec
+# constants, not invented). The low subband is scaled by 1/K, the high
+# subband by K: tests/test_jpeg2000.py verifies this lifting arrangement
+# against the Table F.4 CONVOLUTION taps (an independent derivation), so
+# a mirrored encoder/decoder misreading cannot pass.
+_D97_ALPHA = -1.586134342059924
+_D97_BETA = -0.052980118572961
+_D97_GAMMA = 0.882911075530934
+_D97_DELTA = 0.443506852043971
+_D97_K = 1.230174104914001
 
 
-def _dwt53_inv_1d(L, H):
-    n = len(L) + len(H)
+def _ceil_div(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+def _reflect_pad(y):
+    """Whole-sample symmetric extension by one sample on the last axis."""
+    import numpy as np
+
+    return np.concatenate([y[..., 1:2], y, y[..., -2:-1]], axis=-1)
+
+
+def _parity_idx(n: int, start: int):
+    """(even-absolute-coordinate indices, odd ones) for y[i] ↔ start+i."""
+    import numpy as np
+
+    idx = np.arange(n)
+    return idx[(idx + start) % 2 == 0], idx[(idx + start) % 2 == 1]
+
+
+def _fwd_axis(a, start: int, irreversible: bool, axis: int):
+    """1-D analysis along ``axis`` with absolute start coordinate
+    ``start`` (T.800 F.2/F.4): samples at even absolute coordinates form
+    the low band. Returns (L, H)."""
+    import numpy as np
+
+    y = np.moveaxis(np.asarray(a), axis, -1)
+    n = y.shape[-1]
+    if n == 0:
+        e = y[..., :0]
+        return np.moveaxis(e, -1, axis), np.moveaxis(e, -1, axis)
+    ev, od = _parity_idx(n, start)
     if n == 1:
-        return list(L)
-    y = [0] * n
-    y[0::2] = L
-    y[1::2] = H
-    x = [0] * n
-    ye = lambda i: y[-i] if i < 0 else (y[2 * (n - 1) - i] if i >= n else y[i])
-    for i in range(0, n, 2):
-        x[i] = y[i] - ((ye(i - 1) + ye(i + 1) + 2) >> 2)
-    xe = lambda i: x[-i] if i < 0 else (x[2 * (n - 1) - i] if i >= n else x[i])
-    for i in range(1, n, 2):
-        x[i] = y[i] + ((xe(i - 1) + xe(i + 1)) >> 1)
-    return x
+        if start % 2 == 0:
+            L = y / _D97_K if irreversible else y
+            H = y[..., :0]
+        else:
+            L = y[..., :0]
+            H = y * _D97_K if irreversible else y * 2
+        return np.moveaxis(L, -1, axis), np.moveaxis(H, -1, axis)
+    if irreversible:
+        y = y.astype(np.float64).copy()
+        for coef, tgt in (
+            (_D97_ALPHA, od), (_D97_BETA, ev), (_D97_GAMMA, od), (_D97_DELTA, ev),
+        ):
+            yp = _reflect_pad(y)
+            y[..., tgt] += coef * (yp[..., tgt] + yp[..., tgt + 2])
+        y[..., ev] /= _D97_K
+        y[..., od] *= _D97_K
+    else:
+        y = y.astype(np.int64).copy()
+        yp = _reflect_pad(y)
+        y[..., od] -= (yp[..., od] + yp[..., od + 2]) >> 1
+        yp = _reflect_pad(y)
+        y[..., ev] += (yp[..., ev] + yp[..., ev + 2] + 2) >> 2
+    return np.moveaxis(y[..., ev], -1, axis), np.moveaxis(y[..., od], -1, axis)
+
+
+def _inv_axis(L, H, start: int, irreversible: bool, axis: int):
+    """1-D synthesis along ``axis``: inverse of :func:`_fwd_axis`."""
+    import numpy as np
+
+    Lm = np.moveaxis(np.asarray(L), axis, -1)
+    Hm = np.moveaxis(np.asarray(H), axis, -1)
+    n = Lm.shape[-1] + Hm.shape[-1]
+    if n == 0:
+        return np.moveaxis(Lm[..., :0], -1, axis)
+    if n == 1:
+        if start % 2 == 0:
+            y = Lm * _D97_K if irreversible else Lm
+        else:
+            y = Hm / _D97_K if irreversible else Hm >> 1
+        return np.moveaxis(y, -1, axis)
+    dt = np.float64 if irreversible else np.int64
+    shape = Lm.shape[:-1] + (n,)
+    y = np.empty(shape, dtype=dt)
+    ev, od = _parity_idx(n, start)
+    y[..., ev] = Lm
+    y[..., od] = Hm
+    if irreversible:
+        y[..., ev] *= _D97_K
+        y[..., od] /= _D97_K
+        for coef, tgt in (
+            (_D97_DELTA, ev), (_D97_GAMMA, od), (_D97_BETA, ev), (_D97_ALPHA, od),
+        ):
+            yp = _reflect_pad(y)
+            y[..., tgt] -= coef * (yp[..., tgt] + yp[..., tgt + 2])
+    else:
+        yp = _reflect_pad(y)
+        y[..., ev] -= (yp[..., ev] + yp[..., ev + 2] + 2) >> 2
+        yp = _reflect_pad(y)
+        y[..., od] += (yp[..., od] + yp[..., od + 2]) >> 1
+    return np.moveaxis(y, -1, axis)
+
+
+def dwt_forward_boxed(a, box, levels: int, irreversible: bool = False):
+    """2-D forward DWT of a tile-component living on the absolute
+    coordinate box ``(x0, y0, x1, y1)`` (T.800 B.5 geometry): vertical
+    pass then horizontal per level. Returns (LL, bands coarsest-FIRST)."""
+    cur = a
+    cx0, cy0 = box[0], box[1]
+    bands = []
+    for _ in range(levels):
+        top, bot = _fwd_axis(cur, cy0, irreversible, axis=0)
+        ll, hl = _fwd_axis(top, cx0, irreversible, axis=1)
+        lh, hh = _fwd_axis(bot, cx0, irreversible, axis=1)
+        bands.append((hl, lh, hh))
+        cur = ll
+        cx0, cy0 = _ceil_div(cx0, 2), _ceil_div(cy0, 2)
+    return cur, bands[::-1]
+
+
+def dwt_inverse_boxed(ll, bands, box, irreversible: bool = False):
+    """Inverse of :func:`dwt_forward_boxed` (bands coarsest-first):
+    horizontal pass then vertical, with interleave parity taken from the
+    absolute resolution-level coordinates — a tile whose coordinates are
+    odd at some scale starts on a HIGH sample (T.800 F.3.2)."""
+    N = len(bands)
+    cur = ll
+    for li, (hl, lh, hh) in enumerate(bands):
+        n = N - li  # decomposition level of these bands
+        fx0 = _ceil_div(box[0], 1 << (n - 1))
+        fy0 = _ceil_div(box[1], 1 << (n - 1))
+        top = _inv_axis(cur, hl, fx0, irreversible, axis=1)
+        bot = _inv_axis(lh, hh, fx0, irreversible, axis=1)
+        cur = _inv_axis(top, bot, fy0, irreversible, axis=0)
+    return cur
 
 
 def dwt53_forward(a, levels: int):
-    """2-D forward: per level, 1-D on columns then rows of the running
-    LL. Returns (LL, [(HL, LH, HH) per level, coarsest LAST])."""
+    """2-D forward 5/3 at the origin (legacy API). Returns
+    (LL, [(HL, LH, HH) per level, coarsest FIRST])."""
     import numpy as np
 
-    ll = np.asarray(a, dtype=np.int64)
-    bands = []
-    for _ in range(levels):
-        h, w = ll.shape
-        # vertical (columns)
-        top = np.zeros(((h + 1) // 2, w), dtype=np.int64)
-        bot = np.zeros((h // 2, w), dtype=np.int64)
-        for cidx in range(w):
-            L, H = _dwt53_fwd_1d(ll[:, cidx].tolist())
-            top[:, cidx] = L
-            bot[:, cidx] = H
-        # horizontal (rows) on both halves
-        def hsplit(m):
-            mh, mw = m.shape
-            lft = np.zeros((mh, (mw + 1) // 2), dtype=np.int64)
-            rgt = np.zeros((mh, mw // 2), dtype=np.int64)
-            for ridx in range(mh):
-                L, H = _dwt53_fwd_1d(m[ridx].tolist())
-                lft[ridx] = L
-                rgt[ridx] = H
-            return lft, rgt
-
-        llq, hl = hsplit(top)
-        lh, hh = hsplit(bot)
-        bands.append((hl, lh, hh))
-        ll = llq
-    return ll, bands[::-1]  # coarsest level FIRST in the returned list
+    a = np.asarray(a, dtype=np.int64)
+    h, w = a.shape
+    return dwt_forward_boxed(a, (0, 0, w, h), levels, irreversible=False)
 
 
 def dwt53_inverse(ll, bands):
@@ -394,21 +478,9 @@ def dwt53_inverse(ll, bands):
     import numpy as np
 
     ll = np.asarray(ll, dtype=np.int64)
-    for hl, lh, hh in bands:
-        th = ll.shape[0] + lh.shape[0]
-        tw = ll.shape[1] + hl.shape[1]
-        # horizontal inverse on both halves
-        top = np.zeros((ll.shape[0], tw), dtype=np.int64)
-        for ridx in range(ll.shape[0]):
-            top[ridx] = _dwt53_inv_1d(ll[ridx].tolist(), hl[ridx].tolist())
-        bot = np.zeros((lh.shape[0], tw), dtype=np.int64)
-        for ridx in range(lh.shape[0]):
-            bot[ridx] = _dwt53_inv_1d(lh[ridx].tolist(), hh[ridx].tolist())
-        out = np.zeros((th, tw), dtype=np.int64)
-        for cidx in range(tw):
-            out[:, cidx] = _dwt53_inv_1d(top[:, cidx].tolist(), bot[:, cidx].tolist())
-        ll = out
-    return ll
+    h = ll.shape[0] + sum(lh.shape[0] for _hl, lh, _hh in bands)
+    w = ll.shape[1] + sum(hl.shape[1] for hl, _lh, _hh in bands)
+    return dwt_inverse_boxed(ll, bands, (0, 0, w, h), irreversible=False)
 
 
 # ---------------------------------------------------------------------------
@@ -735,16 +807,6 @@ def _band_cblocks(bw_, bh_, cb: int):
     return -(-bw_ // cb), -(-bh_ // cb)
 
 
-def _subband_list(ll_shape, bands):
-    """[(resolution, orient, array-shape-or-None)] geometry helper."""
-    out = [[(0, ll_shape)]]  # r=0: LL only (orient 0)
-    for hl, lh, hh in bands:
-        out.append([(1, hl.shape if hasattr(hl, "shape") else hl),
-                    (2, lh.shape if hasattr(lh, "shape") else lh),
-                    (3, hh.shape if hasattr(hh, "shape") else hh)])
-    return out
-
-
 _GAIN = {0: 0, 1: 1, 2: 1, 3: 2}
 
 
@@ -761,26 +823,170 @@ def _rct_inverse(comps):
     return [v + g, g, u + g]
 
 
-def encode_jpeg2000(img, levels: int = 3, cb_exp: int = 6,
-                    guard_bits: int = 3, signed: bool = False,
-                    mct: "bool | None" = None) -> bytes:
-    """Encode a 2-D (grayscale) or HxWx3 (RGB) array as a lossless
-    JPEG 2000 codestream (single tile, one quality layer, 5/3
-    reversible, LRCP). ``mct`` applies the reversible color transform
-    (default: on for 3-component unsigned input)."""
+def _ict_forward(comps):
+    """Irreversible color transform (T.800 G.3, for RGB with 9/7)."""
+    r, g, b = comps
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b
+    return [y, cb, cr]
+
+
+def _ict_inverse(comps):
+    y, cb, cr = comps
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    return [r, g, b]
+
+
+def _res_band_boxes(box, levels: int):
+    """T.800 B.5 subband coordinate boxes for a tile-component box
+    ``(x0, y0, x1, y1)``. Returns per-resolution lists: r=0 holds the
+    level-N LL; r>=1 holds (HL, LH, HH) of decomposition level N-r+1.
+    Every box is (bx0, by0, bx1, by1) in ABSOLUTE subband coordinates —
+    code-block grids anchor at multiples of the block size in these
+    coordinates, so a tile away from the origin starts mid-grid."""
+    x0, y0, x1, y1 = box
+    N = levels
+    f = 1 << N
+    out = [[(0, (_ceil_div(x0, f), _ceil_div(y0, f),
+                 _ceil_div(x1, f), _ceil_div(y1, f)))]]
+    for r in range(1, N + 1):
+        n = N - r + 1
+        half, full = 1 << (n - 1), 1 << n
+
+        def bb(xo, yo):
+            return (
+                _ceil_div(x0 - half * xo, full), _ceil_div(y0 - half * yo, full),
+                _ceil_div(x1 - half * xo, full), _ceil_div(y1 - half * yo, full),
+            )
+
+        out.append([(1, bb(1, 0)), (2, bb(0, 1)), (3, bb(1, 1))])
+    return out
+
+
+def _band_grid(bandbox, cb: int):
+    """Code-block grid over a band box: (gx0, gy0, ncx, ncy) with the
+    grid anchored at multiples of cb in absolute band coordinates."""
+    bx0, by0, bx1, by1 = bandbox
+    if bx1 <= bx0 or by1 <= by0:
+        return 0, 0, 0, 0
+    gx0, gy0 = bx0 // cb, by0 // cb
+    return gx0, gy0, _ceil_div(bx1, cb) - gx0, _ceil_div(by1, cb) - gy0
+
+
+def _emit_packet(sbs, cb: int) -> bytes:
+    """One packet body: sbs = [(orient, arr, bandbox, mb)] where arr holds
+    SIGNED integer coefficients/quantizer indices for the whole band."""
     import numpy as np
 
-    img = np.asarray(img)
-    if img.ndim == 2:
-        comps = [img.astype(np.int64)]
-    elif img.ndim == 3:
-        comps = [img[:, :, i].astype(np.int64) for i in range(img.shape[2])]
+    hdr = _HdrBitWriter()
+    body = bytearray()
+    hdr.put(1)  # non-empty packet
+    for orient, arr, bandbox, mb in sbs:
+        gx0, gy0, ncx, ncy = _band_grid(bandbox, cb)
+        if ncx == 0:
+            continue
+        bx0, by0, bx1, by1 = bandbox
+        incl = TagTree(ncx, ncy)
+        imsb = TagTree(ncx, ncy)
+        cbs = []
+        for cy in range(ncy):
+            for cx in range(ncx):
+                ax0, ax1 = max(bx0, (gx0 + cx) * cb), min(bx1, (gx0 + cx + 1) * cb)
+                ay0, ay1 = max(by0, (gy0 + cy) * cb), min(by1, (gy0 + cy + 1) * cb)
+                sub = arr[ay0 - by0 : ay1 - by0, ax0 - bx0 : ax1 - bx0]
+                sh, sw = sub.shape
+                mags = np.abs(sub).ravel().tolist()
+                signs = (sub.ravel() < 0).astype(int).tolist()
+                data, npass, nbps = t1_encode(signs, mags, sw, sh, orient)
+                if nbps > mb:
+                    raise ValueError(
+                        f"code block needs {nbps} bitplanes > Mb={mb}; "
+                        "raise guard_bits"
+                    )
+                cbs.append((cx, cy, data, npass, nbps))
+                incl.set_value(cx, cy, 0 if npass else 1)
+                imsb.set_value(cx, cy, mb - nbps if npass else 0)
+        incl.finalize()
+        imsb.finalize()
+        for cx, cy, data, npass, nbps in cbs:
+            incl.encode(cx, cy, 1, hdr.put)
+            if not npass:
+                continue
+            zbp = mb - nbps
+            imsb.encode(cx, cy, zbp + 1, hdr.put)
+            _put_numpasses(hdr, npass)
+            lblock = 3
+            nbits = len(data).bit_length()
+            want = lblock + (npass.bit_length() - 1)
+            while nbits > want:
+                hdr.put(1)
+                lblock += 1
+                want += 1
+            hdr.put(0)
+            hdr.put_bits(len(data), want)
+            body += data
+    return hdr.flush() + bytes(body)
+
+
+def encode_jpeg2000(img, levels: int = 3, cb_exp: int = 6,
+                    guard_bits: int = 3, signed: bool = False,
+                    mct: "bool | None" = None, irreversible: bool = False,
+                    tile_size: "tuple[int, int] | None" = None,
+                    subsampling: "list[tuple[int, int]] | None" = None,
+                    quant_shift: int = 0,
+                    qcd_style: str = "expounded",
+                    grid_offset: "tuple[int, int] | None" = None) -> bytes:
+    """Encode a 2-D (grayscale), HxWx3 (RGB), or plane-list array as a
+    JPEG 2000 codestream (one quality layer, LRCP).
+
+    - default: 5/3 reversible, lossless; ``mct`` applies the RCT
+      (default on for 3-component unsigned full-resolution input).
+    - ``irreversible=True``: 9/7 wavelet (T.800 Table F.4 constants) +
+      ICT for color + deadzone scalar quantization with step
+      ``2**quant_shift`` at the finest rung; ``qcd_style`` picks the
+      QCD signalling ('expounded' Sqcd=2 per-band pairs, or 'derived'
+      Sqcd=1 single pair with the E.1.1 exponent ladder).
+    - ``tile_size=(tw, th)``: multi-tile codestream, tiles at the grid
+      origin, one tile-part per tile.
+    - ``subsampling=[(xr, yr), ...]``: pass ``img`` as a LIST of planes
+      whose shapes are ceil(H/yr) x ceil(W/xr); component 0 must be
+      full-resolution (1, 1).
+    - ``grid_offset=(xo, yo)``: place the image at a non-zero reference
+      grid origin (SIZ XOsiz/YOsiz) — odd offsets flip the DWT
+      interleave parity, which real encoders exercise.
+    """
+    import numpy as np
+
+    if isinstance(img, (list, tuple)):
+        comps = [np.asarray(c).astype(np.int64) for c in img]
     else:
-        raise ValueError("encode_jpeg2000 takes a 2-D or HxWxC array")
+        img = np.asarray(img)
+        if img.ndim == 2:
+            comps = [img.astype(np.int64)]
+        elif img.ndim == 3:
+            comps = [img[:, :, i].astype(np.int64) for i in range(img.shape[2])]
+        else:
+            raise ValueError(
+                "encode_jpeg2000 takes a 2-D or HxWxC array or a plane list"
+            )
     nc = len(comps)
     if nc == 0:
         raise ValueError("encode_jpeg2000: zero-channel array")
+    sub = [tuple(s) for s in subsampling] if subsampling else [(1, 1)] * nc
+    if len(sub) != nc:
+        raise ValueError("subsampling list length != component count")
+    if sub[0] != (1, 1):
+        raise ValueError("component 0 must be full resolution (1, 1)")
     H, W = comps[0].shape
+    for c, (xr, yr) in zip(comps, sub):
+        if c.shape != (_ceil_div(H, yr), _ceil_div(W, xr)):
+            raise ValueError(
+                f"component shape {c.shape} does not match its subsampling "
+                f"({xr}, {yr}) for a {W}x{H} grid"
+            )
     if signed:
         P = max(
             max(
@@ -797,104 +1003,137 @@ def encode_jpeg2000(img, levels: int = 3, cb_exp: int = 6,
         )
         shifted = [c - (1 << (P - 1)) for c in comps]
     if mct is None:
-        mct = nc == 3 and not signed
-    if mct and nc != 3:
-        raise ValueError("mct (RCT) needs exactly 3 components")
-    if mct:
+        mct = nc == 3 and not signed and all(s == (1, 1) for s in sub[:3])
+    if mct and (nc != 3 or any(s != (1, 1) for s in sub[:3])):
+        raise ValueError("mct needs exactly 3 full-resolution components")
+    if irreversible:
+        shifted = [c.astype(np.float64) for c in shifted]
+        if mct:
+            shifted = _ict_forward(shifted)
+    elif mct:
         shifted = _rct_forward(shifted)
     levels = max(0, min(levels, max((min(H, W) - 1).bit_length() - 1, 0)))
+    N = levels
     cb = 1 << cb_exp
-    pq = P + (1 if mct else 0)  # RCT chroma gains one bit
-    eps = {0: pq, 1: pq + 1, 2: pq + 1, 3: pq + 2}
+    if qcd_style not in ("expounded", "derived"):
+        raise ValueError("qcd_style must be 'expounded' or 'derived'")
 
-    comp_res_bands = []
-    for c in shifted:
-        ll, bands = dwt53_forward(c, levels)
-        comp_res_bands.append(
-            [[(0, ll)]] + [[(1, hl), (2, lh), (3, hh)] for hl, lh, hh in bands]
+    # per-(resolution, orient) exponent / quantization step
+    eps_by: dict[tuple, int] = {}
+    delta_by: dict[tuple, float] = {}
+    for r in range(N + 1):
+        for o in ((0,) if r == 0 else (1, 2, 3)):
+            n = N if r == 0 else N - r + 1
+            if irreversible:
+                rb = P + _GAIN[o]
+                if qcd_style == "derived":
+                    # E.1.1: eps_b = eps_0 - N + n_b, mantissa shared
+                    e = (P - quant_shift) - N + n
+                else:
+                    e = rb - quant_shift
+                eps_by[(r, o)] = e
+                delta_by[(r, o)] = 2.0 ** (rb - e)
+            else:
+                pq = P + (1 if mct else 0)  # RCT chroma gains one bit
+                eps_by[(r, o)] = pq + _GAIN[o]
+    if not all(0 <= e < 32 for e in eps_by.values()):
+        # QCD exponents are 5-bit fields (T.800 E.1); wrapping one would
+        # corrupt Mb silently
+        raise ValueError(
+            f"subband exponent out of the 5-bit QCD range: {sorted(set(eps_by.values()))} "
+            f"(precision {P} / quant_shift {quant_shift} unsupported here)"
         )
+
+    xo, yo = grid_offset if grid_offset else (0, 0)
+    if xo < 0 or yo < 0:
+        raise ValueError("grid_offset must be non-negative")
+    if (xo or yo) and any(s != (1, 1) for s in sub):
+        raise ValueError(
+            "grid_offset with subsampled components is not supported by "
+            "this encoder (plane extents would depend on the offset)"
+        )
+    xs, ys = xo + W, yo + H
+    tw, th = tile_size if tile_size else (xs, ys)
+    if tw <= 0 or th <= 0:
+        raise ValueError("tile_size must be positive")
+    ntx, nty = _ceil_div(xs, tw), _ceil_div(ys, th)
 
     out = bytearray(b"\xff\x4f")  # SOC
     out += b"\xff\x51" + struct.pack(
-        ">HHIIIIIIIIH", 38 + 3 * nc, 0, W, H, 0, 0, W, H, 0, 0, nc
+        ">HHIIIIIIIIH", 38 + 3 * nc, 0, xs, ys, xo, yo, tw, th, 0, 0, nc
     )
-    for _ in range(nc):
-        out += bytes(((P - 1) | (0x80 if signed else 0), 1, 1))
+    for xr, yr in sub:
+        out += bytes(((P - 1) | (0x80 if signed else 0), xr, yr))
     out += b"\xff\x52" + struct.pack(
         ">HBBHBBBBBB", 12, 0, 0, 1, 1 if mct else 0, levels,
-        cb_exp - 2, cb_exp - 2, 0, 1
+        cb_exp - 2, cb_exp - 2, 0, 0 if irreversible else 1
     )
-    n_sb = 3 * levels + 1
-    out += b"\xff\x5c" + struct.pack(">HB", 3 + n_sb, guard_bits << 5)
-    sb_eps = [eps[0]] + [eps[o] for _r in range(levels) for o in (1, 2, 3)]
-    if max(sb_eps) >= 32:
-        # the QCD exponent is a 5-bit field (T.800 E.1); wrapping it
-        # would corrupt Mb silently
-        raise ValueError(
-            f"subband exponent {max(sb_eps)} exceeds the 5-bit QCD field "
-            f"(precision {P} too high for reversible JPEG 2000 here)"
+    band_order = [(0, 0)] + [(r, o) for r in range(1, N + 1) for o in (1, 2, 3)]
+    if not irreversible:
+        out += b"\xff\x5c" + struct.pack(">HB", 3 + len(band_order), guard_bits << 5)
+        out += bytes(eps_by[k] << 3 for k in band_order)
+    elif qcd_style == "derived":
+        out += b"\xff\x5c" + struct.pack(
+            ">HBH", 5, 0x01 | (guard_bits << 5), eps_by[(0, 0)] << 11
         )
-    out += bytes(e << 3 for e in sb_eps)
+    else:
+        out += b"\xff\x5c" + struct.pack(
+            ">HB", 3 + 2 * len(band_order), 0x02 | (guard_bits << 5)
+        )
+        for k in band_order:
+            out += struct.pack(">H", eps_by[k] << 11)
 
-    def one_packet(sbs) -> bytes:
-        hdr = _HdrBitWriter()
-        body = bytearray()
-        hdr.put(1)  # non-empty packet
-        for orient, arr in sbs:
-            bh_, bw_ = arr.shape
-            ncx, ncy = _band_cblocks(bw_, bh_, cb)
-            if ncx == 0:
-                continue
-            incl = TagTree(ncx, ncy)
-            imsb = TagTree(ncx, ncy)
-            mb = guard_bits + eps[orient] - 1
-            cbs = []
-            for cy in range(ncy):
-                for cx in range(ncx):
-                    sub = arr[cy * cb : (cy + 1) * cb, cx * cb : (cx + 1) * cb]
-                    sh, sw = sub.shape
-                    mags = np.abs(sub).ravel().tolist()
-                    signs = (sub.ravel() < 0).astype(int).tolist()
-                    data, npass, nbps = t1_encode(signs, mags, sw, sh, orient)
-                    if nbps > mb:
-                        raise ValueError(
-                            f"code block needs {nbps} bitplanes > Mb={mb}; "
-                            "raise guard_bits"
-                        )
-                    cbs.append((cx, cy, data, npass, nbps))
-                    incl.set_value(cx, cy, 0 if npass else 1)
-                    imsb.set_value(cx, cy, mb - nbps if npass else 0)
-            incl.finalize()
-            imsb.finalize()
-            for cx, cy, data, npass, nbps in cbs:
-                incl.encode(cx, cy, 1, hdr.put)
-                if not npass:
-                    continue
-                zbp = (guard_bits + eps[orient] - 1) - nbps
-                imsb.encode(cx, cy, zbp + 1, hdr.put)
-                _put_numpasses(hdr, npass)
-                lblock = 3
-                nbits = len(data).bit_length()
-                want = lblock + (npass.bit_length() - 1)
-                while nbits > want:
-                    hdr.put(1)
-                    lblock += 1
-                    want += 1
-                hdr.put(0)
-                hdr.put_bits(len(data), want)
-                body += data
-        return hdr.flush() + bytes(body)
-
-    # LRCP with one layer: resolution-major, then component
-    packets = bytearray()
-    for r in range(levels + 1):
+    for t in range(ntx * nty):
+        ty, tx = divmod(t, ntx)
+        tx0, tx1 = max(tx * tw, xo), min((tx + 1) * tw, xs)
+        ty0, ty1 = max(ty * th, yo), min((ty + 1) * th, ys)
+        packets = bytearray()
+        comp_bands = []
         for ci in range(nc):
-            packets += one_packet(comp_res_bands[ci][r])
-
-    tile = bytes(packets)
-    psot = 12 + 2 + len(tile)
-    out += b"\xff\x90" + struct.pack(">HHIBB", 10, 0, psot, 0, 1)
-    out += b"\xff\x93" + tile
+            xr, yr = sub[ci]
+            pox, poy = _ceil_div(xo, xr), _ceil_div(yo, yr)
+            box = (_ceil_div(tx0, xr), _ceil_div(ty0, yr),
+                   _ceil_div(tx1, xr), _ceil_div(ty1, yr))
+            plane = shifted[ci][box[1] - poy : box[3] - poy,
+                                box[0] - pox : box[2] - pox]
+            ll, bands = dwt_forward_boxed(plane, box, levels, irreversible)
+            boxes = _res_band_boxes(box, levels)
+            per_res = [[(0, ll, boxes[0][0][1])]]
+            for r in range(1, levels + 1):
+                hl, lh, hh = bands[r - 1]
+                per_res.append([
+                    (1, hl, boxes[r][0][1]),
+                    (2, lh, boxes[r][1][1]),
+                    (3, hh, boxes[r][2][1]),
+                ])
+            if irreversible:
+                per_res = [
+                    [
+                        (
+                            o,
+                            np.sign(a).astype(np.int64)
+                            * (np.abs(a) / delta_by[(r, o)]).astype(np.int64),
+                            bx,
+                        )
+                        for o, a, bx in res
+                    ]
+                    for r, res in enumerate(per_res)
+                ]
+            comp_bands.append(per_res)
+        # LRCP with one layer: resolution-major, then component
+        for r in range(levels + 1):
+            for ci in range(nc):
+                packets += _emit_packet(
+                    [
+                        (o, a, bx, guard_bits + eps_by[(r, o)] - 1)
+                        for o, a, bx in comp_bands[ci][r]
+                    ],
+                    cb,
+                )
+        tile = bytes(packets)
+        psot = 12 + 2 + len(tile)
+        out += b"\xff\x90" + struct.pack(">HHIBB", 10, t, psot, 0, 1)
+        out += b"\xff\x93" + tile
     out += b"\xff\xd9"  # EOC
     return bytes(out)
 
@@ -924,10 +1163,18 @@ def _unwrap_jp2(blob: bytes) -> bytes:
 
 
 def decode_jpeg2000(blob: bytes):
-    """Decode a lossless JPEG 2000 codestream → 2-D (grayscale) or
-    HxWxC numpy array. Named gates: subsampled components, multiple
-    tiles/layers, precinct subdivision, irreversible 9/7, code-block
-    style options, COC/QCC/RGN/POC/PPM/PPT markers."""
+    """Decode a JPEG 2000 Part 1 codestream → 2-D (grayscale) or HxWxC
+    numpy array.
+
+    Supported: reversible 5/3 (lossless) AND irreversible 9/7 (lossy,
+    T.800 Table F.4 lifting + midpoint dequantization), RCT/ICT color,
+    multiple tiles and tile-parts (SOT walk, any Psot incl. 0),
+    image/tile grid offsets, subsampled components (XRsiz/YRsiz > 1,
+    nearest upsample to the full grid), all three QCD styles
+    (reversible / scalar-derived / scalar-expounded), the five
+    progression orders (single-layer collapse). Named gates: multiple
+    quality layers, precinct subdivision, code-block style options,
+    COC/QCC/RGN/POC/PPM/PPT markers, HTJ2K."""
     import numpy as np
 
     blob = _unwrap_jp2(blob)
@@ -935,8 +1182,8 @@ def decode_jpeg2000(blob: bytes):
         raise ValueError("not a JPEG 2000 codestream (no SOC)")
     pos = 2
     siz = cod = None
-    qcd_guard = qcd_eps = None
-    tile_start = tile_len = None
+    qcd = None
+    tileparts: dict[int, list] = {}
     while pos + 4 <= len(blob):
         if blob[pos] != 0xFF:
             raise ValueError(f"expected marker at {pos}")
@@ -956,20 +1203,20 @@ def decode_jpeg2000(blob: bytes):
                 (seg[36 + 3 * i], seg[37 + 3 * i], seg[38 + 3 * i])
                 for i in range(nc)
             ]
-            if any(t != triples[0] for t in triples):
+            if any(t[0] != triples[0][0] for t in triples):
                 raise NotImplementedError(
-                    "components with differing precision/subsampling"
+                    "components with differing precision"
                 )
-            ssiz, xr, yr = triples[0]
-            if xr != 1 or yr != 1:
-                raise NotImplementedError("subsampled components")
-            if xo or yo or xto or yto or xt != xs or yt != ys:
-                raise NotImplementedError(
-                    "JPEG 2000 tiling/offsets — single full-image tile only"
-                )
+            ssiz = triples[0][0]
+            if xt == 0 or yt == 0:
+                raise ValueError("SIZ tile size is zero")
+            if xto > xo or yto > yo or xo >= xs or yo >= ys:
+                raise ValueError("SIZ offsets are inconsistent")
             siz = {
-                "w": xs, "h": ys, "nc": nc,
+                "xs": xs, "ys": ys, "xo": xo, "yo": yo,
+                "xt": xt, "yt": yt, "xto": xto, "yto": yto, "nc": nc,
                 "prec": (ssiz & 0x7F) + 1, "signed": bool(ssiz & 0x80),
+                "sub": [(t[1], t[2]) for t in triples],
             }
         elif m == 0x52:  # COD
             scod = seg[0]
@@ -986,10 +1233,8 @@ def decode_jpeg2000(blob: bytes):
                     f"code-block style 0x{cbstyle:02x} (bypass/reset/"
                     "termination/segmentation options) not supported"
                 )
-            if transform != 1:
-                raise NotImplementedError(
-                    "irreversible 9/7 wavelet — lossless 5/3 only"
-                )
+            if transform not in (0, 1):
+                raise ValueError(f"unknown wavelet transform {transform}")
             if cbw_exp != cbh_exp:
                 raise NotImplementedError("non-square code blocks")
             if scod & 1:
@@ -998,17 +1243,27 @@ def decode_jpeg2000(blob: bytes):
                 )
             cod = {
                 "levels": nlev, "cb_exp": cbw_exp, "mct": mct,
-                "prog": prog,
+                "prog": prog, "irreversible": transform == 0,
                 "sop": bool(scod & 2), "eph": bool(scod & 4),
             }
-        elif m == 0x5C:  # QCD
+        elif m == 0x5C:  # QCD — all three T.800 E.1 styles
             sqcd = seg[0]
-            if sqcd & 0x1F:
-                raise NotImplementedError(
-                    "quantized (irreversible) QCD — reversible only"
-                )
-            qcd_guard = sqcd >> 5
-            qcd_eps = [b >> 3 for b in seg[1:]]
+            style = sqcd & 0x1F
+            guard = sqcd >> 5
+            if style == 0:  # reversible: 8-bit exponents
+                qcd = {"style": 0, "guard": guard,
+                       "eps": [b >> 3 for b in seg[1:]], "mu": None}
+            elif style == 1:  # scalar derived: one 16-bit pair
+                (v,) = struct.unpack_from(">H", seg, 1)
+                qcd = {"style": 1, "guard": guard,
+                       "eps": [v >> 11], "mu": [v & 0x7FF]}
+            elif style == 2:  # scalar expounded: a pair per subband
+                vals = struct.unpack_from(f">{(len(seg) - 1) // 2}H", seg, 1)
+                qcd = {"style": 2, "guard": guard,
+                       "eps": [v >> 11 for v in vals],
+                       "mu": [v & 0x7FF for v in vals]}
+            else:
+                raise ValueError(f"unknown QCD style {style}")
         elif m in (0x53, 0x5D, 0x5E, 0x5F, 0x60, 0x61):
             name = {0x53: "COC (per-component coding style)",
                     0x5D: "QCC (per-component quantization)",
@@ -1021,19 +1276,18 @@ def decode_jpeg2000(blob: bytes):
             raise NotImplementedError(
                 f"JPEG 2000 {name} marker is not supported"
             )
-        elif m == 0x90:  # SOT
+        elif m == 0x90:  # SOT: collect this tile-part, keep walking
             isot, psot, tpsot, tnsot = struct.unpack_from(">HIBB", seg, 0)
-            if isot != 0 or tpsot != 0:
-                raise NotImplementedError("multiple tiles/tile-parts")
             sot_pos = pos - 2
             # skip ignorable tile-part-header segments (PLT packet
             # lengths, COM comments) until SOD; gate decode-altering ones
             tp = pos + ln
             while blob[tp : tp + 2] != b"\xff\x93":
                 tm = blob[tp + 1]
-                if tm in (0x53, 0x5D, 0x5E, 0x5F, 0x61):
+                if tm in (0x52, 0x53, 0x5C, 0x5D, 0x5E, 0x5F, 0x61):
                     raise NotImplementedError(
-                        f"JPEG 2000 tile-part marker 0xFF{tm:02X} is not "
+                        f"JPEG 2000 tile-part marker 0xFF{tm:02X} "
+                        "(per-tile coding/quantization override) is not "
                         "supported"
                     )
                 if tm not in (0x58, 0x64):  # PLT / COM are ignorable
@@ -1042,51 +1296,48 @@ def decode_jpeg2000(blob: bytes):
                     )
                 (tln,) = struct.unpack_from(">H", blob, tp + 2)
                 tp += 2 + tln
-            tile_start = tp + 2
-            tile_len = (
-                (sot_pos + psot) - tile_start if psot else len(blob) - 2 - tile_start
-            )
-            break
+            start = tp + 2
+            end = (sot_pos + psot) if psot else len(blob) - 2
+            tileparts.setdefault(isot, []).append((tpsot, blob[start:end]))
+            pos = end
+            continue
         pos += ln
-    if siz is None or cod is None or qcd_eps is None or tile_start is None:
+    if siz is None or cod is None or qcd is None or not tileparts:
         raise ValueError("JPEG 2000 codestream missing SIZ/COD/QCD/SOT")
 
-    W, H, P, nc = siz["w"], siz["h"], siz["prec"], siz["nc"]
+    P, nc = siz["prec"], siz["nc"]
+    if P > 32:
+        raise NotImplementedError(
+            f"JPEG 2000 precision {P} bits (> 32) is not supported"
+        )
     levels, cb_exp = cod["levels"], cod["cb_exp"]
+    irreversible = cod["irreversible"]
+    if qcd["style"] == 0 and irreversible:
+        raise ValueError("reversible QCD with the 9/7 transform")
+    if qcd["style"] != 0 and not irreversible:
+        raise ValueError("quantized QCD with the reversible 5/3 transform")
     cb = 1 << cb_exp
     if cod["mct"] and nc < 3:
         raise ValueError("MCT flagged but fewer than 3 components")
+    if cod["mct"] and any(s != (1, 1) for s in siz["sub"][:3]):
+        raise ValueError("MCT flagged on subsampled components")
     if cod["prog"] > 4:
         raise ValueError(f"invalid progression order {cod['prog']}")
 
-    # subband geometry from the image size (single tile at the origin)
-    def sizes(n, lv):
-        s = n
-        out = []
-        for _ in range(lv):
-            out.append((s - s // 2, s // 2))  # (low, high)
-            s = s - s // 2
-        return out
+    guard = qcd["guard"]
 
-    wsz, hsz = sizes(W, levels), sizes(H, levels)
-    res_geo = [[(0, (hsz[-1][0] if levels else H, wsz[-1][0] if levels else W))]]
-    for li in range(levels - 1, -1, -1):
-        lw, hw = wsz[li]
-        lh, hh_ = hsz[li]
-        res_geo.append([(1, (lh, hw)), (2, (hh_, lw)), (3, (hh_, hw))])
+    def eps_mu(r, o):
+        """(exponent, mantissa) for band (r, o) per the QCD style."""
+        n = levels if r == 0 else levels - r + 1
+        if qcd["style"] == 1:  # derived (E.1.1)
+            return qcd["eps"][0] - levels + n, qcd["mu"][0]
+        idx = 0 if r == 0 else 1 + 3 * (r - 1) + (o - 1)
+        eps = qcd["eps"][idx if idx < len(qcd["eps"]) else -1]
+        mu = qcd["mu"][idx if idx < len(qcd["mu"]) else -1] if qcd["mu"] else 0
+        return eps, mu
 
-    data = blob[tile_start : tile_start + tile_len]
-    br_pos = 0
-    sb_eps_iter = list(qcd_eps)
-    eps_by = {(0, 0): sb_eps_iter[0]}
-    k = 1
-    for r in range(1, levels + 1):
-        for o in (1, 2, 3):
-            eps_by[(r, o)] = sb_eps_iter[k] if k < len(sb_eps_iter) else sb_eps_iter[-1]
-            k += 1
-
-    def one_packet(sbs, br_pos, r):
-        """Parse one packet at br_pos → (arrays, new br_pos)."""
+    def one_packet(data, br_pos, sbs, r):
+        """Parse one packet at br_pos → ([(orient, array, bandbox)], pos)."""
         if cod["sop"] and data[br_pos : br_pos + 2] == b"\xff\x91":
             br_pos += 6
         br = _HdrBitReader(data, br_pos)
@@ -1095,19 +1346,25 @@ def decode_jpeg2000(blob: bytes):
             br_pos = br.align()
             if cod["eph"] and data[br_pos : br_pos + 2] == b"\xff\x92":
                 br_pos += 2
-            for orient, (bh_, bw_) in sbs:
-                arrays.append((orient, np.zeros((bh_, bw_), dtype=np.int64)))
+            for orient, bx in sbs:
+                arrays.append(
+                    (orient,
+                     np.zeros((bx[3] - bx[1], bx[2] - bx[0]), dtype=np.int64),
+                     bx)
+                )
             return arrays, br_pos
         blocks_meta = []
-        for orient, (bh_, bw_) in sbs:
-            arr = np.zeros((bh_, bw_), dtype=np.int64)
-            arrays.append((orient, arr))
-            ncx, ncy = _band_cblocks(bw_, bh_, cb)
+        for orient, bandbox in sbs:
+            bx0, by0, bx1, by1 = bandbox
+            arr = np.zeros((by1 - by0, bx1 - bx0), dtype=np.int64)
+            arrays.append((orient, arr, bandbox))
+            gx0, gy0, ncx, ncy = _band_grid(bandbox, cb)
             if ncx == 0:
                 continue
             incl = TagTree(ncx, ncy)
             imsb = TagTree(ncx, ncy)
-            mb = qcd_guard + eps_by[(r, orient)] - 1
+            eps, _mu = eps_mu(r, orient)
+            mb = guard + eps - 1
             for cy in range(ncy):
                 for cx in range(ncx):
                     if not incl.decode(cx, cy, 1, br.bit):
@@ -1122,15 +1379,19 @@ def decode_jpeg2000(blob: bytes):
                         lblock += 1
                     nbytes = br.bits(lblock + (npass.bit_length() - 1))
                     blocks_meta.append(
-                        (arr, orient, cx, cy, npass, mb - zbp, nbytes)
+                        (arr, bandbox, orient, gx0 + cx, gy0 + cy,
+                         npass, mb - zbp, nbytes)
                     )
         br_pos = br.align()
         if cod["eph"] and data[br_pos : br_pos + 2] == b"\xff\x92":
             br_pos += 2
-        for arr, orient, cx, cy, npass, nbps, nbytes in blocks_meta:
+        for arr, bandbox, orient, gx, gy, npass, nbps, nbytes in blocks_meta:
             seg_ = data[br_pos : br_pos + nbytes]
             br_pos += nbytes
-            sub = arr[cy * cb : (cy + 1) * cb, cx * cb : (cx + 1) * cb]
+            bx0, by0, bx1, by1 = bandbox
+            ax0, ax1 = max(bx0, gx * cb), min(bx1, (gx + 1) * cb)
+            ay0, ay1 = max(by0, gy * cb), min(by1, (gy + 1) * cb)
+            sub = arr[ay0 - by0 : ay1 - by0, ax0 - bx0 : ax1 - bx0]
             sh, sw = sub.shape
             signs, mags = t1_decode(seg_, npass, nbps, sw, sh, orient)
             vals = np.array(mags, dtype=np.int64).reshape(sh, sw)
@@ -1138,40 +1399,104 @@ def decode_jpeg2000(blob: bytes):
             sub[:, :] = np.where(sgn == 1, -vals, vals)
         return arrays, br_pos
 
-    # With one layer / one tile / one precinct, the five progression
-    # orders collapse to two packet sequences: LRCP/RLCP/RPCL are
-    # resolution-major (component innermost); PCRL/CPRL are
-    # component-major (resolution innermost). Iterate in the stream's
-    # own order — assigning resolution-major slots to a CPRL stream
-    # would silently hand each component the other's packets.
-    comp_res = [[None] * len(res_geo) for _ in range(nc)]
-    if cod["prog"] in (3, 4):  # PCRL / CPRL
-        order = [(r, ci) for ci in range(nc) for r in range(len(res_geo))]
-    else:  # LRCP / RLCP / RPCL
-        order = [(r, ci) for r in range(len(res_geo)) for ci in range(nc)]
-    for r, ci in order:
-        arrays, br_pos = one_packet(res_geo[r], br_pos, r)
-        comp_res[ci][r] = arrays
+    xs, ys, xo, yo = siz["xs"], siz["ys"], siz["xo"], siz["yo"]
+    xt, yt, xto, yto = siz["xt"], siz["yt"], siz["xto"], siz["yto"]
+    ntx, nty = _ceil_div(xs - xto, xt), _ceil_div(ys - yto, yt)
 
-    planes = []
-    for ci in range(nc):
-        ra = comp_res[ci]
-        ll = ra[0][0][1]
-        bands = [(dict(a)[1], dict(a)[2], dict(a)[3]) for a in ra[1:]]
-        planes.append(dwt53_inverse(ll, bands))
+    # per-component image planes (origin = component image offset)
+    porg = [(_ceil_div(xo, xr), _ceil_div(yo, yr)) for xr, yr in siz["sub"]]
+    pend = [(_ceil_div(xs, xr), _ceil_div(ys, yr)) for xr, yr in siz["sub"]]
+    planes = [
+        np.zeros((pend[i][1] - porg[i][1], pend[i][0] - porg[i][0]),
+                 dtype=np.float64 if irreversible else np.int64)
+        for i in range(nc)
+    ]
+
+    for t in range(ntx * nty):
+        parts = tileparts.get(t)
+        if not parts:
+            raise ValueError(f"tile {t} has no tile-parts in the codestream")
+        data = b"".join(d for _tp, d in sorted(parts, key=lambda p: p[0]))
+        ty, tx = divmod(t, ntx)
+        tx0, tx1 = max(xto + tx * xt, xo), min(xto + (tx + 1) * xt, xs)
+        ty0, ty1 = max(yto + ty * yt, yo), min(yto + (ty + 1) * yt, ys)
+        if tx0 >= tx1 or ty0 >= ty1:
+            continue  # zero-area tile on the grid fringe
+        comp_boxes = []
+        comp_res_boxes = []
+        for ci in range(nc):
+            xr, yr = siz["sub"][ci]
+            box = (_ceil_div(tx0, xr), _ceil_div(ty0, yr),
+                   _ceil_div(tx1, xr), _ceil_div(ty1, yr))
+            comp_boxes.append(box)
+            comp_res_boxes.append(_res_band_boxes(box, levels))
+        # With one layer / one precinct the five progression orders
+        # collapse to two packet sequences: LRCP/RLCP/RPCL are
+        # resolution-major (component innermost); PCRL/CPRL are
+        # component-major. Iterate in the stream's own order.
+        comp_res = [[None] * (levels + 1) for _ in range(nc)]
+        if cod["prog"] in (3, 4):  # PCRL / CPRL
+            order = [(r, ci) for ci in range(nc) for r in range(levels + 1)]
+        else:  # LRCP / RLCP / RPCL
+            order = [(r, ci) for r in range(levels + 1) for ci in range(nc)]
+        br_pos = 0
+        for r, ci in order:
+            arrays, br_pos = one_packet(data, br_pos, comp_res_boxes[ci][r], r)
+            comp_res[ci][r] = arrays
+
+        for ci in range(nc):
+            ra = comp_res[ci]
+            if irreversible:
+                # midpoint dequantization (T.800 E.1): delta_b =
+                # 2^(Rb - eps) * (1 + mu/2^11), Rb = precision + gain
+                def deq(o, q, r):
+                    eps, mu = eps_mu(r, o)
+                    delta = (2.0 ** (P + _GAIN[o] - eps)) * (1.0 + mu / 2048.0)
+                    return np.sign(q) * (np.abs(q) + 0.5) * delta * (q != 0)
+
+                ll = deq(0, ra[0][0][1], 0)
+                bands = [
+                    tuple(deq(o, a, r) for o, a, _bx in ra[r])
+                    for r in range(1, levels + 1)
+                ]
+            else:
+                ll = ra[0][0][1]
+                bands = [tuple(a for _o, a, _bx in ra[r])
+                         for r in range(1, levels + 1)]
+            tilec = dwt_inverse_boxed(ll, bands, comp_boxes[ci], irreversible)
+            box = comp_boxes[ci]
+            px0, py0 = porg[ci]
+            planes[ci][box[1] - py0 : box[3] - py0,
+                       box[0] - px0 : box[2] - px0] = tilec
+
     if cod["mct"]:
-        # T.800 G: the RCT applies to components 0-2; extras (alpha)
-        # pass through untransformed
-        planes = _rct_inverse(planes[:3]) + planes[3:]
-    if P > 32:
-        raise NotImplementedError(
-            f"JPEG 2000 precision {P} bits (> 32) is not supported"
-        )
+        # T.800 G: the color transform applies to components 0-2; extras
+        # (alpha) pass through untransformed
+        head = _ict_inverse(planes[:3]) if irreversible else _rct_inverse(planes[:3])
+        planes = head + planes[3:]
+    if irreversible:
+        planes = [np.rint(p) for p in planes]
+
+    # nearest upsample of subsampled components to the image grid
+    img_w, img_h = xs - xo, ys - yo
+    if any(s != (1, 1) for s in siz["sub"]):
+        up = []
+        for ci in range(nc):
+            xr, yr = siz["sub"][ci]
+            px0, py0 = porg[ci]
+            p = planes[ci]
+            cols = np.clip(np.arange(xo, xs) // xr - px0, 0, p.shape[1] - 1)
+            rows = np.clip(np.arange(yo, ys) // yr - py0, 0, p.shape[0] - 1)
+            up.append(p[np.ix_(rows, cols)])
+        planes = up
+    else:
+        assert all(p.shape == (img_h, img_w) for p in planes)
+
     stack = np.stack(planes, axis=-1) if nc > 1 else planes[0]
     if siz["signed"]:
         stack = np.clip(stack, -(1 << (P - 1)), (1 << (P - 1)) - 1)
         dt_ = np.int8 if P <= 8 else (np.int16 if P <= 16 else np.int32)
     else:
         stack = np.clip(stack + (1 << (P - 1)), 0, (1 << P) - 1)
-        dt_ = np.uint8 if P <= 8 else (np.uint16 if P <= 16 else np.uint32)
+        dt_ = np.uint8 if P <= 8 else (np.uint32 if P > 16 else np.uint16)
     return stack.astype(dt_)

@@ -420,8 +420,9 @@ def decode_image(content: bytes):
         try:
             arr = decode_jpeg2000(content)
         except NotImplementedError as gate:
-            # color / 9/7 / tiled J2K: pillow when installed, else the
-            # named gate (same contract as the JPEG/WebP branches)
+            # still-gated J2K features (precincts, layers, COC/QCC,
+            # HTJ2K): pillow when installed, else the named gate (color,
+            # 9/7, tiles, subsampling all decode natively since r8)
             try:
                 return _pil_decode(content)
             except ImportError:

@@ -1691,8 +1691,8 @@ class DicomReader(BaseReader):
                                 decode_jpeg2000,
                             )
 
-                            # .91 streams that are irreversible raise the
-                            # named 9/7 gate inside decode_jpeg2000
+                            # .90 lossless (5/3) and .91 incl. lossy (9/7 +
+                            # quantized QCD) both decode natively
                             arr = decode_jpeg2000(blob)
                             if signed and arr.dtype == np.uint16:
                                 arr = arr.view(np.int16)

@@ -130,10 +130,12 @@ def test_jpeg2000_gates():
         decode_jpeg2000(b"nope")
     img = np.arange(64, dtype=np.uint8).reshape(8, 8)
     blob = bytearray(encode_jpeg2000(img, levels=1))
-    # flip the transform byte to 9/7 -> named gate
+    # flipping the transform byte to 9/7 without switching the QCD to a
+    # quantized style is an inconsistent stream (9/7 decodes natively
+    # since r8 — see test_jpeg2000_irreversible.py)
     cod = blob.find(b"\xff\x52")
     b97 = bytes(blob[: cod + 4 + 9]) + b"\x00" + bytes(blob[cod + 4 + 10:])
-    with pytest.raises(NotImplementedError, match="9/7"):
+    with pytest.raises(ValueError, match="reversible QCD"):
         decode_jpeg2000(b97)
 
 
@@ -251,11 +253,10 @@ def test_jpeg2000_review_findings(monkeypatch):
     fake_pil.Image = fake_image
     monkeypatch.setitem(sys.modules, "PIL", fake_pil)
     monkeypatch.setitem(sys.modules, "PIL.Image", fake_image)
-    # a 9/7 (irreversible) stream gates inside decode_jpeg2000 -> pillow
-    bad97 = bytearray(blob)
-    cod97 = bad97.find(b"\xff\x52")
-    bad97[cod97 + 4 + 9] = 0  # transform byte -> 9/7
-    arr = mm.decode_image(bytes(bad97))
+    # a still-gated feature (COC marker) gates inside decode_jpeg2000 ->
+    # decode_image delegates to pillow (9/7 decodes natively since r8)
+    coc_blob = blob[: cod + 2 + ln] + coc + blob[cod + 2 + ln:]
+    arr = mm.decode_image(coc_blob)
     assert arr.shape == (10, 12, 3)
 
 
