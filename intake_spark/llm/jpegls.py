@@ -1,14 +1,15 @@
 """JPEG-LS (ITU-T T.87 / ISO 14495-1, the LOCO-I codec) — stdlib+numpy
-encoder/decoder for single-component scans, lossless (NEAR=0) and
-near-lossless (NEAR>0).
+encoder/decoder for ILV-0 (plane-interleaved) scans, single- or
+multi-component, lossless (NEAR=0) and near-lossless (NEAR>0).
 
 Closes the DICOM JPEG-LS transfer-syntax gate (1.2.840.10008.1.2.4.80
 lossless / .81 near-lossless) natively, the same way llm/flac.py and
 llm/webp.py close the FLAC/VP8L gates: the reference delegates to
 pydicom codec plugins (reference readers.py:1644), this package decodes
-the bitstream itself. DICOM JPEG-LS frames are overwhelmingly
-single-component grayscale; multi-component interleave modes raise a
-named gate.
+the bitstream itself. Multi-component frames decode when coded as one
+ILV-0 scan per component (plane interleave), including T.81 sampling
+factors with nearest upsample; line/sample interleave (ILV 1/2, which
+share run statistics across components) raises a named gate.
 
 Implementation notes (clause refs are T.87):
 - context modeling: 365 regular contexts from quantized gradients
@@ -271,39 +272,52 @@ def _predict(a: int, b: int, c: int) -> int:
 
 
 def decode_jpegls(blob: bytes):
-    """Decode a single-component JPEG-LS stream → 2-D numpy array
-    (uint8 for P<=8, uint16 otherwise). Multi-component scans raise a
-    named gate (DICOM JPEG-LS is grayscale in practice)."""
+    """Decode a JPEG-LS stream → 2-D (single component) or HxWxC numpy
+    array (uint8 for P<=8, uint16 otherwise).
+
+    Multi-component images decode when coded as one ILV-0 scan per
+    component (plane interleave, T.87 A.2), including T.81 sampling
+    factors — subsampled components are nearest-upsampled to the frame
+    grid. Line/sample interleave (ILV 1/2, which share run statistics
+    across components) remains a named gate."""
     import numpy as np
 
     if blob[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG-LS stream (no SOI)")
     pos = 2
-    precision = width = height = ncomp = None
+    precision = width = height = None
+    comps = []  # (cid, h, v) from SOF55
+    dims = {}  # cid -> (ch, cw)
+    decoded = {}  # cid -> plane
     maxval = t1 = t2 = t3 = None
     reset = 64
-    near = 0
     while True:
-        if pos + 4 > len(blob):
+        if pos + 2 > len(blob):
             raise ValueError("truncated JPEG-LS header")
         if blob[pos] != 0xFF:
             raise ValueError(f"expected marker at {pos}")
         marker = blob[pos + 1]
         pos += 2
-        if marker == 0xD9:  # EOI before SOS
-            raise ValueError("JPEG-LS stream has no scan")
+        if marker == 0xD9:  # EOI
+            break
+        if pos + 2 > len(blob):
+            raise ValueError("truncated JPEG-LS header")
         (seg_len,) = struct.unpack(">H", blob[pos : pos + 2])
         seg = blob[pos + 2 : pos + seg_len]
         if len(seg) != seg_len - 2:
             raise ValueError("truncated JPEG-LS marker segment")
         if marker == 0xF7:  # SOF55
             precision, height, width, ncomp = struct.unpack(">BHHB", seg[:6])
-            if ncomp != 1:
-                raise NotImplementedError(
-                    f"JPEG-LS with {ncomp} components: only single-"
-                    "component (grayscale) scans decode natively — "
-                    "interleaved color needs pillow-jpls/pydicom plugins"
-                )
+            comps = [
+                (seg[6 + 3 * i], seg[7 + 3 * i] >> 4, seg[7 + 3 * i] & 0xF)
+                for i in range(ncomp)
+            ]
+            hmax = max(h for _c, h, _v in comps)
+            vmax = max(v for _c, _h, v in comps)
+            dims = {
+                cid: (-(-height * v // vmax), -(-width * h // hmax))
+                for cid, h, v in comps
+            }
         elif marker == 0xF8 and seg and seg[0] == 1:  # LSE preset
             # T.87 C.2.4.1.1: a preset value of 0 means "use the
             # default", not a literal 0 (CharLS writes 0 for fields it
@@ -319,39 +333,70 @@ def decode_jpegls(blob: bytes):
                     "supported — re-encode without restart markers or "
                     "decode via pillow-jpls/pydicom plugins"
                 )
-        elif marker == 0xDA:  # SOS
+        elif marker == 0xDA:  # SOS: decode this scan, keep walking
+            if precision is None:
+                raise ValueError("JPEG-LS scan before the SOF55 frame header")
             ns = seg[0]
             if ns != 1:
                 raise NotImplementedError(
-                    "JPEG-LS multi-component scan — single component only"
+                    "JPEG-LS line/sample interleave (ILV 1/2) is not "
+                    "supported — plane-interleaved ILV-0 scans only"
                 )
+            cid = seg[1]
             near = seg[1 + 2 * ns]
             ilv = seg[2 + 2 * ns]
             if ilv != 0:
                 raise NotImplementedError(
-                    f"JPEG-LS interleave mode {ilv} — single-component "
-                    "scans are ILV 0"
+                    f"JPEG-LS interleave mode {ilv} — ILV-0 scans only"
                 )
-            pos += seg_len
-            break
+            if cid not in dims:
+                raise ValueError(f"JPEG-LS scan for unknown component {cid}")
+            if cid in decoded:
+                raise ValueError(f"JPEG-LS component {cid} scanned twice")
+            ch, cw = dims[cid]
+            p = _Params(precision, near, maxval, t1, t2, t3, reset)
+            br = _BitReader(blob, pos + seg_len)
+            out = np.empty((ch, cw), dtype=np.int64)
+            try:
+                _decode_scan(p, br, cw, ch, [0] * cw, out, 0, 0)
+            except IndexError as exc:
+                # corrupt run lengths can index past the line buffer
+                raise ValueError("corrupt JPEG-LS scan data") from exc
+            decoded[cid] = out
+            # next marker: the reader's byte position, advanced past any
+            # padding to the FF of a real marker (entropy FFs are always
+            # followed by a stuffed-0 byte < 0x80, so FF + >=0x80 is
+            # unambiguous)
+            j = br.pos
+            while j + 1 < len(blob) and not (
+                blob[j] == 0xFF and blob[j + 1] >= 0x80
+            ):
+                j += 1
+            pos = j
+            continue
         pos += seg_len
     if precision is None:
         raise ValueError("JPEG-LS stream has no SOF55 frame header")
+    missing = [cid for cid, _h, _v in comps if cid not in decoded]
+    if missing:
+        raise ValueError(f"JPEG-LS components without scans: {missing}")
 
-    p = _Params(precision, near, maxval, t1, t2, t3, reset)
-    br = _BitReader(blob, pos)
-    W, H = width, height
-    prev = [0] * W
-    out = np.empty((H, W), dtype=np.int64)
-    c_left_saved = 0
-    run_index = 0
-    try:
-        _decode_scan(p, br, W, H, prev, out, c_left_saved, run_index)
-    except IndexError as exc:
-        # corrupt run lengths can index past the line buffer
-        raise ValueError("corrupt JPEG-LS scan data") from exc
     dt = np.uint8 if precision <= 8 else np.uint16
-    return out.astype(dt)
+    if len(comps) == 1:
+        return decoded[comps[0][0]].astype(dt)
+    hmax = max(h for _c, h, _v in comps)
+    vmax = max(v for _c, _h, v in comps)
+    planes = []
+    for cid, h, v in comps:
+        p_ = decoded[cid]
+        if (h, v) != (hmax, vmax):
+            # nearest upsample to the frame grid (same policy as the
+            # JPEG 2000 decoder): output pixel takes its covering sample
+            rows = np.clip(np.arange(height) * v // vmax, 0, p_.shape[0] - 1)
+            cols = np.clip(np.arange(width) * h // hmax, 0, p_.shape[1] - 1)
+            p_ = p_[np.ix_(rows, cols)]
+        planes.append(p_)
+    return np.stack(planes, axis=-1).astype(dt)
 
 
 def _decode_scan(p, br, W, H, prev, out, c_left_saved, run_index):
@@ -449,23 +494,15 @@ def _decode_scan(p, br, W, H, prev, out, c_left_saved, run_index):
         out[y] = cur
 
 
-def encode_jpegls(img, near: int = 0) -> bytes:
-    """Encode a 2-D array as single-component JPEG-LS (NEAR=0 lossless;
-    NEAR>0 bounds every sample error by ``near``). The round-trip
-    counterpart of :func:`decode_jpegls`."""
+def _encode_scan(p: "_Params", img) -> bytes:
+    """Entropy-code one component plane as a single ILV-0 scan (fresh
+    statistics per scan, T.87 A.2) → flushed scan bytes."""
     import numpy as np
 
-    img = np.asarray(img)
-    if img.ndim != 2:
-        raise ValueError("encode_jpegls takes a 2-D (grayscale) array")
     H, W = img.shape
-    maxval = int(img.max()) if img.size else 0
-    precision = max(2, int(maxval).bit_length())
-    maxval = (1 << precision) - 1
-    p = _Params(precision, near)
     bw = _BitWriter()
     run_index = 0
-    pix = img.astype(np.int64).tolist()
+    pix = np.asarray(img).astype(np.int64).tolist()
     prev = [0] * W
     c_left_saved = 0
     for y in range(H):
@@ -569,10 +606,62 @@ def encode_jpegls(img, near: int = 0) -> bytes:
             a = rx
             i += 1
         prev = cur
-    data = bw.flush()
+    return bw.flush()
+
+
+def encode_jpegls(img, near: int = 0, sampling=None) -> bytes:
+    """Encode a 2-D (grayscale), HxWxC, or plane-list array as JPEG-LS
+    (NEAR=0 lossless; NEAR>0 bounds every sample error by ``near``).
+    Multi-component images are written as one ILV-0 scan per component
+    (plane interleave, T.87 A.2). ``sampling=[(h, v), ...]`` gives T.81
+    sampling FACTORS per component (larger = denser): pass ``img`` as a
+    plane LIST whose shapes are ceil(H*v/vmax) x ceil(W*h/hmax), with
+    component 0 at the maximum factors. The round-trip counterpart of
+    :func:`decode_jpegls`."""
+    import numpy as np
+
+    if isinstance(img, (list, tuple)):
+        comps = [np.asarray(c) for c in img]
+    else:
+        img = np.asarray(img)
+        if img.ndim == 2:
+            comps = [img]
+        elif img.ndim == 3:
+            comps = [img[:, :, i] for i in range(img.shape[2])]
+        else:
+            raise ValueError(
+                "encode_jpegls takes a 2-D or HxWxC array or a plane list"
+            )
+    nc = len(comps)
+    if nc == 0 or nc > 255:
+        raise ValueError(f"encode_jpegls: {nc} components")
+    fac = [tuple(f) for f in sampling] if sampling else [(1, 1)] * nc
+    if len(fac) != nc:
+        raise ValueError("sampling list length != component count")
+    hmax = max(h for h, _v in fac)
+    vmax = max(v for _h, v in fac)
+    if fac[0] != (hmax, vmax):
+        raise ValueError("component 0 must carry the maximum sampling factors")
+    if not all(1 <= h <= 4 and 1 <= v <= 4 for h, v in fac):
+        raise ValueError("sampling factors must be 1..4 (T.81 frame syntax)")
+    H, W = comps[0].shape
+    # frame dims are the full grid; comp i covers ceil(dim * f_i / fmax)
+    for c, (h, v) in zip(comps, fac):
+        want = (-(-H * v // vmax), -(-W * h // hmax))
+        if c.shape != want:
+            raise ValueError(
+                f"component shape {c.shape} does not match sampling "
+                f"({h}, {v}) — expected {want}"
+            )
+    maxval = max(int(c.max()) if c.size else 0 for c in comps)
+    precision = max(2, int(maxval).bit_length())
     head = bytearray(b"\xff\xd8")  # SOI
-    head += b"\xff\xf7" + struct.pack(">HBHHB", 8 + 3, precision, H, W, 1)
-    head += struct.pack(">BBB", 1, 0x11, 0)  # comp id, 1x1 sampling, Tq=0
-    head += b"\xff\xda" + struct.pack(">HB", 6 + 2, 1)
-    head += struct.pack(">BBBBB", 1, 0, near, 0, 0)  # comp, table, NEAR, ILV, Al
-    return bytes(head) + data + b"\xff\xd9"
+    head += b"\xff\xf7" + struct.pack(">HBHHB", 8 + 3 * nc, precision, H, W, nc)
+    for i, (h, v) in enumerate(fac):
+        head += struct.pack(">BBB", i + 1, (h << 4) | v, 0)
+    for i, c in enumerate(comps):
+        p = _Params(precision, near)
+        head += b"\xff\xda" + struct.pack(">HB", 6 + 2, 1)
+        head += struct.pack(">BBBBB", i + 1, 0, near, 0, 0)  # ILV 0
+        head += _encode_scan(p, c)
+    return bytes(head) + b"\xff\xd9"

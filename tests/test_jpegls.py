@@ -67,13 +67,19 @@ def test_jpegls_near_lossless_error_bound():
 def test_jpegls_gates_and_errors():
     with pytest.raises(ValueError, match="SOI"):
         decode_jpegls(b"\x00\x01")
-    # multi-component frame raises by name
+    # multi-component ILV-0 decodes since r8; line/sample interleave
+    # (ILV 1/2) is the remaining named gate
     import struct
 
     sof = b"\xff\xd8\xff\xf7" + struct.pack(">HBHHB", 8 + 9, 8, 4, 4, 3)
     sof += bytes([1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0])
-    with pytest.raises(NotImplementedError, match="single-"):
-        decode_jpegls(sof)
+    sos_ilv1 = b"\xff\xda" + struct.pack(">HB", 6 + 6, 3)
+    sos_ilv1 += bytes([1, 0, 2, 0, 3, 0, 0, 1, 0])  # ns=3, NEAR=0, ILV=1
+    with pytest.raises(NotImplementedError, match="ILV"):
+        decode_jpegls(sof + sos_ilv1)
+    # a frame whose components never get a scan is a hard error
+    with pytest.raises(ValueError, match="truncated|without scans"):
+        decode_jpegls(sof + b"\xff\xd9")
     # truncated scan data
     img = np.arange(64, dtype=np.uint8).reshape(8, 8)
     blob = encode_jpegls(img)
@@ -207,3 +213,40 @@ def test_jpegls_lse_zero_means_default_and_dri_gate():
     # DRI with interval 0 (= disabled) is fine
     dri0 = b"\xff\xdd" + struct.pack(">HH", 4, 0)
     np.testing.assert_array_equal(decode_jpegls(blob[:idx] + dri0 + blob[idx:]), img)
+
+
+def test_jpegls_multicomponent_ilv0():
+    """Plane-interleaved (ILV-0, one scan per component) color and
+    subsampled frames round-trip; subsampled components nearest-upsample
+    to the frame grid; 16-bit multi-component and NEAR>0 both hold."""
+    rng = np.random.default_rng(9)
+    rgb = rng.integers(0, 256, (13, 17, 3), dtype=np.uint8)
+    back = decode_jpegls(encode_jpegls(rgb))
+    assert back.shape == (13, 17, 3)
+    np.testing.assert_array_equal(back, rgb)
+
+    # Y at 2x2 factors, chroma at 1x1 (4:2:0-style), odd frame dims
+    H, W = 15, 22
+    y = rng.integers(0, 256, (H, W)).astype(np.int64)
+    cb = rng.integers(0, 256, (8, 11)).astype(np.int64)
+    cr = rng.integers(0, 256, (8, 11)).astype(np.int64)
+    blob = encode_jpegls([y, cb, cr], sampling=[(2, 2), (1, 1), (1, 1)])
+    out = decode_jpegls(blob)
+    assert out.shape == (H, W, 3)
+    np.testing.assert_array_equal(out[:, :, 0], y)
+    rows, cols = np.arange(H) // 2, np.arange(W) // 2
+    np.testing.assert_array_equal(out[:, :, 1], cb[np.ix_(rows, cols)])
+    np.testing.assert_array_equal(out[:, :, 2], cr[np.ix_(rows, cols)])
+
+    two = rng.integers(0, 4096, (9, 7, 2)).astype(np.int64)
+    np.testing.assert_array_equal(
+        decode_jpegls(encode_jpegls(two)).astype(np.int64), two
+    )
+    near = decode_jpegls(encode_jpegls(rgb, near=2))
+    assert np.abs(near.astype(int) - rgb.astype(int)).max() <= 2
+
+    # shape validation
+    with pytest.raises(ValueError, match="does not match sampling"):
+        encode_jpegls([y, cb[:, :5], cr], sampling=[(2, 2), (1, 1), (1, 1)])
+    with pytest.raises(ValueError, match="maximum sampling"):
+        encode_jpegls([cb, y, cr], sampling=[(1, 1), (2, 2), (1, 1)])
