@@ -3380,3 +3380,110 @@ def q126_lsh_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     independent and scalar-sized; per-cell pow floored into 1e-9 fixed
     point before the integer sums (dedup.lsh_plan)."""
     return dedup.lsh_plan(spark)
+
+
+@register(
+    "q127_hapax_stats",
+    """
+    WITH w AS (SELECT source,
+                      list_filter(string_split(COALESCE(text, ''), ' '),
+                                  x -> length(x) > 0) AS ws
+               FROM documents),
+    tf AS (SELECT source, u.term, COUNT(*) AS cnt
+           FROM w, unnest(ws) u(term) GROUP BY source, u.term)
+    SELECT source,
+           CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS vocab,
+           CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+           CAST((1000 * SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END))
+                // COUNT(*) AS BIGINT) AS hapax_pm,
+           CAST((1000 * COUNT(*)) // SUM(cnt) AS BIGINT) AS ttr_pm
+    FROM tf GROUP BY source
+    """,
+)
+def q127_hapax_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source hapax-legomena and type-token ratios (corpus QA: a
+    collapsed hapax rate flags boilerplate, a spiked TTR flags noise).
+    One tokenize pass + two hash aggregates; floor per-mille integers
+    (text.hapax_stats)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.hapax_stats(docs)
+
+
+_Q128_WORDS = ("a", "the", "data", "table", "row", "value", "scan", "join")
+
+
+@register(
+    "q128_word_profile_divergence",
+    f"""
+    WITH toks AS (SELECT source, lower(u.term) AS term
+                  FROM (SELECT source,
+                               list_filter(string_split(COALESCE(text, ''), ' '),
+                                           x -> length(x) > 0) AS ws
+                        FROM documents) w, unnest(ws) u(term)),
+    totals AS (SELECT source, COUNT(*) AS n_tokens FROM toks GROUP BY source),
+    wl AS (SELECT unnest({list(_Q128_WORDS)!r}) AS word),
+    hits AS (SELECT source, term AS word, COUNT(*) AS cnt
+             FROM toks WHERE list_contains({list(_Q128_WORDS)!r}, term)
+             GROUP BY source, term),
+    per AS (SELECT t.source, t.n_tokens, wl.word,
+                   COALESCE(h.cnt, 0) AS cnt,
+                   (1000000 * COALESCE(h.cnt, 0)) // t.n_tokens AS ppm
+            FROM totals t CROSS JOIN wl
+            LEFT JOIN hits h ON h.source = t.source AND h.word = wl.word),
+    corpus AS (SELECT word,
+                      (1000000 * SUM(cnt)) //
+                      (SELECT SUM(n_tokens) FROM totals) AS cppm
+               FROM per GROUP BY word)
+    SELECT per.source,
+           CAST(MAX(per.n_tokens) AS BIGINT) AS n_tokens,
+           CAST(SUM(per.cnt) AS BIGINT) AS listed_tokens,
+           CAST(SUM((per.ppm - corpus.cppm) * (per.ppm - corpus.cppm))
+                AS BIGINT) AS divergence_fx
+    FROM per JOIN corpus USING (word)
+    GROUP BY per.source
+    """,
+)
+def q128_word_profile_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Function-word profile divergence per source vs the corpus: squared
+    fixed-point (ppm) rate differences over a fixed word list — deviant
+    sources are machine-generated/non-prose/mislabeled-language even
+    when content words look fine. Integer-exact chi-square shape; the
+    word list here is a bench stand-in, policy lists are caller-supplied
+    (text.word_profile_divergence)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.word_profile_divergence(docs, list(_Q128_WORDS))
+
+
+@register(
+    "q129_template_prefixes",
+    """
+    WITH pre AS (SELECT source,
+                        array_to_string(
+                          list_filter(string_split(COALESCE(text, ''), ' '),
+                                      x -> length(x) > 0)[1:8], ' ') AS prefix
+                 FROM documents),
+    counts AS (SELECT source, prefix, COUNT(*) AS cnt
+               FROM pre GROUP BY source, prefix),
+    nd AS (SELECT source, COUNT(*) AS n_docs FROM pre GROUP BY source),
+    top AS (SELECT source, prefix, cnt,
+                   ROW_NUMBER() OVER (PARTITION BY source
+                                      ORDER BY cnt DESC, prefix ASC) AS rn
+            FROM counts)
+    SELECT top.source,
+           CAST(nd.n_docs AS BIGINT) AS n_docs,
+           top.prefix AS top_prefix,
+           CAST(top.cnt AS BIGINT) AS top_count,
+           CAST((1000 * top.cnt) // nd.n_docs AS BIGINT) AS share_pm
+    FROM top JOIN nd ON nd.source = top.source
+    WHERE top.rn = 1
+    """,
+)
+def q129_template_prefixes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Modal 8-token document prefix per source with its share of the
+    source's documents — template farms stamp the same header on every
+    page, so a share near 1000 per-mille flags them even when full-text
+    dedup passes. Only the prefix slice is shuffled, never the document
+    tail; ties break on the smallest prefix (text.template_prefixes)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.template_prefixes(docs, k=8)

@@ -1308,3 +1308,175 @@ def zipf_fit(
         (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
         .cast("long").alias("slope_den"),
     )
+
+
+def hapax_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Per-source hapax-legomena report: token count, vocabulary size,
+    hapax count (terms seen exactly once within the source), and the
+    floor per-mille hapax/vocab and vocab/token (type-token) ratios —
+    corpus-QA signals: a source whose hapax rate collapses is
+    template/boilerplate-heavy, one whose TTR spikes is noise/gibberish.
+    Integer ratios so the cross-engine compare is exact.
+
+    Scale shape: one tokenize pass, one (source, term) hash aggregate
+    (map-side combining), one per-source rollup. Linear in corpus
+    tokens; nothing driver-sized."""
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    tf = (
+        df.select(
+            F.col(source_col).alias("source"),
+            F.explode(nonempty_words(txt)).alias("term"),
+        )
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    agg = tf.groupBy("source").agg(
+        F.sum("cnt").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("vocab"),
+        F.sum(F.when(F.col("cnt") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("hapax"),
+    )
+    return agg.select(
+        "source",
+        "n_tokens",
+        "vocab",
+        "hapax",
+        F.expr("CAST((1000 * hapax) DIV vocab AS BIGINT)").alias("hapax_pm"),
+        F.expr("CAST((1000 * vocab) DIV n_tokens AS BIGINT)").alias("ttr_pm"),
+    )
+
+
+def word_profile_divergence(
+    df: DataFrame,
+    words: "list[str]",
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Per-source divergence from the corpus profile over a fixed word
+    list (typically stopwords/function words — their distribution is
+    topic-independent, so a source that deviates is machine-generated,
+    non-prose, or mislabeled-language even when content words look
+    plausible). Each listed word's rate is floored to parts-per-million
+    of the source's tokens; the divergence is the SUM of squared
+    fixed-point rate differences vs the corpus-wide profile — a
+    chi-square-shaped statistic kept in exact integers so the
+    cross-engine compare is exact.
+
+    Scale shape: one tokenize pass; the (source, word) aggregate only
+    keeps the k listed words (filter before the exchange); the corpus
+    profile is a k-row broadcast. Linear in corpus tokens."""
+    if not words:
+        raise ValueError("word_profile_divergence needs a non-empty word list")
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    toks = df.select(
+        F.col(source_col).alias("source"),
+        F.explode(nonempty_words(txt)).alias("term"),
+    )
+    totals = toks.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens")
+    )
+    wlist = [w.lower() for w in words]
+    hits = (
+        toks.filter(F.lower(F.col("term")).isin(wlist))
+        .groupBy("source", F.lower(F.col("term")).alias("word"))
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    # the (source × word) grid via a generate over the literal list —
+    # no join of any kind, so zero-count words still get rows
+    grid = totals.select(
+        "source",
+        "n_tokens",
+        F.explode(F.array(*[F.lit(w) for w in wlist])).alias("word"),
+    )
+    per = (
+        grid.join(hits, ["source", "word"], "left")
+        .fillna({"cnt": 0})
+        .select(
+            "source",
+            "n_tokens",
+            "word",
+            F.expr("CAST((1000000 * cnt) DIV n_tokens AS BIGINT)").alias("ppm"),
+            F.col("cnt"),
+        )
+    )
+    corpus = (
+        per.groupBy("word")
+        .agg(F.sum("cnt").alias("ccnt"))
+        .crossJoin(
+            F.broadcast(
+                totals.agg(F.sum("n_tokens").cast("long").alias("ctok"))
+            )
+        )
+        .select(
+            "word",
+            F.expr("CAST((1000000 * ccnt) DIV ctok AS BIGINT)").alias("cppm"),
+        )
+    )
+    return (
+        per.join(F.broadcast(corpus), "word")
+        .groupBy("source")
+        .agg(
+            F.max("n_tokens").cast("long").alias("n_tokens"),
+            F.sum("cnt").cast("long").alias("listed_tokens"),
+            F.sum(
+                (F.col("ppm") - F.col("cppm")) * (F.col("ppm") - F.col("cppm"))
+            )
+            .cast("long")
+            .alias("divergence_fx"),
+        )
+    )
+
+
+def template_prefixes(
+    df: DataFrame,
+    k: int = 8,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Template-spam detector: the modal k-token document PREFIX per
+    source and its share of that source's documents (floor per-mille).
+    Boilerplate pipelines stamp the same header on every page — a
+    top-prefix share near 1000 is a template farm even when full-text
+    dedup passes (prefixes differ past the header). Ties break on the
+    lexicographically smallest prefix so the answer is deterministic.
+
+    Scale shape: one tokenize pass (prefix slice only — the tail of the
+    document is never shuffled), a (source, prefix) hash aggregate, and
+    a per-source top-1 window over the aggregated counts (source-sized,
+    not corpus-sized)."""
+    from pyspark.sql.window import Window
+
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    pre = df.select(
+        F.col(source_col).alias("source"),
+        F.concat_ws(" ", F.slice(nonempty_words(txt), 1, k)).alias("prefix"),
+    )
+    counts = pre.groupBy("source", "prefix").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    ndocs = pre.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("cnt").desc(), F.col("prefix").asc()
+    )
+    top = (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    return (
+        top.join(ndocs, "source")
+        .select(
+            "source",
+            "n_docs",
+            F.col("prefix").alias("top_prefix"),
+            F.col("cnt").alias("top_count"),
+            F.expr("CAST((1000 * cnt) DIV n_docs AS BIGINT)").alias("share_pm"),
+        )
+    )

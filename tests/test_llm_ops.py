@@ -2874,3 +2874,70 @@ def test_hashed_linear_classifier_bucket_ceiling(spark):
     df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
     with pytest.raises(ValueError, match="join-per-round"):
         hashed_linear_classifier(df, F.col("doc_id") > 0, buckets=8193)
+
+
+def test_hapax_stats_semantics(spark):
+    from intake_spark.llm.text import hapax_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c a", "s1"),      # tokens 4, vocab 3, hapax 2 (b, c)
+            (2, "a a", "s1"),          # s1 totals: 6 tokens, vocab 3, hapax 2
+            (3, "x y z", "s2"),        # all hapax
+            (4, None, "s3"),           # no tokens -> source absent
+        ],
+        "doc_id int, text string, source string",
+    )
+    got = {r.source: r for r in hapax_stats(df).collect()}
+    assert set(got) == {"s1", "s2"}
+    s1 = got["s1"]
+    assert (s1.n_tokens, s1.vocab, s1.hapax) == (6, 3, 2)
+    assert s1.hapax_pm == (1000 * 2) // 3 and s1.ttr_pm == (1000 * 3) // 6
+    s2 = got["s2"]
+    assert (s2.n_tokens, s2.vocab, s2.hapax, s2.hapax_pm, s2.ttr_pm) == (
+        3, 3, 3, 1000, 1000,
+    )
+
+
+def test_word_profile_divergence_zero_count_words(spark):
+    from intake_spark.llm.text import word_profile_divergence
+
+    df = spark.createDataFrame(
+        [
+            (1, "the the cat", "s1"),  # 3 tokens; the: 2, a: 0
+            (2, "a dog", "s2"),        # 2 tokens; the: 0, a: 1
+        ],
+        "doc_id int, text string, source string",
+    )
+    rows = {r.source: r for r in
+            word_profile_divergence(df, ["the", "a"]).collect()}
+    # corpus: 5 tokens; the 2 -> 400000 ppm, a 1 -> 200000 ppm
+    # s1: the 666666, a 0 -> (666666-400000)^2 + (0-200000)^2
+    assert rows["s1"].divergence_fx == (666666 - 400000) ** 2 + 200000 ** 2
+    # s2: the 0, a 500000 -> 400000^2 + 300000^2
+    assert rows["s2"].divergence_fx == 400000 ** 2 + (500000 - 200000) ** 2
+    assert rows["s1"].listed_tokens == 2 and rows["s2"].listed_tokens == 1
+    import pytest
+
+    with pytest.raises(ValueError, match="non-empty"):
+        word_profile_divergence(df, [])
+
+
+def test_template_prefixes_ties_and_share(spark):
+    from intake_spark.llm.text import template_prefixes
+
+    df = spark.createDataFrame(
+        [
+            (1, "hello world extra tail", "s1"),
+            (2, "hello world other body", "s1"),
+            (3, "something else", "s1"),
+            (4, "aaa bbb", "s2"),   # tie at count 1 in s2:
+            (5, "zzz yyy", "s2"),   # smallest prefix wins ("aaa bbb")
+        ],
+        "doc_id int, text string, source string",
+    )
+    got = {r.source: r for r in template_prefixes(df, k=2).collect()}
+    assert got["s1"].top_prefix == "hello world"
+    assert got["s1"].top_count == 2 and got["s1"].n_docs == 3
+    assert got["s1"].share_pm == (1000 * 2) // 3
+    assert got["s2"].top_prefix == "aaa bbb" and got["s2"].top_count == 1

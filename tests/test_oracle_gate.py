@@ -95,9 +95,12 @@ def test_no_row_udfs_and_sanctioned_cartesians_only(spark):
     # joined onto the buckets-sized table (never onto the corpus)
     # q112: 3-probe brute-force corrected-cosine scan by design
     # q114: q25's probe-scan shape with the label-mismatch filter
+    # q128: single-row broadcast corpus-token total joined onto the
+    # k-words-×-sources profile table (never onto the corpus)
     sanctioned = {
         "q105_dsir_weights",
         "q112_abtt_knn",
+        "q128_word_profile_divergence",
         "q114_hard_negatives",
         "q25_knn_bruteforce",
         "q45_embedding_near_dup",
