@@ -81,6 +81,27 @@ def main() -> None:
         n: round((max(s) - min(s)) / statistics.median(s), 3) if len(s) > 1 else 0.0
         for n, s in samples.items()
     }
+    # Round 1 pays whole-stage-codegen COMPILATION for each query's
+    # generated class (Janino caches it for rounds 2+), so queries with
+    # huge expression trees but tiny medians (q102's C4 rule stack:
+    # ~+1.0 s over a 0.27 s median in r7) show large `spread` that is
+    # NOT steady-state noise. Report both: `spread` over all rounds
+    # (honest worst case) and `spread_steady` over rounds 2+ (engine
+    # variance once compiled). The first-round excess itself is listed
+    # so the compile cost stays visible instead of median-hidden.
+    spread_steady = {
+        n: (
+            round((max(s[1:]) - min(s[1:])) / statistics.median(s[1:]), 3)
+            if len(s) > 2
+            else 0.0
+        )
+        for n, s in samples.items()
+    }
+    first_run_excess = {
+        n: round(s[0] - statistics.median(s), 4)
+        for n, s in samples.items()
+        if len(s) > 1 and s[0] - statistics.median(s) > 0.25
+    }
     total = round(sum(timings.values()) + sum(shared.values()), 4)
 
     # Full per-query detail (long names, spread, raw samples) goes to a side
@@ -96,6 +117,15 @@ def main() -> None:
         "queries": timings,
         "shared": shared,
         "spread": spread,
+        "spread_steady": spread_steady,
+        "first_run_excess": first_run_excess,
+        "spread_note": (
+            "spread counts round 1, which pays per-query whole-stage-"
+            "codegen compilation (Janino caches the generated class for "
+            "rounds 2+); spread_steady excludes it. Large spread over a "
+            "small median (e.g. q102's C4 rule stack) is compile cost, "
+            "not steady-state variance — see first_run_excess."
+        ),
         "samples": {n: [round(x, 4) for x in s] for n, s in samples.items()},
         "repeats": repeats,
         "sf": sf,
