@@ -1056,6 +1056,16 @@ def encode_jpeg2000(img, levels: int = 3, cb_exp: int = 6,
     tw, th = tile_size if tile_size else (xs, ys)
     if tw <= 0 or th <= 0:
         raise ValueError("tile_size must be positive")
+    if tw <= xo or th <= yo:
+        # tiles anchor at XTOsiz=YTOsiz=0 here, and T.800 A.5.1 requires
+        # XTsiz + XTOsiz > XOsiz (the first tile must overlap the image):
+        # a smaller tile would emit zero-area leading tiles that
+        # conformant third-party decoders are entitled to reject
+        raise ValueError(
+            f"tile_size {(tw, th)} does not reach grid_offset {(xo, yo)}: "
+            "T.800 A.5.1 requires the first tile to overlap the image "
+            "region — use a larger tile size or a smaller offset"
+        )
     ntx, nty = _ceil_div(xs, tw), _ceil_div(ys, th)
 
     out = bytearray(b"\xff\x4f")  # SOC

@@ -296,6 +296,9 @@ def decode_jpegls(blob: bytes):
             raise ValueError("truncated JPEG-LS header")
         if blob[pos] != 0xFF:
             raise ValueError(f"expected marker at {pos}")
+        if blob[pos + 1] == 0xFF:  # 0xFF fill byte before a marker (B.1)
+            pos += 1
+            continue
         marker = blob[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI

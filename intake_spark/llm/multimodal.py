@@ -741,6 +741,9 @@ def decode_jpeg_lossless(content: bytes):
             pos += 1
             continue
         marker = content[pos + 1]
+        if marker == 0xFF:  # 0xFF fill byte before a marker (T.81 B.1.1.2)
+            pos += 1
+            continue
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             pos += 2
             continue
@@ -942,6 +945,9 @@ def decode_jpeg(content: bytes):
             pos += 1
             continue
         marker = content[pos + 1]
+        if marker == 0xFF:  # 0xFF fill byte before a marker (T.81 B.1.1.2)
+            pos += 1
+            continue
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             pos += 2
             continue

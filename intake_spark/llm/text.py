@@ -1367,25 +1367,31 @@ def word_profile_divergence(
     chi-square-shaped statistic kept in exact integers so the
     cross-engine compare is exact.
 
-    Scale shape: one tokenize pass; the (source, word) aggregate only
-    keeps the k listed words (filter before the exchange); the corpus
-    profile is a k-row broadcast. Linear in corpus tokens."""
+    Scale shape: ONE tokenize pass and ONE hash aggregate over the
+    corpus — every token is tagged with its listed word (or NULL) map-
+    side, so the single (source, word) aggregate yields both the listed
+    counts and, via its NULL bucket, the per-source token totals. The
+    tiny result (sources × (k+1) rows) is localCheckpoint-ed so the
+    derived branches (totals, grid, corpus profile) reuse it instead of
+    re-tokenizing the corpus per referencing subtree."""
     if not words:
         raise ValueError("word_profile_divergence needs a non-empty word list")
     txt = F.coalesce(F.col(text_col), F.lit(""))
-    toks = df.select(
+    wlist = [w.lower() for w in words]
+    low = F.lower(F.col("term"))
+    tagged = df.select(
         F.col(source_col).alias("source"),
         F.explode(nonempty_words(txt)).alias("term"),
-    )
-    totals = toks.groupBy("source").agg(
-        F.count(F.lit(1)).cast("long").alias("n_tokens")
-    )
-    wlist = [w.lower() for w in words]
-    hits = (
-        toks.filter(F.lower(F.col("term")).isin(wlist))
-        .groupBy("source", F.lower(F.col("term")).alias("word"))
+    ).select("source", F.when(low.isin(wlist), low).alias("word"))
+    counts = (
+        tagged.groupBy("source", "word")
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .localCheckpoint(eager=True)
     )
+    totals = counts.groupBy("source").agg(
+        F.sum("cnt").cast("long").alias("n_tokens")
+    )
+    hits = counts.filter(F.col("word").isNotNull())
     # the (source × word) grid via a generate over the literal list —
     # no join of any kind, so zero-count words still get rows
     grid = totals.select(

@@ -280,3 +280,15 @@ def test_grid_offset_parity():
     blob = encode_jpeg2000(img, levels=2, grid_offset=(1, 3), irreversible=True)
     back = decode_jpeg2000(blob)
     assert np.abs(back.astype(int) - img.astype(int)).max() <= 3
+
+
+def test_tile_size_must_reach_grid_offset():
+    """T.800 A.5.1: the first tile must overlap the image region; a tile
+    grid anchored at 0 with tile_size <= grid_offset would emit
+    zero-area leading tiles that conformant decoders may reject (review
+    finding r8) — the encoder refuses."""
+    img = np.zeros((8, 8), dtype=np.uint8)
+    with pytest.raises(ValueError, match="does not reach grid_offset"):
+        encode_jpeg2000(img, tile_size=(4, 4), grid_offset=(7, 5))
+    # equal-or-larger tile is fine
+    decode_jpeg2000(encode_jpeg2000(img, tile_size=(8, 8), grid_offset=(7, 5)))

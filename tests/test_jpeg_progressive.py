@@ -551,3 +551,24 @@ def test_decode_image_routes_progressive():
     arr = decode_image(make_gray_progressive(8, 8, blocks))
     assert arr.shape == (8, 8, 1)
     np.testing.assert_array_equal(arr[:, :, 0], 50)
+
+
+def test_fill_bytes_before_markers():
+    """T.81 B.1.1.2: any number of 0xFF fill bytes may precede a marker.
+    The multi-scan walk must skip them instead of desyncing (review
+    finding r8: a fill byte before the second SOS silently corrupted
+    pixels)."""
+    rng = np.random.default_rng(21)
+    blocks = random_blocks(rng, 2, 2)
+    blob = make_gray_progressive(16, 16, blocks)
+    want = decode_jpeg(blob)
+    # insert a fill byte before EVERY marker segment after SOI
+    padded = bytearray(blob[:2])
+    i = 2
+    n = len(blob)
+    while i < n:
+        if blob[i] == 0xFF and i + 1 < n and 0xC0 <= blob[i + 1] <= 0xDF:
+            padded += b"\xff"
+        padded.append(blob[i])
+        i += 1
+    np.testing.assert_array_equal(decode_jpeg(bytes(padded)), want)

@@ -250,3 +250,21 @@ def test_jpegls_multicomponent_ilv0():
         encode_jpegls([y, cb[:, :5], cr], sampling=[(2, 2), (1, 1), (1, 1)])
     with pytest.raises(ValueError, match="maximum sampling"):
         encode_jpegls([cb, y, cr], sampling=[(1, 1), (2, 2), (1, 1)])
+
+
+def test_jpegls_fill_bytes_before_markers():
+    """0xFF fill bytes before inter-scan markers are legal padding; the
+    post-scan resync + marker walk must skip them (review finding r8)."""
+    rng = np.random.default_rng(23)
+    rgb = rng.integers(0, 256, (9, 11, 3), dtype=np.uint8)
+    blob = encode_jpegls(rgb)
+    # pad before every SOS and the EOI
+    out = bytearray()
+    i = 0
+    while i < len(blob):
+        if blob[i] == 0xFF and i + 1 < len(blob) and blob[i + 1] in (0xDA, 0xD9):
+            out += b"\xff\xff"  # two fill bytes
+        out.append(blob[i])
+        i += 1
+    back = decode_jpegls(bytes(out))
+    np.testing.assert_array_equal(back, rgb)
