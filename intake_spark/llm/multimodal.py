@@ -310,7 +310,7 @@ def resize_nearest(arr, out_h: int, out_w: int):
 
 def _pil_decode(content: bytes) -> np.ndarray:
     """Optional-dependency escape hatch for the lossy codecs (lossy
-    WebP, AVIF/HEIF, CMYK/arithmetic JPEG …): when pillow IS installed,
+    WebP, AVIF/HEIF, arithmetic-coded JPEG …): when pillow IS installed,
     delegate to it — exactly the reference's own PILImageReader
     delegation (reference readers.py:2228) — and normalize to the same
     (H, W, C) uint8 ndarray contract the stdlib decoders return.
@@ -383,7 +383,7 @@ def decode_image(content: bytes):
         try:
             arr = decode_jpeg(content)
         except NotImplementedError as gate:
-            # arithmetic-coded / CMYK SOF types: stdlib can't, pillow may —
+            # arithmetic-coded SOF types: stdlib can't, pillow may —
             # keep the named gate when pillow is absent OR when pillow
             # itself fails (its opaque 'broken data stream' must not
             # replace the gate). SOF0/1/2 all decode natively above.
@@ -938,6 +938,7 @@ def decode_jpeg(content: bytes):
     frame = None
     scans: list[dict] = []
     restart_interval = 0
+    adobe_transform = None
     pos = 2
     n = len(content)
     while pos < n:
@@ -1000,6 +1001,10 @@ def decode_jpeg(content: bytes):
                 "(Huffman SOF0/SOF1/SOF2 only; arithmetic-coded and "
                 "hierarchical processes gate)"
             )
+        elif marker == 0xEE and body[:5] == b"Adobe":  # APP14 color hints
+            # transform byte: 0 = none (RGB for 3 comps, CMYK for 4),
+            # 1 = YCbCr, 2 = YCCK. Adobe 4-component data is INK-INVERTED.
+            adobe_transform = body[11] if len(body) > 11 else 0
         elif marker == 0xDD:  # DRI
             restart_interval = int.from_bytes(body[:2], "big")
         elif marker == 0xDA:  # SOS: scan header + entropy data, then keep walking
@@ -1035,9 +1040,9 @@ def decode_jpeg(content: bytes):
     if P not in (8, 12):
         raise NotImplementedError(f"JPEG sample precision {P} not supported")
     comps = frame["comps"]
-    if len(comps) not in (1, 3):
+    if len(comps) not in (1, 3, 4):
         raise NotImplementedError(
-            f"JPEG with {len(comps)} components (CMYK/unknown color space)"
+            f"JPEG with {len(comps)} components (unknown color space)"
         )
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
@@ -1213,10 +1218,36 @@ def decode_jpeg(content: bytes):
     dt_ = np.uint8 if P == 8 else np.uint16
     if len(out_planes) == 1:
         return np.clip(out_planes[0].round(), 0, maxv).astype(dt_)
-    y, cb, cr = out_planes
-    r = y + 1.402 * (cr - level)
-    g = y - 0.344136 * (cb - level) - 0.714136 * (cr - level)
-    b = y + 1.772 * (cb - level)
+
+    def ycc_to_rgb(y, cb, cr):
+        r = y + 1.402 * (cr - level)
+        g = y - 0.344136 * (cb - level) - 0.714136 * (cr - level)
+        b = y + 1.772 * (cb - level)
+        return r, g, b
+
+    if len(out_planes) == 4:
+        # Adobe 4-component JPEG: CMYK (transform 0) or YCCK (transform
+        # 2 — YCbCr applied to the inverted C/M/Y channels). Adobe
+        # stores INK-INVERTED values, so stored = maxv - ink and RGB
+        # falls out of the multiplicative conversion directly:
+        # R = (maxv - C_ink)(maxv - K_ink)/maxv = stored_C*stored_K/maxv
+        if adobe_transform == 2:
+            c, m_, ye = ycc_to_rgb(*out_planes[:3])
+            k = out_planes[3]
+        else:
+            c, m_, ye, k = out_planes
+        c = np.clip(c, 0, maxv)
+        m_ = np.clip(m_, 0, maxv)
+        ye = np.clip(ye, 0, maxv)
+        k = np.clip(k, 0, maxv)
+        rgb = np.stack([c * k, m_ * k, ye * k], axis=2) / maxv
+        return np.clip(rgb.round(), 0, maxv).astype(dt_)
+    if adobe_transform == 0:
+        # APP14 transform 0 with 3 components: the planes ARE R, G, B
+        return np.clip(
+            np.stack(out_planes, axis=2).round(), 0, maxv
+        ).astype(dt_)
+    r, g, b = ycc_to_rgb(*out_planes)
     return np.clip(np.stack([r, g, b], axis=2).round(), 0, maxv).astype(dt_)
 
 

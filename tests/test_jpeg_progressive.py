@@ -572,3 +572,81 @@ def test_fill_bytes_before_markers():
         padded.append(blob[i])
         i += 1
     np.testing.assert_array_equal(decode_jpeg(bytes(padded)), want)
+
+
+def _app14(transform: int) -> bytes:
+    return _seg(0xEE, b"Adobe" + bytes([0, 100, 0, 0, 0, 0, transform]))
+
+
+def test_adobe_cmyk_jpeg_decodes_to_rgb():
+    """4-component Adobe CMYK (APP14 transform 0, ink-inverted storage):
+    constant blocks decode exactly, so RGB = stored_C*stored_K/255 etc.
+    is hand-checkable."""
+    stored = (200, 150, 100, 220)  # stored (inverted) C, M, Y, K
+    bw = BW()
+    pred = {i: 0 for i in range(4)}
+    for i, v in enumerate(stored):
+        dc = 8 * (v - 128)
+        diff = dc - pred[i]
+        pred[i] = dc
+        t = abs(diff).bit_length()
+        bw.dc_sym(t)
+        if t:
+            bw.amp(diff, t)
+        bw.ac_sym(0x00)
+    comps = [(i + 1, 0x11) for i in range(4)]
+    blob = (
+        b"\xff\xd8" + _app14(0) + _tables()
+        + _sof(0xC0, 8, 8, comps)
+        + _sos([1, 2, 3, 4], 0, 63, 0, 0) + bw.flush() + b"\xff\xd9"
+    )
+    img = decode_jpeg(blob)
+    assert img.shape == (8, 8, 3)
+    c, m, y, k = stored
+    exp = [round(c * k / 255), round(m * k / 255), round(y * k / 255)]
+    np.testing.assert_array_equal(img[0, 0], exp)
+    np.testing.assert_array_equal(img, np.broadcast_to(exp, (8, 8, 3)))
+
+
+def test_adobe_ycck_jpeg_decodes_to_rgb():
+    """YCCK (APP14 transform 2): YCbCr inverse recovers the stored
+    (inverted) C/M/Y, K passes through."""
+    y0, cb0, cr0, k0 = 120, 128, 128, 240  # neutral chroma: C=M=Y=y0
+    bw = BW()
+    for v in (y0, cb0, cr0, k0):
+        dc = 8 * (v - 128)
+        t = abs(dc).bit_length()
+        bw.dc_sym(t)
+        if t:
+            bw.amp(dc, t)
+        bw.ac_sym(0x00)
+    comps = [(i + 1, 0x11) for i in range(4)]
+    blob = (
+        b"\xff\xd8" + _app14(2) + _tables()
+        + _sof(0xC0, 8, 8, comps)
+        + _sos([1, 2, 3, 4], 0, 63, 0, 0) + bw.flush() + b"\xff\xd9"
+    )
+    img = decode_jpeg(blob)
+    exp = round(y0 * k0 / 255)
+    np.testing.assert_array_equal(img, np.full((8, 8, 3), exp, dtype=np.uint8))
+
+
+def test_app14_transform0_rgb_jpeg():
+    """3-component JPEG with APP14 transform 0 is RGB — no YCbCr inverse."""
+    vals = (40, 90, 200)
+    bw = BW()
+    for v in vals:
+        dc = 8 * (v - 128)
+        t = abs(dc).bit_length()
+        bw.dc_sym(t)
+        if t:
+            bw.amp(dc, t)
+        bw.ac_sym(0x00)
+    comps = [(i + 1, 0x11) for i in range(3)]
+    blob = (
+        b"\xff\xd8" + _app14(0) + _tables()
+        + _sof(0xC0, 8, 8, comps)
+        + _sos([1, 2, 3], 0, 63, 0, 0) + bw.flush() + b"\xff\xd9"
+    )
+    img = decode_jpeg(blob)
+    np.testing.assert_array_equal(img, np.broadcast_to(vals, (8, 8, 3)))
