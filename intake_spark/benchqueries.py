@@ -1022,7 +1022,12 @@ def _latest_green_round(repo_root=None) -> dict[str, int]:
             if not isinstance(rec, dict):
                 continue
             green = rec.get("err") is None and rec.get("rows_match") is True
-            if green and rec.get("hash_match") is False:
+            # hash/schema may legitimately be ABSENT (rows-only checks),
+            # but an explicit False is a partial failure — don't stamp
+            # the query as freshly verified on it
+            if green and (
+                rec.get("hash_match") is False or rec.get("schema_match") is False
+            ):
                 green = False
             if green and rnd > latest.get(name, -1):
                 latest[name] = rnd

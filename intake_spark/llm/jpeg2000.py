@@ -367,12 +367,17 @@ def _fwd_axis(a, start: int, irreversible: bool, axis: int):
         return np.moveaxis(e, -1, axis), np.moveaxis(e, -1, axis)
     ev, od = _parity_idx(n, start)
     if n == 1:
+        # length-1 signals take the parity rule for BOTH filters
+        # (T.800 equation F-5/F-8 degenerate case, matching OpenJPEG's
+        # len==1 pass-through): even → identity, odd → ×2. No K scaling
+        # — applying K here would mis-scale 1-sample tile strips of
+        # third-party 9/7 codestreams by ~23%.
         if start % 2 == 0:
-            L = y / _D97_K if irreversible else y
+            L = y.astype(np.float64) if irreversible else y
             H = y[..., :0]
         else:
             L = y[..., :0]
-            H = y * _D97_K if irreversible else y * 2
+            H = y * 2.0 if irreversible else y * 2
         return np.moveaxis(L, -1, axis), np.moveaxis(H, -1, axis)
     if irreversible:
         y = y.astype(np.float64).copy()
@@ -402,10 +407,11 @@ def _inv_axis(L, H, start: int, irreversible: bool, axis: int):
     if n == 0:
         return np.moveaxis(Lm[..., :0], -1, axis)
     if n == 1:
+        # mirror of the analysis parity rule: even → identity, odd → /2
         if start % 2 == 0:
-            y = Lm * _D97_K if irreversible else Lm
+            y = Lm.astype(np.float64) if irreversible else Lm
         else:
-            y = Hm / _D97_K if irreversible else Hm >> 1
+            y = Hm / 2.0 if irreversible else Hm >> 1
         return np.moveaxis(y, -1, axis)
     dt = np.float64 if irreversible else np.int64
     shape = Lm.shape[:-1] + (n,)

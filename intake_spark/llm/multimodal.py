@@ -801,27 +801,9 @@ def decode_jpeg_lossless(content: bytes):
             "scan only"
         )
 
-    # de-stuffed entropy intervals split on restart markers
-    intervals: list[bytes] = []
-    cur = bytearray()
-    p = pos
-    while p < len(content):
-        byte = content[p]
-        if byte == 0xFF and p + 1 < len(content):
-            nxt = content[p + 1]
-            if nxt == 0x00:
-                cur.append(0xFF)
-                p += 2
-                continue
-            if 0xD0 <= nxt <= 0xD7:
-                intervals.append(bytes(cur))
-                cur = bytearray()
-                p += 2
-                continue
-            break
-        cur.append(byte)
-        p += 1
-    intervals.append(bytes(cur))
+    # de-stuffed entropy intervals split on restart markers (shared
+    # helper — includes the fill-byte-before-RST handling)
+    intervals, _ = _jpeg_entropy_intervals(content, pos)
 
     P, H, W = frame["p"], frame["h"], frame["w"]
     nc = len(frame["comps"])
@@ -898,6 +880,12 @@ def _jpeg_entropy_intervals(content: bytes, pos: int) -> tuple[list[bytes], int]
         byte = content[p]
         if byte == 0xFF and p + 1 < n:
             nxt = content[p + 1]
+            if nxt == 0xFF:
+                # 0xFF fill byte before an in-scan RST or the scan's
+                # terminating marker (T.81 B.1.1.2) — drop it, the last
+                # FF of the run is the marker's own prefix
+                p += 1
+                continue
             if nxt == 0x00:
                 cur.append(0xFF)
                 p += 2
@@ -1226,20 +1214,22 @@ def decode_jpeg(content: bytes):
         return r, g, b
 
     if len(out_planes) == 4:
-        # Adobe 4-component JPEG: CMYK (transform 0) or YCCK (transform
-        # 2 — YCbCr applied to the inverted C/M/Y channels). Adobe
-        # stores INK-INVERTED values, so stored = maxv - ink and RGB
+        # 4-component JPEG: CMYK or YCCK (transform 2 — YCbCr applied to
+        # the inverted C/M/Y channels). ADOBE files (APP14 present)
+        # store INK-INVERTED values, so stored = maxv - ink and RGB
         # falls out of the multiplicative conversion directly:
-        # R = (maxv - C_ink)(maxv - K_ink)/maxv = stored_C*stored_K/maxv
+        # R = (maxv - C_ink)(maxv - K_ink)/maxv = stored_C*stored_K/maxv.
+        # Without APP14 the samples are plain ink values (libjpeg/PIL
+        # apply the inversion only when the Adobe marker is present).
         if adobe_transform == 2:
             c, m_, ye = ycc_to_rgb(*out_planes[:3])
             k = out_planes[3]
         else:
             c, m_, ye, k = out_planes
-        c = np.clip(c, 0, maxv)
-        m_ = np.clip(m_, 0, maxv)
-        ye = np.clip(ye, 0, maxv)
-        k = np.clip(k, 0, maxv)
+        planes4 = [np.clip(x, 0, maxv) for x in (c, m_, ye, k)]
+        if adobe_transform is None:  # plain CMYK: invert inks first
+            planes4 = [maxv - x for x in planes4]
+        c, m_, ye, k = planes4
         rgb = np.stack([c * k, m_ * k, ye * k], axis=2) / maxv
         return np.clip(rgb.round(), 0, maxv).astype(dt_)
     if adobe_transform == 0:

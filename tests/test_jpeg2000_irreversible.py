@@ -70,12 +70,18 @@ def test_97_dwt_reconstructs_and_respects_parity():
                 assert np.abs(back - a).max() < 1e-8
 
 
-def test_97_single_sample_axes_roundtrip():
+def test_97_single_sample_axes_parity_rule():
+    """Length-1 signals follow the T.800 degenerate parity rule for
+    BOTH filters: even start → identity, odd start → ×2 (analysis) / /2
+    (synthesis) — NO K scaling (review finding r8: K here would
+    mis-scale 1-sample tile strips of third-party codestreams)."""
     a = np.array([[3.5]])
-    for start in (0, 1):
-        L, H = _fwd_axis(a, start, True, axis=1)
-        back = _inv_axis(L, H, start, True, axis=1)
-        assert abs(back[0, 0] - 3.5) < 1e-12
+    L, H = _fwd_axis(a, 0, True, axis=1)
+    assert L[0, 0] == 3.5 and H.shape[-1] == 0  # identity, not /K
+    assert _inv_axis(L, H, 0, True, axis=1)[0, 0] == 3.5
+    L, H = _fwd_axis(a, 1, True, axis=1)
+    assert H[0, 0] == 7.0 and L.shape[-1] == 0  # x2, not xK
+    assert _inv_axis(L, H, 1, True, axis=1)[0, 0] == 3.5
 
 
 def test_irreversible_roundtrip_gray_and_quant_step():

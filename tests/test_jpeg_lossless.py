@@ -214,3 +214,18 @@ def test_dicom_jpeg_lossless_transfer_syntaxes(spark, tmp_path):
     p2.write_bytes(blob)
     got = _rebuild(DicomReader(data=DICOM(url=str(p2))).read(spark=spark))
     np.testing.assert_array_equal(got.reshape(5, 7), s0)
+
+
+def test_lossless_fill_byte_before_restart():
+    """SOF3 path shares _jpeg_entropy_intervals: a fill byte before an
+    in-scan RST must not truncate the scan (review finding r8)."""
+    import numpy as np
+
+    from intake_spark.llm.multimodal import decode_jpeg_lossless
+
+    img = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    blob = encode_jpeg_lossless(img, restart_interval=32)
+    rst0 = blob.find(b"\xff\xd0")
+    assert rst0 > 0
+    padded = blob[:rst0] + b"\xff" + blob[rst0:]
+    np.testing.assert_array_equal(decode_jpeg_lossless(padded), img)

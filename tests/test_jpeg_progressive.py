@@ -650,3 +650,55 @@ def test_app14_transform0_rgb_jpeg():
     )
     img = decode_jpeg(blob)
     np.testing.assert_array_equal(img, np.broadcast_to(vals, (8, 8, 3)))
+
+
+def test_fill_byte_before_in_scan_restart_marker():
+    """A 0xFF fill byte may precede an RST marker INSIDE entropy data
+    (T.81 B.1.1.2); dropping the rest of the scan there is silent pixel
+    corruption (review finding r8, second pass)."""
+    dcs = [8 * (60 - 128), 8 * (220 - 128)]
+    out = b"\xff\xd8" + _tables()
+    out += _seg(0xDD, struct.pack(">H", 1))
+    out += _sof(0xC0, 16, 8, [(1, 0x11)])
+    bw1 = BW()
+    pred = 0
+    t = abs(dcs[0]).bit_length()
+    bw1.dc_sym(t)
+    bw1.amp(dcs[0], t)
+    bw1.ac_sym(0x00)
+    bw2 = BW()
+    t = abs(dcs[1]).bit_length()
+    bw2.dc_sym(t)
+    bw2.amp(dcs[1], t)
+    bw2.ac_sym(0x00)
+    entropy = bw1.flush() + b"\xff" + b"\xff\xd0" + bw2.flush()  # fill + RST0
+    out += _sos([1], 0, 63, 0, 0) + entropy + b"\xff\xd9"
+    img = decode_jpeg(out)
+    np.testing.assert_array_equal(img[:, :8], 60)
+    np.testing.assert_array_equal(img[:, 8:], 220)
+
+
+def test_plain_cmyk_without_adobe_marker_not_inverted():
+    """4-component JPEG with NO APP14: samples are plain ink values —
+    R = (maxv-C)(maxv-K)/maxv, not the Adobe inverted formula."""
+    inks = (55, 105, 155, 35)  # plain C, M, Y, K inks
+    bw = BW()
+    for v in inks:
+        dc = 8 * (v - 128)
+        t = abs(dc).bit_length()
+        bw.dc_sym(t)
+        if t:
+            bw.amp(dc, t)
+        bw.ac_sym(0x00)
+    comps = [(i + 1, 0x11) for i in range(4)]
+    blob = (
+        b"\xff\xd8" + _tables()
+        + _sof(0xC0, 8, 8, comps)
+        + _sos([1, 2, 3, 4], 0, 63, 0, 0) + bw.flush() + b"\xff\xd9"
+    )
+    img = decode_jpeg(blob)
+    c, m, y, k = inks
+    exp = [round((255 - c) * (255 - k) / 255),
+           round((255 - m) * (255 - k) / 255),
+           round((255 - y) * (255 - k) / 255)]
+    np.testing.assert_array_equal(img, np.broadcast_to(exp, (8, 8, 3)))

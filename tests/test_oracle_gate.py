@@ -142,9 +142,11 @@ def test_verify_order_derived_from_correctness_files(tmp_path):
         "q_fresh": {"rows_match": True, "hash_match": True, "err": None},
         "q_rowsonly": {"rows_match": True, "err": None},
         "q_errored": {"rows_match": True, "hash_match": True, "err": "boom"},
+        "q_badschema": {"rows_match": True, "hash_match": True,
+                        "schema_match": False, "err": None},
     }))
     latest = _latest_green_round(tmp_path)
-    # red / errored rows never count as verification
+    # red / errored / schema-mismatched rows never count as verification
     assert latest == {"q_old": 1, "q_fresh": 2, "q_rowsonly": 2}
 
     # live ordering: histogram over the real repo files must be
