@@ -210,6 +210,16 @@ class JPEG(FileData):
     spark_format = "image"
 
 
+class JPEG2000(FileData):
+    """JP2 container or raw JPEG 2000 codestream (T.800; decoded natively
+    by llm/jpeg2000.py — reference delegates to PIL/glymur)."""
+
+    filepattern = r"(jp2|j2k|jpc|jpf|jpx)$"
+    mimetypes = r"image/jp2"
+    magic = (b"\x00\x00\x00\x0cjP  \r\n\x87\n", b"\xff\x4f\xff\x51")
+    structure = {"image", "array"}
+
+
 class TIFF(FileData):
     filepattern = r"tiff?$"
     mimetypes = r"image/tiff"

@@ -725,6 +725,41 @@ def to_tiff(df: DataFrame, url: str, max_bytes: int | None = 1 << 30) -> "dt.TIF
     return dt.TIFF(url=url)
 
 
+def to_jpeg2000(
+    df: DataFrame,
+    url: str,
+    levels: int = 3,
+    irreversible: bool = False,
+    max_bytes: int | None = 1 << 30,
+) -> "dt.JPEG2000":
+    """Chunk rows → JPEG 2000 codestream (2-D arrays; non-negative ints,
+    any precision to 16 bits). Lossless 5/3 by default — round-trips
+    bit-exactly with llm.jpeg2000.decode_jpeg2000; ``irreversible=True``
+    writes the 9/7 lossy form. Stdlib encoder — parity: the reference's
+    PIL/glymur delegation. Driver-edge artifact sink, same cost model as
+    to_png/to_tiff."""
+    import numpy as np
+
+    from intake_spark.llm.jpeg2000 import encode_jpeg2000
+
+    shape = list(_guard_single_file(df, "to_jpeg2000", max_bytes))
+    if len(shape) != 2:
+        raise ValueError(f"to_jpeg2000 needs a 2-D array, got shape {shape}")
+    h, w = shape
+    flat: list[int] = []
+    for row in df.select("offset0", "values").orderBy("offset0").toLocalIterator():
+        flat.extend(max(0, min(65535, int(v))) for v in row["values"])
+    if len(flat) != h * w:
+        raise ValueError(
+            f"chunk rows reconstruct {len(flat)} pixels but shape says "
+            f"{h * w} — refusing to write a truncated JPEG 2000"
+        )
+    arr = np.asarray(flat, dtype=np.int64).reshape(h, w)
+    with open(url, "wb") as f:
+        f.write(encode_jpeg2000(arr, levels=levels, irreversible=irreversible))
+    return dt.JPEG2000(url=url)
+
+
 def to_nrrd(df: DataFrame, url: str, max_bytes: int | None = 1 << 30) -> "dt.BaseData":
     """Chunk rows → NRRD (raw little-endian float64, any rank). Sizes are
     written fastest-axis-first per the NRRD spec (reverse of the C-order

@@ -782,3 +782,40 @@ def test_to_token_shards_order_by_rejects_column_objects(spark, tmp_path):
     with pytest.raises(ValueError, match="column NAMES"):
         to_token_shards(docs, str(tmp_path / "x"), target_tokens=5,
                         order_by=[F.col("d")])
+
+
+def test_jpeg2000_sink_roundtrip_and_recommend(spark, tmp_path):
+    """to_jpeg2000 writes a lossless codestream that decodes bit-exactly
+    (incl. 16-bit values); recommend() classifies both JP2 boxes and raw
+    codestreams as the JPEG2000 datatype."""
+    import numpy as np
+
+    from intake_spark.arrays import NumpyArrayReader
+    from intake_spark.llm.jpeg2000 import decode_jpeg2000
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 4096, (12, 9)).astype("<f8")
+    npy = str(tmp_path / "img.npy")
+    np.save(npy, img)
+    chunks = NumpyArrayReader(data=dt.NumpyFile(url=npy)).read(
+        spark=spark, rows_per_chunk=5
+    )
+    j2k = str(tmp_path / "img.j2k")
+    out = output.to_jpeg2000(chunks, j2k)
+    assert isinstance(out, dt.JPEG2000)
+    np.testing.assert_array_equal(
+        decode_jpeg2000(open(j2k, "rb").read()).astype("<f8"), img
+    )
+    # lossy form stays within quantizer error
+    j2l = str(tmp_path / "img_lossy.j2k")
+    output.to_jpeg2000(chunks, j2l, irreversible=True)
+    lossy = decode_jpeg2000(open(j2l, "rb").read()).astype(int)
+    assert np.abs(lossy - img.astype(int)).max() <= 4
+
+    from intake_spark.datatypes import recommend
+
+    blob = open(j2k, "rb").read()
+    got = recommend(url="x.j2k", head=blob[:256])
+    assert any(c.__name__ == "JPEG2000" for c in got[:2])
+    got2 = recommend(url="x.jp2")
+    assert any(c.__name__ == "JPEG2000" for c in got2[:2])
