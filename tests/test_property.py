@@ -667,3 +667,86 @@ def test_lz4_match_copy_overlap_periods(offset, match_len, seed):
         want.append(want[start + i])
     got = lz4_block_decompress(blob, len(want))
     assert got == bytes(want)
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.integers(1, 18), st.integers(1, 18),      # h, w
+    st.integers(0, 3),                            # levels
+    st.tuples(st.integers(0, 5), st.integers(0, 5)),  # grid offset
+    st.booleans(),                                # irreversible
+    st.integers(0, 2**31 - 1),
+)
+def test_jpeg2000_roundtrip_property(h, w, levels, off, irreversible, seed):
+    """Any small geometry (odd sizes, odd reference-grid origins, every
+    level count) round-trips: bit-exact for 5/3, within the unit
+    quantizer bound for 9/7."""
+    import numpy as np
+
+    from intake_spark.llm.jpeg2000 import decode_jpeg2000, encode_jpeg2000
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, (h, w), dtype=np.uint8)
+    blob = encode_jpeg2000(
+        img, levels=levels, cb_exp=4, grid_offset=off, irreversible=irreversible
+    )
+    back = decode_jpeg2000(blob)
+    assert back.shape == img.shape
+    if irreversible:
+        assert np.abs(back.astype(int) - img.astype(int)).max() <= 3
+    else:
+        assert (back == img).all()
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.integers(1, 3), st.integers(1, 3),  # block grid
+    st.integers(1, 30),                    # band split point
+    st.floats(0.05, 0.6),                  # density
+    st.integers(0, 2**31 - 1),
+)
+def test_progressive_jpeg_equals_baseline_property(bh, bw, split, dense, seed):
+    """The full successive-approximation ladder reconstructs exactly the
+    coefficients the baseline scan encodes, for arbitrary sparse layouts
+    and band splits."""
+    import numpy as np
+
+    from intake_spark.llm.multimodal import decode_jpeg
+    from tests.test_jpeg_progressive import (
+        make_gray_baseline,
+        make_gray_progressive,
+        random_blocks,
+    )
+
+    rng = np.random.default_rng(seed)
+    blocks = random_blocks(rng, bh, bw, dense=dense)
+    w, h = bw * 8, bh * 8
+    base = decode_jpeg(make_gray_baseline(w, h, blocks))
+    prog = decode_jpeg(
+        make_gray_progressive(w, h, blocks, bands=((1, split), (split + 1, 63)))
+    )
+    np.testing.assert_array_equal(prog, base)
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.integers(1, 12), st.integers(1, 12),  # h, w
+    st.integers(1, 3),                       # components
+    st.integers(0, 2),                       # near
+    st.integers(0, 2**31 - 1),
+)
+def test_jpegls_multicomponent_roundtrip_property(h, w, nc, near, seed):
+    import numpy as np
+
+    from intake_spark.llm.jpegls import decode_jpegls, encode_jpegls
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, (h, w, nc), dtype=np.uint8)
+    back = decode_jpegls(encode_jpegls(img if nc > 1 else img[:, :, 0], near=near))
+    if nc > 1:
+        assert back.shape == (h, w, nc)
+    else:
+        back = back[:, :, None] if back.ndim == 3 else back.reshape(h, w, 1)
+        img = img
+    err = np.abs(back.reshape(h, w, -1).astype(int) - img.astype(int)).max()
+    assert err <= near
