@@ -633,6 +633,87 @@ def fake_decode_meta(
     return df.mapInPandas(decode_batches, schema=out_schema)
 
 
+CODEC_ROUNDTRIP_SCHEMA = T.StructType(
+    [
+        T.StructField("codec", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("sum_px", T.LongType()),
+        T.StructField("exact", T.IntegerType()),
+    ]
+)
+
+
+def codec_roundtrip_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    size: int = 8,
+    codecs: tuple = ("jpeg2000", "jpegls"),
+) -> DataFrame:
+    """REAL stdlib codec round-trip inside the distributed pipeline:
+    each document's text becomes a deterministic size×size uint8 image
+    (code points mod 256, space-padded), which is ENCODED and DECODED
+    executor-side with the named lossless codecs. Output per (doc,
+    codec): decoded dims, decoded pixel sum, and a bit-exactness flag.
+
+    Because the codecs are lossless, sum_px is a pure function of the
+    text — which is what makes a full-value SQL oracle possible for a
+    binary codec path (q30's fake-decode plumbing check, upgraded to
+    the real coders). Arrow-batched mapInPandas; encoded images never
+    leave the executor."""
+    from intake_spark.session import ensure_py_deps
+
+    ensure_py_deps(df.sparkSession)
+    n_px = size * size
+    out_schema = T.StructType(
+        [df.schema[id_col]] + list(CODEC_ROUNDTRIP_SCHEMA.fields)
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from intake_spark.llm.jpeg2000 import decode_jpeg2000, encode_jpeg2000
+        from intake_spark.llm.jpegls import decode_jpegls, encode_jpegls
+
+        pairs = {
+            "jpeg2000": (
+                lambda a: encode_jpeg2000(a, levels=1, cb_exp=4),
+                decode_jpeg2000,
+            ),
+            "jpegls": (encode_jpegls, decode_jpegls),
+        }
+        for pdf in batches:
+            rows = []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                s = ((text or "")[:n_px]).ljust(n_px, " ")
+                arr = np.array(
+                    [ord(c) % 256 for c in s], dtype=np.uint8
+                ).reshape(size, size)
+                for codec in codecs:
+                    enc, dec = pairs[codec]
+                    back = dec(enc(arr))
+                    rows.append(
+                        {
+                            id_col: did,
+                            "codec": codec,
+                            "width": back.shape[1],
+                            "height": back.shape[0],
+                            "sum_px": int(back.astype(np.int64).sum()),
+                            "exact": int(
+                                back.shape == arr.shape and (back == arr).all()
+                            ),
+                        }
+                    )
+            out = pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
+            out["width"] = out["width"].astype("int32")
+            out["height"] = out["height"].astype("int32")
+            out["exact"] = out["exact"].astype("int32")
+            yield out
+
+    return df.select(id_col, text_col).mapInPandas(run, schema=out_schema)
+
+
 def frame_sample_plan(df: DataFrame, content_col: str = "content", every_n: int = 30) -> DataFrame:
     """Video frame-sampling plumbing: one row per sampled frame index.
 

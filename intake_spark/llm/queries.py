@@ -3487,3 +3487,33 @@ def q129_template_prefixes(spark: SparkSession, sf_dir: str) -> DataFrame:
     tail; ties break on the smallest prefix (text.template_prefixes)."""
     docs = load_table(spark, sf_dir, "documents")
     return text.template_prefixes(docs, k=8)
+
+
+@register(
+    "q130_codec_roundtrip",
+    """
+    WITH sel AS (SELECT doc_id,
+                        rpad(substr(COALESCE(text, ''), 1, 64), 64, ' ') AS s
+                 FROM documents WHERE doc_id % 10 = 0),
+    px AS (SELECT doc_id, SUM(ord(substr(s, i, 1)) % 256) AS sum_px
+           FROM sel, unnest(generate_series(1, 64)) t(i)
+           GROUP BY doc_id)
+    SELECT doc_id, c.codec,
+           CAST(8 AS INTEGER) AS width, CAST(8 AS INTEGER) AS height,
+           CAST(sum_px AS BIGINT) AS sum_px, CAST(1 AS INTEGER) AS exact
+    FROM px, (SELECT unnest(['jpeg2000', 'jpegls']) AS codec) c
+    """,
+)
+def q130_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL codec round-trip through the distributed pipeline: a
+    deterministic 8x8 image per sampled document is encoded AND decoded
+    executor-side with the native JPEG 2000 and JPEG-LS coders
+    (multimodal.codec_roundtrip_stats). Lossless-ness makes the decoded
+    pixel sum a pure function of the text, so even this binary path
+    carries a full-value DuckDB oracle — and exact=1 proves
+    bit-exactness for every document, not just the test fixtures.
+    Deterministic 1-in-10 doc_id sample bounds the per-query cost."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 10 == 0
+    )
+    return multimodal.codec_roundtrip_stats(docs)

@@ -840,3 +840,24 @@ def test_features_ladder_delegates_before_probe_rows(monkeypatch):
     assert cells["n_frames"] == 8000 and cells["duration_s"] == 1.0
     assert abs(cells["peak"] - 0.5) < 1e-12 and abs(cells["rms"] - 0.5) < 1e-12
     assert cells["zero_cross_rate"] == 0.0
+
+
+def test_codec_roundtrip_stats_operator(spark):
+    """Real J2K/JPEG-LS encode+decode inside mapInPandas: exact=1 and the
+    pixel sum equals the text-derived truth (the q130 operator)."""
+    from intake_spark.llm.multimodal import codec_roundtrip_stats
+
+    df = spark.createDataFrame(
+        [(1, "hello world"), (2, None), (3, "x" * 200)],
+        "doc_id long, text string",
+    )
+    rows = codec_roundtrip_stats(df).collect()
+    assert len(rows) == 6 and all(r.exact == 1 for r in rows)
+    want = {
+        1: sum(ord(c) % 256 for c in "hello world".ljust(64, " ")),
+        2: 32 * 64,
+        3: sum(ord(c) % 256 for c in ("x" * 64)),
+    }
+    for r in rows:
+        assert (r.width, r.height) == (8, 8)
+        assert r.sum_px == want[r.doc_id], r
