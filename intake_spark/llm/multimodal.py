@@ -1700,66 +1700,137 @@ def lzw_decode_gif(data: bytes, min_code_size: int) -> bytes:
     return bytes(out)
 
 
-def decode_gif(content: bytes):
-    """Real GIF decode (stdlib + numpy): header, global/local color
-    tables, interlaced rows, LSB-first LZW → (H, W, 3) uint8 RGB of the
-    FIRST image frame (animation frames after the first are a compose
-    operation left to the caller; same first-frame contract as the
-    TIFF/SVS page selection)."""
+def _gif_parse(content: bytes):
+    """GIF89a/87a walk → (header_dict, frame iterator). Each yielded
+    frame is (x, y, idx_array, color_table, gce) where gce carries the
+    preceding Graphic Control Extension's disposal/transparency/delay
+    (empty dict when absent). Interlaced rows arrive deinterlaced."""
     import struct as _s
 
     import numpy as np
 
     if content[:3] != b"GIF" or content[3:6] not in (b"87a", b"89a"):
         raise ValueError("not a GIF file")
-    sw, sh, flags, _bg, _ar = _s.unpack_from("<HHBBB", content, 6)
+    sw, sh, flags, bg, _ar = _s.unpack_from("<HHBBB", content, 6)
     pos = 13
     gct = None
     if flags & 0x80:
         n = 2 << (flags & 7)
         gct = np.frombuffer(content[pos : pos + 3 * n], dtype=np.uint8).reshape(-1, 3)
         pos += 3 * n
-    while pos < len(content):
-        b = content[pos]
-        if b == 0x21:  # extension: label + sub-blocks
-            pos += 2
-            while content[pos]:
-                pos += 1 + content[pos]
-            pos += 1
-        elif b == 0x2C:  # image descriptor
-            _x, _y, w, h, iflags = _s.unpack_from("<HHHHB", content, pos + 1)
-            pos += 10
-            ct = gct
-            if iflags & 0x80:
-                n = 2 << (iflags & 7)
-                ct = np.frombuffer(content[pos : pos + 3 * n], dtype=np.uint8).reshape(-1, 3)
-                pos += 3 * n
-            if ct is None:
-                raise ValueError("GIF image has no color table")
-            mcs = content[pos]
-            pos += 1
-            blocks = bytearray()
-            while content[pos]:
-                ln = content[pos]
-                blocks += content[pos + 1 : pos + 1 + ln]
-                pos += 1 + ln
-            pos += 1
-            idx = np.frombuffer(
-                lzw_decode_gif(bytes(blocks), mcs)[: w * h], dtype=np.uint8
-            ).reshape(h, w)
-            if iflags & 0x40:  # interlaced: 4-pass row shuffle
-                de = np.empty_like(idx)
-                rows = list(range(0, h, 8)) + list(range(4, h, 8)) \
-                    + list(range(2, h, 4)) + list(range(1, h, 2))
-                for src, dst in enumerate(rows):
-                    de[dst] = idx[src]
-                idx = de
-            return ct[idx]
-        elif b == 0x3B:  # trailer
-            break
-        else:
-            raise ValueError(f"unexpected GIF block 0x{b:02x}")
+    header = {"w": sw, "h": sh, "gct": gct, "bg": bg}
+
+    def frames():
+        nonlocal pos
+        gce: dict = {}
+        while pos < len(content):
+            b = content[pos]
+            if b == 0x21:  # extension: label + sub-blocks
+                label = content[pos + 1]
+                pos += 2
+                if label == 0xF9 and content[pos] >= 4:  # Graphic Control
+                    gflags, delay = _s.unpack_from("<BH", content, pos + 1)
+                    gce = {
+                        "disposal": (gflags >> 2) & 0x7,
+                        "delay_cs": delay,
+                        "transparent": content[pos + 4] if gflags & 1 else None,
+                    }
+                while content[pos]:
+                    pos += 1 + content[pos]
+                pos += 1
+            elif b == 0x2C:  # image descriptor
+                x, y, w, h, iflags = _s.unpack_from("<HHHHB", content, pos + 1)
+                pos += 10
+                ct = header["gct"]
+                if iflags & 0x80:
+                    n = 2 << (iflags & 7)
+                    ct = np.frombuffer(
+                        content[pos : pos + 3 * n], dtype=np.uint8
+                    ).reshape(-1, 3)
+                    pos += 3 * n
+                if ct is None:
+                    raise ValueError("GIF image has no color table")
+                mcs = content[pos]
+                pos += 1
+                blocks = bytearray()
+                while content[pos]:
+                    ln = content[pos]
+                    blocks += content[pos + 1 : pos + 1 + ln]
+                    pos += 1 + ln
+                pos += 1
+                idx = np.frombuffer(
+                    lzw_decode_gif(bytes(blocks), mcs)[: w * h], dtype=np.uint8
+                ).reshape(h, w)
+                if iflags & 0x40:  # interlaced: 4-pass row shuffle
+                    de = np.empty_like(idx)
+                    rows = list(range(0, h, 8)) + list(range(4, h, 8)) \
+                        + list(range(2, h, 4)) + list(range(1, h, 2))
+                    for src, dst in enumerate(rows):
+                        de[dst] = idx[src]
+                    idx = de
+                yield x, y, idx, ct, gce
+                gce = {}
+            elif b == 0x3B:  # trailer
+                return
+            else:
+                raise ValueError(f"unexpected GIF block 0x{b:02x}")
+
+    return header, frames()
+
+
+def decode_gif(content: bytes):
+    """Real GIF decode (stdlib + numpy): header, global/local color
+    tables, interlaced rows, LSB-first LZW → (H, W, 3) uint8 RGB of the
+    FIRST image frame (same first-frame contract as the TIFF/SVS page
+    selection; :func:`gif_frames` composes full animations)."""
+    import numpy as np
+
+    _header, frames = _gif_parse(content)
+    for _x, _y, idx, ct, _gce in frames:
+        return ct[np.clip(idx, 0, len(ct) - 1)]
     raise ValueError("GIF contains no image data")
+
+
+def gif_frames(content: bytes, max_frames: int | None = None):
+    """Animated GIF → [(delay_cs, (H, W, 3) uint8 RGB full canvas)],
+    honoring the GCE disposal methods (1 leave, 2 restore-to-background,
+    3 restore-to-previous) and per-frame transparency — the compose
+    operation decode_gif's first-frame contract leaves to the caller.
+    Parity: the reference reads animations via imageio/PIL (reference
+    readers.py:2228,2261); this composes them stdlib-side."""
+    import numpy as np
+
+    header, frames = _gif_parse(content)
+    sw, sh, gct, bg = header["w"], header["h"], header["gct"], header["bg"]
+    bg_rgb = (
+        gct[bg] if gct is not None and bg < len(gct) else np.zeros(3, np.uint8)
+    )
+    canvas = np.broadcast_to(bg_rgb, (sh, sw, 3)).copy()
+    out = []
+    for x, y, idx, ct, gce in frames:
+        # clamp a malformed frame rect to the canvas
+        idx = idx[: max(0, sh - y), : max(0, sw - x)]
+        h, w = idx.shape
+        disposal = gce.get("disposal", 0)
+        before = canvas.copy() if disposal == 3 else None
+        rgb = ct[np.clip(idx, 0, len(ct) - 1)]
+        region = canvas[y : y + h, x : x + w]
+        trans = gce.get("transparent")
+        if trans is not None:
+            mask = idx != trans
+            region[mask] = rgb[mask]
+        else:
+            region[:, :] = rgb
+        out.append((int(gce.get("delay_cs", 0)), canvas.copy()))
+        if disposal == 2:
+            canvas[y : y + h, x : x + w] = bg_rgb
+        elif disposal == 3 and before is not None:
+            canvas = before
+        if max_frames is not None and len(out) >= max_frames:
+            break
+    if not out:
+        raise ValueError("GIF contains no image data")
+    return out
 
 
 def decode_pnm(content: bytes):

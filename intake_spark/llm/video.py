@@ -293,6 +293,24 @@ def sample_video_frames(
             out_rows = []
             for _, row in pdf.iterrows():
                 content = bytes(row[content_col])
+                if content[:3] == b"GIF":
+                    # animated GIF: compose natively (multimodal.gif_frames)
+                    # and emit decoded RAW24 canvases, the PyAV-arm shape
+                    from intake_spark.llm.multimodal import gif_frames
+
+                    frames = gif_frames(content)
+                    n = len(frames)
+                    delays = [d for d, _f in frames]
+                    mean_cs = (sum(delays) / n) if n else 0
+                    fps = 100.0 / mean_cs if mean_cs > 0 else 10.0
+                    for idx in range(0, n, step):
+                        fr = frames[idx][1]
+                        out_rows.append(
+                            tuple(row[c] for c in keep)
+                            + (idx, n, fps, "RAW24:gif",
+                               fr.shape[1], fr.shape[0], fr.tobytes())
+                        )
+                    continue
                 gate = None
                 try:
                     meta = parse_video(content)

@@ -533,3 +533,115 @@ def test_png_adam7_and_16bit():
     # tiny image where several Adam7 passes are empty
     tiny = rng.integers(0, 256, size=(2, 2, 3), dtype=np.uint8)
     np.testing.assert_array_equal(decode_png(make_png(tiny, interlace=1)), tiny)
+
+
+def _animated_gif(frames, palette, canvas=None, bg=0):
+    """Spec-built GIF89a animation: frames = [(x, y, idx, gce_dict)];
+    gce_dict keys: disposal, delay_cs, transparent."""
+    import struct as st
+
+    import numpy as np
+
+    n = len(palette)
+    bits = max(1, (n - 1).bit_length())
+    n_pad = 1 << bits
+    pal = bytes(
+        v for i in range(n_pad) for v in (palette[i] if i < n else (0, 0, 0))
+    )
+    if canvas is None:
+        canvas = (max(x + f.shape[1] for x, _y, f, _g in frames),
+                  max(y + f.shape[0] for _x, y, f, _g in frames))
+    out = b"GIF89a" + st.pack("<HHBBB", canvas[0], canvas[1],
+                              0x80 | (bits - 1), bg, 0)
+    out += pal
+    for x, y, idx, gce in frames:
+        if gce:
+            gflags = ((gce.get("disposal", 0) & 7) << 2) | (
+                1 if gce.get("transparent") is not None else 0
+            )
+            out += b"\x21\xf9\x04" + st.pack(
+                "<BHB", gflags, gce.get("delay_cs", 0),
+                gce.get("transparent") or 0,
+            ) + b"\x00"
+        h, w = idx.shape
+        out += b"\x2c" + st.pack("<HHHHB", x, y, w, h, 0)
+        mcs = max(2, bits)
+        enc = _lzw_encode_gif(idx.astype(np.uint8).tobytes(), mcs)
+        out += bytes([mcs])
+        for i in range(0, len(enc), 255):
+            blk = enc[i : i + 255]
+            out += bytes([len(blk)]) + blk
+        out += b"\x00"
+    return out + b"\x3b"
+
+
+def test_gif_animation_compose():
+    """gif_frames honors disposal 1/2/3 and transparency over full
+    canvases; decode_gif keeps its first-frame contract."""
+    import numpy as np
+
+    from intake_spark.llm.multimodal import decode_gif, gif_frames
+
+    pal = [(0, 0, 0), (255, 0, 0), (0, 255, 0), (0, 0, 255)]
+    base = np.full((4, 4), 1, dtype=np.uint8)       # all red
+    patch = np.full((2, 2), 2, dtype=np.uint8)      # green 2x2
+    trans = np.array([[3, 0], [0, 3]], dtype=np.uint8)  # blue w/ trans idx 0
+    blob = _animated_gif(
+        [
+            (0, 0, base, {"disposal": 1, "delay_cs": 10}),
+            (1, 1, patch, {"disposal": 3, "delay_cs": 20}),
+            (0, 0, trans, {"transparent": 0, "delay_cs": 30}),
+        ],
+        pal,
+        canvas=(4, 4),
+    )
+    frames = gif_frames(blob)
+    assert [d for d, _f in frames] == [10, 20, 30]
+    f0, f1, f2 = (f for _d, f in frames)
+    assert (f0 == [255, 0, 0]).all()
+    # frame 1: green patch over red at (1,1)
+    assert (f1[1:3, 1:3] == [0, 255, 0]).all() and (f1[0, 0] == [255, 0, 0]).all()
+    # frame 2: disposal 3 restored the red canvas, then blue diagonal with
+    # transparent holes showing red
+    assert (f2[0, 0] == [0, 0, 255]).all() and (f2[0, 1] == [255, 0, 0]).all()
+    assert (f2[1, 1] == [0, 0, 255]).all() and (f2[1, 0] == [255, 0, 0]).all()
+    assert (f2[3, 3] == [255, 0, 0]).all()
+    # first-frame contract unchanged
+    np.testing.assert_array_equal(decode_gif(blob), f0)
+
+
+def test_gif_disposal_background(spark, tmp_path):
+    """Disposal 2 clears the frame rect to the background color; the
+    video frame sampler emits RAW24:gif canvases through Spark."""
+    import numpy as np
+
+    from intake_spark.llm.multimodal import gif_frames
+
+    pal = [(9, 9, 9), (255, 0, 0), (0, 255, 0)]
+    f1 = np.full((2, 2), 1, dtype=np.uint8)
+    f2 = np.full((1, 1), 2, dtype=np.uint8)
+    blob = _animated_gif(
+        [
+            (0, 0, f1, {"disposal": 2, "delay_cs": 5}),
+            (0, 0, f2, {"delay_cs": 5}),
+        ],
+        pal,
+        canvas=(2, 2),
+        bg=0,
+    )
+    frames = gif_frames(blob)
+    _d0, a = frames[0]
+    _d1, b = frames[1]
+    assert (a == [255, 0, 0]).all()
+    assert (b[0, 0] == [0, 255, 0]).all()
+    assert (b[1, 1] == [9, 9, 9]).all()  # restored to background
+
+    from intake_spark.llm import multimodal, video
+
+    (tmp_path / "a.gif").write_bytes(blob)
+    files = multimodal.read_binary_dir(spark, str(tmp_path), glob="*.gif")
+    rows = video.sample_video_frames(files, every_n=1).collect()
+    assert len(rows) == 2
+    assert rows[0].codec == "RAW24:gif" and rows[0].n_frames == 2
+    got = np.frombuffer(rows[1].frame_bytes, dtype=np.uint8).reshape(2, 2, 3)
+    np.testing.assert_array_equal(got, b)
