@@ -1791,13 +1791,12 @@ def decode_gif(content: bytes):
     raise ValueError("GIF contains no image data")
 
 
-def gif_frames(content: bytes, max_frames: int | None = None):
-    """Animated GIF → [(delay_cs, (H, W, 3) uint8 RGB full canvas)],
-    honoring the GCE disposal methods (1 leave, 2 restore-to-background,
-    3 restore-to-previous) and per-frame transparency — the compose
-    operation decode_gif's first-frame contract leaves to the caller.
-    Parity: the reference reads animations via imageio/PIL (reference
-    readers.py:2228,2261); this composes them stdlib-side."""
+def _gif_compose(content: bytes):
+    """Generator over composed GIF animation frames: yields
+    (frame_index, delay_cs, canvas_view). The canvas is REUSED between
+    yields — consumers must copy a frame they keep. This is what lets a
+    sampler walk a long animation holding one canvas plus only the
+    frames it keeps."""
     import numpy as np
 
     header, frames = _gif_parse(content)
@@ -1806,7 +1805,7 @@ def gif_frames(content: bytes, max_frames: int | None = None):
         gct[bg] if gct is not None and bg < len(gct) else np.zeros(3, np.uint8)
     )
     canvas = np.broadcast_to(bg_rgb, (sh, sw, 3)).copy()
-    out = []
+    i = 0
     for x, y, idx, ct, gce in frames:
         # clamp a malformed frame rect to the canvas
         idx = idx[: max(0, sh - y), : max(0, sw - x)]
@@ -1821,11 +1820,26 @@ def gif_frames(content: bytes, max_frames: int | None = None):
             region[mask] = rgb[mask]
         else:
             region[:, :] = rgb
-        out.append((int(gce.get("delay_cs", 0)), canvas.copy()))
+        yield i, int(gce.get("delay_cs", 0)), canvas
+        i += 1
         if disposal == 2:
             canvas[y : y + h, x : x + w] = bg_rgb
         elif disposal == 3 and before is not None:
             canvas = before
+
+
+def gif_frames(content: bytes, max_frames: int | None = None):
+    """Animated GIF → [(delay_cs, (H, W, 3) uint8 RGB full canvas)],
+    honoring the GCE disposal methods (1 leave, 2 restore-to-background,
+    3 restore-to-previous) and per-frame transparency — the compose
+    operation decode_gif's first-frame contract leaves to the caller.
+    Parity: the reference reads animations via imageio/PIL (reference
+    readers.py:2228,2261); this composes them stdlib-side. For sampled
+    access over long animations use :func:`_gif_compose` directly, which
+    holds one canvas instead of every frame."""
+    out = []
+    for _i, delay, frame in _gif_compose(content):
+        out.append((delay, frame.copy()))
         if max_frames is not None and len(out) >= max_frames:
             break
     if not out:

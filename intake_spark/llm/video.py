@@ -294,21 +294,32 @@ def sample_video_frames(
             for _, row in pdf.iterrows():
                 content = bytes(row[content_col])
                 if content[:3] == b"GIF":
-                    # animated GIF: compose natively (multimodal.gif_frames)
-                    # and emit decoded RAW24 canvases, the PyAV-arm shape
-                    from intake_spark.llm.multimodal import gif_frames
+                    # animated GIF: compose natively and emit decoded
+                    # RAW24 canvases (the PyAV-arm shape). The compose
+                    # generator reuses ONE canvas, so only the sampled
+                    # frames are materialized — a 500-frame animation
+                    # costs one walk, not 500 retained canvases.
+                    from intake_spark.llm.multimodal import _gif_compose
 
-                    frames = gif_frames(content)
-                    n = len(frames)
-                    delays = [d for d, _f in frames]
-                    mean_cs = (sum(delays) / n) if n else 0
+                    sampled = []
+                    n = 0
+                    total_cs = 0
+                    for idx, delay, frame in _gif_compose(content):
+                        n += 1
+                        total_cs += delay
+                        if idx % step == 0:
+                            sampled.append(
+                                (idx, frame.shape[1], frame.shape[0],
+                                 frame.tobytes())
+                            )
+                    if n == 0:
+                        raise ValueError("GIF contains no image data")
+                    mean_cs = total_cs / n
                     fps = 100.0 / mean_cs if mean_cs > 0 else 10.0
-                    for idx in range(0, n, step):
-                        fr = frames[idx][1]
+                    for idx, w, h, fb in sampled:
                         out_rows.append(
                             tuple(row[c] for c in keep)
-                            + (idx, n, fps, "RAW24:gif",
-                               fr.shape[1], fr.shape[0], fr.tobytes())
+                            + (idx, n, fps, "RAW24:gif", w, h, fb)
                         )
                     continue
                 gate = None
