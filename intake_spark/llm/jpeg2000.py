@@ -963,6 +963,14 @@ def encode_jpeg2000(img, levels: int = 3, cb_exp: int = 6,
     - ``grid_offset=(xo, yo)``: place the image at a non-zero reference
       grid origin (SIZ XOsiz/YOsiz) — odd offsets flip the DWT
       interleave parity, which real encoders exercise.
+
+    Interop caveat: length-1 9/7 subband signals skip the K/1/K scaling
+    (identity for even-parity, x2 for odd-parity single samples —
+    OpenJPEG's convention). A third-party decoder that applies the
+    literal T.800 F.4.8.2.1 scaling to 1-sample tile strips would see
+    mis-scaled samples for such degenerate geometries; the round-trip
+    through :func:`decode_jpeg2000` is exact, but 1-pixel-wide/-tall
+    9/7 tile strips are unverified against an external codec.
     """
     import numpy as np
 

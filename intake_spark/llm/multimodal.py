@@ -363,7 +363,11 @@ def decode_image(content: bytes):
     llm/jpegls.py), BMP, GIF, PNM, TGA and lossless WebP (VP8L) all
     decode with the stdlib paths; the remaining codecs (lossy WebP,
     AVIF, non-MJPEG video frames) decode through pillow WHEN INSTALLED
-    (:func:`_pil_decode`) and otherwise raise the named codec gate."""
+    (:func:`_pil_decode`) and otherwise raise the named codec gate.
+
+    Contract: ALWAYS returns a uint8 (H, W, C) ndarray — 12-bit JPEGs
+    are scaled to 8-bit here (call :func:`decode_jpeg` directly for the
+    raw uint16 samples, as the DICOM pixel path does)."""
     if content[:8] == b"\x89PNG\r\n\x1a\n":
         return decode_png(content)
     if content[:4] in (b"II*\x00", b"MM\x00*"):
@@ -393,6 +397,12 @@ def decode_image(content: bytes):
                 raise gate from None
             except Exception as exc:
                 raise gate from exc
+        if arr.dtype != "uint8":
+            # extended 12-bit SOF1: decode_image's contract is uint8
+            # (H, W, C), so scale 0..4095 → 0..255 here; direct
+            # decode_jpeg callers (the DICOM pixel path) keep the raw
+            # uint16 samples
+            arr = (arr >> 4).astype("uint8")
         # single-component JPEGs decode 2-D; normalize to (H, W, 1) so every
         # decode_image caller can rely on a channel axis
         return arr if arr.ndim == 3 else arr[:, :, None]
@@ -1268,6 +1278,15 @@ def decode_jpeg(content: bytes):
                             k += 1
                         eobrun -= 1
 
+    missing_qt = sorted({c["tq"] for c in comps} - set(qt))
+    if missing_qt:
+        # a scan that precedes (or omits) its DQT must raise the codec's
+        # named gate, not a raw KeyError — decode_image's except clauses
+        # and image_features' err labeling depend on the exception type
+        raise ValueError(
+            "JPEG scan references undefined quantization table(s) "
+            f"{missing_qt}"
+        )
     # dequantize (zigzag×zigzag), dezigzag, batch IDCT, level shift
     C = np.cos((2 * np.arange(8)[None, :] + 1) * np.arange(8)[:, None] * np.pi / 16) / 2
     C[0, :] *= 1 / np.sqrt(2)

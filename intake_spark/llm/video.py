@@ -293,6 +293,7 @@ def sample_video_frames(
             out_rows = []
             for _, row in pdf.iterrows():
                 content = bytes(row[content_col])
+                gif_err = None
                 if content[:3] == b"GIF":
                     # animated GIF: compose natively and emit decoded
                     # RAW24 canvases (the PyAV-arm shape). The compose
@@ -301,27 +302,35 @@ def sample_video_frames(
                     # costs one walk, not 500 retained canvases.
                     from intake_spark.llm.multimodal import _gif_compose
 
-                    sampled = []
-                    n = 0
-                    total_cs = 0
-                    for idx, delay, frame in _gif_compose(content):
-                        n += 1
-                        total_cs += delay
-                        if idx % step == 0:
-                            sampled.append(
-                                (idx, frame.shape[1], frame.shape[0],
-                                 frame.tobytes())
+                    try:
+                        sampled = []
+                        n = 0
+                        total_cs = 0
+                        for idx, delay, frame in _gif_compose(content):
+                            n += 1
+                            total_cs += delay
+                            if idx % step == 0:
+                                sampled.append(
+                                    (idx, frame.shape[1], frame.shape[0],
+                                     frame.tobytes())
+                                )
+                        if n == 0:
+                            raise ValueError("GIF contains no image data")
+                    except ValueError as exc:
+                        # malformed-but-maybe-decodable GIF (trailing
+                        # garbage, truncated block): fall through to the
+                        # _av_sample_frames ladder like every other gated
+                        # container instead of failing the whole batch
+                        gif_err = exc
+                    else:
+                        mean_cs = total_cs / n
+                        fps = 100.0 / mean_cs if mean_cs > 0 else 10.0
+                        for idx, w, h, fb in sampled:
+                            out_rows.append(
+                                tuple(row[c] for c in keep)
+                                + (idx, n, fps, "RAW24:gif", w, h, fb)
                             )
-                    if n == 0:
-                        raise ValueError("GIF contains no image data")
-                    mean_cs = total_cs / n
-                    fps = 100.0 / mean_cs if mean_cs > 0 else 10.0
-                    for idx, w, h, fb in sampled:
-                        out_rows.append(
-                            tuple(row[c] for c in keep)
-                            + (idx, n, fps, "RAW24:gif", w, h, fb)
-                        )
-                    continue
+                        continue
                 gate = None
                 try:
                     meta = parse_video(content)
@@ -341,6 +350,10 @@ def sample_video_frames(
                         if meta is None:
                             if isinstance(gate, NotImplementedError):
                                 raise gate  # named Y4M/AVI variant gate
+                            if gif_err is not None:
+                                # keep the specific GIF parse error when
+                                # neither the native path nor PyAV applies
+                                raise gif_err
                             raise ValueError(
                                 "unrecognized video container (not AVI or "
                                 "Y4M) — other containers decode via PyAV "

@@ -645,3 +645,58 @@ def test_gif_disposal_background(spark, tmp_path):
     assert rows[0].codec == "RAW24:gif" and rows[0].n_frames == 2
     got = np.frombuffer(rows[1].frame_bytes, dtype=np.uint8).reshape(2, 2, 3)
     np.testing.assert_array_equal(got, b)
+
+
+def test_gif_compose_holds_one_canvas():
+    """_gif_compose walks a long animation holding ONE canvas: every
+    yield (disposal 0/1/2) is the same ndarray object, so a sampler's
+    memory is one canvas plus the frames it explicitly copies — not the
+    whole animation (head-commit claim of 22eac35, pinned here)."""
+    import numpy as np
+
+    from intake_spark.llm.multimodal import _gif_compose
+
+    pal = [(0, 0, 0), (255, 0, 0), (0, 255, 0), (0, 0, 255)]
+    frames = [
+        (0, 0, np.full((4, 4), 1 + (i % 3), dtype=np.uint8),
+         {"disposal": (i % 2), "delay_cs": 2})
+        for i in range(200)
+    ]
+    blob = _animated_gif(frames, pal, canvas=(4, 4))
+    ids = set()
+    n = 0
+    for _i, _d, frame in _gif_compose(blob):
+        ids.add(id(frame))
+        n += 1
+    assert n == 200
+    # one canvas object reused across all 200 yields — no per-frame
+    # allocation (disposal 3 legitimately swaps to the saved canvas, so
+    # this animation uses only 0/1/2)
+    assert len(ids) == 1
+
+
+def test_gif_sampler_malformed_falls_to_ladder(spark, tmp_path):
+    """A GIF the native parser rejects routes through the PyAV ladder
+    like any other gated container instead of failing the executor
+    batch; with PyAV absent the error surfaced is the SPECIFIC GIF
+    parse error, not the generic unrecognized-container message."""
+    import numpy as np
+    import pytest
+
+    from intake_spark.llm.multimodal import _gif_compose
+    from intake_spark.llm import multimodal, video
+
+    pal = [(0, 0, 0), (255, 0, 0)]
+    good = _animated_gif(
+        [(0, 0, np.ones((2, 2), dtype=np.uint8), {"delay_cs": 5})], pal
+    )
+    # replace the trailer with an unknown block code -> native parser
+    # raises 'unexpected GIF block'
+    bad = good[:-1] + b"\x7f\x3b"
+    with pytest.raises(ValueError, match="unexpected GIF block"):
+        list(_gif_compose(bad))
+
+    (tmp_path / "bad.gif").write_bytes(bad)
+    files = multimodal.read_binary_dir(spark, str(tmp_path), glob="*.gif")
+    with pytest.raises(Exception, match="unexpected GIF block"):
+        video.sample_video_frames(files, every_n=1).collect()

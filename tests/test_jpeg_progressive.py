@@ -91,8 +91,10 @@ def _seg(marker: int, body: bytes) -> bytes:
     return b"\xff" + bytes([marker]) + struct.pack(">H", len(body) + 2) + body
 
 
-def _tables(prec16: bool = False) -> bytes:
-    if prec16:
+def _tables(prec16: bool = False, dqt: "bool | bytes" = True) -> bytes:
+    if dqt is False:
+        dqt = b""
+    elif prec16:
         dqt = _seg(0xDB, bytes([0x10]) + struct.pack(">64H", *([256] * 64)))
     else:
         dqt = _seg(0xDB, bytes([0]) + bytes([1] * 64))
@@ -702,3 +704,39 @@ def test_plain_cmyk_without_adobe_marker_not_inverted():
            round((255 - m) * (255 - k) / 255),
            round((255 - y) * (255 - k) / 255)]
     np.testing.assert_array_equal(img, np.broadcast_to(exp, (8, 8, 3)))
+
+
+def test_decode_image_scales_12bit_to_uint8():
+    """decode_image's contract is uint8 (H, W, C): a 12-bit SOF1 JPEG is
+    scaled 0..4095 → 0..255 at the decode_image boundary, while direct
+    decode_jpeg callers (the DICOM pixel path) keep raw uint16."""
+    bw = BW()
+    bw.dc_sym(3)
+    bw.amp(5, 3)
+    bw.ac_sym(0x00)
+    blob = (
+        b"\xff\xd8" + _tables(prec16=True)
+        + _sof(0xC1, 8, 8, [(1, 0x11)], prec=12)
+        + _sos([1], 0, 63, 0, 0) + bw.flush() + b"\xff\xd9"
+    )
+    raw = decode_jpeg(blob)
+    assert raw.dtype == np.uint16
+    img = decode_image(blob)
+    assert img.dtype == np.uint8 and img.shape == (8, 8, 1)
+    np.testing.assert_array_equal(img[:, :, 0], (2048 + 5 * 256 // 8) >> 4)
+
+
+def test_missing_dqt_raises_named_error():
+    """A scan referencing an undefined quantization table raises the
+    codec's named ValueError (not a raw KeyError) so decode_image's
+    except clauses and image_features' err labeling keep working."""
+    bw = BW()
+    bw.dc_sym(0)
+    bw.ac_sym(0x00)
+    blob = (
+        b"\xff\xd8" + _tables(dqt=False)
+        + _sof(0xC0, 8, 8, [(1, 0x11)])
+        + _sos([1], 0, 63, 0, 0) + bw.flush() + b"\xff\xd9"
+    )
+    with pytest.raises(ValueError, match="quantization table"):
+        decode_jpeg(blob)
