@@ -35,6 +35,13 @@ def get_session(app_name: str = "intake_spark", cpus: int | None = None) -> Spar
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        # GC pinning hook (bench.py sets this to a fixed-heap G1 profile so
+        # per-query timings aren't contaminated by heap-resize/GC alignment;
+        # empty default = Spark's stock JVM flags)
+        .config(
+            "spark.driver.extraJavaOptions",
+            os.environ.get("SPARK_GRAFT_DRIVER_JAVA_OPTS", ""),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .getOrCreate()
