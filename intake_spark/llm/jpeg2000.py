@@ -523,10 +523,16 @@ def _zc_ctx(orient: int, h: int, v: int, d: int) -> int:
 
 
 class _T1Block:
-    """Shared tier-1 machinery: neighborhood counts + the stripe scan."""
+    """Shared tier-1 machinery: neighborhood counts + the stripe scan.
 
-    def __init__(self, w: int, h: int, orient: int):
+    ``vsc`` = vertically causal context formation (T.800 D.7, COD style
+    bit 0x08): samples in the stripe BELOW are treated as insignificant
+    when forming contexts for the last row of a stripe."""
+
+    def __init__(self, w: int, h: int, orient: int, vsc: bool = False):
         self.w, self.h, self.orient = w, h, orient
+        self.vsc = vsc
+        self.raw_pass = False  # current pass is a bypass (raw) pass
         n = w * h
         self.sig = [0] * n
         self.new_sig = [0] * n
@@ -539,9 +545,12 @@ class _T1Block:
         """(h, v, d) significant-neighbor counts + sign contributions."""
         w, h = self.w, self.h
         sig, sgn = self.sig, self.sign
+        ymax = h
+        if self.vsc and (y & 3) == 3:
+            ymax = y + 1  # next stripe is invisible
 
         def s(xx, yy):
-            if 0 <= xx < w and 0 <= yy < h:
+            if 0 <= xx < w and 0 <= yy < ymax:
                 return sig[yy * w + xx]
             return 0
 
@@ -553,9 +562,12 @@ class _T1Block:
     def _sc(self, x: int, y: int):
         w, h = self.w, self.h
         sig, sgn = self.sig, self.sign
+        ymax = h
+        if self.vsc and (y & 3) == 3:
+            ymax = y + 1
 
         def c(xx, yy):
-            if 0 <= xx < w and 0 <= yy < h and sig[yy * w + xx]:
+            if 0 <= xx < w and 0 <= yy < ymax and sig[yy * w + xx]:
                 return -1 if sgn[yy * w + xx] else 1
             return 0
 
@@ -571,62 +583,228 @@ class _T1Block:
                     yield x, y, y * self.w + x
 
 
-def t1_encode(signs, mags, w: int, h: int, orient: int):
-    """Encode one code block → (data, n_passes, numbps). All passes in
-    one MQ codeword segment (default COD: no bypass/reset/termination)."""
-    blk = _T1Block(w, h, orient)
+class _RawWriter:
+    """T.800 raw (arithmetic-bypass) bit packer: MSB-first, and a byte
+    following an 0xFF carries only 7 data bits (MSB forced 0)."""
+
+    def __init__(self):
+        self.out = bytearray()
+        self.cur = 0
+        self.used = 0
+        self.cap = 8
+
+    def put(self, bit: int):
+        self.cur = (self.cur << 1) | (bit & 1)
+        self.used += 1
+        if self.used == self.cap:
+            self.out.append(self.cur)
+            self.cap = 7 if self.cur == 0xFF else 8
+            self.cur = 0
+            self.used = 0
+
+    def flush(self) -> bytes:
+        if self.used:
+            self.out.append(self.cur << (self.cap - self.used))
+            self.cur = 0
+            self.used = 0
+        if self.out and self.out[-1] == 0xFF:
+            self.out.append(0x00)  # a segment must not end with 0xFF
+        return bytes(self.out)
+
+
+class _RawReader:
+    """Mirror of :class:`_RawWriter`; reads 0 bits past the end."""
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.bit = 0
+        self.prev_ff = False
+
+    def get(self) -> int:
+        cap = 7 if self.prev_ff else 8
+        if self.bit == cap:
+            b = self.data[self.pos] if self.pos < len(self.data) else 0
+            self.prev_ff = b == 0xFF
+            self.pos += 1
+            self.bit = 0
+            cap = 7 if self.prev_ff else 8
+        b = self.data[self.pos] if self.pos < len(self.data) else 0
+        shift = cap - 1 - self.bit
+        self.bit += 1
+        return (b >> shift) & 1
+
+
+class _RawEnc:
+    """Adapter: raw-pass bits through the MQ call shape (ctx ignored)."""
+
+    def __init__(self, wtr: _RawWriter):
+        self.w = wtr
+
+    def encode(self, _st, _cx, d):
+        self.w.put(d)
+
+    def flush(self):
+        return self.w.flush()
+
+
+class _RawDec:
+    def __init__(self, rdr: _RawReader):
+        self.r = rdr
+
+    def decode(self, _st, _cx):
+        return self.r.get()
+
+
+# COD SPcod code-block style bits (T.800 Table A-19)
+CBSTY_BYPASS = 0x01   # selective arithmetic coding bypass (lazy)
+CBSTY_RESET = 0x02    # reset context probabilities on each pass
+CBSTY_TERMALL = 0x04  # terminate each coding pass
+CBSTY_VSC = 0x08      # vertically causal context formation
+CBSTY_PTERM = 0x10    # predictable termination (decode-transparent)
+CBSTY_SEGSYM = 0x20   # segmentation symbols after each cleanup pass
+
+
+def _pass_list(numbps: int, style: int):
+    """Pass schedule for a block: [(ptype, plane, raw, term)] with ptype
+    0=SPP / 1=MRP / 2=CUP. ``raw`` marks arithmetic-bypass passes
+    (style 0x01: pass index >= 10, SPP/MRP only — T.800 D.6); ``term``
+    marks codeword-segment ends (TERMALL: every pass; bypass: the CUP
+    before the first raw pass, then every MRP and CUP — the mode-switch
+    boundaries). The final pass always terminates."""
+    passes = []
+    passno = 0
+    for p in range(numbps - 1, -1, -1):
+        for t_ in ((2,) if p == numbps - 1 else (0, 1, 2)):
+            raw = bool(style & CBSTY_BYPASS) and passno >= 10 and t_ != 2
+            if style & CBSTY_TERMALL:
+                term = True
+            elif style & CBSTY_BYPASS:
+                term = (t_ == 2 and p == numbps - 4) or (
+                    p < numbps - 4 and t_ in (1, 2)
+                )
+            else:
+                term = False
+            passes.append((t_, p, raw, term))
+            passno += 1
+    if passes:
+        t_, p, raw, _ = passes[-1]
+        passes[-1] = (t_, p, raw, True)
+    return passes
+
+
+def _run_pass(blk, t_, p, st, enc=None, dec=None, style: int = 0):
+    """Run one coding pass (+ segmentation symbols after cleanup)."""
+    if t_ == 0:
+        _spp(blk, p, st, enc=enc, dec=dec)
+    elif t_ == 1:
+        _mrp(blk, p, st, enc=enc, dec=dec)
+    else:
+        _cup(blk, p, st, enc=enc, dec=dec)
+        if style & CBSTY_SEGSYM:
+            if enc is not None:
+                for b in (1, 0, 1, 0):
+                    enc.encode(st, CTX_UNI, b)
+            else:
+                got = 0
+                for _ in range(4):
+                    got = (got << 1) | dec.decode(st, CTX_UNI)
+                if got != 0b1010:
+                    raise ValueError(
+                        "JPEG 2000 segmentation symbol mismatch "
+                        f"(got {got:04b}) — corrupt code block"
+                    )
+        # plane boundary: reset the per-plane scan flags
+        for i in range(blk.w * blk.h):
+            blk.new_sig[i] = 0
+            blk.visited[i] = 0
+
+
+def t1_encode(signs, mags, w: int, h: int, orient: int, style: int = 0):
+    """Encode one code block → (data, n_passes, numbps, pass_meta).
+
+    ``data`` concatenates all codeword segments (one segment unless the
+    style requests terminations). ``pass_meta[i] = (cum_bytes, term)``:
+    the number of bytes of ``data`` sufficient to decode passes 0..i —
+    exact at terminations, a safe estimate mid-segment (clamped to the
+    segment end) — which is what layer truncation points signal."""
+    blk = _T1Block(w, h, orient, vsc=bool(style & CBSTY_VSC))
     blk.sign = list(signs)
     blk.mag = list(mags)
     numbps = max((int(m).bit_length() for m in blk.mag), default=0)
     if numbps == 0:
-        return b"", 0, 0
+        return b"", 0, 0, []
     st = _init_states()
-    enc = MQEncoder()
-    n_passes = 0
-    for p in range(numbps - 1, -1, -1):
-        first = p == numbps - 1
-        if not first:
-            _spp(blk, p, st, enc=enc)
-            _mrp(blk, p, st, enc=enc)
-            n_passes += 2
-        _cup(blk, p, st, enc=enc)
-        n_passes += 1
-        for i in range(w * h):
-            blk.new_sig[i] = 0
-            blk.visited[i] = 0
-    return enc.flush(), n_passes, numbps
+    data = bytearray()
+    enc = None
+    meta: list = []
+    seg_first = 0  # meta index where the open segment started
+    for t_, p, raw, term in _pass_list(numbps, style):
+        if enc is None:
+            enc = _RawEnc(_RawWriter()) if raw else MQEncoder()
+            seg_first = len(meta)
+        blk.raw_pass = raw
+        _run_pass(blk, t_, p, st, enc=enc, style=style)
+        if style & CBSTY_RESET:
+            st = _init_states()
+        if term:
+            data += enc.flush()
+            end = len(data)
+            # clamp mid-segment safe estimates to the real segment end
+            for i in range(seg_first, len(meta)):
+                meta[i] = (min(meta[i][0], end), meta[i][1])
+            meta.append((end, True))
+            enc = None
+        else:
+            if raw:
+                pend = len(enc.w.out) + 2
+            else:
+                pend = len(enc.out) + (1 if enc.b >= 0 else 0) + 5
+            cum = len(data) + pend
+            if meta:
+                cum = max(cum, meta[-1][0])
+            meta.append((cum, False))
+    return bytes(data), len(meta), numbps, meta
 
 
-def t1_decode(data: bytes, n_passes: int, numbps: int, w: int, h: int,
-              orient: int):
-    """Decode one code block → (signs, mags)."""
-    blk = _T1Block(w, h, orient)
+def t1_decode(segments, n_passes: int, numbps: int, w: int, h: int,
+              orient: int, style: int = 0):
+    """Decode one code block → (signs, mags). ``segments`` is the raw
+    byte string (single codeword segment) or the list of codeword
+    segments when the style terminates mid-block; segment boundaries
+    are re-derived from the same pass schedule the encoder used."""
+    blk = _T1Block(w, h, orient, vsc=bool(style & CBSTY_VSC))
     if numbps == 0 or n_passes == 0:
         return blk.sign, blk.mag
+    if isinstance(segments, (bytes, bytearray)):
+        segs = [bytes(segments)]
+    else:
+        segs = [bytes(s) for s in segments]
     st = _init_states()
-    dec = MQDecoder(data)
-    left = n_passes
-    p = numbps - 1
-    while left > 0 and p >= 0:
-        first = p == numbps - 1
-        if not first:
-            if left > 0:
-                _spp(blk, p, st, dec=dec)
-                left -= 1
-            if left > 0:
-                _mrp(blk, p, st, dec=dec)
-                left -= 1
-        if left > 0:
-            _cup(blk, p, st, dec=dec)
-            left -= 1
-        for i in range(w * h):
-            blk.new_sig[i] = 0
-            blk.visited[i] = 0
-        p -= 1
+    dec = None
+    seg_i = 0
+    for t_, p, raw, term in _pass_list(numbps, style)[:n_passes]:
+        if dec is None:
+            chunk = segs[seg_i] if seg_i < len(segs) else b""
+            dec = _RawDec(_RawReader(chunk)) if raw else MQDecoder(chunk)
+        blk.raw_pass = raw
+        _run_pass(blk, t_, p, st, dec=dec, style=style)
+        if style & CBSTY_RESET:
+            st = _init_states()
+        if term:
+            dec = None
+            seg_i += 1
     return blk.sign, blk.mag
 
 
 def _code_sign(blk, x, y, idx, st, enc, dec) -> None:
+    if blk.raw_pass:
+        # bypass pass: the sign is a raw bit — no context, no XOR
+        if enc is not None:
+            enc.encode(st, 0, blk.sign[idx])
+        else:
+            blk.sign[idx] = dec.decode(st, 0)
+        return
     ctx, xorbit = blk._sc(x, y)
     if enc is not None:
         enc.encode(st, ctx, blk.sign[idx] ^ xorbit)
@@ -872,69 +1050,253 @@ def _res_band_boxes(box, levels: int):
     return out
 
 
-def _band_grid(bandbox, cb: int):
-    """Code-block grid over a band box: (gx0, gy0, ncx, ncy) with the
-    grid anchored at multiples of cb in absolute band coordinates."""
-    bx0, by0, bx1, by1 = bandbox
-    if bx1 <= bx0 or by1 <= by0:
+def _region_grid(region, cbx: int, cby: int):
+    """Code-block grid over a region: (gx0, gy0, ncx, ncy) with the grid
+    anchored at multiples of (cbx, cby) in absolute band coordinates."""
+    x0, y0, x1, y1 = region
+    if x1 <= x0 or y1 <= y0:
         return 0, 0, 0, 0
-    gx0, gy0 = bx0 // cb, by0 // cb
-    return gx0, gy0, _ceil_div(bx1, cb) - gx0, _ceil_div(by1, cb) - gy0
+    return x0 // cbx, y0 // cby, _ceil_div(x1, cbx) - x0 // cbx, \
+        _ceil_div(y1, cby) - y0 // cby
 
 
-def _emit_packet(sbs, cb: int) -> bytes:
-    """One packet body: sbs = [(orient, arr, bandbox, mb)] where arr holds
-    SIGNED integer coefficients/quantizer indices for the whole band."""
+def _res_boxes(box, levels: int):
+    """T.800 B.5 resolution boxes of a tile-component box, r = 0..N."""
+    x0, y0, x1, y1 = box
+    return [
+        (_ceil_div(x0, 1 << (levels - r)), _ceil_div(y0, 1 << (levels - r)),
+         _ceil_div(x1, 1 << (levels - r)), _ceil_div(y1, 1 << (levels - r)))
+        for r in range(levels + 1)
+    ]
+
+
+def _precinct_grid(resbox, ppx: int, ppy: int):
+    """(p0x, p0y, npx, npy): precinct index origin + counts for a
+    resolution box (T.800 B.6; zero precincts when the box is empty)."""
+    rx0, ry0, rx1, ry1 = resbox
+    if rx1 <= rx0 or ry1 <= ry0:
+        return 0, 0, 0, 0
+    return (rx0 >> ppx, ry0 >> ppy,
+            _ceil_div(rx1, 1 << ppx) - (rx0 >> ppx),
+            _ceil_div(ry1, 1 << ppy) - (ry0 >> ppy))
+
+
+def _precinct_band_region(bandbox, r: int, ppx: int, ppy: int,
+                          px: int, py: int):
+    """Intersection of band box and precinct (px, py) in ABSOLUTE band
+    coordinates: for r>0 the precinct maps to half size in band coords
+    (band coordinates are resolution coordinates / 2)."""
+    sx = ppx if r == 0 else ppx - 1
+    sy = ppy if r == 0 else ppy - 1
+    bx0, by0, bx1, by1 = bandbox
+    return (max(bx0, px << sx), max(by0, py << sy),
+            min(bx1, (px + 1) << sx), min(by1, (py + 1) << sy))
+
+
+def _eff_cb(cb_exp: int, r: int, ppx: int, ppy: int):
+    """Effective code-block size capped by the precinct (T.800 B.7)."""
+    return (1 << min(cb_exp, ppx if r == 0 else ppx - 1),
+            1 << min(cb_exp, ppy if r == 0 else ppy - 1))
+
+
+def _layer_cuts(npass: int, nlayers: int):
+    """Even pass split: layer l gets passes [cuts[l], cuts[l+1])."""
+    return [npass * l // nlayers for l in range(nlayers + 1)]
+
+
+def _packet_order(prog: int, nlayers: int, nres: int, nc: int, pcounts):
+    """Packet sequence (layer, res, comp, precinct) for a progression
+    order (T.800 B.12). pcounts[(ci, r)] = numprecincts. LRCP/RLCP
+    handle per-component precinct grids; RPCL needs one shared grid;
+    PCRL/CPRL collapse to component-major with one precinct per
+    resolution (multi-precinct spatial orders are gated)."""
+    L, R = nlayers, nres
+    if prog == 0:    # LRCP
+        return [(l, r, ci, p) for l in range(L) for r in range(R)
+                for ci in range(nc) for p in range(pcounts[(ci, r)])]
+    if prog == 1:    # RLCP
+        return [(l, r, ci, p) for r in range(R) for l in range(L)
+                for ci in range(nc) for p in range(pcounts[(ci, r)])]
+    if prog == 2:    # RPCL
+        if any(pcounts[(ci, r)] != pcounts[(0, r)]
+               for ci in range(nc) for r in range(R)):
+            raise NotImplementedError(
+                "RPCL progression with per-component precinct grids "
+                "(subsampled components + precincts) is not supported"
+            )
+        return [(l, r, ci, p) for r in range(R)
+                for p in range(pcounts[(0, r)])
+                for ci in range(nc) for l in range(L)]
+    if prog in (3, 4):  # PCRL / CPRL
+        if any(v > 1 for v in pcounts.values()):
+            raise NotImplementedError(
+                "PCRL/CPRL progression with precinct subdivision is "
+                "not supported (LRCP/RLCP/RPCL decode multi-precinct)"
+            )
+        return [(l, r, ci, 0) for ci in range(nc) for r in range(R)
+                if pcounts[(ci, r)] for l in range(L)]
+    raise ValueError(f"invalid progression order {prog}")
+
+
+def _encode_tile_packets(comp_bands, comp_boxes, levels: int, nc: int,
+                         cb_exp: int, precs, nlayers: int, cb_style: int,
+                         mb_of, packed: bool, sop: bool, eph: bool,
+                         prog: int = 0):
+    """Tier-2 encode of one tile: T1-code every code block once, then
+    emit LRCP layer/resolution/component/precinct packets (T.800 B.10).
+
+    comp_bands[ci][r] = [(orient, arr, bandbox)], arr holding SIGNED
+    quantizer indices; comp_boxes[ci] the tile-component box; precs a
+    per-resolution list of (PPx, PPy) exponents; mb_of(r, o) the Mb for
+    a band. Returns (headers, body): headers is b"" when ``packed`` is
+    false (headers interleaved into body, the default codestream form).
+    """
     import numpy as np
 
-    hdr = _HdrBitWriter()
+    # -- T1-encode every block, grouped per (ci, r, precinct, band) -----
+    pre = {}   # (ci, r, p, bi) -> (grid, [block state dicts raster])
+    pgeo = {}  # (ci, r) -> (p0x, p0y, npx, npy)
+    for ci in range(nc):
+        rboxes = _res_boxes(comp_boxes[ci], levels)
+        for r in range(levels + 1):
+            ppx, ppy = precs[r]
+            p0x, p0y, npx, npy = _precinct_grid(rboxes[r], ppx, ppy)
+            pgeo[(ci, r)] = (p0x, p0y, npx, npy)
+            cbx, cby = _eff_cb(cb_exp, r, ppx, ppy)
+            for pj in range(npy):
+                for pi in range(npx):
+                    for bi, (orient, arr, bandbox) in enumerate(comp_bands[ci][r]):
+                        region = _precinct_band_region(
+                            bandbox, r, ppx, ppy, p0x + pi, p0y + pj
+                        )
+                        gx0, gy0, ncx, ncy = _region_grid(region, cbx, cby)
+                        blocks = []
+                        bx0, by0 = bandbox[0], bandbox[1]
+                        mb = mb_of(r, orient)
+                        for cy in range(ncy):
+                            for cx in range(ncx):
+                                ax0 = max(region[0], (gx0 + cx) * cbx)
+                                ay0 = max(region[1], (gy0 + cy) * cby)
+                                ax1 = min(region[2], (gx0 + cx + 1) * cbx)
+                                ay1 = min(region[3], (gy0 + cy + 1) * cby)
+                                sub = arr[ay0 - by0 : ay1 - by0,
+                                          ax0 - bx0 : ax1 - bx0]
+                                sh, sw = sub.shape
+                                mags = np.abs(sub).ravel().tolist()
+                                signs = (sub.ravel() < 0).astype(int).tolist()
+                                data, npass, nbps, meta = t1_encode(
+                                    signs, mags, sw, sh, orient, cb_style
+                                )
+                                if nbps > mb:
+                                    raise ValueError(
+                                        f"code block needs {nbps} bitplanes"
+                                        f" > Mb={mb}; raise guard_bits"
+                                    )
+                                cuts = _layer_cuts(npass, nlayers)
+                                first = next(
+                                    (l for l in range(nlayers)
+                                     if cuts[l + 1] > cuts[l]),
+                                    nlayers,
+                                )
+                                blocks.append({
+                                    "data": data, "npass": npass,
+                                    "nbps": nbps, "meta": meta,
+                                    "zbp": (mb - nbps) if npass else 0,
+                                    "cuts": cuts, "first": first,
+                                    "lblock": 3, "included": False,
+                                    "sent": 0,
+                                })
+                        incl = TagTree(max(ncx, 1), max(ncy, 1))
+                        imsb = TagTree(max(ncx, 1), max(ncy, 1))
+                        for k, st in enumerate(blocks):
+                            cy, cx = divmod(k, ncx)
+                            incl.set_value(cx, cy, st["first"])
+                            imsb.set_value(cx, cy, st["zbp"])
+                        incl.finalize()
+                        imsb.finalize()
+                        pre[(ci, r, pj * npx + pi, bi)] = (
+                            (ncx, ncy), incl, imsb, blocks
+                        )
+
+    # -- packet emission in the requested progression order -------------
+    pcounts = {
+        (ci, r): pgeo[(ci, r)][2] * pgeo[(ci, r)][3]
+        for ci in range(nc) for r in range(levels + 1)
+    }
+    hdrs = bytearray()
     body = bytearray()
-    hdr.put(1)  # non-empty packet
-    for orient, arr, bandbox, mb in sbs:
-        gx0, gy0, ncx, ncy = _band_grid(bandbox, cb)
-        if ncx == 0:
-            continue
-        bx0, by0, bx1, by1 = bandbox
-        incl = TagTree(ncx, ncy)
-        imsb = TagTree(ncx, ncy)
-        cbs = []
-        for cy in range(ncy):
-            for cx in range(ncx):
-                ax0, ax1 = max(bx0, (gx0 + cx) * cb), min(bx1, (gx0 + cx + 1) * cb)
-                ay0, ay1 = max(by0, (gy0 + cy) * cb), min(by1, (gy0 + cy + 1) * cb)
-                sub = arr[ay0 - by0 : ay1 - by0, ax0 - bx0 : ax1 - bx0]
-                sh, sw = sub.shape
-                mags = np.abs(sub).ravel().tolist()
-                signs = (sub.ravel() < 0).astype(int).tolist()
-                data, npass, nbps = t1_encode(signs, mags, sw, sh, orient)
-                if nbps > mb:
-                    raise ValueError(
-                        f"code block needs {nbps} bitplanes > Mb={mb}; "
-                        "raise guard_bits"
-                    )
-                cbs.append((cx, cy, data, npass, nbps))
-                incl.set_value(cx, cy, 0 if npass else 1)
-                imsb.set_value(cx, cy, mb - nbps if npass else 0)
-        incl.finalize()
-        imsb.finalize()
-        for cx, cy, data, npass, nbps in cbs:
-            incl.encode(cx, cy, 1, hdr.put)
-            if not npass:
-                continue
-            zbp = mb - nbps
-            imsb.encode(cx, cy, zbp + 1, hdr.put)
-            _put_numpasses(hdr, npass)
-            lblock = 3
-            nbits = len(data).bit_length()
-            want = lblock + (npass.bit_length() - 1)
-            while nbits > want:
-                hdr.put(1)
-                lblock += 1
-                want += 1
+    nsop = 0
+    for layer, r, ci, p in _packet_order(prog, nlayers, levels + 1, nc,
+                                         pcounts):
+        binfos = [
+            pre[(ci, r, p, bi)]
+            for bi in range(len(comp_bands[ci][r]))
+            if (ci, r, p, bi) in pre
+        ]
+        if sop:
+            body += b"\xff\x91\x00\x04" + struct.pack(">H", nsop & 0xFFFF)
+        nsop += 1
+        hdr = _HdrBitWriter()
+        pieces_out = []  # (st, a, b) chunks to append to body
+        contrib = any(
+            st["cuts"][layer + 1] > st["cuts"][layer]
+            for _g, _i, _m, blocks in binfos
+            for st in blocks
+        )
+        if not contrib:
             hdr.put(0)
-            hdr.put_bits(len(data), want)
-            body += data
-    return hdr.flush() + bytes(body)
+        else:
+            hdr.put(1)
+            for (ncx, _ncy), incl, imsb, blocks in binfos:
+                for k, st in enumerate(blocks):
+                    cy, cx = divmod(k, ncx)
+                    a, b = st["cuts"][layer], st["cuts"][layer + 1]
+                    if st["included"]:
+                        hdr.put(1 if b > a else 0)
+                        if b <= a:
+                            continue
+                    else:
+                        incl.encode(cx, cy, layer + 1, hdr.put)
+                        if st["first"] != layer:
+                            continue
+                        imsb.encode(cx, cy, st["zbp"] + 1, hdr.put)
+                        st["included"] = True
+                    _put_numpasses(hdr, b - a)
+                    plist = _pass_list(st["nbps"], cb_style)
+                    pieces = []
+                    cnt = 0
+                    for i in range(a, b):
+                        cnt += 1
+                        if plist[i][3] or i == b - 1:
+                            end = st["meta"][i][0]
+                            pieces.append((end - st["sent"], cnt))
+                            st["sent"] = end
+                            cnt = 0
+                    inc = 0
+                    for plen, pnp in pieces:
+                        need = plen.bit_length() - (
+                            st["lblock"] + pnp.bit_length() - 1
+                        )
+                        inc = max(inc, need)
+                    for _ in range(inc):
+                        hdr.put(1)
+                    hdr.put(0)
+                    st["lblock"] += inc
+                    sent0 = st["sent"] - sum(p_ for p_, _n in pieces)
+                    off = sent0
+                    for plen, pnp in pieces:
+                        hdr.put_bits(
+                            plen, st["lblock"] + pnp.bit_length() - 1
+                        )
+                        pieces_out.append((st, off, off + plen))
+                        off += plen
+        hbytes = hdr.flush()
+        if eph:
+            hbytes += b"\xff\x92"
+        (hdrs if packed else body).extend(hbytes)
+        for st, a_, b_ in pieces_out:
+            body += st["data"][a_:b_]
+    return bytes(hdrs), bytes(body)
 
 
 def encode_jpeg2000(img, levels: int = 3, cb_exp: int = 6,
@@ -944,9 +1306,15 @@ def encode_jpeg2000(img, levels: int = 3, cb_exp: int = 6,
                     subsampling: "list[tuple[int, int]] | None" = None,
                     quant_shift: int = 0,
                     qcd_style: str = "expounded",
-                    grid_offset: "tuple[int, int] | None" = None) -> bytes:
+                    grid_offset: "tuple[int, int] | None" = None,
+                    layers: int = 1,
+                    precincts=None,
+                    cb_style: int = 0,
+                    packed_headers: "str | None" = None,
+                    sop: bool = False, eph: bool = False,
+                    prog: str = "lrcp") -> bytes:
     """Encode a 2-D (grayscale), HxWx3 (RGB), or plane-list array as a
-    JPEG 2000 codestream (one quality layer, LRCP).
+    JPEG 2000 codestream (LRCP progression).
 
     - default: 5/3 reversible, lossless; ``mct`` applies the RCT
       (default on for 3-component unsigned full-resolution input).
@@ -963,6 +1331,21 @@ def encode_jpeg2000(img, levels: int = 3, cb_exp: int = 6,
     - ``grid_offset=(xo, yo)``: place the image at a non-zero reference
       grid origin (SIZ XOsiz/YOsiz) — odd offsets flip the DWT
       interleave parity, which real encoders exercise.
+    - ``layers=L``: multiple quality layers — each code block's passes
+      are split evenly across the L layers with truncation lengths at
+      the T.800 B.10.7 signalled points (OpenJPEG/Kakadu emit
+      multi-layer codestreams by default on large images).
+    - ``precincts=(PPx, PPy)`` (or a per-resolution list): precinct
+      subdivision (Scod bit 0) — packets become per-precinct with
+      per-precinct tag trees; code-block size is capped by the
+      precinct per T.800 B.7.
+    - ``cb_style``: COD code-block style bits (T.800 Table A-19) —
+      CBSTY_BYPASS / RESET / TERMALL / VSC / SEGSYM (0x10 predictable
+      termination is encoder-transparent here and not emitted).
+    - ``packed_headers='ppm' | 'ppt'``: move packet headers into PPM
+      (main header) / PPT (tile-part header) marker segments.
+    - ``sop`` / ``eph``: SOP resync markers before each packet / EPH
+      end-of-packet-header markers.
 
     Interop caveat: length-1 9/7 subband signals skip the K/1/K scaling
     (identity for even-parity, x2 for odd-parity single samples —
@@ -1028,9 +1411,41 @@ def encode_jpeg2000(img, levels: int = 3, cb_exp: int = 6,
         shifted = _rct_forward(shifted)
     levels = max(0, min(levels, max((min(H, W) - 1).bit_length() - 1, 0)))
     N = levels
-    cb = 1 << cb_exp
     if qcd_style not in ("expounded", "derived"):
         raise ValueError("qcd_style must be 'expounded' or 'derived'")
+    if layers < 1 or layers > 65535:
+        raise ValueError("layers must be in 1..65535")
+    if cb_style & ~0x3F or cb_style & CBSTY_PTERM:
+        raise ValueError(
+            "cb_style accepts BYPASS|RESET|TERMALL|VSC|SEGSYM (0x10 "
+            "predictable termination is not emitted by this encoder)"
+        )
+    if packed_headers not in (None, "ppm", "ppt"):
+        raise ValueError("packed_headers must be None, 'ppm' or 'ppt'")
+    prog_i = {"lrcp": 0, "rlcp": 1, "rpcl": 2, "pcrl": 3, "cprl": 4}.get(
+        str(prog).lower()
+    )
+    if prog_i is None:
+        raise ValueError("prog must be one of lrcp/rlcp/rpcl/pcrl/cprl")
+    if precincts is None:
+        precs = [(15, 15)] * (N + 1)
+    else:
+        if isinstance(precincts, tuple):
+            precs = [precincts] * (N + 1)
+        else:
+            precs = [tuple(p) for p in precincts]
+            if len(precs) != N + 1:
+                raise ValueError(
+                    f"precincts list needs one (PPx, PPy) per resolution "
+                    f"({N + 1}), got {len(precs)}"
+                )
+        for r, (ppx, ppy) in enumerate(precs):
+            lo = 0 if r == 0 else 1
+            if not (lo <= ppx <= 15 and lo <= ppy <= 15):
+                raise ValueError(
+                    f"precinct exponents for resolution {r} must be in "
+                    f"{lo}..15, got {(ppx, ppy)}"
+                )
 
     # per-(resolution, orient) exponent / quantization step
     eps_by: dict[tuple, int] = {}
@@ -1088,10 +1503,18 @@ def encode_jpeg2000(img, levels: int = 3, cb_exp: int = 6,
     )
     for xr, yr in sub:
         out += bytes(((P - 1) | (0x80 if signed else 0), xr, yr))
-    out += b"\xff\x52" + struct.pack(
-        ">HBBHBBBBBB", 12, 0, 0, 1, 1 if mct else 0, levels,
-        cb_exp - 2, cb_exp - 2, 0, 0 if irreversible else 1
+    scod = (
+        (1 if precincts is not None else 0)
+        | (2 if sop else 0)
+        | (4 if eph else 0)
     )
+    lcod = 12 + ((N + 1) if precincts is not None else 0)
+    out += b"\xff\x52" + struct.pack(
+        ">HBBHBBBBBB", lcod, scod, prog_i, layers, 1 if mct else 0, levels,
+        cb_exp - 2, cb_exp - 2, cb_style, 0 if irreversible else 1
+    )
+    if precincts is not None:
+        out += bytes(ppx | (ppy << 4) for ppx, ppy in precs)
     band_order = [(0, 0)] + [(r, o) for r in range(1, N + 1) for o in (1, 2, 3)]
     if not irreversible:
         out += b"\xff\x5c" + struct.pack(">HB", 3 + len(band_order), guard_bits << 5)
@@ -1107,17 +1530,19 @@ def encode_jpeg2000(img, levels: int = 3, cb_exp: int = 6,
         for k in band_order:
             out += struct.pack(">H", eps_by[k] << 11)
 
+    tile_blobs = []  # (headers, body) per tile
     for t in range(ntx * nty):
         ty, tx = divmod(t, ntx)
         tx0, tx1 = max(tx * tw, xo), min((tx + 1) * tw, xs)
         ty0, ty1 = max(ty * th, yo), min((ty + 1) * th, ys)
-        packets = bytearray()
+        comp_boxes = []
         comp_bands = []
         for ci in range(nc):
             xr, yr = sub[ci]
             pox, poy = _ceil_div(xo, xr), _ceil_div(yo, yr)
             box = (_ceil_div(tx0, xr), _ceil_div(ty0, yr),
                    _ceil_div(tx1, xr), _ceil_div(ty1, yr))
+            comp_boxes.append(box)
             plane = shifted[ci][box[1] - poy : box[3] - poy,
                                 box[0] - pox : box[2] - pox]
             ll, bands = dwt_forward_boxed(plane, box, levels, irreversible)
@@ -1144,20 +1569,34 @@ def encode_jpeg2000(img, levels: int = 3, cb_exp: int = 6,
                     for r, res in enumerate(per_res)
                 ]
             comp_bands.append(per_res)
-        # LRCP with one layer: resolution-major, then component
-        for r in range(levels + 1):
-            for ci in range(nc):
-                packets += _emit_packet(
-                    [
-                        (o, a, bx, guard_bits + eps_by[(r, o)] - 1)
-                        for o, a, bx in comp_bands[ci][r]
-                    ],
-                    cb,
-                )
-        tile = bytes(packets)
-        psot = 12 + 2 + len(tile)
+        tile_blobs.append(
+            _encode_tile_packets(
+                comp_bands, comp_boxes, levels, nc, cb_exp, precs, layers,
+                cb_style, lambda r, o: guard_bits + eps_by[(r, o)] - 1,
+                packed_headers is not None, sop, eph, prog_i,
+            )
+        )
+
+    if packed_headers == "ppm":
+        # one PPM payload: [Nppm(4) + headers] per tile-part (one
+        # tile-part per tile here), split across Zppm segments at the
+        # 16-bit marker-length boundary — Ippm data may straddle
+        # segments (T.800 A.7.4) and decoders reassemble by Zppm
+        payload = b"".join(
+            struct.pack(">I", len(h)) + h for h, _b in tile_blobs
+        )
+        z = 0
+        for i in range(0, max(len(payload), 1), 65000):
+            chunk = payload[i : i + 65000]
+            out += b"\xff\x60" + struct.pack(">HB", 3 + len(chunk), z) + chunk
+            z += 1
+    for t, (hdrs, body) in enumerate(tile_blobs):
+        ppt = b""
+        if packed_headers == "ppt":
+            ppt = b"\xff\x61" + struct.pack(">HB", 3 + len(hdrs), 0) + hdrs
+        psot = 12 + len(ppt) + 2 + len(body)
         out += b"\xff\x90" + struct.pack(">HHIBB", 10, t, psot, 0, 1)
-        out += b"\xff\x93" + tile
+        out += ppt + b"\xff\x93" + body
     out += b"\xff\xd9"  # EOC
     return bytes(out)
 
@@ -1195,10 +1634,14 @@ def decode_jpeg2000(blob: bytes):
     multiple tiles and tile-parts (SOT walk, any Psot incl. 0),
     image/tile grid offsets, subsampled components (XRsiz/YRsiz > 1,
     nearest upsample to the full grid), all three QCD styles
-    (reversible / scalar-derived / scalar-expounded), the five
-    progression orders (single-layer collapse). Named gates: multiple
-    quality layers, precinct subdivision, code-block style options,
-    COC/QCC/RGN/POC/PPM/PPT markers, HTJ2K."""
+    (reversible / scalar-derived / scalar-expounded), multiple quality
+    layers, precinct subdivision (per-precinct packets + tag trees),
+    all code-block style options (bypass / reset / termall / vertically
+    causal / segmentation symbols; predictable termination is
+    decode-transparent), PPM/PPT packed packet headers, SOP/EPH, the
+    five progression orders (LRCP/RLCP fully; RPCL multi-precinct when
+    components share one precinct grid; PCRL/CPRL with one precinct per
+    resolution). Named gates: COC/QCC/RGN/POC markers, HTJ2K."""
     import numpy as np
 
     blob = _unwrap_jp2(blob)
@@ -1208,6 +1651,9 @@ def decode_jpeg2000(blob: bytes):
     siz = cod = None
     qcd = None
     tileparts: dict[int, list] = {}
+    ppm_segs: dict[int, bytes] = {}
+    ppt_segs: dict[int, list] = {}
+    tp_seq: list[int] = []
     while pos + 4 <= len(blob):
         if blob[pos] != 0xFF:
             raise ValueError(f"expected marker at {pos}")
@@ -1245,28 +1691,32 @@ def decode_jpeg2000(blob: bytes):
         elif m == 0x52:  # COD
             scod = seg[0]
             prog, nlayers, mct = struct.unpack_from(">BHB", seg, 1)
-            if nlayers != 1:
-                raise NotImplementedError(
-                    f"{nlayers} quality layers — single-layer only"
-                )
             nlev = seg[5]
             cbw_exp, cbh_exp = (seg[6] & 0xF) + 2, (seg[7] & 0xF) + 2
             cbstyle, transform = seg[8], seg[9]
-            if cbstyle:
+            if cbstyle & ~0x3F:
                 raise NotImplementedError(
-                    f"code-block style 0x{cbstyle:02x} (bypass/reset/"
-                    "termination/segmentation options) not supported"
+                    f"unknown code-block style bits 0x{cbstyle:02x}"
                 )
             if transform not in (0, 1):
                 raise ValueError(f"unknown wavelet transform {transform}")
-            if cbw_exp != cbh_exp:
-                raise NotImplementedError("non-square code blocks")
             if scod & 1:
-                raise NotImplementedError(
-                    "precinct subdivision — default full precincts only"
-                )
+                precs = [
+                    (seg[10 + i] & 0xF, seg[10 + i] >> 4)
+                    for i in range(nlev + 1)
+                ]
+                for r, (px_, py_) in enumerate(precs):
+                    if r > 0 and (px_ == 0 or py_ == 0):
+                        raise ValueError(
+                            "precinct exponent 0 is only valid for "
+                            "resolution 0 (T.800 A.6.1)"
+                        )
+            else:
+                precs = [(15, 15)] * (nlev + 1)
             cod = {
-                "levels": nlev, "cb_exp": cbw_exp, "mct": mct,
+                "levels": nlev, "cbx_exp": cbw_exp, "cby_exp": cbh_exp,
+                "mct": mct, "layers": nlayers, "precs": precs,
+                "cbstyle": cbstyle,
                 "prog": prog, "irreversible": transform == 0,
                 "sop": bool(scod & 2), "eph": bool(scod & 4),
             }
@@ -1288,13 +1738,13 @@ def decode_jpeg2000(blob: bytes):
                        "mu": [v & 0x7FF for v in vals]}
             else:
                 raise ValueError(f"unknown QCD style {style}")
-        elif m in (0x53, 0x5D, 0x5E, 0x5F, 0x60, 0x61):
+        elif m == 0x60:  # PPM: packed packet headers (main header)
+            ppm_segs[seg[0]] = seg[1:]
+        elif m in (0x53, 0x5D, 0x5E, 0x5F):
             name = {0x53: "COC (per-component coding style)",
                     0x5D: "QCC (per-component quantization)",
                     0x5E: "RGN (ROI shift)",
-                    0x5F: "POC (progression order change)",
-                    0x60: "PPM (packed packet headers, main)",
-                    0x61: "PPT (packed packet headers, tile)"}[m]
+                    0x5F: "POC (progression order change)"}[m]
             # these CHANGE how packets decode — skipping one silently
             # would produce wrong pixels, so they are named gates
             raise NotImplementedError(
@@ -1304,16 +1754,24 @@ def decode_jpeg2000(blob: bytes):
             isot, psot, tpsot, tnsot = struct.unpack_from(">HIBB", seg, 0)
             sot_pos = pos - 2
             # skip ignorable tile-part-header segments (PLT packet
-            # lengths, COM comments) until SOD; gate decode-altering ones
+            # lengths, COM comments) until SOD; collect PPT; gate
+            # decode-altering ones
             tp = pos + ln
             while blob[tp : tp + 2] != b"\xff\x93":
                 tm = blob[tp + 1]
-                if tm in (0x52, 0x53, 0x5C, 0x5D, 0x5E, 0x5F, 0x61):
+                if tm in (0x52, 0x53, 0x5C, 0x5D, 0x5E, 0x5F):
                     raise NotImplementedError(
                         f"JPEG 2000 tile-part marker 0xFF{tm:02X} "
                         "(per-tile coding/quantization override) is not "
                         "supported"
                     )
+                if tm == 0x61:  # PPT: packed headers for this tile
+                    (tln,) = struct.unpack_from(">H", blob, tp + 2)
+                    ppt_segs.setdefault(isot, []).append(
+                        (blob[tp + 4], blob[tp + 5 : tp + 2 + tln])
+                    )
+                    tp += 2 + tln
+                    continue
                 if tm not in (0x58, 0x64):  # PLT / COM are ignorable
                     raise ValueError(
                         f"unexpected marker 0xFF{tm:02X} in tile-part header"
@@ -1323,6 +1781,7 @@ def decode_jpeg2000(blob: bytes):
             start = tp + 2
             end = (sot_pos + psot) if psot else len(blob) - 2
             tileparts.setdefault(isot, []).append((tpsot, blob[start:end]))
+            tp_seq.append(isot)
             pos = end
             continue
         pos += ln
@@ -1334,13 +1793,28 @@ def decode_jpeg2000(blob: bytes):
         raise NotImplementedError(
             f"JPEG 2000 precision {P} bits (> 32) is not supported"
         )
-    levels, cb_exp = cod["levels"], cod["cb_exp"]
+    levels = cod["levels"]
+    cbx_exp, cby_exp = cod["cbx_exp"], cod["cby_exp"]
+    nlayers, precs, cbstyle = cod["layers"], cod["precs"], cod["cbstyle"]
     irreversible = cod["irreversible"]
     if qcd["style"] == 0 and irreversible:
         raise ValueError("reversible QCD with the 9/7 transform")
     if qcd["style"] != 0 and not irreversible:
         raise ValueError("quantized QCD with the reversible 5/3 transform")
-    cb = 1 << cb_exp
+    if ppm_segs and ppt_segs:
+        raise ValueError("codestream carries both PPM and PPT (T.800 A.7.4)")
+    # reassemble packed packet headers: PPM payloads concatenate in Zppm
+    # order into [Nppm(4) + headers-for-one-tile-part] chunks, mapped to
+    # tile-parts in codestream order; PPT payloads concatenate in Zppt
+    # order per tile
+    tp_hdr_chunks: list[bytes] = []
+    if ppm_segs:
+        ppm_all = b"".join(ppm_segs[z] for z in sorted(ppm_segs))
+        p_ = 0
+        while p_ + 4 <= len(ppm_all):
+            (n_,) = struct.unpack_from(">I", ppm_all, p_)
+            tp_hdr_chunks.append(ppm_all[p_ + 4 : p_ + 4 + n_])
+            p_ += 4 + n_
     if cod["mct"] and nc < 3:
         raise ValueError("MCT flagged but fewer than 3 components")
     if cod["mct"] and any(s != (1, 1) for s in siz["sub"][:3]):
@@ -1360,68 +1834,75 @@ def decode_jpeg2000(blob: bytes):
         mu = qcd["mu"][idx if idx < len(qcd["mu"]) else -1] if qcd["mu"] else 0
         return eps, mu
 
-    def one_packet(data, br_pos, sbs, r):
-        """Parse one packet at br_pos → ([(orient, array, bandbox)], pos)."""
-        if cod["sop"] and data[br_pos : br_pos + 2] == b"\xff\x91":
-            br_pos += 6
-        br = _HdrBitReader(data, br_pos)
-        arrays = []
-        if not br.bit():  # empty packet
-            br_pos = br.align()
-            if cod["eph"] and data[br_pos : br_pos + 2] == b"\xff\x92":
-                br_pos += 2
-            for orient, bx in sbs:
-                arrays.append(
-                    (orient,
-                     np.zeros((bx[3] - bx[1], bx[2] - bx[0]), dtype=np.int64),
-                     bx)
-                )
-            return arrays, br_pos
-        blocks_meta = []
-        for orient, bandbox in sbs:
-            bx0, by0, bx1, by1 = bandbox
-            arr = np.zeros((by1 - by0, bx1 - bx0), dtype=np.int64)
-            arrays.append((orient, arr, bandbox))
-            gx0, gy0, ncx, ncy = _band_grid(bandbox, cb)
-            if ncx == 0:
-                continue
-            incl = TagTree(ncx, ncy)
-            imsb = TagTree(ncx, ncy)
-            eps, _mu = eps_mu(r, orient)
-            mb = guard + eps - 1
-            for cy in range(ncy):
-                for cx in range(ncx):
-                    if not incl.decode(cx, cy, 1, br.bit):
-                        continue
-                    t = 1
-                    while not imsb.decode(cx, cy, t, br.bit):
-                        t += 1
-                    zbp = t - 1
-                    npass = _get_numpasses(br)
-                    lblock = 3
+    def one_packet(layer, ci, r, p, hs, bs, pband, state, trees):
+        """Parse one packet (T.800 B.10) for (layer, comp, res, precinct).
+
+        ``hs``/``bs`` are mutable {"data", "pos"} header/body streams —
+        the SAME dict when headers are inline (default codestream), two
+        streams under PPM/PPT. Contributions are accumulated per code
+        block in ``state``; nothing is T1-decoded here (a block's
+        codeword segments may span many layers)."""
+        if cod["sop"] and bs["data"][bs["pos"] : bs["pos"] + 2] == b"\xff\x91":
+            bs["pos"] += 6
+        br = _HdrBitReader(hs["data"], hs["pos"])
+        pend = []
+        if br.bit():  # non-empty packet
+            for bi, orient, bandbox, mb, blocks, ncx, ncy in pband[(ci, r, p)]:
+                if ncx == 0:
+                    continue
+                key_t = (ci, r, p, bi)
+                if key_t not in trees:
+                    trees[key_t] = (TagTree(ncx, ncy), TagTree(ncx, ncy))
+                incl, imsb = trees[key_t]
+                for k in range(ncx * ncy):
+                    cy, cx = divmod(k, ncx)
+                    key = (ci, r, p, bi, k)
+                    st = state.get(key)
+                    if st is None:
+                        st = state[key] = {
+                            "included": False, "lblock": 3, "passes": 0,
+                            "segs": [], "open": False, "nbps": 0,
+                        }
+                    if st["included"]:
+                        if not br.bit():
+                            continue
+                    else:
+                        if not incl.decode(cx, cy, layer + 1, br.bit):
+                            continue
+                        tt = 1
+                        while not imsb.decode(cx, cy, tt, br.bit):
+                            tt += 1
+                        st["nbps"] = mb - (tt - 1)
+                        st["included"] = True
+                    np_l = _get_numpasses(br)
                     while br.bit():
-                        lblock += 1
-                    nbytes = br.bits(lblock + (npass.bit_length() - 1))
-                    blocks_meta.append(
-                        (arr, bandbox, orient, gx0 + cx, gy0 + cy,
-                         npass, mb - zbp, nbytes)
-                    )
-        br_pos = br.align()
-        if cod["eph"] and data[br_pos : br_pos + 2] == b"\xff\x92":
-            br_pos += 2
-        for arr, bandbox, orient, gx, gy, npass, nbps, nbytes in blocks_meta:
-            seg_ = data[br_pos : br_pos + nbytes]
-            br_pos += nbytes
-            bx0, by0, bx1, by1 = bandbox
-            ax0, ax1 = max(bx0, gx * cb), min(bx1, (gx + 1) * cb)
-            ay0, ay1 = max(by0, gy * cb), min(by1, (gy + 1) * cb)
-            sub = arr[ay0 - by0 : ay1 - by0, ax0 - bx0 : ax1 - bx0]
-            sh, sw = sub.shape
-            signs, mags = t1_decode(seg_, npass, nbps, sw, sh, orient)
-            vals = np.array(mags, dtype=np.int64).reshape(sh, sw)
-            sgn = np.array(signs, dtype=np.int64).reshape(sh, sw)
-            sub[:, :] = np.where(sgn == 1, -vals, vals)
-        return arrays, br_pos
+                        st["lblock"] += 1
+                    # segment lengths: one per terminated piece within
+                    # the contributed passes (term points re-derived
+                    # from the block's own pass schedule + style)
+                    plist = _pass_list(max(st["nbps"], 0), cbstyle)
+                    a, b = st["passes"], st["passes"] + np_l
+                    cnt = 0
+                    for i in range(a, b):
+                        cnt += 1
+                        term = plist[i][3] if i < len(plist) else True
+                        if term or i == b - 1:
+                            ln_ = br.bits(st["lblock"] + cnt.bit_length() - 1)
+                            pend.append((st, ln_, term))
+                            cnt = 0
+                    st["passes"] = b
+        hpos = br.align()
+        if cod["eph"] and hs["data"][hpos : hpos + 2] == b"\xff\x92":
+            hpos += 2
+        hs["pos"] = hpos
+        for st, ln_, term in pend:
+            chunk = bs["data"][bs["pos"] : bs["pos"] + ln_]
+            bs["pos"] += ln_
+            if st["open"]:
+                st["segs"][-1] += chunk
+            else:
+                st["segs"].append(bytearray(chunk))
+            st["open"] = not term
 
     xs, ys, xo, yo = siz["xs"], siz["ys"], siz["xo"], siz["yo"]
     xt, yt, xto, yto = siz["xt"], siz["yt"], siz["xto"], siz["yto"]
@@ -1454,19 +1935,110 @@ def decode_jpeg2000(blob: bytes):
                    _ceil_div(tx1, xr), _ceil_div(ty1, yr))
             comp_boxes.append(box)
             comp_res_boxes.append(_res_band_boxes(box, levels))
-        # With one layer / one precinct the five progression orders
-        # collapse to two packet sequences: LRCP/RLCP/RPCL are
-        # resolution-major (component innermost); PCRL/CPRL are
-        # component-major. Iterate in the stream's own order.
-        comp_res = [[None] * (levels + 1) for _ in range(nc)]
-        if cod["prog"] in (3, 4):  # PCRL / CPRL
-            order = [(r, ci) for ci in range(nc) for r in range(levels + 1)]
-        else:  # LRCP / RLCP / RPCL
-            order = [(r, ci) for r in range(levels + 1) for ci in range(nc)]
-        br_pos = 0
-        for r, ci in order:
-            arrays, br_pos = one_packet(data, br_pos, comp_res_boxes[ci][r], r)
-            comp_res[ci][r] = arrays
+
+        # geometry: band arrays + per-precinct code-block grids
+        band_arrays = {}  # (ci, r, bi) -> (orient, arr, bandbox)
+        pband = {}        # (ci, r, p)  -> [(bi, orient, bandbox, mb,
+                          #                 blocks, ncx, ncy)]
+        pcounts = {}      # (ci, r)     -> numprecincts
+        for ci in range(nc):
+            rboxes = _res_boxes(comp_boxes[ci], levels)
+            for r in range(levels + 1):
+                for bi, (orient, bandbox) in enumerate(comp_res_boxes[ci][r]):
+                    arr = np.zeros(
+                        (bandbox[3] - bandbox[1], bandbox[2] - bandbox[0]),
+                        dtype=np.int64,
+                    )
+                    band_arrays[(ci, r, bi)] = (orient, arr, bandbox)
+                ppx, ppy = precs[r]
+                p0x, p0y, npx, npy = _precinct_grid(rboxes[r], ppx, ppy)
+                pcounts[(ci, r)] = npx * npy
+                cbx = 1 << min(cbx_exp, ppx if r == 0 else ppx - 1)
+                cby = 1 << min(cby_exp, ppy if r == 0 else ppy - 1)
+                for pj in range(npy):
+                    for pi in range(npx):
+                        entry = []
+                        for bi, (orient, bandbox) in enumerate(
+                            comp_res_boxes[ci][r]
+                        ):
+                            region = _precinct_band_region(
+                                bandbox, r, ppx, ppy, p0x + pi, p0y + pj
+                            )
+                            gx0, gy0, ncx, ncy = _region_grid(region, cbx, cby)
+                            eps, _mu = eps_mu(r, orient)
+                            blocks = []
+                            for k in range(ncx * ncy):
+                                cy, cx = divmod(k, ncx)
+                                blocks.append((
+                                    max(region[0], (gx0 + cx) * cbx),
+                                    max(region[1], (gy0 + cy) * cby),
+                                    min(region[2], (gx0 + cx + 1) * cbx),
+                                    min(region[3], (gy0 + cy + 1) * cby),
+                                ))
+                            entry.append((
+                                bi, orient, bandbox, guard + eps - 1,
+                                blocks, ncx, ncy,
+                            ))
+                        pband[(ci, r, pj * npx + pi)] = entry
+
+        # packet sequence for the stream's progression order
+        order = _packet_order(cod["prog"], nlayers, levels + 1, nc, pcounts)
+
+        # header source: inline (default), or the packed PPM/PPT blob
+        bs = {"data": data, "pos": 0}
+        if tp_hdr_chunks:  # PPM: this tile's chunks in tile-part order
+            hdr_blob = b"".join(
+                tp_hdr_chunks[i]
+                for i, ti in enumerate(tp_seq)
+                if ti == t and i < len(tp_hdr_chunks)
+            )
+            hs = {"data": hdr_blob, "pos": 0}
+        elif t in ppt_segs:  # PPT: Zppt-ordered concatenation
+            hs = {"data": b"".join(d for _z, d in sorted(ppt_segs[t])),
+                  "pos": 0}
+        else:
+            hs = bs
+        state: dict = {}
+        trees: dict = {}
+        try:
+            for l, r, ci, p in order:
+                one_packet(l, ci, r, p, hs, bs, pband, state, trees)
+        except ValueError as exc:
+            if "truncated" not in str(exc):
+                raise
+            # quality-progressive semantics: a stream cut mid-layer
+            # still decodes from the passes that arrived (layers are
+            # embedded truncation points — T.800 B.10.7); blocks whose
+            # trailing bytes are missing reconstruct their received
+            # bitplanes
+
+        # T1-decode every contributed block once, into its band array
+        for (ci, r, p), entry in pband.items():
+            for bi, orient, bandbox, _mb, blocks, ncx, _ncy in entry:
+                for k, (ax0, ay0, ax1, ay1) in enumerate(blocks):
+                    st = state.get((ci, r, p, bi, k))
+                    if not st or not st["passes"]:
+                        continue
+                    sh, sw = ay1 - ay0, ax1 - ax0
+                    signs, mags = t1_decode(
+                        [bytes(s) for s in st["segs"]], st["passes"],
+                        st["nbps"], sw, sh, orient, cbstyle,
+                    )
+                    arr = band_arrays[(ci, r, bi)][1]
+                    bx0, by0 = bandbox[0], bandbox[1]
+                    sub = arr[ay0 - by0 : ay1 - by0, ax0 - bx0 : ax1 - bx0]
+                    vals = np.array(mags, dtype=np.int64).reshape(sh, sw)
+                    sgn = np.array(signs, dtype=np.int64).reshape(sh, sw)
+                    sub[:, :] = np.where(sgn == 1, -vals, vals)
+
+        comp_res = [
+            [
+                [band_arrays[(ci, r, bi)]
+                 for bi in range(len(comp_res_boxes[ci][r]))]
+                for r in range(levels + 1)
+            ]
+            for ci in range(nc)
+        ]
 
         for ci in range(nc):
             ra = comp_res[ci]

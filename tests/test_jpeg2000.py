@@ -82,7 +82,7 @@ def test_tier1_block_roundtrip_all_orientations():
             mag = rng.integers(0, 200, h * w).astype(int).tolist()
             sgn = [int(s) if m else 0 for s, m in
                    zip(rng.integers(0, 2, h * w), mag)]
-            data, npass, nbps = t1_encode(sgn, mag, w, h, orient)
+            data, npass, nbps, _meta = t1_encode(sgn, mag, w, h, orient)
             s2, m2 = t1_decode(data, npass, nbps, w, h, orient)
             assert m2 == mag and s2 == sgn
 
@@ -218,11 +218,12 @@ def test_jpeg2000_review_findings(monkeypatch):
     struct.pack_into(">I", spliced, sot + 6, psot + len(plt) + len(com))
     np.testing.assert_array_equal(decode_jpeg2000(bytes(spliced)), img)
 
-    # PPT in the tile-part header is decode-altering -> named gate
-    ppt = b"\xff\x61" + struct.pack(">HB", 3 + 1, 0) + b"\x00"
-    bad = bytearray(blob[:sod] + ppt + blob[sod:])
-    struct.pack_into(">I", bad, sot + 6, psot + len(ppt))
-    with pytest.raises(NotImplementedError, match="FF61"):
+    # QCC in the tile-part header is decode-altering -> named gate
+    # (PPT decodes natively since round 9 — see test_jpeg2000_packets)
+    qcc = b"\xff\x5d" + struct.pack(">HBB", 4 + 1, 0, 0x40) + b"\x10"
+    bad = bytearray(blob[:sod] + qcc + blob[sod:])
+    struct.pack_into(">I", bad, sot + 6, psot + len(qcc))
+    with pytest.raises(NotImplementedError, match="FF5D"):
         decode_jpeg2000(bytes(bad))
 
     # 17-32 bit precision: exact via uint32, no silent truncation

@@ -1,0 +1,248 @@
+"""JPEG 2000 packet-layer features (round 9): multiple quality layers,
+precinct subdivision, code-block style options, PPM/PPT packed packet
+headers, SOP/EPH, all five progression orders, and quality-progressive
+truncation semantics.
+
+These are the T.800 options real encoders (OpenJPEG/Kakadu) emit by
+default on large images — reference surface: PILImageReader /
+ImageIOReader open .jp2 files via pillow/glymur
+(/root/reference/intake/readers/readers.py:2228)."""
+
+import struct
+
+import numpy as np
+import pytest
+
+from intake_spark.llm.jpeg2000 import (
+    CBSTY_BYPASS,
+    CBSTY_RESET,
+    CBSTY_SEGSYM,
+    CBSTY_TERMALL,
+    CBSTY_VSC,
+    _pass_list,
+    decode_jpeg2000,
+    encode_jpeg2000,
+    t1_decode,
+    t1_encode,
+)
+
+
+def _img(h, w, c=None, seed=0):
+    rng = np.random.default_rng(seed)
+    shape = (h, w) if c is None else (h, w, c)
+    return rng.integers(0, 256, shape, dtype=np.uint8)
+
+
+def test_multilayer_lossless_roundtrip():
+    """All layers together reconstruct exactly — the pass split across
+    layers is a re-ordering, not a loss."""
+    img = _img(37, 53, seed=1)
+    for L in (2, 3, 5, 16):
+        blob = encode_jpeg2000(img, layers=L)
+        np.testing.assert_array_equal(decode_jpeg2000(blob), img)
+    rgb = _img(40, 30, 3, seed=2)
+    blob = encode_jpeg2000(rgb, layers=4, irreversible=True)
+    out = decode_jpeg2000(blob)
+    assert float(np.abs(out.astype(int) - rgb.astype(int)).mean()) < 3.0
+
+
+def test_multilayer_cod_signals_layer_count():
+    blob = encode_jpeg2000(_img(16, 16), layers=7)
+    cod = blob.find(b"\xff\x52")
+    (nlayers,) = struct.unpack_from(">H", blob, cod + 6)
+    assert nlayers == 7
+
+
+def test_precinct_roundtrip_with_tiles_and_offset():
+    """Precinct subdivision caps the code-block size (T.800 B.7) and
+    splits packets per precinct with per-precinct tag trees."""
+    img = _img(70, 90, 3, seed=3)
+    for prec in [(6, 6), (5, 7), (3, 3)]:
+        blob = encode_jpeg2000(img, levels=3, cb_exp=5, precincts=prec)
+        np.testing.assert_array_equal(decode_jpeg2000(blob), img)
+    blob = encode_jpeg2000(img, levels=2, cb_exp=4, precincts=(4, 5),
+                           layers=3, tile_size=(48, 40), grid_offset=(3, 5))
+    np.testing.assert_array_equal(decode_jpeg2000(blob), img)
+    # per-resolution precinct list + COD Scod bit 0 signalled
+    blob = encode_jpeg2000(img, levels=2, precincts=[(8, 8), (6, 6), (5, 5)])
+    cod = blob.find(b"\xff\x52")
+    assert blob[cod + 4] & 1
+    np.testing.assert_array_equal(decode_jpeg2000(blob), img)
+
+
+def test_cb_style_roundtrips():
+    """Bypass / reset / termall / vertically-causal / segmentation
+    symbols, alone and combined, with and without layers/9-7."""
+    img = _img(64, 48, seed=4)
+    styles = (CBSTY_BYPASS, CBSTY_RESET, CBSTY_TERMALL, CBSTY_VSC,
+              CBSTY_SEGSYM, CBSTY_BYPASS | CBSTY_TERMALL,
+              CBSTY_BYPASS | CBSTY_RESET | CBSTY_VSC | CBSTY_SEGSYM)
+    for sty in styles:
+        blob = encode_jpeg2000(img, cb_style=sty, layers=2)
+        np.testing.assert_array_equal(decode_jpeg2000(blob), img)
+    blob = encode_jpeg2000(_img(33, 29, 3, seed=5), cb_style=styles[-1],
+                           irreversible=True, layers=3)
+    assert decode_jpeg2000(blob).shape == (33, 29, 3)
+
+
+def test_t1_bypass_schedule_matches_spec():
+    """T.800 D.6: the first 10 passes are MQ; from pass 10 on, SPP/MRP
+    are raw and terminations fall at the mode switches."""
+    pl = _pass_list(6, CBSTY_BYPASS)
+    # passes 0..9 MQ, term at pass 9 (CUP of plane numbps-4)
+    assert all(not raw for _t, _p, raw, _tm in pl[:10])
+    assert pl[9][3] is True
+    # thereafter SPP/MRP raw (term at MRP), CUP MQ (term)
+    for i in range(10, len(pl)):
+        t_, _p, raw, term = pl[i]
+        assert raw == (t_ != 2)
+        assert term == (t_ in (1, 2)) or i == len(pl) - 1
+
+
+def test_t1_segment_boundaries_are_decodable_in_pieces():
+    """Each terminated codeword segment decodes from its own byte
+    slice — the decoder must NOT need the concatenated stream."""
+    rng = np.random.default_rng(6)
+    mags = [int(v) for v in rng.integers(0, 3000, 12 * 9)]
+    sgns = [int(s) if m else 0 for s, m in zip(rng.integers(0, 2, 12 * 9), mags)]
+    for sty in (CBSTY_TERMALL, CBSTY_BYPASS, CBSTY_BYPASS | CBSTY_TERMALL):
+        data, npass, nbps, meta = t1_encode(sgns, mags, 12, 9, 2, sty)
+        segs, prev = [], 0
+        for cum, term in meta:
+            if term:
+                segs.append(data[prev:cum])
+                prev = cum
+        assert prev == len(data) and len(segs) > 1
+        s2, m2 = t1_decode(segs, npass, nbps, 12, 9, 2, sty)
+        assert m2 == mags and s2 == sgns
+
+
+def test_t1_prefix_sufficiency():
+    """pass_meta cumulative byte counts are truncation points: the
+    prefix decodes passes 0..k identically to the full stream."""
+    rng = np.random.default_rng(7)
+    mags = [int(v) for v in rng.integers(0, 500, 8 * 8)]
+    sgns = [int(s) if m else 0 for s, m in zip(rng.integers(0, 2, 64), mags)]
+    data, npass, nbps, meta = t1_encode(sgns, mags, 8, 8, 0)
+    for k in range(1, npass + 1):
+        a = t1_decode(data[: meta[k - 1][0]], k, nbps, 8, 8, 0)
+        b = t1_decode(data, k, nbps, 8, 8, 0)
+        assert a == b
+
+
+def test_segmentation_symbol_detects_corruption():
+    """SEGSYM exists for error resilience: corrupt block bytes surface
+    as the named segmentation-symbol ValueError, not silent pixels."""
+    img = _img(32, 32, seed=8)
+    blob = bytearray(encode_jpeg2000(img, cb_style=CBSTY_SEGSYM, levels=0))
+    sod = blob.find(b"\xff\x93")
+    # smash bytes in the middle of the tile body
+    mid = sod + 2 + (len(blob) - sod) // 2
+    for i in range(mid, mid + 4):
+        blob[i] ^= 0x55
+    with pytest.raises(ValueError):
+        decode_jpeg2000(bytes(blob))
+
+
+def test_packed_headers_ppm_ppt():
+    img = _img(70, 90, 3, seed=9)
+    for ph in ("ppm", "ppt"):
+        blob = encode_jpeg2000(img, packed_headers=ph, layers=2,
+                               precincts=(5, 5), tile_size=(64, 64))
+        marker = b"\xff\x60" if ph == "ppm" else b"\xff\x61"
+        assert marker in blob
+        np.testing.assert_array_equal(decode_jpeg2000(blob), img)
+    # PPM multi-tile: chunks map to tile-parts in codestream order
+    blob = encode_jpeg2000(img, packed_headers="ppm", tile_size=(32, 32),
+                           layers=3)
+    np.testing.assert_array_equal(decode_jpeg2000(blob), img)
+
+
+def test_ppm_and_ppt_together_rejected():
+    img = _img(16, 16, seed=10)
+    a = encode_jpeg2000(img, packed_headers="ppm")
+    b = encode_jpeg2000(img, packed_headers="ppt")
+    # graft b's PPT-carrying tile-part into a's main header stream
+    sot_b = b.find(b"\xff\x90")
+    sot_a = a.find(b"\xff\x90")
+    franken = a[:sot_a] + b[sot_b:]
+    with pytest.raises(ValueError, match="PPM and PPT"):
+        decode_jpeg2000(franken)
+
+
+def test_progression_orders_roundtrip():
+    img = _img(45, 61, 3, seed=11)
+    for prog in ("lrcp", "rlcp", "rpcl", "pcrl", "cprl"):
+        blob = encode_jpeg2000(img, prog=prog, layers=2)
+        np.testing.assert_array_equal(decode_jpeg2000(blob), img)
+    blob = encode_jpeg2000(img, prog="rpcl", layers=3, precincts=(5, 5),
+                           cb_exp=4)
+    np.testing.assert_array_equal(decode_jpeg2000(blob), img)
+    # RLCP with subsampled components: per-component precinct grids
+    h, w = img.shape[:2]
+    planes = [img[:, :, 0], img[: (h + 1) // 2, : (w + 1) // 2, 1],
+              img[: (h + 1) // 2, : (w + 1) // 2, 2]]
+    blob = encode_jpeg2000(planes, subsampling=[(1, 1), (2, 2), (2, 2)],
+                           prog="rlcp", layers=2, precincts=(4, 4), cb_exp=3)
+    out = decode_jpeg2000(blob)
+    np.testing.assert_array_equal(out[:, :, 0], img[:, :, 0])
+
+
+def test_layer_truncation_is_progressive():
+    """Cutting the codestream at layer boundaries decodes an
+    approximation whose error shrinks monotonically as layers are
+    kept — layers ARE embedded truncation points (T.800 B.10.7)."""
+    y, x = np.mgrid[0:64, 0:80]
+    img = ((np.sin(x / 9.0) + np.cos(y / 7.0) + 2) * 60).astype(np.uint8)
+    L = 4
+    blob = encode_jpeg2000(img, layers=L, sop=True, irreversible=True)
+    sot = blob.find(b"\xff\x90")
+    sod = blob.find(b"\xff\x93", sot)
+    tile = blob[sod + 2 : -2]
+    sops, i = [], 0
+    while True:
+        j = tile.find(b"\xff\x91", i)
+        if j < 0:
+            break
+        sops.append(j)
+        i = j + 2
+    npk = len(sops) // L
+    errs = []
+    for keep in (1, 2, 3):
+        t = bytearray(blob[: sod + 2] + tile[: sops[keep * npk]])
+        struct.pack_into(">I", t, sot + 6, len(t) - sot)
+        t += b"\xff\xd9"
+        out = decode_jpeg2000(bytes(t))
+        assert out.shape == img.shape
+        errs.append(float(np.abs(out.astype(int) - img.astype(int)).mean()))
+    full_err = float(
+        np.abs(decode_jpeg2000(blob).astype(int) - img.astype(int)).mean()
+    )
+    assert errs[0] > errs[1] > errs[2] > full_err
+    assert full_err < 1.0
+
+
+def test_sop_eph_markers():
+    img = _img(24, 24, seed=12)
+    blob = encode_jpeg2000(img, sop=True, eph=True, layers=2)
+    assert b"\xff\x91" in blob and b"\xff\x92" in blob
+    cod = blob.find(b"\xff\x52")
+    assert blob[cod + 4] & 6 == 6  # Scod SOP+EPH bits
+    np.testing.assert_array_equal(decode_jpeg2000(blob), img)
+    blob = encode_jpeg2000(img, sop=True, eph=True, packed_headers="ppt")
+    np.testing.assert_array_equal(decode_jpeg2000(blob), img)
+
+
+def test_everything_at_once():
+    """The full option surface in one codestream: 9/7 + ICT, tiles,
+    grid offset, precincts, 3 layers, bypass+segsym, PPT, SOP/EPH."""
+    img = _img(66, 82, 3, seed=13)
+    blob = encode_jpeg2000(
+        img, levels=2, cb_exp=4, irreversible=True, tile_size=(40, 36),
+        grid_offset=(5, 2), precincts=(4, 4), layers=3,
+        cb_style=CBSTY_BYPASS | CBSTY_SEGSYM, packed_headers="ppt",
+        sop=True, eph=True,
+    )
+    out = decode_jpeg2000(blob)
+    assert out.shape == img.shape
+    assert float(np.abs(out.astype(int) - img.astype(int)).mean()) < 4.0
