@@ -246,3 +246,37 @@ def test_everything_at_once():
     out = decode_jpeg2000(blob)
     assert out.shape == img.shape
     assert float(np.abs(out.astype(int) - img.astype(int)).mean()) < 4.0
+
+
+def test_option_surface_fuzz():
+    """Seeded fuzz over the whole option surface: every legal combo of
+    layers / precincts / styles / progression / packed headers / tiles
+    / offsets must round-trip losslessly (5/3)."""
+    import random
+
+    rng = np.random.default_rng(99)
+    rnd = random.Random(99)
+    for _trial in range(30):
+        h, w = rnd.randint(1, 70), rnd.randint(1, 70)
+        nc = rnd.choice([1, 1, 3])
+        img = rng.integers(
+            0, 256, (h, w) if nc == 1 else (h, w, nc), dtype=np.uint8
+        )
+        kw = dict(
+            levels=rnd.randint(0, 4), cb_exp=rnd.randint(2, 6),
+            layers=rnd.choice([1, 2, 3, 7]),
+            cb_style=rnd.choice([0, CBSTY_BYPASS, CBSTY_TERMALL,
+                                 CBSTY_VSC, CBSTY_SEGSYM, 0x2F]),
+            prog=rnd.choice(["lrcp", "rlcp", "rpcl", "pcrl", "cprl"]),
+            sop=rnd.random() < 0.3, eph=rnd.random() < 0.3,
+        )
+        if rnd.random() < 0.5:
+            kw["precincts"] = (rnd.randint(2, 8), rnd.randint(2, 8))
+            if kw["prog"] in ("pcrl", "cprl"):
+                kw["prog"] = "lrcp"
+        if rnd.random() < 0.3:
+            kw["tile_size"] = (rnd.randint(8, 64), rnd.randint(8, 64))
+        if rnd.random() < 0.3:
+            kw["packed_headers"] = rnd.choice(["ppm", "ppt"])
+        blob = encode_jpeg2000(img, **kw)
+        np.testing.assert_array_equal(decode_jpeg2000(blob), img)
