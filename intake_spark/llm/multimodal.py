@@ -267,9 +267,12 @@ def _lib_audio_decode(content: bytes):
 def decode_audio_full(content: bytes):
     """Magic-dispatched audio decode → (rate, samples ndarray (n, ch),
     bits_per_sample). WAV via the stdlib ``wave`` module; FLAC via the
-    package's spec bitstream decoder (llm/flac.py). MP3/OGG decode
-    through soundfile WHEN INSTALLED (:func:`_lib_audio_decode`) and
-    otherwise raise the named codec gate."""
+    package's spec bitstream decoder (llm/flac.py); OGG/VORBIS via the
+    native decoder (llm/vorbis.py — the codebooks travel in the stream,
+    so no external tables are needed; new r9, soundfile demoted to
+    fallback). MP3 and non-Vorbis OGG codecs (Opus) decode through
+    soundfile WHEN INSTALLED (:func:`_lib_audio_decode`) and otherwise
+    raise the named codec gate."""
     if content[:4] == b"fLaC":
         from intake_spark.llm.flac import decode_flac
 
@@ -281,13 +284,35 @@ def decode_audio_full(content: bytes):
         return decode_aiff(content)
     if content[:4] == b".snd":
         return decode_au(content)
+    gate = None
+    if content[:4] == b"OggS":
+        import numpy as np
+
+        from intake_spark.llm.vorbis import decode_vorbis
+
+        try:
+            rate, pcm = decode_vorbis(content)
+            arr = np.clip(np.rint(pcm * 32767.0), -32768, 32767).astype(
+                np.int16
+            )
+            return rate, arr, 16
+        except NotImplementedError as exc:
+            gate = exc  # floor 0: soundfile may still decode it
+        except ValueError as exc:
+            # non-Vorbis OGG (Opus, FLAC-in-OGG): delegate when possible
+            gate = exc
     try:
         return _lib_audio_decode(content)
     except ImportError as exc:
+        if gate is not None:
+            raise NotImplementedError(
+                f"OGG stream not natively decodable ({gate}) — OGG/Vorbis "
+                "decodes natively; Opus/floor-0 need soundfile"
+            ) from gate
         raise NotImplementedError(
-            "WAV/FLAC/AIFF/AU decode natively; MP3/OGG need an audio codec "
-            "library — install soundfile and decode_audio_full delegates "
-            "automatically"
+            "WAV/FLAC/AIFF/AU/OGG-Vorbis decode natively; MP3 and Opus "
+            "need an audio codec library — install soundfile and "
+            "decode_audio_full delegates automatically"
         ) from exc
 
 

@@ -276,7 +276,7 @@ def test_recommend_picks_flac(tmp_path):
 def test_mp3_still_gated():
     from intake_spark.llm.multimodal import decode_audio_full
 
-    with pytest.raises(NotImplementedError, match="MP3/OGG"):
+    with pytest.raises(NotImplementedError, match="MP3 and Opus"):
         decode_audio_full(b"\xff\xfb\x90\x00" + b"\x00" * 64)
 
 
