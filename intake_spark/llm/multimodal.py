@@ -709,8 +709,24 @@ def codec_roundtrip_stats(
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
-        from intake_spark.llm.jpeg2000 import decode_jpeg2000, encode_jpeg2000
+        from intake_spark.llm.flac import decode_flac, encode_flac
+        from intake_spark.llm.jpeg2000 import (
+            CBSTY_BYPASS,
+            CBSTY_SEGSYM,
+            decode_jpeg2000,
+            encode_jpeg2000,
+        )
         from intake_spark.llm.jpegls import decode_jpegls, encode_jpegls
+        from intake_spark.output import _png_bytes
+
+        def flac_rt(a):
+            # audio lane: the same 64 values as one int16 PCM block,
+            # reshaped back to the image grid so the oracle is uniform
+            rate, back, _bps = decode_flac(
+                encode_flac(a.reshape(-1).astype(np.int64), 8000,
+                            block_size=a.size)
+            )
+            return back[:, 0].astype(np.uint8).reshape(a.shape)
 
         pairs = {
             "jpeg2000": (
@@ -718,6 +734,21 @@ def codec_roundtrip_stats(
                 decode_jpeg2000,
             ),
             "jpegls": (encode_jpegls, decode_jpegls),
+            "png": (
+                lambda a: _png_bytes(a.tolist()),
+                lambda b: decode_png(b)[:, :, 0],
+            ),
+            # r9 packet-layer surface exercised end-to-end: quality
+            # layers + precincts + bypass/segsym styles + PPT headers
+            "j2k_full": (
+                lambda a: encode_jpeg2000(
+                    a, levels=1, cb_exp=4, layers=2, precincts=(3, 3),
+                    cb_style=CBSTY_BYPASS | CBSTY_SEGSYM,
+                    packed_headers="ppt", sop=True, eph=True,
+                ),
+                decode_jpeg2000,
+            ),
+            "flac": (lambda a: a, flac_rt),
         }
         for pdf in batches:
             rows = []

@@ -3517,3 +3517,37 @@ def q130_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id") % 10 == 0
     )
     return multimodal.codec_roundtrip_stats(docs)
+
+
+@register(
+    "q131_codec_roundtrip_wide",
+    """
+    WITH sel AS (SELECT doc_id,
+                        rpad(substr(COALESCE(text, ''), 1, 64), 64, ' ') AS s
+                 FROM documents WHERE doc_id % 10 = 3),
+    px AS (SELECT doc_id, SUM(ord(substr(s, i, 1)) % 256) AS sum_px
+           FROM sel, unnest(generate_series(1, 64)) t(i)
+           GROUP BY doc_id)
+    SELECT doc_id, c.codec,
+           CAST(8 AS INTEGER) AS width, CAST(8 AS INTEGER) AS height,
+           CAST(sum_px AS BIGINT) AS sum_px, CAST(1 AS INTEGER) AS exact
+    FROM px, (SELECT unnest(['png', 'flac', 'j2k_full']) AS codec) c
+    """,
+)
+def q131_codec_roundtrip_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q130's round-trip proof widened across modalities and the round-9
+    packet-layer surface: per sampled document the deterministic 8x8
+    grid is round-tripped executor-side through (a) the stdlib PNG
+    coder, (b) the FLAC coder as one int16 PCM block (an AUDIO codec
+    under the same full-value oracle), and (c) JPEG 2000 with quality
+    layers + precincts + bypass/segsym code-block styles + PPT packed
+    headers + SOP/EPH — the options third-party encoders emit by
+    default. All three are lossless, so sum_px stays a pure text
+    function and exact=1 proves bit-exactness on real data, not just
+    fixtures. Disjoint 1-in-10 sample (doc_id % 10 = 3) from q130's."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 10 == 3
+    )
+    return multimodal.codec_roundtrip_stats(
+        docs, codecs=("png", "flac", "j2k_full")
+    )
