@@ -1104,65 +1104,76 @@ def _layer_cuts(npass: int, nlayers: int):
     return [npass * l // nlayers for l in range(nlayers + 1)]
 
 
-def _packet_order(prog: int, nlayers: int, nres: int, nc: int, pcounts):
+def _packet_order(prog: int, nlayers: int, nres: int, nc: int, pcounts,
+                  r0: int = 0, c0: int = 0):
     """Packet sequence (layer, res, comp, precinct) for a progression
-    order (T.800 B.12). pcounts[(ci, r)] = numprecincts. LRCP/RLCP
-    handle per-component precinct grids; RPCL needs one shared grid;
-    PCRL/CPRL collapse to component-major with one precinct per
-    resolution (multi-precinct spatial orders are gated)."""
+    order (T.800 B.12). pcounts[(ci, r)] = numprecincts (missing keys,
+    e.g. resolutions above a component's own level count under COC,
+    contribute no packets). LRCP/RLCP handle per-component precinct
+    grids; RPCL needs one shared grid; PCRL/CPRL collapse to
+    component-major with one precinct per resolution (multi-precinct
+    spatial orders are gated). ``r0``/``c0`` bound the ranges for POC
+    progression segments."""
     L, R = nlayers, nres
+    rr = range(r0, R)
+    cr = range(c0, nc)
+
+    def np_(ci, r):
+        return pcounts.get((ci, r), 0)
+
     if prog == 0:    # LRCP
-        return [(l, r, ci, p) for l in range(L) for r in range(R)
-                for ci in range(nc) for p in range(pcounts[(ci, r)])]
+        return [(l, r, ci, p) for l in range(L) for r in rr
+                for ci in cr for p in range(np_(ci, r))]
     if prog == 1:    # RLCP
-        return [(l, r, ci, p) for r in range(R) for l in range(L)
-                for ci in range(nc) for p in range(pcounts[(ci, r)])]
+        return [(l, r, ci, p) for r in rr for l in range(L)
+                for ci in cr for p in range(np_(ci, r))]
     if prog == 2:    # RPCL
-        if any(pcounts[(ci, r)] != pcounts[(0, r)]
-               for ci in range(nc) for r in range(R)):
+        if any(np_(ci, r) != np_(c0, r) for ci in cr for r in rr):
             raise NotImplementedError(
                 "RPCL progression with per-component precinct grids "
                 "(subsampled components + precincts) is not supported"
             )
-        return [(l, r, ci, p) for r in range(R)
-                for p in range(pcounts[(0, r)])
-                for ci in range(nc) for l in range(L)]
+        return [(l, r, ci, p) for r in rr
+                for p in range(np_(c0, r))
+                for ci in cr for l in range(L)]
     if prog in (3, 4):  # PCRL / CPRL
         if any(v > 1 for v in pcounts.values()):
             raise NotImplementedError(
                 "PCRL/CPRL progression with precinct subdivision is "
                 "not supported (LRCP/RLCP/RPCL decode multi-precinct)"
             )
-        return [(l, r, ci, 0) for ci in range(nc) for r in range(R)
-                if pcounts[(ci, r)] for l in range(L)]
+        return [(l, r, ci, 0) for ci in cr for r in rr
+                if np_(ci, r) for l in range(L)]
     raise ValueError(f"invalid progression order {prog}")
 
 
-def _encode_tile_packets(comp_bands, comp_boxes, levels: int, nc: int,
-                         cb_exp: int, precs, nlayers: int, cb_style: int,
+def _encode_tile_packets(comp_bands, comp_boxes, levels, nc: int,
+                         cb_exp, precs, nlayers: int, cb_style,
                          mb_of, packed: bool, sop: bool, eph: bool,
-                         prog: int = 0):
+                         prog: int = 0, poc=None):
     """Tier-2 encode of one tile: T1-code every code block once, then
-    emit LRCP layer/resolution/component/precinct packets (T.800 B.10).
+    emit layer/resolution/component/precinct packets (T.800 B.10).
 
     comp_bands[ci][r] = [(orient, arr, bandbox)], arr holding SIGNED
-    quantizer indices; comp_boxes[ci] the tile-component box; precs a
-    per-resolution list of (PPx, PPy) exponents; mb_of(r, o) the Mb for
-    a band. Returns (headers, body): headers is b"" when ``packed`` is
-    false (headers interleaved into body, the default codestream form).
-    """
+    quantizer indices; comp_boxes[ci] the tile-component box. levels /
+    cb_exp / cb_style are per-component lists; precs[ci] a
+    per-resolution list of (PPx, PPy) exponents; mb_of(ci, r, o) the Mb
+    for a band. ``poc`` optionally lists progression-change segments
+    (rs, cs, lye, re, ce, prog_int). Returns (headers, body): headers
+    is b"" when ``packed`` is false (headers interleaved into body, the
+    default codestream form)."""
     import numpy as np
 
     # -- T1-encode every block, grouped per (ci, r, precinct, band) -----
     pre = {}   # (ci, r, p, bi) -> (grid, [block state dicts raster])
     pgeo = {}  # (ci, r) -> (p0x, p0y, npx, npy)
     for ci in range(nc):
-        rboxes = _res_boxes(comp_boxes[ci], levels)
-        for r in range(levels + 1):
-            ppx, ppy = precs[r]
+        rboxes = _res_boxes(comp_boxes[ci], levels[ci])
+        for r in range(levels[ci] + 1):
+            ppx, ppy = precs[ci][r]
             p0x, p0y, npx, npy = _precinct_grid(rboxes[r], ppx, ppy)
             pgeo[(ci, r)] = (p0x, p0y, npx, npy)
-            cbx, cby = _eff_cb(cb_exp, r, ppx, ppy)
+            cbx, cby = _eff_cb(cb_exp[ci], r, ppx, ppy)
             for pj in range(npy):
                 for pi in range(npx):
                     for bi, (orient, arr, bandbox) in enumerate(comp_bands[ci][r]):
@@ -1172,7 +1183,7 @@ def _encode_tile_packets(comp_bands, comp_boxes, levels: int, nc: int,
                         gx0, gy0, ncx, ncy = _region_grid(region, cbx, cby)
                         blocks = []
                         bx0, by0 = bandbox[0], bandbox[1]
-                        mb = mb_of(r, orient)
+                        mb = mb_of(ci, r, orient)
                         for cy in range(ncy):
                             for cx in range(ncx):
                                 ax0 = max(region[0], (gx0 + cx) * cbx)
@@ -1185,7 +1196,7 @@ def _encode_tile_packets(comp_bands, comp_boxes, levels: int, nc: int,
                                 mags = np.abs(sub).ravel().tolist()
                                 signs = (sub.ravel() < 0).astype(int).tolist()
                                 data, npass, nbps, meta = t1_encode(
-                                    signs, mags, sw, sh, orient, cb_style
+                                    signs, mags, sw, sh, orient, cb_style[ci]
                                 )
                                 if nbps > mb:
                                     raise ValueError(
@@ -1221,13 +1232,31 @@ def _encode_tile_packets(comp_bands, comp_boxes, levels: int, nc: int,
     # -- packet emission in the requested progression order -------------
     pcounts = {
         (ci, r): pgeo[(ci, r)][2] * pgeo[(ci, r)][3]
-        for ci in range(nc) for r in range(levels + 1)
+        for ci in range(nc) for r in range(levels[ci] + 1)
     }
+    max_r = max(levels) + 1
+    if poc:
+        order = []
+        seen = set()
+        for rs, cs, lye, re_, ce, pp in poc:
+            for key in _packet_order(pp, min(lye, nlayers),
+                                     min(re_, max_r), min(ce, nc),
+                                     pcounts, r0=rs, c0=cs):
+                if key not in seen:
+                    seen.add(key)
+                    order.append(key)
+        full = set(_packet_order(0, nlayers, max_r, nc, pcounts))
+        if set(order) != full:
+            raise ValueError(
+                "POC segments do not cover every packet of the "
+                "codestream — a conformant decoder would starve"
+            )
+    else:
+        order = _packet_order(prog, nlayers, max_r, nc, pcounts)
     hdrs = bytearray()
     body = bytearray()
     nsop = 0
-    for layer, r, ci, p in _packet_order(prog, nlayers, levels + 1, nc,
-                                         pcounts):
+    for layer, r, ci, p in order:
         binfos = [
             pre[(ci, r, p, bi)]
             for bi in range(len(comp_bands[ci][r]))
@@ -1262,7 +1291,7 @@ def _encode_tile_packets(comp_bands, comp_boxes, levels: int, nc: int,
                         imsb.encode(cx, cy, st["zbp"] + 1, hdr.put)
                         st["included"] = True
                     _put_numpasses(hdr, b - a)
-                    plist = _pass_list(st["nbps"], cb_style)
+                    plist = _pass_list(st["nbps"], cb_style[ci])
                     pieces = []
                     cnt = 0
                     for i in range(a, b):
@@ -1312,7 +1341,10 @@ def encode_jpeg2000(img, levels: int = 3, cb_exp: int = 6,
                     cb_style: int = 0,
                     packed_headers: "str | None" = None,
                     sop: bool = False, eph: bool = False,
-                    prog: str = "lrcp") -> bytes:
+                    prog: str = "lrcp",
+                    per_comp: "dict[int, dict] | None" = None,
+                    rgn: "dict[int, int] | None" = None,
+                    poc=None) -> bytes:
     """Encode a 2-D (grayscale), HxWx3 (RGB), or plane-list array as a
     JPEG 2000 codestream (LRCP progression).
 
@@ -1346,6 +1378,15 @@ def encode_jpeg2000(img, levels: int = 3, cb_exp: int = 6,
       (main header) / PPT (tile-part header) marker segments.
     - ``sop`` / ``eph``: SOP resync markers before each packet / EPH
       end-of-packet-header markers.
+    - ``per_comp={ci: {...}}``: per-component overrides of levels /
+      cb_exp / cb_style / precincts (/ irreversible when mct is off) —
+      emitted as COC + QCC marker segments (T.800 A.6.2/A.6.5).
+    - ``rgn={ci: shift}``: implicit MAXSHIFT ROI (T.800 H, Srgn=0) on
+      5/3 components — the top-left quadrant of every band is coded as
+      region-of-interest (up-shifted by ``shift``); emitted as RGN +
+      QCC (the exponent carries the extra bitplanes).
+    - ``poc=[(rs, cs, lye, re, ce, prog), ...]``: progression-order
+      changes; the segments must jointly cover every packet.
 
     Interop caveat: length-1 9/7 subband signals skip the K/1/K scaling
     (identity for even-parity, x2 for odd-parity single samples —
@@ -1447,24 +1488,68 @@ def encode_jpeg2000(img, levels: int = 3, cb_exp: int = 6,
                     f"{lo}..15, got {(ppx, ppy)}"
                 )
 
-    # per-(resolution, orient) exponent / quantization step
+    # per-component effective configuration (per_comp overrides emit
+    # COC/QCC; everything else rides the COD/QCD defaults)
+    pcfg = dict(per_comp or {})
+    rgn = dict(rgn or {})
+    for ci in list(pcfg) + list(rgn):
+        if not 0 <= ci < nc:
+            raise ValueError(f"per_comp/rgn component {ci} out of range")
+    lev_c, cbe_c, sty_c, irr_c, prc_c = [], [], [], [], []
+    for ci in range(nc):
+        ov = pcfg.get(ci, {})
+        lv = max(0, min(ov.get("levels", levels),
+                        max((min(H, W) - 1).bit_length() - 1, 0)))
+        irr = ov.get("irreversible", irreversible)
+        if irr != irreversible and mct:
+            raise ValueError(
+                "per-component transform override under MCT is invalid"
+            )
+        cp = ov.get("precincts", precincts)
+        if cp is None:
+            cpl = [(15, 15)] * (lv + 1)
+            explicit = False
+        else:
+            cpl = [tuple(cp)] * (lv + 1) if isinstance(cp, tuple) else \
+                [tuple(x) for x in cp]
+            if len(cpl) != lv + 1:
+                raise ValueError(
+                    f"component {ci}: precincts list needs {lv + 1} entries"
+                )
+            explicit = True
+        lev_c.append(lv)
+        cbe_c.append(ov.get("cb_exp", cb_exp))
+        sty_c.append(ov.get("cb_style", cb_style))
+        irr_c.append(irr)
+        prc_c.append((cpl, explicit))
+        if ci in rgn and irr:
+            raise ValueError(
+                "rgn (implicit ROI) is supported on 5/3 components only "
+                "here — a 9/7 exponent bump would change the step size"
+            )
+        if ci in rgn and not 1 <= rgn[ci] <= 31:
+            raise ValueError("rgn shift must be in 1..31")
+
+    # per-(component, resolution, orient) exponent / quantization step
     eps_by: dict[tuple, int] = {}
     delta_by: dict[tuple, float] = {}
-    for r in range(N + 1):
-        for o in ((0,) if r == 0 else (1, 2, 3)):
-            n = N if r == 0 else N - r + 1
-            if irreversible:
-                rb = P + _GAIN[o]
-                if qcd_style == "derived":
-                    # E.1.1: eps_b = eps_0 - N + n_b, mantissa shared
-                    e = (P - quant_shift) - N + n
+    for ci in range(nc):
+        Ni = lev_c[ci]
+        for r in range(Ni + 1):
+            for o in ((0,) if r == 0 else (1, 2, 3)):
+                n = Ni if r == 0 else Ni - r + 1
+                if irr_c[ci]:
+                    rb = P + _GAIN[o]
+                    if qcd_style == "derived":
+                        # E.1.1: eps_b = eps_0 - N + n_b, mantissa shared
+                        e = (P - quant_shift) - Ni + n
+                    else:
+                        e = rb - quant_shift
+                    eps_by[(ci, r, o)] = e
+                    delta_by[(ci, r, o)] = 2.0 ** (rb - e)
                 else:
-                    e = rb - quant_shift
-                eps_by[(r, o)] = e
-                delta_by[(r, o)] = 2.0 ** (rb - e)
-            else:
-                pq = P + (1 if mct else 0)  # RCT chroma gains one bit
-                eps_by[(r, o)] = pq + _GAIN[o]
+                    pq = P + (1 if mct else 0)  # RCT chroma gains one bit
+                    eps_by[(ci, r, o)] = pq + _GAIN[o] + rgn.get(ci, 0)
     if not all(0 <= e < 32 for e in eps_by.values()):
         # QCD exponents are 5-bit fields (T.800 E.1); wrapping one would
         # corrupt Mb silently
@@ -1472,6 +1557,14 @@ def encode_jpeg2000(img, levels: int = 3, cb_exp: int = 6,
             f"subband exponent out of the 5-bit QCD range: {sorted(set(eps_by.values()))} "
             f"(precision {P} / quant_shift {quant_shift} unsupported here)"
         )
+    poc_i = None
+    if poc:
+        pmap = {"lrcp": 0, "rlcp": 1, "rpcl": 2, "pcrl": 3, "cprl": 4}
+        poc_i = [
+            (rs, cs, lye, re_, ce,
+             pmap[str(pp).lower()] if isinstance(pp, str) else int(pp))
+            for rs, cs, lye, re_, ce, pp in poc
+        ]
 
     xo, yo = grid_offset if grid_offset else (0, 0)
     if xo < 0 or yo < 0:
@@ -1515,20 +1608,72 @@ def encode_jpeg2000(img, levels: int = 3, cb_exp: int = 6,
     )
     if precincts is not None:
         out += bytes(ppx | (ppy << 4) for ppx, ppy in precs)
-    band_order = [(0, 0)] + [(r, o) for r in range(1, N + 1) for o in (1, 2, 3)]
-    if not irreversible:
-        out += b"\xff\x5c" + struct.pack(">HB", 3 + len(band_order), guard_bits << 5)
-        out += bytes(eps_by[k] << 3 for k in band_order)
-    elif qcd_style == "derived":
-        out += b"\xff\x5c" + struct.pack(
-            ">HBH", 5, 0x01 | (guard_bits << 5), eps_by[(0, 0)] << 11
+    def quant_body(ci: int) -> bytes:
+        """QCD/QCC value body for a component's effective config."""
+        Ni = lev_c[ci]
+        border = [(0, 0)] + [(r, o) for r in range(1, Ni + 1)
+                             for o in (1, 2, 3)]
+        if not irr_c[ci]:
+            return bytes([guard_bits << 5]) + bytes(
+                eps_by[(ci, r, o)] << 3 for r, o in border
+            )
+        if qcd_style == "derived":
+            return bytes([0x01 | (guard_bits << 5)]) + struct.pack(
+                ">H", eps_by[(ci, 0, 0)] << 11
+            )
+        return bytes([0x02 | (guard_bits << 5)]) + b"".join(
+            struct.pack(">H", eps_by[(ci, r, o)] << 11) for r, o in border
         )
-    else:
-        out += b"\xff\x5c" + struct.pack(
-            ">HB", 3 + 2 * len(band_order), 0x02 | (guard_bits << 5)
+
+    # QCD carries the defaults; it must describe a hypothetical default
+    # component (global levels/transform, no RGN bump)
+    qref = next(
+        (ci for ci in range(nc)
+         if ci not in pcfg and ci not in rgn), None
+    )
+    if qref is not None:
+        qbody = quant_body(qref)
+    else:  # every component overridden: synthesize the default body
+        border = [(0, 0)] + [(r, o) for r in range(1, N + 1)
+                             for o in (1, 2, 3)]
+        if not irreversible:
+            pq = P + (1 if mct else 0)
+            qbody = bytes([guard_bits << 5]) + bytes(
+                (pq + _GAIN[o]) << 3 for _r, o in border
+            )
+        elif qcd_style == "derived":
+            qbody = bytes([0x01 | (guard_bits << 5)]) + struct.pack(
+                ">H", (P - quant_shift) << 11
+            )
+        else:
+            qbody = bytes([0x02 | (guard_bits << 5)]) + b"".join(
+                struct.pack(">H", (P + _GAIN[o] - quant_shift) << 11)
+                for _r, o in border
+            )
+    out += b"\xff\x5c" + struct.pack(">H", 2 + len(qbody)) + qbody
+
+    # per-component COC / QCC / RGN overrides
+    for ci in sorted(set(pcfg) | set(rgn)):
+        if ci in pcfg:
+            cpl, explicit = prc_c[ci]
+            spcoc = bytes([
+                lev_c[ci], cbe_c[ci] - 2, cbe_c[ci] - 2, sty_c[ci],
+                0 if irr_c[ci] else 1,
+            ]) + (bytes(px | (py << 4) for px, py in cpl)
+                  if explicit else b"")
+            out += b"\xff\x53" + struct.pack(
+                ">HBB", 3 + 1 + len(spcoc), ci, 1 if explicit else 0
+            ) + spcoc
+        qb = quant_body(ci)
+        out += b"\xff\x5d" + struct.pack(">HB", 3 + len(qb), ci) + qb
+    for ci in sorted(rgn):
+        out += b"\xff\x5e" + struct.pack(">HBBB", 5, ci, 0, rgn[ci])
+    if poc_i:
+        body = b"".join(
+            struct.pack(">BBHBBB", rs, cs, lye, re_, ce, pp)
+            for rs, cs, lye, re_, ce, pp in poc_i
         )
-        for k in band_order:
-            out += struct.pack(">H", eps_by[k] << 11)
+        out += b"\xff\x5f" + struct.pack(">H", 2 + len(body)) + body
 
     tile_blobs = []  # (headers, body) per tile
     for t in range(ntx * nty):
@@ -1545,35 +1690,68 @@ def encode_jpeg2000(img, levels: int = 3, cb_exp: int = 6,
             comp_boxes.append(box)
             plane = shifted[ci][box[1] - poy : box[3] - poy,
                                 box[0] - pox : box[2] - pox]
-            ll, bands = dwt_forward_boxed(plane, box, levels, irreversible)
-            boxes = _res_band_boxes(box, levels)
+            lv, irr = lev_c[ci], irr_c[ci]
+            if irr and plane.dtype != np.float64:
+                plane = plane.astype(np.float64)
+            ll, bands = dwt_forward_boxed(plane, box, lv, irr)
+            boxes = _res_band_boxes(box, lv)
             per_res = [[(0, ll, boxes[0][0][1])]]
-            for r in range(1, levels + 1):
+            for r in range(1, lv + 1):
                 hl, lh, hh = bands[r - 1]
                 per_res.append([
                     (1, hl, boxes[r][0][1]),
                     (2, lh, boxes[r][1][1]),
                     (3, hh, boxes[r][2][1]),
                 ])
-            if irreversible:
+            if irr:
                 per_res = [
                     [
                         (
                             o,
                             np.sign(a).astype(np.int64)
-                            * (np.abs(a) / delta_by[(r, o)]).astype(np.int64),
+                            * (np.abs(a) / delta_by[(ci, r, o)]).astype(
+                                np.int64
+                            ),
                             bx,
                         )
                         for o, a, bx in res
                     ]
                     for r, res in enumerate(per_res)
                 ]
+            if ci in rgn:
+                # implicit MAXSHIFT ROI: the top-left quadrant of every
+                # band is region-of-interest — up-shift it and verify
+                # the background stays below 2^shift so the decoder's
+                # magnitude test classifies correctly
+                s_ = rgn[ci]
+                shifted_res = []
+                for res in per_res:
+                    row = []
+                    for o, a, bx in res:
+                        a = a.copy()
+                        h2, w2 = -(-a.shape[0] // 2), -(-a.shape[1] // 2)
+                        bg_max = 0
+                        if a[h2:].size:
+                            bg_max = int(np.abs(a[h2:]).max())
+                        if a[:h2, w2:].size:
+                            bg_max = max(bg_max,
+                                         int(np.abs(a[:h2, w2:]).max()))
+                        if bg_max >= (1 << s_):
+                            raise ValueError(
+                                f"rgn shift {s_} too small: background "
+                                f"magnitude {bg_max} needs more headroom"
+                            )
+                        a[:h2, :w2] <<= s_
+                        row.append((o, a, bx))
+                    shifted_res.append(row)
+                per_res = shifted_res
             comp_bands.append(per_res)
         tile_blobs.append(
             _encode_tile_packets(
-                comp_bands, comp_boxes, levels, nc, cb_exp, precs, layers,
-                cb_style, lambda r, o: guard_bits + eps_by[(r, o)] - 1,
-                packed_headers is not None, sop, eph, prog_i,
+                comp_bands, comp_boxes, lev_c, nc, cbe_c,
+                [pc[0] for pc in prc_c], layers, sty_c,
+                lambda ci, r, o: guard_bits + eps_by[(ci, r, o)] - 1,
+                packed_headers is not None, sop, eph, prog_i, poc_i,
             )
         )
 
@@ -1625,6 +1803,26 @@ def _unwrap_jp2(blob: bytes) -> bytes:
     raise ValueError("JP2 container has no jp2c codestream box")
 
 
+def _parse_quant(seg: bytes) -> dict:
+    """QCD/QCC body (T.800 E.1): Sq byte + style-dependent values."""
+    sq = seg[0]
+    style = sq & 0x1F
+    guard = sq >> 5
+    if style == 0:  # reversible: 8-bit exponents
+        return {"style": 0, "guard": guard,
+                "eps": [b >> 3 for b in seg[1:]], "mu": None}
+    if style == 1:  # scalar derived: one 16-bit pair
+        (v,) = struct.unpack_from(">H", seg, 1)
+        return {"style": 1, "guard": guard,
+                "eps": [v >> 11], "mu": [v & 0x7FF]}
+    if style == 2:  # scalar expounded: a pair per subband
+        vals = struct.unpack_from(f">{(len(seg) - 1) // 2}H", seg, 1)
+        return {"style": 2, "guard": guard,
+                "eps": [v >> 11 for v in vals],
+                "mu": [v & 0x7FF for v in vals]}
+    raise ValueError(f"unknown quantization style {style}")
+
+
 def decode_jpeg2000(blob: bytes):
     """Decode a JPEG 2000 Part 1 codestream → 2-D (grayscale) or HxWxC
     numpy array.
@@ -1641,7 +1839,10 @@ def decode_jpeg2000(blob: bytes):
     decode-transparent), PPM/PPT packed packet headers, SOP/EPH, the
     five progression orders (LRCP/RLCP fully; RPCL multi-precinct when
     components share one precinct grid; PCRL/CPRL with one precinct per
-    resolution). Named gates: COC/QCC/RGN/POC markers, HTJ2K."""
+    resolution), COC/QCC per-component overrides, RGN implicit-MAXSHIFT
+    ROI, POC progression changes. Named gate: HTJ2K (the T.814 block
+    coder's CxtVLC codeword tables are published data unavailable
+    here)."""
     import numpy as np
 
     blob = _unwrap_jp2(blob)
@@ -1654,6 +1855,10 @@ def decode_jpeg2000(blob: bytes):
     ppm_segs: dict[int, bytes] = {}
     ppt_segs: dict[int, list] = {}
     tp_seq: list[int] = []
+    coc: dict[int, dict] = {}
+    qcc: dict[int, dict] = {}
+    rgn: dict[int, int] = {}
+    poc: list = []
     while pos + 4 <= len(blob):
         if blob[pos] != 0xFF:
             raise ValueError(f"expected marker at {pos}")
@@ -1721,35 +1926,80 @@ def decode_jpeg2000(blob: bytes):
                 "sop": bool(scod & 2), "eph": bool(scod & 4),
             }
         elif m == 0x5C:  # QCD — all three T.800 E.1 styles
-            sqcd = seg[0]
-            style = sqcd & 0x1F
-            guard = sqcd >> 5
-            if style == 0:  # reversible: 8-bit exponents
-                qcd = {"style": 0, "guard": guard,
-                       "eps": [b >> 3 for b in seg[1:]], "mu": None}
-            elif style == 1:  # scalar derived: one 16-bit pair
-                (v,) = struct.unpack_from(">H", seg, 1)
-                qcd = {"style": 1, "guard": guard,
-                       "eps": [v >> 11], "mu": [v & 0x7FF]}
-            elif style == 2:  # scalar expounded: a pair per subband
-                vals = struct.unpack_from(f">{(len(seg) - 1) // 2}H", seg, 1)
-                qcd = {"style": 2, "guard": guard,
-                       "eps": [v >> 11 for v in vals],
-                       "mu": [v & 0x7FF for v in vals]}
-            else:
-                raise ValueError(f"unknown QCD style {style}")
+            qcd = _parse_quant(seg)
         elif m == 0x60:  # PPM: packed packet headers (main header)
             ppm_segs[seg[0]] = seg[1:]
-        elif m in (0x53, 0x5D, 0x5E, 0x5F):
-            name = {0x53: "COC (per-component coding style)",
-                    0x5D: "QCC (per-component quantization)",
-                    0x5E: "RGN (ROI shift)",
-                    0x5F: "POC (progression order change)"}[m]
-            # these CHANGE how packets decode — skipping one silently
-            # would produce wrong pixels, so they are named gates
-            raise NotImplementedError(
-                f"JPEG 2000 {name} marker is not supported"
-            )
+        elif m == 0x53:  # COC: per-component coding-style override
+            if siz is None:
+                raise ValueError("COC before SIZ")
+            wide = siz["nc"] >= 257
+            ci = struct.unpack_from(">H", seg, 0)[0] if wide else seg[0]
+            off = 2 if wide else 1
+            scoc = seg[off]
+            nlev = seg[off + 1]
+            cbw = (seg[off + 2] & 0xF) + 2
+            cbh = (seg[off + 3] & 0xF) + 2
+            cbsty, transform = seg[off + 4], seg[off + 5]
+            if cbsty & ~0x3F:
+                raise NotImplementedError(
+                    f"unknown code-block style bits 0x{cbsty:02x} (COC)"
+                )
+            if transform not in (0, 1):
+                raise ValueError(f"unknown wavelet transform {transform}")
+            if scoc & 1:
+                cprecs = [
+                    (seg[off + 6 + i] & 0xF, seg[off + 6 + i] >> 4)
+                    for i in range(nlev + 1)
+                ]
+            else:
+                cprecs = [(15, 15)] * (nlev + 1)
+            coc[ci] = {
+                "levels": nlev, "cbx_exp": cbw, "cby_exp": cbh,
+                "precs": cprecs, "cbstyle": cbsty,
+                "irreversible": transform == 0,
+            }
+        elif m == 0x5D:  # QCC: per-component quantization override
+            if siz is None:
+                raise ValueError("QCC before SIZ")
+            wide = siz["nc"] >= 257
+            ci = struct.unpack_from(">H", seg, 0)[0] if wide else seg[0]
+            off = 2 if wide else 1
+            qcc[ci] = _parse_quant(seg[off:])
+        elif m == 0x5E:  # RGN: ROI shift (implicit MAXSHIFT only)
+            if siz is None:
+                raise ValueError("RGN before SIZ")
+            wide = siz["nc"] >= 257
+            ci = struct.unpack_from(">H", seg, 0)[0] if wide else seg[0]
+            off = 2 if wide else 1
+            if seg[off] != 0:
+                raise NotImplementedError(
+                    f"RGN style {seg[off]} (only implicit MAXSHIFT, "
+                    "Srgn=0, is supported)"
+                )
+            rgn[ci] = seg[off + 1]
+        elif m == 0x5F:  # POC: progression order changes
+            if siz is None:
+                raise ValueError("POC before SIZ")
+            wide = siz["nc"] >= 257
+            step = 9 if wide else 7
+            npoc = (ln - 2) // step
+            poc = []
+            for k in range(npoc):
+                o = k * step
+                rs = seg[o]
+                if wide:
+                    cs = struct.unpack_from(">H", seg, o + 1)[0]
+                    lye = struct.unpack_from(">H", seg, o + 3)[0]
+                    re_ = seg[o + 5]
+                    ce = struct.unpack_from(">H", seg, o + 6)[0]
+                    pp = seg[o + 8]
+                else:
+                    cs = seg[o + 1]
+                    lye = struct.unpack_from(">H", seg, o + 2)[0]
+                    re_ = seg[o + 4]
+                    ce = seg[o + 5]
+                    pp = seg[o + 6]
+                poc.append((rs, cs, lye, re_, ce, pp))
         elif m == 0x90:  # SOT: collect this tile-part, keep walking
             isot, psot, tpsot, tnsot = struct.unpack_from(">HIBB", seg, 0)
             sot_pos = pos - 2
@@ -1793,14 +2043,22 @@ def decode_jpeg2000(blob: bytes):
         raise NotImplementedError(
             f"JPEG 2000 precision {P} bits (> 32) is not supported"
         )
-    levels = cod["levels"]
-    cbx_exp, cby_exp = cod["cbx_exp"], cod["cby_exp"]
-    nlayers, precs, cbstyle = cod["layers"], cod["precs"], cod["cbstyle"]
-    irreversible = cod["irreversible"]
-    if qcd["style"] == 0 and irreversible:
-        raise ValueError("reversible QCD with the 9/7 transform")
-    if qcd["style"] != 0 and not irreversible:
-        raise ValueError("quantized QCD with the reversible 5/3 transform")
+    nlayers = cod["layers"]
+    # per-component effective coding/quantization parameters: COD/QCD
+    # defaults overridden by COC/QCC (T.800 A.6.2/A.6.5 precedence)
+    base_cod = {k: cod[k] for k in
+                ("levels", "cbx_exp", "cby_exp", "precs", "cbstyle",
+                 "irreversible")}
+    ccod = [dict(base_cod, **coc.get(ci, {})) for ci in range(nc)]
+    cqcd = [qcc.get(ci, qcd) for ci in range(nc)]
+    for ci in range(nc):
+        if cqcd[ci]["style"] == 0 and ccod[ci]["irreversible"]:
+            raise ValueError("reversible quantization with the 9/7 transform")
+        if cqcd[ci]["style"] != 0 and not ccod[ci]["irreversible"]:
+            raise ValueError(
+                "quantized quantization style with the reversible 5/3 "
+                "transform"
+            )
     if ppm_segs and ppt_segs:
         raise ValueError("codestream carries both PPM and PPT (T.800 A.7.4)")
     # reassemble packed packet headers: PPM payloads concatenate in Zppm
@@ -1819,19 +2077,22 @@ def decode_jpeg2000(blob: bytes):
         raise ValueError("MCT flagged but fewer than 3 components")
     if cod["mct"] and any(s != (1, 1) for s in siz["sub"][:3]):
         raise ValueError("MCT flagged on subsampled components")
+    if cod["mct"] and len({ccod[ci]["irreversible"] for ci in range(3)}) > 1:
+        raise ValueError("MCT with mixed transforms on components 0-2")
     if cod["prog"] > 4:
         raise ValueError(f"invalid progression order {cod['prog']}")
 
-    guard = qcd["guard"]
-
-    def eps_mu(r, o):
-        """(exponent, mantissa) for band (r, o) per the QCD style."""
-        n = levels if r == 0 else levels - r + 1
-        if qcd["style"] == 1:  # derived (E.1.1)
-            return qcd["eps"][0] - levels + n, qcd["mu"][0]
+    def eps_mu(ci, r, o):
+        """(exponent, mantissa) for component ci band (r, o) per its
+        effective quantization (QCD or the QCC override)."""
+        q = cqcd[ci]
+        lev = ccod[ci]["levels"]
+        n = lev if r == 0 else lev - r + 1
+        if q["style"] == 1:  # derived (E.1.1)
+            return q["eps"][0] - lev + n, q["mu"][0]
         idx = 0 if r == 0 else 1 + 3 * (r - 1) + (o - 1)
-        eps = qcd["eps"][idx if idx < len(qcd["eps"]) else -1]
-        mu = qcd["mu"][idx if idx < len(qcd["mu"]) else -1] if qcd["mu"] else 0
+        eps = q["eps"][idx if idx < len(q["eps"]) else -1]
+        mu = q["mu"][idx if idx < len(q["mu"]) else -1] if q["mu"] else 0
         return eps, mu
 
     def one_packet(layer, ci, r, p, hs, bs, pband, state, trees):
@@ -1880,7 +2141,8 @@ def decode_jpeg2000(blob: bytes):
                     # segment lengths: one per terminated piece within
                     # the contributed passes (term points re-derived
                     # from the block's own pass schedule + style)
-                    plist = _pass_list(max(st["nbps"], 0), cbstyle)
+                    plist = _pass_list(max(st["nbps"], 0),
+                                       ccod[ci]["cbstyle"])
                     a, b = st["passes"], st["passes"] + np_l
                     cnt = 0
                     for i in range(a, b):
@@ -1913,7 +2175,7 @@ def decode_jpeg2000(blob: bytes):
     pend = [(_ceil_div(xs, xr), _ceil_div(ys, yr)) for xr, yr in siz["sub"]]
     planes = [
         np.zeros((pend[i][1] - porg[i][1], pend[i][0] - porg[i][0]),
-                 dtype=np.float64 if irreversible else np.int64)
+                 dtype=np.float64 if ccod[i]["irreversible"] else np.int64)
         for i in range(nc)
     ]
 
@@ -1934,7 +2196,9 @@ def decode_jpeg2000(blob: bytes):
             box = (_ceil_div(tx0, xr), _ceil_div(ty0, yr),
                    _ceil_div(tx1, xr), _ceil_div(ty1, yr))
             comp_boxes.append(box)
-            comp_res_boxes.append(_res_band_boxes(box, levels))
+            comp_res_boxes.append(
+                _res_band_boxes(box, ccod[ci]["levels"])
+            )
 
         # geometry: band arrays + per-precinct code-block grids
         band_arrays = {}  # (ci, r, bi) -> (orient, arr, bandbox)
@@ -1942,19 +2206,24 @@ def decode_jpeg2000(blob: bytes):
                           #                 blocks, ncx, ncy)]
         pcounts = {}      # (ci, r)     -> numprecincts
         for ci in range(nc):
-            rboxes = _res_boxes(comp_boxes[ci], levels)
-            for r in range(levels + 1):
+            lev = ccod[ci]["levels"]
+            cprecs = ccod[ci]["precs"]
+            guard = cqcd[ci]["guard"]
+            rboxes = _res_boxes(comp_boxes[ci], lev)
+            for r in range(lev + 1):
                 for bi, (orient, bandbox) in enumerate(comp_res_boxes[ci][r]):
                     arr = np.zeros(
                         (bandbox[3] - bandbox[1], bandbox[2] - bandbox[0]),
                         dtype=np.int64,
                     )
                     band_arrays[(ci, r, bi)] = (orient, arr, bandbox)
-                ppx, ppy = precs[r]
+                ppx, ppy = cprecs[r]
                 p0x, p0y, npx, npy = _precinct_grid(rboxes[r], ppx, ppy)
                 pcounts[(ci, r)] = npx * npy
-                cbx = 1 << min(cbx_exp, ppx if r == 0 else ppx - 1)
-                cby = 1 << min(cby_exp, ppy if r == 0 else ppy - 1)
+                cbx = 1 << min(ccod[ci]["cbx_exp"],
+                               ppx if r == 0 else ppx - 1)
+                cby = 1 << min(ccod[ci]["cby_exp"],
+                               ppy if r == 0 else ppy - 1)
                 for pj in range(npy):
                     for pi in range(npx):
                         entry = []
@@ -1965,7 +2234,7 @@ def decode_jpeg2000(blob: bytes):
                                 bandbox, r, ppx, ppy, p0x + pi, p0y + pj
                             )
                             gx0, gy0, ncx, ncy = _region_grid(region, cbx, cby)
-                            eps, _mu = eps_mu(r, orient)
+                            eps, _mu = eps_mu(ci, r, orient)
                             blocks = []
                             for k in range(ncx * ncy):
                                 cy, cx = divmod(k, ncx)
@@ -1981,8 +2250,23 @@ def decode_jpeg2000(blob: bytes):
                             ))
                         pband[(ci, r, pj * npx + pi)] = entry
 
-        # packet sequence for the stream's progression order
-        order = _packet_order(cod["prog"], nlayers, levels + 1, nc, pcounts)
+        # packet sequence: POC progression changes when present, else
+        # the COD progression order
+        max_r = max(ccod[ci]["levels"] for ci in range(nc)) + 1
+        if poc:
+            order = []
+            seen = set()
+            for rs, cs, lye, re_, ce, pp in poc:
+                sub = _packet_order(
+                    pp, min(lye, nlayers), min(re_, max_r), min(ce, nc),
+                    pcounts, r0=rs, c0=cs,
+                )
+                for key in sub:
+                    if key not in seen:
+                        seen.add(key)
+                        order.append(key)
+        else:
+            order = _packet_order(cod["prog"], nlayers, max_r, nc, pcounts)
 
         # header source: inline (default), or the packed PPM/PPT blob
         bs = {"data": data, "pos": 0}
@@ -2022,12 +2306,18 @@ def decode_jpeg2000(blob: bytes):
                     sh, sw = ay1 - ay0, ax1 - ax0
                     signs, mags = t1_decode(
                         [bytes(s) for s in st["segs"]], st["passes"],
-                        st["nbps"], sw, sh, orient, cbstyle,
+                        st["nbps"], sw, sh, orient, ccod[ci]["cbstyle"],
                     )
                     arr = band_arrays[(ci, r, bi)][1]
                     bx0, by0 = bandbox[0], bandbox[1]
                     sub = arr[ay0 - by0 : ay1 - by0, ax0 - bx0 : ax1 - bx0]
                     vals = np.array(mags, dtype=np.int64).reshape(sh, sw)
+                    if ci in rgn:
+                        # implicit MAXSHIFT ROI (T.800 H): magnitudes at
+                        # or above 2^s are region-of-interest samples
+                        # that the encoder up-shifted; scale them back
+                        s_ = rgn[ci]
+                        vals = np.where(vals >= (1 << s_), vals >> s_, vals)
                     sgn = np.array(signs, dtype=np.int64).reshape(sh, sw)
                     sub[:, :] = np.where(sgn == 1, -vals, vals)
 
@@ -2035,31 +2325,33 @@ def decode_jpeg2000(blob: bytes):
             [
                 [band_arrays[(ci, r, bi)]
                  for bi in range(len(comp_res_boxes[ci][r]))]
-                for r in range(levels + 1)
+                for r in range(ccod[ci]["levels"] + 1)
             ]
             for ci in range(nc)
         ]
 
         for ci in range(nc):
             ra = comp_res[ci]
-            if irreversible:
+            lev = ccod[ci]["levels"]
+            irr = ccod[ci]["irreversible"]
+            if irr:
                 # midpoint dequantization (T.800 E.1): delta_b =
                 # 2^(Rb - eps) * (1 + mu/2^11), Rb = precision + gain
-                def deq(o, q, r):
-                    eps, mu = eps_mu(r, o)
+                def deq(o, q, r, _ci=ci):
+                    eps, mu = eps_mu(_ci, r, o)
                     delta = (2.0 ** (P + _GAIN[o] - eps)) * (1.0 + mu / 2048.0)
                     return np.sign(q) * (np.abs(q) + 0.5) * delta * (q != 0)
 
                 ll = deq(0, ra[0][0][1], 0)
                 bands = [
                     tuple(deq(o, a, r) for o, a, _bx in ra[r])
-                    for r in range(1, levels + 1)
+                    for r in range(1, lev + 1)
                 ]
             else:
                 ll = ra[0][0][1]
                 bands = [tuple(a for _o, a, _bx in ra[r])
-                         for r in range(1, levels + 1)]
-            tilec = dwt_inverse_boxed(ll, bands, comp_boxes[ci], irreversible)
+                         for r in range(1, lev + 1)]
+            tilec = dwt_inverse_boxed(ll, bands, comp_boxes[ci], irr)
             box = comp_boxes[ci]
             px0, py0 = porg[ci]
             planes[ci][box[1] - py0 : box[3] - py0,
@@ -2068,10 +2360,13 @@ def decode_jpeg2000(blob: bytes):
     if cod["mct"]:
         # T.800 G: the color transform applies to components 0-2; extras
         # (alpha) pass through untransformed
-        head = _ict_inverse(planes[:3]) if irreversible else _rct_inverse(planes[:3])
+        head = (_ict_inverse(planes[:3]) if ccod[0]["irreversible"]
+                else _rct_inverse(planes[:3]))
         planes = head + planes[3:]
-    if irreversible:
-        planes = [np.rint(p) for p in planes]
+    planes = [
+        np.rint(p) if ccod[i]["irreversible"] else p
+        for i, p in enumerate(planes)
+    ]
 
     # nearest upsample of subsampled components to the image grid
     img_w, img_h = xs - xo, ys - yo

@@ -455,10 +455,10 @@ def decode_image(content: bytes):
         try:
             arr = decode_jpeg2000(content)
         except NotImplementedError as gate:
-            # still-gated J2K features (COC/QCC/RGN/POC, HTJ2K): pillow
-            # when installed, else the named gate (color, 9/7, tiles,
+            # the one still-gated J2K feature (HTJ2K): pillow when
+            # installed, else the named gate (color, 9/7, tiles,
             # subsampling natively since r8; layers, precincts, code-
-            # block styles, PPM/PPT natively since r9)
+            # block styles, PPM/PPT, COC/QCC/RGN/POC natively since r9)
             try:
                 return _pil_decode(content)
             except ImportError:

@@ -135,7 +135,7 @@ def test_jpeg2000_gates():
     # since r8 — see test_jpeg2000_irreversible.py)
     cod = blob.find(b"\xff\x52")
     b97 = bytes(blob[: cod + 4 + 9]) + b"\x00" + bytes(blob[cod + 4 + 10:])
-    with pytest.raises(ValueError, match="reversible QCD"):
+    with pytest.raises(ValueError, match="reversible quantization"):
         decode_jpeg2000(b97)
 
 
@@ -191,20 +191,22 @@ def test_image_meta_reports_jpeg2000_dims():
 
 
 def test_jpeg2000_review_findings(monkeypatch):
-    """Review findings: decode-altering markers (COC/QCC/RGN/POC/PPM)
-    are NAMED gates, not silent skips; PLT/COM in the tile-part header
-    are skipped; precisions 17-32 round-trip into uint32 instead of
-    silently truncating; decode_image falls back to pillow on J2K
+    """Review findings: decode-altering markers decode natively (COC/
+    QCC/RGN/POC since r9 — see test_jpeg2000_coc_qcc.py) or fail LOUDLY
+    when inconsistent, never silently skip; PLT/COM in the tile-part
+    header are skipped; precisions 17-32 round-trip into uint32 instead
+    of silently truncating; decode_image falls back to pillow on J2K
     gates."""
     rng = np.random.default_rng(6)
     img = rng.integers(0, 256, (10, 12), dtype=np.uint8)
     blob = encode_jpeg2000(img, levels=1)
 
-    # splice a COC after COD -> named gate (was: silent wrong pixels)
+    # splice an inconsistent COC after COD (9/7 transform override with
+    # reversible quantization) -> loud error, not silent wrong pixels
     cod = blob.find(b"\xff\x52")
     (ln,) = struct.unpack_from(">H", blob, cod + 2)
     coc = b"\xff\x53" + struct.pack(">HBB", 4 + 5, 0, 0) + bytes(5)
-    with pytest.raises(NotImplementedError, match="COC"):
+    with pytest.raises(ValueError, match="reversible quantization"):
         decode_jpeg2000(blob[: cod + 2 + ln] + coc + blob[cod + 2 + ln:])
 
     # PLT + COM in the tile-part header are ignorable -> still decodes
@@ -254,10 +256,14 @@ def test_jpeg2000_review_findings(monkeypatch):
     fake_pil.Image = fake_image
     monkeypatch.setitem(sys.modules, "PIL", fake_pil)
     monkeypatch.setitem(sys.modules, "PIL.Image", fake_image)
-    # a still-gated feature (COC marker) gates inside decode_jpeg2000 ->
-    # decode_image delegates to pillow (9/7 decodes natively since r8)
-    coc_blob = blob[: cod + 2 + ln] + coc + blob[cod + 2 + ln:]
-    arr = mm.decode_image(coc_blob)
+    # a still-gated feature (unknown code-block style bit 0x40 — the
+    # HTJ2K signal) gates inside decode_jpeg2000 -> decode_image
+    # delegates to pillow (COC/QCC/RGN/POC decode natively since r9)
+    ht = bytearray(blob)
+    ht[cod + 12] = 0x40
+    with pytest.raises(NotImplementedError, match="code-block style"):
+        decode_jpeg2000(bytes(ht))
+    arr = mm.decode_image(bytes(ht))
     assert arr.shape == (10, 12, 3)
 
 

@@ -1,0 +1,181 @@
+"""JPEG 2000 per-component overrides + ROI + progression changes
+(round 9): COC (coding style per component), QCC (quantization per
+component), RGN (implicit MAXSHIFT ROI), POC (progression order
+changes). With these the decoder's named gates reduce to HTJ2K; the
+markers are what per-component medical/remote-sensing encoders emit.
+Reference surface: the reference opens .jp2 via pillow/glymur
+(/root/reference/intake/readers/readers.py:2228)."""
+
+import numpy as np
+import pytest
+
+from intake_spark.llm.jpeg2000 import (
+    CBSTY_BYPASS,
+    CBSTY_SEGSYM,
+    decode_jpeg2000,
+    encode_jpeg2000,
+)
+
+
+def _img(h, w, c=None, seed=0):
+    rng = np.random.default_rng(seed)
+    shape = (h, w) if c is None else (h, w, c)
+    return rng.integers(0, 256, shape, dtype=np.uint8)
+
+
+def test_coc_per_component_levels_and_blocks():
+    """COC overrides decomposition levels and code-block size for one
+    component; the others ride the COD defaults. Lossless."""
+    img = _img(50, 66, 3, seed=1)
+    blob = encode_jpeg2000(
+        img, levels=3, cb_exp=5,
+        per_comp={1: {"levels": 1, "cb_exp": 3},
+                  2: {"levels": 0}},
+    )
+    assert blob.count(b"\xff\x53") == 2  # two COC segments
+    assert blob.count(b"\xff\x5d") == 2  # with their QCC overrides
+    np.testing.assert_array_equal(decode_jpeg2000(blob), img)
+
+
+def test_coc_per_component_styles_and_precincts():
+    img = _img(40, 56, 3, seed=2)
+    blob = encode_jpeg2000(
+        img, levels=2, layers=2,
+        per_comp={0: {"precincts": (4, 4)},
+                  2: {"cb_style": CBSTY_BYPASS | CBSTY_SEGSYM}},
+    )
+    np.testing.assert_array_equal(decode_jpeg2000(blob), img)
+    # per-component precincts + global precincts together
+    blob = encode_jpeg2000(
+        img, levels=2, precincts=(5, 5),
+        per_comp={1: {"precincts": (4, 6)}},
+    )
+    np.testing.assert_array_equal(decode_jpeg2000(blob), img)
+
+
+def test_coc_mixed_transforms():
+    """5/3 on two components, 9/7 on the third (mct off): the 5/3
+    planes stay bit-exact while the 9/7 plane is a close approximation
+    — per-component QCC carries the differing quantization styles."""
+    img = _img(50, 66, 3, seed=3)
+    blob = encode_jpeg2000(img, levels=2, mct=False,
+                           per_comp={2: {"irreversible": True}})
+    out = decode_jpeg2000(blob)
+    np.testing.assert_array_equal(out[:, :, :2], img[:, :, :2])
+    err = np.abs(out[:, :, 2].astype(int) - img[:, :, 2].astype(int))
+    assert 0 < float(err.mean()) < 3.0
+    with pytest.raises(ValueError, match="MCT"):
+        encode_jpeg2000(img, mct=True,
+                        per_comp={2: {"irreversible": True}})
+
+
+def test_coc_with_tiles_and_subsampling():
+    img = _img(48, 64, 3, seed=4)
+    blob = encode_jpeg2000(img, levels=2, tile_size=(32, 32),
+                           per_comp={1: {"levels": 1, "cb_exp": 3}},
+                           layers=3)
+    np.testing.assert_array_equal(decode_jpeg2000(blob), img)
+    h, w = img.shape[:2]
+    planes = [img[:, :, 0], img[: h // 2, : w // 2, 1]]
+    blob = encode_jpeg2000(planes, subsampling=[(1, 1), (2, 2)],
+                           per_comp={1: {"levels": 1}})
+    out = decode_jpeg2000(blob)
+    np.testing.assert_array_equal(out[:, :, 0], img[:, :, 0])
+
+
+def test_rgn_implicit_maxshift_roundtrip():
+    """RGN (Srgn=0): ROI coefficients travel up-shifted; the decoder
+    re-scales magnitudes at/above 2^shift. Bit-exact on 5/3."""
+    gray = _img(40, 40, seed=5)
+    blob = encode_jpeg2000(gray, levels=2, rgn={0: 14})
+    assert b"\xff\x5e" in blob
+    np.testing.assert_array_equal(decode_jpeg2000(blob), gray)
+    # multi-component: ROI on one plane only
+    img = _img(30, 30, 3, seed=6)
+    blob = encode_jpeg2000(img, levels=1, rgn={1: 14})
+    np.testing.assert_array_equal(decode_jpeg2000(blob), img)
+    # too-small shift is rejected loudly, not encoded wrong
+    with pytest.raises(ValueError, match="rgn shift"):
+        encode_jpeg2000(gray, levels=2, rgn={0: 1})
+
+
+def test_rgn_nonzero_style_is_gated():
+    import struct
+
+    gray = _img(16, 16, seed=7)
+    blob = encode_jpeg2000(gray, levels=1, rgn={0: 14})
+    i = blob.find(b"\xff\x5e")
+    bad = bytearray(blob)
+    bad[i + 5] = 1  # Srgn=1: not a defined style
+    with pytest.raises(NotImplementedError, match="RGN style"):
+        decode_jpeg2000(bytes(bad))
+
+
+def test_poc_progression_changes():
+    """POC: low resolutions first in LRCP, the rest in RLCP — packets
+    re-ordered on the wire, pixels identical."""
+    img = _img(45, 61, 3, seed=8)
+    base = encode_jpeg2000(img, levels=2, layers=2)
+    blob = encode_jpeg2000(img, levels=2, layers=2,
+                           poc=[(0, 0, 2, 1, 3, "lrcp"),
+                                (0, 0, 2, 3, 3, "rlcp")])
+    assert b"\xff\x5f" in blob
+    assert blob != base  # the packet order genuinely changed
+    np.testing.assert_array_equal(decode_jpeg2000(blob), img)
+    # layer-split POC: layer 0 of everything, then layer 1
+    blob = encode_jpeg2000(img, levels=2, layers=2,
+                           poc=[(0, 0, 1, 3, 3, "rlcp"),
+                                (0, 0, 2, 3, 3, "lrcp")])
+    np.testing.assert_array_equal(decode_jpeg2000(blob), img)
+    # POC that starves the decoder is rejected at encode time
+    with pytest.raises(ValueError, match="POC segments"):
+        encode_jpeg2000(img, levels=2, layers=2,
+                        poc=[(0, 0, 2, 1, 3, "lrcp")])
+
+
+def test_everything_with_overrides():
+    """COC + QCC + RGN + POC + layers + precincts + PPT in one stream."""
+    img = _img(66, 82, 3, seed=9)
+    blob = encode_jpeg2000(
+        img, levels=2, layers=2, precincts=(5, 5),
+        per_comp={1: {"cb_exp": 3, "cb_style": CBSTY_SEGSYM}},
+        rgn={0: 16},
+        poc=[(0, 0, 2, 2, 3, "lrcp"), (0, 0, 2, 3, 3, "rlcp")],
+        packed_headers="ppt", sop=True, eph=True,
+    )
+    np.testing.assert_array_equal(decode_jpeg2000(blob), img)
+
+
+def test_option_surface_fuzz_with_overrides():
+    import random
+
+    rng = np.random.default_rng(77)
+    rnd = random.Random(77)
+    for _trial in range(20):
+        h, w = rnd.randint(8, 60), rnd.randint(8, 60)
+        nc = rnd.choice([1, 3])
+        img = rng.integers(
+            0, 256, (h, w) if nc == 1 else (h, w, nc), dtype=np.uint8
+        )
+        kw = dict(levels=rnd.randint(1, 3), cb_exp=rnd.randint(3, 6),
+                  layers=rnd.choice([1, 2, 4]), mct=False)
+        pc = {}
+        for ci in range(nc):
+            if rnd.random() < 0.5:
+                ov = {}
+                if rnd.random() < 0.5:
+                    ov["levels"] = rnd.randint(0, kw["levels"])
+                if rnd.random() < 0.5:
+                    ov["cb_exp"] = rnd.randint(2, 5)
+                if rnd.random() < 0.3:
+                    ov["cb_style"] = rnd.choice([CBSTY_BYPASS, CBSTY_SEGSYM])
+                if rnd.random() < 0.3:
+                    ov["precincts"] = (rnd.randint(3, 7), rnd.randint(3, 7))
+                if ov:
+                    pc[ci] = ov
+        if pc:
+            kw["per_comp"] = pc
+        if rnd.random() < 0.3:
+            kw["rgn"] = {rnd.randrange(nc): 16}
+        blob = encode_jpeg2000(img, **kw)
+        np.testing.assert_array_equal(decode_jpeg2000(blob), img)
