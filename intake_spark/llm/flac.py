@@ -359,6 +359,12 @@ def encode_flac(samples, rate: int, bps: int = 16,
         raise ValueError("FLAC supports 1..8 channels")
     if bps not in _BPS_CODE:
         raise ValueError(f"bits_per_sample {bps} not encodable")
+    if not 1 <= rate <= 655350:
+        raise ValueError(
+            f"sample rate {rate} outside FLAC's 1..655350 range (a "
+            "larger value would silently truncate the 20-bit "
+            "STREAMINFO field)"
+        )
     lo, hi = -(1 << (bps - 1)), (1 << (bps - 1)) - 1
     if x.size and (x.min() < lo or x.max() > hi):
         raise ValueError(f"samples exceed {bps}-bit range")

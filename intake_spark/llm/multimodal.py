@@ -390,9 +390,11 @@ def decode_image(content: bytes):
     AVIF, non-MJPEG video frames) decode through pillow WHEN INSTALLED
     (:func:`_pil_decode`) and otherwise raise the named codec gate.
 
-    Contract: ALWAYS returns a uint8 (H, W, C) ndarray — 12-bit JPEGs
-    are scaled to 8-bit here (call :func:`decode_jpeg` directly for the
-    raw uint16 samples, as the DICOM pixel path does)."""
+    Contract: DCT JPEGs (SOF0/1/2) always come back uint8 (H, W, C) —
+    12-bit SOF1 is scaled to 8-bit here (call :func:`decode_jpeg`
+    directly for raw uint16, as the DICOM pixel path does). Natively
+    16-bit sources (16-bit PNG/PNM/TIFF, lossless SOF3) keep their
+    uint16 samples unscaled: full precision is those formats' point."""
     if content[:8] == b"\x89PNG\r\n\x1a\n":
         return decode_png(content)
     if content[:4] in (b"II*\x00", b"MM\x00*"):

@@ -345,7 +345,7 @@ class _Codebook:
         out = [0.0] * self.dims
         last = 0.0
         if self.lookup == 1:
-            lv = _lookup1_values(self.entries, self.dims)
+            lv = self.lv
             idiv = 1
             for d in range(self.dims):
                 off = (e // idiv) % lv
@@ -822,42 +822,38 @@ def decode_vorbis(content: bytes):
     if packets[1][:7] != b"\x03vorbis":
         raise ValueError("second Vorbis packet is not the comment header")
     setup = VorbisSetup(packets[0], packets[2])
-    ch = setup.rate and setup.channels
     total = None
     for g in reversed(granules):
         if g is not None and g >= 0:
             total = g
             break
 
-    acc = None       # overlap-add accumulator
-    acc_start = 0    # absolute sample index of acc[0] (may go negative)
-    pos = 0          # absolute start of the current block
+    # pass 1: decode blocks and lay out their absolute positions;
+    # consecutive window CENTERS sit (n_prev + n_cur)/4 apart, so block
+    # starts advance by (3*n_prev - n_cur)/4 — NEGATIVE for a
+    # short->long transition (the long window's zeroed skirt reaches
+    # back past the short start). Allocating the accumulator ONCE from
+    # the final extent keeps decode linear in the stream length.
+    placed = []  # (absolute_start, windowed block)
+    pos = 0
     prev_n = first_n = None
     for pk in packets[3:]:
         if not pk or pk[0] & 1:
             continue  # skip stray header packets
         blocks, n, _left = _decode_audio_packet(setup, pk)
-        if acc is None:
-            acc = np.zeros((n, setup.channels))
+        if first_n is None:
             first_n = n
         else:
-            # consecutive window CENTERS sit (n_prev + n_cur)/4 apart,
-            # so block starts advance by (3*n_prev - n_cur)/4 — which
-            # is NEGATIVE for a short->long transition (the long
-            # window's zeroed skirt reaches back past the short start)
             pos = pos + (3 * prev_n - n) // 4
-            if pos < acc_start:
-                acc = np.vstack(
-                    [np.zeros((acc_start - pos, setup.channels)), acc]
-                )
-                acc_start = pos
-            need = pos + n - (acc_start + len(acc))
-            if need > 0:
-                acc = np.vstack([acc, np.zeros((need, setup.channels))])
-        acc[pos - acc_start : pos - acc_start + n] += blocks
+        placed.append((pos, blocks))
         prev_n = n
-    if acc is None:
+    if first_n is None:
         raise ValueError("Vorbis stream has no audio packets")
+    acc_start = min(p for p, _b in placed)
+    acc_end = max(p + len(b) for p, b in placed)
+    acc = np.zeros((acc_end - acc_start, setup.channels))
+    for p, b in placed:
+        acc[p - acc_start : p - acc_start + len(b)] += b
     # valid samples run from the FIRST block's center (its left half
     # has no lap partner) to the LAST block's center
     start = first_n // 2 - acc_start
@@ -999,8 +995,15 @@ def encode_vorbis(samples, rate: int, blocksizes=(256, 2048),
         x = x[:, None]
     n_in, ch = x.shape
     bs0, bs1 = blocksizes
-    if bs0 > bs1 or bs0 < 64 or (bs0 & (bs0 - 1)) or (bs1 & (bs1 - 1)):
-        raise ValueError("blocksizes must be powers of two, bs0 <= bs1")
+    if (bs0 > bs1 or bs0 < 64 or bs1 > 8192
+            or (bs0 & (bs0 - 1)) or (bs1 & (bs1 - 1))):
+        raise ValueError(
+            "blocksizes must be powers of two with 64 <= bs0 <= bs1 <= "
+            "8192 (Vorbis I 4.2.1; a larger value would silently "
+            "truncate the 4-bit ID-header exponent)"
+        )
+    if not 1 <= rate < (1 << 32):
+        raise ValueError("sample rate out of the 32-bit Vorbis range")
     if schedule is None:
         sizes = []
     else:

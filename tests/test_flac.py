@@ -700,3 +700,12 @@ def test_gif_sampler_malformed_falls_to_ladder(spark, tmp_path):
     files = multimodal.read_binary_dir(spark, str(tmp_path), glob="*.gif")
     with pytest.raises(Exception, match="unexpected GIF block"):
         video.sample_video_frames(files, every_n=1).collect()
+
+
+def test_flac_encoder_rejects_out_of_range_rate():
+    """Review finding (r9): rates beyond the 20-bit STREAMINFO field
+    (FLAC caps at 655350) must raise, not silently truncate."""
+    from intake_spark.llm.flac import encode_flac
+
+    with pytest.raises(ValueError, match="655350"):
+        encode_flac(np.zeros(10, dtype=int), 2_000_000)

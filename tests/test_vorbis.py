@@ -300,3 +300,33 @@ def test_to_ogg_sink_roundtrip(spark, tmp_path):
     r, pcm = decode_vorbis(open(url, "rb").read())
     assert r == rate and pcm.shape[0] == 3000
     assert _snr(x, pcm[:, 0]) > 20
+
+
+def test_encoder_rejects_out_of_range_params():
+    """Review findings (r9): blocksizes beyond the 4-bit ID-header
+    exponent range and out-of-range rates must fail LOUDLY at encode
+    time, not silently truncate into a corrupt stream."""
+    x = np.zeros(100)
+    with pytest.raises(ValueError, match="blocksizes"):
+        encode_vorbis(x, 8000, blocksizes=(65536, 65536))
+    with pytest.raises(ValueError, match="blocksizes"):
+        encode_vorbis(x, 8000, blocksizes=(256, 16384))
+    with pytest.raises(ValueError, match="sample rate"):
+        encode_vorbis(x, 0, blocksizes=(256, 256))
+
+
+def test_decode_is_linear_not_quadratic():
+    """The overlap-add accumulator is allocated once from the layout
+    extent (review finding r9: per-packet np.vstack was O(packets^2)).
+    A ~600-packet stream must decode in well under a second of pure
+    accumulator work — timed loosely to catch a quadratic regression."""
+    import time
+
+    rate = 8000
+    x = 0.1 * np.sin(np.arange(80_000) * 0.05)
+    blob = encode_vorbis(x, rate, blocksizes=(256, 256))
+    t0 = time.perf_counter()
+    r, pcm = decode_vorbis(blob)
+    dt = time.perf_counter() - t0
+    assert pcm.shape[0] == 80_000
+    assert dt < 30.0  # the quadratic version scales at ~packets^2
