@@ -2295,6 +2295,17 @@ def decode_jpeg2000(blob: bytes):
             # embedded truncation points — T.800 B.10.7); blocks whose
             # trailing bytes are missing reconstruct their received
             # bitplanes
+        else:
+            if len(data) - bs["pos"] > 8:
+                # the derived packet sequence consumed the walk but left
+                # substantial tile data behind: a POC/progression
+                # mismatch would otherwise DROP packets silently and
+                # produce plausible-but-wrong pixels
+                raise ValueError(
+                    f"tile {t}: {len(data) - bs['pos']} bytes remain "
+                    "after the final packet — progression/POC sequence "
+                    "does not cover the stream"
+                )
 
         # T1-decode every contributed block once, into its band array
         for (ci, r, p), entry in pband.items():

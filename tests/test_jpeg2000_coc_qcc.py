@@ -179,3 +179,21 @@ def test_option_surface_fuzz_with_overrides():
             kw["rgn"] = {rnd.randrange(nc): 16}
         blob = encode_jpeg2000(img, **kw)
         np.testing.assert_array_equal(decode_jpeg2000(blob), img)
+
+
+def test_undercovering_poc_fails_loudly():
+    """A POC sequence that misses packets must not silently drop them:
+    splice a one-segment POC (layer 0 only) into a two-layer stream and
+    the decoder reports leftover tile data instead of wrong pixels."""
+    import struct
+
+    img = _img(40, 40, seed=10)
+    blob = encode_jpeg2000(img, levels=1, layers=2)
+    # craft a POC covering only layer 0 of everything
+    poc = b"\xff\x5f" + struct.pack(">H", 2 + 7) + struct.pack(
+        ">BBHBBB", 0, 0, 1, 2, 1, 0
+    )
+    sot = blob.find(b"\xff\x90")
+    bad = blob[:sot] + poc + blob[sot:]
+    with pytest.raises(ValueError, match="POC"):
+        decode_jpeg2000(bad)
