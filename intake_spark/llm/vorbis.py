@@ -738,6 +738,32 @@ class VorbisSetup:
         if not br.flag():
             raise ValueError("Vorbis setup framing bit unset")
 
+        # cross-reference validation: a corrupt stream must fail with a
+        # NAMED error at setup, not an IndexError mid-packet
+        nb = len(self.books)
+        for fl in self.floors:
+            refs = [b for b in fl.masterbook if b >= 0]
+            refs += [b for row in fl.subbooks for b in row if b >= 0]
+            if any(b >= nb for b in refs):
+                raise ValueError("Vorbis floor references a missing codebook")
+        for res in self.residues:
+            refs = [res.classbook] + [b for row in res.books
+                                      for b in row if b >= 0]
+            if any(b >= nb for b in refs):
+                raise ValueError(
+                    "Vorbis residue references a missing codebook"
+                )
+        nmap = len(self.mappings)
+        for md in self.modes:
+            if md["mapping"] >= nmap:
+                raise ValueError("Vorbis mode references a missing mapping")
+        nfl, nres = len(self.floors), len(self.residues)
+        for mp in self.mappings:
+            if any(f >= nfl or r >= nres for f, r in mp["sub"]):
+                raise ValueError(
+                    "Vorbis mapping references a missing floor/residue"
+                )
+
 
 def _decode_audio_packet(setup: VorbisSetup, packet: bytes):
     """→ (windowed time-domain block ndarray (n, ch), n, left_n)."""
