@@ -412,3 +412,204 @@ def decode_webp(content: bytes) -> np.ndarray:
             )
         pos += 8 + size + (size & 1)
     raise ValueError("WebP container has no VP8L/VP8 image chunk")
+
+
+# ---------------------------------------------------------------------------
+# Encoder (lossless VP8L): literal-coded pixels under per-channel
+# canonical Huffman codes — a valid, losslessly round-trippable WebP
+# writer (no LZ77/transform search, so not rate-competitive with
+# libwebp; the entropy layer is real). Parity surface: PILImageToPNG-
+# style writers in the reference (output.py:268+) via PIL, which can
+# also emit WebP.
+# ---------------------------------------------------------------------------
+
+
+class _LSBWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.bit = 0
+
+    def write(self, v: int, n: int):
+        for i in range(n):
+            if self.bit == 0:
+                self.out.append(0)
+            if (v >> i) & 1:
+                self.out[-1] |= 1 << self.bit
+            self.bit = (self.bit + 1) % 8
+
+
+def _huff_lengths(hist: dict[int, int], cap: int) -> dict[int, int]:
+    """Huffman code lengths for a histogram, depth-capped at ``cap``
+    (falls back to balanced lengths if the optimal tree is too deep)."""
+    import heapq
+
+    syms = sorted(hist)
+    if len(syms) == 1:
+        return {syms[0]: 1}
+    heap = [(cnt, i, (s,)) for i, (s, cnt) in enumerate(sorted(hist.items()))]
+    heapq.heapify(heap)
+    i = len(heap)
+    depth = {s: 0 for s in syms}
+    while len(heap) > 1:
+        c1, _i1, s1 = heapq.heappop(heap)
+        c2, _i2, s2 = heapq.heappop(heap)
+        for s in s1 + s2:
+            depth[s] += 1
+        heapq.heappush(heap, (c1 + c2, i, s1 + s2))
+        i += 1
+    if max(depth.values()) > cap:
+        # balanced fallback: ceil(log2(n)) bits with Kraft completion
+        n = len(syms)
+        hi = (n - 1).bit_length()
+        k = (1 << hi) - n  # symbols promoted one level up to stay complete
+        return {s: (hi - 1 if j < k else hi) for j, s in enumerate(syms)}
+    return depth
+
+
+def _canonical_codes(lengths: dict[int, int]) -> dict[int, tuple[int, int]]:
+    """Symbol → (code, len) with the decoder's canonical assignment
+    (by length, then symbol order)."""
+    codes = {}
+    code = 0
+    for ln in range(1, 16):
+        for sym in sorted(s for s, v in lengths.items() if v == ln):
+            codes[sym] = (code, ln)
+            code += 1
+        code <<= 1
+    return codes
+
+
+def _write_code_lengths(bw: _LSBWriter, lengths: dict[int, int],
+                        alphabet_size: int) -> dict:
+    """Serialize one prefix code (RFC 9649 §3.5): simple two-symbol form
+    when possible, else code-length-coded lengths with 16/17/18 repeats.
+    Returns symbol → (code, len) for the emitted code."""
+    used = sorted(s for s, v in lengths.items() if v > 0)
+    if 1 <= len(used) <= 2 and all(s < 256 for s in used):
+        bw.write(1, 1)                  # simple code
+        bw.write(len(used) - 1, 1)      # num_symbols - 1
+        first = used[0]
+        if first > 1:
+            bw.write(1, 1)              # first symbol uses 8 bits
+            bw.write(first, 8)
+        else:
+            bw.write(0, 1)
+            bw.write(first, 1)
+        if len(used) == 2:
+            bw.write(used[1], 8)
+            return {used[0]: (0, 1), used[1]: (1, 1)}
+        return {used[0]: (0, 0)}        # degenerate: zero bits per decode
+    # normal form: RLE the dense length sequence into code-length symbols
+    seq = [lengths.get(s, 0) for s in range(alphabet_size)]
+    while seq and seq[-1] == 0:
+        seq.pop()  # trailing zeros via alphabet exhaustion below
+    tokens: list[tuple[int, int]] = []  # (cl_symbol, extra_value)
+    i = 0
+    prev = None
+    while i < len(seq):
+        v = seq[i]
+        run = 1
+        while i + run < len(seq) and seq[i + run] == v:
+            run += 1
+        if v == 0:
+            left = run
+            while left >= 3:
+                take = min(left, 138)
+                if take >= 11:
+                    tokens.append((18, take - 11))
+                else:
+                    take = min(take, 10)
+                    tokens.append((17, take - 3))
+                left -= take
+            tokens.extend((0, 0) for _ in range(left))
+        else:
+            tokens.append((v, 0))
+            prev = v
+            left = run - 1
+            while left >= 3:
+                take = min(left, 6)
+                tokens.append((16, take - 3))
+                left -= take
+            tokens.extend((v, 0) for _ in range(left))
+        i += run
+    cl_hist: dict[int, int] = {}
+    for t, _e in tokens:
+        cl_hist[t] = cl_hist.get(t, 0) + 1
+    # pad the implied tail: decoder's loop needs symbol >= alphabet_size
+    # OR max_symbol; we use max_symbol to stop exactly after `seq`
+    cl_lengths = _huff_lengths(cl_hist, 7)
+    cl_codes = _canonical_codes(cl_lengths)
+    bw.write(0, 1)        # normal (not simple)
+    bw.write(19 - 4, 4)   # all 19 code-length slots
+    for s in _CL_ORDER:
+        bw.write(cl_lengths.get(s, 0), 3)
+    # max_symbol: stop the reader right after the last non-zero length
+    bw.write(1, 1)
+    length_nbits = 2 + 2 * 7
+    bw.write(7, 3)
+    bw.write(len(tokens) - 2, length_nbits)
+    for t, e in tokens:
+        c, ln = cl_codes[t]
+        if ln:
+            for k in range(ln - 1, -1, -1):
+                bw.write((c >> k) & 1, 1)
+        if t == 16:
+            bw.write(e, 2)
+        elif t == 17:
+            bw.write(e, 3)
+        elif t == 18:
+            bw.write(e, 7)
+    return _canonical_codes(lengths)
+
+
+def encode_webp(img) -> bytes:
+    """Encode (H, W) gray / (H, W, 3) RGB / (H, W, 4) RGBA uint8 as a
+    LOSSLESS WebP (VP8L): per-channel canonical Huffman over literal
+    pixels. Round-trips bit-exactly through :func:`decode_webp`."""
+    img = np.asarray(img, dtype=np.uint8)
+    if img.ndim == 2:
+        img = np.stack([img] * 3, axis=-1)
+    if img.ndim != 3 or img.shape[2] not in (3, 4):
+        raise ValueError("encode_webp takes (H, W[, 3|4]) uint8")
+    h, w = img.shape[:2]
+    if not (1 <= w <= 1 << 14 and 1 <= h <= 1 << 14):
+        raise ValueError("WebP dimensions must be 1..16384")
+    r = img[:, :, 0].ravel()
+    g = img[:, :, 1].ravel()
+    b = img[:, :, 2].ravel()
+    a = (img[:, :, 3] if img.shape[2] == 4
+         else np.full(h * w, 255, dtype=np.uint8)).ravel()
+
+    bw = _LSBWriter()
+    bw.write(0x2F, 8)
+    bw.write(w - 1, 14)
+    bw.write(h - 1, 14)
+    bw.write(1 if img.shape[2] == 4 else 0, 1)  # alpha hint
+    bw.write(0, 3)   # version
+    bw.write(0, 1)   # no transforms
+    bw.write(0, 1)   # no color cache
+    bw.write(0, 1)   # no meta prefix image
+
+    def hist(arr):
+        vals, cnts = np.unique(arr, return_counts=True)
+        return {int(v): int(c) for v, c in zip(vals, cnts)}
+
+    codes = []
+    for chan, alpha_sz in ((g, 280), (r, 256), (b, 256), (a, 256)):
+        lengths = _huff_lengths(hist(chan), 15)
+        codes.append(_write_code_lengths(bw, lengths, alpha_sz))
+    _write_code_lengths(bw, {0: 1}, 40)  # distance code: never used
+
+    cg, cr, cb_, ca = codes
+    for i in range(h * w):
+        for code, v in ((cg, g[i]), (cr, r[i]), (cb_, b[i]), (ca, a[i])):
+            c, ln = code[int(v)]
+            for k in range(ln - 1, -1, -1):
+                bw.write((c >> k) & 1, 1)
+
+    payload = bytes(bw.out)
+    if len(payload) & 1:
+        payload += b"\x00"
+    chunk = b"VP8L" + struct.pack("<I", len(bw.out)) + payload
+    riff = b"WEBP" + chunk
+    return b"RIFF" + struct.pack("<I", len(riff)) + riff

@@ -786,6 +786,38 @@ def to_jpeg2000(
     return dt.JPEG2000(url=url)
 
 
+def to_webp(
+    df: DataFrame,
+    url: str,
+    max_bytes: int | None = 1 << 30,
+) -> "dt.WEBP":
+    """Chunk rows → LOSSLESS WebP (VP8L, 2-D grayscale arrays, values
+    clipped to uint8): per-channel canonical-Huffman literal coding via
+    llm.webp.encode_webp — round-trips bit-exactly with decode_webp.
+    Parity: the reference's PIL writers can emit WebP (output.py:268+).
+    Driver-edge artifact sink, same cost model as to_png."""
+    import numpy as np
+
+    from intake_spark.llm.webp import encode_webp
+
+    shape = list(_guard_single_file(df, "to_webp", max_bytes))
+    if len(shape) != 2:
+        raise ValueError(f"to_webp needs a 2-D array, got shape {shape}")
+    h, w = shape
+    flat: list[int] = []
+    for row in df.select("offset0", "values").orderBy("offset0").toLocalIterator():
+        flat.extend(max(0, min(255, int(v))) for v in row["values"])
+    if len(flat) != h * w:
+        raise ValueError(
+            f"chunk rows reconstruct {len(flat)} pixels but shape says "
+            f"{h * w} — refusing to write a truncated WebP"
+        )
+    arr = np.asarray(flat, dtype=np.uint8).reshape(h, w)
+    with open(url, "wb") as f:
+        f.write(encode_webp(arr))
+    return dt.WEBP(url=url)
+
+
 def to_nrrd(df: DataFrame, url: str, max_bytes: int | None = 1 << 30) -> "dt.BaseData":
     """Chunk rows → NRRD (raw little-endian float64, any rank). Sizes are
     written fastest-axis-first per the NRRD spec (reverse of the C-order

@@ -369,3 +369,51 @@ def test_predictor_tr_rightmost_column_wraps_to_current_row():
     # the regression: old code predicted from (0,0) (r=0); spec says (1,0)
     assert img[1, 1, 0] == R1
     assert img[1, 1, 1] == G0
+
+
+def test_encode_webp_roundtrip():
+    """The VP8L encoder (r9): per-channel canonical Huffman over
+    literal pixels — every shape/alpha combination round-trips
+    bit-exactly through the independent decoder, and the entropy layer
+    genuinely compresses (constant images collapse to simple codes)."""
+    rng = np.random.default_rng(5)
+    from intake_spark.llm.webp import encode_webp
+
+    for shape in [(8, 8), (33, 47, 3), (20, 20, 4), (1, 1), (5, 300, 3)]:
+        img = rng.integers(0, 256, shape, dtype=np.uint8)
+        out = decode_webp(encode_webp(img))
+        exp = img if img.ndim == 3 else np.stack([img] * 3, axis=-1)
+        if exp.shape[-1] == 3:
+            exp = np.concatenate(
+                [exp, np.full(exp.shape[:2] + (1,), 255, np.uint8)], axis=-1
+            )
+        np.testing.assert_array_equal(out, exp)
+    flat = np.full((64, 64, 3), 9, dtype=np.uint8)
+    assert len(encode_webp(flat)) < 100  # simple codes: ~0 bits/px
+    skew = (rng.integers(0, 8, (64, 64, 3)) ** 2 * 4).astype(np.uint8)
+    assert len(encode_webp(skew)) < 64 * 64 * 4 // 3  # real Huffman gain
+
+
+def test_encode_webp_two_symbol_simple_code():
+    from intake_spark.llm.webp import encode_webp
+
+    img = np.where(np.add.outer(np.arange(16), np.arange(16)) % 2, 200, 30)
+    out = decode_webp(encode_webp(img.astype(np.uint8)))
+    np.testing.assert_array_equal(out[:, :, 0], img)
+    assert len(encode_webp(img.astype(np.uint8))) < 160  # ~3 bits/px
+
+
+def test_to_webp_sink(spark, tmp_path):
+    from intake_spark import output
+    from intake_spark.llm.webp import decode_webp as dec
+
+    rng = np.random.default_rng(6)
+    img = rng.integers(0, 256, (12, 10), dtype=np.uint8)
+    rows = [(i, 0, [float(v) for v in img[i]], [12, 10]) for i in range(12)]
+    df = spark.createDataFrame(
+        rows, "offset0 long, offset1 long, values array<double>, shape array<int>"
+    )
+    url = str(tmp_path / "x.webp")
+    out = output.to_webp(df, url)
+    got = dec(open(url, "rb").read())
+    np.testing.assert_array_equal(got[:, :, 1], img)
