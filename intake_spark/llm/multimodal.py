@@ -719,6 +719,7 @@ def codec_roundtrip_stats(
             encode_jpeg2000,
         )
         from intake_spark.llm.jpegls import decode_jpegls, encode_jpegls
+        from intake_spark.llm.webp import decode_webp, encode_webp
         from intake_spark.output import _png_bytes
 
         def flac_rt(a):
@@ -751,6 +752,7 @@ def codec_roundtrip_stats(
                 decode_jpeg2000,
             ),
             "flac": (lambda a: a, flac_rt),
+            "webp": (encode_webp, lambda b: decode_webp(b)[:, :, 1]),
         }
         for pdf in batches:
             rows = []

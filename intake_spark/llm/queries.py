@@ -3531,7 +3531,7 @@ def q130_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id, c.codec,
            CAST(8 AS INTEGER) AS width, CAST(8 AS INTEGER) AS height,
            CAST(sum_px AS BIGINT) AS sum_px, CAST(1 AS INTEGER) AS exact
-    FROM px, (SELECT unnest(['png', 'flac', 'j2k_full']) AS codec) c
+    FROM px, (SELECT unnest(['png', 'flac', 'j2k_full', 'webp']) AS codec) c
     """,
 )
 def q131_codec_roundtrip_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3539,15 +3539,16 @@ def q131_codec_roundtrip_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     packet-layer surface: per sampled document the deterministic 8x8
     grid is round-tripped executor-side through (a) the stdlib PNG
     coder, (b) the FLAC coder as one int16 PCM block (an AUDIO codec
-    under the same full-value oracle), and (c) JPEG 2000 with quality
+    under the same full-value oracle), (c) JPEG 2000 with quality
     layers + precincts + bypass/segsym code-block styles + PPT packed
     headers + SOP/EPH — the options third-party encoders emit by
-    default. All three are lossless, so sum_px stays a pure text
+    default — and (d) the VP8L lossless WebP coder (canonical-Huffman
+    entropy layer). All four are lossless, so sum_px stays a pure text
     function and exact=1 proves bit-exactness on real data, not just
     fixtures. Disjoint 1-in-10 sample (doc_id % 10 = 3) from q130's."""
     docs = load_table(spark, sf_dir, "documents").filter(
         F.col("doc_id") % 10 == 3
     )
     return multimodal.codec_roundtrip_stats(
-        docs, codecs=("png", "flac", "j2k_full")
+        docs, codecs=("png", "flac", "j2k_full", "webp")
     )
