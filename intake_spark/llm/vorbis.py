@@ -915,7 +915,7 @@ def _write_codebook(bw: _BitWriter, dims, lengths, lookup=0,
 
 
 def _build_headers(rate: int, channels: int, bs0: int, bs1: int,
-                   rtype: int = 2):
+                   rtype: int = 2, coupling: bool = False):
     """→ (id, comment, setup) packets for the fixed encoder layout:
     book 0 = floor partition values (2 scalar entries), book 1 =
     residue classbook (16 entries, 4 partitions/classword), book 2 =
@@ -949,12 +949,19 @@ def _build_headers(rate: int, channels: int, bs0: int, bs1: int,
     bw.write(5, 8)
     for b in b"vorbis":
         bw.write(b, 8)
-    bw.write(2, 8)  # codebook_count - 1 = 2 -> 3 books
+    nbooks = 4 if coupling else 3
+    bw.write(nbooks - 1, 8)
     _write_codebook(bw, 1, [1, 1])                 # book 0: floor values
     _write_codebook(bw, 4, [4] * 16)               # book 1: classwords
     _write_codebook(bw, 2, [9] * 63 + [10] * 898,  # book 2: VQ lattice
                     lookup=1, minimum=-15.0, delta=1.0, vbits=5,
                     mults=list(range(31)))
+    if coupling:
+        # book 3: scalar lattice -31..31 (square-polar M/A values reach
+        # twice the residue range); 1x5-bit + 62x6-bit = complete tree
+        _write_codebook(bw, 1, [5] + [6] * 62,
+                        lookup=1, minimum=-31.0, delta=1.0, vbits=6,
+                        mults=list(range(63)))
     bw.write(0, 6)      # time_count - 1
     bw.write(0, 16)     # time transform 0 (placeholder)
     bw.write(0, 6)      # floor_count - 1
@@ -980,11 +987,18 @@ def _build_headers(rate: int, channels: int, bs0: int, bs1: int,
     bw.write(0, 1)      # class 0: no passes
     bw.write(1, 3)
     bw.write(0, 1)      # class 1: pass-0 bit only
-    bw.write(2, 8)      # class 1 pass 0 -> book 2
+    bw.write(3 if coupling else 2, 8)  # class 1 pass 0 -> VQ book
     bw.write(0, 6)      # mapping_count - 1
     bw.write(0, 16)     # mapping type 0
     bw.write(0, 1)      # one submap
-    bw.write(0, 1)      # no coupling
+    if coupling:
+        bw.write(1, 1)  # coupling present
+        bw.write(0, 8)  # one step
+        cb = _ilog(channels - 1)
+        bw.write(0, cb)  # magnitude channel 0
+        bw.write(1, cb)  # angle channel 1
+    else:
+        bw.write(0, 1)  # no coupling
     bw.write(0, 2)      # reserved
     bw.write(0, 8)      # submap 0: time config (unused)
     bw.write(0, 8)      # submap 0: floor 0
@@ -1001,7 +1015,8 @@ def _build_headers(rate: int, channels: int, bs0: int, bs1: int,
 
 
 def encode_vorbis(samples, rate: int, blocksizes=(256, 2048),
-                  schedule=None, residue_type: int = 2) -> bytes:
+                  schedule=None, residue_type: int = 2,
+                  coupling: bool = False) -> bytes:
     """Encode PCM → OGG/Vorbis. ``samples``: (n,) or (n, ch) float in
     [-1, 1] (int16 accepted and scaled). A real encoder, minus
     psychoacoustics: per block/channel the MDCT spectrum is coded as a
@@ -1011,7 +1026,10 @@ def encode_vorbis(samples, rate: int, blocksizes=(256, 2048),
     frame ('s'/'l' or ints) to exercise window transitions;
     ``residue_type`` picks the residue packing (2 = channel-interleaved
     default; 0/1 = per-channel, interleaved/sequential partitions) so
-    all three decoder paths are fixture-coverable."""
+    all three decoder paths are fixture-coverable. ``coupling=True``
+    (stereo + residue type 2 only) applies the square-polar channel
+    coupling: residues travel as magnitude/angle and the decoder's
+    inverse-coupling path runs on a real stream."""
     import numpy as np
 
     x = np.asarray(samples)
@@ -1063,10 +1081,16 @@ def encode_vorbis(samples, rate: int, blocksizes=(256, 2048),
 
     if residue_type not in (0, 1, 2):
         raise ValueError("residue_type must be 0, 1 or 2")
+    if coupling and (ch != 2 or residue_type != 2):
+        raise ValueError(
+            "coupling needs exactly 2 channels and residue type 2"
+        )
     id_pk, comment_pk, setup_pk = _build_headers(rate, ch, bs0, bs1,
-                                                 residue_type)
+                                                 residue_type, coupling)
     setup = VorbisSetup(id_pk, setup_pk)
-    book_f, book_c, book_v = setup.books
+    book_f, book_c = setup.books[0], setup.books[1]
+    book_v = setup.books[3] if coupling else setup.books[2]
+    vq_max = 31 if coupling else 15
     n_modes = len(setup.modes)
     mode_bits = _ilog(n_modes - 1)
     tab = np.array(FLOOR1_INVERSE_DB)
@@ -1111,6 +1135,21 @@ def encode_vorbis(samples, rate: int, blocksizes=(256, 2048),
         floors = tab[qs]  # (ch,)
         r = np.rint(spec / floors[None, :]).astype(int)
         np.clip(r, -15, 15, out=r)
+        if coupling:
+            # forward square-polar (the exact inverse of the decoder's
+            # four sign cases); |M| <= 15, |A| <= 30 fit the book
+            m_, a_ = r[:, 0], r[:, 1]
+            M = np.empty_like(m_)
+            A = np.empty_like(a_)
+            c1 = (m_ > 0) & (a_ < m_)
+            c2 = ~c1 & (a_ > 0) & (a_ >= m_)
+            c3 = ~c1 & ~c2 & (m_ <= 0) & (a_ > m_)
+            c4 = ~c1 & ~c2 & ~c3
+            M[c1], A[c1] = m_[c1], (m_ - a_)[c1]
+            M[c2], A[c2] = a_[c2], (m_ - a_)[c2]
+            M[c3], A[c3] = m_[c3], (a_ - m_)[c3]
+            M[c4], A[c4] = a_[c4], (a_ - m_)[c4]
+            r = np.stack([M, A], axis=1)
         if residue_type == 2:
             vs = [r.reshape(-1)]  # channel-interleaved: index k*ch + c
         else:
@@ -1135,7 +1174,10 @@ def encode_vorbis(samples, rate: int, blocksizes=(256, 2048),
                 for j, v in enumerate(vs):
                     if classes[j][p] == 0:
                         continue
-                    if residue_type == 0:
+                    if coupling:  # scalar book 3 (dims 1, -31..31)
+                        for k in range(p * 8, (p + 1) * 8):
+                            book_v.encode_scalar(bw, int(v[k]) + 31)
+                    elif residue_type == 0:
                         # interleaved: fetch k carries (off+k, off+k+step)
                         for k in range(4):
                             e = ((int(v[p * 8 + k]) + 15)

@@ -330,3 +330,25 @@ def test_decode_is_linear_not_quadratic():
     dt = time.perf_counter() - t0
     assert pcm.shape[0] == 80_000
     assert dt < 30.0  # the quadratic version scales at ~packets^2
+
+
+def test_coupled_stereo_roundtrip():
+    """coupling=True ships residues as square-polar magnitude/angle —
+    the decoder's inverse-coupling path now runs on a REAL stream, not
+    just the transcription unit test; quality matches uncoupled."""
+    rate = 16000
+    t = np.arange(8000) / rate
+    base = 0.5 * np.sin(2 * np.pi * 330 * t)
+    x = np.stack([base, 0.9 * base + 0.05 * np.sin(2 * np.pi * 700 * t)],
+                 axis=1)
+    blob = encode_vorbis(x, rate, blocksizes=(256, 256), coupling=True)
+    r, pcm = decode_vorbis(blob)
+    assert pcm.shape == x.shape
+    assert _snr(x, pcm) > 18
+    # coupled + mixed block schedule (windows + coupling together)
+    blob = encode_vorbis(x, rate, blocksizes=(256, 1024),
+                         schedule=["s", "l", "l", "s"] * 8, coupling=True)
+    r, pcm = decode_vorbis(blob)
+    assert _snr(x, pcm) > 14
+    with pytest.raises(ValueError, match="coupling"):
+        encode_vorbis(x[:, :1], rate, coupling=True)
