@@ -682,6 +682,113 @@ CODEC_ROUNDTRIP_SCHEMA = T.StructType(
 )
 
 
+TRANSCODE_SCHEMA = T.StructType(
+    [
+        T.StructField("content", T.BinaryType()),
+        T.StructField("src_format", T.StringType()),
+        T.StructField("src_bytes", T.LongType()),
+        T.StructField("out_bytes", T.LongType()),
+        T.StructField("lossless", T.IntegerType()),
+        T.StructField("err", T.StringType()),
+    ]
+)
+
+
+def transcode_images(
+    df: DataFrame,
+    to: str = "webp",
+    content_col: str = "content",
+    keep_cols: "list[str] | None" = None,
+) -> DataFrame:
+    """Distributed image transcode: decode each binary image column with
+    the stdlib decoders and re-encode it as ``to`` ('webp' VP8L /
+    'png' / 'jpeg2000' — all lossless) — the standard corpus-
+    normalization step (one storage codec for a multi-format crawl).
+    Output: re-encoded ``content`` + source format, byte sizes, and a
+    per-row ``lossless`` flag proven by decoding the OUTPUT and
+    comparing pixels. Rows whose source decode is gated or corrupt keep
+    err + null content instead of failing the batch.
+
+    Scale: Arrow-batched mapInPandas, embarrassingly parallel per file;
+    pixels never leave the executor. Parity surface: the reference
+    converts media via PIL writers (output.py:268+)."""
+    import numpy as np
+
+    from intake_spark.session import ensure_py_deps
+
+    ensure_py_deps(df.sparkSession)
+    if to not in ("webp", "png", "jpeg2000"):
+        raise ValueError("transcode_images supports webp/png/jpeg2000")
+    keep = keep_cols if keep_cols is not None else [
+        c for c in df.columns if c != content_col
+    ]
+    out_schema = T.StructType(
+        [df.schema[c] for c in keep] + list(TRANSCODE_SCHEMA.fields)
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from intake_spark.llm.jpeg2000 import (
+            decode_jpeg2000,
+            encode_jpeg2000,
+        )
+        from intake_spark.llm.webp import decode_webp, encode_webp
+        from intake_spark.output import _png_bytes
+
+        def enc_webp(arr):
+            blob = encode_webp(arr if arr.shape[2] in (3, 4) else arr[:, :, 0])
+            back = decode_webp(blob)
+            ok = (back[:, :, : arr.shape[2]] == arr).all() if arr.shape[2] in (
+                3, 4) else (back[:, :, 0] == arr[:, :, 0]).all()
+            return blob, bool(ok)
+
+        def enc_png(arr):
+            if arr.shape[2] != 1:
+                raise NotImplementedError(
+                    "png transcode path is grayscale-only here — use webp "
+                    "for color"
+                )
+            blob = _png_bytes(arr[:, :, 0].tolist())
+            back = decode_png(blob)
+            return blob, bool((back[:, :, 0] == arr[:, :, 0]).all())
+
+        def enc_j2k(arr):
+            a = arr[:, :, 0] if arr.shape[2] == 1 else arr[:, :, :3]
+            blob = encode_jpeg2000(a.astype(np.int64), levels=2)
+            back = decode_jpeg2000(blob)
+            if back.ndim == 2:
+                back = back[:, :, None]
+            return blob, bool((back == a.reshape(back.shape)).all())
+
+        enc = {"webp": enc_webp, "png": enc_png, "jpeg2000": enc_j2k}[to]
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                blob = bytes(row[content_col])
+                base = tuple(row[c] for c in keep)
+                try:
+                    fmt = image_meta(blob).get("format")
+                except Exception:
+                    fmt = None
+                try:
+                    arr = decode_image(blob)
+                    if arr.dtype != np.uint8:
+                        raise NotImplementedError(
+                            "transcode keeps 8-bit sources only (16-bit "
+                            "would silently narrow)"
+                        )
+                    out, ok = enc(arr)
+                    rows.append(base + (out, fmt, len(blob), len(out),
+                                        int(ok), None))
+                except (ValueError, NotImplementedError) as exc:
+                    rows.append(base + (None, fmt, len(blob), None, 0,
+                                        f"{type(exc).__name__}: {exc}"))
+            yield pd.DataFrame(
+                rows, columns=list(keep) + [f.name for f in TRANSCODE_SCHEMA]
+            )
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
 def codec_roundtrip_stats(
     df: DataFrame,
     id_col: str = "doc_id",

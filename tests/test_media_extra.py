@@ -861,3 +861,33 @@ def test_codec_roundtrip_stats_operator(spark):
     for r in rows:
         assert (r.width, r.height) == (8, 8)
         assert r.sum_px == want[r.doc_id], r
+
+
+def test_transcode_images(spark, tmp_path):
+    """transcode_images (r9): corpus normalization to one storage codec —
+    decode any stdlib-supported source, re-encode lossless, prove the
+    losslessness per row by decoding the OUTPUT; gated/corrupt rows keep
+    err instead of failing the batch."""
+    import numpy as np
+
+    from intake_spark.llm import multimodal
+    from intake_spark.llm.jpeg2000 import encode_jpeg2000
+    from intake_spark.llm.webp import decode_webp
+
+    rng = np.random.default_rng(3)
+    gray = rng.integers(0, 256, (9, 11), dtype=np.uint8)
+    from intake_spark.output import _png_bytes
+
+    (tmp_path / "a.png").write_bytes(_png_bytes(gray.tolist()))
+    (tmp_path / "b.j2k").write_bytes(encode_jpeg2000(gray, levels=1))
+    (tmp_path / "c.bin").write_bytes(b"not an image at all........")
+    files = multimodal.read_binary_dir(spark, str(tmp_path), glob="*")
+    out = multimodal.transcode_images(files, to="webp").collect()
+    by = {r.path.rsplit("/", 1)[-1]: r for r in out}
+    assert by["a.png"].lossless == 1 and by["a.png"].src_format == "png"
+    assert by["b.j2k"].lossless == 1
+    got = decode_webp(bytes(by["a.png"].content))
+    np.testing.assert_array_equal(got[:, :, 0], gray)
+    assert by["c.bin"].err is not None and by["c.bin"].content is None
+    # sizes recorded for the curation-funnel bookkeeping
+    assert by["a.png"].src_bytes > 0 and by["a.png"].out_bytes > 0
