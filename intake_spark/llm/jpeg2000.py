@@ -2296,11 +2296,12 @@ def decode_jpeg2000(blob: bytes):
             # trailing bytes are missing reconstruct their received
             # bitplanes
         else:
-            if len(data) - bs["pos"] > 8:
+            if len(data) - bs["pos"] > 0:
                 # the derived packet sequence consumed the walk but left
-                # substantial tile data behind: a POC/progression
-                # mismatch would otherwise DROP packets silently and
-                # produce plausible-but-wrong pixels
+                # tile data behind: packet bodies are exactly sized by
+                # their headers, so ANY leftover means a POC/progression
+                # mismatch that would otherwise DROP packets silently
+                # and produce plausible-but-wrong pixels
                 raise ValueError(
                     f"tile {t}: {len(data) - bs['pos']} bytes remain "
                     "after the final packet — progression/POC sequence "

@@ -735,10 +735,29 @@ def transcode_images(
         from intake_spark.output import _png_bytes
 
         def enc_webp(arr):
-            blob = encode_webp(arr if arr.shape[2] in (3, 4) else arr[:, :, 0])
-            back = decode_webp(blob)
-            ok = (back[:, :, : arr.shape[2]] == arr).all() if arr.shape[2] in (
-                3, 4) else (back[:, :, 0] == arr[:, :, 0]).all()
+            # every channel count maps faithfully into RGBA: gray ->
+            # replicated RGB, gray+alpha -> replicated RGB + alpha; the
+            # lossless check covers EVERY source channel (an RGBA
+            # source that lost its alpha must not claim lossless=1)
+            c = arr.shape[2]
+            if c == 1:
+                src = arr[:, :, 0]
+                blob = encode_webp(src)
+                back = decode_webp(blob)
+                ok = (back[:, :, 0] == src).all() and (
+                    back[:, :, 1] == src).all() and (back[:, :, 2] == src).all()
+            elif c == 2:  # gray + alpha
+                g = arr[:, :, 0]
+                rgba = np.stack([g, g, g, arr[:, :, 1]], axis=-1)
+                blob = encode_webp(rgba)
+                back = decode_webp(blob)
+                ok = (back == rgba).all()
+            else:
+                blob = encode_webp(arr)
+                back = decode_webp(blob)
+                ok = (back[:, :, :c] == arr).all() and (
+                    c == 4 or (back[:, :, 3] == 255).all()
+                )
             return blob, bool(ok)
 
         def enc_png(arr):
@@ -752,19 +771,25 @@ def transcode_images(
             return blob, bool((back[:, :, 0] == arr[:, :, 0]).all())
 
         def enc_j2k(arr):
-            a = arr[:, :, 0] if arr.shape[2] == 1 else arr[:, :, :3]
-            blob = encode_jpeg2000(a.astype(np.int64), levels=2)
+            # ALL channels travel as components (4-component = RGB+A
+            # with no MCT) — dropping a plane must not claim lossless
+            planes = [arr[:, :, i].astype(np.int64)
+                      for i in range(arr.shape[2])]
+            blob = encode_jpeg2000(
+                planes if len(planes) > 1 else planes[0], levels=2
+            )
             back = decode_jpeg2000(blob)
             if back.ndim == 2:
                 back = back[:, :, None]
-            return blob, bool((back == a.reshape(back.shape)).all())
+            return blob, bool((back == arr).all())
 
         enc = {"webp": enc_webp, "png": enc_png, "jpeg2000": enc_j2k}[to]
         for pdf in batches:
             rows = []
-            for _, row in pdf.iterrows():
-                blob = bytes(row[content_col])
-                base = tuple(row[c] for c in keep)
+            keep_iters = [pdf[c] for c in keep]
+            for vals in zip(pdf[content_col], *keep_iters):
+                blob = bytes(vals[0])
+                base = tuple(vals[1:])
                 try:
                     fmt = image_meta(blob).get("format")
                 except Exception:
@@ -779,7 +804,10 @@ def transcode_images(
                     out, ok = enc(arr)
                     rows.append(base + (out, fmt, len(blob), len(out),
                                         int(ok), None))
-                except (ValueError, NotImplementedError) as exc:
+                except Exception as exc:  # noqa: BLE001 — per-row err
+                    # contract: corrupt blobs (zlib.error, struct.error,
+                    # IndexError from truncation, pillow's OSError...)
+                    # become err rows, never a failed Spark task
                     rows.append(base + (None, fmt, len(blob), None, 0,
                                         f"{type(exc).__name__}: {exc}"))
             yield pd.DataFrame(

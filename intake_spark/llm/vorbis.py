@@ -763,6 +763,15 @@ class VorbisSetup:
                 raise ValueError(
                     "Vorbis mapping references a missing floor/residue"
                 )
+            if any(mag >= self.channels or ang >= self.channels
+                   or mag == ang for mag, ang in mp["coupling"]):
+                raise ValueError(
+                    "Vorbis coupling step references a missing channel"
+                )
+            if any(mx >= mp["submaps"] for mx in mp["mux"]):
+                raise ValueError(
+                    "Vorbis channel mux references a missing submap"
+                )
 
 
 def _decode_audio_packet(setup: VorbisSetup, packet: bytes):
@@ -1090,7 +1099,6 @@ def encode_vorbis(samples, rate: int, blocksizes=(256, 2048),
     setup = VorbisSetup(id_pk, setup_pk)
     book_f, book_c = setup.books[0], setup.books[1]
     book_v = setup.books[3] if coupling else setup.books[2]
-    vq_max = 31 if coupling else 15
     n_modes = len(setup.modes)
     mode_bits = _ilog(n_modes - 1)
     tab = np.array(FLOOR1_INVERSE_DB)

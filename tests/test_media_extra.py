@@ -891,3 +891,39 @@ def test_transcode_images(spark, tmp_path):
     assert by["c.bin"].err is not None and by["c.bin"].content is None
     # sizes recorded for the curation-funnel bookkeeping
     assert by["a.png"].src_bytes > 0 and by["a.png"].out_bytes > 0
+
+
+def test_transcode_preserves_alpha_and_survives_corrupt_magic(spark, tmp_path):
+    """Second-review findings (r9): RGBA/gray+alpha sources keep every
+    channel under lossless=1, and corrupt blobs WITH a recognized magic
+    (zlib/struct/Index errors, not just ValueError) become err rows."""
+    import numpy as np
+    import zlib
+
+    from intake_spark.llm import multimodal
+    from intake_spark.llm.webp import decode_webp, encode_webp
+    from intake_spark.output import _png_bytes
+
+    rng = np.random.default_rng(9)
+    rgba = rng.integers(0, 256, (7, 8, 4), dtype=np.uint8)
+    (tmp_path / "a.webp").write_bytes(encode_webp(rgba))
+    # truncated PNG: magic + header intact, IDAT cut mid-stream
+    png = _png_bytes(rng.integers(0, 256, (9, 9), dtype=np.uint8).tolist())
+    (tmp_path / "bad.png").write_bytes(png[: len(png) // 2])
+    files = multimodal.read_binary_dir(spark, str(tmp_path), glob="*")
+    out = {r.path.rsplit("/", 1)[-1]: r
+           for r in multimodal.transcode_images(files, to="webp").collect()}
+    assert out["a.webp"].lossless == 1
+    np.testing.assert_array_equal(
+        decode_webp(bytes(out["a.webp"].content)), rgba
+    )
+    assert out["bad.png"].err is not None and out["bad.png"].content is None
+    # jpeg2000 target keeps all four planes too
+    out2 = {r.path.rsplit("/", 1)[-1]: r
+            for r in multimodal.transcode_images(files, to="jpeg2000").collect()}
+    assert out2["a.webp"].lossless == 1
+    from intake_spark.llm.jpeg2000 import decode_jpeg2000
+
+    np.testing.assert_array_equal(
+        decode_jpeg2000(bytes(out2["a.webp"].content)), rgba
+    )

@@ -352,3 +352,34 @@ def test_coupled_stereo_roundtrip():
     assert _snr(x, pcm) > 14
     with pytest.raises(ValueError, match="coupling"):
         encode_vorbis(x[:, :1], rate, coupling=True)
+
+
+def test_setup_rejects_bad_coupling_and_mux():
+    """Second-review finding (r9): coupling channel indices and mux →
+    submap references validate at setup, not IndexError mid-packet."""
+    from intake_spark.llm.vorbis import VorbisSetup, _build_headers
+
+    id_pk, _c, setup_pk = _build_headers(8000, 2, 256, 256, coupling=True)
+    # the coupled setup parses clean
+    VorbisSetup(id_pk, setup_pk)
+    # corrupt the coupling angle channel: with 2 channels the field is
+    # 1 bit; flip the magnitude bit so mag == ang
+    # (craft via the writer for robustness)
+    from intake_spark.llm.vorbis import _BitReader
+
+    # brute-force: flip single bits until the named error fires —
+    # proves the validation exists without bit-offset bookkeeping
+    hit = False
+    for i in range(len(setup_pk) * 8):
+        bad = bytearray(setup_pk)
+        bad[i // 8] ^= 1 << (i % 8)
+        try:
+            VorbisSetup(id_pk, bytes(bad))
+        except ValueError as e:
+            if "coupling step references" in str(e) or \
+                    "mux references" in str(e):
+                hit = True
+                break
+        except Exception:
+            continue
+    assert hit
