@@ -1344,7 +1344,8 @@ def encode_jpeg2000(img, levels: int = 3, cb_exp: int = 6,
                     prog: str = "lrcp",
                     per_comp: "dict[int, dict] | None" = None,
                     rgn: "dict[int, int] | None" = None,
-                    poc=None) -> bytes:
+                    poc=None,
+                    per_tile: "dict[int, dict] | None" = None) -> bytes:
     """Encode a 2-D (grayscale), HxWx3 (RGB), or plane-list array as a
     JPEG 2000 codestream (LRCP progression).
 
@@ -1387,6 +1388,11 @@ def encode_jpeg2000(img, levels: int = 3, cb_exp: int = 6,
       QCC (the exponent carries the extra bitplanes).
     - ``poc=[(rs, cs, lye, re, ce, prog), ...]``: progression-order
       changes; the segments must jointly cover every packet.
+    - ``per_tile={t: {...}}``: per-TILE overrides of levels / cb_exp /
+      cb_style / precincts, emitted as tile-part COD + QCD marker
+      segments (T.800 precedence: tile COD beats the main header) —
+      the per-tile tuning Kakadu emits. Mutually exclusive with
+      ``per_comp``/``rgn`` here.
 
     Interop caveat: length-1 9/7 subband signals skip the K/1/K scaling
     (identity for even-parity, x2 for odd-parity single samples —
@@ -1492,6 +1498,12 @@ def encode_jpeg2000(img, levels: int = 3, cb_exp: int = 6,
     # COC/QCC; everything else rides the COD/QCD defaults)
     pcfg = dict(per_comp or {})
     rgn = dict(rgn or {})
+    ptile = dict(per_tile or {})
+    if ptile and (pcfg or rgn):
+        raise ValueError(
+            "per_tile cannot combine with per_comp/rgn in this encoder "
+            "(the precedence interplay is decoder-side tested instead)"
+        )
     for ci in list(pcfg) + list(rgn):
         if not 0 <= ci < nc:
             raise ValueError(f"per_comp/rgn component {ci} out of range")
@@ -1675,11 +1687,79 @@ def encode_jpeg2000(img, levels: int = 3, cb_exp: int = 6,
         )
         out += b"\xff\x5f" + struct.pack(">H", 2 + len(body)) + body
 
-    tile_blobs = []  # (headers, body) per tile
+    tile_blobs = []   # (headers, body) per tile
+    tile_marks = []   # tile-part header marker bytes (COD+QCD) per tile
     for t in range(ntx * nty):
         ty, tx = divmod(t, ntx)
         tx0, tx1 = max(tx * tw, xo), min((tx + 1) * tw, xs)
         ty0, ty1 = max(ty * th, yo), min((ty + 1) * th, ys)
+        ov_t = ptile.get(t)
+        if ov_t is None:
+            t_lev, t_cbe, t_sty = lev_c, cbe_c, sty_c
+            t_eps, t_delta = eps_by, delta_by
+            t_prc = [pc[0] for pc in prc_c]
+            tile_marks.append(b"")
+        else:
+            lv_t = max(0, min(ov_t.get("levels", levels),
+                              max((min(H, W) - 1).bit_length() - 1, 0)))
+            cbe_t = ov_t.get("cb_exp", cb_exp)
+            sty_t = ov_t.get("cb_style", cb_style)
+            pr = ov_t.get("precincts")
+            if pr is None:
+                prl, pr_explicit = [(15, 15)] * (lv_t + 1), False
+            else:
+                prl = ([tuple(pr)] * (lv_t + 1) if isinstance(pr, tuple)
+                       else [tuple(x) for x in pr])
+                pr_explicit = True
+            t_lev = [lv_t] * nc
+            t_cbe = [cbe_t] * nc
+            t_sty = [sty_t] * nc
+            t_prc = [prl] * nc
+            t_eps = {}
+            t_delta = {}
+            for ci in range(nc):
+                for r in range(lv_t + 1):
+                    for o in ((0,) if r == 0 else (1, 2, 3)):
+                        n = lv_t if r == 0 else lv_t - r + 1
+                        if irreversible:
+                            rb = P + _GAIN[o]
+                            e = ((P - quant_shift) - lv_t + n
+                                 if qcd_style == "derived"
+                                 else rb - quant_shift)
+                            t_eps[(ci, r, o)] = e
+                            t_delta[(ci, r, o)] = 2.0 ** (rb - e)
+                        else:
+                            pq = P + (1 if mct else 0)
+                            t_eps[(ci, r, o)] = pq + _GAIN[o]
+            # tile-part COD + QCD marker segments (T.800: tile headers
+            # live in the first tile-part, before SOD)
+            scod_t = 1 if pr_explicit else 0
+            mk = bytearray()
+            lcod_t = 12 + ((lv_t + 1) if pr_explicit else 0)
+            mk += b"\xff\x52" + struct.pack(
+                ">HBBHBBBBBB", lcod_t, scod_t, prog_i, layers,
+                1 if mct else 0, lv_t, cbe_t - 2, cbe_t - 2, sty_t,
+                0 if irreversible else 1
+            )
+            if pr_explicit:
+                mk += bytes(px | (py << 4) for px, py in prl)
+            border_t = [(0, 0)] + [(r, o) for r in range(1, lv_t + 1)
+                                   for o in (1, 2, 3)]
+            if not irreversible:
+                qb = bytes([guard_bits << 5]) + bytes(
+                    t_eps[(0, r, o)] << 3 for r, o in border_t
+                )
+            elif qcd_style == "derived":
+                qb = bytes([0x01 | (guard_bits << 5)]) + struct.pack(
+                    ">H", t_eps[(0, 0, 0)] << 11
+                )
+            else:
+                qb = bytes([0x02 | (guard_bits << 5)]) + b"".join(
+                    struct.pack(">H", t_eps[(0, r, o)] << 11)
+                    for r, o in border_t
+                )
+            mk += b"\xff\x5c" + struct.pack(">H", 2 + len(qb)) + qb
+            tile_marks.append(bytes(mk))
         comp_boxes = []
         comp_bands = []
         for ci in range(nc):
@@ -1690,7 +1770,7 @@ def encode_jpeg2000(img, levels: int = 3, cb_exp: int = 6,
             comp_boxes.append(box)
             plane = shifted[ci][box[1] - poy : box[3] - poy,
                                 box[0] - pox : box[2] - pox]
-            lv, irr = lev_c[ci], irr_c[ci]
+            lv, irr = t_lev[ci], irr_c[ci]
             if irr and plane.dtype != np.float64:
                 plane = plane.astype(np.float64)
             ll, bands = dwt_forward_boxed(plane, box, lv, irr)
@@ -1709,7 +1789,7 @@ def encode_jpeg2000(img, levels: int = 3, cb_exp: int = 6,
                         (
                             o,
                             np.sign(a).astype(np.int64)
-                            * (np.abs(a) / delta_by[(ci, r, o)]).astype(
+                            * (np.abs(a) / t_delta[(ci, r, o)]).astype(
                                 np.int64
                             ),
                             bx,
@@ -1748,9 +1828,9 @@ def encode_jpeg2000(img, levels: int = 3, cb_exp: int = 6,
             comp_bands.append(per_res)
         tile_blobs.append(
             _encode_tile_packets(
-                comp_bands, comp_boxes, lev_c, nc, cbe_c,
-                [pc[0] for pc in prc_c], layers, sty_c,
-                lambda ci, r, o: guard_bits + eps_by[(ci, r, o)] - 1,
+                comp_bands, comp_boxes, t_lev, nc, t_cbe,
+                t_prc, layers, t_sty,
+                lambda ci, r, o, _e=t_eps: guard_bits + _e[(ci, r, o)] - 1,
                 packed_headers is not None, sop, eph, prog_i, poc_i,
             )
         )
@@ -1772,9 +1852,10 @@ def encode_jpeg2000(img, levels: int = 3, cb_exp: int = 6,
         ppt = b""
         if packed_headers == "ppt":
             ppt = b"\xff\x61" + struct.pack(">HB", 3 + len(hdrs), 0) + hdrs
-        psot = 12 + len(ppt) + 2 + len(body)
+        marks = tile_marks[t]
+        psot = 12 + len(marks) + len(ppt) + 2 + len(body)
         out += b"\xff\x90" + struct.pack(">HHIBB", 10, t, psot, 0, 1)
-        out += ppt + b"\xff\x93" + body
+        out += marks + ppt + b"\xff\x93" + body
     out += b"\xff\xd9"  # EOC
     return bytes(out)
 
@@ -1801,6 +1882,69 @@ def _unwrap_jp2(blob: bytes) -> bytes:
             return blob[pos + off : end]
         pos = end
     raise ValueError("JP2 container has no jp2c codestream box")
+
+
+def _parse_cod(seg: bytes) -> dict:
+    """COD body (T.800 A.6.1): Scod + SGcod + SPcod (+ precincts)."""
+    scod = seg[0]
+    prog, nlayers, mct = struct.unpack_from(">BHB", seg, 1)
+    nlev = seg[5]
+    cbw_exp, cbh_exp = (seg[6] & 0xF) + 2, (seg[7] & 0xF) + 2
+    cbstyle, transform = seg[8], seg[9]
+    if cbstyle & ~0x3F:
+        raise NotImplementedError(
+            f"unknown code-block style bits 0x{cbstyle:02x}"
+        )
+    if transform not in (0, 1):
+        raise ValueError(f"unknown wavelet transform {transform}")
+    if scod & 1:
+        precs = [
+            (seg[10 + i] & 0xF, seg[10 + i] >> 4) for i in range(nlev + 1)
+        ]
+        for r, (px_, py_) in enumerate(precs):
+            if r > 0 and (px_ == 0 or py_ == 0):
+                raise ValueError(
+                    "precinct exponent 0 is only valid for resolution 0 "
+                    "(T.800 A.6.1)"
+                )
+    else:
+        precs = [(15, 15)] * (nlev + 1)
+    return {
+        "levels": nlev, "cbx_exp": cbw_exp, "cby_exp": cbh_exp,
+        "mct": mct, "layers": nlayers, "precs": precs,
+        "cbstyle": cbstyle,
+        "prog": prog, "irreversible": transform == 0,
+        "sop": bool(scod & 2), "eph": bool(scod & 4),
+    }
+
+
+def _parse_coc(seg: bytes, wide: bool):
+    """COC body (T.800 A.6.2) → (component index, override dict)."""
+    ci = struct.unpack_from(">H", seg, 0)[0] if wide else seg[0]
+    off = 2 if wide else 1
+    scoc = seg[off]
+    nlev = seg[off + 1]
+    cbw = (seg[off + 2] & 0xF) + 2
+    cbh = (seg[off + 3] & 0xF) + 2
+    cbsty, transform = seg[off + 4], seg[off + 5]
+    if cbsty & ~0x3F:
+        raise NotImplementedError(
+            f"unknown code-block style bits 0x{cbsty:02x} (COC)"
+        )
+    if transform not in (0, 1):
+        raise ValueError(f"unknown wavelet transform {transform}")
+    if scoc & 1:
+        cprecs = [
+            (seg[off + 6 + i] & 0xF, seg[off + 6 + i] >> 4)
+            for i in range(nlev + 1)
+        ]
+    else:
+        cprecs = [(15, 15)] * (nlev + 1)
+    return ci, {
+        "levels": nlev, "cbx_exp": cbw, "cby_exp": cbh,
+        "precs": cprecs, "cbstyle": cbsty,
+        "irreversible": transform == 0,
+    }
 
 
 def _parse_quant(seg: bytes) -> dict:
@@ -1839,10 +1983,11 @@ def decode_jpeg2000(blob: bytes):
     decode-transparent), PPM/PPT packed packet headers, SOP/EPH, the
     five progression orders (LRCP/RLCP fully; RPCL multi-precinct when
     components share one precinct grid; PCRL/CPRL with one precinct per
-    resolution), COC/QCC per-component overrides, RGN implicit-MAXSHIFT
-    ROI, POC progression changes. Named gate: HTJ2K (the T.814 block
-    coder's CxtVLC codeword tables are published data unavailable
-    here)."""
+    resolution), COC/QCC per-component overrides (main AND tile-part
+    headers, T.800 precedence: tile COC > tile COD > main COC > main
+    COD), RGN implicit-MAXSHIFT ROI, POC progression changes. Named
+    gates: per-tile RGN/POC, and HTJ2K (the T.814 block coder's CxtVLC
+    codeword tables are published data unavailable here)."""
     import numpy as np
 
     blob = _unwrap_jp2(blob)
@@ -1859,6 +2004,10 @@ def decode_jpeg2000(blob: bytes):
     qcc: dict[int, dict] = {}
     rgn: dict[int, int] = {}
     poc: list = []
+    tile_cod: dict[int, dict] = {}
+    tile_coc: dict[int, dict] = {}
+    tile_qcd: dict[int, dict] = {}
+    tile_qcc: dict[int, dict] = {}
     while pos + 4 <= len(blob):
         if blob[pos] != 0xFF:
             raise ValueError(f"expected marker at {pos}")
@@ -1894,37 +2043,7 @@ def decode_jpeg2000(blob: bytes):
                 "sub": [(t[1], t[2]) for t in triples],
             }
         elif m == 0x52:  # COD
-            scod = seg[0]
-            prog, nlayers, mct = struct.unpack_from(">BHB", seg, 1)
-            nlev = seg[5]
-            cbw_exp, cbh_exp = (seg[6] & 0xF) + 2, (seg[7] & 0xF) + 2
-            cbstyle, transform = seg[8], seg[9]
-            if cbstyle & ~0x3F:
-                raise NotImplementedError(
-                    f"unknown code-block style bits 0x{cbstyle:02x}"
-                )
-            if transform not in (0, 1):
-                raise ValueError(f"unknown wavelet transform {transform}")
-            if scod & 1:
-                precs = [
-                    (seg[10 + i] & 0xF, seg[10 + i] >> 4)
-                    for i in range(nlev + 1)
-                ]
-                for r, (px_, py_) in enumerate(precs):
-                    if r > 0 and (px_ == 0 or py_ == 0):
-                        raise ValueError(
-                            "precinct exponent 0 is only valid for "
-                            "resolution 0 (T.800 A.6.1)"
-                        )
-            else:
-                precs = [(15, 15)] * (nlev + 1)
-            cod = {
-                "levels": nlev, "cbx_exp": cbw_exp, "cby_exp": cbh_exp,
-                "mct": mct, "layers": nlayers, "precs": precs,
-                "cbstyle": cbstyle,
-                "prog": prog, "irreversible": transform == 0,
-                "sop": bool(scod & 2), "eph": bool(scod & 4),
-            }
+            cod = _parse_cod(seg)
         elif m == 0x5C:  # QCD — all three T.800 E.1 styles
             qcd = _parse_quant(seg)
         elif m == 0x60:  # PPM: packed packet headers (main header)
@@ -1932,32 +2051,8 @@ def decode_jpeg2000(blob: bytes):
         elif m == 0x53:  # COC: per-component coding-style override
             if siz is None:
                 raise ValueError("COC before SIZ")
-            wide = siz["nc"] >= 257
-            ci = struct.unpack_from(">H", seg, 0)[0] if wide else seg[0]
-            off = 2 if wide else 1
-            scoc = seg[off]
-            nlev = seg[off + 1]
-            cbw = (seg[off + 2] & 0xF) + 2
-            cbh = (seg[off + 3] & 0xF) + 2
-            cbsty, transform = seg[off + 4], seg[off + 5]
-            if cbsty & ~0x3F:
-                raise NotImplementedError(
-                    f"unknown code-block style bits 0x{cbsty:02x} (COC)"
-                )
-            if transform not in (0, 1):
-                raise ValueError(f"unknown wavelet transform {transform}")
-            if scoc & 1:
-                cprecs = [
-                    (seg[off + 6 + i] & 0xF, seg[off + 6 + i] >> 4)
-                    for i in range(nlev + 1)
-                ]
-            else:
-                cprecs = [(15, 15)] * (nlev + 1)
-            coc[ci] = {
-                "levels": nlev, "cbx_exp": cbw, "cby_exp": cbh,
-                "precs": cprecs, "cbstyle": cbsty,
-                "irreversible": transform == 0,
-            }
+            ci, ov = _parse_coc(seg, siz["nc"] >= 257)
+            coc[ci] = ov
         elif m == 0x5D:  # QCC: per-component quantization override
             if siz is None:
                 raise ValueError("QCC before SIZ")
@@ -2009,24 +2104,36 @@ def decode_jpeg2000(blob: bytes):
             tp = pos + ln
             while blob[tp : tp + 2] != b"\xff\x93":
                 tm = blob[tp + 1]
-                if tm in (0x52, 0x53, 0x5C, 0x5D, 0x5E, 0x5F):
+                (tln,) = struct.unpack_from(">H", blob, tp + 2)
+                tseg = blob[tp + 4 : tp + 2 + tln]
+                if tm == 0x52:    # per-tile COD (T.800 A.6.1 precedence)
+                    tile_cod[isot] = _parse_cod(tseg)
+                elif tm == 0x53:  # per-tile COC
+                    ci, ov = _parse_coc(tseg, siz["nc"] >= 257)
+                    tile_coc.setdefault(isot, {})[ci] = ov
+                elif tm == 0x5C:  # per-tile QCD
+                    tile_qcd[isot] = _parse_quant(tseg)
+                elif tm == 0x5D:  # per-tile QCC
+                    wide = siz["nc"] >= 257
+                    ci = (struct.unpack_from(">H", tseg, 0)[0]
+                          if wide else tseg[0])
+                    tile_qcc.setdefault(isot, {})[ci] = _parse_quant(
+                        tseg[2 if wide else 1 :]
+                    )
+                elif tm in (0x5E, 0x5F):
                     raise NotImplementedError(
                         f"JPEG 2000 tile-part marker 0xFF{tm:02X} "
-                        "(per-tile coding/quantization override) is not "
-                        "supported"
+                        "(per-tile RGN/POC) is not supported — main-"
+                        "header RGN/POC decode natively"
                     )
-                if tm == 0x61:  # PPT: packed headers for this tile
-                    (tln,) = struct.unpack_from(">H", blob, tp + 2)
+                elif tm == 0x61:  # PPT: packed headers for this tile
                     ppt_segs.setdefault(isot, []).append(
                         (blob[tp + 4], blob[tp + 5 : tp + 2 + tln])
                     )
-                    tp += 2 + tln
-                    continue
-                if tm not in (0x58, 0x64):  # PLT / COM are ignorable
+                elif tm not in (0x58, 0x64):  # PLT / COM are ignorable
                     raise ValueError(
                         f"unexpected marker 0xFF{tm:02X} in tile-part header"
                     )
-                (tln,) = struct.unpack_from(">H", blob, tp + 2)
                 tp += 2 + tln
             start = tp + 2
             end = (sot_pos + psot) if psot else len(blob) - 2
@@ -2043,22 +2150,59 @@ def decode_jpeg2000(blob: bytes):
         raise NotImplementedError(
             f"JPEG 2000 precision {P} bits (> 32) is not supported"
         )
-    nlayers = cod["layers"]
-    # per-component effective coding/quantization parameters: COD/QCD
-    # defaults overridden by COC/QCC (T.800 A.6.2/A.6.5 precedence)
-    base_cod = {k: cod[k] for k in
-                ("levels", "cbx_exp", "cby_exp", "precs", "cbstyle",
-                 "irreversible")}
-    ccod = [dict(base_cod, **coc.get(ci, {})) for ci in range(nc)]
-    cqcd = [qcc.get(ci, qcd) for ci in range(nc)]
-    for ci in range(nc):
-        if cqcd[ci]["style"] == 0 and ccod[ci]["irreversible"]:
-            raise ValueError("reversible quantization with the 9/7 transform")
-        if cqcd[ci]["style"] != 0 and not ccod[ci]["irreversible"]:
-            raise ValueError(
-                "quantized quantization style with the reversible 5/3 "
-                "transform"
+    # per-component effective coding/quantization for a tile, honoring
+    # the T.800 precedence chain: tile COC > tile COD > main COC > main
+    # COD (and tile QCC > tile QCD > main QCC > main QCD) — markers
+    # REPLACE whole parameter sets, they do not field-merge
+    _COD_KEYS = ("levels", "cbx_exp", "cby_exp", "precs", "cbstyle",
+                 "irreversible")
+
+    def _tile_cfg(t: int):
+        tcod = tile_cod.get(t)
+        if tcod is not None and tcod["mct"] != cod["mct"]:
+            raise NotImplementedError(
+                "per-tile COD changes the MCT flag — mixed-MCT tiles "
+                "are not supported (color transform applies plane-wide)"
             )
+        tcoc = tile_coc.get(t, {})
+        tqcd_ = tile_qcd.get(t)
+        tqcc_ = tile_qcc.get(t, {})
+        cc = []
+        cq = []
+        for ci in range(nc):
+            if ci in tcoc:
+                src = tcoc[ci]
+            elif tcod is not None:
+                src = tcod
+            elif ci in coc:
+                src = coc[ci]
+            else:
+                src = cod
+            cc.append({k: src[k] for k in _COD_KEYS})
+            if ci in tqcc_:
+                cq.append(tqcc_[ci])
+            elif tqcd_ is not None:
+                cq.append(tqcd_)
+            elif ci in qcc:
+                cq.append(qcc[ci])
+            else:
+                cq.append(qcd)
+        for ci in range(nc):
+            if cq[ci]["style"] == 0 and cc[ci]["irreversible"]:
+                raise ValueError(
+                    "reversible quantization with the 9/7 transform"
+                )
+            if cq[ci]["style"] != 0 and not cc[ci]["irreversible"]:
+                raise ValueError(
+                    "quantized quantization style with the reversible 5/3 "
+                    "transform"
+                )
+        eff = tcod if tcod is not None else cod
+        cur = {k: eff[k] for k in ("layers", "prog", "sop", "eph")}
+        return cc, cq, cur
+
+    ccod, cqcd, cur = _tile_cfg(-1)  # main-header defaults
+    nlayers = cur["layers"]
     if ppm_segs and ppt_segs:
         raise ValueError("codestream carries both PPM and PPT (T.800 A.7.4)")
     # reassemble packed packet headers: PPM payloads concatenate in Zppm
@@ -2103,7 +2247,7 @@ def decode_jpeg2000(blob: bytes):
         streams under PPM/PPT. Contributions are accumulated per code
         block in ``state``; nothing is T1-decoded here (a block's
         codeword segments may span many layers)."""
-        if cod["sop"] and bs["data"][bs["pos"] : bs["pos"] + 2] == b"\xff\x91":
+        if cur["sop"] and bs["data"][bs["pos"] : bs["pos"] + 2] == b"\xff\x91":
             bs["pos"] += 6
         br = _HdrBitReader(hs["data"], hs["pos"])
         pend = []
@@ -2154,7 +2298,7 @@ def decode_jpeg2000(blob: bytes):
                             cnt = 0
                     st["passes"] = b
         hpos = br.align()
-        if cod["eph"] and hs["data"][hpos : hpos + 2] == b"\xff\x92":
+        if cur["eph"] and hs["data"][hpos : hpos + 2] == b"\xff\x92":
             hpos += 2
         hs["pos"] = hpos
         for st, ln_, term in pend:
@@ -2173,9 +2317,16 @@ def decode_jpeg2000(blob: bytes):
     # per-component image planes (origin = component image offset)
     porg = [(_ceil_div(xo, xr), _ceil_div(yo, yr)) for xr, yr in siz["sub"]]
     pend = [(_ceil_div(xs, xr), _ceil_div(ys, yr)) for xr, yr in siz["sub"]]
+    any_irr = [
+        ccod[i]["irreversible"]
+        or any(tc.get("irreversible") for tc in
+               [tile_cod.get(t, {}) for t in tileparts]
+               + [tile_coc.get(t, {}).get(i, {}) for t in tileparts])
+        for i in range(nc)
+    ]
     planes = [
         np.zeros((pend[i][1] - porg[i][1], pend[i][0] - porg[i][0]),
-                 dtype=np.float64 if ccod[i]["irreversible"] else np.int64)
+                 dtype=np.float64 if any_irr[i] else np.int64)
         for i in range(nc)
     ]
 
@@ -2189,6 +2340,8 @@ def decode_jpeg2000(blob: bytes):
         ty0, ty1 = max(yto + ty * yt, yo), min(yto + (ty + 1) * yt, ys)
         if tx0 >= tx1 or ty0 >= ty1:
             continue  # zero-area tile on the grid fringe
+        ccod, cqcd, cur = _tile_cfg(t)
+        nlayers = cur["layers"]
         comp_boxes = []
         comp_res_boxes = []
         for ci in range(nc):
@@ -2253,7 +2406,7 @@ def decode_jpeg2000(blob: bytes):
         # packet sequence: POC progression changes when present, else
         # the COD progression order
         max_r = max(ccod[ci]["levels"] for ci in range(nc)) + 1
-        if poc:
+        if poc:  # main-header POC applies stream-wide
             order = []
             seen = set()
             for rs, cs, lye, re_, ce, pp in poc:
@@ -2266,7 +2419,7 @@ def decode_jpeg2000(blob: bytes):
                         seen.add(key)
                         order.append(key)
         else:
-            order = _packet_order(cod["prog"], nlayers, max_r, nc, pcounts)
+            order = _packet_order(cur["prog"], nlayers, max_r, nc, pcounts)
 
         # header source: inline (default), or the packed PPM/PPT blob
         bs = {"data": data, "pos": 0}

@@ -197,3 +197,47 @@ def test_undercovering_poc_fails_loudly():
     bad = blob[:sot] + poc + blob[sot:]
     with pytest.raises(ValueError, match="POC"):
         decode_jpeg2000(bad)
+
+
+def test_per_tile_cod_qcd_overrides():
+    """Tile-part COD/QCD (r9 late): per-tile levels/cb/style/precinct
+    tuning — the Kakadu pattern; tile COD beats the main header per
+    T.800 precedence. Lossless across mixed tiles."""
+    img = _img(50, 66, 3, seed=20)
+    blob = encode_jpeg2000(
+        img, levels=3, cb_exp=5, tile_size=(32, 32),
+        per_tile={1: {"levels": 1, "cb_exp": 3},
+                  2: {"cb_style": CBSTY_BYPASS | CBSTY_SEGSYM,
+                      "precincts": (4, 4)}},
+    )
+    # the tile-part headers genuinely carry COD+QCD (>= because the
+    # byte pair can also appear inside entropy data by chance)
+    assert blob.count(b"\xff\x52") >= 3  # main + 2 tile overrides
+    np.testing.assert_array_equal(decode_jpeg2000(blob), img)
+    # 9/7 with per-tile levels (QCD exponent list length differs)
+    blob = encode_jpeg2000(img, levels=2, irreversible=True,
+                           tile_size=(32, 32), per_tile={0: {"levels": 1}})
+    out = decode_jpeg2000(blob)
+    assert float(np.abs(out.astype(int) - img.astype(int)).mean()) < 3
+    # layers + per-tile levels together
+    blob = encode_jpeg2000(img, levels=2, layers=3, tile_size=(32, 32),
+                           per_tile={3: {"levels": 0}})
+    np.testing.assert_array_equal(decode_jpeg2000(blob), img)
+    with pytest.raises(ValueError, match="per_tile"):
+        encode_jpeg2000(img, per_tile={0: {"levels": 1}},
+                        per_comp={0: {"levels": 1}})
+
+
+def test_per_tile_rgn_stays_gated():
+    import struct
+
+    img = _img(20, 20, seed=21)
+    blob = encode_jpeg2000(img, levels=1)
+    sot = blob.find(b"\xff\x90")
+    sod = blob.find(b"\xff\x93", sot)
+    (psot,) = struct.unpack_from(">I", blob, sot + 6)
+    trgn = b"\xff\x5e" + struct.pack(">HBBB", 5, 0, 0, 7)
+    bad = bytearray(blob[:sod] + trgn + blob[sod:])
+    struct.pack_into(">I", bad, sot + 6, psot + len(trgn))
+    with pytest.raises(NotImplementedError, match="FF5E"):
+        decode_jpeg2000(bytes(bad))
