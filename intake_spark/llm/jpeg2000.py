@@ -1105,15 +1105,26 @@ def _layer_cuts(npass: int, nlayers: int):
 
 
 def _packet_order(prog: int, nlayers: int, nres: int, nc: int, pcounts,
-                  r0: int = 0, c0: int = 0):
+                  r0: int = 0, c0: int = 0, geom=None):
     """Packet sequence (layer, res, comp, precinct) for a progression
     order (T.800 B.12). pcounts[(ci, r)] = numprecincts (missing keys,
     e.g. resolutions above a component's own level count under COC,
-    contribute no packets). LRCP/RLCP handle per-component precinct
-    grids; RPCL needs one shared grid; PCRL/CPRL collapse to
-    component-major with one precinct per resolution (multi-precinct
-    spatial orders are gated). ``r0``/``c0`` bound the ranges for POC
-    progression segments."""
+    contribute no packets). The positional orders RPCL/PCRL/CPRL
+    (B.12.1.3-5) iterate reference-grid positions and need ``geom``:
+
+    - ``tile``: (tx0, ty0, tx1, ty1) tile box on the reference grid
+      (clipped to the image region),
+    - ``sub``: per-component (XRsiz, YRsiz) subsampling,
+    - ``levels``: per-component decomposition level count,
+    - ``precs``: per-component per-resolution (PPx, PPy) exponents,
+    - ``pgeo``: {(ci, r): (p0x, p0y, npx, npy)} precinct grids.
+
+    A packet of (ci, r, precinct) is emitted at reference-grid position
+    (x, y) when x/y sit on the precinct's upper-left sample — i.e. are
+    multiples of the precinct's reference-grid span XRsiz*2^(PPx+N-r) —
+    or at the tile origin when the first precinct is grid-misaligned
+    (the trx0-parity term of B.12.1.3). ``r0``/``c0`` bound the ranges
+    for POC progression segments."""
     L, R = nlayers, nres
     rr = range(r0, R)
     cr = range(c0, nc)
@@ -1127,30 +1138,106 @@ def _packet_order(prog: int, nlayers: int, nres: int, nc: int, pcounts,
     if prog == 1:    # RLCP
         return [(l, r, ci, p) for r in rr for l in range(L)
                 for ci in cr for p in range(np_(ci, r))]
-    if prog == 2:    # RPCL
-        if any(np_(ci, r) != np_(c0, r) for ci in cr for r in rr):
-            raise NotImplementedError(
-                "RPCL progression with per-component precinct grids "
-                "(subsampled components + precincts) is not supported"
-            )
-        return [(l, r, ci, p) for r in rr
-                for p in range(np_(c0, r))
-                for ci in cr for l in range(L)]
-    if prog in (3, 4):  # PCRL / CPRL
-        if any(v > 1 for v in pcounts.values()):
-            raise NotImplementedError(
-                "PCRL/CPRL progression with precinct subdivision is "
-                "not supported (LRCP/RLCP/RPCL decode multi-precinct)"
-            )
-        return [(l, r, ci, 0) for ci in cr for r in rr
-                if np_(ci, r) for l in range(L)]
-    raise ValueError(f"invalid progression order {prog}")
+    if prog not in (2, 3, 4):
+        raise ValueError(f"invalid progression order {prog}")
+    if geom is None:
+        raise ValueError(
+            "RPCL/PCRL/CPRL packet ordering needs tile geometry"
+        )
+    tx0, ty0, tx1, ty1 = geom["tile"]
+    sub, levels = geom["sub"], geom["levels"]
+    precs, pgeo = geom["precs"], geom["pgeo"]
+
+    def pres(ci):
+        return range(r0, min(R, levels[ci] + 1))
+
+    def hit(ci, r, x, y):
+        """Precinct index if (x, y) opens a precinct of (ci, r) per
+        T.800 B.12.1.3, else None."""
+        n = levels[ci] - r
+        xr, yr = sub[ci]
+        ppx, ppy = precs[ci][r]
+        _p0x, _p0y, npx, npy = pgeo[(ci, r)]
+        if npx <= 0 or npy <= 0:
+            return None
+        trx0 = _ceil_div(_ceil_div(tx0, xr), 1 << n)
+        try0 = _ceil_div(_ceil_div(ty0, yr), 1 << n)
+        if not (y % (yr << (ppy + n)) == 0
+                or (y == ty0 and (try0 << n) % (1 << (ppy + n)))):
+            return None
+        if not (x % (xr << (ppx + n)) == 0
+                or (x == tx0 and (trx0 << n) % (1 << (ppx + n)))):
+            return None
+        prci = (_ceil_div(x, xr << n) >> ppx) - (trx0 >> ppx)
+        prcj = (_ceil_div(y, yr << n) >> ppy) - (try0 >> ppy)
+        if not (0 <= prci < npx and 0 <= prcj < npy):
+            return None
+        return prcj * npx + prci
+
+    def cands(pairs, axis):
+        """Sorted candidate positions along one axis: the tile origin
+        plus every precinct-span multiple of any participating
+        (component, resolution) — the only x/y where ``hit`` can fire,
+        so scanning them is equivalent to the spec's every-integer
+        position loop."""
+        lo = (tx0, ty0)[axis]
+        hi = (tx1, ty1)[axis]
+        s = {lo}
+        for ci, r in pairs:
+            n = levels[ci] - r
+            fac = sub[ci][axis]
+            pp = precs[ci][r][axis]
+            step = fac << (pp + n)
+            s.update(range(((lo + step - 1) // step) * step, hi, step))
+        return sorted(s)
+
+    out = []
+    if prog == 2:    # RPCL: resolution, position, component, layer
+        for r in rr:
+            pairs = [(ci, r) for ci in cr
+                     if r <= levels[ci] and np_(ci, r)]
+            if not pairs:
+                continue
+            for y in cands(pairs, 1):
+                for x in cands(pairs, 0):
+                    for ci, _r in pairs:
+                        p = hit(ci, r, x, y)
+                        if p is not None:
+                            out.extend((l, r, ci, p) for l in range(L))
+        return out
+    if prog == 3:    # PCRL: position, component, resolution, layer
+        pairs = [(ci, r) for ci in cr for r in pres(ci) if np_(ci, r)]
+        for y in cands(pairs, 1):
+            for x in cands(pairs, 0):
+                for ci in cr:
+                    for r in pres(ci):
+                        if not np_(ci, r):
+                            continue
+                        p = hit(ci, r, x, y)
+                        if p is not None:
+                            out.extend((l, r, ci, p) for l in range(L))
+        return out
+    # CPRL: component, position, resolution, layer
+    for ci in cr:
+        pairs = [(ci, r) for r in pres(ci) if np_(ci, r)]
+        if not pairs:
+            continue
+        for y in cands(pairs, 1):
+            for x in cands(pairs, 0):
+                for r in pres(ci):
+                    if not np_(ci, r):
+                        continue
+                    p = hit(ci, r, x, y)
+                    if p is not None:
+                        out.extend((l, r, ci, p) for l in range(L))
+    return out
 
 
 def _encode_tile_packets(comp_bands, comp_boxes, levels, nc: int,
                          cb_exp, precs, nlayers: int, cb_style,
                          mb_of, packed: bool, sop: bool, eph: bool,
-                         prog: int = 0, poc=None):
+                         prog: int = 0, poc=None,
+                         tile_box=None, comp_sub=None):
     """Tier-2 encode of one tile: T1-code every code block once, then
     emit layer/resolution/component/precinct packets (T.800 B.10).
 
@@ -1235,13 +1322,18 @@ def _encode_tile_packets(comp_bands, comp_boxes, levels, nc: int,
         for ci in range(nc) for r in range(levels[ci] + 1)
     }
     max_r = max(levels) + 1
+    geom = None
+    if tile_box is not None:
+        geom = {"tile": tile_box,
+                "sub": comp_sub if comp_sub is not None else [(1, 1)] * nc,
+                "levels": levels, "precs": precs, "pgeo": pgeo}
     if poc:
         order = []
         seen = set()
         for rs, cs, lye, re_, ce, pp in poc:
             for key in _packet_order(pp, min(lye, nlayers),
                                      min(re_, max_r), min(ce, nc),
-                                     pcounts, r0=rs, c0=cs):
+                                     pcounts, r0=rs, c0=cs, geom=geom):
                 if key not in seen:
                     seen.add(key)
                     order.append(key)
@@ -1252,7 +1344,7 @@ def _encode_tile_packets(comp_bands, comp_boxes, levels, nc: int,
                 "codestream — a conformant decoder would starve"
             )
     else:
-        order = _packet_order(prog, nlayers, max_r, nc, pcounts)
+        order = _packet_order(prog, nlayers, max_r, nc, pcounts, geom=geom)
     hdrs = bytearray()
     body = bytearray()
     nsop = 0
@@ -1832,6 +1924,7 @@ def encode_jpeg2000(img, levels: int = 3, cb_exp: int = 6,
                 t_prc, layers, t_sty,
                 lambda ci, r, o, _e=t_eps: guard_bits + _e[(ci, r, o)] - 1,
                 packed_headers is not None, sop, eph, prog_i, poc_i,
+                tile_box=(tx0, ty0, tx1, ty1), comp_sub=sub,
             )
         )
 
@@ -2358,6 +2451,7 @@ def decode_jpeg2000(blob: bytes):
         pband = {}        # (ci, r, p)  -> [(bi, orient, bandbox, mb,
                           #                 blocks, ncx, ncy)]
         pcounts = {}      # (ci, r)     -> numprecincts
+        pgeo = {}         # (ci, r)     -> (p0x, p0y, npx, npy)
         for ci in range(nc):
             lev = ccod[ci]["levels"]
             cprecs = ccod[ci]["precs"]
@@ -2373,6 +2467,7 @@ def decode_jpeg2000(blob: bytes):
                 ppx, ppy = cprecs[r]
                 p0x, p0y, npx, npy = _precinct_grid(rboxes[r], ppx, ppy)
                 pcounts[(ci, r)] = npx * npy
+                pgeo[(ci, r)] = (p0x, p0y, npx, npy)
                 cbx = 1 << min(ccod[ci]["cbx_exp"],
                                ppx if r == 0 else ppx - 1)
                 cby = 1 << min(ccod[ci]["cby_exp"],
@@ -2406,20 +2501,27 @@ def decode_jpeg2000(blob: bytes):
         # packet sequence: POC progression changes when present, else
         # the COD progression order
         max_r = max(ccod[ci]["levels"] for ci in range(nc)) + 1
+        geom = {
+            "tile": (tx0, ty0, tx1, ty1), "sub": siz["sub"],
+            "levels": [ccod[ci]["levels"] for ci in range(nc)],
+            "precs": [ccod[ci]["precs"] for ci in range(nc)],
+            "pgeo": pgeo,
+        }
         if poc:  # main-header POC applies stream-wide
             order = []
             seen = set()
             for rs, cs, lye, re_, ce, pp in poc:
-                sub = _packet_order(
+                sub_ord = _packet_order(
                     pp, min(lye, nlayers), min(re_, max_r), min(ce, nc),
-                    pcounts, r0=rs, c0=cs,
+                    pcounts, r0=rs, c0=cs, geom=geom,
                 )
-                for key in sub:
+                for key in sub_ord:
                     if key not in seen:
                         seen.add(key)
                         order.append(key)
         else:
-            order = _packet_order(cur["prog"], nlayers, max_r, nc, pcounts)
+            order = _packet_order(cur["prog"], nlayers, max_r, nc, pcounts,
+                                  geom=geom)
 
         # header source: inline (default), or the packed PPM/PPT blob
         bs = {"data": data, "pos": 0}

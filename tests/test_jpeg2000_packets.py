@@ -272,11 +272,125 @@ def test_option_surface_fuzz():
         )
         if rnd.random() < 0.5:
             kw["precincts"] = (rnd.randint(2, 8), rnd.randint(2, 8))
-            if kw["prog"] in ("pcrl", "cprl"):
-                kw["prog"] = "lrcp"
         if rnd.random() < 0.3:
             kw["tile_size"] = (rnd.randint(8, 64), rnd.randint(8, 64))
         if rnd.random() < 0.3:
             kw["packed_headers"] = rnd.choice(["ppm", "ppt"])
         blob = encode_jpeg2000(img, **kw)
         np.testing.assert_array_equal(decode_jpeg2000(blob), img)
+
+
+# ---------------------------------------------------------------------------
+# positional progression orders (T.800 B.12.1.3-5) — r9 closes the
+# per-component-grid RPCL and multi-precinct PCRL/CPRL gates
+# ---------------------------------------------------------------------------
+
+def _pos_geom():
+    """Hand-built geometry for the worked example below: 8x8 tile at
+    the origin, comp0 full-res, comp1 subsampled (2,2), one DWT level,
+    precinct exponents (2,2) at every resolution."""
+    from intake_spark.llm.jpeg2000 import _precinct_grid, _res_boxes
+
+    sub = [(1, 1), (2, 2)]
+    levels = [1, 1]
+    precs = [[(2, 2), (2, 2)], [(2, 2), (2, 2)]]
+    pgeo = {}
+    for ci, box in enumerate([(0, 0, 8, 8), (0, 0, 4, 4)]):
+        rb = _res_boxes(box, levels[ci])
+        for r in range(levels[ci] + 1):
+            pgeo[(ci, r)] = _precinct_grid(rb[r], *precs[ci][r])
+    return {"tile": (0, 0, 8, 8), "sub": sub, "levels": levels,
+            "precs": precs, "pgeo": pgeo}
+
+
+def test_positional_order_matches_hand_derivation():
+    """The packet sequences below were derived BY HAND from the T.800
+    B.12.1.3-5 position rules (precinct spans: comp0 r0=8, r1=4 with 4
+    precincts; comp1 r0=16, r1=8 with 1 precinct each), independently
+    of the implementation."""
+    from intake_spark.llm.jpeg2000 import _packet_order
+
+    geom = _pos_geom()
+    pc = {k: v[2] * v[3] for k, v in geom["pgeo"].items()}
+    assert pc == {(0, 0): 1, (0, 1): 4, (1, 0): 1, (1, 1): 1}
+    rpcl = _packet_order(2, 1, 2, 2, pc, geom=geom)
+    assert rpcl == [(0, 0, 0, 0), (0, 0, 1, 0), (0, 1, 0, 0),
+                    (0, 1, 1, 0), (0, 1, 0, 1), (0, 1, 0, 2),
+                    (0, 1, 0, 3)]
+    pcrl = _packet_order(3, 1, 2, 2, pc, geom=geom)
+    assert pcrl == [(0, 0, 0, 0), (0, 1, 0, 0), (0, 0, 1, 0),
+                    (0, 1, 1, 0), (0, 1, 0, 1), (0, 1, 0, 2),
+                    (0, 1, 0, 3)]
+    cprl = _packet_order(4, 1, 2, 2, pc, geom=geom)
+    assert cprl == [(0, 0, 0, 0), (0, 1, 0, 0), (0, 1, 0, 1),
+                    (0, 1, 0, 2), (0, 1, 0, 3), (0, 0, 1, 0),
+                    (0, 1, 1, 0)]
+
+
+def test_positional_orders_are_permutations_of_lrcp():
+    """Every positional order emits exactly the LRCP packet SET — the
+    progression permutes, never drops or duplicates."""
+    from intake_spark.llm.jpeg2000 import _packet_order
+
+    geom = _pos_geom()
+    pc = {k: v[2] * v[3] for k, v in geom["pgeo"].items()}
+    base = _packet_order(0, 3, 2, 2, pc)
+    for prog in (2, 3, 4):
+        got = _packet_order(prog, 3, 2, 2, pc, geom=geom)
+        assert len(got) == len(base)
+        assert set(got) == set(base)
+
+
+def test_rpcl_per_component_precinct_grids_roundtrip():
+    """The exact combination the r8 gate named: RPCL + subsampled
+    components + precinct subdivision."""
+    img = _img(40, 56, 3, seed=41)
+    h, w = img.shape[:2]
+    planes = [img[:, :, 0], img[: (h + 1) // 2, : (w + 1) // 2, 1],
+              img[: (h + 1) // 2, : (w + 1) // 2, 2]]
+    blob = encode_jpeg2000(planes, subsampling=[(1, 1), (2, 2), (2, 2)],
+                           prog="rpcl", layers=2, precincts=(4, 4),
+                           cb_exp=3)
+    out = decode_jpeg2000(blob)
+    np.testing.assert_array_equal(out[:, :, 0], img[:, :, 0])
+
+
+def test_pcrl_cprl_multi_precinct_roundtrip():
+    img = _img(52, 44, 3, seed=42)
+    for prog in ("pcrl", "cprl"):
+        blob = encode_jpeg2000(img, prog=prog, layers=3,
+                               precincts=(4, 3), cb_exp=3)
+        np.testing.assert_array_equal(decode_jpeg2000(blob), img)
+
+
+def test_positional_orders_with_grid_offset():
+    """A non-zero XOsiz/YOsiz misaligns trx0 from the precinct grid —
+    the B.12.1.3 tile-origin parity term must fire or the first
+    precinct's packets are never emitted."""
+    img = _img(33, 47, seed=43)
+    for prog in ("rpcl", "pcrl", "cprl"):
+        blob = encode_jpeg2000(img, prog=prog, grid_offset=(5, 3),
+                               precincts=(4, 4), cb_exp=3, layers=2)
+        np.testing.assert_array_equal(decode_jpeg2000(blob), img)
+
+
+def test_positional_orders_multi_tile():
+    img = _img(50, 66, 3, seed=44)
+    for prog in ("rpcl", "pcrl", "cprl"):
+        blob = encode_jpeg2000(img, prog=prog, tile_size=(32, 28),
+                               precincts=(3, 4), cb_exp=3)
+        np.testing.assert_array_equal(decode_jpeg2000(blob), img)
+
+
+def test_poc_positional_segments_with_precincts():
+    """POC whose segments use positional progressions over a
+    precinct-subdivided, subsampled codestream."""
+    img = _img(40, 48, 3, seed=45)
+    h, w = img.shape[:2]
+    planes = [img[:, :, 0], img[: (h + 1) // 2, : (w + 1) // 2, 1],
+              img[: (h + 1) // 2, : (w + 1) // 2, 2]]
+    poc = [(0, 0, 2, 1, 3, "cprl"), (0, 0, 2, 4, 3, "rpcl")]
+    blob = encode_jpeg2000(planes, subsampling=[(1, 1), (2, 2), (2, 2)],
+                           layers=2, precincts=(4, 4), cb_exp=3, poc=poc)
+    out = decode_jpeg2000(blob)
+    np.testing.assert_array_equal(out[:, :, 0], img[:, :, 0])
