@@ -1437,7 +1437,9 @@ def encode_jpeg2000(img, levels: int = 3, cb_exp: int = 6,
                     per_comp: "dict[int, dict] | None" = None,
                     rgn: "dict[int, int] | None" = None,
                     poc=None,
-                    per_tile: "dict[int, dict] | None" = None) -> bytes:
+                    per_tile: "dict[int, dict] | None" = None,
+                    rgn_tiles: "dict[int, dict[int, int]] | None" = None,
+                    poc_tiles: "dict[int, list] | None" = None) -> bytes:
     """Encode a 2-D (grayscale), HxWx3 (RGB), or plane-list array as a
     JPEG 2000 codestream (LRCP progression).
 
@@ -1485,6 +1487,14 @@ def encode_jpeg2000(img, levels: int = 3, cb_exp: int = 6,
       segments (T.800 precedence: tile COD beats the main header) —
       the per-tile tuning Kakadu emits. Mutually exclusive with
       ``per_comp``/``rgn`` here.
+    - ``rgn_tiles={t: {ci: shift}}``: per-TILE implicit-MAXSHIFT ROI,
+      emitted as RGN + QCC segments in tile ``t``'s tile-part header —
+      overrides the main-header ``rgn`` for that component in that
+      tile (T.800 A.6.3 precedence).
+    - ``poc_tiles={t: [(rs, cs, lye, re, ce, prog), ...]}``:
+      progression-order changes for one tile, emitted as a tile-part
+      POC segment that replaces the main-header ``poc`` for that tile
+      (T.800 A.6.6 precedence).
 
     Interop caveat: length-1 9/7 subband signals skip the K/1/K scaling
     (identity for even-parity, x2 for odd-parity single samples —
@@ -1661,14 +1671,29 @@ def encode_jpeg2000(img, levels: int = 3, cb_exp: int = 6,
             f"subband exponent out of the 5-bit QCD range: {sorted(set(eps_by.values()))} "
             f"(precision {P} / quant_shift {quant_shift} unsupported here)"
         )
-    poc_i = None
-    if poc:
-        pmap = {"lrcp": 0, "rlcp": 1, "rpcl": 2, "pcrl": 3, "cprl": 4}
-        poc_i = [
+    pmap = {"lrcp": 0, "rlcp": 1, "rpcl": 2, "pcrl": 3, "cprl": 4}
+
+    def _poc_ints(segs):
+        return [
             (rs, cs, lye, re_, ce,
              pmap[str(pp).lower()] if isinstance(pp, str) else int(pp))
-            for rs, cs, lye, re_, ce, pp in poc
+            for rs, cs, lye, re_, ce, pp in segs
         ]
+
+    poc_i = _poc_ints(poc) if poc else None
+    rgn_tiles = {t_: dict(v) for t_, v in (rgn_tiles or {}).items()}
+    poc_tiles_i = {t_: _poc_ints(v) for t_, v in (poc_tiles or {}).items()}
+    for t_, shifts in rgn_tiles.items():
+        for ci, s_ in shifts.items():
+            if not 0 <= ci < nc:
+                raise ValueError(f"rgn_tiles component {ci} out of range")
+            if irr_c[ci]:
+                raise ValueError(
+                    "rgn_tiles (implicit ROI) is supported on 5/3 "
+                    "components only here"
+                )
+            if not 1 <= s_ <= 31:
+                raise ValueError("rgn_tiles shift must be in 1..31")
 
     xo, yo = grid_offset if grid_offset else (0, 0)
     if xo < 0 or yo < 0:
@@ -1790,7 +1815,7 @@ def encode_jpeg2000(img, levels: int = 3, cb_exp: int = 6,
             t_lev, t_cbe, t_sty = lev_c, cbe_c, sty_c
             t_eps, t_delta = eps_by, delta_by
             t_prc = [pc[0] for pc in prc_c]
-            tile_marks.append(b"")
+            mk = bytearray()
         else:
             lv_t = max(0, min(ov_t.get("levels", levels),
                               max((min(H, W) - 1).bit_length() - 1, 0)))
@@ -1851,7 +1876,37 @@ def encode_jpeg2000(img, levels: int = 3, cb_exp: int = 6,
                     for r, o in border_t
                 )
             mk += b"\xff\x5c" + struct.pack(">H", 2 + len(qb)) + qb
-            tile_marks.append(bytes(mk))
+        # per-tile ROI: bump the affected components' exponents, emit
+        # QCC (the extra bitplanes) + RGN into this tile-part header
+        rgn_t = {**rgn, **rgn_tiles.get(t, {})}
+        if t in rgn_tiles:
+            t_eps = dict(t_eps)
+            pq_t = P + (1 if mct else 0)
+            for ci, s_ in sorted(rgn_tiles[t].items()):
+                bord = [(0, 0)] + [(r, o)
+                                   for r in range(1, t_lev[ci] + 1)
+                                   for o in (1, 2, 3)]
+                for r, o in bord:
+                    t_eps[(ci, r, o)] = pq_t + _GAIN[o] + s_
+                if any(t_eps[(ci, r, o)] >= 32 for r, o in bord):
+                    raise ValueError(
+                        "rgn_tiles shift pushes a subband exponent past "
+                        "the 5-bit QCD range"
+                    )
+                qb_ = bytes([guard_bits << 5]) + bytes(
+                    t_eps[(ci, r, o)] << 3 for r, o in bord
+                )
+                mk += b"\xff\x5d" + struct.pack(">HB", 3 + len(qb_), ci)
+                mk += qb_
+                mk += b"\xff\x5e" + struct.pack(">HBBB", 5, ci, 0, s_)
+        t_poc = poc_tiles_i.get(t, poc_i)
+        if t in poc_tiles_i:
+            body = b"".join(
+                struct.pack(">BBHBBB", rs, cs, lye, re_, ce, pp)
+                for rs, cs, lye, re_, ce, pp in poc_tiles_i[t]
+            )
+            mk += b"\xff\x5f" + struct.pack(">H", 2 + len(body)) + body
+        tile_marks.append(bytes(mk))
         comp_boxes = []
         comp_bands = []
         for ci in range(nc):
@@ -1890,12 +1945,12 @@ def encode_jpeg2000(img, levels: int = 3, cb_exp: int = 6,
                     ]
                     for r, res in enumerate(per_res)
                 ]
-            if ci in rgn:
+            if ci in rgn_t:
                 # implicit MAXSHIFT ROI: the top-left quadrant of every
                 # band is region-of-interest — up-shift it and verify
                 # the background stays below 2^shift so the decoder's
                 # magnitude test classifies correctly
-                s_ = rgn[ci]
+                s_ = rgn_t[ci]
                 shifted_res = []
                 for res in per_res:
                     row = []
@@ -1923,7 +1978,7 @@ def encode_jpeg2000(img, levels: int = 3, cb_exp: int = 6,
                 comp_bands, comp_boxes, t_lev, nc, t_cbe,
                 t_prc, layers, t_sty,
                 lambda ci, r, o, _e=t_eps: guard_bits + _e[(ci, r, o)] - 1,
-                packed_headers is not None, sop, eph, prog_i, poc_i,
+                packed_headers is not None, sop, eph, prog_i, t_poc,
                 tile_box=(tx0, ty0, tx1, ty1), comp_sub=sub,
             )
         )
@@ -2040,6 +2095,29 @@ def _parse_coc(seg: bytes, wide: bool):
     }
 
 
+def _parse_poc(seg: bytes, wide: bool) -> list:
+    """POC body (T.800 A.6.6) → [(rs, cs, lye, re, ce, prog), ...]."""
+    step = 9 if wide else 7
+    poc = []
+    for k in range(len(seg) // step):
+        o = k * step
+        rs = seg[o]
+        if wide:
+            cs = struct.unpack_from(">H", seg, o + 1)[0]
+            lye = struct.unpack_from(">H", seg, o + 3)[0]
+            re_ = seg[o + 5]
+            ce = struct.unpack_from(">H", seg, o + 6)[0]
+            pp = seg[o + 8]
+        else:
+            cs = seg[o + 1]
+            lye = struct.unpack_from(">H", seg, o + 2)[0]
+            re_ = seg[o + 4]
+            ce = seg[o + 5]
+            pp = seg[o + 6]
+        poc.append((rs, cs, lye, re_, ce, pp))
+    return poc
+
+
 def _parse_quant(seg: bytes) -> dict:
     """QCD/QCC body (T.800 E.1): Sq byte + style-dependent values."""
     sq = seg[0]
@@ -2101,6 +2179,8 @@ def decode_jpeg2000(blob: bytes):
     tile_coc: dict[int, dict] = {}
     tile_qcd: dict[int, dict] = {}
     tile_qcc: dict[int, dict] = {}
+    tile_rgn: dict[int, dict] = {}
+    tile_poc: dict[int, list] = {}
     while pos + 4 <= len(blob):
         if blob[pos] != 0xFF:
             raise ValueError(f"expected marker at {pos}")
@@ -2168,26 +2248,7 @@ def decode_jpeg2000(blob: bytes):
         elif m == 0x5F:  # POC: progression order changes
             if siz is None:
                 raise ValueError("POC before SIZ")
-            wide = siz["nc"] >= 257
-            step = 9 if wide else 7
-            npoc = (ln - 2) // step
-            poc = []
-            for k in range(npoc):
-                o = k * step
-                rs = seg[o]
-                if wide:
-                    cs = struct.unpack_from(">H", seg, o + 1)[0]
-                    lye = struct.unpack_from(">H", seg, o + 3)[0]
-                    re_ = seg[o + 5]
-                    ce = struct.unpack_from(">H", seg, o + 6)[0]
-                    pp = seg[o + 8]
-                else:
-                    cs = seg[o + 1]
-                    lye = struct.unpack_from(">H", seg, o + 2)[0]
-                    re_ = seg[o + 4]
-                    ce = seg[o + 5]
-                    pp = seg[o + 6]
-                poc.append((rs, cs, lye, re_, ce, pp))
+            poc = _parse_poc(seg, siz["nc"] >= 257)
         elif m == 0x90:  # SOT: collect this tile-part, keep walking
             isot, psot, tpsot, tnsot = struct.unpack_from(">HIBB", seg, 0)
             sot_pos = pos - 2
@@ -2213,12 +2274,21 @@ def decode_jpeg2000(blob: bytes):
                     tile_qcc.setdefault(isot, {})[ci] = _parse_quant(
                         tseg[2 if wide else 1 :]
                     )
-                elif tm in (0x5E, 0x5F):
-                    raise NotImplementedError(
-                        f"JPEG 2000 tile-part marker 0xFF{tm:02X} "
-                        "(per-tile RGN/POC) is not supported — main-"
-                        "header RGN/POC decode natively"
-                    )
+                elif tm == 0x5E:  # per-tile RGN (T.800 A.6.3: overrides
+                    wide = siz["nc"] >= 257   # main RGN for this comp)
+                    ci = (struct.unpack_from(">H", tseg, 0)[0]
+                          if wide else tseg[0])
+                    so = 2 if wide else 1
+                    if tseg[so] != 0:
+                        raise NotImplementedError(
+                            f"RGN style {tseg[so]} (only implicit "
+                            "MAXSHIFT, Srgn=0, is supported)"
+                        )
+                    tile_rgn.setdefault(isot, {})[ci] = tseg[so + 1]
+                elif tm == 0x5F:  # per-tile POC (T.800 A.6.6: replaces
+                    tile_poc.setdefault(isot, []).extend(  # main POC
+                        _parse_poc(tseg, siz["nc"] >= 257)  # for this
+                    )                                       # tile
                 elif tm == 0x61:  # PPT: packed headers for this tile
                     ppt_segs.setdefault(isot, []).append(
                         (blob[tp + 4], blob[tp + 5 : tp + 2 + tln])
@@ -2435,6 +2505,10 @@ def decode_jpeg2000(blob: bytes):
             continue  # zero-area tile on the grid fringe
         ccod, cqcd, cur = _tile_cfg(t)
         nlayers = cur["layers"]
+        # T.800 A.6.3 precedence: a tile-part RGN overrides the main-
+        # header RGN for that component in this tile; other components
+        # keep the main-header shift
+        eff_rgn = {**rgn, **tile_rgn.get(t, {})}
         comp_boxes = []
         comp_res_boxes = []
         for ci in range(nc):
@@ -2507,10 +2581,13 @@ def decode_jpeg2000(blob: bytes):
             "precs": [ccod[ci]["precs"] for ci in range(nc)],
             "pgeo": pgeo,
         }
-        if poc:  # main-header POC applies stream-wide
+        # T.800 A.6.6 precedence: a POC in this tile's tile-part
+        # headers replaces the main-header POC for the tile
+        eff_poc = tile_poc.get(t, poc)
+        if eff_poc:
             order = []
             seen = set()
-            for rs, cs, lye, re_, ce, pp in poc:
+            for rs, cs, lye, re_, ce, pp in eff_poc:
                 sub_ord = _packet_order(
                     pp, min(lye, nlayers), min(re_, max_r), min(ce, nc),
                     pcounts, r0=rs, c0=cs, geom=geom,
@@ -2579,11 +2656,11 @@ def decode_jpeg2000(blob: bytes):
                     bx0, by0 = bandbox[0], bandbox[1]
                     sub = arr[ay0 - by0 : ay1 - by0, ax0 - bx0 : ax1 - bx0]
                     vals = np.array(mags, dtype=np.int64).reshape(sh, sw)
-                    if ci in rgn:
+                    if ci in eff_rgn:
                         # implicit MAXSHIFT ROI (T.800 H): magnitudes at
                         # or above 2^s are region-of-interest samples
                         # that the encoder up-shifted; scale them back
-                        s_ = rgn[ci]
+                        s_ = eff_rgn[ci]
                         vals = np.where(vals >= (1 << s_), vals >> s_, vals)
                     sgn = np.array(signs, dtype=np.int64).reshape(sh, sw)
                     sub[:, :] = np.where(sgn == 1, -vals, vals)

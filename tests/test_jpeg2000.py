@@ -220,14 +220,14 @@ def test_jpeg2000_review_findings(monkeypatch):
     struct.pack_into(">I", spliced, sot + 6, psot + len(plt) + len(com))
     np.testing.assert_array_equal(decode_jpeg2000(bytes(spliced)), img)
 
-    # RGN in the tile-part header is the one still-gated per-tile
-    # override -> named gate (tile COD/COC/QCD/QCC decode natively
-    # since round 9 — see test_jpeg2000_coc_qcc); an INCONSISTENT
-    # spliced tile QCC fails loudly via the leftover-data guard
-    trgn = b"\xff\x5e" + struct.pack(">HBBB", 5, 0, 0, 7)
+    # per-tile RGN decodes natively since r9 (positive-path coverage in
+    # test_jpeg2000_tile_rgn_poc) but a non-MAXSHIFT style stays a
+    # named gate; an INCONSISTENT spliced tile QCC fails loudly via
+    # the leftover-data guard
+    trgn = b"\xff\x5e" + struct.pack(">HBBB", 5, 0, 2, 7)  # Srgn=2
     bad = bytearray(blob[:sod] + trgn + blob[sod:])
     struct.pack_into(">I", bad, sot + 6, psot + len(trgn))
-    with pytest.raises(NotImplementedError, match="FF5E"):
+    with pytest.raises(NotImplementedError, match="RGN style"):
         decode_jpeg2000(bytes(bad))
     qcc = b"\xff\x5d" + struct.pack(">HBB", 4 + 1, 0, 0x40) + b"\x10"
     bad = bytearray(blob[:sod] + qcc + blob[sod:])

@@ -228,16 +228,20 @@ def test_per_tile_cod_qcd_overrides():
                         per_comp={0: {"levels": 1}})
 
 
-def test_per_tile_rgn_stays_gated():
+def test_per_tile_rgn_decodes_and_nonzero_srgn_stays_gated():
+    """Per-tile RGN decodes natively since late r9; a tile-part RGN
+    with a non-MAXSHIFT style is still the named gate."""
     import struct
 
     img = _img(20, 20, seed=21)
-    blob = encode_jpeg2000(img, levels=1)
-    sot = blob.find(b"\xff\x90")
-    sod = blob.find(b"\xff\x93", sot)
-    (psot,) = struct.unpack_from(">I", blob, sot + 6)
-    trgn = b"\xff\x5e" + struct.pack(">HBBB", 5, 0, 0, 7)
-    bad = bytearray(blob[:sod] + trgn + blob[sod:])
+    blob = encode_jpeg2000(img, levels=1, rgn_tiles={0: {0: 14}})
+    np.testing.assert_array_equal(decode_jpeg2000(blob), img)
+    plain = encode_jpeg2000(img, levels=1)
+    sot = plain.find(b"\xff\x90")
+    sod = plain.find(b"\xff\x93", sot)
+    (psot,) = struct.unpack_from(">I", plain, sot + 6)
+    trgn = b"\xff\x5e" + struct.pack(">HBBB", 5, 0, 3, 7)  # Srgn=3
+    bad = bytearray(plain[:sod] + trgn + plain[sod:])
     struct.pack_into(">I", bad, sot + 6, psot + len(trgn))
-    with pytest.raises(NotImplementedError, match="FF5E"):
+    with pytest.raises(NotImplementedError, match="RGN style"):
         decode_jpeg2000(bytes(bad))

@@ -394,3 +394,48 @@ def test_poc_positional_segments_with_precincts():
                            layers=2, precincts=(4, 4), cb_exp=3, poc=poc)
     out = decode_jpeg2000(blob)
     np.testing.assert_array_equal(out[:, :, 0], img[:, :, 0])
+
+
+def test_jpeg2000_tile_rgn_poc():
+    """Per-tile RGN and POC (T.800 A.6.3/A.6.6 tile-part-header
+    precedence) decode natively: lossless round-trips only succeed if
+    the decoder applies each tile's own override, not the main
+    header's."""
+    img = _img(40, 60, seed=51)
+
+    # tile 1 carries an ROI the main header knows nothing about
+    blob = encode_jpeg2000(img, tile_size=(32, 40), levels=1,
+                           rgn_tiles={1: {0: 14}})
+    assert b"\xff\x5e" in blob[blob.find(b"\xff\x90"):]
+    np.testing.assert_array_equal(decode_jpeg2000(blob), img)
+
+    # main-header RGN shift 14, tile 1 overrides with 17: a decoder
+    # that applied the main shift to tile 1 (or the tile shift to
+    # tile 0) would mis-scale magnitudes and fail the exact compare
+    blob = encode_jpeg2000(img, tile_size=(32, 40), levels=1,
+                           rgn={0: 14}, rgn_tiles={1: {0: 17}})
+    np.testing.assert_array_equal(decode_jpeg2000(blob), img)
+
+    # tile-part POC replaces the main-header POC for that tile only
+    img3 = _img(36, 52, 3, seed=52)
+    tpoc = [(0, 0, 2, 1, 3, "cprl"), (0, 0, 2, 4, 3, "rlcp")]
+    blob = encode_jpeg2000(img3, tile_size=(28, 36), layers=2,
+                           poc_tiles={1: tpoc})
+    np.testing.assert_array_equal(decode_jpeg2000(blob), img3)
+    blob = encode_jpeg2000(img3, tile_size=(28, 36), layers=2,
+                           poc=[(0, 0, 2, 4, 3, "rpcl")],
+                           poc_tiles={0: tpoc})
+    np.testing.assert_array_equal(decode_jpeg2000(blob), img3)
+
+    # per-tile ROI composes with per-tile COD/QCD overrides
+    blob = encode_jpeg2000(img, tile_size=(32, 40), levels=2,
+                           per_tile={1: {"levels": 1, "cb_exp": 4}},
+                           rgn_tiles={1: {0: 14}})
+    np.testing.assert_array_equal(decode_jpeg2000(blob), img)
+
+    # guards: 9/7 components and out-of-range shifts are refused
+    with pytest.raises(ValueError, match="5/3"):
+        encode_jpeg2000(img, tile_size=(32, 40), irreversible=True,
+                        rgn_tiles={0: {0: 4}})
+    with pytest.raises(ValueError, match="1..31"):
+        encode_jpeg2000(img, tile_size=(32, 40), rgn_tiles={0: {0: 0}})
