@@ -1425,6 +1425,7 @@ def encode_jpeg2000(img, levels: int = 3, cb_exp: int = 6,
                     mct: "bool | None" = None, irreversible: bool = False,
                     tile_size: "tuple[int, int] | None" = None,
                     subsampling: "list[tuple[int, int]] | None" = None,
+                    precisions: "list[int] | None" = None,
                     quant_shift: int = 0,
                     qcd_style: str = "expounded",
                     grid_offset: "tuple[int, int] | None" = None,
@@ -1458,6 +1459,10 @@ def encode_jpeg2000(img, levels: int = 3, cb_exp: int = 6,
     - ``grid_offset=(xo, yo)``: place the image at a non-zero reference
       grid origin (SIZ XOsiz/YOsiz) — odd offsets flip the DWT
       interleave parity, which real encoders exercise.
+    - ``precisions=[P0, P1, ...]``: per-component Ssiz bit depths
+      (mixed-depth images, e.g. 12-bit samples with a low-depth mask
+      plane); components whose precision differs from component 0 get
+      a QCC carrying their own subband exponents.
     - ``layers=L``: multiple quality layers — each code block's passes
       are split evenly across the L layers with truncation lengths at
       the T.800 B.10.7 signalled points (OpenJPEG/Kakadu emit
@@ -1533,7 +1538,28 @@ def encode_jpeg2000(img, levels: int = 3, cb_exp: int = 6,
                 f"component shape {c.shape} does not match its subsampling "
                 f"({xr}, {yr}) for a {W}x{H} grid"
             )
-    if signed:
+    if precisions is not None:
+        P_c = [int(p_) for p_ in precisions]
+        if len(P_c) != nc:
+            raise ValueError("precisions list length != component count")
+        for ci, (p_, c) in enumerate(zip(P_c, comps)):
+            if not (2 if signed else 1) <= p_ <= 32:
+                raise ValueError(
+                    f"component {ci}: precision {p_} out of range"
+                )
+            if not c.size:
+                continue
+            lo, hi = ((-(1 << (p_ - 1)), (1 << (p_ - 1)) - 1)
+                      if signed else (0, (1 << p_) - 1))
+            if int(c.min()) < lo or int(c.max()) > hi:
+                raise ValueError(
+                    f"component {ci} values exceed its declared "
+                    f"{p_}-bit precision"
+                )
+        shifted = (list(comps) if signed
+                   else [c - (1 << (p_ - 1))
+                         for p_, c in zip(P_c, comps)])
+    elif signed:
         P = max(
             max(
                 (int(c.max()) if c.size else 0).bit_length() + 1,
@@ -1541,17 +1567,26 @@ def encode_jpeg2000(img, levels: int = 3, cb_exp: int = 6,
             )
             for c in comps
         )
-        P = max(P, 2)
+        P_c = [max(P, 2)] * nc
         shifted = comps
     else:
         P = max(
             max(1, int(c.max()).bit_length()) if c.size else 8 for c in comps
         )
+        P_c = [P] * nc
         shifted = [c - (1 << (P - 1)) for c in comps]
+    P = max(P_c)
     if mct is None:
-        mct = nc == 3 and not signed and all(s == (1, 1) for s in sub[:3])
+        mct = (nc == 3 and not signed
+               and all(s == (1, 1) for s in sub[:3])
+               and len(set(P_c[:3])) == 1)
     if mct and (nc != 3 or any(s != (1, 1) for s in sub[:3])):
         raise ValueError("mct needs exactly 3 full-resolution components")
+    if mct and len(set(P_c[:3])) > 1:
+        raise ValueError(
+            "mct needs equal precision on components 0-2 (the RCT/ICT "
+            "mixes their samples)"
+        )
     if irreversible:
         shifted = [c.astype(np.float64) for c in shifted]
         if mct:
@@ -1606,6 +1641,12 @@ def encode_jpeg2000(img, levels: int = 3, cb_exp: int = 6,
             "per_tile cannot combine with per_comp/rgn in this encoder "
             "(the precedence interplay is decoder-side tested instead)"
         )
+    if ptile and precisions is not None and len(set(precisions)) > 1:
+        raise ValueError(
+            "per_tile with mixed component precisions is not supported "
+            "by this encoder (the tile QCD would misdescribe the "
+            "higher-precision components)"
+        )
     for ci in list(pcfg) + list(rgn):
         if not 0 <= ci < nc:
             raise ValueError(f"per_comp/rgn component {ci} out of range")
@@ -1653,16 +1694,17 @@ def encode_jpeg2000(img, levels: int = 3, cb_exp: int = 6,
             for o in ((0,) if r == 0 else (1, 2, 3)):
                 n = Ni if r == 0 else Ni - r + 1
                 if irr_c[ci]:
-                    rb = P + _GAIN[o]
+                    rb = P_c[ci] + _GAIN[o]
                     if qcd_style == "derived":
                         # E.1.1: eps_b = eps_0 - N + n_b, mantissa shared
-                        e = (P - quant_shift) - Ni + n
+                        e = (P_c[ci] - quant_shift) - Ni + n
                     else:
                         e = rb - quant_shift
                     eps_by[(ci, r, o)] = e
                     delta_by[(ci, r, o)] = 2.0 ** (rb - e)
                 else:
-                    pq = P + (1 if mct else 0)  # RCT chroma gains one bit
+                    # RCT chroma gains one bit
+                    pq = P_c[ci] + (1 if mct else 0)
                     eps_by[(ci, r, o)] = pq + _GAIN[o] + rgn.get(ci, 0)
     if not all(0 <= e < 32 for e in eps_by.values()):
         # QCD exponents are 5-bit fields (T.800 E.1); wrapping one would
@@ -1723,8 +1765,8 @@ def encode_jpeg2000(img, levels: int = 3, cb_exp: int = 6,
     out += b"\xff\x51" + struct.pack(
         ">HHIIIIIIIIH", 38 + 3 * nc, 0, xs, ys, xo, yo, tw, th, 0, 0, nc
     )
-    for xr, yr in sub:
-        out += bytes(((P - 1) | (0x80 if signed else 0), xr, yr))
+    for ci, (xr, yr) in enumerate(sub):
+        out += bytes(((P_c[ci] - 1) | (0x80 if signed else 0), xr, yr))
     scod = (
         (1 if precincts is not None else 0)
         | (2 if sop else 0)
@@ -1766,17 +1808,17 @@ def encode_jpeg2000(img, levels: int = 3, cb_exp: int = 6,
         border = [(0, 0)] + [(r, o) for r in range(1, N + 1)
                              for o in (1, 2, 3)]
         if not irreversible:
-            pq = P + (1 if mct else 0)
+            pq = P_c[0] + (1 if mct else 0)
             qbody = bytes([guard_bits << 5]) + bytes(
                 (pq + _GAIN[o]) << 3 for _r, o in border
             )
         elif qcd_style == "derived":
             qbody = bytes([0x01 | (guard_bits << 5)]) + struct.pack(
-                ">H", (P - quant_shift) << 11
+                ">H", (P_c[0] - quant_shift) << 11
             )
         else:
             qbody = bytes([0x02 | (guard_bits << 5)]) + b"".join(
-                struct.pack(">H", (P + _GAIN[o] - quant_shift) << 11)
+                struct.pack(">H", (P_c[0] + _GAIN[o] - quant_shift) << 11)
                 for _r, o in border
             )
     out += b"\xff\x5c" + struct.pack(">H", 2 + len(qbody)) + qbody
@@ -1795,6 +1837,14 @@ def encode_jpeg2000(img, levels: int = 3, cb_exp: int = 6,
             ) + spcoc
         qb = quant_body(ci)
         out += b"\xff\x5d" + struct.pack(">HB", 3 + len(qb), ci) + qb
+    # components whose precision differs from the QCD reference need
+    # their own QCC (the subband exponents carry the precision)
+    for ci in range(nc):
+        if ci in pcfg or ci in rgn:
+            continue
+        qb = quant_body(ci)
+        if qb != qbody:
+            out += b"\xff\x5d" + struct.pack(">HB", 3 + len(qb), ci) + qb
     for ci in sorted(rgn):
         out += b"\xff\x5e" + struct.pack(">HBBB", 5, ci, 0, rgn[ci])
     if poc_i:
@@ -1839,14 +1889,14 @@ def encode_jpeg2000(img, levels: int = 3, cb_exp: int = 6,
                     for o in ((0,) if r == 0 else (1, 2, 3)):
                         n = lv_t if r == 0 else lv_t - r + 1
                         if irreversible:
-                            rb = P + _GAIN[o]
-                            e = ((P - quant_shift) - lv_t + n
+                            rb = P_c[ci] + _GAIN[o]
+                            e = ((P_c[ci] - quant_shift) - lv_t + n
                                  if qcd_style == "derived"
                                  else rb - quant_shift)
                             t_eps[(ci, r, o)] = e
                             t_delta[(ci, r, o)] = 2.0 ** (rb - e)
                         else:
-                            pq = P + (1 if mct else 0)
+                            pq = P_c[ci] + (1 if mct else 0)
                             t_eps[(ci, r, o)] = pq + _GAIN[o]
             # tile-part COD + QCD marker segments (T.800: tile headers
             # live in the first tile-part, before SOD)
@@ -1881,8 +1931,8 @@ def encode_jpeg2000(img, levels: int = 3, cb_exp: int = 6,
         rgn_t = {**rgn, **rgn_tiles.get(t, {})}
         if t in rgn_tiles:
             t_eps = dict(t_eps)
-            pq_t = P + (1 if mct else 0)
             for ci, s_ in sorted(rgn_tiles[t].items()):
+                pq_t = P_c[ci] + (1 if mct else 0)
                 bord = [(0, 0)] + [(r, o)
                                    for r in range(1, t_lev[ci] + 1)
                                    for o in (1, 2, 3)]
@@ -2200,11 +2250,6 @@ def decode_jpeg2000(blob: bytes):
                 (seg[36 + 3 * i], seg[37 + 3 * i], seg[38 + 3 * i])
                 for i in range(nc)
             ]
-            if any(t[0] != triples[0][0] for t in triples):
-                raise NotImplementedError(
-                    "components with differing precision"
-                )
-            ssiz = triples[0][0]
             if xt == 0 or yt == 0:
                 raise ValueError("SIZ tile size is zero")
             if xto > xo or yto > yo or xo >= xs or yo >= ys:
@@ -2212,7 +2257,8 @@ def decode_jpeg2000(blob: bytes):
             siz = {
                 "xs": xs, "ys": ys, "xo": xo, "yo": yo,
                 "xt": xt, "yt": yt, "xto": xto, "yto": yto, "nc": nc,
-                "prec": (ssiz & 0x7F) + 1, "signed": bool(ssiz & 0x80),
+                "prec": [(t[0] & 0x7F) + 1 for t in triples],
+                "signed": [bool(t[0] & 0x80) for t in triples],
                 "sub": [(t[1], t[2]) for t in triples],
             }
         elif m == 0x52:  # COD
@@ -2308,10 +2354,11 @@ def decode_jpeg2000(blob: bytes):
     if siz is None or cod is None or qcd is None or not tileparts:
         raise ValueError("JPEG 2000 codestream missing SIZ/COD/QCD/SOT")
 
-    P, nc = siz["prec"], siz["nc"]
-    if P > 32:
+    prec_c, signed_c, nc = siz["prec"], siz["signed"], siz["nc"]
+    if max(prec_c) > 32:
         raise NotImplementedError(
-            f"JPEG 2000 precision {P} bits (> 32) is not supported"
+            f"JPEG 2000 precision {max(prec_c)} bits (> 32) is not "
+            "supported"
         )
     # per-component effective coding/quantization for a tile, honoring
     # the T.800 precedence chain: tile COC > tile COD > main COC > main
@@ -2384,6 +2431,10 @@ def decode_jpeg2000(blob: bytes):
         raise ValueError("MCT flagged but fewer than 3 components")
     if cod["mct"] and any(s != (1, 1) for s in siz["sub"][:3]):
         raise ValueError("MCT flagged on subsampled components")
+    if cod["mct"] and len(set(prec_c[:3])) > 1:
+        raise ValueError(
+            "MCT flagged on components with differing precision"
+        )
     if cod["mct"] and len({ccod[ci]["irreversible"] for ci in range(3)}) > 1:
         raise ValueError("MCT with mixed transforms on components 0-2")
     if cod["prog"] > 4:
@@ -2683,7 +2734,8 @@ def decode_jpeg2000(blob: bytes):
                 # 2^(Rb - eps) * (1 + mu/2^11), Rb = precision + gain
                 def deq(o, q, r, _ci=ci):
                     eps, mu = eps_mu(_ci, r, o)
-                    delta = (2.0 ** (P + _GAIN[o] - eps)) * (1.0 + mu / 2048.0)
+                    delta = ((2.0 ** (prec_c[_ci] + _GAIN[o] - eps))
+                             * (1.0 + mu / 2048.0))
                     return np.sign(q) * (np.abs(q) + 0.5) * delta * (q != 0)
 
                 ll = deq(0, ra[0][0][1], 0)
@@ -2727,11 +2779,23 @@ def decode_jpeg2000(blob: bytes):
     else:
         assert all(p.shape == (img_h, img_w) for p in planes)
 
+    # per-component DC level shift + range clip (T.800 G.1): each
+    # component uses its OWN Ssiz precision
+    planes = [
+        np.clip(p, -(1 << (prec_c[ci] - 1)), (1 << (prec_c[ci] - 1)) - 1)
+        if signed_c[ci]
+        else np.clip(p + (1 << (prec_c[ci] - 1)), 0,
+                     (1 << prec_c[ci]) - 1)
+        for ci, p in enumerate(planes)
+    ]
     stack = np.stack(planes, axis=-1) if nc > 1 else planes[0]
-    if siz["signed"]:
-        stack = np.clip(stack, -(1 << (P - 1)), (1 << (P - 1)) - 1)
-        dt_ = np.int8 if P <= 8 else (np.int16 if P <= 16 else np.int32)
+    Pm = max(prec_c)
+    if any(signed_c) and not all(signed_c):
+        # mixed signedness: a signed dtype wide enough for the widest
+        # unsigned component's full range
+        dt_ = np.int16 if Pm <= 15 else (np.int32 if Pm <= 31 else np.int64)
+    elif any(signed_c):
+        dt_ = np.int8 if Pm <= 8 else (np.int16 if Pm <= 16 else np.int32)
     else:
-        stack = np.clip(stack + (1 << (P - 1)), 0, (1 << P) - 1)
-        dt_ = np.uint8 if P <= 8 else (np.uint32 if P > 16 else np.uint16)
+        dt_ = np.uint8 if Pm <= 8 else (np.uint32 if Pm > 16 else np.uint16)
     return stack.astype(dt_)

@@ -245,3 +245,50 @@ def test_per_tile_rgn_decodes_and_nonzero_srgn_stays_gated():
     struct.pack_into(">I", bad, sot + 6, psot + len(trgn))
     with pytest.raises(NotImplementedError, match="RGN style"):
         decode_jpeg2000(bytes(bad))
+
+
+def test_mixed_component_precision_roundtrip():
+    """SIZ Ssiz is per component (T.800 A.5.1): a 12-bit image with an
+    8-bit plane and a 1-bit mask round-trips losslessly, each plane
+    clipped/shifted at its OWN precision; off-reference components get
+    an automatic QCC carrying their exponents."""
+    rng = np.random.default_rng(61)
+    a = rng.integers(0, 4096, (24, 30), dtype=np.int64)   # 12-bit
+    b = rng.integers(0, 256, (24, 30), dtype=np.int64)    # 8-bit
+    m = rng.integers(0, 2, (24, 30), dtype=np.int64)      # 1-bit mask
+    blob = encode_jpeg2000([a, b, m], precisions=[12, 8, 1], levels=2)
+    # components 1 and 2 differ from the QCD reference -> main-header
+    # QCC for each
+    hdr = blob[: blob.find(b"\xff\x90")]
+    assert hdr.count(b"\xff\x5d") == 2
+    out = decode_jpeg2000(blob)
+    assert out.dtype == np.uint16
+    np.testing.assert_array_equal(out[:, :, 0].astype(np.int64), a)
+    np.testing.assert_array_equal(out[:, :, 1].astype(np.int64), b)
+    np.testing.assert_array_equal(out[:, :, 2].astype(np.int64), m)
+
+    # signed mixed precision
+    sa = rng.integers(-2048, 2048, (16, 18), dtype=np.int64)
+    sb = rng.integers(-32, 32, (16, 18), dtype=np.int64)
+    blob = encode_jpeg2000([sa, sb], precisions=[12, 6], signed=True,
+                           levels=1)
+    out = decode_jpeg2000(blob)
+    assert out.dtype == np.int16
+    np.testing.assert_array_equal(out[:, :, 0].astype(np.int64), sa)
+    np.testing.assert_array_equal(out[:, :, 1].astype(np.int64), sb)
+
+    # 9/7 with mixed precision: per-component Rb drives the step sizes
+    blob = encode_jpeg2000([a, b], precisions=[12, 8], levels=2,
+                           irreversible=True, mct=False)
+    out = decode_jpeg2000(blob)
+    err0 = float(np.abs(out[:, :, 0].astype(np.int64) - a).mean())
+    err1 = float(np.abs(out[:, :, 1].astype(np.int64) - b).mean())
+    assert err0 < 4096 * 0.01 and err1 < 256 * 0.01
+
+    # guards: MCT needs equal precision on components 0-2; declared
+    # range must hold
+    rgb = [rng.integers(0, 256, (8, 8), dtype=np.int64) for _ in range(3)]
+    with pytest.raises(ValueError, match="equal precision"):
+        encode_jpeg2000(rgb, precisions=[8, 8, 9], mct=True)
+    with pytest.raises(ValueError, match="exceed"):
+        encode_jpeg2000([a], precisions=[8])
