@@ -1488,8 +1488,8 @@ def encode_jpeg2000(img, levels: int = 3, cb_exp: int = 6,
     - ``poc=[(rs, cs, lye, re, ce, prog), ...]``: progression-order
       changes; the segments must jointly cover every packet.
     - ``per_tile={t: {...}}``: per-TILE overrides of levels / cb_exp /
-      cb_style / precincts, emitted as tile-part COD + QCD marker
-      segments (T.800 precedence: tile COD beats the main header) —
+      cb_style / precincts / mct (a tile may turn the color transform
+      on or off), emitted as tile-part COD + QCD marker segments (T.800 precedence: tile COD beats the main header) —
       the per-tile tuning Kakadu emits. Mutually exclusive with
       ``per_comp``/``rgn`` here.
     - ``rgn_tiles={t: {ci: shift}}``: per-TILE implicit-MAXSHIFT ROI,
@@ -1580,19 +1580,27 @@ def encode_jpeg2000(img, levels: int = 3, cb_exp: int = 6,
         mct = (nc == 3 and not signed
                and all(s == (1, 1) for s in sub[:3])
                and len(set(P_c[:3])) == 1)
-    if mct and (nc != 3 or any(s != (1, 1) for s in sub[:3])):
+    want_mct = bool(mct) or any(
+        bool(ov.get("mct")) for ov in (per_tile or {}).values()
+    )
+    if want_mct and (nc != 3 or any(s != (1, 1) for s in sub[:3])):
         raise ValueError("mct needs exactly 3 full-resolution components")
-    if mct and len(set(P_c[:3])) > 1:
+    if want_mct and len(set(P_c[:3])) > 1:
         raise ValueError(
             "mct needs equal precision on components 0-2 (the RCT/ICT "
             "mixes their samples)"
         )
     if irreversible:
         shifted = [c.astype(np.float64) for c in shifted]
-        if mct:
-            shifted = _ict_forward(shifted)
-    elif mct:
-        shifted = _rct_forward(shifted)
+    # the color transform is per-tile state (per_tile may flip the COD
+    # MCT flag), so keep both variants; the transform is pointwise, so
+    # slicing the transformed planes per tile is exact
+    shifted_plain = shifted
+    shifted_mct = None
+    if want_mct:
+        shifted_mct = (_ict_forward(shifted_plain) if irreversible
+                       else _rct_forward(shifted_plain))
+    shifted = shifted_mct if mct else shifted_plain
     levels = max(0, min(levels, max((min(H, W) - 1).bit_length() - 1, 0)))
     N = levels
     if qcd_style not in ("expounded", "derived"):
@@ -1861,6 +1869,7 @@ def encode_jpeg2000(img, levels: int = 3, cb_exp: int = 6,
         tx0, tx1 = max(tx * tw, xo), min((tx + 1) * tw, xs)
         ty0, ty1 = max(ty * th, yo), min((ty + 1) * th, ys)
         ov_t = ptile.get(t)
+        t_mct = bool(ov_t.get("mct", mct)) if ov_t else mct
         if ov_t is None:
             t_lev, t_cbe, t_sty = lev_c, cbe_c, sty_c
             t_eps, t_delta = eps_by, delta_by
@@ -1896,7 +1905,7 @@ def encode_jpeg2000(img, levels: int = 3, cb_exp: int = 6,
                             t_eps[(ci, r, o)] = e
                             t_delta[(ci, r, o)] = 2.0 ** (rb - e)
                         else:
-                            pq = P_c[ci] + (1 if mct else 0)
+                            pq = P_c[ci] + (1 if t_mct else 0)
                             t_eps[(ci, r, o)] = pq + _GAIN[o]
             # tile-part COD + QCD marker segments (T.800: tile headers
             # live in the first tile-part, before SOD)
@@ -1905,7 +1914,7 @@ def encode_jpeg2000(img, levels: int = 3, cb_exp: int = 6,
             lcod_t = 12 + ((lv_t + 1) if pr_explicit else 0)
             mk += b"\xff\x52" + struct.pack(
                 ">HBBHBBBBBB", lcod_t, scod_t, prog_i, layers,
-                1 if mct else 0, lv_t, cbe_t - 2, cbe_t - 2, sty_t,
+                1 if t_mct else 0, lv_t, cbe_t - 2, cbe_t - 2, sty_t,
                 0 if irreversible else 1
             )
             if pr_explicit:
@@ -1932,7 +1941,7 @@ def encode_jpeg2000(img, levels: int = 3, cb_exp: int = 6,
         if t in rgn_tiles:
             t_eps = dict(t_eps)
             for ci, s_ in sorted(rgn_tiles[t].items()):
-                pq_t = P_c[ci] + (1 if mct else 0)
+                pq_t = P_c[ci] + (1 if t_mct else 0)
                 bord = [(0, 0)] + [(r, o)
                                    for r in range(1, t_lev[ci] + 1)
                                    for o in (1, 2, 3)]
@@ -1965,8 +1974,9 @@ def encode_jpeg2000(img, levels: int = 3, cb_exp: int = 6,
             box = (_ceil_div(tx0, xr), _ceil_div(ty0, yr),
                    _ceil_div(tx1, xr), _ceil_div(ty1, yr))
             comp_boxes.append(box)
-            plane = shifted[ci][box[1] - poy : box[3] - poy,
-                                box[0] - pox : box[2] - pox]
+            src = shifted_mct if t_mct else shifted_plain
+            plane = src[ci][box[1] - poy : box[3] - poy,
+                            box[0] - pox : box[2] - pox]
             lv, irr = t_lev[ci], irr_c[ci]
             if irr and plane.dtype != np.float64:
                 plane = plane.astype(np.float64)
@@ -2369,11 +2379,6 @@ def decode_jpeg2000(blob: bytes):
 
     def _tile_cfg(t: int):
         tcod = tile_cod.get(t)
-        if tcod is not None and tcod["mct"] != cod["mct"]:
-            raise NotImplementedError(
-                "per-tile COD changes the MCT flag — mixed-MCT tiles "
-                "are not supported (color transform applies plane-wide)"
-            )
         tcoc = tile_coc.get(t, {})
         tqcd_ = tile_qcd.get(t)
         tqcc_ = tile_qcc.get(t, {})
@@ -2408,7 +2413,7 @@ def decode_jpeg2000(blob: bytes):
                     "transform"
                 )
         eff = tcod if tcod is not None else cod
-        cur = {k: eff[k] for k in ("layers", "prog", "sop", "eph")}
+        cur = {k: eff[k] for k in ("layers", "prog", "sop", "eph", "mct")}
         return cc, cq, cur
 
     ccod, cqcd, cur = _tile_cfg(-1)  # main-header defaults
@@ -2427,16 +2432,20 @@ def decode_jpeg2000(blob: bytes):
             (n_,) = struct.unpack_from(">I", ppm_all, p_)
             tp_hdr_chunks.append(ppm_all[p_ + 4 : p_ + 4 + n_])
             p_ += 4 + n_
-    if cod["mct"] and nc < 3:
-        raise ValueError("MCT flagged but fewer than 3 components")
-    if cod["mct"] and any(s != (1, 1) for s in siz["sub"][:3]):
-        raise ValueError("MCT flagged on subsampled components")
-    if cod["mct"] and len(set(prec_c[:3])) > 1:
-        raise ValueError(
-            "MCT flagged on components with differing precision"
-        )
-    if cod["mct"] and len({ccod[ci]["irreversible"] for ci in range(3)}) > 1:
-        raise ValueError("MCT with mixed transforms on components 0-2")
+    def _check_mct(ccod_t):
+        if nc < 3:
+            raise ValueError("MCT flagged but fewer than 3 components")
+        if any(s != (1, 1) for s in siz["sub"][:3]):
+            raise ValueError("MCT flagged on subsampled components")
+        if len(set(prec_c[:3])) > 1:
+            raise ValueError(
+                "MCT flagged on components with differing precision"
+            )
+        if len({ccod_t[ci]["irreversible"] for ci in range(3)}) > 1:
+            raise ValueError("MCT with mixed transforms on components 0-2")
+
+    if cod["mct"]:
+        _check_mct(ccod)
     if cod["prog"] > 4:
         raise ValueError(f"invalid progression order {cod['prog']}")
 
@@ -2725,6 +2734,7 @@ def decode_jpeg2000(blob: bytes):
             for ci in range(nc)
         ]
 
+        tilecs = []
         for ci in range(nc):
             ra = comp_res[ci]
             lev = ccod[ci]["levels"]
@@ -2747,20 +2757,24 @@ def decode_jpeg2000(blob: bytes):
                 ll = ra[0][0][1]
                 bands = [tuple(a for _o, a, _bx in ra[r])
                          for r in range(1, lev + 1)]
-            tilec = dwt_inverse_boxed(ll, bands, comp_boxes[ci], irr)
+            tilecs.append(dwt_inverse_boxed(ll, bands, comp_boxes[ci], irr))
+
+        if cur["mct"]:
+            # T.800 G: the color transform applies per TILE to
+            # components 0-2 (per-tile COD may flip the flag); extras
+            # (alpha) pass through untransformed
+            _check_mct(ccod)
+            head = (_ict_inverse(tilecs[:3]) if ccod[0]["irreversible"]
+                    else _rct_inverse(tilecs[:3]))
+            tilecs = head + tilecs[3:]
+        for ci in range(nc):
             box = comp_boxes[ci]
             px0, py0 = porg[ci]
             planes[ci][box[1] - py0 : box[3] - py0,
-                       box[0] - px0 : box[2] - px0] = tilec
+                       box[0] - px0 : box[2] - px0] = tilecs[ci]
 
-    if cod["mct"]:
-        # T.800 G: the color transform applies to components 0-2; extras
-        # (alpha) pass through untransformed
-        head = (_ict_inverse(planes[:3]) if ccod[0]["irreversible"]
-                else _rct_inverse(planes[:3]))
-        planes = head + planes[3:]
     planes = [
-        np.rint(p) if ccod[i]["irreversible"] else p
+        np.rint(p) if any_irr[i] else p
         for i, p in enumerate(planes)
     ]
 

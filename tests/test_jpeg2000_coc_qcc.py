@@ -292,3 +292,34 @@ def test_mixed_component_precision_roundtrip():
         encode_jpeg2000(rgb, precisions=[8, 8, 9], mct=True)
     with pytest.raises(ValueError, match="exceed"):
         encode_jpeg2000([a], precisions=[8])
+
+
+def test_mixed_mct_tiles():
+    """A per-tile COD may flip the MCT flag (T.800 A.6.1 precedence):
+    the inverse color transform is per-tile state, so a decoder that
+    applied it plane-wide would corrupt exactly the flipped tile."""
+    rng = np.random.default_rng(71)
+    img = rng.integers(0, 256, (40, 60, 3), dtype=np.uint8)
+
+    # main header RCT on, tile 1 opts out
+    blob = encode_jpeg2000(img, tile_size=(32, 40), levels=1, mct=True,
+                           per_tile={1: {"mct": False}})
+    np.testing.assert_array_equal(decode_jpeg2000(blob), img)
+
+    # main header off, tile 0 opts in
+    blob = encode_jpeg2000(img, tile_size=(32, 40), levels=1, mct=False,
+                           per_tile={0: {"mct": True}})
+    np.testing.assert_array_equal(decode_jpeg2000(blob), img)
+
+    # 9/7 + ICT variant: each tile reconstructs within tolerance
+    blob = encode_jpeg2000(img, tile_size=(32, 40), levels=2, mct=True,
+                           irreversible=True,
+                           per_tile={1: {"mct": False}})
+    out = decode_jpeg2000(blob)
+    assert float(np.abs(out.astype(int) - img.astype(int)).mean()) < 3.0
+
+    # mct composes with the other per-tile COD overrides
+    blob = encode_jpeg2000(img, tile_size=(32, 40), levels=2, mct=True,
+                           per_tile={1: {"mct": False, "levels": 1,
+                                         "cb_exp": 4}})
+    np.testing.assert_array_equal(decode_jpeg2000(blob), img)
