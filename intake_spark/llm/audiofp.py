@@ -1,0 +1,175 @@
+"""Audio landmark fingerprinting + match joins (Shazam-style).
+
+Audio-level near-dup detection for multimodal training corpora: decode
+PCM executor-side (the stdlib WAV/FLAC/AIFF/AU/Vorbis codecs in
+:mod:`intake_spark.llm.multimodal`), frame it, take per-band spectral
+peaks, and hash (peak, peak, frame-delta) LANDMARK pairs — the
+constellation scheme of Wang 2003 ("An Industrial-Strength Audio
+Search Algorithm", ISMIR). Matching is an equi-join on landmark
+hashes, never a waveform cross-correlation: re-encoded, re-gained or
+re-dithered copies of the same recording keep the same peak
+constellation, so they share most landmarks, while distinct recordings
+share almost none.
+
+Scale posture at 100 TB: fingerprinting is mapper-only (Arrow-batched
+mapInPandas; audio bytes never cross the wire — only (id, int64
+landmark) rows do). The match stage is an equi-join on the landmark
+hash with a stop-landmark cap (``max_landmark_df``) exactly like the
+stop-shingle cap on the Jaccard build: a landmark shared by d
+recordings would otherwise emit d^2 candidates.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from struct import error as struct_error
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+__all__ = ["landmarks", "audio_landmarks", "landmark_match_pairs"]
+
+# default analysis geometry: 256-sample frames, half-overlap, the
+# spectrum above DC split into 4 bands, peaks paired with the next
+# FANOUT frames' peaks
+FRAME = 256
+HOP = 128
+NBANDS = 4
+FANOUT = 3
+
+
+def landmarks(pcm, frame: int = FRAME, hop: int = HOP,
+              nbands: int = NBANDS, fanout: int = FANOUT) -> set:
+    """Distinct landmark hashes of one mono PCM array.
+
+    Per frame: |rFFT| over bins 1..frame//2, split into ``nbands``
+    equal bands, one argmax bin per band (gain-invariant: scaling the
+    waveform scales every magnitude equally). Per landmark: anchor
+    peak f1 at frame t pairs with every peak f2 at frames t+1..t+dt,
+    hashed as f1 << 20 | f2 << 8 | dt — a 28-bit value, comfortably a
+    BIGINT. Returned as a SET: containment is over distinct landmarks,
+    so duration imbalance does not inflate scores."""
+    import numpy as np
+
+    x = np.asarray(pcm, dtype=np.float64)
+    if x.ndim == 2:
+        x = x.mean(axis=1)
+    n = (len(x) - frame) // hop + 1 if len(x) >= frame else 0
+    if n <= 0:
+        return set()
+    idx = np.arange(frame)[None, :] + hop * np.arange(n)[:, None]
+    mags = np.abs(np.fft.rfft(x[idx], axis=1))[:, 1:]  # drop DC
+    bands = np.array_split(np.arange(mags.shape[1]), nbands)
+    peaks = np.stack(
+        [b[np.argmax(mags[:, b], axis=1)] + 1 for b in bands], axis=1
+    )  # (n, nbands) absolute bin numbers
+    out = set()
+    for t in range(n):
+        for dt in range(1, fanout + 1):
+            if t + dt >= n:
+                break
+            for f1 in peaks[t]:
+                for f2 in peaks[t + dt]:
+                    out.add((int(f1) << 20) | (int(f2) << 8) | dt)
+    return out
+
+
+AUDIO_LANDMARK_SCHEMA = T.StructType(
+    [
+        T.StructField("landmark", T.LongType(), True),
+        T.StructField("err", T.StringType(), True),
+    ]
+)
+
+
+def audio_landmarks(
+    df: DataFrame,
+    audio_col: str = "audio",
+    id_col: str = "audio_id",
+) -> DataFrame:
+    """(id, landmark, err) rows: decode each blob with the stdlib audio
+    codecs and emit its distinct landmark hashes. Undecodable blobs
+    become a single err row (triage convention), never a batch
+    failure."""
+    from intake_spark.session import ensure_py_deps
+
+    ensure_py_deps(df.sparkSession)
+    out_schema = T.StructType(
+        [df.schema[id_col]] + list(AUDIO_LANDMARK_SCHEMA.fields)
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from intake_spark.llm.multimodal import decode_audio_full
+
+        for pdf in batches:
+            rows = []
+            for aid, blob in zip(pdf[id_col], pdf[audio_col]):
+                try:
+                    _rate, arr, _sw = decode_audio_full(bytes(blob))
+                    for lm in sorted(landmarks(arr)):
+                        rows.append((aid, lm, None))
+                except (ValueError, NotImplementedError, KeyError,
+                        IndexError, EOFError, struct_error) as exc:
+                    rows.append((aid, None,
+                                 f"{type(exc).__name__}: {exc}"))
+            yield pd.DataFrame(
+                rows, columns=[id_col, "landmark", "err"]
+            )
+
+    return df.select(id_col, audio_col).mapInPandas(run, out_schema)
+
+
+def landmark_match_pairs(
+    lm: DataFrame,
+    id_col: str = "audio_id",
+    min_containment_pm: int = 800,
+    max_landmark_df: int = 100,
+) -> DataFrame:
+    """(id_a, id_b, n_common, containment_pm) for recording pairs that
+    share landmarks: equi-join on the landmark hash, count shared per
+    pair, containment against the SMALLER set (per-mille, floor
+    division — integer-exact for the oracle).
+
+    ``max_landmark_df`` drops landmarks present in more than that many
+    recordings before the self-join (the stop-shingle cap): numerators
+    are lower bounds under the cap, denominators stay the full distinct
+    counts, so capped containment <= exact containment and the filter
+    can only lose pathological hot-landmark pairs, never invent one."""
+    # the landmark frame feeds three plan branches (sizes, hot-landmark
+    # scan, both join sides) and usually comes from an expensive
+    # decode+FFT mapInPandas: truncate lineage so it is computed once
+    lm = (lm.filter(F.col("landmark").isNotNull())
+          .select(id_col, "landmark")
+          .localCheckpoint(eager=False))
+    sizes = lm.groupBy(id_col).agg(F.count("*").alias("n_lm"))
+    hot = (
+        lm.groupBy("landmark")
+        .agg(F.countDistinct(id_col).alias("df_"))
+        .filter(F.col("df_") > max_landmark_df)
+        .select("landmark")
+    )
+    cold = lm.join(hot, "landmark", "left_anti")
+    a = cold.select(F.col(id_col).alias("id_a"), "landmark")
+    b = cold.select(F.col(id_col).alias("id_b"), "landmark")
+    shared = (
+        a.join(b, "landmark")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_lm").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_lm").alias("n_b"))
+    return (
+        shared.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a", "id_b", "n_common",
+            (
+                (F.lit(1000) * F.col("n_common"))
+                / F.least("n_a", "n_b")
+            ).cast("bigint").alias("containment_pm"),
+        )
+        .filter(F.col("containment_pm") >= min_containment_pm)
+    )

@@ -9,8 +9,10 @@ exact, not approximate.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from intake_spark.benchqueries import register
 from intake_spark.llm import assembly, dedup, multimodal, sampling, similarity, sketches, text
@@ -3551,4 +3553,199 @@ def q131_codec_roundtrip_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return multimodal.codec_roundtrip_stats(
         docs, codecs=("png", "flac", "j2k_full", "webp")
+    )
+
+
+def _md5_image(seed: str, h: int = 32, w: int = 32):
+    """Deterministic h*w uint8 image (values 0..100) from an md5 chain —
+    the repo's engine-portable determinism policy; 0..100 leaves exact
+    headroom for the 2*px+10 affine twin below."""
+    import hashlib
+
+    import numpy as np
+
+    need = h * w
+    buf = bytearray()
+    i = 0
+    while len(buf) < need:
+        buf += hashlib.md5(f"{seed}:{i}".encode()).digest()
+        i += 1
+    a = np.frombuffer(bytes(buf[:need]), dtype=np.uint8).reshape(h, w)
+    return (a % 101).astype(np.uint8)
+
+
+@register(
+    "q132_image_phash_pairs",
+    """
+    SELECT doc_id,
+           CAST(2 * doc_id AS BIGINT) AS id_a,
+           CAST(2 * doc_id + 1 AS BIGINT) AS id_b,
+           CAST(0 AS INTEGER) AS hamming
+    FROM documents WHERE doc_id % 10 = 6
+    """,
+)
+def q132_image_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image dedup end-to-end: per sampled document a
+    deterministic 32x32 md5-derived image is PNG-encoded executor-side
+    twice — once raw, once through the brightness/contrast remap
+    2*px + 10 (different bytes, different byte-hash) — then
+    imagehash.phash_pairs decodes, pHashes and Hamming-band-joins the
+    corpus. pHash is exactly invariant under positive affine pixel
+    remaps (the AC DCT coefficients and their median both scale by the
+    same factor; DC absorbs the offset), so each doc's two renditions
+    pair at Hamming distance 0 — a full-value oracle over a perceptual
+    operator. Distinct documents are independent md5 noise: 63-bit
+    hashes ~30 bits apart, far outside max_hamming, so the pair set is
+    exactly the twin set. Deterministic 1-in-10 sample (doc_id % 10 =
+    6); image bytes never leave the executors."""
+    from intake_spark.llm import imagehash
+    from intake_spark.session import ensure_py_deps
+
+    ensure_py_deps(spark)
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 10 == 6
+    )
+
+    id_field = docs.schema["doc_id"]
+    img_schema = T.StructType(
+        [
+            T.StructField("image_id", T.LongType(), False),
+            T.StructField("image", T.BinaryType(), False),
+        ]
+    )
+
+    def gen(batches):
+        import numpy as np
+
+        from intake_spark.output import _png_bytes
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                base = _md5_image(f"phash:{did}")
+                twin = (2 * base.astype(np.int64) + 10).astype(np.uint8)
+                rows.append((2 * int(did), _png_bytes(base.tolist())))
+                rows.append((2 * int(did) + 1, _png_bytes(twin.tolist())))
+            yield pd.DataFrame(rows, columns=["image_id", "image"])
+
+    # spread the synthetic-corpus generation (and the decode+hash stage
+    # that inherits its partitioning) across the executors — the sample
+    # otherwise lands in one parquet split's single task
+    par = spark.sparkContext.defaultParallelism
+    images = docs.select("doc_id").repartition(par).mapInPandas(
+        gen, img_schema
+    )
+    pairs = imagehash.phash_pairs(
+        images, image_col="image", id_col="image_id",
+        bands=4, max_hamming=3,
+    )
+    return pairs.select(
+        (F.col("id_a") / 2).cast(id_field.dataType).alias("doc_id"),
+        F.col("id_a").cast("bigint").alias("id_a"),
+        F.col("id_b").cast("bigint").alias("id_b"),
+        F.col("hamming").cast("int").alias("hamming"),
+    )
+
+
+@register(
+    "q133_audio_landmark_pairs",
+    """
+    SELECT doc_id,
+           CAST(2 * doc_id AS BIGINT) AS id_a,
+           CAST(2 * doc_id + 1 AS BIGINT) AS id_b,
+           CAST(1000 AS BIGINT) AS containment_pm
+    FROM documents WHERE doc_id % 10 = 7
+    """,
+)
+def q133_audio_landmark_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-dup detection end-to-end (Wang 2003 constellation
+    hashing): per sampled document a deterministic two-segment tone
+    complex (one md5-derived spectral peak per analysis band and
+    segment) is WAV-encoded executor-side twice — once raw, once
+    gain-halved (different bytes) — then audiofp decodes, extracts
+    per-band spectral-peak landmarks and equi-joins on landmark
+    hashes. Peak POSITIONS are exactly gain-invariant (argmax of a
+    uniformly scaled spectrum), so each doc's two renditions share
+    their full landmark set: containment is exactly 1000 per-mille — a
+    full-value oracle over an FFT-based operator. Distinct documents'
+    md5-drawn peak sets share essentially nothing (measured 0 overlap),
+    far below the 800 pm gate. Deterministic 1-in-10 sample (doc_id %
+    10 = 7); audio bytes never leave the executors."""
+    from intake_spark.llm import audiofp
+    from intake_spark.session import ensure_py_deps
+
+    ensure_py_deps(spark)
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 10 == 7
+    )
+    id_field = docs.schema["doc_id"]
+    wav_schema = T.StructType(
+        [
+            T.StructField("audio_id", T.LongType(), False),
+            T.StructField("audio", T.BinaryType(), False),
+        ]
+    )
+
+    def gen(batches):
+        import hashlib
+        import io
+        import wave
+
+        import numpy as np
+
+        def wav_bytes(pcm):
+            bio = io.BytesIO()
+            with wave.open(bio, "wb") as w:
+                w.setnchannels(1)
+                w.setsampwidth(2)
+                w.setframerate(8000)
+                w.writeframes(pcm.astype("<i2").tobytes())
+            return bio.getvalue()
+
+        amps = (9000.0, 7000.0, 5000.0, 3000.0)
+        n_seg = 4096
+        t = np.arange(n_seg)
+
+        def segment(seed, scale):
+            d = hashlib.md5(seed.encode()).digest()
+            # one peak bin per band interior: 2..31, 34..63, 66..95,
+            # 98..127 of the 256-point rFFT
+            bins = [2 + d[b] % 30 + 32 * b for b in range(4)]
+            x = sum(
+                scale * a * np.sin(2 * np.pi * k * t / 256.0)
+                for k, a in zip(bins, amps)
+            )
+            return x
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                # segment B at half amplitude: the one frame straddling
+                # the boundary mixes both segments ~50/50, and EQUAL
+                # segment amplitudes would make every band's two
+                # candidate peaks a near-tie that int16 rounding noise
+                # can flip between the raw and gain-halved renditions —
+                # the 2x gap keeps each band's argmax deterministic
+                x = np.concatenate(
+                    [segment(f"afp:{did}:a", 1.0),
+                     segment(f"afp:{did}:b", 0.5)]
+                )
+                pcm = np.round(x).astype(np.int16)
+                rows.append((2 * int(did), wav_bytes(pcm)))
+                rows.append((2 * int(did) + 1, wav_bytes(pcm // 2)))
+            yield pd.DataFrame(rows, columns=["audio_id", "audio"])
+
+    par = spark.sparkContext.defaultParallelism
+    audio = docs.select("doc_id").repartition(par).mapInPandas(
+        gen, wav_schema
+    )
+    lm = audiofp.audio_landmarks(audio, audio_col="audio",
+                                 id_col="audio_id")
+    pairs = audiofp.landmark_match_pairs(lm, id_col="audio_id",
+                                         min_containment_pm=800)
+    return pairs.select(
+        (F.col("id_a") / 2).cast(id_field.dataType).alias("doc_id"),
+        F.col("id_a").cast("bigint").alias("id_a"),
+        F.col("id_b").cast("bigint").alias("id_b"),
+        F.col("containment_pm").cast("bigint").alias("containment_pm"),
     )
