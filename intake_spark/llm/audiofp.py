@@ -21,6 +21,8 @@ recordings would otherwise emit d^2 candidates.
 
 from __future__ import annotations
 
+import wave
+import zlib
 from collections.abc import Iterator
 from struct import error as struct_error
 
@@ -64,16 +66,17 @@ def landmarks(pcm, frame: int = FRAME, hop: int = HOP,
     bands = np.array_split(np.arange(mags.shape[1]), nbands)
     peaks = np.stack(
         [b[np.argmax(mags[:, b], axis=1)] + 1 for b in bands], axis=1
-    )  # (n, nbands) absolute bin numbers
-    out = set()
-    for t in range(n):
-        for dt in range(1, fanout + 1):
-            if t + dt >= n:
-                break
-            for f1 in peaks[t]:
-                for f2 in peaks[t + dt]:
-                    out.add((int(f1) << 20) | (int(f2) << 8) | dt)
-    return out
+    ).astype(np.int64)  # (n, nbands) absolute bin numbers
+    parts = []
+    for dt in range(1, fanout + 1):
+        if dt >= n:
+            break
+        f1 = peaks[:-dt, :, None]   # anchors
+        f2 = peaks[dt:, None, :]    # targets dt frames later
+        parts.append(((f1 << 20) | (f2 << 8) | dt).ravel())
+    if not parts:
+        return set()
+    return set(np.unique(np.concatenate(parts)).tolist())
 
 
 AUDIO_LANDMARK_SCHEMA = T.StructType(
@@ -111,7 +114,8 @@ def audio_landmarks(
                     for lm in sorted(landmarks(arr)):
                         rows.append((aid, lm, None))
                 except (ValueError, NotImplementedError, KeyError,
-                        IndexError, EOFError, struct_error) as exc:
+                        IndexError, EOFError, struct_error,
+                        wave.Error, zlib.error) as exc:
                     rows.append((aid, None,
                                  f"{type(exc).__name__}: {exc}"))
             yield pd.DataFrame(
@@ -166,10 +170,9 @@ def landmark_match_pairs(
         .join(sb, "id_b")
         .select(
             "id_a", "id_b", "n_common",
-            (
-                (F.lit(1000) * F.col("n_common"))
-                / F.least("n_a", "n_b")
-            ).cast("bigint").alias("containment_pm"),
+            F.expr("(1000 * n_common) div least(n_a, n_b)").alias(
+                "containment_pm"
+            ),
         )
         .filter(F.col("containment_pm") >= min_containment_pm)
     )

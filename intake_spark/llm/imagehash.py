@@ -29,6 +29,7 @@ band by construction.
 
 from __future__ import annotations
 
+import zlib
 from collections.abc import Iterator
 from struct import error as struct_error
 
@@ -191,7 +192,7 @@ def image_hashes(
                                      int(np.uint64(h).astype(np.int64)),
                                      None))
                 except (ValueError, NotImplementedError, KeyError,
-                        IndexError, struct_error) as exc:
+                        IndexError, struct_error, zlib.error) as exc:
                     for algo in algos:
                         rows.append((iid, algo, None,
                                      f"{type(exc).__name__}: {exc}"))
