@@ -439,3 +439,20 @@ def test_jpeg2000_tile_rgn_poc():
                         rgn_tiles={0: {0: 4}})
     with pytest.raises(ValueError, match="1..31"):
         encode_jpeg2000(img, tile_size=(32, 40), rgn_tiles={0: {0: 0}})
+
+
+def test_positional_orders_with_per_component_overrides():
+    """COC overrides interact with the positional scans: a component
+    with FEWER resolutions contributes no packets above its own level
+    count, and per-component precinct grids change each component's
+    position triggers independently."""
+    img = _img(44, 52, 3, seed=46)
+    for prog in ("rpcl", "pcrl", "cprl"):
+        blob = encode_jpeg2000(img, levels=2, prog=prog, mct=False,
+                               per_comp={2: {"levels": 1, "cb_exp": 4}},
+                               precincts=(4, 4), cb_exp=3, layers=2)
+        np.testing.assert_array_equal(decode_jpeg2000(blob), img)
+        blob = encode_jpeg2000(img, levels=1, prog=prog, mct=False,
+                               per_comp={1: {"precincts": (3, 3)}},
+                               precincts=(4, 4), cb_exp=3)
+        np.testing.assert_array_equal(decode_jpeg2000(blob), img)
