@@ -286,6 +286,16 @@ def stream_near_dup_flags(
         num_hashes,
         bands,
     )
+    return _first_claim_band_flags(banded, id_col)
+
+
+def _first_claim_band_flags(banded: DataFrame, id_col: str) -> DataFrame:
+    """Shared tail of the banded ingestion guards: given (id, band_id,
+    band_key) rows, flag every row whose bucket was already claimed —
+    first-claim applyInPandasWithState on a stream, a min-id join on a
+    batch frame (the oracle arm). Both arms sort numerically on the id,
+    so batch≡stream holds for id-ordered ingestion."""
+    df = banded
     if not banded.isStreaming:
         # compare on the long-cast id so batch ordering matches the stream
         # arm's numeric sort (a native string id would order lexically).
@@ -365,6 +375,52 @@ def stream_near_dup_flags(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_phash_dup_flags(
+    df: DataFrame,
+    id_col: str = "image_id",
+    image_col: str = "image",
+    bands: int = 4,
+) -> DataFrame:
+    """Streaming PERCEPTUAL-image near-dup ingestion guard: the pHash is
+    computed mapper-side (Arrow mapInPandas runs unchanged on a stream;
+    image bytes never reach the state store), split into 16-bit
+    pigeonhole band keys, then the same first-claim state machine as
+    the text guards flags any image whose band bucket is already
+    claimed. An image is a near-dup if ANY band is flagged (pigeonhole:
+    exact recall for Hamming distance < ``bands``) — the streaming twin
+    of :func:`intake_spark.llm.imagehash.phash_pairs`, so re-encoded /
+    brightness-shifted copies of an already-ingested image are caught
+    at ingestion, not at the next batch dedup pass.
+
+    State is one long per DISTINCT (band, value) bucket — O(corpus
+    bands), identical to the MinHash guard. Batch input degrades to the
+    min-id join oracle arm, and batch≡stream is asserted by test."""
+    from intake_spark.llm.imagehash import image_hashes
+
+    sig = image_hashes(df, image_col, id_col, algos=("phash",)).filter(
+        F.col("hash").isNotNull()
+    )
+    r = 64 // bands
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.shiftrightunsigned(F.col("hash"), b * r)
+                .bitwiseAND(F.lit(2**r - 1))
+                .cast("string")
+                .alias("band_key"),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = sig.select(F.col(id_col), F.explode(band_structs).alias("b")).select(
+        id_col,
+        F.col("b.band_id").alias("band_id"),
+        F.col("b.band_key").alias("band_key"),
+    )
+    return _first_claim_band_flags(banded, id_col)
 
 
 def run_stream_to_memory(

@@ -671,3 +671,66 @@ def test_stream_guard_broadcast_caps(spark):
         stream_df, big_ref, max_archive_shingles=30
     ).count()
     assert n == 1
+
+
+def test_stream_phash_dup_flags_matches_batch(spark, tmp_path):
+    """Perceptual-image ingestion guard: stream arm ≡ batch arm, with
+    the affine-remapped copy arriving in a LATER micro-batch (state
+    carry), and band-level flags catching it at Hamming distance 0."""
+    import numpy as np
+
+    from intake_spark.output import _png_bytes
+    from intake_spark.streaming import stream_phash_dup_flags
+
+    def png(seed=None, affine_of=None):
+        if affine_of is not None:
+            a = (2 * affine_of.astype(np.int64) + 10).astype(np.uint8)
+        else:
+            a = np.random.default_rng(seed).integers(
+                0, 101, (32, 32), dtype=np.uint8
+            )
+        return a, bytearray(_png_bytes(a.tolist()))
+
+    img1, b1 = png(seed=1)
+    img2, b2 = png(seed=2)
+    _, b3 = png(affine_of=img1)   # brightness/contrast copy of 1
+    _, b4 = png(affine_of=img2)   # copy of 2, arrives in a later file
+    img5, b5 = png(seed=5)
+    schema = "image_id long, image binary"
+    src = tmp_path / "imgs_src"
+    src.mkdir()
+    spark.createDataFrame([(1, b1), (2, b2), (3, b3)], schema).coalesce(
+        1
+    ).write.parquet(str(src / "f0"))
+    spark.createDataFrame([(10, b4), (11, b5)], schema).coalesce(
+        1
+    ).write.parquet(str(src / "f1"))
+
+    batch = spark.read.schema(schema).parquet(str(src / "*"))
+    expected = sorted(
+        (r.id, r.band_id, r.is_dup_band)
+        for r in stream_phash_dup_flags(batch).collect()
+    )
+    dup_ids = {i for (i, _b, f) in expected if f}
+    assert dup_ids == {3, 10}, dup_ids  # every band of a copy flags
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    out = stream_phash_dup_flags(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("phash_dup_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180), "streaming query did not terminate"
+    q.stop()
+    got = sorted(
+        (r.id, r.band_id, r.is_dup_band)
+        for r in spark.sql("SELECT * FROM phash_dup_test").collect()
+    )
+    assert got == expected
