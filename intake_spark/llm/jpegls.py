@@ -278,8 +278,10 @@ def decode_jpegls(blob: bytes):
     Multi-component images decode when coded as one ILV-0 scan per
     component (plane interleave, T.87 A.2), including T.81 sampling
     factors — subsampled components are nearest-upsampled to the frame
-    grid. Line/sample interleave (ILV 1/2, which share run statistics
-    across components) remains a named gate."""
+    grid. DRI/RSTm restart intervals decode (each interval is an
+    independently-decodable unit: modeling state AND the line above
+    reset, T.87 C.2.5). Line/sample interleave (ILV 1/2, which share
+    run statistics across components) remains a named gate."""
     import numpy as np
 
     if blob[:2] != b"\xff\xd8":
@@ -291,6 +293,7 @@ def decode_jpegls(blob: bytes):
     decoded = {}  # cid -> plane
     maxval = t1 = t2 = t3 = None
     reset = 64
+    ri = 0  # DRI restart interval, in lines (0 = none)
     while True:
         if pos + 2 > len(blob):
             raise ValueError("truncated JPEG-LS header")
@@ -328,14 +331,8 @@ def decode_jpegls(blob: bytes):
             # unset, and RESET=0 maps back to 64 here
             maxval, t1, t2, t3, reset = struct.unpack(">5H", seg[1:11])
             reset = reset or 64
-        elif marker == 0xDD:  # DRI: restart intervals are a named gate
+        elif marker == 0xDD:  # DRI: restart interval in LINES (T.87 C.2.5)
             (ri,) = struct.unpack(">H", seg[:2])
-            if ri:
-                raise NotImplementedError(
-                    "JPEG-LS restart intervals (DRI/RSTm) are not "
-                    "supported — re-encode without restart markers or "
-                    "decode via pillow-jpls/pydicom plugins"
-                )
         elif marker == 0xDA:  # SOS: decode this scan, keep walking
             if precision is None:
                 raise ValueError("JPEG-LS scan before the SOF55 frame header")
@@ -357,20 +354,56 @@ def decode_jpegls(blob: bytes):
             if cid in decoded:
                 raise ValueError(f"JPEG-LS component {cid} scanned twice")
             ch, cw = dims[cid]
-            p = _Params(precision, near, maxval, t1, t2, t3, reset)
-            br = _BitReader(blob, pos + seg_len)
             out = np.empty((ch, cw), dtype=np.int64)
-            try:
-                _decode_scan(p, br, cw, ch, [0] * cw, out, 0, 0)
-            except IndexError as exc:
-                # corrupt run lengths can index past the line buffer
-                raise ValueError("corrupt JPEG-LS scan data") from exc
+            start = pos + seg_len
+            step = ri if ri else ch
+            y0 = 0
+            m = 0
+            endpos = start
+            while y0 < ch:
+                rows = min(step, ch - y0)
+                # T.87 C.2.5 restart semantics: every interval decodes
+                # like a fresh scan — modeling variables, run index AND
+                # the line above all reset (the intervals are the
+                # independently-decodable error-resilience units)
+                p = _Params(precision, near, maxval, t1, t2, t3, reset)
+                br = _BitReader(blob, start)
+                try:
+                    _decode_scan(p, br, cw, rows, [0] * cw,
+                                 out[y0 : y0 + rows], 0, 0)
+                except IndexError as exc:
+                    # corrupt run lengths can index past the line buffer
+                    raise ValueError("corrupt JPEG-LS scan data") from exc
+                y0 += rows
+                endpos = br.pos
+                if y0 >= ch:
+                    break
+                # between intervals: the RSTm marker, m cycling 0..7
+                # (T.81 B.2.4.4); entropy FFs are always followed by a
+                # stuffed-0 byte < 0x80, so FF + D0..D7 is unambiguous
+                j = br.pos
+                while j + 1 < len(blob) and not (
+                    blob[j] == 0xFF and 0xD0 <= blob[j + 1] <= 0xD7
+                ):
+                    j += 1
+                if j + 1 >= len(blob):
+                    raise ValueError(
+                        "JPEG-LS restart marker missing after interval"
+                    )
+                if blob[j + 1] != 0xD0 + (m % 8):
+                    raise ValueError(
+                        f"JPEG-LS restart marker out of sequence: got "
+                        f"0xFF{blob[j + 1]:02X}, expected "
+                        f"0xFFD{m % 8}"
+                    )
+                m += 1
+                start = j + 2
             decoded[cid] = out
             # next marker: the reader's byte position, advanced past any
             # padding to the FF of a real marker (entropy FFs are always
             # followed by a stuffed-0 byte < 0x80, so FF + >=0x80 is
             # unambiguous)
-            j = br.pos
+            j = endpos
             while j + 1 < len(blob) and not (
                 blob[j] == 0xFF and blob[j + 1] >= 0x80
             ):
@@ -612,14 +645,19 @@ def _encode_scan(p: "_Params", img) -> bytes:
     return bw.flush()
 
 
-def encode_jpegls(img, near: int = 0, sampling=None) -> bytes:
+def encode_jpegls(img, near: int = 0, sampling=None,
+                  restart_interval: int = 0) -> bytes:
     """Encode a 2-D (grayscale), HxWxC, or plane-list array as JPEG-LS
     (NEAR=0 lossless; NEAR>0 bounds every sample error by ``near``).
     Multi-component images are written as one ILV-0 scan per component
     (plane interleave, T.87 A.2). ``sampling=[(h, v), ...]`` gives T.81
     sampling FACTORS per component (larger = denser): pass ``img`` as a
     plane LIST whose shapes are ceil(H*v/vmax) x ceil(W*h/hmax), with
-    component 0 at the maximum factors. The round-trip counterpart of
+    component 0 at the maximum factors. ``restart_interval=n`` emits a
+    DRI segment and an RSTm marker every ``n`` LINES (T.87 C.2.5) —
+    each interval coded as an independent unit (fresh modeling state,
+    line above treated as the scan start), the error-resilience layout
+    hardware encoders emit. The round-trip counterpart of
     :func:`decode_jpegls`."""
     import numpy as np
 
@@ -658,13 +696,30 @@ def encode_jpegls(img, near: int = 0, sampling=None) -> bytes:
             )
     maxval = max(int(c.max()) if c.size else 0 for c in comps)
     precision = max(2, int(maxval).bit_length())
+    if not 0 <= restart_interval <= 0xFFFF:
+        raise ValueError("restart_interval must be in 0..65535 lines")
     head = bytearray(b"\xff\xd8")  # SOI
     head += b"\xff\xf7" + struct.pack(">HBHHB", 8 + 3 * nc, precision, H, W, nc)
     for i, (h, v) in enumerate(fac):
         head += struct.pack(">BBB", i + 1, (h << 4) | v, 0)
+    if restart_interval:
+        head += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
     for i, c in enumerate(comps):
-        p = _Params(precision, near)
         head += b"\xff\xda" + struct.pack(">HB", 6 + 2, 1)
         head += struct.pack(">BBBBB", i + 1, 0, near, 0, 0)  # ILV 0
-        head += _encode_scan(p, c)
+        step = restart_interval if restart_interval else c.shape[0]
+        m = 0
+        for y0 in range(0, max(c.shape[0], 1), max(step, 1)):
+            if y0:
+                # RSTm between intervals, counter cycling per scan
+                head += bytes((0xFF, 0xD0 + m % 8))
+                m += 1
+            p = _Params(precision, near)
+            data = _encode_scan(p, c[y0 : y0 + step])
+            if data.endswith(b"\xff"):
+                # never leave a bare FF against the following marker:
+                # append an empty stuffed byte (decoders read its 7
+                # payload bits only if they need them)
+                data += b"\x00"
+            head += data
     return bytes(head) + b"\xff\xd9"

@@ -192,8 +192,9 @@ def test_image_meta_reports_jpegls_dims():
 
 def test_jpegls_lse_zero_means_default_and_dri_gate():
     """Review findings: LSE preset fields with value 0 mean 'default'
-    (T.87 C.2.4.1.1 — CharLS writes 0 for unset MAXVAL/RESET); restart
-    intervals are a NAMED gate, not a confusing bitstream error."""
+    (T.87 C.2.4.1.1 — CharLS writes 0 for unset MAXVAL/RESET); a DRI
+    larger than the image is one interval (no markers), while a DRI
+    that PROMISES markers the stream lacks fails loudly."""
     import struct
 
     from intake_spark.llm.jpegls import _default_thresholds
@@ -207,9 +208,14 @@ def test_jpegls_lse_zero_means_default_and_dri_gate():
     spliced = blob[:idx] + lse + blob[idx:]
     np.testing.assert_array_equal(decode_jpegls(spliced), img)
 
+    # DRI >= height: one interval, no markers expected -> decodes
     dri = b"\xff\xdd" + struct.pack(">HH", 4, 32)
-    with pytest.raises(NotImplementedError, match="restart"):
-        decode_jpegls(blob[:idx] + dri + blob[idx:])
+    np.testing.assert_array_equal(decode_jpegls(blob[:idx] + dri + blob[idx:]), img)
+    # DRI < height on a stream WITHOUT markers: loud error, because the
+    # intervals would otherwise decode with stale neighbor context
+    dri4 = b"\xff\xdd" + struct.pack(">HH", 4, 4)
+    with pytest.raises(ValueError):
+        decode_jpegls(blob[:idx] + dri4 + blob[idx:])
     # DRI with interval 0 (= disabled) is fine
     dri0 = b"\xff\xdd" + struct.pack(">HH", 4, 0)
     np.testing.assert_array_equal(decode_jpegls(blob[:idx] + dri0 + blob[idx:]), img)
@@ -268,3 +274,50 @@ def test_jpegls_fill_bytes_before_markers():
         i += 1
     back = decode_jpegls(bytes(out))
     np.testing.assert_array_equal(back, rgb)
+
+
+def test_jpegls_restart_intervals():
+    """DRI/RSTm (T.87 C.2.5): every interval is an independently-coded
+    unit — modeling state and the line above reset — and the decoder
+    enforces the RSTm modulo-8 sequence."""
+    import struct
+
+    rng = np.random.default_rng(31)
+    img = rng.integers(0, 256, (40, 30), dtype=np.uint8)
+    for ri in (1, 7, 8, 40, 100):
+        blob = encode_jpegls(img, restart_interval=ri)
+        assert (b"\xff\xdd" in blob) and (ri >= 40 or b"\xff\xd0" in blob)
+        np.testing.assert_array_equal(decode_jpegls(blob), img)
+
+    # color planes chunk independently; near-lossless keeps its bound
+    rgb = rng.integers(0, 256, (33, 21, 3), dtype=np.uint8)
+    np.testing.assert_array_equal(
+        decode_jpegls(encode_jpegls(rgb, restart_interval=10)), rgb
+    )
+    out = decode_jpegls(encode_jpegls(rgb, near=2, restart_interval=9))
+    assert np.abs(out.astype(int) - rgb.astype(int)).max() <= 2
+
+    # an out-of-sequence restart marker fails loudly, not as wrong rows
+    blob = bytearray(encode_jpegls(img, restart_interval=8))
+    i = blob.find(b"\xff\xd0")
+    assert i > 0
+    blob[i + 1] = 0xD3
+    with pytest.raises(ValueError, match="out of sequence"):
+        decode_jpegls(bytes(blob))
+
+    # a missing restart marker (truncated stream) fails loudly too
+    blob = encode_jpegls(img, restart_interval=8)
+    i = blob.find(b"\xff\xd0")
+    with pytest.raises(ValueError):
+        decode_jpegls(blob[:i] + b"\xff\xd9")
+
+    # each interval decodes like a fresh scan: byte-identical to
+    # encoding the slice as its own image (the independence contract)
+    blob = encode_jpegls(img, restart_interval=16)
+    sos = blob.find(b"\xff\xda")
+    first_rst = blob.find(b"\xff\xd0", sos)
+    seg0 = blob[sos + 2 + 6 + 2 : first_rst].rstrip(b"\x00")
+    solo = encode_jpegls(img[:16])
+    ssos = solo.find(b"\xff\xda")
+    sseg = solo[ssos + 2 + 6 + 2 : -2].rstrip(b"\x00")
+    assert seg0 == sseg
