@@ -193,12 +193,10 @@ def _parse_sav(content: bytes) -> pd.DataFrame:
     if case_size not in (0, -1) and total_slots != case_size:
         total_slots = case_size  # trust the header on disagreement
 
-    if compression not in (0, 1):
-        # compression == 2 is zsav (zlib-framed blocks): decoding the
-        # zheader bytes as bias command codes would yield garbage values
+    if compression not in (0, 1, 2):
         raise NotImplementedError(
-            f"SPSS compression code {compression} (zsav/zlib) not "
-            "supported — only uncompressed and bytecode (.sav) decode"
+            f"SPSS compression code {compression} is not defined by the "
+            "system-file spec (0 = none, 1 = bytecode, 2 = zsav/zlib)"
         )
     elements: list[bytes] = []
     if compression == 0:
@@ -211,7 +209,49 @@ def _parse_sav(content: bytes) -> pd.DataFrame:
             data = content[pos : pos + need]
         elements = [data[i : i + 8] for i in range(0, len(data), 8)]
     else:
-        data = content[pos:]
+        if compression == 2:
+            # zsav (.zsav / SAVE ZCOMPRESSED): the case data is wrapped
+            # in the ZLIB container the PSPP system-file spec documents
+            # — a 24-byte header (zheader_ofs, ztrailer_ofs,
+            # ztrailer_len), deflate blocks, and a trailer of per-block
+            # descriptors. The DECOMPRESSED concatenation is the
+            # ordinary bytecode (compression 1) stream, so everything
+            # below is shared
+            import zlib
+
+            zh_ofs, zt_ofs, zt_len = st.unpack_from(
+                endian + "qqq", content, pos
+            )
+            if zh_ofs != pos:
+                raise ValueError(
+                    f"zsav header offset {zh_ofs} != its position {pos}"
+                )
+            if not 0 < zt_ofs <= len(content) - zt_len or zt_len < 24:
+                raise ValueError("zsav trailer offset/length out of range")
+            tb = content[zt_ofs : zt_ofs + zt_len]
+            _zbias, _zero, _bsize, n_blocks = st.unpack_from(
+                endian + "qqii", tb, 0
+            )
+            if zt_len != 24 + 24 * n_blocks:
+                raise ValueError(
+                    f"zsav trailer length {zt_len} does not match "
+                    f"{n_blocks} block descriptors"
+                )
+            parts = []
+            for bi in range(n_blocks):
+                _u_ofs, c_ofs, u_size, c_size = st.unpack_from(
+                    endian + "qqii", tb, 24 + 24 * bi
+                )
+                piece = zlib.decompress(content[c_ofs : c_ofs + c_size])
+                if len(piece) != u_size:
+                    raise ValueError(
+                        f"zsav block {bi} inflated to {len(piece)} bytes, "
+                        f"descriptor says {u_size}"
+                    )
+                parts.append(piece)
+            data = b"".join(parts)
+        else:
+            data = content[pos:]
         dp = 0
         done = False
         while dp + 8 <= len(data) and not done:

@@ -1244,29 +1244,77 @@ def test_fits_naxis0_header_only(spark, tmp_path):
     assert df.count() == 0
 
 
-def test_spss_zsav_gated_and_unknown_ncases(spark, tmp_path):
-    """compression==2 (zsav) must raise a NAMED error, never decode zlib
-    frames as bias command codes; uncompressed ncases=-1 reads to EOF."""
+def _to_zsav(sav: bytes, n_blocks: int = 2) -> bytes:
+    """Rewrap a bytecode-compressed .sav fixture as .zsav: compression
+    code 2 and the case data inside the PSPP-documented ZLIB container
+    (24-byte header, deflate blocks, per-block descriptor trailer)."""
+    import struct as _s
+    import zlib as _z
+
+    hdr = bytearray(sav[:176])
+    comp = _s.unpack_from("<i", hdr, 72)[0]
+    assert comp == 1, "fixture must be bytecode-compressed"
+    _s.pack_into("<i", hdr, 72, 2)
+    # the dictionary runs to the 999 terminator; case data follows
+    term = sav.index(_s.pack("<ii", 999, 0), 176) + 8
+    dic, stream = sav[176:term], sav[term:]
+    pos = 176 + len(dic)
+    cut = -(-len(stream) // n_blocks)
+    pieces = [stream[i : i + cut] for i in range(0, len(stream), cut)]
+    blobs = [_z.compress(p_) for p_ in pieces]
+    zt_ofs = pos + 24 + sum(len(b) for b in blobs)
+    zt_len = 24 + 24 * len(blobs)
+    out = bytes(hdr) + dic
+    out += _s.pack("<qqq", pos, zt_ofs, zt_len)
+    trailer = _s.pack("<qqii", 100, 0, 0x3FF000, len(blobs))
+    u_ofs, c_ofs = pos, pos + 24
+    for p_, b_ in zip(pieces, blobs):
+        out += b_
+        trailer += _s.pack("<qqii", u_ofs, c_ofs, len(p_), len(b_))
+        u_ofs += len(p_)
+        c_ofs += len(b_)
+    return out + trailer
+
+
+def test_spss_zsav_and_unknown_ncases(spark, tmp_path):
+    """compression==2 (zsav): the ZLIB container inflates to the
+    ordinary bytecode stream — values must match the .sav fixture
+    exactly; corrupt descriptors fail loudly; uncompressed ncases=-1
+    reads to EOF."""
+    import math
     import struct as _s
 
     import pytest as _pytest
 
     from intake_spark.stats import _parse_sav
 
+    sav = (tmp_path / "z.sav")
+    make_sav(sav, compressed=True)
+    zsav = _to_zsav(sav.read_bytes())
+    pdf = _parse_sav(zsav)
+    rows = sorted(zip(pdf["AGE"], pdf["SCORE"], pdf["CITY"]),
+                  key=lambda r: r[2])
+    assert [c for _a, _s2, c in rows] == ["rome", "springfield",
+                                          "ulaanbaatar"]
+    assert math.isnan(rows[0][0]) and rows[1][0] == 42.0
+    assert abs(rows[0][1] - (-1.5)) < 1e-12
+
+    # descriptor/stream mismatch fails loudly (never garbage rows)
+    with _pytest.raises(ValueError):
+        _parse_sav(zsav[:-24])  # trailer missing its last descriptor
+
     def sav_blob(compression, ncases, payload=b""):
         hdr = bytearray(176)
         hdr[0:4] = b"$FL2"
         _s.pack_into("<5i", hdr, 64, 2, 1, compression, 0, ncases)
         _s.pack_into("<d", hdr, 84, 100.0)  # bias
-        # one numeric variable record: rec=2, vtype=0, has_label=0,
-        # n_missing=0, 8 bytes print/write formats, 8-byte name
         var = _s.pack("<iiii", 2, 0, 0, 0) + bytes(8) + b"VAR1    "
-        # dict terminator record (999, 0)
         term = _s.pack("<ii", 999, 0)
         return bytes(hdr) + var + term + payload
 
-    with _pytest.raises(NotImplementedError, match="zsav"):
-        _parse_sav(sav_blob(2, 10))
+    # an UNDEFINED compression code still names itself
+    with _pytest.raises(NotImplementedError, match="compression code"):
+        _parse_sav(sav_blob(3, 10))
 
     # uncompressed, ncases=-1: two 8-byte case values present -> 2 rows
     payload = _s.pack("<d", 1.5) + _s.pack("<d", 2.5)
