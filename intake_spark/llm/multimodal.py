@@ -2153,10 +2153,27 @@ def _tga_rle_decode(data: bytes, n_pixels: int, bpp: int):
     return out
 
 
+def _tga_expand16(flat, n):
+    """ARGB1555 little-endian pixels → (n, 4) RGBA uint8 (5-bit channels
+    scaled by the 255/31 ladder; attribute bit 1 = opaque)."""
+    import numpy as np
+
+    v = flat.reshape(n, 2).astype(np.uint16)
+    px = v[:, 0] | (v[:, 1] << 8)
+    r = ((px >> 10) & 0x1F).astype(np.uint16)
+    g = ((px >> 5) & 0x1F).astype(np.uint16)
+    b = (px & 0x1F).astype(np.uint16)
+    a = ((px >> 15) & 1).astype(np.uint16) * 255
+    scale = lambda c: ((c * 255 + 15) // 31).astype(np.uint8)  # noqa: E731
+    return np.stack([scale(r), scale(g), scale(b),
+                     a.astype(np.uint8)], axis=1)
+
+
 def decode_tga(content: bytes):
-    """Truevision TGA: uncompressed and RLE true-color/grayscale (types
-    2/3/10/11), 8/24/32-bit pixels, both vertical origins. BGR(A) storage
-    order converted to RGB(A). Returns (H, W, C) uint8."""
+    """Truevision TGA: uncompressed and RLE true-color/grayscale/
+    color-mapped (types 1/2/3/9/10/11), 8/15/16/24/32-bit pixels and
+    palette entries, both vertical origins. BGR(A)/ARGB1555 storage
+    converted to RGB(A). Returns (H, W, C) uint8."""
     import numpy as np
 
     if len(content) < 18:
@@ -2164,29 +2181,73 @@ def decode_tga(content: bytes):
     idlen = content[0]
     cmap_type = content[1]
     img_type = content[2]
-    if cmap_type != 0 or img_type not in (2, 3, 10, 11):
+    if img_type not in (1, 2, 3, 9, 10, 11):
         raise NotImplementedError(
-            f"TGA type {img_type} (palette={cmap_type}): only true-color/"
-            "grayscale (2/3) and their RLE forms (10/11) are implemented"
+            f"TGA type {img_type}: color-mapped/true-color/grayscale "
+            "(1/2/3) and their RLE forms (9/10/11) are implemented"
         )
+    mapped = img_type in (1, 9)
+    if mapped != (cmap_type == 1):
+        raise ValueError(
+            f"TGA type {img_type} with color-map type {cmap_type}"
+        )
+    cm_first = int.from_bytes(content[3:5], "little")
+    cm_len = int.from_bytes(content[5:7], "little")
+    cm_bits = content[7]
     w = int.from_bytes(content[12:14], "little")
     h = int.from_bytes(content[14:16], "little")
     bpp_bits = content[16]
     desc = content[17]
-    if bpp_bits not in (8, 24, 32):
+    if bpp_bits not in (8, 15, 16, 24, 32):
         raise NotImplementedError(f"TGA {bpp_bits}-bit pixels")
-    bpp = bpp_bits // 8
+    if mapped and bpp_bits != 8:
+        raise NotImplementedError(
+            f"TGA color-mapped with {bpp_bits}-bit indices (8-bit only)"
+        )
+    if img_type in (3, 11) and bpp_bits != 8:
+        raise NotImplementedError(
+            f"TGA grayscale with {bpp_bits}-bit samples (8-bit only)"
+        )
+    bpp = (bpp_bits + 7) // 8
     pos = 18 + idlen
+    palette = None
+    if cmap_type == 1:
+        # the color map is present even for true-color types (spec: it
+        # may carry developer data) — skip it; index into it for 1/9
+        if cm_bits not in (15, 16, 24, 32):
+            raise ValueError(f"TGA color-map entry size {cm_bits}")
+        cm_bytes = (cm_bits + 7) // 8
+        raw = np.frombuffer(
+            content, dtype=np.uint8, count=cm_len * cm_bytes, offset=pos
+        )
+        pos += cm_len * cm_bytes
+        if mapped:
+            if cm_bits in (15, 16):
+                palette = _tga_expand16(raw, cm_len)
+            else:
+                e = raw.reshape(cm_len, cm_bytes)
+                cols = [e[:, 2], e[:, 1], e[:, 0]]  # BGR(A) order
+                if cm_bytes == 4:
+                    cols.append(e[:, 3])
+                palette = np.stack(cols, axis=1)
     n = h * w
-    if img_type in (10, 11):
+    if img_type in (9, 10, 11):
         flat = _tga_rle_decode(content[pos:], n, bpp)
     else:
         flat = np.frombuffer(content, dtype=np.uint8, count=n * bpp, offset=pos)
-    arr = flat.reshape(h, w, bpp)
+    if mapped:
+        idx = flat.astype(np.int64) - cm_first
+        if idx.size and (int(idx.min()) < 0 or int(idx.max()) >= cm_len):
+            raise ValueError("TGA color-map index out of range")
+        arr = palette[idx].reshape(h, w, palette.shape[1])
+    elif bpp_bits in (15, 16) and img_type in (2, 10):
+        arr = _tga_expand16(flat, n).reshape(h, w, 4)
+    else:
+        arr = flat.reshape(h, w, bpp)
     if not (desc & 0x20):  # origin bottom-left → flip to top-left
         arr = arr[::-1]
-    if bpp >= 3:  # BGR(A) → RGB(A)
-        arr = arr[:, :, [2, 1, 0] + ([3] if bpp == 4 else [])]
+    if not mapped and bpp_bits not in (15, 16) and bpp >= 3:
+        arr = arr[:, :, [2, 1, 0] + ([3] if bpp == 4 else [])]  # BGR(A)
     return np.ascontiguousarray(arr)
 
 
@@ -2201,9 +2262,11 @@ def _read_extended80(b: bytes) -> float:
 
 
 def decode_aiff(content: bytes):
-    """AIFF (big-endian PCM, FORM/COMM/SSND chunks) → (rate, samples
-    (n, ch) int ndarray, bits_per_sample). The Apple twin of WAV; the
-    reference reads it via soundfile (readers.py SoundFileReader)."""
+    """AIFF/AIFC (FORM/COMM/SSND chunks) → (rate, samples (n, ch) int
+    ndarray, bits_per_sample): big-endian PCM, 'sowt' little-endian
+    PCM, and G.711 'ulaw'/'alaw' companded AIFC. The Apple twin of WAV;
+    the reference reads it via soundfile (readers.py
+    SoundFileReader)."""
     import numpy as np
 
     if content[:4] != b"FORM" or content[8:12] not in (b"AIFF", b"AIFC"):
@@ -2213,6 +2276,7 @@ def decode_aiff(content: bytes):
     frames = 0
     data = None
     little = False  # AIFC 'sowt' = byte-swapped (little-endian) PCM
+    g711 = None     # AIFC 'ulaw'/'alaw' = G.711 companded bytes
     while pos + 8 <= min(end, len(content)):
         cid = content[pos : pos + 4]
         clen = int.from_bytes(content[pos + 4 : pos + 8], "big")
@@ -2226,9 +2290,14 @@ def decode_aiff(content: bytes):
                 comp = body[18:22]
                 if comp == b"sowt":
                     little = True
+                elif comp in (b"ulaw", b"ULAW", b"alaw", b"ALAW"):
+                    # G.711 companded AIFC: one byte per sample, the
+                    # same formula-derived expanders the AU reader uses
+                    g711 = comp.lower()
                 elif comp != b"NONE":
                     raise NotImplementedError(
-                        f"AIFC compression {comp!r}: only PCM decodes"
+                        f"AIFC compression {comp!r}: PCM and G.711 "
+                        "ulaw/alaw decode"
                     )
         elif cid == b"SSND":
             off = int.from_bytes(body[0:4], "big")
@@ -2236,8 +2305,14 @@ def decode_aiff(content: bytes):
         pos += 8 + clen + (clen & 1)  # chunks pad to even
     if nch is None or data is None:
         raise ValueError("AIFF missing COMM or SSND chunk")
-    sw = (bits + 7) // 8
     n = frames * nch
+    if g711 is not None:
+        # COMM declares 16 significant bits but SSND stores one
+        # companded byte per sample
+        expand = _mulaw_expand if g711 == b"ulaw" else _alaw_expand
+        arr = expand(np.frombuffer(data, dtype=np.uint8, count=n))
+        return rate, arr.reshape(-1, nch), 16
+    sw = (bits + 7) // 8
     bo = "<" if little else ">"
     if sw == 1:
         arr = np.frombuffer(data, dtype=np.int8, count=n).astype(np.int16)

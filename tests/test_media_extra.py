@@ -98,8 +98,65 @@ def test_tga_rle_and_gray_and_dispatch():
     d = decode_image(_tga(1, 1, bytes([1, 2, 3]), footer=True))
     assert d.shape == (1, 1, 3)
 
-    with pytest.raises(NotImplementedError):
+    # type 1 without a color map is inconsistent -> loud error
+    with pytest.raises(ValueError, match="color-map"):
         decode_tga(_tga(1, 1, b"\x00", img_type=1))
+
+
+def _tga_cm(w, h, body, palette, img_type=1, cm_bits=24, idx_bits=8,
+            desc=0x20, cm_first=0):
+    n_entries = len(palette) // ((cm_bits + 7) // 8)
+    hdr = bytes([0, 1, img_type]) + cm_first.to_bytes(2, "little")
+    hdr += n_entries.to_bytes(2, "little") + bytes([cm_bits])
+    hdr += bytes([0, 0, 0, 0]) + w.to_bytes(2, "little")
+    hdr += h.to_bytes(2, "little") + bytes([idx_bits, desc])
+    return hdr + palette + body
+
+
+def test_tga_color_mapped_and_16bit():
+    """Types 1/9 (color-mapped, raw + RLE), 24/32/16-bit palette
+    entries, non-zero first-entry index, and 15/16-bit ARGB1555
+    true-color pixels."""
+    # 24-bit palette (BGR entries): red, green
+    pal = bytes([0, 0, 255, 0, 255, 0])
+    a = decode_tga(_tga_cm(2, 1, bytes([0, 1]), pal))
+    assert a[0, 0].tolist() == [255, 0, 0] and a[0, 1].tolist() == [0, 255, 0]
+
+    # 32-bit palette carries alpha
+    pal32 = bytes([0, 0, 255, 128, 0, 255, 0, 255])
+    a = decode_tga(_tga_cm(2, 1, bytes([0, 1]), pal32, cm_bits=32))
+    assert a.shape == (1, 2, 4)
+    assert a[0, 0].tolist() == [255, 0, 0, 128]
+
+    # 16-bit ARGB1555 palette: opaque pure red = 0xFC00
+    pal16 = (0xFC00).to_bytes(2, "little") + (0x83E0).to_bytes(2, "little")
+    a = decode_tga(_tga_cm(2, 1, bytes([0, 1]), pal16, cm_bits=16))
+    assert a[0, 0].tolist() == [255, 0, 0, 255]
+    assert a[0, 1].tolist() == [0, 255, 0, 255]
+
+    # RLE color-mapped (type 9): run of 3 index-0 + raw index-1
+    body = bytes([0x82, 0, 0x00, 1])
+    a = decode_tga(_tga_cm(4, 1, body, pal, img_type=9))
+    assert [p.tolist() for p in a[0]] == [[255, 0, 0]] * 3 + [[0, 255, 0]]
+
+    # cm_first offset shifts indices; out-of-range fails loudly
+    a = decode_tga(_tga_cm(1, 1, bytes([5]), pal, cm_first=5))
+    assert a[0, 0].tolist() == [255, 0, 0]
+    with pytest.raises(ValueError, match="index out of range"):
+        decode_tga(_tga_cm(1, 1, bytes([9]), pal))
+
+    # true-color 16-bit pixels (ARGB1555, type 2)
+    px = (0xFC00).to_bytes(2, "little") + (0x801F).to_bytes(2, "little")
+    a = decode_tga(_tga(2, 1, px, bpp=16))
+    assert a[0, 0].tolist() == [255, 0, 0, 255]
+    assert a[0, 1].tolist() == [0, 0, 255, 255]
+    # 15-bit declared depth stores the same 2-byte pixels
+    a = decode_tga(_tga(2, 1, px, bpp=15))
+    assert a[0, 0, 0] == 255
+
+    # 16-bit grayscale stays a NAMED gate
+    with pytest.raises(NotImplementedError, match="grayscale"):
+        decode_tga(_tga(1, 1, b"\x00\x00", img_type=3, bpp=16))
 
 
 # --- AIFF ------------------------------------------------------------------
@@ -151,7 +208,29 @@ def test_aiff_24bit_and_unsupported_compression():
     assert bits == 24 and arr[0, 0] == val
 
     with pytest.raises(NotImplementedError, match="compression"):
-        decode_aiff(_aiff(8000, 1, 16, b"\x00\x00", 1, kind=b"AIFC", comp=b"ulaw"))
+        decode_aiff(_aiff(8000, 1, 16, b"\x00\x00", 1, kind=b"AIFC",
+                          comp=b"ima4"))
+
+
+def test_aifc_g711_ulaw_alaw():
+    """AIFC 'ulaw'/'alaw': one companded byte per sample through the
+    same G.711 expanders the AU reader uses — values must MATCH the AU
+    decode of the identical byte stream."""
+    from intake_spark.llm.multimodal import _alaw_expand, _mulaw_expand
+
+    raw = bytes(range(0, 256, 17))  # 16 companded bytes
+    for comp, expand in ((b"ulaw", _mulaw_expand),
+                         (b"alaw", _alaw_expand)):
+        blob = _aiff(8000, 2, 16, raw, len(raw) // 2, kind=b"AIFC",
+                     comp=comp)
+        rate, arr, bits = decode_aiff(blob)
+        assert (rate, bits, arr.shape) == (8000, 16, (8, 2))
+        want = expand(np.frombuffer(raw, dtype=np.uint8)).reshape(8, 2)
+        assert arr.tolist() == want.tolist()
+    # uppercase compression ids (some writers emit ULAW)
+    blob = _aiff(8000, 1, 16, raw, len(raw), kind=b"AIFC", comp=b"ULAW")
+    _r, arr, _b = decode_aiff(blob)
+    assert arr.shape == (16, 1)
 
 
 # --- AU --------------------------------------------------------------------
