@@ -817,6 +817,92 @@ def transcode_images(
     return df.mapInPandas(run, schema=out_schema)
 
 
+def transcode_audio(
+    df: DataFrame,
+    to: str = "flac",
+    content_col: str = "content",
+    keep_cols: "list[str] | None" = None,
+) -> DataFrame:
+    """Distributed audio transcode: decode each binary audio column with
+    the stdlib decoders (WAV incl. ADPCM, FLAC, AIFF/AIFC, AU/G.711,
+    OGG/Vorbis) and re-encode as FLAC — the audio twin of
+    :func:`transcode_images` for corpus normalization. Output columns
+    match TRANSCODE_SCHEMA: re-encoded ``content`` + source format,
+    byte sizes, and a per-row ``lossless`` flag proven by decoding the
+    OUTPUT and comparing samples (lossy SOURCES — Vorbis — still earn
+    lossless=1 here: the flag certifies the transcode step preserved
+    the decoded PCM, the only thing a transcode can promise). Gated or
+    corrupt rows keep err + null content instead of failing the batch.
+
+    Bit depth: the smallest FLAC-codable width that holds the decoded
+    samples (8-bit unsigned WAV promotes to the next signed width
+    rather than shifting the values). Arrow-batched mapInPandas;
+    samples never leave the executor."""
+    import numpy as np
+
+    from intake_spark.session import ensure_py_deps
+
+    ensure_py_deps(df.sparkSession)
+    if to != "flac":
+        raise ValueError("transcode_audio supports to='flac'")
+    keep = keep_cols if keep_cols is not None else [
+        c for c in df.columns if c != content_col
+    ]
+    out_schema = T.StructType(
+        [df.schema[c] for c in keep] + list(TRANSCODE_SCHEMA.fields)
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from intake_spark.llm.audio_meta import audio_meta
+        from intake_spark.llm.flac import decode_flac, encode_flac
+
+        def enc(rate, arr, bits):
+            arr = np.asarray(arr)
+            if arr.ndim == 1:
+                arr = arr[:, None]
+            lo = int(arr.min()) if arr.size else 0
+            hi = int(arr.max()) if arr.size else 0
+            bps = next(
+                (b for b in (8, 12, 16, 20, 24, 32)
+                 if b >= bits and -(1 << (b - 1)) <= lo
+                 and hi < (1 << (b - 1))),
+                None,
+            )
+            if bps is None:
+                raise ValueError("samples exceed FLAC's 32-bit range")
+            blob = encode_flac(arr.astype(np.int64), rate, bps=bps)
+            r2, back, _b2 = decode_flac(blob)
+            ok = r2 == rate and back.shape == arr.shape and (
+                back == arr).all()
+            return blob, bool(ok)
+
+        for pdf in batches:
+            rows = []
+            keep_iters = [pdf[c] for c in keep]
+            for vals in zip(pdf[content_col], *keep_iters):
+                blob = bytes(vals[0])
+                base = tuple(vals[1:])
+                try:
+                    fmt = audio_meta(blob).get("format")
+                except Exception:
+                    fmt = None
+                try:
+                    rate, arr, bits = decode_audio_full(blob)
+                    out, ok = enc(rate, arr, bits)
+                    rows.append(base + (out, fmt, len(blob), len(out),
+                                        int(ok), None))
+                except Exception as exc:  # noqa: BLE001 — per-row err
+                    # same contract as transcode_images: corrupt blobs
+                    # become err rows, never a failed Spark task
+                    rows.append(base + (None, fmt, len(blob), None, 0,
+                                        f"{type(exc).__name__}: {exc}"))
+            yield pd.DataFrame(
+                rows, columns=list(keep) + [f.name for f in TRANSCODE_SCHEMA]
+            )
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
 def codec_roundtrip_stats(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -1006,3 +1006,54 @@ def test_transcode_preserves_alpha_and_survives_corrupt_magic(spark, tmp_path):
     np.testing.assert_array_equal(
         decode_jpeg2000(bytes(out2["a.webp"].content)), rgba
     )
+
+
+def test_transcode_audio(spark, tmp_path):
+    """transcode_audio: normalize a mixed WAV/AIFF/AU/FLAC corpus to
+    FLAC, per-row losslessness proven by decoding the output; corrupt
+    rows keep err; 8-bit unsigned WAV promotes to 16-bit values
+    unchanged."""
+    import io
+    import wave
+
+    from intake_spark.llm import multimodal
+    from intake_spark.llm.flac import decode_flac, encode_flac
+
+    rng = np.random.default_rng(21)
+    pcm = rng.integers(-3000, 3000, (500, 2)).astype(np.int16)
+
+    def wav_bytes(x, rate=8000):
+        bio = io.BytesIO()
+        with wave.open(bio, "wb") as w:
+            w.setnchannels(x.shape[1])
+            w.setsampwidth(2)
+            w.setframerate(rate)
+            w.writeframes(x.astype("<i2").tobytes())
+        return bio.getvalue()
+
+    (tmp_path / "a.wav").write_bytes(wav_bytes(pcm))
+    mono = pcm[:, 0].copy()
+    (tmp_path / "b.flac").write_bytes(encode_flac(mono, 8000))
+    (tmp_path / "c.aiff").write_bytes(
+        _aiff(8000, 1, 16, mono.astype(">i2").tobytes(), len(mono))
+    )
+    u8 = rng.integers(0, 256, 64).astype(np.uint8)
+    bio = io.BytesIO()
+    with wave.open(bio, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(1)
+        w.setframerate(8000)
+        w.writeframes(u8.tobytes())
+    (tmp_path / "d8.wav").write_bytes(bio.getvalue())
+    (tmp_path / "e.bin").write_bytes(b"not audio either..............")
+
+    files = multimodal.read_binary_dir(spark, str(tmp_path), glob="*")
+    out = {r.path.rsplit("/", 1)[-1]: r
+           for r in multimodal.transcode_audio(files).collect()}
+    assert out["a.wav"].lossless == 1 and out["a.wav"].src_format == "wav"
+    assert out["b.flac"].lossless == 1 and out["c.aiff"].lossless == 1
+    assert out["d8.wav"].lossless == 1
+    assert out["e.bin"].err is not None and out["e.bin"].content is None
+    r2, back, _ = decode_flac(bytes(out["a.wav"].content))
+    assert r2 == 8000
+    np.testing.assert_array_equal(back, pcm)
