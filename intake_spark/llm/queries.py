@@ -3749,3 +3749,130 @@ def q133_audio_landmark_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id_b").cast("bigint").alias("id_b"),
         F.col("containment_pm").cast("bigint").alias("containment_pm"),
     )
+
+
+@register(
+    "q134_transcode_normalize",
+    """
+    WITH sel AS (SELECT doc_id,
+                        rpad(substr(COALESCE(text, ''), 1, 64), 64, ' ') AS s
+                 FROM documents WHERE doc_id % 10 = 9),
+    px AS (SELECT doc_id,
+                  SUM(ord(substr(s, i, 1)) % 256) AS sum_px,
+                  SUM((ord(substr(s, i, 1)) % 256) - 128) AS sum_pcm
+           FROM sel, unnest(generate_series(1, 64)) t(i)
+           GROUP BY doc_id)
+    SELECT doc_id, 'image' AS kind, 'png' AS src_format,
+           CAST(1 AS INTEGER) AS lossless,
+           CAST(sum_px AS BIGINT) AS sum_val
+    FROM px
+    UNION ALL
+    SELECT doc_id, 'audio', 'wav', CAST(1 AS INTEGER),
+           CAST(sum_pcm AS BIGINT)
+    FROM px
+    """,
+)
+def q134_transcode_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus normalization end-to-end: per sampled document a
+    deterministic 8x8 image (PNG) AND a 64-sample PCM clip (WAV) are
+    built from the text executor-side, then pushed through the REAL
+    transcode operators — transcode_images to VP8L WebP and
+    transcode_audio to FLAC — and the TRANSCODED bytes are decoded
+    again to a value sum. Both targets are lossless, so the sums stay
+    pure functions of the text (the q130 trick applied to the
+    normalization operators), lossless=1 is the operators' own
+    decode-the-output proof, and src_format is the probe's magic
+    dispatch. Deterministic 1-in-10 sample (doc_id % 10 = 9); blobs
+    never leave the executors."""
+    from intake_spark.llm import multimodal
+    from intake_spark.session import ensure_py_deps
+
+    ensure_py_deps(spark)
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 10 == 9
+    )
+    id_field = docs.schema["doc_id"]
+    media_schema = T.StructType(
+        [
+            id_field,
+            T.StructField("kind", T.StringType(), False),
+            T.StructField("content", T.BinaryType(), False),
+        ]
+    )
+
+    def gen(batches):
+        import io
+        import wave
+
+        import numpy as np
+
+        from intake_spark.output import _png_bytes
+
+        for pdf in batches:
+            rows = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                s = ((text or "")[:64]).ljust(64, " ")
+                vals = np.array([ord(c) % 256 for c in s], dtype=np.int64)
+                img = vals.astype(np.uint8).reshape(8, 8)
+                rows.append((did, "image", _png_bytes(img.tolist())))
+                bio = io.BytesIO()
+                with wave.open(bio, "wb") as w:
+                    w.setnchannels(1)
+                    w.setsampwidth(2)
+                    w.setframerate(8000)
+                    w.writeframes(
+                        (vals - 128).astype("<i2").tobytes()
+                    )
+                rows.append((did, "audio", bio.getvalue()))
+            yield pd.DataFrame(rows, columns=["doc_id", "kind", "content"])
+
+    par = spark.sparkContext.defaultParallelism
+    media = docs.select("doc_id", "text").repartition(par).mapInPandas(
+        gen, media_schema
+    )
+    img_out = multimodal.transcode_images(
+        media.filter(F.col("kind") == "image"), to="webp"
+    )
+    aud_out = multimodal.transcode_audio(
+        media.filter(F.col("kind") == "audio")
+    )
+    both = img_out.unionByName(aud_out)
+
+    sum_schema = T.StructType(
+        [
+            id_field,
+            T.StructField("kind", T.StringType(), False),
+            T.StructField("src_format", T.StringType(), True),
+            T.StructField("lossless", T.IntegerType(), True),
+            T.StructField("sum_val", T.LongType(), True),
+        ]
+    )
+
+    def sums(batches):
+        import numpy as np
+
+        from intake_spark.llm.flac import decode_flac
+        from intake_spark.llm.multimodal import decode_image
+
+        for pdf in batches:
+            rows = []
+            for did, kind, fmt, ls, blob in zip(
+                pdf["doc_id"], pdf["kind"], pdf["src_format"],
+                pdf["lossless"], pdf["content"],
+            ):
+                b = bytes(blob)
+                if kind == "image":
+                    v = int(decode_image(b)[:, :, 0].astype(np.int64).sum())
+                else:
+                    _r, arr, _bits = decode_flac(b)
+                    v = int(np.asarray(arr, dtype=np.int64).sum())
+                rows.append((did, kind, fmt, int(ls), v))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "kind", "src_format", "lossless",
+                         "sum_val"],
+            )
+
+    return both.select(
+        "doc_id", "kind", "src_format", "lossless", "content"
+    ).mapInPandas(sums, sum_schema)
