@@ -2298,9 +2298,9 @@ def decode_tga(content: bytes):
             "(1/2/3) and their RLE forms (9/10/11) are implemented"
         )
     mapped = img_type in (1, 9)
-    if mapped != (cmap_type == 1):
+    if mapped and cmap_type != 1:
         raise ValueError(
-            f"TGA type {img_type} with color-map type {cmap_type}"
+            f"TGA color-mapped type {img_type} without a color map"
         )
     cm_first = int.from_bytes(content[3:5], "little")
     cm_len = int.from_bytes(content[5:7], "little")

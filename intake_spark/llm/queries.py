@@ -3873,6 +3873,9 @@ def q134_transcode_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
                          "sum_val"],
             )
 
-    return both.select(
+    # err rows carry content=NULL: dropping them (instead of crashing
+    # the sum stage) makes a failed transcode surface as a ROW-COUNT
+    # mismatch against the oracle — loud in the driver compare
+    return both.filter(F.col("content").isNotNull()).select(
         "doc_id", "kind", "src_format", "lossless", "content"
     ).mapInPandas(sums, sum_schema)

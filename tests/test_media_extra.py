@@ -99,7 +99,7 @@ def test_tga_rle_and_gray_and_dispatch():
     assert d.shape == (1, 1, 3)
 
     # type 1 without a color map is inconsistent -> loud error
-    with pytest.raises(ValueError, match="color-map"):
+    with pytest.raises(ValueError, match="without a color map"):
         decode_tga(_tga(1, 1, b"\x00", img_type=1))
 
 
@@ -144,6 +144,15 @@ def test_tga_color_mapped_and_16bit():
     assert a[0, 0].tolist() == [255, 0, 0]
     with pytest.raises(ValueError, match="index out of range"):
         decode_tga(_tga_cm(1, 1, bytes([9]), pal))
+
+    # a true-color file may still CARRY a palette (developer data,
+    # spec-legal): it is skipped, pixels follow it
+    px2 = bytes([255, 0, 0, 0, 255, 0])
+    a = decode_tga(_tga_cm(2, 1, px2, pal, img_type=2, idx_bits=24))
+    assert a[0, 0].tolist() == [0, 0, 255]
+    # but a color-mapped type WITHOUT a map is inconsistent
+    with pytest.raises(ValueError, match="without a color map"):
+        decode_tga(_tga(1, 1, b"\x00", img_type=1))
 
     # true-color 16-bit pixels (ARGB1555, type 2)
     px = (0xFC00).to_bytes(2, "little") + (0x801F).to_bytes(2, "little")
