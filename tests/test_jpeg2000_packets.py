@@ -456,3 +456,56 @@ def test_positional_orders_with_per_component_overrides():
                                per_comp={1: {"precincts": (3, 3)}},
                                precincts=(4, 4), cb_exp=3)
         np.testing.assert_array_equal(decode_jpeg2000(blob), img)
+
+
+def test_positional_order_permutation_property_fuzz():
+    """Implementation-independent invariant over random geometries:
+    every positional order emits EXACTLY the LRCP packet multiset —
+    subsampling, per-component levels, per-resolution precincts and
+    grid offsets may reorder packets but never drop or duplicate one."""
+    import random
+
+    from intake_spark.llm.jpeg2000 import (
+        _ceil_div,
+        _packet_order,
+        _precinct_grid,
+        _res_boxes,
+    )
+
+    rnd = random.Random(7)
+    for _trial in range(60):
+        nc = rnd.randint(1, 4)
+        sub = [(1, 1)] + [
+            (rnd.choice([1, 2, 4]), rnd.choice([1, 2, 4]))
+            for _ in range(nc - 1)
+        ]
+        levels = [rnd.randint(0, 3) for _ in range(nc)]
+        tx0 = rnd.randint(0, 9)
+        ty0 = rnd.randint(0, 9)
+        tx1 = tx0 + rnd.randint(1, 70)
+        ty1 = ty0 + rnd.randint(1, 70)
+        precs = []
+        for ci in range(nc):
+            pr = []
+            for r in range(levels[ci] + 1):
+                lo = 0 if r == 0 else 1
+                pr.append((rnd.randint(lo, 5), rnd.randint(lo, 5)))
+            precs.append(pr)
+        pgeo = {}
+        for ci in range(nc):
+            xr, yr = sub[ci]
+            box = (_ceil_div(tx0, xr), _ceil_div(ty0, yr),
+                   _ceil_div(tx1, xr), _ceil_div(ty1, yr))
+            rb = _res_boxes(box, levels[ci])
+            for r in range(levels[ci] + 1):
+                pgeo[(ci, r)] = _precinct_grid(rb[r], *precs[ci][r])
+        geom = {"tile": (tx0, ty0, tx1, ty1), "sub": sub,
+                "levels": levels, "precs": precs, "pgeo": pgeo}
+        pc = {k: v[2] * v[3] for k, v in pgeo.items()}
+        L = rnd.randint(1, 3)
+        R = max(levels) + 1
+        base = _packet_order(0, L, R, nc, pc)
+        for prog in (2, 3, 4):
+            got = _packet_order(prog, L, R, nc, pc, geom=geom)
+            assert len(got) == len(base), (prog, _trial)
+            assert set(got) == set(base), (prog, _trial)
