@@ -193,3 +193,33 @@ def test_hashes_handle_tiny_images():
                 assert 0 <= h < 2**63
             assert phash64(img) == phash64(twin)
             assert dhash64(img) == dhash64(twin)
+
+
+def test_media_dedup_plan_shapes(spark):
+    """Plan audit for the media-dedup operators: equi-joins only (no
+    cartesian/broadcast-nested-loop), and the pair-stage shuffle
+    carries signatures, never media bytes."""
+    from intake_spark.llm.audiofp import (
+        audio_landmarks,
+        landmark_match_pairs,
+    )
+
+    img = spark.createDataFrame(
+        [(1, bytearray(b"\x89PNG")), (2, bytearray(b"\x89PNG"))],
+        "image_id bigint, image binary",
+    )
+    plan = phash_pairs(img)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the join stage keys on the band columns
+    assert "band_id" in plan and "band_val" in plan
+
+    au = spark.createDataFrame(
+        [(1, bytearray(b"RIFF")), (2, bytearray(b"RIFF"))],
+        "audio_id bigint, audio binary",
+    )
+    pairs = landmark_match_pairs(audio_landmarks(au))
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "landmark" in plan
