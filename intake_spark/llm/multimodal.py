@@ -1097,7 +1097,9 @@ def decode_jpeg_lossless(content: bytes):
     the DICOM 'JPEG Lossless SV1' transfer syntaxes (1.2.840.10008.1.2.
     4.57/.70) are this process with Ss=1. Color images decode whether
     coded as ONE interleaved scan or one scan PER component (point
-    transform applied per scan, T.81); sampling factors must be 1x1;
+    transform applied per scan, T.81); subsampled components decode in
+    per-component scans at their own dimensions and nearest-upsample to
+    the frame grid (interleaved + subsampled stays a named gate);
     restart markers reset the predictor per T.81 H.2.2."""
     import numpy as np
 
@@ -1140,15 +1142,19 @@ def decode_jpeg_lossless(content: bytes):
                 body[5],
             )
             comps = []
+            fac = {}
             for c in range(ncomp):
                 cid, hv, _tq = body[6 + c * 3 : 9 + c * 3]
-                if hv != 0x11:
-                    raise NotImplementedError(
-                        "lossless JPEG with subsampled components "
-                        f"(h/v {hv >> 4}x{hv & 0xF}) not supported"
-                    )
                 comps.append(cid)
-            frame = {"p": prec, "h": h, "w": w, "comps": comps}
+                fac[cid] = (hv >> 4, hv & 0xF)
+            hmax = max(fh for fh, _fv in fac.values())
+            vmax = max(fv for _fh, fv in fac.values())
+            cdims = {
+                cid: (-(-h * fv // vmax), -(-w * fh // hmax))
+                for cid, (fh, fv) in fac.items()
+            }
+            frame = {"p": prec, "h": h, "w": w, "comps": comps,
+                     "fac": fac, "cdims": cdims}
         elif marker == 0xDD:
             restart_interval = int.from_bytes(body[:2], "big")
         elif marker == 0xDA:
@@ -1172,11 +1178,25 @@ def decode_jpeg_lossless(content: bytes):
                 raise ValueError(
                     f"lossless JPEG scan for unknown component {unknown}"
                 )
-            P, H, W = frame["p"], frame["h"], frame["w"]
+            if len(order) > 1 and any(
+                frame["fac"][c] != (1, 1) for c in frame["comps"]
+            ):
+                # interleaved lossless scans with subsampling would need
+                # MCU sample blocks; per-component scans (below) decode
+                # subsampled files
+                raise NotImplementedError(
+                    "lossless JPEG with subsampled components in an "
+                    "interleaved scan — use one scan per component"
+                )
+            P = frame["p"]
+            if len(order) == 1:
+                H, W = frame["cdims"][order[0]]
+            else:
+                H, W = frame["h"], frame["w"]
             if planes is None:
                 planes = [
-                    np.zeros((H, W), dtype=np.int64)
-                    for _ in frame["comps"]
+                    np.zeros(frame["cdims"][c], dtype=np.int64)
+                    for c in frame["comps"]
                 ]
             for cid in order:
                 if cid in plane_pt:
@@ -1258,6 +1278,18 @@ def decode_jpeg_lossless(content: bytes):
         pl << plane_pt[cid] if plane_pt[cid] else pl
         for cid, pl in zip(frame["comps"], planes)
     ]
+    H, W = frame["h"], frame["w"]
+    if any(pl.shape != (H, W) for pl in planes):
+        # nearest-upsample subsampled components to the frame grid
+        # (same policy as the JPEG-LS and JPEG 2000 decoders)
+        up = []
+        for pl in planes:
+            rows = np.minimum(np.arange(H) * pl.shape[0] // H,
+                              pl.shape[0] - 1)
+            cols = np.minimum(np.arange(W) * pl.shape[1] // W,
+                              pl.shape[1] - 1)
+            up.append(pl[np.ix_(rows, cols)])
+        planes = up
     out = np.stack(planes, axis=-1) if nc > 1 else planes[0]
     dt_ = np.uint8 if P <= 8 else np.uint16
     return out.astype(dt_)

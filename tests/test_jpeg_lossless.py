@@ -49,11 +49,41 @@ def encode_jpeg_lossless(
     pt: int = 0,
     restart_interval: int = 0,
     per_scan: bool = False,
+    sampling=None,
 ) -> bytes:
     """Minimal spec-faithful SOF3 encoder (fixed all-length-5 table).
     ``per_scan=True`` writes one SOS per component (the non-interleaved
     layout some DICOM color encoders emit) instead of one interleaved
     scan."""
+    if sampling is not None:
+        # plane-list input with T.81 sampling factors: per-scan only
+        assert per_scan and isinstance(img, (list, tuple))
+        planes = [np.asarray(c) for c in img]
+        C = len(planes)
+        hmax = max(fh for fh, _fv in sampling)
+        vmax = max(fv for _fh, fv in sampling)
+        H, W = planes[0].shape
+        H = -(-H * vmax // sampling[0][1])  # frame dims from comp 0
+        W = -(-W * hmax // sampling[0][0])
+        P = precision or max(
+            2, max(int(c.max()).bit_length() for c in planes)
+        )
+        out = bytearray(b"\xff\xd8")
+        out += b"\xff\xc4" + struct.pack(">H", 2 + 17 + 17) + b"\x00"
+        out += bytes(_BITS) + _VALS
+        out += b"\xff\xc3" + struct.pack(">HBHHB", 8 + 3 * C, P, H, W, C)
+        for c, (fh, fv) in enumerate(sampling):
+            out += bytes([c + 1, (fh << 4) | fv, 0])
+        if restart_interval:
+            out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+        for c, pl in enumerate(planes):
+            out += b"\xff\xda" + struct.pack(">HB", 6 + 2, 1)
+            out += bytes([c + 1, 0x00, predictor, 0, pt])
+            v = (pl.astype(np.int64) >> pt) if pt else pl.astype(np.int64)
+            out += _lossless_scan_bytes(
+                v[:, :, None], predictor, P, pt, restart_interval
+            )
+        return bytes(out) + b"\xff\xd9"
     if img.ndim == 2:
         img = img[:, :, None]
     H, W, C = img.shape
@@ -190,15 +220,24 @@ def test_decode_image_dispatches_sof3():
 
 def test_lossless_jpeg_gates():
     rng = np.random.default_rng(1)
-    img = rng.integers(0, 256, (4, 4), dtype=np.uint8)
-    blob = bytearray(encode_jpeg_lossless(img))
-    # corrupt the sampling byte -> named subsampling gate
+    rgb = rng.integers(0, 256, (4, 4, 3), dtype=np.uint8)
+    blob = bytearray(encode_jpeg_lossless(rgb))
+    # subsampling inside an INTERLEAVED scan -> named gate (per-
+    # component scans decode subsampled files, see
+    # test_lossless_jpeg_subsampled_per_component)
     idx = blob.find(b"\xff\xc3")
     blob[idx + 2 + 2 + 6 + 1] = 0x22
-    with pytest.raises(NotImplementedError, match="subsampled"):
+    with pytest.raises(NotImplementedError, match="interleaved"):
         decode_jpeg_lossless(bytes(blob))
     with pytest.raises(ValueError, match="SOI"):
         decode_jpeg_lossless(b"nope")
+    # a single-component frame with non-1x1 factors is NOT subsampled
+    # (factors are relative): decodes to the full grid
+    img = rng.integers(0, 256, (4, 4), dtype=np.uint8)
+    blob = bytearray(encode_jpeg_lossless(img))
+    idx = blob.find(b"\xff\xc3")
+    blob[idx + 2 + 2 + 6 + 1] = 0x22
+    np.testing.assert_array_equal(decode_jpeg_lossless(bytes(blob)), img)
 
 
 def test_dicom_jpeg_lossless_transfer_syntaxes(spark, tmp_path):
@@ -283,3 +322,27 @@ def test_lossless_jpeg_per_component_scans():
     trunc = blob[:second_sos] + b"\xff\xd9"
     with pytest.raises(ValueError, match="without scans"):
         decode_jpeg_lossless(trunc)
+
+
+def test_lossless_jpeg_subsampled_per_component():
+    """Subsampled components in per-component scans: each scan decodes
+    at its own ceil(dim*f/fmax) grid and nearest-upsamples to the
+    frame — the 4:2:0-style layout, now decodable (was a blanket
+    gate)."""
+    rng = np.random.default_rng(23)
+    H, W = 10, 14
+    y = rng.integers(0, 256, (H, W)).astype(np.int64)
+    cb = rng.integers(0, 256, (5, 7)).astype(np.int64)
+    cr = rng.integers(0, 256, (5, 7)).astype(np.int64)
+    blob = encode_jpeg_lossless(
+        [y, cb, cr], predictor=4, per_scan=True,
+        sampling=[(2, 2), (1, 1), (1, 1)],
+    )
+    out = decode_jpeg_lossless(blob)
+    assert out.shape == (H, W, 3)
+    np.testing.assert_array_equal(out[:, :, 0], y)
+    # chroma planes upsample by sample replication
+    rows = np.minimum(np.arange(H) * 5 // H, 4)
+    cols = np.minimum(np.arange(W) * 7 // W, 6)
+    np.testing.assert_array_equal(out[:, :, 1], cb[np.ix_(rows, cols)])
+    np.testing.assert_array_equal(out[:, :, 2], cr[np.ix_(rows, cols)])
