@@ -61,12 +61,19 @@ def landmarks(pcm, frame: int = FRAME, hop: int = HOP,
     n = (len(x) - frame) // hop + 1 if len(x) >= frame else 0
     if n <= 0:
         return set()
-    idx = np.arange(frame)[None, :] + hop * np.arange(n)[:, None]
-    mags = np.abs(np.fft.rfft(x[idx], axis=1))[:, 1:]  # drop DC
-    bands = np.array_split(np.arange(mags.shape[1]), nbands)
-    peaks = np.stack(
-        [b[np.argmax(mags[:, b], axis=1)] + 1 for b in bands], axis=1
-    ).astype(np.int64)  # (n, nbands) absolute bin numbers
+    bands = np.array_split(np.arange(frame // 2), nbands)
+    # frame the signal in bounded chunks: materializing every frame at
+    # once costs n*frame*8 bytes (~1.6 GB for an hour of 8 kHz audio);
+    # peaks are only n*nbands int64s
+    peaks = np.empty((n, nbands), dtype=np.int64)
+    chunk = 32768
+    for t0 in range(0, n, chunk):
+        t1 = min(t0 + chunk, n)
+        idx = (np.arange(frame)[None, :]
+               + hop * np.arange(t0, t1)[:, None])
+        mags = np.abs(np.fft.rfft(x[idx], axis=1))[:, 1:]  # drop DC
+        for bi, b in enumerate(bands):
+            peaks[t0:t1, bi] = b[np.argmax(mags[:, b], axis=1)] + 1
     parts = []
     for dt in range(1, fanout + 1):
         if dt >= n:
