@@ -3556,22 +3556,6 @@ def q131_codec_roundtrip_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _md5_image(seed: str, h: int = 32, w: int = 32):
-    """Deterministic h*w uint8 image (values 0..100) from an md5 chain —
-    the repo's engine-portable determinism policy; 0..100 leaves exact
-    headroom for the 2*px+10 affine twin below."""
-    import hashlib
-
-    import numpy as np
-
-    need = h * w
-    buf = bytearray()
-    i = 0
-    while len(buf) < need:
-        buf += hashlib.md5(f"{seed}:{i}".encode()).digest()
-        i += 1
-    a = np.frombuffer(bytes(buf[:need]), dtype=np.uint8).reshape(h, w)
-    return (a % 101).astype(np.uint8)
 
 
 @register(
@@ -3615,14 +3599,33 @@ def q132_image_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def gen(batches):
+        # self-contained closure (no module-level references): workers
+        # unpickle it WITHOUT importing this registry module, which
+        # would drag the whole query/llm import chain into every
+        # executor worker on the cold run
+        import hashlib
+
         import numpy as np
 
         from intake_spark.output import _png_bytes
 
+        def md5_image(seed, h=32, w=32):
+            # deterministic image (values 0..100) from an md5 chain —
+            # the engine-portable determinism policy; 0..100 leaves
+            # exact headroom for the 2*px+10 affine twin
+            need = h * w
+            buf = bytearray()
+            i = 0
+            while len(buf) < need:
+                buf += hashlib.md5(f"{seed}:{i}".encode()).digest()
+                i += 1
+            a = np.frombuffer(bytes(buf[:need]), dtype=np.uint8)
+            return (a % 101).astype(np.uint8).reshape(h, w)
+
         for pdf in batches:
             rows = []
             for did in pdf["doc_id"]:
-                base = _md5_image(f"phash:{did}")
+                base = md5_image(f"phash:{did}")
                 twin = (2 * base.astype(np.int64) + 10).astype(np.uint8)
                 rows.append((2 * int(did), _png_bytes(base.tolist())))
                 rows.append((2 * int(did) + 1, _png_bytes(twin.tolist())))
