@@ -233,8 +233,9 @@ def decode_wav_full(content: bytes):
             rate, nch, sw = w.getframerate(), w.getnchannels(), w.getsampwidth()
             frames = w.readframes(w.getnframes())
     except wave.Error:
-        # the stdlib module only accepts PCM; IMA-ADPCM (0x11) decodes here
-        return decode_wav_adpcm(content)
+        # the stdlib module only accepts integer PCM: IMA-ADPCM, IEEE
+        # float and WAVE_FORMAT_EXTENSIBLE dispatch to the manual path
+        return _decode_wav_other(content)
     if sw == 3:  # 24-bit PCM: sign-extend each 3-byte sample into int32
         b3 = np.frombuffer(frames, dtype=np.uint8).reshape(-1, 3)
         pad = np.where(b3[:, 2] >= 0x80, 0xFF, 0).astype(np.uint8)
@@ -2559,6 +2560,86 @@ def _ima_nibbles(nibs, pred: int, idx: int):
         idx = max(0, min(88, idx + _IMA_INDEX[n & 7]))
         out.append(pred)
     return out, pred, idx
+
+
+def _wav_chunks(content: bytes):
+    """(fmt_body, data_body) of a RIFF/WAVE stream."""
+    import struct as _s
+
+    if content[:4] != b"RIFF" or content[8:12] != b"WAVE":
+        raise ValueError("not a WAV file")
+    pos = 12
+    end = min(len(content), 8 + _s.unpack_from("<I", content, 4)[0])
+    fmt = data = None
+    while pos + 8 <= end:
+        cid = content[pos : pos + 4]
+        (clen,) = _s.unpack_from("<I", content, pos + 4)
+        if cid == b"fmt ":
+            fmt = content[pos + 8 : pos + 8 + clen]
+        elif cid == b"data":
+            data = content[pos + 8 : pos + 8 + clen]
+        pos += 8 + clen + (clen & 1)
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    return fmt, data
+
+
+def _decode_wav_other(content: bytes):
+    """WAV formats the stdlib ``wave`` module rejects: IMA-ADPCM
+    (0x11), IEEE float 32/64 (0x0003 — normalized to int16 like the
+    library delegation path), and WAVE_FORMAT_EXTENSIBLE (0xFFFE —
+    the mandatory container for >2 channels or >16 valid bits, whose
+    SubFormat GUID's leading u16 is the actual codec tag). Unknown
+    codec tags (MP3-in-WAV 0x55, A/mu-law wrappers...) raise the named
+    gate so the features layer emits err rows, not wrong samples."""
+    import struct as _s
+
+    import numpy as np
+
+    fmt, data = _wav_chunks(content)
+    tag, nch, rate = _s.unpack_from("<HHI", fmt, 0)
+    bits = _s.unpack_from("<H", fmt, 14)[0] if len(fmt) >= 16 else 0
+    if tag == 0xFFFE:
+        if len(fmt) < 40:
+            raise ValueError("WAVE_FORMAT_EXTENSIBLE fmt chunk too short")
+        # SubFormat GUID: the first u16 is the wrapped format tag
+        tag = _s.unpack_from("<H", fmt, 24)[0]
+    if tag == 0x11:
+        return decode_wav_adpcm(content)
+    if tag == 3:  # IEEE float: normalize like the soundfile delegation
+        if bits == 32:
+            x = np.frombuffer(data, dtype="<f4")
+        elif bits == 64:
+            x = np.frombuffer(data, dtype="<f8")
+        else:
+            raise ValueError(f"IEEE-float WAV with {bits} bits")
+        x = x[: (len(x) // max(nch, 1)) * max(nch, 1)].astype(np.float64)
+        arr = np.clip(np.rint(x * 32767.0), -32768, 32767).astype(np.int16)
+        return rate, arr.reshape(-1, nch), 2
+    if tag == 1:  # PCM inside an EXTENSIBLE wrapper
+        sw = (bits + 7) // 8
+        n = (len(data) // (sw * nch)) * nch
+        if sw == 1:
+            arr = np.frombuffer(data, dtype=np.uint8, count=n)
+        elif sw == 2:
+            arr = np.frombuffer(data, dtype="<i2", count=n)
+        elif sw == 3:
+            b3 = np.frombuffer(
+                data, dtype=np.uint8, count=n * 3
+            ).reshape(-1, 3)
+            pad = np.where(b3[:, 2] >= 0x80, 0xFF, 0).astype(np.uint8)
+            arr = np.frombuffer(
+                np.column_stack([b3, pad]).tobytes(), dtype="<i4"
+            )
+        elif sw == 4:
+            arr = np.frombuffer(data, dtype="<i4", count=n)
+        else:
+            raise ValueError(f"unsupported WAV sample width {sw} bytes")
+        return rate, arr.reshape(-1, nch), sw
+    raise NotImplementedError(
+        f"WAV codec wFormatTag {tag:#06x} is not supported — PCM, "
+        "IEEE float, IMA-ADPCM and their EXTENSIBLE wrappers decode"
+    )
 
 
 def decode_wav_adpcm(content: bytes):

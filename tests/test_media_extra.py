@@ -1066,3 +1066,67 @@ def test_transcode_audio(spark, tmp_path):
     r2, back, _ = decode_flac(bytes(out["a.wav"].content))
     assert r2 == 8000
     np.testing.assert_array_equal(back, pcm)
+
+
+# --- WAV beyond stdlib PCM ---------------------------------------------------
+
+_WAV_GUID_TAIL = b"\x00\x00\x00\x00\x10\x00\x80\x00\x00\xAA\x00\x38\x9B\x71"
+
+
+def _wav_fmt(tag, nch, rate, bits, data, ext_sub=None):
+    import struct
+
+    fmt = struct.pack("<HHIIHH", tag, nch, rate, rate * nch * bits // 8,
+                      nch * bits // 8, bits)
+    if ext_sub is not None:
+        fmt += struct.pack("<HHI", 22, bits, 0x3)
+        fmt += struct.pack("<H", ext_sub) + _WAV_GUID_TAIL
+    body = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    if len(fmt) % 2:
+        body += b"\x00"
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+
+def test_wav_float_and_extensible():
+    """IEEE-float WAV (0x0003, 32/64-bit) normalizes to int16 exactly
+    like the soundfile delegation path; WAVE_FORMAT_EXTENSIBLE (0xFFFE)
+    unwraps its SubFormat GUID to PCM/float, incl. 24-bit sign
+    extension; unknown codec tags (MP3-in-WAV 0x55) stay a named
+    gate."""
+    from intake_spark.llm.multimodal import decode_wav_full
+
+    x = (np.sin(np.arange(400) / 7.0) * 0.5).astype("<f4")
+    ref = np.clip(np.rint(x.astype(np.float64) * 32767), -32768, 32767)
+    for bits, buf in ((32, x.tobytes()), (64, x.astype("<f8").tobytes())):
+        r, arr, sw = decode_wav_full(_wav_fmt(3, 1, 8000, bits, buf))
+        assert (r, sw, arr.shape) == (8000, 2, (400, 1))
+        assert (arr[:, 0] == ref).all()
+
+    pcm = np.arange(-300, 300, dtype="<i2")
+    r, arr, sw = decode_wav_full(
+        _wav_fmt(0xFFFE, 2, 44100, 16, pcm.tobytes(), ext_sub=1)
+    )
+    assert arr.shape == (300, 2) and (arr.ravel() == pcm).all()
+
+    r, arr, _sw = decode_wav_full(
+        _wav_fmt(0xFFFE, 1, 8000, 32, x.tobytes(), ext_sub=3)
+    )
+    assert (arr[:, 0] == ref).all()
+
+    vals = np.array([-(2**22), 5, 2**22], dtype="<i4")
+    raw = b"".join(int(v).to_bytes(3, "little", signed=True)
+                   for v in vals.tolist())
+    r, arr, sw = decode_wav_full(
+        _wav_fmt(0xFFFE, 1, 8000, 24, raw, ext_sub=1)
+    )
+    assert sw == 3 and (arr[:, 0] == vals).all()
+
+    with pytest.raises(NotImplementedError, match="wFormatTag"):
+        decode_wav_full(_wav_fmt(0x55, 1, 8000, 16, b"\x00" * 64))
+
+    # magic-dispatch + audio_features survive these via decode_audio_full
+    from intake_spark.llm.multimodal import decode_audio_full
+
+    r, arr, bits = decode_audio_full(_wav_fmt(3, 1, 8000, 32, x.tobytes()))
+    assert (arr[:, 0] == ref).all() and bits == 16
