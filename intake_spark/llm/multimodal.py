@@ -2491,8 +2491,9 @@ def _mulaw_expand(u):
 
 
 def decode_au(content: bytes):
-    """Sun/NeXT .au (.snd): big-endian header, PCM 8/16/24/32 and G.711
-    μ-law encodings → (rate, samples (n, ch), bits)."""
+    """Sun/NeXT .au (.snd): big-endian header — PCM 8/16/24/32, IEEE
+    float 32/64 (normalized to int16) and G.711 mu/A-law encodings →
+    (rate, samples (n, ch), bits)."""
     import numpy as np
 
     if content[:4] != b".snd":
@@ -2525,7 +2526,15 @@ def decode_au(content: bytes):
         return rate, arr.reshape(-1, nch), 24
     if enc == 5:
         return rate, np.frombuffer(data, dtype=">i4").astype(np.int32).reshape(-1, nch), 32
-    raise NotImplementedError(f"AU encoding {enc}: PCM and mu-law decode")
+    if enc in (6, 7):  # IEEE float 32/64: normalize like float WAV
+        x = np.frombuffer(data, dtype=">f4" if enc == 6 else ">f8")
+        x = x[: (len(x) // max(nch, 1)) * max(nch, 1)].astype(np.float64)
+        arr = np.clip(np.rint(x * 32767.0), -32768, 32767).astype(np.int16)
+        return rate, arr.reshape(-1, nch), 16
+    raise NotImplementedError(
+        f"AU encoding {enc}: PCM 8/16/24/32, IEEE float 32/64, G.711 "
+        "mu-law and A-law decode"
+    )
 
 
 # IMA/DVI ADPCM normative spec constants (IMA Digital Audio Focus and

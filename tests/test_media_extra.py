@@ -1130,3 +1130,27 @@ def test_wav_float_and_extensible():
 
     r, arr, bits = decode_audio_full(_wav_fmt(3, 1, 8000, 32, x.tobytes()))
     assert (arr[:, 0] == ref).all() and bits == 16
+
+
+def test_au_float_encodings():
+    """AU encodings 6/7 (IEEE float 32/64, big-endian) normalize to
+    int16 like float WAV; the unknown-encoding gate names the full
+    supported set."""
+    from intake_spark.llm.multimodal import decode_au
+
+    x = (np.sin(np.arange(300) / 5.0) * 0.25).astype(">f4")
+    ref = np.clip(np.rint(x.astype(np.float64) * 32767), -32768, 32767)
+
+    def au(enc, payload):
+        return (b".snd" + (24).to_bytes(4, "big")
+                + len(payload).to_bytes(4, "big")
+                + enc.to_bytes(4, "big") + (8000).to_bytes(4, "big")
+                + (1).to_bytes(4, "big") + payload)
+
+    for enc, buf in ((6, x.tobytes()), (7, x.astype(">f8").tobytes())):
+        rate, arr, bits = decode_au(au(enc, buf))
+        assert (rate, bits, arr.shape) == (8000, 16, (300, 1))
+        assert (arr[:, 0] == ref).all()
+
+    with pytest.raises(NotImplementedError, match="A-law"):
+        decode_au(au(23, b"\x00" * 8))
