@@ -797,10 +797,14 @@ def transcode_images(
                     fmt = None
                 try:
                     arr = decode_image(blob)
-                    if arr.dtype != np.uint8:
+                    if arr.dtype != np.uint8 and to != "jpeg2000":
+                        # VP8L/this PNG path are 8-bit codecs; J2K keeps
+                        # any precision losslessly (the 16-bit medical
+                        # normalization case)
                         raise NotImplementedError(
-                            "transcode keeps 8-bit sources only (16-bit "
-                            "would silently narrow)"
+                            "transcode of >8-bit sources needs the "
+                            "jpeg2000 target (webp/png would silently "
+                            "narrow)"
                         )
                     out, ok = enc(arr)
                     rows.append(base + (out, fmt, len(blob), len(out),

@@ -1154,3 +1154,26 @@ def test_au_float_encodings():
 
     with pytest.raises(NotImplementedError, match="A-law"):
         decode_au(au(23, b"\x00" * 8))
+
+
+def test_transcode_16bit_to_jpeg2000(spark, tmp_path):
+    """16-bit sources (medical PNG/TIFF) normalize losslessly into the
+    JPEG 2000 target; the 8-bit-only gate stays for webp/png targets."""
+    from intake_spark.llm import multimodal
+    from intake_spark.llm.jpeg2000 import decode_jpeg2000
+    from intake_spark.output import _png_bytes
+
+    rng = np.random.default_rng(33)
+    wide = rng.integers(0, 65536, (9, 7)).astype(np.uint16)
+    (tmp_path / "w.png").write_bytes(_png_bytes(wide.tolist(), bit_depth=16))
+    files = multimodal.read_binary_dir(spark, str(tmp_path), glob="*")
+    out = {r.path.rsplit("/", 1)[-1]: r
+           for r in multimodal.transcode_images(files, to="jpeg2000").collect()}
+    assert out["w.png"].lossless == 1
+    np.testing.assert_array_equal(
+        decode_jpeg2000(bytes(out["w.png"].content)).astype(np.int64),
+        wide.astype(np.int64),
+    )
+    out8 = {r.path.rsplit("/", 1)[-1]: r
+            for r in multimodal.transcode_images(files, to="webp").collect()}
+    assert out8["w.png"].err is not None and ">8-bit" in out8["w.png"].err
