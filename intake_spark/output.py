@@ -475,11 +475,15 @@ def to_npy(df: DataFrame, url: str, max_bytes: int | None = 1 << 30) -> dt.Numpy
 
 
 def _png_bytes(arr_2d, bit_depth: int = 8) -> bytes:
-    """Encode a 2-D uint8 grayscale array as PNG with the stdlib only
-    (zlib + struct CRC): signature, IHDR, IDAT (filter-0 scanlines), IEND."""
+    """Encode a 2-D grayscale array as PNG with the stdlib only (zlib +
+    struct CRC): signature, IHDR, IDAT (filter-0 scanlines), IEND.
+    ``bit_depth`` 8 or 16 (16-bit samples big-endian per the PNG
+    spec)."""
     import struct as _struct
     import zlib
 
+    if bit_depth not in (8, 16):
+        raise ValueError("PNG grayscale bit depth must be 8 or 16")
     h = len(arr_2d)
     w = len(arr_2d[0]) if h else 0
 
@@ -488,7 +492,17 @@ def _png_bytes(arr_2d, bit_depth: int = 8) -> bytes:
         return _struct.pack(">I", len(payload)) + body + _struct.pack(">I", zlib.crc32(body))
 
     ihdr = _struct.pack(">IIBBBBB", w, h, bit_depth, 0, 0, 0, 0)  # grayscale
-    raw = b"".join(b"\x00" + bytes(int(v) & 0xFF for v in row) for row in arr_2d)
+    if bit_depth == 16:
+        raw = b"".join(
+            b"\x00" + b"".join(
+                (int(v) & 0xFFFF).to_bytes(2, "big") for v in row
+            )
+            for row in arr_2d
+        )
+    else:
+        raw = b"".join(
+            b"\x00" + bytes(int(v) & 0xFF for v in row) for row in arr_2d
+        )
     return (
         b"\x89PNG\r\n\x1a\n"
         + chunk(b"IHDR", ihdr)
