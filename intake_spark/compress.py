@@ -390,3 +390,25 @@ def blosc_compress(
         "<III", nbytes, blocksize, cbytes
     )
     return header + struct.pack("<I", start) + struct.pack("<I", len(comp)) + comp
+
+
+_CRC32C_TABLE: list | None = None
+
+
+def crc32c(data: bytes) -> int:
+    """CRC-32C (Castagnoli, reflected polynomial 0x82F63B78) — the
+    checksum zarr v3's sharding index and Iceberg/parquet footers use.
+    The table is DERIVED from the polynomial here, not transcribed."""
+    global _CRC32C_TABLE
+    if _CRC32C_TABLE is None:
+        tbl = []
+        for i in range(256):
+            c = i
+            for _ in range(8):
+                c = (c >> 1) ^ 0x82F63B78 if c & 1 else c >> 1
+            tbl.append(c)
+        _CRC32C_TABLE = tbl
+    crc = 0xFFFFFFFF
+    for b in data:
+        crc = (crc >> 8) ^ _CRC32C_TABLE[(crc ^ b) & 0xFF]
+    return crc ^ 0xFFFFFFFF

@@ -377,20 +377,69 @@ class ZarrReader(BaseReader):
             if grid_cfg.get("name") != "regular":
                 raise ValueError("only regular chunk grids supported")
             chunks = list(grid_cfg["configuration"]["chunk_shape"])
-            endian = "<"
-            comp = None
-            for codec in meta.get("codecs", []):
-                cname = codec.get("name")
-                if cname == "bytes":
-                    if (codec.get("configuration") or {}).get("endian") == "big":
-                        endian = ">"
-                elif cname == "gzip":
-                    comp = "gzip"
-                else:
+            def _chain(codec_list, allow_shard):
+                ce, cc, sh = "<", None, None
+                for codec in codec_list:
+                    cname = codec.get("name")
+                    if cname == "bytes":
+                        if (codec.get("configuration") or {}).get(
+                            "endian"
+                        ) == "big":
+                            ce = ">"
+                    elif cname == "gzip":
+                        cc = "gzip"
+                    elif cname == "sharding_indexed" and allow_shard:
+                        sh = codec.get("configuration") or {}
+                    else:
+                        raise ValueError(
+                            f"zarr v3 codec {cname!r} not supported "
+                            "(bytes/gzip/sharding_indexed natively; "
+                            "blosc/zstd need numcodecs)"
+                        )
+                return ce, cc, sh
+
+            endian, comp, shard_cfg = _chain(meta.get("codecs", []), True)
+            inner_chunks = None
+            inner_comp = None
+            idx_dt = "<u8"
+            idx_crc = False
+            idx_loc = "end"
+            if shard_cfg is not None:
+                # sharding_indexed (zarr v3 sharding codec spec): each
+                # chunk-grid file is a SHARD of inner chunks plus an
+                # index of (offset, nbytes) uint64 pairs in C order,
+                # optionally crc32c-protected; missing inner chunks are
+                # flagged with offset == 2^64 - 1
+                inner_chunks = list(shard_cfg["chunk_shape"])
+                if len(inner_chunks) != len(chunks) or any(
+                    c % ic for c, ic in zip(chunks, inner_chunks)
+                ):
                     raise ValueError(
-                        f"zarr v3 codec {cname!r} not supported (bytes/gzip "
-                        "only; blosc/zstd/sharding need numcodecs)"
+                        f"shard inner chunk shape {inner_chunks} does not "
+                        f"divide the shard shape {chunks}"
                     )
+                endian, inner_comp, nested = _chain(
+                    shard_cfg.get("codecs", []), False
+                )
+                del nested
+                ie = "<"
+                for codec in shard_cfg.get("index_codecs", []):
+                    cname = codec.get("name")
+                    if cname == "bytes":
+                        if (codec.get("configuration") or {}).get(
+                            "endian"
+                        ) == "big":
+                            ie = ">"
+                    elif cname == "crc32c":
+                        idx_crc = True
+                    else:
+                        raise ValueError(
+                            f"shard index codec {cname!r} not supported"
+                        )
+                idx_dt = ie + "u8"
+                idx_loc = shard_cfg.get("index_location", "end")
+                if idx_loc not in ("start", "end"):
+                    raise ValueError(f"shard index_location {idx_loc!r}")
             dtype = _np.dtype(meta["data_type"]).newbyteorder(endian).str
             fill = meta.get("fill_value")
             if isinstance(fill, str):  # v3 JSON spells specials as strings
@@ -441,6 +490,8 @@ class ZarrReader(BaseReader):
                 fill = 0
             sep = meta.get("dimension_separator", ".")
             prefix = ""
+            inner_chunks = inner_comp = None
+            idx_dt, idx_crc, idx_loc = "<u8", False, "end"
         if not shape:
             # 0-d (scalar) arrays are legal zarr; the chunk-row model is
             # rank >= 1 — name the gate instead of IndexError on grid[0]
@@ -469,6 +520,48 @@ class ZarrReader(BaseReader):
 
             import numpy as np
 
+            def _read_shard(blob: bytes):
+                # sharding_indexed: trailing/leading index of
+                # (offset, nbytes) uint64 pairs over the inner-chunk
+                # grid in C order; offsets are absolute in the shard
+                inner_grid = [c // ic for c, ic in zip(chunks, inner_chunks)]
+                n_inner = 1
+                for g in inner_grid:
+                    n_inner *= g
+                isize = n_inner * 16 + (4 if idx_crc else 0)
+                if len(blob) < isize:
+                    raise ValueError("zarr shard smaller than its index")
+                idx = blob[-isize:] if idx_loc == "end" else blob[:isize]
+                body = idx[: n_inner * 16]
+                if idx_crc:
+                    from intake_spark.compress import crc32c
+
+                    want = int.from_bytes(idx[n_inner * 16 :], "little")
+                    if crc32c(body) != want:
+                        raise ValueError(
+                            "zarr shard index crc32c mismatch — refusing "
+                            "to decode a corrupt shard"
+                        )
+                pairs = np.frombuffer(body, dtype=idx_dt).reshape(-1, 2)
+                shard = np.full(chunks, fill, dtype=np.dtype(dtype))
+                for k in range(n_inner):
+                    off, nb = int(pairs[k, 0]), int(pairs[k, 1])
+                    if off == 2**64 - 1:
+                        continue  # missing inner chunk -> fill value
+                    raw = blob[off : off + nb]
+                    if inner_comp == "gzip":
+                        raw = zlib.decompress(raw, 47)
+                    ich = np.frombuffer(
+                        raw, dtype=np.dtype(dtype)
+                    ).reshape(inner_chunks)
+                    coords = np.unravel_index(k, inner_grid)
+                    sl = tuple(
+                        slice(c * ic, c * ic + ic)
+                        for c, ic in zip(coords, inner_chunks)
+                    )
+                    shard[sl] = ich
+                return shard
+
             for pdf in batches:
                 out = []
                 for _, r in pdf.iterrows():
@@ -478,7 +571,11 @@ class ZarrReader(BaseReader):
                         key = name[len(prefix):] if prefix else name
                         coords = tuple(int(x) for x in key.split(sep))
                         path = f"{root}/{name}"
-                        if _os.path.exists(path):
+                        if _os.path.exists(path) and inner_chunks is not None:
+                            with open(path, "rb") as f:
+                                blob = f.read()
+                            arr = _read_shard(blob)
+                        elif _os.path.exists(path):
                             with open(path, "rb") as f:
                                 raw = f.read()
                             if comp in ("zlib", "gzip"):

@@ -1603,3 +1603,146 @@ def test_lz4_block_compress_roundtrip_fuzz():
             assert blosc_decompress(fr) == blob
     rep = b"abcdefgh" * 500
     assert len(lz4_block_compress(rep)) < len(rep) // 4
+
+
+def _write_zarr_v3_sharded(root, arr, shard_shape, inner_shape,
+                           gzip_inner=False, index_location="end",
+                           drop_inner=(), corrupt_crc=False):
+    """Hand-built zarr v3 store using the sharding_indexed codec: each
+    chunk-grid file is a shard of inner chunks + a C-order
+    (offset, nbytes) uint64 index protected by crc32c. ``drop_inner``
+    marks inner chunks (by flat index within EVERY shard) missing
+    (offset 2^64-1) so the fill-value path is exercised."""
+    import gzip as _gzip
+    import itertools
+    import json
+    import os
+    import struct
+
+    import numpy as np
+
+    from intake_spark.compress import crc32c
+
+    os.makedirs(root, exist_ok=True)
+    inner_codecs = [{"name": "bytes", "configuration": {"endian": "little"}}]
+    if gzip_inner:
+        inner_codecs.append({"name": "gzip", "configuration": {"level": 5}})
+    meta = {
+        "zarr_format": 3,
+        "node_type": "array",
+        "shape": list(arr.shape),
+        "data_type": arr.dtype.name,
+        "chunk_grid": {"name": "regular",
+                       "configuration": {"chunk_shape": list(shard_shape)}},
+        "chunk_key_encoding": {"name": "default",
+                               "configuration": {"separator": "/"}},
+        "fill_value": -1,
+        "codecs": [{
+            "name": "sharding_indexed",
+            "configuration": {
+                "chunk_shape": list(inner_shape),
+                "codecs": inner_codecs,
+                "index_codecs": [
+                    {"name": "bytes",
+                     "configuration": {"endian": "little"}},
+                    {"name": "crc32c"},
+                ],
+                "index_location": index_location,
+            },
+        }],
+    }
+    with open(f"{root}/zarr.json", "w") as f:
+        json.dump(meta, f)
+    grid = [-(-s // c) for s, c in zip(arr.shape, shard_shape)]
+    inner_grid = [c // ic for c, ic in zip(shard_shape, inner_shape)]
+    n_inner = int(np.prod(inner_grid))
+    for coords in itertools.product(*[range(g) for g in grid]):
+        block = np.full(shard_shape, -1, dtype=arr.dtype)
+        sel = tuple(slice(ci * c, min((ci + 1) * c, s))
+                    for ci, c, s in zip(coords, shard_shape, arr.shape))
+        valid = arr[sel]
+        block[tuple(slice(0, v) for v in valid.shape)] = valid
+        pieces, index = [], []
+        isize = n_inner * 16 + 4
+        pos = isize if index_location == "start" else 0
+        for k in range(n_inner):
+            ic = np.unravel_index(k, inner_grid)
+            if k in drop_inner:
+                index.append((2**64 - 1, 0))
+                continue
+            sl = tuple(slice(c * w, (c + 1) * w)
+                       for c, w in zip(ic, inner_shape))
+            raw = np.ascontiguousarray(
+                block[sl].astype(block.dtype.newbyteorder("<"))
+            ).tobytes()
+            if gzip_inner:
+                raw = _gzip.compress(raw)
+            index.append((pos, len(raw)))
+            pieces.append(raw)
+            pos += len(raw)
+        body = b"".join(pieces)
+        idx = b"".join(struct.pack("<QQ", o, n) for o, n in index)
+        crc = crc32c(idx)
+        if corrupt_crc:
+            crc ^= 0xFF
+        idx += struct.pack("<I", crc)
+        blob = (idx + body) if index_location == "start" else (body + idx)
+        path = f"{root}/c/" + "/".join(map(str, coords))
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        with open(path, "wb") as f:
+            f.write(blob)
+
+
+@pytest.mark.parametrize("gzip_inner,loc", [(False, "end"), (True, "end"),
+                                            (False, "start")])
+def test_zarr_v3_sharding_indexed(spark, tmp_path, gzip_inner, loc):
+    """sharding_indexed (the zarr v3 codec for bundling many small
+    chunks into few large objects — THE layout for 100 TB stores):
+    shards decode inner-chunk-wise from the C-order uint64 index,
+    crc32c verified, missing inner chunks take the fill value."""
+    import numpy as np
+
+    from intake_spark import datatypes as dt
+    from intake_spark.readers import ZarrReader
+
+    arr = (np.arange(12 * 10, dtype="float64").reshape(12, 10) + 1) * 0.25
+    root = str(tmp_path / f"s_{gzip_inner}_{loc}.zarr")
+    _write_zarr_v3_sharded(root, arr, shard_shape=[6, 10],
+                           inner_shape=[3, 5], gzip_inner=gzip_inner,
+                           index_location=loc)
+    df = ZarrReader(data=dt.Zarr(url=root)).read(spark=spark)
+    rows = sorted(df.collect(), key=lambda r: r.offset0)
+    rebuilt = np.concatenate(
+        [np.array(r.values).reshape(-1, 10) for r in rows], axis=0
+    )
+    np.testing.assert_array_equal(rebuilt, arr)
+
+
+def test_zarr_v3_sharding_missing_and_corrupt(spark, tmp_path):
+    import numpy as np
+
+    from intake_spark import datatypes as dt
+    from intake_spark.readers import ZarrReader
+
+    arr = np.arange(6 * 10, dtype="int64").reshape(6, 10)
+    root = str(tmp_path / "m.zarr")
+    # drop inner chunk 1 (top-right quarter of each shard) -> fill -1
+    _write_zarr_v3_sharded(root, arr, shard_shape=[6, 10],
+                           inner_shape=[3, 5], drop_inner=(1,))
+    df = ZarrReader(data=dt.Zarr(url=root)).read(spark=spark)
+    rows = sorted(df.collect(), key=lambda r: r.offset0)
+    rebuilt = np.concatenate(
+        [np.array(r.values).reshape(-1, 10) for r in rows], axis=0
+    )
+    want = arr.copy().astype(float)
+    want[0:3, 5:10] = -1
+    np.testing.assert_array_equal(rebuilt, want)
+
+    # corrupt index crc -> loud error, not silent garbage offsets
+    root2 = str(tmp_path / "c.zarr")
+    _write_zarr_v3_sharded(root2, arr, shard_shape=[6, 10],
+                           inner_shape=[3, 5], corrupt_crc=True)
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="crc32c"):
+        ZarrReader(data=dt.Zarr(url=root2)).read(spark=spark).collect()
