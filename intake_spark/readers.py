@@ -388,13 +388,27 @@ class ZarrReader(BaseReader):
                             ce = ">"
                     elif cname == "gzip":
                         cc = "gzip"
+                    elif cname == "blosc":
+                        bcfg = codec.get("configuration") or {}
+                        bn = bcfg.get("cname", "lz4")
+                        if bn not in ("lz4", "lz4hc", "zlib"):
+                            raise ValueError(
+                                f"blosc cname {bn!r} needs numcodecs; the "
+                                "stdlib path decodes lz4/lz4hc/zlib/memcpy"
+                            )
+                        if bcfg.get("shuffle") == "bitshuffle":
+                            raise ValueError(
+                                "blosc bit-shuffle needs the bitshuffle "
+                                "kernel"
+                            )
+                        cc = "blosc"
                     elif cname == "sharding_indexed" and allow_shard:
                         sh = codec.get("configuration") or {}
                     else:
                         raise ValueError(
                             f"zarr v3 codec {cname!r} not supported "
-                            "(bytes/gzip/sharding_indexed natively; "
-                            "blosc/zstd need numcodecs)"
+                            "(bytes/gzip/blosc/sharding_indexed natively; "
+                            "zstd needs numcodecs)"
                         )
                 return ce, cc, sh
 
@@ -551,6 +565,10 @@ class ZarrReader(BaseReader):
                     raw = blob[off : off + nb]
                     if inner_comp == "gzip":
                         raw = zlib.decompress(raw, 47)
+                    elif inner_comp == "blosc":
+                        from intake_spark.compress import blosc_decompress
+
+                        raw = blosc_decompress(raw)
                     ich = np.frombuffer(
                         raw, dtype=np.dtype(dtype)
                     ).reshape(inner_chunks)
