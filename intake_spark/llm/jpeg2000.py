@@ -2306,6 +2306,11 @@ def decode_jpeg2000(blob: bytes):
                 raise ValueError("POC before SIZ")
             poc = _parse_poc(seg, siz["nc"] >= 257)
         elif m == 0x90:  # SOT: collect this tile-part, keep walking
+            if siz is None:
+                # the tile-part walk below parses COC/QCC/RGN widths off
+                # Csiz — a missing SIZ must be a clean error, not a
+                # TypeError on siz["nc"]
+                raise ValueError("SOT before SIZ")
             isot, psot, tpsot, tnsot = struct.unpack_from(">HIBB", seg, 0)
             sot_pos = pos - 2
             # skip ignorable tile-part-header segments (PLT packet

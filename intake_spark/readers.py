@@ -378,10 +378,14 @@ class ZarrReader(BaseReader):
                 raise ValueError("only regular chunk grids supported")
             chunks = list(grid_cfg["configuration"]["chunk_shape"])
             def _chain(codec_list, allow_shard):
-                ce, cc, sh = "<", None, None
+                ce, cc, sh, tr = "<", None, None, None
                 for codec in codec_list:
                     cname = codec.get("name")
-                    if cname == "bytes":
+                    if cname == "transpose":
+                        tr = list(
+                            (codec.get("configuration") or {})["order"]
+                        )
+                    elif cname == "bytes":
                         if (codec.get("configuration") or {}).get(
                             "endian"
                         ) == "big":
@@ -410,9 +414,11 @@ class ZarrReader(BaseReader):
                             "(bytes/gzip/blosc/sharding_indexed natively; "
                             "zstd needs numcodecs)"
                         )
-                return ce, cc, sh
+                return ce, cc, sh, tr
 
-            endian, comp, shard_cfg = _chain(meta.get("codecs", []), True)
+            endian, comp, shard_cfg, transpose = _chain(
+                meta.get("codecs", []), True
+            )
             inner_chunks = None
             inner_comp = None
             idx_dt = "<u8"
@@ -432,7 +438,7 @@ class ZarrReader(BaseReader):
                         f"shard inner chunk shape {inner_chunks} does not "
                         f"divide the shard shape {chunks}"
                     )
-                endian, inner_comp, nested = _chain(
+                endian, inner_comp, nested, transpose = _chain(
                     shard_cfg.get("codecs", []), False
                 )
                 del nested
@@ -504,7 +510,7 @@ class ZarrReader(BaseReader):
                 fill = 0
             sep = meta.get("dimension_separator", ".")
             prefix = ""
-            inner_chunks = inner_comp = None
+            inner_chunks = inner_comp = transpose = None
             idx_dt, idx_crc, idx_loc = "<u8", False, "end"
         if not shape:
             # 0-d (scalar) arrays are legal zarr; the chunk-row model is
@@ -533,6 +539,17 @@ class ZarrReader(BaseReader):
             import zlib
 
             import numpy as np
+
+            def _unt(flat, inner=False):
+                # zarr v3 'transpose' codec: stored bytes are the array
+                # laid out in the permuted axis order — reshape to the
+                # permuted shape and invert the permutation
+                shp = inner_chunks if inner else chunks
+                if transpose is None:
+                    return flat.reshape(shp)
+                perm_shape = [shp[a] for a in transpose]
+                inv = np.argsort(np.asarray(transpose))
+                return flat.reshape(perm_shape).transpose(inv)
 
             def _read_shard(blob: bytes):
                 # sharding_indexed: trailing/leading index of
@@ -569,9 +586,10 @@ class ZarrReader(BaseReader):
                         from intake_spark.compress import blosc_decompress
 
                         raw = blosc_decompress(raw)
-                    ich = np.frombuffer(
-                        raw, dtype=np.dtype(dtype)
-                    ).reshape(inner_chunks)
+                    ich = _unt(
+                        np.frombuffer(raw, dtype=np.dtype(dtype)),
+                        inner=True,
+                    )
                     coords = np.unravel_index(k, inner_grid)
                     sl = tuple(
                         slice(c * ic, c * ic + ic)
@@ -602,7 +620,7 @@ class ZarrReader(BaseReader):
                                 from intake_spark.compress import blosc_decompress
 
                                 raw = blosc_decompress(raw)
-                            arr = np.frombuffer(raw, dtype=np.dtype(dtype)).reshape(chunks)
+                            arr = _unt(np.frombuffer(raw, dtype=np.dtype(dtype)))
                         else:
                             arr = np.full(chunks, fill, dtype=np.dtype(dtype))
                         # trim edge chunks to the valid extent in every dim

@@ -1793,3 +1793,47 @@ def test_zarr_v3_blosc_codec(spark, tmp_path):
         [np.array(r.values).reshape(-1, 6) for r in rows], axis=0
     )
     np.testing.assert_array_equal(rebuilt, arr)
+
+
+def test_zarr_v3_transpose_codec(spark, tmp_path):
+    """zarr v3 'transpose' codec: stored bytes carry the permuted axis
+    order; the decoder inverts the permutation (plain chunks and shard
+    inner chunks)."""
+    import json
+    import os
+
+    import numpy as np
+
+    from intake_spark import datatypes as dt
+    from intake_spark.readers import ZarrReader
+
+    arr = np.arange(6 * 4, dtype="float64").reshape(6, 4) + 0.5
+    root = str(tmp_path / "t.zarr")
+    os.makedirs(root)
+    meta = {
+        "zarr_format": 3, "node_type": "array",
+        "shape": [6, 4], "data_type": "float64",
+        "chunk_grid": {"name": "regular",
+                       "configuration": {"chunk_shape": [3, 4]}},
+        "chunk_key_encoding": {"name": "default",
+                               "configuration": {"separator": "/"}},
+        "fill_value": 0,
+        "codecs": [
+            {"name": "transpose", "configuration": {"order": [1, 0]}},
+            {"name": "bytes", "configuration": {"endian": "little"}},
+        ],
+    }
+    with open(f"{root}/zarr.json", "w") as f:
+        json.dump(meta, f)
+    for ci in range(2):
+        block = arr[ci * 3 : (ci + 1) * 3]  # (3, 4)
+        stored = np.ascontiguousarray(block.T.astype("<f8"))  # (4, 3)
+        os.makedirs(f"{root}/c/{ci}", exist_ok=True)
+        with open(f"{root}/c/{ci}/0", "wb") as f:
+            f.write(stored.tobytes())
+    df = ZarrReader(data=dt.Zarr(url=root)).read(spark=spark)
+    rows = sorted(df.collect(), key=lambda r: r.offset0)
+    rebuilt = np.concatenate(
+        [np.array(r.values).reshape(-1, 4) for r in rows], axis=0
+    )
+    np.testing.assert_array_equal(rebuilt, arr)
