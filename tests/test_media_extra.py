@@ -163,6 +163,14 @@ def test_tga_color_mapped_and_16bit():
     a = decode_tga(_tga(2, 1, px, bpp=15))
     assert a[0, 0, 0] == 255
 
+    # RLE with 2-byte pixels (type 10 at 16 bpp)
+    body = (bytes([0x82]) + (0xFC00).to_bytes(2, "little")
+            + bytes([0x00]) + (0x83E0).to_bytes(2, "little"))
+    a = decode_tga(_tga(4, 1, body, img_type=10, bpp=16))
+    assert a[0, 0].tolist() == [255, 0, 0, 255]
+    assert a[0, 2].tolist() == [255, 0, 0, 255]
+    assert a[0, 3].tolist() == [0, 255, 0, 255]
+
     # 16-bit grayscale stays a NAMED gate
     with pytest.raises(NotImplementedError, match="grayscale"):
         decode_tga(_tga(1, 1, b"\x00\x00", img_type=3, bpp=16))
