@@ -473,15 +473,27 @@ def decode_image(content: bytes):
         return decode_pnm(content)
     if content[-18:] == b"TRUEVISION-XFILE.\x00" or (
         len(content) > 18
-        and content[1] == 0
-        and content[2] in (2, 3, 10, 11)
-        and content[3:8] == b"\x00\x00\x00\x00\x00"  # empty colormap spec
-        and content[16] in (8, 24, 32)
         and int.from_bytes(content[12:14], "little") > 0
         and int.from_bytes(content[14:16], "little") > 0
+        and (
+            (
+                content[1] == 0
+                and content[2] in (2, 3, 10, 11)
+                and content[3:8] == b"\x00\x00\x00\x00\x00"  # no colormap
+                and content[16] in (8, 15, 16, 24, 32)
+            )
+            or (
+                content[1] == 1  # color-mapped types with a plausible map
+                and content[2] in (1, 9)
+                and content[7] in (15, 16, 24, 32)  # palette entry bits
+                and int.from_bytes(content[5:7], "little") > 0
+                and content[16] == 8
+            )
+        )
     ):
         # TGA has no leading magic: trust the v2 footer, else the
-        # no-palette + known-image-type header shape
+        # known-image-type header shape (palette spec consistent with
+        # the declared type)
         return decode_tga(content)
     try:
         return _pil_decode(content)
