@@ -2332,8 +2332,9 @@ def _tga_expand16(flat, n):
 def decode_tga(content: bytes):
     """Truevision TGA: uncompressed and RLE true-color/grayscale/
     color-mapped (types 1/2/3/9/10/11), 8/15/16/24/32-bit pixels and
-    palette entries, both vertical origins. BGR(A)/ARGB1555 storage
-    converted to RGB(A). Returns (H, W, C) uint8."""
+    palette entries (16-bit grayscale = intensity + attribute byte),
+    both vertical origins. BGR(A)/ARGB1555 storage converted to
+    RGB(A). Returns (H, W, C) uint8."""
     import numpy as np
 
     if len(content) < 18:
@@ -2364,9 +2365,9 @@ def decode_tga(content: bytes):
         raise NotImplementedError(
             f"TGA color-mapped with {bpp_bits}-bit indices (8-bit only)"
         )
-    if img_type in (3, 11) and bpp_bits != 8:
+    if img_type in (3, 11) and bpp_bits not in (8, 16):
         raise NotImplementedError(
-            f"TGA grayscale with {bpp_bits}-bit samples (8-bit only)"
+            f"TGA grayscale with {bpp_bits}-bit samples (8/16-bit only)"
         )
     bpp = (bpp_bits + 7) // 8
     pos = 18 + idlen
@@ -2402,6 +2403,9 @@ def decode_tga(content: bytes):
         arr = palette[idx].reshape(h, w, palette.shape[1])
     elif bpp_bits in (15, 16) and img_type in (2, 10):
         arr = _tga_expand16(flat, n).reshape(h, w, 4)
+    elif bpp_bits == 16 and img_type in (3, 11):
+        # 16-bit grayscale: 8-bit intensity + 8-bit attribute (alpha)
+        arr = flat.reshape(h, w, 2)
     else:
         arr = flat.reshape(h, w, bpp)
     if not (desc & 0x20):  # origin bottom-left → flip to top-left

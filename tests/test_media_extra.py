@@ -171,9 +171,13 @@ def test_tga_color_mapped_and_16bit():
     assert a[0, 2].tolist() == [255, 0, 0, 255]
     assert a[0, 3].tolist() == [0, 255, 0, 255]
 
-    # 16-bit grayscale stays a NAMED gate
+    # 16-bit grayscale: intensity + attribute byte
+    a = decode_tga(_tga(2, 1, bytes([7, 255, 250, 0]), img_type=3, bpp=16))
+    assert a.shape == (1, 2, 2)
+    assert a[0, 0].tolist() == [7, 255] and a[0, 1].tolist() == [250, 0]
+    # other depths stay a NAMED gate
     with pytest.raises(NotImplementedError, match="grayscale"):
-        decode_tga(_tga(1, 1, b"\x00\x00", img_type=3, bpp=16))
+        decode_tga(_tga(1, 1, b"\x00" * 3, img_type=3, bpp=24))
 
 
 # --- AIFF ------------------------------------------------------------------
