@@ -1122,6 +1122,76 @@ def _grib_s32(b: bytes) -> int:
     return -(v & 0x7FFFFFFF) if v & 0x80000000 else v
 
 
+def _grib_sm(b: bytes) -> int:
+    """GRIB signed-magnitude integer of any width (top bit = sign)."""
+    v = int.from_bytes(b, "big")
+    top = 1 << (len(b) * 8 - 1)
+    return -(v & (top - 1)) if v & top else v
+
+
+def _grib_complex_unpack(body: bytes, sec5: dict, np):
+    """Section 7 payload for data templates 7.2/7.3 (WMO complex
+    packing): NG group references (nbits each), NG group widths, NG
+    scaled group lengths, then each group's values at its own width;
+    template 7.3 prefixes the stream with the explicit first value(s)
+    and the overall minimum of the differences, then integrates the
+    spatial differences back. Returns the scaled integers X (the same
+    quantity simple packing unpacks), as float64."""
+    n, nbits, ng = sec5["npts"], sec5["nbits"], sec5["ng"]
+    data = body[5:]
+    pos = 0
+    firsts = []
+    gmin = 0
+    if sec5["tmpl"] == 3:
+        ws = sec5["sd_ws"]
+        for _ in range(sec5["sd_order"]):
+            firsts.append(_grib_sm(data[pos : pos + ws]))
+            pos += ws
+        gmin = _grib_sm(data[pos : pos + ws])
+        pos += ws
+    bits = np.unpackbits(np.frombuffer(data[pos:], dtype=np.uint8))
+    w = np.flip(2 ** np.arange(64, dtype=np.int64))
+
+    def take(count, width):
+        nonlocal bitpos
+        if width == 0:
+            out = np.zeros(count, dtype=np.int64)
+        else:
+            seg = bits[bitpos : bitpos + count * width].reshape(count, width)
+            out = seg.astype(np.int64) @ w[64 - width :]
+            bitpos += count * width
+        return out
+
+    bitpos = 0
+    grefs = take(ng, nbits)
+    widths = sec5["w_ref"] + take(ng, sec5["w_bits"])
+    lens = sec5["l_ref"] + sec5["l_inc"] * take(ng, sec5["l_bits"])
+    if ng:
+        lens[-1] = sec5["l_last"]
+    if int(lens.sum()) != n:
+        raise ValueError(
+            f"GRIB complex packing: group lengths sum to {int(lens.sum())}"
+            f", expected {n} points"
+        )
+    x = np.empty(n, dtype=np.int64)
+    o = 0
+    for g in range(ng):
+        ln, wd = int(lens[g]), int(widths[g])
+        x[o : o + ln] = grefs[g] + take(ln, wd)
+        o += ln
+    if sec5["tmpl"] == 3:
+        order = sec5["sd_order"]
+        x += gmin
+        x[:order] = firsts
+        # integrate the spatial differences (g2clib comunpack order)
+        if order == 1:
+            x = np.cumsum(x)
+        else:
+            for i in range(2, n):
+                x[i] += 2 * x[i - 1] - x[i - 2]
+    return x.astype(np.float64)
+
+
 def _grib_decode_message(buf: bytes) -> list[dict]:
     """One GRIB2 message → one dict per data field (repeated sections
     3–7 supported): grid geometry, parameter ids, decoded value grid."""
@@ -1156,17 +1226,43 @@ def _grib_decode_message(buf: bytes) -> list[dict]:
             sec4 = {"template": tmpl, "category": body[9], "parameter": body[10]}
         elif snum == 5:
             (tmpl,) = struct.unpack(">H", body[9:11])
-            if tmpl != 0:
+            if tmpl not in (0, 2, 3):
                 raise ValueError(
                     f"data representation template 5.{tmpl} not supported "
-                    "(simple packing 5.0 only)"
+                    "(simple 5.0 / complex 5.2 / complex+spatial-diff 5.3)"
                 )
             (npts,) = struct.unpack(">I", body[5:9])
             (ref,) = struct.unpack(">f", body[11:15])
             e = _grib_s16(body[15:17])
             d = _grib_s16(body[17:19])
             nbits = body[19]
-            sec5 = {"npts": npts, "ref": ref, "e": e, "d": d, "nbits": nbits}
+            sec5 = {"tmpl": tmpl, "npts": npts, "ref": ref, "e": e,
+                    "d": d, "nbits": nbits}
+            if tmpl in (2, 3):
+                # complex packing (WMO template 5.2/5.3): values travel
+                # as NG groups, each with its own reference and width
+                if body[22] != 0:
+                    raise ValueError(
+                        "GRIB complex packing with missing-value "
+                        "management is not supported"
+                    )
+                (ng,) = struct.unpack(">I", body[31:35])
+                sec5.update(
+                    ng=ng,
+                    w_ref=body[35], w_bits=body[36],
+                    l_ref=struct.unpack(">I", body[37:41])[0],
+                    l_inc=body[41],
+                    l_last=struct.unpack(">I", body[42:46])[0],
+                    l_bits=body[46],
+                )
+            if tmpl == 3:
+                order, ws = body[47], body[48]
+                if order not in (1, 2) or ws == 0:
+                    raise ValueError(
+                        f"GRIB spatial differencing order {order} / "
+                        f"descriptor width {ws}"
+                    )
+                sec5.update(sd_order=order, sd_ws=ws)
         elif snum == 6:
             if body[5] != 255:
                 raise ValueError("GRIB bitmap sections not supported")
@@ -1174,7 +1270,9 @@ def _grib_decode_message(buf: bytes) -> list[dict]:
             if sec3 is None or sec5 is None:
                 raise ValueError("data section before grid/representation sections")
             n, nbits = sec5["npts"], sec5["nbits"]
-            if nbits == 0:
+            if sec5["tmpl"] in (2, 3):
+                x = _grib_complex_unpack(body, sec5, np)
+            elif nbits == 0:
                 x = np.zeros(n)
             else:
                 bits = np.unpackbits(np.frombuffer(body[5:], dtype=np.uint8))

@@ -146,3 +146,124 @@ def test_recommend_picks_grib2(tmp_path):
     url = make_grib2(tmp_path / "r.grib2", [(0, 0, np.zeros((1, 2)), {"nbits": 8})])
     kinds = [c.__name__ if isinstance(c, type) else type(c).__name__ for c in recommend(url)]
     assert any("GRIB2" in k for k in kinds)
+
+
+def _sm_bytes(v: int, width: int) -> bytes:
+    """Signed-magnitude big-endian of byte ``width`` (GRIB convention)."""
+    top = 1 << (width * 8 - 1)
+    return ((top | -v) if v < 0 else v).to_bytes(width, "big")
+
+
+def _field_complex(values: np.ndarray, e: int = 0, d: int = 0,
+                   group_len: int = 4, sd_order: int = 0,
+                   sd_ws: int = 2) -> bytes:
+    """Sections 5+6+7 for complex packing (template 5.2) or complex
+    packing with spatial differencing (5.3): the scaled integers are
+    split into fixed-size groups, each coded at its own reference and
+    width — hand-built per the WMO template layouts."""
+    scaled = values.ravel() * (10.0 ** d)
+    r = float(scaled.min())
+    xs = np.array([int(round((v - r) / (2.0 ** e))) for v in scaled],
+                  dtype=np.int64)
+    n = xs.size
+    firsts = b""
+    if sd_order:
+        orig = xs.copy()
+        diffs = xs.astype(np.int64).copy()
+        if sd_order == 1:
+            diffs[1:] = orig[1:] - orig[:-1]
+        else:
+            diffs[2:] = orig[2:] - 2 * orig[1:-1] + orig[:-2]
+        gmin = int(diffs[sd_order:].min()) if n > sd_order else 0
+        stream = diffs.copy()
+        stream[sd_order:] -= gmin
+        stream[:sd_order] = 0  # first points travel explicitly
+        firsts = b"".join(_sm_bytes(int(orig[i]), sd_ws)
+                          for i in range(sd_order))
+        firsts += _sm_bytes(gmin, sd_ws)
+        xs = stream
+    groups = [xs[i : i + group_len] for i in range(0, n, group_len)]
+    grefs = [int(g.min()) for g in groups]
+    gvals = [g - gr for g, gr in zip(groups, grefs)]
+    gwidths = [max(int(v.max()).bit_length(), 0) if v.size else 0
+               for v in gvals]
+    nbits = max(int(gr).bit_length() for gr in grefs) or 1
+    w_bits = max(w.bit_length() for w in gwidths) or 1
+    l_bits = 8
+    ng = len(groups)
+    sec5 = (
+        struct.pack(">IB", (49 if sd_order else 47), 5)
+        + struct.pack(">I", n)
+        + struct.pack(">H", 3 if sd_order else 2)
+        + struct.pack(">f", r)
+        + struct.pack(">HH", e if e >= 0 else (0x8000 | -e),
+                      d if d >= 0 else (0x8000 | -d))
+        + bytes([nbits, 0])          # octets 20-21
+        + bytes([1, 0])              # octet 22 split method, 23 missing mgmt
+        + bytes(8)                   # octets 24-31 missing substitutes
+        + struct.pack(">I", ng)      # octets 32-35
+        + bytes([0, w_bits])         # octets 36-37: width ref + bits
+        + struct.pack(">I", 0)       # octets 38-41: length ref
+        + bytes([1])                 # octet 42: length increment
+        + struct.pack(">I", len(groups[-1]))  # octets 43-46 last length
+        + bytes([l_bits])            # octet 47: bits for scaled lengths
+        + (bytes([sd_order, sd_ws]) if sd_order else b"")
+    )
+    sec6 = struct.pack(">IB", 6, 6) + bytes([255])
+    stream_bits = []
+
+    def put(v, width):
+        stream_bits.extend((int(v) >> (width - 1 - i)) & 1
+                           for i in range(width))
+
+    for gr in grefs:
+        put(gr, nbits)
+    for w in gwidths:
+        put(w, w_bits)
+    for g in groups:
+        put(len(g), l_bits)  # scaled length (increment 1, ref 0)
+    for g, gr, w in zip(groups, grefs, gwidths):
+        if w:
+            for v in g:
+                put(int(v) - gr, w)
+    while len(stream_bits) % 8:
+        stream_bits.append(0)
+    payload = bytes(
+        sum(b << (7 - i) for i, b in enumerate(stream_bits[k : k + 8]))
+        for k in range(0, len(stream_bits), 8)
+    )
+    data = firsts + payload
+    sec7 = struct.pack(">IB", 5 + len(data), 7) + data
+    return sec5 + sec6 + sec7
+
+
+def test_grib2_complex_packing(spark, tmp_path):
+    """Templates 5.2/7.2 (grouped values, per-group reference+width) and
+    5.3/7.3 (spatial differencing orders 1 and 2) reconstruct exactly —
+    the packings operational NWP output (GFS) actually uses."""
+    rng = np.random.default_rng(41)
+    ivals = rng.integers(0, 500, (6, 7)).astype(float) + 250.0
+    qvals = rng.integers(0, 500, (6, 7)) * 0.25 + 250.0  # exact at d=2
+
+    for vals, kw in ((ivals, {"group_len": 5}),
+                     (qvals, {"group_len": 4, "d": 2}),
+                     (ivals, {"sd_order": 1, "group_len": 6}),
+                     (ivals, {"sd_order": 2, "group_len": 5}),
+                     (qvals, {"sd_order": 2, "group_len": 4, "d": 2,
+                              "sd_ws": 3})):
+        nj, ni = vals.shape
+        body = (_sec1() + _sec3(ni, nj) + _sec4(0, 0)
+                + _field_complex(vals, **kw) + b"7777")
+        msg = b"GRIB\x00\x00\x00\x02" + struct.pack(">Q", 16 + len(body)) + body
+        fields = _grib_decode_message(msg)
+        assert len(fields) == 1
+        got = np.array(fields[0]["values"]).reshape(nj, ni)
+        np.testing.assert_allclose(got, vals, atol=1e-9)
+
+    # missing-value management stays a named gate
+    body5 = bytearray(_field_complex(ivals))
+    body5[22] = 1  # sec5 octet 23 = missing-value management
+    body = _sec1() + _sec3(7, 6) + _sec4(0, 0) + bytes(body5) + b"7777"
+    msg = b"GRIB\x00\x00\x00\x02" + struct.pack(">Q", 16 + len(body)) + body
+    with pytest.raises(ValueError, match="missing-value"):
+        _grib_decode_message(msg)
