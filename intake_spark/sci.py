@@ -1200,6 +1200,7 @@ def _grib_decode_message(buf: bytes) -> list[dict]:
     fields = []
     pos = 16
     sec3 = sec4 = sec5 = None
+    bitmap = None
     ref_time = ""
     while pos < len(buf) - 4:
         if buf[pos : pos + 4] == b"7777":
@@ -1264,8 +1265,22 @@ def _grib_decode_message(buf: bytes) -> list[dict]:
                     )
                 sec5.update(sd_order=order, sd_ws=ws)
         elif snum == 6:
-            if body[5] != 255:
-                raise ValueError("GRIB bitmap sections not supported")
+            if body[5] == 0:
+                # bitmap applies: bit i set = grid point i has a coded
+                # value; unset points take NaN (masked ocean/land grids)
+                import numpy as _np
+
+                bitmap = _np.unpackbits(
+                    _np.frombuffer(body[6:], dtype=_np.uint8)
+                )
+            elif body[5] == 255:
+                bitmap = None
+            else:
+                raise ValueError(
+                    f"GRIB bitmap indicator {body[5]} not supported "
+                    "(0 = bitmap present, 255 = none; predefined/"
+                    "previous bitmaps need out-of-band state)"
+                )
         elif snum == 7:
             if sec3 is None or sec5 is None:
                 raise ValueError("data section before grid/representation sections")
@@ -1280,6 +1295,19 @@ def _grib_decode_message(buf: bytes) -> list[dict]:
                 weights = (1 << np.arange(nbits - 1, -1, -1)).astype(np.float64)
                 x = bits @ weights
             vals = (sec5["ref"] + x * (2.0 ** sec5["e"])) / (10.0 ** sec5["d"])
+            if bitmap is not None:
+                # sec5 npts counts CODED points; scatter them onto the
+                # grid, NaN where the bitmap is unset (WMO section 6)
+                grid_n = sec3["ni"] * sec3["nj"]
+                bm = bitmap[:grid_n].astype(bool)
+                if int(bm.sum()) != n:
+                    raise ValueError(
+                        f"GRIB bitmap marks {int(bm.sum())} points but "
+                        f"section 5 codes {n}"
+                    )
+                full = np.full(grid_n, np.nan)
+                full[bm] = vals
+                vals = full
             fields.append(
                 {
                     **sec3,

@@ -267,3 +267,50 @@ def test_grib2_complex_packing(spark, tmp_path):
     msg = b"GRIB\x00\x00\x00\x02" + struct.pack(">Q", 16 + len(body)) + body
     with pytest.raises(ValueError, match="missing-value"):
         _grib_decode_message(msg)
+
+
+def test_grib2_bitmap(spark, tmp_path):
+    """Section-6 bitmaps (masked grids): coded values scatter onto the
+    grid, unset points become NaN — simple AND complex packing."""
+    mask = np.array([[1, 0, 1, 1], [0, 1, 1, 0], [1, 1, 0, 1]], bool)
+    full = np.where(mask, np.arange(12, dtype=float).reshape(3, 4) + 270.0,
+                    np.nan)
+    present = full[mask]
+
+    def bitmap_sec():
+        bits = mask.ravel().astype(np.uint8)
+        return (struct.pack(">IB", 6 + (bits.size + 7) // 8, 6)
+                + bytes([0]) + np.packbits(bits).tobytes())
+
+    for builder in (
+        lambda v: _field(v, nbits=8),
+        lambda v: _field_complex(v, group_len=3),
+        lambda v: _field_complex(v, sd_order=2, group_len=3),
+    ):
+        f = builder(present.reshape(1, -1))
+        # swap the no-bitmap sec6 for a real bitmap section
+        i5 = 0
+        (l5,) = struct.unpack(">I", f[:4])
+        sec5, rest = f[:l5], f[l5:]
+        (l6,) = struct.unpack(">I", rest[:4])
+        sec7 = rest[l6:]
+        body = (_sec1() + _sec3(4, 3) + _sec4(0, 0)
+                + sec5 + bitmap_sec() + sec7 + b"7777")
+        msg = (b"GRIB\x00\x00\x00\x02"
+               + struct.pack(">Q", 16 + len(body)) + body)
+        fields = _grib_decode_message(msg)
+        got = np.array(fields[0]["values"], dtype=float).reshape(3, 4)
+        np.testing.assert_allclose(got, full, atol=1e-9, equal_nan=True)
+
+    # inconsistent bitmap/count fails loudly
+    f = _field(present.reshape(1, -1), nbits=8)
+    (l5,) = struct.unpack(">I", f[:4])
+    sec5, rest = f[:l5], f[l5:]
+    (l6,) = struct.unpack(">I", rest[:4])
+    bad_mask = bitmap_sec()[:6] + bytes([0xFF, 0xFF])  # all-ones bitmap
+    body = (_sec1() + _sec3(4, 3) + _sec4(0, 0)
+            + sec5 + struct.pack(">IB", 6 + 2, 6) + bytes([0]) + b"\xff\xff"
+            + rest[l6:] + b"7777")
+    msg = b"GRIB\x00\x00\x00\x02" + struct.pack(">Q", 16 + len(body)) + body
+    with pytest.raises(ValueError, match="bitmap marks"):
+        _grib_decode_message(msg)
