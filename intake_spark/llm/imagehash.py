@@ -229,6 +229,14 @@ def hamming_band_pairs(
         raise ValueError(
             f"bands must divide bits, got bits={bits} bands={bands}"
         )
+    if bits // bands >= 64:
+        # a full-width band cannot be masked with a LongType literal
+        # (2^64-1 overflows); exact-duplicate detection is a plain
+        # equality join on the hash, not a banding problem
+        raise ValueError(
+            "bands must yield slices narrower than 64 bits — for exact "
+            "duplicates join on the hash column directly"
+        )
     r = bits // bands
     # the signature frame feeds BOTH sides of the self-join (and is
     # often an expensive decode+hash mapInPandas): truncate lineage so

@@ -2313,9 +2313,14 @@ def _tga_rle_decode(data: bytes, n_pixels: int, bpp: int):
     return out
 
 
-def _tga_expand16(flat, n):
+def _tga_expand16(flat, n, use_attr: bool = True):
     """ARGB1555 little-endian pixels → (n, 4) RGBA uint8 (5-bit channels
-    scaled by the 255/31 ladder; attribute bit 1 = opaque)."""
+    scaled by the 255/31 ladder). ``use_attr``: honor bit 15 as alpha
+    (attribute bit set = opaque); when the file declares ZERO attribute
+    bits — or for 15-bit pixels, which have none by definition — the
+    caller passes False and everything is opaque (most writers leave
+    bit 15 clear on opaque images, and "all transparent" would be the
+    wrong read of them)."""
     import numpy as np
 
     v = flat.reshape(n, 2).astype(np.uint16)
@@ -2323,10 +2328,12 @@ def _tga_expand16(flat, n):
     r = ((px >> 10) & 0x1F).astype(np.uint16)
     g = ((px >> 5) & 0x1F).astype(np.uint16)
     b = (px & 0x1F).astype(np.uint16)
-    a = ((px >> 15) & 1).astype(np.uint16) * 255
+    if use_attr:
+        a = (((px >> 15) & 1) * 255).astype(np.uint8)
+    else:
+        a = np.full(n, 255, dtype=np.uint8)
     scale = lambda c: ((c * 255 + 15) // 31).astype(np.uint8)  # noqa: E731
-    return np.stack([scale(r), scale(g), scale(b),
-                     a.astype(np.uint8)], axis=1)
+    return np.stack([scale(r), scale(g), scale(b), a], axis=1)
 
 
 def decode_tga(content: bytes):
@@ -2384,7 +2391,15 @@ def decode_tga(content: bytes):
         pos += cm_len * cm_bytes
         if mapped:
             if cm_bits in (15, 16):
-                palette = _tga_expand16(raw, cm_len)
+                # palette alpha is unsignaled: honor the attribute bit
+                # only if SOME entry sets it, else the (common) opaque
+                # palette with clear bits would decode fully transparent
+                any_attr = bool(cm_len) and bool(
+                    (np.frombuffer(raw, dtype="<u2", count=cm_len)
+                     >> 15).any()
+                )
+                palette = _tga_expand16(raw, cm_len,
+                                        use_attr=cm_bits == 16 and any_attr)
             else:
                 e = raw.reshape(cm_len, cm_bytes)
                 cols = [e[:, 2], e[:, 1], e[:, 0]]  # BGR(A) order
@@ -2402,7 +2417,10 @@ def decode_tga(content: bytes):
             raise ValueError("TGA color-map index out of range")
         arr = palette[idx].reshape(h, w, palette.shape[1])
     elif bpp_bits in (15, 16) and img_type in (2, 10):
-        arr = _tga_expand16(flat, n).reshape(h, w, 4)
+        # the image descriptor declares the attribute-bit count: 15-bit
+        # pixels have none, and 16-bit files declaring 0 are opaque
+        use_attr = bpp_bits == 16 and (desc & 0x0F) >= 1
+        arr = _tga_expand16(flat, n, use_attr=use_attr).reshape(h, w, 4)
     elif bpp_bits == 16 and img_type in (3, 11):
         # 16-bit grayscale: 8-bit intensity + 8-bit attribute (alpha)
         arr = flat.reshape(h, w, 2)

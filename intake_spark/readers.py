@@ -419,6 +419,15 @@ class ZarrReader(BaseReader):
             endian, comp, shard_cfg, transpose = _chain(
                 meta.get("codecs", []), True
             )
+            if shard_cfg is not None and (transpose is not None or comp):
+                # an outer transpose/compressor around sharding_indexed
+                # changes what the shard bytes MEAN; silently ignoring
+                # either would return wrong data, so refuse loudly
+                raise ValueError(
+                    "zarr v3: transpose or a compressor combined with "
+                    "sharding_indexed in the outer codec chain is not "
+                    "supported — put them in the shard's inner chain"
+                )
             inner_chunks = None
             inner_comp = None
             idx_dt = "<u8"

@@ -1110,16 +1110,14 @@ def _grib_messages(url: str) -> list[tuple[int, int]]:
 
 def _grib_s16(b: bytes) -> int:
     """GRIB signed-magnitude 16-bit: top bit = sign."""
-    (v,) = struct.unpack(">H", b)
-    return -(v & 0x7FFF) if v & 0x8000 else v
+    return _grib_sm(b)
 
 
 def _grib_s32(b: bytes) -> int:
     """GRIB signed-magnitude 32-bit (La1/Lo1 etc.): top bit = sign —
     NOT two's complement; a southern-hemisphere grid origin decodes to
     garbage through struct '>i'."""
-    (v,) = struct.unpack(">I", b)
-    return -(v & 0x7FFFFFFF) if v & 0x80000000 else v
+    return _grib_sm(b)
 
 
 def _grib_sm(b: bytes) -> int:
@@ -1162,10 +1160,21 @@ def _grib_complex_unpack(body: bytes, sec5: dict, np):
             bitpos += count * width
         return out
 
+    def align():
+        # WMO 7.2/7.3: the reference/width/length sequences each pad to
+        # an octet boundary (g2clib comunpack re-aligns after each) —
+        # without this, any ng*bits not divisible by 8 shifts the
+        # following sequences and garbles the field
+        nonlocal bitpos
+        bitpos = (bitpos + 7) & ~7
+
     bitpos = 0
     grefs = take(ng, nbits)
+    align()
     widths = sec5["w_ref"] + take(ng, sec5["w_bits"])
+    align()
     lens = sec5["l_ref"] + sec5["l_inc"] * take(ng, sec5["l_bits"])
+    align()
     if ng:
         lens[-1] = sec5["l_last"]
     if int(lens.sum()) != n:
@@ -1183,12 +1192,14 @@ def _grib_complex_unpack(body: bytes, sec5: dict, np):
         order = sec5["sd_order"]
         x += gmin
         x[:order] = firsts
-        # integrate the spatial differences (g2clib comunpack order)
+        # integrate the spatial differences (g2clib comunpack order),
+        # vectorized: order 1 is one cumsum; order 2 integrates the
+        # first-difference sequence y_i = y_{i-1} + d_i and then x
         if order == 1:
             x = np.cumsum(x)
-        else:
-            for i in range(2, n):
-                x[i] += 2 * x[i - 1] - x[i - 2]
+        elif n > 2:
+            y = np.cumsum(np.concatenate(([x[1] - x[0]], x[2:])))
+            x = np.concatenate(([x[0]], x[0] + np.cumsum(y)))
     return x.astype(np.float64)
 
 

@@ -402,6 +402,11 @@ def stream_phash_dup_flags(
     sig = image_hashes(df, image_col, id_col, algos=("phash",)).filter(
         F.col("hash").isNotNull()
     )
+    if not 2 <= bands <= 64 or 64 % bands:
+        raise ValueError(
+            "bands must divide 64 into slices narrower than 64 bits "
+            f"(2/4/8/16/32/64), got {bands}"
+        )
     r = 64 // bands
     band_structs = F.array(
         *[

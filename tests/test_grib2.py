@@ -216,12 +216,19 @@ def _field_complex(values: np.ndarray, e: int = 0, d: int = 0,
         stream_bits.extend((int(v) >> (width - 1 - i)) & 1
                            for i in range(width))
 
+    def pad():
+        while len(stream_bits) % 8:
+            stream_bits.append(0)  # WMO: each sequence pads to an octet
+
     for gr in grefs:
         put(gr, nbits)
+    pad()
     for w in gwidths:
         put(w, w_bits)
+    pad()
     for g in groups:
         put(len(g), l_bits)  # scaled length (increment 1, ref 0)
+    pad()
     for g, gr, w in zip(groups, grefs, gwidths):
         if w:
             for v in g:
@@ -259,6 +266,17 @@ def test_grib2_complex_packing(spark, tmp_path):
         assert len(fields) == 1
         got = np.array(fields[0]["values"]).reshape(nj, ni)
         np.testing.assert_allclose(got, vals, atol=1e-9)
+
+    # sequence padding: force ng*nbits (and the width/length streams)
+    # off octet boundaries — real GFS files pad each sequence to a
+    # byte (g2clib comunpack), and an unpadded reader shears the
+    # width/length streams
+    odd = (rng.integers(0, 1000, (3, 7)).astype(float) + 100.0)  # ng=3 @ len 7? -> 21 pts, group_len 5 -> ng=5
+    body = (_sec1() + _sec3(7, 3) + _sec4(0, 0)
+            + _field_complex(odd, group_len=5) + b"7777")
+    msg = b"GRIB\x00\x00\x00\x02" + struct.pack(">Q", 16 + len(body)) + body
+    got = np.array(_grib_decode_message(msg)[0]["values"]).reshape(3, 7)
+    np.testing.assert_allclose(got, odd, atol=1e-9)
 
     # missing-value management stays a named gate
     body5 = bytearray(_field_complex(ivals))

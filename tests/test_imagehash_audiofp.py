@@ -223,3 +223,9 @@ def test_media_dedup_plan_shapes(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "landmark" in plan
+
+
+def test_hamming_band_pairs_rejects_full_width_band(spark):
+    sig = spark.createDataFrame([(1, 5)], "id bigint, hash bigint")
+    with pytest.raises(ValueError, match="narrower than 64"):
+        hamming_band_pairs(sig, id_col="id", bands=1, max_hamming=0)

@@ -154,14 +154,26 @@ def test_tga_color_mapped_and_16bit():
     with pytest.raises(ValueError, match="without a color map"):
         decode_tga(_tga(1, 1, b"\x00", img_type=1))
 
-    # true-color 16-bit pixels (ARGB1555, type 2)
-    px = (0xFC00).to_bytes(2, "little") + (0x801F).to_bytes(2, "little")
-    a = decode_tga(_tga(2, 1, px, bpp=16))
+    # true-color 16-bit pixels (ARGB1555, type 2); the descriptor's
+    # attribute-bit COUNT governs alpha: 0 attribute bits (or 15-bit
+    # depth) = opaque even when bit 15 is clear — most writers leave
+    # it clear on opaque images
+    px = (0xFC00).to_bytes(2, "little") + (0x001F).to_bytes(2, "little")
+    a = decode_tga(_tga(2, 1, px, bpp=16))  # desc 0x20: 0 attr bits
     assert a[0, 0].tolist() == [255, 0, 0, 255]
     assert a[0, 1].tolist() == [0, 0, 255, 255]
-    # 15-bit declared depth stores the same 2-byte pixels
+    a = decode_tga(_tga(2, 1, px, bpp=16, desc=0x21))  # 1 attr bit
+    assert a[0, 0].tolist() == [255, 0, 0, 255]
+    assert a[0, 1].tolist() == [0, 0, 255, 0]  # bit 15 clear -> transparent
+    # 15-bit declared depth stores the same 2-byte pixels, no attribute
     a = decode_tga(_tga(2, 1, px, bpp=15))
-    assert a[0, 0, 0] == 255
+    assert a[0, 0].tolist()[:3] == [255, 0, 0] and a[0, 1, 3] == 255
+
+    # opaque 16-bit PALETTE with all attribute bits clear stays opaque;
+    # a palette that uses the bit is honored
+    pal_clear = (0x7C00).to_bytes(2, "little") + (0x03E0).to_bytes(2, "little")
+    a = decode_tga(_tga_cm(2, 1, bytes([0, 1]), pal_clear, cm_bits=16))
+    assert a[0, 0].tolist() == [255, 0, 0, 255]
 
     # RLE with 2-byte pixels (type 10 at 16 bpp)
     body = (bytes([0x82]) + (0xFC00).to_bytes(2, "little")
