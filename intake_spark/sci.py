@@ -1224,15 +1224,27 @@ def _grib_decode_message(buf: bytes) -> list[dict]:
             ref_time = f"{y:04d}-{mo:02d}-{d:02d}T{h:02d}:{mi:02d}:{s:02d}"
         elif snum == 3:
             (tmpl,) = struct.unpack(">H", body[12:14])
-            if tmpl != 0:
+            if tmpl in (0, 40):
+                # 3.0 regular lat/lon and 3.40 Gaussian (ERA5's native
+                # grid) share the layout: basic-angle octets 39-46, so
+                # La1/Lo1 sit at octets 47-54
+                ni, nj = struct.unpack(">II", body[30:38])
+                la1 = _grib_s32(body[46:50])
+                lo1 = _grib_s32(body[50:54])
+            elif tmpl in (20, 30):
+                # 3.20 polar stereographic / 3.30 Lambert conformal
+                # (HRRR/NAM): no basic-angle block — La1/Lo1 at 39-46
+                ni, nj = struct.unpack(">II", body[30:38])
+                la1 = _grib_s32(body[38:42])
+                lo1 = _grib_s32(body[42:46])
+            else:
                 raise ValueError(
                     f"grid definition template 3.{tmpl} not supported "
-                    "(regular lat/lon 3.0 only)"
+                    "(lat/lon 3.0, polar-stereo 3.20, Lambert 3.30, "
+                    "Gaussian 3.40)"
                 )
-            ni, nj = struct.unpack(">II", body[30:38])
-            la1 = _grib_s32(body[46:50])
-            lo1 = _grib_s32(body[50:54])
-            sec3 = {"ni": ni, "nj": nj, "lat0": la1 / 1e6, "lon0": lo1 / 1e6}
+            sec3 = {"ni": ni, "nj": nj, "lat0": la1 / 1e6,
+                    "lon0": lo1 / 1e6, "grid_template": tmpl}
         elif snum == 4:
             (tmpl,) = struct.unpack(">H", body[7:9])
             sec4 = {"template": tmpl, "category": body[9], "parameter": body[10]}

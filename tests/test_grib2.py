@@ -127,10 +127,11 @@ def test_grib2_unsupported_templates_rejected(tmp_path):
     vals = np.zeros((1, 2))
     url = make_grib2(tmp_path / "b.grib2", [(0, 0, vals, {"nbits": 8})])
     blob = bytearray(open(url, "rb").read())
-    # corrupt the grid template number (octets 13-14 of section 3)
+    # corrupt the grid template number (octets 13-14 of section 3):
+    # 3.30 Lambert decodes since r9; 3.90 space-view stays rejected
     s3_off = 16 + 21
-    struct.pack_into(">H", blob, s3_off + 12, 30)  # Lambert conformal
-    with pytest.raises(ValueError, match="3.30"):
+    struct.pack_into(">H", blob, s3_off + 12, 90)
+    with pytest.raises(ValueError, match="3.90"):
         _grib_decode_message(bytes(blob))
     with pytest.raises(ValueError, match="edition"):
         from intake_spark.sci import _grib_messages
@@ -331,4 +332,50 @@ def test_grib2_bitmap(spark, tmp_path):
             + rest[l6:] + b"7777")
     msg = b"GRIB\x00\x00\x00\x02" + struct.pack(">Q", 16 + len(body)) + body
     with pytest.raises(ValueError, match="bitmap marks"):
+        _grib_decode_message(msg)
+
+
+def test_grib2_grid_templates(spark, tmp_path):
+    """Grid templates beyond lat/lon 3.0: Gaussian 3.40 (ERA5) shares
+    3.0's layout; polar-stereo 3.20 / Lambert 3.30 (HRRR/NAM) carry
+    La1/Lo1 at octets 39-46 (no basic-angle block). Values decode
+    identically; geometry fields land in the row."""
+    vals = np.arange(6, dtype=float).reshape(2, 3) + 300.0
+
+    def sec3_40(ni, nj):
+        s = bytearray(_sec3(ni, nj))
+        struct.pack_into(">H", s, 12, 40)  # template number
+        return bytes(s)
+
+    def sec3_lcc(ni, nj, tmpl, la1=38_500_000, lo1=262_500_000):
+        body = (
+            struct.pack(">IBB", 81, 3, 0)
+            + struct.pack(">I", ni * nj)
+            + bytes([0, 0])
+            + struct.pack(">H", tmpl)
+            + bytes(16)  # shape of earth
+            + struct.pack(">II", ni, nj)
+            + struct.pack(">II", la1, lo1)  # octets 39-46
+            + bytes(81 - 46)
+        )
+        return body
+
+    for sec3b, want in ((sec3_40(3, 2), (40.0, 250.0)),
+                        (sec3_lcc(3, 2, 30), (38.5, 262.5)),
+                        (sec3_lcc(3, 2, 20), (38.5, 262.5))):
+        body = (_sec1() + sec3b + _sec4(0, 0)
+                + _field(vals, nbits=8) + b"7777")
+        msg = (b"GRIB\x00\x00\x00\x02"
+               + struct.pack(">Q", 16 + len(body)) + body)
+        fields = _grib_decode_message(msg)
+        assert (fields[0]["lat0"], fields[0]["lon0"]) == want
+        got = np.array(fields[0]["values"]).reshape(2, 3)
+        np.testing.assert_allclose(got, vals, atol=1e-9)
+
+    # unknown grid templates stay a loud error
+    bad = bytearray(sec3_lcc(3, 2, 30))
+    struct.pack_into(">H", bad, 12, 90)  # space-view
+    body = _sec1() + bytes(bad) + _sec4(0, 0) + _field(vals, nbits=8) + b"7777"
+    msg = b"GRIB\x00\x00\x00\x02" + struct.pack(">Q", 16 + len(body)) + body
+    with pytest.raises(ValueError, match="3.90"):
         _grib_decode_message(msg)
