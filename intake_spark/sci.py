@@ -1250,18 +1250,31 @@ def _grib_decode_message(buf: bytes) -> list[dict]:
             sec4 = {"template": tmpl, "category": body[9], "parameter": body[10]}
         elif snum == 5:
             (tmpl,) = struct.unpack(">H", body[9:11])
-            if tmpl not in (0, 2, 3):
+            if tmpl not in (0, 2, 3, 4):
                 raise ValueError(
                     f"data representation template 5.{tmpl} not supported "
-                    "(simple 5.0 / complex 5.2 / complex+spatial-diff 5.3)"
+                    "(simple 5.0 / complex 5.2 / complex+spatial-diff 5.3 "
+                    "/ IEEE float 5.4)"
                 )
             (npts,) = struct.unpack(">I", body[5:9])
-            (ref,) = struct.unpack(">f", body[11:15])
-            e = _grib_s16(body[15:17])
-            d = _grib_s16(body[17:19])
-            nbits = body[19]
-            sec5 = {"tmpl": tmpl, "npts": npts, "ref": ref, "e": e,
-                    "d": d, "nbits": nbits}
+            if tmpl == 4:
+                # IEEE floating point (template 5.4): octet 12 is the
+                # precision code, section 7 carries raw big-endian floats
+                prec_code = body[11]
+                if prec_code not in (1, 2):
+                    raise ValueError(
+                        f"GRIB IEEE precision code {prec_code} (1 = 32-bit"
+                        ", 2 = 64-bit)"
+                    )
+                sec5 = {"tmpl": 4, "npts": npts, "ref": 0.0, "e": 0,
+                        "d": 0, "nbits": 0, "ieee": prec_code}
+            else:
+                (ref,) = struct.unpack(">f", body[11:15])
+                e = _grib_s16(body[15:17])
+                d = _grib_s16(body[17:19])
+                nbits = body[19]
+                sec5 = {"tmpl": tmpl, "npts": npts, "ref": ref, "e": e,
+                        "d": d, "nbits": nbits}
             if tmpl in (2, 3):
                 # complex packing (WMO template 5.2/5.3): values travel
                 # as NG groups, each with its own reference and width
@@ -1308,7 +1321,11 @@ def _grib_decode_message(buf: bytes) -> list[dict]:
             if sec3 is None or sec5 is None:
                 raise ValueError("data section before grid/representation sections")
             n, nbits = sec5["npts"], sec5["nbits"]
-            if sec5["tmpl"] in (2, 3):
+            if sec5["tmpl"] == 4:
+                dt_ = ">f4" if sec5["ieee"] == 1 else ">f8"
+                x = np.frombuffer(body, dtype=dt_, count=n,
+                                  offset=5).astype(np.float64)
+            elif sec5["tmpl"] in (2, 3):
                 x = _grib_complex_unpack(body, sec5, np)
             elif nbits == 0:
                 x = np.zeros(n)

@@ -379,3 +379,29 @@ def test_grib2_grid_templates(spark, tmp_path):
     msg = b"GRIB\x00\x00\x00\x02" + struct.pack(">Q", 16 + len(body)) + body
     with pytest.raises(ValueError, match="3.90"):
         _grib_decode_message(msg)
+
+
+def test_grib2_ieee_float_packing():
+    """Template 5.4/7.4: raw big-endian IEEE floats, no scaling."""
+    vals = np.array([[1.5, -2.25, 300.125], [0.0, 1e-3, -4.75]])
+    for code, dt in ((1, ">f4"), (2, ">f8")):
+        sec5 = (struct.pack(">IB", 12, 5) + struct.pack(">I", vals.size)
+                + struct.pack(">H", 4) + bytes([code]))
+        sec6 = struct.pack(">IB", 6, 6) + bytes([255])
+        data = vals.ravel().astype(dt).tobytes()
+        sec7 = struct.pack(">IB", 5 + len(data), 7) + data
+        body = (_sec1() + _sec3(3, 2) + _sec4(0, 0)
+                + sec5 + sec6 + sec7 + b"7777")
+        msg = (b"GRIB\x00\x00\x00\x02"
+               + struct.pack(">Q", 16 + len(body)) + body)
+        got = np.array(_grib_decode_message(msg)[0]["values"]).reshape(2, 3)
+        np.testing.assert_allclose(got, vals, rtol=1e-6 if code == 1 else 0)
+    # unknown precision codes are loud
+    sec5 = (struct.pack(">IB", 12, 5) + struct.pack(">I", 6)
+            + struct.pack(">H", 4) + bytes([3]))
+    body = (_sec1() + _sec3(3, 2) + _sec4(0, 0) + sec5
+            + struct.pack(">IB", 6, 6) + bytes([255])
+            + struct.pack(">IB", 5, 7) + b"7777")
+    msg = b"GRIB\x00\x00\x00\x02" + struct.pack(">Q", 16 + len(body)) + body
+    with pytest.raises(ValueError, match="precision code"):
+        _grib_decode_message(msg)
