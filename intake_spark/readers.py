@@ -486,6 +486,7 @@ class ZarrReader(BaseReader):
                 prefix = ""
             else:
                 raise ValueError(f"unknown chunk key encoding {key_cfg.get('name')!r}")
+            v2_filters = []
         else:
             with open(f"{root}/.zarray") as f:
                 meta = _json.load(f)
@@ -509,8 +510,13 @@ class ZarrReader(BaseReader):
                     f"compressor {comp!r} needs numcodecs; supported: "
                     "null/zlib/gzip/blosc(lz4)"
                 )
-            if meta.get("filters"):
-                raise ValueError("zarr filters not supported")
+            v2_filters = meta.get("filters") or []
+            for flt in v2_filters:
+                if (flt or {}).get("id") != "delta":
+                    raise ValueError(
+                        f"zarr v2 filter {(flt or {}).get('id')!r} not "
+                        "supported (delta decodes natively)"
+                    )
             shape = list(meta["shape"])
             chunks = list(meta["chunks"])
             dtype = meta["dtype"]
@@ -629,7 +635,14 @@ class ZarrReader(BaseReader):
                                 from intake_spark.compress import blosc_decompress
 
                                 raw = blosc_decompress(raw)
-                            arr = _unt(np.frombuffer(raw, dtype=np.dtype(dtype)))
+                            flat_ = np.frombuffer(raw, dtype=np.dtype(dtype))
+                            if v2_filters:
+                                # numcodecs delta: first value verbatim,
+                                # the rest first-differences -> cumsum
+                                flat_ = np.cumsum(
+                                    flat_.astype(np.dtype(dtype).newbyteorder("="))
+                                ).astype(np.dtype(dtype))
+                            arr = _unt(flat_)
                         else:
                             arr = np.full(chunks, fill, dtype=np.dtype(dtype))
                         # trim edge chunks to the valid extent in every dim

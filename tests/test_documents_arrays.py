@@ -1837,3 +1837,46 @@ def test_zarr_v3_transpose_codec(spark, tmp_path):
         [np.array(r.values).reshape(-1, 4) for r in rows], axis=0
     )
     np.testing.assert_array_equal(rebuilt, arr)
+
+
+def test_zarr_v2_delta_filter(spark, tmp_path):
+    """numcodecs 'delta' filter (first value verbatim, then first
+    differences): inverse is a cumsum — other filters stay loud."""
+    import json
+    import os
+    import zlib
+
+    import numpy as np
+
+    from intake_spark import datatypes as dt
+    from intake_spark.readers import ZarrReader
+
+    arr = (np.arange(8, dtype="<i8") * 3 + 100).reshape(8)
+    root = str(tmp_path / "d.zarr")
+    os.makedirs(root)
+    meta = {
+        "zarr_format": 2, "shape": [8], "chunks": [4], "dtype": "<i8",
+        "order": "C", "fill_value": 0,
+        "compressor": {"id": "zlib", "level": 5},
+        "filters": [{"id": "delta", "dtype": "<i8"}],
+    }
+    with open(f"{root}/.zarray", "w") as f:
+        json.dump(meta, f)
+    for ci in range(2):
+        block = arr[ci * 4 : (ci + 1) * 4].astype("<i8")
+        enc = np.diff(block, prepend=0)
+        enc[0] = block[0]
+        with open(f"{root}/{ci}", "wb") as f:
+            f.write(zlib.compress(enc.astype("<i8").tobytes()))
+    df = ZarrReader(data=dt.Zarr(url=root)).read(spark=spark)
+    rows = sorted(df.collect(), key=lambda r: r.offset0)
+    got = np.concatenate([np.array(r.values) for r in rows])
+    np.testing.assert_array_equal(got, arr)
+
+    meta["filters"] = [{"id": "fixedscaleoffset"}]
+    with open(f"{root}/.zarray", "w") as f:
+        json.dump(meta, f)
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="fixedscaleoffset"):
+        ZarrReader(data=dt.Zarr(url=root)).read(spark=spark).collect()
