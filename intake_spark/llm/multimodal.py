@@ -2719,6 +2719,9 @@ def decode_wav_adpcm(content: bytes):
         raise ValueError("WAV missing fmt/data chunk")
     tag, nch, rate = _s.unpack_from("<HHI", fmt, 0)
     (block_align,) = _s.unpack_from("<H", fmt, 12)
+    if tag == 0xFFFE and len(fmt) >= 26:
+        # EXTENSIBLE wrapper: the SubFormat GUID's leading u16 is the tag
+        tag = _s.unpack_from("<H", fmt, 24)[0]
     if tag != 0x11:
         raise ValueError(f"not IMA-ADPCM (wFormatTag {tag:#x})")
     chans: list[list[int]] = [[] for _ in range(nch)]

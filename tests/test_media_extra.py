@@ -1149,6 +1149,21 @@ def test_wav_float_and_extensible():
     with pytest.raises(NotImplementedError, match="wFormatTag"):
         decode_wav_full(_wav_fmt(0x55, 1, 8000, 16, b"\x00" * 64))
 
+    # ADPCM inside an EXTENSIBLE wrapper unwraps to the ADPCM decoder
+    from intake_spark.llm.multimodal import decode_wav_adpcm
+
+    # build a minimal 1-block mono IMA-ADPCM payload: predictor 100,
+    # index 0, eight zero nibbles -> constant-ish output
+    import struct as _st
+    blk = _st.pack("<hBB", 100, 0, 0) + bytes(4)
+    fmt_x = _st.pack("<HHIIHH", 0xFFFE, 1, 8000, 4096, 8, 4)
+    fmt_x += _st.pack("<HHI", 22, 4, 0x3) + _st.pack("<H", 0x11) + _WAV_GUID_TAIL
+    body = b"fmt " + _st.pack("<I", len(fmt_x)) + fmt_x
+    body += b"data" + _st.pack("<I", len(blk)) + blk
+    wav_x = b"RIFF" + _st.pack("<I", 4 + len(body)) + b"WAVE" + body
+    rate, arr, sw = decode_wav_adpcm(wav_x)
+    assert rate == 8000 and arr.shape[1] == 1 and arr[0, 0] == 100
+
     # magic-dispatch + audio_features survive these via decode_audio_full
     from intake_spark.llm.multimodal import decode_audio_full
 
