@@ -55,6 +55,16 @@ def landmarks(pcm, frame: int = FRAME, hop: int = HOP,
     so duration imbalance does not inflate scores."""
     import numpy as np
 
+    # the hash packs f1 << 20 | f2 << 8 | dt: peak bins must fit in 12
+    # bits (peak <= frame//2) and dt in 8 — reject geometries that
+    # would silently overlap fields instead of corrupting hashes
+    if frame // 2 > 4095:
+        raise ValueError(
+            f"landmarks: frame={frame} puts peak bins past 12 bits "
+            "(frame//2 must be <= 4095)"
+        )
+    if fanout > 255:
+        raise ValueError(f"landmarks: fanout={fanout} exceeds the 8-bit dt field")
     x = np.asarray(pcm, dtype=np.float64)
     if x.ndim == 2:
         x = x.mean(axis=1)

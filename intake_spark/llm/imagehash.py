@@ -136,10 +136,11 @@ def ahash64(arr) -> int:
 
 
 def dhash64(arr) -> int:
-    """63-bit difference hash (9x7 grid, horizontal gradient signs):
-    gradient comparisons are invariant to any positive affine remap,
-    like pHash, but spatial rather than spectral."""
-    g = _block_mean(_gray(arr), 7, 9)
+    """63-bit difference hash (8x9 grid -> 8 rows x 8 horizontal
+    gradient signs = 64 comparisons, truncated to 63 bits): gradient
+    comparisons are invariant to any positive affine remap, like
+    pHash, but spatial rather than spectral."""
+    g = _block_mean(_gray(arr), 8, 9)
     bits = (g[:, 1:] > g[:, :-1]).ravel()
     return _bits_to_int(bits[:63])
 

@@ -517,6 +517,19 @@ class ZarrReader(BaseReader):
                         f"zarr v2 filter {(flt or {}).get('id')!r} not "
                         "supported (delta decodes natively)"
                     )
+                # numcodecs Delta stores differences in the filter's
+                # astype (defaults to dtype); the decode path below
+                # frombuffers as the ARRAY dtype, so a differing astype
+                # — same-width ones would decode silently wrong —
+                # must stay a named gate
+                import numpy as _np_v
+
+                f_dt = flt.get("astype") or flt.get("dtype") or meta["dtype"]
+                if _np_v.dtype(f_dt) != _np_v.dtype(meta["dtype"]):
+                    raise ValueError(
+                        f"zarr v2 delta filter astype {f_dt!r} differs from "
+                        f"array dtype {meta['dtype']!r}: not supported"
+                    )
             shape = list(meta["shape"])
             chunks = list(meta["chunks"])
             dtype = meta["dtype"]

@@ -399,14 +399,14 @@ def stream_phash_dup_flags(
     min-id join oracle arm, and batch≡stream is asserted by test."""
     from intake_spark.llm.imagehash import image_hashes
 
-    sig = image_hashes(df, image_col, id_col, algos=("phash",)).filter(
-        F.col("hash").isNotNull()
-    )
     if not 2 <= bands <= 64 or 64 % bands:
         raise ValueError(
             "bands must divide 64 into slices narrower than 64 bits "
             f"(2/4/8/16/32/64), got {bands}"
         )
+    sig = image_hashes(df, image_col, id_col, algos=("phash",)).filter(
+        F.col("hash").isNotNull()
+    )
     r = 64 // bands
     band_structs = F.array(
         *[

@@ -1880,3 +1880,33 @@ def test_zarr_v2_delta_filter(spark, tmp_path):
 
     with _pytest.raises(Exception, match="fixedscaleoffset"):
         ZarrReader(data=dt.Zarr(url=root)).read(spark=spark).collect()
+
+
+def test_zarr_v2_delta_astype_mismatch_is_loud(spark, tmp_path):
+    """Delta with an astype differing from the array dtype stores the
+    differences in astype on disk; a same-width mismatch (<i8 vs <f8)
+    would decode to silently wrong values, so it must raise by name."""
+    import json
+    import os
+    import zlib
+
+    import numpy as np
+    import pytest
+
+    from intake_spark import datatypes as dt
+    from intake_spark.readers import ZarrReader
+
+    root = str(tmp_path / "m.zarr")
+    os.makedirs(root)
+    meta = {
+        "zarr_format": 2, "shape": [4], "chunks": [4], "dtype": "<i8",
+        "order": "C", "fill_value": 0,
+        "compressor": {"id": "zlib", "level": 5},
+        "filters": [{"id": "delta", "dtype": "<i8", "astype": "<f8"}],
+    }
+    with open(f"{root}/.zarray", "w") as f:
+        json.dump(meta, f)
+    with open(f"{root}/0", "wb") as f:
+        f.write(zlib.compress(np.zeros(4, "<f8").tobytes()))
+    with pytest.raises(Exception, match="astype"):
+        ZarrReader(data=dt.Zarr(url=root)).read(spark=spark).collect()

@@ -229,3 +229,33 @@ def test_hamming_band_pairs_rejects_full_width_band(spark):
     sig = spark.createDataFrame([(1, 5)], "id bigint, hash bigint")
     with pytest.raises(ValueError, match="narrower than 64"):
         hamming_band_pairs(sig, id_col="id", bands=1, max_hamming=0)
+
+
+def test_dhash_uses_all_63_bits():
+    """8x9 grid -> 64 comparisons truncated to 63: the top band must be
+    informative (the old 7x9 grid left bits 56-62 always zero, starving
+    band 3 of entropy)."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    seen_high = 0
+    for _ in range(24):
+        img = rng.integers(0, 256, size=(40, 40), dtype=np.uint8)
+        h = dhash64(img)
+        seen_high |= h >> 56
+    assert seen_high != 0  # some bit above 55 fires across random images
+
+
+def test_landmark_geometry_guards():
+    import numpy as np
+    import pytest
+
+    from intake_spark.llm.audiofp import landmarks
+
+    x = np.zeros(20000)
+    with pytest.raises(ValueError, match="12 bits"):
+        landmarks(x, frame=16384)
+    with pytest.raises(ValueError, match="dt field"):
+        landmarks(x, fanout=256)
+    # boundary geometries are fine
+    landmarks(x[:9000], frame=8190, hop=4096)
