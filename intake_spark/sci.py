@@ -1133,8 +1133,20 @@ def _grib_complex_unpack(body: bytes, sec5: dict, np):
     scaled group lengths, then each group's values at its own width;
     template 7.3 prefixes the stream with the explicit first value(s)
     and the overall minimum of the differences, then integrates the
-    spatial differences back. Returns the scaled integers X (the same
-    quantity simple packing unpacks), as float64."""
+    spatial differences back. Returns ``(x, miss)``: the scaled
+    integers X (the same quantity simple packing unpacks) as float64,
+    and — when the template's missing-value management (octet 23) is
+    1 or 2 — an int8 array flagging each point 0/1/2 for
+    present/primary-missing/secondary-missing (else None).
+
+    Missing-value semantics (WMO regulation 92.9.4, mirrored from the
+    public g2clib ``comunpack``): inside a width-``w`` group the
+    all-ones code 2**w-1 marks primary missing (2**w-2 secondary when
+    management is 2); a width-0 group signals through its REFERENCE
+    against the same codes at the reference width ``nbits``; the
+    explicit first value(s) and minimum of template 7.3 apply to the
+    COMPACTED non-missing sequence, which is integrated and then
+    scattered back around the missing slots."""
     n, nbits, ng = sec5["npts"], sec5["nbits"], sec5["ng"]
     data = body[5:]
     pos = 0
@@ -1182,25 +1194,71 @@ def _grib_complex_unpack(body: bytes, sec5: dict, np):
             f"GRIB complex packing: group lengths sum to {int(lens.sum())}"
             f", expected {n} points"
         )
-    x = np.empty(n, dtype=np.int64)
+    mvm = sec5.get("mvm", 0)
+
+    def integrate(y):
+        # template 7.3: add the transmitted minimum, restore the
+        # explicit first value(s), then invert the differencing
+        # (g2clib comunpack order), vectorized: order 1 is one cumsum;
+        # order 2 integrates the first-difference sequence
+        # z_i = z_{i-1} + d_i and then y
+        order = sec5["sd_order"]
+        y = y + gmin
+        y[: min(order, len(y))] = firsts[: len(y)]
+        if order == 1:
+            return np.cumsum(y)
+        if len(y) > 2:
+            z = np.cumsum(np.concatenate(([y[1] - y[0]], y[2:])))
+            return np.concatenate(([y[0]], y[0] + np.cumsum(z)))
+        return y
+
+    if not mvm:
+        x = np.empty(n, dtype=np.int64)
+        o = 0
+        for g in range(ng):
+            ln, wd = int(lens[g]), int(widths[g])
+            x[o : o + ln] = grefs[g] + take(ln, wd)
+            o += ln
+        if sec5["tmpl"] == 3:
+            x = integrate(x)
+        return x.astype(np.float64), None
+
+    # missing-value management: decode each group watching for the
+    # missing codes, compacting present values (spatial differences
+    # are computed over non-missing points only)
+    miss = np.zeros(n, dtype=np.int8)
+    kept = np.empty(n, dtype=np.int64)
+    non = 0
     o = 0
+    ref_m1 = (1 << nbits) - 1  # g2clib: width-0 groups signal via gref
     for g in range(ng):
         ln, wd = int(lens[g]), int(widths[g])
-        x[o : o + ln] = grefs[g] + take(ln, wd)
+        if wd:
+            raw = take(ln, wd)
+            m1 = (1 << wd) - 1
+            is1 = raw == m1
+            is2 = (raw == m1 - 1) if mvm == 2 else np.zeros(ln, dtype=bool)
+            ok = ~(is1 | is2)
+            miss[o : o + ln][is1] = 1
+            miss[o : o + ln][is2] = 2
+            kv = raw[ok] + grefs[g]
+            kept[non : non + kv.size] = kv
+            non += kv.size
+        else:
+            if grefs[g] == ref_m1:
+                miss[o : o + ln] = 1
+            elif mvm == 2 and grefs[g] == ref_m1 - 1:
+                miss[o : o + ln] = 2
+            else:
+                kept[non : non + ln] = grefs[g]
+                non += ln
         o += ln
+    y = kept[:non]
     if sec5["tmpl"] == 3:
-        order = sec5["sd_order"]
-        x += gmin
-        x[:order] = firsts
-        # integrate the spatial differences (g2clib comunpack order),
-        # vectorized: order 1 is one cumsum; order 2 integrates the
-        # first-difference sequence y_i = y_{i-1} + d_i and then x
-        if order == 1:
-            x = np.cumsum(x)
-        elif n > 2:
-            y = np.cumsum(np.concatenate(([x[1] - x[0]], x[2:])))
-            x = np.concatenate(([x[0]], x[0] + np.cumsum(y)))
-    return x.astype(np.float64)
+        y = integrate(y)
+    x = np.zeros(n, dtype=np.int64)
+    x[miss == 0] = y
+    return x.astype(np.float64), miss
 
 
 def _grib_decode_message(buf: bytes) -> list[dict]:
@@ -1278,11 +1336,24 @@ def _grib_decode_message(buf: bytes) -> list[dict]:
             if tmpl in (2, 3):
                 # complex packing (WMO template 5.2/5.3): values travel
                 # as NG groups, each with its own reference and width
-                if body[22] != 0:
+                mvm = body[22]
+                if mvm not in (0, 1, 2):
                     raise ValueError(
-                        "GRIB complex packing with missing-value "
-                        "management is not supported"
+                        f"GRIB missing-value management code {mvm} "
+                        "(0 = none, 1 = primary, 2 = primary+secondary)"
                     )
+                sec5["mvm"] = mvm
+                if mvm:
+                    # octets 24-27 / 28-31: substitute values, typed by
+                    # octet 21 (0 = IEEE float, 1 = integer) — GFS/NAM
+                    # precipitation fields ship 9.999e20 floats here
+                    if body[20] == 0:
+                        r1 = struct.unpack(">f", body[23:27])[0]
+                        r2 = struct.unpack(">f", body[27:31])[0]
+                    else:
+                        r1 = float(int.from_bytes(body[23:27], "big"))
+                        r2 = float(int.from_bytes(body[27:31], "big"))
+                    sec5["rmiss1"], sec5["rmiss2"] = r1, r2
                 (ng,) = struct.unpack(">I", body[31:35])
                 sec5.update(
                     ng=ng,
@@ -1321,12 +1392,13 @@ def _grib_decode_message(buf: bytes) -> list[dict]:
             if sec3 is None or sec5 is None:
                 raise ValueError("data section before grid/representation sections")
             n, nbits = sec5["npts"], sec5["nbits"]
+            miss = None
             if sec5["tmpl"] == 4:
                 dt_ = ">f4" if sec5["ieee"] == 1 else ">f8"
                 x = np.frombuffer(body, dtype=dt_, count=n,
                                   offset=5).astype(np.float64)
             elif sec5["tmpl"] in (2, 3):
-                x = _grib_complex_unpack(body, sec5, np)
+                x, miss = _grib_complex_unpack(body, sec5, np)
             elif nbits == 0:
                 x = np.zeros(n)
             else:
@@ -1335,6 +1407,12 @@ def _grib_decode_message(buf: bytes) -> list[dict]:
                 weights = (1 << np.arange(nbits - 1, -1, -1)).astype(np.float64)
                 x = bits @ weights
             vals = (sec5["ref"] + x * (2.0 ** sec5["e"])) / (10.0 ** sec5["d"])
+            if miss is not None:
+                # missing-managed points take the substitute values the
+                # message itself transmits (template octets 24-31) —
+                # what wgrib2/g2clib emit for GFS precip/soil fields
+                vals[miss == 1] = sec5["rmiss1"]
+                vals[miss == 2] = sec5["rmiss2"]
             if bitmap is not None:
                 # sec5 npts counts CODED points; scatter them onto the
                 # grid, NaN where the bitmap is unset (WMO section 6)

@@ -157,41 +157,110 @@ def _sm_bytes(v: int, width: int) -> bytes:
 
 def _field_complex(values: np.ndarray, e: int = 0, d: int = 0,
                    group_len: int = 4, sd_order: int = 0,
-                   sd_ws: int = 2) -> bytes:
+                   sd_ws: int = 2, mvm: int = 0,
+                   miss1=None, miss2=None,
+                   rmiss=(9.999e20, 8.888e20)) -> bytes:
     """Sections 5+6+7 for complex packing (template 5.2) or complex
     packing with spatial differencing (5.3): the scaled integers are
     split into fixed-size groups, each coded at its own reference and
-    width — hand-built per the WMO template layouts."""
-    scaled = values.ravel() * (10.0 ** d)
-    r = float(scaled.min())
-    xs = np.array([int(round((v - r) / (2.0 ** e))) for v in scaled],
-                  dtype=np.int64)
-    n = xs.size
+    width — hand-built per the WMO template layouts.
+
+    With ``mvm`` 1/2 (octet 23 missing-value management), ``miss1`` /
+    ``miss2`` are boolean masks of primary/secondary missing points:
+    in-group all-ones codes mark them (all-ones-minus-1 secondary),
+    width-0 groups signal via a reference equal to the marker at the
+    reference width, and spatial differences run over the compacted
+    present sequence — the g2clib compack conventions."""
+    flat = values.ravel()
+    n = flat.size
+    m1 = (np.zeros(n, dtype=bool) if miss1 is None
+          else np.asarray(miss1).ravel().astype(bool))
+    m2 = (np.zeros(n, dtype=bool) if miss2 is None
+          else np.asarray(miss2).ravel().astype(bool))
+    present = ~(m1 | m2)
+    scaled = flat[present] * (10.0 ** d)
+    r = float(scaled.min()) if scaled.size else 0.0
+    xs_p = np.array([int(round((v - r) / (2.0 ** e))) for v in scaled],
+                    dtype=np.int64)
     firsts = b""
     if sd_order:
-        orig = xs.copy()
-        diffs = xs.astype(np.int64).copy()
+        orig = xs_p.copy()
+        diffs = xs_p.copy()
         if sd_order == 1:
             diffs[1:] = orig[1:] - orig[:-1]
         else:
             diffs[2:] = orig[2:] - 2 * orig[1:-1] + orig[:-2]
-        gmin = int(diffs[sd_order:].min()) if n > sd_order else 0
+        gmin = (int(diffs[sd_order:].min())
+                if xs_p.size > sd_order else 0)
         stream = diffs.copy()
         stream[sd_order:] -= gmin
-        stream[:sd_order] = 0  # first points travel explicitly
+        stream[: min(sd_order, len(stream))] = 0  # travel explicitly
         firsts = b"".join(_sm_bytes(int(orig[i]), sd_ws)
-                          for i in range(sd_order))
+                          for i in range(min(sd_order, orig.size)))
+        firsts += b"".join(_sm_bytes(0, sd_ws)
+                           for _ in range(sd_order - min(sd_order, orig.size)))
         firsts += _sm_bytes(gmin, sd_ws)
-        xs = stream
-    groups = [xs[i : i + group_len] for i in range(0, n, group_len)]
-    grefs = [int(g.min()) for g in groups]
-    gvals = [g - gr for g, gr in zip(groups, grefs)]
-    gwidths = [max(int(v.max()).bit_length(), 0) if v.size else 0
-               for v in gvals]
-    nbits = max(int(gr).bit_length() for gr in grefs) or 1
+        xs_p = stream
+    # grid-order stream: present slots take successive compacted
+    # values; missing slots carry the marker sentinel -1 / -2
+    xs = np.empty(n, dtype=np.int64)
+    xs[present] = xs_p
+    xs[m1] = -1
+    xs[m2] = -2
+    groups = [xs[i: i + group_len] for i in range(0, n, group_len)]
+
+    grefs, gwidths, payloads = [], [], []
+    for g in groups:
+        pres = g[g >= 0]
+        gref = int(pres.min()) if pres.size else 0
+        maxd = int((pres - gref).max()) if pres.size else 0
+        if mvm and not pres.size:
+            # all-missing group: one marker type -> width 0, reference
+            # is the marker; mixed types need the width path
+            kinds = set(int(v) for v in g)
+            if kinds == {-1} or kinds == {-2}:
+                grefs.append(("M1" if kinds == {-1} else "M2"))
+                gwidths.append(0)
+                payloads.append([])
+                continue
+        if mvm:
+            w = 1
+            while (1 << w) - 1 - mvm < maxd:
+                w += 1
+        else:
+            w = maxd.bit_length()
+        if not mvm and maxd == 0:
+            w = 0
+        grefs.append(gref)
+        gwidths.append(w)
+        row = []
+        if w:
+            wm1 = (1 << w) - 1
+            for v in g:
+                if v == -1:
+                    row.append(wm1)
+                elif v == -2:
+                    row.append(wm1 - 1)
+                else:
+                    row.append(int(v) - gref)
+        payloads.append(row)
+
+    real_refs = [gr for gr in grefs if not isinstance(gr, str)]
+    nbits = max((int(gr).bit_length() for gr in real_refs), default=1) or 1
+    if mvm:
+        nbits = max(nbits, 2)
+        while (1 << nbits) - 1 - mvm < max(real_refs, default=0):
+            nbits += 1
+    ref_m1 = (1 << nbits) - 1
+    grefs = [ref_m1 if gr == "M1" else (ref_m1 - 1 if gr == "M2" else gr)
+             for gr in grefs]
     w_bits = max(w.bit_length() for w in gwidths) or 1
     l_bits = 8
     ng = len(groups)
+    if mvm:
+        subst = struct.pack(">ff", rmiss[0], rmiss[1])
+    else:
+        subst = bytes(8)
     sec5 = (
         struct.pack(">IB", (49 if sd_order else 47), 5)
         + struct.pack(">I", n)
@@ -199,9 +268,9 @@ def _field_complex(values: np.ndarray, e: int = 0, d: int = 0,
         + struct.pack(">f", r)
         + struct.pack(">HH", e if e >= 0 else (0x8000 | -e),
                       d if d >= 0 else (0x8000 | -d))
-        + bytes([nbits, 0])          # octets 20-21
-        + bytes([1, 0])              # octet 22 split method, 23 missing mgmt
-        + bytes(8)                   # octets 24-31 missing substitutes
+        + bytes([nbits, 0])          # octets 20-21 (21: original type = float)
+        + bytes([1, mvm])            # octet 22 split method, 23 missing mgmt
+        + subst                      # octets 24-31 missing substitutes
         + struct.pack(">I", ng)      # octets 32-35
         + bytes([0, w_bits])         # octets 36-37: width ref + bits
         + struct.pack(">I", 0)       # octets 38-41: length ref
@@ -230,10 +299,9 @@ def _field_complex(values: np.ndarray, e: int = 0, d: int = 0,
     for g in groups:
         put(len(g), l_bits)  # scaled length (increment 1, ref 0)
     pad()
-    for g, gr, w in zip(groups, grefs, gwidths):
-        if w:
-            for v in g:
-                put(int(v) - gr, w)
+    for row, w in zip(payloads, gwidths):
+        for v in row:
+            put(v, w)
     while len(stream_bits) % 8:
         stream_bits.append(0)
     payload = bytes(
@@ -279,13 +347,79 @@ def test_grib2_complex_packing(spark, tmp_path):
     got = np.array(_grib_decode_message(msg)[0]["values"]).reshape(3, 7)
     np.testing.assert_allclose(got, odd, atol=1e-9)
 
-    # missing-value management stays a named gate
+    # reserved missing-value management codes stay loud
     body5 = bytearray(_field_complex(ivals))
-    body5[22] = 1  # sec5 octet 23 = missing-value management
+    body5[22] = 3  # sec5 octet 23 = missing-value management
     body = _sec1() + _sec3(7, 6) + _sec4(0, 0) + bytes(body5) + b"7777"
     msg = b"GRIB\x00\x00\x00\x02" + struct.pack(">Q", 16 + len(body)) + body
-    with pytest.raises(ValueError, match="missing-value"):
+    with pytest.raises(ValueError, match="missing-value management"):
         _grib_decode_message(msg)
+
+
+def test_grib2_complex_packing_missing_values(spark, tmp_path):
+    """Missing-value management (octet 23 = 1/2) for templates 5.2 and
+    5.3: in-group all-ones markers, width-0 all-missing groups signaled
+    through the reference, secondary missing, and spatial differencing
+    integrated over the compacted present sequence — the encoding
+    operational GFS/NAM precipitation and soil fields ship."""
+    rng = np.random.default_rng(43)
+    vals = rng.integers(0, 500, (6, 7)).astype(float) + 250.0
+    n = vals.size
+    r1 = float(np.float32(9.999e20))
+    r2 = float(np.float32(8.888e20))
+
+    def run(mvm, m1, m2=None, **kw):
+        body = (_sec1() + _sec3(7, 6) + _sec4(0, 0)
+                + _field_complex(vals, mvm=mvm, miss1=m1, miss2=m2, **kw)
+                + b"7777")
+        msg = (b"GRIB\x00\x00\x00\x02"
+               + struct.pack(">Q", 16 + len(body)) + body)
+        fields = _grib_decode_message(msg)
+        assert len(fields) == 1
+        return np.array(fields[0]["values"])
+
+    # 5.2, primary only: scattered missing + one whole group missing
+    # (group_len 4 -> positions 8..11 form a width-0 marker group)
+    m1 = np.zeros(n, dtype=bool)
+    m1[[2, 5, 17, 30]] = True
+    m1[8:12] = True
+    got = run(1, m1, group_len=4)
+    exp = vals.ravel().copy()
+    exp[m1] = r1
+    np.testing.assert_allclose(got, exp, atol=1e-9)
+
+    # 5.2, primary + secondary, incl. a mixed all-missing group (12..15:
+    # no single marker reference fits -> width path) and an all-m2 group
+    m1 = np.zeros(n, dtype=bool)
+    m2 = np.zeros(n, dtype=bool)
+    m1[[0, 7, 12, 13, 29]] = True
+    m2[[3, 14, 15, 40]] = True
+    m2[16:20] = True
+    got = run(2, m1, m2, group_len=4)
+    exp = vals.ravel().copy()
+    exp[m1] = r1
+    exp[m2] = r2
+    np.testing.assert_allclose(got, exp, atol=1e-9)
+
+    # 5.3 spatial differencing orders 1 and 2 with missing: the
+    # explicit first values and minimum apply to the compacted
+    # present sequence
+    for order in (1, 2):
+        m1 = np.zeros(n, dtype=bool)
+        m1[[1, 6, 20, 21, 22, 41]] = True
+        got = run(1, m1, sd_order=order, sd_ws=3, group_len=5)
+        exp = vals.ravel().copy()
+        exp[m1] = r1
+        np.testing.assert_allclose(got, exp, atol=1e-9)
+
+    # missing at position 0 with spatial differencing: the first
+    # explicit value belongs to the first PRESENT point
+    m1 = np.zeros(n, dtype=bool)
+    m1[[0, 1, 2]] = True
+    got = run(1, m1, sd_order=2, sd_ws=3, group_len=6)
+    exp = vals.ravel().copy()
+    exp[m1] = r1
+    np.testing.assert_allclose(got, exp, atol=1e-9)
 
 
 def test_grib2_bitmap(spark, tmp_path):
