@@ -1,15 +1,19 @@
 """JPEG-LS (ITU-T T.87 / ISO 14495-1, the LOCO-I codec) — stdlib+numpy
-encoder/decoder for ILV-0 (plane-interleaved) scans, single- or
-multi-component, lossless (NEAR=0) and near-lossless (NEAR>0).
+encoder/decoder for all three interleave modes — ILV-0 (one scan per
+component), ILV-1 (line interleaved), ILV-2 (sample interleaved) —
+single- or multi-component, lossless (NEAR=0) and near-lossless
+(NEAR>0).
 
 Closes the DICOM JPEG-LS transfer-syntax gate (1.2.840.10008.1.2.4.80
 lossless / .81 near-lossless) natively, the same way llm/flac.py and
 llm/webp.py close the FLAC/VP8L gates: the reference delegates to
 pydicom codec plugins (reference readers.py:1644), this package decodes
-the bitstream itself. Multi-component frames decode when coded as one
-ILV-0 scan per component (plane interleave), including T.81 sampling
-factors with nearest upsample; line/sample interleave (ILV 1/2, which
-share run statistics across components) raises a named gate.
+the bitstream itself. Multi-component frames decode in every T.87
+interleave mode: one ILV-0 scan per component (plane interleave) incl.
+T.81 sampling factors with nearest upsample, line interleave (ILV 1:
+shared context statistics, per-component run index/line buffers), and
+sample interleave (ILV 2: runs gate on ALL components, interruption
+samples RItype=0 — the mode DICOM color JPEG-LS commonly uses).
 
 Implementation notes (clause refs are T.87):
 - context modeling: 365 regular contexts from quantized gradients
@@ -275,13 +279,14 @@ def decode_jpegls(blob: bytes):
     """Decode a JPEG-LS stream → 2-D (single component) or HxWxC numpy
     array (uint8 for P<=8, uint16 otherwise).
 
-    Multi-component images decode when coded as one ILV-0 scan per
-    component (plane interleave, T.87 A.2), including T.81 sampling
+    Multi-component images decode in all three T.87 interleave modes:
+    ILV-0 (one scan per component, T.87 A.2), incl. T.81 sampling
     factors — subsampled components are nearest-upsampled to the frame
-    grid. DRI/RSTm restart intervals decode (each interval is an
-    independently-decodable unit: modeling state AND the line above
-    reset, T.87 C.2.5). Line/sample interleave (ILV 1/2, which share
-    run statistics across components) remains a named gate."""
+    grid — plus ILV-1 (line interleaved) and ILV-2 (sample interleaved)
+    single-scan layouts. DRI/RSTm restart intervals decode for ILV-0
+    scans (each interval is an independently-decodable unit: modeling
+    state AND the line above reset, T.87 C.2.5); restarts inside
+    interleaved scans remain a named gate."""
     import numpy as np
 
     if blob[:2] != b"\xff\xd8":
@@ -337,17 +342,63 @@ def decode_jpegls(blob: bytes):
             if precision is None:
                 raise ValueError("JPEG-LS scan before the SOF55 frame header")
             ns = seg[0]
-            if ns != 1:
-                raise NotImplementedError(
-                    "JPEG-LS line/sample interleave (ILV 1/2) is not "
-                    "supported — plane-interleaved ILV-0 scans only"
-                )
-            cid = seg[1]
             near = seg[1 + 2 * ns]
             ilv = seg[2 + 2 * ns]
+            if ns != 1:
+                # ---- ILV-1 (line) / ILV-2 (sample) interleaved scan ----
+                if ilv not in (1, 2):
+                    raise ValueError(
+                        f"JPEG-LS multi-component scan with ILV {ilv}"
+                    )
+                if ri:
+                    raise NotImplementedError(
+                        "JPEG-LS restart intervals inside interleaved "
+                        "scans are not supported"
+                    )
+                scan_cids = [seg[1 + 2 * j] for j in range(ns)]
+                for cid in scan_cids:
+                    if cid not in dims:
+                        raise ValueError(
+                            f"JPEG-LS scan for unknown component {cid}"
+                        )
+                    if cid in decoded:
+                        raise ValueError(
+                            f"JPEG-LS component {cid} scanned twice"
+                        )
+                comp_dims = [dims[cid] for cid in scan_cids]
+                if ilv == 2 and len(set(comp_dims)) != 1:
+                    raise ValueError(
+                        "JPEG-LS sample-interleaved (ILV 2) scan needs "
+                        f"identical component dimensions, got {comp_dims}"
+                    )
+                p = _Params(precision, near, maxval, t1, t2, t3, reset)
+                br = _BitReader(blob, pos + seg_len)
+                outs = [np.empty((h_, w_), dtype=np.int64)
+                        for h_, w_ in comp_dims]
+                vmap = {cid_: v for cid_, _h, v in comps}
+                try:
+                    if ilv == 1:
+                        _decode_scan_ilv1(
+                            p, br, comp_dims, outs,
+                            [vmap[cid] for cid in scan_cids],
+                        )
+                    else:
+                        _decode_scan_ilv2(p, br, comp_dims[0], outs)
+                except IndexError as exc:
+                    raise ValueError("corrupt JPEG-LS scan data") from exc
+                for cid, o_ in zip(scan_cids, outs):
+                    decoded[cid] = o_
+                j = br.pos
+                while j + 1 < len(blob) and not (
+                    blob[j] == 0xFF and blob[j + 1] >= 0x80
+                ):
+                    j += 1
+                pos = j
+                continue
+            cid = seg[1]
             if ilv != 0:
-                raise NotImplementedError(
-                    f"JPEG-LS interleave mode {ilv} — ILV-0 scans only"
+                raise ValueError(
+                    f"JPEG-LS single-component scan with ILV {ilv}"
                 )
             if cid not in dims:
                 raise ValueError(f"JPEG-LS scan for unknown component {cid}")
@@ -440,79 +491,245 @@ def _decode_scan(p, br, W, H, prev, out, c_left_saved, run_index):
         cur = [0] * W
         rc0 = c_left_saved
         c_left_saved = prev[0]
-        a = prev[0]
-        i = 0
-        while i < W:
-            b = prev[i]
-            c = rc0 if i == 0 else prev[i - 1]
-            d = prev[i + 1] if i + 1 < W else prev[W - 1]
-            q1 = p.quantize_gradient(d - b)
-            q2 = p.quantize_gradient(b - c)
-            q3 = p.quantize_gradient(c - a)
-            if q1 == 0 and q2 == 0 and q3 == 0:
-                # ---- run mode (A.7) ----
-                runval = a
-                broke = False
-                while True:
-                    if br.get_bit() == 1:
-                        seg_n = 1 << _J[run_index]
-                        m = min(seg_n, W - i)
-                        for _ in range(m):
-                            cur[i] = runval
-                            i += 1
-                        if m == seg_n and run_index < 31:
-                            run_index += 1
-                        if i >= W:
-                            broke = True
-                            break
-                        if m < seg_n:
-                            broke = True  # line end mid-segment
-                            break
+        run_index = _decode_line(p, br, W, prev, cur, rc0, run_index)
+        prev = cur
+        out[y] = cur
+
+
+def _decode_line(p, br, W, prev, cur, rc0, run_index) -> int:
+    """Decode one component line into ``cur`` (the regular/run machinery
+    shared by ILV-0 scans, restart intervals, and ILV-1 line-interleaved
+    scans); returns the updated run index."""
+    a = prev[0]
+    i = 0
+    while i < W:
+        b = prev[i]
+        c = rc0 if i == 0 else prev[i - 1]
+        d = prev[i + 1] if i + 1 < W else prev[W - 1]
+        q1 = p.quantize_gradient(d - b)
+        q2 = p.quantize_gradient(b - c)
+        q3 = p.quantize_gradient(c - a)
+        if q1 == 0 and q2 == 0 and q3 == 0:
+            # ---- run mode (A.7) ----
+            runval = a
+            broke = False
+            while True:
+                if br.get_bit() == 1:
+                    seg_n = 1 << _J[run_index]
+                    m = min(seg_n, W - i)
+                    for _ in range(m):
+                        cur[i] = runval
+                        i += 1
+                    if m == seg_n and run_index < 31:
+                        run_index += 1
+                    if i >= W:
+                        broke = True
+                        break
+                    if m < seg_n:
+                        broke = True  # line end mid-segment
+                        break
+                else:
+                    jn = _J[run_index]
+                    r = br.get_bits(jn) if jn else 0
+                    for _ in range(r):
+                        cur[i] = runval
+                        i += 1
+                    # run-interruption sample
+                    rb = prev[i]
+                    ritype = 1 if abs(runval - rb) <= p.near else 0
+                    px = runval if ritype else rb
+                    sign = -1 if (not ritype and runval > rb) else 1
+                    qc = 365 + ritype
+                    k = _context_k(p, qc, ritype)
+                    emerr = _golomb_decode(
+                        br, k, p.limit - _J[run_index] - 1, p.qbpp
+                    )
+                    temp = emerr + ritype
+                    mp = temp & 1
+                    eabs = (temp + mp) >> 1
+                    nn, n = p.Nn[ritype], p.N[qc]
+                    if (k != 0 or 2 * nn >= n) == bool(mp):
+                        errval = -eabs
                     else:
-                        jn = _J[run_index]
-                        r = br.get_bits(jn) if jn else 0
-                        for _ in range(r):
-                            cur[i] = runval
-                            i += 1
-                        # run-interruption sample
-                        rb = prev[i]
-                        ritype = 1 if abs(runval - rb) <= p.near else 0
-                        px = runval if ritype else rb
-                        sign = -1 if (not ritype and runval > rb) else 1
-                        qc = 365 + ritype
-                        k = _context_k(p, qc, ritype)
+                        errval = eabs
+                    _update_run_int(p, qc, errval, emerr, ritype)
+                    rx = _fix_reconstruct(
+                        px + sign * errval * (2 * p.near + 1), p
+                    )
+                    cur[i] = rx
+                    a = rx
+                    i += 1
+                    if run_index > 0:
+                        run_index -= 1
+                    break
+            if broke:
+                a = cur[i - 1] if i else a
+            continue
+        # ---- regular mode ----
+        if q1 < 0 or (q1 == 0 and (q2 < 0 or (q2 == 0 and q3 < 0))):
+            sign = -1
+            qi = -((q1 * 9 + q2) * 9 + q3)
+        else:
+            sign = 1
+            qi = (q1 * 9 + q2) * 9 + q3
+        px = _predict(a, b, c)
+        px = px + sign * p.C[qi]
+        px = 0 if px < 0 else (p.maxval if px > p.maxval else px)
+        k = _context_k(p, qi)
+        merr = _golomb_decode(br, k, p.limit, p.qbpp)
+        if p.near == 0 and k == 0 and 2 * p.B[qi] <= -p.N[qi]:
+            errval = (merr - 1) >> 1 if merr & 1 else -(merr >> 1) - 1
+        else:
+            errval = merr >> 1 if not merr & 1 else -((merr + 1) >> 1)
+        _update_regular(p, qi, errval)
+        rx = _fix_reconstruct(px + sign * errval * (2 * p.near + 1), p)
+        cur[i] = rx
+        a = rx
+        i += 1
+    return run_index
+
+
+def _decode_scan_ilv1(p, br, comp_dims, outs, vfac):
+    """Line-interleaved scan (T.87 A.2.2): per line group, component i
+    contributes V_i lines, all coded with ONE shared set of context
+    statistics; the run index and causal line buffers are per component
+    (the public CharLS codec pins these semantics — shared
+    context/run-mode counters, ``run_index[component]`` saved around
+    each line)."""
+    nc = len(outs)
+    prevs = [[0] * w_ for _h, w_ in comp_dims]
+    saved = [0] * nc
+    run_idx = [0] * nc
+    ys = [0] * nc
+    while True:
+        progressed = False
+        for ci in range(nc):
+            h_, w_ = comp_dims[ci]
+            for _ in range(vfac[ci]):
+                if ys[ci] >= h_:
+                    break
+                cur = [0] * w_
+                rc0 = saved[ci]
+                saved[ci] = prevs[ci][0]
+                run_idx[ci] = _decode_line(
+                    p, br, w_, prevs[ci], cur, rc0, run_idx[ci]
+                )
+                outs[ci][ys[ci]] = cur
+                prevs[ci] = cur
+                ys[ci] += 1
+                progressed = True
+        if not progressed:
+            break
+
+
+def _decode_scan_ilv2(p, br, dim, outs):
+    """Sample-interleaved scan (T.87 A.2.3): at each position every
+    component codes its sample from its OWN causal neighborhood, with
+    one shared set of context statistics and a single run index. Run
+    mode is entered only when ALL components' gradients quantize to
+    zero, runs advance all components together, and the interruption
+    codes one sample per component with RItype forced to 0 and
+    sign(Ra - Rb) (A.7.2; the CharLS triplet codec pins these
+    semantics)."""
+    H, W = dim
+    nc = len(outs)
+    prevs = [[0] * W for _ in range(nc)]
+    saved = [0] * nc
+    run_index = 0
+    for y in range(H):
+        curs = [[0] * W for _ in range(nc)]
+        rc0s = saved
+        saved = [prevs[ci][0] for ci in range(nc)]
+        run_index = _decode_line_ilv2(
+            p, br, W, nc, prevs, curs, rc0s, run_index
+        )
+        for ci in range(nc):
+            outs[ci][y] = curs[ci]
+        prevs = curs
+
+
+def _decode_line_ilv2(p, br, W, nc, prevs, curs, rc0s, run_index) -> int:
+    a = [prevs[ci][0] for ci in range(nc)]
+    i = 0
+    while i < W:
+        qs = []
+        for ci in range(nc):
+            prev = prevs[ci]
+            b = prev[i]
+            c = rc0s[ci] if i == 0 else prev[i - 1]
+            d = prev[i + 1] if i + 1 < W else prev[W - 1]
+            qs.append(
+                (
+                    p.quantize_gradient(d - b),
+                    p.quantize_gradient(b - c),
+                    p.quantize_gradient(c - a[ci]),
+                    b,
+                    c,
+                )
+            )
+        if all(q1 == 0 and q2 == 0 and q3 == 0 for q1, q2, q3, _b, _c in qs):
+            # ---- run mode across all components ----
+            runvals = a[:]
+            broke = False
+            while True:
+                if br.get_bit() == 1:
+                    seg_n = 1 << _J[run_index]
+                    m = min(seg_n, W - i)
+                    for _ in range(m):
+                        for ci in range(nc):
+                            curs[ci][i] = runvals[ci]
+                        i += 1
+                    if m == seg_n and run_index < 31:
+                        run_index += 1
+                    if i >= W or m < seg_n:
+                        broke = True
+                        break
+                else:
+                    jn = _J[run_index]
+                    r = br.get_bits(jn) if jn else 0
+                    for _ in range(r):
+                        for ci in range(nc):
+                            curs[ci][i] = runvals[ci]
+                        i += 1
+                    # one interruption sample per component, RItype = 0
+                    for ci in range(nc):
+                        rb = prevs[ci][i]
+                        sign = -1 if runvals[ci] > rb else 1
+                        k = _context_k(p, 365, 0)
                         emerr = _golomb_decode(
                             br, k, p.limit - _J[run_index] - 1, p.qbpp
                         )
-                        temp = emerr + ritype
-                        mp = temp & 1
-                        eabs = (temp + mp) >> 1
-                        nn, n = p.Nn[ritype], p.N[qc]
+                        mp = emerr & 1
+                        eabs = (emerr + mp) >> 1
+                        nn, n = p.Nn[0], p.N[365]
                         if (k != 0 or 2 * nn >= n) == bool(mp):
                             errval = -eabs
                         else:
                             errval = eabs
-                        _update_run_int(p, qc, errval, emerr, ritype)
+                        _update_run_int(p, 365, errval, emerr, 0)
                         rx = _fix_reconstruct(
-                            px + sign * errval * (2 * p.near + 1), p
+                            rb + sign * errval * (2 * p.near + 1), p
                         )
-                        cur[i] = rx
-                        a = rx
-                        i += 1
-                        if run_index > 0:
-                            run_index -= 1
-                        break
-                if broke:
-                    a = cur[i - 1] if i else a
-                continue
-            # ---- regular mode ----
+                        curs[ci][i] = rx
+                        a[ci] = rx
+                    i += 1
+                    if run_index > 0:
+                        run_index -= 1
+                    break
+            if broke and i:
+                for ci in range(nc):
+                    a[ci] = curs[ci][i - 1]
+            continue
+        # ---- regular mode, one sample per component ----
+        for ci in range(nc):
+            q1, q2, q3, b, c = qs[ci]
             if q1 < 0 or (q1 == 0 and (q2 < 0 or (q2 == 0 and q3 < 0))):
                 sign = -1
                 qi = -((q1 * 9 + q2) * 9 + q3)
             else:
                 sign = 1
                 qi = (q1 * 9 + q2) * 9 + q3
-            px = _predict(a, b, c)
+            px = _predict(a[ci], b, c)
             px = px + sign * p.C[qi]
             px = 0 if px < 0 else (p.maxval if px > p.maxval else px)
             k = _context_k(p, qi)
@@ -523,11 +740,10 @@ def _decode_scan(p, br, W, H, prev, out, c_left_saved, run_index):
                 errval = merr >> 1 if not merr & 1 else -((merr + 1) >> 1)
             _update_regular(p, qi, errval)
             rx = _fix_reconstruct(px + sign * errval * (2 * p.near + 1), p)
-            cur[i] = rx
-            a = rx
-            i += 1
-        prev = cur
-        out[y] = cur
+            curs[ci][i] = rx
+            a[ci] = rx
+        i += 1
+    return run_index
 
 
 def _encode_scan(p: "_Params", img) -> bytes:
@@ -542,46 +758,227 @@ def _encode_scan(p: "_Params", img) -> bytes:
     prev = [0] * W
     c_left_saved = 0
     for y in range(H):
-        row = pix[y]
         cur = [0] * W
         rc0 = c_left_saved
         c_left_saved = prev[0]
-        a = prev[0]
-        i = 0
-        while i < W:
-            b = prev[i]
-            c = rc0 if i == 0 else prev[i - 1]
-            d = prev[i + 1] if i + 1 < W else prev[W - 1]
-            q1 = p.quantize_gradient(d - b)
-            q2 = p.quantize_gradient(b - c)
-            q3 = p.quantize_gradient(c - a)
-            if q1 == 0 and q2 == 0 and q3 == 0:
-                # ---- run mode ----
-                runval = a
-                start = i
-                while i < W and abs(row[i] - runval) <= p.near:
-                    cur[i] = runval
-                    i += 1
-                run = i - start
-                while run >= (1 << _J[run_index]):
+        run_index = _encode_line(p, bw, W, prev, cur, pix[y], rc0, run_index)
+        prev = cur
+    return bw.flush()
+
+
+def _encode_line(p, bw, W, prev, cur, row, rc0, run_index) -> int:
+    """Encode one component line (shared by ILV-0 scans and ILV-1
+    line-interleaved scans); returns the updated run index."""
+    a = prev[0]
+    i = 0
+    while i < W:
+        b = prev[i]
+        c = rc0 if i == 0 else prev[i - 1]
+        d = prev[i + 1] if i + 1 < W else prev[W - 1]
+        q1 = p.quantize_gradient(d - b)
+        q2 = p.quantize_gradient(b - c)
+        q3 = p.quantize_gradient(c - a)
+        if q1 == 0 and q2 == 0 and q3 == 0:
+            # ---- run mode ----
+            runval = a
+            start = i
+            while i < W and abs(row[i] - runval) <= p.near:
+                cur[i] = runval
+                i += 1
+            run = i - start
+            while run >= (1 << _J[run_index]):
+                bw.put_bit(1)
+                run -= 1 << _J[run_index]
+                if run_index < 31:
+                    run_index += 1
+            if i >= W:  # line end ended the run
+                if run > 0:
                     bw.put_bit(1)
-                    run -= 1 << _J[run_index]
-                    if run_index < 31:
-                        run_index += 1
-                if i >= W:  # line end ended the run
-                    if run > 0:
-                        bw.put_bit(1)
-                    a = cur[i - 1] if i else a
-                    continue
-                bw.put_bit(0)
-                if _J[run_index]:
-                    bw.put_bits(run, _J[run_index])
-                # run-interruption sample
-                rb = prev[i]
-                ritype = 1 if abs(runval - rb) <= p.near else 0
-                px = runval if ritype else rb
-                sign = -1 if (not ritype and runval > rb) else 1
-                errval = row[i] - px
+                a = cur[i - 1] if i else a
+                continue
+            bw.put_bit(0)
+            if _J[run_index]:
+                bw.put_bits(run, _J[run_index])
+            # run-interruption sample
+            rb = prev[i]
+            ritype = 1 if abs(runval - rb) <= p.near else 0
+            px = runval if ritype else rb
+            sign = -1 if (not ritype and runval > rb) else 1
+            errval = row[i] - px
+            if sign < 0:
+                errval = -errval
+            if p.near > 0:
+                if errval > 0:
+                    errval = (p.near + errval) // (2 * p.near + 1)
+                else:
+                    errval = -((p.near - errval) // (2 * p.near + 1))
+            rx = _fix_reconstruct(px + sign * errval * (2 * p.near + 1), p)
+            errval = _mod_range(errval, p.range)
+            qc = 365 + ritype
+            k = _context_k(p, qc, ritype)
+            nn, n = p.Nn[ritype], p.N[qc]
+            if k == 0 and errval > 0 and 2 * nn < n:
+                mp = 1
+            elif errval < 0 and 2 * nn >= n:
+                mp = 1
+            elif errval < 0 and k != 0:
+                mp = 1
+            else:
+                mp = 0
+            emerr = 2 * abs(errval) - ritype - mp
+            _golomb_encode(bw, emerr, k, p.limit - _J[run_index] - 1, p.qbpp)
+            _update_run_int(p, qc, errval, emerr, ritype)
+            cur[i] = rx
+            a = rx
+            i += 1
+            if run_index > 0:
+                run_index -= 1
+            continue
+        # ---- regular mode ----
+        if q1 < 0 or (q1 == 0 and (q2 < 0 or (q2 == 0 and q3 < 0))):
+            sign = -1
+            qi = -((q1 * 9 + q2) * 9 + q3)
+        else:
+            sign = 1
+            qi = (q1 * 9 + q2) * 9 + q3
+        px = _predict(a, b, c)
+        px = px + sign * p.C[qi]
+        px = 0 if px < 0 else (p.maxval if px > p.maxval else px)
+        errval = row[i] - px
+        if sign < 0:
+            errval = -errval
+        if p.near > 0:
+            if errval > 0:
+                errval = (p.near + errval) // (2 * p.near + 1)
+            else:
+                errval = -((p.near - errval) // (2 * p.near + 1))
+        rx = _fix_reconstruct(px + sign * errval * (2 * p.near + 1), p)
+        errval = _mod_range(errval, p.range)
+        k = _context_k(p, qi)
+        if p.near == 0 and k == 0 and 2 * p.B[qi] <= -p.N[qi]:
+            merr = 2 * errval + 1 if errval >= 0 else -2 * (errval + 1)
+        else:
+            merr = 2 * errval if errval >= 0 else -2 * errval - 1
+        _golomb_encode(bw, merr, k, p.limit, p.qbpp)
+        _update_regular(p, qi, errval)
+        cur[i] = rx
+        a = rx
+        i += 1
+    return run_index
+
+
+
+def _encode_scan_ilv1(p: "_Params", comps, vfac) -> bytes:
+    """Entropy-code all components as ONE line-interleaved scan (T.87
+    A.2.2): per line group component i contributes V_i lines, context
+    statistics shared, run index and line buffers per component — the
+    mirror of :func:`_decode_scan_ilv1`."""
+    import numpy as np
+
+    nc = len(comps)
+    bw = _BitWriter()
+    pix = [np.asarray(c_).astype(np.int64).tolist() for c_ in comps]
+    prevs = [[0] * c_.shape[1] for c_ in comps]
+    saved = [0] * nc
+    run_idx = [0] * nc
+    ys = [0] * nc
+    while True:
+        progressed = False
+        for ci in range(nc):
+            h_, w_ = comps[ci].shape
+            for _ in range(vfac[ci]):
+                if ys[ci] >= h_:
+                    break
+                cur = [0] * w_
+                rc0 = saved[ci]
+                saved[ci] = prevs[ci][0]
+                run_idx[ci] = _encode_line(
+                    p, bw, w_, prevs[ci], cur, pix[ci][ys[ci]], rc0,
+                    run_idx[ci],
+                )
+                prevs[ci] = cur
+                ys[ci] += 1
+                progressed = True
+        if not progressed:
+            break
+    return bw.flush()
+
+
+def _encode_scan_ilv2(p: "_Params", comps) -> bytes:
+    """Entropy-code equal-sized components as ONE sample-interleaved
+    scan (T.87 A.2.3) — the mirror of :func:`_decode_scan_ilv2`."""
+    import numpy as np
+
+    nc = len(comps)
+    H, W = comps[0].shape
+    bw = _BitWriter()
+    pix = [np.asarray(c_).astype(np.int64).tolist() for c_ in comps]
+    prevs = [[0] * W for _ in range(nc)]
+    saved = [0] * nc
+    run_index = 0
+    for y in range(H):
+        curs = [[0] * W for _ in range(nc)]
+        rc0s = saved
+        saved = [prevs[ci][0] for ci in range(nc)]
+        run_index = _encode_line_ilv2(
+            p, bw, W, nc, prevs, curs, [pix[ci][y] for ci in range(nc)],
+            rc0s, run_index,
+        )
+        prevs = curs
+    return bw.flush()
+
+
+def _encode_line_ilv2(p, bw, W, nc, prevs, curs, rows, rc0s,
+                      run_index) -> int:
+    a = [prevs[ci][0] for ci in range(nc)]
+    i = 0
+    while i < W:
+        qs = []
+        for ci in range(nc):
+            prev = prevs[ci]
+            b = prev[i]
+            c = rc0s[ci] if i == 0 else prev[i - 1]
+            d = prev[i + 1] if i + 1 < W else prev[W - 1]
+            qs.append(
+                (
+                    p.quantize_gradient(d - b),
+                    p.quantize_gradient(b - c),
+                    p.quantize_gradient(c - a[ci]),
+                    b,
+                    c,
+                )
+            )
+        if all(q1 == 0 and q2 == 0 and q3 == 0 for q1, q2, q3, _b, _c in qs):
+            # ---- run mode across all components ----
+            runvals = a[:]
+            start = i
+            while i < W and all(
+                abs(rows[ci][i] - runvals[ci]) <= p.near for ci in range(nc)
+            ):
+                for ci in range(nc):
+                    curs[ci][i] = runvals[ci]
+                i += 1
+            run = i - start
+            while run >= (1 << _J[run_index]):
+                bw.put_bit(1)
+                run -= 1 << _J[run_index]
+                if run_index < 31:
+                    run_index += 1
+            if i >= W:  # line end ended the run
+                if run > 0:
+                    bw.put_bit(1)
+                if i:
+                    for ci in range(nc):
+                        a[ci] = curs[ci][i - 1]
+                continue
+            bw.put_bit(0)
+            if _J[run_index]:
+                bw.put_bits(run, _J[run_index])
+            # one interruption sample per component, RItype = 0
+            for ci in range(nc):
+                rb = prevs[ci][i]
+                sign = -1 if runvals[ci] > rb else 1
+                errval = rows[ci][i] - rb
                 if sign < 0:
                     errval = -errval
                 if p.near > 0:
@@ -589,11 +986,12 @@ def _encode_scan(p: "_Params", img) -> bytes:
                         errval = (p.near + errval) // (2 * p.near + 1)
                     else:
                         errval = -((p.near - errval) // (2 * p.near + 1))
-                rx = _fix_reconstruct(px + sign * errval * (2 * p.near + 1), p)
+                rx = _fix_reconstruct(
+                    rb + sign * errval * (2 * p.near + 1), p
+                )
                 errval = _mod_range(errval, p.range)
-                qc = 365 + ritype
-                k = _context_k(p, qc, ritype)
-                nn, n = p.Nn[ritype], p.N[qc]
+                k = _context_k(p, 365, 0)
+                nn, n = p.Nn[0], p.N[365]
                 if k == 0 and errval > 0 and 2 * nn < n:
                     mp = 1
                 elif errval < 0 and 2 * nn >= n:
@@ -602,26 +1000,30 @@ def _encode_scan(p: "_Params", img) -> bytes:
                     mp = 1
                 else:
                     mp = 0
-                emerr = 2 * abs(errval) - ritype - mp
-                _golomb_encode(bw, emerr, k, p.limit - _J[run_index] - 1, p.qbpp)
-                _update_run_int(p, qc, errval, emerr, ritype)
-                cur[i] = rx
-                a = rx
-                i += 1
-                if run_index > 0:
-                    run_index -= 1
-                continue
-            # ---- regular mode ----
+                emerr = 2 * abs(errval) - mp
+                _golomb_encode(
+                    bw, emerr, k, p.limit - _J[run_index] - 1, p.qbpp
+                )
+                _update_run_int(p, 365, errval, emerr, 0)
+                curs[ci][i] = rx
+                a[ci] = rx
+            i += 1
+            if run_index > 0:
+                run_index -= 1
+            continue
+        # ---- regular mode, one sample per component ----
+        for ci in range(nc):
+            q1, q2, q3, b, c = qs[ci]
             if q1 < 0 or (q1 == 0 and (q2 < 0 or (q2 == 0 and q3 < 0))):
                 sign = -1
                 qi = -((q1 * 9 + q2) * 9 + q3)
             else:
                 sign = 1
                 qi = (q1 * 9 + q2) * 9 + q3
-            px = _predict(a, b, c)
+            px = _predict(a[ci], b, c)
             px = px + sign * p.C[qi]
             px = 0 if px < 0 else (p.maxval if px > p.maxval else px)
-            errval = row[i] - px
+            errval = rows[ci][i] - px
             if sign < 0:
                 errval = -errval
             if p.near > 0:
@@ -638,15 +1040,14 @@ def _encode_scan(p: "_Params", img) -> bytes:
                 merr = 2 * errval if errval >= 0 else -2 * errval - 1
             _golomb_encode(bw, merr, k, p.limit, p.qbpp)
             _update_regular(p, qi, errval)
-            cur[i] = rx
-            a = rx
-            i += 1
-        prev = cur
-    return bw.flush()
+            curs[ci][i] = rx
+            a[ci] = rx
+        i += 1
+    return run_index
 
 
 def encode_jpegls(img, near: int = 0, sampling=None,
-                  restart_interval: int = 0) -> bytes:
+                  restart_interval: int = 0, ilv: int = 0) -> bytes:
     """Encode a 2-D (grayscale), HxWxC, or plane-list array as JPEG-LS
     (NEAR=0 lossless; NEAR>0 bounds every sample error by ``near``).
     Multi-component images are written as one ILV-0 scan per component
@@ -657,8 +1058,11 @@ def encode_jpegls(img, near: int = 0, sampling=None,
     DRI segment and an RSTm marker every ``n`` LINES (T.87 C.2.5) —
     each interval coded as an independent unit (fresh modeling state,
     line above treated as the scan start), the error-resilience layout
-    hardware encoders emit. The round-trip counterpart of
-    :func:`decode_jpegls`."""
+    hardware encoders emit. ``ilv`` picks the interleave mode for
+    multi-component images: 0 = one scan per component (default),
+    1 = line interleaved, 2 = sample interleaved (single scan, shared
+    context statistics — how DICOM color JPEG-LS is commonly written).
+    The round-trip counterpart of :func:`decode_jpegls`."""
     import numpy as np
 
     if isinstance(img, (list, tuple)):
@@ -698,12 +1102,39 @@ def encode_jpegls(img, near: int = 0, sampling=None,
     precision = max(2, int(maxval).bit_length())
     if not 0 <= restart_interval <= 0xFFFF:
         raise ValueError("restart_interval must be in 0..65535 lines")
+    if ilv not in (0, 1, 2):
+        raise ValueError(f"ilv must be 0, 1 or 2, got {ilv}")
+    if ilv and nc == 1:
+        ilv = 0  # a single component is always one ILV-0 scan
+    if ilv and restart_interval:
+        raise NotImplementedError(
+            "restart intervals inside interleaved scans are not supported"
+        )
+    if ilv == 2 and len({c.shape for c in comps}) != 1:
+        raise ValueError(
+            "sample interleave (ILV 2) needs identical component "
+            "dimensions — drop the sampling factors"
+        )
     head = bytearray(b"\xff\xd8")  # SOI
     head += b"\xff\xf7" + struct.pack(">HBHHB", 8 + 3 * nc, precision, H, W, nc)
     for i, (h, v) in enumerate(fac):
         head += struct.pack(">BBB", i + 1, (h << 4) | v, 0)
     if restart_interval:
         head += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    if ilv:
+        head += b"\xff\xda" + struct.pack(">HB", 6 + 2 * nc, nc)
+        for i in range(nc):
+            head += struct.pack(">BB", i + 1, 0)
+        head += struct.pack(">BBB", near, ilv, 0)
+        p = _Params(precision, near)
+        if ilv == 1:
+            data = _encode_scan_ilv1(p, comps, [v for _h, v in fac])
+        else:
+            data = _encode_scan_ilv2(p, comps)
+        if data.endswith(b"\xff"):
+            data += b"\x00"
+        head += data
+        return bytes(head) + b"\xff\xd9"
     for i, c in enumerate(comps):
         head += b"\xff\xda" + struct.pack(">HB", 6 + 2, 1)
         head += struct.pack(">BBBBB", i + 1, 0, near, 0, 0)  # ILV 0

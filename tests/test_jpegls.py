@@ -67,16 +67,16 @@ def test_jpegls_near_lossless_error_bound():
 def test_jpegls_gates_and_errors():
     with pytest.raises(ValueError, match="SOI"):
         decode_jpegls(b"\x00\x01")
-    # multi-component ILV-0 decodes since r8; line/sample interleave
-    # (ILV 1/2) is the remaining named gate
+    # multi-component ILV-0/1/2 all decode since r10; a multi-component
+    # scan claiming ILV 0 (or a reserved mode) is invalid by name
     import struct
 
     sof = b"\xff\xd8\xff\xf7" + struct.pack(">HBHHB", 8 + 9, 8, 4, 4, 3)
     sof += bytes([1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0])
-    sos_ilv1 = b"\xff\xda" + struct.pack(">HB", 6 + 6, 3)
-    sos_ilv1 += bytes([1, 0, 2, 0, 3, 0, 0, 1, 0])  # ns=3, NEAR=0, ILV=1
-    with pytest.raises(NotImplementedError, match="ILV"):
-        decode_jpegls(sof + sos_ilv1)
+    sos_bad = b"\xff\xda" + struct.pack(">HB", 6 + 6, 3)
+    sos_bad += bytes([1, 0, 2, 0, 3, 0, 0, 3, 0])  # ns=3, NEAR=0, ILV=3
+    with pytest.raises(ValueError, match="ILV"):
+        decode_jpegls(sof + sos_bad)
     # a frame whose components never get a scan is a hard error
     with pytest.raises(ValueError, match="truncated|without scans"):
         decode_jpegls(sof + b"\xff\xd9")
@@ -321,3 +321,86 @@ def test_jpegls_restart_intervals():
     ssos = solo.find(b"\xff\xda")
     sseg = solo[ssos + 2 + 6 + 2 : -2].rstrip(b"\x00")
     assert seg0 == sseg
+
+
+def test_jpegls_ilv1_ilv2_roundtrip():
+    """Line (ILV 1) and sample (ILV 2) interleaved scans round-trip
+    bit-exactly (lossless) / within the bound (NEAR>0), across random,
+    run-heavy, and 16-bit content — CharLS semantics: shared context
+    statistics, per-component run index (ILV 1), all-component run
+    gating + RItype-0 interruptions (ILV 2)."""
+    rng = np.random.default_rng(50)
+    for ilv in (1, 2):
+        for near in (0, 2):
+            for shape in ((16, 16, 3), (7, 5, 3), (1, 9, 3), (24, 3, 4)):
+                img = rng.integers(0, 256, shape, dtype=np.uint8)
+                back = decode_jpegls(encode_jpegls(img, near=near, ilv=ilv))
+                assert back.shape == img.shape
+                err = np.abs(back.astype(int) - img.astype(int)).max()
+                assert err <= near, (ilv, near, shape, err)
+            # run-heavy content exercises the shared run machinery
+            img = np.full((12, 40, 3), 77, dtype=np.uint8)
+            img[:, 30:, :] = 200
+            back = decode_jpegls(encode_jpegls(img, near=near, ilv=ilv))
+            assert np.abs(back.astype(int) - img.astype(int)).max() <= near
+            img16 = (np.arange(15 * 20 * 3).reshape(15, 20, 3)
+                     % 1021).astype(np.uint16)
+            back = decode_jpegls(encode_jpegls(img16, near=near, ilv=ilv))
+            assert np.abs(back.astype(int) - img16.astype(int)).max() <= near
+    # components that only differ per channel (catches channel mixups)
+    base = rng.integers(0, 256, (10, 10), dtype=np.uint8)
+    img = np.stack([base, base + 0, 255 - base], axis=-1)
+    for ilv in (1, 2):
+        np.testing.assert_array_equal(
+            decode_jpegls(encode_jpegls(img, ilv=ilv)), img
+        )
+
+
+def test_jpegls_ilv1_with_sampling_factors():
+    """ILV-1 line groups honor per-component V factors: component i
+    contributes V_i lines per group; subsampled chroma upsamples
+    nearest to the frame grid."""
+    rng = np.random.default_rng(51)
+    y = rng.integers(0, 256, (16, 16), dtype=np.uint8)
+    cb = rng.integers(0, 256, (8, 8), dtype=np.uint8)
+    cr = rng.integers(0, 256, (8, 8), dtype=np.uint8)
+    blob = encode_jpegls([y, cb, cr], sampling=[(2, 2), (1, 1), (1, 1)],
+                         ilv=1)
+    back = decode_jpegls(blob)
+    assert back.shape == (16, 16, 3)
+    np.testing.assert_array_equal(back[:, :, 0], y)
+    up = cb[np.arange(16) // 2][:, np.arange(16) // 2]
+    np.testing.assert_array_equal(back[:, :, 1], up)
+
+
+def test_jpegls_ilv_gates():
+    """Restart intervals inside interleaved scans and mismatched ILV-2
+    dimensions stay loud; reserved ILV values are invalid."""
+    img = np.zeros((8, 8, 3), dtype=np.uint8)
+    with pytest.raises(NotImplementedError, match="restart"):
+        encode_jpegls(img, ilv=1, restart_interval=4)
+    with pytest.raises(ValueError, match="ilv"):
+        encode_jpegls(img, ilv=3)
+    y = np.zeros((8, 8), dtype=np.uint8)
+    c = np.zeros((4, 4), dtype=np.uint8)
+    with pytest.raises(ValueError, match="identical"):
+        encode_jpegls([y, c, c], sampling=[(2, 2), (1, 1), (1, 1)], ilv=2)
+
+
+def test_dicom_color_jpegls_ilv2(spark, tmp_path):
+    """DICOM color JPEG-LS (.4.80, SamplesPerPixel 3) commonly ships
+    sample-interleaved scans — the full path through DicomReader
+    reconstructs the RGB frame exactly."""
+    from intake_spark.sci import DICOM, DicomReader
+    from tests.test_nrrd_dicom import _encapsulate, _rebuild
+
+    rng = np.random.default_rng(52)
+    rgb = rng.integers(0, 256, size=(9, 7, 3)).astype(np.uint8)
+    blob = _encapsulate(
+        b"1.2.840.10008.1.2.4.80\x00", 9, 7,
+        [encode_jpegls(rgb, ilv=2)], bits=8, spp=3, signed=False,
+    )
+    p = tmp_path / "jls_rgb.dcm"
+    p.write_bytes(blob)
+    got = _rebuild(DicomReader(data=DICOM(url=str(p))).read(spark=spark))
+    np.testing.assert_array_equal(got.reshape(9, 7, 3), rgb)
