@@ -13,9 +13,8 @@ this module replaces that delegation for Vorbis, with the soundfile
 ladder demoted to fallback (non-Vorbis OGG codecs such as Opus still
 delegate).
 
-Scope: floor type 1, residue types 0/1/2, square-polar channel
-coupling, all block/window transitions. Floor type 0 (LSP, emitted by
-ancient encoders only) is a named gate.
+Scope: floor types 0 (LSP, legacy) and 1, residue types 0/1/2,
+square-polar channel coupling, all block/window transitions.
 
 The companion :func:`encode_vorbis` is a real (if rate-naive) encoder:
 MDCT → flat floor-1 per block/channel → quantized residue via a
@@ -408,6 +407,88 @@ def _render_line(x0, y0, x1, y1, v, n):
         v[x] = y
 
 
+class _Floor0:
+    """Floor type 0 (Vorbis I §6): LSP (line spectral pair) floors, the
+    legacy curve type old encoders emitted. Coefficients arrive as
+    cumulative VQ vectors; the curve is the LSP magnitude response
+    sampled on a Bark-warped map of the half-spectrum."""
+
+    def __init__(self, br: _BitReader):
+        self.order = br.read(8)
+        self.rate = br.read(16)
+        self.bark_map_size = br.read(16)
+        self.amp_bits = br.read(6)
+        self.amp_offset = br.read(8)
+        nbooks = br.read(4) + 1
+        self.book_list = [br.read(8) for _ in range(nbooks)]
+        if not self.order or not self.rate or not self.bark_map_size:
+            raise ValueError("Vorbis floor0 header: zero order/rate/map size")
+        self._maps = {}  # n2 -> bark map (np array)
+
+    def _bark_map(self, n2: int, np):
+        m = self._maps.get(n2)
+        if m is None:
+            def bark(x):
+                return (13.1 * np.arctan(0.00074 * x)
+                        + 2.24 * np.arctan(1.85e-8 * x * x)
+                        + 1e-4 * x)
+
+            i = np.arange(n2)
+            m = np.minimum(
+                self.bark_map_size - 1,
+                np.floor(bark(0.5 * self.rate * i / n2)
+                         * self.bark_map_size / bark(0.5 * self.rate)),
+            ).astype(np.int64)
+            self._maps[n2] = m
+        return m
+
+    def decode(self, br: _BitReader, books, n2: int):
+        """→ amplitude curve (length n2) or None (unused channel)."""
+        import numpy as np
+
+        amplitude = br.read(self.amp_bits)
+        if amplitude <= 0:
+            return None
+        booknum = br.read(_ilog(len(self.book_list)))
+        if booknum >= len(self.book_list):
+            raise ValueError("Vorbis floor0 packet: book number out of range")
+        book = books[self.book_list[booknum]]
+        coeffs = []
+        last = 0.0
+        while len(coeffs) < self.order:
+            vec = book.decode_vector(br)
+            coeffs.extend(last + v for v in vec)
+            last = coeffs[-1]
+        coeffs = coeffs[: self.order]
+
+        # curve computation (§6.2.3): p/q are the LSP polynomial halves
+        # evaluated at the Bark-mapped frequencies
+        cmap = self._bark_map(n2, np)
+        omega = np.pi * cmap / self.bark_map_size
+        cw = np.cos(omega)
+        cos_c = np.cos(np.asarray(coeffs))
+        if self.order % 2:
+            p = (1.0 - cw * cw)
+            for j in range((self.order - 1) // 2):
+                p = p * 4.0 * (cos_c[2 * j + 1] - cw) ** 2
+            q = np.full(n2, 0.25)
+            for j in range((self.order + 1) // 2):
+                q = q * 4.0 * (cos_c[2 * j] - cw) ** 2
+        else:
+            p = (1.0 - cw) / 2.0
+            q = (1.0 + cw) / 2.0
+            for j in range(self.order // 2):
+                p = p * 4.0 * (cos_c[2 * j + 1] - cw) ** 2
+                q = q * 4.0 * (cos_c[2 * j] - cw) ** 2
+        linear = np.exp(
+            0.11512925
+            * (amplitude * self.amp_offset
+               / (((1 << self.amp_bits) - 1) * np.sqrt(p + q))
+               - self.amp_offset)
+        )
+        return linear
+
+
 class _Floor1:
     def __init__(self, br: _BitReader):
         self.partitions = br.read(5)
@@ -694,10 +775,7 @@ class VorbisSetup:
             if ftype == 1:
                 self.floors.append(_Floor1(br))
             elif ftype == 0:
-                raise NotImplementedError(
-                    "Vorbis floor type 0 (LSP) is not supported — "
-                    "modern encoders emit floor 1 only"
-                )
+                self.floors.append(_Floor0(br))
             else:
                 raise ValueError(f"Vorbis floor type {ftype}")
         self.residues = []
@@ -742,6 +820,16 @@ class VorbisSetup:
         # NAMED error at setup, not an IndexError mid-packet
         nb = len(self.books)
         for fl in self.floors:
+            if isinstance(fl, _Floor0):
+                if any(b >= nb for b in fl.book_list):
+                    raise ValueError(
+                        "Vorbis floor references a missing codebook"
+                    )
+                if any(self.books[b].lookup == 0 for b in fl.book_list):
+                    raise ValueError(
+                        "Vorbis floor0 book has no value mapping"
+                    )
+                continue
             refs = [b for b in fl.masterbook if b >= 0]
             refs += [b for row in fl.subbooks for b in row if b >= 0]
             if any(b >= nb for b in refs):

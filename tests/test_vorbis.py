@@ -228,28 +228,168 @@ def test_silence_and_int16_input():
     assert pcm.shape[0] == 700 and np.abs(pcm).max() < 1e-3
 
 
-def test_floor0_is_a_named_gate():
-    from intake_spark.llm.vorbis import _build_headers, VorbisSetup
+def _vq_book_bits(bw, dims, entries, lengths, minimum, delta, vbits, mults):
+    """Hand-pack a VQ codebook (lookup type 2) the way the setup header
+    carries it."""
+    from intake_spark.llm.vorbis import _float32_pack
 
-    id_pk, _cm, setup_pk = _build_headers(8000, 1, 256, 256)
-    # flip the floor type bits (floor type field is 16 bits little-bit
-    # order right after the codebooks + time transforms) by rebuilding:
-    # simpler — decode the packet, flip via bit surgery is brittle, so
-    # build a setup whose floor type says 0 through the writer
-    from intake_spark.llm.vorbis import _BitWriter, _write_codebook
+    bw.write(0x564342, 24)
+    bw.write(dims, 16)
+    bw.write(entries, 24)
+    bw.write(0, 1)  # not ordered
+    bw.write(0, 1)  # not sparse
+    for ln in lengths:
+        bw.write(ln - 1, 5)
+    bw.write(2, 4)  # lookup type 2
+    bw.write(_float32_pack(minimum), 32)
+    bw.write(_float32_pack(delta), 32)
+    bw.write(vbits - 1, 4)
+    bw.write(0, 1)  # seq_p off
+    for m in mults:
+        bw.write(m, vbits)
 
+
+def test_floor0_lsp_curve():
+    """Floor type 0 (LSP): header parse, cumulative VQ coefficient
+    decode, Bark map, and the §6.2.3 p/q curve — checked against an
+    independent recomputation, for even and odd orders."""
+    from intake_spark.llm.vorbis import _BitReader, _BitWriter, _Codebook, _Floor0
+
+    for order in (4, 5):
+        # codebook: dims 2, 4 entries, values minimum + delta * mult
+        bw = _BitWriter()
+        _vq_book_bits(bw, 2, 4, [2, 2, 2, 2], 0.05, 0.15,
+                      3, [1, 2, 3, 1, 2, 2, 4, 1])
+        book = _Codebook(_BitReader(bw.bytes()))
+
+        bw = _BitWriter()
+        bw.write(order, 8)       # floor0_order
+        bw.write(8000, 16)       # rate
+        bw.write(64, 16)         # bark_map_size
+        bw.write(6, 6)           # amplitude bits
+        bw.write(10, 8)          # amplitude offset
+        bw.write(0, 4)           # number_of_books - 1
+        bw.write(0, 8)           # book 0
+        fl = _Floor0(_BitReader(bw.bytes()))
+        assert fl.order == order and fl.rate == 8000
+
+        # packet: amplitude, 1-bit book number, then entries 0,1(,2)
+        entries = [0, 1] if order == 4 else [0, 1, 2]
+        bw = _BitWriter()
+        bw.write(40, 6)          # amplitude
+        bw.write(0, 1)           # book number (ilog(1) = 1 bit)
+        for e in entries:
+            book.encode_scalar(bw, e)
+        n2 = 128
+        curve = fl.decode(_BitReader(bw.bytes()), [book], n2)
+        assert curve is not None and len(curve) == n2
+
+        # independent recomputation (minimum/delta as the packed
+        # float32 representation quantizes them)
+        from intake_spark.llm.vorbis import _float32_pack, _float32_unpack
+
+        mn = _float32_unpack(_float32_pack(0.05))
+        dl = _float32_unpack(_float32_pack(0.15))
+        vals = {0: (mn + dl * 1, mn + dl * 2),
+                1: (mn + dl * 3, mn + dl * 1),
+                2: (mn + dl * 2, mn + dl * 2)}
+        coeffs = []
+        last = 0.0
+        for e in entries:
+            coeffs += [last + vals[e][0], last + vals[e][1]]
+            last = coeffs[-1]
+        coeffs = np.array(coeffs[:order])
+
+        def bark(x):
+            return (13.1 * np.arctan(0.00074 * x)
+                    + 2.24 * np.arctan(1.85e-8 * x * x) + 1e-4 * x)
+
+        cmap = np.minimum(63, np.floor(
+            bark(4000.0 * np.arange(n2) / n2) * 64 / bark(4000.0)))
+        cw = np.cos(np.pi * cmap / 64)
+        cc = np.cos(coeffs)
+        if order % 2:
+            p = (1 - cw ** 2) * np.prod(
+                [4 * (cc[2 * j + 1] - cw) ** 2
+                 for j in range((order - 1) // 2)], axis=0)
+            q = 0.25 * np.prod(
+                [4 * (cc[2 * j] - cw) ** 2
+                 for j in range((order + 1) // 2)], axis=0)
+        else:
+            p = (1 - cw) / 2 * np.prod(
+                [4 * (cc[2 * j + 1] - cw) ** 2
+                 for j in range(order // 2)], axis=0)
+            q = (1 + cw) / 2 * np.prod(
+                [4 * (cc[2 * j] - cw) ** 2
+                 for j in range(order // 2)], axis=0)
+        want = np.exp(0.11512925 * (40 * 10 / (63 * np.sqrt(p + q)) - 10))
+        np.testing.assert_allclose(curve, want, rtol=1e-10)
+
+    # amplitude 0 -> unused channel
     bw = _BitWriter()
-    bw.write(5, 8)
-    for b in b"vorbis":
-        bw.write(b, 8)
-    bw.write(0, 8)
-    _write_codebook(bw, 1, [1, 1])
     bw.write(0, 6)
-    bw.write(0, 16)
-    bw.write(0, 6)
-    bw.write(0, 16)  # floor type 0
-    with pytest.raises(NotImplementedError, match="floor type 0"):
-        VorbisSetup(id_pk, bw.bytes())
+    assert fl.decode(_BitReader(bw.bytes()), [book], 128) is None
+
+
+def test_floor0_setup_validation():
+    """A floor0 whose books lack value mappings (or point past the book
+    list) fails at setup with a named error."""
+    from intake_spark.llm.vorbis import (
+        VorbisSetup, _BitWriter, _build_headers, _write_codebook,
+    )
+
+    id_pk, _cm, _setup = _build_headers(8000, 1, 256, 256)
+
+    def setup_with_floor0(book_idx):
+        bw = _BitWriter()
+        bw.write(5, 8)
+        for b in b"vorbis":
+            bw.write(b, 8)
+        bw.write(1, 8)                 # 2 codebooks
+        _write_codebook(bw, 1, [1, 1])  # book 0: scalar-only
+        _write_codebook(bw, 4, [4] * 16)  # book 1: residue classbook
+        bw.write(0, 6)
+        bw.write(0, 16)                # time transform
+        bw.write(0, 6)                 # 1 floor
+        bw.write(0, 16)                # floor type 0
+        bw.write(4, 8)                 # order
+        bw.write(8000, 16)             # rate
+        bw.write(64, 16)               # bark map size
+        bw.write(6, 6)
+        bw.write(10, 8)
+        bw.write(0, 4)                 # 1 book
+        bw.write(book_idx, 8)
+        # minimal residue / mapping / mode tail so the packet parses
+        # through to the validation pass
+        bw.write(0, 6)                 # 1 residue
+        bw.write(2, 16)                # type 2
+        bw.write(0, 24)                # begin
+        bw.write(128, 24)              # end
+        bw.write(8 - 1, 24)            # partition size
+        bw.write(0, 6)                 # 1 classification
+        bw.write(1, 8)                 # classbook = book 1
+        bw.write(0, 3)
+        bw.write(0, 1)                 # class 0: no passes
+        bw.write(0, 6)                 # 1 mapping
+        bw.write(0, 16)                # mapping type 0
+        bw.write(0, 1)                 # no submaps flag
+        bw.write(0, 1)                 # no coupling
+        bw.write(0, 2)                 # reserved
+        bw.write(0, 8)                 # submap 0: unused time config
+        bw.write(0, 8)                 # submap 0: floor 0
+        bw.write(0, 8)                 # submap 0: residue 0
+        bw.write(0, 6)                 # 1 mode
+        bw.write(0, 1)                 # blockflag short
+        bw.write(0, 16)                # window type
+        bw.write(0, 16)                # transform type
+        bw.write(0, 8)                 # mapping 0
+        bw.write(1, 1)                 # framing
+        return bw.bytes()
+
+    with pytest.raises(ValueError, match="value mapping"):
+        VorbisSetup(id_pk, setup_with_floor0(0))
+    with pytest.raises(ValueError, match="missing codebook"):
+        VorbisSetup(id_pk, setup_with_floor0(7))
 
 
 def test_decode_audio_full_integration(tmp_path):
