@@ -39,11 +39,17 @@ def main() -> None:
     # Without this, GC-alignment noise spread multi-second swings across
     # unrelated queries (r8: +6% suite drift at sf0.1, 44x-vs-4.7x
     # attribution swings at sf1.0). Must be set BEFORE the JVM launches.
+    # NOTE: no -XX:+AlwaysPreTouch — combined with -Xms16g it makes every
+    # Arrow-UDF stage's first execution 3-10x slower (measured 15.8 s vs
+    # 4.3 s for q132 cold, r10 A/B: the pre-touched 16 GB resident heap
+    # stalls Python-worker memory allocation, most plausibly THP
+    # compaction). The fixed heap (-Xms == -Xmx) alone delivers the
+    # no-resize GC pinning that r9 introduced it for.
     mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
     os.environ.setdefault(
         "SPARK_GRAFT_DRIVER_JAVA_OPTS",
         f"-Xms{mem} -XX:+UseG1GC -XX:G1HeapRegionSize=32m "
-        "-XX:InitiatingHeapOccupancyPercent=30 -XX:+AlwaysPreTouch",
+        "-XX:InitiatingHeapOccupancyPercent=30",
     )
 
     from intake_spark.benchqueries import get_queries
@@ -66,6 +72,51 @@ def main() -> None:
         except Exception:
             pass
 
+    # Python-worker pool warmup: the first Arrow-UDF stage otherwise
+    # pays 32 PARALLEL cold imports of numpy/pandas/pyarrow plus the
+    # codec stack — a per-session constant that belongs with session
+    # boot, not inside whichever Python-stage query happens to run
+    # first (q132 read 12.97 s driver-side in r9, ~85% of it this
+    # import storm; workers are reused afterwards, so every Python
+    # stage then measures its own work). Billed as an explicit
+    # shared:* line below, like the shared table builds.
+    import time as _time
+
+    _t0 = _time.time()
+    try:
+        from intake_spark.session import ensure_py_deps
+
+        ensure_py_deps(spark)
+
+        def _warm(batches):
+            # the FULL codec stack, not just the front modules: decode
+            # dispatch imports jpeg2000/flac/vorbis/webp lazily, and a
+            # worker importing them from the shipped zip pays py-compile
+            # with no pycache — the actual per-worker cold cost
+            import numpy  # noqa: F401
+
+            import intake_spark.compress  # noqa: F401
+            import intake_spark.llm.audiofp  # noqa: F401
+            import intake_spark.llm.flac  # noqa: F401
+            import intake_spark.llm.imagehash  # noqa: F401
+            import intake_spark.llm.jpeg2000  # noqa: F401
+            import intake_spark.llm.jpegls  # noqa: F401
+            import intake_spark.llm.multimodal  # noqa: F401
+            import intake_spark.llm.video  # noqa: F401
+            import intake_spark.llm.vorbis  # noqa: F401
+            import intake_spark.llm.webp  # noqa: F401
+            import intake_spark.output  # noqa: F401
+
+            yield from batches
+
+        _n = spark.sparkContext.defaultParallelism * 2
+        spark.range(_n, numPartitions=_n).mapInPandas(
+            _warm, "id long"
+        ).count()
+        warm_cost = {"shared:pyworker_warmup": round(_time.time() - _t0, 4)}
+    except Exception:
+        warm_cost = {}
+
     # Session-shared tables (jaccard pairs, dup spans, semantic pairs,
     # PCA direction) are built ONCE here and billed as explicit shared:*
     # lines; otherwise whichever consumer runs first absorbs the build
@@ -78,8 +129,15 @@ def main() -> None:
         shared = {k: round(v, 4) for k, v in prewarm_shared(spark, sf_dir).items()}
     except Exception:
         shared = {}
+    shared.update(warm_cost)
 
     names = sorted(queries)
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    if only:
+        # local-debug filter (comma-separated name prefixes); the driver
+        # never sets it, so the published numbers always cover the suite
+        pref = tuple(only.split(","))
+        names = [n for n in names if n.startswith(pref)]
     samples: dict[str, list[float]] = {n: [] for n in names}
     for _ in range(repeats):
         for name in names:
@@ -88,6 +146,12 @@ def main() -> None:
             df.write.mode("overwrite").format("noop").save()
             samples[name].append(time.perf_counter() - t0)
 
+    if os.environ.get("SPARK_GRAFT_BENCH_DEBUG"):
+        import sys as _sys
+
+        for n in names:
+            print(f"samples {n}: {[round(x, 3) for x in samples[n]]}",
+                  file=_sys.stderr)
     timings = {n: round(statistics.median(s), 4) for n, s in samples.items()}
     spread = {
         n: round((max(s) - min(s)) / statistics.median(s), 3) if len(s) > 1 else 0.0
