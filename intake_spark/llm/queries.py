@@ -3882,3 +3882,144 @@ def q134_transcode_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return both.filter(F.col("content").isNotNull()).select(
         "doc_id", "kind", "src_format", "lossless", "content"
     ).mapInPandas(sums, sum_schema)
+
+
+@register(
+    "q135_reader_longtail",
+    """
+    WITH gr AS (SELECT i, (i * 37 + 11) % 251 AS v,
+                       CASE WHEN i % 97 = 5 THEN 1 ELSE 0 END AS m
+                FROM unnest(generate_series(0, 1023)) t(i)),
+         za AS (SELECT (i * 53 + 7) % 241 AS v
+                FROM unnest(generate_series(0, 1023)) t(i))
+    SELECT 'grib2_complex_mvm' AS source,
+           CAST(COUNT(*) AS BIGINT) AS n_values,
+           CAST(SUM(m) AS BIGINT) AS n_missing,
+           CAST(SUM(CASE WHEN m = 0 THEN v END) AS BIGINT) AS checksum
+    FROM gr
+    UNION ALL
+    SELECT 'zarr_v3_sharded', CAST(COUNT(*) AS BIGINT),
+           CAST(0 AS BIGINT), CAST(SUM(v) AS BIGINT)
+    FROM za
+    """,
+)
+def q135_reader_longtail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible oracle for the format-reader long tail (the q131
+    pattern applied to READERS instead of codecs): two deterministic
+    stores are written with this repo's own writers, read back through
+    the REAL DataFrame readers — whose decode stages run on executors —
+    and reduced to value checksums a SQL oracle recomputes exactly.
+
+    - GRIB2: one message under complex packing with second-order
+      spatial differencing AND primary missing-value management
+      (templates 5.3/7.3, octet 23 = 1 — the encoding operational GFS
+      precipitation fields ship), decoded by GRIB2Reader; missing
+      points carry the transmitted 9.999e20 substitute and are counted,
+      present points sum integer-exactly (E = D = 0).
+    - Zarr v3: a sharding_indexed store (gzip inner chunks, crc32c
+      shard index — THE layout for 100 TB array stores) decoded by
+      ZarrReader's shard walk.
+
+    Reference surface: XArrayDatasetReader-over-GRIB and ZarrReader
+    (reference readers.py:1340-1440) delegate to cfgrib/zarr; here both
+    bitstreams decode natively and this query keeps them green in
+    CORRECTNESS, not just pytest. Stores are built driver-side in a
+    temp dir (tiny; on a real cluster they would live on shared
+    storage), values derive from pure integer series so DuckDB
+    recomputes the sums with no binary I/O."""
+    import gzip as _gzip
+    import json as _json
+    import os as _os
+    import struct as _struct
+    import tempfile as _tempfile
+
+    import numpy as np
+
+    from intake_spark import datatypes as dtypes
+    from intake_spark.compress import crc32c
+    from intake_spark.readers import ZarrReader
+    from intake_spark.sci import GRIB2, GRIB2Reader, encode_grib2_complex
+
+    root = _tempfile.mkdtemp(prefix="intake_spark_q135_")
+
+    # --- GRIB2: 32x32 grid, v(i) = (i*37+11) % 251, missing at i%97==5
+    i = np.arange(1024)
+    gvals = ((i * 37 + 11) % 251).astype(float).reshape(32, 32)
+    gmask = (i % 97 == 5).reshape(32, 32)
+    gpath = _os.path.join(root, "field.grib2")
+    with open(gpath, "wb") as f:
+        f.write(encode_grib2_complex(gvals, sd_order=2, mvm=1, miss1=gmask))
+
+    # --- zarr v3 sharded: 1024 int64, shards of 256, inner chunks of 64,
+    # gzip-compressed inner chunks, crc32c-protected end index
+    zvals = ((i * 53 + 7) % 241).astype("<i8")
+    zroot = _os.path.join(root, "arr.zarr")
+    _os.makedirs(f"{zroot}/c", exist_ok=True)
+    meta = {
+        "zarr_format": 3, "node_type": "array", "shape": [1024],
+        "data_type": "int64",
+        "chunk_grid": {"name": "regular",
+                       "configuration": {"chunk_shape": [256]}},
+        "chunk_key_encoding": {"name": "default",
+                               "configuration": {"separator": "/"}},
+        "fill_value": 0,
+        "codecs": [{
+            "name": "sharding_indexed",
+            "configuration": {
+                "chunk_shape": [64],
+                "codecs": [
+                    {"name": "bytes",
+                     "configuration": {"endian": "little"}},
+                    {"name": "gzip", "configuration": {"level": 5}},
+                ],
+                "index_codecs": [
+                    {"name": "bytes",
+                     "configuration": {"endian": "little"}},
+                    {"name": "crc32c"},
+                ],
+                "index_location": "end",
+            },
+        }],
+    }
+    with open(f"{zroot}/zarr.json", "w") as f:
+        _json.dump(meta, f)
+    for s in range(4):
+        pieces, index, pos = [], [], 0
+        for k in range(4):
+            raw = _gzip.compress(
+                zvals[s * 256 + k * 64 : s * 256 + (k + 1) * 64].tobytes()
+            )
+            index.append((pos, len(raw)))
+            pieces.append(raw)
+            pos += len(raw)
+        idx = b"".join(_struct.pack("<QQ", o, ln) for o, ln in index)
+        idx += _struct.pack("<I", crc32c(idx))
+        with open(f"{zroot}/c/{s}", "wb") as f:
+            f.write(b"".join(pieces) + idx)
+
+    gdf = GRIB2Reader(data=GRIB2(url=gpath)).read(spark=spark)
+    zdf = ZarrReader(data=dtypes.Zarr(url=zroot)).read(spark=spark)
+
+    g = (
+        gdf.select(F.explode("values").alias("v"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_values"),
+            F.sum(F.when(F.col("v") > 1e19, 1).otherwise(0))
+            .cast("bigint").alias("n_missing"),
+            F.sum(F.when(F.col("v") < 1e19, F.col("v").cast("bigint")))
+            .cast("bigint").alias("checksum"),
+        )
+        .select(F.lit("grib2_complex_mvm").alias("source"),
+                "n_values", "n_missing", "checksum")
+    )
+    z = (
+        zdf.select(F.explode("values").alias("v"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_values"),
+            F.sum(F.col("v").cast("bigint")).alias("checksum"),
+        )
+        .select(F.lit("zarr_v3_sharded").alias("source"), "n_values",
+                F.lit(0).cast("bigint").alias("n_missing"),
+                F.col("checksum").cast("bigint").alias("checksum"))
+    )
+    return g.unionByName(z)

@@ -1453,6 +1453,168 @@ _GRIB_SCHEMA = T.StructType(
 )
 
 
+def encode_grib2_complex(values, e: int = 0, d: int = 0,
+                         group_len: int = 10, sd_order: int = 0,
+                         sd_ws: int = 3, mvm: int = 0, miss1=None,
+                         rmiss: float = 9.999e20,
+                         category: int = 0, parameter: int = 0) -> bytes:
+    """One GRIB2 message (fixture-grade but conformant encoder) carrying
+    ``values`` (2-D, row-major) under complex packing — template 5.2, or
+    5.3 with spatial differencing when ``sd_order`` is 1/2 — optionally
+    with primary missing-value management (``mvm=1`` + boolean ``miss1``
+    mask, substitute ``rmiss``).
+
+    Exists so the REAL decode path (:func:`_grib_decode_message`, the
+    GRIB2Reader executor stage) can be driven end-to-end by registered
+    queries and sinks with a full-value oracle — the same
+    round-trip-prover role encode_vorbis/encode_jpegls play for their
+    decoders. The independent test-suite builder in tests/test_grib2.py
+    stays the decoder's adversarial validator."""
+    import numpy as np
+
+    vals = np.asarray(values)
+    nj, ni = vals.shape
+    n = vals.size
+    flat = vals.ravel()
+    m1 = (np.zeros(n, dtype=bool) if miss1 is None
+          else np.asarray(miss1).ravel().astype(bool))
+    if m1.any() and not mvm:
+        raise ValueError("missing mask given but mvm=0")
+    present = ~m1
+    scaled = flat[present] * (10.0 ** d)
+    ref = float(scaled.min()) if scaled.size else 0.0
+    xs_p = np.rint((scaled - ref) / (2.0 ** e)).astype(np.int64)
+    firsts = b""
+
+    def sm(v: int, width: int) -> bytes:
+        top = 1 << (width * 8 - 1)
+        return ((top | -v) if v < 0 else v).to_bytes(width, "big")
+
+    if sd_order:
+        orig = xs_p.copy()
+        diffs = xs_p.copy()
+        if sd_order == 1:
+            diffs[1:] = orig[1:] - orig[:-1]
+        elif sd_order == 2:
+            diffs[2:] = orig[2:] - 2 * orig[1:-1] + orig[:-2]
+        else:
+            raise ValueError(f"spatial differencing order {sd_order}")
+        gmin = int(diffs[sd_order:].min()) if xs_p.size > sd_order else 0
+        stream = diffs.copy()
+        stream[sd_order:] -= gmin
+        stream[: min(sd_order, len(stream))] = 0
+        k = min(sd_order, orig.size)
+        firsts = b"".join(sm(int(orig[i]), sd_ws) for i in range(k))
+        firsts += sm(0, sd_ws) * (sd_order - k)
+        firsts += sm(gmin, sd_ws)
+        xs_p = stream
+    # grid-order stream with -1 marking missing slots (difference-coded
+    # values are >= 0 by construction: minima subtracted)
+    xs = np.empty(n, dtype=np.int64)
+    xs[present] = xs_p
+    xs[m1] = -1
+    groups = [xs[i: i + group_len] for i in range(0, n, group_len)]
+
+    grefs, widths, payloads = [], [], []
+    for g in groups:
+        pres = g[g >= 0]
+        if mvm and not pres.size:
+            grefs.append("M1")
+            widths.append(0)
+            payloads.append([])
+            continue
+        gref = int(pres.min()) if pres.size else 0
+        maxd = int((pres - gref).max()) if pres.size else 0
+        if mvm:
+            w = 1
+            while (1 << w) - 1 - mvm < maxd:
+                w += 1
+        else:
+            w = maxd.bit_length()
+        grefs.append(gref)
+        widths.append(w)
+        row = []
+        if w:
+            marker = (1 << w) - 1
+            for v in g:
+                row.append(marker if v < 0 else int(v) - gref)
+        payloads.append(row)
+
+    real = [g for g in grefs if not isinstance(g, str)]
+    nbits = max((int(g).bit_length() for g in real), default=1) or 1
+    if mvm:
+        nbits = max(nbits, 2)
+        while (1 << nbits) - 1 - mvm < max(real, default=0):
+            nbits += 1
+    ref_marker = (1 << nbits) - 1
+    grefs = [ref_marker if g == "M1" else g for g in grefs]
+    w_bits = max(w.bit_length() for w in widths) or 1
+    l_bits = max(group_len.bit_length(), 1)
+    ng = len(groups)
+
+    # ---- sections ----
+    sec1 = (struct.pack(">IB", 21, 1)
+            + struct.pack(">HHBBB", 7, 0, 2, 1, 1)
+            + struct.pack(">HBBBBB", 2026, 1, 1, 0, 0, 0)
+            + bytes([0, 1]))
+    sec3 = (struct.pack(">IBB", 72, 3, 0)
+            + struct.pack(">I", n) + bytes([0, 0])
+            + struct.pack(">H", 0)      # grid template 3.0
+            + bytes(16)                  # shape of earth
+            + struct.pack(">II", ni, nj)
+            + struct.pack(">II", 0, 0)
+            + struct.pack(">ii", 40_000_000, 250_000_000)
+            + bytes([48]) + struct.pack(">ii", 0, 0)
+            + struct.pack(">II", 1_000_000, 1_000_000) + bytes([0]))
+    sec4 = (struct.pack(">IB", 34, 4) + struct.pack(">HH", 0, 0)
+            + bytes([category, parameter]) + bytes(23))
+    subst = (struct.pack(">ff", rmiss, 0.0) if mvm else bytes(8))
+    sec5 = (struct.pack(">IB", 49 if sd_order else 47, 5)
+            + struct.pack(">I", n)
+            + struct.pack(">H", 3 if sd_order else 2)
+            + struct.pack(">f", ref)
+            + struct.pack(">HH", e if e >= 0 else (0x8000 | -e),
+                          d if d >= 0 else (0x8000 | -d))
+            + bytes([nbits, 0])          # octets 20-21 (orig type float)
+            + bytes([1, mvm])            # split method / missing mgmt
+            + subst
+            + struct.pack(">I", ng)
+            + bytes([0, w_bits])
+            + struct.pack(">I", 0) + bytes([1])
+            + struct.pack(">I", len(groups[-1])) + bytes([l_bits])
+            + (bytes([sd_order, sd_ws]) if sd_order else b""))
+    sec6 = struct.pack(">IB", 6, 6) + bytes([255])
+
+    bits: list[int] = []
+
+    def put(v, width):
+        bits.extend((int(v) >> (width - 1 - i)) & 1 for i in range(width))
+
+    def pad():
+        while len(bits) % 8:
+            bits.append(0)
+
+    for g in grefs:
+        put(g, nbits)
+    pad()
+    for w in widths:
+        put(w, w_bits)
+    pad()
+    for g in groups:
+        put(len(g), l_bits)
+    pad()
+    for row, w in zip(payloads, widths):
+        for v in row:
+            put(v, w)
+    pad()
+    payload = bytes(sum(b << (7 - i) for i, b in enumerate(bits[k: k + 8]))
+                    for k in range(0, len(bits), 8))
+    sec7 = struct.pack(">IB", 5 + len(firsts) + len(payload), 7)
+    sec7 += firsts + payload
+    body = sec1 + sec3 + sec4 + sec5 + sec6 + sec7 + b"7777"
+    return b"GRIB\x00\x00\x00\x02" + struct.pack(">Q", 16 + len(body)) + body
+
+
 class GRIB2Reader(BaseReader):
     """GRIB2 → one row per data field: parameter ids, reference time, grid
     geometry and the decoded value grid (row-major, nj×ni flattened).

@@ -539,3 +539,31 @@ def test_grib2_ieee_float_packing():
     msg = b"GRIB\x00\x00\x00\x02" + struct.pack(">Q", 16 + len(body)) + body
     with pytest.raises(ValueError, match="precision code"):
         _grib_decode_message(msg)
+
+
+def test_encode_grib2_complex_roundtrip():
+    """The product-side fixture encoder (sci.encode_grib2_complex, the
+    q135 store builder) round-trips through the real decoder across
+    5.2/5.3 x missing-management — independently of this file's own
+    builder, which stays the adversarial validator."""
+    from intake_spark.sci import encode_grib2_complex
+
+    i = np.arange(1024)
+    vals = ((i * 37 + 11) % 251).astype(float).reshape(32, 32)
+    mask = (i % 97 == 5).reshape(32, 32)
+    r1 = float(np.float32(9.999e20))
+    for sd in (0, 1, 2):
+        for mvm, m in ((0, None), (1, mask)):
+            blob = encode_grib2_complex(vals, sd_order=sd, mvm=mvm, miss1=m)
+            got = np.array(_grib_decode_message(blob)[0]["values"])
+            exp = vals.ravel().copy()
+            if m is not None:
+                exp[m.ravel()] = r1
+            np.testing.assert_allclose(got, exp, atol=1e-9, err_msg=f"sd={sd} mvm={mvm}")
+    # decimal scaling stays exact for quarter-steps
+    q = (np.arange(35, dtype=float).reshape(5, 7) * 0.25 + 100.0)
+    got = np.array(_grib_decode_message(
+        encode_grib2_complex(q, d=2, sd_order=1, group_len=6))[0]["values"])
+    np.testing.assert_allclose(got, q.ravel(), atol=1e-9)
+    with pytest.raises(ValueError, match="mvm"):
+        encode_grib2_complex(vals, miss1=mask)
