@@ -271,6 +271,10 @@ def main() -> None:
         "repeats": repeats,
         "sf": sf,
     }
+    if only:
+        # a filtered debug run must not clobber the full-suite drift
+        # ledger with a partial queries map
+        detail_path = os.path.join(here, "bench_detail_partial.json")
     with open(detail_path, "w") as f:
         json.dump(detail, f, indent=1)
 

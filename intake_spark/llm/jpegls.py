@@ -323,6 +323,13 @@ def decode_jpegls(blob: bytes):
                 (seg[6 + 3 * i], seg[7 + 3 * i] >> 4, seg[7 + 3 * i] & 0xF)
                 for i in range(ncomp)
             ]
+            if any(not (1 <= h <= 4 and 1 <= v <= 4) for _c, h, v in comps):
+                # T.81 frame syntax; a zero V factor would otherwise make
+                # the ILV-1 line-group loop exit with undecoded rows
+                raise ValueError(
+                    "JPEG-LS sampling factors must be 1..4, got "
+                    f"{[(h, v) for _c, h, v in comps]}"
+                )
             hmax = max(h for _c, h, _v in comps)
             vmax = max(v for _c, _h, v in comps)
             dims = {

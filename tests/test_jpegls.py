@@ -404,3 +404,15 @@ def test_dicom_color_jpegls_ilv2(spark, tmp_path):
     p.write_bytes(blob)
     got = _rebuild(DicomReader(data=DICOM(url=str(p))).read(spark=spark))
     np.testing.assert_array_equal(got.reshape(9, 7, 3), rgb)
+
+
+def test_jpegls_sof_sampling_factor_guard():
+    """A zero sampling factor in SOF55 is invalid (T.81 frame syntax)
+    and must raise by name — not exit the ILV-1 line-group loop with
+    undecoded rows."""
+    import struct
+
+    sof = b"\xff\xd8\xff\xf7" + struct.pack(">HBHHB", 8 + 9, 8, 4, 4, 3)
+    sof += bytes([1, 0x11, 0, 2, 0x10, 0, 3, 0x11, 0])  # comp 2: v = 0
+    with pytest.raises(ValueError, match="sampling factors"):
+        decode_jpegls(sof + b"\xff\xd9")
