@@ -1380,13 +1380,23 @@ def _grib_decode_message(buf: bytes) -> list[dict]:
                 bitmap = _np.unpackbits(
                     _np.frombuffer(body[6:], dtype=_np.uint8)
                 )
+            elif body[5] == 254:
+                # WMO code 254: re-use the bitmap PREVIOUSLY DEFINED in
+                # this same GRIB2 message (repeated sections 4-7) — keep
+                # the current one
+                if bitmap is None:
+                    raise ValueError(
+                        "GRIB bitmap indicator 254 but no previously "
+                        "defined bitmap in this message"
+                    )
             elif body[5] == 255:
                 bitmap = None
             else:
                 raise ValueError(
                     f"GRIB bitmap indicator {body[5]} not supported "
-                    "(0 = bitmap present, 255 = none; predefined/"
-                    "previous bitmaps need out-of-band state)"
+                    "(0 = bitmap present, 254 = previously defined, "
+                    "255 = none; predefined bitmaps 1-253 need "
+                    "out-of-band centre tables)"
                 )
         elif snum == 7:
             if sec3 is None or sec5 is None:

@@ -567,3 +567,46 @@ def test_encode_grib2_complex_roundtrip():
     np.testing.assert_allclose(got, q.ravel(), atol=1e-9)
     with pytest.raises(ValueError, match="mvm"):
         encode_grib2_complex(vals, miss1=mask)
+
+
+def test_grib2_bitmap_indicator_254_reuses_previous():
+    """Bitmap indicator 254 re-uses the bitmap previously defined in
+    the SAME message (repeated sections 4-7); 254 with no prior bitmap
+    and predefined codes 1-253 stay loud."""
+    mask = np.array([[1, 0, 1, 1], [0, 1, 1, 0], [1, 1, 0, 1]], bool)
+    full = np.where(mask, np.arange(12, dtype=float).reshape(3, 4) + 270.0,
+                    np.nan)
+    present = full[mask]
+    f = _field(present.reshape(1, -1), nbits=8)
+    (l5,) = struct.unpack(">I", f[:4])
+    sec5, rest = f[:l5], f[l5:]
+    (l6,) = struct.unpack(">I", rest[:4])
+    sec7 = rest[l6:]
+    bits = np.packbits(mask.ravel().astype(np.uint8)).tobytes()
+    sec6_real = (struct.pack(">IB", 6 + len(bits), 6) + bytes([0]) + bits)
+    sec6_254 = struct.pack(">IB", 6, 6) + bytes([254])
+    # field 1 defines the bitmap; field 2 re-uses it via 254
+    body = (_sec1() + _sec3(4, 3) + _sec4(0, 0)
+            + sec5 + sec6_real + sec7
+            + _sec4(0, 1) + sec5 + sec6_254 + sec7 + b"7777")
+    msg = b"GRIB\x00\x00\x00\x02" + struct.pack(">Q", 16 + len(body)) + body
+    fields = _grib_decode_message(msg)
+    assert len(fields) == 2
+    for fld in fields:
+        got = np.array(fld["values"], dtype=float).reshape(3, 4)
+        np.testing.assert_allclose(got, full, atol=1e-9, equal_nan=True)
+
+    # 254 with no prior bitmap is loud
+    body = (_sec1() + _sec3(4, 3) + _sec4(0, 0)
+            + sec5 + sec6_254 + sec7 + b"7777")
+    msg = b"GRIB\x00\x00\x00\x02" + struct.pack(">Q", 16 + len(body)) + body
+    with pytest.raises(ValueError, match="254"):
+        _grib_decode_message(msg)
+
+    # predefined codes stay a named gate
+    sec6_pre = struct.pack(">IB", 6, 6) + bytes([7])
+    body = (_sec1() + _sec3(4, 3) + _sec4(0, 0)
+            + sec5 + sec6_pre + sec7 + b"7777")
+    msg = b"GRIB\x00\x00\x00\x02" + struct.pack(">Q", 16 + len(body)) + body
+    with pytest.raises(ValueError, match="out-of-band"):
+        _grib_decode_message(msg)
