@@ -1115,9 +1115,11 @@ def decode_jpeg_lossless(content: bytes):
     4.57/.70) are this process with Ss=1. Color images decode whether
     coded as ONE interleaved scan or one scan PER component (point
     transform applied per scan, T.81); subsampled components decode in
-    per-component scans at their own dimensions and nearest-upsample to
-    the frame grid (interleaved + subsampled stays a named gate);
-    restart markers reset the predictor per T.81 H.2.2."""
+    per-component scans at their own dimensions — or inside an
+    interleaved scan as Hi x Vi MCU sample blocks (T.81 A.2.3) — and
+    nearest-upsample to the frame grid; restart markers reset the
+    predictor per T.81 H.2.2 (restarts inside a subsampled interleaved
+    scan stay a named gate)."""
     import numpy as np
 
     if content[:2] != b"\xff\xd8":
@@ -1195,16 +1197,9 @@ def decode_jpeg_lossless(content: bytes):
                 raise ValueError(
                     f"lossless JPEG scan for unknown component {unknown}"
                 )
-            if len(order) > 1 and any(
-                frame["fac"][c] != (1, 1) for c in frame["comps"]
-            ):
-                # interleaved lossless scans with subsampling would need
-                # MCU sample blocks; per-component scans (below) decode
-                # subsampled files
-                raise NotImplementedError(
-                    "lossless JPEG with subsampled components in an "
-                    "interleaved scan — use one scan per component"
-                )
+            mcu_mode = len(order) > 1 and any(
+                frame["fac"][c] != (1, 1) for c in order
+            )
             P = frame["p"]
             if len(order) == 1:
                 H, W = frame["cdims"][order[0]]
@@ -1230,6 +1225,77 @@ def decode_jpeg_lossless(content: bytes):
             default = 1 << (P - pt - 1)
             tables = [huff[scan_tables[cid]] for cid in order]
             plane_of = {cid: frame["comps"].index(cid) for cid in order}
+            if mcu_mode:
+                # interleaved scan with subsampled components (T.81
+                # A.2.3/H.2): each MCU carries an Hi x Vi sample block
+                # per component in scan order; planes pad up to whole
+                # MCUs and crop back after decode. Prediction is per
+                # component plane, causal under MCU order (left/up
+                # neighbors always land in this or an earlier MCU).
+                if restart_interval:
+                    raise NotImplementedError(
+                        "lossless JPEG restart intervals inside a "
+                        "subsampled interleaved scan are not supported"
+                    )
+                hmax2 = max(frame["fac"][c][0] for c in order)
+                vmax2 = max(frame["fac"][c][1] for c in order)
+                mcux = -(-frame["w"] // hmax2)
+                mcuy = -(-frame["h"] // vmax2)
+                pads = {
+                    cid: np.zeros(
+                        (mcuy * frame["fac"][cid][1],
+                         mcux * frame["fac"][cid][0]),
+                        dtype=np.int64,
+                    )
+                    for cid in order
+                }
+                reader = _JpegBits(intervals[0])
+                for my in range(mcuy):
+                    for mx in range(mcux):
+                        for si, cid in enumerate(order):
+                            fh, fv = frame["fac"][cid]
+                            pl = pads[cid]
+                            tab = tables[si]
+                            for v in range(fv):
+                                y = my * fv + v
+                                for hh in range(fh):
+                                    x = mx * fh + hh
+                                    t = reader.huff(tab)
+                                    if t == 16:
+                                        diff = 32768
+                                    elif t:
+                                        diff = _jpeg_extend(
+                                            reader.bits(t), t
+                                        )
+                                    else:
+                                        diff = 0
+                                    if y == 0 and x == 0:
+                                        px = default
+                                    elif y == 0:
+                                        px = pl[y, x - 1]
+                                    elif x == 0:
+                                        px = pl[y - 1, x]
+                                    else:
+                                        a, b = pl[y, x - 1], pl[y - 1, x]
+                                        c = pl[y - 1, x - 1]
+                                        px = (
+                                            a if predictor == 1 else
+                                            b if predictor == 2 else
+                                            c if predictor == 3 else
+                                            a + b - c if predictor == 4
+                                            else
+                                            a + ((b - c) >> 1)
+                                            if predictor == 5 else
+                                            b + ((a - c) >> 1)
+                                            if predictor == 6 else
+                                            (a + b) >> 1
+                                        )
+                                    pl[y, x] = (int(px) + diff) & 0xFFFF
+                for cid in order:
+                    ch_, cw_ = frame["cdims"][cid]
+                    planes[plane_of[cid]][:] = pads[cid][:ch_, :cw_]
+                pos = next_pos
+                continue
             reader = _JpegBits(intervals[0])
             interval_idx = 0
             samples_done = 0

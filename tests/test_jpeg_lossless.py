@@ -55,6 +55,86 @@ def encode_jpeg_lossless(
     ``per_scan=True`` writes one SOS per component (the non-interleaved
     layout some DICOM color encoders emit) instead of one interleaved
     scan."""
+    if sampling is not None and not per_scan:
+        # plane-list input, ONE interleaved scan: Hi x Vi MCU sample
+        # blocks per component in scan order (T.81 A.2.3/H.2), planes
+        # padded up to whole MCUs by edge replication
+        planes = [np.asarray(c).astype(np.int64) for c in img]
+        C = len(planes)
+        hmax = max(fh for fh, _fv in sampling)
+        vmax = max(fv for _fh, fv in sampling)
+        H, W = planes[0].shape
+        H = -(-H * vmax // sampling[0][1])
+        W = -(-W * hmax // sampling[0][0])
+        P = precision or max(
+            2, max(int(c.max()).bit_length() for c in planes)
+        )
+        assert not restart_interval, "restart+interleaved-MCU not built"
+        mcux = -(-W // hmax)
+        mcuy = -(-H // vmax)
+        default = 1 << (P - pt - 1)
+        pads = []
+        for pl, (fh, fv) in zip(planes, sampling):
+            v = (pl >> pt) if pt else pl
+            pad = np.zeros((mcuy * fv, mcux * fh), dtype=np.int64)
+            pad[: v.shape[0], : v.shape[1]] = v
+            # edge-replicate so padding predicts cheaply and never
+            # influences the cropped region
+            if v.shape[0] < pad.shape[0]:
+                pad[v.shape[0]:, : v.shape[1]] = v[-1:, :]
+            if v.shape[1] < pad.shape[1]:
+                pad[:, v.shape[1]:] = pad[:, v.shape[1] - 1: v.shape[1]]
+            pads.append(pad)
+        bw = _BW()
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for pad, (fh, fv) in zip(pads, sampling):
+                    for vv in range(fv):
+                        y = my * fv + vv
+                        for hh in range(fh):
+                            x = mx * fh + hh
+                            if y == 0 and x == 0:
+                                px = default
+                            elif y == 0:
+                                px = pad[y, x - 1]
+                            elif x == 0:
+                                px = pad[y - 1, x]
+                            else:
+                                a, b = pad[y, x - 1], pad[y - 1, x]
+                                cc = pad[y - 1, x - 1]
+                                px = (
+                                    a if predictor == 1 else
+                                    b if predictor == 2 else
+                                    cc if predictor == 3 else
+                                    a + b - cc if predictor == 4 else
+                                    a + ((b - cc) >> 1) if predictor == 5
+                                    else
+                                    b + ((a - cc) >> 1) if predictor == 6
+                                    else (a + b) >> 1
+                                )
+                            d = (int(pad[y, x]) - int(px)) & 0xFFFF
+                            if d > 32768:
+                                d -= 65536
+                            t = 16 if d == 32768 else abs(d).bit_length()
+                            ln, code = _CODES[t]
+                            bw.put(code, ln)
+                            if 0 < t < 16:
+                                bw.put(
+                                    d & ((1 << t) - 1) if d >= 0
+                                    else (d - 1) & ((1 << t) - 1), t,
+                                )
+        out = bytearray(b"\xff\xd8")
+        out += b"\xff\xc4" + struct.pack(">H", 2 + 17 + 17) + b"\x00"
+        out += bytes(_BITS) + _VALS
+        out += b"\xff\xc3" + struct.pack(">HBHHB", 8 + 3 * C, P, H, W, C)
+        for c, (fh, fv) in enumerate(sampling):
+            out += bytes([c + 1, (fh << 4) | fv, 0])
+        out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * C, C)
+        for c in range(C):
+            out += bytes([c + 1, 0x00])
+        out += bytes([predictor, 0, pt])
+        out += bw.flush()
+        return bytes(out) + b"\xff\xd9"
     if sampling is not None:
         # plane-list input with T.81 sampling factors: per-scan only
         assert per_scan and isinstance(img, (list, tuple))
@@ -220,14 +300,19 @@ def test_decode_image_dispatches_sof3():
 
 def test_lossless_jpeg_gates():
     rng = np.random.default_rng(1)
-    rgb = rng.integers(0, 256, (4, 4, 3), dtype=np.uint8)
-    blob = bytearray(encode_jpeg_lossless(rgb))
-    # subsampling inside an INTERLEAVED scan -> named gate (per-
-    # component scans decode subsampled files, see
-    # test_lossless_jpeg_subsampled_per_component)
-    idx = blob.find(b"\xff\xc3")
-    blob[idx + 2 + 2 + 6 + 1] = 0x22
-    with pytest.raises(NotImplementedError, match="interleaved"):
+    # interleaved + subsampled decodes since r10; the remaining named
+    # gate is RESTART INTERVALS inside such a scan — splice a DRI
+    # segment into an MCU-interleaved stream
+    y = rng.integers(0, 256, (8, 8), dtype=np.uint8)
+    cb = rng.integers(0, 256, (4, 4), dtype=np.uint8)
+    blob = bytearray(encode_jpeg_lossless(
+        [y, cb, cb], sampling=[(2, 2), (1, 1), (1, 1)]
+    ))
+    idx = blob.find(b"\xff\xda")
+    import struct as _s
+
+    blob[idx:idx] = b"\xff\xdd" + _s.pack(">HH", 4, 2)
+    with pytest.raises(NotImplementedError, match="restart"):
         decode_jpeg_lossless(bytes(blob))
     with pytest.raises(ValueError, match="SOI"):
         decode_jpeg_lossless(b"nope")
@@ -346,3 +431,36 @@ def test_lossless_jpeg_subsampled_per_component():
     cols = np.minimum(np.arange(W) * 7 // W, 6)
     np.testing.assert_array_equal(out[:, :, 1], cb[np.ix_(rows, cols)])
     np.testing.assert_array_equal(out[:, :, 2], cr[np.ix_(rows, cols)])
+
+
+def test_lossless_jpeg_interleaved_subsampled_mcu():
+    """Interleaved SOF3 scan with subsampled components (T.81 A.2.3
+    MCU sample blocks): the 4:2:0/4:2:2 layouts decode exactly at each
+    component's own grid and nearest-upsample to the frame."""
+    rng = np.random.default_rng(21)
+    for (fy, fc), shape_c in ((((2, 2), (1, 1)), (5, 4)),
+                              (((2, 1), (1, 1)), (10, 4))):
+        y = rng.integers(0, 256, (10, 8), dtype=np.uint8)
+        cb = rng.integers(0, 256, shape_c, dtype=np.uint8)
+        cr = rng.integers(0, 256, shape_c, dtype=np.uint8)
+        for pred in (1, 4, 7):
+            blob = encode_jpeg_lossless(
+                [y, cb, cr], predictor=pred,
+                sampling=[fy, fc, fc],
+            )
+            out = decode_jpeg_lossless(blob)
+            assert out.shape == (10, 8, 3)
+            np.testing.assert_array_equal(out[:, :, 0], y)
+            rows = np.arange(10) * fc[1] // fy[1]
+            cols = np.arange(8) * fc[0] // fy[0]
+            np.testing.assert_array_equal(
+                out[:, :, 1], cb[np.ix_(np.minimum(rows, shape_c[0] - 1),
+                                        np.minimum(cols, shape_c[1] - 1))]
+            )
+    # odd frame dims force MCU padding on both axes
+    y = rng.integers(0, 4096, (7, 9)).astype(np.uint16)
+    c2 = rng.integers(0, 4096, (4, 5)).astype(np.uint16)
+    blob = encode_jpeg_lossless([y, c2, c2], sampling=[(2, 2), (1, 1), (1, 1)])
+    out = decode_jpeg_lossless(blob)
+    assert out.shape == (7, 9, 3)
+    np.testing.assert_array_equal(out[:, :, 0], y)
