@@ -187,7 +187,13 @@ def main() -> None:
     # "noise" when the quiet value agrees with the previous run (the
     # in-suite sample was GC-contaminated), "real" when it doesn't.
     here = os.path.dirname(os.path.abspath(__file__))
-    detail_path = os.path.join(here, "bench_detail.json")
+    # per-sf ledger: the driver's sf0.1 runs keep the legacy name; other
+    # scales (the sf1.0 replication runs) get their own file so a scale
+    # experiment can never clobber the driver's drift baseline
+    detail_path = os.path.join(
+        here,
+        "bench_detail.json" if sf == 0.1 else f"bench_detail_sf{sf}.json",
+    )
     prev: dict = {}
     try:
         with open(detail_path) as f:
@@ -204,6 +210,12 @@ def main() -> None:
             continue
         rel = abs(med - p) / p
         if rel > max(0.20, spread_steady.get(n, 0.0)) and abs(med - p) > 0.05:
+            flagged.append((abs(med - p), n))
+        elif spread_steady.get(n, 0.0) > 0.5 and abs(med - p) > 0.05:
+            # a query whose own spread exceeds the drift threshold is
+            # otherwise unpoliceable — a real regression would hide
+            # inside its noise band (r9's q107). Force the quiet
+            # re-measure whenever such a query moved at all.
             flagged.append((abs(med - p), n))
     flagged.sort(reverse=True)
     for _, n in flagged[15:]:
