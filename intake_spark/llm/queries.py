@@ -4023,3 +4023,93 @@ def q135_reader_longtail(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("checksum").cast("bigint").alias("checksum"))
     )
     return g.unionByName(z)
+
+
+@register(
+    "q136_lakehouse_dicom",
+    """
+    WITH d AS (SELECT i, (i * 41 + 13) % 199 AS v
+               FROM unnest(generate_series(0, 2047)) t(i)),
+         m AS (SELECT (i * 29 + 3) % 1021 AS v
+               FROM unnest(generate_series(0, 1023)) t(i))
+    SELECT 'delta_v0' AS source, CAST(1024 AS BIGINT) AS n_values,
+           CAST(SUM(CASE WHEN i < 1024 THEN v END) AS BIGINT) AS checksum
+    FROM d
+    UNION ALL
+    SELECT 'delta_latest', CAST(2048 AS BIGINT),
+           CAST(SUM(v) AS BIGINT)
+    FROM d
+    UNION ALL
+    SELECT 'dicom_jpegls', CAST(1024 AS BIGINT), CAST(SUM(v) AS BIGINT)
+    FROM m
+    """,
+)
+def q136_lakehouse_dicom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q135's reader-long-tail pattern extended to the LAKEHOUSE and
+    MEDICAL readers: a Delta table is written with this repo's own
+    jar-free ``to_delta`` (version 0 overwrite + version 1 append) and
+    read back through DeltaLakeReader's stdlib log replay BOTH at
+    ``version=0`` (time travel) and at latest; a DICOM Part-10 file
+    with an encapsulated JPEG-LS lossless frame (transfer syntax
+    1.2.840.10008.1.2.4.80) is written with :func:`sci.dicom_bytes`
+    and decoded by DicomReader's executor-side fragment walk. All
+    values derive from pure integer series, so the checksums carry a
+    full-value DuckDB oracle — the lakehouse log replay, time travel,
+    encapsulation walk and JPEG-LS codec become driver-green instead
+    of pytest-only. Reference surface: DeltalakeReader readers.py:538
+    and DicomReader readers.py:1644."""
+    import os as _os
+    import tempfile as _tempfile
+
+    import numpy as np
+
+    from intake_spark import datatypes as dtypes
+    from intake_spark.lakehouse import DeltaLakeReader
+    from intake_spark.output import to_delta
+    from intake_spark.sci import DICOM, DicomReader, dicom_bytes
+
+    root = _tempfile.mkdtemp(prefix="intake_spark_q136_")
+
+    # --- Delta: v(i) = (i*41+13) % 199; version 0 = i < 1024, version 1
+    # appends i in 1024..2047
+    droot = _os.path.join(root, "tbl")
+    base = spark.range(1024).selectExpr(
+        "id AS i", "(id * 41 + 13) % 199 AS v"
+    )
+    to_delta(base, droot, mode="overwrite")
+    extra = spark.range(1024, 2048).selectExpr(
+        "id AS i", "(id * 41 + 13) % 199 AS v"
+    )
+    to_delta(extra, droot, mode="append")
+    rdr = DeltaLakeReader(data=dtypes.DeltalakeTable(url=droot))
+    d0 = (
+        rdr.read(spark=spark, version=0)
+        .agg(F.count("*").cast("bigint").alias("n_values"),
+             F.sum(F.col("v").cast("bigint")).alias("checksum"))
+        .select(F.lit("delta_v0").alias("source"), "n_values",
+                F.col("checksum").cast("bigint"))
+    )
+    d1 = (
+        rdr.read(spark=spark)
+        .agg(F.count("*").cast("bigint").alias("n_values"),
+             F.sum(F.col("v").cast("bigint")).alias("checksum"))
+        .select(F.lit("delta_latest").alias("source"), "n_values",
+                F.col("checksum").cast("bigint"))
+    )
+
+    # --- DICOM: one 32x32 uint16 frame, m(i) = (i*29+3) % 1021,
+    # encapsulated JPEG-LS lossless
+    frame = ((np.arange(1024) * 29 + 3) % 1021).astype(np.uint16)
+    dpath = _os.path.join(root, "frame.dcm")
+    with open(dpath, "wb") as f:
+        f.write(dicom_bytes([frame.reshape(32, 32)],
+                            transfer_syntax="1.2.840.10008.1.2.4.80"))
+    dcm = (
+        DicomReader(data=DICOM(url=dpath)).read(spark=spark)
+        .select(F.explode("values").alias("v"))
+        .agg(F.count("*").cast("bigint").alias("n_values"),
+             F.sum(F.col("v").cast("bigint")).alias("checksum"))
+        .select(F.lit("dicom_jpegls").alias("source"), "n_values",
+                F.col("checksum").cast("bigint"))
+    )
+    return d0.unionByName(d1).unionByName(dcm)

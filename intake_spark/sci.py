@@ -1463,6 +1463,71 @@ _GRIB_SCHEMA = T.StructType(
 )
 
 
+def dicom_bytes(frames, transfer_syntax: str = "1.2.840.10008.1.2.1") -> bytes:
+    """One DICOM Part-10 file (fixture-grade but conformant writer) from
+    a list of 2-D numpy frames: 128-byte preamble + DICM, explicit-VR
+    file meta group, the image-pixel module elements, and PixelData —
+    native little-endian for Explicit VR Little Endian (1.2.840.10008.
+    1.2.1) or encapsulated (BOT item + one even-length item per frame +
+    sequence delimiter, PS3.5 A.4) with per-frame JPEG-LS lossless
+    payloads for 1.2.840.10008.1.2.4.80.
+
+    Exists so the REAL DicomReader executor path can be driven
+    end-to-end by registered queries (q136) — the round-trip-prover
+    role encode_grib2_complex plays for GRIB2."""
+    import numpy as np
+
+    frames = [np.asarray(f) for f in frames]
+    h, w = frames[0].shape[:2]
+    if any(f.shape != frames[0].shape for f in frames):
+        raise ValueError("dicom_bytes: frames must share one shape")
+    spp = 1 if frames[0].ndim == 2 else frames[0].shape[2]
+    maxv = max(int(f.max()) if f.size else 0 for f in frames)
+    bits = 8 if maxv < 256 else 16
+
+    def el_short(group, elem, vr, val: bytes) -> bytes:
+        if len(val) % 2:
+            val += b"\x00" if vr != b"UI" else b"\x00"
+        return struct.pack("<HH2sH", group, elem, vr, len(val)) + val
+
+    meta = el_short(0x0002, 0x0010, b"UI", transfer_syntax.encode() + b"\x00"
+                    if len(transfer_syntax) % 2 else transfer_syntax.encode())
+    meta = el_short(0x0002, 0x0000, b"UL", struct.pack("<I", len(meta))) + meta
+    ds = el_short(0x0008, 0x0060, b"CS", b"OT")
+    ds += el_short(0x0028, 0x0002, b"US", struct.pack("<H", spp))
+    if len(frames) > 1:
+        ds += el_short(0x0028, 0x0008, b"IS", str(len(frames)).encode())
+    ds += el_short(0x0028, 0x0010, b"US", struct.pack("<H", h))
+    ds += el_short(0x0028, 0x0011, b"US", struct.pack("<H", w))
+    ds += el_short(0x0028, 0x0100, b"US", struct.pack("<H", bits))
+    ds += el_short(0x0028, 0x0103, b"US", struct.pack("<H", 0))
+    if transfer_syntax == "1.2.840.10008.1.2.1":
+        dt_ = "<u1" if bits == 8 else "<u2"
+        payload = b"".join(f.astype(dt_).tobytes() for f in frames)
+        if len(payload) % 2:
+            payload += b"\x00"
+        vr = b"OB" if bits == 8 else b"OW"
+        ds += struct.pack("<HH2sHI", 0x7FE0, 0x0010, vr, 0, len(payload))
+        ds += payload
+    elif transfer_syntax == "1.2.840.10008.1.2.4.80":
+        from intake_spark.llm.jpegls import encode_jpegls
+
+        ds += struct.pack("<HH2sHI", 0x7FE0, 0x0010, b"OB", 0, 0xFFFFFFFF)
+        ds += struct.pack("<HHI", 0xFFFE, 0xE000, 0)  # empty BOT
+        for f in frames:
+            blob = encode_jpegls(f)
+            if len(blob) % 2:
+                blob += b"\x00"
+            ds += struct.pack("<HHI", 0xFFFE, 0xE000, len(blob)) + blob
+        ds += struct.pack("<HHI", 0xFFFE, 0xE0DD, 0)  # sequence delimiter
+    else:
+        raise ValueError(
+            f"dicom_bytes: transfer syntax {transfer_syntax} not supported "
+            "(Explicit VR LE 1.2.840.10008.1.2.1, JPEG-LS lossless .4.80)"
+        )
+    return b"\x00" * 128 + b"DICM" + meta + ds
+
+
 def encode_grib2_complex(values, e: int = 0, d: int = 0,
                          group_len: int = 10, sd_order: int = 0,
                          sd_ws: int = 3, mvm: int = 0, miss1=None,

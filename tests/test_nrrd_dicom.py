@@ -314,3 +314,30 @@ def test_dicom_defined_length_compressed_rejected(tmp_path):
     p.write_bytes(b"\x00" * 128 + b"DICM" + meta + ds)
     with pytest.raises(ValueError, match="nonconformant"):
         _dicom_meta(str(p))
+
+
+def test_dicom_bytes_writer_roundtrip(spark, tmp_path):
+    """The product-side Part-10 writer (sci.dicom_bytes, the q136 store
+    builder) round-trips through the real DicomReader for native
+    Explicit-VR-LE and encapsulated JPEG-LS, single- and multi-frame;
+    unsupported syntaxes stay loud."""
+    import pytest as _pytest
+
+    from intake_spark.sci import DICOM, DicomReader, dicom_bytes
+
+    rng = np.random.default_rng(14)
+    f0 = rng.integers(0, 1021, (9, 7)).astype(np.uint16)
+    f1 = rng.integers(0, 1021, (9, 7)).astype(np.uint16)
+    for ts in ("1.2.840.10008.1.2.1", "1.2.840.10008.1.2.4.80"):
+        p = tmp_path / f"w_{ts[-2:]}.dcm"
+        p.write_bytes(dicom_bytes([f0, f1], transfer_syntax=ts))
+        got = _rebuild(DicomReader(data=DICOM(url=str(p))).read(spark=spark))
+        np.testing.assert_array_equal(got, np.stack([f0, f1]), err_msg=ts)
+    # 8-bit path picks BitsAllocated 8
+    g = rng.integers(0, 200, (5, 6)).astype(np.uint16)
+    p = tmp_path / "w8.dcm"
+    p.write_bytes(dicom_bytes([g]))
+    got = _rebuild(DicomReader(data=DICOM(url=str(p))).read(spark=spark))
+    np.testing.assert_array_equal(got.reshape(5, 6), g)
+    with _pytest.raises(ValueError, match="transfer syntax"):
+        dicom_bytes([g], transfer_syntax="1.2.840.10008.1.2.4.50")
