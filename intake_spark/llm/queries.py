@@ -4113,3 +4113,89 @@ def q136_lakehouse_dicom(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("checksum").cast("bigint"))
     )
     return d0.unionByName(d1).unionByName(dcm)
+
+
+@register(
+    "q137_array_sink_roundtrip",
+    """
+    WITH a AS (SELECT (i * 31 + 5) % 223 AS v
+               FROM unnest(generate_series(0, 1023)) t(i)),
+         b AS (SELECT (i * 43 + 9) % 211 AS v
+               FROM unnest(generate_series(0, 1023)) t(i))
+    SELECT s.source, CAST(1024 AS BIGINT) AS n_values,
+           CAST((SELECT SUM(v) FROM a) AS BIGINT) AS checksum
+    FROM (SELECT unnest(['npy', 'netcdf3', 'hdf5', 'tiff']) AS source) s
+    UNION ALL
+    SELECT 'avro_ocf', CAST(1024 AS BIGINT),
+           CAST((SELECT SUM(v) FROM b) AS BIGINT)
+    """,
+)
+def q137_array_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The array/record SINK-to-READER loop under one full-value oracle:
+    one deterministic 32x32 array flows .npy -> NumpyArrayReader (chunk
+    rows) -> to_netcdf/to_hdf5/to_tiff (this repo's stdlib writers) ->
+    NetCDF3Reader/HDF5Reader/TIFFReader; a record table flows to_avro
+    (distributed OCF encode, deflate) -> AvroOCFReader (stdlib block
+    decode). Values are pure integer series (all < 223, so the uint8
+    TIFF clip is inert and every format is exact), making five
+    sink+reader pairs driver-green instead of pytest-only. Reference
+    surface: NumpyReader/XarrayToNetCDF/PandasToHDF5/NumpyToTIFF/
+    SparkAvro (reference readers.py + output.py), all of which delegate
+    to numpy/xarray/h5py/PIL/the spark-avro jar."""
+    import os as _os
+    import tempfile as _tempfile
+
+    import numpy as np
+
+    from intake_spark import datatypes as dtypes
+    from intake_spark import output
+    from intake_spark.arrays import NumpyArrayReader
+    from intake_spark.hdf5 import HDF5Reader
+    from intake_spark.lakehouse import AvroOCFReader
+    from intake_spark.sci import NetCDF3Reader, TIFFReader
+
+    root = _tempfile.mkdtemp(prefix="intake_spark_q137_")
+    arr = ((np.arange(1024) * 31 + 5) % 223).astype("<f8").reshape(32, 32)
+    npy = _os.path.join(root, "a.npy")
+    np.save(npy, arr)
+    chunks = NumpyArrayReader(data=dtypes.NumpyFile(url=npy)).read(
+        spark=spark, rows_per_chunk=8
+    )
+    nc_desc = output.to_netcdf(chunks, _os.path.join(root, "a.nc"))
+    h5_desc = output.to_hdf5(chunks, _os.path.join(root, "a.h5"))
+    tif_desc = output.to_tiff(chunks, _os.path.join(root, "a.tif"))
+
+    rec = spark.range(1024).selectExpr(
+        "id AS i", "CAST((id * 43 + 9) % 211 AS BIGINT) AS v"
+    )
+    avro_dir = _os.path.join(root, "rec.avro")
+    output.to_avro(rec, avro_dir)
+
+    def chunk_sum(df, source):
+        return (
+            df.select(F.explode("values").alias("v"))
+            .agg(
+                F.count("*").cast("bigint").alias("n_values"),
+                F.sum(F.col("v").cast("bigint")).alias("checksum"),
+            )
+            .select(F.lit(source).alias("source"), "n_values",
+                    F.col("checksum").cast("bigint"))
+        )
+
+    parts = [
+        chunk_sum(chunks, "npy"),
+        chunk_sum(NetCDF3Reader(data=nc_desc).read(spark=spark), "netcdf3"),
+        chunk_sum(HDF5Reader(data=dtypes.HDF5(url=h5_desc.url)).read(
+            spark=spark), "hdf5"),
+        chunk_sum(TIFFReader(data=dtypes.TIFF(url=tif_desc.url)).read(
+            spark=spark), "tiff"),
+        AvroOCFReader(data=dtypes.AVRO(url=avro_dir)).read(spark=spark)
+        .agg(F.count("*").cast("bigint").alias("n_values"),
+             F.sum(F.col("v").cast("bigint")).alias("checksum"))
+        .select(F.lit("avro_ocf").alias("source"), "n_values",
+                F.col("checksum").cast("bigint")),
+    ]
+    out = parts[0]
+    for p_ in parts[1:]:
+        out = out.unionByName(p_)
+    return out
