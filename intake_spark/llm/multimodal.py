@@ -298,7 +298,7 @@ def decode_audio_full(content: bytes):
             )
             return rate, arr, 16
         except NotImplementedError as exc:
-            gate = exc  # floor 0: soundfile may still decode it
+            gate = exc  # reserved spec values: soundfile may still decode
         except ValueError as exc:
             # non-Vorbis OGG (Opus, FLAC-in-OGG): delegate when possible
             gate = exc
@@ -308,7 +308,7 @@ def decode_audio_full(content: bytes):
         if gate is not None:
             raise NotImplementedError(
                 f"OGG stream not natively decodable ({gate}) — OGG/Vorbis "
-                "decodes natively; Opus/floor-0 need soundfile"
+                "incl. floor 0 decodes natively; Opus needs soundfile"
             ) from gate
         raise NotImplementedError(
             "WAV/FLAC/AIFF/AU/OGG-Vorbis decode natively; MP3 and Opus "
@@ -2434,9 +2434,9 @@ def decode_tga(content: bytes):
     desc = content[17]
     if bpp_bits not in (8, 15, 16, 24, 32):
         raise NotImplementedError(f"TGA {bpp_bits}-bit pixels")
-    if mapped and bpp_bits != 8:
+    if mapped and bpp_bits not in (8, 16):
         raise NotImplementedError(
-            f"TGA color-mapped with {bpp_bits}-bit indices (8-bit only)"
+            f"TGA color-mapped with {bpp_bits}-bit indices (8/16-bit only)"
         )
     if img_type in (3, 11) and bpp_bits not in (8, 16):
         raise NotImplementedError(
@@ -2478,7 +2478,11 @@ def decode_tga(content: bytes):
     else:
         flat = np.frombuffer(content, dtype=np.uint8, count=n * bpp, offset=pos)
     if mapped:
-        idx = flat.astype(np.int64) - cm_first
+        # index width follows the pixel depth: 8-bit or 16-bit LE
+        if bpp == 2:
+            idx = flat.view("<u2").astype(np.int64) - cm_first
+        else:
+            idx = flat.astype(np.int64) - cm_first
         if idx.size and (int(idx.min()) < 0 or int(idx.max()) >= cm_len):
             raise ValueError("TGA color-map index out of range")
         arr = palette[idx].reshape(h, w, palette.shape[1])

@@ -1216,3 +1216,20 @@ def test_transcode_16bit_to_jpeg2000(spark, tmp_path):
     out8 = {r.path.rsplit("/", 1)[-1]: r
             for r in multimodal.transcode_images(files, to="webp").collect()}
     assert out8["w.png"].err is not None and ">8-bit" in out8["w.png"].err
+
+
+def test_tga_color_mapped_16bit_indices():
+    """Color-mapped TGA with 16-bit little-endian palette indices
+    (pixel depth 16 on type 1/9) — rare but valid; indices honor
+    cm_first offsets beyond 255."""
+    pal = bytes([0, 0, 255, 0, 255, 0, 255, 0, 0])  # red, green, blue BGR
+    body = (256).to_bytes(2, "little") + (258).to_bytes(2, "little")
+    a = decode_tga(_tga_cm(2, 1, body, pal, idx_bits=16, cm_first=256))
+    assert a[0, 0].tolist() == [255, 0, 0]
+    assert a[0, 1].tolist() == [0, 0, 255]
+    # out-of-range 16-bit index stays loud
+    import pytest as _p
+
+    bad = (900).to_bytes(2, "little") * 2
+    with _p.raises(ValueError, match="index out of range"):
+        decode_tga(_tga_cm(2, 1, bad, pal, idx_bits=16, cm_first=256))
