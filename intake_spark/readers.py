@@ -512,23 +512,11 @@ class ZarrReader(BaseReader):
                 )
             v2_filters = meta.get("filters") or []
             for flt in v2_filters:
-                if (flt or {}).get("id") != "delta":
+                if (flt or {}).get("id") not in _V2_FILTERS:
                     raise ValueError(
                         f"zarr v2 filter {(flt or {}).get('id')!r} not "
-                        "supported (delta decodes natively)"
-                    )
-                # numcodecs Delta stores differences in the filter's
-                # astype (defaults to dtype); the decode path below
-                # frombuffers as the ARRAY dtype, so a differing astype
-                # — same-width ones would decode silently wrong —
-                # must stay a named gate
-                import numpy as _np_v
-
-                f_dt = flt.get("astype") or flt.get("dtype") or meta["dtype"]
-                if _np_v.dtype(f_dt) != _np_v.dtype(meta["dtype"]):
-                    raise ValueError(
-                        f"zarr v2 delta filter astype {f_dt!r} differs from "
-                        f"array dtype {meta['dtype']!r}: not supported"
+                        f"supported ({'/'.join(sorted(_V2_FILTERS))} "
+                        "decode natively)"
                     )
             shape = list(meta["shape"])
             chunks = list(meta["chunks"])
@@ -648,13 +636,14 @@ class ZarrReader(BaseReader):
                                 from intake_spark.compress import blosc_decompress
 
                                 raw = blosc_decompress(raw)
-                            flat_ = np.frombuffer(raw, dtype=np.dtype(dtype))
                             if v2_filters:
-                                # numcodecs delta: first value verbatim,
-                                # the rest first-differences -> cumsum
-                                flat_ = np.cumsum(
-                                    flat_.astype(np.dtype(dtype).newbyteorder("="))
-                                ).astype(np.dtype(dtype))
+                                flat_ = decode_zarr_v2_filters(
+                                    raw, v2_filters, dtype
+                                )
+                            else:
+                                flat_ = np.frombuffer(
+                                    raw, dtype=np.dtype(dtype)
+                                )
                             arr = _unt(flat_)
                         else:
                             arr = np.full(chunks, fill, dtype=np.dtype(dtype))
@@ -685,6 +674,63 @@ class ZarrReader(BaseReader):
                 yield pd.DataFrame(out, columns=["chunk_id", "offset0", "shape", "values"])
 
         return mdf.mapInPandas(decode, schema=CHUNK_SCHEMA)
+
+
+_V2_FILTERS = {"delta", "shuffle", "fixedscaleoffset", "astype", "quantize"}
+
+
+def decode_zarr_v2_filters(raw: bytes, filters: list, arr_dtype) -> "object":
+    """Invert a zarr v2 (numcodecs) filter chain on one decompressed
+    chunk: filters apply first-to-last on encode, so decode walks them
+    LAST to first, passing byte buffers between stages exactly like
+    numcodecs (each decode views the buffer as the filter's ``astype``
+    wire type and emits its ``dtype``):
+
+    - ``delta``: cumsum accumulated in ``dtype`` (first value verbatim);
+    - ``shuffle``: inverse byte-plane shuffle at ``elementsize``;
+    - ``fixedscaleoffset``: x = enc / scale + offset;
+    - ``astype``: view ``encode_dtype`` -> cast ``decode_dtype``;
+    - ``quantize``: precision was dropped at encode; decode is the cast.
+
+    Pure function (unit-testable without Spark); runs inside the
+    ZarrReader executor decode."""
+    import numpy as np
+
+    data = raw
+    for f in reversed(list(filters)):
+        f = f or {}
+        fid = f.get("id")
+        if fid == "shuffle":
+            es = int(f.get("elementsize", 4))
+            b = np.frombuffer(data, dtype=np.uint8)
+            if es > 1:
+                if b.size % es:
+                    raise ValueError(
+                        f"shuffle filter: {b.size} bytes not a multiple "
+                        f"of elementsize {es}"
+                    )
+                b = np.ascontiguousarray(b.reshape(es, -1).T).reshape(-1)
+            data = b.tobytes()
+            continue
+        if fid == "astype":
+            enc = np.dtype(f["encode_dtype"])
+            dec = np.dtype(f["decode_dtype"])
+            data = np.frombuffer(data, enc).astype(dec).tobytes()
+            continue
+        dt = np.dtype(f.get("dtype") or arr_dtype)
+        at = np.dtype(f.get("astype") or dt)
+        vals = np.frombuffer(data, at)
+        if fid == "delta":
+            out = np.empty(vals.shape, dtype=dt)
+            np.cumsum(vals, out=out)
+        elif fid == "fixedscaleoffset":
+            out = (vals / f["scale"] + f["offset"]).astype(dt)
+        elif fid == "quantize":
+            out = vals.astype(dt)
+        else:
+            raise ValueError(f"zarr v2 filter {fid!r} not supported")
+        data = out.tobytes()
+    return np.frombuffer(data, dtype=np.dtype(arr_dtype))
 
 
 def zarr_group_catalog(url: str, component: str | None = None):

@@ -1873,40 +1873,100 @@ def test_zarr_v2_delta_filter(spark, tmp_path):
     got = np.concatenate([np.array(r.values) for r in rows])
     np.testing.assert_array_equal(got, arr)
 
-    meta["filters"] = [{"id": "fixedscaleoffset"}]
+    meta["filters"] = [{"id": "packbits"}]
     with open(f"{root}/.zarray", "w") as f:
         json.dump(meta, f)
     import pytest as _pytest
 
-    with _pytest.raises(Exception, match="fixedscaleoffset"):
+    with _pytest.raises(Exception, match="packbits"):
         ZarrReader(data=dt.Zarr(url=root)).read(spark=spark).collect()
 
 
-def test_zarr_v2_delta_astype_mismatch_is_loud(spark, tmp_path):
+def test_zarr_v2_delta_astype_decodes(spark, tmp_path):
     """Delta with an astype differing from the array dtype stores the
-    differences in astype on disk; a same-width mismatch (<i8 vs <f8)
-    would decode to silently wrong values, so it must raise by name."""
+    differences in astype on disk (numcodecs views the buffer as astype
+    and cumsums into dtype) — r10 decodes this instead of gating it."""
     import json
     import os
     import zlib
 
     import numpy as np
-    import pytest
 
     from intake_spark import datatypes as dt
     from intake_spark.readers import ZarrReader
 
+    arr = np.array([100, 103, 109, 118], dtype="<i8")
+    enc = np.diff(arr, prepend=0).astype("<f4")
+    enc[0] = arr[0]
     root = str(tmp_path / "m.zarr")
     os.makedirs(root)
     meta = {
         "zarr_format": 2, "shape": [4], "chunks": [4], "dtype": "<i8",
         "order": "C", "fill_value": 0,
         "compressor": {"id": "zlib", "level": 5},
-        "filters": [{"id": "delta", "dtype": "<i8", "astype": "<f8"}],
+        "filters": [{"id": "delta", "dtype": "<i8", "astype": "<f4"}],
     }
     with open(f"{root}/.zarray", "w") as f:
         json.dump(meta, f)
     with open(f"{root}/0", "wb") as f:
-        f.write(zlib.compress(np.zeros(4, "<f8").tobytes()))
-    with pytest.raises(Exception, match="astype"):
-        ZarrReader(data=dt.Zarr(url=root)).read(spark=spark).collect()
+        f.write(zlib.compress(enc.tobytes()))
+    df = ZarrReader(data=dt.Zarr(url=root)).read(spark=spark)
+    got = np.array(df.collect()[0].values)
+    np.testing.assert_array_equal(got, arr)
+
+
+def test_zarr_v2_filter_chain_pure():
+    """decode_zarr_v2_filters inverts numcodecs filter chains buffer-
+    for-buffer (no Spark needed): shuffle, fixedscaleoffset, astype,
+    quantize, delta — alone and chained in encode order."""
+    import numpy as np
+
+    from intake_spark.readers import decode_zarr_v2_filters as dec
+
+    # shuffle: byte-plane grouping at elementsize
+    arr = np.arange(12, dtype="<i4") * 1000 + 7
+    raw = arr.tobytes()
+    shuffled = bytes(
+        np.frombuffer(raw, np.uint8).reshape(-1, 4).T.reshape(-1)
+    )
+    out = dec(shuffled, [{"id": "shuffle", "elementsize": 4}], "<i4")
+    np.testing.assert_array_equal(out, arr)
+
+    # fixedscaleoffset: enc = round((x - offset) * scale) as astype
+    x = np.array([1000.5, 1001.25, 1002.0], dtype="<f8")
+    f = {"id": "fixedscaleoffset", "offset": 1000.0, "scale": 4,
+         "dtype": "<f8", "astype": "<i1"}
+    enc = np.round((x - 1000.0) * 4).astype("<i1").tobytes()
+    np.testing.assert_allclose(dec(enc, [f], "<f8"), x)
+
+    # astype: stored in encode_dtype, restored to decode_dtype
+    y = np.array([1, 2, 300], dtype="<i8")
+    f = {"id": "astype", "encode_dtype": "<i2", "decode_dtype": "<i8"}
+    np.testing.assert_array_equal(
+        dec(y.astype("<i2").tobytes(), [f], "<i8"), y
+    )
+
+    # quantize decode is the cast back to dtype
+    q = np.array([0.5, 0.25], dtype="<f4")
+    f = {"id": "quantize", "digits": 2, "dtype": "<f8", "astype": "<f4"}
+    np.testing.assert_allclose(dec(q.tobytes(), [f], "<f8"),
+                               q.astype("<f8"))
+
+    # chain [delta, shuffle]: encode applies delta THEN shuffle, decode
+    # walks back shuffle -> delta
+    a = (np.arange(8, dtype="<i4") * 3 + 50)
+    d = np.diff(a, prepend=0).astype("<i4")
+    d[0] = a[0]
+    raw = d.tobytes()
+    shuffled = bytes(
+        np.frombuffer(raw, np.uint8).reshape(-1, 4).T.reshape(-1)
+    )
+    chain = [{"id": "delta", "dtype": "<i4"},
+             {"id": "shuffle", "elementsize": 4}]
+    np.testing.assert_array_equal(dec(shuffled, chain, "<i4"), a)
+
+    # misaligned shuffle buffer is loud
+    import pytest as _p
+
+    with _p.raises(ValueError, match="elementsize"):
+        dec(b"12345", [{"id": "shuffle", "elementsize": 4}], "<i4")
