@@ -4199,3 +4199,82 @@ def q137_array_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p_ in parts[1:]:
         out = out.unionByName(p_)
     return out
+
+
+@register(
+    "q138_iceberg_roundtrip",
+    """
+    WITH d AS (SELECT i, (i * 47 + 19) % 193 AS v,
+                      CASE WHEN i % 2 = 0 THEN 'even' ELSE 'odd' END AS part
+               FROM unnest(generate_series(0, 2047)) t(i))
+    SELECT 'iceberg_latest' AS source, CAST(2048 AS BIGINT) AS n_values,
+           CAST(SUM(v) AS BIGINT) AS checksum
+    FROM d
+    UNION ALL
+    SELECT 'iceberg_snapshot0', CAST(1024 AS BIGINT),
+           CAST(SUM(CASE WHEN i < 1024 THEN v END) AS BIGINT)
+    FROM d
+    UNION ALL
+    SELECT 'iceberg_even_part', CAST(1024 AS BIGINT),
+           CAST(SUM(CASE WHEN i % 2 = 0 THEN v END) AS BIGINT)
+    FROM d
+    """,
+)
+def q138_iceberg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg end-to-end under a full-value oracle: a partitioned v1
+    table written with this repo's jar-free ``to_iceberg`` (identity
+    partition on a derived column, snapshot 0 overwrite + a second
+    append snapshot), read back through IcebergTableReader's stdlib
+    metadata -> manifest-list -> Avro-manifest walk at the LATEST
+    snapshot, via ``snapshot_id=`` time travel to snapshot 0, and with
+    a partition-pruned scan (the even partition only — manifests prune
+    before parquet IO). Lakehouse write + read + time travel + pruning
+    become driver-green. Reference surface: the iceberg-spark jar path
+    (reference readers.py SparkIceberg)."""
+    import os as _os
+    import tempfile as _tempfile
+
+    from intake_spark import datatypes as dtypes
+    from intake_spark.lakehouse import IcebergTableReader
+    from intake_spark.output import to_iceberg
+
+    root = _os.path.join(
+        _tempfile.mkdtemp(prefix="intake_spark_q138_"), "tbl"
+    )
+    base = spark.range(1024).selectExpr(
+        "id AS i", "CAST((id * 47 + 19) % 193 AS BIGINT) AS v",
+        "CASE WHEN id % 2 = 0 THEN 'even' ELSE 'odd' END AS part",
+    )
+    to_iceberg(base, root, mode="overwrite", partition_by=["part"])
+    extra = spark.range(1024, 2048).selectExpr(
+        "id AS i", "CAST((id * 47 + 19) % 193 AS BIGINT) AS v",
+        "CASE WHEN id % 2 = 0 THEN 'even' ELSE 'odd' END AS part",
+    )
+    to_iceberg(extra, root, mode="append", partition_by=["part"])
+
+    rdr = IcebergTableReader(data=dtypes.IcebergDataset(url=root))
+    full = rdr.read(spark=spark)
+    snap0_id = None
+    import json as _json
+
+    import glob as _glob
+
+    metas = sorted(_glob.glob(f"{root}/metadata/v*.metadata.json"))
+    with open(metas[0]) as f:
+        snap0_id = _json.load(f)["current-snapshot-id"]
+    snap0 = rdr.read(spark=spark, snapshot_id=snap0_id)
+    even = rdr.read(spark=spark).filter(F.col("part") == "even")
+
+    def agg(df, source):
+        return (
+            df.agg(F.count("*").cast("bigint").alias("n_values"),
+                   F.sum(F.col("v").cast("bigint")).alias("checksum"))
+            .select(F.lit(source).alias("source"), "n_values",
+                    F.col("checksum").cast("bigint"))
+        )
+
+    return (
+        agg(full, "iceberg_latest")
+        .unionByName(agg(snap0, "iceberg_snapshot0"))
+        .unionByName(agg(even, "iceberg_even_part"))
+    )
