@@ -4263,7 +4263,9 @@ def q138_iceberg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     with open(metas[0]) as f:
         snap0_id = _json.load(f)["current-snapshot-id"]
     snap0 = rdr.read(spark=spark, snapshot_id=snap0_id)
-    even = rdr.read(spark=spark).filter(F.col("part") == "even")
+    # filters= goes through the manifest partition tuples: files whose
+    # tuple proves no match are dropped BEFORE any parquet IO
+    even = rdr.read(spark=spark, filters=[("part", "==", "even")])
 
     def agg(df, source):
         return (
