@@ -4160,7 +4160,8 @@ def q137_array_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     np.save(npy, arr)
     chunks = NumpyArrayReader(data=dtypes.NumpyFile(url=npy)).read(
         spark=spark, rows_per_chunk=8
-    )
+    ).localCheckpoint()  # 3 sinks + 1 agg consume this tiny frame:
+    # compute the executor decode once, not once per action
     nc_desc = output.to_netcdf(chunks, _os.path.join(root, "a.nc"))
     h5_desc = output.to_hdf5(chunks, _os.path.join(root, "a.h5"))
     tif_desc = output.to_tiff(chunks, _os.path.join(root, "a.tif"))
