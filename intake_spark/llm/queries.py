@@ -4281,3 +4281,87 @@ def q138_iceberg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(agg(snap0, "iceberg_snapshot0"))
         .unionByName(agg(even, "iceberg_even_part"))
     )
+
+
+@register(
+    "q139_stream_guard_phash",
+    """
+    SELECT doc_id, CAST(2 * doc_id + 1 AS BIGINT) AS image_id,
+           CAST(4 AS INTEGER) AS n_dup_bands
+    FROM documents WHERE doc_id % 10 = 6
+    """,
+)
+def q139_stream_guard_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The perceptual-image INGESTION GUARD driver-visible: q132's
+    synthetic corpus (per sampled doc a PNG plus its 2*px+10 affine
+    twin, twin id = base id + 1) flows through
+    streaming.stream_phash_dup_flags — here in its deterministic batch
+    arm (min-id first-claim per pHash band bucket), which the test
+    suite proves row-for-row identical to the
+    applyInPandasWithState streaming arm. An image counts as a
+    DUPLICATE when ALL 4 pigeonhole bands were already claimed: every
+    affine twin is (Hamming distance 0 to its base, whose id is
+    smaller), while an accidental 16-bit band collision between
+    unrelated md5-noise images touches a single band — so the all-band
+    set equals the twin set exactly and the oracle is closed-form.
+    Image bytes never leave the executors; state is one long per
+    distinct band bucket."""
+    from intake_spark import streaming as stg
+    from intake_spark.session import ensure_py_deps
+
+    ensure_py_deps(spark)
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 10 == 6
+    )
+    id_field = docs.schema["doc_id"]
+    img_schema = T.StructType(
+        [
+            T.StructField("image_id", T.LongType(), False),
+            T.StructField("image", T.BinaryType(), False),
+        ]
+    )
+
+    def gen(batches):
+        # q132's twin generator (self-contained closure)
+        import hashlib
+
+        import numpy as np
+
+        from intake_spark.output import _png_bytes
+
+        def md5_image(seed, h=32, w=32):
+            need = h * w
+            buf = bytearray()
+            i = 0
+            while len(buf) < need:
+                buf += hashlib.md5(f"{seed}:{i}".encode()).digest()
+                i += 1
+            a = np.frombuffer(bytes(buf[:need]), dtype=np.uint8)
+            return (a % 101).astype(np.uint8).reshape(h, w)
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                base = md5_image(f"phash:{did}")
+                twin = (2 * base.astype(np.int64) + 10).astype(np.uint8)
+                rows.append((2 * int(did), _png_bytes(base.tolist())))
+                rows.append((2 * int(did) + 1, _png_bytes(twin.tolist())))
+            yield pd.DataFrame(rows, columns=["image_id", "image"])
+
+    par = spark.sparkContext.defaultParallelism
+    images = docs.select("doc_id").repartition(par).mapInPandas(
+        gen, img_schema
+    )
+    flags = stg.stream_phash_dup_flags(
+        images, id_col="image_id", image_col="image", bands=4
+    )
+    return (
+        flags.groupBy("id")
+        .agg(F.sum("is_dup_band").cast("int").alias("n_dup_bands"))
+        .filter(F.col("n_dup_bands") == 4)
+        .select(
+            ((F.col("id") - 1) / 2).cast(id_field.dataType).alias("doc_id"),
+            F.col("id").cast("bigint").alias("image_id"),
+            "n_dup_bands",
+        )
+    )
