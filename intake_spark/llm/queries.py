@@ -4360,7 +4360,8 @@ def q139_stream_guard_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("is_dup_band").cast("int").alias("n_dup_bands"))
         .filter(F.col("n_dup_bands") == 4)
         .select(
-            ((F.col("id") - 1) / 2).cast(id_field.dataType).alias("doc_id"),
+            F.expr("(id - 1) div 2").cast(id_field.dataType)
+            .alias("doc_id"),
             F.col("id").cast("bigint").alias("image_id"),
             "n_dup_bands",
         )

@@ -1487,7 +1487,8 @@ def dicom_bytes(frames, transfer_syntax: str = "1.2.840.10008.1.2.1") -> bytes:
 
     def el_short(group, elem, vr, val: bytes) -> bytes:
         if len(val) % 2:
-            val += b"\x00" if vr != b"UI" else b"\x00"
+            # PS3.5: string VRs pad with SPACE, UI (and binary) with NUL
+            val += b"\x00" if vr in (b"UI", b"UL", b"US") else b" "
         return struct.pack("<HH2sH", group, elem, vr, len(val)) + val
 
     meta = el_short(0x0002, 0x0010, b"UI", transfer_syntax.encode() + b"\x00"
