@@ -14,6 +14,10 @@ T.81 sampling factors with nearest upsample, line interleave (ILV 1:
 shared context statistics, per-component run index/line buffers), and
 sample interleave (ILV 2: runs gate on ALL components, interruption
 samples RItype=0 — the mode DICOM color JPEG-LS commonly uses).
+DRI/RSTm restart intervals work in ALL interleave modes at 1x1
+sampling (each interval an independent coding unit); restarts inside
+a subsampled interleaved scan stay a named gate (the line-count
+semantics are ambiguous there).
 
 Implementation notes (clause refs are T.87):
 - context modeling: 365 regular contexts from quantized gradients
@@ -357,11 +361,6 @@ def decode_jpegls(blob: bytes):
                     raise ValueError(
                         f"JPEG-LS multi-component scan with ILV {ilv}"
                     )
-                if ri:
-                    raise NotImplementedError(
-                        "JPEG-LS restart intervals inside interleaved "
-                        "scans are not supported"
-                    )
                 scan_cids = [seg[1 + 2 * j] for j in range(ns)]
                 for cid in scan_cids:
                     if cid not in dims:
@@ -378,24 +377,75 @@ def decode_jpegls(blob: bytes):
                         "JPEG-LS sample-interleaved (ILV 2) scan needs "
                         f"identical component dimensions, got {comp_dims}"
                     )
-                p = _Params(precision, near, maxval, t1, t2, t3, reset)
-                br = _BitReader(blob, pos + seg_len)
+                fmap = {cid_: (h_, v_) for cid_, h_, v_ in comps}
+                if ri and any(fmap[cid] != (1, 1) for cid in scan_cids):
+                    # with 1x1 factors a restart interval is simply ri
+                    # frame lines of every component; under subsampling
+                    # "lines" is ambiguous between line groups and
+                    # component lines — keep it a named gate
+                    raise NotImplementedError(
+                        "JPEG-LS restart intervals inside an interleaved "
+                        "scan with sampling factors are not supported"
+                    )
                 outs = [np.empty((h_, w_), dtype=np.int64)
                         for h_, w_ in comp_dims]
-                vmap = {cid_: v for cid_, _h, v in comps}
-                try:
-                    if ilv == 1:
-                        _decode_scan_ilv1(
-                            p, br, comp_dims, outs,
-                            [vmap[cid] for cid in scan_cids],
-                        )
+                vfac = [fmap[cid][1] for cid in scan_cids]
+                H_ = comp_dims[0][0]
+                start = pos + seg_len
+                step = ri if ri else max(H_, 1)
+                y0 = 0
+                m = 0
+                endpos = start
+                while y0 < H_ or (H_ == 0 and y0 == 0):
+                    rows = min(step, H_ - y0)
+                    # each interval decodes as an independent unit:
+                    # fresh modeling state, run indexes and line buffers
+                    p = _Params(precision, near, maxval, t1, t2, t3,
+                                reset)
+                    br = _BitReader(blob, start)
+                    if ri:
+                        # 1x1 factors guaranteed above: slice every
+                        # component plane by frame lines
+                        slc = [o_[y0 : y0 + rows] for o_ in outs]
+                        sdims = [(rows, w_) for _h, w_ in comp_dims]
                     else:
-                        _decode_scan_ilv2(p, br, comp_dims[0], outs)
-                except IndexError as exc:
-                    raise ValueError("corrupt JPEG-LS scan data") from exc
+                        # single interval: full (possibly subsampled)
+                        # per-component dims
+                        slc = outs
+                        sdims = comp_dims
+                    try:
+                        if ilv == 1:
+                            _decode_scan_ilv1(p, br, sdims, slc, vfac)
+                        else:
+                            _decode_scan_ilv2(p, br, sdims[0], slc)
+                    except IndexError as exc:
+                        raise ValueError(
+                            "corrupt JPEG-LS scan data"
+                        ) from exc
+                    y0 += rows
+                    endpos = br.pos
+                    if y0 >= H_:
+                        break
+                    # between intervals: the RSTm marker, m cycling 0..7
+                    j = br.pos
+                    while j + 1 < len(blob) and not (
+                        blob[j] == 0xFF and 0xD0 <= blob[j + 1] <= 0xD7
+                    ):
+                        j += 1
+                    if j + 1 >= len(blob):
+                        raise ValueError(
+                            "JPEG-LS restart marker missing after interval"
+                        )
+                    if blob[j + 1] != 0xD0 + (m % 8):
+                        raise ValueError(
+                            f"JPEG-LS restart marker out of sequence: got "
+                            f"0xFF{blob[j + 1]:02X}, expected 0xFFD{m % 8}"
+                        )
+                    m += 1
+                    start = j + 2
                 for cid, o_ in zip(scan_cids, outs):
                     decoded[cid] = o_
-                j = br.pos
+                j = endpos
                 while j + 1 < len(blob) and not (
                     blob[j] == 0xFF and blob[j + 1] >= 0x80
                 ):
@@ -1113,9 +1163,10 @@ def encode_jpegls(img, near: int = 0, sampling=None,
         raise ValueError(f"ilv must be 0, 1 or 2, got {ilv}")
     if ilv and nc == 1:
         ilv = 0  # a single component is always one ILV-0 scan
-    if ilv and restart_interval:
+    if ilv and restart_interval and any(f != (1, 1) for f in fac):
         raise NotImplementedError(
-            "restart intervals inside interleaved scans are not supported"
+            "restart intervals inside an interleaved scan with sampling "
+            "factors are not supported"
         )
     if ilv == 2 and len({c.shape for c in comps}) != 1:
         raise ValueError(
@@ -1133,14 +1184,21 @@ def encode_jpegls(img, near: int = 0, sampling=None,
         for i in range(nc):
             head += struct.pack(">BB", i + 1, 0)
         head += struct.pack(">BBB", near, ilv, 0)
-        p = _Params(precision, near)
-        if ilv == 1:
-            data = _encode_scan_ilv1(p, comps, [v for _h, v in fac])
-        else:
-            data = _encode_scan_ilv2(p, comps)
-        if data.endswith(b"\xff"):
-            data += b"\x00"
-        head += data
+        step = restart_interval if restart_interval else H
+        m = 0
+        for y0 in range(0, max(H, 1), max(step, 1)):
+            if y0:
+                head += bytes((0xFF, 0xD0 + m % 8))
+                m += 1
+            p = _Params(precision, near)
+            sub = [c[y0 : y0 + step] for c in comps]
+            if ilv == 1:
+                data = _encode_scan_ilv1(p, sub, [v for _h, v in fac])
+            else:
+                data = _encode_scan_ilv2(p, sub)
+            if data.endswith(b"\xff"):
+                data += b"\x00"
+            head += data
         return bytes(head) + b"\xff\xd9"
     for i, c in enumerate(comps):
         head += b"\xff\xda" + struct.pack(">HB", 6 + 2, 1)

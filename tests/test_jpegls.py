@@ -374,17 +374,47 @@ def test_jpegls_ilv1_with_sampling_factors():
 
 
 def test_jpegls_ilv_gates():
-    """Restart intervals inside interleaved scans and mismatched ILV-2
-    dimensions stay loud; reserved ILV values are invalid."""
+    """Restart intervals inside interleaved scans with SAMPLING factors
+    and mismatched ILV-2 dimensions stay loud; reserved ILV values are
+    invalid."""
     img = np.zeros((8, 8, 3), dtype=np.uint8)
-    with pytest.raises(NotImplementedError, match="restart"):
-        encode_jpegls(img, ilv=1, restart_interval=4)
     with pytest.raises(ValueError, match="ilv"):
         encode_jpegls(img, ilv=3)
     y = np.zeros((8, 8), dtype=np.uint8)
     c = np.zeros((4, 4), dtype=np.uint8)
     with pytest.raises(ValueError, match="identical"):
         encode_jpegls([y, c, c], sampling=[(2, 2), (1, 1), (1, 1)], ilv=2)
+    with pytest.raises(NotImplementedError, match="restart"):
+        encode_jpegls([y, c, c], sampling=[(2, 2), (1, 1), (1, 1)],
+                      ilv=1, restart_interval=2)
+
+
+def test_jpegls_ilv_restart_intervals():
+    """DRI/RSTm inside interleaved scans (1x1 factors): every interval
+    is an independently coded unit — fresh modeling state, run indexes
+    and line buffers — across both interleave modes, lossless and
+    near-lossless, run-heavy and noisy content."""
+    rng = np.random.default_rng(77)
+    for ilv in (1, 2):
+        for ri_ in (1, 2, 5):
+            for near in (0, 2):
+                img = rng.integers(0, 256, (11, 7, 3), dtype=np.uint8)
+                blob = encode_jpegls(img, near=near, ilv=ilv,
+                                     restart_interval=ri_)
+                back = decode_jpegls(blob)
+                err = np.abs(back.astype(int) - img.astype(int)).max()
+                assert err <= near, (ilv, ri_, near, err)
+    img = np.full((9, 30, 3), 55, np.uint8)
+    img[:, 20:, :] = 200
+    for ilv in (1, 2):
+        blob = encode_jpegls(img, ilv=ilv, restart_interval=2)
+        np.testing.assert_array_equal(decode_jpegls(blob), img)
+        # an out-of-sequence restart marker is loud
+        i = blob.find(b"\xff\xd0")
+        bad = bytearray(blob)
+        bad[i + 1] = 0xD5
+        with pytest.raises(ValueError, match="out of sequence"):
+            decode_jpegls(bytes(bad))
 
 
 def test_dicom_color_jpegls_ilv2(spark, tmp_path):
