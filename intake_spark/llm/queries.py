@@ -4260,7 +4260,16 @@ def q138_iceberg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     import glob as _glob
 
-    metas = sorted(_glob.glob(f"{root}/metadata/v*.metadata.json"))
+    import re as _re
+
+    # numeric version sort: lexicographic would read v10 before v2 once
+    # a table accumulates 10+ metadata versions
+    metas = sorted(
+        _glob.glob(f"{root}/metadata/v*.metadata.json"),
+        key=lambda p: int(
+            _re.search(r"v(\d+)\.metadata", _os.path.basename(p)).group(1)
+        ),
+    )
     with open(metas[0]) as f:
         snap0_id = _json.load(f)["current-snapshot-id"]
     snap0 = rdr.read(spark=spark, snapshot_id=snap0_id)

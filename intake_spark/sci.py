@@ -1491,10 +1491,37 @@ def dicom_bytes(frames, transfer_syntax: str = "1.2.840.10008.1.2.1") -> bytes:
             val += b"\x00" if vr in (b"UI", b"UL", b"US") else b" "
         return struct.pack("<HH2sH", group, elem, vr, len(val)) + val
 
-    meta = el_short(0x0002, 0x0010, b"UI", transfer_syntax.encode() + b"\x00"
-                    if len(transfer_syntax) % 2 else transfer_syntax.encode())
+    def el_long(group, elem, vr, val: bytes) -> bytes:
+        # explicit-VR long form (OB/OW/...): 2 reserved bytes + 4-byte len
+        if len(val) % 2:
+            val += b"\x00"
+        return struct.pack("<HH2sHI", group, elem, vr, 0, len(val)) + val
+
+    # SOP Class: Secondary Capture Image Storage (PS3.6 standard UID);
+    # SOP Instance: the registration-free "2.25." + decimal-UUID form
+    # (ITU-T X.667 / PS3.5 B.2), derived deterministically from the pixel
+    # content so repeated writes of the same frames are byte-identical.
+    import uuid as _uuid
+
+    sop_class = b"1.2.840.10008.5.1.4.1.1.7"
+    content_id = _uuid.uuid5(
+        _uuid.NAMESPACE_URL,
+        "intake-spark-dicom:" + ",".join(
+            str(int(x)) for f in frames for x in f.ravel()[:64]
+        ) + f":{h}x{w}x{len(frames)}:{transfer_syntax}",
+    )
+    sop_inst = f"2.25.{content_id.int}".encode()
+
+    # file meta group (PS3.10 7.1): mandatory (0002,0001..0003,0010),
+    # ascending element order, group length first
+    meta = el_long(0x0002, 0x0001, b"OB", b"\x00\x01")
+    meta += el_short(0x0002, 0x0002, b"UI", sop_class)
+    meta += el_short(0x0002, 0x0003, b"UI", sop_inst)
+    meta += el_short(0x0002, 0x0010, b"UI", transfer_syntax.encode())
     meta = el_short(0x0002, 0x0000, b"UL", struct.pack("<I", len(meta))) + meta
-    ds = el_short(0x0008, 0x0060, b"CS", b"OT")
+    ds = el_short(0x0008, 0x0016, b"UI", sop_class)
+    ds += el_short(0x0008, 0x0018, b"UI", sop_inst)
+    ds += el_short(0x0008, 0x0060, b"CS", b"OT")
     ds += el_short(0x0028, 0x0002, b"US", struct.pack("<H", spp))
     if len(frames) > 1:
         ds += el_short(0x0028, 0x0008, b"IS", str(len(frames)).encode())

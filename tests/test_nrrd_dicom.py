@@ -341,3 +341,63 @@ def test_dicom_bytes_writer_roundtrip(spark, tmp_path):
     np.testing.assert_array_equal(got.reshape(5, 6), g)
     with _pytest.raises(ValueError, match="transfer syntax"):
         dicom_bytes([g], transfer_syntax="1.2.840.10008.1.2.4.50")
+
+
+def test_dicom_bytes_mandatory_file_meta():
+    """PS3.10 7.1 mandatory group-0002 elements are present, ascending,
+    and inside the declared group length; SOP Class/Instance UIDs match
+    between file meta and dataset; the instance UID is the
+    registration-free 2.25.<decimal-uuid> form, deterministic per
+    content (same frames -> byte-identical file)."""
+    from intake_spark.sci import dicom_bytes
+
+    f = (np.arange(20) % 7).astype(np.uint16).reshape(4, 5)
+    blob = dicom_bytes([f])
+    assert blob == dicom_bytes([f])  # deterministic
+    body = blob[132:]
+    # group length element
+    grp, el, vr, ln = struct.unpack("<HH2sH", body[:8])
+    assert (grp, el, vr) == (0x0002, 0x0000, b"UL")
+    (meta_len,) = struct.unpack("<I", body[8:12])
+    pos, elems = 12, []
+    while pos < 12 + meta_len:
+        grp, el, vr = struct.unpack("<HH2s", body[pos : pos + 6])
+        assert grp == 0x0002
+        if vr in (b"OB", b"OW", b"SQ", b"UN"):
+            (ln,) = struct.unpack("<I", body[pos + 8 : pos + 12])
+            val = body[pos + 12 : pos + 12 + ln]
+            pos += 12 + ln
+        else:
+            (ln,) = struct.unpack("<H", body[pos + 6 : pos + 8])
+            val = body[pos + 8 : pos + 8 + ln]
+            pos += 8 + ln
+        elems.append((el, vr, val))
+    tags = [e[0] for e in elems]
+    assert tags == sorted(tags)
+    d = {e[0]: e for e in elems}
+    assert d[0x0001][2] == b"\x00\x01"  # FileMetaInformationVersion
+    sop_class = d[0x0002][2].rstrip(b"\x00")
+    sop_inst = d[0x0003][2].rstrip(b"\x00")
+    assert sop_class == b"1.2.840.10008.5.1.4.1.1.7"
+    assert sop_inst.startswith(b"2.25.") and len(sop_inst) <= 64
+    assert d[0x0010][2].rstrip(b"\x00") == b"1.2.840.10008.1.2.1"
+    # dataset repeats the SOP pair (0008,0016)/(0008,0018)
+    rest = body[12 + meta_len :]
+    assert el_value(rest, 0x0008, 0x0016).rstrip(b"\x00") == sop_class
+    assert el_value(rest, 0x0008, 0x0018).rstrip(b"\x00") == sop_inst
+
+
+def el_value(buf: bytes, group: int, elem: int) -> bytes:
+    """Scan an explicit-VR-LE element stream for (group,elem)."""
+    pos = 0
+    while pos + 8 <= len(buf):
+        g, e, vr = struct.unpack("<HH2s", buf[pos : pos + 6])
+        if vr in (b"OB", b"OW", b"SQ", b"UN"):
+            (ln,) = struct.unpack("<I", buf[pos + 8 : pos + 12])
+            val, pos = buf[pos + 12 : pos + 12 + ln], pos + 12 + ln
+        else:
+            (ln,) = struct.unpack("<H", buf[pos + 6 : pos + 8])
+            val, pos = buf[pos + 8 : pos + 8 + ln], pos + 8 + ln
+        if (g, e) == (group, elem):
+            return val
+    raise KeyError((hex(group), hex(elem)))
