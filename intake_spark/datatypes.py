@@ -415,6 +415,23 @@ def recommend(
     candidate outright; if the head looks compressed, detection recurses on
     the decompressed head (datatypes.py:2028-2043).
     """
+    return [c for c, _, _ in recommend_scored(url, mime, head, storage_options)]
+
+
+def recommend_scored(
+    url: str | None = None,
+    mime: str | None = None,
+    head: bytes | None = None,
+    storage_options: dict | None = None,
+    _via_prefix: str = "",
+) -> list[tuple[type[BaseData], float, str]]:
+    """:func:`recommend` with its evidence exposed: ranked
+    ``(datatype_class, score, via)`` triples, where ``via`` names the
+    signals that contributed ('magic', 'pattern', 'mime', joined by '+',
+    prefixed 'compressed:'/'container:' when detection recursed through a
+    compression wrapper or zip container). The distributed corpus triage
+    (:func:`recommend_corpus`) records this per file so cluster-propagated
+    verdicts stay auditable."""
     if head is None and url is not None and "://" not in url:
         try:
             with open(url, "rb") as f:
@@ -428,7 +445,10 @@ def recommend(
                 try:
                     inner = _decompress_head(head, codec)
                     inner_url = re.sub(rf"\.({codec}|gz|bz2|zst|lz4)$", "", url or "")
-                    return recommend(inner_url or None, mime=None, head=inner)
+                    return recommend_scored(
+                        inner_url or None, mime=None, head=inner,
+                        _via_prefix=f"compressed:{codec}:",
+                    )
                 except Exception:
                     # codec recognized but not decodable here (zstd/lz4):
                     # score by pattern/mime alone — running _head_ok on the
@@ -447,29 +467,40 @@ def recommend(
                 with zipfile.ZipFile(url if "://" not in url else io.BytesIO(head)) as z:
                     members = z.namelist()
                 if members:
-                    return recommend(members[0], mime=None, head=None)
+                    return recommend_scored(
+                        members[0], mime=None, head=None,
+                        _via_prefix="container:zip:",
+                    )
             except Exception:
                 pass
 
-    scores: dict[type[BaseData], float] = {}
+    scores: dict[type[BaseData], tuple[float, str]] = {}
     for cls in datatypes():
-        score = 0.0
+        score, via = 0.0, []
         if head:
             for m in cls.magic:
                 if _magic_matches(m, head):
                     score += _MAGIC_SCORE
+                    via.append("magic")
                     break
         if url and cls.filepattern and re.search(cls.filepattern, url.lower()):
             score += _PATTERN_SCORE
+            via.append("pattern")
         if mime and cls.mimetypes and re.fullmatch(cls.mimetypes, mime):
             score += _MIME_SCORE
+            via.append("mime")
         if score > 0 and head is not None:
             ok = getattr(cls, "_head_ok", None)
             if ok is not None and not ok(head):
                 continue
         if score > 0:
-            scores[cls] = score
-    return [c for c, _ in sorted(scores.items(), key=lambda kv: (-kv[1], kv[0].__name__))]
+            scores[cls] = (score, _via_prefix + "+".join(via))
+    return [
+        (c, s, v)
+        for c, (s, v) in sorted(
+            scores.items(), key=lambda kv: (-kv[1][0], kv[0].__name__)
+        )
+    ]
 
 
 def _decompress_head(head: bytes, codec: str) -> bytes:
@@ -484,3 +515,173 @@ def _decompress_head(head: bytes, codec: str) -> bytes:
 
         return bz2.BZ2Decompressor().decompress(head, conf["head_bytes"])
     raise ValueError(f"cannot decompress {codec} head")
+
+
+def recommend_corpus(
+    spark,
+    source,
+    head_bytes: int = 65536,
+    samples_per_cluster: int = 4,
+    cache_path: str | None = None,
+):
+    """Distributed corpus-scale datatype triage: :func:`recommend` over
+    millions of files with every byte read happening ON EXECUTORS.
+
+    The driver-side ``recommend`` is the right tool for one URL; pointed
+    at a lake it becomes the 100 TB detection bottleneck (SURVEY §7: one
+    driver ``open()`` per file). This operator implements the prescribed
+    mitigation — batch the sniffing, sample per cluster, cache verdicts:
+
+    1. ``source`` supplies the file listing: a directory root (walked
+       driver-side — a pure-metadata operation; for object stores pass
+       the bucket INVENTORY as a DataFrame with a ``path`` column or a
+       plain list instead), never the file bytes.
+    2. Files cluster by ``(dir, ext)`` — the homogeneity unit of real
+       lakes. ``samples_per_cluster`` members per cluster (deterministic:
+       lowest ``xxhash64(path)``) are head-sniffed via ``mapInPandas``:
+       each task opens its own files, reads ``head_bytes``, and runs
+       :func:`recommend_scored` — heads never cross the wire, the driver
+       reads nothing.
+    3. A cluster whose samples agree unanimously propagates the verdict
+       to its remaining members without opening them (``via='cluster'``);
+       a disputed or undetectable cluster falls back to sniffing every
+       member, so mixed directories stay per-file exact.
+    4. ``cache_path`` (parquet) persists verdicts across runs: already-
+       cached paths are never re-opened, new verdicts are appended — the
+       registry the catalog layer reuses.
+
+    Returns a DataFrame ``(path, dir, ext, datatype, score, via)`` where
+    ``datatype`` is the top-ranked class name (null when nothing claims
+    the file), ``score`` the recommend score (null for propagated rows),
+    and ``via`` the evidence trail ('magic'/'pattern'/'mime' combinations,
+    'compressed:<codec>:…' for wrapper recursion, 'cluster' for
+    propagated verdicts).
+
+    Reference surface: ``recommend`` (reference datatypes.py:1886-2045)
+    is single-URL only; this distributed form is the rebuild's
+    scale-mandated extension (SURVEY.md §7's detection plan).
+    """
+    import os
+
+    from pyspark.sql import DataFrame, Window
+    from pyspark.sql import functions as F
+
+    from intake_spark.session import ensure_py_deps
+
+    # BEFORE any mapInPandas wrap: pyspark snapshots the py-includes list
+    # at UDF wrap time, so executors must already have the package
+    ensure_py_deps(spark)
+
+    if isinstance(source, DataFrame):
+        listing = source.select(F.col("path").cast("string"))
+    elif isinstance(source, str):
+        paths = []
+        for r, _, files in os.walk(source):
+            paths.extend(os.path.join(r, f) for f in files)
+        listing = spark.createDataFrame([(p,) for p in paths], "path string")
+    else:
+        listing = spark.createDataFrame([(p,) for p in source], "path string")
+
+    base = listing.select(
+        "path",
+        F.regexp_replace("path", "/[^/]*$", "").alias("dir"),
+        F.lower(
+            F.regexp_extract(F.element_at(F.split("path", "/"), -1),
+                             r"\.(.*)$", 1)
+        ).alias("ext"),
+    )
+
+    verdict_schema = (
+        "path string, dir string, ext string, "
+        "datatype string, score double, via string"
+    )
+    _head_n = int(head_bytes)
+
+    def _sniff(batches):
+        import pandas as pd
+
+        from intake_spark.datatypes import recommend_scored
+
+        for pdf in batches:
+            rows = []
+            for p, d_, e_ in zip(pdf["path"], pdf["dir"], pdf["ext"]):
+                head = None
+                if "://" not in p:
+                    try:
+                        with open(p, "rb") as f:
+                            head = f.read(_head_n)
+                    except OSError:
+                        head = None
+                ranked = recommend_scored(p, head=head)
+                if ranked:
+                    c, s, v = ranked[0]
+                    rows.append((p, d_, e_, c.__name__, float(s), v))
+                else:
+                    rows.append((p, d_, e_, None, None, "none"))
+            yield pd.DataFrame(
+                rows,
+                columns=["path", "dir", "ext", "datatype", "score", "via"],
+            )
+
+    cached = None
+    if cache_path and os.path.exists(cache_path):
+        cached = (
+            spark.read.parquet(cache_path)
+            .select("path", "datatype", "score", "via")
+            .dropDuplicates(["path"])
+            .join(base, "path")  # keep only listed paths, reattach keys
+            .select("path", "dir", "ext", "datatype", "score", "via")
+        )
+        todo = base.join(cached.select("path"), "path", "left_anti")
+    else:
+        todo = base
+
+    def _distribute(df):
+        # enough partitions that a million-file sniff spreads evenly,
+        # keyed by path so retries are deterministic
+        n = max(spark.sparkContext.defaultParallelism * 4, 8)
+        return df.repartition(n, "path")
+
+    w = Window.partitionBy("dir", "ext").orderBy(F.xxhash64("path"), "path")
+    ranked = todo.withColumn("_rn", F.row_number().over(w))
+    sampled = ranked.filter(F.col("_rn") <= samples_per_cluster).drop("_rn")
+    rest = ranked.filter(F.col("_rn") > samples_per_cluster).drop("_rn")
+
+    sampled_v = _distribute(sampled).mapInPandas(_sniff, verdict_schema)
+
+    consensus = sampled_v.groupBy("dir", "ext").agg(
+        F.count_distinct("datatype").alias("_n_dt"),
+        F.sum(F.when(F.col("datatype").isNull(), 1).otherwise(0))
+        .alias("_n_null"),
+        F.min("datatype").alias("_dt"),
+    )
+    unanimous = consensus.filter(
+        (F.col("_n_dt") == 1) & (F.col("_n_null") == 0)
+    ).select("dir", "ext", "_dt")
+
+    propagated = rest.join(unanimous, ["dir", "ext"]).select(
+        "path", "dir", "ext",
+        F.col("_dt").alias("datatype"),
+        F.lit(None).cast("double").alias("score"),
+        F.lit("cluster").alias("via"),
+    )
+    disputed = rest.join(unanimous.select("dir", "ext"),
+                         ["dir", "ext"], "left_anti")
+    disputed_v = _distribute(disputed).mapInPandas(_sniff, verdict_schema)
+
+    fresh = sampled_v.unionByName(propagated).unionByName(disputed_v)
+    if cache_path:
+        # append the new verdicts (eager action: the sniff runs exactly
+        # once), then answer purely from the registry — the returned
+        # frame never recomputes a sniff, and old + new rows can't be
+        # double-counted by a lazy re-list of the just-appended files
+        fresh.select("path", "datatype", "score", "via").write.mode(
+            "append"
+        ).parquet(cache_path)
+        return (
+            spark.read.parquet(cache_path)
+            .dropDuplicates(["path"])
+            .join(base, "path")  # drop verdicts for vanished paths
+            .select("path", "dir", "ext", "datatype", "score", "via")
+        )
+    return fresh if cached is None else fresh.unionByName(cached)

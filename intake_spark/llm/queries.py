@@ -4375,3 +4375,129 @@ def q139_stream_guard_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_dup_bands",
         )
     )
+
+
+_Q140_ROOT_CACHE: dict = {}
+
+
+def _q140_corpus_root(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per session per sf_dir) the q140 mixed-format corpus
+    tree: per sampled document six tiny files — csv, gzipped csv,
+    parquet, png, wav, npy — written ON EXECUTORS via mapInPandas into
+    per-format subdirectories. Deterministic content (pure function of
+    doc_id), so task retries are idempotent and bench repeats reuse the
+    tree. On a real cluster the tree would live on shared storage; in
+    local mode the shared tempdir plays that role."""
+    import os as _os
+    import tempfile as _tempfile
+
+    from intake_spark.session import ensure_py_deps
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    got = _Q140_ROOT_CACHE.get(key)
+    if got is not None and _os.path.isdir(got):
+        return got
+    ensure_py_deps(spark)
+    root = _tempfile.mkdtemp(prefix="intake_spark_q140_")
+    for sub in ("csv", "csvgz", "parquet", "png", "wav", "npy"):
+        _os.makedirs(_os.path.join(root, sub), exist_ok=True)
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") % 10 == 4) & (F.col("doc_id") < 12000))
+        .select("doc_id")
+    )
+
+    def write_files(batches):
+        import gzip as _gzip
+        import io as _io
+        import wave as _wave
+
+        import numpy as _np
+        import pyarrow as _pa
+        import pyarrow.parquet as _pq
+
+        from intake_spark.output import _png_bytes
+
+        for pdf in batches:
+            n = 0
+            for did in pdf["doc_id"]:
+                did = int(did)
+                csv = f"a,b\n{did},2\n".encode()
+                with open(f"{root}/csv/doc_{did}.csv", "wb") as f:
+                    f.write(csv)
+                with open(f"{root}/csvgz/doc_{did}.csv.gz", "wb") as f:
+                    f.write(_gzip.compress(csv, mtime=0))
+                _pq.write_table(
+                    _pa.table({"doc_id": [did]}),
+                    f"{root}/parquet/doc_{did}.parquet",
+                )
+                img = ((_np.arange(64) + did) % 11).astype(
+                    _np.uint8).reshape(8, 8)
+                with open(f"{root}/png/doc_{did}.png", "wb") as f:
+                    f.write(_png_bytes(img.tolist()))
+                bio = _io.BytesIO()
+                with _wave.open(bio, "wb") as w:
+                    w.setnchannels(1)
+                    w.setsampwidth(2)
+                    w.setframerate(8000)
+                    w.writeframes(
+                        ((_np.arange(16) + did) % 97).astype("<i2").tobytes()
+                    )
+                with open(f"{root}/wav/doc_{did}.wav", "wb") as f:
+                    f.write(bio.getvalue())
+                _np.save(f"{root}/npy/doc_{did}.npy",
+                         (_np.arange(8) + did) % 13)
+                n += 1
+            yield pd.DataFrame({"n": [n]})
+
+    par = spark.sparkContext.defaultParallelism
+    docs.repartition(par).mapInPandas(write_files, "n long").agg(
+        F.sum("n")
+    ).collect()
+    _Q140_ROOT_CACHE[key] = root
+    return root
+
+
+@register(
+    "q140_corpus_triage",
+    """
+    WITH s AS (SELECT COUNT(*) AS n FROM documents
+               WHERE doc_id % 10 = 4 AND doc_id < 12000)
+    SELECT d.datatype,
+           CAST(d.mult * s.n AS BIGINT) AS n_files,
+           CAST(d.mult * LEAST(4, s.n) AS BIGINT) AS n_sniffed
+    FROM (VALUES ('CSV', 2), ('NumpyFile', 1), ('PNG', 1),
+                 ('Parquet', 1), ('WAV', 1)) AS d(datatype, mult)
+    CROSS JOIN s
+    """,
+)
+def q140_corpus_triage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed corpus-scale datatype detection driver-visible: a
+    mixed-format tree (six formats per sampled document, written
+    executor-side by :func:`_q140_corpus_root`) is triaged by
+    :func:`datatypes.recommend_corpus` — file heads are read and scored
+    ON EXECUTORS (mapInPandas over the listing; the driver never opens a
+    corpus file), verdicts cluster by (dir, ext) with
+    ``samples_per_cluster=4`` sniffs per homogeneous directory, and the
+    rollup oracle is closed-form: every format contributes exactly one
+    cluster of n files (CSV two: plain + the gzip-wrapped recursion), so
+    n_files = mult * n and n_sniffed = mult * min(4, n). The gzip CSVs
+    prove compression-wrapper recursion survives the distributed path;
+    the cluster rows (via='cluster') are exactly the never-opened files.
+    Reference surface: single-URL ``recommend`` (reference
+    datatypes.py:1886-2045); the distributed form is the SURVEY §7 scale
+    plan for detection over millions of files."""
+    from intake_spark.datatypes import recommend_corpus
+
+    root = _q140_corpus_root(spark, sf_dir)
+    rc = recommend_corpus(spark, root, samples_per_cluster=4)
+    return (
+        rc.groupBy("datatype")
+        .agg(
+            F.count("*").cast("bigint").alias("n_files"),
+            F.sum(F.when(F.col("via") != "cluster", 1).otherwise(0))
+            .cast("bigint").alias("n_sniffed"),
+        )
+        .select("datatype", "n_files", "n_sniffed")
+    )
