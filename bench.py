@@ -138,13 +138,58 @@ def main() -> None:
         # never sets it, so the published numbers always cover the suite
         pref = tuple(only.split(","))
         names = [n for n in names if n.startswith(pref)]
-    samples: dict[str, list[float]] = {n: [] for n in names}
-    for _ in range(repeats):
-        for name in names:
-            t0 = time.perf_counter()
-            df = queries[name](spark, sf_dir)
-            df.write.mode("overwrite").format("noop").save()
-            samples[name].append(time.perf_counter() - t0)
+
+    def _proc_stat() -> tuple[int, int]:
+        """(steal_ticks, total_ticks) from /proc/stat's cpu line — the
+        host-noise signal the r10 degraded-window adjudication sampled
+        manually (PERF.md r10)."""
+        try:
+            with open("/proc/stat") as f:
+                parts = f.readline().split()[1:]
+            vals = [int(x) for x in parts]
+            steal = vals[7] if len(vals) > 7 else 0
+            return steal, sum(vals)
+        except Exception:
+            return 0, 0
+
+    def measure(round_count: int) -> tuple[dict[str, list[float]], float]:
+        """One full interleaved measurement pass; returns (samples,
+        steal_pct over the pass)."""
+        s0, t0_ = _proc_stat()
+        out: dict[str, list[float]] = {n: [] for n in names}
+        for _ in range(round_count):
+            for name in names:
+                t0 = time.perf_counter()
+                df = queries[name](spark, sf_dir)
+                df.write.mode("overwrite").format("noop").save()
+                out[name].append(time.perf_counter() - t0)
+        s1, t1_ = _proc_stat()
+        steal_pct = (s1 - s0) / max(1, t1_ - t0_)
+        return out, steal_pct
+
+    samples, steal_pct = measure(repeats)
+
+    def _derive(smp):
+        t = {n: round(statistics.median(s), 4) for n, s in smp.items()}
+        sp = {
+            n: round((max(s) - min(s)) / statistics.median(s), 3)
+            if len(s) > 1 else 0.0
+            for n, s in smp.items()
+        }
+        sps = {
+            n: (
+                round((max(s[1:]) - min(s[1:])) / statistics.median(s[1:]), 3)
+                if len(s) > 2
+                else 0.0
+            )
+            for n, s in smp.items()
+        }
+        fre = {
+            n: round(s[0] - statistics.median(s), 4)
+            for n, s in smp.items()
+            if len(s) > 1 and s[0] - statistics.median(s) > 0.25
+        }
+        return t, sp, sps, fre
 
     if os.environ.get("SPARK_GRAFT_BENCH_DEBUG"):
         import sys as _sys
@@ -152,11 +197,6 @@ def main() -> None:
         for n in names:
             print(f"samples {n}: {[round(x, 3) for x in samples[n]]}",
                   file=_sys.stderr)
-    timings = {n: round(statistics.median(s), 4) for n, s in samples.items()}
-    spread = {
-        n: round((max(s) - min(s)) / statistics.median(s), 3) if len(s) > 1 else 0.0
-        for n, s in samples.items()
-    }
     # Round 1 pays whole-stage-codegen COMPILATION for each query's
     # generated class (Janino caches it for rounds 2+), so queries with
     # huge expression trees but tiny medians (q102's C4 rule stack:
@@ -165,27 +205,8 @@ def main() -> None:
     # (honest worst case) and `spread_steady` over rounds 2+ (engine
     # variance once compiled). The first-round excess itself is listed
     # so the compile cost stays visible instead of median-hidden.
-    spread_steady = {
-        n: (
-            round((max(s[1:]) - min(s[1:])) / statistics.median(s[1:]), 3)
-            if len(s) > 2
-            else 0.0
-        )
-        for n, s in samples.items()
-    }
-    first_run_excess = {
-        n: round(s[0] - statistics.median(s), 4)
-        for n, s in samples.items()
-        if len(s) > 1 and s[0] - statistics.median(s) > 0.25
-    }
+    timings, spread, spread_steady, first_run_excess = _derive(samples)
 
-    # Quiet re-measure (round-9 noise hardening): any query whose in-suite
-    # median drifted vs the PREVIOUS recorded run by more than its own
-    # steady-state spread (min 20%, and >50 ms absolute) is re-measured
-    # alone — forced GC first, 3 isolated runs — and the quiet median is
-    # what gets recorded. `drift_vs_prev` explains every replacement:
-    # "noise" when the quiet value agrees with the previous run (the
-    # in-suite sample was GC-contaminated), "real" when it doesn't.
     here = os.path.dirname(os.path.abspath(__file__))
     # per-sf ledger: the driver's sf0.1 runs keep the legacy name; other
     # scales (the sf1.0 replication runs) get their own file so a scale
@@ -199,33 +220,66 @@ def main() -> None:
         with open(detail_path) as f:
             prev_all = json.load(f)
         if prev_all.get("sf") == sf:
-            prev = prev_all.get("queries", {})
+            # a window-degraded run records baseline_queries = the last
+            # CLEAN run's medians, so drift always compares against a
+            # quiet host, never against a contaminated ledger
+            prev = prev_all.get("baseline_queries") or prev_all.get(
+                "queries", {}
+            )
     except Exception:
         prev = {}
+
+    # Degraded-window detection (round-11 automation of the r10 manual
+    # adjudication, PERF.md r10): three fixed pure-JVM control queries +
+    # /proc/stat steal. When ALL controls drifted up uniformly vs the
+    # last clean run AND the host shows steal (or the drift is so
+    # uniform-large that cgroup throttling is the only explanation),
+    # the whole run is one `window-degraded` verdict — re-measured once,
+    # and if still degraded, recorded as such WITHOUT burning the
+    # per-query re-measure budget on host noise (r10: 34-64 drift rows
+    # went "unmeasured over the cap" exactly when the host was noisy).
+    controls = [c for c in (
+        "q01_pricing_summary", "q40_grouping_sets", "q44_simhash_pairs"
+    ) if c in timings and prev.get(c)]
+
+    def _window_degraded(t) -> tuple[bool, dict]:
+        if len(controls) < 3:
+            return False, {}
+        ratios = {c: round(t[c] / prev[c], 3) for c in controls}
+        uniform = all(r > 1.25 for r in ratios.values())
+        return uniform and (steal_pct > 0.02
+                            or all(r > 1.4 for r in ratios.values())), ratios
+
+    degraded, control_ratios = _window_degraded(timings)
+    window_rerun = False
+    if degraded and not os.environ.get("SPARK_GRAFT_NO_RERUN"):
+        import sys as _sys
+
+        print(
+            f"degraded window detected (controls {control_ratios}, "
+            f"steal {steal_pct:.3f}); re-running the suite once",
+            file=_sys.stderr,
+        )
+        window_rerun = True
+        samples, steal_pct = measure(repeats)
+        timings, spread, spread_steady, first_run_excess = _derive(samples)
+        degraded, control_ratios = _window_degraded(timings)
+
+    # Quiet re-measure (round-9 noise hardening): any query whose in-suite
+    # median drifted vs the PREVIOUS recorded run by more than its own
+    # steady-state spread (min 20%, and >50 ms absolute) is re-measured
+    # alone — forced GC first, 3 isolated runs — and the quiet median is
+    # what gets recorded. `drift_vs_prev` explains every replacement:
+    # "noise" when the quiet value agrees with the previous run (the
+    # in-suite sample was GC-contaminated), "real" when it doesn't.
+    # Queries whose own spread_steady exceeds 0.5 are quiet-re-measured
+    # UNCONDITIONALLY (outside the 15-query cap): their in-suite noise
+    # band swallows the 20% drift threshold, so only a recorded quiet
+    # median keeps the 2x regression bar policeable for them (the r10
+    # verdict's q135/q136/q134 finding).
     drift_vs_prev: dict[str, dict] = {}
-    flagged = []
-    for n, med in timings.items():
-        p = prev.get(n)
-        if p is None or p <= 0:
-            continue
-        rel = abs(med - p) / p
-        if rel > max(0.20, spread_steady.get(n, 0.0)) and abs(med - p) > 0.05:
-            flagged.append((abs(med - p), n))
-        elif spread_steady.get(n, 0.0) > 0.5 and abs(med - p) > 0.05:
-            # a query whose own spread exceeds the drift threshold is
-            # otherwise unpoliceable — a real regression would hide
-            # inside its noise band (r9's q107). Force the quiet
-            # re-measure whenever such a query moved at all.
-            flagged.append((abs(med - p), n))
-    flagged.sort(reverse=True)
-    for _, n in flagged[15:]:
-        # over-cap drifts keep their in-suite medians but are RECORDED,
-        # so a noisy run can't present contaminated numbers as clean
-        drift_vs_prev[n] = {
-            "prev": prev[n], "suite": timings[n], "quiet": None,
-            "verdict": "unmeasured (over the 15-query re-measure cap)",
-        }
-    for _, n in flagged[:15]:
+
+    def _quiet_measure(n: str) -> float:
         try:
             spark.sparkContext._jvm.System.gc()
         except Exception:
@@ -236,15 +290,65 @@ def main() -> None:
             t0 = time.perf_counter()
             queries[n](spark, sf_dir).write.mode("overwrite").format("noop").save()
             quiet.append(time.perf_counter() - t0)
-        qmed = round(statistics.median(quiet), 4)
-        p = prev[n]
-        drift_vs_prev[n] = {
-            "prev": p,
-            "suite": timings[n],
-            "quiet": qmed,
-            "verdict": "noise" if abs(qmed - p) / p <= 0.20 else "real",
-        }
-        timings[n] = qmed
+        return round(statistics.median(quiet), 4)
+
+    mandatory = [n for n in names if spread_steady.get(n, 0.0) > 0.5]
+    flagged = []
+    for n, med in timings.items():
+        p = prev.get(n)
+        if p is None or p <= 0 or n in mandatory:
+            continue
+        rel = abs(med - p) / p
+        if rel > max(0.20, spread_steady.get(n, 0.0)) and abs(med - p) > 0.05:
+            flagged.append((abs(med - p), n))
+    flagged.sort(reverse=True)
+
+    if degraded:
+        # one verdict for the whole run; suite medians stand, the ledger
+        # keeps the last clean baseline, and the driver artifact says
+        # loudly that this window was noisy
+        for _, n in flagged:
+            drift_vs_prev[n] = {
+                "prev": prev[n], "suite": timings[n], "quiet": None,
+                "verdict": "window-degraded",
+            }
+        for n in mandatory:
+            drift_vs_prev[n] = {
+                "prev": prev.get(n), "suite": timings[n], "quiet": None,
+                "verdict": "window-degraded",
+            }
+    else:
+        for n in mandatory:
+            qmed = _quiet_measure(n)
+            p = prev.get(n)
+            drift_vs_prev[n] = {
+                "prev": p,
+                "suite": timings[n],
+                "quiet": qmed,
+                "verdict": (
+                    "noisy-spread (quiet median recorded)" if p is None
+                    else ("noise" if abs(qmed - p) / p <= 0.20 else "real")
+                ),
+            }
+            timings[n] = qmed
+        for _, n in flagged[15:]:
+            # over-cap drifts keep their in-suite medians but are
+            # RECORDED, so a noisy run can't present contaminated
+            # numbers as clean
+            drift_vs_prev[n] = {
+                "prev": prev[n], "suite": timings[n], "quiet": None,
+                "verdict": "unmeasured (over the 15-query re-measure cap)",
+            }
+        for _, n in flagged[:15]:
+            qmed = _quiet_measure(n)
+            p = prev[n]
+            drift_vs_prev[n] = {
+                "prev": p,
+                "suite": timings[n],
+                "quiet": qmed,
+                "verdict": "noise" if abs(qmed - p) / p <= 0.20 else "real",
+            }
+            timings[n] = qmed
 
     total = round(sum(timings.values()) + sum(shared.values()), 4)
 
@@ -282,7 +386,23 @@ def main() -> None:
         "samples": {n: [round(x, 4) for x in s] for n, s in samples.items()},
         "repeats": repeats,
         "sf": sf,
+        # window adjudication (automated r11): controls vs last clean
+        # run + /proc/stat steal over the measurement pass
+        "window_degraded": degraded,
+        "window_rerun": window_rerun,
+        "control_ratios_vs_prev": control_ratios,
+        "steal_pct": round(steal_pct, 4),
+        "window_note": (
+            "window_degraded means all three pure-JVM control queries "
+            "drifted uniformly >25% above the last clean run with host "
+            "steal observed (or uniformly >40%); the suite was re-run "
+            "once, stayed degraded, and this run's medians must be read "
+            "as host-noise-inflated. baseline_queries preserves the last "
+            "clean medians so the next run's drift check stays anchored."
+        ),
     }
+    # anchor the next run's drift baseline to the last CLEAN run
+    detail["baseline_queries"] = prev if degraded and prev else timings
     if only:
         # a filtered debug run must not clobber the full-suite drift
         # ledger with a partial queries map
@@ -309,9 +429,11 @@ def main() -> None:
             "n": len(drift_vs_prev),
             "real": sum(1 for d in drift_vs_prev.values() if d["verdict"] == "real"),
             "over_cap": sum(
-                1 for d in drift_vs_prev.values() if d["quiet"] is None
+                1 for d in drift_vs_prev.values()
+                if d["verdict"].startswith("unmeasured")
             ),
         },
+        "window_degraded": degraded,
         "sf": sf,
     }
     sys.stdout.flush()

@@ -572,6 +572,7 @@ def recommend_corpus(
     # at UDF wrap time, so executors must already have the package
     ensure_py_deps(spark)
 
+    n_hint = None
     if isinstance(source, DataFrame):
         listing = source.select(F.col("path").cast("string"))
     elif isinstance(source, str):
@@ -579,8 +580,11 @@ def recommend_corpus(
         for r, _, files in os.walk(source):
             paths.extend(os.path.join(r, f) for f in files)
         listing = spark.createDataFrame([(p,) for p in paths], "path string")
+        n_hint = len(paths)
     else:
+        source = list(source)
         listing = spark.createDataFrame([(p,) for p in source], "path string")
+        n_hint = len(source)
 
     base = listing.select(
         "path",
@@ -638,8 +642,12 @@ def recommend_corpus(
 
     def _distribute(df):
         # enough partitions that a million-file sniff spreads evenly,
-        # keyed by path so retries are deterministic
+        # keyed by path so retries are deterministic; when the listing
+        # size is known, cap at ~64 files per task so a small corpus is
+        # not taxed with hundreds of near-empty Python-worker tasks
         n = max(spark.sparkContext.defaultParallelism * 4, 8)
+        if n_hint is not None:
+            n = max(1, min(n, -(-n_hint // 64)))
         return df.repartition(n, "path")
 
     w = Window.partitionBy("dir", "ext").orderBy(F.xxhash64("path"), "path")
