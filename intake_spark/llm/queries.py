@@ -1423,6 +1423,7 @@ def prewarm_shared(spark: SparkSession, sf_dir: str) -> "dict[str, float]":
         "shared:q137_store": lambda: _q137_store(spark),
         "shared:q138_store": lambda: _q138_store(spark),
         "shared:q140_store": lambda: _q140_corpus_root(spark, sf_dir),
+        "shared:q141_store": lambda: _q141_store(spark, sf_dir),
     }
     out: dict[str, float] = {}
     for label, fn in builds.items():
@@ -4593,4 +4594,94 @@ def q140_corpus_triage(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint").alias("n_sniffed"),
         )
         .select("datatype", "n_files", "n_sniffed")
+    )
+
+
+_Q141_SRC_CACHE: dict = {}
+
+
+def _q141_store(spark: SparkSession, sf_dir: str) -> str:
+    """Session-cached q141 stream source: the sampled documents plus an
+    exact-text twin per document (twin id = 2*doc_id + 1, base id =
+    2*doc_id), written as ONE parquet file so the available-now replay
+    processes base and twin in the same micro-batch (the stateful guard
+    sorts ids ascending within a batch, so each base claims its buckets
+    before its twin arrives)."""
+    import os as _os
+    import tempfile as _tempfile
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    got = _Q141_SRC_CACHE.get(key)
+    if got is not None and _os.path.isdir(got):
+        return got
+    root = _os.path.join(
+        _tempfile.mkdtemp(prefix="intake_spark_q141_"), "src"
+    )
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 10 == 1)
+        .select(F.col("doc_id").cast("long").alias("did"), "text")
+    )
+    base = docs.select((2 * F.col("did")).alias("id"), "text")
+    twin = docs.select((2 * F.col("did") + 1).alias("id"), "text")
+    base.unionByName(twin).coalesce(1).write.parquet(root)
+    _Q141_SRC_CACHE[key] = root
+    return root
+
+
+@register(
+    "q141_stream_guard_minhash",
+    """
+    SELECT doc_id, CAST(2 * doc_id + 1 AS BIGINT) AS stream_id,
+           CAST(4 AS INTEGER) AS n_dup_bands
+    FROM documents WHERE doc_id % 10 = 1
+    """,
+)
+def q141_stream_guard_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MinHash-LSH ingestion guard under REAL streaming execution
+    (q139 proved the batch arm; this runs the actual
+    ``applyInPandasWithState`` arm): the twin corpus from
+    :func:`_q141_store` is replayed as a file stream through
+    :func:`streaming.stream_near_dup_flags` — mapper-side MinHash band
+    keys, first-claim state per (band_id, band_key) — with an
+    available-now trigger into a memory sink. The oracle is closed-form
+    and collision-independent: a twin's text is byte-identical to its
+    base, so every one of its 4 bands hashes to a bucket its base (or an
+    even earlier doc) already claimed — n_dup_bands = 4 for EVERY twin
+    regardless of any accidental band collisions among base documents,
+    whose flags the query does not emit. Reference surface: the
+    reference has no streaming dedup; this is the rebuild's
+    scale-mandated streaming twin (SURVEY §2.8)."""
+    from intake_spark import streaming as stg
+    from intake_spark.session import ensure_py_deps
+
+    ensure_py_deps(spark)
+    src = _q141_store(spark, sf_dir)
+    stream = spark.readStream.schema("id long, text string").parquet(src)
+    flags = stg.stream_near_dup_flags(
+        stream, id_col="id", text_col="text", num_hashes=16, bands=4, k=3
+    )
+    name = "q141_sink"
+    q = (
+        flags.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError("q141 stream did not finish within 300s")
+
+    id_type = load_table(spark, sf_dir, "documents").schema["doc_id"].dataType
+    return (
+        spark.table(name)
+        .filter(F.col("id") % 2 == 1)
+        .groupBy("id")
+        .agg(F.sum("is_dup_band").cast("int").alias("n_dup_bands"))
+        .select(
+            F.expr("(id - 1) div 2").cast(id_type).alias("doc_id"),
+            F.col("id").cast("bigint").alias("stream_id"),
+            "n_dup_bands",
+        )
     )
