@@ -88,19 +88,63 @@ class MQTTTopic(dt.Service):
 
 class MongoDBReader(BaseReader):
     """Distributed read through the mongo-spark connector (partition split
-    by the connector; predicates push into aggregation pipelines)."""
+    by the connector; predicates push into aggregation pipelines). When
+    the connector jar is absent, falls back to a driver-side stdlib
+    OP_MSG cursor walk (:class:`intake_spark.wire.MongoWireClient` —
+    find + getMore over real wire bytes, unauthenticated deployments),
+    bounded by ``max_rows``; the connector remains the distributed path
+    for collections that don't fit a driver. Parity: reference
+    readers.py:3341-3396 (pymongo delegation)."""
 
     implements = {MongoDBService}
 
-    def _read(self, spark, **kwargs):
-        return (
-            spark.read.format("mongodb")
-            .option("connection.uri", self.data.url)
-            .option("database", self.data.database)
-            .option("collection", self.data.collection)
-            .options(**{**self.data.options, **kwargs})
-            .load()
-        )
+    def _read(self, spark, filter: "dict | None" = None,
+              max_rows: int = 100_000, **kwargs):
+        try:
+            return (
+                spark.read.format("mongodb")
+                .option("connection.uri", self.data.url)
+                .option("database", self.data.database)
+                .option("collection", self.data.collection)
+                .options(**{**self.data.options, **kwargs})
+                .load()
+            )
+        except Exception:
+            pass  # no connector jar: stdlib wire path below
+        from intake_spark.wire import MongoWireClient
+
+        client = MongoWireClient.from_url(self.data.url)
+        try:
+            rows = []
+            for doc in client.find(
+                self.data.database, self.data.collection,
+                filter=filter, max_rows=max_rows + 1,
+            ):
+                rows.append({k: _plain(v) for k, v in doc.items()})
+            if len(rows) > max_rows:
+                raise ValueError(
+                    f"MongoDBReader stdlib path: collection exceeds "
+                    f"max_rows={max_rows}; install the mongo-spark "
+                    f"connector for a distributed read or raise max_rows"
+                )
+        finally:
+            client.close()
+        if not rows:
+            return spark.createDataFrame([], "value string")
+        return spark.createDataFrame(rows)
+
+
+def _plain(v):
+    """BSON wrapper types -> plain Python for createDataFrame."""
+    from intake_spark.wire import BsonInt64
+
+    if isinstance(v, BsonInt64):
+        return int(v)
+    if isinstance(v, dict):
+        return {k: _plain(x) for k, x in v.items()}
+    if isinstance(v, list):
+        return [_plain(x) for x in v]
+    return v
 
 
 class ElasticsearchReader(BaseReader):
@@ -120,21 +164,42 @@ class ElasticsearchReader(BaseReader):
 
 
 class RedisReader(BaseReader):
-    """Driver-side key scan → createDataFrame (Redis holds small/hot data;
-    parity: readers.py:3397-3418)."""
+    """Driver-side key scan → createDataFrame (Redis holds small/hot
+    data; parity: reference readers.py:3397-3418). Uses the ``redis``
+    package when installed, else the stdlib RESP2 client
+    (:class:`intake_spark.wire.RespClient`) — a SCAN cursor walk + GET
+    over real protocol bytes, so the reader is live without the driver
+    (unauthenticated endpoints; AUTH/TLS need the real package)."""
 
     implements = {RedisService}
-    imports = {"redis"}
 
     def _read(self, spark, limit: int = 10000, **kwargs):
-        import redis as redis_mod
-
-        client = redis_mod.Redis.from_url(self.data.url)
         rows = []
-        for key in client.scan_iter(match=self.data.pattern, count=1000):
-            rows.append({"key": key.decode(), "value": client.get(key).decode()})
-            if len(rows) >= limit:
-                break
+        try:
+            import redis as redis_mod
+        except ImportError:
+            from intake_spark.wire import RespClient
+
+            client = RespClient.from_url(self.data.url)
+            try:
+                for key in client.scan_keys(pattern=self.data.pattern):
+                    val = client.get(key)
+                    rows.append({
+                        "key": key.decode(),
+                        "value": "" if val is None else val.decode(),
+                    })
+                    if len(rows) >= limit:
+                        break
+            finally:
+                client.close()
+        else:
+            client = redis_mod.Redis.from_url(self.data.url)
+            for key in client.scan_iter(match=self.data.pattern, count=1000):
+                rows.append(
+                    {"key": key.decode(), "value": client.get(key).decode()}
+                )
+                if len(rows) >= limit:
+                    break
         return spark.createDataFrame(rows or [{"key": "", "value": ""}])
 
 

@@ -1,0 +1,312 @@
+"""Stdlib wire-protocol clients for the two service connectors whose
+protocols are simple, public, and fully specified: Redis (RESP2,
+https://redis.io/docs/reference/protocol-spec) and MongoDB (OP_MSG
+framing over BSON, the MongoDB Wire Protocol + the public BSON spec,
+bsonspec.org).
+
+Why these exist: the reference delegates to the ``redis`` /
+``pymongo``/mongo-spark packages (reference readers.py:3341-3418).
+Neither driver ships in this environment, which left RedisReader /
+MongoDBReader import-gated and only injectable-mock-tested. Both
+protocols are a few hundred lines of framing, so the readers get a
+native stdlib path instead — testable against a loopback socket server
+speaking REAL protocol bytes (tests/test_wire_protocols.py), and usable
+against real servers where unauthenticated access is allowed.
+
+Scope (deliberate): RESP2 request/response only (no pub/sub, no RESP3
+push types); OP_MSG section kind 0 only (no OP_COMPRESSED, no
+checksums, no SCRAM auth — an authenticated deployment still needs the
+real driver, and the readers say so loudly).
+"""
+
+from __future__ import annotations
+
+import socket
+import struct
+
+# --------------------------------------------------------------------------
+# RESP2 (Redis serialization protocol)
+# --------------------------------------------------------------------------
+
+
+class RespError(RuntimeError):
+    """Server-side error reply (the '-ERR ...' line, verbatim)."""
+
+
+class RespClient:
+    """Minimal RESP2 client: encode commands as arrays of bulk strings,
+    parse the five RESP2 reply types. One socket, request/response."""
+
+    def __init__(self, host: str, port: int, db: int = 0,
+                 timeout: float = 10.0):
+        self._sock = socket.create_connection((host, port), timeout=timeout)
+        self._f = self._sock.makefile("rwb")
+        if db:
+            self.command("SELECT", str(db))
+
+    @classmethod
+    def from_url(cls, url: str, timeout: float = 10.0) -> "RespClient":
+        """redis://host[:port][/db]"""
+        rest = url.split("://", 1)[-1]
+        rest = rest.split("@", 1)[-1]  # credentials need the real driver
+        hostport, _, dbs = rest.partition("/")
+        host, _, port = hostport.partition(":")
+        return cls(host or "localhost", int(port or 6379),
+                   int(dbs or 0), timeout)
+
+    def close(self) -> None:
+        try:
+            self._f.close()
+        finally:
+            self._sock.close()
+
+    def command(self, *args):
+        """Send one command, return the parsed reply (bytes for bulk
+        strings, int, list, None for null bulk; RespError raised on '-')."""
+        out = b"*%d\r\n" % len(args)
+        for a in args:
+            if isinstance(a, str):
+                a = a.encode()
+            out += b"$%d\r\n%s\r\n" % (len(a), a)
+        self._f.write(out)
+        self._f.flush()
+        return self._read_reply()
+
+    def _read_line(self) -> bytes:
+        line = self._f.readline()
+        if not line.endswith(b"\r\n"):
+            raise ConnectionError("RESP: truncated reply line")
+        return line[:-2]
+
+    def _read_reply(self):
+        line = self._read_line()
+        t, rest = line[:1], line[1:]
+        if t == b"+":
+            return rest
+        if t == b"-":
+            raise RespError(rest.decode(errors="replace"))
+        if t == b":":
+            return int(rest)
+        if t == b"$":
+            n = int(rest)
+            if n == -1:
+                return None
+            body = self._f.read(n + 2)
+            if len(body) != n + 2 or body[-2:] != b"\r\n":
+                raise ConnectionError("RESP: truncated bulk string")
+            return body[:-2]
+        if t == b"*":
+            n = int(rest)
+            if n == -1:
+                return None
+            return [self._read_reply() for _ in range(n)]
+        raise ConnectionError(f"RESP: unknown reply type {t!r}")
+
+    def scan_keys(self, pattern: str = "*", count: int = 1000):
+        """Full SCAN cursor walk — the non-blocking iteration form (KEYS
+        blocks the server on big keyspaces; SCAN is the production scan)."""
+        cursor = b"0"
+        while True:
+            cursor, keys = self.command(
+                "SCAN", cursor, "MATCH", pattern, "COUNT", str(count)
+            )
+            yield from keys
+            if cursor == b"0":
+                break
+
+    def get(self, key) -> "bytes | None":
+        return self.command("GET", key)
+
+    def type(self, key) -> bytes:
+        return self.command("TYPE", key)
+
+
+# --------------------------------------------------------------------------
+# BSON (subset: the types a tabular/JSON-ish collection round-trips)
+# --------------------------------------------------------------------------
+
+
+class BsonInt64(int):
+    """Marker: force int64 encoding (cursor ids MUST be int64 on the
+    wire even when they fit in 32 bits)."""
+
+
+def bson_encode(doc: dict) -> bytes:
+    body = b"".join(
+        _bson_element(k, v) for k, v in doc.items()
+    )
+    return struct.pack("<i", len(body) + 5) + body + b"\x00"
+
+
+def _bson_element(key: str, v) -> bytes:
+    name = key.encode() + b"\x00"
+    if isinstance(v, bool):  # before int: bool is an int subclass
+        return b"\x08" + name + (b"\x01" if v else b"\x00")
+    if isinstance(v, BsonInt64):
+        return b"\x12" + name + struct.pack("<q", int(v))
+    if isinstance(v, int):
+        if -(2**31) <= v < 2**31:
+            return b"\x10" + name + struct.pack("<i", v)
+        return b"\x12" + name + struct.pack("<q", v)
+    if isinstance(v, float):
+        return b"\x01" + name + struct.pack("<d", v)
+    if isinstance(v, str):
+        s = v.encode()
+        return b"\x02" + name + struct.pack("<i", len(s) + 1) + s + b"\x00"
+    if v is None:
+        return b"\x0a" + name
+    if isinstance(v, dict):
+        return b"\x03" + name + bson_encode(v)
+    if isinstance(v, (list, tuple)):
+        arr = {str(i): x for i, x in enumerate(v)}
+        return b"\x04" + name + bson_encode(arr)
+    if isinstance(v, (bytes, bytearray)):
+        return (b"\x05" + name + struct.pack("<i", len(v)) + b"\x00"
+                + bytes(v))
+    raise TypeError(f"bson_encode: unsupported type {type(v).__name__}")
+
+
+def bson_decode(buf: bytes, offset: int = 0) -> "tuple[dict, int]":
+    """Decode one document starting at ``offset``; returns (doc, end)."""
+    (doclen,) = struct.unpack_from("<i", buf, offset)
+    end = offset + doclen
+    if buf[end - 1] != 0:
+        raise ValueError("BSON: document not NUL-terminated")
+    pos = offset + 4
+    doc: dict = {}
+    while pos < end - 1:
+        t = buf[pos]
+        pos += 1
+        zero = buf.index(b"\x00", pos)
+        key = buf[pos:zero].decode()
+        pos = zero + 1
+        if t == 0x01:
+            (doc[key],) = struct.unpack_from("<d", buf, pos)
+            pos += 8
+        elif t == 0x02:
+            (n,) = struct.unpack_from("<i", buf, pos)
+            doc[key] = buf[pos + 4 : pos + 4 + n - 1].decode()
+            pos += 4 + n
+        elif t == 0x03:
+            doc[key], pos = bson_decode(buf, pos)
+        elif t == 0x04:
+            arr, pos = bson_decode(buf, pos)
+            doc[key] = [arr[k] for k in sorted(arr, key=int)]
+        elif t == 0x05:
+            (n,) = struct.unpack_from("<i", buf, pos)
+            doc[key] = bytes(buf[pos + 5 : pos + 5 + n])
+            pos += 5 + n
+        elif t == 0x07:  # ObjectId -> hex string (JSON-ish row value)
+            doc[key] = buf[pos : pos + 12].hex()
+            pos += 12
+        elif t == 0x08:
+            doc[key] = buf[pos] == 1
+            pos += 1
+        elif t == 0x09:  # UTC datetime: millis since epoch
+            (ms,) = struct.unpack_from("<q", buf, pos)
+            doc[key] = BsonInt64(ms)
+            pos += 8
+        elif t == 0x0A:
+            doc[key] = None
+        elif t == 0x10:
+            (doc[key],) = struct.unpack_from("<i", buf, pos)
+            pos += 4
+        elif t == 0x12:
+            (v,) = struct.unpack_from("<q", buf, pos)
+            doc[key] = BsonInt64(v)
+            pos += 8
+        else:
+            raise ValueError(f"BSON: unsupported element type 0x{t:02x}")
+    return doc, end
+
+
+# --------------------------------------------------------------------------
+# MongoDB wire protocol (OP_MSG, opcode 2013, section kind 0)
+# --------------------------------------------------------------------------
+
+_OP_MSG = 2013
+
+
+class MongoWireClient:
+    """Minimal OP_MSG request/response client. Unauthenticated
+    deployments only — SCRAM needs the real driver."""
+
+    def __init__(self, host: str, port: int = 27017, timeout: float = 10.0):
+        self._sock = socket.create_connection((host, port), timeout=timeout)
+        self._req_id = 0
+
+    @classmethod
+    def from_url(cls, url: str, timeout: float = 10.0) -> "MongoWireClient":
+        """mongodb://host[:port][/...]"""
+        rest = url.split("://", 1)[-1].split("@", 1)[-1]
+        hostport = rest.split("/", 1)[0].split(",")[0]
+        host, _, port = hostport.partition(":")
+        return cls(host or "localhost", int(port or 27017), timeout)
+
+    def close(self) -> None:
+        self._sock.close()
+
+    def _recv_exact(self, n: int) -> bytes:
+        out = b""
+        while len(out) < n:
+            chunk = self._sock.recv(n - len(out))
+            if not chunk:
+                raise ConnectionError("OP_MSG: connection closed mid-reply")
+            out += chunk
+        return out
+
+    def run_command(self, command: dict) -> dict:
+        """One OP_MSG round trip; returns the reply body document and
+        raises on ok != 1."""
+        self._req_id += 1
+        body = struct.pack("<I", 0) + b"\x00" + bson_encode(command)
+        header = struct.pack(
+            "<iiii", 16 + len(body), self._req_id, 0, _OP_MSG
+        )
+        self._sock.sendall(header + body)
+        (msg_len,) = struct.unpack("<i", self._recv_exact(4))
+        rest = self._recv_exact(msg_len - 4)
+        _req, _resp_to, opcode = struct.unpack_from("<iii", rest, 0)
+        if opcode != _OP_MSG:
+            raise ConnectionError(f"OP_MSG: unexpected reply opcode {opcode}")
+        # flagBits(4) then sections; kind 0 is a single BSON doc
+        (flags,) = struct.unpack_from("<I", rest, 12)
+        if flags & 0x1:  # checksumPresent: a CRC32C trails the sections
+            raise ConnectionError(
+                "OP_MSG: checksummed replies unsupported (flag bit 0)"
+            )
+        if rest[16] != 0:
+            raise ConnectionError("OP_MSG: expected section kind 0")
+        doc, _ = bson_decode(rest, 17)
+        if doc.get("ok") not in (1, 1.0, True):
+            raise RuntimeError(f"mongo command failed: {doc}")
+        return doc
+
+    def find(self, db: str, collection: str, filter: "dict | None" = None,
+             batch_size: int = 1000, max_rows: int = 1_000_000):
+        """find + getMore cursor walk; yields documents."""
+        cmd: dict = {"find": collection, "$db": db,
+                     "batchSize": batch_size}
+        if filter:
+            cmd["filter"] = filter
+        reply = self.run_command(cmd)
+        cursor = reply["cursor"]
+        n = 0
+        batch = cursor.get("firstBatch", [])
+        while True:
+            for d in batch:
+                yield d
+                n += 1
+                if n >= max_rows:
+                    return
+            cid = int(cursor.get("id", 0))
+            if cid == 0:
+                return
+            reply = self.run_command({
+                "getMore": BsonInt64(cid),
+                "collection": collection,
+                "$db": db,
+                "batchSize": batch_size,
+            })
+            cursor = reply["cursor"]
+            batch = cursor.get("nextBatch", [])

@@ -1,0 +1,289 @@
+"""Protocol-level tests for the stdlib Redis/Mongo wire clients
+(intake_spark/wire.py) and the readers on top of them: an in-process
+loopback socket server speaks REAL RESP2 / OP_MSG+BSON bytes to the
+reader's unmodified network path — upgrading these connectors from
+injected-mock to wire-protocol-tested (no redis/pymongo/mongo-spark in
+this environment)."""
+
+from __future__ import annotations
+
+import fnmatch
+import socket
+import struct
+import threading
+
+import pytest
+
+from intake_spark.wire import (
+    BsonInt64,
+    MongoWireClient,
+    RespClient,
+    RespError,
+    bson_decode,
+    bson_encode,
+)
+
+# --------------------------------------------------------------------------
+# fake servers (REAL bytes over a loopback socket, one connection each)
+# --------------------------------------------------------------------------
+
+
+class FakeRedis:
+    """RESP2 server: SELECT/SCAN/GET/TYPE over a real socket. SCAN pages
+    with a nonzero intermediate cursor so the client's cursor walk is
+    exercised, not just a single reply."""
+
+    def __init__(self, data: dict[bytes, bytes]):
+        self.data = data
+        self.commands: list[list[bytes]] = []
+        self._srv = socket.socket()
+        self._srv.bind(("127.0.0.1", 0))
+        self._srv.listen(1)
+        self.port = self._srv.getsockname()[1]
+        self._thread = threading.Thread(target=self._serve, daemon=True)
+        self._thread.start()
+
+    def _serve(self):
+        conn, _ = self._srv.accept()
+        f = conn.makefile("rwb")
+        try:
+            while True:
+                line = f.readline()
+                if not line:
+                    break
+                assert line[:1] == b"*", line
+                args = []
+                for _ in range(int(line[1:-2])):
+                    n = int(f.readline()[1:-2])
+                    args.append(f.read(n + 2)[:-2])
+                self.commands.append(args)
+                f.write(self._dispatch(args))
+                f.flush()
+        finally:
+            conn.close()
+
+    def _dispatch(self, args: list[bytes]) -> bytes:
+        cmd = args[0].upper()
+        if cmd == b"SELECT":
+            return b"+OK\r\n"
+        if cmd == b"SCAN":
+            cursor = int(args[1])
+            pattern = args[args.index(b"MATCH") + 1].decode()
+            keys = sorted(self.data)
+            half = len(keys) // 2
+            page = keys[:half] if cursor == 0 else keys[half:]
+            nxt = b"3" if cursor == 0 else b"0"
+            page = [k for k in page if fnmatch.fnmatch(k.decode(), pattern)]
+            out = b"*2\r\n$%d\r\n%s\r\n*%d\r\n" % (len(nxt), nxt, len(page))
+            for k in page:
+                out += b"$%d\r\n%s\r\n" % (len(k), k)
+            return out
+        if cmd == b"GET":
+            v = self.data.get(args[1])
+            if v is None:
+                return b"$-1\r\n"
+            return b"$%d\r\n%s\r\n" % (len(v), v)
+        if cmd == b"TYPE":
+            return b"+string\r\n" if args[1] in self.data else b"+none\r\n"
+        return b"-ERR unknown command '%s'\r\n" % args[0]
+
+
+class FakeMongo:
+    """OP_MSG server: answers find with a firstBatch + live cursor, then
+    getMore (cursor id checked as int64) with the rest + cursor 0."""
+
+    CURSOR_ID = 7_777_777_777  # deliberately > int32
+
+    def __init__(self, docs: list[dict], batch: int = 2):
+        self.docs = docs
+        self.batch = batch
+        self.commands: list[dict] = []
+        self._served = 0
+        self._srv = socket.socket()
+        self._srv.bind(("127.0.0.1", 0))
+        self._srv.listen(1)
+        self.port = self._srv.getsockname()[1]
+        self._thread = threading.Thread(target=self._serve, daemon=True)
+        self._thread.start()
+
+    def _reply(self, conn, req_id: int, body: dict):
+        payload = struct.pack("<I", 0) + b"\x00" + bson_encode(body)
+        conn.sendall(
+            struct.pack("<iiii", 16 + len(payload), 1, req_id, 2013)
+            + payload
+        )
+
+    def _serve(self):
+        conn, _ = self._srv.accept()
+        try:
+            while True:
+                hdr = conn.recv(4)
+                if len(hdr) < 4:
+                    break
+                (n,) = struct.unpack("<i", hdr)
+                rest = b""
+                while len(rest) < n - 4:
+                    rest += conn.recv(n - 4 - len(rest))
+                req_id, _, opcode = struct.unpack_from("<iii", rest, 0)
+                assert opcode == 2013
+                assert rest[16] == 0  # section kind 0
+                cmd, _ = bson_decode(rest, 17)
+                self.commands.append(cmd)
+                ns = f"{cmd.get('$db')}.{cmd.get('find', cmd.get('collection'))}"
+                if "find" in cmd:
+                    self._served = min(self.batch, len(self.docs))
+                    first = self.docs[: self._served]
+                    cid = 0 if self._served == len(self.docs) else self.CURSOR_ID
+                    self._reply(conn, req_id, {
+                        "cursor": {"firstBatch": first,
+                                   "id": BsonInt64(cid), "ns": ns},
+                        "ok": 1.0,
+                    })
+                elif "getMore" in cmd:
+                    # the client MUST send the cursor id as int64
+                    assert isinstance(cmd["getMore"], BsonInt64)
+                    assert int(cmd["getMore"]) == self.CURSOR_ID
+                    nxt = self.docs[self._served :]
+                    self._served = len(self.docs)
+                    self._reply(conn, req_id, {
+                        "cursor": {"nextBatch": nxt,
+                                   "id": BsonInt64(0), "ns": ns},
+                        "ok": 1.0,
+                    })
+                else:
+                    self._reply(conn, req_id, {"ok": 0.0, "errmsg": "bad"})
+        finally:
+            conn.close()
+
+
+# --------------------------------------------------------------------------
+# BSON codec
+# --------------------------------------------------------------------------
+
+
+def test_bson_roundtrip_all_types():
+    doc = {
+        "s": "héllo",
+        "i32": 42,
+        "neg": -7,
+        "i64": 2**40,
+        "forced": BsonInt64(5),
+        "f": 3.25,
+        "t": True,
+        "fa": False,
+        "none": None,
+        "sub": {"a": 1, "b": [1, "two", {"c": None}]},
+        "bin": b"\x00\x01\xff",
+    }
+    out, end = bson_decode(bson_encode(doc))
+    assert end == len(bson_encode(doc))
+    assert out["s"] == "héllo" and out["i32"] == 42 and out["neg"] == -7
+    assert out["i64"] == 2**40 and out["forced"] == 5
+    assert out["f"] == 3.25 and out["t"] is True and out["fa"] is False
+    assert out["none"] is None
+    assert out["sub"] == {"a": 1, "b": [1, "two", {"c": None}]}
+    assert out["bin"] == b"\x00\x01\xff"
+    # int64 stays typed so cursor ids survive a decode->reencode hop
+    assert isinstance(out["i64"], BsonInt64)
+
+
+def test_bson_objectid_decodes_to_hex():
+    oid = bytes(range(12))
+    raw = (struct.pack("<i", 4 + 1 + 4 + 12 + 1) + b"\x07_id\x00" + oid
+           + b"\x00")
+    doc, _ = bson_decode(raw)
+    assert doc["_id"] == oid.hex()
+
+
+# --------------------------------------------------------------------------
+# RESP2
+# --------------------------------------------------------------------------
+
+
+def test_resp_client_scan_get():
+    srv = FakeRedis({b"user:1": b"ada", b"user:2": b"bob",
+                     b"cfg:x": b"1", b"user:3": b"eve"})
+    c = RespClient("127.0.0.1", srv.port, db=2)
+    keys = sorted(c.scan_keys(pattern="user:*"))
+    assert keys == [b"user:1", b"user:2", b"user:3"]
+    assert c.get(b"user:1") == b"ada"
+    assert c.get(b"missing") is None  # null bulk
+    assert c.type(b"user:1") == b"string"
+    with pytest.raises(RespError, match="unknown command"):
+        c.command("NOPE")
+    c.close()
+    # SELECT 2 went over the wire first (db from the URL path)
+    assert srv.commands[0] == [b"SELECT", b"2"]
+    # the cursor walk issued (at least) two SCANs
+    assert sum(1 for a in srv.commands if a[0] == b"SCAN") >= 2
+
+
+def test_redis_reader_over_wire(spark):
+    from intake_spark.services import RedisReader, RedisService
+
+    srv = FakeRedis({b"doc:1": b"alpha", b"doc:2": b"beta",
+                     b"other": b"zzz"})
+    rdr = RedisReader(data=RedisService(
+        f"redis://127.0.0.1:{srv.port}/0", pattern="doc:*"
+    ))
+    rows = {r.key: r.value for r in rdr.read(spark=spark).collect()}
+    assert rows == {"doc:1": "alpha", "doc:2": "beta"}
+
+
+# --------------------------------------------------------------------------
+# Mongo OP_MSG
+# --------------------------------------------------------------------------
+
+DOCS = [
+    {"_id": i, "name": f"n{i}", "score": float(i) / 2, "ok": i % 2 == 0}
+    for i in range(5)
+]
+
+
+def test_mongo_wire_find_getmore():
+    srv = FakeMongo(DOCS, batch=2)
+    c = MongoWireClient("127.0.0.1", srv.port)
+    got = list(c.find("testdb", "things"))
+    c.close()
+    assert [d["_id"] for d in got] == [0, 1, 2, 3, 4]
+    assert got[3]["name"] == "n3" and got[3]["score"] == 1.5
+    finds = [c_ for c_ in srv.commands if "find" in c_]
+    mores = [c_ for c_ in srv.commands if "getMore" in c_]
+    assert len(finds) == 1 and finds[0]["$db"] == "testdb"
+    assert len(mores) >= 1  # the >int32 cursor id went back as int64
+
+
+def test_mongo_wire_filter_and_error():
+    srv = FakeMongo(DOCS[:1])
+    c = MongoWireClient("127.0.0.1", srv.port)
+    list(c.find("db", "coll", filter={"name": "n0"}))
+    assert srv.commands[0]["filter"] == {"name": "n0"}
+    with pytest.raises(RuntimeError, match="command failed"):
+        c.run_command({"ping": 1, "$db": "admin"})
+    c.close()
+
+
+def test_mongo_reader_over_wire(spark):
+    from intake_spark.services import MongoDBReader, MongoDBService
+
+    srv = FakeMongo(DOCS, batch=2)
+    rdr = MongoDBReader(data=MongoDBService(
+        f"mongodb://127.0.0.1:{srv.port}", database="testdb",
+        collection="things",
+    ))
+    df = rdr.read(spark=spark)
+    rows = sorted(df.collect(), key=lambda r: r._id)
+    assert [r._id for r in rows] == [0, 1, 2, 3, 4]
+    assert rows[2].name == "n2"
+
+
+def test_mongo_reader_max_rows_guard(spark):
+    from intake_spark.services import MongoDBReader, MongoDBService
+
+    srv = FakeMongo(DOCS, batch=2)
+    rdr = MongoDBReader(data=MongoDBService(
+        f"mongodb://127.0.0.1:{srv.port}", database="testdb",
+        collection="things",
+    ))
+    with pytest.raises(ValueError, match="mongo-spark"):
+        rdr.read(spark=spark, max_rows=3)
