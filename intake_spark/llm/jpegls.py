@@ -14,10 +14,13 @@ T.81 sampling factors with nearest upsample, line interleave (ILV 1:
 shared context statistics, per-component run index/line buffers), and
 sample interleave (ILV 2: runs gate on ALL components, interruption
 samples RItype=0 — the mode DICOM color JPEG-LS commonly uses).
-DRI/RSTm restart intervals work in ALL interleave modes at 1x1
-sampling (each interval an independent coding unit); restarts inside
-a subsampled interleaved scan stay a named gate (the line-count
-semantics are ambiguous there).
+DRI/RSTm restart intervals work in ALL interleave modes, including
+subsampled interleaved scans (each interval an independent coding
+unit). T.87 C.2.5 defines the interval in "lines", which is ambiguous
+once sampling factors differ; this codec counts LINE GROUPS of the
+interleaved scan (one group = V_i lines of component i — the
+interleave-unit reading the public CharLS codec pins), which
+degenerates to plain lines at 1x1 factors.
 
 Implementation notes (clause refs are T.87):
 - context modeling: 365 regular contexts from quantized gradients
@@ -287,10 +290,12 @@ def decode_jpegls(blob: bytes):
     ILV-0 (one scan per component, T.87 A.2), incl. T.81 sampling
     factors — subsampled components are nearest-upsampled to the frame
     grid — plus ILV-1 (line interleaved) and ILV-2 (sample interleaved)
-    single-scan layouts. DRI/RSTm restart intervals decode for ILV-0
-    scans (each interval is an independently-decodable unit: modeling
-    state AND the line above reset, T.87 C.2.5); restarts inside
-    interleaved scans remain a named gate."""
+    single-scan layouts. DRI/RSTm restart intervals decode in every
+    mode (each interval is an independently-decodable unit: modeling
+    state AND the line above reset, T.87 C.2.5); inside a subsampled
+    interleaved scan the interval counts line GROUPS (V_i lines of
+    component i per group — the CharLS interleave-unit reading of the
+    spec's ambiguous "lines")."""
     import numpy as np
 
     if blob[:2] != b"\xff\xd8":
@@ -378,36 +383,41 @@ def decode_jpegls(blob: bytes):
                         f"identical component dimensions, got {comp_dims}"
                     )
                 fmap = {cid_: (h_, v_) for cid_, h_, v_ in comps}
-                if ri and any(fmap[cid] != (1, 1) for cid in scan_cids):
-                    # with 1x1 factors a restart interval is simply ri
-                    # frame lines of every component; under subsampling
-                    # "lines" is ambiguous between line groups and
-                    # component lines — keep it a named gate
-                    raise NotImplementedError(
-                        "JPEG-LS restart intervals inside an interleaved "
-                        "scan with sampling factors are not supported"
-                    )
                 outs = [np.empty((h_, w_), dtype=np.int64)
                         for h_, w_ in comp_dims]
                 vfac = [fmap[cid][1] for cid in scan_cids]
-                H_ = comp_dims[0][0]
+                # Restart intervals count LINE GROUPS of the interleaved
+                # scan (one group = V_i lines of component i — "MCU
+                # lines"). T.87 C.2.5 defines Ri in "lines", ambiguous
+                # between frame lines and component lines once sampling
+                # factors differ; the public CharLS codec resolves it as
+                # interleave units, which this decoder matches. At 1x1
+                # factors the two readings coincide (group == line).
+                ngroups = max(
+                    -(-h_ // v_) for (h_, _w), v_ in zip(comp_dims, vfac)
+                )
                 start = pos + seg_len
-                step = ri if ri else max(H_, 1)
-                y0 = 0
+                step = ri if ri else max(ngroups, 1)
+                g0 = 0
                 m = 0
                 endpos = start
-                while y0 < H_ or (H_ == 0 and y0 == 0):
-                    rows = min(step, H_ - y0)
+                while g0 < ngroups or (ngroups == 0 and g0 == 0):
+                    gs = min(step, ngroups - g0)
                     # each interval decodes as an independent unit:
                     # fresh modeling state, run indexes and line buffers
                     p = _Params(precision, near, maxval, t1, t2, t3,
                                 reset)
                     br = _BitReader(blob, start)
                     if ri:
-                        # 1x1 factors guaranteed above: slice every
-                        # component plane by frame lines
-                        slc = [o_[y0 : y0 + rows] for o_ in outs]
-                        sdims = [(rows, w_) for _h, w_ in comp_dims]
+                        # slice every component plane at line-group
+                        # boundaries: rows [g0*v, (g0+gs)*v) clipped to
+                        # the component height
+                        slc = [
+                            o_[g0 * v_ : min((g0 + gs) * v_, h_)]
+                            for o_, (h_, _w), v_ in zip(
+                                outs, comp_dims, vfac)
+                        ]
+                        sdims = [s_.shape for s_ in slc]
                     else:
                         # single interval: full (possibly subsampled)
                         # per-component dims
@@ -422,9 +432,9 @@ def decode_jpegls(blob: bytes):
                         raise ValueError(
                             "corrupt JPEG-LS scan data"
                         ) from exc
-                    y0 += rows
+                    g0 += gs
                     endpos = br.pos
-                    if y0 >= H_:
+                    if g0 >= ngroups:
                         break
                     # between intervals: the RSTm marker, m cycling 0..7
                     j = br.pos
@@ -1112,9 +1122,11 @@ def encode_jpegls(img, near: int = 0, sampling=None,
     sampling FACTORS per component (larger = denser): pass ``img`` as a
     plane LIST whose shapes are ceil(H*v/vmax) x ceil(W*h/hmax), with
     component 0 at the maximum factors. ``restart_interval=n`` emits a
-    DRI segment and an RSTm marker every ``n`` LINES (T.87 C.2.5) —
-    each interval coded as an independent unit (fresh modeling state,
-    line above treated as the scan start), the error-resilience layout
+    DRI segment and an RSTm marker every ``n`` LINES (T.87 C.2.5; in a
+    subsampled interleaved scan: every n line GROUPS, V_i lines of
+    component i each — the CharLS interleave-unit reading) — each
+    interval coded as an independent unit (fresh modeling state, line
+    above treated as the scan start), the error-resilience layout
     hardware encoders emit. ``ilv`` picks the interleave mode for
     multi-component images: 0 = one scan per component (default),
     1 = line interleaved, 2 = sample interleaved (single scan, shared
@@ -1163,11 +1175,6 @@ def encode_jpegls(img, near: int = 0, sampling=None,
         raise ValueError(f"ilv must be 0, 1 or 2, got {ilv}")
     if ilv and nc == 1:
         ilv = 0  # a single component is always one ILV-0 scan
-    if ilv and restart_interval and any(f != (1, 1) for f in fac):
-        raise NotImplementedError(
-            "restart intervals inside an interleaved scan with sampling "
-            "factors are not supported"
-        )
     if ilv == 2 and len({c.shape for c in comps}) != 1:
         raise ValueError(
             "sample interleave (ILV 2) needs identical component "
@@ -1184,16 +1191,26 @@ def encode_jpegls(img, near: int = 0, sampling=None,
         for i in range(nc):
             head += struct.pack(">BB", i + 1, 0)
         head += struct.pack(">BBB", near, ilv, 0)
-        step = restart_interval if restart_interval else H
+        # restart intervals count LINE GROUPS of the interleaved scan
+        # (one group = V_i lines of component i) — the interleave-unit
+        # reading of T.87 C.2.5's "lines" that the public CharLS codec
+        # pins; at 1x1 factors a group IS a line, so the two readings
+        # coincide (see decode_jpegls for the ambiguity note)
+        vlist = [v for _h, v in fac]
+        ngroups = max(
+            -(-c.shape[0] // v) for c, v in zip(comps, vlist)
+        )
+        step = restart_interval if restart_interval else ngroups
         m = 0
-        for y0 in range(0, max(H, 1), max(step, 1)):
-            if y0:
+        for g0 in range(0, max(ngroups, 1), max(step, 1)):
+            if g0:
                 head += bytes((0xFF, 0xD0 + m % 8))
                 m += 1
             p = _Params(precision, near)
-            sub = [c[y0 : y0 + step] for c in comps]
+            sub = [c[g0 * v : (g0 + step) * v]
+                   for c, v in zip(comps, vlist)]
             if ilv == 1:
-                data = _encode_scan_ilv1(p, sub, [v for _h, v in fac])
+                data = _encode_scan_ilv1(p, sub, vlist)
             else:
                 data = _encode_scan_ilv2(p, sub)
             if data.endswith(b"\xff"):

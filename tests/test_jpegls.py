@@ -374,8 +374,7 @@ def test_jpegls_ilv1_with_sampling_factors():
 
 
 def test_jpegls_ilv_gates():
-    """Restart intervals inside interleaved scans with SAMPLING factors
-    and mismatched ILV-2 dimensions stay loud; reserved ILV values are
+    """Mismatched ILV-2 dimensions stay loud; reserved ILV values are
     invalid."""
     img = np.zeros((8, 8, 3), dtype=np.uint8)
     with pytest.raises(ValueError, match="ilv"):
@@ -384,9 +383,62 @@ def test_jpegls_ilv_gates():
     c = np.zeros((4, 4), dtype=np.uint8)
     with pytest.raises(ValueError, match="identical"):
         encode_jpegls([y, c, c], sampling=[(2, 2), (1, 1), (1, 1)], ilv=2)
-    with pytest.raises(NotImplementedError, match="restart"):
-        encode_jpegls([y, c, c], sampling=[(2, 2), (1, 1), (1, 1)],
-                      ilv=1, restart_interval=2)
+
+
+def test_jpegls_ilv1_subsampled_restart_intervals():
+    """DRI/RSTm inside a SUBSAMPLED line-interleaved scan: the interval
+    counts line GROUPS (V_i lines of component i per group — the
+    CharLS interleave-unit reading of T.87 C.2.5's ambiguous "lines"),
+    each interval an independently coded unit. Covers ragged final
+    groups (odd frame heights), interval = 1 group, lossless and
+    near-lossless, and V=4 factors."""
+    rng = np.random.default_rng(93)
+    for H, W, ri_ in ((16, 16, 2), (15, 13, 3), (11, 9, 1), (16, 8, 5)):
+        y = rng.integers(0, 256, (H, W), dtype=np.uint8)
+        ch, cw = -(-H // 2), -(-W // 2)
+        cb = rng.integers(0, 256, (ch, cw), dtype=np.uint8)
+        cr = rng.integers(0, 256, (ch, cw), dtype=np.uint8)
+        for near in (0, 1):
+            blob = encode_jpegls(
+                [y, cb, cr], sampling=[(2, 2), (1, 1), (1, 1)],
+                ilv=1, restart_interval=ri_, near=near,
+            )
+            back = decode_jpegls(blob)
+            assert back.shape == (H, W, 3)
+            err = np.abs(back[:, :, 0].astype(int) - y.astype(int)).max()
+            assert err <= near, (H, W, ri_, near)
+            up = cb[np.minimum(np.arange(H) // 2, ch - 1)][
+                :, np.minimum(np.arange(W) // 2, cw - 1)]
+            err = np.abs(back[:, :, 1].astype(int) - up.astype(int)).max()
+            assert err <= near, (H, W, ri_, near)
+    # V=4 luma against V=1 chroma: 4+1+1 lines per group
+    y = rng.integers(0, 256, (17, 8), dtype=np.uint8)
+    c4 = rng.integers(0, 256, (5, 8), dtype=np.uint8)
+    blob = encode_jpegls([y, c4, c4], sampling=[(1, 4), (1, 1), (1, 1)],
+                         ilv=1, restart_interval=2)
+    back = decode_jpegls(blob)
+    np.testing.assert_array_equal(back[:, :, 0], y)
+    # restart markers actually present (ngroups=5, ri=2 -> 2 RSTms)
+    assert blob.count(b"\xff\xd0") + blob.count(b"\xff\xd1") >= 2
+
+
+def test_jpegls_ilv2_equal_factor_restart_intervals():
+    """DRI/RSTm inside a sample-interleaved scan whose components all
+    carry the same >1 V factor (identical dims, so ILV-2 is legal):
+    one line group = V component rows."""
+    rng = np.random.default_rng(94)
+    planes = [rng.integers(0, 256, (7, 5), dtype=np.uint8)
+              for _ in range(3)]
+    blob = encode_jpegls(planes, sampling=[(2, 2), (2, 2), (2, 2)],
+                         ilv=2, restart_interval=2)
+    back = decode_jpegls(blob)
+    # every component carries the max factors, so no upsampling: the
+    # frame grid IS the component grid; ngroups=ceil(7/2)=4, ri=2 -> one
+    # RSTm between the two intervals
+    assert back.shape == (7, 5, 3)
+    for i, pl in enumerate(planes):
+        np.testing.assert_array_equal(back[:, :, i], pl)
+    assert b"\xff\xd0" in blob
 
 
 def test_jpegls_ilv_restart_intervals():
