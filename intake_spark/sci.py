@@ -3073,11 +3073,19 @@ def _e57_prototype(scan) -> "tuple[int, int, list[dict]]":
                 elif t == "Float":
                     fd["kind"] = "float"
                     fd["bits"] = 32 if p.get("precision") == "single" else 64
+                elif t == "String":
+                    # variable-length bytestream: per record a length
+                    # prefix (low-bit-flagged 1- or 8-byte form, ASTM
+                    # E2807 string coding as implemented by the public
+                    # libE57Format BitpackStringDecoder) + UTF-8 bytes
+                    fd["kind"] = "string"
+                    fd["bits"] = 0
                 else:
                     raise NotImplementedError(
                         f"E57 prototype field type {t!r} (Integer/"
-                        "ScaledInteger/Float decode; String/structures "
-                        "inside a point prototype are not point data)"
+                        "ScaledInteger/Float/String decode; Structure/"
+                        "Vector nodes inside a point prototype are not "
+                        "point data)"
                     )
                 fields.append(fd)
     return rec_count, file_offset, fields
@@ -3137,8 +3145,13 @@ def _e57_decode_section(f, page_size: int, file_offset: int,
     pos = logical(data_phys) - logical(file_offset)
     streams = [bytearray() for _ in fields]
     need = [record_count * fd["bits"] for fd in fields]
-    while pos + 4 <= len(section) and any(
-        len(s) * 8 < n for s, n in zip(streams, need)
+    # a String field's byte need is unknowable up front (variable-length
+    # records), so its presence disables the early-exit optimization:
+    # consume every packet in the section instead
+    any_string = any(fd["kind"] == "string" for fd in fields)
+    while pos + 4 <= len(section) and (
+        any_string
+        or any(len(s) * 8 < n for s, n in zip(streams, need))
     ):
         ptype = section[pos]
         (plen_m1,) = struct.unpack_from("<H", section, pos + 2)
@@ -3160,6 +3173,11 @@ def _e57_decode_section(f, page_size: int, file_offset: int,
         pos += plen
     out = {}
     for fd, s, n in zip(fields, streams, need):
+        if fd["kind"] == "string":
+            out[fd["name"]] = _e57_decode_strings(
+                bytes(s), record_count, fd["name"]
+            )
+            continue
         if len(s) * 8 < n:
             raise ValueError(
                 f"E57 bytestream for {fd['name']!r} short: "
@@ -3181,13 +3199,54 @@ def _e57_decode_section(f, page_size: int, file_offset: int,
     return out
 
 
+def _e57_decode_strings(s: bytes, record_count: int, name: str) -> list:
+    """Decode a String-field bytestream: per record a length prefix —
+    one byte with low bit 0 (length = byte >> 1, 0..127) or eight
+    little-endian bytes with low bit 1 (length = uint64 >> 1) — then
+    that many UTF-8 bytes. This is the coding the public libE57Format
+    BitpackStringDecoder implements for ASTM E2807 string bytestreams;
+    a wrong-format stream fails LOUDLY here (lengths immediately run
+    past the buffer), it cannot misdecode silently."""
+    vals: list[str] = []
+    p = 0
+    for j in range(record_count):
+        if p >= len(s):
+            raise ValueError(
+                f"E57 string bytestream for {name!r} exhausted at "
+                f"record {j}/{record_count}"
+            )
+        b0 = s[p]
+        if b0 & 1 == 0:
+            ln = b0 >> 1
+            p += 1
+        else:
+            if p + 8 > len(s):
+                raise ValueError(
+                    f"E57 string bytestream for {name!r}: truncated "
+                    f"8-byte length prefix at record {j}"
+                )
+            ln = int.from_bytes(s[p : p + 8], "little") >> 1
+            p += 8
+        if p + ln > len(s):
+            raise ValueError(
+                f"E57 string bytestream for {name!r}: length {ln} at "
+                f"record {j} runs past the stream "
+                f"({len(s) - p} bytes left)"
+            )
+        vals.append(s[p : p + ln].decode("utf-8"))
+        p += ln
+    return vals
+
+
 class E57PointsReader(BaseReader):
     """E57 CompressedVector point decode (ASTM E2807 §9) — closes the
     round-6 named gate with the package's own bit-pack codec:
     Integer/ScaledInteger fields unpack LSB-first at the prototype's
     fixed width (values may span data-packet boundaries), Float fields
-    are raw IEEE; ScaledInteger columns surface as doubles
-    ((raw + minimum) * scale + offset), Integer as longs.
+    are raw IEEE, String fields are length-prefixed UTF-8
+    (:func:`_e57_decode_strings`); ScaledInteger columns surface as
+    doubles ((raw + minimum) * scale + offset), Integer as longs,
+    String as strings.
 
     Scale shape: one driver pass reads the XML + per-scan prototypes;
     scans decode in parallel executor-side from a byte-range manifest
@@ -3231,6 +3290,7 @@ class E57PointsReader(BaseReader):
                 )
         spark_type = {
             "int": "long", "scaled": "double", "float": "double",
+            "string": "string",
         }
         schema = "scan_idx int, " + ", ".join(
             f"`{fd['name']}` {spark_type[fd['kind']]}" for fd in f0

@@ -147,15 +147,32 @@ def _data_packet(bufs) -> bytes:
     return struct.pack("<BBH", 1, 0, plen + pad - 1) + body + b"\x00" * pad
 
 
+def _e57_string_stream(strings) -> bytes:
+    """String bytestream: per record the low-bit-flagged length prefix
+    (1 byte, bit0=0, len=b>>1 for 0..127; else 8 LE bytes, bit0=1,
+    len=u64>>1) + UTF-8 bytes — the libE57Format coding the decoder
+    implements."""
+    out = bytearray()
+    for s in strings:
+        b = s.encode()
+        if len(b) <= 127:
+            out.append(len(b) << 1)
+        else:
+            out += ((len(b) << 1) | 1).to_bytes(8, "little")
+        out += b
+    return bytes(out)
+
+
 def _points_e57(tmp_path, scans):
     """Full E57 with CompressedVector sections: scans is a list of
     {field name: values} dicts (cartesianX ScaledInteger 0.01, intensity
-    Integer 0..255, cartesianY Float single, classification constant 5).
-    Each field's bitstream is split across TWO data packets at an odd
-    byte so values span the packet boundary, with an empty packet
-    between them."""
+    Integer 0..255, cartesianY Float single, classification constant 5,
+    optional label String). Each field's bitstream is split across TWO
+    data packets at an odd byte so values span the packet boundary,
+    with an empty packet between them."""
     import numpy as np
 
+    with_label = any("label" in vals for vals in scans)
     logical = bytearray(b"\x00" * 48)  # header placeholder
     sections = []
     for vals in scans:
@@ -168,6 +185,9 @@ def _points_e57(tmp_path, scans):
             b"",  # classification: 0-bit constant field
         ]
         cut = [7, 21, 13, 0]
+        if with_label:
+            bufs.append(_e57_string_stream(vals["label"]))
+            cut.append(9)  # split inside a record's UTF-8 bytes
         pk1 = _data_packet([b[:c] for b, c in zip(bufs, cut)])
         pk_empty = struct.pack("<BBH", 2, 0, 3)
         pk2 = _data_packet([b[c:] for b, c in zip(bufs, cut)])
@@ -181,6 +201,7 @@ def _points_e57(tmp_path, scans):
         while len(logical) % 4:
             logical += b"\x00"
         sections.append((sec_start, len(vals["cartesianX"])))
+    label_xml = '<label type="String"/>' if with_label else ""
     scans_xml = "".join(
         f'<vectorChild type="Structure">'
         f'<name type="String"><![CDATA[scan-{i}]]></name>'
@@ -192,6 +213,7 @@ def _points_e57(tmp_path, scans):
         '<cartesianY type="Float" precision="single"/>'
         '<intensity type="Integer" minimum="0" maximum="255"/>'
         '<classification type="Integer" minimum="5" maximum="5"/>'
+        f"{label_xml}"
         "</prototype></points></vectorChild>"
         for i, (off, rc) in enumerate(sections)
     )
@@ -285,3 +307,61 @@ def test_e57_unpack_bits_paths_agree():
     np.testing.assert_array_equal(
         _e57_unpack_bits(s, 31, w), vals & ((1 << w) - 1)
     )
+
+
+def test_e57_points_string_field(spark, tmp_path):
+    """String fields inside a point prototype decode: low-bit-flagged
+    1- and 8-byte length prefixes, empty strings, multi-byte UTF-8, a
+    record split across data-packet boundaries; a truncated stream and
+    an unknown prototype node stay loud."""
+    import numpy as np
+
+    from intake_spark.sci import E57, E57PointsReader, _e57_decode_strings
+
+    rng = np.random.default_rng(8)
+    n = 9
+    labels = [
+        "", "a", "tree", "λαμπρός", "x" * 127,  # 1-byte prefixes
+        "y" * 128, "z" * 300,                    # 8-byte prefixes
+        "ground", "végét",
+    ]
+    scans = [{
+        "cartesianX": np.round(rng.uniform(-9, 9, n), 2).tolist(),
+        "cartesianY": np.asarray(
+            rng.uniform(-5, 5, n), dtype="<f4").astype(float).tolist(),
+        "intensity": rng.integers(0, 256, n).tolist(),
+        "label": labels,
+    }]
+    url = _points_e57(tmp_path, scans)
+    df = E57PointsReader(data=E57(url=url)).read(spark=spark)
+    assert dict(df.dtypes)["label"] == "string"
+    got = df.toPandas()
+    assert got["label"].tolist() == labels
+    np.testing.assert_array_equal(
+        got["intensity"].to_numpy(), scans[0]["intensity"]
+    )
+    # loud failures: exhausted stream / length past the buffer
+    with pytest.raises(ValueError, match="exhausted"):
+        _e57_decode_strings(b"\x02a", 2, "label")
+    with pytest.raises(ValueError, match="runs past"):
+        _e57_decode_strings(b"\x08abc", 1, "label")
+    with pytest.raises(ValueError, match="truncated 8-byte"):
+        _e57_decode_strings(b"\x01\x00\x00", 1, "label")
+
+
+def test_e57_prototype_structure_gate():
+    """Structure/Vector nodes inside a prototype stay a loud gate (they
+    are not point data); String no longer trips it."""
+    import xml.etree.ElementTree as ET
+
+    from intake_spark.sci import _e57_prototype
+
+    scan = ET.fromstring(
+        '<vectorChild type="Structure">'
+        '<points type="CompressedVector" fileOffset="0" recordCount="1">'
+        '<prototype type="Structure">'
+        '<pose type="Structure"/>'
+        "</prototype></points></vectorChild>"
+    )
+    with pytest.raises(NotImplementedError, match="Structure"):
+        _e57_prototype(scan)
