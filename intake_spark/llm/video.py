@@ -113,7 +113,32 @@ def parse_avi(content: bytes) -> dict:
     }
 
 
-_Y4M_PLANE_DIV = {"420": 4, "422": 2, "444": 1, "mono": None}
+# colorspace -> (chroma width divisor, chroma height divisor); None = no
+# chroma planes. The spec family names (mjpegtools yuv4mpeg(5)):
+# 420jpeg/420mpeg2/420paldv differ only in chroma SITING (same bytes).
+_Y4M_CHROMA_DIV = {
+    "420": (2, 2), "422": (2, 1), "444": (1, 1), "411": (4, 1),
+    "mono": None,
+}
+
+
+def _y4m_colorspace(cs: str) -> "tuple[str, int, int]":
+    """Parse a Y4M C-param -> (base colorspace, bit depth, n_planes).
+    Handles the p10/p12/p14/p16 high-bit-depth suffixes modern
+    toolchains emit (two little-endian bytes per sample) and 444alpha
+    (a fourth full-size alpha plane)."""
+    if cs == "444alpha":
+        return "444", 8, 4
+    base, depth = cs, 8
+    if "p" in cs:
+        head, _, tail = cs.partition("p")
+        if tail.isdigit() and head in _Y4M_CHROMA_DIV:
+            base, depth = head, int(tail)
+            if depth not in (9, 10, 12, 14, 16):
+                raise NotImplementedError(f"Y4M bit depth {depth} (C{cs})")
+    if base not in _Y4M_CHROMA_DIV:
+        raise NotImplementedError(f"Y4M colorspace C{cs}")
+    return base, depth, 1 if base == "mono" else 3
 
 
 def parse_y4m(content: bytes) -> dict:
@@ -124,14 +149,23 @@ def parse_y4m(content: bytes) -> dict:
     beyond the marker checks.
 
     Returns the same dict shape as :func:`parse_avi`, codec =
-    ``Y4M-C<cs>``. Interlaced streams and per-frame parameter overrides
-    raise (named): both are vanishingly rare outside broadcast archives."""
+    ``Y4M-C<cs>``. Covers the full mjpegtools yuv4mpeg(5) surface:
+    420(jpeg/mpeg2/paldv)/422/444/411/mono, the p10/p12/p14/p16
+    high-bit-depth suffixes (two LE bytes per sample), 444alpha (the
+    alpha plane is skipped for RGB features), interlaced streams
+    (I t/b/m only changes field PRESENTATION — the stored raster is
+    identical, so frames decode as-is; the flag is surfaced in
+    ``interlace``), and per-frame parameter tokens (frame-level I/X
+    params never change the raster geometry, yuv4mpeg(5)). Only the
+    ancient 4:1:0 layout stays a named gate (its chroma geometry is
+    ambiguous between implementations)."""
     if content[:10] != b"YUV4MPEG2 ":
         raise ValueError("not a Y4M file (YUV4MPEG2 signature missing)")
     nl = content.index(b"\n")
     width = height = 0
     fps = 0.0
     cs = "420"
+    interlace = "p"
     for tok in content[10:nl].split(b" "):
         if not tok:
             continue
@@ -145,27 +179,35 @@ def parse_y4m(content: bytes) -> dict:
             fps = int(num) / int(den) if int(den) else 0.0
         elif tag == b"C":
             cs = val.rstrip()
-            if cs.startswith("420"):
+            if cs == "410":
+                raise NotImplementedError(
+                    "Y4M colorspace C410 (4:1:0 chroma geometry is "
+                    "implementation-ambiguous)"
+                )
+            if cs.startswith("420") and "p" not in cs:
                 cs = "420"  # 420jpeg/420paldv site the chroma the same size
-        elif tag == b"I" and val not in ("p", "?"):
-            raise NotImplementedError(f"interlaced Y4M (I{val}) not supported")
+        elif tag == b"I":
+            interlace = val or "?"
     if not width or not height:
         raise ValueError("Y4M header missing W/H")
-    div = _Y4M_PLANE_DIV.get(cs)
-    if cs == "mono":
-        frame_size = width * height
-    elif div is None:
-        raise NotImplementedError(f"Y4M colorspace C{cs}")
+    base, depth, n_planes = _y4m_colorspace(cs)
+    bps = 1 if depth == 8 else 2
+    if base == "mono":
+        frame_size = width * height * bps
     else:
-        frame_size = width * height + 2 * ((width * height) // div)
+        cwd, chd = _Y4M_CHROMA_DIV[base]
+        chroma = (width // cwd) * (height // chd)
+        frame_size = (width * height + 2 * chroma) * bps
+        if n_planes == 4:  # 444alpha: full-size alpha plane
+            frame_size += width * height * bps
     frames: list[tuple[int, int]] = []
     pos = nl + 1
     while pos < len(content):
         fnl = content.index(b"\n", pos)
         if content[pos : pos + 5] != b"FRAME":
             raise ValueError("Y4M frame marker missing")
-        if fnl != pos + 5:
-            raise NotImplementedError("per-frame Y4M parameter overrides")
+        # frame-level params (I presentation, X app data) never change
+        # the raster size per yuv4mpeg(5) — accept and move on
         frames.append((fnl + 1, frame_size))
         pos = fnl + 1 + frame_size
     return {
@@ -174,29 +216,34 @@ def parse_y4m(content: bytes) -> dict:
         "fps": round(fps, 6),
         "n_frames": len(frames),
         "codec": f"Y4M-C{cs}",
+        "interlace": interlace,
         "frames": frames,
     }
 
 
 def decode_y4m_frame(data: bytes, width: int, height: int, cs: str = "420"):
     """Raw planar YCbCr frame → (H, W, 3) RGB uint8 (or (H, W, 1) for
-    mono). ITU-R BT.601 limited-range conversion — the Y4M default."""
+    mono). ITU-R BT.601 limited-range conversion — the Y4M default.
+    High-bit-depth frames (C…p10/p12/p14/p16, two LE bytes per sample)
+    downshift to 8 bits before conversion (limited-range code values
+    scale by 2^(depth-8)); 444alpha's alpha plane is ignored for RGB."""
     import numpy as np
 
+    base, depth, _n_planes = _y4m_colorspace(cs)
     n = width * height
-    y = np.frombuffer(data, dtype=np.uint8, count=n).reshape(height, width)
-    if cs == "mono":
-        return y[:, :, None].copy()
-    if cs == "420":
-        cw, ch = width // 2, height // 2
-    elif cs == "422":
-        cw, ch = width // 2, height
-    elif cs == "444":
-        cw, ch = width, height
+    if depth == 8:
+        buf = np.frombuffer(data, dtype=np.uint8)
     else:
-        raise NotImplementedError(f"Y4M colorspace C{cs}")
-    cb = np.frombuffer(data, dtype=np.uint8, count=cw * ch, offset=n).reshape(ch, cw)
-    cr = np.frombuffer(data, dtype=np.uint8, count=cw * ch, offset=n + cw * ch).reshape(ch, cw)
+        buf = (
+            np.frombuffer(data, dtype="<u2") >> (depth - 8)
+        ).astype(np.uint8)
+    y = buf[:n].reshape(height, width)
+    if base == "mono":
+        return y[:, :, None].copy()
+    cwd, chd = _Y4M_CHROMA_DIV[base]
+    cw, ch = width // cwd, height // chd
+    cb = buf[n : n + cw * ch].reshape(ch, cw)
+    cr = buf[n + cw * ch : n + 2 * cw * ch].reshape(ch, cw)
     cb = cb.repeat(width // cw, axis=1).repeat(height // ch, axis=0)
     cr = cr.repeat(width // cw, axis=1).repeat(height // ch, axis=0)
     yf = (y.astype(np.float64) - 16.0) * (255.0 / 219.0)

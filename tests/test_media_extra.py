@@ -803,16 +803,16 @@ def test_y4m_gate_routes_to_pyav(monkeypatch, spark):
 
     from intake_spark.llm.video import _av_sample_frames, parse_video, sample_video_frames
 
-    y4m_411 = b"YUV4MPEG2 W4 H2 F25:1 C411\nFRAME\n" + bytes(4 * 2 * 2)
+    y4m_410 = b"YUV4MPEG2 W4 H4 F25:1 C410\nFRAME\n" + bytes(4 * 4 * 2)
 
-    with pytest.raises(NotImplementedError, match="C411"):
-        parse_video(y4m_411)
+    with pytest.raises(NotImplementedError, match="C410"):
+        parse_video(y4m_410)
 
     # without PyAV: the named Y4M gate survives end-to-end
     df = spark.createDataFrame(
-        [("f.y4m", bytearray(y4m_411))], "path string, content binary"
+        [("f.y4m", bytearray(y4m_410))], "path string, content binary"
     )
-    with pytest.raises(Exception, match="C411"):
+    with pytest.raises(Exception, match="C410"):
         sample_video_frames(df, every_n=1).collect()
 
     # audio-only container: named error, not IndexError

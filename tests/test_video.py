@@ -299,3 +299,73 @@ def test_y4m_sample_and_features_end_to_end(spark):
     expected = round((46 - 16) * 255.0 / 219.0)
     assert abs(feats[1].mean_intensity - expected) <= 0.5
     assert feats[0].n_channels == 3 and feats[0].width == 2
+
+
+def test_y4m_extended_colorspaces_and_params():
+    """The r11 Y4M gate closures: C411, p10/p12 high bit depth,
+    444alpha, interlaced streams (presentation flag only — raster
+    unchanged), and per-frame parameter tokens; C410 stays a loud
+    named gate."""
+    import numpy as np
+    import pytest
+
+    from intake_spark.llm.video import decode_y4m_frame, parse_y4m
+
+    # C411: chroma is W/4 x H
+    w, h = 8, 2
+    fsize = w * h + 2 * ((w // 4) * h)
+    m = parse_y4m(_y4m(w, h, [bytes(fsize)], cs="411"))
+    assert m["codec"] == "Y4M-C411" and m["frames"][0][1] == fsize
+    y = bytes([81] * (w * h))
+    cb = bytes([90] * ((w // 4) * h))
+    cr = bytes([240] * ((w // 4) * h))
+    arr = decode_y4m_frame(y + cb + cr, w, h, "411")
+    assert arr.shape == (h, w, 3)
+    r, g, b = (int(x) for x in arr[0, 0])
+    assert r > 240 and g < 30 and b < 30  # BT.601 red everywhere
+
+    # C420p10: two LE bytes per sample, limited-range codes scale by 4
+    w, h = 2, 2
+    y10 = np.array([16 * 4, 235 * 4, 81 * 4, 145 * 4], dtype="<u2")
+    c10 = np.array([128 * 4], dtype="<u2")
+    m = parse_y4m(_y4m(w, h, [y10.tobytes() + c10.tobytes() * 2],
+                       cs="420p10"))
+    assert m["codec"] == "Y4M-C420p10"
+    assert m["frames"][0][1] == (4 + 2) * 2
+    arr = decode_y4m_frame(y10.tobytes() + c10.tobytes() * 2, w, h,
+                           "420p10")
+    assert arr[0, 0].tolist() == [0, 0, 0]
+    assert arr[0, 1].tolist() == [255, 255, 255]
+
+    # C444p12 gray ramp
+    y12 = np.array([16 << 4, 235 << 4], dtype="<u2")
+    c12 = np.array([128 << 4, 128 << 4], dtype="<u2")
+    frame = y12.tobytes() + c12.tobytes() + c12.tobytes()
+    arr = decode_y4m_frame(frame, 2, 1, "444p12")
+    assert arr[0, 0].tolist() == [0, 0, 0]
+    assert arr[0, 1].tolist() == [255, 255, 255]
+
+    # 444alpha: 4 full planes; alpha ignored for RGB
+    w, h = 2, 1
+    planes = bytes([81, 81]) + bytes([90, 90]) + bytes([240, 240]) \
+        + bytes([255, 0])
+    m = parse_y4m(_y4m(w, h, [planes], cs="444alpha"))
+    assert m["frames"][0][1] == 4 * w * h
+    arr = decode_y4m_frame(planes, w, h, "444alpha")
+    assert int(arr[0, 0, 0]) > 240 and int(arr[0, 0, 1]) < 30
+
+    # interlaced stream: accepted, flagged, frames decode as stored
+    data = b"YUV4MPEG2 W2 H2 F25:1 It C420\nFRAME\n" + bytes(6)
+    m = parse_y4m(data)
+    assert m["interlace"] == "t" and m["n_frames"] == 1
+
+    # per-frame parameter tokens never change the raster
+    data = (b"YUV4MPEG2 W2 H2 F25:1 C420\n"
+            b"FRAME Xtag=1\n" + bytes(6) + b"FRAME It\n" + bytes(6))
+    m = parse_y4m(data)
+    assert m["n_frames"] == 2 and all(s == 6 for _o, s in m["frames"])
+
+    with pytest.raises(NotImplementedError, match="C410"):
+        parse_y4m(b"YUV4MPEG2 W4 H4 C410\nFRAME\n" + bytes(24))
+    with pytest.raises(NotImplementedError, match="bit depth"):
+        parse_y4m(b"YUV4MPEG2 W2 H2 C420p11\nFRAME\n" + bytes(12))
