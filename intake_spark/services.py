@@ -305,13 +305,32 @@ class ArrowFlightReader(BaseReader):
 
 
 class MQTTReader(BaseReader):
-    """Collect-N-messages batch peek (parity: readers.py:3238-3285)."""
+    """Collect-N-messages batch peek (parity: readers.py:3238-3285).
+    Uses paho-mqtt when installed, else the stdlib MQTT 3.1.1 client
+    (:class:`intake_spark.wire.MqttWireClient` — CONNECT/SUBSCRIBE/
+    PUBLISH framing over real protocol bytes, QoS 0/1; TLS/AUTH need
+    the real client)."""
 
     implements = {MQTTTopic}
-    imports = {"paho.mqtt"}
 
     def _read(self, spark, n_messages: int = 100, timeout_s: float = 30.0, **kwargs):
-        import paho.mqtt.client as mqtt  # type: ignore
+        try:
+            import paho.mqtt.client as mqtt  # type: ignore
+        except ImportError:
+            from intake_spark.wire import MqttWireClient
+
+            client = MqttWireClient.from_url(self.data.url)
+            try:
+                client.subscribe(self.data.topic)
+                rows = [
+                    {"topic": t, "payload": p.decode(errors="replace")}
+                    for t, p in client.messages(n_messages, timeout_s)
+                ]
+            finally:
+                client.close()
+            return spark.createDataFrame(
+                rows or [{"topic": "", "payload": ""}]
+            )
 
         rows: list[dict] = []
 

@@ -1,22 +1,24 @@
-"""Stdlib wire-protocol clients for the two service connectors whose
+"""Stdlib wire-protocol clients for the service connectors whose
 protocols are simple, public, and fully specified: Redis (RESP2,
-https://redis.io/docs/reference/protocol-spec) and MongoDB (OP_MSG
+https://redis.io/docs/reference/protocol-spec), MongoDB (OP_MSG
 framing over BSON, the MongoDB Wire Protocol + the public BSON spec,
-bsonspec.org).
+bsonspec.org), and MQTT 3.1.1 (the OASIS standard's fixed-header +
+remaining-length framing).
 
-Why these exist: the reference delegates to the ``redis`` /
-``pymongo``/mongo-spark packages (reference readers.py:3341-3418).
-Neither driver ships in this environment, which left RedisReader /
-MongoDBReader import-gated and only injectable-mock-tested. Both
-protocols are a few hundred lines of framing, so the readers get a
-native stdlib path instead — testable against a loopback socket server
-speaking REAL protocol bytes (tests/test_wire_protocols.py), and usable
-against real servers where unauthenticated access is allowed.
+Why these exist: the reference delegates to the ``redis`` / ``pymongo``
+/ mongo-spark / ``paho-mqtt`` packages (reference readers.py:3238-3418).
+None of those drivers ship in this environment, which left the readers
+import-gated and only injectable-mock-tested. Each protocol is a few
+hundred lines of framing, so the readers get a native stdlib path
+instead — testable against a loopback socket server speaking REAL
+protocol bytes (tests/test_wire_protocols.py), and usable against real
+servers where unauthenticated access is allowed.
 
 Scope (deliberate): RESP2 request/response only (no pub/sub, no RESP3
 push types); OP_MSG section kind 0 only (no OP_COMPRESSED, no
-checksums, no SCRAM auth — an authenticated deployment still needs the
-real driver, and the readers say so loudly).
+checksums, no SCRAM auth); MQTT QoS 0/1 subscribe/receive only (no
+QoS 2 PUBREC/PUBREL, no TLS) — an authenticated deployment still needs
+the real driver, and the readers say so loudly.
 """
 
 from __future__ import annotations
@@ -310,3 +312,126 @@ class MongoWireClient:
             })
             cursor = reply["cursor"]
             batch = cursor.get("nextBatch", [])
+
+
+# --------------------------------------------------------------------------
+# MQTT 3.1.1 (OASIS standard; CONNECT/SUBSCRIBE/PUBLISH framing)
+# --------------------------------------------------------------------------
+
+
+def _mqtt_varint(n: int) -> bytes:
+    """MQTT remaining-length: 7 bits per byte, MSB = continuation."""
+    out = bytearray()
+    while True:
+        b = n % 128
+        n //= 128
+        out.append(b | (0x80 if n else 0))
+        if not n:
+            return bytes(out)
+
+
+class MqttWireClient:
+    """Minimal MQTT 3.1.1 subscriber: CONNECT/CONNACK handshake,
+    SUBSCRIBE at QoS 0/1, PUBLISH receive (PUBACK sent for QoS 1),
+    PINGRESP tolerated. Unauthenticated brokers; TLS/AUTH need the
+    real client."""
+
+    def __init__(self, host: str, port: int = 1883,
+                 client_id: str = "intake-spark",
+                 keepalive: int = 60, timeout: float = 10.0):
+        self._sock = socket.create_connection((host, port), timeout=timeout)
+        self._buf = b""
+        self._pkt_id = 0
+        cid = client_id.encode()
+        var = (b"\x00\x04MQTT\x04\x02" + struct.pack(">H", keepalive)
+               + struct.pack(">H", len(cid)) + cid)
+        self._sock.sendall(b"\x10" + _mqtt_varint(len(var)) + var)
+        ptype, body = self._read_packet()
+        if ptype != 0x20 or len(body) != 2 or body[1] != 0:
+            raise ConnectionError(
+                f"MQTT CONNACK refused (type 0x{ptype:02x}, body {body!r})"
+            )
+
+    @classmethod
+    def from_url(cls, url: str, **kw) -> "MqttWireClient":
+        addr = url.split("://", 1)[-1]
+        host, _, port = addr.partition(":")
+        return cls(host or "localhost", int(port or 1883), **kw)
+
+    def close(self) -> None:
+        try:
+            self._sock.sendall(b"\xe0\x00")  # DISCONNECT
+        except OSError:
+            pass
+        self._sock.close()
+
+    def _recv(self, n: int) -> bytes:
+        while len(self._buf) < n:
+            chunk = self._sock.recv(4096)
+            if not chunk:
+                raise ConnectionError("MQTT: connection closed")
+            self._buf += chunk
+        out, self._buf = self._buf[:n], self._buf[n:]
+        return out
+
+    def _read_packet(self) -> "tuple[int, bytes]":
+        h = self._recv(1)[0]
+        length, shift = 0, 0
+        while True:
+            b = self._recv(1)[0]
+            length |= (b & 0x7F) << shift
+            if not b & 0x80:
+                break
+            shift += 7
+            if shift > 21:
+                raise ConnectionError("MQTT: malformed remaining length")
+        return h, self._recv(length)
+
+    def subscribe(self, topic: str, qos: int = 0) -> None:
+        self._pkt_id += 1
+        t = topic.encode()
+        var = (struct.pack(">H", self._pkt_id)
+               + struct.pack(">H", len(t)) + t + bytes([qos]))
+        self._sock.sendall(b"\x82" + _mqtt_varint(len(var)) + var)
+        while True:
+            ptype, body = self._read_packet()
+            if ptype == 0x90:  # SUBACK
+                if body[:2] != struct.pack(">H", self._pkt_id):
+                    raise ConnectionError("MQTT SUBACK packet-id mismatch")
+                if body[2] & 0x80:
+                    raise ConnectionError("MQTT subscription rejected")
+                return
+            if ptype == 0xD0:  # PINGRESP — ignore
+                continue
+            raise ConnectionError(f"MQTT: expected SUBACK, got 0x{ptype:02x}")
+
+    def messages(self, n: int, timeout_s: float = 30.0):
+        """Yield up to ``n`` (topic, payload bytes) PUBLISH messages."""
+        import time
+
+        deadline = time.monotonic() + timeout_s
+        got = 0
+        while got < n:
+            self._sock.settimeout(max(0.05, deadline - time.monotonic()))
+            try:
+                ptype, body = self._read_packet()
+            except (TimeoutError, socket.timeout):
+                return
+            if ptype & 0xF0 != 0x30:
+                if ptype == 0xD0:  # PINGRESP
+                    continue
+                raise ConnectionError(
+                    f"MQTT: unexpected packet 0x{ptype:02x} mid-stream"
+                )
+            qos = (ptype >> 1) & 0x3
+            (tlen,) = struct.unpack_from(">H", body, 0)
+            topic = body[2 : 2 + tlen].decode()
+            pos = 2 + tlen
+            if qos:
+                (pid,) = struct.unpack_from(">H", body, pos)
+                pos += 2
+                # acknowledge QoS 1 (QoS 2's PUBREC/PUBREL dance is out
+                # of scope for a batch peek)
+                self._sock.sendall(b"\x40\x02" + struct.pack(">H", pid))
+            yield topic, body[pos:]
+            got += 1

@@ -1,9 +1,9 @@
-"""Protocol-level tests for the stdlib Redis/Mongo wire clients
+"""Protocol-level tests for the stdlib Redis/Mongo/MQTT wire clients
 (intake_spark/wire.py) and the readers on top of them: an in-process
-loopback socket server speaks REAL RESP2 / OP_MSG+BSON bytes to the
-reader's unmodified network path — upgrading these connectors from
-injected-mock to wire-protocol-tested (no redis/pymongo/mongo-spark in
-this environment)."""
+loopback socket server speaks REAL RESP2 / OP_MSG+BSON / MQTT-3.1.1
+bytes to the reader's unmodified network path — upgrading these
+connectors from injected-mock to wire-protocol-tested (no
+redis/pymongo/mongo-spark/paho in this environment)."""
 
 from __future__ import annotations
 
@@ -287,3 +287,133 @@ def test_mongo_reader_max_rows_guard(spark):
     ))
     with pytest.raises(ValueError, match="mongo-spark"):
         rdr.read(spark=spark, max_rows=3)
+
+
+# --------------------------------------------------------------------------
+# MQTT 3.1.1
+# --------------------------------------------------------------------------
+
+
+class FakeMqttBroker:
+    """MQTT 3.1.1 broker: validates CONNECT (protocol name/level),
+    CONNACKs, SUBACKs the subscription, then pushes the configured
+    messages — one of them QoS 1, whose PUBACK is recorded."""
+
+    def __init__(self, messages: list[tuple[str, bytes]]):
+        self.messages = messages
+        self.events: list = []
+        self._srv = socket.socket()
+        self._srv.bind(("127.0.0.1", 0))
+        self._srv.listen(1)
+        self.port = self._srv.getsockname()[1]
+        self._thread = threading.Thread(target=self._serve, daemon=True)
+        self._thread.start()
+
+    def _read_packet(self, conn):
+        h = conn.recv(1)
+        if not h:
+            return None, b""
+        length, shift = 0, 0
+        while True:
+            b = conn.recv(1)[0]
+            length |= (b & 0x7F) << shift
+            if not b & 0x80:
+                break
+            shift += 7
+        body = b""
+        while len(body) < length:
+            body += conn.recv(length - len(body))
+        return h[0], body
+
+    def _serve(self):
+        conn, _ = self._srv.accept()
+        try:
+            ptype, body = self._read_packet(conn)
+            assert ptype == 0x10, hex(ptype)
+            # variable header: proto name "MQTT", level 4
+            assert body[:6] == b"\x00\x04MQTT" and body[6] == 4
+            self.events.append(("connect", body[6]))
+            conn.sendall(b"\x20\x02\x00\x00")  # CONNACK accepted
+            ptype, body = self._read_packet(conn)
+            assert ptype == 0x82, hex(ptype)
+            pid = struct.unpack(">H", body[:2])[0]
+            (tlen,) = struct.unpack(">H", body[2:4])
+            topic = body[4 : 4 + tlen].decode()
+            self.events.append(("subscribe", topic))
+            conn.sendall(b"\x90\x03" + struct.pack(">H", pid) + b"\x00")
+            for i, (t, payload) in enumerate(self.messages):
+                qos = 1 if i == 1 else 0
+                tb = t.encode()
+                var = struct.pack(">H", len(tb)) + tb
+                if qos:
+                    var += struct.pack(">H", 42)
+                var += payload
+                head = 0x30 | (qos << 1)
+                conn.sendall(bytes([head]) + _varint(len(var)) + var)
+                if qos:
+                    ptype, ack = self._read_packet(conn)
+                    assert ptype == 0x40 and ack == struct.pack(">H", 42)
+                    self.events.append(("puback", 42))
+            # hold the socket open so the client times out gracefully
+            ptype, _ = self._read_packet(conn)
+            if ptype == 0xE0:
+                self.events.append(("disconnect",))
+        finally:
+            conn.close()
+
+
+def _varint(n: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = n % 128
+        n //= 128
+        out.append(b | (0x80 if n else 0))
+        if not n:
+            return bytes(out)
+
+
+def test_mqtt_wire_subscribe_receive():
+    from intake_spark.wire import MqttWireClient
+
+    msgs = [("sensors/a", b"1.5"), ("sensors/b", b"2.5"),
+            ("sensors/a", b"3.5")]
+    broker = FakeMqttBroker(msgs)
+    c = MqttWireClient("127.0.0.1", broker.port)
+    c.subscribe("sensors/#")
+    got = list(c.messages(3, timeout_s=10))
+    c.close()
+    assert got == [(t, p) for t, p in msgs]
+    assert ("subscribe", "sensors/#") in broker.events
+    assert ("puback", 42) in broker.events  # QoS-1 message acknowledged
+
+
+def test_mqtt_reader_over_wire(spark):
+    from intake_spark.services import MQTTReader, MQTTTopic
+
+    broker = FakeMqttBroker([("t/x", b"hello"), ("t/y", b"world")])
+    rdr = MQTTReader(data=MQTTTopic(
+        f"tcp://127.0.0.1:{broker.port}", topic="t/#"
+    ))
+    rows = sorted(
+        (r.topic, r.payload)
+        for r in rdr.read(spark=spark, n_messages=2, timeout_s=10).collect()
+    )
+    assert rows == [("t/x", "hello"), ("t/y", "world")]
+
+
+def test_mqtt_timeout_returns_partial():
+    """A quiet topic returns what arrived before the deadline instead
+    of hanging."""
+    import time
+
+    from intake_spark.wire import MqttWireClient
+
+    broker = FakeMqttBroker([("t/only", b"one")])
+    c = MqttWireClient("127.0.0.1", broker.port)
+    c.subscribe("t/#")
+    t0 = time.monotonic()
+    got = list(c.messages(5, timeout_s=1.0))
+    took = time.monotonic() - t0
+    c.close()
+    assert got == [("t/only", b"one")]
+    assert took < 5
