@@ -447,7 +447,7 @@ def recommend_scored(
                     inner_url = re.sub(rf"\.({codec}|gz|bz2|zst|lz4)$", "", url or "")
                     return recommend_scored(
                         inner_url or None, mime=None, head=inner,
-                        _via_prefix=f"compressed:{codec}:",
+                        _via_prefix=f"{_via_prefix}compressed:{codec}:",
                     )
                 except Exception:
                     # codec recognized but not decodable here (zstd/lz4):
@@ -469,7 +469,7 @@ def recommend_scored(
                 if members:
                     return recommend_scored(
                         members[0], mime=None, head=None,
-                        _via_prefix="container:zip:",
+                        _via_prefix=_via_prefix + "container:zip:",
                     )
             except Exception:
                 pass
@@ -545,7 +545,15 @@ def recommend_corpus(
     3. A cluster whose samples agree unanimously propagates the verdict
        to its remaining members without opening them (``via='cluster'``);
        a disputed or undetectable cluster falls back to sniffing every
-       member, so mixed directories stay per-file exact.
+       member. CAVEAT — propagation is sample-based: a minority format
+       hiding in an otherwise homogeneous directory is mislabeled when
+       all ``samples_per_cluster`` draws miss it (probability
+       ``C(n-m, s)/C(n, s)`` for m minority members out of n). That is
+       the deliberate IO trade of the SURVEY §7 plan; raise
+       ``samples_per_cluster`` (>= cluster size gives per-file
+       exactness) where directories are not trusted to be homogeneous,
+       and note ``via='cluster'`` rows are exactly the never-opened
+       files if downstream wants to re-verify lazily.
     4. ``cache_path`` (parquet) persists verdicts across runs: already-
        cached paths are never re-opened, new verdicts are appended — the
        registry the catalog layer reuses.
@@ -692,4 +700,6 @@ def recommend_corpus(
             .join(base, "path")  # drop verdicts for vanished paths
             .select("path", "dir", "ext", "datatype", "score", "via")
         )
-    return fresh if cached is None else fresh.unionByName(cached)
+    # no cache_path: cached is necessarily None (it is only built from an
+    # existing cache file) and fresh covers the whole listing
+    return fresh

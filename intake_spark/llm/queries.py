@@ -4194,7 +4194,10 @@ def _q137_store(spark: SparkSession) -> tuple:
 
     key = spark.sparkContext.applicationId
     got = _Q137_CACHE.get(key)
-    if got is not None:
+    # same staleness re-check as _fixture_store: if a /tmp reaper
+    # removed the store mid-session, rebuild instead of handing out
+    # dead paths for the rest of the application
+    if got is not None and _os.path.isdir(_os.path.dirname(got[2])):
         return got
 
     root = _tempfile.mkdtemp(prefix="intake_spark_q137_")

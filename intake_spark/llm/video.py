@@ -18,6 +18,7 @@ stage scales with sampled frames, not total frames.
 
 from __future__ import annotations
 
+import re
 import struct
 from collections.abc import Iterator
 
@@ -184,8 +185,10 @@ def parse_y4m(content: bytes) -> dict:
                     "Y4M colorspace C410 (4:1:0 chroma geometry is "
                     "implementation-ambiguous)"
                 )
-            if cs.startswith("420") and "p" not in cs:
-                cs = "420"  # 420jpeg/420paldv site the chroma the same size
+            if re.fullmatch(r"420(jpeg|mpeg2|paldv)?", cs):
+                cs = "420"  # 420jpeg/420mpeg2/420paldv only differ in
+                # chroma SITING — same plane bytes (420p10 etc. are the
+                # high-bit-depth variants and keep their suffix)
         elif tag == b"I":
             interlace = val or "?"
     if not width or not height:

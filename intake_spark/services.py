@@ -100,17 +100,32 @@ class MongoDBReader(BaseReader):
 
     def _read(self, spark, filter: "dict | None" = None,
               max_rows: int = 100_000, **kwargs):
+        import json as _json
+
         try:
-            return (
+            reader = (
                 spark.read.format("mongodb")
                 .option("connection.uri", self.data.url)
                 .option("database", self.data.database)
                 .option("collection", self.data.collection)
-                .options(**{**self.data.options, **kwargs})
-                .load()
             )
-        except Exception:
-            pass  # no connector jar: stdlib wire path below
+            if filter:
+                # same semantics on both paths: the connector applies
+                # filters as an aggregation $match pipeline
+                reader = reader.option(
+                    "aggregation.pipeline",
+                    _json.dumps([{"$match": filter}]),
+                )
+            return reader.options(**{**self.data.options, **kwargs}).load()
+        except Exception as exc:
+            # fall back ONLY when the connector itself is absent; a
+            # present-but-failing connector (bad URI, auth, network)
+            # must surface its real error, not be silently retried
+            # unauthenticated over the wire client
+            msg = str(exc)
+            if not ("Failed to find" in msg or "DATA_SOURCE_NOT_FOUND" in msg
+                    or "ClassNotFound" in msg):
+                raise
         from intake_spark.wire import MongoWireClient
 
         client = MongoWireClient.from_url(self.data.url)

@@ -48,13 +48,15 @@ class RespClient:
 
     @classmethod
     def from_url(cls, url: str, timeout: float = 10.0) -> "RespClient":
-        """redis://host[:port][/db]"""
-        rest = url.split("://", 1)[-1]
-        rest = rest.split("@", 1)[-1]  # credentials need the real driver
-        hostport, _, dbs = rest.partition("/")
-        host, _, port = hostport.partition(":")
-        return cls(host or "localhost", int(port or 6379),
-                   int(dbs or 0), timeout)
+        """redis://host[:port][/db][?params] — parsed with urlsplit so
+        query strings and bracketed IPv6 hosts survive (params beyond
+        the db number need the real driver and are ignored here)."""
+        from urllib.parse import urlsplit
+
+        u = urlsplit(url if "://" in url else f"redis://{url}")
+        db_seg = u.path.strip("/").split("/", 1)[0]
+        return cls(u.hostname or "localhost", u.port or 6379,
+                   int(db_seg) if db_seg.isdigit() else 0, timeout)
 
     def close(self) -> None:
         try:
@@ -342,6 +344,7 @@ class MqttWireClient:
         self._sock = socket.create_connection((host, port), timeout=timeout)
         self._buf = b""
         self._pkt_id = 0
+        self._pending: list = []  # PUBLISHes that beat the SUBACK
         cid = client_id.encode()
         var = (b"\x00\x04MQTT\x04\x02" + struct.pack(">H", keepalive)
                + struct.pack(">H", len(cid)) + cid)
@@ -403,15 +406,39 @@ class MqttWireClient:
                 return
             if ptype == 0xD0:  # PINGRESP — ignore
                 continue
+            if ptype & 0xF0 == 0x30:
+                # MQTT 3.1.1 §3.8.4: the server MAY start delivering
+                # matching PUBLISHes before the SUBACK (retained
+                # messages typically arrive here) — buffer, don't fail
+                self._pending.append(self._parse_publish(ptype, body))
+                continue
             raise ConnectionError(f"MQTT: expected SUBACK, got 0x{ptype:02x}")
 
+    def _parse_publish(self, ptype: int, body: bytes) -> "tuple[str, bytes]":
+        qos = (ptype >> 1) & 0x3
+        (tlen,) = struct.unpack_from(">H", body, 0)
+        topic = body[2 : 2 + tlen].decode()
+        pos = 2 + tlen
+        if qos:
+            (pid,) = struct.unpack_from(">H", body, pos)
+            pos += 2
+            # acknowledge QoS 1 (QoS 2's PUBREC/PUBREL dance is out
+            # of scope for a batch peek)
+            self._sock.sendall(b"\x40\x02" + struct.pack(">H", pid))
+        return topic, body[pos:]
+
     def messages(self, n: int, timeout_s: float = 30.0):
-        """Yield up to ``n`` (topic, payload bytes) PUBLISH messages."""
+        """Yield up to ``n`` (topic, payload bytes) PUBLISH messages;
+        ``timeout_s`` is a HARD deadline for the whole batch, so a
+        slow-but-steady topic still returns a partial result on time."""
         import time
 
         deadline = time.monotonic() + timeout_s
         got = 0
-        while got < n:
+        while self._pending and got < n:
+            yield self._pending.pop(0)
+            got += 1
+        while got < n and time.monotonic() < deadline:
             self._sock.settimeout(max(0.05, deadline - time.monotonic()))
             try:
                 ptype, body = self._read_packet()
@@ -423,15 +450,5 @@ class MqttWireClient:
                 raise ConnectionError(
                     f"MQTT: unexpected packet 0x{ptype:02x} mid-stream"
                 )
-            qos = (ptype >> 1) & 0x3
-            (tlen,) = struct.unpack_from(">H", body, 0)
-            topic = body[2 : 2 + tlen].decode()
-            pos = 2 + tlen
-            if qos:
-                (pid,) = struct.unpack_from(">H", body, pos)
-                pos += 2
-                # acknowledge QoS 1 (QoS 2's PUBREC/PUBREL dance is out
-                # of scope for a batch peek)
-                self._sock.sendall(b"\x40\x02" + struct.pack(">H", pid))
-            yield topic, body[pos:]
+            yield self._parse_publish(ptype, body)
             got += 1

@@ -34,13 +34,16 @@ def _corpus(root) -> dict[str, int]:
             f.write(f"a,b\n{i},2\n")
     for i in range(6):
         _png(f"{root}/png/d{i}.png")
-    # one directory, one extension, two actual formats: the cluster must
-    # NOT propagate — every member gets its own sniff
-    for i in range(5):
+    # one directory, one extension, two actual formats split 3/3: ANY
+    # 4-of-6 sample must contain both, so the cluster deterministically
+    # disputes and every member gets its own sniff. (A 5/1 split would
+    # make the test a coin flip on xxhash64(tmp_path) — propagation is
+    # sample-based by design; see the recommend_corpus docstring caveat.)
+    for i in range(3):
         with open(f"{root}/mixed/d{i}.dat", "wb") as f:
             f.write(b"PAR1" + b"x" * 32)
-    _png(f"{root}/mixed/d9.dat")
-    return {"csv": 10, "png": 6, "dat_parquet": 5, "dat_png": 1}
+        _png(f"{root}/mixed/p{i}.dat")
+    return {"csv": 10, "png": 6, "dat_parquet": 3, "dat_png": 3}
 
 
 def test_recommend_scored_evidence():
@@ -73,7 +76,7 @@ def test_corpus_triage_clusters_and_disputes(spark, tmp_path):
 
     # disputed cluster: every member individually sniffed, none propagated
     dat_rows = [r for p, r in rows.items() if "/mixed/" in p]
-    assert sorted(r.datatype for r in dat_rows) == ["PNG"] + ["Parquet"] * 5
+    assert sorted(r.datatype for r in dat_rows) == ["PNG"] * 3 + ["Parquet"] * 3
     assert all(r.via != "cluster" for r in dat_rows)
 
 
@@ -140,3 +143,14 @@ def test_corpus_triage_plan_is_distributed(spark, tmp_path):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "MapInPandas" in plan
     assert "BatchEvalPython" not in plan  # no row-at-a-time UDFs
+
+
+def test_recommend_scored_chained_wrapper_prefix():
+    """Chained compression wrappers keep the FULL evidence trail (r11
+    review: the outer prefix was dropped on recursion)."""
+    import bz2
+
+    inner = bz2.compress(b"a,b\n1,2\n")
+    top = recommend_scored("/x/y.csv.bz2.gz", head=gzip.compress(inner))[0]
+    assert top[0] is dt.CSV
+    assert top[2] == "compressed:gzip:compressed:bz2:pattern"

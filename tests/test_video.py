@@ -369,3 +369,19 @@ def test_y4m_extended_colorspaces_and_params():
         parse_y4m(b"YUV4MPEG2 W4 H4 C410\nFRAME\n" + bytes(24))
     with pytest.raises(NotImplementedError, match="bit depth"):
         parse_y4m(b"YUV4MPEG2 W2 H2 C420p11\nFRAME\n" + bytes(12))
+
+
+def test_y4m_420_siting_variants_normalize():
+    """C420jpeg/C420mpeg2/C420paldv (same bytes, different chroma
+    SITING — what ffmpeg actually writes) normalize to 420; the p10
+    depth suffix survives (r11 review regression)."""
+    from intake_spark.llm.video import parse_y4m
+
+    for variant in ("420jpeg", "420mpeg2", "420paldv"):
+        m = parse_y4m(
+            b"YUV4MPEG2 W2 H2 F25:1 C" + variant.encode() + b"\nFRAME\n"
+            + bytes(6)
+        )
+        assert m["codec"] == "Y4M-C420" and m["frames"][0][1] == 6, variant
+    m = parse_y4m(b"YUV4MPEG2 W2 H2 F25:1 C420p10\nFRAME\n" + bytes(12))
+    assert m["codec"] == "Y4M-C420p10" and m["frames"][0][1] == 12

@@ -417,3 +417,93 @@ def test_mqtt_timeout_returns_partial():
     c.close()
     assert got == [("t/only", b"one")]
     assert took < 5
+
+
+def test_mqtt_publish_before_suback_is_buffered():
+    """MQTT 3.1.1 §3.8.4: the server may deliver matching PUBLISHes
+    (typically retained messages) BEFORE the SUBACK; they must be
+    buffered and yielded first, not treated as a protocol error."""
+    from intake_spark.wire import MqttWireClient
+
+    class EagerBroker(FakeMqttBroker):
+        def _serve(self):
+            conn, _ = self._srv.accept()
+            try:
+                ptype, body = self._read_packet(conn)
+                assert ptype == 0x10
+                conn.sendall(b"\x20\x02\x00\x00")
+                ptype, body = self._read_packet(conn)
+                assert ptype == 0x82
+                pid = struct.unpack(">H", body[:2])[0]
+                # retained message FIRST, then the SUBACK
+                t = b"t/retained"
+                var = struct.pack(">H", len(t)) + t + b"old"
+                conn.sendall(b"\x30" + _varint(len(var)) + var)
+                conn.sendall(b"\x90\x03" + struct.pack(">H", pid) + b"\x00")
+                t = b"t/live"
+                var = struct.pack(">H", len(t)) + t + b"new"
+                conn.sendall(b"\x30" + _varint(len(var)) + var)
+                self._read_packet(conn)  # hold for DISCONNECT
+            finally:
+                conn.close()
+
+    broker = EagerBroker([])
+    c = MqttWireClient("127.0.0.1", broker.port)
+    c.subscribe("t/#")
+    got = list(c.messages(2, timeout_s=10))
+    c.close()
+    assert got == [("t/retained", b"old"), ("t/live", b"new")]
+
+
+def test_mqtt_timeout_is_hard_deadline():
+    """A slow-but-steady topic must still return at the deadline — the
+    timeout bounds the whole batch, not each packet gap."""
+    import time
+
+    from intake_spark.wire import MqttWireClient
+
+    class TrickleBroker(FakeMqttBroker):
+        def _serve(self):
+            conn, _ = self._srv.accept()
+            try:
+                self._read_packet(conn)
+                conn.sendall(b"\x20\x02\x00\x00")
+                ptype, body = self._read_packet(conn)
+                pid = struct.unpack(">H", body[:2])[0]
+                conn.sendall(b"\x90\x03" + struct.pack(">H", pid) + b"\x00")
+                t = b"t/slow"
+                for _i in range(100):
+                    var = struct.pack(">H", len(t)) + t + b"x"
+                    conn.sendall(b"\x30" + _varint(len(var)) + var)
+                    time.sleep(0.25)
+            except OSError:
+                pass
+            finally:
+                conn.close()
+
+    broker = TrickleBroker([])
+    c = MqttWireClient("127.0.0.1", broker.port)
+    c.subscribe("t/#")
+    t0 = time.monotonic()
+    got = list(c.messages(100, timeout_s=1.0))
+    took = time.monotonic() - t0
+    c.close()
+    assert took < 2.5, took  # hard deadline, not 100 * 0.25s
+    assert 1 <= len(got) <= 8
+
+
+def test_resp_from_url_query_and_ipv6():
+    """redis URLs with query params, trailing paths, or bracketed IPv6
+    hosts parse instead of crashing int() (found in the r11 review)."""
+    from urllib.parse import urlsplit
+
+    from intake_spark.wire import RespClient
+
+    srv = FakeRedis({b"k": b"v"})
+    c = RespClient.from_url(f"redis://127.0.0.1:{srv.port}/2?socket_timeout=5")
+    assert c.get(b"k") == b"v"
+    c.close()
+    assert srv.commands[0] == [b"SELECT", b"2"]
+    # IPv6 parse (no listener needed — just check the split)
+    u = urlsplit("redis://[::1]:7000/1")
+    assert (u.hostname, u.port) == ("::1", 7000)
