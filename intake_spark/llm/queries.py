@@ -4688,3 +4688,104 @@ def q141_stream_guard_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_dup_bands",
         )
     )
+
+
+@register(
+    "q142_service_wire",
+    """
+    WITH s AS (SELECT doc_id, (doc_id * 7 + 3) % 100 AS rv,
+                      (doc_id * 11 + 5) % 97 AS mv,
+                      (doc_id * 13 + 7) % 89 AS qv
+               FROM documents WHERE doc_id % 10 = 5)
+    SELECT 'redis' AS source, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(rv) AS BIGINT) AS checksum
+    FROM s
+    UNION ALL
+    SELECT 'mongo', CAST(COUNT(*) AS BIGINT), CAST(SUM(mv) AS BIGINT)
+    FROM s
+    UNION ALL
+    SELECT 'mqtt', CAST(COUNT(*) AS BIGINT), CAST(SUM(qv) AS BIGINT)
+    FROM s
+    """,
+)
+def q142_service_wire(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SERVICE connectors driver-visible (the q135 reader-prover
+    pattern applied to network protocols): three in-process loopback
+    servers (:mod:`intake_spark.loopback` — fixture-grade conformant
+    counterparts, the service analogue of ``encode_grib2_complex``) are
+    seeded with values that are pure functions of the sampled doc_ids,
+    then read through the REAL connector paths — RedisReader's RESP2
+    SCAN+GET walk, MongoDBReader's OP_MSG find/getMore cursor (the >
+    int32 cursor id crosses the wire as int64), MQTTReader's
+    CONNECT/SUBSCRIBE/PUBLISH session — over actual 127.0.0.1 sockets.
+    Checksums are closed-form, so protocol framing errors surface as
+    value mismatches, not just test failures. The fetches are
+    driver-side by design (these readers are documented small/hot-data
+    paths with guards naming the distributed alternatives); the sampled
+    id list is the only collect."""
+    from intake_spark.loopback import LoopbackMongo, LoopbackMqtt, LoopbackRedis
+    from intake_spark.services import (
+        MongoDBReader,
+        MongoDBService,
+        MQTTReader,
+        MQTTTopic,
+        RedisReader,
+        RedisService,
+    )
+
+    ids = [
+        int(r[0])
+        for r in load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 10 == 5)
+        .select("doc_id")
+        .collect()
+    ]
+
+    redis_srv = LoopbackRedis(
+        {f"doc:{i}".encode(): str((i * 7 + 3) % 100).encode() for i in ids}
+    )
+    rdf = RedisReader(
+        data=RedisService(f"redis://127.0.0.1:{redis_srv.port}/0",
+                          pattern="doc:*")
+    ).read(spark=spark, limit=len(ids) + 10)
+    r = rdf.agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.sum(F.col("value").cast("bigint")).alias("checksum"),
+    ).select(F.lit("redis").alias("source"), "n_rows",
+             F.col("checksum").cast("bigint"))
+
+    mongo_srv = LoopbackMongo(
+        [{"_id": i, "v": (i * 11 + 5) % 97} for i in sorted(ids)],
+        batch=max(1, len(ids) // 3),  # forces a getMore cursor walk
+    )
+    mdf = MongoDBReader(
+        data=MongoDBService(f"mongodb://127.0.0.1:{mongo_srv.port}",
+                            database="corpus", collection="docs")
+    ).read(spark=spark)
+    m = mdf.agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.sum(F.col("v").cast("bigint")).alias("checksum"),
+    ).select(F.lit("mongo").alias("source"), "n_rows",
+             F.col("checksum").cast("bigint"))
+
+    mqtt_srv = LoopbackMqtt(
+        [(f"docs/{i}", str((i * 13 + 7) % 89).encode())
+         for i in sorted(ids)]
+    )
+    qdf = MQTTReader(
+        data=MQTTTopic(f"tcp://127.0.0.1:{mqtt_srv.port}", topic="docs/#")
+    ).read(spark=spark, n_messages=len(ids), timeout_s=60.0)
+    q = qdf.agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.sum(F.col("payload").cast("bigint")).alias("checksum"),
+    ).select(F.lit("mqtt").alias("source"), "n_rows",
+             F.col("checksum").cast("bigint"))
+
+    # materialize each connector read WHILE its single-connection server
+    # is alive (the loopback servers serve one session then exit)
+    import pandas as _pd
+
+    out = _pd.concat([r.toPandas(), m.toPandas(), q.toPandas()])
+    return spark.createDataFrame(
+        out, "source string, n_rows bigint, checksum bigint"
+    )

@@ -1,0 +1,244 @@
+"""In-process loopback protocol servers (fixture-grade, deterministic):
+RESP2, MongoDB OP_MSG, and MQTT 3.1.1 over real 127.0.0.1 sockets.
+
+These play the same role for the SERVICE connectors that
+``sci.encode_grib2_complex`` / ``sci.dicom_bytes`` play for the format
+readers: a conformant counterpart written in this repo so the REAL
+client/reader network paths (intake_spark/wire.py, services.py) can be
+driven end-to-end by registered queries (q142) and by the test suite —
+actual protocol bytes over a socket, not injected mocks. Each server
+handles ONE connection then exits (the readers open exactly one);
+every server records the commands it saw so tests can assert on the
+wire conversation.
+
+NOT a production server of any kind: single-connection, in-memory,
+no auth — a prover/fixture, loudly so.
+"""
+
+from __future__ import annotations
+
+import fnmatch
+import socket
+import struct
+import threading
+
+from intake_spark.wire import BsonInt64, bson_decode, bson_encode
+
+
+class _LoopbackBase:
+    def __init__(self):
+        self._srv = socket.socket()
+        self._srv.bind(("127.0.0.1", 0))
+        self._srv.listen(1)
+        self.port = self._srv.getsockname()[1]
+        self._thread = threading.Thread(target=self._serve, daemon=True)
+        self._thread.start()
+
+    def _serve(self):  # pragma: no cover - overridden
+        raise NotImplementedError
+
+
+class LoopbackRedis(_LoopbackBase):
+    """RESP2 server: SELECT/SCAN/GET/TYPE. SCAN pages with a nonzero
+    intermediate cursor so a client's cursor walk is really exercised."""
+
+    def __init__(self, data: "dict[bytes, bytes]"):
+        self.data = data
+        self.commands: list = []
+        super().__init__()
+
+    def _serve(self):
+        conn, _ = self._srv.accept()
+        f = conn.makefile("rwb")
+        try:
+            while True:
+                line = f.readline()
+                if not line:
+                    break
+                if line[:1] != b"*":
+                    f.write(b"-ERR protocol\r\n")
+                    f.flush()
+                    break
+                args = []
+                for _ in range(int(line[1:-2])):
+                    n = int(f.readline()[1:-2])
+                    args.append(f.read(n + 2)[:-2])
+                self.commands.append(args)
+                f.write(self._dispatch(args))
+                f.flush()
+        finally:
+            conn.close()
+
+    def _dispatch(self, args: "list[bytes]") -> bytes:
+        cmd = args[0].upper()
+        if cmd == b"SELECT":
+            return b"+OK\r\n"
+        if cmd == b"SCAN":
+            cursor = int(args[1])
+            pattern = args[args.index(b"MATCH") + 1].decode()
+            keys = sorted(self.data)
+            half = len(keys) // 2
+            page = keys[:half] if cursor == 0 else keys[half:]
+            nxt = b"3" if cursor == 0 else b"0"
+            page = [k for k in page if fnmatch.fnmatch(k.decode(), pattern)]
+            out = b"*2\r\n$%d\r\n%s\r\n*%d\r\n" % (len(nxt), nxt, len(page))
+            for k in page:
+                out += b"$%d\r\n%s\r\n" % (len(k), k)
+            return out
+        if cmd == b"GET":
+            v = self.data.get(args[1])
+            if v is None:
+                return b"$-1\r\n"
+            return b"$%d\r\n%s\r\n" % (len(v), v)
+        if cmd == b"TYPE":
+            return b"+string\r\n" if args[1] in self.data else b"+none\r\n"
+        return b"-ERR unknown command '%s'\r\n" % args[0]
+
+
+class LoopbackMongo(_LoopbackBase):
+    """OP_MSG server: find returns a first batch and a live (>int32)
+    cursor when more documents remain; getMore validates the cursor id
+    arrived as int64 and returns the rest."""
+
+    CURSOR_ID = 7_777_777_777
+
+    def __init__(self, docs: "list[dict]", batch: int = 2):
+        self.docs = docs
+        self.batch = batch
+        self.commands: list = []
+        self._served = 0
+        super().__init__()
+
+    def _reply(self, conn, req_id: int, body: dict):
+        payload = struct.pack("<I", 0) + b"\x00" + bson_encode(body)
+        conn.sendall(
+            struct.pack("<iiii", 16 + len(payload), 1, req_id, 2013)
+            + payload
+        )
+
+    def _serve(self):
+        conn, _ = self._srv.accept()
+        try:
+            while True:
+                hdr = conn.recv(4)
+                if len(hdr) < 4:
+                    break
+                (n,) = struct.unpack("<i", hdr)
+                rest = b""
+                while len(rest) < n - 4:
+                    rest += conn.recv(n - 4 - len(rest))
+                req_id, _, opcode = struct.unpack_from("<iii", rest, 0)
+                if opcode != 2013 or rest[16] != 0:
+                    break
+                cmd, _ = bson_decode(rest, 17)
+                self.commands.append(cmd)
+                ns = f"{cmd.get('$db')}.{cmd.get('find', cmd.get('collection'))}"
+                if "find" in cmd:
+                    docs = self.docs
+                    flt = cmd.get("filter")
+                    if flt:
+                        docs = [
+                            d for d in docs
+                            if all(d.get(k) == v for k, v in flt.items())
+                        ]
+                    self._filtered = docs
+                    self._served = min(self.batch, len(docs))
+                    cid = (0 if self._served == len(docs)
+                           else self.CURSOR_ID)
+                    self._reply(conn, req_id, {
+                        "cursor": {"firstBatch": docs[: self._served],
+                                   "id": BsonInt64(cid), "ns": ns},
+                        "ok": 1.0,
+                    })
+                elif "getMore" in cmd:
+                    if not isinstance(cmd["getMore"], BsonInt64) or (
+                        int(cmd["getMore"]) != self.CURSOR_ID
+                    ):
+                        self._reply(conn, req_id,
+                                    {"ok": 0.0, "errmsg": "cursor id"})
+                        continue
+                    nxt = self._filtered[self._served :]
+                    self._served = len(self._filtered)
+                    self._reply(conn, req_id, {
+                        "cursor": {"nextBatch": nxt,
+                                   "id": BsonInt64(0), "ns": ns},
+                        "ok": 1.0,
+                    })
+                else:
+                    self._reply(conn, req_id, {"ok": 0.0, "errmsg": "bad"})
+        finally:
+            conn.close()
+
+
+def _mqtt_varint(n: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = n % 128
+        n //= 128
+        out.append(b | (0x80 if n else 0))
+        if not n:
+            return bytes(out)
+
+
+class LoopbackMqtt(_LoopbackBase):
+    """MQTT 3.1.1 broker: validates CONNECT (protocol name/level),
+    CONNACKs, SUBACKs the subscription, then pushes the configured
+    (topic, payload) messages — index-1 at QoS 1, whose PUBACK is
+    recorded in ``events``."""
+
+    def __init__(self, messages: "list[tuple[str, bytes]]"):
+        self.messages = messages
+        self.events: list = []
+        super().__init__()
+
+    def _read_packet(self, conn):
+        h = conn.recv(1)
+        if not h:
+            return None, b""
+        length, shift = 0, 0
+        while True:
+            b = conn.recv(1)[0]
+            length |= (b & 0x7F) << shift
+            if not b & 0x80:
+                break
+            shift += 7
+        body = b""
+        while len(body) < length:
+            body += conn.recv(length - len(body))
+        return h[0], body
+
+    def _serve(self):
+        conn, _ = self._srv.accept()
+        try:
+            ptype, body = self._read_packet(conn)
+            if ptype != 0x10 or body[:6] != b"\x00\x04MQTT" or body[6] != 4:
+                return
+            self.events.append(("connect", body[6]))
+            conn.sendall(b"\x20\x02\x00\x00")
+            ptype, body = self._read_packet(conn)
+            if ptype != 0x82:
+                return
+            pid = struct.unpack(">H", body[:2])[0]
+            (tlen,) = struct.unpack(">H", body[2:4])
+            self.events.append(("subscribe", body[4 : 4 + tlen].decode()))
+            conn.sendall(b"\x90\x03" + struct.pack(">H", pid) + b"\x00")
+            for i, (t, payload) in enumerate(self.messages):
+                qos = 1 if i == 1 else 0
+                tb = t.encode()
+                var = struct.pack(">H", len(tb)) + tb
+                if qos:
+                    var += struct.pack(">H", 42)
+                var += payload
+                conn.sendall(bytes([0x30 | (qos << 1)])
+                             + _mqtt_varint(len(var)) + var)
+                if qos:
+                    ptype, ack = self._read_packet(conn)
+                    if ptype == 0x40 and ack == struct.pack(">H", 42):
+                        self.events.append(("puback", 42))
+            ptype, _ = self._read_packet(conn)  # hold for DISCONNECT
+            if ptype == 0xE0:
+                self.events.append(("disconnect",))
+        except OSError:
+            pass
+        finally:
+            conn.close()

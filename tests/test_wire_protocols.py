@@ -24,137 +24,15 @@ from intake_spark.wire import (
 )
 
 # --------------------------------------------------------------------------
-# fake servers (REAL bytes over a loopback socket, one connection each)
+# loopback servers: the product-side fixture servers (intake_spark/
+# loopback.py — also driven by q142); aliased to the old names
 # --------------------------------------------------------------------------
 
-
-class FakeRedis:
-    """RESP2 server: SELECT/SCAN/GET/TYPE over a real socket. SCAN pages
-    with a nonzero intermediate cursor so the client's cursor walk is
-    exercised, not just a single reply."""
-
-    def __init__(self, data: dict[bytes, bytes]):
-        self.data = data
-        self.commands: list[list[bytes]] = []
-        self._srv = socket.socket()
-        self._srv.bind(("127.0.0.1", 0))
-        self._srv.listen(1)
-        self.port = self._srv.getsockname()[1]
-        self._thread = threading.Thread(target=self._serve, daemon=True)
-        self._thread.start()
-
-    def _serve(self):
-        conn, _ = self._srv.accept()
-        f = conn.makefile("rwb")
-        try:
-            while True:
-                line = f.readline()
-                if not line:
-                    break
-                assert line[:1] == b"*", line
-                args = []
-                for _ in range(int(line[1:-2])):
-                    n = int(f.readline()[1:-2])
-                    args.append(f.read(n + 2)[:-2])
-                self.commands.append(args)
-                f.write(self._dispatch(args))
-                f.flush()
-        finally:
-            conn.close()
-
-    def _dispatch(self, args: list[bytes]) -> bytes:
-        cmd = args[0].upper()
-        if cmd == b"SELECT":
-            return b"+OK\r\n"
-        if cmd == b"SCAN":
-            cursor = int(args[1])
-            pattern = args[args.index(b"MATCH") + 1].decode()
-            keys = sorted(self.data)
-            half = len(keys) // 2
-            page = keys[:half] if cursor == 0 else keys[half:]
-            nxt = b"3" if cursor == 0 else b"0"
-            page = [k for k in page if fnmatch.fnmatch(k.decode(), pattern)]
-            out = b"*2\r\n$%d\r\n%s\r\n*%d\r\n" % (len(nxt), nxt, len(page))
-            for k in page:
-                out += b"$%d\r\n%s\r\n" % (len(k), k)
-            return out
-        if cmd == b"GET":
-            v = self.data.get(args[1])
-            if v is None:
-                return b"$-1\r\n"
-            return b"$%d\r\n%s\r\n" % (len(v), v)
-        if cmd == b"TYPE":
-            return b"+string\r\n" if args[1] in self.data else b"+none\r\n"
-        return b"-ERR unknown command '%s'\r\n" % args[0]
-
-
-class FakeMongo:
-    """OP_MSG server: answers find with a firstBatch + live cursor, then
-    getMore (cursor id checked as int64) with the rest + cursor 0."""
-
-    CURSOR_ID = 7_777_777_777  # deliberately > int32
-
-    def __init__(self, docs: list[dict], batch: int = 2):
-        self.docs = docs
-        self.batch = batch
-        self.commands: list[dict] = []
-        self._served = 0
-        self._srv = socket.socket()
-        self._srv.bind(("127.0.0.1", 0))
-        self._srv.listen(1)
-        self.port = self._srv.getsockname()[1]
-        self._thread = threading.Thread(target=self._serve, daemon=True)
-        self._thread.start()
-
-    def _reply(self, conn, req_id: int, body: dict):
-        payload = struct.pack("<I", 0) + b"\x00" + bson_encode(body)
-        conn.sendall(
-            struct.pack("<iiii", 16 + len(payload), 1, req_id, 2013)
-            + payload
-        )
-
-    def _serve(self):
-        conn, _ = self._srv.accept()
-        try:
-            while True:
-                hdr = conn.recv(4)
-                if len(hdr) < 4:
-                    break
-                (n,) = struct.unpack("<i", hdr)
-                rest = b""
-                while len(rest) < n - 4:
-                    rest += conn.recv(n - 4 - len(rest))
-                req_id, _, opcode = struct.unpack_from("<iii", rest, 0)
-                assert opcode == 2013
-                assert rest[16] == 0  # section kind 0
-                cmd, _ = bson_decode(rest, 17)
-                self.commands.append(cmd)
-                ns = f"{cmd.get('$db')}.{cmd.get('find', cmd.get('collection'))}"
-                if "find" in cmd:
-                    self._served = min(self.batch, len(self.docs))
-                    first = self.docs[: self._served]
-                    cid = 0 if self._served == len(self.docs) else self.CURSOR_ID
-                    self._reply(conn, req_id, {
-                        "cursor": {"firstBatch": first,
-                                   "id": BsonInt64(cid), "ns": ns},
-                        "ok": 1.0,
-                    })
-                elif "getMore" in cmd:
-                    # the client MUST send the cursor id as int64
-                    assert isinstance(cmd["getMore"], BsonInt64)
-                    assert int(cmd["getMore"]) == self.CURSOR_ID
-                    nxt = self.docs[self._served :]
-                    self._served = len(self.docs)
-                    self._reply(conn, req_id, {
-                        "cursor": {"nextBatch": nxt,
-                                   "id": BsonInt64(0), "ns": ns},
-                        "ok": 1.0,
-                    })
-                else:
-                    self._reply(conn, req_id, {"ok": 0.0, "errmsg": "bad"})
-        finally:
-            conn.close()
-
+from intake_spark.loopback import (  # noqa: E402
+    LoopbackMongo as FakeMongo,
+    LoopbackMqtt as FakeMqttBroker,
+    LoopbackRedis as FakeRedis,
+)
 
 # --------------------------------------------------------------------------
 # BSON codec
