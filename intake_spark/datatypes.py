@@ -703,3 +703,67 @@ def recommend_corpus(
     # no cache_path: cached is necessarily None (it is only built from an
     # existing cache file) and fresh covers the whole listing
     return fresh
+
+
+def corpus_catalog(
+    spark,
+    source,
+    verdicts=None,
+    **triage_kwargs,
+):
+    """Triage a corpus (:func:`recommend_corpus`) and register the result
+    as a Catalog: one entry per homogeneous ``(dir, ext, datatype)``
+    cluster, whose reader scans the whole cluster through a glob URL —
+    the "cache verdicts in the registry" step of the SURVEY §7 detection
+    plan, so detection runs once and every later session opens the
+    catalog instead of re-sniffing the lake.
+
+    Pass ``verdicts`` (a DataFrame shaped like recommend_corpus output)
+    to catalog an existing registry without re-triaging. Unclaimed
+    clusters (null datatype) and datatypes with no registered reader are
+    recorded in ``catalog.metadata['skipped']`` instead of silently
+    dropped. Returns the Catalog; entry names are
+    ``<dir basename>_<ext>`` (suffixed ``_2``… on collision).
+    """
+    from pyspark.sql import functions as F
+
+    from intake_spark.catalog import Catalog
+
+    if verdicts is None:
+        verdicts = recommend_corpus(spark, source, **triage_kwargs)
+    clusters = (
+        verdicts.groupBy("dir", "ext", "datatype")
+        .agg(F.count("*").alias("n_files"))
+        .collect()  # cluster count ~ directory count: driver-small
+    )
+    by_name = {c.__name__: c for c in datatypes()}
+    cat = Catalog(metadata={"kind": "corpus-triage", "skipped": []})
+    seen: dict[str, int] = {}
+    for row in sorted(clusters, key=lambda r: (r.dir, r.ext or "")):
+        base = row.dir.rstrip("/").rsplit("/", 1)[-1] or "root"
+        name = f"{base}_{row.ext}" if row.ext else base
+        seen[name] = seen.get(name, 0) + 1
+        if seen[name] > 1:
+            name = f"{name}_{seen[name]}"
+        if row.datatype is None:
+            cat.metadata["skipped"].append(
+                {"dir": row.dir, "ext": row.ext, "n_files": row.n_files,
+                 "reason": "no datatype claimed the files"}
+            )
+            continue
+        cls = by_name.get(row.datatype)
+        url = f"{row.dir}/*.{row.ext}" if row.ext else f"{row.dir}/*"
+        try:
+            reader = cls(url=url).to_reader()
+        except (TypeError, ValueError) as exc:
+            cat.metadata["skipped"].append(
+                {"dir": row.dir, "ext": row.ext, "datatype": row.datatype,
+                 "n_files": row.n_files, "reason": str(exc)}
+            )
+            continue
+        tok = cat.add_entry(reader, name=name)
+        cat.entries[tok].metadata.update(
+            {"n_files": int(row.n_files), "datatype": row.datatype,
+             "via": "recommend_corpus"}
+        )
+    return cat

@@ -154,3 +154,34 @@ def test_recommend_scored_chained_wrapper_prefix():
     top = recommend_scored("/x/y.csv.bz2.gz", head=gzip.compress(inner))[0]
     assert top[0] is dt.CSV
     assert top[2] == "compressed:gzip:compressed:bz2:pattern"
+
+
+def test_corpus_catalog_end_to_end(spark, tmp_path):
+    """corpus_catalog registers one glob-URL entry per homogeneous
+    (dir, ext, datatype) cluster; entries read back through the normal
+    reader path; unclaimed clusters land in metadata['skipped']."""
+    from intake_spark.datatypes import corpus_catalog
+
+    _corpus(tmp_path)
+    os.makedirs(f"{tmp_path}/u")
+    with open(f"{tmp_path}/u/f0.zzz9", "wb") as f:
+        f.write(b"\x00\x01")
+    cat = corpus_catalog(spark, str(tmp_path), samples_per_cluster=6)
+    names = sorted(cat)
+    assert any(n.startswith("csv_") for n in names)
+    assert any(n.startswith("png_") for n in names)
+    csv_name = next(n for n in names if n.startswith("csv_"))
+    df = cat[csv_name].read(spark=spark)
+    assert df.count() == 10  # ten 1-row csvs with header
+    # mixed dir produced two entries (same dir+ext, two datatypes)
+    mixed = [n for n in names if n.startswith("mixed_")]
+    assert len(mixed) == 2
+    # unclaimed .zzz9 cluster recorded, not silently dropped
+    assert any(
+        s.get("reason", "").startswith("no datatype")
+        for s in cat.metadata["skipped"]
+    )
+    # cluster metadata rides on the entries
+    tok = cat.aliases[csv_name]
+    assert cat.entries[tok].metadata["n_files"] == 10
+    assert cat.entries[tok].metadata["via"] == "recommend_corpus"
