@@ -523,6 +523,7 @@ def recommend_corpus(
     head_bytes: int = 65536,
     samples_per_cluster: int = 4,
     cache_path: str | None = None,
+    walk_on_executors: bool = False,
 ):
     """Distributed corpus-scale datatype triage: :func:`recommend` over
     millions of files with every byte read happening ON EXECUTORS.
@@ -533,9 +534,12 @@ def recommend_corpus(
     mitigation — batch the sniffing, sample per cluster, cache verdicts:
 
     1. ``source`` supplies the file listing: a directory root (walked
-       driver-side — a pure-metadata operation; for object stores pass
-       the bucket INVENTORY as a DataFrame with a ``path`` column or a
-       plain list instead), never the file bytes.
+       driver-side by default — a pure-metadata operation; pass
+       ``walk_on_executors=True`` to fan the walk itself out via
+       :func:`distributed_walk` when the tree has millions of entries;
+       for object stores pass the bucket INVENTORY as a DataFrame with
+       a ``path`` column or a plain list instead), never the file
+       bytes.
     2. Files cluster by ``(dir, ext)`` — the homogeneity unit of real
        lakes. ``samples_per_cluster`` members per cluster (deterministic:
        lowest ``xxhash64(path)``) are head-sniffed via ``mapInPandas``:
@@ -584,11 +588,17 @@ def recommend_corpus(
     if isinstance(source, DataFrame):
         listing = source.select(F.col("path").cast("string"))
     elif isinstance(source, str):
-        paths = []
-        for r, _, files in os.walk(source):
-            paths.extend(os.path.join(r, f) for f in files)
-        listing = spark.createDataFrame([(p,) for p in paths], "path string")
-        n_hint = len(paths)
+        if walk_on_executors:
+            listing = distributed_walk(spark, source).persist()
+            n_hint = listing.count()
+        else:
+            paths = []
+            for r, _, files in os.walk(source):
+                paths.extend(os.path.join(r, f) for f in files)
+            listing = spark.createDataFrame(
+                [(p,) for p in paths], "path string"
+            )
+            n_hint = len(paths)
     else:
         source = list(source)
         listing = spark.createDataFrame([(p,) for p in source], "path string")
@@ -703,6 +713,56 @@ def recommend_corpus(
     # no cache_path: cached is necessarily None (it is only built from an
     # existing cache file) and fresh covers the whole listing
     return fresh
+
+
+def distributed_walk(spark, root: str):
+    """Parallel filesystem walk: the driver lists only ``root``'s
+    immediate entries, then every first-level subdirectory's subtree is
+    walked ON AN EXECUTOR (mapInPandas over the subdir list). Returns a
+    DataFrame ``(path string)`` of every file under ``root``. This keeps
+    even the LISTING phase off the driver for trees whose directory
+    fan-out is wide (a million-file lake); a flat directory with no
+    subdirs degenerates to the driver listing its files, which is then
+    just a readdir."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from intake_spark.session import ensure_py_deps
+
+    ensure_py_deps(spark)
+    top_files, top_dirs = [], []
+    with os.scandir(root) as it:
+        for e in it:
+            (top_dirs if e.is_dir(follow_symlinks=False)
+             else top_files).append(e.path)
+
+    def walk(batches):
+        import os as _os
+
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for d in pdf["dir"]:
+                for r, _dirs, files in _os.walk(d):
+                    out.extend(_os.path.join(r, f) for f in files)
+            yield pd.DataFrame({"path": out})
+
+    parts = [
+        spark.createDataFrame([(p,) for p in top_files], "path string")
+    ]
+    if top_dirs:
+        n = max(1, min(len(top_dirs),
+                       spark.sparkContext.defaultParallelism * 2))
+        sub = spark.createDataFrame([(d,) for d in top_dirs], "dir string")
+        parts.append(
+            sub.repartition(n, "dir").mapInPandas(walk, "path string")
+        )
+    out = parts[0]
+    for p_ in parts[1:]:
+        out = out.unionByName(p_)
+    return out.select(F.col("path").cast("string"))
 
 
 def corpus_catalog(

@@ -185,3 +185,32 @@ def test_corpus_catalog_end_to_end(spark, tmp_path):
     tok = cat.aliases[csv_name]
     assert cat.entries[tok].metadata["n_files"] == 10
     assert cat.entries[tok].metadata["via"] == "recommend_corpus"
+
+
+def test_distributed_walk_and_executor_listing(spark, tmp_path):
+    """distributed_walk lists root files driver-side and walks each
+    first-level subtree on executors; recommend_corpus(walk_on_executors
+    =True) produces the same verdicts as the driver walk."""
+    from intake_spark.datatypes import distributed_walk
+
+    _corpus(tmp_path)
+    os.makedirs(f"{tmp_path}/csv/nested")
+    with open(f"{tmp_path}/csv/nested/deep.csv", "w") as f:
+        f.write("a,b\n9,9\n")
+    with open(f"{tmp_path}/top.csv", "w") as f:
+        f.write("a,b\n0,0\n")
+
+    walked = sorted(r.path for r in distributed_walk(
+        spark, str(tmp_path)).collect())
+    expected = sorted(
+        os.path.join(r, fn)
+        for r, _d, files in os.walk(tmp_path) for fn in files
+    )
+    assert walked == expected
+
+    a = recommend_corpus(spark, str(tmp_path), samples_per_cluster=6)
+    b = recommend_corpus(spark, str(tmp_path), samples_per_cluster=6,
+                         walk_on_executors=True)
+    pa = a.toPandas().sort_values("path").reset_index(drop=True)
+    pb = b.toPandas().sort_values("path").reset_index(drop=True)
+    assert pa[["path", "datatype"]].equals(pb[["path", "datatype"]])
