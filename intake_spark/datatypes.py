@@ -589,7 +589,11 @@ def recommend_corpus(
         listing = source.select(F.col("path").cast("string"))
     elif isinstance(source, str):
         if walk_on_executors:
-            listing = distributed_walk(spark, source).persist()
+            # localCheckpoint (eager): materializes the walk once and
+            # ties the cached partitions to THIS DataFrame's lifetime —
+            # a plain persist() would pin the listing in executor
+            # storage for the whole session with no release point
+            listing = distributed_walk(spark, source).localCheckpoint()
             n_hint = listing.count()
         else:
             paths = []
@@ -732,10 +736,20 @@ def distributed_walk(spark, root: str):
 
     ensure_py_deps(spark)
     top_files, top_dirs = [], []
-    with os.scandir(root) as it:
-        for e in it:
-            (top_dirs if e.is_dir(follow_symlinks=False)
-             else top_files).append(e.path)
+    try:
+        entries = list(os.scandir(root))
+    except FileNotFoundError:
+        entries = []  # parity: os.walk on a missing root yields nothing
+    for e in entries:
+        if e.is_dir(follow_symlinks=False):
+            top_dirs.append(e.path)
+        elif e.is_symlink() and e.is_dir():
+            # symlink-to-directory: os.walk(followlinks=False) lists it
+            # in dirnames but never descends, so it contributes no file
+            # paths — skip it for exact driver/executor listing parity
+            continue
+        else:
+            top_files.append(e.path)
 
     def walk(batches):
         import os as _os
@@ -779,11 +793,17 @@ def corpus_catalog(
     catalog instead of re-sniffing the lake.
 
     Pass ``verdicts`` (a DataFrame shaped like recommend_corpus output)
-    to catalog an existing registry without re-triaging. Unclaimed
-    clusters (null datatype) and datatypes with no registered reader are
-    recorded in ``catalog.metadata['skipped']`` instead of silently
-    dropped. Returns the Catalog; entry names are
-    ``<dir basename>_<ext>`` (suffixed ``_2``… on collision).
+    to catalog an existing registry without re-triaging. Only
+    UNAMBIGUOUS clusters become entries — a glob URL is the entry's
+    whole membership claim, so it must be exact: disputed clusters
+    (several datatypes behind one (dir, ext)) and extensionless
+    clusters (``dir/*`` would also sweep subdirectories and unrelated
+    files) are recorded in ``catalog.metadata['skipped']`` with
+    reasons, alongside unclaimed clusters and datatypes with no
+    registered reader. Returns the Catalog; entry names are
+    ``<dir basename>_<ext>`` (suffixed ``_2``… on collision across
+    different directories; deterministic — sorted by (dir, ext,
+    datatype)).
     """
     from pyspark.sql import functions as F
 
@@ -798,29 +818,41 @@ def corpus_catalog(
     )
     by_name = {c.__name__: c for c in datatypes()}
     cat = Catalog(metadata={"kind": "corpus-triage", "skipped": []})
+    per_key: dict[tuple, int] = {}
+    for row in clusters:
+        per_key[(row.dir, row.ext)] = per_key.get((row.dir, row.ext), 0) + 1
     seen: dict[str, int] = {}
-    for row in sorted(clusters, key=lambda r: (r.dir, r.ext or "")):
-        base = row.dir.rstrip("/").rsplit("/", 1)[-1] or "root"
-        name = f"{base}_{row.ext}" if row.ext else base
-        seen[name] = seen.get(name, 0) + 1
-        if seen[name] > 1:
-            name = f"{name}_{seen[name]}"
-        if row.datatype is None:
+    for row in sorted(clusters,
+                      key=lambda r: (r.dir, r.ext or "", r.datatype or "")):
+        def skip(reason):
             cat.metadata["skipped"].append(
-                {"dir": row.dir, "ext": row.ext, "n_files": row.n_files,
-                 "reason": "no datatype claimed the files"}
+                {"dir": row.dir, "ext": row.ext, "datatype": row.datatype,
+                 "n_files": row.n_files, "reason": reason}
             )
+
+        if row.datatype is None:
+            skip("no datatype claimed the files")
+            continue
+        if per_key[(row.dir, row.ext)] > 1:
+            skip("mixed formats behind one (dir, ext): a glob entry "
+                 "cannot express the membership — read per file")
+            continue
+        if not row.ext:
+            skip("extensionless files: dir/* would sweep "
+                 "subdirectories and unrelated content")
             continue
         cls = by_name.get(row.datatype)
-        url = f"{row.dir}/*.{row.ext}" if row.ext else f"{row.dir}/*"
+        url = f"{row.dir}/*.{row.ext}"
         try:
             reader = cls(url=url).to_reader()
         except (TypeError, ValueError) as exc:
-            cat.metadata["skipped"].append(
-                {"dir": row.dir, "ext": row.ext, "datatype": row.datatype,
-                 "n_files": row.n_files, "reason": str(exc)}
-            )
+            skip(str(exc))
             continue
+        base = row.dir.rstrip("/").rsplit("/", 1)[-1] or "root"
+        name = f"{base}_{row.ext}"
+        seen[name] = seen.get(name, 0) + 1
+        if seen[name] > 1:
+            name = f"{name}_{seen[name]}"
         tok = cat.add_entry(reader, name=name)
         cat.entries[tok].metadata.update(
             {"n_files": int(row.n_files), "datatype": row.datatype,

@@ -4696,7 +4696,7 @@ def q141_stream_guard_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH s AS (SELECT doc_id, (doc_id * 7 + 3) % 100 AS rv,
                       (doc_id * 11 + 5) % 97 AS mv,
                       (doc_id * 13 + 7) % 89 AS qv
-               FROM documents WHERE doc_id % 10 = 5)
+               FROM documents WHERE doc_id % 10 = 5 AND doc_id < 12000)
     SELECT 'redis' AS source, CAST(COUNT(*) AS BIGINT) AS n_rows,
            CAST(SUM(rv) AS BIGINT) AS checksum
     FROM s
@@ -4733,10 +4733,13 @@ def q142_service_wire(spark: SparkSession, sf_dir: str) -> DataFrame:
         RedisService,
     )
 
+    # the doc_id < 12000 cap (same device as q140) keeps the prover
+    # O(fixed) at any sf: the loopback seeds and the driver-side fetches
+    # stay bounded instead of growing with the corpus
     ids = [
         int(r[0])
         for r in load_table(spark, sf_dir, "documents")
-        .filter(F.col("doc_id") % 10 == 5)
+        .filter((F.col("doc_id") % 10 == 5) & (F.col("doc_id") < 12000))
         .select("doc_id")
         .collect()
     ]
@@ -4761,7 +4764,7 @@ def q142_service_wire(spark: SparkSession, sf_dir: str) -> DataFrame:
     mdf = MongoDBReader(
         data=MongoDBService(f"mongodb://127.0.0.1:{mongo_srv.port}",
                             database="corpus", collection="docs")
-    ).read(spark=spark)
+    ).read(spark=spark, max_rows=len(ids) + 1)
     m = mdf.agg(
         F.count("*").cast("bigint").alias("n_rows"),
         F.sum(F.col("v").cast("bigint")).alias("checksum"),

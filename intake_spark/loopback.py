@@ -31,8 +31,18 @@ class _LoopbackBase:
         self._srv.bind(("127.0.0.1", 0))
         self._srv.listen(1)
         self.port = self._srv.getsockname()[1]
-        self._thread = threading.Thread(target=self._serve, daemon=True)
+        self._thread = threading.Thread(target=self._run, daemon=True)
         self._thread.start()
+
+    def _run(self):
+        # single-connection by contract: close the listener as soon as
+        # the one client connects, so repeated instantiations (bench
+        # runs q142 many times per session) never accumulate live
+        # listening sockets
+        try:
+            self._serve()
+        finally:
+            self._srv.close()
 
     def _serve(self):  # pragma: no cover - overridden
         raise NotImplementedError

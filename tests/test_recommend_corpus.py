@@ -173,9 +173,14 @@ def test_corpus_catalog_end_to_end(spark, tmp_path):
     csv_name = next(n for n in names if n.startswith("csv_"))
     df = cat[csv_name].read(spark=spark)
     assert df.count() == 10  # ten 1-row csvs with header
-    # mixed dir produced two entries (same dir+ext, two datatypes)
-    mixed = [n for n in names if n.startswith("mixed_")]
-    assert len(mixed) == 2
+    # mixed (dir, ext) cluster: a glob cannot express per-file
+    # membership, so BOTH datatypes are skipped with a reason instead
+    # of shipping entries whose glob sweeps the other format's files
+    assert not [n for n in names if n.startswith("mixed_")]
+    assert sum(
+        s.get("reason", "").startswith("mixed formats")
+        for s in cat.metadata["skipped"]
+    ) == 2
     # unclaimed .zzz9 cluster recorded, not silently dropped
     assert any(
         s.get("reason", "").startswith("no datatype")
