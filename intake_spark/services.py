@@ -163,19 +163,79 @@ def _plain(v):
 
 
 class ElasticsearchReader(BaseReader):
-    """elasticsearch-hadoop connector: one Spark partition per ES shard."""
+    """elasticsearch-hadoop connector: one Spark partition per ES shard.
+    When the connector jar is absent, falls back to the public REST
+    scroll API driver-side (POST {index}/_search?scroll + /_search/scroll
+    pages until exhausted) — Elasticsearch's actual wire protocol is
+    HTTP+JSON, so the fallback is protocol-real; bounded by ``max_rows``
+    with the connector named as the distributed path."""
 
     implements = {ElasticsearchService}
 
-    def _read(self, spark, **kwargs):
-        reader = (
-            spark.read.format("es")
-            .option("es.nodes", self.data.url)
-            .option("es.resource", self.data.index)
-        )
+    def _read(self, spark, max_rows: int = 100_000, page_size: int = 1000,
+              **kwargs):
+        try:
+            reader = (
+                spark.read.format("es")
+                .option("es.nodes", self.data.url)
+                .option("es.resource", self.data.index)
+            )
+            if self.data.query:
+                reader = reader.option("es.query", self.data.query)
+            return reader.options(**{**self.data.options, **kwargs}).load()
+        except Exception as exc:
+            msg = str(exc)
+            if not ("Failed to find" in msg or "DATA_SOURCE_NOT_FOUND" in msg
+                    or "ClassNotFound" in msg):
+                raise
+        import json as _json
+        import urllib.request as _rq
+
+        base = self.data.url.rstrip("/")
+        if "://" not in base:
+            base = f"http://{base}"
+        body: dict = {"size": page_size}
         if self.data.query:
-            reader = reader.option("es.query", self.data.query)
-        return reader.options(**{**self.data.options, **kwargs}).load()
+            q = self.data.query
+            if q.lstrip().startswith("{"):
+                parsed = _json.loads(q)
+                body.update(parsed if "query" in parsed
+                            else {"query": parsed})
+            else:
+                body["query"] = {"query_string": {"query": q}}
+
+        def post(url, payload):
+            req = _rq.Request(
+                url, data=_json.dumps(payload).encode(),
+                headers={"Content-Type": "application/json"},
+            )
+            with _rq.urlopen(req, timeout=30) as resp:
+                return _json.load(resp)
+
+        rows: list[dict] = []
+        page = post(f"{base}/{self.data.index}/_search?scroll=1m", body)
+        scroll_id = page.get("_scroll_id")
+        while True:
+            hits = page.get("hits", {}).get("hits", [])
+            if not hits:
+                break
+            for h in hits:
+                rows.append({"_id": h.get("_id"), **(h.get("_source") or {})})
+                if len(rows) > max_rows:
+                    raise ValueError(
+                        f"ElasticsearchReader REST path: index exceeds "
+                        f"max_rows={max_rows}; install the "
+                        f"elasticsearch-hadoop connector for a "
+                        f"distributed read or raise max_rows"
+                    )
+            if not scroll_id:
+                break
+            page = post(f"{base}/_search/scroll",
+                        {"scroll": "1m", "scroll_id": scroll_id})
+            scroll_id = page.get("_scroll_id", scroll_id)
+        if not rows:
+            return spark.createDataFrame([], "_id string")
+        return spark.createDataFrame(rows)
 
 
 class RedisReader(BaseReader):

@@ -322,3 +322,132 @@ def test_resp_from_url_query_and_ipv6():
     # IPv6 parse (no listener needed — just check the split)
     u = urlsplit("redis://[::1]:7000/1")
     assert (u.hostname, u.port) == ("::1", 7000)
+
+
+# --------------------------------------------------------------------------
+# Arrow Flight (REAL gRPC via pyarrow.flight's own server) + ES REST scroll
+# --------------------------------------------------------------------------
+
+
+def test_arrow_flight_reader_live(spark):
+    """ArrowFlightReader against an actual pyarrow FlightServer — real
+    gRPC over a loopback port, no mocks anywhere."""
+    import pyarrow as pa
+    import pyarrow.flight as fl
+
+    table = pa.table({"i": list(range(10)), "v": [x * 2.5 for x in range(10)]})
+
+    class Server(fl.FlightServerBase):
+        def do_get(self, context, ticket):
+            assert ticket.ticket == b"things"
+            return fl.RecordBatchStream(table)
+
+    from intake_spark.services import ArrowFlightReader, ArrowFlightService
+
+    with Server("grpc://127.0.0.1:0") as server:
+        rdr = ArrowFlightReader(data=ArrowFlightService(
+            f"grpc://127.0.0.1:{server.port}", path="things"
+        ))
+        df = rdr.read(spark=spark)
+        rows = sorted((r.i, r.v) for r in df.collect())
+        assert rows == [(x, x * 2.5) for x in range(10)]
+
+
+class FakeElasticsearch:
+    """HTTP server speaking the _search?scroll / _search/scroll REST
+    protocol: pages of 2 hits, scroll_id round-trip enforced."""
+
+    def __init__(self, docs: list[dict]):
+        import http.server
+        import json as _json
+
+        outer = self
+
+        class Handler(http.server.BaseHTTPRequestHandler):
+            def do_POST(self):
+                n = int(self.headers.get("Content-Length", 0))
+                body = _json.loads(self.rfile.read(n) or b"{}")
+                outer.requests.append((self.path, body))
+                if self.path.startswith("/idx/_search"):
+                    outer.pos = min(2, len(docs))
+                    outer.last_q = body.get("query")
+                    hits = docs[: outer.pos]
+                elif self.path == "/_search/scroll":
+                    assert body.get("scroll_id") == "SCROLL-1", body
+                    nxt = docs[outer.pos : outer.pos + 2]
+                    outer.pos += len(nxt)
+                    hits = nxt
+                else:
+                    self.send_response(404)
+                    self.end_headers()
+                    return
+                payload = _json.dumps({
+                    "_scroll_id": "SCROLL-1",
+                    "hits": {"hits": [
+                        {"_id": str(d["i"]), "_source": d} for d in hits
+                    ]},
+                }).encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(payload)))
+                self.end_headers()
+                self.wfile.write(payload)
+
+            def log_message(self, *a):
+                pass
+
+        self.requests: list = []
+        self.pos = 0
+        self.last_q = None
+        self._httpd = http.server.ThreadingHTTPServer(
+            ("127.0.0.1", 0), Handler)
+        self.port = self._httpd.server_address[1]
+        threading.Thread(target=self._httpd.serve_forever,
+                         daemon=True).start()
+
+    def close(self):
+        self._httpd.shutdown()
+
+
+def test_elasticsearch_rest_scroll_fallback(spark):
+    from intake_spark.services import ElasticsearchReader, ElasticsearchService
+
+    docs = [{"i": i, "name": f"n{i}"} for i in range(5)]
+    srv = FakeElasticsearch(docs)
+    try:
+        rdr = ElasticsearchReader(data=ElasticsearchService(
+            f"http://127.0.0.1:{srv.port}", index="idx"
+        ))
+        df = rdr.read(spark=spark)
+        rows = sorted((int(r._id), r.i, r.name) for r in df.collect())
+        assert rows == [(i, i, f"n{i}") for i in range(5)]
+        # three pages: initial search + two scroll continuations + the
+        # empty terminator
+        assert sum(p == "/_search/scroll" for p, _ in srv.requests) >= 2
+    finally:
+        srv.close()
+
+
+def test_elasticsearch_rest_query_and_guard(spark):
+    from intake_spark.services import ElasticsearchReader, ElasticsearchService
+
+    docs = [{"i": i} for i in range(6)]
+    srv = FakeElasticsearch(docs)
+    try:
+        rdr = ElasticsearchReader(data=ElasticsearchService(
+            f"http://127.0.0.1:{srv.port}", index="idx",
+            query='{"query": {"term": {"i": 1}}}',
+        ))
+        rdr.read(spark=spark).collect()
+        assert srv.last_q == {"term": {"i": 1}}  # DSL passed through
+    finally:
+        srv.close()
+    srv2 = FakeElasticsearch(docs)
+    try:
+        rdr = ElasticsearchReader(data=ElasticsearchService(
+            f"http://127.0.0.1:{srv2.port}", index="idx"
+        ))
+        with pytest.raises(ValueError, match="elasticsearch-hadoop"):
+            rdr.read(spark=spark, max_rows=3)
+    finally:
+        srv2.close()
