@@ -444,7 +444,11 @@ class InfluxDBService(dt.Service):
         super().__init__(url, options, metadata)
         self.org = org
         self.bucket = bucket
-        self.token = token
+        # NOT self.token: Tokenizable.token is the read-only content-hash
+        # property every datatype carries — assigning over it raises, so
+        # the service was unconstructible with auth until the r11 live
+        # test caught it
+        self.auth_token = token
 
 
 class InfluxDBReader(BaseReader):
@@ -470,7 +474,7 @@ class InfluxDBReader(BaseReader):
             f"{self.data.url}/api/v2/query?org={self.data.org}",
             data=flux.encode(),
             headers={
-                "Authorization": f"Token {self.data.token}",
+                "Authorization": f"Token {self.data.auth_token}",
                 "Content-Type": "application/vnd.flux",
                 "Accept": "application/csv",
             },

@@ -451,3 +451,189 @@ def test_elasticsearch_rest_query_and_guard(spark):
             rdr.read(spark=spark, max_rows=3)
     finally:
         srv2.close()
+
+
+# --------------------------------------------------------------------------
+# REST connectors over a live loopback HTTP server (their wire protocol
+# IS HTTP+JSON, so these are protocol tests, not mocks)
+# --------------------------------------------------------------------------
+
+
+class JsonHttp:
+    """Loopback HTTP server mapping path-prefixes to handler callables
+    returning JSON-able payloads; records every request path."""
+
+    def __init__(self, routes):
+        import http.server
+        import json as _json
+        from urllib.parse import urlsplit
+
+        outer = self
+
+        class Handler(http.server.BaseHTTPRequestHandler):
+            def do_GET(self):
+                outer.requests.append(self.path)
+                u = urlsplit(self.path)
+                for prefix, fn in routes.items():
+                    if u.path.startswith(prefix):
+                        payload = _json.dumps(fn(u)).encode()
+                        self.send_response(200)
+                        self.send_header("Content-Type", "application/json")
+                        self.send_header("Content-Length", str(len(payload)))
+                        self.end_headers()
+                        self.wfile.write(payload)
+                        return
+                self.send_response(404)
+                self.end_headers()
+
+            def log_message(self, *a):
+                pass
+
+        self.requests: list = []
+        self._httpd = http.server.ThreadingHTTPServer(
+            ("127.0.0.1", 0), Handler)
+        self.port = self._httpd.server_address[1]
+        threading.Thread(target=self._httpd.serve_forever,
+                         daemon=True).start()
+
+    def close(self):
+        self._httpd.shutdown()
+
+
+def test_prometheus_reader_over_http(spark):
+    from urllib.parse import parse_qs
+
+    from intake_spark.services import Prometheus, PrometheusMetricReader
+
+    def query_range(u):
+        qs = parse_qs(u.query)
+        assert qs["query"] == ["up"]
+        assert int(qs["end"][0]) - int(qs["start"][0]) == 3600
+        return {"data": {"result": [
+            {"metric": {"job": "api"}, "values": [[1000.0, "1"],
+                                                  [1060.0, "0"]]},
+            {"metric": {"job": "db"}, "values": [[1000.0, "1"]]},
+        ]}}
+
+    srv = JsonHttp({"/api/v1/query_range": query_range})
+    try:
+        rdr = PrometheusMetricReader(data=Prometheus(
+            f"http://127.0.0.1:{srv.port}", query="up"))
+        rows = rdr.read(spark=spark).collect()
+        assert len(rows) == 3
+        assert {r.value for r in rows} == {0.0, 1.0}
+        assert any('"job": "api"' in r.metric for r in rows)
+    finally:
+        srv.close()
+
+
+def test_socrata_reader_over_http(spark):
+    from urllib.parse import parse_qs
+
+    from intake_spark.services import SocrataReader, SocrataService
+
+    def resource(u):
+        qs = parse_qs(u.query)
+        offset = int(qs["$offset"][0])
+        limit = int(qs["$limit"][0])
+        all_rows = [{"id": str(i), "val": i * 3} for i in range(5)]
+        return all_rows[offset : offset + limit]
+
+    srv = JsonHttp({"/resource/abcd-1234.json": resource})
+    try:
+        rdr = SocrataReader(data=SocrataService(
+            f"http://127.0.0.1:{srv.port}", dataset_id="abcd-1234"))
+        rows = sorted(
+            (int(r.id), int(r.val))
+            for r in rdr.read(spark=spark, page_size=2).collect()
+        )
+        assert rows == [(i, i * 3) for i in range(5)]
+        # 2+2+1 rows at page_size=2 -> three pages requested
+        assert sum("$offset" in p for p in srv.requests) == 3
+    finally:
+        srv.close()
+
+
+def test_ogc_features_reader_over_http(spark):
+    import json as _json
+
+    from intake_spark.services import OGCAPIFeatures, OGCAPIFeaturesReader
+
+    state = {}
+
+    def items(u):
+        page = int(dict(
+            kv.split("=") for kv in u.query.split("&") if "=" in kv
+        ).get("page", 0))
+        feats = [{
+            "id": f"f{page}-{i}",
+            "geometry": {"type": "Point", "coordinates": [page, i]},
+            "properties": {"p": page},
+        } for i in range(2)]
+        links = []
+        if page < 1:
+            links = [{"rel": "next",
+                      "href": f"http://127.0.0.1:{state['port']}"
+                              f"/collections/roads/items?f=json&page=1"}]
+        return {"features": feats, "links": links}
+
+    srv = JsonHttp({"/collections/roads/items": items})
+    state["port"] = srv.port
+    try:
+        rdr = OGCAPIFeaturesReader(data=OGCAPIFeatures(
+            f"http://127.0.0.1:{srv.port}", collection="roads"))
+        rows = rdr.read(spark=spark).collect()
+        assert len(rows) == 4  # two pages, next-link followed
+        geo = _json.loads(rows[0].geometry)
+        assert geo["type"] == "Point"
+        assert {r.id for r in rows} == {"f0-0", "f0-1", "f1-0", "f1-1"}
+    finally:
+        srv.close()
+
+
+def test_influxdb_reader_over_http(spark):
+    """InfluxDB v2 Flux-over-HTTP: the reader POSTs application/vnd.flux
+    and parses the annotated-CSV reply — driven over a live loopback
+    HTTP server (the v2 API's real wire format)."""
+    import http.server
+
+    got = {}
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def do_POST(self):
+            n = int(self.headers.get("Content-Length", 0))
+            got["flux"] = self.rfile.read(n).decode()
+            got["auth"] = self.headers.get("Authorization")
+            got["path"] = self.path
+            body = (",result,table,_time,_value,_measurement\n"
+                    ",_r,0,2026-01-01T00:00:00Z,1.5,cpu\n"
+                    ",_r,0,2026-01-01T00:01:00Z,2.5,cpu\n").encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/csv")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):
+            pass
+
+    httpd = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    try:
+        from intake_spark.services import InfluxDBReader, InfluxDBService
+
+        rdr = InfluxDBReader(data=InfluxDBService(
+            f"http://127.0.0.1:{httpd.server_address[1]}",
+            org="o1", bucket="b1", token="tok",
+        ))
+        rows = sorted(
+            (r._time, float(r._value))
+            for r in rdr.read(spark=spark, measurement="cpu").collect()
+        )
+        assert rows == [("2026-01-01T00:00:00Z", 1.5),
+                        ("2026-01-01T00:01:00Z", 2.5)]
+        assert got["auth"] == "Token tok" and "org=o1" in got["path"]
+        assert 'from(bucket: "b1")' in got["flux"]
+        assert '_measurement == "cpu"' in got["flux"]
+    finally:
+        httpd.shutdown()
