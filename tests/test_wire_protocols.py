@@ -637,3 +637,51 @@ def test_influxdb_reader_over_http(spark):
         assert '_measurement == "cpu"' in got["flux"]
     finally:
         httpd.shutdown()
+
+
+def test_tiled_reader_over_http(spark):
+    """TiledReader's Arrow-over-HTTP path against a live loopback
+    server returning a REAL Arrow feather file (the wire format the
+    tiled data service speaks)."""
+    import http.server
+    import io
+
+    import pyarrow as pa
+    import pyarrow.feather as feather
+
+    buf = io.BytesIO()
+    feather.write_feather(
+        pa.table({"x": [1, 2, 3], "y": ["a", "b", "c"]}), buf
+    )
+    blob = buf.getvalue()
+    got = {}
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):
+            got["path"] = self.path
+            got["accept"] = self.headers.get("Accept")
+            self.send_response(200)
+            self.send_header("Content-Type",
+                             "application/vnd.apache.arrow.file")
+            self.send_header("Content-Length", str(len(blob)))
+            self.end_headers()
+            self.wfile.write(blob)
+
+        def log_message(self, *a):
+            pass
+
+    httpd = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    try:
+        from intake_spark.services import TiledReader, TiledService
+
+        rdr = TiledReader(data=TiledService(
+            f"http://127.0.0.1:{httpd.server_address[1]}",
+            path="runs/scan1",
+        ))
+        rows = sorted((r.x, r.y) for r in rdr.read(spark=spark).collect())
+        assert rows == [(1, "a"), (2, "b"), (3, "c")]
+        assert got["path"] == "/api/v1/table/full/runs/scan1"
+        assert got["accept"] == "application/vnd.apache.arrow.file"
+    finally:
+        httpd.shutdown()
