@@ -252,3 +252,169 @@ class LoopbackMqtt(_LoopbackBase):
             pass
         finally:
             conn.close()
+
+
+class LoopbackKafka:
+    """Kafka broker fixture: ApiVersions v0 / Metadata v1 / ListOffsets
+    v1 / Fetch v4 over real record-batch-v2 logs (encoded by
+    ``wire.encode_record_batch``, any of the five codecs). Unlike the
+    single-connection servers above it accepts up to ``max_conns``
+    sockets — the distributed read path opens one per EXECUTOR task —
+    each served on its own thread; the listener closes once the budget
+    is spent. ``requests`` records (api_key, detail) per call so tests
+    can assert on the wire conversation. Fetch honors partition
+    max_bytes but always returns at least the first eligible batch
+    (Kafka's guarantee of progress), so size-capped paging is really
+    exercised."""
+
+    def __init__(self, topics: "dict[str, list[list[list[dict]]]]",
+                 compression: str = "none", max_conns: int = 64):
+        from intake_spark.wire import encode_record_batch
+
+        # topics: {name: [partition][batch] -> list of record dicts}
+        self.logs: dict[str, list[list[tuple[int, int, bytes]]]] = {}
+        for name, parts in topics.items():
+            plogs = []
+            for batches in parts:
+                log, base = [], 0
+                for batch in batches:
+                    blob = encode_record_batch(
+                        batch, base_offset=base,
+                        base_timestamp=1_700_000_000_000,
+                        compression=compression,
+                    )
+                    log.append((base, base + len(batch), blob))
+                    base += len(batch)
+                plogs.append(log)
+            self.logs[name] = plogs
+        self.requests: list = []
+        self._lock = threading.Lock()
+        self._srv = socket.socket()
+        self._srv.bind(("127.0.0.1", 0))
+        self._srv.listen(max_conns)
+        self.port = self._srv.getsockname()[1]
+        self._budget = max_conns
+        threading.Thread(target=self._accept_loop, daemon=True).start()
+
+    def _accept_loop(self):
+        try:
+            while self._budget > 0:
+                try:
+                    conn, _ = self._srv.accept()
+                except OSError:
+                    return
+                self._budget -= 1
+                threading.Thread(
+                    target=self._serve_conn, args=(conn,), daemon=True
+                ).start()
+        finally:
+            self._srv.close()
+
+    def _serve_conn(self, conn):
+        try:
+            while True:
+                hdr = b""
+                while len(hdr) < 4:
+                    chunk = conn.recv(4 - len(hdr))
+                    if not chunk:
+                        return
+                    hdr += chunk
+                (n,) = struct.unpack(">i", hdr)
+                req = b""
+                while len(req) < n:
+                    req += conn.recv(n - len(req))
+                api_key, api_ver, corr = struct.unpack_from(">hhi", req, 0)
+                (cid_len,) = struct.unpack_from(">h", req, 8)
+                body = req[10 + max(cid_len, 0):]
+                resp = self._dispatch(api_key, api_ver, body)
+                conn.sendall(
+                    struct.pack(">i", 4 + len(resp))
+                    + struct.pack(">i", corr) + resp
+                )
+        except OSError:
+            pass
+        finally:
+            conn.close()
+
+    @staticmethod
+    def _kstr(s: str) -> bytes:
+        b = s.encode()
+        return struct.pack(">h", len(b)) + b
+
+    @staticmethod
+    def _read_kstr(buf: bytes, pos: int):
+        (n,) = struct.unpack_from(">h", buf, pos)
+        pos += 2
+        return buf[pos : pos + n].decode(), pos + n
+
+    def _dispatch(self, api_key: int, api_ver: int, body: bytes) -> bytes:
+        if api_key == 18:  # ApiVersions v0
+            with self._lock:
+                self.requests.append(("api_versions",))
+            out = struct.pack(">hi", 0, 4)
+            for k, lo, hi in ((18, 0, 0), (3, 0, 1), (2, 0, 1), (1, 0, 4)):
+                out += struct.pack(">hhh", k, lo, hi)
+            return out
+        if api_key == 3:  # Metadata v1
+            (n,) = struct.unpack_from(">i", body, 0)
+            pos, names = 4, []
+            for _ in range(n):
+                name, pos = self._read_kstr(body, pos)
+                names.append(name)
+            if n < 0:
+                names = sorted(self.logs)
+            with self._lock:
+                self.requests.append(("metadata", tuple(names)))
+            out = struct.pack(">i", 1)  # one broker
+            out += (struct.pack(">i", 0) + self._kstr("127.0.0.1")
+                    + struct.pack(">i", self.port) + struct.pack(">h", -1))
+            out += struct.pack(">i", 0)  # controller id
+            out += struct.pack(">i", len(names))
+            for name in names:
+                parts = self.logs.get(name)
+                out += struct.pack(">h", 0 if parts else 3)  # 3 = unknown
+                out += self._kstr(name) + b"\x00"  # is_internal
+                out += struct.pack(">i", len(parts or []))
+                for pid in range(len(parts or [])):
+                    out += struct.pack(">hii", 0, pid, 0)
+                    out += struct.pack(">ii", 1, 0)  # replicas [0]
+                    out += struct.pack(">ii", 1, 0)  # isr [0]
+            return out
+        if api_key == 2:  # ListOffsets v1
+            pos = 4 + 4  # replica_id + topic count (1)
+            name, pos = self._read_kstr(body, pos)
+            pos += 4  # partition count (1)
+            pid, ts = struct.unpack_from(">iq", body, pos)
+            with self._lock:
+                self.requests.append(("list_offsets", name, pid, ts))
+            log = self.logs[name][pid]
+            off = (log[0][0] if log else 0) if ts == -2 else (
+                log[-1][1] if log else 0
+            )
+            return (struct.pack(">i", 1) + self._kstr(name)
+                    + struct.pack(">i", 1)
+                    + struct.pack(">ihqq", pid, 0, -1, off))
+        if api_key == 1:  # Fetch v4
+            pos = 4 + 4 + 4 + 4 + 1 + 4  # replica/wait/min/max/isolation/n
+            name, pos = self._read_kstr(body, pos)
+            pos += 4  # partition count (1)
+            pid, offset, pmax = struct.unpack_from(">iqi", body, pos)
+            with self._lock:
+                self.requests.append(("fetch", name, pid, offset, pmax))
+            log = self.logs[name][pid]
+            hw = log[-1][1] if log else 0
+            recset = bytearray()
+            for base, nxt, blob in log:
+                if nxt <= offset:
+                    continue
+                if recset and len(recset) + len(blob) > pmax:
+                    break
+                recset += blob
+            out = struct.pack(">i", 0)  # throttle
+            out += struct.pack(">i", 1) + self._kstr(name)
+            out += struct.pack(">i", 1)
+            out += struct.pack(">ihqq", pid, 0, hw, hw)
+            out += struct.pack(">i", 0)  # aborted txns
+            out += struct.pack(">i", len(recset)) + bytes(recset)
+            return out
+        return struct.pack(">h", 35)  # UNSUPPORTED_VERSION

@@ -1,0 +1,284 @@
+"""Protocol-level tests for the stdlib Kafka wire client
+(intake_spark/wire.py): CRC32C pinned by the RFC 3720 §B.4 PUBLISHED
+vectors (not self-agreement), record-batch-v2 round-trips under all
+five codecs (snappy cross-verified against pyarrow's independent
+implementation), and full client↔broker sessions against LoopbackKafka
+speaking real ApiVersions/Metadata/ListOffsets/Fetch bytes over
+127.0.0.1 sockets — including SparkKafkaBatch's executor-side
+distributed fetch fallback (no Kafka connector jar in this
+environment)."""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+
+from intake_spark.loopback import LoopbackKafka
+from intake_spark.wire import (
+    KafkaWireClient,
+    crc32c,
+    decode_record_batches,
+    encode_record_batch,
+)
+
+RECS = [
+    {"key": b"k0", "value": b"v0", "headers": [("h", b"x"), ("n", None)]},
+    {"key": None, "value": b"v1", "timestamp_delta": 5},
+    {"key": b"k2", "value": None},
+]
+
+
+# --------------------------------------------------------------------------
+# CRC32C: the published RFC 3720 B.4 vectors pin the implementation
+# --------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "data,expect",
+    [
+        (b"123456789", 0xE3069283),  # the classic check value
+        (bytes(32), 0x8A9136AA),
+        (b"\xff" * 32, 0x62A8AB43),
+        (bytes(range(32)), 0x46DD794E),
+        (bytes(range(31, -1, -1)), 0x113FDB5C),
+    ],
+)
+def test_crc32c_rfc3720_vectors(data, expect):
+    assert crc32c(data) == expect
+
+
+def test_crc32c_incremental_matches_oneshot():
+    # split points exercise both the slice-by-8 loop and the byte tail
+    data = bytes(range(256)) * 3 + b"tail"
+    whole = crc32c(data)
+    for cut in (0, 1, 7, 8, 9, 64, len(data) - 1):
+        assert crc32c(data[cut:], crc32c(data[:cut])) == whole
+
+
+# --------------------------------------------------------------------------
+# record batch v2 codec
+# --------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("codec", ["none", "gzip", "snappy", "lz4", "zstd"])
+def test_record_batch_roundtrip(codec):
+    buf = encode_record_batch(
+        RECS, base_offset=100, base_timestamp=1_700_000_000_000,
+        compression=codec,
+    )
+    out = list(decode_record_batches(buf))
+    assert [r["offset"] for r in out] == [100, 101, 102]
+    assert out[0]["key"] == b"k0" and out[0]["value"] == b"v0"
+    assert out[0]["headers"] == [("h", b"x"), ("n", None)]
+    assert out[1]["key"] is None and out[2]["value"] is None
+    assert out[1]["timestamp"] == 1_700_000_000_005
+
+
+def test_snappy_batch_decodable_by_independent_codec():
+    """The xerial-framed snappy payload must be raw-snappy blocks an
+    INDEPENDENT implementation (pyarrow's bundled snappy) can decode —
+    guarding against a symmetric misreading of the framing."""
+    pa = pytest.importorskip("pyarrow")
+    buf = encode_record_batch(RECS, compression="snappy")
+    payload = buf[61:]  # after the 61-byte v2 header: xerial stream
+    assert payload[:8] == b"\x82SNAPPY\x00"
+    version, compat = struct.unpack_from(">ii", payload, 8)
+    assert (version, compat) == (1, 1)
+    (blk_len,) = struct.unpack_from(">i", payload, 16)
+    blk = payload[20 : 20 + blk_len]
+    plain = encode_record_batch(RECS, compression="none")[61:]
+    assert (
+        pa.Codec("snappy").decompress(
+            blk, decompressed_size=len(plain), asbytes=True
+        )
+        == plain
+    )
+
+
+def test_lz4_zstd_batches_are_real_frames():
+    """lz4/zstd payloads must be self-describing frames (what Kafka
+    writes), not raw blocks: check the public frame magics."""
+    lz4 = encode_record_batch(RECS, compression="lz4")[61:]
+    assert lz4[:4] == b"\x04\x22\x4d\x18"  # LZ4 frame magic
+    zstd = encode_record_batch(RECS, compression="zstd")[61:]
+    assert zstd[:4] == b"\x28\xb5\x2f\xfd"  # zstd frame magic
+
+
+def test_corrupt_batch_crc_raises():
+    buf = bytearray(encode_record_batch(RECS))
+    buf[-1] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC32C"):
+        list(decode_record_batches(bytes(buf)))
+
+
+def test_truncated_trailing_batch_discarded():
+    two = encode_record_batch(RECS[:1]) + encode_record_batch(
+        RECS[:2], base_offset=1
+    )
+    assert len(list(decode_record_batches(two[:-3]))) == 1
+    assert len(list(decode_record_batches(two))) == 3
+
+
+def test_control_batch_skipped():
+    """Attributes bit 5 marks transaction-marker batches: bookkeeping,
+    not data — consumers skip them."""
+    ctl = bytearray(encode_record_batch([{"key": b"\x00\x00", "value": b""}]))
+    # set the control bit in attributes (offset 21), then re-CRC
+    ctl[22] |= 0x20
+    (new_crc,) = (crc32c(bytes(ctl[21:])),)
+    ctl[17:21] = struct.pack(">I", new_crc)
+    data = encode_record_batch(RECS, base_offset=10)
+    assert [r["offset"] for r in decode_record_batches(bytes(ctl) + data)] \
+        == [10, 11, 12]
+
+
+def test_pre_v2_magic_raises_named_gate():
+    buf = bytearray(encode_record_batch(RECS))
+    buf[16] = 1  # magic v1 (pre-0.11 message set)
+    with pytest.raises(NotImplementedError, match="record batch v2"):
+        list(decode_record_batches(bytes(buf)))
+
+
+# --------------------------------------------------------------------------
+# client <-> loopback broker sessions (real bytes over 127.0.0.1)
+# --------------------------------------------------------------------------
+
+
+def _broker(compression="none", **kw):
+    return LoopbackKafka(
+        {
+            "events": [
+                [  # partition 0: two batches
+                    [{"key": b"a", "value": b"1"}, {"key": b"b", "value": b"2"}],
+                    [{"key": b"c", "value": b"3"}],
+                ],
+                [[{"key": b"d", "value": b"4"}]],  # partition 1
+            ]
+        },
+        compression=compression,
+        **kw,
+    )
+
+
+def test_client_session_metadata_offsets_fetch():
+    srv = _broker(compression="gzip")
+    cli = KafkaWireClient("127.0.0.1", srv.port)
+    try:
+        vers = cli.api_versions()
+        assert vers[1] == (0, 4)
+        brokers, parts = cli.metadata("events")
+        assert parts == {0: 0, 1: 0}
+        assert brokers[0] == ("127.0.0.1", srv.port)
+        assert cli.list_offsets("events", 0, -2) == 0
+        assert cli.list_offsets("events", 0, -1) == 3
+        recs = list(cli.read_partition("events", 0, 0, 3))
+        assert [(r["offset"], r["key"], r["value"]) for r in recs] == [
+            (0, b"a", b"1"), (1, b"b", b"2"), (2, b"c", b"3")
+        ]
+    finally:
+        cli.close()
+    assert ("metadata", ("events",)) in srv.requests
+
+
+def test_fetch_paging_under_max_bytes():
+    """A partition max_bytes smaller than two batches must force a
+    second Fetch round trip (the broker returns at least one batch —
+    Kafka's progress guarantee)."""
+    srv = _broker()
+    cli = KafkaWireClient("127.0.0.1", srv.port)
+    try:
+        recs = list(cli.read_partition("events", 0, 0, 3, max_bytes=60))
+        assert [r["offset"] for r in recs] == [0, 1, 2]
+    finally:
+        cli.close()
+    fetches = [r for r in srv.requests if r[0] == "fetch"]
+    assert len(fetches) >= 2 and fetches[1][3] > fetches[0][3]
+
+
+def test_fetch_mid_batch_offset_skips_earlier_records():
+    srv = _broker()
+    cli = KafkaWireClient("127.0.0.1", srv.port)
+    try:
+        recs = list(cli.read_partition("events", 0, 1, 3))
+        assert [r["offset"] for r in recs] == [1, 2]
+    finally:
+        cli.close()
+
+
+def test_unknown_topic_raises():
+    srv = _broker()
+    cli = KafkaWireClient("127.0.0.1", srv.port)
+    try:
+        with pytest.raises(ValueError, match="unknown topic"):
+            cli.metadata("nope")
+    finally:
+        cli.close()
+
+
+# --------------------------------------------------------------------------
+# SparkKafkaBatch: distributed wire fallback (no connector jar here)
+# --------------------------------------------------------------------------
+
+
+def _spark_broker():
+    return LoopbackKafka(
+        {
+            "events": [
+                [[{"key": str(i).encode(), "value": str(i * i).encode()}
+                  for i in range(10)],
+                 [{"key": str(i).encode(), "value": str(i * i).encode()}
+                  for i in range(10, 25)]],
+                [[{"key": str(i).encode(), "value": str(i * i).encode()}
+                  for i in range(25, 40)]],
+                [],  # empty partition: no task emitted
+            ]
+        },
+        compression="zstd",
+        max_conns=32,
+    )
+
+
+def test_spark_kafka_batch_wire_fallback(spark):
+    from intake_spark import datatypes as dt
+    from intake_spark.readers import SparkKafkaBatch
+
+    srv = _spark_broker()
+    rdr = SparkKafkaBatch(
+        data=dt.KafkaTopic(f"127.0.0.1:{srv.port}", topic="events")
+    )
+    df = rdr.read(spark=spark)
+    assert df.schema.simpleString() == (
+        "struct<key:binary,value:binary,topic:string,partition:int,"
+        "offset:bigint,timestamp:timestamp,timestampType:int>"
+    )
+    rows = df.orderBy("partition", "offset").collect()
+    assert len(rows) == 40
+    assert bytes(rows[0]["key"]) == b"0" and bytes(rows[0]["value"]) == b"0"
+    assert rows[24]["partition"] == 0 and rows[24]["offset"] == 24
+    assert rows[-1]["partition"] == 1
+    assert int(bytes(rows[-1]["value"])) == 39 * 39
+    # the fetch loops really ran against the broker (executor tasks)
+    assert any(r[0] == "fetch" for r in srv.requests)
+
+
+def test_spark_kafka_batch_explicit_offsets(spark):
+    import json
+
+    from intake_spark import datatypes as dt
+    from intake_spark.readers import SparkKafkaBatch
+
+    srv = _spark_broker()
+    rdr = SparkKafkaBatch(
+        data=dt.KafkaTopic(f"127.0.0.1:{srv.port}", topic="events")
+    )
+    df = rdr.read(
+        spark=spark,
+        starting_offsets=json.dumps({"events": {"0": 5, "1": 0}}),
+        ending_offsets=json.dumps({"events": {"0": 12, "1": 3}}),
+    )
+    rows = df.orderBy("partition", "offset").collect()
+    assert [r["offset"] for r in rows if r["partition"] == 0] == list(
+        range(5, 12)
+    )
+    assert [r["offset"] for r in rows if r["partition"] == 1] == [0, 1, 2]
