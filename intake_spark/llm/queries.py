@@ -4792,3 +4792,76 @@ def q142_service_wire(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         out, "source string, n_rows bigint, checksum bigint"
     )
+
+
+@register(
+    "q143_kafka_wire",
+    """
+    WITH s AS (SELECT doc_id, (doc_id // 10) % 4 AS part,
+                      (doc_id * 17 + 11) % 101 AS kv
+               FROM documents WHERE doc_id % 10 = 7 AND doc_id < 12000)
+    SELECT CAST(part AS INT) AS partition,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(kv) AS BIGINT) AS checksum
+    FROM s GROUP BY part ORDER BY part
+    """,
+)
+def q143_kafka_wire(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Kafka connector driver-visible (q142's loopback pattern for
+    the last wire boundary): a LoopbackKafka broker
+    (intake_spark/loopback.py) is seeded with record-batch-v2 logs —
+    four partitions, each a DIFFERENT codec (gzip / xerial-snappy /
+    lz4-frame / zstd), multiple batches per partition — whose keys and
+    values are pure functions of the sampled doc_ids; SparkKafkaBatch
+    then reads it through the stdlib wire fallback
+    (readers.py:_read_wire): Metadata + ListOffsets driver-side, the
+    Fetch loops ON EXECUTORS (mapInPandas, one socket per task), every
+    batch CRC32C-verified executor-side. Checksums are closed-form, so
+    a framing/codec/varint error surfaces as a value mismatch. The
+    doc_id < 12000 cap keeps the prover O(fixed) at any sf."""
+    from intake_spark import datatypes as dt
+    from intake_spark.loopback import LoopbackKafka
+    from intake_spark.readers import SparkKafkaBatch
+
+    ids = [
+        int(r[0])
+        for r in load_table(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") % 10 == 7) & (F.col("doc_id") < 12000))
+        .select("doc_id")
+        .collect()
+    ]
+    parts: list[list[list[dict]]] = [[], [], [], []]
+    for pid in range(4):
+        # (doc_id // 10) % 4 — doc_id % 4 would leave the even-numbered
+        # partitions (and their codecs) empty, since sampled ids are odd
+        mine = [i for i in sorted(ids) if (i // 10) % 4 == pid]
+        # ≥2 batches per partition so the fetch loop crosses batch
+        # boundaries; ragged split sizes exercise mid-batch offsets
+        cut = max(1, len(mine) // 3)
+        for lo in range(0, len(mine), cut):
+            parts[pid].append([
+                {"key": str(i).encode(),
+                 "value": str((i * 17 + 11) % 101).encode()}
+                for i in mine[lo : lo + cut]
+            ])
+    srv = LoopbackKafka(
+        {"docs": parts},
+        compression=["gzip", "snappy", "lz4", "zstd"],
+        max_conns=64,
+    )
+    df = SparkKafkaBatch(
+        data=dt.KafkaTopic(f"127.0.0.1:{srv.port}", topic="docs")
+    ).read(spark=spark)
+    out = (
+        df.groupBy(F.col("partition"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum(F.col("value").cast("string").cast("bigint"))
+            .cast("bigint").alias("checksum"),
+        )
+        .orderBy("partition")
+        .toPandas()  # materialize while the loopback broker is alive
+    )
+    return spark.createDataFrame(
+        out, "partition int, n_rows bigint, checksum bigint"
+    )

@@ -268,20 +268,25 @@ class LoopbackKafka:
     exercised."""
 
     def __init__(self, topics: "dict[str, list[list[list[dict]]]]",
-                 compression: str = "none", max_conns: int = 64):
+                 compression: "str | list[str]" = "none",
+                 max_conns: int = 64):
         from intake_spark.wire import encode_record_batch
 
-        # topics: {name: [partition][batch] -> list of record dicts}
+        # topics: {name: [partition][batch] -> list of record dicts};
+        # compression: one codec name, or one per partition (so a single
+        # fixture topic can prove every codec end-to-end)
         self.logs: dict[str, list[list[tuple[int, int, bytes]]]] = {}
         for name, parts in topics.items():
             plogs = []
-            for batches in parts:
+            for p_idx, batches in enumerate(parts):
+                codec = (compression[p_idx % len(compression)]
+                         if isinstance(compression, list) else compression)
                 log, base = [], 0
                 for batch in batches:
                     blob = encode_record_batch(
                         batch, base_offset=base,
                         base_timestamp=1_700_000_000_000,
-                        compression=compression,
+                        compression=codec,
                     )
                     log.append((base, base + len(batch), blob))
                     base += len(batch)

@@ -320,7 +320,12 @@ class SparkKafkaBatch(BaseReader):
                    max_bytes_per_fetch: int = 1 << 20, **kwargs):
         import json as _json
 
+        from intake_spark.session import ensure_py_deps
         from intake_spark.wire import KafkaWireClient
+
+        # the fetch tasks import intake_spark.wire ON EXECUTORS — ship
+        # the package before mapInPandas wraps the closure
+        ensure_py_deps(spark)
 
         topic = self.data.topic
 
