@@ -1,0 +1,244 @@
+"""``kafka_wire`` — a PySpark Python DataSource (Spark 4 API) over the
+stdlib Kafka wire client (:mod:`intake_spark.wire`).
+
+This is the idiomatic Spark-4 way to add a source without a JVM
+connector: ``spark.dataSource.register(KafkaWireDataSource)`` then
+``spark.read.format("kafka_wire")`` / ``spark.readStream.format(
+"kafka_wire")``. The planner calls run DRIVER-side (Metadata +
+ListOffsets — partition-count-sized), and ``read()`` runs ON EXECUTORS,
+one socket per input partition, every record batch CRC32C-verified —
+the same per-partition parallelism and exactly-once offset-range
+semantics the JVM Kafka connector uses (microbatch offsets are plain
+``{partition: next_offset}`` dicts, checkpointed by Structured
+Streaming).
+
+Used by ``readers.SparkKafkaBatch`` and ``streaming.KafkaStream`` as
+the fallback when the connector jar is absent (reference surface:
+KafkaReader, reference readers.py:3192-3235). PLAINTEXT only — SASL/TLS
+deployments need the JVM connector, and the readers say so.
+
+Options: ``kafka.bootstrap.servers`` (or ``url``), ``subscribe`` (one
+topic), ``startingOffsets`` ('earliest'|'latest'|JSON, default
+earliest), ``endingOffsets`` (batch only), ``maxBytesPerFetch``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
+
+# module-level so planner methods reference it as a global: the streaming
+# source runner worker does NOT receive addPyFile includes (unlike batch
+# planner + executor workers), so register_kafka_wire() pickles this
+# module BY VALUE — runtime `from intake_spark...` imports inside planner
+# methods would defeat that
+from intake_spark.wire import KafkaWireClient
+
+KAFKA_SCHEMA = (
+    "key binary, value binary, topic string, partition int, "
+    "offset bigint, timestamp timestamp, timestampType int"
+)
+
+
+class _FetchRange(InputPartition):
+    def __init__(self, host, port, topic, partition, start, end, max_bytes):
+        self.host = host
+        self.port = port
+        self.topic = topic
+        self.partition = partition
+        self.start = start
+        self.end = end
+        self.max_bytes = max_bytes
+
+
+def _read_range(part: _FetchRange):
+    """Executor-side fetch loop: one socket, bounded offset range."""
+    import datetime as _dt
+
+    if part.end <= part.start:
+        return
+    cli = KafkaWireClient(part.host, part.port)
+    try:
+        for rec in cli.read_partition(
+            part.topic, part.partition, part.start, part.end,
+            max_bytes=part.max_bytes,
+        ):
+            yield (
+                rec["key"],
+                rec["value"],
+                part.topic,
+                part.partition,
+                rec["offset"],
+                _dt.datetime.fromtimestamp(
+                    rec["timestamp"] / 1000.0, _dt.timezone.utc
+                ).replace(tzinfo=None),
+                0,  # CreateTime, matching the JVM connector's column
+            )
+    finally:
+        cli.close()
+
+
+class _WirePlanner:
+    """Driver-side planning shared by the batch and stream readers."""
+
+    def __init__(self, options):
+        self.url = options.get("kafka.bootstrap.servers") or options.get(
+            "url"
+        )
+        self.topic = options.get("subscribe")
+        if not self.url or not self.topic:
+            raise ValueError(
+                "kafka_wire: 'kafka.bootstrap.servers' (or 'url') and "
+                "'subscribe' options are required"
+            )
+        self.max_bytes = int(options.get("maxBytesPerFetch", 1 << 20))
+
+    def _leaders(self):
+        """{partition: (host, port)} via Metadata on a bootstrap node."""
+        cli = KafkaWireClient.from_url(self.url)
+        try:
+            cli.api_versions()
+            brokers, parts = cli.metadata(self.topic)
+            return {pid: brokers[leader] for pid, leader in parts.items()}
+        finally:
+            cli.close()
+
+    def offsets(self, timestamp: int) -> "dict[str, int]":
+        """ListOffsets per partition: -2 earliest, -1 latest. String
+        keys — microbatch offsets must round-trip through JSON."""
+        out: dict[str, int] = {}
+        clients: dict[tuple, KafkaWireClient] = {}
+        try:
+            for pid, hp in sorted(self._leaders().items()):
+                if hp not in clients:
+                    clients[hp] = KafkaWireClient(*hp)
+                out[str(pid)] = clients[hp].list_offsets(
+                    self.topic, pid, timestamp
+                )
+        finally:
+            for c in clients.values():
+                c.close()
+        return out
+
+    def resolve(self, spec: str, default_ts: int) -> "dict[str, int]":
+        import json
+
+        if spec in ("earliest", "latest", None):
+            return self.offsets(-2 if spec == "earliest" else (
+                -1 if spec == "latest" else default_ts))
+        explicit = {str(p): int(o)
+                    for p, o in json.loads(spec)[self.topic].items()}
+        resolved = {}
+        for pid, off in explicit.items():
+            if off in (-1, -2):
+                resolved.update({
+                    pid: self.offsets(off)[pid]
+                })
+            else:
+                resolved[pid] = off
+        return resolved
+
+    def ranges(self, start: "dict[str, int]", end: "dict[str, int]"):
+        leaders = self._leaders()
+        parts = []
+        for pid_s, end_off in sorted(end.items(), key=lambda kv: int(kv[0])):
+            pid = int(pid_s)
+            if pid not in leaders or pid_s not in start:
+                continue  # partition absent from an explicit offsets dict
+            host, port = leaders[pid]
+            parts.append(_FetchRange(
+                host, port, self.topic, pid, start[pid_s], end_off,
+                self.max_bytes,
+            ))
+        return parts
+
+
+class KafkaWireBatchReader(DataSourceReader):
+    def __init__(self, options):
+        self._planner = _WirePlanner(options)
+        self._start = self._planner.resolve(
+            options.get("startingOffsets", "earliest"), -2
+        )
+        self._end = self._planner.resolve(
+            options.get("endingOffsets", "latest"), -1
+        )
+
+    def partitions(self):
+        return self._planner.ranges(self._start, self._end)
+
+    def read(self, partition):
+        yield from _read_range(partition)
+
+
+class KafkaWireStreamReader(DataSourceStreamReader):
+    """Microbatch offsets are ``{partition: next_offset}`` dicts —
+    identical in meaning to the JVM connector's checkpointed offsets, so
+    restart-from-checkpoint resumes exactly where the last batch ended."""
+
+    def __init__(self, options):
+        self._planner = _WirePlanner(options)
+        self._starting = options.get("startingOffsets", "earliest")
+
+    def initialOffset(self) -> dict:
+        return self._planner.resolve(self._starting, -2)
+
+    def latestOffset(self) -> dict:
+        return self._planner.offsets(-1)
+
+    def partitions(self, start: dict, end: dict):
+        return self._planner.ranges(start, end)
+
+    def read(self, partition):
+        yield from _read_range(partition)
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets live in the streaming checkpoint, not the broker
+
+    def stop(self) -> None:
+        pass
+
+
+class KafkaWireDataSource(DataSource):
+    """Register with ``spark.dataSource.register(KafkaWireDataSource)``;
+    then ``format("kafka_wire")`` works for both read and readStream."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "kafka_wire"
+
+    def schema(self) -> str:
+        return KAFKA_SCHEMA
+
+    def reader(self, schema) -> KafkaWireBatchReader:
+        return KafkaWireBatchReader(self.options)
+
+    def streamReader(self, schema) -> KafkaWireStreamReader:
+        return KafkaWireStreamReader(self.options)
+
+
+def register_kafka_wire(spark) -> None:
+    """Idempotent registration + executor package shipping.
+
+    Two transports make the source importable everywhere it runs:
+    ``ensure_py_deps`` ships the package zip to batch planner + executor
+    workers (addPyFile), and cloudpickle BY-VALUE registration of this
+    module and :mod:`intake_spark.wire` covers the streaming source
+    runner — a separate long-lived Python process that does NOT receive
+    addPyFile includes, so a by-reference pickle of the DataSource class
+    would die there with ModuleNotFoundError."""
+    import sys
+
+    from pyspark import cloudpickle
+
+    from intake_spark.session import ensure_py_deps
+
+    ensure_py_deps(spark)
+    cloudpickle.register_pickle_by_value(sys.modules[__name__])
+    cloudpickle.register_pickle_by_value(
+        sys.modules[KafkaWireClient.__module__]
+    )
+    spark.dataSource.register(KafkaWireDataSource)

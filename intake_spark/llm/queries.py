@@ -4852,16 +4852,19 @@ def q143_kafka_wire(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = SparkKafkaBatch(
         data=dt.KafkaTopic(f"127.0.0.1:{srv.port}", topic="docs")
     ).read(spark=spark)
-    out = (
-        df.groupBy(F.col("partition"))
-        .agg(
-            F.count("*").cast("bigint").alias("n_rows"),
-            F.sum(F.col("value").cast("string").cast("bigint"))
-            .cast("bigint").alias("checksum"),
+    try:
+        out = (
+            df.groupBy(F.col("partition"))
+            .agg(
+                F.count("*").cast("bigint").alias("n_rows"),
+                F.sum(F.col("value").cast("string").cast("bigint"))
+                .cast("bigint").alias("checksum"),
+            )
+            .orderBy("partition")
+            .toPandas()  # materialize while the loopback broker is alive
         )
-        .orderBy("partition")
-        .toPandas()  # materialize while the loopback broker is alive
-    )
+    finally:
+        srv.close()  # bench repeats must not accumulate live listeners
     return spark.createDataFrame(
         out, "partition int, n_rows bigint, checksum bigint"
     )

@@ -269,46 +269,61 @@ class LoopbackKafka:
 
     def __init__(self, topics: "dict[str, list[list[list[dict]]]]",
                  compression: "str | list[str]" = "none",
-                 max_conns: int = 64):
-        from intake_spark.wire import encode_record_batch
-
+                 max_conns: "int | None" = 64):
         # topics: {name: [partition][batch] -> list of record dicts};
         # compression: one codec name, or one per partition (so a single
-        # fixture topic can prove every codec end-to-end)
+        # fixture topic can prove every codec end-to-end);
+        # max_conns=None serves until close() — streaming tests poll
+        # offsets every microbatch, so their connection count is unknown
         self.logs: dict[str, list[list[tuple[int, int, bytes]]]] = {}
+        self.requests: list = []
+        self._lock = threading.Lock()
         for name, parts in topics.items():
-            plogs = []
+            self.logs[name] = [[] for _ in parts]
             for p_idx, batches in enumerate(parts):
                 codec = (compression[p_idx % len(compression)]
                          if isinstance(compression, list) else compression)
-                log, base = [], 0
                 for batch in batches:
-                    blob = encode_record_batch(
-                        batch, base_offset=base,
-                        base_timestamp=1_700_000_000_000,
-                        compression=codec,
-                    )
-                    log.append((base, base + len(batch), blob))
-                    base += len(batch)
-                plogs.append(log)
-            self.logs[name] = plogs
-        self.requests: list = []
-        self._lock = threading.Lock()
+                    self.append(name, p_idx, batch, compression=codec)
         self._srv = socket.socket()
         self._srv.bind(("127.0.0.1", 0))
-        self._srv.listen(max_conns)
+        self._srv.listen(max_conns or 128)
         self.port = self._srv.getsockname()[1]
         self._budget = max_conns
         threading.Thread(target=self._accept_loop, daemon=True).start()
 
+    def append(self, topic: str, partition: int, records: "list[dict]",
+               compression: str = "none") -> None:
+        """Produce a batch into a partition's log (base offset continues
+        from the log end) — lets streaming tests add data between
+        microbatches to prove incremental offset tracking."""
+        from intake_spark.wire import encode_record_batch
+
+        if not records:
+            return
+        with self._lock:
+            log = self.logs[topic][partition]
+            base = log[-1][1] if log else 0
+            blob = encode_record_batch(
+                records, base_offset=base,
+                base_timestamp=1_700_000_000_000,
+                compression=compression,
+            )
+            log.append((base, base + len(records), blob))
+
+    def close(self) -> None:
+        """Stop accepting (live connections finish on their own)."""
+        self._srv.close()
+
     def _accept_loop(self):
         try:
-            while self._budget > 0:
+            while self._budget is None or self._budget > 0:
                 try:
                     conn, _ = self._srv.accept()
                 except OSError:
                     return
-                self._budget -= 1
+                if self._budget is not None:
+                    self._budget -= 1
                 threading.Thread(
                     target=self._serve_conn, args=(conn,), daemon=True
                 ).start()
@@ -392,7 +407,7 @@ class LoopbackKafka:
             pid, ts = struct.unpack_from(">iq", body, pos)
             with self._lock:
                 self.requests.append(("list_offsets", name, pid, ts))
-            log = self.logs[name][pid]
+                log = list(self.logs[name][pid])
             off = (log[0][0] if log else 0) if ts == -2 else (
                 log[-1][1] if log else 0
             )
@@ -406,7 +421,7 @@ class LoopbackKafka:
             pid, offset, pmax = struct.unpack_from(">iqi", body, pos)
             with self._lock:
                 self.requests.append(("fetch", name, pid, offset, pmax))
-            log = self.logs[name][pid]
+                log = list(self.logs[name][pid])
             hw = log[-1][1] if log else 0
             recset = bytearray()
             for base, nxt, blob in log:

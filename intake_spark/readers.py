@@ -318,110 +318,18 @@ class SparkKafkaBatch(BaseReader):
 
     def _read_wire(self, spark, starting_offsets, ending_offsets,
                    max_bytes_per_fetch: int = 1 << 20, **kwargs):
-        import json as _json
+        from intake_spark.kafka_source import register_kafka_wire
 
-        from intake_spark.session import ensure_py_deps
-        from intake_spark.wire import KafkaWireClient
-
-        # the fetch tasks import intake_spark.wire ON EXECUTORS — ship
-        # the package before mapInPandas wraps the closure
-        ensure_py_deps(spark)
-
-        topic = self.data.topic
-
-        def _bounds(spec):
-            """'earliest'/'latest' or the connector's JSON form
-            {topic: {'0': offset}} -> per-partition dict or None."""
-            if spec in ("earliest", "latest"):
-                return None
-            return {int(p): int(o)
-                    for p, o in _json.loads(spec)[topic].items()}
-
-        start_map = _bounds(starting_offsets)
-        end_map = _bounds(ending_offsets)
-
-        boot = KafkaWireClient.from_url(self.data.url)
-        try:
-            boot.api_versions()
-            brokers, parts = boot.metadata(topic)
-            leaders: dict[int, KafkaWireClient] = {}
-            tasks = []
-            try:
-                for pid, leader in sorted(parts.items()):
-                    # partitions absent from an explicit offsets dict are
-                    # skipped (the bounded-peek reading of the connector's
-                    # JSON offsets form); -2/-1 inside the dict resolve to
-                    # earliest/latest like the connector
-                    if start_map is not None and pid not in start_map:
-                        continue
-                    if end_map is not None and pid not in end_map:
-                        continue
-                    host, port = brokers[leader]
-                    if leader not in leaders:
-                        leaders[leader] = KafkaWireClient(host, port)
-                    lcli = leaders[leader]
-                    start = (start_map[pid] if start_map is not None
-                             else -2 if starting_offsets == "earliest"
-                             else -1)
-                    end = (end_map[pid] if end_map is not None
-                           else -1 if ending_offsets == "latest" else -2)
-                    if start < 0:
-                        start = lcli.list_offsets(topic, pid, start)
-                    if end < 0:
-                        end = lcli.list_offsets(topic, pid, end)
-                    if end > start:
-                        tasks.append((host, port, pid, start, end))
-            finally:
-                for c in leaders.values():
-                    c.close()
-        finally:
-            boot.close()
-
-        schema = ("key binary, value binary, topic string, partition int, "
-                  "offset bigint, timestamp timestamp, timestampType int")
-        if not tasks:
-            return spark.createDataFrame([], schema)
-
-        def fetch_tasks(frames):
-            import pandas as pd
-
-            from intake_spark.wire import KafkaWireClient as _Cli
-
-            for pdf in frames:
-                for host, port, pid, start, end in pdf.itertuples(
-                    index=False
-                ):
-                    cli = _Cli(host, int(port))
-                    try:
-                        rows = {
-                            "key": [], "value": [], "offset": [], "ts": [],
-                        }
-                        for rec in cli.read_partition(
-                            topic, int(pid), int(start), int(end),
-                            max_bytes=max_bytes_per_fetch,
-                        ):
-                            rows["key"].append(rec["key"])
-                            rows["value"].append(rec["value"])
-                            rows["offset"].append(rec["offset"])
-                            rows["ts"].append(rec["timestamp"])
-                    finally:
-                        cli.close()
-                    yield pd.DataFrame({
-                        "key": rows["key"], "value": rows["value"],
-                        "topic": topic, "partition": int(pid),
-                        "offset": pd.Series(rows["offset"], dtype="int64"),
-                        "timestamp": pd.to_datetime(
-                            pd.Series(rows["ts"], dtype="int64"), unit="ms"
-                        ),
-                        # 0 = CreateTime, matching the connector's column
-                        "timestampType": 0,
-                    })
-
-        tasks_df = spark.createDataFrame(
-            tasks, "host string, port int, partition int, "
-                   "start bigint, end bigint"
-        ).repartition(len(tasks))
-        return tasks_df.mapInPandas(fetch_tasks, schema)
+        register_kafka_wire(spark)
+        return (
+            spark.read.format("kafka_wire")
+            .option("kafka.bootstrap.servers", self.data.url)
+            .option("subscribe", self.data.topic)
+            .option("startingOffsets", starting_offsets)
+            .option("endingOffsets", ending_offsets)
+            .option("maxBytesPerFetch", str(max_bytes_per_fetch))
+            .load()
+        )
 
 
 class LiteralReader(BaseReader):

@@ -24,14 +24,39 @@ from intake_spark.benchqueries import dsum
 
 
 class KafkaStream(BaseReader):
-    """KafkaTopic → readStream (the streaming twin of SparkKafkaBatch)."""
+    """KafkaTopic → readStream (the streaming twin of SparkKafkaBatch).
+
+    When the JVM Kafka connector is absent, falls back to the
+    ``kafka_wire`` Python DataSource (intake_spark/kafka_source.py —
+    the Spark 4 Python DataSource API): driver-side Metadata/ListOffsets
+    planning, executor-side CRC32C-verified Fetch loops, and
+    ``{partition: next_offset}`` microbatch offsets checkpointed by
+    Structured Streaming exactly like the connector's. PLAINTEXT only;
+    SASL/TLS needs the connector."""
 
     implements = {dt.KafkaTopic}
     priority = 10
 
     def _read(self, spark, starting_offsets="latest", **kwargs):
+        try:
+            return (
+                spark.readStream.format("kafka")
+                .option("kafka.bootstrap.servers", self.data.url)
+                .option("subscribe", self.data.topic)
+                .option("startingOffsets", starting_offsets)
+                .options(**kwargs)
+                .load()
+            )
+        except Exception as exc:
+            msg = str(exc)
+            if not ("Failed to find" in msg or "DATA_SOURCE_NOT_FOUND" in msg
+                    or "ClassNotFound" in msg):
+                raise
+        from intake_spark.kafka_source import register_kafka_wire
+
+        register_kafka_wire(spark)
         return (
-            spark.readStream.format("kafka")
+            spark.readStream.format("kafka_wire")
             .option("kafka.bootstrap.servers", self.data.url)
             .option("subscribe", self.data.topic)
             .option("startingOffsets", starting_offsets)
