@@ -114,6 +114,30 @@ def main() -> None:
             _warm, "id long"
         ).count()
         warm_cost = {"shared:pyworker_warmup": round(_time.time() - _t0, 4)}
+
+        # Python DataSource machinery warmup (separate worker path from
+        # mapInPandas: plan_data_source_read + streaming source runner);
+        # q143's first run otherwise absorbs ~13 s of one-time
+        # cloudpickle/Arrow/worker-spawn cost (15.3 s first vs 2.0 s
+        # steady measured in isolation) — the exact spread defect the
+        # r10 verdict flagged on q135/q136
+        _t0 = _time.time()
+        from intake_spark.kafka_source import register_kafka_wire
+        from intake_spark.loopback import LoopbackKafka
+
+        _srv = LoopbackKafka(
+            {"warm": [[[{"key": b"w", "value": b"0"}]]]}, max_conns=4
+        )
+        try:
+            register_kafka_wire(spark)
+            (spark.read.format("kafka_wire")
+             .option("kafka.bootstrap.servers", f"127.0.0.1:{_srv.port}")
+             .option("subscribe", "warm").load().count())
+        finally:
+            _srv.close()
+        warm_cost["shared:pydatasource_warmup"] = round(
+            _time.time() - _t0, 4
+        )
     except Exception:
         warm_cost = {}
 

@@ -244,7 +244,17 @@ class PandasFeather(BaseReader):
 class SparkJDBC(BaseReader):
     """SQLQuery → partitioned JDBC read. ``partition_column`` ≡ the
     reference DaskSQL's required index_col (readers.py:392-394): without a
-    split column the whole query lands on one executor."""
+    split column the whole query lands on one executor.
+
+    When the JDBC driver jar is absent and the URL is PostgreSQL-flavored,
+    falls back to the stdlib PG v3 wire client
+    (:class:`intake_spark.wire.PostgresWireClient` — SCRAM-SHA-256/MD5
+    auth, simple-query protocol): a LIMIT-0 probe resolves the schema
+    from pg_type oids, then either one driver-side query (bounded by
+    ``max_rows``, guard naming the jar) or — with ``partition_column``
+    + bounds — the SAME stride predicates Spark's JDBC source generates,
+    each range fetched ON an executor via mapInPandas with its own
+    connection. No TLS; sslmode=require deployments need the jar."""
 
     implements = {dt.SQLQuery}
 
@@ -255,30 +265,140 @@ class SparkJDBC(BaseReader):
         num_partitions: int = 8,
         lower_bound=None,
         upper_bound=None,
+        max_rows: int = 100_000,
         **kwargs,
     ):
-        reader = (
-            spark.read.format("jdbc")
-            .option("url", self.data.url)
-            .option("query", self.data.query)
-        )
-        if partition_column:
-            if lower_bound is None or upper_bound is None:
-                # str(None) would reach the JDBC source as the literal
-                # 'None' and fail with a NumberFormatException at load()
-                raise ValueError(
-                    "partition_column requires lower_bound and upper_bound "
-                    "(e.g. the column's MIN/MAX)"
-                )
-            reader = (
-                reader.option("partitionColumn", partition_column)
-                .option("numPartitions", str(num_partitions))
-                .option("lowerBound", str(lower_bound))
-                .option("upperBound", str(upper_bound))
+        if partition_column and (lower_bound is None or upper_bound is None):
+            # str(None) would reach the JDBC source as the literal
+            # 'None' and fail with a NumberFormatException at load()
+            raise ValueError(
+                "partition_column requires lower_bound and upper_bound "
+                "(e.g. the column's MIN/MAX)"
             )
-        for k, v in {**self.data.options, **kwargs}.items():
-            reader = reader.option(k, v)
-        return reader.load()
+        try:
+            reader = (
+                spark.read.format("jdbc")
+                .option("url", self.data.url)
+                .option("query", self.data.query)
+            )
+            if partition_column:
+                reader = (
+                    reader.option("partitionColumn", partition_column)
+                    .option("numPartitions", str(num_partitions))
+                    .option("lowerBound", str(lower_bound))
+                    .option("upperBound", str(upper_bound))
+                )
+            for k, v in {**self.data.options, **kwargs}.items():
+                reader = reader.option(k, v)
+            return reader.load()
+        except Exception as exc:
+            msg = str(exc)
+            url = self.data.url
+            pg = "postgres" in url.split("://", 1)[0] or url.startswith(
+                "jdbc:postgresql:"
+            )
+            if not pg or not (
+                "Failed to find" in msg or "DATA_SOURCE_NOT_FOUND" in msg
+                or "ClassNotFound" in msg or "No suitable driver" in msg
+                or "JDBC" in msg
+            ):
+                raise
+        return self._read_pg_wire(
+            spark, partition_column, num_partitions, lower_bound,
+            upper_bound, max_rows,
+        )
+
+    # -- stdlib PostgreSQL fallback ------------------------------------
+
+    def _pg_predicates(self, column, lower, upper, n):
+        """Spark JDBC's stride partitioning (JDBCRelation.columnPartition
+        semantics): first range open below + IS NULL, last open above."""
+        lower, upper = int(lower), int(upper)
+        n = max(1, min(n, max(1, upper - lower)))
+        stride = (upper - lower) // n
+        preds, lo = [], lower
+        for i in range(n):
+            hi = lo + stride
+            if i == 0 and n > 1:
+                preds.append(f"{column} < {hi} OR {column} IS NULL")
+            elif i == 0:
+                preds.append("1=1")  # single partition: everything
+            elif i == n - 1:
+                preds.append(f"{column} >= {lo}")
+            else:
+                preds.append(f"{column} >= {lo} AND {column} < {hi}")
+            lo = hi
+        return preds
+
+    def _read_pg_wire(self, spark, partition_column, num_partitions,
+                      lower_bound, upper_bound, max_rows):
+        from intake_spark.session import ensure_py_deps
+        from intake_spark.wire import PG_OID_SPARK, PostgresWireClient
+
+        url, query = self.data.url, self.data.query
+        probe = PostgresWireClient.from_url(url)
+        try:
+            cols, _ = probe.query(
+                f"SELECT * FROM ({query}) AS sparkq WHERE 1=0"
+            )
+        finally:
+            probe.close()
+        schema = ", ".join(
+            f"`{name}` {PG_OID_SPARK.get(oid, 'string')}"
+            for name, oid in cols
+        )
+        names = [name for name, _ in cols]
+
+        if not partition_column:
+            cli = PostgresWireClient.from_url(url)
+            try:
+                _, rows = cli.query(
+                    f"SELECT * FROM ({query}) AS sparkq LIMIT {max_rows + 1}"
+                )
+            finally:
+                cli.close()
+            if len(rows) > max_rows:
+                raise ValueError(
+                    f"SparkJDBC postgres wire path: result exceeds "
+                    f"max_rows={max_rows}; pass partition_column/"
+                    f"lower_bound/upper_bound for a distributed read, or "
+                    f"install the JDBC driver jar"
+                )
+            return spark.createDataFrame(
+                [tuple(r) for r in rows], schema
+            )
+
+        # distributed: one range predicate per task, executed on executors
+        ensure_py_deps(spark)
+        preds = self._pg_predicates(
+            partition_column, lower_bound, upper_bound, num_partitions
+        )
+
+        def fetch_ranges(frames):
+            import pandas as pd
+
+            from intake_spark.wire import PostgresWireClient as _Cli
+
+            for pdf in frames:
+                for (pred,) in pdf.itertuples(index=False):
+                    cli = _Cli.from_url(url)
+                    try:
+                        _, rows = cli.query(
+                            f"SELECT * FROM ({query}) AS sparkq "
+                            f"WHERE {pred}"
+                        )
+                    finally:
+                        cli.close()
+                    yield pd.DataFrame(
+                        dict(zip(names, zip(*rows)))
+                        if rows else {n: [] for n in names},
+                        columns=names,
+                    )
+
+        tasks = spark.createDataFrame(
+            [(p,) for p in preds], "pred string"
+        ).repartition(len(preds))
+        return tasks.mapInPandas(fetch_ranges, schema)
 
 
 class SparkKafkaBatch(BaseReader):
