@@ -73,9 +73,13 @@ def _read_range(part: _FetchRange):
                 part.topic,
                 part.partition,
                 rec["offset"],
+                # tz-AWARE: Kafka timestamps are instants; a naive
+                # datetime would be re-interpreted in the session
+                # timezone, shifting values vs the JVM connector
+                # whenever spark.sql.session.timeZone is not UTC
                 _dt.datetime.fromtimestamp(
                     rec["timestamp"] / 1000.0, _dt.timezone.utc
-                ).replace(tzinfo=None),
+                ),
                 0,  # CreateTime, matching the JVM connector's column
             )
     finally:
@@ -84,6 +88,11 @@ def _read_range(part: _FetchRange):
 
 class _WirePlanner:
     """Driver-side planning shared by the batch and stream readers."""
+
+    _KNOWN_OPTIONS = {
+        "kafka.bootstrap.servers", "url", "subscribe", "startingoffsets",
+        "endingoffsets", "maxbytesperfetch",
+    }
 
     def __init__(self, options):
         self.url = options.get("kafka.bootstrap.servers") or options.get(
@@ -94,6 +103,16 @@ class _WirePlanner:
             raise ValueError(
                 "kafka_wire: 'kafka.bootstrap.servers' (or 'url') and "
                 "'subscribe' options are required"
+            )
+        unknown = sorted(
+            k for k in options if k.lower() not in self._KNOWN_OPTIONS
+        )
+        if unknown:
+            # silently ignoring connector options (failOnDataLoss,
+            # kafka.security.protocol, ...) would change semantics
+            raise ValueError(
+                f"kafka_wire does not support options {unknown}; use the "
+                "JVM Kafka connector for them"
             )
         self.max_bytes = int(options.get("maxBytesPerFetch", 1 << 20))
 
@@ -132,27 +151,35 @@ class _WirePlanner:
                 -1 if spec == "latest" else default_ts))
         explicit = {str(p): int(o)
                     for p, o in json.loads(spec)[self.topic].items()}
-        resolved = {}
-        for pid, off in explicit.items():
-            if off in (-1, -2):
-                resolved.update({
-                    pid: self.offsets(off)[pid]
-                })
-            else:
-                resolved[pid] = off
-        return resolved
+        # one ListOffsets sweep per special value, indexed per partition
+        # (a sweep per partition would be O(P^2) broker round trips)
+        special = {
+            ts: self.offsets(ts)
+            for ts in {o for o in explicit.values() if o in (-1, -2)}
+        }
+        return {pid: (special[off][pid] if off in (-1, -2) else off)
+                for pid, off in explicit.items()}
 
-    def ranges(self, start: "dict[str, int]", end: "dict[str, int]"):
+    def ranges(self, start: "dict[str, int]", end: "dict[str, int]",
+               missing_start: "int | None" = None):
+        """``missing_start``: offset to use for partitions present in
+        ``end`` but absent from ``start`` — the STREAM reader passes 0
+        so a partition added to the topic mid-stream is read from its
+        beginning (the JVM connector's behavior) instead of silently
+        skipped forever; batch explicit-offset reads keep the skip
+        (None), since there the omission was the caller's choice."""
         leaders = self._leaders()
         parts = []
         for pid_s, end_off in sorted(end.items(), key=lambda kv: int(kv[0])):
             pid = int(pid_s)
-            if pid not in leaders or pid_s not in start:
+            if pid not in leaders:
+                continue
+            if pid_s not in start and missing_start is None:
                 continue  # partition absent from an explicit offsets dict
             host, port = leaders[pid]
             parts.append(_FetchRange(
-                host, port, self.topic, pid, start[pid_s], end_off,
-                self.max_bytes,
+                host, port, self.topic, pid,
+                start.get(pid_s, missing_start), end_off, self.max_bytes,
             ))
         return parts
 
@@ -190,7 +217,9 @@ class KafkaWireStreamReader(DataSourceStreamReader):
         return self._planner.offsets(-1)
 
     def partitions(self, start: dict, end: dict):
-        return self._planner.ranges(start, end)
+        # missing_start=0: partitions created after the stream began are
+        # read from their beginning, matching the JVM connector
+        return self._planner.ranges(start, end, missing_start=0)
 
     def read(self, partition):
         yield from _read_range(partition)

@@ -4849,10 +4849,13 @@ def q143_kafka_wire(spark: SparkSession, sf_dir: str) -> DataFrame:
         compression=["gzip", "snappy", "lz4", "zstd"],
         max_conns=64,
     )
-    df = SparkKafkaBatch(
-        data=dt.KafkaTopic(f"127.0.0.1:{srv.port}", topic="docs")
-    ).read(spark=spark)
     try:
+        # the read's driver-side planning (Metadata/ListOffsets) can
+        # raise too — everything after the broker starts stays inside
+        # the try, or bench repeats accumulate live listeners
+        df = SparkKafkaBatch(
+            data=dt.KafkaTopic(f"127.0.0.1:{srv.port}", topic="docs")
+        ).read(spark=spark)
         out = (
             df.groupBy(F.col("partition"))
             .agg(

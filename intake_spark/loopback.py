@@ -346,7 +346,10 @@ class LoopbackKafka:
                 (n,) = struct.unpack(">i", hdr)
                 req = b""
                 while len(req) < n:
-                    req += conn.recv(n - len(req))
+                    chunk = conn.recv(n - len(req))
+                    if not chunk:  # half-close mid-request: no busy loop
+                        return
+                    req += chunk
                 api_key, api_ver, corr = struct.unpack_from(">hhi", req, 0)
                 (cid_len,) = struct.unpack_from(">h", req, 8)
                 body = req[10 + max(cid_len, 0):]

@@ -297,12 +297,25 @@ class SparkJDBC(BaseReader):
             pg = "postgres" in url.split("://", 1)[0] or url.startswith(
                 "jdbc:postgresql:"
             )
+            # fall back ONLY on connector-ABSENT signatures. A broad match
+            # (e.g. any message containing "JDBC") would catch genuine
+            # failures with the jar installed — auth errors, SQL errors,
+            # sslmode=require — and silently retry them over a PLAINTEXT
+            # socket, re-sending credentials unencrypted and masking the
+            # real error.
             if not pg or not (
                 "Failed to find" in msg or "DATA_SOURCE_NOT_FOUND" in msg
                 or "ClassNotFound" in msg or "No suitable driver" in msg
-                or "JDBC" in msg
             ):
                 raise
+        unsupported = {**self.data.options, **kwargs}
+        if unsupported:
+            raise ValueError(
+                f"SparkJDBC postgres wire fallback cannot honor JDBC "
+                f"options {sorted(unsupported)}; install the JDBC driver "
+                f"jar (silently dropping them would change query "
+                f"semantics)"
+            )
         return self._read_pg_wire(
             spark, partition_column, num_partitions, lower_bound,
             upper_bound, max_rows,
@@ -341,6 +354,14 @@ class SparkJDBC(BaseReader):
             cols, _ = probe.query(
                 f"SELECT * FROM ({query}) AS sparkq WHERE 1=0"
             )
+            # unpartitioned: reuse the probe connection for the data
+            # query — a second connect would pay the SCRAM PBKDF2
+            # handshake twice for nothing
+            rows = None
+            if not partition_column:
+                _, rows = probe.query(
+                    f"SELECT * FROM ({query}) AS sparkq LIMIT {max_rows + 1}"
+                )
         finally:
             probe.close()
         schema = ", ".join(
@@ -350,13 +371,6 @@ class SparkJDBC(BaseReader):
         names = [name for name, _ in cols]
 
         if not partition_column:
-            cli = PostgresWireClient.from_url(url)
-            try:
-                _, rows = cli.query(
-                    f"SELECT * FROM ({query}) AS sparkq LIMIT {max_rows + 1}"
-                )
-            finally:
-                cli.close()
             if len(rows) > max_rows:
                 raise ValueError(
                     f"SparkJDBC postgres wire path: result exceeds "
@@ -448,6 +462,10 @@ class SparkKafkaBatch(BaseReader):
             .option("startingOffsets", starting_offsets)
             .option("endingOffsets", ending_offsets)
             .option("maxBytesPerFetch", str(max_bytes_per_fetch))
+            # forwarded so the source can REJECT connector-only options
+            # (failOnDataLoss, kafka.security.*) instead of this wrapper
+            # silently dropping them
+            .options(**kwargs)
             .load()
         )
 

@@ -1007,11 +1007,28 @@ def _pg_decoders():
     import datetime as _dt
 
     def _ts(v):
+        """timestamp / timestamptz text form. A timestamptz carries the
+        server TimeZone's UTC offset (+HH[:MM[:SS]] or -HH...); convert
+        to the UTC instant and return it naive-in-UTC — dropping a
+        positive offset, or only handling '+', would silently shift
+        values from any server not running in UTC."""
         v = v.replace("T", " ")
-        if "+" in v[11:]:  # timestamptz: strip the offset, keep UTC text
-            v = v[: v.index("+", 11)]
+        offset = _dt.timedelta(0)
+        for sign in ("+", "-"):
+            i = v.find(sign, 11)
+            if i != -1:
+                parts = [int(p) for p in v[i + 1 :].split(":")]
+                secs = parts[0] * 3600 + (parts[1] if len(parts) > 1
+                                          else 0) * 60 + (
+                    parts[2] if len(parts) > 2 else 0
+                )
+                offset = _dt.timedelta(
+                    seconds=secs if sign == "+" else -secs
+                )
+                v = v[:i]
+                break
         fmt = "%Y-%m-%d %H:%M:%S.%f" if "." in v else "%Y-%m-%d %H:%M:%S"
-        return _dt.datetime.strptime(v, fmt)
+        return _dt.datetime.strptime(v, fmt) - offset
 
     return {
         16: lambda v: v == "t",
@@ -1132,8 +1149,13 @@ class PostgresWireClient:
                         "(channel-binding variants need TLS; use the JDBC "
                         "driver)"
                     )
+                # n= is sent EMPTY, like libpq: PostgreSQL takes the user
+                # from the startup packet and ignores the SCRAM username,
+                # and an unescaped name containing ',' or '=' would break
+                # the attribute framing (RFC 5802 saslname escaping)
+                self._scram_user = ""
                 self._nonce = secrets.token_urlsafe(18)
-                first = f"n,,n={user},r={self._nonce}".encode()
+                first = f"n,,n=,r={self._nonce}".encode()
                 self._send(
                     b"p",
                     b"SCRAM-SHA-256\x00" + struct.pack(">i", len(first))
@@ -1141,7 +1163,8 @@ class PostgresWireClient:
                 )
             elif code == 11:  # SASLContinue: server-first
                 client_final, self._server_sig = _scram_sha256_client(
-                    user, password, self._nonce, payload[4:].decode()
+                    self._scram_user, password, self._nonce,
+                    payload[4:].decode()
                 )
                 self._send(b"p", client_final.encode())
             elif code == 12:  # SASLFinal: verify v= (mutual auth)

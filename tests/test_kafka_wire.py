@@ -368,3 +368,56 @@ def test_kafka_wire_datasource_batch_format(spark):
         assert [r["offset"] for r in rows if r["partition"] == 1] == [0, 1, 2]
     finally:
         srv.close()
+
+
+def test_new_partition_added_mid_stream_read_from_earliest(spark, tmp_path):
+    """A partition created after the stream starts must be read from its
+    beginning (JVM connector behavior), not silently skipped because the
+    checkpointed start offsets predate it."""
+    from intake_spark import datatypes as dt
+    from intake_spark.streaming import KafkaStream
+
+    srv = LoopbackKafka(
+        {"grow": [[[{"key": b"a", "value": b"1"}]]]}, max_conns=None
+    )
+    ckpt, out = str(tmp_path / "ckpt"), str(tmp_path / "out")
+
+    def run_once():
+        sdf = KafkaStream(
+            data=dt.KafkaTopic(f"127.0.0.1:{srv.port}", topic="grow")
+        ).read(spark=spark, starting_offsets="earliest")
+        q = (
+            sdf.writeStream.format("parquet").option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start()
+        )
+        assert q.awaitTermination(180)
+
+    try:
+        run_once()
+        # topic grows a NEW partition with data already in it
+        srv.logs["grow"].append([])
+        srv.append("grow", 1, [{"key": b"n", "value": b"7"}])
+        run_once()
+        rows = sorted(
+            (r["partition"], r["offset"], bytes(r["value"]))
+            for r in spark.read.parquet(out).collect()
+        )
+        assert rows == [(0, 0, b"1"), (1, 0, b"7")]
+    finally:
+        srv.close()
+
+
+def test_kafka_wire_rejects_connector_only_options(spark):
+    from intake_spark.kafka_source import register_kafka_wire
+
+    srv = _broker()
+    try:
+        register_kafka_wire(spark)
+        with pytest.raises(Exception, match="kafka_wire does not support"):
+            (spark.read.format("kafka_wire")
+             .option("kafka.bootstrap.servers", f"127.0.0.1:{srv.port}")
+             .option("subscribe", "events")
+             .option("failOnDataLoss", "false").load().collect())
+    finally:
+        srv.close()
