@@ -657,3 +657,181 @@ class LoopbackPostgres(_LoopbackBase):
         out += self._msg(b"C", f"SELECT {len(rows)}\x00".encode())
         out += self._msg(b"Z", b"I")
         return out
+
+
+class LoopbackMySQL(_LoopbackBase):
+    """MySQL wire server: HandshakeV10 + HandshakeResponse41 with
+    mysql_native_password verification, COM_QUERY text resultsets —
+    query evaluation delegated to an in-memory DuckDB (independent SQL
+    engine), mirroring LoopbackPostgres. ``max_conns`` sequential-accept
+    budget; genuine protocol bytes throughout."""
+
+    _DUCK_MYSQL = {
+        "BOOLEAN": (0x01, 33), "SMALLINT": (0x02, 33), "INTEGER": (0x03, 33),
+        "BIGINT": (0x08, 33), "FLOAT": (0x04, 33), "DOUBLE": (0x05, 33),
+        "VARCHAR": (0xFD, 33), "BLOB": (0xFC, 63), "DATE": (0x0A, 33),
+        "TIMESTAMP": (0x0C, 33), "HUGEINT": (0xF6, 33),
+    }
+    _SCRAMBLE = bytes(range(1, 21))  # deterministic 20-byte nonce
+
+    def __init__(self, setup_sql: "list[str]", user: str = "root",
+                 password: str = "", max_conns: int = 16):
+        import duckdb
+
+        self._db = duckdb.connect()
+        for stmt in setup_sql:
+            self._db.sql(stmt)
+        self._db_lock = threading.Lock()
+        self.user, self.password = user, password
+        self.queries: list[str] = []
+        self._conn_budget = max_conns
+        super().__init__()
+
+    def _run(self):
+        try:
+            while self._conn_budget > 0:
+                try:
+                    conn, _ = self._srv.accept()
+                except OSError:
+                    return
+                self._conn_budget -= 1
+                threading.Thread(target=self._serve_conn, args=(conn,),
+                                 daemon=True).start()
+        finally:
+            self._srv.close()
+
+    @staticmethod
+    def _recv_exact(conn, n):
+        out = b""
+        while len(out) < n:
+            chunk = conn.recv(n - len(out))
+            if not chunk:
+                raise ConnectionError("closed")
+            out += chunk
+        return out
+
+    def _read_packet(self, conn):
+        hdr = self._recv_exact(conn, 4)
+        return self._recv_exact(conn, int.from_bytes(hdr[:3], "little"))
+
+    @staticmethod
+    def _pkt(seq: int, payload: bytes) -> bytes:
+        return len(payload).to_bytes(3, "little") + bytes([seq]) + payload
+
+    @staticmethod
+    def _lenenc(n: int) -> bytes:
+        if n < 0xFB:
+            return bytes([n])
+        if n < 1 << 16:
+            return b"\xfc" + struct.pack("<H", n)
+        if n < 1 << 24:
+            return b"\xfd" + n.to_bytes(3, "little")
+        return b"\xfe" + struct.pack("<Q", n)
+
+    def _err(self, seq: int, msg: str) -> bytes:
+        return self._pkt(seq, b"\xff" + struct.pack("<H", 1064)
+                         + b"#42000" + msg.encode())
+
+    def _serve_conn(self, conn):
+        from intake_spark.wire import _mysql_native_token
+
+        try:
+            greet = (
+                b"\x0a" + b"8.0.0-loopback\x00"
+                + struct.pack("<I", 1)
+                + self._SCRAMBLE[:8] + b"\x00"
+                + struct.pack("<H", 0xF7FF)  # caps lower
+                + b"\x21" + struct.pack("<H", 2)
+                + struct.pack("<H", 0x0008 | 0x0001)  # caps upper: PLUGIN_AUTH
+                + bytes([21])
+                + bytes(10)
+                + self._SCRAMBLE[8:] + b"\x00"
+                + b"mysql_native_password\x00"
+            )
+            conn.sendall(self._pkt(0, greet))
+            resp = self._read_packet(conn)
+            pos = 4 + 4 + 1 + 23
+            zero = resp.index(b"\x00", pos)
+            user = resp[pos:zero].decode()
+            pos = zero + 1
+            tlen = resp[pos]
+            token = resp[pos + 1 : pos + 1 + tlen]
+            want = _mysql_native_token(self.password, self._SCRAMBLE)
+            if user != self.user or token != want:
+                conn.sendall(self._pkt(
+                    2, b"\xff" + struct.pack("<H", 1045)
+                    + b"#28000Access denied"
+                ))
+                return
+            # OK packet
+            conn.sendall(self._pkt(2, b"\x00\x00\x00\x02\x00\x00\x00"))
+            while True:
+                pkt = self._read_packet(conn)
+                if pkt[0] == 0x01:  # COM_QUIT
+                    return
+                if pkt[0] != 0x03:  # only COM_QUERY
+                    conn.sendall(self._err(1, "unsupported command"))
+                    continue
+                sql = pkt[1:].decode()
+                self.queries.append(sql)
+                conn.sendall(self._run_query(sql))
+        except (ConnectionError, OSError):
+            pass
+        finally:
+            conn.close()
+
+    def _value_text(self, v) -> "bytes | None":
+        import datetime as _dt
+
+        if v is None:
+            return None
+        if isinstance(v, bool):
+            return b"1" if v else b"0"
+        if isinstance(v, (bytes, bytearray)):
+            return bytes(v)
+        if isinstance(v, _dt.datetime):
+            return v.strftime("%Y-%m-%d %H:%M:%S.%f").encode()
+        return str(v).encode()
+
+    def _run_query(self, sql: str) -> bytes:
+        import duckdb
+
+        try:
+            with self._db_lock:
+                rel = self._db.sql(sql)
+                if rel is None:
+                    return self._pkt(1, b"\x00\x00\x00\x02\x00\x00\x00")
+                cols = list(zip(rel.columns, [str(t) for t in rel.types]))
+                rows = rel.fetchall()
+        except duckdb.Error as exc:
+            return self._err(1, str(exc))
+        seq = 1
+        out = self._pkt(seq, self._lenenc(len(cols)))
+        for name, duck_t in cols:
+            tb, cs = self._DUCK_MYSQL.get(duck_t.split("(")[0], (0xFD, 33))
+            if duck_t.startswith("DECIMAL"):
+                tb = 0xF6
+            nb = name.encode()
+            col = (b"\x03def" + b"\x00" * 3  # schema/table/org_table empty
+                   + self._lenenc(len(nb)) + nb
+                   + self._lenenc(len(nb)) + nb
+                   + b"\x0c" + struct.pack("<H", cs)
+                   + struct.pack("<I", 255) + bytes([tb])
+                   + struct.pack("<H", 0) + b"\x00" + b"\x00\x00")
+            seq += 1
+            out += self._pkt(seq, col)
+        seq += 1
+        out += self._pkt(seq, b"\xfe\x00\x00\x02\x00")  # EOF
+        for row in rows:
+            body = b""
+            for v in row:
+                tv = self._value_text(v)
+                if tv is None:
+                    body += b"\xfb"
+                else:
+                    body += self._lenenc(len(tv)) + tv
+            seq += 1
+            out += self._pkt(seq, body)
+        seq += 1
+        out += self._pkt(seq, b"\xfe\x00\x00\x02\x00")
+        return out

@@ -293,17 +293,17 @@ class SparkJDBC(BaseReader):
             return reader.load()
         except Exception as exc:
             msg = str(exc)
-            url = self.data.url
-            pg = "postgres" in url.split("://", 1)[0] or url.startswith(
-                "jdbc:postgresql:"
-            )
+            scheme = self.data.url.removeprefix("jdbc:").split("://", 1)[0]
+            dialect = ("postgres" if "postgres" in scheme
+                       else "mysql" if scheme in ("mysql", "mariadb")
+                       else None)
             # fall back ONLY on connector-ABSENT signatures. A broad match
             # (e.g. any message containing "JDBC") would catch genuine
             # failures with the jar installed — auth errors, SQL errors,
             # sslmode=require — and silently retry them over a PLAINTEXT
             # socket, re-sending credentials unencrypted and masking the
             # real error.
-            if not pg or not (
+            if dialect is None or not (
                 "Failed to find" in msg or "DATA_SOURCE_NOT_FOUND" in msg
                 or "ClassNotFound" in msg or "No suitable driver" in msg
             ):
@@ -311,13 +311,13 @@ class SparkJDBC(BaseReader):
         unsupported = {**self.data.options, **kwargs}
         if unsupported:
             raise ValueError(
-                f"SparkJDBC postgres wire fallback cannot honor JDBC "
+                f"SparkJDBC {dialect} wire fallback cannot honor JDBC "
                 f"options {sorted(unsupported)}; install the JDBC driver "
                 f"jar (silently dropping them would change query "
                 f"semantics)"
             )
-        return self._read_pg_wire(
-            spark, partition_column, num_partitions, lower_bound,
+        return self._read_db_wire(
+            spark, dialect, partition_column, num_partitions, lower_bound,
             upper_bound, max_rows,
         )
 
@@ -343,13 +343,15 @@ class SparkJDBC(BaseReader):
             lo = hi
         return preds
 
-    def _read_pg_wire(self, spark, partition_column, num_partitions,
-                      lower_bound, upper_bound, max_rows):
+    def _read_db_wire(self, spark, dialect, partition_column,
+                      num_partitions, lower_bound, upper_bound, max_rows):
         from intake_spark.session import ensure_py_deps
-        from intake_spark.wire import PG_OID_SPARK, PostgresWireClient
+        from intake_spark.wire import MySQLWireClient, PostgresWireClient
 
+        cli_cls = (PostgresWireClient if dialect == "postgres"
+                   else MySQLWireClient)
         url, query = self.data.url, self.data.query
-        probe = PostgresWireClient.from_url(url)
+        probe = cli_cls.from_url(url)
         try:
             cols, _ = probe.query(
                 f"SELECT * FROM ({query}) AS sparkq WHERE 1=0"
@@ -365,15 +367,14 @@ class SparkJDBC(BaseReader):
         finally:
             probe.close()
         schema = ", ".join(
-            f"`{name}` {PG_OID_SPARK.get(oid, 'string')}"
-            for name, oid in cols
+            f"`{col[0]}` {cli_cls.spark_type(col)}" for col in cols
         )
-        names = [name for name, _ in cols]
+        names = [col[0] for col in cols]
 
         if not partition_column:
             if len(rows) > max_rows:
                 raise ValueError(
-                    f"SparkJDBC postgres wire path: result exceeds "
+                    f"SparkJDBC {dialect} wire path: result exceeds "
                     f"max_rows={max_rows}; pass partition_column/"
                     f"lower_bound/upper_bound for a distributed read, or "
                     f"install the JDBC driver jar"
@@ -391,8 +392,9 @@ class SparkJDBC(BaseReader):
         def fetch_ranges(frames):
             import pandas as pd
 
-            from intake_spark.wire import PostgresWireClient as _Cli
+            from intake_spark import wire as _wire
 
+            _Cli = getattr(_wire, cli_cls.__name__)
             for pdf in frames:
                 for (pred,) in pdf.itertuples(index=False):
                     cli = _Cli.from_url(url)

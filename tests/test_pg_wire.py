@@ -197,3 +197,83 @@ def test_pg_fallback_rejects_jdbc_options(spark):
     ))
     with pytest.raises(ValueError, match="cannot honor JDBC options"):
         rdr.read(spark=spark)
+
+
+# --------------------------------------------------------------------------
+# MySQL wire client (second JDBC dialect)
+# --------------------------------------------------------------------------
+
+
+def test_mysql_session_and_types():
+    from intake_spark.loopback import LoopbackMySQL
+    from intake_spark.wire import MySQLWireClient
+
+    srv = LoopbackMySQL(SETUP, user="bob", password="pw")
+    cli = MySQLWireClient("127.0.0.1", srv.port, user="bob",
+                          password="pw", database="db")
+    try:
+        cols, rows = cli.query(
+            "SELECT id, x, s, b, ts FROM t WHERE id = 7"
+        )
+        assert [c[0] for c in cols] == ["id", "x", "s", "b", "ts"]
+        (row,) = rows
+        assert row[0] == 7 and abs(row[1] - 10.5) < 1e-9 and row[2] == "r7"
+        # authentic MySQL: BOOL is TINYINT(1), comes back 0/1
+        assert row[3] == 0
+        assert row[4] == datetime.datetime(2024, 1, 1, 7, 0)
+    finally:
+        cli.close()
+
+
+def test_mysql_wrong_password_rejected():
+    from intake_spark.loopback import LoopbackMySQL
+    from intake_spark.wire import MySQLWireClient
+
+    srv = LoopbackMySQL(SETUP, user="bob", password="pw")
+    with pytest.raises(ConnectionError, match="Access denied"):
+        MySQLWireClient("127.0.0.1", srv.port, user="bob", password="no")
+
+
+def test_mysql_null_and_error_recovery():
+    from intake_spark.loopback import LoopbackMySQL
+    from intake_spark.wire import MySQLWireClient
+
+    srv = LoopbackMySQL(
+        ["CREATE TABLE n AS SELECT 1 AS id, NULL AS gap"],
+        user="bob", password="pw",
+    )
+    cli = MySQLWireClient("127.0.0.1", srv.port, user="bob", password="pw")
+    try:
+        _, rows = cli.query("SELECT * FROM n")
+        assert rows[0][1] is None
+        with pytest.raises(RuntimeError, match="mysql query failed"):
+            cli.query("SELECT * FROM nope")
+        _, rows = cli.query("SELECT COUNT(*) AS c FROM n")
+        assert rows[0][0] == 1
+    finally:
+        cli.close()
+
+
+def test_spark_jdbc_mysql_fallback_distributed(spark):
+    """The dialect-generic wire fallback serves mysql:// URLs with the
+    same executor-side stride partitioning as postgres."""
+    from intake_spark import datatypes as dt
+    from intake_spark.loopback import LoopbackMySQL
+    from intake_spark.readers import SparkJDBC
+
+    srv = LoopbackMySQL(SETUP, user="bob", password="pw", max_conns=32)
+    url = f"mysql://bob:pw@127.0.0.1:{srv.port}/db"
+    rdr = SparkJDBC(data=dt.SQLQuery(url, "SELECT id, x, s FROM t"))
+    df = rdr.read(
+        spark=spark, partition_column="id", lower_bound=0,
+        upper_bound=100, num_partitions=4,
+    )
+    assert df.schema.simpleString() == (
+        "struct<id:bigint,x:double,s:string>"
+    )
+    rows = df.orderBy("id").collect()
+    assert [r["id"] for r in rows] == list(range(100))
+    assert rows[42]["s"] == "r42"
+    preds = {q.split("WHERE ", 1)[1] for q in srv.queries if "WHERE" in q
+             and "1=0" not in q}
+    assert "id >= 75" in preds
