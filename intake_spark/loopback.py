@@ -675,7 +675,8 @@ class LoopbackMySQL(_LoopbackBase):
     _SCRAMBLE = bytes(range(1, 21))  # deterministic 20-byte nonce
 
     def __init__(self, setup_sql: "list[str]", user: str = "root",
-                 password: str = "", max_conns: int = 16):
+                 password: str = "", max_conns: int = 16,
+                 auth_plugin: str = "mysql_native_password"):
         import duckdb
 
         self._db = duckdb.connect()
@@ -683,6 +684,7 @@ class LoopbackMySQL(_LoopbackBase):
             self._db.sql(stmt)
         self._db_lock = threading.Lock()
         self.user, self.password = user, password
+        self.auth_plugin = auth_plugin  # or "caching_sha2_password"
         self.queries: list[str] = []
         self._conn_budget = max_conns
         super().__init__()
@@ -733,7 +735,7 @@ class LoopbackMySQL(_LoopbackBase):
                          + b"#42000" + msg.encode())
 
     def _serve_conn(self, conn):
-        from intake_spark.wire import _mysql_native_token
+        from intake_spark.wire import _mysql_native_token, _mysql_sha2_token
 
         try:
             greet = (
@@ -746,7 +748,7 @@ class LoopbackMySQL(_LoopbackBase):
                 + bytes([21])
                 + bytes(10)
                 + self._SCRAMBLE[8:] + b"\x00"
-                + b"mysql_native_password\x00"
+                + self.auth_plugin.encode() + b"\x00"
             )
             conn.sendall(self._pkt(0, greet))
             resp = self._read_packet(conn)
@@ -756,15 +758,21 @@ class LoopbackMySQL(_LoopbackBase):
             pos = zero + 1
             tlen = resp[pos]
             token = resp[pos + 1 : pos + 1 + tlen]
-            want = _mysql_native_token(self.password, self._SCRAMBLE)
+            sha2 = self.auth_plugin == "caching_sha2_password"
+            want = (_mysql_sha2_token if sha2 else _mysql_native_token)(
+                self.password, self._SCRAMBLE
+            )
             if user != self.user or token != want:
                 conn.sendall(self._pkt(
                     2, b"\xff" + struct.pack("<H", 1045)
                     + b"#28000Access denied"
                 ))
                 return
-            # OK packet
-            conn.sendall(self._pkt(2, b"\x00\x00\x00\x02\x00\x00\x00"))
+            if sha2:  # AuthMoreData: fast-auth success (cache hit)
+                conn.sendall(self._pkt(2, b"\x01\x03"))
+                conn.sendall(self._pkt(3, b"\x00\x00\x00\x02\x00\x00\x00"))
+            else:
+                conn.sendall(self._pkt(2, b"\x00\x00\x00\x02\x00\x00\x00"))
             while True:
                 pkt = self._read_packet(conn)
                 if pkt[0] == 0x01:  # COM_QUIT

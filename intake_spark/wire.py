@@ -1277,6 +1277,19 @@ def _mysql_native_token(password: str, scramble: bytes) -> bytes:
     return bytes(a ^ b for a, b in zip(h1, h3))
 
 
+def _mysql_sha2_token(password: str, scramble: bytes) -> bytes:
+    """caching_sha2_password scramble (the FAST/cached path):
+    SHA256(pass) XOR SHA256(SHA256(SHA256(pass)) + nonce). Full auth
+    (cache miss) needs RSA/TLS and stays a named gate."""
+    import hashlib
+
+    if not password:
+        return b""
+    h1 = hashlib.sha256(password.encode()).digest()
+    h2 = hashlib.sha256(hashlib.sha256(h1).digest() + scramble).digest()
+    return bytes(a ^ b for a, b in zip(h1, h2))
+
+
 def _lenenc_read(buf: bytes, pos: int) -> "tuple[int | None, int]":
     b = buf[pos]
     if b < 0xFB:
@@ -1402,37 +1415,52 @@ class MySQLWireClient:
         pos += 1 + 10
         part2 = pkt[pos : pos + max(13, plugin_len - 8) - 1]
         pos += max(13, plugin_len - 8)
-        plugin = pkt[pos:].split(b"\x00", 1)[0].decode()
+        plugin = pkt[pos:].split(b"\x00", 1)[0].decode() or (
+            "mysql_native_password"
+        )
         scramble = (part1 + part2)[:20]
-        if plugin not in ("mysql_native_password", ""):
+        if plugin not in ("mysql_native_password", "caching_sha2_password"):
             raise ConnectionError(
-                f"mysql: auth plugin {plugin!r} unsupported "
-                "(caching_sha2_password needs RSA/TLS — use the JDBC jar "
-                "or a mysql_native_password user)"
+                f"mysql: auth plugin {plugin!r} unsupported — use the "
+                "JDBC jar"
             )
-        token = _mysql_native_token(password, scramble)
+        token = (_mysql_native_token(password, scramble)
+                 if plugin == "mysql_native_password"
+                 else _mysql_sha2_token(password, scramble))
         resp = (
             struct.pack("<IIB", _MYSQL_CAPS, 1 << 24, 33) + bytes(23)
             + user.encode() + b"\x00"
             + bytes([len(token)]) + token
             + database.encode() + b"\x00"
-            + b"mysql_native_password\x00"
+            + plugin.encode() + b"\x00"
         )
         self._send(1, resp)
         pkt = self._read_packet()
-        if pkt[0] == 0xFF:
-            raise ConnectionError(f"mysql auth: {self._err_text(pkt)}")
-        if pkt[0] == 0xFE:  # AuthSwitchRequest
+        if pkt[0] == 0xFE and len(pkt) > 1:  # AuthSwitchRequest
             plugin = pkt[1:].split(b"\x00", 1)[0].decode()
-            if plugin != "mysql_native_password":
+            if plugin not in ("mysql_native_password",
+                              "caching_sha2_password"):
                 raise ConnectionError(
                     f"mysql: server switched to {plugin!r} (needs the jar)"
                 )
             scramble = pkt[1:].split(b"\x00", 2)[1][:20]
-            self._send(self._seq, _mysql_native_token(password, scramble))
+            self._send(self._seq,
+                       _mysql_native_token(password, scramble)
+                       if plugin == "mysql_native_password"
+                       else _mysql_sha2_token(password, scramble))
             pkt = self._read_packet()
-            if pkt[0] == 0xFF:
-                raise ConnectionError(f"mysql auth: {self._err_text(pkt)}")
+        if pkt[0] == 0x01:  # caching_sha2 AuthMoreData
+            if pkt[1:2] == b"\x03":  # fast-auth success: cache hit
+                pkt = self._read_packet()  # the trailing OK
+            elif pkt[1:2] == b"\x04":
+                raise ConnectionError(
+                    "mysql caching_sha2_password: server requires FULL "
+                    "auth (password not in its cache) — the RSA/TLS "
+                    "exchange needs the JDBC jar; prime the cache with "
+                    "any successful native login or use TLS"
+                )
+        if pkt[0] == 0xFF:
+            raise ConnectionError(f"mysql auth: {self._err_text(pkt)}")
 
     def query(self, sql: str):
         """COM_QUERY → (columns [(name, type_byte, charset)], rows

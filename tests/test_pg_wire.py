@@ -277,3 +277,24 @@ def test_spark_jdbc_mysql_fallback_distributed(spark):
     preds = {q.split("WHERE ", 1)[1] for q in srv.queries if "WHERE" in q
              and "1=0" not in q}
     assert "id >= 75" in preds
+
+
+def test_mysql_caching_sha2_fast_path():
+    """MySQL 8's default plugin: the FAST (cached) path authenticates
+    over plaintext with the SHA256 scramble; full auth (cache miss)
+    stays a named RSA/TLS gate."""
+    from intake_spark.loopback import LoopbackMySQL
+    from intake_spark.wire import MySQLWireClient
+
+    srv = LoopbackMySQL(
+        ["CREATE TABLE t AS SELECT 42 AS v"], user="bob", password="pw",
+        auth_plugin="caching_sha2_password",
+    )
+    cli = MySQLWireClient("127.0.0.1", srv.port, user="bob", password="pw")
+    try:
+        _, rows = cli.query("SELECT v FROM t")
+        assert rows == [(42,)]
+    finally:
+        cli.close()
+    with pytest.raises(ConnectionError, match="Access denied"):
+        MySQLWireClient("127.0.0.1", srv.port, user="bob", password="no")
