@@ -447,36 +447,31 @@ class LoopbackKafka:
         return struct.pack(">h", 35)  # UNSUPPORTED_VERSION
 
 
-class LoopbackPostgres(_LoopbackBase):
-    """PostgreSQL v3 wire server: startup, SCRAM-SHA-256 (RFC 7677) /
-    MD5 / trust auth, simple-query protocol — with query evaluation
-    delegated to an in-memory DuckDB, so arbitrary SQL (the JDBC
-    fallback's schema probe + stride-range predicates) really executes.
-    Speaks genuine protocol bytes; rows go out in PG text format with
-    real pg_type oids. ``max_conns`` connections served (the
-    range-partitioned read opens one per executor task)."""
+class _LoopbackDBBase:
+    """Shared infrastructure for the SQL wire fixtures (Postgres/MySQL):
+    in-memory DuckDB delegation, a budgeted multi-connection accept loop
+    (the range-partitioned reads open one connection per executor task),
+    and exact-recv. Subclasses implement _serve_conn."""
 
-    _DUCK_OID = {
-        "BOOLEAN": 16, "BIGINT": 20, "SMALLINT": 21, "INTEGER": 23,
-        "FLOAT": 700, "DOUBLE": 701, "VARCHAR": 25, "BLOB": 17,
-        "DATE": 1082, "TIMESTAMP": 1114, "HUGEINT": 1700,
-    }
-
-    def __init__(self, setup_sql: "list[str]", user: str = "postgres",
-                 password: str = "", auth: str = "scram",
-                 max_conns: int = 16):
+    def __init__(self, setup_sql: "list[str]", max_conns: int = 16):
         import duckdb
 
         self._db = duckdb.connect()
         for stmt in setup_sql:
             self._db.sql(stmt)
         self._db_lock = threading.Lock()
-        self.user, self.password, self.auth = user, password, auth
         self.queries: list[str] = []
         self._conn_budget = max_conns
-        super().__init__()
+        self._srv = socket.socket()
+        self._srv.bind(("127.0.0.1", 0))
+        self._srv.listen(max_conns)
+        self.port = self._srv.getsockname()[1]
+        threading.Thread(target=self._run, daemon=True).start()
 
-    # _LoopbackBase serves ONE connection; override for a budget of them
+    def close(self) -> None:
+        """Stop accepting (live connections finish on their own)."""
+        self._srv.close()
+
     def _run(self):
         try:
             while self._conn_budget > 0:
@@ -499,6 +494,38 @@ class LoopbackPostgres(_LoopbackBase):
                 raise ConnectionError("closed")
             out += chunk
         return out
+
+    def _duck_run(self, sql: str):
+        """(cols [(name, duck_type_str)], rows) or raises duckdb.Error;
+        None cols for DDL/DML."""
+        with self._db_lock:
+            rel = self._db.sql(sql)
+            if rel is None:
+                return None, []
+            return (list(zip(rel.columns, [str(t) for t in rel.types])),
+                    rel.fetchall())
+
+
+class LoopbackPostgres(_LoopbackDBBase):
+    """PostgreSQL v3 wire server: startup, SCRAM-SHA-256 (RFC 7677) /
+    MD5 / trust auth, simple-query protocol — with query evaluation
+    delegated to an in-memory DuckDB, so arbitrary SQL (the JDBC
+    fallback's schema probe + stride-range predicates) really executes.
+    Speaks genuine protocol bytes; rows go out in PG text format with
+    real pg_type oids. ``max_conns`` connections served (the
+    range-partitioned read opens one per executor task)."""
+
+    _DUCK_OID = {
+        "BOOLEAN": 16, "BIGINT": 20, "SMALLINT": 21, "INTEGER": 23,
+        "FLOAT": 700, "DOUBLE": 701, "VARCHAR": 25, "BLOB": 17,
+        "DATE": 1082, "TIMESTAMP": 1114, "HUGEINT": 1700,
+    }
+
+    def __init__(self, setup_sql: "list[str]", user: str = "postgres",
+                 password: str = "", auth: str = "scram",
+                 max_conns: int = 16):
+        self.user, self.password, self.auth = user, password, auth
+        super().__init__(setup_sql, max_conns)
 
     def _msg(self, t: bytes, body: bytes) -> bytes:
         return t + struct.pack(">i", len(body) + 4) + body
@@ -624,13 +651,10 @@ class LoopbackPostgres(_LoopbackBase):
         import duckdb
 
         try:
-            with self._db_lock:
-                rel = self._db.sql(sql)
-                if rel is None:  # DDL/DML
-                    return (self._msg(b"C", b"OK\x00")
-                            + self._msg(b"Z", b"I"))
-                cols = list(zip(rel.columns, [str(t) for t in rel.types]))
-                rows = rel.fetchall()
+            cols, rows = self._duck_run(sql)
+            if cols is None:  # DDL/DML
+                return (self._msg(b"C", b"OK\x00")
+                        + self._msg(b"Z", b"I"))
         except duckdb.Error as exc:
             return (self._msg(
                 b"E", b"SERROR\x00M" + str(exc).encode() + b"\x00\x00"
@@ -659,7 +683,7 @@ class LoopbackPostgres(_LoopbackBase):
         return out
 
 
-class LoopbackMySQL(_LoopbackBase):
+class LoopbackMySQL(_LoopbackDBBase):
     """MySQL wire server: HandshakeV10 + HandshakeResponse41 with
     mysql_native_password verification, COM_QUERY text resultsets —
     query evaluation delegated to an in-memory DuckDB (independent SQL
@@ -677,40 +701,9 @@ class LoopbackMySQL(_LoopbackBase):
     def __init__(self, setup_sql: "list[str]", user: str = "root",
                  password: str = "", max_conns: int = 16,
                  auth_plugin: str = "mysql_native_password"):
-        import duckdb
-
-        self._db = duckdb.connect()
-        for stmt in setup_sql:
-            self._db.sql(stmt)
-        self._db_lock = threading.Lock()
         self.user, self.password = user, password
         self.auth_plugin = auth_plugin  # or "caching_sha2_password"
-        self.queries: list[str] = []
-        self._conn_budget = max_conns
-        super().__init__()
-
-    def _run(self):
-        try:
-            while self._conn_budget > 0:
-                try:
-                    conn, _ = self._srv.accept()
-                except OSError:
-                    return
-                self._conn_budget -= 1
-                threading.Thread(target=self._serve_conn, args=(conn,),
-                                 daemon=True).start()
-        finally:
-            self._srv.close()
-
-    @staticmethod
-    def _recv_exact(conn, n):
-        out = b""
-        while len(out) < n:
-            chunk = conn.recv(n - len(out))
-            if not chunk:
-                raise ConnectionError("closed")
-            out += chunk
-        return out
+        super().__init__(setup_sql, max_conns)
 
     def _read_packet(self, conn):
         hdr = self._recv_exact(conn, 4)
@@ -805,12 +798,9 @@ class LoopbackMySQL(_LoopbackBase):
         import duckdb
 
         try:
-            with self._db_lock:
-                rel = self._db.sql(sql)
-                if rel is None:
-                    return self._pkt(1, b"\x00\x00\x00\x02\x00\x00\x00")
-                cols = list(zip(rel.columns, [str(t) for t in rel.types]))
-                rows = rel.fetchall()
+            cols, rows = self._duck_run(sql)
+            if cols is None:
+                return self._pkt(1, b"\x00\x00\x00\x02\x00\x00\x00")
         except duckdb.Error as exc:
             return self._err(1, str(exc))
         seq = 1

@@ -389,12 +389,14 @@ class SparkJDBC(BaseReader):
             partition_column, lower_bound, upper_bound, num_partitions
         )
 
+        cli_name = cli_cls.__name__  # ship a string, not the class
+
         def fetch_ranges(frames):
             import pandas as pd
 
             from intake_spark import wire as _wire
 
-            _Cli = getattr(_wire, cli_cls.__name__)
+            _Cli = getattr(_wire, cli_name)
             for pdf in frames:
                 for (pred,) in pdf.itertuples(index=False):
                     cli = _Cli.from_url(url)
