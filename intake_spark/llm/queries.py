@@ -4944,3 +4944,84 @@ def q144_jdbc_pg_wire(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         out, "bucket int, n_rows bigint, checksum bigint"
     )
+
+
+@register(
+    "q145_kafka_stream",
+    """
+    WITH s AS (SELECT doc_id, (doc_id // 10) % 3 AS part,
+                      (doc_id * 23 + 17) % 97 AS v
+               FROM documents WHERE doc_id % 10 = 3 AND doc_id < 12000)
+    SELECT CAST(part AS INT) AS partition,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(v) AS BIGINT) AS checksum
+    FROM s GROUP BY part ORDER BY part
+    """,
+)
+def q145_kafka_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL Structured Streaming through a REAL protocol connector: the
+    kafka_wire Python DataSource's STREAM reader (kafka_source.py) runs
+    an availableNow micro-stream against a LoopbackKafka broker seeded
+    from the sampled doc_ids — microbatch offsets planned driver-side,
+    executor-side Fetch+CRC32C per partition task, results sunk to
+    parquet through a streaming checkpoint, then aggregated. Closed-form
+    checksums; the third real-streaming pass-d row (q36 file stream,
+    q141 applyInPandasWithState, q145 kafka_wire source). O(fixed) via
+    the doc_id < 12000 cap."""
+    import shutil
+    import tempfile
+
+    from intake_spark import datatypes as dt
+    from intake_spark.loopback import LoopbackKafka
+    from intake_spark.streaming import KafkaStream
+
+    ids = [
+        int(r[0])
+        for r in load_table(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") % 10 == 3) & (F.col("doc_id") < 12000))
+        .select("doc_id")
+        .collect()
+    ]
+    parts: list[list[list[dict]]] = [[], [], []]
+    for pid in range(3):
+        mine = [i for i in sorted(ids) if (i // 10) % 3 == pid]
+        cut = max(1, len(mine) // 2)
+        for lo in range(0, len(mine), cut):
+            parts[pid].append([
+                {"key": str(i).encode(),
+                 "value": str((i * 23 + 17) % 97).encode()}
+                for i in mine[lo : lo + cut]
+            ])
+    srv = LoopbackKafka({"docs": parts}, compression="gzip",
+                        max_conns=None)
+    work = tempfile.mkdtemp(prefix="q145_")
+    try:
+        sdf = KafkaStream(
+            data=dt.KafkaTopic(f"127.0.0.1:{srv.port}", topic="docs")
+        ).read(spark=spark, starting_offsets="earliest")
+        q = (
+            sdf.writeStream.format("parquet")
+            .option("path", f"{work}/out")
+            .option("checkpointLocation", f"{work}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            raise RuntimeError("q145 micro-stream did not finish in 300s")
+        out = (
+            spark.read.parquet(f"{work}/out")
+            .groupBy(F.col("partition"))
+            .agg(
+                F.count("*").cast("bigint").alias("n_rows"),
+                F.sum(F.col("value").cast("string").cast("bigint"))
+                .cast("bigint").alias("checksum"),
+            )
+            .orderBy("partition")
+            .toPandas()
+        )
+    finally:
+        srv.close()
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(
+        out, "partition int, n_rows bigint, checksum bigint"
+    )
