@@ -298,3 +298,44 @@ def test_mysql_caching_sha2_fast_path():
         cli.close()
     with pytest.raises(ConnectionError, match="Access denied"):
         MySQLWireClient("127.0.0.1", srv.port, user="bob", password="no")
+
+
+def test_tls_demanding_urls_refused():
+    """sslmode=require / ssl-mode=REQUIRED URLs must raise, not silently
+    connect plaintext against the URL's explicit demand."""
+    from intake_spark.wire import MySQLWireClient, PostgresWireClient
+
+    with pytest.raises(ConnectionError, match="TLS"):
+        PostgresWireClient.from_url(
+            "postgresql://u:p@localhost:1/db?sslmode=require"
+        )
+    with pytest.raises(ConnectionError, match="TLS"):
+        MySQLWireClient.from_url(
+            "jdbc:mysql://localhost:1/db?sslMode=REQUIRED"
+        )
+
+
+def test_query_param_credentials_honored():
+    """Connector/J habit: user/password in the query string reach the
+    server (previously silently dropped -> connected as root/empty)."""
+    from intake_spark.loopback import LoopbackMySQL, LoopbackPostgres
+    from intake_spark.wire import MySQLWireClient, PostgresWireClient
+
+    msrv = LoopbackMySQL(["CREATE TABLE t AS SELECT 1 AS v"],
+                         user="qp", password="qpw")
+    cli = MySQLWireClient.from_url(
+        f"mysql://127.0.0.1:{msrv.port}/db?user=qp&password=qpw"
+    )
+    try:
+        assert cli.query("SELECT v FROM t")[1] == [(1,)]
+    finally:
+        cli.close()
+    psrv = LoopbackPostgres(["CREATE TABLE t AS SELECT 2 AS v"],
+                            user="qp", password="qpw")
+    cli = PostgresWireClient.from_url(
+        f"postgresql://127.0.0.1:{psrv.port}/db?user=qp&password=qpw"
+    )
+    try:
+        assert cli.query("SELECT v FROM t")[1] == [(2,)]
+    finally:
+        cli.close()
