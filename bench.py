@@ -114,19 +114,24 @@ def main() -> None:
             _warm, "id long"
         ).count()
         warm_cost = {"shared:pyworker_warmup": round(_time.time() - _t0, 4)}
+    except Exception:
+        warm_cost = {}
 
-        # Python DataSource machinery warmup (separate worker path from
-        # mapInPandas: plan_data_source_read + streaming source runner);
-        # q143's first run otherwise absorbs ~13 s of one-time
-        # cloudpickle/Arrow/worker-spawn cost (15.3 s first vs 2.0 s
-        # steady measured in isolation) — the exact spread defect the
-        # r10 verdict flagged on q135/q136
-        _t0 = _time.time()
+    # Python DataSource machinery warmup (separate worker path from
+    # mapInPandas: plan_data_source_read + streaming source runner);
+    # q143's first run otherwise absorbs ~13 s of one-time
+    # cloudpickle/Arrow/worker-spawn cost (15.3 s first vs 2.0 s steady
+    # measured in isolation) — the exact spread defect the r10 verdict
+    # flagged on q135/q136. Its OWN try/except: a failure here must not
+    # clobber the pyworker warmup line (the r11s4 run lost BOTH to a
+    # too-small max_conns and q133/q134 absorbed the import storm).
+    _t0 = _time.time()
+    try:
         from intake_spark.kafka_source import register_kafka_wire
         from intake_spark.loopback import LoopbackKafka
 
         _srv = LoopbackKafka(
-            {"warm": [[[{"key": b"w", "value": b"0"}]]]}, max_conns=4
+            {"warm": [[[{"key": b"w", "value": b"0"}]]]}, max_conns=16
         )
         try:
             register_kafka_wire(spark)
@@ -139,7 +144,7 @@ def main() -> None:
             _time.time() - _t0, 4
         )
     except Exception:
-        warm_cost = {}
+        pass
 
     # Session-shared tables (jaccard pairs, dup spans, semantic pairs,
     # PCA direction) are built ONCE here and billed as explicit shared:*

@@ -94,7 +94,13 @@ class _WirePlanner:
         "endingoffsets", "maxbytesperfetch",
     }
 
-    def __init__(self, options):
+    def __init__(self, options, cache_leaders: bool = False):
+        # cache_leaders: a BATCH read's planner lives for one bounded
+        # read, so one Metadata call serves resolve()+ranges() (5
+        # connections -> 3); the STREAM reader keeps per-call freshness
+        # so broker failover is re-discovered each microbatch
+        self._leader_cache: "dict[int, tuple[str, int]] | None" = None
+        self._cache_leaders = cache_leaders
         self.url = options.get("kafka.bootstrap.servers") or options.get(
             "url"
         )
@@ -118,13 +124,18 @@ class _WirePlanner:
 
     def _leaders(self):
         """{partition: (host, port)} via Metadata on a bootstrap node."""
+        if self._leader_cache is not None:
+            return self._leader_cache
         cli = KafkaWireClient.from_url(self.url)
         try:
             cli.api_versions()
             brokers, parts = cli.metadata(self.topic)
-            return {pid: brokers[leader] for pid, leader in parts.items()}
+            out = {pid: brokers[leader] for pid, leader in parts.items()}
         finally:
             cli.close()
+        if self._cache_leaders:
+            self._leader_cache = out
+        return out
 
     def offsets(self, timestamp: int) -> "dict[str, int]":
         """ListOffsets per partition: -2 earliest, -1 latest. String
@@ -186,7 +197,7 @@ class _WirePlanner:
 
 class KafkaWireBatchReader(DataSourceReader):
     def __init__(self, options):
-        self._planner = _WirePlanner(options)
+        self._planner = _WirePlanner(options, cache_leaders=True)
         self._start = self._planner.resolve(
             options.get("startingOffsets", "earliest"), -2
         )
