@@ -297,22 +297,31 @@ class LoopbackKafka:
         threading.Thread(target=self._accept_loop, daemon=True).start()
 
     def append(self, topic: str, partition: int, records: "list[dict]",
-               compression: str = "none") -> None:
+               compression: str = "none", magic: int = 2) -> None:
         """Produce a batch into a partition's log (base offset continues
         from the log end) — lets streaming tests add data between
-        microbatches to prove incremental offset tracking."""
-        from intake_spark.wire import encode_record_batch
+        microbatches to prove incremental offset tracking. ``magic`` 0/1
+        writes a legacy MessageSet instead of a v2 batch, so a fetch can
+        page through a pre-0.11 (or mixed-format, mid-upgrade) log."""
+        from intake_spark.wire import encode_message_set, encode_record_batch
 
         if not records:
             return
         with self._lock:
             log = self.logs[topic][partition]
             base = log[-1][1] if log else 0
-            blob = encode_record_batch(
-                records, base_offset=base,
-                base_timestamp=1_700_000_000_000,
-                compression=compression,
-            )
+            if magic < 2:
+                blob = encode_message_set(
+                    records, magic=magic, base_offset=base,
+                    base_timestamp=1_700_000_000_000,
+                    compression=compression,
+                )
+            else:
+                blob = encode_record_batch(
+                    records, base_offset=base,
+                    base_timestamp=1_700_000_000_000,
+                    compression=compression,
+                )
             log.append((base, base + len(records), blob))
 
     def close(self) -> None:

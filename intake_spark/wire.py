@@ -622,6 +622,200 @@ def _kafka_decompress(codec: int, payload: bytes) -> bytes:
     raise NotImplementedError(f"kafka compression codec id {codec}")
 
 
+def _xxh32(data: bytes, seed: int = 0) -> int:
+    """xxHash32 (Collet's public algorithm; needed only to repair the
+    KIP-57 broken LZ4 frame header checksum in magic-0 messages)."""
+    P1, P2, P3, P4, P5 = (
+        2654435761, 2246822519, 3266489917, 668265263, 374761393,
+    )
+    M = 0xFFFFFFFF
+
+    def rotl(x: int, r: int) -> int:
+        return ((x << r) | (x >> (32 - r))) & M
+
+    n, i = len(data), 0
+    if n >= 16:
+        v1 = (seed + P1 + P2) & M
+        v2 = (seed + P2) & M
+        v3 = seed & M
+        v4 = (seed - P1) & M
+        while i + 16 <= n:
+            for j, v in enumerate((v1, v2, v3, v4)):
+                lane = int.from_bytes(data[i + 4 * j : i + 4 * j + 4], "little")
+                v = (rotl((v + lane * P2) & M, 13) * P1) & M
+                if j == 0:
+                    v1 = v
+                elif j == 1:
+                    v2 = v
+                elif j == 2:
+                    v3 = v
+                else:
+                    v4 = v
+            i += 16
+        h = (rotl(v1, 1) + rotl(v2, 7) + rotl(v3, 12) + rotl(v4, 18)) & M
+    else:
+        h = (seed + P5) & M
+    h = (h + n) & M
+    while i + 4 <= n:
+        h = (h + int.from_bytes(data[i : i + 4], "little") * P3) & M
+        h = (rotl(h, 17) * P4) & M
+        i += 4
+    while i < n:
+        h = (h + data[i] * P5) & M
+        h = (rotl(h, 11) * P1) & M
+        i += 1
+    h ^= h >> 15
+    h = (h * P2) & M
+    h ^= h >> 13
+    h = (h * P3) & M
+    h ^= h >> 16
+    return h
+
+
+_LZ4F_MAGIC = b"\x04\x22\x4d\x18"
+
+
+def _lz4f_rewrite_hc(frame: bytes, *, make_broken: bool = False) -> bytes:
+    """Kafka message-format v0 producers computed the LZ4 frame header
+    checksum over magic+descriptor instead of descriptor only (fixed for
+    v1 by KIP-57). Rewrite a broken HC to the spec value so a compliant
+    decompressor accepts the frame; ``make_broken=True`` is the fixture
+    encoder's inverse (emit the historical broken byte)."""
+    if frame[:4] != _LZ4F_MAGIC or len(frame) < 7:
+        return frame
+    flg = frame[4]
+    dlen = 2 + (8 if flg & 0x08 else 0) + (4 if flg & 0x01 else 0)
+    if len(frame) < 4 + dlen + 1:
+        return frame
+    good = (_xxh32(frame[4 : 4 + dlen]) >> 8) & 0xFF
+    bad = (_xxh32(frame[: 4 + dlen]) >> 8) & 0xFF
+    want = bad if make_broken else good
+    have = frame[4 + dlen]
+    if have == want or have not in (good, bad):
+        return frame  # already right, or not the known bug: leave as-is
+    return frame[: 4 + dlen] + bytes([want]) + frame[4 + dlen + 1 :]
+
+
+def _kafka_legacy_decompress(codec: int, payload: bytes, magic: int) -> bytes:
+    if codec == 3 and magic == 0:
+        payload = _lz4f_rewrite_hc(payload)
+    if codec == 4:
+        raise ValueError(
+            "kafka legacy message set with zstd: zstd requires message "
+            "format v2 (KIP-110) — corrupt or non-conformant log"
+        )
+    return _kafka_decompress(codec, payload)
+
+
+def encode_message_set(
+    records: "list[dict]",
+    *,
+    magic: int = 1,
+    base_offset: int = 0,
+    base_timestamp: int = 1_700_000_000_000,
+    compression: str = "none",
+    log_append_time: bool = False,
+) -> bytes:
+    """Legacy MessageSet encoder (message format v0/v1, pre-0.11
+    brokers) — the fixture/producer side of the legacy decode path.
+    v1 compressed sets store RELATIVE inner offsets with the wrapper
+    carrying the last absolute offset (KIP-31); v0 inner offsets are
+    absolute. The v0 lz4 frame gets the historical broken header
+    checksum (KIP-57) so decode proves the repair."""
+    import zlib
+
+    if magic not in (0, 1):
+        raise ValueError("legacy message set: magic must be 0 or 1")
+
+    def one(offset: int, ts: int, key, value, attrs: int) -> bytes:
+        rest = bytes([magic, attrs])
+        if magic >= 1:
+            rest += struct.pack(">q", ts)
+        for part in (key, value):
+            if part is None:
+                rest += struct.pack(">i", -1)
+            else:
+                rest += struct.pack(">i", len(part)) + bytes(part)
+        msg = struct.pack(">I", zlib.crc32(rest)) + rest
+        return struct.pack(">qi", offset, len(msg)) + msg
+
+    ts_of = lambda r: base_timestamp + int(r.get("timestamp_delta", 0))
+    codec = _KAFKA_CODECS[compression]
+    if codec == 0:
+        return b"".join(
+            one(base_offset + i, ts_of(r), r.get("key"), r.get("value"), 0)
+            for i, r in enumerate(records)
+        )
+    inner_base = 0 if magic >= 1 else base_offset  # KIP-31 relative offsets
+    inner = b"".join(
+        one(inner_base + i, ts_of(r), r.get("key"), r.get("value"), 0)
+        for i, r in enumerate(records)
+    )
+    blob = _kafka_compress(codec, inner)
+    if codec == 3 and magic == 0:
+        blob = _lz4f_rewrite_hc(blob, make_broken=True)
+    attrs = codec | (0x08 if (log_append_time and magic >= 1) else 0)
+    wrap_ts = max((ts_of(r) for r in records), default=base_timestamp)
+    return one(base_offset + len(records) - 1, wrap_ts, None, blob, attrs)
+
+
+def _decode_legacy_entry(offset: int, msg: bytes, *, verify_crc: bool):
+    """One legacy (v0/v1) message-set entry → record dicts. Compressed
+    wrappers recurse into the inner set; v1 inner offsets are relative
+    to the wrapper's last-offset (KIP-31), v0 inner offsets absolute."""
+    import zlib
+
+    (crc,) = struct.unpack_from(">I", msg, 0)
+    if verify_crc and zlib.crc32(msg[4:]) != crc:
+        raise ValueError(
+            f"kafka legacy message at offset {offset}: CRC32 mismatch "
+            "(corrupt message)"
+        )
+    magic, attrs = msg[4], msg[5]
+    p = 6
+    if magic >= 1:
+        (ts,) = struct.unpack_from(">q", msg, p)
+        p += 8
+    else:
+        ts = -1
+    (klen,) = struct.unpack_from(">i", msg, p)
+    p += 4
+    key = None if klen < 0 else bytes(msg[p : p + klen])
+    p += max(klen, 0)
+    (vlen,) = struct.unpack_from(">i", msg, p)
+    p += 4
+    value = None if vlen < 0 else bytes(msg[p : p + vlen])
+    codec = attrs & 0x7
+    if codec == 0:
+        yield {
+            "offset": offset, "timestamp": ts,
+            "key": key, "value": value, "headers": [],
+        }
+        return
+    inner = _kafka_legacy_decompress(codec, value or b"", magic)
+    msgs = list(_decode_legacy_set(inner, verify_crc=verify_crc))
+    if magic >= 1 and msgs:
+        last_rel = msgs[-1]["offset"]
+        for m in msgs:
+            m["offset"] = offset - last_rel + m["offset"]
+            if attrs & 0x08:  # wrapper is log-append-time: one timestamp
+                m["timestamp"] = ts
+    yield from msgs
+
+
+def _decode_legacy_set(buf: bytes, *, verify_crc: bool):
+    pos = 0
+    while pos + 12 <= len(buf):
+        offset, size = struct.unpack_from(">qi", buf, pos)
+        end = pos + 12 + size
+        if end > len(buf):
+            return  # partial trailing message (size-capped fetch)
+        yield from _decode_legacy_entry(
+            offset, buf[pos + 12 : end], verify_crc=verify_crc
+        )
+        pos = end
+
+
 def encode_record_batch(
     records: "list[dict]",
     *,
@@ -690,11 +884,18 @@ def decode_record_batches(buf: bytes, *, verify_crc: bool = True):
         if end > len(buf):
             return  # partial trailing batch
         magic = buf[pos + 16]
+        if magic < 2:
+            # legacy MessageSet entry (pre-0.11 message format v0/v1):
+            # same 12-byte offset+size preamble, crc(4) magic(1) at +16
+            yield from _decode_legacy_entry(
+                base_offset, buf[pos + 12 : end], verify_crc=verify_crc
+            )
+            pos = end
+            continue
         if magic != 2:
-            raise NotImplementedError(
-                f"kafka message format v{magic} (pre-0.11 broker): only "
-                "record batch v2 is supported; upgrade the topic or use "
-                "the Spark Kafka connector"
+            raise ValueError(
+                f"kafka record batch: unknown magic {magic} (newer than "
+                "v2): corrupt stream or a future broker format"
             )
         (crc,) = struct.unpack_from(">I", buf, pos + 17)
         mid = buf[pos + 21 : end]

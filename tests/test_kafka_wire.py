@@ -17,8 +17,10 @@ import pytest
 from intake_spark.loopback import LoopbackKafka
 from intake_spark.wire import (
     KafkaWireClient,
+    _xxh32,
     crc32c,
     decode_record_batches,
+    encode_message_set,
     encode_record_batch,
 )
 
@@ -133,11 +135,114 @@ def test_control_batch_skipped():
         == [10, 11, 12]
 
 
-def test_pre_v2_magic_raises_named_gate():
+def test_future_magic_raises():
     buf = bytearray(encode_record_batch(RECS))
-    buf[16] = 1  # magic v1 (pre-0.11 message set)
-    with pytest.raises(NotImplementedError, match="record batch v2"):
+    buf[16] = 3  # a format newer than anything published
+    with pytest.raises(ValueError, match="unknown magic"):
         list(decode_record_batches(bytes(buf)))
+
+
+# --------------------------------------------------------------------------
+# legacy MessageSet (message format v0/v1, pre-0.11 brokers)
+# --------------------------------------------------------------------------
+
+
+def test_xxh32_published_vectors():
+    """Pin the xxHash32 used for the KIP-57 LZ4 header repair to the
+    algorithm's published check values, not self-agreement."""
+    assert _xxh32(b"") == 0x02CC5D05
+    assert _xxh32(b"abc") == 0x32D153FF
+    assert _xxh32(b"Hello World") == 0xB1FD16EE
+
+
+@pytest.mark.parametrize("magic", [0, 1])
+@pytest.mark.parametrize("codec", ["none", "gzip", "snappy", "lz4"])
+def test_legacy_message_set_roundtrip(magic, codec):
+    """v0/v1 sets decode through the same decode_record_batches entry
+    point: KIP-31 relative inner offsets (v1), absolute inner offsets
+    (v0), v0 timestamps surface as -1."""
+    blob = encode_message_set(
+        RECS, magic=magic, base_offset=40, compression=codec
+    )
+    out = list(decode_record_batches(blob))
+    assert [r["offset"] for r in out] == [40, 41, 42]
+    assert [r["value"] for r in out] == [b"v0", b"v1", None]
+    assert [r["key"] for r in out] == [b"k0", None, b"k2"]
+    if magic == 0:
+        assert all(r["timestamp"] == -1 for r in out)
+    else:
+        assert out[1]["timestamp"] - out[0]["timestamp"] == 5
+    assert all(r["headers"] == [] for r in out)  # no headers pre-v2
+
+
+def test_legacy_v0_lz4_broken_header_checksum_repaired():
+    """Magic-0 producers wrote the LZ4 frame HC over magic+descriptor
+    (the KIP-57 bug); prove the fixture emits the historical broken
+    byte (a compliant decompressor rejects it raw) and decode repairs
+    it."""
+    import pyarrow as pa
+
+    blob = encode_message_set(RECS, magic=0, compression="lz4")
+    # the wrapper's value holds the broken frame: locate it by magic
+    frame = blob[blob.index(b"\x04\x22\x4d\x18"):]
+    with pytest.raises(Exception):
+        pa.input_stream(pa.BufferReader(frame), compression="lz4").read()
+    assert [r["value"] for r in decode_record_batches(blob)] \
+        == [b"v0", b"v1", None]
+
+
+def test_legacy_v1_log_append_time_overrides_inner():
+    blob = encode_message_set(
+        RECS, magic=1, compression="gzip", log_append_time=True
+    )
+    out = list(decode_record_batches(blob))
+    assert len({r["timestamp"] for r in out}) == 1  # wrapper ts wins
+
+
+def test_legacy_crc32_mismatch_raises():
+    blob = bytearray(encode_message_set(RECS[:1], magic=1))
+    blob[-1] ^= 0xFF  # corrupt the value payload
+    with pytest.raises(ValueError, match="CRC32 mismatch"):
+        list(decode_record_batches(bytes(blob)))
+
+
+def test_mixed_format_log_decodes():
+    """A mid-upgrade log legally interleaves v2 batches and legacy sets;
+    the per-entry magic dispatch handles both in one fetch buffer."""
+    legacy = encode_message_set(RECS[:2], magic=1, base_offset=0,
+                                compression="snappy")
+    v2 = encode_record_batch(RECS[2:], base_offset=2)
+    out = list(decode_record_batches(legacy + v2))
+    assert [r["offset"] for r in out] == [0, 1, 2]
+    assert [r["value"] for r in out] == [b"v0", b"v1", None]
+
+
+def test_legacy_partial_trailing_message_discarded():
+    blob = encode_message_set(RECS, magic=0)  # 3 uncompressed entries
+    out_full = list(decode_record_batches(blob))
+    out_cut = list(decode_record_batches(blob[:-5]))
+    assert len(out_full) == 3 and len(out_cut) == 2
+
+
+def test_legacy_fetch_through_broker(spark_noop=None):
+    """End-to-end: a LoopbackKafka partition whose log is legacy v1
+    gzip + v0 plain pages through the client's real Fetch path."""
+    srv = LoopbackKafka({"old": [[]]})
+    try:
+        srv.append("old", 0, [{"key": b"a", "value": b"1"},
+                              {"key": b"b", "value": b"2"}],
+                   compression="gzip", magic=1)
+        srv.append("old", 0, [{"key": b"c", "value": b"3"}], magic=0)
+        cli = KafkaWireClient("127.0.0.1", srv.port)
+        try:
+            recs = list(cli.read_partition("old", 0, 0, 3))
+        finally:
+            cli.close()
+        assert [(r["offset"], r["value"]) for r in recs] == [
+            (0, b"1"), (1, b"2"), (2, b"3")
+        ]
+    finally:
+        srv.close()
 
 
 # --------------------------------------------------------------------------
