@@ -726,6 +726,11 @@ def encode_message_set(
 
     if magic not in (0, 1):
         raise ValueError("legacy message set: magic must be 0 or 1")
+    if any(r.get("headers") for r in records):
+        raise ValueError(
+            "legacy message set: record headers need format v2 (KIP-82) — "
+            "encode_record_batch, or drop the headers explicitly"
+        )
 
     def one(offset: int, ts: int, key, value, attrs: int) -> bytes:
         rest = bytes([magic, attrs])

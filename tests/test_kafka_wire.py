@@ -147,6 +147,9 @@ def test_future_magic_raises():
 # --------------------------------------------------------------------------
 
 
+LEGACY_RECS = [{k: v for k, v in r.items() if k != "headers"} for r in RECS]
+
+
 def test_xxh32_published_vectors():
     """Pin the xxHash32 used for the KIP-57 LZ4 header repair to the
     algorithm's published check values, not self-agreement."""
@@ -162,7 +165,7 @@ def test_legacy_message_set_roundtrip(magic, codec):
     point: KIP-31 relative inner offsets (v1), absolute inner offsets
     (v0), v0 timestamps surface as -1."""
     blob = encode_message_set(
-        RECS, magic=magic, base_offset=40, compression=codec
+        LEGACY_RECS, magic=magic, base_offset=40, compression=codec
     )
     out = list(decode_record_batches(blob))
     assert [r["offset"] for r in out] == [40, 41, 42]
@@ -175,6 +178,11 @@ def test_legacy_message_set_roundtrip(magic, codec):
     assert all(r["headers"] == [] for r in out)  # no headers pre-v2
 
 
+def test_legacy_rejects_headers_loudly():
+    with pytest.raises(ValueError, match="KIP-82"):
+        encode_message_set(RECS, magic=1)
+
+
 def test_legacy_v0_lz4_broken_header_checksum_repaired():
     """Magic-0 producers wrote the LZ4 frame HC over magic+descriptor
     (the KIP-57 bug); prove the fixture emits the historical broken
@@ -182,7 +190,7 @@ def test_legacy_v0_lz4_broken_header_checksum_repaired():
     it."""
     import pyarrow as pa
 
-    blob = encode_message_set(RECS, magic=0, compression="lz4")
+    blob = encode_message_set(LEGACY_RECS, magic=0, compression="lz4")
     # the wrapper's value holds the broken frame: locate it by magic
     frame = blob[blob.index(b"\x04\x22\x4d\x18"):]
     with pytest.raises(Exception):
@@ -193,14 +201,14 @@ def test_legacy_v0_lz4_broken_header_checksum_repaired():
 
 def test_legacy_v1_log_append_time_overrides_inner():
     blob = encode_message_set(
-        RECS, magic=1, compression="gzip", log_append_time=True
+        LEGACY_RECS, magic=1, compression="gzip", log_append_time=True
     )
     out = list(decode_record_batches(blob))
     assert len({r["timestamp"] for r in out}) == 1  # wrapper ts wins
 
 
 def test_legacy_crc32_mismatch_raises():
-    blob = bytearray(encode_message_set(RECS[:1], magic=1))
+    blob = bytearray(encode_message_set(LEGACY_RECS[:1], magic=1))
     blob[-1] ^= 0xFF  # corrupt the value payload
     with pytest.raises(ValueError, match="CRC32 mismatch"):
         list(decode_record_batches(bytes(blob)))
@@ -209,7 +217,7 @@ def test_legacy_crc32_mismatch_raises():
 def test_mixed_format_log_decodes():
     """A mid-upgrade log legally interleaves v2 batches and legacy sets;
     the per-entry magic dispatch handles both in one fetch buffer."""
-    legacy = encode_message_set(RECS[:2], magic=1, base_offset=0,
+    legacy = encode_message_set(LEGACY_RECS[:2], magic=1, base_offset=0,
                                 compression="snappy")
     v2 = encode_record_batch(RECS[2:], base_offset=2)
     out = list(decode_record_batches(legacy + v2))
@@ -218,7 +226,7 @@ def test_mixed_format_log_decodes():
 
 
 def test_legacy_partial_trailing_message_discarded():
-    blob = encode_message_set(RECS, magic=0)  # 3 uncompressed entries
+    blob = encode_message_set(LEGACY_RECS, magic=0)  # 3 uncompressed entries
     out_full = list(decode_record_batches(blob))
     out_cut = list(decode_record_batches(blob[:-5]))
     assert len(out_full) == 3 and len(out_cut) == 2
