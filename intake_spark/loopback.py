@@ -709,10 +709,50 @@ class LoopbackMySQL(_LoopbackDBBase):
 
     def __init__(self, setup_sql: "list[str]", user: str = "root",
                  password: str = "", max_conns: int = 16,
-                 auth_plugin: str = "mysql_native_password"):
+                 auth_plugin: str = "mysql_native_password",
+                 full_auth: bool = False):
         self.user, self.password = user, password
         self.auth_plugin = auth_plugin  # or "caching_sha2_password"
+        # full_auth simulates a caching_sha2 cache MISS: the server
+        # demands the RSA public-key exchange. Decryption is delegated
+        # to the openssl CLI — an INDEPENDENT OAEP implementation, so
+        # the client's stdlib RSA-OAEP is interop-tested, not
+        # self-agreed.
+        self.full_auth = full_auth
+        if full_auth:
+            import shutil
+            import subprocess
+            import tempfile
+
+            if auth_plugin != "caching_sha2_password":
+                raise ValueError("full_auth needs caching_sha2_password")
+            if not shutil.which("openssl"):
+                raise RuntimeError(
+                    "LoopbackMySQL full_auth needs the openssl CLI to "
+                    "decrypt (keeps the fixture independent of the "
+                    "client's own OAEP code)"
+                )
+            self._keydir = tempfile.mkdtemp(prefix="loopback_mysql_rsa_")
+            self._priv = f"{self._keydir}/key.pem"
+            subprocess.run(
+                ["openssl", "genpkey", "-algorithm", "RSA", "-pkeyopt",
+                 "rsa_keygen_bits:2048", "-out", self._priv],
+                check=True, capture_output=True,
+            )
+            self.pub_pem = subprocess.run(
+                ["openssl", "pkey", "-in", self._priv, "-pubout"],
+                check=True, capture_output=True,
+            ).stdout
         super().__init__(setup_sql, max_conns)
+
+    def _rsa_decrypt(self, blob: bytes) -> bytes:
+        import subprocess
+
+        return subprocess.run(
+            ["openssl", "pkeyutl", "-decrypt", "-inkey", self._priv,
+             "-pkeyopt", "rsa_padding_mode:oaep"],
+            input=blob, check=True, capture_output=True,
+        ).stdout
 
     def _read_packet(self, conn):
         hdr = self._recv_exact(conn, 4)
@@ -761,20 +801,49 @@ class LoopbackMySQL(_LoopbackDBBase):
             tlen = resp[pos]
             token = resp[pos + 1 : pos + 1 + tlen]
             sha2 = self.auth_plugin == "caching_sha2_password"
-            want = (_mysql_sha2_token if sha2 else _mysql_native_token)(
-                self.password, self._SCRAMBLE
-            )
-            if user != self.user or token != want:
-                conn.sendall(self._pkt(
-                    2, b"\xff" + struct.pack("<H", 1045)
-                    + b"#28000Access denied"
-                ))
-                return
-            if sha2:  # AuthMoreData: fast-auth success (cache hit)
-                conn.sendall(self._pkt(2, b"\x01\x03"))
-                conn.sendall(self._pkt(3, b"\x00\x00\x00\x02\x00\x00\x00"))
+            if self.full_auth:
+                # cache miss: the fast token is unverifiable — demand
+                # the RSA exchange instead
+                if user != self.user:
+                    conn.sendall(self._pkt(
+                        2, b"\xff" + struct.pack("<H", 1045)
+                        + b"#28000Access denied"
+                    ))
+                    return
+                conn.sendall(self._pkt(2, b"\x01\x04"))
+                req = self._read_packet(conn)
+                if req != b"\x02":  # public-key request
+                    conn.sendall(self._err(4, "expected pubkey request"))
+                    return
+                conn.sendall(self._pkt(4, b"\x01" + self.pub_pem))
+                blob = self._read_packet(conn)
+                xored = self._rsa_decrypt(blob)
+                sc = self._SCRAMBLE
+                plain = bytes(
+                    b ^ sc[i % len(sc)] for i, b in enumerate(xored)
+                )
+                if plain != self.password.encode() + b"\x00":
+                    conn.sendall(self._pkt(
+                        6, b"\xff" + struct.pack("<H", 1045)
+                        + b"#28000Access denied"
+                    ))
+                    return
+                conn.sendall(self._pkt(6, b"\x00\x00\x00\x02\x00\x00\x00"))
             else:
-                conn.sendall(self._pkt(2, b"\x00\x00\x00\x02\x00\x00\x00"))
+                want = (_mysql_sha2_token if sha2 else _mysql_native_token)(
+                    self.password, self._SCRAMBLE
+                )
+                if user != self.user or token != want:
+                    conn.sendall(self._pkt(
+                        2, b"\xff" + struct.pack("<H", 1045)
+                        + b"#28000Access denied"
+                    ))
+                    return
+                if sha2:  # AuthMoreData: fast-auth success (cache hit)
+                    conn.sendall(self._pkt(2, b"\x01\x03"))
+                    conn.sendall(self._pkt(3, b"\x00\x00\x00\x02\x00\x00\x00"))
+                else:
+                    conn.sendall(self._pkt(2, b"\x00\x00\x00\x02\x00\x00\x00"))
             while True:
                 pkt = self._read_packet(conn)
                 if pkt[0] == 0x01:  # COM_QUIT

@@ -1473,9 +1473,9 @@ class PostgresWireClient:
 # (SHA1(pass) XOR SHA1(scramble + SHA1(SHA1(pass)))), and text
 # resultsets of length-encoded strings. Gives SparkJDBC a second
 # dialect fallback (mysql:// URLs). caching_sha2_password (the 8.0
-# default) requires RSA key exchange or TLS over an insecure channel —
-# named gate; deployments using it need the JDBC jar or a server user
-# created WITH mysql_native_password.
+# default) works both ways over plaintext: the fast path when the
+# server has the password cached, and the FULL-auth RSA public-key
+# exchange (PKCS#1 OAEP-SHA1, servers ≥ 8.0.5) on a cache miss.
 
 _MYSQL_CAPS = (
     0x00000200  # CLIENT_PROTOCOL_41
@@ -1498,8 +1498,7 @@ def _mysql_native_token(password: str, scramble: bytes) -> bytes:
 
 def _mysql_sha2_token(password: str, scramble: bytes) -> bytes:
     """caching_sha2_password scramble (the FAST/cached path):
-    SHA256(pass) XOR SHA256(SHA256(SHA256(pass)) + nonce). Full auth
-    (cache miss) needs RSA/TLS and stays a named gate."""
+    SHA256(pass) XOR SHA256(SHA256(SHA256(pass)) + nonce)."""
     import hashlib
 
     if not password:
@@ -1507,6 +1506,95 @@ def _mysql_sha2_token(password: str, scramble: bytes) -> bytes:
     h1 = hashlib.sha256(password.encode()).digest()
     h2 = hashlib.sha256(hashlib.sha256(h1).digest() + scramble).digest()
     return bytes(a ^ b for a, b in zip(h1, h2))
+
+
+def _der_tlv(buf: bytes, pos: int) -> "tuple[int, bytes, int]":
+    """One DER tag-length-value → (tag, content, next_pos)."""
+    tag, ln = buf[pos], buf[pos + 1]
+    pos += 2
+    if ln & 0x80:
+        nb = ln & 0x7F
+        ln = int.from_bytes(buf[pos : pos + nb], "big")
+        pos += nb
+    return tag, buf[pos : pos + ln], pos + ln
+
+
+def rsa_pubkey_from_pem(pem: bytes) -> "tuple[int, int]":
+    """(n, e) from an RSA public key PEM — both the X.509
+    SubjectPublicKeyInfo form (``BEGIN PUBLIC KEY``, what a MySQL server
+    sends in the caching_sha2 full-auth exchange) and bare PKCS#1
+    (``BEGIN RSA PUBLIC KEY``)."""
+    import base64
+
+    lines = [l.strip() for l in pem.replace(b"\r", b"").split(b"\n")]
+    body = base64.b64decode(
+        b"".join(l for l in lines if l and not l.startswith(b"-----"))
+    )
+    tag, content, _ = _der_tlv(body, 0)
+    if tag != 0x30:
+        raise ValueError("rsa pem: expected outer DER SEQUENCE")
+    t1, _c1, p = _der_tlv(content, 0)
+    if t1 == 0x30:  # SubjectPublicKeyInfo: AlgorithmIdentifier, BIT STRING
+        t2, c2, _ = _der_tlv(content, p)
+        if t2 != 0x03 or c2[:1] != b"\x00":
+            raise ValueError("rsa pem: malformed SubjectPublicKeyInfo")
+        _, content, _ = _der_tlv(c2, 1)  # the wrapped RSAPublicKey
+        t1, _c1, p = _der_tlv(content, 0)
+    if t1 != 0x02:
+        raise ValueError("rsa pem: expected INTEGER modulus")
+    tn, cn, p2 = _der_tlv(content, 0)
+    te, ce, _ = _der_tlv(content, p2)
+    if te != 0x02:
+        raise ValueError("rsa pem: expected INTEGER exponent")
+    return int.from_bytes(cn, "big"), int.from_bytes(ce, "big")
+
+
+def _mgf1_sha1(seed: bytes, length: int) -> bytes:
+    import hashlib
+
+    out = b""
+    for counter in range((length + 19) // 20):
+        out += hashlib.sha1(seed + struct.pack(">I", counter)).digest()
+    return out[:length]
+
+
+def rsa_oaep_sha1_encrypt(n: int, e: int, msg: bytes,
+                          seed: "bytes | None" = None) -> bytes:
+    """RSAES-OAEP (PKCS#1 v2.1, SHA-1 / MGF1-SHA1, empty label) — the
+    padding mysql-connector uses for the caching_sha2 public-key
+    exchange (servers ≥ 8.0.5; older 8.0 used PKCS#1 v1.5 and is not
+    supported here). ``seed`` is for tests only."""
+    import hashlib
+    import os as _os
+
+    k = (n.bit_length() + 7) // 8
+    if len(msg) > k - 42:  # 2*hLen + 2, hLen = 20
+        raise ValueError(f"rsa oaep: message too long for a {k*8}-bit key")
+    lhash = hashlib.sha1(b"").digest()
+    db = lhash + bytes(k - len(msg) - 42) + b"\x01" + msg
+    seed = seed if seed is not None else _os.urandom(20)
+    masked_db = bytes(
+        a ^ b for a, b in zip(db, _mgf1_sha1(seed, k - 21))
+    )
+    masked_seed = bytes(
+        a ^ b for a, b in zip(seed, _mgf1_sha1(masked_db, 20))
+    )
+    em = b"\x00" + masked_seed + masked_db
+    return pow(int.from_bytes(em, "big"), e, n).to_bytes(k, "big")
+
+
+def _mysql_full_auth_payload(password: str, scramble: bytes,
+                             pubkey_pem: bytes,
+                             seed: "bytes | None" = None) -> bytes:
+    """caching_sha2 FULL-auth secret: NUL-terminated password XORed with
+    the handshake nonce (cycled), RSA-OAEP-encrypted to the server's
+    public key — what Connector/Python sends over a non-TLS channel."""
+    secret = password.encode() + b"\x00"
+    xored = bytes(
+        b ^ scramble[i % len(scramble)] for i, b in enumerate(secret)
+    )
+    n, e = rsa_pubkey_from_pem(pubkey_pem)
+    return rsa_oaep_sha1_encrypt(n, e, xored, seed=seed)
 
 
 def _lenenc_read(buf: bytes, pos: int) -> "tuple[int | None, int]":
@@ -1558,9 +1646,10 @@ def _mysql_decoders():
 
 class MySQLWireClient:
     """Minimal MySQL client: HandshakeV10 + HandshakeResponse41 with
-    mysql_native_password, COM_QUERY text resultsets decoded by column
-    type byte. No TLS, no caching_sha2 (RSA exchange), no prepared
-    statements — those need the JDBC jar."""
+    mysql_native_password or caching_sha2_password (fast path AND the
+    full-auth RSA-OAEP exchange), COM_QUERY text resultsets decoded by
+    column type byte. No TLS, no prepared statements — those need the
+    JDBC jar."""
 
     def __init__(self, host: str, port: int = 3306, user: str = "root",
                  password: str = "", database: str = "",
@@ -1691,12 +1780,21 @@ class MySQLWireClient:
             if pkt[1:2] == b"\x03":  # fast-auth success: cache hit
                 pkt = self._read_packet()  # the trailing OK
             elif pkt[1:2] == b"\x04":
-                raise ConnectionError(
-                    "mysql caching_sha2_password: server requires FULL "
-                    "auth (password not in its cache) — the RSA/TLS "
-                    "exchange needs the JDBC jar; prime the cache with "
-                    "any successful native login or use TLS"
+                # FULL auth (cache miss) over plaintext: request the
+                # server's RSA public key, send the nonce-XORed password
+                # OAEP-encrypted to it (the Connector/Python exchange)
+                self._send(self._seq, b"\x02")
+                pk = self._read_packet()
+                if pk[0] != 0x01:
+                    raise ConnectionError(
+                        "mysql full auth: expected AuthMoreData with the "
+                        f"server public key, got 0x{pk[0]:02x}"
+                    )
+                self._send(
+                    self._seq,
+                    _mysql_full_auth_payload(password, scramble, pk[1:]),
                 )
+                pkt = self._read_packet()
             else:
                 raise ConnectionError(
                     f"mysql auth: unexpected AuthMoreData marker "

@@ -281,8 +281,7 @@ def test_spark_jdbc_mysql_fallback_distributed(spark):
 
 def test_mysql_caching_sha2_fast_path():
     """MySQL 8's default plugin: the FAST (cached) path authenticates
-    over plaintext with the SHA256 scramble; full auth (cache miss)
-    stays a named RSA/TLS gate."""
+    over plaintext with the SHA256 scramble."""
     from intake_spark.loopback import LoopbackMySQL
     from intake_spark.wire import MySQLWireClient
 
@@ -339,3 +338,85 @@ def test_query_param_credentials_honored():
         assert cli.query("SELECT v FROM t")[1] == [(2,)]
     finally:
         cli.close()
+
+
+# --------------------------------------------------------------------------
+# caching_sha2 FULL auth (cache miss): stdlib RSA-OAEP vs openssl
+# --------------------------------------------------------------------------
+
+_openssl = pytest.mark.skipif(
+    __import__("shutil").which("openssl") is None,
+    reason="openssl CLI absent (needed as the independent OAEP side)",
+)
+
+
+@_openssl
+def test_rsa_pubkey_pem_parse_matches_openssl(tmp_path):
+    """(n, e) from our DER walk must equal openssl's own readout, for
+    both the SPKI and bare-PKCS#1 PEM forms."""
+    import subprocess
+
+    from intake_spark.wire import rsa_pubkey_from_pem
+
+    priv = tmp_path / "k.pem"
+    subprocess.run(["openssl", "genpkey", "-algorithm", "RSA", "-pkeyopt",
+                    "rsa_keygen_bits:2048", "-out", str(priv)],
+                   check=True, capture_output=True)
+    spki = subprocess.run(["openssl", "pkey", "-in", str(priv), "-pubout"],
+                          check=True, capture_output=True).stdout
+    pkcs1 = subprocess.run(
+        ["openssl", "rsa", "-in", str(priv), "-RSAPublicKey_out"],
+        check=True, capture_output=True).stdout
+    mod_hex = subprocess.run(
+        ["openssl", "rsa", "-in", str(priv), "-noout", "-modulus"],
+        check=True, capture_output=True).stdout.split(b"=")[1].strip()
+    want_n = int(mod_hex, 16)
+    for pem in (spki, pkcs1):
+        n, e = rsa_pubkey_from_pem(pem)
+        assert n == want_n and e == 65537
+
+
+@_openssl
+def test_rsa_oaep_encrypt_decryptable_by_openssl(tmp_path):
+    """Our OAEP-SHA1 padding must round-trip through openssl pkeyutl —
+    interop with an independent implementation, not self-agreement."""
+    import subprocess
+
+    from intake_spark.wire import rsa_oaep_sha1_encrypt, rsa_pubkey_from_pem
+
+    priv = tmp_path / "k.pem"
+    subprocess.run(["openssl", "genpkey", "-algorithm", "RSA", "-pkeyopt",
+                    "rsa_keygen_bits:2048", "-out", str(priv)],
+                   check=True, capture_output=True)
+    pub = subprocess.run(["openssl", "pkey", "-in", str(priv), "-pubout"],
+                         check=True, capture_output=True).stdout
+    n, e = rsa_pubkey_from_pem(pub)
+    msg = b"secret \x00 bytes \xff ok"
+    blob = rsa_oaep_sha1_encrypt(n, e, msg)
+    out = subprocess.run(
+        ["openssl", "pkeyutl", "-decrypt", "-inkey", str(priv),
+         "-pkeyopt", "rsa_padding_mode:oaep"],
+        input=blob, check=True, capture_output=True).stdout
+    assert out == msg
+
+
+@_openssl
+def test_mysql_caching_sha2_full_auth_end_to_end():
+    """A cache-miss server (AuthMoreData 0x04) authenticates via the
+    public-key request -> OAEP-encrypted nonce-XORed password exchange;
+    the loopback decrypts with openssl, so both sides of the exchange
+    are independent. Wrong password still denied."""
+    from intake_spark.loopback import LoopbackMySQL
+    from intake_spark.wire import MySQLWireClient
+
+    srv = LoopbackMySQL(
+        ["CREATE TABLE t AS SELECT 7 AS v"], user="bob", password="pw",
+        auth_plugin="caching_sha2_password", full_auth=True, max_conns=4,
+    )
+    cli = MySQLWireClient("127.0.0.1", srv.port, user="bob", password="pw")
+    try:
+        assert cli.query("SELECT v FROM t")[1] == [(7,)]
+    finally:
+        cli.close()
+    with pytest.raises(ConnectionError, match="Access denied"):
+        MySQLWireClient("127.0.0.1", srv.port, user="bob", password="no")
