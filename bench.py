@@ -181,22 +181,34 @@ def main() -> None:
         except Exception:
             return 0, 0
 
+    errors: dict[str, str] = {}
+
     def measure(round_count: int) -> tuple[dict[str, list[float]], float]:
         """One full interleaved measurement pass; returns (samples,
-        steal_pct over the pass)."""
+        steal_pct over the pass). A query that raises is recorded in
+        ``errors`` and skipped for the rest of the run — one flaky
+        query must not cost the whole ledger (a q145 streaming-worker
+        spawn timeout once killed a full 145-query pass)."""
         s0, t0_ = _proc_stat()
         out: dict[str, list[float]] = {n: [] for n in names}
         for _ in range(round_count):
             for name in names:
+                if name in errors:
+                    continue
                 t0 = time.perf_counter()
-                df = queries[name](spark, sf_dir)
-                df.write.mode("overwrite").format("noop").save()
+                try:
+                    df = queries[name](spark, sf_dir)
+                    df.write.mode("overwrite").format("noop").save()
+                except Exception as exc:  # noqa: BLE001 — ledger survives
+                    errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+                    continue
                 out[name].append(time.perf_counter() - t0)
         s1, t1_ = _proc_stat()
         steal_pct = (s1 - s0) / max(1, t1_ - t0_)
         return out, steal_pct
 
     samples, steal_pct = measure(repeats)
+    samples = {n: s for n, s in samples.items() if s}
 
     def _derive(smp):
         t = {n: round(statistics.median(s), 4) for n, s in smp.items()}
@@ -224,7 +236,7 @@ def main() -> None:
         import sys as _sys
 
         for n in names:
-            print(f"samples {n}: {[round(x, 3) for x in samples[n]]}",
+            print(f"samples {n}: {[round(x, 3) for x in samples.get(n, [])]}",
                   file=_sys.stderr)
     # Round 1 pays whole-stage-codegen COMPILATION for each query's
     # generated class (Janino caches it for rounds 2+), so queries with
@@ -392,6 +404,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "errors": errors,
         "shared": shared,
         "spread": spread,
         "spread_steady": spread_steady,
@@ -486,6 +499,8 @@ def main() -> None:
         "window_degraded": degraded,
         "sf": sf,
     }
+    if errors:
+        line["errors"] = {n.split("_", 1)[0]: e[:120] for n, e in errors.items()}
     sys.stdout.flush()
     print(json.dumps(line, separators=(",", ":")))
     sys.stdout.flush()

@@ -44,6 +44,15 @@ def get_session(app_name: str = "intake_spark", cpus: int | None = None) -> Spar
         )
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
+        # Python workers (incl. the Python-DataSource streaming source
+        # runner) connect BACK to the JVM after a fresh-process import
+        # of pyspark; under full 32-thread load that cold start can
+        # exceed the 15s default accept timeout and kill the stage with
+        # "Python worker failed to connect back" (observed: q145's
+        # PythonStreamingSourceRunner dying mid-bench). Headroom is
+        # free — the socket is local and the timeout only bounds a
+        # failure path.
+        .config("spark.python.authenticate.socketTimeout", "120s")
         .getOrCreate()
     )
 
