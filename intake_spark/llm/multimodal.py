@@ -77,29 +77,51 @@ def _png_unfilter(raw: bytes, pos: int, h: int, w: int, nch: int, bpb: int):
     prev = np.zeros(stride, dtype=np.uint8)
     for y in range(h):
         ftype = raw[pos]
-        line = np.frombuffer(raw[pos + 1 : pos + 1 + stride], dtype=np.uint8).copy()
+        seg = raw[pos + 1 : pos + 1 + stride]
         pos += 1 + stride
-        if ftype == 1:  # Sub
+        if ftype == 0:
+            out[y] = np.frombuffer(seg, np.uint8)
+        elif ftype == 2:  # Up: fully vectorized (uint8 add wraps mod 256)
+            out[y] = np.frombuffer(seg, np.uint8) + prev
+        elif ftype == 1:  # Sub: recon[x] = raw[x] + recon[x-bpb] is a
+            # per-byte-lane running sum, i.e. cumsum mod 256 down the
+            # pixel axis — fully vectorized
+            lanes = np.frombuffer(seg, np.uint8).reshape(w, bpb)
+            out[y] = np.cumsum(lanes, axis=0, dtype=np.uint8).reshape(stride)
+        elif ftype == 3:  # Average: left-sequential; bytearray kernel
+            # (CPython int indexing ~5x faster than numpy scalar access)
+            line = bytearray(seg)
+            pb = prev.tobytes()
+            for x in range(bpb):
+                line[x] = (line[x] + (pb[x] >> 1)) & 0xFF
             for x in range(bpb, stride):
-                line[x] = (int(line[x]) + int(line[x - bpb])) & 0xFF
-        elif ftype == 2:  # Up
-            line = (line + prev) & 0xFF
-        elif ftype == 3:  # Average
-            for x in range(stride):
-                left = line[x - bpb] if x >= bpb else 0
-                line[x] = (line[x] + ((int(left) + int(prev[x])) >> 1)) & 0xFF
-        elif ftype == 4:  # Paeth
-            for x in range(stride):
-                a = int(line[x - bpb]) if x >= bpb else 0
-                b = int(prev[x])
-                c = int(prev[x - bpb]) if x >= bpb else 0
-                p = a + b - c
-                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                line[x] = (line[x] + pred) & 0xFF
-        elif ftype != 0:
+                line[x] = (line[x] + ((line[x - bpb] + pb[x]) >> 1)) & 0xFF
+            out[y] = np.frombuffer(line, np.uint8)
+        elif ftype == 4:  # Paeth: left-sequential; same bytearray kernel.
+            # p-a = b-c, p-b = a-c, p-c = a+b-2c saves the p round-trip
+            line = bytearray(seg)
+            pb = prev.tobytes()
+            for x in range(bpb):
+                line[x] = (line[x] + pb[x]) & 0xFF  # a=c=0: predictor is b
+            for x in range(bpb, stride):
+                a = line[x - bpb]
+                b = pb[x]
+                c = pb[x - bpb]
+                pa = b - c
+                if pa < 0:
+                    pa = -pa
+                pbd = a - c
+                if pbd < 0:
+                    pbd = -pbd
+                pc = a + b - 2 * c
+                if pc < 0:
+                    pc = -pc
+                line[x] = (line[x] + (
+                    a if (pa <= pbd and pa <= pc) else (b if pbd <= pc else c)
+                )) & 0xFF
+            out[y] = np.frombuffer(line, np.uint8)
+        else:
             raise ValueError(f"bad PNG filter type {ftype}")
-        out[y] = line
         prev = out[y]
     return out, pos
 
