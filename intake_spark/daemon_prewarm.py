@@ -1,0 +1,59 @@
+"""Pre-warmed pyspark worker daemon (``spark.python.daemon.module``).
+
+Python workers fork from the daemon process, so anything imported HERE
+is inherited by every worker copy-on-write — one import, any number of
+workers, forever. Without this, each fresh worker pays ~1 s importing
+numpy/pandas/pyarrow plus this package's codec stack on its first task;
+that cost normally amortizes over a session (workers are reused), but
+stateful STREAMING stages (applyInPandasWithState / the phash and
+minhash ingestion guards) destroy and respawn the whole pool on every
+run — measured: a 145-query bench pass re-paid the 32-worker import
+storm after every streaming query, inflating unrelated Python-stage
+queries 2-5x (q136 1.1 s warm -> 4-7 s post-churn).
+
+``intake_spark.session.get_session`` sets this module as the daemon
+only when the package is plainly filesystem-importable by a fresh
+``python -m`` (local mode with PYTHONPATH exported) — on a cluster
+where workers get the package via addPyFile, the stock daemon is kept,
+because a daemon module that fails to import kills every task.
+
+All imports are best-effort: a missing optional dependency must not
+take down the daemon (the worker will surface the real ImportError on
+the task that actually needs it).
+"""
+
+from __future__ import annotations
+
+if __name__ == "__main__":
+    import importlib
+
+    for _mod in (
+        "numpy",
+        "pandas",
+        "pyarrow",
+        # the repo's hot executor-side modules: codec stack + operators
+        "intake_spark.compress",
+        "intake_spark.llm.audiofp",
+        "intake_spark.llm.dedup",
+        "intake_spark.llm.flac",
+        "intake_spark.llm.imagehash",
+        "intake_spark.llm.jpeg2000",
+        "intake_spark.llm.jpegls",
+        "intake_spark.llm.multimodal",
+        "intake_spark.llm.similarity",
+        "intake_spark.llm.text",
+        "intake_spark.llm.video",
+        "intake_spark.llm.vorbis",
+        "intake_spark.llm.webp",
+        "intake_spark.output",
+        "intake_spark.sci",
+        "intake_spark.wire",
+    ):
+        try:
+            importlib.import_module(_mod)
+        except Exception:  # noqa: BLE001 — optional at daemon time
+            pass
+
+    from pyspark.daemon import manager
+
+    manager()

@@ -26,8 +26,29 @@ def get_session(app_name: str = "intake_spark", cpus: int | None = None) -> Spar
     if active is not None:
         return active
     n = cpus or DEFAULT_CPUS
+    # Pre-warmed worker daemon: workers FORK from the daemon, so heavy
+    # imports done there (numpy/pandas/pyarrow + this package's codec
+    # stack) are inherited copy-on-write by every worker — which makes
+    # the worker-pool churn that stateful streaming stages cause nearly
+    # free instead of a ~1 s-per-worker import storm (see
+    # daemon_prewarm.py). Only safe when a fresh `python -m` can import
+    # this package from the filesystem: export PYTHONPATH so the
+    # JVM-spawned daemon inherits it (local mode: the JVM is this
+    # process's child). On a cluster the stock daemon is kept.
+    daemon_conf = {}
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    if os.path.exists(os.path.join(pkg_root, "intake_spark", "daemon_prewarm.py")):
+        existing = os.environ.get("PYTHONPATH", "")
+        if pkg_root not in existing.split(os.pathsep):
+            os.environ["PYTHONPATH"] = (
+                pkg_root + (os.pathsep + existing if existing else "")
+            )
+        daemon_conf["spark.python.daemon.module"] = "intake_spark.daemon_prewarm"
+    builder = SparkSession.builder.master(f"local[{n}]")
+    for k, v in daemon_conf.items():
+        builder = builder.config(k, v)
     return (
-        SparkSession.builder.master(f"local[{n}]")
+        builder
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(n))
         .config("spark.sql.adaptive.enabled", "true")
