@@ -303,6 +303,9 @@ def main() -> None:
         )
         window_rerun = True
         samples, steal_pct = measure(repeats)
+        # errored queries carry empty sample lists (measure skips names
+        # already in `errors`) — median([]) would throw
+        samples = {n: s for n, s in samples.items() if s}
         timings, spread, spread_steady, first_run_excess = _derive(samples)
         degraded, control_ratios = _window_degraded(timings)
 
