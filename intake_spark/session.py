@@ -37,7 +37,18 @@ def get_session(app_name: str = "intake_spark", cpus: int | None = None) -> Spar
     # process's child). On a cluster the stock daemon is kept.
     daemon_conf = {}
     pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    if os.path.exists(os.path.join(pkg_root, "intake_spark", "daemon_prewarm.py")):
+    from pyspark import SparkContext
+
+    # Only when the JVM has NOT launched yet: the gateway JVM snapshots
+    # this process's env at launch, so a PYTHONPATH exported now reaches
+    # the daemon only through a fresh JVM. Against a pre-existing
+    # gateway (driver session stopped, then get_session), the daemon
+    # would spawn without PYTHONPATH, fail to import, and kill every
+    # task — keep the stock daemon there.
+    jvm_fresh = SparkContext._gateway is None
+    if jvm_fresh and os.path.exists(
+        os.path.join(pkg_root, "intake_spark", "daemon_prewarm.py")
+    ):
         existing = os.environ.get("PYTHONPATH", "")
         if pkg_root not in existing.split(os.pathsep):
             os.environ["PYTHONPATH"] = (

@@ -886,8 +886,8 @@ def decode_record_batches(buf: bytes, *, verify_crc: bool = True):
     while pos + 12 <= len(buf):
         base_offset, batch_len = struct.unpack_from(">qi", buf, pos)
         end = pos + 12 + batch_len
-        if end > len(buf):
-            return  # partial trailing batch
+        if end > len(buf) or pos + 17 > len(buf):
+            return  # partial trailing batch (or corrupt undersized entry)
         magic = buf[pos + 16]
         if magic < 2:
             # legacy MessageSet entry (pre-0.11 message format v0/v1):
