@@ -667,18 +667,19 @@ def q36_streaming_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         name = "q36_sink"
-        q = (
-            agg.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("complete")
-            .trigger(availableNow=True)
-            .start()
+        from intake_spark.streaming import drain_stream
+
+        drain_stream(
+            lambda: (
+                agg.writeStream.format("memory")
+                .queryName(name)
+                .outputMode("complete")
+                .trigger(availableNow=True)
+                .start()
+            ),
+            300,
+            what="q36 stream",
         )
-        if not q.awaitTermination(300):
-            # timed out: the memory sink holds whichever micro-batch last
-            # committed — silently-partial aggregates. Fail loudly instead.
-            q.stop()
-            raise RuntimeError("q36 stream did not finish within 300s")
     finally:
         if prev is None:
             spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")

@@ -4665,16 +4665,17 @@ def q141_stream_guard_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream, id_col="id", text_col="text", num_hashes=16, bands=4, k=3
     )
     name = "q141_sink"
-    q = (
-        flags.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
+    stg.drain_stream(
+        lambda: (
+            flags.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        ),
+        300,
+        what="q141 stream",
     )
-    if not q.awaitTermination(300):
-        q.stop()
-        raise RuntimeError("q141 stream did not finish within 300s")
 
     id_type = load_table(spark, sf_dir, "documents").schema["doc_id"].dataType
     return (
@@ -4968,10 +4969,12 @@ def q145_kafka_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     checksums; the third real-streaming pass-d row (q36 file stream,
     q141 applyInPandasWithState, q145 kafka_wire source). O(fixed) via
     the doc_id < 12000 cap."""
+    import os
     import shutil
     import tempfile
 
     from intake_spark import datatypes as dt
+    from intake_spark import streaming as stg
     from intake_spark.loopback import LoopbackKafka
     from intake_spark.streaming import KafkaStream
 
@@ -4995,21 +4998,28 @@ def q145_kafka_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     srv = LoopbackKafka({"docs": parts}, compression="gzip",
                         max_conns=None)
     work = tempfile.mkdtemp(prefix="q145_")
-    try:
+    attempt_dirs = iter(("a", "b"))
+
+    def _start():
+        # fresh out/ckpt dirs per attempt: a spawn-failed first attempt
+        # must not leave a half-initialized checkpoint for the retry
+        sub = os.path.join(work, next(attempt_dirs))
+        _start.out = f"{sub}/out"
         sdf = KafkaStream(
             data=dt.KafkaTopic(f"127.0.0.1:{srv.port}", topic="docs")
         ).read(spark=spark, starting_offsets="earliest")
-        q = (
+        return (
             sdf.writeStream.format("parquet")
-            .option("path", f"{work}/out")
-            .option("checkpointLocation", f"{work}/ckpt")
+            .option("path", _start.out)
+            .option("checkpointLocation", f"{sub}/ckpt")
             .trigger(availableNow=True)
             .start()
         )
-        if not q.awaitTermination(300):
-            raise RuntimeError("q145 micro-stream did not finish in 300s")
+
+    try:
+        stg.drain_stream(_start, 300, what="q145 micro-stream")
         out = (
-            spark.read.parquet(f"{work}/out")
+            spark.read.parquet(_start.out)
             .groupBy(F.col("partition"))
             .agg(
                 F.count("*").cast("bigint").alias("n_rows"),

@@ -453,6 +453,35 @@ def stream_phash_dup_flags(
     return _first_claim_band_flags(banded, id_col)
 
 
+def drain_stream(start_fn, timeout_s: float = 300.0, what: str = "stream"):
+    """Start and fully drain an available-now micro-stream, retrying ONCE
+    when startup dies in the Python-worker spawn path.
+
+    ``start_fn`` must start a FRESH streaming query each call (new
+    checkpoint/work dirs where the sink needs them): a cold
+    PythonStreamingSourceRunner / worker process pays a fresh-process
+    pyspark import before connecting back to the JVM, and under full
+    load that can exceed the accept window — surfacing as
+    ``StreamingQueryException: Python worker failed to connect back``
+    with the query still INITIALIZING (nothing committed). That spawn
+    failure is transient (the retry hits a warm path), so one retry
+    converts a flaky hard failure into a slow first run; every other
+    failure, including a drain timeout, stays fatal and loud."""
+    for attempt in (0, 1):
+        q = start_fn()
+        try:
+            if not q.awaitTermination(timeout_s):
+                q.stop()
+                raise TimeoutError(
+                    f"{what} did not drain within {timeout_s}s"
+                )
+            return
+        except Exception as exc:  # noqa: BLE001 — match on message below
+            if attempt == 0 and "failed to connect back" in str(exc):
+                continue
+            raise
+
+
 def run_stream_to_memory(
     stream_df: DataFrame, query_name: str, timeout_s: float = 60.0, output_mode: str = "complete"
 ) -> None:
