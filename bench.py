@@ -362,19 +362,44 @@ def main() -> None:
                 "verdict": "window-degraded",
             }
     else:
+        def _record(n: str, qmed: float) -> tuple[float, bool, str]:
+            """Pick what to record from (in-suite median, quiet median).
+
+            Host noise is strictly additive: both medians are honest
+            3-sample measurements of the same computation, so the LOWER
+            one is closer to the true cost. The old rule recorded the
+            quiet median unconditionally, which published 2-3x-inflated
+            numbers whenever the end-of-run quiet phase landed in a
+            noise burst (observed: q59 suite 4.43 s, "quiet" 8.40 s —
+            the quiet pass was the contaminated one). Returns
+            (recorded, quiet_confirmed, note): quiet_confirmed is True
+            only when the quiet pass produced the recorded value, which
+            is what upward baseline re-anchoring requires.
+            """
+            suite_med = timings[n]
+            if qmed <= suite_med:
+                return qmed, True, ""
+            return suite_med, False, (
+                "; quiet read higher than suite — quiet pass "
+                "contaminated, suite median kept"
+            )
+
         for n in mandatory:
             qmed = _quiet_measure(n)
             p = prev.get(n)
+            rec, confirmed, note = _record(n, qmed)
             drift_vs_prev[n] = {
                 "prev": p,
                 "suite": timings[n],
                 "quiet": qmed,
+                "recorded": rec,
+                "quiet_confirmed": confirmed,
                 "verdict": (
                     "noisy-spread (quiet median recorded)" if p is None
-                    else ("noise" if abs(qmed - p) / p <= 0.20 else "real")
-                ),
+                    else ("noise" if abs(rec - p) / p <= 0.20 else "real")
+                ) + note,
             }
-            timings[n] = qmed
+            timings[n] = rec
         for _, n in flagged[15:]:
             # over-cap drifts keep their in-suite medians but are
             # RECORDED, so a noisy run can't present contaminated
@@ -386,13 +411,17 @@ def main() -> None:
         for _, n in flagged[:15]:
             qmed = _quiet_measure(n)
             p = prev[n]
+            rec, confirmed, note = _record(n, qmed)
             drift_vs_prev[n] = {
                 "prev": p,
                 "suite": timings[n],
                 "quiet": qmed,
-                "verdict": "noise" if abs(qmed - p) / p <= 0.20 else "real",
+                "recorded": rec,
+                "quiet_confirmed": confirmed,
+                "verdict": ("noise" if abs(rec - p) / p <= 0.20 else "real")
+                + note,
             }
-            timings[n] = qmed
+            timings[n] = rec
 
     total = round(sum(timings.values()) + sum(shared.values()), 4)
 
@@ -460,9 +489,14 @@ def main() -> None:
         baseline = {}
         for n, t in timings.items():
             p = prev.get(n)
+            # an upward move is "verified" only when the quiet pass
+            # itself produced the recorded value (quiet_confirmed); a
+            # quiet read that came back HIGHER than the suite median was
+            # contaminated and confirms nothing
             verified = (
                 n in drift_vs_prev
                 and drift_vs_prev[n].get("quiet") is not None
+                and drift_vs_prev[n].get("quiet_confirmed", True)
             )
             if p is not None and t > p and not verified:
                 baseline[n] = p
