@@ -46,6 +46,18 @@ def get_session(app_name: str = "intake_spark", cpus: int | None = None) -> Spar
     # would spawn without PYTHONPATH, fail to import, and kill every
     # task — keep the stock daemon there.
     jvm_fresh = SparkContext._gateway is None
+    if jvm_fresh:
+        # The JVM-side accept timeout below has a PYTHON-side twin: a
+        # spawned worker/runner connects back through
+        # local_connect_and_auth, whose socket connect timeout is the
+        # SPARK_AUTH_SOCKET_TIMEOUT env (default 15 s). Under sustained
+        # host contention the JVM's accept loop can lag past 15 s, and
+        # the worker then dies with CANNOT_OPEN_SOCKET before the JVM's
+        # raised accept window even matters (observed killing q145's
+        # PythonStreamingSourceRunner twice in one degraded bench pass,
+        # exhausting drain_stream's retry). The env must be exported
+        # before the JVM launches — workers inherit env from the JVM.
+        os.environ.setdefault("SPARK_AUTH_SOCKET_TIMEOUT", "300")
     if jvm_fresh and os.path.exists(
         os.path.join(pkg_root, "intake_spark", "daemon_prewarm.py")
     ):
@@ -83,8 +95,12 @@ def get_session(app_name: str = "intake_spark", cpus: int | None = None) -> Spar
         # "Python worker failed to connect back" (observed: q145's
         # PythonStreamingSourceRunner dying mid-bench). Headroom is
         # free — the socket is local and the timeout only bounds a
-        # failure path.
-        .config("spark.python.authenticate.socketTimeout", "120s")
+        # failure path. 300s matches drain_stream's drain bound: a
+        # worker slower than the whole drain budget is dead anyway
+        # (120s was measured insufficient in a degraded window — a cold
+        # runner's fresh-process pyspark import under contention
+        # outlasted it twice in one pass).
+        .config("spark.python.authenticate.socketTimeout", "300s")
         .getOrCreate()
     )
 

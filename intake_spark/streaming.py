@@ -454,8 +454,8 @@ def stream_phash_dup_flags(
 
 
 def drain_stream(start_fn, timeout_s: float = 300.0, what: str = "stream"):
-    """Start and fully drain an available-now micro-stream, retrying ONCE
-    when startup dies in the Python-worker spawn path.
+    """Start and fully drain an available-now micro-stream, retrying (up
+    to twice) when startup dies in the Python-worker spawn path.
 
     ``start_fn`` must start a FRESH streaming query each call (new
     checkpoint/work dirs where the sink needs them): a cold
@@ -463,11 +463,16 @@ def drain_stream(start_fn, timeout_s: float = 300.0, what: str = "stream"):
     pyspark import before connecting back to the JVM, and under full
     load that can exceed the accept window — surfacing as
     ``StreamingQueryException: Python worker failed to connect back``
+    (JVM accept side) or ``CANNOT_OPEN_SOCKET`` (worker connect side)
     with the query still INITIALIZING (nothing committed). That spawn
-    failure is transient (the retry hits a warm path), so one retry
-    converts a flaky hard failure into a slow first run; every other
-    failure, including a drain timeout, stays fatal and loud."""
-    for attempt in (0, 1):
+    failure is transient (the retry hits a warm path), so retrying
+    converts a flaky hard failure into a slow first run; a single retry
+    was measured insufficient under a sustained degraded window (both
+    attempts landed in the same contention burst), hence two. Every
+    other failure, including a drain timeout, stays fatal and loud."""
+    transient = ("failed to connect back", "CANNOT_OPEN_SOCKET")
+    attempts = 3
+    for attempt in range(attempts):
         q = start_fn()
         try:
             if not q.awaitTermination(timeout_s):
@@ -477,7 +482,9 @@ def drain_stream(start_fn, timeout_s: float = 300.0, what: str = "stream"):
                 )
             return
         except Exception as exc:  # noqa: BLE001 — match on message below
-            if attempt == 0 and "failed to connect back" in str(exc):
+            if attempt < attempts - 1 and any(
+                s in str(exc) for s in transient
+            ):
                 continue
             raise
 

@@ -734,3 +734,63 @@ def test_stream_phash_dup_flags_matches_batch(spark, tmp_path):
         for r in spark.sql("SELECT * FROM phash_dup_test").collect()
     )
     assert got == expected
+
+
+def test_drain_stream_retries_transient_spawn_failures():
+    """drain_stream retries the Python-worker spawn flake (both the JVM
+    accept signature and the worker-side CANNOT_OPEN_SOCKET) up to two
+    times with a FRESH query per attempt, and stays fatal for every
+    other failure including a drain timeout. Pure-fake harness: no
+    Spark session involved."""
+    from intake_spark.streaming import drain_stream
+
+    class FakeQuery:
+        def __init__(self, fail_with=None, finish=True):
+            self.fail_with = fail_with
+            self.finish = finish
+            self.stopped = False
+
+        def awaitTermination(self, timeout_s):
+            if self.fail_with is not None:
+                raise RuntimeError(self.fail_with)
+            return self.finish
+
+        def stop(self):
+            self.stopped = True
+
+    # two transient failures (one of each signature), then success
+    seq = [
+        FakeQuery(fail_with="Python worker failed to connect back"),
+        FakeQuery(fail_with="[CANNOT_OPEN_SOCKET] Can not open socket"),
+        FakeQuery(),
+    ]
+    started = []
+
+    def start_fn():
+        q = seq[len(started)]
+        started.append(q)
+        return q
+
+    drain_stream(start_fn, timeout_s=1.0, what="fake")
+    assert len(started) == 3  # fresh query per attempt
+
+    # three transient failures exhaust the retries and surface the error
+    seq = [FakeQuery(fail_with="failed to connect back") for _ in range(3)]
+    started = []
+    with pytest.raises(RuntimeError, match="connect back"):
+        drain_stream(start_fn, timeout_s=1.0, what="fake")
+    assert len(started) == 3
+
+    # a non-transient failure is fatal on the FIRST attempt
+    seq = [FakeQuery(fail_with="some other explosion")]
+    started = []
+    with pytest.raises(RuntimeError, match="other explosion"):
+        drain_stream(start_fn, timeout_s=1.0, what="fake")
+    assert len(started) == 1
+
+    # a drain timeout is fatal (never retried) and stops the query
+    seq = [FakeQuery(finish=False)]
+    started = []
+    with pytest.raises(TimeoutError, match="did not drain"):
+        drain_stream(start_fn, timeout_s=0.01, what="fake")
+    assert started[0].stopped
