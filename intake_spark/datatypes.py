@@ -584,7 +584,16 @@ def recommend_corpus(
     # at UDF wrap time, so executors must already have the package
     ensure_py_deps(spark)
 
+    def _cluster_key(p: str) -> "tuple[str, str]":
+        # python twin of the (dir, ext) SQL derivation below — used only
+        # to SIZE the sample-sniff stage when the listing is local
+        d = p[: p.rfind("/")] if "/" in p else p
+        name = p.rsplit("/", 1)[-1]
+        e = name.split(".", 1)[1].lower() if "." in name else ""
+        return (d, e)
+
     n_hint = None
+    n_cluster_hint = None
     if isinstance(source, DataFrame):
         listing = source.select(F.col("path").cast("string"))
     elif isinstance(source, str):
@@ -603,10 +612,12 @@ def recommend_corpus(
                 [(p,) for p in paths], "path string"
             )
             n_hint = len(paths)
+            n_cluster_hint = len({_cluster_key(p) for p in paths})
     else:
         source = list(source)
         listing = spark.createDataFrame([(p,) for p in source], "path string")
         n_hint = len(source)
+        n_cluster_hint = len({_cluster_key(p) for p in source})
 
     base = listing.select(
         "path",
@@ -662,22 +673,52 @@ def recommend_corpus(
     else:
         todo = base
 
-    def _distribute(df):
+    def _distribute(df, rows_hint):
         # enough partitions that a million-file sniff spreads evenly,
-        # keyed by path so retries are deterministic; when the listing
-        # size is known, cap at ~64 files per task so a small corpus is
-        # not taxed with hundreds of near-empty Python-worker tasks
+        # keyed by path so retries are deterministic; when the row count
+        # flowing into THIS sniff stage is known, cap at ~64 files per
+        # task so a small stage is not taxed with hundreds of
+        # near-empty Python-worker tasks. The explicit count matters:
+        # AQE coalesces by shuffle BYTES, and a million tiny path rows
+        # would coalesce into one task even though every row costs a
+        # head_bytes read downstream.
         n = max(spark.sparkContext.defaultParallelism * 4, 8)
-        if n_hint is not None:
-            n = max(1, min(n, -(-n_hint // 64)))
+        if rows_hint is not None:
+            n = max(1, min(n, -(-rows_hint // 64)))
         return df.repartition(n, "path")
 
+    # the sample stage sniffs at most samples_per_cluster files per
+    # cluster — sizing it by the full listing would shuffle a handful of
+    # sample rows into dozens of near-empty Python tasks
+    n_samp_hint = None
+    if n_cluster_hint is not None:
+        n_samp_hint = samples_per_cluster * n_cluster_hint
+        if n_hint is not None:
+            n_samp_hint = min(n_hint, n_samp_hint)
+
     w = Window.partitionBy("dir", "ext").orderBy(F.xxhash64("path"), "path")
-    ranked = todo.withColumn("_rn", F.row_number().over(w))
+    # localCheckpoint (eager): the ranked listing feeds both the sample
+    # branch and the propagation branch — without the cut, the
+    # full-listing window sort (the only listing-sized sort in the
+    # operator) executes once per consumer. Listing rows are metadata
+    # (~100 bytes/path), so even a million-file lake materializes tens
+    # of MB of executor storage.
+    ranked = todo.withColumn("_rn", F.row_number().over(w)).localCheckpoint()
     sampled = ranked.filter(F.col("_rn") <= samples_per_cluster).drop("_rn")
     rest = ranked.filter(F.col("_rn") > samples_per_cluster).drop("_rn")
 
-    sampled_v = _distribute(sampled).mapInPandas(_sniff, verdict_schema)
+    # localCheckpoint (eager): the sampled verdicts feed BOTH the output
+    # union and the consensus aggregate — without materialization the
+    # whole sniff stage (window shuffle + Python stage + head reads)
+    # executes once per consumer, since Python stages are opaque to
+    # exchange reuse. The table is small by construction (at most
+    # samples_per_cluster rows per (dir, ext) cluster), so executor
+    # storage cost is metadata-sized even for a million-file lake.
+    sampled_v = (
+        _distribute(sampled, n_samp_hint)
+        .mapInPandas(_sniff, verdict_schema)
+        .localCheckpoint()
+    )
 
     consensus = sampled_v.groupBy("dir", "ext").agg(
         F.count_distinct("datatype").alias("_n_dt"),
@@ -685,9 +726,12 @@ def recommend_corpus(
         .alias("_n_null"),
         F.min("datatype").alias("_dt"),
     )
-    unanimous = consensus.filter(
-        (F.col("_n_dt") == 1) & (F.col("_n_null") == 0)
-    ).select("dir", "ext", "_dt")
+    # one row per cluster — materialized once, consumed by the
+    # propagation join, the disputed anti-join, and the disputed-count
+    # gate below
+    cons = consensus.localCheckpoint()
+    is_unanimous = (F.col("_n_dt") == 1) & (F.col("_n_null") == 0)
+    unanimous = cons.filter(is_unanimous).select("dir", "ext", "_dt")
 
     propagated = rest.join(unanimous, ["dir", "ext"]).select(
         "path", "dir", "ext",
@@ -695,11 +739,19 @@ def recommend_corpus(
         F.lit(None).cast("double").alias("score"),
         F.lit("cluster").alias("via"),
     )
-    disputed = rest.join(unanimous.select("dir", "ext"),
-                         ["dir", "ext"], "left_anti")
-    disputed_v = _distribute(disputed).mapInPandas(_sniff, verdict_schema)
-
-    fresh = sampled_v.unionByName(propagated).unionByName(disputed_v)
+    fresh = sampled_v.unionByName(propagated)
+    # the disputed fallback (sniff every member of a non-unanimous
+    # cluster) only enters the plan when a disputed cluster exists —
+    # the count is a cluster-sized job over the checkpointed consensus,
+    # and on the common all-unanimous corpus it saves a full-listing
+    # anti-join plus an empty Python stage per call
+    if cons.filter(~is_unanimous).count():
+        disputed = rest.join(unanimous.select("dir", "ext"),
+                             ["dir", "ext"], "left_anti")
+        disputed_v = _distribute(disputed, n_hint).mapInPandas(
+            _sniff, verdict_schema
+        )
+        fresh = fresh.unionByName(disputed_v)
     if cache_path:
         # append the new verdicts (eager action: the sniff runs exactly
         # once), then answer purely from the registry — the returned
