@@ -1042,7 +1042,20 @@ def codec_roundtrip_stats(
             out["exact"] = out["exact"].astype("int32")
             yield out
 
-    return df.select(id_col, text_col).mapInPandas(run, schema=out_schema)
+    # spread the codec work across the executors: the per-row cost is
+    # milliseconds of CPU (encode+decode through real coders), while the
+    # input is a narrow text table that typically arrives as one or two
+    # parquet splits — without the repartition the whole stage runs on
+    # the scan's task count (measured: one 1.6 MB row group = ONE core
+    # doing ~4 s of codec work while 31 idle). Round-robin keeps the
+    # spread even and deterministic under retries; the shuffle moves
+    # only (id, text).
+    par = df.sparkSession.sparkContext.defaultParallelism
+    return (
+        df.select(id_col, text_col)
+        .repartition(par)
+        .mapInPandas(run, schema=out_schema)
+    )
 
 
 def frame_sample_plan(df: DataFrame, content_col: str = "content", every_n: int = 30) -> DataFrame:
