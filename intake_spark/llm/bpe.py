@@ -33,6 +33,9 @@ EOW = "</w>"
 def word_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Corpus → (word, count): the one corpus-sized aggregation of BPE
     training (partial-combining hash agg on the token key)."""
+    from intake_spark.session import spread_small_scan
+
+    df = spread_small_scan(df.select(F.col(text_col)))
     return (
         df.select(F.explode(F.split(F.col(text_col), " ")).alias("word"))
         .filter(F.length("word") > 0)

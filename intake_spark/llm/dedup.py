@@ -50,6 +50,12 @@ def shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: i
     Uses sequence/slice higher-order functions (JVM-side). Documents with
     fewer than k tokens produce no shingles.
     """
+    from intake_spark.session import spread_small_scan
+
+    # the explode + per-shingle hashing above a small single-split scan
+    # otherwise runs on the scan's one task (spread_small_scan is a
+    # no-op when the scan already has cluster-wide splits)
+    df = spread_small_scan(df.select(F.col(id_col), F.col(text_col)))
     w = F.split(F.col(text_col), " ")
     df = df.select(F.col(id_col), w.alias("_w")).filter(F.size("_w") >= k)
     sh = F.expr(f"transform(sequence(1, size(_w) - {k - 1}), i -> concat_ws(' ', slice(_w, i, {k})))")
@@ -173,6 +179,12 @@ def minhash_signatures(
         ).alias(f"mh{j}")
         for j, (a, b) in enumerate(_affine_coeffs(num_hashes))
     ]
+    from intake_spark.session import spread_small_scan
+
+    # one md5 + num_hashes affine folds per shingle is the heaviest
+    # mapper in the dedup family — spread it when the scan is a single
+    # split (no-op on streaming frames and well-split inputs)
+    df = spread_small_scan(df.select(F.col(id_col), F.col(text_col)))
     return (
         df.select(F.col(id_col), w.alias("_w"))
         .filter(F.size("_w") >= k)
@@ -377,6 +389,9 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits:
         # band over those bits puts EVERY document in one bucket — the
         # all-pairs blowup the banding guards exist to prevent
         raise ValueError(f"bits must be in [1, 32] (32-bit base hash), got {bits}")
+    from intake_spark.session import spread_small_scan
+
+    df = spread_small_scan(df.select(F.col(id_col), F.col(text_col)))
     w = F.explode(F.split(F.col(text_col), " ")).alias("tok")
     toks = df.select(F.col(id_col), w)
     h = base_hash(F.col("tok"))
@@ -684,7 +699,13 @@ def embedding_near_dup_pairs(
     # bit-identical dot / sqrt(na2 * nb2) expression, at 1/3 the fold work
     v = df.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v"))
     v = v.withColumn("_n2", norm2_expr("_v"))
-    a = v.select(F.col(id_col).alias("id_a"), F.col("_v").alias("va"), F.col("_n2").alias("na2"))
+    # spread the stream side of the nested-loop join: a max_rows-capped
+    # input usually arrives as one parquet split, and the O(n^2) pair
+    # evaluation (64 fold ops per pair) otherwise runs on that single
+    # task while the rest of the cluster idles. The broadcast side stays
+    # un-shuffled; only (id, vec, n2) of the capped stream side moves.
+    par = df.sparkSession.sparkContext.defaultParallelism
+    a = v.select(F.col(id_col).alias("id_a"), F.col("_v").alias("va"), F.col("_n2").alias("na2")).repartition(par)
     b = v.select(F.col(id_col).alias("id_b"), F.col("_v").alias("vb"), F.col("_n2").alias("nb2"))
     return (
         a.crossJoin(b)
@@ -875,6 +896,9 @@ def winnow_fingerprints(
     runs unchanged on a streaming frame; at 100 TB the output is a
     (doc_id, fingerprint) pair table ~1/(window) the k-gram volume,
     bucketable on fingerprint for the downstream dup-candidate join."""
+    from intake_spark.session import spread_small_scan
+
+    df = spread_small_scan(df.select(F.col(id_col), F.col(text_col)))
     w = F.split(F.col(text_col), " ")
     grams = F.expr(
         f"transform(sequence(1, size(_w) - {k - 1}), "
@@ -967,9 +991,16 @@ def dup_spans(
     cost is linear in corpus token count. Parity: the reference has no
     substring-level dedup operator; this extends its dedup family
     (reference readers delegate corpus dedup entirely)."""
+    from intake_spark.session import spread_small_scan
+
     ws = F.filter(F.split(F.col(text_col), " "), lambda x: F.length(x) > 0)
+    # the per-position k-token window emission is the heaviest text
+    # mapper in the family, and the occurrence subtree feeds both the
+    # count aggregate and the join back — spread an under-split scan so
+    # it never serializes on one task (no-op on well-split inputs)
     occ = (
-        df.select(F.col(id_col), ws.alias("_w"))
+        spread_small_scan(df.select(F.col(id_col), F.col(text_col)))
+        .select(F.col(id_col), ws.alias("_w"))
         .filter(F.size("_w") >= k)
         .select(
             id_col,

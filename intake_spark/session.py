@@ -206,6 +206,34 @@ def load_tables(spark: SparkSession, sf_dir: str, names=TABLE_NAMES):
     return {n: load_table(spark, sf_dir, n) for n in names}
 
 
+def spread_small_scan(df, min_parts: int | None = None):
+    """Round-robin repartition a DataFrame whose current plan has fewer
+    partitions than the cluster's parallelism — a no-op (NO shuffle)
+    otherwise.
+
+    The trap this guards: a small input file (one parquet row group, one
+    gzip member) scans as a single task, and every per-row mapper above
+    it — shingle explode, signature hashing, quality-rule expression
+    stacks — runs serially until the first exchange, however many cores
+    the cluster has. A repartition cannot parallelize the SCAN itself
+    (a row group is unsplittable), so this only pays where the
+    downstream per-row work outweighs one small shuffle; call it at
+    those operators' entry, not on every load. At real scale the scan
+    has more splits than cores and this returns the input unchanged, so
+    no shuffle is added where the natural partitioning is already
+    right (the repartition-or-not decision is data-adaptive, never a
+    tuned constant). Streaming DataFrames are returned unchanged
+    (``df.rdd`` is undefined for them; their micro-batch sources size
+    their own partitions)."""
+    if df.isStreaming:
+        return df
+    sc = df.sparkSession.sparkContext
+    par = min_parts if min_parts is not None else sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= par:
+        return df
+    return df.repartition(par)
+
+
 def ntz_epoch_micros(ref: str):
     """Naive-epoch microseconds of a TIMESTAMP_NTZ expression via pure
     FIELD EXTRACTION — timezone-proof by construction. ``ref`` is an SQL

@@ -1016,9 +1016,15 @@ def test_new_operator_plan_shapes(spark, docs):
         plan = df._jdf.queryExecution().executedPlan().toString()
         return plan.count("Exchange hashpartitioning"), plan
 
-    # signatures: mapper-only, ZERO exchanges
+    # signatures: mapper-only — ZERO keyed exchanges. A single
+    # ROUND-ROBIN balancing exchange is allowed: spread_small_scan
+    # rebalances an under-split input (one parquet row group = one
+    # task doing all the md5/fold work) and is a no-op on well-split
+    # inputs, so the scale contract — nothing is ever shuffled BY KEY
+    # to compute a signature — is unchanged.
     n, plan = exchanges(dd.minhash_signatures(docs, num_hashes=16))
-    assert n == 0 and "Exchange" not in plan
+    assert n == 0
+    assert plan.count("Exchange") <= plan.count("RoundRobinPartitioning")
     # block dedup: digest count + doc rollup (broadcast join adds none)
     n, _ = exchanges(dd.block_dup_stats(docs))
     assert n <= 3
