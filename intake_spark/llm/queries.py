@@ -4998,7 +4998,12 @@ def q145_kafka_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     srv = LoopbackKafka({"docs": parts}, compression="gzip",
                         max_conns=None)
     work = tempfile.mkdtemp(prefix="q145_")
-    attempt_dirs = iter(("a", "b"))
+    # unbounded: must cover however many attempts drain_stream makes (a
+    # fixed 2-dir iterator raised StopIteration when the retry budget
+    # grew to 3 — observed as a bench error in a degraded window)
+    import itertools
+
+    attempt_dirs = (f"a{i}" for i in itertools.count())
 
     def _start():
         # fresh out/ckpt dirs per attempt: a spawn-failed first attempt
