@@ -470,8 +470,10 @@ def drain_stream(start_fn, timeout_s: float = 300.0, what: str = "stream"):
     was measured insufficient under a sustained degraded window (both
     attempts landed in the same contention burst), hence two. Every
     other failure, including a drain timeout, stays fatal and loud."""
+    import time as _time
+
     transient = ("failed to connect back", "CANNOT_OPEN_SOCKET")
-    attempts = 3
+    attempts = 4
     for attempt in range(attempts):
         q = start_fn()
         try:
@@ -485,6 +487,11 @@ def drain_stream(start_fn, timeout_s: float = 300.0, what: str = "stream"):
             if attempt < attempts - 1 and any(
                 s in str(exc) for s in transient
             ):
+                # host-contention bursts that kill the spawn last longer
+                # than a back-to-back retry: observed three consecutive
+                # attempts dying inside one burst. A growing pause gives
+                # the burst time to pass before the next spawn.
+                _time.sleep(5 * (attempt + 1))
                 continue
             raise
 

@@ -736,13 +736,18 @@ def test_stream_phash_dup_flags_matches_batch(spark, tmp_path):
     assert got == expected
 
 
-def test_drain_stream_retries_transient_spawn_failures():
+def test_drain_stream_retries_transient_spawn_failures(monkeypatch):
     """drain_stream retries the Python-worker spawn flake (both the JVM
-    accept signature and the worker-side CANNOT_OPEN_SOCKET) up to two
-    times with a FRESH query per attempt, and stays fatal for every
-    other failure including a drain timeout. Pure-fake harness: no
-    Spark session involved."""
+    accept signature and the worker-side CANNOT_OPEN_SOCKET) up to
+    three times with a FRESH query per attempt and a growing backoff
+    between attempts, and stays fatal for every other failure including
+    a drain timeout. Pure-fake harness: no Spark session involved; the
+    backoff sleep is stubbed out."""
+    import time as _time
+
     from intake_spark.streaming import drain_stream
+
+    monkeypatch.setattr(_time, "sleep", lambda s: None)
 
     class FakeQuery:
         def __init__(self, fail_with=None, finish=True):
@@ -758,10 +763,11 @@ def test_drain_stream_retries_transient_spawn_failures():
         def stop(self):
             self.stopped = True
 
-    # two transient failures (one of each signature), then success
+    # three transient failures (both signatures), then success
     seq = [
         FakeQuery(fail_with="Python worker failed to connect back"),
         FakeQuery(fail_with="[CANNOT_OPEN_SOCKET] Can not open socket"),
+        FakeQuery(fail_with="failed to connect back"),
         FakeQuery(),
     ]
     started = []
@@ -772,14 +778,14 @@ def test_drain_stream_retries_transient_spawn_failures():
         return q
 
     drain_stream(start_fn, timeout_s=1.0, what="fake")
-    assert len(started) == 3  # fresh query per attempt
+    assert len(started) == 4  # fresh query per attempt
 
-    # three transient failures exhaust the retries and surface the error
-    seq = [FakeQuery(fail_with="failed to connect back") for _ in range(3)]
+    # four transient failures exhaust the retries and surface the error
+    seq = [FakeQuery(fail_with="failed to connect back") for _ in range(4)]
     started = []
     with pytest.raises(RuntimeError, match="connect back"):
         drain_stream(start_fn, timeout_s=1.0, what="fake")
-    assert len(started) == 3
+    assert len(started) == 4
 
     # a non-transient failure is fatal on the FIRST attempt
     seq = [FakeQuery(fail_with="some other explosion")]
