@@ -83,6 +83,19 @@ def main() -> None:
     import time as _time
 
     _t0 = _time.time()
+    # prewarm observability (r11 verdict #1): record the daemon module
+    # actually in effect plus a per-worker probe — whether the codec
+    # stack was ALREADY imported when the worker was forked (inherited
+    # from the prewarm daemon) and what the residual import cost was.
+    # This makes "did the prewarm engage in THIS environment?" a fact in
+    # the artifact instead of a builder claim.
+    prewarm_info: dict = {}
+    try:
+        prewarm_info["daemon_module"] = spark.conf.get(
+            "spark.python.daemon.module", ""
+        )
+    except Exception:
+        prewarm_info["daemon_module"] = ""
     try:
         from intake_spark.session import ensure_py_deps
 
@@ -93,6 +106,12 @@ def main() -> None:
             # dispatch imports jpeg2000/flac/vorbis/webp lazily, and a
             # worker importing them from the shipped zip pays py-compile
             # with no pycache — the actual per-worker cold cost
+            import os as _os
+            import sys as _sys
+            import time as _t
+
+            marker = "intake_spark.llm.jpeg2000" in _sys.modules
+            _i0 = _t.time()
             import numpy  # noqa: F401
 
             import intake_spark.compress  # noqa: F401
@@ -107,12 +126,34 @@ def main() -> None:
             import intake_spark.llm.webp  # noqa: F401
             import intake_spark.output  # noqa: F401
 
-            yield from batches
+            cost = _t.time() - _i0
+            import pandas as _pd
+
+            for b in batches:
+                yield _pd.DataFrame(
+                    {
+                        "pid": [_os.getpid()],
+                        "inherited": [marker],
+                        "import_s": [cost],
+                    }
+                )
 
         _n = spark.sparkContext.defaultParallelism * 2
-        spark.range(_n, numPartitions=_n).mapInPandas(
-            _warm, "id long"
-        ).count()
+        rows = (
+            spark.range(_n, numPartitions=_n)
+            .mapInPandas(_warm, "pid long, inherited boolean, import_s double")
+            .collect()
+        )
+        pids = {r.pid for r in rows}
+        prewarm_info.update(
+            {
+                "workers": len(pids),
+                "inherited_prewarm": len({r.pid for r in rows if r.inherited}),
+                "max_worker_import_s": round(max(r.import_s for r in rows), 3)
+                if rows
+                else None,
+            }
+        )
         warm_cost = {"shared:pyworker_warmup": round(_time.time() - _t0, 4)}
     except Exception:
         warm_cost = {}
@@ -182,6 +223,18 @@ def main() -> None:
             return 0, 0
 
     errors: dict[str, str] = {}
+    # per-query transient-spawn retry counts (verdict #8): a drain_stream
+    # retry runs INSIDE the timed region, so a retried streaming query's
+    # sample is honestly slow — this map says which samples carried one
+    stream_retries: dict[str, int] = {}
+
+    def _retry_count() -> int:
+        try:
+            from intake_spark import streaming as _stg
+
+            return _stg.RETRY_COUNT
+        except Exception:
+            return 0
 
     def measure(round_count: int) -> tuple[dict[str, list[float]], float]:
         """One full interleaved measurement pass; returns (samples,
@@ -195,6 +248,7 @@ def main() -> None:
             for name in names:
                 if name in errors:
                     continue
+                r0 = _retry_count()
                 t0 = time.perf_counter()
                 try:
                     df = queries[name](spark, sf_dir)
@@ -203,6 +257,9 @@ def main() -> None:
                     errors[name] = f"{type(exc).__name__}: {exc}"[:500]
                     continue
                 out[name].append(time.perf_counter() - t0)
+                dr = _retry_count() - r0
+                if dr:
+                    stream_retries[name] = stream_retries.get(name, 0) + dr
         s1, t1_ = _proc_stat()
         steal_pct = (s1 - s0) / max(1, t1_ - t0_)
         return out, steal_pct
@@ -348,15 +405,54 @@ def main() -> None:
     flagged.sort(reverse=True)
 
     if degraded:
-        # one verdict for the whole run; suite medians stand, the ledger
-        # keeps the last clean baseline, and the driver artifact says
-        # loudly that this window was noisy
+        # One verdict for the whole run; the ledger keeps the last clean
+        # baseline, and the driver artifact says loudly that this window
+        # was noisy. r12 fix: the worst-hit queries still get a bounded
+        # quiet re-measure. The old branch recorded KNOWN-contaminated
+        # suite medians unexamined, which is how 2.5 s media/streaming
+        # queries published 8-19 s in r11 (a minutes-scale steal burst
+        # multiplies the latency-sensitive all-core queries 4-8x while
+        # the short pure-JVM controls read only 1.5x): a query whose
+        # median exceeds 2x its clean baseline, or whose steady spread
+        # blew past 0.5, is re-measured alone and min(suite, quiet) is
+        # recorded — host noise is strictly additive, so the lower
+        # honest measurement is closer to the true cost (the same
+        # min-rule the non-degraded path has used since r11 s7). The
+        # cap keeps a fully-degraded run from re-measuring the world;
+        # everything else keeps the window-degraded stamp unchanged.
+        over2x = [
+            n
+            for n, med in timings.items()
+            if prev.get(n) and med > 2 * prev[n]
+        ]
+        targets = list(dict.fromkeys(mandatory + over2x))
+        targets.sort(key=lambda n: -(timings[n] - (prev.get(n) or 0.0)))
+        targets = targets[:20]
+        for n in targets:
+            qmed = _quiet_measure(n)
+            suite_med = timings[n]
+            rec = min(qmed, suite_med)
+            confirmed = qmed <= suite_med
+            drift_vs_prev[n] = {
+                "prev": prev.get(n),
+                "suite": suite_med,
+                "quiet": qmed,
+                "recorded": rec,
+                "quiet_confirmed": confirmed,
+                "verdict": "window-degraded (quiet re-measured)",
+            }
+            timings[n] = rec
+        done = set(targets)
         for _, n in flagged:
+            if n in done:
+                continue
             drift_vs_prev[n] = {
                 "prev": prev[n], "suite": timings[n], "quiet": None,
                 "verdict": "window-degraded",
             }
         for n in mandatory:
+            if n in done:
+                continue
             drift_vs_prev[n] = {
                 "prev": prev.get(n), "suite": timings[n], "quiet": None,
                 "verdict": "window-degraded",
@@ -395,7 +491,12 @@ def main() -> None:
                 "recorded": rec,
                 "quiet_confirmed": confirmed,
                 "verdict": (
-                    "noisy-spread (quiet median recorded)" if p is None
+                    (
+                        "noisy-spread (quiet median recorded)"
+                        if confirmed
+                        else "noisy-spread (suite median recorded)"
+                    )
+                    if p is None
                     else ("noise" if abs(rec - p) / p <= 0.20 else "real")
                 ) + note,
             }
@@ -449,6 +550,13 @@ def main() -> None:
             "not steady-state variance — see first_run_excess."
         ),
         "drift_vs_prev": drift_vs_prev,
+        "recording_rule": (
+            "since r11 session 7, drift/mandatory re-measures record "
+            "min(suite median, quiet median) — a downward-biased estimator "
+            "relative to the pre-change quiet-only rule; ledger rows from "
+            "before that change are not like-for-like with rows after it "
+            "(compare via drift_vs_prev.{suite,quiet,recorded})"
+        ),
         "drift_note": (
             "queries whose in-suite median drifted vs the previous recorded "
             "run beyond max(20%, own spread_steady) were re-measured alone "
@@ -457,6 +565,13 @@ def main() -> None:
             "so the in-suite sample was contaminated)"
         ),
         "gc_pinned": os.environ.get("SPARK_GRAFT_DRIVER_JAVA_OPTS", ""),
+        # r11 verdict #1: the daemon module in effect + the per-worker
+        # inheritance probe, so "did the prewarm engage?" is in-band
+        "prewarm": prewarm_info,
+        # r11 verdict #8: per-query transient-spawn retry counts — a
+        # retry runs inside the timed region, so these name the samples
+        # that carried one
+        "stream_retries": stream_retries,
         "samples": {n: [round(x, 4) for x in s] for n, s in samples.items()},
         "repeats": repeats,
         "sf": sf,
@@ -472,7 +587,14 @@ def main() -> None:
             "steal observed (or uniformly >40%); the suite was re-run "
             "once, stayed degraded, and this run's medians must be read "
             "as host-noise-inflated. baseline_queries preserves the last "
-            "clean medians so the next run's drift check stays anchored."
+            "clean medians so the next run's drift check stays anchored. "
+            "Since r12: queries >2x their clean baseline (or with steady "
+            "spread >0.5) are still quiet-re-measured inside a degraded "
+            "window (capped at 20, min(suite,quiet) recorded) — a "
+            "minutes-scale steal burst multiplies long all-core "
+            "streaming/media queries 4-8x while the controls read 1.5x, "
+            "and the old branch published those contaminated medians "
+            "unexamined."
         ),
     }
     # Anchor the next run's drift baseline. A window-degraded run keeps
@@ -538,6 +660,10 @@ def main() -> None:
     }
     if errors:
         line["errors"] = {n.split("_", 1)[0]: e[:120] for n, e in errors.items()}
+    if stream_retries:
+        line["retries"] = {
+            n.split("_", 1)[0]: c for n, c in stream_retries.items()
+        }
     sys.stdout.flush()
     print(json.dumps(line, separators=(",", ":")))
     sys.stdout.flush()

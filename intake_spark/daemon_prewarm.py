@@ -19,14 +19,28 @@ because a daemon module that fails to import kills every task.
 
 All imports are best-effort: a missing optional dependency must not
 take down the daemon (the worker will surface the real ImportError on
-the task that actually needs it).
+the task that actually needs it) — but a failure is LOGGED to the
+daemon's stderr (which lands in the executor/JVM log), never swallowed
+silently: the r11 verdict's finding was that zero observability here
+made "did the prewarm engage?" unanswerable from the driver's artifacts.
+
+After the imports the daemon calls ``gc.freeze()``: every forked worker
+runs ``gc.collect()`` after EACH completed task (pyspark daemon.py), and
+without freezing, that collection traverses the ~10^6 objects of the
+inherited module graph — touching every refcount and COW-unsharing the
+daemon's shared pages in all 32 workers at once. Freezing moves the
+inherited heap to the permanent generation: per-task collections see
+only task-created objects, and the prewarmed pages stay shared
+(CPython documents exactly this POSIX-fork-server pattern).
 """
 
 from __future__ import annotations
 
 if __name__ == "__main__":
     import importlib
+    import sys as _sys
 
+    _failed: list[str] = []
     for _mod in (
         "numpy",
         "pandas",
@@ -51,8 +65,26 @@ if __name__ == "__main__":
     ):
         try:
             importlib.import_module(_mod)
-        except Exception:  # noqa: BLE001 — optional at daemon time
-            pass
+        except Exception as _exc:  # noqa: BLE001 — optional at daemon time
+            _failed.append(f"{_mod}: {type(_exc).__name__}: {_exc}")
+    if _failed:
+        print(
+            "intake_spark.daemon_prewarm: %d prewarm import(s) failed "
+            "(workers will re-import on first use): %s"
+            % (len(_failed), "; ".join(_failed)),
+            file=_sys.stderr,
+            flush=True,
+        )
+    else:
+        print(
+            "intake_spark.daemon_prewarm: engaged (all prewarm imports ok)",
+            file=_sys.stderr,
+            flush=True,
+        )
+
+    import gc as _gc
+
+    _gc.freeze()
 
     from pyspark.daemon import manager
 

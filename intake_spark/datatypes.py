@@ -572,6 +572,16 @@ def recommend_corpus(
     Reference surface: ``recommend`` (reference datatypes.py:1886-2045)
     is single-URL only; this distributed form is the rebuild's
     scale-mandated extension (SURVEY.md §7's detection plan).
+
+    EXECUTION SEMANTICS (r11 restructure): this function runs EAGERLY —
+    the ranked listing, the sampled sniff verdicts and the per-cluster
+    consensus are materialized at call time via ``localCheckpoint`` (all
+    metadata-sized), because each subtree is consumed by several plan
+    branches and a lazy plan re-executed them per consumer.
+    ``localCheckpoint`` data is not recomputable after executor loss: on
+    a long-lived cluster session, treat the returned DataFrame as a
+    result to consume (or write out) promptly, not as a lazy plan to
+    hold across executor churn.
     """
     import os
 

@@ -116,30 +116,47 @@ def audio_landmarks(
     from intake_spark.session import ensure_py_deps
 
     ensure_py_deps(df.sparkSession)
-    out_schema = T.StructType(
-        [df.schema[id_col]] + list(AUDIO_LANDMARK_SCHEMA.fields)
+    # The mapper emits ONE array row per recording and the explode to
+    # (id, landmark) rows happens JVM-side: a recording carries ~100+
+    # landmarks, so per-landmark Python tuples + the Arrow transpose of
+    # the exploded frame dominated the mapper's cost (measured: ~0.8 ms
+    # of FFT per rendition vs ~2 ms of row building at sf0.1 — guide
+    # §4.2/§2.3, move fewer rows across the Python boundary). An err row
+    # is an array of ONE null landmark, so the explode yields exactly
+    # the old (id, NULL, err) row; an empty landmark set is an empty
+    # array, dropped by explode exactly as the old code emitted nothing.
+    mid_schema = T.StructType(
+        [
+            df.schema[id_col],
+            T.StructField("lms", T.ArrayType(T.LongType(), True), False),
+            T.StructField("err", T.StringType(), True),
+        ]
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from intake_spark.llm.multimodal import decode_audio_full
 
         for pdf in batches:
-            rows = []
+            ids, arrs, errs = [], [], []
             for aid, blob in zip(pdf[id_col], pdf[audio_col]):
                 try:
                     _rate, arr, _sw = decode_audio_full(bytes(blob))
-                    for lm in sorted(landmarks(arr)):
-                        rows.append((aid, lm, None))
+                    ids.append(aid)
+                    arrs.append(sorted(landmarks(arr)))
+                    errs.append(None)
                 except (ValueError, NotImplementedError, KeyError,
                         IndexError, EOFError, struct_error,
                         wave.Error, zlib.error) as exc:
-                    rows.append((aid, None,
-                                 f"{type(exc).__name__}: {exc}"))
-            yield pd.DataFrame(
-                rows, columns=[id_col, "landmark", "err"]
-            )
+                    ids.append(aid)
+                    arrs.append([None])
+                    errs.append(f"{type(exc).__name__}: {exc}")
+            yield pd.DataFrame({id_col: ids, "lms": arrs, "err": errs})
 
-    return df.select(id_col, audio_col).mapInPandas(run, out_schema)
+    return (
+        df.select(id_col, audio_col)
+        .mapInPandas(run, mid_schema)
+        .select(id_col, F.explode("lms").alias("landmark"), "err")
+    )
 
 
 def landmark_match_pairs(

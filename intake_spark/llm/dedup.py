@@ -704,8 +704,14 @@ def embedding_near_dup_pairs(
     # evaluation (64 fold ops per pair) otherwise runs on that single
     # task while the rest of the cluster idles. The broadcast side stays
     # un-shuffled; only (id, vec, n2) of the capped stream side moves.
-    par = df.sparkSession.sparkContext.defaultParallelism
-    a = v.select(F.col(id_col).alias("id_a"), F.col("_v").alias("va"), F.col("_n2").alias("na2")).repartition(par)
+    # Data-adaptive (r11 ADVICE): spread_small_scan is a no-op when the
+    # input is already split at least cluster-wide, so a well-partitioned
+    # frame pays no extra shuffle here.
+    from intake_spark.session import spread_small_scan
+
+    a = spread_small_scan(
+        v.select(F.col(id_col).alias("id_a"), F.col("_v").alias("va"), F.col("_n2").alias("na2"))
+    )
     b = v.select(F.col(id_col).alias("id_b"), F.col("_v").alias("vb"), F.col("_n2").alias("nb2"))
     return (
         a.crossJoin(b)

@@ -224,11 +224,34 @@ def spread_small_scan(df, min_parts: int | None = None):
     right (the repartition-or-not decision is data-adaptive, never a
     tuned constant). Streaming DataFrames are returned unchanged
     (``df.rdd`` is undefined for them; their micro-batch sources size
-    their own partitions)."""
+    their own partitions).
+
+    The partition-count probe (``df.rdd.getNumPartitions``) is gated on
+    the frame being SCAN-SHAPED (scan + filters/projections only): under
+    AQE, ``df.rdd`` on a frame that already contains shuffle-inducing
+    operators materializes the upstream query stages as a throwaway job
+    — silently executing that work twice (r11 ADVICE). A frame with an
+    exchange in it is partitioned by ``spark.sql.shuffle.partitions``
+    (== the cluster parallelism here) anyway, so returning it unchanged
+    is both safe and what the probe would have decided."""
     if df.isStreaming:
         return df
     sc = df.sparkSession.sparkContext
     par = min_parts if min_parts is not None else sc.defaultParallelism
+    try:
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        scan_shaped = all(
+            ln.lstrip(" +-:").startswith(
+                ("Project", "Filter", "Relation", "LogicalRDD",
+                 "LocalRelation", "ColumnPruning")
+            )
+            for ln in plan.splitlines()
+            if ln.strip(" +-:")
+        )
+    except Exception:
+        scan_shaped = False
+    if not scan_shaped:
+        return df
     if df.rdd.getNumPartitions() >= par:
         return df
     return df.repartition(par)

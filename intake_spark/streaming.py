@@ -453,9 +453,16 @@ def stream_phash_dup_flags(
     return _first_claim_band_flags(banded, id_col)
 
 
+# monotonic count of transient-spawn retries taken by drain_stream —
+# sampled by bench.py around each timed streaming query (verdict #8:
+# a retry inflates the timed region; the ledger must say so)
+RETRY_COUNT = 0
+
+
 def drain_stream(start_fn, timeout_s: float = 300.0, what: str = "stream"):
     """Start and fully drain an available-now micro-stream, retrying (up
-    to twice) when startup dies in the Python-worker spawn path.
+    to three times — 4 attempts total, 5/10/15 s growing backoff) when
+    startup dies in the Python-worker spawn path.
 
     ``start_fn`` must start a FRESH streaming query each call (new
     checkpoint/work dirs where the sink needs them): a cold
@@ -468,8 +475,16 @@ def drain_stream(start_fn, timeout_s: float = 300.0, what: str = "stream"):
     failure is transient (the retry hits a warm path), so retrying
     converts a flaky hard failure into a slow first run; a single retry
     was measured insufficient under a sustained degraded window (both
-    attempts landed in the same contention burst), hence two. Every
-    other failure, including a drain timeout, stays fatal and loud."""
+    attempts landed in the same contention burst), hence three with a
+    growing pause between them. Every
+    other failure, including a drain timeout, stays fatal and loud.
+
+    Every retry increments the module-level ``RETRY_COUNT`` (monotonic,
+    never reset here): harnesses that time streaming queries can sample
+    it around each run so a retry — which happens INSIDE the timed
+    region and inflates that run's wall clock — is visible in the
+    published artifact instead of masquerading as a slow query
+    (r11 verdict item #8)."""
     import time as _time
 
     transient = ("failed to connect back", "CANNOT_OPEN_SOCKET")
@@ -487,6 +502,8 @@ def drain_stream(start_fn, timeout_s: float = 300.0, what: str = "stream"):
             if attempt < attempts - 1 and any(
                 s in str(exc) for s in transient
             ):
+                global RETRY_COUNT
+                RETRY_COUNT += 1
                 # host-contention bursts that kill the spawn last longer
                 # than a back-to-back retry: observed three consecutive
                 # attempts dying inside one burst. A growing pause gives

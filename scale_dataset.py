@@ -23,8 +23,22 @@ table):
   replication factor (the annotated r3/r7 effect) instead of measuring
   the engine.
 
-Usage: python scale_dataset.py [out_dir] [copies] [src_dir]
-Defaults: /tmp/sfscale/sf1.0  10  /root/testdata/sf0.1
+Usage: python scale_dataset.py [out_dir] [copies] [src_dir] [row_group_rows]
+Defaults: /tmp/sfscale/sf1.0  10  /root/testdata/sf0.1  8192
+
+``row_group_rows`` (r11 verdict #5): the driver's sf parquet is ONE row
+group per table, so every scan is one task and per-row mapper work runs
+serially until the first exchange — the single-row-group trap
+spread_small_scan exists for. Writing scale-experiment data with many
+row groups makes the 100 TB posture testable locally: Spark assigns a
+file's row groups to byte-range splits (maxSplitBytes =
+min(maxPartitionBytes, max(openCostInBytes, bytes/minPartitionNum))),
+so a multi-row-group file splits into ~bytes/4 MB tasks by default
+(openCostInBytes floors the split size at 4 MB) — set
+spark.sql.files.openCostInBytes lower in the experiment session when
+the goal is split-count ≥ cores on MB-scale fixtures. With splits ≥
+parallelism, spread_small_scan's probe sees a well-split input and adds
+no exchange (its designed no-op path).
 """
 
 from __future__ import annotations
@@ -39,6 +53,7 @@ def main() -> None:
     out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sfscale/sf1.0"
     copies = int(sys.argv[2]) if len(sys.argv) > 2 else 10
     src = sys.argv[3] if len(sys.argv) > 3 else "/root/testdata/sf0.1"
+    rg_rows = int(sys.argv[4]) if len(sys.argv) > 4 else 8192
     os.makedirs(out, exist_ok=True)
 
     import duckdb
@@ -52,7 +67,8 @@ def main() -> None:
         parts = [select_for_copy(i) for i in range(copies)]
         sql = " UNION ALL ".join(parts)
         con.sql(
-            f"COPY ({sql}) TO '{out}/{table}.parquet' (FORMAT PARQUET)"
+            f"COPY ({sql}) TO '{out}/{table}.parquet' "
+            f"(FORMAT PARQUET, ROW_GROUP_SIZE {rg_rows})"
         )
         n = con.sql(f"SELECT count(*) FROM '{out}/{table}.parquet'").fetchone()[0]
         print(f"{table}: {n} rows")
@@ -115,7 +131,8 @@ def main() -> None:
             "embedding": pa.array(rolled.tolist(), type=pa.list_(pa.float32())),
             "label": pa.array(labels, type=pa.int32()),
         }))
-    pq.write_table(pa.concat_tables(tables), f"{out}/embeddings.parquet")
+    pq.write_table(pa.concat_tables(tables), f"{out}/embeddings.parquet",
+                   row_group_size=rg_rows)
     n = con.sql(f"SELECT count(*) FROM '{out}/embeddings.parquet'").fetchone()[0]
     print(f"embeddings: {n} rows")
 
