@@ -12,7 +12,10 @@ import subprocess
 import sys
 import textwrap
 
+import pytest
 
+
+@pytest.mark.slow  # config-matrix sweep; default gate runs ANSI default
 def test_ansi_off_matches_oracle_subset():
     script = textwrap.dedent(
         """
@@ -111,6 +114,7 @@ def test_ntz_epoch_micros_dst_gap_non_utc_session():
     assert "NTZ-DST-OK" in out.stdout, out.stdout[-1500:] + out.stderr[-1500:]
 
 
+@pytest.mark.slow  # TZ core covered by test_ntz_epoch_micros_dst_gap_non_utc_session
 def test_non_utc_session_matches_oracle_time_subset():
     """The driver's session timezone is unknown; every time-bearing query
     must be oracle-identical under a non-UTC session. A full manual

@@ -256,6 +256,7 @@ def test_dup_groups_chain(spark):
     assert set(out.values()) == {0} and len(out) == 13
 
 
+@pytest.mark.slow  # adversarial 10k chain; core covered by test_dup_groups_chain/_small
 def test_dup_groups_star_adversarial_chain(spark):
     """Large-star/small-star arm: a 10k-node chain (diameter 10k, where
     min-label propagation would need 10k rounds) converges within

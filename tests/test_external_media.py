@@ -41,6 +41,7 @@ _pngs = _collect(REF_PNG_DIRS, "*.png")
 _gifs = _collect(SYS_GIF_DIRS, "*.gif")
 
 
+@pytest.mark.slow  # external corpus sweep; PNG bit-exactness covered by unit codec tests
 @pytest.mark.skipif(not _pngs, reason="reference docs PNGs absent")
 def test_external_pngs_decode():
     import numpy as np

@@ -1336,6 +1336,7 @@ def test_round5_session2_plan_shapes(spark, docs):
     assert "BroadcastHashJoin" in p
 
 
+@pytest.mark.slow  # randomized sweep; core covered by test_bpe_learn_matches_python_reference
 def test_bpe_random_corpora_match_reference(spark):
     """Randomized corpora (including tie-heavy degenerate ones) must
     reproduce the pure-Python BPE reference exactly — merge sequence AND

@@ -82,6 +82,7 @@ def test_entry_smoke(spark):
     assert len(rows) >= 0 and len(df.schema) > 0
 
 
+@pytest.mark.slow  # whole-registry plan audit; plan shape also machine-checked from plans/
 def test_no_row_udfs_and_sanctioned_cartesians_only(spark):
     """Whole-registry plan audit: no query may contain a row-at-a-time
     Python UDF stage (BatchEvalPython), and cartesian/broadcast-nested-
