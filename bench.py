@@ -314,6 +314,7 @@ def main() -> None:
         "bench_detail.json" if sf == 0.1 else f"bench_detail_sf{sf}.json",
     )
     prev: dict = {}
+    prev_shared: dict = {}
     try:
         with open(detail_path) as f:
             prev_all = json.load(f)
@@ -324,8 +325,10 @@ def main() -> None:
             prev = prev_all.get("baseline_queries") or prev_all.get(
                 "queries", {}
             )
+            prev_shared = prev_all.get("baseline_shared") or {}
     except Exception:
         prev = {}
+        prev_shared = {}
 
     # Degraded-window detection (round-11 automation of the r10 manual
     # adjudication, PERF.md r10): three fixed pure-JVM control queries +
@@ -524,6 +527,43 @@ def main() -> None:
             }
             timings[n] = rec
 
+    # Shared-build drift guard (r12): a shared:* line is a SINGLE
+    # measurement with no repeat/median/quiet protection, and it sits in
+    # the headline `value` — a minutes-scale steal burst during prewarm
+    # published dup_spans at 24.4 s (vs ~6 s quiet) in the r11 driver
+    # run, unexamined. Any rebuildable shared line that exceeds 2x its
+    # recorded clean baseline is invalidated and rebuilt once (capped at
+    # 6, biggest excess first) and min(first, rebuild) is recorded —
+    # the same additive-noise min-rule the query path has used since
+    # r11 s7; both values stay in `shared_drift`. The two warmup lines
+    # are excluded: a second pass would measure the warm path, not the
+    # cold cost they bill.
+    shared_drift: dict[str, dict] = {}
+    _overbuilt = sorted(
+        (
+            (v - 2 * prev_shared[lbl], lbl)
+            for lbl, v in shared.items()
+            if not lbl.endswith("_warmup")
+            and prev_shared.get(lbl)
+            and v > 2 * prev_shared[lbl]
+        ),
+        reverse=True,
+    )[:6]
+    if _overbuilt:
+        from intake_spark.llm.queries import rebuild_shared
+
+        for _, lbl in _overbuilt:
+            first = shared[lbl]
+            re_s = rebuild_shared(spark, sf_dir, lbl)
+            rec = round(min(first, re_s), 4) if re_s is not None else first
+            shared_drift[lbl] = {
+                "prev": prev_shared.get(lbl),
+                "first": first,
+                "rebuild": round(re_s, 4) if re_s is not None else None,
+                "recorded": rec,
+            }
+            shared[lbl] = rec
+
     total = round(sum(timings.values()) + sum(shared.values()), 4)
 
     # Full per-query detail (long names, spread, raw samples) goes to a side
@@ -572,6 +612,10 @@ def main() -> None:
         # retry runs inside the timed region, so these name the samples
         # that carried one
         "stream_retries": stream_retries,
+        # r12 shared-build drift guard: shared lines >2x their clean
+        # baseline were invalidated + rebuilt once; min(first, rebuild)
+        # is what `shared` reports, both values kept here
+        "shared_drift": shared_drift,
         "samples": {n: [round(x, 4) for x in s] for n, s in samples.items()},
         "repeats": repeats,
         "sf": sf,
@@ -605,6 +649,28 @@ def main() -> None:
     # 1.5-2.3% — ratchet every query's baseline upward and erode the 2x
     # longitudinal bar); downward moves and quiet-verified values always
     # re-anchor.
+    # baseline_shared mirrors baseline_queries: downward moves and
+    # rebuild-confirmed values always re-anchor; an upward move without a
+    # confirming rebuild (rebuild <= first, i.e. the rebuild produced the
+    # recorded value) keeps the old anchor so marginally-noisy windows
+    # cannot ratchet the shared baselines up.
+    if degraded and prev_shared:
+        detail["baseline_shared"] = {**shared, **prev_shared}
+    else:
+        baseline_shared = {}
+        for lbl, v in shared.items():
+            p = prev_shared.get(lbl)
+            d = shared_drift.get(lbl)
+            verified = (
+                d is not None
+                and d.get("rebuild") is not None
+                and d["rebuild"] <= d["first"]
+            )
+            if p is not None and v > p and not verified:
+                baseline_shared[lbl] = p
+            else:
+                baseline_shared[lbl] = v
+        detail["baseline_shared"] = baseline_shared
     if degraded and prev:
         detail["baseline_queries"] = prev
     else:
@@ -664,6 +730,11 @@ def main() -> None:
         line["retries"] = {
             n.split("_", 1)[0]: c for n, c in stream_retries.items()
         }
+    if shared_drift:
+        # which shared lines were rebuilt (detail has the paired values)
+        line["shared_rebuilt"] = sorted(
+            lbl.split(":", 1)[1] for lbl in shared_drift
+        )
     sys.stdout.flush()
     print(json.dumps(line, separators=(",", ":")))
     sys.stdout.flush()

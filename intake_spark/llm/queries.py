@@ -1402,31 +1402,8 @@ def prewarm_shared(spark: SparkSession, sf_dir: str) -> "dict[str, float]":
     without documents/embeddings tables just has no shared builds."""
     import time as _time
 
-    builds = {
-        "shared:dup_spans":
-            lambda: _dup_spans_shared(spark, sf_dir).count(),
-        "shared:jaccard_pairs":
-            lambda: _jaccard_pairs_shared(spark, sf_dir).count(),
-        "shared:jaccard_pairs_capped":
-            lambda: _jaccard_pairs_shared(
-                spark, sf_dir, Q22_MAX_SHINGLE_DF).count(),
-        "shared:semantic_pairs":
-            lambda: _semantic_pairs_shared(spark, sf_dir).count(),
-        "shared:direction":
-            lambda: _direction_shared(spark, sf_dir),
-        # fixture stores for the reader/lakehouse/triage provers: built
-        # once per session so q135-q138/q140 measure the read+decode
-        # they certify, not tempdir construction (whose variance made
-        # their 2x regression bar unpoliceable in r10)
-        "shared:q135_store": lambda: _q135_store(spark),
-        "shared:q136_store": lambda: _q136_store(spark),
-        "shared:q137_store": lambda: _q137_store(spark),
-        "shared:q138_store": lambda: _q138_store(spark),
-        "shared:q140_store": lambda: _q140_corpus_root(spark, sf_dir),
-        "shared:q141_store": lambda: _q141_store(spark, sf_dir),
-    }
     out: dict[str, float] = {}
-    for label, fn in builds.items():
+    for label, (_inv, fn) in _shared_build_specs(spark, sf_dir).items():
         t0 = _time.perf_counter()
         try:
             fn()
@@ -1434,6 +1411,105 @@ def prewarm_shared(spark: SparkSession, sf_dir: str) -> "dict[str, float]":
             continue
         out[label] = _time.perf_counter() - t0
     return out
+
+
+def _shared_build_specs(spark: SparkSession, sf_dir: str) -> dict:
+    """{label: (invalidate, build)} for every session-shared table.
+
+    ``build`` is what :func:`prewarm_shared` times; ``invalidate`` pops
+    the session cache behind the label so :func:`rebuild_shared` can
+    time a genuinely fresh second build (a cached re-call would measure
+    a dict lookup). DataFrame caches are unpersisted on invalidation;
+    fixture-store invalidation only drops the path — the old tempdir
+    stays on disk for any frame still reading it."""
+    app = spark.sparkContext.applicationId
+
+    def _pop_df(cache: dict, key: tuple):
+        got = cache.pop(key, None)
+        if got is not None:
+            try:
+                got.unpersist()
+            except Exception:
+                pass
+
+    return {
+        "shared:dup_spans": (
+            lambda: _pop_df(_DUP_SPANS_CACHE, (app, sf_dir)),
+            lambda: _dup_spans_shared(spark, sf_dir).count(),
+        ),
+        "shared:jaccard_pairs": (
+            lambda: _pop_df(_JACCARD_PAIRS_CACHE, (app, sf_dir, None)),
+            lambda: _jaccard_pairs_shared(spark, sf_dir).count(),
+        ),
+        "shared:jaccard_pairs_capped": (
+            lambda: _pop_df(
+                _JACCARD_PAIRS_CACHE, (app, sf_dir, Q22_MAX_SHINGLE_DF)
+            ),
+            lambda: _jaccard_pairs_shared(
+                spark, sf_dir, Q22_MAX_SHINGLE_DF).count(),
+        ),
+        "shared:semantic_pairs": (
+            lambda: _pop_df(_SEM_PAIRS_CACHE, (app, sf_dir)),
+            lambda: _semantic_pairs_shared(spark, sf_dir).count(),
+        ),
+        "shared:direction": (
+            lambda: _DIRECTION_CACHE.pop((app, sf_dir), None),
+            lambda: _direction_shared(spark, sf_dir),
+        ),
+        # fixture stores for the reader/lakehouse/triage provers: built
+        # once per session so q135-q138/q140 measure the read+decode
+        # they certify, not tempdir construction (whose variance made
+        # their 2x regression bar unpoliceable in r10)
+        "shared:q135_store": (
+            lambda: _FIXTURE_STORE_CACHE.pop((app, "q135"), None),
+            lambda: _q135_store(spark),
+        ),
+        "shared:q136_store": (
+            lambda: _FIXTURE_STORE_CACHE.pop((app, "q136"), None),
+            lambda: _q136_store(spark),
+        ),
+        "shared:q137_store": (
+            lambda: _Q137_CACHE.pop(app, None),
+            lambda: _q137_store(spark),
+        ),
+        "shared:q138_store": (
+            lambda: _FIXTURE_STORE_CACHE.pop((app, "q138"), None),
+            lambda: _q138_store(spark),
+        ),
+        "shared:q140_store": (
+            lambda: _Q140_ROOT_CACHE.pop((app, sf_dir), None),
+            lambda: _q140_corpus_root(spark, sf_dir),
+        ),
+        "shared:q141_store": (
+            lambda: _Q141_SRC_CACHE.pop((app, sf_dir), None),
+            lambda: _q141_store(spark, sf_dir),
+        ),
+    }
+
+
+def rebuild_shared(spark: SparkSession, sf_dir: str, label: str):
+    """Invalidate and rebuild ONE shared table, returning the fresh
+    build seconds (None for unknown labels or failed rebuilds). bench.py
+    uses this as the shared-line twin of the per-query quiet re-measure:
+    a ``shared:*`` line is a single otherwise-unguarded measurement, so
+    a minutes-scale host-noise burst during prewarm publishes a 3-5x
+    inflated build cost that no re-measure path ever examines (r11
+    driver run: dup_spans billed 24.4 s vs a ~6 s quiet build). Host
+    noise is strictly additive — min(first build, rebuild) is the same
+    estimator the query path has recorded since r11 s7."""
+    import time as _time
+
+    spec = _shared_build_specs(spark, sf_dir).get(label)
+    if spec is None:
+        return None
+    invalidate, build = spec
+    try:
+        invalidate()
+        t0 = _time.perf_counter()
+        build()
+        return _time.perf_counter() - t0
+    except Exception:
+        return None
 
 
 _DUP_SPANS_CACHE: dict = {}
