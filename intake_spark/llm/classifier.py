@@ -68,10 +68,26 @@ def _gram_bucket_counts(
 
 
 def _gram_pairs(
-    x: DataFrame, id_col: str, buckets: int, parts: int | None = None
+    x: DataFrame,
+    id_col: str,
+    buckets: int,
+    parts: int | None = None,
+    y_col: str | None = None,
 ) -> DataFrame:
     """(bl, br, h) nonzero entries of the Gram matrix H = XᵀX over the
     long-form feature frame ``x`` = (id, b, count), b ∈ [0, buckets].
+
+    With ``y_col`` set (dense path only), ``x`` additionally carries the
+    per-document ±1 label and the SAME pass also emits c = Xᵀy as
+    marker rows (bl=-1, br=b, h=c_b) and the document count as
+    (bl=-2, br=0, h=n_part) — the Exchange that co-locates each
+    document's feature rows is the only corpus-sized shuffle the whole
+    trainer then needs (the separate x⋈y + groupBy(b) pass and the
+    y.count() job both fold into it; all three results are exact
+    order-independent integer sums, so the numbers are identical).
+    Per-partition int64 safety for the extras follows from the Gram
+    bound already checked: x ≥ 1 integer counts give |c_b| ≤ Σ|x| ≤
+    Σx² < 2^62, and n ≤ rows ≤ Σx².
 
     NOT a pairwise self-join: that materializes n·k² rows (k = nonzero
     buckets per doc — ~65² per document) before any combine. Instead one
@@ -100,6 +116,8 @@ def _gram_pairs(
 
     B = buckets + 1
     if B > 1024:
+        if y_col is not None:
+            raise ValueError("y_col fusion requires the dense path (B <= 1024)")
         xl = x.alias("l")
         return (
             xl.join(x.alias("r"), id_col)
@@ -111,6 +129,7 @@ def _gram_pairs(
     # Python workers (a module global would be re-imported there, so a
     # test override would silently not apply executor-side)
     ch = _GRAM_DOC_CHUNK
+    yc = y_col
 
     def gram_part(batches):
         import numpy as np
@@ -145,13 +164,32 @@ def _gram_pairs(
             np.add.at(m, (codes[sel] - lo, bs[sel]), xs[sel])
             hp += m.T @ m
         bl, br = np.nonzero(hp)
-        yield pd.DataFrame(
+        out = pd.DataFrame(
             {
                 "bl": bl.astype("int64"),
                 "br": br.astype("int64"),
                 "h": hp[bl, br],
             }
         )
+        if yc is not None:
+            ys = part[yc].to_numpy(dtype="int64")
+            cv = np.zeros(B, dtype="int64")
+            np.add.at(cv, bs, xs * ys)
+            nz = np.nonzero(cv)[0]
+            # n = bias rows seen (b == buckets, one per source row) —
+            # identical to the y-frame count the fused jobs replace
+            n_part = int((bs == B - 1).sum())
+            extra = pd.DataFrame(
+                {
+                    "bl": np.concatenate(
+                        [np.full(len(nz), -1, dtype="int64"), [-2]]
+                    ),
+                    "br": np.concatenate([nz.astype("int64"), [0]]),
+                    "h": np.concatenate([cv[nz], [n_part]]),
+                }
+            )
+            out = pd.concat([out, extra], ignore_index=True)
+        yield out
 
     if parts:
         co = x.repartition(parts, F_.col(id_col))
@@ -217,33 +255,52 @@ def hashed_linear_classifier(
         F.col(id_col),
         F.when(label, F.lit(1)).otherwise(F.lit(-1)).cast("int").alias("y"),
     )
-    n = y.count()  # one scalar: the denominator of the mean gradient
+    # The full-batch gradient factors as g = (XᵀX)·w − scale·Xᵀy, and
+    # XᵀX is (buckets+1)² integers — Gram-matrix-sized, not corpus-sized.
+    # So ONE corpus pass precomputes H, c = Xᵀy AND the document count n
+    # exactly (128-bit merge sums) — the label joins onto the feature
+    # frame BEFORE the Gram pass's id-Exchange, so c and n ride the same
+    # shuffle instead of paying their own x⋈y + aggregate pass and a
+    # separate y.count() job (r12: 5 jobs / 3 corpus-sized shuffles down
+    # to 3 jobs / 1) — and the GD recurrence runs as exact driver
+    # integer math: identical numbers to the join-per-round formulation
+    # (all sums are order-independent).
+    # Premise: (buckets+1)² fits the driver — true for hashed-feature
+    # selectors (64–4096 buckets); a vocab-sized model wants the
+    # join-per-round shape instead.
+    B = buckets + 1
+    H = [[0] * B for _ in range(B)]
+    c = [0] * B
+    n = 0
+    if B <= 1024:
+        xy = x.join(y, id_col)  # never broadcast: y is corpus-sized
+        pairs = _gram_pairs(
+            xy, id_col, buckets, parts=gram_partitions, y_col="y"
+        )
+        for r in pairs.collect():
+            bl = int(r["bl"])
+            if bl == -2:
+                n += int(r["h"])
+            elif bl == -1:
+                c[int(r["br"])] = int(r["h"])
+            else:
+                H[bl][int(r["br"])] = int(r["h"])
+    else:
+        n = y.count()
+        xy = x.join(y, id_col)
+        pairs = _gram_pairs(x, id_col, buckets, parts=gram_partitions)
+        cvec_df = xy.groupBy("b").agg(
+            F.sum(F.expr("cast(x * y as decimal(38,0))")).alias("c")
+        )
+        for r in pairs.collect():
+            H[int(r["bl"])][int(r["br"])] = int(r["h"])
+        for r in cvec_df.collect():
+            c[int(r["b"])] = int(r["c"])
     if n == 0:
         # an empty corpus would make every update a division by zero
         # (an ANSI-mode error, silent NULL weights otherwise)
         raise ValueError("hashed_linear_classifier needs at least one document")
     d = eta_inv * n
-    # The full-batch gradient factors as g = (XᵀX)·w − scale·Xᵀy, and
-    # XᵀX is (buckets+1)² integers — Gram-matrix-sized, not corpus-sized.
-    # So ONE corpus pass precomputes H and c = Xᵀy exactly (128-bit sums),
-    # and the GD recurrence runs as exact driver integer math: identical
-    # numbers to the join-per-round formulation (all sums are
-    # order-independent), at 2 Spark jobs instead of 2 per round.
-    # Premise: (buckets+1)² fits the driver — true for hashed-feature
-    # selectors (64–4096 buckets); a vocab-sized model wants the
-    # join-per-round shape instead.
-    xy = x.join(y, id_col)  # never broadcast: y is corpus-sized
-    pairs = _gram_pairs(x, id_col, buckets, parts=gram_partitions)
-    cvec_df = xy.groupBy("b").agg(
-        F.sum(F.expr("cast(x * y as decimal(38,0))")).alias("c")
-    )
-    B = buckets + 1
-    H = [[0] * B for _ in range(B)]
-    for r in pairs.collect():
-        H[int(r["bl"])][int(r["br"])] = int(r["h"])
-    c = [0] * B
-    for r in cvec_df.collect():
-        c[int(r["b"])] = int(r["c"])
     w = [0] * B
     for _ in range(iters):
         g = [

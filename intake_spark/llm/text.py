@@ -1030,6 +1030,145 @@ def _rep_top_chars(n: int) -> str:
     )
 
 
+_REP_COUNTERS = (
+    "n_chars", "n_lines", "dup_lines", "dup_line_chars",
+    "dup_paras", "dup_para_chars",
+    "top2_chars", "top3_chars", "top4_chars",
+    "dup5_chars", "dup6_chars", "dup7_chars", "dup8_chars", "dup9_chars",
+    "dup10_chars",
+)
+_REP_FLAGS = (
+    "r_dup_line", "r_dup_line_char", "r_dup_para", "r_dup_para_char",
+    "r_top2", "r_top3", "r_top4",
+    "r_dup5", "r_dup6", "r_dup7", "r_dup8", "r_dup9", "r_dup10",
+)
+_REP_TOP_THR = {2: 20, 3: 18, 4: 16}
+_REP_DUP_THR = {5: 15, 6: 14, 7: 13, 8: 12, 9: 11, 10: 10}
+
+
+def _rep_stats_batch(ids, texts, np, pd):
+    """One batch of the vectorized Gopher repetition counters — the
+    numpy twin of the HOF expression stack, bit-identical by
+    construction: Python ``len``/``split`` and Spark
+    ``length``/``split`` both count code points and keep trailing
+    empties for literal separators, n-gram equality groups come from a
+    per-batch word dictionary (pd.factorize) + lexsort instead of
+    string sorts (any total order yields the same groups), the top-gram
+    value is count x char-length so the SQL's lexicographic gram
+    tie-break cannot change the output (tied (count, len) grams tie on
+    the product too), and the interval union is the same sorted-by-start
+    sweep, done as a segmented exclusive cummax."""
+    N = len(ids)
+    out = {k: np.zeros(N, dtype=np.int64) for k in _REP_COUNTERS}
+    line_chars = np.zeros(N, dtype=np.int64)
+    n_paras = np.zeros(N, dtype=np.int64)
+    para_chars = np.zeros(N, dtype=np.int64)
+    words_per_doc = []
+    for i, t in enumerate(texts):
+        t = t if t is not None else ""
+        ln = t.split("\n")
+        out["n_lines"][i] = len(ln)
+        sl = set(ln)
+        out["dup_lines"][i] = len(ln) - len(sl)
+        lc = sum(map(len, ln))
+        line_chars[i] = lc
+        out["dup_line_chars"][i] = lc - sum(map(len, sl))
+        pg = t.split("\n\n")
+        n_paras[i] = len(pg)
+        sp = set(pg)
+        out["dup_paras"][i] = len(pg) - len(sp)
+        pc = sum(map(len, pg))
+        para_chars[i] = pc
+        out["dup_para_chars"][i] = pc - sum(map(len, sp))
+        words_per_doc.append([w for w in t.split(" ") if w])
+
+    cnt = np.fromiter((len(ws) for ws in words_per_doc), dtype=np.int64,
+                      count=N)
+    flat = [w for ws in words_per_doc for w in ws]
+    Fw = len(flat)
+    wlen = np.fromiter((len(w) for w in flat), dtype=np.int64, count=Fw)
+    doc_of = np.repeat(np.arange(N, dtype=np.int64), cnt)
+    doc_first = np.zeros(N, dtype=np.int64)
+    if N > 1:
+        doc_first[1:] = np.cumsum(cnt)[:-1]
+    # char start of word i in the canonical single-space join
+    gstart = np.zeros(Fw, dtype=np.int64)
+    if Fw > 1:
+        gstart[1:] = np.cumsum(wlen + 1)[:-1]
+    starts = gstart - gstart[doc_first][doc_of] if Fw else gstart
+    np.add.at(out["n_chars"], doc_of, wlen)
+    out["n_chars"] += np.maximum(cnt - 1, 0)
+
+    if Fw:
+        codes, _ = pd.factorize(pd.Series(flat, dtype=object))
+        codes = codes.astype(np.int64)
+        offs = np.arange(Fw, dtype=np.int64) - doc_first[doc_of]
+        for n in range(2, 11):
+            idx = np.nonzero(offs <= cnt[doc_of] - n)[0]
+            if not len(idx):
+                continue
+            keymat = tuple(codes[idx + j] for j in range(n))
+            order = np.lexsort(tuple(reversed(keymat)) + (doc_of[idx],))
+            sidx = idx[order]
+            sdoc = doc_of[sidx]
+            same = sdoc[1:] == sdoc[:-1]
+            for j in range(n):
+                same &= codes[sidx[1:] + j] == codes[sidx[:-1] + j]
+            run_start = np.concatenate(([True], ~same))
+            run_id = np.cumsum(run_start) - 1
+            run_counts = np.bincount(run_id)
+            run_first = np.nonzero(run_start)[0]
+            rf = sidx[run_first]
+            rlen = starts[rf + n - 1] + wlen[rf + n - 1] - starts[rf]
+            if n <= 4:
+                # value = count x gram char length; ties on (count, len)
+                # tie on the product, so no string tie-break is needed.
+                # Packing is safe: an Arrow string cell caps a document
+                # at 2 GiB, so count and length both sit under 2^31.
+                key = run_counts * (1 << 32) + rlen
+                best = np.zeros(N, dtype=np.int64)
+                np.maximum.at(best, sdoc[run_first], key)
+                out[f"top{n}_chars"] = (best >> 32) * (best & 0xFFFFFFFF)
+            else:
+                dup_pos = run_counts[run_id] >= 2
+                occ = sidx[dup_pos]
+                if not len(occ):
+                    continue
+                cs = starts[occ]
+                ce = starts[occ + n - 1] + wlen[occ + n - 1]
+                d = doc_of[occ]
+                o2 = np.lexsort((ce, cs, d))
+                d2, cs2, ce2 = d[o2], cs[o2], ce[o2]
+                off = np.int64(int(ce2.max()) + 1)
+                cm = np.maximum.accumulate(ce2 + d2 * off) - d2 * off
+                prev = np.empty_like(cm)
+                prev[0] = -(1 << 60)
+                prev[1:] = cm[:-1]
+                seg = np.concatenate(([True], d2[1:] != d2[:-1]))
+                prev[seg] = -(1 << 60)
+                contrib = np.maximum(ce2 - np.maximum(cs2, prev), 0)
+                np.add.at(out[f"dup{n}_chars"], d2, contrib)
+
+    flags = {
+        "r_dup_line": 100 * out["dup_lines"] > 30 * out["n_lines"],
+        "r_dup_line_char": 100 * out["dup_line_chars"] > 20 * line_chars,
+        "r_dup_para": 100 * out["dup_paras"] > 30 * n_paras,
+        "r_dup_para_char": 100 * out["dup_para_chars"] > 20 * para_chars,
+        **{
+            f"r_top{n}": 100 * out[f"top{n}_chars"] > t * out["n_chars"]
+            for n, t in _REP_TOP_THR.items()
+        },
+        **{
+            f"r_dup{n}": 100 * out[f"dup{n}_chars"] > t * out["n_chars"]
+            for n, t in _REP_DUP_THR.items()
+        },
+    }
+    keep = np.ones(N, dtype=bool)
+    for fn in _REP_FLAGS:
+        keep &= ~flags[fn]
+    return out, {k: v.astype(np.int32) for k, v in flags.items()}, keep
+
+
 def gopher_repetition(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -1043,20 +1182,79 @@ def gopher_repetition(
     once via interval union). Together with :func:`gopher_filter` this
     completes the Gopher quality-filter pair.
 
-    Exactness: every fraction threshold is evaluated as an integer
-    cross-multiplication over character counts — zero floats in the
-    plan. Character offsets are measured over the canonical
-    single-space join of the document's nonempty words.
+    Exactness: every fraction threshold is an integer
+    cross-multiplication over character counts — zero floats. Character
+    offsets are measured over the canonical single-space join of the
+    document's nonempty words. Python and Spark agree on every
+    primitive involved (code-point ``len``, literal-separator ``split``
+    keeping empties), and :func:`gopher_repetition_hof` — the original
+    pure-expression implementation — stays as the in-plan cross-check
+    twin (tests assert both agree with a brute-force reference).
 
-    Scale shape: MAPPER-ONLY. Within-document n-gram counting uses a
-    sorted-run scan over per-row arrays (array_sort + neighbor checks +
-    one aggregate() fold), so there is no explode and no shuffle —
-    at 100 TB this runs at scan speed like the rest of the cleaning
-    ladder. Per-document cost: the run scans are O(words log words);
-    the char-offset prefix fold appends to an array per word (O(words²)
-    element COPIES with a tiny constant — immaterial below ~10k words).
-    Pathologically long documents should go through
-    :func:`chunk_documents` first, same as the rest of the ladder."""
+    Scale shape: MAPPER-ONLY (one MapInPandas, no explode, no shuffle).
+    r12 moved the per-document n-gram counting from per-row interpreted
+    higher-order-function stacks (9 gram-string builds + sorts per doc,
+    ~10 ms/doc — HOFs are CodegenFallback, so every element pays
+    interpreted eval and a UTF8String concat) to one vectorized numpy
+    pass per Arrow batch (per-batch word dictionary + one lexsort per
+    n; guide §4.2) — same integers at ~10x less per-doc CPU, which at
+    corpus scale is the difference between the cleaning ladder running
+    at scan speed or at n-gram-sort speed."""
+    import pyspark.sql.types as T
+
+    from intake_spark.session import ensure_py_deps
+
+    # the mapInPandas closure references _rep_stats_batch BY MODULE
+    # REFERENCE, and pyspark snapshots sc._python_includes when
+    # mapInPandas WRAPS the function — ship the package zip FIRST or a
+    # driver launched outside the repo dies executor-side with
+    # ModuleNotFoundError (the q132/q133/q134 pattern)
+    ensure_py_deps(df.sparkSession)
+
+    id_field = df.schema[id_col]
+    carry_fields = [df.schema[c] for c in carry]
+    schema = T.StructType(
+        [id_field]
+        + [T.StructField(c, T.LongType()) for c in _REP_COUNTERS]
+        + [T.StructField(c, T.IntegerType()) for c in _REP_FLAGS]
+        + carry_fields
+        + [T.StructField("keep", T.IntegerType())]
+    )
+    tcol, icol, cc = text_col, id_col, tuple(carry)
+
+    def rep(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            counters, flags, keep = _rep_stats_batch(
+                pdf[icol], list(pdf[tcol]), np, pd
+            )
+            data = {icol: pdf[icol]}
+            data.update(counters)
+            data.update(flags)
+            for c in cc:
+                data[c] = pdf[c]
+            data["keep"] = keep.astype(np.int32)
+            yield pd.DataFrame(data)
+
+    # carry may name text_col itself (curation_funnel threads the text
+    # through every stage) — select each input column once
+    in_cols = [icol, tcol] + [c for c in cc if c not in (icol, tcol)]
+    return df.select(*in_cols).mapInPandas(rep, schema)
+
+
+def gopher_repetition_hof(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    carry: "tuple[str, ...]" = (),
+) -> DataFrame:
+    """The original pure-expression (higher-order-function) form of
+    :func:`gopher_repetition` — kept as the cross-check twin: two
+    independent implementations of the same counters, asserted equal in
+    tests. Zero Python boundary, so it also remains the fallback for
+    deployments that must keep the cleaning ladder JVM-only."""
     txt = F.coalesce(F.col(text_col), F.lit(""))
     base = df.select(
         F.col(id_col),

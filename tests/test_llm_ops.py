@@ -2254,6 +2254,28 @@ def test_gopher_repetition_random_cross_check(spark):
         for n in range(5, 11):
             assert r[f"dup{n}_chars"] == exp[f"dup{n}"], (i, n, text)
 
+    # the r12 vectorized implementation and the original HOF expression
+    # stack must agree on EVERY output cell (newlines/paragraph dups and
+    # the flag columns included, which brute() doesn't model), with
+    # structural text thrown in: newlines, double-newlines, empty and
+    # NULL docs, multi-space runs
+    extra = docs + [
+        (100, "aa b\naa b\naa b\n\nccc\n\nccc"),
+        (101, ""),
+        (102, None),
+        (103, "  aa   b  "),
+        (104, "\n\n\n"),
+    ]
+    df2 = spark.createDataFrame(extra, "doc_id long, text string")
+    vec = {r.doc_id: r.asDict() for r in llmtext.gopher_repetition(df2).collect()}
+    hof = {
+        r.doc_id: r.asDict()
+        for r in llmtext.gopher_repetition_hof(df2).collect()
+    }
+    assert set(vec) == set(hof)
+    for k in vec:
+        assert vec[k] == hof[k], (k, vec[k], hof[k])
+
 
 def test_hll_distinct_accuracy_and_partition_invariance(spark):
     """The HLL estimate must land within ~3 standard errors (1.04/sqrt(m))
@@ -2390,6 +2412,59 @@ def test_gram_pairs_matches_join_formulation(spark):
     finally:
         clf._GRAM_DOC_CHUNK = old
     assert chunked == slow
+
+
+def test_gram_pairs_fused_labels_match_separate_passes(spark):
+    """The r12 fusion (c = Xᵀy and n riding the Gram pass's id-Exchange
+    as bl=-1/-2 marker rows) must reproduce the separate x⋈y aggregate
+    and y.count() exactly — including under forced multi-chunk
+    accumulation and an explicit partition count."""
+    from pyspark.sql import functions as F
+
+    import intake_spark.llm.classifier as clf
+    from intake_spark.llm.classifier import _gram_bucket_counts, _gram_pairs
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .limit(200)
+    )
+    x = _gram_bucket_counts(docs, "doc_id", "text", 64)
+    y = docs.select(
+        F.col("doc_id"),
+        F.when(F.col("lang") == "en", F.lit(1)).otherwise(F.lit(-1))
+        .cast("int").alias("y"),
+    )
+    xy = x.join(y, "doc_id")
+
+    n_ref = y.count()
+    c_ref = {
+        int(r.b): int(r.c)
+        for r in xy.groupBy("b")
+        .agg(F.sum(F.expr("cast(x * y as decimal(38,0))")).alias("c"))
+        .collect()
+        if int(r.c) != 0
+    }
+    h_ref = {
+        (r.bl, r.br): int(r.h) for r in _gram_pairs(x, "doc_id", 64).collect()
+    }
+
+    old = clf._GRAM_DOC_CHUNK
+    clf._GRAM_DOC_CHUNK = 7
+    try:
+        rows = _gram_pairs(xy, "doc_id", 64, parts=3, y_col="y").collect()
+    finally:
+        clf._GRAM_DOC_CHUNK = old
+    n_f, c_f, h_f = 0, {}, {}
+    for r in rows:
+        if r.bl == -2:
+            n_f += int(r.h)
+        elif r.bl == -1:
+            c_f[int(r.br)] = int(r.h)
+        else:
+            h_f[(r.bl, r.br)] = int(r.h)
+    assert n_f == n_ref
+    assert {b: v for b, v in c_f.items() if v != 0} == c_ref
+    assert h_f == h_ref
 
 
 def test_quality_buckets_nulls_to_tail_and_tiles(spark):
