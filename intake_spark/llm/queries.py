@@ -1031,7 +1031,12 @@ def q68_char_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     text. Spark side is mapper-only (distinct-char HOF counts, zero
     shuffle); the oracle recomputes via explode + two integer sums."""
     docs = load_table(spark, sf_dir, "documents")
-    return text.char_diversity(docs)
+    # mapper-only distinct-char HOF stack: with a single-row-group input
+    # the whole per-row pass runs on one task (r12 probe: 1.05 s ->
+    # 0.33 s spread at 32c; no-op on pre-split inputs)
+    from intake_spark.session import spread_small_scan
+
+    return text.char_diversity(spread_small_scan(docs))
 
 
 @register(
@@ -1057,7 +1062,11 @@ def q69_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     dashboard that prices source mixing. Join multiplicity per shingle is
     bounded by the source count, so no hot-shingle blowup."""
     docs = load_table(spark, sf_dir, "documents")
-    return dedup.source_overlap(docs, k=3)
+    # the shingle explode above the first exchange is per-row work on a
+    # single-row-group scan task (r12 probe: 1.48 s -> 1.19 s spread)
+    from intake_spark.session import spread_small_scan
+
+    return dedup.source_overlap(spread_small_scan(docs), k=3)
 
 
 _Q70_K = 5
