@@ -38,7 +38,10 @@ mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
 )
 for name in names:
     df = queries[name](spark, sf_dir)
-    df.write.mode("overwrite").format("noop").save()
+    # execute THIS frame's QueryExecution (a .write would plan a fresh
+    # one and leave df's adaptive plan unfinalized) — result sets here
+    # are pair tables, small enough to collect
+    df.collect()
     txt = df._jdf.queryExecution().explainString(mode)
     out = os.path.join(here, f"{name}_{suffix}.txt")
     with open(out, "w") as f:
