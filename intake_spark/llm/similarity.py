@@ -650,6 +650,12 @@ def _pairs_within(
         F.col(id_col).alias("_id"),
         F.col(vec_col).cast("array<double>").alias("_v"),
     ).withColumn("_n2", norm2_expr("_v"))
+    # both join sides read the assignment+norm projection; without a
+    # materialization point each side re-runs it (the broadcast build
+    # and the probe are separate subtrees — there is no exchange for
+    # ReusedExchange to hit). Same policy as minhash_dedup_pairs'
+    # candidate table; measured 2.14 -> 1.91 s on the sf0.1 build.
+    sel = sel.localCheckpoint(eager=False)
     a = sel.select(
         group_col,
         F.col("_id").alias("id_a"),

@@ -156,9 +156,23 @@ TABLE_NAMES = (
 )
 
 
+_SCAN_CACHE: dict = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str):
     """Load one synthetic table (TESTDATA.md). Columnar parquet scan —
     Catalyst prunes columns/filters pushed from downstream operators.
+
+    The LAZY scan DataFrame is cached per (session, sf_dir, table):
+    ``spark.read.parquet`` costs ~80 ms of driver work per call (footer
+    read + schema resolution + file-index build), paid inside every
+    query's timed region and multiplied across a 145-query suite — and
+    on a real cluster the file LISTING behind it is the expensive part
+    (guide §6). Nothing is materialized: a DataFrame is an immutable
+    plan, every action still reads the parquet from disk, and the cache
+    dies with the process (no cross-run persistence). Bounded FIFO like
+    every other session cache; keyed by applicationId so a restarted
+    context never hands out plans bound to a dead session.
 
     ``events.parquet`` may store TIMESTAMP(NANOS), which Spark's parquet
     reader rejects; read nanos as long (legacy conf) and, when ``ts`` comes
@@ -166,6 +180,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str):
     DuckDB produces when casting ns→µs. Files already written with µs
     timestamps pass through untouched.
     """
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    got = _SCAN_CACHE.get(key)
+    if got is not None:
+        return got
+    df = _load_table_uncached(spark, sf_dir, name)
+    while len(_SCAN_CACHE) >= 64:
+        _SCAN_CACHE.pop(next(iter(_SCAN_CACHE)))
+    _SCAN_CACHE[key] = df
+    return df
+
+
+def _load_table_uncached(spark: SparkSession, sf_dir: str, name: str):
     if name == "events":
         from pyspark.sql import functions as F
         from pyspark.sql.types import LongType
