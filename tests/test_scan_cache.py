@@ -29,6 +29,12 @@ def test_load_table_cache_is_bounded(spark):
     try:
         for i in range(70):
             S._SCAN_CACHE[("app", f"dir{i}", "t")] = object()
+        # evict the real key first: a cache HIT returns early and never
+        # runs the eviction loop (observed order-dependently in the
+        # full suite, where earlier tests had already cached it)
+        S._SCAN_CACHE.pop(
+            (spark.sparkContext.applicationId, SF_MEDIUM, "nation"), None
+        )
         S.load_table(spark, SF_MEDIUM, "nation")
         assert len(S._SCAN_CACHE) <= 64
     finally:
